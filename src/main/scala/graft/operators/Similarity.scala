@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (ArrayType(FloatType),
+  * 64-dim) — north-star extension, no reference analogue.
+  *
+  * Cosine is computed in DOUBLE with an identical left-to-right summation
+  * in both engines (zip-multiply-sum over the 64 elements), and the output
+  * similarity is rounded to 6 decimals with a vec_id tie-break so top-k
+  * ordering is engine-independent.
+  *
+  * Scale design (100 TB):
+  *  - Brute force: query side is tiny → broadcast; each executor streams its
+  *    partition of the corpus once, per-partition top-k heap via
+  *    row_number-over-window on (qid) — no corpus shuffle. This is the
+  *    correctness baseline.
+  *  - IVF-style ANN: the corpus is pre-partitioned into coarse cells (here
+  *    the `label` column stands in for a k-means cell assignment, which at
+  *    scale is a periodic batch job); a probe scans only the query's cell —
+  *    a partition-pruned fraction of the corpus. Bucketing the parquet
+  *    dataset by cell id makes the probe a file-skipping scan.
+  */
+object Similarity {
+  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  /** Double-precision dot product of two float-array columns, summation in
+    * element order (matches the DuckDB oracle's list_sum over
+    * list_transform).
+    */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def cosine(a: Column, b: Column): Column =
+    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+
+  /** DuckDB equivalent: dot(a,b) via range-indexed list_transform (1-based),
+    * left-to-right list_sum. */
+  private def duckDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def duckCos(a: String, b: String): String =
+    s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
+
+  val defs: Seq[Q] = Seq(
+
+    // Vector norms — the scalar building block, verified on its own.
+    Q("sim_vector_norms",
+      s"""SELECT vec_id, round(sqrt(${duckDot("embedding", "embedding")}), 6) AS l2_norm
+         |FROM embeddings ORDER BY vec_id""".stripMargin) {
+      (s, dir) =>
+        emb(s, dir).select(col("vec_id"),
+          round(sqrt(dotD(col("embedding"), col("embedding"))), 6).as("l2_norm"))
+          .orderBy(col("vec_id"))
+    },
+
+    // Brute-force cosine top-10 for 5 query vectors (the exact baseline).
+    Q("sim_bruteforce_topk",
+      s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT qs.qid, e.vec_id AS nid,
+         |         round(${duckCos("qs.qe", "e.embedding")}, 6) AS cos_sim
+         |  FROM qs JOIN embeddings e ON e.vec_id <> qs.qid),
+         |ranked AS (
+         |  SELECT qid, nid, cos_sim,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+         |  FROM scored)
+         |SELECT qid, nid, cos_sim, rank FROM ranked WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin, bench = true) {
+      (s, dir) => {
+        val e = emb(s, dir)
+        val qs = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val scored = e.join(broadcast(qs), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid"),
+            round(cosine(col("qe"), col("embedding")), 6).as("cos_sim"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .orderBy(col("qid"), col("rank"))
+      }
+    },
+
+    // IVF-style ANN: probe only the query's coarse cell (label = cell id).
+    // Same result shape as brute force but scans 1/n_cells of the corpus.
+    Q("sim_ann_ivf_probe",
+      s"""WITH qs AS (SELECT vec_id AS qid, label AS qcell, embedding AS qe
+         |            FROM embeddings WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT qs.qid, e.vec_id AS nid,
+         |         round(${duckCos("qs.qe", "e.embedding")}, 6) AS cos_sim
+         |  FROM qs JOIN embeddings e ON e.label = qs.qcell AND e.vec_id <> qs.qid),
+         |ranked AS (
+         |  SELECT qid, nid, cos_sim,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+         |  FROM scored)
+         |SELECT qid, nid, cos_sim, rank FROM ranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin) {
+      (s, dir) => {
+        val e = emb(s, dir)
+        val qs = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("label").as("qcell"), col("embedding").as("qe"))
+        val scored = e.join(broadcast(qs),
+            col("label") === col("qcell") && col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid"),
+            round(cosine(col("qe"), col("embedding")), 6).as("cos_sim"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .orderBy(col("qid"), col("rank"))
+      }
+    },
+
+    // Pairwise all-pairs similarity restricted to one cell — the "join side"
+    // of embedding-based near-dup detection (embedding-cosine dedup): pairs
+    // above a similarity threshold within a coarse cell.
+    Q("sim_cell_neardup_pairs",
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       round(${duckCos("a.embedding", "b.embedding")}, 6) AS cos_sim
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${duckCos("a.embedding", "b.embedding")} > 0.9
+         |ORDER BY id_a, id_b""".stripMargin) {
+      (s, dir) => {
+        val e = emb(s, dir)
+        val a = e.select(col("vec_id").as("id_a"), col("label").as("cell_a"),
+          col("embedding").as("emb_a"))
+        val b = e.select(col("vec_id").as("id_b"), col("label").as("cell_b"),
+          col("embedding").as("emb_b"))
+        a.join(b, col("cell_a") === col("cell_b") && col("id_a") < col("id_b"))
+          .withColumn("cs", cosine(col("emb_a"), col("emb_b")))
+          .filter(col("cs") > 0.9)
+          .select(col("id_a"), col("id_b"), round(col("cs"), 6).as("cos_sim"))
+          .orderBy(col("id_a"), col("id_b"))
+      }
+    },
+
+    // Centroid stats per cell: element-wise mean of the first 4 dims — the
+    // reduce step of the k-means iteration that maintains IVF cells.
+    Q("sim_cell_centroids",
+      """SELECT label, count(*) AS n,
+        |       round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS c1,
+        |       round(avg(CAST(embedding[2] AS DOUBLE)), 6) AS c2,
+        |       round(avg(CAST(embedding[3] AS DOUBLE)), 6) AS c3,
+        |       round(avg(CAST(embedding[4] AS DOUBLE)), 6) AS c4
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin) {
+      (s, dir) =>
+        emb(s, dir).groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            round(avg(element_at(col("embedding"), 1).cast("double")), 6).as("c1"),
+            round(avg(element_at(col("embedding"), 2).cast("double")), 6).as("c2"),
+            round(avg(element_at(col("embedding"), 3).cast("double")), 6).as("c3"),
+            round(avg(element_at(col("embedding"), 4).cast("double")), 6).as("c4"))
+          .orderBy(col("label"))
+    }
+  )
+}

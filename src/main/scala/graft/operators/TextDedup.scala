@@ -1,0 +1,312 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis + deduplication operators for LLM-scale data pipelines
+  * (north-star extensions; the reference has no text functions at all —
+  * SURVEY.md §2.4).
+  *
+  * Portability rule for the DuckDB oracle: every hash is md5-hex (identical
+  * in both engines) and every "min-hash" is the lexicographic MIN over
+  * md5-hex strings — a valid uniform min-hash that both engines compute
+  * bit-identically, avoiding engine-specific 64-bit hash functions.
+  *
+  * Scale design (100 TB):
+  *  - Exact dedup: hash-groupBy on md5(text) — one shuffle of (hash, id),
+  *    never the payload.
+  *  - MinHash+LSH: shingle → per-doc signature (narrow, no explode of the
+  *    corpus), band → bucket self-join. The join shuffles only
+  *    (band, bucket-key, doc_id) tuples; AQE splits skewed buckets. This is
+  *    the standard sub-quadratic near-dup path; candidate verification
+  *    (exact Jaccard) touches only bucket-colliding pairs.
+  *  - SimHash: token explode → 32 partial-agg bit counters per doc; the
+  *    exchange carries one row per doc.
+  */
+object TextDedup {
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  /** documents + tokens + 3-word shingles (shared prep for dedup ops). */
+  private def withShingles(df: DataFrame): DataFrame =
+    df.withColumn("tk", split(lower(col("text")), " "))
+      .withColumn("sg", expr(
+        "transform(sequence(1, size(tk)-2), " +
+          "i -> element_at(tk,i) || ' ' || element_at(tk,i+1) || ' ' || element_at(tk,i+2))"))
+
+  private val duckShingles =
+    """toks AS (SELECT doc_id, string_split(lower(text),' ') tk FROM documents),
+      |shing AS (SELECT doc_id,
+      |  list_transform(range(1, len(tk)-1), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]) sg
+      |  FROM toks)""".stripMargin
+
+  /** 8 min-hash signatures s0..s7 over the shingle set. */
+  private def withSignatures(df: DataFrame): DataFrame =
+    (0 until 8).foldLeft(df) { (d, i) =>
+      d.withColumn(s"s$i", expr(s"array_min(transform(sg, s -> md5('$i|' || s)))"))
+    }
+
+  private val duckSignatures =
+    "sigs AS (SELECT doc_id, " +
+      (0 until 8).map(i => s"list_min(list_transform(sg, s -> md5('$i|'||s))) s$i")
+        .mkString(", ") +
+      " FROM shing)"
+
+  /** 4 LSH bands, 2 signature rows each: band key = md5(s2i ‖ s2i+1). */
+  private def bandsOf(sigs: DataFrame): DataFrame = {
+    val bandStructs = (0 until 4).map(b =>
+      struct(lit(b).as("band"), md5(concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}"))).as("bk")))
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+  }
+
+  private val duckBands =
+    "bands AS (" + (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(s${2 * b}||s${2 * b + 1}) AS bk FROM sigs")
+      .mkString(" UNION ALL ") + ")"
+
+  /** LSH candidate pairs (id_a < id_b), deduplicated across bands. */
+  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
+    val bands = bandsOf(withSignatures(withShingles(docs(s, dir))))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  private val duckLshPairs =
+    s"""WITH $duckShingles,
+       |$duckSignatures,
+       |$duckBands,
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |          FROM bands a JOIN bands b
+       |            ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
+
+  // ---- SimHash: 32-bit signature from token md5 nibbles. ------------------
+  // Bit i of token-hash = bit (3 - i%4) of hex digit i/4 of md5(token).
+  // Signature bit i = majority vote over tokens (sum of ±1 > 0).
+
+  private def sparkTokenBit(i: Int): String = {
+    val k = i / 4; val shift = 3 - (i % 4)
+    s"((cast(conv(substring(h, ${k + 1}, 1), 16, 10) as int) >> $shift) & 1)"
+  }
+
+  private def duckTokenBit(i: Int): String = {
+    val k = i / 4; val shift = 3 - (i % 4)
+    s"(((strpos('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1) >> $shift) & 1)"
+  }
+
+  val defs: Seq[Q] = Seq(
+
+    // -------- text analysis ------------------------------------------------
+
+    Q("t_text_stats",
+      """SELECT doc_id, n_chars,
+        |       length(text) AS len_chars,
+        |       len(string_split(text, ' ')) AS n_tokens,
+        |       len(list_distinct(string_split(lower(text), ' '))) AS n_uniq_tokens,
+        |       round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        docs(s, dir).select(
+          col("doc_id"), col("n_chars"),
+          length(col("text")).as("len_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          size(array_distinct(split(lower(col("text")), " "))).cast("long").as("n_uniq_tokens"),
+          round(length(col("text")).cast("double") / size(split(col("text"), " ")), 6)
+            .as("chars_per_token")
+        ).orderBy(col("doc_id"))
+    },
+
+    // BPE-ish token counting: letter-runs, digit-runs, single punctuation.
+    Q("t_token_count",
+      """SELECT doc_id,
+        |       len(string_split(text, ' ')) AS ws_tokens,
+        |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        docs(s, dir).select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+          size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+            .cast("long").as("bpe_ish_tokens")
+        ).orderBy(col("doc_id"))
+    },
+
+    // Language-ID by stopword-marker scoring with a deterministic argmax
+    // (n-gram heuristic; both engines evaluate the identical CASE cascade).
+    Q("t_lang_id",
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    (CASE WHEN ' '||text||' ' LIKE '% the %' THEN 1 ELSE 0 END +
+        |     CASE WHEN ' '||text||' ' LIKE '% a %' THEN 1 ELSE 0 END) AS sc_en,
+        |    (CASE WHEN ' '||text||' ' LIKE '% der %' THEN 1 ELSE 0 END +
+        |     CASE WHEN ' '||text||' ' LIKE '% und %' THEN 1 ELSE 0 END) AS sc_de,
+        |    (CASE WHEN ' '||text||' ' LIKE '% le %' THEN 1 ELSE 0 END +
+        |     CASE WHEN ' '||text||' ' LIKE '% et %' THEN 1 ELSE 0 END) AS sc_fr
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |       CASE WHEN sc_en >= sc_de AND sc_en >= sc_fr AND sc_en > 0 THEN 'en'
+        |            WHEN sc_de >= sc_fr AND sc_de > 0 THEN 'de'
+        |            WHEN sc_fr > 0 THEN 'fr'
+        |            ELSE 'unknown' END AS pred_lang
+        |FROM scored ORDER BY doc_id""".stripMargin) {
+      (s, dir) => {
+        val padded = concat(lit(" "), col("text"), lit(" "))
+        def marker(w: String) = when(padded.contains(s" $w "), 1).otherwise(0)
+        docs(s, dir)
+          .withColumn("sc_en", marker("the") + marker("a"))
+          .withColumn("sc_de", marker("der") + marker("und"))
+          .withColumn("sc_fr", marker("le") + marker("et"))
+          .select(col("doc_id"), col("lang"),
+            when(col("sc_en") >= col("sc_de") && col("sc_en") >= col("sc_fr")
+              && col("sc_en") > 0, "en")
+              .when(col("sc_de") >= col("sc_fr") && col("sc_de") > 0, "de")
+              .when(col("sc_fr") > 0, "fr")
+              .otherwise("unknown").as("pred_lang"))
+          .orderBy(col("doc_id"))
+      }
+    },
+
+    // Quality scoring: length band + stopword ratio + punctuation ratio.
+    Q("t_quality_score",
+      """SELECT doc_id,
+        |  round(CAST(len(list_filter(string_split(lower(text), ' '),
+        |          t -> t IN ('the','a','and','of','to'))) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 6) AS stopword_ratio,
+        |  round(CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+        |        / length(text), 6) AS punct_ratio,
+        |  CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 1 ELSE 0 END AS len_ok
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        docs(s, dir).select(
+          col("doc_id"),
+          round(size(filter(split(lower(col("text")), " "),
+            t => t.isin("the", "a", "and", "of", "to"))).cast("double")
+            / size(split(col("text"), " ")), 6).as("stopword_ratio"),
+          round(size(expr("regexp_extract_all(text, '[^a-z0-9 ]', 0)")).cast("double")
+            / length(col("text")), 6).as("punct_ratio"),
+          when(col("n_chars").between(100, 2000), 1).otherwise(0).as("len_ok")
+        ).orderBy(col("doc_id"))
+    },
+
+    // Document fingerprinting (content-hash family).
+    Q("t_fingerprint",
+      """SELECT doc_id,
+        |       md5(text) AS fp,
+        |       substr(md5(text), 1, 8) AS fp_prefix,
+        |       md5(array_to_string(list_sort(list_distinct(string_split(lower(text),' '))),' ')) AS bow_fp
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        docs(s, dir).select(
+          col("doc_id"),
+          md5(col("text")).as("fp"),
+          substring(md5(col("text")), 1, 8).as("fp_prefix"),
+          md5(concat_ws(" ", array_sort(array_distinct(split(lower(col("text")), " ")))))
+            .as("bow_fp")
+        ).orderBy(col("doc_id"))
+    },
+
+    // -------- deduplication ------------------------------------------------
+
+    // Exact dedup: hash-groupBy; keeper = min doc_id per content hash.
+    Q("dd_exact",
+      """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin, bench = true) {
+      (s, dir) =>
+        docs(s, dir).groupBy(md5(col("text")).as("h"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+          .orderBy(col("h"))
+    },
+
+    // Near-dup groups by sorted-distinct-token (bag-of-words) fingerprint —
+    // catches token-order shuffles.
+    Q("dd_bow_dedup",
+      """WITH f AS (SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(lower(text),' '))),' ')) AS h
+        |  FROM documents)
+        |SELECT h, count(*) AS n, min(doc_id) AS keeper FROM f
+        |GROUP BY h HAVING count(*) > 1 ORDER BY h""".stripMargin) {
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"),
+            md5(concat_ws(" ", array_sort(array_distinct(split(lower(col("text")), " ")))))
+              .as("h"))
+          .groupBy(col("h"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+          .filter(col("n") > 1)
+          .orderBy(col("h"))
+    },
+
+    // MinHash + LSH candidate pairs (8 hashes, 4 bands × 2 rows).
+    Q("dd_minhash_lsh",
+      s"""$duckLshPairs
+         |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin,
+      bench = true) {
+      (s, dir) => lshPairs(s, dir).orderBy(col("id_a"), col("id_b"))
+    },
+
+    // N-gram Jaccard verification of the LSH candidates — the exact-check
+    // stage of the near-dup pipeline (only bucket-colliding pairs pay the
+    // set-intersection cost).
+    Q("dd_ngram_jaccard",
+      s"""$duckLshPairs,
+         |j AS (SELECT p.id_a, p.id_b,
+         |        round(CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
+         |              / len(list_distinct(list_concat(sa.sg, sb.sg))), 6) AS jaccard
+         |      FROM pairs p
+         |      JOIN shing sa ON sa.doc_id = p.id_a
+         |      JOIN shing sb ON sb.doc_id = p.id_b)
+         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin) {
+      (s, dir) => {
+        val sh = withShingles(docs(s, dir)).select(col("doc_id"), col("sg"))
+        val pairs = lshPairs(s, dir)
+        pairs
+          .join(sh.select(col("doc_id").as("id_a"), col("sg").as("sg_a")), Seq("id_a"))
+          .join(sh.select(col("doc_id").as("id_b"), col("sg").as("sg_b")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(size(array_intersect(col("sg_a"), col("sg_b"))).cast("double")
+              / size(array_union(col("sg_a"), col("sg_b"))), 6).as("jaccard"))
+          .filter(col("jaccard") >= 0.2)
+          .orderBy(col("id_a"), col("id_b"))
+      }
+    },
+
+    // SimHash-32 signature per document; identical signature ⇒ near-dup
+    // bucket. Majority vote per bit over token hashes.
+    Q("dd_simhash", {
+      val bitSums = (0 until 32)
+        .map(i => s"sum(CASE WHEN ${duckTokenBit(i)} = 1 THEN 1 ELSE -1 END) AS b$i")
+        .mkString(", ")
+      val sig = (0 until 32)
+        .map(i => s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, md5(t.tk) AS h
+         |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tk
+         |        FROM documents) t),
+         |bits AS (SELECT doc_id, $bitSums FROM tok GROUP BY doc_id)
+         |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits
+         |ORDER BY doc_id""".stripMargin
+    }) {
+      (s, dir) => {
+        val tok = docs(s, dir)
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tk"))
+          .withColumn("h", md5(col("tk")))
+        val bitAggs = (0 until 32).map(i =>
+          sum(when(expr(sparkTokenBit(i)) === 1, 1).otherwise(-1)).as(s"b$i"))
+        val sig = (0 until 32)
+          .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _)
+        tok.groupBy(col("doc_id"))
+          .agg(bitAggs.head, bitAggs.tail: _*)
+          .select(col("doc_id"), sig.cast("long").as("simhash"))
+          .orderBy(col("doc_id"))
+      }
+    }
+  )
+}
