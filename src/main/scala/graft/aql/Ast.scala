@@ -1,0 +1,192 @@
+package graft.aql
+
+/** AST — the 11 statement variants of the reference language
+  * (`/root/reference/src/main.rs:90-168`), plus the parser that
+  * positionally matches token patterns (reference dispatcher
+  * `src/parser.rs:533-550`) and `?`-argument substitution
+  * (`src/parser.rs:591-681`).
+  */
+object Ast {
+  /** One predicate atom: column OP literal (reference stores
+    * `(Token,Token,Token)` triples — `src/parser.rs:327-388`).
+    */
+  final case class Cond(column: String, op: String, value: Token)
+
+  /** Predicate chain with gates. Gates are (index, 'a'|'o') pairs in the
+    * reference; we keep the gate BEFORE atom i+1 as gates(i). Lowering
+    * applies SQL precedence (AND binds tighter than OR) — a documented
+    * divergence from reference quirk Q2 (SURVEY.md §2.8).
+    */
+  final case class Where(atoms: List[Cond], gates: List[Char]) {
+    require(gates.length == math.max(0, atoms.length - 1),
+      "gate count must be atoms-1")
+  }
+
+  sealed trait Container
+  object Container {
+    final case class Real(name: String) extends Container
+    /** `(SEARCH …)` virtual container (reference `src/main.rs:136-140`). */
+    final case class Virtual(query: Search) extends Container
+  }
+
+  sealed trait Stmt
+  final case class CreateContainer(name: String, colNames: List[String],
+      colTypes: List[AlbaType]) extends Stmt
+  final case class CreateRow(container: String, colNames: List[String],
+      values: List[Token]) extends Stmt
+  final case class EditRow(container: String, colNames: List[String],
+      values: List[Token], where: Where) extends Stmt
+  final case class DeleteRow(container: String, where: Option[Where]) extends Stmt
+  final case class DeleteContainer(name: String) extends Stmt
+  final case class Search(containers: List[Container], projection: List[String],
+      where: Option[Where]) extends Stmt
+  final case class Commit(container: Option[String]) extends Stmt
+  final case class Rollback(container: Option[String]) extends Stmt
+  final case class CursorNext(id: String) extends Stmt
+  final case class CursorPrevious(id: String) extends Stmt
+  final case class CursorExit(id: String) extends Stmt
+}
+
+final class ParseException(msg: String) extends RuntimeException(msg)
+
+object Parser {
+  import Ast._
+  import Token._
+
+  def parse(input: String, args: Seq[String] = Nil): Stmt =
+    fromTokens(substituteArgs(Lexer.lex(input), args))
+
+  /** `?` placeholders replaced in order by re-lexed single tokens,
+    * recursing into groups and subcommands (reference
+    * `src/parser.rs:591-652`).
+    */
+  def substituteArgs(tokens: List[Token], args: Seq[String]): List[Token] = {
+    val it = args.iterator
+    def one(t: Token): Token = t match {
+      case Argument =>
+        if (!it.hasNext) throw new ParseException("Not enough arguments for '?' placeholders")
+        Lexer.lex(it.next()) match {
+          case single :: Nil => single
+          case other => throw new ParseException(
+            s"Argument must lex to exactly one token, got ${other.length}")
+        }
+      case Group(items) => Group(items.map(one))
+      case SubCommand(items) => SubCommand(items.map(one))
+      case other => other
+    }
+    val out = tokens.map(one)
+    if (it.hasNext) throw new ParseException("Too many arguments for '?' placeholders")
+    out
+  }
+
+  private def name(t: Token): String = t match {
+    case Str(s) => s
+    case Keyword(k) => k
+    case other => throw new ParseException(s"Expected a name, got $other")
+  }
+
+  private def strings(g: Token): List[String] = g match {
+    case Group(items) => items.map(name)
+    case other => throw new ParseException(s"Expected [group], got $other")
+  }
+
+  /** WHERE clause: `col OP value (AND|OR col OP value)*`. */
+  private def parseWhere(tokens: List[Token]): Where = {
+    val atoms = List.newBuilder[Cond]
+    val gates = List.newBuilder[Char]
+    var rest = tokens
+    var first = true
+    while (rest.nonEmpty) {
+      if (!first) rest match {
+        case Keyword("AND") :: tl => gates += 'a'; rest = tl
+        case Keyword("OR") :: tl => gates += 'o'; rest = tl
+        case other => throw new ParseException(s"Expected AND/OR, got ${other.head}")
+      }
+      rest match {
+        case colTok :: Op(op) :: value :: tl =>
+          atoms += Cond(name(colTok), op, value); rest = tl
+        case other => throw new ParseException(
+          s"Expected `column OP value`, got ${other.take(3)}")
+      }
+      first = false
+    }
+    val a = atoms.result()
+    if (a.isEmpty) throw new ParseException("Empty WHERE clause")
+    Where(a, gates.result())
+  }
+
+  def fromTokens(tokens: List[Token]): Stmt = tokens match {
+    // CREATE CONTAINER name [names][types] (parser.rs:56-120)
+    case Keyword("CREATE") :: Keyword("CONTAINER") :: nameTok :: (namesG: Group) :: (typesG: Group) :: Nil =>
+      val colNames = strings(namesG)
+      val colTypes = typesG.items.map {
+        case Keyword(k) => AlbaType.of(k)
+        case Str(sname) => AlbaType.of(sname)
+        case other => throw new ParseException(s"Expected a type, got $other")
+      }
+      if (colNames.isEmpty || colNames.length > 50)
+        throw new ParseException("Column count must be 1..50") // database.rs:16 max_columns
+      if (colNames.distinct.length != colNames.length)
+        throw new ParseException("Duplicate column names")
+      if (colNames.length != colTypes.length)
+        throw new ParseException("Column-name and type counts differ")
+      CreateContainer(name(nameTok), colNames, colTypes)
+
+    // CREATE ROW [cols][vals] ON container (parser.rs:88-109)
+    case Keyword("CREATE") :: Keyword("ROW") :: (colsG: Group) :: (valsG: Group) :: Keyword("ON") :: containerTok :: Nil =>
+      val cols = strings(colsG)
+      if (cols.length != valsG.items.length)
+        throw new ParseException("Column and value counts differ")
+      CreateRow(name(containerTok), cols, valsG.items)
+
+    // EDIT ROW [cols][vals] ON container WHERE … (parser.rs:122-239)
+    case Keyword("EDIT") :: Keyword("ROW") :: (colsG: Group) :: (valsG: Group) :: Keyword("ON") :: containerTok :: Keyword("WHERE") :: rest =>
+      val cols = strings(colsG)
+      if (cols.length != valsG.items.length)
+        throw new ParseException("Column and value counts differ")
+      EditRow(name(containerTok), cols, valsG.items, parseWhere(rest))
+
+    // DELETE ROW ON container [WHERE …] (parser.rs:397-531)
+    case Keyword("DELETE") :: Keyword("ROW") :: Keyword("ON") :: containerTok :: Nil =>
+      DeleteRow(name(containerTok), None)
+    case Keyword("DELETE") :: Keyword("ROW") :: Keyword("ON") :: containerTok :: Keyword("WHERE") :: rest =>
+      DeleteRow(name(containerTok), Some(parseWhere(rest)))
+
+    // DELETE CONTAINER name (database.rs:814-839)
+    case Keyword("DELETE") :: Keyword("CONTAINER") :: nameTok :: Nil =>
+      DeleteContainer(name(nameTok))
+
+    // SEARCH [cols] ON [containers] [WHERE …] (parser.rs:271-395)
+    case Keyword("SEARCH") :: (projG: Group) :: Keyword("ON") :: contTok :: rest =>
+      val containers = contTok match {
+        case Group(items) => items.map {
+          case SubCommand(sub) => fromTokens(sub) match {
+            case s: Search => Container.Virtual(s)
+            case other => throw new ParseException(s"Subquery must be SEARCH, got $other")
+          }
+          case t => Container.Real(name(t))
+        }
+        case t => List(Container.Real(name(t)))
+      }
+      val where = rest match {
+        case Nil => None
+        case Keyword("WHERE") :: condTokens => Some(parseWhere(condTokens))
+        case other => throw new ParseException(s"Unexpected trailing tokens: $other")
+      }
+      Search(containers, strings(projG), where)
+
+    // COMMIT / ROLLBACK [container] (parser.rs:553-588)
+    case Keyword("COMMIT") :: Nil => Commit(None)
+    case Keyword("COMMIT") :: containerTok :: Nil => Commit(Some(name(containerTok)))
+    case Keyword("ROLLBACK") :: Nil => Rollback(None)
+    case Keyword("ROLLBACK") :: containerTok :: Nil => Rollback(Some(name(containerTok)))
+
+    // Cursor control (database.rs:888-921)
+    case Keyword("QYCNNXT") :: idTok :: Nil => CursorNext(name(idTok))
+    case Keyword("QYCNPVS") :: idTok :: Nil => CursorPrevious(name(idTok))
+    case Keyword("QYCNEXT") :: idTok :: Nil => CursorExit(name(idTok))
+
+    case other =>
+      throw new ParseException(s"Unrecognized statement: ${other.take(4)}…")
+  }
+}

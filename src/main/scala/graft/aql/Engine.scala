@@ -1,0 +1,168 @@
+package graft.aql
+
+import graft.catalog.{Catalog, Tx}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** AQL execution engine: lowers the AST to DataFrame plans against the
+  * catalog + transaction layer, with 100-row cursor pagination — the
+  * Spark equivalent of the reference's `Database::run`
+  * (`/root/reference/src/database.rs:636-931`).
+  *
+  * Divergences from reference quirks (SURVEY.md §2.8), all standardized to
+  * SQL semantics as the DuckDB oracle expects:
+  *  - Q1: comparison operands in standard order (`x > 5` means x greater).
+  *  - Q2: AND binds tighter than OR (the reference has no precedence).
+  *  - Q3: projection is real (the reference parses and ignores it).
+  *  - Q6: EDIT replaces column values (the reference's Vec::insert shifts).
+  *  - Q8: union type mismatch is an error, not a silent drop.
+  */
+final class Engine(val spark: SparkSession, rootDir: String) {
+  val catalog = new Catalog(spark, rootDir)
+  val tx = new Tx(catalog)
+
+  import Engine._
+
+  /** Cursor registry (reference: server-side query map keyed by a random
+    * id, `src/database.rs:888-921`; 100-row pages `src/query.rs:9`).
+    */
+  private val cursors = scala.collection.mutable.Map[String, Cursor]()
+  val PageSize = 100
+
+  def execute(aql: String, args: Seq[String] = Nil): Result =
+    run(Parser.parse(aql, args))
+
+  def run(stmt: Ast.Stmt): Result = stmt match {
+    case Ast.CreateContainer(name, cols, types) =>
+      catalog.create(name, cols.zip(types))
+      Done(s"created container $name")
+
+    case Ast.CreateRow(container, cols, values) =>
+      val d = catalog.get(container)
+      val byName = cols.zip(values.map(AlbaType.tokenValue)).toMap
+      val unknown = cols.filterNot(c => d.columns.exists(_._1 == c))
+      if (unknown.nonEmpty)
+        throw new ParseException(s"Unknown columns: ${unknown.mkString(",")}")
+      // coerce through the cast matrix; unmentioned columns are NULL
+      val row = Row.fromSeq(d.columns.map { case (n, t) =>
+        byName.get(n).map(v => AlbaType.coerce(t, v)).orNull
+      })
+      tx.stageInsert(container, Seq(row))
+      Done(s"staged 1 row into $container")
+
+    case Ast.EditRow(container, cols, values, where) =>
+      val d = catalog.get(container)
+      val sets = cols.zip(values.map(AlbaType.tokenValue)).map { case (c, v) =>
+        val t = d.columns.find(_._1 == c)
+          .getOrElse(throw new ParseException(s"Unknown column $c"))._2
+        c -> AlbaType.coerce(t, v)
+      }
+      tx.stageEdit(container, lowerWhere(where, d), sets)
+      Done(s"staged edit on $container")
+
+    case Ast.DeleteRow(container, where) =>
+      val d = catalog.get(container)
+      tx.stageDelete(container, where.map(lowerWhere(_, d)))
+      Done(s"staged delete on $container")
+
+    case Ast.DeleteContainer(name) =>
+      tx.rollback(Some(name))
+      catalog.drop(name)
+      Done(s"deleted container $name")
+
+    case s: Ast.Search =>
+      val df = lowerSearch(s)
+      val id = java.util.UUID.randomUUID().toString.replace("-", "")
+      cursors(id) = Cursor(df, page = 0)
+      ResultSet(df, id)
+
+    case Ast.Commit(c) => tx.commit(c); Done("committed")
+    case Ast.Rollback(c) => tx.rollback(c); Done("rolled back")
+
+    case Ast.CursorNext(id) => pageOf(id, +1)
+    case Ast.CursorPrevious(id) => pageOf(id, -1)
+    case Ast.CursorExit(id) =>
+      cursors.remove(id); Done(s"cursor $id closed")
+  }
+
+  private def pageOf(id: String, delta: Int): Page = {
+    val cur = cursors.getOrElse(id,
+      throw new ParseException(s"Unknown cursor $id"))
+    val target = math.max(0, cur.page + delta)
+    // limit-pushdown paging over the deterministic cursor ordering
+    val rows = cur.df.offset(target * PageSize).limit(PageSize).collect().toSeq
+    cur.page = target
+    Page(rows, target)
+  }
+
+  /** SEARCH lowering: per-container filtered/projected view, unioned by
+    * name across real and virtual (subquery) containers.
+    */
+  def lowerSearch(s: Ast.Search): DataFrame = {
+    val parts = s.containers.map {
+      case Ast.Container.Real(cname) =>
+        val d = catalog.get(cname)
+        val base = tx.view(cname)
+        val filtered = s.where.map(w => base.filter(lowerWhere(w, d))).getOrElse(base)
+        project(filtered, s.projection)
+      case Ast.Container.Virtual(sub) =>
+        project(lowerSearch(sub), s.projection)
+    }
+    val schemas = parts.map(_.schema.map(f => (f.name, f.dataType)))
+    if (schemas.distinct.length != 1)
+      throw new ParseException( // standardized from quirk Q8 (silent drop)
+        s"Union over mismatched schemas: ${schemas.distinct.mkString(" vs ")}")
+    val unioned = parts.reduce(_ unionByName _)
+    // deterministic cursor ordering: all columns, ascending (the parquet
+    // sort is a top-k under limit pushdown, never a full materialization)
+    unioned.orderBy(unioned.columns.map(c => col(c).asc_nulls_first).toIndexedSeq: _*)
+  }
+
+  private def project(df: DataFrame, cols: List[String]): DataFrame =
+    if (cols.isEmpty) df else df.select(cols.map(col): _*)
+
+  /** WHERE lowering with SQL precedence: split the gate chain at ORs into
+    * AND-runs, fold each run with &&, then fold runs with ||.
+    */
+  def lowerWhere(w: Ast.Where, d: Catalog#ContainerDef): Column = {
+    val andRuns = List.newBuilder[List[Ast.Cond]]
+    var run = List.newBuilder[Ast.Cond]
+    run += w.atoms.head
+    w.gates.zip(w.atoms.tail).foreach { case (g, atom) =>
+      if (g == 'a') run += atom
+      else { andRuns += run.result(); run = List.newBuilder[Ast.Cond]; run += atom }
+    }
+    andRuns += run.result()
+    andRuns.result().map(_.map(atom => lowerCond(atom, d)).reduce(_ && _)).reduce(_ || _)
+  }
+
+  private def lowerCond(c: Ast.Cond, d: Catalog#ContainerDef): Column = {
+    val colType = d.columns.find(_._1 == c.column)
+      .getOrElse(throw new ParseException(s"Unknown column ${c.column}"))._2
+    val raw = AlbaType.tokenValue(c.value)
+    // literal coerced to the column's type (P5, query_conditions.rs:115-245)
+    def v = lit(AlbaType.coerce(colType, raw))
+    val x = col(c.column)
+    c.op match {
+      case "=" | "==" => x === v // Equal and StrictEqual are both plain equality
+      case "!=" => x =!= v
+      case ">" => x > v
+      case "<" => x < v
+      case ">=" => x >= v
+      case "<=" => x <= v
+      case "&>" => x.contains(lit(raw.toString))
+      case "&&>" => lower(x).contains(lit(raw.toString.toLowerCase))
+      case "&&&>" => x.rlike(raw.toString)
+      case other => throw new ParseException(s"Unknown operator $other")
+    }
+  }
+}
+
+object Engine {
+  final case class Cursor(df: DataFrame, var page: Int)
+
+  sealed trait Result
+  final case class ResultSet(df: DataFrame, cursorId: String) extends Result
+  final case class Page(rows: Seq[Row], page: Int) extends Result
+  final case class Done(message: String) extends Result
+}

@@ -1,0 +1,103 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Transaction layer: per-container staged-operation log with
+  * COMMIT/ROLLBACK — the Spark-native re-architecture of the reference's
+  * MVCC staging map (`/root/reference/src/container.rs:10,235-342`).
+  *
+  * The reference stages materialized row states keyed by file address and
+  * applies them to the container file on commit. Parquet is immutable, so
+  * we stage the *operations* and define the read view as the committed
+  * base plan folded through the log:
+  *
+  *   view = fold(base, log) where
+  *     Insert(rows)      → view ∪ rows
+  *     Edit(pred, sets)  → per-column `when(pred, newVal)` overlay
+  *     Delete(pred)      → filter(¬pred)
+  *
+  * This gives exact sequential read-your-writes semantics (an edit sees
+  * earlier uncommitted inserts, like the reference's MVCC overlay in
+  * `get_rows`, container.rs:343-373). COMMIT materializes the view via an
+  * atomic directory swap (Catalog.overwrite); ROLLBACK drops the log.
+  *
+  * Scale note: the log is per-session metadata (predicates + local row
+  * batches), never data; commit is one distributed job writing the new
+  * version. At warehouse scale the same fold IS Delta/Iceberg's MERGE
+  * model — copy-on-write with a transaction-log pointer flip.
+  */
+final class Tx(catalog: Catalog) {
+  import Tx._
+
+  private var log = Map.empty[String, Vector[StagedOp]].withDefaultValue(Vector.empty)
+
+  /** `auto_commit` settings flag (reference `src/database.rs:18,630-633`). */
+  @volatile var autoCommit: Boolean = false
+
+  def stagedOps(container: String): Int = log(container).size
+
+  def stageInsert(container: String, rows: Seq[Row]): Unit = {
+    // coalesce consecutive inserts so N single-row CREATE ROWs stay one
+    // union branch in the view plan, not N
+    val ops = log(container)
+    val merged = ops.lastOption match {
+      case Some(Insert(prev)) => ops.init :+ Insert(prev ++ rows)
+      case _ => ops :+ Insert(rows)
+    }
+    log += container -> merged
+    if (autoCommit) commit(Some(container))
+  }
+
+  def stageEdit(container: String, pred: Column, sets: Seq[(String, Any)]): Unit =
+    log += container -> (log(container) :+ Edit(pred, sets))
+
+  def stageDelete(container: String, pred: Option[Column]): Unit =
+    log += container -> (log(container) :+ Delete(pred))
+
+  /** Read view: committed base folded through this session's staged ops. */
+  def view(container: String): DataFrame = {
+    val d = catalog.get(container)
+    log(container).foldLeft(catalog.read(container)) { (df, op) =>
+      op match {
+        case Insert(rows) =>
+          val local = catalog.spark.createDataFrame(
+            new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+              .SeqHasAsJava(rows).asJava), d.schema)
+          df.unionByName(local)
+        case Edit(pred, sets) =>
+          sets.foldLeft(df) { case (acc, (c, v)) =>
+            acc.withColumn(c, when(pred, lit(v)).otherwise(col(c)))
+          }
+        case Delete(Some(pred)) => df.filter(!pred)
+        case Delete(None) => df.filter(lit(false))
+      }
+    }
+  }
+
+  /** COMMIT [container] — apply staged ops via copy-on-write swap
+    * (reference commit: container.rs:248-342). */
+  def commit(container: Option[String]): Unit = {
+    val targets = container.map(Seq(_)).getOrElse(log.keys.toSeq)
+    targets.foreach { c =>
+      if (log(c).nonEmpty) {
+        catalog.overwrite(c, view(c))
+        log -= c
+      }
+    }
+  }
+
+  /** ROLLBACK [container] — discard staged ops
+    * (reference: container.rs:241-247). */
+  def rollback(container: Option[String]): Unit = container match {
+    case Some(c) => log -= c
+    case None => log = Map.empty[String, Vector[StagedOp]].withDefaultValue(Vector.empty)
+  }
+}
+
+object Tx {
+  sealed trait StagedOp
+  final case class Insert(rows: Seq[Row]) extends StagedOp
+  final case class Edit(pred: Column, sets: Seq[(String, Any)]) extends StagedOp
+  final case class Delete(pred: Option[Column]) extends StagedOp
+}

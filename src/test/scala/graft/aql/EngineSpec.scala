@@ -1,0 +1,161 @@
+package graft.aql
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** End-to-end AQL: DDL → DML → transactional search → cursor paging,
+  * exercising the parity cases from FIXTURES.md.
+  */
+class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = TestSpark.spark
+  private var dir: java.nio.file.Path = _
+  private var eng: Engine = _
+
+  override def beforeAll(): Unit = {
+    dir = java.nio.file.Files.createTempDirectory("graft-engine-spec")
+    eng = new Engine(spark, dir.toString)
+  }
+
+  private def searchRows(aql: String, args: Seq[String] = Nil): Seq[org.apache.spark.sql.Row] =
+    eng.execute(aql, args).asInstanceOf[Engine.ResultSet].df.collect().toSeq
+
+  test("01 create container / list / duplicate rejected") {
+    eng.execute("CREATE CONTAINER people ['id','name','age','score','ok'] " +
+      "[BIGINT, SMALL-STRING, INT, FLOAT, BOOL]")
+    assert(eng.catalog.list() == Seq("people"))
+    intercept[IllegalArgumentException](
+      eng.execute("CREATE CONTAINER people ['a'] [INT]"))
+  }
+
+  test("02 staged rows visible before commit (MVCC view)") {
+    eng.execute("CREATE ROW ['id','name','age','score','ok'] [1,'ana',30,9.5,true] ON people")
+    eng.execute("CREATE ROW ['id','name','age','score','ok'] [2,'bo',40,3.25,false] ON people")
+    // read-your-writes without commit (reference MVCC overlay)
+    assert(searchRows("SEARCH [] ON people").length == 2)
+    // committed base is still empty
+    assert(eng.catalog.read("people").count() == 0)
+  }
+
+  test("03 rollback discards staging; commit persists") {
+    eng.execute("ROLLBACK people")
+    assert(searchRows("SEARCH [] ON people").isEmpty)
+    eng.execute("CREATE ROW ['id','name','age','score','ok'] [1,'ana',30,9.5,true] ON people")
+    eng.execute("CREATE ROW ['id','name','age','score','ok'] [2,'bo',40,3.25,false] ON people")
+    eng.execute("CREATE ROW ['id','name','age','score','ok'] [3,'cy',25,7.0,true] ON people")
+    eng.execute("COMMIT people")
+    assert(eng.catalog.read("people").count() == 3)
+  }
+
+  test("04 projection is real (quirk Q3 fixed)") {
+    val df = eng.execute("SEARCH ['id','name'] ON people")
+      .asInstanceOf[Engine.ResultSet].df
+    assert(df.columns.toSeq == Seq("id", "name"))
+  }
+
+  test("05 all ten operators with standard operand order (Q1 fixed)") {
+    assert(searchRows("SEARCH ['id'] ON people WHERE age > 28").map(_.getLong(0)).sorted == Seq(1L, 2L))
+    assert(searchRows("SEARCH ['id'] ON people WHERE age >= 30").length == 2)
+    assert(searchRows("SEARCH ['id'] ON people WHERE age < 30").map(_.getLong(0)) == Seq(3L))
+    assert(searchRows("SEARCH ['id'] ON people WHERE age <= 25").length == 1)
+    assert(searchRows("SEARCH ['id'] ON people WHERE name = 'ana'").length == 1)
+    assert(searchRows("SEARCH ['id'] ON people WHERE name == 'ana'").length == 1)
+    assert(searchRows("SEARCH ['id'] ON people WHERE name != 'ana'").length == 2)
+    assert(searchRows("SEARCH ['id'] ON people WHERE name &> 'n'").map(_.getLong(0)) == Seq(1L))
+    assert(searchRows("SEARCH ['id'] ON people WHERE name &&> 'AN'").map(_.getLong(0)) == Seq(1L))
+    assert(searchRows("SEARCH ['id'] ON people WHERE name &&&> '^[ab]'").length == 2)
+  }
+
+  test("06 AND binds tighter than OR (SQL precedence, Q2 standardized)") {
+    // ok=true OR age=40 AND score<4  ⇒  ok OR (age=40 AND score<4) = {1,2,3}
+    // last-atom-wins (reference) would give a different set
+    val ids = searchRows(
+      "SEARCH ['id'] ON people WHERE ok = true OR age = 40 AND score < 4")
+      .map(_.getLong(0)).sorted
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
+  test("07 literal coercion in predicates (P5)") {
+    assert(searchRows("SEARCH ['id'] ON people WHERE age > '28'").length == 2)
+    assert(searchRows("SEARCH ['id'] ON people WHERE ok = 1").length == 2)
+  }
+
+  test("08 EDIT overlays values by name (quirk Q6 fixed), then commit") {
+    eng.execute("EDIT ROW ['score'] [0.5] ON people WHERE age >= 30")
+    val staged = searchRows("SEARCH ['id','score'] ON people WHERE score = 0.5")
+    assert(staged.map(_.getLong(0)).sorted == Seq(1L, 2L))
+    eng.execute("ROLLBACK people") // discard: base untouched
+    assert(searchRows("SEARCH ['id'] ON people WHERE score = 0.5").isEmpty)
+  }
+
+  test("09 DELETE ROW stages tombstones; commit rewrites") {
+    eng.execute("DELETE ROW ON people WHERE name &> 'b'")
+    assert(searchRows("SEARCH [] ON people").length == 2)
+    eng.execute("COMMIT people")
+    assert(eng.catalog.read("people").count() == 2)
+    // restore
+    eng.execute("CREATE ROW ['id','name','age','score','ok'] [2,'bo',40,3.25,false] ON people")
+    eng.execute("COMMIT people")
+  }
+
+  test("10 capped strings truncate on ingest (alba_types.rs:317-323)") {
+    eng.execute("CREATE CONTAINER caps ['k','s'] [INT, NANO-STRING]")
+    eng.execute("CREATE ROW ['k','s'] [1,'abcdefghijKLMNOP'] ON caps")
+    val rows = searchRows("SEARCH ['s'] ON caps")
+    assert(rows.head.getString(0) == "abcdefghij") // NANO cap = 10
+  }
+
+  test("11 byte literals and BYTES columns") {
+    eng.execute("CREATE CONTAINER blobs ['k','b'] [INT, NANO-BYTES]")
+    eng.execute("CREATE ROW ['k','b'] [1, §aGVsbG8=] ON blobs")
+    val rows = searchRows("SEARCH ['b'] ON blobs")
+    assert(new String(rows.head.getAs[Array[Byte]](0), "UTF-8") == "hello")
+  }
+
+  test("12 prepared-statement arguments") {
+    eng.execute("CREATE ROW ['k','s'] [?, ?] ON caps", args = Seq("2", "'via-arg'"))
+    assert(searchRows("SEARCH ['s'] ON caps WHERE k = ?", Seq("2"))
+      .head.getString(0) == "via-arg")
+  }
+
+  test("13 multi-container union + subquery virtual container (L4)") {
+    eng.execute("CREATE CONTAINER caps2 ['k','s'] [INT, NANO-STRING]")
+    eng.execute("CREATE ROW ['k','s'] [100,'other'] ON caps2")
+    eng.execute("COMMIT")
+    val rows = searchRows("SEARCH ['k'] ON [caps, (SEARCH ['k'] ON caps2)]")
+    assert(rows.map(_.getInt(0)).sorted == Seq(1, 2, 100))
+  }
+
+  test("14 union type mismatch is an error (quirk Q8 standardized)") {
+    intercept[ParseException](
+      eng.execute("SEARCH [] ON [people, caps]"))
+  }
+
+  test("15 cursor paging: 100-row pages, next/previous/exit (query.rs:9)") {
+    eng.execute("CREATE CONTAINER seq ['n'] [INT]")
+    (1 to 250).foreach(i => eng.execute(s"CREATE ROW ['n'] [$i] ON seq"))
+    eng.execute("COMMIT seq")
+    val rs = eng.execute("SEARCH [] ON seq").asInstanceOf[Engine.ResultSet]
+    val p1 = eng.execute(s"QYCNNXT ${rs.cursorId}").asInstanceOf[Engine.Page]
+    assert(p1.rows.length == 100 && p1.rows.head.getInt(0) == 101)
+    val p2 = eng.execute(s"QYCNNXT ${rs.cursorId}").asInstanceOf[Engine.Page]
+    assert(p2.rows.length == 50 && p2.rows.head.getInt(0) == 201)
+    val p0 = eng.execute(s"QYCNPVS ${rs.cursorId}").asInstanceOf[Engine.Page]
+    assert(p0.rows.length == 100 && p0.rows.head.getInt(0) == 101)
+    eng.execute(s"QYCNEXT ${rs.cursorId}")
+    intercept[ParseException](eng.execute(s"QYCNNXT ${rs.cursorId}"))
+  }
+
+  test("16 auto_commit applies inserts immediately (database.rs:630-633)") {
+    eng.tx.autoCommit = true
+    eng.execute("CREATE ROW ['k','s'] [50,'auto'] ON caps2")
+    assert(eng.catalog.read("caps2").count() == 2)
+    eng.tx.autoCommit = false
+  }
+
+  test("17 DELETE CONTAINER removes data + registry entry") {
+    eng.execute("DELETE CONTAINER caps2")
+    assert(!eng.catalog.exists("caps2"))
+    intercept[IllegalArgumentException](eng.execute("SEARCH [] ON caps2"))
+  }
+}

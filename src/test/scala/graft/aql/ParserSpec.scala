@@ -1,0 +1,81 @@
+package graft.aql
+
+import org.scalatest.funsuite.AnyFunSuite
+import Ast._
+
+class ParserSpec extends AnyFunSuite {
+
+  test("CREATE CONTAINER with names and types") {
+    val stmt = Parser.parse("CREATE CONTAINER users ['id','name'] [BIGINT, SMALL-STRING]")
+    assert(stmt == CreateContainer("users", List("id", "name"),
+      List(AlbaType.ABigint, AlbaType.AString("SMALL-STRING", 100))))
+  }
+
+  test("CREATE CONTAINER rejects duplicate and mismatched columns") {
+    intercept[ParseException](
+      Parser.parse("CREATE CONTAINER c ['a','a'] [INT, INT]"))
+    intercept[ParseException](
+      Parser.parse("CREATE CONTAINER c ['a','b'] [INT]"))
+  }
+
+  test("CREATE ROW positional form") {
+    val stmt = Parser.parse("CREATE ROW ['id','name'] [1, 'ana'] ON users")
+    assert(stmt == CreateRow("users", List("id", "name"),
+      List(Token.IntLit(1), Token.Str("ana"))))
+  }
+
+  test("EDIT ROW with WHERE chain") {
+    val stmt = Parser.parse("EDIT ROW ['name'] ['bo'] ON users WHERE id = 1 AND name != 'x'")
+    val e = stmt.asInstanceOf[EditRow]
+    assert(e.container == "users")
+    assert(e.where.atoms == List(
+      Cond("id", "=", Token.IntLit(1)), Cond("name", "!=", Token.Str("x"))))
+    assert(e.where.gates == List('a'))
+  }
+
+  test("DELETE ROW with and without WHERE; DELETE CONTAINER") {
+    assert(Parser.parse("DELETE ROW ON users") == DeleteRow("users", None))
+    val d = Parser.parse("DELETE ROW ON users WHERE id > 5").asInstanceOf[DeleteRow]
+    assert(d.where.get.atoms.head.op == ">")
+    assert(Parser.parse("DELETE CONTAINER users") == DeleteContainer("users"))
+  }
+
+  test("SEARCH with projection, multi-container, subquery, WHERE") {
+    val stmt = Parser.parse(
+      "SEARCH ['id'] ON [users, (SEARCH ['id'] ON admins)] WHERE id >= 10 OR id &> '1'")
+    val s = stmt.asInstanceOf[Search]
+    assert(s.projection == List("id"))
+    assert(s.containers.head == Container.Real("users"))
+    val sub = s.containers(1).asInstanceOf[Container.Virtual].query
+    assert(sub.containers == List(Container.Real("admins")))
+    assert(s.where.get.gates == List('o'))
+  }
+
+  test("COMMIT / ROLLBACK with optional container") {
+    assert(Parser.parse("COMMIT") == Commit(None))
+    assert(Parser.parse("COMMIT users") == Commit(Some("users")))
+    assert(Parser.parse("ROLLBACK users") == Rollback(Some("users")))
+  }
+
+  test("cursor control statements") {
+    assert(Parser.parse("QYCNNXT abc") == CursorNext("abc"))
+    assert(Parser.parse("QYCNPVS abc") == CursorPrevious("abc"))
+    assert(Parser.parse("QYCNEXT abc") == CursorExit("abc"))
+  }
+
+  test("? argument substitution recurses into groups (parser.rs:591-652)") {
+    val stmt = Parser.parse("CREATE ROW ['id','name'] [?, ?] ON users",
+      args = Seq("7", "'zoe'"))
+    assert(stmt == CreateRow("users", List("id", "name"),
+      List(Token.IntLit(7), Token.Str("zoe"))))
+  }
+
+  test("argument count mismatches rejected") {
+    intercept[ParseException](Parser.parse("SEARCH [] ON u WHERE a = ?", Nil))
+    intercept[ParseException](Parser.parse("SEARCH [] ON u WHERE a = 1", Seq("2")))
+  }
+
+  test("garbage rejected") {
+    intercept[ParseException](Parser.parse("FLY ME TO the moon"))
+  }
+}

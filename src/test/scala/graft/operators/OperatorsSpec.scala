@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.{SparkEntry, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Registry sanity at sf0.001 + semantic checks that the DuckDB oracle
+  * can't express (LSH recall vs exact Jaccard, multimodal decode plumbing).
+  * Full value-level correctness is enforced by Verify + the DuckDB compare.
+  */
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every registry query executes at sf0.001 and no name collides") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.length == names.length, "duplicate query names")
+    SparkEntry.registry.foreach { q =>
+      val n = q.fn(spark, dir).count()
+      assert(n >= 0, s"${q.name} failed")
+    }
+  }
+
+  test("every oracle references only fixture tables") {
+    val tables = graft.Tables.all.toSet
+    SparkEntry.oracleSql.values.foreach { sql =>
+      val lower = sql.toLowerCase
+      assert(graft.Tables.all.exists(t => lower.contains(t)), s"no table in: $sql")
+    }
+  }
+
+  test("flagship entry returns rows (driver t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("minhash-LSH finds every exact-duplicate-bag pair (recall on bow dups)") {
+    // ground truth: doc pairs whose 3-shingle Jaccard is very high must
+    // collide in at least one of the 4 LSH bands with near-certainty
+    val pairs = SparkEntry.queries("dd_minhash_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SparkEntry.queries("dd_ngram_jaccard")(spark, dir)
+      .filter(col("jaccard") >= 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-duplicates")
+    assert(exact.subsetOf(pairs), "high-jaccard pair missed by LSH")
+  }
+
+  test("IVF probe results are a subset of brute-force candidates' cells") {
+    val ivf = SparkEntry.queries("sim_ann_ivf_probe")(spark, dir).collect()
+    assert(ivf.nonEmpty)
+    // rank must be dense 1..k per query
+    ivf.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to rows.length))
+    }
+  }
+
+  test("multimodal decode pipeline: schema, determinism, batch plumbing") {
+    val feats = Multimodal.extractFeatures(Multimodal.mediaCorpus(spark, dir))
+    val rows = feats.collect()
+    assert(rows.length == 500)
+    assert(rows.forall(f => f.width >= 1 && f.width <= 1920))
+    assert(rows.forall(f => f.height >= 1 && f.height <= 1080))
+    assert(rows.forall(_.byte_len > 0))
+    // deterministic: second run identical
+    val again = Multimodal.extractFeatures(Multimodal.mediaCorpus(spark, dir)).collect()
+    assert(rows.map(_.sha_prefix).sorted.sameElements(again.map(_.sha_prefix).sorted))
+  }
+
+  test("benchQueries all exist in the registry") {
+    val names = SparkEntry.queries.keySet
+    SparkEntry.benchQueries.foreach(b => assert(names.contains(b)))
+  }
+}
