@@ -40,16 +40,29 @@ object TextDedup {
       |  list_transform(range(1, len(tk)-1), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]) sg
       |  FROM toks)""".stripMargin
 
-  /** 8 min-hash signatures s0..s7 over the shingle set. */
-  private def withSignatures(df: DataFrame): DataFrame =
-    (0 until 8).foldLeft(df) { (d, i) =>
-      d.withColumn(s"s$i", expr(s"array_min(transform(sg, s -> md5('$i|' || s)))"))
+  /** 8 min-hash signatures s0..s7 over the shingle set. Two md5s per
+    * shingle, each 32-hex digest sliced into four independent 8-hex
+    * minhashes (min over a slice is a valid uniform minhash; 4× fewer
+    * digest computations than one md5 per signature).
+    */
+  private def withSignatures(df: DataFrame): DataFrame = {
+    val withDigests = df
+      .withColumn("h0", expr("transform(sg, s -> md5(s))"))
+      .withColumn("h1", expr("transform(sg, s -> md5('1|' || s))"))
+    (0 until 8).foldLeft(withDigests) { (d, i) =>
+      val src = if (i < 4) "h0" else "h1"
+      val off = 1 + 8 * (i % 4)
+      d.withColumn(s"s$i", expr(s"array_min(transform($src, h -> substring(h, $off, 8)))"))
     }
+  }
 
   private val duckSignatures =
     "sigs AS (SELECT doc_id, " +
-      (0 until 8).map(i => s"list_min(list_transform(sg, s -> md5('$i|'||s))) s$i")
-        .mkString(", ") +
+      (0 until 8).map { i =>
+        val prefix = if (i < 4) "s" else "'1|'||s"
+        val off = 1 + 8 * (i % 4)
+        s"list_min(list_transform(sg, s -> substr(md5($prefix), $off, 8))) s$i"
+      }.mkString(", ") +
       " FROM shing)"
 
   /** 4 LSH bands, 2 signature rows each: band key = md5(s2i ‖ s2i+1). */

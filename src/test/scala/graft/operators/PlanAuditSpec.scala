@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.{SparkEntry, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audit: the properties that make these queries survive a
+  * 100 TB / 1000-executor scale-up, asserted on the actual executed plans.
+  * A query can be value-correct and still scale-broken (full scan instead
+  * of pushdown, shuffle instead of broadcast) — this spec pins the plan
+  * shape so regressions surface as test failures.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("filters are pushed to the parquet scan (s1_scan_filter)") {
+    val p = plan("s1_scan_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      s"filter not pushed:\n$p")
+  }
+
+  test("column pruning reaches the scan: projection reads 4 of 11 columns") {
+    val p = plan("s1_scan_filter")
+    // ReadSchema must contain only the used columns
+    assert(p.contains("l_orderkey") && !p.contains("l_shipdate"),
+      s"scan reads unused columns:\n$p")
+  }
+
+  test("point lookup pushes an EqualTo on the first (pk-convention) column") {
+    val p = plan("s2_point_lookup")
+    assert(p.contains("EqualTo(l_orderkey,100)"), s"no pushed EqualTo:\n$p")
+  }
+
+  test("dimension join broadcasts (x_join_broadcast_dim)") {
+    val p = plan("x_join_broadcast_dim")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact table should not sort-merge with a dim:\n$p")
+  }
+
+  test("multiway join: dims broadcast, only fact-fact shuffles") {
+    val p = plan("x_join_multiway")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    val sortMerges = "SortMergeJoin".r.findAllIn(p).length
+    assert(broadcasts >= 2, s"nation/region should broadcast:\n$p")
+    assert(sortMerges <= 2, s"too many shuffle joins:\n$p")
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, never a full sort (x_topk)") {
+    val p = plan("x_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("aggregation is partial (map-side combine) before the exchange") {
+    val p = plan("x_agg_pricing_summary")
+    val hashAggs = "HashAggregate".r.findAllIn(p).length
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$p")
+    assert(p.contains("partial_sum"), s"no map-side combine before exchange:\n$p")
+  }
+
+  test("aggregation stays inside whole-stage codegen") {
+    val df = SparkEntry.queries("x_agg_pricing_summary")(spark, dir)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.CodegenMode)
+    assert(p.contains("WholeStageCodegen subtree"), s"agg fell out of codegen:\n$p")
+  }
+
+  test("semi/anti joins plan as LeftSemi/LeftAnti, not materialized joins") {
+    assert(plan("x_semi_join").contains("LeftSemi"))
+    assert(plan("x_anti_join").contains("LeftAnti"))
+  }
+
+  test("pagination pushes the limit (no full materialization)") {
+    val p = plan("s4_pagination")
+    assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"),
+      s"offset/limit not pushed:\n$p")
+  }
+}

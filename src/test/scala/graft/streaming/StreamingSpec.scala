@@ -1,0 +1,54 @@
+package graft.streaming
+
+import graft.{Tables, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Streaming pipelines verified against their DuckDB-checked batch twins
+  * over the same fixture files (memory sink + processAllAvailable).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("windowed aggregation stream matches the batch twin (e_daily_by_type)") {
+    val q = EventStreams.dailyByType(EventStreams.readEvents(spark, dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("daily_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("daily_out")
+      .select(col("day"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    val batch = graft.SparkEntry.queries("e_daily_by_type")(spark, dir)
+      .select(col("day"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    assert(streamed == batch)
+  }
+
+  test("stateful sessionization matches the batch twin (e_session_stats)") {
+    import spark.implicits._
+    val evs = EventStreams.readEvents(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[EventStreams.Ev]
+    val q = EventStreams.sessionize(evs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // the stream emits closed sessions plus the trailing open session per
+    // user; the final state per (user, session) is the row with max count
+    val streamed = spark.table("sess_out")
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(max(col("n_events")).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val batch = graft.SparkEntry.queries("e_session_stats")(spark, dir)
+      .select(col("user_id"), col("session_id"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    assert(streamed == batch)
+  }
+}
