@@ -72,7 +72,8 @@ final class Engine(val spark: SparkSession, rootDir: String) {
 
     case s: Ast.Search =>
       val df = lowerSearch(s)
-      val id = java.util.UUID.randomUUID().toString.replace("-", "")
+      // letter prefix keeps the id a single bare-word token in AQL
+      val id = "c" + java.util.UUID.randomUUID().toString.replace("-", "")
       cursors(id) = Cursor(df, page = 0)
       ResultSet(df, id)
 

@@ -179,8 +179,16 @@ object Lexer {
             if (i < n && (s(i) == '+' || s(i) == '-')) i += 1
             while (i < n && s(i).isDigit) i += 1
           }
-          val text = s.substring(start, i)
-          out += (if (isFloat) FloatLit(text.toDouble) else IntLit(text.toLong))
+          // a "number" followed directly by identifier chars is a bare
+          // word (e.g. hex-ish ids like `617f39…`), not Int+Str
+          if (i < n && (s(i).isLetterOrDigit || s(i) == '_')) {
+            while (i < n && !s(i).isWhitespace && !"[](),'\"".contains(s(i))
+              && !Token.Operators.exists(op => s.startsWith(op, i))) i += 1
+            out += Str(s.substring(start, i))
+          } else {
+            val text = s.substring(start, i)
+            out += (if (isFloat) FloatLit(text.toDouble) else IntLit(text.toLong))
+          }
 
         case _ if Token.Operators.exists(op => s.startsWith(op, i)) =>
           val op = Token.Operators.find(op => s.startsWith(op, i)).get

@@ -1,0 +1,210 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Advanced scale-path operators: hyperplane-LSH ANN, salted skew joins,
+  * sketches, statistical aggregates, n-gram frequencies.
+  *
+  * The salted join and hyperplane-ANN queries are deliberately written so
+  * their RESULTS equal a plain declarative form the DuckDB oracle can
+  * express — the exotic machinery must be a pure execution-strategy change,
+  * and the oracle proves it.
+  */
+object Advanced {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** 8 deterministic ±1 hyperplanes over 64 dims (seed 42) — shared
+    * constants between the Spark implementation and the oracle SQL.
+    */
+  private val Planes: Array[Array[Int]] = {
+    val rng = new scala.util.Random(42)
+    Array.fill(8, 64)(if (rng.nextBoolean()) 1 else -1)
+  }
+
+  /** Signed sum: dot(embedding, plane) with the plane as literal ±1s. */
+  private def sparkPlaneDot(embCol: String, plane: Array[Int]): Column = {
+    val terms = plane.zipWithIndex.map { case (sign, d) =>
+      val e = expr(s"CAST(element_at($embCol, ${d + 1}) AS DOUBLE)")
+      if (sign > 0) e else -e
+    }
+    terms.reduce(_ + _)
+  }
+
+  private def duckPlaneDot(embCol: String, plane: Array[Int]): String =
+    plane.zipWithIndex.map { case (sign, d) =>
+      val e = s"CAST($embCol[${d + 1}] AS DOUBLE)"
+      if (sign > 0) s"+$e" else s"-$e"
+    }.mkString("(", " ", ")")
+
+  private def sparkBucket(embCol: String): Column =
+    Planes.zipWithIndex.map { case (p, i) =>
+      when(sparkPlaneDot(embCol, p) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private def duckBucket(embCol: String): String =
+    Planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${duckPlaneDot(embCol, p)} > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def cosine(a: Column, b: Column): Column =
+    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+
+  private def duckDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def duckCos(a: String, b: String): String =
+    s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
+
+  val defs: Seq[Q] = Seq(
+
+    // Random-hyperplane LSH ANN: 8 sign bits → 256 buckets; a probe scans
+    // only its bucket (~1/256 of the corpus at scale; bucket id is a
+    // partition/bucketBy key on a real deployment). Oracle recomputes the
+    // same literal planes declaratively.
+    Q("sim_ann_hyperplane_lsh",
+      s"""WITH bucketed AS (
+         |  SELECT vec_id, embedding, ${duckBucket("embedding")} AS bucket FROM embeddings),
+         |qs AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qb
+         |       FROM bucketed WHERE vec_id < 20),
+         |scored AS (
+         |  SELECT qs.qid, e.vec_id AS nid,
+         |         round(${duckCos("qs.qe", "e.embedding")}, 6) AS cos_sim
+         |  FROM qs JOIN bucketed e ON e.bucket = qs.qb AND e.vec_id <> qs.qid),
+         |ranked AS (SELECT qid, nid, cos_sim,
+         |                  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+         |           FROM scored)
+         |SELECT qid, nid, cos_sim, rank FROM ranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin) {
+      (s, dir) => {
+        val bucketed = t(s, dir, "embeddings")
+          .withColumn("bucket", sparkBucket("embedding"))
+        val qs = bucketed.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket").as("qb"))
+        val scored = bucketed.join(broadcast(qs),
+            col("bucket") === col("qb") && col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid"),
+            round(cosine(col("qe"), col("embedding")), 6).as("cos_sim"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .orderBy(col("qid"), col("rank"))
+      }
+    },
+
+    // Salted join: the fact side is salted 8 ways and the dim side
+    // replicated 8x, so one hot key spreads over 8 reducers — the manual
+    // skew treatment for pre-AQE engines and extreme skew. The oracle is
+    // the PLAIN join: salting must not change results.
+    Q("x_join_salted",
+      """SELECT o_orderpriority, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) {
+      (s, dir) => {
+        val salts = 8
+        val fact = t(s, dir, "lineitem")
+          .withColumn("salt", (pmod(hash(col("l_orderkey"), col("l_linenumber"), col("l_quantity")), lit(salts))))
+        val dim = t(s, dir, "orders")
+          .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+        fact.join(dim,
+            fact("l_orderkey") === dim("o_orderkey") && fact("salt") === dim("salt"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("o_orderpriority"))
+      }
+    },
+
+    // HLL sketch cardinality — no SQL oracle (approximation is
+    // engine-specific); the spec asserts <2% error vs exact.
+    Q.noOracle("x_approx_distinct", bench = true) {
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+            countDistinct(col("l_orderkey")).as("exact_orders"))
+          .orderBy(col("l_returnflag"))
+    },
+
+    // Statistical moments (round 6 absorbs summation-order jitter).
+    Q("x_stats_moments",
+      """SELECT l_returnflag,
+        |       round(avg(l_quantity), 6) AS mean_qty,
+        |       round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |       round(var_samp(l_quantity), 6) AS var_qty,
+        |       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+          .agg(round(avg(col("l_quantity")), 6).as("mean_qty"),
+            round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+            round(var_samp(col("l_quantity")), 6).as("var_qty"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"))
+          .orderBy(col("l_returnflag"))
+    },
+
+    // Interpolated percentiles (both engines: continuous quantile).
+    Q("x_percentiles",
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+          // exact interpolated percentile — same definition as quantile_cont
+          .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+            round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"))
+          .orderBy(col("l_returnflag"))
+    },
+
+    // Ordered string aggregation.
+    Q("x_group_concat",
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "nation").groupBy(col("n_regionkey"))
+          .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+          .orderBy(col("n_regionkey"))
+    },
+
+    // Pivot (conditional aggregation into columns).
+    Q("x_pivot_status",
+      """SELECT o_orderpriority,
+        |       count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+        |       count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+        |       count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .count()
+          .na.fill(0L, Seq("F", "O", "P"))
+          .orderBy(col("o_orderpriority"))
+    },
+
+    // Corpus-level n-gram frequency: top 20 3-shingles with tie-break.
+    Q("t_ngram_frequency",
+      """WITH toks AS (SELECT doc_id, string_split(lower(text),' ') tk FROM documents),
+        |shing AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(tk)-1), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])) AS sg
+        |  FROM toks)
+        |SELECT sg, count(*) AS n FROM shing GROUP BY sg
+        |ORDER BY n DESC, sg LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("tk", split(lower(col("text")), " "))
+          .withColumn("sg", explode(expr(
+            "transform(sequence(1, size(tk)-2), " +
+              "i -> element_at(tk,i) || ' ' || element_at(tk,i+1) || ' ' || element_at(tk,i+2))")))
+          .groupBy(col("sg")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("sg")).limit(20)
+    }
+  )
+}

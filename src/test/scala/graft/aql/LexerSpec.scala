@@ -55,6 +55,12 @@ class LexerSpec extends AnyFunSuite {
     assert(Lexer.lex("['a,b', c]") == List(Group(List(Str("a,b"), Str("c")))))
   }
 
+  test("digit-leading identifiers stay one token (regression: cursor ids)") {
+    assert(Lexer.lex("617f33943b1b") == List(Str("617f33943b1b")))
+    assert(Lexer.lex("1e3x") == List(Str("1e3x")))
+    assert(Lexer.lex("1e3") == List(FloatLit(1000.0)))
+  }
+
   test("blank input rejected") {
     intercept[LexException](Lexer.lex("   "))
   }

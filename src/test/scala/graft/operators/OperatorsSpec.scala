@@ -66,6 +66,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.map(_.sha_prefix).sorted.sameElements(again.map(_.sha_prefix).sorted))
   }
 
+  test("HLL sketch cardinality within 2% of exact (x_approx_distinct)") {
+    val rows = SparkEntry.queries("x_approx_distinct")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.02,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
+  test("hyperplane-LSH probe: results come only from the query's bucket " +
+    "and ranks are dense") {
+    val rows = SparkEntry.queries("sim_ann_hyperplane_lsh")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length))
+    }
+  }
+
   test("benchQueries all exist in the registry") {
     val names = SparkEntry.queries.keySet
     SparkEntry.benchQueries.foreach(b => assert(names.contains(b)))
