@@ -86,6 +86,37 @@ object Similarity {
       }
     },
 
+    // Same brute-force top-k through the native codegen'd Catalyst
+    // expression (graft.functions.CosineSimilarity): one fused pass, no
+    // intermediate arrays. Same oracle — DuckDB verifies the native
+    // expression's values match the declarative semantics exactly.
+    Q("sim_bruteforce_topk_native",
+      s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT qs.qid, e.vec_id AS nid,
+         |         round(${duckCos("qs.qe", "e.embedding")}, 6) AS cos_sim
+         |  FROM qs JOIN embeddings e ON e.vec_id <> qs.qid),
+         |ranked AS (
+         |  SELECT qid, nid, cos_sim,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+         |  FROM scored)
+         |SELECT qid, nid, cos_sim, rank FROM ranked WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin, bench = true) {
+      (s, dir) => {
+        import graft.functions.CosineSimilarity.cosineSim
+        val e = emb(s, dir)
+        val qs = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val scored = e.join(broadcast(qs), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid"),
+            round(cosineSim(col("qe"), col("embedding")), 6).as("cos_sim"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .orderBy(col("qid"), col("rank"))
+      }
+    },
+
     // IVF-style ANN: probe only the query's coarse cell (label = cell id).
     // Same result shape as brute force but scans 1/n_cells of the corpus.
     Q("sim_ann_ivf_probe",
