@@ -68,6 +68,38 @@ object Multimodal {
     }
   }
 
+  /** A sampled frame: contiguous byte slice standing in for a decoded
+    * video frame (the STUB decode — see object doc). */
+  case class Frame(media_id: Long, frame_no: Int, frame_bytes: Array[Byte])
+
+  /** Frame sampling: n evenly spaced fixed-size slices per payload —
+    * the batch shape of a real video frame sampler (flatMap keeps it
+    * partition-parallel; frames never shuffle before feature extraction).
+    */
+  def sampleFrames(records: Dataset[MediaRecord], n: Int, frameSize: Int = 64): Dataset[Frame] = {
+    import records.sparkSession.implicits._
+    records.flatMap { r =>
+      val len = r.payload.length
+      if (len == 0) Iterator.empty
+      else (0 until n).iterator.map { i =>
+        val start = math.min((len.toLong * i / n).toInt, math.max(0, len - 1))
+        Frame(r.media_id, i, r.payload.slice(start, math.min(start + frameSize, len)))
+      }
+    }
+  }
+
+  /** Resize: recompute fake dims to fit a bounding box, preserving aspect
+    * ratio — the transformation contract of a real resize stage.
+    */
+  def resize(features: Dataset[MediaFeatures], maxW: Int, maxH: Int): Dataset[MediaFeatures] = {
+    import features.sparkSession.implicits._
+    features.map { f =>
+      val scale = math.min(1.0, math.min(maxW.toDouble / f.width, maxH.toDouble / f.height))
+      f.copy(width = math.max(1, (f.width * scale).toInt),
+        height = math.max(1, (f.height * scale).toInt))
+    }
+  }
+
   val defs: Seq[Q] = Seq(
 
     // Binary-column metadata: byte length, chunk count for a 4 KiB-batched

@@ -86,6 +86,18 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal frame sampling + resize stages") {
+    val corpus = Multimodal.mediaCorpus(spark, dir)
+    val frames = Multimodal.sampleFrames(corpus, n = 4).collect()
+    assert(frames.length == 500 * 4)
+    frames.foreach(f => assert(f.frame_bytes.length <= 64 && f.frame_bytes.nonEmpty))
+    val resized = Multimodal.resize(
+      Multimodal.extractFeatures(corpus), maxW = 640, maxH = 480).collect()
+    resized.foreach { f =>
+      assert(f.width <= 640 && f.height <= 480 && f.width >= 1 && f.height >= 1)
+    }
+  }
+
   test("benchQueries all exist in the registry") {
     val names = SparkEntry.queries.keySet
     SparkEntry.benchQueries.foreach(b => assert(names.contains(b)))
