@@ -39,13 +39,15 @@ final class Engine(val spark: SparkSession, rootDir: String) {
 
     case Ast.CreateRow(container, cols, values) =>
       val d = catalog.get(container)
-      val byName = cols.zip(values.map(AlbaType.tokenValue)).toMap
-      val unknown = cols.filterNot(c => d.columns.exists(_._1 == c))
+      // column names resolve case-insensitively (bare column tokens can
+      // lex as keywords, e.g. a column named `text` vs the TEXT type)
+      val byName = cols.map(_.toLowerCase).zip(values.map(AlbaType.tokenValue)).toMap
+      val unknown = cols.filterNot(c => d.columns.exists(_._1.equalsIgnoreCase(c)))
       if (unknown.nonEmpty)
         throw new ParseException(s"Unknown columns: ${unknown.mkString(",")}")
       // coerce through the cast matrix; unmentioned columns are NULL
       val row = Row.fromSeq(d.columns.map { case (n, t) =>
-        byName.get(n).map(v => AlbaType.coerce(t, v)).orNull
+        byName.get(n.toLowerCase).map(v => AlbaType.coerce(t, v)).orNull
       })
       tx.stageInsert(container, Seq(row))
       Done(s"staged 1 row into $container")
@@ -53,9 +55,9 @@ final class Engine(val spark: SparkSession, rootDir: String) {
     case Ast.EditRow(container, cols, values, where) =>
       val d = catalog.get(container)
       val sets = cols.zip(values.map(AlbaType.tokenValue)).map { case (c, v) =>
-        val t = d.columns.find(_._1 == c)
-          .getOrElse(throw new ParseException(s"Unknown column $c"))._2
-        c -> AlbaType.coerce(t, v)
+        val cd = d.columns.find(_._1.equalsIgnoreCase(c))
+          .getOrElse(throw new ParseException(s"Unknown column $c"))
+        cd._1 -> AlbaType.coerce(cd._2, v)
       }
       tx.stageEdit(container, lowerWhere(where, d), sets)
       Done(s"staged edit on $container")
@@ -138,12 +140,12 @@ final class Engine(val spark: SparkSession, rootDir: String) {
   }
 
   private def lowerCond(c: Ast.Cond, d: Catalog#ContainerDef): Column = {
-    val colType = d.columns.find(_._1 == c.column)
-      .getOrElse(throw new ParseException(s"Unknown column ${c.column}"))._2
+    val (colName, colType) = d.columns.find(_._1.equalsIgnoreCase(c.column))
+      .getOrElse(throw new ParseException(s"Unknown column ${c.column}"))
     val raw = AlbaType.tokenValue(c.value)
     // literal coerced to the column's type (P5, query_conditions.rs:115-245)
     def v = lit(AlbaType.coerce(colType, raw))
-    val x = col(c.column)
+    val x = col(colName)
     c.op match {
       case "=" | "==" => x === v // Equal and StrictEqual are both plain equality
       case "!=" => x =!= v

@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.Q
+import graft.aql.Engine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The AQL front-end under the DuckDB oracle gate: these queries run
+  * through the FULL AQL path (lex → parse → lower → Tx view → DataFrame)
+  * over fixture tables registered as containers, and their results are
+  * verified against oracle SQL like every other operator. This is the
+  * end-to-end proof that a TytoDB user's queries produce standard-SQL
+  * answers on this engine.
+  *
+  * The engine orders SEARCH results by all output columns (deterministic
+  * cursor order) — oracle SQL mirrors that ORDER BY.
+  */
+object AqlQueries {
+
+  /** One engine per (session, sfDir): documents/orders registered as
+    * containers whose data dir is a symlink to the fixture parquet (no
+    * copy; schema declared through the AlbaType DDL surface).
+    */
+  private val engines = scala.collection.mutable.Map[(SparkSession, String), Engine]()
+
+  private def engine(spark: SparkSession, dir: String): Engine = synchronized {
+    engines.getOrElseUpdate((spark, dir), {
+      val root = java.nio.file.Files.createTempDirectory("graft-aql-fixtures")
+      val eng = new Engine(spark, root.toString)
+      def link(container: String, fixture: String, ddlCols: String): Unit = {
+        eng.execute(s"CREATE CONTAINER $container $ddlCols")
+        java.nio.file.Files.createSymbolicLink(
+          eng.catalog.dataPath(container),
+          java.nio.file.Paths.get(s"$dir/$fixture.parquet"))
+      }
+      // AlbaTypes carry no timestamp (SURVEY §1.2) → containers cover the
+      // reference-expressible column subsets
+      link("documents", "documents",
+        "['doc_id','text','lang','source','n_chars'] [BIGINT, TEXT, TEXT, TEXT, BIGINT]")
+      eng
+    })
+  }
+
+  private def search(aql: String)(s: SparkSession, dir: String): DataFrame =
+    engine(s, dir).execute(aql).asInstanceOf[Engine.ResultSet].df
+
+  val defs: Seq[Q] = Seq(
+
+    // filter + real projection through AQL
+    Q("aql_search_filter",
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE n_chars > 300 AND lang = 'en'
+        |ORDER BY doc_id, n_chars""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [doc_id, n_chars] ON documents WHERE n_chars > 300 AND lang = 'en'")(s, dir)
+    },
+
+    // the three string-match operators through AQL
+    Q("aql_search_contains",
+      """SELECT doc_id, lang FROM documents
+        |WHERE text LIKE '%vector%' AND lower(lang) LIKE '%e%'
+        |ORDER BY doc_id, lang""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [doc_id, lang] ON documents WHERE text &> 'vector' AND lang &&> 'E'")(s, dir)
+    },
+
+    // regex + OR precedence through AQL (AND binds tighter)
+    Q("aql_search_regex_or",
+      """SELECT doc_id FROM documents
+        |WHERE lang = 'fr' AND n_chars < 200
+        |   OR regexp_matches(source, '^src1[0-9]$')
+        |ORDER BY doc_id""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [doc_id] ON documents WHERE lang = 'fr' AND n_chars < 200 " +
+          "OR source &&&> '^src1[0-9]$'")(s, dir)
+    },
+
+    // multi-container union with a subquery virtual container through AQL
+    Q("aql_search_union",
+      """SELECT * FROM (
+        |  SELECT doc_id, n_chars FROM documents WHERE n_chars > 480
+        |  UNION ALL
+        |  SELECT doc_id, n_chars FROM documents WHERE n_chars < 110)
+        |ORDER BY doc_id, n_chars""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [doc_id, n_chars] ON [(SEARCH [doc_id, n_chars] ON documents " +
+          "WHERE n_chars > 480), (SEARCH [doc_id, n_chars] ON documents " +
+          "WHERE n_chars < 110)]")(s, dir)
+    },
+
+    // prepared-statement arguments through AQL
+    Q("aql_search_prepared",
+      """SELECT doc_id, source FROM documents
+        |WHERE source = 'src7' OR n_chars = 128
+        |ORDER BY doc_id, source""".stripMargin) {
+      (s, dir) => engine(s, dir).execute(
+        "SEARCH [doc_id, source] ON documents WHERE source = ? OR n_chars = ?",
+        Seq("'src7'", "128")).asInstanceOf[Engine.ResultSet].df
+    }
+  )
+}
