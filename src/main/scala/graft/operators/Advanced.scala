@@ -81,7 +81,7 @@ object Advanced {
          |                  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
          |           FROM scored)
          |SELECT qid, nid, cos_sim, rank FROM ranked WHERE rank <= 5
-         |ORDER BY qid, rank""".stripMargin) {
+         |ORDER BY qid, rank""".stripMargin, bench = true) {
       (s, dir) => {
         val bucketed = t(s, dir, "embeddings")
           .withColumn("bucket", sparkBucket("embedding"))

@@ -231,7 +231,7 @@ object Analytics {
         |  FROM orders
         |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey))
         |WHERE rn <= 3
-        |ORDER BY o_orderpriority, rn""".stripMargin) {
+        |ORDER BY o_orderpriority, rn""".stripMargin, bench = true) {
       (s, dir) => {
         val w = Window.partitionBy(col("o_orderpriority"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))

@@ -63,7 +63,7 @@ object Events {
         |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id,
         |       ts, value
         |FROM marked
-        |ORDER BY user_id, ts""".stripMargin) {
+        |ORDER BY user_id, ts""".stripMargin, bench = true) {
       (s, dir) => {
         val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         val cum = Window.partitionBy(col("user_id")).orderBy(col("ts"))

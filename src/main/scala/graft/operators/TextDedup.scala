@@ -305,7 +305,7 @@ object TextDedup {
          |bits AS (SELECT doc_id, $bitSums FROM tok GROUP BY doc_id)
          |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits
          |ORDER BY doc_id""".stripMargin
-    }) {
+    }, bench = true) {
       (s, dir) => {
         val tok = docs(s, dir)
           .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tk"))

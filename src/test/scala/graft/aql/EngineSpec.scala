@@ -158,4 +158,14 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!eng.catalog.exists("caps2"))
     intercept[IllegalArgumentException](eng.execute("SEARCH [] ON caps2"))
   }
+
+  test("18 schema + data survive an engine restart (quirk Q5 fixed)") {
+    val eng2 = new Engine(spark, dir.toString) // fresh engine, same root
+    assert(eng2.catalog.list().contains("people"))
+    assert(eng2.catalog.get("people").columns.map(_._1) ==
+      List("id", "name", "age", "score", "ok"))
+    val rows = eng2.execute("SEARCH ['id'] ON people")
+      .asInstanceOf[Engine.ResultSet].df.collect()
+    assert(rows.length == 3)
+  }
 }
