@@ -81,7 +81,12 @@ final class Tx(catalog: Catalog) {
     val targets = container.map(Seq(_)).getOrElse(log.keys.toSeq)
     targets.foreach { c =>
       if (log(c).nonEmpty) {
-        catalog.overwrite(c, view(c))
+        // sort within partitions by the pk-convention column (reference I6:
+        // first column is the implicit pk) — sharpens parquet row-group
+        // min/max stats so point/range scans skip row groups, replacing the
+        // reference's chunk index with layout instead of code
+        val pk = catalog.get(c).primaryKey
+        catalog.overwrite(c, view(c).sortWithinPartitions(pk))
         log -= c
       }
     }

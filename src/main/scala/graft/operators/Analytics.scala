@@ -311,6 +311,44 @@ object Analytics {
           .orderBy(col("key"))
     },
 
+    // Uncorrelated scalar subquery: compare each row against a global
+    // aggregate (Catalyst plans the subquery once and broadcasts the
+    // scalar — no per-row re-evaluation).
+    Q("x_scalar_subquery",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 1.9 * (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin) {
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val threshold = o.agg(avg(col("o_totalprice")).as("a"))
+        o.join(broadcast(threshold), col("o_totalprice") > lit(1.9) * col("a"))
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      }
+    },
+
+    // IN-subquery over an aggregate (TPC-H Q18 shape): big-quantity orders.
+    // Lowered as a semi join against the pre-aggregated key set — the
+    // decorrelated plan Catalyst produces for IN (SELECT … HAVING …).
+    Q("x_in_subquery_agg",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(l_quantity) > 220)
+        |ORDER BY o_orderkey""".stripMargin) {
+      (s, dir) => {
+        val bigOrders = t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("sq"))
+          .filter(col("sq") > 220)
+          .select(col("l_orderkey"))
+        t(s, dir, "orders")
+          .join(bigOrders, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      }
+    },
+
     // Scalar-function surface: string/math/date functions in one projection
     // (reference has zero function-call syntax — SURVEY.md §2.4).
     Q("x_scalar_functions",
