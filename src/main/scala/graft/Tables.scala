@@ -17,9 +17,30 @@ object Tables {
 
   /** Load one fixture table. Filters/projections applied downstream reach
     * the scan via Catalyst pushdown — nothing is materialized here.
+    *
+    * DataFrames are memoized per (session, path): the plan node is
+    * immutable and reusable, so repeated queries skip parquet footer
+    * reads + schema inference (a fixed ~100 ms per query in local mode;
+    * on a cluster the same role is played by the metastore/catalog cache).
     */
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.getOrElseUpdate((spark, s"$dir/$name.parquet"),
+      spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Load with the scan split across all cores. Small fixture files arrive
+    * as ONE input partition (below maxPartitionBytes), which serializes
+    * compute-heavy per-row pipelines (hashing, vector math). The explicit
+    * round-robin split costs one tiny shuffle and buys full parallelism —
+    * at warehouse scale the many-files layout does this for free, so this
+    * helper is only used by CPU-bound operators, never plain scans.
+    */
+  def loadParallel(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.getOrElseUpdate((spark, s"$dir/$name.parquet#par"),
+      spark.read.parquet(s"$dir/$name.parquet")
+        .repartition(spark.sparkContext.defaultParallelism))
 
   /** events.ts is parquet timestamp[ns]; Spark reads NANOS natively only as
     * long when `spark.sql.legacy.parquet.nanosAsLong` is set. We normalize

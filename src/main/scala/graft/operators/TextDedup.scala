@@ -25,7 +25,9 @@ import org.apache.spark.sql.functions._
   *    exchange carries one row per doc.
   */
 object TextDedup {
-  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  // CPU-bound hashing pipelines: split the single small fixture file
+  // across cores (see Tables.loadParallel)
+  private def docs(s: SparkSession, dir: String) = Tables.loadParallel(s, dir, "documents")
 
   /** documents + tokens + 3-word shingles (shared prep for dedup ops). */
   private def withShingles(df: DataFrame): DataFrame =
