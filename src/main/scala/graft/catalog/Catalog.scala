@@ -71,28 +71,72 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
   def drop(name: String): Unit = {
     require(exists(name), s"Unknown container '$name'")
     Files.delete(schemaFile(name))
+    if (Files.exists(versionFile(name))) Files.delete(versionFile(name))
+    versions(name).foreach(v => deleteRecursively(versionPath(name, v)))
     deleteRecursively(dataPath(name))
   }
 
-  /** Committed rows of a container (empty DataFrame if never committed). */
+  // ---- versioned storage (Delta-style copy-on-write) ----------------------
+  // Each commit writes a new immutable `data/<name>.v<N>` directory and
+  // atomically flips a version-pointer file. Readers resolve the pointer,
+  // so a commit is never observed half-written and old versions stay
+  // readable (time travel) until vacuumed. At warehouse scale the pointer
+  // flip is the metastore/Delta-log commit.
+
+  private def versionFile(name: String) = catDir.resolve(s"$name.version")
+
+  /** Latest committed version (0 = never committed). */
+  def currentVersion(name: String): Int =
+    if (Files.exists(versionFile(name))) Files.readString(versionFile(name)).trim.toInt
+    else 0
+
+  def versions(name: String): Seq[Int] =
+    Files.list(dataDir).iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith(s"$name.v")).map(_.stripPrefix(s"$name.v").toInt)
+      .toSeq.sorted
+
+  private def versionPath(name: String, v: Int) = dataDir.resolve(s"$name.v$v")
+
+  /** Committed rows at the latest version (empty if never committed;
+    * `dataPath` kept as a legacy/external-data location — used by tests
+    * that mount fixture parquet as a container).
+    */
   def read(name: String): DataFrame = {
     val d = get(name)
-    if (Files.exists(dataPath(name)))
-      spark.read.schema(d.schema).parquet(dataPath(name).toString)
+    val v = currentVersion(name)
+    val path =
+      if (v > 0) versionPath(name, v)
+      else dataPath(name) // unversioned/external data, if any
+    if (Files.exists(path))
+      spark.read.schema(d.schema).parquet(path.toString)
     else
       spark.createDataFrame(new java.util.ArrayList[Row](), d.schema)
   }
 
-  /** Atomically replace a container's data with `df` (copy-on-write swap). */
+  /** Time travel: committed rows at an explicit version. */
+  def readVersion(name: String, v: Int): DataFrame = {
+    val d = get(name)
+    require(Files.exists(versionPath(name, v)),
+      s"Version $v of '$name' does not exist (have: ${versions(name).mkString(",")})")
+    spark.read.schema(d.schema).parquet(versionPath(name, v).toString)
+  }
+
+  /** Commit `df` as the next version: write the new directory, then flip
+    * the pointer atomically. */
   def overwrite(name: String, df: DataFrame): Unit = {
-    val target = dataPath(name)
+    val next = currentVersion(name) + 1
     val tmp = dataDir.resolve(s"$name.tmp-${System.nanoTime()}")
     df.write.mode("overwrite").parquet(tmp.toString)
-    val old = dataDir.resolve(s"$name.old-${System.nanoTime()}")
-    if (Files.exists(target)) Files.move(target, old)
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    if (Files.exists(old)) deleteRecursively(old)
+    Files.move(tmp, versionPath(name, next), StandardCopyOption.ATOMIC_MOVE)
+    val ptrTmp = catDir.resolve(s"$name.version.tmp")
+    Files.writeString(ptrTmp, next.toString)
+    Files.move(ptrTmp, versionFile(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
+
+  /** Drop all but the newest `keepLast` versions. */
+  def vacuum(name: String, keepLast: Int = 1): Unit =
+    versions(name).dropRight(keepLast).foreach(v => deleteRecursively(versionPath(name, v)))
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))

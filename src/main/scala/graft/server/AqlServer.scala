@@ -1,0 +1,103 @@
+package graft.server
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.aql.Engine
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** HTTP surface for the AQL engine — the reference serves the same
+  * statement set over HTTP/1 (`/root/reference/src/database.rs:1249-1356`).
+  *
+  * Protocol (documented divergence: the reference wraps JSON in shared-key
+  * AES-256-GCM; a real deployment of this engine would terminate TLS in
+  * front instead — transport security is not re-implemented in-process):
+  *   POST /query   body = AQL statement on line 1, one `?` argument per
+  *                 following line. Response = JSON with either
+  *                 {columns, rows, cursor}, {rows, page}, or {message}.
+  *   GET  /health  liveness probe.
+  *
+  * Concurrency: statements execute under a per-server lock, matching the
+  * reference's whole-database RwLock per request (`database.rs:1123`).
+  * Reads are Spark jobs and parallelize internally.
+  */
+final class AqlServer(engine: Engine, port: Int = 0) {
+  private var server: HttpServer = _
+  private val lock = new Object
+
+  def start(): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/health", (ex: HttpExchange) => respond(ex, 200, """{"ok":true}"""))
+    server.createContext("/query", (ex: HttpExchange) => handleQuery(ex))
+    server.setExecutor(null)
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  private def handleQuery(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST") { respond(ex, 405, """{"error":"POST only"}"""); return }
+    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    val lines = body.split("\n").toList
+    val (command, args) = (lines.head, lines.tail.filter(_.nonEmpty))
+    try {
+      val result = lock.synchronized(engine.execute(command, args))
+      val json = result match {
+        case Engine.ResultSet(df, cursorId) =>
+          val rows = df.limit(engine.PageSize).collect()
+          s"""{"columns":${jarr(df.columns.toSeq.map(jstr))},""" +
+            s""""rows":${jarr(rows.toSeq.map(r => jarr(r.toSeq.map(jval))))},""" +
+            s""""cursor":${jstr(cursorId)}}"""
+        case Engine.Page(rows, page) =>
+          s"""{"rows":${jarr(rows.map(r => jarr(r.toSeq.map(jval))))},"page":$page}"""
+        case Engine.Done(msg) => s"""{"message":${jstr(msg)}}"""
+      }
+      respond(ex, 200, json)
+    } catch {
+      case e: Exception =>
+        respond(ex, 400, s"""{"error":${jstr(s"${e.getClass.getSimpleName}: ${e.getMessage}")}}""")
+    }
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def jarr(items: Seq[String]): String = items.mkString("[", ",", "]")
+
+  private def jval(v: Any): String = v match {
+    case null => "null"
+    case b: Boolean => b.toString
+    case n @ (_: Int | _: Long | _: Double | _: Float | _: Short | _: Byte) => n.toString
+    case b: Array[Byte] => jstr(java.util.Base64.getEncoder.encodeToString(b))
+    case other => jstr(other.toString)
+  }
+}
+
+/** Standalone server main: runMain graft.server.ServerMain [port] [dbDir] */
+object ServerMain {
+  def main(args: Array[String]): Unit = {
+    val port = args.headOption.map(_.toInt).getOrElse(8989) // reference default port
+    val dbDir = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-db").toString)
+    val spark = graft.GraftSession.create(appName = "graft-server")
+    val eng = new Engine(spark, dbDir)
+    val actual = new AqlServer(eng, port).start()
+    println(s"graft AQL server on 127.0.0.1:$actual — db at $dbDir")
+    Thread.currentThread().join()
+  }
+}

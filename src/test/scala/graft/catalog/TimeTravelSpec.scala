@@ -1,0 +1,51 @@
+package graft.catalog
+
+import graft.TestSpark
+import graft.aql.Engine
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Versioned copy-on-write commits: every COMMIT is a new immutable
+  * version; old versions stay readable (time travel) until vacuumed.
+  */
+class TimeTravelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("commits create versions; time travel reads history; vacuum prunes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tt")
+    val eng = new Engine(spark, dir.toString)
+    val cat = eng.catalog
+
+    eng.execute("CREATE CONTAINER tt ['id','v'] [INT, SMALL-STRING]")
+    eng.execute("CREATE ROW ['id','v'] [1,'one'] ON tt")
+    eng.execute("COMMIT tt")                       // v1
+    eng.execute("EDIT ROW ['v'] ['uno'] ON tt WHERE id = 1")
+    eng.execute("CREATE ROW ['id','v'] [2,'two'] ON tt")
+    eng.execute("COMMIT tt")                       // v2
+
+    assert(cat.currentVersion("tt") == 2)
+    assert(cat.versions("tt") == Seq(1, 2))
+
+    // current: edited + inserted
+    val now = cat.read("tt").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(now == Set((1, "uno"), (2, "two")))
+
+    // time travel to v1: pre-edit state
+    val v1 = cat.readVersion("tt", 1).collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(v1 == Set((1, "one")))
+
+    // vacuum keeps only the latest
+    cat.vacuum("tt", keepLast = 1)
+    assert(cat.versions("tt") == Seq(2))
+    intercept[IllegalArgumentException](cat.readVersion("tt", 1))
+    // current still reads fine
+    assert(cat.read("tt").count() == 2)
+
+    // rollback of an uncommitted op never creates a version
+    eng.execute("DELETE ROW ON tt WHERE id = 2")
+    eng.execute("ROLLBACK tt")
+    assert(cat.currentVersion("tt") == 2)
+
+    eng.execute("DELETE CONTAINER tt")
+    assert(cat.versions("tt").isEmpty && !cat.exists("tt"))
+  }
+}

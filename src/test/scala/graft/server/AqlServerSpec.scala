@@ -1,0 +1,70 @@
+package graft.server
+
+import graft.TestSpark
+import graft.aql.Engine
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+/** End-to-end HTTP: DDL → DML → query → cursor over the wire. */
+class AqlServerSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = TestSpark.spark
+  private var server: AqlServer = _
+  private var port: Int = _
+  private val client = HttpClient.newHttpClient()
+
+  override def beforeAll(): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-server-spec")
+    server = new AqlServer(new Engine(spark, dir.toString))
+    port = server.start()
+  }
+  override def afterAll(): Unit = server.stop()
+
+  private def post(body: String): (Int, String) = {
+    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/query"))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("health endpoint") {
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/health")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 200 && resp.body().contains("\"ok\":true"))
+  }
+
+  test("DDL, DML, and query over HTTP") {
+    assert(post("CREATE CONTAINER web ['id','name'] [INT, SMALL-STRING]")._1 == 200)
+    assert(post("CREATE ROW ['id','name'] [1,'ana'] ON web")._1 == 200)
+    assert(post("CREATE ROW ['id','name'] [2,'bo'] ON web")._1 == 200)
+    assert(post("COMMIT web")._1 == 200)
+    val (code, body) = post("SEARCH ['name'] ON web WHERE id = 2")
+    assert(code == 200)
+    assert(body.contains(""""columns":["name"]"""))
+    assert(body.contains(""""rows":[["bo"]]"""))
+  }
+
+  test("prepared arguments as extra body lines") {
+    val (code, body) = post("SEARCH ['id'] ON web WHERE name = ?\n'ana'")
+    assert(code == 200 && body.contains(""""rows":[[1]]"""))
+  }
+
+  test("cursor paging over the wire") {
+    val (_, first) = post("SEARCH [] ON web")
+    val cursor = """"cursor":"([^"]+)"""".r.findFirstMatchIn(first).get.group(1)
+    val (c2, page) = post(s"QYCNNXT $cursor")
+    assert(c2 == 200 && page.contains("\"page\":1"))
+    assert(post(s"QYCNEXT $cursor")._1 == 200)
+  }
+
+  test("errors return 400 with a message, not a crash") {
+    val (code, body) = post("THIS IS NOT AQL")
+    assert(code == 400 && body.contains("error"))
+    val (code2, _) = post("SEARCH [] ON nonexistent_container")
+    assert(code2 == 400)
+    // server still alive
+    assert(post("SEARCH [] ON web")._1 == 200)
+  }
+}
