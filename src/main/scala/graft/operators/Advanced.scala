@@ -24,13 +24,15 @@ object Advanced {
     Array.fill(8, 64)(if (rng.nextBoolean()) 1 else -1)
   }
 
-  /** Signed sum: dot(embedding, plane) with the plane as literal ±1s. */
+  /** Signed sum: dot(embedding, plane) with the plane as a literal array —
+    * one zip-multiply-sum loop per plane instead of a 64-term expression
+    * tree (8 planes × 64 terms would blow past codegen method limits).
+    */
   private def sparkPlaneDot(embCol: String, plane: Array[Int]): Column = {
-    val terms = plane.zipWithIndex.map { case (sign, d) =>
-      val e = expr(s"CAST(element_at($embCol, ${d + 1}) AS DOUBLE)")
-      if (sign > 0) e else -e
-    }
-    terms.reduce(_ + _)
+    val planeArr = array(plane.map(v => lit(v.toDouble)).toIndexedSeq: _*)
+    aggregate(
+      zip_with(col(embCol), planeArr, (x, p) => x.cast("double") * p),
+      lit(0.0), (acc, v) => acc + v)
   }
 
   private def duckPlaneDot(embCol: String, plane: Array[Int]): String =

@@ -311,6 +311,23 @@ object Analytics {
           .orderBy(col("key"))
     },
 
+    // Correlated scalar subquery (per-row count) — decorrelates to a
+    // left join against the pre-aggregated counts.
+    Q("x_correlated_count",
+      """SELECT c_custkey,
+        |       (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+        |FROM customer WHERE c_custkey < 200
+        |ORDER BY c_custkey""".stripMargin) {
+      (s, dir) => {
+        val counts = t(s, dir, "orders")
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+        t(s, dir, "customer").filter(col("c_custkey") < 200)
+          .join(counts, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"), coalesce(col("cnt"), lit(0L)).as("n_orders"))
+          .orderBy(col("c_custkey"))
+      }
+    },
+
     // Uncorrelated scalar subquery: compare each row against a global
     // aggregate (Catalyst plans the subquery once and broadcasts the
     // scalar — no per-row re-evaluation).

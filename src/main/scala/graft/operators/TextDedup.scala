@@ -225,6 +225,30 @@ object TextDedup {
         ).orderBy(col("doc_id"))
     },
 
+    // Array-function surface over tokenized text (size/contains/sort/slice/
+    // position with identical semantics in both engines).
+    Q("t_array_functions",
+      """WITH toks AS (SELECT doc_id, string_split(lower(text),' ') tk FROM documents)
+        |SELECT doc_id,
+        |       len(tk) AS n_tok,
+        |       list_contains(tk, 'the') AS has_the,
+        |       list_sort(list_distinct(tk))[1:3] AS first3,
+        |       tk[1] AS head_tok,
+        |       tk[len(tk)] AS last_tok
+        |FROM toks ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("tk", split(lower(col("text")), " "))
+          .select(
+            col("doc_id"),
+            size(col("tk")).cast("long").as("n_tok"),
+            array_contains(col("tk"), "the").as("has_the"),
+            slice(array_sort(array_distinct(col("tk"))), 1, 3).as("first3"),
+            element_at(col("tk"), 1).as("head_tok"),
+            element_at(col("tk"), -1).as("last_tok"))
+          .orderBy(col("doc_id"))
+    },
+
     // -------- deduplication ------------------------------------------------
 
     // Exact dedup: hash-groupBy; keeper = min doc_id per content hash.
