@@ -21,11 +21,11 @@ object SparkEntry {
       AqlQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The first-milestone slice (SURVEY.md §7.2): scan → pushed filter →
-    * real projection over lineitem.
+    * SURVEY.md §7.2's minimum slice through the FULL stack: AQL text →
+    * lexer → parser → lowering → catalog → pushed-filter parquet scan.
     */
   def entry(spark: SparkSession): DataFrame =
-    queries("s1_scan_filter")(spark, "/root/testdata/sf0.001")
+    queries("aql_flagship")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -33,9 +33,14 @@ object AqlQueries {
           java.nio.file.Paths.get(s"$dir/$fixture.parquet"))
       }
       // AlbaTypes carry no timestamp (SURVEY §1.2) → containers cover the
-      // reference-expressible column subsets
+      // reference-expressible column subsets (parquet schema projection
+      // drops the rest at scan time)
       link("documents", "documents",
         "['doc_id','text','lang','source','n_chars'] [BIGINT, TEXT, TEXT, TEXT, BIGINT]")
+      link("lineitem", "lineitem",
+        "['l_orderkey','l_partkey','l_suppkey','l_linenumber','l_quantity'," +
+          "'l_extendedprice','l_discount','l_tax','l_returnflag','l_linestatus'] " +
+          "[BIGINT, BIGINT, BIGINT, INT, FLOAT, FLOAT, FLOAT, FLOAT, TEXT, TEXT]")
       eng
     })
   }
@@ -44,6 +49,17 @@ object AqlQueries {
     engine(s, dir).execute(aql).asInstanceOf[Engine.ResultSet].df
 
   val defs: Seq[Q] = Seq(
+
+    // SURVEY §7.2's minimum end-to-end slice, verbatim, through the whole
+    // stack: catalog lookup → lex/parse → lower → pushed-filter scan →
+    // projection. This is also SparkEntry.entry (the driver's t1 smoke).
+    Q("aql_flagship",
+      """SELECT l_orderkey, l_extendedprice FROM lineitem
+        |WHERE l_quantity > 45
+        |ORDER BY l_orderkey, l_extendedprice""".stripMargin, bench = true) {
+      (s, dir) => search(
+        "SEARCH [l_orderkey, l_extendedprice] ON [lineitem] WHERE l_quantity > 45")(s, dir)
+    },
 
     // filter + real projection through AQL
     Q("aql_search_filter",
