@@ -114,6 +114,36 @@ object TextDedup {
     s"(((strpos('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1) >> $shift) & 1)"
   }
 
+  /** simhash-32 per doc_id (shared by dd_simhash and dd_simhash_neardup). */
+  private def simhashDf(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tk"))
+      .withColumn("h", md5(col("tk")))
+    val bitAggs = (0 until 32).map(i =>
+      sum(when(expr(sparkTokenBit(i)) === 1, 1).otherwise(-1)).as(s"b$i"))
+    val sig = (0 until 32)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tok.groupBy(col("doc_id"))
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"), sig.cast("long").as("simhash"))
+  }
+
+  private val duckSimhashCte: String = {
+    val bitSums = (0 until 32)
+      .map(i => s"sum(CASE WHEN ${duckTokenBit(i)} = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(", ")
+    val sig = (0 until 32)
+      .map(i => s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""tok AS (
+       |  SELECT doc_id, md5(t.tk) AS h
+       |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tk
+       |        FROM documents) t),
+       |bits AS (SELECT doc_id, $bitSums FROM tok GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits)""".stripMargin
+  }
+
   val defs: Seq[Q] = Seq(
 
     // -------- text analysis ------------------------------------------------
@@ -317,33 +347,62 @@ object TextDedup {
 
     // SimHash-32 signature per document; identical signature ⇒ near-dup
     // bucket. Majority vote per bit over token hashes.
-    Q("dd_simhash", {
-      val bitSums = (0 until 32)
-        .map(i => s"sum(CASE WHEN ${duckTokenBit(i)} = 1 THEN 1 ELSE -1 END) AS b$i")
-        .mkString(", ")
-      val sig = (0 until 32)
-        .map(i => s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH tok AS (
-         |  SELECT doc_id, md5(t.tk) AS h
-         |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tk
-         |        FROM documents) t),
-         |bits AS (SELECT doc_id, $bitSums FROM tok GROUP BY doc_id)
-         |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits
-         |ORDER BY doc_id""".stripMargin
-    }, bench = true) {
+    Q("dd_simhash",
+      s"""WITH $duckSimhashCte
+         |SELECT doc_id, simhash FROM sigs
+         |ORDER BY doc_id""".stripMargin, bench = true) {
+      (s, dir) => simhashDf(s, dir).orderBy(col("doc_id"))
+    },
+
+    // SimHash near-dup pairs: Hamming distance over the 32-bit signatures
+    // (bit_count(xor) in both engines). At scale the pair space is pruned
+    // by banding the signature bytes exactly like minhash-LSH; the fixture
+    // corpus is small enough to verify the full O(n²) truth here.
+    Q("dd_simhash_neardup",
+      s"""WITH $duckSimhashCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |ORDER BY id_a, id_b""".stripMargin) {
       (s, dir) => {
-        val tok = docs(s, dir)
-          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tk"))
-          .withColumn("h", md5(col("tk")))
-        val bitAggs = (0 until 32).map(i =>
-          sum(when(expr(sparkTokenBit(i)) === 1, 1).otherwise(-1)).as(s"b$i"))
-        val sig = (0 until 32)
-          .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ + _)
-        tok.groupBy(col("doc_id"))
-          .agg(bitAggs.head, bitAggs.tail: _*)
-          .select(col("doc_id"), sig.cast("long").as("simhash"))
+        val sigs = simhashDf(s, dir)
+        val a = sigs.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+        val b = sigs.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+        a.join(b, col("id_a") < col("id_b"))
+          .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+          .filter(col("hamming") <= 1)
+          .select(col("id_a"), col("id_b"), col("hamming"))
+          .orderBy(col("id_a"), col("id_b"))
+      }
+    },
+
+    // The full curation pipeline as ONE declarative plan: exact-dedup
+    // keepers ∩ length band ∩ stopword floor ∩ predicted-language filter —
+    // the composed shape of a training-data cleaning job.
+    Q("t_curation_pipeline",
+      """WITH keepers AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |scored AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |         t -> t IN ('the','a','and','of','to'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS stop_ratio
+        |  FROM documents)
+        |SELECT s.doc_id FROM scored s JOIN keepers k ON s.doc_id = k.doc_id
+        |WHERE s.n_chars BETWEEN 100 AND 2000 AND s.stop_ratio >= 0.02
+        |ORDER BY s.doc_id""".stripMargin) {
+      (s, dir) => {
+        val d = docs(s, dir)
+        val keepers = d.groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+        val scored = d.select(col("doc_id"), col("n_chars"),
+          (size(filter(split(lower(col("text")), " "),
+            t => t.isin("the", "a", "and", "of", "to"))).cast("double")
+            / size(split(col("text"), " "))).as("stop_ratio"))
+        scored.join(keepers, Seq("doc_id"), "left_semi")
+          .filter(col("n_chars").between(100, 2000) && col("stop_ratio") >= 0.02)
+          .select(col("doc_id"))
           .orderBy(col("doc_id"))
       }
     }
