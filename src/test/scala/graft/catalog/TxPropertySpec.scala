@@ -1,0 +1,93 @@
+package graft.catalog
+
+import graft.TestSpark
+import graft.aql.Engine
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Model-based property test: random insert/edit/delete/commit/rollback
+  * interleavings executed through the engine must leave exactly the state
+  * an in-memory sequential model predicts — both the committed base and
+  * the live MVCC view (SURVEY.md §5: commit/rollback interleavings
+  * preserve committed-state invariants).
+  */
+class TxPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val rng = new scala.util.Random(7)
+
+  private sealed trait Op
+  private case class Ins(k: Int, v: String) extends Op
+  private case class Edit(k: Int, v: String) extends Op
+  private case class Del(k: Int) extends Op
+  private case object Commit extends Op
+  private case object Rollback extends Op
+
+  private def randomOp(): Op = rng.nextInt(10) match {
+    case 0 | 1 | 2 | 3 => Ins(rng.nextInt(6), s"v${rng.nextInt(100)}")
+    case 4 | 5 => Edit(rng.nextInt(6), s"e${rng.nextInt(100)}")
+    case 6 => Del(rng.nextInt(6))
+    case 7 | 8 => Commit
+    case 9 => Rollback
+  }
+
+  /** The model: committed rows + staged ops replayed sequentially. */
+  private final class Model {
+    var committed: Vector[(Int, String)] = Vector.empty
+    private var staged: Vector[Op] = Vector.empty
+    def apply(op: Op): Unit = op match {
+      case Commit =>
+        committed = view; staged = Vector.empty
+      case Rollback => staged = Vector.empty
+      case o => staged :+= o
+    }
+    def view: Vector[(Int, String)] = staged.foldLeft(committed) { (rows, op) =>
+      op match {
+        case Ins(k, v) => rows :+ (k, v)
+        case Edit(k, v) => rows.map { case (rk, rv) => (rk, if (rk == k) v else rv) }
+        case Del(k) => rows.filterNot(_._1 == k)
+        case _ => rows
+      }
+    }
+  }
+
+  test("8 random 14-op interleavings match the sequential model") {
+    (1 to 8).foreach { trial =>
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-txprop$trial")
+      val eng = new Engine(spark, dir.toString)
+      eng.execute("CREATE CONTAINER txp ['k','v'] [INT, SMALL-STRING]")
+      val model = new Model
+      val ops = Vector.fill(14)(randomOp()) :+ Commit
+      ops.foreach { op =>
+        op match {
+          case Ins(k, v) => eng.execute(s"CREATE ROW ['k','v'] [$k,'$v'] ON txp")
+          case Edit(k, v) => eng.execute(s"EDIT ROW ['v'] ['$v'] ON txp WHERE k = $k")
+          case Del(k) => eng.execute(s"DELETE ROW ON txp WHERE k = $k")
+          case Commit => eng.execute("COMMIT txp")
+          case Rollback => eng.execute("ROLLBACK txp")
+        }
+        model.apply(op)
+      }
+      def sortedRows(rows: Seq[(Int, String)]) = rows.sorted
+      // committed base equals the model
+      val base = eng.catalog.read("txp").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(sortedRows(base) == sortedRows(model.committed),
+        s"trial $trial: base mismatch after ops $ops")
+      // and the live view (add ops without committing) also matches
+      val extra = Vector.fill(4)(randomOp()).filterNot(o => o == Commit || o == Rollback)
+      extra.foreach { op =>
+        op match {
+          case Ins(k, v) => eng.execute(s"CREATE ROW ['k','v'] [$k,'$v'] ON txp")
+          case Edit(k, v) => eng.execute(s"EDIT ROW ['v'] ['$v'] ON txp WHERE k = $k")
+          case Del(k) => eng.execute(s"DELETE ROW ON txp WHERE k = $k")
+          case _ =>
+        }
+        model.apply(op)
+      }
+      val view = eng.execute("SEARCH [] ON txp")
+        .asInstanceOf[Engine.ResultSet].df.collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(sortedRows(view) == sortedRows(model.view),
+        s"trial $trial: view mismatch after extra ops $extra")
+    }
+  }
+}
