@@ -78,7 +78,16 @@ object AlbaType {
           else d.toInt
         case b: Boolean => if (b) 1 else 0
         case s: String =>
-          try s.trim.toDouble.toInt catch { case _: NumberFormatException => fail(s"string '$s'") }
+          // integral strings parse as Long FIRST (same range check as the
+          // Long path); toDouble-first would silently saturate out-of-range
+          // ints and corrupt values above 2^53
+          val t0 = s.trim
+          try coerce(AInt, t0.toLong)
+          catch {
+            case _: NumberFormatException =>
+              try coerce(AInt, t0.toDouble)
+              catch { case _: NumberFormatException => fail(s"string '$s'") }
+          }
         case other => fail(other.getClass.getSimpleName)
       }
       case ABigint => v match {
@@ -88,7 +97,13 @@ object AlbaType {
           if (d.isNaN || d.isInfinite) fail(s"non-finite $d") else d.toLong
         case b: Boolean => if (b) 1L else 0L
         case s: String =>
-          try s.trim.toDouble.toLong catch { case _: NumberFormatException => fail(s"string '$s'") }
+          val t0 = s.trim
+          try t0.toLong // exact — never through double (2^53 corruption)
+          catch {
+            case _: NumberFormatException =>
+              try coerce(ABigint, t0.toDouble)
+              catch { case _: NumberFormatException => fail(s"string '$s'") }
+          }
         case other => fail(other.getClass.getSimpleName)
       }
       case AFloat => v match {

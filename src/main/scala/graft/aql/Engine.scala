@@ -25,8 +25,14 @@ final class Engine(val spark: SparkSession, rootDir: String) {
 
   /** Cursor registry (reference: server-side query map keyed by a random
     * id, `src/database.rs:888-921`; 100-row pages `src/query.rs:9`).
+    * LRU-bounded: clients that never send QYCNEXT must not leak a pinned
+    * DataFrame plan per query in a resident server.
     */
-  private val cursors = scala.collection.mutable.Map[String, Cursor]()
+  val MaxCursors = 256
+  private val cursors = new java.util.LinkedHashMap[String, Cursor](64, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, Cursor]): Boolean =
+      size() > MaxCursors
+  }
   val PageSize = 100
 
   def execute(aql: String, args: Seq[String] = Nil): Result =
@@ -41,6 +47,8 @@ final class Engine(val spark: SparkSession, rootDir: String) {
       val d = catalog.get(container)
       // column names resolve case-insensitively (bare column tokens can
       // lex as keywords, e.g. a column named `text` vs the TEXT type)
+      if (cols.map(_.toLowerCase).distinct.length != cols.length)
+        throw new ParseException(s"Duplicate column names in ${cols.mkString(",")}")
       val byName = cols.map(_.toLowerCase).zip(values.map(AlbaType.tokenValue)).toMap
       val unknown = cols.filterNot(c => d.columns.exists(_._1.equalsIgnoreCase(c)))
       if (unknown.nonEmpty)
@@ -54,6 +62,8 @@ final class Engine(val spark: SparkSession, rootDir: String) {
 
     case Ast.EditRow(container, cols, values, where) =>
       val d = catalog.get(container)
+      if (cols.map(_.toLowerCase).distinct.length != cols.length)
+        throw new ParseException(s"Duplicate column names in ${cols.mkString(",")}")
       val sets = cols.zip(values.map(AlbaType.tokenValue)).map { case (c, v) =>
         val cd = d.columns.find(_._1.equalsIgnoreCase(c))
           .getOrElse(throw new ParseException(s"Unknown column $c"))
@@ -76,7 +86,7 @@ final class Engine(val spark: SparkSession, rootDir: String) {
       val df = lowerSearch(s)
       // letter prefix keeps the id a single bare-word token in AQL
       val id = "c" + java.util.UUID.randomUUID().toString.replace("-", "")
-      cursors(id) = Cursor(df, page = 0)
+      cursors.put(id, Cursor(df, page = 0))
       ResultSet(df, id)
 
     case Ast.Commit(c) => tx.commit(c); Done("committed")
@@ -85,12 +95,13 @@ final class Engine(val spark: SparkSession, rootDir: String) {
     case Ast.CursorNext(id) => pageOf(id, +1)
     case Ast.CursorPrevious(id) => pageOf(id, -1)
     case Ast.CursorExit(id) =>
-      cursors.remove(id); Done(s"cursor $id closed")
+      cursors.remove(id)
+      Done(s"cursor $id closed")
   }
 
   private def pageOf(id: String, delta: Int): Page = {
-    val cur = cursors.getOrElse(id,
-      throw new ParseException(s"Unknown cursor $id"))
+    val cur = Option(cursors.get(id))
+      .getOrElse(throw new ParseException(s"Unknown cursor $id"))
     val target = math.max(0, cur.page + delta)
     // limit-pushdown paging over the deterministic cursor ordering
     val rows = cur.df.offset(target * PageSize).limit(PageSize).collect().toSeq

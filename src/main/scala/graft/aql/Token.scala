@@ -175,9 +175,15 @@ object Lexer {
             while (i < n && s(i).isDigit) i += 1
           }
           if (i < n && (s(i) == 'e' || s(i) == 'E')) {
-            isFloat = true; i += 1
+            // exponent needs at least one digit — otherwise '1e' is a
+            // bare word, not a malformed float that would throw NFE
+            val expStart = i
+            i += 1
             if (i < n && (s(i) == '+' || s(i) == '-')) i += 1
-            while (i < n && s(i).isDigit) i += 1
+            if (i < n && s(i).isDigit) {
+              isFloat = true
+              while (i < n && s(i).isDigit) i += 1
+            } else i = expStart
           }
           // a "number" followed directly by identifier chars is a bare
           // word (e.g. hex-ish ids like `617f39…`), not Int+Str

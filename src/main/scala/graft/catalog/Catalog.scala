@@ -46,9 +46,11 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
   def exists(name: String): Boolean = Files.exists(schemaFile(name))
 
   def list(): Seq[String] =
-    Files.list(catDir).iterator().asScala
-      .map(_.getFileName.toString).filter(_.endsWith(".schema"))
-      .map(_.stripSuffix(".schema")).toSeq.sorted
+    scala.util.Using.resource(Files.list(catDir)) { stream =>
+      stream.iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".schema"))
+        .map(_.stripSuffix(".schema")).toSeq.sorted
+    }
 
   def create(name: String, columns: List[(String, AlbaType)]): ContainerDef = {
     require(!exists(name), s"Container '$name' already exists")
@@ -90,10 +92,19 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     if (Files.exists(versionFile(name))) Files.readString(versionFile(name)).trim.toInt
     else 0
 
-  def versions(name: String): Seq[Int] =
-    Files.list(dataDir).iterator().asScala.map(_.getFileName.toString)
-      .filter(_.startsWith(s"$name.v")).map(_.stripPrefix(s"$name.v").toInt)
-      .toSeq.sorted
+  def versions(name: String): Seq[Int] = {
+    // exact ^name.v<digits>$ match — a bare prefix test would collide with
+    // other containers whose dotted names extend this one
+    val pat = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(name) + "\\.v(\\d+)")
+    scala.util.Using.resource(Files.list(dataDir)) { stream =>
+      stream.iterator().asScala.map(_.getFileName.toString)
+        .flatMap { f =>
+          val m = pat.matcher(f)
+          if (m.matches()) Some(m.group(1).toInt) else None
+        }.toSeq.sorted
+    }
+  }
 
   private def versionPath(name: String, v: Int) = dataDir.resolve(s"$name.v$v")
 
@@ -140,6 +151,8 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
+      scala.util.Using.resource(Files.walk(p)) { stream =>
+        stream.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
 }

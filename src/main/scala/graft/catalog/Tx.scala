@@ -66,9 +66,14 @@ final class Tx(catalog: Catalog) {
               .SeqHasAsJava(rows).asJava), d.schema)
           df.unionByName(local)
         case Edit(pred, sets) =>
-          sets.foldLeft(df) { case (acc, (c, v)) =>
-            acc.withColumn(c, when(pred, lit(v)).otherwise(col(c)))
-          }
+          // materialize the predicate BEFORE any overlay: folding
+          // withColumn(c, when(pred,…)) would re-resolve pred against
+          // already-updated columns, so an EDIT whose WHERE references a
+          // column it also sets would update only a prefix of the sets
+          val marked = df.withColumn("__edit_match", pred)
+          sets.foldLeft(marked) { case (acc, (c, v)) =>
+            acc.withColumn(c, when(col("__edit_match"), lit(v)).otherwise(col(c)))
+          }.drop("__edit_match")
         case Delete(Some(pred)) => df.filter(!pred)
         case Delete(None) => df.filter(lit(false))
       }

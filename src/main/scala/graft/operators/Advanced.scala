@@ -202,9 +202,11 @@ object Advanced {
       (s, dir) =>
         t(s, dir, "documents")
           .withColumn("tk", split(lower(col("text")), " "))
+          // size guard: sequence(1, n) turns descending for n < 1 (short docs)
           .withColumn("sg", explode(expr(
-            "transform(sequence(1, size(tk)-2), " +
-              "i -> element_at(tk,i) || ' ' || element_at(tk,i+1) || ' ' || element_at(tk,i+2))")))
+            "CASE WHEN size(tk) >= 3 THEN transform(sequence(1, size(tk)-2), " +
+              "i -> element_at(tk,i) || ' ' || element_at(tk,i+1) || ' ' || element_at(tk,i+2)) " +
+              "ELSE array() END")))
           .groupBy(col("sg")).agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("sg")).limit(20)
     }

@@ -29,12 +29,18 @@ object TextDedup {
   // across cores (see Tables.loadParallel)
   private def docs(s: SparkSession, dir: String) = Tables.loadParallel(s, dir, "documents")
 
-  /** documents + tokens + 3-word shingles (shared prep for dedup ops). */
+  /** documents + tokens + 3-word shingles (shared prep for dedup ops).
+    * Docs under 3 tokens get an EMPTY shingle list — the size guard
+    * matters because Spark's sequence(1, n) turns DESCENDING for n < 1
+    * (and element_at(tk, 0) then throws under ANSI), while the oracle's
+    * range(1, len-1) is naturally empty.
+    */
   private def withShingles(df: DataFrame): DataFrame =
     df.withColumn("tk", split(lower(col("text")), " "))
       .withColumn("sg", expr(
-        "transform(sequence(1, size(tk)-2), " +
-          "i -> element_at(tk,i) || ' ' || element_at(tk,i+1) || ' ' || element_at(tk,i+2))"))
+        "CASE WHEN size(tk) >= 3 THEN transform(sequence(1, size(tk)-2), " +
+          "i -> element_at(tk,i) || ' ' || element_at(tk,i+1) || ' ' || element_at(tk,i+2)) " +
+          "ELSE array() END"))
 
   private val duckShingles =
     """toks AS (SELECT doc_id, string_split(lower(text),' ') tk FROM documents),

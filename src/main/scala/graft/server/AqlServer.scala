@@ -82,6 +82,8 @@ final class AqlServer(engine: Engine, port: Int = 0) {
   private def jval(v: Any): String = v match {
     case null => "null"
     case b: Boolean => b.toString
+    case d: Double if d.isNaN || d.isInfinite => "null" // not legal JSON otherwise
+    case f: Float if f.isNaN || f.isInfinite => "null"
     case n @ (_: Int | _: Long | _: Double | _: Float | _: Short | _: Byte) => n.toString
     case b: Array[Byte] => jstr(java.util.Base64.getEncoder.encodeToString(b))
     case other => jstr(other.toString)
