@@ -144,15 +144,22 @@ object Analytics {
         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderkey
         |LIMIT 10""".stripMargin, bench = true) {
-      (s, dir) =>
+      (s, dir) => {
+        // aggregation pushed BELOW the join: revenue per order is computed
+        // on the fact table first (the final grouping is per-orderkey, so
+        // the summand sets — and the rounded totals — are identical), then
+        // the join moves one row per order instead of one per lineitem.
+        // The filtered customer side is small → broadcast.
+        val revenue = t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
           .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
-          .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
-          .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .join(revenue, col("l_orderkey") === col("o_orderkey"))
           .select(col("o_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
           .orderBy(col("revenue").desc, col("o_orderkey"))
           .limit(10)
+      }
     },
 
     // TPC-H Q5-flavor multi-way join: 4 broadcast dims + 1 fact-fact shuffle.
