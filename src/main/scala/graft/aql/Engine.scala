@@ -104,9 +104,27 @@ final class Engine(val spark: SparkSession, rootDir: String) {
       .getOrElse(throw new ParseException(s"Unknown cursor $id"))
     val target = math.max(0, cur.page + delta)
     // limit-pushdown paging over the deterministic cursor ordering
-    val rows = cur.df.offset(target * PageSize).limit(PageSize).collect().toSeq
+    val rows =
+      try cur.df.offset(target * PageSize).limit(PageSize).collect().toSeq
+      catch {
+        case e: Exception if rootCauseIsMissingFile(e) =>
+          // the cursor's plan references a version dir that a later
+          // commit+vacuum removed — expire the cursor cleanly
+          cursors.remove(id)
+          throw new ParseException(s"Cursor $id expired: underlying data was vacuumed")
+      }
     cur.page = target
     Page(rows, target)
+  }
+
+  private def rootCauseIsMissingFile(e: Throwable): Boolean = {
+    var t: Throwable = e
+    while (t != null) {
+      if (t.isInstanceOf[java.io.FileNotFoundException] ||
+        (t.getMessage != null && t.getMessage.contains("does not exist"))) return true
+      t = t.getCause
+    }
+    false
   }
 
   /** SEARCH lowering: per-container filtered/projected view, unioned by

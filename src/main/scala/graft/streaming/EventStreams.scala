@@ -52,6 +52,17 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
       .select(col("w.start").as("day"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding 1-day window, 12-hour slide, per event type — each event
+    * lands in two overlapping windows (streaming and batch use the same
+    * `window()` semantics, so the batch run of this function is the spec).
+    */
+  def slidingByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day", "12 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+
   final case class Ev(user_id: Long, ts_us: Long, value: Double)
   final case class SessionAgg(user_id: Long, session_id: Long, n_events: Long,
       start_us: Long, end_us: Long)

@@ -48,4 +48,22 @@ class TimeTravelSpec extends AnyFunSuite {
     eng.execute("DELETE CONTAINER tt")
     assert(cat.versions("tt").isEmpty && !cat.exists("tt"))
   }
+
+  test("a cursor over a vacuumed version expires cleanly, not with a raw FNF") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tt2")
+    val eng = new Engine(spark, dir.toString)
+    eng.execute("CREATE CONTAINER c2 ['n'] [INT]")
+    (1 to 150).foreach(i => eng.execute(s"CREATE ROW ['n'] [$i] ON c2"))
+    eng.execute("COMMIT c2") // v1
+    val rs = eng.execute("SEARCH [] ON c2").asInstanceOf[Engine.ResultSet]
+    // new commit + vacuum removes v1, which the open cursor's plan references
+    eng.execute("CREATE ROW ['n'] [999] ON c2")
+    eng.execute("COMMIT c2") // v2
+    eng.catalog.vacuum("c2", keepLast = 1)
+    val e = intercept[graft.aql.ParseException](
+      eng.execute(s"QYCNNXT ${rs.cursorId}"))
+    assert(e.getMessage.contains("expired"))
+    // fresh search over v2 works
+    assert(eng.execute("SEARCH [] ON c2").asInstanceOf[Engine.ResultSet].df.count() == 151)
+  }
 }

@@ -28,6 +28,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("sliding-window stream matches the same window() computed in batch") {
+    val q = EventStreams.slidingByType(EventStreams.readEvents(spark, dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sliding_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("sliding_out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    val batch = EventStreams.slidingByType(graft.Tables.events(spark, dir))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    assert(streamed == batch)
+    // sanity: overlapping windows double-count each event across the corpus
+    val total = spark.table("sliding_out")
+      .agg(org.apache.spark.sql.functions.sum("n")).collect().head.getLong(0)
+    assert(total == 2 * graft.Tables.events(spark, dir).count())
+  }
+
   test("stateful sessionization matches the batch twin (e_session_stats)") {
     import spark.implicits._
     val evs = EventStreams.readEvents(spark, dir)
