@@ -94,7 +94,12 @@ object AlbaType {
         case l: Long => l
         case i: Int => i.toLong
         case d: Double =>
-          if (d.isNaN || d.isInfinite) fail(s"non-finite $d") else d.toLong
+          if (d.isNaN || d.isInfinite) fail(s"non-finite $d")
+          // 2^63 rounds up in double, so >= catches Long.MaxValue+1 while
+          // -2^63 is exact and stays valid
+          else if (d < Long.MinValue.toDouble || d >= 9.223372036854776e18)
+            fail(s"out-of-range $d")
+          else d.toLong
         case b: Boolean => if (b) 1L else 0L
         case s: String =>
           val t0 = s.trim

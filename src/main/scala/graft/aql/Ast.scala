@@ -126,8 +126,8 @@ object Parser {
       }
       if (colNames.isEmpty || colNames.length > 50)
         throw new ParseException("Column count must be 1..50") // database.rs:16 max_columns
-      if (colNames.distinct.length != colNames.length)
-        throw new ParseException("Duplicate column names")
+      if (colNames.map(_.toLowerCase).distinct.length != colNames.length)
+        throw new ParseException("Duplicate column names") // case-insensitive, matching resolution
       if (colNames.length != colTypes.length)
         throw new ParseException("Column-name and type counts differ")
       CreateContainer(name(nameTok), colNames, colTypes)

@@ -79,7 +79,7 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
   }
 
   // ---- versioned storage (Delta-style copy-on-write) ----------------------
-  // Each commit writes a new immutable `data/<name>.v<N>` directory and
+  // Each commit writes a new immutable `data/<name>@v<N>` directory and
   // atomically flips a version-pointer file. Readers resolve the pointer,
   // so a commit is never observed half-written and old versions stay
   // readable (time travel) until vacuumed. At warehouse scale the pointer
@@ -93,10 +93,11 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     else 0
 
   def versions(name: String): Seq[Int] = {
-    // exact ^name.v<digits>$ match — a bare prefix test would collide with
-    // other containers whose dotted names extend this one
+    // version dirs are "<name>@v<N>" — '@' is rejected in container names
+    // (create() regex), so no container name can collide with another's
+    // version directories
     val pat = java.util.regex.Pattern.compile(
-      java.util.regex.Pattern.quote(name) + "\\.v(\\d+)")
+      java.util.regex.Pattern.quote(name) + "@v(\\d+)")
     scala.util.Using.resource(Files.list(dataDir)) { stream =>
       stream.iterator().asScala.map(_.getFileName.toString)
         .flatMap { f =>
@@ -106,7 +107,7 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     }
   }
 
-  private def versionPath(name: String, v: Int) = dataDir.resolve(s"$name.v$v")
+  private def versionPath(name: String, v: Int) = dataDir.resolve(s"$name@v$v")
 
   /** Committed rows at the latest version (empty if never committed;
     * `dataPath` kept as a legacy/external-data location — used by tests

@@ -70,11 +70,16 @@ final class Tx(catalog: Catalog) {
           // withColumn(c, when(pred,…)) would re-resolve pred against
           // already-updated columns, so an EDIT whose WHERE references a
           // column it also sets would update only a prefix of the sets
-          val marked = df.withColumn("__edit_match", pred)
+          val marker = s"__edit_match_${java.util.UUID.randomUUID().toString.take(8)}"
+          val marked = df.withColumn(marker, pred)
           sets.foldLeft(marked) { case (acc, (c, v)) =>
-            acc.withColumn(c, when(col("__edit_match"), lit(v)).otherwise(col(c)))
-          }.drop("__edit_match")
-        case Delete(Some(pred)) => df.filter(!pred)
+            acc.withColumn(c, when(col(marker), lit(v)).otherwise(col(c)))
+          }.drop(marker)
+        case Delete(Some(pred)) =>
+          // SQL three-valued logic: DELETE removes rows where pred is
+          // TRUE; rows where it evaluates NULL are KEPT (a bare
+          // filter(!pred) would silently delete them)
+          df.filter(!coalesce(pred, lit(false)))
         case Delete(None) => df.filter(lit(false))
       }
     }

@@ -37,8 +37,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
   private def elemType(e: Expression): Option[DataType] = e.dataType match {
     case ArrayType(FloatType, _) => Some(FloatType)
     case ArrayType(DoubleType, _) => Some(DoubleType)
+    case org.apache.spark.sql.types.NullType => Some(FloatType) // NULL literal → null result
     case _ => None
   }
+
+  // resolved once, not per row (interpreted eval is per-row otherwise)
+  @transient private lazy val leftElem: DataType = elemType(left).get
+  @transient private lazy val rightElem: DataType = elemType(right).get
 
   override def checkInputDataTypes(): TypeCheckResult =
     (elemType(left), elemType(right)) match {
@@ -54,7 +59,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val (lt, rt) = (elemType(left).get, elemType(right).get)
+    val (lt, rt) = (leftElem, rightElem)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -80,8 +85,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val yi = ctx.freshName("yi")
       val denom = ctx.freshName("denom")
       val broke = ctx.freshName("broke")
-      val getL = if (elemType(left).get == FloatType) "getFloat" else "getDouble"
-      val getR = if (elemType(right).get == FloatType) "getFloat" else "getDouble"
+      val getL = if (leftElem == FloatType) "getFloat" else "getDouble"
+      val getR = if (rightElem == FloatType) "getFloat" else "getDouble"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;

@@ -76,6 +76,36 @@ class ReviewRegressionSpec extends AnyFunSuite {
     intercept[ParseException](eng.execute("EDIT ROW ['v','v'] [1,2] ON dup WHERE k = 1"))
   }
 
+  test("DELETE keeps rows whose predicate evaluates NULL (three-valued logic)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rr-null")
+    val eng = new Engine(spark, dir.toString)
+    eng.execute("CREATE CONTAINER n3 ['k','x'] [INT, INT]")
+    eng.execute("CREATE ROW ['k','x'] [1, 10] ON n3")
+    eng.execute("CREATE ROW ['k'] [2] ON n3") // x is NULL
+    eng.execute("DELETE ROW ON n3 WHERE x > 5")
+    val kept = eng.execute("SEARCH ['k'] ON n3").asInstanceOf[Engine.ResultSet]
+      .df.collect().map(_.getInt(0)).toSet
+    assert(kept == Set(2), "NULL-predicate row must survive the delete")
+  }
+
+  test("BIGINT string coercion rejects values beyond Long range") {
+    intercept[AlbaType.CoercionException](
+      AlbaType.coerce(AlbaType.ABigint, "9223372036854775808")) // Long.MaxValue+1
+    assert(AlbaType.coerce(AlbaType.ABigint, Long.MinValue.toString) == Long.MinValue)
+  }
+
+  test("EDIT works on a container that has a __edit_match column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rr-marker")
+    val eng = new Engine(spark, dir.toString)
+    eng.execute("CREATE CONTAINER mk ['k','__edit_match'] [INT, BOOL]")
+    eng.execute("CREATE ROW ['k','__edit_match'] [1, true] ON mk")
+    eng.execute("EDIT ROW ['k'] [2] ON mk WHERE k = 1")
+    eng.execute("COMMIT mk")
+    val row = eng.execute("SEARCH [] ON mk").asInstanceOf[Engine.ResultSet]
+      .df.collect().head
+    assert(row.getInt(0) == 2 && row.getBoolean(1)) // user column intact
+  }
+
   test("container versions do not collide across dotted names") {
     val dir = java.nio.file.Files.createTempDirectory("graft-rr-dot")
     val eng = new Engine(spark, dir.toString)
