@@ -153,9 +153,14 @@ object Analytics {
         val revenue = t(s, dir, "lineitem")
           .groupBy(col("l_orderkey"))
           .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
-        t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
-          .join(revenue, col("l_orderkey") === col("o_orderkey"))
+        val buildingOrders = t(s, dir, "orders")
+          .join(broadcast(t(s, dir, "customer")
+            .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))),
+            col("c_custkey") === col("o_custkey"))
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        // per-order revenue (already one row per order) joins the reduced
+        // order set broadcast-side: the aggregated fact never shuffles
+        revenue.join(broadcast(buildingOrders), col("l_orderkey") === col("o_orderkey"))
           .select(col("o_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
           .orderBy(col("revenue").desc, col("o_orderkey"))
           .limit(10)
@@ -173,16 +178,29 @@ object Analytics {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin, bench = true) {
-      (s, dir) =>
-        t(s, dir, "customer")
-          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
-          .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
-          .filter(col("r_name") === "ASIA")
+      (s, dir) => {
+        // star-schema broadcast chaining: reduce dims first (region →
+        // nation → customer → orders), broadcast each reduced side, so the
+        // FACT TABLE NEVER SHUFFLES — one lineitem scan, one tiny agg
+        // exchange. At 100 TB the orders-side broadcast would exceed the
+        // threshold and AQE would fall back to a shuffle join on exactly
+        // this subtree; the dim chain stays broadcast either way.
+        val asiaNations = t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val asiaCust = t(s, dir, "customer")
+          .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name"))
+        val custOrders = t(s, dir, "orders")
+          .join(broadcast(asiaCust), col("c_custkey") === col("o_custkey"))
+          .select(col("o_orderkey"), col("n_name"))
+        t(s, dir, "lineitem")
+          .join(broadcast(custOrders), col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("n_name"))
           .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
           .orderBy(col("n_name"))
+      }
     },
 
     // Left outer join with null-producing side.

@@ -42,12 +42,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"fact table should not sort-merge with a dim:\n$p")
   }
 
-  test("multiway join: dims broadcast, only fact-fact shuffles") {
+  test("multiway join: the fact table never shuffles (all joins broadcast)") {
     val p = plan("x_join_multiway")
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
-    val sortMerges = "SortMergeJoin".r.findAllIn(p).length
-    assert(broadcasts >= 2, s"nation/region should broadcast:\n$p")
-    assert(sortMerges <= 2, s"too many shuffle joins:\n$p")
+    assert(broadcasts >= 3, s"star-schema dims should chain broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact table must not shuffle:\n$p")
   }
 
   test("global top-k plans as TakeOrderedAndProject, never a full sort (x_topk)") {
