@@ -42,6 +42,10 @@ object Ast {
       where: Option[Where]) extends Stmt
   final case class Commit(container: Option[String]) extends Stmt
   final case class Rollback(container: Option[String]) extends Stmt
+  /** graft extension: physical-plan inspection for a SEARCH. */
+  final case class Explain(query: Search) extends Stmt
+  /** graft extension: prune old committed versions (time travel GC). */
+  final case class Vacuum(container: String, keepLast: Int) extends Stmt
   final case class CursorNext(id: String) extends Stmt
   final case class CursorPrevious(id: String) extends Stmt
   final case class CursorExit(id: String) extends Stmt
@@ -174,6 +178,20 @@ object Parser {
         case other => throw new ParseException(s"Unexpected trailing tokens: $other")
       }
       Search(containers, strings(projG), where)
+
+    // EXPLAIN <search> (graft extension)
+    case Keyword("EXPLAIN") :: rest =>
+      fromTokens(rest) match {
+        case s: Search => Explain(s)
+        case other => throw new ParseException(s"EXPLAIN supports SEARCH, got $other")
+      }
+
+    // VACUUM container [keepLast] (graft extension)
+    case Keyword("VACUUM") :: containerTok :: Nil =>
+      Vacuum(name(containerTok), keepLast = 1)
+    case Keyword("VACUUM") :: containerTok :: IntLit(k) :: Nil =>
+      if (k < 1) throw new ParseException("VACUUM keepLast must be >= 1")
+      Vacuum(name(containerTok), k.toInt)
 
     // COMMIT / ROLLBACK [container] (parser.rs:553-588)
     case Keyword("COMMIT") :: Nil => Commit(None)

@@ -89,6 +89,15 @@ final class Engine(val spark: SparkSession, rootDir: String) {
       cursors.put(id, Cursor(df, page = 0))
       ResultSet(df, id)
 
+    case Ast.Explain(q) =>
+      Done(lowerSearch(q).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+
+    case Ast.Vacuum(c, keep) =>
+      val before = catalog.versions(c).length
+      catalog.vacuum(c, keep)
+      Done(s"vacuumed $c: ${before - catalog.versions(c).length} version(s) removed")
+
     case Ast.Commit(c) => tx.commit(c); Done("committed")
     case Ast.Rollback(c) => tx.rollback(c); Done("rolled back")
 

@@ -33,7 +33,9 @@ object Token {
     "AND", "OR",
     "NANO-STRING", "SMALL-STRING", "MEDIUM-STRING", "BIG-STRING", "LARGE-STRING",
     "NANO-BYTES", "SMALL-BYTES", "MEDIUM-BYTES", "BIG-BYTES", "LARGE-BYTES",
-    "QYCNPVS", "QYCNNXT", "QYCNEXT")
+    "QYCNPVS", "QYCNNXT", "QYCNEXT",
+    // graft extensions beyond the reference keyword set
+    "EXPLAIN", "VACUUM")
 
   /** Multi-char first: `&&&>` regex-match, `&&>` icontains, `&>` contains,
     * `>=`, `<=`, `==`, `!=`, then single-char (reference

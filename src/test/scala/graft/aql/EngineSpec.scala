@@ -159,6 +159,24 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](eng.execute("SEARCH [] ON caps2"))
   }
 
+  test("18a EXPLAIN returns the formatted physical plan with pushed filters") {
+    val out = eng.execute("EXPLAIN SEARCH ['id'] ON people WHERE age > 28")
+      .asInstanceOf[Engine.Done].message
+    assert(out.contains("Physical Plan"))
+    assert(out.contains("PushedFilters") && out.contains("GreaterThan(age,28)"))
+  }
+
+  test("18b VACUUM prunes old versions through AQL") {
+    eng.execute("CREATE CONTAINER vac ['k'] [INT]")
+    eng.execute("CREATE ROW ['k'] [1] ON vac"); eng.execute("COMMIT vac")
+    eng.execute("CREATE ROW ['k'] [2] ON vac"); eng.execute("COMMIT vac")
+    assert(eng.catalog.versions("vac").length == 2)
+    val msg = eng.execute("VACUUM vac").asInstanceOf[Engine.Done].message
+    assert(msg.contains("1 version(s) removed"))
+    assert(eng.catalog.versions("vac").length == 1)
+    intercept[ParseException](eng.execute("VACUUM vac 0"))
+  }
+
   test("18 schema + data survive an engine restart (quirk Q5 fixed)") {
     val eng2 = new Engine(spark, dir.toString) // fresh engine, same root
     assert(eng2.catalog.list().contains("people"))
