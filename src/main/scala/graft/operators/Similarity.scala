@@ -103,13 +103,19 @@ object Similarity {
          |SELECT qid, nid, cos_sim, rank FROM ranked WHERE rank <= 10
          |ORDER BY qid, rank""".stripMargin, bench = true) {
       (s, dir) => {
-        import graft.functions.CosineSimilarity.cosineSim
+        // native expression when the session carries GraftExtensions;
+        // value-identical declarative fallback otherwise (a foreign
+        // driver session must still get correct results)
+        val cosFn: (Column, Column) => Column =
+          if (s.catalog.functionExists("cosine_sim"))
+            graft.functions.CosineSimilarity.cosineSim
+          else cosine
         val e = emb(s, dir)
         val qs = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
         val scored = e.join(broadcast(qs), col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id").as("nid"),
-            round(cosineSim(col("qe"), col("embedding")), 6).as("cos_sim"))
+            round(cosFn(col("qe"), col("embedding")), 6).as("cos_sim"))
         val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
         scored.withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 10)
