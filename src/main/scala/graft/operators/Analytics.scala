@@ -291,6 +291,60 @@ object Analytics {
       }
     },
 
+    // RANGE window frame: value-bounded band (frame membership depends only
+    // on the order value, so ties are frame-identical → deterministic).
+    Q("x_window_range_frame",
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |       count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |                      RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_in_band
+        |FROM orders WHERE o_orderkey < 500
+        |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin) {
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"))
+          .rangeBetween(-10000L, Window.currentRow)
+        t(s, dir, "orders").filter(col("o_orderkey") < 500)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+            count(lit(1)).over(w).as("n_in_band"))
+          .orderBy(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      }
+    },
+
+    // first/last over an unbounded frame (order-determined values only).
+    Q("x_first_last",
+      """SELECT DISTINCT l_returnflag,
+        |       first_value(l_orderkey) OVER w AS first_key,
+        |       last_value(l_orderkey) OVER w AS last_key
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            first(col("l_orderkey")).over(w).as("first_key"),
+            last(col("l_orderkey")).over(w).as("last_key"))
+          .distinct()
+          .orderBy(col("l_returnflag"))
+      }
+    },
+
+    // UNION with DISTINCT semantics (vs the reference's append-only union).
+    Q("x_union_distinct",
+      """SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'F'
+        |UNION
+        |SELECT c_custkey AS key FROM customer WHERE c_acctbal < 0
+        |ORDER BY key""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("key"))
+          .union(t(s, dir, "customer").filter(col("c_acctbal") < 0)
+            .select(col("c_custkey").as("key")))
+          .distinct()
+          .orderBy(col("key"))
+    },
+
     // Global top-k: orderBy+limit compiles to TakeOrderedAndProject (heap),
     // never a full sort — the pattern that survives 100 TB.
     Q("x_topk",

@@ -48,6 +48,30 @@ object Events {
           .orderBy(col("k").asc_nulls_first)
     },
 
+    // Funnel: per-user signup→purchase conversion (conditional min/max
+    // aggregates; the sequence check is on epoch-µs, exact in both engines).
+    Q("e_funnel_signup_purchase",
+      """WITH t AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS first_signup,
+        |         max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS last_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |       CASE WHEN first_signup IS NOT NULL AND last_purchase IS NOT NULL
+        |                 AND first_signup < last_purchase THEN 1 ELSE 0 END AS converted
+        |FROM t ORDER BY user_id""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(
+            min(when(col("event_type") === "signup", unix_micros(col("ts")))).as("first_signup"),
+            max(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("last_purchase"))
+          .select(col("user_id"),
+            when(col("first_signup").isNotNull && col("last_purchase").isNotNull
+              && col("first_signup") < col("last_purchase"), 1).otherwise(0).as("converted"))
+          .orderBy(col("user_id"))
+    },
+
     // Sessionization: 30-minute inactivity gap → session id per user via
     // lag + cumulative sum (batch twin of session windows /
     // flatMapGroupsWithState). Epoch-µs arithmetic matches both engines.
