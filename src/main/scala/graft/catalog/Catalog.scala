@@ -24,6 +24,11 @@ import scala.jdk.CollectionConverters._
   * Scale note: at 100 TB a container is a partitioned Parquet dataset;
   * the swap becomes a metastore pointer flip (or Delta/Iceberg commit).
   * The catalog abstraction is unchanged.
+  *
+  * Concurrency contract: single writer per container (the server layer
+  * serializes statements per request, matching the reference's whole-DB
+  * RwLock — database.rs:1123). Readers are always consistent: they
+  * resolve the version pointer once and read an immutable directory.
   */
 final class Catalog(val spark: SparkSession, rootDir: String) {
   private val root: Path = Paths.get(rootDir)

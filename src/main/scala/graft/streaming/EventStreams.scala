@@ -52,6 +52,17 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
       .select(col("w.start").as("day"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-static join: the event stream enriched against a static
+    * dimension snapshot (per micro-batch, the standard lookup-enrichment
+    * pattern; the static side is broadcast when small). Aggregates events
+    * per dimension attribute.
+    */
+  def enrichedCounts(events: DataFrame, userDim: DataFrame): DataFrame =
+    events
+      .join(org.apache.spark.sql.functions.broadcast(userDim), Seq("user_id"))
+      .groupBy(col("cohort"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
   /** Sliding 1-day window, 12-hour slide, per event type — each event
     * lands in two overlapping windows (streaming and batch use the same
     * `window()` semantics, so the batch run of this function is the spec).

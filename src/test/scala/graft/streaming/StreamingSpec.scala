@@ -47,6 +47,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(total == 2 * graft.Tables.events(spark, dir).count())
   }
 
+  test("stream-static join enrichment matches the batch join") {
+    import org.apache.spark.sql.functions.expr
+    // static dimension: users bucketed into two cohorts
+    val userDim = graft.Tables.events(spark, dir)
+      .select(col("user_id")).distinct()
+      .withColumn("cohort", expr("CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END"))
+    userDim.cache().count()
+
+    val q = EventStreams.enrichedCounts(EventStreams.readEvents(spark, dir), userDim)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("enriched_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("enriched_out")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batch = EventStreams.enrichedCounts(graft.Tables.events(spark, dir), userDim)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("stateful sessionization matches the batch twin (e_session_stats)") {
     import spark.implicits._
     val evs = EventStreams.readEvents(spark, dir)
