@@ -158,9 +158,12 @@ object Analytics {
             .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))),
             col("c_custkey") === col("o_custkey"))
           .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        // per-order revenue (already one row per order) joins the reduced
-        // order set broadcast-side: the aggregated fact never shuffles
-        revenue.join(broadcast(buildingOrders), col("l_orderkey") === col("o_orderkey"))
+        // buildingOrders is ORDERS-DERIVED (a fact side): no broadcast hint —
+        // an explicit hint is honored regardless of size and would OOM at
+        // scale. AQE picks broadcast when the runtime size is small and a
+        // shuffle join otherwise. The hint stays only on the true dimension
+        // (filtered customer keys) above.
+        revenue.join(buildingOrders, col("l_orderkey") === col("o_orderkey"))
           .select(col("o_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
           .orderBy(col("revenue").desc, col("o_orderkey"))
           .limit(10)
@@ -180,11 +183,11 @@ object Analytics {
         |ORDER BY n_name""".stripMargin, bench = true) {
       (s, dir) => {
         // star-schema broadcast chaining: reduce dims first (region →
-        // nation → customer → orders), broadcast each reduced side, so the
-        // FACT TABLE NEVER SHUFFLES — one lineitem scan, one tiny agg
-        // exchange. At 100 TB the orders-side broadcast would exceed the
-        // threshold and AQE would fall back to a shuffle join on exactly
-        // this subtree; the dim chain stays broadcast either way.
+        // nation → customer), broadcast each reduced TRUE-DIMENSION side.
+        // The orders⋈lineitem subtree is fact⋈fact and carries NO hint:
+        // explicit broadcast() is honored regardless of size, so hinting a
+        // fact-derived side would OOM at 100 TB — AQE decides there instead
+        // (broadcast at test scale, shuffle join at cluster scale).
         val asiaNations = t(s, dir, "nation")
           .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
             col("n_regionkey") === col("r_regionkey"))
@@ -196,7 +199,7 @@ object Analytics {
           .join(broadcast(asiaCust), col("c_custkey") === col("o_custkey"))
           .select(col("o_orderkey"), col("n_name"))
         t(s, dir, "lineitem")
-          .join(broadcast(custOrders), col("l_orderkey") === col("o_orderkey"))
+          .join(custOrders, col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("n_name"))
           .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
           .orderBy(col("n_name"))

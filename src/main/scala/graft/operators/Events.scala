@@ -75,22 +75,25 @@ object Events {
     // Sessionization: 30-minute inactivity gap → session id per user via
     // lag + cumulative sum (batch twin of session windows /
     // flatMapGroupsWithState). Epoch-µs arithmetic matches both engines.
+    // Every window and the final sort order by (ts, event_id) — a TOTAL
+    // order (event_id is unique), so session assignment under duplicate
+    // (user_id, ts) pairs is deterministic and engine-independent.
     Q("e_sessionize",
       """WITH marked AS (
-        |  SELECT user_id, ts, value,
+        |  SELECT user_id, ts, event_id, value,
         |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
         |                OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |              <= 1800000000 THEN 0 ELSE 1 END AS new_session
         |  FROM events)
         |SELECT user_id,
-        |       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id,
-        |       ts, value
+        |       ts, event_id, value
         |FROM marked
-        |ORDER BY user_id, ts""".stripMargin, bench = true) {
+        |ORDER BY user_id, ts, event_id""".stripMargin, bench = true) {
       (s, dir) => {
         val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        val cum = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        val cum = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.events(s, dir)
           .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
@@ -98,8 +101,8 @@ object Events {
             when(unix_micros(col("ts")) - col("prev_us") <= 1800000000L, 0).otherwise(1))
           .select(col("user_id"),
             sum(col("new_session")).over(cum).as("session_id"),
-            col("ts"), col("value"))
-          .orderBy(col("user_id"), col("ts"))
+            col("ts"), col("event_id"), col("value"))
+          .orderBy(col("user_id"), col("ts"), col("event_id"))
       }
     },
 
@@ -107,14 +110,14 @@ object Events {
     // compact output for the oracle).
     Q("e_session_stats",
       """WITH marked AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_id,
         |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
         |                OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |              <= 1800000000 THEN 0 ELSE 1 END AS new_session
         |  FROM events),
         |sessions AS (
         |  SELECT user_id, ts,
-        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM marked)
         |SELECT user_id, session_id, count(*) AS n_events,
@@ -123,7 +126,7 @@ object Events {
         |ORDER BY user_id, session_id""".stripMargin) {
       (s, dir) => {
         val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        val cum = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        val cum = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.events(s, dir)
           .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))

@@ -48,42 +48,42 @@ object TextDedup {
       |  list_transform(range(1, len(tk)-1), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]) sg
       |  FROM toks)""".stripMargin
 
-  /** 8 min-hash signatures s0..s7 over the shingle set. Two md5s per
-    * shingle, each 32-hex digest sliced into four independent 8-hex
-    * minhashes (min over a slice is a valid uniform minhash; 4× fewer
-    * digest computations than one md5 per signature).
+  /** 8 min-hash signatures s0..s7 over the shingle set: ONE md5 digest per
+    * shingle, its 32 hex chars sliced into eight independent 4-hex slices
+    * (min over a fixed-width lowercase-hex slice is a valid uniform minhash
+    * and compares identically as string or number in both engines).
+    *
+    * Shape: explode shingles → digest once → 8 partial-agg mins. The md5
+    * count is the floor (one per shingle); the exchange carries one 8-slice
+    * row per document. Docs with no shingles simply have no signature row —
+    * they can never collide in a band either way.
     */
   private def withSignatures(df: DataFrame): DataFrame = {
-    val withDigests = df
-      .withColumn("h0", expr("transform(sg, s -> md5(s))"))
-      .withColumn("h1", expr("transform(sg, s -> md5('1|' || s))"))
-    (0 until 8).foldLeft(withDigests) { (d, i) =>
-      val src = if (i < 4) "h0" else "h1"
-      val off = 1 + 8 * (i % 4)
-      d.withColumn(s"s$i", expr(s"array_min(transform($src, h -> substring(h, $off, 8)))"))
-    }
+    val ex = df.select(col("doc_id"), explode(col("sg")).as("s"))
+      .withColumn("h", md5(col("s")))
+    val mins = (0 until 8).map(i => min(substring(col("h"), 1 + 4 * i, 4)).as(s"s$i"))
+    ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   private val duckSignatures =
-    "sigs AS (SELECT doc_id, " +
-      (0 until 8).map { i =>
-        val prefix = if (i < 4) "s" else "'1|'||s"
-        val off = 1 + 8 * (i % 4)
-        s"list_min(list_transform(sg, s -> substr(md5($prefix), $off, 8))) s$i"
-      }.mkString(", ") +
-      " FROM shing)"
+    "ex AS (SELECT doc_id, md5(s) AS h FROM (SELECT doc_id, unnest(sg) AS s FROM shing) u), " +
+      "sigs AS (SELECT doc_id, " +
+      (0 until 8).map(i => s"min(substr(h, ${1 + 4 * i}, 4)) AS s$i").mkString(", ") +
+      " FROM ex GROUP BY doc_id)"
 
-  /** 4 LSH bands, 2 signature rows each: band key = md5(s2i ‖ s2i+1). */
+  /** 4 LSH bands, 2 signature rows each: band key = s2i ‖ s2i+1 (the two
+    * 4-hex slices concatenated — already uniform, no extra digest needed).
+    */
   private def bandsOf(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until 4).map(b =>
-      struct(lit(b).as("band"), md5(concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}"))).as("bk")))
+      struct(lit(b).as("band"), concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("bk")))
     sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
   }
 
   private val duckBands =
     "bands AS (" + (0 until 4).map(b =>
-      s"SELECT doc_id, $b AS band, md5(s${2 * b}||s${2 * b + 1}) AS bk FROM sigs")
+      s"SELECT doc_id, $b AS band, s${2 * b}||s${2 * b + 1} AS bk FROM sigs")
       .mkString(" UNION ALL ") + ")"
 
   /** LSH candidate pairs (id_a < id_b), deduplicated across bands. */
@@ -262,13 +262,15 @@ object TextDedup {
     },
 
     // Array-function surface over tokenized text (size/contains/sort/slice/
-    // position with identical semantics in both engines).
+    // position with identical semantics in both engines). The sliced array
+    // is stringified on output — the driver's pandas-based compare cannot
+    // hash a list column — but the array ops themselves stay exercised.
     Q("t_array_functions",
       """WITH toks AS (SELECT doc_id, string_split(lower(text),' ') tk FROM documents)
         |SELECT doc_id,
         |       len(tk) AS n_tok,
         |       list_contains(tk, 'the') AS has_the,
-        |       list_sort(list_distinct(tk))[1:3] AS first3,
+        |       array_to_string(list_sort(list_distinct(tk))[1:3], ',') AS first3,
         |       tk[1] AS head_tok,
         |       tk[len(tk)] AS last_tok
         |FROM toks ORDER BY doc_id""".stripMargin) {
@@ -279,7 +281,7 @@ object TextDedup {
             col("doc_id"),
             size(col("tk")).cast("long").as("n_tok"),
             array_contains(col("tk"), "the").as("has_the"),
-            slice(array_sort(array_distinct(col("tk"))), 1, 3).as("first3"),
+            concat_ws(",", slice(array_sort(array_distinct(col("tk"))), 1, 3)).as("first3"),
             element_at(col("tk"), 1).as("head_tok"),
             element_at(col("tk"), -1).as("last_tok"))
           .orderBy(col("doc_id"))
@@ -360,25 +362,39 @@ object TextDedup {
       (s, dir) => simhashDf(s, dir).orderBy(col("doc_id"))
     },
 
-    // SimHash near-dup pairs: Hamming distance over the 32-bit signatures
-    // (bit_count(xor) in both engines). At scale the pair space is pruned
-    // by banding the signature bytes exactly like minhash-LSH; the fixture
-    // corpus is small enough to verify the full O(n²) truth here.
+    // SimHash near-dup pairs: Hamming distance ≤ 1 over the 32-bit
+    // signatures, found SUB-QUADRATICALLY by banding each signature into
+    // 4×8-bit keys and equi-joining on (band, byte). A pair within distance
+    // 1 differs in at most one band, so it collides on ≥ 3 of the 4 band
+    // keys — the equi-join is lossless for this radius; the bit_count
+    // filter then discards band false-positives. Same banding in both
+    // engines; the join shuffles (band, byte, doc_id, sig) tuples only.
     Q("dd_simhash_neardup",
-      s"""WITH $duckSimhashCte
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      s"""WITH $duckSimhashCte,
+         |banded AS (
+         |  SELECT doc_id, simhash, band, (simhash >> (8 * band)) & 255 AS bv
+         |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
          |ORDER BY id_a, id_b""".stripMargin) {
       (s, dir) => {
         val sigs = simhashDf(s, dir)
-        val a = sigs.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
-        val b = sigs.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
-        a.join(b, col("id_a") < col("id_b"))
+        val bandStructs = (0 until 4).map(b =>
+          struct(lit(b).as("band"), expr(s"shiftright(simhash, ${8 * b}) & 255").as("bv")))
+        val banded = sigs
+          .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bb"))
+          .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+        val a = banded.select(col("band"), col("bv"), col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+        val b = banded.select(col("band"), col("bv"), col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+        a.join(b, Seq("band", "bv"))
+          .filter(col("id_a") < col("id_b"))
           .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
           .filter(col("hamming") <= 1)
           .select(col("id_a"), col("id_b"), col("hamming"))
+          .distinct()
           .orderBy(col("id_a"), col("id_b"))
       }
     },

@@ -74,7 +74,7 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"))
 
-  final case class Ev(user_id: Long, ts_us: Long, value: Double)
+  final case class Ev(user_id: Long, ts_us: Long, event_id: Long)
   final case class SessionAgg(user_id: Long, session_id: Long, n_events: Long,
       start_us: Long, end_us: Long)
   final case class SessState(sessionId: Long, nEvents: Long,
@@ -97,8 +97,9 @@ object EventStreams {
         (userId: Long, evs: Iterator[Ev], state: GroupState[List[SessState]]) =>
           // fixture streams arrive as one file-batch per user group, so we
           // sort within the group; a production stream would rely on
-          // watermarked event-time ordering instead
-          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.value))
+          // watermarked event-time ordering instead. (ts_us, event_id) is
+          // the same total order the batch sessionize windows use.
+          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
           var sessions = state.getOption.getOrElse(Nil)
           var cur = sessions.headOption
           val closed = List.newBuilder[SessionAgg]

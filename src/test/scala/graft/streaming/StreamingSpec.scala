@@ -70,7 +70,7 @@ class StreamingSpec extends AnyFunSuite {
   test("stateful sessionization matches the batch twin (e_session_stats)") {
     import spark.implicits._
     val evs = EventStreams.readEvents(spark, dir)
-      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
       .as[EventStreams.Ev]
     val q = EventStreams.sessionize(evs)
       .writeStream.outputMode("append")
