@@ -30,8 +30,11 @@ final class Engine(val spark: SparkSession, rootDir: String) {
     */
   val MaxCursors = 256
   private val cursors = new java.util.LinkedHashMap[String, Cursor](64, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[String, Cursor]): Boolean =
-      size() > MaxCursors
+    override def removeEldestEntry(e: java.util.Map.Entry[String, Cursor]): Boolean = {
+      val evict = size() > MaxCursors
+      if (evict) e.getValue.release()
+      evict
+    }
   }
   val PageSize = 100
 
@@ -104,7 +107,7 @@ final class Engine(val spark: SparkSession, rootDir: String) {
     case Ast.CursorNext(id) => pageOf(id, +1)
     case Ast.CursorPrevious(id) => pageOf(id, -1)
     case Ast.CursorExit(id) =>
-      cursors.remove(id)
+      Option(cursors.remove(id)).foreach(_.release())
       Done(s"cursor $id closed")
   }
 
@@ -112,19 +115,25 @@ final class Engine(val spark: SparkSession, rootDir: String) {
     val cur = Option(cursors.get(id))
       .getOrElse(throw new ParseException(s"Unknown cursor $id"))
     val target = math.max(0, cur.page + delta)
-    // limit-pushdown paging over the deterministic cursor ordering
+    // pages slice the once-materialized sorted result (Cursor.materialized):
+    // the sort shuffle runs once, each page job fetches and caches only the
+    // partitions it needs — page N is an incremental slice, never a fresh
+    // top-(N+1)·100 re-execution
     val rows =
-      try cur.df.offset(target * PageSize).limit(PageSize).collect().toSeq
+      try cur.materialized.offset(target * PageSize).limit(PageSize).collect().toSeq
       catch {
         case e: Exception if rootCauseIsMissingFile(e) =>
           // the cursor's plan references a version dir that a later
           // commit+vacuum removed — expire the cursor cleanly
-          cursors.remove(id)
+          Option(cursors.remove(id)).foreach(_.release())
           throw new ParseException(s"Cursor $id expired: underlying data was vacuumed")
       }
     cur.page = target
     Page(rows, target)
   }
+
+  /** Test hook: the live cursor state for an id. */
+  private[aql] def cursorState(id: String): Option[Cursor] = Option(cursors.get(id))
 
   private def rootCauseIsMissingFile(e: Throwable): Boolean = {
     var t: Throwable = e
@@ -200,7 +209,28 @@ final class Engine(val spark: SparkSession, rootDir: String) {
 }
 
 object Engine {
-  final case class Cursor(df: DataFrame, var page: Int)
+  final case class Cursor(df: DataFrame, var page: Int) {
+    import org.apache.spark.storage.StorageLevel
+
+    /** The cursor's result, persisted on first page fetch. Spark caches
+      * in-memory partitions lazily as page jobs touch them and reuses the
+      * sort's shuffle files across those jobs, so deep pagination costs
+      * one sort + one incremental partition fetch per page — the
+      * reference's cheap page-forward contract
+      * (`/root/reference/src/query.rs:110-164`) without holding the full
+      * result in driver memory (the reference keeps all rows resident;
+      * MEMORY_AND_DISK spills instead of OOMing on a huge result).
+      */
+    def materialized: DataFrame = {
+      if (df.storageLevel == StorageLevel.NONE)
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+      df
+    }
+
+    /** Drop cached blocks when the cursor is closed, evicted, or expired. */
+    def release(): Unit =
+      if (df.storageLevel != StorageLevel.NONE) df.unpersist(blocking = false)
+  }
 
   sealed trait Result
   final case class ResultSet(df: DataFrame, cursorId: String) extends Result

@@ -138,11 +138,21 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rs = eng.execute("SEARCH [] ON seq").asInstanceOf[Engine.ResultSet]
     val p1 = eng.execute(s"QYCNNXT ${rs.cursorId}").asInstanceOf[Engine.Page]
     assert(p1.rows.length == 100 && p1.rows.head.getInt(0) == 101)
+    // the first fetch materialized the sorted result: later pages slice the
+    // cached partitions instead of re-running the scan+sort (query.rs:110-164)
+    val cur = eng.cursorState(rs.cursorId).get
+    assert(cur.df.storageLevel.useMemory, "cursor result not persisted after first page")
+    val pagePlan = cur.materialized.offset(100).limit(100)
+      .queryExecution.executedPlan.toString()
+    assert(pagePlan.contains("InMemoryTableScan") || pagePlan.contains("TableCacheQueryStage"),
+      s"page slice does not read the cached result:\n$pagePlan")
     val p2 = eng.execute(s"QYCNNXT ${rs.cursorId}").asInstanceOf[Engine.Page]
     assert(p2.rows.length == 50 && p2.rows.head.getInt(0) == 201)
     val p0 = eng.execute(s"QYCNPVS ${rs.cursorId}").asInstanceOf[Engine.Page]
     assert(p0.rows.length == 100 && p0.rows.head.getInt(0) == 101)
     eng.execute(s"QYCNEXT ${rs.cursorId}")
+    assert(cur.df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "cursor close must release the cached result")
     intercept[ParseException](eng.execute(s"QYCNNXT ${rs.cursorId}"))
   }
 
