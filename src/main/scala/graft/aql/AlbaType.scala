@@ -22,6 +22,22 @@ object AlbaType {
   case object AFloat extends AlbaType("FLOAT", DoubleType)
   case object ABool extends AlbaType("BOOL", BooleanType)
   case object AText extends AlbaType("TEXT", StringType)
+
+  /** Single Unicode code point (reference wire id 1, 4-byte `char`,
+    * `src/alba_types.rs:15,47,284`). Stored as a length-1 Parquet string.
+    * The reference accepts only Char or a string whose BYTE length is 1
+    * (`src/alba_types.rs:217-231`), which rejects every non-ASCII
+    * character; standardized here to code-point count == 1.
+    */
+  case object AChar extends AlbaType("CHAR", StringType, Some(1))
+
+  /** Placeholder type (reference wire id 0, zero-size,
+    * `src/alba_types.rs:26,46,283`). Every value coerces to NONE by
+    * discarding it (`src/alba_types.rs:273`), so a NONE column always
+    * reads NULL; stored as an all-null Parquet string column (Parquet has
+    * no zero-width type).
+    */
+  case object ANone extends AlbaType("NONE", StringType)
   final case class AString(n: String, limit: Int)
     extends AlbaType(n, StringType, Some(limit))
   final case class ABytes(n: String, limit: Int)
@@ -30,7 +46,7 @@ object AlbaType {
   /** Caps per `src/alba_types.rs:285-294`. */
   val all: Map[String, AlbaType] = Map(
     "INT" -> AInt, "BIGINT" -> ABigint, "FLOAT" -> AFloat,
-    "BOOL" -> ABool, "TEXT" -> AText,
+    "BOOL" -> ABool, "TEXT" -> AText, "CHAR" -> AChar, "NONE" -> ANone,
     "NANO-STRING" -> AString("NANO-STRING", 10),
     "SMALL-STRING" -> AString("SMALL-STRING", 100),
     "MEDIUM-STRING" -> AString("MEDIUM-STRING", 500),
@@ -143,6 +159,13 @@ object AlbaType {
           val s = other.toString
           if (s.length > limit) s.substring(0, limit) else s
       }
+      case AChar => v match {
+        case s: String =>
+          if (s.codePointCount(0, s.length) == 1) s
+          else fail(s"string '$s' (must be a single character)")
+        case other => fail(other.getClass.getSimpleName)
+      }
+      case ANone => null // every value coerces to NONE by discarding it
       case ABytes(_, limit) => v match {
         case b: Array[Byte] => if (b.length > limit) b.take(limit) else b
         case s: String =>

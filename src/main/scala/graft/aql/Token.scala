@@ -29,7 +29,7 @@ object Token {
   val Keywords: Set[String] = Set(
     "CREATE", "COMMIT", "ROLLBACK", "DELETE", "EDIT", "SEARCH", "WHERE",
     "ROW", "CONTAINER", "ON", "USING",
-    "INT", "BIGINT", "TEXT", "BOOL", "FLOAT",
+    "INT", "BIGINT", "TEXT", "BOOL", "FLOAT", "CHAR", "NONE",
     "AND", "OR",
     "NANO-STRING", "SMALL-STRING", "MEDIUM-STRING", "BIG-STRING", "LARGE-STRING",
     "NANO-BYTES", "SMALL-BYTES", "MEDIUM-BYTES", "BIG-BYTES", "LARGE-BYTES",

@@ -48,6 +48,20 @@ class CoercionSpec extends AnyFunSuite {
     all.values.foreach(t => assert(coerce(t, null) == null))
   }
 
+  test("CHAR accepts exactly one code point (alba_types.rs:217-231, standardized)") {
+    assert(coerce(AChar, "x") == "x")
+    assert(coerce(AChar, "é") == "é") // non-ASCII: reference's byte-length check would reject
+    assert(coerce(AChar, "😀") == "😀") // one code point, two UTF-16 units
+    intercept[CoercionException](coerce(AChar, "ab"))
+    intercept[CoercionException](coerce(AChar, ""))
+    intercept[CoercionException](coerce(AChar, 7L))
+    assert(coerce(AText, coerce(AChar, "x")) == "x") // Char→Text (alba_types.rs:127)
+  }
+
+  test("NONE discards every value (alba_types.rs:273)") {
+    for (v <- Seq[Any]("s", 1L, 2.5, true)) assert(coerce(ANone, v) == null)
+  }
+
   test("property: capped strings never exceed their cap and are prefixes") {
     val strT = AString("MEDIUM-STRING", 500)
     (0 until 200).foreach { _ =>

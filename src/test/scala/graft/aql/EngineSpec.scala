@@ -156,6 +156,21 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[ParseException](eng.execute(s"QYCNNXT ${rs.cursorId}"))
   }
 
+  test("15b CHAR + NONE columns round-trip through DDL/DML (alba_types.rs:15,26)") {
+    eng.execute("CREATE CONTAINER chars ['id','c','pad'] [BIGINT, CHAR, NONE]")
+    eng.execute("CREATE ROW ['id','c','pad'] [1,'x','discarded'] ON chars")
+    eng.execute("CREATE ROW ['id','c'] [2,'é'] ON chars")
+    eng.execute("COMMIT chars")
+    val rows = searchRows("SEARCH [] ON chars WHERE c == 'x'")
+    assert(rows.length == 1 && rows.head.getString(1) == "x")
+    // NONE discards every written value (alba_types.rs:273)
+    assert(searchRows("SEARCH ['pad'] ON chars").forall(_.isNullAt(0)))
+    // multi-character value must not coerce into CHAR
+    intercept[AlbaType.CoercionException](
+      eng.execute("CREATE ROW ['id','c'] [3,'ab'] ON chars"))
+    eng.execute("DELETE CONTAINER chars")
+  }
+
   test("16 auto_commit applies inserts immediately (database.rs:630-633)") {
     eng.tx.autoCommit = true
     eng.execute("CREATE ROW ['k','s'] [50,'auto'] ON caps2")
