@@ -128,8 +128,9 @@ object Parser {
         case Str(sname) => AlbaType.of(sname)
         case other => throw new ParseException(s"Expected a type, got $other")
       }
-      if (colNames.isEmpty || colNames.length > 50)
-        throw new ParseException("Column count must be 1..50") // database.rs:16 max_columns
+      if (colNames.isEmpty)
+        throw new ParseException("Column count must be at least 1")
+      // upper bound enforced by Engine against settings.yaml max_columns
       if (colNames.map(_.toLowerCase).distinct.length != colNames.length)
         throw new ParseException("Duplicate column names") // case-insensitive, matching resolution
       if (colNames.length != colTypes.length)

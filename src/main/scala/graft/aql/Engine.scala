@@ -18,8 +18,14 @@ import org.apache.spark.sql.functions._
   *  - Q8: union type mismatch is an error, not a silent drop.
   */
 final class Engine(val spark: SparkSession, rootDir: String) {
+  /** `settings.yaml` in the database root, written with defaults on first
+    * boot (reference `database.rs:290-345`).
+    */
+  val settings: graft.catalog.Settings =
+    graft.catalog.Settings.load(java.nio.file.Paths.get(rootDir))
   val catalog = new Catalog(spark, rootDir)
   val tx = new Tx(catalog)
+  tx.autoCommit = settings.autoCommit
 
   import Engine._
 
@@ -43,6 +49,11 @@ final class Engine(val spark: SparkSession, rootDir: String) {
 
   def run(stmt: Ast.Stmt): Result = stmt match {
     case Ast.CreateContainer(name, cols, types) =>
+      // arity bounds come from settings.yaml (database.rs:16-17), not a
+      // parser constant, so a re-configured server honors its own limits
+      if (cols.length < settings.minColumns || cols.length > settings.maxColumns)
+        throw new ParseException(
+          s"Column count must be ${settings.minColumns}..${settings.maxColumns}")
       catalog.create(name, cols.zip(types))
       Done(s"created container $name")
 

@@ -1,0 +1,101 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+/** Database settings, mirroring the reference's `settings.yaml` surface
+  * (`/root/reference/src/database.rs:14-30`, struct at `:49-63`, load +
+  * normalization at `:290-345`).
+  *
+  * Honored knobs:
+  *  - `max_columns` / `min_columns` — CREATE CONTAINER arity bounds
+  *    (checked by [[graft.aql.Engine]]; the reference sizes its fixed
+  *    binary header from max_columns, `database.rs:124-126` — Parquet has
+  *    no header to size, so only the DDL check remains).
+  *  - `auto_commit` — initial [[Tx.autoCommit]].
+  *  - `ip` / `connections_port` — AqlServer bind address.
+  *  - `max_connections` — AqlServer request-handler pool size.
+  *  - `memory_limit` — recorded for parity; memory is governed by the
+  *    Spark memory manager (executor/driver memory set at launch), which
+  *    replaces the reference's in-process byte accounting.
+  *
+  * Format: the reference file is flat YAML — `key: value` lines with `#`
+  * comments — parsed here directly (no YAML dependency needed for a flat
+  * file).
+  */
+final case class Settings(
+    maxColumns: Int = 50,
+    minColumns: Int = 1,
+    autoCommit: Boolean = false,
+    memoryLimit: Long = 1048576000L,
+    ip: String = "127.0.0.1",
+    connectionsPort: Int = 1515,
+    dataPort: Int = 8989,
+    maxConnections: Int = 10) {
+
+  /** The reference's self-healing normalization (`database.rs:312-335`):
+    * out-of-range values are corrected, never fatal.
+    */
+  def normalized: Settings = {
+    var s = this
+    if (s.maxColumns <= 1) s = s.copy(maxColumns = 10)
+    if (s.minColumns < 1 || s.minColumns > s.maxColumns) s = s.copy(minColumns = 1)
+    if (s.memoryLimit < 1048576L) s = s.copy(memoryLimit = 1048576L)
+    if (s.maxConnections < 1) s = s.copy(maxConnections = 1)
+    s
+  }
+
+  def toYaml: String =
+    s"""max_columns: $maxColumns
+       |min_columns: $minColumns
+       |auto_commit: $autoCommit
+       |memory_limit: $memoryLimit
+       |ip: $ip
+       |connections_port: $connectionsPort
+       |data_port: $dataPort
+       |max_connections: $maxConnections
+       |""".stripMargin
+}
+
+object Settings {
+  val FileName = "settings.yaml"
+  val default: Settings = Settings()
+
+  /** Load `settings.yaml` from a database root, writing the defaults first
+    * if the file is absent (reference `set_default_settings`,
+    * `database.rs:298-302`). Unknown keys are ignored; malformed values
+    * fall back to the default for that key; the result is normalized.
+    */
+  def load(root: Path): Settings = {
+    val file = root.resolve(FileName)
+    if (!Files.isRegularFile(file)) {
+      Files.createDirectories(root)
+      Files.writeString(file, default.toYaml)
+      return default
+    }
+    val kv = Files.readAllLines(file).asScala.iterator
+      .map(_.takeWhile(_ != '#').trim) // strip comments
+      .filter(_.contains(":"))
+      .map { line =>
+        val i = line.indexOf(':')
+        line.substring(0, i).trim -> line.substring(i + 1).trim
+      }
+      .toMap
+
+    def int(k: String, dflt: Int): Int = kv.get(k).flatMap(_.toIntOption).getOrElse(dflt)
+    def long(k: String, dflt: Long): Long = kv.get(k).flatMap(_.toLongOption).getOrElse(dflt)
+    def bool(k: String, dflt: Boolean): Boolean =
+      kv.get(k).flatMap(_.toLowerCase.toBooleanOption).getOrElse(dflt)
+
+    Settings(
+      maxColumns = int("max_columns", default.maxColumns),
+      minColumns = int("min_columns", default.minColumns),
+      autoCommit = bool("auto_commit", default.autoCommit),
+      memoryLimit = long("memory_limit", default.memoryLimit),
+      ip = kv.getOrElse("ip", default.ip),
+      connectionsPort = int("connections_port", default.connectionsPort),
+      dataPort = int("data_port", default.dataPort),
+      maxConnections = int("max_connections", default.maxConnections)
+    ).normalized
+  }
+}

@@ -22,18 +22,39 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 final class AqlServer(engine: Engine, port: Int = 0) {
   private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
   private val lock = new Object
 
-  def start(): Int = {
-    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  /** Bind address + handler pool come from the engine's settings.yaml
+    * (`database.rs:14-30`): `ip`, `connections_port`, `max_connections`.
+    * An explicit non-zero `port` constructor argument overrides the
+    * settings port (0 = ephemeral, used by specs).
+    */
+  private def boundPort: Int =
+    if (port != 0) port else engine.settings.connectionsPort
+
+  def start(): Int = start(useSettingsPort = false)
+
+  /** Start on the settings' `connections_port` (ServerMain path). */
+  def startFromSettings(): Int = start(useSettingsPort = true)
+
+  private def start(useSettingsPort: Boolean): Int = {
+    val p = if (useSettingsPort) boundPort else port
+    server = HttpServer.create(new InetSocketAddress(engine.settings.ip, p), 0)
     server.createContext("/health", (ex: HttpExchange) => respond(ex, 200, """{"ok":true}"""))
     server.createContext("/query", (ex: HttpExchange) => handleQuery(ex))
-    server.setExecutor(null)
+    // max_connections bounds concurrent request handlers; execution is
+    // still serialized per statement by `lock` (reference whole-db RwLock)
+    pool = java.util.concurrent.Executors.newFixedThreadPool(engine.settings.maxConnections)
+    server.setExecutor(pool)
     server.start()
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    if (pool != null) pool.shutdown()
+  }
 
   private def handleQuery(ex: HttpExchange): Unit = {
     if (ex.getRequestMethod != "POST") { respond(ex, 405, """{"error":"POST only"}"""); return }
@@ -90,16 +111,23 @@ final class AqlServer(engine: Engine, port: Int = 0) {
   }
 }
 
-/** Standalone server main: runMain graft.server.ServerMain [port] [dbDir] */
+/** Standalone server main: runMain graft.server.ServerMain [dbDir] [port]
+  * The bind ip/port and handler pool come from `<dbDir>/settings.yaml`
+  * (written with defaults on first boot); an explicit port argument
+  * overrides the settings port.
+  */
 object ServerMain {
   def main(args: Array[String]): Unit = {
-    val port = args.headOption.map(_.toInt).getOrElse(8989) // reference default port
-    val dbDir = args.lift(1).getOrElse(
+    val dbDir = args.headOption.getOrElse(
       java.nio.file.Files.createTempDirectory("graft-db").toString)
     val spark = graft.GraftSession.create(appName = "graft-server")
     val eng = new Engine(spark, dbDir)
-    val actual = new AqlServer(eng, port).start()
-    println(s"graft AQL server on 127.0.0.1:$actual — db at $dbDir")
+    val server = args.lift(1).map(_.toInt) match {
+      case Some(p) => new AqlServer(eng, p)
+      case None => new AqlServer(eng)
+    }
+    val actual = args.lift(1).map(_ => server.start()).getOrElse(server.startFromSettings())
+    println(s"graft AQL server on ${eng.settings.ip}:$actual — db at $dbDir")
     Thread.currentThread().join()
   }
 }
