@@ -38,8 +38,11 @@ object Ast {
       values: List[Token], where: Where) extends Stmt
   final case class DeleteRow(container: String, where: Option[Where]) extends Stmt
   final case class DeleteContainer(name: String) extends Stmt
+  /** `atVersion` (graft extension `AT VERSION n`): read the committed
+    * snapshot at that version instead of the live transactional view.
+    */
   final case class Search(containers: List[Container], projection: List[String],
-      where: Option[Where]) extends Stmt
+      where: Option[Where], atVersion: Option[Int] = None) extends Stmt
   final case class Commit(container: Option[String]) extends Stmt
   final case class Rollback(container: Option[String]) extends Stmt
   /** graft extension: physical-plan inspection for a SEARCH. */
@@ -173,12 +176,21 @@ object Parser {
         }
         case t => List(Container.Real(name(t)))
       }
-      val where = rest match {
+      // optional time travel: … AT VERSION n [WHERE …] (graft extension)
+      val (atVersion, afterVersion) = rest match {
+        case Keyword("AT") :: Keyword("VERSION") :: IntLit(v) :: tail =>
+          if (v < 1) throw new ParseException("AT VERSION must be >= 1")
+          (Some(v.toInt), tail)
+        case Keyword("AT") :: _ =>
+          throw new ParseException("Expected VERSION <n> after AT")
+        case other => (None, other)
+      }
+      val where = afterVersion match {
         case Nil => None
         case Keyword("WHERE") :: condTokens => Some(parseWhere(condTokens))
         case other => throw new ParseException(s"Unexpected trailing tokens: $other")
       }
-      Search(containers, strings(projG), where)
+      Search(containers, strings(projG), where, atVersion)
 
     // EXPLAIN <search> (graft extension)
     case Keyword("EXPLAIN") :: rest =>

@@ -163,7 +163,12 @@ final class Engine(val spark: SparkSession, rootDir: String) {
     val parts = s.containers.map {
       case Ast.Container.Real(cname) =>
         val d = catalog.get(cname)
-        val base = tx.view(cname)
+        // AT VERSION n reads the immutable committed snapshot (no staged
+        // overlay — a historical version predates the open transaction)
+        val base = s.atVersion match {
+          case Some(v) => catalog.readVersion(cname, v)
+          case None => tx.view(cname)
+        }
         val filtered = s.where.map(w => base.filter(lowerWhere(w, d))).getOrElse(base)
         project(filtered, s.projection)
       case Ast.Container.Virtual(sub) =>

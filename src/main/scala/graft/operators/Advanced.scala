@@ -152,17 +152,39 @@ object Advanced {
     },
 
     // Interpolated percentiles (both engines: continuous quantile).
+    // Exact quantiles need a total order per group; Spark's `percentile`
+    // aggregate buffers EVERY group value in the agg buffer (OOM on a
+    // 100 TB group). This form instead sorts once (distributed, spills),
+    // ranks with row_number, and reduces the two rank-adjacent values per
+    // quantile with a conditional sum — identical interpolated result,
+    // no value buffering. At extreme single-group skew the sort partition
+    // spills rather than OOMs; approx_percentile remains the sketch
+    // alternative where a documented error bound is acceptable.
     Q("x_percentiles",
       """SELECT l_returnflag,
         |       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
         |       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
-      (s, dir) =>
-        t(s, dir, "lineitem").groupBy(col("l_returnflag"))
-          // exact interpolated percentile — same definition as quantile_cont
-          .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
-            round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"))
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_quantity"))
+        val counts = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+        val ranked = li.withColumn("rn", row_number().over(w))
+          .join(broadcast(counts), "l_returnflag")
+        // continuous quantile: p = (n-1)q, v = (1-frac)·v[⌊p⌋+1] + frac·v[⌊p⌋+2]
+        def quant(q: Double): Column = {
+          val p = (col("n") - 1) * lit(q)
+          val lower = floor(p)
+          val frac = p - lower
+          sum(when(col("rn") === lower + 1, (lit(1.0) - frac) * col("l_quantity"))
+            .when(col("rn") === lower + 2, frac * col("l_quantity"))
+            .otherwise(lit(0.0)))
+        }
+        ranked.groupBy(col("l_returnflag"))
+          .agg(round(quant(0.5), 6).as("median_qty"),
+            round(quant(0.9), 6).as("p90_qty"))
           .orderBy(col("l_returnflag"))
+      }
     },
 
     // Ordered string aggregation.

@@ -41,6 +41,14 @@ object AqlQueries {
         "['l_orderkey','l_partkey','l_suppkey','l_linenumber','l_quantity'," +
           "'l_extendedprice','l_discount','l_tax','l_returnflag','l_linestatus'] " +
           "[BIGINT, BIGINT, BIGINT, INT, FLOAT, FLOAT, FLOAT, FLOAT, TEXT, TEXT]")
+      // versioned container for AT VERSION time travel: v1 = short docs
+      // only, v2 = every doc — both derived from the fixture parquet so
+      // the oracle can reconstruct each snapshot declaratively
+      eng.execute("CREATE CONTAINER docs_tt ['doc_id','n_chars'] [BIGINT, BIGINT]")
+      val docs = graft.Tables.load(spark, dir, "documents").select("doc_id", "n_chars")
+      eng.catalog.overwrite("docs_tt",
+        docs.filter(org.apache.spark.sql.functions.col("n_chars") <= 250))
+      eng.catalog.overwrite("docs_tt", docs)
       eng
     })
   }
@@ -101,6 +109,25 @@ object AqlQueries {
         "SEARCH [doc_id, n_chars] ON [(SEARCH [doc_id, n_chars] ON documents " +
           "WHERE n_chars > 480), (SEARCH [doc_id, n_chars] ON documents " +
           "WHERE n_chars < 110)]")(s, dir)
+    },
+
+    // time travel through AQL: version 1 held only the short docs, so the
+    // oracle reconstructs that snapshot by re-applying v1's defining filter
+    Q("aql_time_travel",
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE n_chars <= 250 AND n_chars > 100
+        |ORDER BY doc_id, n_chars""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [doc_id, n_chars] ON docs_tt AT VERSION 1 WHERE n_chars > 100")(s, dir)
+    },
+
+    // the current version (v2) of the same container holds every doc
+    Q("aql_time_travel_current",
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE n_chars > 480
+        |ORDER BY doc_id, n_chars""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [doc_id, n_chars] ON docs_tt WHERE n_chars > 480")(s, dir)
     },
 
     // prepared-statement arguments through AQL

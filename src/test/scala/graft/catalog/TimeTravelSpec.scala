@@ -49,6 +49,32 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(cat.versions("tt").isEmpty && !cat.exists("tt"))
   }
 
+  test("SEARCH ... AT VERSION n reads the snapshot through AQL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tt3")
+    val eng = new Engine(spark, dir.toString)
+    eng.execute("CREATE CONTAINER av ['id','v'] [INT, SMALL-STRING]")
+    eng.execute("CREATE ROW ['id','v'] [1,'one'] ON av")
+    eng.execute("COMMIT av")                       // v1
+    eng.execute("EDIT ROW ['v'] ['uno'] ON av WHERE id = 1")
+    eng.execute("CREATE ROW ['id','v'] [2,'two'] ON av")
+    eng.execute("COMMIT av")                       // v2
+
+    def rows(aql: String) =
+      eng.execute(aql).asInstanceOf[Engine.ResultSet]
+        .df.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(rows("SEARCH [] ON av AT VERSION 1") == Set((1, "one")))
+    assert(rows("SEARCH [] ON av AT VERSION 2") == Set((1, "uno"), (2, "two")))
+    assert(rows("SEARCH [] ON av AT VERSION 1 WHERE id = 1") == Set((1, "one")))
+    // a historical read ignores the live staged overlay
+    eng.execute("CREATE ROW ['id','v'] [3,'three'] ON av")
+    assert(rows("SEARCH [] ON av AT VERSION 2") == Set((1, "uno"), (2, "two")))
+    eng.execute("ROLLBACK av")
+    // missing version + malformed syntax are errors
+    intercept[IllegalArgumentException](eng.execute("SEARCH [] ON av AT VERSION 9"))
+    intercept[graft.aql.ParseException](eng.execute("SEARCH [] ON av AT 1"))
+    eng.execute("DELETE CONTAINER av")
+  }
+
   test("a cursor over a vacuumed version expires cleanly, not with a raw FNF") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tt2")
     val eng = new Engine(spark, dir.toString)
