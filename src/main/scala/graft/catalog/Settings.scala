@@ -15,6 +15,11 @@ import scala.jdk.CollectionConverters._
   *  - `auto_commit` — initial [[Tx.autoCommit]].
   *  - `ip` / `connections_port` — AqlServer bind address.
   *  - `max_connections` — AqlServer request-handler pool size.
+  *  - `auth_token` — when non-empty, AqlServer requires a `/session`
+  *    handshake presenting this token before `/query` is served (the
+  *    reference's session-id handshake, `database.rs:1110-1143`; its
+  *    AES-256-GCM transport layer is replaced by TLS termination in
+  *    front of the HTTP surface, documented in [[graft.server.AqlServer]]).
   *  - `memory_limit` — recorded for parity; memory is governed by the
   *    Spark memory manager (executor/driver memory set at launch), which
   *    replaces the reference's in-process byte accounting.
@@ -31,7 +36,8 @@ final case class Settings(
     ip: String = "127.0.0.1",
     connectionsPort: Int = 1515,
     dataPort: Int = 8989,
-    maxConnections: Int = 10) {
+    maxConnections: Int = 10,
+    authToken: String = "") {
 
   /** The reference's self-healing normalization (`database.rs:312-335`):
     * out-of-range values are corrected, never fatal.
@@ -54,6 +60,7 @@ final case class Settings(
        |connections_port: $connectionsPort
        |data_port: $dataPort
        |max_connections: $maxConnections
+       |auth_token: $authToken
        |""".stripMargin
 }
 
@@ -95,7 +102,8 @@ object Settings {
       ip = kv.getOrElse("ip", default.ip),
       connectionsPort = int("connections_port", default.connectionsPort),
       dataPort = int("data_port", default.dataPort),
-      maxConnections = int("max_connections", default.maxConnections)
+      maxConnections = int("max_connections", default.maxConnections),
+      authToken = kv.getOrElse("auth_token", default.authToken)
     ).normalized
   }
 }

@@ -10,10 +10,14 @@ import java.nio.charset.StandardCharsets.UTF_8
   *
   * Protocol (documented divergence: the reference wraps JSON in shared-key
   * AES-256-GCM; a real deployment of this engine would terminate TLS in
-  * front instead — transport security is not re-implemented in-process):
+  * front instead — transport security is not re-implemented in-process,
+  * but the reference's session handshake IS kept, `database.rs:1110-1143`):
+  *   POST /session body = the settings' auth_token. Returns {"session":id}.
+  *                 Only required when `auth_token` is configured.
   *   POST /query   body = AQL statement on line 1, one `?` argument per
-  *                 following line. Response = JSON with either
-  *                 {columns, rows, cursor}, {rows, page}, or {message}.
+  *                 following line; `X-Session-Id` header when auth is on.
+  *                 Response = JSON with either {columns, rows, cursor},
+  *                 {rows, page}, or {message}.
   *   GET  /health  liveness probe.
   *
   * Concurrency: statements execute under a per-server lock, matching the
@@ -24,6 +28,20 @@ final class AqlServer(engine: Engine, port: Int = 0) {
   private var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
   private val lock = new Object
+
+  /** Live session ids issued by /session (reference keeps a
+    * session→secret map, `database.rs:1121-1139`); bounded LRU so
+    * abandoned sessions don't accumulate in a resident server.
+    */
+  private val MaxSessions = 256
+  private val sessions = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, java.lang.Boolean](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+        size() > MaxSessions
+    })
+
+  private def authEnabled: Boolean = engine.settings.authToken.nonEmpty
 
   /** Bind address + handler pool come from the engine's settings.yaml
     * (`database.rs:14-30`): `ip`, `connections_port`, `max_connections`.
@@ -42,6 +60,7 @@ final class AqlServer(engine: Engine, port: Int = 0) {
     val p = if (useSettingsPort) boundPort else port
     server = HttpServer.create(new InetSocketAddress(engine.settings.ip, p), 0)
     server.createContext("/health", (ex: HttpExchange) => respond(ex, 200, """{"ok":true}"""))
+    server.createContext("/session", (ex: HttpExchange) => handleSession(ex))
     server.createContext("/query", (ex: HttpExchange) => handleQuery(ex))
     // max_connections bounds concurrent request handlers; execution is
     // still serialized per statement by `lock` (reference whole-db RwLock)
@@ -56,8 +75,32 @@ final class AqlServer(engine: Engine, port: Int = 0) {
     if (pool != null) pool.shutdown()
   }
 
+  /** Handshake: present the auth token, receive a session id for /query.
+    * Constant-time token compare; 32 hex bytes of SecureRandom id.
+    */
+  private def handleSession(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST") { respond(ex, 405, """{"error":"POST only"}"""); return }
+    val presented = new String(ex.getRequestBody.readAllBytes(), UTF_8).trim
+    if (!java.security.MessageDigest.isEqual(
+        presented.getBytes(UTF_8), engine.settings.authToken.getBytes(UTF_8))) {
+      respond(ex, 403, """{"error":"invalid token"}"""); return
+    }
+    val bytes = new Array[Byte](32)
+    new java.security.SecureRandom().nextBytes(bytes)
+    val id = bytes.map(b => f"$b%02x").mkString
+    sessions.put(id, java.lang.Boolean.TRUE)
+    respond(ex, 200, s"""{"session":${jstr(id)}}""")
+  }
+
   private def handleQuery(ex: HttpExchange): Unit = {
     if (ex.getRequestMethod != "POST") { respond(ex, 405, """{"error":"POST only"}"""); return }
+    if (authEnabled) {
+      val sid = Option(ex.getRequestHeaders.getFirst("X-Session-Id"))
+      if (!sid.exists(sessions.containsKey)) {
+        respond(ex, 401, """{"error":"no valid session; POST the auth token to /session"}""")
+        return
+      }
+    }
     val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
     val lines = body.split("\n").toList
     val (command, args) = (lines.head, lines.tail.filter(_.nonEmpty))

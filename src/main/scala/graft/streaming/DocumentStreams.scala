@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming over the `documents` table — the streaming side of
+  * the dedup operators in `graft.operators.TextDedup` (north-star
+  * extension; SURVEY.md §2.4). The batch results are DuckDB-verified, so
+  * each streaming pipeline is checked against its batch twin in
+  * StreamingSpec.
+  *
+  * Scale design: exact dedup state is one entry per DISTINCT content hash
+  * (not per document), hash-partitioned across the cluster by the same key
+  * the batch groupBy shuffles on. A corpus with d% duplicates keeps
+  * state ≤ (1-d%) of corpus cardinality — the standard streaming-ingest
+  * dedup layout for an append-only document lake.
+  */
+object DocumentStreams {
+
+  /** File-source stream over the fixture documents parquet (symlink-dir
+    * staging, same pattern as EventStreams.readEvents).
+    */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-docs-stream")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("documents.parquet"), java.nio.file.Paths.get(path))
+    spark.readStream.schema(schema).parquet(streamDir.toString)
+  }
+
+  /** Streaming twin of `dd_exact`: per content-hash count + keeper id as a
+    * stateful aggregation (complete/update mode). Deterministic — the
+    * min(doc_id) keeper does not depend on arrival order.
+    */
+  def exactDedupCounts(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+
+  /** First-seen streaming dedup: emit each document whose content hash has
+    * not been seen before (append mode). State is one entry per distinct
+    * hash; with an event-time column, `dropDuplicatesWithinWatermark`
+    * bounds it to the dedup horizon — the fixture documents carry no
+    * timestamp, so the unbounded exact variant is the honest twin here.
+    */
+  def firstSeen(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .dropDuplicates("h")
+}

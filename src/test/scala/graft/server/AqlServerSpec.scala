@@ -59,6 +59,34 @@ class AqlServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post(s"QYCNEXT $cursor")._1 == 200)
   }
 
+  test("auth_token gates /query behind a /session handshake (database.rs:1110-1143)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-auth-spec")
+    java.nio.file.Files.writeString(dir.resolve("settings.yaml"),
+      "connections_port: 0\nauth_token: s3cret\n")
+    val authServer = new AqlServer(new Engine(spark, dir.toString))
+    val p = authServer.start()
+    try {
+      def req(path: String, body: String, headers: Seq[(String, String)] = Nil) = {
+        val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body))
+        headers.foreach { case (k, v) => b.header(k, v) }
+        val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), resp.body())
+      }
+      // no session -> 401; wrong token -> 403
+      assert(req("/query", "SEARCH [] ON x")._1 == 401)
+      assert(req("/session", "wrong")._1 == 403)
+      // handshake -> session id -> query accepted (engine error, not auth error)
+      val (hc, hb) = req("/session", "s3cret")
+      assert(hc == 200)
+      val sid = """"session":"([^"]+)"""".r.findFirstMatchIn(hb).get.group(1)
+      val (qc, qb) = req("/query", "CREATE CONTAINER a ['x'] [INT]", Seq("X-Session-Id" -> sid))
+      assert(qc == 200, qb)
+      // bogus session id is still rejected
+      assert(req("/query", "SEARCH [] ON a", Seq("X-Session-Id" -> "ffff"))._1 == 401)
+    } finally authServer.stop()
+  }
+
   test("errors return 400 with a message, not a crash") {
     val (code, body) = post("THIS IS NOT AQL")
     assert(code == 400 && body.contains("error"))

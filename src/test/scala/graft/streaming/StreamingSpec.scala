@@ -67,6 +67,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming exact dedup matches the batch twin (dd_exact)") {
+    val q = DocumentStreams.exactDedupCounts(DocumentStreams.readDocuments(spark, dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("dedup_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("dedup_out")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.SparkEntry.queries("dd_exact")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("first-seen streaming dedup keeps exactly one doc per content hash") {
+    val q = DocumentStreams.firstSeen(DocumentStreams.readDocuments(spark, dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("firstseen_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val out = spark.table("firstseen_out").collect()
+    val batchHashes = graft.Tables.load(spark, dir, "documents")
+      .select(md5(col("text"))).distinct().collect().map(_.getString(0)).toSet
+    // one emitted row per distinct hash, and the emitted ids are real docs
+    assert(out.map(_.getString(1)).toSet == batchHashes)
+    assert(out.length == batchHashes.size)
+  }
+
   test("stateful sessionization matches the batch twin (e_session_stats)") {
     import spark.implicits._
     val evs = EventStreams.readEvents(spark, dir)
