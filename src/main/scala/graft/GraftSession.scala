@@ -23,6 +23,14 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // size-based coalescing (not parallelism-first): post-shuffle
+      // partitions target advisoryPartitionSizeInBytes, so a small stage
+      // collapses to few tasks instead of fanning out to one task per
+      // core. Spark's docs recommend this exactly when the cluster is
+      // sized by maxPartitionBytes rather than raw core count — at 100 TB
+      // the advisory size governs either way.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
