@@ -501,6 +501,123 @@ object Analytics {
         ).orderBy(col("o_orderkey"))
     },
 
+    // Regex surface: group extraction, backreference replacement, rlike
+    // filtering (Spark uses Java-regex `$1` replacements, DuckDB RE2 `\1` —
+    // each side written in its own dialect, same results).
+    Q("x_regexp_functions",
+      """SELECT p_partkey,
+        |       regexp_extract(p_brand, '#(\d+)', 1) AS brand_num,
+        |       regexp_replace(p_brand, '^Brand#(\d+)$', '\1-B') AS brand_flip,
+        |       regexp_matches(p_type, '^[A-Z]+ ') AS type_upper_head
+        |FROM part
+        |WHERE p_partkey < 400 AND regexp_matches(p_name, '^[a-z]+ ')
+        |ORDER BY p_partkey""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "part")
+          .filter(col("p_partkey") < 400 && col("p_name").rlike("^[a-z]+ "))
+          .select(
+            col("p_partkey"),
+            regexp_extract(col("p_brand"), "#(\\d+)", 1).as("brand_num"),
+            regexp_replace(col("p_brand"), "^Brand#(\\d+)$", "$1-B").as("brand_flip"),
+            col("p_type").rlike("^[A-Z]+ ").as("type_upper_head"))
+          .orderBy(col("p_partkey"))
+    },
+
+    // Padding / trimming / repetition string surface.
+    Q("x_string_pad",
+      """SELECT s_suppkey,
+        |       lpad(CAST(s_suppkey AS VARCHAR), 8, '0') AS key_pad,
+        |       rpad(s_name, 30, '.') AS name_pad,
+        |       reverse(s_name) AS name_rev,
+        |       repeat('ab', 3) AS rep,
+        |       translate(s_name, '#0', '-_') AS name_tr,
+        |       trim(rpad(s_name, 30, ' ')) AS name_trim
+        |FROM supplier ORDER BY s_suppkey""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "supplier").select(
+          col("s_suppkey"),
+          lpad(col("s_suppkey").cast("string"), 8, "0").as("key_pad"),
+          rpad(col("s_name"), 30, ".").as("name_pad"),
+          reverse(col("s_name")).as("name_rev"),
+          lit("ab" * 3).as("rep"),
+          translate(col("s_name"), "#0", "-_").as("name_tr"),
+          trim(rpad(col("s_name"), 30, " ")).as("name_trim")
+        ).orderBy(col("s_suppkey"))
+    },
+
+    // Window navigation surface: lead/lag defaults, ntile, percent_rank,
+    // cume_dist — total order (c_acctbal, c_custkey) keeps both engines
+    // aligned on ties.
+    Q("x_window_navigation",
+      """SELECT c_custkey,
+        |       lag(c_custkey, 1, -1) OVER w AS prev_key,
+        |       lead(c_custkey, 2, -1) OVER w AS next2_key,
+        |       ntile(4) OVER w AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pr,
+        |       round(cume_dist() OVER w, 6) AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin) {
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        t(s, dir, "customer").select(
+          col("c_custkey"),
+          lag(col("c_custkey"), 1, -1).over(w).as("prev_key"),
+          lead(col("c_custkey"), 2, -1).over(w).as("next2_key"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd")
+        ).orderBy(col("c_custkey"))
+      }
+    },
+
+    // Correlated EXISTS with an aggregate inside: customers having more
+    // than two open orders. Lowered as aggregate-below-semi-join — the
+    // EXISTS never materializes per-row subqueries, and the orders agg is
+    // partial before its one shuffle.
+    Q("x_exists_agg_subquery",
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |              AND o.o_orderstatus = 'O'
+        |              GROUP BY o.o_custkey HAVING count(*) > 2)
+        |ORDER BY c_custkey""".stripMargin) {
+      (s, dir) => {
+        val busy = t(s, dir, "orders")
+          .filter(col("o_orderstatus") === "O")
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > 2)
+          .select(col("o_custkey"))
+        t(s, dir, "customer")
+          .join(busy, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .orderBy(col("c_custkey"))
+      }
+    },
+
+    // Bitwise surface over keys (both engines: two's-complement BIGINT).
+    Q("x_bitwise_ops",
+      """SELECT o_orderkey,
+        |       o_orderkey & 255 AS low_byte,
+        |       o_orderkey | 4096 AS with_flag,
+        |       xor(o_orderkey, o_custkey) AS key_xor,
+        |       o_orderkey << 2 AS shl,
+        |       o_orderkey >> 3 AS shr,
+        |       CAST(bit_count(o_orderkey) AS INTEGER) AS pop
+        |FROM orders WHERE o_orderkey < 600
+        |ORDER BY o_orderkey""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "orders").filter(col("o_orderkey") < 600).select(
+          col("o_orderkey"),
+          col("o_orderkey").bitwiseAND(lit(255L)).as("low_byte"),
+          col("o_orderkey").bitwiseOR(lit(4096L)).as("with_flag"),
+          col("o_orderkey").bitwiseXOR(col("o_custkey")).as("key_xor"),
+          shiftleft(col("o_orderkey"), 2).as("shl"),
+          shiftright(col("o_orderkey"), 3).as("shr"),
+          bit_count(col("o_orderkey")).as("pop")
+        ).orderBy(col("o_orderkey"))
+    },
+
     // Null handling: coalesce / nullif / CASE.
     Q("x_null_handling",
       """SELECT c_custkey,
