@@ -140,5 +140,89 @@ object Events {
           .orderBy(col("user_id"), col("session_id"))
     }
     }
+,
+
+    // AS-OF join: each purchase picks the most recent prior click of the
+    // same user (prior in the total (ts, event_id) order, so ties are
+    // deterministic in both engines). Spark-first formulation: NO range
+    // join and NO per-row subquery — one running-max window over a
+    // sortable (epoch-µs ‖ event_id) zero-padded key finds the as-of
+    // match in a single sort pass, then one equi-join on the unique
+    // event id fetches the matched row's payload. Cost at scale: the
+    // same user-partitioned sort every sessionization query already
+    // does, plus a key-equi-join AQE can plan freely.
+    Q("e_asof_join",
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         max(CASE WHEN event_type = 'click' THEN
+        |              lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+        |              lpad(CAST(event_id AS VARCHAR), 12, '0') END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ck
+        |  FROM events)
+        |SELECT m.user_id, m.event_id, m.ts,
+        |       CAST(substr(m.ck, 21, 12) AS BIGINT) AS click_event_id,
+        |       c.value AS click_value
+        |FROM marked m
+        |LEFT JOIN events c ON c.event_id = CAST(substr(m.ck, 21, 12) AS BIGINT)
+        |WHERE m.event_type = 'purchase'
+        |ORDER BY m.user_id, m.ts, m.event_id""".stripMargin) {
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val clickKey = when(col("event_type") === "click",
+          concat(lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+            lpad(col("event_id").cast("string"), 12, "0")))
+        ev.withColumn("ck", max(clickKey).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            substring(col("ck"), 21, 12).cast("long").as("click_event_id"))
+          .join(ev.select(col("event_id").as("c_id"), col("value").as("click_value")),
+            col("click_event_id") === col("c_id"), "left")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("click_event_id"), col("click_value"))
+          .orderBy(col("user_id"), col("ts"), col("event_id"))
+      }
+    },
+
+    // RANGE join: clicks per purchase within the preceding 30 minutes.
+    // Spark-first formulation: bucketize time into 30-minute buckets and
+    // equi-join on (user, bucket) with each click exploded into its own
+    // and the following bucket — any pair within the range collides on
+    // exactly one bucket key — then filter the precise interval and
+    // aggregate. This is the standard sub-quadratic range-join layout:
+    // the plan is a hash equi-join (AQE-splittable), never a
+    // nested-loop over all (purchase, click) pairs.
+    Q("e_range_join",
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts, count(c.ts) AS clicks_30m
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id
+        |  AND epoch_us(p.ts) - epoch_us(c.ts) >= 0
+        |  AND epoch_us(p.ts) - epoch_us(c.ts) < 1800000000
+        |GROUP BY p.event_id, p.user_id, p.ts
+        |ORDER BY p.user_id, p.ts, p.event_id""".stripMargin) {
+      (s, dir) => {
+        val W = 1800000000L // 30 min in µs = the bucket width
+        val ev = Tables.events(s, dir)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            unix_micros(col("ts")).as("p_us"),
+            expr(s"unix_micros(ts) div $W").as("b"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_us"))
+          .withColumn("b", explode(array(
+            expr(s"c_us div $W"), expr(s"c_us div $W + 1"))))
+        val matched = p.join(c,
+            p("user_id") === c("c_user") && p("b") === c("b"))
+          .filter(col("p_us") - col("c_us") >= 0 && col("p_us") - col("c_us") < W)
+          .groupBy(col("event_id")).agg(count(lit(1)).as("n"))
+        p.join(matched, Seq("event_id"), "left")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            coalesce(col("n"), lit(0L)).as("clicks_30m"))
+          .orderBy(col("user_id"), col("ts"), col("event_id"))
+      }
+    }
   )
 }

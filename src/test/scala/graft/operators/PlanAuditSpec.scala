@@ -111,6 +111,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"LSH bucket join degenerated to an all-pairs join:\n$p")
   }
 
+  test("range join is a bucketed equi-join, as-of join is window+equi — no nested loops") {
+    for (name <- Seq("e_range_join", "e_asof_join")) {
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name degenerated to an all-pairs join:\n$p")
+    }
+  }
+
   test("no inferred generate-filter recomputes the shingle array (dd_minhash_lsh)") {
     // InferFiltersFromGenerate would duplicate the full shingle-transform
     // expression into a Filter and push it below the parallelizing
