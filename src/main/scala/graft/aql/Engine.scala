@@ -3,6 +3,7 @@ package graft.aql
 import graft.catalog.{Catalog, Tx}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** AQL execution engine: lowers the AST to DataFrame plans against the
   * catalog + transaction layer, with 100-row cursor pagination — the
@@ -38,9 +39,22 @@ final class Engine(val spark: SparkSession, rootDir: String) {
   private val cursors = new java.util.LinkedHashMap[String, Cursor](64, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[String, Cursor]): Boolean = {
       val evict = size() > MaxCursors
-      if (evict) e.getValue.release()
+      if (evict) releaseCursor(e.getValue)
       evict
     }
+  }
+
+  /** Unpersist a closing cursor's cached result — unless another live
+    * cursor shares the same canonicalized plan: Spark's CacheManager keys
+    * cache entries by plan, so two identical SEARCHes share one entry and
+    * unpersisting on the first close would silently drop the survivor
+    * back to scan+sort-per-page.
+    */
+  private def releaseCursor(c: Cursor): Unit = {
+    val analyzed = c.df.queryExecution.analyzed
+    val shared = cursors.values.iterator().asScala.exists(o =>
+      (o ne c) && o.df.queryExecution.analyzed.sameResult(analyzed))
+    if (!shared) c.release()
   }
   val PageSize = 100
 
@@ -118,7 +132,7 @@ final class Engine(val spark: SparkSession, rootDir: String) {
     case Ast.CursorNext(id) => pageOf(id, +1)
     case Ast.CursorPrevious(id) => pageOf(id, -1)
     case Ast.CursorExit(id) =>
-      Option(cursors.remove(id)).foreach(_.release())
+      Option(cursors.remove(id)).foreach(releaseCursor)
       Done(s"cursor $id closed")
   }
 
@@ -136,7 +150,7 @@ final class Engine(val spark: SparkSession, rootDir: String) {
         case e: Exception if rootCauseIsMissingFile(e) =>
           // the cursor's plan references a version dir that a later
           // commit+vacuum removed — expire the cursor cleanly
-          Option(cursors.remove(id)).foreach(_.release())
+          Option(cursors.remove(id)).foreach(releaseCursor)
           throw new ParseException(s"Cursor $id expired: underlying data was vacuumed")
       }
     cur.page = target
@@ -172,7 +186,10 @@ final class Engine(val spark: SparkSession, rootDir: String) {
         val filtered = s.where.map(w => base.filter(lowerWhere(w, d))).getOrElse(base)
         project(filtered, s.projection)
       case Ast.Container.Virtual(sub) =>
-        project(lowerSearch(sub), s.projection)
+        // an outer AT VERSION applies to the whole statement: propagate it
+        // into subqueries (an inner explicit AT VERSION wins)
+        val effective = sub.copy(atVersion = sub.atVersion.orElse(s.atVersion))
+        project(lowerSearch(effective), s.projection)
     }
     val schemas = parts.map(_.schema.map(f => (f.name, f.dataType)))
     if (schemas.distinct.length != 1)

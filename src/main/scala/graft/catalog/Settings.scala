@@ -13,7 +13,10 @@ import scala.jdk.CollectionConverters._
   *    binary header from max_columns, `database.rs:124-126` — Parquet has
   *    no header to size, so only the DDL check remains).
   *  - `auto_commit` — initial [[Tx.autoCommit]].
-  *  - `ip` / `connections_port` — AqlServer bind address.
+  *  - `ip` / `data_port` — AqlServer bind address (the reference serves
+  *    its live listener on data_port, `database.rs:1323-1324`;
+  *    connections_port is parsed for file parity but unused, as in the
+  *    reference's commented-out url builder).
   *  - `max_connections` — AqlServer request-handler pool size.
   *  - `auth_token` — when non-empty, AqlServer requires a `/session`
   *    handshake presenting this token before `/query` is served (the
@@ -43,7 +46,11 @@ final case class Settings(
     * out-of-range values are corrected, never fatal.
     */
   def normalized: Settings = {
+    // same checks in the same order as database.rs:312-335: max<=min
+    // resets min (equality included), then max<=1 resets max, then a
+    // final min-out-of-range guard
     var s = this
+    if (s.maxColumns <= s.minColumns) s = s.copy(minColumns = 1)
     if (s.maxColumns <= 1) s = s.copy(maxColumns = 10)
     if (s.minColumns < 1 || s.minColumns > s.maxColumns) s = s.copy(minColumns = 1)
     if (s.memoryLimit < 1048576L) s = s.copy(memoryLimit = 1048576L)
@@ -81,7 +88,10 @@ object Settings {
       return default
     }
     val kv = Files.readAllLines(file).asScala.iterator
-      .map(_.takeWhile(_ != '#').trim) // strip comments
+      // YAML comment rule: '#' starts a comment only at line start or
+      // after whitespace — a bare '#' inside a value (auth_token: s3#cret)
+      // is part of the value
+      .map(_.replaceFirst("(^|\\s)#.*$", "$1").trim)
       .filter(_.contains(":"))
       .map { line =>
         val i = line.indexOf(':')

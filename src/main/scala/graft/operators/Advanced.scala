@@ -166,7 +166,10 @@ object Advanced {
         |       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
       (s, dir) => {
+        // quantile_cont ignores NULLs — exclude them from both the ranks
+        // and the counts or every rank above a NULL shifts
         val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_quantity"))
+          .filter(col("l_quantity").isNotNull)
         val counts = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
         val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
         val ranked = li.withColumn("rn", row_number().over(w))

@@ -156,28 +156,31 @@ object Events {
         |  SELECT user_id, event_id, ts, event_type,
         |         max(CASE WHEN event_type = 'click' THEN
         |              lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
-        |              lpad(CAST(event_id AS VARCHAR), 12, '0') END)
+        |              lpad(CAST(event_id AS VARCHAR), 20, '0') END)
         |           OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ck
         |  FROM events)
         |SELECT m.user_id, m.event_id, m.ts,
-        |       CAST(substr(m.ck, 21, 12) AS BIGINT) AS click_event_id,
+        |       CAST(substr(m.ck, 21, 20) AS BIGINT) AS click_event_id,
         |       c.value AS click_value
         |FROM marked m
-        |LEFT JOIN events c ON c.event_id = CAST(substr(m.ck, 21, 12) AS BIGINT)
+        |LEFT JOIN events c ON c.event_id = CAST(substr(m.ck, 21, 20) AS BIGINT)
         |WHERE m.event_type = 'purchase'
         |ORDER BY m.user_id, m.ts, m.event_id""".stripMargin) {
       (s, dir) => {
         val ev = Tables.events(s, dir)
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // width 20 covers any non-negative long (19 digits max) — lpad
+        // TRUNCATES overlong strings, so an undersized pad would corrupt
+        // keys silently in both engines
         val clickKey = when(col("event_type") === "click",
           concat(lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
-            lpad(col("event_id").cast("string"), 12, "0")))
+            lpad(col("event_id").cast("string"), 20, "0")))
         ev.withColumn("ck", max(clickKey).over(w))
           .filter(col("event_type") === "purchase")
           .select(col("user_id"), col("event_id"), col("ts"),
-            substring(col("ck"), 21, 12).cast("long").as("click_event_id"))
+            substring(col("ck"), 21, 20).cast("long").as("click_event_id"))
           .join(ev.select(col("event_id").as("c_id"), col("value").as("click_value")),
             col("click_event_id") === col("c_id"), "left")
           .select(col("user_id"), col("event_id"), col("ts"),

@@ -44,16 +44,19 @@ final class AqlServer(engine: Engine, port: Int = 0) {
   private def authEnabled: Boolean = engine.settings.authToken.nonEmpty
 
   /** Bind address + handler pool come from the engine's settings.yaml
-    * (`database.rs:14-30`): `ip`, `connections_port`, `max_connections`.
-    * An explicit non-zero `port` constructor argument overrides the
-    * settings port (0 = ephemeral, used by specs).
+    * (`database.rs:14-30`): `ip`, `data_port`, `max_connections`. The
+    * reference serves its live listener on `data_port` (8989) — the
+    * `connections_port` line in its url builder is commented out
+    * (`database.rs:1323-1324`) — so the query surface binds `data_port`.
+    * An explicit non-zero `port` constructor argument overrides it
+    * (0 = ephemeral, used by specs).
     */
   private def boundPort: Int =
-    if (port != 0) port else engine.settings.connectionsPort
+    if (port != 0) port else engine.settings.dataPort
 
   def start(): Int = start(useSettingsPort = false)
 
-  /** Start on the settings' `connections_port` (ServerMain path). */
+  /** Start on the settings' `data_port` (ServerMain path). */
   def startFromSettings(): Int = start(useSettingsPort = true)
 
   private def start(useSettingsPort: Boolean): Int = {
@@ -95,8 +98,10 @@ final class AqlServer(engine: Engine, port: Int = 0) {
   private def handleQuery(ex: HttpExchange): Unit = {
     if (ex.getRequestMethod != "POST") { respond(ex, 405, """{"error":"POST only"}"""); return }
     if (authEnabled) {
+      // get(), not containsKey(): only get/put register an access in an
+      // access-order LinkedHashMap, so active sessions stay LRU-fresh
       val sid = Option(ex.getRequestHeaders.getFirst("X-Session-Id"))
-      if (!sid.exists(sessions.containsKey)) {
+      if (!sid.exists(s => sessions.get(s) != null)) {
         respond(ex, 401, """{"error":"no valid session; POST the auth token to /session"}""")
         return
       }

@@ -17,17 +17,9 @@ import org.apache.spark.sql.functions._
   */
 object DocumentStreams {
 
-  /** File-source stream over the fixture documents parquet (symlink-dir
-    * staging, same pattern as EventStreams.readEvents).
-    */
-  def readDocuments(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/documents.parquet"
-    val schema = spark.read.parquet(path).schema
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-docs-stream")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("documents.parquet"), java.nio.file.Paths.get(path))
-    spark.readStream.schema(schema).parquet(streamDir.toString)
-  }
+  /** File-source stream over the fixture documents parquet. */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    StreamStaging.readFileStream(spark, s"$dir/documents.parquet")
 
   /** Streaming twin of `dd_exact`: per content-hash count + keeper id as a
     * stateful aggregation (complete/update mode). Deterministic — the

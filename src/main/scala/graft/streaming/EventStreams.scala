@@ -26,16 +26,8 @@ object EventStreams {
     * µs TimestampType (same nanosAsLong handling as Tables.events).
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    // FileStreamSource requires a directory; the fixture is a single file.
-    // Stage a symlink dir (no data copy) — in production the source would
-    // be the append-only events directory itself.
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-events-stream")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
-    val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
-    schema("ts").dataType match {
+    val raw = StreamStaging.readFileStream(spark, s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
       case TimestampType => raw
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw.withColumn("ts", col("ts").cast(TimestampType))

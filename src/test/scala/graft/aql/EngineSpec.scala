@@ -156,6 +156,23 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[ParseException](eng.execute(s"QYCNNXT ${rs.cursorId}"))
   }
 
+  test("15a closing one of two identical cursors keeps the shared cache alive") {
+    // Spark's CacheManager keys entries by canonicalized plan, so two
+    // identical SEARCHes share one cache entry — the first close must not
+    // unpersist it out from under the survivor.
+    val rs1 = eng.execute("SEARCH [] ON seq").asInstanceOf[Engine.ResultSet]
+    val rs2 = eng.execute("SEARCH [] ON seq").asInstanceOf[Engine.ResultSet]
+    eng.execute(s"QYCNNXT ${rs1.cursorId}")
+    eng.execute(s"QYCNNXT ${rs2.cursorId}")
+    val survivor = eng.cursorState(rs1.cursorId).get
+    eng.execute(s"QYCNEXT ${rs2.cursorId}")
+    assert(survivor.df.storageLevel.useMemory,
+      "shared cache entry was unpersisted by the other cursor's close")
+    eng.execute(s"QYCNEXT ${rs1.cursorId}")
+    assert(survivor.df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "last close must release the cache")
+  }
+
   test("15b CHAR + NONE columns round-trip through DDL/DML (alba_types.rs:15,26)") {
     eng.execute("CREATE CONTAINER chars ['id','c','pad'] [BIGINT, CHAR, NONE]")
     eng.execute("CREATE ROW ['id','c','pad'] [1,'x','discarded'] ON chars")

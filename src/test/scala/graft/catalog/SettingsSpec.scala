@@ -40,8 +40,19 @@ class SettingsSpec extends AnyFunSuite {
   test("self-healing normalization (database.rs:312-335)") {
     assert(Settings(maxColumns = 0).normalized.maxColumns == 10)
     assert(Settings(maxColumns = 5, minColumns = 9).normalized.minColumns == 1)
+    // equality included, as in the reference's `max_columns <= min_columns`
+    assert(Settings(maxColumns = 5, minColumns = 5).normalized.minColumns == 1)
     assert(Settings(memoryLimit = 7).normalized.memoryLimit == 1048576L)
     assert(Settings(maxConnections = -2).normalized.maxConnections == 1)
+  }
+
+  test("'#' inside a value is data, not a comment (YAML rule)") {
+    val dir = Files.createTempDirectory("graft-settings-hash")
+    Files.writeString(dir.resolve(Settings.FileName),
+      "auth_token: s3#cret\nmax_columns: 12 # trailing comment\n")
+    val s = Settings.load(dir)
+    assert(s.authToken == "s3#cret")
+    assert(s.maxColumns == 12)
   }
 
   test("engine honors auto_commit and max_columns from settings.yaml") {
@@ -61,7 +72,7 @@ class SettingsSpec extends AnyFunSuite {
   test("server boots from the settings file (ip + port + pool)") {
     val dir = Files.createTempDirectory("graft-settings-srv")
     Files.writeString(dir.resolve(Settings.FileName),
-      "connections_port: 0\nmax_connections: 4\n") // 0 = ephemeral for the spec
+      "data_port: 0\nmax_connections: 4\n") // 0 = ephemeral for the spec
     val eng = new Engine(spark, dir.toString)
     val server = new AqlServer(eng)
     val port = server.startFromSettings()

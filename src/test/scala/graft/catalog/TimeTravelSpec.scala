@@ -69,6 +69,8 @@ class TimeTravelSpec extends AnyFunSuite {
     eng.execute("CREATE ROW ['id','v'] [3,'three'] ON av")
     assert(rows("SEARCH [] ON av AT VERSION 2") == Set((1, "uno"), (2, "two")))
     eng.execute("ROLLBACK av")
+    // an outer AT VERSION reaches subquery virtual containers too
+    assert(rows("SEARCH [] ON [(SEARCH [] ON av)] AT VERSION 1") == Set((1, "one")))
     // missing version + malformed syntax are errors
     intercept[IllegalArgumentException](eng.execute("SEARCH [] ON av AT VERSION 9"))
     intercept[graft.aql.ParseException](eng.execute("SEARCH [] ON av AT 1"))

@@ -84,6 +84,12 @@ class AqlServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(qc == 200, qb)
       // bogus session id is still rejected
       assert(req("/query", "SEARCH [] ON a", Seq("X-Session-Id" -> "ffff"))._1 == 401)
+      // an ACTIVE session survives 300 newer handshakes (LRU refresh on
+      // use — get(), not containsKey(), registers the access)
+      (1 to 300).foreach { _ =>
+        req("/session", "s3cret")
+        assert(req("/query", "SEARCH [] ON a", Seq("X-Session-Id" -> sid))._1 != 401)
+      }
     } finally authServer.stop()
   }
 
