@@ -595,6 +595,35 @@ object Analytics {
       }
     },
 
+    // Struct/map construction + field access. Outputs are scalar fields or
+    // stringified (the comparator can't hash nested columns); the nested
+    // ops themselves are exercised in both engines.
+    Q("x_struct_map_functions",
+      """WITH b AS (SELECT n_nationkey,
+        |             struct_pack(k := n_name, r := n_regionkey) AS st,
+        |             map([n_name], [n_regionkey]) AS m
+        |           FROM nation)
+        |SELECT n_nationkey,
+        |       st.k AS s_name,
+        |       st.r + 1 AS r_next,
+        |       CAST(map_keys(m)[1] AS VARCHAR) AS mk,
+        |       CAST(map_values(m)[1] AS BIGINT) AS mv,
+        |       CAST(cardinality(m) AS BIGINT) AS msize
+        |FROM b ORDER BY n_nationkey""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "nation")
+          .withColumn("st", struct(col("n_name").as("k"), col("n_regionkey").as("r")))
+          .withColumn("m", map(col("n_name"), col("n_regionkey")))
+          .select(
+            col("n_nationkey"),
+            col("st.k").as("s_name"),
+            (col("st.r") + 1).as("r_next"),
+            element_at(map_keys(col("m")), 1).as("mk"),
+            element_at(map_values(col("m")), 1).cast("long").as("mv"),
+            size(col("m")).cast("long").as("msize"))
+          .orderBy(col("n_nationkey"))
+    },
+
     // Bitwise surface over keys (both engines: two's-complement BIGINT).
     Q("x_bitwise_ops",
       """SELECT o_orderkey,

@@ -244,6 +244,60 @@ object TextDedup {
         ).orderBy(col("doc_id"))
     },
 
+    // Gopher-style quality rules (Rae et al. 2021 §A1.1, public): word
+    // count bounds, mean word length band, symbol-to-word ratio, and
+    // max-repeated-token share — the standard pre-training corpus filter,
+    // one single-scan projection per document.
+    Q("t_gopher_rules",
+      """WITH w AS (SELECT doc_id, text, string_split(lower(text), ' ') AS tk FROM documents),
+        |m AS (SELECT doc_id,
+        |        len(tk) AS n_words,
+        |        round(CAST(len(replace(array_to_string(tk, ''), ' ', '')) AS DOUBLE)
+        |              / len(tk), 6) AS mean_word_len,
+        |        round(CAST(len(regexp_extract_all(text, '[#*=+~|]')) AS DOUBLE)
+        |              / len(tk), 6) AS symbol_word_ratio,
+        |        round(CAST(list_max(list_transform(list_distinct(tk),
+        |                x -> len(list_filter(tk, y -> y = x)))) AS DOUBLE)
+        |              / len(tk), 6) AS top_token_share
+        |      FROM w)
+        |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, top_token_share,
+        |       CASE WHEN n_words BETWEEN 10 AND 1000
+        |             AND mean_word_len BETWEEN 2 AND 10
+        |             AND symbol_word_ratio < 0.1
+        |             AND top_token_share < 0.2 THEN 1 ELSE 0 END AS keep
+        |FROM m ORDER BY doc_id""".stripMargin) {
+      (s, dir) => {
+        val w = docs(s, dir)
+          .withColumn("tk", split(lower(col("text")), " "))
+        // max repeated-token share without a per-doc sub-aggregation:
+        // sort the token array, then the longest run of equal neighbors is
+        // the top count — aggregate(…) folds the sorted array once (no
+        // explode, no extra shuffle; stays inside the single scan)
+        val topCount = expr(
+          """aggregate(array_sort(tk),
+            |  struct(CAST(0 AS INT) AS best, CAST(0 AS INT) AS run, CAST('' AS STRING) AS prev),
+            |  (acc, t) -> struct(
+            |    greatest(acc.best, IF(t = acc.prev, acc.run + 1, 1)) AS best,
+            |    IF(t = acc.prev, acc.run + 1, 1) AS run,
+            |    t AS prev),
+            |  acc -> acc.best)""".stripMargin)
+        val m = w.select(
+          col("doc_id"),
+          size(col("tk")).cast("long").as("n_words"),
+          round(length(regexp_replace(concat_ws("", col("tk")), " ", "")).cast("double")
+            / size(col("tk")), 6).as("mean_word_len"),
+          round(size(expr("regexp_extract_all(text, '[#*=+~|]', 0)")).cast("double")
+            / size(col("tk")), 6).as("symbol_word_ratio"),
+          round(topCount.cast("double") / size(col("tk")), 6).as("top_token_share"))
+        m.withColumn("keep",
+            when(col("n_words").between(10, 1000)
+              && col("mean_word_len").between(2, 10)
+              && col("symbol_word_ratio") < 0.1
+              && col("top_token_share") < 0.2, 1).otherwise(0))
+          .orderBy(col("doc_id"))
+      }
+    },
+
     // Document fingerprinting (content-hash family).
     Q("t_fingerprint",
       """SELECT doc_id,
