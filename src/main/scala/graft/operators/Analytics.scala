@@ -393,6 +393,54 @@ object Analytics {
           .orderBy(col("key"))
     },
 
+    // Multiset set ops: EXCEPT ALL / INTERSECT ALL preserve duplicate
+    // cardinality (nation keys appear once per matching customer).
+    Q("x_except_all",
+      """SELECT c_nationkey AS nk FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT ALL
+        |SELECT c_nationkey AS nk FROM customer WHERE c_acctbal < 0
+        |ORDER BY nk""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_nationkey").as("nk"))
+          .exceptAll(t(s, dir, "customer").filter(col("c_acctbal") < 0)
+            .select(col("c_nationkey").as("nk")))
+          .orderBy(col("nk"))
+    },
+
+    Q("x_intersect_all",
+      """SELECT c_nationkey AS nk FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT ALL
+        |SELECT c_nationkey AS nk FROM customer WHERE c_acctbal >= 5000
+        |ORDER BY nk""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_nationkey").as("nk"))
+          .intersectAll(t(s, dir, "customer").filter(col("c_acctbal") >= 5000)
+            .select(col("c_nationkey").as("nk")))
+          .orderBy(col("nk"))
+    },
+
+    // Positional explode: token with its 1-based position (Spark
+    // posexplode; DuckDB reconstructs ordinality through a struct-list
+    // transform — same rows either way).
+    Q("x_posexplode",
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+        |              FROM documents WHERE doc_id < 20),
+        |z AS (SELECT doc_id,
+        |        unnest(list_transform(range(1, len(tk) + 1),
+        |               i -> struct_pack(pos := i, tok := tk[i]))) AS s
+        |      FROM toks)
+        |SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.tok AS tok
+        |FROM z ORDER BY doc_id, pos""".stripMargin) {
+      (s, dir) =>
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 20)
+          .select(col("doc_id"),
+            posexplode(split(lower(col("text")), " ")).as(Seq("pos0", "tok")))
+          .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("tok"))
+          .orderBy(col("doc_id"), col("pos"))
+    },
+
     // Correlated scalar subquery (per-row count) — decorrelates to a
     // left join against the pre-aggregated counts.
     Q("x_correlated_count",
