@@ -252,7 +252,7 @@ object TextDedup {
       """WITH w AS (SELECT doc_id, text, string_split(lower(text), ' ') AS tk FROM documents),
         |m AS (SELECT doc_id,
         |        len(tk) AS n_words,
-        |        round(CAST(len(replace(array_to_string(tk, ''), ' ', '')) AS DOUBLE)
+        |        round(CAST(len(array_to_string(tk, '')) AS DOUBLE)
         |              / len(tk), 6) AS mean_word_len,
         |        round(CAST(len(regexp_extract_all(text, '[#*=+~|]')) AS DOUBLE)
         |              / len(tk), 6) AS symbol_word_ratio,
@@ -284,7 +284,7 @@ object TextDedup {
         val m = w.select(
           col("doc_id"),
           size(col("tk")).cast("long").as("n_words"),
-          round(length(regexp_replace(concat_ws("", col("tk")), " ", "")).cast("double")
+          round(length(concat_ws("", col("tk"))).cast("double")
             / size(col("tk")), 6).as("mean_word_len"),
           round(size(expr("regexp_extract_all(text, '[#*=+~|]', 0)")).cast("double")
             / size(col("tk")), 6).as("symbol_word_ratio"),

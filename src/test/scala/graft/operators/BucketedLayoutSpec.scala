@@ -34,13 +34,21 @@ class BucketedLayoutSpec extends AnyFunSuite {
 
   test("equi-join of two same-bucketed tables has no shuffle exchange") {
     setup
-    val joined = spark.table("docs_bkt")
-      .join(spark.table("emb_bkt"), "doc_id")
-      .select(col("doc_id"), col("lang"), col("label"))
-    val plan = joined.queryExecution.executedPlan.toString()
-    assert(!plan.contains("Exchange hashpartitioning"),
-      s"bucketed join still shuffles:\n$plan")
-    assert(joined.count() > 0)
+    // force the sort-merge path: at fixture scale the planner would pick a
+    // broadcast join, which has no exchange regardless of bucketing — the
+    // assertion is only meaningful when the join actually merges buckets
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("docs_bkt")
+        .join(spark.table("emb_bkt"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("label"))
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("groupBy on the bucket key aggregates without a shuffle") {
