@@ -111,6 +111,13 @@ class PlanAuditSpec extends AnyFunSuite {
       s"LSH bucket join degenerated to an all-pairs join:\n$p")
   }
 
+  test("EXISTS-with-aggregate lowers to a semi join over a pre-aggregated side") {
+    val p = plan("x_exists_agg_subquery")
+    assert(p.contains("LeftSemi"), s"expected a semi join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"EXISTS degenerated to a per-row scan:\n$p")
+  }
+
   test("range join is a bucketed equi-join, as-of join is window+equi — no nested loops") {
     for (name <- Seq("e_range_join", "e_asof_join")) {
       val p = plan(name)
