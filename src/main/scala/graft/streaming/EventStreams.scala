@@ -66,6 +66,28 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"))
 
+  /** Stream-stream interval join — the streaming twin of the batch
+    * `e_range_join`: (purchase, click) pairs of the same user where the
+    * click happened within the 30 minutes before the purchase. Both sides
+    * carry watermarks and the join condition bounds event time on both
+    * ends, so Spark can expire join state: each side retains only the
+    * watermark-delay + interval window, partitioned by user — the
+    * standard bounded-state stream-stream join layout.
+    */
+  def purchaseClicks30m(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks,
+      expr("""p_user = c_user AND
+              c_ts <= p_ts AND c_ts > p_ts - interval 30 minutes"""))
+  }
+
   final case class Ev(user_id: Long, ts_us: Long, event_id: Long)
   final case class SessionAgg(user_id: Long, session_id: Long, n_events: Long,
       start_us: Long, end_us: Long)

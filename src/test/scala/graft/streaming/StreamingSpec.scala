@@ -67,6 +67,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("stream-stream interval join matches the batch range join (e_range_join)") {
+    val q = EventStreams.purchaseClicks30m(EventStreams.readEvents(spark, dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // per-purchase click counts from the streamed pairs must equal the
+    // batch range join's counts for every purchase with >= 1 click
+    val streamed = spark.table("ssjoin_out")
+      .groupBy(col("p_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = graft.SparkEntry.queries("e_range_join")(spark, dir)
+      .filter(col("clicks_30m") > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming exact dedup matches the batch twin (dd_exact)") {
     val q = DocumentStreams.exactDedupCounts(DocumentStreams.readDocuments(spark, dir))
       .writeStream.outputMode("complete")
