@@ -110,6 +110,9 @@ object Parser {
         case other => throw new ParseException(s"Expected AND/OR, got ${other.head}")
       }
       rest match {
+        // graft extension: `col IN (SEARCH …)` membership subquery
+        case colTok :: Keyword("IN") :: (sc: SubCommand) :: tl =>
+          atoms += Cond(name(colTok), "IN", sc); rest = tl
         case colTok :: Op(op) :: value :: tl =>
           atoms += Cond(name(colTok), op, value); rest = tl
         case other => throw new ParseException(

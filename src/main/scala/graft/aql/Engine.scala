@@ -183,7 +183,30 @@ final class Engine(val spark: SparkSession, rootDir: String) {
           case Some(v) => catalog.readVersion(cname, v)
           case None => tx.view(cname)
         }
-        val filtered = s.where.map(w => base.filter(lowerWhere(w, d))).getOrElse(base)
+        // IN (SEARCH …) conditions lower to LEFT SEMI joins, applied
+        // after the scalar predicate chain; restricted to AND-only
+        // WHEREs so the semi-join composition is unambiguous
+        val (inConds, scalarWhere) = s.where.map(splitInConds).getOrElse((Nil, None))
+        val scalarFiltered =
+          scalarWhere.map(w => base.filter(lowerWhere(w, d))).getOrElse(base)
+        val filtered = inConds.foldLeft(scalarFiltered) { (acc, c) =>
+          val actual = d.columns.find(_._1.equalsIgnoreCase(c.column))
+            .getOrElse(throw new ParseException(s"Unknown column ${c.column}"))._1
+          val subSearch = c.value match {
+            case Token.SubCommand(toks) => Parser.fromTokens(toks) match {
+              case srch: Ast.Search => srch
+              case other => throw new ParseException(s"IN expects a SEARCH subquery, got $other")
+            }
+            case other => throw new ParseException(s"IN expects a (SEARCH …) subquery, got $other")
+          }
+          val sub = lowerSearch(
+            subSearch.copy(atVersion = subSearch.atVersion.orElse(s.atVersion)))
+          if (sub.columns.length != 1)
+            throw new ParseException(
+              s"IN subquery must project exactly one column, got ${sub.columns.toList}")
+          acc.join(sub.withColumnRenamed(sub.columns.head, "__in_key"),
+            acc(actual) === col("__in_key"), "left_semi")
+        }
         project(filtered, s.projection)
       case Ast.Container.Virtual(sub) =>
         // an outer AT VERSION applies to the whole statement: propagate it
@@ -204,6 +227,23 @@ final class Engine(val spark: SparkSession, rootDir: String) {
   private def project(df: DataFrame, cols: List[String]): DataFrame =
     if (cols.isEmpty) df else df.select(cols.map(col): _*)
 
+  /** Split IN-subquery atoms from scalar atoms. IN atoms require an
+    * AND-only gate chain — inside an OR a membership test would need a
+    * full anti/semi union rewrite, which this surface deliberately does
+    * not promise.
+    */
+  private def splitInConds(w: Ast.Where): (List[Ast.Cond], Option[Ast.Where]) = {
+    val (ins, scalars) = w.atoms.partition(_.op == "IN")
+    if (ins.isEmpty) (Nil, Some(w))
+    else {
+      if (w.gates.exists(_ != 'a'))
+        throw new ParseException("IN (SEARCH …) conditions require an AND-only WHERE")
+      val rem = scalars
+      (ins, if (rem.isEmpty) None
+      else Some(Ast.Where(rem, List.fill(math.max(0, rem.length - 1))('a'))))
+    }
+  }
+
   /** WHERE lowering with SQL precedence: split the gate chain at ORs into
     * AND-runs, fold each run with &&, then fold runs with ||.
     */
@@ -220,6 +260,8 @@ final class Engine(val spark: SparkSession, rootDir: String) {
   }
 
   private def lowerCond(c: Ast.Cond, d: Catalog#ContainerDef): Column = {
+    if (c.op == "IN") // semi-join lowering exists only on the SEARCH path
+      throw new ParseException("IN (SEARCH …) is only supported in a SEARCH WHERE")
     val (colName, colType) = d.columns.find(_._1.equalsIgnoreCase(c.column))
       .getOrElse(throw new ParseException(s"Unknown column ${c.column}"))
     val raw = AlbaType.tokenValue(c.value)

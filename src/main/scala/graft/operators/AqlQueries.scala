@@ -111,6 +111,18 @@ object AqlQueries {
           "WHERE n_chars < 110)]")(s, dir)
     },
 
+    // membership subquery through AQL: `doc_id IN (SEARCH …)` lowers to a
+    // LEFT SEMI join against the single-column subquery
+    Q("aql_search_in",
+      """SELECT doc_id, source FROM documents
+        |WHERE n_chars > 150 AND doc_id IN
+        |  (SELECT l_orderkey FROM lineitem WHERE l_quantity > 49)
+        |ORDER BY doc_id, source""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [doc_id, source] ON documents WHERE n_chars > 150 " +
+          "AND doc_id IN (SEARCH [l_orderkey] ON lineitem WHERE l_quantity > 49)")(s, dir)
+    },
+
     // time travel through AQL: version 1 held only the short docs, so the
     // oracle reconstructs that snapshot by re-applying v1's defining filter
     Q("aql_time_travel",

@@ -173,6 +173,24 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "last close must release the cache")
   }
 
+  test("15c IN (SEARCH …) membership subquery lowers to a semi join") {
+    // `seq` holds 1..250 from test 15
+    val in4 = searchRows("SEARCH ['n'] ON seq WHERE n IN (SEARCH ['n'] ON seq WHERE n < 5)")
+    assert(in4.map(_.getInt(0)).sorted == Seq(1, 2, 3, 4))
+    val mixed = searchRows(
+      "SEARCH ['n'] ON seq WHERE n > 2 AND n IN (SEARCH ['n'] ON seq WHERE n < 5)")
+    assert(mixed.map(_.getInt(0)).sorted == Seq(3, 4))
+    // OR with IN is rejected (documented AND-only restriction)
+    intercept[ParseException](eng.execute(
+      "SEARCH ['n'] ON seq WHERE n > 240 OR n IN (SEARCH ['n'] ON seq WHERE n < 5)"))
+    // IN outside SEARCH (EDIT/DELETE predicates) is rejected
+    intercept[ParseException](eng.execute(
+      "DELETE ROW ON seq WHERE n IN (SEARCH ['n'] ON seq WHERE n < 5)"))
+    // subquery must project exactly one column (people has five)
+    intercept[ParseException](eng.execute(
+      "SEARCH ['n'] ON seq WHERE n IN (SEARCH [] ON people)"))
+  }
+
   test("15b CHAR + NONE columns round-trip through DDL/DML (alba_types.rs:15,26)") {
     eng.execute("CREATE CONTAINER chars ['id','c','pad'] [BIGINT, CHAR, NONE]")
     eng.execute("CREATE ROW ['id','c','pad'] [1,'x','discarded'] ON chars")
