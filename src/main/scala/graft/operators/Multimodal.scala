@@ -121,6 +121,28 @@ object Multimodal {
           md5(col("text")).as("content_md5"),
           substring(col("text"), 1, 4).as("magic")
         ).orderBy(col("media_id"))
+    },
+
+    // The frame-sampling plan (byte offsets of n=4 evenly spaced frames),
+    // verified relationally: the same `len·i/n` (capped at len-1) integer
+    // arithmetic `sampleFrames` applies per record, so the oracle pins the
+    // sampling math the Dataset pipeline uses. Stringified — the
+    // comparator can't hash list columns.
+    Q("mm_frame_plan",
+      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents)
+        |SELECT doc_id AS media_id, len,
+        |       array_to_string(list_transform(range(0, 4),
+        |          i -> CAST(least(len * i // 4, len - 1) AS VARCHAR)), ',') AS frame_offsets
+        |FROM b WHERE len > 0 ORDER BY media_id""".stripMargin) {
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .withColumn("len", octet_length(col("text")).cast("long"))
+          .filter(col("len") > 0)
+          .select(col("doc_id").as("media_id"), col("len"),
+            expr("array_join(transform(sequence(0, 3), " +
+              "i -> CAST(least(len * i div 4, len - 1) AS STRING)), ',')")
+              .as("frame_offsets"))
+          .orderBy(col("media_id"))
     }
   )
 }

@@ -96,6 +96,22 @@ class OperatorsSpec extends AnyFunSuite {
     resized.foreach { f =>
       assert(f.width <= 640 && f.height <= 480 && f.width >= 1 && f.height >= 1)
     }
+    // the oracle-verified mm_frame_plan offsets are the byte positions
+    // sampleFrames actually slices at — tie the SQL twin to the Dataset path
+    val planned = SparkEntry.queries("mm_frame_plan")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2).split(",").map(_.toLong).toSeq).toMap
+    val sampledStarts = Multimodal.sampleFrames(corpus, n = 4).collect()
+      .groupBy(_.media_id)
+    val payloadLens = corpus.collect().map(r => r.media_id -> r.payload.length).toMap
+    planned.foreach { case (id, offsets) =>
+      val lens = sampledStarts(id).sortBy(_.frame_no)
+        .map(_.frame_bytes.length)
+      offsets.zipWithIndex.foreach { case (off, i) =>
+        val expectLen = math.min(64L, payloadLens(id) - off)
+        assert(lens(i) == expectLen,
+          s"media $id frame $i: slice length ${lens(i)} != planned $expectLen")
+      }
+    }
   }
 
   test("benchQueries all exist in the registry") {
