@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis + deduplication operators for LLM-scale data pipelines
@@ -242,6 +243,51 @@ object TextDedup {
             / length(col("text")), 6).as("punct_ratio"),
           when(col("n_chars").between(100, 2000), 1).otherwise(0).as("len_ok")
         ).orderBy(col("doc_id"))
+    },
+
+    // Deterministic train/val/test split by content-independent hash of
+    // the stable id — the standard leakage-safe corpus split: assignment
+    // never changes as the corpus grows, needs no shuffle (pure
+    // projection + one tiny agg), and both engines compute it
+    // bit-identically from md5 hex.
+    Q("t_hash_split",
+      """WITH s AS (
+        |  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2' THEN 'test'
+        |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4' THEN 'val'
+        |              ELSE 'train' END AS split, lang
+        |  FROM documents)
+        |SELECT split, count(*) AS n, count(DISTINCT lang) AS n_langs
+        |FROM s GROUP BY split ORDER BY split""".stripMargin) {
+      (s, dir) => {
+        val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+        Tables.load(s, dir, "documents")
+          .select(when(nib < "2", "test").when(nib < "4", "val")
+            .otherwise("train").as("split"), col("lang"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("lang")).as("n_langs"))
+          .orderBy(col("split"))
+      }
+    },
+
+    // Stratified sample: k deterministic docs per language stratum,
+    // ordered by id-hash (uniform within the stratum). One sort shuffle
+    // partitioned by the stratum key; rank-filter keeps k rows per group.
+    Q("t_stratified_sample",
+      """WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+        |      FROM h)
+        |SELECT lang, doc_id FROM r WHERE rn <= 3
+        |ORDER BY lang, doc_id""".stripMargin) {
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        Tables.load(s, dir, "documents")
+          .select(col("lang"), col("doc_id"), row_number().over(w).as("rn"))
+          .filter(col("rn") <= 3)
+          .select(col("lang"), col("doc_id"))
+          .orderBy(col("lang"), col("doc_id"))
+      }
     },
 
     // Gopher-style quality rules (Rae et al. 2021 §A1.1, public): word
