@@ -393,6 +393,29 @@ object Analytics {
           .orderBy(col("key"))
     },
 
+    // Conditional (FILTER-clause) and boolean aggregates in one pass —
+    // one partial-agg shuffle carries every branch.
+    Q("x_filtered_bool_aggs",
+      """SELECT o_orderpriority,
+        |       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+        |       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_done,
+        |       round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS open_value,
+        |       bool_and(o_totalprice > 0) AS all_positive,
+        |       bool_or(o_totalprice > 400000) AS any_jumbo
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "orders").groupBy(col("o_orderpriority"))
+          .agg(
+            count(when(col("o_orderstatus") === "O", 1)).as("n_open"),
+            count(when(col("o_orderstatus") === "F", 1)).as("n_done"),
+            round(sum(when(col("o_orderstatus") === "O", col("o_totalprice"))), 2)
+              .as("open_value"),
+            bool_and(col("o_totalprice") > 0).as("all_positive"),
+            bool_or(col("o_totalprice") > 400000).as("any_jumbo"))
+          .orderBy(col("o_orderpriority"))
+    },
+
     // Multiset set ops: EXCEPT ALL / INTERSECT ALL preserve duplicate
     // cardinality (nation keys appear once per matching customer).
     Q("x_except_all",
