@@ -183,36 +183,15 @@ final class Engine(val spark: SparkSession, rootDir: String) {
           case Some(v) => catalog.readVersion(cname, v)
           case None => tx.view(cname)
         }
-        // IN (SEARCH …) conditions lower to LEFT SEMI joins, applied
-        // after the scalar predicate chain; restricted to AND-only
-        // WHEREs so the semi-join composition is unambiguous
-        val (inConds, scalarWhere) = s.where.map(splitInConds).getOrElse((Nil, None))
-        val scalarFiltered =
-          scalarWhere.map(w => base.filter(lowerWhere(w, d))).getOrElse(base)
-        val filtered = inConds.foldLeft(scalarFiltered) { (acc, c) =>
-          val actual = d.columns.find(_._1.equalsIgnoreCase(c.column))
-            .getOrElse(throw new ParseException(s"Unknown column ${c.column}"))._1
-          val subSearch = c.value match {
-            case Token.SubCommand(toks) => Parser.fromTokens(toks) match {
-              case srch: Ast.Search => srch
-              case other => throw new ParseException(s"IN expects a SEARCH subquery, got $other")
-            }
-            case other => throw new ParseException(s"IN expects a (SEARCH …) subquery, got $other")
-          }
-          val sub = lowerSearch(
-            subSearch.copy(atVersion = subSearch.atVersion.orElse(s.atVersion)))
-          if (sub.columns.length != 1)
-            throw new ParseException(
-              s"IN subquery must project exactly one column, got ${sub.columns.toList}")
-          acc.join(sub.withColumnRenamed(sub.columns.head, "__in_key"),
-            acc(actual) === col("__in_key"), "left_semi")
-        }
-        project(filtered, s.projection)
+        project(applyWhere(base, d, s), s.projection)
       case Ast.Container.Virtual(sub) =>
         // an outer AT VERSION applies to the whole statement: propagate it
-        // into subqueries (an inner explicit AT VERSION wins)
+        // into subqueries (an inner explicit AT VERSION wins); the outer
+        // WHERE applies to the virtual result like to any real container,
+        // resolved against a def derived from the subquery's schema
         val effective = sub.copy(atVersion = sub.atVersion.orElse(s.atVersion))
-        project(lowerSearch(effective), s.projection)
+        val inner = lowerSearch(effective)
+        project(applyWhere(inner, virtualDef(inner), s), s.projection)
     }
     val schemas = parts.map(_.schema.map(f => (f.name, f.dataType)))
     if (schemas.distinct.length != 1)
@@ -226,6 +205,65 @@ final class Engine(val spark: SparkSession, rootDir: String) {
 
   private def project(df: DataFrame, cols: List[String]): DataFrame =
     if (cols.isEmpty) df else df.select(cols.map(col): _*)
+
+  /** Apply a Search's WHERE to one container part: the scalar predicate
+    * chain as a filter, then each `IN (SEARCH …)` condition as a LEFT SEMI
+    * join (AND-only WHEREs — see [[splitInConds]]).
+    */
+  private def applyWhere(base: DataFrame, d: Catalog#ContainerDef,
+      s: Ast.Search): DataFrame = {
+    val (inConds, scalarWhere) = s.where.map(splitInConds).getOrElse((Nil, None))
+    val scalarFiltered =
+      scalarWhere.map(w => base.filter(lowerWhere(w, d))).getOrElse(base)
+    inConds.foldLeft(scalarFiltered) { (acc, c) =>
+      val actual = d.columns.find(_._1.equalsIgnoreCase(c.column))
+        .getOrElse(throw new ParseException(s"Unknown column ${c.column}"))._1
+      val subSearch = c.value match {
+        case Token.SubCommand(toks) => Parser.fromTokens(toks) match {
+          case srch: Ast.Search => srch
+          case other => throw new ParseException(s"IN expects a SEARCH subquery, got $other")
+        }
+        case other => throw new ParseException(s"IN expects a (SEARCH …) subquery, got $other")
+      }
+      val sub = lowerSearch(
+        subSearch.copy(atVersion = subSearch.atVersion.orElse(s.atVersion)))
+      if (sub.columns.length != 1)
+        throw new ParseException(
+          s"IN subquery must project exactly one column, got ${sub.columns.toList}")
+      // strict type agreement, like every other predicate (quirk-Q8 stance:
+      // a mismatch is an error, never an implicit engine-specific cast)
+      val outerType = acc.schema(actual).dataType
+      val subType = sub.schema.head.dataType
+      if (outerType != subType)
+        throw new ParseException(
+          s"IN type mismatch: $actual is $outerType but the subquery projects $subType")
+      // collision-free join alias (a user column may be named __in_key)
+      val key = Iterator.iterate("__in_key")(_ + "_")
+        .dropWhile(k => acc.columns.contains(k)).next()
+      acc.join(sub.withColumnRenamed(sub.columns.head, key),
+        acc(actual) === col(key), "left_semi")
+    }
+  }
+
+  /** A schema-derived def for virtual (subquery) containers so WHERE
+    * lowering and literal coercion work on them like on real containers.
+    */
+  private def virtualDef(df: DataFrame): Catalog#ContainerDef = {
+    import org.apache.spark.sql.types._
+    val cols = df.schema.fields.toList.map { f =>
+      f.name -> (f.dataType match {
+        case IntegerType => AlbaType.AInt
+        case LongType => AlbaType.ABigint
+        case DoubleType => AlbaType.AFloat
+        case BooleanType => AlbaType.ABool
+        case StringType => AlbaType.AText
+        case BinaryType => AlbaType.of("LARGE-BYTES")
+        case other => throw new ParseException(
+          s"Virtual container column ${f.name} has unsupported type $other")
+      })
+    }
+    catalog.ContainerDef("(virtual)", cols)
+  }
 
   /** Split IN-subquery atoms from scalar atoms. IN atoms require an
     * AND-only gate chain — inside an OR a membership test would need a

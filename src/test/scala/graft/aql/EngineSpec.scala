@@ -189,6 +189,17 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // subquery must project exactly one column (people has five)
     intercept[ParseException](eng.execute(
       "SEARCH ['n'] ON seq WHERE n IN (SEARCH [] ON people)"))
+    // strict type agreement: INT column vs TEXT-projecting subquery
+    intercept[ParseException](eng.execute(
+      "SEARCH ['n'] ON seq WHERE n IN (SEARCH ['name'] ON people)"))
+  }
+
+  test("15d outer WHERE applies to virtual containers (scalar and IN)") {
+    val scalar = searchRows("SEARCH ['n'] ON [(SEARCH ['n'] ON seq)] WHERE n < 3")
+    assert(scalar.map(_.getInt(0)).sorted == Seq(1, 2))
+    val viaIn = searchRows(
+      "SEARCH ['n'] ON [(SEARCH ['n'] ON seq)] WHERE n IN (SEARCH ['n'] ON seq WHERE n < 5)")
+    assert(viaIn.map(_.getInt(0)).sorted == Seq(1, 2, 3, 4))
   }
 
   test("15b CHAR + NONE columns round-trip through DDL/DML (alba_types.rs:15,26)") {
