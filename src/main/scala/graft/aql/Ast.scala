@@ -110,9 +110,14 @@ object Parser {
         case other => throw new ParseException(s"Expected AND/OR, got ${other.head}")
       }
       rest match {
-        // graft extension: `col IN (SEARCH …)` membership subquery
+        // graft extension: `col [NOT] IN (SEARCH …)` membership subquery.
+        // NOT IN has NOT-EXISTS (anti-join) semantics: NULLs in the
+        // subquery do not veto the whole result the way SQL's
+        // three-valued NOT IN does — documented divergence.
         case colTok :: Keyword("IN") :: (sc: SubCommand) :: tl =>
           atoms += Cond(name(colTok), "IN", sc); rest = tl
+        case colTok :: Keyword("NOT") :: Keyword("IN") :: (sc: SubCommand) :: tl =>
+          atoms += Cond(name(colTok), "NOT IN", sc); rest = tl
         case colTok :: Op(op) :: value :: tl =>
           atoms += Cond(name(colTok), op, value); rest = tl
         case other => throw new ParseException(

@@ -241,7 +241,8 @@ final class Engine(val spark: SparkSession, rootDir: String) {
       val key = Iterator.iterate("__in_key")(_ + "_")
         .dropWhile(k => acc.columns.contains(k)).next()
       acc.join(sub.withColumnRenamed(sub.columns.head, key),
-        acc(actual) === col(key), "left_semi")
+        acc(actual) === col(key),
+        if (c.op == "NOT IN") "left_anti" else "left_semi")
     }
   }
 
@@ -271,7 +272,7 @@ final class Engine(val spark: SparkSession, rootDir: String) {
     * not promise.
     */
   private def splitInConds(w: Ast.Where): (List[Ast.Cond], Option[Ast.Where]) = {
-    val (ins, scalars) = w.atoms.partition(_.op == "IN")
+    val (ins, scalars) = w.atoms.partition(c => c.op == "IN" || c.op == "NOT IN")
     if (ins.isEmpty) (Nil, Some(w))
     else {
       if (w.gates.exists(_ != 'a'))
@@ -298,8 +299,8 @@ final class Engine(val spark: SparkSession, rootDir: String) {
   }
 
   private def lowerCond(c: Ast.Cond, d: Catalog#ContainerDef): Column = {
-    if (c.op == "IN") // semi-join lowering exists only on the SEARCH path
-      throw new ParseException("IN (SEARCH …) is only supported in a SEARCH WHERE")
+    if (c.op == "IN" || c.op == "NOT IN") // join lowering exists only on the SEARCH path
+      throw new ParseException(s"${c.op} (SEARCH …) is only supported in a SEARCH WHERE")
     val (colName, colType) = d.columns.find(_._1.equalsIgnoreCase(c.column))
       .getOrElse(throw new ParseException(s"Unknown column ${c.column}"))
     val raw = AlbaType.tokenValue(c.value)

@@ -123,6 +123,19 @@ object AqlQueries {
           "AND doc_id IN (SEARCH [l_orderkey] ON lineitem WHERE l_quantity > 49)")(s, dir)
     },
 
+    // NOT IN through AQL (anti join). The subquery key is non-nullable
+    // here, where SQL's three-valued NOT IN and the engine's NOT-EXISTS
+    // semantics agree — the NULL divergence is documented at the parser.
+    Q("aql_search_not_in",
+      """SELECT doc_id, lang FROM documents
+        |WHERE n_chars < 130 AND doc_id NOT IN
+        |  (SELECT l_orderkey FROM lineitem WHERE l_quantity > 40)
+        |ORDER BY doc_id, lang""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [doc_id, lang] ON documents WHERE n_chars < 130 " +
+          "AND doc_id NOT IN (SEARCH [l_orderkey] ON lineitem WHERE l_quantity > 40)")(s, dir)
+    },
+
     // time travel through AQL: version 1 held only the short docs, so the
     // oracle reconstructs that snapshot by re-applying v1's defining filter
     Q("aql_time_travel",

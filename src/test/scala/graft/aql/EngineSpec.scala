@@ -194,6 +194,14 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SEARCH ['n'] ON seq WHERE n IN (SEARCH ['name'] ON people)"))
   }
 
+  test("15e NOT IN (SEARCH …) is an anti join (NOT-EXISTS semantics)") {
+    val out = searchRows(
+      "SEARCH ['n'] ON seq WHERE n < 7 AND n NOT IN (SEARCH ['n'] ON seq WHERE n < 5)")
+    assert(out.map(_.getInt(0)).sorted == Seq(5, 6))
+    intercept[ParseException](eng.execute(
+      "DELETE ROW ON seq WHERE n NOT IN (SEARCH ['n'] ON seq WHERE n < 5)"))
+  }
+
   test("15d outer WHERE applies to virtual containers (scalar and IN)") {
     val scalar = searchRows("SEARCH ['n'] ON [(SEARCH ['n'] ON seq)] WHERE n < 3")
     assert(scalar.map(_.getInt(0)).sorted == Seq(1, 2))
