@@ -142,6 +142,42 @@ object Events {
     }
 ,
 
+    // Calendar gap-fill: a day spine × the event-type dimension, daily
+    // counts zero-filled. Fully relational — the spine derives from a
+    // 1-row min/max aggregate exploded through sequence(), never a
+    // driver-side loop. The cross join is deliberate and bounded: both
+    // sides are tiny derived dimensions (days × event types = the output
+    // domain), which is the standard gap-fill shape; the fact table is
+    // touched once by the daily partial aggregate.
+    Q("e_daily_gapfill",
+      """WITH b AS (SELECT CAST(date_trunc('day', min(ts)) AS DATE) AS lo,
+        |                  CAST(date_trunc('day', max(ts)) AS DATE) AS hi FROM events),
+        |spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |                 count(*) AS c FROM events GROUP BY 1, 2)
+        |SELECT s.day, t.event_type, coalesce(d.c, 0) AS n
+        |FROM spine s CROSS JOIN types t
+        |LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
+        |ORDER BY s.day, t.event_type""".stripMargin) {
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val bounds = ev.agg(
+          to_date(date_trunc("day", min(col("ts")))).as("lo"),
+          to_date(date_trunc("day", max(col("ts")))).as("hi"))
+        val spine = bounds
+          .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+        val types = ev.select(col("event_type")).distinct()
+        val daily = ev
+          .groupBy(to_date(date_trunc("day", col("ts"))).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("c"))
+        spine.crossJoin(broadcast(types))
+          .join(daily, Seq("day", "event_type"), "left")
+          .select(col("day"), col("event_type"), coalesce(col("c"), lit(0L)).as("n"))
+          .orderBy(col("day"), col("event_type"))
+      }
+    },
+
     // AS-OF join: each purchase picks the most recent prior click of the
     // same user (prior in the total (ts, event_id) order, so ties are
     // deterministic in both engines). Spark-first formulation: NO range
