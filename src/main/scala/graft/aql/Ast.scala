@@ -38,11 +38,20 @@ object Ast {
       values: List[Token], where: Where) extends Stmt
   final case class DeleteRow(container: String, where: Option[Where]) extends Stmt
   final case class DeleteContainer(name: String) extends Stmt
+  /** One aggregate projection item, `fn(col)` (graft extension — the
+    * reference language has no aggregation). Output column is `fn_col`.
+    */
+  final case class AggProj(fn: String, column: String)
+
   /** `atVersion` (graft extension `AT VERSION n`): read the committed
     * snapshot at that version instead of the live transactional view.
+    * `aggs` non-empty turns the SEARCH into a grouped aggregate: the
+    * plain `projection` columns become the GROUP BY keys (none = global
+    * aggregate) and WHERE filters pre-aggregation.
     */
   final case class Search(containers: List[Container], projection: List[String],
-      where: Option[Where], atVersion: Option[Int] = None) extends Stmt
+      where: Option[Where], atVersion: Option[Int] = None,
+      aggs: List[AggProj] = Nil) extends Stmt
   final case class Commit(container: Option[String]) extends Stmt
   final case class Rollback(container: Option[String]) extends Stmt
   /** graft extension: physical-plan inspection for a SEARCH. */
@@ -94,6 +103,33 @@ object Parser {
 
   private def strings(g: Token): List[String] = g match {
     case Group(items) => items.map(name)
+    case other => throw new ParseException(s"Expected [group], got $other")
+  }
+
+  private val AggFns = Set("count", "sum", "avg", "min", "max")
+
+  /** SEARCH projection: plain column names plus `fn(col)` aggregate items
+    * (a name token immediately followed by a one-token subcommand).
+    */
+  private def parseProjection(g: Token): (List[String], List[AggProj]) = g match {
+    case Group(items) =>
+      val cols = List.newBuilder[String]
+      val aggs = List.newBuilder[AggProj]
+      var rest = items
+      while (rest.nonEmpty) rest match {
+        case fnTok :: SubCommand(inner) :: tl =>
+          val fn = name(fnTok).toLowerCase
+          if (!AggFns.contains(fn))
+            throw new ParseException(
+              s"Unknown aggregate '$fn' (supported: ${AggFns.toList.sorted.mkString(",")})")
+          inner match {
+            case List(one) => aggs += AggProj(fn, name(one)); rest = tl
+            case other => throw new ParseException(
+              s"Aggregate $fn takes exactly one column, got $other")
+          }
+        case t :: tl => cols += name(t); rest = tl
+      }
+      (cols.result(), aggs.result())
     case other => throw new ParseException(s"Expected [group], got $other")
   }
 
@@ -198,7 +234,8 @@ object Parser {
         case Keyword("WHERE") :: condTokens => Some(parseWhere(condTokens))
         case other => throw new ParseException(s"Unexpected trailing tokens: $other")
       }
-      Search(containers, strings(projG), where, atVersion)
+      val (projCols, projAggs) = parseProjection(projG)
+      Search(containers, projCols, where, atVersion, projAggs)
 
     // EXPLAIN <search> (graft extension)
     case Keyword("EXPLAIN") :: rest =>

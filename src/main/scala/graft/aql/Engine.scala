@@ -174,6 +174,11 @@ final class Engine(val spark: SparkSession, rootDir: String) {
     * name across real and virtual (subquery) containers.
     */
   def lowerSearch(s: Ast.Search): DataFrame = {
+    // with aggregates, parts keep the group keys + aggregate inputs and
+    // the grouping happens over the unioned result (SQL: FROM union)
+    val partProjection =
+      if (s.aggs.isEmpty) s.projection
+      else (s.projection ++ s.aggs.map(_.column)).distinct
     val parts = s.containers.map {
       case Ast.Container.Real(cname) =>
         val d = catalog.get(cname)
@@ -183,7 +188,7 @@ final class Engine(val spark: SparkSession, rootDir: String) {
           case Some(v) => catalog.readVersion(cname, v)
           case None => tx.view(cname)
         }
-        project(applyWhere(base, d, s), s.projection)
+        project(applyWhere(base, d, s), resolveNames(base, partProjection))
       case Ast.Container.Virtual(sub) =>
         // an outer AT VERSION applies to the whole statement: propagate it
         // into subqueries (an inner explicit AT VERSION wins); the outer
@@ -191,17 +196,47 @@ final class Engine(val spark: SparkSession, rootDir: String) {
         // resolved against a def derived from the subquery's schema
         val effective = sub.copy(atVersion = sub.atVersion.orElse(s.atVersion))
         val inner = lowerSearch(effective)
-        project(applyWhere(inner, virtualDef(inner), s), s.projection)
+        project(applyWhere(inner, virtualDef(inner), s), resolveNames(inner, partProjection))
     }
     val schemas = parts.map(_.schema.map(f => (f.name, f.dataType)))
     if (schemas.distinct.length != 1)
       throw new ParseException( // standardized from quirk Q8 (silent drop)
         s"Union over mismatched schemas: ${schemas.distinct.mkString(" vs ")}")
     val unioned = parts.reduce(_ unionByName _)
+    val result =
+      if (s.aggs.isEmpty) unioned
+      else {
+        // grouped aggregate: plain projection columns are the keys (none =
+        // global aggregate); partial aggregation happens before the one
+        // key-partitioned exchange, like any Spark groupBy
+        val keys = resolveNames(unioned, s.projection).map(col)
+        val aggExprs = s.aggs.map { a =>
+          val c = col(resolveNames(unioned, List(a.column)).head)
+          val out = s"${a.fn}_${a.column.toLowerCase}"
+          (a.fn match {
+            case "count" => count(c)
+            case "sum" => sum(c)
+            case "avg" => avg(c)
+            case "min" => min(c)
+            case "max" => max(c)
+          }).as(out)
+        }
+        unioned.groupBy(keys: _*).agg(aggExprs.head, aggExprs.tail: _*)
+      }
     // deterministic cursor ordering: all columns, ascending (the parquet
     // sort is a top-k under limit pushdown, never a full materialization)
-    unioned.orderBy(unioned.columns.map(c => col(c).asc_nulls_first).toIndexedSeq: _*)
+    result.orderBy(result.columns.map(c => col(c).asc_nulls_first).toIndexedSeq: _*)
   }
+
+  /** Resolve requested names case-insensitively against a DataFrame's
+    * schema (bare column tokens can lex as keywords, and AQL resolution is
+    * case-insensitive throughout).
+    */
+  private def resolveNames(df: DataFrame, names: List[String]): List[String] =
+    names.map { n =>
+      df.columns.find(_.equalsIgnoreCase(n))
+        .getOrElse(throw new ParseException(s"Unknown column $n"))
+    }
 
   private def project(df: DataFrame, cols: List[String]): DataFrame =
     if (cols.isEmpty) df else df.select(cols.map(col): _*)

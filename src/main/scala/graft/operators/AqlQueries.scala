@@ -123,6 +123,20 @@ object AqlQueries {
           "AND doc_id IN (SEARCH [l_orderkey] ON lineitem WHERE l_quantity > 49)")(s, dir)
     },
 
+    // grouped aggregation through AQL: plain projection columns are the
+    // GROUP BY keys, fn(col) items the aggregates (sum cast back to
+    // BIGINT — DuckDB widens sum(BIGINT) to HUGEINT)
+    Q("aql_search_agg",
+      """SELECT lang, count(doc_id) AS count_doc_id,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+        |       min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars
+        |FROM documents WHERE n_chars > 200 GROUP BY lang
+        |ORDER BY lang, count_doc_id, sum_n_chars, min_n_chars, max_n_chars""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [lang, count(doc_id), sum(n_chars), min(n_chars), max(n_chars)] " +
+          "ON documents WHERE n_chars > 200")(s, dir)
+    },
+
     // NOT IN through AQL (anti join). The subquery key is non-nullable
     // here, where SQL's three-valued NOT IN and the engine's NOT-EXISTS
     // semantics agree — the NULL divergence is documented at the parser.

@@ -202,6 +202,23 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "DELETE ROW ON seq WHERE n NOT IN (SEARCH ['n'] ON seq WHERE n < 5)"))
   }
 
+  test("15f aggregate projections: fn(col) groups by the plain columns") {
+    // seq holds 1..250 from test 15
+    val global = searchRows(
+      "SEARCH [count(n), sum(n), min(n), max(n)] ON seq WHERE n <= 10")
+    assert(global.length == 1)
+    val r = global.head
+    assert(r.getLong(0) == 10 && r.getLong(1) == 55 && r.getInt(2) == 1 && r.getInt(3) == 10)
+    // grouped: people(id,name,age,score,ok) — group by ok
+    val grouped = searchRows("SEARCH [ok, count(id), avg(age)] ON people")
+    assert(grouped.length == 2)
+    val byOk = grouped.map(x => x.getBoolean(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(byOk(true) == ((2L, 27.5)) && byOk(false) == ((1L, 40.0)))
+    // unknown aggregate + wrong arity are parse errors
+    intercept[ParseException](eng.execute("SEARCH [median(n)] ON seq"))
+    intercept[ParseException](eng.execute("SEARCH [sum(n n)] ON seq"))
+  }
+
   test("15d outer WHERE applies to virtual containers (scalar and IN)") {
     val scalar = searchRows("SEARCH ['n'] ON [(SEARCH ['n'] ON seq)] WHERE n < 3")
     assert(scalar.map(_.getInt(0)).sorted == Seq(1, 2))
