@@ -51,7 +51,7 @@ object Ast {
     */
   final case class Search(containers: List[Container], projection: List[String],
       where: Option[Where], atVersion: Option[Int] = None,
-      aggs: List[AggProj] = Nil) extends Stmt
+      aggs: List[AggProj] = Nil, having: Option[Where] = None) extends Stmt
   final case class Commit(container: Option[String]) extends Stmt
   final case class Rollback(container: Option[String]) extends Stmt
   /** graft extension: physical-plan inspection for a SEARCH. */
@@ -229,13 +229,21 @@ object Parser {
           throw new ParseException("Expected VERSION <n> after AT")
         case other => (None, other)
       }
-      val where = afterVersion match {
+      // HAVING (graft extension): post-aggregation predicate over the
+      // OUTPUT columns (keys and `fn_col` aggregate names)
+      val (beforeHaving, having) = afterVersion.indexOf(Keyword("HAVING")) match {
+        case -1 => (afterVersion, None)
+        case i => (afterVersion.take(i), Some(parseWhere(afterVersion.drop(i + 1))))
+      }
+      val where = beforeHaving match {
         case Nil => None
         case Keyword("WHERE") :: condTokens => Some(parseWhere(condTokens))
         case other => throw new ParseException(s"Unexpected trailing tokens: $other")
       }
       val (projCols, projAggs) = parseProjection(projG)
-      Search(containers, projCols, where, atVersion, projAggs)
+      if (having.isDefined && projAggs.isEmpty)
+        throw new ParseException("HAVING requires aggregate projections")
+      Search(containers, projCols, where, atVersion, projAggs, having)
 
     // EXPLAIN <search> (graft extension)
     case Keyword("EXPLAIN") :: rest =>

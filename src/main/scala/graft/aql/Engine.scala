@@ -221,7 +221,11 @@ final class Engine(val spark: SparkSession, rootDir: String) {
             case "max" => max(c)
           }).as(out)
         }
-        unioned.groupBy(keys: _*).agg(aggExprs.head, aggExprs.tail: _*)
+        val agged = unioned.groupBy(keys: _*).agg(aggExprs.head, aggExprs.tail: _*)
+        // HAVING filters the aggregated output (keys + fn_col columns),
+        // coerced through a schema-derived def like any virtual container
+        s.having.map(h => agged.filter(lowerWhere(h, virtualDef(agged))))
+          .getOrElse(agged)
       }
     // deterministic cursor ordering: all columns, ascending (the parquet
     // sort is a top-k under limit pushdown, never a full materialization)

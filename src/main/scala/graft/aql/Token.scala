@@ -35,7 +35,7 @@ object Token {
     "NANO-BYTES", "SMALL-BYTES", "MEDIUM-BYTES", "BIG-BYTES", "LARGE-BYTES",
     "QYCNPVS", "QYCNNXT", "QYCNEXT",
     // graft extensions beyond the reference keyword set
-    "EXPLAIN", "VACUUM", "AT", "VERSION", "IN", "NOT")
+    "EXPLAIN", "VACUUM", "AT", "VERSION", "IN", "NOT", "HAVING")
 
   /** Multi-char first: `&&&>` regex-match, `&&>` icontains, `&>` contains,
     * `>=`, `<=`, `==`, `!=`, then single-char (reference

@@ -137,6 +137,17 @@ object AqlQueries {
           "ON documents WHERE n_chars > 200")(s, dir)
     },
 
+    // HAVING through AQL: predicate over the aggregated output columns
+    Q("aql_search_agg_having",
+      """SELECT source, count(doc_id) AS count_doc_id
+        |FROM documents WHERE lang = 'en' GROUP BY source
+        |HAVING count(doc_id) > 8
+        |ORDER BY source, count_doc_id""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [source, count(doc_id)] ON documents WHERE lang = 'en' " +
+          "HAVING count_doc_id > 8")(s, dir)
+    },
+
     // NOT IN through AQL (anti join). The subquery key is non-nullable
     // here, where SQL's three-valued NOT IN and the engine's NOT-EXISTS
     // semantics agree — the NULL divergence is documented at the parser.

@@ -217,6 +217,11 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // unknown aggregate + wrong arity are parse errors
     intercept[ParseException](eng.execute("SEARCH [median(n)] ON seq"))
     intercept[ParseException](eng.execute("SEARCH [sum(n n)] ON seq"))
+    // HAVING filters the aggregated output by its column names
+    val hv = searchRows(
+      "SEARCH [ok, count(id)] ON people HAVING count_id > 1")
+    assert(hv.length == 1 && hv.head.getBoolean(0) == true && hv.head.getLong(1) == 2)
+    intercept[ParseException](eng.execute("SEARCH ['n'] ON seq HAVING n > 1"))
   }
 
   test("15d outer WHERE applies to virtual containers (scalar and IN)") {
