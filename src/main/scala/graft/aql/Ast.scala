@@ -47,7 +47,10 @@ object Ast {
     * snapshot at that version instead of the live transactional view.
     * `aggs` non-empty turns the SEARCH into a grouped aggregate: the
     * plain `projection` columns become the GROUP BY keys (none = global
-    * aggregate) and WHERE filters pre-aggregation.
+    * aggregate), WHERE filters pre-aggregation, and `having` filters the
+    * aggregated output. Output column order is ALWAYS keys first, then
+    * the `fn_col` aggregates in written order — the interleaving of the
+    * projection list is not preserved for aggregate searches.
     */
   final case class Search(containers: List[Container], projection: List[String],
       where: Option[Where], atVersion: Option[Int] = None,
@@ -134,36 +137,51 @@ object Parser {
   }
 
   /** WHERE clause: `col OP value (AND|OR col OP value)*`. */
-  private def parseWhere(tokens: List[Token]): Where = {
+  private def parseWhere(tokens: List[Token]): Where =
+    parseWhereUntil(tokens, stopAtHaving = false)._1
+
+  /** Parse a predicate chain; with `stopAtHaving`, a HAVING keyword in
+    * GATE position (between complete conditions) terminates the chain and
+    * the remaining tokens are returned. A HAVING in value position is
+    * consumed as an ordinary bare-word value, like any other keyword.
+    */
+  private def parseWhereUntil(tokens: List[Token],
+      stopAtHaving: Boolean): (Where, List[Token]) = {
     val atoms = List.newBuilder[Cond]
     val gates = List.newBuilder[Char]
     var rest = tokens
     var first = true
-    while (rest.nonEmpty) {
+    var remainder: List[Token] = Nil
+    var done = false
+    while (rest.nonEmpty && !done) {
       if (!first) rest match {
+        case Keyword("HAVING") :: tl if stopAtHaving =>
+          remainder = Keyword("HAVING") :: tl; done = true
         case Keyword("AND") :: tl => gates += 'a'; rest = tl
         case Keyword("OR") :: tl => gates += 'o'; rest = tl
         case other => throw new ParseException(s"Expected AND/OR, got ${other.head}")
       }
-      rest match {
-        // graft extension: `col [NOT] IN (SEARCH …)` membership subquery.
-        // NOT IN has NOT-EXISTS (anti-join) semantics: NULLs in the
-        // subquery do not veto the whole result the way SQL's
-        // three-valued NOT IN does — documented divergence.
-        case colTok :: Keyword("IN") :: (sc: SubCommand) :: tl =>
-          atoms += Cond(name(colTok), "IN", sc); rest = tl
-        case colTok :: Keyword("NOT") :: Keyword("IN") :: (sc: SubCommand) :: tl =>
-          atoms += Cond(name(colTok), "NOT IN", sc); rest = tl
-        case colTok :: Op(op) :: value :: tl =>
-          atoms += Cond(name(colTok), op, value); rest = tl
-        case other => throw new ParseException(
-          s"Expected `column OP value`, got ${other.take(3)}")
+      if (!done) {
+        rest match {
+          // graft extension: `col [NOT] IN (SEARCH …)` membership subquery.
+          // NOT IN has NOT-EXISTS (anti-join) semantics: NULLs in the
+          // subquery do not veto the whole result the way SQL's
+          // three-valued NOT IN does — documented divergence.
+          case colTok :: Keyword("IN") :: (sc: SubCommand) :: tl =>
+            atoms += Cond(name(colTok), "IN", sc); rest = tl
+          case colTok :: Keyword("NOT") :: Keyword("IN") :: (sc: SubCommand) :: tl =>
+            atoms += Cond(name(colTok), "NOT IN", sc); rest = tl
+          case colTok :: Op(op) :: value :: tl =>
+            atoms += Cond(name(colTok), op, value); rest = tl
+          case other => throw new ParseException(
+            s"Expected `column OP value`, got ${other.take(3)}")
+        }
+        first = false
       }
-      first = false
     }
     val a = atoms.result()
     if (a.isEmpty) throw new ParseException("Empty WHERE clause")
-    Where(a, gates.result())
+    (Where(a, gates.result()), remainder)
   }
 
   def fromTokens(tokens: List[Token]): Stmt = tokens match {
@@ -230,14 +248,18 @@ object Parser {
         case other => (None, other)
       }
       // HAVING (graft extension): post-aggregation predicate over the
-      // OUTPUT columns (keys and `fn_col` aggregate names)
-      val (beforeHaving, having) = afterVersion.indexOf(Keyword("HAVING")) match {
-        case -1 => (afterVersion, None)
-        case i => (afterVersion.take(i), Some(parseWhere(afterVersion.drop(i + 1))))
+      // OUTPUT columns (keys and `fn_col` aggregate names). The WHERE
+      // parser stops at a HAVING in gate position only, so a bare word
+      // `having` in value position stays an ordinary value.
+      val (where, afterWhere) = afterVersion match {
+        case Keyword("WHERE") :: condTokens =>
+          val (w, rem) = parseWhereUntil(condTokens, stopAtHaving = true)
+          (Some(w), rem)
+        case other => (None, other)
       }
-      val where = beforeHaving match {
+      val having = afterWhere match {
         case Nil => None
-        case Keyword("WHERE") :: condTokens => Some(parseWhere(condTokens))
+        case Keyword("HAVING") :: hToks => Some(parseWhere(hToks))
         case other => throw new ParseException(s"Unexpected trailing tokens: $other")
       }
       val (projCols, projAggs) = parseProjection(projG)

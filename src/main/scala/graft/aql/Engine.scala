@@ -175,10 +175,15 @@ final class Engine(val spark: SparkSession, rootDir: String) {
     */
   def lowerSearch(s: Ast.Search): DataFrame = {
     // with aggregates, parts keep the group keys + aggregate inputs and
-    // the grouping happens over the unioned result (SQL: FROM union)
+    // the grouping happens over the unioned result (SQL: FROM union).
+    // Dedupe case-insensitively — resolution is case-insensitive, so
+    // `lang` and `LANG` are the same physical column
     val partProjection =
       if (s.aggs.isEmpty) s.projection
-      else (s.projection ++ s.aggs.map(_.column)).distinct
+      else (s.projection ++ s.aggs.map(_.column))
+        .foldLeft(List.empty[String]) { (acc, n) =>
+          if (acc.exists(_.equalsIgnoreCase(n))) acc else acc :+ n
+        }
     val parts = s.containers.map {
       case Ast.Container.Real(cname) =>
         val d = catalog.get(cname)
@@ -208,11 +213,28 @@ final class Engine(val spark: SparkSession, rootDir: String) {
       else {
         // grouped aggregate: plain projection columns are the keys (none =
         // global aggregate); partial aggregation happens before the one
-        // key-partitioned exchange, like any Spark groupBy
-        val keys = resolveNames(unioned, s.projection).map(col)
-        val aggExprs = s.aggs.map { a =>
-          val c = col(resolveNames(unioned, List(a.column)).head)
-          val out = s"${a.fn}_${a.column.toLowerCase}"
+        // key-partitioned exchange, like any Spark groupBy. Output column
+        // order is keys-then-aggregates (documented at Ast.Search).
+        import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+        val keyNames = resolveNames(unioned, s.projection)
+        val keys = keyNames.map(col)
+        val outNames = s.aggs.map(a => s"${a.fn}_${a.column.toLowerCase}")
+        // strict naming, like CreateContainer: duplicate aggregate items
+        // or a key that shadows an fn_col output are parse errors, never
+        // a downstream ambiguous-reference crash
+        val allOut = keyNames.map(_.toLowerCase) ++ outNames
+        if (allOut.distinct.length != allOut.length)
+          throw new ParseException(
+            s"Duplicate output columns in aggregate projection: ${allOut.mkString(",")}")
+        val aggExprs = s.aggs.zip(outNames).map { case (a, out) =>
+          val cn = resolveNames(unioned, List(a.column)).head
+          val c = col(cn)
+          val dt = unioned.schema(cn).dataType
+          // strict input typing (quirk-Q8 stance: no implicit casts):
+          // sum/avg require numeric columns; count/min/max take any type
+          if ((a.fn == "sum" || a.fn == "avg") &&
+              !Seq(IntegerType, LongType, DoubleType).contains(dt))
+            throw new ParseException(s"${a.fn}($cn) requires a numeric column, got $dt")
           (a.fn match {
             case "count" => count(c)
             case "sum" => sum(c)

@@ -222,6 +222,17 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SEARCH [ok, count(id)] ON people HAVING count_id > 1")
     assert(hv.length == 1 && hv.head.getBoolean(0) == true && hv.head.getLong(1) == 2)
     intercept[ParseException](eng.execute("SEARCH ['n'] ON seq HAVING n > 1"))
+    // mixed-case duplicates resolve to one physical column, never two
+    val mixed = searchRows("SEARCH [ok, count(id), sum(ID)] ON people")
+    assert(mixed.length == 2)
+    // strict input typing: sum/avg need numerics
+    intercept[ParseException](eng.execute("SEARCH [sum(name)] ON people"))
+    intercept[ParseException](eng.execute("SEARCH [avg(ok)] ON people"))
+    // duplicate outputs are parse errors, not ambiguous-reference crashes
+    intercept[ParseException](eng.execute("SEARCH [count(id), count(ID)] ON people"))
+    // a bare word `having` in value position is still a value
+    intercept[AlbaType.CoercionException](eng.execute(
+      "SEARCH ['n'] ON seq WHERE n = having"))
   }
 
   test("15d outer WHERE applies to virtual containers (scalar and IN)") {
