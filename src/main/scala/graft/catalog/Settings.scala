@@ -104,7 +104,7 @@ object Settings {
     def bool(k: String, dflt: Boolean): Boolean =
       kv.get(k).flatMap(_.toLowerCase.toBooleanOption).getOrElse(dflt)
 
-    Settings(
+    val parsed = Settings(
       maxColumns = int("max_columns", default.maxColumns),
       minColumns = int("min_columns", default.minColumns),
       autoCommit = bool("auto_commit", default.autoCommit),
@@ -114,6 +114,13 @@ object Settings {
       dataPort = int("data_port", default.dataPort),
       maxConnections = int("max_connections", default.maxConnections),
       authToken = kv.getOrElse("auth_token", default.authToken)
-    ).normalized
+    )
+    val healed = parsed.normalized
+    // The reference's load_settings rewrites the normalized settings back
+    // to disk (`database.rs:290-345`), so other readers of the file see
+    // healed values, not the out-of-range originals. Match that: persist
+    // only when normalization actually changed something.
+    if (healed != parsed) Files.writeString(file, healed.toYaml)
+    healed
   }
 }

@@ -86,8 +86,8 @@ object Events {
         |              <= 1800000000 THEN 0 ELSE 1 END AS new_session
         |  FROM events)
         |SELECT user_id,
-        |       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id,
+        |       CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id,
         |       ts, event_id, value
         |FROM marked
         |ORDER BY user_id, ts, event_id""".stripMargin, bench = true) {
@@ -117,8 +117,8 @@ object Events {
         |  FROM events),
         |sessions AS (
         |  SELECT user_id, ts,
-        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM marked)
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(ts) AS session_start, max(ts) AS session_end
@@ -209,9 +209,20 @@ object Events {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         // width 20 covers any non-negative long (19 digits max) — lpad
         // TRUNCATES overlong strings, so an undersized pad would corrupt
-        // keys silently in both engines
+        // keys silently in both engines. Negative values are a second
+        // silent corruption ('-' breaks lexicographic order identically in
+        // both engines, so the oracle could not catch it): fail loudly.
+        // The assert lives INSIDE the key expression — coalesce(NULL-on-
+        // pass, '') keeps the concat a no-op — because a free-standing
+        // guard column would be pruned away by Catalyst before evaluating.
+        val nonNegative = coalesce(
+          assert_true(unix_micros(col("ts")) >= 0 && col("event_id") >= 0,
+            lit("e_asof_join: ts and event_id must be non-negative for the padded sortable key"))
+            .cast("string"),
+          lit(""))
         val clickKey = when(col("event_type") === "click",
           concat(lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+            nonNegative,
             lpad(col("event_id").cast("string"), 20, "0")))
         ev.withColumn("ck", max(clickKey).over(w))
           .filter(col("event_type") === "purchase")

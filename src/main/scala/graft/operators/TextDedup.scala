@@ -49,31 +49,37 @@ object TextDedup {
       |  list_transform(range(1, len(tk)-1), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]) sg
       |  FROM toks)""".stripMargin
 
-  /** 8 min-hash signatures s0..s7 over the shingle set: ONE md5 digest per
-    * shingle, its 32 hex chars sliced into eight independent 4-hex slices
-    * (min over a fixed-width lowercase-hex slice is a valid uniform minhash
-    * and compares identically as string or number in both engines).
+  /** 8 min-hash signatures s0..s7 over the shingle set: TWO md5 digests per
+    * shingle (plain + '#'-salted), their 64 hex chars sliced into eight
+    * independent 8-hex (32-bit) slices (min over a fixed-width lowercase-hex
+    * slice is a valid uniform minhash and compares identically as string or
+    * number in both engines).
     *
-    * Shape: explode shingles → digest once → 8 partial-agg mins. The md5
-    * count is the floor (one per shingle); the exchange carries one 8-slice
-    * row per document. Docs with no shingles simply have no signature row —
-    * they can never collide in a band either way.
+    * Slice width matters at scale: a 16-bit slice min saturates once a
+    * document has ~2^16 shingles (E[min] ≈ 65536/n → 0), so unrelated long
+    * documents collide on band keys. 32-bit slices keep E[min] ≈ 2^32/n
+    * discriminating past 10^8 shingles per doc — the 100 TB regime.
+    *
+    * Shape: explode shingles → 2 digests → 8 partial-agg mins. The exchange
+    * still carries one 8-slice row per document. Docs with no shingles have
+    * no signature row — they can never collide in a band either way.
     */
   private def withSignatures(df: DataFrame): DataFrame = {
     val ex = df.select(col("doc_id"), explode(col("sg")).as("s"))
-      .withColumn("h", md5(col("s")))
-    val mins = (0 until 8).map(i => min(substring(col("h"), 1 + 4 * i, 4)).as(s"s$i"))
+      .withColumn("h", concat(md5(col("s")), md5(concat(col("s"), lit("#")))))
+    val mins = (0 until 8).map(i => min(substring(col("h"), 1 + 8 * i, 8)).as(s"s$i"))
     ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   private val duckSignatures =
-    "ex AS (SELECT doc_id, md5(s) AS h FROM (SELECT doc_id, unnest(sg) AS s FROM shing) u), " +
+    "ex AS (SELECT doc_id, md5(s) || md5(s || '#') AS h " +
+      "FROM (SELECT doc_id, unnest(sg) AS s FROM shing) u), " +
       "sigs AS (SELECT doc_id, " +
-      (0 until 8).map(i => s"min(substr(h, ${1 + 4 * i}, 4)) AS s$i").mkString(", ") +
+      (0 until 8).map(i => s"min(substr(h, ${1 + 8 * i}, 8)) AS s$i").mkString(", ") +
       " FROM ex GROUP BY doc_id)"
 
   /** 4 LSH bands, 2 signature rows each: band key = s2i ‖ s2i+1 (the two
-    * 4-hex slices concatenated — already uniform, no extra digest needed).
+    * 8-hex slices concatenated — already uniform, no extra digest needed).
     */
   private def bandsOf(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until 4).map(b =>

@@ -83,6 +83,9 @@ final class AqlServer(engine: Engine, port: Int = 0) {
     */
   private def handleSession(ex: HttpExchange): Unit = {
     if (ex.getRequestMethod != "POST") { respond(ex, 405, """{"error":"POST only"}"""); return }
+    // Mirror the query path's conditional auth: with auth disabled there is
+    // no handshake to perform — issuing ids would only occupy LRU slots.
+    if (!authEnabled) { respond(ex, 404, """{"error":"auth disabled; /session unavailable"}"""); return }
     val presented = new String(ex.getRequestBody.readAllBytes(), UTF_8).trim
     if (!java.security.MessageDigest.isEqual(
         presented.getBytes(UTF_8), engine.settings.authToken.getBytes(UTF_8))) {
@@ -166,15 +169,25 @@ final class AqlServer(engine: Engine, port: Int = 0) {
   */
 object ServerMain {
   def main(args: Array[String]): Unit = {
-    val dbDir = args.headOption.getOrElse(
+    // A sole purely-numeric argument is a port, not a database directory —
+    // `ServerMain 8989` must never create a db literally named "8989".
+    val (dbDirOpt, portOpt) = args.toList match {
+      case sole :: Nil if sole.toIntOption.isDefined =>
+        System.err.println(s"[graft-server] sole numeric argument '$sole' " +
+          "interpreted as a port; usage: ServerMain [dbDir] [port]")
+        (None, sole.toIntOption)
+      case dir :: rest => (Some(dir), rest.headOption.map(_.toInt))
+      case Nil => (None, None)
+    }
+    val dbDir = dbDirOpt.getOrElse(
       java.nio.file.Files.createTempDirectory("graft-db").toString)
     val spark = graft.GraftSession.create(appName = "graft-server")
     val eng = new Engine(spark, dbDir)
-    val server = args.lift(1).map(_.toInt) match {
+    val server = portOpt match {
       case Some(p) => new AqlServer(eng, p)
       case None => new AqlServer(eng)
     }
-    val actual = args.lift(1).map(_ => server.start()).getOrElse(server.startFromSettings())
+    val actual = portOpt.map(_ => server.start()).getOrElse(server.startFromSettings())
     println(s"graft AQL server on ${eng.settings.ip}:$actual — db at $dbDir")
     Thread.currentThread().join()
   }

@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the single-session-recipe invariant: the driver's Verify run, Bench,
+  * and the test suite must all execute under GraftSession.create's optimizer
+  * set. Round 2 shipped a Verify that built its own session WITHOUT the
+  * InferFiltersFromGenerate exclusion and the AQE size-based coalescing —
+  * correctness held, but the driver's verify re-evaluated computed arrays
+  * under explodes (the measured 8.9s → 0.3s pathology). This spec fails if
+  * the factory ever loses one of the load-bearing configs.
+  */
+class VerifySessionSpec extends AnyFunSuite {
+
+  private lazy val conf = TestSpark.spark.conf
+
+  test("optimizer excludes InferFiltersFromGenerate (computed-array explodes)") {
+    assert(conf.get("spark.sql.optimizer.excludedRules")
+      .contains("org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"))
+  }
+
+  test("AQE coalesces by size, not parallelism-first") {
+    assert(conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(conf.get("spark.sql.adaptive.coalescePartitions.parallelismFirst") == "false")
+    assert(conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes") == "16m")
+  }
+
+  test("timestamp + timezone contract matches the oracle") {
+    assert(conf.get("spark.sql.session.timeZone") == "UTC")
+    assert(conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
+  }
+
+  test("Verify has no private session builder — it must use GraftSession") {
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/Verify.scala")))
+    assert(!src.contains("SparkSession.builder"),
+      "Verify.scala builds its own session; route it through GraftSession.create")
+    assert(src.contains("GraftSession.create"))
+  }
+}

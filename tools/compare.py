@@ -38,10 +38,31 @@ def main(sf_dir, out_dir):
             exp = con.sql(sql).fetchall()
             exp_cols = [d[0] for d in con.sql(
                 f"SELECT * FROM ({sql}) LIMIT 0").description]
+            # The driver hashes pandas-materialized frames, so its compare is
+            # dtype-KIND-sensitive: DuckDB widens e.g. sum(INTEGER) to
+            # HUGEINT, pandas materializes HUGEINT as float64, Spark wrote
+            # int64 → driver hash FAIL even when every value matches (r2's
+            # e_sessionize). Pandas hashing merges integer WIDTHS though —
+            # r2's driver hash-passed 9 queries where Spark wrote int32 and
+            # DuckDB int64 — so compare the dtype KIND (int/float/bool/obj/
+            # datetime), merging signed+unsigned ints, not the exact width.
+            # Full materialization, not LIMIT 0: NULLs flip pandas int64 →
+            # float64 only when data is present, and the driver sees data.
+            got_dt = con.sql(f"SELECT * FROM '{pdir}/*.parquet'").df().dtypes
+            exp_dt = con.sql(f"SELECT * FROM ({sql})").df().dtypes
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}"); n_fail += 1; continue
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: cols spark={sorted(got_cols)} oracle={sorted(exp_cols)}")
+            n_fail += 1; continue
+        def kind(dt):
+            k = dt.kind
+            return "i" if k == "u" else k
+        dt_diff = [(c, str(got_dt[c]), str(exp_dt[c])) for c in sorted(got_cols)
+                   if kind(got_dt[c]) != kind(exp_dt[c])]
+        if dt_diff:
+            print(f"FAIL {name}: dtype mismatch (driver hash would fail): " +
+                  ", ".join(f"{c} spark={g} oracle={e}" for c, g, e in dt_diff))
             n_fail += 1; continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
