@@ -28,19 +28,60 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.getOrElseUpdate((spark, s"$dir/$name.parquet"),
-      spark.read.parquet(s"$dir/$name.parquet"))
+      spark.read.parquet(compacted(spark, dir, name)))
 
-  /** Load with the scan split across all cores. Small fixture files arrive
-    * as ONE input partition (below maxPartitionBytes), which serializes
-    * compute-heavy per-row pipelines (hashing, vector math). The explicit
-    * round-robin split costs one tiny shuffle and buys full parallelism —
-    * at warehouse scale the many-files layout does this for free, so this
-    * helper is only used by CPU-bound operators, never plain scans.
+  /** One-time ingest compaction of a fixture file into the engine's own
+    * storage layout: range-clustered on the first column (the pk convention
+    * the catalog's commit path already sorts by — `Catalog.scala`), one
+    * row-group-sized file per partition.
+    *
+    * Why this exists: the driver's fixtures are SINGLE-row-group files, and
+    * a parquet row group is the unit of scan parallelism — every query over
+    * `lineitem` would run its scan + partial aggregation on one core no
+    * matter how many are available. A 100 TB deployment never has that
+    * layout (data lands as one file per writer partition, and table formats
+    * compact it further — Delta OPTIMIZE / Iceberg rewrite_data_files do
+    * exactly this job); a resident engine owns its layout, so we normalize
+    * once at ingest, not per query. Range-clustering by pk keeps per-file
+    * min/max stats tight, so point/range scans (`s2_*`) skip whole files —
+    * the same skip-scan role the reference's chunk index plays
+    * (`/root/reference/src/container.rs`, SURVEY §2.7).
+    *
+    * Partition count scales with ROW count, not bytes: the compute-heavy
+    * tables (documents' text, embeddings' vectors) are small on disk but
+    * expensive per row, and 64 rows/partition floors keep tiny dims at one
+    * file. On a cluster maxPartitionBytes governs instead — this knob is
+    * the local stand-in, not a scale parameter.
+    *
+    * The compacted copy lives under java.io.tmpdir keyed by source path +
+    * (size, mtime), so a regenerated fixture invalidates it; writes go to a
+    * temp dir renamed into place so concurrent JVMs (driver verify + bench)
+    * never read a half-written table.
     */
-  def loadParallel(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.getOrElseUpdate((spark, s"$dir/$name.parquet#par"),
-      spark.read.parquet(s"$dir/$name.parquet")
-        .repartition(spark.sparkContext.defaultParallelism))
+  private def compacted(spark: SparkSession, dir: String, name: String): String = {
+    val src = new java.io.File(s"$dir/$name.parquet")
+    if (!src.isFile) return src.getPath // already a directory layout: as-is
+    val key = java.lang.Long.toHexString(
+      java.util.Objects.hash(src.getAbsolutePath, src.length, src.lastModified).toLong)
+    val base = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft-compact"), s"$name-$key")
+    if (!base.isDirectory) {
+      val raw = spark.read.parquet(src.getPath)
+      val n = math.min(spark.sparkContext.defaultParallelism.toLong,
+        math.max(1L, raw.count() / 64)).toInt
+      val tmp = new java.io.File(base.getParent, s".${base.getName}.${spark.hashCode}.tmp")
+      import org.apache.spark.sql.functions.col
+      raw.repartitionByRange(n, col(raw.columns.head))
+        .sortWithinPartitions(raw.columns.head)
+        .write.mode("overwrite").parquet(tmp.getPath)
+      if (!tmp.renameTo(base)) { // lost the race: another JVM compacted first
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp.toPath).iterator().asScala.toSeq
+          .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+    base.getPath
+  }
 
   /** events.ts is parquet timestamp[ns]; Spark reads NANOS natively only as
     * long when `spark.sql.legacy.parquet.nanosAsLong` is set. We normalize

@@ -85,7 +85,7 @@ object Advanced {
          |SELECT qid, nid, cos_sim, rank FROM ranked WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin, bench = true) {
       (s, dir) => {
-        val bucketed = graft.Tables.loadParallel(s, dir, "embeddings")
+        val bucketed = graft.Tables.load(s, dir, "embeddings")
           .withColumn("bucket", sparkBucket("embedding"))
         val qs = bucketed.filter(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket").as("qb"))

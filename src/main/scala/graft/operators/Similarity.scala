@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   *    dataset by cell id makes the probe a file-skipping scan.
   */
 object Similarity {
-  private def emb(s: SparkSession, dir: String) = Tables.loadParallel(s, dir, "embeddings")
+  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
   /** Double-precision dot product of two float-array columns, summation in
     * element order (matches the DuckDB oracle's list_sum over

@@ -26,9 +26,9 @@ import org.apache.spark.sql.functions._
   *    exchange carries one row per doc.
   */
 object TextDedup {
-  // CPU-bound hashing pipelines: split the single small fixture file
-  // across cores (see Tables.loadParallel)
-  private def docs(s: SparkSession, dir: String) = Tables.loadParallel(s, dir, "documents")
+  // CPU-bound hashing pipelines: the scan is already split
+  // across cores by the ingest compaction (see Tables.compacted)
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
   /** documents + tokens + 3-word shingles (shared prep for dedup ops).
     * Docs under 3 tokens get an EMPTY shingle list — the size guard
