@@ -18,7 +18,7 @@ import scala.jdk.CollectionConverters._
   *  - Q6: EDIT replaces column values (the reference's Vec::insert shifts).
   *  - Q8: union type mismatch is an error, not a silent drop.
   */
-final class Engine(val spark: SparkSession, rootDir: String) {
+final class Engine(val spark: SparkSession, val rootDir: String) {
   /** `settings.yaml` in the database root, written with defaults on first
     * boot (reference `database.rs:290-345`).
     */

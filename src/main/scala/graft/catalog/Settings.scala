@@ -26,6 +26,12 @@ import scala.jdk.CollectionConverters._
   *  - `memory_limit` — recorded for parity; memory is governed by the
   *    Spark memory manager (executor/driver memory set at launch), which
   *    replaces the reference's in-process byte accounting.
+  *  - `secret_key_count` — number of pre-shared AES-256 wire keys generated
+  *    on first boot (reference `database.rs:29,1303`), stored reference-
+  *    format in `.graft-keys` (see [[graft.server.WireKeys]]).
+  *  - `wire_encryption` — serve the reference's encrypted binary protocol
+  *    on the data port root (AES-256-GCM payloads, `database.rs:1048-1080`).
+  *    Defaults true for wire parity; disable when TLS terminates in front.
   *
   * Format: the reference file is flat YAML — `key: value` lines with `#`
   * comments — parsed here directly (no YAML dependency needed for a flat
@@ -40,7 +46,9 @@ final case class Settings(
     connectionsPort: Int = 1515,
     dataPort: Int = 8989,
     maxConnections: Int = 10,
-    authToken: String = "") {
+    authToken: String = "",
+    secretKeyCount: Int = 10,
+    wireEncryption: Boolean = true) {
 
   /** The reference's self-healing normalization (`database.rs:312-335`):
     * out-of-range values are corrected, never fatal.
@@ -55,6 +63,7 @@ final case class Settings(
     if (s.minColumns < 1 || s.minColumns > s.maxColumns) s = s.copy(minColumns = 1)
     if (s.memoryLimit < 1048576L) s = s.copy(memoryLimit = 1048576L)
     if (s.maxConnections < 1) s = s.copy(maxConnections = 1)
+    if (s.secretKeyCount < 1) s = s.copy(secretKeyCount = 1)
     s
   }
 
@@ -68,6 +77,8 @@ final case class Settings(
        |data_port: $dataPort
        |max_connections: $maxConnections
        |auth_token: $authToken
+       |secret_key_count: $secretKeyCount
+       |wire_encryption: $wireEncryption
        |""".stripMargin
 }
 
@@ -113,7 +124,9 @@ object Settings {
       connectionsPort = int("connections_port", default.connectionsPort),
       dataPort = int("data_port", default.dataPort),
       maxConnections = int("max_connections", default.maxConnections),
-      authToken = kv.getOrElse("auth_token", default.authToken)
+      authToken = kv.getOrElse("auth_token", default.authToken),
+      secretKeyCount = int("secret_key_count", default.secretKeyCount),
+      wireEncryption = bool("wire_encryption", default.wireEncryption)
     )
     val healed = parsed.normalized
     // The reference's load_settings rewrites the normalized settings back

@@ -8,10 +8,22 @@ import java.nio.charset.StandardCharsets.UTF_8
 /** HTTP surface for the AQL engine — the reference serves the same
   * statement set over HTTP/1 (`/root/reference/src/database.rs:1249-1356`).
   *
-  * Protocol (documented divergence: the reference wraps JSON in shared-key
-  * AES-256-GCM; a real deployment of this engine would terminate TLS in
-  * front instead — transport security is not re-implemented in-process,
-  * but the reference's session handshake IS kept, `database.rs:1110-1143`):
+  * Two protocols share the data port, as in the reference:
+  *
+  * **Reference wire protocol** (path `/`, enabled by the `wire_encryption`
+  * setting — byte-compatible with `database.rs:1249-1265`, which routes
+  * POST → encrypted query, any other method → key handshake, path ignored):
+  *   - handshake: non-POST, body = 32-byte `blake3(secret_key)`. Response:
+  *     `0x01 ‖ nonce ‖ AES-256-GCM(session_id)` on success, `0x00` on an
+  *     unknown key (`database.rs:973-1004`; session_id = the key itself).
+  *   - query: POST, body = 32-byte session hash ‖ nonce ‖ GCM ciphertext of
+  *     JSON `{"command": …, "arguments": […]}`. Response: 8-byte big-endian
+  *     length ‖ nonce ‖ GCM ciphertext of `{"?": <result json>, "!": 1}`
+  *     (`database.rs:1110-1230`); any framing/auth/decrypt failure returns
+  *     the 8-zero-byte error frame exactly as the reference does.
+  *
+  * **Plain JSON routes** (this engine's native surface; a deployment that
+  * disables `wire_encryption` terminates TLS in front instead):
   *   POST /session body = the settings' auth_token. Returns {"session":id}.
   *                 Only required when `auth_token` is configured.
   *   POST /query   body = AQL statement on line 1, one `?` argument per
@@ -43,6 +55,24 @@ final class AqlServer(engine: Engine, port: Int = 0) {
 
   private def authEnabled: Boolean = engine.settings.authToken.nonEmpty
 
+  /** Pre-shared wire keys (lazy: only provisioned when the wire protocol is
+    * enabled). Reference key file semantics, `database.rs:1274-1321`.
+    */
+  private lazy val wireKeys =
+    new WireKeys(java.nio.file.Paths.get(engine.rootDir), engine.settings.secretKeyCount)
+
+  /** Wire sessions established by the handshake: blake3-hex(key) → key.
+    * The reference's session_secret_rel map (`database.rs:1045`), LRU-
+    * bounded like the JSON-route sessions.
+    */
+  private val MaxWireSessions = 256
+  private val wireSessions = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Array[Byte]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Array[Byte]]): Boolean =
+        size() > MaxWireSessions
+    })
+
   /** Bind address + handler pool come from the engine's settings.yaml
     * (`database.rs:14-30`): `ip`, `data_port`, `max_connections`. The
     * reference serves its live listener on `data_port` (8989) — the
@@ -65,6 +95,10 @@ final class AqlServer(engine: Engine, port: Int = 0) {
     server.createContext("/health", (ex: HttpExchange) => respond(ex, 200, """{"ok":true}"""))
     server.createContext("/session", (ex: HttpExchange) => handleSession(ex))
     server.createContext("/query", (ex: HttpExchange) => handleQuery(ex))
+    // root context: the reference's binary wire protocol (it ignores the
+    // request path entirely — database.rs:1249-1265 — so "/" as the
+    // catch-all matches; the specific JSON routes above take precedence)
+    server.createContext("/", (ex: HttpExchange) => handleWire(ex))
     // max_connections bounds concurrent request handlers; execution is
     // still serialized per statement by `lock` (reference whole-db RwLock)
     pool = java.util.concurrent.Executors.newFixedThreadPool(engine.settings.maxConnections)
@@ -112,23 +146,95 @@ final class AqlServer(engine: Engine, port: Int = 0) {
     val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
     val lines = body.split("\n").toList
     val (command, args) = (lines.head, lines.tail.filter(_.nonEmpty))
-    try {
-      val result = lock.synchronized(engine.execute(command, args))
-      val json = result match {
-        case Engine.ResultSet(df, cursorId) =>
-          val rows = df.limit(engine.PageSize).collect()
-          s"""{"columns":${jarr(df.columns.toSeq.map(jstr))},""" +
-            s""""rows":${jarr(rows.toSeq.map(r => jarr(r.toSeq.map(jval))))},""" +
-            s""""cursor":${jstr(cursorId)}}"""
-        case Engine.Page(rows, page) =>
-          s"""{"rows":${jarr(rows.map(r => jarr(r.toSeq.map(jval))))},"page":$page}"""
-        case Engine.Done(msg) => s"""{"message":${jstr(msg)}}"""
-      }
-      respond(ex, 200, json)
-    } catch {
+    try respond(ex, 200, executeToJson(command, args))
+    catch {
       case e: Exception =>
         respond(ex, 400, s"""{"error":${jstr(s"${e.getClass.getSimpleName}: ${e.getMessage}")}}""")
     }
+  }
+
+  /** Execute one statement under the server lock, result as JSON (shared by
+    * the plain /query route and the encrypted wire protocol).
+    */
+  private def executeToJson(command: String, args: Seq[String]): String = {
+    val result = lock.synchronized(engine.execute(command, args.toList))
+    result match {
+      case Engine.ResultSet(df, cursorId) =>
+        val rows = df.limit(engine.PageSize).collect()
+        s"""{"columns":${jarr(df.columns.toSeq.map(jstr))},""" +
+          s""""rows":${jarr(rows.toSeq.map(r => jarr(r.toSeq.map(jval))))},""" +
+          s""""cursor":${jstr(cursorId)}}"""
+      case Engine.Page(rows, page) =>
+        s"""{"rows":${jarr(rows.map(r => jarr(r.toSeq.map(jval))))},"page":$page}"""
+      case Engine.Done(msg) => s"""{"message":${jstr(msg)}}"""
+    }
+  }
+
+  /** The reference's 8-zero-byte error frame (`(0 as u64).to_be_bytes()`,
+    * `database.rs:1113-1142`): returned for every wire failure class.
+    */
+  private val WireErrorFrame = new Array[Byte](8)
+
+  /** Reference binary wire protocol on the data-port root: non-POST = key
+    * handshake, POST = encrypted query (`database.rs:1249-1265`).
+    */
+  private def handleWire(ex: HttpExchange): Unit = {
+    if (!engine.settings.wireEncryption) {
+      respond(ex, 404, """{"error":"wire protocol disabled (wire_encryption: false)"}"""); return
+    }
+    val payload = ex.getRequestBody.readAllBytes()
+    if (ex.getRequestMethod != "POST") respondBytes(ex, wireHandshake(payload))
+    else respondBytes(ex, wireQuery(payload))
+  }
+
+  /** Handshake (`database.rs:973-1004`): body = blake3(secret_key); look the
+    * key up, register the session (session_id = the key itself, so the
+    * session hash equals the presented hash), reply
+    * `0x01 ‖ encrypt(session_id)` — or the single byte 0x00 on any failure.
+    */
+  private def wireHandshake(payload: Array[Byte]): Array[Byte] = {
+    if (payload.length != 32) return Array[Byte](0)
+    val hash = Blake3.hex(payload)
+    wireKeys.byHash.get(hash) match {
+      case None => Array[Byte](0)
+      case Some(key) =>
+        wireSessions.put(hash, key)
+        Array[Byte](1) ++ WireCrypto.encrypt(key, key)
+    }
+  }
+
+  /** Encrypted query (`database.rs:1110-1230`): 32-byte session hash ‖
+    * encrypted JSON `{"command","arguments"}` in; 8-byte BE length ‖
+    * encrypted `{"?": content, "!": success}` out.
+    */
+  private def wireQuery(payload: Array[Byte]): Array[Byte] = {
+    if (payload.length <= 32) return WireErrorFrame
+    val key = wireSessions.get(Blake3.hex(payload.take(32)))
+    if (key == null) return WireErrorFrame
+    WireCrypto.decrypt(payload.drop(32), key) match {
+      case None => WireErrorFrame
+      case Some(plain) =>
+        val (content, success) =
+          try {
+            val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(plain)
+            val command = node.get("command").asText()
+            val args = Option(node.get("arguments")).toSeq
+              .flatMap(a => (0 until a.size()).map(a.get(_).asText()))
+            (executeToJson(command, args), 1)
+          } catch {
+            case e: Exception => (s"${e.getClass.getSimpleName}: ${e.getMessage}", 0)
+          }
+        val body = WireCrypto.encrypt(
+          (s"""{"?":${jstr(content)},"!":$success}""").getBytes(UTF_8), key)
+        java.nio.ByteBuffer.allocate(8).putLong(body.length.toLong).array() ++ body
+    }
+  }
+
+  private def respondBytes(ex: HttpExchange, body: Array[Byte]): Unit = {
+    ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
+    ex.sendResponseHeaders(200, body.length)
+    ex.getResponseBody.write(body)
+    ex.close()
   }
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
