@@ -43,6 +43,11 @@ object Ast {
     */
   final case class AggProj(fn: String, column: String)
 
+  /** One explicit sort item, `ORDER BY [col ASC|DESC, …]` (graft
+    * extension). Ascending when `asc`.
+    */
+  final case class SortItem(column: String, asc: Boolean)
+
   /** `atVersion` (graft extension `AT VERSION n`): read the committed
     * snapshot at that version instead of the live transactional view.
     * `aggs` non-empty turns the SEARCH into a grouped aggregate: the
@@ -51,10 +56,16 @@ object Ast {
     * aggregated output. Output column order is ALWAYS keys first, then
     * the `fn_col` aggregates in written order — the interleaving of the
     * projection list is not preserved for aggregate searches.
+    *
+    * `orderBy`/`limit` (graft extension): explicit result ordering over
+    * output columns and a row cap — AQL's top-k without a cursor walk.
+    * The engine appends the remaining output columns ascending as a
+    * tie-break so cursor paging over the result stays deterministic.
     */
   final case class Search(containers: List[Container], projection: List[String],
       where: Option[Where], atVersion: Option[Int] = None,
-      aggs: List[AggProj] = Nil, having: Option[Where] = None) extends Stmt
+      aggs: List[AggProj] = Nil, having: Option[Where] = None,
+      orderBy: List[SortItem] = Nil, limit: Option[Int] = None) extends Stmt
   final case class Commit(container: Option[String]) extends Stmt
   final case class Rollback(container: Option[String]) extends Stmt
   /** graft extension: physical-plan inspection for a SEARCH. */
@@ -138,15 +149,15 @@ object Parser {
 
   /** WHERE clause: `col OP value (AND|OR col OP value)*`. */
   private def parseWhere(tokens: List[Token]): Where =
-    parseWhereUntil(tokens, stopAtHaving = false)._1
+    parseWhereUntil(tokens, stopAt = Set.empty)._1
 
-  /** Parse a predicate chain; with `stopAtHaving`, a HAVING keyword in
-    * GATE position (between complete conditions) terminates the chain and
-    * the remaining tokens are returned. A HAVING in value position is
-    * consumed as an ordinary bare-word value, like any other keyword.
+  /** Parse a predicate chain; a `stopAt` keyword in GATE position (between
+    * complete conditions) terminates the chain and the remaining tokens are
+    * returned. A stop keyword in VALUE position is consumed as an ordinary
+    * bare-word value, like any other keyword.
     */
   private def parseWhereUntil(tokens: List[Token],
-      stopAtHaving: Boolean): (Where, List[Token]) = {
+      stopAt: Set[String]): (Where, List[Token]) = {
     val atoms = List.newBuilder[Cond]
     val gates = List.newBuilder[Char]
     var rest = tokens
@@ -155,8 +166,8 @@ object Parser {
     var done = false
     while (rest.nonEmpty && !done) {
       if (!first) rest match {
-        case Keyword("HAVING") :: tl if stopAtHaving =>
-          remainder = Keyword("HAVING") :: tl; done = true
+        case (k @ Keyword(kw)) :: tl if stopAt.contains(kw) =>
+          remainder = k :: tl; done = true
         case Keyword("AND") :: tl => gates += 'a'; rest = tl
         case Keyword("OR") :: tl => gates += 'o'; rest = tl
         case other => throw new ParseException(s"Expected AND/OR, got ${other.head}")
@@ -253,19 +264,53 @@ object Parser {
       // `having` in value position stays an ordinary value.
       val (where, afterWhere) = afterVersion match {
         case Keyword("WHERE") :: condTokens =>
-          val (w, rem) = parseWhereUntil(condTokens, stopAtHaving = true)
+          val (w, rem) = parseWhereUntil(condTokens,
+            stopAt = Set("HAVING", "ORDER", "LIMIT"))
           (Some(w), rem)
         case other => (None, other)
       }
-      val having = afterWhere match {
+      val (having, afterHaving) = afterWhere match {
+        case Keyword("HAVING") :: hToks =>
+          val (h, rem) = parseWhereUntil(hToks, stopAt = Set("ORDER", "LIMIT"))
+          (Some(h), rem)
+        case other => (None, other)
+      }
+      // ORDER BY [col [ASC|DESC], …] (graft extension): explicit result
+      // ordering; direction defaults ASC per column
+      val (orderBy, afterOrder) = afterHaving match {
+        case Keyword("ORDER") :: Keyword("BY") :: (g: Group) :: tl =>
+          val items = List.newBuilder[SortItem]
+          var it = g.items
+          while (it.nonEmpty) it match {
+            case colTok :: Keyword("DESC") :: tl2 =>
+              items += SortItem(name(colTok), asc = false); it = tl2
+            case colTok :: Keyword("ASC") :: tl2 =>
+              items += SortItem(name(colTok), asc = true); it = tl2
+            case colTok :: tl2 =>
+              items += SortItem(name(colTok), asc = true); it = tl2
+          }
+          val res = items.result()
+          if (res.isEmpty) throw new ParseException("Empty ORDER BY list")
+          (res, tl)
+        case Keyword("ORDER") :: _ =>
+          throw new ParseException("Expected BY [columns] after ORDER")
+        case other => (Nil, other)
+      }
+      // LIMIT n (graft extension): row cap; with ORDER BY this is AQL's
+      // top-k (lowered to TakeOrderedAndProject, never a full sort)
+      val limit = afterOrder match {
         case Nil => None
-        case Keyword("HAVING") :: hToks => Some(parseWhere(hToks))
+        case Keyword("LIMIT") :: IntLit(n) :: Nil =>
+          if (n < 1) throw new ParseException("LIMIT must be >= 1")
+          Some(n.toInt)
+        case Keyword("LIMIT") :: other =>
+          throw new ParseException(s"Expected a positive integer after LIMIT, got $other")
         case other => throw new ParseException(s"Unexpected trailing tokens: $other")
       }
       val (projCols, projAggs) = parseProjection(projG)
       if (having.isDefined && projAggs.isEmpty)
         throw new ParseException("HAVING requires aggregate projections")
-      Search(containers, projCols, where, atVersion, projAggs, having)
+      Search(containers, projCols, where, atVersion, projAggs, having, orderBy, limit)
 
     // EXPLAIN <search> (graft extension)
     case Keyword("EXPLAIN") :: rest =>

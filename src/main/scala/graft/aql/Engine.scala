@@ -249,9 +249,27 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         s.having.map(h => agged.filter(lowerWhere(h, virtualDef(agged))))
           .getOrElse(agged)
       }
-    // deterministic cursor ordering: all columns, ascending (the parquet
-    // sort is a top-k under limit pushdown, never a full materialization)
-    result.orderBy(result.columns.map(c => col(c).asc_nulls_first).toIndexedSeq: _*)
+    // explicit ORDER BY (graft extension) or the default deterministic
+    // cursor ordering: all columns ascending. An explicit sort gets the
+    // remaining output columns appended ascending as a tie-break, so
+    // cursor paging over the result stays deterministic either way. With
+    // LIMIT, Catalyst lowers sort+limit to TakeOrderedAndProject — a
+    // per-partition top-k heap + single merge, never a full sort.
+    val ordered =
+      if (s.orderBy.isEmpty)
+        result.orderBy(result.columns.map(c => col(c).asc_nulls_first).toIndexedSeq: _*)
+      else {
+        val explicit = s.orderBy.map { item =>
+          val cn = resolveNames(result, List(item.column)).head
+          if (item.asc) col(cn).asc_nulls_first else col(cn).desc_nulls_last
+        }
+        val named = s.orderBy.map(_.column.toLowerCase).toSet
+        val tieBreak = result.columns.toSeq
+          .filterNot(c => named.contains(c.toLowerCase))
+          .map(c => col(c).asc_nulls_first)
+        result.orderBy((explicit ++ tieBreak).toIndexedSeq: _*)
+      }
+    s.limit.map(ordered.limit).getOrElse(ordered)
   }
 
   /** Resolve requested names case-insensitively against a DataFrame's

@@ -35,7 +35,8 @@ object Token {
     "NANO-BYTES", "SMALL-BYTES", "MEDIUM-BYTES", "BIG-BYTES", "LARGE-BYTES",
     "QYCNPVS", "QYCNNXT", "QYCNEXT",
     // graft extensions beyond the reference keyword set
-    "EXPLAIN", "VACUUM", "AT", "VERSION", "IN", "NOT", "HAVING")
+    "EXPLAIN", "VACUUM", "AT", "VERSION", "IN", "NOT", "HAVING",
+    "ORDER", "BY", "LIMIT", "ASC", "DESC")
 
   /** Multi-char first: `&&&>` regex-match, `&&>` icontains, `&>` contains,
     * `>=`, `<=`, `==`, `!=`, then single-char (reference

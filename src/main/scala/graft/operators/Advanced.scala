@@ -41,12 +41,12 @@ object Advanced {
       if (sign > 0) s"+$e" else s"-$e"
     }.mkString("(", " ", ")")
 
-  private def sparkBucket(embCol: String): Column =
+  private[operators] def sparkBucket(embCol: String): Column =
     Planes.zipWithIndex.map { case (p, i) =>
       when(sparkPlaneDot(embCol, p) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  private def duckBucket(embCol: String): String =
+  private[operators] def duckBucket(embCol: String): String =
     Planes.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN ${duckPlaneDot(embCol, p)} > 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")

@@ -180,6 +180,32 @@ object AqlQueries {
         "SEARCH [doc_id, n_chars] ON docs_tt WHERE n_chars > 480")(s, dir)
     },
 
+    // ORDER BY + LIMIT through AQL (graft extension): top-k without a
+    // cursor walk. The engine appends remaining output columns ascending
+    // as a tie-break — the oracle mirrors that total order.
+    Q("aql_search_topk",
+      """SELECT l_orderkey, l_extendedprice FROM lineitem
+        |WHERE l_quantity > 48
+        |ORDER BY l_extendedprice DESC, l_orderkey
+        |LIMIT 15""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [l_orderkey, l_extendedprice] ON lineitem WHERE l_quantity > 48 " +
+          "ORDER BY [l_extendedprice DESC] LIMIT 15")(s, dir)
+    },
+
+    // ORDER BY + LIMIT over an aggregate SEARCH with HAVING — the full
+    // extension pipeline in one statement
+    Q("aql_search_agg_topk",
+      """SELECT source, count(doc_id) AS count_doc_id
+        |FROM documents GROUP BY source
+        |HAVING count(doc_id) > 5
+        |ORDER BY count_doc_id DESC, source
+        |LIMIT 3""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [source, count(doc_id)] ON documents " +
+          "HAVING count_doc_id > 5 ORDER BY [count_doc_id DESC] LIMIT 3")(s, dir)
+    },
+
     // prepared-statement arguments through AQL
     Q("aql_search_prepared",
       """SELECT doc_id, source FROM documents

@@ -177,6 +177,48 @@ object Similarity {
       }
     },
 
+    // Cross-cell near-dup: OR-amplified candidate generation over TWO hash
+    // families — same coarse cell OR same 8-plane hyperplane bucket
+    // (Advanced.sparkBucket). A pair straddling a cell boundary is still
+    // caught when the planes agree, which for near-identical vectors they
+    // almost surely do (each plane separates a θ-apart pair with
+    // probability θ/π). Both families are equi-joins — no all-pairs blowup;
+    // the exact cosine verify touches only candidate pairs. Oracle is the
+    // identical declarative recompute.
+    Q("sim_neardup_multiprobe",
+      s"""WITH keyed AS (
+         |  SELECT vec_id, label, ${Advanced.duckBucket("embedding")} AS hp, embedding
+         |  FROM embeddings),
+         |cand AS (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib, a.embedding AS ea, b.embedding AS eb
+         |  FROM keyed a JOIN keyed b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  UNION
+         |  SELECT a.vec_id, b.vec_id, a.embedding, b.embedding
+         |  FROM keyed a JOIN keyed b ON a.hp = b.hp AND a.vec_id < b.vec_id)
+         |SELECT ia AS id_a, ib AS id_b, round(${duckCos("ea", "eb")}, 6) AS cos_sim
+         |FROM cand
+         |WHERE ${duckCos("ea", "eb")} > 0.35
+         |ORDER BY id_a, id_b""".stripMargin) {
+      (s, dir) => {
+        val keyed = emb(s, dir).select(col("vec_id"), col("label"),
+          Advanced.sparkBucket("embedding").as("hp"), col("embedding"))
+        val a = keyed.select(col("vec_id").as("ia"), col("label").as("cell_a"),
+          col("hp").as("hp_a"), col("embedding").as("ea"))
+        val b = keyed.select(col("vec_id").as("ib"), col("label").as("cell_b"),
+          col("hp").as("hp_b"), col("embedding").as("eb"))
+        val byCell = a.join(b, col("cell_a") === col("cell_b") && col("ia") < col("ib"))
+        val byPlane = a.join(b, col("hp_a") === col("hp_b") && col("ia") < col("ib"))
+        val cand = byCell.select(col("ia"), col("ib"), col("ea"), col("eb"))
+          .union(byPlane.select(col("ia"), col("ib"), col("ea"), col("eb")))
+          .distinct() // OR-amplification dedup, same as SQL UNION
+        cand.withColumn("cs", cosine(col("ea"), col("eb")))
+          .filter(col("cs") > 0.35)
+          .select(col("ia").as("id_a"), col("ib").as("id_b"),
+            round(col("cs"), 6).as("cos_sim"))
+          .orderBy(col("id_a"), col("id_b"))
+      }
+    },
+
     // Centroid stats per cell: element-wise mean of the first 4 dims — the
     // reduce step of the k-means iteration that maintains IVF cells.
     Q("sim_cell_centroids",

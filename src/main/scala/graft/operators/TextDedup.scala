@@ -533,6 +533,27 @@ object TextDedup {
           .select(col("doc_id"))
           .orderBy(col("doc_id"))
       }
+    },
+
+    // Heavy hitters over the token stream via the Misra-Gries mergeable
+    // summary (graft.functions.MisraGries): each partition builds a
+    // k-counter summary and only ≤ k (token, count) pairs cross the
+    // exchange — the approximate sibling of t_ngram_frequency's exact
+    // groupBy, which at 100 TB must shuffle every distinct token. No SQL
+    // oracle (summary contents depend on merge order, like
+    // x_approx_distinct's HLL); MisraGriesSpec pins the n/(k+1) error
+    // bound against exact counts.
+    Q.noOracle("t_heavy_hitters") {
+      (s, dir) => {
+        import s.implicits._
+        val toks = docs(s, dir)
+          .select(explode(split(lower(col("text")), " ")).as("tok"))
+          .as[String]
+        toks.select(graft.functions.MisraGries.summary(256).name("mg"))
+          .select(explode(col("mg")).as(Seq("token", "approx_count")))
+          .orderBy(col("approx_count").desc, col("token"))
+          .limit(20)
+      }
     }
   )
 }

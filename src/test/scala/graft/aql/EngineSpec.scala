@@ -289,6 +289,24 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[ParseException](eng.execute("VACUUM vac 0"))
   }
 
+  test("19 ORDER BY / LIMIT: explicit order, tie-break, TakeOrderedAndProject plan") {
+    // people: (1,'ana',30,9.5), (2,'bo',40,3.25), (3,'cy',25,7.0)
+    val top = searchRows("SEARCH ['id','score'] ON people ORDER BY [score DESC] LIMIT 2")
+    assert(top.map(_.getLong(0)) == Seq(1L, 3L)) // 9.5, 7.0
+    // default direction is ASC; unnamed output columns tie-break ascending
+    val asc = searchRows("SEARCH ['id'] ON people ORDER BY [id]")
+    assert(asc.map(_.getLong(0)) == Seq(1L, 2L, 3L))
+    // ORDER BY resolves against OUTPUT columns only
+    intercept[ParseException](
+      searchRows("SEARCH ['id'] ON people ORDER BY [nope]"))
+    // sort+limit lowers to TakeOrderedAndProject (per-partition top-k
+    // heap + single merge), never a global sort then limit
+    val plan = eng.execute(
+      "EXPLAIN SEARCH ['id','score'] ON people ORDER BY [score DESC] LIMIT 2")
+      .asInstanceOf[Engine.Done].message
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("18 schema + data survive an engine restart (quirk Q5 fixed)") {
     val eng2 = new Engine(spark, dir.toString) // fresh engine, same root
     assert(eng2.catalog.list().contains("people"))

@@ -78,4 +78,38 @@ class ParserSpec extends AnyFunSuite {
   test("garbage rejected") {
     intercept[ParseException](Parser.parse("FLY ME TO the moon"))
   }
+
+  test("ORDER BY list with per-column direction, default ASC") {
+    val s = Parser.parse(
+      "SEARCH ['id','score'] ON users WHERE id > 3 ORDER BY [score DESC, id]")
+      .asInstanceOf[Search]
+    assert(s.orderBy == List(SortItem("score", asc = false), SortItem("id", asc = true)))
+    assert(s.limit.isEmpty)
+    assert(s.where.get.atoms.head == Cond("id", ">", Token.IntLit(3)))
+  }
+
+  test("LIMIT with and without ORDER BY; after HAVING") {
+    assert(Parser.parse("SEARCH [] ON u LIMIT 5").asInstanceOf[Search].limit == Some(5))
+    val s = Parser.parse(
+      "SEARCH [lang, count(id)] ON u HAVING count_id > 2 ORDER BY [count_id DESC] LIMIT 3")
+      .asInstanceOf[Search]
+    assert(s.having.isDefined && s.orderBy == List(SortItem("count_id", asc = false))
+      && s.limit == Some(3))
+  }
+
+  test("ORDER/LIMIT keywords in VALUE position stay bare-word values") {
+    val s = Parser.parse("SEARCH [] ON u WHERE kind = order AND x = limit")
+      .asInstanceOf[Search]
+    assert(s.where.get.atoms.map(_.value) ==
+      List(Token.Keyword("ORDER"), Token.Keyword("LIMIT")))
+    assert(s.orderBy.isEmpty && s.limit.isEmpty)
+  }
+
+  test("malformed ORDER BY / LIMIT rejected") {
+    intercept[ParseException](Parser.parse("SEARCH [] ON u ORDER [x]"))     // missing BY
+    intercept[ParseException](Parser.parse("SEARCH [] ON u ORDER BY []"))   // empty list
+    intercept[ParseException](Parser.parse("SEARCH [] ON u LIMIT 0"))       // non-positive
+    intercept[ParseException](Parser.parse("SEARCH [] ON u LIMIT x"))       // non-integer
+    intercept[ParseException](Parser.parse("SEARCH [] ON u LIMIT 3 extra")) // trailing
+  }
 }

@@ -111,6 +111,12 @@ class PlanAuditSpec extends AnyFunSuite {
       s"LSH bucket join degenerated to an all-pairs join:\n$p")
   }
 
+  test("multi-probe near-dup candidates come from equi-joins on both hash families") {
+    val p = plan("sim_neardup_multiprobe")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"multi-probe candidate generation degenerated to an all-pairs join:\n$p")
+  }
+
   test("EXISTS-with-aggregate lowers to a semi join over a pre-aggregated side") {
     val p = plan("x_exists_agg_subquery")
     assert(p.contains("LeftSemi"), s"expected a semi join:\n$p")
