@@ -58,30 +58,41 @@ object Tables {
     * temp dir renamed into place so concurrent JVMs (driver verify + bench)
     * never read a half-written table.
     */
-  private def compacted(spark: SparkSession, dir: String, name: String): String = {
-    val src = new java.io.File(s"$dir/$name.parquet")
-    if (!src.isFile) return src.getPath // already a directory layout: as-is
-    val key = java.lang.Long.toHexString(
-      java.util.Objects.hash(src.getAbsolutePath, src.length, src.lastModified).toLong)
-    val base = new java.io.File(
-      new java.io.File(sys.props("java.io.tmpdir"), "graft-compact"), s"$name-$key")
-    if (!base.isDirectory) {
-      val raw = spark.read.parquet(src.getPath)
-      val n = math.min(spark.sparkContext.defaultParallelism.toLong,
-        math.max(1L, raw.count() / 64)).toInt
-      val tmp = new java.io.File(base.getParent, s".${base.getName}.${spark.hashCode}.tmp")
-      import org.apache.spark.sql.functions.col
-      raw.repartitionByRange(n, col(raw.columns.head))
-        .sortWithinPartitions(raw.columns.head)
-        .write.mode("overwrite").parquet(tmp.getPath)
-      if (!tmp.renameTo(base)) { // lost the race: another JVM compacted first
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(tmp.toPath).iterator().asScala.toSeq
-          .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+  private def compacted(spark: SparkSession, dir: String, name: String): String =
+    // JVM-wide lock: two sessions in one process must not compact the same
+    // table concurrently (the DataFrame memo above is per-session, so it
+    // cannot serialize cross-session calls). Cross-JVM remains safe via
+    // unique tmp dirs + rename-into-place below.
+    compactLock.synchronized {
+      val src = new java.io.File(s"$dir/$name.parquet")
+      if (!src.isFile) return src.getPath // already a directory layout: as-is
+      val key = java.lang.Long.toHexString(
+        java.util.Objects.hash(src.getAbsolutePath, src.length, src.lastModified).toLong)
+      val base = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir"), "graft-compact"), s"$name-$key")
+      if (!base.isDirectory) {
+        val raw = spark.read.parquet(src.getPath)
+        val n = math.min(spark.sparkContext.defaultParallelism.toLong,
+          math.max(1L, raw.count() / 64)).toInt
+        base.getParentFile.mkdirs()
+        // unique per attempt (pid + nanotime): concurrent JVMs never share
+        // a tmp dir, so a half-written attempt can never be renamed in
+        val tmp = new java.io.File(base.getParent,
+          s".${base.getName}.${ProcessHandle.current.pid}-${System.nanoTime}.tmp")
+        import org.apache.spark.sql.functions.col
+        raw.repartitionByRange(n, col(raw.columns.head))
+          .sortWithinPartitions(raw.columns.head)
+          .write.mode("overwrite").parquet(tmp.getPath)
+        if (!tmp.renameTo(base)) { // lost the race: another JVM compacted first
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(tmp.toPath).iterator().asScala.toSeq
+            .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
       }
+      base.getPath
     }
-    base.getPath
-  }
+
+  private val compactLock = new Object
 
   /** events.ts is parquet timestamp[ns]; Spark reads NANOS natively only as
     * long when `spark.sql.legacy.parquet.nanosAsLong` is set. We normalize

@@ -276,7 +276,10 @@ object Parser {
         case other => (None, other)
       }
       // ORDER BY [col [ASC|DESC], …] (graft extension): explicit result
-      // ordering; direction defaults ASC per column
+      // ordering; direction defaults ASC per column. ASC/DESC are RESERVED
+      // in column position here (as in SQL): a bare `desc` after a column
+      // is always a direction — a column actually named desc/asc must be
+      // quoted ('desc'), which lexes as Str and sorts by the column
       val (orderBy, afterOrder) = afterHaving match {
         case Keyword("ORDER") :: Keyword("BY") :: (g: Group) :: tl =>
           val items = List.newBuilder[SortItem]
@@ -301,7 +304,8 @@ object Parser {
       val limit = afterOrder match {
         case Nil => None
         case Keyword("LIMIT") :: IntLit(n) :: Nil =>
-          if (n < 1) throw new ParseException("LIMIT must be >= 1")
+          if (n < 1 || n > Int.MaxValue) // no silent toInt wrap for n > 2^31-1
+            throw new ParseException(s"LIMIT must be in [1, ${Int.MaxValue}], got $n")
           Some(n.toInt)
         case Keyword("LIMIT") :: other =>
           throw new ParseException(s"Expected a positive integer after LIMIT, got $other")

@@ -132,8 +132,14 @@ object Settings {
     // The reference's load_settings rewrites the normalized settings back
     // to disk (`database.rs:290-345`), so other readers of the file see
     // healed values, not the out-of-range originals. Match that: persist
-    // only when normalization actually changed something.
-    if (healed != parsed) Files.writeString(file, healed.toYaml)
+    // only when normalization actually changed something. Like the
+    // reference's serde_yaml dump, the rewrite is a full re-serialization
+    // (comments/unknown keys don't survive — reference-faithful). The
+    // write is best-effort: normalization is documented as "corrected,
+    // never fatal", so a read-only settings file must not abort boot.
+    if (healed != parsed)
+      try Files.writeString(file, healed.toYaml)
+      catch { case _: java.io.IOException => () }
     healed
   }
 }

@@ -215,8 +215,13 @@ object Events {
         // The assert lives INSIDE the key expression — coalesce(NULL-on-
         // pass, '') keeps the concat a no-op — because a free-standing
         // guard column would be pruned away by Catalyst before evaluating.
+        // NULL-safe: a NULL ts/event_id yields a NULL key (which max()
+        // skips, same as the oracle) — the assert must not fire on NULL,
+        // only on genuinely negative values, so coalesce the 3VL condition
+        // to true first
         val nonNegative = coalesce(
-          assert_true(unix_micros(col("ts")) >= 0 && col("event_id") >= 0,
+          assert_true(
+            coalesce(unix_micros(col("ts")) >= 0 && col("event_id") >= 0, lit(true)),
             lit("e_asof_join: ts and event_id must be non-negative for the padded sortable key"))
             .cast("string"),
           lit(""))

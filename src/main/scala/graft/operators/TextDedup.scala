@@ -540,9 +540,12 @@ object TextDedup {
     // k-counter summary and only ≤ k (token, count) pairs cross the
     // exchange — the approximate sibling of t_ngram_frequency's exact
     // groupBy, which at 100 TB must shuffle every distinct token. No SQL
-    // oracle (summary contents depend on merge order, like
-    // x_approx_distinct's HLL); MisraGriesSpec pins the n/(k+1) error
-    // bound against exact counts.
+    // oracle, and none possible: MG merge is commutative but NOT
+    // associative, so counts near the rank-(k+1) cut legitimately vary
+    // with shuffle-fetch arrival order across runs. The driver's
+    // rows-only check is stable (a k=256 summary always yields the full
+    // LIMIT of rows); value correctness is the n/(k+1) bound family,
+    // pinned by MisraGriesSpec under multiple partitionings.
     Q.noOracle("t_heavy_hitters") {
       (s, dir) => {
         import s.implicits._

@@ -92,12 +92,19 @@ final class AqlServer(engine: Engine, port: Int = 0) {
   private def start(useSettingsPort: Boolean): Int = {
     val p = if (useSettingsPort) boundPort else port
     server = HttpServer.create(new InetSocketAddress(engine.settings.ip, p), 0)
-    server.createContext("/health", (ex: HttpExchange) => respond(ex, 200, """{"ok":true}"""))
-    server.createContext("/session", (ex: HttpExchange) => handleSession(ex))
-    server.createContext("/query", (ex: HttpExchange) => handleQuery(ex))
-    // root context: the reference's binary wire protocol (it ignores the
-    // request path entirely — database.rs:1249-1265 — so "/" as the
-    // catch-all matches; the specific JSON routes above take precedence)
+    // JSON routes claim their EXACT paths only; everything else — including
+    // prefix-sharing paths like /queryX, which the JDK server would
+    // otherwise route by longest prefix — falls through to the wire
+    // handler, because the reference protocol ignores the request path
+    // entirely (database.rs:1249-1265). The three exact JSON paths are the
+    // one documented carve-out from that path-blindness.
+    def exactOr(path: String, h: HttpExchange => Unit): HttpHandler =
+      (ex: HttpExchange) =>
+        if (ex.getRequestURI.getPath == path) h(ex) else handleWire(ex)
+    server.createContext("/health",
+      exactOr("/health", ex => respond(ex, 200, """{"ok":true}""")))
+    server.createContext("/session", exactOr("/session", handleSession))
+    server.createContext("/query", exactOr("/query", handleQuery))
     server.createContext("/", (ex: HttpExchange) => handleWire(ex))
     // max_connections bounds concurrent request handlers; execution is
     // still serialized per statement by `lock` (reference whole-db RwLock)
@@ -175,6 +182,11 @@ final class AqlServer(engine: Engine, port: Int = 0) {
     */
   private val WireErrorFrame = new Array[Byte](8)
 
+  /** Shared parser for wire JSON — ObjectMapper construction is heavyweight
+    * and the instance is thread-safe for readTree.
+    */
+  private val wireJson = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** Reference binary wire protocol on the data-port root: non-POST = key
     * handshake, POST = encrypted query (`database.rs:1249-1265`).
     */
@@ -216,7 +228,7 @@ final class AqlServer(engine: Engine, port: Int = 0) {
       case Some(plain) =>
         val (content, success) =
           try {
-            val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(plain)
+            val node = wireJson.readTree(plain)
             val command = node.get("command").asText()
             val args = Option(node.get("arguments")).toSeq
               .flatMap(a => (0 until a.size()).map(a.get(_).asText()))

@@ -64,6 +64,10 @@ final class WireKeys(dbDir: Path, count: Int) {
         Files.writeString(file,
           fresh.map(k => "- " + java.util.Base64.getEncoder.encodeToString(k))
             .mkString("", "\n", "\n"))
+        // key material: owner-only, like ssh keys (POSIX only; best-effort)
+        try Files.setPosixFilePermissions(file,
+          java.nio.file.attribute.PosixFilePermissions.fromString("rw-------"))
+        catch { case _: UnsupportedOperationException => () }
         fresh
       }
     keys.map(k => Blake3.hex(Blake3.hash(k)) -> k).toMap

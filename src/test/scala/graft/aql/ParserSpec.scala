@@ -105,6 +105,14 @@ class ParserSpec extends AnyFunSuite {
     assert(s.orderBy.isEmpty && s.limit.isEmpty)
   }
 
+  test("ORDER BY: bare desc is a direction, quoted 'desc' is a column (reserved-word rule)") {
+    val bare = Parser.parse("SEARCH [] ON u ORDER BY [a desc]").asInstanceOf[Search]
+    assert(bare.orderBy == List(SortItem("a", asc = false)))
+    val quoted = Parser.parse("SEARCH [] ON u ORDER BY [a, 'desc']").asInstanceOf[Search]
+    assert(quoted.orderBy ==
+      List(SortItem("a", asc = true), SortItem("desc", asc = true)))
+  }
+
   test("malformed ORDER BY / LIMIT rejected") {
     intercept[ParseException](Parser.parse("SEARCH [] ON u ORDER [x]"))     // missing BY
     intercept[ParseException](Parser.parse("SEARCH [] ON u ORDER BY []"))   // empty list

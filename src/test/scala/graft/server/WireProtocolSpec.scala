@@ -128,6 +128,24 @@ class WireProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
       new Array[Byte](8).toSeq)
   }
 
+  test("wire protocol is path-blind like the reference (incl. JSON-route prefixes)") {
+    val key = firstKey
+    handshake(key)
+    // the reference ignores the request path entirely; only the EXACT
+    // /health /session /query paths are the JSON carve-out — a
+    // prefix-sharing path like /queryx must still hit the wire handler
+    for (path <- Seq("/anything/at/all", "/queryx", "/sessions2")) {
+      val json = """{"command":"SEARCH ['label'] ON wires WHERE id = 7","arguments":[]}"""
+      val payload = Blake3.hash(key) ++ WireCrypto.encrypt(json.getBytes(UTF_8), key)
+      val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .method("POST", HttpRequest.BodyPublishers.ofByteArray(payload)).build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray()).body()
+      assert(resp.length > 8, s"$path did not reach the wire handler")
+      val plain = new String(WireCrypto.decrypt(resp.drop(8), key).get, UTF_8)
+      assert(plain.contains("\"!\":1"), s"$path: $plain")
+    }
+  }
+
   test("wire_encryption: false disables the binary protocol") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wire-off")
     java.nio.file.Files.writeString(dir.resolve("settings.yaml"),

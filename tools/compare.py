@@ -32,12 +32,10 @@ def main(sf_dir, out_dir):
         if not os.path.isdir(pdir):
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            got = con.sql(f"SELECT * FROM '{pdir}/*.parquet'").fetchall()
-            got_cols = [d[0] for d in con.sql(
-                f"SELECT * FROM '{pdir}/*.parquet' LIMIT 0").description]
-            exp = con.sql(sql).fetchall()
-            exp_cols = [d[0] for d in con.sql(
-                f"SELECT * FROM ({sql}) LIMIT 0").description]
+            got_rel = con.sql(f"SELECT * FROM '{pdir}/*.parquet'")
+            exp_rel = con.sql(sql)
+            got, got_cols = got_rel.fetchall(), list(got_rel.columns)
+            exp, exp_cols = exp_rel.fetchall(), list(exp_rel.columns)
             # The driver hashes pandas-materialized frames, so its compare is
             # dtype-KIND-sensitive: DuckDB widens e.g. sum(INTEGER) to
             # HUGEINT, pandas materializes HUGEINT as float64, Spark wrote
@@ -48,8 +46,10 @@ def main(sf_dir, out_dir):
             # datetime), merging signed+unsigned ints, not the exact width.
             # Full materialization, not LIMIT 0: NULLs flip pandas int64 →
             # float64 only when data is present, and the driver sees data.
-            got_dt = con.sql(f"SELECT * FROM '{pdir}/*.parquet'").df().dtypes
-            exp_dt = con.sql(f"SELECT * FROM ({sql})").df().dtypes
+            # (fetchall values stay the comparison source — .df() here is
+            # only for dtypes, so each side executes twice, not thrice.)
+            got_dt = got_rel.df().dtypes
+            exp_dt = exp_rel.df().dtypes
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}"); n_fail += 1; continue
         if sorted(got_cols) != sorted(exp_cols):
