@@ -161,7 +161,7 @@ object Similarity {
          |       round(${duckCos("a.embedding", "b.embedding")}, 6) AS cos_sim
          |FROM embeddings a JOIN embeddings b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE ${duckCos("a.embedding", "b.embedding")} > 0.9
+         |WHERE ${duckCos("a.embedding", "b.embedding")} > 0.35
          |ORDER BY id_a, id_b""".stripMargin) {
       (s, dir) => {
         val e = emb(s, dir)
@@ -171,7 +171,7 @@ object Similarity {
           col("embedding").as("emb_b"))
         a.join(b, col("cell_a") === col("cell_b") && col("id_a") < col("id_b"))
           .withColumn("cs", cosine(col("emb_a"), col("emb_b")))
-          .filter(col("cs") > 0.9)
+          .filter(col("cs") > 0.35)
           .select(col("id_a"), col("id_b"), round(col("cs"), 6).as("cos_sim"))
           .orderBy(col("id_a"), col("id_b"))
       }

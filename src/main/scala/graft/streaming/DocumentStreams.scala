@@ -38,4 +38,20 @@ object DocumentStreams {
   def firstSeen(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(col("text")).as("h"))
       .dropDuplicates("h")
+
+  /** Streaming twin of `t_heavy_hitters`: the Misra-Gries summary as a
+    * stateful streaming aggregation (complete mode). State is ONE summary
+    * of ≤ k counters — constant-size regardless of how many documents have
+    * streamed through, which is the whole point of a mergeable sketch on an
+    * unbounded stream (an exact streaming token count would grow state per
+    * distinct token forever). The n/(k+1) bounds hold against the exact
+    * counts of everything ingested so far (StreamingSpec pins it).
+    */
+  def heavyHitters(docs: DataFrame, k: Int = 256): DataFrame = {
+    val mg = udaf(new graft.functions.MisraGries(k),
+      org.apache.spark.sql.Encoders.STRING)
+    docs.select(explode(split(lower(col("text")), " ")).as("tok"))
+      .agg(mg(col("tok")).as("mg"))
+      .select(explode(col("mg")).as(Seq("token", "approx_count")))
+  }
 }

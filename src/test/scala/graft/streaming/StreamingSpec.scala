@@ -97,6 +97,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming heavy hitters honor the Misra-Gries bounds vs exact counts") {
+    val k = 256
+    val q = DocumentStreams.heavyHitters(DocumentStreams.readDocuments(spark, dir), k)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hh_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val summary = spark.table("hh_out").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val toks = graft.Tables.load(spark, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+    val n = toks.count()
+    val bound = n.toDouble / (k + 1)
+    val exact = toks.groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summary.nonEmpty && summary.size <= k)
+    for ((t, c) <- exact if c > bound)
+      assert(summary.contains(t), s"heavy hitter '$t' ($c > $bound) missing from stream state")
+    for ((t, est) <- summary) {
+      val truth = exact.getOrElse(t, 0L)
+      assert(est <= truth && est >= truth - bound, s"'$t': est $est vs true $truth ± $bound")
+    }
+  }
+
   test("first-seen streaming dedup keeps exactly one doc per content hash") {
     val q = DocumentStreams.firstSeen(DocumentStreams.readDocuments(spark, dir))
       .writeStream.outputMode("append")
