@@ -113,6 +113,29 @@ object TextDedup {
        |          FROM bands a JOIN bands b
        |            ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Jaccard-verified near-dup pairs (exact set check over the LSH
+    * candidates only) — shared by dd_ngram_jaccard and dd_dup_clusters.
+    */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = withShingles(docs(s, dir)).select(col("doc_id"), col("sg"))
+    lshPairs(s, dir)
+      .join(sh.select(col("doc_id").as("id_a"), col("sg").as("sg_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sg").as("sg_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sg_a"), col("sg_b"))).cast("double")
+          / size(array_union(col("sg_a"), col("sg_b"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+  }
+
+  private val duckJaccardCtes =
+    s"""$duckLshPairs,
+       |j AS (SELECT p.id_a, p.id_b,
+       |        round(CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
+       |              / len(list_distinct(list_concat(sa.sg, sb.sg))), 6) AS jaccard
+       |      FROM pairs p
+       |      JOIN shing sa ON sa.doc_id = p.id_a
+       |      JOIN shing sb ON sb.doc_id = p.id_b)""".stripMargin
+
   // ---- SimHash: 32-bit signature from token md5 nibbles. ------------------
   // Bit i of token-hash = bit (3 - i%4) of hex digit i/4 of md5(token).
   // Signature bit i = majority vote over tokens (sum of ±1 > 0).
@@ -436,26 +459,69 @@ object TextDedup {
     // stage of the near-dup pipeline (only bucket-colliding pairs pay the
     // set-intersection cost).
     Q("dd_ngram_jaccard",
-      s"""$duckLshPairs,
-         |j AS (SELECT p.id_a, p.id_b,
-         |        round(CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
-         |              / len(list_distinct(list_concat(sa.sg, sb.sg))), 6) AS jaccard
-         |      FROM pairs p
-         |      JOIN shing sa ON sa.doc_id = p.id_a
-         |      JOIN shing sb ON sb.doc_id = p.id_b)
+      s"""$duckJaccardCtes
          |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2
          |ORDER BY id_a, id_b""".stripMargin) {
+      (s, dir) =>
+        jaccardPairs(s, dir).orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Connected components over the verified near-dup graph — the CLUSTER
+    // step of corpus dedup (cluster, then keep one doc per cluster).
+    // Spark side: Pregel-style iterative min-label propagation as a driver
+    // loop of distributed joins (each vertex adopts the smallest label
+    // among itself and its neighbors until fixpoint). Rounds needed =
+    // component diameter; banded-LSH dup clusters are near-cliques
+    // (diameter ≤ 3-4), so this converges in a handful of rounds — for
+    // adversarially long chains the star-contraction variant (Kiveris et
+    // al. 2014, "Connected Components in MapReduce and Beyond") halves
+    // diameter per round instead. Convergence is detected by the label-sum
+    // invariant (labels only ever decrease), one tiny agg action per
+    // round; per-round results are cached and the previous round evicted,
+    // so lineage stays bounded. The DuckDB oracle recomputes components
+    // declaratively with a recursive CTE.
+    Q("dd_dup_clusters",
+      s"""${duckJaccardCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |verified AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+         |e AS (SELECT id_a AS a, id_b AS b FROM verified
+         |      UNION ALL SELECT id_b, id_a FROM verified),
+         |nodes AS (SELECT DISTINCT a AS v FROM e),
+         |walk(v, l) AS (
+         |  SELECT v, v FROM nodes
+         |  UNION
+         |  SELECT e.b, w.l FROM walk w JOIN e ON e.a = w.v),
+         |comp AS (SELECT v, min(l) AS l FROM walk GROUP BY v)
+         |SELECT v AS doc_id, CAST(l AS BIGINT) AS cluster_id FROM comp
+         |ORDER BY doc_id""".stripMargin) {
       (s, dir) => {
-        val sh = withShingles(docs(s, dir)).select(col("doc_id"), col("sg"))
-        val pairs = lshPairs(s, dir)
-        pairs
-          .join(sh.select(col("doc_id").as("id_a"), col("sg").as("sg_a")), Seq("id_a"))
-          .join(sh.select(col("doc_id").as("id_b"), col("sg").as("sg_b")), Seq("id_b"))
-          .select(col("id_a"), col("id_b"),
-            round(size(array_intersect(col("sg_a"), col("sg_b"))).cast("double")
-              / size(array_union(col("sg_a"), col("sg_b"))), 6).as("jaccard"))
-          .filter(col("jaccard") >= 0.2)
-          .orderBy(col("id_a"), col("id_b"))
+        val pairs = jaccardPairs(s, dir).select(col("id_a"), col("id_b"))
+        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+          .persist()
+        var labels = edges.select(col("src").as("v")).distinct()
+          .select(col("v"), col("v").as("l")).persist()
+        def labelSum(df: DataFrame): Long =
+          df.agg(coalesce(sum(col("l")), lit(0L))).head.getLong(0)
+        var prev = labelSum(labels)
+        var converged = false
+        var rounds = 0
+        while (!converged && rounds < 20) {
+          val neighborMin = edges.join(labels, col("dst") === col("v"))
+            .groupBy(col("src")).agg(min(col("l")).as("nl"))
+          val next = labels.join(neighborMin, labels("v") === neighborMin("src"), "left")
+            .select(labels("v"), least(labels("l"), coalesce(col("nl"), labels("l"))).as("l"))
+            .persist()
+          val cur = labelSum(next)
+          labels.unpersist()
+          labels = next
+          converged = cur == prev
+          prev = cur
+          rounds += 1
+        }
+        edges.unpersist()
+        require(converged, s"label propagation did not converge in $rounds rounds")
+        labels.select(col("v").as("doc_id"), col("l").as("cluster_id"))
+          .orderBy(col("doc_id"))
       }
     },
 
