@@ -105,8 +105,11 @@ object TextDedup {
       .distinct()
   }
 
+  // RECURSIVE unconditionally: harmless for the non-recursive consumers,
+  // and required by dd_dup_clusters' walk CTE — no string surgery on a
+  // generated query downstream
   private val duckLshPairs =
-    s"""WITH $duckShingles,
+    s"""WITH RECURSIVE $duckShingles,
        |$duckSignatures,
        |$duckBands,
        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -468,20 +471,25 @@ object TextDedup {
 
     // Connected components over the verified near-dup graph — the CLUSTER
     // step of corpus dedup (cluster, then keep one doc per cluster).
-    // Spark side: Pregel-style iterative min-label propagation as a driver
-    // loop of distributed joins (each vertex adopts the smallest label
-    // among itself and its neighbors until fixpoint). Rounds needed =
-    // component diameter; banded-LSH dup clusters are near-cliques
-    // (diameter ≤ 3-4), so this converges in a handful of rounds — for
-    // adversarially long chains the star-contraction variant (Kiveris et
-    // al. 2014, "Connected Components in MapReduce and Beyond") halves
-    // diameter per round instead. Convergence is detected by the label-sum
-    // invariant (labels only ever decrease), one tiny agg action per
-    // round; per-round results are cached and the previous round evicted,
-    // so lineage stays bounded. The DuckDB oracle recomputes components
-    // declaratively with a recursive CTE.
+    // Spark side: a driver loop of distributed joins combining min-label
+    // propagation (each vertex adopts the smallest label among itself and
+    // its neighbors) with POINTER JUMPING (each vertex also adopts its
+    // label's label — label values are themselves vertex ids, so labels(l)
+    // always resolves). The jump halves label-chain length per round, so
+    // convergence takes O(log diameter) rounds — a 20-round cap covers
+    // diameters past 10^6, where plain propagation needs diameter rounds
+    // (the same doubling idea as the star operations in Kiveris et al.
+    // 2014, "Connected Components in MapReduce and Beyond"). Convergence
+    // is the monotone label-sum invariant, one tiny agg action per round.
+    // Each round is localCheckpoint'ed (eager): that truncates lineage —
+    // persist() alone would not — and the superseded round's blocks are
+    // dropped by the ContextCleaner once unreferenced, so nothing leaks in
+    // a resident session. (On a cluster, reliable checkpointing to the
+    // checkpoint dir is the fault-tolerant variant of the same move.)
+    // The DuckDB oracle recomputes components declaratively with a
+    // recursive CTE.
     Q("dd_dup_clusters",
-      s"""${duckJaccardCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      s"""$duckJaccardCtes,
          |verified AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
          |e AS (SELECT id_a AS a, id_b AS b FROM verified
          |      UNION ALL SELECT id_b, id_a FROM verified),
@@ -497,9 +505,9 @@ object TextDedup {
         val pairs = jaccardPairs(s, dir).select(col("id_a"), col("id_b"))
         val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
           .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-          .persist()
+          .localCheckpoint(true)
         var labels = edges.select(col("src").as("v")).distinct()
-          .select(col("v"), col("v").as("l")).persist()
+          .select(col("v"), col("v").as("l")).localCheckpoint(true)
         def labelSum(df: DataFrame): Long =
           df.agg(coalesce(sum(col("l")), lit(0L))).head.getLong(0)
         var prev = labelSum(labels)
@@ -508,17 +516,19 @@ object TextDedup {
         while (!converged && rounds < 20) {
           val neighborMin = edges.join(labels, col("dst") === col("v"))
             .groupBy(col("src")).agg(min(col("l")).as("nl"))
-          val next = labels.join(neighborMin, labels("v") === neighborMin("src"), "left")
-            .select(labels("v"), least(labels("l"), coalesce(col("nl"), labels("l"))).as("l"))
-            .persist()
+          val jump = labels.select(col("v").as("jv"), col("l").as("jl"))
+          val next = labels
+            .join(neighborMin, labels("v") === neighborMin("src"), "left")
+            .join(jump, labels("l") === col("jv"))
+            .select(labels("v"),
+              least(labels("l"), coalesce(col("nl"), labels("l")), col("jl")).as("l"))
+            .localCheckpoint(true)
           val cur = labelSum(next)
-          labels.unpersist()
           labels = next
           converged = cur == prev
           prev = cur
           rounds += 1
         }
-        edges.unpersist()
         require(converged, s"label propagation did not converge in $rounds rounds")
         labels.select(col("v").as("doc_id"), col("l").as("cluster_id"))
           .orderBy(col("doc_id"))

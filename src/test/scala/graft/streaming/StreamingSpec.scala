@@ -99,10 +99,29 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming heavy hitters honor the Misra-Gries bounds vs exact counts") {
     val k = 256
-    val q = DocumentStreams.heavyHitters(DocumentStreams.readDocuments(spark, dir), k)
+    // stage the corpus as TWO files + maxFilesPerTrigger=1, so the summary
+    // state is serialized into the state store after trigger 1 and MERGED
+    // with trigger 2's partial — the cross-trigger property a single-batch
+    // run would never exercise
+    val docsAll = graft.Tables.load(spark, dir, "documents")
+    val stage = java.nio.file.Files.createTempDirectory("graft-hh-stage")
+    docsAll.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$stage/b0")
+    docsAll.filter(col("doc_id") % 2 =!= 0).coalesce(1)
+      .write.parquet(s"$stage/b1")
+    for ((sub, i) <- Seq("b0", "b1").zipWithIndex;
+         f <- new java.io.File(s"$stage/$sub").listFiles
+         if f.getName.endsWith(".parquet"))
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$stage/batch$i.parquet"))
+    val stream = spark.readStream.schema(docsAll.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+    val q = DocumentStreams.heavyHitters(stream, k)
       .writeStream.outputMode("complete")
       .format("memory").queryName("hh_out").start()
     try q.processAllAvailable() finally q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "expected the corpus to arrive across >= 2 triggers")
 
     val summary = spark.table("hh_out").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
