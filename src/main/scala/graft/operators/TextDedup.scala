@@ -633,6 +633,136 @@ object TextDedup {
           .orderBy(col("approx_count").desc, col("token"))
           .limit(20)
       }
+    },
+
+    // Benchmark decontamination: flag corpus documents sharing any 4-word
+    // gram with a held-out evaluation set (here the 'src0' slice) — the
+    // standard pre-training hygiene step (eval answers leaking into train
+    // data). Scale shape: the BENCHMARK gram set is the true dimension —
+    // eval suites are a few MB against a 100 TB corpus — so it carries the
+    // broadcast hint and the corpus side never shuffles its grams for the
+    // probe; per-doc distinct + counts are partial-agg group-bys.
+    Q("t_decontaminate",
+      """WITH toks AS (SELECT doc_id, source, string_split(lower(text),' ') AS tk
+        |              FROM documents),
+        |grams AS (SELECT doc_id, source,
+        |    unnest(list_transform(range(1, len(tk)-2),
+        |      i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3])) AS g
+        |  FROM toks WHERE len(tk) >= 4),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+        |corp  AS (SELECT DISTINCT doc_id, g FROM grams WHERE source <> 'src0'),
+        |tot   AS (SELECT doc_id, count(*) AS n_grams FROM corp GROUP BY doc_id),
+        |hits  AS (SELECT doc_id, count(*) AS n_contaminated
+        |          FROM corp JOIN bench USING (g) GROUP BY doc_id)
+        |SELECT t.doc_id, n_grams,
+        |       coalesce(n_contaminated, CAST(0 AS BIGINT)) AS n_contaminated,
+        |       round(CAST(coalesce(n_contaminated, 0) AS DOUBLE) / n_grams, 6)
+        |         AS contamination
+        |FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
+        |ORDER BY t.doc_id""".stripMargin) {
+      (s, dir) => {
+        // 4-gram shingles; the size-4 CASE guard mirrors withShingles
+        // (sequence(1, n) turns descending for n < 1 under ANSI).
+        val grams = docs(s, dir)
+          .select(col("doc_id"), col("source"), split(lower(col("text")), " ").as("tk"))
+          .withColumn("sg", expr(
+            "CASE WHEN size(tk) >= 4 THEN transform(sequence(1, size(tk)-3), " +
+              "i -> element_at(tk,i) || ' ' || element_at(tk,i+1) || ' ' || " +
+              "element_at(tk,i+2) || ' ' || element_at(tk,i+3)) ELSE array() END"))
+          .select(col("doc_id"), col("source"), explode(col("sg")).as("g"))
+        val bench = grams.filter(col("source") === "src0").select(col("g")).distinct()
+        val corp = grams.filter(col("source") =!= "src0")
+          .select(col("doc_id"), col("g")).distinct()
+        val tot = corp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        val hits = corp.join(broadcast(bench), Seq("g"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+        tot.join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+            round(coalesce(col("n_contaminated"), lit(0L)).cast("double")
+              / col("n_grams"), 6).as("contamination"))
+          .orderBy(col("doc_id"))
+      }
+    },
+
+    // TF-IDF top terms per document (sklearn's smoothed variant, public:
+    // idf = ln((1+N)/(1+df)) + 1). Scale shape: tf is a (doc, term)
+    // partial-agg group-by; df re-aggregates tf by term (term-level, tiny
+    // vs corpus but corpus-derived → NO broadcast hint, AQE decides); the
+    // corpus count N is a literal one-row broadcast. Scores are rounded to
+    // 6 before ranking so both engines break ties identically (score desc,
+    // then term).
+    Q("t_tfidf_top_terms",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS term
+        |              FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n  AS (SELECT count(*) AS n FROM documents),
+        |scored AS (SELECT doc_id, tf.term AS term,
+        |    round(tf * (ln((1.0 + n) / (1.0 + df)) + 1.0), 6) AS score
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        |ranked AS (SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        |  FROM scored)
+        |SELECT doc_id, term, score FROM ranked WHERE rn <= 3
+        |ORDER BY doc_id, score DESC, term""".stripMargin) {
+      (s, dir) => {
+        val d = docs(s, dir)
+        val tf = d.select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = d.agg(count(lit(1)).as("n"))
+        val scored = tf.join(dfRel, Seq("term")).crossJoin(broadcast(n))
+          .select(col("doc_id"), col("term"),
+            round(col("tf") * (log((lit(1.0) + col("n")) / (lit(1.0) + col("df")))
+              + lit(1.0)), 6).as("score"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("term"), col("score"))
+          .orderBy(col("doc_id"), col("score").desc, col("term"))
+      }
+    },
+
+    // Sequence packing for training: concatenate each source's documents
+    // in doc_id order and chop the token stream into fixed 128-token
+    // context windows — each doc reports its window (seq_id), offset
+    // within it, and whether it straddles a boundary. The running sum is
+    // windowed PER SOURCE, so at 100 TB the sort/scan parallelizes across
+    // sources (no global single-partition cumsum); both engines CAST the
+    // windowed sum to BIGINT (DuckDB would widen to HUGEINT → float64 in
+    // pandas → driver dtype-hash mismatch, the r2 lesson).
+    Q("t_seq_packing",
+      """WITH w AS (SELECT doc_id, source,
+        |             CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |        CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          - n_tok AS tok_start
+        |      FROM w)
+        |SELECT doc_id, source, n_tok,
+        |       tok_start // 128 AS seq_id,
+        |       tok_start - (tok_start // 128) * 128 AS seq_offset,
+        |       CASE WHEN tok_start // 128 <> (tok_start + n_tok - 1) // 128
+        |            THEN 1 ELSE 0 END AS crosses
+        |FROM c ORDER BY source, doc_id""".stripMargin) {
+      (s, dir) => {
+        val cum = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs(s, dir)
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .withColumn("tok_start", sum(col("n_tok")).over(cum) - col("n_tok"))
+          .select(col("doc_id"), col("source"), col("n_tok"),
+            expr("tok_start div 128").as("seq_id"),
+            (col("tok_start") - expr("tok_start div 128") * 128).as("seq_offset"),
+            when(expr("tok_start div 128") =!= expr("(tok_start + n_tok - 1) div 128"), 1)
+              .otherwise(0).as("crosses"))
+          .orderBy(col("source"), col("doc_id"))
+      }
     }
   )
 }

@@ -118,4 +118,57 @@ class OperatorsSpec extends AnyFunSuite {
     val names = SparkEntry.queries.keySet
     SparkEntry.benchQueries.foreach(b => assert(names.contains(b)))
   }
+
+  test("decontamination: exact cross-source duplicates of the eval slice " +
+    "score contamination 1.0, and no eval doc leaks into the output") {
+    val d = graft.Tables.load(spark, dir, "documents")
+    val out = SparkEntry.queries("t_decontaminate")(spark, dir).collect()
+    val evalIds = d.filter(col("source") === "src0")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(out.forall(r => !evalIds.contains(r.getLong(0))), "eval doc in output")
+    assert(out.forall { r =>
+      val c = r.getDouble(3); c >= 0.0 && c <= 1.0
+    })
+    // any corpus doc whose full text equals an eval doc's text shares every
+    // 4-gram with the benchmark → contamination must be exactly 1.0
+    val evalTexts = d.filter(col("source") === "src0")
+      .select(col("text")).collect().map(_.getString(0)).toSet
+    val dupIds = d.filter(col("source") =!= "src0")
+      .collect().filter(r => evalTexts.contains(r.getString(1)))
+      .map(_.getLong(0)).toSet
+    val byId = out.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    dupIds.foreach { id =>
+      assert(byId.get(id).contains(1.0), s"exact eval duplicate $id not fully flagged")
+    }
+  }
+
+  test("tfidf top terms: <= 3 unique terms per doc, scores non-increasing") {
+    val rows = SparkEntry.queries("t_tfidf_top_terms")(spark, dir).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+      assert(rs.length <= 3, s"doc $id has ${rs.length} terms")
+      assert(rs.map(_.getString(1)).distinct.length == rs.length)
+      val scores = rs.map(_.getDouble(2))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"doc $id scores not sorted: ${scores.toSeq}")
+    }
+  }
+
+  test("sequence packing: offsets within budget, windows tile the per-source " +
+    "token stream, crosses flag matches the arithmetic") {
+    val rows = SparkEntry.queries("t_seq_packing")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_._1)
+      var cum = 0L
+      sorted.foreach { case (id, _, nTok, seqId, off, crosses) =>
+        assert(off >= 0 && off < 128, s"doc $id offset $off out of window")
+        assert(seqId == cum / 128, s"doc $id seq_id $seqId != ${cum / 128}")
+        assert(off == cum % 128, s"doc $id offset $off != ${cum % 128}")
+        val expectCross = if (off + nTok > 128) 1 else 0
+        assert(crosses == expectCross, s"doc $id crosses $crosses != $expectCross")
+        cum += nTok
+      }
+      assert(sorted.map(_._3).sum == cum, s"source $src token stream not tiled")
+    }
+  }
 }
