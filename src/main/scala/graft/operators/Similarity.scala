@@ -236,6 +236,95 @@ object Similarity {
             round(avg(element_at(col("embedding"), 3).cast("double")), 6).as("c3"),
             round(avg(element_at(col("embedding"), 4).cast("double")), 6).as("c4"))
           .orderBy(col("label"))
+    },
+
+    // One Lloyd iteration of k-means, assignment half: nearest of k=8
+    // deterministic seed centroids (the k lowest vec_ids), squared L2 in
+    // double with element-order summation, round-6 before the argmin so
+    // both engines break ties identically (distance, then seed id).
+    // Scale shape: centroids are ALWAYS a broadcast dimension (k rows, by
+    // construction — Spark MLlib's own k-means keeps them on the driver
+    // between iterations); the corpus side is a single scan, no shuffle at
+    // all for assignment. Full Lloyd iterations = this assignment + the
+    // partial-agg mean update below, looped (KMeansSpec runs the loop and
+    // pins the monotone-inertia invariant).
+    Q("km_lloyd_assign",
+      s"""WITH seeds AS (SELECT vec_id AS sid, embedding AS semb
+         |               FROM embeddings ORDER BY vec_id LIMIT 8),
+         |a AS (SELECT e.vec_id, s.sid,
+         |        round(${duckD2("e.embedding", "s.semb")}, 6) AS d2
+         |      FROM embeddings e CROSS JOIN seeds s),
+         |r AS (SELECT vec_id, sid, d2,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY d2, sid) AS rn
+         |      FROM a)
+         |SELECT vec_id, sid AS cluster, d2 FROM r WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin) {
+      (s, dir) =>
+        assignToSeeds(emb(s, dir))
+          .select(col("vec_id"), col("cluster"), col("d2"))
+          .orderBy(col("vec_id"))
+    },
+
+    // The matching Lloyd update half: per-cluster member count, mean
+    // squared distance (the cluster's inertia share), and the first four
+    // coordinates of the recomputed mean centroid — a partial-agg group-by
+    // on the assignment, one (cluster)-keyed shuffle of k×dims doubles.
+    Q("km_lloyd_update",
+      s"""WITH seeds AS (SELECT vec_id AS sid, embedding AS semb
+         |               FROM embeddings ORDER BY vec_id LIMIT 8),
+         |a AS (SELECT e.vec_id, e.embedding, s.sid,
+         |        round(${duckD2("e.embedding", "s.semb")}, 6) AS d2
+         |      FROM embeddings e CROSS JOIN seeds s),
+         |r AS (SELECT vec_id, embedding, sid, d2,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY d2, sid) AS rn
+         |      FROM a)
+         |SELECT sid AS cluster, count(*) AS n, round(avg(d2), 6) AS mean_d2,
+         |       round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS c1,
+         |       round(avg(CAST(embedding[2] AS DOUBLE)), 6) AS c2,
+         |       round(avg(CAST(embedding[3] AS DOUBLE)), 6) AS c3,
+         |       round(avg(CAST(embedding[4] AS DOUBLE)), 6) AS c4
+         |FROM r WHERE rn = 1 GROUP BY sid ORDER BY cluster""".stripMargin) {
+      (s, dir) =>
+        assignToSeeds(emb(s, dir))
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n"), round(avg(col("d2")), 6).as("mean_d2"),
+            round(avg(element_at(col("embedding"), 1).cast("double")), 6).as("c1"),
+            round(avg(element_at(col("embedding"), 2).cast("double")), 6).as("c2"),
+            round(avg(element_at(col("embedding"), 3).cast("double")), 6).as("c3"),
+            round(avg(element_at(col("embedding"), 4).cast("double")), 6).as("c4"))
+          .orderBy(col("cluster"))
     }
   )
+
+  /** Squared L2 distance in double, element-order summation (the Spark
+    * twin of duckD2).
+    */
+  def d2(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def duckD2(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
+
+  /** Nearest-centroid assignment against an explicit centroid set
+    * (sid, semb). Centroids are k rows — a true broadcast dimension.
+    */
+  def assign(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("sid"))
+    e.crossJoin(broadcast(centroids))
+      .withColumn("d2", round(d2(col("embedding"), col("semb")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("sid").as("cluster"), col("d2"))
+  }
+
+  /** Assignment to the deterministic k=8 seed centroids (lowest vec_ids). */
+  def assignToSeeds(e: DataFrame): DataFrame =
+    assign(e, e.orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id").as("sid"), col("embedding").as("semb")))
 }

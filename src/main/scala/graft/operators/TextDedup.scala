@@ -36,6 +36,19 @@ object TextDedup {
     * (and element_at(tk, 0) then throws under ANSI), while the oracle's
     * range(1, len-1) is naturally empty.
     */
+  /** (doc_id, source, 4-gram) rows — shared by t_decontaminate and the
+    * streaming contamination twin. Stateless projection + explode, so it
+    * composes with both batch and streaming inputs; the size-4 CASE guard
+    * mirrors withShingles (sequence(1, n) turns descending for n < 1).
+    */
+  def grams4(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("source"), split(lower(col("text")), " ").as("tk"))
+      .withColumn("sg", expr(
+        "CASE WHEN size(tk) >= 4 THEN transform(sequence(1, size(tk)-3), " +
+          "i -> element_at(tk,i) || ' ' || element_at(tk,i+1) || ' ' || " +
+          "element_at(tk,i+2) || ' ' || element_at(tk,i+3)) ELSE array() END"))
+      .select(col("doc_id"), col("source"), explode(col("sg")).as("g"))
+
   private def withShingles(df: DataFrame): DataFrame =
     df.withColumn("tk", split(lower(col("text")), " "))
       .withColumn("sg", expr(
@@ -661,15 +674,7 @@ object TextDedup {
         |FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
         |ORDER BY t.doc_id""".stripMargin) {
       (s, dir) => {
-        // 4-gram shingles; the size-4 CASE guard mirrors withShingles
-        // (sequence(1, n) turns descending for n < 1 under ANSI).
-        val grams = docs(s, dir)
-          .select(col("doc_id"), col("source"), split(lower(col("text")), " ").as("tk"))
-          .withColumn("sg", expr(
-            "CASE WHEN size(tk) >= 4 THEN transform(sequence(1, size(tk)-3), " +
-              "i -> element_at(tk,i) || ' ' || element_at(tk,i+1) || ' ' || " +
-              "element_at(tk,i+2) || ' ' || element_at(tk,i+3)) ELSE array() END"))
-          .select(col("doc_id"), col("source"), explode(col("sg")).as("g"))
+        val grams = grams4(docs(s, dir))
         val bench = grams.filter(col("source") === "src0").select(col("g")).distinct()
         val corp = grams.filter(col("source") =!= "src0")
           .select(col("doc_id"), col("g")).distinct()

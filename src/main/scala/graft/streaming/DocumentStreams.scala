@@ -54,4 +54,18 @@ object DocumentStreams {
       .agg(mg(col("tok")).as("mg"))
       .select(explode(col("mg")).as(Seq("token", "approx_count")))
   }
+
+  /** Streaming twin of `t_decontaminate`'s hit detection: the incoming
+    * documents' 4-grams stream-static joined against the (static,
+    * broadcast) benchmark gram set. Emits one (doc_id, g) row per hit in
+    * append mode with ZERO state — a stateless stream-static join is the
+    * honest 100 TB shape for ingest-time contamination tagging, since the
+    * eval-suite side is a few MB and never changes mid-run. Per-doc
+    * distinct counting is downstream batch work (or a watermarked
+    * stateful agg once documents carry event time).
+    */
+  def contaminationHits(docs: DataFrame, benchGrams: DataFrame): DataFrame =
+    graft.operators.TextDedup.grams4(docs)
+      .join(broadcast(benchGrams), Seq("g"))
+      .select(col("doc_id"), col("g"))
 }

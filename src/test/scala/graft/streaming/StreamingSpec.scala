@@ -140,6 +140,30 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming contamination hits reproduce the batch decontamination counts") {
+    val docsAll = Tables.load(spark, dir, "documents")
+    val bench = graft.operators.TextDedup.grams4(
+        docsAll.filter(col("source") === "src0"))
+      .select(col("g")).distinct()
+    val stream = DocumentStreams.readDocuments(spark, dir)
+      .filter(col("source") =!= "src0")
+    val q = DocumentStreams.contaminationHits(stream, bench)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("decon_hits").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // append-mode hit events, deduplicated per (doc, gram) downstream —
+    // must equal the oracle-verified batch n_contaminated per doc
+    val streamed = spark.table("decon_hits")
+      .select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("doc_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.SparkEntry.queries("t_decontaminate")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+        .filter(_._2 > 0)
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("first-seen streaming dedup keeps exactly one doc per content hash") {
     val q = DocumentStreams.firstSeen(DocumentStreams.readDocuments(spark, dir))
       .writeStream.outputMode("append")
