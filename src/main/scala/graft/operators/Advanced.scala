@@ -134,6 +134,27 @@ object Advanced {
           .orderBy(col("l_returnflag"))
     },
 
+    // Quantile sketch (Greenwald-Khanna style, Spark's percentile_approx)
+    // — the bounded-memory companion to x_percentiles' exact sort-rank
+    // form: the sketch carries O(accuracy·log n) entries per group through
+    // the partial agg instead of every value, the 100 TB default for
+    // monitoring-grade quantiles. No SQL oracle (sketch internals are
+    // engine-specific); ApproxSpec pins the rank-error guarantee
+    // |rank(est) - qn| ≤ n/accuracy against the exact order statistics.
+    Q.noOracle("x_approx_percentile") {
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(percentile_approx(col("l_extendedprice"),
+            array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(1000)).as("qs"))
+          .select(col("l_returnflag"),
+            element_at(col("qs"), 1).as("p25"),
+            element_at(col("qs"), 2).as("p50"),
+            element_at(col("qs"), 3).as("p75"),
+            element_at(col("qs"), 4).as("p95"))
+          .orderBy(col("l_returnflag"))
+    },
+
     // Statistical moments (round 6 absorbs summation-order jitter).
     Q("x_stats_moments",
       """SELECT l_returnflag,

@@ -648,6 +648,42 @@ object TextDedup {
       }
     },
 
+    // Weighted data mixing: downsample each language stratum to a target
+    // rate by the same content-independent id hash as t_hash_split — the
+    // "data mixture" step of corpus assembly (e.g. cap low-quality
+    // languages, keep English-heavy). keep ⟺ first two md5 hex chars of
+    // the id sort below the rate's 2-hex threshold (string compare on
+    // fixed-width lowercase hex ≡ numeric compare, bit-identical in both
+    // engines). Pure projection + one partial-agg group-by: assignment is
+    // stable as the corpus grows and needs no shuffle of the payload.
+    Q("t_weighted_mix",
+      """WITH k AS (
+        |  SELECT lang,
+        |    CASE lang WHEN 'en' THEN 'e6' WHEN 'de' THEN '80'
+        |              WHEN 'fr' THEN '40' WHEN 'es' THEN '40'
+        |              ELSE '1a' END AS thr,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hk
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_total,
+        |       CAST(sum(CASE WHEN hk < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       round(CAST(sum(CASE WHEN hk < thr THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS kept_rate
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, dir) => {
+        val thr = when(col("lang") === "en", "e6").when(col("lang") === "de", "80")
+          .when(col("lang") === "fr", "40").when(col("lang") === "es", "40")
+          .otherwise("1a")
+        val kept = when(substring(md5(col("doc_id").cast("string")), 1, 2) < thr, 1)
+          .otherwise(0)
+        docs(s, dir).select(col("lang"), kept.as("keep"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(col("keep")).as("n_kept"),
+            round(sum(col("keep")).cast("double") / count(lit(1)), 6).as("kept_rate"))
+          .orderBy(col("lang"))
+      }
+    },
+
     // Benchmark decontamination: flag corpus documents sharing any 4-word
     // gram with a held-out evaluation set (here the 'src0' slice) — the
     // standard pre-training hygiene step (eval answers leaking into train

@@ -119,6 +119,26 @@ class OperatorsSpec extends AnyFunSuite {
     SparkEntry.benchQueries.foreach(b => assert(names.contains(b)))
   }
 
+  test("approx percentile honors the GK rank-error bound vs exact order stats") {
+    val est = SparkEntry.queries("x_approx_percentile")(spark, dir).collect()
+    val vals = graft.Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    est.foreach { r =>
+      val flag = r.getString(0)
+      val sortedVals = vals(flag)
+      val n = sortedVals.length
+      val tol = n / 1000.0 + 1
+      Seq(0.25 -> 1, 0.5 -> 2, 0.75 -> 3, 0.95 -> 4).foreach { case (q, i) =>
+        val v = r.getDouble(i)
+        val rank = sortedVals.count(_ <= v)
+        assert(math.abs(rank - q * n) <= tol,
+          s"$flag p$q: rank $rank of est $v vs target ${q * n} ± $tol")
+      }
+    }
+  }
+
   test("decontamination: exact cross-source duplicates of the eval slice " +
     "score contamination 1.0, and no eval doc leaks into the output") {
     val d = graft.Tables.load(spark, dir, "documents")
