@@ -238,6 +238,48 @@ object Similarity {
           .orderBy(col("label"))
     },
 
+    // Int8 scalar quantization — the standard 4× vector-compression step
+    // before ANN serving (each dimension affinely mapped to 0..255 by its
+    // corpus-wide min/max). The per-dimension bounds are a 64-row
+    // aggregate (a broadcast dimension); codes are exact integers, so the
+    // oracle needs no float rounding at all. Output: the first four codes
+    // + the code sum as an exact whole-vector checksum. Reconstruction
+    // error is bounded in QuantizeSpec (≤ half a quantization step per
+    // dimension). Scale shape: explode → partial-agg bounds → broadcast
+    // join → single-scan projection; the corpus never shuffles.
+    Q("sim_quantize_int8",
+      """WITH v AS (SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS val
+        |           FROM embeddings, range(1, 65) AS t(i)),
+        |b AS (SELECT dim, min(val) AS mn, max(val) AS mx FROM v GROUP BY dim),
+        |q AS (SELECT vec_id, v.dim,
+        |        CAST(round(255.0 * (val - mn) / (mx - mn), 0) AS BIGINT) AS code
+        |      FROM v JOIN b ON v.dim = b.dim)
+        |SELECT vec_id,
+        |       CAST(sum(CASE WHEN dim = 1 THEN code END) AS BIGINT) AS q1,
+        |       CAST(sum(CASE WHEN dim = 2 THEN code END) AS BIGINT) AS q2,
+        |       CAST(sum(CASE WHEN dim = 3 THEN code END) AS BIGINT) AS q3,
+        |       CAST(sum(CASE WHEN dim = 4 THEN code END) AS BIGINT) AS q4,
+        |       CAST(sum(code) AS BIGINT) AS code_sum
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin) {
+      (s, dir) => {
+        val v = emb(s, dir)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "f")))
+          .select(col("vec_id"), (col("pos") + 1).as("dim"), col("f").cast("double").as("val"))
+        val b = v.groupBy(col("dim")).agg(min(col("val")).as("mn"), max(col("val")).as("mx"))
+        val q = v.join(broadcast(b), Seq("dim"))
+          .select(col("vec_id"), col("dim"),
+            round(lit(255.0) * (col("val") - col("mn")) / (col("mx") - col("mn")), 0)
+              .cast("long").as("code"))
+        q.groupBy(col("vec_id"))
+          .agg(sum(when(col("dim") === 1, col("code"))).as("q1"),
+            sum(when(col("dim") === 2, col("code"))).as("q2"),
+            sum(when(col("dim") === 3, col("code"))).as("q3"),
+            sum(when(col("dim") === 4, col("code"))).as("q4"),
+            sum(col("code")).as("code_sum"))
+          .orderBy(col("vec_id"))
+      }
+    },
+
     // One Lloyd iteration of k-means, assignment half: nearest of k=8
     // deterministic seed centroids (the k lowest vec_ids), squared L2 in
     // double with element-order summation, round-6 before the argmin so

@@ -139,6 +139,27 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization codes reconstruct within half a quantization step") {
+    val vecs = graft.Tables.load(spark, dir, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val dims = 0 until 4
+    val mins = dims.map(d => vecs.values.map(_(d)).min)
+    val maxs = dims.map(d => vecs.values.map(_(d)).max)
+    val rows = SparkEntry.queries("sim_quantize_int8")(spark, dir).collect()
+    assert(rows.length == vecs.size)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      dims.foreach { d =>
+        val code = r.getLong(1 + d)
+        assert(code >= 0 && code <= 255, s"vec $id dim $d code $code out of range")
+        val step = (maxs(d) - mins(d)) / 255.0
+        val decoded = mins(d) + code * step
+        assert(math.abs(decoded - vecs(id)(d)) <= step / 2 + 1e-9,
+          s"vec $id dim $d: decoded $decoded vs ${vecs(id)(d)} (step $step)")
+      }
+    }
+  }
+
   test("decontamination: exact cross-source duplicates of the eval slice " +
     "score contamination 1.0, and no eval doc leaks into the output") {
     val d = graft.Tables.load(spark, dir, "documents")
