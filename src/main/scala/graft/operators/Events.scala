@@ -72,6 +72,98 @@ object Events {
           .orderBy(col("user_id"))
     },
 
+    // Strict ORDERED 3-stage funnel (view → click → purchase, each stage
+    // after the previous one): per-stage first-times computed with ONE
+    // scan + ONE user-keyed window pass — for each event, the running
+    // minimum view-time strictly before it gates clicks, and the running
+    // minimum gated-click-time gates purchases. No self-joins: at 100 TB
+    // the events table is shuffled once on user_id (the same partitioning
+    // sessionization uses) instead of three times. Epoch-µs comparisons
+    // are exact in both engines.
+    Q("e_funnel_stages",
+      """WITH o AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+        |         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS min_view_before
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, event_type, us, event_id, min_view_before,
+        |         min(CASE WHEN event_type = 'click' AND min_view_before IS NOT NULL
+        |                  THEN us END)
+        |           OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS min_click_after
+        |  FROM o),
+        |u AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN us END) AS t_view,
+        |         min(CASE WHEN event_type = 'click' AND min_view_before IS NOT NULL
+        |                  THEN us END) AS t_click,
+        |         min(CASE WHEN event_type = 'purchase' AND min_click_after IS NOT NULL
+        |                  THEN us END) AS t_purchase
+        |  FROM c GROUP BY user_id)
+        |SELECT user_id,
+        |       CASE WHEN t_view IS NULL THEN 0
+        |            WHEN t_click IS NULL THEN 1
+        |            WHEN t_purchase IS NULL THEN 2 ELSE 3 END AS stage_reached
+        |FROM u ORDER BY user_id""".stripMargin) {
+      (s, dir) => {
+        val before = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val o = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+            col("event_id"), col("ts"))
+          .withColumn("min_view_before",
+            min(when(col("event_type") === "view", col("us"))).over(before))
+        val beforeUs = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val c = o.withColumn("min_click_after",
+          min(when(col("event_type") === "click" && col("min_view_before").isNotNull,
+            col("us"))).over(beforeUs))
+        c.groupBy(col("user_id"))
+          .agg(
+            min(when(col("event_type") === "view", col("us"))).as("t_view"),
+            min(when(col("event_type") === "click" && col("min_view_before").isNotNull,
+              col("us"))).as("t_click"),
+            min(when(col("event_type") === "purchase" && col("min_click_after").isNotNull,
+              col("us"))).as("t_purchase"))
+          .select(col("user_id"),
+            when(col("t_view").isNull, 0)
+              .when(col("t_click").isNull, 1)
+              .when(col("t_purchase").isNull, 2)
+              .otherwise(3).as("stage_reached"))
+          .orderBy(col("user_id"))
+      }
+    },
+
+    // Retention cohorts: users grouped by first-active day, distinct-user
+    // counts per (cohort, day-offset) — the classic retention triangle.
+    // The cohort assignment reuses the user-keyed shuffle (groupBy
+    // user_id), then joins back co-partitioned on the same key; the final
+    // (cohort, offset) aggregate is a partial-agg rollup over a
+    // cardinality-bounded key space (days²).
+    Q("e_retention_cohorts",
+      """WITH first_day AS (
+        |  SELECT user_id, CAST(min(date_trunc('day', ts)) AS TIMESTAMP) AS cohort_day
+        |  FROM events GROUP BY user_id)
+        |SELECT cohort_day,
+        |       date_diff('day', cohort_day, CAST(date_trunc('day', ts) AS TIMESTAMP))
+        |         AS day_offset,
+        |       count(DISTINCT e.user_id) AS active_users
+        |FROM events e JOIN first_day f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin) {
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val firstDay = ev.groupBy(col("user_id"))
+          .agg(min(date_trunc("day", col("ts"))).as("cohort_day"))
+        ev.join(firstDay, Seq("user_id"))
+          .groupBy(col("cohort_day"),
+            datediff(date_trunc("day", col("ts")), col("cohort_day")).as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("active_users"))
+          .orderBy(col("cohort_day"), col("day_offset"))
+      }
+    },
+
     // Sessionization: 30-minute inactivity gap → session id per user via
     // lag + cumulative sum (batch twin of session windows /
     // flatMapGroupsWithState). Epoch-µs arithmetic matches both engines.

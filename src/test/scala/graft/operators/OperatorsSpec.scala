@@ -139,6 +139,25 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ordered funnel matches a per-user brute-force simulation") {
+    val events = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expected = events.groupBy(_._1).map { case (uid, evs) =>
+      val ordered = evs.sortBy(e => (e._3, e._4))
+      var stage = 0
+      ordered.foreach { case (_, tpe, _, _) =>
+        if (stage == 0 && tpe == "view") stage = 1
+        else if (stage == 1 && tpe == "click") stage = 2
+        else if (stage == 2 && tpe == "purchase") stage = 3
+      }
+      uid -> stage
+    }
+    val got = SparkEntry.queries("e_funnel_stages")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == expected)
+  }
+
   test("int8 quantization codes reconstruct within half a quantization step") {
     val vecs = graft.Tables.load(spark, dir, "embeddings").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
