@@ -18,7 +18,7 @@ object SparkEntry {
   val registry: Seq[Q] =
     Relational.defs ++ Analytics.defs ++ Events.defs ++
       TextDedup.defs ++ Similarity.defs ++ Multimodal.defs ++ Advanced.defs ++
-      AqlQueries.defs
+      AqlQueries.defs ++ graft.sources.CorpusFormats.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * SURVEY.md §7.2's minimum slice through the FULL stack: AQL text →

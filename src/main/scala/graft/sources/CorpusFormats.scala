@@ -1,0 +1,96 @@
+package graft.sources
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Line-oriented interchange formats for the document corpus.
+  *
+  * The reference externalizes long Text values into side text files next
+  * to the fixed-width container (`/root/reference/src/container.rs`,
+  * `src/database.rs` MAX_STR_LEN=128); the Spark-first generalization is a
+  * real source/sink pair for the corpus in the formats training data
+  * actually arrives in — JSONL (the de-facto corpus wire format) and CSV.
+  *
+  * Scale rules encoded here:
+  *  - EXPLICIT schema-on-read, never inference: at 100 TB schema inference
+  *    is a full extra pass over every file before the first real scan.
+  *  - Line-oriented files (no multiLine), so Spark can split a large file
+  *    at arbitrary byte offsets and parallelize the scan per 128 MB block;
+  *    a multi-line CSV is unsplittable and serializes on one core.
+  *  - The staged copy is written once per fixture (keyed by source file
+  *    identity, tmp-dir + rename-into-place like Tables.compacted) — the
+  *    round-trip queries then prove content equality against the parquet
+  *    originals via the DuckDB oracle, which only ever sees parquet.
+  */
+object CorpusFormats {
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private val stageLock = new Object
+
+  private def staged(s: SparkSession, dir: String, fmt: String): String =
+    stageLock.synchronized {
+      val src = new java.io.File(s"$dir/documents.parquet")
+      val key = java.lang.Long.toHexString(
+        java.util.Objects.hash(src.getAbsolutePath, src.length, src.lastModified, fmt).toLong)
+      val base = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir"), "graft-formats"),
+        s"documents-$fmt-$key")
+      if (!base.isDirectory) {
+        base.getParentFile.mkdirs()
+        val tmp = new java.io.File(base.getParent,
+          s".${base.getName}.${ProcessHandle.current.pid}-${System.nanoTime}.tmp")
+        val w = Tables.load(s, dir, "documents").write.mode("overwrite")
+        fmt match {
+          case "json" => w.json(tmp.getPath)
+          case "csv" => w.option("header", "true")
+            .option("quoteAll", "true").option("escape", "\"").csv(tmp.getPath)
+        }
+        if (!tmp.renameTo(base)) { // lost a cross-JVM race: discard our copy
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(tmp.toPath).iterator().asScala.toSeq
+            .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
+      base.getPath
+    }
+
+  def readJsonl(s: SparkSession, dir: String): DataFrame =
+    s.read.schema(docSchema).json(staged(s, dir, "json"))
+
+  def readCsv(s: SparkSession, dir: String): DataFrame =
+    s.read.schema(docSchema).option("header", "true").option("escape", "\"")
+      .csv(staged(s, dir, "csv"))
+
+  /** Per-source content summary: counts + byte totals + an md5 content
+    * range. Equality with the parquet-backed oracle proves the round-trip
+    * lost nothing (ids, text bytes, metadata).
+    */
+  private def summarize(df: DataFrame): DataFrame =
+    df.groupBy(col("source")).agg(
+      count(lit(1)).as("n"),
+      sum(col("n_chars")).as("sum_chars"),
+      countDistinct(md5(col("text"))).as("n_distinct"),
+      min(md5(col("text"))).as("min_h"),
+      max(md5(col("text"))).as("max_h"))
+      .orderBy(col("source"))
+
+  private val oracleSummary =
+    """SELECT source, count(*) AS n,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       count(DISTINCT md5(text)) AS n_distinct,
+      |       min(md5(text)) AS min_h, max(md5(text)) AS max_h
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  val defs: Seq[Q] = Seq(
+    Q("src_jsonl_roundtrip", oracleSummary) {
+      (s, dir) => summarize(readJsonl(s, dir))
+    },
+    Q("src_csv_roundtrip", oracleSummary) {
+      (s, dir) => summarize(readCsv(s, dir))
+    })
+}

@@ -139,6 +139,21 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("JSONL and CSV corpus round-trips preserve every row exactly") {
+    val parquet = graft.Tables.load(spark, dir, "documents").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSet
+    Seq(
+      "jsonl" -> graft.sources.CorpusFormats.readJsonl(spark, dir),
+      "csv" -> graft.sources.CorpusFormats.readCsv(spark, dir)
+    ).foreach { case (fmt, df) =>
+      val got = df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+        .toSet
+      assert(got == parquet, s"$fmt round-trip lost or corrupted rows")
+    }
+  }
+
   test("ordered funnel matches a per-user brute-force simulation") {
     val events = graft.Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")), col("event_id"))
