@@ -238,6 +238,52 @@ object Similarity {
           .orderBy(col("label"))
     },
 
+    // IVF-ANN with a REAL k-means coarse quantizer: the cell table is the
+    // Lloyd assignment (km_lloyd_assign) rather than the fixture label —
+    // build + probe of an IVF index end to end. At scale `cells` is a
+    // materialized index table bucketed by cluster id (probe = one
+    // file-skipping bucket scan of ~1/k of the corpus); the query side is
+    // broadcast. Everything below composes the two oracle-verified halves,
+    // and the oracle recomputes the identical declarative plan.
+    Q("sim_ann_ivf_kmeans",
+      s"""WITH seeds AS (SELECT vec_id AS sid, embedding AS semb
+         |               FROM embeddings ORDER BY vec_id LIMIT 8),
+         |a AS (SELECT e.vec_id, e.embedding, s.sid,
+         |        round(${duckD2("e.embedding", "s.semb")}, 6) AS d2
+         |      FROM embeddings e CROSS JOIN seeds s),
+         |r AS (SELECT vec_id, embedding, sid, d2,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY d2, sid) AS rn
+         |      FROM a),
+         |cells AS (SELECT vec_id, embedding, sid AS cluster FROM r WHERE rn = 1),
+         |qs AS (SELECT vec_id AS qid, cluster AS qcell, embedding AS qe
+         |       FROM cells WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT qs.qid, c.vec_id AS nid,
+         |         round(${duckCos("qs.qe", "c.embedding")}, 6) AS cos_sim
+         |  FROM qs JOIN cells c ON c.cluster = qs.qcell AND c.vec_id <> qs.qid),
+         |ranked AS (
+         |  SELECT qid, nid, cos_sim,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+         |  FROM scored)
+         |SELECT qid, nid, cos_sim, rank FROM ranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin) {
+      (s, dir) => {
+        val cells = assignToSeeds(emb(s, dir))
+          .select(col("vec_id"), col("embedding"), col("cluster"))
+        val qs = cells.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("cluster").as("qcell"),
+            col("embedding").as("qe"))
+        val scored = cells.join(broadcast(qs),
+            col("cluster") === col("qcell") && col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid"),
+            round(cosine(col("qe"), col("embedding")), 6).as("cos_sim"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .orderBy(col("qid"), col("rank"))
+      }
+    },
+
     // Int8 scalar quantization — the standard 4× vector-compression step
     // before ANN serving (each dimension affinely mapped to 0..255 by its
     // corpus-wide min/max). The per-dimension bounds are a 64-row
