@@ -14,8 +14,10 @@ object ProfileQuery {
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), appName = "graft-profile")
     // A/B runtime-settable SQL confs: GRAFT_EXTRA_CONF="k=v;k=v"
     sys.env.get("GRAFT_EXTRA_CONF").foreach(_.split(";").filter(_.nonEmpty).foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k, v)
+        case _ => sys.error(s"GRAFT_EXTRA_CONF segment '$kv' is not key=value")
+      }
     })
     val fn = SparkEntry.queries(name)
     fn(spark, sfDir).count() // warm-up

@@ -58,32 +58,43 @@ object Tables {
     * temp dir renamed into place so concurrent JVMs (driver verify + bench)
     * never read a half-written table.
     */
-  private def compacted(spark: SparkSession, dir: String, name: String): String =
-    // JVM-wide lock: two sessions in one process must not compact the same
-    // table concurrently (the DataFrame memo above is per-session, so it
-    // cannot serialize cross-session calls). Cross-JVM remains safe via
-    // unique tmp dirs + rename-into-place below.
-    compactLock.synchronized {
-      val src = new java.io.File(s"$dir/$name.parquet")
-      if (!src.isFile) return src.getPath // already a directory layout: as-is
-      val key = java.lang.Long.toHexString(
-        java.util.Objects.hash(src.getAbsolutePath, src.length, src.lastModified).toLong)
+  private def compacted(spark: SparkSession, dir: String, name: String): String = {
+    val src = new java.io.File(s"$dir/$name.parquet")
+    if (!src.isFile) return src.getPath // already a directory layout: as-is
+    buildOnce(src, "graft-compact", name) { tmp =>
+      val raw = spark.read.parquet(src.getPath)
+      val n = math.min(spark.sparkContext.defaultParallelism.toLong,
+        math.max(1L, raw.count() / 64)).toInt
+      import org.apache.spark.sql.functions.col
+      raw.repartitionByRange(n, col(raw.columns.head))
+        .sortWithinPartitions(raw.columns.head)
+        .write.mode("overwrite").parquet(tmp.getPath)
+    }
+  }
+
+  /** Build-once staging cache under java.io.tmpdir (shared by the ingest
+    * compaction and the interchange-format staging): the target directory
+    * is keyed by the source file's identity (path, size, mtime) plus a
+    * discriminator, so a regenerated fixture invalidates it. `write`
+    * produces into a unique tmp dir (pid + nanotime — concurrent JVMs
+    * never share one, so a half-written attempt can never be renamed in),
+    * which is renamed into place; the loser of a cross-JVM race discards
+    * its copy. The JVM-wide lock serializes sessions within one process
+    * (per-session memos can't).
+    */
+  private[graft] def buildOnce(src: java.io.File, cacheRoot: String,
+      name: String, discriminator: String = "")(write: java.io.File => Unit): String =
+    buildLock.synchronized {
+      val key = java.lang.Long.toHexString(java.util.Objects.hash(
+        src.getAbsolutePath, src.length, src.lastModified, discriminator).toLong)
       val base = new java.io.File(
-        new java.io.File(sys.props("java.io.tmpdir"), "graft-compact"), s"$name-$key")
+        new java.io.File(sys.props("java.io.tmpdir"), cacheRoot), s"$name-$key")
       if (!base.isDirectory) {
-        val raw = spark.read.parquet(src.getPath)
-        val n = math.min(spark.sparkContext.defaultParallelism.toLong,
-          math.max(1L, raw.count() / 64)).toInt
         base.getParentFile.mkdirs()
-        // unique per attempt (pid + nanotime): concurrent JVMs never share
-        // a tmp dir, so a half-written attempt can never be renamed in
         val tmp = new java.io.File(base.getParent,
           s".${base.getName}.${ProcessHandle.current.pid}-${System.nanoTime}.tmp")
-        import org.apache.spark.sql.functions.col
-        raw.repartitionByRange(n, col(raw.columns.head))
-          .sortWithinPartitions(raw.columns.head)
-          .write.mode("overwrite").parquet(tmp.getPath)
-        if (!tmp.renameTo(base)) { // lost the race: another JVM compacted first
+        write(tmp)
+        if (!tmp.renameTo(base)) { // lost the race: another JVM built it first
           import scala.jdk.CollectionConverters._
           java.nio.file.Files.walk(tmp.toPath).iterator().asScala.toSeq
             .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
@@ -92,7 +103,7 @@ object Tables {
       base.getPath
     }
 
-  private val compactLock = new Object
+  private val buildLock = new Object
 
   /** events.ts is parquet timestamp[ns]; Spark reads NANOS natively only as
     * long when `spark.sql.legacy.parquet.nanosAsLong` is set. We normalize

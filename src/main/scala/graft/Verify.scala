@@ -37,6 +37,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the bench subset, so tools/duckbench.py can time exactly the
+    // queries graft.Bench (and the judge) time
+    Files.writeString(Paths.get(s"$outDir/bench_queries.json"),
+      SparkEntry.benchQueries.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -107,33 +107,7 @@ object Events {
         |            WHEN t_click IS NULL THEN 1
         |            WHEN t_purchase IS NULL THEN 2 ELSE 3 END AS stage_reached
         |FROM u ORDER BY user_id""".stripMargin) {
-      (s, dir) => {
-        val before = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val o = Tables.events(s, dir)
-          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
-            col("event_id"), col("ts"))
-          .withColumn("min_view_before",
-            min(when(col("event_type") === "view", col("us"))).over(before))
-        val beforeUs = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val c = o.withColumn("min_click_after",
-          min(when(col("event_type") === "click" && col("min_view_before").isNotNull,
-            col("us"))).over(beforeUs))
-        c.groupBy(col("user_id"))
-          .agg(
-            min(when(col("event_type") === "view", col("us"))).as("t_view"),
-            min(when(col("event_type") === "click" && col("min_view_before").isNotNull,
-              col("us"))).as("t_click"),
-            min(when(col("event_type") === "purchase" && col("min_click_after").isNotNull,
-              col("us"))).as("t_purchase"))
-          .select(col("user_id"),
-            when(col("t_view").isNull, 0)
-              .when(col("t_click").isNull, 1)
-              .when(col("t_purchase").isNull, 2)
-              .otherwise(3).as("stage_reached"))
-          .orderBy(col("user_id"))
-      }
+      (s, dir) => funnelStages(Tables.events(s, dir))
     },
 
     // Retention cohorts: users grouped by first-active day, distinct-user
@@ -372,4 +346,37 @@ object Events {
       }
     }
   )
+
+  /** The e_funnel_stages plan over any (user_id, event_type, ts, event_id)
+    * relation — public so the spec can drive synthetic orderings through
+    * the exact production plan (the fixture's users all happen to reach
+    * stage 3, which would make a fixture-only check vacuous).
+    */
+  def funnelStages(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val before = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val o = events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("ts"))
+      .withColumn("min_view_before",
+        min(when(col("event_type") === "view", col("us"))).over(before))
+    val beforeUs = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val c = o.withColumn("min_click_after",
+      min(when(col("event_type") === "click" && col("min_view_before").isNotNull,
+        col("us"))).over(beforeUs))
+    c.groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("us"))).as("t_view"),
+        min(when(col("event_type") === "click" && col("min_view_before").isNotNull,
+          col("us"))).as("t_click"),
+        min(when(col("event_type") === "purchase" && col("min_click_after").isNotNull,
+          col("us"))).as("t_purchase"))
+      .select(col("user_id"),
+        when(col("t_view").isNull, 0)
+          .when(col("t_click").isNull, 1)
+          .when(col("t_purchase").isNull, 2)
+          .otherwise(3).as("stage_reached"))
+      .orderBy(col("user_id"))
+  }
 }

@@ -298,7 +298,9 @@ object Similarity {
         |           FROM embeddings, range(1, 65) AS t(i)),
         |b AS (SELECT dim, min(val) AS mn, max(val) AS mx FROM v GROUP BY dim),
         |q AS (SELECT vec_id, v.dim,
-        |        CAST(round(255.0 * (val - mn) / (mx - mn), 0) AS BIGINT) AS code
+        |        CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+        |             ELSE CAST(round(255.0 * (val - mn) / (mx - mn), 0) AS BIGINT)
+        |        END AS code
         |      FROM v JOIN b ON v.dim = b.dim)
         |SELECT vec_id,
         |       CAST(sum(CASE WHEN dim = 1 THEN code END) AS BIGINT) AS q1,
@@ -312,10 +314,15 @@ object Similarity {
           .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "f")))
           .select(col("vec_id"), (col("pos") + 1).as("dim"), col("f").cast("double").as("val"))
         val b = v.groupBy(col("dim")).agg(min(col("val")).as("mn"), max(col("val")).as("mx"))
+        // constant dimension (mx == mn) → code 0: Spark's x/0 yields NULL
+        // while DuckDB yields ±inf, so the degenerate case must be guarded
+        // identically in both engines
         val q = v.join(broadcast(b), Seq("dim"))
           .select(col("vec_id"), col("dim"),
-            round(lit(255.0) * (col("val") - col("mn")) / (col("mx") - col("mn")), 0)
-              .cast("long").as("code"))
+            when(col("mx") === col("mn"), lit(0L))
+              .otherwise(
+                round(lit(255.0) * (col("val") - col("mn")) / (col("mx") - col("mn")), 0)
+                  .cast("long")).as("code"))
         q.groupBy(col("vec_id"))
           .agg(sum(when(col("dim") === 1, col("code"))).as("q1"),
             sum(when(col("dim") === 2, col("code"))).as("q2"),

@@ -30,34 +30,28 @@ object CorpusFormats {
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  private val stageLock = new Object
-
-  private def staged(s: SparkSession, dir: String, fmt: String): String =
-    stageLock.synchronized {
-      val src = new java.io.File(s"$dir/documents.parquet")
-      val key = java.lang.Long.toHexString(
-        java.util.Objects.hash(src.getAbsolutePath, src.length, src.lastModified, fmt).toLong)
-      val base = new java.io.File(
-        new java.io.File(sys.props("java.io.tmpdir"), "graft-formats"),
-        s"documents-$fmt-$key")
-      if (!base.isDirectory) {
-        base.getParentFile.mkdirs()
-        val tmp = new java.io.File(base.getParent,
-          s".${base.getName}.${ProcessHandle.current.pid}-${System.nanoTime}.tmp")
-        val w = Tables.load(s, dir, "documents").write.mode("overwrite")
-        fmt match {
-          case "json" => w.json(tmp.getPath)
-          case "csv" => w.option("header", "true")
+  private def staged(s: SparkSession, dir: String, fmt: String): String = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    Tables.buildOnce(src, "graft-formats", s"documents-$fmt", fmt) { tmp =>
+      val docs = Tables.load(s, dir, "documents")
+      fmt match {
+        case "json" => docs.write.mode("overwrite").json(tmp.getPath)
+        case "csv" =>
+          // A splittable CSV cannot hold embedded newlines: the writer
+          // would quote them, but the line-splitting reader (no multiLine
+          // — multiLine serializes each file onto one core) would shear
+          // the record. JSONL escapes newlines and is the right format
+          // for such corpora; here we refuse loudly instead of
+          // corrupting silently.
+          val bad = docs.filter(col("text").rlike("[\\n\\r]")).count()
+          require(bad == 0L,
+            s"$bad document(s) contain newlines; CSV staging would corrupt " +
+              "them — use the JSONL source for this corpus")
+          docs.write.mode("overwrite").option("header", "true")
             .option("quoteAll", "true").option("escape", "\"").csv(tmp.getPath)
-        }
-        if (!tmp.renameTo(base)) { // lost a cross-JVM race: discard our copy
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(tmp.toPath).iterator().asScala.toSeq
-            .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
-        }
       }
-      base.getPath
     }
+  }
 
   def readJsonl(s: SparkSession, dir: String): DataFrame =
     s.read.schema(docSchema).json(staged(s, dir, "json"))

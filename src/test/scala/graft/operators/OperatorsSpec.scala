@@ -154,6 +154,30 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ordered funnel gates on strict stage order (synthetic adversarial cases)") {
+    import spark.implicits._
+    // (user, type, µs, event_id) — the fixture's users all reach stage 3,
+    // so the ordering gates are only distinguishable on synthetic input
+    val events = Seq(
+      (1L, "click", 10L, 1L), (1L, "purchase", 20L, 2L),            // no view → 0
+      (2L, "view", 10L, 3L),                                         // view only → 1
+      (3L, "view", 10L, 4L), (3L, "purchase", 20L, 5L),              // no click → 1
+      (4L, "click", 10L, 6L), (4L, "view", 20L, 7L),                 // click BEFORE view → 1
+      (5L, "view", 10L, 8L), (5L, "click", 20L, 9L),
+      (5L, "purchase", 30L, 10L),                                    // in order → 3
+      (6L, "purchase", 10L, 11L), (6L, "view", 20L, 12L),
+      (6L, "click", 30L, 13L),                                       // purchase too early → 2
+      (7L, "view", 10L, 14L), (7L, "click", 10L, 15L),               // tie: click after view in
+      (8L, "click", 10L, 17L), (8L, "view", 10L, 18L)                //  row order → 2; before → 1
+    ).toDF("user_id", "event_type", "us", "event_id")
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"), col("event_id"))
+    val got = Events.funnelStages(events)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 1, 5L -> 3, 6L -> 2,
+      7L -> 2, 8L -> 1))
+  }
+
   test("ordered funnel matches a per-user brute-force simulation") {
     val events = graft.Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")), col("event_id"))
