@@ -36,8 +36,18 @@ import java.nio.charset.StandardCharsets.UTF_8
   * reference's whole-database RwLock per request (`database.rs:1123`).
   * Reads are Spark jobs and parallelize internally.
   */
-final class AqlServer(engine: Engine, port: Int = 0) {
+/** @param connectionsPort -1 (default) = single-port mode; >= 0 binds a
+  *   second listener serving the path-blind wire dispatch, the two-port
+  *   connection model of the reference's settings (`connections_port`
+  *   1515 / `data_port` 8989, `database.rs:20-24`). The reference's own
+  *   connections-port listener is commented out (`database.rs:1323-1324`),
+  *   so this is a strict superset: a client following the documented
+  *   two-port lifecycle (handshake on connections_port, queries on
+  *   data_port) works here, and sessions are shared across both ports.
+  */
+final class AqlServer(engine: Engine, port: Int = 0, connectionsPort: Int = -1) {
   private var server: HttpServer = _
+  private var connServer: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
   private val lock = new Object
 
@@ -111,11 +121,34 @@ final class AqlServer(engine: Engine, port: Int = 0) {
     pool = java.util.concurrent.Executors.newFixedThreadPool(engine.settings.maxConnections)
     server.setExecutor(pool)
     server.start()
+    // two-port model: the connections listener serves ONLY the path-blind
+    // wire dispatch (non-POST = handshake, POST = query) — same handler,
+    // same session map, so a handshake here authorizes queries on either
+    // port. From settings it binds when connections_port differs from the
+    // data port (both equal = the reference's actual single-listener mode).
+    // from settings, only when the wire protocol is live — a JSON-only
+    // deployment (wire_encryption: false) should not fail startup because
+    // an unrelated service holds 1515
+    val cp = if (useSettingsPort) {
+      val sp = engine.settings.connectionsPort
+      if (engine.settings.wireEncryption && sp != boundPort) sp else -1
+    } else connectionsPort
+    if (cp >= 0) {
+      connServer = HttpServer.create(new InetSocketAddress(engine.settings.ip, cp), 0)
+      connServer.createContext("/", (ex: HttpExchange) => handleWire(ex))
+      connServer.setExecutor(pool)
+      connServer.start()
+    }
     server.getAddress.getPort
   }
 
+  /** Bound port of the connections listener; -1 when single-port. */
+  def connectionsBoundPort: Int =
+    if (connServer == null) -1 else connServer.getAddress.getPort
+
   def stop(): Unit = {
     if (server != null) server.stop(0)
+    if (connServer != null) connServer.stop(0)
     if (pool != null) pool.shutdown()
   }
 

@@ -146,6 +146,39 @@ class WireProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("two-port model: handshake on connections_port authorizes queries " +
+    "on data_port (shared sessions, path-blind dispatch on both)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-two-port")
+    val two = new AqlServer(new Engine(spark, dir.toString), connectionsPort = 0)
+    val dataPort = two.start()
+    val connPort = two.connectionsBoundPort
+    assert(connPort > 0 && connPort != dataPort)
+    try {
+      def sendTo(p: Int, method: String, body: Array[Byte]): Array[Byte] = {
+        val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/"))
+          .method(method, HttpRequest.BodyPublishers.ofByteArray(body)).build()
+        client.send(req, HttpResponse.BodyHandlers.ofByteArray()).body()
+      }
+      val key = new WireKeys(dir, 10).byHash.values.head
+      // handshake ONLY on the connections port
+      val hs = sendTo(connPort, "GET", Blake3.hash(key))
+      assert(hs.nonEmpty && hs(0) == 1, "handshake rejected on connections port")
+      // the session it established authorizes a query on the DATA port
+      val json = """{"command":"CREATE CONTAINER twoport ['id'] [INT]","arguments":[]}"""
+      val payload = Blake3.hash(key) ++ WireCrypto.encrypt(json.getBytes(UTF_8), key)
+      val resp = sendTo(dataPort, "POST", payload)
+      assert(resp.length > 8, s"error frame on data port: ${resp.toSeq}")
+      val plain = new String(WireCrypto.decrypt(resp.drop(8), key).get, UTF_8)
+      assert(plain.contains("\"!\":1"), plain)
+      // and the connections listener is wire-only: no JSON routes there
+      val health = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$connPort/health")).GET().build()
+      val hresp = client.send(health, HttpResponse.BodyHandlers.ofByteArray())
+      assert(hresp.body().headOption.contains(0: Byte),
+        "connections-port /health should hit the path-blind wire handshake, not JSON")
+    } finally two.stop()
+  }
+
   test("wire_encryption: false disables the binary protocol") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wire-off")
     java.nio.file.Files.writeString(dir.resolve("settings.yaml"),
