@@ -79,16 +79,17 @@ object Tables {
     * produces into a unique tmp dir (pid + nanotime — concurrent JVMs
     * never share one, so a half-written attempt can never be renamed in),
     * which is renamed into place; the loser of a cross-JVM race discards
-    * its copy. The JVM-wide lock serializes sessions within one process
-    * (per-session memos can't).
+    * its copy. Locking is striped per target directory, so distinct
+    * tables/formats stage concurrently while two in-process sessions
+    * racing on the SAME target serialize (per-session memos can't).
     */
   private[graft] def buildOnce(src: java.io.File, cacheRoot: String,
-      name: String, discriminator: String = "")(write: java.io.File => Unit): String =
-    buildLock.synchronized {
-      val key = java.lang.Long.toHexString(java.util.Objects.hash(
-        src.getAbsolutePath, src.length, src.lastModified, discriminator).toLong)
-      val base = new java.io.File(
-        new java.io.File(sys.props("java.io.tmpdir"), cacheRoot), s"$name-$key")
+      name: String, discriminator: String = "")(write: java.io.File => Unit): String = {
+    val key = java.lang.Long.toHexString(java.util.Objects.hash(
+      src.getAbsolutePath, src.length, src.lastModified, discriminator).toLong)
+    val base = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"), cacheRoot), s"$name-$key")
+    buildLocks.computeIfAbsent(base.getPath, _ => new Object).synchronized {
       if (!base.isDirectory) {
         base.getParentFile.mkdirs()
         val tmp = new java.io.File(base.getParent,
@@ -102,8 +103,10 @@ object Tables {
       }
       base.getPath
     }
+  }
 
-  private val buildLock = new Object
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** events.ts is parquet timestamp[ns]; Spark reads NANOS natively only as
     * long when `spark.sql.legacy.parquet.nanosAsLong` is set. We normalize

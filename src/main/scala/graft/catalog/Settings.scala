@@ -14,9 +14,12 @@ import scala.jdk.CollectionConverters._
   *    no header to size, so only the DDL check remains).
   *  - `auto_commit` — initial [[Tx.autoCommit]].
   *  - `ip` / `data_port` — AqlServer bind address (the reference serves
-  *    its live listener on data_port, `database.rs:1323-1324`;
-  *    connections_port is parsed for file parity but unused, as in the
-  *    reference's commented-out url builder).
+  *    its live listener on data_port, `database.rs:1323-1324`).
+  *  - `connections_port` — when `wire_encryption` is on and this differs
+  *    from the data port, AqlServer binds a second listener serving the
+  *    path-blind wire dispatch (two-port model; sessions shared across
+  *    ports). The reference's own connections listener is commented out,
+  *    so this is a strict superset of its behavior.
   *  - `max_connections` — AqlServer request-handler pool size.
   *  - `auth_token` — when non-empty, AqlServer requires a `/session`
   *    handshake presenting this token before `/query` is served (the

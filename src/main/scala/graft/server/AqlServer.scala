@@ -124,20 +124,25 @@ final class AqlServer(engine: Engine, port: Int = 0, connectionsPort: Int = -1) 
     // two-port model: the connections listener serves ONLY the path-blind
     // wire dispatch (non-POST = handshake, POST = query) — same handler,
     // same session map, so a handshake here authorizes queries on either
-    // port. From settings it binds when connections_port differs from the
-    // data port (both equal = the reference's actual single-listener mode).
-    // from settings, only when the wire protocol is live — a JSON-only
-    // deployment (wire_encryption: false) should not fail startup because
-    // an unrelated service holds 1515
+    // port. In settings mode it binds when connections_port differs from
+    // the data port (both equal = the reference's actual single-listener
+    // mode) AND the wire protocol is live — a JSON-only deployment
+    // (wire_encryption: false) must not fail startup because an unrelated
+    // service holds 1515.
     val cp = if (useSettingsPort) {
       val sp = engine.settings.connectionsPort
       if (engine.settings.wireEncryption && sp != boundPort) sp else -1
     } else connectionsPort
     if (cp >= 0) {
-      connServer = HttpServer.create(new InetSocketAddress(engine.settings.ip, cp), 0)
-      connServer.createContext("/", (ex: HttpExchange) => handleWire(ex))
-      connServer.setExecutor(pool)
-      connServer.start()
+      // a connections-port bind failure must not leave a half-started
+      // server behind (non-daemon dispatcher + pool threads would keep
+      // the JVM alive after the caller sees the startup crash)
+      try {
+        connServer = HttpServer.create(new InetSocketAddress(engine.settings.ip, cp), 0)
+        connServer.createContext("/", (ex: HttpExchange) => handleWire(ex))
+        connServer.setExecutor(pool)
+        connServer.start()
+      } catch { case e: Throwable => stop(); throw e }
     }
     server.getAddress.getPort
   }
@@ -335,7 +340,11 @@ object ServerMain {
     val spark = graft.GraftSession.create(appName = "graft-server")
     val eng = new Engine(spark, dbDir)
     val server = portOpt match {
-      case Some(p) => new AqlServer(eng, p)
+      // an explicit data-port override keeps the settings-driven
+      // connections listener (it only moves the DATA port)
+      case Some(p) => new AqlServer(eng, p,
+        if (eng.settings.wireEncryption && eng.settings.connectionsPort != p)
+          eng.settings.connectionsPort else -1)
       case None => new AqlServer(eng)
     }
     val actual = portOpt.map(_ => server.start()).getOrElse(server.startFromSettings())

@@ -32,21 +32,26 @@ object CorpusFormats {
 
   private def staged(s: SparkSession, dir: String, fmt: String): String = {
     val src = new java.io.File(s"$dir/documents.parquet")
-    Tables.buildOnce(src, "graft-formats", s"documents-$fmt", fmt) { tmp =>
+    // discriminator "v2": the newline guard below must also apply to
+    // corpora CSV-staged before the guard existed — bumping the cache key
+    // invalidates any pre-guard staging
+    Tables.buildOnce(src, "graft-formats", s"documents-$fmt", s"$fmt-v2") { tmp =>
       val docs = Tables.load(s, dir, "documents")
       fmt match {
         case "json" => docs.write.mode("overwrite").json(tmp.getPath)
         case "csv" =>
-          // A splittable CSV cannot hold embedded newlines: the writer
-          // would quote them, but the line-splitting reader (no multiLine
-          // — multiLine serializes each file onto one core) would shear
-          // the record. JSONL escapes newlines and is the right format
-          // for such corpora; here we refuse loudly instead of
-          // corrupting silently.
-          val bad = docs.filter(col("text").rlike("[\\n\\r]")).count()
+          // A splittable CSV cannot hold embedded newlines IN ANY string
+          // column: the writer would quote them, but the line-splitting
+          // reader (no multiLine — multiLine serializes each file onto
+          // one core) would shear the record. JSONL escapes newlines and
+          // is the right format for such corpora; here we refuse loudly
+          // instead of corrupting silently.
+          val nl = Seq("text", "lang", "source")
+            .map(c => col(c).rlike("[\\n\\r]")).reduce(_ || _)
+          val bad = docs.filter(nl).count()
           require(bad == 0L,
-            s"$bad document(s) contain newlines; CSV staging would corrupt " +
-              "them — use the JSONL source for this corpus")
+            s"$bad document(s) contain newlines in a string column; CSV " +
+              "staging would corrupt them — use the JSONL source for this corpus")
           docs.write.mode("overwrite").option("header", "true")
             .option("quoteAll", "true").option("escape", "\"").csv(tmp.getPath)
       }
