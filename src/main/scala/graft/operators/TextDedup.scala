@@ -790,20 +790,26 @@ object TextDedup {
         |       CASE WHEN tok_start // 128 <> (tok_start + n_tok - 1) // 128
         |            THEN 1 ELSE 0 END AS crosses
         |FROM c ORDER BY source, doc_id""".stripMargin) {
-      (s, dir) => {
-        val cum = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        docs(s, dir)
-          .select(col("doc_id"), col("source"),
-            size(split(col("text"), " ")).cast("long").as("n_tok"))
-          .withColumn("tok_start", sum(col("n_tok")).over(cum) - col("n_tok"))
-          .select(col("doc_id"), col("source"), col("n_tok"),
-            expr("tok_start div 128").as("seq_id"),
-            (col("tok_start") - expr("tok_start div 128") * 128).as("seq_offset"),
-            when(expr("tok_start div 128") =!= expr("(tok_start + n_tok - 1) div 128"), 1)
-              .otherwise(0).as("crosses"))
-          .orderBy(col("source"), col("doc_id"))
-      }
+      (s, dir) => seqPacking(docs(s, dir))
     }
   )
+
+  /** The t_seq_packing plan over any (doc_id, source, text) relation —
+    * public so property tests can drive random corpora through the exact
+    * production plan.
+    */
+  def seqPacking(df: DataFrame, budget: Int = 128): DataFrame = {
+    val cum = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("tok_start", sum(col("n_tok")).over(cum) - col("n_tok"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        expr(s"tok_start div $budget").as("seq_id"),
+        (col("tok_start") - expr(s"tok_start div $budget") * budget).as("seq_offset"),
+        when(expr(s"tok_start div $budget") =!=
+          expr(s"(tok_start + n_tok - 1) div $budget"), 1)
+          .otherwise(0).as("crosses"))
+      .orderBy(col("source"), col("doc_id"))
+  }
 }
