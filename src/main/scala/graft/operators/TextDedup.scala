@@ -514,38 +514,10 @@ object TextDedup {
          |comp AS (SELECT v, min(l) AS l FROM walk GROUP BY v)
          |SELECT v AS doc_id, CAST(l AS BIGINT) AS cluster_id FROM comp
          |ORDER BY doc_id""".stripMargin) {
-      (s, dir) => {
-        val pairs = jaccardPairs(s, dir).select(col("id_a"), col("id_b"))
-        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-          .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-          .localCheckpoint(true)
-        var labels = edges.select(col("src").as("v")).distinct()
-          .select(col("v"), col("v").as("l")).localCheckpoint(true)
-        def labelSum(df: DataFrame): Long =
-          df.agg(coalesce(sum(col("l")), lit(0L))).head.getLong(0)
-        var prev = labelSum(labels)
-        var converged = false
-        var rounds = 0
-        while (!converged && rounds < 20) {
-          val neighborMin = edges.join(labels, col("dst") === col("v"))
-            .groupBy(col("src")).agg(min(col("l")).as("nl"))
-          val jump = labels.select(col("v").as("jv"), col("l").as("jl"))
-          val next = labels
-            .join(neighborMin, labels("v") === neighborMin("src"), "left")
-            .join(jump, labels("l") === col("jv"))
-            .select(labels("v"),
-              least(labels("l"), coalesce(col("nl"), labels("l")), col("jl")).as("l"))
-            .localCheckpoint(true)
-          val cur = labelSum(next)
-          labels = next
-          converged = cur == prev
-          prev = cur
-          rounds += 1
-        }
-        require(converged, s"label propagation did not converge in $rounds rounds")
-        labels.select(col("v").as("doc_id"), col("l").as("cluster_id"))
-          .orderBy(col("doc_id"))
-      }
+      (s, dir) => connectedComponents(
+        jaccardPairs(s, dir).select(col("id_a"), col("id_b")))
+        .select(col("v").as("doc_id"), col("l").as("cluster_id"))
+        .orderBy(col("doc_id"))
     },
 
     // SimHash-32 signature per document; identical signature ⇒ near-dup
@@ -793,6 +765,43 @@ object TextDedup {
       (s, dir) => seqPacking(docs(s, dir))
     }
   )
+
+  /** Connected components over an undirected edge list (id_a, id_b) — the
+    * driver loop behind dd_dup_clusters, public so the O(log diameter)
+    * claim is testable on synthetic long chains. Returns (v, l): vertex →
+    * component label (the component's minimum vertex id). See the
+    * dd_dup_clusters comment for the pointer-jumping design.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("l")).localCheckpoint(true)
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("l")), lit(0L))).head.getLong(0)
+    var prev = labelSum(labels)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val neighborMin = edges.join(labels, col("dst") === col("v"))
+        .groupBy(col("src")).agg(min(col("l")).as("nl"))
+      val jump = labels.select(col("v").as("jv"), col("l").as("jl"))
+      val next = labels
+        .join(neighborMin, labels("v") === neighborMin("src"), "left")
+        .join(jump, labels("l") === col("jv"))
+        .select(labels("v"),
+          least(labels("l"), coalesce(col("nl"), labels("l")), col("jl")).as("l"))
+        .localCheckpoint(true)
+      val cur = labelSum(next)
+      labels = next
+      converged = cur == prev
+      prev = cur
+      rounds += 1
+    }
+    require(converged, s"label propagation did not converge in $rounds rounds")
+    labels
+  }
 
   /** The t_seq_packing plan over any (doc_id, source, text) relation —
     * public so property tests can drive random corpora through the exact
