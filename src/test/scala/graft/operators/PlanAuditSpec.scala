@@ -143,4 +143,52 @@ class PlanAuditSpec extends AnyFunSuite {
       l.contains("Filter") && l.contains("transform(sequence"))
     assert(!filterRecompute, s"shingle expression duplicated into a Filter:\n$p")
   }
+
+  test("decontamination probes via a broadcast of the benchmark gram set") {
+    // the eval-suite side is the broadcast dimension; the corpus grams
+    // must never sort-merge against it
+    val p = plan("t_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast probe:\n$p")
+  }
+
+  test("k-means assignment is a k-row broadcast, not a shuffled cross product") {
+    // crossJoin(broadcast(k seeds)) must plan as BroadcastNestedLoopJoin —
+    // constant-size build side — never CartesianProduct (which shuffles
+    // both sides)
+    val p = plan("km_lloyd_assign")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"expected broadcast seeds:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cross product would shuffle the corpus:\n$p")
+  }
+
+  test("int8 quantization joins per-dim bounds by broadcast") {
+    val p = plan("sim_quantize_int8")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast bounds join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"64-row bounds must not sort-merge:\n$p")
+  }
+
+  test("ordered funnel shuffles the events table exactly once (on user_id)") {
+    // both windows and the final aggregate share hashpartitioning(user_id)
+    // — one Exchange total; a per-stage self-join design would need three
+    val p = plan("e_funnel_stages")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly one user_id exchange, got $exchanges:\n$p")
+  }
+
+  test("sequence packing plans one window exchange, partitioned by source") {
+    val p = plan("t_seq_packing")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected one source-partitioned exchange, got $exchanges:\n$p")
+    assert(p.contains("hashpartitioning(source"), s"window must partition by source:\n$p")
+  }
+
+  test("TF-IDF carries no broadcast hint on the corpus-derived df side") {
+    // document frequencies are corpus-derived: a hard broadcast hint would
+    // OOM at 100 TB vocabulary scale. AQE may still broadcast at runtime —
+    // the pin is on the LOGICAL plan carrying no hint for the df join.
+    val df = SparkEntry.queries("t_tfidf_top_terms")(spark, dir)
+    val logical = df.queryExecution.optimizedPlan.toString()
+    val hints = "ResolvedHint".r.findAllIn(logical).length
+    // exactly one hint: the one-row corpus count N
+    assert(hints <= 1, s"unexpected broadcast hints in:\n$logical")
+  }
 }
