@@ -140,6 +140,23 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming centroid assignment agrees with the batch Lloyd assignment") {
+    val seeds = Tables.load(spark, dir, "embeddings")
+      .orderBy(col("vec_id")).limit(8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val q = EmbeddingStreams.assignToCentroids(
+        EmbeddingStreams.readEmbeddings(spark, dir), seeds.toSeq)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("km_stream").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("km_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.SparkEntry.queries("km_lloyd_assign")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming contamination hits reproduce the batch decontamination counts") {
     val docsAll = Tables.load(spark, dir, "documents")
     val bench = graft.operators.TextDedup.grams4(
