@@ -65,7 +65,8 @@ object Ast {
   final case class Search(containers: List[Container], projection: List[String],
       where: Option[Where], atVersion: Option[Int] = None,
       aggs: List[AggProj] = Nil, having: Option[Where] = None,
-      orderBy: List[SortItem] = Nil, limit: Option[Int] = None) extends Stmt
+      orderBy: List[SortItem] = Nil, limit: Option[Int] = None,
+      distinct: Boolean = false) extends Stmt
   final case class Commit(container: Option[String]) extends Stmt
   final case class Rollback(container: Option[String]) extends Stmt
   /** graft extension: physical-plan inspection for a SEARCH. */
@@ -236,6 +237,18 @@ object Parser {
     // DELETE CONTAINER name (database.rs:814-839)
     case Keyword("DELETE") :: Keyword("CONTAINER") :: nameTok :: Nil =>
       DeleteContainer(name(nameTok))
+
+    // SEARCH DISTINCT [cols] … (graft extension): dedupe the output rows.
+    // Parsed by delegation so every later clause (AT VERSION, WHERE,
+    // ORDER BY, LIMIT) and subquery position composes unchanged.
+    case Keyword("SEARCH") :: Keyword("DISTINCT") :: rest =>
+      fromTokens(Keyword("SEARCH") :: rest) match {
+        case s: Search =>
+          if (s.aggs.nonEmpty) throw new ParseException(
+            "DISTINCT cannot combine with aggregate projections (grouping already dedupes keys)")
+          s.copy(distinct = true)
+        case other => throw new ParseException(s"DISTINCT only applies to SEARCH, got $other")
+      }
 
     // SEARCH [cols] ON [containers] [WHERE …] (parser.rs:271-395)
     case Keyword("SEARCH") :: (projG: Group) :: Keyword("ON") :: contTok :: rest =>

@@ -249,6 +249,11 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         s.having.map(h => agged.filter(lowerWhere(h, virtualDef(agged))))
           .getOrElse(agged)
       }
+    // DISTINCT (graft extension): dedupe the projected output — a
+    // groupBy-all-columns under the hood, partial-aggregated before the
+    // one exchange like any Spark distinct (the parser rejects DISTINCT
+    // on aggregate searches, where grouping already dedupes the keys)
+    val deduped = if (s.distinct) result.dropDuplicates() else result
     // explicit ORDER BY (graft extension) or the default deterministic
     // cursor ordering: all columns ascending. An explicit sort gets the
     // remaining output columns appended ascending as a tie-break, so
@@ -257,17 +262,17 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     // per-partition top-k heap + single merge, never a full sort.
     val ordered =
       if (s.orderBy.isEmpty)
-        result.orderBy(result.columns.map(c => col(c).asc_nulls_first).toIndexedSeq: _*)
+        deduped.orderBy(deduped.columns.map(c => col(c).asc_nulls_first).toIndexedSeq: _*)
       else {
         val explicit = s.orderBy.map { item =>
-          val cn = resolveNames(result, List(item.column)).head
+          val cn = resolveNames(deduped, List(item.column)).head
           if (item.asc) col(cn).asc_nulls_first else col(cn).desc_nulls_last
         }
         val named = s.orderBy.map(_.column.toLowerCase).toSet
-        val tieBreak = result.columns.toSeq
+        val tieBreak = deduped.columns.toSeq
           .filterNot(c => named.contains(c.toLowerCase))
           .map(c => col(c).asc_nulls_first)
-        result.orderBy((explicit ++ tieBreak).toIndexedSeq: _*)
+        deduped.orderBy((explicit ++ tieBreak).toIndexedSeq: _*)
       }
     s.limit.map(ordered.limit).getOrElse(ordered)
   }

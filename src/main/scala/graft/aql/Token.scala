@@ -36,7 +36,7 @@ object Token {
     "QYCNPVS", "QYCNNXT", "QYCNEXT",
     // graft extensions beyond the reference keyword set
     "EXPLAIN", "VACUUM", "AT", "VERSION", "IN", "NOT", "HAVING",
-    "ORDER", "BY", "LIMIT", "ASC", "DESC")
+    "ORDER", "BY", "LIMIT", "ASC", "DESC", "DISTINCT")
 
   /** Multi-char first: `&&&>` regex-match, `&&>` icontains, `&>` contains,
     * `>=`, `<=`, `==`, `!=`, then single-char (reference

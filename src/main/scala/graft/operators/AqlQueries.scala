@@ -123,6 +123,15 @@ object AqlQueries {
           "AND doc_id IN (SEARCH [l_orderkey] ON lineitem WHERE l_quantity > 49)")(s, dir)
     },
 
+    // DISTINCT through AQL (graft extension): dedupe the projected rows —
+    // a partial-agg groupBy-all-columns, the scale-safe distinct
+    Q("aql_search_distinct",
+      """SELECT DISTINCT lang, source FROM documents WHERE n_chars > 200
+        |ORDER BY lang, source""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH DISTINCT [lang, source] ON documents WHERE n_chars > 200")(s, dir)
+    },
+
     // grouped aggregation through AQL: plain projection columns are the
     // GROUP BY keys, fn(col) items the aggregates (sum cast back to
     // BIGINT — DuckDB widens sum(BIGINT) to HUGEINT)

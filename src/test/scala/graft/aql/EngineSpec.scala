@@ -235,6 +235,15 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SEARCH ['n'] ON seq WHERE n = having"))
   }
 
+  test("15g SEARCH DISTINCT dedupes the projected rows") {
+    assert(searchRows("SEARCH [ok] ON people").length == 3)
+    val d = searchRows("SEARCH DISTINCT [ok] ON people")
+    assert(d.length == 2, "two distinct ok values expected")
+    // over unique rows it is a no-op; composes with WHERE and LIMIT
+    assert(searchRows("SEARCH DISTINCT [] ON seq WHERE n <= 5").length == 5)
+    assert(searchRows("SEARCH DISTINCT [ok] ON people LIMIT 1").length == 1)
+  }
+
   test("15d outer WHERE applies to virtual containers (scalar and IN)") {
     val scalar = searchRows("SEARCH ['n'] ON [(SEARCH ['n'] ON seq)] WHERE n < 3")
     assert(scalar.map(_.getInt(0)).sorted == Seq(1, 2))

@@ -97,6 +97,20 @@ class ParserSpec extends AnyFunSuite {
       && s.limit == Some(3))
   }
 
+  test("SEARCH DISTINCT: parses, composes with later clauses, rejects aggregates") {
+    val s = Parser.parse("SEARCH DISTINCT ['lang'] ON docs WHERE n > 2 LIMIT 5")
+      .asInstanceOf[Search]
+    assert(s.distinct && s.limit == Some(5) && s.where.isDefined)
+    assert(!Parser.parse("SEARCH ['lang'] ON docs").asInstanceOf[Search].distinct)
+    // grouping already dedupes keys — DISTINCT over aggregates is an error
+    intercept[ParseException](
+      Parser.parse("SEARCH DISTINCT [lang, count(id)] ON docs"))
+    // in a subquery position
+    val sub = Parser.parse(
+      "SEARCH [] ON [(SEARCH DISTINCT ['lang'] ON docs)]").asInstanceOf[Search]
+    assert(sub.containers.head.asInstanceOf[Container.Virtual].query.distinct)
+  }
+
   test("ORDER/LIMIT keywords in VALUE position stay bare-word values") {
     val s = Parser.parse("SEARCH [] ON u WHERE kind = order AND x = limit")
       .asInstanceOf[Search]
