@@ -237,6 +237,30 @@ object Advanced {
           .orderBy(col("o_orderpriority"))
     },
 
+    // Unpivot (melt) — the inverse of x_pivot_status: wide pricing columns
+    // → long (metric, amount) rows. Spark's unpivot lowers to a single
+    // Expand over one scan (no self-union, no re-read per metric); the
+    // oracle spells the same relation as a portable UNION ALL.
+    Q("x_unpivot",
+      """SELECT l_orderkey, l_linenumber, metric, amount FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_discount' AS metric, l_discount AS amount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+        |WHERE l_orderkey <= 1000
+        |ORDER BY l_orderkey, l_linenumber, metric, amount""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_orderkey") <= 1000)
+          .unpivot(
+            ids = Array(col("l_orderkey"), col("l_linenumber")),
+            values = Array(col("l_discount"), col("l_extendedprice"), col("l_tax")),
+            variableColumnName = "metric",
+            valueColumnName = "amount")
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"), col("amount"))
+    },
+
     // Corpus-level n-gram frequency: top 20 3-shingles with tie-break.
     Q("t_ngram_frequency",
       """WITH toks AS (SELECT doc_id, string_split(lower(text),' ') tk FROM documents),

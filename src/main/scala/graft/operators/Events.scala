@@ -244,6 +244,35 @@ object Events {
       }
     },
 
+    // Per-type z-score anomaly detection — the standard telemetry/metrics
+    // outlier scan (and, in corpus terms, the numeric twin of quality
+    // filtering: flag rows whose value is far outside its group's
+    // distribution). One partial-aggregated group-by builds the per-type
+    // moments; the 5-row stats side is broadcast back onto the fact scan,
+    // so the fact table is never shuffled — two scans (moments + probe),
+    // zero wide exchanges of event rows.
+    // Both engines round z to 1e-6 BEFORE the threshold so a summation-
+    // order ulp can't flip a borderline row in one engine only.
+    Q("e_anomaly_zscore",
+      """WITH s AS (SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+        |           FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |       round((e.value - s.m) / s.sd, 6) AS z
+        |FROM events e JOIN s USING (event_type)
+        |WHERE round((e.value - s.m) / s.sd, 6) > 2.5
+        |ORDER BY e.event_id""".stripMargin) {
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val stats = ev.groupBy(col("event_type"))
+          .agg(avg(col("value")).as("m"), stddev_samp(col("value")).as("sd"))
+        ev.join(broadcast(stats), Seq("event_type"))
+          .withColumn("z", round((col("value") - col("m")) / col("sd"), 6))
+          .filter(col("z") > 2.5)
+          .select(col("event_id"), col("event_type"), col("value"), col("z"))
+          .orderBy(col("event_id"))
+      }
+    },
+
     // AS-OF join: each purchase picks the most recent prior click of the
     // same user (prior in the total (ts, event_id) order, so ties are
     // deterministic in both engines). Spark-first formulation: NO range

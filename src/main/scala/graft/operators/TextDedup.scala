@@ -49,6 +49,52 @@ object TextDedup {
           "element_at(tk,i+2) || ' ' || element_at(tk,i+3)) ELSE array() END"))
       .select(col("doc_id"), col("source"), explode(col("sg")).as("g"))
 
+  /** Core of t_repetition_filter, exposed for synthetic-input specs.
+    * Input needs (doc_id, text); output carries the two repetition signals
+    * and the keep flag.
+    */
+  def repetitionFilter(df: DataFrame): DataFrame = {
+    val toks = df.select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+    val w = toks.select(
+      col("doc_id"),
+      size(col("tk")).cast("long").as("n_tokens"),
+      round(lit(1.0) - size(array_distinct(col("tk"))).cast("double") / size(col("tk")), 6)
+        .as("dup_word_frac"))
+    val bt = toks
+      .filter(size(col("tk")) >= 2)
+      .withColumn("bgs", expr(
+        "transform(sequence(1, size(tk)-1), i -> element_at(tk,i) || ' ' || element_at(tk,i+1))"))
+      .select(col("doc_id"), explode(col("bgs")).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(round(max(col("c")).cast("double") / sum(col("c")), 6).as("top_bigram_share"))
+    w.join(bt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("dup_word_frac"),
+        coalesce(col("top_bigram_share"), lit(0.0)).as("top_bigram_share"))
+      .withColumn("keep",
+        col("dup_word_frac") <= 0.55 && col("top_bigram_share") <= 0.18)
+  }
+
+  /** Core of dd_common_spans, exposed for synthetic-input specs. Input
+    * needs (doc_id, text, source) — the shared grams4 projection carries
+    * source for the decontamination twin. Grams are deduplicated per
+    * document, so within-doc repetition never makes a span "shared" — only
+    * cross-document occurrence does.
+    */
+  def commonSpans(df: DataFrame): DataFrame = {
+    val dg = grams4(df)
+      .select(col("doc_id"), md5(col("g")).as("gh"))
+      .distinct()
+    val perGram = Window.partitionBy(col("gh"))
+    dg.withColumn("nd", count(lit(1)).over(perGram))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("total_grams"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("shared_grams"))
+      .withColumn("shared_frac",
+        round(col("shared_grams").cast("double") / col("total_grams"), 6))
+  }
+
   private def withShingles(df: DataFrame): DataFrame =
     df.withColumn("tk", split(lower(col("text")), " "))
       .withColumn("sg", expr(
@@ -389,6 +435,33 @@ object TextDedup {
       }
     },
 
+    // Repetition filters (Gopher §A1.1's repetition family, public): the
+    // duplicated-word fraction and the share of the most frequent word
+    // bigram. Complements t_gopher_rules' top-token share with the 2-gram
+    // signal that catches boilerplate loops single tokens miss.
+    // Shape: word stats are a pure projection (no shuffle); the bigram mode
+    // needs a per-(doc, bigram) count → partial-agg group-by, then a max/sum
+    // per doc — the explode rows collapse map-side, so the exchange carries
+    // distinct (doc_id, bigram) counts, not the token stream.
+    Q("t_repetition_filter",
+      """WITH toks AS (SELECT doc_id, string_split(lower(text),' ') tk FROM documents),
+        |w AS (SELECT doc_id, len(tk) AS n_tokens,
+        |        round(1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6) AS dup_word_frac
+        |      FROM toks),
+        |bg AS (SELECT doc_id,
+        |         unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS b
+        |       FROM toks WHERE len(tk) >= 2),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bt AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_share
+        |       FROM bc GROUP BY doc_id)
+        |SELECT w.doc_id, w.n_tokens, w.dup_word_frac,
+        |       coalesce(bt.top_bigram_share, 0.0) AS top_bigram_share,
+        |       (w.dup_word_frac <= 0.55 AND coalesce(bt.top_bigram_share, 0.0) <= 0.18) AS keep
+        |FROM w LEFT JOIN bt ON w.doc_id = bt.doc_id
+        |ORDER BY w.doc_id""".stripMargin) {
+      (s, dir) => repetitionFilter(docs(s, dir)).orderBy(col("doc_id"))
+    },
+
     // Document fingerprinting (content-hash family).
     Q("t_fingerprint",
       """SELECT doc_id,
@@ -482,6 +555,34 @@ object TextDedup {
         jaccardPairs(s, dir).orderBy(col("id_a"), col("id_b"))
     },
 
+    // Cross-doc duplicated-span profile — the fixed-gram approximation of
+    // exact substring dedup (Lee et al. 2021, "Deduplicating Training Data
+    // Makes Language Models Better", public): for each document, what
+    // fraction of its 4-gram spans also appears in at least one OTHER
+    // document. Unlike dd_ngram_jaccard (pairwise, LSH-gated) this is the
+    // corpus-global per-document signal used to drop or trim boilerplate-
+    // heavy docs.
+    // Shape: grams are md5'd before any exchange, so the shuffles carry
+    // (32-hex, doc_id) — never the text. distinct → window count per gram
+    // (partial-agg-free but narrow) → per-doc group-by. No self-join and
+    // no candidate blow-up: cost is linear in the number of distinct
+    // (doc, gram) pairs at any corpus size.
+    Q("dd_common_spans",
+      """WITH toks AS (SELECT doc_id, string_split(lower(text),' ') tk FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-2),
+        |        i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3])) AS g
+        |      FROM toks WHERE len(tk) >= 4),
+        |dg AS (SELECT DISTINCT doc_id, md5(g) AS gh FROM g),
+        |freq AS (SELECT gh, count(*) AS nd FROM dg GROUP BY gh)
+        |SELECT dg.doc_id, count(*) AS total_grams,
+        |       count(*) FILTER (WHERE freq.nd > 1) AS shared_grams,
+        |       round(CAST(count(*) FILTER (WHERE freq.nd > 1) AS DOUBLE) / count(*), 6)
+        |         AS shared_frac
+        |FROM dg JOIN freq USING (gh)
+        |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin) {
+      (s, dir) => commonSpans(docs(s, dir)).orderBy(col("doc_id"))
+    },
+
     // Connected components over the verified near-dup graph — the CLUSTER
     // step of corpus dedup (cluster, then keep one doc per cluster).
     // Spark side: a driver loop of distributed joins combining min-label
@@ -518,6 +619,48 @@ object TextDedup {
         jaccardPairs(s, dir).select(col("id_a"), col("id_b")))
         .select(col("v").as("doc_id"), col("l").as("cluster_id"))
         .orderBy(col("doc_id"))
+    },
+
+    // Cluster keeper policy — the SELECT step after dd_dup_clusters: keep
+    // the longest document per near-dup cluster (ties → smallest doc_id),
+    // the usual "best representative" curation choice. The cluster set is
+    // tiny relative to the corpus (only docs in the near-dup graph), so
+    // the keeper ranking is a window over the component table, not the
+    // corpus; the corpus join fetches n_chars by doc_id equi-join.
+    Q("dd_cluster_keepers",
+      s"""$duckJaccardCtes,
+         |verified AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+         |e AS (SELECT id_a AS a, id_b AS b FROM verified
+         |      UNION ALL SELECT id_b, id_a FROM verified),
+         |nodes AS (SELECT DISTINCT a AS v FROM e),
+         |walk(v, l) AS (
+         |  SELECT v, v FROM nodes
+         |  UNION
+         |  SELECT e.b, w.l FROM walk w JOIN e ON e.a = w.v),
+         |comp AS (SELECT v, min(l) AS l FROM walk GROUP BY v),
+         |ranked AS (SELECT c.l, c.v, d.n_chars,
+         |             row_number() OVER (PARTITION BY c.l ORDER BY d.n_chars DESC, c.v) AS rn
+         |           FROM comp c JOIN documents d ON d.doc_id = c.v),
+         |agg AS (SELECT l, count(*) AS n_docs FROM comp GROUP BY l)
+         |SELECT CAST(a.l AS BIGINT) AS cluster_id, a.n_docs,
+         |       r.v AS keeper, r.n_chars AS keeper_chars
+         |FROM agg a JOIN ranked r ON r.l = a.l AND r.rn = 1
+         |ORDER BY cluster_id""".stripMargin) {
+      (s, dir) => {
+        val comp = connectedComponents(
+          jaccardPairs(s, dir).select(col("id_a"), col("id_b")))
+        val chars = docs(s, dir).select(col("doc_id"), col("n_chars"))
+        val byLen = Window.partitionBy(col("l"))
+          .orderBy(col("n_chars").desc, col("v"))
+        val keepers = comp.join(chars, comp("v") === chars("doc_id"))
+          .withColumn("rn", row_number().over(byLen))
+          .filter(col("rn") === 1)
+        comp.groupBy(col("l")).agg(count(lit(1)).as("n_docs"))
+          .join(keepers, Seq("l"))
+          .select(col("l").cast("long").as("cluster_id"), col("n_docs"),
+            col("v").as("keeper"), col("n_chars").as("keeper_chars"))
+          .orderBy(col("cluster_id"))
+      }
     },
 
     // SimHash-32 signature per document; identical signature ⇒ near-dup

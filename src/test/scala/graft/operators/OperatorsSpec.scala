@@ -252,6 +252,82 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition filter flags degenerate docs and passes diverse ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x x x x x"),        // one token repeated: dup 5/6, bigram share 1.0
+      (2L, "a b c d e f g h i j"), // all unique: dup 0, every bigram unique
+      (3L, "spam ham spam ham spam ham"), // alternating bigram loop
+      (4L, "w")                   // single token: no bigrams at all
+    ).toDF("doc_id", "text")
+    val got = TextDedup.repetitionFilter(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(got(1L) == ((6L, round6(1 - 1.0 / 6), 1.0, false)))
+    assert(got(2L) == ((10L, 0.0, round6(1.0 / 9), true)))
+    // "spam ham"×3 + "ham spam"×2 of 5 bigrams → top share 0.6; dup 4/6
+    assert(got(3L) == ((6L, round6(1 - 2.0 / 6), 0.6, false)))
+    assert(got(4L) == ((1L, 0.0, 0.0, true)))
+  }
+
+  test("common spans: shared only across documents, within-doc repeats don't count") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e", "s0"),                 // "a b c d" shared with doc 2
+      (2L, "z z a b c d y", "s0"),
+      (3L, "q r s t u", "s1"),                 // nothing shared
+      (4L, "m n o p m n o p m n o p", "s1")    // self-repeated gram only → not shared
+    ).toDF("doc_id", "text", "source")
+    val got = TextDedup.commonSpans(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((2L, 1L, 0.5)))
+    assert(got(2L) == ((4L, 1L, 0.25)))
+    assert(got(3L) == ((2L, 0L, 0.0)))
+    // doc 4 has 9 positional grams but deduped distinct grams; none cross-doc
+    assert(got(4L)._2 == 0L)
+  }
+
+  private def round6(x: Double): Double = math.round(x * 1e6) / 1e6
+
+  test("cluster keepers: the keeper is the longest doc of its cluster " +
+    "(ties to smallest id) and counts line up with dd_dup_clusters") {
+    val clusters = SparkEntry.queries("dd_dup_clusters")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(clusters.nonEmpty, "fixture should produce near-dup clusters")
+    val chars = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = clusters.groupBy(_._2).map { case (cl, members) =>
+      val best = members.map(_._1).minBy(id => (-chars(id), id))
+      cl -> ((members.length.toLong, best, chars(best)))
+    }
+    val got = SparkEntry.queries("dd_cluster_keepers")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expected)
+  }
+
+  test("z-score anomalies: every flagged row really exceeds its type's threshold") {
+    val byType = graft.Tables.events(spark, dir)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).groupBy(_._1)
+      .map { case (t, vs) =>
+        val xs = vs.map(_._2); val n = xs.length
+        val m = xs.sum / n
+        val sd = math.sqrt(xs.map(x => (x - m) * (x - m)).sum / (n - 1))
+        t -> ((m, sd))
+      }
+    val rows = SparkEntry.queries("e_anomaly_zscore")(spark, dir).collect()
+    assert(rows.nonEmpty, "fixture should contain outliers")
+    rows.foreach { r =>
+      val (m, sd) = byType(r.getString(1))
+      val z = (r.getDouble(2) - m) / sd
+      assert(z > 2.5 - 1e-6, s"event ${r.getLong(0)} z=$z not above threshold")
+      assert(math.abs(z - r.getDouble(3)) < 1e-4, s"reported z off: $z vs ${r.getDouble(3)}")
+    }
+  }
+
   test("sequence packing: offsets within budget, windows tile the per-source " +
     "token stream, crosses flag matches the arithmetic") {
     val rows = SparkEntry.queries("t_seq_packing")(spark, dir).collect()

@@ -181,6 +181,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(source"), s"window must partition by source:\n$p")
   }
 
+  test("unpivot lowers to a single Expand over one scan, not a self-union") {
+    val p = plan("x_unpivot")
+    assert(p.contains("Expand"), s"expected Expand operator:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"unpivot must read lineitem once, got $scans scans:\n$p")
+    assert(!p.contains("Union"), s"unpivot must not plan as a union of scans:\n$p")
+  }
+
+  test("z-score anomaly scan broadcasts the per-type moments, never shuffles events rows") {
+    val p = plan("e_anomaly_zscore")
+    assert(p.contains("BroadcastHashJoin"), s"stats side should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"events rows must not shuffle for the probe:\n$p")
+  }
+
   test("TF-IDF carries no broadcast hint on the corpus-derived df side") {
     // document frequencies are corpus-derived: a hard broadcast hint would
     // OOM at 100 TB vocabulary scale. AQE may still broadcast at runtime —
