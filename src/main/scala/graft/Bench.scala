@@ -3,8 +3,11 @@ package graft
 /** Benchmark main: runs the headline query set (SparkEntry.benchQueries) on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query wall times.
   *
-  * Each query runs twice: a warm-up pass (JIT + parquet footer cache) and a
-  * timed pass, matching how a resident engine would serve repeated queries.
+  * Each query runs twice as warm-up (JIT compilation of codegen'd operators
+  * + parquet footer cache — the JVM needs ~2 passes to reach the steady
+  * state a resident engine serves from) and then three timed passes, taking
+  * the best. `tools/duckbench.py` mirrors the same 2+best-of-3 protocol so
+  * the engines are compared at the same steady state.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -15,13 +18,13 @@ object Bench {
     def run(name: String): Double = {
       val fn = SparkEntry.queries(name)
       try {
-        fn(spark, sfDir).count() // warm-up (JIT + codegen + footer cache)
-        val times = (1 to 2).map { _ =>
+        (1 to 2).foreach(_ => fn(spark, sfDir).count()) // warm-up passes
+        val times = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         }
-        times.min // denoised: best of two timed runs
+        times.min // denoised: best of three timed runs
       } catch { case _: Throwable => -1.0 }
     }
 

@@ -55,6 +55,14 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // Operator escape hatch (and local A/B harness): GRAFT_EXTRA_CONF holds
+    // `k=v;k=v` runtime-settable SQL confs applied on top of the defaults.
+    sys.env.get("GRAFT_EXTRA_CONF").foreach(_.split(";").filter(_.nonEmpty).foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k, v)
+        case _ => sys.error(s"GRAFT_EXTRA_CONF segment '$kv' is not key=value")
+      }
+    })
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -12,22 +12,51 @@ object ProfileQuery {
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.create(
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), appName = "graft-profile")
-    // A/B runtime-settable SQL confs: GRAFT_EXTRA_CONF="k=v;k=v"
-    sys.env.get("GRAFT_EXTRA_CONF").foreach(_.split(";").filter(_.nonEmpty).foreach { kv =>
-      kv.split("=", 2) match {
-        case Array(k, v) => spark.conf.set(k, v)
-        case _ => sys.error(s"GRAFT_EXTRA_CONF segment '$kv' is not key=value")
+    // A/B SQL confs come from GRAFT_EXTRA_CONF, applied by GraftSession.
+    // Synthetic floors: `_floor` = empty 32-task job (pure scheduler cost),
+    // `_scan:<table>` = raw parquet count (scan cost without query logic).
+    sys.env.get("GRAFT_LOG_LEVEL").foreach(spark.sparkContext.setLogLevel)
+    val fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      if (name.startsWith("_floor")) { (s, _) =>
+        val n = name.split(":").lift(1).map(_.toInt).getOrElse(32)
+        s.range(0, n, 1, n).toDF()
+      }
+      else if (name.startsWith("_scan:"))
+        (s, dir) => Tables.load(s, dir, name.stripPrefix("_scan:"))
+      else SparkEntry.queries(name)
+    // Count scheduler activity per run: jobs and stages are the fixed-cost
+    // units of local-mode latency (each stage wave ≈ tens of ms).
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet(); tasks.addAndGet(s.stageInfo.numTasks)
       }
     })
-    val fn = SparkEntry.queries(name)
     fn(spark, sfDir).count() // warm-up
-    for (i <- 1 to 3) {
+    if (sys.env.contains("GRAFT_EXPLAIN")) {
+      import spark.implicits._
+      fn(spark, sfDir).groupBy().count().explain("formatted")
+    }
+    val runs = sys.env.get("GRAFT_RUNS").map(_.toInt).getOrElse(3)
+    for (i <- 1 to runs) {
+      jobs.set(0); stages.set(0); tasks.set(0)
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
       val t1 = System.nanoTime()
-      df.count()
+      // split count() into its planning and execution halves
+      val counted = df.groupBy().count()
+      counted.queryExecution.executedPlan // force analysis+optimize+planning
+      val t15 = System.nanoTime()
+      counted.collect()
       val t2 = System.nanoTime()
-      println(f"[profile] $name run$i build=${(t1 - t0) / 1e9}%.3fs exec=${(t2 - t1) / 1e9}%.3fs")
+      Thread.sleep(100) // let listener events drain
+      println(f"[profile] $name run$i build=${(t1 - t0) / 1e9}%.3fs " +
+        f"plan=${(t15 - t1) / 1e9}%.3fs run=${(t2 - t15) / 1e9}%.3fs " +
+        s"jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
     }
     spark.stop()
   }

@@ -3,8 +3,8 @@
 
 Usage: duckbench.py <sfDir> <verifyOutDir> [queryName ...]
 
-Times each bench query's oracle SQL in DuckDB (warm-up + best of two, the
-same protocol as graft.Bench) over views of the fixture parquet. Query
+Times each bench query's oracle SQL in DuckDB (2 warm-ups + best of three,
+the same protocol as graft.Bench) over views of the fixture parquet. Query
 names default to the bench set recorded by graft.Verify (bench_queries.json
 if present, else every oracle entry).
 """
@@ -30,8 +30,8 @@ def main(sf_dir, out_dir, names):
             results[name] = None
             continue
         sql = oracle[name]
-        con.sql(sql).fetchall()  # warm-up
-        best = min(_timed(con, sql) for _ in range(2))
+        con.sql(sql).fetchall(); con.sql(sql).fetchall()  # warm-ups
+        best = min(_timed(con, sql) for _ in range(3))
         results[name] = round(best, 4)
     total = sum(v for v in results.values() if v is not None)
     print(json.dumps({"metric": "duckdb_total", "value": round(total, 4),
