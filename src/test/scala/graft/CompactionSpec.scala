@@ -33,15 +33,20 @@ class CompactionSpec extends AnyFunSuite {
 
   test("pk range-clustering keeps file-level stats tight: files have disjoint pk ranges") {
     import org.apache.spark.sql.functions._
-    val withFile = Tables.load(spark, sfDir, "orders")
-      .select(col("o_orderkey"), input_file_name().as("f"))
+    // lineitem is the one sf0.001 table large enough (6k rows) to span
+    // multiple files under the 2000-rows/partition ingest target.
+    val withFile = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), input_file_name().as("f"))
       .groupBy(col("f"))
-      .agg(min(col("o_orderkey").cast("long")).as("lo"),
-        max(col("o_orderkey").cast("long")).as("hi"))
+      .agg(min(col("l_orderkey").cast("long")).as("lo"),
+        max(col("l_orderkey").cast("long")).as("hi"))
       .orderBy(col("lo"))
       .collect()
     assert(withFile.length > 1)
     withFile.sliding(2).foreach { case Array(a, b) =>
+      // range clustering: consecutive files' pk ranges may touch at the
+      // boundary key (duplicate l_orderkey rows split across files) but
+      // never interleave.
       assert(a.getAs[Long]("hi") <= b.getAs[Long]("lo"),
         s"pk ranges overlap across files: $a vs $b — range clustering lost")
     }
