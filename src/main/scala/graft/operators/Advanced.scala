@@ -211,6 +211,27 @@ object Advanced {
       }
     },
 
+    // Equi-width histogram (fixed literal bounds, so one scan suffices —
+    // a data-dependent min/max would force a second pass; production
+    // profilers use known bounds or a prior sketch). Bucket arithmetic is
+    // integer-exact in both engines: floor(price/5000) clamped to the top
+    // bucket. Pure partial-agg group-by — the exchange carries ≤ 25 rows.
+    Q("x_histogram_price",
+      """SELECT least(CAST(floor(l_extendedprice / 5000) AS BIGINT), CAST(24 AS BIGINT))
+        |         AS bucket,
+        |       count(*) AS n,
+        |       round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem
+        |GROUP BY 1 ORDER BY bucket""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(least(floor(col("l_extendedprice") / 5000).cast("long"), lit(24L))
+            .as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice")), 2).as("total"))
+          .orderBy(col("bucket"))
+    },
+
     // Ordered string aggregation.
     Q("x_group_concat",
       """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations

@@ -75,6 +75,32 @@ object TextDedup {
         col("dup_word_frac") <= 0.55 && col("top_bigram_share") <= 0.18)
   }
 
+  /** PII patterns shared verbatim by the Spark projection and the DuckDB
+    * oracle SQL — kept to the regex subset Java and RE2 interpret
+    * identically (no backreferences, no lookaround; `\b` is an ASCII word
+    * boundary in both). Raw triple-quoted so backslashes survive into both
+    * engines unchanged.
+    */
+  private[operators] val PiiEmail = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private[operators] val PiiPhone = """\+?\d[\d -]{7,}\d"""
+  private[operators] val PiiIp = """\b\d{1,3}(\.\d{1,3}){3}\b"""
+
+  /** Core of t_pii_scrub, exposed for synthetic-input specs (the fixture
+    * corpus has no PII, so the match path is pinned on crafted rows).
+    * Input needs (doc_id, text); emits per-pattern match counts and the
+    * fully redacted text. Single-pass projection — no shuffle.
+    */
+  def piiScrub(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      // cast to long: DuckDB's len(regexp_extract_all) is BIGINT and the
+      // driver's compare is dtype-sensitive
+      regexp_count(col("text"), lit(PiiEmail)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(PiiPhone)).cast("long").as("n_phones"),
+      regexp_count(col("text"), lit(PiiIp)).cast("long").as("n_ips"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        PiiEmail, "<EMAIL>"), PiiPhone, "<PHONE>"),
+        PiiIp, "<IP>").as("redacted"))
+
   /** Core of dd_common_spans, exposed for synthetic-input specs. Input
     * needs (doc_id, text, source) — the shared grams4 projection carries
     * source for the decontamination twin. Grams are deduplicated per
@@ -880,6 +906,101 @@ object TextDedup {
           .select(col("doc_id"), col("term"), col("score"))
           .orderBy(col("doc_id"), col("score").desc, col("term"))
       }
+    },
+
+    // Unigram log-perplexity quality signal (the CCNet-style LM filter,
+    // Wenzek et al. 2020, reduced to its order-0 form so both engines
+    // compute it exactly): per-document average -log2 p(token) under the
+    // corpus unigram distribution. High bits/token = rare-word soup or
+    // noise; low = repetitive boilerplate — both tails get filtered in
+    // production pipelines. Scale shape: tf is a (doc, term) partial-agg
+    // group-by; corpus term totals re-aggregate tf by term (corpus-derived
+    // → NO broadcast hint, AQE decides); the grand total is a one-row
+    // cross join. Rounded to 6 before ORDER BY so ties break identically.
+    Q("t_unigram_logppl",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS term
+        |              FROM documents),
+        |tf  AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |ctf AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY term),
+        |tot AS (SELECT sum(ctf) AS t FROM ctf)
+        |SELECT doc_id,
+        |       CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |       round(sum(tf * -log2(ctf / t)) / sum(tf), 6) AS bits_per_token
+        |FROM tf JOIN ctf USING (term) CROSS JOIN tot
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) {
+      (s, dir) => {
+        val tf = docs(s, dir)
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val ctf = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+        val tot = ctf.agg(sum(col("ctf")).as("t"))
+        tf.join(ctf, Seq("term")).crossJoin(broadcast(tot))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("tf")).cast("long").as("n_tokens"),
+            round(sum(col("tf") * -log(2.0, col("ctf") / col("t")))
+              / sum(col("tf")), 6).as("bits_per_token"))
+          .orderBy(col("doc_id"))
+      }
+    },
+
+    // Out-of-vocabulary rate against the corpus top-1000 vocabulary —
+    // the tokenizer-coverage check run before committing to a vocab size.
+    // The vocab is rank-bounded (count desc, then term — deterministic),
+    // so it is a TRUE dimension regardless of corpus size: 1000 rows
+    // broadcast against the token stream; the token side never shuffles
+    // for the probe. OOV tokens are counted per doc via the broadcast
+    // left-anti pattern expressed as a left join + null test.
+    Q("t_oov_rate",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS term
+        |              FROM documents),
+        |cnt AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+        |vocab AS (SELECT term FROM
+        |            (SELECT term, row_number() OVER (ORDER BY c DESC, term) AS rn
+        |             FROM cnt) WHERE rn <= 1000)
+        |SELECT t.doc_id,
+        |       count(*) AS n_tokens,
+        |       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_oov,
+        |       round(CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS oov_rate
+        |FROM toks t LEFT JOIN vocab v ON t.term = v.term
+        |GROUP BY t.doc_id
+        |ORDER BY t.doc_id""".stripMargin) {
+      (s, dir) => {
+        val toks = docs(s, dir)
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+        val cnt = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+        val vocab = cnt
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("c").desc, col("term"))))
+          .filter(col("rn") <= 1000).select(col("term"), lit(1).as("in_vocab"))
+        toks.join(broadcast(vocab), Seq("term"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("in_vocab").isNull, 1).otherwise(0)).cast("long").as("n_oov"),
+            round(sum(when(col("in_vocab").isNull, 1).otherwise(0)).cast("double")
+              / count(lit(1)), 6).as("oov_rate"))
+          .orderBy(col("doc_id"))
+      }
+    },
+
+    // PII scrubbing: count and redact email / phone / IPv4 patterns — the
+    // compliance pass every corpus takes before training. Pure per-row
+    // projection (regexp_count + chained regexp_replace), no shuffle at
+    // any scale. The fixture corpus is synthetic word soup, so the oracle
+    // pins the zero-match path end-to-end; the match path is pinned on
+    // synthetic rows in OperatorsSpec via the public piiScrub core.
+    Q("t_pii_scrub",
+      s"""SELECT doc_id,
+         |       len(regexp_extract_all(text, '$PiiEmail')) AS n_emails,
+         |       len(regexp_extract_all(text, '$PiiPhone')) AS n_phones,
+         |       len(regexp_extract_all(text, '$PiiIp')) AS n_ips,
+         |       regexp_replace(regexp_replace(regexp_replace(text,
+         |         '$PiiEmail', '<EMAIL>', 'g'), '$PiiPhone', '<PHONE>', 'g'),
+         |         '$PiiIp', '<IP>', 'g') AS redacted
+         |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, dir) => piiScrub(docs(s, dir)).orderBy(col("doc_id"))
     },
 
     // Sequence packing for training: concatenate each source's documents

@@ -290,6 +290,25 @@ class OperatorsSpec extends AnyFunSuite {
 
   private def round6(x: Double): Double = math.round(x * 1e6) / 1e6
 
+  test("pii scrub: emails, phones and IPs are counted and redacted on crafted rows") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or alice@test.org today"),
+      (2L, "call +1 555 123 4567 now"),
+      (3L, "server at 192.168.0.1 and 10.0.0.254 responded"),
+      (4L, "plain text with no sensitive content"),
+      (5L, "mixed: a@b.io from 127.0.0.1")
+    ).toDF("doc_id", "text")
+    val got = TextDedup.piiScrub(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(got(1L) == ((2L, 0L, 0L, "contact <EMAIL> or <EMAIL> today")))
+    assert(got(2L) == ((0L, 1L, 0L, "call <PHONE> now")))
+    assert(got(3L) == ((0L, 0L, 2L, "server at <IP> and <IP> responded")))
+    assert(got(4L) == ((0L, 0L, 0L, "plain text with no sensitive content")))
+    assert(got(5L) == ((1L, 0L, 1L, "mixed: <EMAIL> from <IP>")))
+  }
+
   test("cluster keepers: the keeper is the longest doc of its cluster " +
     "(ties to smallest id) and counts line up with dd_dup_clusters") {
     val clusters = SparkEntry.queries("dd_dup_clusters")(spark, dir).collect()
