@@ -40,8 +40,10 @@ object Ast {
   final case class DeleteContainer(name: String) extends Stmt
   /** One aggregate projection item, `fn(col)` (graft extension — the
     * reference language has no aggregation). Output column is `fn_col`.
+    * `distinct` marks `count(DISTINCT col)` (output `count_distinct_col`);
+    * the parser rejects DISTINCT under any other aggregate.
     */
-  final case class AggProj(fn: String, column: String)
+  final case class AggProj(fn: String, column: String, distinct: Boolean = false)
 
   /** One explicit sort item, `ORDER BY [col ASC|DESC, …]` (graft
     * extension). Ascending when `asc`.
@@ -139,6 +141,11 @@ object Parser {
               s"Unknown aggregate '$fn' (supported: ${AggFns.toList.sorted.mkString(",")})")
           inner match {
             case List(one) => aggs += AggProj(fn, name(one)); rest = tl
+            // count(DISTINCT col) — distinct cardinality (graft extension)
+            case List(Keyword("DISTINCT"), one) if fn == "count" =>
+              aggs += AggProj(fn, name(one), distinct = true); rest = tl
+            case List(Keyword("DISTINCT"), _) => throw new ParseException(
+              s"DISTINCT is only supported under count(), not $fn()")
             case other => throw new ParseException(
               s"Aggregate $fn takes exactly one column, got $other")
           }

@@ -218,7 +218,9 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
         val keyNames = resolveNames(unioned, s.projection)
         val keys = keyNames.map(col)
-        val outNames = s.aggs.map(a => s"${a.fn}_${a.column.toLowerCase}")
+        val outNames = s.aggs.map(a =>
+          if (a.distinct) s"count_distinct_${a.column.toLowerCase}"
+          else s"${a.fn}_${a.column.toLowerCase}")
         // strict naming, like CreateContainer: duplicate aggregate items
         // or a key that shadows an fn_col output are parse errors, never
         // a downstream ambiguous-reference crash
@@ -236,6 +238,9 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
               !Seq(IntegerType, LongType, DoubleType).contains(dt))
             throw new ParseException(s"${a.fn}($cn) requires a numeric column, got $dt")
           (a.fn match {
+            // exact distinct count: partial-aggregates the distinct set
+            // per partition before the exchange, like SQL COUNT(DISTINCT)
+            case "count" if a.distinct => countDistinct(c)
             case "count" => count(c)
             case "sum" => sum(c)
             case "avg" => avg(c)

@@ -146,6 +146,16 @@ object AqlQueries {
           "ON documents WHERE n_chars > 200")(s, dir)
     },
 
+    // count(DISTINCT col) through AQL: exact distinct cardinality per group
+    Q("aql_search_agg_distinct",
+      """SELECT lang, count(DISTINCT source) AS count_distinct_source,
+        |       count(doc_id) AS count_doc_id
+        |FROM documents GROUP BY lang
+        |ORDER BY lang, count_distinct_source, count_doc_id""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [lang, count(DISTINCT source), count(doc_id)] ON documents")(s, dir)
+    },
+
     // HAVING through AQL: predicate over the aggregated output columns
     Q("aql_search_agg_having",
       """SELECT source, count(doc_id) AS count_doc_id

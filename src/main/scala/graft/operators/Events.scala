@@ -273,6 +273,33 @@ object Events {
       }
     },
 
+    // Time-based rolling window: per event type, the count and value-sum of
+    // everything in the trailing hour — the standard telemetry rate/volume
+    // monitor. RANGE frame over epoch-µs longs, so rows with equal
+    // timestamps are peers in BOTH engines (a ROWS frame would depend on
+    // tie order). Scale: one shuffle on event_type (the same partitioning a
+    // streaming sliding-window agg keeps), then a single sorted pass per
+    // partition; no self-join, no per-row subquery.
+    Q("e_rolling_1h",
+      """SELECT event_id, event_type, ts,
+        |       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |       round(sum(value) OVER w, 4) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, ts, event_id""".stripMargin) {
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600000000L, Window.currentRow)
+        Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("ts"),
+            count(lit(1)).over(w).as("n_1h"),
+            round(sum(col("value")).over(w), 4).as("sum_1h"))
+          .orderBy(col("event_type"), col("ts"), col("event_id"))
+      }
+    },
+
     // AS-OF join: each purchase picks the most recent prior click of the
     // same user (prior in the total (ts, event_id) order, so ties are
     // deterministic in both engines). Spark-first formulation: NO range

@@ -97,6 +97,16 @@ class ParserSpec extends AnyFunSuite {
       && s.limit == Some(3))
   }
 
+  test("count(DISTINCT col): parses to a distinct AggProj; other fns reject DISTINCT") {
+    val s = Parser.parse("SEARCH [lang, count(DISTINCT src)] ON docs")
+      .asInstanceOf[Search]
+    assert(s.aggs == List(AggProj("count", "src", distinct = true)))
+    assert(Parser.parse("SEARCH [count(src)] ON docs").asInstanceOf[Search]
+      .aggs == List(AggProj("count", "src")))
+    intercept[ParseException](
+      Parser.parse("SEARCH [sum(DISTINCT src)] ON docs"))
+  }
+
   test("SEARCH DISTINCT: parses, composes with later clauses, rejects aggregates") {
     val s = Parser.parse("SEARCH DISTINCT ['lang'] ON docs WHERE n > 2 LIMIT 5")
       .asInstanceOf[Search]
