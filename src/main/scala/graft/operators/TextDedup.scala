@@ -148,6 +148,10 @@ object TextDedup {
     * Shape: explode shingles → 2 digests → 8 partial-agg mins. The exchange
     * still carries one 8-slice row per document. Docs with no shingles have
     * no signature row — they can never collide in a band either way.
+    * (A shuffle-free per-row array fold was measured and rejected: Spark's
+    * higher-order functions evaluate interpreted and CollapseProject
+    * re-inlines the md5 transform into every slice extraction, so the fold
+    * runs ~2× slower than this codegen'd explode + hash-aggregate.)
     */
   private def withSignatures(df: DataFrame): DataFrame = {
     val ex = df.select(col("doc_id"), explode(col("sg")).as("s"))
