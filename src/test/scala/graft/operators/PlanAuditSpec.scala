@@ -205,4 +205,45 @@ class PlanAuditSpec extends AnyFunSuite {
     // exactly one hint: the one-row corpus count N
     assert(hints <= 1, s"unexpected broadcast hints in:\n$logical")
   }
+
+  test("unigram log-ppl: term-total side is hint-free (corpus-derived vocabulary)") {
+    // same stance as TF-IDF: the corpus term-count relation grows with the
+    // corpus — only the one-row grand total may carry a hint.
+    val df = SparkEntry.queries("t_unigram_logppl")(spark, dir)
+    val logical = df.queryExecution.optimizedPlan.toString()
+    assert("ResolvedHint".r.findAllIn(logical).length <= 1,
+      s"corpus-derived side must stay hint-free:\n$logical")
+  }
+
+  test("OOV rate probes through a broadcast of the rank-bounded vocabulary") {
+    // the top-1000 vocab is bounded regardless of corpus size — a true
+    // dimension; the token stream must not shuffle for the membership probe
+    val p = plan("t_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), s"vocab should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"token stream must not shuffle for the vocab probe:\n$p")
+  }
+
+  test("rolling 1h window shuffles once on event_type, no self-join") {
+    val p = plan("e_rolling_1h")
+    assert(!p.contains("Join"), s"rolling window must not self-join:\n$p")
+    assert("hashpartitioning\\(event_type".r.findAllIn(p).length >= 1,
+      s"window must partition by event_type:\n$p")
+  }
+
+  test("price histogram aggregates map-side before one tiny exchange") {
+    val p = plan("x_histogram_price")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"histogram must partial-aggregate:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 2, // bucket agg + final sort
+      s"histogram should need at most bucket + order exchanges:\n$p")
+  }
+
+  test("PII scrub is a pure projection: no exchange, no join") {
+    val p = plan("t_pii_scrub")
+    assert(!p.contains("Join"), s"pii scrub must not join:\n$p")
+    // only the ORDER BY may add an exchange
+    assert("Exchange".r.findAllIn(p).length <= 1,
+      s"pii scrub should scan + project only:\n$p")
+  }
 }
