@@ -47,6 +47,59 @@ object Similarity {
   private def duckCos(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
+  /** Cross-cell near-dup pairs: candidates from BOTH hash families (IVF
+    * cell equi-join ∪ 8-plane hyperplane-bucket equi-join — OR
+    * amplification, so pairs straddling a cell boundary are still found),
+    * verified by exact cosine > 0.35. Shared by sim_neardup_multiprobe and
+    * sim_dup_clusters. Both joins are equi-joins on bounded keys; the
+    * verification touches only bucket-colliding pairs.
+    */
+  private def multiprobePairs(s: SparkSession, dir: String): DataFrame = {
+    val keyed = emb(s, dir).select(col("vec_id"), col("label"),
+      Advanced.sparkBucket("embedding").as("hp"))
+    val a = keyed.select(col("vec_id").as("ia"), col("label").as("cell_a"),
+      col("hp").as("hp_a"))
+    val b = keyed.select(col("vec_id").as("ib"), col("label").as("cell_b"),
+      col("hp").as("hp_b"))
+    // candidates are BARE ID PAIRS: the OR-amplification union + distinct
+    // moves integers only — embedding payloads are joined back just for
+    // the surviving candidates (also sidesteps a DuckDB quirk where WITH
+    // RECURSIVE changes plain-UNION dedup over rows carrying float lists)
+    val byCell = a.join(b, col("cell_a") === col("cell_b") && col("ia") < col("ib"))
+    val byPlane = a.join(b, col("hp_a") === col("hp_b") && col("ia") < col("ib"))
+    val cand = byCell.select(col("ia"), col("ib"))
+      .union(byPlane.select(col("ia"), col("ib")))
+      .distinct()
+    val ea = emb(s, dir).select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val eb = emb(s, dir).select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    cand.join(ea, Seq("ia")).join(eb, Seq("ib"))
+      .withColumn("cs", cosine(col("ea"), col("eb")))
+      .filter(col("cs") > 0.35)
+      .select(col("ia").as("id_a"), col("ib").as("id_b"),
+        round(col("cs"), 6).as("cos_sim"))
+  }
+
+  // RECURSIVE unconditionally (same convention as TextDedup.duckLshPairs):
+  // harmless for the non-recursive consumers because every UNION here
+  // dedupes integer id pairs only, required by sim_dup_clusters' walk.
+  private def duckMultiprobeCtes: String =
+    s"""WITH RECURSIVE keyed AS (
+       |  SELECT vec_id, label, ${Advanced.duckBucket("embedding")} AS hp
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT DISTINCT ia, ib FROM (
+       |    SELECT a.vec_id AS ia, b.vec_id AS ib
+       |    FROM keyed a JOIN keyed b ON a.label = b.label AND a.vec_id < b.vec_id
+       |    UNION ALL
+       |    SELECT a.vec_id, b.vec_id
+       |    FROM keyed a JOIN keyed b ON a.hp = b.hp AND a.vec_id < b.vec_id) u),
+       |pairs AS (
+       |  SELECT ia AS id_a, ib AS id_b,
+       |         round(${duckCos("x.embedding", "y.embedding")}, 6) AS cos_sim
+       |  FROM cand JOIN embeddings x ON x.vec_id = ia
+       |            JOIN embeddings y ON y.vec_id = ib
+       |  WHERE ${duckCos("x.embedding", "y.embedding")} > 0.35)""".stripMargin
+
   val defs: Seq[Q] = Seq(
 
     // Vector norms — the scalar building block, verified on its own.
@@ -186,37 +239,34 @@ object Similarity {
     // the exact cosine verify touches only candidate pairs. Oracle is the
     // identical declarative recompute.
     Q("sim_neardup_multiprobe",
-      s"""WITH keyed AS (
-         |  SELECT vec_id, label, ${Advanced.duckBucket("embedding")} AS hp, embedding
-         |  FROM embeddings),
-         |cand AS (
-         |  SELECT a.vec_id AS ia, b.vec_id AS ib, a.embedding AS ea, b.embedding AS eb
-         |  FROM keyed a JOIN keyed b ON a.label = b.label AND a.vec_id < b.vec_id
-         |  UNION
-         |  SELECT a.vec_id, b.vec_id, a.embedding, b.embedding
-         |  FROM keyed a JOIN keyed b ON a.hp = b.hp AND a.vec_id < b.vec_id)
-         |SELECT ia AS id_a, ib AS id_b, round(${duckCos("ea", "eb")}, 6) AS cos_sim
-         |FROM cand
-         |WHERE ${duckCos("ea", "eb")} > 0.35
+      s"""$duckMultiprobeCtes
+         |SELECT id_a, id_b, cos_sim FROM pairs
          |ORDER BY id_a, id_b""".stripMargin) {
-      (s, dir) => {
-        val keyed = emb(s, dir).select(col("vec_id"), col("label"),
-          Advanced.sparkBucket("embedding").as("hp"), col("embedding"))
-        val a = keyed.select(col("vec_id").as("ia"), col("label").as("cell_a"),
-          col("hp").as("hp_a"), col("embedding").as("ea"))
-        val b = keyed.select(col("vec_id").as("ib"), col("label").as("cell_b"),
-          col("hp").as("hp_b"), col("embedding").as("eb"))
-        val byCell = a.join(b, col("cell_a") === col("cell_b") && col("ia") < col("ib"))
-        val byPlane = a.join(b, col("hp_a") === col("hp_b") && col("ia") < col("ib"))
-        val cand = byCell.select(col("ia"), col("ib"), col("ea"), col("eb"))
-          .union(byPlane.select(col("ia"), col("ib"), col("ea"), col("eb")))
-          .distinct() // OR-amplification dedup, same as SQL UNION
-        cand.withColumn("cs", cosine(col("ea"), col("eb")))
-          .filter(col("cs") > 0.35)
-          .select(col("ia").as("id_a"), col("ib").as("id_b"),
-            round(col("cs"), 6).as("cos_sim"))
-          .orderBy(col("id_a"), col("id_b"))
-      }
+      (s, dir) => multiprobePairs(s, dir).orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Duplicate clusters over the embedding near-dup graph — the embedding
+    // twin of dd_dup_clusters: connected components via min-label
+    // propagation + pointer jumping (O(log diameter) rounds), so the
+    // "which vectors are the same content" question gets a transitive
+    // answer, not just pairs. Oracle = DuckDB recursive CTE over the same
+    // verified pairs.
+    Q("sim_dup_clusters",
+      s"""$duckMultiprobeCtes,
+         |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |      UNION ALL SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS v FROM e),
+         |walk(v, l) AS (
+         |  SELECT v, v FROM nodes
+         |  UNION
+         |  SELECT e.b, w.l FROM walk w JOIN e ON e.a = w.v),
+         |comp AS (SELECT v, min(l) AS l FROM walk GROUP BY v)
+         |SELECT v AS vec_id, CAST(l AS BIGINT) AS cluster_id FROM comp
+         |ORDER BY vec_id""".stripMargin) {
+      (s, dir) => TextDedup.connectedComponents(
+          multiprobePairs(s, dir).select(col("id_a"), col("id_b")))
+        .select(col("v").as("vec_id"), col("l").as("cluster_id"))
+        .orderBy(col("vec_id"))
     },
 
     // Centroid stats per cell: element-wise mean of the first 4 dims — the
