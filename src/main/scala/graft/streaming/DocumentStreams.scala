@@ -55,6 +55,14 @@ object DocumentStreams {
       .select(explode(col("mg")).as(Seq("token", "approx_count")))
   }
 
+  /** Streaming twin of `t_pii_scrub`: the compliance pass applied AT
+    * INGEST (append mode, stateless projection — redact before anything
+    * is persisted downstream, the shape a real pipeline wants). Exactly
+    * the batch operator's projection, so StreamingSpec pins equivalence.
+    */
+  def piiScrubbed(docs: DataFrame): DataFrame =
+    graft.operators.TextDedup.piiScrub(docs)
+
   /** Streaming twin of `t_decontaminate`'s hit detection: the incoming
     * documents' 4-grams stream-static joined against the (static,
     * broadcast) benchmark gram set. Emits one (doc_id, g) row per hit in

@@ -195,6 +195,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.length == batchHashes.size)
   }
 
+  test("streaming PII scrub emits exactly the batch operator's redactions") {
+    val q = DocumentStreams.piiScrubbed(DocumentStreams.readDocuments(spark, dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pii_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("pii_out")
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    val batch = graft.operators.TextDedup
+      .piiScrub(graft.Tables.load(spark, dir, "documents"))
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("stateful sessionization matches the batch twin (e_session_stats)") {
     import spark.implicits._
     val evs = EventStreams.readEvents(spark, dir)
