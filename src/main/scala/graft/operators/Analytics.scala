@@ -116,6 +116,29 @@ object Analytics {
           .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     },
 
+    // Arbitrary GROUPING SETS (the general form rollup/cube specialize) +
+    // grouping_id disambiguating which set produced each row — without it
+    // a stored NULL key and a superaggregate NULL are indistinguishable.
+    // One Expand over one scan, partial-aggregated like any group-by.
+    Q("x_grouping_sets",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupingSets(
+            Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+              Seq(col("l_linestatus")), Seq.empty),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(grouping_id().cast("long").as("gid"),
+            sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+          .orderBy(col("gid"),
+            col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
     // Broadcast dim join: part is a dimension → broadcast, fact never shuffles.
     Q("x_join_broadcast_dim",
       """SELECT p_brand, sum(l_quantity) AS sum_qty,

@@ -912,6 +912,30 @@ object TextDedup {
       }
     },
 
+    // Cross-source duplicate overlap: for every ordered source pair, how
+    // many distinct content hashes appear in BOTH — the curation matrix
+    // that decides which sources are worth ingesting ("src3 is 40% src1").
+    // Scale shape: the per-(hash, source) distinct is a partial-agg
+    // group-by; the pair join is an equi-join on the hash, so only hashes
+    // present in ≥2 sources produce rows; the pair count exchange carries
+    // one row per source pair.
+    Q("dd_cross_source_overlap",
+      """WITH hs AS (SELECT DISTINCT md5(text) AS h, source FROM documents)
+        |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+        |GROUP BY 1, 2
+        |ORDER BY src_a, src_b""".stripMargin) {
+      (s, dir) => {
+        val hs = docs(s, dir)
+          .select(md5(col("text")).as("h"), col("source")).distinct()
+        hs.as("a").join(hs.as("b"),
+            col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy(col("src_a"), col("src_b"))
+      }
+    },
+
     // Unigram log-perplexity quality signal (the CCNet-style LM filter,
     // Wenzek et al. 2020, reduced to its order-0 form so both engines
     // compute it exactly): per-document average -log2 p(token) under the
