@@ -11,7 +11,8 @@ import org.apache.spark.sql.types._
   * to the fixed-width container (`/root/reference/src/container.rs`,
   * `src/database.rs` MAX_STR_LEN=128); the Spark-first generalization is a
   * real source/sink pair for the corpus in the formats training data
-  * actually arrives in — JSONL (the de-facto corpus wire format) and CSV.
+  * actually arrives in — JSONL (the de-facto corpus wire format), CSV, and
+  * ORC (the other splittable columnar warehouse format).
   *
   * Scale rules encoded here:
   *  - EXPLICIT schema-on-read, never inference: at 100 TB schema inference
@@ -39,6 +40,9 @@ object CorpusFormats {
       val docs = Tables.load(s, dir, "documents")
       fmt match {
         case "json" => docs.write.mode("overwrite").json(tmp.getPath)
+        // columnar interchange: ORC is the other splittable columnar
+        // format warehouses exchange; stripes parallelize like row groups
+        case "orc" => docs.write.mode("overwrite").orc(tmp.getPath)
         case "csv" =>
           // A splittable CSV cannot hold embedded newlines IN ANY string
           // column: the writer would quote them, but the line-splitting
@@ -64,6 +68,9 @@ object CorpusFormats {
   def readCsv(s: SparkSession, dir: String): DataFrame =
     s.read.schema(docSchema).option("header", "true").option("escape", "\"")
       .csv(staged(s, dir, "csv"))
+
+  def readOrc(s: SparkSession, dir: String): DataFrame =
+    s.read.schema(docSchema).orc(staged(s, dir, "orc"))
 
   /** Per-source content summary: counts + byte totals + an md5 content
     * range. Equality with the parquet-backed oracle proves the round-trip
@@ -91,5 +98,10 @@ object CorpusFormats {
     },
     Q("src_csv_roundtrip", oracleSummary) {
       (s, dir) => summarize(readCsv(s, dir))
+    },
+    // the oracle only ever sees parquet — equality proves the ORC staging
+    // and vectorized ORC read lost nothing
+    Q("src_orc_roundtrip", oracleSummary) {
+      (s, dir) => summarize(readOrc(s, dir))
     })
 }

@@ -139,13 +139,14 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
-  test("JSONL and CSV corpus round-trips preserve every row exactly") {
+  test("JSONL, CSV and ORC corpus round-trips preserve every row exactly") {
     val parquet = graft.Tables.load(spark, dir, "documents").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
       .toSet
     Seq(
       "jsonl" -> graft.sources.CorpusFormats.readJsonl(spark, dir),
-      "csv" -> graft.sources.CorpusFormats.readCsv(spark, dir)
+      "csv" -> graft.sources.CorpusFormats.readCsv(spark, dir),
+      "orc" -> graft.sources.CorpusFormats.readOrc(spark, dir)
     ).foreach { case (fmt, df) =>
       val got = df.collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
