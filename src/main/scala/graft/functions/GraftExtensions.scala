@@ -4,9 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-/** Session extensions installing graft's native Catalyst functions —
-  * the public `SparkSessionExtensions` registration path
-  * (builder.withExtensions(new GraftExtensions) or
+/** Session extensions installing graft's native Catalyst functions and
+  * planner strategies — the public `SparkSessionExtensions` registration
+  * path (builder.withExtensions(new GraftExtensions) or
   * spark.sql.extensions=graft.functions.GraftExtensions).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -16,5 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(exprs(0), exprs(1))))
+    // whole-operator custom path: per-group top-k (graft.plans.TopKPerGroup)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

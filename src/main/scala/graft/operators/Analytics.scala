@@ -116,6 +116,29 @@ object Analytics {
           .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     },
 
+    // Per-group top-k through the CUSTOM whole-operator path
+    // (graft.plans.TopKPerGroup: logical node → TopKStrategy → two-phase
+    // heap exec via SparkSessionExtensions) — k best rows per group with a
+    // bounded heap per (partition, group) BEFORE the exchange, instead of
+    // the window form's full per-group sort. The oracle expresses the same
+    // semantics with row_number; the total (price, key) order makes both
+    // deterministic.
+    Q("x_topk_per_group",
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t WHERE rn <= 3
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin) {
+      (s, dir) =>
+        graft.plans.TopK.perGroup(
+          t(s, dir, "orders")
+            .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
+          Seq("o_orderpriority"),
+          Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+          .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+    },
+
     // Arbitrary GROUPING SETS (the general form rollup/cube specialize) +
     // grouping_id disambiguating which set produced each row — without it
     // a stored NULL key and a superaggregate NULL are indistinguishable.

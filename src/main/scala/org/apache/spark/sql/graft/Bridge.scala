@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{DataFrame, Dataset, SparkSession}
+
+/** `Dataset.ofRows` is `private[sql]`; this bridge lives inside the sql
+  * package tree so graft's custom logical plans (graft.plans.TopKPerGroup)
+  * can materialize as DataFrames through the normal analyzer path — the
+  * same technique every third-party Spark plan library uses.
+  */
+object Bridge {
+  def ofRows(spark: org.apache.spark.sql.SparkSession, plan: LogicalPlan): DataFrame =
+    Dataset.ofRows(spark.asInstanceOf[SparkSession], plan)
+}
