@@ -903,11 +903,13 @@ object TextDedup {
           .select(col("doc_id"), col("term"),
             round(col("tf") * (log((lit(1.0) + col("n")) / (lit(1.0) + col("df")))
               + lit(1.0)), 6).as("score"))
-        val w = Window.partitionBy(col("doc_id"))
-          .orderBy(col("score").desc, col("term"))
-        scored.withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
-          .select(col("doc_id"), col("term"), col("score"))
+        // per-doc top-3 through the custom bounded-heap operator
+        // (graft.plans.TopKPerGroup) instead of a row_number window — no
+        // per-doc sort, and the exchange carries ≤3 rows per (partition,
+        // doc). The rounded score + term tie-break is a total order, so
+        // the result set equals the oracle's row_number formulation.
+        graft.plans.TopK.perGroup(scored,
+            Seq("doc_id"), Seq("score" -> false, "term" -> true), 3)
           .orderBy(col("doc_id"), col("score").desc, col("term"))
       }
     },
