@@ -3,7 +3,7 @@
 
 Usage: duckbench.py <sfDir> <verifyOutDir> [queryName ...]
 
-Times each bench query's oracle SQL in DuckDB (2 warm-ups + best of three,
+Times each bench query's oracle SQL in DuckDB (2 warm-ups + best of five,
 the same protocol as graft.Bench) over views of the fixture parquet. Query
 names default to the bench set recorded by graft.Verify (bench_queries.json
 if present, else every oracle entry).
@@ -31,7 +31,7 @@ def main(sf_dir, out_dir, names):
             continue
         sql = oracle[name]
         con.sql(sql).fetchall(); con.sql(sql).fetchall()  # warm-ups
-        best = min(_timed(con, sql) for _ in range(3))
+        best = min(_timed(con, sql) for _ in range(5))
         results[name] = round(best, 4)
     total = sum(v for v in results.values() if v is not None)
     print(json.dumps({"metric": "duckdb_total", "value": round(total, 4),
