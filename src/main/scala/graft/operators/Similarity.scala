@@ -14,10 +14,11 @@ import org.apache.spark.sql.functions._
   * ordering is engine-independent.
   *
   * Scale design (100 TB):
-  *  - Brute force: query side is tiny → broadcast; each executor streams its
-  *    partition of the corpus once, per-partition top-k heap via
-  *    row_number-over-window on (qid) — no corpus shuffle. This is the
-  *    correctness baseline.
+  *  - Brute force: query side is tiny → broadcast; each executor streams
+  *    its partition of the corpus once and reduces it with the custom
+  *    bounded-heap operator (graft.plans.TopKPerGroup) to ≤k rows per
+  *    (partition, query) before any exchange — no corpus shuffle, no sort.
+  *    This is the correctness baseline.
   *  - IVF-style ANN: the corpus is pre-partitioned into coarse cells (here
   *    the `label` column stands in for a k-means cell assignment, which at
   *    scale is a periodic batch job); a probe scans only the query's cell —
@@ -132,9 +133,14 @@ object Similarity {
         val scored = e.join(broadcast(qs), col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id").as("nid"),
             round(cosine(col("qe"), col("embedding")), 6).as("cos_sim"))
+        // per-query top-10 via the custom bounded-heap operator: the corpus
+        // is reduced to ≤10 rows per (partition, qid) BEFORE any exchange —
+        // at 100 TB nothing but the winners ever shuffles. The rank column
+        // is then a window over the ≤50 surviving rows, not the corpus.
+        val top = graft.plans.TopK.perGroup(scored,
+          Seq("qid"), Seq("cos_sim" -> false, "nid" -> true), 10)
         val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
-        scored.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 10)
+        top.withColumn("rank", row_number().over(w))
           .orderBy(col("qid"), col("rank"))
       }
     },
