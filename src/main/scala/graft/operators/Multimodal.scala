@@ -88,6 +88,32 @@ object Multimodal {
     }
   }
 
+  /** Modality routing by REAL magic bytes — the dispatch step in front of
+    * per-modality decode stages (image batch → image decoder, audio → ffmpeg
+    * lane, …). Unlike the decode STUB, this is production logic: the
+    * signatures are the published container formats' file headers. Unknown
+    * binary falls back by printability: all-printable-ASCII prefixes route
+    * to text, anything else to octet-stream. Pure per-row projection — the
+    * routing column is exactly what a partitioned/bucketed write would
+    * split lanes on, so payloads reach their decoder without a shuffle.
+    */
+  def routeByMagic(records: Dataset[MediaRecord]): Dataset[(Long, String)] = {
+    import records.sparkSession.implicits._
+    records.map(r => r.media_id -> detectModality(r.payload))
+  }
+
+  private[operators] def detectModality(p: Array[Byte]): String = {
+    def at(i: Int): Int = if (i < p.length) p(i) & 0xff else -1
+    def ascii(i: Int, s: String): Boolean = s.zipWithIndex.forall { case (c, j) => at(i + j) == c.toInt }
+    if (at(0) == 0x89 && ascii(1, "PNG")) "image/png"
+    else if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) "image/jpeg"
+    else if (ascii(0, "RIFF") && ascii(8, "WAVE")) "audio/wav"
+    else if (ascii(4, "ftyp")) "video/mp4"
+    else if (p.nonEmpty && p.take(16).forall(b => (b & 0xff) >= 0x20 && (b & 0xff) < 0x7f))
+      "text/plain"
+    else "application/octet-stream"
+  }
+
   /** Resize: recompute fake dims to fit a bounding box, preserving aspect
     * ratio — the transformation contract of a real resize stage.
     */

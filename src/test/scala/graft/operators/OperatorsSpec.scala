@@ -155,6 +155,25 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("modality routing recognizes real magic bytes and falls back by printability") {
+    import spark.implicits._
+    def rec(id: Long, bytes: Array[Byte]) = Multimodal.MediaRecord(id, "x", bytes)
+    val png = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val jpg = Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x10).map(_.toByte)
+    val wav = "RIFF----WAVEfmt ".getBytes("ISO-8859-1")
+    val mp4 = Array[Byte](0, 0, 0, 0x18) ++ "ftypmp42".getBytes("ISO-8859-1")
+    val txt = "plain old words".getBytes("UTF-8")
+    val bin = Array[Byte](0x00, 0x01, 0x02, 0x7f.toByte, 0x80.toByte)
+    val ds = Seq(rec(1, png), rec(2, jpg), rec(3, wav), rec(4, mp4),
+      rec(5, txt), rec(6, bin)).toDS()
+    val got = Multimodal.routeByMagic(ds).collect().toMap
+    assert(got == Map(1L -> "image/png", 2L -> "image/jpeg", 3L -> "audio/wav",
+      4L -> "video/mp4", 5L -> "text/plain", 6L -> "application/octet-stream"))
+    // the fixture corpus is text payloads — everything routes to the text lane
+    val fixture = Multimodal.routeByMagic(Multimodal.mediaCorpus(spark, dir)).collect()
+    assert(fixture.nonEmpty && fixture.forall(_._2 == "text/plain"))
+  }
+
   test("ordered funnel gates on strict stage order (synthetic adversarial cases)") {
     import spark.implicits._
     // (user, type, µs, event_id) — the fixture's users all reach stage 3,
