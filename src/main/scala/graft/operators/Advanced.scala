@@ -211,6 +211,49 @@ object Advanced {
       }
     },
 
+    // Winsorization: clamp per-group outliers to the group's [p10, p90] —
+    // the standard robust-cleaning step before computing means over heavy
+    // tails. Quantiles use the same buffer-free sort-rank interpolation as
+    // x_percentiles (no per-group value buffering → no OOM on a 100 TB
+    // group); the 5-row bounds table broadcasts back onto the fact rows,
+    // which never shuffle for the clamp.
+    Q("x_winsorize",
+      """WITH b AS (SELECT l_returnflag,
+        |             quantile_cont(l_extendedprice, 0.1) AS lo,
+        |             quantile_cont(l_extendedprice, 0.9) AS hi
+        |           FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_orderkey, l_linenumber, l.l_returnflag,
+        |       round(least(greatest(l_extendedprice, lo), hi), 6) AS price_w
+        |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+        |ORDER BY l_orderkey, l_linenumber, l.l_returnflag, price_w""".stripMargin) {
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_extendedprice"))
+          .filter(col("l_extendedprice").isNotNull)
+        val counts = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+        val ranked = li.withColumn("rn", row_number().over(w))
+          .join(broadcast(counts), "l_returnflag")
+        def quant(q: Double): Column = {
+          val p = (col("n") - 1) * lit(q)
+          val lower = floor(p)
+          val frac = p - lower
+          sum(when(col("rn") === lower + 1, (lit(1.0) - frac) * col("l_extendedprice"))
+            .when(col("rn") === lower + 2, frac * col("l_extendedprice"))
+            .otherwise(lit(0.0)))
+        }
+        val bounds = ranked.groupBy(col("l_returnflag"))
+          .agg(quant(0.1).as("lo"), quant(0.9).as("hi"))
+        li.join(broadcast(bounds), Seq("l_returnflag"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            round(least(greatest(col("l_extendedprice"), col("lo")), col("hi")), 6)
+              .as("price_w"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("price_w"))
+      }
+    },
+
     // Equi-width histogram (fixed literal bounds, so one scan suffices —
     // a data-dependent min/max would force a second pass; production
     // profilers use known bounds or a prior sketch). Bucket arithmetic is
