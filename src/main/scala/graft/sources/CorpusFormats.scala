@@ -65,6 +65,25 @@ object CorpusFormats {
   def readJsonl(s: SparkSession, dir: String): DataFrame =
     s.read.schema(docSchema).json(staged(s, dir, "json"))
 
+  /** A corpus whose files span a SCHEMA CHANGE: even-doc_id rows are
+    * staged WITHOUT the `lang` column (the "old writer" files), odd rows
+    * with it — the normal state of a long-lived 100 TB lake where a column
+    * was added mid-history. Reading with the full explicit schema fills
+    * the missing column with NULL for old files (parquet column-by-name
+    * resolution; no rewrite of old data, no schema inference pass).
+    */
+  def readEvolved(s: SparkSession, dir: String): DataFrame = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val root = Tables.buildOnce(src, "graft-formats", "documents-evolved", "v1") { tmp =>
+      val docs = Tables.load(s, dir, "documents")
+      docs.filter(col("doc_id") % 2 === 0).drop("lang")
+        .write.mode("overwrite").parquet(new java.io.File(tmp, "old").getPath)
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .write.mode("overwrite").parquet(new java.io.File(tmp, "new").getPath)
+    }
+    s.read.schema(docSchema).parquet(s"$root/old", s"$root/new")
+  }
+
   def readCsv(s: SparkSession, dir: String): DataFrame =
     s.read.schema(docSchema).option("header", "true").option("escape", "\"")
       .csv(staged(s, dir, "csv"))
@@ -103,5 +122,21 @@ object CorpusFormats {
     // and vectorized ORC read lost nothing
     Q("src_orc_roundtrip", oracleSummary) {
       (s, dir) => summarize(readOrc(s, dir))
+    },
+    // schema evolution: old-writer files lack `lang`; the explicit-schema
+    // read nulls it there. The oracle reconstructs the same view from the
+    // unsplit fixture, proving nothing else changed.
+    Q("src_schema_evolution",
+      """SELECT source,
+        |       count(*) AS n,
+        |       count(CASE WHEN doc_id % 2 <> 0 THEN lang END) AS n_lang,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+        readEvolved(s, dir).groupBy(col("source")).agg(
+          count(lit(1)).as("n"),
+          count(col("lang")).as("n_lang"),
+          sum(col("n_chars")).as("sum_chars"))
+          .orderBy(col("source"))
     })
 }
