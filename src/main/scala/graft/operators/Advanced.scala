@@ -211,6 +211,26 @@ object Advanced {
       }
     },
 
+    // Percent-of-total: each order-priority's share of global revenue.
+    // The unpartitioned sum-over-() window runs on the AGGREGATED output
+    // (5 rows), never the fact table — the aggregate reduces first, so the
+    // single-partition window is free at any corpus scale.
+    Q("x_percent_of_total",
+      """WITH a AS (SELECT o_orderpriority, sum(o_totalprice) AS rev
+        |           FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, round(rev, 2) AS rev,
+        |       round(100 * rev / sum(rev) OVER (), 6) AS pct
+        |FROM a ORDER BY o_orderpriority""".stripMargin) {
+      (s, dir) => {
+        val a = t(s, dir, "orders").groupBy(col("o_orderpriority"))
+          .agg(sum(col("o_totalprice")).as("rev"))
+        a.select(col("o_orderpriority"), round(col("rev"), 2).as("rev"),
+            round(lit(100) * col("rev")
+              / sum(col("rev")).over(Window.partitionBy()), 6).as("pct"))
+          .orderBy(col("o_orderpriority"))
+      }
+    },
+
     // Winsorization: clamp per-group outliers to the group's [p10, p90] —
     // the standard robust-cleaning step before computing means over heavy
     // tails. Quantiles use the same buffer-free sort-rank interpolation as
