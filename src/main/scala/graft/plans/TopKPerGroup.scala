@@ -27,6 +27,14 @@ import scala.collection.mutable
   *
   * The caller must supply a TOTAL order (tie-break to a unique key) for
   * deterministic results — same contract as every oracle query.
+  *
+  * Memory envelope: the partial pass holds (distinct groups in this
+  * partition) × k rows — the same shape as a partial aggregation's hash
+  * buffer, with k small by contract. Like Spark's own partial aggregation
+  * under extreme group cardinality, the reduction degrades gracefully
+  * (every row kept) rather than wrongly; unlike final aggregation the
+  * FINAL pass sees at most k rows per group per upstream partition, which
+  * AQE's skew handling splits like any clustered exchange.
   */
 final case class TopKPerGroup(
     k: Int,

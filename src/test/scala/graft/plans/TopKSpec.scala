@@ -81,6 +81,24 @@ class TopKSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("null group keys and null sort values follow SQL window semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(
+      (Some("a"), 1L, Some(3.0)), (Some("a"), 2L, None),
+      (None, 3L, Some(7.0)), (None, 4L, Some(1.0)), (None, 5L, None)
+    ).toDF("g", "id", "v").repartition(4)
+    val got = TopK.perGroup(df, Seq("g"), Seq("v" -> false, "id" -> true), 2)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    val want = df.withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))))
+      .filter(col("rn") <= 2)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    // NULL is its own group (like GROUP BY); desc puts null values last
+    // (RowOrdering's NULLS LAST default for DESC, same as the window form)
+    assert(got == want && got.contains((None, 3L)))
+  }
+
   test("physical plan: two heap execs, one exchange, no Sort/Window") {
     val p = customForm(3).queryExecution.executedPlan.toString()
     // SparkPlan.nodeName strips the Exec suffix in plan strings
