@@ -156,6 +156,18 @@ object AqlQueries {
         "SEARCH [lang, count(DISTINCT source), count(doc_id)] ON documents")(s, dir)
     },
 
+    // aggregation OVER a subquery virtual container: the grouped search
+    // consumes another SEARCH's output — the two graft extensions compose
+    Q("aql_search_agg_subquery",
+      """SELECT lang, count(doc_id) AS count_doc_id
+        |FROM (SELECT doc_id, lang FROM documents WHERE n_chars > 200) t
+        |GROUP BY lang
+        |ORDER BY lang, count_doc_id""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [lang, count(doc_id)] ON " +
+          "[(SEARCH [doc_id, lang] ON documents WHERE n_chars > 200)]")(s, dir)
+    },
+
     // HAVING through AQL: predicate over the aggregated output columns
     Q("aql_search_agg_having",
       """SELECT source, count(doc_id) AS count_doc_id
