@@ -79,7 +79,11 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     require(exists(name), s"Unknown container '$name'")
     Files.delete(schemaFile(name))
     if (Files.exists(versionFile(name))) Files.delete(versionFile(name))
-    versions(name).foreach(v => deleteRecursively(versionPath(name, v)))
+    versions(name).foreach { v =>
+      deleteRecursively(versionPath(name, v))
+      Files.deleteIfExists(claimFile(name, v))
+    }
+    Files.deleteIfExists(catDir.resolve(s"$name.version.lock"))
     deleteRecursively(dataPath(name))
   }
 
@@ -138,27 +142,114 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     spark.read.schema(d.schema).parquet(versionPath(name, v).toString)
   }
 
-  /** Commit `df` as the next version: write the new directory, then flip
-    * the pointer atomically. */
-  def overwrite(name: String, df: DataFrame): Unit = {
-    val next = currentVersion(name) + 1
-    val tmp = dataDir.resolve(s"$name.tmp-${System.nanoTime()}")
+  /** Commit `df` as the next version after `expectedBase` — the
+    * optimistic-concurrency primitive. The CAS token is a CLAIM FILE
+    * (`catalog/<name>.claim-v<N>`) created with the atomic create-new
+    * semantics of `Files.createFile`: exactly one committer wins the
+    * claim for a given version; everyone else returns `false`, re-reads
+    * the new base, re-derives its DataFrame, and retries (`Tx.commit`).
+    * The claim is taken BEFORE the data write, so a losing committer
+    * fails fast without producing a directory. This replaces the
+    * reference's whole-DB write lock (`/root/reference/src/database.rs:
+    * 1123`) with lock-free first-claimer-wins semantics — the same shape
+    * as a Delta/Iceberg conditional metastore commit at warehouse scale.
+    *
+    * Returns true iff this call claimed and published `expectedBase+1`.
+    */
+  def tryCommit(name: String, expectedBase: Int, df: DataFrame): Boolean = {
+    val next = expectedBase + 1
+    if (Files.exists(versionPath(name, next))) return false // already published
+    try Files.createFile(claimFile(name, next)) // atomic CAS: one winner
+    catch { case _: java.nio.file.FileAlreadyExistsException => return false }
+    val tmp = dataDir.resolve(
+      s"$name.tmp-${ProcessHandle.current.pid}-${System.nanoTime()}")
     df.write.mode("overwrite").parquet(tmp.toString)
     Files.move(tmp, versionPath(name, next), StandardCopyOption.ATOMIC_MOVE)
-    val ptrTmp = catDir.resolve(s"$name.version.tmp")
-    Files.writeString(ptrTmp, next.toString)
-    Files.move(ptrTmp, versionFile(name), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    advancePointer(name, next)
+    true
   }
 
-  /** Drop all but the newest `keepLast` versions. */
-  def vacuum(name: String, keepLast: Int = 1): Unit =
-    versions(name).dropRight(keepLast).foreach(v => deleteRecursively(versionPath(name, v)))
+  private def claimFile(name: String, v: Int) = catDir.resolve(s"$name.claim-v$v")
 
-  private def deleteRecursively(p: Path): Unit =
+  /** Highest version either published (directory) or claimed (a committer
+    * that crashed between claim and publish leaves a claim file with no
+    * directory — new commits must skip past it, not wedge on the gap). */
+  private def latestClaimed(name: String): Int = {
+    val pat = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(name) + "\\.claim-v(\\d+)")
+    val claimed = scala.util.Using.resource(Files.list(catDir)) { stream =>
+      stream.iterator().asScala.map(_.getFileName.toString).flatMap { f =>
+        val m = pat.matcher(f)
+        if (m.matches()) Some(m.group(1).toInt) else None
+      }.maxOption.getOrElse(0)
+    }
+    math.max(math.max(claimed, currentVersion(name)),
+      versions(name).lastOption.getOrElse(0))
+  }
+
+  /** Commit `df` as the next version unconditionally (last-writer-wins) —
+    * for whole-container replacement where there is no read-modify-write
+    * to protect. Claims the next free slot above the pointer and any
+    * outstanding claim.
+    */
+  def overwrite(name: String, df: DataFrame): Unit = {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      require(attempts <= 100, s"overwrite('$name'): 100 failed claim attempts")
+      done = tryCommit(name, latestClaimed(name), df)
+    }
+  }
+
+  /** Monotone pointer advance: the flip is guarded by a per-container lock
+    * (in-JVM striped monitor + cross-JVM `FileChannel` lock) and re-checks
+    * the pointer inside the critical section, so two committers that
+    * claimed v1 and v2 concurrently can never publish them out of order —
+    * the pointer only moves forward.
+    */
+  private def advancePointer(name: String, next: Int): Unit = {
+    val lockPath = catDir.resolve(s"$name.version.lock")
+    Catalog.ptrLocks.computeIfAbsent(lockPath.toAbsolutePath.toString,
+        _ => new Object).synchronized {
+      scala.util.Using.resource(java.nio.channels.FileChannel.open(lockPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)) { ch =>
+        val lk = ch.lock()
+        try {
+          if (currentVersion(name) < next) {
+            val ptrTmp = catDir.resolve(
+              s"$name.version.tmp-${ProcessHandle.current.pid}-${System.nanoTime()}")
+            Files.writeString(ptrTmp, next.toString)
+            Files.move(ptrTmp, versionFile(name), StandardCopyOption.ATOMIC_MOVE,
+              StandardCopyOption.REPLACE_EXISTING)
+          }
+        } finally lk.release()
+      }
+    }
+  }
+
+  /** Drop all but the newest `keepLast` versions (and their claim files). */
+  def vacuum(name: String, keepLast: Int = 1): Unit =
+    versions(name).dropRight(keepLast).foreach { v =>
+      deleteRecursively(versionPath(name, v))
+      Files.deleteIfExists(claimFile(name, v))
+    }
+
+  private[catalog] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       scala.util.Using.resource(Files.walk(p)) { stream =>
         stream.sorted(java.util.Comparator.reverseOrder())
           .iterator().asScala.foreach(Files.delete)
       }
+}
+
+object Catalog {
+  /** In-JVM stripe for the pointer-advance critical section: `FileChannel`
+    * locks are per-process (two threads locking the same file throw
+    * `OverlappingFileLockException`), so threads serialize on this monitor
+    * first and JVMs serialize on the file lock inside it.
+    */
+  private[catalog] val ptrLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 }

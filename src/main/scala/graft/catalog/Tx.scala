@@ -86,7 +86,16 @@ final class Tx(catalog: Catalog) {
   }
 
   /** COMMIT [container] — apply staged ops via copy-on-write swap
-    * (reference commit: container.rs:248-342). */
+    * (reference commit: container.rs:248-342).
+    *
+    * Optimistic concurrency: the commit notes the base version its view
+    * reads, then CAS-claims base+1 (`Catalog.tryCommit`). If another
+    * session committed first, the claim fails and the loop re-derives
+    * `view(c)` — which re-resolves the version pointer, so the staged ops
+    * re-apply on top of the WINNER's rows — and retries. Two sessions
+    * committing disjoint inserts therefore serialize with both inserts
+    * surviving, instead of last-writer-wins or a crash on the rename.
+    */
   def commit(container: Option[String]): Unit = {
     val targets = container.map(Seq(_)).getOrElse(log.keys.toSeq)
     targets.foreach { c =>
@@ -96,7 +105,18 @@ final class Tx(catalog: Catalog) {
         // min/max stats so point/range scans skip row groups, replacing the
         // reference's chunk index with layout instead of code
         val pk = catalog.get(c).primaryKey
-        catalog.overwrite(c, view(c).sortWithinPartitions(pk))
+        var attempts = 0
+        var done = false
+        while (!done) {
+          attempts += 1
+          require(attempts <= 50, s"COMMIT $c: lost the version race 50 times")
+          // linear backoff: a failed claim usually means another committer
+          // is mid-write on the claimed version — its pointer flip is what
+          // moves our base forward, so waiting beats spinning
+          if (attempts > 1) Thread.sleep(math.min(100L * attempts, 2000L))
+          val base = catalog.currentVersion(c)
+          done = catalog.tryCommit(c, base, view(c).sortWithinPartitions(pk))
+        }
         log -= c
       }
     }
