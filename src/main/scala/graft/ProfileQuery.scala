@@ -8,6 +8,7 @@ package graft
 object ProfileQuery {
   def main(args: Array[String]): Unit = {
     val name = args(0)
+    if (name == "_bench") { profileAll(args.drop(1)); return }
     val sfDir = if (args.length > 1) args(1)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.create(
@@ -20,6 +21,13 @@ object ProfileQuery {
       if (name.startsWith("_floor")) { (s, _) =>
         val n = name.split(":").lift(1).map(_.toInt).getOrElse(32)
         s.range(0, n, 1, n).toDF()
+      }
+      else if (name.startsWith("_rdd")) { (s, _) => // 1-job/1-stage floor:
+        // rdd.count() has no shuffle, isolating pure wave cost from
+        // shuffle-file materialization
+        val n = name.split(":").lift(1).map(_.toInt).getOrElse(32)
+        s.sparkContext.parallelize(0 until n, n).count()
+        s.range(1).toDF() // dummy; the timed work happened above
       }
       else if (name.startsWith("_scan:"))
         (s, dir) => Tables.load(s, dir, name.stripPrefix("_scan:"))
@@ -58,6 +66,44 @@ object ProfileQuery {
         f"plan=${(t15 - t1) / 1e9}%.3fs run=${(t2 - t15) / 1e9}%.3fs " +
         s"jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
     }
+    spark.stop()
+  }
+
+  /** `_bench` mode: one warm-up + one timed run per bench query in a single
+    * JVM, printing per-query jobs/stages/tasks — the fixed-cost units that
+    * dominate local-mode latency. Sorted by time so the top target is first.
+    */
+  private def profileAll(rest: Array[String]): Unit = {
+    val sfDir = rest.headOption
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val spark = GraftSession.create(
+      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), appName = "graft-profile")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet(); tasks.addAndGet(s.stageInfo.numTasks)
+      }
+    })
+    val rows = SparkEntry.benchQueries.map { n =>
+      val fn = SparkEntry.queries(n)
+      (1 to 2).foreach(_ => fn(spark, sfDir).count())
+      Thread.sleep(150)
+      jobs.set(0); stages.set(0); tasks.set(0)
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(150) // drain listener events
+      (n, sec, jobs.get, stages.get, tasks.get)
+    }
+    rows.sortBy(-_._2).foreach { case (n, sec, j, st, tk) =>
+      println(f"[profile] $n%-28s ${sec}%.3fs jobs=$j stages=$st tasks=$tk")
+    }
+    println(f"[profile] TOTAL ${rows.map(_._2).sum}%.3fs jobs=${rows.map(_._3).sum} " +
+      f"stages=${rows.map(_._4).sum} tasks=${rows.map(_._5).sum}")
     spark.stop()
   }
 }

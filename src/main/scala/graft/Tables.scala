@@ -128,6 +128,57 @@ object Tables {
   private val buildLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Secondary bucketed projection of a fixture table — the warehouse
+    * pattern of maintaining more than one physical layout per logical
+    * table (Vertica projections; Delta/Iceberg clustered rewrites): the
+    * PRIMARY copy stays pk-range-clustered (tight file min/max → point and
+    * range scans skip files, `compacted` above), and join-heavy facts get
+    * an additional copy hash-bucketed + sorted on the join key, so
+    * fact⋈fact equi-joins and pre-aggregations on that key plan with ZERO
+    * exchange (bucketed sort-merge join / bucket-local partial agg).
+    *
+    * At 100 TB this is exactly the layout decision that removes the
+    * biggest shuffle in TPC-H-shaped plans (orders⋈lineitem on orderkey):
+    * both facts bucketed by orderkey into the same bucket count makes the
+    * join a per-bucket merge with no network at all, and a groupBy on the
+    * bucket key needs no exchange. Locally the same plan property holds
+    * (asserted by BucketedLayoutSpec/PlanAuditSpec) with 32 buckets; a
+    * cluster would use O(thousands).
+    *
+    * Mechanics: bucketed data is staged once cross-JVM via `buildOnce`
+    * (bucketBy requires saveAsTable, so the build writes through a
+    * transient catalog entry whose external path is then renamed into the
+    * cache); each session re-attaches by registering an external table
+    * with the same CLUSTERED/SORTED BY metadata over the cached files
+    * (bucket ids live in the file names, so registration is pure DDL).
+    */
+  def bucketed(spark: SparkSession, dir: String, name: String, key: String,
+      buckets: Int = 32): DataFrame = {
+    val src = new java.io.File(s"$dir/$name.parquet")
+    if (!src.isFile) return load(spark, dir, name) // directory layout: as-is
+    val path = buildOnce(src, "graft-bucketed", name, s"bk$buckets-$key") { tmp =>
+      val raw = spark.read.parquet(src.getPath)
+      val tbl = s"graft_build_${name}_${System.nanoTime()}"
+      // pre-repartition on the bucket key so each write task owns exactly
+      // one bucket → one file per bucket → the scan can also report the
+      // sortBy order (multi-file buckets lose the sorted-scan property)
+      raw.repartition(buckets, org.apache.spark.sql.functions.col(key))
+        .write.bucketBy(buckets, key).sortBy(key)
+        .option("path", tmp.getPath).mode("overwrite").saveAsTable(tbl)
+      spark.sql(s"DROP TABLE $tbl") // external table: metadata only, data stays
+    }
+    val reg = s"graft_bkt_${name}_bk${buckets}_$key"
+    cache.getOrElseUpdate((spark, s"bucketed:$path"), {
+      if (!spark.catalog.tableExists(reg)) {
+        val ddl = spark.read.parquet(path).schema.toDDL
+        spark.sql(s"""CREATE TABLE $reg ($ddl) USING PARQUET
+                     |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+                     |LOCATION '$path'""".stripMargin)
+      }
+      spark.table(reg)
+    })
+  }
+
   /** events.ts is parquet timestamp[ns]; Spark reads NANOS natively only as
     * long when `spark.sql.legacy.parquet.nanosAsLong` is set. We normalize
     * to a microsecond TimestampType column named `ts` (matching what DuckDB

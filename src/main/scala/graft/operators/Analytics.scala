@@ -196,20 +196,28 @@ object Analytics {
         // the summand sets — and the rounded totals — are identical), then
         // the join moves one row per order instead of one per lineitem.
         // The filtered customer side is small → broadcast.
-        val revenue = t(s, dir, "lineitem")
+        // Both facts come from the orderkey-BUCKETED projection
+        // (Tables.bucketed): the pre-aggregation inherits the bucket
+        // partitioning (no exchange) and the fact⋈fact join is
+        // co-partitioned (no exchange) — at 100 TB this layout removes
+        // the two largest shuffles in the plan entirely.
+        val revenue = Tables.bucketed(s, dir, "lineitem", "l_orderkey")
           .groupBy(col("l_orderkey"))
           .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
-        val buildingOrders = t(s, dir, "orders")
+        val buildingOrders = Tables.bucketed(s, dir, "orders", "o_orderkey")
           .join(broadcast(t(s, dir, "customer")
             .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))),
             col("c_custkey") === col("o_custkey"))
           .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         // buildingOrders is ORDERS-DERIVED (a fact side): no broadcast hint —
-        // an explicit hint is honored regardless of size and would OOM at
-        // scale. AQE picks broadcast when the runtime size is small and a
-        // shuffle join otherwise. The hint stays only on the true dimension
-        // (filtered customer keys) above.
-        revenue.join(buildingOrders, col("l_orderkey") === col("o_orderkey"))
+        // an explicit broadcast would OOM at scale. Instead the fact⋈fact
+        // join carries a MERGE hint: both sides are co-partitioned on the
+        // bucket key (the agg preserved lineitem's bucketing; the broadcast
+        // dim join preserved orders'), so the SMJ is a per-bucket merge
+        // with zero exchange at ANY scale — without the hint the local
+        // planner's size estimate picks a broadcast of a fact-derived side.
+        revenue.join(buildingOrders.hint("merge"),
+            col("l_orderkey") === col("o_orderkey"))
           .select(col("o_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
           .orderBy(col("revenue").desc, col("o_orderkey"))
           .limit(10)
@@ -228,24 +236,29 @@ object Analytics {
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin, bench = true) {
       (s, dir) => {
-        // star-schema broadcast chaining: reduce dims first (region →
-        // nation → customer), broadcast each reduced TRUE-DIMENSION side.
-        // The orders⋈lineitem subtree is fact⋈fact and carries NO hint:
-        // explicit broadcast() is honored regardless of size, so hinting a
-        // fact-derived side would OOM at 100 TB — AQE decides there instead
-        // (broadcast at test scale, shuffle join at cluster scale).
-        val asiaNations = t(s, dir, "nation")
+        // star-schema broadcast joins with INDEPENDENT builds: customer
+        // joins nation and region as two separate broadcast dims (rather
+        // than pre-joining region→nation→customer into a chain), so the
+        // two tiny broadcast builds have no dependency edge and the
+        // scheduler runs them concurrently — the dim-reduction critical
+        // path is one build wave, not three.
+        val asiaCust = t(s, dir, "customer")
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
             col("n_regionkey") === col("r_regionkey"))
-          .select(col("n_nationkey"), col("n_name"))
-        val asiaCust = t(s, dir, "customer")
-          .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
           .select(col("c_custkey"), col("n_name"))
-        val custOrders = t(s, dir, "orders")
+        // facts from the orderkey-bucketed projection: the broadcast dim
+        // join preserves the streamed side's bucket partitioning, so the
+        // fact⋈fact join below is co-partitioned. The MERGE hint pins the
+        // zero-exchange bucket merge — an explicit broadcast of either
+        // fact-derived side would OOM at 100 TB, and without any hint the
+        // local planner's size estimate broadcasts pruned lineitem.
+        val custOrders = Tables.bucketed(s, dir, "orders", "o_orderkey")
           .join(broadcast(asiaCust), col("c_custkey") === col("o_custkey"))
           .select(col("o_orderkey"), col("n_name"))
-        t(s, dir, "lineitem")
-          .join(custOrders, col("l_orderkey") === col("o_orderkey"))
+        Tables.bucketed(s, dir, "lineitem", "l_orderkey")
+          .join(custOrders.hint("merge"), col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("n_name"))
           .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
           .orderBy(col("n_name"))

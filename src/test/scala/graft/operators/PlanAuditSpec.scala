@@ -42,11 +42,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"fact table should not sort-merge with a dim:\n$p")
   }
 
-  test("multiway join: the fact table never shuffles (all joins broadcast)") {
+  test("multiway join: dims broadcast; the fact⋈fact join is a zero-exchange bucket merge") {
     val p = plan("x_join_multiway")
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
-    assert(broadcasts >= 3, s"star-schema dims should chain broadcasts:\n$p")
-    assert(!p.contains("SortMergeJoin"), s"fact table must not shuffle:\n$p")
+    assert(broadcasts >= 3, s"star-schema dims should broadcast:\n$p")
+    // both facts come from the orderkey-bucketed projection: the SMJ merges
+    // co-partitioned buckets — the ONLY hash exchanges left are the
+    // aggregation's partial→final (on n_name), never a fact-key shuffle
+    assert(p.contains("SortMergeJoin"), s"fact⋈fact should bucket-merge:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+      !p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed fact⋈fact join must not shuffle on the join key:\n$p")
+  }
+
+  test("top-orders: pre-agg and fact⋈fact join ride the bucketed layout (no key shuffle)") {
+    val p = plan("x_join_top_orders")
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+      !p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"orderkey shuffle survived despite the bucketed projection:\n$p")
   }
 
   test("global top-k plans as TakeOrderedAndProject, never a full sort (x_topk)") {
@@ -79,20 +92,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"offset/limit not pushed:\n$p")
   }
 
-  test("broadcast hints sit only on true dimensions, never fact-derived sides") {
+  test("BROADCAST hints sit only on true dimensions; fact sides carry at most MERGE") {
     // An explicit broadcast() hint is honored regardless of runtime size, so
-    // a hint on an orders/lineitem-derived side would OOM at cluster scale.
-    // Assert every ResolvedHint subtree scans only dimension tables and the
-    // fact⋈fact subtrees are hint-free (AQE decides those).
+    // a BROADCAST hint on an orders/lineitem-derived side would OOM at
+    // cluster scale. A MERGE hint on a fact side is the opposite: it pins
+    // the zero-exchange bucketed sort-merge join (safe at any scale) where
+    // the local planner's size estimate would otherwise broadcast a fact.
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     for (name <- Seq("x_join_top_orders", "x_join_multiway")) {
       val lp = SparkEntry.queries(name)(spark, dir).queryExecution.analyzed
       val hints = lp.collect { case h: ResolvedHint => h }
       assert(hints.nonEmpty, s"$name: dimension sides should still be hinted")
       hints.foreach { h =>
-        val leaves = h.child.collectLeaves().map(_.toString).mkString("\n")
-        assert(!leaves.contains("orders") && !leaves.contains("lineitem"),
-          s"$name: broadcast hint covers a fact table:\n$leaves")
+        val isBroadcast = h.hints.strategy.exists(
+          _ == org.apache.spark.sql.catalyst.plans.logical.BROADCAST)
+        if (isBroadcast) {
+          val leaves = h.child.collectLeaves().map(_.toString).mkString("\n")
+          assert(!leaves.contains("orders") && !leaves.contains("lineitem"),
+            s"$name: broadcast hint covers a fact table:\n$leaves")
+        }
       }
     }
   }
