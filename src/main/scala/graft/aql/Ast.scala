@@ -50,6 +50,17 @@ object Ast {
     */
   final case class SortItem(column: String, asc: Boolean)
 
+  /** `JOIN container ON a = b` (graft extension — the reference's only
+    * multi-table operator is union, `src/query.rs:86-108`): inner
+    * equi-join of the search source with another container (real or
+    * `(SEARCH …)` virtual). Condition sides may be bare column names or
+    * qualified `container.column`; one side must resolve in the
+    * already-joined source, the other in the joined container. Lowered to
+    * a Spark equi-join, so Catalyst/AQE pick broadcast vs shuffle from
+    * runtime sizes like any DataFrame join.
+    */
+  final case class JoinSpec(container: Container, left: String, right: String)
+
   /** `atVersion` (graft extension `AT VERSION n`): read the committed
     * snapshot at that version instead of the live transactional view.
     * `aggs` non-empty turns the SEARCH into a grouped aggregate: the
@@ -68,7 +79,7 @@ object Ast {
       where: Option[Where], atVersion: Option[Int] = None,
       aggs: List[AggProj] = Nil, having: Option[Where] = None,
       orderBy: List[SortItem] = Nil, limit: Option[Int] = None,
-      distinct: Boolean = false) extends Stmt
+      distinct: Boolean = false, joins: List[JoinSpec] = Nil) extends Stmt
   final case class Commit(container: Option[String]) extends Stmt
   final case class Rollback(container: Option[String]) extends Stmt
   /** graft extension: physical-plan inspection for a SEARCH. */
@@ -269,8 +280,30 @@ object Parser {
         }
         case t => List(Container.Real(name(t)))
       }
+      // JOIN container ON a = b, repeatable (graft extension): inner
+      // equi-joins chained left-to-right before any other clause
+      val (joins, afterJoins) = {
+        val items = List.newBuilder[JoinSpec]
+        var r = rest
+        var going = true
+        while (going) r match {
+          case Keyword("JOIN") :: cTok :: Keyword("ON") :: lTok :: Op("=" | "==") :: rTok :: tail =>
+            val cont = cTok match {
+              case SubCommand(sub) => fromTokens(sub) match {
+                case s: Search => Container.Virtual(s)
+                case other => throw new ParseException(s"JOIN subquery must be SEARCH, got $other")
+              }
+              case t => Container.Real(name(t))
+            }
+            items += JoinSpec(cont, name(lTok), name(rTok)); r = tail
+          case Keyword("JOIN") :: _ =>
+            throw new ParseException("Expected `JOIN container ON left = right`")
+          case _ => going = false
+        }
+        (items.result(), r)
+      }
       // optional time travel: … AT VERSION n [WHERE …] (graft extension)
-      val (atVersion, afterVersion) = rest match {
+      val (atVersion, afterVersion) = afterJoins match {
         case Keyword("AT") :: Keyword("VERSION") :: IntLit(v) :: tail =>
           if (v < 1) throw new ParseException("AT VERSION must be >= 1")
           (Some(v.toInt), tail)
@@ -334,7 +367,8 @@ object Parser {
       val (projCols, projAggs) = parseProjection(projG)
       if (having.isDefined && projAggs.isEmpty)
         throw new ParseException("HAVING requires aggregate projections")
-      Search(containers, projCols, where, atVersion, projAggs, having, orderBy, limit)
+      Search(containers, projCols, where, atVersion, projAggs, having, orderBy, limit,
+        joins = joins)
 
     // EXPLAIN <search> (graft extension)
     case Keyword("EXPLAIN") :: rest =>

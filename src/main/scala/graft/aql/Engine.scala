@@ -184,30 +184,24 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         .foldLeft(List.empty[String]) { (acc, n) =>
           if (acc.exists(_.equalsIgnoreCase(n))) acc else acc :+ n
         }
-    val parts = s.containers.map {
-      case Ast.Container.Real(cname) =>
-        val d = catalog.get(cname)
-        // AT VERSION n reads the immutable committed snapshot (no staged
-        // overlay — a historical version predates the open transaction)
-        val base = s.atVersion match {
-          case Some(v) => catalog.readVersion(cname, v)
-          case None => tx.view(cname)
-        }
-        project(applyWhere(base, d, s), resolveNames(base, partProjection))
-      case Ast.Container.Virtual(sub) =>
-        // an outer AT VERSION applies to the whole statement: propagate it
-        // into subqueries (an inner explicit AT VERSION wins); the outer
-        // WHERE applies to the virtual result like to any real container,
-        // resolved against a def derived from the subquery's schema
-        val effective = sub.copy(atVersion = sub.atVersion.orElse(s.atVersion))
-        val inner = lowerSearch(effective)
-        project(applyWhere(inner, virtualDef(inner), s), resolveNames(inner, partProjection))
+    val unioned = if (s.joins.nonEmpty) joinedSource(s, partProjection) else {
+      val parts = s.containers.map {
+        case Ast.Container.Real(cname) =>
+          val d = catalog.get(cname)
+          val base = containerDf(Ast.Container.Real(cname), s.atVersion)
+          project(applyWhere(base, d, s), resolveNames(base, partProjection))
+        case Ast.Container.Virtual(sub) =>
+          // the outer WHERE applies to the virtual result like to any real
+          // container, resolved against a def derived from its schema
+          val inner = containerDf(Ast.Container.Virtual(sub), s.atVersion)
+          project(applyWhere(inner, virtualDef(inner), s), resolveNames(inner, partProjection))
+      }
+      val schemas = parts.map(_.schema.map(f => (f.name, f.dataType)))
+      if (schemas.distinct.length != 1)
+        throw new ParseException( // standardized from quirk Q8 (silent drop)
+          s"Union over mismatched schemas: ${schemas.distinct.mkString(" vs ")}")
+      parts.reduce(_ unionByName _)
     }
-    val schemas = parts.map(_.schema.map(f => (f.name, f.dataType)))
-    if (schemas.distinct.length != 1)
-      throw new ParseException( // standardized from quirk Q8 (silent drop)
-        s"Union over mismatched schemas: ${schemas.distinct.mkString(" vs ")}")
-    val unioned = parts.reduce(_ unionByName _)
     val result =
       if (s.aggs.isEmpty) unioned
       else {
@@ -280,6 +274,97 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         deduped.orderBy((explicit ++ tieBreak).toIndexedSeq: _*)
       }
     s.limit.map(ordered.limit).getOrElse(ordered)
+  }
+
+  /** One container's rows: committed snapshot at an explicit version, or
+    * the live transactional view; virtual containers recurse with the
+    * outer AT VERSION propagated (an inner explicit one wins).
+    */
+  private def containerDf(c: Ast.Container, atVersion: Option[Int]): DataFrame =
+    c match {
+      case Ast.Container.Real(cname) =>
+        catalog.get(cname) // existence check
+        atVersion match {
+          // AT VERSION reads the immutable committed snapshot (no staged
+          // overlay — a historical version predates the open transaction)
+          case Some(v) => catalog.readVersion(cname, v)
+          case None => tx.view(cname)
+        }
+      case Ast.Container.Virtual(sub) =>
+        lowerSearch(sub.copy(atVersion = sub.atVersion.orElse(atVersion)))
+    }
+
+  /** JOIN source (graft extension): the unioned containers joined with
+    * each JOIN clause left-to-right, then WHERE and the projection over
+    * the joined row — SQL's FROM-before-WHERE order, so predicates and
+    * projections reach joined columns. Column sets must stay disjoint
+    * across sides (collisions are an explicit error with a rename hint,
+    * keeping later resolution unambiguous). Each join is a plain Spark
+    * equi-join: Catalyst/AQE choose broadcast vs shuffle from runtime
+    * stats, exactly like the DataFrame layer's joins.
+    */
+  private def joinedSource(s: Ast.Search, partProjection: List[String]): DataFrame = {
+    val parts = s.containers.map(containerDf(_, s.atVersion))
+    val schemas = parts.map(_.schema.map(f => (f.name, f.dataType)))
+    if (schemas.distinct.length != 1)
+      throw new ParseException(
+        s"Union over mismatched schemas: ${schemas.distinct.mkString(" vs ")}")
+    var acc = parts.reduce(_ unionByName _)
+    var leftNames = s.containers.collect { case Ast.Container.Real(n) => n }
+    for (j <- s.joins) {
+      val right = containerDf(j.container, s.atVersion)
+      val rightName = j.container match {
+        case Ast.Container.Real(n) => Some(n)
+        case _ => None
+      }
+      val overlap = acc.columns.filter(c => right.columns.exists(_.equalsIgnoreCase(c)))
+      if (overlap.nonEmpty)
+        throw new ParseException(
+          s"Ambiguous columns after JOIN: ${overlap.mkString(",")} — project/rename " +
+            "one side through a (SEARCH …) subquery first")
+      val (lc, rc) = resolveJoinSides(acc, right, j, leftNames, rightName)
+      // strict type agreement (quirk-Q8 stance), like IN subqueries
+      val (lt, rt) = (acc.schema(lc).dataType, right.schema(rc).dataType)
+      if (lt != rt)
+        throw new ParseException(s"JOIN type mismatch: $lc is $lt but $rc is $rt")
+      acc = acc.join(right, acc(lc) === right(rc))
+      leftNames = leftNames ++ rightName
+    }
+    val filtered = applyWhere(acc, virtualDef(acc), s)
+    project(filtered, resolveNames(filtered, partProjection))
+  }
+
+  /** Bind the two sides of `JOIN … ON a = b`: names may be bare or
+    * qualified `container.column` (the qualifier must be a participating
+    * container); exactly one side must resolve in the accumulated source
+    * and the other in the joined container, in either written order.
+    */
+  private def resolveJoinSides(left: DataFrame, right: DataFrame, j: Ast.JoinSpec,
+      leftNames: List[String], rightName: Option[String]): (String, String) = {
+    def bind(q: String): (Option[String], Option[String]) = {
+      val (qual, bare) = q.split("\\.", 2) match {
+        case Array(p, c)
+          if leftNames.exists(_.equalsIgnoreCase(p)) ||
+             rightName.exists(_.equalsIgnoreCase(p)) => (Some(p), c)
+        case Array(p, _) if q.contains(".") =>
+          throw new ParseException(s"Unknown container qualifier '$p' in join condition '$q'")
+        case _ => (None, q)
+      }
+      val inLeft = left.columns.find(_.equalsIgnoreCase(bare))
+      val inRight = right.columns.find(_.equalsIgnoreCase(bare))
+      qual match {
+        case Some(p) if rightName.exists(_.equalsIgnoreCase(p)) => (None, inRight)
+        case Some(_) => (inLeft, None)
+        case None => (inLeft, inRight) // disjoint schemas: at most one hit
+      }
+    }
+    (bind(j.left), bind(j.right)) match {
+      case ((Some(lc), _), (_, Some(rc))) => (lc, rc)
+      case ((_, Some(rc)), (Some(lc), _)) => (lc, rc)
+      case _ => throw new ParseException(
+        s"Join condition '${j.left} = ${j.right}' must relate a column of the " +
+          "search source to a column of the joined container")
+    }
   }
 
   /** Resolve requested names case-insensitively against a DataFrame's

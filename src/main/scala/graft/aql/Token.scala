@@ -36,7 +36,7 @@ object Token {
     "QYCNPVS", "QYCNNXT", "QYCNEXT",
     // graft extensions beyond the reference keyword set
     "EXPLAIN", "VACUUM", "AT", "VERSION", "IN", "NOT", "HAVING",
-    "ORDER", "BY", "LIMIT", "ASC", "DESC", "DISTINCT")
+    "ORDER", "BY", "LIMIT", "ASC", "DESC", "DISTINCT", "JOIN")
 
   /** Multi-char first: `&&&>` regex-match, `&&>` icontains, `&>` contains,
     * `>=`, `<=`, `==`, `!=`, then single-char (reference

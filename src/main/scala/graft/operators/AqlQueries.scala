@@ -18,13 +18,29 @@ object AqlQueries {
 
   /** One engine per (session, sfDir): documents/orders registered as
     * containers whose data dir is a symlink to the fixture parquet (no
-    * copy; schema declared through the AlbaType DDL surface).
+    * copy; schema declared through the AlbaType DDL surface). Fixture
+    * roots are bounded-lifecycle: a JVM shutdown hook removes every root
+    * this process created, so repeated Verify/Bench runs (or a resident
+    * server embedding this helper) don't accumulate temp directories.
     */
   private val engines = scala.collection.mutable.Map[(SparkSession, String), Engine]()
+
+  private val fixtureRoots = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    fixtureRoots.foreach { root =>
+      try {
+        import scala.jdk.CollectionConverters._
+        scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
+          st.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      } catch { case _: Throwable => () } // best-effort: shutdown path
+    }))
 
   private def engine(spark: SparkSession, dir: String): Engine = synchronized {
     engines.getOrElseUpdate((spark, dir), {
       val root = java.nio.file.Files.createTempDirectory("graft-aql-fixtures")
+      fixtureRoots += root
       val eng = new Engine(spark, root.toString)
       def link(container: String, fixture: String, ddlCols: String): Unit = {
         eng.execute(s"CREATE CONTAINER $container $ddlCols")
@@ -235,6 +251,30 @@ object AqlQueries {
       (s, dir) => search(
         "SEARCH [source, count(doc_id)] ON documents " +
           "HAVING count_doc_id > 5 ORDER BY [count_doc_id DESC] LIMIT 3")(s, dir)
+    },
+
+    // JOIN through AQL (graft extension — the reference's only multi-table
+    // operator is union): inner equi-join lowered to a Spark join, with
+    // WHERE and projection over the joined row
+    Q("aql_search_join",
+      """SELECT doc_id, lang, l_quantity
+        |FROM documents JOIN lineitem ON doc_id = l_orderkey
+        |WHERE l_quantity > 48
+        |ORDER BY doc_id, lang, l_quantity""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [doc_id, lang, l_quantity] ON documents " +
+          "JOIN lineitem ON doc_id = l_orderkey WHERE l_quantity > 48")(s, dir)
+    },
+
+    // JOIN + aggregation compose: group the joined rows
+    Q("aql_search_join_agg",
+      """SELECT lang, count(l_orderkey) AS count_l_orderkey
+        |FROM documents JOIN lineitem ON doc_id = l_orderkey
+        |GROUP BY lang
+        |ORDER BY lang, count_l_orderkey""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [lang, count(l_orderkey)] ON documents " +
+          "JOIN lineitem ON doc_id = l_orderkey")(s, dir)
     },
 
     // prepared-statement arguments through AQL

@@ -144,4 +144,34 @@ class ParserSpec extends AnyFunSuite {
     intercept[ParseException](Parser.parse("SEARCH [] ON u LIMIT x"))       // non-integer
     intercept[ParseException](Parser.parse("SEARCH [] ON u LIMIT 3 extra")) // trailing
   }
+
+  test("JOIN clause: single, chained, qualified names, every later clause composes") {
+    val s = Parser.parse("SEARCH [a, b] ON u JOIN v ON a = b WHERE a > 1")
+      .asInstanceOf[Search]
+    assert(s.joins == List(JoinSpec(Container.Real("v"), "a", "b")))
+    assert(s.where.get.atoms.head == Cond("a", ">", Token.IntLit(1)))
+    // chained joins, qualified condition names, == alias
+    val c = Parser.parse("SEARCH [x] ON u JOIN v ON u.a = v.b JOIN w ON w.c == x")
+      .asInstanceOf[Search]
+    assert(c.joins == List(
+      JoinSpec(Container.Real("v"), "u.a", "v.b"),
+      JoinSpec(Container.Real("w"), "w.c", "x")))
+    // virtual right side + ORDER BY/LIMIT after the join
+    val v = Parser.parse(
+      "SEARCH [x] ON u JOIN (SEARCH [b] ON v) ON a = b ORDER BY [x] LIMIT 2")
+      .asInstanceOf[Search]
+    assert(v.joins.head.container.isInstanceOf[Container.Virtual])
+    assert(v.limit.contains(2))
+    // aggregates compose over the joined source
+    val g = Parser.parse("SEARCH [lang, count(b)] ON u JOIN v ON a = b")
+      .asInstanceOf[Search]
+    assert(g.aggs == List(AggProj("count", "b")) && g.joins.nonEmpty)
+  }
+
+  test("malformed JOIN rejected") {
+    intercept[ParseException](Parser.parse("SEARCH [] ON u JOIN v"))            // no ON
+    intercept[ParseException](Parser.parse("SEARCH [] ON u JOIN v ON a"))       // no condition
+    intercept[ParseException](Parser.parse("SEARCH [] ON u JOIN v ON a > b"))   // non-equi
+    intercept[ParseException](Parser.parse("SEARCH [] ON u JOIN v ON a = "))    // half condition
+  }
 }
