@@ -195,6 +195,106 @@ class WireProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally off.stop()
   }
 
+  // --- cross-implementation cipher interop --------------------------------
+  // The reference binary cannot be built in this container (cargo's crate
+  // registry is unreachable offline; verified: `cargo build` fails
+  // resolving ahash/aes-gcm). The strongest offline interop proof is
+  // cross-validation against an INDEPENDENT implementation of the
+  // reference's cipher: the reference uses the aes-gcm crate
+  // (database.rs:1048-1080), which implements NIST SP 800-38D — so frames
+  // produced by a from-the-spec GCM built here out of raw AES-ECB blocks
+  // plus hand-rolled GHASH/CTR must be byte-accepted by WireCrypto, and
+  // WireCrypto's frames must reproduce bit-exactly under it. That rules
+  // out every framing/layout error interop could catch (nonce placement,
+  // tag position/length, counter start, GHASH padding), independent of
+  // the JCE GCM code path WireCrypto uses.
+
+  /** AES-256-GCM from the NIST SP 800-38D definition: GHASH in GF(2^128)
+    * and CTR mode over single AES-ECB block calls — shares only the raw
+    * AES block cipher with WireCrypto's AES/GCM/NoPadding transformation.
+    */
+  private object SpecGcm {
+    import javax.crypto.Cipher
+    import javax.crypto.spec.SecretKeySpec
+    private def aesBlock(key: Array[Byte], block: Array[Byte]): Array[Byte] = {
+      val c = Cipher.getInstance("AES/ECB/NoPadding")
+      c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(key, "AES"))
+      c.doFinal(block)
+    }
+    private def toBig(b: Array[Byte]): BigInt = BigInt(1, b)
+    private def toBlock(x: BigInt): Array[Byte] = {
+      val raw = x.toByteArray.dropWhile(_ == 0)
+      Array.fill[Byte](16 - raw.length)(0) ++ raw
+    }
+    private val R = BigInt("e1", 16) << 120
+    /** GF(2^128) multiply, SP 800-38D algorithm 1 (MSB-first bits). */
+    private def gfMul(x: BigInt, y: BigInt): BigInt = {
+      var z = BigInt(0); var v = x
+      var i = 0
+      while (i < 128) {
+        if (y.testBit(127 - i)) z ^= v
+        v = if (v.testBit(0)) (v >> 1) ^ R else v >> 1
+        i += 1
+      }
+      z
+    }
+    private def ghash(h: BigInt, blocks: Array[Byte]): BigInt = {
+      var y = BigInt(0)
+      blocks.grouped(16).foreach { blk =>
+        val padded = blk ++ Array.fill[Byte](16 - blk.length)(0)
+        y = gfMul(y ^ toBig(padded), h)
+      }
+      y
+    }
+    /** Returns ciphertext ‖ 16-byte tag (empty AAD, 12-byte nonce — the
+      * reference wire layer's exact parameters). */
+    def encrypt(key: Array[Byte], nonce: Array[Byte], plain: Array[Byte]): Array[Byte] = {
+      require(nonce.length == 12)
+      val h = toBig(aesBlock(key, new Array[Byte](16)))
+      val j0 = nonce ++ Array[Byte](0, 0, 0, 1)
+      def ctrBlock(i: Long): Array[Byte] = { // J0 with its 32-bit tail + i
+        val b = java.nio.ByteBuffer.allocate(16).put(nonce)
+        b.putInt(((1 + i) & 0xffffffffL).toInt).array()
+      }
+      val ct = plain.grouped(16).zipWithIndex.flatMap { case (blk, i) =>
+        aesBlock(key, ctrBlock(i + 1)).take(blk.length)
+          .zip(blk).map { case (k, p) => (k ^ p).toByte }
+      }.toArray
+      val lens = java.nio.ByteBuffer.allocate(16)
+        .putLong(0L).putLong(ct.length * 8L).array() // [len(A)]64 ‖ [len(C)]64
+      val s = gfMul(ghash(h, ct) ^ toBig(lens), h)
+      val tag = aesBlock(key, j0).zip(toBlock(s)).map { case (a, b) => (a ^ b).toByte }
+      ct ++ tag
+    }
+  }
+
+  test("WireCrypto frames reproduce bit-exactly under a from-the-spec GCM " +
+    "(the reference's cipher, independently implemented)") {
+    val key = Array.tabulate[Byte](32)(i => (i * 7 + 3).toByte)
+    for (plain <- Seq("", "x", "{\"command\":\"COMMIT\",\"arguments\":[]}",
+        "A" * 100)) { // empty, sub-block, multi-block, 6+ blocks
+      val framed = WireCrypto.encrypt(plain.getBytes(UTF_8), key)
+      val nonce = framed.take(WireCrypto.NonceLen)
+      // layout per database.rs:1048-1080: nonce ‖ ciphertext ‖ 16-byte tag,
+      // ciphertext as long as the plaintext
+      assert(framed.length == WireCrypto.NonceLen + plain.length + 16)
+      val expected = SpecGcm.encrypt(key, nonce, plain.getBytes(UTF_8))
+      assert(framed.drop(WireCrypto.NonceLen).sameElements(expected),
+        s"GCM bytes diverge from the spec construction for '$plain'")
+    }
+  }
+
+  test("frames built by the independent GCM are byte-accepted by WireCrypto " +
+    "(and a tag flip is rejected) — offline stand-in for reference interop") {
+    val key = Array.tabulate[Byte](32)(i => (i * 13 + 1).toByte)
+    val nonce = Array.tabulate[Byte](12)(i => (i + 100).toByte)
+    val plain = """{"command":"SEARCH [] ON wires","arguments":[]}""".getBytes(UTF_8)
+    val foreign = nonce ++ SpecGcm.encrypt(key, nonce, plain)
+    assert(WireCrypto.decrypt(foreign, key).exists(_.sameElements(plain)))
+    foreign(foreign.length - 1) = (foreign(foreign.length - 1) ^ 1).toByte
+    assert(WireCrypto.decrypt(foreign, key).isEmpty)
+  }
+
   test("key file is reference-format YAML (base64 list) and reloads identically") {
     val f = dbDir.resolve(".graft-keys")
     assert(java.nio.file.Files.isRegularFile(f))
