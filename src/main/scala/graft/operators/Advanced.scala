@@ -100,6 +100,86 @@ object Advanced {
       }
     },
 
+    // ANN quality surface: recall@10 of each approximate index against the
+    // exact brute-force top-10 — THE production ANN metric (an index with
+    // fast probes and unmeasured recall is not shippable). Four methods
+    // spanning the quality spectrum the fixture exposes: probe-1 over the
+    // fixture's arbitrary label (a near-random partition of the vectors —
+    // the baseline a real quantizer must beat), probe-1 over the LEARNED
+    // Lloyd cells (sim_ann_ivf_kmeans's quantizer), single-probe 8-bit
+    // hyperplane LSH, and 1-bit-flip multiprobe LSH (9 buckets/query —
+    // OR-amplification trading probe count for recall). No oracle: recall
+    // is a property of this engine's own index structures, not a
+    // SQL-expressible relation; the floors live in AnnRecallSpec.
+    //
+    // Scale shape: the exact baseline is the one expensive pass (broadcast
+    // query side, per-group bounded heap — winners-only shuffle); each
+    // index's candidates come from a bucket equi-join (multiprobe explodes
+    // the BROADCAST query side 9×, never the corpus); the final
+    // method×query grid is a bounded dimension. Missing candidates (empty
+    // cell/bucket) count as recall 0 for that query, not a dropped row.
+    Q.noOracle("sim_ann_recall") {
+      (s, dir) => {
+        val k = 10
+        val e = t(s, dir, "embeddings")
+        def topkIds(scored: DataFrame): DataFrame =
+          graft.plans.TopK.perGroup(scored, Seq("qid"),
+            Seq("cos_sim" -> false, "nid" -> true), k).select(col("qid"), col("nid"))
+        def score(candidates: DataFrame): DataFrame = candidates
+          .select(col("qid"), col("vec_id").as("nid"),
+            cosine(col("qe"), col("embedding")).as("cos_sim"))
+        def probe1(cells: DataFrame, cellCol: String, method: String): DataFrame = {
+          val qs = cells.filter(col("vec_id") < 20)
+            .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+              col(cellCol).as("qcell"))
+          topkIds(score(cells.join(broadcast(qs),
+              col(cellCol) === col("qcell") && col("vec_id") =!= col("qid"))))
+            .withColumn("method", lit(method))
+        }
+        // exact ground truth: full corpus per query
+        val qsAll = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val exact = topkIds(score(e.join(broadcast(qsAll), col("vec_id") =!= col("qid"))))
+        // the four indexes
+        val ivfLabel = probe1(e, "label", "ivf_label_probe1")
+        val ivfKmeans = probe1(
+          Similarity.assignToSeeds(e).select(col("vec_id"), col("embedding"), col("cluster")),
+          "cluster", "ivf_kmeans_probe1")
+        val bucketed = e.withColumn("bucket", sparkBucket("embedding"))
+        val lsh1 = probe1(bucketed, "bucket", "lsh_8bit_probe1")
+        // multiprobe: each query also probes the 8 Hamming-distance-1
+        // buckets (flip one sign bit) — exploded on the broadcast side only
+        val qb = bucketed.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            explode(array((lit(-1) +: (0 until 8).map(lit(_))): _*)).as("flip"),
+            col("bucket"))
+          .select(col("qid"), col("qe"),
+            when(col("flip") < 0, col("bucket"))
+              .otherwise(col("bucket").bitwiseXOR(expr("shiftleft(1, flip)")))
+              .as("qbucket"))
+        val lshMulti = topkIds(score(
+            bucketed.join(broadcast(qb),
+              col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+              .dropDuplicates("qid", "vec_id")))
+          .withColumn("method", lit("lsh_8bit_multiprobe1"))
+        // per-(method, query) hit counts vs ground truth → recall grid
+        val hits = Seq(ivfLabel, ivfKmeans, lsh1, lshMulti).reduce(_ unionByName _)
+          .join(exact, Seq("qid", "nid"))
+          .groupBy(col("method"), col("qid")).agg(count(lit(1)).as("n_hits"))
+        val methods = { import s.implicits._
+          Seq("ivf_label_probe1", "ivf_kmeans_probe1",
+            "lsh_8bit_probe1", "lsh_8bit_multiprobe1").toDF("method") }
+        val grid = qsAll.select(col("qid")).crossJoin(broadcast(methods))
+        grid.join(hits, Seq("method", "qid"), "left")
+          .withColumn("recall", coalesce(col("n_hits"), lit(0L)) / lit(k.toDouble))
+          .groupBy(col("method"))
+          .agg(count(lit(1)).as("n_queries"),
+            round(avg(col("recall")), 4).as("avg_recall"),
+            round(min(col("recall")), 4).as("min_recall"))
+          .orderBy(col("method"))
+      }
+    },
+
     // Salted join: the fact side is salted 8 ways and the dim side
     // replicated 8x, so one hot key spreads over 8 reducers — the manual
     // skew treatment for pre-AQE engines and extreme skew. The oracle is
@@ -245,11 +325,15 @@ object Advanced {
         |SELECT l_orderkey, l_linenumber, l.l_returnflag,
         |       round(least(greatest(l_extendedprice, lo), hi), 6) AS price_w
         |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+        |WHERE l_extendedprice IS NOT NULL
         |ORDER BY l_orderkey, l_linenumber, l.l_returnflag, price_w""".stripMargin) {
       (s, dir) => {
         val li = t(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
             col("l_extendedprice"))
+          // NULL prices are excluded from the OUTPUT as well as the bounds
+          // (both engines: the oracle's WHERE mirrors this filter) — a
+          // NULL-price row has no meaningful winsorized value
           .filter(col("l_extendedprice").isNotNull)
         val counts = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
         val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))

@@ -1,5 +1,6 @@
 package org.apache.spark.sql.graft
 
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.{DataFrame, Dataset, SparkSession}
 
@@ -11,4 +12,11 @@ import org.apache.spark.sql.classic.{DataFrame, Dataset, SparkSession}
 object Bridge {
   def ofRows(spark: org.apache.spark.sql.SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[SparkSession], plan)
+
+  /** `NormalizeFloatingNumbers.normalize` is `private[sql]` too: the same
+    * NaN / -0.0 canonicalization Spark applies to GROUP BY and Window
+    * keys, exposed for graft's custom grouping operator.
+    */
+  def normalizeFloats(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recall@10 floors for the ANN index structures against exact
+  * brute-force — the quality half of the ANN story (speed without
+  * measured recall is not a shippable index).
+  *
+  * Fixture geometry matters for honest bounds: the synthetic embeddings
+  * are near-orthogonal random vectors (cross-pair cosine ≈ 0 ± 0.1), so
+  * single-probe 8-bit sign-LSH retrieves tiny near-random buckets and its
+  * recall is legitimately low — the surface REPORTS that rather than
+  * hiding it. The learned Lloyd quantizer, by contrast, captures real
+  * directional structure: measured avg recall@10 ≈ 0.55 vs ≈ 0.13 for
+  * probing the fixture's arbitrary label — the floors below assert that
+  * ORDERING (learned beats arbitrary, multiprobe beats single-probe) plus
+  * an absolute floor for the real quantizer, which is what regresses when
+  * assignment or probe logic breaks (e.g. querying the wrong cell
+  * collapses kmeans recall to the label baseline).
+  */
+class AnnRecallSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // method -> (n_queries, avg_recall, min_recall)
+  private lazy val rows: Map[String, (Long, Double, Double)] =
+    graft.SparkEntry.queries("sim_ann_recall")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+
+  test("all four methods report over all 20 queries") {
+    assert(rows.keySet == Set("ivf_label_probe1", "ivf_kmeans_probe1",
+      "lsh_8bit_probe1", "lsh_8bit_multiprobe1"))
+    assert(rows.values.forall(_._1 == 20L))
+  }
+
+  test("recall is a valid probability; min never exceeds avg") {
+    rows.foreach { case (m, (_, avg, mn)) =>
+      assert(avg >= 0.0 && avg <= 1.0 && mn >= 0.0 && mn <= avg, s"$m: avg=$avg min=$mn")
+    }
+  }
+
+  test("the learned quantizer meets an absolute floor (measured ≈ 0.55)") {
+    val (_, avg, _) = rows("ivf_kmeans_probe1")
+    info(f"ivf_kmeans_probe1 avg recall@10 = $avg%.4f")
+    assert(avg >= 0.40, f"learned-quantizer recall regressed: $avg%.4f < 0.40")
+  }
+
+  test("learned cells beat the arbitrary label partition by ≥ 2×") {
+    val kmeans = rows("ivf_kmeans_probe1")._2
+    val label = rows("ivf_label_probe1")._2
+    info(f"kmeans=$kmeans%.4f label=$label%.4f")
+    assert(kmeans >= 2.0 * label,
+      f"Lloyd cells ($kmeans%.4f) should dominate the arbitrary label ($label%.4f)")
+  }
+
+  test("multiprobe LSH amplifies single-probe recall (OR-amplification is monotone)") {
+    val multi = rows("lsh_8bit_multiprobe1")._2
+    val single = rows("lsh_8bit_probe1")._2
+    info(f"multiprobe=$multi%.4f single=$single%.4f")
+    assert(multi >= single,
+      f"probing 9 buckets ($multi%.4f) cannot recall less than 1 bucket ($single%.4f)")
+  }
+}

@@ -106,4 +106,40 @@ class TopKSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).length == 1, s"expected exactly 1 exchange:\n$p")
     assert(!p.contains("Window") && !p.contains("Sort "), s"no sort/window allowed:\n$p")
   }
+
+  test("float group keys normalize: -0.0/0.0 and NaN each form ONE group") {
+    import spark.implicits._
+    // force the rows into separate input partitions so an unnormalized
+    // grouping would also split across the exchange, not just the map
+    val df = Seq((0.0, 1L), (-0.0, 2L), (Double.NaN, 3L), (Double.NaN, 4L), (1.5, 5L))
+      .toDF("g", "id").repartition(5)
+    val top = TopK.perGroup(df, Seq("g"), Seq("id" -> true), 1)
+      .collect().map(_.getLong(1)).toSet
+    // one winner per NORMALIZED group: {0.0,-0.0} → id 1, {NaN,NaN} → id 3, {1.5} → id 5
+    assert(top == Set(1L, 3L, 5L), s"float group keys split: kept $top")
+  }
+
+  test("ambiguous or unknown column names are errors, never a silent first-match bind") {
+    import spark.implicits._
+    val dup = Seq((1, 2, 3L)).toDF("v", "V", "id") // case-colliding output
+    val e = intercept[IllegalArgumentException](
+      TopK.perGroup(dup, Seq("v"), Seq("id" -> true), 1))
+    assert(e.getMessage.contains("ambiguous"))
+    intercept[IllegalArgumentException](
+      TopK.perGroup(dup, Seq("id"), Seq("nope" -> true), 1))
+  }
+
+  test("partial-buffer overflow degrades to passthrough with identical results") {
+    // cap the partial buffer below the distinct-group count: overflow rows
+    // bypass the map-side reduction and must still reduce correctly in the
+    // final pass (graceful-degradation contract from the operator docs)
+    val base = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    val capped = TopK.perGroup(base, Seq("o_orderpriority"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), 3, maxPartialBuffer = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = windowForm(3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped == want, "passthrough mode changed the result")
+  }
 }
