@@ -50,16 +50,17 @@ object Ast {
     */
   final case class SortItem(column: String, asc: Boolean)
 
-  /** `JOIN container ON a = b` (graft extension — the reference's only
-    * multi-table operator is union, `src/query.rs:86-108`): inner
-    * equi-join of the search source with another container (real or
-    * `(SEARCH …)` virtual). Condition sides may be bare column names or
-    * qualified `container.column`; one side must resolve in the
+  /** `[LEFT] JOIN container ON a = b` (graft extension — the reference's
+    * only multi-table operator is union, `src/query.rs:86-108`): inner or
+    * left-outer equi-join of the search source with another container
+    * (real or `(SEARCH …)` virtual). Condition sides may be bare column
+    * names or qualified `container.column`; one side must resolve in the
     * already-joined source, the other in the joined container. Lowered to
     * a Spark equi-join, so Catalyst/AQE pick broadcast vs shuffle from
     * runtime sizes like any DataFrame join.
     */
-  final case class JoinSpec(container: Container, left: String, right: String)
+  final case class JoinSpec(container: Container, left: String, right: String,
+      joinType: String = "inner")
 
   /** `atVersion` (graft extension `AT VERSION n`): read the committed
     * snapshot at that version instead of the live transactional view.
@@ -280,14 +281,14 @@ object Parser {
         }
         case t => List(Container.Real(name(t)))
       }
-      // JOIN container ON a = b, repeatable (graft extension): inner
+      // [LEFT] JOIN container ON a = b, repeatable (graft extension):
       // equi-joins chained left-to-right before any other clause
       val (joins, afterJoins) = {
         val items = List.newBuilder[JoinSpec]
         var r = rest
         var going = true
-        while (going) r match {
-          case Keyword("JOIN") :: cTok :: Keyword("ON") :: lTok :: Op("=" | "==") :: rTok :: tail =>
+        def one(jt: String, toks: List[Token]): Unit = toks match {
+          case cTok :: Keyword("ON") :: lTok :: Op("=" | "==") :: rTok :: tail =>
             val cont = cTok match {
               case SubCommand(sub) => fromTokens(sub) match {
                 case s: Search => Container.Virtual(s)
@@ -295,9 +296,13 @@ object Parser {
               }
               case t => Container.Real(name(t))
             }
-            items += JoinSpec(cont, name(lTok), name(rTok)); r = tail
-          case Keyword("JOIN") :: _ =>
-            throw new ParseException("Expected `JOIN container ON left = right`")
+            items += JoinSpec(cont, name(lTok), name(rTok), jt); r = tail
+          case _ =>
+            throw new ParseException(s"Expected `${jt.toUpperCase} JOIN container ON left = right`")
+        }
+        while (going) r match {
+          case Keyword("JOIN") :: tail => one("inner", tail)
+          case Keyword("LEFT") :: Keyword("JOIN") :: tail => one("left", tail)
           case _ => going = false
         }
         (items.result(), r)

@@ -327,7 +327,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       val (lt, rt) = (acc.schema(lc).dataType, right.schema(rc).dataType)
       if (lt != rt)
         throw new ParseException(s"JOIN type mismatch: $lc is $lt but $rc is $rt")
-      acc = acc.join(right, acc(lc) === right(rc))
+      acc = acc.join(right, acc(lc) === right(rc), j.joinType)
       leftNames = leftNames ++ rightName
     }
     val filtered = applyWhere(acc, virtualDef(acc), s)

@@ -36,7 +36,7 @@ object Token {
     "QYCNPVS", "QYCNNXT", "QYCNEXT",
     // graft extensions beyond the reference keyword set
     "EXPLAIN", "VACUUM", "AT", "VERSION", "IN", "NOT", "HAVING",
-    "ORDER", "BY", "LIMIT", "ASC", "DESC", "DISTINCT", "JOIN")
+    "ORDER", "BY", "LIMIT", "ASC", "DESC", "DISTINCT", "JOIN", "LEFT")
 
   /** Multi-char first: `&&&>` regex-match, `&&>` icontains, `&>` contains,
     * `>=`, `<=`, `==`, `!=`, then single-char (reference

@@ -266,6 +266,23 @@ object AqlQueries {
           "JOIN lineitem ON doc_id = l_orderkey WHERE l_quantity > 48")(s, dir)
     },
 
+    // LEFT JOIN through AQL: unmatched left rows survive with NULL right
+    // columns; the right side here is a (SEARCH …) virtual container, so
+    // the two multi-table extensions compose. The engine's default
+    // ordering is all output columns ascending NULLS FIRST — mirrored.
+    Q("aql_search_left_join",
+      """SELECT doc_id, l_quantity
+        |FROM documents LEFT JOIN
+        |  (SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 49) t
+        |  ON doc_id = l_orderkey
+        |WHERE n_chars < 130
+        |ORDER BY doc_id, l_quantity NULLS FIRST""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [doc_id, l_quantity] ON documents LEFT JOIN " +
+          "(SEARCH [l_orderkey, l_quantity] ON lineitem WHERE l_quantity > 49) " +
+          "ON doc_id = l_orderkey WHERE n_chars < 130")(s, dir)
+    },
+
     // JOIN + aggregation compose: group the joined rows
     Q("aql_search_join_agg",
       """SELECT lang, count(l_orderkey) AS count_l_orderkey

@@ -372,6 +372,14 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaBase.map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("22 LEFT JOIN keeps unmatched left rows with NULL right columns") {
+    val rows = searchRows(
+      "SEARCH ['name','pet'] ON people LEFT JOIN pets ON id = owner_id")
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1)))
+    assert(rows.toSet ==
+      Set(("ana", "cat"), ("ana", "dog"), ("bo", null), ("cy", "eel")))
+  }
+
   test("18 schema + data survive an engine restart (quirk Q5 fixed)") {
     val eng2 = new Engine(spark, dir.toString) // fresh engine, same root
     assert(eng2.catalog.list().contains("people"))

@@ -173,5 +173,14 @@ class ParserSpec extends AnyFunSuite {
     intercept[ParseException](Parser.parse("SEARCH [] ON u JOIN v ON a"))       // no condition
     intercept[ParseException](Parser.parse("SEARCH [] ON u JOIN v ON a > b"))   // non-equi
     intercept[ParseException](Parser.parse("SEARCH [] ON u JOIN v ON a = "))    // half condition
+    intercept[ParseException](Parser.parse("SEARCH [] ON u LEFT v ON a = b"))   // LEFT sans JOIN
+  }
+
+  test("LEFT JOIN parses with joinType left; chains mix with inner") {
+    val s = Parser.parse("SEARCH [x] ON u LEFT JOIN v ON a = b JOIN w ON c = d")
+      .asInstanceOf[Search]
+    assert(s.joins == List(
+      JoinSpec(Container.Real("v"), "a", "b", "left"),
+      JoinSpec(Container.Real("w"), "c", "d", "inner")))
   }
 }
