@@ -140,11 +140,25 @@ object Advanced {
         val qsAll = e.filter(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
         val exact = topkIds(score(e.join(broadcast(qsAll), col("vec_id") =!= col("qid"))))
-        // the four indexes
+        // the five indexes
         val ivfLabel = probe1(e, "label", "ivf_label_probe1")
-        val ivfKmeans = probe1(
-          Similarity.assignToSeeds(e).select(col("vec_id"), col("embedding"), col("cluster")),
-          "cluster", "ivf_kmeans_probe1")
+        val kmeansCells = Similarity.assignToSeeds(e)
+          .select(col("vec_id"), col("embedding"), col("cluster"))
+        val ivfKmeans = probe1(kmeansCells, "cluster", "ivf_kmeans_probe1")
+        // probe-2: each query also scans its second-nearest cell — the
+        // knob sim_ann_ivf_multiprobe implements, measured here
+        val seeds = e.orderBy(col("vec_id")).limit(8)
+          .select(col("vec_id").as("sid"), col("embedding").as("semb"))
+        val pw = Window.partitionBy(col("qid")).orderBy(col("qd2"), col("sid"))
+        val probes2 = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+          .crossJoin(broadcast(seeds))
+          .withColumn("qd2", Similarity.d2(col("qe"), col("semb")))
+          .withColumn("prn", row_number().over(pw))
+          .filter(col("prn") <= 2).select(col("qid"), col("qe"), col("sid"))
+        val ivfKmeans2 = topkIds(score(kmeansCells.join(broadcast(probes2),
+            col("cluster") === col("sid") && col("vec_id") =!= col("qid"))))
+          .withColumn("method", lit("ivf_kmeans_probe2"))
         val bucketed = e.withColumn("bucket", sparkBucket("embedding"))
         val lsh1 = probe1(bucketed, "bucket", "lsh_8bit_probe1")
         // multiprobe: each query also probes the 8 Hamming-distance-1
@@ -163,11 +177,12 @@ object Advanced {
               .dropDuplicates("qid", "vec_id")))
           .withColumn("method", lit("lsh_8bit_multiprobe1"))
         // per-(method, query) hit counts vs ground truth → recall grid
-        val hits = Seq(ivfLabel, ivfKmeans, lsh1, lshMulti).reduce(_ unionByName _)
+        val hits = Seq(ivfLabel, ivfKmeans, ivfKmeans2, lsh1, lshMulti)
+          .reduce(_ unionByName _)
           .join(exact, Seq("qid", "nid"))
           .groupBy(col("method"), col("qid")).agg(count(lit(1)).as("n_hits"))
         val methods = { import s.implicits._
-          Seq("ivf_label_probe1", "ivf_kmeans_probe1",
+          Seq("ivf_label_probe1", "ivf_kmeans_probe1", "ivf_kmeans_probe2",
             "lsh_8bit_probe1", "lsh_8bit_multiprobe1").toDF("method") }
         val grid = qsAll.select(col("qid")).crossJoin(broadcast(methods))
         grid.join(hits, Seq("method", "qid"), "left")

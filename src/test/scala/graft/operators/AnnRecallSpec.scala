@@ -30,9 +30,9 @@ class AnnRecallSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
       .toMap
 
-  test("all four methods report over all 20 queries") {
+  test("all five methods report over all 20 queries") {
     assert(rows.keySet == Set("ivf_label_probe1", "ivf_kmeans_probe1",
-      "lsh_8bit_probe1", "lsh_8bit_multiprobe1"))
+      "ivf_kmeans_probe2", "lsh_8bit_probe1", "lsh_8bit_multiprobe1"))
     assert(rows.values.forall(_._1 == 20L))
   }
 
@@ -54,6 +54,14 @@ class AnnRecallSpec extends AnyFunSuite {
     info(f"kmeans=$kmeans%.4f label=$label%.4f")
     assert(kmeans >= 2.0 * label,
       f"Lloyd cells ($kmeans%.4f) should dominate the arbitrary label ($label%.4f)")
+  }
+
+  test("IVF probe-2 amplifies probe-1 recall (probing a superset of cells is monotone)") {
+    val p2 = rows("ivf_kmeans_probe2")._2
+    val p1 = rows("ivf_kmeans_probe1")._2
+    info(f"probe2=$p2%.4f probe1=$p1%.4f")
+    assert(p2 >= p1,
+      f"scanning 2 cells ($p2%.4f) cannot recall less than 1 cell ($p1%.4f)")
   }
 
   test("multiprobe LSH amplifies single-probe recall (OR-amplification is monotone)") {
