@@ -167,7 +167,11 @@ object Tables {
         .option("path", tmp.getPath).mode("overwrite").saveAsTable(tbl)
       spark.sql(s"DROP TABLE $tbl") // external table: metadata only, data stays
     }
-    val reg = s"graft_bkt_${name}_bk${buckets}_$key"
+    // the registered name carries the staged directory's identity key (the
+    // buildOnce hash of path+size+mtime), so two different source dirs in
+    // ONE session register distinct tables instead of the second silently
+    // reading the first's data
+    val reg = s"graft_bkt_${new java.io.File(path).getName.replace('-', '_')}_bk${buckets}_$key"
     cache.getOrElseUpdate((spark, s"bucketed:$path"), {
       if (!spark.catalog.tableExists(reg)) {
         val ddl = spark.read.parquet(path).schema.toDDL

@@ -51,6 +51,24 @@ class BucketedLayoutSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("two source dirs bucket-register independently in one session") {
+    // the registered catalog name must carry the source identity: a second
+    // fixture dir with different content for the same table name must not
+    // silently resolve to the first registration
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bkt-2dirs")
+    val stage = tmp.resolve("stage")
+    Tables.load(spark, dir, "region").limit(2)
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    import scala.jdk.CollectionConverters._
+    val part = java.nio.file.Files.list(stage).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.move(part, tmp.resolve("region.parquet"))
+    val full = Tables.bucketed(spark, dir, "region", "r_regionkey", buckets = 4)
+    val trimmed = Tables.bucketed(spark, tmp.toString, "region", "r_regionkey", buckets = 4)
+    assert(full.count() == 5 && trimmed.count() == 2,
+      "second source dir resolved to the first dir's bucketed registration")
+  }
+
   test("groupBy on the bucket key aggregates without a shuffle") {
     setup
     val counts = spark.table("docs_bkt").groupBy(col("doc_id"))
