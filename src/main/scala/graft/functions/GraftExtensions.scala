@@ -16,6 +16,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_slices"),
+      new ExpressionInfo(classOf[MinHashSlices].getName, "minhash_slices"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashSlices(exprs.head)))
     // whole-operator custom path: per-group top-k (graft.plans.TopKPerGroup)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }

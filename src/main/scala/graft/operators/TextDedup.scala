@@ -121,7 +121,9 @@ object TextDedup {
         round(col("shared_grams").cast("double") / col("total_grams"), 6))
   }
 
-  private def withShingles(df: DataFrame): DataFrame =
+  /** 3-gram shingle arrays (`sg`) — shared with the streaming near-dup
+    * candidate path (`DocumentStreams.minhashBandCandidates`). */
+  private[graft] def withShingles(df: DataFrame): DataFrame =
     df.withColumn("tk", split(lower(col("text")), " "))
       .withColumn("sg", expr(
         "CASE WHEN size(tk) >= 3 THEN transform(sequence(1, size(tk)-2), " +
@@ -154,6 +156,14 @@ object TextDedup {
     * runs ~2× slower than this codegen'd explode + hash-aggregate.)
     */
   private def withSignatures(df: DataFrame): DataFrame = {
+    // Batch keeps the explode + partial-agg form: measured FASTER than a
+    // per-row single-pass projection here, because the band self-join
+    // reuses the aggregation's exchange (one pipeline run), while a
+    // projection-only signature either recomputes per join side or buys
+    // back an explicit repartition wave. The single-pass native form
+    // (graft.functions.MinHashSlices, value-identical) is the STREAMING
+    // path's signature — a stream projection can't explode+groupBy per
+    // micro-batch without keyed state.
     val ex = df.select(col("doc_id"), explode(col("sg")).as("s"))
       .withColumn("h", concat(md5(col("s")), md5(concat(col("s"), lit("#")))))
     val mins = (0 until 8).map(i => min(substring(col("h"), 1 + 8 * i, 8)).as(s"s$i"))

@@ -63,6 +63,60 @@ object DocumentStreams {
   def piiScrubbed(docs: DataFrame): DataFrame =
     graft.operators.TextDedup.piiScrub(docs)
 
+  /** Streaming near-dup CANDIDATE detection at ingest — the streaming twin
+    * of `dd_minhash_lsh`'s banding. Signatures come from the native
+    * single-pass `minhash_slices` expression: a stream cannot run the
+    * batch explode+groupBy signature (that is a per-doc aggregation =
+    * keyed state per doc per trigger), but a stateless projection computes
+    * the same 8 slices in one pass over each arriving document. Band keys
+    * (4 bands × 2 slices) then feed keyed state of ONE long per (band,
+    * bucket): the smallest doc_id seen so far is the bucket's keeper, and
+    * any other doc sharing the bucket is flagged as a near-dup candidate
+    * the moment it arrives — including the previous keeper when a smaller
+    * doc_id shows up later (retroactive demotion keeps the flagged set
+    * EXACTLY equal to the batch semantics "doc collides with a smaller
+    * doc", independent of arrival order across micro-batches).
+    *
+    * At 100 TB: state is one entry per OCCUPIED band bucket (bounded by
+    * distinct signatures, not corpus size), partitioned by band key —
+    * the same shuffle key as the batch band self-join. Flagged docs go to
+    * the offline exact-verify stage (`dd_ngram_jaccard`), which only ever
+    * touches candidates — the standard ingest-time near-dup funnel.
+    */
+  def minhashBandCandidates(docs: DataFrame): org.apache.spark.sql.Dataset[BandFlag] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bandStructs = (0 until 4).map(b => struct(lit(b).as("band"),
+      concat(element_at(col("mh"), 2 * b + 1), element_at(col("mh"), 2 * b + 2)).as("bk")))
+    val bands = graft.operators.TextDedup.withShingles(docs)
+      .select(col("doc_id"),
+        graft.functions.MinHashSlices.minhashSlices(col("sg")).as("mh"))
+      .filter(col("mh").isNotNull)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+      .as[BandRow]
+    bands.groupByKey(r => (r.band, r.bk))
+      .flatMapGroupsWithState[Long, BandFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, String), rows: Iterator[BandRow],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val incoming = rows.map(_.doc_id).toSeq.sorted
+          val keeper = state.getOption.getOrElse(Long.MaxValue)
+          val newKeeper = math.min(keeper, incoming.head)
+          state.update(newKeeper)
+          // every incoming doc above the bucket minimum is a candidate; a
+          // demoted previous keeper is flagged retroactively
+          val demoted = if (keeper != Long.MaxValue && newKeeper < keeper)
+            Iterator.single(BandFlag(keeper, key._1, key._2)) else Iterator.empty
+          demoted ++ incoming.iterator.filter(_ > newKeeper)
+            .map(BandFlag(_, key._1, key._2))
+      }
+  }
+
+  final case class BandRow(doc_id: Long, band: Int, bk: String)
+  final case class BandFlag(doc_id: Long, band: Int, bk: String)
+
   /** Streaming twin of `t_decontaminate`'s hit detection: the incoming
     * documents' 4-grams stream-static joined against the (static,
     * broadcast) benchmark gram set. Emits one (doc_id, g) row per hit in

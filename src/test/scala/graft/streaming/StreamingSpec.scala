@@ -233,6 +233,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming minhash-band candidates equal the batch LSH collision set, " +
+    "independent of arrival order (retroactive keeper demotion)") {
+    import spark.implicits._
+    // batch truth: docs that band-collide with a SMALLER doc id — exactly
+    // the id_b side of the oracle-verified candidate pairs
+    val batch = graft.SparkEntry.queries("dd_minhash_lsh")(spark, dir)
+      .select(col("id_b")).distinct()
+      .collect().map(_.getLong(0)).toSet
+
+    // feed the UPPER half of doc ids first, then the lower half: bucket
+    // keepers seen in batch 1 are demoted when smaller ids arrive in
+    // batch 2, so the cross-batch state path is genuinely exercised
+    val all = graft.Tables.load(spark, dir, "documents")
+    val median = all.selectExpr("percentile_approx(doc_id, 0.5)").collect().head.get(0)
+      .toString.toDouble.toLong
+    val src = java.nio.file.Files.createTempDirectory("graft-mhb-src")
+    def addHalf(half: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory(s"graft-mhb-$tag")
+      half.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part, src.resolve(s"$tag.parquet"))
+    }
+    addHalf(all.filter(col("doc_id") > median), "half-upper")
+    val stream = spark.readStream.schema(all.schema).parquet(src.toString)
+    val q = DocumentStreams.minhashBandCandidates(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mhb_out").start()
+    try {
+      q.processAllAvailable()
+      addHalf(all.filter(col("doc_id") <= median), "half-lower")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("mhb_out")
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(streamed == batch,
+      s"streamed ${streamed.size} candidates, batch ${batch.size}")
+  }
+
   test("sessionize recovers from its checkpoint: stop mid-stream, restart, no lost/duplicated sessions") {
     import spark.implicits._
     val evs = graft.Tables.events(spark, dir)
