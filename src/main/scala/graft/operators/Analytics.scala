@@ -281,6 +281,26 @@ object Analytics {
           .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
     },
 
+    // Full outer join: both unmatched sides survive NULL-extended — the
+    // reconciliation-report shape (which customers have no orders AND which
+    // orders reference missing customers). Restricted to a key slice on
+    // each side so both NULL directions actually occur in the fixture;
+    // full-outer cannot broadcast (both sides produce unmatched rows), so
+    // it plans as a key-shuffle SMJ — the correct shape at any scale.
+    Q("x_join_full_outer",
+      """SELECT c_custkey, o_orderkey
+        |FROM (SELECT * FROM customer WHERE c_custkey < 50) c
+        |FULL JOIN (SELECT * FROM orders WHERE o_orderkey < 200) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "customer").filter(col("c_custkey") < 50)
+          .join(t(s, dir, "orders").filter(col("o_orderkey") < 200),
+            col("c_custkey") === col("o_custkey"), "full")
+          .select(col("c_custkey"), col("o_orderkey"))
+          .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+    },
+
     // Semi join (EXISTS): customers having an open order. Broadcast-able at
     // dim scale; at fact scale it shuffles only distinct keys.
     Q("x_semi_join",

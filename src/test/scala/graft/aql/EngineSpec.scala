@@ -372,6 +372,15 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaBase.map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("23 AQL JOIN plans as a hash/merge equi-join, never a nested loop") {
+    val plan = eng.execute(
+      "EXPLAIN SEARCH ['name','pet'] ON people JOIN pets ON id = owner_id")
+      .asInstanceOf[Engine.Done].message
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"AQL join fell off the equi-join path:\n$plan")
+    assert(plan.contains("Join") || plan.contains("join"), plan)
+  }
+
   test("22 LEFT JOIN keeps unmatched left rows with NULL right columns") {
     val rows = searchRows(
       "SEARCH ['name','pet'] ON people LEFT JOIN pets ON id = owner_id")
