@@ -88,6 +88,19 @@ object EventStreams {
               c_ts <= p_ts AND c_ts > p_ts - interval 30 minutes"""))
   }
 
+  /** Watermarked exact-once dedup of an at-least-once event source:
+    * duplicate `event_id` deliveries are dropped as long as they arrive
+    * within the watermark horizon of the first copy, and state per id is
+    * EVICTED once the watermark passes — bounded state on an unbounded
+    * stream, which the unbounded `DocumentStreams.firstSeen` variant
+    * (no event time on documents) cannot have. This is the standard
+    * ingest-front dedup for replayed/acked sources (Kafka at-least-once,
+    * file redelivery).
+    */
+  def dedupEvents(events: DataFrame, horizon: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class Ev(user_id: Long, ts_us: Long, event_id: Long)
   final case class SessionAgg(user_id: Long, session_id: Long, n_events: Long,
       start_us: Long, end_us: Long)

@@ -233,6 +233,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("watermarked event dedup drops redelivered event_ids exactly once") {
+    // simulate an at-least-once source: every event delivered twice,
+    // replayed copies arriving in a SECOND file (same event time, so
+    // within any horizon) — the streamed output must equal the batch
+    // distinct-by-event_id of the original fixture
+    val evs = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val src = java.nio.file.Files.createTempDirectory("graft-dedup-src")
+    def addFile(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory(s"graft-dedup-$tag")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part, src.resolve(s"$tag.parquet"))
+    }
+    addFile(evs, "delivery-1")
+    val stream = spark.readStream.schema(evs.schema).parquet(src.toString)
+    val q = EventStreams.dedupEvents(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      addFile(evs, "delivery-2") // full replay of every event
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("dedup_out")
+      .select(col("event_id")).collect().map(_.getLong(0))
+    val batch = evs.select(col("event_id")).distinct()
+      .collect().map(_.getLong(0))
+    assert(streamed.length == streamed.distinct.length, "an event_id was emitted twice")
+    assert(streamed.toSet == batch.toSet, "dedup lost or invented events")
+  }
+
   test("streaming minhash-band candidates equal the batch LSH collision set, " +
     "independent of arrival order (retroactive keeper demotion)") {
     import spark.implicits._
