@@ -109,6 +109,63 @@ object EventStreams {
 
   val GapUs: Long = 30L * 60 * 1000 * 1000 // 30-minute inactivity gap
 
+  final case class EvT(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+  final case class TState(sessionId: Long, nEvents: Long,
+      startUs: Long, lastUs: Long, open: Boolean)
+
+  /** Production sessionization: emit each session EXACTLY ONCE — when a
+    * successor event closes it, or when the event-time watermark passes
+    * `lastUs + gap` (EventTimeTimeout flush, fired by Spark's no-data
+    * micro-batch once the watermark advances). Unlike [[sessionize]]
+    * (which re-emits the open session every trigger so a finite fixture
+    * test can see it), this is the shape a downstream consumer wants:
+    * append-only, one final row per session, no retractions.
+    *
+    * A timed-out user keeps its session COUNTER in state (open=false)
+    * instead of dropping state entirely, so a user who returns after a
+    * long absence continues session numbering exactly like the batch
+    * window — at the cost of one tiny record per ever-seen user, the
+    * same state class every keyed sessionizer carries.
+    */
+  def sessionizeFinal(events: Dataset[EvT], gapUs: Long = GapUs): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TState, SessionAgg](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, evs: Iterator[Ev2], state: GroupState[TState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastUs + gap: flush the open session, keep
+            // the counter for correct numbering if the user returns
+            val t = state.get
+            state.update(t.copy(open = false))
+            Iterator.single(SessionAgg(userId, t.sessionId, t.nEvents, t.startUs, t.lastUs))
+          } else {
+            val sorted = evs.map(e => (unixMicros(e.ts), e.event_id))
+              .toSeq.sortBy(identity).map(_._1)
+            val closed = List.newBuilder[SessionAgg]
+            var cur = state.getOption.getOrElse(TState(0, 0, 0, 0, open = false))
+            sorted.foreach { us =>
+              if (cur.open && us - cur.lastUs <= gapUs)
+                cur = cur.copy(nEvents = cur.nEvents + 1, lastUs = us)
+              else {
+                if (cur.open)
+                  closed += SessionAgg(userId, cur.sessionId, cur.nEvents,
+                    cur.startUs, cur.lastUs)
+                cur = TState(cur.sessionId + 1, 1, us, us, open = true)
+              }
+            }
+            state.update(cur)
+            // flush when the watermark passes the inactivity gap
+            state.setTimeoutTimestamp((cur.lastUs + gapUs) / 1000L)
+            closed.result().iterator
+          }
+      }
+  }
+
+  private type Ev2 = EvT
+  private def unixMicros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
   /** Stateful sessionization with flatMapGroupsWithState — streaming twin
     * of the `e_session_stats` batch query (30-minute gap). Emits a session
     * whenever a new event closes it; flushes the open session on timeout.

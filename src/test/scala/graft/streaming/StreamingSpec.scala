@@ -309,6 +309,60 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed ${streamed.size} candidates, batch ${batch.size}")
   }
 
+  test("event-time-timeout sessionization emits each session exactly once " +
+    "(closed by successor or flushed by watermark)") {
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    // two deliveries split at the median timestamp so the watermark
+    // genuinely advances between batches and fires timeouts
+    val splitUs = evs.selectExpr("percentile_approx(unix_micros(ts), 0.5)")
+      .collect().head.getLong(0)
+    val src = java.nio.file.Files.createTempDirectory("graft-sf-src")
+    def addFile(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory(s"graft-sf-$tag")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part, src.resolve(s"$tag.parquet"))
+    }
+    addFile(evs.filter(unix_micros(col("ts")) <= splitUs), "t1")
+    val stream = spark.readStream.schema(evs.schema).parquet(src.toString)
+      .withWatermark("ts", "0 seconds")
+      .as[EventStreams.EvT]
+    val q = EventStreams.sessionizeFinal(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sf_out").start()
+    try {
+      q.processAllAvailable()
+      addFile(evs.filter(unix_micros(col("ts")) > splitUs), "t2")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("sf_out")
+      .select(col("user_id"), col("session_id"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exactly-once: no session row may repeat
+    assert(streamed.length == streamed.distinct.length, "a session was emitted twice")
+
+    // expected: every batch session EXCEPT each user's last one, unless
+    // the final watermark (global max ts, delay 0) passed its gap — those
+    // flushed via timeout; later sessions are closed by their successor
+    val maxUs = evs.selectExpr("max(unix_micros(ts))").collect().head.getLong(0)
+    val sess = graft.SparkEntry.queries("e_session_stats")(spark, dir)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        unix_micros(col("session_end")).as("end_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val lastPerUser = sess.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val expected = sess.collect {
+      case (u, sid, n, end) if sid < lastPerUser(u) ||
+        (end + EventStreams.GapUs) / 1000L < maxUs / 1000L => (u, sid, n)
+    }
+    assert(streamed.toSet == expected.toSet,
+      s"streamed ${streamed.length} sessions, expected ${expected.length}")
+  }
+
   test("sessionize recovers from its checkpoint: stop mid-stream, restart, no lost/duplicated sessions") {
     import spark.implicits._
     val evs = graft.Tables.events(spark, dir)
