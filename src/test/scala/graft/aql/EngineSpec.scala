@@ -389,6 +389,20 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set(("ana", "cat"), ("ana", "dog"), ("bo", null), ("cy", "eel")))
   }
 
+  test("24 AT VERSION applies to every container in a JOIN (both sides time-travel)") {
+    eng.execute("CREATE CONTAINER ha ['k','va'] [INT, SMALL-STRING]")
+    eng.execute("CREATE CONTAINER hb ['kb','vb'] [INT, SMALL-STRING]")
+    eng.execute("CREATE ROW ['k','va'] [1,'a1'] ON ha"); eng.execute("COMMIT ha")  // ha@v1
+    eng.execute("CREATE ROW ['kb','vb'] [1,'b1'] ON hb"); eng.execute("COMMIT hb") // hb@v1
+    eng.execute("EDIT ROW ['va'] ['a2'] ON ha WHERE k = 1"); eng.execute("COMMIT ha")  // v2
+    eng.execute("EDIT ROW ['vb'] ['b2'] ON hb WHERE kb = 1"); eng.execute("COMMIT hb") // v2
+    def pair(aql: String) = searchRows(aql).map(r => (r.getString(0), r.getString(1)))
+    assert(pair("SEARCH ['va','vb'] ON ha JOIN hb ON k = kb") == Seq(("a2", "b2")))
+    assert(pair("SEARCH ['va','vb'] ON ha JOIN hb ON k = kb AT VERSION 1")
+      == Seq(("a1", "b1")))
+    eng.execute("DELETE CONTAINER ha"); eng.execute("DELETE CONTAINER hb")
+  }
+
   test("18 schema + data survive an engine restart (quirk Q5 fixed)") {
     val eng2 = new Engine(spark, dir.toString) // fresh engine, same root
     assert(eng2.catalog.list().contains("people"))

@@ -50,6 +50,33 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(v1 == Set(1) || v1 == Set(2))
   }
 
+  test("stress: four committers x three commits each — all twelve inserts survive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cas4")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("s", List("id" -> graft.aql.AlbaType.of("INT")))
+    val barrier = new java.util.concurrent.CyclicBarrier(4)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    import org.apache.spark.sql.Row
+    val ts = (0 until 4).map { w =>
+      new Thread(() => {
+        try {
+          val tx = new Tx(cat)
+          barrier.await()
+          (0 until 3).foreach { i =>
+            tx.stageInsert("s", Seq(Row(w * 10 + i)))
+            tx.commit(Some("s"))
+          }
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join(300000))
+    assert(errs.isEmpty, s"commit threw: ${errs.toArray.mkString(", ")}")
+    val rows = cat.read("s").collect().map(_.getInt(0)).toSet
+    val want = (for (w <- 0 until 4; i <- 0 until 3) yield w * 10 + i).toSet
+    assert(rows == want, s"lost inserts: ${(want -- rows).toSeq.sorted}")
+    assert(cat.currentVersion("s") == 12, "every commit must publish its own version")
+  }
+
   test("pointer never regresses when claims publish out of order") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cas2")
     val cat = new Catalog(spark, dir.toString)

@@ -62,6 +62,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"orderkey shuffle survived despite the bucketed projection:\n$p")
   }
 
+  test("full outer join never broadcasts (both sides produce unmatched rows)") {
+    val p = plan("x_join_full_outer")
+    assert(p.contains("FullOuter"), s"expected a full-outer join:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"full outer must not broadcast — unmatched build-side rows would need " +
+        s"per-executor dedup at scale:\n$p")
+  }
+
   test("global top-k plans as TakeOrderedAndProject, never a full sort (x_topk)") {
     val p = plan("x_topk")
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
