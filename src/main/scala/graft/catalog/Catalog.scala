@@ -156,17 +156,53 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     *
     * Returns true iff this call claimed and published `expectedBase+1`.
     */
-  def tryCommit(name: String, expectedBase: Int, df: DataFrame): Boolean = {
-    val next = expectedBase + 1
-    if (Files.exists(versionPath(name, next))) return false // already published
-    try Files.createFile(claimFile(name, next)) // atomic CAS: one winner
+  def tryCommit(name: String, expectedBase: Int, df: DataFrame): Boolean =
+    tryCommitAt(name, expectedBase + 1, df)
+
+  /** Claim and publish an EXPLICIT version slot (the escape hatch for a
+    * committer stuck behind an orphaned claim: the content is still the
+    * caller's rebased view — an orphan never published data — but the slot
+    * jumps past the dead claim instead of contending with it forever).
+    */
+  private[catalog] def tryCommitAt(name: String, slot: Int, df: DataFrame): Boolean = {
+    if (Files.exists(versionPath(name, slot))) return false // already published
+    // atomic CAS: one winner. The claim carries the claimant's PID so a
+    // contender can distinguish a crashed claimant (escape) from a live
+    // slow writer (wait) — see claimIsOrphan.
+    try Files.write(claimFile(name, slot),
+      ProcessHandle.current.pid.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
     catch { case _: java.nio.file.FileAlreadyExistsException => return false }
     val tmp = dataDir.resolve(
       s"$name.tmp-${ProcessHandle.current.pid}-${System.nanoTime()}")
     df.write.mode("overwrite").parquet(tmp.toString)
-    Files.move(tmp, versionPath(name, next), StandardCopyOption.ATOMIC_MOVE)
-    advancePointer(name, next)
+    Files.move(tmp, versionPath(name, slot), StandardCopyOption.ATOMIC_MOVE)
+    advancePointer(name, slot)
     true
+  }
+
+  /** First slot strictly above every published version and every
+    * outstanding claim — where a committer escaping an orphaned claim
+    * publishes. */
+  private[catalog] def nextFreeSlot(name: String): Int = latestClaimed(name) + 1
+
+  /** True iff the claim on `slot` belongs to a PROVABLY DEAD process:
+    * claim present, nothing published, and the recorded pid no longer
+    * exists on this host. A missing/unreadable pid reads as alive
+    * (conservative — the claimant may be mid-create), and a live slow
+    * writer is never treated as an orphan, so escaping on this predicate
+    * can never drop a commit that would later publish. (The catalog is
+    * filesystem-local by design — same-host pid liveness is the right
+    * oracle; a multi-host deployment replaces this layer with a
+    * metastore/Delta-log conditional commit outright.)
+    */
+  private[catalog] def claimIsOrphan(name: String, slot: Int): Boolean = {
+    val f = claimFile(name, slot)
+    if (!Files.exists(f) || Files.exists(versionPath(name, slot))) return false
+    val pid = try Files.readString(f).trim.toLong
+    catch { case _: Exception => return false } // mid-create or unreadable: alive
+    val h = ProcessHandle.of(pid)
+    !h.isPresent || !h.get.isAlive
   }
 
   private def claimFile(name: String, v: Int) = catDir.resolve(s"$name.claim-v$v")

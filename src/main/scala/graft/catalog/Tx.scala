@@ -107,6 +107,8 @@ final class Tx(catalog: Catalog) {
         val pk = catalog.get(c).primaryKey
         var attempts = 0
         var done = false
+        var stuckAt = -1
+        var stuckFor = 0
         while (!done) {
           attempts += 1
           require(attempts <= 50, s"COMMIT $c: lost the version race 50 times")
@@ -115,7 +117,17 @@ final class Tx(catalog: Catalog) {
           // moves our base forward, so waiting beats spinning
           if (attempts > 1) Thread.sleep(math.min(100L * attempts, 2000L))
           val base = catalog.currentVersion(c)
-          done = catalog.tryCommit(c, base, view(c).sortWithinPartitions(pk))
+          if (base == stuckAt) stuckFor += 1 else { stuckAt = base; stuckFor = 0 }
+          // a claim whose recorded process is PROVABLY DEAD never
+          // publishes: publish our base-rebased view in the next free
+          // slot instead of contending with it forever. A live slow
+          // writer never satisfies claimIsOrphan, so its commit can't be
+          // overtaken and lost.
+          done =
+            if (stuckFor >= 1 && catalog.claimIsOrphan(c, base + 1))
+              catalog.tryCommitAt(c, catalog.nextFreeSlot(c),
+                view(c).sortWithinPartitions(pk))
+            else catalog.tryCommit(c, base, view(c).sortWithinPartitions(pk))
         }
         log -= c
       }

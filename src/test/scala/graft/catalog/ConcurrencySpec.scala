@@ -91,6 +91,31 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(cat.currentVersion("m") == 3)
   }
 
+  test("Tx.commit escapes a dead process's claim; a live claim is never overtaken") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cas5")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("z", List("id" -> graft.aql.AlbaType.of("INT")))
+    import org.apache.spark.sql.Row
+    val tx = new Tx(cat)
+    tx.stageInsert("z", Seq(Row(1))); tx.commit(Some("z")) // v1
+    // a claim whose recorded process has exited: provably orphaned
+    val deadPid = { val p = new ProcessBuilder("true").start(); p.waitFor(); p.pid() }
+    java.nio.file.Files.writeString(
+      dir.resolve("catalog").resolve("z.claim-v2"), deadPid.toString)
+    assert(cat.claimIsOrphan("z", 2))
+    // commit rebases on v1 and publishes PAST the dead claim, losing nothing
+    tx.stageInsert("z", Seq(Row(2))); tx.commit(Some("z"))
+    assert(cat.currentVersion("z") == 3, "escape must publish in the next free slot")
+    assert(cat.read("z").collect().map(_.getInt(0)).toSet == Set(1, 2))
+    // a claim held by a LIVE process is never treated as orphaned …
+    java.nio.file.Files.writeString(
+      dir.resolve("catalog").resolve("z.claim-v4"), ProcessHandle.current.pid.toString)
+    assert(!cat.claimIsOrphan("z", 4))
+    // … and neither is an unreadable (mid-create) one
+    java.nio.file.Files.writeString(dir.resolve("catalog").resolve("z.claim-v5"), "")
+    assert(!cat.claimIsOrphan("z", 5))
+  }
+
   test("an orphaned claim (crash between claim and flip) does not wedge overwrite") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cas3")
     val cat = new Catalog(spark, dir.toString)
