@@ -389,6 +389,15 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set(("ana", "cat"), ("ana", "dog"), ("bo", null), ("cy", "eel")))
   }
 
+  test("25 IN-subquery membership composes with JOIN (semi-join over the joined row)") {
+    val rows = searchRows(
+      "SEARCH ['name','pet'] ON people JOIN pets ON id = owner_id " +
+        "WHERE id IN (SEARCH ['owner_id'] ON pets WHERE pet = 'cat')")
+      .map(r => (r.getString(0), r.getString(1)))
+    // only ana owns a cat; the join still yields BOTH her pets
+    assert(rows.toSet == Set(("ana", "cat"), ("ana", "dog")))
+  }
+
   test("24 AT VERSION applies to every container in a JOIN (both sides time-travel)") {
     eng.execute("CREATE CONTAINER ha ['k','va'] [INT, SMALL-STRING]")
     eng.execute("CREATE CONTAINER hb ['kb','vb'] [INT, SMALL-STRING]")
