@@ -400,6 +400,40 @@ object Events {
             coalesce(col("n"), lit(0L)).as("clicks_30m"))
           .orderBy(col("user_id"), col("ts"), col("event_id"))
       }
+    },
+
+    // Temporal train/eval split — the LEAKAGE-SAFE split for time-ordered
+    // data: everything after the 80% mark of the observed time range is
+    // eval, so no future signal ever reaches training (a hash split like
+    // t_hash_split would leak future events of the same user into train).
+    // The [min,max] bounds are a 1-row broadcast dimension; floor() is
+    // explicit because Spark truncates double→long where DuckDB rounds.
+    Q("e_temporal_split",
+      """WITH e AS (SELECT epoch_us(ts) AS us, user_id, event_type FROM events),
+        |b AS (SELECT min(us) AS mn, max(us) AS mx FROM e),
+        |s AS (SELECT CASE WHEN us < mn + CAST(floor((mx - mn) * 0.8) AS BIGINT)
+        |                  THEN 'train' ELSE 'eval' END AS split,
+        |             user_id, event_type
+        |      FROM e, b)
+        |SELECT split, count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |       count(DISTINCT event_type) AS n_types
+        |FROM s GROUP BY split ORDER BY split""".stripMargin) {
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(unix_micros(col("ts")).as("us"), col("user_id"), col("event_type"))
+        val b = e.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+        e.crossJoin(broadcast(b))
+          .select(
+            when(col("us") < col("mn") +
+                floor((col("mx") - col("mn")) * 0.8).cast("long"), "train")
+              .otherwise("eval").as("split"),
+            col("user_id"), col("event_type"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            countDistinct(col("event_type")).as("n_types"))
+          .orderBy(col("split"))
+      }
     }
   )
 

@@ -661,6 +661,58 @@ object TextDedup {
         .orderBy(col("doc_id"))
     },
 
+    // The dedup REPORT — the one-row summary a curation run ships: corpus
+    // size, docs in exact-duplicate groups, docs the LSH bands flagged,
+    // docs the exact Jaccard check confirmed, near-dup cluster count, and
+    // the removal count a keep-one-per-cluster policy implies. Composes
+    // the whole funnel (exact → band candidates → verify → cluster) into
+    // the numbers that decide whether a dedup pass ships; every stage is
+    // the already-oracle-verified pipeline, so this pins their
+    // composition too. All-aggregate plan: each stat is a partial-agg
+    // scan/reuse, cross-joined as 1-row dimensions.
+    Q("dd_dedup_report",
+      s"""$duckJaccardCtes,
+         |verified AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+         |e AS (SELECT id_a AS a, id_b AS b FROM verified
+         |      UNION ALL SELECT id_b, id_a FROM verified),
+         |nodes AS (SELECT DISTINCT a AS v FROM e),
+         |walk(v, l) AS (
+         |  SELECT v, v FROM nodes
+         |  UNION
+         |  SELECT e.b, w.l FROM walk w JOIN e ON e.a = w.v),
+         |comp AS (SELECT v, min(l) AS l FROM walk GROUP BY v),
+         |tot AS (SELECT count(*) AS n_docs FROM documents),
+         |exdup AS (SELECT COALESCE(CAST(sum(n) AS BIGINT), 0) AS exact_dup_docs
+         |          FROM (SELECT count(*) AS n FROM documents
+         |                GROUP BY md5(text) HAVING count(*) > 1)),
+         |cand AS (SELECT count(DISTINCT v) AS lsh_candidate_docs
+         |         FROM (SELECT id_a AS v FROM pairs UNION SELECT id_b FROM pairs)),
+         |vm AS (SELECT count(*) AS verified_dup_docs,
+         |              count(DISTINCT l) AS n_clusters FROM comp)
+         |SELECT tot.n_docs, exdup.exact_dup_docs, cand.lsh_candidate_docs,
+         |       vm.verified_dup_docs, CAST(vm.n_clusters AS BIGINT) AS n_clusters,
+         |       CAST(vm.verified_dup_docs - vm.n_clusters AS BIGINT) AS near_dup_removals
+         |FROM tot, exdup, cand, vm""".stripMargin) {
+      (s, dir) => {
+        val d = docs(s, dir)
+        val tot = d.agg(count(lit(1)).as("n_docs"))
+        val ex = d.groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1)
+          .agg(coalesce(sum(col("n")), lit(0L)).cast("long").as("exact_dup_docs"))
+        val cand = lshPairs(s, dir)
+          .select(explode(array(col("id_a"), col("id_b"))).as("v"))
+          .agg(countDistinct(col("v")).as("lsh_candidate_docs"))
+        val comp = connectedComponents(
+          jaccardPairs(s, dir).filter(col("jaccard") >= 0.2)
+            .select(col("id_a"), col("id_b")))
+        val vm = comp.agg(count(lit(1)).as("verified_dup_docs"),
+          countDistinct(col("l")).as("n_clusters"))
+        tot.crossJoin(ex).crossJoin(cand).crossJoin(vm)
+          .withColumn("near_dup_removals",
+            (col("verified_dup_docs") - col("n_clusters")).cast("long"))
+      }
+    },
+
     // Cluster keeper policy — the SELECT step after dd_dup_clusters: keep
     // the longest document per near-dup cluster (ties → smallest doc_id),
     // the usual "best representative" curation choice. The cluster set is
