@@ -46,6 +46,15 @@ class AqlServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(body.contains(""""rows":[["bo"]]"""))
   }
 
+  test("JOIN over HTTP (the join clause reaches the wire surface end-to-end)") {
+    assert(post("CREATE CONTAINER webpets ['owner','pet'] [INT, SMALL-STRING]")._1 == 200)
+    assert(post("CREATE ROW ['owner','pet'] [2,'fox'] ON webpets")._1 == 200)
+    assert(post("COMMIT webpets")._1 == 200)
+    val (code, body) = post("SEARCH ['name','pet'] ON web JOIN webpets ON id = owner")
+    assert(code == 200, body)
+    assert(body.contains(""""rows":[["bo","fox"]]"""), body)
+  }
+
   test("prepared arguments as extra body lines") {
     val (code, body) = post("SEARCH ['id'] ON web WHERE name = ?\n'ana'")
     assert(code == 200 && body.contains(""""rows":[[1]]"""))
