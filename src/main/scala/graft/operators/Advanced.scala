@@ -16,13 +16,17 @@ import org.apache.spark.sql.functions._
 object Advanced {
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
-  /** 8 deterministic ±1 hyperplanes over 64 dims (seed 42) — shared
-    * constants between the Spark implementation and the oracle SQL.
+  /** Deterministic ±1 hyperplanes over 64 dims (seed 42). The first 8 are
+    * the oracle-shared planes of `sim_ann_hyperplane_lsh` (row-major fill:
+    * extending the pool leaves them bit-identical); the full 32 feed the
+    * banded-LSH configuration of the recall surface (8 bands × 4 bits),
+    * which needs no SQL twin.
     */
-  private val Planes: Array[Array[Int]] = {
+  private val Planes32: Array[Array[Int]] = {
     val rng = new scala.util.Random(42)
-    Array.fill(8, 64)(if (rng.nextBoolean()) 1 else -1)
+    Array.fill(32, 64)(if (rng.nextBoolean()) 1 else -1)
   }
+  private val Planes: Array[Array[Int]] = Planes32.take(8)
 
   /** Signed sum: dot(embedding, plane) with the plane as a literal array —
     * one zip-multiply-sum loop per plane instead of a 64-term expression
@@ -50,6 +54,17 @@ object Advanced {
     Planes.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN ${duckPlaneDot(embCol, p)} > 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** 8 band keys from the 32-plane pool (4 sign bits each) for banded
+    * OR-amplified LSH — recall-surface only, no SQL twin needed. */
+  private def bandKeys32(embCol: String): Column = {
+    val bits = Planes32.map(p =>
+      when(sparkPlaneDot(embCol, p) > 0, lit(1)).otherwise(lit(0)))
+    array((0 until 8).map { b =>
+      struct(lit(b).as("band"),
+        (0 until 4).map(i => bits(4 * b + i) * lit(1 << i)).reduce(_ + _).as("key"))
+    }: _*)
+  }
 
   private def dotD(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -128,23 +143,20 @@ object Advanced {
         def score(candidates: DataFrame): DataFrame = candidates
           .select(col("qid"), col("vec_id").as("nid"),
             cosine(col("qe"), col("embedding")).as("cos_sim"))
-        def probe1(cells: DataFrame, cellCol: String, method: String): DataFrame = {
+        def cellCands(cells: DataFrame, cellCol: String): DataFrame = {
           val qs = cells.filter(col("vec_id") < 20)
             .select(col("vec_id").as("qid"), col("embedding").as("qe"),
               col(cellCol).as("qcell"))
-          topkIds(score(cells.join(broadcast(qs),
-              col(cellCol) === col("qcell") && col("vec_id") =!= col("qid"))))
-            .withColumn("method", lit(method))
+          cells.join(broadcast(qs),
+            col(cellCol) === col("qcell") && col("vec_id") =!= col("qid"))
         }
         // exact ground truth: full corpus per query
         val qsAll = e.filter(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
         val exact = topkIds(score(e.join(broadcast(qsAll), col("vec_id") =!= col("qid"))))
-        // the five indexes
-        val ivfLabel = probe1(e, "label", "ivf_label_probe1")
+        // candidate set per index structure --------------------------------
         val kmeansCells = Similarity.assignToSeeds(e)
           .select(col("vec_id"), col("embedding"), col("cluster"))
-        val ivfKmeans = probe1(kmeansCells, "cluster", "ivf_kmeans_probe1")
         // probe-2: each query also scans its second-nearest cell — the
         // knob sim_ann_ivf_multiprobe implements, measured here
         val seeds = e.orderBy(col("vec_id")).limit(8)
@@ -156,11 +168,7 @@ object Advanced {
           .withColumn("qd2", Similarity.d2(col("qe"), col("semb")))
           .withColumn("prn", row_number().over(pw))
           .filter(col("prn") <= 2).select(col("qid"), col("qe"), col("sid"))
-        val ivfKmeans2 = topkIds(score(kmeansCells.join(broadcast(probes2),
-            col("cluster") === col("sid") && col("vec_id") =!= col("qid"))))
-          .withColumn("method", lit("ivf_kmeans_probe2"))
         val bucketed = e.withColumn("bucket", sparkBucket("embedding"))
-        val lsh1 = probe1(bucketed, "bucket", "lsh_8bit_probe1")
         // multiprobe: each query also probes the 8 Hamming-distance-1
         // buckets (flip one sign bit) — exploded on the broadcast side only
         val qb = bucketed.filter(col("vec_id") < 20)
@@ -171,26 +179,53 @@ object Advanced {
             when(col("flip") < 0, col("bucket"))
               .otherwise(col("bucket").bitwiseXOR(expr("shiftleft(1, flip)")))
               .as("qbucket"))
-        val lshMulti = topkIds(score(
-            bucketed.join(broadcast(qb),
-              col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
-              .dropDuplicates("qid", "vec_id")))
-          .withColumn("method", lit("lsh_8bit_multiprobe1"))
-        // per-(method, query) hit counts vs ground truth → recall grid
-        val hits = Seq(ivfLabel, ivfKmeans, ivfKmeans2, lsh1, lshMulti)
+        // banded LSH, 8 bands × 4 bits (32 planes): candidate on ANY band
+        // match — the OR-amplification that actually recalls on
+        // near-orthogonal vectors, at a visible scan-cost premium
+        val banded = e.select(col("vec_id"), col("embedding"),
+          explode(bandKeys32("embedding")).as("bb"))
+          .select(col("vec_id"), col("embedding"),
+            col("bb.band").as("band"), col("bb.key").as("key"))
+        val qBand = banded.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("band").as("qband"), col("key").as("qkey"))
+        val methods: Seq[(String, DataFrame)] = Seq(
+          "ivf_label_probe1" -> cellCands(e, "label"),
+          "ivf_kmeans_probe1" -> cellCands(kmeansCells, "cluster"),
+          "ivf_kmeans_probe2" -> kmeansCells.join(broadcast(probes2),
+            col("cluster") === col("sid") && col("vec_id") =!= col("qid")),
+          "lsh_8bit_probe1" -> cellCands(bucketed, "bucket"),
+          "lsh_8bit_multiprobe1" -> bucketed.join(broadcast(qb),
+            col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+            .dropDuplicates("qid", "vec_id"),
+          "lsh_4bit_8band" -> banded.join(broadcast(qBand),
+            col("band") === col("qband") && col("key") === col("qkey")
+              && col("vec_id") =!= col("qid"))
+            .dropDuplicates("qid", "vec_id"))
+        // per-(method, query): top-k hits vs ground truth AND scan cost —
+        // recall without its candidate-set size is half a benchmark
+        val hits = methods.map { case (m, cand) =>
+          topkIds(score(cand)).withColumn("method", lit(m)) }
           .reduce(_ unionByName _)
           .join(exact, Seq("qid", "nid"))
           .groupBy(col("method"), col("qid")).agg(count(lit(1)).as("n_hits"))
-        val methods = { import s.implicits._
-          Seq("ivf_label_probe1", "ivf_kmeans_probe1", "ivf_kmeans_probe2",
-            "lsh_8bit_probe1", "lsh_8bit_multiprobe1").toDF("method") }
-        val grid = qsAll.select(col("qid")).crossJoin(broadcast(methods))
+        val scans = methods.map { case (m, cand) =>
+          cand.select(col("qid"), col("vec_id")).dropDuplicates("qid", "vec_id")
+            .groupBy(col("qid")).agg(count(lit(1)).as("n_scanned"))
+            .withColumn("method", lit(m)) }
+          .reduce(_ unionByName _)
+        val methodDim = { import s.implicits._
+          methods.map(_._1).toDF("method") }
+        val grid = qsAll.select(col("qid")).crossJoin(broadcast(methodDim))
         grid.join(hits, Seq("method", "qid"), "left")
+          .join(scans, Seq("method", "qid"), "left")
           .withColumn("recall", coalesce(col("n_hits"), lit(0L)) / lit(k.toDouble))
+          .withColumn("scanned", coalesce(col("n_scanned"), lit(0L)))
           .groupBy(col("method"))
           .agg(count(lit(1)).as("n_queries"),
             round(avg(col("recall")), 4).as("avg_recall"),
-            round(min(col("recall")), 4).as("min_recall"))
+            round(min(col("recall")), 4).as("min_recall"),
+            round(avg(col("scanned")), 1).as("avg_scanned"))
           .orderBy(col("method"))
       }
     },

@@ -3,47 +3,52 @@ package graft.operators
 import graft.TestSpark
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Recall@10 floors for the ANN index structures against exact
+/** Recall@10 AND scan cost for the ANN index structures against exact
   * brute-force — the quality half of the ANN story (speed without
-  * measured recall is not a shippable index).
+  * measured recall is not a shippable index, and recall without its
+  * candidate-set size is half a benchmark).
   *
   * Fixture geometry matters for honest bounds: the synthetic embeddings
   * are near-orthogonal random vectors (cross-pair cosine ≈ 0 ± 0.1), so
   * single-probe 8-bit sign-LSH retrieves tiny near-random buckets and its
   * recall is legitimately low — the surface REPORTS that rather than
-  * hiding it. The learned Lloyd quantizer, by contrast, captures real
-  * directional structure: measured avg recall@10 ≈ 0.55 vs ≈ 0.13 for
-  * probing the fixture's arbitrary label — the floors below assert that
-  * ORDERING (learned beats arbitrary, multiprobe beats single-probe) plus
-  * an absolute floor for the real quantizer, which is what regresses when
-  * assignment or probe logic breaks (e.g. querying the wrong cell
-  * collapses kmeans recall to the label baseline).
+  * hiding it, and the banded 8×4-bit configuration shows the honest
+  * fix: OR-amplification buys recall by scanning more candidates. The
+  * learned Lloyd quantizer captures what directional structure exists
+  * (probe-1 ≈ 0.55 vs ≈ 0.13 for the arbitrary label). The floors below
+  * assert the ORDERINGS (learned beats arbitrary, more probes/bands beat
+  * fewer, amplification's scan cost is visible) plus an absolute floor
+  * for the real quantizer — what regresses when assignment or probe
+  * logic breaks.
   */
 class AnnRecallSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
-  // method -> (n_queries, avg_recall, min_recall)
-  private lazy val rows: Map[String, (Long, Double, Double)] =
+  // method -> (n_queries, avg_recall, min_recall, avg_scanned)
+  private lazy val rows: Map[String, (Long, Double, Double, Double)] =
     graft.SparkEntry.queries("sim_ann_recall")(spark, dir)
       .collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
       .toMap
 
-  test("all five methods report over all 20 queries") {
+  test("all six methods report over all 20 queries") {
     assert(rows.keySet == Set("ivf_label_probe1", "ivf_kmeans_probe1",
-      "ivf_kmeans_probe2", "lsh_8bit_probe1", "lsh_8bit_multiprobe1"))
+      "ivf_kmeans_probe2", "lsh_8bit_probe1", "lsh_8bit_multiprobe1",
+      "lsh_4bit_8band"))
     assert(rows.values.forall(_._1 == 20L))
   }
 
-  test("recall is a valid probability; min never exceeds avg") {
-    rows.foreach { case (m, (_, avg, mn)) =>
+  test("recall is a valid probability; min never exceeds avg; scan cost is sane") {
+    rows.foreach { case (m, (_, avg, mn, scanned)) =>
       assert(avg >= 0.0 && avg <= 1.0 && mn >= 0.0 && mn <= avg, s"$m: avg=$avg min=$mn")
+      assert(scanned >= 0.0 && scanned < 500.0, s"$m scans the whole corpus: $scanned")
     }
   }
 
   test("the learned quantizer meets an absolute floor (measured ≈ 0.55)") {
-    val (_, avg, _) = rows("ivf_kmeans_probe1")
+    val (_, avg, _, _) = rows("ivf_kmeans_probe1")
     info(f"ivf_kmeans_probe1 avg recall@10 = $avg%.4f")
     assert(avg >= 0.40, f"learned-quantizer recall regressed: $avg%.4f < 0.40")
   }
@@ -57,11 +62,12 @@ class AnnRecallSpec extends AnyFunSuite {
   }
 
   test("IVF probe-2 amplifies probe-1 recall (probing a superset of cells is monotone)") {
-    val p2 = rows("ivf_kmeans_probe2")._2
-    val p1 = rows("ivf_kmeans_probe1")._2
-    info(f"probe2=$p2%.4f probe1=$p1%.4f")
-    assert(p2 >= p1,
-      f"scanning 2 cells ($p2%.4f) cannot recall less than 1 cell ($p1%.4f)")
+    val p2 = rows("ivf_kmeans_probe2")
+    val p1 = rows("ivf_kmeans_probe1")
+    info(f"probe2=${p2._2}%.4f (scan ${p2._4}%.1f) probe1=${p1._2}%.4f (scan ${p1._4}%.1f)")
+    assert(p2._2 >= p1._2,
+      f"scanning 2 cells (${p2._2}%.4f) cannot recall less than 1 cell (${p1._2}%.4f)")
+    assert(p2._4 > p1._4, "probe-2 must report its larger candidate set")
   }
 
   test("multiprobe LSH amplifies single-probe recall (OR-amplification is monotone)") {
@@ -70,5 +76,16 @@ class AnnRecallSpec extends AnyFunSuite {
     info(f"multiprobe=$multi%.4f single=$single%.4f")
     assert(multi >= single,
       f"probing 9 buckets ($multi%.4f) cannot recall less than 1 bucket ($single%.4f)")
+  }
+
+  test("banded 8×4-bit LSH trades scan cost for real recall on this geometry") {
+    val banded = rows("lsh_4bit_8band")
+    val multi = rows("lsh_8bit_multiprobe1")
+    info(f"banded=${banded._2}%.4f (scan ${banded._4}%.1f) " +
+      f"multiprobe=${multi._2}%.4f (scan ${multi._4}%.1f)")
+    assert(banded._2 >= multi._2,
+      "shorter bands with OR-amplification should recall at least as much")
+    assert(banded._4 > multi._4,
+      "the amplification's candidate-set premium must be visible in avg_scanned")
   }
 }
