@@ -8,6 +8,9 @@ class LexerSpec extends AnyFunSuite {
   test("keywords are case-insensitive") {
     assert(Lexer.lex("search On WHERE") ==
       List(Keyword("SEARCH"), Keyword("ON"), Keyword("WHERE")))
+    // join-extension keywords lex as keywords; quoting demotes to a string
+    assert(Lexer.lex("join LEFT 'join'") ==
+      List(Keyword("JOIN"), Keyword("LEFT"), Str("join")))
   }
 
   test("quoted strings with both quote styles and escapes") {
