@@ -175,16 +175,43 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     catch { case _: java.nio.file.FileAlreadyExistsException => return false }
     val tmp = dataDir.resolve(
       s"$name.tmp-${ProcessHandle.current.pid}-${System.nanoTime()}")
-    df.write.mode("overwrite").parquet(tmp.toString)
-    Files.move(tmp, versionPath(name, slot), StandardCopyOption.ATOMIC_MOVE)
-    advancePointer(name, slot)
+    // if the data write or publish fails (transient Spark error, disk
+    // full), release the claim before rethrowing — otherwise the claim's
+    // live PID makes every contender (including this one on retry) wait
+    // on a slot that will never publish
+    try {
+      df.write.mode("overwrite").parquet(tmp.toString)
+      Files.move(tmp, versionPath(name, slot), StandardCopyOption.ATOMIC_MOVE)
+      advancePointer(name, slot)
+    } catch {
+      case t: Throwable =>
+        deleteRecursively(tmp)
+        if (!Files.exists(versionPath(name, slot)))
+          Files.deleteIfExists(claimFile(name, slot))
+        throw t
+    }
     true
   }
 
   /** First slot strictly above every published version and every
-    * outstanding claim — where a committer escaping an orphaned claim
-    * publishes. */
+    * outstanding claim — where `overwrite` (no read-modify-write to
+    * protect) claims past stale state. */
   private[catalog] def nextFreeSlot(name: String): Int = latestClaimed(name) + 1
+
+  /** Release the claim on `slot` iff it provably belongs to a dead
+    * process, so the normal `tryCommit` CAS at the base below it can
+    * proceed — the CREATE_NEW create race then picks exactly one new
+    * winner for the slot. Deleting concurrently with a fresh claimant
+    * would drop a LIVE claim, so the check-and-delete runs under the
+    * per-container lock: claims are born via CREATE_NEW (file must not
+    * exist) and die only here (lock-serialized), so a claim observed dead
+    * inside the critical section cannot be replaced by a live one before
+    * the delete. Returns true iff a claim was released.
+    */
+  private[catalog] def releaseOrphanClaim(name: String, slot: Int): Boolean =
+    withContainerLock(name) {
+      claimIsOrphan(name, slot) && Files.deleteIfExists(claimFile(name, slot))
+    }
 
   /** True iff the claim on `slot` belongs to a PROVABLY DEAD process:
     * claim present, nothing published, and the recorded pid no longer
@@ -234,6 +261,9 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     while (!done) {
       attempts += 1
       require(attempts <= 100, s"overwrite('$name'): 100 failed claim attempts")
+      // a failed claim means another committer holds the slot; its publish
+      // is what frees the next one, so back off instead of busy-spinning
+      if (attempts > 1) Thread.sleep(math.min(20L * attempts, 500L))
       done = tryCommit(name, latestClaimed(name), df)
     }
   }
@@ -244,7 +274,22 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     * claimed v1 and v2 concurrently can never publish them out of order —
     * the pointer only moves forward.
     */
-  private def advancePointer(name: String, next: Int): Unit = {
+  private def advancePointer(name: String, next: Int): Unit =
+    withContainerLock(name) {
+      if (currentVersion(name) < next) {
+        val ptrTmp = catDir.resolve(
+          s"$name.version.tmp-${ProcessHandle.current.pid}-${System.nanoTime()}")
+        Files.writeString(ptrTmp, next.toString)
+        Files.move(ptrTmp, versionFile(name), StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+
+  /** Per-container critical section: in-JVM striped monitor (FileChannel
+    * locks are per-process) wrapping a cross-JVM `FileChannel` lock.
+    * Guards the pointer flip and orphan-claim release.
+    */
+  private def withContainerLock[A](name: String)(body: => A): A = {
     val lockPath = catDir.resolve(s"$name.version.lock")
     Catalog.ptrLocks.computeIfAbsent(lockPath.toAbsolutePath.toString,
         _ => new Object).synchronized {
@@ -252,25 +297,33 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.WRITE)) { ch =>
         val lk = ch.lock()
-        try {
-          if (currentVersion(name) < next) {
-            val ptrTmp = catDir.resolve(
-              s"$name.version.tmp-${ProcessHandle.current.pid}-${System.nanoTime()}")
-            Files.writeString(ptrTmp, next.toString)
-            Files.move(ptrTmp, versionFile(name), StandardCopyOption.ATOMIC_MOVE,
-              StandardCopyOption.REPLACE_EXISTING)
-          }
-        } finally lk.release()
+        try body finally lk.release()
       }
     }
   }
 
-  /** Drop all but the newest `keepLast` versions (and their claim files). */
-  def vacuum(name: String, keepLast: Int = 1): Unit =
+  /** Drop all but the newest `keepLast` versions (and their claim files),
+    * plus any stale claim whose slot never published and whose claimant is
+    * provably dead — an abandoned claim would otherwise inflate
+    * `latestClaimed` forever. Live claims (a slow in-flight commit) are
+    * never touched.
+    */
+  def vacuum(name: String, keepLast: Int = 1): Unit = {
     versions(name).dropRight(keepLast).foreach { v =>
       deleteRecursively(versionPath(name, v))
       Files.deleteIfExists(claimFile(name, v))
     }
+    val pat = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(name) + "\\.claim-v(\\d+)")
+    val claimed = scala.util.Using.resource(Files.list(catDir)) { stream =>
+      stream.iterator().asScala.map(_.getFileName.toString).flatMap { f =>
+        val m = pat.matcher(f)
+        if (m.matches()) Some(m.group(1).toInt) else None
+      }.toSeq
+    }
+    claimed.filter(s => !Files.exists(versionPath(name, s)))
+      .foreach(s => releaseOrphanClaim(name, s))
+  }
 
   private[catalog] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))

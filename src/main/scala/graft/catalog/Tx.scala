@@ -119,15 +119,15 @@ final class Tx(catalog: Catalog) {
           val base = catalog.currentVersion(c)
           if (base == stuckAt) stuckFor += 1 else { stuckAt = base; stuckFor = 0 }
           // a claim whose recorded process is PROVABLY DEAD never
-          // publishes: publish our base-rebased view in the next free
-          // slot instead of contending with it forever. A live slow
-          // writer never satisfies claimIsOrphan, so its commit can't be
-          // overtaken and lost.
-          done =
-            if (stuckFor >= 1 && catalog.claimIsOrphan(c, base + 1))
-              catalog.tryCommitAt(c, catalog.nextFreeSlot(c),
-                view(c).sortWithinPartitions(pk))
-            else catalog.tryCommit(c, base, view(c).sortWithinPartitions(pk))
+          // publishes: RELEASE it (lock-guarded delete) and retry the
+          // normal base+1 CAS — the CREATE_NEW create race then picks
+          // exactly one winner for the freed slot. (Jumping to a higher
+          // slot instead would let two concurrent escapers publish views
+          // rebased on the SAME base into different slots, silently
+          // dropping the lower one's changes.) A live slow writer never
+          // satisfies claimIsOrphan, so its commit can't be overtaken.
+          if (stuckFor >= 1) catalog.releaseOrphanClaim(c, base + 1)
+          done = catalog.tryCommit(c, base, view(c).sortWithinPartitions(pk))
         }
         log -= c
       }

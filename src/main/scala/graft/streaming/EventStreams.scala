@@ -127,9 +127,13 @@ object EventStreams {
     * window — at the cost of one tiny record per ever-seen user, the
     * same state class every keyed sessionizer carries.
     */
-  def sessionizeFinal(events: Dataset[EvT], gapUs: Long = GapUs): Dataset[SessionAgg] = {
+  def sessionizeFinal(events: Dataset[EvT], gapUs: Long = GapUs,
+      horizon: String = "0 seconds"): Dataset[SessionAgg] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    // EventTimeTimeout requires a watermark on the input; apply it here
+    // (mirroring dedupEvents) so a caller without one doesn't hit an
+    // AnalysisException at runtime. `horizon` = allowed event lateness.
+    events.withWatermark("ts", horizon).groupByKey(_.user_id)
       .flatMapGroupsWithState[TState, SessionAgg](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, evs: Iterator[Ev2], state: GroupState[TState]) =>

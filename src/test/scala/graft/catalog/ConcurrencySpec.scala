@@ -103,9 +103,11 @@ class ConcurrencySpec extends AnyFunSuite {
     java.nio.file.Files.writeString(
       dir.resolve("catalog").resolve("z.claim-v2"), deadPid.toString)
     assert(cat.claimIsOrphan("z", 2))
-    // commit rebases on v1 and publishes PAST the dead claim, losing nothing
+    // commit RELEASES the dead claim and wins the freed v2 slot itself —
+    // publishing in a higher slot instead would let two concurrent
+    // escapers rebased on the same base drop each other's changes
     tx.stageInsert("z", Seq(Row(2))); tx.commit(Some("z"))
-    assert(cat.currentVersion("z") == 3, "escape must publish in the next free slot")
+    assert(cat.currentVersion("z") == 2, "escape must reclaim the freed slot")
     assert(cat.read("z").collect().map(_.getInt(0)).toSet == Set(1, 2))
     // a claim held by a LIVE process is never treated as orphaned …
     java.nio.file.Files.writeString(
@@ -114,6 +116,75 @@ class ConcurrencySpec extends AnyFunSuite {
     // … and neither is an unreadable (mid-create) one
     java.nio.file.Files.writeString(dir.resolve("catalog").resolve("z.claim-v5"), "")
     assert(!cat.claimIsOrphan("z", 5))
+  }
+
+  test("two committers escaping the SAME dead claim serialize — neither commit is lost") {
+    // Regression for the round-4 escape design: both escapers observed the
+    // orphan at base+1 and published views rebased on the SAME base into
+    // DIFFERENT slots, so the higher slot silently dropped the lower one's
+    // insert. The release-and-retry design funnels both through the
+    // base+1 CREATE_NEW CAS: one wins, the other rebases on the winner.
+    val dir = java.nio.file.Files.createTempDirectory("graft-cas6")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("r", List("id" -> graft.aql.AlbaType.of("INT")))
+    import org.apache.spark.sql.Row
+    val seed = new Tx(cat)
+    seed.stageInsert("r", Seq(Row(1))); seed.commit(Some("r")) // v1
+    val deadPid = { val p = new ProcessBuilder("true").start(); p.waitFor(); p.pid() }
+    java.nio.file.Files.writeString(
+      dir.resolve("catalog").resolve("r.claim-v2"), deadPid.toString)
+    assert(cat.claimIsOrphan("r", 2))
+    val txA = new Tx(cat); txA.stageInsert("r", Seq(Row(2)))
+    val txB = new Tx(cat); txB.stageInsert("r", Seq(Row(3)))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = Seq(txA, txB).map(tx => new Thread(() => {
+      try { barrier.await(); tx.commit(Some("r")) }
+      catch { case t: Throwable => errs.add(t) }
+    }))
+    ts.foreach(_.start()); ts.foreach(_.join(120000))
+    assert(errs.isEmpty, s"commit threw: ${errs.toArray.mkString(", ")}")
+    assert(cat.read("r").collect().map(_.getInt(0)).toSet == Set(1, 2, 3),
+      "both escaping committers' inserts must survive")
+    assert(cat.currentVersion("r") == 3, "slots v2 and v3 both publish in order")
+  }
+
+  test("vacuum releases a dead unpublished claim so it stops inflating the slot counter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cas7")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("v", List("id" -> graft.aql.AlbaType.of("INT")))
+    import spark.implicits._
+    cat.overwrite("v", Seq(1).toDF("id")) // v1
+    val deadPid = { val p = new ProcessBuilder("true").start(); p.waitFor(); p.pid() }
+    java.nio.file.Files.writeString(
+      dir.resolve("catalog").resolve("v.claim-v7"), deadPid.toString)
+    // a LIVE claim above it must survive vacuum
+    java.nio.file.Files.writeString(
+      dir.resolve("catalog").resolve("v.claim-v9"), ProcessHandle.current.pid.toString)
+    cat.vacuum("v", keepLast = 1)
+    assert(!java.nio.file.Files.exists(dir.resolve("catalog").resolve("v.claim-v7")),
+      "dead unpublished claim must be released")
+    assert(java.nio.file.Files.exists(dir.resolve("catalog").resolve("v.claim-v9")),
+      "live claim must never be touched")
+    assert(cat.read("v").collect().map(_.getInt(0)).toSet == Set(1))
+  }
+
+  test("a failed commit write releases its claim instead of wedging the container") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cas8")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("f", List("id" -> graft.aql.AlbaType.of("INT")))
+    import spark.implicits._
+    cat.overwrite("f", Seq(1).toDF("id")) // v1
+    // a DataFrame whose evaluation throws: the claim for v2 is taken, the
+    // write fails, and the claim must be released on the way out
+    val bad = Seq(1).toDF("id").select(
+      org.apache.spark.sql.functions.expr("raise_error('boom')").cast("int").as("id"))
+    intercept[Exception] { cat.tryCommit("f", 1, bad) }
+    assert(!java.nio.file.Files.exists(dir.resolve("catalog").resolve("f.claim-v2")),
+      "failed commit must release its claim")
+    // the slot is immediately reusable by a healthy committer
+    assert(cat.tryCommit("f", 1, Seq(2).toDF("id")))
+    assert(cat.currentVersion("f") == 2)
   }
 
   test("an orphaned claim (crash between claim and flip) does not wedge overwrite") {

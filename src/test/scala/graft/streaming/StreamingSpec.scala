@@ -328,8 +328,8 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Files.move(part, src.resolve(s"$tag.parquet"))
     }
     addFile(evs.filter(unix_micros(col("ts")) <= splitUs), "t1")
+    // no caller-side withWatermark: sessionizeFinal applies its own
     val stream = spark.readStream.schema(evs.schema).parquet(src.toString)
-      .withWatermark("ts", "0 seconds")
       .as[EventStreams.EvT]
     val q = EventStreams.sessionizeFinal(stream)
       .writeStream.outputMode("append")
