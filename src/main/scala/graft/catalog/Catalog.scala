@@ -159,16 +159,45 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
   def tryCommit(name: String, expectedBase: Int, df: DataFrame): Boolean =
     tryCommitAt(name, expectedBase + 1, df)
 
-  /** Claim and publish an EXPLICIT version slot (the escape hatch for a
-    * committer stuck behind an orphaned claim: the content is still the
-    * caller's rebased view — an orphan never published data — but the slot
-    * jumps past the dead claim instead of contending with it forever).
+  /** Claim and publish an EXPLICIT version slot with a whole-dataframe
+    * write. */
+  private[catalog] def tryCommitAt(name: String, slot: Int, df: DataFrame): Boolean =
+    tryCommitBuild(name, slot)(tmp => df.write.mode("overwrite").parquet(tmp.toString))
+
+  /** File-granular copy-on-write commit: publish `expectedBase+1` as
+    * hard links to `kept` (byte-identical files carried over from the
+    * base version — a link costs one inode op, no data movement) plus the
+    * parquet parts of `rewrite` (the folded touched-files + inserts).
+    * Each version directory stays self-contained: links are real
+    * directory entries, so time travel, vacuum, and drop are unchanged
+    * (deleting an old version only drops its link; the inode survives in
+    * every newer version that still references it). At warehouse scale
+    * the link step is a manifest entry — the Delta/Iceberg "add file
+    * unchanged" commit shape — so commit cost scales with TOUCHED data,
+    * not table size.
     */
-  private[catalog] def tryCommitAt(name: String, slot: Int, df: DataFrame): Boolean = {
+  private[catalog] def tryCommitCow(name: String, expectedBase: Int,
+      kept: Seq[Path], rewrite: Option[DataFrame]): Boolean =
+    tryCommitBuild(name, expectedBase + 1) { tmp =>
+      // Spark's write creates `tmp`; link AFTER so overwrite can't drop
+      // the links. Rewritten parts carry fresh UUID part names, so they
+      // can never collide with a linked base-file name.
+      rewrite match {
+        case Some(df) => df.write.mode("overwrite").parquet(tmp.toString)
+        case None => Files.createDirectories(tmp)
+      }
+      kept.foreach(f => Files.createLink(tmp.resolve(f.getFileName), f))
+    }
+
+  /** The CAS claim/publish shell shared by every commit flavor: claim the
+    * slot, let `build` populate a tmp directory, atomically move it into
+    * place, advance the pointer. The claim carries the claimant's PID so
+    * a contender can distinguish a crashed claimant (escape) from a live
+    * slow writer (wait) — see claimIsOrphan.
+    */
+  private def tryCommitBuild(name: String, slot: Int)(build: Path => Unit): Boolean = {
     if (Files.exists(versionPath(name, slot))) return false // already published
-    // atomic CAS: one winner. The claim carries the claimant's PID so a
-    // contender can distinguish a crashed claimant (escape) from a live
-    // slow writer (wait) — see claimIsOrphan.
+    // atomic CAS: one winner
     try Files.write(claimFile(name, slot),
       ProcessHandle.current.pid.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE_NEW)
@@ -180,7 +209,7 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     // live PID makes every contender (including this one on retry) wait
     // on a slot that will never publish
     try {
-      df.write.mode("overwrite").parquet(tmp.toString)
+      build(tmp)
       Files.move(tmp, versionPath(name, slot), StandardCopyOption.ATOMIC_MOVE)
       advancePointer(name, slot)
     } catch {
@@ -192,6 +221,13 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     }
     true
   }
+
+  /** Parquet part files of a published version (the COW link candidates). */
+  private[catalog] def versionFiles(name: String, v: Int): Seq[Path] =
+    scala.util.Using.resource(Files.list(versionPath(name, v))) { stream =>
+      stream.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.getFileName.toString)
+    }
 
   /** First slot strictly above every published version and every
     * outstanding claim — where `overwrite` (no read-modify-write to

@@ -23,9 +23,12 @@ import org.apache.spark.sql.functions._
   * atomic directory swap (Catalog.overwrite); ROLLBACK drops the log.
   *
   * Scale note: the log is per-session metadata (predicates + local row
-  * batches), never data; commit is one distributed job writing the new
-  * version. At warehouse scale the same fold IS Delta/Iceberg's MERGE
-  * model — copy-on-write with a transaction-log pointer flip.
+  * batches), never data; commit rewrites only the parquet files that can
+  * contain a touched row (file-granular copy-on-write, see
+  * [[commit]]/[[commitOnce]]) and hard-links the rest. At warehouse scale
+  * the same fold IS Delta/Iceberg's MERGE model — copy-on-write with a
+  * transaction-log pointer flip — with the link step as the "add file
+  * unchanged" manifest entry.
   */
 final class Tx(catalog: Catalog) {
   import Tx._
@@ -60,50 +63,61 @@ final class Tx(catalog: Catalog) {
     val d = catalog.get(container)
     log(container).foldLeft(catalog.read(container)) { (df, op) =>
       op match {
-        case Insert(rows) =>
-          val local = catalog.spark.createDataFrame(
-            new java.util.ArrayList[Row](scala.jdk.CollectionConverters
-              .SeqHasAsJava(rows).asJava), d.schema)
-          df.unionByName(local)
-        case Edit(pred, sets) =>
-          // materialize the predicate BEFORE any overlay: folding
-          // withColumn(c, when(pred,…)) would re-resolve pred against
-          // already-updated columns, so an EDIT whose WHERE references a
-          // column it also sets would update only a prefix of the sets
-          val marker = s"__edit_match_${java.util.UUID.randomUUID().toString.take(8)}"
-          val marked = df.withColumn(marker, pred)
-          sets.foldLeft(marked) { case (acc, (c, v)) =>
-            acc.withColumn(c, when(col(marker), lit(v)).otherwise(col(c)))
-          }.drop(marker)
-        case Delete(Some(pred)) =>
-          // SQL three-valued logic: DELETE removes rows where pred is
-          // TRUE; rows where it evaluates NULL are KEPT (a bare
-          // filter(!pred) would silently delete them)
-          df.filter(!coalesce(pred, lit(false)))
-        case Delete(None) => df.filter(lit(false))
+        case Insert(rows) => df.unionByName(localDF(rows, d.schema))
+        case other => applyEditDelete(df, other)
       }
     }
   }
 
-  /** COMMIT [container] — apply staged ops via copy-on-write swap
+  private def localDF(rows: Seq[Row], schema: org.apache.spark.sql.types.StructType) =
+    catalog.spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+
+  /** One Edit/Delete step of the fold (Insert is a no-op here: insert
+    * rows enter the view as their own union branch, never by rewriting
+    * other rows). Row-local by construction — each output row depends
+    * only on its own input row — which is what makes the per-file COW
+    * decomposition in [[commit]] exact.
+    */
+  private def applyEditDelete(df: DataFrame, op: StagedOp): DataFrame = op match {
+    case Edit(pred, sets) =>
+      // materialize the predicate BEFORE any overlay: folding
+      // withColumn(c, when(pred,…)) would re-resolve pred against
+      // already-updated columns, so an EDIT whose WHERE references a
+      // column it also sets would update only a prefix of the sets
+      val marker = s"__edit_match_${java.util.UUID.randomUUID().toString.take(8)}"
+      val marked = df.withColumn(marker, pred)
+      sets.foldLeft(marked) { case (acc, (c, v)) =>
+        acc.withColumn(c, when(col(marker), lit(v)).otherwise(col(c)))
+      }.drop(marker)
+    case Delete(Some(pred)) =>
+      // SQL three-valued logic: DELETE removes rows where pred is
+      // TRUE; rows where it evaluates NULL are KEPT (a bare
+      // filter(!pred) would silently delete them)
+      df.filter(!coalesce(pred, lit(false)))
+    case Delete(None) => df.filter(lit(false))
+    case Insert(_) => df
+  }
+
+  /** COMMIT [container] — apply staged ops via FILE-GRANULAR copy-on-write
     * (reference commit: container.rs:248-342).
     *
     * Optimistic concurrency: the commit notes the base version its view
-    * reads, then CAS-claims base+1 (`Catalog.tryCommit`). If another
-    * session committed first, the claim fails and the loop re-derives
-    * `view(c)` — which re-resolves the version pointer, so the staged ops
-    * re-apply on top of the WINNER's rows — and retries. Two sessions
+    * reads, then CAS-claims base+1 (`Catalog.tryCommit*`). If another
+    * session committed first, the claim fails and the loop re-derives the
+    * decomposition against the WINNER's version and retries. Two sessions
     * committing disjoint inserts therefore serialize with both inserts
     * surviving, instead of last-writer-wins or a crash on the rename.
+    *
+    * Computing against an immutable base version makes compute-then-claim
+    * safe: if the claim succeeds nobody has published over the base, so
+    * the decomposition is still valid.
     */
   def commit(container: Option[String]): Unit = {
     val targets = container.map(Seq(_)).getOrElse(log.keys.toSeq)
     targets.foreach { c =>
       if (log(c).nonEmpty) {
-        // sort within partitions by the pk-convention column (reference I6:
-        // first column is the implicit pk) — sharpens parquet row-group
-        // min/max stats so point/range scans skip row groups, replacing the
-        // reference's chunk index with layout instead of code
         val pk = catalog.get(c).primaryKey
         var attempts = 0
         var done = false
@@ -127,11 +141,74 @@ final class Tx(catalog: Catalog) {
           // dropping the lower one's changes.) A live slow writer never
           // satisfies claimIsOrphan, so its commit can't be overtaken.
           if (stuckFor >= 1) catalog.releaseOrphanClaim(c, base + 1)
-          done = catalog.tryCommit(c, base, view(c).sortWithinPartitions(pk))
+          done = commitOnce(c, base, pk)
         }
         log -= c
       }
     }
+  }
+
+  /** One commit attempt against `base`: decompose the fold per-file so the
+    * new version rewrites only the parquet files that can contain a
+    * touched row, carrying every other base file over as a hard link —
+    * commit cost scales with TOUCHED data, not container size (the one
+    * operation the round-4 whole-container rewrite did not scale).
+    *
+    * The decomposition is EXACT because every Edit/Delete is row-local
+    * ([[applyEditDelete]]) and predicates evaluate on base values for any
+    * not-yet-touched row: a row that matches no staged predicate on its
+    * BASE values is untouched by the whole fold (inductively: not matching
+    * op i leaves it at base for op i+1), and a row whose first match is op
+    * i evaluated that predicate on base values too. So
+    *
+    *   file touched ⟺ ∃ row in file matching OR(all edit/delete preds on base)
+    *
+    * which is one pushed-down scan reading `_metadata.file_name` — parquet
+    * row-group stats prune non-overlapping files, so a pk point-EDIT on
+    * the pk-range-clustered layout (`Tables.scala` compaction) touches
+    * exactly one file. Insert batches become fresh parquet parts folded
+    * through the ops staged AFTER them (an edit staged after an insert
+    * sees the inserted rows, reference MVCC semantics). Insert-only
+    * commits are pure appends: zero extra jobs, zero rewritten bytes.
+    */
+  private def commitOnce(c: String, base: Int, pk: String): Boolean = {
+    val ops = log(c)
+    val d = catalog.get(c)
+    val deleteAll = ops.exists { case Delete(None) => true; case _ => false }
+    // base 0 = first commit (or legacy external dataPath): nothing to keep;
+    // DELETE-all rewrites from scratch too (kept set is empty by definition)
+    if (base == 0 || deleteAll)
+      return catalog.tryCommit(c, base, view(c).sortWithinPartitions(pk))
+
+    val edPreds = ops.collect {
+      case Edit(p, _) => coalesce(p, lit(false))
+      case Delete(Some(p)) => coalesce(p, lit(false))
+    }
+    val baseFiles = catalog.versionFiles(c, base)
+    val touched: Set[String] =
+      if (edPreds.isEmpty || baseFiles.isEmpty) Set.empty
+      else catalog.readVersion(c, base)
+        .filter(edPreds.reduce(_ || _))
+        .select(col("_metadata.file_name"))
+        .distinct().collect().map(_.getString(0)).toSet
+    val kept = baseFiles.filterNot(f => touched(f.getFileName.toString))
+    val rewriteParts =
+      (if (touched.nonEmpty) {
+        val paths = baseFiles.filter(f => touched(f.getFileName.toString))
+          .map(_.toString)
+        Seq(ops.foldLeft(catalog.spark.read.schema(d.schema)
+          .parquet(paths: _*))(applyEditDelete))
+      } else Nil) ++
+      ops.zipWithIndex.collect { case (Insert(rows), i) =>
+        ops.drop(i + 1).foldLeft(localDF(rows, d.schema))(applyEditDelete)
+      }
+    // sort within partitions by the pk-convention column (reference I6:
+    // first column is the implicit pk) — sharpens parquet row-group
+    // min/max stats so point/range scans skip row groups, replacing the
+    // reference's chunk index with layout instead of code
+    val rewrite = rewriteParts.reduceOption(_ unionByName _)
+      .map(_.sortWithinPartitions(pk))
+    catalog.tryCommitCow(c, base, kept, rewrite)
   }
 
   /** ROLLBACK [container] — discard staged ops
