@@ -7,12 +7,21 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata (north-star extension).
   *
-  * The container has no media codecs, so the DECODE step is a clearly
-  * marked deterministic fake (`FakeDecode`): it derives "media features"
-  * purely from the bytes (length, prefix hash) so the Spark-side plumbing —
-  * schema, batch shape, partition-parallel decode via mapPartitions — is
-  * real and testable end-to-end. Swap `FakeDecode.decodeImage` for a codec
-  * call in production.
+  * The IMAGE decode lane is REAL: `decodeImages` parses PNG/JPEG payloads
+  * through `javax.imageio` (in the JDK — no external codec needed) inside
+  * the partition-parallel mapPartitions boundary, with undecodable
+  * payloads routed to a quarantine status instead of failing the batch.
+  * Because the test fixtures carry no media, `imageCorpus` renders real
+  * PNG/JPEG bytes through the same library's ENCODERS with dimensions and
+  * fill derived arithmetically from `doc_id` — so a DuckDB oracle can
+  * predict, from arithmetic alone, exactly what a genuine codec parse of
+  * genuine codec output must find (`mm_image_decode`).
+  *
+  * Only the VIDEO lane keeps a clearly marked stand-in (`sampleFrames`
+  * slices bytes instead of decoding H.264 — the JDK has no video codec):
+  * its frame-offset arithmetic is the real sampling plan and is
+  * oracle-pinned by `mm_frame_plan`. `FakeDecode` remains solely for
+  * non-image payloads (text bytes posing as media in `mediaCorpus`).
   *
   * Scale design: decode is embarrassingly parallel per partition; the
   * mapPartitions boundary batches records so a real vectorized decoder
@@ -29,15 +38,94 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, content_type: String,
       byte_len: Long, width: Int, height: Int, sha_prefix: String)
 
-  /** STUB decoder: a real implementation would parse the codec headers.
-    * This fake derives width/height deterministically from the payload so
-    * tests exercise the full pipeline shape.
+  /** STUB decoder for NON-image payloads only (text bytes posing as media
+    * in `mediaCorpus`): derives width/height deterministically from the
+    * payload so the pipeline shape stays testable. Image payloads never
+    * reach this — `extractFeatures` routes them through the real
+    * `javax.imageio` parse first.
     */
   object FakeDecode {
     def decodeImage(payload: Array[Byte]): (Int, Int) = {
       val h = java.util.Arrays.hashCode(payload)
       (math.abs(h % 1920) + 1, math.abs((h / 1920) % 1080) + 1)
     }
+  }
+
+  /** Decoded image features from a REAL codec parse. `status` is the lane
+    * router: "ok" rows carry true raster facts; "undecodable" is the
+    * quarantine lane (corrupt/truncated payload — kept, never thrown);
+    * "unsupported" is a non-image modality that belongs to another lane.
+    */
+  case class DecodedImage(media_id: Long, modality: String,
+      width: Option[Int], height: Option[Int], mean_level: Option[Long],
+      status: String)
+
+  /** Real image decode: parse PNG/JPEG payloads with `javax.imageio`
+    * inside the mapPartitions batch boundary and report true raster
+    * dimensions plus the mean red-channel level (an exact integer for a
+    * solid fill, which is what makes it oracle-checkable). A payload whose
+    * magic bytes claim image but whose body fails to parse is routed to
+    * the quarantine status rather than failing the partition — at 100 TB
+    * a single corrupt blob must never kill a decode stage.
+    */
+  def decodeImages(records: Dataset[MediaRecord]): Dataset[DecodedImage] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val modality = detectModality(r.payload)
+        if (modality == "image/png" || modality == "image/jpeg") {
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.payload))
+            require(img != null, "no registered reader could parse the payload")
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                sum += (img.getRGB(x, y) >> 16) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            DecodedImage(r.media_id, modality, Some(img.getWidth), Some(img.getHeight),
+              Some(math.round(sum.toDouble / (img.getWidth.toLong * img.getHeight))),
+              "ok")
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              DecodedImage(r.media_id, modality, None, None, None, "undecodable")
+          }
+        } else DecodedImage(r.media_id, modality, None, None, None, "unsupported")
+      }
+    }
+  }
+
+  /** Deterministic REAL image corpus: for each document, render a solid
+    * `8 + doc_id % 24` × `8 + doc_id*7 % 24` image filled with gray level
+    * `doc_id % 256` through javax.imageio's actual PNG (even ids) / JPEG
+    * (odd ids) encoders. Every pixel fact is a pure function of `doc_id`,
+    * so the decode lane can be verified by an arithmetic oracle while
+    * still exercising genuine codec byte streams.
+    */
+  def imageCorpus(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (8 + id % 24).toInt
+          val h = (8 + (id * 7) % 24).toInt
+          val g = (id % 256).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (g << 16) | (g << 8) | g
+          var y = 0
+          while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+          val fmt = if (id % 2 == 0) "png" else "jpg"
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, fmt, out)
+          MediaRecord(id, if (id % 2 == 0) "image/png" else "image/jpeg", out.toByteArray)
+        }
+      }
   }
 
   /** The documents table re-cast as a binary media corpus (fixtures carry no
@@ -60,7 +148,20 @@ object Multimodal {
     records.mapPartitions { it =>
       // per-partition (per-batch) decoder setup would happen here
       it.map { r =>
-        val (w, h) = FakeDecode.decodeImage(r.payload)
+        // image payloads get the REAL parse; anything else (text bytes
+        // posing as media) keeps the deterministic stand-in dims
+        val (w, h) = detectModality(r.payload) match {
+          case "image/png" | "image/jpeg" =>
+            try {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(r.payload))
+              if (img == null) FakeDecode.decodeImage(r.payload)
+              else (img.getWidth, img.getHeight)
+            } catch {
+              case scala.util.control.NonFatal(_) => FakeDecode.decodeImage(r.payload)
+            }
+          case _ => FakeDecode.decodeImage(r.payload)
+        }
         MediaFeatures(r.media_id, r.content_type, r.payload.length.toLong, w, h,
           java.security.MessageDigest.getInstance("MD5")
             .digest(r.payload).take(4).map("%02x".format(_)).mkString)
@@ -127,6 +228,31 @@ object Multimodal {
   }
 
   val defs: Seq[Q] = Seq(
+
+    // REAL image decode: imageCorpus renders genuine PNG/JPEG byte streams
+    // whose dims/fill are pure functions of doc_id; decodeImages parses
+    // them back with javax.imageio. The oracle predicts the decode output
+    // from arithmetic alone — so a pass proves a real encoder→real decoder
+    // round trip recovered the true raster facts, not a fake. mean_level
+    // is pinned for lossless PNG only (JPEG's DCT/chroma round trip may
+    // shift a solid fill by ±1 level; its dims are still exact).
+    Q("mm_image_decode",
+      """SELECT doc_id AS media_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS modality,
+        |       CAST(8 + doc_id % 24 AS BIGINT) AS width,
+        |       CAST(8 + (doc_id * 7) % 24 AS BIGINT) AS height,
+        |       CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 256 AS BIGINT) END AS mean_level,
+        |       'ok' AS status
+        |FROM documents ORDER BY media_id""".stripMargin) {
+      (s, dir) =>
+        decodeImages(imageCorpus(s, dir)).toDF()
+          .select(col("media_id"), col("modality"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            when(col("modality") === "image/png", col("mean_level")).as("mean_level"),
+            col("status"))
+          .orderBy(col("media_id"))
+    },
 
     // Binary-column metadata: byte length, chunk count for a 4 KiB-batched
     // decode stage, and content hash — all computable without decoding

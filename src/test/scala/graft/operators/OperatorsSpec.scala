@@ -66,6 +66,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.map(_.sha_prefix).sorted.sameElements(again.map(_.sha_prefix).sorted))
   }
 
+  test("real image decode: javax.imageio round-trips the synthesized corpus exactly") {
+    val decoded = Multimodal.decodeImages(Multimodal.imageCorpus(spark, dir)).collect()
+    assert(decoded.length == 500)
+    assert(decoded.forall(_.status == "ok"), "every synthesized image must parse")
+    decoded.foreach { d =>
+      val id = d.media_id
+      assert(d.modality == (if (id % 2 == 0) "image/png" else "image/jpeg"))
+      // dims are exact for BOTH codecs (headers are lossless)
+      assert(d.width.contains((8 + id % 24).toInt), s"width mismatch for $id")
+      assert(d.height.contains((8 + (id * 7) % 24).toInt), s"height mismatch for $id")
+      // pixel content exact for lossless PNG; within ±2 for JPEG's DCT trip
+      if (id % 2 == 0) assert(d.mean_level.contains(id % 256))
+      else assert(math.abs(d.mean_level.get - id % 256) <= 2,
+        s"jpeg mean ${d.mean_level.get} too far from ${id % 256} for $id")
+    }
+  }
+
+  test("corrupt image payloads route to the quarantine lane without failing the batch") {
+    import spark.implicits._
+    val good = Multimodal.imageCorpus(spark, dir).head(2)
+    // image magic bytes with a garbage body, and a truncated real PNG
+    val corruptMagic = Multimodal.MediaRecord(9001, "image/png",
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+        Array.fill[Byte](32)(0x5a))
+    val truncated = Multimodal.MediaRecord(9002, "image/png",
+      good.head.payload.take(good.head.payload.length / 2))
+    val notImage = Multimodal.MediaRecord(9003, "text/plain", "hello".getBytes)
+    val out = Multimodal.decodeImages(
+      (good.toSeq ++ Seq(corruptMagic, truncated, notImage)).toDS()).collect()
+      .map(d => d.media_id -> d).toMap
+    assert(out(9001).status == "undecodable" && out(9001).width.isEmpty)
+    assert(out(9002).status == "undecodable")
+    assert(out(9003).status == "unsupported")
+    good.foreach(g => assert(out(g.media_id).status == "ok",
+      "good rows must decode even when the batch carries corrupt ones"))
+  }
+
   test("HLL sketch cardinality within 2% of exact (x_approx_distinct)") {
     val rows = SparkEntry.queries("x_approx_distinct")(spark, dir).collect()
     assert(rows.nonEmpty)
