@@ -114,7 +114,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       val df = lowerSearch(s)
       // letter prefix keeps the id a single bare-word token in AQL
       val id = "c" + java.util.UUID.randomUUID().toString.replace("-", "")
-      cursors.put(id, Cursor(df, page = 0))
+      cursors.put(id, Cursor(df, page = 0,
+        needsDefaultSort = s.orderBy.isEmpty && s.limit.isEmpty))
       ResultSet(df, id)
 
     case Ast.Explain(q) =>
@@ -156,6 +157,14 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     cur.page = target
     Page(rows, target)
   }
+
+  /** The deterministically ordered result of a live cursor (not
+    * persisted): what a paging client observes, exposed for harnesses and
+    * embedders that want the engine-defined order without forcing a sort
+    * into the SEARCH plan itself.
+    */
+  def orderedResult(id: String): Option[DataFrame] =
+    Option(cursors.get(id)).map(_.paged)
 
   /** Test hook: the live cursor state for an id. */
   private[aql] def cursorState(id: String): Option[Cursor] = Option(cursors.get(id))
@@ -253,15 +262,20 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     // one exchange like any Spark distinct (the parser rejects DISTINCT
     // on aggregate searches, where grouping already dedupes the keys)
     val deduped = if (s.distinct) result.dropDuplicates() else result
-    // explicit ORDER BY (graft extension) or the default deterministic
-    // cursor ordering: all columns ascending. An explicit sort gets the
-    // remaining output columns appended ascending as a tie-break, so
-    // cursor paging over the result stays deterministic either way. With
-    // LIMIT, Catalyst lowers sort+limit to TakeOrderedAndProject — a
-    // per-partition top-k heap + single merge, never a full sort.
+    // explicit ORDER BY (graft extension) gets the remaining output
+    // columns appended ascending as a tie-break, so cursor paging over
+    // the result stays deterministic. Without ORDER BY, the plan is
+    // UNSORTED (the reference's address-order contract promises no
+    // order): the deterministic all-columns cursor order is applied
+    // lazily on first page fetch (`Cursor.paged`), so a client that
+    // never paginates — the common analytical path — never pays a global
+    // sort shuffle. The one exception is LIMIT-without-ORDER-BY, kept
+    // sorted for a deterministic top-k: with LIMIT, Catalyst lowers
+    // sort+limit to TakeOrderedAndProject — a per-partition top-k heap +
+    // single merge, never a full sort.
     val ordered =
       if (s.orderBy.isEmpty)
-        deduped.orderBy(deduped.columns.map(c => col(c).asc_nulls_first).toIndexedSeq: _*)
+        if (s.limit.isDefined) Engine.defaultOrder(deduped) else deduped
       else {
         val explicit = s.orderBy.map { item =>
           val cn = resolveNames(deduped, List(item.column)).head
@@ -497,10 +511,24 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
 }
 
 object Engine {
-  final case class Cursor(df: DataFrame, var page: Int) {
+  /** The deterministic cursor order: every output column ascending,
+    * NULLs first. */
+  def defaultOrder(df: DataFrame): DataFrame =
+    df.orderBy(df.columns.map(c => col(c).asc_nulls_first).toIndexedSeq: _*)
+
+  final case class Cursor(df: DataFrame, var page: Int,
+      needsDefaultSort: Boolean = false) {
     import org.apache.spark.storage.StorageLevel
 
-    /** The cursor's result, persisted on first page fetch. Spark caches
+    /** The cursor's deterministically ordered result. The all-columns
+      * default sort is attached HERE — lazily, on first cursor use — not
+      * in the SEARCH plan itself, so an unlimited no-ORDER-BY SEARCH
+      * whose client never paginates never pays a global sort shuffle the
+      * reference's address-order contract doesn't require.
+      */
+    lazy val paged: DataFrame = if (needsDefaultSort) defaultOrder(df) else df
+
+    /** The paged result, persisted on first page fetch. Spark caches
       * in-memory partitions lazily as page jobs touch them and reuses the
       * sort's shuffle files across those jobs, so deep pagination costs
       * one sort + one incremental partition fetch per page — the
@@ -510,14 +538,14 @@ object Engine {
       * MEMORY_AND_DISK spills instead of OOMing on a huge result).
       */
     def materialized: DataFrame = {
-      if (df.storageLevel == StorageLevel.NONE)
-        df.persist(StorageLevel.MEMORY_AND_DISK)
-      df
+      if (paged.storageLevel == StorageLevel.NONE)
+        paged.persist(StorageLevel.MEMORY_AND_DISK)
+      paged
     }
 
     /** Drop cached blocks when the cursor is closed, evicted, or expired. */
     def release(): Unit =
-      if (df.storageLevel != StorageLevel.NONE) df.unpersist(blocking = false)
+      if (paged.storageLevel != StorageLevel.NONE) paged.unpersist(blocking = false)
   }
 
   sealed trait Result

@@ -11,8 +11,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * end-to-end proof that a TytoDB user's queries produce standard-SQL
   * answers on this engine.
   *
-  * The engine orders SEARCH results by all output columns (deterministic
-  * cursor order) — oracle SQL mirrors that ORDER BY.
+  * The engine's CURSOR order is all output columns ascending (applied
+  * lazily on cursor use — the SEARCH plan itself stays unsorted) — oracle
+  * SQL mirrors that ORDER BY and the harness compares the cursor-ordered
+  * result.
   */
 object AqlQueries {
 
@@ -69,8 +71,14 @@ object AqlQueries {
     })
   }
 
-  private def search(aql: String)(s: SparkSession, dir: String): DataFrame =
-    engine(s, dir).execute(aql).asInstanceOf[Engine.ResultSet].df
+  private def search(aql: String)(s: SparkSession, dir: String): DataFrame = {
+    val eng = engine(s, dir)
+    val rs = eng.execute(aql).asInstanceOf[Engine.ResultSet]
+    // the CURSOR-ordered result: a no-ORDER-BY SEARCH plan is unsorted by
+    // design (lazy cursor sort); the oracle's row-order-sensitive hash
+    // compares against the deterministic order a paging client observes
+    eng.orderedResult(rs.cursorId).get
+  }
 
   val defs: Seq[Q] = Seq(
 

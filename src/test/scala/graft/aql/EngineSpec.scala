@@ -141,7 +141,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the first fetch materialized the sorted result: later pages slice the
     // cached partitions instead of re-running the scan+sort (query.rs:110-164)
     val cur = eng.cursorState(rs.cursorId).get
-    assert(cur.df.storageLevel.useMemory, "cursor result not persisted after first page")
+    assert(cur.paged.storageLevel.useMemory, "cursor result not persisted after first page")
     val pagePlan = cur.materialized.offset(100).limit(100)
       .queryExecution.executedPlan.toString()
     assert(pagePlan.contains("InMemoryTableScan") || pagePlan.contains("TableCacheQueryStage"),
@@ -151,9 +151,32 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p0 = eng.execute(s"QYCNPVS ${rs.cursorId}").asInstanceOf[Engine.Page]
     assert(p0.rows.length == 100 && p0.rows.head.getInt(0) == 101)
     eng.execute(s"QYCNEXT ${rs.cursorId}")
-    assert(cur.df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+    assert(cur.paged.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
       "cursor close must release the cached result")
     intercept[ParseException](eng.execute(s"QYCNNXT ${rs.cursorId}"))
+  }
+
+  test("15z no-ORDER-BY SEARCH plans contain no global sort; the cursor adds it lazily") {
+    import org.apache.spark.sql.catalyst.plans.logical.Sort
+    // the non-paginating client's plan: NO sort node anywhere — at 100 TB
+    // the old always-on all-columns orderBy was an avoidable full shuffle
+    val rs = eng.execute("SEARCH [] ON seq WHERE n > 5").asInstanceOf[Engine.ResultSet]
+    assert(rs.df.queryExecution.optimizedPlan.collect { case s: Sort => s }.isEmpty,
+      s"unpaginated SEARCH must not sort:\n${rs.df.queryExecution.optimizedPlan}")
+    // the cursor's paged view of the SAME search carries the
+    // deterministic all-columns order
+    val cur = eng.cursorState(rs.cursorId).get
+    assert(cur.paged.queryExecution.optimizedPlan.collect { case s: Sort => s }.nonEmpty,
+      "cursor paging must be deterministically ordered")
+    val p1 = eng.execute(s"QYCNNXT ${rs.cursorId}").asInstanceOf[Engine.Page]
+    assert(p1.rows.map(_.getInt(0)) == (106 to 205).toSeq,
+      "page 1 must follow the deterministic cursor order")
+    // explicit ORDER BY still sorts in the plan itself
+    val explicit = eng.execute("SEARCH [] ON seq ORDER BY [n DESC]")
+      .asInstanceOf[Engine.ResultSet]
+    assert(explicit.df.queryExecution.optimizedPlan.collect { case s: Sort => s }.nonEmpty)
+    eng.execute(s"QYCNEXT ${rs.cursorId}")
+    eng.execute(s"QYCNEXT ${explicit.cursorId}")
   }
 
   test("15a closing one of two identical cursors keeps the shared cache alive") {
@@ -166,10 +189,10 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     eng.execute(s"QYCNNXT ${rs2.cursorId}")
     val survivor = eng.cursorState(rs1.cursorId).get
     eng.execute(s"QYCNEXT ${rs2.cursorId}")
-    assert(survivor.df.storageLevel.useMemory,
+    assert(survivor.paged.storageLevel.useMemory,
       "shared cache entry was unpersisted by the other cursor's close")
     eng.execute(s"QYCNEXT ${rs1.cursorId}")
-    assert(survivor.df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+    assert(survivor.paged.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
       "last close must release the cache")
   }
 
