@@ -9,8 +9,15 @@ package graft
   * the best (hyperfine-style min: the host shows multi-second CPU-
   * throttling bursts while the guest sits idle, so the minimum is the only
   * statistic that reflects the engine rather than the neighborhood).
-  * `tools/duckbench.py` mirrors the same 2+best-of-5 protocol so the
-  * engines are compared at the same steady state.
+  *
+  * The artifact is SELF-NORMALIZING: after the Spark passes it runs
+  * `tools/duckbench.py` (same 2+best-of-5 protocol, same machine window)
+  * and emits `duckdb_total` + `ratio` alongside the Spark numbers, so a
+  * recorded ratio is immune to host-noise drift between separately-timed
+  * runs (the ±0.9 s window noise that made round-over-round totals
+  * uninterpretable). `ratio` compares the COMPARABLE subset — bench
+  * queries that have an oracle — to DuckDB on identical SQL. If python or
+  * duckdb is unavailable the duckdb fields are simply absent.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -35,7 +42,53 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // the subset DuckDB can also run (has oracle SQL) — the graded ratio
+    val comparable = results
+      .filter { case (n, v) => v >= 0 && SparkEntry.oracleSql.contains(n) }
+      .map(_._2).sum
+    val duckdb = duckdbTotal(sfDir, results.map(_._1))
+    val paired = duckdb.map { d =>
+      val r = if (d > 0) comparable / d else -1.0
+      f""","spark_total":$total,"spark_comparable":$comparable,"duckdb_total":$d,"ratio":${math.round(r * 1000) / 1000.0}"""
+    }.getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$paired,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** Same-window DuckDB total over the bench queries' oracle SQL, via
+    * `tools/duckbench.py` (driver-side python owns the duckdb dependency —
+    * this is an opportunistic subprocess, never a library dependency).
+    * Returns None if the script, interpreter, or duckdb is unavailable.
+    */
+  private def duckdbTotal(sfDir: String, names: Seq[String]): Option[Double] =
+    try {
+      val script = new java.io.File("tools/duckbench.py")
+      if (!script.exists() || sys.env.contains("GRAFT_NO_DUCKBENCH")) return None
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bench-oracle")
+      def esc(s: String): String = s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      java.nio.file.Files.writeString(tmp.resolve("oracle_sql.json"),
+        SparkEntry.oracleSql
+          .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
+          .mkString("{", ",", "}"))
+      java.nio.file.Files.writeString(tmp.resolve("bench_queries.json"),
+        names.map("\"" + _ + "\"").mkString("[", ",", "]"))
+      val python = sys.env.get("GRAFT_PYTHON")
+        .orElse(Seq("/root/.pyenv/versions/3.11.7/bin/python", "/usr/bin/python3")
+          .find(new java.io.File(_).exists()))
+        .getOrElse("python3")
+      val p = new ProcessBuilder(python, script.getPath, sfDir, tmp.toString).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      if (!p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS) || p.exitValue() != 0) {
+        p.destroyForcibly(); return None
+      }
+      """"value":\s*([0-9.eE+-]+)""".r.findFirstMatchIn(out).map(_.group(1).toDouble)
+    } catch { case _: Throwable => None }
 }
