@@ -38,6 +38,13 @@ object Ast {
       values: List[Token], where: Where) extends Stmt
   final case class DeleteRow(container: String, where: Option[Where]) extends Stmt
   final case class DeleteContainer(name: String) extends Stmt
+  /** `ALTER CONTAINER name ADD COLUMN [names] [types]` (graft extension —
+    * the reference fixes a container's schema at creation,
+    * `src/database.rs:161-250`; a real lake adds columns). New columns
+    * read as NULL in every already-committed version.
+    */
+  final case class AlterContainer(name: String, colNames: List[String],
+      colTypes: List[AlbaType]) extends Stmt
   /** One aggregate projection item, `fn(col)` (graft extension — the
     * reference language has no aggregation). Output column is `fn_col`.
     * `distinct` marks `count(DISTINCT col)` (output `count_distinct_col`);
@@ -232,6 +239,22 @@ object Parser {
       if (colNames.length != colTypes.length)
         throw new ParseException("Column-name and type counts differ")
       CreateContainer(name(nameTok), colNames, colTypes)
+
+    // ALTER CONTAINER name ADD COLUMN [names][types] (graft extension)
+    case Keyword("ALTER") :: Keyword("CONTAINER") :: nameTok :: Keyword("ADD") :: Keyword("COLUMN") :: (namesG: Group) :: (typesG: Group) :: Nil =>
+      val colNames = strings(namesG)
+      val colTypes = typesG.items.map {
+        case Keyword(k) => AlbaType.of(k)
+        case Str(sname) => AlbaType.of(sname)
+        case other => throw new ParseException(s"Expected a type, got $other")
+      }
+      if (colNames.isEmpty)
+        throw new ParseException("ADD COLUMN needs at least 1 column")
+      if (colNames.map(_.toLowerCase).distinct.length != colNames.length)
+        throw new ParseException("Duplicate column names")
+      if (colNames.length != colTypes.length)
+        throw new ParseException("Column-name and type counts differ")
+      AlterContainer(name(nameTok), colNames, colTypes)
 
     // CREATE ROW [cols][vals] ON container (parser.rs:88-109)
     case Keyword("CREATE") :: Keyword("ROW") :: (colsG: Group) :: (valsG: Group) :: Keyword("ON") :: containerTok :: Nil =>

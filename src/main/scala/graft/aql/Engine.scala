@@ -71,6 +71,19 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       catalog.create(name, cols.zip(types))
       Done(s"created container $name")
 
+    case Ast.AlterContainer(name, cols, types) =>
+      val d = catalog.get(name)
+      if (d.columns.length + cols.length > settings.maxColumns)
+        throw new ParseException(
+          s"Column count must stay within ${settings.maxColumns}")
+      // staged rows were built against the old arity; adding a column
+      // mid-transaction would commit misaligned rows
+      if (tx.stagedOps(name) > 0)
+        throw new ParseException(
+          s"ALTER CONTAINER $name: commit or rollback staged operations first")
+      catalog.addColumns(name, cols.zip(types))
+      Done(s"added ${cols.length} column(s) to $name")
+
     case Ast.CreateRow(container, cols, values) =>
       val d = catalog.get(container)
       // column names resolve case-insensitively (bare column tokens can

@@ -36,7 +36,8 @@ object Token {
     "QYCNPVS", "QYCNNXT", "QYCNEXT",
     // graft extensions beyond the reference keyword set
     "EXPLAIN", "VACUUM", "AT", "VERSION", "IN", "NOT", "HAVING",
-    "ORDER", "BY", "LIMIT", "ASC", "DESC", "DISTINCT", "JOIN", "LEFT")
+    "ORDER", "BY", "LIMIT", "ASC", "DESC", "DISTINCT", "JOIN", "LEFT",
+    "ALTER", "ADD", "COLUMN")
 
   /** Multi-char first: `&&&>` regex-match, `&&>` icontains, `&>` contains,
     * `>=`, `<=`, `==`, `!=`, then single-char (reference

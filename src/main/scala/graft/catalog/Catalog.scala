@@ -75,6 +75,33 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     ContainerDef(name, columns)
   }
 
+  /** Append columns to a container's schema (ALTER CONTAINER ADD COLUMN —
+    * graft extension; the reference fixes schema at creation). Purely a
+    * metadata operation: committed parquet predates the new columns, and
+    * every read applies the catalog schema explicitly
+    * (`spark.read.schema(...)`), so Spark fills the missing columns with
+    * NULL in old files — including old versions under time travel and
+    * base files carried into new versions by COW hard links. The pk
+    * convention (first column) is unaffected: columns only append.
+    */
+  def addColumns(name: String, columns: List[(String, AlbaType)]): ContainerDef = {
+    val d = get(name)
+    val existing = d.columns.map(_._1.toLowerCase).toSet
+    columns.foreach { case (n, _) =>
+      require(!existing.contains(n.toLowerCase),
+        s"Column '$n' already exists on '$name'")
+    }
+    val text = (d.columns ++ columns)
+      .map { case (n, t) => s"$n\t${t.name}" }.mkString("\n")
+    // atomic swap so a concurrent reader never sees a half-written schema
+    val tmp = catDir.resolve(
+      s"$name.schema.tmp-${ProcessHandle.current.pid}-${System.nanoTime()}")
+    Files.writeString(tmp, text)
+    Files.move(tmp, schemaFile(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    ContainerDef(name, d.columns ++ columns)
+  }
+
   def drop(name: String): Unit = {
     require(exists(name), s"Unknown container '$name'")
     Files.delete(schemaFile(name))

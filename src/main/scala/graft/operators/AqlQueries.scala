@@ -67,6 +67,15 @@ object AqlQueries {
       eng.catalog.overwrite("docs_tt",
         docs.filter(org.apache.spark.sql.functions.col("n_chars") <= 250))
       eng.catalog.overwrite("docs_tt", docs)
+      // mixed-schema container for ALTER CONTAINER ADD COLUMN: v1 is the
+      // fixture under the original 2-column schema; the post-ALTER commit
+      // carries v1's files over (COW links) and appends one 3-column row,
+      // so the SEARCH reads files of BOTH schemas in one scan
+      eng.execute("CREATE CONTAINER docs_alter ['doc_id','n_chars'] [BIGINT, BIGINT]")
+      eng.catalog.overwrite("docs_alter", docs)
+      eng.execute("ALTER CONTAINER docs_alter ADD COLUMN ['tag'] [TEXT]")
+      eng.execute("CREATE ROW ['doc_id','n_chars','tag'] [900001, 7, 'added'] ON docs_alter")
+      eng.execute("COMMIT docs_alter")
       eng
     })
   }
@@ -218,6 +227,18 @@ object AqlQueries {
 
     // time travel through AQL: version 1 held only the short docs, so the
     // oracle reconstructs that snapshot by re-applying v1's defining filter
+    // ALTER CONTAINER ADD COLUMN through the full AQL path: one scan over
+    // files of BOTH schemas — pre-ALTER rows read the new column as NULL,
+    // the post-ALTER insert carries it. The oracle reconstructs the mixed
+    // container declaratively. (doc_id is unique, so the cursor order and
+    // the oracle's ORDER BY agree without tie-breaks.)
+    Q("aql_alter_add_column",
+      """SELECT doc_id, n_chars, CAST(NULL AS VARCHAR) AS tag FROM documents
+        |UNION ALL SELECT 900001, 7, 'added'
+        |ORDER BY doc_id""".stripMargin) {
+      (s, dir) => search("SEARCH [] ON docs_alter")(s, dir)
+    },
+
     Q("aql_time_travel",
       """SELECT doc_id, n_chars FROM documents
         |WHERE n_chars <= 250 AND n_chars > 100

@@ -444,4 +444,38 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .asInstanceOf[Engine.ResultSet].df.collect()
     assert(rows.length == 3)
   }
+
+  test("26 ALTER CONTAINER ADD COLUMN: old versions read NULL, new rows carry the column") {
+    eng.execute("CREATE CONTAINER alt ['id','v'] [BIGINT, SMALL-STRING]")
+    eng.execute("CREATE ROW ['id','v'] [1,'one'] ON alt")
+    eng.execute("CREATE ROW ['id','v'] [2,'two'] ON alt")
+    eng.execute("COMMIT alt") // v1, two-column schema
+
+    // guard: staged ops must be settled before a schema change
+    eng.execute("CREATE ROW ['id','v'] [9,'x'] ON alt")
+    intercept[ParseException](
+      eng.execute("ALTER CONTAINER alt ADD COLUMN ['tag'] [TEXT]"))
+    eng.execute("ROLLBACK alt")
+
+    eng.execute("ALTER CONTAINER alt ADD COLUMN ['tag'] [TEXT]")
+    assert(eng.catalog.get("alt").columns.map(_._1) == List("id", "v", "tag"))
+    // duplicate (case-insensitive) rejected
+    intercept[IllegalArgumentException](
+      eng.execute("ALTER CONTAINER alt ADD COLUMN ['TAG'] [TEXT]"))
+
+    eng.execute("CREATE ROW ['id','v','tag'] [3,'three','fresh'] ON alt")
+    eng.execute("COMMIT alt") // v2: v1 files carried over, mixed schemas
+    val got = searchRows("SEARCH [] ON alt").map(r =>
+      (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(got == Set((1L, "one", None), (2L, "two", None),
+      (3L, "three", Some("fresh"))),
+      "pre-ALTER rows must read the new column as NULL")
+    // time travel: the pre-ALTER version reads under the NEW schema with NULLs
+    val v1 = searchRows("SEARCH [] ON alt AT VERSION 1").map(r =>
+      (r.getLong(0), Option(r.getString(2)))).toSet
+    assert(v1 == Set((1L, None), (2L, None)))
+    // restart: the widened schema round-trips through the catalog files
+    val eng3 = new Engine(spark, dir.toString)
+    assert(eng3.catalog.get("alt").columns.map(_._1) == List("id", "v", "tag"))
+  }
 }

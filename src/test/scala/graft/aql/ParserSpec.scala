@@ -183,4 +183,19 @@ class ParserSpec extends AnyFunSuite {
       JoinSpec(Container.Real("v"), "a", "b", "left"),
       JoinSpec(Container.Real("w"), "c", "d", "inner")))
   }
+
+  test("ALTER CONTAINER ADD COLUMN parses; malformed forms rejected") {
+    val a = Parser.parse("ALTER CONTAINER c ADD COLUMN ['x','y'] [INT, TEXT]")
+      .asInstanceOf[AlterContainer]
+    assert(a.name == "c" && a.colNames == List("x", "y"))
+    assert(a.colTypes.map(_.name) == List("INT", "TEXT"))
+    intercept[ParseException](
+      Parser.parse("ALTER CONTAINER c ADD COLUMN [] []"))          // empty
+    intercept[ParseException](
+      Parser.parse("ALTER CONTAINER c ADD COLUMN ['x','X'] [INT, INT]")) // dup (ci)
+    intercept[ParseException](
+      Parser.parse("ALTER CONTAINER c ADD COLUMN ['x'] [INT, TEXT]"))    // arity
+    intercept[ParseException](
+      Parser.parse("ALTER CONTAINER c ADD ['x'] [INT]"))           // missing COLUMN
+  }
 }
