@@ -14,7 +14,15 @@ import org.apache.spark.sql.types._
 sealed abstract class AlbaType(
     val name: String,
     val spark: DataType,
-    val cap: Option[Int] = None)
+    val cap: Option[Int] = None) {
+  /** Numeric types — where a bare RHS word in a predicate can resolve as
+    * a column reference (graft WHERE-arithmetic extension) because the
+    * reference's literal interpretation could never coerce it. */
+  def isNumeric: Boolean = spark match {
+    case IntegerType | LongType | DoubleType => true
+    case _ => false
+  }
+}
 
 object AlbaType {
   case object AInt extends AlbaType("INT", IntegerType)

@@ -7,10 +7,26 @@ package graft.aql
   * (`src/parser.rs:591-681`).
   */
 object Ast {
-  /** One predicate atom: column OP literal (reference stores
-    * `(Token,Token,Token)` triples — `src/parser.rs:327-388`).
+  /** RHS of a predicate atom beyond a single literal (graft extension):
+    * a leaf token (literal or column name) or a binary arithmetic node.
+    * Built with SQL precedence by the parser (`* /` bind tighter than
+    * `+ -`); operators must be space-separated (a `-` glued to digits
+    * lexes as a negative literal, matching the reference lexer).
     */
-  final case class Cond(column: String, op: String, value: Token)
+  sealed trait Operand
+  object Operand {
+    final case class Leaf(t: Token) extends Operand
+    final case class Bin(l: Operand, op: Char, r: Operand) extends Operand
+  }
+
+  /** One predicate atom: column OP literal (reference stores
+    * `(Token,Token,Token)` triples — `src/parser.rs:327-388`). `rhs`
+    * carries an arithmetic right-hand side (graft extension) when the
+    * atom spans more than one value token; `value` stays the first token
+    * so every single-token consumer is untouched.
+    */
+  final case class Cond(column: String, op: String, value: Token,
+      rhs: Option[Operand] = None)
 
   /** Predicate chain with gates. Gates are (index, 'a'|'o') pairs in the
     * reference; we keep the gate BEFORE atom i+1 as gates(i). Lowering
@@ -178,6 +194,58 @@ object Parser {
   private def parseWhere(tokens: List[Token]): Where =
     parseWhereUntil(tokens, stopAt = Set.empty)._1
 
+  /** Arithmetic connector: a bare `+ - * /` word (they lex as `Str` —
+    * comparison operators own the `Op` token). Quoted one-char strings
+    * are indistinguishable after lexing, but a connector is only
+    * recognized BETWEEN value tokens, where a literal can't appear.
+    */
+  private def arithOp(t: Token): Option[Char] = t match {
+    case Str(s) if s.length == 1 && "+-*/".contains(s(0)) => Some(s(0))
+    case _ => None
+  }
+
+  /** A token usable as an arithmetic factor: a literal or a bare column
+    * word — never a keyword, comparison op, group, subcommand, or `?`
+    * (already substituted), and not a connector itself. */
+  private def isFactor(t: Token): Boolean = t match {
+    case _: Keyword | _: Op | _: Group | _: SubCommand | Argument => false
+    case s: Str => arithOp(s).isEmpty
+    case _ => true
+  }
+
+  /** `term { (+|-) term }` — SQL precedence over flat tokens (no parens:
+    * `( … )` already lexes as a SEARCH subcommand). Returns the operand
+    * and the unconsumed tokens (the next gate/clause keyword).
+    */
+  private def parseArith(first: Token, tl: List[Token]): (Operand, List[Token]) = {
+    var (left, rest) = parseTerm(first, tl)
+    var done = false
+    while (!done) rest match {
+      case t :: f :: tl2 if arithOp(t).exists(c => c == '+' || c == '-') && isFactor(f) =>
+        val (r, rest2) = parseTerm(f, tl2)
+        left = Operand.Bin(left, arithOp(t).get, r)
+        rest = rest2
+      case _ => done = true
+    }
+    if (rest.headOption.exists(t => arithOp(t).isDefined))
+      throw new ParseException(s"Malformed arithmetic expression near ${rest.head}")
+    (left, rest)
+  }
+
+  /** `factor { (*|/) factor }`. */
+  private def parseTerm(first: Token, tl: List[Token]): (Operand, List[Token]) = {
+    var left: Operand = Operand.Leaf(first)
+    var rest = tl
+    var done = false
+    while (!done) rest match {
+      case t :: f :: tl2 if arithOp(t).exists(c => c == '*' || c == '/') && isFactor(f) =>
+        left = Operand.Bin(left, arithOp(t).get, Operand.Leaf(f))
+        rest = tl2
+      case _ => done = true
+    }
+    (left, rest)
+  }
+
   /** Parse a predicate chain; a `stopAt` keyword in GATE position (between
     * complete conditions) terminates the chain and the remaining tokens are
     * returned. A stop keyword in VALUE position is consumed as an ordinary
@@ -210,7 +278,12 @@ object Parser {
           case colTok :: Keyword("NOT") :: Keyword("IN") :: (sc: SubCommand) :: tl =>
             atoms += Cond(name(colTok), "NOT IN", sc); rest = tl
           case colTok :: Op(op) :: value :: tl =>
-            atoms += Cond(name(colTok), op, value); rest = tl
+            // graft extension: an arithmetic RHS (`col OP a * b + c`)
+            // when value is followed by space-separated + - * / connectors
+            val (expr, tl2) = parseArith(value, tl)
+            atoms += Cond(name(colTok), op, value,
+              rhs = Some(expr).filterNot(_ == Operand.Leaf(value)))
+            rest = tl2
           case other => throw new ParseException(
             s"Expected `column OP value`, got ${other.take(3)}")
         }

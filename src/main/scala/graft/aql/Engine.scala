@@ -504,22 +504,70 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       throw new ParseException(s"${c.op} (SEARCH …) is only supported in a SEARCH WHERE")
     val (colName, colType) = d.columns.find(_._1.equalsIgnoreCase(c.column))
       .getOrElse(throw new ParseException(s"Unknown column ${c.column}"))
-    val raw = AlbaType.tokenValue(c.value)
-    // literal coerced to the column's type (P5, query_conditions.rs:115-245)
-    def v = lit(AlbaType.coerce(colType, raw))
     val x = col(colName)
-    c.op match {
-      case "=" | "==" => x === v // Equal and StrictEqual are both plain equality
-      case "!=" => x =!= v
-      case ">" => x > v
-      case "<" => x < v
-      case ">=" => x >= v
-      case "<=" => x <= v
-      case "&>" => x.contains(lit(raw.toString))
-      case "&&>" => lower(x).contains(lit(raw.toString.toLowerCase))
-      case "&&&>" => x.rlike(raw.toString)
-      case other => throw new ParseException(s"Unknown operator $other")
+    c.rhs match {
+      case Some(expr) =>
+        // arithmetic RHS (graft extension): comparison operators only —
+        // the substring/regex family is defined on string literals
+        val v = lowerOperand(expr, d)
+        c.op match {
+          case "=" | "==" => x === v
+          case "!=" => x =!= v
+          case ">" => x > v
+          case "<" => x < v
+          case ">=" => x >= v
+          case "<=" => x <= v
+          case other => throw new ParseException(
+            s"Operator $other does not support an arithmetic right-hand side")
+        }
+      case None =>
+        val raw = AlbaType.tokenValue(c.value)
+        // a bare word naming another column compares column-to-column —
+        // but ONLY when the LHS is numeric, where the reference's
+        // literal interpretation could never coerce anyway (strictly
+        // additive; on string columns a bare word stays a literal,
+        // reference behavior)
+        val colRef: Option[Column] = c.value match {
+          case Token.Str(w) if colType.isNumeric =>
+            d.columns.find(_._1.equalsIgnoreCase(w)).map(cc => col(cc._1))
+          case _ => None
+        }
+        // literal coerced to the column's type (P5, query_conditions.rs:115-245)
+        def v = colRef.getOrElse(lit(AlbaType.coerce(colType, raw)))
+        c.op match {
+          case "=" | "==" => x === v // Equal and StrictEqual are both plain equality
+          case "!=" => x =!= v
+          case ">" => x > v
+          case "<" => x < v
+          case ">=" => x >= v
+          case "<=" => x <= v
+          case "&>" => x.contains(lit(raw.toString))
+          case "&&>" => lower(x).contains(lit(raw.toString.toLowerCase))
+          case "&&&>" => x.rlike(raw.toString)
+          case other => throw new ParseException(s"Unknown operator $other")
+        }
     }
+  }
+
+  /** Arithmetic RHS lowering (graft extension): bare words resolve as
+    * columns (unknown names are an error — inside arithmetic a word can't
+    * be a string literal), literals pass through, `+ - * /` become Column
+    * arithmetic with the precedence the parser already applied.
+    */
+  private def lowerOperand(o: Ast.Operand, d: Catalog#ContainerDef): Column = o match {
+    case Ast.Operand.Leaf(Token.Str(w)) =>
+      val (cn, _) = d.columns.find(_._1.equalsIgnoreCase(w)).getOrElse(
+        throw new ParseException(s"Unknown column '$w' in arithmetic expression"))
+      col(cn)
+    case Ast.Operand.Leaf(t) => lit(AlbaType.tokenValue(t))
+    case Ast.Operand.Bin(l, op, r) =>
+      val (a, b) = (lowerOperand(l, d), lowerOperand(r, d))
+      op match {
+        case '+' => a + b
+        case '-' => a - b
+        case '*' => a * b
+        case '/' => a / b
+      }
   }
 }
 

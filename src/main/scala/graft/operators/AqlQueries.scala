@@ -227,6 +227,31 @@ object AqlQueries {
 
     // time travel through AQL: version 1 held only the short docs, so the
     // oracle reconstructs that snapshot by re-applying v1's defining filter
+    // WHERE arithmetic (graft extension): `col OP expr` with SQL
+    // precedence, lowered to Column arithmetic — predicate stays
+    // codegen'd and pushable, nothing materializes client-side
+    Q("aql_where_arith",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+        |FROM lineitem
+        |WHERE l_extendedprice > l_quantity * 1000 + 500
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [l_orderkey, l_linenumber, l_extendedprice, l_quantity] " +
+          "ON lineitem WHERE l_extendedprice > l_quantity * 1000 + 500")(s, dir)
+    },
+
+    // plain column-to-column comparison on a numeric LHS (bare word
+    // resolves as a column — on string columns it stays a literal,
+    // reference P5 semantics)
+    Q("aql_where_col_col",
+      """SELECT l_orderkey, l_linenumber, l_discount, l_tax
+        |FROM lineitem WHERE l_discount > l_tax
+        |ORDER BY l_orderkey, l_linenumber, l_discount, l_tax""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [l_orderkey, l_linenumber, l_discount, l_tax] " +
+          "ON lineitem WHERE l_discount > l_tax")(s, dir)
+    },
+
     // ALTER CONTAINER ADD COLUMN through the full AQL path: one scan over
     // files of BOTH schemas — pre-ALTER rows read the new column as NULL,
     // the post-ALTER insert carries it. The oracle reconstructs the mixed

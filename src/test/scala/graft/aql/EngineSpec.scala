@@ -445,6 +445,31 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length == 3)
   }
 
+  test("27 WHERE arithmetic and column-to-column comparison") {
+    eng.execute("CREATE CONTAINER arith ['a','b','t'] [BIGINT, FLOAT, TEXT]")
+    eng.execute("CREATE ROW ['a','b','t'] [1, 5.0, 'x'] ON arith")
+    eng.execute("CREATE ROW ['a','b','t'] [6, 2.0, 'b'] ON arith")
+    eng.execute("CREATE ROW ['a','b','t'] [10, 30.0, 'a'] ON arith")
+    eng.execute("COMMIT arith")
+    def ids(aql: String) = searchRows(aql).map(_.getLong(0)).toSet
+    // plain column-to-column on a numeric LHS
+    assert(ids("SEARCH ['a'] ON arith WHERE a > b") == Set(6L))
+    // arithmetic RHS with * / + precedence
+    assert(ids("SEARCH ['a'] ON arith WHERE b >= a * 3") == Set(1L, 10L))
+    assert(ids("SEARCH ['a'] ON arith WHERE b > a * 2 + 1") == Set(1L, 10L))
+    assert(ids("SEARCH ['a'] ON arith WHERE a >= b / 2 + 1") == Set(6L))
+    // on a TEXT column a bare word stays a string LITERAL even when it
+    // names a column (reference P5 semantics, pinned)
+    assert(ids("SEARCH ['a'] ON arith WHERE t = b") == Set(6L))
+    // unknown word inside arithmetic is an error, not a literal
+    intercept[ParseException](
+      searchRows("SEARCH [] ON arith WHERE a > nope + 1"))
+    // EDIT/DELETE predicates share the lowering (arithmetic reaches Tx)
+    eng.execute("EDIT ROW ['t'] ['hit'] ON arith WHERE b > a * 2 + 1")
+    assert(ids("SEARCH ['a'] ON arith WHERE t = hit") == Set(1L, 10L))
+    eng.execute("ROLLBACK arith")
+  }
+
   test("26 ALTER CONTAINER ADD COLUMN: old versions read NULL, new rows carry the column") {
     eng.execute("CREATE CONTAINER alt ['id','v'] [BIGINT, SMALL-STRING]")
     eng.execute("CREATE ROW ['id','v'] [1,'one'] ON alt")

@@ -184,6 +184,32 @@ class ParserSpec extends AnyFunSuite {
       JoinSpec(Container.Real("w"), "c", "d", "inner")))
   }
 
+  test("WHERE arithmetic: precedence, column words, malformed forms") {
+    import Operand._
+    def whereOf(aql: String) = Parser.parse(aql).asInstanceOf[Search].where.get
+    // * binds tighter than +: q * 1000 + 500 = (q*1000)+500
+    val w = whereOf("SEARCH [] ON t WHERE p > q * 1000 + 500")
+    assert(w.atoms.head.rhs.contains(
+      Bin(Bin(Leaf(Token.Str("q")), '*', Leaf(Token.IntLit(1000))),
+        '+', Leaf(Token.IntLit(500)))))
+    // left-assoc chains: a - b + c = (a-b)+c
+    val w2 = whereOf("SEARCH [] ON t WHERE p = a - b + c")
+    assert(w2.atoms.head.rhs.contains(
+      Bin(Bin(Leaf(Token.Str("a")), '-', Leaf(Token.Str("b"))),
+        '+', Leaf(Token.Str("c")))))
+    // single-token RHS keeps the reference triple shape (rhs empty)
+    assert(whereOf("SEARCH [] ON t WHERE p > 5").atoms.head.rhs.isEmpty)
+    // arithmetic composes with gates and later clauses
+    val w3 = whereOf("SEARCH [] ON t WHERE p > q * 2 AND r = 1")
+    assert(w3.atoms.length == 2 && w3.gates == List('a'))
+    val s4 = Parser.parse("SEARCH [] ON t WHERE p > q + 1 ORDER BY [p] LIMIT 3")
+      .asInstanceOf[Search]
+    assert(s4.orderBy.nonEmpty && s4.limit.contains(3))
+    // dangling operator rejected
+    intercept[ParseException](Parser.parse("SEARCH [] ON t WHERE p > q +"))
+    intercept[ParseException](Parser.parse("SEARCH [] ON t WHERE p > q + AND r = 1"))
+  }
+
   test("ALTER CONTAINER ADD COLUMN parses; malformed forms rejected") {
     val a = Parser.parse("ALTER CONTAINER c ADD COLUMN ['x','y'] [INT, TEXT]")
       .asInstanceOf[AlterContainer]
