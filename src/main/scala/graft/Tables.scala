@@ -156,13 +156,25 @@ object Tables {
       buckets: Int = 32): DataFrame = {
     val src = new java.io.File(s"$dir/$name.parquet")
     if (!src.isFile) return load(spark, dir, name) // directory layout: as-is
+    bucketedDerived(spark, src, name, key, buckets)(spark.read.parquet(src.getPath))
+  }
+
+  /** Persist an arbitrary DERIVED DataFrame as a bucketed table, staged
+    * once per (source-file identity, name) — the materialized-index
+    * pattern: a computed table (e.g. an IVF cell assignment) written
+    * hash-bucketed + sorted by its probe key, so later point probes are
+    * bucket-pruned file scans (`SelectedBucketsCount k out of n`) instead
+    * of full scans + recomputation. `build` is only evaluated on the
+    * first call for a given source identity (cross-JVM, like `bucketed`).
+    */
+  def bucketedDerived(spark: SparkSession, src: java.io.File, name: String,
+      key: String, buckets: Int)(build: => DataFrame): DataFrame = {
     val path = buildOnce(src, "graft-bucketed", name, s"bk$buckets-$key") { tmp =>
-      val raw = spark.read.parquet(src.getPath)
       val tbl = s"graft_build_${name}_${System.nanoTime()}"
       // pre-repartition on the bucket key so each write task owns exactly
       // one bucket → one file per bucket → the scan can also report the
       // sortBy order (multi-file buckets lose the sorted-scan property)
-      raw.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      build.repartition(buckets, org.apache.spark.sql.functions.col(key))
         .write.bucketBy(buckets, key).sortBy(key)
         .option("path", tmp.getPath).mode("overwrite").saveAsTable(tbl)
       spark.sql(s"DROP TABLE $tbl") // external table: metadata only, data stays

@@ -101,6 +101,52 @@ object Similarity {
        |            JOIN embeddings y ON y.vec_id = ib
        |  WHERE ${duckCos("x.embedding", "y.embedding")} > 0.35)""".stripMargin
 
+  /** Oracle for the probe-1 IVF search over the Lloyd cell assignment —
+    * shared verbatim by `sim_ann_ivf_kmeans` (assignment recomputed in the
+    * plan) and `sim_ann_ivf_persisted` (assignment probed from the
+    * persisted bucketed index): the index must change WHERE the rows come
+    * from, never WHAT they are.
+    */
+  private lazy val duckIvfProbe1Sql: String =
+    s"""WITH seeds AS (SELECT vec_id AS sid, embedding AS semb
+       |               FROM embeddings ORDER BY vec_id LIMIT 8),
+       |a AS (SELECT e.vec_id, e.embedding, s.sid,
+       |        round(${duckD2("e.embedding", "s.semb")}, 6) AS d2
+       |      FROM embeddings e CROSS JOIN seeds s),
+       |r AS (SELECT vec_id, embedding, sid, d2,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY d2, sid) AS rn
+       |      FROM a),
+       |cells AS (SELECT vec_id, embedding, sid AS cluster FROM r WHERE rn = 1),
+       |qs AS (SELECT vec_id AS qid, cluster AS qcell, embedding AS qe
+       |       FROM cells WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT qs.qid, c.vec_id AS nid,
+       |         round(${duckCos("qs.qe", "c.embedding")}, 6) AS cos_sim
+       |  FROM qs JOIN cells c ON c.cluster = qs.qcell AND c.vec_id <> qs.qid),
+       |ranked AS (
+       |  SELECT qid, nid, cos_sim,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+       |  FROM scored)
+       |SELECT qid, nid, cos_sim, rank FROM ranked WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
+  /** The persisted IVF index: the Lloyd cell assignment materialized once
+    * per fixture as a parquet table hash-bucketed + sorted by cluster id
+    * (`Tables.bucketedDerived`). A probe filters on literal cluster ids,
+    * so the scan is bucket-pruned (`SelectedBucketsCount k out of 8`,
+    * pinned by IvfIndexSpec) — the serving-path shape where queries read
+    * ~nprobe/k of the corpus and never recompute the assignment.
+    * Deterministic across builds: the assignment rounds d2 to 6 digits
+    * and ties break on sid.
+    */
+  def ivfCells(s: SparkSession, dir: String): DataFrame = {
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val build = assignToSeeds(emb(s, dir))
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+    if (!src.isFile) build // directory-layout fixture: unpersisted fallback
+    else Tables.bucketedDerived(s, src, "ivf_cells", "cluster", 8)(build)
+  }
+
   val defs: Seq[Q] = Seq(
 
     // Vector norms — the scalar building block, verified on its own.
@@ -301,28 +347,9 @@ object Similarity {
     // file-skipping bucket scan of ~1/k of the corpus); the query side is
     // broadcast. Everything below composes the two oracle-verified halves,
     // and the oracle recomputes the identical declarative plan.
-    Q("sim_ann_ivf_kmeans",
-      s"""WITH seeds AS (SELECT vec_id AS sid, embedding AS semb
-         |               FROM embeddings ORDER BY vec_id LIMIT 8),
-         |a AS (SELECT e.vec_id, e.embedding, s.sid,
-         |        round(${duckD2("e.embedding", "s.semb")}, 6) AS d2
-         |      FROM embeddings e CROSS JOIN seeds s),
-         |r AS (SELECT vec_id, embedding, sid, d2,
-         |        row_number() OVER (PARTITION BY vec_id ORDER BY d2, sid) AS rn
-         |      FROM a),
-         |cells AS (SELECT vec_id, embedding, sid AS cluster FROM r WHERE rn = 1),
-         |qs AS (SELECT vec_id AS qid, cluster AS qcell, embedding AS qe
-         |       FROM cells WHERE vec_id < 5),
-         |scored AS (
-         |  SELECT qs.qid, c.vec_id AS nid,
-         |         round(${duckCos("qs.qe", "c.embedding")}, 6) AS cos_sim
-         |  FROM qs JOIN cells c ON c.cluster = qs.qcell AND c.vec_id <> qs.qid),
-         |ranked AS (
-         |  SELECT qid, nid, cos_sim,
-         |         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
-         |  FROM scored)
-         |SELECT qid, nid, cos_sim, rank FROM ranked WHERE rank <= 5
-         |ORDER BY qid, rank""".stripMargin) {
+    // (sim_ann_ivf_persisted runs the SAME probe against the PERSISTED
+    // bucketed index — identical oracle.)
+    Q("sim_ann_ivf_kmeans", duckIvfProbe1Sql) {
       (s, dir) => {
         val cells = assignToSeeds(emb(s, dir))
           .select(col("vec_id"), col("embedding"), col("cluster"))
@@ -330,6 +357,33 @@ object Similarity {
           .select(col("vec_id").as("qid"), col("cluster").as("qcell"),
             col("embedding").as("qe"))
         val scored = cells.join(broadcast(qs),
+            col("cluster") === col("qcell") && col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid"),
+            round(cosine(col("qe"), col("embedding")), 6).as("cos_sim"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .orderBy(col("qid"), col("rank"))
+      }
+    },
+
+    // The SAME probe-1 search served from the PERSISTED bucketed IVF index
+    // (ivfCells): the probe list is computed per query against the 8-row
+    // broadcast seed dimension (tiny driver-side metadata, the IVF serving
+    // shape), then the index scan filters on those LITERAL cluster ids —
+    // bucket-pruned to nprobe/k of the files, no assignment recompute.
+    // Identical oracle to sim_ann_ivf_kmeans: an index may only change
+    // where rows come from, never what they are.
+    Q("sim_ann_ivf_persisted", duckIvfProbe1Sql) {
+      (s, dir) => {
+        val cells = ivfCells(s, dir)
+        val qs = assignToSeeds(emb(s, dir)).filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("cluster").as("qcell"),
+            col("embedding").as("qe"))
+        // nprobe=1 probe list: ≤5 cluster ids — bounded per-query metadata
+        val probed = qs.select(col("qcell")).distinct().collect().map(_.getLong(0))
+        val scan = cells.filter(col("cluster").isin(probed.toIndexedSeq: _*))
+        val scored = scan.join(broadcast(qs),
             col("cluster") === col("qcell") && col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id").as("nid"),
             round(cosine(col("qe"), col("embedding")), 6).as("cos_sim"))
