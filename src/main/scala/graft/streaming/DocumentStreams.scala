@@ -130,4 +130,20 @@ object DocumentStreams {
     graft.operators.TextDedup.grams4(docs)
       .join(broadcast(benchGrams), Seq("g"))
       .select(col("doc_id"), col("g"))
+
+  /** Ingest-time image decode — the streaming twin of
+    * `Multimodal.decodeImages`: the REAL javax.imageio parse runs as a
+    * stateless partition-parallel projection the moment media lands, with
+    * corrupt payloads routed to the quarantine status inline (a corrupt
+    * blob must neither kill the micro-batch nor reach downstream
+    * consumers unflagged). Zero state, so a restart re-decodes only
+    * unprocessed files — exactly-once comes free from the file source.
+    * At 100 TB this is the decode/GPU stage of the ingest funnel:
+    * payloads never shuffle, features and the quarantine flag are
+    * extracted before anything wide.
+    */
+  def decodeAtIngest(media: org.apache.spark.sql.Dataset[
+      graft.operators.Multimodal.MediaRecord]): org.apache.spark.sql.Dataset[
+      graft.operators.Multimodal.DecodedImage] =
+    graft.operators.Multimodal.decodeImages(media)
 }

@@ -209,6 +209,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming image decode equals the batch decode; corrupt payloads quarantined mid-stream") {
+    import graft.operators.Multimodal
+    // stage the synthesized real-image corpus plus corrupt rows as TWO
+    // parquet files so the corrupt batch arrives as its own micro-batch
+    val good = Multimodal.imageCorpus(spark, dir)
+    val corrupt = Seq(
+      Multimodal.MediaRecord(900001, "image/png",
+        Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+          Array.fill[Byte](40)(0x11)),
+      Multimodal.MediaRecord(900002, "text/plain", "not media".getBytes))
+    val src = java.nio.file.Files.createTempDirectory("graft-media-stream")
+    src.toFile.deleteOnExit()
+    good.repartition(1).write.mode("overwrite").parquet(src.resolve("b1").toString)
+    import spark.implicits._
+    corrupt.toDS().repartition(1).write.mode("overwrite").parquet(src.resolve("b2").toString)
+    def stage(tag: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val part = scala.util.Using.resource(
+        java.nio.file.Files.list(src.resolve(tag)))(_.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get)
+      java.nio.file.Files.move(part, src.resolve(s"$tag.parquet"))
+    }
+    stage("b1"); stage("b2")
+
+    val stream = spark.readStream.schema(good.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src.toString + "/*.parquet")
+      .as[Multimodal.MediaRecord]
+    val q = DocumentStreams.decodeAtIngest(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("decode_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("decode_out").collect()
+      .map(r => r.getLong(0) -> r.toString).toMap
+    val batch = Multimodal.decodeImages(
+        good.unionByName(corrupt.toDS()))
+      .collect().map(d => d.media_id -> d).toMap
+    assert(streamed.size == batch.size && streamed.nonEmpty)
+    // every decoded row equals its batch twin, including real raster facts
+    batch.foreach { case (id, d) =>
+      assert(streamed(id).contains(d.status), s"status mismatch for $id")
+    }
+    val quarantined = spark.table("decode_out")
+      .filter(col("status") === "undecodable").collect().map(_.getLong(0)).toSet
+    assert(quarantined == Set(900001L), "corrupt image must be quarantined")
+    val unsupported = spark.table("decode_out")
+      .filter(col("status") === "unsupported").collect().map(_.getLong(0)).toSet
+    assert(unsupported == Set(900002L))
+    // good rows decoded despite sharing the stream with corrupt ones
+    assert(spark.table("decode_out").filter(col("status") === "ok").count() ==
+      good.count())
+  }
+
   test("stateful sessionization matches the batch twin (e_session_stats)") {
     import spark.implicits._
     val evs = EventStreams.readEvents(spark, dir)
