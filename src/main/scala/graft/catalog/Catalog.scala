@@ -295,6 +295,21 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     !h.isPresent || !h.get.isAlive
   }
 
+  /** Crash recovery: a committer that died BETWEEN its atomic directory
+    * move and the pointer flip leaves a complete, immutable version above
+    * the pointer — publish-complete but not yet visible. Contenders would
+    * otherwise wedge: their base+1 CAS fails forever (the dir exists) and
+    * `claimIsOrphan` reads the slot as published. Adopting = finishing
+    * the dead writer's commit by flipping the pointer to the newest
+    * published version (the move was the commit point; the flip is only
+    * visibility). Safe against a LIVE writer in the same window — its own
+    * `advancePointer` just no-ops afterwards; the monotone guard keeps
+    * the flip race-free.
+    */
+  private[catalog] def adoptPublished(name: String): Unit =
+    versions(name).lastOption.filter(_ > currentVersion(name))
+      .foreach(v => advancePointer(name, v))
+
   private def claimFile(name: String, v: Int) = catDir.resolve(s"$name.claim-v$v")
 
   /** Highest version either published (directory) or claimed (a committer

@@ -140,7 +140,14 @@ final class Tx(catalog: Catalog) {
           // rebased on the SAME base into different slots, silently
           // dropping the lower one's changes.) A live slow writer never
           // satisfies claimIsOrphan, so its commit can't be overtaken.
-          if (stuckFor >= 1) catalog.releaseOrphanClaim(c, base + 1)
+          if (stuckFor >= 1) {
+            catalog.releaseOrphanClaim(c, base + 1)
+            // a committer that died between its dir move and pointer flip
+            // left a complete version above the pointer: finish its flip
+            // so our next iteration rebases on it instead of wedging on a
+            // slot that is published but never becomes the base
+            catalog.adoptPublished(c)
+          }
           done = commitOnce(c, base, pk)
         }
         log -= c

@@ -187,6 +187,36 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(cat.currentVersion("f") == 2)
   }
 
+  test("crash between dir move and pointer flip: the published version is adopted, not wedged on") {
+    // the narrowest crash window: data fully published (atomic move
+    // done), pointer still on the old version, claim file still present
+    // with a dead pid. claimIsOrphan reads the slot as published, so the
+    // round-4 escape can't help — without adoption Tx.commit spins its 50
+    // attempts and throws.
+    val dir = java.nio.file.Files.createTempDirectory("graft-cas9")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("p", List("id" -> graft.aql.AlbaType.of("INT")))
+    import org.apache.spark.sql.Row
+    val tx = new Tx(cat)
+    tx.stageInsert("p", Seq(Row(1))); tx.commit(Some("p")) // v1
+    // simulate the dead committer's published-but-unflipped v2
+    import spark.implicits._
+    val tmp = dir.resolve("data/p.crashed-tmp")
+    Seq(2).toDF("id").write.parquet(tmp.toString)
+    java.nio.file.Files.move(tmp, dir.resolve("data/p@v2"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val deadPid = { val pr = new ProcessBuilder("true").start(); pr.waitFor(); pr.pid() }
+    java.nio.file.Files.writeString(
+      dir.resolve("catalog").resolve("p.claim-v2"), deadPid.toString)
+    assert(cat.currentVersion("p") == 1, "pointer still on v1 (the crash window)")
+    // a new committer adopts v2 as its base and publishes v3 on top of it
+    tx.stageInsert("p", Seq(Row(3))); tx.commit(Some("p"))
+    assert(cat.currentVersion("p") == 3)
+    assert(cat.read("p").collect().map(_.getInt(0)).toSet == Set(2, 3),
+      "the adopted version is the rebase base: v1's row was overwritten by " +
+        "the crashed committer's v2 content, and the new insert lands on top")
+  }
+
   test("an orphaned claim (crash between claim and flip) does not wedge overwrite") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cas3")
     val cat = new Catalog(spark, dir.toString)
