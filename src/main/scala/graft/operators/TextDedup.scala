@@ -204,6 +204,40 @@ object TextDedup {
       .distinct()
   }
 
+  /** The persisted LSH index: the band table (doc_id, band, bk)
+    * materialized once per fixture, hash-bucketed + sorted by band key
+    * (`Tables.bucketedDerived` — the text-side twin of the persisted IVF
+    * cell table). A near-dup LOOKUP for incoming documents computes their
+    * few band keys (4 per doc, pure projection), then scans the index
+    * filtered on those LITERAL keys — statically bucket-pruned to the
+    * matching buckets, no re-shingling of the corpus, no self-join. This
+    * is the serving-path shape of ingest-time dedup at 100 TB: the index
+    * is maintained incrementally (append band rows per new doc) and each
+    * lookup touches keys/buckets, not the corpus.
+    */
+  def lshBandIndex(s: SparkSession, dir: String): DataFrame = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val build = bandsOf(withSignatures(withShingles(docs(s, dir))))
+    if (!src.isFile) build // directory-layout fixture: unpersisted fallback
+    else Tables.bucketedDerived(s, src, "lsh_bands", "bk", 64)(build)
+  }
+
+  /** Candidate near-dups for the query docs, served from [[lshBandIndex]]. */
+  private def lshIndexLookup(s: SparkSession, dir: String): DataFrame = {
+    val qBands = bandsOf(withSignatures(withShingles(
+      docs(s, dir).filter(col("doc_id") < 5))))
+      .select(col("doc_id").as("qid"), col("band").as("qband"), col("bk").as("qbk"))
+    // ≤ 20 literal band keys — bounded per-lookup metadata, like an IVF
+    // probe list
+    val keys = qBands.select(col("qbk")).distinct().collect().map(_.getString(0))
+    lshBandIndex(s, dir).filter(col("bk").isin(keys.toIndexedSeq: _*))
+      .join(broadcast(qBands),
+        col("band") === col("qband") && col("bk") === col("qbk")
+          && col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id").as("cand"))
+      .distinct()
+  }
+
   // RECURSIVE unconditionally: harmless for the non-recursive consumers,
   // and required by dd_dup_clusters' walk CTE — no string surgery on a
   // generated query downstream
@@ -582,6 +616,25 @@ object TextDedup {
          |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin,
       bench = true) {
       (s, dir) => lshPairs(s, dir).orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Near-dup candidate LOOKUP served from the persisted bucketed band
+    // index (lshBandIndex) — the text-side twin of sim_ann_ivf_persisted:
+    // query docs contribute 4 literal band keys each, the index scan is
+    // bucket-pruned to those keys, and the corpus is never re-shingled.
+    // The oracle recomputes the same lookup declaratively: an index may
+    // only change where rows come from, never what they are.
+    Q("dd_lsh_index_lookup",
+      s"""WITH RECURSIVE $duckShingles,
+         |$duckSignatures,
+         |$duckBands,
+         |q AS (SELECT doc_id AS qid, band AS qband, bk AS qbk
+         |      FROM bands WHERE doc_id < 5)
+         |SELECT DISTINCT q.qid, c.doc_id AS cand
+         |FROM q JOIN bands c
+         |  ON c.band = q.qband AND c.bk = q.qbk AND c.doc_id <> q.qid
+         |ORDER BY qid, cand""".stripMargin) {
+      (s, dir) => lshIndexLookup(s, dir).orderBy(col("qid"), col("cand"))
     },
 
     // N-gram Jaccard verification of the LSH candidates — the exact-check

@@ -129,6 +129,30 @@ class CowCommitSpec extends AnyFunSuite {
       "linked files must survive deletion of the version they were linked from")
   }
 
+  test("EDIT on a post-ALTER column rewrites only overlapping files, with the widened schema") {
+    val (cat, _) = fixture("alter")
+    cat.addColumns("c", List("tag" -> graft.aql.AlbaType.of("TEXT")))
+    val tx = new Tx(cat)
+    // the predicate runs over OLD-schema files (tag reads as NULL there);
+    // the set writes the NEW column into the rewritten file only
+    tx.stageEdit("c", col("id") === 5, Seq("tag" -> "T"))
+    tx.commit(Some("c"))
+    val v1ByName = cat.versionFiles("c", 1).map(f => f.getFileName.toString -> f).toMap
+    val (linked, _) = cat.versionFiles("c", 2).partition(f =>
+      v1ByName.get(f.getFileName.toString).exists(sameFile(_, f)))
+    assert(linked.size == 3, "non-overlapping old-schema files stay linked")
+    val got = cat.read("c").collect()
+      .map(r => (r.getInt(0), Option(r.getString(2)))).toMap
+    assert(got(5).contains("T"), "edited row carries the new column")
+    assert(got(4).isEmpty && got(39).isEmpty,
+      "untouched rows (linked old-schema files) read the new column as NULL")
+    // a predicate ON the new column matches nothing in old files (3VL)
+    val tx2 = new Tx(cat)
+    tx2.stageDelete("c", Some(col("tag") === "nope"))
+    tx2.commit(Some("c"))
+    assert(cat.read("c").count() == 40, "NULL tag rows are kept by 3VL delete")
+  }
+
   test("COW composes with CAS: two committers racing on the same base both land") {
     val (cat, _) = fixture("race")
     val txA = new Tx(cat); txA.stageEdit("c", col("id") === 3, Seq("v" -> "A"))
