@@ -68,6 +68,13 @@ object Ast {
     */
   final case class AggProj(fn: String, column: String, distinct: Boolean = false)
 
+  /** One computed projection item, `a * b + 2` (graft extension). The
+    * output name is generated from the expression (`a_mul_b_plus_2`) —
+    * AQL has no alias syntax; a generated name colliding with another
+    * output column is a parse-time error, never a downstream ambiguity.
+    */
+  final case class ExprProj(name: String, expr: Operand)
+
   /** One explicit sort item, `ORDER BY [col ASC|DESC, …]` (graft
     * extension). Ascending when `asc`.
     */
@@ -103,7 +110,8 @@ object Ast {
       where: Option[Where], atVersion: Option[Int] = None,
       aggs: List[AggProj] = Nil, having: Option[Where] = None,
       orderBy: List[SortItem] = Nil, limit: Option[Int] = None,
-      distinct: Boolean = false, joins: List[JoinSpec] = Nil) extends Stmt
+      distinct: Boolean = false, joins: List[JoinSpec] = Nil,
+      exprs: List[ExprProj] = Nil) extends Stmt
   final case class Commit(container: Option[String]) extends Stmt
   final case class Rollback(container: Option[String]) extends Stmt
   /** graft extension: physical-plan inspection for a SEARCH. */
@@ -160,34 +168,63 @@ object Parser {
 
   private val AggFns = Set("count", "sum", "avg", "min", "max")
 
-  /** SEARCH projection: plain column names plus `fn(col)` aggregate items
-    * (a name token immediately followed by a one-token subcommand).
+  /** SEARCH projection: plain column names, `fn(col)` aggregate items
+    * (a name token immediately followed by a one-token subcommand), and
+    * computed arithmetic items `a * b + 2` (graft extension — recognized
+    * by a connector token after a factor; group commas don't survive
+    * lexing, but arithmetic parses greedily so item boundaries stay
+    * unambiguous).
     */
-  private def parseProjection(g: Token): (List[String], List[AggProj]) = g match {
-    case Group(items) =>
-      val cols = List.newBuilder[String]
-      val aggs = List.newBuilder[AggProj]
-      var rest = items
-      while (rest.nonEmpty) rest match {
-        case fnTok :: SubCommand(inner) :: tl =>
-          val fn = name(fnTok).toLowerCase
-          if (!AggFns.contains(fn))
-            throw new ParseException(
-              s"Unknown aggregate '$fn' (supported: ${AggFns.toList.sorted.mkString(",")})")
-          inner match {
-            case List(one) => aggs += AggProj(fn, name(one)); rest = tl
-            // count(DISTINCT col) — distinct cardinality (graft extension)
-            case List(Keyword("DISTINCT"), one) if fn == "count" =>
-              aggs += AggProj(fn, name(one), distinct = true); rest = tl
-            case List(Keyword("DISTINCT"), _) => throw new ParseException(
-              s"DISTINCT is only supported under count(), not $fn()")
-            case other => throw new ParseException(
-              s"Aggregate $fn takes exactly one column, got $other")
-          }
-        case t :: tl => cols += name(t); rest = tl
+  private def parseProjection(g: Token): (List[String], List[AggProj], List[ExprProj]) =
+    g match {
+      case Group(items) =>
+        val cols = List.newBuilder[String]
+        val aggs = List.newBuilder[AggProj]
+        val exprs = List.newBuilder[ExprProj]
+        var rest = items
+        while (rest.nonEmpty) rest match {
+          case fnTok :: SubCommand(inner) :: tl =>
+            val fn = name(fnTok).toLowerCase
+            if (!AggFns.contains(fn))
+              throw new ParseException(
+                s"Unknown aggregate '$fn' (supported: ${AggFns.toList.sorted.mkString(",")})")
+            inner match {
+              case List(one) => aggs += AggProj(fn, name(one)); rest = tl
+              // count(DISTINCT col) — distinct cardinality (graft extension)
+              case List(Keyword("DISTINCT"), one) if fn == "count" =>
+                aggs += AggProj(fn, name(one), distinct = true); rest = tl
+              case List(Keyword("DISTINCT"), _) => throw new ParseException(
+                s"DISTINCT is only supported under count(), not $fn()")
+              case other => throw new ParseException(
+                s"Aggregate $fn takes exactly one column, got $other")
+            }
+          case t :: tl if tl.headOption.exists(c => arithOp(c).isDefined) && isFactor(t) =>
+            val (expr, tl2) = parseArith(t, tl)
+            exprs += ExprProj(exprName(expr), expr)
+            rest = tl2
+          case t :: tl => cols += name(t); rest = tl
+        }
+        (cols.result(), aggs.result(), exprs.result())
+      case other => throw new ParseException(s"Expected [group], got $other")
+    }
+
+  /** Generated output name for a computed projection item: leaves as
+    * written (literals with `-`→`m`, `.`→`p`), operators as words —
+    * `a * b + 2` → `a_mul_b_plus_2`. Collisions with other output
+    * columns are rejected at lowering.
+    */
+  private def exprName(o: Operand): String = o match {
+    case Operand.Leaf(Str(w)) => w.toLowerCase
+    case Operand.Leaf(IntLit(n)) => if (n < 0) "m" + (-n) else n.toString
+    case Operand.Leaf(FloatLit(f)) =>
+      f.toString.replace("-", "m").replace(".", "p")
+    case Operand.Leaf(t) => throw new ParseException(
+      s"Unsupported token in computed projection: $t")
+    case Operand.Bin(l, op, r) =>
+      val w = op match {
+        case '+' => "plus"; case '-' => "minus"; case '*' => "mul"; case '/' => "div"
       }
-      (cols.result(), aggs.result())
-    case other => throw new ParseException(s"Expected [group], got $other")
+      s"${exprName(l)}_${w}_${exprName(r)}"
   }
 
   /** WHERE clause: `col OP value (AND|OR col OP value)*`. */
@@ -465,11 +502,14 @@ object Parser {
           throw new ParseException(s"Expected a positive integer after LIMIT, got $other")
         case other => throw new ParseException(s"Unexpected trailing tokens: $other")
       }
-      val (projCols, projAggs) = parseProjection(projG)
+      val (projCols, projAggs, projExprs) = parseProjection(projG)
       if (having.isDefined && projAggs.isEmpty)
         throw new ParseException("HAVING requires aggregate projections")
+      if (projExprs.nonEmpty && projAggs.nonEmpty)
+        throw new ParseException(
+          "Computed projection items cannot combine with aggregates")
       Search(containers, projCols, where, atVersion, projAggs, having, orderBy, limit,
-        joins = joins)
+        joins = joins, exprs = projExprs)
 
     // EXPLAIN <search> (graft extension)
     case Keyword("EXPLAIN") :: rest =>

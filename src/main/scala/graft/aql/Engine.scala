@@ -200,12 +200,17 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     // the grouping happens over the unioned result (SQL: FROM union).
     // Dedupe case-insensitively — resolution is case-insensitive, so
     // `lang` and `LANG` are the same physical column
+    def dedupeCI(names: List[String]): List[String] =
+      names.foldLeft(List.empty[String]) { (acc, n) =>
+        if (acc.exists(_.equalsIgnoreCase(n))) acc else acc :+ n
+      }
+    // computed projection items (graft extension) need their leaf columns
+    // carried through the per-part projection, then project away below
+    val exprLeaves = s.exprs.flatMap(e => operandLeafNames(e.expr))
     val partProjection =
-      if (s.aggs.isEmpty) s.projection
-      else (s.projection ++ s.aggs.map(_.column))
-        .foldLeft(List.empty[String]) { (acc, n) =>
-          if (acc.exists(_.equalsIgnoreCase(n))) acc else acc :+ n
-        }
+      if (s.aggs.isEmpty && s.exprs.isEmpty) s.projection
+      else if (s.aggs.isEmpty) dedupeCI(s.projection ++ exprLeaves)
+      else dedupeCI(s.projection ++ s.aggs.map(_.column))
     val unioned = if (s.joins.nonEmpty) joinedSource(s, partProjection) else {
       val parts = s.containers.map {
         case Ast.Container.Real(cname) =>
@@ -225,7 +230,26 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       parts.reduce(_ unionByName _)
     }
     val result =
-      if (s.aggs.isEmpty) unioned
+      if (s.aggs.isEmpty && s.exprs.nonEmpty) {
+        // computed projection items: arithmetic over the source columns,
+        // output = plain columns (written order) then computed columns —
+        // a pure codegen'd Project, nothing materializes early. Leaf
+        // columns must be numeric (strict Q8 stance, like sum/avg).
+        val d = virtualDef(unioned)
+        s.exprs.flatMap(e => operandLeafNames(e.expr)).foreach { n =>
+          val cn = resolveNames(unioned, List(n)).head
+          if (!virtualDef(unioned).columns.find(_._1 == cn).exists(_._2.isNumeric))
+            throw new ParseException(
+              s"Computed projection requires numeric columns, '$cn' is not")
+        }
+        val plainNames = resolveNames(unioned, s.projection)
+        val outNames = plainNames ++ s.exprs.map(_.name)
+        if (outNames.map(_.toLowerCase).distinct.length != outNames.length)
+          throw new ParseException(
+            s"Duplicate output columns in projection: ${outNames.mkString(",")}")
+        unioned.select(plainNames.map(col) ++
+          s.exprs.map(e => lowerOperand(e.expr, d).as(e.name)): _*)
+      } else if (s.aggs.isEmpty) unioned
       else {
         // grouped aggregate: plain projection columns are the keys (none =
         // global aggregate); partial aggregation happens before the one
@@ -547,6 +571,13 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           case other => throw new ParseException(s"Unknown operator $other")
         }
     }
+  }
+
+  /** Column names referenced by an arithmetic operand tree. */
+  private def operandLeafNames(o: Ast.Operand): List[String] = o match {
+    case Ast.Operand.Leaf(Token.Str(w)) => List(w)
+    case Ast.Operand.Leaf(_) => Nil
+    case Ast.Operand.Bin(l, _, r) => operandLeafNames(l) ++ operandLeafNames(r)
   }
 
   /** Arithmetic RHS lowering (graft extension): bare words resolve as

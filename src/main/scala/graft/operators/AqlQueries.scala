@@ -252,6 +252,18 @@ object AqlQueries {
           "ON lineitem WHERE l_discount > l_tax")(s, dir)
     },
 
+    // computed projection items (graft extension): arithmetic in the
+    // SELECT list with generated output names — a pure codegen'd Project
+    Q("aql_proj_arith",
+      """SELECT l_orderkey, l_linenumber,
+        |       l_extendedprice * l_discount AS l_extendedprice_mul_l_discount
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice_mul_l_discount""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [l_orderkey, l_linenumber, l_extendedprice * l_discount] " +
+          "ON lineitem WHERE l_orderkey < 100")(s, dir)
+    },
+
     // ALTER CONTAINER ADD COLUMN through the full AQL path: one scan over
     // files of BOTH schemas — pre-ALTER rows read the new column as NULL,
     // the post-ALTER insert carries it. The oracle reconstructs the mixed

@@ -470,6 +470,28 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     eng.execute("ROLLBACK arith")
   }
 
+  test("28 computed projection items evaluate with output = plain-then-computed") {
+    // arith container from test 27: (1,5.0,'x'), (6,2.0,'b'), (10,30.0,'a')
+    val df = eng.execute("SEARCH [a, b, a * 2 + 1] ON arith")
+      .asInstanceOf[Engine.ResultSet].df
+    assert(df.columns.toSeq == Seq("a", "b", "a_mul_2_plus_1"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 3L, 6L -> 13L, 10L -> 21L))
+    // exprs-only projection outputs only the computed column
+    val only = eng.execute("SEARCH [b / 2] ON arith")
+      .asInstanceOf[Engine.ResultSet].df
+    assert(only.columns.toSeq == Seq("b_div_2"))
+    // composes with WHERE and ORDER BY over the computed name
+    val rows = searchRows(
+      "SEARCH [a, b * 2] ON arith WHERE a > 1 ORDER BY [b_mul_2 DESC]")
+    assert(rows.map(_.getLong(0)) == Seq(10L, 6L))
+    // string columns are rejected (strict typing, like sum/avg)
+    intercept[ParseException](searchRows("SEARCH [t * 2] ON arith"))
+    // name collision with a plain output column is an error
+    eng.execute("CREATE CONTAINER collide ['x','x_mul_2'] [INT, INT]")
+    intercept[ParseException](searchRows("SEARCH [x_mul_2, x * 2] ON collide"))
+  }
+
   test("26 ALTER CONTAINER ADD COLUMN: old versions read NULL, new rows carry the column") {
     eng.execute("CREATE CONTAINER alt ['id','v'] [BIGINT, SMALL-STRING]")
     eng.execute("CREATE ROW ['id','v'] [1,'one'] ON alt")

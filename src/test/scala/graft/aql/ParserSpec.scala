@@ -210,6 +210,20 @@ class ParserSpec extends AnyFunSuite {
     intercept[ParseException](Parser.parse("SEARCH [] ON t WHERE p > q + AND r = 1"))
   }
 
+  test("computed projection items: generated names, precedence, guards") {
+    import Operand._
+    val s = Parser.parse("SEARCH [a, b * 2 + c] ON t").asInstanceOf[Search]
+    assert(s.projection == List("a"))
+    assert(s.exprs == List(ExprProj("b_mul_2_plus_c",
+      Bin(Bin(Leaf(Token.Str("b")), '*', Leaf(Token.IntLit(2))),
+        '+', Leaf(Token.Str("c"))))))
+    // exprs-only projection: no plain columns
+    val only = Parser.parse("SEARCH [p / 4] ON t").asInstanceOf[Search]
+    assert(only.projection.isEmpty && only.exprs.map(_.name) == List("p_div_4"))
+    // cannot combine with aggregates
+    intercept[ParseException](Parser.parse("SEARCH [sum(a), b * 2] ON t"))
+  }
+
   test("ALTER CONTAINER ADD COLUMN parses; malformed forms rejected") {
     val a = Parser.parse("ALTER CONTAINER c ADD COLUMN ['x','y'] [INT, TEXT]")
       .asInstanceOf[AlterContainer]
