@@ -118,6 +118,9 @@ object Ast {
   final case class Explain(query: Search) extends Stmt
   /** graft extension: prune old committed versions (time travel GC). */
   final case class Vacuum(container: String, keepLast: Int) extends Stmt
+  /** graft extension: compact the fragmented current version into a
+    * pk-range-clustered new version (the COW-commit maintenance op). */
+  final case class Optimize(container: String, targetFiles: Option[Int]) extends Stmt
   final case class CursorNext(id: String) extends Stmt
   final case class CursorPrevious(id: String) extends Stmt
   final case class CursorExit(id: String) extends Stmt
@@ -524,6 +527,13 @@ object Parser {
     case Keyword("VACUUM") :: containerTok :: IntLit(k) :: Nil =>
       if (k < 1) throw new ParseException("VACUUM keepLast must be >= 1")
       Vacuum(name(containerTok), k.toInt)
+
+    // OPTIMIZE container [targetFiles] (graft extension)
+    case Keyword("OPTIMIZE") :: containerTok :: Nil =>
+      Optimize(name(containerTok), None)
+    case Keyword("OPTIMIZE") :: containerTok :: IntLit(n) :: Nil =>
+      if (n < 1) throw new ParseException("OPTIMIZE target file count must be >= 1")
+      Optimize(name(containerTok), Some(n.toInt))
 
     // COMMIT / ROLLBACK [container] (parser.rs:553-588)
     case Keyword("COMMIT") :: Nil => Commit(None)

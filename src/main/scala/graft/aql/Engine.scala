@@ -140,6 +140,12 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       catalog.vacuum(c, keep)
       Done(s"vacuumed $c: ${before - catalog.versions(c).length} version(s) removed")
 
+    case Ast.Optimize(c, target) =>
+      catalog.get(c) // existence check
+      val (before, after) = catalog.optimize(c, target)
+      Done(s"optimized $c: $before file(s) -> $after file(s) " +
+        s"(version ${catalog.currentVersion(c)})")
+
     case Ast.Commit(c) => tx.commit(c); Done("committed")
     case Ast.Rollback(c) => tx.rollback(c); Done("rolled back")
 

@@ -380,6 +380,34 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     }
   }
 
+  /** Compact the current version into a pk-range-clustered layout with
+    * few files — the maintenance flip side of file-granular COW commits
+    * (every small commit appends a small parquet part; hundreds of
+    * commits fragment the container). Published as a NEW version through
+    * the normal CAS path, so readers never block, time travel keeps the
+    * fragmented history until vacuum, and a concurrent commit simply
+    * wins or loses the slot race as usual. Range clustering on the pk
+    * restores tight per-file min/max, so point/range scans skip files
+    * again (the same layout contract as `Tables.compacted` for fixtures;
+    * Delta OPTIMIZE / Iceberg rewrite at warehouse scale). Default file
+    * count derives from plan-stats bytes at 128 MiB per file.
+    * Returns (files before, files after).
+    */
+  def optimize(name: String, targetFiles: Option[Int] = None): (Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val v0 = currentVersion(name)
+    val before = if (v0 > 0) versionFiles(name, v0).size else 0
+    val df = read(name)
+    val pk = get(name).primaryKey
+    val n = targetFiles.getOrElse {
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      (bytes / (128L << 20)).toInt.max(1)
+    }
+    require(n >= 1, s"OPTIMIZE $name: target file count must be >= 1")
+    overwrite(name, df.repartitionByRange(n, col(pk)).sortWithinPartitions(pk))
+    (before, versionFiles(name, currentVersion(name)).size)
+  }
+
   /** Drop all but the newest `keepLast` versions (and their claim files),
     * plus any stale claim whose slot never published and whose claimant is
     * provably dead — an abandoned claim would otherwise inflate

@@ -153,6 +153,38 @@ class CowCommitSpec extends AnyFunSuite {
     assert(cat.read("c").count() == 40, "NULL tag rows are kept by 3VL delete")
   }
 
+  test("OPTIMIZE compacts a fragmented version chain; history and content survive") {
+    // the maintenance flip side of COW: many small commits accumulate
+    // small appended part files (each insert-only commit adds one)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cow-opt")
+    val eng = new graft.aql.Engine(spark, dir.toString)
+    eng.execute("CREATE CONTAINER f ['k','v'] [INT, SMALL-STRING]")
+    (1 to 6).foreach { i =>
+      eng.execute(s"CREATE ROW ['k','v'] [$i,'v$i'] ON f")
+      eng.execute("COMMIT f")
+    }
+    val cat = eng.catalog
+    assert(cat.currentVersion("f") == 6)
+    val fragmented = cat.versionFiles("f", 6).size
+    assert(fragmented >= 6, s"6 append commits must fragment, got $fragmented files")
+
+    val msg = eng.execute("OPTIMIZE f 1").asInstanceOf[graft.aql.Engine.Done].message
+    assert(msg.contains("-> 1 file(s)"), msg)
+    assert(cat.currentVersion("f") == 7)
+    assert(cat.versionFiles("f", 7).size == 1)
+    // content identical, pk-clustered
+    val got = cat.read("f").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got == (1 to 6).map(i => (i, s"v$i")).toSet)
+    // the fragmented history is still time-travelable until vacuumed
+    assert(cat.readVersion("f", 3).count() == 3)
+    eng.execute("VACUUM f")
+    assert(cat.versions("f") == Seq(7))
+    // and the next COW commit links the compacted file set
+    eng.execute("CREATE ROW ['k','v'] [7,'v7'] ON f"); eng.execute("COMMIT f")
+    assert(cat.read("f").count() == 7)
+    intercept[graft.aql.ParseException](eng.execute("OPTIMIZE f 0"))
+  }
+
   test("COW composes with CAS: two committers racing on the same base both land") {
     val (cat, _) = fixture("race")
     val txA = new Tx(cat); txA.stageEdit("c", col("id") === 3, Seq("v" -> "A"))
