@@ -75,6 +75,11 @@ object Ast {
     */
   final case class ExprProj(name: String, expr: Operand)
 
+  /** One scalar-function projection item, `fn(col)` with a non-aggregate
+    * fn (graft extension). Output column is `fn_col`, like aggregates.
+    */
+  final case class FnProj(fn: String, column: String)
+
   /** One explicit sort item, `ORDER BY [col ASC|DESC, …]` (graft
     * extension). Ascending when `asc`.
     */
@@ -111,7 +116,7 @@ object Ast {
       aggs: List[AggProj] = Nil, having: Option[Where] = None,
       orderBy: List[SortItem] = Nil, limit: Option[Int] = None,
       distinct: Boolean = false, joins: List[JoinSpec] = Nil,
-      exprs: List[ExprProj] = Nil) extends Stmt
+      exprs: List[ExprProj] = Nil, fns: List[FnProj] = Nil) extends Stmt
   final case class Commit(container: Option[String]) extends Stmt
   final case class Rollback(container: Option[String]) extends Stmt
   /** graft extension: physical-plan inspection for a SEARCH. */
@@ -171,6 +176,13 @@ object Parser {
 
   private val AggFns = Set("count", "sum", "avg", "min", "max")
 
+  /** Scalar (per-row) functions accepted in the projection — the subset
+    * of the reference-era "what an AQL-only client can't reach" gap that
+    * a single-column signature covers. All lower to codegen'd built-ins.
+    */
+  private val ScalarFns = Set("lower", "upper", "length", "abs", "round",
+    "floor", "ceil", "trim")
+
   /** SEARCH projection: plain column names, `fn(col)` aggregate items
     * (a name token immediately followed by a one-token subcommand), and
     * computed arithmetic items `a * b + 2` (graft extension — recognized
@@ -178,20 +190,28 @@ object Parser {
     * lexing, but arithmetic parses greedily so item boundaries stay
     * unambiguous).
     */
-  private def parseProjection(g: Token): (List[String], List[AggProj], List[ExprProj]) =
+  private def parseProjection(g: Token)
+      : (List[String], List[AggProj], List[ExprProj], List[FnProj]) =
     g match {
       case Group(items) =>
         val cols = List.newBuilder[String]
         val aggs = List.newBuilder[AggProj]
         val exprs = List.newBuilder[ExprProj]
+        val fns = List.newBuilder[FnProj]
         var rest = items
         while (rest.nonEmpty) rest match {
           case fnTok :: SubCommand(inner) :: tl =>
             val fn = name(fnTok).toLowerCase
-            if (!AggFns.contains(fn))
+            if (ScalarFns.contains(fn)) inner match {
+              case List(one) => fns += FnProj(fn, name(one)); rest = tl
+              case other => throw new ParseException(
+                s"Function $fn takes exactly one column, got $other")
+            }
+            else if (!AggFns.contains(fn))
               throw new ParseException(
-                s"Unknown aggregate '$fn' (supported: ${AggFns.toList.sorted.mkString(",")})")
-            inner match {
+                s"Unknown function '$fn' (aggregates: ${AggFns.toList.sorted.mkString(",")}; " +
+                  s"scalar: ${ScalarFns.toList.sorted.mkString(",")})")
+            else inner match {
               case List(one) => aggs += AggProj(fn, name(one)); rest = tl
               // count(DISTINCT col) — distinct cardinality (graft extension)
               case List(Keyword("DISTINCT"), one) if fn == "count" =>
@@ -207,7 +227,7 @@ object Parser {
             rest = tl2
           case t :: tl => cols += name(t); rest = tl
         }
-        (cols.result(), aggs.result(), exprs.result())
+        (cols.result(), aggs.result(), exprs.result(), fns.result())
       case other => throw new ParseException(s"Expected [group], got $other")
     }
 
@@ -505,14 +525,14 @@ object Parser {
           throw new ParseException(s"Expected a positive integer after LIMIT, got $other")
         case other => throw new ParseException(s"Unexpected trailing tokens: $other")
       }
-      val (projCols, projAggs, projExprs) = parseProjection(projG)
+      val (projCols, projAggs, projExprs, projFns) = parseProjection(projG)
       if (having.isDefined && projAggs.isEmpty)
         throw new ParseException("HAVING requires aggregate projections")
-      if (projExprs.nonEmpty && projAggs.nonEmpty)
+      if ((projExprs.nonEmpty || projFns.nonEmpty) && projAggs.nonEmpty)
         throw new ParseException(
           "Computed projection items cannot combine with aggregates")
       Search(containers, projCols, where, atVersion, projAggs, having, orderBy, limit,
-        joins = joins, exprs = projExprs)
+        joins = joins, exprs = projExprs, fns = projFns)
 
     // EXPLAIN <search> (graft extension)
     case Keyword("EXPLAIN") :: rest =>

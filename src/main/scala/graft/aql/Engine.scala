@@ -212,9 +212,10 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       }
     // computed projection items (graft extension) need their leaf columns
     // carried through the per-part projection, then project away below
-    val exprLeaves = s.exprs.flatMap(e => operandLeafNames(e.expr))
+    val exprLeaves = s.exprs.flatMap(e => operandLeafNames(e.expr)) ++
+      s.fns.map(_.column)
     val partProjection =
-      if (s.aggs.isEmpty && s.exprs.isEmpty) s.projection
+      if (s.aggs.isEmpty && s.exprs.isEmpty && s.fns.isEmpty) s.projection
       else if (s.aggs.isEmpty) dedupeCI(s.projection ++ exprLeaves)
       else dedupeCI(s.projection ++ s.aggs.map(_.column))
     val unioned = if (s.joins.nonEmpty) joinedSource(s, partProjection) else {
@@ -236,25 +237,52 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       parts.reduce(_ unionByName _)
     }
     val result =
-      if (s.aggs.isEmpty && s.exprs.nonEmpty) {
-        // computed projection items: arithmetic over the source columns,
-        // output = plain columns (written order) then computed columns —
-        // a pure codegen'd Project, nothing materializes early. Leaf
-        // columns must be numeric (strict Q8 stance, like sum/avg).
+      if (s.aggs.isEmpty && (s.exprs.nonEmpty || s.fns.nonEmpty)) {
+        // computed projection items: arithmetic and scalar functions over
+        // the source columns, output = plain columns (written order) then
+        // computed columns — a pure codegen'd Project, nothing
+        // materializes early. Strict input typing (Q8 stance, like
+        // sum/avg): arithmetic leaves numeric; string fns on strings.
+        import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
         val d = virtualDef(unioned)
         s.exprs.flatMap(e => operandLeafNames(e.expr)).foreach { n =>
           val cn = resolveNames(unioned, List(n)).head
-          if (!virtualDef(unioned).columns.find(_._1 == cn).exists(_._2.isNumeric))
+          if (!d.columns.find(_._1 == cn).exists(_._2.isNumeric))
             throw new ParseException(
               s"Computed projection requires numeric columns, '$cn' is not")
         }
+        val fnCols = s.fns.map { f =>
+          val cn = resolveNames(unioned, List(f.column)).head
+          val dt = unioned.schema(cn).dataType
+          val c = col(cn)
+          def needString(): Unit = if (dt != StringType) throw new ParseException(
+            s"${f.fn}($cn) requires a string column, got $dt")
+          def needNumeric(): Unit =
+            if (!Seq(IntegerType, LongType, DoubleType).contains(dt))
+              throw new ParseException(s"${f.fn}($cn) requires a numeric column, got $dt")
+          val e = f.fn match {
+            case "lower" => needString(); lower(c)
+            case "upper" => needString(); upper(c)
+            case "trim" => needString(); trim(c)
+            // length → BIGINT, floor/ceil → DOUBLE: the SQL (DuckDB-
+            // compatible) result types, not Spark's int/long variants
+            case "length" => needString(); length(c).cast("long")
+            case "abs" => needNumeric(); abs(c)
+            case "round" => needNumeric(); round(c, 0)
+            case "floor" => needNumeric(); floor(c).cast("double")
+            case "ceil" => needNumeric(); ceil(c).cast("double")
+            case other => throw new ParseException(s"Unknown function $other")
+          }
+          e.as(s"${f.fn}_${f.column.toLowerCase}")
+        }
         val plainNames = resolveNames(unioned, s.projection)
-        val outNames = plainNames ++ s.exprs.map(_.name)
+        val outNames = plainNames ++ s.exprs.map(_.name) ++
+          s.fns.map(f => s"${f.fn}_${f.column.toLowerCase}")
         if (outNames.map(_.toLowerCase).distinct.length != outNames.length)
           throw new ParseException(
             s"Duplicate output columns in projection: ${outNames.mkString(",")}")
         unioned.select(plainNames.map(col) ++
-          s.exprs.map(e => lowerOperand(e.expr, d).as(e.name)): _*)
+          s.exprs.map(e => lowerOperand(e.expr, d).as(e.name)) ++ fnCols: _*)
       } else if (s.aggs.isEmpty) unioned
       else {
         // grouped aggregate: plain projection columns are the keys (none =

@@ -264,6 +264,19 @@ object AqlQueries {
           "ON lineitem WHERE l_orderkey < 100")(s, dir)
     },
 
+    // scalar functions through AQL (graft extension): fn_col outputs with
+    // SQL result types (length → BIGINT, ceil → DOUBLE)
+    Q("aql_scalar_fns",
+      """SELECT doc_id, upper(lang) AS upper_lang,
+        |       length(text) AS length_text,
+        |       ceil(n_chars / 100) AS ceil_n_chars_div_100
+        |FROM documents WHERE doc_id < 50
+        |ORDER BY doc_id""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [doc_id, upper(lang), length(text), ceil(n_chars_div_100)] " +
+          "ON [(SEARCH [doc_id, lang, text, n_chars / 100] ON documents WHERE doc_id < 50)]")(s, dir)
+    },
+
     // ALTER CONTAINER ADD COLUMN through the full AQL path: one scan over
     // files of BOTH schemas — pre-ALTER rows read the new column as NULL,
     // the post-ALTER insert carries it. The oracle reconstructs the mixed

@@ -492,6 +492,27 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[ParseException](searchRows("SEARCH [x_mul_2, x * 2] ON collide"))
   }
 
+  test("29 scalar function projection items (fn_col outputs, strict typing)") {
+    // arith container: (1,5.0,'x'), (6,2.0,'b'), (10,30.0,'a')
+    val df = eng.execute("SEARCH [a, upper(t), ceil(b)] ON arith")
+      .asInstanceOf[Engine.ResultSet].df
+    assert(df.columns.toSeq == Seq("a", "upper_t", "ceil_b"))
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, "X", 5.0), (6L, "B", 2.0), (10L, "A", 30.0)))
+    // scalar fns compose with computed arithmetic in one projection
+    val mixed = eng.execute("SEARCH [length(t), a * 2] ON arith")
+      .asInstanceOf[Engine.ResultSet].df
+    assert(mixed.columns.toSet == Set("length_t", "a_mul_2"))
+    // strict typing both ways
+    intercept[ParseException](searchRows("SEARCH [lower(a)] ON arith"))
+    intercept[ParseException](searchRows("SEARCH [abs(t)] ON arith"))
+    // unknown function names the whole supported set
+    val err = intercept[ParseException](searchRows("SEARCH [sqrt(a)] ON arith"))
+    assert(err.getMessage.contains("scalar"))
+    // cannot combine with aggregates
+    intercept[ParseException](searchRows("SEARCH [count(a), lower(t)] ON arith"))
+  }
+
   test("26 ALTER CONTAINER ADD COLUMN: old versions read NULL, new rows carry the column") {
     eng.execute("CREATE CONTAINER alt ['id','v'] [BIGINT, SMALL-STRING]")
     eng.execute("CREATE ROW ['id','v'] [1,'one'] ON alt")
