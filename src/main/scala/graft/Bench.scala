@@ -84,11 +84,21 @@ object Bench {
         .orElse(Seq("/root/.pyenv/versions/3.11.7/bin/python", "/usr/bin/python3")
           .find(new java.io.File(_).exists()))
         .getOrElse("python3")
-      val p = new ProcessBuilder(python, script.getPath, sfDir, tmp.toString).start()
-      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-      if (!p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS) || p.exitValue() != 0) {
+      // redirect BOTH streams to a file: reading stdout in-process would
+      // block past the timeout if duckdb wedges without closing the pipe,
+      // and an undrained stderr pipe can deadlock a verbose subprocess
+      val outFile = tmp.resolve("duckbench.out").toFile
+      val p = new ProcessBuilder(python, script.getPath, sfDir, tmp.toString)
+        .redirectErrorStream(true)
+        .redirectOutput(outFile)
+        .start()
+      if (!p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)) {
         p.destroyForcibly(); return None
       }
-      """"value":\s*([0-9.eE+-]+)""".r.findFirstMatchIn(out).map(_.group(1).toDouble)
+      if (p.exitValue() != 0) return None
+      val out = new String(java.nio.file.Files.readAllBytes(outFile.toPath), "UTF-8")
+      // anchored to the result line — merged stderr may precede the JSON
+      """"metric": "duckdb_total", "value": ([0-9.eE+-]+)""".r
+        .findFirstMatchIn(out).map(_.group(1).toDouble)
     } catch { case _: Throwable => None }
 }

@@ -84,23 +84,30 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     * base files carried into new versions by COW hard links. The pk
     * convention (first column) is unaffected: columns only append.
     */
-  def addColumns(name: String, columns: List[(String, AlbaType)]): ContainerDef = {
-    val d = get(name)
-    val existing = d.columns.map(_._1.toLowerCase).toSet
-    columns.foreach { case (n, _) =>
-      require(!existing.contains(n.toLowerCase),
-        s"Column '$n' already exists on '$name'")
+  def addColumns(name: String, columns: List[(String, AlbaType)]): ContainerDef =
+    // read-modify-write of the schema file: serialize under the
+    // per-container lock so two concurrent ALTERs can't each append to
+    // the OLD schema and silently drop the other's columns
+    withContainerLock(name) {
+      val d = get(name)
+      val newNames = columns.map(_._1.toLowerCase)
+      require(newNames.distinct.length == newNames.length,
+        s"Duplicate column names in ALTER: ${columns.map(_._1).mkString(",")}")
+      val existing = d.columns.map(_._1.toLowerCase).toSet
+      columns.foreach { case (n, _) =>
+        require(!existing.contains(n.toLowerCase),
+          s"Column '$n' already exists on '$name'")
+      }
+      val text = (d.columns ++ columns)
+        .map { case (n, t) => s"$n\t${t.name}" }.mkString("\n")
+      // atomic swap so a concurrent reader never sees a half-written schema
+      val tmp = catDir.resolve(
+        s"$name.schema.tmp-${ProcessHandle.current.pid}-${System.nanoTime()}")
+      Files.writeString(tmp, text)
+      Files.move(tmp, schemaFile(name), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      ContainerDef(name, d.columns ++ columns)
     }
-    val text = (d.columns ++ columns)
-      .map { case (n, t) => s"$n\t${t.name}" }.mkString("\n")
-    // atomic swap so a concurrent reader never sees a half-written schema
-    val tmp = catDir.resolve(
-      s"$name.schema.tmp-${ProcessHandle.current.pid}-${System.nanoTime()}")
-    Files.writeString(tmp, text)
-    Files.move(tmp, schemaFile(name), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    ContainerDef(name, d.columns ++ columns)
-  }
 
   def drop(name: String): Unit = {
     require(exists(name), s"Unknown container '$name'")
@@ -312,21 +319,25 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
 
   private def claimFile(name: String, v: Int) = catDir.resolve(s"$name.claim-v$v")
 
-  /** Highest version either published (directory) or claimed (a committer
-    * that crashed between claim and publish leaves a claim file with no
-    * directory — new commits must skip past it, not wedge on the gap). */
-  private def latestClaimed(name: String): Int = {
+  /** Every slot with an outstanding claim file. */
+  private def claimedSlots(name: String): Seq[Int] = {
     val pat = java.util.regex.Pattern.compile(
       java.util.regex.Pattern.quote(name) + "\\.claim-v(\\d+)")
-    val claimed = scala.util.Using.resource(Files.list(catDir)) { stream =>
+    scala.util.Using.resource(Files.list(catDir)) { stream =>
       stream.iterator().asScala.map(_.getFileName.toString).flatMap { f =>
         val m = pat.matcher(f)
         if (m.matches()) Some(m.group(1).toInt) else None
-      }.maxOption.getOrElse(0)
+      }.toSeq
     }
-    math.max(math.max(claimed, currentVersion(name)),
-      versions(name).lastOption.getOrElse(0))
   }
+
+  /** Highest version either published (directory) or claimed (a committer
+    * that crashed between claim and publish leaves a claim file with no
+    * directory — new commits must skip past it, not wedge on the gap). */
+  private def latestClaimed(name: String): Int =
+    math.max(
+      math.max(claimedSlots(name).maxOption.getOrElse(0), currentVersion(name)),
+      versions(name).lastOption.getOrElse(0))
 
   /** Commit `df` as the next version unconditionally (last-writer-wins) —
     * for whole-container replacement where there is no read-modify-write
@@ -395,16 +406,28 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     */
   def optimize(name: String, targetFiles: Option[Int] = None): (Int, Int) = {
     import org.apache.spark.sql.functions.col
-    val v0 = currentVersion(name)
-    val before = if (v0 > 0) versionFiles(name, v0).size else 0
-    val df = read(name)
     val pk = get(name).primaryKey
-    val n = targetFiles.getOrElse {
-      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-      (bytes / (128L << 20)).toInt.max(1)
+    // CAS like any commit — NOT overwrite(): optimize rewrites content it
+    // has already read, so publishing above a concurrently-committed
+    // version would silently drop that commit's rows. Losing the claim
+    // re-reads the new base and compacts THAT.
+    var attempts = 0
+    var done = false
+    var before = 0
+    while (!done) {
+      attempts += 1
+      require(attempts <= 50, s"OPTIMIZE $name: lost the version race 50 times")
+      if (attempts > 1) Thread.sleep(math.min(100L * attempts, 2000L))
+      val base = currentVersion(name)
+      val df = if (base > 0) readVersion(name, base) else read(name)
+      before = if (base > 0) versionFiles(name, base).size else 0
+      val n = targetFiles.getOrElse {
+        val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        (bytes / (128L << 20)).toInt.max(1)
+      }
+      done = tryCommit(name, base,
+        df.repartitionByRange(n, col(pk)).sortWithinPartitions(pk))
     }
-    require(n >= 1, s"OPTIMIZE $name: target file count must be >= 1")
-    overwrite(name, df.repartitionByRange(n, col(pk)).sortWithinPartitions(pk))
     (before, versionFiles(name, currentVersion(name)).size)
   }
 
@@ -415,19 +438,17 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     * never touched.
     */
   def vacuum(name: String, keepLast: Int = 1): Unit = {
-    versions(name).dropRight(keepLast).foreach { v =>
+    // a published-but-unflipped version (crash between move and flip)
+    // must count as the NEWEST version, not get GC'd while the pointer
+    // still references an older one — adopting first also guarantees the
+    // pointed version is never in the dropRight window
+    adoptPublished(name)
+    val cur = currentVersion(name)
+    versions(name).dropRight(keepLast).filter(_ < cur).foreach { v =>
       deleteRecursively(versionPath(name, v))
       Files.deleteIfExists(claimFile(name, v))
     }
-    val pat = java.util.regex.Pattern.compile(
-      java.util.regex.Pattern.quote(name) + "\\.claim-v(\\d+)")
-    val claimed = scala.util.Using.resource(Files.list(catDir)) { stream =>
-      stream.iterator().asScala.map(_.getFileName.toString).flatMap { f =>
-        val m = pat.matcher(f)
-        if (m.matches()) Some(m.group(1).toInt) else None
-      }.toSeq
-    }
-    claimed.filter(s => !Files.exists(versionPath(name, s)))
+    claimedSlots(name).filter(s => !Files.exists(versionPath(name, s)))
       .foreach(s => releaseOrphanClaim(name, s))
   }
 

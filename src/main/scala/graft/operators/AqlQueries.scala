@@ -378,9 +378,14 @@ object AqlQueries {
       """SELECT doc_id, source FROM documents
         |WHERE source = 'src7' OR n_chars = 128
         |ORDER BY doc_id, source""".stripMargin) {
-      (s, dir) => engine(s, dir).execute(
-        "SEARCH [doc_id, source] ON documents WHERE source = ? OR n_chars = ?",
-        Seq("'src7'", "128")).asInstanceOf[Engine.ResultSet].df
+      (s, dir) => {
+        val eng = engine(s, dir)
+        val rs = eng.execute(
+          "SEARCH [doc_id, source] ON documents WHERE source = ? OR n_chars = ?",
+          Seq("'src7'", "128")).asInstanceOf[Engine.ResultSet]
+        // cursor-ordered view, like search(): ResultSet.df is unsorted
+        eng.orderedResult(rs.cursorId).get
+      }
     }
   )
 }

@@ -205,7 +205,12 @@ final class AqlServer(engine: Engine, port: Int = 0, connectionsPort: Int = -1) 
     val result = lock.synchronized(engine.execute(command, args.toList))
     result match {
       case Engine.ResultSet(df, cursorId) =>
-        val rows = df.limit(engine.PageSize).collect()
+        // initial rows come from the cursor's ORDERED view (sorted page
+        // 0), not the raw plan — on the no-ORDER-BY path ResultSet.df is
+        // unsorted, and a paging client's next QYCNNXT serves sorted page
+        // 1, which must continue exactly after these rows
+        val paged = engine.orderedResult(cursorId).getOrElse(df)
+        val rows = paged.limit(engine.PageSize).collect()
         s"""{"columns":${jarr(df.columns.toSeq.map(jstr))},""" +
           s""""rows":${jarr(rows.toSeq.map(r => jarr(r.toSeq.map(jval))))},""" +
           s""""cursor":${jstr(cursorId)}}"""

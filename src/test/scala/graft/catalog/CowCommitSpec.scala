@@ -185,6 +185,54 @@ class CowCommitSpec extends AnyFunSuite {
     intercept[graft.aql.ParseException](eng.execute("OPTIMIZE f 0"))
   }
 
+  test("OPTIMIZE races a concurrent commit through the CAS — the commit's rows survive") {
+    // regression: optimize pinned its snapshot then published via
+    // last-writer-wins overwrite(), burying any version committed in
+    // between; it now loses the slot race and re-compacts the new base
+    val dir = java.nio.file.Files.createTempDirectory("graft-cow-optrace")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("r", List("id" -> graft.aql.AlbaType.of("INT")))
+    import org.apache.spark.sql.Row
+    val seed = new Tx(cat)
+    (1 to 3).foreach { i => seed.stageInsert("r", Seq(Row(i))); seed.commit(Some("r")) }
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val opt = new Thread(() => {
+      try { barrier.await(); cat.optimize("r", Some(1)) }
+      catch { case t: Throwable => errs.add(t) }
+    })
+    val committer = new Thread(() => {
+      try {
+        barrier.await()
+        val tx = new Tx(cat); tx.stageInsert("r", Seq(Row(99))); tx.commit(Some("r"))
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    Seq(opt, committer).foreach(_.start()); Seq(opt, committer).foreach(_.join(120000))
+    assert(errs.isEmpty, s"threw: ${errs.toArray.mkString(", ")}")
+    assert(cat.read("r").collect().map(_.getInt(0)).toSet == Set(1, 2, 3, 99),
+      "a commit racing OPTIMIZE must never lose its rows")
+  }
+
+  test("VACUUM in the crash window adopts the published version instead of deleting the pointed one") {
+    // regression: a version published but not yet pointer-flipped counted
+    // toward keepLast, so vacuum could delete the version the pointer
+    // still referenced and the container read empty
+    val dir = java.nio.file.Files.createTempDirectory("graft-cow-vacwin")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("w", List("id" -> graft.aql.AlbaType.of("INT")))
+    import spark.implicits._
+    cat.overwrite("w", Seq(1).toDF("id")) // v1
+    val tmp = dir.resolve("data/w.crashed-tmp")
+    Seq(2).toDF("id").write.parquet(tmp.toString)
+    java.nio.file.Files.move(tmp, dir.resolve("data/w@v2"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    assert(cat.currentVersion("w") == 1)
+    cat.vacuum("w", keepLast = 1)
+    assert(cat.currentVersion("w") == 2, "vacuum must adopt the published version")
+    assert(cat.read("w").collect().map(_.getInt(0)).toSet == Set(2),
+      "the adopted version is readable; nothing was GC'd out from under the pointer")
+  }
+
   test("COW composes with CAS: two committers racing on the same base both land") {
     val (cat, _) = fixture("race")
     val txA = new Tx(cat); txA.stageEdit("c", col("id") === 3, Seq("v" -> "A"))
