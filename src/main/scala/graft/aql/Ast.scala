@@ -21,12 +21,13 @@ object Ast {
 
   /** One predicate atom: column OP literal (reference stores
     * `(Token,Token,Token)` triples — `src/parser.rs:327-388`). `rhs`
-    * carries an arithmetic right-hand side (graft extension) when the
-    * atom spans more than one value token; `value` stays the first token
-    * so every single-token consumer is untouched.
+    * carries an arithmetic right-hand side and `lhs` an arithmetic
+    * LEFT-hand side (`a + b > c`, graft extension) when the respective
+    * side spans more than one token; `column`/`value` stay the first
+    * tokens so every single-token consumer is untouched.
     */
   final case class Cond(column: String, op: String, value: Token,
-      rhs: Option[Operand] = None)
+      rhs: Option[Operand] = None, lhs: Option[Operand] = None)
 
   /** Predicate chain with gates. Gates are (index, 'a'|'o') pairs in the
     * reference; we keep the gate BEFORE atom i+1 as gates(i). Lowering
@@ -344,6 +345,23 @@ object Parser {
             atoms += Cond(name(colTok), op, value,
               rhs = Some(expr).filterNot(_ == Operand.Leaf(value)))
             rest = tl2
+          // graft extension: arithmetic LEFT-hand side (`a + b > c`) —
+          // a factor followed by a connector before any comparison op
+          case lTok :: tl0 if tl0.headOption.exists(c => arithOp(c).isDefined)
+              && isFactor(lTok) =>
+            val (lExpr, afterL) = parseArith(lTok, tl0)
+            afterL match {
+              case Op(op) :: value :: tl =>
+                val (rExpr, tl2) = parseArith(value, tl)
+                // column field is only a diagnostic label here — the
+                // lowering uses `lhs`, and lTok may be a literal
+                atoms += Cond(exprName(lExpr), op, value,
+                  rhs = Some(rExpr).filterNot(_ == Operand.Leaf(value)),
+                  lhs = Some(lExpr))
+                rest = tl2
+              case other => throw new ParseException(
+                s"Expected a comparison after arithmetic, got ${other.take(2)}")
+            }
           case other => throw new ParseException(
             s"Expected `column OP value`, got ${other.take(3)}")
         }

@@ -560,6 +560,27 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
   private def lowerCond(c: Ast.Cond, d: Catalog#ContainerDef): Column = {
     if (c.op == "IN" || c.op == "NOT IN") // join lowering exists only on the SEARCH path
       throw new ParseException(s"${c.op} (SEARCH …) is only supported in a SEARCH WHERE")
+    // arithmetic LHS (`a + b > c`): both sides lower as expressions;
+    // comparison operators only
+    if (c.lhs.isDefined) {
+      val x = lowerOperand(c.lhs.get, d)
+      val v = c.rhs.map(lowerOperand(_, d)).getOrElse(c.value match {
+        // a bare word next to arithmetic is a column; literals pass through
+        case Token.Str(w) if d.columns.exists(_._1.equalsIgnoreCase(w)) =>
+          col(d.columns.find(_._1.equalsIgnoreCase(w)).get._1)
+        case t => lit(AlbaType.tokenValue(t))
+      })
+      return c.op match {
+        case "=" | "==" => x === v
+        case "!=" => x =!= v
+        case ">" => x > v
+        case "<" => x < v
+        case ">=" => x >= v
+        case "<=" => x <= v
+        case other => throw new ParseException(
+          s"Operator $other does not support an arithmetic left-hand side")
+      }
+    }
     val (colName, colType) = d.columns.find(_._1.equalsIgnoreCase(c.column))
       .getOrElse(throw new ParseException(s"Unknown column ${c.column}"))
     val x = col(colName)

@@ -240,6 +240,16 @@ object AqlQueries {
           "ON lineitem WHERE l_extendedprice > l_quantity * 1000 + 500")(s, dir)
     },
 
+    // arithmetic on BOTH predicate sides (a + b > c shape)
+    Q("aql_where_arith_lhs",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+        |FROM lineitem WHERE l_discount + l_tax > l_quantity / 100
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_tax""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [l_orderkey, l_linenumber, l_quantity, l_discount, l_tax] " +
+          "ON lineitem WHERE l_discount + l_tax > l_quantity / 100")(s, dir)
+    },
+
     // plain column-to-column comparison on a numeric LHS (bare word
     // resolves as a column — on string columns it stays a literal,
     // reference P5 semantics)

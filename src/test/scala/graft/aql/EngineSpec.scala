@@ -468,6 +468,15 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     eng.execute("EDIT ROW ['t'] ['hit'] ON arith WHERE b > a * 2 + 1")
     assert(ids("SEARCH ['a'] ON arith WHERE t = hit") == Set(1L, 10L))
     eng.execute("ROLLBACK arith")
+    // arithmetic LEFT-hand side (the VERDICT example shape: a + b > c)
+    // rows (a, b): (1,5.0), (6,2.0), (10,30.0) — sums 6, 8, 40
+    assert(ids("SEARCH ['a'] ON arith WHERE a + b > 7") == Set(6L, 10L))
+    // both sides arithmetic: 2<=10 T, 12<=7 F, 20<=35 T
+    assert(ids("SEARCH ['a'] ON arith WHERE a * 2 <= b + 5") == Set(1L, 10L))
+    // literal-first LHS
+    assert(ids("SEARCH ['a'] ON arith WHERE 2 * a < b") == Set(1L, 10L))
+    intercept[ParseException](
+      searchRows("SEARCH [] ON arith WHERE a + nope > 1"))
   }
 
   test("28 computed projection items evaluate with output = plain-then-computed") {
