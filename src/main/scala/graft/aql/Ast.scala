@@ -17,6 +17,9 @@ object Ast {
   object Operand {
     final case class Leaf(t: Token) extends Operand
     final case class Bin(l: Operand, op: Char, r: Operand) extends Operand
+    /** A scalar function over a column, `lower(name)` — usable as a
+      * predicate side (graft extension). */
+    final case class Fn(fn: String, column: String) extends Operand
   }
 
   /** One predicate atom: column OP literal (reference stores
@@ -244,6 +247,7 @@ object Parser {
       f.toString.replace("-", "m").replace(".", "p")
     case Operand.Leaf(t) => throw new ParseException(
       s"Unsupported token in computed projection: $t")
+    case Operand.Fn(fn, c) => s"${fn}_${c.toLowerCase}"
     case Operand.Bin(l, op, r) =>
       val w = op match {
         case '+' => "plus"; case '-' => "minus"; case '*' => "mul"; case '/' => "div"
@@ -345,6 +349,17 @@ object Parser {
             atoms += Cond(name(colTok), op, value,
               rhs = Some(expr).filterNot(_ == Operand.Leaf(value)))
             rest = tl2
+          // graft extension: scalar function on the LEFT predicate side
+          // (`lower(name) = 'x'`, `length(text) > 100`)
+          case fnTok :: SubCommand(List(one)) :: Op(op) :: value :: tl
+              if ScalarFns.contains(name(fnTok).toLowerCase) =>
+            val (rExpr, tl2) = parseArith(value, tl)
+            val lExpr = Operand.Fn(name(fnTok).toLowerCase, name(one))
+            atoms += Cond(exprName(lExpr), op, value,
+              rhs = Some(rExpr).filterNot(_ == Operand.Leaf(value)),
+              lhs = Some(lExpr))
+            rest = tl2
+
           // graft extension: arithmetic LEFT-hand side (`a + b > c`) —
           // a factor followed by a connector before any comparison op
           case lTok :: tl0 if tl0.headOption.exists(c => arithOp(c).isDefined)

@@ -253,27 +253,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         }
         val fnCols = s.fns.map { f =>
           val cn = resolveNames(unioned, List(f.column)).head
-          val dt = unioned.schema(cn).dataType
-          val c = col(cn)
-          def needString(): Unit = if (dt != StringType) throw new ParseException(
-            s"${f.fn}($cn) requires a string column, got $dt")
-          def needNumeric(): Unit =
-            if (!Seq(IntegerType, LongType, DoubleType).contains(dt))
-              throw new ParseException(s"${f.fn}($cn) requires a numeric column, got $dt")
-          val e = f.fn match {
-            case "lower" => needString(); lower(c)
-            case "upper" => needString(); upper(c)
-            case "trim" => needString(); trim(c)
-            // length → BIGINT, floor/ceil → DOUBLE: the SQL (DuckDB-
-            // compatible) result types, not Spark's int/long variants
-            case "length" => needString(); length(c).cast("long")
-            case "abs" => needNumeric(); abs(c)
-            case "round" => needNumeric(); round(c, 0)
-            case "floor" => needNumeric(); floor(c).cast("double")
-            case "ceil" => needNumeric(); ceil(c).cast("double")
-            case other => throw new ParseException(s"Unknown function $other")
-          }
-          e.as(s"${f.fn}_${f.column.toLowerCase}")
+          scalarFn(f.fn, cn, unioned.schema(cn).dataType)
+            .as(s"${f.fn}_${f.column.toLowerCase}")
         }
         val plainNames = resolveNames(unioned, s.projection)
         val outNames = plainNames ++ s.exprs.map(_.name) ++
@@ -564,9 +545,15 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     // comparison operators only
     if (c.lhs.isDefined) {
       val x = lowerOperand(c.lhs.get, d)
+      // bare-word RHS column resolution only when the LHS is numeric —
+      // a string-result fn LHS (lower/upper/trim) keeps reference literal
+      // semantics, same rule as plain string columns
+      val lhsIsString = c.lhs.get match {
+        case Ast.Operand.Fn(fn, _) => Set("lower", "upper", "trim").contains(fn)
+        case _ => false
+      }
       val v = c.rhs.map(lowerOperand(_, d)).getOrElse(c.value match {
-        // a bare word next to arithmetic is a column; literals pass through
-        case Token.Str(w) if d.columns.exists(_._1.equalsIgnoreCase(w)) =>
+        case Token.Str(w) if !lhsIsString && d.columns.exists(_._1.equalsIgnoreCase(w)) =>
           col(d.columns.find(_._1.equalsIgnoreCase(w)).get._1)
         case t => lit(AlbaType.tokenValue(t))
       })
@@ -632,7 +619,35 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
   private def operandLeafNames(o: Ast.Operand): List[String] = o match {
     case Ast.Operand.Leaf(Token.Str(w)) => List(w)
     case Ast.Operand.Leaf(_) => Nil
+    case Ast.Operand.Fn(_, c) => List(c)
     case Ast.Operand.Bin(l, _, r) => operandLeafNames(l) ++ operandLeafNames(r)
+  }
+
+  /** One scalar function over a resolved column, with strict input typing
+    * and SQL result types (length → BIGINT, floor/ceil → DOUBLE — the
+    * oracle engine's types, not Spark's int/long variants). Shared by
+    * projection items and predicate sides.
+    */
+  private def scalarFn(fn: String, cn: String,
+      dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
+    val c = col(cn)
+    def needString(): Unit = if (dt != StringType) throw new ParseException(
+      s"$fn($cn) requires a string column, got $dt")
+    def needNumeric(): Unit =
+      if (!Seq(IntegerType, LongType, DoubleType).contains(dt))
+        throw new ParseException(s"$fn($cn) requires a numeric column, got $dt")
+    fn match {
+      case "lower" => needString(); lower(c)
+      case "upper" => needString(); upper(c)
+      case "trim" => needString(); trim(c)
+      case "length" => needString(); length(c).cast("long")
+      case "abs" => needNumeric(); abs(c)
+      case "round" => needNumeric(); round(c, 0)
+      case "floor" => needNumeric(); floor(c).cast("double")
+      case "ceil" => needNumeric(); ceil(c).cast("double")
+      case other => throw new ParseException(s"Unknown function $other")
+    }
   }
 
   /** Arithmetic RHS lowering (graft extension): bare words resolve as
@@ -646,6 +661,10 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         throw new ParseException(s"Unknown column '$w' in arithmetic expression"))
       col(cn)
     case Ast.Operand.Leaf(t) => lit(AlbaType.tokenValue(t))
+    case Ast.Operand.Fn(fn, column) =>
+      val (cn, ct) = d.columns.find(_._1.equalsIgnoreCase(column)).getOrElse(
+        throw new ParseException(s"Unknown column '$column' in $fn()"))
+      scalarFn(fn, cn, ct.spark)
     case Ast.Operand.Bin(l, op, r) =>
       val (a, b) = (lowerOperand(l, d), lowerOperand(r, d))
       op match {

@@ -240,6 +240,16 @@ object AqlQueries {
           "ON lineitem WHERE l_extendedprice > l_quantity * 1000 + 500")(s, dir)
     },
 
+    // scalar function as a predicate side
+    Q("aql_where_fn",
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE length(text) > 400 AND upper(lang) = 'EN'
+        |ORDER BY doc_id, lang, n_chars""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [doc_id, lang, n_chars] ON documents " +
+          "WHERE length(text) > 400 AND upper(lang) = 'EN'")(s, dir)
+    },
+
     // arithmetic on BOTH predicate sides (a + b > c shape)
     Q("aql_where_arith_lhs",
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax

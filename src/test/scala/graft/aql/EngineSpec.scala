@@ -477,6 +477,15 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids("SEARCH ['a'] ON arith WHERE 2 * a < b") == Set(1L, 10L))
     intercept[ParseException](
       searchRows("SEARCH [] ON arith WHERE a + nope > 1"))
+    // scalar functions as a predicate side; t values: 'x', 'b', 'a'
+    assert(ids("SEARCH ['a'] ON arith WHERE upper(t) = 'X'") == Set(1L))
+    assert(ids("SEARCH ['a'] ON arith WHERE length(t) = 1") == Set(1L, 6L, 10L))
+    assert(ids("SEARCH ['a'] ON arith WHERE ceil(b) > a") == Set(1L, 10L))
+    // a bare RHS word under a STRING-result fn stays a literal even when
+    // it names a column ('b' is both a value of t and a column name)
+    assert(ids("SEARCH ['a'] ON arith WHERE lower(t) = b") == Set(6L))
+    intercept[ParseException](
+      searchRows("SEARCH [] ON arith WHERE lower(a) = 'x'")) // typing
   }
 
   test("28 computed projection items evaluate with output = plain-then-computed") {
