@@ -68,6 +68,25 @@ class AqlServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post(s"QYCNEXT $cursor")._1 == 200)
   }
 
+  test("initial SEARCH rows are sorted page 0 — QYCNNXT continues exactly after them") {
+    // regression: with the lazy cursor sort the raw ResultSet plan is
+    // unsorted, so serving it as the initial rows while QYCNNXT serves
+    // the SORTED page 1 duplicated some rows and dropped others
+    post("CREATE CONTAINER pagec ['n'] [INT]")
+    (1 to 150).foreach(i => post(s"CREATE ROW ['n'] [$i] ON pagec"))
+    post("COMMIT pagec")
+    val (_, first) = post("SEARCH [] ON pagec")
+    val cursor = """"cursor":"([^"]+)"""".r.findFirstMatchIn(first).get.group(1)
+    def nums(json: String): Seq[Int] =
+      """\[(\d+)\]""".r.findAllMatchIn(json).map(_.group(1).toInt).toSeq
+    val page0 = nums(first)
+    assert(page0 == (1 to 100), s"initial rows must be sorted page 0, got $page0")
+    val (_, p1) = post(s"QYCNNXT $cursor")
+    assert(nums(p1) == (101 to 150),
+      "page 1 must continue exactly after the initial rows — no dup, no gap")
+    post(s"QYCNEXT $cursor")
+  }
+
   test("auth_token gates /query behind a /session handshake (database.rs:1110-1143)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-auth-spec")
     java.nio.file.Files.writeString(dir.resolve("settings.yaml"),
