@@ -553,8 +553,15 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         case _ => false
       }
       val v = c.rhs.map(lowerOperand(_, d)).getOrElse(c.value match {
-        case Token.Str(w) if !lhsIsString && d.columns.exists(_._1.equalsIgnoreCase(w)) =>
-          col(d.columns.find(_._1.equalsIgnoreCase(w)).get._1)
+        case Token.Str(w) if !lhsIsString =>
+          // numeric comparison context: a bare word is a column, a
+          // numeric-looking word a literal, anything else an error —
+          // silently lowering to lit(string) would null the predicate
+          // out and return 0 rows with no diagnostic
+          d.columns.find(_._1.equalsIgnoreCase(w)).map(cc => col(cc._1))
+            .orElse(w.toDoubleOption.map(lit(_)))
+            .getOrElse(throw new ParseException(
+              s"Unknown column '$w' in arithmetic comparison"))
         case t => lit(AlbaType.tokenValue(t))
       })
       return c.op match {

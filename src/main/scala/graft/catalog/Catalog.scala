@@ -406,6 +406,8 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     */
   def optimize(name: String, targetFiles: Option[Int] = None): (Int, Int) = {
     import org.apache.spark.sql.functions.col
+    targetFiles.foreach(t =>
+      require(t >= 1, s"OPTIMIZE $name: target file count must be >= 1, got $t"))
     val pk = get(name).primaryKey
     // CAS like any commit — NOT overwrite(): optimize rewrites content it
     // has already read, so publishing above a concurrently-committed
@@ -414,6 +416,7 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     var attempts = 0
     var done = false
     var before = 0
+    var published = 0
     while (!done) {
       attempts += 1
       require(attempts <= 50, s"OPTIMIZE $name: lost the version race 50 times")
@@ -427,8 +430,11 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
       }
       done = tryCommit(name, base,
         df.repartitionByRange(n, col(pk)).sortWithinPartitions(pk))
+      published = base + 1
     }
-    (before, versionFiles(name, currentVersion(name)).size)
+    // count THIS call's published version — under a race the pointer may
+    // already be on a later (fragmented) commit
+    (before, versionFiles(name, published).size)
   }
 
   /** Drop all but the newest `keepLast` versions (and their claim files),

@@ -202,14 +202,22 @@ final class AqlServer(engine: Engine, port: Int = 0, connectionsPort: Int = -1) 
     * the plain /query route and the encrypted wire protocol).
     */
   private def executeToJson(command: String, args: Seq[String]): String = {
-    val result = lock.synchronized(engine.execute(command, args.toList))
+    // the cursor registry (access-ordered LinkedHashMap) is only safe
+    // under the server lock — resolve the ordered view INSIDE it; the
+    // captured DataFrame is immutable, so the collect can run outside
+    val (result, orderedView) = lock.synchronized {
+      engine.execute(command, args.toList) match {
+        case r @ Engine.ResultSet(_, id) => (r, engine.orderedResult(id))
+        case r => (r, None)
+      }
+    }
     result match {
       case Engine.ResultSet(df, cursorId) =>
         // initial rows come from the cursor's ORDERED view (sorted page
         // 0), not the raw plan — on the no-ORDER-BY path ResultSet.df is
         // unsorted, and a paging client's next QYCNNXT serves sorted page
         // 1, which must continue exactly after these rows
-        val paged = engine.orderedResult(cursorId).getOrElse(df)
+        val paged = orderedView.getOrElse(df)
         val rows = paged.limit(engine.PageSize).collect()
         s"""{"columns":${jarr(df.columns.toSeq.map(jstr))},""" +
           s""""rows":${jarr(rows.toSeq.map(r => jarr(r.toSeq.map(jval))))},""" +
