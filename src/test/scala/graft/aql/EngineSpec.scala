@@ -510,6 +510,21 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[ParseException](searchRows("SEARCH [x_mul_2, x * 2] ON collide"))
   }
 
+  test("28b computed items compose with unions, joins, and subqueries") {
+    // union of the container with itself: expr applies over the union
+    val u = searchRows("SEARCH [a * 2] ON [arith, arith]")
+      .map(_.getLong(0)).sorted
+    assert(u == Seq(2L, 2L, 12L, 12L, 20L, 20L))
+    // over a JOIN: leaves ride the joined projection (people ⋈ pets)
+    val j = searchRows(
+      "SEARCH [id * 10] ON people JOIN pets ON id = owner_id WHERE pet = 'cat'")
+    assert(j.map(_.getLong(0)) == Seq(10L))
+    // as a subquery feeding an outer aggregate
+    val agg = searchRows(
+      "SEARCH [count(a_mul_2)] ON [(SEARCH [a * 2] ON arith)]")
+    assert(agg.head.getLong(0) == 3L)
+  }
+
   test("29 scalar function projection items (fn_col outputs, strict typing)") {
     // arith container: (1,5.0,'x'), (6,2.0,'b'), (10,30.0,'a')
     val df = eng.execute("SEARCH [a, upper(t), ceil(b)] ON arith")
