@@ -36,6 +36,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("EqualTo(l_orderkey,100)"), s"no pushed EqualTo:\n$p")
   }
 
+  test("AQL arithmetic predicates stay codegen'd with a pruned scan") {
+    // col-vs-expression predicates can't reach parquet PushedFilters, but
+    // they must remain a codegen'd Filter over a column-pruned scan —
+    // never a UDF, never a full-width read
+    val p = plan("aql_where_arith")
+    assert(!p.contains("BatchEvalPython") && !p.contains("UDF"),
+      s"arithmetic predicate left codegen:\n$p")
+    assert(p.contains("l_extendedprice") && !p.contains("l_shipdate") &&
+      !p.contains("l_comment"),
+      s"scan reads columns the query never touches:\n$p")
+    // the IsNotNull guards DO push down, pruning all-null row groups
+    assert(p.contains("PushedFilters: [IsNotNull("),
+      s"null guards not pushed:\n$p")
+  }
+
   test("dimension join broadcasts (x_join_broadcast_dim)") {
     val p = plan("x_join_broadcast_dim")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
