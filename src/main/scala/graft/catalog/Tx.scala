@@ -69,10 +69,20 @@ final class Tx(catalog: Catalog) {
     }
   }
 
-  private def localDF(rows: Seq[Row], schema: org.apache.spark.sql.types.StructType) =
+  private def localDF(rows: Seq[Row], schema: org.apache.spark.sql.types.StructType) = {
+    // rows staged BEFORE a concurrent ALTER CONTAINER ADD COLUMN carry
+    // the old arity; the new columns are NULL for them — exactly how
+    // pre-ALTER parquet files read (the same session's ALTER is blocked
+    // while ops are staged, but another session's isn't)
+    val padded = rows.map { r =>
+      if (r.length < schema.length)
+        Row.fromSeq(r.toSeq ++ Seq.fill(schema.length - r.length)(null))
+      else r
+    }
     catalog.spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
-        .SeqHasAsJava(rows).asJava), schema)
+        .SeqHasAsJava(padded).asJava), schema)
+  }
 
   /** One Edit/Delete step of the fold (Insert is a no-op here: insert
     * rows enter the view as their own union branch, never by rewriting

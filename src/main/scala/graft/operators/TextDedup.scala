@@ -204,6 +204,22 @@ object TextDedup {
       .distinct()
   }
 
+  /** Per-document quality signals (stopword ratio, punctuation ratio,
+    * length band) as a pure projection — shared by the `t_quality_score`
+    * oracle row and the streaming ingest gate
+    * (`DocumentStreams.qualityAtIngest`): score BEFORE anything persists
+    * downstream, zero state, zero shuffle.
+    */
+  def qualitySignals(d: DataFrame): DataFrame =
+    d.select(
+      col("doc_id"),
+      round(size(filter(split(lower(col("text")), " "),
+        t => t.isin("the", "a", "and", "of", "to"))).cast("double")
+        / size(split(col("text"), " ")), 6).as("stopword_ratio"),
+      round(size(expr("regexp_extract_all(text, '[^a-z0-9 ]', 0)")).cast("double")
+        / length(col("text")), 6).as("punct_ratio"),
+      when(col("n_chars").between(100, 2000), 1).otherwise(0).as("len_ok"))
+
   /** The persisted LSH index: the band table (doc_id, band, bk)
     * materialized once per fixture, hash-bucketed + sorted by band key
     * (`Tables.bucketedDerived` — the text-side twin of the persisted IVF
@@ -398,16 +414,7 @@ object TextDedup {
         |        / length(text), 6) AS punct_ratio,
         |  CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 1 ELSE 0 END AS len_ok
         |FROM documents ORDER BY doc_id""".stripMargin) {
-      (s, dir) =>
-        docs(s, dir).select(
-          col("doc_id"),
-          round(size(filter(split(lower(col("text")), " "),
-            t => t.isin("the", "a", "and", "of", "to"))).cast("double")
-            / size(split(col("text"), " ")), 6).as("stopword_ratio"),
-          round(size(expr("regexp_extract_all(text, '[^a-z0-9 ]', 0)")).cast("double")
-            / length(col("text")), 6).as("punct_ratio"),
-          when(col("n_chars").between(100, 2000), 1).otherwise(0).as("len_ok")
-        ).orderBy(col("doc_id"))
+      (s, dir) => qualitySignals(docs(s, dir)).orderBy(col("doc_id"))
     },
 
     // Deterministic train/val/test split by content-independent hash of

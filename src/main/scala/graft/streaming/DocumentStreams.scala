@@ -131,6 +131,15 @@ object DocumentStreams {
       .join(broadcast(benchGrams), Seq("g"))
       .select(col("doc_id"), col("g"))
 
+  /** Streaming twin of `t_quality_score`: quality gating AT INGEST
+    * (append mode, stateless projection) — low-quality documents are
+    * scored (and can be routed) before anything persists downstream,
+    * the corpus-curation analogue of the PII scrub lane. Exactly the
+    * batch operator's projection, so StreamingSpec pins equivalence.
+    */
+  def qualityAtIngest(docs: DataFrame): DataFrame =
+    graft.operators.TextDedup.qualitySignals(docs)
+
   /** Ingest-time image decode — the streaming twin of
     * `Multimodal.decodeImages`: the REAL javax.imageio parse runs as a
     * stateless partition-parallel projection the moment media lands, with

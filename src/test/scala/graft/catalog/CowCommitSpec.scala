@@ -185,6 +185,24 @@ class CowCommitSpec extends AnyFunSuite {
     intercept[graft.aql.ParseException](eng.execute("OPTIMIZE f 0"))
   }
 
+  test("rows staged before another session's ALTER commit with NULL in the new column") {
+    // same-session ALTER is blocked while ops are staged; ANOTHER session
+    // can widen the schema mid-transaction — the staged old-arity rows
+    // must NULL-fill the new column, exactly like pre-ALTER parquet files
+    val dir = java.nio.file.Files.createTempDirectory("graft-cow-alterrace")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("x", List("id" -> graft.aql.AlbaType.of("INT"),
+      "v" -> graft.aql.AlbaType.of("SMALL-STRING")))
+    import org.apache.spark.sql.Row
+    val tx = new Tx(cat)
+    tx.stageInsert("x", Seq(Row(1, "old-arity")))
+    cat.addColumns("x", List("tag" -> graft.aql.AlbaType.of("TEXT"))) // session B
+    tx.commit(Some("x"))
+    val got = cat.read("x").collect()
+      .map(r => (r.getInt(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(got == Set((1, "old-arity", None)))
+  }
+
   test("OPTIMIZE races a concurrent commit through the CAS — the commit's rows survive") {
     // regression: optimize pinned its snapshot then published via
     // last-writer-wins overwrite(), burying any version committed in

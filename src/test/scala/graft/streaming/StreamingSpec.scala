@@ -209,6 +209,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming quality scoring at ingest equals the batch operator") {
+    val q = DocumentStreams.qualityAtIngest(DocumentStreams.readDocuments(spark, dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("quality_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("quality_out").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getInt(3))).toMap
+    val batch = graft.operators.TextDedup
+      .qualitySignals(graft.Tables.load(spark, dir, "documents"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getInt(3))).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming image decode equals the batch decode; corrupt payloads quarantined mid-stream") {
     import graft.operators.Multimodal
     // stage the synthesized real-image corpus plus corrupt rows as TWO
