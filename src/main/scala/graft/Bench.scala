@@ -60,11 +60,12 @@ object Bench {
     * this is an opportunistic subprocess, never a library dependency).
     * Returns None if the script, interpreter, or duckdb is unavailable.
     */
-  private def duckdbTotal(sfDir: String, names: Seq[String]): Option[Double] =
+  private def duckdbTotal(sfDir: String, names: Seq[String]): Option[Double] = {
+    val script = new java.io.File("tools/duckbench.py")
+    if (!script.exists() || sys.env.contains("GRAFT_NO_DUCKBENCH")) return None
+    var tmp: java.nio.file.Path = null
     try {
-      val script = new java.io.File("tools/duckbench.py")
-      if (!script.exists() || sys.env.contains("GRAFT_NO_DUCKBENCH")) return None
-      val tmp = java.nio.file.Files.createTempDirectory("graft-bench-oracle")
+      tmp = java.nio.file.Files.createTempDirectory("graft-bench-oracle")
       def esc(s: String): String = s.flatMap {
         case '"' => "\\\""
         case '\\' => "\\\\"
@@ -100,5 +101,16 @@ object Bench {
       // anchored to the result line — merged stderr may precede the JSON
       """"metric": "duckdb_total", "value": ([0-9.eE+-]+)""".r
         .findFirstMatchIn(out).map(_.group(1).toDouble)
-    } catch { case _: Throwable => None }
+    } catch {
+      // NonFatal only: swallowing InterruptedException/OutOfMemoryError
+      // here would mask a dying JVM as "duckdb unavailable"
+      case scala.util.control.NonFatal(_) => None
+    } finally if (tmp != null) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(tmp)) { stream =>
+        stream.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
 }

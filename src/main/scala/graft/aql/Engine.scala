@@ -558,7 +558,12 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           // numeric-looking word a literal, anything else an error —
           // silently lowering to lit(string) would null the predicate
           // out and return 0 rows with no diagnostic
-          d.columns.find(_._1.equalsIgnoreCase(w)).map(cc => col(cc._1))
+          d.columns.find(_._1.equalsIgnoreCase(w)).map { cc =>
+              if (!cc._2.isNumeric) throw new ParseException(
+                s"Column '${cc._1}' (${cc._2}) is not numeric; a numeric " +
+                  "comparison against it would silently match nothing")
+              col(cc._1)
+            }
             .orElse(w.toDoubleOption.map(lit(_)))
             .getOrElse(throw new ParseException(
               s"Unknown column '$w' in arithmetic comparison"))
@@ -602,7 +607,14 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         // reference behavior)
         val colRef: Option[Column] = c.value match {
           case Token.Str(w) if colType.isNumeric =>
-            d.columns.find(_._1.equalsIgnoreCase(w)).map(cc => col(cc._1))
+            d.columns.find(_._1.equalsIgnoreCase(w)).map { cc =>
+              // both sides must be numeric — comparing against a resolved
+              // TEXT column would implicit-cast to double and null out
+              if (!cc._2.isNumeric) throw new ParseException(
+                s"Cannot compare numeric column '$colName' to " +
+                  s"non-numeric column '${cc._1}' (${cc._2})")
+              col(cc._1)
+            }
           case _ => None
         }
         // literal coerced to the column's type (P5, query_conditions.rs:115-245)
@@ -664,8 +676,12 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     */
   private def lowerOperand(o: Ast.Operand, d: Catalog#ContainerDef): Column = o match {
     case Ast.Operand.Leaf(Token.Str(w)) =>
-      val (cn, _) = d.columns.find(_._1.equalsIgnoreCase(w)).getOrElse(
+      val (cn, ct) = d.columns.find(_._1.equalsIgnoreCase(w)).getOrElse(
         throw new ParseException(s"Unknown column '$w' in arithmetic expression"))
+      // a non-numeric column here would get Spark's implicit
+      // string-to-double cast, nulling the expression with no diagnostic
+      if (!ct.isNumeric) throw new ParseException(
+        s"Column '$cn' (${ct}) is not numeric; arithmetic requires a numeric column")
       col(cn)
     case Ast.Operand.Leaf(t) => lit(AlbaType.tokenValue(t))
     case Ast.Operand.Fn(fn, column) =>

@@ -417,11 +417,21 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     var done = false
     var before = 0
     var published = 0
+    var stuckAt = -1
     while (!done) {
       attempts += 1
       require(attempts <= 50, s"OPTIMIZE $name: lost the version race 50 times")
       if (attempts > 1) Thread.sleep(math.min(100L * attempts, 2000L))
       val base = currentVersion(name)
+      // same orphan escape as Tx.commit: a dead committer's claim at
+      // base+1 (nothing published) would otherwise wedge every retry on
+      // the same base; a published-but-unflipped version above the
+      // pointer is adopted so the next iteration rebases on it
+      if (base == stuckAt) {
+        releaseOrphanClaim(name, base + 1)
+        adoptPublished(name)
+      }
+      stuckAt = base
       val df = if (base > 0) readVersion(name, base) else read(name)
       before = if (base > 0) versionFiles(name, base).size else 0
       val n = targetFiles.getOrElse {

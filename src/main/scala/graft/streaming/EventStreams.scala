@@ -132,8 +132,16 @@ object EventStreams {
     import events.sparkSession.implicits._
     // EventTimeTimeout requires a watermark on the input; apply it here
     // (mirroring dedupEvents) so a caller without one doesn't hit an
-    // AnalysisException at runtime. `horizon` = allowed event lateness.
-    events.withWatermark("ts", horizon).groupByKey(_.user_id)
+    // AnalysisException at runtime. `horizon` = allowed event lateness —
+    // but a caller that already set its own (possibly longer) lateness
+    // window keeps it; overriding with the 0-second default would
+    // silently drop late events the caller asked to wait for.
+    val hasWatermark = events.queryExecution.analyzed.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => true
+      case _ => false
+    }
+    val marked = if (hasWatermark) events else events.withWatermark("ts", horizon)
+    marked.groupByKey(_.user_id)
       .flatMapGroupsWithState[TState, SessionAgg](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, evs: Iterator[Ev2], state: GroupState[TState]) =>

@@ -486,6 +486,15 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids("SEARCH ['a'] ON arith WHERE lower(t) = b") == Set(6L))
     intercept[ParseException](
       searchRows("SEARCH [] ON arith WHERE lower(a) = 'x'")) // typing
+    // a bare word resolving to a TEXT column in a NUMERIC comparison is
+    // an error — Spark's implicit string-to-double cast would null the
+    // predicate and silently return 0 rows (ADVICE r5)
+    intercept[ParseException](searchRows("SEARCH [] ON arith WHERE a > t"))
+    // same inside arithmetic: text columns never participate
+    intercept[ParseException](
+      searchRows("SEARCH [] ON arith WHERE a > t + 1"))
+    intercept[ParseException](
+      searchRows("SEARCH [] ON arith WHERE t + 1 > a"))
   }
 
   test("28 computed projection items evaluate with output = plain-then-computed") {

@@ -149,6 +149,28 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(cat.currentVersion("r") == 3, "slots v2 and v3 both publish in order")
   }
 
+  test("OPTIMIZE escapes a dead claim and adopts an unflipped version like Tx.commit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cas9")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("o", List("id" -> graft.aql.AlbaType.of("INT")))
+    import org.apache.spark.sql.Row
+    val tx = new Tx(cat)
+    tx.stageInsert("o", Seq(Row(1), Row(2))); tx.commit(Some("o")) // v1
+    // a dead committer's claim at base+1 would wedge every retry on the
+    // same base without the Tx.commit-style escape (ADVICE r5)
+    val deadPid = { val p = new ProcessBuilder("true").start(); p.waitFor(); p.pid() }
+    java.nio.file.Files.writeString(
+      dir.resolve("catalog").resolve("o.claim-v2"), deadPid.toString)
+    assert(cat.claimIsOrphan("o", 2))
+    val t0 = System.nanoTime()
+    cat.optimize("o", targetFiles = Some(1))
+    // second failed attempt triggers the release; far below the 50-attempt
+    // (~80 s) wedge the unescaped loop would hit
+    assert((System.nanoTime() - t0) < 60e9, "optimize must escape, not wedge")
+    assert(cat.currentVersion("o") == 2, "escape must reclaim the freed slot")
+    assert(cat.read("o").collect().map(_.getInt(0)).toSet == Set(1, 2))
+  }
+
   test("vacuum releases a dead unpublished claim so it stops inflating the slot counter") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cas7")
     val cat = new Catalog(spark, dir.toString)
