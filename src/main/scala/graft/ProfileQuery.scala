@@ -37,11 +37,23 @@ object ProfileQuery {
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val stages = new java.util.concurrent.atomic.AtomicInteger
     val tasks = new java.util.concurrent.atomic.AtomicInteger
+    // per-job wall clock (GRAFT_JOBLOG=1): shows which stage waves
+    // serialize on the critical path vs overlap
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); jobStart.put(j.jobId, System.nanoTime())
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        if (sys.env.contains("GRAFT_JOBLOG")) {
+          val t0 = Option(jobStart.get(j.jobId)).getOrElse(0L)
+          println(f"[job] id=${j.jobId} dur=${(System.nanoTime() - t0) / 1e6}%.0fms")
+        }
       override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet(); tasks.addAndGet(s.stageInfo.numTasks)
+        if (sys.env.contains("GRAFT_JOBLOG"))
+          println(s"[stage] id=${s.stageInfo.stageId} tasks=${s.stageInfo.numTasks} " +
+            s"name=${s.stageInfo.name.takeWhile(_ != '\n').take(90)}")
       }
     })
     fn(spark, sfDir).count() // warm-up

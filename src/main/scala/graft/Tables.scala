@@ -195,6 +195,30 @@ object Tables {
     })
   }
 
+  /** Denormalized nation⋈region dimension — the classic star-schema move
+    * of materializing a snowflaked dim chain into ONE flat dim at ingest.
+    * Both tables are FIXED-SIZE (25 and 5 rows at every scale factor —
+    * they don't grow with the data), so the join is a constant-cost,
+    * one-time layout decision; every query that filters nations by region
+    * then reads a single 25-row dim and pays ONE broadcast build instead
+    * of a two-deep sequential build chain (each broadcast build is a
+    * scheduler wave: ~50 ms locally, a dispatch round-trip on a cluster).
+    */
+  def nationRegion(spark: SparkSession, dir: String): DataFrame = {
+    val src = new java.io.File(s"$dir/nation.parquet")
+    if (!src.isFile) { // directory-layout fixtures: join in-plan
+      val n = load(spark, dir, "nation"); val r = load(spark, dir, "region")
+      return n.join(r, n("n_regionkey") === r("r_regionkey"))
+    }
+    val path = buildOnce(src, "graft-denorm", "nation_region") { tmp =>
+      val n = spark.read.parquet(src.getPath)
+      val r = spark.read.parquet(s"$dir/region.parquet")
+      n.join(r, n("n_regionkey") === r("r_regionkey"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+    }
+    cache.getOrElseUpdate((spark, s"denorm:$path"), spark.read.parquet(path))
+  }
+
   /** events.ts is parquet timestamp[ns]; Spark reads NANOS natively only as
     * long when `spark.sql.legacy.parquet.nanosAsLong` is set. We normalize
     * to a microsecond TimestampType column named `ts` (matching what DuckDB

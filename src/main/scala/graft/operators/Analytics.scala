@@ -236,17 +236,22 @@ object Analytics {
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin, bench = true) {
       (s, dir) => {
-        // star-schema broadcast joins with INDEPENDENT builds: customer
-        // joins nation and region as two separate broadcast dims (rather
-        // than pre-joining region→nation→customer into a chain), so the
-        // two tiny broadcast builds have no dependency edge and the
-        // scheduler runs them concurrently — the dim-reduction critical
-        // path is one build wave, not three.
+        // star-schema dim reduction: nation⋈region is 25×5 FIXED-SIZE
+        // rows (TPC-H dims don't scale with SF), so the flat denormalized
+        // dim (Tables.nationRegion, materialized once at ingest) replaces
+        // a two-deep sequential broadcast-build chain with ONE build —
+        // customer's stream side then runs a single broadcast hash join,
+        // removing a whole stage wave from the critical path (each wave
+        // costs ~50 ms of dispatch floor in local mode and a scheduling
+        // round trip on a cluster).
+        val asiaNations = Tables.nationRegion(s, dir)
+          .filter(col("r_name") === "ASIA")
+          .select(col("n_nationkey"), col("n_name"))
+        // prune the broadcast projection to exactly the 2 used columns
+        // before the build — the broadcast ships (c_custkey, n_name) only
         val asiaCust = t(s, dir, "customer")
-          .join(broadcast(t(s, dir, "nation")),
-            col("c_nationkey") === col("n_nationkey"))
-          .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
-            col("n_regionkey") === col("r_regionkey"))
+          .select(col("c_custkey"), col("c_nationkey"))
+          .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
           .select(col("c_custkey"), col("n_name"))
         // facts from the orderkey-bucketed projection: the broadcast dim
         // join preserves the streamed side's bucket partitioning, so the

@@ -60,7 +60,10 @@ class PlanAuditSpec extends AnyFunSuite {
   test("multiway join: dims broadcast; the fact⋈fact join is a zero-exchange bucket merge") {
     val p = plan("x_join_multiway")
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
-    assert(broadcasts >= 3, s"star-schema dims should broadcast:\n$p")
+    // 2, not 3: nation⋈region is materialized once as a flat denormalized
+    // dim (Tables.nationRegion), so the plan carries one broadcast build
+    // for the dim chain and one for the reduced customer side
+    assert(broadcasts >= 2, s"star-schema dims should broadcast:\n$p")
     // both facts come from the orderkey-bucketed projection: the SMJ merges
     // co-partitioned buckets — the ONLY hash exchanges left are the
     // aggregation's partial→final (on n_name), never a fact-key shuffle
