@@ -32,8 +32,9 @@ import scala.jdk.CollectionConverters._
   */
 final class Catalog(val spark: SparkSession, rootDir: String) {
   private val root: Path = Paths.get(rootDir)
-  private val catDir = root.resolve("catalog")
+  private[catalog] val catDir = root.resolve("catalog")
   private val dataDir = root.resolve("data")
+  private[catalog] def catalogDir: Path = catDir
   Files.createDirectories(catDir)
   Files.createDirectories(dataDir)
 
@@ -109,8 +110,32 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
       ContainerDef(name, d.columns ++ columns)
     }
 
+  // ---- derived secondary indexes (maintained at every commit: Index.scala)
+
+  def createIndex(name: String, ix: String, kind: String, column: String): Index.Def =
+    Index.create(this, name, ix, kind, column)
+
+  def dropIndex(name: String, ix: String): Unit = Index.drop(this, name, ix)
+
+  def indexDefs(name: String): Seq[Index.Def] = Index.defsOf(this, name)
+
+  def readIndex(name: String, ix: String): DataFrame = {
+    val d = indexDefs(name).find(_.ix == ix)
+      .getOrElse(sys.error(s"No index '$ix' on '$name'"))
+    Index.read(this, name, d)
+  }
+
+  /** Near-dup candidates for `queries` (rows shaped like the container)
+    * served from an lsh index — see [[Index.lshLookup]]. */
+  def indexLookup(name: String, ix: String, queries: DataFrame): DataFrame = {
+    val d = indexDefs(name).find(_.ix == ix)
+      .getOrElse(sys.error(s"No index '$ix' on '$name'"))
+    Index.lshLookup(this, name, d, queries)
+  }
+
   def drop(name: String): Unit = {
     require(exists(name), s"Unknown container '$name'")
+    indexDefs(name).foreach(d => Files.deleteIfExists(Index.metaFile(this, name, d.ix)))
     Files.delete(schemaFile(name))
     if (Files.exists(versionFile(name))) Files.delete(versionFile(name))
     versions(name).foreach { v =>
@@ -150,7 +175,7 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     }
   }
 
-  private def versionPath(name: String, v: Int) = dataDir.resolve(s"$name@v$v")
+  private[catalog] def versionPath(name: String, v: Int) = dataDir.resolve(s"$name@v$v")
 
   /** Committed rows at the latest version (empty if never committed;
     * `dataPath` kept as a legacy/external-data location — used by tests
@@ -244,6 +269,11 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     // on a slot that will never publish
     try {
       build(tmp)
+      // commit-time index maintenance (reference container.rs:277-282
+      // fires its index hook per committed row): derived indexes build
+      // into the SAME tmp directory, so data and index publish in one
+      // atomic rename. No-op for unindexed containers.
+      Index.buildInto(this, name, slot, tmp)
       Files.move(tmp, versionPath(name, slot), StandardCopyOption.ATOMIC_MOVE)
       advancePointer(name, slot)
     } catch {

@@ -1,0 +1,267 @@
+package graft.catalog
+
+import graft.aql.AlbaType
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Path, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Derived secondary indexes, maintained INSIDE every commit — the
+  * Spark-native re-architecture of the reference's commit-time index hook
+  * (`/root/reference/src/container.rs:277-282` fires `Add::add` per
+  * committed row; the remove path is `src/indexing.rs:147-189`). The
+  * reference mutates an in-memory Strix trie per row; here the index is a
+  * parquet dataset whose parts are keyed by the SOURCE DATA FILE they
+  * derive from, living inside the version directory they index:
+  *
+  *   data/<container>@v<N>/_index/<ix>/src=<part-file-name>/...
+  *
+  * That placement buys three properties at once:
+  *  - **Atomicity**: the index is built into the commit's tmp directory
+  *    before the atomic rename, so a version and its index publish
+  *    together — no window where readers see new rows with a stale index.
+  *  - **Incrementality**: a file-granular COW commit carries unchanged
+  *    base files as hard links under the SAME name; their `src=` index
+  *    subdirectories are carried the same way (one inode op each). Only
+  *    the rewritten/inserted parts have their index rows recomputed, so
+  *    index maintenance cost scales with TOUCHED data, exactly like the
+  *    commit itself. Deletes need no tombstones: a deleted row lived in a
+  *    touched file, and that file's index subdirectory is recomputed from
+  *    the rewritten rows.
+  *  - **Time travel / vacuum for free**: each version owns its index; old
+  *    versions keep theirs until vacuumed, and `deleteRecursively` cleans
+  *    both together. Spark's file listing ignores `_`-prefixed
+  *    directories, so data reads never see index parts.
+  *
+  * At warehouse scale the `src=` keying is a manifest from data file to
+  * index parts — the same shape as Iceberg's delete-file/DV manifests —
+  * and the hard links become "add file unchanged" entries.
+  *
+  * Kinds:
+  *  - `lsh`: MinHash band rows `(id, band, bk)` over a TEXT column — the
+  *    near-dup serving index (same derivation as the fixture-side
+  *    `dd_lsh_index_lookup`, `operators/TextDedup.scala`). A lookup
+  *    computes the query doc's ≤4·bands literal band keys and scans the
+  *    index filtered to those keys; cost ∝ probe keys, not corpus.
+  */
+object Index {
+  final case class Def(ix: String, kind: String, column: String) {
+    /** Index-row schema (minus the `src` partition column). */
+    def schema(pkType: DataType): StructType = kind match {
+      case "lsh" => StructType(Seq(
+        StructField("id", pkType), StructField("band", IntegerType),
+        StructField("bk", StringType)))
+      case other => sys.error(s"unknown index kind '$other'")
+    }
+  }
+
+  private[catalog] def metaFile(cat: Catalog, container: String, ix: String): Path =
+    cat.catalogDir.resolve(s"$container.ix-$ix")
+
+  private[catalog] def defsOf(cat: Catalog, container: String): Seq[Def] = {
+    val pat = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(container) + "\\.ix-([A-Za-z0-9_]+)")
+    scala.util.Using.resource(Files.list(cat.catalogDir)) { stream =>
+      stream.iterator().asScala.map(_.getFileName.toString).flatMap { f =>
+        val m = pat.matcher(f)
+        if (m.matches()) Some(m.group(1)) else None
+      }.toSeq.sorted
+    }.map { ix =>
+      val Array(kind, column) =
+        Files.readString(metaFile(cat, container, ix)).trim.split("\t", 2)
+      Def(ix, kind, column)
+    }
+  }
+
+  /** Declare an index and backfill it for the current version. `CREATE_NEW`
+    * metadata write makes double-create fail loudly; commits from other
+    * sessions pick the definition up on their next `indexDefs` read.
+    */
+  def create(cat: Catalog, container: String, ix: String, kind: String,
+      column: String): Def = {
+    val d = cat.get(container)
+    require(ix.matches("[A-Za-z0-9_]+"), s"Invalid index name '$ix'")
+    val colType = d.columns.collectFirst {
+      case (n, t) if n.equalsIgnoreCase(column) => t
+    }.getOrElse(sys.error(s"No column '$column' on '$container'"))
+    kind match {
+      case "lsh" => require(colType.spark == StringType,
+        s"lsh index needs a TEXT-like column, '$column' is ${colType.name}")
+      case other => sys.error(s"unknown index kind '$other'")
+    }
+    Files.write(metaFile(cat, container, ix), s"$kind\t$column".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    val idef = Def(ix, kind, column)
+    val v = cat.currentVersion(container)
+    if (v > 0) ensureAt(cat, container, idef, v)
+    idef
+  }
+
+  def drop(cat: Catalog, container: String, ix: String): Unit = {
+    require(Files.exists(metaFile(cat, container, ix)),
+      s"No index '$ix' on '$container'")
+    Files.delete(metaFile(cat, container, ix))
+    val v = cat.currentVersion(container)
+    if (v > 0)
+      cat.deleteRecursively(cat.versionPath(container, v).resolve("_index").resolve(ix))
+  }
+
+  /** Index rows at the current version (self-healing: a version published
+    * before the index existed — or whose backfill crashed — is indexed on
+    * first read, reusing any older version's parts by file identity).
+    */
+  def read(cat: Catalog, container: String, idef: Def): DataFrame = {
+    val d = cat.get(container)
+    val v = cat.currentVersion(container)
+    val full = idef.schema(d.schema.head.dataType).add("src", StringType)
+    if (v == 0)
+      return cat.spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), full)
+    ensureAt(cat, container, idef, v)
+    cat.spark.read.schema(full)
+      .parquet(ixDir(cat, container, v, idef.ix).toString)
+  }
+
+  /** Near-dup lookup served from an `lsh` index: derive the query docs'
+    * band keys (a pure projection over the handful of probe documents),
+    * then scan the index filtered to those LITERAL keys. The collected key
+    * list is bounded per-lookup metadata (≤4 bands × #query docs), the
+    * IVF-probe-list idiom — never data.
+    */
+  def lshLookup(cat: Catalog, container: String, idef: Def,
+      queries: DataFrame): DataFrame = {
+    require(idef.kind == "lsh", s"index '${idef.ix}' is not an lsh index")
+    val pk = cat.get(container).primaryKey
+    val qBands = deriveLsh(queries
+        .select(col(pk).as("id"), col(idef.column).as("text"))
+        .withColumn("src", lit("query")))
+      .select(col("id").as("qid"), col("band").as("qband"), col("bk").as("qbk"))
+    val keys = qBands.select(col("qbk")).distinct().collect().map(_.getString(0))
+    read(cat, container, idef)
+      .filter(col("bk").isin(keys.toIndexedSeq: _*))
+      .join(broadcast(qBands),
+        col("band") === col("qband") && col("bk") === col("qbk")
+          && col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("cand"))
+      .distinct()
+  }
+
+  // ---- maintenance ---------------------------------------------------------
+
+  private def ixDir(cat: Catalog, container: String, v: Int, ix: String): Path =
+    cat.versionPath(container, v).resolve("_index").resolve(ix)
+
+  /** Commit hook, called by `Catalog.tryCommitBuild` after the data files
+    * land in `tmp` and before the atomic publish move. No-op unless the
+    * container has declared indexes.
+    */
+  private[catalog] def buildInto(cat: Catalog, container: String, slot: Int,
+      tmp: Path): Unit = {
+    val defs = defsOf(cat, container)
+    if (defs.isEmpty) return
+    val d = cat.get(container)
+    val carry = cat.versions(container).filter(_ < slot).lastOption
+      .map(cat.versionPath(container, _))
+    defs.foreach { idef =>
+      buildDir(cat, d, idef, dataFiles(tmp), carry,
+        tmp.resolve("_index").resolve(idef.ix))
+    }
+  }
+
+  /** Backfill the index for an already-published version (index created
+    * after the version, or a crashed backfill): build into a tmp sibling,
+    * then atomically rename into place. The version's data files are
+    * immutable, so the index content is deterministic — two racing
+    * backfills produce identical bytes and the loser's rename just fails.
+    */
+  private def ensureAt(cat: Catalog, container: String, idef: Def, v: Int): Unit = {
+    val dest = ixDir(cat, container, v, idef.ix)
+    if (Files.exists(dest)) return
+    val verDir = cat.versionPath(container, v)
+    val carry = cat.versions(container).filter(_ < v).lastOption
+      .map(cat.versionPath(container, _))
+    val tmp = verDir.resolve("_index")
+      .resolve(s".tmp-${idef.ix}-${ProcessHandle.current.pid}-${System.nanoTime()}")
+    buildDir(cat, cat.get(container), idef, dataFiles(verDir), carry, tmp)
+    try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+    catch { // lost a backfill race: the winner's content is identical
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.DirectoryNotEmptyException =>
+        cat.deleteRecursively(tmp)
+    }
+  }
+
+  private def dataFiles(dir: Path): Seq[Path] =
+    scala.util.Using.resource(Files.list(dir)) { stream =>
+      stream.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString)
+    }
+
+  /** The incremental build: for each data file, either hard-link its
+    * `src=` index subdirectory from the carry version (same file name ⟺
+    * same bytes — COW links preserve names, rewrites get fresh UUIDs) or
+    * recompute its index rows. A carried file with NO `src=` subdirectory
+    * legitimately produced zero index rows (e.g. a doc too short to
+    * shingle) — the carry version's index covered all its files by
+    * construction, so absence means empty, not unbuilt.
+    */
+  private def buildDir(cat: Catalog, d: Catalog#ContainerDef, idef: Def,
+      files: Seq[Path], carryVer: Option[Path], dest: Path): Unit = {
+    Files.createDirectories(dest)
+    val carryIx = carryVer.map(_.resolve("_index").resolve(idef.ix))
+      .filter(Files.exists(_))
+    val toCompute = files.filterNot { f =>
+      val name = f.getFileName.toString
+      val covered = carryIx.isDefined &&
+        carryVer.exists(b => Files.exists(b.resolve(name)))
+      if (covered) {
+        val from = carryIx.get.resolve(s"src=$name")
+        if (Files.exists(from)) linkDir(from, dest.resolve(s"src=$name"))
+      }
+      covered
+    }
+    if (toCompute.nonEmpty) {
+      val rows = cat.spark.read.schema(d.schema)
+        .parquet(toCompute.map(_.toString): _*)
+        .withColumn("src", col("_metadata.file_name"))
+      derive(d, idef, rows)
+        .write.mode("append").partitionBy("src").parquet(dest.toString)
+    }
+  }
+
+  private def linkDir(from: Path, to: Path): Unit = {
+    Files.createDirectories(to)
+    scala.util.Using.resource(Files.list(from)) { stream =>
+      stream.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .foreach(f => Files.createLink(to.resolve(f.getFileName), f))
+    }
+  }
+
+  /** Index rows for a batch of container rows (with their `src` file
+    * attribution). Row-local per document, so per-file recomputation is
+    * exact — the same property that makes the COW commit decomposition
+    * valid (`Tx.commitOnce`).
+    */
+  private def derive(d: Catalog#ContainerDef, idef: Def, rows: DataFrame): DataFrame =
+    idef.kind match {
+      case "lsh" =>
+        deriveLsh(rows.select(col(d.primaryKey).as("id"),
+          col(idef.column).as("text"), col("src")))
+      case other => sys.error(s"unknown index kind '$other'")
+    }
+
+  /** (id, text, src) → (id, band, bk, src): the MinHash shingle →
+    * signature → band derivation shared with the fixture-side LSH paths
+    * (`operators/TextDedup`), with `src` carried through the aggregation
+    * (functionally dependent on `id`, so the minima are unchanged).
+    */
+  private def deriveLsh(docs: DataFrame): DataFrame = {
+    import graft.operators.TextDedup.{bandsOf, withShingles, withSignatures}
+    bandsOf(withSignatures(withShingles(docs.withColumnRenamed("id", "doc_id")),
+        Seq("doc_id", "src")), Seq("doc_id", "src"))
+      .select(col("doc_id").as("id"), col("band"), col("bk"), col("src"))
+  }
+}

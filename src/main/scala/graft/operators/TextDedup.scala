@@ -155,7 +155,15 @@ object TextDedup {
     * re-inlines the md5 transform into every slice extraction, so the fold
     * runs ~2× slower than this codegen'd explode + hash-aggregate.)
     */
-  private def withSignatures(df: DataFrame): DataFrame = {
+  private def withSignatures(df: DataFrame): DataFrame = withSignatures(df, Seq("doc_id"))
+
+  /** As above, with explicit group keys — the catalog's derived-index
+    * maintenance ([[graft.catalog.Index]]) carries the source-file column
+    * through the aggregation so index rows stay attributable to the
+    * parquet part they derive from (`keys` are functionally dependent on
+    * the doc id, so the extra key never changes the minima).
+    */
+  private[graft] def withSignatures(df: DataFrame, keys: Seq[String]): DataFrame = {
     // Batch keeps the explode + partial-agg form: measured FASTER than a
     // per-row single-pass projection here, because the band self-join
     // reuses the aggregation's exchange (one pipeline run), while a
@@ -164,10 +172,10 @@ object TextDedup {
     // (graft.functions.MinHashSlices, value-identical) is the STREAMING
     // path's signature — a stream projection can't explode+groupBy per
     // micro-batch without keyed state.
-    val ex = df.select(col("doc_id"), explode(col("sg")).as("s"))
+    val ex = df.select(keys.map(col) :+ explode(col("sg")).as("s"): _*)
       .withColumn("h", concat(md5(col("s")), md5(concat(col("s"), lit("#")))))
     val mins = (0 until 8).map(i => min(substring(col("h"), 1 + 8 * i, 8)).as(s"s$i"))
-    ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    ex.groupBy(keys.map(col): _*).agg(mins.head, mins.tail: _*)
   }
 
   private val duckSignatures =
@@ -180,11 +188,13 @@ object TextDedup {
   /** 4 LSH bands, 2 signature rows each: band key = s2i ‖ s2i+1 (the two
     * 8-hex slices concatenated — already uniform, no extra digest needed).
     */
-  private def bandsOf(sigs: DataFrame): DataFrame = {
+  private def bandsOf(sigs: DataFrame): DataFrame = bandsOf(sigs, Seq("doc_id"))
+
+  private[graft] def bandsOf(sigs: DataFrame, keys: Seq[String]): DataFrame = {
     val bandStructs = (0 until 4).map(b =>
       struct(lit(b).as("band"), concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("bk")))
-    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+    sigs.select(keys.map(col) :+ explode(array(bandStructs: _*)).as("bb"): _*)
+      .select(keys.map(col) :+ col("bb.band").as("band") :+ col("bb.bk").as("bk"): _*)
   }
 
   private val duckBands =

@@ -1,0 +1,186 @@
+package graft.catalog
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Commit-time maintenance of derived secondary indexes (Index.scala) —
+  * the analogue of the reference's per-commit index hook
+  * (`/root/reference/src/container.rs:277-282`, `src/indexing.rs:131-189`):
+  * a container that gains/loses rows through the staged-op commit path
+  * serves correct index lookups immediately, with NO rebuild — new data
+  * files get their index rows computed inside the same atomic commit, and
+  * untouched files carry their index parts over as hard links.
+  */
+class IndexMaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // ≥3 whitespace tokens so every doc shingles; family A docs are
+  // near-identical (shared shingles ⇒ shared bands), family B is disjoint
+  private def textA(i: Int) = s"the quick brown fox jumps over the lazy dog $i"
+  private def textB(i: Int) = s"pack my box with five dozen liquor jugs $i"
+
+  private def fixture(tag: String) = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-ixm-$tag")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("docs", List("doc_id" -> graft.aql.AlbaType.of("BIGINT"),
+      "body" -> graft.aql.AlbaType.of("TEXT")))
+    import spark.implicits._
+    val base = ((0L until 8L).map(i => (i, textA(i.toInt)))
+      ++ (8L until 16L).map(i => (i, textB(i.toInt))))
+      .toDF("doc_id", "body")
+      .repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id")
+    cat.overwrite("docs", base) // v1, 4 pk-range-clustered files
+    (cat, dir)
+  }
+
+  private def queryDf(id: Long, text: String) = {
+    import spark.implicits._
+    Seq((id, text)).toDF("doc_id", "body")
+  }
+
+  test("createIndex backfills the current version and serves lookups") {
+    val (cat, _) = fixture("backfill")
+    cat.createIndex("docs", "nd", "lsh", "body")
+    val ix = cat.readIndex("docs", "nd")
+    assert(ix.columns.toSet == Set("id", "band", "bk", "src"))
+    assert(ix.select("id").distinct().count() == 16, "every doc indexed")
+    // doc 0's near family is the other textA docs
+    val cands = cat.indexLookup("docs", "nd", queryDf(0L, textA(0)))
+      .collect().map(_.getLong(1)).toSet
+    assert(cands.nonEmpty && cands.subsetOf((1L until 8L).toSet),
+      s"textA query must hit only textA docs, got $cands")
+  }
+
+  test("insert + COMMIT indexes the new doc in the same commit, no rebuild") {
+    val (cat, _) = fixture("insert")
+    cat.createIndex("docs", "nd", "lsh", "body")
+    val v1IxParts = ixParts(cat, "docs", 1, "nd")
+    assert(v1IxParts.nonEmpty, "backfilled index has parts")
+
+    val tx = new Tx(cat)
+    tx.stageInsert("docs", Seq(org.apache.spark.sql.Row(99L, textA(99))))
+    tx.commit(Some("docs"))
+    assert(cat.currentVersion("docs") == 2)
+
+    // the probe finds the new doc's family immediately — no rebuild call
+    val cands = cat.indexLookup("docs", "nd", queryDf(999L, textA(999)))
+      .collect().map(_.getLong(1)).toSet
+    assert(cands.contains(99L), s"new doc must be indexed at commit, got $cands")
+
+    // incrementality: the insert-only commit linked every base data file,
+    // and their index parts are the SAME inodes as v1's (hard links, not
+    // recomputed bytes)
+    val v2 = ixParts(cat, "docs", 2, "nd")
+    val v1ByRel = v1IxParts.map(p => rel(cat, "docs", 1, p) -> p).toMap
+    val carried = v2.filter(p => v1ByRel.get(rel(cat, "docs", 2, p))
+      .exists(java.nio.file.Files.isSameFile(_, p)))
+    assert(carried.size == v1IxParts.size,
+      s"all v1 index parts must carry as links: ${carried.size} of ${v1IxParts.size}")
+    assert(v2.size > v1IxParts.size, "the new doc contributed fresh index parts")
+  }
+
+  test("delete + COMMIT drops the doc's index rows; untouched files stay linked") {
+    val (cat, _) = fixture("delete")
+    cat.createIndex("docs", "nd", "lsh", "body")
+    val tx = new Tx(cat)
+    tx.stageDelete("docs", Some(col("doc_id") === 3L))
+    tx.commit(Some("docs"))
+
+    val ids = cat.readIndex("docs", "nd").select("id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(3L), "deleted doc must leave the index")
+    assert(ids.size == 15, s"the other docs stay indexed, got ${ids.size}")
+
+    // only the touched pk-range's index subdir was recomputed
+    val v1 = ixParts(cat, "docs", 1, "nd")
+    val v2 = ixParts(cat, "docs", 2, "nd")
+    val v1ByRel = v1.map(p => rel(cat, "docs", 1, p) -> p).toMap
+    val carried = v2.count(p => v1ByRel.get(rel(cat, "docs", 2, p))
+      .exists(java.nio.file.Files.isSameFile(_, p)))
+    assert(carried > 0, "index parts of untouched files must carry as links")
+  }
+
+  test("index created before first commit: the first commit builds it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ixm-empty")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("docs", List("doc_id" -> graft.aql.AlbaType.of("BIGINT"),
+      "body" -> graft.aql.AlbaType.of("TEXT")))
+    cat.createIndex("docs", "nd", "lsh", "body")
+    assert(cat.readIndex("docs", "nd").count() == 0, "no data, empty index")
+    val tx = new Tx(cat)
+    tx.stageInsert("docs", Seq(org.apache.spark.sql.Row(1L, textA(1))))
+    tx.commit(Some("docs"))
+    assert(cat.readIndex("docs", "nd").select("id").distinct().count() == 1)
+  }
+
+  test("OPTIMIZE re-derives the index over the compacted layout") {
+    val (cat, _) = fixture("optimize")
+    cat.createIndex("docs", "nd", "lsh", "body")
+    cat.optimize("docs", targetFiles = Some(1))
+    val ix = cat.readIndex("docs", "nd")
+    assert(ix.select("id").distinct().count() == 16)
+    assert(ix.select("src").distinct().count() == 1,
+      "compacted version's index derives from the compacted file")
+  }
+
+  test("time travel keeps each version's index; vacuum drops old ones with the version") {
+    val (cat, _) = fixture("tt")
+    cat.createIndex("docs", "nd", "lsh", "body")
+    val tx = new Tx(cat)
+    tx.stageInsert("docs", Seq(org.apache.spark.sql.Row(50L, textB(50))))
+    tx.commit(Some("docs"))
+    assert(java.nio.file.Files.exists(
+      cat.versionPath("docs", 1).resolve("_index").resolve("nd")))
+    cat.vacuum("docs", keepLast = 1)
+    assert(!java.nio.file.Files.exists(cat.versionPath("docs", 1)))
+    assert(cat.readIndex("docs", "nd").select("id").distinct().count() == 17)
+  }
+
+  test("dropIndex removes the definition; commits stop maintaining it") {
+    val (cat, _) = fixture("dropix")
+    cat.createIndex("docs", "nd", "lsh", "body")
+    cat.dropIndex("docs", "nd")
+    intercept[RuntimeException](cat.readIndex("docs", "nd"))
+    val tx = new Tx(cat)
+    tx.stageInsert("docs", Seq(org.apache.spark.sql.Row(99L, textA(99))))
+    tx.commit(Some("docs")) // must not fail, and must not build an index
+    assert(!java.nio.file.Files.exists(
+      cat.versionPath("docs", 2).resolve("_index").resolve("nd")))
+  }
+
+  test("self-heal: a version published without the index gets backfilled on read") {
+    val (cat, _) = fixture("heal")
+    cat.createIndex("docs", "nd", "lsh", "body")
+    // simulate a crashed backfill / index hook by removing the built index
+    cat.deleteRecursively(
+      cat.versionPath("docs", 1).resolve("_index").resolve("nd"))
+    val ids = cat.readIndex("docs", "nd").select("id").distinct().count()
+    assert(ids == 16, "read self-heals the missing index")
+  }
+
+  test("lsh index rejects non-text columns and duplicate creation") {
+    val (cat, _) = fixture("reject")
+    intercept[RuntimeException](cat.createIndex("docs", "bad", "lsh", "doc_id"))
+    intercept[RuntimeException](cat.createIndex("docs", "bad2", "nope", "body"))
+    cat.createIndex("docs", "nd", "lsh", "body")
+    intercept[Exception](cat.createIndex("docs", "nd", "lsh", "body"))
+  }
+
+  // ---- helpers -------------------------------------------------------------
+
+  /** Parquet part files under version v's index directory (recursive). */
+  private def ixParts(cat: Catalog, name: String, v: Int, ix: String) = {
+    val d = cat.versionPath(name, v).resolve("_index").resolve(ix)
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(java.nio.file.Files.walk(d)) { s =>
+      s.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) // src= DIRS end in .parquet too
+          && p.getFileName.toString.endsWith(".parquet")).toSeq
+    }
+  }
+
+  /** Path of an index part relative to its version dir (src=…/part-…). */
+  private def rel(cat: Catalog, name: String, v: Int, p: java.nio.file.Path) =
+    cat.versionPath(name, v).resolve("_index").relativize(p).toString
+}
