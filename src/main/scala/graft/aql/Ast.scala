@@ -54,6 +54,14 @@ object Ast {
       colTypes: List[AlbaType]) extends Stmt
   final case class CreateRow(container: String, colNames: List[String],
       values: List[Token]) extends Stmt
+  /** MERGE ROW (graft extension): upsert keyed on the pk-convention
+    * column (the container's first column, reference I6) — update the
+    * pk-matching row's mentioned columns if one exists in the session
+    * view, else insert (the reference's graveyard-slot reuse,
+    * `/root/reference/src/container.rs:219-234`, is its in-place
+    * analogue of insert-or-update). */
+  final case class MergeRow(container: String, colNames: List[String],
+      values: List[Token]) extends Stmt
   final case class EditRow(container: String, colNames: List[String],
       values: List[Token], where: Where) extends Stmt
   final case class DeleteRow(container: String, where: Option[Where]) extends Stmt
@@ -428,6 +436,14 @@ object Parser {
       if (cols.length != valsG.items.length)
         throw new ParseException("Column and value counts differ")
       CreateRow(name(containerTok), cols, valsG.items)
+
+    // MERGE ROW [cols][vals] ON container (graft extension): upsert on
+    // the pk-convention column; same shape as CREATE ROW
+    case Keyword("MERGE") :: Keyword("ROW") :: (colsG: Group) :: (valsG: Group) :: Keyword("ON") :: containerTok :: Nil =>
+      val cols = strings(colsG)
+      if (cols.length != valsG.items.length)
+        throw new ParseException("Column and value counts differ")
+      MergeRow(name(containerTok), cols, valsG.items)
 
     // EDIT ROW [cols][vals] ON container WHERE … (parser.rs:122-239)
     case Keyword("EDIT") :: Keyword("ROW") :: (colsG: Group) :: (valsG: Group) :: Keyword("ON") :: containerTok :: Keyword("WHERE") :: rest =>

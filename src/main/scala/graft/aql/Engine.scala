@@ -101,6 +101,45 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       tx.stageInsert(container, Seq(row))
       Done(s"staged 1 row into $container")
 
+    case Ast.MergeRow(container, cols, values) =>
+      val d = catalog.get(container)
+      if (cols.map(_.toLowerCase).distinct.length != cols.length)
+        throw new ParseException(s"Duplicate column names in ${cols.mkString(",")}")
+      val unknown = cols.filterNot(c => d.columns.exists(_._1.equalsIgnoreCase(c)))
+      if (unknown.nonEmpty)
+        throw new ParseException(s"Unknown columns: ${unknown.mkString(",")}")
+      val byName = cols.map(_.toLowerCase).zip(values.map(AlbaType.tokenValue)).toMap
+      val (pkName, pkType) = d.columns.head
+      val pkVal = byName.get(pkName.toLowerCase)
+        .map(v => AlbaType.coerce(pkType, v))
+        .getOrElse(throw new ParseException(
+          s"MERGE ROW requires the key column $pkName"))
+      if (pkVal == null)
+        throw new ParseException(s"MERGE ROW key $pkName must not be NULL")
+      // Point-existence probe against the session view (committed base ⊕
+      // staged ops — read-your-writes like every other statement). The pk
+      // equality predicate prunes to the file(s) whose pk range covers the
+      // key on the clustered layout, the same one-file shape the COW
+      // commit decomposition then rewrites — upsert cost is a point
+      // lookup + point rewrite, never a table scan.
+      val exists = tx.view(container)
+        .filter(col(pkName) === lit(pkVal)).limit(1).count() > 0
+      if (exists) {
+        val sets = d.columns.tail
+          .filter { case (n, _) => byName.contains(n.toLowerCase) }
+          .map { case (n, t) => n -> AlbaType.coerce(t, byName(n.toLowerCase)) }
+        if (sets.nonEmpty)
+          tx.stageEdit(container, col(pkName) === lit(pkVal), sets)
+        Done(s"staged merge (update) on $container")
+      } else {
+        // unmentioned columns are NULL, exactly like CREATE ROW
+        val row = Row.fromSeq(d.columns.map { case (n, t) =>
+          byName.get(n.toLowerCase).map(v => AlbaType.coerce(t, v)).orNull
+        })
+        tx.stageInsert(container, Seq(row))
+        Done(s"staged merge (insert) into $container")
+      }
+
     case Ast.EditRow(container, cols, values, where) =>
       val d = catalog.get(container)
       if (cols.map(_.toLowerCase).distinct.length != cols.length)

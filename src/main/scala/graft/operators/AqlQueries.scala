@@ -76,6 +76,14 @@ object AqlQueries {
       eng.execute("ALTER CONTAINER docs_alter ADD COLUMN ['tag'] [TEXT]")
       eng.execute("CREATE ROW ['doc_id','n_chars','tag'] [900001, 7, 'added'] ON docs_alter")
       eng.execute("COMMIT docs_alter")
+      // upsert container for MERGE ROW: one merge hits an existing pk
+      // (update path), one misses (insert path) — committed through the
+      // same COW decomposition (the update rewrites one pk-range file)
+      eng.execute("CREATE CONTAINER docs_merge ['doc_id','n_chars'] [BIGINT, BIGINT]")
+      eng.catalog.overwrite("docs_merge", docs)
+      eng.execute("MERGE ROW ['doc_id','n_chars'] [42, 77777] ON docs_merge")
+      eng.execute("MERGE ROW ['doc_id','n_chars'] [900002, 123] ON docs_merge")
+      eng.execute("COMMIT docs_merge")
       eng
     })
   }
@@ -307,6 +315,18 @@ object AqlQueries {
         |UNION ALL SELECT 900001, 7, 'added'
         |ORDER BY doc_id""".stripMargin) {
       (s, dir) => search("SEARCH [] ON docs_alter")(s, dir)
+    },
+
+    // MERGE ROW (upsert) through the full AQL path: pk-keyed
+    // insert-or-update, DuckDB `INSERT … ON CONFLICT DO UPDATE` semantics
+    // reconstructed declaratively (doc_id 42 updated, 900002 inserted).
+    Q("aql_merge_upsert",
+      """SELECT doc_id,
+        |       CASE WHEN doc_id = 42 THEN 77777 ELSE n_chars END AS n_chars
+        |FROM documents
+        |UNION ALL SELECT 900002, 123
+        |ORDER BY doc_id, n_chars""".stripMargin) {
+      (s, dir) => search("SEARCH [] ON docs_merge")(s, dir)
     },
 
     Q("aql_time_travel",

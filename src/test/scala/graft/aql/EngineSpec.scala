@@ -588,4 +588,28 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val eng3 = new Engine(spark, dir.toString)
     assert(eng3.catalog.get("alt").columns.map(_._1) == List("id", "v", "tag"))
   }
+
+  test("27 MERGE ROW upserts on the pk convention column") {
+    eng.execute("CREATE CONTAINER mrg ['id','v','n'] [BIGINT, SMALL-STRING, BIGINT]")
+    eng.execute("CREATE ROW ['id','v','n'] [1,'one',10] ON mrg")
+    eng.execute("CREATE ROW ['id','v','n'] [2,'two',20] ON mrg")
+    eng.execute("COMMIT mrg")
+
+    // miss → insert (unmentioned column NULL), hit → update mentioned
+    // columns only (n keeps its value)
+    eng.execute("MERGE ROW ['id','v'] [3,'three'] ON mrg")
+    eng.execute("MERGE ROW ['id','v'] [1,'uno'] ON mrg")
+    // read-your-writes: a second merge on the STAGED insert updates it
+    eng.execute("MERGE ROW ['id','v'] [3,'tres'] ON mrg")
+    eng.execute("COMMIT mrg")
+
+    val got = searchRows("SEARCH [] ON mrg").map(r =>
+      (r.getLong(0), r.getString(1), Option(r.get(2)))).toSet
+    assert(got == Set((1L, "uno", Some(10L)), (2L, "two", Some(20L)),
+      (3L, "tres", None)))
+
+    // the key column is mandatory and NOT NULL; unknown columns rejected
+    intercept[ParseException](eng.execute("MERGE ROW ['v'] ['x'] ON mrg"))
+    intercept[ParseException](eng.execute("MERGE ROW ['id','nope'] [9,'x'] ON mrg"))
+  }
 }

@@ -24,6 +24,14 @@ class ParserSpec extends AnyFunSuite {
       List(Token.IntLit(1), Token.Str("ana"))))
   }
 
+  test("MERGE ROW parses like CREATE ROW (upsert extension)") {
+    val stmt = Parser.parse("MERGE ROW ['id','name'] [1, 'ana'] ON users")
+    assert(stmt == MergeRow("users", List("id", "name"),
+      List(Token.IntLit(1), Token.Str("ana"))))
+    intercept[ParseException](
+      Parser.parse("MERGE ROW ['id','name'] [1] ON users"))
+  }
+
   test("EDIT ROW with WHERE chain") {
     val stmt = Parser.parse("EDIT ROW ['name'] ['bo'] ON users WHERE id = 1 AND name != 'x'")
     val e = stmt.asInstanceOf[EditRow]
