@@ -71,6 +71,13 @@ object Ast {
     * `src/database.rs:161-250`; a real lake adds columns). New columns
     * read as NULL in every already-committed version.
     */
+  /** ALTER … DROP COLUMN (graft extension): metadata-only narrowing —
+    * committed parquet keeps the bytes; reads stop selecting them. */
+  final case class AlterDropColumn(name: String, colNames: List[String]) extends Stmt
+  /** ALTER … RENAME COLUMN (graft extension): pure metadata — parquet
+    * stores the pinned physical name; the catalog maps logical↔stored. */
+  final case class AlterRenameColumn(name: String, from: String,
+      to: String) extends Stmt
   final case class AlterContainer(name: String, colNames: List[String],
       colTypes: List[AlbaType]) extends Stmt
   /** One aggregate projection item, `fn(col)` (graft extension — the
@@ -429,6 +436,23 @@ object Parser {
       if (colNames.length != colTypes.length)
         throw new ParseException("Column-name and type counts differ")
       AlterContainer(name(nameTok), colNames, colTypes)
+
+    // ALTER CONTAINER name DROP COLUMN [names] (graft extension)
+    case Keyword("ALTER") :: Keyword("CONTAINER") :: nameTok :: Keyword("DROP") :: Keyword("COLUMN") :: (namesG: Group) :: Nil =>
+      val colNames = strings(namesG)
+      if (colNames.isEmpty)
+        throw new ParseException("DROP COLUMN needs at least 1 column")
+      if (colNames.map(_.toLowerCase).distinct.length != colNames.length)
+        throw new ParseException("Duplicate column names")
+      AlterDropColumn(name(nameTok), colNames)
+
+    // ALTER CONTAINER name RENAME COLUMN [old, new] (graft extension)
+    case Keyword("ALTER") :: Keyword("CONTAINER") :: nameTok :: Keyword("RENAME") :: Keyword("COLUMN") :: (namesG: Group) :: Nil =>
+      strings(namesG) match {
+        case from :: to :: Nil => AlterRenameColumn(name(nameTok), from, to)
+        case other => throw new ParseException(
+          s"RENAME COLUMN takes [old, new], got ${other.length} name(s)")
+      }
 
     // CREATE ROW [cols][vals] ON container (parser.rs:88-109)
     case Keyword("CREATE") :: Keyword("ROW") :: (colsG: Group) :: (valsG: Group) :: Keyword("ON") :: containerTok :: Nil =>

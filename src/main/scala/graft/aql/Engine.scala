@@ -84,6 +84,22 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       catalog.addColumns(name, cols.zip(types))
       Done(s"added ${cols.length} column(s) to $name")
 
+    case Ast.AlterDropColumn(name, cols) =>
+      // same staged-op guard as ADD: staged rows/predicates were built
+      // against the old schema
+      if (tx.stagedOps(name) > 0)
+        throw new ParseException(
+          s"ALTER CONTAINER $name: commit or rollback staged operations first")
+      catalog.dropColumns(name, cols)
+      Done(s"dropped ${cols.length} column(s) from $name")
+
+    case Ast.AlterRenameColumn(name, from, to) =>
+      if (tx.stagedOps(name) > 0)
+        throw new ParseException(
+          s"ALTER CONTAINER $name: commit or rollback staged operations first")
+      catalog.renameColumn(name, from, to)
+      Done(s"renamed $name.$from to $to")
+
     case Ast.CreateRow(container, cols, values) =>
       val d = catalog.get(container)
       // column names resolve case-insensitively (bare column tokens can

@@ -38,12 +38,25 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
   Files.createDirectories(catDir)
   Files.createDirectories(dataDir)
 
-  final case class ContainerDef(name: String, columns: List[(String, AlbaType)]) {
+  final case class ContainerDef(name: String, columns: List[(String, AlbaType)],
+      storedNames: List[String] = Nil) {
     def schema: StructType =
       StructType(columns.map { case (n, t) => StructField(n, t.spark, nullable = true) })
     /** First column = implicit primary key (reference convention I6,
       * SURVEY.md §2.7). */
     def primaryKey: String = columns.head._1
+    /** Physical parquet column names, aligned with `columns`. Parquet
+      * files ALWAYS store these: a RENAME COLUMN changes only the logical
+      * name, commits translate logical→stored at the write boundary, and
+      * reads translate back — so every file ever written for the
+      * container, at every version, matches one stored schema and rename
+      * is a pure metadata operation. */
+    def stored: List[String] =
+      if (storedNames.isEmpty) columns.map(_._1) else storedNames
+    def storedSchema: StructType =
+      StructType(stored.zip(columns).map { case (s, (_, t)) =>
+        StructField(s, t.spark, nullable = true) })
+    def renamed: Boolean = storedNames.nonEmpty && storedNames != columns.map(_._1)
   }
 
   private def schemaFile(name: String) = catDir.resolve(s"$name.schema")
@@ -68,12 +81,31 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
 
   def get(name: String): ContainerDef = {
     require(exists(name), s"Unknown container '$name'")
-    val columns = Files.readString(schemaFile(name)).split("\n").toList
+    // line format: `logical<TAB>TYPE[<TAB>stored]` — the 3rd field only
+    // appears after a RENAME COLUMN (stored = the original parquet name)
+    val parsed = Files.readString(schemaFile(name)).split("\n").toList
       .filter(_.nonEmpty).map { line =>
-        val Array(n, t) = line.split("\t", 2)
-        n -> AlbaType.of(t)
+        line.split("\t", 3) match {
+          case Array(n, t) => (n, AlbaType.of(t), n)
+          case Array(n, t, s) => (n, AlbaType.of(t), s)
+        }
       }
-    ContainerDef(name, columns)
+    val columns = parsed.map { case (n, t, _) => n -> t }
+    val stored = parsed.map(_._3)
+    ContainerDef(name, columns,
+      if (stored == columns.map(_._1)) Nil else stored)
+  }
+
+  /** Serialize + atomically swap the schema file (shared by every ALTER). */
+  private def writeSchema(name: String, d: ContainerDef): Unit = {
+    val text = d.columns.zip(d.stored).map { case ((n, t), s) =>
+      if (s == n) s"$n\t${t.name}" else s"$n\t${t.name}\t$s"
+    }.mkString("\n")
+    val tmp = catDir.resolve(
+      s"$name.schema.tmp-${ProcessHandle.current.pid}-${System.nanoTime()}")
+    Files.writeString(tmp, text)
+    Files.move(tmp, schemaFile(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Append columns to a container's schema (ALTER CONTAINER ADD COLUMN —
@@ -99,15 +131,104 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
         require(!existing.contains(n.toLowerCase),
           s"Column '$n' already exists on '$name'")
       }
-      val text = (d.columns ++ columns)
-        .map { case (n, t) => s"$n\t${t.name}" }.mkString("\n")
+      // column-mapping safety: a NEW logical column must never bind to a
+      // stored name that old parquet files already carry (a dropped
+      // column's bytes, or any live stored name) — otherwise ADD after
+      // DROP would resurrect deleted data. Tombstoned + live stored names
+      // are avoided by suffixing (the Delta/Iceberg field-id idea,
+      // expressed through the stored-name indirection).
+      val taken = d.stored.map(_.toLowerCase).toSet ++
+        droppedStored(name).map(_.toLowerCase)
+      val newStored = columns.map { case (n, _) =>
+        if (!taken.contains(n.toLowerCase)) n
+        else Iterator.from(2).map(k => s"${n}__$k")
+          .find(c => !taken.contains(c.toLowerCase)).get
+      }
+      val allStored = d.stored ++ newStored
+      val out = ContainerDef(name, d.columns ++ columns,
+        if (allStored == (d.columns ++ columns).map(_._1)) Nil else allStored)
       // atomic swap so a concurrent reader never sees a half-written schema
-      val tmp = catDir.resolve(
-        s"$name.schema.tmp-${ProcessHandle.current.pid}-${System.nanoTime()}")
-      Files.writeString(tmp, text)
-      Files.move(tmp, schemaFile(name), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
-      ContainerDef(name, d.columns ++ columns)
+      writeSchema(name, out)
+      out
+    }
+
+  /** ALTER CONTAINER DROP COLUMN — metadata-only: committed parquet keeps
+    * the column's bytes, but every read applies the catalog schema
+    * explicitly, so the column simply stops being selected (old versions
+    * included, mirroring ADD COLUMN's latest-schema-wins time travel).
+    * Storage is reclaimed lazily by the next OPTIMIZE, which rewrites the
+    * current version through the narrowed schema. The pk (first column)
+    * is protected, and an indexed column cannot be dropped out from under
+    * its index.
+    */
+  def dropColumns(name: String, cols: List[String]): ContainerDef =
+    withContainerLock(name) {
+      val d = get(name)
+      val targets = cols.map(_.toLowerCase)
+      require(targets.distinct.length == targets.length,
+        s"Duplicate column names in DROP: ${cols.mkString(",")}")
+      val unknown = cols.filterNot(c => d.columns.exists(_._1.equalsIgnoreCase(c)))
+      require(unknown.isEmpty, s"Unknown columns: ${unknown.mkString(",")}")
+      require(!targets.contains(d.primaryKey.toLowerCase),
+        s"Cannot drop primary key column '${d.primaryKey}'")
+      indexDefs(name).foreach(ix =>
+        require(!targets.contains(ix.column.toLowerCase),
+          s"Column '${ix.column}' is indexed by '${ix.ix}' — drop the index first"))
+      val keep = d.columns.zip(d.stored)
+        .filterNot { case ((n, _), _) => targets.contains(n.toLowerCase) }
+      require(keep.nonEmpty, s"Cannot drop every column of '$name'")
+      // tombstone the dropped STORED names first (crash-safe order: a
+      // tombstone without the schema change only over-blocks a future
+      // ADD; the reverse could silently resurrect dropped bytes)
+      val droppedNow = d.columns.zip(d.stored).collect {
+        case ((n, _), s) if targets.contains(n.toLowerCase) => s
+      }
+      Files.writeString(droppedFile(name),
+        (droppedStored(name) ++ droppedNow).toSeq.sorted.mkString("\n"))
+      val out = ContainerDef(name, keep.map(_._1),
+        if (keep.map(_._1._1) == keep.map(_._2)) Nil else keep.map(_._2))
+      writeSchema(name, out)
+      out
+    }
+
+  /** Stored names of ever-dropped columns — names new columns must avoid
+    * binding to (their bytes live on in old files until OPTIMIZE). */
+  private def droppedFile(name: String) = catDir.resolve(s"$name.dropped")
+  private def droppedStored(name: String): Set[String] =
+    if (!Files.exists(droppedFile(name))) Set.empty
+    else Files.readString(droppedFile(name)).split("\n").filter(_.nonEmpty).toSet
+
+  /** ALTER CONTAINER RENAME COLUMN — pure metadata: the stored (parquet)
+    * name is pinned at creation, so files never need rewriting; the
+    * schema file carries logical→stored and the read/commit boundaries
+    * translate. An index on the renamed column follows it (its metadata
+    * records the logical name).
+    */
+  def renameColumn(name: String, from: String, to: String): ContainerDef =
+    withContainerLock(name) {
+      val d = get(name)
+      require(to.matches("[A-Za-z_][A-Za-z0-9_]*"), s"Invalid column name '$to'")
+      require(d.columns.exists(_._1.equalsIgnoreCase(from)),
+        s"Unknown column '$from'")
+      require(!d.columns.exists(_._1.equalsIgnoreCase(to)),
+        s"Column '$to' already exists on '$name'")
+      val columns = d.columns.map { case (n, t) =>
+        (if (n.equalsIgnoreCase(from)) to else n) -> t
+      }
+      val out = ContainerDef(name, columns,
+        if (columns.map(_._1) == d.stored) Nil else d.stored)
+      writeSchema(name, out)
+      // the index follows the logical rename (derivations resolve logical
+      // names); atomic per-file swap, serialized by the container lock
+      indexDefs(name).filter(_.column.equalsIgnoreCase(from)).foreach { ix =>
+        val f = Index.metaFile(this, name, ix.ix)
+        val tmp = catDir.resolve(
+          s"$name.ix-${ix.ix}.tmp-${ProcessHandle.current.pid}-${System.nanoTime()}")
+        Files.writeString(tmp, s"${ix.kind}\t$to")
+        Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      out
     }
 
   // ---- derived secondary indexes (maintained at every commit: Index.scala)
@@ -136,6 +257,7 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
   def drop(name: String): Unit = {
     require(exists(name), s"Unknown container '$name'")
     indexDefs(name).foreach(d => Files.deleteIfExists(Index.metaFile(this, name, d.ix)))
+    Files.deleteIfExists(droppedFile(name))
     Files.delete(schemaFile(name))
     if (Files.exists(versionFile(name))) Files.delete(versionFile(name))
     versions(name).foreach { v =>
@@ -188,7 +310,7 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
       if (v > 0) versionPath(name, v)
       else dataPath(name) // unversioned/external data, if any
     if (Files.exists(path))
-      spark.read.schema(d.schema).parquet(path.toString)
+      toLogical(d, spark.read.schema(d.storedSchema).parquet(path.toString))
     else
       spark.createDataFrame(new java.util.ArrayList[Row](), d.schema)
   }
@@ -198,7 +320,54 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     val d = get(name)
     require(Files.exists(versionPath(name, v)),
       s"Version $v of '$name' does not exist (have: ${versions(name).mkString(",")})")
-    spark.read.schema(d.schema).parquet(versionPath(name, v).toString)
+    toLogical(d,
+      spark.read.schema(d.storedSchema).parquet(versionPath(name, v).toString))
+  }
+
+  /** Stored→logical name translation on the read side. Identity (the
+    * same scan node, `_metadata` still resolvable) unless a RENAME COLUMN
+    * happened. */
+  private def toLogical(d: ContainerDef, df: DataFrame): DataFrame =
+    if (!d.renamed) df
+    else df.withColumnsRenamed(
+      d.stored.zip(d.columns.map(_._1)).filter(p => p._1 != p._2).toMap)
+
+  /** Logical→stored translation on the write side: every commit flavor
+    * writes parquet under the PINNED stored names, so all files of a
+    * container — across renames, versions, and COW-linked history — match
+    * one stored schema. Also normalizes column order to the catalog's.
+    */
+  private[catalog] def toStored(name: String, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val d = get(name)
+    val selected = df.select(d.columns.map(c => col(c._1)): _*)
+    if (d.renamed) selected.toDF(d.stored: _*) else selected
+  }
+
+  /** Explicit part-file read under logical names (COW rewrite path). */
+  private[catalog] def readFiles(name: String, paths: Seq[String]): DataFrame = {
+    val d = get(name)
+    toLogical(d, spark.read.schema(d.storedSchema).parquet(paths: _*))
+  }
+
+  /** [[readFiles]] plus a `__src_file` attribution column (index build). */
+  private[catalog] def readFilesTagged(name: String, paths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val d = get(name)
+    val raw = spark.read.schema(d.storedSchema).parquet(paths: _*)
+    toLogical(d, raw.withColumn("__src_file", col("_metadata.file_name")))
+  }
+
+  /** Version scan with logical names PLUS a `__src_file` attribution
+    * column — for the COW touched-file probe, which needs `_metadata`
+    * (resolvable only on the raw scan, before any rename projection).
+    */
+  private[catalog] def readVersionTagged(name: String, v: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val d = get(name)
+    val raw = spark.read.schema(d.storedSchema)
+      .parquet(versionPath(name, v).toString)
+    toLogical(d, raw.withColumn("__src_file", col("_metadata.file_name")))
   }
 
   /** Commit `df` as the next version after `expectedBase` — the
@@ -221,7 +390,8 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
   /** Claim and publish an EXPLICIT version slot with a whole-dataframe
     * write. */
   private[catalog] def tryCommitAt(name: String, slot: Int, df: DataFrame): Boolean =
-    tryCommitBuild(name, slot)(tmp => df.write.mode("overwrite").parquet(tmp.toString))
+    tryCommitBuild(name, slot)(tmp =>
+      toStored(name, df).write.mode("overwrite").parquet(tmp.toString))
 
   /** File-granular copy-on-write commit: publish `expectedBase+1` as
     * hard links to `kept` (byte-identical files carried over from the
@@ -242,7 +412,7 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
       // the links. Rewritten parts carry fresh UUID part names, so they
       // can never collide with a linked base-file name.
       rewrite match {
-        case Some(df) => df.write.mode("overwrite").parquet(tmp.toString)
+        case Some(df) => toStored(name, df).write.mode("overwrite").parquet(tmp.toString)
         case None => Files.createDirectories(tmp)
       }
       kept.foreach(f => Files.createLink(tmp.resolve(f.getFileName), f))

@@ -223,9 +223,8 @@ object Index {
       covered
     }
     if (toCompute.nonEmpty) {
-      val rows = cat.spark.read.schema(d.schema)
-        .parquet(toCompute.map(_.toString): _*)
-        .withColumn("src", col("_metadata.file_name"))
+      val rows = cat.readFilesTagged(d.name, toCompute.map(_.toString))
+        .withColumnRenamed("__src_file", "src")
       derive(d, idef, rows)
         .write.mode("append").partitionBy("src").parquet(dest.toString)
     }

@@ -204,17 +204,16 @@ final class Tx(catalog: Catalog) {
     val baseFiles = catalog.versionFiles(c, base)
     val touched: Set[String] =
       if (edPreds.isEmpty || baseFiles.isEmpty) Set.empty
-      else catalog.readVersion(c, base)
+      else catalog.readVersionTagged(c, base)
         .filter(edPreds.reduce(_ || _))
-        .select(col("_metadata.file_name"))
+        .select(col("__src_file"))
         .distinct().collect().map(_.getString(0)).toSet
     val kept = baseFiles.filterNot(f => touched(f.getFileName.toString))
     val rewriteParts =
       (if (touched.nonEmpty) {
         val paths = baseFiles.filter(f => touched(f.getFileName.toString))
           .map(_.toString)
-        Seq(ops.foldLeft(catalog.spark.read.schema(d.schema)
-          .parquet(paths: _*))(applyEditDelete))
+        Seq(ops.foldLeft(catalog.readFiles(c, paths))(applyEditDelete))
       } else Nil) ++
       ops.zipWithIndex.collect { case (Insert(rows), i) =>
         ops.drop(i + 1).foldLeft(localDF(rows, d.schema))(applyEditDelete)

@@ -84,6 +84,14 @@ object AqlQueries {
       eng.execute("MERGE ROW ['doc_id','n_chars'] [42, 77777] ON docs_merge")
       eng.execute("MERGE ROW ['doc_id','n_chars'] [900002, 123] ON docs_merge")
       eng.execute("COMMIT docs_merge")
+      // renamed-column container: RENAME is metadata-only (files keep the
+      // pinned stored name n_chars), and the post-rename insert commits
+      // through the logical→stored translation
+      eng.execute("CREATE CONTAINER docs_ren ['doc_id','n_chars'] [BIGINT, BIGINT]")
+      eng.catalog.overwrite("docs_ren", docs)
+      eng.execute("ALTER CONTAINER docs_ren RENAME COLUMN ['n_chars','chars']")
+      eng.execute("CREATE ROW ['doc_id','chars'] [900003, 55] ON docs_ren")
+      eng.execute("COMMIT docs_ren")
       eng
     })
   }
@@ -327,6 +335,16 @@ object AqlQueries {
         |UNION ALL SELECT 900002, 123
         |ORDER BY doc_id, n_chars""".stripMargin) {
       (s, dir) => search("SEARCH [] ON docs_merge")(s, dir)
+    },
+
+    // ALTER RENAME COLUMN through the full AQL path: files of both eras
+    // (pre-rename fixture parquet, post-rename insert) read under the new
+    // logical name in one scan.
+    Q("aql_rename_column",
+      """SELECT doc_id, n_chars AS chars FROM documents
+        |UNION ALL SELECT 900003, 55
+        |ORDER BY doc_id, chars""".stripMargin) {
+      (s, dir) => search("SEARCH [] ON docs_ren")(s, dir)
     },
 
     Q("aql_time_travel",

@@ -612,4 +612,86 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[ParseException](eng.execute("MERGE ROW ['v'] ['x'] ON mrg"))
     intercept[ParseException](eng.execute("MERGE ROW ['id','nope'] [9,'x'] ON mrg"))
   }
+
+  test("28 ALTER RENAME COLUMN is pure metadata; commits keep the stored name") {
+    eng.execute("CREATE CONTAINER rn ['id','a','b'] [BIGINT, SMALL-STRING, BIGINT]")
+    eng.execute("CREATE ROW ['id','a','b'] [1,'x',10] ON rn")
+    eng.execute("COMMIT rn") // v1 stores physical column 'a'
+
+    eng.execute("ALTER CONTAINER rn RENAME COLUMN ['a','alpha']")
+    assert(eng.catalog.get("rn").columns.map(_._1) == List("id", "alpha", "b"))
+    // old name gone from the logical surface, values preserved under new
+    intercept[Exception](searchRows("SEARCH ['a'] ON rn"))
+    assert(searchRows("SEARCH ['id','alpha'] ON rn WHERE alpha = 'x'")
+      .map(_.getLong(0)) == Seq(1L))
+
+    // a post-rename insert commits under the PINNED stored name: every
+    // file of the container matches one stored schema forever
+    eng.execute("CREATE ROW ['id','alpha','b'] [2,'y',20] ON rn")
+    eng.execute("COMMIT rn") // v2 = v1 file linked + new part
+    val v2 = dir.resolve("data").resolve("rn@v2")
+    val physical = spark.read.parquet(v2.toString).schema.fieldNames.toSet
+    assert(physical == Set("id", "a", "b"),
+      s"parquet must store the physical names, got $physical")
+    assert(searchRows("SEARCH [] ON rn").map(r => (r.getLong(0), r.getString(1)))
+      .toSet == Set((1L, "x"), (2L, "y")))
+
+    // time travel reads old versions under the CURRENT logical names
+    assert(searchRows("SEARCH ['alpha'] ON rn AT VERSION 1")
+      .map(_.getString(0)) == Seq("x"))
+
+    // rename collision + staged-op guard
+    intercept[IllegalArgumentException](
+      eng.execute("ALTER CONTAINER rn RENAME COLUMN ['alpha','b']"))
+    eng.execute("CREATE ROW ['id','alpha','b'] [9,'z',0] ON rn")
+    intercept[ParseException](
+      eng.execute("ALTER CONTAINER rn RENAME COLUMN ['alpha','c']"))
+    eng.execute("ROLLBACK rn")
+
+    // schema round-trips through the catalog files across a restart
+    val eng4 = new Engine(spark, dir.toString)
+    assert(eng4.catalog.get("rn").columns.map(_._1) == List("id", "alpha", "b"))
+    assert(eng4.catalog.get("rn").stored == List("id", "a", "b"))
+  }
+
+  test("29 ALTER DROP COLUMN narrows reads; re-ADD cannot resurrect dropped bytes") {
+    eng.execute("CREATE CONTAINER dc ['id','keep','gone'] [BIGINT, SMALL-STRING, BIGINT]")
+    eng.execute("CREATE ROW ['id','keep','gone'] [1,'k',111] ON dc")
+    eng.execute("COMMIT dc")
+
+    // pk is protected; unknown rejected
+    intercept[IllegalArgumentException](
+      eng.execute("ALTER CONTAINER dc DROP COLUMN ['id']"))
+    intercept[IllegalArgumentException](
+      eng.execute("ALTER CONTAINER dc DROP COLUMN ['nope']"))
+
+    eng.execute("ALTER CONTAINER dc DROP COLUMN ['gone']")
+    assert(eng.catalog.get("dc").columns.map(_._1) == List("id", "keep"))
+    intercept[Exception](searchRows("SEARCH ['gone'] ON dc"))
+    // the bytes are still in the old file (lazy reclamation)…
+    val v1 = dir.resolve("data").resolve("dc@v1")
+    assert(spark.read.parquet(v1.toString).schema.fieldNames.contains("gone"))
+
+    // …but re-adding the same NAME binds a FRESH stored column: the old
+    // values must NOT come back
+    eng.execute("ALTER CONTAINER dc ADD COLUMN ['gone'] [BIGINT]")
+    val rows = searchRows("SEARCH [] ON dc").map(r =>
+      (r.getLong(0), Option(r.get(2))))
+    assert(rows == Seq((1L, None)),
+      s"re-added column must read NULL for old rows, got $rows")
+    // new writes land in the fresh stored column and read back
+    eng.execute("CREATE ROW ['id','keep','gone'] [2,'m',222] ON dc")
+    eng.execute("COMMIT dc")
+    assert(searchRows("SEARCH ['id','gone'] ON dc WHERE gone = 222")
+      .map(_.getLong(0)) == Seq(2L))
+
+    // OPTIMIZE reclaims the dropped bytes by rewriting through the
+    // narrowed schema
+    eng.execute("OPTIMIZE dc")
+    val cur = eng.catalog.currentVersion("dc")
+    val phys = spark.read.parquet(
+      dir.resolve("data").resolve(s"dc@v$cur").toString).schema.fieldNames.toSet
+    assert(!phys.contains("gone") && phys.contains("gone__2"),
+      s"optimize must drop tombstoned bytes and keep the fresh column, got $phys")
+  }
 }

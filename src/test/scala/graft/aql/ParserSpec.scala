@@ -24,6 +24,17 @@ class ParserSpec extends AnyFunSuite {
       List(Token.IntLit(1), Token.Str("ana"))))
   }
 
+  test("ALTER DROP/RENAME COLUMN forms") {
+    assert(Parser.parse("ALTER CONTAINER c DROP COLUMN ['a','b']")
+      == AlterDropColumn("c", List("a", "b")))
+    assert(Parser.parse("ALTER CONTAINER c RENAME COLUMN ['old','new']")
+      == AlterRenameColumn("c", "old", "new"))
+    intercept[ParseException](
+      Parser.parse("ALTER CONTAINER c DROP COLUMN []"))
+    intercept[ParseException](
+      Parser.parse("ALTER CONTAINER c RENAME COLUMN ['only']"))
+  }
+
   test("MERGE ROW parses like CREATE ROW (upsert extension)") {
     val stmt = Parser.parse("MERGE ROW ['id','name'] [1, 'ana'] ON users")
     assert(stmt == MergeRow("users", List("id", "name"),
