@@ -189,7 +189,25 @@ object Advanced {
         val qBand = banded.filter(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"),
             col("band").as("qband"), col("key").as("qkey"))
+        // quantize-then-rerank: int8-dequantized scan picks each query's
+        // approximate top-100, and ONLY those 100 get exact float scoring
+        // — avg_scanned below reports the float-rerank depth (the
+        // candidates this surface scores exactly), the knob that bounds
+        // per-query exact-compute regardless of corpus size; the int8
+        // pre-pass touches every code at 1/4 the bytes of float32.
+        val recon = Similarity.int8Recon(e)
+        val qRecon = recon.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("recon").as("qrecon"))
+        val approxTop = graft.plans.TopK.perGroup(
+          recon.join(broadcast(qRecon), col("vec_id") =!= col("qid"))
+            .select(col("qid"), col("vec_id").as("nid"),
+              round(cosine(col("qrecon"), col("recon")), 6).as("acos")),
+          Seq("qid"), Seq("acos" -> false, "nid" -> true), 100)
+          .select(col("qid"), col("nid").as("vec_id"))
+        val int8Cand = e.join(broadcast(approxTop), Seq("vec_id"))
+          .join(broadcast(qsAll), Seq("qid"))
         val methods: Seq[(String, DataFrame)] = Seq(
+          "int8_rerank100" -> int8Cand,
           "ivf_label_probe1" -> cellCands(e, "label"),
           "ivf_kmeans_probe1" -> cellCands(kmeansCells, "cluster"),
           "ivf_kmeans_probe2" -> kmeansCells.join(broadcast(probes2),

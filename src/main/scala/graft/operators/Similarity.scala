@@ -500,6 +500,69 @@ object Similarity {
       }
     },
 
+    // Quantize-then-rerank: the production serving recipe for memory-bound
+    // ANN — score the corpus on int8-dequantized vectors (4× less memory
+    // traffic than float32; here the reconstruction arithmetic is exact in
+    // both engines), keep the approximate top-100, then rerank JUST those
+    // candidates with exact float cosine to the final top-10. Fully
+    // oracle-checkable end to end because the int8 code book is
+    // deterministic (sim_quantize_int8) and ties break on nid at both
+    // ranking stages. Scale shape: the rerank depth (100) bounds the
+    // exact-scoring cost per query regardless of corpus size; candidates
+    // are broadcast back onto the corpus scan for the float fetch.
+    Q("sim_ann_int8_rerank",
+      s"""WITH v AS (SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS val
+         |           FROM embeddings, range(1, 65) AS t(i)),
+         |b AS (SELECT dim, min(val) AS mn, max(val) AS mx FROM v GROUP BY dim),
+         |rv AS (SELECT vec_id, v.dim,
+         |         CASE WHEN mx = mn THEN mn
+         |              ELSE mn + round(255.0 * (val - mn) / (mx - mn), 0)
+         |                   * (mx - mn) / 255.0 END AS rv
+         |       FROM v JOIN b ON v.dim = b.dim),
+         |recon AS (SELECT vec_id, list(rv ORDER BY dim) AS rl FROM rv GROUP BY vec_id),
+         |qr AS (SELECT vec_id AS qid, rl AS qrl FROM recon WHERE vec_id < 5),
+         |ap AS (SELECT qid, r.vec_id AS nid,
+         |         round(${duckCos("qrl", "rl")}, 6) AS acos
+         |       FROM qr JOIN recon r ON r.vec_id <> qid),
+         |top AS (SELECT qid, nid FROM (
+         |          SELECT qid, nid,
+         |                 row_number() OVER (PARTITION BY qid ORDER BY acos DESC, nid) AS rn
+         |          FROM ap) WHERE rn <= 100),
+         |er AS (SELECT t.qid, t.nid,
+         |         round(${duckCos("q.embedding", "n.embedding")}, 6) AS cos_sim
+         |       FROM top t JOIN embeddings q ON q.vec_id = t.qid
+         |                  JOIN embeddings n ON n.vec_id = t.nid),
+         |ranked AS (SELECT qid, nid, cos_sim,
+         |             row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+         |           FROM er)
+         |SELECT qid, nid, cos_sim, rank FROM ranked WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin) {
+      (s, dir) => {
+        val e = emb(s, dir)
+        val recon = int8Recon(e)
+        val qR = recon.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("recon").as("qrecon"))
+        val approx = recon.join(broadcast(qR), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid"),
+            round(cosine(col("qrecon"), col("recon")), 6).as("acos"))
+        // bounded-heap top-100 per query: only ≤100 rows per (partition,
+        // qid) reach the exchange — the rerank-depth knob
+        val top100 = graft.plans.TopK.perGroup(approx, Seq("qid"),
+          Seq("acos" -> false, "nid" -> true), 100)
+          .select(col("qid"), col("nid"))
+        val scored = e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+          .join(broadcast(top100), Seq("nid"))
+          .join(broadcast(e.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("qid"), col("embedding").as("qe"))), Seq("qid"))
+          .select(col("qid"), col("nid"),
+            round(cosine(col("qe"), col("ne")), 6).as("cos_sim"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .orderBy(col("qid"), col("rank"))
+      }
+    },
+
     // One Lloyd iteration of k-means, assignment half: nearest of k=8
     // deterministic seed centroids (the k lowest vec_ids), squared L2 in
     // double with element-order summation, round-6 before the argmin so
@@ -589,4 +652,28 @@ object Similarity {
   def assignToSeeds(e: DataFrame): DataFrame =
     assign(e, e.orderBy(col("vec_id")).limit(8)
       .select(col("vec_id").as("sid"), col("embedding").as("semb")))
+
+  /** int8-dequantized embeddings: each dimension quantized to the 256-step
+    * grid of its per-dimension [min,max] (the same affine code book as
+    * sim_quantize_int8) and reconstructed back to doubles — the vectors an
+    * int8 ANN scan actually compares. Deterministic arithmetic in both
+    * engines, so rerank pipelines built on it stay oracle-checkable.
+    * Scale shape: explode → 64-row broadcast bounds → single-scan
+    * projection; reassembly is a per-vector sort of 64 structs.
+    */
+  def int8Recon(e: DataFrame): DataFrame = {
+    val v = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "f")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"),
+        col("f").cast("double").as("val"))
+    val b = v.groupBy(col("dim")).agg(min(col("val")).as("mn"), max(col("val")).as("mx"))
+    v.join(broadcast(b), Seq("dim"))
+      .select(col("vec_id"), col("dim"),
+        when(col("mx") === col("mn"), col("mn")).otherwise(
+          col("mn") + round(lit(255.0) * (col("val") - col("mn"))
+              / (col("mx") - col("mn")), 0)
+            * (col("mx") - col("mn")) / lit(255.0)).as("rv"))
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("rv")))),
+        s => s.getField("rv")).as("recon"))
+  }
 }

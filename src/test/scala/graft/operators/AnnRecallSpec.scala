@@ -33,10 +33,10 @@ class AnnRecallSpec extends AnyFunSuite {
         (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
       .toMap
 
-  test("all six methods report over all 20 queries") {
-    assert(rows.keySet == Set("ivf_label_probe1", "ivf_kmeans_probe1",
-      "ivf_kmeans_probe2", "lsh_8bit_probe1", "lsh_8bit_multiprobe1",
-      "lsh_4bit_8band"))
+  test("all seven methods report over all 20 queries") {
+    assert(rows.keySet == Set("int8_rerank100", "ivf_label_probe1",
+      "ivf_kmeans_probe1", "ivf_kmeans_probe2", "lsh_8bit_probe1",
+      "lsh_8bit_multiprobe1", "lsh_4bit_8band"))
     assert(rows.values.forall(_._1 == 20L))
   }
 
@@ -76,6 +76,20 @@ class AnnRecallSpec extends AnyFunSuite {
     info(f"multiprobe=$multi%.4f single=$single%.4f")
     assert(multi >= single,
       f"probing 9 buckets ($multi%.4f) cannot recall less than 1 bucket ($single%.4f)")
+  }
+
+  test("quantize-then-rerank beats IVF probe-2 recall at a lower exact-scoring cost") {
+    val rr = rows("int8_rerank100")
+    val p2 = rows("ivf_kmeans_probe2")
+    info(f"int8_rerank100=${rr._2}%.4f (rerank depth ${rr._4}%.1f) " +
+      f"probe2=${p2._2}%.4f (scan ${p2._4}%.1f)")
+    // int8 reconstruction error is ≤ half a step per dimension — the
+    // approximate top-100 virtually always contains the exact top-10
+    assert(rr._2 >= p2._2,
+      f"rerank recall (${rr._2}%.4f) regressed below probe-2 (${p2._2}%.4f)")
+    assert(rr._2 >= 0.95, f"int8 top-100 should nearly always cover the exact top-10: ${rr._2}%.4f")
+    assert(rr._4 <= 100.0 && rr._4 < p2._4,
+      "the float-rerank depth must be bounded at 100 and below probe-2's scan")
   }
 
   test("banded 8×4-bit LSH trades scan cost for real recall on this geometry") {
