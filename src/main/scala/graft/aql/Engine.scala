@@ -27,6 +27,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
   val catalog = new Catalog(spark, rootDir)
   val tx = new Tx(catalog)
   tx.autoCommit = settings.autoCommit
+  tx.optimizeEvery = settings.optimizeAfterCommits
 
   import Engine._
 
@@ -183,7 +184,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       // letter prefix keeps the id a single bare-word token in AQL
       val id = "c" + java.util.UUID.randomUUID().toString.replace("-", "")
       cursors.put(id, Cursor(df, page = 0,
-        needsDefaultSort = s.orderBy.isEmpty && s.limit.isEmpty))
+        needsDefaultSort = s.orderBy.isEmpty && s.limit.isEmpty,
+        cacheCap = settings.memoryLimit))
       ResultSet(df, id)
 
     case Ast.Explain(q) =>
@@ -761,8 +763,12 @@ object Engine {
     df.orderBy(df.columns.map(c => col(c).asc_nulls_first).toIndexedSeq: _*)
 
   final case class Cursor(df: DataFrame, var page: Int,
-      needsDefaultSort: Boolean = false) {
+      needsDefaultSort: Boolean = false, cacheCap: Long = Long.MaxValue) {
     import org.apache.spark.storage.StorageLevel
+
+    /** Catalyst's plan-stats size estimate for the cursor's result — the
+      * persist guardrail's input. */
+    lazy val estimatedBytes: BigInt = paged.queryExecution.optimizedPlan.stats.sizeInBytes
 
     /** The cursor's deterministically ordered result. The all-columns
       * default sort is attached HERE — lazily, on first cursor use — not
@@ -782,7 +788,14 @@ object Engine {
       * MEMORY_AND_DISK spills instead of OOMing on a huge result).
       */
     def materialized: DataFrame = {
-      if (paged.storageLevel == StorageLevel.NONE)
+      // guardrail: a client that fetches ONE page of a huge SEARCH must
+      // not pin a full-table sort in the cache. Results whose plan-stats
+      // estimate exceeds `cacheCap` (the settings.yaml memory_limit — the
+      // reference's whole-result memory budget, which its resident row
+      // vectors must also fit) fall back to sort-per-page: each page
+      // re-runs offset/limit over the sort, trading repeat shuffle reads
+      // for zero cache residency.
+      if (paged.storageLevel == StorageLevel.NONE && estimatedBytes <= cacheCap)
         paged.persist(StorageLevel.MEMORY_AND_DISK)
       paged
     }

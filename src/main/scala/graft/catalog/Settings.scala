@@ -51,7 +51,13 @@ final case class Settings(
     maxConnections: Int = 10,
     authToken: String = "",
     secretKeyCount: Int = 10,
-    wireEncryption: Boolean = true) {
+    wireEncryption: Boolean = true,
+    /** graft extension: auto-compact a container every N commits (0 =
+      * off). File-granular COW appends a small parquet part per commit;
+      * without periodic OPTIMIZE a long-running ingest fragments into
+      * floor-cost file counts. The reference has no analogue (it rewrites
+      * whole-container state per commit — compaction is implicit). */
+    optimizeAfterCommits: Int = 0) {
 
   /** The reference's self-healing normalization (`database.rs:312-335`):
     * out-of-range values are corrected, never fatal.
@@ -67,6 +73,7 @@ final case class Settings(
     if (s.memoryLimit < 1048576L) s = s.copy(memoryLimit = 1048576L)
     if (s.maxConnections < 1) s = s.copy(maxConnections = 1)
     if (s.secretKeyCount < 1) s = s.copy(secretKeyCount = 1)
+    if (s.optimizeAfterCommits < 0) s = s.copy(optimizeAfterCommits = 0)
     s
   }
 
@@ -82,6 +89,7 @@ final case class Settings(
        |auth_token: $authToken
        |secret_key_count: $secretKeyCount
        |wire_encryption: $wireEncryption
+       |optimize_after_commits: $optimizeAfterCommits
        |""".stripMargin
 }
 
@@ -129,7 +137,8 @@ object Settings {
       maxConnections = int("max_connections", default.maxConnections),
       authToken = kv.getOrElse("auth_token", default.authToken),
       secretKeyCount = int("secret_key_count", default.secretKeyCount),
-      wireEncryption = bool("wire_encryption", default.wireEncryption)
+      wireEncryption = bool("wire_encryption", default.wireEncryption),
+      optimizeAfterCommits = int("optimize_after_commits", default.optimizeAfterCommits)
     )
     val healed = parsed.normalized
     // The reference's load_settings rewrites the normalized settings back

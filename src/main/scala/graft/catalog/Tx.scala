@@ -38,6 +38,14 @@ final class Tx(catalog: Catalog) {
   /** `auto_commit` settings flag (reference `src/database.rs:18,630-633`). */
   @volatile var autoCommit: Boolean = false
 
+  /** `optimize_after_commits` settings knob (graft extension): when > 0,
+    * every Nth committed version triggers [[Catalog.optimize]] so a
+    * long-running small-commit ingest can't fragment into floor-cost
+    * file counts. Version numbers count commits monotonically, so the
+    * trigger needs no extra bookkeeping and fires identically across
+    * sessions/restarts. */
+  @volatile var optimizeEvery: Int = 0
+
   def stagedOps(container: String): Int = log(container).size
 
   def stageInsert(container: String, rows: Seq[Row]): Unit = {
@@ -161,6 +169,14 @@ final class Tx(catalog: Catalog) {
           done = commitOnce(c, base, pk)
         }
         log -= c
+        // auto-compaction AFTER the commit is durable: maintenance must
+        // never fail (or delay the visibility of) the commit itself, so a
+        // lost race here is dropped — the next trigger retries. optimize
+        // publishes its own version, which never re-lands on a multiple
+        // of N from this path.
+        if (optimizeEvery > 0 && catalog.currentVersion(c) % optimizeEvery == 0)
+          try catalog.optimize(c)
+          catch { case scala.util.control.NonFatal(_) => () }
       }
     }
   }

@@ -156,6 +156,31 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[ParseException](eng.execute(s"QYCNNXT ${rs.cursorId}"))
   }
 
+  test("15y cursor cache guardrail: results over the memory budget page without persisting") {
+    // a cursor whose plan-stats estimate exceeds its cap must fall back
+    // to sort-per-page — one page of a huge SEARCH must not pin a
+    // full-table sort in the cache
+    val big = spark.range(0, 200000).toDF("n") // stats ≈ 1.6 MB > 1 KB cap
+    val cur = Engine.Cursor(big, page = 0, needsDefaultSort = true, cacheCap = 1024)
+    assert(cur.estimatedBytes > 1024)
+    val rows = cur.materialized.offset(100).limit(100).collect()
+    assert(rows.length == 100 && rows.head.getLong(0) == 100)
+    assert(cur.paged.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "an over-budget result must not be persisted")
+    // pages stay deterministic without the cache
+    val again = cur.materialized.offset(100).limit(100).collect()
+    assert(rows.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+    // the same result under a roomy cap persists as before
+    val small = Engine.Cursor(big, page = 0, needsDefaultSort = true)
+    small.materialized.limit(1).collect()
+    assert(small.paged.storageLevel.useMemory, "under-budget results keep the cache")
+    small.release()
+    // engine-created cursors inherit the settings.yaml memory_limit
+    val rs = eng.execute("SEARCH [] ON people").asInstanceOf[Engine.ResultSet]
+    assert(eng.cursorState(rs.cursorId).get.cacheCap == eng.settings.memoryLimit)
+    eng.execute(s"QYCNEXT ${rs.cursorId}")
+  }
+
   test("15z no-ORDER-BY SEARCH plans contain no global sort; the cursor adds it lazily") {
     import org.apache.spark.sql.catalyst.plans.logical.Sort
     // the non-paginating client's plan: NO sort node anywhere — at 100 TB

@@ -167,6 +167,27 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     intercept[Exception](cat.createIndex("docs", "nd", "lsh", "body"))
   }
 
+  test("auto-OPTIMIZE keeps a 50-small-commit ingest's file count bounded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ixm-autoopt")
+    // optimize_after_commits flows settings.yaml -> Engine -> Tx
+    java.nio.file.Files.writeString(dir.resolve(Settings.FileName),
+      Settings.default.copy(optimizeAfterCommits = 10).toYaml)
+    val eng = new graft.aql.Engine(spark, dir.toString)
+    assert(eng.tx.optimizeEvery == 10)
+    eng.execute("CREATE CONTAINER ing ['id','v'] [BIGINT, SMALL-STRING]")
+    (1 to 50).foreach { i =>
+      eng.execute(s"CREATE ROW ['id','v'] [$i,'v$i'] ON ing")
+      eng.execute("COMMIT ing")
+    }
+    val cat = eng.catalog
+    val files = cat.versionFiles("ing", cat.currentVersion("ing")).size
+    // without the trigger this is ~50 appended parts; with it the count
+    // stays within one inter-optimize window
+    assert(files <= 12, s"auto-OPTIMIZE must bound fragmentation, got $files files")
+    assert(cat.read("ing").count() == 50, "compaction must never lose rows")
+    assert(cat.currentVersion("ing") > 50, "optimize publishes its own versions")
+  }
+
   // ---- helpers -------------------------------------------------------------
 
   /** Parquet part files under version v's index directory (recursive). */
