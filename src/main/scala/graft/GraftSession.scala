@@ -40,6 +40,16 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Scan fan-out floor follows the shuffle width (8), not core count:
+      // by default Spark pads SMALL inputs to defaultParallelism splits
+      // (32 here), so a 25 MB table scans as 32 sub-millisecond tasks
+      // whose launch overhead dominates the stage. Size-based splitting
+      // (maxPartitionBytes) governs any input big enough to matter — at
+      // 100 TB every scan has thousands of splits regardless — so this
+      // only stops the smallest inputs from fanning one task per core
+      // (same philosophy as parallelismFirst=false above; measured ~10%
+      // off the sf0.1 bench, identical plans).
+      .config("spark.sql.files.minPartitionNum", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
       // InferFiltersFromGenerate adds `size(e)>0 AND isnotnull(e)` under
