@@ -54,6 +54,14 @@ object Ast {
       colTypes: List[AlbaType]) extends Stmt
   final case class CreateRow(container: String, colNames: List[String],
       values: List[Token]) extends Stmt
+  /** CREATE INDEX (graft extension): declare a derived secondary index
+    * (kind `lsh` = MinHash band table over a TEXT column), backfilled for
+    * the current version and maintained inside every later commit
+    * ([[graft.catalog.Index]] — the reference's commit hook,
+    * `/root/reference/src/container.rs:277-282`, as a DDL surface). */
+  final case class CreateIndex(container: String, ix: String, column: String,
+      kind: String) extends Stmt
+  final case class DeleteIndex(container: String, ix: String) extends Stmt
   /** MERGE ROW (graft extension): upsert keyed on the pk-convention
     * column (the container's first column, reference I6) — update the
     * pk-matching row's mentioned columns if one exists in the session
@@ -481,6 +489,25 @@ object Parser {
       DeleteRow(name(containerTok), None)
     case Keyword("DELETE") :: Keyword("ROW") :: Keyword("ON") :: containerTok :: Keyword("WHERE") :: rest =>
       DeleteRow(name(containerTok), Some(parseWhere(rest)))
+
+    // CREATE INDEX name ON container [column] [USING kind] (graft
+    // extension; USING defaults to lsh, the one kind shipped)
+    case Keyword("CREATE") :: Keyword("INDEX") :: ixTok :: Keyword("ON") :: containerTok :: (colG: Group) :: rest =>
+      val column = strings(colG) match {
+        case c :: Nil => c
+        case other => throw new ParseException(
+          s"CREATE INDEX takes [one column], got ${other.length}")
+      }
+      val kind = rest match {
+        case Nil => "lsh"
+        case Keyword("USING") :: kindTok :: Nil => name(kindTok).toLowerCase
+        case other => throw new ParseException(s"Unexpected tokens after CREATE INDEX: $other")
+      }
+      CreateIndex(name(containerTok), name(ixTok), column, kind)
+
+    // DELETE INDEX name ON container (graft extension)
+    case Keyword("DELETE") :: Keyword("INDEX") :: ixTok :: Keyword("ON") :: containerTok :: Nil =>
+      DeleteIndex(name(containerTok), name(ixTok))
 
     // DELETE CONTAINER name (database.rs:814-839)
     case Keyword("DELETE") :: Keyword("CONTAINER") :: nameTok :: Nil =>

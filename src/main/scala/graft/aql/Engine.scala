@@ -118,6 +118,14 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       tx.stageInsert(container, Seq(row))
       Done(s"staged 1 row into $container")
 
+    case Ast.CreateIndex(container, ix, column, kind) =>
+      catalog.createIndex(container, ix, kind, column)
+      Done(s"created $kind index $ix on $container($column)")
+
+    case Ast.DeleteIndex(container, ix) =>
+      catalog.dropIndex(container, ix)
+      Done(s"deleted index $ix on $container")
+
     case Ast.MergeRow(container, cols, values) =>
       val d = catalog.get(container)
       if (cols.map(_.toLowerCase).distinct.length != cols.length)

@@ -37,7 +37,7 @@ object Token {
     // graft extensions beyond the reference keyword set
     "EXPLAIN", "VACUUM", "AT", "VERSION", "IN", "NOT", "HAVING",
     "ORDER", "BY", "LIMIT", "ASC", "DESC", "DISTINCT", "JOIN", "LEFT",
-    "ALTER", "ADD", "COLUMN", "OPTIMIZE", "MERGE", "DROP", "RENAME")
+    "ALTER", "ADD", "COLUMN", "OPTIMIZE", "MERGE", "DROP", "RENAME", "INDEX")
 
   /** Multi-char first: `&&&>` regex-match, `&&>` icontains, `&>` contains,
     * `>=`, `<=`, `==`, `!=`, then single-char (reference

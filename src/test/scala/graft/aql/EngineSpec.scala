@@ -638,6 +638,32 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[ParseException](eng.execute("MERGE ROW ['id','nope'] [9,'x'] ON mrg"))
   }
 
+  test("30 CREATE INDEX through AQL: maintained by commit, serves lookups, droppable") {
+    eng.execute("CREATE CONTAINER idocs ['doc_id','body'] [BIGINT, TEXT]")
+    eng.execute("CREATE ROW ['doc_id','body'] [1,'the quick brown fox jumps over the lazy dog'] ON idocs")
+    eng.execute("CREATE ROW ['doc_id','body'] [2,'pack my box with five dozen liquor jugs now'] ON idocs")
+    eng.execute("COMMIT idocs")
+    eng.execute("CREATE INDEX nd ON idocs ['body']")
+    assert(eng.catalog.indexDefs("idocs").map(i => (i.ix, i.kind, i.column))
+      == Seq(("nd", "lsh", "body")))
+
+    // a committed near-dup is indexed by its own commit and found by probe
+    eng.execute("CREATE ROW ['doc_id','body'] [3,'the quick brown fox jumps over the lazy dog'] ON idocs")
+    eng.execute("COMMIT idocs")
+    import spark.implicits._
+    val cands = eng.catalog.indexLookup("idocs", "nd",
+        Seq((99L, "the quick brown fox jumps over the lazy dog"))
+          .toDF("doc_id", "body"))
+      .collect().map(_.getLong(1)).toSet
+    assert(cands == Set(1L, 3L), s"expected the near-dup family, got $cands")
+
+    eng.execute("DELETE INDEX nd ON idocs")
+    assert(eng.catalog.indexDefs("idocs").isEmpty)
+    // unknown kind through the full AQL path fails loudly
+    intercept[RuntimeException](
+      eng.execute("CREATE INDEX x ON idocs ['body'] USING btree"))
+  }
+
   test("28 ALTER RENAME COLUMN is pure metadata; commits keep the stored name") {
     eng.execute("CREATE CONTAINER rn ['id','a','b'] [BIGINT, SMALL-STRING, BIGINT]")
     eng.execute("CREATE ROW ['id','a','b'] [1,'x',10] ON rn")

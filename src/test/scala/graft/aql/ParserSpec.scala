@@ -35,6 +35,16 @@ class ParserSpec extends AnyFunSuite {
       Parser.parse("ALTER CONTAINER c RENAME COLUMN ['only']"))
   }
 
+  test("CREATE/DELETE INDEX forms") {
+    assert(Parser.parse("CREATE INDEX nd ON docs ['body']")
+      == CreateIndex("docs", "nd", "body", "lsh"))
+    assert(Parser.parse("CREATE INDEX nd ON docs ['body'] USING lsh")
+      == CreateIndex("docs", "nd", "body", "lsh"))
+    assert(Parser.parse("DELETE INDEX nd ON docs") == DeleteIndex("docs", "nd"))
+    intercept[ParseException](
+      Parser.parse("CREATE INDEX nd ON docs ['a','b']"))
+  }
+
   test("MERGE ROW parses like CREATE ROW (upsert extension)") {
     val stmt = Parser.parse("MERGE ROW ['id','name'] [1, 'ana'] ON users")
     assert(stmt == MergeRow("users", List("id", "name"),
