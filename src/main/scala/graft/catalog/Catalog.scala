@@ -222,9 +222,12 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
       // names); atomic per-file swap, serialized by the container lock
       indexDefs(name).filter(_.column.equalsIgnoreCase(from)).foreach { ix =>
         val f = Index.metaFile(this, name, ix.ix)
+        // rewrite only the header line — ivf metadata carries centroid
+        // lines after it that must survive the rename
+        val tail = Files.readString(f).linesIterator.toList.drop(1)
         val tmp = catDir.resolve(
           s"$name.ix-${ix.ix}.tmp-${ProcessHandle.current.pid}-${System.nanoTime()}")
-        Files.writeString(tmp, s"${ix.kind}\t$to")
+        Files.writeString(tmp, (s"${ix.kind}\t$to" :: tail).mkString("\n"))
         Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
           StandardCopyOption.REPLACE_EXISTING)
       }
@@ -246,12 +249,17 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     Index.read(this, name, d)
   }
 
-  /** Near-dup candidates for `queries` (rows shaped like the container)
-    * served from an lsh index — see [[Index.lshLookup]]. */
+  /** Candidate lookup for `queries` (rows shaped like the container):
+    * near-dup candidates from an lsh index, ANN candidates from an ivf
+    * index — see [[Index.lshLookup]] / [[Index.ivfLookup]]. */
   def indexLookup(name: String, ix: String, queries: DataFrame): DataFrame = {
     val d = indexDefs(name).find(_.ix == ix)
       .getOrElse(sys.error(s"No index '$ix' on '$name'"))
-    Index.lshLookup(this, name, d, queries)
+    d.kind match {
+      case "lsh" => Index.lshLookup(this, name, d, queries)
+      case "ivf" => Index.ivfLookup(this, name, d, queries)
+      case other => sys.error(s"unknown index kind '$other'")
+    }
   }
 
   def drop(name: String): Unit = {

@@ -52,6 +52,8 @@ object Index {
       case "lsh" => StructType(Seq(
         StructField("id", pkType), StructField("band", IntegerType),
         StructField("bk", StringType)))
+      case "ivf" => StructType(Seq(
+        StructField("id", pkType), StructField("cluster", IntegerType)))
       case other => sys.error(s"unknown index kind '$other'")
     }
   }
@@ -68,10 +70,35 @@ object Index {
         if (m.matches()) Some(m.group(1)) else None
       }.toSeq.sorted
     }.map { ix =>
-      val Array(kind, column) =
-        Files.readString(metaFile(cat, container, ix)).trim.split("\t", 2)
+      // first line is `kind<TAB>column`; ivf metadata carries centroid
+      // lines after it (see create)
+      val Array(kind, column) = Files.readString(metaFile(cat, container, ix))
+        .linesIterator.next().trim.split("\t", 2)
       Def(ix, kind, column)
     }
+  }
+
+  /** The ivf kind's frozen centroid set (`sid`, packed floats) from the
+    * metadata file — trained once at create, pinned so incremental
+    * appends assign into a stable partition (retraining = drop+create,
+    * the real-world IVF rebuild). Bounded driver-side metadata (k=8 ×
+    * dims), the IVF probe-list idiom. */
+  private[catalog] def centroids(cat: Catalog, container: String,
+      ix: String): Seq[(Int, Array[Float])] =
+    Files.readString(metaFile(cat, container, ix)).linesIterator
+      .filter(_.startsWith("centroid\t")).map { line =>
+        val Array(_, sid, vals) = line.split("\t", 3)
+        sid.toInt -> vals.split(",").map(_.toFloat)
+      }.toSeq
+
+  private def centroidDf(cat: Catalog, cents: Seq[(Int, Array[Float])]): DataFrame = {
+    val rows = cents.map { case (sid, arr) =>
+      org.apache.spark.sql.Row(sid, arr.toSeq) }
+    cat.spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(StructField("sid", IntegerType),
+        StructField("semb", ArrayType(FloatType)))))
   }
 
   /** Declare an index and backfill it for the current version. `CREATE_NEW`
@@ -85,12 +112,31 @@ object Index {
     val colType = d.columns.collectFirst {
       case (n, t) if n.equalsIgnoreCase(column) => t
     }.getOrElse(sys.error(s"No column '$column' on '$container'"))
-    kind match {
-      case "lsh" => require(colType.spark == StringType,
-        s"lsh index needs a TEXT-like column, '$column' is ${colType.name}")
+    val body = kind match {
+      case "lsh" =>
+        require(colType.spark == StringType,
+          s"lsh index needs a TEXT-like column, '$column' is ${colType.name}")
+        s"$kind\t$column"
+      case "ivf" =>
+        require(colType.spark == BinaryType,
+          s"ivf index needs a packed-float32 BYTES column, '$column' is ${colType.name}")
+        require(cat.currentVersion(container) > 0,
+          s"ivf index on '$container' needs committed rows to train centroids")
+        // k=8 seed centroids from the lowest-pk vectors (deterministic,
+        // matching the fixture-side assignToSeeds), frozen in metadata
+        val seeds = cat.read(container)
+          .select(col(d.primaryKey).as("id"),
+            graft.functions.Float32Unpack.float32Unpack(col(column)).as("emb"))
+          .filter(col("emb").isNotNull)
+          .orderBy(col("id")).limit(8).select(col("emb")).collect()
+        require(seeds.nonEmpty, s"ivf index on '$container': no decodable vectors")
+        val centLines = seeds.zipWithIndex.map { case (r, i) =>
+          s"centroid\t$i\t" + r.getSeq[Float](0).map(_.toString).mkString(",")
+        }
+        (s"$kind\t$column" +: centLines).mkString("\n")
       case other => sys.error(s"unknown index kind '$other'")
     }
-    Files.write(metaFile(cat, container, ix), s"$kind\t$column".getBytes("UTF-8"),
+    Files.write(metaFile(cat, container, ix), body.getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE_NEW)
     val idef = Def(ix, kind, column)
     val v = cat.currentVersion(container)
@@ -143,6 +189,40 @@ object Index {
       .join(broadcast(qBands),
         col("band") === col("qband") && col("bk") === col("qbk")
           && col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("cand"))
+      .distinct()
+  }
+
+  /** ANN candidates for `queries` (rows shaped like the container) from
+    * an `ivf` index: assign each query vector to its `nprobe` nearest
+    * frozen centroids (a per-query top-nprobe over the 8-row broadcast
+    * centroid dim), collect the ≤ 8 probed cluster ids (bounded per-
+    * lookup metadata), and scan the index filtered to those LITERAL
+    * clusters — candidate cost ∝ nprobe/k of the index, never the
+    * corpus. Exact scoring of the returned ids is the caller's rerank
+    * step (compose with `sim_ann_int8_rerank`'s recipe).
+    */
+  def ivfLookup(cat: Catalog, container: String, idef: Def,
+      queries: DataFrame, nprobe: Int = 1): DataFrame = {
+    require(idef.kind == "ivf", s"index '${idef.ix}' is not an ivf index")
+    val pk = cat.get(container).primaryKey
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id")).orderBy(col("d2"), col("sid"))
+    val qAssign = queries
+      .select(col(pk).as("id"),
+        graft.functions.Float32Unpack.float32Unpack(col(idef.column)).as("emb"))
+      .filter(col("emb").isNotNull)
+      .crossJoin(broadcast(centroidDf(cat, centroids(cat, container, idef.ix))))
+      .withColumn("d2", round(graft.operators.Similarity.d2(col("emb"), col("semb")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nprobe)
+      .select(col("id").as("qid"), col("sid").as("qcluster"))
+    val probed = qAssign.select(col("qcluster")).distinct()
+      .collect().map(_.getInt(0))
+    read(cat, container, idef)
+      .filter(col("cluster").isin(probed.toIndexedSeq: _*))
+      .join(broadcast(qAssign),
+        col("cluster") === col("qcluster") && col("id") =!= col("qid"))
       .select(col("qid"), col("id").as("cand"))
       .distinct()
   }
@@ -225,7 +305,7 @@ object Index {
     if (toCompute.nonEmpty) {
       val rows = cat.readFilesTagged(d.name, toCompute.map(_.toString))
         .withColumnRenamed("__src_file", "src")
-      derive(d, idef, rows)
+      derive(cat, d, idef, rows)
         .write.mode("append").partitionBy("src").parquet(dest.toString)
     }
   }
@@ -244,13 +324,37 @@ object Index {
     * exact — the same property that makes the COW commit decomposition
     * valid (`Tx.commitOnce`).
     */
-  private def derive(d: Catalog#ContainerDef, idef: Def, rows: DataFrame): DataFrame =
+  private def derive(cat: Catalog, d: Catalog#ContainerDef, idef: Def,
+      rows: DataFrame): DataFrame =
     idef.kind match {
       case "lsh" =>
         deriveLsh(rows.select(col(d.primaryKey).as("id"),
           col(idef.column).as("text"), col("src")))
+      case "ivf" =>
+        // nearest frozen centroid per vector (codegen'd unpack + the tiny
+        // broadcast centroid dim). Undecodable payloads produce no index
+        // row — they can never be ANN candidates either way.
+        assignClusters(
+          rows.select(col(d.primaryKey).as("id"),
+            graft.functions.Float32Unpack.float32Unpack(col(idef.column)).as("emb"),
+            col("src")),
+          centroidDf(cat, centroids(cat, d.name, idef.ix)), keep = Seq("src"))
       case other => sys.error(s"unknown index kind '$other'")
     }
+
+  /** (id, emb, keep…) → (id, cluster, keep…): nearest-centroid assignment
+    * with deterministic ties (d2 rounded to 6, then sid). */
+  private def assignClusters(vecs: DataFrame, cents: DataFrame,
+      keep: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id")).orderBy(col("d2"), col("sid"))
+    vecs.filter(col("emb").isNotNull)
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", round(graft.operators.Similarity.d2(col("emb"), col("semb")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id") +: col("sid").as("cluster") +: keep.map(col): _*)
+  }
 
   /** (id, text, src) → (id, band, bk, src): the MinHash shingle →
     * signature → band derivation shared with the fixture-side LSH paths

@@ -21,6 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSlices].getName, "minhash_slices"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashSlices(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("float32_unpack"),
+      new ExpressionInfo(classOf[Float32Unpack].getName, "float32_unpack"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Float32Unpack(exprs.head)))
     // whole-operator custom path: per-group top-k (graft.plans.TopKPerGroup)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }

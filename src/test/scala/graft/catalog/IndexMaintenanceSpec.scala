@@ -167,6 +167,82 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     intercept[Exception](cat.createIndex("docs", "nd", "lsh", "body"))
   }
 
+  // ---- ivf kind: packed-float32 BYTES embeddings --------------------------
+
+  /** 8-dim one-hot-ish vector near axis `axis` with a small per-id nudge
+    * (deterministic, keeps nearest-centroid assignment unambiguous). */
+  private def vec(axis: Int, id: Long): Array[Byte] =
+    graft.functions.Float32Unpack.pack(
+      (0 until 8).map(d => if (d == axis) 1f else 0.001f * ((id + d) % 7)))
+
+  private def ivfFixture(tag: String) = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-ixm-ivf-$tag")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("vecs", List("vec_id" -> graft.aql.AlbaType.of("BIGINT"),
+      "e" -> graft.aql.AlbaType.of("MEDIUM-BYTES")))
+    import spark.implicits._
+    // ids 0..7 are the (lowest-pk) centroid seeds, one per axis; ids 8..23
+    // repeat the axes, so vector i belongs with seed i % 8
+    val rows = (0L until 24L).map(i => (i, vec((i % 8).toInt, i)))
+    cat.overwrite("vecs", rows.toDF("vec_id", "e")
+      .repartitionByRange(4, col("vec_id")).sortWithinPartitions("vec_id"))
+    (cat, dir)
+  }
+
+  test("ivf index: centroids train at create, commits append assignments, probes prune") {
+    val (cat, _) = ivfFixture("base")
+    cat.createIndex("vecs", "ann", "ivf", "e")
+    val ix = cat.readIndex("vecs", "ann")
+    assert(ix.columns.toSet == Set("id", "cluster", "src"))
+    assert(ix.count() == 24, "every decodable vector assigned")
+    // vectors sharing an axis share their seed's cluster
+    val byCluster = ix.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0L until 24L).foreach(i =>
+      assert(byCluster(i) == byCluster(i % 8), s"vector $i strayed from its axis cluster"))
+
+    // a committed insert near axis 3 is indexed by its own commit...
+    val tx = new Tx(cat)
+    tx.stageInsert("vecs", Seq(org.apache.spark.sql.Row(99L, vec(3, 99L))))
+    tx.commit(Some("vecs"))
+    import spark.implicits._
+    val cands = cat.indexLookup("vecs", "ann",
+        Seq((777L, vec(3, 777L))).toDF("vec_id", "e"))
+      .collect().map(_.getLong(1)).toSet
+    assert(cands.contains(99L), s"new vector must be indexed at commit, got $cands")
+    assert(cands.subsetOf(Set(3L, 11L, 19L, 99L)),
+      s"probe must prune to the queried cluster, got $cands")
+
+    // ...and untouched files' index parts carried as hard links
+    val v1 = ixParts(cat, "vecs", 1, "ann")
+    val v2 = ixParts(cat, "vecs", 2, "ann")
+    val v1ByRel = v1.map(p => rel(cat, "vecs", 1, p) -> p).toMap
+    val carried = v2.count(p => v1ByRel.get(rel(cat, "vecs", 2, p))
+      .exists(java.nio.file.Files.isSameFile(_, p)))
+    assert(carried == v1.size, s"insert-only commit must link all index parts: $carried of ${v1.size}")
+  }
+
+  test("ivf guards: needs BYTES column and committed rows; centroids survive a rename") {
+    val (cat, _) = ivfFixture("guard")
+    intercept[IllegalArgumentException](cat.createIndex("vecs", "bad", "ivf", "vec_id"))
+    cat.createIndex("vecs", "ann", "ivf", "e")
+    val before = Index.centroids(cat, "vecs", "ann")
+    assert(before.size == 8 && before.forall(_._2.length == 8))
+    // rename follows the index AND keeps the frozen centroids
+    cat.renameColumn("vecs", "e", "emb")
+    assert(cat.indexDefs("vecs").head.column == "emb")
+    assert(Index.centroids(cat, "vecs", "ann").map(_._1) == before.map(_._1))
+    import spark.implicits._
+    val cands = cat.indexLookup("vecs", "ann",
+        Seq((777L, vec(5, 777L))).toDF("vec_id", "emb"))
+      .collect().map(_.getLong(1)).toSet
+    assert(cands.nonEmpty && cands.subsetOf(Set(5L, 13L, 21L)))
+
+    // empty container: centroid training has nothing to read
+    cat.create("novecs", List("vec_id" -> graft.aql.AlbaType.of("BIGINT"),
+      "e" -> graft.aql.AlbaType.of("MEDIUM-BYTES")))
+    intercept[IllegalArgumentException](cat.createIndex("novecs", "ann", "ivf", "e"))
+  }
+
   test("auto-OPTIMIZE keeps a 50-small-commit ingest's file count bounded") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ixm-autoopt")
     // optimize_after_commits flows settings.yaml -> Engine -> Tx
