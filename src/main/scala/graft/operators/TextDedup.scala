@@ -379,6 +379,34 @@ object TextDedup {
         ).orderBy(col("doc_id"))
     },
 
+    // Context-window chunking: every document split into token windows of
+    // 50 with stride 40 (10-token overlap) — the packing-input shape a
+    // training pipeline feeds a fixed-context model. Window i covers
+    // tokens [40i+1, min(40i+50, n)]; i ranges 0..⌊(n-1)/40⌋, so the tail
+    // chunk may be short but never empty, identically in both engines.
+    // Scale shape: one scan, explode fans out ~n/40 rows per doc with no
+    // shuffle; slice/join are codegen'd array ops.
+    Q("t_chunk_windows",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |w AS (SELECT doc_id, tk, len(tk) AS n,
+        |             unnest(range((len(tk) - 1) // 40 + 1)) AS i
+        |      FROM toks)
+        |SELECT doc_id, i AS chunk_idx,
+        |       len(list_slice(tk, i*40 + 1, least(i*40 + 50, n))) AS n_tokens,
+        |       array_to_string(list_slice(tk, i*40 + 1, least(i*40 + 50, n)), ' ') AS chunk
+        |FROM w ORDER BY doc_id, chunk_idx""".stripMargin) {
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+          .withColumn("n", size(col("tk")))
+          .select(col("doc_id"), col("tk"), col("n"),
+            explode(sequence(lit(0), expr("(n - 1) div 40"))).as("i"))
+          .select(col("doc_id"), col("i").cast("long").as("chunk_idx"),
+            size(slice(col("tk"), col("i") * 40 + 1, lit(50))).cast("long").as("n_tokens"),
+            array_join(slice(col("tk"), col("i") * 40 + 1, lit(50)), " ").as("chunk"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
     // Language-ID by stopword-marker scoring with a deterministic argmax
     // (n-gram heuristic; both engines evaluate the identical CASE cascade).
     Q("t_lang_id",
