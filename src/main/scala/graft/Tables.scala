@@ -219,6 +219,28 @@ object Tables {
     cache.getOrElseUpdate((spark, s"denorm:$path"), spark.read.parquet(path))
   }
 
+  /** Customer flattened through the nation⋈region chain — the full
+    * star-schema denormalization, one step further than [[nationRegion]]:
+    * geography (n_name, r_name) lands ON the customer row at ingest, so a
+    * region-filtered customer dim is a single scan + ONE broadcast build,
+    * with no dim chain at query time. The join is a one-time linear-cost
+    * ingest decision (customer ⋈ broadcast 25-row dim); at 100 TB it's
+    * the same ingest-time map-side join, and the columns it adds are two
+    * low-cardinality strings that dictionary-encode to almost nothing.
+    */
+  def customerGeo(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val src = new java.io.File(s"$dir/customer.parquet")
+    def joined(c: DataFrame) = c.join(
+      broadcast(nationRegion(spark, dir)), c("c_nationkey") === col("n_nationkey"))
+    if (!src.isFile) return joined(load(spark, dir, "customer"))
+    val path = buildOnce(src, "graft-denorm", "customer_geo") { tmp =>
+      joined(spark.read.parquet(src.getPath))
+        .write.mode("overwrite").parquet(tmp.getPath)
+    }
+    cache.getOrElseUpdate((spark, s"denorm:$path"), spark.read.parquet(path))
+  }
+
   /** events.ts is parquet timestamp[ns]; Spark reads NANOS natively only as
     * long when `spark.sql.legacy.parquet.nanosAsLong` is set. We normalize
     * to a microsecond TimestampType column named `ts` (matching what DuckDB

