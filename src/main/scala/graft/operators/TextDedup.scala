@@ -230,6 +230,21 @@ object TextDedup {
         / length(col("text")), 6).as("punct_ratio"),
       when(col("n_chars").between(100, 2000), 1).otherwise(0).as("len_ok"))
 
+  /** Context-window chunk rows for any (doc_id, text) frame — shared by
+    * the batch oracle query (t_chunk_windows) and the ingest-time
+    * streaming twin (`DocumentStreams.chunkAtIngest`): a stateless
+    * explode projection, so it is append-safe per micro-batch. Window i
+    * covers tokens [40i+1, min(40i+50, n)], i in 0..⌊(n-1)/40⌋.
+    */
+  def chunkWindows(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .withColumn("n", size(col("tk")))
+      .select(col("doc_id"), col("tk"), col("n"),
+        explode(sequence(lit(0), expr("(n - 1) div 40"))).as("i"))
+      .select(col("doc_id"), col("i").cast("long").as("chunk_idx"),
+        size(slice(col("tk"), col("i") * 40 + 1, lit(50))).cast("long").as("n_tokens"),
+        array_join(slice(col("tk"), col("i") * 40 + 1, lit(50)), " ").as("chunk"))
+
   /** The persisted LSH index: the band table (doc_id, band, bk)
     * materialized once per fixture, hash-bucketed + sorted by band key
     * (`Tables.bucketedDerived` — the text-side twin of the persisted IVF
@@ -395,16 +410,7 @@ object TextDedup {
         |       len(list_slice(tk, i*40 + 1, least(i*40 + 50, n))) AS n_tokens,
         |       array_to_string(list_slice(tk, i*40 + 1, least(i*40 + 50, n)), ' ') AS chunk
         |FROM w ORDER BY doc_id, chunk_idx""".stripMargin) {
-      (s, dir) =>
-        docs(s, dir)
-          .select(col("doc_id"), split(col("text"), " ").as("tk"))
-          .withColumn("n", size(col("tk")))
-          .select(col("doc_id"), col("tk"), col("n"),
-            explode(sequence(lit(0), expr("(n - 1) div 40"))).as("i"))
-          .select(col("doc_id"), col("i").cast("long").as("chunk_idx"),
-            size(slice(col("tk"), col("i") * 40 + 1, lit(50))).cast("long").as("n_tokens"),
-            array_join(slice(col("tk"), col("i") * 40 + 1, lit(50)), " ").as("chunk"))
-          .orderBy(col("doc_id"), col("chunk_idx"))
+      (s, dir) => chunkWindows(docs(s, dir)).orderBy(col("doc_id"), col("chunk_idx"))
     },
 
     // Language-ID by stopword-marker scoring with a deterministic argmax

@@ -140,6 +140,15 @@ object DocumentStreams {
   def qualityAtIngest(docs: DataFrame): DataFrame =
     graft.operators.TextDedup.qualitySignals(docs)
 
+  /** Streaming twin of `t_chunk_windows`: context-window chunking AT
+    * INGEST (append mode, stateless explode projection) — documents
+    * arrive, 50-token/stride-40 chunks leave, ready for packing, with no
+    * state and no shuffle inside the micro-batch. StreamingSpec pins
+    * equivalence with the batch operator.
+    */
+  def chunkAtIngest(docs: DataFrame): DataFrame =
+    graft.operators.TextDedup.chunkWindows(docs)
+
   /** Ingest-time image decode — the streaming twin of
     * `Multimodal.decodeImages`: the REAL javax.imageio parse runs as a
     * stateless partition-parallel projection the moment media lands, with

@@ -222,6 +222,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming context-window chunking at ingest equals the batch operator") {
+    val q = DocumentStreams.chunkAtIngest(DocumentStreams.readDocuments(spark, dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("chunk_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("chunk_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    val batch = graft.operators.TextDedup
+      .chunkWindows(graft.Tables.load(spark, dir, "documents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming image decode equals the batch decode; corrupt payloads quarantined mid-stream") {
     import graft.operators.Multimodal
     // stage the synthesized real-image corpus plus corrupt rows as TWO
