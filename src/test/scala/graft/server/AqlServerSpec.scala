@@ -55,6 +55,26 @@ class AqlServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(body.contains(""""rows":[["bo","fox"]]"""), body)
   }
 
+  test("round-6 statements reach the wire surface: MERGE, ALTER RENAME, index DDL") {
+    assert(post("CREATE CONTAINER webm ['id','v','body'] [BIGINT, SMALL-STRING, TEXT]")._1 == 200)
+    assert(post("CREATE ROW ['id','v','body'] [1,'one','the quick brown fox jumps high'] ON webm")._1 == 200)
+    assert(post("COMMIT webm")._1 == 200)
+    // upsert: hit updates, miss inserts
+    assert(post("MERGE ROW ['id','v'] [1,'uno'] ON webm")._1 == 200)
+    assert(post("MERGE ROW ['id','v'] [2,'dos'] ON webm")._1 == 200)
+    assert(post("COMMIT webm")._1 == 200)
+    val (c1, b1) = post("SEARCH ['v'] ON webm WHERE id = 1")
+    assert(c1 == 200 && b1.contains(""""rows":[["uno"]]"""), b1)
+    // index DDL + rename follow each other through the same surface
+    assert(post("CREATE INDEX nd ON webm ['body']")._1 == 200)
+    assert(post("ALTER CONTAINER webm RENAME COLUMN ['v','val']")._1 == 200)
+    val (c2, b2) = post("SEARCH ['val'] ON webm WHERE id = 2")
+    assert(c2 == 200 && b2.contains(""""rows":[["dos"]]"""), b2)
+    assert(post("DELETE INDEX nd ON webm")._1 == 200)
+    // old name is gone from the logical surface
+    assert(post("SEARCH ['v'] ON webm")._1 == 400)
+  }
+
   test("prepared arguments as extra body lines") {
     val (code, body) = post("SEARCH ['id'] ON web WHERE name = ?\n'ana'")
     assert(code == 200 && body.contains(""""rows":[[1]]"""))
