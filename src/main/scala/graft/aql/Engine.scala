@@ -155,6 +155,11 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           .map { case (n, t) => n -> AlbaType.coerce(t, byName(n.toLowerCase)) }
         if (sets.nonEmpty)
           tx.stageEdit(container, col(pkName) === lit(pkVal), sets)
+        // auto_commit symmetry: the miss branch commits through
+        // stageInsert's hook (reference semantics fire auto_commit on
+        // insert, database.rs:630-633); a MERGE must behave identically
+        // whether it hit or missed, so the hit branch commits too
+        if (tx.autoCommit) tx.commit(Some(container))
         Done(s"staged merge (update) on $container")
       } else {
         // unmentioned columns are NULL, exactly like CREATE ROW

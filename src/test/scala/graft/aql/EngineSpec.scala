@@ -636,6 +636,17 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the key column is mandatory and NOT NULL; unknown columns rejected
     intercept[ParseException](eng.execute("MERGE ROW ['v'] ['x'] ON mrg"))
     intercept[ParseException](eng.execute("MERGE ROW ['id','nope'] [9,'x'] ON mrg"))
+
+    // auto_commit symmetry: both MERGE branches commit immediately
+    eng.tx.autoCommit = true
+    try {
+      eng.execute("MERGE ROW ['id','v'] [4,'four'] ON mrg")  // miss → insert
+      eng.execute("MERGE ROW ['id','v'] [1,'eins'] ON mrg")  // hit → update
+      assert(eng.tx.stagedOps("mrg") == 0, "auto_commit must leave nothing staged")
+      val committed = eng.catalog.read("mrg").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(committed(4L) == "four" && committed(1L) == "eins")
+    } finally eng.tx.autoCommit = false
   }
 
   test("30 CREATE INDEX through AQL: maintained by commit, serves lookups, droppable") {
