@@ -56,6 +56,15 @@ object Index {
         StructField("id", pkType), StructField("cluster", IntegerType)))
       case other => sys.error(s"unknown index kind '$other'")
     }
+    /** The column lookups filter on with literal keys — index parts are
+      * written sorted by it so parquet min/max stats prune files and row
+      * groups under the `isin` pushdown (the layout-as-index convention,
+      * same as the container's pk clustering). */
+    def pruneKey: String = kind match {
+      case "lsh" => "bk"
+      case "ivf" => "cluster"
+      case other => sys.error(s"unknown index kind '$other'")
+    }
   }
 
   private[catalog] def metaFile(cat: Catalog, container: String, ix: String): Path =
@@ -306,6 +315,7 @@ object Index {
       val rows = cat.readFilesTagged(d.name, toCompute.map(_.toString))
         .withColumnRenamed("__src_file", "src")
       derive(cat, d, idef, rows)
+        .sortWithinPartitions(col("src"), col(idef.pruneKey))
         .write.mode("append").partitionBy("src").parquet(dest.toString)
     }
   }

@@ -167,6 +167,16 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     intercept[Exception](cat.createIndex("docs", "nd", "lsh", "body"))
   }
 
+  test("lookups push their literal band keys into the index scan") {
+    val (cat, _) = fixture("pushdown")
+    cat.createIndex("docs", "nd", "lsh", "body")
+    val plan = cat.indexLookup("docs", "nd", queryDf(0L, textA(0)))
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters") && plan.contains("In(bk"),
+      s"band-key isin must reach the index scan (key-sorted parts make it " +
+        s"a stats-pruned read):\n$plan")
+  }
+
   // ---- ivf kind: packed-float32 BYTES embeddings --------------------------
 
   /** 8-dim one-hot-ish vector near axis `axis` with a small per-id nudge
