@@ -547,6 +547,39 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
       math.max(claimedSlots(name).maxOption.getOrElse(0), currentVersion(name)),
       versions(name).lastOption.getOrElse(0))
 
+  /** Bulk APPEND: commit `df`'s rows as new parquet parts of the next
+    * version, carrying every base file as a hard link — the insert-only
+    * COW commit taken directly from a DataFrame, with no driver-side row
+    * materialization (the scalable ingest twin of `Tx.stageInsert`, whose
+    * Seq[Row] staging is statement-level by design). Runs the same CAS
+    * claim/retry as any commit, so concurrent appends serialize with all
+    * batches surviving; derived indexes update inside the same atomic
+    * publish via the tryCommitBuild hook. This is the micro-batch landing
+    * path for streaming ingest (`DocumentStreams.ingestToCatalog`).
+    * Returns the published version.
+    */
+  def append(name: String, df: DataFrame): Int = {
+    import org.apache.spark.sql.functions.col
+    val pk = get(name).primaryKey
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 50, s"APPEND $name: lost the version race 50 times")
+      if (attempts > 1) Thread.sleep(math.min(100L * attempts, 2000L))
+      val base = currentVersion(name)
+      val sorted = df.sortWithinPartitions(col(pk))
+      val ok =
+        if (base == 0) tryCommit(name, 0, sorted)
+        else tryCommitCow(name, base, versionFiles(name, base), Some(sorted))
+      if (ok) return base + 1
+      // a dead committer's claim or an unflipped published version would
+      // wedge the retry loop on the same base — same escape as Tx.commit
+      releaseOrphanClaim(name, base + 1)
+      adoptPublished(name)
+    }
+    -1 // unreachable
+  }
+
   /** Commit `df` as the next version unconditionally (last-writer-wins) —
     * for whole-container replacement where there is no read-modify-write
     * to protect. Claims the next free slot above the pointer and any

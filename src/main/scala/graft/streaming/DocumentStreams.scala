@@ -149,6 +149,27 @@ object DocumentStreams {
   def chunkAtIngest(docs: DataFrame): DataFrame =
     graft.operators.TextDedup.chunkWindows(docs)
 
+  /** Streaming ingest INTO the versioned catalog: each micro-batch lands
+    * as one insert-only COW commit (`Catalog.append` — new parquet parts
+    * plus hard links, no driver-side rows), so arriving documents become
+    * durable, time-travelable versions whose derived indexes (lsh/ivf)
+    * update inside the same atomic publish. The full write path of a
+    * serving engine, driven by a stream: ingest → commit → index, with
+    * the CAS claim serializing against concurrent writers.
+    *
+    * Delivery is at-least-once per micro-batch (a crash between the
+    * commit and the sink's checkpoint advance replays the batch as a
+    * duplicate append — the standard foreachBatch contract); dedup
+    * downstream by pk if exactly-once matters.
+    */
+  def ingestToCatalog(docs: DataFrame, catalog: graft.catalog.Catalog,
+      container: String): org.apache.spark.sql.streaming.DataStreamWriter[
+      org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { catalog.append(container, batch); () }
+      }
+
   /** Ingest-time image decode — the streaming twin of
     * `Multimodal.decodeImages`: the REAL javax.imageio parse runs as a
     * stateless partition-parallel projection the moment media lands, with

@@ -235,6 +235,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming ingest lands micro-batches as indexed, time-travelable COW commits") {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest-cat")
+    val cat = new graft.catalog.Catalog(spark, root.toString)
+    cat.create("sdocs", List("doc_id" -> graft.aql.AlbaType.of("BIGINT"),
+      "text" -> graft.aql.AlbaType.of("TEXT")))
+    cat.createIndex("sdocs", "nd", "lsh", "text")
+
+    // two parquet files in one source dir + maxFilesPerTrigger=1 → the
+    // stream arrives as two micro-batches → two insert-only commits
+    val src = java.nio.file.Files.createTempDirectory("graft-ingest-src")
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 40)
+    docs.filter(col("doc_id") < 20).coalesce(1)
+      .write.mode("append").parquet(src.toString)
+    docs.filter(col("doc_id") >= 20).coalesce(1)
+      .write.mode("append").parquet(src.toString)
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest-ckpt")
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val q = DocumentStreams.ingestToCatalog(stream, cat, "sdocs")
+      .option("checkpointLocation", ckpt.toString).start()
+    try q.processAllAvailable() finally q.stop()
+
+    assert(cat.currentVersion("sdocs") == 2, "one commit per micro-batch")
+    assert(cat.read("sdocs").count() == 40)
+    assert(cat.readVersion("sdocs", 1).count() == 20, "batch 1 is its own version")
+    // insert-only commits: every v1 data file carried into v2 as a link
+    def parts(v: Int): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.list(
+          root.resolve("data").resolve(s"sdocs@v$v"))) { s =>
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSet
+      }
+    }
+    assert(parts(1).subsetOf(parts(2)), "append must carry base files over")
+    // the index updated inside each commit: querying doc 5's own text
+    // must surface doc 5 as a candidate, with no rebuild
+    val q5 = docs.filter(col("doc_id") === 5L)
+      .select(lit(999L).as("doc_id"), col("text"))
+    val cands = cat.indexLookup("sdocs", "nd", q5).collect().map(_.getLong(1))
+    assert(cands.contains(5L), s"ingested doc must be indexed, got ${cands.toSeq}")
+  }
+
   test("streaming image decode equals the batch decode; corrupt payloads quarantined mid-stream") {
     import graft.operators.Multimodal
     // stage the synthesized real-image corpus plus corrupt rows as TWO
