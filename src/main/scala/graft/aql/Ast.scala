@@ -153,6 +153,18 @@ object Ast {
   /** graft extension: compact the fragmented current version into a
     * pk-range-clustered new version (the COW-commit maintenance op). */
   final case class Optimize(container: String, targetFiles: Option[Int]) extends Stmt
+  /** graft extension: change-data feed between two committed versions
+    * (rows + `_change_type`), computed from the COW file-name delta.
+    * `toVersion` None = the current version. */
+  final case class Changes(container: String, fromVersion: Int,
+      toVersion: Option[Int]) extends Stmt
+  /** graft extensions: catalog introspection, served as SEARCH-shaped
+    * results through the cursor protocol (an AQL-only client can browse
+    * the catalog without filesystem access). */
+  case object ShowContainers extends Stmt
+  final case class Describe(container: String) extends Stmt
+  final case class ShowIndexes(container: String) extends Stmt
+  final case class ShowVersions(container: String) extends Stmt
   final case class CursorNext(id: String) extends Stmt
   final case class CursorPrevious(id: String) extends Stmt
   final case class CursorExit(id: String) extends Stmt
@@ -654,6 +666,27 @@ object Parser {
     case Keyword("OPTIMIZE") :: containerTok :: IntLit(n) :: Nil =>
       if (n < 1) throw new ParseException("OPTIMIZE target file count must be >= 1")
       Optimize(name(containerTok), Some(n.toInt))
+
+    // CHANGES container fromVersion [toVersion] (graft extension): the
+    // change-data feed between two committed versions — a SEARCH-shaped
+    // result (rows + _change_type) served through the cursor protocol
+    case Keyword("CHANGES") :: containerTok :: IntLit(f) :: Nil =>
+      if (f < 0) throw new ParseException("CHANGES fromVersion must be >= 0")
+      Changes(name(containerTok), f.toInt, None)
+    case Keyword("CHANGES") :: containerTok :: IntLit(f) :: IntLit(t) :: Nil =>
+      if (f < 0) throw new ParseException("CHANGES fromVersion must be >= 0")
+      if (t < f) throw new ParseException(
+        "CHANGES toVersion must be >= fromVersion")
+      Changes(name(containerTok), f.toInt, Some(t.toInt))
+
+    // SHOW CONTAINERS / SHOW INDEXES c / SHOW VERSIONS c / DESCRIBE c
+    // (graft extensions): catalog introspection statements
+    case Keyword("SHOW") :: Keyword("CONTAINERS") :: Nil => ShowContainers
+    case Keyword("SHOW") :: Keyword("INDEXES") :: containerTok :: Nil =>
+      ShowIndexes(name(containerTok))
+    case Keyword("SHOW") :: Keyword("VERSIONS") :: containerTok :: Nil =>
+      ShowVersions(name(containerTok))
+    case Keyword("DESCRIBE") :: containerTok :: Nil => Describe(name(containerTok))
 
     // COMMIT / ROLLBACK [container] (parser.rs:553-588)
     case Keyword("COMMIT") :: Nil => Commit(None)

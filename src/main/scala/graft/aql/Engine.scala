@@ -193,13 +193,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       Done(s"deleted container $name")
 
     case s: Ast.Search =>
-      val df = lowerSearch(s)
-      // letter prefix keeps the id a single bare-word token in AQL
-      val id = "c" + java.util.UUID.randomUUID().toString.replace("-", "")
-      cursors.put(id, Cursor(df, page = 0,
-        needsDefaultSort = s.orderBy.isEmpty && s.limit.isEmpty,
-        cacheCap = settings.memoryLimit))
-      ResultSet(df, id)
+      resultSet(lowerSearch(s),
+        needsDefaultSort = s.orderBy.isEmpty && s.limit.isEmpty)
 
     case Ast.Explain(q) =>
       Done(lowerSearch(q).queryExecution.explainString(
@@ -216,6 +211,46 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       Done(s"optimized $c: $before file(s) -> $after file(s) " +
         s"(version ${catalog.currentVersion(c)})")
 
+    case Ast.Changes(c, from, to) =>
+      // SEARCH-shaped result: served through the same cursor protocol,
+      // with the deterministic all-columns order applied lazily on first
+      // page fetch like any no-ORDER-BY SEARCH
+      resultSet(catalog.changes(c, from, to), needsDefaultSort = true)
+
+    // catalog introspection (graft extensions): bounded metadata lowered
+    // to local relations, served through the same cursor protocol so an
+    // AQL-only client can browse the catalog. Leading ordinal/version
+    // columns make the deterministic all-columns cursor order THE
+    // natural order (schema position, version number).
+    case Ast.ShowContainers =>
+      resultSet(metaDf(Seq("container" -> "TEXT"),
+        catalog.list().map(Row(_))), needsDefaultSort = true)
+
+    case Ast.Describe(c) =>
+      val d = catalog.get(c)
+      resultSet(metaDf(
+        Seq("ordinal" -> "INT", "column" -> "TEXT", "type" -> "TEXT",
+          "key" -> "BOOL"),
+        d.columns.zipWithIndex.map { case ((n, t), i) =>
+          Row(i + 1, n, t.name, n == d.primaryKey)
+        }), needsDefaultSort = true)
+
+    case Ast.ShowIndexes(c) =>
+      catalog.get(c) // existence check
+      resultSet(metaDf(
+        Seq("ix" -> "TEXT", "kind" -> "TEXT", "column" -> "TEXT"),
+        catalog.indexDefs(c).map(d => Row(d.ix, d.kind, d.column))),
+        needsDefaultSort = true)
+
+    case Ast.ShowVersions(c) =>
+      catalog.get(c)
+      val cur = catalog.currentVersion(c)
+      resultSet(metaDf(
+        Seq("version" -> "INT", "current" -> "BOOL", "files" -> "INT"),
+        catalog.versions(c).map(v =>
+          Row(v, v == cur, catalog.versionFileCount(c, v)))),
+        needsDefaultSort = true)
+
     case Ast.Commit(c) => tx.commit(c); Done("committed")
     case Ast.Rollback(c) => tx.rollback(c); Done("rolled back")
 
@@ -225,6 +260,25 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       Option(cursors.remove(id)).foreach(releaseCursor)
       Done(s"cursor $id closed")
   }
+
+  /** Register a cursor for a SEARCH-shaped result.
+    * Letter prefix keeps the id a single bare-word token in AQL. */
+  private def resultSet(df: DataFrame, needsDefaultSort: Boolean): ResultSet = {
+    val id = "c" + java.util.UUID.randomUUID().toString.replace("-", "")
+    cursors.put(id, Cursor(df, page = 0, needsDefaultSort = needsDefaultSort,
+      cacheCap = settings.memoryLimit))
+    ResultSet(df, id)
+  }
+
+  /** Local relation for catalog-introspection results: bounded metadata
+    * (names, schema lines, version numbers), never data. */
+  private def metaDf(cols: Seq[(String, String)], rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJava),
+      org.apache.spark.sql.types.StructType(cols.map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n, AlbaType.of(t).spark,
+          nullable = false)
+      }))
 
   private def pageOf(id: String, delta: Int): Page = {
     val cur = Option(cursors.get(id))

@@ -37,7 +37,8 @@ object Token {
     // graft extensions beyond the reference keyword set
     "EXPLAIN", "VACUUM", "AT", "VERSION", "IN", "NOT", "HAVING",
     "ORDER", "BY", "LIMIT", "ASC", "DESC", "DISTINCT", "JOIN", "LEFT",
-    "ALTER", "ADD", "COLUMN", "OPTIMIZE", "MERGE", "DROP", "RENAME", "INDEX")
+    "ALTER", "ADD", "COLUMN", "OPTIMIZE", "MERGE", "DROP", "RENAME", "INDEX",
+    "CHANGES", "SHOW", "CONTAINERS", "INDEXES", "VERSIONS", "DESCRIBE")
 
   /** Multi-char first: `&&&>` regex-match, `&&>` icontains, `&>` contains,
     * `>=`, `<=`, `==`, `!=`, then single-char (reference

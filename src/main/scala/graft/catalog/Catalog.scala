@@ -332,6 +332,69 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
       spark.read.schema(d.storedSchema).parquet(versionPath(name, v).toString))
   }
 
+  /** Change-data feed between two committed versions — every row
+    * inserted, deleted, or updated (as Delta-CDF-style
+    * `update_preimage`/`update_postimage` pairs keyed by the pk
+    * convention), tagged in a `_change_type` column appended to the
+    * container schema.
+    *
+    * Computed LAZILY from the copy-on-write file-name delta: a COW commit
+    * carries untouched base files as hard links under their ORIGINAL
+    * names and writes rewritten/inserted parts under fresh UUID names
+    * ([[tryCommitCow]]), so the files whose names differ between the two
+    * versions are exactly the files that can contain a changed row. The
+    * feed therefore scans only touched data — commit-sized, not
+    * table-sized — with no change log written at commit time (the
+    * versions ARE the log). Rows rewritten byte-equal (a sibling row in
+    * their file changed, or an OPTIMIZE re-clustered the layout) are
+    * subtracted out by a multiset EXCEPT ALL before classification, so a
+    * pure compaction yields an EMPTY feed.
+    *
+    * `fromV = 0` (or a never-committed container) reads as an empty
+    * snapshot: the feed is then every row of `toV` as an insert.
+    * Classification pairs pre/post images through a pk equi-join, so a
+    * NULL-pk row that changes reads as delete + insert rather than an
+    * update pair (SQL join semantics; the pk convention assumes non-NULL
+    * keys). Only COMMITTED versions participate — staged ops are invisible
+    * until their commit, like time travel.
+    */
+  def changes(name: String, fromV: Int, toVOpt: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val d = get(name)
+    val toV = toVOpt.getOrElse(currentVersion(name))
+    require(fromV >= 0, s"CHANGES $name: fromVersion must be >= 0, got $fromV")
+    require(toV >= fromV,
+      s"CHANGES $name: toVersion $toV must be >= fromVersion $fromV")
+    Seq(fromV, toV).filter(_ > 0).distinct.foreach(v =>
+      require(Files.exists(versionPath(name, v)),
+        s"Version $v of '$name' does not exist (have: ${versions(name).mkString(",")})"))
+    def emptySnap = spark.createDataFrame(new java.util.ArrayList[Row](), d.schema)
+    val beforeFiles = if (fromV == 0) Nil else versionFiles(name, fromV)
+    val afterFiles = if (toV == 0) Nil else versionFiles(name, toV)
+    val beforeNames = beforeFiles.map(_.getFileName.toString).toSet
+    val afterNames = afterFiles.map(_.getFileName.toString).toSet
+    // carried hard links keep their name: same name ⟹ same immutable file
+    val removed = beforeFiles.filterNot(f => afterNames(f.getFileName.toString)).map(_.toString)
+    val added = afterFiles.filterNot(f => beforeNames(f.getFileName.toString)).map(_.toString)
+    val before = if (removed.isEmpty) emptySnap else readFiles(name, removed)
+    val after = if (added.isEmpty) emptySnap else readFiles(name, added)
+    val changedBefore = before.exceptAll(after)
+    val changedAfter = after.exceptAll(before)
+    val pk = d.primaryKey
+    val beforeKeys = changedBefore.select(col(pk)).distinct()
+    val afterKeys = changedAfter.select(col(pk)).distinct()
+    val outCols = (d.columns.map(_._1) :+ "_change_type").map(col)
+    changedAfter.join(beforeKeys, Seq(pk), "left_anti")
+        .withColumn("_change_type", lit("insert"))
+      .unionByName(changedAfter.join(beforeKeys, Seq(pk), "left_semi")
+        .withColumn("_change_type", lit("update_postimage")))
+      .unionByName(changedBefore.join(afterKeys, Seq(pk), "left_anti")
+        .withColumn("_change_type", lit("delete")))
+      .unionByName(changedBefore.join(afterKeys, Seq(pk), "left_semi")
+        .withColumn("_change_type", lit("update_preimage")))
+      .select(outCols: _*)
+  }
+
   /** Stored→logical name translation on the read side. Identity (the
     * same scan node, `_metadata` still resolvable) unless a RENAME COLUMN
     * happened. */
@@ -463,6 +526,10 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     }
     true
   }
+
+  /** Part-file count of a published version (observability: SHOW VERSIONS,
+    * fragmentation monitoring for OPTIMIZE scheduling). */
+  def versionFileCount(name: String, v: Int): Int = versionFiles(name, v).size
 
   /** Parquet part files of a published version (the COW link candidates). */
   private[catalog] def versionFiles(name: String, v: Int): Seq[Path] =

@@ -84,6 +84,18 @@ object AqlQueries {
       eng.execute("MERGE ROW ['doc_id','n_chars'] [42, 77777] ON docs_merge")
       eng.execute("MERGE ROW ['doc_id','n_chars'] [900002, 123] ON docs_merge")
       eng.execute("COMMIT docs_merge")
+      // CDC container for the CHANGES feed: v1 = the fixture docs; one
+      // commit edits doc 7, deletes doc 13, and inserts 900005. The feed
+      // between v1 and v2 nets exactly those four CDF rows (update
+      // pre/post pair, delete, insert) — every byte-equal rewritten
+      // file-mate is suppressed — so the oracle reconstructs it
+      // declaratively from the fixture.
+      eng.execute("CREATE CONTAINER docs_cdc ['doc_id','n_chars'] [BIGINT, BIGINT]")
+      eng.catalog.overwrite("docs_cdc", docs)
+      eng.execute("EDIT ROW ['n_chars'] [11111] ON docs_cdc WHERE doc_id = 7")
+      eng.execute("DELETE ROW ON docs_cdc WHERE doc_id = 13")
+      eng.execute("CREATE ROW ['doc_id','n_chars'] [900005, 321] ON docs_cdc")
+      eng.execute("COMMIT docs_cdc")
       // renamed-column container: RENAME is metadata-only (files keep the
       // pinned stored name n_chars), and the post-rename insert commits
       // through the logical→stored translation
@@ -345,6 +357,23 @@ object AqlQueries {
         |UNION ALL SELECT 900003, 55
         |ORDER BY doc_id, chars""".stripMargin) {
       (s, dir) => search("SEARCH [] ON docs_ren")(s, dir)
+    },
+
+    // CHANGES (graft extension): the CDC feed between two committed
+    // versions through the full AQL path — computed lazily from the COW
+    // file-name delta (no change log; the versions are the log). The
+    // oracle reconstructs the Delta-CDF-style classification from the
+    // fixture: doc 7's update pre/post pair, doc 13's delete, the insert.
+    Q("aql_changes_feed",
+      """SELECT * FROM (
+        |  SELECT doc_id, n_chars, 'update_preimage' AS _change_type
+        |    FROM documents WHERE doc_id = 7
+        |  UNION ALL SELECT 7, 11111, 'update_postimage'
+        |  UNION ALL SELECT doc_id, n_chars, 'delete'
+        |    FROM documents WHERE doc_id = 13
+        |  UNION ALL SELECT 900005, 321, 'insert'
+        |) ORDER BY doc_id, n_chars, _change_type""".stripMargin) {
+      (s, dir) => search("CHANGES docs_cdc 1 2")(s, dir)
     },
 
     Q("aql_time_travel",

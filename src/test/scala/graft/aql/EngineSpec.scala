@@ -756,4 +756,38 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!phys.contains("gone") && phys.contains("gone__2"),
       s"optimize must drop tombstoned bytes and keep the fresh column, got $phys")
   }
+
+  test("31 catalog introspection: SHOW CONTAINERS / DESCRIBE / SHOW INDEXES / SHOW VERSIONS") {
+    eng.execute("CREATE CONTAINER meta1 ['id','body'] [BIGINT, TEXT]")
+    eng.execute("CREATE ROW ['id','body'] [1,'the quick brown fox'] ON meta1")
+    eng.execute("COMMIT meta1") // v1
+    eng.execute("CREATE ROW ['id','body'] [2,'jumps over the dog'] ON meta1")
+    eng.execute("COMMIT meta1") // v2
+    eng.execute("CREATE INDEX nd ON meta1 ['body']")
+
+    val containers = searchRows("SHOW CONTAINERS").map(_.getString(0))
+    assert(containers.contains("meta1"))
+
+    // DESCRIBE: ordinal schema positions, AlbaType names, pk flag on col 1
+    val desc = searchRows("DESCRIBE meta1")
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getBoolean(3)))
+    assert(desc == Seq((1, "id", "BIGINT", true), (2, "body", "TEXT", false)))
+
+    val ixs = searchRows("SHOW INDEXES meta1")
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(ixs == Seq(("nd", "lsh", "body")))
+
+    // SHOW VERSIONS: one row per committed version, current flagged,
+    // per-version file counts positive
+    val vers = searchRows("SHOW VERSIONS meta1")
+      .map(r => (r.getInt(0), r.getBoolean(1), r.getInt(2)))
+    assert(vers.map(_._1) == Seq(1, 2))
+    assert(vers.filter(_._2).map(_._1) == Seq(2), "only v2 is current")
+    assert(vers.forall(_._3 > 0))
+
+    // introspection statements page through the cursor protocol like any
+    // SEARCH (metadata is a result set, not a Done message)
+    assert(eng.execute("SHOW CONTAINERS").isInstanceOf[Engine.ResultSet])
+    intercept[IllegalArgumentException](eng.execute("DESCRIBE no_such"))
+  }
 }

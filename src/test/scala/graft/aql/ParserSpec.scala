@@ -45,6 +45,21 @@ class ParserSpec extends AnyFunSuite {
       Parser.parse("CREATE INDEX nd ON docs ['a','b']"))
   }
 
+  test("CHANGES forms (CDC feed extension)") {
+    assert(Parser.parse("CHANGES docs 3") == Changes("docs", 3, None))
+    assert(Parser.parse("CHANGES docs 0 2") == Changes("docs", 0, Some(2)))
+    intercept[ParseException](Parser.parse("CHANGES docs 2 1"))
+    intercept[ParseException](Parser.parse("CHANGES docs"))
+  }
+
+  test("introspection forms: SHOW CONTAINERS / INDEXES / VERSIONS, DESCRIBE") {
+    assert(Parser.parse("SHOW CONTAINERS") == ShowContainers)
+    assert(Parser.parse("SHOW INDEXES docs") == ShowIndexes("docs"))
+    assert(Parser.parse("SHOW VERSIONS docs") == ShowVersions("docs"))
+    assert(Parser.parse("DESCRIBE docs") == Describe("docs"))
+    intercept[ParseException](Parser.parse("SHOW docs"))
+  }
+
   test("MERGE ROW parses like CREATE ROW (upsert extension)") {
     val stmt = Parser.parse("MERGE ROW ['id','name'] [1, 'ana'] ON users")
     assert(stmt == MergeRow("users", List("id", "name"),

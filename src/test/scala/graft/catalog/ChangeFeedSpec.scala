@@ -1,0 +1,142 @@
+package graft.catalog
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The CDC change feed ([[Catalog.changes]]): rows inserted/deleted/updated
+  * between two committed versions, computed lazily from the copy-on-write
+  * file-name delta — no change log is written at commit time, the versions
+  * ARE the log, and the feed scans only the files whose names differ
+  * (commit-sized, not table-sized).
+  */
+class ChangeFeedSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def fixture(tag: String, nFiles: Int = 4, rowsPerFile: Int = 10) = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-cdc-$tag")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("c", List("id" -> graft.aql.AlbaType.of("INT"),
+      "v" -> graft.aql.AlbaType.of("SMALL-STRING")))
+    import spark.implicits._
+    val base = (0 until nFiles * rowsPerFile).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(nFiles, col("id"))
+      .sortWithinPartitions("id")
+    cat.overwrite("c", base) // v1
+    cat
+  }
+
+  private def feed(cat: Catalog, from: Int, to: Option[Int] = None): Map[(Int, String), String] =
+    cat.changes("c", from, to).collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)).getOrElse("∅")) -> r.getString(2))
+      .toMap
+
+  test("edit + delete + insert in one commit classify as update pair, delete, insert — nothing else") {
+    val cat = fixture("mixed")
+    val tx = new Tx(cat)
+    tx.stageEdit("c", col("id") === 5, Seq("v" -> "EDITED"))
+    tx.stageDelete("c", Some(col("id") === 17))
+    tx.stageInsert("c", Seq(org.apache.spark.sql.Row(99, "new")))
+    tx.commit(Some("c")) // v2
+    val f = feed(cat, 1)
+    assert(f == Map(
+      (5, "v5") -> "update_preimage",
+      (5, "EDITED") -> "update_postimage",
+      (17, "v17") -> "delete",
+      (99, "new") -> "insert"))
+  }
+
+  test("rows rewritten byte-equal because a sibling changed are suppressed") {
+    val cat = fixture("sibling")
+    val tx = new Tx(cat)
+    // id=5 lives in file 0 with ids 0..9; the rewrite touches all of them
+    tx.stageEdit("c", col("id") === 5, Seq("v" -> "EDITED"))
+    tx.commit(Some("c"))
+    // only the changed row surfaces — its 9 byte-equal file-mates don't
+    assert(cat.changes("c", 1).count() == 2)
+  }
+
+  test("insert-only commit (pure append) feeds exactly the inserted rows") {
+    val cat = fixture("append")
+    val tx = new Tx(cat)
+    tx.stageInsert("c", Seq(org.apache.spark.sql.Row(100, "a"),
+      org.apache.spark.sql.Row(101, "b")))
+    tx.commit(Some("c"))
+    assert(feed(cat, 1) == Map((100, "a") -> "insert", (101, "b") -> "insert"))
+  }
+
+  test("OPTIMIZE (byte-equal re-clustering) yields an EMPTY feed") {
+    val cat = fixture("optimize")
+    cat.optimize("c", Some(2)) // v2: all fresh file names, same rows
+    assert(cat.changes("c", 1).isEmpty)
+  }
+
+  test("fromV=0 reads as an empty snapshot: everything is an insert") {
+    val cat = fixture("genesis", nFiles = 2, rowsPerFile = 3)
+    val f = feed(cat, 0)
+    assert(f.size == 6 && f.values.forall(_ == "insert"))
+  }
+
+  test("feed composes across a version RANGE (v1→v3 nets both commits)") {
+    val cat = fixture("range")
+    val tx = new Tx(cat)
+    tx.stageEdit("c", col("id") === 5, Seq("v" -> "E1"))
+    tx.commit(Some("c")) // v2
+    tx.stageEdit("c", col("id") === 5, Seq("v" -> "E2"))
+    tx.stageInsert("c", Seq(org.apache.spark.sql.Row(200, "late")))
+    tx.commit(Some("c")) // v3
+    // v1→v3 nets the two edits into ONE update pair (E2 vs the original)
+    assert(feed(cat, 1, Some(3)) == Map(
+      (5, "v5") -> "update_preimage",
+      (5, "E2") -> "update_postimage",
+      (200, "late") -> "insert"))
+    // the adjacent v2→v3 window sees the second edit only
+    assert(feed(cat, 2, Some(3)) == Map(
+      (5, "E1") -> "update_preimage",
+      (5, "E2") -> "update_postimage",
+      (200, "late") -> "insert"))
+  }
+
+  test("feed scans ONLY the COW file-name delta, never carried files") {
+    val cat = fixture("pruned")
+    val tx = new Tx(cat)
+    tx.stageEdit("c", col("id") === 5, Seq("v" -> "EDITED"))
+    tx.commit(Some("c"))
+    // the point edit on the clustered layout rewrote exactly one file, so
+    // the feed's scan relations list exactly 1 removed + 1 added file —
+    // 2 of the 8 files across both versions (carried links excluded)
+    val scanned = cat.changes("c", 1).queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.length
+    }
+    assert(scanned.nonEmpty && scanned.forall(_ == 1),
+      s"each feed scan should read exactly the 1-file delta, got $scanned")
+  }
+
+  test("invalid version bounds are rejected") {
+    val cat = fixture("bounds", nFiles = 1, rowsPerFile = 2)
+    intercept[IllegalArgumentException](cat.changes("c", 2, Some(1)))
+    intercept[IllegalArgumentException](cat.changes("c", 5)) // v5 never existed
+  }
+
+  test("AQL surface: CHANGES container fromV [toV] pages like a SEARCH") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-aql")
+    val eng = new graft.aql.Engine(spark, dir.toString)
+    eng.execute("CREATE CONTAINER t ['id','v'] [INT, TEXT]")
+    eng.execute("CREATE ROW ['id','v'] [1, 'a'] ON t")
+    eng.execute("COMMIT t") // v1
+    eng.execute("EDIT ROW ['v'] ['b'] ON t WHERE id = 1")
+    eng.execute("CREATE ROW ['id','v'] [2, 'c'] ON t")
+    eng.execute("COMMIT t") // v2
+    val rs = eng.execute("CHANGES t 1").asInstanceOf[graft.aql.Engine.ResultSet]
+    // deterministic cursor order: id, v, _change_type ascending
+    val rows = eng.orderedResult(rs.cursorId).get.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows == Seq((1, "a", "update_preimage"), (1, "b", "update_postimage"),
+      (2, "c", "insert")))
+    // explicit range + parse validation
+    assert(eng.execute("CHANGES t 1 2").isInstanceOf[graft.aql.Engine.ResultSet])
+    intercept[graft.aql.ParseException](eng.execute("CHANGES t 2 1"))
+  }
+}

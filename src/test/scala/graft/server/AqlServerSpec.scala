@@ -75,6 +75,24 @@ class AqlServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post("SEARCH ['v'] ON webm")._1 == 400)
   }
 
+  test("CHANGES feed reaches the wire surface (CDC over HTTP)") {
+    assert(post("CREATE CONTAINER webcdc ['id','v'] [INT, SMALL-STRING]")._1 == 200)
+    assert(post("CREATE ROW ['id','v'] [1,'a'] ON webcdc")._1 == 200)
+    assert(post("COMMIT webcdc")._1 == 200) // v1
+    assert(post("EDIT ROW ['v'] ['b'] ON webcdc WHERE id = 1")._1 == 200)
+    assert(post("CREATE ROW ['id','v'] [2,'c'] ON webcdc")._1 == 200)
+    assert(post("COMMIT webcdc")._1 == 200) // v2
+    val (code, body) = post("CHANGES webcdc 1")
+    assert(code == 200, body)
+    assert(body.contains(""""columns":["id","v","_change_type"]"""), body)
+    // deterministic cursor order: id, v, _change_type ascending
+    assert(body.contains(
+      """"rows":[[1,"a","update_preimage"],[1,"b","update_postimage"],[2,"c","insert"]]"""),
+      body)
+    // invalid range is a client error, not a 500
+    assert(post("CHANGES webcdc 9")._1 == 400)
+  }
+
   test("prepared arguments as extra body lines") {
     val (code, body) = post("SEARCH ['id'] ON web WHERE name = ?\n'ana'")
     assert(code == 200 && body.contains(""""rows":[[1]]"""))
