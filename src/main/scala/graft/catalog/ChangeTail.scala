@@ -1,0 +1,67 @@
+package graft.catalog
+
+import org.apache.spark.sql.DataFrame
+import java.nio.file.{Files, Path, StandardCopyOption}
+
+/** Incremental CDC consumer over a versioned container: polls the version
+  * pointer and delivers each new window's change feed ([[Catalog.changes]])
+  * to a callback, checkpointing the delivered version so a restarted tail
+  * resumes exactly where it stopped — the micro-batch consumption loop a
+  * Delta/Iceberg CDF streaming source runs per trigger, expressed over the
+  * catalog's COW version history (which IS the change log; nothing extra
+  * is written at commit time).
+  *
+  * Delivery contract: the checkpoint advances AFTER the callback returns,
+  * so a crash mid-callback redelivers the same window on restart —
+  * at-least-once in general, exactly-once when the callback is idempotent
+  * per window (the standard `foreachBatch` contract; the (fromV, toV) pair
+  * passed to the callback is the idempotency key). Each window's feed is
+  * commit-sized (the COW file-name delta), never table-sized.
+  *
+  * Retention coupling: the tail needs its last-delivered version directory
+  * to still exist to compute the next delta. A `vacuum` that outruns the
+  * tail's lag makes the delta uncomputable — [[pollOnce]] then throws with
+  * the recovery options (re-seed from scratch, or raise `keepLast` to
+  * cover the consumer lag), rather than silently skipping changes.
+  */
+final class ChangeTail(cat: Catalog, container: String, checkpoint: Path) {
+
+  /** Highest version already delivered (0 = nothing yet). */
+  def lastDelivered: Int =
+    if (Files.exists(checkpoint)) Files.readString(checkpoint).trim.toInt else 0
+
+  /** One poll: if the container advanced past [[lastDelivered]], hand the
+    * callback the net change feed for the whole outstanding window plus
+    * its (fromV, toV) bounds, then checkpoint toV. Returns the number of
+    * versions consumed (0 = already caught up).
+    */
+  def pollOnce(f: (DataFrame, Int, Int) => Unit): Int = {
+    val from = lastDelivered
+    val to = cat.currentVersion(container)
+    if (to <= from) return 0
+    if (from > 0 && !cat.versions(container).contains(from))
+      throw new IllegalStateException(
+        s"ChangeTail $container: version $from was vacuumed before this tail " +
+          s"consumed past it (have: ${cat.versions(container).mkString(",")}). " +
+          "Re-seed the consumer from a full snapshot (delete the checkpoint " +
+          "to replay everything as inserts) or vacuum with keepLast covering " +
+          "the consumer lag.")
+    f(cat.changes(container, from, Some(to)), from, to)
+    // atomic checkpoint swap, same idiom as the catalog's version pointer
+    val tmp = checkpoint.resolveSibling(
+      s"${checkpoint.getFileName}.tmp-${ProcessHandle.current.pid}-${System.nanoTime()}")
+    Files.writeString(tmp, to.toString)
+    Files.move(tmp, checkpoint, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    to - from
+  }
+
+  /** Poll until `until` returns true, sleeping `pollMs` between empty
+    * polls — the resident-consumer loop. Callback failures propagate
+    * (the checkpoint has not advanced, so the window redelivers).
+    */
+  def run(pollMs: Long, until: () => Boolean)(f: (DataFrame, Int, Int) => Unit): Unit =
+    while (!until()) {
+      if (pollOnce(f) == 0) Thread.sleep(pollMs)
+    }
+}

@@ -1,0 +1,97 @@
+package graft.catalog
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The CDC tail consumer ([[ChangeTail]]): exactly-once windowed delivery
+  * of [[Catalog.changes]] feeds with a restart-safe checkpoint.
+  */
+class ChangeTailSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def fixture(tag: String) = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-tail-$tag")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("c", List("id" -> graft.aql.AlbaType.of("INT"),
+      "v" -> graft.aql.AlbaType.of("SMALL-STRING")))
+    (cat, new Tx(cat), dir.resolve("tail.ckpt"))
+  }
+
+  private def insert(tx: Tx, rows: (Int, String)*): Unit = {
+    tx.stageInsert("c", rows.map(r => org.apache.spark.sql.Row(r._1, r._2)))
+    tx.commit(Some("c"))
+  }
+
+  test("first poll delivers everything-as-inserts; caught-up polls deliver nothing") {
+    val (cat, tx, ckpt) = fixture("seed")
+    insert(tx, 1 -> "a", 2 -> "b")
+    val tail = new ChangeTail(cat, "c", ckpt)
+    var seen = Seq.empty[(Int, String, String)]
+    assert(tail.pollOnce { (df, from, to) =>
+      assert((from, to) == (0, 1))
+      seen = df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    } == 1)
+    assert(seen.toSet == Set((1, "a", "insert"), (2, "b", "insert")))
+    assert(tail.pollOnce((_, _, _) => fail("caught up — must not deliver")) == 0)
+  }
+
+  test("windows are incremental and net multiple commits; checkpoint survives restart") {
+    val (cat, tx, ckpt) = fixture("inc")
+    insert(tx, 1 -> "a")
+    val tail = new ChangeTail(cat, "c", ckpt)
+    assert(tail.pollOnce((_, _, _) => ()) == 1)
+    // two commits while the consumer is away: an edit then an insert
+    tx.stageEdit("c", col("id") === 1, Seq("v" -> "A2"))
+    tx.commit(Some("c")) // v2
+    insert(tx, 2 -> "b") // v3
+    // a RESTARTED tail (fresh instance, same checkpoint) nets both
+    val resumed = new ChangeTail(cat, "c", ckpt)
+    assert(resumed.lastDelivered == 1)
+    var window = (-1, -1)
+    var seen = Set.empty[(Int, String, String)]
+    assert(resumed.pollOnce { (df, from, to) =>
+      window = (from, to)
+      seen = df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    } == 2)
+    assert(window == (1, 3))
+    assert(seen == Set((1, "a", "update_preimage"), (1, "A2", "update_postimage"),
+      (2, "b", "insert")))
+  }
+
+  test("a failed callback leaves the checkpoint untouched — the window redelivers") {
+    val (cat, tx, ckpt) = fixture("retry")
+    insert(tx, 1 -> "a")
+    val tail = new ChangeTail(cat, "c", ckpt)
+    intercept[RuntimeException](
+      tail.pollOnce((_, _, _) => throw new RuntimeException("sink down")))
+    assert(tail.lastDelivered == 0, "checkpoint must not advance on failure")
+    var redelivered = 0L
+    tail.pollOnce((df, _, _) => redelivered = df.count())
+    assert(redelivered == 1 && tail.lastDelivered == 1)
+  }
+
+  test("vacuum outrunning the tail is a loud error, never a silent skip") {
+    val (cat, tx, ckpt) = fixture("vacuum")
+    insert(tx, 1 -> "a")
+    val tail = new ChangeTail(cat, "c", ckpt)
+    tail.pollOnce((_, _, _) => ()) // delivered through v1
+    insert(tx, 2 -> "b") // v2
+    insert(tx, 3 -> "c") // v3
+    cat.vacuum("c", keepLast = 1) // drops v1 (the tail's resume point) and v2
+    val e = intercept[IllegalStateException](tail.pollOnce((_, _, _) => ()))
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
+  test("run() drains pending windows and stops on the until condition") {
+    val (cat, tx, ckpt) = fixture("run")
+    insert(tx, 1 -> "a")
+    insert(tx, 2 -> "b")
+    val tail = new ChangeTail(cat, "c", ckpt)
+    var delivered = 0
+    tail.run(pollMs = 5, until = () => delivered > 0) { (df, _, _) =>
+      delivered += df.count().toInt
+    }
+    assert(delivered == 2 && tail.lastDelivered == 2)
+  }
+}
