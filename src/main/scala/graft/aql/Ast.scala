@@ -47,6 +47,12 @@ object Ast {
     final case class Real(name: String) extends Container
     /** `(SEARCH …)` virtual container (reference `src/main.rs:136-140`). */
     final case class Virtual(query: Search) extends Container
+    /** `(CHANGES c fromV [toV])` virtual container (graft extension): the
+      * CDC feed as a SEARCH source, so WHERE/projection/aggregation/JOIN
+      * compose over change rows (`… WHERE _change_type = 'insert'`). The
+      * feed pins its own version window — an outer AT VERSION does not
+      * apply to it. */
+    final case class Feed(changes: Changes) extends Container
   }
 
   sealed trait Stmt
@@ -543,7 +549,8 @@ object Parser {
         case Group(items) => items.map {
           case SubCommand(sub) => fromTokens(sub) match {
             case s: Search => Container.Virtual(s)
-            case other => throw new ParseException(s"Subquery must be SEARCH, got $other")
+            case c: Changes => Container.Feed(c)
+            case other => throw new ParseException(s"Subquery must be SEARCH or CHANGES, got $other")
           }
           case t => Container.Real(name(t))
         }
@@ -560,7 +567,8 @@ object Parser {
             val cont = cTok match {
               case SubCommand(sub) => fromTokens(sub) match {
                 case s: Search => Container.Virtual(s)
-                case other => throw new ParseException(s"JOIN subquery must be SEARCH, got $other")
+                case c: Changes => Container.Feed(c)
+                case other => throw new ParseException(s"JOIN subquery must be SEARCH or CHANGES, got $other")
               }
               case t => Container.Real(name(t))
             }

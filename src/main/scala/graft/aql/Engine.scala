@@ -261,6 +261,24 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       Done(s"cursor $id closed")
   }
 
+  /** Spark SQL interop: register every container's transactional read
+    * view (committed base ⊕ this session's staged ops — read-your-writes,
+    * same as SEARCH) as a temp view `<prefix><container>`, so `spark.sql`
+    * can query, join, and union containers with any other Spark data.
+    *
+    * Snapshot semantics: a view pins the version pointer and staged-op
+    * log AS OF registration (the plan resolves the committed directory
+    * eagerly) — the consistent-snapshot contract a warehouse view reader
+    * gets from Delta/Iceberg. Re-register after commits to refresh; the
+    * oracle-facing AQL path never goes through these views.
+    */
+  def registerViews(prefix: String = "graft_"): Seq[String] =
+    catalog.list().map { c =>
+      val name = prefix + c
+      tx.view(c).createOrReplaceTempView(name)
+      name
+    }
+
   /** Register a cursor for a SEARCH-shaped result.
     * Letter prefix keeps the id a single bare-word token in AQL. */
   private def resultSet(df: DataFrame, needsDefaultSort: Boolean): ResultSet = {
@@ -348,10 +366,10 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           val d = catalog.get(cname)
           val base = containerDf(Ast.Container.Real(cname), s.atVersion)
           project(applyWhere(base, d, s), resolveNames(base, partProjection))
-        case Ast.Container.Virtual(sub) =>
-          // the outer WHERE applies to the virtual result like to any real
-          // container, resolved against a def derived from its schema
-          val inner = containerDf(Ast.Container.Virtual(sub), s.atVersion)
+        case virt @ (Ast.Container.Virtual(_) | Ast.Container.Feed(_)) =>
+          // the outer WHERE applies to the virtual/feed result like to any
+          // real container, resolved against a def derived from its schema
+          val inner = containerDf(virt, s.atVersion)
           project(applyWhere(inner, virtualDef(inner), s), resolveNames(inner, partProjection))
       }
       val schemas = parts.map(_.schema.map(f => (f.name, f.dataType)))
@@ -482,6 +500,10 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         }
       case Ast.Container.Virtual(sub) =>
         lowerSearch(sub.copy(atVersion = sub.atVersion.orElse(atVersion)))
+      case Ast.Container.Feed(ch) =>
+        // the feed pins its own version window; an outer AT VERSION
+        // governs the OTHER containers in the statement, never the feed
+        catalog.changes(ch.container, ch.fromVersion, ch.toVersion)
     }
 
   /** JOIN source (graft extension): the unioned containers joined with

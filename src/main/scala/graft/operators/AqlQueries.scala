@@ -376,6 +376,24 @@ object AqlQueries {
       (s, dir) => search("CHANGES docs_cdc 1 2")(s, dir)
     },
 
+    // (CHANGES …) as a SEARCH source (graft extension): aggregation over
+    // the CDC feed through the full AQL path — the "what changed, by
+    // kind" audit query. The oracle reconstructs the known feed rows.
+    Q("aql_changes_compose",
+      """SELECT _change_type, count(doc_id) AS count_doc_id FROM (
+        |  SELECT doc_id, 'update_preimage' AS _change_type
+        |    FROM documents WHERE doc_id = 7
+        |  UNION ALL SELECT doc_id, 'update_postimage'
+        |    FROM documents WHERE doc_id = 7
+        |  UNION ALL SELECT doc_id, 'delete'
+        |    FROM documents WHERE doc_id = 13
+        |  UNION ALL SELECT 900005, 'insert'
+        |) GROUP BY _change_type
+        |ORDER BY _change_type, count_doc_id""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [_change_type, count(doc_id)] ON [(CHANGES docs_cdc 1 2)]")(s, dir)
+    },
+
     Q("aql_time_travel",
       """SELECT doc_id, n_chars FROM documents
         |WHERE n_chars <= 250 AND n_chars > 100

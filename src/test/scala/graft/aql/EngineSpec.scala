@@ -757,6 +757,28 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"optimize must drop tombstoned bytes and keep the fresh column, got $phys")
   }
 
+  test("32 registerViews: spark.sql composes with the transactional read view") {
+    eng.execute("CREATE CONTAINER sqlv ['id','v'] [BIGINT, SMALL-STRING]")
+    eng.execute("CREATE ROW ['id','v'] [1,'a'] ON sqlv")
+    eng.execute("COMMIT sqlv")
+    eng.execute("CREATE ROW ['id','v'] [2,'b'] ON sqlv") // staged, uncommitted
+    val names = eng.registerViews()
+    assert(names.contains("graft_sqlv"))
+    // the view is the SESSION view: committed base plus staged ops
+    assert(spark.sql("SELECT count(*) FROM graft_sqlv").head().getLong(0) == 2)
+    // full SQL composes over it (join with an ad-hoc Spark relation)
+    spark.sql("SELECT 1 AS id, 'x' AS tag").createOrReplaceTempView("adhoc")
+    val joined = spark.sql(
+      "SELECT v, tag FROM graft_sqlv JOIN adhoc USING (id)").collect()
+    assert(joined.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("a", "x")))
+    // snapshot semantics: a later commit needs a re-register to surface
+    eng.execute("COMMIT sqlv")
+    eng.execute("CREATE ROW ['id','v'] [3,'c'] ON sqlv")
+    eng.execute("COMMIT sqlv")
+    eng.registerViews()
+    assert(spark.sql("SELECT count(*) FROM graft_sqlv").head().getLong(0) == 3)
+  }
+
   test("31 catalog introspection: SHOW CONTAINERS / DESCRIBE / SHOW INDEXES / SHOW VERSIONS") {
     eng.execute("CREATE CONTAINER meta1 ['id','body'] [BIGINT, TEXT]")
     eng.execute("CREATE ROW ['id','body'] [1,'the quick brown fox'] ON meta1")

@@ -52,6 +52,15 @@ class ParserSpec extends AnyFunSuite {
     intercept[ParseException](Parser.parse("CHANGES docs"))
   }
 
+  test("(CHANGES …) parses as a SEARCH source and a JOIN side") {
+    val s = Parser.parse("SEARCH ['id'] ON [(CHANGES docs 1 2)] WHERE _change_type = 'insert'")
+      .asInstanceOf[Search]
+    assert(s.containers == List(Container.Feed(Changes("docs", 1, Some(2)))))
+    val j = Parser.parse("SEARCH [] ON other JOIN (CHANGES docs 1) ON id = doc_id")
+      .asInstanceOf[Search]
+    assert(j.joins.head.container == Container.Feed(Changes("docs", 1, None)))
+  }
+
   test("introspection forms: SHOW CONTAINERS / INDEXES / VERSIONS, DESCRIBE") {
     assert(Parser.parse("SHOW CONTAINERS") == ShowContainers)
     assert(Parser.parse("SHOW INDEXES docs") == ShowIndexes("docs"))

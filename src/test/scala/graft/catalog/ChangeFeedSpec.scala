@@ -120,6 +120,36 @@ class ChangeFeedSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](cat.changes("c", 5)) // v5 never existed
   }
 
+  test("(CHANGES …) composes as a SEARCH source: WHERE/projection/aggregation over the feed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-compose")
+    val eng = new graft.aql.Engine(spark, dir.toString)
+    eng.execute("CREATE CONTAINER t ['id','v'] [INT, TEXT]")
+    eng.execute("CREATE ROW ['id','v'] [1, 'a'] ON t")
+    eng.execute("CREATE ROW ['id','v'] [2, 'b'] ON t")
+    eng.execute("COMMIT t") // v1
+    eng.execute("EDIT ROW ['v'] ['A'] ON t WHERE id = 1")
+    eng.execute("CREATE ROW ['id','v'] [3, 'c'] ON t")
+    eng.execute("COMMIT t") // v2
+    def rows(aql: String) =
+      eng.orderedResult(eng.execute(aql)
+        .asInstanceOf[graft.aql.Engine.ResultSet].cursorId).get.collect().toSeq
+    // filter on the change-type column, project feed columns
+    assert(rows("SEARCH ['id'] ON [(CHANGES t 1 2)] WHERE _change_type = 'insert'")
+      .map(_.getInt(0)) == Seq(3))
+    // aggregate over the feed: rows per change type
+    assert(rows("SEARCH [_change_type, count(id)] ON [(CHANGES t 1 2)]")
+      .map(r => (r.getString(0), r.getLong(1))).toMap ==
+      Map("insert" -> 1L, "update_preimage" -> 1L, "update_postimage" -> 1L))
+    // the feed works as a JOIN side: enrich another container's rows with
+    // what changed (disjoint column names, as AQL joins require)
+    eng.execute("CREATE CONTAINER u ['uid','tag'] [INT, TEXT]")
+    eng.execute("CREATE ROW ['uid','tag'] [1, 'watched'] ON u")
+    eng.execute("COMMIT u")
+    assert(rows("SEARCH [uid, _change_type] ON u JOIN (CHANGES t 1 2) ON uid = id")
+      .map(r => (r.getInt(0), r.getString(1))) ==
+      Seq((1, "update_postimage"), (1, "update_preimage")))
+  }
+
   test("AQL surface: CHANGES container fromV [toV] pages like a SEARCH") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cdc-aql")
     val eng = new graft.aql.Engine(spark, dir.toString)
