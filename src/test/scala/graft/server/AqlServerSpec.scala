@@ -93,6 +93,16 @@ class AqlServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post("CHANGES webcdc 9")._1 == 400)
   }
 
+  test("introspection statements reach the wire surface") {
+    val (c1, b1) = post("SHOW CONTAINERS")
+    assert(c1 == 200 && b1.contains(""""columns":["container"]"""), b1)
+    assert(b1.contains("web"), b1)
+    val (c2, b2) = post("DESCRIBE web")
+    assert(c2 == 200 &&
+      b2.contains(""""columns":["ordinal","column","type","key"]"""), b2)
+    assert(post("DESCRIBE no_such")._1 == 400)
+  }
+
   test("prepared arguments as extra body lines") {
     val (code, body) = post("SEARCH ['id'] ON web WHERE name = ?\n'ana'")
     assert(code == 200 && body.contains(""""rows":[[1]]"""))
