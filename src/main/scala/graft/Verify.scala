@@ -44,9 +44,13 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // the bench subset, so tools/duckbench.py can time exactly the
-    // queries graft.Bench (and the judge) time
-    Files.writeString(Paths.get(s"$outDir/bench_queries.json"),
-      SparkEntry.benchQueries.map(q).mkString("[", ",", "]"))
+    // queries graft.Bench (and the judge) time. Written only on FULL runs:
+    // a filtered run's outDir holds a subset, and a bench manifest there
+    // would disagree with the dumped data (use a fresh outDir per
+    // filtered iteration — oracle_sql.json is likewise the subset's).
+    if (only.isEmpty)
+      Files.writeString(Paths.get(s"$outDir/bench_queries.json"),
+        SparkEntry.benchQueries.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -208,6 +208,15 @@ object Parser {
     out
   }
 
+  /** Version literal for CHANGES: no silent toInt wrap above 2^31-1
+    * (same stance as the LIMIT guard). */
+  private def changesVersion(v: Long, label: String): Int = {
+    if (v < 0 || v > Int.MaxValue)
+      throw new ParseException(
+        s"CHANGES $label must be in [0, ${Int.MaxValue}], got $v")
+    v.toInt
+  }
+
   private def name(t: Token): String = t match {
     case Str(s) => s
     case Keyword(k) => k
@@ -679,13 +688,12 @@ object Parser {
     // change-data feed between two committed versions — a SEARCH-shaped
     // result (rows + _change_type) served through the cursor protocol
     case Keyword("CHANGES") :: containerTok :: IntLit(f) :: Nil =>
-      if (f < 0) throw new ParseException("CHANGES fromVersion must be >= 0")
-      Changes(name(containerTok), f.toInt, None)
+      Changes(name(containerTok), changesVersion(f, "fromVersion"), None)
     case Keyword("CHANGES") :: containerTok :: IntLit(f) :: IntLit(t) :: Nil =>
-      if (f < 0) throw new ParseException("CHANGES fromVersion must be >= 0")
       if (t < f) throw new ParseException(
         "CHANGES toVersion must be >= fromVersion")
-      Changes(name(containerTok), f.toInt, Some(t.toInt))
+      Changes(name(containerTok), changesVersion(f, "fromVersion"),
+        Some(changesVersion(t, "toVersion")))
 
     // SHOW CONTAINERS / SHOW INDEXES c / SHOW VERSIONS c / DESCRIBE c
     // (graft extensions): catalog introspection statements

@@ -272,12 +272,20 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     * gets from Delta/Iceberg. Re-register after commits to refresh; the
     * oracle-facing AQL path never goes through these views.
     */
-  def registerViews(prefix: String = "graft_"): Seq[String] =
+  def registerViews(prefix: String = "graft_"): Seq[String] = {
+    // container names allow '-' and '.', which Spark view identifiers
+    // reject — sanitize to '_', deduplicating collisions with a numeric
+    // suffix so every container registers and none aborts the sweep
+    val taken = scala.collection.mutable.Set.empty[String]
     catalog.list().map { c =>
-      val name = prefix + c
+      val base = prefix + c.replaceAll("[^A-Za-z0-9_]", "_")
+      val name =
+        if (taken.add(base)) base
+        else Iterator.from(2).map(i => s"${base}_$i").find(taken.add).get
       tx.view(c).createOrReplaceTempView(name)
       name
     }
+  }
 
   /** Register a cursor for a SEARCH-shaped result.
     * Letter prefix keeps the id a single bare-word token in AQL. */

@@ -74,6 +74,13 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
   def create(name: String, columns: List[(String, AlbaType)]): ContainerDef = {
     require(!exists(name), s"Container '$name' already exists")
     require(name.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*"), s"Invalid container name '$name'")
+    // AQL keywords are reserved container names (SQL reserved-word
+    // stance): the lexer uppercases keyword bare words, so a container
+    // named 'changes' or 'versions' would be unreachable from unquoted
+    // AQL — reject at creation instead of failing mysteriously at query
+    // time. (Columns are unaffected: their resolution is case-insensitive.)
+    require(!graft.aql.Token.Keywords.contains(name.toUpperCase),
+      s"Container name '$name' collides with the AQL keyword '${name.toUpperCase}'")
     val text = columns.map { case (n, t) => s"$n\t${t.name}" }.mkString("\n")
     Files.writeString(schemaFile(name), text)
     ContainerDef(name, columns)
@@ -368,6 +375,12 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     Seq(fromV, toV).filter(_ > 0).distinct.foreach(v =>
       require(Files.exists(versionPath(name, v)),
         s"Version $v of '$name' does not exist (have: ${versions(name).mkString(",")})"))
+    // a never-committed container serving unversioned external data (the
+    // legacy dataPath mount) has rows but NO committed history — an empty
+    // feed would silently contradict what SEARCH shows, so refuse loudly
+    require(toV > 0 || !Files.exists(dataPath(name)),
+      s"CHANGES $name: container serves unversioned external data " +
+        "(no committed history to diff); commit through the catalog to get a feed")
     def emptySnap = spark.createDataFrame(new java.util.ArrayList[Row](), d.schema)
     val beforeFiles = if (fromV == 0) Nil else versionFiles(name, fromV)
     val afterFiles = if (toV == 0) Nil else versionFiles(name, toV)
@@ -378,20 +391,41 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     val added = afterFiles.filterNot(f => beforeNames(f.getFileName.toString)).map(_.toString)
     val before = if (removed.isEmpty) emptySnap else readFiles(name, removed)
     val after = if (added.isEmpty) emptySnap else readFiles(name, added)
-    val changedBefore = before.exceptAll(after)
-    val changedAfter = after.exceptAll(before)
+    // Single-pass classification: tag sides ±1, net per full row (the
+    // EXCEPT ALL multiset difference, computed once instead of per
+    // branch), then pair pre/post images with one pk-window. Each delta
+    // file is scanned ONCE and the plan carries exactly two exchanges
+    // (row-net groupBy, pk window) — the shape a ChangeTail consumer
+    // pays per poll. |net| copies replicate on output so duplicate-row
+    // multiset semantics match EXCEPT ALL exactly. A NULL pk never pairs
+    // (SQL join semantics, as documented above): its changes read as
+    // delete + insert.
+    import org.apache.spark.sql.functions.{abs, explode, lit => flit, max, sequence, sum, when}
+    import org.apache.spark.sql.expressions.Window
     val pk = d.primaryKey
-    val beforeKeys = changedBefore.select(col(pk)).distinct()
-    val afterKeys = changedAfter.select(col(pk)).distinct()
+    val dataCols = d.columns.map(c => col(c._1))
+    // marker names carry a nonce: "_net"-style names are legal container
+    // columns, and a collision would mis-resolve the classification
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val (netC, posC, negC, copyC) =
+      (s"__cdc_net_$nonce", s"__cdc_pos_$nonce", s"__cdc_neg_$nonce", s"__cdc_copy_$nonce")
+    val tagged = before.withColumn(netC, flit(-1L))
+      .unionByName(after.withColumn(netC, flit(1L)))
+    val net = tagged.groupBy(dataCols: _*).agg(sum(netC).as(netC))
+      .filter(col(netC) =!= 0)
+    val w = Window.partitionBy(col(pk))
     val outCols = (d.columns.map(_._1) :+ "_change_type").map(col)
-    changedAfter.join(beforeKeys, Seq(pk), "left_anti")
-        .withColumn("_change_type", lit("insert"))
-      .unionByName(changedAfter.join(beforeKeys, Seq(pk), "left_semi")
-        .withColumn("_change_type", lit("update_postimage")))
-      .unionByName(changedBefore.join(afterKeys, Seq(pk), "left_anti")
-        .withColumn("_change_type", lit("delete")))
-      .unionByName(changedBefore.join(afterKeys, Seq(pk), "left_semi")
-        .withColumn("_change_type", lit("update_preimage")))
+    net
+      .withColumn(posC, max(when(col(netC) > 0, 1).otherwise(0)).over(w))
+      .withColumn(negC, max(when(col(netC) < 0, 1).otherwise(0)).over(w))
+      .withColumn("_change_type",
+        when(col(netC) > 0,
+          when(col(pk).isNotNull && col(negC) === 1, "update_postimage")
+            .otherwise("insert"))
+        .otherwise(
+          when(col(pk).isNotNull && col(posC) === 1, "update_preimage")
+            .otherwise("delete")))
+      .withColumn(copyC, explode(sequence(flit(1L), abs(col(netC)))))
       .select(outCols: _*)
   }
 

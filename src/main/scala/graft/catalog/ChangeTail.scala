@@ -38,7 +38,15 @@ final class ChangeTail(cat: Catalog, container: String, checkpoint: Path) {
   def pollOnce(f: (DataFrame, Int, Int) => Unit): Int = {
     val from = lastDelivered
     val to = cat.currentVersion(container)
-    if (to <= from) return 0
+    // a pointer BELOW the checkpoint means the container was dropped and
+    // recreated (version history restarted): silently waiting would never
+    // deliver the new history — same loud-error stance as the vacuum case
+    if (to < from)
+      throw new IllegalStateException(
+        s"ChangeTail $container: version pointer is $to but this tail already " +
+          s"delivered through $from — the container was dropped and recreated. " +
+          "Delete the checkpoint to re-seed from the new history.")
+    if (to == from) return 0
     if (from > 0 && !cat.versions(container).contains(from))
       throw new IllegalStateException(
         s"ChangeTail $container: version $from was vacuumed before this tail " +

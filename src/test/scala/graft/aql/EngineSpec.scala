@@ -757,7 +757,23 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"optimize must drop tombstoned bytes and keep the fresh column, got $phys")
   }
 
+  test("33 AQL keywords are reserved container names (clear error at CREATE, not query-time mystery)") {
+    // the lexer uppercases keyword bare words, so a container named
+    // 'changes' would be unreachable from unquoted AQL — rejected upfront
+    val e = intercept[IllegalArgumentException](
+      eng.execute("CREATE CONTAINER changes ['id'] [INT]"))
+    assert(e.getMessage.contains("keyword"))
+    intercept[IllegalArgumentException](
+      eng.execute("CREATE CONTAINER 'versions' ['id'] [INT]"))
+  }
+
   test("32 registerViews: spark.sql composes with the transactional read view") {
+    // names with identifier-hostile chars sanitize instead of aborting
+    // the sweep (container names allow '-' and '.'; view names don't)
+    eng.execute("CREATE CONTAINER sql-dash ['id'] [INT]")
+    assert(eng.registerViews().contains("graft_sql_dash"))
+    assert(spark.sql("SELECT count(*) FROM graft_sql_dash").head().getLong(0) == 0)
+    eng.execute("DELETE CONTAINER sql-dash")
     eng.execute("CREATE CONTAINER sqlv ['id','v'] [BIGINT, SMALL-STRING]")
     eng.execute("CREATE ROW ['id','v'] [1,'a'] ON sqlv")
     eng.execute("COMMIT sqlv")

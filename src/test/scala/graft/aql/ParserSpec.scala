@@ -50,6 +50,9 @@ class ParserSpec extends AnyFunSuite {
     assert(Parser.parse("CHANGES docs 0 2") == Changes("docs", 0, Some(2)))
     intercept[ParseException](Parser.parse("CHANGES docs 2 1"))
     intercept[ParseException](Parser.parse("CHANGES docs"))
+    // no silent toInt wrap above 2^31-1 (same stance as LIMIT)
+    intercept[ParseException](Parser.parse("CHANGES docs 4294967296"))
+    intercept[ParseException](Parser.parse("CHANGES docs 1 4294967296"))
   }
 
   test("(CHANGES …) parses as a SEARCH source and a JOIN side") {

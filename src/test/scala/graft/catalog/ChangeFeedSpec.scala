@@ -120,6 +120,30 @@ class ChangeFeedSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](cat.changes("c", 5)) // v5 never existed
   }
 
+  test("duplicate identical rows keep EXCEPT ALL multiset semantics (copies, not distinct)") {
+    val cat = fixture("multiset", nFiles = 1, rowsPerFile = 2)
+    val tx = new Tx(cat)
+    // two byte-identical staged rows commit together: the feed must carry
+    // BOTH copies as inserts (a count, not a set)
+    tx.stageInsert("c", Seq(org.apache.spark.sql.Row(77, "dup"),
+      org.apache.spark.sql.Row(77, "dup")))
+    tx.commit(Some("c"))
+    val rows = cat.changes("c", 1).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows.count(_ == ((77, "dup", "insert"))) == 2, s"got $rows")
+  }
+
+  test("unversioned external data (legacy dataPath mount) refuses a feed loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-ext")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("ext", List("id" -> graft.aql.AlbaType.of("INT")))
+    import spark.implicits._
+    Seq(1, 2).toDF("id").write.parquet(cat.dataPath("ext").toString)
+    assert(cat.read("ext").count() == 2) // SEARCH sees the external rows…
+    val e = intercept[IllegalArgumentException](cat.changes("ext", 0))
+    assert(e.getMessage.contains("unversioned external data")) // …CHANGES refuses
+  }
+
   test("(CHANGES …) composes as a SEARCH source: WHERE/projection/aggregation over the feed") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cdc-compose")
     val eng = new graft.aql.Engine(spark, dir.toString)

@@ -126,6 +126,22 @@ class ChangeTailSpec extends AnyFunSuite {
     assert(tail.lastDelivered == cat.currentVersion("d"))
   }
 
+  test("a dropped-and-recreated container is a loud error, not a silent stall") {
+    val (cat, tx, ckpt) = fixture("recreate")
+    insert(tx, 1 -> "a")
+    insert(tx, 2 -> "b")
+    val tail = new ChangeTail(cat, "c", ckpt)
+    tail.pollOnce((_, _, _) => ()) // delivered through v2
+    cat.drop("c")
+    cat.create("c", List("id" -> graft.aql.AlbaType.of("INT"),
+      "v" -> graft.aql.AlbaType.of("SMALL-STRING")))
+    val tx2 = new Tx(cat)
+    tx2.stageInsert("c", Seq(org.apache.spark.sql.Row(9, "z")))
+    tx2.commit(Some("c")) // new history: v1 < checkpoint 2
+    val e = intercept[IllegalStateException](tail.pollOnce((_, _, _) => ()))
+    assert(e.getMessage.contains("dropped and recreated"))
+  }
+
   test("run() drains pending windows and stops on the until condition") {
     val (cat, tx, ckpt) = fixture("run")
     insert(tx, 1 -> "a")
