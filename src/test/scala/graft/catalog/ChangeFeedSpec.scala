@@ -114,6 +114,19 @@ class ChangeFeedSpec extends AnyFunSuite {
       s"each feed scan should read exactly the 1-file delta, got $scanned")
   }
 
+  test("the feed plan carries exactly two exchanges (row-net groupBy + pk window)") {
+    val cat = fixture("plan")
+    val tx = new Tx(cat)
+    tx.stageEdit("c", col("id") === 5, Seq("v" -> "EDITED"))
+    tx.commit(Some("c"))
+    // the single-pass classification's whole cost model: one shuffle to
+    // net the side-tagged rows, one to pair pre/post images per pk —
+    // a ChangeTail consumer pays exactly this per poll, delta-sized
+    val p = cat.changes("c", 1).queryExecution.executedPlan.toString()
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges in:\n$p")
+  }
+
   test("invalid version bounds are rejected") {
     val cat = fixture("bounds", nFiles = 1, rowsPerFile = 2)
     intercept[IllegalArgumentException](cat.changes("c", 2, Some(1)))
