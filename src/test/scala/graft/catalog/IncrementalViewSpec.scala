@@ -84,6 +84,41 @@ class IncrementalViewSpec extends AnyFunSuite {
     }
   }
 
+  test("end to end: streamed ingest commits feed the MV without ever re-scanning the source") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-stream")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("src", List(
+      "id" -> graft.aql.AlbaType.of("INT"),
+      "grp" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "val" -> graft.aql.AlbaType.of("BIGINT")))
+    cat.create("mv", List(
+      "grp" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "n" -> graft.aql.AlbaType.of("BIGINT"),
+      "sum_val" -> graft.aql.AlbaType.of("BIGINT")))
+    val view = new IncrementalView(cat, "src", "mv", Seq("grp"), Seq("val"))
+    val tail = new ChangeTail(cat, "src", dir.resolve("mv.ckpt"))
+
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-mv-stream-src")
+    import spark.implicits._
+    Seq((1, "a", 10L), (2, "b", 5L)).toDF("id", "grp", "val")
+      .coalesce(1).write.mode("append").parquet(srcDir.toString)
+    Seq((3, "a", 7L)).toDF("id", "grp", "val")
+      .coalesce(1).write.mode("append").parquet(srcDir.toString)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("id", IntegerType),
+        StructField("grp", StringType), StructField("val", LongType))))
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mv-stream-ckpt")
+    val q = graft.streaming.DocumentStreams.ingestToCatalog(stream, cat, "src")
+      .option("checkpointLocation", ckpt.toString).start()
+    try q.processAllAvailable() finally q.stop()
+
+    assert(view.refreshOnce(tail) == 2, "two micro-batch commits, one netted window")
+    assert(mvRows(cat) == Map("a" -> (2L, 17L), "b" -> (1L, 5L)))
+    assert(mvRows(cat) == recompute(cat))
+  }
+
   test("a multi-commit backlog folds in one window; seed() recovers from scratch") {
     val (cat, tx, view, tail) = fixture("window")
     tx.stageInsert("src", Seq(org.apache.spark.sql.Row(1, "a", 1L)))
