@@ -164,6 +164,16 @@ object Ast {
     * `toVersion` None = the current version. */
   final case class Changes(container: String, fromVersion: Int,
       toVersion: Option[Int]) extends Stmt
+  /** graft extensions: incremental materialized views. `CREATE VIEW v
+    * (SEARCH [keys…, count(c)/sum(c)…] ON src [WHERE …])` declares a
+    * CDC-maintained aggregate container; `REFRESH VIEW` folds the
+    * outstanding change windows in; `DELETE VIEW` drops data + definition.
+    * The definition's restricted shape (single real container, count/sum
+    * aggregates, simple literal predicates) is exactly the incrementally
+    * maintainable fragment — validation happens at lowering. */
+  final case class CreateView(name: String, query: Search) extends Stmt
+  final case class RefreshView(name: String) extends Stmt
+  final case class DeleteView(name: String) extends Stmt
   /** graft extensions: catalog introspection, served as SEARCH-shaped
     * results through the cursor protocol (an AQL-only client can browse
     * the catalog without filesystem access). */
@@ -694,6 +704,19 @@ object Parser {
         "CHANGES toVersion must be >= fromVersion")
       Changes(name(containerTok), changesVersion(f, "fromVersion"),
         Some(changesVersion(t, "toVersion")))
+
+    // CREATE VIEW v (SEARCH …) / REFRESH VIEW v / DELETE VIEW v (graft
+    // extensions): incremental materialized views over the CDC feed
+    case Keyword("CREATE") :: Keyword("VIEW") :: nameTok :: SubCommand(sub) :: Nil =>
+      fromTokens(sub) match {
+        case s: Search => CreateView(name(nameTok), s)
+        case other => throw new ParseException(
+          s"CREATE VIEW body must be a SEARCH, got $other")
+      }
+    case Keyword("REFRESH") :: Keyword("VIEW") :: nameTok :: Nil =>
+      RefreshView(name(nameTok))
+    case Keyword("DELETE") :: Keyword("VIEW") :: nameTok :: Nil =>
+      DeleteView(name(nameTok))
 
     // SHOW CONTAINERS / SHOW INDEXES c / SHOW VERSIONS c / DESCRIBE c
     // (graft extensions): catalog introspection statements

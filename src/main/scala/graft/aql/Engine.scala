@@ -188,6 +188,10 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       Done(s"staged delete on $container")
 
     case Ast.DeleteContainer(name) =>
+      // a view's data container is managed by its definition: dropping it
+      // bare would orphan the viewdef + checkpoint
+      if (graft.catalog.Views.exists(catalog, name))
+        throw new ParseException(s"'$name' is a view — use DELETE VIEW $name")
       tx.rollback(Some(name))
       catalog.drop(name)
       Done(s"deleted container $name")
@@ -210,6 +214,45 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       val (before, after) = catalog.optimize(c, target)
       Done(s"optimized $c: $before file(s) -> $after file(s) " +
         s"(version ${catalog.currentVersion(c)})")
+
+    case Ast.CreateView(v, q) =>
+      val (src, keys, aggs, whereOpt) = validateViewDef(q)
+      val d = catalog.get(src)
+      def typeOf(c: String): AlbaType =
+        d.columns.find(_._1.equalsIgnoreCase(c)).get._2
+      // MV schema contract (IncrementalView): keys, n_rows, agg outs.
+      // count → BIGINT; sum inherits the source column's numeric width
+      // (Spark: sum(int/long) = long, sum(double) = double)
+      val aggCols = aggs.map { a =>
+        a.out -> (if (a.fn == "count") AlbaType.of("BIGINT") else typeOf(a.col))
+      }.map { case (n, t) =>
+        n -> (if (t.spark == org.apache.spark.sql.types.IntegerType)
+          AlbaType.of("BIGINT") else t)
+      }
+      catalog.create(v,
+        (keys.map(k => k -> typeOf(k)) ++ List("n_rows" -> AlbaType.of("BIGINT"))
+          ++ aggCols).toList)
+      try graft.catalog.Views.save(catalog, v, printViewQuery(q, src))
+      catch { case e: Throwable => catalog.drop(v); throw e }
+      val tail = viewTail(v, src)
+      incrementalView(v, src, keys, aggs, whereOpt).seed(tail)
+      Done(s"created view $v over $src (seeded at version ${tail.lastDelivered})")
+
+    case Ast.RefreshView(v) =>
+      val q = Parser.parse(graft.catalog.Views.load(catalog, v)) match {
+        case s: Ast.Search => s
+        case other => throw new ParseException(s"Corrupt view definition: $other")
+      }
+      val (src, keys, aggs, whereOpt) = validateViewDef(q)
+      val n = incrementalView(v, src, keys, aggs, whereOpt)
+        .refreshOnce(viewTail(v, src))
+      Done(s"refreshed $v: $n version(s) applied")
+
+    case Ast.DeleteView(v) =>
+      graft.catalog.Views.drop(catalog, v) // fails loudly on non-views
+      tx.rollback(Some(v))
+      catalog.drop(v)
+      Done(s"deleted view $v")
 
     case Ast.Changes(c, from, to) =>
       // SEARCH-shaped result: served through the same cursor protocol,
@@ -286,6 +329,87 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       name
     }
   }
+
+  // ---- incremental materialized views (CREATE/REFRESH/DELETE VIEW) -------
+
+  /** Validate a view definition down to the incrementally maintainable
+    * fragment and resolve CANONICAL column names against the source:
+    * single real container, ≥1 plain group key, count/sum aggregates
+    * (count DISTINCT is not incrementally maintainable under deletes —
+    * rejected), and an optional WHERE of simple `col OP literal` atoms
+    * (printable back to AQL, and row-local so pre/post images filter
+    * independently in the fold). Returns (src, keys, aggs, where).
+    */
+  private def validateViewDef(q: Ast.Search)
+      : (String, Seq[String], Seq[graft.catalog.IncrementalView.Agg], Option[Column]) = {
+    def bad(msg: String) = throw new ParseException(s"CREATE VIEW: $msg")
+    val src = q.containers match {
+      case List(Ast.Container.Real(n)) => n
+      case _ => bad("the body must read exactly one real container")
+    }
+    if (q.joins.nonEmpty || q.exprs.nonEmpty || q.fns.nonEmpty || q.distinct ||
+      q.orderBy.nonEmpty || q.limit.nonEmpty || q.atVersion.nonEmpty ||
+      q.having.nonEmpty)
+      bad("only projection keys, count/sum aggregates, and WHERE are maintainable")
+    if (q.aggs.isEmpty) bad("the body needs at least one count/sum aggregate")
+    if (q.projection.isEmpty) bad("the body needs at least one group key")
+    q.aggs.foreach { a =>
+      if (a.distinct) bad("count(DISTINCT …) is not incrementally maintainable")
+      if (a.fn != "count" && a.fn != "sum")
+        bad(s"aggregate '${a.fn}' is not incrementally maintainable (count/sum only)")
+    }
+    val d = catalog.get(src)
+    def canonical(c: String): String =
+      d.columns.find(_._1.equalsIgnoreCase(c)).map(_._1)
+        .getOrElse(bad(s"unknown column '$c' on '$src'"))
+    val keys = q.projection.map(canonical)
+    val aggs = q.aggs.map { a =>
+      val c = canonical(a.column)
+      if (a.fn == "sum" && !d.columns.find(_._1 == c).get._2.isNumeric)
+        bad(s"sum over non-numeric column '$c'")
+      graft.catalog.IncrementalView.Agg(a.fn, c, s"${a.fn}_${c.toLowerCase}")
+    }
+    q.where.foreach(_.atoms.foreach { cond =>
+      if (cond.rhs.nonEmpty || cond.lhs.nonEmpty)
+        bad("view WHERE supports simple `col OP literal` atoms only")
+      cond.value match {
+        case Token.Str(_) | Token.IntLit(_) | Token.FloatLit(_) | Token.BoolLit(_) => ()
+        case other => bad(s"view WHERE literal $other is not supported")
+      }
+    })
+    (src, keys, aggs, q.where.map(lowerWhere(_, d)))
+  }
+
+  /** Print the validated definition back to AQL — the persisted form a
+    * REFRESH re-parses, and the user-facing contract in the viewdef file. */
+  private def printViewQuery(q: Ast.Search, src: String): String = {
+    def lit(t: Token): String = t match {
+      case Token.Str(s) => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+      case Token.IntLit(n) => n.toString
+      case Token.FloatLit(f) => f.toString
+      case Token.BoolLit(b) => b.toString
+      case other => throw new ParseException(s"unprintable literal $other")
+    }
+    val items = q.projection ++ q.aggs.map(a => s"${a.fn}(${a.column})")
+    val where = q.where.map { w =>
+      val head = w.atoms.head
+      val rest = w.gates.zip(w.atoms.tail).map { case (g, c) =>
+        s"${if (g == 'a') "AND" else "OR"} ${c.column} ${c.op} ${lit(c.value)}"
+      }
+      s" WHERE ${head.column} ${head.op} ${lit(head.value)}" +
+        (if (rest.isEmpty) "" else " " + rest.mkString(" "))
+    }.getOrElse("")
+    s"SEARCH [${items.mkString(", ")}] ON $src$where"
+  }
+
+  private def viewTail(v: String, src: String): graft.catalog.ChangeTail =
+    new graft.catalog.ChangeTail(catalog, src,
+      graft.catalog.Views.ckptFile(catalog, v))
+
+  private def incrementalView(v: String, src: String, keys: Seq[String],
+      aggs: Seq[graft.catalog.IncrementalView.Agg],
+      where: Option[Column]): graft.catalog.IncrementalView =
+    new graft.catalog.IncrementalView(catalog, src, v, keys, aggs, where)
 
   /** Register a cursor for a SEARCH-shaped result.
     * Letter prefix keeps the id a single bare-word token in AQL. */

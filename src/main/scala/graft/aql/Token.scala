@@ -38,7 +38,8 @@ object Token {
     "EXPLAIN", "VACUUM", "AT", "VERSION", "IN", "NOT", "HAVING",
     "ORDER", "BY", "LIMIT", "ASC", "DESC", "DISTINCT", "JOIN", "LEFT",
     "ALTER", "ADD", "COLUMN", "OPTIMIZE", "MERGE", "DROP", "RENAME", "INDEX",
-    "CHANGES", "SHOW", "CONTAINERS", "INDEXES", "VERSIONS", "DESCRIBE")
+    "CHANGES", "SHOW", "CONTAINERS", "INDEXES", "VERSIONS", "DESCRIBE",
+    "VIEW", "REFRESH")
 
   /** Multi-char first: `&&&>` regex-match, `&&>` icontains, `&>` contains,
     * `>=`, `<=`, `==`, `!=`, then single-char (reference

@@ -55,13 +55,19 @@ final class ChangeTail(cat: Catalog, container: String, checkpoint: Path) {
           "to replay everything as inserts) or vacuum with keepLast covering " +
           "the consumer lag.")
     f(cat.changes(container, from, Some(to)), from, to)
-    // atomic checkpoint swap, same idiom as the catalog's version pointer
+    reset(to)
+    to - from
+  }
+
+  /** Reposition the checkpoint (atomic swap, same idiom as the catalog's
+    * version pointer) — used after each delivery, and by re-seeding
+    * consumers ([[IncrementalView.seed]]). */
+  def reset(v: Int): Unit = {
     val tmp = checkpoint.resolveSibling(
       s"${checkpoint.getFileName}.tmp-${ProcessHandle.current.pid}-${System.nanoTime()}")
-    Files.writeString(tmp, to.toString)
+    Files.writeString(tmp, v.toString)
     Files.move(tmp, checkpoint, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    to - from
   }
 
   /** Poll until `until` returns true, sleeping `pollMs` between empty

@@ -96,6 +96,20 @@ object AqlQueries {
       eng.execute("DELETE ROW ON docs_cdc WHERE doc_id = 13")
       eng.execute("CREATE ROW ['doc_id','n_chars'] [900005, 321] ON docs_cdc")
       eng.execute("COMMIT docs_cdc")
+      // incremental-view container: the MV seeds at v1 (the fixture
+      // snapshot), then one commit edits/deletes/inserts and REFRESH
+      // folds the CDC feed in — the oracle re-aggregates the post state
+      // declaratively, so the fold must equal re-aggregation exactly.
+      eng.execute("CREATE CONTAINER docs_vw ['doc_id','lang','n_chars'] [BIGINT, TEXT, BIGINT]")
+      eng.catalog.overwrite("docs_vw", graft.Tables.load(spark, dir, "documents")
+        .select("doc_id", "lang", "n_chars"))
+      eng.execute("CREATE VIEW mv_lang " +
+        "(SEARCH [lang, count(doc_id), sum(n_chars)] ON docs_vw WHERE n_chars > 100)")
+      eng.execute("EDIT ROW ['n_chars'] [50000] ON docs_vw WHERE doc_id = 21")
+      eng.execute("DELETE ROW ON docs_vw WHERE doc_id = 33")
+      eng.execute("CREATE ROW ['doc_id','lang','n_chars'] [900006, 'xx', 999] ON docs_vw")
+      eng.execute("COMMIT docs_vw")
+      eng.execute("REFRESH VIEW mv_lang")
       // renamed-column container: RENAME is metadata-only (files keep the
       // pinned stored name n_chars), and the post-rename insert commits
       // through the logical→stored translation
@@ -392,6 +406,24 @@ object AqlQueries {
         |ORDER BY _change_type, count_doc_id""".stripMargin) {
       (s, dir) => search(
         "SEARCH [_change_type, count(doc_id)] ON [(CHANGES docs_cdc 1 2)]")(s, dir)
+    },
+
+    // Incremental materialized view (graft extension): CREATE VIEW seeds
+    // from the snapshot, REFRESH VIEW folds the CDC feed of later commits
+    // — and the result must equal re-aggregating the post state from
+    // scratch, which is exactly what the oracle does.
+    Q("aql_view_refresh",
+      """WITH post AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN doc_id = 21 THEN 50000 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id <> 33
+        |  UNION ALL SELECT 900006, 'xx', 999
+        |)
+        |SELECT lang, count(*) AS n_rows, count(doc_id) AS count_doc_id,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+        |FROM post WHERE n_chars > 100 GROUP BY lang
+        |ORDER BY lang, n_rows, count_doc_id, sum_n_chars""".stripMargin) {
+      (s, dir) => search("SEARCH [] ON mv_lang")(s, dir)
     },
 
     Q("aql_time_travel",

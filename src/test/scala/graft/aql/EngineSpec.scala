@@ -795,6 +795,44 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM graft_sqlv").head().getLong(0) == 3)
   }
 
+  test("34 CREATE/REFRESH/DELETE VIEW: incremental MV lifecycle through AQL") {
+    eng.execute("CREATE CONTAINER vsrc ['id','grp','amt'] [BIGINT, SMALL-STRING, BIGINT]")
+    eng.execute("CREATE ROW ['id','grp','amt'] [1,'a',10] ON vsrc")
+    eng.execute("CREATE ROW ['id','grp','amt'] [2,'a',20] ON vsrc")
+    eng.execute("CREATE ROW ['id','grp','amt'] [3,'b',5] ON vsrc")
+    eng.execute("COMMIT vsrc")
+    eng.execute(
+      "CREATE VIEW vagg (SEARCH [grp, count(id), sum(amt)] ON vsrc WHERE amt > 1)")
+    def mv(): Set[(String, Long, Long, Long)] =
+      searchRows("SEARCH [] ON vagg")
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // seeded from the snapshot at creation
+    assert(mv() == Set(("a", 2L, 2L, 30L), ("b", 1L, 1L, 5L)))
+
+    // a group-moving edit, a delete, an insert — REFRESH folds the feed
+    eng.execute("EDIT ROW ['grp'] ['b'] ON vsrc WHERE id = 2")
+    eng.execute("DELETE ROW ON vsrc WHERE id = 3")
+    eng.execute("CREATE ROW ['id','grp','amt'] [4,'c',7] ON vsrc")
+    eng.execute("COMMIT vsrc")
+    eng.execute("REFRESH VIEW vagg")
+    assert(mv() == Set(("a", 1L, 1L, 10L), ("b", 1L, 1L, 20L), ("c", 1L, 1L, 7L)))
+    // caught up: a second refresh applies nothing and changes nothing
+    eng.execute("REFRESH VIEW vagg")
+    assert(mv() == Set(("a", 1L, 1L, 10L), ("b", 1L, 1L, 20L), ("c", 1L, 1L, 7L)))
+
+    // guards: non-maintainable shapes rejected; the MV container is
+    // view-managed
+    intercept[ParseException](
+      eng.execute("CREATE VIEW v2 (SEARCH [grp] ON vsrc)")) // no aggregate
+    intercept[ParseException](
+      eng.execute("CREATE VIEW v3 (SEARCH [grp, count(DISTINCT id)] ON vsrc)"))
+    intercept[ParseException](eng.execute("DELETE CONTAINER vagg"))
+    intercept[IllegalArgumentException](eng.execute("REFRESH VIEW no_such"))
+
+    eng.execute("DELETE VIEW vagg")
+    assert(!eng.catalog.exists("vagg"))
+  }
+
   test("31 catalog introspection: SHOW CONTAINERS / DESCRIBE / SHOW INDEXES / SHOW VERSIONS") {
     eng.execute("CREATE CONTAINER meta1 ['id','body'] [BIGINT, TEXT]")
     eng.execute("CREATE ROW ['id','body'] [1,'the quick brown fox'] ON meta1")

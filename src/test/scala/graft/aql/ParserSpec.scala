@@ -64,6 +64,16 @@ class ParserSpec extends AnyFunSuite {
     assert(j.joins.head.container == Container.Feed(Changes("docs", 1, None)))
   }
 
+  test("view statements: CREATE VIEW (SEARCH …) / REFRESH / DELETE") {
+    val cv = Parser.parse("CREATE VIEW v (SEARCH [grp, count(id)] ON src)")
+      .asInstanceOf[CreateView]
+    assert(cv.name == "v" && cv.query.projection == List("grp") &&
+      cv.query.aggs == List(AggProj("count", "id")))
+    assert(Parser.parse("REFRESH VIEW v") == RefreshView("v"))
+    assert(Parser.parse("DELETE VIEW v") == DeleteView("v"))
+    intercept[ParseException](Parser.parse("CREATE VIEW v (CHANGES src 1)"))
+  }
+
   test("introspection forms: SHOW CONTAINERS / INDEXES / VERSIONS, DESCRIBE") {
     assert(Parser.parse("SHOW CONTAINERS") == ShowContainers)
     assert(Parser.parse("SHOW INDEXES docs") == ShowIndexes("docs"))

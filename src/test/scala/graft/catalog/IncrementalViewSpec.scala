@@ -21,9 +21,10 @@ class IncrementalViewSpec extends AnyFunSuite {
       "val" -> graft.aql.AlbaType.of("BIGINT")))
     cat.create("mv", List(
       "grp" -> graft.aql.AlbaType.of("SMALL-STRING"),
-      "n" -> graft.aql.AlbaType.of("BIGINT"),
+      "n_rows" -> graft.aql.AlbaType.of("BIGINT"),
       "sum_val" -> graft.aql.AlbaType.of("BIGINT")))
-    val view = new IncrementalView(cat, "src", "mv", Seq("grp"), Seq("val"))
+    val view = new IncrementalView(cat, "src", "mv", Seq("grp"),
+      Seq(IncrementalView.Agg("sum", "val", "sum_val")))
     (cat, new Tx(cat), view,
       new ChangeTail(cat, "src", dir.resolve("mv.ckpt")))
   }
@@ -94,9 +95,10 @@ class IncrementalViewSpec extends AnyFunSuite {
       "val" -> graft.aql.AlbaType.of("BIGINT")))
     cat.create("mv", List(
       "grp" -> graft.aql.AlbaType.of("SMALL-STRING"),
-      "n" -> graft.aql.AlbaType.of("BIGINT"),
+      "n_rows" -> graft.aql.AlbaType.of("BIGINT"),
       "sum_val" -> graft.aql.AlbaType.of("BIGINT")))
-    val view = new IncrementalView(cat, "src", "mv", Seq("grp"), Seq("val"))
+    val view = new IncrementalView(cat, "src", "mv", Seq("grp"),
+      Seq(IncrementalView.Agg("sum", "val", "sum_val")))
     val tail = new ChangeTail(cat, "src", dir.resolve("mv.ckpt"))
 
     val srcDir = java.nio.file.Files.createTempDirectory("graft-mv-stream-src")
@@ -130,7 +132,7 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(view.refreshOnce(tail) == 3, "three versions, one netted window")
     assert(mvRows(cat) == Map("a" -> (2L, 9L)))
     // seed() rebuilds identically (the recovery path)
-    view.seed()
+    view.seed(tail)
     assert(mvRows(cat) == Map("a" -> (2L, 9L)))
   }
 }

@@ -103,6 +103,21 @@ class AqlServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post("DESCRIBE no_such")._1 == 400)
   }
 
+  test("incremental views reach the wire surface (CREATE/REFRESH/DELETE VIEW)") {
+    assert(post("CREATE CONTAINER webv ['id','grp','amt'] [BIGINT, SMALL-STRING, BIGINT]")._1 == 200)
+    assert(post("CREATE ROW ['id','grp','amt'] [1,'a',10] ON webv")._1 == 200)
+    assert(post("COMMIT webv")._1 == 200)
+    assert(post("CREATE VIEW webmv (SEARCH [grp, sum(amt)] ON webv)")._1 == 200)
+    assert(post("CREATE ROW ['id','grp','amt'] [2,'a',5] ON webv")._1 == 200)
+    assert(post("COMMIT webv")._1 == 200)
+    assert(post("REFRESH VIEW webmv")._1 == 200)
+    val (code, body) = post("SEARCH [] ON webmv")
+    assert(code == 200 &&
+      body.contains(""""rows":[["a",2,15]]"""), body)
+    assert(post("DELETE CONTAINER webmv")._1 == 400) // view-managed
+    assert(post("DELETE VIEW webmv")._1 == 200)
+  }
+
   test("prepared arguments as extra body lines") {
     val (code, body) = post("SEARCH ['id'] ON web WHERE name = ?\n'ana'")
     assert(code == 200 && body.contains(""""rows":[[1]]"""))
