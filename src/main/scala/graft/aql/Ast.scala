@@ -178,6 +178,7 @@ object Ast {
     * results through the cursor protocol (an AQL-only client can browse
     * the catalog without filesystem access). */
   case object ShowContainers extends Stmt
+  case object ShowViews extends Stmt
   final case class Describe(container: String) extends Stmt
   final case class ShowIndexes(container: String) extends Stmt
   final case class ShowVersions(container: String) extends Stmt
@@ -721,6 +722,7 @@ object Parser {
     // SHOW CONTAINERS / SHOW INDEXES c / SHOW VERSIONS c / DESCRIBE c
     // (graft extensions): catalog introspection statements
     case Keyword("SHOW") :: Keyword("CONTAINERS") :: Nil => ShowContainers
+    case Keyword("SHOW") :: Keyword("VIEWS") :: Nil => ShowViews
     case Keyword("SHOW") :: Keyword("INDEXES") :: containerTok :: Nil =>
       ShowIndexes(name(containerTok))
     case Keyword("SHOW") :: Keyword("VERSIONS") :: containerTok :: Nil =>

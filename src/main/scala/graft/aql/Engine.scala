@@ -73,6 +73,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       Done(s"created container $name")
 
     case Ast.AlterContainer(name, cols, types) =>
+      requireNotView(name, "its schema")
       val d = catalog.get(name)
       if (d.columns.length + cols.length > settings.maxColumns)
         throw new ParseException(
@@ -86,6 +87,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       Done(s"added ${cols.length} column(s) to $name")
 
     case Ast.AlterDropColumn(name, cols) =>
+      requireNotView(name, "its schema")
       // same staged-op guard as ADD: staged rows/predicates were built
       // against the old schema
       if (tx.stagedOps(name) > 0)
@@ -95,6 +97,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       Done(s"dropped ${cols.length} column(s) from $name")
 
     case Ast.AlterRenameColumn(name, from, to) =>
+      requireNotView(name, "its schema")
       if (tx.stagedOps(name) > 0)
         throw new ParseException(
           s"ALTER CONTAINER $name: commit or rollback staged operations first")
@@ -102,6 +105,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       Done(s"renamed $name.$from to $to")
 
     case Ast.CreateRow(container, cols, values) =>
+      requireNotView(container, "its content")
       val d = catalog.get(container)
       // column names resolve case-insensitively (bare column tokens can
       // lex as keywords, e.g. a column named `text` vs the TEXT type)
@@ -127,6 +131,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       Done(s"deleted index $ix on $container")
 
     case Ast.MergeRow(container, cols, values) =>
+      requireNotView(container, "its content")
       val d = catalog.get(container)
       if (cols.map(_.toLowerCase).distinct.length != cols.length)
         throw new ParseException(s"Duplicate column names in ${cols.mkString(",")}")
@@ -171,6 +176,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       }
 
     case Ast.EditRow(container, cols, values, where) =>
+      requireNotView(container, "its content")
       val d = catalog.get(container)
       if (cols.map(_.toLowerCase).distinct.length != cols.length)
         throw new ParseException(s"Duplicate column names in ${cols.mkString(",")}")
@@ -183,6 +189,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       Done(s"staged edit on $container")
 
     case Ast.DeleteRow(container, where) =>
+      requireNotView(container, "its content")
       val d = catalog.get(container)
       tx.stageDelete(container, where.map(lowerWhere(_, d)))
       Done(s"staged delete on $container")
@@ -192,6 +199,13 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       // bare would orphan the viewdef + checkpoint
       if (graft.catalog.Views.exists(catalog, name))
         throw new ParseException(s"'$name' is a view — use DELETE VIEW $name")
+      // dropping a view's SOURCE would leave the view serving stale data,
+      // and a later recreate under the same name would fold an unrelated
+      // history into it once its version count passes the checkpoint
+      val dependents = viewsDependingOn(name)
+      if (dependents.nonEmpty)
+        throw new ParseException(s"'$name' is the source of view(s) " +
+          s"${dependents.mkString(", ")} — DELETE VIEW them first")
       tx.rollback(Some(name))
       catalog.drop(name)
       Done(s"deleted container $name")
@@ -217,6 +231,14 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
 
     case Ast.CreateView(v, q) =>
       val (src, keys, aggs, whereOpt) = validateViewDef(q)
+      // a never-committed source serving external dataPath rows has no
+      // version history: seeding would aggregate rows the first commit's
+      // feed then replays as inserts — double counting (same refusal as
+      // CHANGES on such containers)
+      if (catalog.currentVersion(src) == 0 &&
+          java.nio.file.Files.exists(catalog.dataPath(src)))
+        throw new ParseException(s"CREATE VIEW: source '$src' serves " +
+          "unversioned external data — commit it through the catalog first")
       val d = catalog.get(src)
       def typeOf(c: String): AlbaType =
         d.columns.find(_._1.equalsIgnoreCase(c)).get._2
@@ -232,11 +254,19 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       catalog.create(v,
         (keys.map(k => k -> typeOf(k)) ++ List("n_rows" -> AlbaType.of("BIGINT"))
           ++ aggCols).toList)
-      try graft.catalog.Views.save(catalog, v, printViewQuery(q, src))
-      catch { case e: Throwable => catalog.drop(v); throw e }
-      val tail = viewTail(v, src)
-      incrementalView(v, src, keys, aggs, whereOpt).seed(tail)
-      Done(s"created view $v over $src (seeded at version ${tail.lastDelivered})")
+      // any failure past container creation (viewdef write, seeding)
+      // rolls the whole view back — no half-created view survives
+      try {
+        graft.catalog.Views.save(catalog, v, printViewQuery(q, src))
+        val tail = viewTail(v, src)
+        incrementalView(v, src, keys, aggs, whereOpt).seed(tail)
+        Done(s"created view $v over $src (seeded at version ${tail.lastDelivered})")
+      } catch { case e: Throwable =>
+        if (graft.catalog.Views.exists(catalog, v))
+          graft.catalog.Views.drop(catalog, v)
+        catalog.drop(v)
+        throw e
+      }
 
     case Ast.RefreshView(v) =>
       val q = Parser.parse(graft.catalog.Views.load(catalog, v)) match {
@@ -268,6 +298,12 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     case Ast.ShowContainers =>
       resultSet(metaDf(Seq("container" -> "TEXT"),
         catalog.list().map(Row(_))), needsDefaultSort = true)
+
+    case Ast.ShowViews =>
+      resultSet(metaDf(Seq("view" -> "TEXT", "definition" -> "TEXT"),
+        graft.catalog.Views.list(catalog).map(v =>
+          Row(v, graft.catalog.Views.load(catalog, v)))),
+        needsDefaultSort = true)
 
     case Ast.Describe(c) =>
       val d = catalog.get(c)
@@ -332,6 +368,28 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
 
   // ---- incremental materialized views (CREATE/REFRESH/DELETE VIEW) -------
 
+  /** Guard for statements that would mutate a view-managed container:
+    * writes/ALTERs to the MV would silently corrupt the maintained
+    * aggregate (or break every later REFRESH), so they are refused at the
+    * statement boundary. */
+  private def requireNotView(c: String, action: String): Unit =
+    if (graft.catalog.Views.exists(catalog, c))
+      throw new ParseException(
+        s"'$c' is a view — $action is view-managed (REFRESH/DELETE VIEW)")
+
+  /** Views whose SOURCE is `c` (re-parsed from their stored definitions —
+    * bounded: one small text file per view). */
+  private def viewsDependingOn(c: String): Seq[String] =
+    graft.catalog.Views.list(catalog).filter { v =>
+      Parser.parse(graft.catalog.Views.load(catalog, v)) match {
+        case s: Ast.Search => s.containers.exists {
+          case Ast.Container.Real(n) => n.equalsIgnoreCase(c)
+          case _ => false
+        }
+        case _ => false
+      }
+    }
+
   /** Validate a view definition down to the incrementally maintainable
     * fragment and resolve CANONICAL column names against the source:
     * single real container, ≥1 plain group key, count/sum aggregates
@@ -369,6 +427,14 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         bad(s"sum over non-numeric column '$c'")
       graft.catalog.IncrementalView.Agg(a.fn, c, s"${a.fn}_${c.toLowerCase}")
     }
+    // the MV's schema is keys + n_rows + agg outs: any case-insensitive
+    // collision (count(id) twice, a key named n_rows, a source column
+    // named like an agg out) would create a container with duplicate
+    // columns that fails only at seed time — reject upfront
+    val outNames = keys ++ Seq("n_rows") ++ aggs.map(_.out)
+    outNames.groupBy(_.toLowerCase).collectFirst {
+      case (_, vs) if vs.size > 1 => vs.head
+    }.foreach(n => bad(s"output column '$n' collides — deduplicate keys/aggregates"))
     q.where.foreach(_.atoms.foreach { cond =>
       if (cond.rhs.nonEmpty || cond.lhs.nonEmpty)
         bad("view WHERE supports simple `col OP literal` atoms only")

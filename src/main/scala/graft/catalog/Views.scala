@@ -22,10 +22,22 @@ object Views {
 
   def exists(cat: Catalog, v: String): Boolean = Files.exists(metaFile(cat, v))
 
-  /** Persist a definition; CREATE_NEW makes a double-create fail loudly. */
-  def save(cat: Catalog, v: String, searchAql: String): Unit =
-    Files.write(metaFile(cat, v), searchAql.getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE_NEW)
+  /** Persist a definition: atomic tmp+move (the catalog's metadata-write
+    * idiom — a crash mid-write must never leave a truncated viewdef that
+    * wedges REFRESH), with move-without-replace supplying the
+    * double-create-fails-loudly contract. */
+  def save(cat: Catalog, v: String, searchAql: String): Unit = {
+    val dest = metaFile(cat, v)
+    // POSIX rename replaces silently, so the double-create check is
+    // explicit (view DDL is statement-serialized by the server layer,
+    // like the reference's whole-DB lock, so no TOCTOU in practice)
+    if (Files.exists(dest))
+      throw new java.nio.file.FileAlreadyExistsException(dest.toString)
+    val tmp = dest.resolveSibling(
+      s"${dest.getFileName}.tmp-${ProcessHandle.current.pid}-${System.nanoTime()}")
+    Files.writeString(tmp, searchAql)
+    Files.move(tmp, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 
   def load(cat: Catalog, v: String): String = {
     require(exists(cat, v), s"Unknown view '$v'")

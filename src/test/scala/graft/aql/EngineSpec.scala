@@ -833,6 +833,39 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!eng.catalog.exists("vagg"))
   }
 
+  test("35 view guards: MV containers and view sources are protected; SHOW VIEWS lists defs") {
+    eng.execute("CREATE CONTAINER gsrc ['id','grp','amt'] [BIGINT, SMALL-STRING, BIGINT]")
+    eng.execute("CREATE ROW ['id','grp','amt'] [1,'a',10] ON gsrc")
+    eng.execute("COMMIT gsrc")
+    eng.execute("CREATE VIEW gmv (SEARCH [grp, sum(amt)] ON gsrc WHERE amt > 1)")
+
+    // writes/ALTERs to the MV container are refused — it is view-managed
+    intercept[ParseException](
+      eng.execute("CREATE ROW ['grp','n_rows','sum_amt'] ['z',9,9] ON gmv"))
+    intercept[ParseException](eng.execute("EDIT ROW ['n_rows'] [0] ON gmv WHERE n_rows > 0"))
+    intercept[ParseException](eng.execute("DELETE ROW ON gmv"))
+    intercept[ParseException](eng.execute("MERGE ROW ['grp','n_rows','sum_amt'] ['z',1,1] ON gmv"))
+    intercept[ParseException](eng.execute("ALTER CONTAINER gmv DROP COLUMN ['n_rows']"))
+
+    // the SOURCE can't be dropped out from under the view
+    val e = intercept[ParseException](eng.execute("DELETE CONTAINER gsrc"))
+    assert(e.getMessage.contains("gmv"))
+
+    // SHOW VIEWS lists the persisted, re-parseable definition
+    val views = searchRows("SHOW VIEWS").map(r => (r.getString(0), r.getString(1)))
+    assert(views.exists { case (v, d) =>
+      v == "gmv" && d.contains("SEARCH [grp, sum(amt)] ON gsrc WHERE amt > 1")
+    }, s"got $views")
+
+    // colliding output names are rejected upfront, with no half-created view
+    intercept[ParseException](
+      eng.execute("CREATE VIEW gbad (SEARCH [grp, count(id), count(ID)] ON gsrc)"))
+    assert(!eng.catalog.exists("gbad"))
+
+    eng.execute("DELETE VIEW gmv")
+    eng.execute("DELETE CONTAINER gsrc")
+  }
+
   test("31 catalog introspection: SHOW CONTAINERS / DESCRIBE / SHOW INDEXES / SHOW VERSIONS") {
     eng.execute("CREATE CONTAINER meta1 ['id','body'] [BIGINT, TEXT]")
     eng.execute("CREATE ROW ['id','body'] [1,'the quick brown fox'] ON meta1")
