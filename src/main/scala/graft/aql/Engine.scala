@@ -28,6 +28,13 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
   val tx = new Tx(catalog)
   tx.autoCommit = settings.autoCommit
   tx.optimizeEvery = settings.optimizeAfterCommits
+  // commit-time view maintenance (refresh_views_after_commit): fold each
+  // commit's CDC window into dependent views immediately — the symmetric
+  // feature to commit-time index maintenance. Failures are dropped by the
+  // hook caller (the checkpoint hasn't advanced; the next refresh catches
+  // up), mirroring auto-OPTIMIZE.
+  if (settings.refreshViewsAfterCommit)
+    tx.onCommit = c => viewsDependingOn(c).foreach(refreshView)
 
   import Engine._
 
@@ -269,14 +276,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       }
 
     case Ast.RefreshView(v) =>
-      val q = Parser.parse(graft.catalog.Views.load(catalog, v)) match {
-        case s: Ast.Search => s
-        case other => throw new ParseException(s"Corrupt view definition: $other")
-      }
-      val (src, keys, aggs, whereOpt) = validateViewDef(q)
-      val n = incrementalView(v, src, keys, aggs, whereOpt)
-        .refreshOnce(viewTail(v, src))
-      Done(s"refreshed $v: $n version(s) applied")
+      Done(s"refreshed $v: ${refreshView(v)} version(s) applied")
 
     case Ast.DeleteView(v) =>
       graft.catalog.Views.drop(catalog, v) // fails loudly on non-views
@@ -376,6 +376,18 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     if (graft.catalog.Views.exists(catalog, c))
       throw new ParseException(
         s"'$c' is a view — $action is view-managed (REFRESH/DELETE VIEW)")
+
+  /** One REFRESH: re-parse the persisted definition, fold the outstanding
+    * CDC windows. Shared by the REFRESH VIEW statement and the
+    * auto-refresh commit hook. */
+  private def refreshView(v: String): Int = {
+    val q = Parser.parse(graft.catalog.Views.load(catalog, v)) match {
+      case s: Ast.Search => s
+      case other => throw new ParseException(s"Corrupt view definition: $other")
+    }
+    val (src, keys, aggs, whereOpt) = validateViewDef(q)
+    incrementalView(v, src, keys, aggs, whereOpt).refreshOnce(viewTail(v, src))
+  }
 
   /** Views whose SOURCE is `c` (re-parsed from their stored definitions —
     * bounded: one small text file per view). */

@@ -57,7 +57,13 @@ final case class Settings(
       * without periodic OPTIMIZE a long-running ingest fragments into
       * floor-cost file counts. The reference has no analogue (it rewrites
       * whole-container state per commit — compaction is implicit). */
-    optimizeAfterCommits: Int = 0) {
+    optimizeAfterCommits: Int = 0,
+    /** graft extension: fold every commit's CDC window into dependent
+      * incremental views immediately (REFRESH VIEW becomes automatic —
+      * the symmetric feature to commit-time index maintenance). Off by
+      * default: a bursty ingest usually prefers one explicit REFRESH
+      * after the burst over per-commit fold latency. */
+    refreshViewsAfterCommit: Boolean = false) {
 
   /** The reference's self-healing normalization (`database.rs:312-335`):
     * out-of-range values are corrected, never fatal.
@@ -90,6 +96,7 @@ final case class Settings(
        |secret_key_count: $secretKeyCount
        |wire_encryption: $wireEncryption
        |optimize_after_commits: $optimizeAfterCommits
+       |refresh_views_after_commit: $refreshViewsAfterCommit
        |""".stripMargin
 }
 
@@ -138,7 +145,9 @@ object Settings {
       authToken = kv.getOrElse("auth_token", default.authToken),
       secretKeyCount = int("secret_key_count", default.secretKeyCount),
       wireEncryption = bool("wire_encryption", default.wireEncryption),
-      optimizeAfterCommits = int("optimize_after_commits", default.optimizeAfterCommits)
+      optimizeAfterCommits = int("optimize_after_commits", default.optimizeAfterCommits),
+      refreshViewsAfterCommit =
+        bool("refresh_views_after_commit", default.refreshViewsAfterCommit)
     )
     val healed = parsed.normalized
     // The reference's load_settings rewrites the normalized settings back

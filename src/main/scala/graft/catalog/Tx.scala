@@ -46,6 +46,14 @@ final class Tx(catalog: Catalog) {
     * sessions/restarts. */
   @volatile var optimizeEvery: Int = 0
 
+  /** Post-commit hook per committed container (graft extension): the
+    * engine wires incremental-view auto-refresh through this when
+    * `refresh_views_after_commit` is set. Fires AFTER the commit is
+    * durable; failures are dropped like auto-OPTIMIZE's (maintenance must
+    * never fail the commit — the view checkpoint hasn't advanced, so the
+    * next refresh catches up). */
+  @volatile var onCommit: String => Unit = _ => ()
+
   def stagedOps(container: String): Int = log(container).size
 
   def stageInsert(container: String, rows: Seq[Row]): Unit = {
@@ -177,6 +185,8 @@ final class Tx(catalog: Catalog) {
         if (optimizeEvery > 0 && catalog.currentVersion(c) % optimizeEvery == 0)
           try catalog.optimize(c)
           catch { case scala.util.control.NonFatal(_) => () }
+        try onCommit(c)
+        catch { case scala.util.control.NonFatal(_) => () }
       }
     }
   }

@@ -866,6 +866,30 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     eng.execute("DELETE CONTAINER gsrc")
   }
 
+  test("36 refresh_views_after_commit: every commit folds into dependent views automatically") {
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-autorefresh")
+    java.nio.file.Files.writeString(dir2.resolve("settings.yaml"),
+      "refresh_views_after_commit: true\n")
+    val eng2 = new Engine(spark, dir2.toString)
+    eng2.execute("CREATE CONTAINER asrc ['id','grp','amt'] [BIGINT, SMALL-STRING, BIGINT]")
+    eng2.execute("CREATE ROW ['id','grp','amt'] [1,'a',10] ON asrc")
+    eng2.execute("COMMIT asrc")
+    eng2.execute("CREATE VIEW amv (SEARCH [grp, sum(amt)] ON asrc)")
+    // a later commit reaches the view WITHOUT an explicit REFRESH
+    eng2.execute("CREATE ROW ['id','grp','amt'] [2,'a',5] ON asrc")
+    eng2.execute("CREATE ROW ['id','grp','amt'] [3,'b',7] ON asrc")
+    eng2.execute("COMMIT asrc")
+    val rows = eng2.execute("SEARCH [] ON amv").asInstanceOf[Engine.ResultSet]
+      .df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set(("a", 2L, 15L), ("b", 1L, 7L)))
+    // MERGE under auto-commit flows through the same hook
+    eng2.tx.autoCommit = true
+    eng2.execute("MERGE ROW ['id','grp','amt'] [3,'b',9] ON asrc")
+    val rows2 = eng2.execute("SEARCH [] ON amv").asInstanceOf[Engine.ResultSet]
+      .df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows2 == Set(("a", 2L, 15L), ("b", 1L, 9L)))
+  }
+
   test("31 catalog introspection: SHOW CONTAINERS / DESCRIBE / SHOW INDEXES / SHOW VERSIONS") {
     eng.execute("CREATE CONTAINER meta1 ['id','body'] [BIGINT, TEXT]")
     eng.execute("CREATE ROW ['id','body'] [1,'the quick brown fox'] ON meta1")
