@@ -115,6 +115,8 @@ class AqlServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(code == 200 &&
       body.contains(""""rows":[["a",2,15]]"""), body)
     assert(post("DELETE CONTAINER webmv")._1 == 400) // view-managed
+    val (sc, sb) = post("SHOW VIEWS")
+    assert(sc == 200 && sb.contains("webmv") && sb.contains("SEARCH [grp, sum(amt)] ON webv"), sb)
     assert(post("DELETE VIEW webmv")._1 == 200)
   }
 
