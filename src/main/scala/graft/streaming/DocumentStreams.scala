@@ -170,6 +170,97 @@ object DocumentStreams {
         if (!batch.isEmpty) { catalog.append(container, batch); () }
       }
 
+  /** Deduplicating ingest: [[ingestToCatalog]] with a near-dup GATE served
+    * by the container's commit-maintained lsh index — each micro-batch
+    * drops exact and verified near-duplicates of the ENTIRE already-
+    * committed corpus (plus duplicates within the batch), then appends
+    * the survivors; the commit updates the index inside the same atomic
+    * publish, so the NEXT batch dedups against this one with no rebuild.
+    * This is the serving shape of ingest-time dedup at 100 TB: lookup
+    * cost ∝ the batch's band keys (bucket-pruned index scan, never a
+    * corpus re-shingle), and the exact-Jaccard verify touches only
+    * band-colliding candidate pairs — false band collisions ingest
+    * normally instead of being silently dropped.
+    *
+    * `docs` must be shaped like the container (pk + the indexed TEXT
+    * column). Keep-first convention: history wins over the batch, and
+    * the lower pk wins within a batch (matching `dd_cluster_keepers`).
+    */
+  def dedupIngestToCatalog(docs: DataFrame, catalog: graft.catalog.Catalog,
+      container: String, ix: String, threshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val kept = dedupBatch(batch, catalog, container, ix, threshold)
+          if (!kept.isEmpty) { catalog.append(container, kept); () }
+        }
+      }
+
+  /** One micro-batch of the dedup gate (exposed for the spec): batch rows
+    * minus (a) verified near-dups of committed docs — candidates from the
+    * persisted band index, exact 3-gram Jaccard ≥ `threshold` confirms —
+    * and (b) within-batch duplicates (exact text match, or band-colliding
+    * pairs that verify; the lower pk is kept). */
+  private[graft] def dedupBatch(batch: DataFrame, catalog: graft.catalog.Catalog,
+      container: String, ix: String, threshold: Double): DataFrame = {
+    import graft.operators.TextDedup.{bandsOf, withShingles, withSignatures}
+    val d = catalog.get(container)
+    val pk = d.primaryKey
+    val textCol = catalog.indexDefs(container).find(_.ix == ix)
+      .getOrElse(sys.error(s"No index '$ix' on '$container'")).column
+    def shingled(df: DataFrame, idOut: String, sgOut: String): DataFrame =
+      withShingles(df.select(col(pk).as("doc_id"), col(textCol).as("text")))
+        .select(col("doc_id").as(idOut), array_distinct(col("sg")).as(sgOut))
+    def verified(pairs: DataFrame, left: DataFrame, right: DataFrame): DataFrame = {
+      // exact Jaccard on distinct shingles; candidate pairs only — the
+      // all-pairs product never forms. Short docs (no shingles) can band-
+      // collide on the empty signature but share nothing: union 0 → not dups
+      val j = when(size(array_union(col("sga"), col("sgb"))) === 0, lit(0.0))
+        .otherwise(size(array_intersect(col("sga"), col("sgb"))).cast("double") /
+          size(array_union(col("sga"), col("sgb"))))
+      pairs.join(left, "ida").join(right, "idb")
+        .filter(j >= threshold)
+        .select(col("ida"))
+    }
+    // (a) batch-internal exact dedup: keep the lowest pk per text
+    val perText = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol))).orderBy(col(pk))
+    val exactKept = batch.withColumn("__rn", row_number().over(perText))
+      .filter(col("__rn") === 1).drop("__rn")
+    // (b) history near-dups: bucket-pruned index lookup, then verify
+    // against ONLY the candidate docs — their ids are bounded per-batch
+    // metadata (batch keys × bucket collisions, the probe-list idiom), so
+    // the fetch is a stats-pruned point scan on the pk-clustered layout,
+    // never a corpus re-shingle
+    val histCands = catalog.indexLookup(container, ix, exactKept)
+      .select(col("qid").as("ida"), col("cand").as("idb"))
+    val candIds = histCands.select(col("idb")).distinct().collect().map(_.get(0))
+    val histDups =
+      if (candIds.isEmpty) exactKept.select(col(pk).as("ida")).limit(0)
+      else verified(histCands,
+        shingled(exactKept, "ida", "sga"),
+        shingled(catalog.read(container)
+          .filter(col(pk).isin(candIds.toIndexedSeq: _*)), "idb", "sgb"))
+    // (c) within-batch near-dups: band self-join (candidates only), keep
+    // the lower pk of each verified pair
+    val batchBands = bandsOf(withSignatures(
+      withShingles(exactKept.select(col(pk).as("doc_id"), col(textCol).as("text"))),
+      Seq("doc_id")), Seq("doc_id"))
+    val a = batchBands.as("a"); val b = batchBands.as("b")
+    val batchCands = a.join(b,
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("b.doc_id").as("ida"), col("a.doc_id").as("idb"))
+      .distinct()
+    val batchShingles = shingled(exactKept, "ida", "sga")
+    val batchDups = verified(batchCands, batchShingles,
+      batchShingles.select(col("ida").as("idb"), col("sga").as("sgb")))
+    val dropIds = histDups.unionByName(batchDups).distinct()
+      .select(col("ida").as(pk))
+    exactKept.join(dropIds, Seq(pk), "left_anti")
+  }
+
   /** Ingest-time image decode — the streaming twin of
     * `Multimodal.decodeImages`: the REAL javax.imageio parse runs as a
     * stateless partition-parallel projection the moment media lands, with

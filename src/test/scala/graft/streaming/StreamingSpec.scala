@@ -556,4 +556,50 @@ class StreamingSpec extends AnyFunSuite {
       streamed.exists { case (u2, sid2, n2) => u2 == u && sid2 == sid && n2 > n }
     }, s"no session bridged the restart (split=$splitUs)")
   }
+
+  test("dedup ingest gate: each micro-batch drops exact + verified near-dups of the committed corpus") {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft-dedup-ingest")
+    val cat = new graft.catalog.Catalog(spark, root.toString)
+    cat.create("gated", List("doc_id" -> graft.aql.AlbaType.of("BIGINT"),
+      "text" -> graft.aql.AlbaType.of("TEXT")))
+    cat.createIndex("gated", "nd", "lsh", "text")
+
+    val base = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val nearCopy = base.replace("today", "tonight") // high 3-gram overlap
+    val distinctDoc = "completely different content about distributed query engines and parquet files"
+    val anotherDoc = "yet another unrelated document describing minhash signatures and band buckets"
+
+    // two source files → two micro-batches (maxFilesPerTrigger=1):
+    // batch 1 = {base, base-exact-copy, distinct}  (within-batch exact dup)
+    // batch 2 = {near-copy of base (HISTORY near-dup), another distinct,
+    //            intra-batch near-pair (40/41)}
+    val src = java.nio.file.Files.createTempDirectory("graft-dedup-ingest-src")
+    import spark.implicits._
+    Seq((10L, base), (11L, base), (12L, distinctDoc)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(src.toString)
+    val pairA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val pairB = pairA.replace("xi", "omicron")
+    Seq((20L, nearCopy), (21L, anotherDoc), (40L, pairA), (41L, pairB))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(src.toString)
+
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dedup-ingest-ckpt")
+    val q = DocumentStreams.dedupIngestToCatalog(stream, cat, "gated", "nd")
+      .option("checkpointLocation", ckpt.toString).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val landed = cat.read("gated").collect().map(_.getLong(0)).toSet
+    // 11 = exact dup within batch 1; 20 = near-dup of committed 10;
+    // 41 = within-batch near-dup of 40 (lower pk kept)
+    assert(landed == Set(10L, 12L, 21L, 40L),
+      s"got $landed")
+    // the gate dedups against HISTORY via the index maintained inside
+    // each commit — two versions landed (one per micro-batch)
+    assert(cat.currentVersion("gated") == 2)
+  }
 }
