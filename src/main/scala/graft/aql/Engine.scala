@@ -30,11 +30,18 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
   tx.optimizeEvery = settings.optimizeAfterCommits
   // commit-time view maintenance (refresh_views_after_commit): fold each
   // commit's CDC window into dependent views immediately — the symmetric
-  // feature to commit-time index maintenance. Failures are dropped by the
-  // hook caller (the checkpoint hasn't advanced; the next refresh catches
-  // up), mirroring auto-OPTIMIZE.
+  // feature to commit-time index maintenance. The catch is PER VIEW: one
+  // permanently failing view (vacuumed-past checkpoint, corrupt def) must
+  // not starve its later-sorted siblings of every future auto-refresh.
   if (settings.refreshViewsAfterCommit)
-    tx.onCommit = c => viewsDependingOn(c).foreach(refreshView)
+    tx.onCommit = c => viewsDependingOn(c).foreach { v =>
+      try refreshView(v)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  // auto-OPTIMIZE is content-neutral: fast-forward caught-up view
+  // checkpoints past the compaction version so no consumer diffs a full
+  // rewrite that nets zero (knob-independent — correct for any view)
+  tx.onOptimize = (c, published) => fastForwardViewTails(c, published)
 
   import Engine._
 
@@ -232,7 +239,9 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
 
     case Ast.Optimize(c, target) =>
       catalog.get(c) // existence check
-      val (before, after) = catalog.optimize(c, target)
+      val (before, after, published) = catalog.optimize(c, target)
+      // same content-neutral skip as the auto-OPTIMIZE hook
+      fastForwardViewTails(c, published)
       Done(s"optimized $c: $before file(s) -> $after file(s) " +
         s"(version ${catalog.currentVersion(c)})")
 
@@ -388,6 +397,19 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     val (src, keys, aggs, whereOpt) = validateViewDef(q)
     incrementalView(v, src, keys, aggs, whereOpt).refreshOnce(viewTail(v, src))
   }
+
+  /** OPTIMIZE published `published` over base `published - 1` with
+    * byte-different but CONTENT-IDENTICAL data (the CAS guarantees that
+    * base). A view tail caught up to the base can skip the compaction
+    * window outright — the feed would read the full rewrite on both sides
+    * just to net every row to zero. Lagging tails are left alone: their
+    * window spans real changes, so the diff is unavoidable (and correct).
+    */
+  private def fastForwardViewTails(c: String, published: Int): Unit =
+    viewsDependingOn(c).foreach { v =>
+      val t = viewTail(v, c)
+      if (t.lastDelivered == published - 1) t.reset(published)
+    }
 
   /** Views whose SOURCE is `c` (re-parsed from their stored definitions —
     * bounded: one small text file per view). */

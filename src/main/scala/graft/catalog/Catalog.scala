@@ -744,9 +744,11 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     * again (the same layout contract as `Tables.compacted` for fixtures;
     * Delta OPTIMIZE / Iceberg rewrite at warehouse scale). Default file
     * count derives from plan-stats bytes at 128 MiB per file.
-    * Returns (files before, files after).
+    * Returns (files before, files after, published version) — the
+    * published version lets CDC consumers skip the content-neutral
+    * compaction window instead of diffing a full rewrite that nets zero.
     */
-  def optimize(name: String, targetFiles: Option[Int] = None): (Int, Int) = {
+  def optimize(name: String, targetFiles: Option[Int] = None): (Int, Int, Int) = {
     import org.apache.spark.sql.functions.col
     targetFiles.foreach(t =>
       require(t >= 1, s"OPTIMIZE $name: target file count must be >= 1, got $t"))
@@ -786,7 +788,7 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     }
     // count THIS call's published version — under a race the pointer may
     // already be on a later (fragmented) commit
-    (before, versionFiles(name, published).size)
+    (before, versionFiles(name, published).size, published)
   }
 
   /** Drop all but the newest `keepLast` versions (and their claim files),

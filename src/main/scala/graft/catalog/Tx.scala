@@ -49,10 +49,18 @@ final class Tx(catalog: Catalog) {
   /** Post-commit hook per committed container (graft extension): the
     * engine wires incremental-view auto-refresh through this when
     * `refresh_views_after_commit` is set. Fires AFTER the commit is
-    * durable; failures are dropped like auto-OPTIMIZE's (maintenance must
-    * never fail the commit — the view checkpoint hasn't advanced, so the
-    * next refresh catches up). */
+    * durable and BEFORE any auto-OPTIMIZE (so the refresh folds the real
+    * change window, and the compaction window can then be skipped);
+    * failures are dropped like auto-OPTIMIZE's (maintenance must never
+    * fail the commit — the view checkpoint hasn't advanced, so the next
+    * refresh catches up). */
   @volatile var onCommit: String => Unit = _ => ()
+
+  /** Post-auto-OPTIMIZE hook `(container, publishedVersion)`: OPTIMIZE is
+    * content-neutral, so the engine fast-forwards caught-up CDC view
+    * checkpoints past the compaction version — skipping a whole-container
+    * diff that would net zero rows. */
+  @volatile var onOptimize: (String, Int) => Unit = (_, _) => ()
 
   def stagedOps(container: String): Int = log(container).size
 
@@ -182,11 +190,16 @@ final class Tx(catalog: Catalog) {
         // lost race here is dropped — the next trigger retries. optimize
         // publishes its own version, which never re-lands on a multiple
         // of N from this path.
-        if (optimizeEvery > 0 && catalog.currentVersion(c) % optimizeEvery == 0)
-          try catalog.optimize(c)
-          catch { case scala.util.control.NonFatal(_) => () }
+        // view refresh BEFORE compaction: the refresh folds the commit's
+        // real change window; the optimize hook can then skip the
+        // content-neutral compaction window outright
         try onCommit(c)
         catch { case scala.util.control.NonFatal(_) => () }
+        if (optimizeEvery > 0 && catalog.currentVersion(c) % optimizeEvery == 0)
+          try {
+            val (_, _, published) = catalog.optimize(c)
+            onOptimize(c, published)
+          } catch { case scala.util.control.NonFatal(_) => () }
       }
     }
   }

@@ -191,19 +191,26 @@ object DocumentStreams {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val kept = dedupBatch(batch, catalog, container, ix, threshold)
-          if (!kept.isEmpty) { catalog.append(container, kept); () }
-        }
+        if (!batch.isEmpty) dedupBatch(batch, catalog, container, ix, threshold)
       }
 
-  /** One micro-batch of the dedup gate (exposed for the spec): batch rows
-    * minus (a) verified near-dups of committed docs — candidates from the
-    * persisted band index, exact 3-gram Jaccard ≥ `threshold` confirms —
-    * and (b) within-batch duplicates (exact text match, or band-colliding
-    * pairs that verify; the lower pk is kept). */
+  /** Largest candidate-id list fetched by literal point lookup (the
+    * stats-pruned fast path); above it the fetch falls back to a
+    * semi-join, which never materializes ids on the driver. */
+  private val MaxCandidateLiterals = 20000
+
+  /** One micro-batch of the dedup gate: drop (a) rows whose pk is already
+    * committed (at-least-once REPLAY idempotence — a redelivered batch's
+    * rows are their own committed twins, which the index lookup's
+    * `id =!= qid` filter deliberately ignores), (b) verified near-dups of
+    * committed docs — candidates from the persisted band index, exact
+    * 3-gram Jaccard ≥ `threshold` confirms — and (c) within-batch
+    * duplicates (exact text keep-lowest-pk, plus band-colliding pairs
+    * that verify); then append the survivors. Persisted once and reused —
+    * the gate's plan executes a single time per micro-batch.
+    */
   private[graft] def dedupBatch(batch: DataFrame, catalog: graft.catalog.Catalog,
-      container: String, ix: String, threshold: Double): DataFrame = {
+      container: String, ix: String, threshold: Double): Unit = {
     import graft.operators.TextDedup.{bandsOf, withShingles, withSignatures}
     val d = catalog.get(container)
     val pk = d.primaryKey
@@ -223,42 +230,65 @@ object DocumentStreams {
         .filter(j >= threshold)
         .select(col("ida"))
     }
-    // (a) batch-internal exact dedup: keep the lowest pk per text
+    // (a) replay idempotence + batch-internal exact dedup. Already-
+    // committed pks are found with a pk-RANGE-pruned anti-join: the
+    // batch's [min,max] pk bounds are two literals, so the corpus side is
+    // a stats-pruned file subset on the clustered layout, and the batch
+    // side broadcasts. Marker carries a nonce — "__rn" is a legal
+    // container column name (the Tx.Edit marker idiom).
+    val rn = s"__dedup_rn_${java.util.UUID.randomUUID().toString.take(8)}"
     val perText = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col(textCol))).orderBy(col(pk))
-    val exactKept = batch.withColumn("__rn", row_number().over(perText))
-      .filter(col("__rn") === 1).drop("__rn")
-    // (b) history near-dups: bucket-pruned index lookup, then verify
-    // against ONLY the candidate docs — their ids are bounded per-batch
-    // metadata (batch keys × bucket collisions, the probe-list idiom), so
-    // the fetch is a stats-pruned point scan on the pk-clustered layout,
-    // never a corpus re-shingle
-    val histCands = catalog.indexLookup(container, ix, exactKept)
-      .select(col("qid").as("ida"), col("cand").as("idb"))
-    val candIds = histCands.select(col("idb")).distinct().collect().map(_.get(0))
-    val histDups =
-      if (candIds.isEmpty) exactKept.select(col(pk).as("ida")).limit(0)
-      else verified(histCands,
-        shingled(exactKept, "ida", "sga"),
-        shingled(catalog.read(container)
-          .filter(col(pk).isin(candIds.toIndexedSeq: _*)), "idb", "sgb"))
-    // (c) within-batch near-dups: band self-join (candidates only), keep
-    // the lower pk of each verified pair
-    val batchBands = bandsOf(withSignatures(
-      withShingles(exactKept.select(col(pk).as("doc_id"), col(textCol).as("text"))),
-      Seq("doc_id")), Seq("doc_id"))
-    val a = batchBands.as("a"); val b = batchBands.as("b")
-    val batchCands = a.join(b,
-        col("a.band") === col("b.band") && col("a.bk") === col("b.bk")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("b.doc_id").as("ida"), col("a.doc_id").as("idb"))
-      .distinct()
-    val batchShingles = shingled(exactKept, "ida", "sga")
-    val batchDups = verified(batchCands, batchShingles,
-      batchShingles.select(col("ida").as("idb"), col("sga").as("sgb")))
-    val dropIds = histDups.unionByName(batchDups).distinct()
-      .select(col("ida").as(pk))
-    exactKept.join(dropIds, Seq(pk), "left_anti")
+    val bounds = batch.agg(min(col(pk)), max(col(pk))).head()
+    val committedInRange = catalog.read(container).select(col(pk))
+      .filter(col(pk).between(lit(bounds.get(0)), lit(bounds.get(1))))
+    val exactKept = batch
+      .join(committedInRange, Seq(pk), "left_anti")
+      .withColumn(rn, row_number().over(perText))
+      .filter(col(rn) === 1).drop(rn)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // (b) history near-dups: bucket-pruned index lookup, then verify
+      // against ONLY the candidate docs. Small candidate sets fetch via
+      // literal point lookup (stats-pruned on the pk-clustered layout);
+      // large ones (heavy sub-threshold band sharing, e.g. boilerplate
+      // corpora) fall back to a semi-join — correct at any cardinality,
+      // nothing corpus-sized ever materializes on the driver.
+      val histCands = catalog.indexLookup(container, ix, exactKept)
+        .select(col("qid").as("ida"), col("cand").as("idb"))
+      val candIds = histCands.select(col("idb")).distinct()
+        .limit(MaxCandidateLiterals + 1).collect().map(_.get(0))
+      val candDocs =
+        if (candIds.length <= MaxCandidateLiterals)
+          catalog.read(container).filter(col(pk).isin(candIds.toIndexedSeq: _*))
+        else catalog.read(container).join(
+          histCands.select(col("idb").as(pk)).distinct(), Seq(pk), "left_semi")
+      val histDups =
+        if (candIds.isEmpty) exactKept.select(col(pk).as("ida")).limit(0)
+        else verified(histCands,
+          shingled(exactKept, "ida", "sga"),
+          shingled(candDocs, "idb", "sgb"))
+      // (c) within-batch near-dups: band self-join (candidates only),
+      // keep the lower pk of each verified pair
+      val batchBands = bandsOf(withSignatures(
+        withShingles(exactKept.select(col(pk).as("doc_id"), col(textCol).as("text"))),
+        Seq("doc_id")), Seq("doc_id"))
+      val a = batchBands.as("a"); val b = batchBands.as("b")
+      val batchCands = a.join(b,
+          col("a.band") === col("b.band") && col("a.bk") === col("b.bk")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("b.doc_id").as("ida"), col("a.doc_id").as("idb"))
+        .distinct()
+      val batchShingles = shingled(exactKept, "ida", "sga")
+      val batchDups = verified(batchCands, batchShingles,
+        batchShingles.select(col("ida").as("idb"), col("sga").as("sgb")))
+      val dropIds = histDups.unionByName(batchDups).distinct()
+        .select(col("ida").as(pk))
+      val kept = exactKept.join(dropIds, Seq(pk), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try { if (!kept.isEmpty) { catalog.append(container, kept); () } }
+      finally kept.unpersist(blocking = false)
+    } finally exactKept.unpersist(blocking = false)
   }
 
   /** Ingest-time image decode — the streaming twin of

@@ -888,6 +888,20 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows2 = eng2.execute("SEARCH [] ON amv").asInstanceOf[Engine.ResultSet]
       .df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(rows2 == Set(("a", 2L, 15L), ("b", 1L, 9L)))
+
+    // OPTIMIZE is content-neutral: the caught-up view checkpoint
+    // fast-forwards past the compaction version instead of diffing a
+    // full rewrite that nets zero
+    def ckptOf(v: String): Int = java.nio.file.Files.readString(
+      graft.catalog.Views.ckptFile(eng2.catalog, v)).trim.toInt
+    val before = ckptOf("amv")
+    eng2.execute("OPTIMIZE asrc")
+    assert(ckptOf("amv") == eng2.catalog.currentVersion("asrc")
+      && ckptOf("amv") > before)
+    // and the MV content is unchanged
+    val rows3 = eng2.execute("SEARCH [] ON amv").asInstanceOf[Engine.ResultSet]
+      .df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows3 == rows2)
   }
 
   test("31 catalog introspection: SHOW CONTAINERS / DESCRIBE / SHOW INDEXES / SHOW VERSIONS") {

@@ -570,28 +570,32 @@ class StreamingSpec extends AnyFunSuite {
     val distinctDoc = "completely different content about distributed query engines and parquet files"
     val anotherDoc = "yet another unrelated document describing minhash signatures and band buckets"
 
-    // two source files → two micro-batches (maxFilesPerTrigger=1):
-    // batch 1 = {base, base-exact-copy, distinct}  (within-batch exact dup)
-    // batch 2 = {near-copy of base (HISTORY near-dup), another distinct,
-    //            intra-batch near-pair (40/41)}
+    // two deliveries, drained one at a time (the spec's deterministic
+    // multi-batch idiom — file mtime ordering is not relied on):
+    // delivery 1 = {base, base-exact-copy, distinct}  (within-batch exact dup)
+    // delivery 2 = {near-copy of base (HISTORY near-dup), another distinct,
+    //               intra-batch near-pair (40/41)}
     val src = java.nio.file.Files.createTempDirectory("graft-dedup-ingest-src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dedup-ingest-ckpt")
     import spark.implicits._
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+        .parquet(src.toString)
+      val q = DocumentStreams.dedupIngestToCatalog(stream, cat, "gated", "nd")
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     Seq((10L, base), (11L, base), (12L, distinctDoc)).toDF("doc_id", "text")
       .coalesce(1).write.mode("append").parquet(src.toString)
+    drain()
     val pairA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
     val pairB = pairA.replace("xi", "omicron")
     Seq((20L, nearCopy), (21L, anotherDoc), (40L, pairA), (41L, pairB))
       .toDF("doc_id", "text")
       .coalesce(1).write.mode("append").parquet(src.toString)
-
-    val stream = spark.readStream
-      .schema(StructType(Seq(StructField("doc_id", LongType),
-        StructField("text", StringType))))
-      .option("maxFilesPerTrigger", "1").parquet(src.toString)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-dedup-ingest-ckpt")
-    val q = DocumentStreams.dedupIngestToCatalog(stream, cat, "gated", "nd")
-      .option("checkpointLocation", ckpt.toString).start()
-    try q.processAllAvailable() finally q.stop()
+    drain()
 
     val landed = cat.read("gated").collect().map(_.getLong(0)).toSet
     // 11 = exact dup within batch 1; 20 = near-dup of committed 10;
@@ -601,5 +605,18 @@ class StreamingSpec extends AnyFunSuite {
     // the gate dedups against HISTORY via the index maintained inside
     // each commit — two versions landed (one per micro-batch)
     assert(cat.currentVersion("gated") == 2)
+
+    // REPLAY idempotence: a fresh checkpoint re-delivers everything; the
+    // pk guard drops the already-committed rows, nothing double-appends
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-dedup-ingest-ckpt2")
+    val stream2 = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .parquet(src.toString)
+    val q2 = DocumentStreams.dedupIngestToCatalog(stream2, cat, "gated", "nd")
+      .option("checkpointLocation", ckpt2.toString).start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(cat.read("gated").count() == 4,
+      "replayed rows must not re-append (pk guard)")
   }
 }
