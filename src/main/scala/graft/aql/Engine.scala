@@ -233,6 +233,17 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         org.apache.spark.sql.execution.FormattedMode))
 
     case Ast.Vacuum(c, keep) =>
+      // a vacuum that drops a dependent view's resume point would break
+      // every later REFRESH (recoverable only by re-seeding) — refuse
+      // upfront with the fix, instead of failing at the next refresh
+      val cur = catalog.currentVersion(c)
+      viewsDependingOn(c).foreach { v =>
+        val ckpt = viewTail(v, c).lastDelivered
+        if (ckpt > 0 && keep < cur - ckpt + 1)
+          throw new ParseException(s"VACUUM $c $keep would drop view '$v''s " +
+            s"resume point (checkpoint $ckpt, current $cur) — REFRESH VIEW $v " +
+            s"first or keep at least ${cur - ckpt + 1} version(s)")
+      }
       val before = catalog.versions(c).length
       catalog.vacuum(c, keep)
       Done(s"vacuumed $c: ${before - catalog.versions(c).length} version(s) removed")
@@ -309,9 +320,23 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         catalog.list().map(Row(_))), needsDefaultSort = true)
 
     case Ast.ShowViews =>
-      resultSet(metaDf(Seq("view" -> "TEXT", "definition" -> "TEXT"),
-        graft.catalog.Views.list(catalog).map(v =>
-          Row(v, graft.catalog.Views.load(catalog, v)))),
+      // refresh-lag observability: checkpoint vs the source's current
+      // version — `behind = 0` means the view reflects the latest commit
+      resultSet(metaDf(
+        Seq("view" -> "TEXT", "definition" -> "TEXT", "checkpoint" -> "INT",
+          "src_version" -> "INT", "behind" -> "INT"),
+        graft.catalog.Views.list(catalog).map { v =>
+          val defText = graft.catalog.Views.load(catalog, v)
+          val src = Parser.parse(defText) match {
+            case s: Ast.Search => s.containers.collectFirst {
+              case Ast.Container.Real(n) => n
+            }.getOrElse("")
+            case _ => ""
+          }
+          val ckpt = viewTail(v, src).lastDelivered
+          val cur = if (src.nonEmpty) catalog.currentVersion(src) else 0
+          Row(v, defText, ckpt, cur, math.max(0, cur - ckpt))
+        }),
         needsDefaultSort = true)
 
     case Ast.Describe(c) =>

@@ -851,16 +851,35 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[ParseException](eng.execute("DELETE CONTAINER gsrc"))
     assert(e.getMessage.contains("gmv"))
 
-    // SHOW VIEWS lists the persisted, re-parseable definition
-    val views = searchRows("SHOW VIEWS").map(r => (r.getString(0), r.getString(1)))
-    assert(views.exists { case (v, d) =>
-      v == "gmv" && d.contains("SEARCH [grp, sum(amt)] ON gsrc WHERE amt > 1")
+    // SHOW VIEWS lists the persisted, re-parseable definition plus
+    // refresh-lag observability (checkpoint vs source version)
+    val views = searchRows("SHOW VIEWS")
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(views.exists { case (v, d, ckpt, cur, behind) =>
+      v == "gmv" && d.contains("SEARCH [grp, sum(amt)] ON gsrc WHERE amt > 1") &&
+        ckpt == 1 && cur == 1 && behind == 0
     }, s"got $views")
+    // a commit the view hasn't folded yet shows as lag
+    eng.execute("CREATE ROW ['id','grp','amt'] [2,'a',3] ON gsrc")
+    eng.execute("COMMIT gsrc")
+    val lagged = searchRows("SHOW VIEWS").find(_.getString(0) == "gmv").get
+    assert(lagged.getInt(4) == 1, s"expected behind=1, got $lagged")
+    eng.execute("REFRESH VIEW gmv")
+    assert(searchRows("SHOW VIEWS").find(_.getString(0) == "gmv").get.getInt(4) == 0)
 
     // colliding output names are rejected upfront, with no half-created view
     intercept[ParseException](
       eng.execute("CREATE VIEW gbad (SEARCH [grp, count(id), count(ID)] ON gsrc)"))
     assert(!eng.catalog.exists("gbad"))
+
+    // a vacuum that would drop the view's resume point is refused with
+    // the fix; after a REFRESH the same vacuum passes
+    eng.execute("CREATE ROW ['id','grp','amt'] [3,'c',4] ON gsrc")
+    eng.execute("COMMIT gsrc") // view now one version behind
+    val ve = intercept[ParseException](eng.execute("VACUUM gsrc 1"))
+    assert(ve.getMessage.contains("resume point"))
+    eng.execute("REFRESH VIEW gmv")
+    eng.execute("VACUUM gsrc 1")
 
     eng.execute("DELETE VIEW gmv")
     eng.execute("DELETE CONTAINER gsrc")
