@@ -33,11 +33,18 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
   // feature to commit-time index maintenance. The catch is PER VIEW: one
   // permanently failing view (vacuumed-past checkpoint, corrupt def) must
   // not starve its later-sorted siblings of every future auto-refresh.
-  if (settings.refreshViewsAfterCommit)
+  if (settings.refreshViewsAfterCommit) {
     tx.onCommit = c => viewsDependingOn(c).foreach { v =>
       try refreshView(v)
       catch { case scala.util.control.NonFatal(_) => () }
     }
+    // streamed ingest lands through Catalog.append, not Tx — same
+    // per-view-isolated refresh so micro-batch commits reach views too
+    catalog.onAppend = (c, _) => viewsDependingOn(c).foreach { v =>
+      try refreshView(v)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
   // auto-OPTIMIZE is content-neutral: fast-forward caught-up view
   // checkpoints past the compaction version so no consumer diffs a full
   // rewrite that nets zero (knob-independent — correct for any view)

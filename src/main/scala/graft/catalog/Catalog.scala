@@ -672,7 +672,14 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
       val ok =
         if (base == 0) tryCommit(name, 0, sorted)
         else tryCommitCow(name, base, versionFiles(name, base), Some(sorted))
-      if (ok) return base + 1
+      if (ok) {
+        // post-append maintenance hook (the streaming twin of Tx.onCommit
+        // — micro-batch ingest must reach dependent views too); failures
+        // never fail the durable append
+        try onAppend(name, base + 1)
+        catch { case scala.util.control.NonFatal(_) => () }
+        return base + 1
+      }
       // a dead committer's claim or an unflipped published version would
       // wedge the retry loop on the same base — same escape as Tx.commit
       releaseOrphanClaim(name, base + 1)
@@ -680,6 +687,13 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     }
     -1 // unreachable
   }
+
+  /** Post-[[append]] hook `(container, publishedVersion)` — the engine
+    * wires incremental-view auto-refresh through this when
+    * `refresh_views_after_commit` is set, so STREAMED ingest
+    * (`DocumentStreams.ingestToCatalog` lands through append, not Tx)
+    * maintains views exactly like statement commits. */
+  @volatile var onAppend: (String, Int) => Unit = (_, _) => ()
 
   /** Commit `df` as the next version unconditionally (last-writer-wins) —
     * for whole-container replacement where there is no read-modify-write

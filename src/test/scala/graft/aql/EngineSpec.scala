@@ -908,6 +908,14 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(rows2 == Set(("a", 2L, 15L), ("b", 1L, 9L)))
 
+    // streamed ingest (Catalog.append, bypassing Tx) reaches views too
+    import spark.implicits._
+    eng2.catalog.append("asrc",
+      Seq((4L, "c", 11L)).toDF("id", "grp", "amt"))
+    val rowsS = eng2.execute("SEARCH [] ON amv").asInstanceOf[Engine.ResultSet]
+      .df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rowsS == Set(("a", 2L, 15L), ("b", 1L, 9L), ("c", 1L, 11L)))
+
     // OPTIMIZE is content-neutral: the caught-up view checkpoint
     // fast-forwards past the compaction version instead of diffing a
     // full rewrite that nets zero
@@ -920,7 +928,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the MV content is unchanged
     val rows3 = eng2.execute("SEARCH [] ON amv").asInstanceOf[Engine.ResultSet]
       .df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-    assert(rows3 == rows2)
+    assert(rows3 == rowsS)
   }
 
   test("31 catalog introspection: SHOW CONTAINERS / DESCRIBE / SHOW INDEXES / SHOW VERSIONS") {
