@@ -264,6 +264,7 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
       .getOrElse(sys.error(s"No index '$ix' on '$name'"))
     d.kind match {
       case "lsh" => Index.lshLookup(this, name, d, queries)
+      case "simhash" => Index.simhashLookup(this, name, d, queries)
       case "ivf" => Index.ivfLookup(this, name, d, queries)
       case other => sys.error(s"unknown index kind '$other'")
     }

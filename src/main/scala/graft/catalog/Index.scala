@@ -49,7 +49,8 @@ object Index {
   final case class Def(ix: String, kind: String, column: String) {
     /** Index-row schema (minus the `src` partition column). */
     def schema(pkType: DataType): StructType = kind match {
-      case "lsh" => StructType(Seq(
+      // simhash shares the lsh band-row shape: bk = "band:bucketValue"
+      case "lsh" | "simhash" => StructType(Seq(
         StructField("id", pkType), StructField("band", IntegerType),
         StructField("bk", StringType)))
       case "ivf" => StructType(Seq(
@@ -61,7 +62,7 @@ object Index {
       * groups under the `isin` pushdown (the layout-as-index convention,
       * same as the container's pk clustering). */
     def pruneKey: String = kind match {
-      case "lsh" => "bk"
+      case "lsh" | "simhash" => "bk"
       case "ivf" => "cluster"
       case other => sys.error(s"unknown index kind '$other'")
     }
@@ -122,9 +123,9 @@ object Index {
       case (n, t) if n.equalsIgnoreCase(column) => t
     }.getOrElse(sys.error(s"No column '$column' on '$container'"))
     val body = kind match {
-      case "lsh" =>
+      case "lsh" | "simhash" =>
         require(colType.spark == StringType,
-          s"lsh index needs a TEXT-like column, '$column' is ${colType.name}")
+          s"$kind index needs a TEXT-like column, '$column' is ${colType.name}")
         s"$kind\t$column"
       case "ivf" =>
         require(colType.spark == BinaryType,
@@ -191,8 +192,21 @@ object Index {
   def lshLookup(cat: Catalog, container: String, idef: Def,
       queries: DataFrame): DataFrame = {
     require(idef.kind == "lsh", s"index '${idef.ix}' is not an lsh index")
+    bandLookup(cat, container, idef, queries, deriveLsh)
+  }
+
+  /** Near-dup lookup from a `simhash` index — identical serving shape to
+    * [[lshLookup]] over the simhash banding. */
+  def simhashLookup(cat: Catalog, container: String, idef: Def,
+      queries: DataFrame): DataFrame = {
+    require(idef.kind == "simhash", s"index '${idef.ix}' is not a simhash index")
+    bandLookup(cat, container, idef, queries, deriveSimhash)
+  }
+
+  private def bandLookup(cat: Catalog, container: String, idef: Def,
+      queries: DataFrame, derive: DataFrame => DataFrame): DataFrame = {
     val pk = cat.get(container).primaryKey
-    val qBands = deriveLsh(queries
+    val qBands = derive(queries
         .select(col(pk).as("id"), col(idef.column).as("text"))
         .withColumn("src", lit("query")))
       .select(col("id").as("qid"), col("band").as("qband"), col("bk").as("qbk"))
@@ -344,6 +358,9 @@ object Index {
       case "lsh" =>
         deriveLsh(rows.select(col(d.primaryKey).as("id"),
           col(idef.column).as("text"), col("src")))
+      case "simhash" =>
+        deriveSimhash(rows.select(col(d.primaryKey).as("id"),
+          col(idef.column).as("text"), col("src")))
       case "ivf" =>
         // nearest frozen centroid per vector (codegen'd unpack + the tiny
         // broadcast centroid dim). Undecodable payloads produce no index
@@ -380,5 +397,26 @@ object Index {
     bandsOf(withSignatures(withShingles(docs.withColumnRenamed("id", "doc_id")),
         Seq("doc_id", "src")), Seq("doc_id", "src"))
       .select(col("doc_id").as("id"), col("band"), col("bk"), col("src"))
+  }
+
+  /** (id, text, src) → (id, band, bk, src): the simhash-32 banding shared
+    * with `dd_simhash_neardup` — 4 bands of 8 bits, band key `"b:v"`
+    * (band qualifies the bucket value so the single `bk` prune column
+    * stays selective across bands, matching the lsh index's shape). Two
+    * docs within Hamming distance 3 of each other share at least one
+    * unchanged band (pigeonhole), so candidates = near-dups plus a
+    * verifiable false-positive tail, exactly like the banded batch query.
+    */
+  private def deriveSimhash(docs: DataFrame): DataFrame = {
+    val sigs = graft.operators.TextDedup.withSimhash(
+      docs.withColumnRenamed("id", "doc_id"), Seq("doc_id", "src"))
+    val bandStructs = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        concat_ws(":", lit(b),
+          expr(s"shiftright(simhash, ${8 * b}) & 255")).as("bk")))
+    sigs.select(col("doc_id"), col("src"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id").as("id"), col("bb.band").as("band"),
+        col("bb.bk").as("bk"), col("src"))
   }
 }

@@ -333,20 +333,28 @@ object TextDedup {
     s"(((strpos('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1) >> $shift) & 1)"
   }
 
-  /** simhash-32 per doc_id (shared by dd_simhash and dd_simhash_neardup). */
-  private def simhashDf(s: SparkSession, dir: String): DataFrame = {
-    val tok = docs(s, dir)
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tk"))
+  /** simhash-32 over a (keys…, text) frame: md5-per-token bit votes →
+    * 32-bit signature. Shared by the fixture queries (dd_simhash,
+    * dd_simhash_neardup) and the catalog's `simhash` index maintenance
+    * ([[graft.catalog.Index]] — `keys` carries the source-file column
+    * there, functionally dependent on the doc id like withSignatures). */
+  private[graft] def withSimhash(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val tok = df
+      .select(keys.map(col) :+ explode(split(lower(col("text")), " ")).as("tk"): _*)
       .withColumn("h", md5(col("tk")))
     val bitAggs = (0 until 32).map(i =>
       sum(when(expr(sparkTokenBit(i)) === 1, 1).otherwise(-1)).as(s"b$i"))
     val sig = (0 until 32)
       .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
-    tok.groupBy(col("doc_id"))
+    tok.groupBy(keys.map(col): _*)
       .agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col("doc_id"), sig.cast("long").as("simhash"))
+      .select(keys.map(col) :+ sig.cast("long").as("simhash"): _*)
   }
+
+  /** simhash-32 per doc_id (shared by dd_simhash and dd_simhash_neardup). */
+  private def simhashDf(s: SparkSession, dir: String): DataFrame =
+    withSimhash(docs(s, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
 
   private val duckSimhashCte: String = {
     val bitSums = (0 until 32)

@@ -80,6 +80,48 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(v2.size > v1IxParts.size, "the new doc contributed fresh index parts")
   }
 
+  test("simhash index: same maintenance machinery, lookup equals the recomputed band-collision set") {
+    val (cat, _) = fixture("simhash")
+    cat.createIndex("docs", "sh", "simhash", "body")
+    val ix = cat.readIndex("docs", "sh")
+    assert(ix.columns.toSet == Set("id", "band", "bk", "src"))
+    assert(ix.select("id").distinct().count() == 16, "every doc indexed")
+    // 4 bands per doc, band-qualified keys ("b:v")
+    assert(ix.count() == 64)
+    assert(ix.select("bk").collect().forall(_.getString(0).matches("\\d:\\d+")))
+
+    // a token-level variant of the textA family hits that family: simhash
+    // bands survive single-token changes that re-shingle every 3-gram
+    val cands = cat.indexLookup("docs", "sh", queryDf(999L, textA(0) + " extra"))
+      .collect().map(_.getLong(1)).toSet
+    assert(cands.nonEmpty && cands.subsetOf((0L until 8L).toSet),
+      s"variant query must hit only the textA family, got $cands")
+
+    // the index-served candidate set for doc 0's own text equals the
+    // recomputed band-collision set (an index changes where rows come
+    // from, never what they are)
+    import spark.implicits._
+    val all = ((0L until 8L).map(i => (i, textA(i.toInt)))
+      ++ (8L until 16L).map(i => (i, textB(i.toInt)))).toDF("doc_id", "text")
+    val sigs = graft.operators.TextDedup.withSimhash(all, Seq("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def bands(sh: Long): Set[(Int, Long)] =
+      (0 until 4).map(b => b -> ((sh >> (8 * b)) & 255L)).toSet
+    val expected = sigs.keySet.filter(i =>
+      i != 0L && bands(sigs(i)).intersect(bands(sigs(0L))).nonEmpty)
+    val served = cat.indexLookup("docs", "sh", queryDf(0L, textA(0)))
+      .collect().map(_.getLong(1)).toSet
+    assert(served == expected, s"served $served, recomputed $expected")
+
+    // commit-time maintenance: a committed insert is immediately servable
+    val tx = new Tx(cat)
+    tx.stageInsert("docs", Seq(org.apache.spark.sql.Row(99L, textA(99))))
+    tx.commit(Some("docs"))
+    val after = cat.indexLookup("docs", "sh", queryDf(999L, textA(999)))
+      .collect().map(_.getLong(1)).toSet
+    assert(after.contains(99L), s"new doc must be indexed at commit, got $after")
+  }
+
   test("delete + COMMIT drops the doc's index rows; untouched files stay linked") {
     val (cat, _) = fixture("delete")
     cat.createIndex("docs", "nd", "lsh", "body")
