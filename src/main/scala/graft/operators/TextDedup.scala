@@ -285,6 +285,43 @@ object TextDedup {
       .distinct()
   }
 
+  /** The persisted simhash band index — token-level twin of
+    * [[lshBandIndex]]: 4×8-bit bands of the simhash-32 signature,
+    * hash-bucketed by the band-qualified key. Same serving shape, robust
+    * to a different edit class (single-token changes re-shingle every
+    * 3-gram but flip few simhash bits). */
+  def simhashBandIndex(s: SparkSession, dir: String): DataFrame = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val build = simhashBands(simhashDf(s, dir))
+    if (!src.isFile) build // directory-layout fixture: unpersisted fallback
+    else Tables.bucketedDerived(s, src, "simhash_bands", "bk", 64)(build)
+  }
+
+  private def simhashBands(sigs: DataFrame): DataFrame = {
+    val bandStructs = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        concat_ws(":", lit(b),
+          expr(s"shiftright(simhash, ${8 * b}) & 255")).as("bk")))
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+  }
+
+  /** Candidate near-dups served from [[simhashBandIndex]] — the same
+    * ≤4-literal-keys-per-doc bucket-pruned probe as the lsh lookup. */
+  private def simhashIndexLookup(s: SparkSession, dir: String): DataFrame = {
+    val qBands = simhashBands(withSimhash(
+      docs(s, dir).filter(col("doc_id") < 5).select(col("doc_id"), col("text")),
+      Seq("doc_id")))
+      .select(col("doc_id").as("qid"), col("band").as("qband"), col("bk").as("qbk"))
+    val keys = qBands.select(col("qbk")).distinct().collect().map(_.getString(0))
+    simhashBandIndex(s, dir).filter(col("bk").isin(keys.toIndexedSeq: _*))
+      .join(broadcast(qBands),
+        col("band") === col("qband") && col("bk") === col("qbk")
+          && col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id").as("cand"))
+      .distinct()
+  }
+
   // RECURSIVE unconditionally: harmless for the non-recursive consumers,
   // and required by dd_dup_clusters' walk CTE — no string surgery on a
   // generated query downstream
@@ -889,6 +926,24 @@ object TextDedup {
     // keys — the equi-join is lossless for this radius; the bit_count
     // filter then discards band false-positives. Same banding in both
     // engines; the join shuffles (band, byte, doc_id, sig) tuples only.
+    // Near-dup candidate LOOKUP served from the persisted simhash band
+    // index — the token-level twin of dd_lsh_index_lookup: ≤4 literal
+    // band keys per query doc bucket-prune the index scan; the oracle
+    // recomputes the same lookup declaratively.
+    Q("dd_simhash_index_lookup",
+      s"""WITH $duckSimhashCte,
+         |banded AS (
+         |  SELECT doc_id, band, (simhash >> (8 * band)) & 255 AS bv
+         |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands),
+         |q AS (SELECT doc_id AS qid, band AS qband, bv AS qbv
+         |      FROM banded WHERE doc_id < 5)
+         |SELECT DISTINCT q.qid, c.doc_id AS cand
+         |FROM q JOIN banded c
+         |  ON c.band = q.qband AND c.bv = q.qbv AND c.doc_id <> q.qid
+         |ORDER BY qid, cand""".stripMargin) {
+      (s, dir) => simhashIndexLookup(s, dir).orderBy(col("qid"), col("cand"))
+    },
+
     Q("dd_simhash_neardup",
       s"""WITH $duckSimhashCte,
          |banded AS (
