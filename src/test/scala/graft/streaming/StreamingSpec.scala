@@ -606,6 +606,20 @@ class StreamingSpec extends AnyFunSuite {
     // each commit — two versions landed (one per micro-batch)
     assert(cat.currentVersion("gated") == 2)
 
+    // the gate is index-kind-agnostic: a simhash-indexed container
+    // dedups the token-level edit class through the same dispatch
+    val cat2root = java.nio.file.Files.createTempDirectory("graft-dedup-sh")
+    val cat2 = new graft.catalog.Catalog(spark, cat2root.toString)
+    cat2.create("gated2", List("doc_id" -> graft.aql.AlbaType.of("BIGINT"),
+      "text" -> graft.aql.AlbaType.of("TEXT")))
+    cat2.createIndex("gated2", "sh", "simhash", "text")
+    cat2.append("gated2", Seq((1L, base)).toDF("doc_id", "text"))
+    DocumentStreams.dedupBatch(
+      Seq((2L, nearCopy), (3L, distinctDoc)).toDF("doc_id", "text"),
+      cat2, "gated2", "sh", threshold = 0.5)
+    assert(cat2.read("gated2").collect().map(_.getLong(0)).toSet == Set(1L, 3L),
+      "simhash-indexed gate must drop the near copy and keep the distinct doc")
+
     // REPLAY idempotence: a fresh checkpoint re-delivers everything; the
     // pk guard drops the already-committed rows, nothing double-appends
     val ckpt2 = java.nio.file.Files.createTempDirectory("graft-dedup-ingest-ckpt2")
