@@ -257,8 +257,9 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
   }
 
   /** Candidate lookup for `queries` (rows shaped like the container):
-    * near-dup candidates from an lsh index, ANN candidates from an ivf
-    * index — see [[Index.lshLookup]] / [[Index.ivfLookup]]. */
+    * near-dup candidates from an lsh/simhash band index, ANN candidates
+    * from an ivf index — see [[Index.lshLookup]] / [[Index.simhashLookup]]
+    * / [[Index.ivfLookup]]. */
   def indexLookup(name: String, ix: String, queries: DataFrame): DataFrame = {
     val d = indexDefs(name).find(_.ix == ix)
       .getOrElse(sys.error(s"No index '$ix' on '$name'"))

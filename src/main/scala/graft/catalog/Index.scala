@@ -40,10 +40,16 @@ import scala.jdk.CollectionConverters._
   *
   * Kinds:
   *  - `lsh`: MinHash band rows `(id, band, bk)` over a TEXT column — the
-  *    near-dup serving index (same derivation as the fixture-side
-  *    `dd_lsh_index_lookup`, `operators/TextDedup.scala`). A lookup
-  *    computes the query doc's ≤4·bands literal band keys and scans the
-  *    index filtered to those keys; cost ∝ probe keys, not corpus.
+  *    shingle-level near-dup serving index (same derivation as the
+  *    fixture-side `dd_lsh_index_lookup`, `operators/TextDedup.scala`).
+  *    A lookup computes the query doc's ≤4·bands literal band keys and
+  *    scans the index filtered to those keys; cost ∝ probe keys, not
+  *    corpus.
+  *  - `simhash`: 4×8-bit simhash bands over a TEXT column, same band-row
+  *    shape and probe path — the token-level near-dup detector (robust
+  *    to edits that re-shingle every 3-gram).
+  *  - `ivf`: frozen-centroid cluster assignments over a packed-float32
+  *    BYTES column; probes prune to the ≤ nprobe nearest clusters.
   */
 object Index {
   final case class Def(ix: String, kind: String, column: String) {
@@ -408,15 +414,9 @@ object Index {
     * verifiable false-positive tail, exactly like the banded batch query.
     */
   private def deriveSimhash(docs: DataFrame): DataFrame = {
-    val sigs = graft.operators.TextDedup.withSimhash(
-      docs.withColumnRenamed("id", "doc_id"), Seq("doc_id", "src"))
-    val bandStructs = (0 until 4).map(b =>
-      struct(lit(b).as("band"),
-        concat_ws(":", lit(b),
-          expr(s"shiftright(simhash, ${8 * b}) & 255")).as("bk")))
-    sigs.select(col("doc_id"), col("src"),
-        explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id").as("id"), col("bb.band").as("band"),
-        col("bb.bk").as("bk"), col("src"))
+    import graft.operators.TextDedup.{simhashBands, withSimhash}
+    simhashBands(withSimhash(docs.withColumnRenamed("id", "doc_id"),
+        Seq("doc_id", "src")), Seq("doc_id", "src"))
+      .select(col("doc_id").as("id"), col("band"), col("bk"), col("src"))
   }
 }

@@ -270,20 +270,11 @@ object TextDedup {
   }
 
   /** Candidate near-dups for the query docs, served from [[lshBandIndex]]. */
-  private def lshIndexLookup(s: SparkSession, dir: String): DataFrame = {
-    val qBands = bandsOf(withSignatures(withShingles(
-      docs(s, dir).filter(col("doc_id") < 5))))
-      .select(col("doc_id").as("qid"), col("band").as("qband"), col("bk").as("qbk"))
-    // ≤ 20 literal band keys — bounded per-lookup metadata, like an IVF
-    // probe list
-    val keys = qBands.select(col("qbk")).distinct().collect().map(_.getString(0))
-    lshBandIndex(s, dir).filter(col("bk").isin(keys.toIndexedSeq: _*))
-      .join(broadcast(qBands),
-        col("band") === col("qband") && col("bk") === col("qbk")
-          && col("doc_id") =!= col("qid"))
-      .select(col("qid"), col("doc_id").as("cand"))
-      .distinct()
-  }
+  private def lshIndexLookup(s: SparkSession, dir: String): DataFrame =
+    bandProbe(lshBandIndex(s, dir),
+      bandsOf(withSignatures(withShingles(
+        docs(s, dir).filter(col("doc_id") < 5))))
+        .select(col("doc_id").as("qid"), col("band").as("qband"), col("bk").as("qbk")))
 
   /** The persisted simhash band index — token-level twin of
     * [[lshBandIndex]]: 4×8-bit bands of the simhash-32 signature,
@@ -297,24 +288,36 @@ object TextDedup {
     else Tables.bucketedDerived(s, src, "simhash_bands", "bk", 64)(build)
   }
 
-  private def simhashBands(sigs: DataFrame): DataFrame = {
+  /** 4×8-bit simhash bands with band-qualified keys `"b:v"` — the ONE
+    * banding definition shared by the fixture index, the catalog's
+    * `simhash` index maintenance, and the ingest dedup gate (drift in any
+    * copy would silently break their oracle-pinned equivalence). */
+  private[graft] def simhashBands(sigs: DataFrame,
+      keys: Seq[String] = Seq("doc_id")): DataFrame = {
     val bandStructs = (0 until 4).map(b =>
       struct(lit(b).as("band"),
         concat_ws(":", lit(b),
           expr(s"shiftright(simhash, ${8 * b}) & 255")).as("bk")))
-    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+    sigs.select(keys.map(col) :+ explode(array(bandStructs: _*)).as("bb"): _*)
+      .select(keys.map(col) :+ col("bb.band").as("band") :+ col("bb.bk").as("bk"): _*)
   }
 
   /** Candidate near-dups served from [[simhashBandIndex]] — the same
     * ≤4-literal-keys-per-doc bucket-pruned probe as the lsh lookup. */
-  private def simhashIndexLookup(s: SparkSession, dir: String): DataFrame = {
-    val qBands = simhashBands(withSimhash(
-      docs(s, dir).filter(col("doc_id") < 5).select(col("doc_id"), col("text")),
-      Seq("doc_id")))
-      .select(col("doc_id").as("qid"), col("band").as("qband"), col("bk").as("qbk"))
+  private def simhashIndexLookup(s: SparkSession, dir: String): DataFrame =
+    bandProbe(simhashBandIndex(s, dir),
+      simhashBands(withSimhash(
+        docs(s, dir).filter(col("doc_id") < 5).select(col("doc_id"), col("text")),
+        Seq("doc_id")))
+        .select(col("doc_id").as("qid"), col("band").as("qband"), col("bk").as("qbk")))
+
+  /** The shared probe shape of every persisted band index: collect the
+    * query side's ≤ bands-per-doc literal keys (bounded per-lookup
+    * metadata, the IVF probe-list idiom), bucket-prune the index scan to
+    * them, equi-join back excluding self-hits. */
+  private def bandProbe(index: DataFrame, qBands: DataFrame): DataFrame = {
     val keys = qBands.select(col("qbk")).distinct().collect().map(_.getString(0))
-    simhashBandIndex(s, dir).filter(col("bk").isin(keys.toIndexedSeq: _*))
+    index.filter(col("bk").isin(keys.toIndexedSeq: _*))
       .join(broadcast(qBands),
         col("band") === col("qband") && col("bk") === col("qbk")
           && col("doc_id") =!= col("qid"))
@@ -919,17 +922,11 @@ object TextDedup {
       (s, dir) => simhashDf(s, dir).orderBy(col("doc_id"))
     },
 
-    // SimHash near-dup pairs: Hamming distance ≤ 1 over the 32-bit
-    // signatures, found SUB-QUADRATICALLY by banding each signature into
-    // 4×8-bit keys and equi-joining on (band, byte). A pair within distance
-    // 1 differs in at most one band, so it collides on ≥ 3 of the 4 band
-    // keys — the equi-join is lossless for this radius; the bit_count
-    // filter then discards band false-positives. Same banding in both
-    // engines; the join shuffles (band, byte, doc_id, sig) tuples only.
     // Near-dup candidate LOOKUP served from the persisted simhash band
     // index — the token-level twin of dd_lsh_index_lookup: ≤4 literal
-    // band keys per query doc bucket-prune the index scan; the oracle
-    // recomputes the same lookup declaratively.
+    // band keys per query doc bucket-prune the index scan; candidates
+    // include the band false-positive tail (the verify stage's job). The
+    // oracle recomputes the same lookup declaratively.
     Q("dd_simhash_index_lookup",
       s"""WITH $duckSimhashCte,
          |banded AS (
@@ -944,6 +941,13 @@ object TextDedup {
       (s, dir) => simhashIndexLookup(s, dir).orderBy(col("qid"), col("cand"))
     },
 
+    // SimHash near-dup pairs: Hamming distance ≤ 1 over the 32-bit
+    // signatures, found SUB-QUADRATICALLY by banding each signature into
+    // 4×8-bit keys and equi-joining on (band, byte). A pair within distance
+    // 1 differs in at most one band, so it collides on ≥ 3 of the 4 band
+    // keys — the equi-join is lossless for this radius; the bit_count
+    // filter then discards band false-positives. Same banding in both
+    // engines; the join shuffles (band, byte, doc_id, sig) tuples only.
     Q("dd_simhash_neardup",
       s"""WITH $duckSimhashCte,
          |banded AS (

@@ -214,8 +214,9 @@ object DocumentStreams {
     import graft.operators.TextDedup.{bandsOf, withShingles, withSignatures}
     val d = catalog.get(container)
     val pk = d.primaryKey
-    val textCol = catalog.indexDefs(container).find(_.ix == ix)
-      .getOrElse(sys.error(s"No index '$ix' on '$container'")).column
+    val idef = catalog.indexDefs(container).find(_.ix == ix)
+      .getOrElse(sys.error(s"No index '$ix' on '$container'"))
+    val textCol = idef.column
     def shingled(df: DataFrame, idOut: String, sgOut: String): DataFrame =
       withShingles(df.select(col(pk).as("doc_id"), col(textCol).as("text")))
         .select(col("doc_id").as(idOut), array_distinct(col("sg")).as(sgOut))
@@ -269,10 +270,17 @@ object DocumentStreams {
           shingled(exactKept, "ida", "sga"),
           shingled(candDocs, "idb", "sgb"))
       // (c) within-batch near-dups: band self-join (candidates only),
-      // keep the lower pk of each verified pair
-      val batchBands = bandsOf(withSignatures(
-        withShingles(exactKept.select(col(pk).as("doc_id"), col(textCol).as("text"))),
-        Seq("doc_id")), Seq("doc_id"))
+      // keep the lower pk of each verified pair. Banding matches the
+      // INDEX KIND, so within-batch coverage has the same edit-class
+      // robustness as the cross-batch history lookup — results must not
+      // depend on how arrivals happen to be batched
+      val batchDocs = exactKept.select(col(pk).as("doc_id"), col(textCol).as("text"))
+      val batchBands = idef.kind match {
+        case "simhash" => graft.operators.TextDedup.simhashBands(
+          graft.operators.TextDedup.withSimhash(batchDocs, Seq("doc_id")))
+        case _ => bandsOf(withSignatures(withShingles(batchDocs), Seq("doc_id")),
+          Seq("doc_id"))
+      }
       val a = batchBands.as("a"); val b = batchBands.as("b")
       val batchCands = a.join(b,
           col("a.band") === col("b.band") && col("a.bk") === col("b.bk")

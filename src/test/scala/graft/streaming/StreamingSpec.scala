@@ -619,6 +619,15 @@ class StreamingSpec extends AnyFunSuite {
       cat2, "gated2", "sh", threshold = 0.5)
     assert(cat2.read("gated2").collect().map(_.getLong(0)).toSet == Set(1L, 3L),
       "simhash-indexed gate must drop the near copy and keep the distinct doc")
+    // WITHIN-batch coverage uses the index's banding too: a token-edit
+    // pair arriving in one batch dedups the same as across batches
+    val longA = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen"
+    DocumentStreams.dedupBatch(
+      Seq((6L, longA), (7L, longA.replace("fourteen", "fifteen")))
+        .toDF("doc_id", "text"),
+      cat2, "gated2", "sh", threshold = 0.5)
+    assert(cat2.read("gated2").collect().map(_.getLong(0)).toSet == Set(1L, 3L, 6L),
+      "within-batch simhash pair must keep only the lower pk")
 
     // REPLAY idempotence: a fresh checkpoint re-delivers everything; the
     // pk guard drops the already-committed rows, nothing double-appends
