@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Advanced, Analytics, AqlQueries, Events, Multimodal, Relational, Similarity, TextDedup}
+import graft.operators.{Advanced, Analytics, AqlQueries, Events, FullText, Multimodal, Relational, Similarity, TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,7 @@ object SparkEntry {
     */
   val registry: Seq[Q] =
     Relational.defs ++ Analytics.defs ++ Events.defs ++
-      TextDedup.defs ++ Similarity.defs ++ Multimodal.defs ++ Advanced.defs ++
+      TextDedup.defs ++ FullText.defs ++ Similarity.defs ++ Multimodal.defs ++ Advanced.defs ++
       AqlQueries.defs ++ graft.sources.CorpusFormats.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,184 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full-text search over the `documents` corpus: inverted postings and
+  * BM25 ranking, with a persisted term-bucketed index as the serving path.
+  *
+  * The reference's Strix indexing (`/root/reference/src/indexing.rs`) maps
+  * values to row addresses for point predicates; the full-text lane is the
+  * text-native generalization a training-data pipeline actually needs —
+  * term → (doc, tf) postings with corpus statistics, scored by BM25
+  * (Robertson et al.; the `ln(1 + (N-df+0.5)/(df+0.5))` idf variant Lucene
+  * standardized, so scores are non-negative).
+  *
+  * Scale design:
+  *  - The postings build is one scan: explode tokens → partial-agg
+  *    (doc, term) counts. Only (doc_id, term, tf, dl) tuples shuffle —
+  *    never text.
+  *  - Corpus stats (N, Σdl) are a 1-row aggregate, broadcast into scoring.
+  *  - The persisted index buckets postings BY TERM (hash-bucketed,
+  *    sorted), so a query's postings scan prunes to its literal terms'
+  *    buckets and row groups — lookup cost ∝ query terms' document
+  *    frequency, never corpus size. Corpus stats ride along as sentinel
+  *    rows under the empty term key, keeping the lookup one pruned scan
+  *    with zero corpus-wide work (the same layout-as-index convention as
+  *    the lsh/simhash/ivf serving tables).
+  *  - Scoring joins the ≤|Q|-row df table and the 1-row stats broadcast
+  *    into the pruned postings, then a partial-agg sum per doc and a
+  *    bounded top-k. Nothing all-pairs, nothing corpus-wide.
+  */
+object FullText {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  /** BM25 free parameters (the universal defaults). */
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** The probe query: one rare term (df≈5% of docs) + two mid-frequency
+    * terms, so ranking is dominated by idf contrast — a real relevance
+    * ordering, not a tie-broken length sort. */
+  private[graft] val QueryTerms = Seq("dup", "vector", "merge")
+
+  /** Sentinel term key for corpus-stats rows in the persisted index: the
+    * empty string can never be a token (tokens are the non-empty splits),
+    * and it sorts first under the term-sorted layout. A stats row carries
+    * (tf = n_docs, dl = Σ doc_len) for the slice it summarizes. */
+  private[graft] val StatsTerm = ""
+
+  /** (doc_id, term, tf, dl): term frequencies per document plus the
+    * document's token length. Row-local per document — the property that
+    * makes per-file index recomputation exact under COW commits. */
+  private[graft] def postingsOf(d: DataFrame): DataFrame = {
+    val toks = d
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), " "), t => t =!= "").as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
+    toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).cast("double").as("dl"))
+  }
+
+  /** 1-row (n, avgdl) corpus statistics; `n` counts ALL documents (a
+    * zero-token document still counts toward N and the avgdl denominator,
+    * mirroring the per-file sentinel aggregation in the catalog index). */
+  private def statsOf(d: DataFrame): DataFrame =
+    d.select(size(filter(split(lower(col("text")), " "), t => t =!= ""))
+        .cast("long").as("dl"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        (sum(col("dl")) / count(lit(1))).as("avgdl"))
+
+  /** Score `post` (doc_id, term, tf, dl — already restricted to the query
+    * terms) against 1-row `stats` (n, avgdl): per-term BM25, summed per
+    * doc, top-k by (score desc, doc_id). df comes from the restricted
+    * postings themselves — a ≤|terms|-row broadcast — so the same scoring
+    * serves both the full-scan baseline and the index-pruned path.
+    */
+  private[graft] def bm25TopK(post: DataFrame, stats: DataFrame, k: Int): DataFrame = {
+    val dfs = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val perTerm = post
+      .join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("sc",
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+          * col("tf") * (K1 + 1.0)
+          / (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
+    perTerm.groupBy(col("doc_id"))
+      .agg(round(sum(col("sc")), 6).as("bm25"), count(lit(1)).as("n_terms"))
+      .orderBy(desc("bm25"), col("doc_id"))
+      .limit(k)
+  }
+
+  /** The persisted inverted index: postings bucketed+sorted by term (64
+    * hash buckets) with the corpus-stats sentinel rows appended under
+    * [[StatsTerm]]. A lookup's `term IN (…literals)` prunes to the terms'
+    * buckets, then to row groups by the sorted-layout min/max stats. */
+  private[graft] def termIndex(s: SparkSession, dir: String): DataFrame = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    def build = {
+      val d = docs(s, dir)
+      val post = postingsOf(d)
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      val stats = d
+        .select(size(filter(split(lower(col("text")), " "), t => t =!= ""))
+          .cast("long").as("dl"))
+        .agg(count(lit(1)).as("tf"), sum(col("dl")).cast("double").as("dl"))
+        .select(lit(StatsTerm).as("term"), lit(-1L).as("doc_id"),
+          col("tf"), col("dl"))
+      post.unionByName(stats)
+    }
+    if (!src.isFile) build // directory-layout fixture: unpersisted fallback
+    else Tables.bucketedDerived(s, src, "ft_postings", "term", 64)(build)
+  }
+
+  private val duckTokCte =
+    """toks AS (
+      |  SELECT doc_id, len(tk) AS dl, unnest(tk) AS term
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+      |        FROM documents)),
+      |post AS (
+      |  SELECT doc_id, term, count(*) AS tf, CAST(any_value(dl) AS DOUBLE) AS dl
+      |  FROM toks GROUP BY doc_id, term),
+      |stats AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |         sum(len(list_filter(string_split(lower(text), ' '), t -> t <> '')))
+      |           * 1.0 / count(*) AS avgdl
+      |  FROM documents)""".stripMargin
+
+  private val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+
+  private val duckBm25 =
+    s"""WITH $duckTokCte,
+       |qpost AS (SELECT * FROM post WHERE term IN ($termList)),
+       |dfs AS (SELECT term, count(*) AS df FROM qpost GROUP BY term)
+       |SELECT p.doc_id,
+       |       round(sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+       |                 * p.tf * ${K1 + 1.0}
+       |                 / (p.tf + $K1 * (1.0 - $B + $B * p.dl / s.avgdl))), 6) AS bm25,
+       |       count(*) AS n_terms
+       |FROM qpost p JOIN dfs d USING (term) CROSS JOIN stats s
+       |GROUP BY p.doc_id
+       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
+  val defs: Seq[Q] = Seq(
+
+    // Inverted-postings derivation, pinned on the probe terms over a
+    // bounded id slice: (doc, term) term frequency + doc token length.
+    Q("ft_postings",
+      s"""WITH $duckTokCte
+         |SELECT doc_id, term, tf, CAST(dl AS BIGINT) AS dl
+         |FROM post WHERE term IN ($termList) AND doc_id < 50
+         |ORDER BY doc_id, term""".stripMargin) { (s, dir) =>
+      postingsOf(docs(s, dir))
+        .filter(col("term").isin(QueryTerms: _*) && col("doc_id") < 50)
+        .select(col("doc_id"), col("term"), col("tf"), col("dl").cast("long").as("dl"))
+        .orderBy(col("doc_id"), col("term"))
+    },
+
+    // Full-scan BM25 top-20 for the probe query — the exact baseline the
+    // index-served path must reproduce bit-for-bit.
+    Q("ft_bm25_topk", duckBm25) { (s, dir) =>
+      val d = docs(s, dir)
+      val post = postingsOf(d).filter(col("term").isin(QueryTerms: _*))
+      bm25TopK(post, statsOf(d), 20)
+    },
+
+    // The same query served from the persisted term-bucketed index: the
+    // postings scan prunes to the query's literal terms (plus the stats
+    // sentinel), df derives from the pruned postings, N/avgdl from the
+    // sentinel rows — zero corpus-wide work, identical answer.
+    Q("ft_bm25_index_lookup", duckBm25) { (s, dir) =>
+      val ix = termIndex(s, dir)
+        .filter(col("term").isin(QueryTerms :+ StatsTerm: _*))
+      val stats = ix.filter(col("term") === StatsTerm)
+        .agg(sum(col("tf")).cast("double").as("n"),
+          (sum(col("dl")) / sum(col("tf"))).as("avgdl"))
+      val post = ix.filter(col("term") =!= StatsTerm)
+      bm25TopK(post, stats, 20)
+    },
+  )
+}
