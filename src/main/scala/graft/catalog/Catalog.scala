@@ -267,8 +267,18 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
       case "lsh" => Index.lshLookup(this, name, d, queries)
       case "simhash" => Index.simhashLookup(this, name, d, queries)
       case "ivf" => Index.ivfLookup(this, name, d, queries)
+      case "text" => sys.error(
+        s"index '$ix' is a text index — search it with textSearch(terms)")
       case other => sys.error(s"unknown index kind '$other'")
     }
+  }
+
+  /** BM25 top-k over a `text` index — see [[Index.textLookup]]. */
+  def textSearch(name: String, ix: String, terms: Seq[String],
+      k: Int = 20): DataFrame = {
+    val d = indexDefs(name).find(_.ix == ix)
+      .getOrElse(sys.error(s"No index '$ix' on '$name'"))
+    Index.textLookup(this, name, d, terms, k)
   }
 
   def drop(name: String): Unit = {

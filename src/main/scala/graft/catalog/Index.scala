@@ -61,6 +61,14 @@ object Index {
         StructField("bk", StringType)))
       case "ivf" => StructType(Seq(
         StructField("id", pkType), StructField("cluster", IntegerType)))
+      // inverted postings: (id, term, tf, dl) plus one corpus-stats
+      // sentinel row PER SRC FILE under term="" carrying (tf = n_docs,
+      // dl = Σ doc_len) — file-local aggregates, so the global N/avgdl
+      // BM25 needs is the sum over sentinel rows and stays exact under
+      // file-granular COW maintenance
+      case "text" => StructType(Seq(
+        StructField("id", pkType), StructField("term", StringType),
+        StructField("tf", LongType), StructField("dl", DoubleType)))
       case other => sys.error(s"unknown index kind '$other'")
     }
     /** The column lookups filter on with literal keys — index parts are
@@ -70,6 +78,7 @@ object Index {
     def pruneKey: String = kind match {
       case "lsh" | "simhash" => "bk"
       case "ivf" => "cluster"
+      case "text" => "term"
       case other => sys.error(s"unknown index kind '$other'")
     }
   }
@@ -129,7 +138,7 @@ object Index {
       case (n, t) if n.equalsIgnoreCase(column) => t
     }.getOrElse(sys.error(s"No column '$column' on '$container'"))
     val body = kind match {
-      case "lsh" | "simhash" =>
+      case "lsh" | "simhash" | "text" =>
         require(colType.spark == StringType,
           s"$kind index needs a TEXT-like column, '$column' is ${colType.name}")
         s"$kind\t$column"
@@ -260,6 +269,30 @@ object Index {
       .distinct()
   }
 
+  /** BM25 top-k search served from a `text` index: scan the postings
+    * filtered to the query's LITERAL lowercased terms plus the stats
+    * sentinel key (bucket- and row-group-pruned by the term-sorted
+    * layout), read N/avgdl as the sum over the per-file sentinel rows,
+    * derive df from the pruned postings, and score — zero corpus-wide
+    * work; lookup cost ∝ the query terms' document frequency. Returns
+    * (doc_id, bm25, n_terms) ranked by (bm25 desc, doc_id), bit-equal to
+    * the fixture lane's full-scan baseline by construction.
+    */
+  def textLookup(cat: Catalog, container: String, idef: Def,
+      terms: Seq[String], k: Int = 20): DataFrame = {
+    require(idef.kind == "text", s"index '${idef.ix}' is not a text index")
+    val qs = terms.map(_.toLowerCase).distinct.filter(_.nonEmpty)
+    require(qs.nonEmpty, "text lookup needs at least one non-empty term")
+    val ix = read(cat, container, idef)
+      .filter(col("term").isin(qs :+ graft.operators.FullText.StatsTerm: _*))
+    val stats = ix.filter(col("term") === graft.operators.FullText.StatsTerm)
+      .agg(sum(col("tf")).cast("double").as("n"),
+        (sum(col("dl")) / sum(col("tf"))).as("avgdl"))
+    val post = ix.filter(col("term") =!= graft.operators.FullText.StatsTerm)
+      .select(col("id").as("doc_id"), col("term"), col("tf"), col("dl"))
+    graft.operators.FullText.bm25TopK(post, stats, k)
+  }
+
   // ---- maintenance ---------------------------------------------------------
 
   private def ixDir(cat: Catalog, container: String, v: Int, ix: String): Path =
@@ -367,6 +400,10 @@ object Index {
       case "simhash" =>
         deriveSimhash(rows.select(col(d.primaryKey).as("id"),
           col(idef.column).as("text"), col("src")))
+      case "text" =>
+        deriveText(rows.select(col(d.primaryKey).as("id"),
+          col(idef.column).as("text"), col("src")),
+          d.schema.head.dataType)
       case "ivf" =>
         // nearest frozen centroid per vector (codegen'd unpack + the tiny
         // broadcast centroid dim). Undecodable payloads produce no index
@@ -418,5 +455,34 @@ object Index {
     simhashBands(withSimhash(docs.withColumnRenamed("id", "doc_id"),
         Seq("doc_id", "src")), Seq("doc_id", "src"))
       .select(col("doc_id").as("id"), col("band"), col("bk"), col("src"))
+  }
+
+  /** (id, text, src) → (id, term, tf, dl, src): inverted postings under
+    * the ONE tokenization shared with the fixture-side full-text lane
+    * (`operators/FullText`), plus one corpus-stats sentinel row per src
+    * file — (n_docs, Σ dl) under `term=""`. Both shapes are file-local
+    * (postings are row-local; the sentinel aggregates only its own
+    * file's rows), so a COW commit recomputes exactly the touched
+    * files' postings AND their stats contribution, and the global
+    * N/avgdl read as the sum over sentinel rows stays exact. A
+    * zero-token document yields no postings but still counts in its
+    * file's sentinel, matching the fixture lane's N definition.
+    */
+  private def deriveText(docs: DataFrame, pkType: DataType): DataFrame = {
+    val toks = docs.select(col("id"), col("src"),
+      filter(split(lower(col("text")), " "), t => t =!= "").as("tk"))
+    val post = toks
+      .select(col("id"), col("src"), size(col("tk")).cast("double").as("dl"),
+        explode(col("tk")).as("term"))
+      .groupBy(col("id"), col("term"), col("src"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val stats = toks
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("tf"), sum(size(col("tk"))).cast("double").as("dl"))
+      .select(lit(null).cast(pkType).as("id"),
+        lit(graft.operators.FullText.StatsTerm).as("term"),
+        col("tf"), col("dl"), col("src"))
+    post.select(col("id"), col("term"), col("tf"), col("dl"), col("src"))
+      .unionByName(stats)
   }
 }

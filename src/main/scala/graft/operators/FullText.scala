@@ -65,7 +65,7 @@ object FullText {
   /** 1-row (n, avgdl) corpus statistics; `n` counts ALL documents (a
     * zero-token document still counts toward N and the avgdl denominator,
     * mirroring the per-file sentinel aggregation in the catalog index). */
-  private def statsOf(d: DataFrame): DataFrame =
+  private[graft] def statsOf(d: DataFrame): DataFrame =
     d.select(size(filter(split(lower(col("text")), " "), t => t =!= ""))
         .cast("long").as("dl"))
       .agg(count(lit(1)).cast("double").as("n"),
