@@ -164,6 +164,12 @@ object Ast {
     * `toVersion` None = the current version. */
   final case class Changes(container: String, fromVersion: Int,
       toVersion: Option[Int]) extends Stmt
+  /** graft extension: BM25 full-text search served from the container's
+    * `text` index — `MATCH [term, …] ON c [USING ix] [LIMIT n]` ranks the
+    * matching documents by relevance (pk, bm25, n_terms). `USING` is only
+    * needed when the container carries more than one text index. */
+  final case class Match(container: String, terms: List[String],
+      ix: Option[String], limit: Int) extends Stmt
   /** graft extensions: incremental materialized views. `CREATE VIEW v
     * (SEARCH [keys…, count(c)/sum(c)…] ON src [WHERE …])` declares a
     * CDC-maintained aggregate container; `REFRESH VIEW` folds the
@@ -705,6 +711,26 @@ object Parser {
         "CHANGES toVersion must be >= fromVersion")
       Changes(name(containerTok), changesVersion(f, "fromVersion"),
         Some(changesVersion(t, "toVersion")))
+
+    // MATCH [terms] ON container [USING ix] [LIMIT n] (graft extension):
+    // BM25-ranked full-text search from the container's text index
+    case Keyword("MATCH") :: (termsG: Group) :: Keyword("ON") :: containerTok :: rest =>
+      val terms = strings(termsG)
+      if (terms.isEmpty)
+        throw new ParseException("MATCH needs at least one term")
+      val (ix, afterUsing) = rest match {
+        case Keyword("USING") :: ixTok :: tl => (Some(name(ixTok)), tl)
+        case tl => (None, tl)
+      }
+      val limit = afterUsing match {
+        case Nil => 20
+        case Keyword("LIMIT") :: IntLit(n) :: Nil =>
+          if (n < 1) throw new ParseException("MATCH LIMIT must be >= 1")
+          n.toInt
+        case other => throw new ParseException(
+          s"Unexpected tokens after MATCH: ${other.mkString(" ")}")
+      }
+      Match(name(containerTok), terms, ix, limit)
 
     // CREATE VIEW v (SEARCH …) / REFRESH VIEW v / DELETE VIEW v (graft
     // extensions): incremental materialized views over the CDC feed

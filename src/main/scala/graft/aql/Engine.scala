@@ -311,6 +311,26 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       catalog.drop(v)
       Done(s"deleted view $v")
 
+    case Ast.Match(c, terms, ix, limit) =>
+      requireNotView(c, "a text index")
+      val defs = catalog.indexDefs(c).filter(_.kind == "text")
+      val idef = ix match {
+        case Some(n) => defs.find(_.ix == n).getOrElse(throw new ParseException(
+          s"No text index '$n' on '$c'"))
+        case None => defs match {
+          case Seq(one) => one
+          case Seq() => throw new ParseException(
+            s"MATCH needs a text index on '$c' (CREATE INDEX … USING text)")
+          case many => throw new ParseException(
+            s"'$c' has ${many.size} text indexes (${many.map(_.ix).mkString(", ")}) — pick one with USING")
+        }
+      }
+      // already ranked (bm25 desc, pk) and LIMIT-bounded — served through
+      // the cursor protocol with its own deterministic order
+      resultSet(
+        graft.catalog.Index.textLookup(catalog, c, idef, terms, limit),
+        needsDefaultSort = false)
+
     case Ast.Changes(c, from, to) =>
       // SEARCH-shaped result: served through the same cursor protocol,
       // with the deterministic all-columns order applied lazily on first

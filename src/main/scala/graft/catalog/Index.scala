@@ -291,6 +291,7 @@ object Index {
     val post = ix.filter(col("term") =!= graft.operators.FullText.StatsTerm)
       .select(col("id").as("doc_id"), col("term"), col("tf"), col("dl"))
     graft.operators.FullText.bm25TopK(post, stats, k)
+      .withColumnRenamed("doc_id", cat.get(container).primaryKey)
   }
 
   // ---- maintenance ---------------------------------------------------------

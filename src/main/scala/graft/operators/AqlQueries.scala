@@ -110,6 +110,18 @@ object AqlQueries {
       eng.execute("CREATE ROW ['doc_id','lang','n_chars'] [900006, 'xx', 999] ON docs_vw")
       eng.execute("COMMIT docs_vw")
       eng.execute("REFRESH VIEW mv_lang")
+      // full-text container: the text index is created over a PARTIAL
+      // first version, then the full fixture lands through a second
+      // commit — so the oracle-checked MATCH result below also proves the
+      // commit hook maintained the index (a stale index would rank only
+      // the first version's docs)
+      eng.execute("CREATE CONTAINER docs_ft ['doc_id','text'] [BIGINT, TEXT]")
+      val ftDocs = graft.Tables.load(spark, dir, "documents")
+        .select("doc_id", "text")
+      eng.catalog.overwrite("docs_ft",
+        ftDocs.filter(org.apache.spark.sql.functions.col("doc_id") < 10))
+      eng.execute("CREATE INDEX ft ON docs_ft ['text'] USING text")
+      eng.catalog.overwrite("docs_ft", ftDocs)
       // renamed-column container: RENAME is metadata-only (files keep the
       // pinned stored name n_chars), and the post-rename insert commits
       // through the logical→stored translation
@@ -361,6 +373,15 @@ object AqlQueries {
         |UNION ALL SELECT 900002, 123
         |ORDER BY doc_id, n_chars""".stripMargin) {
       (s, dir) => search("SEARCH [] ON docs_merge")(s, dir)
+    },
+
+    // MATCH (graft extension): BM25 full-text search through the full AQL
+    // path, served from the commit-maintained `text` index on docs_ft —
+    // the index was created over a partial v1 and the full fixture landed
+    // via a later commit, so a correct answer here proves commit-time
+    // index maintenance through the oracle gate, not just the spec.
+    Q("aql_match_bm25", FullText.duckBm25) { (s, dir) =>
+      search("MATCH ['dup','vector','merge'] ON docs_ft LIMIT 20")(s, dir)
     },
 
     // ALTER RENAME COLUMN through the full AQL path: files of both eras

@@ -131,7 +131,7 @@ object FullText {
 
   private val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
 
-  private val duckBm25 =
+  private[graft] val duckBm25 =
     s"""WITH $duckTokCte,
        |qpost AS (SELECT * FROM post WHERE term IN ($termList)),
        |dfs AS (SELECT term, count(*) AS df FROM qpost GROUP BY term)

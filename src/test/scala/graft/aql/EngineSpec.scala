@@ -675,6 +675,39 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       eng.execute("CREATE INDEX x ON idocs ['body'] USING btree"))
   }
 
+  test("31 MATCH serves BM25 search from a text index, maintained by commit") {
+    eng.execute("CREATE CONTAINER ftd ['doc_id','body'] [BIGINT, TEXT]")
+    eng.execute("CREATE ROW ['doc_id','body'] [1,'spark query engine for big data'] ON ftd")
+    eng.execute("CREATE ROW ['doc_id','body'] [2,'spark spark spark streams'] ON ftd")
+    eng.execute("CREATE ROW ['doc_id','body'] [3,'a duckdb oracle for every query'] ON ftd")
+    eng.execute("COMMIT ftd")
+
+    // MATCH before any text index fails with a pointer to the DDL
+    val noIx = intercept[ParseException](eng.execute("MATCH ['spark'] ON ftd"))
+    assert(noIx.getMessage.contains("USING text"))
+
+    eng.execute("CREATE INDEX ft ON ftd ['body'] USING text")
+    val hits = searchRows("MATCH ['spark'] ON ftd")
+    // highest tf in the shortest doc ranks first; doc 3 has no 'spark'
+    assert(hits.map(_.getLong(0)) == Seq(2L, 1L))
+    assert(hits.head.getDouble(1) > hits(1).getDouble(1))
+
+    // multi-term query with LIMIT; n_terms counts matched distinct terms
+    val q2 = searchRows("MATCH ['spark','oracle'] ON ftd LIMIT 2")
+    assert(q2.size == 2 && q2.forall(_.getLong(2) >= 1L))
+
+    // a committed insert is searchable immediately — same-commit maintenance
+    eng.execute("CREATE ROW ['doc_id','body'] [4,'oracle oracle oracle'] ON ftd")
+    eng.execute("COMMIT ftd")
+    val afterIns = searchRows("MATCH ['oracle'] ON ftd")
+    assert(afterIns.map(_.getLong(0)) == Seq(4L, 3L))
+
+    // USING picks a named index; unknown name fails loudly
+    assert(searchRows("MATCH ['oracle'] ON ftd USING ft").size == 2)
+    intercept[ParseException](eng.execute("MATCH ['oracle'] ON ftd USING nope"))
+    eng.execute("DELETE INDEX ft ON ftd")
+  }
+
   test("28 ALTER RENAME COLUMN is pure metadata; commits keep the stored name") {
     eng.execute("CREATE CONTAINER rn ['id','a','b'] [BIGINT, SMALL-STRING, BIGINT]")
     eng.execute("CREATE ROW ['id','a','b'] [1,'x',10] ON rn")

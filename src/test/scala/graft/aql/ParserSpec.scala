@@ -45,6 +45,16 @@ class ParserSpec extends AnyFunSuite {
       Parser.parse("CREATE INDEX nd ON docs ['a','b']"))
   }
 
+  test("MATCH forms (full-text search extension)") {
+    assert(Parser.parse("MATCH ['dup','vector'] ON docs")
+      == Match("docs", List("dup", "vector"), None, 20))
+    assert(Parser.parse("MATCH ['dup'] ON docs USING ft LIMIT 5")
+      == Match("docs", List("dup"), Some("ft"), 5))
+    intercept[ParseException](Parser.parse("MATCH [] ON docs"))
+    intercept[ParseException](Parser.parse("MATCH ['x'] ON docs LIMIT 0"))
+    intercept[ParseException](Parser.parse("MATCH ['x'] ON docs EXTRA"))
+  }
+
   test("CHANGES forms (CDC feed extension)") {
     assert(Parser.parse("CHANGES docs 3") == Changes("docs", 3, None))
     assert(Parser.parse("CHANGES docs 0 2") == Changes("docs", 0, Some(2)))

@@ -75,6 +75,22 @@ class AqlServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post("SEARCH ['v'] ON webm")._1 == 400)
   }
 
+  test("MATCH reaches the wire surface (BM25 search over HTTP)") {
+    assert(post("CREATE CONTAINER webft ['id','body'] [BIGINT, TEXT]")._1 == 200)
+    assert(post("CREATE ROW ['id','body'] [1,'spark engine for data'] ON webft")._1 == 200)
+    assert(post("CREATE ROW ['id','body'] [2,'spark spark streams'] ON webft")._1 == 200)
+    assert(post("COMMIT webft")._1 == 200)
+    assert(post("CREATE INDEX ft ON webft ['body'] USING text")._1 == 200)
+    val (code, body) = post("MATCH ['spark'] ON webft LIMIT 5")
+    assert(code == 200, body)
+    // the first column carries the container's pk name
+    assert(body.contains(""""columns":["id","bm25","n_terms"]"""), body)
+    // best-first: higher tf in the shorter doc ranks doc 2 above doc 1
+    assert(body.matches("""(?s).*"rows":\[\[2,.*\],\[1,.*\]\].*"""), body)
+    // no text index → client error, not a 500
+    assert(post("MATCH ['spark'] ON webm")._1 == 400)
+  }
+
   test("CHANGES feed reaches the wire surface (CDC over HTTP)") {
     assert(post("CREATE CONTAINER webcdc ['id','v'] [INT, SMALL-STRING]")._1 == 200)
     assert(post("CREATE ROW ['id','v'] [1,'a'] ON webcdc")._1 == 200)
