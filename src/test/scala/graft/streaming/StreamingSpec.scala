@@ -242,6 +242,7 @@ class StreamingSpec extends AnyFunSuite {
     cat.create("sdocs", List("doc_id" -> graft.aql.AlbaType.of("BIGINT"),
       "text" -> graft.aql.AlbaType.of("TEXT")))
     cat.createIndex("sdocs", "nd", "lsh", "text")
+    cat.createIndex("sdocs", "ft", "text", "text")
 
     // two parquet files in one source dir + maxFilesPerTrigger=1 → the
     // stream arrives as two micro-batches → two insert-only commits
@@ -281,6 +282,25 @@ class StreamingSpec extends AnyFunSuite {
       .select(lit(999L).as("doc_id"), col("text"))
     val cands = cat.indexLookup("sdocs", "nd", q5).collect().map(_.getLong(1))
     assert(cands.contains(5L), s"ingested doc must be indexed, got ${cands.toSeq}")
+
+    // the text index updated inside the same commits: BM25 search over
+    // the streamed corpus equals the full-scan baseline, and the per-file
+    // stats sentinels sum to the streamed doc count
+    val sent = cat.readIndex("sdocs", "ft")
+      .filter(col("term") === graft.operators.FullText.StatsTerm)
+    assert(sent.agg(sum("tf")).collect()(0).getLong(0) == 40L,
+      "stats sentinels must cover every streamed doc")
+    val terms = Seq("dup", "vector", "merge")
+    val streamed = cat.read("sdocs").select(col("doc_id"), col("text"))
+    val expected = graft.operators.FullText.bm25TopK(
+        graft.operators.FullText.postingsOf(streamed)
+          .filter(col("term").isin(terms: _*)),
+        graft.operators.FullText.statsOf(streamed), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val served = cat.textSearch("sdocs", "ft", terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == expected,
+      "index-served BM25 over streamed ingest must equal the full-scan baseline")
   }
 
   test("streaming image decode equals the batch decode; corrupt payloads quarantined mid-stream") {
