@@ -76,6 +76,15 @@ object Ast {
     * analogue of insert-or-update). */
   final case class MergeRow(container: String, colNames: List[String],
       values: List[Token]) extends Stmt
+  /** graft extension: set-oriented upsert — `MERGE ROWS [cols] (SEARCH …)
+    * ON c` maps the subquery's OUTPUT columns positionally onto `cols`
+    * (which must include the pk) and upserts every row on the pk: matches
+    * update the mentioned columns, misses insert with NULL unmentioned
+    * columns. For mixed projections the subquery's output order is
+    * plain-then-computed (documented at [[Search]]) — `cols` follows that
+    * order. Atomic — publishes its own version (see `Tx.mergeRows`). */
+  final case class MergeRows(container: String, colNames: List[String],
+      query: Search) extends Stmt
   final case class EditRow(container: String, colNames: List[String],
       values: List[Token], where: Where) extends Stmt
   final case class DeleteRow(container: String, where: Option[Where]) extends Stmt
@@ -520,6 +529,20 @@ object Parser {
       if (cols.length != valsG.items.length)
         throw new ParseException("Column and value counts differ")
       MergeRow(name(containerTok), cols, valsG.items)
+
+    // MERGE ROWS [cols] (SEARCH …) ON container (graft extension): bulk
+    // pk upsert from a subquery, columns mapped positionally
+    case Keyword("MERGE") :: Keyword("ROWS") :: (colsG: Group) :: SubCommand(sub) :: Keyword("ON") :: containerTok :: Nil =>
+      val cols = strings(colsG)
+      if (cols.isEmpty)
+        throw new ParseException("MERGE ROWS needs at least one column")
+      if (cols.map(_.toLowerCase).distinct.length != cols.length)
+        throw new ParseException(s"Duplicate column names in ${cols.mkString(",")}")
+      fromTokens(sub) match {
+        case s: Search => MergeRows(name(containerTok), cols, s)
+        case other => throw new ParseException(
+          s"MERGE ROWS expects a (SEARCH …) subquery, got $other")
+      }
 
     // EDIT ROW [cols][vals] ON container WHERE … (parser.rs:122-239)
     case Keyword("EDIT") :: Keyword("ROW") :: (colsG: Group) :: (valsG: Group) :: Keyword("ON") :: containerTok :: Keyword("WHERE") :: rest =>

@@ -196,6 +196,25 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         Done(s"staged merge (insert) into $container")
       }
 
+    case Ast.MergeRows(container, cols, q) =>
+      requireNotView(container, "its content")
+      val d = catalog.get(container)
+      val canon = cols.map { c =>
+        d.columns.find(_._1.equalsIgnoreCase(c)).getOrElse(
+          throw new ParseException(s"Unknown column $c")) }
+      val (pkName, _) = d.columns.head
+      if (!canon.exists(_._1 == pkName))
+        throw new ParseException(s"MERGE ROWS requires the key column $pkName")
+      val srcRaw = lowerSearch(q)
+      if (srcRaw.columns.length != cols.length)
+        throw new ParseException(s"MERGE ROWS maps ${cols.length} columns but " +
+          s"the subquery produces ${srcRaw.columns.length}")
+      // positional rename to the container's stored names + declared types
+      val src = srcRaw.toDF(canon.map(_._1): _*)
+        .select(canon.map { case (n, t) => col(n).cast(t.spark).as(n) }: _*)
+      tx.mergeRows(container, src)
+      Done(s"merged into $container (version ${catalog.currentVersion(container)})")
+
     case Ast.EditRow(container, cols, values, where) =>
       requireNotView(container, "its content")
       val d = catalog.get(container)

@@ -153,55 +153,158 @@ final class Tx(catalog: Catalog) {
     targets.foreach { c =>
       if (log(c).nonEmpty) {
         val pk = catalog.get(c).primaryKey
-        var attempts = 0
-        var done = false
-        var stuckAt = -1
-        var stuckFor = 0
-        while (!done) {
-          attempts += 1
-          require(attempts <= 50, s"COMMIT $c: lost the version race 50 times")
-          // linear backoff: a failed claim usually means another committer
-          // is mid-write on the claimed version — its pointer flip is what
-          // moves our base forward, so waiting beats spinning
-          if (attempts > 1) Thread.sleep(math.min(100L * attempts, 2000L))
-          val base = catalog.currentVersion(c)
-          if (base == stuckAt) stuckFor += 1 else { stuckAt = base; stuckFor = 0 }
-          // a claim whose recorded process is PROVABLY DEAD never
-          // publishes: RELEASE it (lock-guarded delete) and retry the
-          // normal base+1 CAS — the CREATE_NEW create race then picks
-          // exactly one winner for the freed slot. (Jumping to a higher
-          // slot instead would let two concurrent escapers publish views
-          // rebased on the SAME base into different slots, silently
-          // dropping the lower one's changes.) A live slow writer never
-          // satisfies claimIsOrphan, so its commit can't be overtaken.
-          if (stuckFor >= 1) {
-            catalog.releaseOrphanClaim(c, base + 1)
-            // a committer that died between its dir move and pointer flip
-            // left a complete version above the pointer: finish its flip
-            // so our next iteration rebases on it instead of wedging on a
-            // slot that is published but never becomes the base
-            catalog.adoptPublished(c)
-          }
-          done = commitOnce(c, base, pk)
-        }
+        commitLoop(c, "COMMIT")(base => commitOnce(c, base, pk))
         log -= c
-        // auto-compaction AFTER the commit is durable: maintenance must
-        // never fail (or delay the visibility of) the commit itself, so a
-        // lost race here is dropped — the next trigger retries. optimize
-        // publishes its own version, which never re-lands on a multiple
-        // of N from this path.
-        // view refresh BEFORE compaction: the refresh folds the commit's
-        // real change window; the optimize hook can then skip the
-        // content-neutral compaction window outright
-        try onCommit(c)
-        catch { case scala.util.control.NonFatal(_) => () }
-        if (optimizeEvery > 0 && catalog.currentVersion(c) % optimizeEvery == 0)
-          try {
-            val (_, _, published) = catalog.optimize(c)
-            onOptimize(c, published)
-          } catch { case scala.util.control.NonFatal(_) => () }
+        postCommitMaintenance(c)
       }
     }
+  }
+
+  /** The optimistic-concurrency retry loop shared by COMMIT and
+    * MERGE ROWS: re-derive the decomposition against the current version
+    * and CAS-claim base+1 until one attempt publishes.
+    */
+  private def commitLoop(c: String, what: String)(attempt: Int => Boolean): Unit = {
+    var attempts = 0
+    var done = false
+    var stuckAt = -1
+    var stuckFor = 0
+    while (!done) {
+      attempts += 1
+      require(attempts <= 50, s"$what $c: lost the version race 50 times")
+      // linear backoff: a failed claim usually means another committer
+      // is mid-write on the claimed version — its pointer flip is what
+      // moves our base forward, so waiting beats spinning
+      if (attempts > 1) Thread.sleep(math.min(100L * attempts, 2000L))
+      val base = catalog.currentVersion(c)
+      if (base == stuckAt) stuckFor += 1 else { stuckAt = base; stuckFor = 0 }
+      // a claim whose recorded process is PROVABLY DEAD never
+      // publishes: RELEASE it (lock-guarded delete) and retry the
+      // normal base+1 CAS — the CREATE_NEW create race then picks
+      // exactly one winner for the freed slot. (Jumping to a higher
+      // slot instead would let two concurrent escapers publish views
+      // rebased on the SAME base into different slots, silently
+      // dropping the lower one's changes.) A live slow writer never
+      // satisfies claimIsOrphan, so its commit can't be overtaken.
+      if (stuckFor >= 1) {
+        catalog.releaseOrphanClaim(c, base + 1)
+        // a committer that died between its dir move and pointer flip
+        // left a complete version above the pointer: finish its flip
+        // so our next iteration rebases on it instead of wedging on a
+        // slot that is published but never becomes the base
+        catalog.adoptPublished(c)
+      }
+      done = attempt(base)
+    }
+  }
+
+  /** Post-commit hooks, in order: view refresh (folds the commit's real
+    * change window), then auto-compaction. Maintenance must never fail
+    * (or delay the visibility of) the commit itself, so failures are
+    * dropped — the next trigger retries. optimize publishes its own
+    * version, which never re-lands on a multiple of N from this path.
+    */
+  private def postCommitMaintenance(c: String): Unit = {
+    try onCommit(c)
+    catch { case scala.util.control.NonFatal(_) => () }
+    if (optimizeEvery > 0 && catalog.currentVersion(c) % optimizeEvery == 0)
+      try {
+        val (_, _, published) = catalog.optimize(c)
+        onOptimize(c, published)
+      } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** MERGE ROWS — set-oriented pk upsert: for every `src` row whose pk
+    * matches a committed row, update the row's MENTIONED columns
+    * (src's columns) to the src values; every miss inserts with NULL
+    * unmentioned columns — the bulk generalization of MERGE ROW, the
+    * same contract as Delta/Iceberg MERGE INTO's matched-update/
+    * not-matched-insert default.
+    *
+    * Atomic and immediate: publishes its own version through the same
+    * CAS claim protocol as COMMIT (no staging — a merge's effect depends
+    * on what it matches, so deferring it behind other staged ops would
+    * make the statement's semantics depend on commit order). The
+    * decomposition is file-granular COW: touched files = base files
+    * holding a matching pk, found with one semi-join against the
+    * pushed-down `_metadata.file_name` scan — a merge keyed into one
+    * pk-range file rewrites exactly that file, misses append as fresh
+    * parts, everything else hard-links. At warehouse scale both probe
+    * and overlay are pk equi-joins (broadcast when src is small, shuffle
+    * otherwise — AQE's call), the canonical MERGE shape; nothing scans
+    * more than the pk column plus the touched files.
+    *
+    * `src` must carry a subset of the container's columns (exact stored
+    * names, types already cast) INCLUDING the pk, with non-null unique
+    * pks — pk-keyed upsert is ill-defined otherwise, so violations throw
+    * rather than pick a silent winner.
+    */
+  def mergeRows(container: String, src: DataFrame): Unit = {
+    val d = catalog.get(container)
+    val pk = d.primaryKey
+    require(log(container).isEmpty,
+      s"MERGE ROWS on '$container' with staged ops — COMMIT or ROLLBACK first")
+    val mentioned = src.columns.toSeq
+    require(mentioned.contains(pk), s"MERGE ROWS src must carry the key column $pk")
+    require(src.filter(col(pk).isNull).limit(1).count() == 0,
+      s"MERGE ROWS key $pk must not be NULL")
+    require(src.groupBy(col(pk)).count().filter(col("count") > 1)
+        .limit(1).count() == 0,
+      s"MERGE ROWS src has duplicate $pk keys — pk-keyed upsert is ambiguous")
+    commitLoop(container, "MERGE ROWS")(base =>
+      mergeOnce(container, base, d, mentioned, src))
+    postCommitMaintenance(container)
+  }
+
+  /** One MERGE ROWS attempt against `base`. */
+  private def mergeOnce(c: String, base: Int, d: Catalog#ContainerDef,
+      mentioned: Seq[String], src: DataFrame): Boolean = {
+    val pk = d.primaryKey
+    // pad to the full schema: unmentioned columns are NULL on insert
+    def padded(df: DataFrame): DataFrame =
+      df.select(d.schema.map { f =>
+        if (mentioned.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    if (base == 0)
+      return catalog.tryCommit(c, base, padded(src).sortWithinPartitions(pk))
+
+    val baseFiles = catalog.versionFiles(c, base)
+    val srcPks = src.select(col(pk))
+    val touched: Set[String] = catalog.readVersionTagged(c, base)
+      .join(srcPks, Seq(pk), "left_semi")
+      .select(col("__src_file"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val kept = baseFiles.filterNot(f => touched(f.getFileName.toString))
+    // misses insert (anti-join against ALL base pks, not just touched
+    // files — the pk-unique convention means a pk absent from the touched
+    // set is absent everywhere, but the anti-join stays correct even if a
+    // caller violated it)
+    val misses = padded(
+      src.join(catalog.readVersion(c, base).select(col(pk)), Seq(pk), "left_anti"))
+    // matched rows: overlay src's mentioned values onto the touched
+    // files' rows (left join — a touched file also holds untouched rows)
+    val overlay = src.select(
+      col(pk).as("__merge_pk") +:
+        mentioned.filterNot(_ == pk).map(n => col(n).as(s"__merge_$n")): _*)
+      .withColumn("__merge_hit", lit(true))
+    val rewritten =
+      if (touched.isEmpty) None
+      else {
+        val paths = baseFiles.filter(f => touched(f.getFileName.toString))
+          .map(_.toString)
+        Some(catalog.readFiles(c, paths)
+          .join(overlay, col(pk) === col("__merge_pk"), "left_outer")
+          .select(d.schema.map { f =>
+            if (f.name != pk && mentioned.contains(f.name))
+              when(col("__merge_hit"), col(s"__merge_${f.name}"))
+                .otherwise(col(f.name)).as(f.name)
+            else col(f.name)
+          }: _*))
+      }
+    val rewrite = (rewritten.toSeq :+ misses).reduce(_ unionByName _)
+      .sortWithinPartitions(pk)
+    catalog.tryCommitCow(c, base, kept, Some(rewrite))
   }
 
   /** One commit attempt against `base`: decompose the fold per-file so the

@@ -110,6 +110,17 @@ object AqlQueries {
       eng.execute("CREATE ROW ['doc_id','lang','n_chars'] [900006, 'xx', 999] ON docs_vw")
       eng.execute("COMMIT docs_vw")
       eng.execute("REFRESH VIEW mv_lang")
+      // bulk-upsert container for MERGE ROWS: one set-oriented merge
+      // updates every doc_id < 50 (computed new value), a second inserts
+      // 5 shifted pks — both atomic single-statement commits through the
+      // COW decomposition (matched pk-ranges rewrite, misses append)
+      eng.execute("CREATE CONTAINER docs_blk ['doc_id','n_chars'] [BIGINT, BIGINT]")
+      eng.catalog.overwrite("docs_blk", docs)
+      eng.execute("MERGE ROWS ['doc_id','n_chars'] " +
+        "(SEARCH [doc_id, n_chars + 1000000] ON documents WHERE doc_id < 50) ON docs_blk")
+      // mixed projection lowers plain-then-computed → cols follow that order
+      eng.execute("MERGE ROWS ['n_chars','doc_id'] " +
+        "(SEARCH [doc_id + 900100, n_chars] ON documents WHERE doc_id < 5) ON docs_blk")
       // full-text container: the text index is created over a PARTIAL
       // first version, then the full fixture lands through a second
       // commit — so the oracle-checked MATCH result below also proves the
@@ -373,6 +384,20 @@ object AqlQueries {
         |UNION ALL SELECT 900002, 123
         |ORDER BY doc_id, n_chars""".stripMargin) {
       (s, dir) => search("SEARCH [] ON docs_merge")(s, dir)
+    },
+
+    // MERGE ROWS (graft extension): set-oriented pk upsert from a
+    // subquery — matched rows update their mentioned columns, misses
+    // insert; each statement is one atomic COW commit. The oracle
+    // reconstructs both merges declaratively over the fixture.
+    Q("aql_merge_bulk",
+      """SELECT doc_id,
+        |       CASE WHEN doc_id < 50 THEN n_chars + 1000000 ELSE n_chars END AS n_chars
+        |FROM documents
+        |UNION ALL SELECT doc_id + 900100 AS doc_id, n_chars
+        |FROM documents WHERE doc_id < 5
+        |ORDER BY doc_id, n_chars""".stripMargin) {
+      (s, dir) => search("SEARCH [] ON docs_blk")(s, dir)
     },
 
     // MATCH (graft extension): BM25 full-text search through the full AQL

@@ -675,6 +675,41 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       eng.execute("CREATE INDEX x ON idocs ['body'] USING btree"))
   }
 
+  test("32 MERGE ROWS bulk-upserts a subquery on the pk, atomically") {
+    eng.execute("CREATE CONTAINER bm ['id','v','n'] [BIGINT, SMALL-STRING, BIGINT]")
+    (1L to 4L).foreach(i =>
+      eng.execute(s"CREATE ROW ['id','v','n'] [$i,'v$i',${i * 10}] ON bm"))
+    eng.execute("COMMIT bm")
+
+    // self-referencing merge: bump n for ids < 3 (update path), shift two
+    // pks out of range (insert path) — one statement each, both atomic
+    eng.execute("MERGE ROWS ['id','n'] (SEARCH [id, n + 100] ON bm WHERE id < 3) ON bm")
+    assert(eng.catalog.currentVersion("bm") == 2, "MERGE ROWS publishes its own version")
+    val afterUpd = searchRows("SEARCH [] ON bm")
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(afterUpd.toSet == Set((1L, "v1", 110L), (2L, "v2", 120L),
+      (3L, "v3", 30L), (4L, "v4", 40L)), s"got $afterUpd")
+
+    // a mixed projection lowers plain-then-computed (documented at
+    // Ast.Search), so the positional column list follows that order:
+    // output here is (n, id_plus_100) → cols ['n','id']
+    eng.execute("MERGE ROWS ['n','id'] (SEARCH [id + 100, n] ON bm WHERE id = 1) ON bm")
+    val ins = searchRows("SEARCH [] ON bm WHERE id = 101")
+    assert(ins.size == 1 && ins.head.isNullAt(1) && ins.head.getLong(2) == 110L,
+      "miss inserts with NULL unmentioned columns")
+
+    // guards through the AQL surface
+    intercept[ParseException](  // pk not mentioned
+      eng.execute("MERGE ROWS ['n'] (SEARCH [n] ON bm) ON bm"))
+    intercept[ParseException](  // arity mismatch
+      eng.execute("MERGE ROWS ['id','n'] (SEARCH [id] ON bm) ON bm"))
+    intercept[IllegalArgumentException] { // staged ops block the atomic merge
+      eng.execute("CREATE ROW ['id','v','n'] [50,'x',1] ON bm")
+      try eng.execute("MERGE ROWS ['id','n'] (SEARCH [id, n] ON bm WHERE id = 1) ON bm")
+      finally eng.execute("ROLLBACK bm")
+    }
+  }
+
   test("31 MATCH serves BM25 search from a text index, maintained by commit") {
     eng.execute("CREATE CONTAINER ftd ['doc_id','body'] [BIGINT, TEXT]")
     eng.execute("CREATE ROW ['doc_id','body'] [1,'spark query engine for big data'] ON ftd")

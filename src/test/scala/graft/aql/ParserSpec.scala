@@ -45,6 +45,20 @@ class ParserSpec extends AnyFunSuite {
       Parser.parse("CREATE INDEX nd ON docs ['a','b']"))
   }
 
+  test("MERGE ROWS forms (bulk upsert extension)") {
+    val s = Parser.parse("MERGE ROWS ['id','n'] (SEARCH [id, n] ON src WHERE id < 3) ON dst")
+    assert(s.isInstanceOf[MergeRows])
+    val m = s.asInstanceOf[MergeRows]
+    assert(m.container == "dst" && m.colNames == List("id", "n"))
+    assert(m.query.containers.nonEmpty)
+    intercept[ParseException](
+      Parser.parse("MERGE ROWS [] (SEARCH [] ON s) ON dst"))
+    intercept[ParseException](
+      Parser.parse("MERGE ROWS ['a','a'] (SEARCH [] ON s) ON dst"))
+    intercept[ParseException](
+      Parser.parse("MERGE ROWS ['a'] (COMMIT) ON dst"))
+  }
+
   test("MATCH forms (full-text search extension)") {
     assert(Parser.parse("MATCH ['dup','vector'] ON docs")
       == Match("docs", List("dup", "vector"), None, 20))

@@ -251,6 +251,58 @@ class CowCommitSpec extends AnyFunSuite {
       "the adopted version is readable; nothing was GC'd out from under the pointer")
   }
 
+  test("MERGE ROWS rewrites only pk-overlapping files; misses append; rest are links") {
+    val (cat, _) = fixture("merge")
+    import spark.implicits._
+    // src hits ids 5 and 7 (both in file 0: pk range [0,10)) and misses
+    // ids 200, 201 — one rewritten file, one fresh insert part, 3 links
+    val src = Seq((5, "M5"), (7, "M7"), (200, "M200"), (201, "M201"))
+      .toDF("id", "v")
+    new Tx(cat).mergeRows("c", src)
+    assert(cat.currentVersion("c") == 2)
+
+    val v1ByName = cat.versionFiles("c", 1).map(f => f.getFileName.toString -> f).toMap
+    val (linked, fresh) = cat.versionFiles("c", 2).partition(f =>
+      v1ByName.get(f.getFileName.toString).exists(sameFile(_, f)))
+    assert(linked.size == 3, s"3 of 4 base files must carry as links, got ${linked.size}")
+    assert(fresh.nonEmpty, "the touched range + misses must produce fresh parts")
+
+    val got = cat.read("c").collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    assert(got.size == 42, "40 base rows + 2 inserted misses")
+    assert(got(5) == "M5" && got(7) == "M7", "matches update")
+    assert(got(200) == "M200" && got(201) == "M201", "misses insert")
+    assert(got(4) == "v4" && got(39) == "v39", "untouched rows unchanged")
+  }
+
+  test("MERGE ROWS guards: staged ops, NULL pks, duplicate pks all throw") {
+    val (cat, _) = fixture("mergeguard")
+    import spark.implicits._
+    val tx = new Tx(cat)
+    tx.stageInsert("c", Seq(Row(300, "x")))
+    intercept[IllegalArgumentException](
+      tx.mergeRows("c", Seq((1, "a")).toDF("id", "v")))
+    tx.rollback(Some("c"))
+    intercept[IllegalArgumentException](tx.mergeRows("c",
+      Seq((1, "a"), (1, "b")).toDF("id", "v")))
+    intercept[IllegalArgumentException](tx.mergeRows("c",
+      Seq((Option.empty[Int], "a")).toDF("id", "v")))
+    assert(cat.currentVersion("c") == 1, "failed guards must not publish")
+  }
+
+  test("MERGE ROWS on an empty container inserts everything as v1") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cow-merge0")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("c", List("id" -> graft.aql.AlbaType.of("INT"),
+      "v" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "n" -> graft.aql.AlbaType.of("BIGINT")))
+    import spark.implicits._
+    // unmentioned column n is NULL on insert
+    new Tx(cat).mergeRows("c", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    val got = cat.read("c").orderBy("id").collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(got.forall(_.isNullAt(2)), "unmentioned columns are NULL")
+  }
+
   test("COW composes with CAS: two committers racing on the same base both land") {
     val (cat, _) = fixture("race")
     val txA = new Tx(cat); txA.stageEdit("c", col("id") === 3, Seq("v" -> "A"))

@@ -75,6 +75,20 @@ class AqlServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post("SEARCH ['v'] ON webm")._1 == 400)
   }
 
+  test("MERGE ROWS reaches the wire surface (bulk upsert over HTTP)") {
+    assert(post("CREATE CONTAINER webblk ['id','n'] [BIGINT, BIGINT]")._1 == 200)
+    (1 to 3).foreach(i =>
+      assert(post(s"CREATE ROW ['id','n'] [$i,${i * 10}] ON webblk")._1 == 200))
+    assert(post("COMMIT webblk")._1 == 200)
+    val (mc, mb) = post(
+      "MERGE ROWS ['id','n'] (SEARCH [id, n + 100] ON webblk WHERE id < 3) ON webblk")
+    assert(mc == 200, mb)
+    val (c, b) = post("SEARCH [] ON webblk")
+    assert(c == 200 && b.contains(""""rows":[[1,110],[2,120],[3,30]]"""), b)
+    // guard errors surface as 400s
+    assert(post("MERGE ROWS ['n'] (SEARCH [n] ON webblk) ON webblk")._1 == 400)
+  }
+
   test("MATCH reaches the wire surface (BM25 search over HTTP)") {
     assert(post("CREATE CONTAINER webft ['id','body'] [BIGINT, TEXT]")._1 == 200)
     assert(post("CREATE ROW ['id','body'] [1,'spark engine for data'] ON webft")._1 == 200)
