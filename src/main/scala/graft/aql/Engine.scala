@@ -513,13 +513,14 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     if (q.joins.nonEmpty || q.exprs.nonEmpty || q.fns.nonEmpty || q.distinct ||
       q.orderBy.nonEmpty || q.limit.nonEmpty || q.atVersion.nonEmpty ||
       q.having.nonEmpty)
-      bad("only projection keys, count/sum aggregates, and WHERE are maintainable")
-    if (q.aggs.isEmpty) bad("the body needs at least one count/sum aggregate")
+      bad("only projection keys, count/sum/min/max aggregates, and WHERE are maintainable")
+    if (q.aggs.isEmpty) bad("the body needs at least one aggregate")
     if (q.projection.isEmpty) bad("the body needs at least one group key")
     q.aggs.foreach { a =>
       if (a.distinct) bad("count(DISTINCT …) is not incrementally maintainable")
-      if (a.fn != "count" && a.fn != "sum")
-        bad(s"aggregate '${a.fn}' is not incrementally maintainable (count/sum only)")
+      if (!Set("count", "sum", "min", "max")(a.fn))
+        bad(s"aggregate '${a.fn}' is not incrementally maintainable " +
+          "(count/sum/min/max; avg = sum_c / count_c as a computed projection over the view)")
     }
     val d = catalog.get(src)
     def canonical(c: String): String =

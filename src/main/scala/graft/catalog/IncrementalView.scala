@@ -15,9 +15,19 @@ import org.apache.spark.sql.functions._
   * insert/update_postimage contribute +1, delete/update_preimage −1, and
   * an update pair nets its true delta — including a row EDITed across
   * groups or across the WHERE boundary (the predicate is row-local, so
-  * pre/post images filter independently). Min/max are deliberately NOT
-  * offered: they are not incrementally maintainable under deletes without
-  * re-reading the affected group.
+  * pre/post images filter independently).
+  *
+  * Min/max are maintained with the standard two-path algorithm, because
+  * they are NOT delta-invertible under deletes (removing the current
+  * extreme says nothing about the runner-up):
+  *  - a group that only GAINED rows in the window folds cheaply —
+  *    `least/greatest(current, extreme-of-added-rows)` is exact;
+  *  - a group that LOST any row (delete or update_preimage, post-WHERE)
+  *    is DIRTY: its aggregates are recomputed from the source snapshot
+  *    AT THE WINDOW'S END VERSION, restricted to the dirty keys. Dirty
+  *    cost ∝ the dirty groups' source rows (a pk/key-pruned scan on a
+  *    clustered layout), never the whole source — and windows with no
+  *    removals (the append-dominated ingest path) never pay it.
   *
   * The MV container's schema contract is `keys… , n_rows, agg outs…`:
   * `n_rows` (the group's plain row count) is always maintained — it is
@@ -44,18 +54,31 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
   import IncrementalView.Agg
 
   require(keys.nonEmpty, "incremental view needs at least one group key")
-  aggs.foreach(a => require(a.fn == "count" || a.fn == "sum",
-    s"unsupported incremental aggregate '${a.fn}' (count/sum only)"))
+  aggs.foreach(a => require(Set("count", "sum", "min", "max")(a.fn),
+    s"unsupported incremental aggregate '${a.fn}' (count/sum/min/max only)"))
+
+  private val hasExtremes = aggs.exists(a => a.fn == "min" || a.fn == "max")
 
   private def filtered(df: DataFrame): DataFrame =
     where.map(df.filter).getOrElse(df)
+
+  /** Cast outputs to the MV container's declared schema before publish:
+    * aggregate outputs can come back narrower than the declared column
+    * (min/max of an INT source vs the MV's widened BIGINT), and parquet
+    * written narrow would fail the container's explicit-schema read. */
+  private def conform(df: DataFrame): DataFrame = {
+    val schema = cat.get(mv).schema
+    df.select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+  }
 
   /** The from-scratch aggregate of a source snapshot (also the oracle the
     * property spec compares against). */
   private def aggregate(snapshot: DataFrame): DataFrame = {
     val outs = count(lit(1)).as("n_rows") +: aggs.map {
       case Agg("count", c, out) => count(col(c)).as(out)
-      case Agg(_, c, out) => coalesce(sum(col(c)), lit(0L)).as(out)
+      case Agg("sum", c, out) => coalesce(sum(col(c)), lit(0L)).as(out)
+      case Agg("min", c, out) => min(col(c)).as(out)
+      case Agg(_, c, out) => max(col(c)).as(out)
     }
     filtered(snapshot).groupBy(keys.map(col): _*).agg(outs.head, outs.tail: _*)
   }
@@ -65,45 +88,77 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
     * when at-least-once replay ambiguity is unacceptable. */
   def seed(tail: ChangeTail): Unit = {
     val v = cat.currentVersion(src)
-    cat.overwrite(mv, aggregate(
-      if (v > 0) cat.readVersion(src, v) else cat.read(src)))
+    cat.overwrite(mv, conform(aggregate(
+      if (v > 0) cat.readVersion(src, v) else cat.read(src))))
     tail.reset(v)
   }
 
-  /** Fold one feed window into the MV. Change rows are weighted ±1,
-    * aggregated to per-key deltas, and merged with a NULL-SAFE key join
-    * (NULL group keys must merge into their group, not duplicate it).
+  /** Fold one feed window (ending at source version `toV`) into the MV.
+    * Change rows are weighted ±1, aggregated to per-key deltas, and
+    * merged with a NULL-SAFE key join (NULL group keys must merge into
+    * their group, not duplicate it). Min/max fold `least/greatest` over
+    * the window's ADDED rows; groups that lost a row swap to a
+    * recomputed aggregate over the end-version snapshot (see class doc).
     */
-  private[catalog] def fold(feed: DataFrame): Unit = {
+  private[catalog] def fold(feed: DataFrame, toV: Int): Unit = {
     val w = when(col("_change_type").isin("insert", "update_postimage"), 1L)
       .otherwise(-1L)
     val deltas = sum(col("_w")).as("d_n_rows") +: aggs.map {
       // count(c) counts non-NULL values: a NULL c contributes 0 either way
       case Agg("count", c, out) =>
         sum(when(col(c).isNotNull, col("_w")).otherwise(0L)).as(s"d_$out")
+      // extremes: candidate from the window's added rows only (min/max
+      // skip NULLs; a removal makes the group dirty below, so the
+      // gain-only fold here is never applied to a shrinking group)
+      case Agg("min", c, out) =>
+        min(when(col("_w") === 1L, col(c))).as(s"d_$out")
+      case Agg("max", c, out) =>
+        max(when(col("_w") === 1L, col(c))).as(s"d_$out")
       // sum skips NULLs on both paths; coalesce at merge handles all-NULL
       case Agg(_, c, out) => sum(col(c) * col("_w")).as(s"d_$out")
     }
-    val delta = filtered(feed).withColumn("_w", w)
-      .groupBy(keys.map(col): _*).agg(deltas.head, deltas.tail: _*)
+    val inWindow = filtered(feed).withColumn("_w", w)
+    val delta = inWindow.groupBy(keys.map(col): _*).agg(deltas.head, deltas.tail: _*)
     val cur = cat.read(mv)
     val joinCond: Column = keys.map(k => cur(k) <=> delta(k)).reduce(_ && _)
-    val outCols = ("n_rows" -> "d_n_rows") +: aggs.map(a => a.out -> s"d_${a.out}")
+    val outCols = aggs.map(a => (a.fn, a.out, s"d_${a.out}"))
     val merged = cur.join(delta, joinCond, "full_outer")
       .select(
         keys.map(k => coalesce(cur(k), delta(k)).as(k)) ++
-          outCols.map { case (o, d) =>
-            (coalesce(cur(o), lit(0L)) + coalesce(delta(d), lit(0L))).as(o)
-          }: _*)
+          ((("sum", "n_rows", "d_n_rows") +: outCols).map {
+            case ("min", o, d) => least(cur(o), delta(d)).as(o)
+            case ("max", o, d) => greatest(cur(o), delta(d)).as(o)
+            case (_, o, d) =>
+              (coalesce(cur(o), lit(0L)) + coalesce(delta(d), lit(0L))).as(o)
+          }): _*)
       .filter(col("n_rows") > 0)
-    cat.overwrite(mv, merged)
+    val next =
+      if (!hasExtremes) merged
+      else {
+        // dirty groups: lost at least one in-window row — their folded
+        // row is discarded and replaced by a from-scratch aggregate of
+        // the end-version snapshot restricted to those keys (the snapshot
+        // read must be AT toV: the live pointer may already be past the
+        // window, and a later commit's rows must not leak in)
+        val dirty = inWindow.filter(col("_w") === -1L)
+          .select(keys.map(col): _*).distinct().alias("dk")
+        def dirtyCond(df: DataFrame): Column =
+          keys.map(k => df(k) <=> col(s"dk.$k")).reduce(_ && _)
+        val m = merged.alias("m")
+        val clean = m.join(dirty, dirtyCond(m), "left_anti")
+        val snap = cat.readVersion(src, toV).alias("s")
+        val recomputed = aggregate(
+          snap.join(dirty, dirtyCond(snap), "left_semi"))
+        clean.unionByName(recomputed)
+      }
+    cat.overwrite(mv, conform(next))
   }
 
   /** Consume the next outstanding feed window through `tail` and fold it
     * in. Returns the number of source versions applied (0 = up to date).
     */
   def refreshOnce(tail: ChangeTail): Int =
-    tail.pollOnce((feed, _, _) => fold(feed))
+    tail.pollOnce((feed, _, to) => fold(feed, to))
 }
 
 object IncrementalView {

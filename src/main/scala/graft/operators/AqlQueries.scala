@@ -105,11 +105,17 @@ object AqlQueries {
         .select("doc_id", "lang", "n_chars"))
       eng.execute("CREATE VIEW mv_lang " +
         "(SEARCH [lang, count(doc_id), sum(n_chars)] ON docs_vw WHERE n_chars > 100)")
+      // min/max view over the same source: the commit below deletes a
+      // row and edits another IN PLACE, so REFRESH exercises both the
+      // gain-only fold and the dirty-group recompute path
+      eng.execute("CREATE VIEW mv_ext " +
+        "(SEARCH [lang, min(n_chars), max(n_chars)] ON docs_vw)")
       eng.execute("EDIT ROW ['n_chars'] [50000] ON docs_vw WHERE doc_id = 21")
       eng.execute("DELETE ROW ON docs_vw WHERE doc_id = 33")
       eng.execute("CREATE ROW ['doc_id','lang','n_chars'] [900006, 'xx', 999] ON docs_vw")
       eng.execute("COMMIT docs_vw")
       eng.execute("REFRESH VIEW mv_lang")
+      eng.execute("REFRESH VIEW mv_ext")
       // bulk-upsert container for MERGE ROWS: one set-oriented merge
       // updates every doc_id < 50 (computed new value), a second inserts
       // 5 shifted pks — both atomic single-statement commits through the
@@ -470,6 +476,24 @@ object AqlQueries {
         |FROM post WHERE n_chars > 100 GROUP BY lang
         |ORDER BY lang, n_rows, count_doc_id, sum_n_chars""".stripMargin) {
       (s, dir) => search("SEARCH [] ON mv_lang")(s, dir)
+    },
+
+    // min/max incremental view: deletes/in-place edits dirty their
+    // groups (recomputed from the end-version snapshot), inserts fold —
+    // the oracle re-aggregates the post state declaratively.
+    Q("aql_view_minmax",
+      """WITH post AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN doc_id = 21 THEN 50000 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id <> 33
+        |  UNION ALL SELECT 900006, 'xx', 999
+        |)
+        |SELECT lang, count(*) AS n_rows,
+        |       CAST(min(n_chars) AS BIGINT) AS min_n_chars,
+        |       CAST(max(n_chars) AS BIGINT) AS max_n_chars
+        |FROM post GROUP BY lang
+        |ORDER BY lang, n_rows, min_n_chars, max_n_chars""".stripMargin) {
+      (s, dir) => search("SEARCH [] ON mv_ext")(s, dir)
     },
 
     Q("aql_time_travel",

@@ -135,4 +135,95 @@ class IncrementalViewSpec extends AnyFunSuite {
     view.seed(tail)
     assert(mvRows(cat) == Map("a" -> (2L, 9L)))
   }
+
+  // ---- min/max: the two-path (gain-fold vs dirty-recompute) algorithm ----
+
+  private def fixtureMM(tag: String) = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-mvmm-$tag")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("src", List(
+      "id" -> graft.aql.AlbaType.of("INT"),
+      "grp" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "val" -> graft.aql.AlbaType.of("BIGINT")))
+    cat.create("mv", List(
+      "grp" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "n_rows" -> graft.aql.AlbaType.of("BIGINT"),
+      "sum_val" -> graft.aql.AlbaType.of("BIGINT"),
+      "min_val" -> graft.aql.AlbaType.of("BIGINT"),
+      "max_val" -> graft.aql.AlbaType.of("BIGINT")))
+    val view = new IncrementalView(cat, "src", "mv", Seq("grp"), Seq(
+      IncrementalView.Agg("sum", "val", "sum_val"),
+      IncrementalView.Agg("min", "val", "min_val"),
+      IncrementalView.Agg("max", "val", "max_val")))
+    (cat, new Tx(cat), view,
+      new ChangeTail(cat, "src", dir.resolve("mv.ckpt")))
+  }
+
+  private def mmRows(cat: Catalog): Map[String, (Long, Long, Long, Long)] =
+    cat.read("mv").collect().map(r =>
+      Option(r.getString(0)).getOrElse("∅") ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+  private def mmRecompute(cat: Catalog): Map[String, (Long, Long, Long, Long)] =
+    cat.read("src").groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("val")), lit(0L)).as("s"),
+        min(col("val")).as("mn"), max(col("val")).as("mx"))
+      .collect().map(r =>
+        Option(r.getString(0)).getOrElse("∅") ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+  test("min/max: gain-only windows fold; losing the extreme recomputes the group exactly") {
+    val (cat, tx, view, tail) = fixtureMM("basic")
+    tx.stageInsert("src", Seq(
+      org.apache.spark.sql.Row(1, "a", 10L),
+      org.apache.spark.sql.Row(2, "a", 20L),
+      org.apache.spark.sql.Row(3, "b", 5L)))
+    tx.commit(Some("src"))
+    view.refreshOnce(tail)
+    assert(mmRows(cat) == Map("a" -> (2L, 30L, 10L, 20L), "b" -> (1L, 5L, 5L, 5L)))
+
+    // gain-only window: least/greatest fold, no recompute needed
+    tx.stageInsert("src", Seq(org.apache.spark.sql.Row(4, "a", 30L)))
+    tx.commit(Some("src"))
+    view.refreshOnce(tail)
+    assert(mmRows(cat)("a") == (3L, 60L, 10L, 30L))
+
+    // deleting the CURRENT MAX: the runner-up must surface — only a
+    // group recompute can know it
+    tx.stageDelete("src", Some(col("id") === 4))
+    tx.commit(Some("src"))
+    view.refreshOnce(tail)
+    assert(mmRows(cat)("a") == (2L, 30L, 10L, 20L))
+
+    // in-group edit of the min (update pair: pre marks dirty)
+    tx.stageEdit("src", col("id") === 1, Seq("val" -> 50L))
+    tx.commit(Some("src"))
+    view.refreshOnce(tail)
+    assert(mmRows(cat)("a") == (2L, 70L, 20L, 50L))
+
+    // untouched group b never recomputed away
+    assert(mmRows(cat)("b") == (1L, 5L, 5L, 5L))
+    assert(mmRows(cat) == mmRecompute(cat))
+  }
+
+  test("min/max random histories equal re-aggregation after every refresh") {
+    val (cat, tx, view, tail) = fixtureMM("prop")
+    val groups = Vector("x", "y", "z")
+    (1 to 6).foreach { _ =>
+      (0 until 1 + rng.nextInt(3)).foreach { _ =>
+        rng.nextInt(6) match {
+          case 0 | 1 | 2 => tx.stageInsert("src", Seq(org.apache.spark.sql.Row(
+            rng.nextInt(10), groups(rng.nextInt(3)), rng.nextInt(100).toLong)))
+          case 3 => tx.stageEdit("src", col("id") === rng.nextInt(10),
+            Seq("grp" -> groups(rng.nextInt(3))))
+          case 4 => tx.stageEdit("src", col("id") === rng.nextInt(10),
+            Seq("val" -> rng.nextInt(100).toLong))
+          case 5 => tx.stageDelete("src", Some(col("id") === rng.nextInt(10)))
+        }
+      }
+      if (tx.stagedOps("src") > 0) tx.commit(Some("src"))
+      view.refreshOnce(tail)
+      assert(mmRows(cat) == mmRecompute(cat))
+    }
+  }
 }
