@@ -219,6 +219,33 @@ object Tables {
     cache.getOrElseUpdate((spark, s"denorm:$path"), spark.read.parquet(path))
   }
 
+  /** Orders flattened with the customer's market segment at ingest,
+    * hash-bucketed + sorted by o_orderkey like the other fact
+    * projections — the fact-side counterpart of [[customerGeo]]: a
+    * low-cardinality dim attribute (c_mktsegment dictionary-encodes to
+    * almost nothing) lands ON the orders row, so a segment-filtered
+    * orders⋈lineitem plan is a single zero-exchange bucketed merge join
+    * with NO broadcast build wave at query time. The flatten itself is a
+    * one-time ingest-side equi-join (shuffle or map-side, the planner's
+    * call) — the standard ETL denormalization every star schema ships.
+    */
+  def ordersMkt(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val src = new java.io.File(s"$dir/orders.parquet")
+    def joined = {
+      val o = load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val c = load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+          col("c_mktsegment"))
+    }
+    if (!src.isFile) return joined // directory layout: join in-plan
+    bucketedDerived(spark, src, "orders_mkt", "o_orderkey", 32)(joined)
+  }
+
   /** Customer flattened through the nation⋈region chain — the full
     * star-schema denormalization, one step further than [[nationRegion]]:
     * geography (n_name, r_name) lands ON the customer row at ingest, so a

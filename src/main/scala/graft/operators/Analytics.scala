@@ -195,27 +195,27 @@ object Analytics {
         // on the fact table first (the final grouping is per-orderkey, so
         // the summand sets — and the rounded totals — are identical), then
         // the join moves one row per order instead of one per lineitem.
-        // The filtered customer side is small → broadcast.
-        // Both facts come from the orderkey-BUCKETED projection
-        // (Tables.bucketed): the pre-aggregation inherits the bucket
-        // partitioning (no exchange) and the fact⋈fact join is
-        // co-partitioned (no exchange) — at 100 TB this layout removes
-        // the two largest shuffles in the plan entirely.
+        // Both facts come from orderkey-BUCKETED projections: the
+        // pre-aggregation inherits the bucket partitioning (no exchange)
+        // and the fact⋈fact join is co-partitioned (no exchange). The
+        // segment filter reads the INGEST-FLATTENED orders_mkt projection
+        // (Tables.ordersMkt — c_mktsegment landed on the orders row at
+        // ETL time), so the plan has NO broadcast build wave at all: one
+        // pushed-filter bucketed scan per fact, one merge join — at
+        // 100 TB this removes the two largest shuffles AND the dim-build
+        // dispatch round-trip.
         val revenue = Tables.bucketed(s, dir, "lineitem", "l_orderkey")
           .groupBy(col("l_orderkey"))
           .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
-        val buildingOrders = Tables.bucketed(s, dir, "orders", "o_orderkey")
-          .join(broadcast(t(s, dir, "customer")
-            .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))),
-            col("c_custkey") === col("o_custkey"))
+        val buildingOrders = Tables.ordersMkt(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING")
           .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         // buildingOrders is ORDERS-DERIVED (a fact side): no broadcast hint —
         // an explicit broadcast would OOM at scale. Instead the fact⋈fact
         // join carries a MERGE hint: both sides are co-partitioned on the
-        // bucket key (the agg preserved lineitem's bucketing; the broadcast
-        // dim join preserved orders'), so the SMJ is a per-bucket merge
-        // with zero exchange at ANY scale — without the hint the local
-        // planner's size estimate picks a broadcast of a fact-derived side.
+        // bucket key, so the SMJ is a per-bucket merge with zero exchange
+        // at ANY scale — without the hint the local planner's size
+        // estimate picks a broadcast of a fact-derived side.
         revenue.join(buildingOrders.hint("merge"),
             col("l_orderkey") === col("o_orderkey"))
           .select(col("o_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
