@@ -53,6 +53,12 @@ object Ast {
       * feed pins its own version window — an outer AT VERSION does not
       * apply to it. */
     final case class Feed(changes: Changes) extends Container
+    /** `(MATCH …)` virtual container (graft extension): BM25 hits as a
+      * SEARCH source — (pk, bm25, n_terms) best-first — so relevance
+      * results compose with WHERE/projection/aggregation/JOIN (the
+      * canonical use: join hits back to the source container for the
+      * document bodies). The inner LIMIT bounds the hit set. */
+    final case class Hits(m: Match) extends Container
   }
 
   sealed trait Stmt
@@ -599,7 +605,8 @@ object Parser {
           case SubCommand(sub) => fromTokens(sub) match {
             case s: Search => Container.Virtual(s)
             case c: Changes => Container.Feed(c)
-            case other => throw new ParseException(s"Subquery must be SEARCH or CHANGES, got $other")
+            case m: Match => Container.Hits(m)
+            case other => throw new ParseException(s"Subquery must be SEARCH, CHANGES, or MATCH, got $other")
           }
           case t => Container.Real(name(t))
         }
@@ -617,7 +624,8 @@ object Parser {
               case SubCommand(sub) => fromTokens(sub) match {
                 case s: Search => Container.Virtual(s)
                 case c: Changes => Container.Feed(c)
-                case other => throw new ParseException(s"JOIN subquery must be SEARCH or CHANGES, got $other")
+                case m: Match => Container.Hits(m)
+                case other => throw new ParseException(s"JOIN subquery must be SEARCH, CHANGES, or MATCH, got $other")
               }
               case t => Container.Real(name(t))
             }

@@ -330,25 +330,10 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       catalog.drop(v)
       Done(s"deleted view $v")
 
-    case Ast.Match(c, terms, ix, limit) =>
-      requireNotView(c, "a text index")
-      val defs = catalog.indexDefs(c).filter(_.kind == "text")
-      val idef = ix match {
-        case Some(n) => defs.find(_.ix == n).getOrElse(throw new ParseException(
-          s"No text index '$n' on '$c'"))
-        case None => defs match {
-          case Seq(one) => one
-          case Seq() => throw new ParseException(
-            s"MATCH needs a text index on '$c' (CREATE INDEX … USING text)")
-          case many => throw new ParseException(
-            s"'$c' has ${many.size} text indexes (${many.map(_.ix).mkString(", ")}) — pick one with USING")
-        }
-      }
+    case m: Ast.Match =>
       // already ranked (bm25 desc, pk) and LIMIT-bounded — served through
       // the cursor protocol with its own deterministic order
-      resultSet(
-        graft.catalog.Index.textLookup(catalog, c, idef, terms, limit),
-        needsDefaultSort = false)
+      resultSet(matchDf(m), needsDefaultSort = false)
 
     case Ast.Changes(c, from, to) =>
       // SEARCH-shaped result: served through the same cursor protocol,
@@ -670,7 +655,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           val d = catalog.get(cname)
           val base = containerDf(Ast.Container.Real(cname), s.atVersion)
           project(applyWhere(base, d, s), resolveNames(base, partProjection))
-        case virt @ (Ast.Container.Virtual(_) | Ast.Container.Feed(_)) =>
+        case virt @ (Ast.Container.Virtual(_) | Ast.Container.Feed(_) |
+                     Ast.Container.Hits(_)) =>
           // the outer WHERE applies to the virtual/feed result like to any
           // real container, resolved against a def derived from its schema
           val inner = containerDf(virt, s.atVersion)
@@ -792,6 +778,27 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     * the live transactional view; virtual containers recurse with the
     * outer AT VERSION propagated (an inner explicit one wins).
     */
+  /** Lower a MATCH to its ranked BM25 hit DataFrame (pk, bm25, n_terms):
+    * resolve the container's text index (explicit via USING, else the
+    * single one) and serve the literal-term-pruned lookup. */
+  private def matchDf(m: Ast.Match): DataFrame = {
+    requireNotView(m.container, "a text index")
+    val defs = catalog.indexDefs(m.container).filter(_.kind == "text")
+    val idef = m.ix match {
+      case Some(n) => defs.find(_.ix == n).getOrElse(throw new ParseException(
+        s"No text index '$n' on '${m.container}'"))
+      case None => defs match {
+        case Seq(one) => one
+        case Seq() => throw new ParseException(
+          s"MATCH needs a text index on '${m.container}' (CREATE INDEX … USING text)")
+        case many => throw new ParseException(
+          s"'${m.container}' has ${many.size} text indexes " +
+            s"(${many.map(_.ix).mkString(", ")}) — pick one with USING")
+      }
+    }
+    graft.catalog.Index.textLookup(catalog, m.container, idef, m.terms, m.limit)
+  }
+
   private def containerDf(c: Ast.Container, atVersion: Option[Int]): DataFrame =
     c match {
       case Ast.Container.Real(cname) =>
@@ -808,6 +815,10 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         // the feed pins its own version window; an outer AT VERSION
         // governs the OTHER containers in the statement, never the feed
         catalog.changes(ch.container, ch.fromVersion, ch.toVersion)
+      case Ast.Container.Hits(m) =>
+        // hits read the CURRENT version's index (like the MATCH
+        // statement); an outer AT VERSION governs the other containers
+        matchDf(m)
     }
 
   /** JOIN source (graft extension): the unioned containers joined with
@@ -834,16 +845,25 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         case _ => None
       }
       val overlap = acc.columns.filter(c => right.columns.exists(_.equalsIgnoreCase(c)))
-      if (overlap.nonEmpty)
+      // SAME-NAMED join key on both sides → SQL USING-join semantics:
+      // one output column (the left side's), no ambiguity. Any other
+      // overlap is still an error. This is what makes joining a
+      // `(MATCH …)` hit list back to its source container expressible —
+      // both carry the pk under the same name by construction.
+      val (lc, rc) = resolveJoinSides(acc, right, j, leftNames, rightName)
+      val usingKey = lc.equalsIgnoreCase(rc) &&
+        overlap.forall(_.equalsIgnoreCase(lc))
+      if (overlap.nonEmpty && !usingKey)
         throw new ParseException(
           s"Ambiguous columns after JOIN: ${overlap.mkString(",")} — project/rename " +
             "one side through a (SEARCH …) subquery first")
-      val (lc, rc) = resolveJoinSides(acc, right, j, leftNames, rightName)
       // strict type agreement (quirk-Q8 stance), like IN subqueries
       val (lt, rt) = (acc.schema(lc).dataType, right.schema(rc).dataType)
       if (lt != rt)
         throw new ParseException(s"JOIN type mismatch: $lc is $lt but $rc is $rt")
-      acc = acc.join(right, acc(lc) === right(rc), j.joinType)
+      acc =
+        if (usingKey && overlap.nonEmpty) acc.join(right, Seq(lc), j.joinType)
+        else acc.join(right, acc(lc) === right(rc), j.joinType)
       leftNames = leftNames ++ rightName
     }
     val filtered = applyWhere(acc, virtualDef(acc), s)

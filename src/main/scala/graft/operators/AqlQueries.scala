@@ -415,6 +415,19 @@ object AqlQueries {
       search("MATCH ['dup','vector','merge'] ON docs_ft LIMIT 20")(s, dir)
     },
 
+    // (MATCH …) as a SEARCH source: the hit list joins back to its source
+    // container on the shared pk (USING-join semantics) — relevance
+    // search composing with relational projection, end to end under the
+    // oracle gate.
+    Q("aql_match_join",
+      s"""WITH hits AS (${FullText.duckBm25})
+         |SELECT h.doc_id, h.bm25, d.text
+         |FROM hits h JOIN documents d USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      search("SEARCH [doc_id, bm25, text] ON [(MATCH ['dup','vector','merge'] ON docs_ft)] " +
+        "JOIN docs_ft ON doc_id = doc_id ORDER BY [doc_id]")(s, dir)
+    },
+
     // ALTER RENAME COLUMN through the full AQL path: files of both eras
     // (pre-rename fixture parquet, post-rename insert) read under the new
     // logical name in one scan.

@@ -740,6 +740,18 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // USING picks a named index; unknown name fails loudly
     assert(searchRows("MATCH ['oracle'] ON ftd USING ft").size == 2)
     intercept[ParseException](eng.execute("MATCH ['oracle'] ON ftd USING nope"))
+
+    // (MATCH …) as a SEARCH source: hits join back to their bodies on the
+    // shared pk (USING-join semantics — one doc_id output column), and
+    // WHERE/ORDER BY compose over the joined row
+    val joined = searchRows(
+      "SEARCH [doc_id, body] ON [(MATCH ['oracle'] ON ftd)] " +
+        "JOIN ftd ON doc_id = doc_id WHERE bm25 > 0 ORDER BY [doc_id]")
+    assert(joined.map(r => (r.getLong(0), r.getString(1))) ==
+      Seq(3L -> "a duckdb oracle for every query", 4L -> "oracle oracle oracle"))
+    // aggregation over hits
+    val agg = searchRows("SEARCH [count(doc_id)] ON [(MATCH ['oracle'] ON ftd)]")
+    assert(agg.head.getLong(0) == 2L)
     eng.execute("DELETE INDEX ft ON ftd")
   }
 
