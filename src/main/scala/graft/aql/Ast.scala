@@ -59,6 +59,10 @@ object Ast {
       * canonical use: join hits back to the source container for the
       * document bodies). The inner LIMIT bounds the hit set. */
     final case class Hits(m: Match) extends Container
+    /** `(SIMILAR …)` virtual container (graft extension): index-served
+      * candidate pks as a SEARCH source — join back to the source for
+      * the candidate rows, or aggregate for a duplicate count. */
+    final case class Cands(s: Similar) extends Container
   }
 
   sealed trait Stmt
@@ -184,6 +188,13 @@ object Ast {
     * matching documents by relevance (pk, bm25, n_terms). `USING` is only
     * needed when the container carries more than one text index. */
   final case class Match(container: String, terms: List[String],
+      ix: Option[String], limit: Int) extends Stmt
+  /** graft extension: candidate lookup from a band/ANN index — `SIMILAR
+    * <pk> ON c [USING ix] [LIMIT n]` reads the committed row with that pk
+    * and serves its near-dup (lsh/simhash) or same-cell ANN (ivf)
+    * candidates from the index, as one pk-named column ascending. `USING`
+    * is only needed when more than one non-text index exists. */
+  final case class Similar(container: String, key: Token,
       ix: Option[String], limit: Int) extends Stmt
   /** graft extensions: incremental materialized views. `CREATE VIEW v
     * (SEARCH [keys…, count(c)/sum(c)…] ON src [WHERE …])` declares a
@@ -606,7 +617,8 @@ object Parser {
             case s: Search => Container.Virtual(s)
             case c: Changes => Container.Feed(c)
             case m: Match => Container.Hits(m)
-            case other => throw new ParseException(s"Subquery must be SEARCH, CHANGES, or MATCH, got $other")
+            case sm: Similar => Container.Cands(sm)
+            case other => throw new ParseException(s"Subquery must be SEARCH, CHANGES, MATCH, or SIMILAR, got $other")
           }
           case t => Container.Real(name(t))
         }
@@ -625,7 +637,8 @@ object Parser {
                 case s: Search => Container.Virtual(s)
                 case c: Changes => Container.Feed(c)
                 case m: Match => Container.Hits(m)
-                case other => throw new ParseException(s"JOIN subquery must be SEARCH, CHANGES, or MATCH, got $other")
+                case sm: Similar => Container.Cands(sm)
+                case other => throw new ParseException(s"JOIN subquery must be SEARCH, CHANGES, MATCH, or SIMILAR, got $other")
               }
               case t => Container.Real(name(t))
             }
@@ -762,6 +775,29 @@ object Parser {
           s"Unexpected tokens after MATCH: ${other.mkString(" ")}")
       }
       Match(name(containerTok), terms, ix, limit)
+
+    // SIMILAR <pk> ON container [USING ix] [LIMIT n] (graft extension):
+    // near-dup / ANN candidates for the committed row with that pk,
+    // served from a band/ivf index
+    case Keyword("SIMILAR") :: keyTok :: Keyword("ON") :: containerTok :: rest =>
+      keyTok match {
+        case _: Group | _: SubCommand =>
+          throw new ParseException("SIMILAR expects a single pk literal")
+        case _ =>
+      }
+      val (ix, afterUsing) = rest match {
+        case Keyword("USING") :: ixTok :: tl => (Some(name(ixTok)), tl)
+        case tl => (None, tl)
+      }
+      val limit = afterUsing match {
+        case Nil => 20
+        case Keyword("LIMIT") :: IntLit(n) :: Nil =>
+          if (n < 1) throw new ParseException("SIMILAR LIMIT must be >= 1")
+          n.toInt
+        case other => throw new ParseException(
+          s"Unexpected tokens after SIMILAR: ${other.mkString(" ")}")
+      }
+      Similar(name(containerTok), keyTok, ix, limit)
 
     // CREATE VIEW v (SEARCH …) / REFRESH VIEW v / DELETE VIEW v (graft
     // extensions): incremental materialized views over the CDC feed

@@ -335,6 +335,9 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       // the cursor protocol with its own deterministic order
       resultSet(matchDf(m), needsDefaultSort = false)
 
+    case sm: Ast.Similar =>
+      resultSet(similarDf(sm), needsDefaultSort = false)
+
     case Ast.Changes(c, from, to) =>
       // SEARCH-shaped result: served through the same cursor protocol,
       // with the deterministic all-columns order applied lazily on first
@@ -656,7 +659,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           val base = containerDf(Ast.Container.Real(cname), s.atVersion)
           project(applyWhere(base, d, s), resolveNames(base, partProjection))
         case virt @ (Ast.Container.Virtual(_) | Ast.Container.Feed(_) |
-                     Ast.Container.Hits(_)) =>
+                     Ast.Container.Hits(_) | Ast.Container.Cands(_)) =>
           // the outer WHERE applies to the virtual/feed result like to any
           // real container, resolved against a def derived from its schema
           val inner = containerDf(virt, s.atVersion)
@@ -799,6 +802,45 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     graft.catalog.Index.textLookup(catalog, m.container, idef, m.terms, m.limit)
   }
 
+  /** Lower a SIMILAR to its candidate-pk DataFrame (one pk-named column,
+    * ascending, LIMIT-bounded): resolve a band/ivf index (explicit via
+    * USING, else the single non-text one), read the committed row with
+    * the given pk, and serve the index lookup for it. */
+  private def similarDf(sm: Ast.Similar): DataFrame = {
+    requireNotView(sm.container, "an index")
+    val d = catalog.get(sm.container)
+    val (pkName, pkType) = d.columns.head
+    val key = AlbaType.coerce(pkType, AlbaType.tokenValue(sm.key))
+    if (key == null)
+      throw new ParseException(s"SIMILAR key $pkName must not be NULL")
+    val defs = catalog.indexDefs(sm.container).filter(_.kind != "text")
+    val idef = sm.ix match {
+      case Some(n) => defs.find(_.ix == n).getOrElse(throw new ParseException(
+        s"No band/ANN index '$n' on '${sm.container}'"))
+      case None => defs match {
+        case Seq(one) => one
+        case Seq() => throw new ParseException(
+          s"SIMILAR needs an lsh/simhash/ivf index on '${sm.container}' " +
+            "(CREATE INDEX … USING lsh|simhash|ivf)")
+        case many => throw new ParseException(
+          s"'${sm.container}' has ${many.size} candidate indexes " +
+            s"(${many.map(_.ix).mkString(", ")}) — pick one with USING")
+      }
+    }
+    // the probe row comes from the COMMITTED current version, matching
+    // what the index covers (a staged, uncommitted row has no index rows
+    // yet — COMMIT first)
+    val probe = catalog.read(sm.container)
+      .filter(col(pkName) === lit(key)).limit(1)
+    if (probe.isEmpty)
+      throw new ParseException(
+        s"SIMILAR: no committed row with $pkName = $key on '${sm.container}'")
+    catalog.indexLookup(sm.container, idef.ix, probe)
+      .select(col("cand").as(pkName))
+      .orderBy(col(pkName))
+      .limit(sm.limit)
+  }
+
   private def containerDf(c: Ast.Container, atVersion: Option[Int]): DataFrame =
     c match {
       case Ast.Container.Real(cname) =>
@@ -819,6 +861,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         // hits read the CURRENT version's index (like the MATCH
         // statement); an outer AT VERSION governs the other containers
         matchDf(m)
+      case Ast.Container.Cands(sm) => similarDf(sm)
     }
 
   /** JOIN source (graft extension): the unioned containers joined with

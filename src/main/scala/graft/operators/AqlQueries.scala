@@ -138,6 +138,7 @@ object AqlQueries {
       eng.catalog.overwrite("docs_ft",
         ftDocs.filter(org.apache.spark.sql.functions.col("doc_id") < 10))
       eng.execute("CREATE INDEX ft ON docs_ft ['text'] USING text")
+      eng.execute("CREATE INDEX nd ON docs_ft ['text'] USING lsh")
       eng.catalog.overwrite("docs_ft", ftDocs)
       // renamed-column container: RENAME is metadata-only (files keep the
       // pinned stored name n_chars), and the post-rename insert commits
@@ -426,6 +427,18 @@ object AqlQueries {
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       search("SEARCH [doc_id, bm25, text] ON [(MATCH ['dup','vector','merge'] ON docs_ft)] " +
         "JOIN docs_ft ON doc_id = doc_id ORDER BY [doc_id]")(s, dir)
+    },
+
+    // SIMILAR (graft extension): near-dup candidates for one committed
+    // doc, served from the commit-maintained lsh band index on docs_ft —
+    // the oracle recomputes the banded MinHash collision set in DuckDB.
+    // (doc 45 is the sf0.01 fixture's best-connected near-dup.)
+    Q("aql_similar_cands",
+      s"""${TextDedup.duckLshPairs}
+         |SELECT id_b AS doc_id FROM pairs WHERE id_a = 45
+         |UNION SELECT id_a FROM pairs WHERE id_b = 45
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      search("SIMILAR 45 ON docs_ft USING nd")(s, dir)
     },
 
     // ALTER RENAME COLUMN through the full AQL path: files of both eras

@@ -328,7 +328,7 @@ object TextDedup {
   // RECURSIVE unconditionally: harmless for the non-recursive consumers,
   // and required by dd_dup_clusters' walk CTE — no string surgery on a
   // generated query downstream
-  private val duckLshPairs =
+  private[graft] val duckLshPairs =
     s"""WITH RECURSIVE $duckShingles,
        |$duckSignatures,
        |$duckBands,

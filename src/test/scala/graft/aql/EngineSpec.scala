@@ -668,8 +668,20 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(1)).toSet
     assert(cands == Set(1L, 3L), s"expected the near-dup family, got $cands")
 
+    // SIMILAR serves the band index through AQL: doc 1's family is doc 3
+    val sim = searchRows("SIMILAR 1 ON idocs")
+    assert(sim.map(_.getLong(0)) == Seq(3L), s"got $sim")
+    // (SIMILAR …) as a SEARCH source: join candidates back to their rows
+    val simJoin = searchRows(
+      "SEARCH [doc_id, body] ON [(SIMILAR 1 ON idocs)] JOIN idocs ON doc_id = doc_id")
+    assert(simJoin.map(_.getLong(0)) == Seq(3L) &&
+      simJoin.head.getString(1).contains("quick brown fox"))
+    // guards: unknown pk and a text-index-only container fail loudly
+    intercept[ParseException](eng.execute("SIMILAR 999 ON idocs"))
+
     eng.execute("DELETE INDEX nd ON idocs")
     assert(eng.catalog.indexDefs("idocs").isEmpty)
+    intercept[ParseException](eng.execute("SIMILAR 1 ON idocs"))
     // unknown kind through the full AQL path fails loudly
     intercept[RuntimeException](
       eng.execute("CREATE INDEX x ON idocs ['body'] USING btree"))

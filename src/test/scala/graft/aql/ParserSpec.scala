@@ -69,6 +69,15 @@ class ParserSpec extends AnyFunSuite {
     intercept[ParseException](Parser.parse("MATCH ['x'] ON docs EXTRA"))
   }
 
+  test("SIMILAR forms (index candidate extension)") {
+    assert(Parser.parse("SIMILAR 45 ON docs")
+      == Similar("docs", Token.IntLit(45), None, 20))
+    assert(Parser.parse("SIMILAR 'k1' ON docs USING nd LIMIT 5")
+      == Similar("docs", Token.Str("k1"), Some("nd"), 5))
+    intercept[ParseException](Parser.parse("SIMILAR [1,2] ON docs"))
+    intercept[ParseException](Parser.parse("SIMILAR 1 ON docs LIMIT 0"))
+  }
+
   test("CHANGES forms (CDC feed extension)") {
     assert(Parser.parse("CHANGES docs 3") == Changes("docs", 3, None))
     assert(Parser.parse("CHANGES docs 0 2") == Changes("docs", 0, Some(2)))

@@ -103,6 +103,11 @@ class AqlServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(body.matches("""(?s).*"rows":\[\[2,.*\],\[1,.*\]\].*"""), body)
     // no text index → client error, not a 500
     assert(post("MATCH ['spark'] ON webm")._1 == 400)
+    // SIMILAR through the same surface: needs a band index
+    assert(post("CREATE INDEX nd ON webft ['body']")._1 == 200)
+    val (sc, sb) = post("SIMILAR 1 ON webft USING nd")
+    assert(sc == 200 && sb.contains(""""columns":["id"]"""), sb)
+    assert(post("SIMILAR 99 ON webft USING nd")._1 == 400) // unknown pk
   }
 
   test("CHANGES feed reaches the wire surface (CDC over HTTP)") {
