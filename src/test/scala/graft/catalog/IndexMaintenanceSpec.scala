@@ -274,7 +274,7 @@ class IndexMaintenanceSpec extends AnyFunSuite {
   }
 
   test("ivf index: centroids train at create, commits append assignments, probes prune") {
-    val (cat, _) = ivfFixture("base")
+    val (cat, dir) = ivfFixture("base")
     cat.createIndex("vecs", "ann", "ivf", "e")
     val ix = cat.readIndex("vecs", "ann")
     assert(ix.columns.toSet == Set("id", "cluster", "src"))
@@ -303,6 +303,14 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     val carried = v2.count(p => v1ByRel.get(rel(cat, "vecs", 2, p))
       .exists(java.nio.file.Files.isSameFile(_, p)))
     assert(carried == v1.size, s"insert-only commit must link all index parts: $carried of ${v1.size}")
+
+    // SIMILAR reaches the ivf kind through AQL: same-cell candidates for
+    // a committed row's own vector, excluding the row itself
+    val eng = new graft.aql.Engine(spark, dir.toString)
+    val sim = eng.execute("SIMILAR 3 ON vecs")
+      .asInstanceOf[graft.aql.Engine.ResultSet].df
+      .collect().map(_.getLong(0)).toSet
+    assert(sim == Set(11L, 19L, 99L), s"got $sim")
   }
 
   test("ivf guards: needs BYTES column and committed rows; centroids survive a rename") {
