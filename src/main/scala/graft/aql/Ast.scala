@@ -99,6 +99,11 @@ object Ast {
       values: List[Token], where: Where) extends Stmt
   final case class DeleteRow(container: String, where: Option[Where]) extends Stmt
   final case class DeleteContainer(name: String) extends Stmt
+  /** graft extension: zero-copy shallow clone — `CLONE CONTAINER src dst`
+    * snapshots src's current committed version as dst's v1 via hard
+    * links (schema metadata copied verbatim; staged ops and index
+    * definitions are not cloned). See `Catalog.cloneContainer`. */
+  final case class CloneContainer(src: String, dst: String) extends Stmt
   /** `ALTER CONTAINER name ADD COLUMN [names] [types]` (graft extension —
     * the reference fixes a container's schema at creation,
     * `src/database.rs:161-250`; a real lake adds columns). New columns
@@ -594,6 +599,9 @@ object Parser {
       DeleteIndex(name(containerTok), name(ixTok))
 
     // DELETE CONTAINER name (database.rs:814-839)
+    case Keyword("CLONE") :: Keyword("CONTAINER") :: srcTok :: dstTok :: Nil =>
+      CloneContainer(name(srcTok), name(dstTok))
+
     case Keyword("DELETE") :: Keyword("CONTAINER") :: nameTok :: Nil =>
       DeleteContainer(name(nameTok))
 

@@ -338,6 +338,12 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     case sm: Ast.Similar =>
       resultSet(similarDf(sm), needsDefaultSort = false)
 
+    case Ast.CloneContainer(src, dst) =>
+      // cloning a view's data container is allowed — the clone is a
+      // detached snapshot, NOT view-maintained (no viewdef is copied)
+      catalog.cloneContainer(src, dst)
+      Done(s"cloned $src into $dst (version ${catalog.currentVersion(dst)})")
+
     case Ast.Changes(c, from, to) =>
       // SEARCH-shaped result: served through the same cursor protocol,
       // with the deterministic all-columns order applied lazily on first
@@ -829,12 +835,11 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     }
     // the probe row comes from the COMMITTED current version, matching
     // what the index covers (a staged, uncommitted row has no index rows
-    // yet — COMMIT first)
+    // yet — COMMIT first). An unknown pk probes nothing and returns the
+    // empty candidate set — lookup semantics, not an error, and it keeps
+    // statement lowering lazy (no job runs before the cursor is read).
     val probe = catalog.read(sm.container)
       .filter(col(pkName) === lit(key)).limit(1)
-    if (probe.isEmpty)
-      throw new ParseException(
-        s"SIMILAR: no committed row with $pkName = $key on '${sm.container}'")
     catalog.indexLookup(sm.container, idef.ix, probe)
       .select(col("cand").as(pkName))
       .orderBy(col(pkName))

@@ -86,6 +86,31 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     ContainerDef(name, columns)
   }
 
+  /** Zero-copy SHALLOW CLONE: `dst` is created with `src`'s exact schema
+    * metadata (including any RENAME COLUMN stored-name mapping — the
+    * linked parquet carries the pinned physical names) and its v1
+    * hard-links the src's CURRENT version's data files — no bytes copied,
+    * the Delta/Iceberg shallow-clone shape on the versioned-directory
+    * catalog. The two containers are fully independent afterwards: each
+    * commit rewrites only its own touched files (COW), and hard links
+    * keep shared inodes alive through either side's VACUUM or DELETE
+    * CONTAINER. Staged (uncommitted) ops on src are NOT cloned; index
+    * definitions are not cloned either (create them on the clone — the
+    * self-healing backfill covers v1). Only versioned containers clone:
+    * a symlinked external data dir has no version to link.
+    */
+  def cloneContainer(src: String, dst: String): Unit = {
+    val d = get(src)
+    create(dst, d.columns) // name validation + double-create rejection
+    if (d.renamed) writeSchema(dst, d.copy(name = dst))
+    val v = currentVersion(src)
+    if (v > 0 && !tryCommitCow(dst, 0, versionFiles(src, v), None)) {
+      // a racing writer on a just-created name can only be another clone
+      drop(dst)
+      sys.error(s"CLONE lost a race publishing '$dst' v1")
+    }
+  }
+
   def get(name: String): ContainerDef = {
     require(exists(name), s"Unknown container '$name'")
     // line format: `logical<TAB>TYPE[<TAB>stored]` — the 3rd field only

@@ -116,6 +116,10 @@ object AqlQueries {
       eng.execute("COMMIT docs_vw")
       eng.execute("REFRESH VIEW mv_lang")
       eng.execute("REFRESH VIEW mv_ext")
+      // zero-copy clone of the versioned docs_tt container (its current
+      // version is the full fixture): the clone's v1 hard-links those
+      // files, so a correct SEARCH over it proves the CLONE path
+      eng.execute("CLONE CONTAINER docs_tt docs_clone")
       // bulk-upsert container for MERGE ROWS: one set-oriented merge
       // updates every doc_id < 50 (computed new value), a second inserts
       // 5 shifted pks — both atomic single-statement commits through the
@@ -427,6 +431,14 @@ object AqlQueries {
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       search("SEARCH [doc_id, bm25, text] ON [(MATCH ['dup','vector','merge'] ON docs_ft)] " +
         "JOIN docs_ft ON doc_id = doc_id ORDER BY [doc_id]")(s, dir)
+    },
+
+    // CLONE CONTAINER (graft extension): the zero-copy snapshot reads
+    // back the full fixture through hard-linked files.
+    Q("aql_clone",
+      """SELECT doc_id, n_chars FROM documents
+        |ORDER BY doc_id, n_chars""".stripMargin) {
+      (s, dir) => search("SEARCH [] ON docs_clone")(s, dir)
     },
 
     // SIMILAR (graft extension): near-dup candidates for one committed

@@ -676,8 +676,8 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SEARCH [doc_id, body] ON [(SIMILAR 1 ON idocs)] JOIN idocs ON doc_id = doc_id")
     assert(simJoin.map(_.getLong(0)) == Seq(3L) &&
       simJoin.head.getString(1).contains("quick brown fox"))
-    // guards: unknown pk and a text-index-only container fail loudly
-    intercept[ParseException](eng.execute("SIMILAR 999 ON idocs"))
+    // an unknown pk probes nothing: empty candidate set, not an error
+    assert(searchRows("SIMILAR 999 ON idocs").isEmpty)
 
     eng.execute("DELETE INDEX nd ON idocs")
     assert(eng.catalog.indexDefs("idocs").isEmpty)
@@ -685,6 +685,20 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // unknown kind through the full AQL path fails loudly
     intercept[RuntimeException](
       eng.execute("CREATE INDEX x ON idocs ['body'] USING btree"))
+  }
+
+  test("33 CLONE CONTAINER snapshots through AQL; clone and source diverge") {
+    eng.execute("CREATE CONTAINER cl ['id','v'] [BIGINT, SMALL-STRING]")
+    eng.execute("CREATE ROW ['id','v'] [1,'a'] ON cl")
+    eng.execute("COMMIT cl")
+    eng.execute("CLONE CONTAINER cl cl2")
+    assert(searchRows("SEARCH [] ON cl2").map(_.getLong(0)) == Seq(1L))
+    eng.execute("EDIT ROW ['v'] ['b'] ON cl2 WHERE id = 1")
+    eng.execute("COMMIT cl2")
+    assert(searchRows("SEARCH ['v'] ON cl").map(_.getString(0)) == Seq("a"))
+    assert(searchRows("SEARCH ['v'] ON cl2").map(_.getString(0)) == Seq("b"))
+    eng.execute("DELETE CONTAINER cl")
+    eng.execute("DELETE CONTAINER cl2")
   }
 
   test("32 MERGE ROWS bulk-upserts a subquery on the pk, atomically") {

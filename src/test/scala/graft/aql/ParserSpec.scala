@@ -69,6 +69,11 @@ class ParserSpec extends AnyFunSuite {
     intercept[ParseException](Parser.parse("MATCH ['x'] ON docs EXTRA"))
   }
 
+  test("CLONE CONTAINER form (shallow clone extension)") {
+    assert(Parser.parse("CLONE CONTAINER a b") == CloneContainer("a", "b"))
+    intercept[ParseException](Parser.parse("CLONE CONTAINER a"))
+  }
+
   test("SIMILAR forms (index candidate extension)") {
     assert(Parser.parse("SIMILAR 45 ON docs")
       == Similar("docs", Token.IntLit(45), None, 20))

@@ -303,6 +303,40 @@ class CowCommitSpec extends AnyFunSuite {
     assert(got.forall(_.isNullAt(2)), "unmentioned columns are NULL")
   }
 
+  test("CLONE: v1 hard-links the source's files; the two containers diverge independently") {
+    val (cat, _) = fixture("clone")
+    cat.cloneContainer("c", "c2")
+    assert(cat.currentVersion("c2") == 1)
+    assert(cat.get("c2").columns == cat.get("c").columns)
+    val srcByName = cat.versionFiles("c", 1).map(f => f.getFileName.toString -> f).toMap
+    val cloned = cat.versionFiles("c2", 1)
+    assert(cloned.size == 4 && cloned.forall(f =>
+      srcByName.get(f.getFileName.toString).exists(sameFile(_, f))),
+      "every clone file must be a hard link of the source's, zero bytes copied")
+
+    // divergence: a point edit on the clone leaves the source untouched
+    val tx = new Tx(cat)
+    tx.stageEdit("c2", col("id") === 5, Seq("v" -> "CLONE"))
+    tx.commit(Some("c2"))
+    assert(cat.read("c2").filter(col("id") === 5).collect()(0).getString(1) == "CLONE")
+    assert(cat.read("c").filter(col("id") === 5).collect()(0).getString(1) == "v5")
+
+    // dropping the source cannot break the clone: hard links keep inodes
+    cat.drop("c")
+    assert(cat.read("c2").count() == 40)
+
+    // a renamed source clones its stored-name mapping (files keep the
+    // pinned physical name; the clone reads under the logical name)
+    cat.renameColumn("c2", "v", "val")
+    cat.cloneContainer("c2", "c3")
+    assert(cat.get("c3").columns.map(_._1) == List("id", "val"))
+    assert(cat.read("c3").filter(col("id") === 5).collect()(0).getString(1) == "CLONE")
+
+    // guards: unknown source, existing destination
+    intercept[IllegalArgumentException](cat.cloneContainer("nope", "c4"))
+    intercept[IllegalArgumentException](cat.cloneContainer("c2", "c3"))
+  }
+
   test("COW composes with CAS: two committers racing on the same base both land") {
     val (cat, _) = fixture("race")
     val txA = new Tx(cat); txA.stageEdit("c", col("id") === 3, Seq("v" -> "A"))

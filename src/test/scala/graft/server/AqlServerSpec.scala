@@ -107,7 +107,9 @@ class AqlServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post("CREATE INDEX nd ON webft ['body']")._1 == 200)
     val (sc, sb) = post("SIMILAR 1 ON webft USING nd")
     assert(sc == 200 && sb.contains(""""columns":["id"]"""), sb)
-    assert(post("SIMILAR 99 ON webft USING nd")._1 == 400) // unknown pk
+    // unknown pk: empty candidate set, not an error
+    val (uc, ub) = post("SIMILAR 99 ON webft USING nd")
+    assert(uc == 200 && ub.contains(""""rows":[]"""), ub)
   }
 
   test("CHANGES feed reaches the wire surface (CDC over HTTP)") {
