@@ -177,7 +177,7 @@ object Ast {
   final case class Commit(container: Option[String]) extends Stmt
   final case class Rollback(container: Option[String]) extends Stmt
   /** graft extension: physical-plan inspection for a SEARCH. */
-  final case class Explain(query: Search) extends Stmt
+  final case class Explain(query: Stmt) extends Stmt // SEARCH | MATCH | SIMILAR | CHANGES
   /** graft extension: prune old committed versions (time travel GC). */
   final case class Vacuum(container: String, keepLast: Int) extends Stmt
   /** graft extension: compact the fragmented current version into a
@@ -732,11 +732,13 @@ object Parser {
       Search(containers, projCols, where, atVersion, projAggs, having, orderBy, limit,
         joins = joins, exprs = projExprs, fns = projFns)
 
-    // EXPLAIN <search> (graft extension)
+    // EXPLAIN <query statement> (graft extension): any statement that
+    // lowers to a read plan — SEARCH, MATCH, SIMILAR, CHANGES
     case Keyword("EXPLAIN") :: rest =>
       fromTokens(rest) match {
-        case s: Search => Explain(s)
-        case other => throw new ParseException(s"EXPLAIN supports SEARCH, got $other")
+        case q @ (_: Search | _: Match | _: Similar | _: Changes) => Explain(q)
+        case other => throw new ParseException(
+          s"EXPLAIN supports SEARCH/MATCH/SIMILAR/CHANGES, got $other")
       }
 
     // VACUUM container [keepLast] (graft extension)

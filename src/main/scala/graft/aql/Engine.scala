@@ -255,7 +255,14 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         needsDefaultSort = s.orderBy.isEmpty && s.limit.isEmpty)
 
     case Ast.Explain(q) =>
-      Done(lowerSearch(q).queryExecution.explainString(
+      val df = q match {
+        case s: Ast.Search => lowerSearch(s)
+        case m: Ast.Match => matchDf(m)
+        case sm: Ast.Similar => similarDf(sm)
+        case ch: Ast.Changes => catalog.changes(ch.container, ch.fromVersion, ch.toVersion)
+        case other => throw new ParseException(s"EXPLAIN cannot plan $other")
+      }
+      Done(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
 
     case Ast.Vacuum(c, keep) =>

@@ -335,6 +335,25 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.contains("PushedFilters") && out.contains("GreaterThan(age,28)"))
   }
 
+  test("18c EXPLAIN covers MATCH/SIMILAR/CHANGES read plans") {
+    eng.execute("CREATE CONTAINER exq ['id','body'] [BIGINT, TEXT]")
+    eng.execute("CREATE ROW ['id','body'] [1,'alpha beta gamma delta'] ON exq")
+    eng.execute("COMMIT exq")
+    eng.execute("CREATE INDEX ft ON exq ['body'] USING text")
+    eng.execute("CREATE INDEX nd ON exq ['body'] USING lsh")
+    val m = eng.execute("EXPLAIN MATCH ['alpha'] ON exq")
+      .asInstanceOf[Engine.Done].message
+    assert(m.contains("Physical Plan"), m)
+    val sm = eng.execute("EXPLAIN SIMILAR 1 ON exq USING nd")
+      .asInstanceOf[Engine.Done].message
+    assert(sm.contains("Physical Plan"), sm)
+    val ch = eng.execute("EXPLAIN CHANGES exq 0")
+      .asInstanceOf[Engine.Done].message
+    assert(ch.contains("Physical Plan"), ch)
+    intercept[ParseException](eng.execute("EXPLAIN COMMIT exq"))
+    eng.execute("DELETE CONTAINER exq")
+  }
+
   test("18b VACUUM prunes old versions through AQL") {
     eng.execute("CREATE CONTAINER vac ['k'] [INT]")
     eng.execute("CREATE ROW ['k'] [1] ON vac"); eng.execute("COMMIT vac")
