@@ -104,6 +104,14 @@ object Ast {
     * links (schema metadata copied verbatim; staged ops and index
     * definitions are not cloned). See `Catalog.cloneContainer`. */
   final case class CloneContainer(src: String, dst: String) extends Stmt
+  /** graft extensions: corpus interchange. EXPORT writes the container's
+    * session view to a NEW directory in the given format (errors if the
+    * path exists — never silently overwrites); IMPORT reads files under
+    * the container's declared schema and lands them as ONE insert-only
+    * bulk-append commit (`Catalog.append` — indexes and views maintain
+    * like any commit). Formats: jsonl (default), csv, orc, parquet. */
+  final case class Export(container: String, path: String, fmt: String) extends Stmt
+  final case class Import(path: String, container: String, fmt: String) extends Stmt
   /** `ALTER CONTAINER name ADD COLUMN [names] [types]` (graft extension —
     * the reference fixes a container's schema at creation,
     * `src/database.rs:161-250`; a real lake adds columns). New columns
@@ -263,6 +271,18 @@ object Parser {
       throw new ParseException(
         s"CHANGES $label must be in [0, ${Int.MaxValue}], got $v")
     v.toInt
+  }
+
+  private val IoFormats = Set("jsonl", "csv", "orc", "parquet")
+  private def ioFormat(rest: List[Token]): String = rest match {
+    case Nil => "jsonl"
+    case Keyword("USING") :: fTok :: Nil =>
+      val f = name(fTok).toLowerCase
+      if (!IoFormats(f)) throw new ParseException(
+        s"Unknown format '$f' (formats: ${IoFormats.toList.sorted.mkString(", ")})")
+      f
+    case other => throw new ParseException(
+      s"Unexpected tokens after path: ${other.mkString(" ")}")
   }
 
   private def name(t: Token): String = t match {
@@ -601,6 +621,13 @@ object Parser {
     // DELETE CONTAINER name (database.rs:814-839)
     case Keyword("CLONE") :: Keyword("CONTAINER") :: srcTok :: dstTok :: Nil =>
       CloneContainer(name(srcTok), name(dstTok))
+
+    // EXPORT c TO 'path' [USING fmt] / IMPORT 'path' INTO c [USING fmt]
+    // (graft extensions): corpus interchange through the catalog
+    case Keyword("EXPORT") :: cTok :: Keyword("TO") :: Str(path) :: rest =>
+      Export(name(cTok), path, ioFormat(rest))
+    case Keyword("IMPORT") :: Str(path) :: Keyword("INTO") :: cTok :: rest =>
+      Import(path, name(cTok), ioFormat(rest))
 
     case Keyword("DELETE") :: Keyword("CONTAINER") :: nameTok :: Nil =>
       DeleteContainer(name(nameTok))

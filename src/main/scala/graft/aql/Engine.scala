@@ -345,6 +345,48 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     case sm: Ast.Similar =>
       resultSet(similarDf(sm), needsDefaultSort = false)
 
+    case Ast.Export(c, path, fmt) =>
+      val df = tx.view(c) // read-your-writes, like SEARCH
+      val w = df.write // Spark default ErrorIfExists: never clobbers a path
+      fmt match {
+        case "jsonl" => w.json(path)
+        case "orc" => w.orc(path)
+        case "parquet" => w.parquet(path)
+        case "csv" =>
+          // a splittable CSV cannot hold embedded newlines in ANY string
+          // column (the line-splitting reader would shear the record):
+          // refuse loudly instead of corrupting silently — JSONL escapes
+          // newlines and is the right format for such data
+          val strCols = df.schema.fields.filter(_.dataType ==
+            org.apache.spark.sql.types.StringType).map(_.name)
+          if (strCols.nonEmpty) {
+            val nl = strCols.map(col(_).rlike("[\\n\\r]")).reduce(_ || _)
+            val bad = df.filter(nl).count()
+            if (bad > 0) throw new ParseException(
+              s"$bad row(s) contain newlines in a string column; CSV export " +
+                "would corrupt them — use jsonl")
+          }
+          w.option("header", "true").option("quoteAll", "true")
+            .option("escape", "\"").csv(path)
+      }
+      Done(s"exported $c to $path ($fmt)")
+
+    case Ast.Import(path, c, fmt) =>
+      requireNotView(c, "its content")
+      val d = catalog.get(c)
+      // explicit declared schema — no inference pass; json/orc/parquet
+      // resolve by name (absent columns read NULL), csv positionally
+      // under its header
+      val read = fmt match {
+        case "jsonl" => spark.read.schema(d.schema).json(path)
+        case "orc" => spark.read.schema(d.schema).orc(path)
+        case "parquet" => spark.read.schema(d.schema).parquet(path)
+        case "csv" => spark.read.schema(d.schema).option("header", "true")
+          .option("escape", "\"").csv(path)
+      }
+      val v = catalog.append(c, read)
+      Done(s"imported $path into $c (version $v)")
+
     case Ast.CloneContainer(src, dst) =>
       // cloning a view's data container is allowed — the clone is a
       // detached snapshot, NOT view-maintained (no viewdef is copied)

@@ -39,7 +39,7 @@ object Token {
     "ORDER", "BY", "LIMIT", "ASC", "DESC", "DISTINCT", "JOIN", "LEFT",
     "ALTER", "ADD", "COLUMN", "OPTIMIZE", "MERGE", "DROP", "RENAME", "INDEX",
     "CHANGES", "SHOW", "CONTAINERS", "INDEXES", "VERSIONS", "DESCRIBE",
-    "VIEW", "VIEWS", "REFRESH", "MATCH", "ROWS", "SIMILAR", "CLONE")
+    "VIEW", "VIEWS", "REFRESH", "MATCH", "ROWS", "SIMILAR", "CLONE", "EXPORT", "IMPORT", "TO", "INTO")
 
   /** Multi-char first: `&&&>` regex-match, `&&>` icontains, `&>` contains,
     * `>=`, `<=`, `==`, `!=`, then single-char (reference

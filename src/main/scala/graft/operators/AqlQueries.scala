@@ -116,6 +116,12 @@ object AqlQueries {
       eng.execute("COMMIT docs_vw")
       eng.execute("REFRESH VIEW mv_lang")
       eng.execute("REFRESH VIEW mv_ext")
+      // corpus interchange: EXPORT the versioned docs_tt snapshot as
+      // JSONL, IMPORT it into a fresh container as one bulk-append
+      // commit — the AQL surface over the sources lane
+      eng.execute(s"EXPORT docs_tt TO '$root/io-docs' USING jsonl")
+      eng.execute("CREATE CONTAINER docs_io ['doc_id','n_chars'] [BIGINT, BIGINT]")
+      eng.execute(s"IMPORT '$root/io-docs' INTO docs_io USING jsonl")
       // zero-copy clone of the versioned docs_tt container (its current
       // version is the full fixture): the clone's v1 hard-links those
       // files, so a correct SEARCH over it proves the CLONE path
@@ -431,6 +437,14 @@ object AqlQueries {
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       search("SEARCH [doc_id, bm25, text] ON [(MATCH ['dup','vector','merge'] ON docs_ft)] " +
         "JOIN docs_ft ON doc_id = doc_id ORDER BY [doc_id]")(s, dir)
+    },
+
+    // EXPORT/IMPORT (graft extensions): the JSONL round-trip through the
+    // corpus-interchange surface loses nothing.
+    Q("aql_export_import",
+      """SELECT doc_id, n_chars FROM documents
+        |ORDER BY doc_id, n_chars""".stripMargin) {
+      (s, dir) => search("SEARCH [] ON docs_io")(s, dir)
     },
 
     // CLONE CONTAINER (graft extension): the zero-copy snapshot reads

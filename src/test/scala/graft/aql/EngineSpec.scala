@@ -706,6 +706,39 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       eng.execute("CREATE INDEX x ON idocs ['body'] USING btree"))
   }
 
+  test("34 EXPORT/IMPORT round-trips a container through jsonl and csv") {
+    val io = java.nio.file.Files.createTempDirectory("graft-io")
+    eng.execute("CREATE CONTAINER exio ['id','txt','n'] [BIGINT, SMALL-STRING, BIGINT]")
+    eng.execute("CREATE ROW ['id','txt','n'] [1,'alpha',10] ON exio")
+    eng.execute("CREATE ROW ['id','txt','n'] [2,'beta',20] ON exio")
+    eng.execute("COMMIT exio")
+
+    eng.execute(s"EXPORT exio TO '$io/d1'")
+    eng.execute("CREATE CONTAINER exio2 ['id','txt','n'] [BIGINT, SMALL-STRING, BIGINT]")
+    eng.execute(s"IMPORT '$io/d1' INTO exio2")
+    assert(searchRows("SEARCH [] ON exio2").map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))).toSet ==
+      Set((1L, "alpha", 10L), (2L, "beta", 20L)))
+
+    // csv round-trip, and a second IMPORT appends (a new version)
+    eng.execute(s"EXPORT exio TO '$io/d2' USING csv")
+    eng.execute("CREATE CONTAINER exio3 ['id','txt','n'] [BIGINT, SMALL-STRING, BIGINT]")
+    eng.execute(s"IMPORT '$io/d2' INTO exio3 USING csv")
+    assert(searchRows("SEARCH [count(id)] ON exio3").head.getLong(0) == 2L)
+    eng.execute(s"IMPORT '$io/d1' INTO exio3")
+    assert(searchRows("SEARCH [count(id)] ON exio3").head.getLong(0) == 4L)
+    assert(eng.catalog.currentVersion("exio3") == 2, "each import is one commit")
+
+    // an existing path is never clobbered; newline text refuses CSV
+    intercept[Exception](eng.execute(s"EXPORT exio TO '$io/d1'"))
+    eng.tx.stageInsert("exio",
+      Seq(org.apache.spark.sql.Row(3L, "two\nlines", 30L)))
+    eng.execute("COMMIT exio")
+    intercept[ParseException](eng.execute(s"EXPORT exio TO '$io/d3' USING csv"))
+    eng.execute(s"EXPORT exio TO '$io/d3'") // jsonl escapes newlines fine
+    Seq("exio", "exio2", "exio3").foreach(c => eng.execute(s"DELETE CONTAINER $c"))
+  }
+
   test("33 CLONE CONTAINER snapshots through AQL; clone and source diverge") {
     eng.execute("CREATE CONTAINER cl ['id','v'] [BIGINT, SMALL-STRING]")
     eng.execute("CREATE ROW ['id','v'] [1,'a'] ON cl")

@@ -69,6 +69,13 @@ class ParserSpec extends AnyFunSuite {
     intercept[ParseException](Parser.parse("MATCH ['x'] ON docs EXTRA"))
   }
 
+  test("EXPORT/IMPORT forms (corpus interchange extension)") {
+    assert(Parser.parse("EXPORT docs TO '/tmp/x'") == Export("docs", "/tmp/x", "jsonl"))
+    assert(Parser.parse("EXPORT docs TO '/tmp/x' USING csv") == Export("docs", "/tmp/x", "csv"))
+    assert(Parser.parse("IMPORT '/tmp/x' INTO docs USING orc") == Import("/tmp/x", "docs", "orc"))
+    intercept[ParseException](Parser.parse("EXPORT docs TO '/tmp/x' USING xml"))
+  }
+
   test("CLONE CONTAINER form (shallow clone extension)") {
     assert(Parser.parse("CLONE CONTAINER a b") == CloneContainer("a", "b"))
     intercept[ParseException](Parser.parse("CLONE CONTAINER a"))
