@@ -201,14 +201,16 @@ object Ast {
     * matching documents by relevance (pk, bm25, n_terms). `USING` is only
     * needed when the container carries more than one text index. */
   final case class Match(container: String, terms: List[String],
-      ix: Option[String], limit: Int) extends Stmt
+      ix: Option[String], limit: Int,
+      atVersion: Option[Int] = None) extends Stmt
   /** graft extension: candidate lookup from a band/ANN index — `SIMILAR
     * <pk> ON c [USING ix] [LIMIT n]` reads the committed row with that pk
     * and serves its near-dup (lsh/simhash) or same-cell ANN (ivf)
     * candidates from the index, as one pk-named column ascending. `USING`
     * is only needed when more than one non-text index exists. */
   final case class Similar(container: String, key: Token,
-      ix: Option[String], limit: Int) extends Stmt
+      ix: Option[String], limit: Int,
+      atVersion: Option[Int] = None) extends Stmt
   /** graft extensions: incremental materialized views. `CREATE VIEW v
     * (SEARCH [keys…, count(c)/sum(c)…] ON src [WHERE …])` declares a
     * CDC-maintained aggregate container; `REFRESH VIEW` folds the
@@ -271,6 +273,34 @@ object Parser {
       throw new ParseException(
         s"CHANGES $label must be in [0, ${Int.MaxValue}], got $v")
     v.toInt
+  }
+
+  /** Shared MATCH/SIMILAR tail: `[AT VERSION n] [USING ix] [LIMIT k]`
+    * (each committed version owns its index parts, so lookups time
+    * travel like data reads). */
+  private def lookupTail(what: String,
+      rest: List[Token]): (Option[Int], Option[String], Int) = {
+    val (at, afterAt) = rest match {
+      case Keyword("AT") :: Keyword("VERSION") :: IntLit(v) :: tl =>
+        if (v < 1) throw new ParseException(s"$what AT VERSION must be >= 1")
+        (Some(v.toInt), tl)
+      case Keyword("AT") :: _ =>
+        throw new ParseException(s"Expected `AT VERSION <n>` in $what")
+      case tl => (None, tl)
+    }
+    val (ix, afterUsing) = afterAt match {
+      case Keyword("USING") :: ixTok :: tl => (Some(name(ixTok)), tl)
+      case tl => (None, tl)
+    }
+    val limit = afterUsing match {
+      case Nil => 20
+      case Keyword("LIMIT") :: IntLit(n) :: Nil =>
+        if (n < 1) throw new ParseException(s"$what LIMIT must be >= 1")
+        n.toInt
+      case other => throw new ParseException(
+        s"Unexpected tokens after $what: ${other.mkString(" ")}")
+    }
+    (at, ix, limit)
   }
 
   private val IoFormats = Set("jsonl", "csv", "orc", "parquet")
@@ -799,19 +829,8 @@ object Parser {
       val terms = strings(termsG)
       if (terms.isEmpty)
         throw new ParseException("MATCH needs at least one term")
-      val (ix, afterUsing) = rest match {
-        case Keyword("USING") :: ixTok :: tl => (Some(name(ixTok)), tl)
-        case tl => (None, tl)
-      }
-      val limit = afterUsing match {
-        case Nil => 20
-        case Keyword("LIMIT") :: IntLit(n) :: Nil =>
-          if (n < 1) throw new ParseException("MATCH LIMIT must be >= 1")
-          n.toInt
-        case other => throw new ParseException(
-          s"Unexpected tokens after MATCH: ${other.mkString(" ")}")
-      }
-      Match(name(containerTok), terms, ix, limit)
+      val (at, ix, limit) = lookupTail("MATCH", rest)
+      Match(name(containerTok), terms, ix, limit, at)
 
     // SIMILAR <pk> ON container [USING ix] [LIMIT n] (graft extension):
     // near-dup / ANN candidates for the committed row with that pk,
@@ -822,19 +841,8 @@ object Parser {
           throw new ParseException("SIMILAR expects a single pk literal")
         case _ =>
       }
-      val (ix, afterUsing) = rest match {
-        case Keyword("USING") :: ixTok :: tl => (Some(name(ixTok)), tl)
-        case tl => (None, tl)
-      }
-      val limit = afterUsing match {
-        case Nil => 20
-        case Keyword("LIMIT") :: IntLit(n) :: Nil =>
-          if (n < 1) throw new ParseException("SIMILAR LIMIT must be >= 1")
-          n.toInt
-        case other => throw new ParseException(
-          s"Unexpected tokens after SIMILAR: ${other.mkString(" ")}")
-      }
-      Similar(name(containerTok), keyTok, ix, limit)
+      val (at, ix, limit) = lookupTail("SIMILAR", rest)
+      Similar(name(containerTok), keyTok, ix, limit, at)
 
     // CREATE VIEW v (SEARCH …) / REFRESH VIEW v / DELETE VIEW v (graft
     // extensions): incremental materialized views over the CDC feed

@@ -854,7 +854,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
             s"(${many.map(_.ix).mkString(", ")}) — pick one with USING")
       }
     }
-    graft.catalog.Index.textLookup(catalog, m.container, idef, m.terms, m.limit)
+    graft.catalog.Index.textLookup(catalog, m.container, idef, m.terms,
+      m.limit, m.atVersion)
   }
 
   /** Lower a SIMILAR to its candidate-pk DataFrame (one pk-named column,
@@ -882,14 +883,18 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
             s"(${many.map(_.ix).mkString(", ")}) — pick one with USING")
       }
     }
-    // the probe row comes from the COMMITTED current version, matching
-    // what the index covers (a staged, uncommitted row has no index rows
-    // yet — COMMIT first). An unknown pk probes nothing and returns the
-    // empty candidate set — lookup semantics, not an error, and it keeps
-    // statement lowering lazy (no job runs before the cursor is read).
-    val probe = catalog.read(sm.container)
-      .filter(col(pkName) === lit(key)).limit(1)
-    catalog.indexLookup(sm.container, idef.ix, probe)
+    // the probe row comes from the COMMITTED (possibly time-traveled)
+    // version, matching what that version's index covers (a staged,
+    // uncommitted row has no index rows yet — COMMIT first). An unknown
+    // pk probes nothing and returns the empty candidate set — lookup
+    // semantics, not an error, and it keeps statement lowering lazy (no
+    // job runs before the cursor is read).
+    val snapshot = sm.atVersion match {
+      case Some(v) => catalog.readVersion(sm.container, v)
+      case None => catalog.read(sm.container)
+    }
+    val probe = snapshot.filter(col(pkName) === lit(key)).limit(1)
+    catalog.indexLookup(sm.container, idef.ix, probe, sm.atVersion)
       .select(col("cand").as(pkName))
       .orderBy(col(pkName))
       .limit(sm.limit)

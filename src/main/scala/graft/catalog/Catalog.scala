@@ -285,13 +285,14 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     * near-dup candidates from an lsh/simhash band index, ANN candidates
     * from an ivf index — see [[Index.lshLookup]] / [[Index.simhashLookup]]
     * / [[Index.ivfLookup]]. */
-  def indexLookup(name: String, ix: String, queries: DataFrame): DataFrame = {
+  def indexLookup(name: String, ix: String, queries: DataFrame,
+      at: Option[Int] = None): DataFrame = {
     val d = indexDefs(name).find(_.ix == ix)
       .getOrElse(sys.error(s"No index '$ix' on '$name'"))
     d.kind match {
-      case "lsh" => Index.lshLookup(this, name, d, queries)
-      case "simhash" => Index.simhashLookup(this, name, d, queries)
-      case "ivf" => Index.ivfLookup(this, name, d, queries)
+      case "lsh" => Index.lshLookup(this, name, d, queries, at)
+      case "simhash" => Index.simhashLookup(this, name, d, queries, at)
+      case "ivf" => Index.ivfLookup(this, name, d, queries, at = at)
       case "text" => sys.error(
         s"index '$ix' is a text index — search it with textSearch(terms)")
       case other => sys.error(s"unknown index kind '$other'")
@@ -300,10 +301,10 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
 
   /** BM25 top-k over a `text` index — see [[Index.textLookup]]. */
   def textSearch(name: String, ix: String, terms: Seq[String],
-      k: Int = 20): DataFrame = {
+      k: Int = 20, at: Option[Int] = None): DataFrame = {
     val d = indexDefs(name).find(_.ix == ix)
       .getOrElse(sys.error(s"No index '$ix' on '$name'"))
-    Index.textLookup(this, name, d, terms, k)
+    Index.textLookup(this, name, d, terms, k, at)
   }
 
   def drop(name: String): Unit = {

@@ -182,13 +182,18 @@ object Index {
       cat.deleteRecursively(cat.versionPath(container, v).resolve("_index").resolve(ix)))
   }
 
-  /** Index rows at the current version (self-healing: a version published
+  /** Index rows at the current version — or at an explicit committed
+    * version (`at`): every version owns its index parts, so lookups time
+    * travel exactly like data reads (self-healing: a version published
     * before the index existed — or whose backfill crashed — is indexed on
     * first read, reusing any older version's parts by file identity).
     */
-  def read(cat: Catalog, container: String, idef: Def): DataFrame = {
+  def read(cat: Catalog, container: String, idef: Def,
+      at: Option[Int] = None): DataFrame = {
     val d = cat.get(container)
-    val v = cat.currentVersion(container)
+    val v = at.getOrElse(cat.currentVersion(container))
+    at.foreach(x => require(cat.versions(container).contains(x),
+      s"No committed version $x on '$container'"))
     val full = idef.schema(d.schema.head.dataType).add("src", StringType)
     if (v == 0)
       return cat.spark.createDataFrame(
@@ -205,28 +210,29 @@ object Index {
     * IVF-probe-list idiom — never data.
     */
   def lshLookup(cat: Catalog, container: String, idef: Def,
-      queries: DataFrame): DataFrame = {
+      queries: DataFrame, at: Option[Int] = None): DataFrame = {
     require(idef.kind == "lsh", s"index '${idef.ix}' is not an lsh index")
-    bandLookup(cat, container, idef, queries, deriveLsh)
+    bandLookup(cat, container, idef, queries, deriveLsh, at)
   }
 
   /** Near-dup lookup from a `simhash` index — identical serving shape to
     * [[lshLookup]] over the simhash banding. */
   def simhashLookup(cat: Catalog, container: String, idef: Def,
-      queries: DataFrame): DataFrame = {
+      queries: DataFrame, at: Option[Int] = None): DataFrame = {
     require(idef.kind == "simhash", s"index '${idef.ix}' is not a simhash index")
-    bandLookup(cat, container, idef, queries, deriveSimhash)
+    bandLookup(cat, container, idef, queries, deriveSimhash, at)
   }
 
   private def bandLookup(cat: Catalog, container: String, idef: Def,
-      queries: DataFrame, derive: DataFrame => DataFrame): DataFrame = {
+      queries: DataFrame, derive: DataFrame => DataFrame,
+      at: Option[Int] = None): DataFrame = {
     val pk = cat.get(container).primaryKey
     val qBands = derive(queries
         .select(col(pk).as("id"), col(idef.column).as("text"))
         .withColumn("src", lit("query")))
       .select(col("id").as("qid"), col("band").as("qband"), col("bk").as("qbk"))
     val keys = qBands.select(col("qbk")).distinct().collect().map(_.getString(0))
-    read(cat, container, idef)
+    read(cat, container, idef, at)
       .filter(col("bk").isin(keys.toIndexedSeq: _*))
       .join(broadcast(qBands),
         col("band") === col("qband") && col("bk") === col("qbk")
@@ -245,7 +251,8 @@ object Index {
     * step (compose with `sim_ann_int8_rerank`'s recipe).
     */
   def ivfLookup(cat: Catalog, container: String, idef: Def,
-      queries: DataFrame, nprobe: Int = 1): DataFrame = {
+      queries: DataFrame, nprobe: Int = 1,
+      at: Option[Int] = None): DataFrame = {
     require(idef.kind == "ivf", s"index '${idef.ix}' is not an ivf index")
     val pk = cat.get(container).primaryKey
     import org.apache.spark.sql.expressions.Window
@@ -261,7 +268,7 @@ object Index {
       .select(col("id").as("qid"), col("sid").as("qcluster"))
     val probed = qAssign.select(col("qcluster")).distinct()
       .collect().map(_.getInt(0))
-    read(cat, container, idef)
+    read(cat, container, idef, at)
       .filter(col("cluster").isin(probed.toIndexedSeq: _*))
       .join(broadcast(qAssign),
         col("cluster") === col("qcluster") && col("id") =!= col("qid"))
@@ -279,11 +286,11 @@ object Index {
     * the fixture lane's full-scan baseline by construction.
     */
   def textLookup(cat: Catalog, container: String, idef: Def,
-      terms: Seq[String], k: Int = 20): DataFrame = {
+      terms: Seq[String], k: Int = 20, at: Option[Int] = None): DataFrame = {
     require(idef.kind == "text", s"index '${idef.ix}' is not a text index")
     val qs = terms.map(_.toLowerCase).distinct.filter(_.nonEmpty)
     require(qs.nonEmpty, "text lookup needs at least one non-empty term")
-    val ix = read(cat, container, idef)
+    val ix = read(cat, container, idef, at)
       .filter(col("term").isin(qs :+ graft.operators.FullText.StatsTerm: _*))
     val stats = ix.filter(col("term") === graft.operators.FullText.StatsTerm)
       .agg(sum(col("tf")).cast("double").as("n"),

@@ -815,6 +815,11 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val afterIns = searchRows("MATCH ['oracle'] ON ftd")
     assert(afterIns.map(_.getLong(0)) == Seq(4L, 3L))
 
+    // time-traveled search: v1 predates doc 4, so its index (self-healed
+    // on demand) scores only doc 3 — with v1's N/avgdl, not the current
+    val atV1 = searchRows("MATCH ['oracle'] ON ftd AT VERSION 1")
+    assert(atV1.map(_.getLong(0)) == Seq(3L), s"got $atV1")
+
     // USING picks a named index; unknown name fails loudly
     assert(searchRows("MATCH ['oracle'] ON ftd USING ft").size == 2)
     intercept[ParseException](eng.execute("MATCH ['oracle'] ON ftd USING nope"))

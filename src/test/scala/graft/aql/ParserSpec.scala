@@ -64,6 +64,11 @@ class ParserSpec extends AnyFunSuite {
       == Match("docs", List("dup", "vector"), None, 20))
     assert(Parser.parse("MATCH ['dup'] ON docs USING ft LIMIT 5")
       == Match("docs", List("dup"), Some("ft"), 5))
+    assert(Parser.parse("MATCH ['dup'] ON docs AT VERSION 2 USING ft")
+      == Match("docs", List("dup"), Some("ft"), 20, Some(2)))
+    assert(Parser.parse("SIMILAR 1 ON docs AT VERSION 3")
+      == Similar("docs", Token.IntLit(1), None, 20, Some(3)))
+    intercept[ParseException](Parser.parse("MATCH ['x'] ON docs AT 2"))
     intercept[ParseException](Parser.parse("MATCH [] ON docs"))
     intercept[ParseException](Parser.parse("MATCH ['x'] ON docs LIMIT 0"))
     intercept[ParseException](Parser.parse("MATCH ['x'] ON docs EXTRA"))
