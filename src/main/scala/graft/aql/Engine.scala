@@ -373,6 +373,9 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
 
     case Ast.Import(path, c, fmt) =>
       requireNotView(c, "its content")
+      // append's base-0 path would silently replace a legacy external
+      // data directory's rows — refuse like MERGE ROWS/CLONE do
+      catalog.requireVersioned(c, "IMPORT")
       val d = catalog.get(c)
       // explicit declared schema — no inference pass; json/orc/parquet
       // resolve by name (absent columns read NULL), csv positionally
@@ -841,6 +844,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     * single one) and serve the literal-term-pruned lookup. */
   private def matchDf(m: Ast.Match): DataFrame = {
     requireNotView(m.container, "a text index")
+    catalog.get(m.container) // unknown container: the real error, not index advice
     val defs = catalog.indexDefs(m.container).filter(_.kind == "text")
     val idef = m.ix match {
       case Some(n) => defs.find(_.ix == n).getOrElse(throw new ParseException(
@@ -887,8 +891,10 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     // version, matching what that version's index covers (a staged,
     // uncommitted row has no index rows yet — COMMIT first). An unknown
     // pk probes nothing and returns the empty candidate set — lookup
-    // semantics, not an error, and it keeps statement lowering lazy (no
-    // job runs before the cursor is read).
+    // semantics, not an error. (The lookup itself runs bounded
+    // metadata jobs at lowering — the probe row's band keys / probed
+    // clusters collect driver-side, the IVF probe-list idiom — so even
+    // EXPLAIN SIMILAR executes those small scans before printing.)
     val snapshot = sm.atVersion match {
       case Some(v) => catalog.readVersion(sm.container, v)
       case None => catalog.read(sm.container)
@@ -917,10 +923,11 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         // governs the OTHER containers in the statement, never the feed
         catalog.changes(ch.container, ch.fromVersion, ch.toVersion)
       case Ast.Container.Hits(m) =>
-        // hits read the CURRENT version's index (like the MATCH
-        // statement); an outer AT VERSION governs the other containers
-        matchDf(m)
-      case Ast.Container.Cands(sm) => similarDf(sm)
+        // an outer AT VERSION propagates like into (SEARCH …) subqueries
+        // (inner wins), so joined sources read one consistent snapshot
+        matchDf(m.copy(atVersion = m.atVersion.orElse(atVersion)))
+      case Ast.Container.Cands(sm) =>
+        similarDf(sm.copy(atVersion = sm.atVersion.orElse(atVersion)))
     }
 
   /** JOIN source (graft extension): the unioned containers joined with

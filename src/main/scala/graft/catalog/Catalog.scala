@@ -101,8 +101,15 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     */
   def cloneContainer(src: String, dst: String): Unit = {
     val d = get(src)
+    requireVersioned(src, "CLONE")
     create(dst, d.columns) // name validation + double-create rejection
     if (d.renamed) writeSchema(dst, d.copy(name = dst))
+    // the drop-column tombstones travel with the clone: the linked
+    // parquet still physically carries any dropped column's bytes, and
+    // without the tombstone an ADD COLUMN on the clone could bind the
+    // old stored name and resurrect them
+    if (Files.exists(droppedFile(src)))
+      Files.copy(droppedFile(src), droppedFile(dst))
     val v = currentVersion(src)
     if (v > 0 && !tryCommitCow(dst, 0, versionFiles(src, v), None)) {
       // a racing writer on a just-created name can only be another clone
@@ -110,6 +117,18 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
       sys.error(s"CLONE lost a race publishing '$dst' v1")
     }
   }
+
+  /** Statements whose base-0 path would silently REPLACE rows served
+    * from a legacy unversioned external data directory (fixture-style
+    * symlinked containers read their dataPath at v0) refuse loudly
+    * instead — the same stance CREATE VIEW takes. A fresh empty
+    * container (v0, no data directory) passes: there is nothing to lose.
+    */
+  private[graft] def requireVersioned(name: String, what: String): Unit =
+    if (currentVersion(name) == 0 && Files.exists(dataPath(name)))
+      throw new IllegalArgumentException(
+        s"$what on '$name': the container serves unversioned external " +
+          "data — commit it through the catalog first")
 
   def get(name: String): ContainerDef = {
     require(exists(name), s"Unknown container '$name'")

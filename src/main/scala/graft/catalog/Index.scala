@@ -477,20 +477,17 @@ object Index {
     * file's sentinel, matching the fixture lane's N definition.
     */
   private def deriveText(docs: DataFrame, pkType: DataType): DataFrame = {
-    val toks = docs.select(col("id"), col("src"),
-      filter(split(lower(col("text")), " "), t => t =!= "").as("tk"))
-    val post = toks
-      .select(col("id"), col("src"), size(col("tk")).cast("double").as("dl"),
-        explode(col("tk")).as("term"))
-      .groupBy(col("id"), col("term"), col("src"))
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-    val stats = toks
+    val post = graft.operators.FullText.postingsOf(
+        docs.withColumnRenamed("id", "doc_id"), Seq("doc_id", "src"))
+      .select(col("doc_id").as("id"), col("term"), col("tf"), col("dl"), col("src"))
+    val stats = docs.select(col("src"),
+        size(filter(split(lower(col("text")), " "), t => t =!= ""))
+          .cast("long").as("dl"))
       .groupBy(col("src"))
-      .agg(count(lit(1)).as("tf"), sum(size(col("tk"))).cast("double").as("dl"))
+      .agg(count(lit(1)).as("tf"), sum(col("dl")).cast("double").as("dl"))
       .select(lit(null).cast(pkType).as("id"),
         lit(graft.operators.FullText.StatsTerm).as("term"),
         col("tf"), col("dl"), col("src"))
-    post.select(col("id"), col("term"), col("tf"), col("dl"), col("src"))
-      .unionByName(stats)
+    post.unionByName(stats)
   }
 }

@@ -244,6 +244,7 @@ final class Tx(catalog: Catalog) {
     val pk = d.primaryKey
     require(log(container).isEmpty,
       s"MERGE ROWS on '$container' with staged ops — COMMIT or ROLLBACK first")
+    catalog.requireVersioned(container, "MERGE ROWS")
     val mentioned = src.columns.toSeq
     require(mentioned.contains(pk), s"MERGE ROWS src must carry the key column $pk")
     require(src.filter(col(pk).isNull).limit(1).count() == 0,

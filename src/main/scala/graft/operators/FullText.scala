@@ -49,16 +49,22 @@ object FullText {
     * (tf = n_docs, dl = Σ doc_len) for the slice it summarizes. */
   private[graft] val StatsTerm = ""
 
-  /** (doc_id, term, tf, dl): term frequencies per document plus the
-    * document's token length. Row-local per document — the property that
-    * makes per-file index recomputation exact under COW commits. */
-  private[graft] def postingsOf(d: DataFrame): DataFrame = {
+  /** (keys…, term, tf, dl): term frequencies per document plus the
+    * document's token length, grouped by `keys` (extra keys — e.g. the
+    * catalog index's `src` file attribution — must be functionally
+    * dependent on the document id, like the banding helpers' keys
+    * convention). This is the ONE tokenization/postings definition shared
+    * by the fixture lane AND the catalog `text` index derivation —
+    * row-local per document, the property that makes per-file index
+    * recomputation exact under COW commits. */
+  private[graft] def postingsOf(d: DataFrame,
+      keys: Seq[String] = Seq("doc_id")): DataFrame = {
     val toks = d
-      .select(col("doc_id"),
-        filter(split(lower(col("text")), " "), t => t =!= "").as("tk"))
-      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
-        explode(col("tk")).as("term"))
-    toks.groupBy(col("doc_id"), col("term"))
+      .select(keys.map(col) :+
+        filter(split(lower(col("text")), " "), t => t =!= "").as("tk"): _*)
+      .select(keys.map(col) :+ size(col("tk")).cast("long").as("dl") :+
+        explode(col("tk")).as("term"): _*)
+    toks.groupBy((keys.map(col) :+ col("term")): _*)
       .agg(count(lit(1)).as("tf"), first(col("dl")).cast("double").as("dl"))
   }
 

@@ -706,6 +706,25 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       eng.execute("CREATE INDEX x ON idocs ['body'] USING btree"))
   }
 
+  test("35 unversioned external-data containers refuse MERGE ROWS/IMPORT/CLONE loudly") {
+    eng.execute("CREATE CONTAINER extd ['id'] [BIGINT]")
+    // simulate the legacy external layout: rows under dataPath, version 0
+    import spark.implicits._
+    Seq(1L, 2L).toDF("id").write.parquet(eng.catalog.dataPath("extd").toString)
+    assert(eng.catalog.currentVersion("extd") == 0)
+    assert(searchRows("SEARCH [] ON extd").size == 2, "external rows readable")
+    // each statement's base-0 path would silently REPLACE those rows
+    intercept[IllegalArgumentException](
+      eng.execute("MERGE ROWS ['id'] (SEARCH [id] ON extd) ON extd"))
+    intercept[IllegalArgumentException](
+      eng.execute("CLONE CONTAINER extd extd2"))
+    val io = java.nio.file.Files.createTempDirectory("graft-extd-io")
+    eng.execute(s"EXPORT extd TO '$io/d'") // export is read-only: fine
+    intercept[IllegalArgumentException](
+      eng.execute(s"IMPORT '$io/d' INTO extd"))
+    assert(searchRows("SEARCH [] ON extd").size == 2, "rows survived every refusal")
+  }
+
   test("34 EXPORT/IMPORT round-trips a container through jsonl and csv") {
     val io = java.nio.file.Files.createTempDirectory("graft-io")
     eng.execute("CREATE CONTAINER exio ['id','txt','n'] [BIGINT, SMALL-STRING, BIGINT]")

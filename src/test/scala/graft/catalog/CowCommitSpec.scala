@@ -335,6 +335,25 @@ class CowCommitSpec extends AnyFunSuite {
     // guards: unknown source, existing destination
     intercept[IllegalArgumentException](cat.cloneContainer("nope", "c4"))
     intercept[IllegalArgumentException](cat.cloneContainer("c2", "c3"))
+
+    // drop-column tombstones travel with the clone: re-ADDing a dropped
+    // column on the clone must get a FRESH stored name (suffix), never
+    // bind the linked files' old bytes (the resurrection the tombstone
+    // exists to prevent — the dropped column's stored name 'secret' is
+    // physically present in every hard-linked file)
+    import spark.implicits._
+    val cat2 = { val d2 = java.nio.file.Files
+      .createTempDirectory("graft-cow-clonets"); new Catalog(spark, d2.toString) }
+    cat2.create("t", List("id" -> graft.aql.AlbaType.of("INT"),
+      "secret" -> graft.aql.AlbaType.of("SMALL-STRING")))
+    cat2.overwrite("t", Seq((1, "classified")).toDF("id", "secret"))
+    cat2.dropColumns("t", List("secret"))
+    cat2.cloneContainer("t", "t2")
+    cat2.addColumns("t2", List("secret" -> graft.aql.AlbaType.of("SMALL-STRING")))
+    assert(cat2.get("t2").stored.last != "secret",
+      "re-added column must take a suffixed stored name on the clone")
+    assert(cat2.read("t2").select("secret").collect().forall(_.isNullAt(0)),
+      "clone's re-added column must not resurrect dropped bytes")
   }
 
   test("COW composes with CAS: two committers racing on the same base both land") {
