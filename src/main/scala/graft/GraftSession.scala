@@ -6,40 +6,69 @@ import org.apache.spark.sql.SparkSession
   *
   * Local testing runs `local[N]`, but every knob is chosen for the
   * 1000-executor / 100 TB case and merely scaled down:
-  *  - AQE on: runtime coalescing + skew-join splitting replaces manual
-  *    partition tuning when input sizes vary 1000x.
   *  - shuffle.partitions matches core count locally; on a cluster this is
   *    superseded by AQE's coalescing from an initial high value.
   *  - broadcast threshold: TPC-H-style dims (region/nation/supplier/part at
   *    fixture scale) stay broadcastable; big-side joins shuffle on keys.
+  *
+  * Two execution PROFILES govern adaptive execution (`GRAFT_PROFILE`
+  * env, or the `profile` parameter):
+  *
+  *  - `interactive` (default): AQE OFF. AQE's unit of work is the
+  *    materialized query stage — every exchange becomes a barrier where
+  *    the driver collects map statistics, re-optimizes, and re-codegens
+  *    the remainder. That re-planning buys nothing here: every
+  *    shuffle-bearing plan shape this engine produces is decided
+  *    STATICALLY and spec-pinned (dims broadcast by construction, fact⋈
+  *    fact joins ride bucketed zero-exchange layouts with MERGE hints,
+  *    skew has the explicit salted-join path), so at sub-second
+  *    latencies the barriers are pure overhead — measured 3.44s → 4.28s
+  *    (+24%) across the sf0.1 bench, and +0.2s on the 4-stage multiway
+  *    join alone. Engines built for interactive analytics (DuckDB,
+  *    Trino) have no mid-query re-planning for the same reason.
+  *
+  *  - `batch`: AQE ON with size-based coalescing + skew-join splitting —
+  *    the 100 TB long-stage profile, where a barrier costs milliseconds
+  *    against minutes-long stages and runtime statistics genuinely
+  *    correct cardinality misestimates (a filtered fact that became
+  *    broadcastable, a skewed key worth splitting). Both profiles run
+  *    the same plans on the same layouts; `BatchProfileSpec` keeps the
+  *    batch confs honest.
   */
 object GraftSession {
-  def create(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
-             appName: String = "graft"): SparkSession = {
-    val builder = SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName(appName)
-      .withExtensions(new graft.functions.GraftExtensions)
-      // Pre-AQE shuffle fan-out. With size-based coalescing ON, this only
-      // sets the map-side bucket count — AQE re-sizes reducers to the 16m
-      // advisory — so locally the knob is pure per-stage overhead: 8 beats
-      // 32 by ~10% on the sf0.1 bench (fewer shuffle buckets + dispatch
-      // per wave) with identical final parallelism. On a cluster the same
-      // config is RAISED via coalescePartitions.initialPartitionNum and
-      // AQE still lands on advisory-sized reducers; nothing here encodes
-      // fixture scale.
-      .config("spark.sql.shuffle.partitions", math.min(cores.toIntOption.getOrElse(8), 8))
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+  /** The profile-specific SQL confs, exposed for spec pinning. */
+  def profileConfs(profile: String): Map[String, String] = profile match {
+    case "interactive" => Map(
+      "spark.sql.adaptive.enabled" -> "false")
+    case "batch" => Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
       // size-based coalescing (not parallelism-first): post-shuffle
       // partitions target advisoryPartitionSizeInBytes, so a small stage
       // collapses to few tasks instead of fanning out to one task per
-      // core. Spark's docs recommend this exactly when the cluster is
-      // sized by maxPartitionBytes rather than raw core count — at 100 TB
-      // the advisory size governs either way.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // core — at 100 TB the advisory size governs either way.
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16m",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true")
+    case other => sys.error(s"Unknown GRAFT_PROFILE '$other' (interactive|batch)")
+  }
+
+  def create(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
+             appName: String = "graft",
+             profile: String = sys.env.getOrElse("GRAFT_PROFILE", "interactive")): SparkSession = {
+    val base = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .withExtensions(new graft.functions.GraftExtensions)
+      // Shuffle fan-out. In the interactive profile this IS the reducer
+      // count; under batch AQE it only sets the map-side bucket count
+      // (AQE re-sizes reducers to the 16m advisory). Locally 8 beats 32
+      // by ~10% on the sf0.1 bench (fewer shuffle buckets + dispatch per
+      // wave) with identical final parallelism. On a cluster this is
+      // RAISED (or superseded by coalescePartitions.initialPartitionNum
+      // under batch); nothing here encodes fixture scale.
+      .config("spark.sql.shuffle.partitions", math.min(cores.toIntOption.getOrElse(8), 8))
+    val builder = profileConfs(profile).foldLeft(base) { case (b, (k, v)) => b.config(k, v) }
       // Scan fan-out floor follows the shuffle width (8), not core count:
       // by default Spark pads SMALL inputs to defaultParallelism splits
       // (32 here), so a 25 MB table scans as 32 sub-millisecond tasks

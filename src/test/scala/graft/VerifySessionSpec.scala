@@ -19,10 +19,23 @@ class VerifySessionSpec extends AnyFunSuite {
       .contains("org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"))
   }
 
-  test("AQE coalesces by size, not parallelism-first") {
-    assert(conf.get("spark.sql.adaptive.enabled") == "true")
-    assert(conf.get("spark.sql.adaptive.coalescePartitions.parallelismFirst") == "false")
-    assert(conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes") == "16m")
+  test("default profile is interactive: no adaptive re-planning barriers") {
+    // every shuffle-bearing plan shape is statically decided and pinned
+    // (PlanAuditSpec); AQE's per-exchange materialization barriers cost
+    // ~24% of sf0.1 bench wall for zero plan changes (GraftSession doc)
+    assert(conf.get("spark.sql.adaptive.enabled") == "false")
+  }
+
+  test("batch profile keeps AQE with size-based coalescing + skew split") {
+    val batch = GraftSession.profileConfs("batch")
+    assert(batch("spark.sql.adaptive.enabled") == "true")
+    assert(batch("spark.sql.adaptive.coalescePartitions.parallelismFirst") == "false")
+    assert(batch("spark.sql.adaptive.advisoryPartitionSizeInBytes") == "16m")
+    assert(batch("spark.sql.adaptive.skewJoin.enabled") == "true")
+  }
+
+  test("unknown profile is rejected loudly") {
+    intercept[RuntimeException](GraftSession.profileConfs("fastest"))
   }
 
   test("timestamp + timezone contract matches the oracle") {
