@@ -130,8 +130,18 @@ object Ast {
     * reference language has no aggregation). Output column is `fn_col`.
     * `distinct` marks `count(DISTINCT col)` (output `count_distinct_col`);
     * the parser rejects DISTINCT under any other aggregate.
+    *
+    * `expr` carries an ARITHMETIC argument — `sum(price * disc)` parses
+    * to `AggProj("sum", "<generated name>", expr = Some(op))` (TPC-H-
+    * style measure aggregation; sum/avg/min/max only — `count` over an
+    * expression is just `count(anyLeafColumn)` and is rejected to keep
+    * one spelling). Same flat-token arithmetic as WHERE/projection
+    * items (no parens — `( … )` lexes as a subcommand). For expr items
+    * `column` holds the GENERATED name (`price_mul_disc`), so the
+    * output column is `fn_generatedname` exactly like the plain form.
     */
-  final case class AggProj(fn: String, column: String, distinct: Boolean = false)
+  final case class AggProj(fn: String, column: String, distinct: Boolean = false,
+      expr: Option[Operand] = None)
 
   /** One computed projection item, `a * b + 2` (graft extension). The
     * output name is generated from the expression (`a_mul_b_plus_2`) —
@@ -370,6 +380,17 @@ object Parser {
                 aggs += AggProj(fn, name(one), distinct = true); rest = tl
               case List(Keyword("DISTINCT"), _) => throw new ParseException(
                 s"DISTINCT is only supported under count(), not $fn()")
+              // aggregate over arithmetic — sum(price * disc) (graft
+              // extension). count() keeps the single-column spelling:
+              // COUNT of an expression equals COUNT of any of its leaf
+              // columns under non-null inputs, and two spellings of the
+              // same thing is how quirk-class ambiguity starts.
+              case first :: more if more.headOption.exists(c => arithOp(c).isDefined)
+                  && isFactor(first) && fn != "count" =>
+                val (expr, rem) = parseArith(first, more)
+                if (rem.nonEmpty) throw new ParseException(
+                  s"Trailing tokens in $fn(...) argument: $rem")
+                aggs += AggProj(fn, exprName(expr), expr = Some(expr)); rest = tl
               case other => throw new ParseException(
                 s"Aggregate $fn takes exactly one column, got $other")
             }

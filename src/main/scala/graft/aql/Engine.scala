@@ -564,6 +564,9 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     if (q.projection.isEmpty) bad("the body needs at least one group key")
     q.aggs.foreach { a =>
       if (a.distinct) bad("count(DISTINCT …) is not incrementally maintainable")
+      if (a.expr.isDefined) bad(
+        "aggregates over arithmetic are not supported in views — " +
+          "materialize the expression as a source column, or sum the parts")
       if (!Set("count", "sum", "min", "max")(a.fn))
         bad(s"aggregate '${a.fn}' is not incrementally maintainable " +
           "(count/sum/min/max; avg = sum_c / count_c as a computed projection over the view)")
@@ -709,7 +712,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     val partProjection =
       if (s.aggs.isEmpty && s.exprs.isEmpty && s.fns.isEmpty) s.projection
       else if (s.aggs.isEmpty) dedupeCI(s.projection ++ exprLeaves)
-      else dedupeCI(s.projection ++ s.aggs.map(_.column))
+      else dedupeCI(s.projection ++
+        s.aggs.flatMap(a => a.expr.map(operandLeafNames).getOrElse(List(a.column))))
     val unioned = if (s.joins.nonEmpty) joinedSource(s, partProjection) else {
       val parts = s.containers.map {
         case Ast.Container.Real(cname) =>
@@ -777,14 +781,30 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           throw new ParseException(
             s"Duplicate output columns in aggregate projection: ${allOut.mkString(",")}")
         val aggExprs = s.aggs.zip(outNames).map { case (a, out) =>
-          val cn = resolveNames(unioned, List(a.column)).head
-          val c = col(cn)
-          val dt = unioned.schema(cn).dataType
-          // strict input typing (quirk-Q8 stance: no implicit casts):
-          // sum/avg require numeric columns; count/min/max take any type
-          if ((a.fn == "sum" || a.fn == "avg") &&
-              !Seq(IntegerType, LongType, DoubleType).contains(dt))
-            throw new ParseException(s"${a.fn}($cn) requires a numeric column, got $dt")
+          // arithmetic argument (graft extension): lower the operand like
+          // a computed projection item — strict numeric leaves, codegen'd
+          // expression UNDER the partial aggregate, so the measure
+          // computes before the exchange like any Spark agg(expr)
+          val c = a.expr match {
+            case Some(e) =>
+              val d = virtualDef(unioned)
+              operandLeafNames(e).foreach { n =>
+                val cn = resolveNames(unioned, List(n)).head
+                if (!d.columns.find(_._1 == cn).exists(_._2.isNumeric))
+                  throw new ParseException(
+                    s"${a.fn}(…) over arithmetic requires numeric columns, '$cn' is not")
+              }
+              lowerOperand(e, d)
+            case None =>
+              val cn = resolveNames(unioned, List(a.column)).head
+              val dt = unioned.schema(cn).dataType
+              // strict input typing (quirk-Q8 stance: no implicit casts):
+              // sum/avg require numeric columns; count/min/max take any type
+              if ((a.fn == "sum" || a.fn == "avg") &&
+                  !Seq(IntegerType, LongType, DoubleType).contains(dt))
+                throw new ParseException(s"${a.fn}($cn) requires a numeric column, got $dt")
+              col(cn)
+          }
           (a.fn match {
             // exact distinct count: partial-aggregates the distinct set
             // per partition before the exchange, like SQL COUNT(DISTINCT)

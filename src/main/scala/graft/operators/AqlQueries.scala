@@ -294,6 +294,25 @@ object AqlQueries {
           "HAVING count_doc_id > 8")(s, dir)
     },
 
+    // Aggregates over ARITHMETIC (graft extension): TPC-H-style measure
+    // aggregation — the expression computes under the partial aggregate,
+    // before the exchange, exactly like SQL sum(a * b). Expressions are
+    // chosen deterministic across engines: l_quantity is integer-valued,
+    // so sum(l_quantity * 10) is exact in doubles (no summation-order
+    // skew); min/max compare exact per-row products. The generated
+    // output names (`sum_l_quantity_mul_10`) are HAVING-addressable.
+    Q("aql_search_agg_expr",
+      """SELECT l_returnflag, sum(l_quantity * 10) AS sum_l_quantity_mul_10,
+        |       min(l_extendedprice * l_discount) AS min_l_extendedprice_mul_l_discount
+        |FROM lineitem GROUP BY l_returnflag
+        |HAVING sum(l_quantity * 10) > 1000
+        |ORDER BY l_returnflag, sum_l_quantity_mul_10,
+        |         min_l_extendedprice_mul_l_discount""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [l_returnflag, sum(l_quantity * 10), min(l_extendedprice * l_discount)] " +
+          "ON lineitem HAVING sum_l_quantity_mul_10 > 1000")(s, dir)
+    },
+
     // NOT IN through AQL (anti join). The subquery key is non-nullable
     // here, where SQL's three-valued NOT IN and the engine's NOT-EXISTS
     // semantics agree — the NULL divergence is documented at the parser.

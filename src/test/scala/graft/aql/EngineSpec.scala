@@ -283,6 +283,24 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SEARCH ['n'] ON seq WHERE n = having"))
   }
 
+  test("15h aggregates over arithmetic: fn(expr) computes the measure per row") {
+    // seq holds 1..250 from test 15: sum(n * 2 + 1) over n<=4 = 3+5+7+9
+    val r = searchRows(
+      "SEARCH [sum(n * 2 + 1), min(n * n), max(n - 5)] ON seq WHERE n <= 4").head
+    def num(i: Int) = r.get(i).asInstanceOf[Number].longValue
+    assert(num(0) == 24 && num(1) == 1 && num(2) == -1)
+    // grouped + HAVING over the generated name; keys group as usual
+    val g = searchRows(
+      "SEARCH [ok, sum(age * 10)] ON people HAVING sum_age_mul_10 > 500")
+    assert(g.length == 1 && g.head.getBoolean(0) == true && g.head.getLong(1) == 550)
+    // strict typing: string leaves inside the expression are rejected
+    intercept[ParseException](eng.execute("SEARCH [sum(name * 2)] ON people"))
+    // views reject expression aggregates with a clear message
+    val e = intercept[ParseException](eng.execute(
+      "CREATE VIEW vexpr (SEARCH [ok, sum(age * 10)] ON people)"))
+    assert(e.getMessage.contains("arithmetic"))
+  }
+
   test("15g SEARCH DISTINCT dedupes the projected rows") {
     assert(searchRows("SEARCH [ok] ON people").length == 3)
     val d = searchRows("SEARCH DISTINCT [ok] ON people")

@@ -223,6 +223,18 @@ class ParserSpec extends AnyFunSuite {
       Parser.parse("SEARCH [sum(DISTINCT src)] ON docs"))
   }
 
+  test("aggregate over arithmetic: sum(a * b) parses; count(expr) rejected") {
+    val s = Parser.parse("SEARCH [flag, sum(price * disc), min(qty + 2)] ON t")
+      .asInstanceOf[Search]
+    assert(s.aggs.map(_.fn) == List("sum", "min"))
+    assert(s.aggs.map(_.column) == List("price_mul_disc", "qty_plus_2"))
+    assert(s.aggs.forall(_.expr.isDefined))
+    // one spelling only: count(expr) = count(leaf) under non-null inputs
+    intercept[ParseException](Parser.parse("SEARCH [count(a * b)] ON t"))
+    // malformed arithmetic inside the subcommand fails loudly
+    intercept[ParseException](Parser.parse("SEARCH [sum(a *)] ON t"))
+  }
+
   test("SEARCH DISTINCT: parses, composes with later clauses, rejects aggregates") {
     val s = Parser.parse("SEARCH DISTINCT ['lang'] ON docs WHERE n > 2 LIMIT 5")
       .asInstanceOf[Search]
