@@ -37,6 +37,9 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
   private[catalog] def catalogDir: Path = catDir
   Files.createDirectories(catDir)
   Files.createDirectories(dataDir)
+  // heal on open: roll forward any decided multi-container transaction a
+  // dead committer left mid-apply (one directory listing when none exist)
+  recoverTxns()
 
   final case class ContainerDef(name: String, columns: List[(String, AlbaType)],
       storedNames: List[String] = Nil) {
@@ -552,8 +555,15 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
   /** Claim and publish an EXPLICIT version slot with a whole-dataframe
     * write. */
   private[catalog] def tryCommitAt(name: String, slot: Int, df: DataFrame): Boolean =
-    tryCommitBuild(name, slot)(tmp =>
-      toStored(name, df).write.mode("overwrite").parquet(tmp.toString))
+    tryCommitBuild(name, slot)(wholeBuild(name, df))
+
+  private def wholeBuild(name: String, df: DataFrame)(tmp: Path): Unit =
+    toStored(name, df).write.mode("overwrite").parquet(tmp.toString)
+
+  /** Prepare-only twin of [[tryCommit]] (atomic multi-container COMMIT). */
+  private[catalog] def prepareWhole(name: String, expectedBase: Int,
+      df: DataFrame): Option[Path] =
+    prepareSlot(name, expectedBase + 1)(wholeBuild(name, df))
 
   /** File-granular copy-on-write commit: publish `expectedBase+1` as
     * hard links to `kept` (byte-identical files carried over from the
@@ -569,16 +579,24 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     */
   private[catalog] def tryCommitCow(name: String, expectedBase: Int,
       kept: Seq[Path], rewrite: Option[DataFrame]): Boolean =
-    tryCommitBuild(name, expectedBase + 1) { tmp =>
-      // Spark's write creates `tmp`; link AFTER so overwrite can't drop
-      // the links. Rewritten parts carry fresh UUID part names, so they
-      // can never collide with a linked base-file name.
-      rewrite match {
-        case Some(df) => toStored(name, df).write.mode("overwrite").parquet(tmp.toString)
-        case None => Files.createDirectories(tmp)
-      }
-      kept.foreach(f => Files.createLink(tmp.resolve(f.getFileName), f))
+    tryCommitBuild(name, expectedBase + 1)(cowBuild(name, kept, rewrite))
+
+  private def cowBuild(name: String, kept: Seq[Path],
+      rewrite: Option[DataFrame])(tmp: Path): Unit = {
+    // Spark's write creates `tmp`; link AFTER so overwrite can't drop
+    // the links. Rewritten parts carry fresh UUID part names, so they
+    // can never collide with a linked base-file name.
+    rewrite match {
+      case Some(df) => toStored(name, df).write.mode("overwrite").parquet(tmp.toString)
+      case None => Files.createDirectories(tmp)
     }
+    kept.foreach(f => Files.createLink(tmp.resolve(f.getFileName), f))
+  }
+
+  /** Prepare-only twin of [[tryCommitCow]] (atomic multi-container COMMIT). */
+  private[catalog] def prepareCow(name: String, expectedBase: Int,
+      kept: Seq[Path], rewrite: Option[DataFrame]): Option[Path] =
+    prepareSlot(name, expectedBase + 1)(cowBuild(name, kept, rewrite))
 
   /** The CAS claim/publish shell shared by every commit flavor: claim the
     * slot, let `build` populate a tmp directory, atomically move it into
@@ -586,19 +604,41 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     * a contender can distinguish a crashed claimant (escape) from a live
     * slow writer (wait) — see claimIsOrphan.
     */
-  private def tryCommitBuild(name: String, slot: Int)(build: Path => Unit): Boolean = {
-    if (Files.exists(versionPath(name, slot))) return false // already published
+  private def tryCommitBuild(name: String, slot: Int)(build: Path => Unit): Boolean =
+    prepareSlot(name, slot)(build) match {
+      case None => false
+      case Some(tmp) =>
+        try { finishPrepared(name, slot, tmp); true }
+        catch {
+          case t: Throwable =>
+            deleteRecursively(tmp)
+            if (!Files.exists(versionPath(name, slot)))
+              Files.deleteIfExists(claimFile(name, slot))
+            throw t
+        }
+    }
+
+  /** PREPARE half of the commit: CAS-claim the slot and stage the built
+    * version (data + its derived index parts) in a tmp directory, WITHOUT
+    * publishing. Returns the staged directory, or None if the claim was
+    * lost. Single-container commits finish immediately
+    * ([[finishPrepared]]); the atomic multi-container COMMIT prepares
+    * every member first and publishes them all behind one manifest rename
+    * ([[commitTxn]]).
+    */
+  private[catalog] def prepareSlot(name: String, slot: Int)(build: Path => Unit): Option[Path] = {
+    if (Files.exists(versionPath(name, slot))) return None // already published
     // atomic CAS: one winner
     try Files.write(claimFile(name, slot),
       ProcessHandle.current.pid.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE_NEW)
-    catch { case _: java.nio.file.FileAlreadyExistsException => return false }
+    catch { case _: java.nio.file.FileAlreadyExistsException => return None }
     val tmp = dataDir.resolve(
       s"$name.tmp-${ProcessHandle.current.pid}-${System.nanoTime()}")
-    // if the data write or publish fails (transient Spark error, disk
-    // full), release the claim before rethrowing — otherwise the claim's
-    // live PID makes every contender (including this one on retry) wait
-    // on a slot that will never publish
+    // if the data write fails (transient Spark error, disk full), release
+    // the claim before rethrowing — otherwise the claim's live PID makes
+    // every contender (including this one on retry) wait on a slot that
+    // will never publish
     try {
       build(tmp)
       // commit-time index maintenance (reference container.rs:277-282
@@ -606,8 +646,7 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
       // into the SAME tmp directory, so data and index publish in one
       // atomic rename. No-op for unindexed containers.
       Index.buildInto(this, name, slot, tmp)
-      Files.move(tmp, versionPath(name, slot), StandardCopyOption.ATOMIC_MOVE)
-      advancePointer(name, slot)
+      Some(tmp)
     } catch {
       case t: Throwable =>
         deleteRecursively(tmp)
@@ -615,7 +654,100 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
           Files.deleteIfExists(claimFile(name, slot))
         throw t
     }
-    true
+  }
+
+  /** PUBLISH half: atomically move the staged directory into place and
+    * flip the pointer. Idempotent — a re-run after a partial apply (crash
+    * recovery) skips the move when the version already exists and the
+    * pointer flip is monotone-guarded.
+    */
+  private[catalog] def finishPrepared(name: String, slot: Int, tmp: Path): Unit = {
+    if (!Files.exists(versionPath(name, slot)) && Files.exists(tmp))
+      try Files.move(tmp, versionPath(name, slot), StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // two sessions recovering the same decided transaction race on
+        // the move; the loser's failure is benign iff the version landed
+        case e: java.nio.file.FileSystemException
+            if Files.exists(versionPath(name, slot)) => ()
+      }
+    advancePointer(name, slot)
+  }
+
+  /** Abandon a prepared-but-undecided slot: drop the staged directory and
+    * release OUR claim (the pid in the claim file is this process's —
+    * deleting it is safe without the orphan check).
+    */
+  private[catalog] def abortPrepared(name: String, slot: Int, tmp: Path): Unit = {
+    deleteRecursively(tmp)
+    if (!Files.exists(versionPath(name, slot)))
+      Files.deleteIfExists(claimFile(name, slot))
+  }
+
+  /** The COMMIT POINT of an atomic multi-container transaction: one
+    * manifest rename decides every member at once. Before the rename no
+    * member is visible (a crash leaves orphan claims + tmp dirs, both
+    * GC'd); after it the transaction is DECIDED and [[recoverTxns]] can
+    * roll it forward from any session even if this process dies
+    * mid-apply. The manifest lists `container TAB slot TAB tmpDirName`
+    * with the committer's pid on the first line.
+    */
+  private[catalog] def commitTxn(entries: Seq[(String, Int, Path)]): Unit = {
+    val id = s"${ProcessHandle.current.pid}-${System.nanoTime()}"
+    val body = (ProcessHandle.current.pid.toString +: entries.map { case (n, s, tmp) =>
+      s"$n\t$s\t${tmp.getFileName}" }).mkString("\n")
+    val staging = catDir.resolve(s"txn-$id.writing")
+    Files.writeString(staging, body)
+    val decided = catDir.resolve(s"txn-$id.txn")
+    Files.move(staging, decided, StandardCopyOption.ATOMIC_MOVE) // commit point
+    entries.foreach { case (n, s, tmp) => finishPrepared(n, s, tmp) }
+    Files.deleteIfExists(decided)
+  }
+
+  /** Crash recovery for decided transactions: every `txn-*.txn` manifest
+    * whose committer is provably dead (or IS this process — our own
+    * manifest can only still exist if a previous apply attempt threw) is
+    * rolled FORWARD: stage dirs move into place, pointers flip, manifest
+    * deleted. Idempotent per entry; a live foreign committer's manifest
+    * is left untouched (it is mid-apply — same waiting contract as a
+    * live claim). Contenders call this before releasing orphan claims so
+    * a decided member's claim is never stolen out from under its
+    * transaction.
+    */
+  private[catalog] def recoverTxns(): Unit = {
+    val manifests = scala.util.Using.resource(Files.list(catDir)) { st =>
+      st.iterator().asScala
+        .filter(_.getFileName.toString.matches("txn-.*\\.txn")).toSeq
+    }
+    manifests.foreach { mf =>
+      val lines =
+        try Files.readAllLines(mf).asScala.toList
+        catch { case scala.util.control.NonFatal(_) => Nil }
+      lines match {
+        case pidLine :: entries if entries.nonEmpty =>
+          val self = ProcessHandle.current.pid
+          val recoverable = pidLine.trim.toLongOption.exists { p =>
+            p == self || ProcessHandle.of(p).map[java.lang.Boolean](h => !h.isAlive)
+              .orElse(java.lang.Boolean.TRUE).booleanValue
+          }
+          if (recoverable) {
+            entries.foreach { ln =>
+              ln.split("\t") match {
+                case Array(n, s, tmpName) =>
+                  val slot = s.toInt
+                  val tmp = dataDir.resolve(tmpName)
+                  // missing-both can only mean this entry already applied
+                  // and was vacuumed — never skip the pointer flip for a
+                  // version that exists
+                  if (Files.exists(versionPath(n, slot)) || Files.exists(tmp))
+                    finishPrepared(n, slot, tmp)
+                case _ => ()
+              }
+            }
+            Files.deleteIfExists(mf)
+          }
+        case _ => () // unreadable/empty: not a decided transaction
+      }
+    }
   }
 
   /** Part-file count of a published version (observability: SHOW VERSIONS,
@@ -646,8 +778,28 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     */
   private[catalog] def releaseOrphanClaim(name: String, slot: Int): Boolean =
     withContainerLock(name) {
-      claimIsOrphan(name, slot) && Files.deleteIfExists(claimFile(name, slot))
+      // a DECIDED transaction's member claim belongs to the transaction:
+      // its staged version must land in this slot (recoverTxns), so the
+      // orphan-release race may never hand the slot to a contender
+      !slotDecided(name, slot) &&
+        claimIsOrphan(name, slot) && Files.deleteIfExists(claimFile(name, slot))
     }
+
+  /** True iff a decided transaction manifest references (name, slot). */
+  private def slotDecided(name: String, slot: Int): Boolean = {
+    val manifests = scala.util.Using.resource(Files.list(catDir)) { st =>
+      st.iterator().asScala
+        .filter(_.getFileName.toString.matches("txn-.*\\.txn")).toSeq
+    }
+    manifests.exists { mf =>
+      val lines = try Files.readAllLines(mf).asScala.toList
+      catch { case scala.util.control.NonFatal(_) => Nil }
+      lines.drop(1).exists(_.split("\t") match {
+        case Array(n, s, _) => n == name && s.toIntOption.contains(slot)
+        case _ => false
+      })
+    }
+  }
 
   /** True iff the claim on `slot` belongs to a PROVABLY DEAD process:
     * claim present, nothing published, and the recorded pid no longer
@@ -869,6 +1021,10 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     * never touched.
     */
   def vacuum(name: String, keepLast: Int = 1): Unit = {
+    // decided multi-container transactions apply BEFORE the stale-claim
+    // sweep: a decided member's claim looks orphaned (dead pid, nothing
+    // published) but its staged version must land, not lose its slot
+    recoverTxns()
     // a published-but-unflipped version (crash between move and flip)
     // must count as the NEWEST version, not get GC'd while the pointer
     // still references an older one — adopting first also guarantees the

@@ -149,15 +149,78 @@ final class Tx(catalog: Catalog) {
     * the decomposition is still valid.
     */
   def commit(container: Option[String]): Unit = {
-    val targets = container.map(Seq(_)).getOrElse(log.keys.toSeq)
-    targets.foreach { c =>
-      if (log(c).nonEmpty) {
+    val targets = container.map(Seq(_)).getOrElse(log.keys.toSeq.sorted)
+      .filter(c => log(c).nonEmpty)
+    if (targets.lengthCompare(2) < 0)
+      targets.foreach { c =>
         val pk = catalog.get(c).primaryKey
         commitLoop(c, "COMMIT")(base => commitOnce(c, base, pk))
         log -= c
         postCommitMaintenance(c)
       }
+    else commitGroup(targets)
+  }
+
+  /** `COMMIT` with two or more staged containers is ATOMIC across them
+    * (graft extension — the reference loops containers sequentially,
+    * `src/database.rs:840-887`, so a crash mid-loop leaves some
+    * committed and some not): every member's new version becomes durable
+    * together, or none does.
+    *
+    * Shape: PREPARE claims each member's next slot and stages its COW
+    * decomposition in a tmp directory (members in sorted-name order —
+    * claims are non-blocking CAS, so there is no deadlock, and the fixed
+    * order keeps concurrent group commits over overlapping sets from
+    * livelocking); the COMMIT POINT is one atomic manifest rename
+    * ([[Catalog.commitTxn]]); APPLY moves directories and flips pointers.
+    * A crash BEFORE the manifest leaves only orphan claims and tmp dirs
+    * (contenders release the claims, vacuum GCs the dirs); a crash AFTER
+    * it leaves a decided transaction that any session rolls forward
+    * ([[Catalog.recoverTxns]] — hooked at catalog open, in contender
+    * escape paths, and in vacuum). Any lost claim aborts the whole
+    * prepare set and retries against the winners' versions, exactly like
+    * the single-container rebase loop.
+    */
+  private def commitGroup(cs: Seq[String]): Unit = {
+    val pks = cs.map(c => c -> catalog.get(c).primaryKey).toMap
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      require(attempts <= 50,
+        s"COMMIT [${cs.mkString(", ")}]: lost the version race 50 times")
+      if (attempts > 1) Thread.sleep(math.min(100L * attempts, 2000L))
+      val prepared = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Int, java.nio.file.Path)]
+      val allOk =
+        try cs.forall { c =>
+          val base = catalog.currentVersion(c)
+          prepareOnce(c, base, pks(c)) match {
+            case Some(tmp) => prepared += ((c, base + 1, tmp)); true
+            case None => false
+          }
+        } catch {
+          case t: Throwable =>
+            prepared.foreach { case (c, s, tmp) => catalog.abortPrepared(c, s, tmp) }
+            throw t
+        }
+      if (allOk) {
+        catalog.commitTxn(prepared.toSeq)
+        done = true
+      } else {
+        // abort the partial prepare set, then contender-escape on every
+        // member like commitLoop: heal decided transactions first (a
+        // decided member's claim must not be stolen), release provably
+        // dead claims, adopt published-but-unflipped versions
+        prepared.foreach { case (c, s, tmp) => catalog.abortPrepared(c, s, tmp) }
+        catalog.recoverTxns()
+        cs.foreach { c =>
+          catalog.releaseOrphanClaim(c, catalog.currentVersion(c) + 1)
+          catalog.adoptPublished(c)
+        }
+      }
     }
+    cs.foreach { c => log -= c; postCommitMaintenance(c) }
   }
 
   /** The optimistic-concurrency retry loop shared by COMMIT and
@@ -187,6 +250,10 @@ final class Tx(catalog: Catalog) {
       // dropping the lower one's changes.) A live slow writer never
       // satisfies claimIsOrphan, so its commit can't be overtaken.
       if (stuckFor >= 1) {
+        // decided multi-container transactions heal FIRST: a decided
+        // member's claim belongs to its transaction (its staged version
+        // must land), never to the orphan-release race
+        catalog.recoverTxns()
         catalog.releaseOrphanClaim(c, base + 1)
         // a committer that died between its dir move and pointer flip
         // left a complete version above the pointer: finish its flip
@@ -331,14 +398,37 @@ final class Tx(catalog: Catalog) {
     * sees the inserted rows, reference MVCC semantics). Insert-only
     * commits are pure appends: zero extra jobs, zero rewritten bytes.
     */
-  private def commitOnce(c: String, base: Int, pk: String): Boolean = {
+  private def commitOnce(c: String, base: Int, pk: String): Boolean =
+    decomposed(c, base, pk) match {
+      case Left(whole) => catalog.tryCommit(c, base, whole)
+      case Right((kept, rewrite)) => catalog.tryCommitCow(c, base, kept, rewrite)
+    }
+
+  /** Prepare-only twin of [[commitOnce]] for the atomic group commit:
+    * same decomposition, but the slot is claimed + staged without
+    * publishing ([[Catalog.prepareSlot]]). */
+  private def prepareOnce(c: String, base: Int, pk: String): Option[java.nio.file.Path] =
+    decomposed(c, base, pk) match {
+      case Left(whole) => catalog.prepareWhole(c, base, whole)
+      case Right((kept, rewrite)) => catalog.prepareCow(c, base, kept, rewrite)
+    }
+
+  /** The file-granular COW decomposition of `c`'s staged log against
+    * `base`: Left = whole-table write (first commit or DELETE-all),
+    * Right = (carried base files, folded rewrite of touched files +
+    * inserts). Shared verbatim by the immediate and prepared commit
+    * flavors so the group commit's semantics can never drift from
+    * COMMIT's.
+    */
+  private def decomposed(c: String, base: Int, pk: String)
+      : Either[DataFrame, (Seq[java.nio.file.Path], Option[DataFrame])] = {
     val ops = log(c)
     val d = catalog.get(c)
     val deleteAll = ops.exists { case Delete(None) => true; case _ => false }
     // base 0 = first commit (or legacy external dataPath): nothing to keep;
     // DELETE-all rewrites from scratch too (kept set is empty by definition)
     if (base == 0 || deleteAll)
-      return catalog.tryCommit(c, base, view(c).sortWithinPartitions(pk))
+      return Left(view(c).sortWithinPartitions(pk))
 
     val edPreds = ops.collect {
       case Edit(p, _) => coalesce(p, lit(false))
@@ -367,7 +457,7 @@ final class Tx(catalog: Catalog) {
     // reference's chunk index with layout instead of code
     val rewrite = rewriteParts.reduceOption(_ unionByName _)
       .map(_.sortWithinPartitions(pk))
-    catalog.tryCommitCow(c, base, kept, rewrite)
+    Right((kept, rewrite))
   }
 
   /** ROLLBACK [container] — discard staged ops

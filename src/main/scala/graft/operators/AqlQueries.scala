@@ -150,6 +150,18 @@ object AqlQueries {
       eng.execute("CREATE INDEX ft ON docs_ft ['text'] USING text")
       eng.execute("CREATE INDEX nd ON docs_ft ['text'] USING lsh")
       eng.catalog.overwrite("docs_ft", ftDocs)
+      // atomic multi-container COMMIT: rows staged on TWO containers,
+      // one COMMIT lands both behind a single transaction manifest —
+      // the JOIN over the pair below only matches if BOTH inserts became
+      // durable (the oracle reconstructs both sides declaratively)
+      eng.execute("CREATE CONTAINER docs_txa ['doc_id','n_chars'] [BIGINT, BIGINT]")
+      eng.execute("CREATE CONTAINER docs_txb ['doc_id','tag'] [BIGINT, TEXT]")
+      eng.catalog.overwrite("docs_txa", docs)
+      eng.catalog.overwrite("docs_txb",
+        docs.selectExpr("doc_id", "cast(doc_id % 7 as string) AS tag"))
+      eng.execute("CREATE ROW ['doc_id','n_chars'] [900007, 4242] ON docs_txa")
+      eng.execute("CREATE ROW ['doc_id','tag'] [900007, 'paired'] ON docs_txb")
+      eng.execute("COMMIT")
       // renamed-column container: RENAME is metadata-only (files keep the
       // pinned stored name n_chars), and the post-rename insert commits
       // through the logical→stored translation
@@ -311,6 +323,23 @@ object AqlQueries {
       (s, dir) => search(
         "SEARCH [l_returnflag, sum(l_quantity * 10), min(l_extendedprice * l_discount)] " +
           "ON lineitem HAVING sum_l_quantity_mul_10 > 1000")(s, dir)
+    },
+
+    // Atomic multi-container COMMIT through AQL: one COMMIT landed staged
+    // rows on BOTH joined containers behind a single transaction
+    // manifest (fixture setup) — the 900007 pair below exists in the
+    // result only because both sides became durable together.
+    Q("aql_commit_atomic",
+      """WITH ta AS (SELECT doc_id, n_chars FROM documents
+        |            UNION ALL SELECT 900007, 4242),
+        |     tb AS (SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS tag FROM documents
+        |            UNION ALL SELECT 900007, 'paired')
+        |SELECT ta.doc_id, n_chars, tag FROM ta JOIN tb USING (doc_id)
+        |WHERE n_chars > 400
+        |ORDER BY doc_id, n_chars, tag""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [doc_id, n_chars, tag] ON docs_txa JOIN docs_txb ON doc_id = doc_id " +
+          "WHERE n_chars > 400")(s, dir)
     },
 
     // NOT IN through AQL (anti join). The subquery key is non-nullable
