@@ -83,8 +83,13 @@ object Tables {
     val rpp = rowsPerPartition(name)
     buildOnce(src, "graft-compact", name, s"rpp$rpp") { tmp =>
       val raw = spark.read.parquet(src.getPath)
-      val n = math.min(spark.sparkContext.defaultParallelism.toLong,
-        math.max(1L, raw.count() / rpp)).toInt
+      // LAYOUT CONSTANT, not the building session's core count: the
+      // compacted copy is shared cross-JVM, and capping at
+      // defaultParallelism let a 4-core test JVM persist a 4-file layout
+      // that then starved every 32-core session's compute-bound scans
+      // (the md5-explode stage ran 4 tasks on 32 cores). 32 files is the
+      // bench width; sessions with fewer cores just pack files per split.
+      val n = math.min(32L, math.max(1L, raw.count() / rpp)).toInt
       import org.apache.spark.sql.functions.col
       raw.repartitionByRange(n, col(raw.columns.head))
         .sortWithinPartitions(raw.columns.head)

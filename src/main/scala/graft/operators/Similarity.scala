@@ -26,7 +26,14 @@ import org.apache.spark.sql.functions._
   *    dataset by cell id makes the probe a file-skipping scan.
   */
 object Similarity {
-  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+  /** The vector read: a vec_id-BUCKETED projection — one task per bucket
+    * regardless of file packing, so the per-row vector math (dot
+    * products, norms, cell assignment) always owns the full core width;
+    * vec_id-keyed aggs/joins (top-k per query, cluster join-backs) reuse
+    * the bucketing exchange-free. Same rationale as TextDedup.docs.
+    */
+  private def emb(s: SparkSession, dir: String) =
+    Tables.bucketed(s, dir, "embeddings", "vec_id")
 
   /** Double-precision dot product of two float-array columns, summation in
     * element order (matches the DuckDB oracle's list_sum over

@@ -28,7 +28,21 @@ import org.apache.spark.sql.functions._
 object TextDedup {
   // CPU-bound hashing pipelines: the scan is already split
   // across cores by the ingest compaction (see Tables.compacted)
-  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  /** The corpus read: a doc_id-BUCKETED projection (32 buckets), not the
+    * range-clustered base table. Two properties matter for the text
+    * pipeline specifically: (1) a bucketed scan runs one task per bucket
+    * — file-packing can never collapse the compute-bound hashing stages
+    * (md5 shingles, simhash, fingerprints do orders of magnitude more
+    * work per byte than relational scans, so they must own the full core
+    * width); (2) per-document aggregations (minhash signature mins,
+    * fingerprints, quality scores) group on the bucket key and need NO
+    * exchange. At 100 TB this is the standard dedup-pipeline layout:
+    * signature computation is embarrassingly parallel per doc, and the
+    * doc-keyed join-backs (keeper assignment, report composition) ride
+    * the same bucketing exchange-free.
+    */
+  private def docs(s: SparkSession, dir: String) =
+    Tables.bucketed(s, dir, "documents", "doc_id")
 
   /** documents + tokens + 3-word shingles (shared prep for dedup ops).
     * Docs under 3 tokens get an EMPTY shingle list — the size guard
@@ -213,7 +227,19 @@ object TextDedup {
     val bands = bandsOf(withSignatures(withShingles(docs(s, dir))))
     val a = bands.as("a")
     val b = bands.as("b")
-    a.join(b,
+    // SHUFFLE_HASH pins the self-join to a shuffle on the band key, where
+    // both sides' exchanges are the identical subtree → ReusedExchange
+    // computes the shingle→md5→signature pipeline ONCE. The planner's
+    // size estimate would broadcast one side instead, which REBUILDS that
+    // pipeline for the probe side — the signatures are the dominant cost,
+    // so the broadcast "optimization" doubles the query. At corpus scale
+    // a broadcast self-join is impossible anyway; the banded shuffle is
+    // the only shape that survives. The explicit width keeps the join +
+    // pair-dedup tail at full core width instead of the (smaller)
+    // default shuffle width — band keys are near-unique, so this stage
+    // parallelizes perfectly and the exchange is reused by both sides.
+    a.repartition(32, col("a.band"), col("a.bk")).hint("shuffle_hash").join(
+        b.repartition(32, col("b.band"), col("b.bk")),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
