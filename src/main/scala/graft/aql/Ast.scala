@@ -191,7 +191,19 @@ object Ast {
       aggs: List[AggProj] = Nil, having: Option[Where] = None,
       orderBy: List[SortItem] = Nil, limit: Option[Int] = None,
       distinct: Boolean = false, joins: List[JoinSpec] = Nil,
-      exprs: List[ExprProj] = Nil, fns: List[FnProj] = Nil) extends Stmt
+      exprs: List[ExprProj] = Nil, fns: List[FnProj] = Nil,
+      wins: List[WinProj] = Nil) extends Stmt
+
+  /** One window-function projection item (graft extension):
+    * `rank(col [DESC]) PER [keys…]` — rank/dense_rank/row_number over a
+    * per-`keys` partition ordered by `col` (`PER []` = one global
+    * window). Output column is `fn_col` like the other computed items;
+    * row_number gets the remaining output columns appended ascending as
+    * a tie-break so its numbering is deterministic (rank/dense_rank are
+    * deterministic on the order column alone).
+    */
+  final case class WinProj(fn: String, column: String, asc: Boolean,
+      keys: List[String])
   final case class Commit(container: Option[String]) extends Stmt
   final case class Rollback(container: Option[String]) extends Stmt
   /** graft extension: physical-plan inspection for a SEARCH. */
@@ -352,16 +364,43 @@ object Parser {
     * lexing, but arithmetic parses greedily so item boundaries stay
     * unambiguous).
     */
+  /** Ranking window functions accepted as projection items:
+    * `fn(col [DESC]) PER [keys…]` (graft extension). */
+  private val WinFns = Set("rank", "dense_rank", "row_number")
+
   private def parseProjection(g: Token)
-      : (List[String], List[AggProj], List[ExprProj], List[FnProj]) =
+      : (List[String], List[AggProj], List[ExprProj], List[FnProj], List[WinProj]) =
     g match {
       case Group(items) =>
         val cols = List.newBuilder[String]
         val aggs = List.newBuilder[AggProj]
         val exprs = List.newBuilder[ExprProj]
         val fns = List.newBuilder[FnProj]
+        val wins = List.newBuilder[WinProj]
         var rest = items
         while (rest.nonEmpty) rest match {
+          // window item: fn(col [DESC]) PER [keys…] — matched before the
+          // generic fn(col) arm (WinFns are disjoint from Agg/Scalar fns,
+          // and a window fn WITHOUT its PER clause errors below)
+          case fnTok :: SubCommand(inner) :: perTok :: (keysG: Group) :: tl
+              if WinFns.contains(name(fnTok).toLowerCase) &&
+                name(perTok).equalsIgnoreCase("PER") =>
+            val fn = name(fnTok).toLowerCase
+            val (orderCol, asc) = inner match {
+              case List(one) => (name(one), true)
+              case List(one, dir) if name(dir).equalsIgnoreCase("DESC") =>
+                (name(one), false)
+              case List(one, dir) if name(dir).equalsIgnoreCase("ASC") =>
+                (name(one), true)
+              case other => throw new ParseException(
+                s"Window $fn takes one order column [ASC|DESC], got $other")
+            }
+            wins += WinProj(fn, orderCol, asc, strings(keysG))
+            rest = tl
+          case fnTok :: _ if WinFns.contains(name(fnTok).toLowerCase) =>
+            throw new ParseException(
+              s"Window ${name(fnTok).toLowerCase}(col [DESC]) needs a " +
+                "PER [keys] clause (PER [] = one global window)")
           case fnTok :: SubCommand(inner) :: tl =>
             val fn = name(fnTok).toLowerCase
             if (ScalarFns.contains(fn)) inner match {
@@ -400,7 +439,7 @@ object Parser {
             rest = tl2
           case t :: tl => cols += name(t); rest = tl
         }
-        (cols.result(), aggs.result(), exprs.result(), fns.result())
+        (cols.result(), aggs.result(), exprs.result(), fns.result(), wins.result())
       case other => throw new ParseException(s"Expected [group], got $other")
     }
 
@@ -801,14 +840,14 @@ object Parser {
           throw new ParseException(s"Expected a positive integer after LIMIT, got $other")
         case other => throw new ParseException(s"Unexpected trailing tokens: $other")
       }
-      val (projCols, projAggs, projExprs, projFns) = parseProjection(projG)
+      val (projCols, projAggs, projExprs, projFns, projWins) = parseProjection(projG)
       if (having.isDefined && projAggs.isEmpty)
         throw new ParseException("HAVING requires aggregate projections")
-      if ((projExprs.nonEmpty || projFns.nonEmpty) && projAggs.nonEmpty)
+      if ((projExprs.nonEmpty || projFns.nonEmpty || projWins.nonEmpty) && projAggs.nonEmpty)
         throw new ParseException(
           "Computed projection items cannot combine with aggregates")
       Search(containers, projCols, where, atVersion, projAggs, having, orderBy, limit,
-        joins = joins, exprs = projExprs, fns = projFns)
+        joins = joins, exprs = projExprs, fns = projFns, wins = projWins)
 
     // EXPLAIN <query statement> (graft extension): any statement that
     // lowers to a read plan — SEARCH, MATCH, SIMILAR, CHANGES

@@ -556,8 +556,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       case List(Ast.Container.Real(n)) => n
       case _ => bad("the body must read exactly one real container")
     }
-    if (q.joins.nonEmpty || q.exprs.nonEmpty || q.fns.nonEmpty || q.distinct ||
-      q.orderBy.nonEmpty || q.limit.nonEmpty || q.atVersion.nonEmpty ||
+    if (q.joins.nonEmpty || q.exprs.nonEmpty || q.fns.nonEmpty || q.wins.nonEmpty ||
+      q.distinct || q.orderBy.nonEmpty || q.limit.nonEmpty || q.atVersion.nonEmpty ||
       q.having.nonEmpty)
       bad("only projection keys, count/sum/min/max aggregates, and WHERE are maintainable")
     if (q.aggs.isEmpty) bad("the body needs at least one aggregate")
@@ -708,9 +708,9 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     // computed projection items (graft extension) need their leaf columns
     // carried through the per-part projection, then project away below
     val exprLeaves = s.exprs.flatMap(e => operandLeafNames(e.expr)) ++
-      s.fns.map(_.column)
+      s.fns.map(_.column) ++ s.wins.flatMap(w => w.column :: w.keys)
     val partProjection =
-      if (s.aggs.isEmpty && s.exprs.isEmpty && s.fns.isEmpty) s.projection
+      if (s.aggs.isEmpty && s.exprs.isEmpty && s.fns.isEmpty && s.wins.isEmpty) s.projection
       else if (s.aggs.isEmpty) dedupeCI(s.projection ++ exprLeaves)
       else dedupeCI(s.projection ++
         s.aggs.flatMap(a => a.expr.map(operandLeafNames).getOrElse(List(a.column))))
@@ -734,12 +734,15 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       parts.reduce(_ unionByName _)
     }
     val result =
-      if (s.aggs.isEmpty && (s.exprs.nonEmpty || s.fns.nonEmpty)) {
-        // computed projection items: arithmetic and scalar functions over
-        // the source columns, output = plain columns (written order) then
-        // computed columns — a pure codegen'd Project, nothing
-        // materializes early. Strict input typing (Q8 stance, like
-        // sum/avg): arithmetic leaves numeric; string fns on strings.
+      if (s.aggs.isEmpty && (s.exprs.nonEmpty || s.fns.nonEmpty || s.wins.nonEmpty)) {
+        // computed projection items: arithmetic, scalar functions, and
+        // ranking windows over the source columns, output = plain columns
+        // (written order) then computed columns. Arithmetic/scalar items
+        // stay a pure codegen'd Project; a window item adds the one
+        // partition-keyed sort exchange Spark's Window requires — at any
+        // scale the exchange carries only the projected columns. Strict
+        // input typing (Q8 stance, like sum/avg): arithmetic leaves
+        // numeric; string fns on strings.
         import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
         val d = virtualDef(unioned)
         s.exprs.flatMap(e => operandLeafNames(e.expr)).foreach { n =>
@@ -754,13 +757,35 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
             .as(s"${f.fn}_${f.column.toLowerCase}")
         }
         val plainNames = resolveNames(unioned, s.projection)
+        val winCols = s.wins.map { w =>
+          val ocn = resolveNames(unioned, List(w.column)).head
+          val keys = w.keys.map(k => col(resolveNames(unioned, List(k)).head))
+          val ord = if (w.asc) col(ocn).asc_nulls_first else col(ocn).desc_nulls_last
+          // row_number demands a TOTAL order for determinism: the other
+          // plain output columns append ascending (same convention as
+          // ORDER BY's tie-break); rank/dense_rank are deterministic on
+          // the order column alone (ties share a rank)
+          val tieBreak =
+            if (w.fn == "row_number")
+              plainNames.filterNot(_.equalsIgnoreCase(ocn)).map(col(_).asc_nulls_first)
+            else Nil
+          val spec = org.apache.spark.sql.expressions.Window
+            .partitionBy(keys: _*).orderBy(ord +: tieBreak: _*)
+          (w.fn match {
+            case "rank" => rank()
+            case "dense_rank" => dense_rank()
+            case "row_number" => row_number()
+          }).over(spec).cast("long") // BIGINT, the oracle engine's rank type
+            .as(s"${w.fn}_${w.column.toLowerCase}")
+        }
         val outNames = plainNames ++ s.exprs.map(_.name) ++
-          s.fns.map(f => s"${f.fn}_${f.column.toLowerCase}")
+          s.fns.map(f => s"${f.fn}_${f.column.toLowerCase}") ++
+          s.wins.map(w => s"${w.fn}_${w.column.toLowerCase}")
         if (outNames.map(_.toLowerCase).distinct.length != outNames.length)
           throw new ParseException(
             s"Duplicate output columns in projection: ${outNames.mkString(",")}")
         unioned.select(plainNames.map(col) ++
-          s.exprs.map(e => lowerOperand(e.expr, d).as(e.name)) ++ fnCols: _*)
+          s.exprs.map(e => lowerOperand(e.expr, d).as(e.name)) ++ fnCols ++ winCols: _*)
       } else if (s.aggs.isEmpty) unioned
       else {
         // grouped aggregate: plain projection columns are the keys (none =

@@ -325,6 +325,23 @@ object AqlQueries {
           "ON lineitem HAVING sum_l_quantity_mul_10 > 1000")(s, dir)
     },
 
+    // Window functions through AQL (graft extension): ranking windows as
+    // projection items — `rank(col [DESC]) PER [keys]`. Lowered to
+    // Spark's Window with one partition-keyed exchange; output BIGINT
+    // like the oracle engine's rank type.
+    Q("aql_window_rank",
+      """SELECT doc_id, lang, n_chars,
+        |       CAST(rank() OVER (PARTITION BY lang ORDER BY n_chars DESC) AS BIGINT)
+        |         AS rank_n_chars,
+        |       CAST(dense_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS BIGINT)
+        |         AS dense_rank_n_chars
+        |FROM documents WHERE n_chars > 300
+        |ORDER BY doc_id, lang, n_chars, rank_n_chars, dense_rank_n_chars""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [doc_id, lang, n_chars, rank(n_chars DESC) PER [lang], " +
+          "dense_rank(n_chars) PER [lang]] ON documents WHERE n_chars > 300")(s, dir)
+    },
+
     // Atomic multi-container COMMIT through AQL: one COMMIT landed staged
     // rows on BOTH joined containers behind a single transaction
     // manifest (fixture setup) — the 900007 pair below exists in the

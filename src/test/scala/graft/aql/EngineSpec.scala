@@ -301,6 +301,29 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("arithmetic"))
   }
 
+  test("15i window items: rank/dense_rank/row_number PER partition") {
+    // people: (1,'ana',30,true-ish...), ages 25,30,40; ok = true,true,false
+    val r = searchRows(
+      "SEARCH [id, ok, rank(age DESC) PER [ok]] ON people")
+      .map(x => (x.getLong(0), x.getLong(2))).toMap
+    // within ok=true ages 30,25 → ranks 1,2; ok=false alone → 1
+    assert(r(1) == 1 && r(3) == 2 && r(2) == 1)
+    // global window: PER [] ranks everyone; row_number is total-ordered
+    val g = searchRows(
+      "SEARCH [id, row_number(age) PER []] ON people")
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(g.values.toSet == Set(1L, 2L, 3L))
+    assert(g(3) == 1 && g(1) == 2 && g(2) == 3) // ages 25 < 30 < 40
+    // a window fn without PER errors loudly; no combining with aggregates
+    intercept[ParseException](eng.execute("SEARCH [rank(age)] ON people"))
+    intercept[ParseException](eng.execute(
+      "SEARCH [ok, count(id), rank(age) PER [ok]] ON people"))
+    // views reject window items
+    val e = intercept[ParseException](eng.execute(
+      "CREATE VIEW vwin (SEARCH [ok, rank(age) PER [ok]] ON people)"))
+    assert(e.getMessage.contains("maintainable"))
+  }
+
   test("15g SEARCH DISTINCT dedupes the projected rows") {
     assert(searchRows("SEARCH [ok] ON people").length == 3)
     val d = searchRows("SEARCH DISTINCT [ok] ON people")

@@ -235,6 +235,16 @@ class ParserSpec extends AnyFunSuite {
     intercept[ParseException](Parser.parse("SEARCH [sum(a *)] ON t"))
   }
 
+  test("window items: rank(col DESC) PER [keys] parses; missing PER rejected") {
+    val s = Parser.parse("SEARCH [lang, rank(n_chars DESC) PER [lang], " +
+      "row_number(doc_id) PER []] ON docs").asInstanceOf[Search]
+    assert(s.wins == List(WinProj("rank", "n_chars", asc = false, List("lang")),
+      WinProj("row_number", "doc_id", asc = true, Nil)))
+    intercept[ParseException](Parser.parse("SEARCH [rank(n_chars)] ON docs"))
+    intercept[ParseException](
+      Parser.parse("SEARCH [rank(n_chars sideways) PER [lang]] ON docs"))
+  }
+
   test("SEARCH DISTINCT: parses, composes with later clauses, rejects aggregates") {
     val s = Parser.parse("SEARCH DISTINCT ['lang'] ON docs WHERE n > 2 LIMIT 5")
       .asInstanceOf[Search]
