@@ -718,7 +718,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       val parts = s.containers.map {
         case Ast.Container.Real(cname) =>
           val d = catalog.get(cname)
-          val base = containerDf(Ast.Container.Real(cname), s.atVersion)
+          val base = indexPruned(cname, d,
+            containerDf(Ast.Container.Real(cname), s.atVersion), s)
           project(applyWhere(base, d, s), resolveNames(base, partProjection))
         case virt @ (Ast.Container.Virtual(_) | Ast.Container.Feed(_) |
                      Ast.Container.Hits(_) | Ast.Container.Cands(_)) =>
@@ -949,6 +950,101 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       .select(col("cand").as(pkName))
       .orderBy(col(pkName))
       .limit(sm.limit)
+  }
+
+  /** Per-lookup candidate cap for index-served point predicates: above
+    * it the value is unselective and the plain scan wins (and the probe
+    * list would stop being bounded metadata). */
+  private val IndexProbeCap = 8192
+
+  /** Index-served point predicate (graft extension — generalizes the
+    * reference's automatic first-column index pick,
+    * `src/query_conditions.rs:541-593`, to ANY column with a `value`
+    * index): when the WHERE is an AND-chain containing `col = literal`
+    * on an indexed column and the container has no staged ops, resolve
+    * the literal through the index into a bounded pk candidate list and
+    * prune the base scan to those pks — on the pk-range-clustered layout
+    * that is a file-skipping scan, the reference's index→addresses→
+    * positional-read shape re-expressed. The FULL predicate still
+    * applies afterward (`applyWhere`), so the index can only change
+    * where rows come from, never what they are; any non-qualifying
+    * WHERE (OR gates, arithmetic sides, unselective value, staged
+    * overlay, no index) falls back to the plain pushed-filter scan.
+    */
+  private def indexPruned(cname: String, d: Catalog#ContainerDef,
+      base: DataFrame, s: Ast.Search): DataFrame = {
+    val w = s.where match {
+      case Some(w) if w.gates.forall(_ == 'a') => w
+      case _ => return base
+    }
+    // staged rows aren't indexed: the overlay view must never lose them
+    if (s.atVersion.isEmpty && tx.stagedOps(cname) > 0) return base
+    // v0 = nothing committed through the versioned path (empty, or a
+    // legacy external-data container) — there are no index parts to serve
+    if (s.atVersion.getOrElse(catalog.currentVersion(cname)) == 0) return base
+    val defs = catalog.indexDefs(cname).filter(_.kind == "value")
+    if (defs.isEmpty) return base
+    // typed literals only — a bare word on a TEXT column is a string
+    // literal (reference semantics); numeric columns take int literals
+    // (an out-of-range INT literal can't match: skip, the scan returns
+    // the same empty result)
+    def typedKey(c: Ast.Cond): Option[Any] = {
+      val colType = d.columns.collectFirst {
+        case (n, t) if n.equalsIgnoreCase(c.column) => t.spark
+      }
+      (c.value, colType) match {
+        case (Token.Str(v), Some(org.apache.spark.sql.types.StringType)) =>
+          Some(v)
+        case (Token.IntLit(v), Some(org.apache.spark.sql.types.LongType)) =>
+          Some(v)
+        case (Token.IntLit(v), Some(org.apache.spark.sql.types.IntegerType))
+            if v.isValidInt => Some(v.toInt)
+        case _ => None
+      }
+    }
+    def plainAtom(c: Ast.Cond) = c.lhs.isEmpty && c.rhs.isEmpty
+    // access-path choice, mirroring the reference's Strict-then-Range
+    // order (query_conditions.rs:541): an equality probe first, else a
+    // range conjunction over one indexed column's >,>=,<,<= atoms
+    val eqHit = w.atoms.iterator.flatMap { c =>
+      if (!plainAtom(c) || (c.op != "=" && c.op != "==")) Iterator.empty
+      else defs.find(_.column.equalsIgnoreCase(c.column)).iterator
+        .flatMap(idef => typedKey(c).map(k => (idef, k)))
+    }.take(1).toList.headOption
+    val candidates: Option[DataFrame] = eqHit match {
+      case Some((idef, key)) => Some(graft.catalog.Index
+        .valueLookup(catalog, cname, idef, Seq(key), s.atVersion))
+      case None =>
+        val rangeOps = Set(">", ">=", "<", "<=")
+        defs.iterator.map { idef =>
+          val bounds = w.atoms.filter(c => plainAtom(c) &&
+            rangeOps(c.op) && idef.column.equalsIgnoreCase(c.column))
+            .flatMap(c => typedKey(c).map(k => (c.op, k)))
+          (idef, bounds)
+        }.find(_._2.nonEmpty).map { case (idef, bounds) =>
+          val pred = bounds.map { case (op, k) =>
+            op match {
+              case ">" => col("val") > k
+              case ">=" => col("val") >= k
+              case "<" => col("val") < k
+              case "<=" => col("val") <= k
+            }
+          }.reduce(_ && _)
+          graft.catalog.Index
+            .valueRangeLookup(catalog, cname, idef, pred, s.atVersion)
+        }
+    }
+    candidates match {
+      case Some(cand) =>
+        val ids = cand.limit(IndexProbeCap + 1).collect()
+          .map(_.get(0)).toIndexedSeq
+        if (ids.length > IndexProbeCap) base // unselective: plain scan wins
+        // pk-null rows can't appear in candidate lists (isin is
+        // null-poisoned) — keep them for the full predicate to decide
+        else base.filter(col(d.primaryKey).isin(ids: _*) ||
+          col(d.primaryKey).isNull)
+      case None => base
+    }
   }
 
   private def containerDf(c: Ast.Container, atVersion: Option[Int]): DataFrame =

@@ -50,11 +50,17 @@ import scala.jdk.CollectionConverters._
   *    to edits that re-shingle every 3-gram).
   *  - `ivf`: frozen-centroid cluster assignments over a packed-float32
   *    BYTES column; probes prune to the ≤ nprobe nearest clusters.
+  *  - `value`: plain value→pk rows over any TEXT/INT/BIGINT column — the
+  *    classic secondary index (generalizes the reference's first-column
+  *    chunk index to arbitrary columns). SEARCH equality predicates on
+  *    the indexed column auto-serve through it (`Engine.indexPruned`).
   */
 object Index {
   final case class Def(ix: String, kind: String, column: String) {
-    /** Index-row schema (minus the `src` partition column). */
-    def schema(pkType: DataType): StructType = kind match {
+    /** Index-row schema (minus the `src` partition column). `valType` is
+      * only read by the `value` kind (the indexed column's own type —
+      * typed equality, never a string-canonicalized comparison). */
+    def schema(pkType: DataType, valType: DataType = NullType): StructType = kind match {
       // simhash shares the lsh band-row shape: bk = "band:bucketValue"
       case "lsh" | "simhash" => StructType(Seq(
         StructField("id", pkType), StructField("band", IntegerType),
@@ -69,6 +75,10 @@ object Index {
       case "text" => StructType(Seq(
         StructField("id", pkType), StructField("term", StringType),
         StructField("tf", LongType), StructField("dl", DoubleType)))
+      // plain value→pk rows: the classic secondary index (generalizes
+      // the reference's first-column-only chunk index to ANY column)
+      case "value" => StructType(Seq(
+        StructField("id", pkType), StructField("val", valType)))
       case other => sys.error(s"unknown index kind '$other'")
     }
     /** The column lookups filter on with literal keys — index parts are
@@ -79,6 +89,7 @@ object Index {
       case "lsh" | "simhash" => "bk"
       case "ivf" => "cluster"
       case "text" => "term"
+      case "value" => "val"
       case other => sys.error(s"unknown index kind '$other'")
     }
   }
@@ -142,6 +153,10 @@ object Index {
         require(colType.spark == StringType,
           s"$kind index needs a TEXT-like column, '$column' is ${colType.name}")
         s"$kind\t$column"
+      case "value" =>
+        require(Seq(StringType, IntegerType, LongType).contains(colType.spark),
+          s"value index needs a TEXT/INT/BIGINT column, '$column' is ${colType.name}")
+        s"$kind\t$column"
       case "ivf" =>
         require(colType.spark == BinaryType,
           s"ivf index needs a packed-float32 BYTES column, '$column' is ${colType.name}")
@@ -194,7 +209,10 @@ object Index {
     val v = at.getOrElse(cat.currentVersion(container))
     at.foreach(x => require(cat.versions(container).contains(x),
       s"No committed version $x on '$container'"))
-    val full = idef.schema(d.schema.head.dataType).add("src", StringType)
+    val valType = d.columns.collectFirst {
+      case (n, t) if n.equalsIgnoreCase(idef.column) => t.spark
+    }.getOrElse(NullType)
+    val full = idef.schema(d.schema.head.dataType, valType).add("src", StringType)
     if (v == 0)
       return cat.spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), full)
@@ -239,6 +257,36 @@ object Index {
           && col("id") =!= col("qid"))
       .select(col("qid"), col("id").as("cand"))
       .distinct()
+  }
+
+  /** Candidate pks whose indexed column equals one of `keys`, served from
+    * a `value` index: the scan filters on the LITERAL key list, so
+    * parquet min/max stats on the sorted `val` column prune files and row
+    * groups — the secondary-index generalization of the reference's
+    * first-column chunk lookup (`src/indexing.rs:215-309`). Callers
+    * re-apply their full predicate on the pk-pruned base scan, so the
+    * index can only change WHERE rows come from, never what they are.
+    */
+  def valueLookup(cat: Catalog, container: String, idef: Def,
+      keys: Seq[Any], at: Option[Int] = None): DataFrame = {
+    require(idef.kind == "value", s"index '${idef.ix}' is not a value index")
+    read(cat, container, idef, at)
+      .filter(col("val").isin(keys: _*))
+      .select(col("id")).distinct()
+  }
+
+  /** Range twin of [[valueLookup]] (the reference's
+    * `Indexed(Range|InclusiveRange)` access paths,
+    * `src/query_conditions.rs:541-593`): candidate pks whose indexed
+    * value falls in the given bounds — same stat-pruned scan, the `val`
+    * sort making the range a contiguous file/row-group slice.
+    */
+  def valueRangeLookup(cat: Catalog, container: String, idef: Def,
+      pred: org.apache.spark.sql.Column, at: Option[Int] = None): DataFrame = {
+    require(idef.kind == "value", s"index '${idef.ix}' is not a value index")
+    read(cat, container, idef, at)
+      .filter(pred)
+      .select(col("id")).distinct()
   }
 
   /** ANN candidates for `queries` (rows shaped like the container) from
@@ -412,6 +460,12 @@ object Index {
         deriveText(rows.select(col(d.primaryKey).as("id"),
           col(idef.column).as("text"), col("src")),
           d.schema.head.dataType)
+      case "value" =>
+        // row-local value→pk projection; NULL values produce no index
+        // row (an equality probe can never match NULL anyway)
+        rows.select(col(d.primaryKey).as("id"),
+            col(idef.column).as("val"), col("src"))
+          .filter(col("val").isNotNull)
       case "ivf" =>
         // nearest frozen centroid per vector (codegen'd unpack + the tiny
         // broadcast centroid dim). Undecodable payloads produce no index

@@ -150,6 +150,17 @@ object AqlQueries {
       eng.execute("CREATE INDEX ft ON docs_ft ['text'] USING text")
       eng.execute("CREATE INDEX nd ON docs_ft ['text'] USING lsh")
       eng.catalog.overwrite("docs_ft", ftDocs)
+      // value-indexed container: WHERE lang = 'en' auto-serves from the
+      // secondary index (pk-candidate-pruned scan); the post-index COMMIT
+      // proves maintenance — the inserted row is only findable through
+      // index candidates if the commit appended its index rows
+      eng.execute("CREATE CONTAINER docs_vix ['doc_id','lang','n_chars'] " +
+        "[BIGINT, TEXT, BIGINT]")
+      eng.catalog.overwrite("docs_vix", graft.Tables.load(spark, dir, "documents")
+        .select("doc_id", "lang", "n_chars"))
+      eng.execute("CREATE INDEX vl ON docs_vix ['lang'] USING value")
+      eng.execute("CREATE ROW ['doc_id','lang','n_chars'] [900008, 'en', 777] ON docs_vix")
+      eng.execute("COMMIT docs_vix")
       // atomic multi-container COMMIT: rows staged on TWO containers,
       // one COMMIT lands both behind a single transaction manifest —
       // the JOIN over the pair below only matches if BOTH inserts became
@@ -323,6 +334,21 @@ object AqlQueries {
       (s, dir) => search(
         "SEARCH [l_returnflag, sum(l_quantity * 10), min(l_extendedprice * l_discount)] " +
           "ON lineitem HAVING sum_l_quantity_mul_10 > 1000")(s, dir)
+    },
+
+    // Value-index-served point predicate (graft extension): `lang = 'en'`
+    // resolves through the secondary index into a pk candidate list that
+    // prunes the clustered scan; the full predicate re-applies, so the
+    // result is value-identical to the plain filter the oracle runs. The
+    // 900008 row landed AFTER the index existed — its presence proves
+    // commit-time index maintenance through the oracle gate.
+    Q("aql_value_index",
+      """WITH v AS (SELECT doc_id, lang, n_chars FROM documents
+        |           UNION ALL SELECT 900008, 'en', 777)
+        |SELECT doc_id, n_chars FROM v WHERE lang = 'en' AND n_chars > 200
+        |ORDER BY doc_id, n_chars""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [doc_id, n_chars] ON docs_vix WHERE lang = 'en' AND n_chars > 200")(s, dir)
     },
 
     // Window functions through AQL (graft extension): ranking windows as

@@ -324,6 +324,48 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("maintainable"))
   }
 
+  test("15j value index auto-serves equality predicates; overlay/OR fall back") {
+    eng.execute("CREATE CONTAINER ixt ['id','tag','n'] [BIGINT, TEXT, INT]")
+    (0 until 30).foreach(i => eng.execute(
+      s"CREATE ROW ['id','tag','n'] [$i, 'tg${i % 3}', ${i % 4}] ON ixt"))
+    eng.execute("COMMIT ixt")
+    eng.execute("CREATE INDEX vt ON ixt ['tag'] USING value")
+    // result identical to the plain filter, plan pk-pruned (isin on id)
+    val got = searchRows("SEARCH [id] ON ixt WHERE tag = 'tg1'")
+      .map(_.getLong(0)).toSet
+    assert(got == (0 until 30).filter(_ % 3 == 1).map(_.toLong).toSet)
+    val plan = eng.execute("EXPLAIN SEARCH [id] ON ixt WHERE tag = 'tg1'")
+      .asInstanceOf[Engine.Done].message
+    assert(plan.contains("id IN ") || plan.contains("In(id"),
+      s"index-served scan must prune by pk candidates:\n$plan")
+    // composes with other AND conditions (full predicate re-applied)
+    val both = searchRows("SEARCH [id] ON ixt WHERE tag = 'tg1' AND n = 2")
+      .map(_.getLong(0)).toSet
+    assert(both == (0 until 30).filter(i => i % 3 == 1 && i % 4 == 2)
+      .map(_.toLong).toSet)
+    // an OR chain must NOT prune (the other side matches outside the probe)
+    val orPlan = eng.execute(
+      "EXPLAIN SEARCH [id] ON ixt WHERE tag = 'tg1' OR n = 0")
+      .asInstanceOf[Engine.Done].message
+    assert(!orPlan.contains("id IN ") && !orPlan.contains("In(id"))
+    // range probe on an INT value index (reference Indexed(Range) shape)
+    eng.execute("CREATE INDEX vn ON ixt ['n'] USING value")
+    val rng = searchRows("SEARCH [id] ON ixt WHERE n >= 1 AND n < 3")
+      .map(_.getLong(0)).toSet
+    assert(rng == (0 until 30).filter(i => i % 4 == 1 || i % 4 == 2)
+      .map(_.toLong).toSet)
+    val rngPlan = eng.execute("EXPLAIN SEARCH [id] ON ixt WHERE n >= 1 AND n < 3")
+      .asInstanceOf[Engine.Done].message
+    assert(rngPlan.contains("id IN ") || rngPlan.contains("In(id"),
+      s"range probe must prune by pk candidates:\n$rngPlan")
+    // staged rows aren't indexed: the overlay view keeps them anyway
+    eng.execute("CREATE ROW ['id','tag','n'] [900, 'tg1', 9] ON ixt")
+    val staged = searchRows("SEARCH [id] ON ixt WHERE tag = 'tg1'")
+      .map(_.getLong(0)).toSet
+    assert(staged.contains(900L), "staged row must survive (no index prune)")
+    eng.execute("ROLLBACK ixt")
+  }
+
   test("15g SEARCH DISTINCT dedupes the projected rows") {
     assert(searchRows("SEARCH [ok] ON people").length == 3)
     val d = searchRows("SEARCH DISTINCT [ok] ON people")
