@@ -206,8 +206,11 @@ object Ast {
       keys: List[String])
   final case class Commit(container: Option[String]) extends Stmt
   final case class Rollback(container: Option[String]) extends Stmt
-  /** graft extension: physical-plan inspection for a SEARCH. */
-  final case class Explain(query: Stmt) extends Stmt // SEARCH | MATCH | SIMILAR | CHANGES
+  /** graft extension: physical-plan inspection for a read statement
+    * (SEARCH | MATCH | SIMILAR | CHANGES). `analyze` = EXPLAIN ANALYZE:
+    * execute the plan and report per-operator runtime metrics (actual
+    * row counts) alongside the formatted plan. */
+  final case class Explain(query: Stmt, analyze: Boolean = false) extends Stmt
   /** graft extension: prune old committed versions (time travel GC). */
   final case class Vacuum(container: String, keepLast: Int) extends Stmt
   /** graft extension: compact the fragmented current version into a
@@ -849,11 +852,19 @@ object Parser {
       Search(containers, projCols, where, atVersion, projAggs, having, orderBy, limit,
         joins = joins, exprs = projExprs, fns = projFns, wins = projWins)
 
-    // EXPLAIN <query statement> (graft extension): any statement that
-    // lowers to a read plan — SEARCH, MATCH, SIMILAR, CHANGES
+    // EXPLAIN [ANALYZE] <query statement> (graft extension): any
+    // statement that lowers to a read plan — SEARCH, MATCH, SIMILAR,
+    // CHANGES. ANALYZE executes the plan and adds actual row counts.
     case Keyword("EXPLAIN") :: rest =>
-      fromTokens(rest) match {
-        case q @ (_: Search | _: Match | _: Similar | _: Changes) => Explain(q)
+      val (analyze, body) = rest match {
+        case t :: tl if (t match {
+          case Str(w) => w.equalsIgnoreCase("ANALYZE"); case _ => false
+        }) => (true, tl)
+        case _ => (false, rest)
+      }
+      fromTokens(body) match {
+        case q @ (_: Search | _: Match | _: Similar | _: Changes) =>
+          Explain(q, analyze)
         case other => throw new ParseException(
           s"EXPLAIN supports SEARCH/MATCH/SIMILAR/CHANGES, got $other")
       }

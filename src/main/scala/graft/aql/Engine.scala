@@ -254,7 +254,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       resultSet(lowerSearch(s),
         needsDefaultSort = s.orderBy.isEmpty && s.limit.isEmpty)
 
-    case Ast.Explain(q) =>
+    case Ast.Explain(q, analyze) =>
       val df = q match {
         case s: Ast.Search => lowerSearch(s)
         case m: Ast.Match => matchDf(m)
@@ -262,8 +262,22 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         case ch: Ast.Changes => catalog.changes(ch.container, ch.fromVersion, ch.toVersion)
         case other => throw new ParseException(s"EXPLAIN cannot plan $other")
       }
-      Done(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+      val formatted = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      if (!analyze) Done(formatted)
+      else {
+        // EXPLAIN ANALYZE: run the exact compiled plan (toRdd keeps THIS
+        // plan's metric accumulators — df.count() would compile a new
+        // one) with a distributed no-op action, then report each
+        // operator's actual output rows next to the formatted plan.
+        df.queryExecution.toRdd.foreach(_ => ())
+        val actual = df.queryExecution.executedPlan.collect {
+          case p if p.metrics.contains("numOutputRows") =>
+            f"${p.nodeName}%-45s rows=${p.metrics("numOutputRows").value}"
+        }
+        Done(formatted + "\n\n== Actual Rows (EXPLAIN ANALYZE) ==\n" +
+          actual.mkString("\n"))
+      }
 
     case Ast.Vacuum(c, keep) =>
       // a vacuum that drops a dependent view's resume point would break
@@ -954,8 +968,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
 
   /** Per-lookup candidate cap for index-served point predicates: above
     * it the value is unselective and the plain scan wins (and the probe
-    * list would stop being bounded metadata). */
-  private val IndexProbeCap = 8192
+    * list would stop being bounded metadata). settings.yaml knob. */
+  private def IndexProbeCap = settings.indexProbeCap
 
   /** Index-served point predicate (graft extension — generalizes the
     * reference's automatic first-column index pick,

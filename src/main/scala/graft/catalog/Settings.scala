@@ -63,7 +63,12 @@ final case class Settings(
       * the symmetric feature to commit-time index maintenance). Off by
       * default: a bursty ingest usually prefers one explicit REFRESH
       * after the burst over per-commit fold latency. */
-    refreshViewsAfterCommit: Boolean = false) {
+    refreshViewsAfterCommit: Boolean = false,
+    /** graft extension: candidate cap for value-index-served point/range
+      * predicates — above it the value is unselective, the probe list
+      * would stop being bounded per-lookup metadata, and the plain
+      * pushed-filter scan wins (`Engine.indexPruned`). */
+    indexProbeCap: Int = 8192) {
 
   /** The reference's self-healing normalization (`database.rs:312-335`):
     * out-of-range values are corrected, never fatal.
@@ -80,6 +85,7 @@ final case class Settings(
     if (s.maxConnections < 1) s = s.copy(maxConnections = 1)
     if (s.secretKeyCount < 1) s = s.copy(secretKeyCount = 1)
     if (s.optimizeAfterCommits < 0) s = s.copy(optimizeAfterCommits = 0)
+    if (s.indexProbeCap < 1) s = s.copy(indexProbeCap = 8192)
     s
   }
 
@@ -97,6 +103,7 @@ final case class Settings(
        |wire_encryption: $wireEncryption
        |optimize_after_commits: $optimizeAfterCommits
        |refresh_views_after_commit: $refreshViewsAfterCommit
+       |index_probe_cap: $indexProbeCap
        |""".stripMargin
 }
 
@@ -147,7 +154,8 @@ object Settings {
       wireEncryption = bool("wire_encryption", default.wireEncryption),
       optimizeAfterCommits = int("optimize_after_commits", default.optimizeAfterCommits),
       refreshViewsAfterCommit =
-        bool("refresh_views_after_commit", default.refreshViewsAfterCommit)
+        bool("refresh_views_after_commit", default.refreshViewsAfterCommit),
+      indexProbeCap = int("index_probe_cap", default.indexProbeCap)
     )
     val healed = parsed.normalized
     // The reference's load_settings rewrites the normalized settings back

@@ -418,6 +418,15 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.contains("PushedFilters") && out.contains("GreaterThan(age,28)"))
   }
 
+  test("18d EXPLAIN ANALYZE executes the plan and reports actual rows") {
+    val out = eng.execute("EXPLAIN ANALYZE SEARCH ['id'] ON people WHERE age > 28")
+      .asInstanceOf[Engine.Done].message
+    assert(out.contains("Physical Plan"))
+    assert(out.contains("Actual Rows"))
+    // ages 30,40 pass the filter: some operator reports exactly 2 rows
+    assert(out.linesIterator.exists(l => l.contains("rows=2")), out)
+  }
+
   test("18c EXPLAIN covers MATCH/SIMILAR/CHANGES read plans") {
     eng.execute("CREATE CONTAINER exq ['id','body'] [BIGINT, TEXT]")
     eng.execute("CREATE ROW ['id','body'] [1,'alpha beta gamma delta'] ON exq")

@@ -44,6 +44,13 @@ class SettingsSpec extends AnyFunSuite {
     assert(Settings(maxColumns = 5, minColumns = 5).normalized.minColumns == 1)
     assert(Settings(memoryLimit = 7).normalized.memoryLimit == 1048576L)
     assert(Settings(maxConnections = -2).normalized.maxConnections == 1)
+    assert(Settings(indexProbeCap = 0).normalized.indexProbeCap == 8192)
+  }
+
+  test("index_probe_cap round-trips through yaml") {
+    val dir = Files.createTempDirectory("graft-settings-ixc")
+    Files.writeString(dir.resolve(Settings.FileName), "index_probe_cap: 4\n")
+    assert(Settings.load(dir).indexProbeCap == 4)
   }
 
   test("'#' inside a value is data, not a comment (YAML rule)") {
