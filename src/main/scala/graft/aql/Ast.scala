@@ -351,7 +351,7 @@ object Parser {
     case other => throw new ParseException(s"Expected [group], got $other")
   }
 
-  private val AggFns = Set("count", "sum", "avg", "min", "max")
+  private val AggFns = Set("count", "sum", "avg", "min", "max", "median")
 
   /** Scalar (per-row) functions accepted in the projection — the subset
     * of the reference-era "what an AQL-only client can't reach" gap that
@@ -383,20 +383,26 @@ object Parser {
         var rest = items
         while (rest.nonEmpty) rest match {
           // window item: fn(col [DESC]) PER [keys…] — matched before the
-          // generic fn(col) arm (WinFns are disjoint from Agg/Scalar fns,
-          // and a window fn WITHOUT its PER clause errors below)
+          // generic fn(col) arm. Ranking fns (WinFns) order the partition
+          // by the column; an AGGREGATE fn + PER is SQL's
+          // `agg(col) OVER (PARTITION BY keys)` — the whole-partition
+          // frame (no ORDER inside the parens: the frame is the
+          // partition, so order can't change the value).
           case fnTok :: SubCommand(inner) :: perTok :: (keysG: Group) :: tl
-              if WinFns.contains(name(fnTok).toLowerCase) &&
+              if (WinFns.contains(name(fnTok).toLowerCase) ||
+                  AggFns.contains(name(fnTok).toLowerCase)) &&
                 name(perTok).equalsIgnoreCase("PER") =>
             val fn = name(fnTok).toLowerCase
             val (orderCol, asc) = inner match {
               case List(one) => (name(one), true)
-              case List(one, dir) if name(dir).equalsIgnoreCase("DESC") =>
-                (name(one), false)
-              case List(one, dir) if name(dir).equalsIgnoreCase("ASC") =>
-                (name(one), true)
+              case List(one, dir) if WinFns.contains(fn) &&
+                  name(dir).equalsIgnoreCase("DESC") => (name(one), false)
+              case List(one, dir) if WinFns.contains(fn) &&
+                  name(dir).equalsIgnoreCase("ASC") => (name(one), true)
               case other => throw new ParseException(
-                s"Window $fn takes one order column [ASC|DESC], got $other")
+                if (WinFns.contains(fn))
+                  s"Window $fn takes one order column [ASC|DESC], got $other"
+                else s"Windowed aggregate $fn takes exactly one column, got $other")
             }
             wins += WinProj(fn, orderCol, asc, strings(keysG))
             rest = tl

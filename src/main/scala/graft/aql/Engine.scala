@@ -775,23 +775,44 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         val winCols = s.wins.map { w =>
           val ocn = resolveNames(unioned, List(w.column)).head
           val keys = w.keys.map(k => col(resolveNames(unioned, List(k)).head))
-          val ord = if (w.asc) col(ocn).asc_nulls_first else col(ocn).desc_nulls_last
-          // row_number demands a TOTAL order for determinism: the other
-          // plain output columns append ascending (same convention as
-          // ORDER BY's tie-break); rank/dense_rank are deterministic on
-          // the order column alone (ties share a rank)
-          val tieBreak =
-            if (w.fn == "row_number")
-              plainNames.filterNot(_.equalsIgnoreCase(ocn)).map(col(_).asc_nulls_first)
-            else Nil
-          val spec = org.apache.spark.sql.expressions.Window
-            .partitionBy(keys: _*).orderBy(ord +: tieBreak: _*)
-          (w.fn match {
-            case "rank" => rank()
-            case "dense_rank" => dense_rank()
-            case "row_number" => row_number()
-          }).over(spec).cast("long") // BIGINT, the oracle engine's rank type
-            .as(s"${w.fn}_${w.column.toLowerCase}")
+          val out = s"${w.fn}_${w.column.toLowerCase}"
+          if (Seq("rank", "dense_rank", "row_number").contains(w.fn)) {
+            val ord = if (w.asc) col(ocn).asc_nulls_first else col(ocn).desc_nulls_last
+            // row_number demands a TOTAL order for determinism: the other
+            // plain output columns append ascending (same convention as
+            // ORDER BY's tie-break); rank/dense_rank are deterministic on
+            // the order column alone (ties share a rank)
+            val tieBreak =
+              if (w.fn == "row_number")
+                plainNames.filterNot(_.equalsIgnoreCase(ocn)).map(col(_).asc_nulls_first)
+              else Nil
+            val spec = org.apache.spark.sql.expressions.Window
+              .partitionBy(keys: _*).orderBy(ord +: tieBreak: _*)
+            (w.fn match {
+              case "rank" => rank()
+              case "dense_rank" => dense_rank()
+              case "row_number" => row_number()
+            }).over(spec).cast("long") // BIGINT, the oracle engine's rank type
+              .as(out)
+          } else {
+            // windowed AGGREGATE — `agg(col) OVER (PARTITION BY keys)`:
+            // the whole-partition frame (no ORDER, so the value is
+            // order-independent and deterministic). Strict input typing
+            // like grouped aggregates.
+            if (Seq("sum", "avg", "median").contains(w.fn) &&
+                !d.columns.find(_._1 == ocn).exists(_._2.isNumeric))
+              throw new ParseException(
+                s"${w.fn}($ocn) requires a numeric column, got non-numeric")
+            val spec = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
+            (w.fn match {
+              case "count" => count(col(ocn))
+              case "sum" => sum(col(ocn))
+              case "avg" => avg(col(ocn))
+              case "min" => min(col(ocn))
+              case "max" => max(col(ocn))
+              case "median" => percentile(col(ocn), lit(0.5))
+            }).over(spec).as(out)
+          }
         }
         val outNames = plainNames ++ s.exprs.map(_.name) ++
           s.fns.map(f => s"${f.fn}_${f.column.toLowerCase}") ++
@@ -839,8 +860,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
               val cn = resolveNames(unioned, List(a.column)).head
               val dt = unioned.schema(cn).dataType
               // strict input typing (quirk-Q8 stance: no implicit casts):
-              // sum/avg require numeric columns; count/min/max take any type
-              if ((a.fn == "sum" || a.fn == "avg") &&
+              // sum/avg/median require numerics; count/min/max take any type
+              if (Seq("sum", "avg", "median").contains(a.fn) &&
                   !Seq(IntegerType, LongType, DoubleType).contains(dt))
                 throw new ParseException(s"${a.fn}($cn) requires a numeric column, got $dt")
               col(cn)
@@ -854,6 +875,9 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
             case "avg" => avg(c)
             case "min" => min(c)
             case "max" => max(c)
+            // exact interpolated median (sort-based, deterministic —
+            // unlike approx_percentile), matching the oracle's median()
+            case "median" => percentile(c, lit(0.5))
           }).as(out)
         }
         val agged = unioned.groupBy(keys: _*).agg(aggExprs.head, aggExprs.tail: _*)

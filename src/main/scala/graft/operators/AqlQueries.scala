@@ -336,6 +336,31 @@ object AqlQueries {
           "ON lineitem HAVING sum_l_quantity_mul_10 > 1000")(s, dir)
     },
 
+    // Windowed aggregates (graft extension): `sum(col) PER [keys]` =
+    // SQL's SUM OVER (PARTITION BY …) — whole-partition frame, so the
+    // value is order-independent and exactly comparable.
+    Q("aql_window_agg",
+      """SELECT doc_id, lang,
+        |       CAST(sum(n_chars) OVER (PARTITION BY lang) AS BIGINT) AS sum_n_chars,
+        |       count(doc_id) OVER (PARTITION BY lang) AS count_doc_id
+        |FROM documents WHERE n_chars > 300
+        |ORDER BY doc_id, lang, sum_n_chars, count_doc_id""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [doc_id, lang, sum(n_chars) PER [lang], count(doc_id) PER [lang]] " +
+          "ON documents WHERE n_chars > 300")(s, dir)
+    },
+
+    // median as a grouped aggregate: exact interpolated percentile in
+    // both engines (sort-based — deterministic, unlike approx sketches)
+    Q("aql_agg_median",
+      """SELECT lang, CAST(median(n_chars) AS DOUBLE) AS median_n_chars,
+        |       count(doc_id) AS count_doc_id
+        |FROM documents GROUP BY lang
+        |ORDER BY lang, median_n_chars, count_doc_id""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [lang, median(n_chars), count(doc_id)] ON documents")(s, dir)
+    },
+
     // Value-index-served point predicate (graft extension): `lang = 'en'`
     // resolves through the secondary index into a pk candidate list that
     // prunes the clustered scan; the full predicate re-applies, so the

@@ -263,7 +263,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val byOk = grouped.map(x => x.getBoolean(0) -> (x.getLong(1), x.getDouble(2))).toMap
     assert(byOk(true) == ((2L, 27.5)) && byOk(false) == ((1L, 40.0)))
     // unknown aggregate + wrong arity are parse errors
-    intercept[ParseException](eng.execute("SEARCH [median(n)] ON seq"))
+    intercept[ParseException](eng.execute("SEARCH [mode(n)] ON seq"))
     intercept[ParseException](eng.execute("SEARCH [sum(n n)] ON seq"))
     // HAVING filters the aggregated output by its column names
     val hv = searchRows(
@@ -314,6 +314,15 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(x => (x.getLong(0), x.getLong(1))).toMap
     assert(g.values.toSet == Set(1L, 2L, 3L))
     assert(g(3) == 1 && g(1) == 2 && g(2) == 3) // ages 25 < 30 < 40
+    // windowed AGGREGATE: sum(age) PER [ok] = SUM OVER (PARTITION BY ok)
+    val wa = searchRows("SEARCH [id, sum(age) PER [ok], avg(age) PER []] ON people")
+      .map(x => (x.getLong(0), (x.getLong(1), x.getDouble(2)))).toMap
+    assert(wa(1) == ((55L, 95.0 / 3)) && wa(3) == ((55L, 95.0 / 3)))
+    assert(wa(2)._1 == 40L)
+    // median as a grouped aggregate (exact interpolated, like the oracle)
+    val med = searchRows("SEARCH [median(age)] ON people").head.getDouble(0)
+    assert(med == 30.0)
+    intercept[ParseException](eng.execute("SEARCH [median(name)] ON people"))
     // a window fn without PER errors loudly; no combining with aggregates
     intercept[ParseException](eng.execute("SEARCH [rank(age)] ON people"))
     intercept[ParseException](eng.execute(
