@@ -852,9 +852,12 @@ object Parser {
       val (projCols, projAggs, projExprs, projFns, projWins) = parseProjection(projG)
       if (having.isDefined && projAggs.isEmpty)
         throw new ParseException("HAVING requires aggregate projections")
-      if ((projExprs.nonEmpty || projFns.nonEmpty || projWins.nonEmpty) && projAggs.nonEmpty)
+      // computed items CAN combine with aggregates — they become GROUP BY
+      // keys (SQL's GROUP BY expr); window items cannot (SQL separates
+      // window evaluation from grouping — nest a subquery instead)
+      if (projWins.nonEmpty && projAggs.nonEmpty)
         throw new ParseException(
-          "Computed projection items cannot combine with aggregates")
+          "Window items cannot combine with aggregates (nest a (SEARCH …) subquery)")
       Search(containers, projCols, where, atVersion, projAggs, having, orderBy, limit,
         joins = joins, exprs = projExprs, fns = projFns, wins = projWins)
 

@@ -727,7 +727,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       if (s.aggs.isEmpty && s.exprs.isEmpty && s.fns.isEmpty && s.wins.isEmpty) s.projection
       else if (s.aggs.isEmpty) dedupeCI(s.projection ++ exprLeaves)
       else dedupeCI(s.projection ++
-        s.aggs.flatMap(a => a.expr.map(operandLeafNames).getOrElse(List(a.column))))
+        s.aggs.flatMap(a => a.expr.map(operandLeafNames).getOrElse(List(a.column))) ++
+        exprLeaves) // computed-grouping-key leaves (GROUP BY expr)
     val unioned = if (s.joins.nonEmpty) joinedSource(s, partProjection) else {
       val parts = s.containers.map {
         case Ast.Container.Real(cname) =>
@@ -828,16 +829,35 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         // global aggregate); partial aggregation happens before the one
         // key-partitioned exchange, like any Spark groupBy. Output column
         // order is keys-then-aggregates (documented at Ast.Search).
+        // Computed projection items (arithmetic, scalar fns) in an
+        // aggregate SEARCH are ADDITIONAL GROUP BY KEYS — SQL's
+        // `GROUP BY expr` — evaluated under the partial aggregate with
+        // the same strict typing as their agg-less form.
         import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
         val keyNames = resolveNames(unioned, s.projection)
-        val keys = keyNames.map(col)
+        val dKeys = virtualDef(unioned)
+        s.exprs.flatMap(e => operandLeafNames(e.expr)).foreach { n =>
+          val cn = resolveNames(unioned, List(n)).head
+          if (!dKeys.columns.find(_._1 == cn).exists(_._2.isNumeric))
+            throw new ParseException(
+              s"Computed grouping key requires numeric columns, '$cn' is not")
+        }
+        val exprKeys = s.exprs.map(e => lowerOperand(e.expr, dKeys).as(e.name))
+        val fnKeys = s.fns.map { f =>
+          val cn = resolveNames(unioned, List(f.column)).head
+          scalarFn(f.fn, cn, unioned.schema(cn).dataType)
+            .as(s"${f.fn}_${f.column.toLowerCase}")
+        }
+        val keys = keyNames.map(col) ++ exprKeys ++ fnKeys
+        val keyOutNames = keyNames ++ s.exprs.map(_.name) ++
+          s.fns.map(f => s"${f.fn}_${f.column.toLowerCase}")
         val outNames = s.aggs.map(a =>
           if (a.distinct) s"count_distinct_${a.column.toLowerCase}"
           else s"${a.fn}_${a.column.toLowerCase}")
         // strict naming, like CreateContainer: duplicate aggregate items
         // or a key that shadows an fn_col output are parse errors, never
         // a downstream ambiguous-reference crash
-        val allOut = keyNames.map(_.toLowerCase) ++ outNames
+        val allOut = keyOutNames.map(_.toLowerCase) ++ outNames
         if (allOut.distinct.length != allOut.length)
           throw new ParseException(
             s"Duplicate output columns in aggregate projection: ${allOut.mkString(",")}")

@@ -350,6 +350,18 @@ object AqlQueries {
           "ON documents WHERE n_chars > 300")(s, dir)
     },
 
+    // Computed GROUP BY keys (graft extension): arithmetic and scalar-fn
+    // projection items in an aggregate SEARCH group like SQL's
+    // GROUP BY expr — evaluated under the partial aggregate.
+    Q("aql_agg_group_expr",
+      """SELECT n_chars / 1000 AS n_chars_div_1000, upper(lang) AS upper_lang,
+        |       count(doc_id) AS count_doc_id
+        |FROM documents GROUP BY 1, 2
+        |ORDER BY n_chars_div_1000, upper_lang, count_doc_id""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [n_chars / 1000, upper(lang), count(doc_id)] ON documents")(s, dir)
+    },
+
     // median as a grouped aggregate: exact interpolated percentile in
     // both engines (sort-based — deterministic, unlike approx sketches)
     Q("aql_agg_median",

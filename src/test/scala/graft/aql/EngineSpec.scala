@@ -375,6 +375,23 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     eng.execute("ROLLBACK ixt")
   }
 
+  test("15k computed GROUP BY keys: arithmetic/scalar items group the aggregate") {
+    // arithmetic key: every n<=10 maps to key 0 → one group of 10
+    val g = searchRows("SEARCH [n * 0, count(n)] ON seq WHERE n <= 10")
+    assert(g.length == 1 && g.head.getLong(1) == 10)
+    // scalar-fn key groups like SQL GROUP BY lower(name)
+    val byName = searchRows("SEARCH [lower(name), count(id)] ON people")
+    assert(byName.length == 3 && byName.forall(_.getLong(1) == 1))
+    // HAVING addresses the aggregate over computed keys
+    val hv = searchRows(
+      "SEARCH [n * 0, count(n)] ON seq WHERE n <= 10 HAVING count_n > 5")
+    assert(hv.length == 1)
+    assert(searchRows(
+      "SEARCH [n * 0, count(n)] ON seq WHERE n <= 10 HAVING count_n > 50").isEmpty)
+    // string leaves inside an arithmetic key stay rejected
+    intercept[ParseException](eng.execute("SEARCH [name * 2, count(id)] ON people"))
+  }
+
   test("15g SEARCH DISTINCT dedupes the projected rows") {
     assert(searchRows("SEARCH [ok] ON people").length == 3)
     val d = searchRows("SEARCH DISTINCT [ok] ON people")
@@ -696,8 +713,9 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // unknown function names the whole supported set
     val err = intercept[ParseException](searchRows("SEARCH [sqrt(a)] ON arith"))
     assert(err.getMessage.contains("scalar"))
-    // cannot combine with aggregates
-    intercept[ParseException](searchRows("SEARCH [count(a), lower(t)] ON arith"))
+    // scalar fn + aggregate: the fn output becomes a GROUP BY key
+    val keyed = searchRows("SEARCH [count(a), lower(t)] ON arith")
+    assert(keyed.nonEmpty) // groups by lower(t), counts per group
   }
 
   test("26 ALTER CONTAINER ADD COLUMN: old versions read NULL, new rows carry the column") {

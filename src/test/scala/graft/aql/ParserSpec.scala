@@ -358,8 +358,13 @@ class ParserSpec extends AnyFunSuite {
     // exprs-only projection: no plain columns
     val only = Parser.parse("SEARCH [p / 4] ON t").asInstanceOf[Search]
     assert(only.projection.isEmpty && only.exprs.map(_.name) == List("p_div_4"))
-    // cannot combine with aggregates
-    intercept[ParseException](Parser.parse("SEARCH [sum(a), b * 2] ON t"))
+    // computed items + aggregates parse: the expr becomes a GROUP BY key
+    val grouped = Parser.parse("SEARCH [sum(a), b * 2] ON t").asInstanceOf[Search]
+    assert(grouped.aggs.map(_.fn) == List("sum") &&
+      grouped.exprs.map(_.name) == List("b_mul_2"))
+    // window items + aggregates stay rejected
+    intercept[ParseException](
+      Parser.parse("SEARCH [sum(a), rank(b) PER []] ON t"))
   }
 
   test("ALTER CONTAINER ADD COLUMN parses; malformed forms rejected") {
