@@ -428,6 +428,13 @@ object Parser {
                 aggs += AggProj(fn, name(one), distinct = true); rest = tl
               case List(Keyword("DISTINCT"), _) => throw new ParseException(
                 s"DISTINCT is only supported under count(), not $fn()")
+              // aggregate over a scalar fn — sum(length(text)),
+              // min(lower(lang)) (graft extension); the engine gates
+              // sum/avg/median to numeric-RESULT fns
+              case List(sfnTok, SubCommand(List(one)))
+                  if ScalarFns.contains(name(sfnTok).toLowerCase) && fn != "count" =>
+                val e = Operand.Fn(name(sfnTok).toLowerCase, name(one))
+                aggs += AggProj(fn, exprName(e), expr = Some(e)); rest = tl
               // aggregate over arithmetic — sum(price * disc) (graft
               // extension). count() keeps the single-column spelling:
               // COUNT of an expression equals COUNT of any of its leaf

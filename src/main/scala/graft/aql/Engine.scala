@@ -869,11 +869,20 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           val c = a.expr match {
             case Some(e) =>
               val d = virtualDef(unioned)
-              operandLeafNames(e).foreach { n =>
-                val cn = resolveNames(unioned, List(n)).head
-                if (!d.columns.find(_._1 == cn).exists(_._2.isNumeric))
-                  throw new ParseException(
-                    s"${a.fn}(…) over arithmetic requires numeric columns, '$cn' is not")
+              e match {
+                // scalar-fn argument: scalarFn enforces the INPUT type;
+                // sum/avg/median additionally need a numeric RESULT
+                case Ast.Operand.Fn(sfn, _) =>
+                  if (Seq("sum", "avg", "median").contains(a.fn) &&
+                      !Seq("length", "abs", "round", "floor", "ceil").contains(sfn))
+                    throw new ParseException(
+                      s"${a.fn}($sfn(…)) requires a numeric-result function")
+                case _ => operandLeafNames(e).foreach { n =>
+                  val cn = resolveNames(unioned, List(n)).head
+                  if (!d.columns.find(_._1 == cn).exists(_._2.isNumeric))
+                    throw new ParseException(
+                      s"${a.fn}(…) over arithmetic requires numeric columns, '$cn' is not")
+                }
               }
               lowerOperand(e, d)
             case None =>

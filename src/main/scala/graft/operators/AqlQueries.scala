@@ -362,6 +362,18 @@ object AqlQueries {
         "SEARCH [n_chars / 1000, upper(lang), count(doc_id)] ON documents")(s, dir)
     },
 
+    // Aggregates over scalar fns (graft extension): the fn evaluates
+    // under the partial aggregate — sum(length(text)) never ships text
+    // across the exchange, only per-group partial sums.
+    Q("aql_agg_fn",
+      """SELECT lang, CAST(sum(length(text)) AS BIGINT) AS sum_length_text,
+        |       min(upper(source)) AS min_upper_source
+        |FROM documents GROUP BY lang
+        |ORDER BY lang, sum_length_text, min_upper_source""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [lang, sum(length(text)), min(upper(source))] ON documents")(s, dir)
+    },
+
     // median as a grouped aggregate: exact interpolated percentile in
     // both engines (sort-based — deterministic, unlike approx sketches)
     Q("aql_agg_median",

@@ -293,6 +293,11 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val g = searchRows(
       "SEARCH [ok, sum(age * 10)] ON people HAVING sum_age_mul_10 > 500")
     assert(g.length == 1 && g.head.getBoolean(0) == true && g.head.getLong(1) == 550)
+    // aggregate over a scalar fn: input typed by the fn, result by the agg
+    val fnAgg = searchRows(
+      "SEARCH [sum(length(name)), min(lower(name))] ON people").head
+    assert(fnAgg.getLong(0) == 7 && fnAgg.getString(1) == "ana") // ana+bo+cy
+    intercept[ParseException](eng.execute("SEARCH [sum(lower(name))] ON people"))
     // strict typing: string leaves inside the expression are rejected
     intercept[ParseException](eng.execute("SEARCH [sum(name * 2)] ON people"))
     // views reject expression aggregates with a clear message
