@@ -201,9 +201,14 @@ object Ast {
     * row_number gets the remaining output columns appended ascending as
     * a tie-break so its numbering is deterministic (rank/dense_rank are
     * deterministic on the order column alone).
+    *
+    * Navigation windows take a value column plus the order:
+    * `lag(v BY ord [DESC]) PER [keys]` / `lead(…)` — `value` holds v and
+    * `column` the order column (output `fn_v`). Aggregate fns + PER set
+    * only `column` (the aggregated column; whole-partition frame).
     */
   final case class WinProj(fn: String, column: String, asc: Boolean,
-      keys: List[String])
+      keys: List[String], value: Option[String] = None)
   final case class Commit(container: Option[String]) extends Stmt
   final case class Rollback(container: Option[String]) extends Stmt
   /** graft extension: physical-plan inspection for a read statement
@@ -253,6 +258,9 @@ object Ast {
   case object ShowViews extends Stmt
   final case class Describe(container: String) extends Stmt
   final case class ShowIndexes(container: String) extends Stmt
+  /** graft extension: re-runnable DDL for a container — the CREATE
+    * CONTAINER statement plus one CREATE INDEX per derived index. */
+  final case class ShowCreate(container: String) extends Stmt
   final case class ShowVersions(container: String) extends Stmt
   final case class CursorNext(id: String) extends Stmt
   final case class CursorPrevious(id: String) extends Stmt
@@ -371,6 +379,9 @@ object Parser {
     * `fn(col [DESC]) PER [keys…]` (graft extension). */
   private val WinFns = Set("rank", "dense_rank", "row_number")
 
+  /** Navigation window functions: `fn(v BY ord [DESC]) PER [keys…]`. */
+  private val NavFns = Set("lag", "lead")
+
   private def parseProjection(g: Token)
       : (List[String], List[AggProj], List[ExprProj], List[FnProj], List[WinProj]) =
     g match {
@@ -390,25 +401,40 @@ object Parser {
           // partition, so order can't change the value).
           case fnTok :: SubCommand(inner) :: perTok :: (keysG: Group) :: tl
               if (WinFns.contains(name(fnTok).toLowerCase) ||
+                  NavFns.contains(name(fnTok).toLowerCase) ||
                   AggFns.contains(name(fnTok).toLowerCase)) &&
                 name(perTok).equalsIgnoreCase("PER") =>
             val fn = name(fnTok).toLowerCase
-            val (orderCol, asc) = inner match {
-              case List(one) => (name(one), true)
+            val win = inner match {
+              case List(one) if !NavFns.contains(fn) =>
+                WinProj(fn, name(one), asc = true, strings(keysG))
               case List(one, dir) if WinFns.contains(fn) &&
-                  name(dir).equalsIgnoreCase("DESC") => (name(one), false)
+                  name(dir).equalsIgnoreCase("DESC") =>
+                WinProj(fn, name(one), asc = false, strings(keysG))
               case List(one, dir) if WinFns.contains(fn) &&
-                  name(dir).equalsIgnoreCase("ASC") => (name(one), true)
+                  name(dir).equalsIgnoreCase("ASC") =>
+                WinProj(fn, name(one), asc = true, strings(keysG))
+              // navigation: lag(v BY ord [DESC]) — value col + order col
+              case List(v, byTok, o) if NavFns.contains(fn) &&
+                  name(byTok).equalsIgnoreCase("BY") =>
+                WinProj(fn, name(o), asc = true, strings(keysG), Some(name(v)))
+              case List(v, byTok, o, dir) if NavFns.contains(fn) &&
+                  name(byTok).equalsIgnoreCase("BY") &&
+                  name(dir).equalsIgnoreCase("DESC") =>
+                WinProj(fn, name(o), asc = false, strings(keysG), Some(name(v)))
               case other => throw new ParseException(
                 if (WinFns.contains(fn))
                   s"Window $fn takes one order column [ASC|DESC], got $other"
+                else if (NavFns.contains(fn))
+                  s"Navigation $fn takes (value BY order [DESC]), got $other"
                 else s"Windowed aggregate $fn takes exactly one column, got $other")
             }
-            wins += WinProj(fn, orderCol, asc, strings(keysG))
+            wins += win
             rest = tl
-          case fnTok :: _ if WinFns.contains(name(fnTok).toLowerCase) =>
+          case fnTok :: _ if WinFns.contains(name(fnTok).toLowerCase) ||
+              NavFns.contains(name(fnTok).toLowerCase) =>
             throw new ParseException(
-              s"Window ${name(fnTok).toLowerCase}(col [DESC]) needs a " +
+              s"Window ${name(fnTok).toLowerCase}(…) needs a " +
                 "PER [keys] clause (PER [] = one global window)")
           case fnTok :: SubCommand(inner) :: tl =>
             val fn = name(fnTok).toLowerCase
@@ -946,6 +972,8 @@ object Parser {
 
     // SHOW CONTAINERS / SHOW INDEXES c / SHOW VERSIONS c / DESCRIBE c
     // (graft extensions): catalog introspection statements
+    case Keyword("SHOW") :: Keyword("CREATE") :: Keyword("CONTAINER") :: containerTok :: Nil =>
+      ShowCreate(name(containerTok))
     case Keyword("SHOW") :: Keyword("CONTAINERS") :: Nil => ShowContainers
     case Keyword("SHOW") :: Keyword("VIEWS") :: Nil => ShowViews
     case Keyword("SHOW") :: Keyword("INDEXES") :: containerTok :: Nil =>

@@ -454,6 +454,21 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           Row(i + 1, n, t.name, n == d.primaryKey)
         }), needsDefaultSort = true)
 
+    case Ast.ShowCreate(c) =>
+      // re-runnable DDL: replaying the emitted statements on an empty
+      // database recreates the schema AND its derived indexes (data
+      // moves via EXPORT/IMPORT). Logical (post-RENAME) names — the
+      // stored-name mapping is a physical detail a recreation won't need.
+      val d = catalog.get(c)
+      val cols = d.columns.map(c2 => s"'${c2._1}'").mkString("[", ", ", "]")
+      val types = d.columns.map(_._2.name).mkString("[", ", ", "]")
+      val ddl = s"CREATE CONTAINER $c $cols $types" +:
+        catalog.indexDefs(c).map(ix =>
+          s"CREATE INDEX ${ix.ix} ON $c ['${ix.column}'] USING ${ix.kind}")
+      resultSet(metaDf(Seq("ordinal" -> "INT", "ddl" -> "TEXT"),
+        ddl.zipWithIndex.map { case (s2, i) => Row(i + 1, s2) }),
+        needsDefaultSort = true)
+
     case Ast.ShowIndexes(c) =>
       catalog.get(c) // existence check
       resultSet(metaDf(
@@ -722,7 +737,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     // computed projection items (graft extension) need their leaf columns
     // carried through the per-part projection, then project away below
     val exprLeaves = s.exprs.flatMap(e => operandLeafNames(e.expr)) ++
-      s.fns.map(_.column) ++ s.wins.flatMap(w => w.column :: w.keys)
+      s.fns.map(_.column) ++
+      s.wins.flatMap(w => w.value.toList ::: w.column :: w.keys)
     val partProjection =
       if (s.aggs.isEmpty && s.exprs.isEmpty && s.fns.isEmpty && s.wins.isEmpty) s.projection
       else if (s.aggs.isEmpty) dedupeCI(s.projection ++ exprLeaves)
@@ -776,8 +792,21 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         val winCols = s.wins.map { w =>
           val ocn = resolveNames(unioned, List(w.column)).head
           val keys = w.keys.map(k => col(resolveNames(unioned, List(k)).head))
-          val out = s"${w.fn}_${w.column.toLowerCase}"
-          if (Seq("rank", "dense_rank", "row_number").contains(w.fn)) {
+          val out = s"${w.fn}_${w.value.getOrElse(w.column).toLowerCase}"
+          if (Seq("lag", "lead").contains(w.fn)) {
+            // navigation: the value column offset ±1 within the
+            // partition ordered by `column` — the total-order tie-break
+            // (other plain outputs ascending, like row_number) makes the
+            // neighbor deterministic even under order-column ties
+            val vcn = resolveNames(unioned, List(w.value.get)).head
+            val ord = if (w.asc) col(ocn).asc_nulls_first else col(ocn).desc_nulls_last
+            val tieBreak = plainNames.filterNot(_.equalsIgnoreCase(ocn))
+              .map(col(_).asc_nulls_first)
+            val spec = org.apache.spark.sql.expressions.Window
+              .partitionBy(keys: _*).orderBy(ord +: tieBreak: _*)
+            (if (w.fn == "lag") lag(col(vcn), 1) else lead(col(vcn), 1))
+              .over(spec).as(out)
+          } else if (Seq("rank", "dense_rank", "row_number").contains(w.fn)) {
             val ord = if (w.asc) col(ocn).asc_nulls_first else col(ocn).desc_nulls_last
             // row_number demands a TOTAL order for determinism: the other
             // plain output columns append ascending (same convention as
@@ -817,7 +846,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         }
         val outNames = plainNames ++ s.exprs.map(_.name) ++
           s.fns.map(f => s"${f.fn}_${f.column.toLowerCase}") ++
-          s.wins.map(w => s"${w.fn}_${w.column.toLowerCase}")
+          s.wins.map(w => s"${w.fn}_${w.value.getOrElse(w.column).toLowerCase}")
         if (outNames.map(_.toLowerCase).distinct.length != outNames.length)
           throw new ParseException(
             s"Duplicate output columns in projection: ${outNames.mkString(",")}")

@@ -362,6 +362,20 @@ object AqlQueries {
         "SEARCH [n_chars / 1000, upper(lang), count(doc_id)] ON documents")(s, dir)
     },
 
+    // Navigation windows (graft extension): lag/lead of a value column
+    // within a partition, ordered by a unique column so the neighbor is
+    // deterministic in both engines.
+    Q("aql_window_nav",
+      """SELECT doc_id, lang,
+        |       lag(n_chars) OVER (PARTITION BY lang ORDER BY doc_id) AS lag_n_chars,
+        |       lead(n_chars) OVER (PARTITION BY lang ORDER BY doc_id) AS lead_n_chars
+        |FROM documents WHERE n_chars > 300
+        |ORDER BY doc_id, lang, lag_n_chars NULLS FIRST, lead_n_chars NULLS FIRST""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [doc_id, lang, lag(n_chars BY doc_id) PER [lang], " +
+          "lead(n_chars BY doc_id) PER [lang]] ON documents WHERE n_chars > 300")(s, dir)
+    },
+
     // Aggregates over scalar fns (graft extension): the fn evaluates
     // under the partial aggregate — sum(length(text)) never ships text
     // across the exchange, only per-group partial sums.

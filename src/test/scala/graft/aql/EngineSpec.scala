@@ -328,6 +328,15 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val med = searchRows("SEARCH [median(age)] ON people").head.getDouble(0)
     assert(med == 30.0)
     intercept[ParseException](eng.execute("SEARCH [median(name)] ON people"))
+    // navigation: lag/lead of a value column ordered within the partition
+    val nav = searchRows(
+      "SEARCH [id, lag(name BY age) PER [], lead(name BY age) PER []] ON people")
+      .map(x => (x.getLong(0), (Option(x.getString(1)), Option(x.getString(2))))).toMap
+    // age order: cy(25) < ana(30) < bo(40)
+    assert(nav(3) == ((None, Some("ana"))))
+    assert(nav(1) == ((Some("cy"), Some("bo"))))
+    assert(nav(2) == ((Some("ana"), None)))
+    intercept[ParseException](eng.execute("SEARCH [lag(name) PER []] ON people"))
     // a window fn without PER errors loudly; no combining with aggregates
     intercept[ParseException](eng.execute("SEARCH [rank(age)] ON people"))
     intercept[ParseException](eng.execute(
@@ -1269,5 +1278,19 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // SEARCH (metadata is a result set, not a Done message)
     assert(eng.execute("SHOW CONTAINERS").isInstanceOf[Engine.ResultSet])
     intercept[IllegalArgumentException](eng.execute("DESCRIBE no_such"))
+
+    // SHOW CREATE CONTAINER: re-runnable DDL — replaying it on a fresh
+    // database recreates the schema and its indexes exactly
+    val ddl = searchRows("SHOW CREATE CONTAINER meta1")
+      .sortBy(_.getInt(0)).map(_.getString(1))
+    assert(ddl == Seq(
+      "CREATE CONTAINER meta1 ['id', 'body'] [BIGINT, TEXT]",
+      "CREATE INDEX nd ON meta1 ['body'] USING lsh"))
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-showcreate")
+    val eng2 = new Engine(TestSpark.spark, dir2.toString)
+    ddl.foreach(s => eng2.execute(s))
+    assert(eng2.execute("DESCRIBE meta1").isInstanceOf[Engine.ResultSet])
+    assert(eng2.catalog.indexDefs("meta1").map(d => (d.ix, d.kind, d.column)) ==
+      Seq(("nd", "lsh", "body")))
   }
 }
