@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   * predict, from arithmetic alone, exactly what a genuine codec parse of
   * genuine codec output must find (`mm_image_decode`).
   *
+  * The AUDIO lane is REAL too: `decodeAudio` is a from-the-spec
+  * RIFF/WAVE PCM parser (pure little-endian byte layout — the one
+  * mainstream media format that needs no codec library), verified the
+  * same way against `audioCorpus`'s arithmetically-derived WAV streams
+  * (`mm_audio_decode`).
+  *
   * Only the VIDEO lane keeps a clearly marked stand-in (`sampleFrames`
   * slices bytes instead of decoding H.264 — the JDK has no video codec):
   * its frame-offset arithmetic is the real sampling plan and is
@@ -124,6 +130,104 @@ object Multimodal {
           val out = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(img, fmt, out)
           MediaRecord(id, if (id % 2 == 0) "image/png" else "image/jpeg", out.toByteArray)
+        }
+      }
+  }
+
+  /** Decoded audio facts: true header fields + exact sample statistics. */
+  case class DecodedAudio(media_id: Long, modality: String,
+      sample_rate: Option[Int], n_samples: Option[Long],
+      duration_ms: Option[Long], mean_abs: Option[Long], status: String)
+
+  /** Real audio decode: a from-the-spec RIFF/WAVE PCM parser (the format
+    * is pure little-endian byte layout — no external codec needed, unlike
+    * video). Walks the chunk list for `fmt ` (PCM, mono, 16-bit enforced)
+    * and `data`, then folds the actual samples for an exact
+    * mean-absolute-amplitude. Runs inside the same mapPartitions batch
+    * boundary as the image lane; malformed/truncated payloads route to a
+    * quarantine status — a corrupt blob must never fail a 100 TB decode
+    * stage.
+    */
+  def decodeAudio(records: Dataset[MediaRecord]): Dataset[DecodedAudio] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val p = r.payload
+        val modality = detectModality(p)
+        if (modality != "audio/wav")
+          DecodedAudio(r.media_id, modality, None, None, None, None, "unsupported")
+        else try {
+          val bb = java.nio.ByteBuffer.wrap(p)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          def u16(i: Int): Int = bb.getShort(i) & 0xffff
+          def u32(i: Int): Long = bb.getInt(i) & 0xffffffffL
+          def fourcc(i: Int): String =
+            new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          // chunk walk from offset 12 (after RIFF size + WAVE tag)
+          var off = 12
+          var rate = -1; var channels = -1; var bits = -1
+          var dataOff = -1; var dataLen = -1L
+          while (off + 8 <= p.length && (rate < 0 || dataOff < 0)) {
+            val id = fourcc(off); val len = u32(off + 4)
+            // a corrupt length could make the walk loop or seek backwards
+            require(len <= p.length, s"chunk '$id' length $len exceeds payload")
+            if (id == "fmt ") {
+              require(len >= 16 && off + 8 + 16 <= p.length, "short fmt chunk")
+              require(u16(off + 8) == 1, "not PCM")
+              channels = u16(off + 10); rate = u32(off + 12).toInt
+              bits = u16(off + 22)
+            } else if (id == "data") { dataOff = off + 8; dataLen = len }
+            off += 8 + len.toInt + (len.toInt & 1) // chunks pad to even
+          }
+          require(rate > 0 && dataOff >= 0, "missing fmt/data chunk")
+          require(channels == 1 && bits == 16, s"unsupported layout $channels ch/$bits bit")
+          require(dataOff + dataLen <= p.length, "truncated data chunk")
+          val n = dataLen / 2
+          var i = 0L; var sumAbs = 0L
+          while (i < n) {
+            sumAbs += math.abs(bb.getShort(dataOff + 2 * i.toInt).toLong)
+            i += 1
+          }
+          DecodedAudio(r.media_id, modality, Some(rate), Some(n),
+            Some(n * 1000L / rate),
+            Some(if (n == 0) 0L else sumAbs / n), "ok")
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            DecodedAudio(r.media_id, modality, None, None, None, None, "undecodable")
+        }
+      }
+    }
+  }
+
+  /** Deterministic REAL audio corpus: one mono 16-bit PCM WAV per
+    * document — sample rate `8000 + (doc_id%8)·1000`, `64 + doc_id%128`
+    * samples of constant amplitude `(doc_id%1024) − 512`, emitted as
+    * genuine RIFF bytes through a ByteBuffer writer. Every header field
+    * and the mean |amplitude| are pure functions of `doc_id`, so the
+    * decode lane verifies against an arithmetic oracle while parsing
+    * real WAVE byte streams (the audio twin of [[imageCorpus]]).
+    */
+  def audioCorpus(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val rate = (8000 + (id % 8) * 1000).toInt
+          val n = (64 + id % 128).toInt
+          val amp = ((id % 1024) - 512).toShort
+          val dataLen = n * 2
+          val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1) // PCM, mono
+            .putInt(rate).putInt(rate * 2) // byte rate = rate · blockAlign
+            .putShort(2).putShort(16) // blockAlign, bits
+            .put("data".getBytes("US-ASCII")).putInt(dataLen)
+          var i = 0
+          while (i < n) { bb.putShort(amp); i += 1 }
+          MediaRecord(id, "audio/wav", bb.array())
         }
       }
   }
@@ -251,6 +355,23 @@ object Multimodal {
             col("height").cast("long").as("height"),
             when(col("modality") === "image/png", col("mean_level")).as("mean_level"),
             col("status"))
+          .orderBy(col("media_id"))
+    },
+
+    // Real WAV decode of a deterministic RIFF corpus: the oracle predicts
+    // every header field and the exact mean |amplitude| from arithmetic
+    // alone, while the Spark side parses genuine WAVE byte streams.
+    Q("mm_audio_decode",
+      """SELECT doc_id AS media_id, 'audio/wav' AS modality,
+        |       CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+        |       CAST(64 + doc_id % 128 AS BIGINT) AS n_samples,
+        |       CAST((64 + doc_id % 128) * 1000 // (8000 + (doc_id % 8) * 1000) AS BIGINT)
+        |         AS duration_ms,
+        |       CAST(abs((doc_id % 1024) - 512) AS BIGINT) AS mean_abs,
+        |       'ok' AS status
+        |FROM documents ORDER BY media_id""".stripMargin) {
+      (s, dir) =>
+        decodeAudio(audioCorpus(s, dir)).toDF()
           .orderBy(col("media_id"))
     },
 
