@@ -314,4 +314,14 @@ object DocumentStreams {
       graft.operators.Multimodal.MediaRecord]): org.apache.spark.sql.Dataset[
       graft.operators.Multimodal.DecodedImage] =
     graft.operators.Multimodal.decodeImages(media)
+
+  /** Ingest-time audio decode — the streaming twin of
+    * `Multimodal.decodeAudio` (the from-the-spec RIFF/WAVE PCM parser),
+    * same contract as [[decodeAtIngest]]: stateless partition-parallel
+    * projection, quarantine inline, exactly-once from the file source.
+    */
+  def decodeAudioAtIngest(media: org.apache.spark.sql.Dataset[
+      graft.operators.Multimodal.MediaRecord]): org.apache.spark.sql.Dataset[
+      graft.operators.Multimodal.DecodedAudio] =
+    graft.operators.Multimodal.decodeAudio(media)
 }

@@ -357,6 +357,31 @@ class StreamingSpec extends AnyFunSuite {
       good.count())
   }
 
+  test("streaming audio decode equals the batch decode (stateless RIFF parse at ingest)") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val good = Multimodal.audioCorpus(spark, dir)
+    val src = java.nio.file.Files.createTempDirectory("graft-audio-stream")
+    src.toFile.deleteOnExit()
+    good.repartition(2).write.mode("overwrite").parquet(src.toString)
+    val stream = spark.readStream.schema(good.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src.toString)
+      .as[Multimodal.MediaRecord]
+    val q = DocumentStreams.decodeAudioAtIngest(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("audio_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("audio_out").collect()
+      .map(r => (r.getLong(0),
+        (Option(r.get(2)), Option(r.get(5)), r.getString(6)))).toMap
+    val batch = Multimodal.decodeAudio(good).collect()
+      .map(d => (d.media_id,
+        (d.sample_rate.map(x => x: Any), d.mean_abs.map(x => x: Any), d.status))).toMap
+    assert(streamed.size == batch.size && streamed.nonEmpty)
+    batch.foreach { case (id, v) => assert(streamed(id) == v, s"mismatch for $id") }
+  }
+
   test("stateful sessionization matches the batch twin (e_session_stats)") {
     import spark.implicits._
     val evs = EventStreams.readEvents(spark, dir)
