@@ -78,10 +78,13 @@ object Tables {
   private def compacted(spark: SparkSession, dir: String, name: String): String = {
     val src = new java.io.File(s"$dir/$name.parquet")
     if (!src.isFile) return src.getPath // already a directory layout: as-is
-    // the rows-per-partition target is part of the cache key: a layout-knob
-    // change must invalidate previously compacted copies
+    // the rows-per-partition target AND the width constant are part of
+    // the cache key: a layout-knob change must invalidate previously
+    // compacted copies (the pre-w32 cap was the BUILDING session's core
+    // count — a stale 4-file copy on a warm cache would silently keep
+    // starving 32-core scans without this discriminator)
     val rpp = rowsPerPartition(name)
-    buildOnce(src, "graft-compact", name, s"rpp$rpp") { tmp =>
+    buildOnce(src, "graft-compact", name, s"rpp$rpp-w32") { tmp =>
       val raw = spark.read.parquet(src.getPath)
       // LAYOUT CONSTANT, not the building session's core count: the
       // compacted copy is shared cross-JVM, and capping at

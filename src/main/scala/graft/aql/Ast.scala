@@ -431,8 +431,12 @@ object Parser {
             }
             wins += win
             rest = tl
-          case fnTok :: _ if WinFns.contains(name(fnTok).toLowerCase) ||
-              NavFns.contains(name(fnTok).toLowerCase) =>
+          // only a window-fn CALL (name + subcommand) without PER errors —
+          // a bare column that happens to be named `rank`/`lag` is still
+          // a projectable column
+          case fnTok :: (_: SubCommand) :: _
+              if WinFns.contains(name(fnTok).toLowerCase) ||
+                NavFns.contains(name(fnTok).toLowerCase) =>
             throw new ParseException(
               s"Window ${name(fnTok).toLowerCase}(…) needs a " +
                 "PER [keys] clause (PER [] = one global window)")

@@ -271,7 +271,15 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         // one) with a distributed no-op action, then report each
         // operator's actual output rows next to the formatted plan.
         df.queryExecution.toRdd.foreach(_ => ())
-        val actual = df.queryExecution.executedPlan.collect {
+        // under the batch profile the root is AdaptiveSparkPlanExec — a
+        // LEAF from collect's perspective; unwrap to the final plan it
+        // actually executed or the metric walk reports nothing
+        val root = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case p => p
+        }
+        val actual = root.collect {
           case p if p.metrics.contains("numOutputRows") =>
             f"${p.nodeName}%-45s rows=${p.metrics("numOutputRows").value}"
         }
@@ -897,7 +905,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           // computes before the exchange like any Spark agg(expr)
           val c = a.expr match {
             case Some(e) =>
-              val d = virtualDef(unioned)
+              val d = dKeys // the aggregate branch's schema-derived def
               e match {
                 // scalar-fn argument: scalarFn enforces the INPUT type;
                 // sum/avg/median additionally need a numeric RESULT

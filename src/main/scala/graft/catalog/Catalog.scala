@@ -696,9 +696,20 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     val body = (ProcessHandle.current.pid.toString +: entries.map { case (n, s, tmp) =>
       s"$n\t$s\t${tmp.getFileName}" }).mkString("\n")
     val staging = catDir.resolve(s"txn-$id.writing")
-    Files.writeString(staging, body)
     val decided = catDir.resolve(s"txn-$id.txn")
-    Files.move(staging, decided, StandardCopyOption.ATOMIC_MOVE) // commit point
+    // a failure BEFORE the rename leaves the transaction undecided — the
+    // caller must release its live-pid claims (no contender can: the
+    // orphan escape only frees dead pids), so it is signalled distinctly
+    try {
+      Files.writeString(staging, body)
+      Files.move(staging, decided, StandardCopyOption.ATOMIC_MOVE) // commit point
+    } catch {
+      case t: Throwable =>
+        Files.deleteIfExists(staging)
+        throw new Catalog.TxnUndecidedException(t)
+    }
+    // failures PAST the commit point leave the manifest in place: the
+    // transaction is decided, recovery applies it (claims stay held)
     entries.foreach { case (n, s, tmp) => finishPrepared(n, s, tmp) }
     Files.deleteIfExists(decided)
   }
@@ -713,42 +724,54 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     * a decided member's claim is never stolen out from under its
     * transaction.
     */
-  private[catalog] def recoverTxns(): Unit = {
+  /** Decided-transaction manifests, parsed: (file, committer pid,
+    * (container, slot, tmpDirName) entries). Shared by [[recoverTxns]]
+    * and the [[releaseOrphanClaim]] guard so the two can never drift on
+    * the manifest format. Unreadable/empty files parse to no entries.
+    */
+  private def parsedManifests(): Seq[(Path, Option[Long], Seq[(String, Int, String)])] = {
     val manifests = scala.util.Using.resource(Files.list(catDir)) { st =>
       st.iterator().asScala
         .filter(_.getFileName.toString.matches("txn-.*\\.txn")).toSeq
     }
-    manifests.foreach { mf =>
+    manifests.map { mf =>
       val lines =
         try Files.readAllLines(mf).asScala.toList
         catch { case scala.util.control.NonFatal(_) => Nil }
       lines match {
-        case pidLine :: entries if entries.nonEmpty =>
-          val self = ProcessHandle.current.pid
-          val recoverable = pidLine.trim.toLongOption.exists { p =>
-            p == self || ProcessHandle.of(p).map[java.lang.Boolean](h => !h.isAlive)
-              .orElse(java.lang.Boolean.TRUE).booleanValue
-          }
-          if (recoverable) {
-            entries.foreach { ln =>
-              ln.split("\t") match {
-                case Array(n, s, tmpName) =>
-                  val slot = s.toInt
-                  val tmp = dataDir.resolve(tmpName)
-                  // missing-both can only mean this entry already applied
-                  // and was vacuumed — never skip the pointer flip for a
-                  // version that exists
-                  if (Files.exists(versionPath(n, slot)) || Files.exists(tmp))
-                    finishPrepared(n, slot, tmp)
-                case _ => ()
-              }
-            }
-            Files.deleteIfExists(mf)
-          }
-        case _ => () // unreadable/empty: not a decided transaction
+        case pidLine :: entries =>
+          (mf, pidLine.trim.toLongOption, entries.flatMap(_.split("\t") match {
+            case Array(n, s, tmpName) => s.toIntOption.map(slot => (n, slot, tmpName))
+            case _ => None
+          }))
+        case Nil => (mf, None, Nil)
       }
     }
   }
+
+  /** True iff `pid` is this process or provably dead (Optional-empty =
+    * no such process). */
+  private def pidRecoverable(pid: Option[Long]): Boolean =
+    pid.exists { p =>
+      p == ProcessHandle.current.pid ||
+        ProcessHandle.of(p).map[java.lang.Boolean](h => !h.isAlive)
+          .orElse(java.lang.Boolean.TRUE).booleanValue
+    }
+
+  private[catalog] def recoverTxns(): Unit =
+    parsedManifests().foreach { case (mf, pid, entries) =>
+      if (entries.nonEmpty && pidRecoverable(pid)) {
+        entries.foreach { case (n, slot, tmpName) =>
+          val tmp = dataDir.resolve(tmpName)
+          // missing-both can only mean this entry already applied and
+          // was vacuumed — never skip the pointer flip for a version
+          // that exists
+          if (Files.exists(versionPath(n, slot)) || Files.exists(tmp))
+            finishPrepared(n, slot, tmp)
+        }
+        Files.deleteIfExists(mf)
+      }
+    }
 
   /** Part-file count of a published version (observability: SHOW VERSIONS,
     * fragmentation monitoring for OPTIMIZE scheduling). */
@@ -786,20 +809,10 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     }
 
   /** True iff a decided transaction manifest references (name, slot). */
-  private def slotDecided(name: String, slot: Int): Boolean = {
-    val manifests = scala.util.Using.resource(Files.list(catDir)) { st =>
-      st.iterator().asScala
-        .filter(_.getFileName.toString.matches("txn-.*\\.txn")).toSeq
-    }
-    manifests.exists { mf =>
-      val lines = try Files.readAllLines(mf).asScala.toList
-      catch { case scala.util.control.NonFatal(_) => Nil }
-      lines.drop(1).exists(_.split("\t") match {
-        case Array(n, s, _) => n == name && s.toIntOption.contains(slot)
-        case _ => false
-      })
-    }
-  }
+  private def slotDecided(name: String, slot: Int): Boolean =
+    parsedManifests().exists(_._3.exists { case (n, s, _) =>
+      n == name && s == slot
+    })
 
   /** True iff the claim on `slot` belongs to a PROVABLY DEAD process:
     * claim present, nothing published, and the recorded pid no longer
@@ -1037,6 +1050,23 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     }
     claimedSlots(name).filter(s => !Files.exists(versionPath(name, s)))
       .foreach(s => releaseOrphanClaim(name, s))
+    // GC stage directories abandoned by dead committers (a crash before
+    // the manifest rename = undecided: nothing references them). Decided
+    // manifests were rolled forward by recoverTxns above — their tmps
+    // already moved; a LIVE committer's in-flight tmp has a live pid and
+    // is never touched. Name shape: `<container>.tmp-<pid>-<nanos>`.
+    val tmpPat = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(name) + "\\.tmp-(\\d+)-\\d+")
+    scala.util.Using.resource(Files.list(dataDir)) { st =>
+      st.iterator().asScala.filter { p =>
+        val m = tmpPat.matcher(p.getFileName.toString)
+        m.matches() && m.group(1).toLongOption.exists { pid =>
+          pid != ProcessHandle.current.pid &&
+            ProcessHandle.of(pid).map[java.lang.Boolean](h => !h.isAlive)
+              .orElse(java.lang.Boolean.TRUE).booleanValue
+        }
+      }.toSeq
+    }.foreach(deleteRecursively)
   }
 
   private[catalog] def deleteRecursively(p: Path): Unit =
@@ -1048,6 +1078,13 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
 }
 
 object Catalog {
+  /** A multi-container commit failed BEFORE its manifest rename: nothing
+    * is visible, and the caller owns the cleanup of its live-pid claims
+    * ([[graft.catalog.Tx]] aborts the prepared set and rethrows the
+    * cause). */
+  final class TxnUndecidedException(cause: Throwable)
+    extends RuntimeException("transaction not decided", cause)
+
   /** In-JVM stripe for the pointer-advance critical section: `FileChannel`
     * locks are per-process (two threads locking the same file throw
     * `OverlappingFileLockException`), so threads serialize on this monitor

@@ -205,8 +205,16 @@ final class Tx(catalog: Catalog) {
             throw t
         }
       if (allOk) {
-        catalog.commitTxn(prepared.toSeq)
-        done = true
+        try { catalog.commitTxn(prepared.toSeq); done = true }
+        catch {
+          case e: Catalog.TxnUndecidedException =>
+            // nothing became visible and the claims are OURS (live pid —
+            // no contender can release them): abort the whole prepared
+            // set before propagating, or every later commit on these
+            // containers would wedge behind unreleasable claims
+            prepared.foreach { case (c, s, tmp) => catalog.abortPrepared(c, s, tmp) }
+            throw e.getCause
+        }
       } else {
         // abort the partial prepare set, then contender-escape on every
         // member like commitLoop: heal decided transactions first (a

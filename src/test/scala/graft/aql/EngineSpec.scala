@@ -465,6 +465,15 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.contains("Actual Rows"))
     // ages 30,40 pass the filter: some operator reports exactly 2 rows
     assert(out.linesIterator.exists(l => l.contains("rows=2")), out)
+    // under the batch profile (AQE on) the adaptive root must be
+    // unwrapped or the metric walk reports nothing
+    val spark = TestSpark.spark
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val aqe = eng.execute("EXPLAIN ANALYZE SEARCH ['id'] ON people WHERE age > 28")
+        .asInstanceOf[Engine.Done].message
+      assert(aqe.linesIterator.exists(l => l.contains("rows=2")), aqe)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
   }
 
   test("18c EXPLAIN covers MATCH/SIMILAR/CHANGES read plans") {

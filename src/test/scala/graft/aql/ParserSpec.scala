@@ -243,6 +243,9 @@ class ParserSpec extends AnyFunSuite {
     intercept[ParseException](Parser.parse("SEARCH [rank(n_chars)] ON docs"))
     intercept[ParseException](
       Parser.parse("SEARCH [rank(n_chars sideways) PER [lang]] ON docs"))
+    // a bare COLUMN that happens to share a window-fn name stays a column
+    val bare = Parser.parse("SEARCH [id, rank, lag] ON t").asInstanceOf[Search]
+    assert(bare.projection == List("id", "rank", "lag") && bare.wins.isEmpty)
   }
 
   test("SEARCH DISTINCT: parses, composes with later clauses, rejects aggregates") {

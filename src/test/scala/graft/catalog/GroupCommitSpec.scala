@@ -74,7 +74,7 @@ class GroupCommitSpec extends AnyFunSuite {
       : Seq[(String, Int, String)] =
     Seq("a", "b").map { c =>
       import spark.implicits._
-      val tmpName = s"$c.tmp-dead-${System.nanoTime()}"
+      val tmpName = s"$c.tmp-$DeadPid-${System.nanoTime()}"
       val tmp = dir.resolve("data").resolve(tmpName)
       cat.read(c).union(Seq((50, s"txn$c")).toDF("id", "v"))
         .write.parquet(tmp.toString)
@@ -167,6 +167,21 @@ class GroupCommitSpec extends AnyFunSuite {
     assert(cat.currentVersion("a") == 2 && cat.currentVersion("b") == 2)
     assert(rows(cat, "a")(400) == "ga" && rows(cat, "b")(400) == "gb")
     assert(txnManifests(cat).isEmpty)
+  }
+
+  test("vacuum GCs a dead committer's undecided stage directories") {
+    val (cat, dir) = fixture("tmpgc")
+    deadPrepared(cat, dir) // dead-pid claims + fully built tmp dirs, no manifest
+    def tmps(c: String) = scala.util.Using.resource(
+      Files.list(dir.resolve("data"))) { st =>
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.count(_.getFileName.toString.startsWith(s"$c.tmp-"))
+    }
+    assert(tmps("a") == 1 && tmps("b") == 1)
+    cat.vacuum("a"); cat.vacuum("b")
+    assert(tmps("a") == 0 && tmps("b") == 0, "dead undecided stage dirs must GC")
+    // data untouched: still v1, reads intact
+    assert(cat.currentVersion("a") == 1 && rows(cat, "a").size == 10)
   }
 
   test("two racing group commits over the same containers both land") {
