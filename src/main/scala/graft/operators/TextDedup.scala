@@ -227,19 +227,18 @@ object TextDedup {
     val bands = bandsOf(withSignatures(withShingles(docs(s, dir))))
     val a = bands.as("a")
     val b = bands.as("b")
-    // SHUFFLE_HASH pins the self-join to a shuffle on the band key, where
-    // both sides' exchanges are the identical subtree → ReusedExchange
-    // computes the shingle→md5→signature pipeline ONCE. The planner's
-    // size estimate would broadcast one side instead, which REBUILDS that
-    // pipeline for the probe side — the signatures are the dominant cost,
-    // so the broadcast "optimization" doubles the query. At corpus scale
-    // a broadcast self-join is impossible anyway; the banded shuffle is
-    // the only shape that survives. The explicit width keeps the join +
-    // pair-dedup tail at full core width instead of the (smaller)
-    // default shuffle width — band keys are near-unique, so this stage
-    // parallelizes perfectly and the exchange is reused by both sides.
-    a.repartition(32, col("a.band"), col("a.bk")).hint("shuffle_hash").join(
-        b.repartition(32, col("b.band"), col("b.bk")),
+    // Join strategy stays the PLANNER'S choice on purpose, and the choice
+    // is scale-correct at both ends: locally the size estimate broadcasts
+    // one side (recomputing the signature pipeline for the probe side —
+    // measured CHEAPER than pinning the shuffle, because the pipeline is
+    // a ~0.1s 32-wide stage while a pinned banded exchange adds a
+    // planning + exchange + narrow-join tail that costs more than the
+    // recompute); at corpus scale the estimates rule out broadcast and
+    // the same query plans as the banded sort-merge join whose two
+    // identical exchange subtrees collapse into ONE ReusedExchange — the
+    // signatures then compute once, exactly the shape the near-dup
+    // pipeline needs (shuffling only band keys + ids, never text).
+    a.join(b,
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
