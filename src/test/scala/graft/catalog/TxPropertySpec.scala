@@ -90,4 +90,48 @@ class TxPropertySpec extends AnyFunSuite {
         s"trial $trial: view mismatch after extra ops $extra")
     }
   }
+
+  test("6 random interleavings over TWO containers with group COMMITs match per-container models") {
+    // the bare `COMMIT` (all staged containers) takes the atomic group
+    // path when both logs are non-empty; its observable semantics must
+    // stay exactly the sequential per-container fold
+    (1 to 6).foreach { trial =>
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-txpg$trial")
+      val eng = new Engine(spark, dir.toString)
+      eng.execute("CREATE CONTAINER ga ['k','v'] [INT, SMALL-STRING]")
+      eng.execute("CREATE CONTAINER gb ['k','v'] [INT, SMALL-STRING]")
+      val models = Map("ga" -> new Model, "gb" -> new Model)
+      val ops: Vector[(String, Op)] =
+        Vector.fill(16) {
+          val c = if (rng.nextBoolean()) "ga" else "gb"
+          randomOp() match {
+            // commits/rollbacks sometimes drop the qualifier → group path
+            case Commit | Rollback =>
+              (if (rng.nextBoolean()) "*" else c,
+                if (rng.nextBoolean()) Commit else Rollback)
+            case o => (c, o)
+          }
+        } :+ (("*", Commit))
+      ops.foreach { case (c, op) =>
+        (c, op) match {
+          case ("*", Commit) => eng.execute("COMMIT"); models.values.foreach(_.apply(Commit))
+          case ("*", Rollback) => eng.execute("ROLLBACK"); models.values.foreach(_.apply(Rollback))
+          case (cn, Ins(k, v)) =>
+            eng.execute(s"CREATE ROW ['k','v'] [$k,'$v'] ON $cn"); models(cn).apply(op)
+          case (cn, Edit(k, v)) =>
+            eng.execute(s"EDIT ROW ['v'] ['$v'] ON $cn WHERE k = $k"); models(cn).apply(op)
+          case (cn, Del(k)) =>
+            eng.execute(s"DELETE ROW ON $cn WHERE k = $k"); models(cn).apply(op)
+          case (cn, Commit) => eng.execute(s"COMMIT $cn"); models(cn).apply(Commit)
+          case (cn, Rollback) => eng.execute(s"ROLLBACK $cn"); models(cn).apply(Rollback)
+        }
+      }
+      Seq("ga", "gb").foreach { cn =>
+        val base = eng.catalog.read(cn).collect()
+          .map(r => (r.getInt(0), r.getString(1))).toSeq.sorted
+        assert(base == models(cn).committed.sorted,
+          s"trial $trial: $cn base mismatch after $ops")
+      }
+    }
+  }
 }
