@@ -26,14 +26,13 @@ import org.apache.spark.sql.functions._
   *    dataset by cell id makes the probe a file-skipping scan.
   */
 object Similarity {
-  /** The vector read: a vec_id-BUCKETED projection — one task per bucket
-    * regardless of file packing, so the per-row vector math (dot
-    * products, norms, cell assignment) always owns the full core width;
-    * vec_id-keyed aggs/joins (top-k per query, cluster join-backs) reuse
-    * the bucketing exchange-free. Same rationale as TextDedup.docs.
+  /** The vector read: the 32-file pk-range-clustered compacted layout
+    * (a vec_id-bucketed projection was measured and rejected — same
+    * result as TextDedup.docs: the bucketed scan's per-task scheduling
+    * cost exceeded what the avoided exchanges saved).
     */
   private def emb(s: SparkSession, dir: String) =
-    Tables.bucketed(s, dir, "embeddings", "vec_id")
+    Tables.load(s, dir, "embeddings")
 
   /** Double-precision dot product of two float-array columns, summation in
     * element order (matches the DuckDB oracle's list_sum over

@@ -28,21 +28,21 @@ import org.apache.spark.sql.functions._
 object TextDedup {
   // CPU-bound hashing pipelines: the scan is already split
   // across cores by the ingest compaction (see Tables.compacted)
-  /** The corpus read: a doc_id-BUCKETED projection (32 buckets), not the
-    * range-clustered base table. Two properties matter for the text
-    * pipeline specifically: (1) a bucketed scan runs one task per bucket
-    * — file-packing can never collapse the compute-bound hashing stages
-    * (md5 shingles, simhash, fingerprints do orders of magnitude more
-    * work per byte than relational scans, so they must own the full core
-    * width); (2) per-document aggregations (minhash signature mins,
-    * fingerprints, quality scores) group on the bucket key and need NO
-    * exchange. At 100 TB this is the standard dedup-pipeline layout:
-    * signature computation is embarrassingly parallel per doc, and the
-    * doc-keyed join-backs (keeper assignment, report composition) ride
-    * the same bucketing exchange-free.
+  /** The corpus read: the 32-file pk-range-clustered compacted layout.
+    * A doc_id-BUCKETED projection was measured here and REJECTED: it
+    * upgrades the per-doc signature aggregation to exchange-free, but
+    * min(string) aggregates plan as SortAggregate either way, and the
+    * bucketed variant ran the sort+partial+final chain measurably slower
+    * than partial-per-split + one 8-wide exchange (same-window A/B:
+    * ~0.82s vs ~0.62s on the sf0.1 bench accounting) — the exchange
+    * carries one 8-slice row per document, which is cheaper than what
+    * bucket-width scheduling costs on this stage. At 100 TB the
+    * signature exchange stays the narrow part of the pipeline
+    * (signatures, never text), so the flat layout is the right default
+    * at both scales.
     */
   private def docs(s: SparkSession, dir: String) =
-    Tables.bucketed(s, dir, "documents", "doc_id")
+    Tables.load(s, dir, "documents")
 
   /** documents + tokens + 3-word shingles (shared prep for dedup ops).
     * Docs under 3 tokens get an EMPTY shingle list — the size guard
