@@ -377,10 +377,11 @@ object Parser {
     */
   /** Ranking window functions accepted as projection items:
     * `fn(col [DESC]) PER [keys…]` (graft extension). */
-  private val WinFns = Set("rank", "dense_rank", "row_number")
+  private val WinFns = Set("rank", "dense_rank", "row_number",
+    "percent_rank", "cume_dist")
 
   /** Navigation window functions: `fn(v BY ord [DESC]) PER [keys…]`. */
-  private val NavFns = Set("lag", "lead")
+  private val NavFns = Set("lag", "lead", "first_value", "last_value")
 
   private def parseProjection(g: Token)
       : (List[String], List[AggProj], List[ExprProj], List[FnProj], List[WinProj]) =

@@ -801,20 +801,28 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           val ocn = resolveNames(unioned, List(w.column)).head
           val keys = w.keys.map(k => col(resolveNames(unioned, List(k)).head))
           val out = s"${w.fn}_${w.value.getOrElse(w.column).toLowerCase}"
-          if (Seq("lag", "lead").contains(w.fn)) {
-            // navigation: the value column offset ±1 within the
-            // partition ordered by `column` — the total-order tie-break
-            // (other plain outputs ascending, like row_number) makes the
-            // neighbor deterministic even under order-column ties
+          if (Seq("lag", "lead", "first_value", "last_value").contains(w.fn)) {
+            // navigation: the value column at an ordered position within
+            // the partition — the total-order tie-break (other plain
+            // outputs ascending, like row_number) makes the picked row
+            // deterministic even under order-column ties
             val vcn = resolveNames(unioned, List(w.value.get)).head
             val ord = if (w.asc) col(ocn).asc_nulls_first else col(ocn).desc_nulls_last
             val tieBreak = plainNames.filterNot(_.equalsIgnoreCase(ocn))
               .map(col(_).asc_nulls_first)
-            val spec = org.apache.spark.sql.expressions.Window
-              .partitionBy(keys: _*).orderBy(ord +: tieBreak: _*)
-            (if (w.fn == "lag") lag(col(vcn), 1) else lead(col(vcn), 1))
-              .over(spec).as(out)
-          } else if (Seq("rank", "dense_rank", "row_number").contains(w.fn)) {
+            import org.apache.spark.sql.expressions.Window
+            val spec = Window.partitionBy(keys: _*).orderBy(ord +: tieBreak: _*)
+            (w.fn match {
+              case "lag" => lag(col(vcn), 1).over(spec)
+              case "lead" => lead(col(vcn), 1).over(spec)
+              case "first_value" => first(col(vcn)).over(spec)
+              // SQL's default frame ends at CURRENT ROW — last_value
+              // needs the full-partition frame or it just echoes the row
+              case "last_value" => last(col(vcn)).over(spec.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing))
+            }).as(out)
+          } else if (Seq("rank", "dense_rank", "row_number",
+              "percent_rank", "cume_dist").contains(w.fn)) {
             val ord = if (w.asc) col(ocn).asc_nulls_first else col(ocn).desc_nulls_last
             // row_number demands a TOTAL order for determinism: the other
             // plain output columns append ascending (same convention as
@@ -826,12 +834,17 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
               else Nil
             val spec = org.apache.spark.sql.expressions.Window
               .partitionBy(keys: _*).orderBy(ord +: tieBreak: _*)
-            (w.fn match {
+            val ranked = (w.fn match {
               case "rank" => rank()
               case "dense_rank" => dense_rank()
               case "row_number" => row_number()
-            }).over(spec).cast("long") // BIGINT, the oracle engine's rank type
-              .as(out)
+              case "percent_rank" => percent_rank()
+              case "cume_dist" => cume_dist()
+            }).over(spec)
+            // integer ranks cast to BIGINT, the oracle engine's type;
+            // the fractional ranks are DOUBLE in both engines already
+            (if (w.fn == "percent_rank" || w.fn == "cume_dist") ranked
+             else ranked.cast("long")).as(out)
           } else {
             // windowed AGGREGATE — `agg(col) OVER (PARTITION BY keys)`:
             // the whole-partition frame (no ORDER, so the value is

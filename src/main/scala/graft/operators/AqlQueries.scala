@@ -362,6 +362,28 @@ object AqlQueries {
         "SEARCH [n_chars / 1000, upper(lang), count(doc_id)] ON documents")(s, dir)
     },
 
+    // Fractional ranks + positional picks (graft extension): identical
+    // double arithmetic in both engines, first_value under the engine's
+    // documented tie-break (other plain outputs ascending).
+    Q("aql_window_dist",
+      """SELECT doc_id, lang,
+        |       percent_rank() OVER (PARTITION BY lang ORDER BY n_chars)
+        |         AS percent_rank_n_chars,
+        |       cume_dist() OVER (PARTITION BY lang ORDER BY n_chars)
+        |         AS cume_dist_n_chars,
+        |       first_value(doc_id) OVER
+        |         (PARTITION BY lang ORDER BY n_chars DESC, doc_id)
+        |         AS first_value_doc_id
+        |FROM documents WHERE n_chars > 300
+        |ORDER BY doc_id, lang, percent_rank_n_chars, cume_dist_n_chars,
+        |         first_value_doc_id""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [doc_id, lang, percent_rank(n_chars) PER [lang], " +
+          "cume_dist(n_chars) PER [lang], " +
+          "first_value(doc_id BY n_chars DESC) PER [lang]] " +
+          "ON documents WHERE n_chars > 300")(s, dir)
+    },
+
     // Navigation windows (graft extension): lag/lead of a value column
     // within a partition, ordered by a unique column so the neighbor is
     // deterministic in both engines.

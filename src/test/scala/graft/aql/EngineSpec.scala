@@ -337,6 +337,15 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nav(1) == ((Some("cy"), Some("bo"))))
     assert(nav(2) == ((Some("ana"), None)))
     intercept[ParseException](eng.execute("SEARCH [lag(name) PER []] ON people"))
+    // fractional ranks + first/last picks
+    val fr = searchRows(
+      "SEARCH [id, percent_rank(age) PER [], first_value(name BY age) PER [], " +
+        "last_value(name BY age) PER []] ON people")
+      .map(x => (x.getLong(0), (x.getDouble(1), x.getString(2), x.getString(3)))).toMap
+    // ages 25(cy) < 30(ana) < 40(bo): percent_rank 0, .5, 1
+    assert(fr(3) == ((0.0, "cy", "bo")))
+    assert(fr(1) == ((0.5, "cy", "bo")))
+    assert(fr(2) == ((1.0, "cy", "bo")))
     // a window fn without PER errors loudly; no combining with aggregates
     intercept[ParseException](eng.execute("SEARCH [rank(age)] ON people"))
     intercept[ParseException](eng.execute(
