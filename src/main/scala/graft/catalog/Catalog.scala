@@ -691,6 +691,13 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     * mid-apply. The manifest lists `container TAB slot TAB tmpDirName`
     * with the committer's pid on the first line.
     */
+  /** Fault-injection seam for crash-recovery specs: runs immediately
+    * after the manifest rename (the commit point), before any member
+    * applies. Production no-op — specs throw here to construct a
+    * decided-but-unapplied transaction deterministically.
+    */
+  private[catalog] var afterDecide: () => Unit = () => ()
+
   private[catalog] def commitTxn(entries: Seq[(String, Int, Path)]): Unit = {
     val id = s"${ProcessHandle.current.pid}-${System.nanoTime()}"
     val body = (ProcessHandle.current.pid.toString +: entries.map { case (n, s, tmp) =>
@@ -710,6 +717,7 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     }
     // failures PAST the commit point leave the manifest in place: the
     // transaction is decided, recovery applies it (claims stay held)
+    afterDecide()
     entries.foreach { case (n, s, tmp) => finishPrepared(n, s, tmp) }
     Files.deleteIfExists(decided)
   }
@@ -760,7 +768,21 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
 
   private[catalog] def recoverTxns(): Unit =
     parsedManifests().foreach { case (mf, pid, entries) =>
-      if (entries.nonEmpty && pidRecoverable(pid)) {
+      if (pid.isEmpty || entries.isEmpty) {
+        // the manifest rename is atomic (commitTxn stages then moves), so
+        // a `.txn` file is always COMPLETE — an unparsable pid line or
+        // zero parseable entries can only be corruption, never a
+        // mid-write. Left in place it wedges forever: pidRecoverable
+        // never turns true, yet slotDecided would keep counting any
+        // parseable entries, blocking orphan-claim release at those
+        // slots until every commit exhausts its retries. A TRANSIENT
+        // read failure must not GC a good manifest, so only a
+        // readable-but-malformed file is deleted.
+        val readable =
+          try { Files.readAllLines(mf); true }
+          catch { case scala.util.control.NonFatal(_) => false }
+        if (readable) Files.deleteIfExists(mf)
+      } else if (pidRecoverable(pid)) {
         entries.foreach { case (n, slot, tmpName) =>
           val tmp = dataDir.resolve(tmpName)
           // missing-both can only mean this entry already applied and
@@ -803,9 +825,15 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     withContainerLock(name) {
       // a DECIDED transaction's member claim belongs to the transaction:
       // its staged version must land in this slot (recoverTxns), so the
-      // orphan-release race may never hand the slot to a contender
-      !slotDecided(name, slot) &&
-        claimIsOrphan(name, slot) && Files.deleteIfExists(claimFile(name, slot))
+      // orphan-release race may never hand the slot to a contender.
+      // ORDER MATTERS: observe pid death FIRST. The manifest rename
+      // happens-before the committer's death, so a manifest scan
+      // performed AFTER the death observation is authoritative — no new
+      // manifest from that pid can appear. The reverse order could read
+      // "no manifest", watch the committer rename-then-die, and steal a
+      // decided transaction member's slot.
+      claimIsOrphan(name, slot) && !slotDecided(name, slot) &&
+        Files.deleteIfExists(claimFile(name, slot))
     }
 
   /** True iff a decided transaction manifest references (name, slot). */
@@ -1057,7 +1085,7 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     // is never touched. Name shape: `<container>.tmp-<pid>-<nanos>`.
     val tmpPat = java.util.regex.Pattern.compile(
       java.util.regex.Pattern.quote(name) + "\\.tmp-(\\d+)-\\d+")
-    scala.util.Using.resource(Files.list(dataDir)) { st =>
+    val deadTmps = scala.util.Using.resource(Files.list(dataDir)) { st =>
       st.iterator().asScala.filter { p =>
         val m = tmpPat.matcher(p.getFileName.toString)
         m.matches() && m.group(1).toLongOption.exists { pid =>
@@ -1066,7 +1094,18 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
               .orElse(java.lang.Boolean.TRUE).booleanValue
         }
       }.toSeq
-    }.foreach(deleteRecursively)
+    }
+    if (deadTmps.nonEmpty) {
+      // a committer can rename its manifest and die BETWEEN the
+      // recoverTxns() above and the pid-death observations just made —
+      // its tmp is then a DECIDED member's staged data, not garbage.
+      // The death observations happen-after any manifest rename by
+      // those pids, so re-reading the manifests now is authoritative:
+      // exclude every referenced tmp (the next recovery applies it).
+      val referenced = parsedManifests().flatMap(_._3.map(_._3)).toSet
+      deadTmps.filterNot(p => referenced(p.getFileName.toString))
+        .foreach(deleteRecursively)
+    }
   }
 
   private[catalog] def deleteRecursively(p: Path): Unit =

@@ -214,6 +214,21 @@ final class Tx(catalog: Catalog) {
             // containers would wedge behind unreleasable claims
             prepared.foreach { case (c, s, tmp) => catalog.abortPrepared(c, s, tmp) }
             throw e.getCause
+          case t: Throwable =>
+            // any OTHER escape is PAST the commit point (the manifest
+            // renamed): the transaction is decided and recovery will
+            // roll it forward. The staged ops are therefore spent — a
+            // user retry of COMMIT on the still-staged log would
+            // re-apply them on top of the recovered base (inserts land
+            // twice, edits double-apply). Mirror the success path:
+            // clear every member's log and run maintenance best-effort,
+            // then rethrow so the caller still sees the apply failure.
+            cs.foreach { c =>
+              log -= c
+              try postCommitMaintenance(c)
+              catch { case scala.util.control.NonFatal(_) => () }
+            }
+            throw t
         }
       } else {
         // abort the partial prepare set, then contender-escape on every

@@ -184,6 +184,85 @@ class GroupCommitSpec extends AnyFunSuite {
     assert(cat.currentVersion("a") == 1 && rows(cat, "a").size == 10)
   }
 
+  test("a decided manifest's slot is never released as an orphan (dead claim included)") {
+    val (cat, dir) = fixture("guard")
+    val entries = deadPrepared(cat, dir)
+    writeManifest(dir, entries, DeadPid)
+    // the claims are provably dead, but the manifest DECIDED the
+    // transaction: orphan release must refuse both slots — the staged
+    // versions belong there (recovery lands them, never a contender)
+    assert(!cat.releaseOrphanClaim("a", 2) && !cat.releaseOrphanClaim("b", 2))
+    assert(Files.exists(dir.resolve("catalog").resolve("a.claim-v2")),
+      "a decided member's claim must survive the orphan sweep")
+  }
+
+  test("apply failure past the commit point clears the staged log — a user retry cannot double-apply") {
+    val (cat, dir) = fixture("pastpoint")
+    cat.afterDecide = () => throw new RuntimeException("injected apply crash")
+    val tx = new Tx(cat)
+    tx.stageInsert("a", Seq(Row(600, "xa")))
+    tx.stageInsert("b", Seq(Row(600, "xb")))
+    val e = intercept[RuntimeException] { tx.commit(None) }
+    assert(e.getMessage.contains("injected"))
+    // the transaction is DECIDED (manifest renamed): the staged ops are
+    // spent — a retry of COMMIT must not re-stage them onto the
+    // recovered base
+    assert(tx.stagedOps("a") == 0 && tx.stagedOps("b") == 0,
+      "decided transaction must clear the staged log before rethrowing")
+    assert(txnManifests(cat).nonEmpty, "manifest stays for roll-forward")
+    cat.afterDecide = () => ()
+    tx.commit(None) // the ADVICE scenario: user retries — must be a no-op
+    val cat2 = new Catalog(spark, dir.toString) // heals on open
+    assert(cat2.currentVersion("a") == 2 && cat2.currentVersion("b") == 2)
+    val (ra, rb) = (rows(cat2, "a"), rows(cat2, "b"))
+    assert(ra(600) == "xa" && rb(600) == "xb")
+    assert(ra.size == 11 && rb.size == 11, "inserts must apply exactly once")
+    assert(txnManifests(cat2).isEmpty)
+  }
+
+  test("vacuum's tmp sweep spares stage dirs referenced by a manifest it hasn't applied") {
+    val (cat, dir) = fixture("tmpspare")
+    val entries = deadPrepared(cat, dir)
+    // manifest owned by a LIVE foreign pid (init): recoverTxns must not
+    // touch it (mid-apply contract), yet the referenced tmp dirs carry
+    // dead pids in their names — exactly the shape of the race where a
+    // committer renames its manifest and dies after vacuum's recovery
+    // pass. The sweep must spare every manifest-referenced tmp.
+    writeManifest(dir, entries, 1L)
+    cat.vacuum("a"); cat.vacuum("b")
+    def tmps(c: String) = scala.util.Using.resource(
+      Files.list(dir.resolve("data"))) { st =>
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.count(_.getFileName.toString.startsWith(s"$c.tmp-"))
+    }
+    assert(tmps("a") == 1 && tmps("b") == 1,
+      "manifest-referenced stage dirs must survive the dead-pid sweep")
+  }
+
+  test("a corrupt manifest is GC'd instead of wedging its slots forever") {
+    val (cat, dir) = fixture("corrupt")
+    // shape 1: unparsable pid line but parseable entries — slotDecided
+    // used to count it forever while pidRecoverable never turned true
+    val entries = deadPrepared(cat, dir)
+    val body = ("not-a-pid" +: entries.map { case (n, s, t) => s"$n\t$s\t$t" })
+      .mkString("\n")
+    Files.writeString(dir.resolve("catalog")
+      .resolve(s"txn-garbage-${System.nanoTime()}.txn"), body)
+    // shape 2: content lost before the rename became durable (crash) —
+    // an empty manifest decides nothing
+    Files.writeString(dir.resolve("catalog")
+      .resolve(s"txn-empty-${System.nanoTime()}.txn"), "")
+    val cat2 = new Catalog(spark, dir.toString)
+    assert(txnManifests(cat2).isEmpty,
+      "readable-but-malformed manifests must be deleted on recovery")
+    // with the garbage gone, the dead claims release and a commit lands
+    cat2.vacuum("a")
+    val tx = new Tx(cat2)
+    tx.stageInsert("a", Seq(Row(700, "unwedged")))
+    tx.commit(Some("a"))
+    assert(cat2.currentVersion("a") == 2 && rows(cat2, "a")(700) == "unwedged")
+  }
+
   test("two racing group commits over the same containers both land") {
     val (cat, _) = fixture("race")
     val results = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
