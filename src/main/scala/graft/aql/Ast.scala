@@ -104,6 +104,11 @@ object Ast {
     * links (schema metadata copied verbatim; staged ops and index
     * definitions are not cloned). See `Catalog.cloneContainer`. */
   final case class CloneContainer(src: String, dst: String) extends Stmt
+
+  /** graft extension: `RESTORE CONTAINER c TO VERSION n` — re-publish an
+    * older version's content as the next version (history preserved; the
+    * Delta Lake RESTORE shape, zero-copy via COW hard links). */
+  final case class RestoreContainer(name: String, version: Int) extends Stmt
   /** graft extensions: corpus interchange. EXPORT writes the container's
     * session view to a NEW directory in the given format (errors if the
     * path exists — never silently overwrites); IMPORT reads files under
@@ -758,6 +763,16 @@ object Parser {
     // DELETE CONTAINER name (database.rs:814-839)
     case Keyword("CLONE") :: Keyword("CONTAINER") :: srcTok :: dstTok :: Nil =>
       CloneContainer(name(srcTok), name(dstTok))
+
+    // RESTORE CONTAINER c TO VERSION n (graft extension)
+    case Keyword("RESTORE") :: Keyword("CONTAINER") :: nameTok :: rest =>
+      rest match {
+        case Keyword("TO") :: Keyword("VERSION") :: IntLit(v) :: Nil =>
+          if (v < 1) throw new ParseException("RESTORE TO VERSION must be >= 1")
+          RestoreContainer(name(nameTok), v.toInt)
+        case _ =>
+          throw new ParseException("Expected `TO VERSION <n>` in RESTORE CONTAINER")
+      }
 
     // EXPORT c TO 'path' [USING fmt] / IMPORT 'path' INTO c [USING fmt]
     // (graft extensions): corpus interchange through the catalog

@@ -418,6 +418,16 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       catalog.cloneContainer(src, dst)
       Done(s"cloned $src into $dst (version ${catalog.currentVersion(dst)})")
 
+    case Ast.RestoreContainer(c, v) =>
+      requireNotView(c, "its content")
+      // staged ops were derived against the pre-restore tip; restoring
+      // under them would commit them onto content they never saw
+      if (tx.stagedOps(c) > 0)
+        throw new ParseException(
+          s"RESTORE CONTAINER $c: commit or rollback staged operations first")
+      val published = catalog.restore(c, v)
+      Done(s"restored $c to version $v (as version $published)")
+
     case Ast.Changes(c, from, to) =>
       // SEARCH-shaped result: served through the same cursor protocol,
       // with the deterministic all-columns order applied lazily on first

@@ -39,7 +39,8 @@ object Token {
     "ORDER", "BY", "LIMIT", "ASC", "DESC", "DISTINCT", "JOIN", "LEFT",
     "ALTER", "ADD", "COLUMN", "OPTIMIZE", "MERGE", "DROP", "RENAME", "INDEX",
     "CHANGES", "SHOW", "CONTAINERS", "INDEXES", "VERSIONS", "DESCRIBE",
-    "VIEW", "VIEWS", "REFRESH", "MATCH", "ROWS", "SIMILAR", "CLONE", "EXPORT", "IMPORT", "TO", "INTO")
+    "VIEW", "VIEWS", "REFRESH", "MATCH", "ROWS", "SIMILAR", "CLONE", "EXPORT", "IMPORT", "TO", "INTO",
+    "RESTORE")
 
   /** Multi-char first: `&&&>` regex-match, `&&>` icontains, `&>` contains,
     * `>=`, `<=`, `==`, `!=`, then single-char (reference

@@ -121,6 +121,45 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     }
   }
 
+  /** RESTORE CONTAINER name TO VERSION v — re-publish an older version's
+    * content as the NEXT version. History is preserved: every
+    * intermediate version stays readable under time travel, and the
+    * restore itself is one more auditable commit (the Delta Lake
+    * `RESTORE TABLE … TO VERSION AS OF` shape), in contrast to a
+    * rollback-by-deletion that would yank versions out from under
+    * concurrent readers' pins. Zero-copy: the new version hard-links the
+    * restored version's parquet files — the same link step as a COW
+    * untouched-file carryover — so restore cost is file-count inode ops,
+    * never data size. Publishes through the normal CAS claim loop
+    * (serializes with concurrent commits; derived indexes rebuild into
+    * the published version via the prepare hook). Returns the new
+    * version number.
+    */
+  def restore(name: String, v: Int): Int = {
+    requireVersioned(name, "RESTORE")
+    require(versions(name).contains(v),
+      s"RESTORE $name: version $v does not exist (never published or vacuumed)")
+    var attempts = 0
+    var stuckAt = -1
+    while (true) {
+      attempts += 1
+      require(attempts <= 50, s"RESTORE $name: lost the version race 50 times")
+      if (attempts > 1) Thread.sleep(math.min(100L * attempts, 2000L))
+      val base = currentVersion(name)
+      // same contender escape as the commit loop: heal decided
+      // transactions, release dead claims, adopt unflipped versions
+      if (base == stuckAt) {
+        recoverTxns()
+        releaseOrphanClaim(name, base + 1)
+        adoptPublished(name)
+      }
+      stuckAt = base
+      if (tryCommitCow(name, base, versionFiles(name, v), None))
+        return base + 1
+    }
+    -1 // unreachable
+  }
+
   /** Statements whose base-0 path would silently REPLACE rows served
     * from a legacy unversioned external data directory (fixture-style
     * symlinked containers read their dataPath at v0) refuse loudly

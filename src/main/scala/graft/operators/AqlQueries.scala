@@ -181,6 +181,20 @@ object AqlQueries {
       eng.execute("ALTER CONTAINER docs_ren RENAME COLUMN ['n_chars','chars']")
       eng.execute("CREATE ROW ['doc_id','chars'] [900003, 55] ON docs_ren")
       eng.execute("COMMIT docs_ren")
+      // restore container: v1 = the fixture, v2 = a destructive commit
+      // (edit + mass delete), v3 = RESTORE TO VERSION 1 (zero-copy
+      // hard-link republish), v4 = one ordinary insert on the restored
+      // tip. SEARCH must read the fixture + the insert (the damage
+      // undone), while AT VERSION 2 must still read the damaged state —
+      // restore preserves history rather than rewriting it.
+      eng.execute("CREATE CONTAINER docs_rst ['doc_id','n_chars'] [BIGINT, BIGINT]")
+      eng.catalog.overwrite("docs_rst", docs)
+      eng.execute("EDIT ROW ['n_chars'] [1] ON docs_rst WHERE doc_id = 7")
+      eng.execute("DELETE ROW ON docs_rst WHERE doc_id > 400")
+      eng.execute("COMMIT docs_rst")
+      eng.execute("RESTORE CONTAINER docs_rst TO VERSION 1")
+      eng.execute("CREATE ROW ['doc_id','n_chars'] [900009, 42] ON docs_rst")
+      eng.execute("COMMIT docs_rst")
       eng
     })
   }
@@ -629,6 +643,28 @@ object AqlQueries {
       """SELECT doc_id, n_chars FROM documents
         |ORDER BY doc_id, n_chars""".stripMargin) {
       (s, dir) => search("SEARCH [] ON docs_clone")(s, dir)
+    },
+
+    // RESTORE CONTAINER (graft extension): the destructive v2 commit is
+    // undone by republishing v1's content as v3 (hard-linked, zero-copy),
+    // and the restored tip stays a normal writable container (v4 adds a
+    // row). The oracle is the fixture plus the post-restore insert.
+    Q("aql_restore",
+      """SELECT doc_id, n_chars FROM documents
+        |UNION ALL SELECT 900009, 42
+        |ORDER BY doc_id, n_chars""".stripMargin) {
+      (s, dir) => search("SEARCH [] ON docs_rst")(s, dir)
+    },
+
+    // restore preserves history: time travel to the pre-restore damaged
+    // version still reads the damage (edit applied, tail deleted) — the
+    // restore added a version, it rewrote nothing.
+    Q("aql_restore_history",
+      """SELECT doc_id,
+        |       CASE WHEN doc_id = 7 THEN 1 ELSE n_chars END AS n_chars
+        |FROM documents WHERE doc_id <= 400
+        |ORDER BY doc_id, n_chars""".stripMargin) {
+      (s, dir) => search("SEARCH [] ON docs_rst AT VERSION 2")(s, dir)
     },
 
     // SIMILAR (graft extension): near-dup candidates for one committed

@@ -86,6 +86,13 @@ class ParserSpec extends AnyFunSuite {
     intercept[ParseException](Parser.parse("CLONE CONTAINER a"))
   }
 
+  test("RESTORE CONTAINER form (version restore extension)") {
+    assert(Parser.parse("RESTORE CONTAINER a TO VERSION 3") == RestoreContainer("a", 3))
+    intercept[ParseException](Parser.parse("RESTORE CONTAINER a"))
+    intercept[ParseException](Parser.parse("RESTORE CONTAINER a TO VERSION 0"))
+    intercept[ParseException](Parser.parse("RESTORE CONTAINER a VERSION 3"))
+  }
+
   test("SIMILAR forms (index candidate extension)") {
     assert(Parser.parse("SIMILAR 45 ON docs")
       == Similar("docs", Token.IntLit(45), None, 20))

@@ -49,6 +49,44 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(cat.versions("tt").isEmpty && !cat.exists("tt"))
   }
 
+  test("RESTORE republishes an old version zero-copy and preserves history") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rst")
+    val eng = new Engine(spark, dir.toString)
+    val cat = eng.catalog
+    eng.execute("CREATE CONTAINER r ['id','v'] [INT, SMALL-STRING]")
+    eng.execute("CREATE ROW ['id','v'] [1,'one'] ON r")
+    eng.execute("COMMIT r")                        // v1
+    eng.execute("EDIT ROW ['v'] ['damaged'] ON r WHERE id = 1")
+    eng.execute("COMMIT r")                        // v2
+    eng.execute("RESTORE CONTAINER r TO VERSION 1") // v3 = v1's content
+    assert(cat.currentVersion("r") == 3)
+    assert(cat.read("r").collect().map(_.getString(1)).toSeq == Seq("one"))
+    // history intact: the damaged version still reads under time travel
+    assert(cat.readVersion("r", 2).collect().head.getString(1) == "damaged")
+    // zero-copy: v3's files are hard links to v1's (same inode)
+    val v1files = cat.versionFiles("r", 1).map(f => f.getFileName.toString -> f).toMap
+    assert(cat.versionFiles("r", 3).forall(f =>
+      v1files.get(f.getFileName.toString).exists(java.nio.file.Files.isSameFile(_, f))),
+      "RESTORE must hard-link the restored version's files, not copy")
+    // the restored tip is a normal writable container
+    eng.execute("CREATE ROW ['id','v'] [2,'two'] ON r")
+    eng.execute("COMMIT r")                        // v4
+    assert(cat.read("r").count() == 2)
+
+    // guards: unknown version; staged ops must clear first
+    val e1 = intercept[IllegalArgumentException](
+      eng.execute("RESTORE CONTAINER r TO VERSION 99"))
+    assert(e1.getMessage.contains("does not exist"))
+    eng.execute("CREATE ROW ['id','v'] [3,'three'] ON r")
+    intercept[graft.aql.ParseException](
+      eng.execute("RESTORE CONTAINER r TO VERSION 1"))
+    eng.execute("ROLLBACK r")
+    // restore also works ONTO a vacuumed-away history tail: only the
+    // restored version itself must still exist
+    eng.execute("RESTORE CONTAINER r TO VERSION 2")
+    assert(cat.read("r").collect().map(_.getString(1)).toSeq == Seq("damaged"))
+  }
+
   test("SEARCH ... AT VERSION n reads the snapshot through AQL") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tt3")
     val eng = new Engine(spark, dir.toString)
