@@ -109,6 +109,12 @@ object Ast {
     * older version's content as the next version (history preserved; the
     * Delta Lake RESTORE shape, zero-copy via COW hard links). */
   final case class RestoreContainer(name: String, version: Int) extends Stmt
+
+  /** graft extensions: `ANALYZE CONTAINER c` computes + persists
+    * per-column statistics (one aggregation pass); `SHOW STATS c` serves
+    * the persisted stats as a metadata read. */
+  final case class Analyze(name: String) extends Stmt
+  final case class ShowStats(name: String) extends Stmt
   /** graft extensions: corpus interchange. EXPORT writes the container's
     * session view to a NEW directory in the given format (errors if the
     * path exists — never silently overwrites); IMPORT reads files under
@@ -763,6 +769,16 @@ object Parser {
     // DELETE CONTAINER name (database.rs:814-839)
     case Keyword("CLONE") :: Keyword("CONTAINER") :: srcTok :: dstTok :: Nil =>
       CloneContainer(name(srcTok), name(dstTok))
+
+    // ANALYZE CONTAINER c / SHOW STATS c (graft extensions). ANALYZE and
+    // STATS are deliberately NOT keywords: EXPLAIN ANALYZE already
+    // pattern-matches the bare word, and columns named `stats` keep
+    // lexing as values everywhere else.
+    case Str(w) :: Keyword("CONTAINER") :: nameTok :: Nil
+        if w.equalsIgnoreCase("ANALYZE") =>
+      Analyze(name(nameTok))
+    case Keyword("SHOW") :: Str(w) :: cTok :: Nil if w.equalsIgnoreCase("STATS") =>
+      ShowStats(name(cTok))
 
     // RESTORE CONTAINER c TO VERSION n (graft extension)
     case Keyword("RESTORE") :: Keyword("CONTAINER") :: nameTok :: rest =>

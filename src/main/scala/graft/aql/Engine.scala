@@ -503,6 +503,17 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           Row(v, v == cur, catalog.versionFileCount(c, v)))),
         needsDefaultSort = true)
 
+    case Ast.Analyze(c) =>
+      catalog.get(c) // existence check
+      resultSet(graft.catalog.Stats.analyze(catalog, c), needsDefaultSort = true)
+
+    case Ast.ShowStats(c) =>
+      catalog.get(c)
+      resultSet(graft.catalog.Stats.readStats(catalog, c).getOrElse(
+        throw new ParseException(
+          s"No statistics for '$c' — run ANALYZE CONTAINER $c first")),
+        needsDefaultSort = true)
+
     case Ast.Commit(c) => tx.commit(c); Done("committed")
     case Ast.Rollback(c) => tx.rollback(c); Done("rolled back")
 

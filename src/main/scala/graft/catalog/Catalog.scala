@@ -191,6 +191,9 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
 
   /** Serialize + atomically swap the schema file (shared by every ALTER). */
   private def writeSchema(name: String, d: ContainerDef): Unit = {
+    // persisted column stats describe the OLD schema — invalidate rather
+    // than serve stale columns (re-ANALYZE recomputes under the new one)
+    Files.deleteIfExists(catDir.resolve(s"$name.stats"))
     val text = d.columns.zip(d.stored).map { case ((n, t), s) =>
       if (s == n) s"$n\t${t.name}" else s"$n\t${t.name}\t$s"
     }.mkString("\n")
@@ -372,6 +375,7 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     require(exists(name), s"Unknown container '$name'")
     indexDefs(name).foreach(d => Files.deleteIfExists(Index.metaFile(this, name, d.ix)))
     Files.deleteIfExists(droppedFile(name))
+    Files.deleteIfExists(catalogDir.resolve(s"$name.stats"))
     Files.delete(schemaFile(name))
     if (Files.exists(versionFile(name))) Files.delete(versionFile(name))
     versions(name).foreach { v =>

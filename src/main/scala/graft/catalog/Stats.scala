@@ -1,0 +1,127 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+
+/** ANALYZE CONTAINER — per-column statistics of the committed data
+  * (`ANALYZE CONTAINER c` / `SHOW STATS c`), the standard warehouse
+  * observability surface (ANALYZE/SHOW STATS in DuckDB and Trino,
+  * ANALYZE TABLE … COMPUTE STATISTICS in Spark; the reference exposes no
+  * stats surface — its chunk index carries only first-column min/max,
+  * `/root/reference/src/indexing.rs`).
+  *
+  * One distributed aggregation pass computes every column's row/null/
+  * distinct counts, min/max (rendered as strings so one relation carries
+  * all types) and average length for TEXT columns — the multi-distinct
+  * expand plan, a single job over one scan, no per-column passes. The
+  * bounded result (one row per schema column) persists in the catalog
+  * (`<name>.stats`, atomic swap) pinned to the version it analyzed, so
+  * SHOW STATS is a metadata read and staleness is visible as
+  * `version < currentVersion`.
+  *
+  * Scale note: distinct counts are EXACT (count(distinct) — one shuffle
+  * through the expand plan, and oracle-comparable against DuckDB); at
+  * warehouse scale the same surface would flip to approx_count_distinct
+  * per column behind a settings knob without changing the statement.
+  */
+object Stats {
+
+  /** Stats relation: leading ordinal makes the cursor's all-columns
+    * ascending order the schema order. */
+  private val schema = StructType(Seq(
+    StructField("ordinal", IntegerType, nullable = false),
+    StructField("col_name", StringType, nullable = false),
+    StructField("col_type", StringType, nullable = false),
+    StructField("analyzed_version", IntegerType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("n_nulls", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("min_value", StringType, nullable = true),
+    StructField("max_value", StringType, nullable = true),
+    StructField("avg_len", DoubleType, nullable = true)))
+
+  private def statsFile(cat: Catalog, name: String) =
+    cat.catalogDir.resolve(s"$name.stats")
+
+  /** Compute, persist (atomic swap), and return the stats relation. */
+  def analyze(cat: Catalog, name: String): DataFrame = {
+    val d = cat.get(name)
+    val v = cat.currentVersion(name)
+    val df = cat.read(name)
+    val isText = d.columns.map { case (n, t) => n -> (t.spark == StringType) }.toMap
+    val aggs = d.columns.flatMap { case (n, _) =>
+      val c = col(n)
+      Seq(
+        count(c).as(s"c_$n"),
+        countDistinct(c).as(s"d_$n"),
+        min(c).cast("string").as(s"mn_$n"),
+        max(c).cast("string").as(s"mx_$n")) ++
+        (if (isText(n)) Seq(avg(length(c)).as(s"l_$n")) else Nil)
+    } :+ count(lit(1)).as("n_rows")
+    // ONE aggregated row — bounded driver-side metadata, like an index's
+    // probe-key list, never data
+    val agg = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def get[A](field: String): Option[A] = {
+      val i = agg.fieldIndex(field)
+      if (agg.isNullAt(i)) None else Some(agg.get(i).asInstanceOf[A])
+    }
+    val nRows = get[Long]("n_rows").getOrElse(0L)
+    val rows = d.columns.zipWithIndex.map { case ((n, t), i) =>
+      Row(i + 1, n, t.name, v, nRows,
+        nRows - get[Long](s"c_$n").getOrElse(0L),
+        get[Long](s"d_$n").getOrElse(0L),
+        get[String](s"mn_$n").orNull,
+        get[String](s"mx_$n").orNull,
+        if (isText(n)) get[java.lang.Double](s"l_$n").orNull else null)
+    }
+    persist(cat, name, rows)
+    relation(cat, rows)
+  }
+
+  /** The persisted stats, or None if the container was never analyzed. */
+  def readStats(cat: Catalog, name: String): Option[DataFrame] = {
+    val f = statsFile(cat, name)
+    if (!Files.exists(f)) return None
+    val rows = Files.readAllLines(f, StandardCharsets.UTF_8)
+      .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty).map { line =>
+        val p = line.split("\t", -1)
+        Row(p(0).toInt, p(1), p(2), p(3).toInt, p(4).toLong, p(5).toLong,
+          p(6).toLong, unb64(p(7)).orNull, unb64(p(8)).orNull,
+          if (p(9) == "-") null else p(9).toDouble)
+      }
+    Some(relation(cat, rows))
+  }
+
+  private def relation(cat: Catalog, rows: Seq[Row]): DataFrame =
+    cat.spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+
+  // min/max render as strings that may contain tabs/newlines (TEXT
+  // columns) — base64 keeps the TSV line-oriented; "-" marks NULL (it is
+  // not in the base64 alphabet)
+  private def b64(s: String): String =
+    Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+  private def unb64(s: String): Option[String] =
+    if (s == "-") None
+    else Some(new String(Base64.getDecoder.decode(s), StandardCharsets.UTF_8))
+
+  private def persist(cat: Catalog, name: String, rows: Seq[Row]): Unit = {
+    val body = rows.map { r =>
+      Seq(r.getInt(0), r.getString(1), r.getString(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getLong(6),
+        Option(r.getString(7)).map(b64).getOrElse("-"),
+        Option(r.getString(8)).map(b64).getOrElse("-"),
+        if (r.isNullAt(9)) "-" else r.getDouble(9).toString).mkString("\t")
+    }.mkString("\n")
+    val tmp = cat.catalogDir.resolve(
+      s"$name.stats.tmp-${ProcessHandle.current.pid}-${System.nanoTime()}")
+    Files.writeString(tmp, body)
+    Files.move(tmp, statsFile(cat, name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}

@@ -645,6 +645,40 @@ object AqlQueries {
       (s, dir) => search("SEARCH [] ON docs_clone")(s, dir)
     },
 
+    // ANALYZE CONTAINER (graft extension): per-column statistics in one
+    // aggregation pass (rows, nulls, exact distinct, min/max rendered as
+    // strings, avg length for TEXT) — the oracle recomputes every
+    // column's stats declaratively in DuckDB.
+    Q("aql_analyze_stats",
+      """SELECT * FROM (
+        |  SELECT 1 AS ordinal, 'doc_id' AS col_name, 'BIGINT' AS col_type,
+        |         0 AS analyzed_version, count(*) AS n_rows,
+        |         count(*) - count(doc_id) AS n_nulls,
+        |         count(DISTINCT doc_id) AS n_distinct,
+        |         CAST(min(doc_id) AS VARCHAR) AS min_value,
+        |         CAST(max(doc_id) AS VARCHAR) AS max_value,
+        |         CAST(NULL AS DOUBLE) AS avg_len
+        |  FROM documents
+        |  UNION ALL SELECT 2, 'text', 'TEXT', 0, count(*),
+        |         count(*) - count(text), count(DISTINCT text),
+        |         CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR),
+        |         avg(length(text)) FROM documents
+        |  UNION ALL SELECT 3, 'lang', 'TEXT', 0, count(*),
+        |         count(*) - count(lang), count(DISTINCT lang),
+        |         CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR),
+        |         avg(length(lang)) FROM documents
+        |  UNION ALL SELECT 4, 'source', 'TEXT', 0, count(*),
+        |         count(*) - count(source), count(DISTINCT source),
+        |         CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR),
+        |         avg(length(source)) FROM documents
+        |  UNION ALL SELECT 5, 'n_chars', 'BIGINT', 0, count(*),
+        |         count(*) - count(n_chars), count(DISTINCT n_chars),
+        |         CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR),
+        |         CAST(NULL AS DOUBLE) FROM documents
+        |) ORDER BY ordinal""".stripMargin) {
+      (s, dir) => search("ANALYZE CONTAINER documents")(s, dir)
+    },
+
     // RESTORE CONTAINER (graft extension): the destructive v2 commit is
     // undone by republishing v1's content as v3 (hard-linked, zero-copy),
     // and the restored tip stays a normal writable container (v4 adds a

@@ -1,0 +1,80 @@
+package graft.catalog
+
+import graft.TestSpark
+import graft.aql.Engine
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANALYZE CONTAINER / SHOW STATS: per-column statistics computed in one
+  * aggregation pass, persisted in the catalog pinned to the analyzed
+  * version, invalidated by schema ALTERs, removed with the container.
+  */
+class StatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def fixture(tag: String) = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-stats-$tag")
+    val eng = new Engine(spark, dir.toString)
+    eng.execute("CREATE CONTAINER s ['id','txt','n'] [INT, TEXT, BIGINT]")
+    eng.execute("CREATE ROW ['id','txt','n'] [1, 'alpha', 10] ON s")
+    eng.execute("CREATE ROW ['id','txt','n'] [2, 'beta', 10] ON s")
+    eng.execute("CREATE ROW ['id','txt'] [3, 'alpha'] ON s") // n NULL
+    eng.execute("COMMIT s") // v1
+    (eng, dir)
+  }
+
+  private def statRows(eng: Engine, aql: String) =
+    eng.orderedResult(eng.execute(aql)
+      .asInstanceOf[Engine.ResultSet].cursorId).get.collect()
+
+  test("ANALYZE computes per-column stats; SHOW STATS serves the persisted copy") {
+    val (eng, dir) = fixture("basic")
+    val rows = statRows(eng, "ANALYZE CONTAINER s")
+    assert(rows.length == 3)
+    val byName = rows.map(r => r.getString(1) -> r).toMap
+    val id = byName("id")
+    assert(id.getInt(0) == 1 && id.getString(2) == "INT" && id.getInt(3) == 1)
+    assert(id.getLong(4) == 3 && id.getLong(5) == 0 && id.getLong(6) == 3)
+    assert(id.getString(7) == "1" && id.getString(8) == "3" && id.isNullAt(9))
+    val txt = byName("txt")
+    assert(txt.getLong(6) == 2, "distinct over ['alpha','beta','alpha']")
+    assert(txt.getString(7) == "alpha" && txt.getString(8) == "beta")
+    assert(math.abs(txt.getDouble(9) - (5 + 4 + 5) / 3.0) < 1e-9)
+    val n = byName("n")
+    assert(n.getLong(5) == 1 && n.getLong(6) == 1, "one NULL, one distinct value")
+    assert(n.getString(7) == "10" && n.getString(8) == "10" && n.isNullAt(9))
+    // SHOW STATS round-trips the persisted file — including through a
+    // fresh session (restart)
+    assert(statRows(eng, "SHOW STATS s").map(_.toSeq).toSeq ==
+      rows.map(_.toSeq).toSeq)
+    val eng2 = new Engine(spark, dir.toString)
+    assert(statRows(eng2, "SHOW STATS s").map(_.toSeq).toSeq ==
+      rows.map(_.toSeq).toSeq)
+  }
+
+  test("stats are pinned to the analyzed version; staleness is visible, re-ANALYZE refreshes") {
+    val (eng, _) = fixture("stale")
+    statRows(eng, "ANALYZE CONTAINER s")
+    eng.execute("CREATE ROW ['id','txt','n'] [4, 'gamma', 7] ON s")
+    eng.execute("COMMIT s") // v2
+    // persisted stats still describe v1
+    val shown = statRows(eng, "SHOW STATS s")
+    assert(shown.forall(r => r.getInt(3) == 1 && r.getLong(4) == 3))
+    val fresh = statRows(eng, "ANALYZE CONTAINER s")
+    assert(fresh.forall(r => r.getInt(3) == 2 && r.getLong(4) == 4))
+  }
+
+  test("SHOW STATS before ANALYZE errors; ALTER invalidates; DROP cleans up") {
+    val (eng, dir) = fixture("lifecycle")
+    val e = intercept[graft.aql.ParseException](eng.execute("SHOW STATS s"))
+    assert(e.getMessage.contains("ANALYZE"))
+    statRows(eng, "ANALYZE CONTAINER s")
+    // a schema ALTER invalidates (stats describe the old column set)
+    eng.execute("ALTER CONTAINER s RENAME COLUMN ['txt','body']")
+    intercept[graft.aql.ParseException](eng.execute("SHOW STATS s"))
+    val renamed = statRows(eng, "ANALYZE CONTAINER s")
+    assert(renamed.map(_.getString(1)).toSeq == Seq("id", "body", "n"))
+    eng.execute("DELETE CONTAINER s")
+    assert(!java.nio.file.Files.exists(
+      dir.resolve("catalog").resolve("s.stats")))
+  }
+}
