@@ -608,6 +608,14 @@ object Parser {
             atoms += Cond(name(colTok), "IN", sc); rest = tl
           case colTok :: Keyword("NOT") :: Keyword("IN") :: (sc: SubCommand) :: tl =>
             atoms += Cond(name(colTok), "NOT IN", sc); rest = tl
+          // graft extension: `col [NOT] IN [lit, lit, …]` literal lists —
+          // a plain scalar predicate (SQL three-valued IN semantics), so
+          // unlike the subquery form it composes inside OR chains and in
+          // EDIT/DELETE predicates
+          case colTok :: Keyword("IN") :: (g: Group) :: tl =>
+            atoms += Cond(name(colTok), "IN LIST", g); rest = tl
+          case colTok :: Keyword("NOT") :: Keyword("IN") :: (g: Group) :: tl =>
+            atoms += Cond(name(colTok), "NOT IN LIST", g); rest = tl
           case colTok :: Op(op) :: value :: tl =>
             // graft extension: an arithmetic RHS (`col OP a * b + c`)
             // when value is followed by space-separated + - * / connectors

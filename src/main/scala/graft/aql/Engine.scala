@@ -1399,6 +1399,20 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
   private def lowerCond(c: Ast.Cond, d: Catalog#ContainerDef): Column = {
     if (c.op == "IN" || c.op == "NOT IN") // join lowering exists only on the SEARCH path
       throw new ParseException(s"${c.op} (SEARCH …) is only supported in a SEARCH WHERE")
+    if (c.op == "IN LIST" || c.op == "NOT IN LIST") {
+      // literal lists lower to a plain isin predicate — codegen'd,
+      // pushdown-eligible (parquet In filter), SQL 3VL semantics on
+      // either polarity; each literal coerces through the cast matrix
+      // like any comparison literal (P5)
+      val (colName, colType) = d.columns.find(_._1.equalsIgnoreCase(c.column))
+        .getOrElse(throw new ParseException(s"Unknown column ${c.column}"))
+      val items = c.value.asInstanceOf[Token.Group].items
+      if (items.isEmpty)
+        throw new ParseException(s"IN list on '$colName' needs at least one literal")
+      val vals = items.map(t => AlbaType.coerce(colType, AlbaType.tokenValue(t)))
+      val base = col(colName).isin(vals: _*)
+      return if (c.op == "NOT IN LIST") !base else base
+    }
     // arithmetic LHS (`a + b > c`): both sides lower as expressions;
     // comparison operators only
     if (c.lhs.isDefined) {

@@ -645,6 +645,28 @@ object AqlQueries {
       (s, dir) => search("SEARCH [] ON docs_clone")(s, dir)
     },
 
+    // literal IN lists (graft extension): a plain scalar predicate with
+    // SQL three-valued semantics — coerced through the cast matrix and
+    // pushdown-eligible (parquet In filter), unlike the subquery form.
+    Q("aql_search_in_list",
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang IN ('en','de')
+        |ORDER BY doc_id, lang, n_chars""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [doc_id, lang, n_chars] ON documents WHERE lang IN ['en','de']")(s, dir)
+    },
+
+    // the list form composes inside OR chains and with NOT — exactly what
+    // the subquery IN (an AND-only semi/anti join) cannot do.
+    Q("aql_search_in_list_or",
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang IN ('fr','ja') OR (n_chars > 450 AND doc_id NOT IN (1,2,3))
+        |ORDER BY doc_id, lang, n_chars""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [doc_id, lang, n_chars] ON documents " +
+          "WHERE lang IN ['fr','ja'] OR n_chars > 450 AND doc_id NOT IN [1,2,3]")(s, dir)
+    },
+
     // ANALYZE CONTAINER (graft extension): per-column statistics in one
     // aggregation pass (rows, nulls, exact distinct, min/max rendered as
     // strings, avg length for TEXT) — the oracle recomputes every

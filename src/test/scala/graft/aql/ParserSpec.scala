@@ -86,6 +86,18 @@ class ParserSpec extends AnyFunSuite {
     intercept[ParseException](Parser.parse("CLONE CONTAINER a"))
   }
 
+  test("literal IN list predicates (list-membership extension)") {
+    val s = Parser.parse("SEARCH [a] ON c WHERE a IN [1, 2] AND b NOT IN ['x']")
+      .asInstanceOf[Search]
+    val w = s.where.get
+    assert(w.atoms.map(_.op) == List("IN LIST", "NOT IN LIST"))
+    assert(w.atoms.head.value == Token.Group(List(Token.IntLit(1), Token.IntLit(2))))
+    // the subquery form still parses as the join-lowered op
+    val sub = Parser.parse("SEARCH [a] ON c WHERE a IN (SEARCH [a] ON d)")
+      .asInstanceOf[Search]
+    assert(sub.where.get.atoms.head.op == "IN")
+  }
+
   test("RESTORE CONTAINER form (version restore extension)") {
     assert(Parser.parse("RESTORE CONTAINER a TO VERSION 3") == RestoreContainer("a", 3))
     intercept[ParseException](Parser.parse("RESTORE CONTAINER a"))
