@@ -170,6 +170,50 @@ object DocumentStreams {
         if (!batch.isEmpty) { catalog.append(container, batch); () }
       }
 
+  /** Upserting ingest — the CDC-consumer shape: each micro-batch lands as
+    * one atomic pk-keyed MERGE (`Tx.mergeRows` — matched pks update their
+    * mentioned columns, misses insert) instead of a blind append, so a
+    * stream of entity UPDATES (change events, late corrections,
+    * re-crawled documents) maintains one row per key. The standard
+    * Delta/Iceberg `foreachBatch + MERGE` idiom on the COW commit
+    * protocol: each merge rewrites only the pk-range files its keys
+    * touch, misses append, the rest hard-links — micro-batch cost scales
+    * with the batch's key spread, not the container.
+    *
+    * Unlike append ingest, REPLAY CONVERGES: upserting the same batch
+    * twice is a no-op second time (same keys, same values), so the
+    * at-least-once foreachBatch contract yields exactly-once STATE with
+    * no downstream dedup.
+    *
+    * `orderCol`: when a batch can carry several events per key, the row
+    * with the greatest `orderCol` wins (remaining columns break ties
+    * deterministically); without it, duplicate keys in one batch are an
+    * error (`mergeRows`' ambiguity stance).
+    */
+  def upsertIngestToCatalog(rows: DataFrame, catalog: graft.catalog.Catalog,
+      container: String, orderCol: Option[String] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val pk = catalog.get(container).primaryKey
+          val src = orderCol match {
+            case Some(oc) =>
+              val others = batch.columns.filter(c => c != pk && c != oc)
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(col(pk))
+                .orderBy(col(oc).desc +: others.map(col(_).asc): _*)
+              val rn = Iterator.iterate("__rn")(_ + "_")
+                .dropWhile(batch.columns.contains).next()
+              batch.withColumn(rn, row_number().over(w))
+                .filter(col(rn) === 1).drop(rn)
+            case None => batch
+          }
+          new graft.catalog.Tx(catalog).mergeRows(container, src)
+          ()
+        }
+      }
+
   /** Deduplicating ingest: [[ingestToCatalog]] with a near-dup GATE served
     * by the container's commit-maintained lsh index — each micro-batch
     * drops exact and verified near-duplicates of the ENTIRE already-

@@ -303,6 +303,54 @@ class StreamingSpec extends AnyFunSuite {
       "index-served BM25 over streamed ingest must equal the full-scan baseline")
   }
 
+  test("streaming upsert ingest merges per key; replay converges to the same state") {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft-upsert-cat")
+    val cat = new graft.catalog.Catalog(spark, root.toString)
+    cat.create("ud", List("doc_id" -> graft.aql.AlbaType.of("BIGINT"),
+      "rev" -> graft.aql.AlbaType.of("BIGINT"),
+      "text" -> graft.aql.AlbaType.of("TEXT")))
+    import spark.implicits._
+    cat.overwrite("ud", Seq((1L, 0L, "seed1"), (2L, 0L, "seed2"))
+      .toDF("doc_id", "rev", "text")) // v1
+
+    // two micro-batches: batch 1 updates key 1 + inserts 10 (with an
+    // intra-batch duplicate on key 10 — rev 2 must win); batch 2 updates
+    // key 10 again and inserts 11
+    val src = java.nio.file.Files.createTempDirectory("graft-upsert-src")
+    Seq((1L, 1L, "one-v1"), (10L, 1L, "ten-v1"), (10L, 2L, "ten-v2"))
+      .toDF("doc_id", "rev", "text").coalesce(1)
+      .write.mode("append").parquet(src.toString)
+    Seq((10L, 3L, "ten-v3"), (11L, 1L, "eleven"))
+      .toDF("doc_id", "rev", "text").coalesce(1)
+      .write.mode("append").parquet(src.toString)
+
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("rev", LongType), StructField("text", StringType)))
+    def run(ckpt: java.nio.file.Path): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src.toString)
+      val q = DocumentStreams.upsertIngestToCatalog(stream, cat, "ud", Some("rev"))
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(java.nio.file.Files.createTempDirectory("graft-upsert-ckpt"))
+
+    def state() = cat.read("ud").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val expected = Map(
+      1L -> (1L, "one-v1"), 2L -> (0L, "seed2"),
+      10L -> (3L, "ten-v3"), 11L -> (1L, "eleven"))
+    assert(state() == expected, "per-key last-rev-wins merge state")
+    val vAfter = cat.currentVersion("ud")
+    assert(vAfter == 3, "one MERGE commit per micro-batch on top of the seed")
+
+    // at-least-once REPLAY: a fresh checkpoint re-delivers every batch;
+    // the upsert converges to the same state (same keys, same values)
+    run(java.nio.file.Files.createTempDirectory("graft-upsert-ckpt2"))
+    assert(state() == expected, "replayed upserts must converge")
+  }
+
   test("streaming image decode equals the batch decode; corrupt payloads quarantined mid-stream") {
     import graft.operators.Multimodal
     // stage the synthesized real-image corpus plus corrupt rows as TWO
