@@ -231,7 +231,11 @@ object Ast {
   final case class Vacuum(container: String, keepLast: Int) extends Stmt
   /** graft extension: compact the fragmented current version into a
     * pk-range-clustered new version (the COW-commit maintenance op). */
-  final case class Optimize(container: String, targetFiles: Option[Int]) extends Stmt
+  /** `zorderBy` (graft extension `OPTIMIZE c [n] USING [cols]`): cluster
+    * the compacted files on the interleaved z value of 2–4 numeric
+    * columns instead of the pk range — multi-dimension file skipping. */
+  final case class Optimize(container: String, targetFiles: Option[Int],
+      zorderBy: List[String] = Nil) extends Stmt
   /** graft extension: change-data feed between two committed versions
     * (rows + `_change_type`), computed from the COW file-name delta.
     * `toVersion` None = the current version. */
@@ -962,12 +966,17 @@ object Parser {
       if (k < 1) throw new ParseException("VACUUM keepLast must be >= 1")
       Vacuum(name(containerTok), k.toInt)
 
-    // OPTIMIZE container [targetFiles] (graft extension)
+    // OPTIMIZE container [targetFiles] [USING [zcols]] (graft extension)
     case Keyword("OPTIMIZE") :: containerTok :: Nil =>
       Optimize(name(containerTok), None)
     case Keyword("OPTIMIZE") :: containerTok :: IntLit(n) :: Nil =>
       if (n < 1) throw new ParseException("OPTIMIZE target file count must be >= 1")
       Optimize(name(containerTok), Some(n.toInt))
+    case Keyword("OPTIMIZE") :: containerTok :: Keyword("USING") :: (g: Group) :: Nil =>
+      Optimize(name(containerTok), None, g.items.map(name))
+    case Keyword("OPTIMIZE") :: containerTok :: IntLit(n) :: Keyword("USING") :: (g: Group) :: Nil =>
+      if (n < 1) throw new ParseException("OPTIMIZE target file count must be >= 1")
+      Optimize(name(containerTok), Some(n.toInt), g.items.map(name))
 
     // CHANGES container fromVersion [toVersion] (graft extension): the
     // change-data feed between two committed versions — a SEARCH-shaped

@@ -303,12 +303,13 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       catalog.vacuum(c, keep)
       Done(s"vacuumed $c: ${before - catalog.versions(c).length} version(s) removed")
 
-    case Ast.Optimize(c, target) =>
+    case Ast.Optimize(c, target, zcols) =>
       catalog.get(c) // existence check
-      val (before, after, published) = catalog.optimize(c, target)
+      val (before, after, published) = catalog.optimize(c, target, zcols)
       // same content-neutral skip as the auto-OPTIMIZE hook
       fastForwardViewTails(c, published)
-      Done(s"optimized $c: $before file(s) -> $after file(s) " +
+      val how = if (zcols.isEmpty) "" else s" z-ordered by [${zcols.mkString(",")}]"
+      Done(s"optimized $c: $before file(s) -> $after file(s)$how " +
         s"(version ${catalog.currentVersion(c)})")
 
     case Ast.CreateView(v, q) =>

@@ -1055,11 +1055,60 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     * published version lets CDC consumers skip the content-neutral
     * compaction window instead of diffing a full rewrite that nets zero.
     */
-  def optimize(name: String, targetFiles: Option[Int] = None): (Int, Int, Int) = {
+  /** Z-order clustering value for `cols` (2–4 numeric columns): each
+    * column rank-normalizes to an 8-bit bucket id via approx-quantile
+    * boundaries (one driver-side boundary array per column — bounded
+    * metadata, the Delta OPTIMIZE ZORDER shape), and the bucket ids'
+    * bits interleave into one integer whose range order is the Z-curve.
+    * Files clustered on it carry tight per-file min/max on EVERY z
+    * column, so predicates on any of them skip files — multi-dimension
+    * data skipping without a secondary index. The bucket lookup is
+    * `aggregate` over a literal boundary array (codegen'd, no UDF);
+    * quantile buckets keep skewed distributions balanced where linear
+    * min/max scaling would collapse.
+    */
+  private def zOrderValue(df: DataFrame,
+      cols: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val bits = 8
+    val buckets = 1 << bits
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds = df.stat.approxQuantile(cols.toArray, probs, 0.01)
+    val bucketCols = cols.zip(bounds).map { case (c, bs) =>
+      // duplicate quantiles (heavy values) collapse to one boundary
+      val arr = array(bs.distinct.sorted.map(lit(_)).toSeq: _*)
+      val rank = aggregate(arr, lit(0), (acc, b) =>
+        acc + when(col(c).cast("double") >= b, 1).otherwise(0))
+      when(col(c).isNull, 0).otherwise(least(rank, lit(buckets - 1)))
+    }
+    val k = cols.length
+    val terms = for {
+      i <- 0 until bits
+      (bc, j) <- bucketCols.zipWithIndex
+    } yield shiftleft(shiftright(bc, i).bitwiseAND(lit(1)), i * k + j)
+    terms.reduce(_ + _)
+  }
+
+  def optimize(name: String, targetFiles: Option[Int] = None,
+      zorderBy: Seq[String] = Nil): (Int, Int, Int) = {
     import org.apache.spark.sql.functions.col
     targetFiles.foreach(t =>
       require(t >= 1, s"OPTIMIZE $name: target file count must be >= 1, got $t"))
     val pk = get(name).primaryKey
+    // resolve + validate z columns once: numeric, known, 2–4, distinct
+    val zcols = zorderBy.map { c =>
+      val (n, t) = get(name).columns.find(_._1.equalsIgnoreCase(c))
+        .getOrElse(throw new IllegalArgumentException(
+          s"OPTIMIZE $name USING: unknown column '$c'"))
+      require(t.isNumeric,
+        s"OPTIMIZE $name USING: column '$n' ($t) is not numeric — z-order " +
+          "buckets need an ordered domain")
+      n
+    }
+    require(zcols.isEmpty || (zcols.size >= 2 && zcols.size <= 4),
+      s"OPTIMIZE $name USING takes 2 to 4 columns, got ${zcols.size}")
+    require(zcols.distinct.size == zcols.size,
+      s"OPTIMIZE $name USING: duplicate columns in ${zcols.mkString(",")}")
     // CAS like any commit — NOT overwrite(): optimize rewrites content it
     // has already read, so publishing above a concurrently-committed
     // version would silently drop that commit's rows. Losing the claim
@@ -1089,8 +1138,19 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
         val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
         (bytes / (128L << 20)).toInt.max(1)
       }
-      done = tryCommit(name, base,
-        df.repartitionByRange(n, col(pk)).sortWithinPartitions(pk))
+      val clustered =
+        if (zcols.isEmpty)
+          df.repartitionByRange(n, col(pk)).sortWithinPartitions(pk)
+        else {
+          // cluster on the interleaved z value, then drop it — the
+          // projection after the sort is narrow, so partitioning and
+          // intra-partition order survive into the write
+          val zc = Iterator.iterate("__z")(_ + "_")
+            .dropWhile(df.columns.contains).next()
+          df.withColumn(zc, zOrderValue(df, zcols))
+            .repartitionByRange(n, col(zc)).sortWithinPartitions(zc).drop(zc)
+        }
+      done = tryCommit(name, base, clustered)
       published = base + 1
     }
     // count THIS call's published version — under a race the pointer may

@@ -195,6 +195,12 @@ object AqlQueries {
       eng.execute("RESTORE CONTAINER docs_rst TO VERSION 1")
       eng.execute("CREATE ROW ['doc_id','n_chars'] [900009, 42] ON docs_rst")
       eng.execute("COMMIT docs_rst")
+      // z-ordered container: OPTIMIZE ... USING re-clusters the files on
+      // the interleaved (n_chars, doc_id) z value — content-neutral, so
+      // the fixture oracle must read back exactly
+      eng.execute("CREATE CONTAINER docs_zo ['doc_id','n_chars'] [BIGINT, BIGINT]")
+      eng.catalog.overwrite("docs_zo", docs)
+      eng.execute("OPTIMIZE docs_zo 4 USING [n_chars, doc_id]")
       eng
     })
   }
@@ -699,6 +705,19 @@ object AqlQueries {
         |         CAST(NULL AS DOUBLE) FROM documents
         |) ORDER BY ordinal""".stripMargin) {
       (s, dir) => search("ANALYZE CONTAINER documents")(s, dir)
+    },
+
+    // OPTIMIZE … USING (graft extension): z-order re-clustering is
+    // content-neutral — the files move, the rows don't. A range predicate
+    // on the SECONDARY dimension serves from the re-clustered layout
+    // (ZOrderSpec pins that it prunes files; here the oracle pins the
+    // answer is still exactly right).
+    Q("aql_zorder_scan",
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE n_chars > 400
+        |ORDER BY doc_id, n_chars""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [doc_id, n_chars] ON docs_zo WHERE n_chars > 400")(s, dir)
     },
 
     // RESTORE CONTAINER (graft extension): the destructive v2 commit is

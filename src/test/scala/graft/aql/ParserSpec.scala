@@ -98,6 +98,13 @@ class ParserSpec extends AnyFunSuite {
     assert(sub.where.get.atoms.head.op == "IN")
   }
 
+  test("OPTIMIZE ... USING forms (z-order extension)") {
+    assert(Parser.parse("OPTIMIZE c USING [a, b]") == Optimize("c", None, List("a", "b")))
+    assert(Parser.parse("OPTIMIZE c 8 USING [a, b]")
+      == Optimize("c", Some(8), List("a", "b")))
+    intercept[ParseException](Parser.parse("OPTIMIZE c 0 USING [a, b]"))
+  }
+
   test("RESTORE CONTAINER form (version restore extension)") {
     assert(Parser.parse("RESTORE CONTAINER a TO VERSION 3") == RestoreContainer("a", 3))
     intercept[ParseException](Parser.parse("RESTORE CONTAINER a"))

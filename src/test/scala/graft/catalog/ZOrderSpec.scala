@@ -1,0 +1,64 @@
+package graft.catalog
+
+import graft.TestSpark
+import graft.aql.Engine
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** OPTIMIZE … USING [cols] — z-order clustering: files carry tight
+  * min/max on EVERY clustered column, so a predicate on the secondary
+  * dimension skips files that pk-range clustering has to read. Content
+  * neutral like any OPTIMIZE.
+  */
+class ZOrderSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("z-order skips files on the secondary dimension; content is unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder")
+    val eng = new Engine(spark, dir.toString)
+    val cat = eng.catalog
+    eng.execute("CREATE CONTAINER z ['a','b'] [BIGINT, BIGINT]")
+    import spark.implicits._
+    // b is uniform and independent of a — the adversarial case for
+    // pk-range clustering, the motivating case for z-order
+    val rows = (0L until 4096L).map(a => (a, (a * 2654435761L) % 4096L))
+    cat.overwrite("z", rows.toDF("a", "b")) // v1
+
+    def filesHit(): Long =
+      cat.read("z").filter(col("b") < 256L)
+        .select(input_file_name()).distinct().count()
+
+    eng.execute("OPTIMIZE z 8") // v2: pk-range clustered
+    val pkClustered = filesHit()
+    assert(pkClustered >= 7, s"independent b spreads over every pk file, got $pkClustered")
+
+    eng.execute("OPTIMIZE z 8 USING [a, b]") // v3: z-ordered
+    val zClustered = filesHit()
+    assert(cat.versionFileCount("z", cat.currentVersion("z")) == 8)
+    assert(zClustered <= 4,
+      s"a b-slab predicate must prune z-ordered files, got $zClustered of 8")
+
+    // content neutrality: the z-ordered version holds exactly the rows
+    val back = cat.read("z").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(back == rows.toSet)
+    // CDC sees the compaction as content-neutral (like any OPTIMIZE)
+    assert(cat.changes("z", 2, Some(3)).isEmpty)
+  }
+
+  test("z-order guards: column count, unknown and non-numeric columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder-g")
+    val eng = new Engine(spark, dir.toString)
+    val cat = eng.catalog
+    eng.execute("CREATE CONTAINER g ['id','txt','n'] [BIGINT, TEXT, BIGINT]")
+    import spark.implicits._
+    cat.overwrite("g", Seq((1L, "x", 2L)).toDF("id", "txt", "n"))
+    assert(intercept[IllegalArgumentException](
+      eng.execute("OPTIMIZE g USING [id]")).getMessage.contains("2 to 4"))
+    assert(intercept[IllegalArgumentException](
+      eng.execute("OPTIMIZE g USING [id, nope]")).getMessage.contains("unknown column"))
+    assert(intercept[IllegalArgumentException](
+      eng.execute("OPTIMIZE g USING [id, txt]")).getMessage.contains("not numeric"))
+    assert(intercept[IllegalArgumentException](
+      eng.execute("OPTIMIZE g USING [id, n, n]")).getMessage.contains("duplicate"))
+  }
+}
