@@ -1150,6 +1150,15 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       else defs.find(_.column.equalsIgnoreCase(c.column)).iterator
         .flatMap(idef => typedKey(c).map(k => (idef, k)))
     }.take(1).toList.headOption
+    // cost-based skip (ANALYZE stats): when the persisted stats say the
+    // indexed column's average rows-per-value already exceeds the probe
+    // cap, the probe job could only confirm unselectivity — go straight
+    // to the scan. Correctness-neutral either way (both paths return the
+    // same rows); without stats the probe itself is the decider, as ever.
+    if (eqHit.exists { case (idef, _) =>
+        graft.catalog.Stats.avgGroupSize(catalog, cname, idef.column)
+          .exists(_ > IndexProbeCap) })
+      return base
     val candidates: Option[DataFrame] = eqHit match {
       case Some((idef, key)) => Some(graft.catalog.Index
         .valueLookup(catalog, cname, idef, Seq(key), s.atVersion))

@@ -82,6 +82,27 @@ object Stats {
     relation(cat, rows)
   }
 
+  /** Average rows-per-value of `column` from the persisted stats (None
+    * if never analyzed or the column is unknown to them). The classic
+    * cost-model input (n_rows / n_distinct) for access-path choice: the
+    * engine skips a value-index probe whose average group already
+    * exceeds the probe cap. A stale estimate can only cost the probe or
+    * the prune, never correctness — both paths return the same rows.
+    */
+  def avgGroupSize(cat: Catalog, name: String, column: String): Option[Double] =
+    try {
+      val f = statsFile(cat, name)
+      if (!Files.exists(f)) None
+      else Files.readAllLines(f, StandardCharsets.UTF_8)
+        .toArray(Array.empty[String]).toSeq
+        .map(_.split("\t", -1))
+        .find(p => p.length > 6 && p(1).equalsIgnoreCase(column))
+        .flatMap { p =>
+          val ndv = p(6).toLong
+          if (ndv > 0) Some(p(4).toLong.toDouble / ndv) else None
+        }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** The persisted stats, or None if the container was never analyzed. */
   def readStats(cat: Catalog, name: String): Option[DataFrame] = {
     val f = statsFile(cat, name)

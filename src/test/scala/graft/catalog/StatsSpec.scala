@@ -63,6 +63,39 @@ class StatsSpec extends AnyFunSuite {
     assert(fresh.forall(r => r.getInt(3) == 2 && r.getLong(4) == 4))
   }
 
+  test("stats drive the value-index access path: an unselective estimate skips the probe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stats-ap")
+    java.nio.file.Files.writeString(
+      dir.resolve(graft.catalog.Settings.FileName), "index_probe_cap: 4\n")
+    val eng = new Engine(spark, dir.toString)
+    val cat = eng.catalog
+    eng.execute("CREATE CONTAINER ap ['id','tag'] [BIGINT, TEXT]")
+    import spark.implicits._
+    // v1: 2 distinct tags over 30 rows (avg group 15 > cap 4) — ANALYZE
+    // pins the unselective estimate
+    cat.overwrite("ap", (0L until 30L).map(i => (i, s"t${i % 2}")).toDF("id", "tag"))
+    eng.execute("CREATE INDEX vt ON ap ['tag'] USING value")
+    statRows(eng, "ANALYZE CONTAINER ap")
+    // v2: tags become UNIQUE — a probe would now prune (group size 1),
+    // but the engine must trust the stats and skip the index entirely
+    cat.overwrite("ap", (0L until 30L).map(i => (i, s"u$i")).toDF("id", "tag"))
+    def plan(): String = eng.execute("EXPLAIN SEARCH [id] ON ap WHERE tag = 'u7'")
+      .asInstanceOf[Engine.Done].message
+    // a 1-candidate prune lowers isin to EqualTo, so match either shape
+    def pruned(p: String): Boolean =
+      p.contains("id IN ") || p.contains("In(id") || p.contains("EqualTo(id,")
+    assert(!pruned(plan()),
+      s"stale-unselective stats must skip the probe:\n${plan()}")
+    // correctness unaffected by the skip
+    assert(eng.orderedResult(eng.execute("SEARCH [id] ON ap WHERE tag = 'u7'")
+      .asInstanceOf[Engine.ResultSet].cursorId).get
+      .collect().map(_.getLong(0)).toSeq == Seq(7L))
+    // re-ANALYZE: the estimate turns selective and the index serves again
+    statRows(eng, "ANALYZE CONTAINER ap")
+    assert(pruned(plan()),
+      s"selective stats must restore the index path:\n${plan()}")
+  }
+
   test("SHOW STATS before ANALYZE errors; ALTER invalidates; DROP cleans up") {
     val (eng, dir) = fixture("lifecycle")
     val e = intercept[graft.aql.ParseException](eng.execute("SHOW STATS s"))
