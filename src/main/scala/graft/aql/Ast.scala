@@ -316,6 +316,14 @@ object Parser {
 
   /** Version literal for CHANGES: no silent toInt wrap above 2^31-1
     * (same stance as the LIMIT guard). */
+  /** Overflow-safe OPTIMIZE target file count (no silent toInt wrap). */
+  private def optimizeTarget(n: Long): Int = {
+    if (n < 1 || n > Int.MaxValue)
+      throw new ParseException(
+        s"OPTIMIZE target file count must be in [1, ${Int.MaxValue}], got $n")
+    n.toInt
+  }
+
   private def changesVersion(v: Long, label: String): Int = {
     if (v < 0 || v > Int.MaxValue)
       throw new ParseException(
@@ -796,7 +804,11 @@ object Parser {
     case Keyword("RESTORE") :: Keyword("CONTAINER") :: nameTok :: rest =>
       rest match {
         case Keyword("TO") :: Keyword("VERSION") :: IntLit(v) :: Nil =>
-          if (v < 1) throw new ParseException("RESTORE TO VERSION must be >= 1")
+          // no silent toInt wrap: an overflowing literal would restore
+          // whichever version the wrap lands on — destructive from a typo
+          if (v < 1 || v > Int.MaxValue)
+            throw new ParseException(
+              s"RESTORE TO VERSION must be in [1, ${Int.MaxValue}], got $v")
           RestoreContainer(name(nameTok), v.toInt)
         case _ =>
           throw new ParseException("Expected `TO VERSION <n>` in RESTORE CONTAINER")
@@ -970,13 +982,11 @@ object Parser {
     case Keyword("OPTIMIZE") :: containerTok :: Nil =>
       Optimize(name(containerTok), None)
     case Keyword("OPTIMIZE") :: containerTok :: IntLit(n) :: Nil =>
-      if (n < 1) throw new ParseException("OPTIMIZE target file count must be >= 1")
-      Optimize(name(containerTok), Some(n.toInt))
+      Optimize(name(containerTok), Some(optimizeTarget(n)))
     case Keyword("OPTIMIZE") :: containerTok :: Keyword("USING") :: (g: Group) :: Nil =>
       Optimize(name(containerTok), None, g.items.map(name))
     case Keyword("OPTIMIZE") :: containerTok :: IntLit(n) :: Keyword("USING") :: (g: Group) :: Nil =>
-      if (n < 1) throw new ParseException("OPTIMIZE target file count must be >= 1")
-      Optimize(name(containerTok), Some(n.toInt), g.items.map(name))
+      Optimize(name(containerTok), Some(optimizeTarget(n)), g.items.map(name))
 
     // CHANGES container fromVersion [toVersion] (graft extension): the
     // change-data feed between two committed versions — a SEARCH-shaped

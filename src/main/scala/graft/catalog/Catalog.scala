@@ -189,11 +189,18 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
       if (stored == columns.map(_._1)) Nil else stored)
   }
 
+  /** Persisted ANALYZE statistics for `name` (written by
+    * [[graft.catalog.Stats]]; invalidated by schema ALTERs, removed with
+    * the container). One definition so the writers and the invalidation
+    * sites can never drift on the path. */
+  private[catalog] def statsFile(name: String): Path =
+    catDir.resolve(s"$name.stats")
+
   /** Serialize + atomically swap the schema file (shared by every ALTER). */
   private def writeSchema(name: String, d: ContainerDef): Unit = {
     // persisted column stats describe the OLD schema — invalidate rather
     // than serve stale columns (re-ANALYZE recomputes under the new one)
-    Files.deleteIfExists(catDir.resolve(s"$name.stats"))
+    Files.deleteIfExists(statsFile(name))
     val text = d.columns.zip(d.stored).map { case ((n, t), s) =>
       if (s == n) s"$n\t${t.name}" else s"$n\t${t.name}\t$s"
     }.mkString("\n")
@@ -375,7 +382,7 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     require(exists(name), s"Unknown container '$name'")
     indexDefs(name).foreach(d => Files.deleteIfExists(Index.metaFile(this, name, d.ix)))
     Files.deleteIfExists(droppedFile(name))
-    Files.deleteIfExists(catalogDir.resolve(s"$name.stats"))
+    Files.deleteIfExists(statsFile(name))
     Files.delete(schemaFile(name))
     if (Files.exists(versionFile(name))) Files.delete(versionFile(name))
     versions(name).foreach { v =>
@@ -755,7 +762,12 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
       Files.move(staging, decided, StandardCopyOption.ATOMIC_MOVE) // commit point
     } catch {
       case t: Throwable =>
-        Files.deleteIfExists(staging)
+        // the cleanup itself can fail on the same faulty disk — it must
+        // never replace the undecided signal with a raw throwable (the
+        // group-commit catch would misread that as PAST the commit point
+        // and clear the staged log of a transaction that never decided)
+        try Files.deleteIfExists(staging)
+        catch { case scala.util.control.NonFatal(c) => t.addSuppressed(c) }
         throw new Catalog.TxnUndecidedException(t)
     }
     // failures PAST the commit point leave the manifest in place: the
@@ -789,15 +801,22 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
       val lines =
         try Files.readAllLines(mf).asScala.toList
         catch { case scala.util.control.NonFatal(_) => Nil }
-      lines match {
-        case pidLine :: entries =>
-          (mf, pidLine.trim.toLongOption, entries.flatMap(_.split("\t") match {
-            case Array(n, s, tmpName) => s.toIntOption.map(slot => (n, slot, tmpName))
-            case _ => None
-          }))
-        case Nil => (mf, None, Nil)
-      }
+      val (pid, entries) = parseManifestBody(lines)
+      (mf, pid, entries)
     }
+  }
+
+  /** Manifest content → (committer pid, entries). Shared by
+    * [[parsedManifests]] and the corrupt-manifest re-check so the two
+    * can never drift on the format. */
+  private def parseManifestBody(lines: List[String])
+      : (Option[Long], Seq[(String, Int, String)]) = lines match {
+    case pidLine :: entries =>
+      (pidLine.trim.toLongOption, entries.flatMap(_.split("\t") match {
+        case Array(n, s, tmpName) => s.toIntOption.map(slot => (n, slot, tmpName))
+        case _ => None
+      }))
+    case Nil => (None, Nil)
   }
 
   /** True iff `pid` is this process or provably dead (Optional-empty =
@@ -819,12 +838,16 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
         // never turns true, yet slotDecided would keep counting any
         // parseable entries, blocking orphan-claim release at those
         // slots until every commit exhausts its retries. A TRANSIENT
-        // read failure must not GC a good manifest, so only a
-        // readable-but-malformed file is deleted.
-        val readable =
-          try { Files.readAllLines(mf); true }
-          catch { case scala.util.control.NonFatal(_) => false }
-        if (readable) Files.deleteIfExists(mf)
+        // read failure must not GC a good manifest, so re-read AND
+        // re-parse: only a file that reads fine yet STILL parses to
+        // garbage is corrupt (a bare re-read would delete a good
+        // manifest whose first read failed transiently).
+        val stillBad =
+          try {
+            val (p2, e2) = parseManifestBody(Files.readAllLines(mf).asScala.toList)
+            p2.isEmpty || e2.isEmpty
+          } catch { case scala.util.control.NonFatal(_) => false }
+        if (stillBad) Files.deleteIfExists(mf)
       } else if (pidRecoverable(pid)) {
         entries.foreach { case (n, slot, tmpName) =>
           val tmp = dataDir.resolve(tmpName)
@@ -1145,8 +1168,11 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
           // cluster on the interleaved z value, then drop it — the
           // projection after the sort is narrow, so partitioning and
           // intra-partition order survive into the write
+          // case-INSENSITIVE collision check: Spark's withColumn/drop
+          // resolve case-insensitively, so a user column `__Z` would be
+          // silently replaced and dropped by a case-sensitive guard
           val zc = Iterator.iterate("__z")(_ + "_")
-            .dropWhile(df.columns.contains).next()
+            .dropWhile(n => df.columns.exists(_.equalsIgnoreCase(n))).next()
           df.withColumn(zc, zOrderValue(df, zcols))
             .repartitionByRange(n, col(zc)).sortWithinPartitions(zc).drop(zc)
         }
@@ -1209,6 +1235,21 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
       deadTmps.filterNot(p => referenced(p.getFileName.toString))
         .foreach(deleteRecursively)
     }
+    // GC ANALYZE staging files abandoned by a crash between write and
+    // atomic move (`<name>.stats.tmp-<pid>-<nanos>` in the catalog dir
+    // — pure garbage: the swap never happened, nothing references them)
+    val statsTmpPat = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(name) + "\\.stats\\.tmp-(\\d+)-\\d+")
+    scala.util.Using.resource(Files.list(catDir)) { st =>
+      st.iterator().asScala.filter { p =>
+        val m = statsTmpPat.matcher(p.getFileName.toString)
+        m.matches() && m.group(1).toLongOption.exists { pid =>
+          pid != ProcessHandle.current.pid &&
+            ProcessHandle.of(pid).map[java.lang.Boolean](h => !h.isAlive)
+              .orElse(java.lang.Boolean.TRUE).booleanValue
+        }
+      }.toSeq
+    }.foreach(Files.deleteIfExists(_))
   }
 
   private[catalog] def deleteRecursively(p: Path): Unit =

@@ -44,14 +44,16 @@ object Stats {
     StructField("max_value", StringType, nullable = true),
     StructField("avg_len", DoubleType, nullable = true)))
 
-  private def statsFile(cat: Catalog, name: String) =
-    cat.catalogDir.resolve(s"$name.stats")
+  private def statsFile(cat: Catalog, name: String) = cat.statsFile(name)
 
   /** Compute, persist (atomic swap), and return the stats relation. */
   def analyze(cat: Catalog, name: String): DataFrame = {
     val d = cat.get(name)
     val v = cat.currentVersion(name)
-    val df = cat.read(name)
+    // read THE version being pinned — a commit racing between the
+    // pointer read and a pointer-resolving read() would persist v+1's
+    // numbers labeled as v's
+    val df = if (v > 0) cat.readVersion(name, v) else cat.read(name)
     val isText = d.columns.map { case (n, t) => n -> (t.spark == StringType) }.toMap
     val aggs = d.columns.flatMap { case (n, _) =>
       val c = col(n)
@@ -141,8 +143,15 @@ object Stats {
     }.mkString("\n")
     val tmp = cat.catalogDir.resolve(
       s"$name.stats.tmp-${ProcessHandle.current.pid}-${System.nanoTime()}")
-    Files.writeString(tmp, body)
-    Files.move(tmp, statsFile(cat, name), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    try {
+      Files.writeString(tmp, body)
+      Files.move(tmp, statsFile(cat, name), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } catch {
+      case t: Throwable =>
+        try Files.deleteIfExists(tmp)
+        catch { case scala.util.control.NonFatal(c) => t.addSuppressed(c) }
+        throw t
+    }
   }
 }

@@ -203,8 +203,9 @@ object DocumentStreams {
               val w = org.apache.spark.sql.expressions.Window
                 .partitionBy(col(pk))
                 .orderBy(col(oc).desc +: others.map(col(_).asc): _*)
+              // case-insensitive: withColumn/drop resolve that way
               val rn = Iterator.iterate("__rn")(_ + "_")
-                .dropWhile(batch.columns.contains).next()
+                .dropWhile(n => batch.columns.exists(_.equalsIgnoreCase(n))).next()
               batch.withColumn(rn, row_number().over(w))
                 .filter(col(rn) === 1).drop(rn)
             case None => batch
