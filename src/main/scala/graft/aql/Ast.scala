@@ -19,7 +19,8 @@ object Ast {
     final case class Bin(l: Operand, op: Char, r: Operand) extends Operand
     /** A scalar function over a column, `lower(name)` — usable as a
       * predicate side (graft extension). */
-    final case class Fn(fn: String, column: String) extends Operand
+    final case class Fn(fn: String, column: String,
+        args: List[Token] = Nil) extends Operand
   }
 
   /** One predicate atom: column OP literal (reference stores
@@ -164,7 +165,8 @@ object Ast {
   /** One scalar-function projection item, `fn(col)` with a non-aggregate
     * fn (graft extension). Output column is `fn_col`, like aggregates.
     */
-  final case class FnProj(fn: String, column: String)
+  final case class FnProj(fn: String, column: String,
+      args: List[Token] = Nil)
 
   /** One explicit sort item, `ORDER BY [col ASC|DESC, …]` (graft
     * extension). Ascending when `asc`.
@@ -384,12 +386,44 @@ object Parser {
 
   private val AggFns = Set("count", "sum", "avg", "min", "max", "median")
 
-  /** Scalar (per-row) functions accepted in the projection — the subset
-    * of the reference-era "what an AQL-only client can't reach" gap that
-    * a single-column signature covers. All lower to codegen'd built-ins.
+  /** Scalar (per-row) functions accepted in the projection. All lower to
+    * codegen'd built-ins. Most take one column; `substr`, `replace`, and
+    * two-arg `round` additionally take literal arguments after it,
+    * space-separated: `substr(text 1 40)`, `replace(lang 'en' 'EN')`,
+    * `round(price 2)`.
     */
   private val ScalarFns = Set("lower", "upper", "length", "abs", "round",
-    "floor", "ceil", "trim")
+    "floor", "ceil", "trim", "substr", "replace")
+
+  /** Validate a scalar fn's literal arguments (the tokens after its
+    * column). Overflow-safe: substr positions stay in Int range, and a
+    * negative start/len is rejected up front — DuckDB and Spark diverge
+    * on negative-position semantics, so the portable subset is the
+    * defined one.
+    */
+  private def fnArgs(fn: String, rest: List[Token]): List[Token] = (fn, rest) match {
+    case ("substr", List(IntLit(st), IntLit(len))) =>
+      if (st < 1 || st > Int.MaxValue)
+        throw new ParseException(s"substr start must be in [1, ${Int.MaxValue}], got $st")
+      if (len < 0 || len > Int.MaxValue)
+        throw new ParseException(s"substr length must be in [0, ${Int.MaxValue}], got $len")
+      rest
+    case ("substr", other) =>
+      throw new ParseException(s"substr takes (column start len), got $other")
+    case ("replace", List(Str(_), Str(_))) => rest
+    case ("replace", other) =>
+      throw new ParseException(s"replace takes (column 'find' 'replacement'), got $other")
+    case ("round", Nil) => Nil
+    case ("round", List(IntLit(d))) =>
+      if (d < 0 || d > 15)
+        throw new ParseException(s"round digits must be in [0, 15], got $d")
+      rest
+    case ("round", other) =>
+      throw new ParseException(s"round takes (column [digits]), got $other")
+    case (_, Nil) => Nil
+    case (_, other) =>
+      throw new ParseException(s"Function $fn takes exactly one column, got extra $other")
+  }
 
   /** SEARCH projection: plain column names, `fn(col)` aggregate items
     * (a name token immediately followed by a one-token subcommand), and
@@ -467,9 +501,9 @@ object Parser {
           case fnTok :: SubCommand(inner) :: tl =>
             val fn = name(fnTok).toLowerCase
             if (ScalarFns.contains(fn)) inner match {
-              case List(one) => fns += FnProj(fn, name(one)); rest = tl
-              case other => throw new ParseException(
-                s"Function $fn takes exactly one column, got $other")
+              case one :: more => fns += FnProj(fn, name(one), fnArgs(fn, more)); rest = tl
+              case Nil => throw new ParseException(
+                s"Function $fn takes a column argument")
             }
             else if (!AggFns.contains(fn))
               throw new ParseException(
@@ -485,9 +519,10 @@ object Parser {
               // aggregate over a scalar fn — sum(length(text)),
               // min(lower(lang)) (graft extension); the engine gates
               // sum/avg/median to numeric-RESULT fns
-              case List(sfnTok, SubCommand(List(one)))
+              case List(sfnTok, SubCommand(one :: more))
                   if ScalarFns.contains(name(sfnTok).toLowerCase) && fn != "count" =>
-                val e = Operand.Fn(name(sfnTok).toLowerCase, name(one))
+                val sfn = name(sfnTok).toLowerCase
+                val e = Operand.Fn(sfn, name(one), fnArgs(sfn, more))
                 aggs += AggProj(fn, exprName(e), expr = Some(e)); rest = tl
               // aggregate over arithmetic — sum(price * disc) (graft
               // extension). count() keeps the single-column spelling:
@@ -525,7 +560,7 @@ object Parser {
       f.toString.replace("-", "m").replace(".", "p")
     case Operand.Leaf(t) => throw new ParseException(
       s"Unsupported token in computed projection: $t")
-    case Operand.Fn(fn, c) => s"${fn}_${c.toLowerCase}"
+    case Operand.Fn(fn, c, _) => s"${fn}_${c.toLowerCase}"
     case Operand.Bin(l, op, r) =>
       val w = op match {
         case '+' => "plus"; case '-' => "minus"; case '*' => "mul"; case '/' => "div"
@@ -637,10 +672,11 @@ object Parser {
             rest = tl2
           // graft extension: scalar function on the LEFT predicate side
           // (`lower(name) = 'x'`, `length(text) > 100`)
-          case fnTok :: SubCommand(List(one)) :: Op(op) :: value :: tl
+          case fnTok :: SubCommand(one :: more) :: Op(op) :: value :: tl
               if ScalarFns.contains(name(fnTok).toLowerCase) =>
             val (rExpr, tl2) = parseArith(value, tl)
-            val lExpr = Operand.Fn(name(fnTok).toLowerCase, name(one))
+            val sfn = name(fnTok).toLowerCase
+            val lExpr = Operand.Fn(sfn, name(one), fnArgs(sfn, more))
             atoms += Cond(exprName(lExpr), op, value,
               rhs = Some(rExpr).filterNot(_ == Operand.Leaf(value)),
               lhs = Some(lExpr))

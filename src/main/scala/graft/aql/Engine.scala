@@ -815,7 +815,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         }
         val fnCols = s.fns.map { f =>
           val cn = resolveNames(unioned, List(f.column)).head
-          scalarFn(f.fn, cn, unioned.schema(cn).dataType)
+          scalarFn(f.fn, cn, unioned.schema(cn).dataType, f.args)
             .as(s"${f.fn}_${f.column.toLowerCase}")
         }
         val plainNames = resolveNames(unioned, s.projection)
@@ -917,7 +917,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         val exprKeys = s.exprs.map(e => lowerOperand(e.expr, dKeys).as(e.name))
         val fnKeys = s.fns.map { f =>
           val cn = resolveNames(unioned, List(f.column)).head
-          scalarFn(f.fn, cn, unioned.schema(cn).dataType)
+          scalarFn(f.fn, cn, unioned.schema(cn).dataType, f.args)
             .as(s"${f.fn}_${f.column.toLowerCase}")
         }
         val keys = keyNames.map(col) ++ exprKeys ++ fnKeys
@@ -944,7 +944,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
               e match {
                 // scalar-fn argument: scalarFn enforces the INPUT type;
                 // sum/avg/median additionally need a numeric RESULT
-                case Ast.Operand.Fn(sfn, _) =>
+                case Ast.Operand.Fn(sfn, _, _) =>
                   if (Seq("sum", "avg", "median").contains(a.fn) &&
                       !Seq("length", "abs", "round", "floor", "ceil").contains(sfn))
                     throw new ParseException(
@@ -1431,7 +1431,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       // a string-result fn LHS (lower/upper/trim) keeps reference literal
       // semantics, same rule as plain string columns
       val lhsIsString = c.lhs.get match {
-        case Ast.Operand.Fn(fn, _) => Set("lower", "upper", "trim").contains(fn)
+        case Ast.Operand.Fn(fn, _, _) =>
+          Set("lower", "upper", "trim", "substr", "replace").contains(fn)
         case _ => false
       }
       val v = c.rhs.map(lowerOperand(_, d)).getOrElse(c.value match {
@@ -1520,7 +1521,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
   private def operandLeafNames(o: Ast.Operand): List[String] = o match {
     case Ast.Operand.Leaf(Token.Str(w)) => List(w)
     case Ast.Operand.Leaf(_) => Nil
-    case Ast.Operand.Fn(_, c) => List(c)
+    case Ast.Operand.Fn(_, c, _) => List(c)
     case Ast.Operand.Bin(l, _, r) => operandLeafNames(l) ++ operandLeafNames(r)
   }
 
@@ -1530,7 +1531,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     * projection items and predicate sides.
     */
   private def scalarFn(fn: String, cn: String,
-      dt: org.apache.spark.sql.types.DataType): Column = {
+      dt: org.apache.spark.sql.types.DataType,
+      args: List[Token] = Nil): Column = {
     import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
     val c = col(cn)
     def needString(): Unit = if (dt != StringType) throw new ParseException(
@@ -1538,15 +1540,30 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     def needNumeric(): Unit =
       if (!Seq(IntegerType, LongType, DoubleType).contains(dt))
         throw new ParseException(s"$fn($cn) requires a numeric column, got $dt")
+    // literal arguments arrive parser-validated (fnArgs): shapes below
+    // are total for everything the grammar accepts
     fn match {
       case "lower" => needString(); lower(c)
       case "upper" => needString(); upper(c)
       case "trim" => needString(); trim(c)
       case "length" => needString(); length(c).cast("long")
       case "abs" => needNumeric(); abs(c)
-      case "round" => needNumeric(); round(c, 0)
+      case "round" => needNumeric(); args match {
+        case List(Token.IntLit(d)) => round(c, d.toInt)
+        case _ => round(c, 0)
+      }
       case "floor" => needNumeric(); floor(c).cast("double")
       case "ceil" => needNumeric(); ceil(c).cast("double")
+      case "substr" => needString(); args match {
+        case List(Token.IntLit(st), Token.IntLit(len)) =>
+          substring(c, st.toInt, len.toInt)
+        case other => throw new ParseException(s"substr needs (start len), got $other")
+      }
+      case "replace" => needString(); args match {
+        case List(Token.Str(find), Token.Str(repl)) =>
+          replace(c, lit(find), lit(repl))
+        case other => throw new ParseException(s"replace needs ('find' 'repl'), got $other")
+      }
       case other => throw new ParseException(s"Unknown function $other")
     }
   }
@@ -1566,10 +1583,10 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         s"Column '$cn' (${ct}) is not numeric; arithmetic requires a numeric column")
       col(cn)
     case Ast.Operand.Leaf(t) => lit(AlbaType.tokenValue(t))
-    case Ast.Operand.Fn(fn, column) =>
+    case Ast.Operand.Fn(fn, column, args) =>
       val (cn, ct) = d.columns.find(_._1.equalsIgnoreCase(column)).getOrElse(
         throw new ParseException(s"Unknown column '$column' in $fn()"))
-      scalarFn(fn, cn, ct.spark)
+      scalarFn(fn, cn, ct.spark, args)
     case Ast.Operand.Bin(l, op, r) =>
       val (a, b) = (lowerOperand(l, d), lowerOperand(r, d))
       op match {

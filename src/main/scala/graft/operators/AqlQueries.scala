@@ -651,6 +651,27 @@ object AqlQueries {
       (s, dir) => search("SEARCH [] ON docs_clone")(s, dir)
     },
 
+    // multi-argument scalar functions (graft extension): substr/replace
+    // with space-separated literal args, lowered to codegen'd built-ins.
+    Q("aql_scalar_multiarg",
+      """SELECT doc_id, substr(text, 1, 20) AS substr_text,
+        |       replace(lang, 'en', 'EN') AS replace_lang
+        |FROM documents WHERE n_chars > 400
+        |ORDER BY doc_id, substr_text, replace_lang""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [doc_id, substr(text 1 20), replace(lang 'en' 'EN')] " +
+          "ON documents WHERE n_chars > 400")(s, dir)
+    },
+
+    // two-argument round over a measure column
+    Q("aql_scalar_round2",
+      """SELECT l_orderkey, round(l_discount, 1) AS round_l_discount
+        |FROM lineitem WHERE l_quantity > 49
+        |ORDER BY l_orderkey, round_l_discount""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [l_orderkey, round(l_discount 1)] ON lineitem WHERE l_quantity > 49")(s, dir)
+    },
+
     // literal IN lists (graft extension): a plain scalar predicate with
     // SQL three-valued semantics — coerced through the cast matrix and
     // pushdown-eligible (parquet In filter), unlike the subquery form.

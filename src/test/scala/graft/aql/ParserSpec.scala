@@ -86,6 +86,18 @@ class ParserSpec extends AnyFunSuite {
     intercept[ParseException](Parser.parse("CLONE CONTAINER a"))
   }
 
+  test("multi-argument scalar functions parse with validated literals") {
+    val s = Parser.parse("SEARCH [a, substr(t 1 20), replace(t 'x' 'y'), round(n 2)] ON c")
+      .asInstanceOf[Search]
+    assert(s.fns.map(f => (f.fn, f.args.length)) ==
+      List(("substr", 2), ("replace", 2), ("round", 1)))
+    intercept[ParseException](Parser.parse("SEARCH [substr(t 1)] ON c"))
+    intercept[ParseException](Parser.parse("SEARCH [substr(t 0 5)] ON c"))
+    intercept[ParseException](Parser.parse("SEARCH [replace(t 'x' 1)] ON c"))
+    intercept[ParseException](Parser.parse("SEARCH [round(n 99)] ON c"))
+    intercept[ParseException](Parser.parse("SEARCH [lower(t 'x')] ON c"))
+  }
+
   test("literal IN list predicates (list-membership extension)") {
     val s = Parser.parse("SEARCH [a] ON c WHERE a IN [1, 2] AND b NOT IN ['x']")
       .asInstanceOf[Search]
