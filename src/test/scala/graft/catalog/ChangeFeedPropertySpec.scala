@@ -56,6 +56,14 @@ class ChangeFeedPropertySpec extends AnyFunSuite {
         if (tx.stagedOps("c") > 0) tx.commit(Some("c"))
         if (rng.nextInt(4) == 0 && cat.currentVersion("c") > 0)
           cat.optimize("c", Some(2))
+        // occasional RESTORE to a random older version: the feed must
+        // classify the revert like any other commit (rows reappearing as
+        // inserts, reverted edits as updates) — restore adds history, it
+        // never rewrites it
+        if (rng.nextInt(5) == 0 && cat.versions("c").size > 1) {
+          val vs = cat.versions("c")
+          cat.restore("c", vs(rng.nextInt(vs.size)))
+        }
       }
       val vs = cat.versions("c")
       // every adjacent pair AND the full span must reconstruct

@@ -140,6 +140,23 @@ class AqlServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post("DESCRIBE no_such")._1 == 400)
   }
 
+  test("round-7 statements reach the wire surface: ANALYZE, SHOW STATS, RESTORE") {
+    assert(post("CREATE CONTAINER webs ['id','tag'] [BIGINT, SMALL-STRING]")._1 == 200)
+    assert(post("CREATE ROW ['id','tag'] [1,'keep'] ON webs")._1 == 200)
+    assert(post("COMMIT webs")._1 == 200) // v1
+    assert(post("SHOW STATS webs")._1 == 400) // never analyzed
+    val (ac, ab) = post("ANALYZE CONTAINER webs")
+    assert(ac == 200 && ab.contains(""""col_name""""), ab)
+    val (sc, sb) = post("SHOW STATS webs")
+    assert(sc == 200 && sb.contains("keep"), sb)
+    assert(post("EDIT ROW ['tag'] ['broken'] ON webs WHERE id = 1")._1 == 200)
+    assert(post("COMMIT webs")._1 == 200) // v2
+    assert(post("RESTORE CONTAINER webs TO VERSION 1")._1 == 200) // v3
+    val (qc, qb) = post("SEARCH [tag] ON webs")
+    assert(qc == 200 && qb.contains(""""rows":[["keep"]]"""), qb)
+    assert(post("RESTORE CONTAINER webs TO VERSION 99")._1 == 400)
+  }
+
   test("incremental views reach the wire surface (CREATE/REFRESH/DELETE VIEW)") {
     assert(post("CREATE CONTAINER webv ['id','grp','amt'] [BIGINT, SMALL-STRING, BIGINT]")._1 == 200)
     assert(post("CREATE ROW ['id','grp','amt'] [1,'a',10] ON webv")._1 == 200)
