@@ -199,8 +199,10 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
   /** Serialize + atomically swap the schema file (shared by every ALTER). */
   private def writeSchema(name: String, d: ContainerDef): Unit = {
     // persisted column stats describe the OLD schema — invalidate rather
-    // than serve stale columns (re-ANALYZE recomputes under the new one)
+    // than serve stale columns (re-ANALYZE recomputes under the new one);
+    // same for the clustering policy, whose columns may be gone/renamed
     Files.deleteIfExists(statsFile(name))
+    Files.deleteIfExists(clusterFile(name))
     val text = d.columns.zip(d.stored).map { case ((n, t), s) =>
       if (s == n) s"$n\t${t.name}" else s"$n\t${t.name}\t$s"
     }.mkString("\n")
@@ -383,6 +385,7 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     indexDefs(name).foreach(d => Files.deleteIfExists(Index.metaFile(this, name, d.ix)))
     Files.deleteIfExists(droppedFile(name))
     Files.deleteIfExists(statsFile(name))
+    Files.deleteIfExists(clusterFile(name))
     Files.delete(schemaFile(name))
     if (Files.exists(versionFile(name))) Files.delete(versionFile(name))
     versions(name).foreach { v =>
@@ -1112,14 +1115,32 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     terms.reduce(_ + _)
   }
 
+  /** The container's persisted clustering policy (the columns of the
+    * last explicit `OPTIMIZE … USING`): plain OPTIMIZE — including the
+    * auto-OPTIMIZE commit hook — re-applies it, so maintenance
+    * compaction never silently reverts a z-ordered layout to pk
+    * clustering (the Delta `CLUSTER BY` table-property shape).
+    * Invalidated by schema ALTERs (the columns may be gone), removed
+    * with the container.
+    */
+  private[catalog] def clusterFile(name: String): Path =
+    catDir.resolve(s"$name.cluster")
+
+  private def clusterPolicy(name: String): Seq[String] =
+    if (!Files.exists(clusterFile(name))) Nil
+    else Files.readString(clusterFile(name)).split("\t").toSeq.filter(_.nonEmpty)
+
   def optimize(name: String, targetFiles: Option[Int] = None,
       zorderBy: Seq[String] = Nil): (Int, Int, Int) = {
     import org.apache.spark.sql.functions.col
     targetFiles.foreach(t =>
       require(t >= 1, s"OPTIMIZE $name: target file count must be >= 1, got $t"))
     val pk = get(name).primaryKey
-    // resolve + validate z columns once: numeric, known, 2–4, distinct
-    val zcols = zorderBy.map { c =>
+    // no explicit USING → follow the persisted clustering policy
+    val effective = if (zorderBy.nonEmpty) zorderBy else clusterPolicy(name)
+    // resolve + validate cluster columns once: numeric, known, 1–4,
+    // distinct (1 column = plain range clustering on it; 2–4 = z-order)
+    val zcols = effective.map { c =>
       val (n, t) = get(name).columns.find(_._1.equalsIgnoreCase(c))
         .getOrElse(throw new IllegalArgumentException(
           s"OPTIMIZE $name USING: unknown column '$c'"))
@@ -1128,10 +1149,18 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
           "buckets need an ordered domain")
       n
     }
-    require(zcols.isEmpty || (zcols.size >= 2 && zcols.size <= 4),
-      s"OPTIMIZE $name USING takes 2 to 4 columns, got ${zcols.size}")
+    require(zcols.size <= 4,
+      s"OPTIMIZE $name USING takes 1 to 4 columns, got ${zcols.size}")
     require(zcols.distinct.size == zcols.size,
       s"OPTIMIZE $name USING: duplicate columns in ${zcols.mkString(",")}")
+    // an explicit USING becomes the policy future compactions follow
+    if (zorderBy.nonEmpty) {
+      val tmp = catDir.resolve(
+        s"$name.cluster.tmp-${ProcessHandle.current.pid}-${System.nanoTime()}")
+      Files.writeString(tmp, zcols.mkString("\t"))
+      Files.move(tmp, clusterFile(name), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
     // CAS like any commit — NOT overwrite(): optimize rewrites content it
     // has already read, so publishing above a concurrently-committed
     // version would silently drop that commit's rows. Losing the claim
@@ -1161,10 +1190,12 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
         val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
         (bytes / (128L << 20)).toInt.max(1)
       }
-      val clustered =
-        if (zcols.isEmpty)
+      val clustered = zcols match {
+        case Nil =>
           df.repartitionByRange(n, col(pk)).sortWithinPartitions(pk)
-        else {
+        case Seq(one) => // single column: plain range clustering on it
+          df.repartitionByRange(n, col(one)).sortWithinPartitions(one)
+        case many =>
           // cluster on the interleaved z value, then drop it — the
           // projection after the sort is narrow, so partitioning and
           // intra-partition order survive into the write
@@ -1173,9 +1204,9 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
           // silently replaced and dropped by a case-sensitive guard
           val zc = Iterator.iterate("__z")(_ + "_")
             .dropWhile(n => df.columns.exists(_.equalsIgnoreCase(n))).next()
-          df.withColumn(zc, zOrderValue(df, zcols))
+          df.withColumn(zc, zOrderValue(df, many))
             .repartitionByRange(n, col(zc)).sortWithinPartitions(zc).drop(zc)
-        }
+      }
       done = tryCommit(name, base, clustered)
       published = base + 1
     }

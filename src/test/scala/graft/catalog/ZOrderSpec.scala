@@ -52,13 +52,43 @@ class ZOrderSpec extends AnyFunSuite {
     eng.execute("CREATE CONTAINER g ['id','txt','n'] [BIGINT, TEXT, BIGINT]")
     import spark.implicits._
     cat.overwrite("g", Seq((1L, "x", 2L)).toDF("id", "txt", "n"))
-    assert(intercept[IllegalArgumentException](
-      eng.execute("OPTIMIZE g USING [id]")).getMessage.contains("2 to 4"))
+    // single column = plain range clustering on it (legal)
+    eng.execute("OPTIMIZE g USING [n]")
+    assert(cat.read("g").count() == 1)
     assert(intercept[IllegalArgumentException](
       eng.execute("OPTIMIZE g USING [id, nope]")).getMessage.contains("unknown column"))
     assert(intercept[IllegalArgumentException](
       eng.execute("OPTIMIZE g USING [id, txt]")).getMessage.contains("not numeric"))
     assert(intercept[IllegalArgumentException](
       eng.execute("OPTIMIZE g USING [id, n, n]")).getMessage.contains("duplicate"))
+  }
+
+  test("the clustering policy persists: plain and auto OPTIMIZE keep the z-order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder-p")
+    val eng = new Engine(spark, dir.toString)
+    val cat = eng.catalog
+    eng.execute("CREATE CONTAINER p ['a','b'] [BIGINT, BIGINT]")
+    import spark.implicits._
+    val rows = (0L until 4096L).map(a => (a, (a * 2654435761L) % 4096L))
+    cat.overwrite("p", rows.toDF("a", "b"))
+    eng.execute("OPTIMIZE p 8 USING [a, b]") // sets the policy
+    def filesHit(): Long =
+      cat.read("p").filter(col("b") < 256L)
+        .select(input_file_name()).distinct().count()
+    assert(filesHit() <= 4)
+    // new data lands, then a PLAIN compaction — the policy must hold
+    // (this is exactly what the auto-OPTIMIZE hook calls after N commits)
+    val tx = new Tx(cat)
+    tx.stageInsert("p", (5000L until 5100L)
+      .map(a => org.apache.spark.sql.Row(a, (a * 2654435761L) % 4096L)))
+    tx.commit(Some("p"))
+    eng.execute("OPTIMIZE p 8")
+    assert(filesHit() <= 4,
+      "plain OPTIMIZE must re-apply the persisted clustering policy")
+    // a schema ALTER invalidates the policy; plain OPTIMIZE falls back
+    // to pk clustering instead of failing on a vanished column
+    eng.execute("ALTER CONTAINER p RENAME COLUMN ['b','bb']")
+    eng.execute("OPTIMIZE p 8")
+    assert(cat.read("p").count() == 4096 + 100)
   }
 }
