@@ -393,7 +393,7 @@ object Parser {
     * `round(price 2)`.
     */
   private val ScalarFns = Set("lower", "upper", "length", "abs", "round",
-    "floor", "ceil", "trim", "substr", "replace")
+    "floor", "ceil", "trim", "substr", "replace", "coalesce")
 
   /** Validate a scalar fn's literal arguments (the tokens after its
     * column). Overflow-safe: substr positions stay in Int range, and a
@@ -420,6 +420,9 @@ object Parser {
       rest
     case ("round", other) =>
       throw new ParseException(s"round takes (column [digits]), got $other")
+    case ("coalesce", List(IntLit(_) | Str(_) | FloatLit(_))) => rest
+    case ("coalesce", other) =>
+      throw new ParseException(s"coalesce takes (column default-literal), got $other")
     case (_, Nil) => Nil
     case (_, other) =>
       throw new ParseException(s"Function $fn takes exactly one column, got extra $other")

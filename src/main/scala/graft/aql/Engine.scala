@@ -1564,6 +1564,23 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           replace(c, lit(find), lit(repl))
         case other => throw new ParseException(s"replace needs ('find' 'repl'), got $other")
       }
+      case "coalesce" => args match {
+        // the default literal must agree with the column's type — a
+        // silent cross-type cast is exactly the quirk class (Q8) this
+        // engine rejects everywhere else
+        case List(Token.Str(v)) => needString(); coalesce(c, lit(v))
+        case List(Token.IntLit(v)) =>
+          needNumeric()
+          if (dt == IntegerType && !v.isValidInt) throw new ParseException(
+            s"coalesce default $v out of range for INT column $cn")
+          coalesce(c, lit(v).cast(dt))
+        case List(Token.FloatLit(v)) =>
+          if (dt != DoubleType) throw new ParseException(
+            s"coalesce($cn): float default on a $dt column")
+          coalesce(c, lit(v))
+        case other => throw new ParseException(
+          s"coalesce needs (column default-literal), got $other")
+      }
       case other => throw new ParseException(s"Unknown function $other")
     }
   }

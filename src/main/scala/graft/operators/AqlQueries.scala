@@ -663,6 +663,17 @@ object AqlQueries {
           "ON documents WHERE n_chars > 400")(s, dir)
     },
 
+    // coalesce over a genuinely-NULL column (docs_alter's pre-ALTER rows
+    // carry NULL tag): the NULL-handling projection through the full AQL
+    // path, type-checked against the column.
+    Q("aql_scalar_coalesce",
+      """SELECT doc_id, 'none' AS coalesce_tag FROM documents
+        |UNION ALL SELECT 900001, 'added'
+        |ORDER BY doc_id, coalesce_tag""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [doc_id, coalesce(tag 'none')] ON docs_alter")(s, dir)
+    },
+
     // two-argument round over a measure column
     Q("aql_scalar_round2",
       """SELECT l_orderkey, round(l_discount, 1) AS round_l_discount

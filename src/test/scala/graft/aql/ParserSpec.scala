@@ -96,6 +96,9 @@ class ParserSpec extends AnyFunSuite {
     intercept[ParseException](Parser.parse("SEARCH [replace(t 'x' 1)] ON c"))
     intercept[ParseException](Parser.parse("SEARCH [round(n 99)] ON c"))
     intercept[ParseException](Parser.parse("SEARCH [lower(t 'x')] ON c"))
+    assert(Parser.parse("SEARCH [coalesce(t 'none')] ON c").asInstanceOf[Search]
+      .fns.head.args == List(Token.Str("none")))
+    intercept[ParseException](Parser.parse("SEARCH [coalesce(t)] ON c"))
   }
 
   test("literal IN list predicates (list-membership extension)") {
