@@ -18,27 +18,43 @@ class TxPropertySpec extends AnyFunSuite {
   private case class Ins(k: Int, v: String) extends Op
   private case class Edit(k: Int, v: String) extends Op
   private case class Del(k: Int) extends Op
+  private case class Merge(k: Int, v: String) extends Op
+  private case object RestoreAny extends Op
   private case object Commit extends Op
   private case object Rollback extends Op
 
-  private def randomOp(): Op = rng.nextInt(10) match {
+  private def randomOp(): Op = rng.nextInt(12) match {
     case 0 | 1 | 2 | 3 => Ins(rng.nextInt(6), s"v${rng.nextInt(100)}")
     case 4 | 5 => Edit(rng.nextInt(6), s"e${rng.nextInt(100)}")
     case 6 => Del(rng.nextInt(6))
     case 7 | 8 => Commit
     case 9 => Rollback
+    case 10 => Merge(rng.nextInt(6), s"m${rng.nextInt(100)}")
+    case 11 => RestoreAny
   }
 
-  /** The model: committed rows + staged ops replayed sequentially. */
+  /** The model: committed rows + staged ops replayed sequentially, plus
+    * the version history (grows on staged-commit and on restore — the
+    * same moments the engine publishes a version). */
   private final class Model {
     var committed: Vector[(Int, String)] = Vector.empty
+    var history: Vector[Vector[(Int, String)]] = Vector.empty
     private var staged: Vector[Op] = Vector.empty
+    def stagedEmpty: Boolean = staged.isEmpty
     def apply(op: Op): Unit = op match {
       case Commit =>
-        committed = view; staged = Vector.empty
+        if (staged.nonEmpty) {
+          committed = view; history :+= committed; staged = Vector.empty
+        }
       case Rollback => staged = Vector.empty
+      // MERGE ROW probes the SESSION VIEW: hit stages an edit, miss an
+      // insert — the engine's documented pk-upsert decomposition
+      case Merge(k, v) =>
+        staged :+= (if (view.exists(_._1 == k)) Edit(k, v) else Ins(k, v))
+      case RestoreAny => () // resolved by the driver loop (needs history)
       case o => staged :+= o
     }
+    def restore(i: Int): Unit = { committed = history(i); history :+= committed }
     def view: Vector[(Int, String)] = staged.foldLeft(committed) { (rows, op) =>
       op match {
         case Ins(k, v) => rows :+ (k, v)
@@ -61,8 +77,15 @@ class TxPropertySpec extends AnyFunSuite {
           case Ins(k, v) => eng.execute(s"CREATE ROW ['k','v'] [$k,'$v'] ON txp")
           case Edit(k, v) => eng.execute(s"EDIT ROW ['v'] ['$v'] ON txp WHERE k = $k")
           case Del(k) => eng.execute(s"DELETE ROW ON txp WHERE k = $k")
+          case Merge(k, v) => eng.execute(s"MERGE ROW ['k','v'] [$k,'$v'] ON txp")
           case Commit => eng.execute("COMMIT txp")
           case Rollback => eng.execute("ROLLBACK txp")
+          case RestoreAny => // valid only version-ful and unstaged
+            if (model.stagedEmpty && model.history.nonEmpty) {
+              val i = rng.nextInt(model.history.size)
+              eng.execute(s"RESTORE CONTAINER txp TO VERSION ${i + 1}")
+              model.restore(i)
+            }
         }
         model.apply(op)
       }
@@ -73,12 +96,14 @@ class TxPropertySpec extends AnyFunSuite {
       assert(sortedRows(base) == sortedRows(model.committed),
         s"trial $trial: base mismatch after ops $ops")
       // and the live view (add ops without committing) also matches
-      val extra = Vector.fill(4)(randomOp()).filterNot(o => o == Commit || o == Rollback)
+      val extra = Vector.fill(4)(randomOp())
+        .filterNot(o => o == Commit || o == Rollback || o == RestoreAny)
       extra.foreach { op =>
         op match {
           case Ins(k, v) => eng.execute(s"CREATE ROW ['k','v'] [$k,'$v'] ON txp")
           case Edit(k, v) => eng.execute(s"EDIT ROW ['v'] ['$v'] ON txp WHERE k = $k")
           case Del(k) => eng.execute(s"DELETE ROW ON txp WHERE k = $k")
+          case Merge(k, v) => eng.execute(s"MERGE ROW ['k','v'] [$k,'$v'] ON txp")
           case _ =>
         }
         model.apply(op)
@@ -122,6 +147,14 @@ class TxPropertySpec extends AnyFunSuite {
             eng.execute(s"EDIT ROW ['v'] ['$v'] ON $cn WHERE k = $k"); models(cn).apply(op)
           case (cn, Del(k)) =>
             eng.execute(s"DELETE ROW ON $cn WHERE k = $k"); models(cn).apply(op)
+          case (cn, Merge(k, v)) =>
+            eng.execute(s"MERGE ROW ['k','v'] [$k,'$v'] ON $cn"); models(cn).apply(op)
+          case (cn, RestoreAny) =>
+            if (models(cn).stagedEmpty && models(cn).history.nonEmpty) {
+              val i = rng.nextInt(models(cn).history.size)
+              eng.execute(s"RESTORE CONTAINER $cn TO VERSION ${i + 1}")
+              models(cn).restore(i)
+            }
           case (cn, Commit) => eng.execute(s"COMMIT $cn"); models(cn).apply(Commit)
           case (cn, Rollback) => eng.execute(s"ROLLBACK $cn"); models(cn).apply(Rollback)
         }
