@@ -506,7 +506,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
 
     case Ast.Analyze(c) =>
       catalog.get(c) // existence check
-      resultSet(graft.catalog.Stats.analyze(catalog, c), needsDefaultSort = true)
+      resultSet(graft.catalog.Stats.analyze(catalog, c, settings.statsDistinct),
+        needsDefaultSort = true)
 
     case Ast.ShowStats(c) =>
       catalog.get(c)

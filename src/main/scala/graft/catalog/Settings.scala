@@ -68,7 +68,13 @@ final case class Settings(
       * predicates — above it the value is unselective, the probe list
       * would stop being bounded per-lookup metadata, and the plain
       * pushed-filter scan wins (`Engine.indexPruned`). */
-    indexProbeCap: Int = 8192) {
+    indexProbeCap: Int = 8192,
+    /** graft extension: how ANALYZE computes per-column distinct counts —
+      * `exact` (count distinct through the multi-distinct expand plan;
+      * oracle-comparable) or `approx` (HyperLogLog++ — one pass, no
+      * expand, the warehouse-scale setting; the stats surface and the
+      * access-path consumer are unchanged). */
+    statsDistinct: String = "exact") {
 
   /** The reference's self-healing normalization (`database.rs:312-335`):
     * out-of-range values are corrected, never fatal.
@@ -86,6 +92,8 @@ final case class Settings(
     if (s.secretKeyCount < 1) s = s.copy(secretKeyCount = 1)
     if (s.optimizeAfterCommits < 0) s = s.copy(optimizeAfterCommits = 0)
     if (s.indexProbeCap < 1) s = s.copy(indexProbeCap = 8192)
+    if (!Set("exact", "approx").contains(s.statsDistinct))
+      s = s.copy(statsDistinct = "exact")
     s
   }
 
@@ -104,6 +112,7 @@ final case class Settings(
        |optimize_after_commits: $optimizeAfterCommits
        |refresh_views_after_commit: $refreshViewsAfterCommit
        |index_probe_cap: $indexProbeCap
+       |stats_distinct: $statsDistinct
        |""".stripMargin
 }
 
@@ -155,7 +164,9 @@ object Settings {
       optimizeAfterCommits = int("optimize_after_commits", default.optimizeAfterCommits),
       refreshViewsAfterCommit =
         bool("refresh_views_after_commit", default.refreshViewsAfterCommit),
-      indexProbeCap = int("index_probe_cap", default.indexProbeCap)
+      indexProbeCap = int("index_probe_cap", default.indexProbeCap),
+      statsDistinct =
+        kv.getOrElse("stats_distinct", default.statsDistinct).toLowerCase
     )
     val healed = parsed.normalized
     // The reference's load_settings rewrites the normalized settings back

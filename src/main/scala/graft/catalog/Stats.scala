@@ -46,8 +46,13 @@ object Stats {
 
   private def statsFile(cat: Catalog, name: String) = cat.statsFile(name)
 
-  /** Compute, persist (atomic swap), and return the stats relation. */
-  def analyze(cat: Catalog, name: String): DataFrame = {
+  /** Compute, persist (atomic swap), and return the stats relation.
+    * `distinctMode` = `exact` (multi-distinct expand plan, the
+    * oracle-comparable default) or `approx` (HyperLogLog++ per column —
+    * one pass without the expand, the `stats_distinct` warehouse
+    * setting). */
+  def analyze(cat: Catalog, name: String,
+      distinctMode: String = "exact"): DataFrame = {
     val d = cat.get(name)
     val v = cat.currentVersion(name)
     // read THE version being pinned — a commit racing between the
@@ -55,11 +60,13 @@ object Stats {
     // numbers labeled as v's
     val df = if (v > 0) cat.readVersion(name, v) else cat.read(name)
     val isText = d.columns.map { case (n, t) => n -> (t.spark == StringType) }.toMap
+    def ndv(c: org.apache.spark.sql.Column) =
+      if (distinctMode == "approx") approx_count_distinct(c) else countDistinct(c)
     val aggs = d.columns.flatMap { case (n, _) =>
       val c = col(n)
       Seq(
         count(c).as(s"c_$n"),
-        countDistinct(c).as(s"d_$n"),
+        ndv(c).as(s"d_$n"),
         min(c).cast("string").as(s"mn_$n"),
         max(c).cast("string").as(s"mx_$n")) ++
         (if (isText(n)) Seq(avg(length(c)).as(s"l_$n")) else Nil)

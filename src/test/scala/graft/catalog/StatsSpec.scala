@@ -96,6 +96,25 @@ class StatsSpec extends AnyFunSuite {
       s"selective stats must restore the index path:\n${plan()}")
   }
 
+  test("stats_distinct: approx swaps in HyperLogLog distinct counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stats-ax")
+    java.nio.file.Files.writeString(
+      dir.resolve(graft.catalog.Settings.FileName), "stats_distinct: approx\n")
+    val eng = new Engine(spark, dir.toString)
+    eng.execute("CREATE CONTAINER x ['id','tag'] [BIGINT, TEXT]")
+    import spark.implicits._
+    eng.catalog.overwrite("x",
+      (0L until 500L).map(i => (i, s"t${i % 37}")).toDF("id", "tag"))
+    val rows = statRows(eng, "ANALYZE CONTAINER x")
+      .map(r => r.getString(1) -> r.getLong(6)).toMap
+    // HLL++ default rsd 5%: the estimates land near the true 500 / 37
+    assert(math.abs(rows("id") - 500) <= 50, s"approx ndv(id)=${rows("id")}")
+    assert(math.abs(rows("tag") - 37) <= 8, s"approx ndv(tag)=${rows("tag")}")
+    // exact counts everywhere else are untouched
+    val full = statRows(eng, "SHOW STATS x")
+    assert(full.forall(r => r.getLong(4) == 500 && r.getLong(5) == 0))
+  }
+
   test("SHOW STATS before ANALYZE errors; ALTER invalidates; DROP cleans up") {
     val (eng, dir) = fixture("lifecycle")
     val e = intercept[graft.aql.ParseException](eng.execute("SHOW STATS s"))
