@@ -51,6 +51,12 @@ class PlanAuditSpec extends AnyFunSuite {
       s"null guards not pushed:\n$p")
   }
 
+  test("literal IN lists push an In filter to the parquet scan") {
+    val p = plan("aql_search_in_list")
+    assert(p.contains("In(lang, [de,en])") || p.contains("In(lang,[de,en]"),
+      s"IN list not pushed to the scan:\n$p")
+  }
+
   test("dimension join broadcasts (x_join_broadcast_dim)") {
     val p = plan("x_join_broadcast_dim")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
