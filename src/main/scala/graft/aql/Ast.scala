@@ -316,8 +316,6 @@ object Parser {
     out
   }
 
-  /** Version literal for CHANGES: no silent toInt wrap above 2^31-1
-    * (same stance as the LIMIT guard). */
   /** Overflow-safe OPTIMIZE target file count (no silent toInt wrap). */
   private def optimizeTarget(n: Long): Int = {
     if (n < 1 || n > Int.MaxValue)
@@ -326,6 +324,8 @@ object Parser {
     n.toInt
   }
 
+  /** Version literal for CHANGES: no silent toInt wrap above 2^31-1
+    * (same stance as the LIMIT guard). */
   private def changesVersion(v: Long, label: String): Int = {
     if (v < 0 || v > Int.MaxValue)
       throw new ParseException(

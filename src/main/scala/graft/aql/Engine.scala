@@ -945,9 +945,12 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
               e match {
                 // scalar-fn argument: scalarFn enforces the INPUT type;
                 // sum/avg/median additionally need a numeric RESULT
-                case Ast.Operand.Fn(sfn, _, _) =>
-                  if (Seq("sum", "avg", "median").contains(a.fn) &&
-                      !Seq("length", "abs", "round", "floor", "ceil").contains(sfn))
+                case Ast.Operand.Fn(sfn, _, fargs) =>
+                  val numericResult =
+                    Seq("length", "abs", "round", "floor", "ceil").contains(sfn) ||
+                      (sfn == "coalesce" && fargs.headOption.exists(t =>
+                        t.isInstanceOf[Token.IntLit] || t.isInstanceOf[Token.FloatLit]))
+                  if (Seq("sum", "avg", "median").contains(a.fn) && !numericResult)
                     throw new ParseException(
                       s"${a.fn}($sfn(…)) requires a numeric-result function")
                 case _ => operandLeafNames(e).foreach { n =>
@@ -1432,8 +1435,12 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       // a string-result fn LHS (lower/upper/trim) keeps reference literal
       // semantics, same rule as plain string columns
       val lhsIsString = c.lhs.get match {
-        case Ast.Operand.Fn(fn, _, _) =>
-          Set("lower", "upper", "trim", "substr", "replace").contains(fn)
+        case Ast.Operand.Fn(fn, _, args) =>
+          Set("lower", "upper", "trim", "substr", "replace").contains(fn) ||
+            // coalesce's result type is its column's type, and the parser
+            // pins the default literal to that type — a Str default means
+            // a string result
+            (fn == "coalesce" && args.headOption.exists(_.isInstanceOf[Token.Str]))
         case _ => false
       }
       val v = c.rhs.map(lowerOperand(_, d)).getOrElse(c.value match {

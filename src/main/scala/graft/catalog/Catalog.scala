@@ -1136,30 +1136,51 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     targetFiles.foreach(t =>
       require(t >= 1, s"OPTIMIZE $name: target file count must be >= 1, got $t"))
     val pk = get(name).primaryKey
-    // no explicit USING → follow the persisted clustering policy
-    val effective = if (zorderBy.nonEmpty) zorderBy else clusterPolicy(name)
-    // resolve + validate cluster columns once: numeric, known, 1–4,
-    // distinct (1 column = plain range clustering on it; 2–4 = z-order)
-    val zcols = effective.map { c =>
-      val (n, t) = get(name).columns.find(_._1.equalsIgnoreCase(c))
-        .getOrElse(throw new IllegalArgumentException(
-          s"OPTIMIZE $name USING: unknown column '$c'"))
-      require(t.isNumeric,
-        s"OPTIMIZE $name USING: column '$n' ($t) is not numeric — z-order " +
-          "buckets need an ordered domain")
-      n
+    // resolve + validate cluster columns: numeric, known, 1–4, distinct
+    // (1 column = plain range clustering on it; 2–4 = z-order)
+    def resolveClusterCols(cols: Seq[String]): Seq[String] = {
+      val resolved = cols.map { c =>
+        val (n, t) = get(name).columns.find(_._1.equalsIgnoreCase(c))
+          .getOrElse(throw new IllegalArgumentException(
+            s"OPTIMIZE $name USING: unknown column '$c'"))
+        require(t.isNumeric,
+          s"OPTIMIZE $name USING: column '$n' ($t) is not numeric — z-order " +
+            "buckets need an ordered domain")
+        n
+      }
+      require(resolved.size <= 4,
+        s"OPTIMIZE $name USING takes 1 to 4 columns, got ${resolved.size}")
+      require(resolved.distinct.size == resolved.size,
+        s"OPTIMIZE $name USING: duplicate columns in ${resolved.mkString(",")}")
+      resolved
     }
-    require(zcols.size <= 4,
-      s"OPTIMIZE $name USING takes 1 to 4 columns, got ${zcols.size}")
-    require(zcols.distinct.size == zcols.size,
-      s"OPTIMIZE $name USING: duplicate columns in ${zcols.mkString(",")}")
+    // no explicit USING → follow the persisted clustering policy, but
+    // LENIENTLY: a policy write can race the writeSchema invalidation,
+    // so a stale policy naming a vanished column falls back to pk
+    // clustering (and the stale file is dropped) — a throw here would
+    // silently disable the auto-OPTIMIZE hook (which swallows failures)
+    // and let the container fragment forever
+    val zcols =
+      if (zorderBy.nonEmpty) resolveClusterCols(zorderBy)
+      else try resolveClusterCols(clusterPolicy(name))
+      catch {
+        case _: IllegalArgumentException =>
+          Files.deleteIfExists(clusterFile(name)); Nil
+      }
     // an explicit USING becomes the policy future compactions follow
     if (zorderBy.nonEmpty) {
       val tmp = catDir.resolve(
         s"$name.cluster.tmp-${ProcessHandle.current.pid}-${System.nanoTime()}")
-      Files.writeString(tmp, zcols.mkString("\t"))
-      Files.move(tmp, clusterFile(name), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      try {
+        Files.writeString(tmp, zcols.mkString("\t"))
+        Files.move(tmp, clusterFile(name), StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      } catch {
+        case t: Throwable =>
+          try Files.deleteIfExists(tmp)
+          catch { case scala.util.control.NonFatal(c) => t.addSuppressed(c) }
+          throw t
+      }
     }
     // CAS like any commit — NOT overwrite(): optimize rewrites content it
     // has already read, so publishing above a concurrently-committed
@@ -1243,18 +1264,7 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     // manifests were rolled forward by recoverTxns above — their tmps
     // already moved; a LIVE committer's in-flight tmp has a live pid and
     // is never touched. Name shape: `<container>.tmp-<pid>-<nanos>`.
-    val tmpPat = java.util.regex.Pattern.compile(
-      java.util.regex.Pattern.quote(name) + "\\.tmp-(\\d+)-\\d+")
-    val deadTmps = scala.util.Using.resource(Files.list(dataDir)) { st =>
-      st.iterator().asScala.filter { p =>
-        val m = tmpPat.matcher(p.getFileName.toString)
-        m.matches() && m.group(1).toLongOption.exists { pid =>
-          pid != ProcessHandle.current.pid &&
-            ProcessHandle.of(pid).map[java.lang.Boolean](h => !h.isAlive)
-              .orElse(java.lang.Boolean.TRUE).booleanValue
-        }
-      }.toSeq
-    }
+    val deadTmps = deadOwnedTmps(dataDir, name, "tmp")
     if (deadTmps.nonEmpty) {
       // a committer can rename its manifest and die BETWEEN the
       // recoverTxns() above and the pid-death observations just made —
@@ -1266,21 +1276,31 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
       deadTmps.filterNot(p => referenced(p.getFileName.toString))
         .foreach(deleteRecursively)
     }
-    // GC ANALYZE staging files abandoned by a crash between write and
-    // atomic move (`<name>.stats.tmp-<pid>-<nanos>` in the catalog dir
-    // — pure garbage: the swap never happened, nothing references them)
-    val statsTmpPat = java.util.regex.Pattern.compile(
-      java.util.regex.Pattern.quote(name) + "\\.stats\\.tmp-(\\d+)-\\d+")
-    scala.util.Using.resource(Files.list(catDir)) { st =>
+    // GC metadata staging files abandoned by a crash between write and
+    // atomic move (ANALYZE stats, clustering policy — pure garbage: the
+    // swap never happened, nothing references them)
+    deadOwnedTmps(catDir, name, "stats.tmp").foreach(Files.deleteIfExists(_))
+    deadOwnedTmps(catDir, name, "cluster.tmp").foreach(Files.deleteIfExists(_))
+  }
+
+  /** Staging paths under `dir` named `<name>.<suffix>-<pid>-<nanos>`
+    * whose recorded owner process is PROVABLY dead (never this process,
+    * never a live writer) — the shared matcher for every crash-GC sweep,
+    * so the liveness rule can't drift between them. */
+  private def deadOwnedTmps(dir: Path, name: String, suffix: String): Seq[Path] = {
+    val pat = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(name) + "\\." +
+        java.util.regex.Pattern.quote(suffix) + "-(\\d+)-\\d+")
+    scala.util.Using.resource(Files.list(dir)) { st =>
       st.iterator().asScala.filter { p =>
-        val m = statsTmpPat.matcher(p.getFileName.toString)
+        val m = pat.matcher(p.getFileName.toString)
         m.matches() && m.group(1).toLongOption.exists { pid =>
           pid != ProcessHandle.current.pid &&
             ProcessHandle.of(pid).map[java.lang.Boolean](h => !h.isAlive)
               .orElse(java.lang.Boolean.TRUE).booleanValue
         }
       }.toSeq
-    }.foreach(Files.deleteIfExists(_))
+    }
   }
 
   private[catalog] def deleteRecursively(p: Path): Unit =

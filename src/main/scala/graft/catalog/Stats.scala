@@ -78,6 +78,12 @@ object Stats {
       val i = agg.fieldIndex(field)
       if (agg.isNullAt(i)) None else Some(agg.get(i).asInstanceOf[A])
     }
+    // the v>0 branch read a pinned immutable version; the v==0 branch's
+    // read() resolved the pointer itself, so a racing FIRST commit could
+    // have slid v1's rows under the v0 label — recompute on the settled
+    // pointer (terminates: the retry takes the pinned branch)
+    if (v == 0 && cat.currentVersion(name) != 0)
+      return analyze(cat, name, distinctMode)
     val nRows = get[Long]("n_rows").getOrElse(0L)
     val rows = d.columns.zipWithIndex.map { case ((n, t), i) =>
       Row(i + 1, n, t.name, v, nRows,

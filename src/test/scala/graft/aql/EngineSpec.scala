@@ -748,6 +748,16 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // scalar fn + aggregate: the fn output becomes a GROUP BY key
     val keyed = searchRows("SEARCH [count(a), lower(t)] ON arith")
     assert(keyed.nonEmpty) // groups by lower(t), counts per group
+    // multi-arg fns in every position: a string-default coalesce on the
+    // predicate LHS keeps STRING comparison semantics (the RHS is a
+    // literal, never a misresolved column/number), and a numeric-default
+    // coalesce passes the aggregate's numeric-result gate
+    val co = searchRows("SEARCH [a] ON arith WHERE coalesce(t 'zz') = 'x'")
+    assert(co.map(_.getLong(0)).toSet == Set(1L))
+    val sub = searchRows("SEARCH [a] ON arith WHERE substr(t 1 1) = 'b'")
+    assert(sub.map(_.getLong(0)).toSet == Set(6L))
+    val agg = searchRows("SEARCH [sum(coalesce(a 0))] ON arith")
+    assert(agg.head.getLong(0) == 17L)
   }
 
   test("26 ALTER CONTAINER ADD COLUMN: old versions read NULL, new rows carry the column") {
