@@ -115,6 +115,27 @@ class StatsSpec extends AnyFunSuite {
     assert(full.forall(r => r.getLong(4) == 500 && r.getLong(5) == 0))
   }
 
+  test("vacuum GCs crashed metadata staging files; live writers' are spared") {
+    val (eng, dir) = fixture("tmpgc")
+    val cat = eng.catalog
+    val catDir = dir.resolve("catalog")
+    val deadPid = 999999999L
+    val livePid = ProcessHandle.current.pid
+    java.nio.file.Files.writeString(
+      catDir.resolve(s"s.stats.tmp-$deadPid-1"), "junk")
+    java.nio.file.Files.writeString(
+      catDir.resolve(s"s.cluster.tmp-$deadPid-2"), "junk")
+    java.nio.file.Files.writeString(
+      catDir.resolve(s"s.stats.tmp-$livePid-3"), "mine")
+    cat.vacuum("s")
+    assert(!java.nio.file.Files.exists(catDir.resolve(s"s.stats.tmp-$deadPid-1")),
+      "dead ANALYZE staging must GC")
+    assert(!java.nio.file.Files.exists(catDir.resolve(s"s.cluster.tmp-$deadPid-2")),
+      "dead clustering-policy staging must GC")
+    assert(java.nio.file.Files.exists(catDir.resolve(s"s.stats.tmp-$livePid-3")),
+      "a live writer's staging file is never touched")
+  }
+
   test("SHOW STATS before ANALYZE errors; ALTER invalidates; DROP cleans up") {
     val (eng, dir) = fixture("lifecycle")
     val e = intercept[graft.aql.ParseException](eng.execute("SHOW STATS s"))
