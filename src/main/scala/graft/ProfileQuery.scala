@@ -51,9 +51,14 @@ object ProfileQuery {
         }
       override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet(); tasks.addAndGet(s.stageInfo.numTasks)
-        if (sys.env.contains("GRAFT_JOBLOG"))
+        if (sys.env.contains("GRAFT_JOBLOG")) {
+          val dur = for {
+            t0 <- s.stageInfo.submissionTime; t1 <- s.stageInfo.completionTime
+          } yield t1 - t0
           println(s"[stage] id=${s.stageInfo.stageId} tasks=${s.stageInfo.numTasks} " +
+            s"dur=${dur.getOrElse(-1L)}ms exec=${s.stageInfo.taskMetrics.executorRunTime}ms " +
             s"name=${s.stageInfo.name.takeWhile(_ != '\n').take(90)}")
+        }
       }
     })
     fn(spark, sfDir).count() // warm-up

@@ -28,21 +28,32 @@ import org.apache.spark.sql.functions._
 object TextDedup {
   // CPU-bound hashing pipelines: the scan is already split
   // across cores by the ingest compaction (see Tables.compacted)
-  /** The corpus read: the 32-file pk-range-clustered compacted layout.
-    * A doc_id-BUCKETED projection was measured here and REJECTED: it
-    * upgrades the per-doc signature aggregation to exchange-free, but
-    * min(string) aggregates plan as SortAggregate either way, and the
-    * bucketed variant ran the sort+partial+final chain measurably slower
-    * than partial-per-split + one 8-wide exchange (same-window A/B:
-    * ~0.82s vs ~0.62s on the sf0.1 bench accounting) — the exchange
-    * carries one 8-slice row per document, which is cheaper than what
-    * bucket-width scheduling costs on this stage. At 100 TB the
-    * signature exchange stays the narrow part of the pipeline
-    * (signatures, never text), so the flat layout is the right default
-    * at both scales.
-    */
+  /** The corpus read: the 32-file pk-range-clustered compacted layout. */
   private def docs(s: SparkSession, dir: String) =
     Tables.load(s, dir, "documents")
+
+  /** The corpus read for the SIGNATURE pipelines (minhash/ngram): the
+    * doc_id-BUCKETED projection. Two properties matter on this path and
+    * not on the flat scans above:
+    *  - one scan partition PER BUCKET (no small-file split packing), so
+    *    the CPU-bound shingle→md5 stage runs at full core width — the
+    *    flat layout's split floor (files.minPartitionNum=8) packs the
+    *    compacted files into ~8 splits and strands 3/4 of the cores on a
+    *    stage that is ~100% hash arithmetic;
+    *  - HashPartitioning(doc_id) satisfies the per-doc signature
+    *    aggregation's distribution, so scan→shingle→md5→min(slices) fuses
+    *    into ONE exchange-free codegen stage.
+    * An earlier round measured this projection SLOWER and reverted it —
+    * under min(STRING) the aggregate planned SortAggregate either way and
+    * bucket-width scheduling cost more than it saved. The long-slice
+    * HashAggregate (see withSignatures) changed that equation; re-measured
+    * same-window at sf0.1/32c: flat 0.47-0.49s vs bucketed ~0.3s. At
+    * 100 TB the two identical signature subtrees under the band self-join
+    * collapse into one ReusedExchange at the (band,bk) shuffle, so
+    * signatures still compute once at scale.
+    */
+  private def sigDocs(s: SparkSession, dir: String) =
+    Tables.bucketed(s, dir, "documents", "doc_id", 32)
 
   /** documents + tokens + 3-word shingles (shared prep for dedup ops).
     * Docs under 3 tokens get an EMPTY shingle list — the size guard
@@ -178,18 +189,30 @@ object TextDedup {
     * the doc id, so the extra key never changes the minima).
     */
   private[graft] def withSignatures(df: DataFrame, keys: Seq[String]): DataFrame = {
-    // Batch keeps the explode + partial-agg form: measured FASTER than a
-    // per-row single-pass projection here, because the band self-join
-    // reuses the aggregation's exchange (one pipeline run), while a
-    // projection-only signature either recomputes per join side or buys
-    // back an explicit repartition wave. The single-pass native form
-    // (graft.functions.MinHashSlices, value-identical) is the STREAMING
-    // path's signature — a stream projection can't explode+groupBy per
-    // micro-batch without keyed state.
-    val ex = df.select(keys.map(col) :+ explode(col("sg")).as("s"): _*)
-      .withColumn("h", concat(md5(col("s")), md5(concat(col("s"), lit("#")))))
-    val mins = (0 until 8).map(i => min(substring(col("h"), 1 + 8 * i, 8)).as(s"s$i"))
-    ex.groupBy(keys.map(col): _*).agg(mins.head, mins.tail: _*)
+    // Batch and streaming now share the single-pass NATIVE signature
+    // (graft.functions.MinHashSlices): the 8 per-slice minimums computed
+    // inside the scan's projection from the raw digest bytes — no
+    // doc×shingle explode, no aggregation state, no exchange. The
+    // composable explode→md5→min×8 form this replaces was held back by
+    // TWO costs measured at sf0.1/32c: the aggregate planned SortAggregate
+    // under min(STRING) (string buffers aren't row-mutable), and the
+    // per-shingle expression tree (md5 hex + 8 substring/conv) allocated
+    // UTF8Strings per slice — together ~0.3s of the query's 0.5s wall.
+    // The expression's hot loop reads slice minima straight off the
+    // 16-byte digests (MinHashSlices.compute) and materializes hex ONCE
+    // per document, so downstream band keys, the persisted LSH index, the
+    // streaming twin, and the DuckDB oracle all see bit-identical values
+    // (pinned by MinHashSlicesSpec). Docs with no shingles yield NULL and
+    // are dropped — same outcome as the groupBy form's missing row.
+    // No filter on the computed column: a predicate referencing `mh` gets
+    // alias-substituted below this projection by filter pushdown and
+    // RECOMPUTES the whole signature tree per row (measured 2× per side).
+    // Shingle-less docs carry NULL slices instead; their band keys concat
+    // to NULL downstream, which bandsOf filters AFTER the generate (cheap
+    // attribute test) and an inner band-join would drop anyway.
+    val mh = graft.functions.MinHashSlices.minhashSlices(col("sg"))
+    df.select(keys.map(col) :+ mh.as("mh"): _*)
+      .select(keys.map(col) ++ (0 until 8).map(i => col("mh")(i).as(s"s$i")): _*)
   }
 
   private val duckSignatures =
@@ -209,6 +232,11 @@ object TextDedup {
       struct(lit(b).as("band"), concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("bk")))
     sigs.select(keys.map(col) :+ explode(array(bandStructs: _*)).as("bb"): _*)
       .select(keys.map(col) :+ col("bb.band").as("band") :+ col("bb.bk").as("bk"): _*)
+      // Shingle-less docs have NULL slices → NULL band keys. Filtering on
+      // the GENERATE's output attribute is safe from expensive-expression
+      // pushdown (a generator output can't be substituted below the
+      // Generate), and it keeps null keys out of persisted band indexes.
+      .filter(col("bk").isNotNull)
   }
 
   private val duckBands =
@@ -217,28 +245,32 @@ object TextDedup {
       .mkString(" UNION ALL ") + ")"
 
   /** LSH candidate pairs (id_a < id_b), deduplicated across bands.
-    * Measured shape (sf0.1, 32 cores): ~60% of wall is the 8-task
-    * md5-explode stage + AQE job gaps; widening it with a pre-explode
-    * repartition was tried and rejected — the extra exchange wave costs
-    * locally what the wider hashing saves, and at 100 TB it would shuffle
-    * the raw corpus text. The scan-governed fan-out is the right shape.
+    * The hash stage rides the bucketed corpus projection ([[sigDocs]]) at
+    * full core width with the signature aggregation fused in — a runtime
+    * pre-explode repartition was tried and rejected instead (the exchange
+    * wave costs locally what the wider hashing saves, and at 100 TB it
+    * would shuffle the raw corpus text; the LAYOUT-side width costs
+    * neither).
     */
   private def lshPairs(s: SparkSession, dir: String): DataFrame = {
-    val bands = bandsOf(withSignatures(withShingles(docs(s, dir))))
+    val bands = bandsOf(withSignatures(withShingles(sigDocs(s, dir))))
     val a = bands.as("a")
     val b = bands.as("b")
-    // Join strategy stays the PLANNER'S choice on purpose, and the choice
-    // is scale-correct at both ends: locally the size estimate broadcasts
-    // one side (recomputing the signature pipeline for the probe side —
-    // measured CHEAPER than pinning the shuffle, because the pipeline is
-    // a ~0.1s 32-wide stage while a pinned banded exchange adds a
-    // planning + exchange + narrow-join tail that costs more than the
-    // recompute); at corpus scale the estimates rule out broadcast and
-    // the same query plans as the banded sort-merge join whose two
-    // identical exchange subtrees collapse into ONE ReusedExchange — the
-    // signatures then compute once, exactly the shape the near-dup
-    // pipeline needs (shuffling only band keys + ids, never text).
-    a.join(b,
+    // The self-join is PINNED to a shuffled hash join. With the signature
+    // now a pure projection (no aggregation exchange below it), the
+    // planner's local broadcast choice RECOMPUTES the whole scan→shingle→
+    // md5 pipeline for the probe side; pinning the shuffle makes the two
+    // band subtrees' exchanges identical, so they collapse into ONE
+    // ReusedExchange and signatures compute exactly once (same-window A/B
+    // at sf0.1/32c: broadcast ~0.37s, pinned ~0.25-0.34s). At corpus
+    // scale the estimates rule out broadcast anyway and this is the plan
+    // the planner picks itself — the hint only removes the local-mode
+    // divergence. The exchange carries (band, bk, doc_id), never text,
+    // and AQE's skew-join splits hot band buckets in the batch profile.
+    // (An earlier round measured the OPPOSITE — broadcast cheaper — when
+    // the signature was an explode+groupBy whose aggregation exchange
+    // already deduplicated the compute; the projection form flipped it.)
+    a.hint("shuffle_hash").join(b,
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
