@@ -127,12 +127,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"offset/limit not pushed:\n$p")
   }
 
-  test("BROADCAST hints sit only on true dimensions; fact sides carry at most MERGE") {
+  test("BROADCAST hints sit only on true dimensions; fact sides carry at most MERGE/SHUFFLE_HASH") {
     // An explicit broadcast() hint is honored regardless of runtime size, so
     // a BROADCAST hint on an orders/lineitem-derived side would OOM at
-    // cluster scale. A MERGE hint on a fact side is the opposite: it pins
-    // the zero-exchange bucketed sort-merge join (safe at any scale) where
-    // the local planner's size estimate would otherwise broadcast a fact.
+    // cluster scale. MERGE / SHUFFLE_HASH hints on a fact side are the
+    // opposite: they pin the zero-exchange bucketed join (per-bucket merge
+    // or per-bucket hash build — both bounded by bucket size, safe at any
+    // scale) where the local planner's size estimate would otherwise
+    // broadcast a fact.
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     for (name <- Seq("x_join_top_orders", "x_join_multiway")) {
       val lp = SparkEntry.queries(name)(spark, dir).queryExecution.analyzed
