@@ -563,6 +563,10 @@ object Parser {
       f.toString.replace("-", "m").replace(".", "p")
     case Operand.Leaf(t) => throw new ParseException(
       s"Unsupported token in computed projection: $t")
+    // literal args are deliberately NOT folded into the name (stable
+    // oracle-visible output names); the cost is one invocation per
+    // fn×column per projection — a second one collides and is rejected
+    // by the duplicate-output checks at lowering (EngineSpec 37)
     case Operand.Fn(fn, c, _) => s"${fn}_${c.toLowerCase}"
     case Operand.Bin(l, op, r) =>
       val w = op match {

@@ -420,6 +420,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       Done(s"cloned $src into $dst (version ${catalog.currentVersion(dst)})")
 
     case Ast.RestoreContainer(c, v) =>
+      catalog.get(c) // existence check: an unknown container must say so,
+      // not "version N does not exist" from an empty version history
       requireNotView(c, "its content")
       // staged ops were derived against the pre-restore tip; restoring
       // under them would commit them onto content they never saw

@@ -1093,7 +1093,7 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     * quantile buckets keep skewed distributions balanced where linear
     * min/max scaling would collapse.
     */
-  private def zOrderValue(df: DataFrame,
+  private[catalog] def zOrderValue(df: DataFrame,
       cols: Seq[String]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     val bits = 8
@@ -1111,7 +1111,10 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     val terms = for {
       i <- 0 until bits
       (bc, j) <- bucketCols.zipWithIndex
-    } yield shiftleft(shiftright(bc, i).bitwiseAND(lit(1)), i * k + j)
+    // interleave in LONG: with 4 columns the top bit lands at position
+    // i*k+j = 31, which would flip the sign of an IntegerType z-value and
+    // sort that column's upper buckets before all others
+    } yield shiftleft(shiftright(bc.cast("long"), i).bitwiseAND(lit(1L)), i * k + j)
     terms.reduce(_ + _)
   }
 
@@ -1167,21 +1170,6 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
         case _: IllegalArgumentException =>
           Files.deleteIfExists(clusterFile(name)); Nil
       }
-    // an explicit USING becomes the policy future compactions follow
-    if (zorderBy.nonEmpty) {
-      val tmp = catDir.resolve(
-        s"$name.cluster.tmp-${ProcessHandle.current.pid}-${System.nanoTime()}")
-      try {
-        Files.writeString(tmp, zcols.mkString("\t"))
-        Files.move(tmp, clusterFile(name), StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
-      } catch {
-        case t: Throwable =>
-          try Files.deleteIfExists(tmp)
-          catch { case scala.util.control.NonFatal(c) => t.addSuppressed(c) }
-          throw t
-      }
-    }
     // CAS like any commit — NOT overwrite(): optimize rewrites content it
     // has already read, so publishing above a concurrently-committed
     // version would silently drop that commit's rows. Losing the claim
@@ -1230,6 +1218,26 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
       }
       done = tryCommit(name, base, clustered)
       published = base + 1
+    }
+    // an explicit USING becomes the policy future compactions follow —
+    // persisted only AFTER the commit loop publishes, so a failed optimize
+    // (build error, 50 lost races, concurrent drop) never leaves a policy
+    // the command didn't successfully apply; a racing writeSchema
+    // invalidation is still covered by the lenient stale-policy fallback
+    // above
+    if (zorderBy.nonEmpty) {
+      val tmp = catDir.resolve(
+        s"$name.cluster.tmp-${ProcessHandle.current.pid}-${System.nanoTime()}")
+      try {
+        Files.writeString(tmp, zcols.mkString("\t"))
+        Files.move(tmp, clusterFile(name), StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      } catch {
+        case t: Throwable =>
+          try Files.deleteIfExists(tmp)
+          catch { case scala.util.control.NonFatal(c) => t.addSuppressed(c) }
+          throw t
+      }
     }
     // count THIS call's published version — under a race the pointer may
     // already be on a later (fragmented) commit

@@ -1321,4 +1321,21 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(eng2.catalog.indexDefs("meta1").map(d => (d.ix, d.kind, d.column)) ==
       Seq(("nd", "lsh", "body")))
   }
+
+  test("37 fn_col output naming: same fn twice over one column is a clear reject") {
+    // The derived output name ignores literal args (documented limitation:
+    // one invocation per fn×column per projection), so two substr() items
+    // over the same column would collide on `substr_text` — that must be a
+    // parse-time duplicate-output error in BOTH the plain and the
+    // aggregate projection paths, never an ambiguous default-sort /
+    // ORDER BY reference downstream.
+    val e1 = intercept[ParseException](
+      eng.execute("SEARCH [substr(name 1 2), substr(name 3 2)] ON people"))
+    assert(e1.getMessage.contains("Duplicate output columns"), e1.getMessage)
+    val e2 = intercept[ParseException](
+      eng.execute("SEARCH [round(score 1), round(score 0), count(id)] ON people"))
+    assert(e2.getMessage.contains("Duplicate output columns"), e2.getMessage)
+    // distinct columns keep working — the limitation is per fn×column
+    assert(searchRows("SEARCH [id, substr(name 1 2)] ON people").nonEmpty)
+  }
 }

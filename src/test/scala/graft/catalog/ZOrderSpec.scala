@@ -45,6 +45,48 @@ class ZOrderSpec extends AnyFunSuite {
     assert(cat.changes("z", 2, Some(3)).isEmpty)
   }
 
+  test("4-column z-order: the 32nd interleaved bit must not flip the sign") {
+    // With 4 columns the top bucket bit of the 4th column lands at bit
+    // position i*k+j = 7*4+3 = 31 — in IntegerType arithmetic that made
+    // rows whose 4th column falls in the upper 128 buckets NEGATIVE
+    // z-values, sorting them before all others and destroying clustering
+    // for that dimension. The interleave now runs in LONG; the pin is
+    // that a predicate on the 4th column's UPPER range still prunes.
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder4")
+    val eng = new Engine(spark, dir.toString)
+    val cat = eng.catalog
+    eng.execute("CREATE CONTAINER z4 ['a','b','c','d'] [BIGINT, BIGINT, BIGINT, BIGINT]")
+    import spark.implicits._
+    val rows = (0L until 4096L).map { a =>
+      (a, (a * 2654435761L) % 4096L, (a * 40503L) % 4096L, (a * 2654435789L) % 4096L)
+    }
+    cat.overwrite("z4", rows.toDF("a", "b", "c", "d"))
+    eng.execute("OPTIMIZE z4 8 USING [a, b, c, d]")
+    def filesHit(lo: Long): Long =
+      cat.read("z4").filter(col("d") >= lo)
+        .select(input_file_name()).distinct().count()
+    // upper-bucket slab of the 4TH dimension (the sign-bit victims):
+    // 1/8 of the domain must not need all 8 files
+    assert(filesHit(4096L - 512L) <= 6,
+      "a d-slab predicate in the upper buckets must prune 4-column z-ordered files")
+    val back = cat.read("z4").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(back == rows.toSet)
+
+    // The precise sign pin (slab pruning alone can't see it — a sign flip
+    // only swaps the curve's halves): with the other three columns
+    // constant, the z value must be MONOTONE in the 4th column across the
+    // bucket-128 boundary where bit i*k+j = 31 flips. Under IntegerType
+    // interleave the upper half went negative and sorted first.
+    val probe = (0L until 4096L by 16L).map(d => (1L, 1L, 1L, d))
+      .toDF("a", "b", "c", "d")
+    val z = cat.zOrderValue(probe, Seq("a", "b", "c", "d"))
+    val zs = probe.select(col("d"), z.as("z")).orderBy(col("d"))
+      .collect().map(r => r.getLong(1))
+    assert(zs.zip(zs.tail).forall { case (lo, hi) => lo <= hi },
+      s"z must be monotone in d with a,b,c fixed: ${zs.mkString(",")}")
+  }
+
   test("z-order guards: column count, unknown and non-numeric columns") {
     val dir = java.nio.file.Files.createTempDirectory("graft-zorder-g")
     val eng = new Engine(spark, dir.toString)
