@@ -28,6 +28,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
   val tx = new Tx(catalog)
   tx.autoCommit = settings.autoCommit
   tx.optimizeEvery = settings.optimizeAfterCommits
+  tx.analyzeEvery = settings.analyzeAfterCommits
   // commit-time view maintenance (refresh_views_after_commit): fold each
   // commit's CDC window into dependent views immediately — the symmetric
   // feature to commit-time index maintenance. The catch is PER VIEW: one
@@ -1265,9 +1266,32 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       val (lt, rt) = (acc.schema(lc).dataType, right.schema(rc).dataType)
       if (lt != rt)
         throw new ParseException(s"JOIN type mismatch: $lc is $lt but $rc is $rt")
+      // Stats-pinned join side (graft extension): when the joined
+      // container has persisted ANALYZE stats, price its build side as
+      // n_rows × Σ width of the columns this STATEMENT references (the
+      // columns Catalyst will actually carry after pruning — a file-size
+      // estimate can't see that, and parquet compression skews it both
+      // ways). Under the session broadcast threshold → pin broadcast;
+      // over 4× the threshold → pin a sort-merge join so a
+      // small-on-disk / huge-in-rows side can never be broadcast into an
+      // executor OOM. The band between defers to the planner's own
+      // estimate; absent stats defer entirely. Wrong stats cost plan
+      // quality only — every strategy returns the same rows.
+      val pricedRight = rightName.flatMap { rn =>
+        val refs = referencedNames(s)
+        val used = right.columns.filter(c => rc.equalsIgnoreCase(c) ||
+          refs.forall(_.exists(_.equalsIgnoreCase(c))))
+        graft.catalog.Stats.estimatedBytes(catalog, rn, used.toIndexedSeq)
+      }
+      val bcastBytes = broadcastThresholdBytes
+      val rightSide = pricedRight match {
+        case Some(b) if bcastBytes > 0 && b <= bcastBytes => broadcast(right)
+        case Some(b) if bcastBytes > 0 && b > 4 * bcastBytes => right.hint("merge")
+        case _ => right
+      }
       acc =
-        if (usingKey && overlap.nonEmpty) acc.join(right, Seq(lc), j.joinType)
-        else acc.join(right, acc(lc) === right(rc), j.joinType)
+        if (usingKey && overlap.nonEmpty) acc.join(rightSide, Seq(lc), j.joinType)
+        else acc.join(rightSide, acc(lc) === rightSide(rc), j.joinType)
       leftNames = leftNames ++ rightName
     }
     val filtered = applyWhere(acc, virtualDef(acc), s)
@@ -1526,6 +1550,46 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         }
     }
   }
+
+  /** Bare column names a SEARCH statement can reference, as an
+    * OVER-approximation for the broadcast cost model: projection items,
+    * aggregate/scalar/window inputs, predicate sides, sort and join keys
+    * (qualifiers stripped). None = `SEARCH []`-style all-columns
+    * statements — every column is referenced. Names that don't resolve on
+    * a given side are harmless extras; an over-approximation can only
+    * over-price a build side, never under-price it.
+    */
+  private def referencedNames(s: Ast.Search): Option[Set[String]] = {
+    if (s.projection.isEmpty && s.aggs.isEmpty && s.exprs.isEmpty &&
+        s.fns.isEmpty && s.wins.isEmpty) return None
+    def whereNames(w: Ast.Where): List[String] =
+      w.atoms.flatMap(a => a.column ::
+        (a.lhs.toList ++ a.rhs.toList).flatMap(operandLeafNames))
+    def bare(n: String): String = n.split("\\.", 2) match {
+      case Array(_, c) => c
+      case _ => n
+    }
+    Some((s.projection ++
+      s.aggs.flatMap(a => a.column :: a.expr.toList.flatMap(operandLeafNames)) ++
+      s.exprs.flatMap(e => operandLeafNames(e.expr)) ++
+      s.fns.map(_.column) ++
+      s.wins.flatMap(w => w.column :: w.value.toList ++ w.keys) ++
+      s.where.toList.flatMap(whereNames) ++
+      s.having.toList.flatMap(whereNames) ++
+      s.orderBy.map(_.column) ++
+      s.joins.flatMap(j => List(bare(j.left), bare(j.right))))
+      .map(_.toLowerCase).toSet)
+  }
+
+  /** The session's broadcast threshold in bytes (-1 = broadcasts
+    * disabled), the same knob Catalyst's own size-estimate planning
+    * reads. */
+  private def broadcastThresholdBytes: Long =
+    try {
+      val v = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      v.toLongOption.getOrElse(
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v))
+    } catch { case scala.util.control.NonFatal(_) => 10485760L }
 
   /** Column names referenced by an arithmetic operand tree. */
   private def operandLeafNames(o: Ast.Operand): List[String] = o match {

@@ -58,6 +58,16 @@ final case class Settings(
       * floor-cost file counts. The reference has no analogue (it rewrites
       * whole-container state per commit — compaction is implicit). */
     optimizeAfterCommits: Int = 0,
+    /** graft extension: re-ANALYZE a container every N commits (0 = off)
+      * so the persisted stats feeding access-path choice (the value-index
+      * probe skip, the stats-pinned join side) can't silently go stale
+      * under a long-running ingest. The auto pass always uses the approx
+      * (HyperLogLog++) distinct mode — maintenance must stay a bounded
+      * single-pass cost at any scale; an explicit ANALYZE still honors
+      * `stats_distinct`. The reference maintains its index-side stats at
+      * every commit (`/root/reference/src/container.rs:277-282`) — this
+      * is the amortized analogue. */
+    analyzeAfterCommits: Int = 0,
     /** graft extension: fold every commit's CDC window into dependent
       * incremental views immediately (REFRESH VIEW becomes automatic —
       * the symmetric feature to commit-time index maintenance). Off by
@@ -91,6 +101,7 @@ final case class Settings(
     if (s.maxConnections < 1) s = s.copy(maxConnections = 1)
     if (s.secretKeyCount < 1) s = s.copy(secretKeyCount = 1)
     if (s.optimizeAfterCommits < 0) s = s.copy(optimizeAfterCommits = 0)
+    if (s.analyzeAfterCommits < 0) s = s.copy(analyzeAfterCommits = 0)
     if (s.indexProbeCap < 1) s = s.copy(indexProbeCap = 8192)
     if (!Set("exact", "approx").contains(s.statsDistinct))
       s = s.copy(statsDistinct = "exact")
@@ -110,6 +121,7 @@ final case class Settings(
        |secret_key_count: $secretKeyCount
        |wire_encryption: $wireEncryption
        |optimize_after_commits: $optimizeAfterCommits
+       |analyze_after_commits: $analyzeAfterCommits
        |refresh_views_after_commit: $refreshViewsAfterCommit
        |index_probe_cap: $indexProbeCap
        |stats_distinct: $statsDistinct
@@ -162,6 +174,7 @@ object Settings {
       secretKeyCount = int("secret_key_count", default.secretKeyCount),
       wireEncryption = bool("wire_encryption", default.wireEncryption),
       optimizeAfterCommits = int("optimize_after_commits", default.optimizeAfterCommits),
+      analyzeAfterCommits = int("analyze_after_commits", default.analyzeAfterCommits),
       refreshViewsAfterCommit =
         bool("refresh_views_after_commit", default.refreshViewsAfterCommit),
       indexProbeCap = int("index_probe_cap", default.indexProbeCap),

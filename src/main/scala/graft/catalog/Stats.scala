@@ -118,6 +118,46 @@ object Stats {
         }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Estimated in-memory bytes of `columns` of the container, from the
+    * persisted stats: `n_rows × Σ per-column width`, where TEXT-family
+    * widths use the MEASURED avg_len and fixed-width types their storage
+    * size. None if never analyzed or any requested column is unknown to
+    * the stats (they predate an ALTER — the writer invalidates on ALTER,
+    * but a racing reader stays safe).
+    *
+    * This is the broadcast-side cost input (`Engine.joinedSource`): unlike
+    * a file-size estimate it prices exactly the columns the plan will
+    * carry — a dimension with one fat unreferenced TEXT column still
+    * broadcasts its two joined columns. A stale estimate can only cost
+    * plan quality, never correctness (both join strategies return the
+    * same rows).
+    */
+  def estimatedBytes(cat: Catalog, name: String,
+      columns: Seq[String]): Option[Long] =
+    try {
+      val f = statsFile(cat, name)
+      if (!Files.exists(f)) return None
+      val lines = Files.readAllLines(f, StandardCharsets.UTF_8)
+        .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+        .map(_.split("\t", -1))
+      val byCol = lines.map(p => p(1).toLowerCase -> p).toMap
+      val nRows = lines.headOption.map(_(4).toLong).getOrElse(return None)
+      val widths = columns.distinct.map { c =>
+        val p = byCol.getOrElse(c.toLowerCase, return None)
+        val avgLen = if (p(9) == "-") None else Some(p(9).toDouble)
+        p(2) match {
+          case "BOOL" => 1.0
+          case "INT" => 4.0
+          case "BIGINT" | "FLOAT" => 8.0
+          // TEXT family (TEXT/CHAR/…STRING/NONE) and bytes: measured
+          // average content length (absent for all-NULL columns) plus
+          // per-value overhead
+          case _ => avgLen.getOrElse(0.0) + 16.0
+        }
+      }
+      Some((nRows * widths.sum).toLong)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** The persisted stats, or None if the container was never analyzed. */
   def readStats(cat: Catalog, name: String): Option[DataFrame] = {
     val f = statsFile(cat, name)

@@ -46,6 +46,15 @@ final class Tx(catalog: Catalog) {
     * sessions/restarts. */
   @volatile var optimizeEvery: Int = 0
 
+  /** `analyze_after_commits` settings knob (graft extension): when > 0,
+    * every Nth committed version re-runs [[Stats.analyze]] in approx
+    * mode, so the cost-model inputs (n_rows/ndv feeding the value-index
+    * probe skip and the stats-pinned join side) track the data instead
+    * of silently going stale. Keyed off version numbers like
+    * [[optimizeEvery]] — no extra bookkeeping, fires identically across
+    * sessions/restarts. */
+  @volatile var analyzeEvery: Int = 0
+
   /** Post-commit hook per committed container (graft extension): the
     * engine wires incremental-view auto-refresh through this when
     * `refresh_views_after_commit` is set. Fires AFTER the commit is
@@ -295,13 +304,25 @@ final class Tx(catalog: Catalog) {
     * version, which never re-lands on a multiple of N from this path.
     */
   private def postCommitMaintenance(c: String): Unit = {
+    // trigger decisions key off the version THIS commit published — the
+    // auto-OPTIMIZE below publishes another one, which must not shift a
+    // due analyze off its N-multiple
+    val committed = catalog.currentVersion(c)
     try onCommit(c)
     catch { case scala.util.control.NonFatal(_) => () }
-    if (optimizeEvery > 0 && catalog.currentVersion(c) % optimizeEvery == 0)
+    if (optimizeEvery > 0 && committed % optimizeEvery == 0)
       try {
         val (_, _, published) = catalog.optimize(c)
         onOptimize(c, published)
       } catch { case scala.util.control.NonFatal(_) => () }
+    // stats AFTER any auto-compaction, so analyzed_version pins the
+    // version readers actually see; always approx mode — the auto pass
+    // is maintenance and must stay one bounded pass (no multi-distinct
+    // expand) at any scale. An explicit ANALYZE overwrites with the
+    // session's stats_distinct mode.
+    if (analyzeEvery > 0 && committed % analyzeEvery == 0)
+      try Stats.analyze(catalog, c, "approx")
+      catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** MERGE ROWS — set-oriented pk upsert: for every `src` row whose pk

@@ -115,6 +115,109 @@ class StatsSpec extends AnyFunSuite {
     assert(full.forall(r => r.getLong(4) == 500 && r.getLong(5) == 0))
   }
 
+  test("stats pin the AQL join side: referenced-column pricing beats the file-size estimate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stats-join")
+    val eng = new Engine(spark, dir.toString)
+    val cat = eng.catalog
+    import spark.implicits._
+    eng.execute("CREATE CONTAINER fact ['id','v'] [BIGINT, BIGINT]")
+    cat.overwrite("fact", (0L until 5000L).map(i => (i, i % 7)).toDF("id", "v"))
+
+    // dim: 60 rows whose FAT payload column inflates the on-disk size far
+    // past the 10MB broadcast threshold (incompressible random text), but
+    // whose joined columns price to ~nothing — the case a file-size
+    // estimate gets wrong and referenced-column stats get right
+    eng.execute("CREATE CONTAINER dim ['dkey','dname','payload'] [BIGINT, TEXT, TEXT]")
+    // incompressible payload: Catalyst prices every string column at a
+    // default ~20 bytes when scaling the scan estimate by projected
+    // width, so the fixture must be big enough that even the
+    // pruned-width-scaled file size stays over the threshold
+    val rnd = new java.util.Random(7)
+    def blob(): String = {
+      val b = new Array[Byte](340000); rnd.nextBytes(b)
+      java.util.Base64.getEncoder.encodeToString(b)
+    }
+    val fat = (0L until 60L).map(k => (k, s"n$k", blob())).toDF("dkey", "dname", "payload")
+    cat.overwrite("dim", fat)
+    // committed versions live at data/dim@vN
+    val dimBytes = java.nio.file.Files.walk(dir.resolve("data"))
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.toString.contains("dim@v"))
+      .mapToLong(java.nio.file.Files.size(_)).sum()
+    assert(dimBytes > (10L << 20),
+      s"fixture must exceed the broadcast threshold on disk, got $dimBytes")
+
+    def plan(): String = eng.execute(
+      "EXPLAIN SEARCH [id, dname] ON fact JOIN dim ON id = dkey")
+      .asInstanceOf[Engine.Done].message
+    // without stats the planner can only broadcast the narrow FACT side
+    // (the dim relation prices >10MB even after projected-width scaling)
+    assert(!plan().contains("BuildRight"),
+      s"without stats the inflated dim must not be the build side:\n${plan()}")
+    statRows(eng, "ANALYZE CONTAINER dim")
+    // with stats: 60 rows × (dkey + dname) prices to ~2KB → the DIM
+    // becomes the pinned broadcast side, the fact streams
+    assert(plan().contains("BroadcastHashJoin") && plan().contains("BuildRight"),
+      s"stats must pin the broadcast of the referenced dim columns:\n${plan()}")
+    // correctness unaffected by the pin
+    assert(eng.orderedResult(eng.execute(
+      "SEARCH [id, dname] ON fact JOIN dim ON id = dkey WHERE id < 3")
+      .asInstanceOf[Engine.ResultSet].cursorId).get.collect().length == 3)
+
+    // the reverse guard — the executor-OOM direction a file-size model
+    // gets WRONG: a small-on-disk container (constant text, RLE
+    // compresses to ~nothing) whose stats price it far over the
+    // threshold. Without stats the planner happily broadcasts it; with
+    // stats the join is pinned to a sort-merge.
+    eng.execute("CREATE CONTAINER big ['bkey','btxt'] [BIGINT, TEXT]")
+    cat.overwrite("big", (0L until 300000L).map(i => (i, "a" * 200)).toDF("bkey", "btxt"))
+    def p2(): String = eng.execute(
+      "EXPLAIN SEARCH [id, btxt] ON fact JOIN big ON id = bkey")
+      .asInstanceOf[Engine.Done].message
+    assert(p2().contains("BroadcastHashJoin"),
+      s"fixture sanity: without stats the size estimate broadcasts:\n${p2()}")
+    statRows(eng, "ANALYZE CONTAINER big")
+    assert(!p2().contains("BroadcastHashJoin") && p2().contains("SortMergeJoin"),
+      s"row-priced-huge side must never broadcast:\n${p2()}")
+  }
+
+  test("analyze_after_commits: stats auto-refresh every Nth commit and re-arm the access path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stats-auto")
+    java.nio.file.Files.writeString(dir.resolve(graft.catalog.Settings.FileName),
+      "analyze_after_commits: 2\nindex_probe_cap: 4\n")
+    val eng = new Engine(spark, dir.toString)
+    val cat = eng.catalog
+    eng.execute("CREATE CONTAINER au ['id','tag'] [BIGINT, TEXT]")
+    eng.execute("CREATE INDEX vt ON au ['tag'] USING value")
+    import spark.implicits._
+    // v1 (not a multiple of 2): no auto-stats yet
+    cat.overwrite("au", (0L until 30L).map(i => (i, s"t${i % 2}")).toDF("id", "tag"))
+    eng.execute("CREATE ROW ['id','tag'] [100, 't0'] ON au")
+    intercept[graft.aql.ParseException](eng.execute("SHOW STATS au"))
+    // v2 via the Tx commit path: the hook fires and pins v2 — with 2
+    // distinct tags over 31 rows the estimate is UNSELECTIVE (group 15 >
+    // cap 4), so the planner skips the index probe
+    eng.execute("COMMIT au")
+    def shown() = statRows(eng, "SHOW STATS au")
+    assert(shown().forall(_.getInt(3) == 2),
+      "the 2nd commit must auto-ANALYZE and pin version 2")
+    def plan(): String = eng.execute("EXPLAIN SEARCH [id] ON au WHERE tag = 'u7'")
+      .asInstanceOf[Engine.Done].message
+    def pruned(p: String): Boolean =
+      p.contains("id IN ") || p.contains("In(id") || p.contains("EqualTo(id,")
+    assert(!pruned(plan()), s"unselective auto-stats must skip the probe:\n${plan()}")
+    // v3 rewrites tags to UNIQUE (no auto-stats — odd version), v4 is the
+    // next multiple: the auto pass must pick up the ndv collapse and flip
+    // the decision back to the index probe WITHOUT any explicit ANALYZE
+    cat.overwrite("au", (0L until 30L).map(i => (i, s"u$i")).toDF("id", "tag")) // v3
+    assert(shown().forall(_.getInt(3) == 2), "v3 must not auto-analyze")
+    eng.execute("CREATE ROW ['id','tag'] [200, 'u200'] ON au")
+    eng.execute("COMMIT au") // v4
+    assert(shown().forall(r => r.getInt(3) == 4 && r.getLong(4) == 31))
+    assert(pruned(plan()),
+      s"selective auto-stats must re-arm the index path:\n${plan()}")
+  }
+
   test("vacuum GCs crashed metadata staging files; live writers' are spared") {
     val (eng, dir) = fixture("tmpgc")
     val cat = eng.catalog
