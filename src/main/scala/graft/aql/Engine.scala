@@ -1145,6 +1145,13 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           Some(v)
         case (Token.IntLit(v), Some(org.apache.spark.sql.types.IntegerType))
             if v.isValidInt => Some(v.toInt)
+        // FLOAT columns take either numeric literal spelling — the same
+        // coercion the WHERE lowering applies, so the index path and the
+        // plain scan agree on what matches
+        case (Token.FloatLit(v), Some(org.apache.spark.sql.types.DoubleType)) =>
+          Some(v)
+        case (Token.IntLit(v), Some(org.apache.spark.sql.types.DoubleType)) =>
+          Some(v.toDouble)
         case _ => None
       }
     }

@@ -154,8 +154,13 @@ object Index {
           s"$kind index needs a TEXT-like column, '$column' is ${colType.name}")
         s"$kind\t$column"
       case "value" =>
-        require(Seq(StringType, IntegerType, LongType).contains(colType.spark),
-          s"value index needs a TEXT/INT/BIGINT column, '$column' is ${colType.name}")
+        // FLOAT included: the reference's chunk index buckets floats too
+        // (src/indexing.rs:312-437, abs-bucket) — the typed `val` column
+        // sorts/min-maxes doubles exactly like the integer kinds, so
+        // range conjunctions stay contiguous file slices
+        require(Seq(StringType, IntegerType, LongType, DoubleType)
+            .contains(colType.spark),
+          s"value index needs a TEXT/INT/BIGINT/FLOAT column, '$column' is ${colType.name}")
         s"$kind\t$column"
       case "ivf" =>
         require(colType.spark == BinaryType,

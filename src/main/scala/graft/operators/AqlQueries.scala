@@ -161,6 +161,17 @@ object AqlQueries {
       eng.execute("CREATE INDEX vl ON docs_vix ['lang'] USING value")
       eng.execute("CREATE ROW ['doc_id','lang','n_chars'] [900008, 'en', 777] ON docs_vix")
       eng.execute("COMMIT docs_vix")
+      // FLOAT-value-indexed container: range conjunctions on a DOUBLE
+      // column serve through the typed secondary index (quarter-steps are
+      // exactly representable, so equality/range semantics agree with the
+      // oracle bit-for-bit); the post-index COMMIT again proves
+      // maintenance through the oracle gate
+      eng.execute("CREATE CONTAINER docs_fvx ['doc_id','score'] [BIGINT, FLOAT]")
+      eng.catalog.overwrite("docs_fvx", graft.Tables.load(spark, dir, "documents")
+        .selectExpr("doc_id", "cast(n_chars + 0.25 as double) AS score"))
+      eng.execute("CREATE INDEX vs ON docs_fvx ['score'] USING value")
+      eng.execute("CREATE ROW ['doc_id','score'] [900010, 300.25] ON docs_fvx")
+      eng.execute("COMMIT docs_fvx")
       // atomic multi-container COMMIT: rows staged on TWO containers,
       // one COMMIT lands both behind a single transaction manifest —
       // the JOIN over the pair below only matches if BOTH inserts became
@@ -454,6 +465,22 @@ object AqlQueries {
         |ORDER BY doc_id, n_chars""".stripMargin) {
       (s, dir) => search(
         "SEARCH [doc_id, n_chars] ON docs_vix WHERE lang = 'en' AND n_chars > 200")(s, dir)
+    },
+
+    // FLOAT value index (graft extension; the reference's chunk index
+    // buckets floats too, src/indexing.rs:312-437): a range CONJUNCTION
+    // over a DOUBLE column resolves through the typed secondary index
+    // into a contiguous stat-pruned slice of the sorted index parts; the
+    // full predicate re-applies on the candidate-pruned scan. The 900010
+    // row landed after the index existed — maintenance proof like
+    // aql_value_index.
+    Q("aql_value_index_float",
+      """WITH v AS (SELECT doc_id, n_chars + 0.25 AS score FROM documents
+        |           UNION ALL SELECT 900010, 300.25)
+        |SELECT doc_id, score FROM v WHERE score > 250.5 AND score <= 300.25
+        |ORDER BY doc_id, score""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [doc_id, score] ON docs_fvx WHERE score > 250.5 AND score <= 300.25")(s, dir)
     },
 
     // Window functions through AQL (graft extension): ranking windows as

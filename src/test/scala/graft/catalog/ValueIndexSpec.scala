@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The `value` index kind: plain value→pk secondary index over any
-  * TEXT/INT/BIGINT column — the generalization of the reference's
+  * TEXT/INT/BIGINT/FLOAT column — the generalization of the reference's
   * first-column-only chunk index (`/root/reference/src/indexing.rs`) to
   * arbitrary columns, commit-maintained like every derived index and
   * served through the same literal-key bucket/stat-pruned scan shape.
@@ -38,14 +38,59 @@ class ValueIndexSpec extends AnyFunSuite {
     val ids2 = Index.valueLookup(cat, "t", idef2, Seq(3))
       .collect().map(_.getLong(0)).toSet
     assert(ids2 == (0L until 40L).filter(_ % 7 == 3).toSet)
-    // a float/bytes column is rejected
+    // a bytes column is rejected (no ordered scalar domain to index)
     intercept[IllegalArgumentException] {
       val c2 = new Catalog(spark, java.nio.file.Files
         .createTempDirectory("graft-vix-rej").toString)
       c2.create("x", List("id" -> graft.aql.AlbaType.of("BIGINT"),
-        "f" -> graft.aql.AlbaType.of("FLOAT")))
-      c2.createIndex("x", "vf", "value", "f")
+        "b" -> graft.aql.AlbaType.of("SMALL-BYTES")))
+      c2.createIndex("x", "vb", "value", "b")
     }
+  }
+
+  test("FLOAT value index: typed equality and range lookups over a DOUBLE column") {
+    // the reference's chunk index buckets floats too (indexing.rs:312-437)
+    val dir = java.nio.file.Files.createTempDirectory("graft-vix-f")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("f", List("id" -> graft.aql.AlbaType.of("BIGINT"),
+      "score" -> graft.aql.AlbaType.of("FLOAT")))
+    import spark.implicits._
+    // quarter-steps are exactly representable — equality is exact-match
+    val base = (0L until 40L).map(i => (i, i + 0.25)).toDF("id", "score")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+    cat.overwrite("f", base)
+    val idef = cat.createIndex("f", "vs", "value", "score")
+    assert(Index.valueLookup(cat, "f", idef, Seq(7.25))
+      .collect().map(_.getLong(0)).toSeq == Seq(7L))
+    val ids = Index.valueRangeLookup(cat, "f", idef,
+      col("val") > 10.0 && col("val") <= 13.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(10L, 11L, 12L, 13L))
+    // commit maintenance holds for the double-typed parts
+    val tx = new Tx(cat)
+    tx.stageInsert("f", Seq(org.apache.spark.sql.Row(100L, 11.5)))
+    tx.commit(Some("f"))
+    assert(Index.valueRangeLookup(cat, "f", idef,
+      col("val") > 11.0 && col("val") < 12.0)
+      .collect().map(_.getLong(0)).toSet == Set(11L, 100L))
+  }
+
+  test("FLOAT range predicates auto-serve through the engine's index probe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vix-fe")
+    val eng = new graft.aql.Engine(spark, dir.toString)
+    eng.execute("CREATE CONTAINER fe ['id','score'] [BIGINT, FLOAT]")
+    import spark.implicits._
+    eng.catalog.overwrite("fe",
+      (0L until 40L).map(i => (i, i + 0.25)).toDF("id", "score"))
+    eng.execute("CREATE INDEX vs ON fe ['score'] USING value")
+    val p = eng.execute("EXPLAIN SEARCH [id] ON fe WHERE score > 10.5 AND score <= 13.25")
+      .asInstanceOf[graft.aql.Engine.Done].message
+    assert(p.contains("id IN ") || p.contains("In(id") || p.contains("EqualTo(id,"),
+      s"a FLOAT range conjunction must probe the value index:\n$p")
+    assert(eng.orderedResult(eng.execute(
+      "SEARCH [id] ON fe WHERE score > 10.5 AND score <= 13.25")
+      .asInstanceOf[graft.aql.Engine.ResultSet].cursorId).get
+      .collect().map(_.getLong(0)).toSeq == Seq(11L, 12L, 13L))
   }
 
   test("commit maintains the index: inserts appear, edits re-derive, no rebuild") {
