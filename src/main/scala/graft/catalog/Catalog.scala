@@ -1099,13 +1099,55 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     val bits = 8
     val buckets = 1 << bits
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    val bounds = df.stat.approxQuantile(cols.toArray, probs, 0.01)
-    val bucketCols = cols.zip(bounds).map { case (c, bs) =>
-      // duplicate quantiles (heavy values) collapse to one boundary
-      val arr = array(bs.distinct.sorted.map(lit(_)).toSeq: _*)
-      val rank = aggregate(arr, lit(0), (acc, b) =>
-        acc + when(col(c).cast("double") >= b, 1).otherwise(0))
-      when(col(c).isNull, 0).otherwise(least(rank, lit(buckets - 1)))
+    val numericCols = cols.filter(c =>
+      df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    val numBounds = if (numericCols.isEmpty) Map.empty[String, Array[Double]]
+      else numericCols.zip(
+        df.stat.approxQuantile(numericCols.toArray, probs, 0.01)).toMap
+    val bucketCols = cols.map { c =>
+      // A low-cardinality dimension yields few distinct boundaries, so raw
+      // ranks cluster in the LOW bits and the interleave hands the curve
+      // to the other columns (their high bits dominate every file range).
+      // Scaling the rank to spread over the full bucket range moves its
+      // information into the high bits, so a 16-value lang column weighs
+      // the same in the curve as a 256-bucket numeric one.
+      def spread(rank: org.apache.spark.sql.Column, levels: Int) =
+        least(rank * lit(math.max(1, buckets / math.max(1, levels))),
+          lit(buckets - 1))
+      if (numBounds.contains(c)) {
+        // duplicate quantiles (heavy values) collapse to one boundary
+        val bs = numBounds(c).distinct.sorted
+        val arr = array(bs.map(lit(_)).toSeq: _*)
+        val rank = aggregate(arr, lit(0), (acc, b) =>
+          acc + when(col(c).cast("double") >= b, 1).otherwise(0))
+        when(col(c).isNull, 0).otherwise(spread(rank, bs.length + 1))
+      } else {
+        // TEXT dimension: rank-bucket via a frequency-weighted sampled
+        // boundary array (the RangePartitioner recipe — heavy values
+        // recur in the sample, so evenly spaced picks balance ROWS per
+        // bucket). Order-preserving by construction, so per-file min/max
+        // on the string column stays a contiguous slice and equality /
+        // range predicates on it skip files exactly like the numeric
+        // dimensions. Bounded driver metadata: ≤64k sampled values
+        // reduced to ≤255 boundary strings.
+        val n = df.select(col(c)).na.drop().count()
+        val frac = if (n <= 65536L) 1.0 else 65536.0 / n
+        val sampled = df.select(col(c).cast("string").as("v")).na.drop()
+          .sample(withReplacement = false, frac, seed = 7L)
+          .collect().map(_.getString(0)).sorted
+        val bs =
+          if (sampled.isEmpty) Array.empty[String]
+          else (1 until buckets).map(i =>
+            sampled(((i.toLong * sampled.length) / buckets).toInt
+              .min(sampled.length - 1))).distinct.toArray
+        if (bs.isEmpty) lit(0)
+        else {
+          val arr = array(bs.map(lit(_)).toSeq: _*)
+          val rank = aggregate(arr, lit(0), (acc, b) =>
+            acc + when(col(c).cast("string") >= b, 1).otherwise(0))
+          when(col(c).isNull, 0).otherwise(spread(rank, bs.length + 1))
+        }
+      }
     }
     val k = cols.length
     val terms = for {
@@ -1146,9 +1188,13 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
         val (n, t) = get(name).columns.find(_._1.equalsIgnoreCase(c))
           .getOrElse(throw new IllegalArgumentException(
             s"OPTIMIZE $name USING: unknown column '$c'"))
-        require(t.isNumeric,
-          s"OPTIMIZE $name USING: column '$n' ($t) is not numeric — z-order " +
-            "buckets need an ordered domain")
+        // numeric → quantile buckets; TEXT family → sampled rank buckets
+        // (both order-preserving); BOOL/BYTES have no useful ordered
+        // domain to bucket
+        require(t.isNumeric ||
+            t.spark == org.apache.spark.sql.types.StringType,
+          s"OPTIMIZE $name USING: column '$n' ($t) is not numeric or text — " +
+            "z-order buckets need an ordered domain")
         n
       }
       require(resolved.size <= 4,

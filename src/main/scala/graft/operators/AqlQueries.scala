@@ -212,6 +212,11 @@ object AqlQueries {
       eng.execute("CREATE CONTAINER docs_zo ['doc_id','n_chars'] [BIGINT, BIGINT]")
       eng.catalog.overwrite("docs_zo", docs)
       eng.execute("OPTIMIZE docs_zo 4 USING [n_chars, doc_id]")
+      // TEXT-dimension z-order: lang rank-buckets into the curve
+      eng.execute("CREATE CONTAINER docs_zot ['doc_id','lang'] [BIGINT, TEXT]")
+      eng.catalog.overwrite("docs_zot", graft.Tables.load(spark, dir, "documents")
+        .select("doc_id", "lang"))
+      eng.execute("OPTIMIZE docs_zot 4 USING [lang, doc_id]")
       eng
     })
   }
@@ -777,6 +782,18 @@ object AqlQueries {
         |ORDER BY doc_id, n_chars""".stripMargin) {
       (s, dir) => search(
         "SEARCH [doc_id, n_chars] ON docs_zo WHERE n_chars > 400")(s, dir)
+    },
+
+    // TEXT z-order dimension (graft extension): lang joins the clustering
+    // key via order-preserving rank buckets, so a lang equality prunes
+    // files by the string column's per-file min/max. Content-neutral like
+    // any OPTIMIZE — the oracle reads the fixture straight.
+    Q("aql_zorder_text",
+      """SELECT doc_id, lang FROM documents
+        |WHERE lang = 'en' AND doc_id > 100
+        |ORDER BY doc_id, lang""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [doc_id, lang] ON docs_zot WHERE lang = 'en' AND doc_id > 100")(s, dir)
     },
 
     // RESTORE CONTAINER (graft extension): the destructive v2 commit is

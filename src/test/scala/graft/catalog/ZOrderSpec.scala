@@ -91,18 +91,45 @@ class ZOrderSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft-zorder-g")
     val eng = new Engine(spark, dir.toString)
     val cat = eng.catalog
-    eng.execute("CREATE CONTAINER g ['id','txt','n'] [BIGINT, TEXT, BIGINT]")
+    eng.execute("CREATE CONTAINER g ['id','txt','n','ok'] [BIGINT, TEXT, BIGINT, BOOL]")
     import spark.implicits._
-    cat.overwrite("g", Seq((1L, "x", 2L)).toDF("id", "txt", "n"))
+    cat.overwrite("g", Seq((1L, "x", 2L, true)).toDF("id", "txt", "n", "ok"))
     // single column = plain range clustering on it (legal)
     eng.execute("OPTIMIZE g USING [n]")
+    assert(cat.read("g").count() == 1)
+    // TEXT joins the clustering legally (rank buckets); BOOL does not
+    eng.execute("OPTIMIZE g USING [id, txt]")
     assert(cat.read("g").count() == 1)
     assert(intercept[IllegalArgumentException](
       eng.execute("OPTIMIZE g USING [id, nope]")).getMessage.contains("unknown column"))
     assert(intercept[IllegalArgumentException](
-      eng.execute("OPTIMIZE g USING [id, txt]")).getMessage.contains("not numeric"))
+      eng.execute("OPTIMIZE g USING [id, ok]")).getMessage.contains("not numeric or text"))
     assert(intercept[IllegalArgumentException](
       eng.execute("OPTIMIZE g USING [id, n, n]")).getMessage.contains("duplicate"))
+  }
+
+  test("TEXT z-order dimension: a lang-like string column prunes files via rank buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder-t")
+    val eng = new Engine(spark, dir.toString)
+    val cat = eng.catalog
+    eng.execute("CREATE CONTAINER zt ['doc_id','lang'] [BIGINT, TEXT]")
+    import spark.implicits._
+    // lang is uniform over 16 values and independent of the pk — the
+    // motivating case: pk-range clustering scatters each lang everywhere
+    val langs = (0 until 16).map(i => f"l$i%02d")
+    val rows = (0L until 4096L).map(id => (id, langs(((id * 2654435761L) % 16L).toInt)))
+    cat.overwrite("zt", rows.toDF("doc_id", "lang"))
+    def filesHit(): Long =
+      cat.read("zt").filter(col("lang") === "l03")
+        .select(input_file_name()).distinct().count()
+    eng.execute("OPTIMIZE zt 8") // pk clustering: every file has all langs
+    assert(filesHit() >= 7, s"independent lang spreads over pk files")
+    eng.execute("OPTIMIZE zt 8 USING [lang, doc_id]")
+    val z = filesHit()
+    assert(z <= 4, s"a lang equality must prune rank-bucketed z files, got $z of 8")
+    // content neutrality + the policy survives like any clustering
+    val back = cat.read("zt").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back == rows.toSet)
   }
 
   test("the clustering policy persists: plain and auto OPTIMIZE keep the z-order") {
