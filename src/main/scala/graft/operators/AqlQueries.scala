@@ -206,6 +206,20 @@ object AqlQueries {
       eng.execute("RESTORE CONTAINER docs_rst TO VERSION 1")
       eng.execute("CREATE ROW ['doc_id','n_chars'] [900009, 42] ON docs_rst")
       eng.execute("COMMIT docs_rst")
+      // restore × ALTER: v1 predates BOTH an ADD COLUMN and a RENAME, so
+      // reading the restored tip composes the hard-link republish with
+      // NULL-fill (tag absent in v1 files) and the stored→logical rename
+      // mapping (files say n_chars, schema says chars); the post-restore
+      // insert writes under the CURRENT schema
+      eng.execute("CREATE CONTAINER docs_ra ['doc_id','n_chars'] [BIGINT, BIGINT]")
+      eng.catalog.overwrite("docs_ra", docs) // v1
+      eng.execute("ALTER CONTAINER docs_ra ADD COLUMN ['tag'] [TEXT]")
+      eng.execute("CREATE ROW ['doc_id','n_chars','tag'] [900011, 1, 'doomed'] ON docs_ra")
+      eng.execute("COMMIT docs_ra") // v2 (carries a tag the restore undoes)
+      eng.execute("ALTER CONTAINER docs_ra RENAME COLUMN ['n_chars','chars']")
+      eng.execute("RESTORE CONTAINER docs_ra TO VERSION 1") // v3 = v1 content
+      eng.execute("CREATE ROW ['doc_id','chars','tag'] [900012, 77, 'tagged'] ON docs_ra")
+      eng.execute("COMMIT docs_ra") // v4
       // z-ordered container: OPTIMIZE ... USING re-clusters the files on
       // the interleaved (n_chars, doc_id) z value — content-neutral, so
       // the fixture oracle must read back exactly
@@ -816,6 +830,20 @@ object AqlQueries {
         |FROM documents WHERE doc_id <= 400
         |ORDER BY doc_id, n_chars""".stripMargin) {
       (s, dir) => search("SEARCH [] ON docs_rst AT VERSION 2")(s, dir)
+    },
+
+    // RESTORE composed with schema evolution: the restored v1 content
+    // predates an ADD COLUMN (tag reads NULL from v1 files) AND a RENAME
+    // (files store n_chars, the schema serves chars) — the hard-link
+    // republish must read under the CURRENT schema, and the post-restore
+    // insert lands with the new column populated. The tagged 900011 row
+    // from the pre-restore v2 must be gone.
+    Q("aql_restore_alter",
+      """SELECT doc_id, n_chars AS chars, CAST(NULL AS VARCHAR) AS tag
+        |FROM documents
+        |UNION ALL SELECT 900012, 77, 'tagged'
+        |ORDER BY doc_id, chars, tag NULLS FIRST""".stripMargin) {
+      (s, dir) => search("SEARCH [] ON docs_ra")(s, dir)
     },
 
     // SIMILAR (graft extension): near-dup candidates for one committed
