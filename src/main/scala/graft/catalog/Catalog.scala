@@ -1019,7 +1019,21 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     * to protect. Claims the next free slot above the pointer and any
     * outstanding claim.
     */
-  def overwrite(name: String, df: DataFrame): Unit = {
+  def overwrite(name: String, df: DataFrame): Unit =
+    overwriteStamped(name, df, None)
+
+  /** [[overwrite]] with an optional idempotency stamp: `stamp =
+    * (key, value)` is written as a `_graft_txn` marker file INTO the
+    * staged version directory, so it publishes atomically with the
+    * content (readers ignore underscore files, like `_SUCCESS`). This is
+    * the Delta `txnAppId`/`txnVersion` idiom: a CDC consumer that folds a
+    * window and commits the result stamped with the window's end version
+    * can detect, after a crash between its commit and its checkpoint
+    * write, that the window is already applied — upgrading at-least-once
+    * replay to exactly-once ([[IncrementalView.refreshOnce]]).
+    */
+  def overwriteStamped(name: String, df: DataFrame,
+      stamp: Option[(String, String)]): Unit = {
     var attempts = 0
     var done = false
     while (!done) {
@@ -1028,7 +1042,25 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
       // a failed claim means another committer holds the slot; its publish
       // is what frees the next one, so back off instead of busy-spinning
       if (attempts > 1) Thread.sleep(math.min(20L * attempts, 500L))
-      done = tryCommit(name, latestClaimed(name), df)
+      done = tryCommitBuildPublic(name, latestClaimed(name) + 1) { tmp =>
+        wholeBuild(name, df)(tmp)
+        stamp.foreach { case (k, v) =>
+          Files.writeString(tmp.resolve(Catalog.TxnMarker), s"$k\t$v") }
+      }
+    }
+  }
+
+  private def tryCommitBuildPublic(name: String, slot: Int)(
+      build: Path => Unit): Boolean = tryCommitBuild(name, slot)(build)
+
+  /** The stamp of a published version (None if the version has no marker
+    * or doesn't exist). */
+  def versionStamp(name: String, v: Int): Option[(String, String)] = {
+    val f = versionPath(name, v).resolve(Catalog.TxnMarker)
+    if (!Files.exists(f)) None
+    else Files.readString(f).split("\t", 2) match {
+      case Array(k, value) => Some((k, value))
+      case _ => None
     }
   }
 
@@ -1366,6 +1398,10 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
 }
 
 object Catalog {
+  /** Idempotency-stamp file name inside a version directory (leading
+    * underscore: parquet readers skip it, like `_SUCCESS`). */
+  val TxnMarker = "_graft_txn"
+
   /** A multi-container commit failed BEFORE its manifest rename: nothing
     * is visible, and the caller owns the cleanup of its live-pid claims
     * ([[graft.catalog.Tx]] aborts the prepared set and rethrows the

@@ -88,10 +88,22 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
     * when at-least-once replay ambiguity is unacceptable. */
   def seed(tail: ChangeTail): Unit = {
     val v = cat.currentVersion(src)
-    cat.overwrite(mv, conform(aggregate(
-      if (v > 0) cat.readVersion(src, v) else cat.read(src))))
+    cat.overwriteStamped(mv, conform(aggregate(
+      if (v > 0) cat.readVersion(src, v) else cat.read(src))),
+      Some(stampKey -> v.toString))
     tail.reset(v)
   }
+
+  /** The MV commits stamped with the source version its content reflects
+    * (`cdc:src -> v`, published atomically with the content). */
+  private def stampKey = s"cdc:$src"
+
+  /** Source version the CURRENT MV content provably includes, from the
+    * stamp — None for an unseeded or unstamped MV. */
+  private[catalog] def appliedSrcVersion: Option[Int] =
+    cat.versionStamp(mv, cat.currentVersion(mv)).collect {
+      case (k, v) if k == stampKey => v.toInt
+    }
 
   /** Fold one feed window (ending at source version `toV`) into the MV.
     * Change rows are weighted ±1, aggregated to per-key deltas, and
@@ -151,14 +163,36 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
           snap.join(dirty, dirtyCond(snap), "left_semi"))
         clean.unionByName(recomputed)
       }
-    cat.overwrite(mv, conform(next))
+    // the stamp and the content publish in ONE atomic version rename, so
+    // the MV can always answer "which source window do I contain?"
+    cat.overwriteStamped(mv, conform(next), Some(stampKey -> toV.toString))
   }
 
   /** Consume the next outstanding feed window through `tail` and fold it
     * in. Returns the number of source versions applied (0 = up to date).
+    *
+    * EXACTLY-once across crashes: the fold's MV commit carries the
+    * window's end version as an atomic stamp, so a crash BETWEEN the
+    * commit and the checkpoint write (the classic at-least-once window)
+    * is detected here — the checkpoint is realigned forward to the
+    * stamped version instead of re-folding a window the MV already
+    * contains.
     */
-  def refreshOnce(tail: ChangeTail): Int =
+  def refreshOnce(tail: ChangeTail): Int = {
+    appliedSrcVersion.filter(_ > tail.lastDelivered).foreach(tail.reset)
     tail.pollOnce((feed, _, to) => fold(feed, to))
+  }
+
+  /** Resident CDC maintainer: realign (crash recovery), then poll the
+    * tail until `until`, folding each outstanding window as it appears —
+    * the continuous-maintenance loop a Delta CDF + foreachBatch pipeline
+    * runs, expressed over the catalog's own change feed. Run it on a
+    * dedicated thread; stop by making `until` true.
+    */
+  def maintain(tail: ChangeTail, pollMs: Long, until: () => Boolean): Unit = {
+    appliedSrcVersion.filter(_ > tail.lastDelivered).foreach(tail.reset)
+    tail.run(pollMs, until)((feed, _, to) => fold(feed, to))
+  }
 }
 
 object IncrementalView {

@@ -226,4 +226,61 @@ class IncrementalViewSpec extends AnyFunSuite {
       assert(mmRows(cat) == mmRecompute(cat))
     }
   }
+
+  test("exactly-once: a crash between the fold's commit and the checkpoint never double-folds") {
+    val (cat, tx, view, tail) = fixture("xo")
+    tx.stageInsert("src", Seq(org.apache.spark.sql.Row(1, "a", 10L)))
+    tx.commit(Some("src")) // src v1
+    view.seed(tail)
+    tx.stageInsert("src", Seq(org.apache.spark.sql.Row(2, "a", 25L)))
+    tx.commit(Some("src")) // src v2
+    // simulate the at-least-once crash window: the fold COMMITS the MV
+    // (stamped with the window end) but the process dies before the tail
+    // checkpoint advances
+    view.fold(cat.changes("src", tail.lastDelivered, Some(2)), 2)
+    assert(tail.lastDelivered == 1, "checkpoint intentionally stale")
+    assert(mvRows(cat) == Map("a" -> (2L, 35L)))
+    // restart: refreshOnce must detect the stamp, realign the checkpoint,
+    // and NOT fold the window again (a re-fold would double-count to 60)
+    assert(view.refreshOnce(tail) == 0)
+    assert(tail.lastDelivered == 2, "checkpoint realigned from the MV stamp")
+    assert(mvRows(cat) == Map("a" -> (2L, 35L)))
+    // and the next real window still folds normally
+    tx.stageInsert("src", Seq(org.apache.spark.sql.Row(3, "b", 7L)))
+    tx.commit(Some("src")) // src v3
+    assert(view.refreshOnce(tail) == 1)
+    assert(mvRows(cat) == Map("a" -> (2L, 35L), "b" -> (1L, 7L)))
+  }
+
+  test("maintain(): a resident CDC consumer folds commits as they land, across a restart") {
+    val (cat, tx, view, tail) = fixture("loop")
+    view.seed(tail)
+    @volatile var stop = false
+    def runner() = new Thread(() => view.maintain(tail, 20L, () => stop))
+    val t1 = runner(); t1.start()
+    tx.stageInsert("src", Seq(
+      org.apache.spark.sql.Row(1, "a", 10L), org.apache.spark.sql.Row(2, "b", 4L)))
+    tx.commit(Some("src"))
+    eventually(mvRows(cat) == Map("a" -> (1L, 10L), "b" -> (1L, 4L)),
+      "maintainer must fold the first commit")
+    stop = true; t1.join(30000)
+    // restart: a FRESH tail+view over the same checkpoint resumes where
+    // the old consumer stopped
+    tx.stageEdit("src", col("id") === 2, Seq("val" -> 9L))
+    tx.commit(Some("src"))
+    stop = false
+    val view2 = new IncrementalView(cat, "src", "mv", Seq("grp"),
+      Seq(IncrementalView.Agg("sum", "val", "sum_val")))
+    val t2 = new Thread(() => view2.maintain(tail, 20L, () => stop))
+    t2.start()
+    eventually(mvRows(cat) == Map("a" -> (1L, 10L), "b" -> (1L, 9L)),
+      "restarted maintainer must pick up the missed window")
+    stop = true; t2.join(30000)
+  }
+
+  private def eventually(cond: => Boolean, hint: String): Unit = {
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (!cond && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(cond, hint)
+  }
 }

@@ -303,6 +303,69 @@ class StreamingSpec extends AnyFunSuite {
       "index-served BM25 over streamed ingest must equal the full-scan baseline")
   }
 
+  test("CDC-driven continuous MV maintenance over streamed ingest, exactly-once across restart") {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcmv-cat")
+    val cat = new graft.catalog.Catalog(spark, root.toString)
+    cat.create("cdocs", List("doc_id" -> graft.aql.AlbaType.of("BIGINT"),
+      "lang" -> graft.aql.AlbaType.of("TEXT")))
+    cat.create("cmv", List("lang" -> graft.aql.AlbaType.of("TEXT"),
+      "n_rows" -> graft.aql.AlbaType.of("BIGINT")))
+    def view() = new graft.catalog.IncrementalView(cat, "cdocs", "cmv", Seq("lang"))
+    def tail() = new graft.catalog.ChangeTail(cat, "cdocs", root.resolve("cmv.ckpt"))
+    view().seed(tail())
+
+    def mv(): Map[String, Long] = cat.read("cmv").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def expect(): Map[String, Long] = cat.read("cdocs").groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def eventually(cond: => Boolean, hint: String): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!cond && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(cond, hint)
+    }
+
+    // the source stream: files arrive one per micro-batch, each landing
+    // as its own COW commit, each commit a CDC window the resident
+    // maintainer folds — MV updates ride the change feed, the source is
+    // never re-aggregated
+    val src = java.nio.file.Files.createTempDirectory("graft-cdcmv-src")
+    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"), col("lang"))
+    docs.filter(col("doc_id") < 20).coalesce(1).write.mode("append").parquet(src.toString)
+    docs.filter(col("doc_id") >= 20 && col("doc_id") < 40).coalesce(1)
+      .write.mode("append").parquet(src.toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdcmv-ckpt")
+    def stream() = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType), StructField("lang", StringType))))
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+
+    @volatile var stop = false
+    val t1 = new Thread(() => view().maintain(tail(), 20L, () => stop))
+    t1.start()
+    val q1 = DocumentStreams.ingestToCatalog(stream(), cat, "cdocs")
+      .option("checkpointLocation", ckpt.toString).start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(cat.currentVersion("cdocs") == 2, "one commit per micro-batch")
+    eventually(mv() == expect(), s"maintainer must fold both commits: ${mv()} vs ${expect()}")
+    stop = true; t1.join(30000)
+
+    // restart BOTH halves: a third file arrives, the stream resumes from
+    // its checkpoint, a fresh maintainer resumes from the tail checkpoint
+    // — the counts stay exact (any replayed window would inflate them)
+    docs.filter(col("doc_id") >= 40 && col("doc_id") < 60).coalesce(1)
+      .write.mode("append").parquet(src.toString)
+    stop = false
+    val t2 = new Thread(() => view().maintain(tail(), 20L, () => stop))
+    t2.start()
+    val q2 = DocumentStreams.ingestToCatalog(stream(), cat, "cdocs")
+      .option("checkpointLocation", ckpt.toString).start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(cat.currentVersion("cdocs") == 3, "restart must not re-commit batches 1-2")
+    eventually(mv() == expect(), s"restarted maintainer must fold exactly the missed window")
+    assert(mv().values.sum == 60L, "exactly-once: 60 streamed docs, 60 counted")
+    stop = true; t2.join(30000)
+  }
+
   test("streaming upsert ingest merges per key; replay converges to the same state") {
     import org.apache.spark.sql.types._
     val root = java.nio.file.Files.createTempDirectory("graft-upsert-cat")
