@@ -1290,9 +1290,20 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           refs.forall(_.exists(_.equalsIgnoreCase(c))))
         graft.catalog.Stats.estimatedBytes(catalog, rn, used.toIndexedSeq)
       }
+      // the broadcast pin FORCES a plan the runtime can't back out of, so
+      // it requires CURRENT stats — a container analyzed when small and
+      // grown since must not be force-broadcast on the stale number
+      // (analyze_after_commits keeps this fresh in steady state; SHOW
+      // STATS makes the staleness visible otherwise). The merge pin has
+      // no such gate: over-pricing a shrunken side costs a suboptimal
+      // shuffle, never a crash.
+      val statsFresh = rightName.exists(rn =>
+        graft.catalog.Stats.analyzedVersion(catalog, rn)
+          .contains(catalog.currentVersion(rn)))
       val bcastBytes = broadcastThresholdBytes
       val rightSide = pricedRight match {
-        case Some(b) if bcastBytes > 0 && b <= bcastBytes => broadcast(right)
+        case Some(b) if bcastBytes > 0 && b <= bcastBytes && statsFresh =>
+          broadcast(right)
         case Some(b) if bcastBytes > 0 && b > 4 * bcastBytes => right.hint("merge")
         case _ => right
       }

@@ -1042,16 +1042,13 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
       // a failed claim means another committer holds the slot; its publish
       // is what frees the next one, so back off instead of busy-spinning
       if (attempts > 1) Thread.sleep(math.min(20L * attempts, 500L))
-      done = tryCommitBuildPublic(name, latestClaimed(name) + 1) { tmp =>
+      done = tryCommitBuild(name, latestClaimed(name) + 1) { tmp =>
         wholeBuild(name, df)(tmp)
         stamp.foreach { case (k, v) =>
           Files.writeString(tmp.resolve(Catalog.TxnMarker), s"$k\t$v") }
       }
     }
   }
-
-  private def tryCommitBuildPublic(name: String, slot: Int)(
-      build: Path => Unit): Boolean = tryCommitBuild(name, slot)(build)
 
   /** The stamp of a published version (None if the version has no marker
     * or doesn't exist). */

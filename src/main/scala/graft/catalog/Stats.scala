@@ -59,7 +59,11 @@ object Stats {
     // pointer read and a pointer-resolving read() would persist v+1's
     // numbers labeled as v's
     val df = if (v > 0) cat.readVersion(name, v) else cat.read(name)
-    val isText = d.columns.map { case (n, t) => n -> (t.spark == StringType) }.toMap
+    // avg content length is measured for STRING and BINARY columns alike
+    // (length() is byte length on binary) — the broadcast cost model
+    // needs a real width for both, never a guessed floor
+    val isText = d.columns.map { case (n, t) =>
+      n -> (t.spark == StringType || t.spark == BinaryType) }.toMap
     def ndv(c: org.apache.spark.sql.Column) =
       if (distinctMode == "approx") approx_count_distinct(c) else countDistinct(c)
     val aggs = d.columns.flatMap { case (n, _) =>
@@ -149,13 +153,27 @@ object Stats {
           case "BOOL" => 1.0
           case "INT" => 4.0
           case "BIGINT" | "FLOAT" => 8.0
-          // TEXT family (TEXT/CHAR/…STRING/NONE) and bytes: measured
-          // average content length (absent for all-NULL columns) plus
-          // per-value overhead
+          // BYTES columns without a measured width (all-NULL, or a stats
+          // file written before binary lengths were measured) are
+          // UNPRICEABLE — a guessed floor here would under-price a fat
+          // embedding column straight into a pinned-broadcast OOM
+          case t if t.endsWith("-BYTES") && avgLen.isEmpty => return None
+          // TEXT family (TEXT/CHAR/…STRING/NONE) and measured bytes:
+          // average content length plus per-value overhead
           case _ => avgLen.getOrElse(0.0) + 16.0
         }
       }
       Some((nRows * widths.sum).toLong)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The version the persisted stats describe (None if never analyzed). */
+  def analyzedVersion(cat: Catalog, name: String): Option[Int] =
+    try {
+      val f = statsFile(cat, name)
+      if (!Files.exists(f)) None
+      else Files.readAllLines(f, StandardCharsets.UTF_8)
+        .toArray(Array.empty[String]).toSeq.find(_.nonEmpty)
+        .map(_.split("\t", -1)(3).toInt)
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The persisted stats, or None if the container was never analyzed. */

@@ -172,13 +172,16 @@ object TextDedup {
     * documents collide on band keys. 32-bit slices keep E[min] ≈ 2^32/n
     * discriminating past 10^8 shingles per doc — the 100 TB regime.
     *
-    * Shape: explode shingles → 2 digests → 8 partial-agg mins. The exchange
-    * still carries one 8-slice row per document. Docs with no shingles have
-    * no signature row — they can never collide in a band either way.
-    * (A shuffle-free per-row array fold was measured and rejected: Spark's
-    * higher-order functions evaluate interpreted and CollapseProject
-    * re-inlines the md5 transform into every slice extraction, so the fold
-    * runs ~2× slower than this codegen'd explode + hash-aggregate.)
+    * Shape: a SINGLE-PASS native projection (`MinHashSlices`, shared with
+    * the streaming path) — no doc×shingle explode, no aggregation, no
+    * exchange. Docs with no shingles carry a NULL signature row; their
+    * band keys concat to NULL and [[bandsOf]] filters them after the
+    * generate, so they can never collide in a band either way — any
+    * OTHER consumer of these rows must handle the NULLs itself.
+    * (An expr-tree per-row fold over SQL higher-order functions was
+    * measured and rejected: it evaluates interpreted and CollapseProject
+    * re-inlines the md5 transform into every slice extraction. The native
+    * expression has neither problem — see the body comment.)
     */
   private def withSignatures(df: DataFrame): DataFrame = withSignatures(df, Seq("doc_id"))
 

@@ -278,9 +278,6 @@ class IncrementalViewSpec extends AnyFunSuite {
     stop = true; t2.join(30000)
   }
 
-  private def eventually(cond: => Boolean, hint: String): Unit = {
-    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-    while (!cond && System.nanoTime() < deadline) Thread.sleep(50)
-    assert(cond, hint)
-  }
+  private def eventually(cond: => Boolean, hint: String): Unit =
+    graft.TestWait.eventually(cond, hint, timeoutSec = 30)
 }

@@ -179,6 +179,18 @@ class StatsSpec extends AnyFunSuite {
     statRows(eng, "ANALYZE CONTAINER big")
     assert(!p2().contains("BroadcastHashJoin") && p2().contains("SortMergeJoin"),
       s"row-priced-huge side must never broadcast:\n${p2()}")
+
+    // STALE stats must not force a broadcast: a container analyzed when
+    // small and grown since would otherwise be pinned into an OOM on the
+    // old n_rows — the pin requires analyzed_version == currentVersion
+    cat.overwrite("dim",
+      fat.unionByName((60L until 120L).map(k =>
+        (k, s"n$k", "x")).toDF("dkey", "dname", "payload")))
+    assert(!plan().contains("BuildRight"),
+      s"post-ANALYZE growth must disarm the broadcast pin:\n${plan()}")
+    statRows(eng, "ANALYZE CONTAINER dim")
+    assert(plan().contains("BuildRight"),
+      s"re-ANALYZE must re-arm the pin:\n${plan()}")
   }
 
   test("analyze_after_commits: stats auto-refresh every Nth commit and re-arm the access path") {

@@ -319,11 +319,8 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     def expect(): Map[String, Long] = cat.read("cdocs").groupBy(col("lang")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    def eventually(cond: => Boolean, hint: String): Unit = {
-      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-      while (!cond && System.nanoTime() < deadline) Thread.sleep(50)
-      assert(cond, hint)
-    }
+    def eventually(cond: => Boolean, hint: String): Unit =
+      graft.TestWait.eventually(cond, hint)
 
     // the source stream: files arrive one per micro-batch, each landing
     // as its own COW commit, each commit a CDC window the resident
