@@ -22,6 +22,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashSlices(exprs.head)))
     ext.injectFunction((
+      new FunctionIdentifier("hyperplane_bucket"),
+      new ExpressionInfo(classOf[HyperplaneBucket].getName, "hyperplane_bucket"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HyperplaneBucket(exprs(0), exprs(1))))
+    ext.injectFunction((
       new FunctionIdentifier("float32_unpack"),
       new ExpressionInfo(classOf[Float32Unpack].getName, "float32_unpack"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -45,7 +45,22 @@ object Advanced {
       if (sign > 0) s"+$e" else s"-$e"
     }.mkString("(", " ", ")")
 
-  private[operators] def sparkBucket(embCol: String): Column =
+  /** 8-bit LSH bucket via the NATIVE fused expression (one codegen'd
+    * pass over the vector; the per-plane declarative form ran
+    * interpreted at ~0.5 ms/row and dominated the ANN pipeline CPU).
+    * coalesce keeps the declarative form's NULL contract (a NULL vector
+    * buckets to 0, matching the oracle's CASE sums). The declarative
+    * [[sparkPlaneDot]] remains the per-plane building block for
+    * [[bandKeys32]] and the value-equivalence spec.
+    */
+  private[graft] def sparkBucket(embCol: String): Column =
+    coalesce(graft.functions.HyperplaneBucket.hyperplaneBucket(col(embCol), Planes),
+      lit(0))
+
+  /** The declarative per-plane form sparkBucket replaced — kept as the
+    * in-engine reference for HyperplaneBucketSpec's value-equivalence
+    * pin (the oracle's CASE-sum twin). */
+  private[graft] def sparkBucketDeclarative(embCol: String): Column =
     Planes.zipWithIndex.map { case (p, i) =>
       when(sparkPlaneDot(embCol, p) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
@@ -100,14 +115,21 @@ object Advanced {
          |SELECT qid, nid, cos_sim, rank FROM ranked WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin, bench = true) {
       (s, dir) => {
-        val bucketed = graft.Tables.load(s, dir, "embeddings")
+        // corpus reads through the vec_id-bucketed projection: the plane
+        // dots are the CPU of this query, and the flat layout's split
+        // packing ran them ~5-wide on 32 cores (same starvation the
+        // minhash hash stage had — one scan partition per bucket fixes
+        // it with zero exchange). Pair scoring uses the NATIVE fused
+        // cosine (value-identical to the declarative form by its spec).
+        val bucketed = graft.Tables.bucketed(s, dir, "embeddings", "vec_id")
           .withColumn("bucket", sparkBucket("embedding"))
         val qs = bucketed.filter(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket").as("qb"))
         val scored = bucketed.join(broadcast(qs),
             col("bucket") === col("qb") && col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id").as("nid"),
-            round(cosine(col("qe"), col("embedding")), 6).as("cos_sim"))
+            round(graft.functions.CosineSimilarity.cosineSim(
+              col("qe"), col("embedding")), 6).as("cos_sim"))
         val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
         scored.withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
