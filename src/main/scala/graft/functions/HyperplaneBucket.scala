@@ -88,25 +88,39 @@ object HyperplaneBucket {
       array(planes.toIndexedSeq.map(p =>
         array(p.toIndexedSeq.map(v => lit(v.toDouble)): _*)): _*))
 
-  /** Hot loop, called from generated code: per plane, an element-order
-    * double dot (identical FP result to the declarative zip_with fold)
-    * and a strict sign test into bit i. Must stay static-shaped and
-    * allocation-free. */
+  /** Hot loop, called from generated code: ONE pass over the vector
+    * accumulating every plane's element-order double dot (identical FP
+    * result to the declarative zip_with fold), then the sign tests.
+    * Edge semantics match the declarative/oracle form exactly:
+    *  - a NULL element nulls every plane dot there → bucket 0;
+    *  - a length mismatch makes zip_with null-pad (and the oracle's
+    *    out-of-range subscript NULL) → bucket 0;
+    *  - a NaN dot (NaN element, or ±Inf cancelling) compares GREATER
+    *    than 0 under Spark/DuckDB total ordering → the bit is SET.
+    * Must stay static-shaped and allocation-light. */
   def compute(arr: ArrayData, planes: Array[Array[Double]],
       isFloat: Boolean): Int = {
+    if (planes.length == 0) return 0
+    val dim = planes(0).length
+    val n = arr.numElements()
+    if (n != dim) return 0
+    val sums = new Array[Double](planes.length)
+    var d = 0
+    while (d < n) {
+      if (arr.isNullAt(d)) return 0
+      val x = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+      var i = 0
+      while (i < planes.length) {
+        sums(i) += x * planes(i)(d)
+        i += 1
+      }
+      d += 1
+    }
     var bucket = 0
     var i = 0
     while (i < planes.length) {
-      val p = planes(i)
-      var s = 0.0
-      var d = 0
-      val n = math.min(p.length, arr.numElements())
-      while (d < n) {
-        val x = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
-        s += x * p(d)
-        d += 1
-      }
-      if (s > 0) bucket |= (1 << i)
+      val s = sums(i)
+      if (java.lang.Double.isNaN(s) || s > 0) bucket |= (1 << i)
       i += 1
     }
     bucket

@@ -36,24 +36,46 @@ class HyperplaneBucketSpec extends AnyFunSuite {
     assert(both.filter(col("native") =!= col("decl")).count() == 0)
   }
 
-  test("codegen and interpreted agree; null vector coalesces to bucket 0") {
+  test("codegen agrees with interpreted compute(), row by row") {
     import spark.implicits._
-    val df = Seq.tabulate(50)(i => Tuple1(Array.fill(64)(math.sin(i * 7.0 + 1)))).toDF("emb")
-    val viaCodegen = df.select(graft.operators.Advanced.sparkBucket("emb")).collect()
-    val expr = HyperplaneBucket(
-      org.apache.spark.sql.catalyst.expressions.Literal.create(
-        Array.fill(64)(0.5), org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.DoubleType)),
-      org.apache.spark.sql.catalyst.expressions.Literal.create(
-        Array(Array.fill(64)(1.0), Array.fill(64)(-1.0)),
-        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.DoubleType))))
-    // interpreted eval: positive dot on plane 0, negative on plane 1 → bucket 1
-    assert(expr.eval(null) == 1)
-    assert(viaCodegen.length == 50)
+    // parquet round-trip forces a real scan → whole-stage codegen path
+    // (a LocalRelation could be constant-folded past doGenCode)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hpb").toString
+    Seq.tabulate(50)(i => (i.toLong, Array.fill(64)(math.sin(i * 7.0 + 1))))
+      .toDF("id", "emb").write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+    val viaCodegen = df.select(col("id"),
+      graft.operators.Advanced.sparkBucket("emb")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaDecl = df.select(col("id"),
+      graft.operators.Advanced.sparkBucketDeclarative("emb")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaCodegen == viaDecl && viaCodegen.size == 50)
+    assert(viaCodegen.values.toSet.size > 1, "buckets must spread")
     val nulled = Seq((1L, null.asInstanceOf[Array[Double]]))
       .toDF("id", "emb")
       .select(graft.operators.Advanced.sparkBucket("emb")).collect()
     assert(nulled.head.getInt(0) == 0, "NULL vector must bucket to 0 like the declarative form")
+  }
+
+  test("edge inputs match the declarative/oracle semantics: null element, NaN, wrong length") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array.fill[java.lang.Double](64)(0.5)), // clean baseline
+      (2L, { val a = Array.fill[java.lang.Double](64)(0.5); a(3) = null; a }),
+      (3L, Array.fill[java.lang.Double](64)(Double.NaN)),
+      (4L, Array.fill[java.lang.Double](32)(0.5)), // too short
+      (5L, Array.fill[java.lang.Double](100)(0.5))) // too long
+    val df = rows.toDF("id", "emb")
+    val both = df.select(col("id"),
+      graft.operators.Advanced.sparkBucket("emb").as("native"),
+      graft.operators.Advanced.sparkBucketDeclarative("emb").as("decl"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    for ((id, n, d) <- both)
+      assert(n == d, s"id=$id: native bucket $n != declarative $d")
+    // and the specific contracts the edge rules encode
+    val byId = both.map(t => t._1 -> t._2).toMap
+    assert(byId(2L) == 0, "null element → every dot NULL → bucket 0")
+    assert(byId(4L) == 0 && byId(5L) == 0, "length mismatch → bucket 0")
   }
 }
