@@ -1134,11 +1134,11 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     // literal (reference semantics); numeric columns take int literals
     // (an out-of-range INT literal can't match: skip, the scan returns
     // the same empty result)
-    def typedKey(c: Ast.Cond): Option[Any] = {
-      val colType = d.columns.collectFirst {
-        case (n, t) if n.equalsIgnoreCase(c.column) => t.spark
-      }
-      (c.value, colType) match {
+    def colTypeOf(c: Ast.Cond) = d.columns.collectFirst {
+      case (n, t) if n.equalsIgnoreCase(c.column) => t.spark
+    }
+    def typedToken(t: Token, colType: Option[org.apache.spark.sql.types.DataType]): Option[Any] =
+      (t, colType) match {
         case (Token.Str(v), Some(org.apache.spark.sql.types.StringType)) =>
           Some(v)
         case (Token.IntLit(v), Some(org.apache.spark.sql.types.LongType)) =>
@@ -1154,28 +1154,40 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           Some(v.toDouble)
         case _ => None
       }
+    def typedKey(c: Ast.Cond): Option[Any] = typedToken(c.value, colTypeOf(c))
+    // `col IN [lits]` probes like a multi-key equality — every literal
+    // must type (a single uncoercible literal falls back to the scan,
+    // which returns the same rows)
+    def typedKeys(c: Ast.Cond): Option[Seq[Any]] = c.value match {
+      case g: Token.Group =>
+        val ks = g.items.map(typedToken(_, colTypeOf(c)))
+        if (ks.nonEmpty && ks.forall(_.isDefined)) Some(ks.flatten) else None
+      case _ => typedKey(c).map(Seq(_))
     }
     def plainAtom(c: Ast.Cond) = c.lhs.isEmpty && c.rhs.isEmpty
     // access-path choice, mirroring the reference's Strict-then-Range
-    // order (query_conditions.rs:541): an equality probe first, else a
-    // range conjunction over one indexed column's >,>=,<,<= atoms
+    // order (query_conditions.rs:541): an equality / literal-IN-list
+    // probe first, else a range conjunction over one indexed column's
+    // >,>=,<,<= atoms
     val eqHit = w.atoms.iterator.flatMap { c =>
-      if (!plainAtom(c) || (c.op != "=" && c.op != "==")) Iterator.empty
+      if (!plainAtom(c) || (c.op != "=" && c.op != "==" && c.op != "IN LIST"))
+        Iterator.empty
       else defs.find(_.column.equalsIgnoreCase(c.column)).iterator
-        .flatMap(idef => typedKey(c).map(k => (idef, k)))
+        .flatMap(idef => typedKeys(c).map(ks => (idef, ks)))
     }.take(1).toList.headOption
     // cost-based skip (ANALYZE stats): when the persisted stats say the
-    // indexed column's average rows-per-value already exceeds the probe
-    // cap, the probe job could only confirm unselectivity — go straight
-    // to the scan. Correctness-neutral either way (both paths return the
-    // same rows); without stats the probe itself is the decider, as ever.
-    if (eqHit.exists { case (idef, _) =>
+    // probe's expected candidates (keys × average rows-per-value) already
+    // exceed the probe cap, the probe job could only confirm
+    // unselectivity — go straight to the scan. Correctness-neutral either
+    // way (both paths return the same rows); without stats the probe
+    // itself is the decider, as ever.
+    if (eqHit.exists { case (idef, ks) =>
         graft.catalog.Stats.avgGroupSize(catalog, cname, idef.column)
-          .exists(_ > IndexProbeCap) })
+          .exists(_ * ks.length > IndexProbeCap) })
       return base
     val candidates: Option[DataFrame] = eqHit match {
-      case Some((idef, key)) => Some(graft.catalog.Index
-        .valueLookup(catalog, cname, idef, Seq(key), s.atVersion))
+      case Some((idef, keys)) => Some(graft.catalog.Index
+        .valueLookup(catalog, cname, idef, keys, s.atVersion))
       case None =>
         val rangeOps = Set(">", ">=", "<", "<=")
         defs.iterator.map { idef =>

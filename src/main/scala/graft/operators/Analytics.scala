@@ -257,15 +257,20 @@ object Analytics {
           .select(col("c_custkey"), col("n_name"))
         // facts from the orderkey-bucketed projection: the broadcast dim
         // join preserves the streamed side's bucket partitioning, so the
-        // fact⋈fact join below is co-partitioned. The MERGE hint pins the
-        // zero-exchange bucket merge — an explicit broadcast of either
-        // fact-derived side would OOM at 100 TB, and without any hint the
-        // local planner's size estimate broadcasts pruned lineitem.
+        // fact⋈fact join below is co-partitioned. The SHUFFLE_HASH hint
+        // pins the zero-exchange per-bucket HASH join — no Sort on either
+        // side (the registered bucketed scans don't surface their sortBy
+        // order, so the MERGE form re-sorted both inputs inside the
+        // stage); the build side is one bucket's region-filtered orders
+        // slice, bounded by the bucket-count layout knob at any scale. An
+        // explicit broadcast of either fact-derived side would OOM at
+        // 100 TB, and without any hint the local planner's size estimate
+        // broadcasts pruned lineitem.
         val custOrders = Tables.bucketed(s, dir, "orders", "o_orderkey")
           .join(broadcast(asiaCust), col("c_custkey") === col("o_custkey"))
           .select(col("o_orderkey"), col("n_name"))
         Tables.bucketed(s, dir, "lineitem", "l_orderkey")
-          .join(custOrders.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+          .join(custOrders.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("n_name"))
           .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
           .orderBy(col("n_name"))

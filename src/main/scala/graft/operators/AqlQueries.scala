@@ -486,6 +486,22 @@ object AqlQueries {
         "SEARCH [doc_id, n_chars] ON docs_vix WHERE lang = 'en' AND n_chars > 200")(s, dir)
     },
 
+    // Literal IN list served through the value index (graft extension):
+    // the ≤k literals probe as a multi-key equality (one stat-pruned
+    // index scan over k keys), the pk candidate list prunes the
+    // clustered base scan, and the full predicate re-applies. The
+    // maintained 900008 row must surface through the 'en' key.
+    Q("aql_value_index_in_list",
+      """WITH v AS (SELECT doc_id, lang, n_chars FROM documents
+        |           UNION ALL SELECT 900008, 'en', 777)
+        |SELECT doc_id, lang, n_chars FROM v
+        |WHERE lang IN ('en', 'fr') AND n_chars > 300
+        |ORDER BY doc_id, lang, n_chars""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [doc_id, lang, n_chars] ON docs_vix " +
+          "WHERE lang IN ['en', 'fr'] AND n_chars > 300")(s, dir)
+    },
+
     // FLOAT value index (graft extension; the reference's chunk index
     // buckets floats too, src/indexing.rs:312-437): a range CONJUNCTION
     // over a DOUBLE column resolves through the typed secondary index

@@ -93,6 +93,31 @@ class ValueIndexSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(11L, 12L, 13L))
   }
 
+  test("literal IN lists auto-serve through the value index as multi-key probes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vix-il")
+    val eng = new graft.aql.Engine(spark, dir.toString)
+    eng.execute("CREATE CONTAINER il ['id','tag'] [BIGINT, TEXT]")
+    import spark.implicits._
+    eng.catalog.overwrite("il",
+      (0L until 40L).map(i => (i, s"t${i % 8}")).toDF("id", "tag"))
+    eng.execute("CREATE INDEX vt ON il ['tag'] USING value")
+    def planOf(aql: String) = eng.execute(s"EXPLAIN $aql")
+      .asInstanceOf[graft.aql.Engine.Done].message
+    val p = planOf("SEARCH [id] ON il WHERE tag IN ['t1', 't3']")
+    assert(p.contains("id IN ") || p.contains("In(id"),
+      s"an IN list must probe the value index into pk candidates:\n$p")
+    assert(eng.orderedResult(eng.execute("SEARCH [id] ON il WHERE tag IN ['t1', 't3']")
+      .asInstanceOf[graft.aql.Engine.ResultSet].cursorId).get
+      .collect().map(_.getLong(0)).toSet ==
+      (0L until 40L).filter(i => i % 8 == 1 || i % 8 == 3).toSet)
+    // NOT IN cannot serve from candidates (complement) — plain scan
+    val pn = planOf("SEARCH [id] ON il WHERE tag NOT IN ['t1', 't3']")
+    assert(!pn.contains("id IN "), s"NOT IN must not take the index path:\n$pn")
+    // an uncoercible literal falls back to the scan, same rows (empty)
+    assert(eng.orderedResult(eng.execute("SEARCH [id] ON il WHERE tag IN [7]")
+      .asInstanceOf[graft.aql.Engine.ResultSet].cursorId).get.collect().isEmpty)
+  }
+
   test("commit maintains the index: inserts appear, edits re-derive, no rebuild") {
     val (cat, _) = fixture("maint")
     val idef = cat.createIndex("t", "vg", "value", "grp")

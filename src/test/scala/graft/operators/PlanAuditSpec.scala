@@ -73,10 +73,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(broadcasts >= 1, s"the customer dim should broadcast:\n$p")
     assert(!p.contains("nation.parquet") && !p.contains("region.parquet"),
       s"the dim chain must be resolved at ingest, not in-plan:\n$p")
-    // both facts come from the orderkey-bucketed projection: the SMJ merges
-    // co-partitioned buckets — the ONLY hash exchanges left are the
-    // aggregation's partial→final (on n_name), never a fact-key shuffle
-    assert(p.contains("SortMergeJoin"), s"fact⋈fact should bucket-merge:\n$p")
+    // both facts come from the orderkey-bucketed projection: the join is
+    // a co-partitioned per-bucket hash join (no Sort either side) — the
+    // ONLY hash exchanges left are the aggregation's partial→final (on
+    // n_name), never a fact-key shuffle
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"fact⋈fact should ride the bucketed layout:\n$p")
     assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
       !p.contains("Exchange hashpartitioning(o_orderkey"),
       s"bucketed fact⋈fact join must not shuffle on the join key:\n$p")
