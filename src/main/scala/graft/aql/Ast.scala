@@ -273,6 +273,10 @@ object Ast {
     * the catalog without filesystem access). */
   case object ShowContainers extends Stmt
   case object ShowViews extends Stmt
+  /** graft extension: the database settings as a queryable relation —
+    * the normalized, honored values (reference settings.yaml surface,
+    * `src/database.rs:290-345`), not the raw file text. */
+  case object ShowSettings extends Stmt
   final case class Describe(container: String) extends Stmt
   final case class ShowIndexes(container: String) extends Stmt
   /** graft extension: re-runnable DDL for a container — the CREATE
@@ -1082,6 +1086,10 @@ object Parser {
       ShowCreate(name(containerTok))
     case Keyword("SHOW") :: Keyword("CONTAINERS") :: Nil => ShowContainers
     case Keyword("SHOW") :: Keyword("VIEWS") :: Nil => ShowViews
+    // SETTINGS is deliberately NOT a reserved keyword (it stays usable as
+    // a container/column name) — matched as a bare word here
+    case Keyword("SHOW") :: Str(w) :: Nil if w.equalsIgnoreCase("SETTINGS") =>
+      ShowSettings
     case Keyword("SHOW") :: Keyword("INDEXES") :: containerTok :: Nil =>
       ShowIndexes(name(containerTok))
     case Keyword("SHOW") :: Keyword("VERSIONS") :: containerTok :: Nil =>

@@ -447,6 +447,34 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       resultSet(metaDf(Seq("container" -> "TEXT"),
         catalog.list().map(Row(_))), needsDefaultSort = true)
 
+    case Ast.ShowSettings =>
+      // the NORMALIZED, honored values (what the engine actually runs
+      // with — the reference rewrites healed values back to its yaml,
+      // database.rs:290-345), one row per knob in file order; auth_token
+      // is redacted like any credential surface
+      val s = settings
+      val rows = Seq[(String, String)](
+        "max_columns" -> s.maxColumns.toString,
+        "min_columns" -> s.minColumns.toString,
+        "auto_commit" -> s.autoCommit.toString,
+        "memory_limit" -> s.memoryLimit.toString,
+        "ip" -> s.ip,
+        "connections_port" -> s.connectionsPort.toString,
+        "data_port" -> s.dataPort.toString,
+        "max_connections" -> s.maxConnections.toString,
+        "auth_token" -> (if (s.authToken.isEmpty) "" else "********"),
+        "secret_key_count" -> s.secretKeyCount.toString,
+        "wire_encryption" -> s.wireEncryption.toString,
+        "optimize_after_commits" -> s.optimizeAfterCommits.toString,
+        "analyze_after_commits" -> s.analyzeAfterCommits.toString,
+        "refresh_views_after_commit" -> s.refreshViewsAfterCommit.toString,
+        "index_probe_cap" -> s.indexProbeCap.toString,
+        "stats_distinct" -> s.statsDistinct)
+      resultSet(metaDf(
+        Seq("ordinal" -> "INT", "setting" -> "TEXT", "value" -> "TEXT"),
+        rows.zipWithIndex.map { case ((k, v), i) => Row(i + 1, k, v) }),
+        needsDefaultSort = true)
+
     case Ast.ShowViews =>
       // refresh-lag observability: checkpoint vs the source's current
       // version — `behind = 0` means the view reflects the latest commit

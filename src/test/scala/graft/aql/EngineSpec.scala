@@ -1322,6 +1322,24 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("nd", "lsh", "body")))
   }
 
+  test("38 SHOW SETTINGS serves the normalized knobs; auth_token is redacted") {
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-showset")
+    java.nio.file.Files.writeString(dir2.resolve(graft.catalog.Settings.FileName),
+      "auth_token: s3cret\nanalyze_after_commits: -5\nindex_probe_cap: 4\n")
+    val eng2 = new Engine(TestSpark.spark, dir2.toString)
+    val rows = eng2.orderedResult(eng2.execute("SHOW SETTINGS")
+      .asInstanceOf[Engine.ResultSet].cursorId).get.collect()
+      .map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(rows("index_probe_cap") == "4")
+    assert(rows("analyze_after_commits") == "0",
+      "SHOW SETTINGS reports the NORMALIZED value, not the raw file text")
+    assert(rows("auth_token") == "********", "credentials never echo")
+    assert(rows("stats_distinct") == "exact")
+    // SETTINGS stays a usable identifier (not reserved)
+    eng.execute("CREATE CONTAINER settings ['id'] [BIGINT]")
+    eng.execute("DELETE CONTAINER settings")
+  }
+
   test("37 fn_col output naming: same fn twice over one column is a clear reject") {
     // The derived output name ignores literal args (documented limitation:
     // one invocation per fn×column per projection), so two substr() items
