@@ -1341,15 +1341,34 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         graft.catalog.Stats.analyzedVersion(catalog, rn)
           .contains(catalog.currentVersion(rn)))
       val bcastBytes = broadcastThresholdBytes
+      val rightPinnedBroadcast = pricedRight.exists(b =>
+        bcastBytes > 0 && b <= bcastBytes && statsFresh)
       val rightSide = pricedRight match {
-        case Some(b) if bcastBytes > 0 && b <= bcastBytes && statsFresh =>
-          broadcast(right)
+        case Some(b) if rightPinnedBroadcast => broadcast(right)
         case Some(b) if bcastBytes > 0 && b > 4 * bcastBytes => right.hint("merge")
         case _ => right
       }
+      // the MIRRORED OOM guard for the LEFT side: when the accumulated
+      // side is still a single stats-priced container and prices far
+      // over the threshold, a small-on-disk size estimate must not let
+      // the planner broadcast IT either (BuildLeft) — the merge hint on
+      // the stream side forbids any broadcast of this join. Skipped when
+      // the right side is already pinned broadcast (that plan never
+      // builds the left).
+      val leftHuge = leftNames.size == 1 && s.containers.sizeIs == 1 && {
+        val ln = leftNames.head
+        val refs = referencedNames(s)
+        val used = acc.columns.filter(c => lc.equalsIgnoreCase(c) ||
+          refs.forall(_.exists(_.equalsIgnoreCase(c))))
+        graft.catalog.Stats.estimatedBytes(catalog, ln, used.toIndexedSeq)
+          .exists(b => bcastBytes > 0 && b > 4 * bcastBytes)
+      }
+      val accSide =
+        if (leftHuge && !rightPinnedBroadcast) acc.hint("merge")
+        else acc
       acc =
-        if (usingKey && overlap.nonEmpty) acc.join(rightSide, Seq(lc), j.joinType)
-        else acc.join(rightSide, acc(lc) === rightSide(rc), j.joinType)
+        if (usingKey && overlap.nonEmpty) accSide.join(rightSide, Seq(lc), j.joinType)
+        else accSide.join(rightSide, accSide(lc) === rightSide(rc), j.joinType)
       leftNames = leftNames ++ rightName
     }
     val filtered = applyWhere(acc, virtualDef(acc), s)

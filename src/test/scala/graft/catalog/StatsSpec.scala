@@ -179,6 +179,14 @@ class StatsSpec extends AnyFunSuite {
     statRows(eng, "ANALYZE CONTAINER big")
     assert(!p2().contains("BroadcastHashJoin") && p2().contains("SortMergeJoin"),
       s"row-priced-huge side must never broadcast:\n${p2()}")
+    // the mirrored guard: the huge container as the LEFT/stream side —
+    // without the pin the planner would BuildLeft-broadcast it off the
+    // tiny on-disk estimate
+    val p3 = eng.execute(
+      "EXPLAIN SEARCH [bkey, btxt, v] ON big JOIN fact ON bkey = id")
+      .asInstanceOf[Engine.Done].message
+    assert(!p3.contains("BroadcastHashJoin") && p3.contains("SortMergeJoin"),
+      s"row-priced-huge LEFT side must never broadcast either:\n$p3")
 
     // STALE stats must not force a broadcast: a container analyzed when
     // small and grown since would otherwise be pinned into an OOM on the
