@@ -1211,7 +1211,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     // itself is the decider, as ever.
     if (eqHit.exists { case (idef, ks) =>
         graft.catalog.Stats.avgGroupSize(catalog, cname, idef.column)
-          .exists(_ * ks.length > IndexProbeCap) })
+          .exists(_ * ks.distinct.length > IndexProbeCap) })
       return base
     val candidates: Option[DataFrame] = eqHit match {
       case Some((idef, keys)) => Some(graft.catalog.Index
@@ -1290,6 +1290,25 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         s"Union over mismatched schemas: ${schemas.distinct.mkString(" vs ")}")
     var acc = parts.reduce(_ unionByName _)
     var leftNames = s.containers.collect { case Ast.Container.Real(n) => n }
+    val bcastBytes = broadcastThresholdBytes
+    // shared pricing: n_rows × width of (join key + statement-referenced
+    // columns) of a stats-covered container
+    def pricedBytes(container: String, cols: Seq[String], keyCol: String): Option[Long] = {
+      val refs = referencedNames(s)
+      val used = cols.filter(c => keyCol.equalsIgnoreCase(c) ||
+        refs.forall(_.exists(_.equalsIgnoreCase(c))))
+      graft.catalog.Stats.estimatedBytes(catalog, container, used.toIndexedSeq)
+    }
+    // priced ONCE for the whole chain: is the single source container a
+    // small-on-disk/huge-in-rows side the planner must never broadcast?
+    // (Join keys are part of referencedNames, so no per-join key column
+    // is needed; intermediates containing this side inherit the guard.)
+    lazy val sourceHuge: Boolean = (s.containers, s.joins.nonEmpty) match {
+      case (List(Ast.Container.Real(n)), true) =>
+        pricedBytes(n, parts.head.columns.toIndexedSeq, "")
+          .exists(b => bcastBytes > 0 && b > 4 * bcastBytes)
+      case _ => false
+    }
     for (j <- s.joins) {
       val right = containerDf(j.container, s.atVersion)
       val rightName = j.container match {
@@ -1324,12 +1343,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       // executor OOM. The band between defers to the planner's own
       // estimate; absent stats defer entirely. Wrong stats cost plan
       // quality only — every strategy returns the same rows.
-      val pricedRight = rightName.flatMap { rn =>
-        val refs = referencedNames(s)
-        val used = right.columns.filter(c => rc.equalsIgnoreCase(c) ||
-          refs.forall(_.exists(_.equalsIgnoreCase(c))))
-        graft.catalog.Stats.estimatedBytes(catalog, rn, used.toIndexedSeq)
-      }
+      val pricedRight = rightName.flatMap(
+        pricedBytes(_, right.columns.toIndexedSeq, rc))
       // the broadcast pin FORCES a plan the runtime can't back out of, so
       // it requires CURRENT stats — a container analyzed when small and
       // grown since must not be force-broadcast on the stale number
@@ -1340,31 +1355,25 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       val statsFresh = rightName.exists(rn =>
         graft.catalog.Stats.analyzedVersion(catalog, rn)
           .contains(catalog.currentVersion(rn)))
-      val bcastBytes = broadcastThresholdBytes
       val rightPinnedBroadcast = pricedRight.exists(b =>
         bcastBytes > 0 && b <= bcastBytes && statsFresh)
       val rightSide = pricedRight match {
-        case Some(b) if rightPinnedBroadcast => broadcast(right)
+        case Some(_) if rightPinnedBroadcast => broadcast(right)
         case Some(b) if bcastBytes > 0 && b > 4 * bcastBytes => right.hint("merge")
         case _ => right
       }
-      // the MIRRORED OOM guard for the LEFT side: when the accumulated
-      // side is still a single stats-priced container and prices far
-      // over the threshold, a small-on-disk size estimate must not let
-      // the planner broadcast IT either (BuildLeft) — the merge hint on
-      // the stream side forbids any broadcast of this join. Skipped when
-      // the right side is already pinned broadcast (that plan never
-      // builds the left).
-      val leftHuge = leftNames.size == 1 && s.containers.sizeIs == 1 && {
-        val ln = leftNames.head
-        val refs = referencedNames(s)
-        val used = acc.columns.filter(c => lc.equalsIgnoreCase(c) ||
-          refs.forall(_.exists(_.equalsIgnoreCase(c))))
-        graft.catalog.Stats.estimatedBytes(catalog, ln, used.toIndexedSeq)
-          .exists(b => bcastBytes > 0 && b > 4 * bcastBytes)
-      }
+      // the MIRRORED OOM guard for the LEFT side ([[sourceHuge]], priced
+      // once before the chain): a small-on-disk/huge-in-rows stream side
+      // — or any intermediate containing it, which inner dim joins don't
+      // materially shrink — must not be BuildLeft-broadcast off its size
+      // estimate, so the join pins merge. Skipped when the right side is
+      // pinned broadcast (that plan never builds the left) or prices
+      // under the threshold even on stale stats (the planner's own
+      // broadcast of a small right is the better safe plan).
       val accSide =
-        if (leftHuge && !rightPinnedBroadcast) acc.hint("merge")
+        if (sourceHuge && !rightPinnedBroadcast &&
+            !pricedRight.exists(b => bcastBytes > 0 && b <= bcastBytes))
+          acc.hint("merge")
         else acc
       acc =
         if (usingKey && overlap.nonEmpty) accSide.join(rightSide, Seq(lc), j.joinType)

@@ -187,6 +187,17 @@ class StatsSpec extends AnyFunSuite {
       .asInstanceOf[Engine.Done].message
     assert(!p3.contains("BroadcastHashJoin") && p3.contains("SortMergeJoin"),
       s"row-priced-huge LEFT side must never broadcast either:\n$p3")
+    // the guard survives a JOIN CHAIN: the intermediate containing the
+    // huge side must not be BuildLeft-broadcast at join 2 off the tiny
+    // on-disk estimate (fact2 is stats-less, so nothing else pins it)
+    eng.execute("CREATE CONTAINER fact2 ['id2','w'] [BIGINT, BIGINT]")
+    cat.overwrite("fact2", (0L until 5000L).map(i => (i, i % 3)).toDF("id2", "w"))
+    val p4 = eng.execute(
+      "EXPLAIN SEARCH [bkey, btxt, v, w] ON big JOIN fact ON bkey = id " +
+        "JOIN fact2 ON bkey = id2")
+      .asInstanceOf[Engine.Done].message
+    assert(!p4.contains("BroadcastHashJoin"),
+      s"a chain intermediate containing the huge side must not broadcast:\n$p4")
 
     // STALE stats must not force a broadcast: a container analyzed when
     // small and grown since would otherwise be pinned into an OOM on the

@@ -74,11 +74,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("nation.parquet") && !p.contains("region.parquet"),
       s"the dim chain must be resolved at ingest, not in-plan:\n$p")
     // both facts come from the orderkey-bucketed projection: the join is
-    // a co-partitioned per-bucket hash join (no Sort either side) — the
+    // a co-partitioned per-bucket HASH join — no Sort on either fact
+    // input (the merge form re-sorted both inside the stage) — and the
     // ONLY hash exchanges left are the aggregation's partial→final (on
     // n_name), never a fact-key shuffle
-    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
-      s"fact⋈fact should ride the bucketed layout:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"fact⋈fact should be the sort-free bucket hash join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the re-sorting merge form must not come back:\n$p")
     assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
       !p.contains("Exchange hashpartitioning(o_orderkey"),
       s"bucketed fact⋈fact join must not shuffle on the join key:\n$p")
