@@ -29,6 +29,12 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
   tx.autoCommit = settings.autoCommit
   tx.optimizeEvery = settings.optimizeAfterCommits
   tx.analyzeEvery = settings.analyzeAfterCommits
+  tx.vacuumEvery = settings.vacuumAfterCommits
+  tx.vacuumKeepLast = settings.vacuumKeepLast
+  // the auto-VACUUM pass honors the same dependent-view resume-point
+  // guard the explicit statement enforces — but SKIPS instead of
+  // throwing (maintenance retries after the views catch up)
+  tx.vacuumSafe = (c, keep) => strandedViewAfterVacuum(c, keep).isEmpty
   // commit-time view maintenance (refresh_views_after_commit): fold each
   // commit's CDC window into dependent views immediately — the symmetric
   // feature to commit-time index maintenance. The catch is PER VIEW: one
@@ -84,7 +90,23 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
   def execute(aql: String, args: Seq[String] = Nil): Result =
     run(Parser.parse(aql, args))
 
-  def run(stmt: Ast.Stmt): Result = stmt match {
+  /** Per-thread access-path decision log: the silent cost-model choices
+    * (index probe taken/skipped, stats-pinned join sides) recorded during
+    * lowering and surfaced by EXPLAIN as an `== Access Path ==` section —
+    * the observability that makes a skipped index a diagnosis instead of
+    * a mystery. Thread-local because one Engine serves concurrent
+    * AqlServer sessions; cleared per statement.
+    */
+  private val planNotes: ThreadLocal[scala.collection.mutable.ListBuffer[String]] =
+    ThreadLocal.withInitial(() => scala.collection.mutable.ListBuffer.empty[String])
+  private def note(msg: String): Unit = planNotes.get() += msg
+
+  def run(stmt: Ast.Stmt): Result = {
+    planNotes.get().clear()
+    dispatch(stmt)
+  }
+
+  private def dispatch(stmt: Ast.Stmt): Result = stmt match {
     case Ast.CreateContainer(name, cols, types) =>
       // arity bounds come from settings.yaml (database.rs:16-17), not a
       // parser constant, so a re-configured server honors its own limits
@@ -264,7 +286,11 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         case other => throw new ParseException(s"EXPLAIN cannot plan $other")
       }
       val formatted = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
+        org.apache.spark.sql.execution.FormattedMode) + {
+        val notes = planNotes.get().toList
+        if (notes.isEmpty) ""
+        else "\n== Access Path ==\n" + notes.mkString("\n")
+      }
       if (!analyze) Done(formatted)
       else {
         // EXPLAIN ANALYZE: run the exact compiled plan (toRdd keeps THIS
@@ -292,13 +318,10 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       // a vacuum that drops a dependent view's resume point would break
       // every later REFRESH (recoverable only by re-seeding) — refuse
       // upfront with the fix, instead of failing at the next refresh
-      val cur = catalog.currentVersion(c)
-      viewsDependingOn(c).foreach { v =>
-        val ckpt = viewTail(v, c).lastDelivered
-        if (ckpt > 0 && keep < cur - ckpt + 1)
-          throw new ParseException(s"VACUUM $c $keep would drop view '$v''s " +
-            s"resume point (checkpoint $ckpt, current $cur) — REFRESH VIEW $v " +
-            s"first or keep at least ${cur - ckpt + 1} version(s)")
+      strandedViewAfterVacuum(c, keep).foreach { case (v, ckpt, cur) =>
+        throw new ParseException(s"VACUUM $c $keep would drop view '$v''s " +
+          s"resume point (checkpoint $ckpt, current $cur) — REFRESH VIEW $v " +
+          s"first or keep at least ${cur - ckpt + 1} version(s)")
       }
       val before = catalog.versions(c).length
       catalog.vacuum(c, keep)
@@ -467,6 +490,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         "wire_encryption" -> s.wireEncryption.toString,
         "optimize_after_commits" -> s.optimizeAfterCommits.toString,
         "analyze_after_commits" -> s.analyzeAfterCommits.toString,
+        "vacuum_after_commits" -> s.vacuumAfterCommits.toString,
+        "vacuum_keep_last" -> s.vacuumKeepLast.toString,
         "refresh_views_after_commit" -> s.refreshViewsAfterCommit.toString,
         "index_probe_cap" -> s.indexProbeCap.toString,
         "stats_distinct" -> s.statsDistinct)
@@ -631,6 +656,19 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         case _ => false
       }
     }
+
+  /** The first dependent view whose CDC resume point a `VACUUM c keep`
+    * would drop, as (view, checkpoint, currentVersion) — None = safe.
+    * Shared by the explicit statement (refuses with the fix) and the
+    * auto-VACUUM hook (skips and retries after the views catch up). */
+  private def strandedViewAfterVacuum(c: String,
+      keep: Int): Option[(String, Int, Int)] = {
+    val cur = catalog.currentVersion(c)
+    viewsDependingOn(c).iterator.flatMap { v =>
+      val ckpt = viewTail(v, c).lastDelivered
+      if (ckpt > 0 && keep < cur - ckpt + 1) Some((v, ckpt, cur)) else None
+    }.take(1).toList.headOption
+  }
 
   /** Validate a view definition down to the incrementally maintainable
     * fragment and resolve CANONICAL column names against the source:
@@ -1209,13 +1247,20 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     // unselectivity — go straight to the scan. Correctness-neutral either
     // way (both paths return the same rows); without stats the probe
     // itself is the decider, as ever.
-    if (eqHit.exists { case (idef, ks) =>
-        graft.catalog.Stats.avgGroupSize(catalog, cname, idef.column)
-          .exists(_ * ks.distinct.length > IndexProbeCap) })
-      return base
-    val candidates: Option[DataFrame] = eqHit match {
-      case Some((idef, keys)) => Some(graft.catalog.Index
-        .valueLookup(catalog, cname, idef, keys, s.atVersion))
+    val statsSkip = eqHit.flatMap { case (idef, ks) =>
+      graft.catalog.Stats.avgGroupSize(catalog, cname, idef.column)
+        .filter(_ * ks.distinct.length > IndexProbeCap)
+        .map(g => (idef, ks.distinct.length, g))
+    }
+    statsSkip.foreach { case (idef, nk, g) =>
+      note(f"index '${idef.ix}' probe on ${idef.column} skipped: stats " +
+        f"estimate $g%.1f rows/value x $nk key(s) exceeds " +
+        s"index_probe_cap $IndexProbeCap — plain scan")
+    }
+    if (statsSkip.isDefined) return base
+    val candidates: Option[(graft.catalog.Index.Def, String, DataFrame)] = eqHit match {
+      case Some((idef, keys)) => Some((idef, s"${keys.distinct.length} literal key(s)",
+        graft.catalog.Index.valueLookup(catalog, cname, idef, keys, s.atVersion)))
       case None =>
         val rangeOps = Set(">", ">=", "<", "<=")
         defs.iterator.map { idef =>
@@ -1232,19 +1277,27 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
               case "<=" => col("val") <= k
             }
           }.reduce(_ && _)
-          graft.catalog.Index
-            .valueRangeLookup(catalog, cname, idef, pred, s.atVersion)
+          (idef, s"range over ${bounds.length} bound(s)",
+            graft.catalog.Index.valueRangeLookup(catalog, cname, idef, pred, s.atVersion))
         }
     }
     candidates match {
-      case Some(cand) =>
+      case Some((idef, how, cand)) =>
         val ids = cand.limit(IndexProbeCap + 1).collect()
           .map(_.get(0)).toIndexedSeq
-        if (ids.length > IndexProbeCap) base // unselective: plain scan wins
+        if (ids.length > IndexProbeCap) {
+          note(s"index '${idef.ix}' probe on ${idef.column} ($how) abandoned: " +
+            s"over index_probe_cap $IndexProbeCap candidates — plain scan")
+          base // unselective: plain scan wins
+        }
         // pk-null rows can't appear in candidate lists (isin is
         // null-poisoned) — keep them for the full predicate to decide
-        else base.filter(col(d.primaryKey).isin(ids: _*) ||
-          col(d.primaryKey).isNull)
+        else {
+          note(s"index '${idef.ix}' probe on ${idef.column} ($how) served " +
+            s"${ids.length} pk candidate(s); clustered scan pruned to them")
+          base.filter(col(d.primaryKey).isin(ids: _*) ||
+            col(d.primaryKey).isNull)
+        }
       case None => base
     }
   }
@@ -1358,8 +1411,14 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       val rightPinnedBroadcast = pricedRight.exists(b =>
         bcastBytes > 0 && b <= bcastBytes && statsFresh)
       val rightSide = pricedRight match {
-        case Some(_) if rightPinnedBroadcast => broadcast(right)
-        case Some(b) if bcastBytes > 0 && b > 4 * bcastBytes => right.hint("merge")
+        case Some(b) if rightPinnedBroadcast =>
+          note(s"join side pinned: ${rightName.getOrElse("?")} priced $b bytes " +
+            s"from current stats (referenced columns only) — build side ships by broadcast")
+          broadcast(right)
+        case Some(b) if bcastBytes > 0 && b > 4 * bcastBytes =>
+          note(s"join side pinned: ${rightName.getOrElse("?")} priced $b bytes " +
+            s"from stats (> 4x broadcast threshold $bcastBytes) — merge join, never broadcast")
+          right.hint("merge")
         case _ => right
       }
       // the MIRRORED OOM guard for the LEFT side ([[sourceHuge]], priced
@@ -1372,9 +1431,11 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       // broadcast of a small right is the better safe plan).
       val accSide =
         if (sourceHuge && !rightPinnedBroadcast &&
-            !pricedRight.exists(b => bcastBytes > 0 && b <= bcastBytes))
+            !pricedRight.exists(b => bcastBytes > 0 && b <= bcastBytes)) {
+          note("join stream side pinned: the source container prices over 4x the " +
+            "broadcast threshold from stats — merge join guards it from being the build side")
           acc.hint("merge")
-        else acc
+        } else acc
       acc =
         if (usingKey && overlap.nonEmpty) accSide.join(rightSide, Seq(lc), j.joinType)
         else accSide.join(rightSide, accSide(lc) === rightSide(rc), j.joinType)

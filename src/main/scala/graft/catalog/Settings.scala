@@ -68,6 +68,17 @@ final case class Settings(
       * every commit (`/root/reference/src/container.rs:277-282`) — this
       * is the amortized analogue. */
     analyzeAfterCommits: Int = 0,
+    /** graft extension: auto-VACUUM a container every N commits (0 =
+      * off), keeping [[vacuumKeepLast]] versions — the retention
+      * automation completing the maintenance triad (optimize / analyze /
+      * vacuum). Deliberately off by default: vacuum trades time-travel
+      * depth for space, which is the user's call. The auto pass SKIPS a
+      * container whose dependent incremental views haven't consumed past
+      * the would-be-dropped versions (same guard as the explicit VACUUM
+      * statement — maintenance must never strand a view's resume point). */
+    vacuumAfterCommits: Int = 0,
+    /** graft extension: versions the auto-VACUUM pass retains. */
+    vacuumKeepLast: Int = 3,
     /** graft extension: fold every commit's CDC window into dependent
       * incremental views immediately (REFRESH VIEW becomes automatic —
       * the symmetric feature to commit-time index maintenance). Off by
@@ -102,6 +113,8 @@ final case class Settings(
     if (s.secretKeyCount < 1) s = s.copy(secretKeyCount = 1)
     if (s.optimizeAfterCommits < 0) s = s.copy(optimizeAfterCommits = 0)
     if (s.analyzeAfterCommits < 0) s = s.copy(analyzeAfterCommits = 0)
+    if (s.vacuumAfterCommits < 0) s = s.copy(vacuumAfterCommits = 0)
+    if (s.vacuumKeepLast < 1) s = s.copy(vacuumKeepLast = 3)
     if (s.indexProbeCap < 1) s = s.copy(indexProbeCap = 8192)
     if (!Set("exact", "approx").contains(s.statsDistinct))
       s = s.copy(statsDistinct = "exact")
@@ -122,6 +135,8 @@ final case class Settings(
        |wire_encryption: $wireEncryption
        |optimize_after_commits: $optimizeAfterCommits
        |analyze_after_commits: $analyzeAfterCommits
+       |vacuum_after_commits: $vacuumAfterCommits
+       |vacuum_keep_last: $vacuumKeepLast
        |refresh_views_after_commit: $refreshViewsAfterCommit
        |index_probe_cap: $indexProbeCap
        |stats_distinct: $statsDistinct
@@ -175,6 +190,8 @@ object Settings {
       wireEncryption = bool("wire_encryption", default.wireEncryption),
       optimizeAfterCommits = int("optimize_after_commits", default.optimizeAfterCommits),
       analyzeAfterCommits = int("analyze_after_commits", default.analyzeAfterCommits),
+      vacuumAfterCommits = int("vacuum_after_commits", default.vacuumAfterCommits),
+      vacuumKeepLast = int("vacuum_keep_last", default.vacuumKeepLast),
       refreshViewsAfterCommit =
         bool("refresh_views_after_commit", default.refreshViewsAfterCommit),
       indexProbeCap = int("index_probe_cap", default.indexProbeCap),

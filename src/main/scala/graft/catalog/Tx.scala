@@ -55,6 +55,17 @@ final class Tx(catalog: Catalog) {
     * sessions/restarts. */
   @volatile var analyzeEvery: Int = 0
 
+  /** `vacuum_after_commits` / `vacuum_keep_last` knobs (graft extension):
+    * when > 0, every Nth committed version vacuums down to the keep
+    * count — retention automation, explicitly opt-in because it trades
+    * time-travel depth for space. [[vacuumSafe]] gates the pass: the
+    * engine wires the same dependent-view resume-point guard the
+    * explicit VACUUM statement enforces, and an unsafe container is
+    * SKIPPED (the next trigger retries after the views catch up). */
+  @volatile var vacuumEvery: Int = 0
+  @volatile var vacuumKeepLast: Int = 3
+  @volatile var vacuumSafe: (String, Int) => Boolean = (_, _) => true
+
   /** Post-commit hook per committed container (graft extension): the
     * engine wires incremental-view auto-refresh through this when
     * `refresh_views_after_commit` is set. Fires AFTER the commit is
@@ -322,6 +333,12 @@ final class Tx(catalog: Catalog) {
     // session's stats_distinct mode.
     if (analyzeEvery > 0 && committed % analyzeEvery == 0)
       try Stats.analyze(catalog, c, "approx")
+      catch { case scala.util.control.NonFatal(_) => () }
+    // retention LAST: optimize/analyze above may have published more
+    // versions; vacuum keeps the newest keepLast of whatever exists now
+    if (vacuumEvery > 0 && committed % vacuumEvery == 0 &&
+        vacuumSafe(c, vacuumKeepLast))
+      try catalog.vacuum(c, vacuumKeepLast)
       catch { case scala.util.control.NonFatal(_) => () }
   }
 

@@ -86,6 +86,8 @@ class StatsSpec extends AnyFunSuite {
       p.contains("id IN ") || p.contains("In(id") || p.contains("EqualTo(id,")
     assert(!pruned(plan()),
       s"stale-unselective stats must skip the probe:\n${plan()}")
+    assert(plan().contains("== Access Path ==") && plan().contains("skipped"),
+      s"the skip decision must be narrated in EXPLAIN:\n${plan()}")
     // correctness unaffected by the skip
     assert(eng.orderedResult(eng.execute("SEARCH [id] ON ap WHERE tag = 'u7'")
       .asInstanceOf[Engine.ResultSet].cursorId).get

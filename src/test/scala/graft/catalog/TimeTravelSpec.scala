@@ -143,6 +143,45 @@ class TimeTravelSpec extends AnyFunSuite {
       Set(Seq(1L, 10L, null), Seq(2L, 20L, "doomed")))
   }
 
+  test("vacuum_after_commits: auto-retention prunes versions, but never a view's resume point") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-avac")
+    java.nio.file.Files.writeString(dir.resolve(graft.catalog.Settings.FileName),
+      "vacuum_after_commits: 2\nvacuum_keep_last: 1\n")
+    val eng = new Engine(spark, dir.toString)
+    eng.execute("CREATE CONTAINER av2 ['id','grp'] [BIGINT, TEXT]")
+    def commitRow(id: Int): Unit = {
+      eng.execute(s"CREATE ROW ['id','grp'] [$id, 'g'] ON av2")
+      eng.execute("COMMIT av2")
+    }
+    commitRow(1) // v1 (odd: no vacuum)
+    commitRow(2) // v2 → auto-vacuum keeps last 1
+    assert(eng.catalog.versions("av2") == Seq(2),
+      "the 2nd commit must auto-vacuum down to keep_last")
+    assert(eng.catalog.read("av2").count() == 2, "content is complete")
+    // a dependent view whose checkpoint would be stranded GATES the pass
+    eng.execute("CREATE VIEW av2_mv (SEARCH [grp, count(id)] ON av2)")
+    commitRow(3) // v3 (odd)
+    commitRow(4) // v4: vacuum due, but the view checkpoint sits at v2 —
+                 // dropping v2/v3 would strand its resume point → skip
+    assert(eng.catalog.versions("av2").contains(3),
+      s"auto-vacuum must skip while a view is behind, have ${eng.catalog.versions("av2")}")
+    // with keep_last 1 the checkpoint must EQUAL the triggering commit,
+    // which only commit-time view refresh can deliver (the post-commit
+    // hooks run refresh BEFORE retention by design) — compose the knobs
+    // in a fresh session over the same database
+    java.nio.file.Files.writeString(dir.resolve(graft.catalog.Settings.FileName),
+      "vacuum_after_commits: 2\nvacuum_keep_last: 1\n" +
+        "refresh_views_after_commit: true\n")
+    val eng2 = new Engine(spark, dir.toString)
+    eng2.execute("CREATE ROW ['id','grp'] [5, 'g'] ON av2")
+    eng2.execute("COMMIT av2") // v5 (odd: no vacuum; refresh folds it)
+    eng2.execute("CREATE ROW ['id','grp'] [6, 'g'] ON av2")
+    eng2.execute("COMMIT av2") // v6: refresh first → ckpt=6 → vacuum safe
+    assert(eng2.catalog.versions("av2") == Seq(6),
+      s"caught-up views unblock retention, have ${eng2.catalog.versions("av2")}")
+    assert(eng2.catalog.read("av2").count() == 6, "content is complete after retention")
+  }
+
   test("a cursor over a vacuumed version expires cleanly, not with a raw FNF") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tt2")
     val eng = new Engine(spark, dir.toString)

@@ -87,6 +87,8 @@ class ValueIndexSpec extends AnyFunSuite {
       .asInstanceOf[graft.aql.Engine.Done].message
     assert(p.contains("id IN ") || p.contains("In(id") || p.contains("EqualTo(id,"),
       s"a FLOAT range conjunction must probe the value index:\n$p")
+    assert(p.contains("== Access Path ==") && p.contains("probe on score"),
+      s"EXPLAIN must narrate the access-path decision:\n$p")
     assert(eng.orderedResult(eng.execute(
       "SEARCH [id] ON fe WHERE score > 10.5 AND score <= 13.25")
       .asInstanceOf[graft.aql.Engine.ResultSet].cursorId).get
