@@ -31,10 +31,17 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
   tx.analyzeEvery = settings.analyzeAfterCommits
   tx.vacuumEvery = settings.vacuumAfterCommits
   tx.vacuumKeepLast = settings.vacuumKeepLast
-  // the auto-VACUUM pass honors the same dependent-view resume-point
-  // guard the explicit statement enforces — but SKIPS instead of
-  // throwing (maintenance retries after the views catch up)
-  tx.vacuumSafe = (c, keep) => strandedViewAfterVacuum(c, keep).isEmpty
+  // the auto-VACUUM retention floor: keep at least back to every
+  // dependent view's CDC resume point (same rule the explicit VACUUM
+  // statement refuses on) — evaluated INSIDE Catalog.vacuum against its
+  // own version snapshot, so a concurrent commit can't re-expose the
+  // protected window. Unreadable view state floors at keep-everything.
+  tx.vacuumMinKeep = (c, cur) =>
+    try viewsDependingOn(c)
+      .map(v => viewTail(v, c).lastDelivered)
+      .filter(_ > 0).map(ckpt => cur - ckpt + 1)
+      .maxOption.getOrElse(1)
+    catch { case scala.util.control.NonFatal(_) => Int.MaxValue }
   // commit-time view maintenance (refresh_views_after_commit): fold each
   // commit's CDC window into dependent views immediately — the symmetric
   // feature to commit-time index maintenance. The catch is PER VIEW: one
@@ -667,7 +674,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     viewsDependingOn(c).iterator.flatMap { v =>
       val ckpt = viewTail(v, c).lastDelivered
       if (ckpt > 0 && keep < cur - ckpt + 1) Some((v, ckpt, cur)) else None
-    }.take(1).toList.headOption
+    }.nextOption()
   }
 
   /** Validate a view definition down to the incrementally maintainable

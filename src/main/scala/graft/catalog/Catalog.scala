@@ -1325,7 +1325,8 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     * `latestClaimed` forever. Live claims (a slow in-flight commit) are
     * never touched.
     */
-  def vacuum(name: String, keepLast: Int = 1): Unit = {
+  def vacuum(name: String, keepLast: Int = 1,
+      minKeep: Int => Int = _ => 1): Unit = {
     // decided multi-container transactions apply BEFORE the stale-claim
     // sweep: a decided member's claim looks orphaned (dead pid, nothing
     // published) but its staged version must land, not lose its slot
@@ -1336,7 +1337,14 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     // pointed version is never in the dropRight window
     adoptPublished(name)
     val cur = currentVersion(name)
-    versions(name).dropRight(keepLast).filter(_ < cur).foreach { v =>
+    // `minKeep(cur)` is the caller's retention FLOOR (e.g. the engine's
+    // dependent-view resume points), evaluated HERE against the same
+    // `cur` snapshot the drop window uses — a pre-call check would race
+    // concurrent commits (check-then-vacuum TOCTOU): a commit landing
+    // after this point only APPENDS versions, so the floor's protected
+    // window can never be re-exposed by the drop below.
+    val keep = math.max(keepLast, minKeep(cur))
+    versions(name).dropRight(keep).filter(_ < cur).foreach { v =>
       deleteRecursively(versionPath(name, v))
       Files.deleteIfExists(claimFile(name, v))
     }

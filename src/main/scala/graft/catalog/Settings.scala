@@ -72,10 +72,12 @@ final case class Settings(
       * off), keeping [[vacuumKeepLast]] versions — the retention
       * automation completing the maintenance triad (optimize / analyze /
       * vacuum). Deliberately off by default: vacuum trades time-travel
-      * depth for space, which is the user's call. The auto pass SKIPS a
-      * container whose dependent incremental views haven't consumed past
-      * the would-be-dropped versions (same guard as the explicit VACUUM
-      * statement — maintenance must never strand a view's resume point). */
+      * depth for space, which is the user's call. The auto pass raises
+      * its keep count to a retention FLOOR covering every dependent
+      * incremental view's CDC resume point (same rule the explicit
+      * VACUUM statement refuses on — maintenance must never strand a
+      * view), evaluated inside the vacuum against its own version
+      * snapshot so concurrent commits can't race the decision. */
     vacuumAfterCommits: Int = 0,
     /** graft extension: versions the auto-VACUUM pass retains. */
     vacuumKeepLast: Int = 3,

@@ -58,13 +58,16 @@ final class Tx(catalog: Catalog) {
   /** `vacuum_after_commits` / `vacuum_keep_last` knobs (graft extension):
     * when > 0, every Nth committed version vacuums down to the keep
     * count — retention automation, explicitly opt-in because it trades
-    * time-travel depth for space. [[vacuumSafe]] gates the pass: the
-    * engine wires the same dependent-view resume-point guard the
-    * explicit VACUUM statement enforces, and an unsafe container is
-    * SKIPPED (the next trigger retries after the views catch up). */
+    * time-travel depth for space. [[vacuumMinKeep]] is the retention
+    * FLOOR `(container, currentVersion) => minimum keep`: the engine
+    * wires the dependent-view resume-point rule through it, and
+    * [[Catalog.vacuum]] evaluates it against the SAME version snapshot
+    * the drop window uses (a check-then-vacuum pre-pass would race
+    * concurrent commits). A floor of Int.MaxValue makes the pass a
+    * no-op — the safe answer when view state is unreadable. */
   @volatile var vacuumEvery: Int = 0
   @volatile var vacuumKeepLast: Int = 3
-  @volatile var vacuumSafe: (String, Int) => Boolean = (_, _) => true
+  @volatile var vacuumMinKeep: (String, Int) => Int = (_, _) => 1
 
   /** Post-commit hook per committed container (graft extension): the
     * engine wires incremental-view auto-refresh through this when
@@ -335,10 +338,15 @@ final class Tx(catalog: Catalog) {
       try Stats.analyze(catalog, c, "approx")
       catch { case scala.util.control.NonFatal(_) => () }
     // retention LAST: optimize/analyze above may have published more
-    // versions; vacuum keeps the newest keepLast of whatever exists now
-    if (vacuumEvery > 0 && committed % vacuumEvery == 0 &&
-        vacuumSafe(c, vacuumKeepLast))
-      try catalog.vacuum(c, vacuumKeepLast)
+    // versions; vacuum keeps the newest keepLast of whatever exists now,
+    // raised to the engine's retention floor. The WHOLE pass — floor
+    // computation included (it parses view definitions and checkpoint
+    // files that can be corrupt) — sits inside the catch: maintenance
+    // must never fail a commit that already published, and on the
+    // group-commit path an escape here would skip later members'
+    // staged-log clears (a retried COMMIT would double-apply them).
+    if (vacuumEvery > 0 && committed % vacuumEvery == 0)
+      try catalog.vacuum(c, vacuumKeepLast, cur => vacuumMinKeep(c, cur))
       catch { case scala.util.control.NonFatal(_) => () }
   }
 

@@ -158,13 +158,14 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(eng.catalog.versions("av2") == Seq(2),
       "the 2nd commit must auto-vacuum down to keep_last")
     assert(eng.catalog.read("av2").count() == 2, "content is complete")
-    // a dependent view whose checkpoint would be stranded GATES the pass
+    // a dependent view's CDC resume point RAISES the retention floor:
+    // vacuum still runs, but keeps back to the checkpoint version
     eng.execute("CREATE VIEW av2_mv (SEARCH [grp, count(id)] ON av2)")
     commitRow(3) // v3 (odd)
-    commitRow(4) // v4: vacuum due, but the view checkpoint sits at v2 —
-                 // dropping v2/v3 would strand its resume point → skip
-    assert(eng.catalog.versions("av2").contains(3),
-      s"auto-vacuum must skip while a view is behind, have ${eng.catalog.versions("av2")}")
+    commitRow(4) // v4: vacuum due; the view checkpoint sits at v2, so
+                 // the floor keeps v2..v4 instead of dropping to v4
+    assert(eng.catalog.versions("av2").contains(2),
+      s"auto-vacuum must retain the view's resume point, have ${eng.catalog.versions("av2")}")
     // with keep_last 1 the checkpoint must EQUAL the triggering commit,
     // which only commit-time view refresh can deliver (the post-commit
     // hooks run refresh BEFORE retention by design) — compose the knobs
