@@ -331,7 +331,12 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           s"first or keep at least ${cur - ckpt + 1} version(s)")
       }
       val before = catalog.versions(c).length
-      catalog.vacuum(c, keep)
+      // the refusal above is UX (tell the user the fix); the retention
+      // FLOOR inside the vacuum is the race-proof guard — a commit
+      // landing between check and drop must not strand the checkpoint.
+      // (Reaching here means no view was behind at check time, so the
+      // floor only ever raises keep if such a race actually happened.)
+      catalog.vacuum(c, keep, cur => tx.vacuumMinKeep(c, cur))
       Done(s"vacuumed $c: ${before - catalog.versions(c).length} version(s) removed")
 
     case Ast.Optimize(c, target, zcols) =>
