@@ -144,6 +144,11 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       if (tx.stagedOps(name) > 0)
         throw new ParseException(
           s"ALTER CONTAINER $name: commit or rollback staged operations first")
+      // dropping a column a dependent view's definition references would
+      // wedge every later REFRESH — refuse with the fix, like dropping
+      // the source itself (ADD COLUMN stays allowed: definitions can't
+      // reference a column that didn't exist)
+      cols.foreach(c => requireNoViewReferences(name, c, "DROP"))
       catalog.dropColumns(name, cols)
       Done(s"dropped ${cols.length} column(s) from $name")
 
@@ -152,6 +157,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       if (tx.stagedOps(name) > 0)
         throw new ParseException(
           s"ALTER CONTAINER $name: commit or rollback staged operations first")
+      requireNoViewReferences(name, from, "RENAME")
       catalog.renameColumn(name, from, to)
       Done(s"renamed $name.$from to $to")
 
@@ -667,6 +673,23 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         }
         case _ => false
       }
+    }
+
+  /** Refuse an ALTER that would break a dependent view's re-parseable
+    * definition: DROP/RENAME of a column the viewdef references leaves
+    * every later REFRESH failing on an unresolvable name — the
+    * schema-side twin of the source-drop guard. */
+  private def requireNoViewReferences(src: String, column: String,
+      what: String): Unit =
+    viewsDependingOn(src).foreach { v =>
+      val refs = Parser.parse(graft.catalog.Views.load(catalog, v)) match {
+        case s: Ast.Search => referencedNames(s)
+        case _ => None
+      }
+      if (refs.forall(_.contains(column.toLowerCase)))
+        throw new ParseException(
+          s"ALTER CONTAINER $src $what COLUMN '$column': view '$v' references " +
+            s"it — DELETE VIEW $v first (or leave the column in place)")
     }
 
   /** The first dependent view whose CDC resume point a `VACUUM c keep`

@@ -206,4 +206,52 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(eng.execute("CHANGES t 1 2").isInstanceOf[graft.aql.Engine.ResultSet])
     intercept[graft.aql.ParseException](eng.execute("CHANGES t 2 1"))
   }
+
+  test("the feed composes with schema evolution: windows spanning ADD/RENAME COLUMN") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-alter")
+    val eng = new graft.aql.Engine(spark, dir.toString)
+    eng.execute("CREATE CONTAINER t2 ['id','n'] [BIGINT, BIGINT]")
+    eng.execute("CREATE ROW ['id','n'] [1, 10] ON t2")
+    eng.execute("CREATE ROW ['id','n'] [2, 20] ON t2")
+    eng.execute("COMMIT t2") // v1 — files store (id, n)
+    eng.execute("ALTER CONTAINER t2 ADD COLUMN ['tag'] [TEXT]")
+    eng.execute("EDIT ROW ['tag'] ['x'] ON t2 WHERE id = 2")
+    eng.execute("CREATE ROW ['id','n','tag'] [3, 30, 'y'] ON t2")
+    eng.execute("COMMIT t2") // v2 — post-ALTER schema
+    eng.execute("ALTER CONTAINER t2 RENAME COLUMN ['n','m']")
+    val cat = eng.catalog
+    def rows(from: Int, to: Option[Int]) = cat.changes("t2", from, to).collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)).getOrElse("∅"),
+        r.getString(3))).toSet
+    // a window ENDING before the ALTERs still serves under the CURRENT
+    // schema: renamed column, NULL-filled added column
+    assert(cat.changes("t2", 0, Some(1)).columns.toSeq ==
+      Seq("id", "m", "tag", "_change_type"))
+    assert(rows(0, Some(1)) ==
+      Set((1L, 10L, "∅", "insert"), (2L, 20L, "∅", "insert")))
+    // the cross-ALTER window pairs the update on the pk with the
+    // pre-image NULL-filled and the post-image carrying the new column
+    assert(rows(1, Some(2)) == Set(
+      (2L, 20L, "∅", "update_preimage"),
+      (2L, 20L, "x", "update_postimage"),
+      (3L, 30L, "y", "insert")))
+    // the everything-as-inserts seed reflects the final evolved state
+    assert(rows(0, None) == Set(
+      (1L, 10L, "∅", "insert"), (2L, 20L, "x", "insert"),
+      (3L, 30L, "y", "insert")))
+
+    // a dependent VIEW gates destructive schema changes on the columns
+    // its definition references — DROP/RENAME would wedge every REFRESH
+    eng.execute("CREATE VIEW t2_mv (SEARCH [tag, count(id)] ON t2)")
+    val e1 = intercept[graft.aql.ParseException](
+      eng.execute("ALTER CONTAINER t2 RENAME COLUMN ['tag','label']"))
+    assert(e1.getMessage.contains("t2_mv"), e1.getMessage)
+    val e2 = intercept[graft.aql.ParseException](
+      eng.execute("ALTER CONTAINER t2 DROP COLUMN ['id']"))
+    assert(e2.getMessage.contains("t2_mv"), e2.getMessage)
+    // unreferenced columns stay alterable; ADD is always allowed
+    eng.execute("ALTER CONTAINER t2 RENAME COLUMN ['m','mm']")
+    eng.execute("ALTER CONTAINER t2 ADD COLUMN ['extra'] [TEXT]")
+    eng.execute("REFRESH VIEW t2_mv") // still folds after the safe ALTERs
+  }
 }
