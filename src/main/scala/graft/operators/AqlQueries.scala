@@ -211,6 +211,14 @@ object AqlQueries {
       // NULL-fill (tag absent in v1 files) and the stored→logical rename
       // mapping (files say n_chars, schema says chars); the post-restore
       // insert writes under the CURRENT schema
+      // CDC × schema evolution: the v1→v2 window spans an ADD COLUMN, so
+      // the feed serves v1's files NULL-filled under the current schema
+      eng.execute("CREATE CONTAINER docs_ca ['doc_id','n_chars'] [BIGINT, BIGINT]")
+      eng.catalog.overwrite("docs_ca", docs) // v1
+      eng.execute("ALTER CONTAINER docs_ca ADD COLUMN ['tag'] [TEXT]")
+      eng.execute("EDIT ROW ['tag'] ['tg'] ON docs_ca WHERE doc_id = 9")
+      eng.execute("CREATE ROW ['doc_id','n_chars','tag'] [900013, 55, 'new'] ON docs_ca")
+      eng.execute("COMMIT docs_ca") // v2
       eng.execute("CREATE CONTAINER docs_ra ['doc_id','n_chars'] [BIGINT, BIGINT]")
       eng.catalog.overwrite("docs_ra", docs) // v1
       eng.execute("ALTER CONTAINER docs_ra ADD COLUMN ['tag'] [TEXT]")
@@ -899,6 +907,23 @@ object AqlQueries {
         |  UNION ALL SELECT 900005, 321, 'insert'
         |) ORDER BY doc_id, n_chars, _change_type""".stripMargin) {
       (s, dir) => search("CHANGES docs_cdc 1 2")(s, dir)
+    },
+
+    // CDC window spanning an ADD COLUMN (graft extension): the feed
+    // serves under the CURRENT schema — the pre-ALTER update pre-image
+    // reads its added column as NULL, the post-image and the insert
+    // carry it. The oracle reconstructs the classification with the
+    // NULL-filled column spelled out.
+    Q("aql_changes_alter",
+      """SELECT * FROM (
+        |  SELECT doc_id, n_chars, CAST(NULL AS VARCHAR) AS tag,
+        |         'update_preimage' AS _change_type
+        |    FROM documents WHERE doc_id = 9
+        |  UNION ALL SELECT doc_id, n_chars, 'tg', 'update_postimage'
+        |    FROM documents WHERE doc_id = 9
+        |  UNION ALL SELECT 900013, 55, 'new', 'insert'
+        |) ORDER BY doc_id, n_chars, tag NULLS FIRST, _change_type""".stripMargin) {
+      (s, dir) => search("CHANGES docs_ca 1 2")(s, dir)
     },
 
     // (CHANGES …) as a SEARCH source (graft extension): aggregation over
