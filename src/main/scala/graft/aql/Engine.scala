@@ -148,7 +148,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       // wedge every later REFRESH — refuse with the fix, like dropping
       // the source itself (ADD COLUMN stays allowed: definitions can't
       // reference a column that didn't exist)
-      cols.foreach(c => requireNoViewReferences(name, c, "DROP"))
+      requireNoViewReferences(name, cols, "DROP")
       catalog.dropColumns(name, cols)
       Done(s"dropped ${cols.length} column(s) from $name")
 
@@ -157,7 +157,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       if (tx.stagedOps(name) > 0)
         throw new ParseException(
           s"ALTER CONTAINER $name: commit or rollback staged operations first")
-      requireNoViewReferences(name, from, "RENAME")
+      requireNoViewReferences(name, Seq(from), "RENAME")
       catalog.renameColumn(name, from, to)
       Done(s"renamed $name.$from to $to")
 
@@ -664,38 +664,43 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
 
   /** Views whose SOURCE is `c` (re-parsed from their stored definitions —
     * bounded: one small text file per view). */
-  private def viewsDependingOn(c: String): Seq[String] =
-    graft.catalog.Views.list(catalog).filter { v =>
+  /** Dependent views of `c` with their PARSED definitions — one
+    * list+load+parse pass shared by every consumer (ALTER guards, vacuum
+    * floors, refresh fan-out). */
+  private def dependentViewDefs(c: String): Seq[(String, Ast.Search)] =
+    graft.catalog.Views.list(catalog).flatMap { v =>
       Parser.parse(graft.catalog.Views.load(catalog, v)) match {
-        case s: Ast.Search => s.containers.exists {
+        case s: Ast.Search if s.containers.exists {
           case Ast.Container.Real(n) => n.equalsIgnoreCase(c)
           case _ => false
-        }
-        case _ => false
+        } => Some(v -> s)
+        case _ => None
       }
     }
+
+  private def viewsDependingOn(c: String): Seq[String] =
+    dependentViewDefs(c).map(_._1)
 
   /** Refuse an ALTER that would break a dependent view's re-parseable
     * definition: DROP/RENAME of a column the viewdef references leaves
     * every later REFRESH failing on an unresolvable name — the
     * schema-side twin of the source-drop guard. */
-  private def requireNoViewReferences(src: String, column: String,
-      what: String): Unit =
-    viewsDependingOn(src).foreach { v =>
-      val refs = Parser.parse(graft.catalog.Views.load(catalog, v)) match {
-        case s: Ast.Search => referencedNames(s)
-        case _ => None
-      }
-      if (refs.forall(_.contains(column.toLowerCase)))
-        throw new ParseException(
-          s"ALTER CONTAINER $src $what COLUMN '$column': view '$v' references " +
-            s"it — DELETE VIEW $v first (or leave the column in place)")
-    }
+  private def requireNoViewReferences(src: String, columns: Seq[String],
+      what: String): Unit = {
+    val defs = dependentViewDefs(src)
+    for {
+      column <- columns
+      (v, s) <- defs
+      if referencedNames(s).forall(_.contains(column.toLowerCase))
+    } throw new ParseException(
+      s"ALTER CONTAINER $src $what COLUMN '$column': view '$v' references " +
+        s"it — DELETE VIEW $v first (or leave the column in place)")
+  }
 
   /** The first dependent view whose CDC resume point a `VACUUM c keep`
     * would drop, as (view, checkpoint, currentVersion) — None = safe.
-    * Shared by the explicit statement (refuses with the fix) and the
-    * auto-VACUUM hook (skips and retries after the views catch up). */
+    * The explicit VACUUM statement's UX refusal; the race-proof guard is
+    * the retention floor evaluated inside [[Catalog.vacuum]]. */
   private def strandedViewAfterVacuum(c: String,
       keep: Int): Option[(String, Int, Int)] = {
     val cur = catalog.currentVersion(c)

@@ -1339,12 +1339,17 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     val cur = currentVersion(name)
     // `minKeep(cur)` is the caller's retention FLOOR (e.g. the engine's
     // dependent-view resume points), evaluated HERE against the same
-    // `cur` snapshot the drop window uses — a pre-call check would race
-    // concurrent commits (check-then-vacuum TOCTOU): a commit landing
-    // after this point only APPENDS versions, so the floor's protected
-    // window can never be re-exposed by the drop below.
+    // `cur` snapshot the drop set uses. The drop set is the INTERSECTION
+    // of the count window (all but the newest `keep` listed versions —
+    // the user-facing "keep newest k" contract, sparse histories
+    // included) and the ABSOLUTE window `v <= cur - keep`: the versions()
+    // listing below is fresh, so a commit racing in can append an entry
+    // and shift the count window — but it can't move the `cur` snapshot,
+    // and the absolute bound pins every version the floor protects
+    // regardless of how many newer entries appear.
     val keep = math.max(keepLast, minKeep(cur))
-    versions(name).dropRight(keep).filter(_ < cur).foreach { v =>
+    versions(name).dropRight(keep)
+      .filter(v => v < cur && v <= cur - keep).foreach { v =>
       deleteRecursively(versionPath(name, v))
       Files.deleteIfExists(claimFile(name, v))
     }
