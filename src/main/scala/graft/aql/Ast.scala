@@ -122,7 +122,8 @@ object Ast {
     * the container's declared schema and lands them as ONE insert-only
     * bulk-append commit (`Catalog.append` — indexes and views maintain
     * like any commit). Formats: jsonl (default), csv, orc, parquet. */
-  final case class Export(container: String, path: String, fmt: String) extends Stmt
+  final case class Export(container: String, path: String, fmt: String,
+      atVersion: Option[Int] = None) extends Stmt
   final case class Import(path: String, container: String, fmt: String) extends Stmt
   /** `ALTER CONTAINER name ADD COLUMN [names] [types]` (graft extension —
     * the reference fixes a container's schema at creation,
@@ -861,8 +862,16 @@ object Parser {
           throw new ParseException("Expected `TO VERSION <n>` in RESTORE CONTAINER")
       }
 
-    // EXPORT c TO 'path' [USING fmt] / IMPORT 'path' INTO c [USING fmt]
-    // (graft extensions): corpus interchange through the catalog
+    // EXPORT c [AT VERSION n] TO 'path' [USING fmt] / IMPORT 'path'
+    // INTO c [USING fmt] (graft extensions): corpus interchange through
+    // the catalog; AT VERSION exports a committed snapshot (the
+    // time-travel backup), the plain form the live read-your-writes view
+    case Keyword("EXPORT") :: cTok :: Keyword("AT") :: Keyword("VERSION") ::
+        IntLit(v) :: Keyword("TO") :: Str(path) :: rest =>
+      if (v < 1 || v > Int.MaxValue)
+        throw new ParseException(
+          s"EXPORT AT VERSION must be in [1, ${Int.MaxValue}], got $v")
+      Export(name(cTok), path, ioFormat(rest), Some(v.toInt))
     case Keyword("EXPORT") :: cTok :: Keyword("TO") :: Str(path) :: rest =>
       Export(name(cTok), path, ioFormat(rest))
     case Keyword("IMPORT") :: Str(path) :: Keyword("INTO") :: cTok :: rest =>

@@ -410,8 +410,14 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     case sm: Ast.Similar =>
       resultSet(similarDf(sm), needsDefaultSort = false)
 
-    case Ast.Export(c, path, fmt) =>
-      val df = tx.view(c) // read-your-writes, like SEARCH
+    case Ast.Export(c, path, fmt, atVersion) =>
+      catalog.get(c) // existence check before touching the path
+      // AT VERSION exports the committed snapshot (time-travel backup);
+      // the plain form reads the live view (read-your-writes, like SEARCH)
+      val df = atVersion match {
+        case Some(v) => catalog.readVersion(c, v)
+        case None => tx.view(c)
+      }
       val w = df.write // Spark default ErrorIfExists: never clobbers a path
       fmt match {
         case "jsonl" => w.json(path)

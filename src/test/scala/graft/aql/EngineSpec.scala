@@ -1322,6 +1322,32 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("nd", "lsh", "body")))
   }
 
+  test("39 EXPORT AT VERSION writes the committed snapshot, not the live view") {
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-expv")
+    val eng2 = new Engine(TestSpark.spark, dir2.toString)
+    eng2.execute("CREATE CONTAINER ex ['id','v'] [BIGINT, TEXT]")
+    eng2.execute("CREATE ROW ['id','v'] [1, 'one'] ON ex")
+    eng2.execute("COMMIT ex") // v1
+    eng2.execute("EDIT ROW ['v'] ['uno'] ON ex WHERE id = 1")
+    eng2.execute("CREATE ROW ['id','v'] [2, 'two'] ON ex")
+    eng2.execute("COMMIT ex") // v2
+    val out1 = dir2.resolve("backup-v1").toString
+    val out2 = dir2.resolve("backup-now").toString
+    eng2.execute(s"EXPORT ex AT VERSION 1 TO '$out1' USING parquet")
+    eng2.execute(s"EXPORT ex TO '$out2' USING parquet")
+    def read(p: String) = TestSpark.spark.read.parquet(p).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(read(out1) == Set((1L, "one")), "the snapshot export is pre-edit")
+    assert(read(out2) == Set((1L, "uno"), (2L, "two")))
+    // guards: missing version, unknown container, bounds
+    intercept[IllegalArgumentException](
+      eng2.execute(s"EXPORT ex AT VERSION 9 TO '${dir2.resolve("x")}'"))
+    intercept[IllegalArgumentException](
+      eng2.execute(s"EXPORT nope AT VERSION 1 TO '${dir2.resolve("y")}'"))
+    intercept[ParseException](
+      eng2.execute(s"EXPORT ex AT VERSION 0 TO '${dir2.resolve("z")}'"))
+  }
+
   test("38 SHOW SETTINGS serves the normalized knobs; auth_token is redacted") {
     val dir2 = java.nio.file.Files.createTempDirectory("graft-showset")
     java.nio.file.Files.writeString(dir2.resolve(graft.catalog.Settings.FileName),
