@@ -212,6 +212,32 @@ class StatsSpec extends AnyFunSuite {
     statRows(eng, "ANALYZE CONTAINER dim")
     assert(plan().contains("BuildRight"),
       s"re-ANALYZE must re-arm the pin:\n${plan()}")
+
+    // correctness-neutrality of every pinned shape: whatever strategy
+    // the pins force, the rows equal a plain Spark join of the same reads
+    import org.apache.spark.sql.functions.col
+    def engineRows(aql: String): Set[Seq[Any]] =
+      eng.orderedResult(eng.execute(aql).asInstanceOf[Engine.ResultSet].cursorId)
+        .get.collect().map(_.toSeq.toVector: Seq[Any]).toSet
+    def refRows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq.toVector: Seq[Any]).toSet
+    // pinned broadcast dim (fresh small stats)
+    assert(engineRows("SEARCH [id, dname] ON fact JOIN dim ON id = dkey WHERE id < 50") ==
+      refRows(cat.read("fact").filter(col("id") < 50)
+        .join(cat.read("dim"), col("id") === col("dkey"))
+        .select(col("id"), col("dname"))))
+    // pinned merge right (row-priced-huge build side)
+    assert(engineRows("SEARCH [id, btxt] ON fact JOIN big ON id = bkey WHERE id < 40") ==
+      refRows(cat.read("fact").filter(col("id") < 40)
+        .join(cat.read("big"), col("id") === col("bkey"))
+        .select(col("id"), col("btxt"))))
+    // pinned merge on the stream side through a chain
+    assert(engineRows("SEARCH [bkey, v, w] ON big JOIN fact ON bkey = id " +
+        "JOIN fact2 ON bkey = id2 WHERE bkey < 30") ==
+      refRows(cat.read("big").filter(col("bkey") < 30)
+        .join(cat.read("fact"), col("bkey") === col("id"))
+        .join(cat.read("fact2"), col("bkey") === col("id2"))
+        .select(col("bkey"), col("v"), col("w"))))
   }
 
   test("analyze_after_commits: stats auto-refresh every Nth commit and re-arm the access path") {
