@@ -1445,21 +1445,24 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       val pricedRight = rightName.flatMap(
         pricedBytes(_, right.columns.toIndexedSeq, rc))
       // the broadcast pin FORCES a plan the runtime can't back out of, so
-      // it requires CURRENT stats — a container analyzed when small and
-      // grown since must not be force-broadcast on the stale number
-      // (analyze_after_commits keeps this fresh in steady state; SHOW
-      // STATS makes the staleness visible otherwise). The merge pin has
-      // no such gate: over-pricing a shrunken side costs a suboptimal
-      // shuffle, never a crash.
+      // it requires stats for the VERSION BEING READ — a container
+      // analyzed when small and grown since must not be force-broadcast
+      // on the stale number, and a SEARCH … AT VERSION v reads v's
+      // content, so stats taken on any other version (including a
+      // smaller current one after deletes/restore) don't describe the
+      // build side at all (analyze_after_commits keeps the current-read
+      // case fresh in steady state; SHOW STATS makes staleness visible
+      // otherwise). The merge pin has no such gate: over-pricing a
+      // shrunken side costs a suboptimal shuffle, never a crash.
       val statsFresh = rightName.exists(rn =>
         graft.catalog.Stats.analyzedVersion(catalog, rn)
-          .contains(catalog.currentVersion(rn)))
+          .contains(s.atVersion.getOrElse(catalog.currentVersion(rn))))
       val rightPinnedBroadcast = pricedRight.exists(b =>
         bcastBytes > 0 && b <= bcastBytes && statsFresh)
       val rightSide = pricedRight match {
         case Some(b) if rightPinnedBroadcast =>
           note(s"join side pinned: ${rightName.getOrElse("?")} priced $b bytes " +
-            s"from current stats (referenced columns only) — build side ships by broadcast")
+            s"from read-version stats (referenced columns only) — build side ships by broadcast")
           broadcast(right)
         case Some(b) if bcastBytes > 0 && b > 4 * bcastBytes =>
           note(s"join side pinned: ${rightName.getOrElse("?")} priced $b bytes " +

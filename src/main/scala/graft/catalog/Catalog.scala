@@ -1161,9 +1161,18 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
         // reduced to ≤255 boundary strings.
         val n = df.select(col(c)).na.drop().count()
         val frac = if (n <= 65536L) 1.0 else 65536.0 / n
+        // boundaries must be monotone under SPARK's string ordering
+        // (UTF8String = UTF-8 byte order), not the JVM's UTF-16
+        // code-unit order — they differ for supplementary-plane
+        // characters, and a non-monotone boundary array breaks the rank
+        // bucketing's order preservation
+        val utf8Order: Ordering[String] = (a: String, b: String) =>
+          java.util.Arrays.compareUnsigned(
+            a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         val sampled = df.select(col(c).cast("string").as("v")).na.drop()
           .sample(withReplacement = false, frac, seed = 7L)
-          .collect().map(_.getString(0)).sorted
+          .collect().map(_.getString(0)).sorted(utf8Order)
         val bs =
           if (sampled.isEmpty) Array.empty[String]
           else (1 until buckets).map(i =>

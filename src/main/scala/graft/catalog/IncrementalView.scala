@@ -99,11 +99,14 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
   private def stampKey = s"cdc:$src"
 
   /** Source version the CURRENT MV content provably includes, from the
-    * stamp — None for an unseeded or unstamped MV. */
+    * stamp — None for an unseeded or unstamped MV. A stamp whose value
+    * doesn't parse (truncated/corrupt marker file) is treated as
+    * UNSTAMPED rather than thrown: the caller then falls back to the
+    * at-least-once checkpoint path, which re-folds but never wedges. */
   private[catalog] def appliedSrcVersion: Option[Int] =
     cat.versionStamp(mv, cat.currentVersion(mv)).collect {
-      case (k, v) if k == stampKey => v.toInt
-    }
+      case (k, v) if k == stampKey => v
+    }.flatMap(v => scala.util.Try(v.trim.toInt).toOption)
 
   /** Fold one feed window (ending at source version `toV`) into the MV.
     * Change rows are weighted ±1, aggregated to per-key deltas, and

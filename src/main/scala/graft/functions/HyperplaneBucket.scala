@@ -55,12 +55,24 @@ case class HyperplaneBucket(left: Expression, right: Expression)
   @transient private lazy val isFloat: Boolean =
     elemType(left).contains(FloatType)
 
-  /** The planes, folded ONCE from the literal child (never per row). */
+  /** The planes, folded ONCE from the literal child (never per row).
+    * Shape-validated here — the type check can't see a NULL literal, a
+    * NULL inner plane, or jagged plane lengths, and `compute`'s hot loop
+    * indexes `planes(i)(d)` assuming a uniform rectangle; failing the
+    * fold with a named error beats an NPE at planning time or an
+    * ArrayIndexOutOfBounds mid-scan. */
   @transient private lazy val planes: Array[Array[Double]] = {
     val arr = right.eval().asInstanceOf[ArrayData]
-    Array.tabulate(arr.numElements()) { i =>
-      arr.getArray(i).toDoubleArray()
+    require(arr != null, "hyperplane_bucket: planes literal must not be NULL")
+    val out = Array.tabulate(arr.numElements()) { i =>
+      val p = arr.getArray(i)
+      require(p != null, s"hyperplane_bucket: plane $i is NULL")
+      p.toDoubleArray()
     }
+    require(out.isEmpty || out.forall(_.length == out(0).length),
+      s"hyperplane_bucket: jagged plane lengths ${out.map(_.length).mkString(",")} — " +
+        "all planes must share the vector dimension")
+    out
   }
 
   override def nullSafeEval(a: Any, b: Any): Any =

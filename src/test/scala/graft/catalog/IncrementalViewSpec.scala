@@ -64,6 +64,26 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(view.refreshOnce(tail) == 0)
   }
 
+  test("a corrupt idempotency stamp degrades to the checkpoint path instead of wedging") {
+    val (cat, tx, view, tail) = fixture("badstamp")
+    tx.stageInsert("src", Seq(
+      org.apache.spark.sql.Row(1, "a", 10L),
+      org.apache.spark.sql.Row(2, "b", 5L)))
+    tx.commit(Some("src"))
+    assert(view.refreshOnce(tail) == 1)
+    // truncate the marker mid-value, as a crashed writer / disk fault would
+    java.nio.file.Files.writeString(
+      cat.versionPath("mv", cat.currentVersion("mv")).resolve(Catalog.TxnMarker),
+      "cdc:src\t4x")
+    tx.stageInsert("src", Seq(org.apache.spark.sql.Row(3, "a", 7L)))
+    tx.commit(Some("src"))
+    // an unparsable stamp must read as UNSTAMPED (no NumberFormatException);
+    // the at-least-once checkpoint still delivers the new window exactly once
+    assert(view.refreshOnce(tail) == 1)
+    assert(mvRows(cat) == recompute(cat))
+    assert(view.refreshOnce(tail) == 0)
+  }
+
   test("random histories: the folded MV equals a from-scratch re-aggregation after every refresh") {
     val (cat, tx, view, tail) = fixture("prop")
     val groups = Vector("x", "y", "z")

@@ -135,6 +135,40 @@ class ZOrderSpec extends AnyFunSuite {
     assert(back == rows.toSet)
   }
 
+  test("TEXT boundaries with supplementary-plane strings stay monotone in Spark's UTF-8 order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder-u8")
+    val eng = new Engine(spark, dir.toString)
+    val cat = eng.catalog
+    eng.execute("CREATE CONTAINER zu ['doc_id','s'] [BIGINT, TEXT]")
+    import spark.implicits._
+    // JVM UTF-16 code-unit order and Spark's UTF-8 byte order DISAGREE
+    // here: U+FFFD (EF BF BD) sorts before U+1F600 (F0 9F 98 80) in
+    // UTF-8 but AFTER its lead surrogate 0xD83D in UTF-16 — boundary
+    // samples sorted the JVM way would not be Spark-order quantiles
+    val vals = Vector("ascii", "zz�", "😀emoji", "😀zz",
+      "�tail", "midpoint", "💩x", "plain")
+    val rows = (0L until 2048L).map(id => (id, vals((id % 8).toInt) + (id % 17)))
+    cat.overwrite("zu", rows.toDF("doc_id", "s"))
+    eng.execute("OPTIMIZE zu 8 USING [s]")
+    // single z-dimension ⇒ files are contiguous rank slices; with
+    // order-preserving buckets their [min,max] ranges can touch at a
+    // shared boundary value but never interleave — checked under the
+    // SAME UTF-8 byte order Spark compares strings with
+    val utf8: Ordering[String] = (a: String, b: String) =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val ranges = cat.read("zu")
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+      .sortBy(_._1)(utf8)
+    for (Seq((_, hi1), (lo2, _)) <- ranges.toSeq.sliding(2) if ranges.length > 1)
+      assert(utf8.lteq(hi1, lo2), s"file ranges interleave: $hi1 > $lo2")
+    val back = cat.read("zu").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back == rows.toSet)
+  }
+
   test("the clustering policy persists: plain and auto OPTIMIZE keep the z-order") {
     val dir = java.nio.file.Files.createTempDirectory("graft-zorder-p")
     val eng = new Engine(spark, dir.toString)

@@ -78,4 +78,36 @@ class HyperplaneBucketSpec extends AnyFunSuite {
     assert(byId(2L) == 0, "null element → every dot NULL → bucket 0")
     assert(byId(4L) == 0 && byId(5L) == 0, "length mismatch → bucket 0")
   }
+
+  test("malformed planes literals fail with a named error, never NPE/AIOOBE") {
+    import spark.implicits._
+    val df = Seq((1L, Array.fill(3)(0.5))).toDF("id", "emb")
+    def chain(t: Throwable): List[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .map(e => Option(e.getMessage).getOrElse("") + " " + e.getClass.getName).toList
+    // jagged inner lengths would AIOOBE in compute's hot loop unvalidated
+    val jagged = intercept[Throwable] {
+      df.select(expr(
+        "hyperplane_bucket(emb, array(array(1.0d,1.0d,1.0d), array(1.0d)))")).collect()
+    }
+    assert(chain(jagged).exists(_.contains("jagged")), chain(jagged).mkString(" | "))
+    // a NULL inner plane would NPE in toDoubleArray unvalidated
+    val nullPlane = intercept[Throwable] {
+      df.select(expr(
+        "hyperplane_bucket(emb, array(array(1.0d,1.0d,1.0d), cast(null as array<double>)))"))
+        .collect()
+    }
+    assert(chain(nullPlane).exists(_.contains("plane")), chain(nullPlane).mkString(" | "))
+    // a NULL outer literal: BinaryExpression's interpreted eval returns
+    // NULL per row, while codegen folds the reference object and hits the
+    // guard — either outcome is fine, a bare NPE is not
+    val outer = scala.util.Try(
+      df.select(expr(
+        "hyperplane_bucket(emb, cast(null as array<array<double>>))")).collect())
+    outer match {
+      case scala.util.Success(rows) => assert(rows.forall(_.isNullAt(0)))
+      case scala.util.Failure(t) =>
+        assert(chain(t).exists(_.contains("planes literal")), chain(t).mkString(" | "))
+    }
+  }
 }
