@@ -336,6 +336,26 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           s"resume point (checkpoint $ckpt, current $cur) — REFRESH VIEW $v " +
           s"first or keep at least ${cur - ckpt + 1} version(s)")
       }
+      // same UX stance for REGISTERED external CDC consumers: the floor
+      // inside Catalog.vacuum silently keeps their window either way;
+      // telling the user which consumer lags (and the fix) beats a
+      // vacuum that quietly removes fewer versions than asked
+      locally {
+        val cur = catalog.currentVersion(c)
+        catalog.registeredTails(c).collectFirst {
+          case (id, Some(v)) if v > 0 && keep < cur - v + 1 => (id, v)
+          case (id, None) => (id, -1)
+        }.foreach { case (id, v) =>
+          throw new ParseException(if (v < 0)
+            s"VACUUM $c $keep refused: registered consumer '$id' has an " +
+              "unreadable checkpoint (treated as keep-everything) — repair or " +
+              s"unregister it"
+          else
+            s"VACUUM $c $keep would drop registered consumer '$id''s resume " +
+              s"point (checkpoint $v, current $cur) — let it catch up, keep at " +
+              s"least ${cur - v + 1} version(s), or unregister it")
+        }
+      }
       val before = catalog.versions(c).length
       // the refusal above is UX (tell the user the fix); the retention
       // FLOOR inside the vacuum is the race-proof guard — a commit

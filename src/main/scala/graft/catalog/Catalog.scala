@@ -386,6 +386,10 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     Files.deleteIfExists(droppedFile(name))
     Files.deleteIfExists(statsFile(name))
     Files.deleteIfExists(clusterFile(name))
+    // a recreated container starts a NEW version history — stale
+    // registered checkpoints must not floor its vacuum (the tail itself
+    // detects the restart via the pointer-below-checkpoint guard)
+    deleteRecursively(tailsDir(name))
     Files.delete(schemaFile(name))
     if (Files.exists(versionFile(name))) Files.delete(versionFile(name))
     versions(name).foreach { v =>
@@ -1328,11 +1332,79 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     (before, versionFiles(name, published).size, published)
   }
 
+  // ---- registered CDC consumer checkpoints --------------------------------
+  // External ChangeTail consumers (streaming ingest feeding another
+  // system, a user's foreachBatch loop) can REGISTER with the catalog:
+  // their checkpoint then lives in `<cat>/<name>.tails/<consumerId>` and
+  // vacuum's retention floor covers their resume point exactly like the
+  // engine's own dependent views. Unregistered tails keep the loud-error
+  // contract ([[ChangeTail.pollOnce]]): with `vacuum_after_commits`
+  // automated, a lagging unregistered consumer loses its window and must
+  // re-seed — at warehouse scale a full corpus read, which is why the
+  // registry exists. Reference analogue: TytoDB's indexes are maintained
+  // inside every commit (`/root/reference/src/container.rs:277-282`) —
+  // derived consumers there can never be vacuumed into staleness.
+
+  private[catalog] def tailsDir(name: String): Path = catDir.resolve(s"$name.tails")
+
+  /** Checkpoint path for a named registered consumer — constructing a
+    * [[ChangeTail]] on this path IS the registration (see
+    * [[ChangeTail.registered]]). Idempotent; seeds an explicit `0`
+    * (nothing delivered yet) so the registration is durably listable
+    * before the first delivery. */
+  def registerTail(name: String, consumerId: String): Path = {
+    require(exists(name), s"Unknown container '$name'")
+    require(consumerId.nonEmpty && consumerId.forall(ch =>
+      ch.isLetterOrDigit || ch == '.' || ch == '_' || ch == '-'),
+      s"consumer id '$consumerId' must match [A-Za-z0-9._-]+")
+    Files.createDirectories(tailsDir(name))
+    val p = tailsDir(name).resolve(consumerId)
+    if (!Files.exists(p)) Files.writeString(p, "0")
+    p
+  }
+
+  /** Withdraw a consumer from retention protection. The registry file IS
+    * a registered tail's checkpoint, so a [[ChangeTail]] still holding
+    * this registration re-seeds from scratch on its next poll (full
+    * replay as inserts — the documented recovery for any consumer whose
+    * window is gone); that is the explicit-forget contract, distinct
+    * from the loud error an UNREGISTERED tail gets when vacuum outruns
+    * it without the user asking. */
+  def unregisterTail(name: String, consumerId: String): Unit =
+    Files.deleteIfExists(tailsDir(name).resolve(consumerId))
+
+  /** Registered consumers and their last-delivered versions (None for an
+    * unreadable checkpoint — which vacuum treats as keep-everything). */
+  def registeredTails(name: String): Map[String, Option[Int]] =
+    if (!Files.exists(tailsDir(name))) Map.empty
+    else scala.util.Using.resource(Files.list(tailsDir(name))) { st =>
+      st.iterator().asScala
+        .filterNot(_.getFileName.toString.contains(".tmp-")) // in-flight reset staging
+        .map(p => p.getFileName.toString ->
+          scala.util.Try(Files.readString(p).trim.toInt).toOption)
+        .toMap
+    }
+
+  /** Retention floor from the registry: keep back to every registered
+    * consumer's resume point. A checkpoint of 0 needs no floor (the
+    * from-0 window replays the snapshot, no old version required); an
+    * unreadable one floors at keep-everything — the conservative reading
+    * of a consumer we can't price. */
+  private def registeredTailFloor(name: String, cur: Int): Int =
+    registeredTails(name).values.map {
+      case Some(v) if v > 0 => cur - v + 1
+      case Some(_) => 1
+      case None => Int.MaxValue
+    }.maxOption.getOrElse(1)
+
   /** Drop all but the newest `keepLast` versions (and their claim files),
     * plus any stale claim whose slot never published and whose claimant is
     * provably dead — an abandoned claim would otherwise inflate
     * `latestClaimed` forever. Live claims (a slow in-flight commit) are
-    * never touched.
+    * never touched. Retention never drops below any REGISTERED CDC
+    * consumer's resume point ([[registerTail]]) — enforced here, inside
+    * the same `cur` snapshot as the drop set, so it holds for every
+    * caller (auto-vacuum, explicit VACUUM, direct API).
     */
   def vacuum(name: String, keepLast: Int = 1,
       minKeep: Int => Int = _ => 1): Unit = {
@@ -1356,7 +1428,8 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     // and shift the count window — but it can't move the `cur` snapshot,
     // and the absolute bound pins every version the floor protects
     // regardless of how many newer entries appear.
-    val keep = math.max(keepLast, minKeep(cur))
+    val keep = math.max(keepLast,
+      math.max(minKeep(cur), registeredTailFloor(name, cur)))
     versions(name).dropRight(keep)
       .filter(v => v < cur && v <= cur - keep).foreach { v =>
       deleteRecursively(versionPath(name, v))

@@ -79,3 +79,15 @@ final class ChangeTail(cat: Catalog, container: String, checkpoint: Path) {
       if (pollOnce(f) == 0) Thread.sleep(pollMs)
     }
 }
+
+object ChangeTail {
+  /** A REGISTERED tail: its checkpoint lives in the catalog's consumer
+    * registry ([[Catalog.registerTail]]), so vacuum's retention floor
+    * protects its resume window exactly like the engine's dependent
+    * views — the shape for any consumer whose re-seed would be a full
+    * corpus read. An unregistered tail (the bare constructor) keeps the
+    * loud-error-after-vacuum contract instead.
+    */
+  def registered(cat: Catalog, container: String, consumerId: String): ChangeTail =
+    new ChangeTail(cat, container, cat.registerTail(container, consumerId))
+}

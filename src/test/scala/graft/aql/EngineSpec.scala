@@ -513,6 +513,17 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(msg.contains("1 version(s) removed"))
     assert(eng.catalog.versions("vac").length == 1)
     intercept[ParseException](eng.execute("VACUUM vac 0"))
+    // a lagging REGISTERED CDC consumer: explicit VACUUM refuses with the
+    // consumer named and the fix, like the dependent-view refusal
+    val tail = graft.catalog.ChangeTail.registered(eng.catalog, "vac", "sink")
+    tail.pollOnce((_, _, _) => ())
+    eng.execute("CREATE ROW ['k'] [3] ON vac"); eng.execute("COMMIT vac")
+    eng.execute("CREATE ROW ['k'] [4] ON vac"); eng.execute("COMMIT vac")
+    val re = intercept[ParseException](eng.execute("VACUUM vac 1"))
+    assert(re.getMessage.contains("registered consumer 'sink'"), re.getMessage)
+    tail.pollOnce((_, _, _) => ()) // caught up: the refusal lifts
+    eng.execute("VACUUM vac 1")
+    eng.catalog.unregisterTail("vac", "sink")
   }
 
   test("19 ORDER BY / LIMIT: explicit order, tie-break, TakeOrderedAndProject plan") {

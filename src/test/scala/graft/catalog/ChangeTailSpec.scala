@@ -142,6 +142,74 @@ class ChangeTailSpec extends AnyFunSuite {
     assert(e.getMessage.contains("dropped and recreated"))
   }
 
+  test("auto-vacuum keeps a lagging REGISTERED tail's window; unregistered still errors") {
+    val (cat, tx, ckpt) = fixture("reg")
+    tx.vacuumEvery = 1 // every commit auto-vacuums
+    tx.vacuumKeepLast = 1
+    insert(tx, 1 -> "a") // v1 (auto-vacuum: nothing to drop)
+    val registered = ChangeTail.registered(cat, "c", "warehouse-sink")
+    val unregistered = new ChangeTail(cat, "c", ckpt)
+    registered.pollOnce((_, _, _) => ())
+    unregistered.pollOnce((_, _, _) => ()) // both delivered through v1
+    insert(tx, 2 -> "b") // v2 + auto-vacuum
+    insert(tx, 3 -> "x") // v3 + auto-vacuum
+    // keepLast=1 would drop v1/v2, but the registry floors retention at
+    // the registered consumer's resume point — its whole window survives
+    assert(cat.versions("c") == Seq(1, 2, 3),
+      s"registered tail's window must survive auto-vacuum, have ${cat.versions("c")}")
+    var window = (-1, -1)
+    assert(registered.pollOnce((_, f, t) => window = (f, t)) == 2)
+    assert(window == (1, 3))
+    // caught up (checkpoint 3): the floor releases and vacuum proceeds —
+    // which strands the UNREGISTERED tail, still a loud error by contract
+    insert(tx, 4 -> "y") // v4 + auto-vacuum: registered ckpt 3 keeps v3/v4
+    assert(cat.versions("c") == Seq(3, 4))
+    val e = intercept[IllegalStateException](unregistered.pollOnce((_, _, _) => ()))
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
+  test("unregistering withdraws the retention floor; re-registration is idempotent") {
+    val (cat, tx, _) = fixture("unreg")
+    insert(tx, 1 -> "a")
+    val tail = ChangeTail.registered(cat, "c", "sink")
+    tail.pollOnce((_, _, _) => ())
+    assert(cat.registeredTails("c") == Map("sink" -> Some(1)))
+    // same id re-registers onto the SAME checkpoint (no reset to 0)
+    assert(ChangeTail.registered(cat, "c", "sink").lastDelivered == 1)
+    insert(tx, 2 -> "b")
+    insert(tx, 3 -> "x")
+    cat.unregisterTail("c", "sink")
+    cat.vacuum("c", keepLast = 1) // no floor left: v1/v2 drop
+    assert(cat.versions("c") == Seq(3))
+    // the registry file WAS the tail's checkpoint: explicit unregister
+    // means forget-this-consumer, so the tail re-seeds from scratch
+    assert(tail.lastDelivered == 0)
+    var reseeded = Set.empty[(Int, String)]
+    tail.pollOnce((df, from, _) => {
+      assert(from == 0)
+      reseeded = df.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    })
+    assert(reseeded == Set(1 -> "a", 2 -> "b", 3 -> "x"),
+      "re-seed must replay the full snapshot as inserts")
+    // bad ids never reach the filesystem
+    intercept[IllegalArgumentException](cat.registerTail("c", "../escape"))
+    intercept[IllegalArgumentException](cat.registerTail("nope", "sink"))
+  }
+
+  test("an unreadable registered checkpoint floors vacuum at keep-everything") {
+    val (cat, tx, _) = fixture("corrupt")
+    insert(tx, 1 -> "a")
+    val p = cat.registerTail("c", "sink")
+    insert(tx, 2 -> "b")
+    java.nio.file.Files.writeString(p, "7garbage")
+    cat.vacuum("c", keepLast = 1)
+    assert(cat.versions("c") == Seq(1, 2),
+      "a consumer we can't price must not lose history")
+    // drop removes the registry with the container's history
+    cat.drop("c")
+    assert(cat.registeredTails("c").isEmpty)
+  }
+
   test("run() drains pending windows and stops on the until condition") {
     val (cat, tx, ckpt) = fixture("run")
     insert(tx, 1 -> "a")
