@@ -1428,7 +1428,92 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           .exists(b => bcastBytes > 0 && b > 4 * bcastBytes)
       case _ => false
     }
-    for (j <- s.joins) {
+    // ---- stats-driven join ORDER (graft extension) ----------------------
+    // A chain executes as written unless EVERY joined side is a real
+    // container with a usable stats price — then a greedy
+    // smallest-build-first order replaces the written one (subject to
+    // each ON condition binding at its new position): the written order
+    // is the user's accident, not information, and a big side joined
+    // first is carried through every later join as an avoidably wide
+    // intermediate. INNER joins only — outer joins don't commute in
+    // general. Resolution is order-independent for any chain that lowers
+    // at all (duplicate non-key names are rejected above, qualified keys
+    // bind by container, USING keys carry equal values on both sides),
+    // so the reorder is row-identical — pinned by JoinReorderSpec
+    // against the as-written execution, and bailing to written order on
+    // ANY doubt (virtual side, missing stats, unplaceable condition)
+    // keeps every existing error message and plan reachable.
+    val orderedJoins: List[Ast.JoinSpec] = {
+      def bare(q: String) = q.split("\\.", 2) match {
+        case Array(_, c) if q.contains(".") => c
+        case _ => q
+      }
+      def qualOf(q: String): Option[String] = q.split("\\.", 2) match {
+        case Array(p, _) if q.contains(".") => Some(p)
+        case _ => None
+      }
+      val rights = s.joins.map(j => j.container match {
+        case Ast.Container.Real(n) => Some((j, n, containerDf(j.container, s.atVersion)))
+        case _ => None
+      })
+      lazy val priced = rights.flatten.map { case (j, n, df) =>
+        // the right-side key name is position-independent: whichever ON
+        // side binds in the joined container (respecting a qualifier)
+        val rc = Seq(j.right, j.left)
+          .filter(q => qualOf(q).forall(_.equalsIgnoreCase(n)))
+          .flatMap(q => df.columns.find(_.equalsIgnoreCase(bare(q)))).headOption
+        (j, n, rc.flatMap(k => pricedBytes(n, df.columns.toIndexedSeq, k)),
+          df.columns.map(_.toLowerCase).toSet)
+      }
+      if (s.joins.length < 2 || s.joins.exists(_.joinType != "inner") ||
+          rights.exists(_.isEmpty) || priced.exists(_._3.isEmpty)) s.joins
+      else {
+        var avail = parts.head.columns.map(_.toLowerCase).toSet
+        var quals = s.containers.collect {
+          case Ast.Container.Real(n) => n.toLowerCase }.toSet
+        val pending = scala.collection.mutable.ListBuffer.from(
+          priced.map { case (j, n, p, cols) => (j, n, p.get, cols) })
+        val out = List.newBuilder[Ast.JoinSpec]
+        var stuck = false
+        while (pending.nonEmpty && !stuck) {
+          // mirror of resolveJoinSides.bind over column SETS: (binds in
+          // accumulated set, binds in candidate right container)
+          def bindsNow(cols: Set[String], rn: String, q: String): (Boolean, Boolean) =
+            qualOf(q) match {
+              case Some(p) if p.equalsIgnoreCase(rn) =>
+                (false, cols.contains(bare(q).toLowerCase))
+              case Some(p) if quals.contains(p.toLowerCase) =>
+                (avail.contains(bare(q).toLowerCase), false)
+              case Some(_) => (false, false) // a later container's qual — not yet
+              case None => (avail.contains(q.toLowerCase), cols.contains(q.toLowerCase))
+            }
+          val cand = pending.filter { case (j, rn, _, cols) =>
+            val (ll, lr) = bindsNow(cols, rn, j.left)
+            val (rl, rr) = bindsNow(cols, rn, j.right)
+            (ll && rr) || (lr && rl) // either written orientation, like the binder
+          }
+          if (cand.isEmpty) stuck = true
+          else {
+            val pick = cand.minBy(_._3) // stable: written order breaks price ties
+            out += pick._1
+            avail ++= pick._4
+            quals += pick._2.toLowerCase
+            pending -= pick
+          }
+        }
+        val order = if (stuck) s.joins else out.result()
+        if (order != s.joins) {
+          val prices = priced.map(t => t._2 -> t._3.get).toMap
+          def show(js: List[Ast.JoinSpec]) = js.map(_.container)
+            .collect { case Ast.Container.Real(n) => s"$n(${prices(n)}B)" }
+            .mkString(" -> ")
+          note(s"join chain reordered from stats: ${show(order)} " +
+            s"(smallest priced build first; as written: ${show(s.joins)})")
+        }
+        order
+      }
+    }
+    for (j <- orderedJoins) {
       val right = containerDf(j.container, s.atVersion)
       val rightName = j.container match {
         case Ast.Container.Real(n) => Some(n)

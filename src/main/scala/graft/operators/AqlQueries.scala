@@ -172,6 +172,21 @@ object AqlQueries {
       eng.execute("CREATE INDEX vs ON docs_fvx ['score'] USING value")
       eng.execute("CREATE ROW ['doc_id','score'] [900010, 300.25] ON docs_fvx")
       eng.execute("COMMIT docs_fvx")
+      // join-reorder fixtures: a doc-sized mid container and a
+      // lang-sized small one, both ANALYZEd — the pessimally-written
+      // chain in `aql_join_reorder` (big build first) reorders
+      // smallest-first from these stats, and the oracle reconstructs
+      // both sides declaratively so the reordered rows stay SQL-exact
+      eng.execute("CREATE CONTAINER doc_dim ['dd_id','dd_bucket'] [BIGINT, BIGINT]")
+      eng.catalog.overwrite("doc_dim", graft.Tables.load(spark, dir, "documents")
+        .selectExpr("doc_id AS dd_id", "doc_id % 97 AS dd_bucket"))
+      eng.execute("CREATE CONTAINER lang_dim ['lang_code','lang_min'] [TEXT, BIGINT]")
+      eng.catalog.overwrite("lang_dim", graft.Tables.load(spark, dir, "documents")
+        .groupBy("lang")
+        .agg(org.apache.spark.sql.functions.min("doc_id").as("lang_min"))
+        .selectExpr("lang AS lang_code", "lang_min"))
+      eng.execute("ANALYZE CONTAINER doc_dim")
+      eng.execute("ANALYZE CONTAINER lang_dim")
       // atomic multi-container COMMIT: rows staged on TWO containers,
       // one COMMIT lands both behind a single transaction manifest —
       // the JOIN over the pair below only matches if BOTH inserts became
@@ -1034,6 +1049,27 @@ object AqlQueries {
       (s, dir) => search(
         "SEARCH [doc_id, lang, l_quantity] ON documents " +
           "JOIN lineitem ON doc_id = l_orderkey WHERE l_quantity > 48")(s, dir)
+    },
+
+    // stats-driven join REORDER: the chain is written pessimally (the
+    // documents-sized doc_dim before the handful-of-rows lang_dim); with
+    // both sides ANALYZEd the engine executes it smallest-build-first.
+    // The oracle's declarative 3-way join proves the reorder is
+    // row-identical to SQL semantics; JoinReorderSpec pins the plan side
+    Q("aql_join_reorder",
+      """SELECT doc_id, lang, dd_bucket, lang_min
+        |FROM documents
+        |JOIN (SELECT doc_id AS dd_id, doc_id % 97 AS dd_bucket FROM documents) dd
+        |  ON doc_id = dd_id
+        |JOIN (SELECT lang AS lang_code, min(doc_id) AS lang_min
+        |      FROM documents GROUP BY lang) ld
+        |  ON lang = lang_code
+        |WHERE n_chars > 400
+        |ORDER BY doc_id, lang, dd_bucket, lang_min""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [doc_id, lang, dd_bucket, lang_min] ON documents " +
+          "JOIN doc_dim ON doc_id = dd_id JOIN lang_dim ON lang = lang_code " +
+          "WHERE n_chars > 400")(s, dir)
     },
 
     // LEFT JOIN through AQL: unmatched left rows survive with NULL right
