@@ -240,6 +240,68 @@ class StatsSpec extends AnyFunSuite {
         .select(col("bkey"), col("v"), col("w"))))
   }
 
+  test("BYTES columns price from measured byte widths: embeddings join both pin directions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stats-bytes")
+    val eng = new Engine(spark, dir.toString)
+    val cat = eng.catalog
+    import spark.implicits._
+    eng.execute("CREATE CONTAINER fact ['id','v'] [BIGINT, BIGINT]")
+    cat.overwrite("fact", (0L until 5000L).map(i => (i, i % 7)).toDF("id", "v"))
+    // the REAL embeddings fixture, packed float32 → BYTES (the engine's
+    // vector storage type): 64 dims × 4 bytes = exactly 256 per row
+    eng.execute("CREATE CONTAINER eb ['vec_id','emb'] [BIGINT, LARGE-BYTES]")
+    val packed = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), graft.functions.Float32Unpack.pack(
+        r.getSeq[Float](1))))
+    cat.overwrite("eb", packed.toSeq.toDF("vec_id", "emb"))
+    statRows(eng, "ANALYZE CONTAINER eb")
+    // measured byte length, not a guessed floor
+    val embStat = statRows(eng, "SHOW STATS eb")
+      .find(_.getString(1) == "emb").get
+    assert(embStat.getString(2) == "LARGE-BYTES" && embStat.getDouble(9) == 256.0,
+      s"avg_len must be the exact packed width, got ${embStat.getDouble(9)}")
+    assert(Stats.estimatedBytes(cat, "eb", Seq("vec_id", "emb"))
+      .contains((500L * (8 + 256 + 16)).toLong))
+    // referencing the BYTES column in the join prices it INTO the model:
+    // 500 rows × ~280B ≈ 140KB → pinned broadcast, narrated
+    val p = eng.execute("EXPLAIN SEARCH [id, emb] ON fact JOIN eb ON id = vec_id")
+      .asInstanceOf[Engine.Done].message
+    assert(p.contains("join side pinned: eb") && p.contains("BuildRight"),
+      s"priced embeddings dim must pin broadcast:\n$p")
+    // the OOM direction: constant bytes RLE-compress to ~nothing on disk
+    // but price 30k × ~1400B ≈ 42MB > 4× threshold → pinned merge
+    eng.execute("CREATE CONTAINER ebig ['bkey','blob'] [BIGINT, LARGE-BYTES]")
+    cat.overwrite("ebig", spark.range(30000)
+      .selectExpr("id AS bkey", "cast(repeat('x', 1400) as binary) AS blob"))
+    statRows(eng, "ANALYZE CONTAINER ebig")
+    val p2 = eng.execute("EXPLAIN SEARCH [id, blob] ON fact JOIN ebig ON id = bkey")
+      .asInstanceOf[Engine.Done].message
+    assert(p2.contains("never broadcast") && !p2.contains("BroadcastHashJoin"),
+      s"row-priced-fat BYTES side must pin merge:\n$p2")
+    // an all-NULL BYTES column is UNPRICEABLE → no pin either way
+    eng.execute("CREATE CONTAINER enull ['nk','nblob'] [BIGINT, SMALL-BYTES]")
+    cat.overwrite("enull", spark.range(40)
+      .selectExpr("id AS nk", "cast(null as binary) AS nblob"))
+    statRows(eng, "ANALYZE CONTAINER enull")
+    assert(Stats.estimatedBytes(cat, "enull", Seq("nk", "nblob")).isEmpty)
+    val p3 = eng.execute("EXPLAIN SEARCH [id, nblob] ON fact JOIN enull ON id = nk")
+      .asInstanceOf[Engine.Done].message
+    assert(!p3.contains("join side pinned"),
+      s"unpriceable BYTES must defer to the planner:\n$p3")
+    // correctness-neutrality of the pinned shapes over binary payloads
+    import org.apache.spark.sql.functions.col
+    val engRows = eng.orderedResult(eng.execute(
+      "SEARCH [id, emb] ON fact JOIN eb ON id = vec_id WHERE id < 100")
+      .asInstanceOf[Engine.ResultSet].cursorId).get.collect()
+      .map(r => (r.getLong(0), r.get(1).asInstanceOf[Array[Byte]].toSeq)).toSet
+    val ref = cat.read("fact").filter(col("id") < 100)
+      .join(cat.read("eb"), col("id") === col("vec_id"))
+      .select(col("id"), col("emb")).collect()
+      .map(r => (r.getLong(0), r.get(1).asInstanceOf[Array[Byte]].toSeq)).toSet
+    assert(engRows == ref && engRows.size == 100)
+  }
+
   test("analyze_after_commits: stats auto-refresh every Nth commit and re-arm the access path") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stats-auto")
     java.nio.file.Files.writeString(dir.resolve(graft.catalog.Settings.FileName),
