@@ -79,6 +79,10 @@ object Ast {
   final case class CreateIndex(container: String, ix: String, column: String,
       kind: String) extends Stmt
   final case class DeleteIndex(container: String, ix: String) extends Stmt
+  /** graft extension: `REBUILD INDEX ix ON c` — re-derive from current
+    * data; the ivf kind retrains its frozen centroids (Lloyd) first, the
+    * recall recovery after distribution drift ([[graft.catalog.Index]]). */
+  final case class RebuildIndex(container: String, ix: String) extends Stmt
   /** MERGE ROW (graft extension): upsert keyed on the pk-convention
     * column (the container's first column, reference I6) — update the
     * pk-matching row's mentioned columns if one exists in the session
@@ -833,6 +837,13 @@ object Parser {
     // DELETE INDEX name ON container (graft extension)
     case Keyword("DELETE") :: Keyword("INDEX") :: ixTok :: Keyword("ON") :: containerTok :: Nil =>
       DeleteIndex(name(containerTok), name(ixTok))
+
+    // REBUILD INDEX name ON container (graft extension). REBUILD is
+    // deliberately NOT a keyword (same stance as ANALYZE/STATS/SETTINGS):
+    // columns named `rebuild` keep lexing as values everywhere else.
+    case Str(w) :: Keyword("INDEX") :: ixTok :: Keyword("ON") :: containerTok :: Nil
+        if w.equalsIgnoreCase("REBUILD") =>
+      RebuildIndex(name(containerTok), name(ixTok))
 
     // DELETE CONTAINER name (database.rs:814-839)
     case Keyword("CLONE") :: Keyword("CONTAINER") :: srcTok :: dstTok :: Nil =>

@@ -187,6 +187,11 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       catalog.dropIndex(container, ix)
       Done(s"deleted index $ix on $container")
 
+    case Ast.RebuildIndex(container, ix) =>
+      catalog.get(container) // existence first: unknown container says so
+      val d = catalog.rebuildIndex(container, ix)
+      Done(s"rebuilt ${d.kind} index $ix on $container(${d.column})")
+
     case Ast.MergeRow(container, cols, values) =>
       requireNotView(container, "its content")
       val d = catalog.get(container)

@@ -346,6 +346,10 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
 
   def dropIndex(name: String, ix: String): Unit = Index.drop(this, name, ix)
 
+  /** Re-derive an index from the current data; ivf retrains its centroid
+    * set with Lloyd first ([[Index.rebuild]] — the post-drift recovery). */
+  def rebuildIndex(name: String, ix: String): Index.Def = Index.rebuild(this, name, ix)
+
   def indexDefs(name: String): Seq[Index.Def] = Index.defsOf(this, name)
 
   def readIndex(name: String, ix: String): DataFrame = {
@@ -1459,6 +1463,7 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     // swap never happened, nothing references them)
     deadOwnedTmps(catDir, name, "stats.tmp").foreach(Files.deleteIfExists(_))
     deadOwnedTmps(catDir, name, "cluster.tmp").foreach(Files.deleteIfExists(_))
+    deadOwnedTmps(catDir, name, "ixswap.tmp").foreach(Files.deleteIfExists(_))
   }
 
   /** Staging paths under `dir` named `<name>.<suffix>-<pid>-<nanos>`

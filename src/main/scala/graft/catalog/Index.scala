@@ -189,6 +189,97 @@ object Index {
     idef
   }
 
+  /** REBUILD INDEX — re-derive the index from the CURRENT committed
+    * data. For the `ivf` kind this RETRAINS the centroid set with Lloyd
+    * iterations over the current vectors (deterministic lowest-pk seeds,
+    * then per-cell means; an emptied cell keeps its previous centroid):
+    * the create-time freeze is what lets incremental commits assign into
+    * a stable partition, but under distribution drift the frozen cells
+    * skew and probe recall decays — rebuild is the operational recovery,
+    * the vector world's ANALYZE refresh. Other kinds re-derive their
+    * parts only (no trained state — content identical; a self-heal
+    * surface).
+    *
+    * Crash ordering: stale parts are deleted BEFORE the definition swap,
+    * so no on-disk state ever pairs the new centroids with old parts —
+    * a crash leaves either the old definition (missing parts self-heal
+    * from it on next read) or the new one (ditto). The definition swap
+    * itself is an atomic rename. A concurrent reader mid-rebuild can
+    * still serve old-cell candidates — recall quality only; candidates
+    * are always reranked/verified by callers.
+    */
+  def rebuild(cat: Catalog, container: String, ix: String): Def = {
+    val old = defsOf(cat, container).find(_.ix == ix)
+      .getOrElse(sys.error(s"No index '$ix' on '$container'"))
+    val body = old.kind match {
+      case "ivf" =>
+        require(cat.currentVersion(container) > 0,
+          s"ivf rebuild on '$container' needs committed rows to train centroids")
+        val cents = trainCentroids(cat, container, old.column)
+        val centLines = cents.map { case (sid, arr) =>
+          s"centroid\t$sid\t" + arr.map(_.toString).mkString(",") }
+        (s"ivf\t${old.column}" +: centLines).mkString("\n")
+      case k => s"$k\t${old.column}"
+    }
+    cat.versions(container).foreach(v =>
+      cat.deleteRecursively(cat.versionPath(container, v).resolve("_index").resolve(ix)))
+    val tmp = cat.catalogDir.resolve(
+      s"$container.ixswap.tmp-${ProcessHandle.current.pid}-${System.nanoTime()}")
+    try {
+      Files.writeString(tmp, body)
+      Files.move(tmp, metaFile(cat, container, ix), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } catch {
+      case t: Throwable =>
+        try Files.deleteIfExists(tmp)
+        catch { case scala.util.control.NonFatal(c) => t.addSuppressed(c) }
+        throw t
+    }
+    val idef = Def(ix, old.kind, old.column)
+    val v = cat.currentVersion(container)
+    if (v > 0) ensureAt(cat, container, idef, v)
+    idef
+  }
+
+  /** Lloyd training over the container's current vectors: k lowest-pk
+    * seeds, `iters` assign/mean rounds. Driver-side state is k×dims
+    * floats plus one k×dims collect per round (the MLlib k-means shape —
+    * centroids live on the driver between iterations); assignment and
+    * the mean update are fully distributed (broadcast centroid dim, one
+    * partial-agg group-by). */
+  private def trainCentroids(cat: Catalog, container: String, column: String,
+      k: Int = 8, iters: Int = 5): Seq[(Int, Array[Float])] = {
+    val d = cat.get(container)
+    val vecs = cat.read(container)
+      .select(col(d.primaryKey).as("id"),
+        graft.functions.Float32Unpack.float32Unpack(col(column)).as("emb"))
+      .filter(col("emb").isNotNull)
+    var cents: Seq[(Int, Array[Float])] = vecs.orderBy(col("id")).limit(k)
+      .select(col("emb")).collect().toSeq.zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Float](0).toArray }
+    require(cents.nonEmpty, s"ivf rebuild on '$container': no decodable vectors")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id")).orderBy(col("d2"), col("sid"))
+    for (_ <- 1 to iters) {
+      val assigned = vecs
+        .crossJoin(broadcast(centroidDf(cat, cents)))
+        .withColumn("d2", round(graft.operators.Similarity.d2(col("emb"), col("semb")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("sid").as("cluster"), col("emb"))
+      val means = assigned
+        .select(col("cluster"), posexplode(col("emb")).as(Seq("pos", "f")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("f").cast("double")).as("m"))
+        .collect() // ≤ k×dims rows — bounded driver metadata
+        .groupBy(_.getInt(0)).map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+        }
+      cents = cents.map { case (sid, prev) => sid -> means.getOrElse(sid, prev) }
+    }
+    cents
+  }
+
   def drop(cat: Catalog, container: String, ix: String): Unit = {
     require(Files.exists(metaFile(cat, container, ix)),
       s"No index '$ix' on '$container'")

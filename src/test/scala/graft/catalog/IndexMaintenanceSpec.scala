@@ -335,6 +335,91 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](cat.createIndex("novecs", "ann", "ivf", "e"))
   }
 
+  /** Drifted vector: −1 at main axis `id%4`, a 0.1 tilt at axis
+    * `4+((id/8)%4)`, plus the usual per-id nudges. The tilt VARIES WITHIN
+    * each main cluster, so the pre-rebuild frozen centroids (trained on
+    * the +axis data) assign every drifted vector by its TILT (0.1 ≫
+    * 0.0066 max nudge, provably) — main-axis mates scatter over 4 cells
+    * and probe recall collapses. After a Lloyd rebuild the cells realign
+    * with the main axes (two cells per main, split by tilt), so an
+    * nprobe=2 probe recovers every mate. */
+  private def driftVec(id: Long): Array[Byte] = {
+    val main = (id % 4).toInt
+    val tilt = 4 + ((id / 8) % 4).toInt
+    graft.functions.Float32Unpack.pack(
+      (0 until 8).map { d =>
+        val base = if (d == main) -1f else if (d == tilt) 0.1f else 0f
+        base + 0.001f * ((id + d) % 7)
+      })
+  }
+
+  test("REBUILD INDEX retrains ivf centroids after drift and restores probe recall") {
+    val (cat, dir) = ivfFixture("drift")
+    cat.createIndex("vecs", "ann", "ivf", "e") // centroids frozen on +axis data
+    val oldCents = Index.centroids(cat, "vecs", "ann")
+    import spark.implicits._
+    // DRIFT: the corpus is replaced by −main-axis clusters the frozen
+    // +axis centroids never saw; the overwrite commit still maintains
+    // the index (assignments under the OLD centroids)
+    cat.overwrite("vecs", (100L until 132L).map(i => (i, driftVec(i)))
+      .toDF("vec_id", "e")
+      .repartitionByRange(4, col("vec_id")).sortWithinPartitions("vec_id"))
+    def recall(qid: Long): Double = {
+      val mates = (100L until 132L).filter(i => i % 4 == qid % 4)
+      val idef = cat.indexDefs("vecs").find(_.ix == "ann").get
+      val cands = Index.ivfLookup(cat, "vecs", idef,
+          Seq((qid, driftVec(qid))).toDF("vec_id", "e"), nprobe = 2)
+        .collect().map(_.getLong(1)).toSet
+      mates.count(cands).toDouble / mates.size
+    }
+    // mates spread 2-per-tilt-cell: nprobe=2 can reach at most 4 of 8
+    val before = recall(777L)
+    assert(before <= 0.5, s"frozen centroids must lose drifted mates, recall=$before")
+    // rebuild: Lloyd from the CURRENT data through the same derivation
+    val eng = new graft.aql.Engine(spark, dir.toString)
+    val msg = eng.execute("REBUILD INDEX ann ON vecs")
+      .asInstanceOf[graft.aql.Engine.Done].message
+    assert(msg.contains("rebuilt ivf index ann"), msg)
+    val newCents = Index.centroids(cat, "vecs", "ann")
+    assert(newCents.size == 8 &&
+      newCents.map(_._2.toSeq) != oldCents.map(_._2.toSeq),
+      "rebuild must retrain the centroid set")
+    val after = recall(777L)
+    assert(after >= 0.9, s"rebuilt cells must recover the mates, recall=$after")
+    // the rebuilt index keeps being maintained by later commits
+    val tx = new Tx(cat)
+    tx.stageInsert("vecs", Seq(org.apache.spark.sql.Row(200L, driftVec(201L))))
+    tx.commit(Some("vecs"))
+    val idef = cat.indexDefs("vecs").find(_.ix == "ann").get
+    val cands = Index.ivfLookup(cat, "vecs", idef,
+        Seq((778L, driftVec(201L))).toDF("vec_id", "e"), nprobe = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(cands.contains(200L), s"post-rebuild commit must index new rows, got $cands")
+    // guards: unknown index / unknown container named in the error
+    intercept[RuntimeException](eng.execute("REBUILD INDEX nope ON vecs"))
+    intercept[Exception](eng.execute("REBUILD INDEX ann ON novecs"))
+  }
+
+  test("REBUILD of a band index re-derives identical parts; lookups keep serving") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ixm-rebuild-lsh")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("docs", List("doc_id" -> graft.aql.AlbaType.of("BIGINT"),
+      "body" -> graft.aql.AlbaType.of("TEXT")))
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    cat.overwrite("docs", Seq(
+      (1L, base), (2L, base + " indeed"), (3L, "completely unrelated text corpus row")
+    ).toDF("doc_id", "body"))
+    cat.createIndex("docs", "nd", "lsh", "body")
+    def cands(): Set[Long] = cat.indexLookup("docs", "nd",
+        Seq((9L, base + " truly")).toDF("doc_id", "body"))
+      .collect().map(_.getLong(1)).toSet
+    val served = cands()
+    assert(served.contains(1L) || served.contains(2L))
+    cat.rebuildIndex("docs", "nd")
+    assert(cands() == served, "band derivation has no trained state — content identical")
+  }
+
   test("auto-OPTIMIZE keeps a 50-small-commit ingest's file count bounded") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ixm-autoopt")
     // optimize_after_commits flows settings.yaml -> Engine -> Tx
