@@ -393,7 +393,11 @@ object Parser {
     case other => throw new ParseException(s"Expected [group], got $other")
   }
 
-  private val AggFns = Set("count", "sum", "avg", "min", "max", "median")
+  // approx_distinct (graft extension): HyperLogLog distinct estimate —
+  // the sketch-backed aggregate incremental views can maintain under
+  // inserts (sketches union; deletes take the dirty-group recompute path)
+  private val AggFns = Set("count", "sum", "avg", "min", "max", "median",
+    "approx_distinct")
 
   /** Scalar (per-row) functions accepted in the projection. All lower to
     * codegen'd built-ins. Most take one column; `substr`, `replace`, and

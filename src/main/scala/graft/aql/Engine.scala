@@ -394,9 +394,15 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         d.columns.find(_._1.equalsIgnoreCase(c)).get._2
       // MV schema contract (IncrementalView): keys, n_rows, agg outs.
       // count → BIGINT; sum inherits the source column's numeric width
-      // (Spark: sum(int/long) = long, sum(double) = double)
-      val aggCols = aggs.map { a =>
-        a.out -> (if (a.fn == "count") AlbaType.of("BIGINT") else typeOf(a.col))
+      // (Spark: sum(int/long) = long, sum(double) = double);
+      // approx_distinct → BIGINT estimate PLUS its `_sk` BYTES companion
+      // (the persisted HLL sketch that makes insert windows foldable)
+      val aggCols = aggs.flatMap { a =>
+        if (a.fn == "approx_distinct")
+          List(a.out -> AlbaType.of("BIGINT"),
+            s"${a.out}_sk" -> AlbaType.of("LARGE-BYTES"))
+        else List(
+          a.out -> (if (a.fn == "count") AlbaType.of("BIGINT") else typeOf(a.col)))
       }.map { case (n, t) =>
         n -> (if (t.spark == org.apache.spark.sql.types.IntegerType)
           AlbaType.of("BIGINT") else t)
@@ -763,13 +769,14 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     if (q.aggs.isEmpty) bad("the body needs at least one aggregate")
     if (q.projection.isEmpty) bad("the body needs at least one group key")
     q.aggs.foreach { a =>
-      if (a.distinct) bad("count(DISTINCT …) is not incrementally maintainable")
+      if (a.distinct) bad("count(DISTINCT …) is not incrementally maintainable — " +
+        "approx_distinct(col) maintains an HLL estimate instead")
       if (a.expr.isDefined) bad(
         "aggregates over arithmetic are not supported in views — " +
           "materialize the expression as a source column, or sum the parts")
-      if (!Set("count", "sum", "min", "max")(a.fn))
+      if (!Set("count", "sum", "min", "max", "approx_distinct")(a.fn))
         bad(s"aggregate '${a.fn}' is not incrementally maintainable " +
-          "(count/sum/min/max; avg = sum_c / count_c as a computed projection over the view)")
+          "(count/sum/min/max/approx_distinct; avg = sum_c / count_c as a computed projection over the view)")
     }
     val d = catalog.get(src)
     def canonical(c: String): String =
@@ -780,13 +787,22 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       val c = canonical(a.column)
       if (a.fn == "sum" && !d.columns.find(_._1 == c).get._2.isNumeric)
         bad(s"sum over non-numeric column '$c'")
+      if (a.fn == "approx_distinct" && !Seq(
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.BinaryType)
+          .contains(d.columns.find(_._1 == c).get._2.spark))
+        bad(s"approx_distinct over '$c' — the HLL sketch hashes INT/BIGINT/TEXT/BYTES only")
       graft.catalog.IncrementalView.Agg(a.fn, c, s"${a.fn}_${c.toLowerCase}")
     }
-    // the MV's schema is keys + n_rows + agg outs: any case-insensitive
-    // collision (count(id) twice, a key named n_rows, a source column
-    // named like an agg out) would create a container with duplicate
-    // columns that fails only at seed time — reject upfront
-    val outNames = keys ++ Seq("n_rows") ++ aggs.map(_.out)
+    // the MV's schema is keys + n_rows + agg outs (+ an `_sk` sketch
+    // companion per approx_distinct): any case-insensitive collision
+    // (count(id) twice, a key named n_rows, a source column named like
+    // an agg out) would create a container with duplicate columns that
+    // fails only at seed time — reject upfront
+    val outNames = keys ++ Seq("n_rows") ++ aggs.map(_.out) ++
+      aggs.filter(_.fn == "approx_distinct").map(a => s"${a.out}_sk")
     outNames.groupBy(_.toLowerCase).collectFirst {
       case (_, vs) if vs.size > 1 => vs.head
     }.foreach(n => bad(s"output column '$n' collides — deduplicate keys/aggregates"))
@@ -1093,12 +1109,19 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
                   if (Seq("sum", "avg", "median").contains(a.fn) && !numericResult)
                     throw new ParseException(
                       s"${a.fn}($sfn(…)) requires a numeric-result function")
-                case _ => operandLeafNames(e).foreach { n =>
-                  val cn = resolveNames(unioned, List(n)).head
-                  if (!d.columns.find(_._1 == cn).exists(_._2.isNumeric))
+                  if (a.fn == "approx_distinct")
                     throw new ParseException(
-                      s"${a.fn}(…) over arithmetic requires numeric columns, '$cn' is not")
-                }
+                      "approx_distinct takes a plain column (the sketch hashes raw values)")
+                case _ =>
+                  if (a.fn == "approx_distinct")
+                    throw new ParseException(
+                      "approx_distinct takes a plain column (the sketch hashes raw values)")
+                  operandLeafNames(e).foreach { n =>
+                    val cn = resolveNames(unioned, List(n)).head
+                    if (!d.columns.find(_._1 == cn).exists(_._2.isNumeric))
+                      throw new ParseException(
+                        s"${a.fn}(…) over arithmetic requires numeric columns, '$cn' is not")
+                  }
               }
               lowerOperand(e, d)
             case None =>
@@ -1109,6 +1132,14 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
               if (Seq("sum", "avg", "median").contains(a.fn) &&
                   !Seq(IntegerType, LongType, DoubleType).contains(dt))
                 throw new ParseException(s"${a.fn}($cn) requires a numeric column, got $dt")
+              // the DataSketches HLL aggregator hashes int/long/string/
+              // binary only — FLOAT/BOOL are a clean reject, not a crash
+              if (a.fn == "approx_distinct" &&
+                  !Seq(IntegerType, LongType,
+                    org.apache.spark.sql.types.StringType,
+                    org.apache.spark.sql.types.BinaryType).contains(dt))
+                throw new ParseException(
+                  s"approx_distinct($cn) supports INT/BIGINT/TEXT/BYTES columns, got $dt")
               col(cn)
           }
           (a.fn match {
@@ -1123,6 +1154,12 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
             // exact interpolated median (sort-based, deterministic —
             // unlike approx_percentile), matching the oracle's median()
             case "median" => percentile(c, lit(0.5))
+            // HLL estimate (graft extension) — the DataSketches form, so
+            // a SEARCH over the source and an incrementally maintained
+            // view agree sketch-for-sketch; deterministic for a given
+            // input but engine-specific, so rows carrying it are
+            // tolerance-checked against exact distinct, never hash-exact
+            case "approx_distinct" => hll_sketch_estimate(hll_sketch_agg(c))
           }).as(out)
         }
         val agged = unioned.groupBy(keys: _*).agg(aggExprs.head, aggExprs.tail: _*)

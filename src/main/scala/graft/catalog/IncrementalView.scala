@@ -54,10 +54,23 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
   import IncrementalView.Agg
 
   require(keys.nonEmpty, "incremental view needs at least one group key")
-  aggs.foreach(a => require(Set("count", "sum", "min", "max")(a.fn),
-    s"unsupported incremental aggregate '${a.fn}' (count/sum/min/max only)"))
+  aggs.foreach(a => require(
+    Set("count", "sum", "min", "max", "approx_distinct")(a.fn),
+    s"unsupported incremental aggregate '${a.fn}' " +
+      "(count/sum/min/max/approx_distinct only)"))
 
-  private val hasExtremes = aggs.exists(a => a.fn == "min" || a.fn == "max")
+  /** min/max and approx_distinct are NOT delta-invertible under deletes
+    * (an HLL sketch unions but never subtracts) — groups that lost a row
+    * take the dirty recompute path. Gains fold exactly for all three:
+    * least/greatest for the extremes, sketch UNION for the HLL (the MV
+    * persists each estimate's companion `<out>_sk` sketch column, which
+    * is what makes the fold possible at all — the estimate alone can't
+    * absorb values that may duplicate ones already counted). */
+  private val hasNonInvertible =
+    aggs.exists(a => Set("min", "max", "approx_distinct")(a.fn))
+
+  private def sketchCol(out: String): String = s"${out}_sk"
+  private val approxAggs = aggs.filter(_.fn == "approx_distinct")
 
   private def filtered(df: DataFrame): DataFrame =
     where.map(df.filter).getOrElse(df)
@@ -78,9 +91,16 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
       case Agg("count", c, out) => count(col(c)).as(out)
       case Agg("sum", c, out) => coalesce(sum(col(c)), lit(0L)).as(out)
       case Agg("min", c, out) => min(col(c)).as(out)
+      case Agg("approx_distinct", c, out) =>
+        hll_sketch_agg(col(c)).as(sketchCol(out))
       case Agg(_, c, out) => max(col(c)).as(out)
     }
-    filtered(snapshot).groupBy(keys.map(col): _*).agg(outs.head, outs.tail: _*)
+    val g = filtered(snapshot).groupBy(keys.map(col): _*)
+      .agg(outs.head, outs.tail: _*)
+    // estimates derive from the sketches (an all-NULL group has no
+    // sketch → estimate 0, matching count-of-nothing semantics)
+    approxAggs.foldLeft(g)((df, a) => df.withColumn(a.out,
+      coalesce(hll_sketch_estimate(col(sketchCol(a.out))), lit(0L)).cast("long")))
   }
 
   /** (Re)build the MV from the source's current snapshot and reset the
@@ -129,6 +149,11 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
         min(when(col("_w") === 1L, col(c))).as(s"d_$out")
       case Agg("max", c, out) =>
         max(when(col("_w") === 1L, col(c))).as(s"d_$out")
+      // HLL: sketch of the window's ADDED values (the agg ignores the
+      // when's NULLed removals); like the extremes, a removal dirties
+      // the group so the union fold never applies to a shrinking group
+      case Agg("approx_distinct", c, out) =>
+        hll_sketch_agg(when(col("_w") === 1L, col(c))).as(s"d_$out")
       // sum skips NULLs on both paths; coalesce at merge handles all-NULL
       case Agg(_, c, out) => sum(col(c) * col("_w")).as(s"d_$out")
     }
@@ -140,15 +165,23 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
     val merged = cur.join(delta, joinCond, "full_outer")
       .select(
         keys.map(k => coalesce(cur(k), delta(k)).as(k)) ++
-          ((("sum", "n_rows", "d_n_rows") +: outCols).map {
-            case ("min", o, d) => least(cur(o), delta(d)).as(o)
-            case ("max", o, d) => greatest(cur(o), delta(d)).as(o)
-            case (_, o, d) =>
-              (coalesce(cur(o), lit(0L)) + coalesce(delta(d), lit(0L))).as(o)
+          ((("sum", "n_rows", "d_n_rows") +: outCols).flatMap {
+            case ("min", o, d) => Seq(least(cur(o), delta(d)).as(o))
+            case ("max", o, d) => Seq(greatest(cur(o), delta(d)).as(o))
+            // sketch union absorbs the added values; either side may be
+            // NULL (group new in the window / untouched by it)
+            case ("approx_distinct", o, d) =>
+              val u = when(cur(sketchCol(o)).isNull, delta(d))
+                .when(delta(d).isNull, cur(sketchCol(o)))
+                .otherwise(hll_union(cur(sketchCol(o)), delta(d)))
+              Seq(coalesce(hll_sketch_estimate(u), lit(0L)).cast("long").as(o),
+                u.as(sketchCol(o)))
+            case (_, o, d) => Seq(
+              (coalesce(cur(o), lit(0L)) + coalesce(delta(d), lit(0L))).as(o))
           }): _*)
       .filter(col("n_rows") > 0)
     val next =
-      if (!hasExtremes) merged
+      if (!hasNonInvertible) merged
       else {
         // dirty groups: lost at least one in-window row — their folded
         // row is discarded and replaced by a from-scratch aggregate of
@@ -199,6 +232,10 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
 }
 
 object IncrementalView {
-  /** One maintained aggregate: `fn(col) AS out`, fn ∈ count | sum. */
+  /** One maintained aggregate: `fn(col) AS out`,
+    * fn ∈ count | sum | min | max | approx_distinct. The approx_distinct
+    * kind additionally owns a `<out>_sk` BYTES column in the MV schema —
+    * the persisted DataSketches HLL sketch its estimate derives from and
+    * the state that makes insert windows union-foldable. */
   final case class Agg(fn: String, col: String, out: String)
 }

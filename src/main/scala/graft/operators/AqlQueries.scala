@@ -110,12 +110,18 @@ object AqlQueries {
       // gain-only fold and the dirty-group recompute path
       eng.execute("CREATE VIEW mv_ext " +
         "(SEARCH [lang, min(n_chars), max(n_chars)] ON docs_vw)")
+      // HLL view over the same source: the commit's insert folds by
+      // sketch union, its edit/delete dirty their groups (recompute) —
+      // the estimate column stays within tolerance of exact distinct
+      eng.execute("CREATE VIEW mv_nd " +
+        "(SEARCH [lang, approx_distinct(n_chars)] ON docs_vw)")
       eng.execute("EDIT ROW ['n_chars'] [50000] ON docs_vw WHERE doc_id = 21")
       eng.execute("DELETE ROW ON docs_vw WHERE doc_id = 33")
       eng.execute("CREATE ROW ['doc_id','lang','n_chars'] [900006, 'xx', 999] ON docs_vw")
       eng.execute("COMMIT docs_vw")
       eng.execute("REFRESH VIEW mv_lang")
       eng.execute("REFRESH VIEW mv_ext")
+      eng.execute("REFRESH VIEW mv_nd")
       // corpus interchange: EXPORT the versioned docs_tt snapshot as
       // JSONL, IMPORT it into a fresh container as one bulk-append
       // commit — the AQL surface over the sources lane
@@ -993,6 +999,47 @@ object AqlQueries {
         |FROM post GROUP BY lang
         |ORDER BY lang, n_rows, min_n_chars, max_n_chars""".stripMargin) {
       (s, dir) => search("SEARCH [] ON mv_ext")(s, dir)
+    },
+
+    // approx_distinct incremental view (HLL sketch column): the oracle is
+    // TOLERANCE-checked — the Spark side emits whether the maintained
+    // estimate lands within 5% of the EXACT distinct count of the post
+    // state, and DuckDB's exact re-aggregation says that must be true for
+    // every group (n_rows stays hash-exact alongside). DataSketches HLL
+    // at lgK=12 runs ~1% rsd, so the 5% band has real margin while still
+    // failing loudly on any double-count (a union-less fold would inflate
+    // the estimate far past it).
+    Q("aql_view_approx_distinct",
+      """WITH post AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN doc_id = 21 THEN 50000 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id <> 33
+        |  UNION ALL SELECT 900006, 'xx', 999
+        |)
+        |SELECT lang, count(*) AS n_rows, TRUE AS within_tol
+        |FROM post GROUP BY lang
+        |ORDER BY lang""".stripMargin) {
+      (s, dir) => {
+        val eng = engine(s, dir)
+        val mv = eng.orderedResult(eng.execute(
+          "SEARCH [lang, n_rows, approx_distinct_n_chars] ON mv_nd")
+          .asInstanceOf[Engine.ResultSet].cursorId).get
+        import org.apache.spark.sql.functions._
+        val post = graft.Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .filter(col("doc_id") =!= 33)
+          .withColumn("n_chars",
+            when(col("doc_id") === 21, lit(50000L)).otherwise(col("n_chars")))
+          .unionByName(s.range(1).select(lit(900006L).as("doc_id"),
+            lit("xx").as("lang"), lit(999L).as("n_chars")))
+        val exact = post.groupBy(col("lang"))
+          .agg(countDistinct(col("n_chars")).as("nd"))
+        mv.join(exact, "lang")
+          .select(col("lang"), col("n_rows"),
+            (abs(col("approx_distinct_n_chars") - col("nd"))
+              <= col("nd").cast("double") * 0.05).as("within_tol"))
+          .orderBy(col("lang"))
+      }
     },
 
     Q("aql_time_travel",

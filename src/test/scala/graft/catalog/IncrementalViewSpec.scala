@@ -64,6 +64,57 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(view.refreshOnce(tail) == 0)
   }
 
+  test("approx_distinct: insert windows union sketches (no double count), deletes recompute") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-hll")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("src", List(
+      "id" -> graft.aql.AlbaType.of("INT"),
+      "grp" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "val" -> graft.aql.AlbaType.of("BIGINT")))
+    cat.create("mv", List(
+      "grp" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "n_rows" -> graft.aql.AlbaType.of("BIGINT"),
+      "approx_distinct_val" -> graft.aql.AlbaType.of("BIGINT"),
+      "approx_distinct_val_sk" -> graft.aql.AlbaType.of("LARGE-BYTES")))
+    val view = new IncrementalView(cat, "src", "mv", Seq("grp"),
+      Seq(IncrementalView.Agg("approx_distinct", "val", "approx_distinct_val")))
+    val tx = new Tx(cat)
+    val tail = new ChangeTail(cat, "src", dir.resolve("mv.ckpt"))
+    // fixture cardinalities stay far below the HLL coupon-mode promotion
+    // (~hundreds at lgK=12), where the DataSketches estimate is EXACT —
+    // so the spec can pin equality with count(DISTINCT), not a band
+    def exact(): Map[String, Long] =
+      cat.read("src").groupBy(col("grp"))
+        .agg(countDistinct(col("val")).as("nd")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def mvEst(): Map[String, Long] =
+      cat.read("mv").collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+    tx.stageInsert("src", (1 to 60).map(i =>
+      org.apache.spark.sql.Row(i, if (i % 2 == 0) "a" else "b", (i % 20).toLong)))
+    tx.commit(Some("src"))
+    assert(view.refreshOnce(tail) == 1)
+    assert(mvEst() == exact())
+    // the critical fold: a second window whose values OVERLAP the first —
+    // an estimate+delta fold (no sketch) would double count these
+    tx.stageInsert("src", (61 to 90).map(i =>
+      org.apache.spark.sql.Row(i, if (i % 2 == 0) "a" else "b", (i % 25).toLong)))
+    tx.commit(Some("src"))
+    assert(view.refreshOnce(tail) == 1)
+    assert(mvEst() == exact(), "overlapping insert window must union, not add")
+    // deletes are not sketch-invertible: the group recomputes (dirty path)
+    tx.stageDelete("src", Some(col("val") >= 15 && col("grp") === "a"))
+    tx.commit(Some("src"))
+    assert(view.refreshOnce(tail) == 1)
+    assert(mvEst() == exact(), "a shrunken group must recompute its sketch")
+    // group-moving edit: -a/+b pair dirties a, folds into b
+    tx.stageEdit("src", col("id") === 1, Seq("grp" -> "a"))
+    tx.commit(Some("src"))
+    assert(view.refreshOnce(tail) == 1)
+    assert(mvEst() == exact())
+    assert(view.refreshOnce(tail) == 0)
+  }
+
   test("a corrupt idempotency stamp degrades to the checkpoint path instead of wedging") {
     val (cat, tx, view, tail) = fixture("badstamp")
     tx.stageInsert("src", Seq(
