@@ -826,10 +826,12 @@ object Parser {
     // CREATE INDEX name ON container [column] [USING kind] (graft
     // extension; USING defaults to lsh, the one kind shipped)
     case Keyword("CREATE") :: Keyword("INDEX") :: ixTok :: Keyword("ON") :: containerTok :: (colG: Group) :: rest =>
+      // one column for every kind; the `value` kind also takes a
+      // COMPOSITE list (comma-joined here, validated per-kind in
+      // Index.create — the (lang, quality_band) curation-probe shape)
       val column = strings(colG) match {
-        case c :: Nil => c
-        case other => throw new ParseException(
-          s"CREATE INDEX takes [one column], got ${other.length}")
+        case Nil => throw new ParseException("CREATE INDEX takes [column, …]")
+        case cs => cs.mkString(",")
       }
       val kind = rest match {
         case Nil => "lsh"

@@ -1339,16 +1339,59 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       case _ => typedKey(c).map(Seq(_))
     }
     def plainAtom(c: Ast.Cond) = c.lhs.isEmpty && c.rhs.isEmpty
+    val (singleDefs, compositeDefs) = defs.partition(_.valueColumns.size == 1)
+    def eqAtomFor(cn: String): Option[Ast.Cond] = w.atoms.find(c =>
+      plainAtom(c) && (c.op == "=" || c.op == "==" || c.op == "IN LIST") &&
+        cn.equalsIgnoreCase(c.column))
+    // COMPOSITE probe first: it only fires when the AND-chain carries a
+    // typed equality / IN literal for EVERY component, which makes it at
+    // least as selective as any single-column probe over the same atoms.
+    // IN lists expand to a bounded tuple cross-product (probe lists are
+    // metadata, never data) — oversize products defer to the scan.
+    val compositeHit: Option[(graft.catalog.Index.Def, Seq[Seq[Any]])] =
+      compositeDefs.iterator.flatMap { idef =>
+        val comps = idef.valueColumns.map(cn => eqAtomFor(cn).flatMap(typedKeys))
+        if (comps.forall(_.isDefined)) {
+          val lists = comps.map(_.get.distinct)
+          if (lists.map(_.size.toLong).product <= 64L)
+            Some((idef, lists.foldLeft(Seq(Seq.empty[Any]))((acc, l) =>
+              acc.flatMap(t => l.map(t :+ _)))))
+          else None
+        } else None
+      }.take(1).toList.headOption
     // access-path choice, mirroring the reference's Strict-then-Range
     // order (query_conditions.rs:541): an equality / literal-IN-list
     // probe first, else a range conjunction over one indexed column's
     // >,>=,<,<= atoms
-    val eqHit = w.atoms.iterator.flatMap { c =>
+    val eqHit = if (compositeHit.isDefined) None else w.atoms.iterator.flatMap { c =>
       if (!plainAtom(c) || (c.op != "=" && c.op != "==" && c.op != "IN LIST"))
         Iterator.empty
-      else defs.find(_.column.equalsIgnoreCase(c.column)).iterator
+      else singleDefs.find(_.column.equalsIgnoreCase(c.column)).iterator
         .flatMap(idef => typedKeys(c).map(ks => (idef, ks)))
     }.take(1).toList.headOption
+    // composite cost skip: the expected tuple group is N / Π ndv_i
+    // (per-column avgs composed under independence — the textbook
+    // multi-column selectivity estimate); if the composite probe is
+    // already unselective, any single-column probe over the same atoms
+    // is strictly worse, so the whole index path yields to the scan
+    val compositeSkip = compositeHit.flatMap { case (idef, tuples) =>
+      val avgs = idef.valueColumns.map(c =>
+        graft.catalog.Stats.avgGroupSize(catalog, cname, c))
+      graft.catalog.Stats.rowCount(catalog, cname).filter(_ > 0).flatMap { n =>
+        if (avgs.forall(_.isDefined)) {
+          val combined = avgs.flatten.product / math.pow(n.toDouble, avgs.size - 1)
+          if (combined * tuples.length > IndexProbeCap)
+            Some((idef, tuples.length, combined))
+          else None
+        } else None
+      }
+    }
+    compositeSkip.foreach { case (idef, nt, g) =>
+      note(f"index '${idef.ix}' composite probe on ${idef.column} skipped: " +
+        f"stats estimate $g%.1f rows/tuple x $nt tuple(s) exceeds " +
+        s"index_probe_cap $IndexProbeCap — plain scan")
+    }
+    if (compositeSkip.isDefined) return base
     // cost-based skip (ANALYZE stats): when the persisted stats say the
     // probe's expected candidates (keys × average rows-per-value) already
     // exceed the probe cap, the probe job could only confirm
@@ -1366,12 +1409,18 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         s"index_probe_cap $IndexProbeCap — plain scan")
     }
     if (statsSkip.isDefined) return base
-    val candidates: Option[(graft.catalog.Index.Def, String, DataFrame)] = eqHit match {
+    val candidates: Option[(graft.catalog.Index.Def, String, DataFrame)] =
+      compositeHit match {
+      case Some((idef, tuples)) =>
+        Some((idef, s"composite equality, ${tuples.length} tuple(s)",
+          graft.catalog.Index.valueLookupComposite(
+            catalog, cname, idef, tuples, s.atVersion)))
+      case None => eqHit match {
       case Some((idef, keys)) => Some((idef, s"${keys.distinct.length} literal key(s)",
         graft.catalog.Index.valueLookup(catalog, cname, idef, keys, s.atVersion)))
       case None =>
         val rangeOps = Set(">", ">=", "<", "<=")
-        defs.iterator.map { idef =>
+        singleDefs.iterator.map { idef =>
           val bounds = w.atoms.filter(c => plainAtom(c) &&
             rangeOps(c.op) && idef.column.equalsIgnoreCase(c.column))
             .flatMap(c => typedKey(c).map(k => (c.op, k)))
@@ -1388,6 +1437,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           (idef, s"range over ${bounds.length} bound(s)",
             graft.catalog.Index.valueRangeLookup(catalog, cname, idef, pred, s.atVersion))
         }
+      }
     }
     candidates match {
       case Some((idef, how, cand)) =>

@@ -277,8 +277,8 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
       require(!targets.contains(d.primaryKey.toLowerCase),
         s"Cannot drop primary key column '${d.primaryKey}'")
       indexDefs(name).foreach(ix =>
-        require(!targets.contains(ix.column.toLowerCase),
-          s"Column '${ix.column}' is indexed by '${ix.ix}' — drop the index first"))
+        ix.valueColumns.foreach(c => require(!targets.contains(c.toLowerCase),
+          s"Column '$c' is indexed by '${ix.ix}' — drop the index first")))
       val keep = d.columns.zip(d.stored)
         .filterNot { case ((n, _), _) => targets.contains(n.toLowerCase) }
       require(keep.nonEmpty, s"Cannot drop every column of '$name'")
@@ -324,15 +324,19 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
         if (columns.map(_._1) == d.stored) Nil else d.stored)
       writeSchema(name, out)
       // the index follows the logical rename (derivations resolve logical
-      // names); atomic per-file swap, serialized by the container lock
-      indexDefs(name).filter(_.column.equalsIgnoreCase(from)).foreach { ix =>
+      // names — a composite value index renames just the touched
+      // component); atomic per-file swap, serialized by the container lock
+      indexDefs(name)
+        .filter(_.valueColumns.exists(_.equalsIgnoreCase(from))).foreach { ix =>
+        val renamed = ix.valueColumns
+          .map(c => if (c.equalsIgnoreCase(from)) to else c).mkString(",")
         val f = Index.metaFile(this, name, ix.ix)
         // rewrite only the header line — ivf metadata carries centroid
         // lines after it that must survive the rename
         val tail = Files.readString(f).linesIterator.toList.drop(1)
         val tmp = catDir.resolve(
           s"$name.ix-${ix.ix}.tmp-${ProcessHandle.current.pid}-${System.nanoTime()}")
-        Files.writeString(tmp, (s"${ix.kind}\t$to" :: tail).mkString("\n"))
+        Files.writeString(tmp, (s"${ix.kind}\t$renamed" :: tail).mkString("\n"))
         Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
           StandardCopyOption.REPLACE_EXISTING)
       }

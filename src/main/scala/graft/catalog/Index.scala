@@ -57,39 +57,55 @@ import scala.jdk.CollectionConverters._
   */
 object Index {
   final case class Def(ix: String, kind: String, column: String) {
-    /** Index-row schema (minus the `src` partition column). `valType` is
-      * only read by the `value` kind (the indexed column's own type —
+    /** The indexed source columns: one for every kind except `value`,
+      * which may be a COMPOSITE (comma-joined in the metadata — AQL
+      * column names cannot contain commas) — the (lang, quality_band)
+      * curation-probe shape. */
+    def valueColumns: Seq[String] = column.split(",").toIndexedSeq
+
+    /** Index-row names of the value components: `val` (first — also the
+      * prune sort leader, keeping single-column layouts unchanged on
+      * disk), then `val1`, `val2`, … */
+    def valNames: Seq[String] =
+      valueColumns.indices.map(i => if (i == 0) "val" else s"val$i")
+
+    /** Index-row schema (minus the `src` partition column). `valTypes`
+      * is only read by the `value` kind (the indexed columns' own types —
       * typed equality, never a string-canonicalized comparison). */
-    def schema(pkType: DataType, valType: DataType = NullType): StructType = kind match {
-      // simhash shares the lsh band-row shape: bk = "band:bucketValue"
-      case "lsh" | "simhash" => StructType(Seq(
-        StructField("id", pkType), StructField("band", IntegerType),
-        StructField("bk", StringType)))
-      case "ivf" => StructType(Seq(
-        StructField("id", pkType), StructField("cluster", IntegerType)))
-      // inverted postings: (id, term, tf, dl) plus one corpus-stats
-      // sentinel row PER SRC FILE under term="" carrying (tf = n_docs,
-      // dl = Σ doc_len) — file-local aggregates, so the global N/avgdl
-      // BM25 needs is the sum over sentinel rows and stays exact under
-      // file-granular COW maintenance
-      case "text" => StructType(Seq(
-        StructField("id", pkType), StructField("term", StringType),
-        StructField("tf", LongType), StructField("dl", DoubleType)))
-      // plain value→pk rows: the classic secondary index (generalizes
-      // the reference's first-column-only chunk index to ANY column)
-      case "value" => StructType(Seq(
-        StructField("id", pkType), StructField("val", valType)))
-      case other => sys.error(s"unknown index kind '$other'")
-    }
-    /** The column lookups filter on with literal keys — index parts are
-      * written sorted by it so parquet min/max stats prune files and row
-      * groups under the `isin` pushdown (the layout-as-index convention,
-      * same as the container's pk clustering). */
-    def pruneKey: String = kind match {
-      case "lsh" | "simhash" => "bk"
-      case "ivf" => "cluster"
-      case "text" => "term"
-      case "value" => "val"
+    def schema(pkType: DataType, valTypes: Seq[DataType] = Seq(NullType)): StructType =
+      kind match {
+        // simhash shares the lsh band-row shape: bk = "band:bucketValue"
+        case "lsh" | "simhash" => StructType(Seq(
+          StructField("id", pkType), StructField("band", IntegerType),
+          StructField("bk", StringType)))
+        case "ivf" => StructType(Seq(
+          StructField("id", pkType), StructField("cluster", IntegerType)))
+        // inverted postings: (id, term, tf, dl) plus one corpus-stats
+        // sentinel row PER SRC FILE under term="" carrying (tf = n_docs,
+        // dl = Σ doc_len) — file-local aggregates, so the global N/avgdl
+        // BM25 needs is the sum over sentinel rows and stays exact under
+        // file-granular COW maintenance
+        case "text" => StructType(Seq(
+          StructField("id", pkType), StructField("term", StringType),
+          StructField("tf", LongType), StructField("dl", DoubleType)))
+        // value→pk rows: the classic secondary index (generalizes the
+        // reference's first-column-only chunk index to ANY column list)
+        case "value" => StructType(
+          StructField("id", pkType) +: valNames.zip(valTypes).map {
+            case (n, t) => StructField(n, t) })
+        case other => sys.error(s"unknown index kind '$other'")
+      }
+
+    /** The columns lookups filter on with literal keys — index parts are
+      * written sorted by them (leader first) so parquet min/max stats
+      * prune files and row groups under the pushdown (the
+      * layout-as-index convention, same as the container's pk
+      * clustering). */
+    def pruneKeys: Seq[String] = kind match {
+      case "lsh" | "simhash" => Seq("bk")
+      case "ivf" => Seq("cluster")
+      case "text" => Seq("term")
+      case "value" => valNames
       case other => sys.error(s"unknown index kind '$other'")
     }
   }
@@ -145,9 +161,18 @@ object Index {
       column: String): Def = {
     val d = cat.get(container)
     require(ix.matches("[A-Za-z0-9_]+"), s"Invalid index name '$ix'")
-    val colType = d.columns.collectFirst {
-      case (n, t) if n.equalsIgnoreCase(column) => t
-    }.getOrElse(sys.error(s"No column '$column' on '$container'"))
+    // every kind but `value` indexes exactly one column; a `value` index
+    // may take a comma-joined COMPOSITE list (the parser joins the
+    // bracketed column list)
+    val colNames = column.split(",").toIndexedSeq
+    require(colNames.size == 1 || kind == "value",
+      s"$kind index takes exactly one column, got [${colNames.mkString(",")}]")
+    require(colNames.map(_.toLowerCase).distinct.size == colNames.size,
+      s"duplicate columns in index definition [${colNames.mkString(",")}]")
+    def typeOf(c: String) = d.columns.collectFirst {
+      case (n, t) if n.equalsIgnoreCase(c) => t
+    }.getOrElse(sys.error(s"No column '$c' on '$container'"))
+    val colType = typeOf(colNames.head)
     val body = kind match {
       case "lsh" | "simhash" | "text" =>
         require(colType.spark == StringType,
@@ -158,10 +183,12 @@ object Index {
         // (src/indexing.rs:312-437, abs-bucket) — the typed `val` column
         // sorts/min-maxes doubles exactly like the integer kinds, so
         // range conjunctions stay contiguous file slices
-        require(Seq(StringType, IntegerType, LongType, DoubleType)
-            .contains(colType.spark),
-          s"value index needs a TEXT/INT/BIGINT/FLOAT column, '$column' is ${colType.name}")
-        s"$kind\t$column"
+        colNames.foreach { c =>
+          require(Seq(StringType, IntegerType, LongType, DoubleType)
+              .contains(typeOf(c).spark),
+            s"value index needs TEXT/INT/BIGINT/FLOAT columns, '$c' is ${typeOf(c).name}")
+        }
+        s"$kind\t${colNames.mkString(",")}"
       case "ivf" =>
         require(colType.spark == BinaryType,
           s"ivf index needs a packed-float32 BYTES column, '$column' is ${colType.name}")
@@ -305,10 +332,10 @@ object Index {
     val v = at.getOrElse(cat.currentVersion(container))
     at.foreach(x => require(cat.versions(container).contains(x),
       s"No committed version $x on '$container'"))
-    val valType = d.columns.collectFirst {
-      case (n, t) if n.equalsIgnoreCase(idef.column) => t.spark
-    }.getOrElse(NullType)
-    val full = idef.schema(d.schema.head.dataType, valType).add("src", StringType)
+    val valTypes = idef.valueColumns.map(vc => d.columns.collectFirst {
+      case (n, t) if n.equalsIgnoreCase(vc) => t.spark
+    }.getOrElse(NullType))
+    val full = idef.schema(d.schema.head.dataType, valTypes).add("src", StringType)
     if (v == 0)
       return cat.spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), full)
@@ -366,8 +393,30 @@ object Index {
   def valueLookup(cat: Catalog, container: String, idef: Def,
       keys: Seq[Any], at: Option[Int] = None): DataFrame = {
     require(idef.kind == "value", s"index '${idef.ix}' is not a value index")
+    require(idef.valueColumns.size == 1,
+      s"index '${idef.ix}' is composite — probe with valueLookupComposite")
     read(cat, container, idef, at)
       .filter(col("val").isin(keys: _*))
+      .select(col("id")).distinct()
+  }
+
+  /** Composite twin of [[valueLookup]]: candidate pks whose indexed
+    * column TUPLE equals one of `keyTuples` (each tuple in
+    * [[Def.valueColumns]] order) — the (lang, quality_band) curation
+    * probe. The conjunction pushes down on every component and the
+    * leader-sorted layout keeps the scan file/row-group pruned; probe
+    * cost ∝ the literal tuple list, never the corpus. */
+  def valueLookupComposite(cat: Catalog, container: String, idef: Def,
+      keyTuples: Seq[Seq[Any]], at: Option[Int] = None): DataFrame = {
+    require(idef.kind == "value", s"index '${idef.ix}' is not a value index")
+    val names = idef.valNames
+    require(keyTuples.nonEmpty && keyTuples.forall(_.size == names.size),
+      s"index '${idef.ix}' probes ${names.size}-column tuples")
+    val pred = keyTuples.map(t =>
+      names.zip(t).map { case (n, v) => col(n) === lit(v) }.reduce(_ && _))
+      .reduce(_ || _)
+    read(cat, container, idef, at)
+      .filter(pred)
       .select(col("id")).distinct()
   }
 
@@ -380,6 +429,8 @@ object Index {
   def valueRangeLookup(cat: Catalog, container: String, idef: Def,
       pred: org.apache.spark.sql.Column, at: Option[Int] = None): DataFrame = {
     require(idef.kind == "value", s"index '${idef.ix}' is not a value index")
+    require(idef.valueColumns.size == 1,
+      s"index '${idef.ix}' is composite — range serving is single-column only")
     read(cat, container, idef, at)
       .filter(pred)
       .select(col("id")).distinct()
@@ -524,7 +575,7 @@ object Index {
       val rows = cat.readFilesTagged(d.name, toCompute.map(_.toString))
         .withColumnRenamed("__src_file", "src")
       derive(cat, d, idef, rows)
-        .sortWithinPartitions(col("src"), col(idef.pruneKey))
+        .sortWithinPartitions(col("src") +: idef.pruneKeys.map(col): _*)
         .write.mode("append").partitionBy("src").parquet(dest.toString)
     }
   }
@@ -557,11 +608,13 @@ object Index {
           col(idef.column).as("text"), col("src")),
           d.schema.head.dataType)
       case "value" =>
-        // row-local value→pk projection; NULL values produce no index
-        // row (an equality probe can never match NULL anyway)
-        rows.select(col(d.primaryKey).as("id"),
-            col(idef.column).as("val"), col("src"))
-          .filter(col("val").isNotNull)
+        // row-local value→pk projection; a NULL in ANY component produces
+        // no index row (an all-components equality probe can never match
+        // a NULL component anyway)
+        val comps = idef.valueColumns.zip(idef.valNames).map {
+          case (c, n) => col(c).as(n) }
+        rows.select(col(d.primaryKey).as("id") +: comps :+ col("src"): _*)
+          .filter(idef.valNames.map(col(_).isNotNull).reduce(_ && _))
       case "ivf" =>
         // nearest frozen centroid per vector (codegen'd unpack + the tiny
         // broadcast centroid dim). Undecodable payloads produce no index

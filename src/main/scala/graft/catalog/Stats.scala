@@ -122,6 +122,18 @@ object Stats {
         }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Analyzed row count from the persisted stats (None if never
+    * analyzed) — the N that turns per-column [[avgGroupSize]] estimates
+    * into a composite-key selectivity (N / Π ndv_i). */
+  def rowCount(cat: Catalog, name: String): Option[Long] =
+    try {
+      val f = statsFile(cat, name)
+      if (!Files.exists(f)) None
+      else Files.readAllLines(f, StandardCharsets.UTF_8)
+        .toArray(Array.empty[String]).toSeq.find(_.nonEmpty)
+        .map(_.split("\t", -1)(4).toLong)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Estimated in-memory bytes of `columns` of the container, from the
     * persisted stats: `n_rows × Σ per-column width`, where TEXT-family
     * widths use the MEASURED avg_len and fixed-width types their storage

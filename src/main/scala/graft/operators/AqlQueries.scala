@@ -167,6 +167,17 @@ object AqlQueries {
       eng.execute("CREATE INDEX vl ON docs_vix ['lang'] USING value")
       eng.execute("CREATE ROW ['doc_id','lang','n_chars'] [900008, 'en', 777] ON docs_vix")
       eng.execute("COMMIT docs_vix")
+      // COMPOSITE-value-indexed container: the (lang, quality_band)
+      // curation probe — equality on BOTH components auto-serves through
+      // one composite tuple probe; the post-index COMMIT proves the
+      // composite index is commit-maintained through the oracle gate
+      eng.execute("CREATE CONTAINER docs_cvx ['doc_id','lang','band'] " +
+        "[BIGINT, TEXT, BIGINT]")
+      eng.catalog.overwrite("docs_cvx", graft.Tables.load(spark, dir, "documents")
+        .selectExpr("doc_id", "lang", "n_chars % 4 AS band"))
+      eng.execute("CREATE INDEX cq ON docs_cvx ['lang','band'] USING value")
+      eng.execute("CREATE ROW ['doc_id','lang','band'] [900011, 'en', 2] ON docs_cvx")
+      eng.execute("COMMIT docs_cvx")
       // FLOAT-value-indexed container: range conjunctions on a DOUBLE
       // column serve through the typed secondary index (quarter-steps are
       // exactly representable, so equality/range semantics agree with the
@@ -545,6 +556,21 @@ object AqlQueries {
         |ORDER BY doc_id, score""".stripMargin) {
       (s, dir) => search(
         "SEARCH [doc_id, score] ON docs_fvx WHERE score > 250.5 AND score <= 300.25")(s, dir)
+    },
+
+    // COMPOSITE value index (graft extension): equality on BOTH
+    // components — the (lang, quality_band) curation probe — auto-serves
+    // through ONE composite tuple probe (narrated as `composite
+    // equality` in EXPLAIN; ValueIndexSpec pins the plan side). The
+    // 900011 row landed AFTER the index existed, so it is only findable
+    // through maintained composite candidates.
+    Q("aql_value_index_composite",
+      """WITH v AS (SELECT doc_id, lang, n_chars % 4 AS band FROM documents
+        |           UNION ALL SELECT 900011, 'en', 2)
+        |SELECT doc_id, band FROM v WHERE lang = 'en' AND band = 2
+        |ORDER BY doc_id, band""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [doc_id, band] ON docs_cvx WHERE lang = 'en' AND band = 2")(s, dir)
     },
 
     // Window functions through AQL (graft extension): ranking windows as

@@ -120,6 +120,92 @@ class ValueIndexSpec extends AnyFunSuite {
       .asInstanceOf[graft.aql.Engine.ResultSet].cursorId).get.collect().isEmpty)
   }
 
+  test("composite value index: tuple probes, auto-serve, narration, fallbacks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vix-comp")
+    val eng = new graft.aql.Engine(spark, dir.toString)
+    val cat = eng.catalog
+    eng.execute("CREATE CONTAINER cx ['id','lang','band'] [BIGINT, TEXT, BIGINT]")
+    import spark.implicits._
+    cat.overwrite("cx", (0L until 60L)
+      .map(i => (i, s"l${i % 4}", i % 3)).toDF("id", "lang", "band"))
+    // the (lang, quality_band) curation probe — one composite index
+    eng.execute("CREATE INDEX cq ON cx ['lang','band'] USING value")
+    val idef = cat.indexDefs("cx").find(_.ix == "cq").get
+    assert(idef.valueColumns == Seq("lang", "band"))
+    // direct tuple lookup: exactly the rows matching BOTH components
+    val ids = Index.valueLookupComposite(cat, "cx", idef, Seq(Seq("l1", 1L)))
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == (0L until 60L).filter(i => i % 4 == 1 && i % 3 == 1).toSet)
+    // auto-serve: equality on EVERY component takes the composite probe,
+    // narrated in the Access Path
+    def planOf(aql: String) = eng.execute(s"EXPLAIN $aql")
+      .asInstanceOf[graft.aql.Engine.Done].message
+    def rows(aql: String) = eng.orderedResult(eng.execute(aql)
+      .asInstanceOf[graft.aql.Engine.ResultSet].cursorId).get
+      .collect().map(_.getLong(0)).toSet
+    val q = "SEARCH [id] ON cx WHERE lang = 'l1' AND band = 1"
+    val p = planOf(q)
+    assert(p.contains("composite equality") && p.contains("lang,band"),
+      s"the composite probe must be narrated:\n$p")
+    assert(p.contains("id IN ") || p.contains("In(id"),
+      s"the composite probe must prune the scan to pk candidates:\n$p")
+    assert(rows(q) == ids)
+    // IN list on one component expands to a bounded tuple product
+    val qIn = "SEARCH [id] ON cx WHERE lang IN ['l1','l2'] AND band = 2"
+    assert(planOf(qIn).contains("2 tuple(s)"), planOf(qIn))
+    assert(rows(qIn) ==
+      (0L until 60L).filter(i => (i % 4 == 1 || i % 4 == 2) && i % 3 == 2).toSet)
+    // missing a component ⇒ no composite serve (and no single index
+    // exists here) — plain scan, same rows
+    val qHalf = "SEARCH [id] ON cx WHERE lang = 'l1'"
+    assert(!planOf(qHalf).contains("composite"), planOf(qHalf))
+    assert(rows(qHalf) == (0L until 60L).filter(_ % 4 == 1).toSet)
+    // commit maintenance: the new row is only findable through
+    // maintained tuple candidates
+    eng.execute("CREATE ROW ['id','lang','band'] [900, 'l1', 1] ON cx")
+    eng.execute("COMMIT cx")
+    assert(rows(q).contains(900L))
+    // a component rename follows into the composite metadata
+    eng.execute("ALTER CONTAINER cx RENAME COLUMN ['band','quality_band']")
+    assert(cat.indexDefs("cx").find(_.ix == "cq").get.valueColumns ==
+      Seq("lang", "quality_band"))
+    assert(rows("SEARCH [id] ON cx WHERE lang = 'l1' AND quality_band = 1")
+      .contains(900L))
+    // dropping a component column is refused while the index exists
+    val e = intercept[IllegalArgumentException](
+      eng.execute("ALTER CONTAINER cx DROP COLUMN ['quality_band']"))
+    assert(e.getMessage.contains("indexed by 'cq'"))
+    // guards: non-value kinds stay single-column; dup components rejected
+    intercept[IllegalArgumentException](
+      eng.execute("CREATE INDEX bad ON cx ['lang','lang'] USING value"))
+    intercept[IllegalArgumentException](
+      cat.createIndex("cx", "bad2", "lsh", "lang,quality_band"))
+  }
+
+  test("composite stats skip: an unselective tuple estimate goes straight to the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vix-cskip")
+    java.nio.file.Files.writeString(
+      dir.resolve(graft.catalog.Settings.FileName), "index_probe_cap: 4\n")
+    val eng = new graft.aql.Engine(spark, dir.toString)
+    import spark.implicits._
+    eng.execute("CREATE CONTAINER cs ['id','a','b'] [BIGINT, TEXT, BIGINT]")
+    // 2×2 tuple domain over 64 rows: ~16 rows/tuple > cap 4
+    eng.catalog.overwrite("cs", (0L until 64L)
+      .map(i => (i, s"a${i % 2}", i % 2)).toDF("id", "a", "b"))
+    eng.execute("CREATE INDEX ct ON cs ['a','b'] USING value")
+    eng.orderedResult(eng.execute("ANALYZE CONTAINER cs")
+      .asInstanceOf[graft.aql.Engine.ResultSet].cursorId).get.collect()
+    val p = eng.execute("EXPLAIN SEARCH [id] ON cs WHERE a = 'a1' AND b = 1")
+      .asInstanceOf[graft.aql.Engine.Done].message
+    assert(p.contains("composite probe") && p.contains("skipped"),
+      s"unselective composite estimate must skip with narration:\n$p")
+    // correctness unaffected
+    assert(eng.orderedResult(eng.execute("SEARCH [id] ON cs WHERE a = 'a1' AND b = 1")
+      .asInstanceOf[graft.aql.Engine.ResultSet].cursorId).get
+      .collect().map(_.getLong(0)).toSet ==
+      (0L until 64L).filter(_ % 2 == 1).toSet)
+  }
+
   test("commit maintains the index: inserts appear, edits re-derive, no rebuild") {
     val (cat, _) = fixture("maint")
     val idef = cat.createIndex("t", "vg", "value", "grp")
