@@ -41,8 +41,12 @@ class ParserSpec extends AnyFunSuite {
     assert(Parser.parse("CREATE INDEX nd ON docs ['body'] USING lsh")
       == CreateIndex("docs", "nd", "body", "lsh"))
     assert(Parser.parse("DELETE INDEX nd ON docs") == DeleteIndex("docs", "nd"))
-    intercept[ParseException](
-      Parser.parse("CREATE INDEX nd ON docs ['a','b']"))
+    // composite column lists PARSE (comma-joined); the value kind accepts
+    // them and every other kind rejects at create, where the kind is known
+    assert(Parser.parse("CREATE INDEX cq ON docs ['a','b'] USING value")
+      == CreateIndex("docs", "cq", "a,b", "value"))
+    intercept[ParseException](Parser.parse("CREATE INDEX nd ON docs []"))
+    assert(Parser.parse("REBUILD INDEX nd ON docs") == RebuildIndex("docs", "nd"))
   }
 
   test("MERGE ROWS forms (bulk upsert extension)") {
