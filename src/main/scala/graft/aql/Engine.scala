@@ -1362,62 +1362,66 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     // access-path choice, mirroring the reference's Strict-then-Range
     // order (query_conditions.rs:541): an equality / literal-IN-list
     // probe first, else a range conjunction over one indexed column's
-    // >,>=,<,<= atoms
-    val eqHit = if (compositeHit.isDefined) None else w.atoms.iterator.flatMap { c =>
+    // >,>=,<,<= atoms. The composite hit does NOT suppress single-column
+    // probes — a different indexed atom (a unique user_id next to a
+    // coarse (lang, band)) can be the more selective path, so both are
+    // candidates and stats arbitrate below.
+    val eqHit = w.atoms.iterator.flatMap { c =>
       if (!plainAtom(c) || (c.op != "=" && c.op != "==" && c.op != "IN LIST"))
         Iterator.empty
       else singleDefs.find(_.column.equalsIgnoreCase(c.column)).iterator
         .flatMap(idef => typedKeys(c).map(ks => (idef, ks)))
     }.take(1).toList.headOption
-    // composite cost skip: the expected tuple group is N / Π ndv_i
-    // (per-column avgs composed under independence — the textbook
-    // multi-column selectivity estimate); if the composite probe is
-    // already unselective, any single-column probe over the same atoms
-    // is strictly worse, so the whole index path yields to the scan
-    val compositeSkip = compositeHit.flatMap { case (idef, tuples) =>
-      val avgs = idef.valueColumns.map(c =>
-        graft.catalog.Stats.avgGroupSize(catalog, cname, c))
-      graft.catalog.Stats.rowCount(catalog, cname).filter(_ > 0).flatMap { n =>
-        if (avgs.forall(_.isDefined)) {
-          val combined = avgs.flatten.product / math.pow(n.toDouble, avgs.size - 1)
-          if (combined * tuples.length > IndexProbeCap)
-            Some((idef, tuples.length, combined))
+    // one probe plan per hit: (def, narration, stats estimate of expected
+    // candidates — None without ANALYZE stats, lazy lookup DataFrame).
+    // Composite estimate: tuples × N / Π ndv_i (per-column avgs composed
+    // under independence, the textbook multi-column selectivity);
+    // single: keys × avg rows-per-value.
+    case class ProbePlan(idef: graft.catalog.Index.Def, how: String,
+        estimate: Option[Double], lookup: () => DataFrame)
+    val compositePlan = compositeHit.map { case (idef, tuples) =>
+      val est = graft.catalog.Stats.rowCount(catalog, cname).filter(_ > 0)
+        .flatMap { n =>
+          val avgs = idef.valueColumns.map(c =>
+            graft.catalog.Stats.avgGroupSize(catalog, cname, c))
+          if (avgs.forall(_.isDefined))
+            Some(tuples.length *
+              avgs.flatten.product / math.pow(n.toDouble, avgs.size - 1))
           else None
-        } else None
-      }
+        }
+      ProbePlan(idef, s"composite equality, ${tuples.length} tuple(s)", est,
+        () => graft.catalog.Index.valueLookupComposite(
+          catalog, cname, idef, tuples, s.atVersion))
     }
-    compositeSkip.foreach { case (idef, nt, g) =>
-      note(f"index '${idef.ix}' composite probe on ${idef.column} skipped: " +
-        f"stats estimate $g%.1f rows/tuple x $nt tuple(s) exceeds " +
-        s"index_probe_cap $IndexProbeCap — plain scan")
+    val singlePlan = eqHit.map { case (idef, ks) =>
+      ProbePlan(idef, s"${ks.distinct.length} literal key(s)",
+        graft.catalog.Stats.avgGroupSize(catalog, cname, idef.column)
+          .map(_ * ks.distinct.length),
+        () => graft.catalog.Index.valueLookup(catalog, cname, idef, ks, s.atVersion))
     }
-    if (compositeSkip.isDefined) return base
-    // cost-based skip (ANALYZE stats): when the persisted stats say the
-    // probe's expected candidates (keys × average rows-per-value) already
-    // exceed the probe cap, the probe job could only confirm
-    // unselectivity — go straight to the scan. Correctness-neutral either
-    // way (both paths return the same rows); without stats the probe
-    // itself is the decider, as ever.
-    val statsSkip = eqHit.flatMap { case (idef, ks) =>
-      graft.catalog.Stats.avgGroupSize(catalog, cname, idef.column)
-        .filter(_ * ks.distinct.length > IndexProbeCap)
-        .map(g => (idef, ks.distinct.length, g))
+    // cost-based arbitration (ANALYZE stats): probes whose estimated
+    // candidates already exceed the probe cap are skipped (the probe job
+    // could only confirm unselectivity — narrated); among the viable,
+    // both-priced picks the smaller estimate, otherwise the composite
+    // leads (every component bound ⇒ more constrained than the same
+    // atoms' single probe). Correctness-neutral throughout — every path
+    // returns the same rows; without stats the probe itself decides.
+    val plans = compositePlan.toList ++ singlePlan.toList
+    val (skipped, viable) = plans.partition(_.estimate.exists(_ > IndexProbeCap))
+    skipped.foreach { p =>
+      note(f"index '${p.idef.ix}' probe on ${p.idef.column} (${p.how}) skipped: " +
+        f"stats estimate ${p.estimate.get}%.1f candidate(s) exceeds " +
+        s"index_probe_cap $IndexProbeCap — " +
+        (if (viable.isEmpty) "plain scan" else "other probe"))
     }
-    statsSkip.foreach { case (idef, nk, g) =>
-      note(f"index '${idef.ix}' probe on ${idef.column} skipped: stats " +
-        f"estimate $g%.1f rows/value x $nk key(s) exceeds " +
-        s"index_probe_cap $IndexProbeCap — plain scan")
-    }
-    if (statsSkip.isDefined) return base
+    val chosenEq: Option[ProbePlan] =
+      if (viable.size > 1 && viable.forall(_.estimate.isDefined))
+        Some(viable.minBy(_.estimate.get))
+      else viable.headOption
     val candidates: Option[(graft.catalog.Index.Def, String, DataFrame)] =
-      compositeHit match {
-      case Some((idef, tuples)) =>
-        Some((idef, s"composite equality, ${tuples.length} tuple(s)",
-          graft.catalog.Index.valueLookupComposite(
-            catalog, cname, idef, tuples, s.atVersion)))
-      case None => eqHit match {
-      case Some((idef, keys)) => Some((idef, s"${keys.distinct.length} literal key(s)",
-        graft.catalog.Index.valueLookup(catalog, cname, idef, keys, s.atVersion)))
+      chosenEq match {
+      case Some(p) => Some((p.idef, p.how, p.lookup()))
+      case None if plans.nonEmpty => None // every eq probe stats-skipped
       case None =>
         val rangeOps = Set(">", ">=", "<", "<=")
         singleDefs.iterator.map { idef =>
@@ -1437,7 +1441,6 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           (idef, s"range over ${bounds.length} bound(s)",
             graft.catalog.Index.valueRangeLookup(catalog, cname, idef, pred, s.atVersion))
         }
-      }
     }
     candidates match {
       case Some((idef, how, cand)) =>
@@ -1535,7 +1538,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     // against the as-written execution, and bailing to written order on
     // ANY doubt (virtual side, missing stats, unplaceable condition)
     // keeps every existing error message and plan reachable.
-    val orderedJoins: List[Ast.JoinSpec] = {
+    val orderedJoins: List[(Ast.JoinSpec, DataFrame)] = {
       def bare(q: String) = q.split("\\.", 2) match {
         case Array(_, c) if q.contains(".") => c
         case _ => q
@@ -1544,69 +1547,77 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         case Array(p, _) if q.contains(".") => Some(p)
         case _ => None
       }
-      val rights = s.joins.map(j => j.container match {
-        case Ast.Container.Real(n) => Some((j, n, containerDf(j.container, s.atVersion)))
+      def realName(c: Ast.Container): Option[String] = c match {
+        case Ast.Container.Real(n) => Some(n)
         case _ => None
-      })
-      lazy val priced = rights.flatten.map { case (j, n, df) =>
-        // the right-side key name is position-independent: whichever ON
-        // side binds in the joined container (respecting a qualifier)
-        val rc = Seq(j.right, j.left)
-          .filter(q => qualOf(q).forall(_.equalsIgnoreCase(n)))
-          .flatMap(q => df.columns.find(_.equalsIgnoreCase(bare(q)))).headOption
-        (j, n, rc.flatMap(k => pricedBytes(n, df.columns.toIndexedSeq, k)),
-          df.columns.map(_.toLowerCase).toSet)
       }
+      // cheap bails BEFORE any per-side work; each right-side DataFrame
+      // builds exactly ONCE either way (the execution loop below reuses
+      // these — no second overlay/plan construction per joined container)
+      def asWritten = s.joins.map(j => j -> containerDf(j.container, s.atVersion))
       if (s.joins.length < 2 || s.joins.exists(_.joinType != "inner") ||
-          rights.exists(_.isEmpty) || priced.exists(_._3.isEmpty)) s.joins
+          s.joins.exists(j => realName(j.container).isEmpty)) asWritten
       else {
-        var avail = parts.head.columns.map(_.toLowerCase).toSet
-        var quals = s.containers.collect {
-          case Ast.Container.Real(n) => n.toLowerCase }.toSet
-        val pending = scala.collection.mutable.ListBuffer.from(
-          priced.map { case (j, n, p, cols) => (j, n, p.get, cols) })
-        val out = List.newBuilder[Ast.JoinSpec]
-        var stuck = false
-        while (pending.nonEmpty && !stuck) {
-          // mirror of resolveJoinSides.bind over column SETS: (binds in
-          // accumulated set, binds in candidate right container)
-          def bindsNow(cols: Set[String], rn: String, q: String): (Boolean, Boolean) =
-            qualOf(q) match {
-              case Some(p) if p.equalsIgnoreCase(rn) =>
-                (false, cols.contains(bare(q).toLowerCase))
-              case Some(p) if quals.contains(p.toLowerCase) =>
-                (avail.contains(bare(q).toLowerCase), false)
-              case Some(_) => (false, false) // a later container's qual — not yet
-              case None => (avail.contains(q.toLowerCase), cols.contains(q.toLowerCase))
+        val rights = s.joins.map(j =>
+          (j, realName(j.container).get, containerDf(j.container, s.atVersion)))
+        val priced = rights.map { case (j, n, df) =>
+          // the right-side key name is position-independent: whichever ON
+          // side binds in the joined container (respecting a qualifier)
+          val rc = Seq(j.right, j.left)
+            .filter(q => qualOf(q).forall(_.equalsIgnoreCase(n)))
+            .flatMap(q => df.columns.find(_.equalsIgnoreCase(bare(q)))).headOption
+          (j, n, df, rc.flatMap(k => pricedBytes(n, df.columns.toIndexedSeq, k)),
+            df.columns.map(_.toLowerCase).toSet)
+        }
+        if (priced.exists(_._4.isEmpty)) rights.map(t => t._1 -> t._3)
+        else {
+          var avail = parts.head.columns.map(_.toLowerCase).toSet
+          var quals = s.containers.collect {
+            case Ast.Container.Real(n) => n.toLowerCase }.toSet
+          val pending = scala.collection.mutable.ListBuffer.from(
+            priced.map { case (j, n, df, p, cols) => (j, n, df, p.get, cols) })
+          val out = List.newBuilder[(Ast.JoinSpec, DataFrame)]
+          var stuck = false
+          while (pending.nonEmpty && !stuck) {
+            // mirror of resolveJoinSides.bind over column SETS: (binds in
+            // accumulated set, binds in candidate right container)
+            def bindsNow(cols: Set[String], rn: String, q: String): (Boolean, Boolean) =
+              qualOf(q) match {
+                case Some(p) if p.equalsIgnoreCase(rn) =>
+                  (false, cols.contains(bare(q).toLowerCase))
+                case Some(p) if quals.contains(p.toLowerCase) =>
+                  (avail.contains(bare(q).toLowerCase), false)
+                case Some(_) => (false, false) // a later container's qual — not yet
+                case None => (avail.contains(q.toLowerCase), cols.contains(q.toLowerCase))
+              }
+            val cand = pending.filter { case (j, rn, _, _, cols) =>
+              val (ll, lr) = bindsNow(cols, rn, j.left)
+              val (rl, rr) = bindsNow(cols, rn, j.right)
+              (ll && rr) || (lr && rl) // either written orientation, like the binder
             }
-          val cand = pending.filter { case (j, rn, _, cols) =>
-            val (ll, lr) = bindsNow(cols, rn, j.left)
-            val (rl, rr) = bindsNow(cols, rn, j.right)
-            (ll && rr) || (lr && rl) // either written orientation, like the binder
+            if (cand.isEmpty) stuck = true
+            else {
+              val pick = cand.minBy(_._4) // stable: written order breaks price ties
+              out += (pick._1 -> pick._3)
+              avail ++= pick._5
+              quals += pick._2.toLowerCase
+              pending -= pick
+            }
           }
-          if (cand.isEmpty) stuck = true
-          else {
-            val pick = cand.minBy(_._3) // stable: written order breaks price ties
-            out += pick._1
-            avail ++= pick._4
-            quals += pick._2.toLowerCase
-            pending -= pick
+          val order = if (stuck) rights.map(t => t._1 -> t._3) else out.result()
+          if (order.map(_._1) != s.joins) {
+            val prices = priced.map(t => t._2 -> t._4.get).toMap
+            def show(js: Seq[Ast.JoinSpec]) = js.map(_.container)
+              .collect { case Ast.Container.Real(n) => s"$n(${prices(n)}B)" }
+              .mkString(" -> ")
+            note(s"join chain reordered from stats: ${show(order.map(_._1))} " +
+              s"(smallest priced build first; as written: ${show(s.joins)})")
           }
+          order
         }
-        val order = if (stuck) s.joins else out.result()
-        if (order != s.joins) {
-          val prices = priced.map(t => t._2 -> t._3.get).toMap
-          def show(js: List[Ast.JoinSpec]) = js.map(_.container)
-            .collect { case Ast.Container.Real(n) => s"$n(${prices(n)}B)" }
-            .mkString(" -> ")
-          note(s"join chain reordered from stats: ${show(order)} " +
-            s"(smallest priced build first; as written: ${show(s.joins)})")
-        }
-        order
       }
     }
-    for (j <- orderedJoins) {
-      val right = containerDf(j.container, s.atVersion)
+    for ((j, right) <- orderedJoins) {
       val rightName = j.container match {
         case Ast.Container.Real(n) => Some(n)
         case _ => None

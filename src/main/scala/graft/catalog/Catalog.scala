@@ -1365,6 +1365,12 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     require(consumerId.nonEmpty && consumerId.forall(ch =>
       ch.isLetterOrDigit || ch == '.' || ch == '_' || ch == '-'),
       s"consumer id '$consumerId' must match [A-Za-z0-9._-]+")
+    // ".tmp-" names are how registeredTails spots in-flight reset staging
+    // files — a consumer id containing it would be registered but
+    // invisible to the retention floor, the exact silent loss the
+    // registry exists to prevent
+    require(!consumerId.contains(".tmp-"),
+      s"consumer id '$consumerId' must not contain '.tmp-' (reserved for staging)")
     Files.createDirectories(tailsDir(name))
     val p = tailsDir(name).resolve(consumerId)
     if (!Files.exists(p)) Files.writeString(p, "0")
@@ -1372,12 +1378,12 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
   }
 
   /** Withdraw a consumer from retention protection. The registry file IS
-    * a registered tail's checkpoint, so a [[ChangeTail]] still holding
-    * this registration re-seeds from scratch on its next poll (full
-    * replay as inserts — the documented recovery for any consumer whose
-    * window is gone); that is the explicit-forget contract, distinct
-    * from the loud error an UNREGISTERED tail gets when vacuum outruns
-    * it without the user asking. */
+    * a registered tail's checkpoint, so a LIVE [[ChangeTail]] still
+    * holding this registration errors loudly on its next poll (its
+    * in-memory floor catches the vanished checkpoint — silently replaying
+    * history into a sink that already consumed it is the failure the
+    * registry exists to prevent); constructing a fresh tail is the
+    * explicit re-seed path (full replay as inserts). */
   def unregisterTail(name: String, consumerId: String): Unit =
     Files.deleteIfExists(tailsDir(name).resolve(consumerId))
 

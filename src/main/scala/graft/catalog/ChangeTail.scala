@@ -26,9 +26,28 @@ import java.nio.file.{Files, Path, StandardCopyOption}
   */
 final class ChangeTail(cat: Catalog, container: String, checkpoint: Path) {
 
+  /** Highest checkpoint THIS INSTANCE has observed — the in-memory floor
+    * that catches a checkpoint vanishing (or rewinding) under a live
+    * tail: the container was dropped, or a registered consumer was
+    * unregistered out from under it. Silently reading 0 there would
+    * replay the whole history as inserts into a sink that already
+    * consumed it (and, for a registered tail, crash only AFTER the
+    * side effects when `reset` finds its directory gone). */
+  @volatile private var observed: Int = 0
+
   /** Highest version already delivered (0 = nothing yet). */
-  def lastDelivered: Int =
-    if (Files.exists(checkpoint)) Files.readString(checkpoint).trim.toInt else 0
+  def lastDelivered: Int = {
+    val v = if (Files.exists(checkpoint)) Files.readString(checkpoint).trim.toInt else 0
+    if (v < observed)
+      throw new IllegalStateException(
+        s"ChangeTail $container: checkpoint ${checkpoint.getFileName} " +
+          s"reads $v but this tail already delivered through $observed — " +
+          "the checkpoint vanished or rewound under a live consumer " +
+          "(container dropped, or the consumer unregistered). Construct a " +
+          "fresh tail to re-seed from scratch.")
+    observed = v
+    v
+  }
 
   /** One poll: if the container advanced past [[lastDelivered]], hand the
     * callback the net change feed for the whole outstanding window plus
@@ -68,6 +87,10 @@ final class ChangeTail(cat: Catalog, container: String, checkpoint: Path) {
     Files.writeString(tmp, v.toString)
     Files.move(tmp, checkpoint, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // an EXPLICIT reposition through the API moves the in-memory floor
+    // with it (backward included — re-seeding callers own that choice);
+    // only out-of-band checkpoint loss stays a loud error
+    observed = v
   }
 
   /** Poll until `until` returns true, sleeping `pollMs` between empty

@@ -277,34 +277,41 @@ object Index {
   private def trainCentroids(cat: Catalog, container: String, column: String,
       k: Int = 8, iters: Int = 5): Seq[(Int, Array[Float])] = {
     val d = cat.get(container)
+    // cache the unpacked vectors for the whole training run: the seed
+    // collect plus every round's assignment re-reads them, and repeating
+    // the scan + per-row float32 unpack ~2×iters times would dominate
+    // the rebuild at corpus scale
     val vecs = cat.read(container)
       .select(col(d.primaryKey).as("id"),
         graft.functions.Float32Unpack.float32Unpack(col(column)).as("emb"))
       .filter(col("emb").isNotNull)
-    var cents: Seq[(Int, Array[Float])] = vecs.orderBy(col("id")).limit(k)
-      .select(col("emb")).collect().toSeq.zipWithIndex
-      .map { case (r, i) => i -> r.getSeq[Float](0).toArray }
-    require(cents.nonEmpty, s"ivf rebuild on '$container': no decodable vectors")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("id")).orderBy(col("d2"), col("sid"))
-    for (_ <- 1 to iters) {
-      val assigned = vecs
-        .crossJoin(broadcast(centroidDf(cat, cents)))
-        .withColumn("d2", round(graft.operators.Similarity.d2(col("emb"), col("semb")), 6))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("sid").as("cluster"), col("emb"))
-      val means = assigned
-        .select(col("cluster"), posexplode(col("emb")).as(Seq("pos", "f")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(avg(col("f").cast("double")).as("m"))
-        .collect() // ≤ k×dims rows — bounded driver metadata
-        .groupBy(_.getInt(0)).map { case (c, rows) =>
-          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
-        }
-      cents = cents.map { case (sid, prev) => sid -> means.getOrElse(sid, prev) }
-    }
-    cents
+      .persist()
+    try {
+      var cents: Seq[(Int, Array[Float])] = vecs.orderBy(col("id")).limit(k)
+        .select(col("emb")).collect().toSeq.zipWithIndex
+        .map { case (r, i) => i -> r.getSeq[Float](0).toArray }
+      require(cents.nonEmpty, s"ivf rebuild on '$container': no decodable vectors")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("id")).orderBy(col("d2"), col("sid"))
+      for (_ <- 1 to iters) {
+        val assigned = vecs
+          .crossJoin(broadcast(centroidDf(cat, cents)))
+          .withColumn("d2", round(graft.operators.Similarity.d2(col("emb"), col("semb")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("sid").as("cluster"), col("emb"))
+        val means = assigned
+          .select(col("cluster"), posexplode(col("emb")).as(Seq("pos", "f")))
+          .groupBy(col("cluster"), col("pos"))
+          .agg(avg(col("f").cast("double")).as("m"))
+          .collect() // ≤ k×dims rows — bounded driver metadata
+          .groupBy(_.getInt(0)).map { case (c, rows) =>
+            c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+          }
+        cents = cents.map { case (sid, prev) => sid -> means.getOrElse(sid, prev) }
+      }
+      cents
+    } finally vecs.unpersist(blocking = false)
   }
 
   def drop(cat: Catalog, container: String, ix: String): Unit = {

@@ -181,16 +181,20 @@ class ChangeTailSpec extends AnyFunSuite {
     cat.unregisterTail("c", "sink")
     cat.vacuum("c", keepLast = 1) // no floor left: v1/v2 drop
     assert(cat.versions("c") == Seq(3))
-    // the registry file WAS the tail's checkpoint: explicit unregister
-    // means forget-this-consumer, so the tail re-seeds from scratch
-    assert(tail.lastDelivered == 0)
+    // the registry file WAS the live tail's checkpoint: its vanishing is
+    // a LOUD error (a silent 0 would replay history into a sink that
+    // already consumed it), and a FRESH tail is the re-seed path
+    val gone = intercept[IllegalStateException](tail.pollOnce((_, _, _) => ()))
+    assert(gone.getMessage.contains("vanished"), gone.getMessage)
+    val fresh = ChangeTail.registered(cat, "c", "sink")
     var reseeded = Set.empty[(Int, String)]
-    tail.pollOnce((df, from, _) => {
+    fresh.pollOnce((df, from, _) => {
       assert(from == 0)
       reseeded = df.collect().map(r => (r.getInt(0), r.getString(1))).toSet
     })
     assert(reseeded == Set(1 -> "a", 2 -> "b", 3 -> "x"),
-      "re-seed must replay the full snapshot as inserts")
+      "a fresh tail must replay the full snapshot as inserts")
+    cat.unregisterTail("c", "sink")
     // bad ids never reach the filesystem
     intercept[IllegalArgumentException](cat.registerTail("c", "../escape"))
     intercept[IllegalArgumentException](cat.registerTail("nope", "sink"))

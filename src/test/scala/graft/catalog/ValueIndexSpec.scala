@@ -188,22 +188,39 @@ class ValueIndexSpec extends AnyFunSuite {
       dir.resolve(graft.catalog.Settings.FileName), "index_probe_cap: 4\n")
     val eng = new graft.aql.Engine(spark, dir.toString)
     import spark.implicits._
-    eng.execute("CREATE CONTAINER cs ['id','a','b'] [BIGINT, TEXT, BIGINT]")
-    // 2×2 tuple domain over 64 rows: ~16 rows/tuple > cap 4
+    eng.execute("CREATE CONTAINER cs ['id','a','b','u'] [BIGINT, TEXT, BIGINT, BIGINT]")
+    // 2×2 tuple domain over 64 rows: ~16 rows/tuple > cap 4; u is unique
     eng.catalog.overwrite("cs", (0L until 64L)
-      .map(i => (i, s"a${i % 2}", i % 2)).toDF("id", "a", "b"))
+      .map(i => (i, s"a${i % 2}", i % 2, i + 1000L)).toDF("id", "a", "b", "u"))
     eng.execute("CREATE INDEX ct ON cs ['a','b'] USING value")
     eng.orderedResult(eng.execute("ANALYZE CONTAINER cs")
       .asInstanceOf[graft.aql.Engine.ResultSet].cursorId).get.collect()
-    val p = eng.execute("EXPLAIN SEARCH [id] ON cs WHERE a = 'a1' AND b = 1")
+    def planOf(aql: String) = eng.execute(s"EXPLAIN $aql")
       .asInstanceOf[graft.aql.Engine.Done].message
-    assert(p.contains("composite probe") && p.contains("skipped"),
+    def rows(aql: String) = eng.orderedResult(eng.execute(aql)
+      .asInstanceOf[graft.aql.Engine.ResultSet].cursorId).get
+      .collect().map(_.getLong(0)).toSet
+    val p = planOf("SEARCH [id] ON cs WHERE a = 'a1' AND b = 1")
+    assert(p.contains("composite equality") && p.contains("skipped"),
       s"unselective composite estimate must skip with narration:\n$p")
     // correctness unaffected
-    assert(eng.orderedResult(eng.execute("SEARCH [id] ON cs WHERE a = 'a1' AND b = 1")
-      .asInstanceOf[graft.aql.Engine.ResultSet].cursorId).get
-      .collect().map(_.getLong(0)).toSet ==
+    assert(rows("SEARCH [id] ON cs WHERE a = 'a1' AND b = 1") ==
       (0L until 64L).filter(_ % 2 == 1).toSet)
+    // a SELECTIVE single-column index on a different atom must not be
+    // suppressed by the coarse composite hit: stats arbitrate, the
+    // skipped composite defers to the other probe
+    eng.execute("CREATE INDEX cu ON cs ['u'] USING value")
+    eng.orderedResult(eng.execute("ANALYZE CONTAINER cs")
+      .asInstanceOf[graft.aql.Engine.ResultSet].cursorId).get.collect()
+    val p2 = planOf("SEARCH [id] ON cs WHERE a = 'a1' AND b = 1 AND u = 1009")
+    assert(p2.contains("composite equality") && p2.contains("other probe"),
+      s"the skipped composite must defer to the selective probe:\n$p2")
+    assert(p2.contains("index 'cu'") && p2.contains("served"),
+      s"the unique-column probe must serve:\n$p2")
+    assert(rows("SEARCH [id] ON cs WHERE a = 'a1' AND b = 1 AND u = 1009") == Set(9L))
+    // both priced and viable: the smaller estimate wins (u over composite)
+    val p3 = planOf("SEARCH [id] ON cs WHERE a = 'a1' AND b = 1 AND u IN [1009, 1011]")
+    assert(p3.contains("index 'cu'"), s"cheaper probe must win arbitration:\n$p3")
   }
 
   test("commit maintains the index: inserts appear, edits re-derive, no rebuild") {
