@@ -120,6 +120,10 @@ object Ast {
     * the persisted stats as a metadata read. */
   final case class Analyze(name: String) extends Stmt
   final case class ShowStats(name: String) extends Stmt
+  /** graft extension: `SHOW TAILS c` — the container's registered CDC
+    * consumers with checkpoint and lag (the retention-floor registry,
+    * [[graft.catalog.Catalog.registerTail]]). */
+  final case class ShowTails(name: String) extends Stmt
   /** graft extensions: corpus interchange. EXPORT writes the container's
     * session view to a NEW directory in the given format (errors if the
     * path exists — never silently overwrites); IMPORT reads files under
@@ -864,6 +868,9 @@ object Parser {
       Analyze(name(nameTok))
     case Keyword("SHOW") :: Str(w) :: cTok :: Nil if w.equalsIgnoreCase("STATS") =>
       ShowStats(name(cTok))
+    // SHOW TAILS c (graft extension) — TAILS is not reserved, like STATS
+    case Keyword("SHOW") :: Str(w) :: cTok :: Nil if w.equalsIgnoreCase("TAILS") =>
+      ShowTails(name(cTok))
 
     // RESTORE CONTAINER c TO VERSION n (graft extension)
     case Keyword("RESTORE") :: Keyword("CONTAINER") :: nameTok :: rest =>

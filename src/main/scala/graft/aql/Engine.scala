@@ -594,7 +594,9 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       val types = d.columns.map(_._2.name).mkString("[", ", ", "]")
       val ddl = s"CREATE CONTAINER $c $cols $types" +:
         catalog.indexDefs(c).map(ix =>
-          s"CREATE INDEX ${ix.ix} ON $c ['${ix.column}'] USING ${ix.kind}")
+          s"CREATE INDEX ${ix.ix} ON $c " +
+            ix.valueColumns.map(cc => s"'$cc'").mkString("[", ", ", "]") +
+            s" USING ${ix.kind}")
       resultSet(metaDf(Seq("ordinal" -> "INT", "ddl" -> "TEXT"),
         ddl.zipWithIndex.map { case (s2, i) => Row(i + 1, s2) }),
         needsDefaultSort = true)
@@ -626,6 +628,22 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         throw new ParseException(
           s"No statistics for '$c' — run ANALYZE CONTAINER $c first")),
         needsDefaultSort = true)
+
+    case Ast.ShowTails(c) =>
+      // registered-CDC-consumer observability, the SHOW VIEWS twin:
+      // which external consumers floor this container's vacuum
+      // retention, and how far each lags the current version (an
+      // unreadable checkpoint shows NULL — vacuum treats it as
+      // keep-everything until repaired or unregistered)
+      catalog.get(c)
+      val cur = catalog.currentVersion(c)
+      resultSet(metaDf(
+        Seq("consumer" -> "TEXT", "checkpoint" -> "INT",
+          "src_version" -> "INT", "behind" -> "INT"),
+        catalog.registeredTails(c).toSeq.sortBy(_._1).map { case (id, v) =>
+          Row(id, v.map(Int.box).orNull, cur,
+            v.map(x => Int.box(math.max(0, cur - x))).orNull)
+        }, nullable = true), needsDefaultSort = true)
 
     case Ast.Commit(c) => tx.commit(c); Done("committed")
     case Ast.Rollback(c) => tx.rollback(c); Done("rolled back")
@@ -859,12 +877,15 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
 
   /** Local relation for catalog-introspection results: bounded metadata
     * (names, schema lines, version numbers), never data. */
-  private def metaDf(cols: Seq[(String, String)], rows: Seq[Row]): DataFrame =
+  // `nullable = false` would let codegen read garbage from a null cell,
+  // so relations that legitimately carry NULLs (SHOW TAILS' unreadable
+  // checkpoint) must opt in
+  private def metaDf(cols: Seq[(String, String)], rows: Seq[Row],
+      nullable: Boolean = false): DataFrame =
     spark.createDataFrame(
       new java.util.ArrayList[Row](rows.asJava),
       org.apache.spark.sql.types.StructType(cols.map { case (n, t) =>
-        org.apache.spark.sql.types.StructField(n, AlbaType.of(t).spark,
-          nullable = false)
+        org.apache.spark.sql.types.StructField(n, AlbaType.of(t).spark, nullable)
       }))
 
   private def pageOf(id: String, delta: Int): Page = {

@@ -1393,4 +1393,53 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // distinct columns keep working — the limitation is per fn×column
     assert(searchRows("SEARCH [id, substr(name 1 2)] ON people").nonEmpty)
   }
+
+  test("40 approx_distinct aggregate: coupon-exact estimates; typed and arity rejects") {
+    eng.execute("CREATE CONTAINER adx ['id','g','v','f'] [BIGINT, TEXT, BIGINT, FLOAT]")
+    // duplicated values well under the HLL coupon-mode promotion, so the
+    // DataSketches estimate is EXACT and the pin can be equality
+    (1 to 40).foreach(i => eng.execute(
+      s"CREATE ROW ['id','g','v','f'] [$i, '${if (i % 2 == 0) "a" else "b"}', " +
+        s"${i % 9}, 1.5] ON adx"))
+    eng.execute("COMMIT adx")
+    val rows = searchRows("SEARCH [g, approx_distinct(v)] ON adx")
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // g=a: even i → i%9 over 2,4,6,8,0,1,3,5,7 = 9 distinct; g=b: odd i
+    assert(rows == Map("a" -> 9L, "b" -> 9L), s"got $rows")
+    // global (no keys) form composes with other aggregates
+    val g = searchRows("SEARCH [count(id), approx_distinct(g)] ON adx").head
+    assert(g.getLong(0) == 40L && g.getLong(1) == 2L)
+    // FLOAT columns are a clean reject (the sketch hashes int/long/
+    // string/binary), as are arithmetic arguments
+    val e1 = intercept[ParseException](
+      eng.execute("SEARCH [g, approx_distinct(f)] ON adx"))
+    assert(e1.getMessage.contains("INT/BIGINT/TEXT/BYTES"), e1.getMessage)
+    val e2 = intercept[ParseException](
+      eng.execute("SEARCH [g, approx_distinct(v + 1)] ON adx"))
+    assert(e2.getMessage.contains("plain column"), e2.getMessage)
+    eng.execute("DELETE CONTAINER adx")
+  }
+
+  test("41 SHOW TAILS lists registered CDC consumers with lag; TAILS stays unreserved") {
+    eng.execute("CREATE CONTAINER tl ['id'] [BIGINT]")
+    eng.execute("CREATE ROW ['id'] [1] ON tl"); eng.execute("COMMIT tl") // v1
+    val tail = graft.catalog.ChangeTail.registered(eng.catalog, "tl", "sink-a")
+    tail.pollOnce((_, _, _) => ())
+    eng.execute("CREATE ROW ['id'] [2] ON tl"); eng.execute("COMMIT tl") // v2
+    val rows = searchRows("SHOW TAILS tl")
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(rows == Seq(("sink-a", 1, 2, 1)), s"got $rows")
+    // a corrupt checkpoint surfaces as NULL (vacuum: keep-everything)
+    java.nio.file.Files.writeString(
+      eng.catalog.registerTail("tl", "sink-b"), "9x")
+    val byId = searchRows("SHOW TAILS tl").map(r => r.getString(0) -> r).toMap
+    assert(byId("sink-b").isNullAt(1) && byId("sink-b").isNullAt(3))
+    assert(byId("sink-a").getInt(1) == 1)
+    // TAILS stays a usable identifier (not reserved)
+    eng.execute("CREATE CONTAINER tails ['id'] [BIGINT]")
+    eng.execute("DELETE CONTAINER tails")
+    eng.catalog.unregisterTail("tl", "sink-a")
+    eng.catalog.unregisterTail("tl", "sink-b")
+    eng.execute("DELETE CONTAINER tl")
+  }
 }
