@@ -1364,22 +1364,28 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     def eqAtomFor(cn: String): Option[Ast.Cond] = w.atoms.find(c =>
       plainAtom(c) && (c.op == "=" || c.op == "==" || c.op == "IN LIST") &&
         cn.equalsIgnoreCase(c.column))
-    // COMPOSITE probe first: it only fires when the AND-chain carries a
-    // typed equality / IN literal for EVERY component, which makes it at
-    // least as selective as any single-column probe over the same atoms.
-    // IN lists expand to a bounded tuple cross-product (probe lists are
+    // COMPOSITE probe: fires on the longest LEFTMOST PREFIX of the
+    // index's components carrying typed equality / IN literals (the
+    // classic leftmost-prefix rule — the leader-first sort means a
+    // bound prefix is still a contiguous, stat-prunable slice; a
+    // non-leader-only bind can't prune and falls through). IN lists
+    // expand to a bounded tuple cross-product (probe lists are
     // metadata, never data) — oversize products defer to the scan.
+    // Among composite defs the longest bound prefix wins.
     val compositeHit: Option[(graft.catalog.Index.Def, Seq[Seq[Any]])] =
-      compositeDefs.iterator.flatMap { idef =>
-        val comps = idef.valueColumns.map(cn => eqAtomFor(cn).flatMap(typedKeys))
-        if (comps.forall(_.isDefined)) {
-          val lists = comps.map(_.get.distinct)
+      compositeDefs.flatMap { idef =>
+        val comps = idef.valueColumns.iterator
+          .map(cn => eqAtomFor(cn).flatMap(typedKeys))
+          .takeWhile(_.isDefined).map(_.get).toList
+        if (comps.isEmpty) None
+        else {
+          val lists = comps.map(_.distinct)
           if (lists.map(_.size.toLong).product <= 64L)
             Some((idef, lists.foldLeft(Seq(Seq.empty[Any]))((acc, l) =>
               acc.flatMap(t => l.map(t :+ _)))))
           else None
-        } else None
-      }.take(1).toList.headOption
+        }
+      }.sortBy(-_._2.headOption.map(_.size).getOrElse(0)).headOption
     // access-path choice, mirroring the reference's Strict-then-Range
     // order (query_conditions.rs:541): an equality / literal-IN-list
     // probe first, else a range conjunction over one indexed column's
@@ -1401,16 +1407,20 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     case class ProbePlan(idef: graft.catalog.Index.Def, how: String,
         estimate: Option[Double], lookup: () => DataFrame)
     val compositePlan = compositeHit.map { case (idef, tuples) =>
+      val k = tuples.head.size // bound prefix length (≤ component count)
       val est = graft.catalog.Stats.rowCount(catalog, cname).filter(_ > 0)
         .flatMap { n =>
-          val avgs = idef.valueColumns.map(c =>
+          val avgs = idef.valueColumns.take(k).map(c =>
             graft.catalog.Stats.avgGroupSize(catalog, cname, c))
           if (avgs.forall(_.isDefined))
             Some(tuples.length *
               avgs.flatten.product / math.pow(n.toDouble, avgs.size - 1))
           else None
         }
-      ProbePlan(idef, s"composite equality, ${tuples.length} tuple(s)", est,
+      val how =
+        if (k == idef.valueColumns.size) s"composite equality, ${tuples.length} tuple(s)"
+        else s"composite prefix $k/${idef.valueColumns.size}, ${tuples.length} tuple(s)"
+      ProbePlan(idef, how, est,
         () => graft.catalog.Index.valueLookupComposite(
           catalog, cname, idef, tuples, s.atVersion))
     }

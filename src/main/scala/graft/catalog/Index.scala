@@ -408,17 +408,21 @@ object Index {
   }
 
   /** Composite twin of [[valueLookup]]: candidate pks whose indexed
-    * column TUPLE equals one of `keyTuples` (each tuple in
-    * [[Def.valueColumns]] order) — the (lang, quality_band) curation
-    * probe. The conjunction pushes down on every component and the
-    * leader-sorted layout keeps the scan file/row-group pruned; probe
-    * cost ∝ the literal tuple list, never the corpus. */
+    * column tuple's LEFTMOST PREFIX equals one of `keyTuples` (each
+    * tuple in [[Def.valueColumns]] order; full-length tuples = exact
+    * tuple equality, shorter = the classic leftmost-prefix probe) — the
+    * (lang, quality_band) curation shape. The conjunction pushes down on
+    * every bound component and the leader-sorted layout keeps the scan
+    * file/row-group pruned; probe cost ∝ the literal tuple list, never
+    * the corpus. */
   def valueLookupComposite(cat: Catalog, container: String, idef: Def,
       keyTuples: Seq[Seq[Any]], at: Option[Int] = None): DataFrame = {
     require(idef.kind == "value", s"index '${idef.ix}' is not a value index")
     val names = idef.valNames
-    require(keyTuples.nonEmpty && keyTuples.forall(_.size == names.size),
-      s"index '${idef.ix}' probes ${names.size}-column tuples")
+    require(keyTuples.nonEmpty &&
+      keyTuples.forall(t => t.nonEmpty && t.size <= names.size) &&
+      keyTuples.map(_.size).distinct.size == 1,
+      s"index '${idef.ix}' probes uniform prefixes of ≤${names.size} columns")
     val pred = keyTuples.map(t =>
       names.zip(t).map { case (n, v) => col(n) === lit(v) }.reduce(_ && _))
       .reduce(_ || _)

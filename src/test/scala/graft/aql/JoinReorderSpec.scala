@@ -96,6 +96,33 @@ class JoinReorderSpec extends AnyFunSuite {
     assert(rows(eng, virtChain).nonEmpty)
   }
 
+  test("property: shuffled priced 4-chains stay row-identical to the Spark reference") {
+    val (eng, cat) = fixture("prop")
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    eng.execute("CREATE CONTAINER p1 ['k1','x1'] [BIGINT, BIGINT]")
+    eng.execute("CREATE CONTAINER p2 ['k2','x2'] [BIGINT, BIGINT]")
+    cat.overwrite("p1", (0L until 450L).map(i => (i * 2, i % 5)).toDF("k1", "x1"))
+    cat.overwrite("p2", (0L until 40L).map(i => (i * 7, i % 3)).toDF("k2", "x2"))
+    Seq("f", "mid", "dim", "p1", "p2").foreach(c =>
+      eng.execute(s"ANALYZE CONTAINER $c"))
+    val expected = cat.read("f").filter(col("v") < 9)
+      .join(cat.read("mid"), col("id") === col("mk"))
+      .join(cat.read("dim"), col("id") === col("dk"))
+      .join(cat.read("p1"), col("id") === col("k1"))
+      .join(cat.read("p2"), col("id") === col("k2"))
+      .select(col("id"), col("mval"), col("dname"), col("x1"), col("x2"))
+      .collect().map(_.toSeq.toVector: Seq[Any]).toSet
+    assert(expected.nonEmpty, "fixture must produce joined rows")
+    for (i <- 1 to 5) {
+      val joins = rng.shuffle(List("JOIN mid ON id = mk", "JOIN dim ON id = dk",
+        "JOIN p1 ON id = k1", "JOIN p2 ON id = k2"))
+      val q = "SEARCH [id, mval, dname, x1, x2] ON f " +
+        joins.mkString(" ") + " WHERE v < 9"
+      assert(rows(eng, q) == expected, s"permutation $i: ${joins.mkString(" ")}")
+    }
+  }
+
   test("reordered USING-style same-named keys stay row-identical") {
     val (eng, cat) = fixture("using")
     import spark.implicits._

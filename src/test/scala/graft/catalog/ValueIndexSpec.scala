@@ -155,11 +155,15 @@ class ValueIndexSpec extends AnyFunSuite {
     assert(planOf(qIn).contains("2 tuple(s)"), planOf(qIn))
     assert(rows(qIn) ==
       (0L until 60L).filter(i => (i % 4 == 1 || i % 4 == 2) && i % 3 == 2).toSet)
-    // missing a component ⇒ no composite serve (and no single index
-    // exists here) — plain scan, same rows
+    // the LEADER alone serves via the leftmost-prefix rule (a bound
+    // prefix is still a contiguous slice of the leader-sorted parts)
     val qHalf = "SEARCH [id] ON cx WHERE lang = 'l1'"
-    assert(!planOf(qHalf).contains("composite"), planOf(qHalf))
+    assert(planOf(qHalf).contains("composite prefix 1/2"), planOf(qHalf))
     assert(rows(qHalf) == (0L until 60L).filter(_ % 4 == 1).toSet)
+    // a NON-leader component alone cannot prefix-probe — plain scan
+    val qTail = "SEARCH [id] ON cx WHERE band = 1"
+    assert(!planOf(qTail).contains("composite"), planOf(qTail))
+    assert(rows(qTail) == (0L until 60L).filter(_ % 3 == 1).toSet)
     // commit maintenance: the new row is only findable through
     // maintained tuple candidates
     eng.execute("CREATE ROW ['id','lang','band'] [900, 'l1', 1] ON cx")
