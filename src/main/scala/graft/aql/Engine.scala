@@ -1372,7 +1372,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     // expand to a bounded tuple cross-product (probe lists are
     // metadata, never data) — oversize products defer to the scan.
     // Among composite defs the longest bound prefix wins.
-    val compositeHit: Option[(graft.catalog.Index.Def, Seq[Seq[Any]])] =
+    val rangeOps = Set(">", ">=", "<", "<=")
+    val compositeHit: Option[(graft.catalog.Index.Def, Seq[Seq[Any]], Seq[(String, Any)])] =
       compositeDefs.flatMap { idef =>
         val comps = idef.valueColumns.iterator
           .map(cn => eqAtomFor(cn).flatMap(typedKeys))
@@ -1380,12 +1381,20 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         if (comps.isEmpty) None
         else {
           val lists = comps.map(_.distinct)
+          // range bounds on the first UNBOUND component extend the probe
+          // (eq-prefix + range, the curation staple) — sorted within each
+          // prefix slice, so the bounds keep pruning
+          val trailing = idef.valueColumns.drop(comps.size).headOption.toSeq
+            .flatMap(nc => w.atoms.filter(c => plainAtom(c) &&
+              rangeOps(c.op) && nc.equalsIgnoreCase(c.column))
+              .flatMap(c => typedKey(c).map(k => (c.op, k))))
           if (lists.map(_.size.toLong).product <= 64L)
             Some((idef, lists.foldLeft(Seq(Seq.empty[Any]))((acc, l) =>
-              acc.flatMap(t => l.map(t :+ _)))))
+              acc.flatMap(t => l.map(t :+ _))), trailing))
           else None
         }
-      }.sortBy(-_._2.headOption.map(_.size).getOrElse(0)).headOption
+      }.sortBy(t => (-t._2.headOption.map(_.size).getOrElse(0), -t._3.size))
+        .headOption
     // access-path choice, mirroring the reference's Strict-then-Range
     // order (query_conditions.rs:541): an equality / literal-IN-list
     // probe first, else a range conjunction over one indexed column's
@@ -1406,8 +1415,10 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     // single: keys × avg rows-per-value.
     case class ProbePlan(idef: graft.catalog.Index.Def, how: String,
         estimate: Option[Double], lookup: () => DataFrame)
-    val compositePlan = compositeHit.map { case (idef, tuples) =>
+    val compositePlan = compositeHit.map { case (idef, tuples, trailing) =>
       val k = tuples.head.size // bound prefix length (≤ component count)
+      // estimate over the eq-bound prefix only — a trailing range can
+      // only NARROW the group, so the estimate stays a safe upper bound
       val est = graft.catalog.Stats.rowCount(catalog, cname).filter(_ > 0)
         .flatMap { n =>
           val avgs = idef.valueColumns.take(k).map(c =>
@@ -1417,12 +1428,16 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
               avgs.flatten.product / math.pow(n.toDouble, avgs.size - 1))
           else None
         }
+      val rangeTag =
+        if (trailing.isEmpty) ""
+        else s" + range(${trailing.length}) on ${idef.valueColumns(k)}"
       val how =
         if (k == idef.valueColumns.size) s"composite equality, ${tuples.length} tuple(s)"
-        else s"composite prefix $k/${idef.valueColumns.size}, ${tuples.length} tuple(s)"
+        else s"composite prefix $k/${idef.valueColumns.size}$rangeTag, " +
+          s"${tuples.length} tuple(s)"
       ProbePlan(idef, how, est,
         () => graft.catalog.Index.valueLookupComposite(
-          catalog, cname, idef, tuples, s.atVersion))
+          catalog, cname, idef, tuples, s.atVersion, trailing))
     }
     val singlePlan = eqHit.map { case (idef, ks) =>
       ProbePlan(idef, s"${ks.distinct.length} literal key(s)",

@@ -416,18 +416,35 @@ object Index {
     * file/row-group pruned; probe cost ∝ the literal tuple list, never
     * the corpus. */
   def valueLookupComposite(cat: Catalog, container: String, idef: Def,
-      keyTuples: Seq[Seq[Any]], at: Option[Int] = None): DataFrame = {
+      keyTuples: Seq[Seq[Any]], at: Option[Int] = None,
+      trailing: Seq[(String, Any)] = Nil): DataFrame = {
     require(idef.kind == "value", s"index '${idef.ix}' is not a value index")
     val names = idef.valNames
     require(keyTuples.nonEmpty &&
       keyTuples.forall(t => t.nonEmpty && t.size <= names.size) &&
       keyTuples.map(_.size).distinct.size == 1,
       s"index '${idef.ix}' probes uniform prefixes of ≤${names.size} columns")
+    val k = keyTuples.head.size
+    // `trailing` = range bounds on the FIRST UNBOUND component (the
+    // classic eq-prefix + range probe: lang = 'en' AND quality >= 0.8
+    // over a (lang, quality) index) — within each prefix slice the next
+    // component is sorted, so the bounds stay stat-prunable
+    require(trailing.isEmpty || k < names.size,
+      s"index '${idef.ix}': no component left for a trailing range")
     val pred = keyTuples.map(t =>
       names.zip(t).map { case (n, v) => col(n) === lit(v) }.reduce(_ && _))
       .reduce(_ || _)
+    val rangePred = trailing.map { case (op, v) =>
+      val c = col(names(k))
+      op match {
+        case ">" => c > v
+        case ">=" => c >= v
+        case "<" => c < v
+        case "<=" => c <= v
+      }
+    }.reduceOption(_ && _)
     read(cat, container, idef, at)
-      .filter(pred)
+      .filter(rangePred.map(pred && _).getOrElse(pred))
       .select(col("id")).distinct()
   }
 

@@ -164,6 +164,12 @@ class ValueIndexSpec extends AnyFunSuite {
     val qTail = "SEARCH [id] ON cx WHERE band = 1"
     assert(!planOf(qTail).contains("composite"), planOf(qTail))
     assert(rows(qTail) == (0L until 60L).filter(_ % 3 == 1).toSet)
+    // eq-prefix + trailing RANGE on the next component — the curation
+    // staple (lang bound, quality band ranged)
+    val qRange = "SEARCH [id] ON cx WHERE lang = 'l2' AND band >= 1"
+    assert(planOf(qRange).contains("composite prefix 1/2 + range(1) on band"),
+      planOf(qRange))
+    assert(rows(qRange) == (0L until 60L).filter(i => i % 4 == 2 && i % 3 >= 1).toSet)
     // commit maintenance: the new row is only findable through
     // maintained tuple candidates
     eng.execute("CREATE ROW ['id','lang','band'] [900, 'l1', 1] ON cx")
