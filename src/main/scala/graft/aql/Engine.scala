@@ -1448,17 +1448,27 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     // cost-based arbitration (ANALYZE stats): probes whose estimated
     // candidates already exceed the probe cap are skipped (the probe job
     // could only confirm unselectivity — narrated); among the viable,
-    // both-priced picks the smaller estimate, otherwise the composite
-    // leads (every component bound ⇒ more constrained than the same
-    // atoms' single probe). Correctness-neutral throughout — every path
-    // returns the same rows; without stats the probe itself decides.
-    val plans = compositePlan.toList ++ singlePlan.toList
+    // both-priced picks the smaller estimate. The unpriced preference
+    // order is constructed below: a FULL composite (every component
+    // bound) leads — provably at least as constrained as any single
+    // probe over the same atoms — but a PREFIX hit carries no such
+    // guarantee (a unique single column next to a coarse prefix must
+    // win), so the single probe leads there. A skipped/absent eq probe
+    // always falls through to the range path — a range index on a
+    // DIFFERENT column can still serve. Correctness-neutral throughout —
+    // every path returns the same rows; without stats the probe itself
+    // decides.
+    val compositeFull = compositeHit.exists { case (idef, tuples, _) =>
+      tuples.head.size == idef.valueColumns.size }
+    val plans =
+      if (compositeFull) compositePlan.toList ++ singlePlan.toList
+      else singlePlan.toList ++ compositePlan.toList
     val (skipped, viable) = plans.partition(_.estimate.exists(_ > IndexProbeCap))
     skipped.foreach { p =>
       note(f"index '${p.idef.ix}' probe on ${p.idef.column} (${p.how}) skipped: " +
         f"stats estimate ${p.estimate.get}%.1f candidate(s) exceeds " +
         s"index_probe_cap $IndexProbeCap — " +
-        (if (viable.isEmpty) "plain scan" else "other probe"))
+        (if (viable.isEmpty) "falling back" else "other probe"))
     }
     val chosenEq: Option[ProbePlan] =
       if (viable.size > 1 && viable.forall(_.estimate.isDefined))
@@ -1467,9 +1477,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     val candidates: Option[(graft.catalog.Index.Def, String, DataFrame)] =
       chosenEq match {
       case Some(p) => Some((p.idef, p.how, p.lookup()))
-      case None if plans.nonEmpty => None // every eq probe stats-skipped
       case None =>
-        val rangeOps = Set(">", ">=", "<", "<=")
         singleDefs.iterator.map { idef =>
           val bounds = w.atoms.filter(c => plainAtom(c) &&
             rangeOps(c.op) && idef.column.equalsIgnoreCase(c.column))
@@ -1477,13 +1485,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           (idef, bounds)
         }.find(_._2.nonEmpty).map { case (idef, bounds) =>
           val pred = bounds.map { case (op, k) =>
-            op match {
-              case ">" => col("val") > k
-              case ">=" => col("val") >= k
-              case "<" => col("val") < k
-              case "<=" => col("val") <= k
-            }
-          }.reduce(_ && _)
+            graft.catalog.Index.boundPred(col("val"), op, k) }.reduce(_ && _)
           (idef, s"range over ${bounds.length} bound(s)",
             graft.catalog.Index.valueRangeLookup(catalog, cname, idef, pred, s.atVersion))
         }

@@ -110,6 +110,18 @@ object Index {
     }
   }
 
+  /** The one op→predicate mapping every range-serving site shares
+    * (engine fallback, composite trailing bounds) — adding an op means
+    * one edit here. */
+  private[graft] def boundPred(c: org.apache.spark.sql.Column, op: String,
+      v: Any): org.apache.spark.sql.Column = op match {
+    case ">" => c > v
+    case ">=" => c >= v
+    case "<" => c < v
+    case "<=" => c <= v
+    case other => sys.error(s"unsupported range op '$other'")
+  }
+
   private[catalog] def metaFile(cat: Catalog, container: String, ix: String): Path =
     cat.catalogDir.resolve(s"$container.ix-$ix")
 
@@ -435,14 +447,7 @@ object Index {
       names.zip(t).map { case (n, v) => col(n) === lit(v) }.reduce(_ && _))
       .reduce(_ || _)
     val rangePred = trailing.map { case (op, v) =>
-      val c = col(names(k))
-      op match {
-        case ">" => c > v
-        case ">=" => c >= v
-        case "<" => c < v
-        case "<=" => c <= v
-      }
-    }.reduceOption(_ && _)
+      boundPred(col(names(k)), op, v) }.reduceOption(_ && _)
     read(cat, container, idef, at)
       .filter(rangePred.map(pred && _).getOrElse(pred))
       .select(col("id")).distinct()

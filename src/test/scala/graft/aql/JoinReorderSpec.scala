@@ -24,7 +24,7 @@ class JoinReorderSpec extends AnyFunSuite {
     eng.execute("CREATE CONTAINER mid ['mk','mval'] [BIGINT, BIGINT]")
     cat.overwrite("mid", (0L until 800L).map(i => (i * 5, i % 7)).toDF("mk", "mval"))
     eng.execute("CREATE CONTAINER dim ['dk','dname'] [BIGINT, TEXT]")
-    cat.overwrite("dim", (0L until 12L).map(i => (i * 500, s"d$i")).toDF("dk", "dname"))
+    cat.overwrite("dim", (0L until 12L).map(i => (i * 5, s"d$i")).toDF("dk", "dname"))
     (eng, cat)
   }
 
@@ -102,8 +102,11 @@ class JoinReorderSpec extends AnyFunSuite {
     val rng = new scala.util.Random(41)
     eng.execute("CREATE CONTAINER p1 ['k1','x1'] [BIGINT, BIGINT]")
     eng.execute("CREATE CONTAINER p2 ['k2','x2'] [BIGINT, BIGINT]")
-    cat.overwrite("p1", (0L until 450L).map(i => (i * 2, i % 5)).toDF("k1", "x1"))
-    cat.overwrite("p2", (0L until 40L).map(i => (i * 7, i % 3)).toDF("k2", "x2"))
+    // keys overlap densely on multiples of 5 up to 55 so the property
+    // pins a NON-TRIVIAL row set (a lone surviving row would let a
+    // wrong-key reorder pass)
+    cat.overwrite("p1", (0L until 450L).map(i => (i, i % 5)).toDF("k1", "x1"))
+    cat.overwrite("p2", (0L until 40L).map(i => (i * 5, i % 3)).toDF("k2", "x2"))
     Seq("f", "mid", "dim", "p1", "p2").foreach(c =>
       eng.execute(s"ANALYZE CONTAINER $c"))
     val expected = cat.read("f").filter(col("v") < 9)
@@ -113,7 +116,7 @@ class JoinReorderSpec extends AnyFunSuite {
       .join(cat.read("p2"), col("id") === col("k2"))
       .select(col("id"), col("mval"), col("dname"), col("x1"), col("x2"))
       .collect().map(_.toSeq.toVector: Seq[Any]).toSet
-    assert(expected.nonEmpty, "fixture must produce joined rows")
+    assert(expected.size >= 5, s"the pin needs a non-trivial row set, got ${expected.size}")
     for (i <- 1 to 5) {
       val joins = rng.shuffle(List("JOIN mid ON id = mk", "JOIN dim ON id = dk",
         "JOIN p1 ON id = k1", "JOIN p2 ON id = k2"))

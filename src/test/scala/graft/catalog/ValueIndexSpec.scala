@@ -198,10 +198,11 @@ class ValueIndexSpec extends AnyFunSuite {
       dir.resolve(graft.catalog.Settings.FileName), "index_probe_cap: 4\n")
     val eng = new graft.aql.Engine(spark, dir.toString)
     import spark.implicits._
-    eng.execute("CREATE CONTAINER cs ['id','a','b','u'] [BIGINT, TEXT, BIGINT, BIGINT]")
-    // 2×2 tuple domain over 64 rows: ~16 rows/tuple > cap 4; u is unique
+    eng.execute("CREATE CONTAINER cs ['id','a','b','u','r'] " +
+      "[BIGINT, TEXT, BIGINT, BIGINT, BIGINT]")
+    // 2×2 tuple domain over 64 rows: ~16 rows/tuple > cap 4; u unique
     eng.catalog.overwrite("cs", (0L until 64L)
-      .map(i => (i, s"a${i % 2}", i % 2, i + 1000L)).toDF("id", "a", "b", "u"))
+      .map(i => (i, s"a${i % 2}", i % 2, i + 1000L, i)).toDF("id", "a", "b", "u", "r"))
     eng.execute("CREATE INDEX ct ON cs ['a','b'] USING value")
     eng.orderedResult(eng.execute("ANALYZE CONTAINER cs")
       .asInstanceOf[graft.aql.Engine.ResultSet].cursorId).get.collect()
@@ -231,6 +232,41 @@ class ValueIndexSpec extends AnyFunSuite {
     // both priced and viable: the smaller estimate wins (u over composite)
     val p3 = planOf("SEARCH [id] ON cs WHERE a = 'a1' AND b = 1 AND u IN [1009, 1011]")
     assert(p3.contains("index 'cu'"), s"cheaper probe must win arbitration:\n$p3")
+    // a stats-skipped composite must FALL THROUGH to a range probe on a
+    // different indexed column, not abandon the index path wholesale
+    eng.execute("CREATE INDEX cr ON cs ['r'] USING value")
+    val p4 = planOf("SEARCH [id] ON cs WHERE a = 'a1' AND b = 1 AND r > 60")
+    assert(p4.contains("skipped") && p4.contains("range over 1 bound"),
+      s"the range index must serve past the skipped composite:\n$p4")
+    assert(rows("SEARCH [id] ON cs WHERE a = 'a1' AND b = 1 AND r > 60") ==
+      Set(61L, 63L))
+  }
+
+  test("unpriced arbitration: a composite PREFIX yields to a single probe; FULL leads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vix-unpriced")
+    val eng = new graft.aql.Engine(spark, dir.toString)
+    import spark.implicits._
+    eng.execute("CREATE CONTAINER cp ['id','a','b','u'] [BIGINT, TEXT, BIGINT, BIGINT]")
+    eng.catalog.overwrite("cp", (0L until 60L)
+      .map(i => (i, s"a${i % 3}", i % 2, i + 1000L)).toDF("id", "a", "b", "u"))
+    eng.execute("CREATE INDEX cab ON cp ['a','b'] USING value")
+    eng.execute("CREATE INDEX cu ON cp ['u'] USING value")
+    def planOf(aql: String) = eng.execute(s"EXPLAIN $aql")
+      .asInstanceOf[graft.aql.Engine.Done].message
+    def rows(aql: String) = eng.orderedResult(eng.execute(aql)
+      .asInstanceOf[graft.aql.Engine.ResultSet].cursorId).get
+      .collect().map(_.getLong(0)).toSet
+    // NO ANALYZE stats anywhere: a prefix-1 composite hit carries no
+    // more-constrained guarantee, so the unique single probe must lead
+    val p1 = planOf("SEARCH [id] ON cp WHERE a = 'a1' AND u = 1007")
+    assert(p1.contains("index 'cu'") && p1.contains("served"),
+      s"single probe must lead a composite PREFIX unpriced:\n$p1")
+    assert(rows("SEARCH [id] ON cp WHERE a = 'a1' AND u = 1007") == Set(7L))
+    // FULL composite (every component bound) still leads unpriced
+    val p2 = planOf("SEARCH [id] ON cp WHERE a = 'a1' AND b = 1 AND u = 1007")
+    assert(p2.contains("composite equality"),
+      s"a FULL composite leads unpriced:\n$p2")
+    assert(rows("SEARCH [id] ON cp WHERE a = 'a1' AND b = 1 AND u = 1007") == Set(7L))
   }
 
   test("commit maintains the index: inserts appear, edits re-derive, no rebuild") {
