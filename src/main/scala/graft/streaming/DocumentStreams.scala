@@ -55,6 +55,24 @@ object DocumentStreams {
       .select(explode(col("mg")).as(Seq("token", "approx_count")))
   }
 
+  /** Streaming twin of the AQL `approx_distinct` aggregate (and the
+    * incremental view's HLL column): per-group distinct estimates as a
+    * stateful streaming aggregation (complete mode). State is one
+    * DataSketches sketch per group — bounded by group cardinality ×
+    * sketch size, never by how many distinct values have streamed
+    * through (an exact streaming distinct grows state per value
+    * forever). Sketches MERGE across micro-batch triggers exactly like
+    * the view fold unions them across commits, so the running estimate
+    * equals the one-shot batch estimate over everything ingested so far
+    * (StreamingSpec pins the equality across a multi-trigger run).
+    */
+  def approxDistinctByLang(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"))
+      .agg(hll_sketch_agg(col("text")).as("sk"))
+      .select(col("lang"),
+        coalesce(hll_sketch_estimate(col("sk")), lit(0L)).cast("long")
+          .as("approx_distinct_text"))
+
   /** Streaming twin of `t_pii_scrub`: the compliance pass applied AT
     * INGEST (append mode, stateless projection — redact before anything
     * is persisted downstream, the shape a real pipeline wants). Exactly

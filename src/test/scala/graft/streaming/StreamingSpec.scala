@@ -140,6 +140,44 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming approx-distinct sketches merge across triggers ≡ one-shot batch estimate") {
+    // same two-file staging as the heavy-hitters pin: the per-group HLL
+    // state must serialize after trigger 1 and MERGE with trigger 2's
+    // partial — only a multi-trigger run exercises the union path
+    val docsAll = graft.Tables.load(spark, dir, "documents")
+    val stage = java.nio.file.Files.createTempDirectory("graft-hll-stage")
+    docsAll.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$stage/b0")
+    docsAll.filter(col("doc_id") % 2 =!= 0).coalesce(1)
+      .write.parquet(s"$stage/b1")
+    for ((sub, i) <- Seq("b0", "b1").zipWithIndex;
+         f <- new java.io.File(s"$stage/$sub").listFiles
+         if f.getName.endsWith(".parquet"))
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$stage/batch$i.parquet"))
+    val stream = spark.readStream.schema(docsAll.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+    val q = DocumentStreams.approxDistinctByLang(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_out").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "expected the corpus to arrive across >= 2 triggers")
+    val streamed = spark.table("hll_out").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the merged-across-triggers sketch must equal the ONE-SHOT batch
+    // sketch estimate (same DataSketches algorithm, union-merge exact)
+    val batch = DocumentStreams.approxDistinctByLang(docsAll).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    // and within tolerance of exact distinct (sanity on the estimate)
+    val exactNd = docsAll.groupBy("lang").agg(countDistinct(col("text")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((l, nd) <- exactNd)
+      assert(math.abs(streamed(l) - nd) <= math.max(2L, (nd * 0.05).toLong),
+        s"lang $l: estimate ${streamed(l)} vs exact $nd")
+  }
+
   test("streaming centroid assignment agrees with the batch Lloyd assignment") {
     val seeds = Tables.load(spark, dir, "embeddings")
       .orderBy(col("vec_id")).limit(8).collect()
