@@ -1448,20 +1448,25 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     // cost-based arbitration (ANALYZE stats): probes whose estimated
     // candidates already exceed the probe cap are skipped (the probe job
     // could only confirm unselectivity — narrated); among the viable,
-    // both-priced picks the smaller estimate. The unpriced preference
-    // order is constructed below: a FULL composite (every component
-    // bound) leads — provably at least as constrained as any single
-    // probe over the same atoms — but a PREFIX hit carries no such
-    // guarantee (a unique single column next to a coarse prefix must
-    // win), so the single probe leads there. A skipped/absent eq probe
-    // always falls through to the range path — a range index on a
-    // DIFFERENT column can still serve. Correctness-neutral throughout —
-    // every path returns the same rows; without stats the probe itself
-    // decides.
-    val compositeFull = compositeHit.exists { case (idef, tuples, _) =>
-      tuples.head.size == idef.valueColumns.size }
+    // both-priced picks the smaller estimate, and a priced-viable plan
+    // beats an UNPRICED one (the estimate proves it under the cap; the
+    // blind probe might collect cap+1 ids and abandon to a full scan).
+    // The all-unpriced preference: the composite leads only when the
+    // single probe's atom is one of ITS OWN components (there it is
+    // provably at least as constrained); a single index on a DISJOINT
+    // column leads instead — a dedicated point-lookup index is usually
+    // deliberately selective, and nothing provable ranks them. A
+    // skipped/absent eq probe always falls through to the range path —
+    // a range index on a different column can still serve.
+    // Correctness-neutral throughout — every path returns the same
+    // rows; without stats the probe itself decides.
+    val compositeLeads = compositeHit.exists { case (idef, tuples, _) =>
+      tuples.head.size == idef.valueColumns.size &&
+        eqHit.forall { case (sdef, _) =>
+          idef.valueColumns.exists(_.equalsIgnoreCase(sdef.column)) }
+    }
     val plans =
-      if (compositeFull) compositePlan.toList ++ singlePlan.toList
+      if (compositeLeads) compositePlan.toList ++ singlePlan.toList
       else singlePlan.toList ++ compositePlan.toList
     val (skipped, viable) = plans.partition(_.estimate.exists(_ > IndexProbeCap))
     skipped.foreach { p =>
@@ -1473,7 +1478,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     val chosenEq: Option[ProbePlan] =
       if (viable.size > 1 && viable.forall(_.estimate.isDefined))
         Some(viable.minBy(_.estimate.get))
-      else viable.headOption
+      else viable.find(_.estimate.isDefined).orElse(viable.headOption)
     val candidates: Option[(graft.catalog.Index.Def, String, DataFrame)] =
       chosenEq match {
       case Some(p) => Some((p.idef, p.how, p.lookup()))

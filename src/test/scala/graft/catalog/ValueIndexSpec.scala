@@ -262,11 +262,21 @@ class ValueIndexSpec extends AnyFunSuite {
     assert(p1.contains("index 'cu'") && p1.contains("served"),
       s"single probe must lead a composite PREFIX unpriced:\n$p1")
     assert(rows("SEARCH [id] ON cp WHERE a = 'a1' AND u = 1007") == Set(7L))
-    // FULL composite (every component bound) still leads unpriced
+    // even a FULL composite yields to a single probe on a DISJOINT
+    // column unpriced (a dedicated point-lookup index is usually the
+    // deliberately selective one; nothing provable ranks them)
     val p2 = planOf("SEARCH [id] ON cp WHERE a = 'a1' AND b = 1 AND u = 1007")
-    assert(p2.contains("composite equality"),
-      s"a FULL composite leads unpriced:\n$p2")
+    assert(p2.contains("index 'cu'") && p2.contains("served"),
+      s"disjoint single probe must lead even a FULL composite unpriced:\n$p2")
     assert(rows("SEARCH [id] ON cp WHERE a = 'a1' AND b = 1 AND u = 1007") == Set(7L))
+    // but when the single probe's atom IS a composite component, the
+    // full composite is provably at least as constrained — it leads
+    eng.execute("CREATE INDEX ca ON cp ['a'] USING value")
+    val p3 = planOf("SEARCH [id] ON cp WHERE a = 'a1' AND b = 1")
+    assert(p3.contains("composite equality"),
+      s"a FULL composite leads its own component's single probe:\n$p3")
+    assert(rows("SEARCH [id] ON cp WHERE a = 'a1' AND b = 1") ==
+      (0L until 60L).filter(i => i % 3 == 1 && i % 2 == 1).toSet)
   }
 
   test("commit maintains the index: inserts appear, edits re-derive, no rebuild") {

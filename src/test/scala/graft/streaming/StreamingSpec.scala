@@ -97,25 +97,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  /** Stage the documents fixture as TWO parquet files in one dir +
+    * `maxFilesPerTrigger=1`, so sketch/summary state serializes into the
+    * state store after trigger 1 and MERGES with trigger 2's partial —
+    * the cross-trigger property a single-batch run never exercises.
+    * (Two sequential appends into one directory: no subdir/move dance.) */
+  private def twoTriggerDocStream(): org.apache.spark.sql.DataFrame = {
+    val docsAll = graft.Tables.load(spark, dir, "documents")
+    val stage = java.nio.file.Files.createTempDirectory("graft-2trig-stage")
+    docsAll.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(stage.toString)
+    docsAll.filter(col("doc_id") % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(stage.toString)
+    spark.readStream.schema(docsAll.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+  }
+
   test("streaming heavy hitters honor the Misra-Gries bounds vs exact counts") {
     val k = 256
-    // stage the corpus as TWO files + maxFilesPerTrigger=1, so the summary
-    // state is serialized into the state store after trigger 1 and MERGED
-    // with trigger 2's partial — the cross-trigger property a single-batch
-    // run would never exercise
-    val docsAll = graft.Tables.load(spark, dir, "documents")
-    val stage = java.nio.file.Files.createTempDirectory("graft-hh-stage")
-    docsAll.filter(col("doc_id") % 2 === 0).coalesce(1)
-      .write.parquet(s"$stage/b0")
-    docsAll.filter(col("doc_id") % 2 =!= 0).coalesce(1)
-      .write.parquet(s"$stage/b1")
-    for ((sub, i) <- Seq("b0", "b1").zipWithIndex;
-         f <- new java.io.File(s"$stage/$sub").listFiles
-         if f.getName.endsWith(".parquet"))
-      java.nio.file.Files.move(f.toPath,
-        java.nio.file.Paths.get(s"$stage/batch$i.parquet"))
-    val stream = spark.readStream.schema(docsAll.schema)
-      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+    val stream = twoTriggerDocStream()
     val q = DocumentStreams.heavyHitters(stream, k)
       .writeStream.outputMode("complete")
       .format("memory").queryName("hh_out").start()
@@ -141,22 +141,8 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming approx-distinct sketches merge across triggers ≡ one-shot batch estimate") {
-    // same two-file staging as the heavy-hitters pin: the per-group HLL
-    // state must serialize after trigger 1 and MERGE with trigger 2's
-    // partial — only a multi-trigger run exercises the union path
     val docsAll = graft.Tables.load(spark, dir, "documents")
-    val stage = java.nio.file.Files.createTempDirectory("graft-hll-stage")
-    docsAll.filter(col("doc_id") % 2 === 0).coalesce(1)
-      .write.parquet(s"$stage/b0")
-    docsAll.filter(col("doc_id") % 2 =!= 0).coalesce(1)
-      .write.parquet(s"$stage/b1")
-    for ((sub, i) <- Seq("b0", "b1").zipWithIndex;
-         f <- new java.io.File(s"$stage/$sub").listFiles
-         if f.getName.endsWith(".parquet"))
-      java.nio.file.Files.move(f.toPath,
-        java.nio.file.Paths.get(s"$stage/batch$i.parquet"))
-    val stream = spark.readStream.schema(docsAll.schema)
-      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+    val stream = twoTriggerDocStream()
     val q = DocumentStreams.approxDistinctByLang(stream)
       .writeStream.outputMode("complete")
       .format("memory").queryName("hll_out").start()
