@@ -401,6 +401,12 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         if (a.fn == "approx_distinct")
           List(a.out -> AlbaType.of("BIGINT"),
             s"${a.out}_sk" -> AlbaType.of("LARGE-BYTES"))
+        // avg → FLOAT output plus its foldable sum/cnt companions (the
+        // decomposition that keeps avg exact under deletes)
+        else if (a.fn == "avg")
+          List(a.out -> AlbaType.of("FLOAT"),
+            s"${a.out}_sum" -> typeOf(a.col),
+            s"${a.out}_cnt" -> AlbaType.of("BIGINT"))
         else List(
           a.out -> (if (a.fn == "count") AlbaType.of("BIGINT") else typeOf(a.col)))
       }.map { case (n, t) =>
@@ -783,7 +789,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     if (q.joins.nonEmpty || q.exprs.nonEmpty || q.fns.nonEmpty || q.wins.nonEmpty ||
       q.distinct || q.orderBy.nonEmpty || q.limit.nonEmpty || q.atVersion.nonEmpty ||
       q.having.nonEmpty)
-      bad("only projection keys, count/sum/min/max aggregates, and WHERE are maintainable")
+      bad("only projection keys, count/sum/min/max/avg/approx_distinct " +
+        "aggregates, and WHERE are maintainable")
     if (q.aggs.isEmpty) bad("the body needs at least one aggregate")
     if (q.projection.isEmpty) bad("the body needs at least one group key")
     q.aggs.foreach { a =>
@@ -792,9 +799,9 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       if (a.expr.isDefined) bad(
         "aggregates over arithmetic are not supported in views — " +
           "materialize the expression as a source column, or sum the parts")
-      if (!Set("count", "sum", "min", "max", "approx_distinct")(a.fn))
+      if (!Set("count", "sum", "min", "max", "avg", "approx_distinct")(a.fn))
         bad(s"aggregate '${a.fn}' is not incrementally maintainable " +
-          "(count/sum/min/max/approx_distinct; avg = sum_c / count_c as a computed projection over the view)")
+          "(count/sum/min/max/avg/approx_distinct)")
     }
     val d = catalog.get(src)
     def canonical(c: String): String =
@@ -803,8 +810,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     val keys = q.projection.map(canonical)
     val aggs = q.aggs.map { a =>
       val c = canonical(a.column)
-      if (a.fn == "sum" && !d.columns.find(_._1 == c).get._2.isNumeric)
-        bad(s"sum over non-numeric column '$c'")
+      if (Set("sum", "avg")(a.fn) && !d.columns.find(_._1 == c).get._2.isNumeric)
+        bad(s"${a.fn} over non-numeric column '$c'")
       if (a.fn == "approx_distinct" && !Seq(
           org.apache.spark.sql.types.IntegerType,
           org.apache.spark.sql.types.LongType,
@@ -815,12 +822,15 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       graft.catalog.IncrementalView.Agg(a.fn, c, s"${a.fn}_${c.toLowerCase}")
     }
     // the MV's schema is keys + n_rows + agg outs (+ an `_sk` sketch
-    // companion per approx_distinct): any case-insensitive collision
+    // companion per approx_distinct, `_sum`/`_cnt` companions per
+    // avg): any case-insensitive collision
     // (count(id) twice, a key named n_rows, a source column named like
     // an agg out) would create a container with duplicate columns that
     // fails only at seed time — reject upfront
     val outNames = keys ++ Seq("n_rows") ++ aggs.map(_.out) ++
-      aggs.filter(_.fn == "approx_distinct").map(a => s"${a.out}_sk")
+      aggs.filter(_.fn == "approx_distinct").map(a => s"${a.out}_sk") ++
+      aggs.filter(_.fn == "avg")
+        .flatMap(a => Seq(s"${a.out}_sum", s"${a.out}_cnt"))
     outNames.groupBy(_.toLowerCase).collectFirst {
       case (_, vs) if vs.size > 1 => vs.head
     }.foreach(n => bad(s"output column '$n' collides — deduplicate keys/aggregates"))

@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Incremental materialized-view maintenance driven by the CDC feed: keep
   *
-  *   mv = SELECT keys…, count(*) AS n_rows [, count(c)… , sum(c)…]
+  *   mv = SELECT keys…, count(*) AS n_rows
+  *        [, count(c)… , sum(c)… , min/max(c)… , avg(c)… ,
+  *           approx_distinct(c)…]
   *        FROM src [WHERE pred] GROUP BY keys…
   *
   * up to date by folding each [[ChangeTail]] window's change rows into the
@@ -55,9 +57,9 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
 
   require(keys.nonEmpty, "incremental view needs at least one group key")
   aggs.foreach(a => require(
-    Set("count", "sum", "min", "max", "approx_distinct")(a.fn),
+    Set("count", "sum", "min", "max", "avg", "approx_distinct")(a.fn),
     s"unsupported incremental aggregate '${a.fn}' " +
-      "(count/sum/min/max/approx_distinct only)"))
+      "(count/sum/min/max/avg/approx_distinct only)"))
 
   /** min/max and approx_distinct are NOT delta-invertible under deletes
     * (an HLL sketch unions but never subtracts) — groups that lost a row
@@ -71,6 +73,16 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
 
   private def sketchCol(out: String): String = s"${out}_sk"
   private val approxAggs = aggs.filter(_.fn == "approx_distinct")
+
+  /** avg is fully delta-invertible once decomposed: the MV persists
+    * `<out>_sum` and `<out>_cnt` companions (sum and non-NULL count fold
+    * exactly under ±row, like the plain aggregates) and the visible
+    * `out` is re-derived as sum/cnt after every fold — so avg never
+    * takes the dirty-recompute path. Exact for integer sources (LONG
+    * sums); a DOUBLE source inherits plain sum's fp-reassociation
+    * caveat (fold order ≠ re-aggregation order at the last ulp). */
+  private def sumCol(out: String): String = s"${out}_sum"
+  private def cntCol(out: String): String = s"${out}_cnt"
 
   private def filtered(df: DataFrame): DataFrame =
     where.map(df.filter).getOrElse(df)
@@ -87,20 +99,28 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
   /** The from-scratch aggregate of a source snapshot (also the oracle the
     * property spec compares against). */
   private def aggregate(snapshot: DataFrame): DataFrame = {
-    val outs = count(lit(1)).as("n_rows") +: aggs.map {
-      case Agg("count", c, out) => count(col(c)).as(out)
-      case Agg("sum", c, out) => coalesce(sum(col(c)), lit(0L)).as(out)
-      case Agg("min", c, out) => min(col(c)).as(out)
+    val outs = count(lit(1)).as("n_rows") +: aggs.flatMap {
+      case Agg("count", c, out) => Seq(count(col(c)).as(out))
+      case Agg("sum", c, out) => Seq(coalesce(sum(col(c)), lit(0L)).as(out))
+      case Agg("min", c, out) => Seq(min(col(c)).as(out))
+      case Agg("avg", c, out) => Seq(
+        coalesce(sum(col(c)), lit(0L)).as(sumCol(out)),
+        count(col(c)).as(cntCol(out)))
       case Agg("approx_distinct", c, out) =>
-        hll_sketch_agg(col(c)).as(sketchCol(out))
-      case Agg(_, c, out) => max(col(c)).as(out)
+        Seq(hll_sketch_agg(col(c)).as(sketchCol(out)))
+      case Agg(_, c, out) => Seq(max(col(c)).as(out))
     }
     val g = filtered(snapshot).groupBy(keys.map(col): _*)
       .agg(outs.head, outs.tail: _*)
-    // estimates derive from the sketches (an all-NULL group has no
-    // sketch → estimate 0, matching count-of-nothing semantics)
-    approxAggs.foldLeft(g)((df, a) => df.withColumn(a.out,
+    // derived outputs: estimates from the sketches (an all-NULL group
+    // has no sketch → estimate 0, matching count-of-nothing semantics),
+    // averages from their sum/cnt companions (all-NULL group → NULL,
+    // SQL avg semantics)
+    val withNd = approxAggs.foldLeft(g)((df, a) => df.withColumn(a.out,
       coalesce(hll_sketch_estimate(col(sketchCol(a.out))), lit(0L)).cast("long")))
+    aggs.filter(_.fn == "avg").foldLeft(withNd)((df, a) => df.withColumn(a.out,
+      when(col(cntCol(a.out)) > 0,
+        col(sumCol(a.out)).cast("double") / col(cntCol(a.out)))))
   }
 
   /** (Re)build the MV from the source's current snapshot and reset the
@@ -138,24 +158,29 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
   private[catalog] def fold(feed: DataFrame, toV: Int): Unit = {
     val w = when(col("_change_type").isin("insert", "update_postimage"), 1L)
       .otherwise(-1L)
-    val deltas = sum(col("_w")).as("d_n_rows") +: aggs.map {
+    val deltas = sum(col("_w")).as("d_n_rows") +: aggs.flatMap {
       // count(c) counts non-NULL values: a NULL c contributes 0 either way
       case Agg("count", c, out) =>
-        sum(when(col(c).isNotNull, col("_w")).otherwise(0L)).as(s"d_$out")
+        Seq(sum(when(col(c).isNotNull, col("_w")).otherwise(0L)).as(s"d_$out"))
       // extremes: candidate from the window's added rows only (min/max
       // skip NULLs; a removal makes the group dirty below, so the
       // gain-only fold here is never applied to a shrinking group)
       case Agg("min", c, out) =>
-        min(when(col("_w") === 1L, col(c))).as(s"d_$out")
+        Seq(min(when(col("_w") === 1L, col(c))).as(s"d_$out"))
       case Agg("max", c, out) =>
-        max(when(col("_w") === 1L, col(c))).as(s"d_$out")
+        Seq(max(when(col("_w") === 1L, col(c))).as(s"d_$out"))
+      // avg: ±sum and ±non-NULL-count deltas — both exact inverses, so
+      // avg folds through deletes without ever dirtying the group
+      case Agg("avg", c, out) => Seq(
+        sum(col(c) * col("_w")).as(s"d_${sumCol(out)}"),
+        sum(when(col(c).isNotNull, col("_w")).otherwise(0L)).as(s"d_${cntCol(out)}"))
       // HLL: sketch of the window's ADDED values (the agg ignores the
       // when's NULLed removals); like the extremes, a removal dirties
       // the group so the union fold never applies to a shrinking group
       case Agg("approx_distinct", c, out) =>
-        hll_sketch_agg(when(col("_w") === 1L, col(c))).as(s"d_$out")
+        Seq(hll_sketch_agg(when(col("_w") === 1L, col(c))).as(s"d_$out"))
       // sum skips NULLs on both paths; coalesce at merge handles all-NULL
-      case Agg(_, c, out) => sum(col(c) * col("_w")).as(s"d_$out")
+      case Agg(_, c, out) => Seq(sum(col(c) * col("_w")).as(s"d_$out"))
     }
     val inWindow = filtered(feed).withColumn("_w", w)
     val delta = inWindow.groupBy(keys.map(col): _*).agg(deltas.head, deltas.tail: _*)
@@ -168,6 +193,14 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
           ((("sum", "n_rows", "d_n_rows") +: outCols).flatMap {
             case ("min", o, d) => Seq(least(cur(o), delta(d)).as(o))
             case ("max", o, d) => Seq(greatest(cur(o), delta(d)).as(o))
+            // avg: fold both companions additively, re-derive the output
+            case ("avg", o, _) =>
+              val sM = coalesce(cur(sumCol(o)), lit(0L)) +
+                coalesce(delta(s"d_${sumCol(o)}"), lit(0L))
+              val cM = coalesce(cur(cntCol(o)), lit(0L)) +
+                coalesce(delta(s"d_${cntCol(o)}"), lit(0L))
+              Seq(sM.as(sumCol(o)), cM.as(cntCol(o)),
+                when(cM > 0, sM.cast("double") / cM).as(o))
             // sketch union absorbs the added values; either side may be
             // NULL (group new in the window / untouched by it)
             case ("approx_distinct", o, d) =>
@@ -233,9 +266,11 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
 
 object IncrementalView {
   /** One maintained aggregate: `fn(col) AS out`,
-    * fn ∈ count | sum | min | max | approx_distinct. The approx_distinct
-    * kind additionally owns a `<out>_sk` BYTES column in the MV schema —
-    * the persisted DataSketches HLL sketch its estimate derives from and
-    * the state that makes insert windows union-foldable. */
+    * fn ∈ count | sum | min | max | avg | approx_distinct. The
+    * approx_distinct kind additionally owns a `<out>_sk` BYTES column in
+    * the MV schema — the persisted DataSketches HLL sketch its estimate
+    * derives from and the state that makes insert windows union-foldable.
+    * The avg kind owns `<out>_sum` / `<out>_cnt` companions — the
+    * decomposition that makes avg exactly invertible under deletes. */
   final case class Agg(fn: String, col: String, out: String)
 }

@@ -115,6 +115,12 @@ object AqlQueries {
       // the estimate column stays within tolerance of exact distinct
       eng.execute("CREATE VIEW mv_nd " +
         "(SEARCH [lang, approx_distinct(n_chars)] ON docs_vw)")
+      // avg view (same source, same WHERE shape as mv_lang): the MV
+      // persists avg_n_chars_sum/_cnt companions, so the edit/delete
+      // below fold EXACTLY (avg is delta-invertible decomposed) — no
+      // dirty recompute, and the division re-derives after every fold
+      eng.execute("CREATE VIEW mv_avg " +
+        "(SEARCH [lang, avg(n_chars)] ON docs_vw WHERE n_chars > 100)")
       eng.execute("EDIT ROW ['n_chars'] [50000] ON docs_vw WHERE doc_id = 21")
       eng.execute("DELETE ROW ON docs_vw WHERE doc_id = 33")
       eng.execute("CREATE ROW ['doc_id','lang','n_chars'] [900006, 'xx', 999] ON docs_vw")
@@ -122,6 +128,7 @@ object AqlQueries {
       eng.execute("REFRESH VIEW mv_lang")
       eng.execute("REFRESH VIEW mv_ext")
       eng.execute("REFRESH VIEW mv_nd")
+      eng.execute("REFRESH VIEW mv_avg")
       // corpus interchange: EXPORT the versioned docs_tt snapshot as
       // JSONL, IMPORT it into a fresh container as one bulk-append
       // commit — the AQL surface over the sources lane
@@ -1066,6 +1073,23 @@ object AqlQueries {
               <= col("nd").cast("double") * 0.05).as("within_tol"))
           .orderBy(col("lang"))
       }
+    },
+
+    // avg incremental view: the MV's avg_n_chars_sum/_cnt companions
+    // fold ±exactly through the window's edit (across the WHERE
+    // boundary), delete, and insert — integer sums stay exact, so the
+    // re-derived division matches DuckDB's from-scratch avg bit-for-bit.
+    Q("aql_view_avg",
+      """WITH post AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN doc_id = 21 THEN 50000 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id <> 33
+        |  UNION ALL SELECT 900006, 'xx', 999
+        |)
+        |SELECT lang, count(*) AS n_rows, avg(n_chars) AS avg_n_chars
+        |FROM post WHERE n_chars > 100 GROUP BY lang
+        |ORDER BY lang, n_rows, avg_n_chars""".stripMargin) {
+      (s, dir) => search("SEARCH [lang, n_rows, avg_n_chars] ON mv_avg")(s, dir)
     },
 
     Q("aql_time_travel",

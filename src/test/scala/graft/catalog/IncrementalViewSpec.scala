@@ -243,6 +243,103 @@ class IncrementalViewSpec extends AnyFunSuite {
         Option(r.getString(0)).getOrElse("∅") ->
           (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
 
+  test("avg: sum/cnt companions fold exactly through deletes, NULLs, and group moves") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-avg")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("src", List(
+      "id" -> graft.aql.AlbaType.of("INT"),
+      "grp" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "val" -> graft.aql.AlbaType.of("BIGINT")))
+    cat.create("mv", List(
+      "grp" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "n_rows" -> graft.aql.AlbaType.of("BIGINT"),
+      "avg_val" -> graft.aql.AlbaType.of("FLOAT"),
+      "avg_val_sum" -> graft.aql.AlbaType.of("BIGINT"),
+      "avg_val_cnt" -> graft.aql.AlbaType.of("BIGINT")))
+    val view = new IncrementalView(cat, "src", "mv", Seq("grp"),
+      Seq(IncrementalView.Agg("avg", "val", "avg_val")))
+    val tx = new Tx(cat)
+    val tail = new ChangeTail(cat, "src", dir.resolve("mv.ckpt"))
+    def mvAvg: Map[String, (Long, Option[Double])] =
+      cat.read("mv").collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    def oracle: Map[String, (Long, Option[Double])] =
+      cat.read("src").groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), avg(col("val")).as("a")).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+
+    // seed window: one group has a NULL val (counts toward n_rows, not cnt)
+    tx.stageInsert("src", Seq(
+      org.apache.spark.sql.Row(1, "a", 10L),
+      org.apache.spark.sql.Row(2, "a", 21L),
+      org.apache.spark.sql.Row(3, "b", null),
+      org.apache.spark.sql.Row(4, "b", 8L)))
+    tx.commit(Some("src"))
+    view.refreshOnce(tail)
+    assert(mvAvg == oracle && mvAvg("a")._2.contains(15.5))
+
+    // delete one of a's rows: the ±sum/±cnt fold is exact — no dirty path
+    tx.stageDelete("src", Some(col("id") === 2))
+    tx.commit(Some("src"))
+    view.refreshOnce(tail)
+    assert(mvAvg == oracle && mvAvg("a")._2.contains(10.0))
+
+    // delete b's only non-NULL val: the group stays (n_rows 1), avg NULL
+    tx.stageDelete("src", Some(col("id") === 4))
+    tx.commit(Some("src"))
+    view.refreshOnce(tail)
+    assert(mvAvg == oracle && mvAvg("b") == ((1L, None)))
+
+    // a group-moving edit nets -a/+b through both companions
+    tx.stageEdit("src", col("id") === 1, Seq("grp" -> "b"))
+    tx.commit(Some("src"))
+    view.refreshOnce(tail)
+    assert(mvAvg == oracle && mvAvg("b")._2.contains(10.0) && !mvAvg.contains("a"))
+  }
+
+  test("avg random histories equal re-aggregation after every refresh") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-avgprop")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("src", List(
+      "id" -> graft.aql.AlbaType.of("INT"),
+      "grp" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "val" -> graft.aql.AlbaType.of("BIGINT")))
+    cat.create("mv", List(
+      "grp" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "n_rows" -> graft.aql.AlbaType.of("BIGINT"),
+      "avg_val" -> graft.aql.AlbaType.of("FLOAT"),
+      "avg_val_sum" -> graft.aql.AlbaType.of("BIGINT"),
+      "avg_val_cnt" -> graft.aql.AlbaType.of("BIGINT")))
+    val view = new IncrementalView(cat, "src", "mv", Seq("grp"),
+      Seq(IncrementalView.Agg("avg", "val", "avg_val")))
+    val tx = new Tx(cat)
+    val tail = new ChangeTail(cat, "src", dir.resolve("mv.ckpt"))
+    val groups = Vector("x", "y", "z")
+    def snap(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Option[Double])] =
+      df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    (1 to 6).foreach { _ =>
+      (0 until 1 + rng.nextInt(3)).foreach { _ =>
+        rng.nextInt(6) match {
+          case 0 | 1 | 2 => tx.stageInsert("src", Seq(org.apache.spark.sql.Row(
+            rng.nextInt(10), groups(rng.nextInt(3)),
+            if (rng.nextInt(5) == 0) null else rng.nextInt(100).toLong)))
+          case 3 => tx.stageEdit("src", col("id") === rng.nextInt(10),
+            Seq("grp" -> groups(rng.nextInt(3))))
+          case 4 => tx.stageEdit("src", col("id") === rng.nextInt(10),
+            Seq("val" -> rng.nextInt(100).toLong))
+          case 5 => tx.stageDelete("src", Some(col("id") === rng.nextInt(10)))
+        }
+      }
+      if (tx.stagedOps("src") > 0) tx.commit(Some("src"))
+      view.refreshOnce(tail)
+      assert(snap(cat.read("mv").select(col("grp"), col("n_rows"), col("avg_val"))) ==
+        snap(cat.read("src").groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), avg(col("val")).as("a"))))
+    }
+  }
+
   test("min/max: gain-only windows fold; losing the extreme recomputes the group exactly") {
     val (cat, tx, view, tail) = fixtureMM("basic")
     tx.stageInsert("src", Seq(
