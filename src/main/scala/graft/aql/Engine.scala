@@ -1593,14 +1593,24 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     // each ON condition binding at its new position): the written order
     // is the user's accident, not information, and a big side joined
     // first is carried through every later join as an avoidably wide
-    // intermediate. INNER joins only — outer joins don't commute in
-    // general. Resolution is order-independent for any chain that lowers
-    // at all (duplicate non-key names are rejected above, qualified keys
-    // bind by container, USING keys carry equal values on both sides),
-    // so the reorder is row-identical — pinned by JoinReorderSpec
-    // against the as-written execution, and bailing to written order on
-    // ANY doubt (virtual side, missing stats, unplaceable condition)
-    // keeps every existing error message and plan reachable.
+    // intermediate. INNER joins are permuted; LEFT joins keep their
+    // written mutual order and run AFTER every inner join. That split is
+    // sound: (X LEFT C) INNER D ≡ (X INNER D) LEFT C whenever D's ON
+    // binds without C's columns — a left join only appends C's columns
+    // to preserved X rows, so an inner condition over X's columns
+    // filters the same rows either side of it — and the bind simulation
+    // below enforces exactly that precondition (an inner ON that needs a
+    // left side's column can't bind inners-first → stuck → written
+    // order). FULL joins bail outright: pushing an inner join below a
+    // full join un-drops the right side's null-extended rows, so the two
+    // orders genuinely differ. Resolution is order-independent for any
+    // chain that lowers at all (duplicate non-key names are rejected
+    // above, qualified keys bind by container, USING keys carry equal
+    // values on both sides), so the reorder is row-identical — pinned by
+    // JoinReorderSpec against the as-written execution, and bailing to
+    // written order on ANY doubt (virtual side, missing stats,
+    // unplaceable condition) keeps every existing error message and plan
+    // reachable.
     val orderedJoins: List[(Ast.JoinSpec, DataFrame)] = {
       def bare(q: String) = q.split("\\.", 2) match {
         case Array(_, c) if q.contains(".") => c
@@ -1618,12 +1628,14 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       // builds exactly ONCE either way (the execution loop below reuses
       // these — no second overlay/plan construction per joined container)
       def asWritten = s.joins.map(j => j -> containerDf(j.container, s.atVersion))
-      if (s.joins.length < 2 || s.joins.exists(_.joinType != "inner") ||
-          s.joins.exists(j => realName(j.container).isEmpty)) asWritten
+      val innerJoins = s.joins.filter(_.joinType == "inner")
+      if (s.joins.length < 2 || innerJoins.isEmpty ||
+          s.joins.exists(j => j.joinType != "inner" && j.joinType != "left") ||
+          innerJoins.exists(j => realName(j.container).isEmpty)) asWritten
       else {
         val rights = s.joins.map(j =>
-          (j, realName(j.container).get, containerDf(j.container, s.atVersion)))
-        val priced = rights.map { case (j, n, df) =>
+          (j, realName(j.container), containerDf(j.container, s.atVersion)))
+        val priced = rights.collect { case (j, Some(n), df) if j.joinType == "inner" =>
           // the right-side key name is position-independent: whichever ON
           // side binds in the joined container (respecting a qualifier)
           val rc = Seq(j.right, j.left)
@@ -1632,6 +1644,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           (j, n, df, rc.flatMap(k => pricedBytes(n, df.columns.toIndexedSeq, k)),
             df.columns.map(_.toLowerCase).toSet)
         }
+        val leftTail = rights.collect {
+          case (j, _, df) if j.joinType == "left" => j -> df }
         if (priced.exists(_._4.isEmpty)) rights.map(t => t._1 -> t._3)
         else {
           var avail = parts.head.columns.map(_.toLowerCase).toSet
@@ -1667,12 +1681,19 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
               pending -= pick
             }
           }
-          val order = if (stuck) rights.map(t => t._1 -> t._3) else out.result()
+          val order =
+            if (stuck) rights.map(t => t._1 -> t._3)
+            else out.result() ++ leftTail
           if (order.map(_._1) != s.joins) {
             val prices = priced.map(t => t._2 -> t._4.get).toMap
-            def show(js: Seq[Ast.JoinSpec]) = js.map(_.container)
-              .collect { case Ast.Container.Real(n) => s"$n(${prices(n)}B)" }
-              .mkString(" -> ")
+            def show(js: Seq[Ast.JoinSpec]) = js.map { j =>
+              (j.container, j.joinType) match {
+                case (Ast.Container.Real(n), "left") =>
+                  prices.get(n).fold(s"$n(left)")(b => s"$n(${b}B,left)")
+                case (Ast.Container.Real(n), _) => s"$n(${prices(n)}B)"
+                case (_, t) => s"(subquery,$t)"
+              }
+            }.mkString(" -> ")
             note(s"join chain reordered from stats: ${show(order.map(_._1))} " +
               s"(smallest priced build first; as written: ${show(s.joins)})")
           }

@@ -81,19 +81,47 @@ class JoinReorderSpec extends AnyFunSuite {
       .collect().map(_.toSeq.toVector: Seq[Any]).toSet)
   }
 
-  test("outer joins and virtual sides never reorder") {
-    val (eng, _) = fixture("outer")
+  test("left joins move behind the inner prefix; virtual inner sides never reorder") {
+    val (eng, cat) = fixture("outer")
     Seq("f", "mid", "dim").foreach(c => eng.execute(s"ANALYZE CONTAINER $c"))
+    // (f LEFT mid) INNER dim ≡ (f INNER dim) LEFT mid when dim's ON binds
+    // on f alone — the reorder shrinks f BEFORE paying the left join
     val leftChain = "SEARCH [id, mval, dname] ON f " +
       "LEFT JOIN mid ON id = mk JOIN dim ON id = dk"
-    assert(!plan(eng, leftChain).contains("reordered"),
-      "an outer join in the chain must defer to written order")
+    val p = plan(eng, leftChain)
+    assert(p.contains("join chain reordered from stats") &&
+      p.replaceAll("(?s).*reordered from stats: ", "").startsWith("dim("),
+      s"the inner join must be pulled ahead of the left join:\n$p")
+    assert(rows(eng, leftChain) == cat.read("f")
+      .join(cat.read("mid"), col("id") === col("mk"), "left")
+      .join(cat.read("dim"), col("id") === col("dk"))
+      .select(col("id"), col("mval"), col("dname"))
+      .collect().map(_.toSeq.toVector: Seq[Any]).toSet)
     val virtChain = "SEARCH [id, mval, dname] ON f " +
       "JOIN (SEARCH [mk, mval] ON mid) ON id = mk JOIN dim ON id = dk"
     assert(!plan(eng, virtChain).contains("reordered"),
       "an unpriceable virtual side must defer to written order")
     // both still answer correctly
     assert(rows(eng, virtChain).nonEmpty)
+  }
+
+  test("an inner ON needing the left side's column pins written order") {
+    val (eng, cat) = fixture("leftdep")
+    import spark.implicits._
+    eng.execute("CREATE CONTAINER link ['lk','lname'] [BIGINT, TEXT]")
+    cat.overwrite("link", (0L until 7L).map(i => (i, s"l$i")).toDF("lk", "lname"))
+    Seq("f", "mid", "link").foreach(c => eng.execute(s"ANALYZE CONTAINER $c"))
+    // link's ON references mval — it cannot bind before the LEFT join
+    // supplies it, so the inners-first order is unbuildable → written
+    val dep = "SEARCH [id, lname] ON f LEFT JOIN mid ON id = mk " +
+      "JOIN link ON mval = lk"
+    assert(!plan(eng, dep).contains("reordered"),
+      s"an inner join dependent on the left side must stay written:\n${plan(eng, dep)}")
+    assert(rows(eng, dep) == cat.read("f")
+      .join(cat.read("mid"), col("id") === col("mk"), "left")
+      .join(cat.read("link"), col("mval") === col("lk"))
+      .select(col("id"), col("lname"))
+      .collect().map(_.toSeq.toVector: Seq[Any]).toSet)
   }
 
   test("property: shuffled priced 4-chains stay row-identical to the Spark reference") {
