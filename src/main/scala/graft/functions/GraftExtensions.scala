@@ -31,6 +31,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Float32Unpack].getName, "float32_unpack"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Float32Unpack(exprs.head)))
+    // KLL quantile sketch trio (mirrors Spark's own DataSketches HLL
+    // surface): mergeable aggregate, pairwise union, rank-q estimate
+    ext.injectFunction((
+      new FunctionIdentifier("kll_sketch_agg"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_sketch_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KllSketchAgg(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("kll_merge"),
+      new ExpressionInfo(classOf[KllMergeExpr].getName, "kll_merge"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KllMergeExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(classOf[KllQuantileExpr].getName, "kll_quantile"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KllQuantileExpr(exprs(0), exprs(1))))
     // whole-operator custom path: per-group top-k (graft.plans.TopKPerGroup)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
