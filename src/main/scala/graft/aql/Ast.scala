@@ -162,7 +162,13 @@ object Ast {
     * output column is `fn_generatedname` exactly like the plain form.
     */
   final case class AggProj(fn: String, column: String, distinct: Boolean = false,
-      expr: Option[Operand] = None)
+      expr: Option[Operand] = None,
+      /** `approx_quantile(col q)`'s literal rank — the one aggregate
+        * taking a literal argument (space-separated, like scalar-fn
+        * literal args). Not folded into the output name (stable
+        * oracle-visible `approx_quantile_col`, same convention as
+        * `round(col 2)` → `round_col`). */
+      qarg: Option[Double] = None)
 
   /** One computed projection item, `a * b + 2` (graft extension). The
     * output name is generated from the expression (`a_mul_b_plus_2`) —
@@ -397,11 +403,12 @@ object Parser {
     case other => throw new ParseException(s"Expected [group], got $other")
   }
 
-  // approx_distinct (graft extension): HyperLogLog distinct estimate —
-  // the sketch-backed aggregate incremental views can maintain under
-  // inserts (sketches union; deletes take the dirty-group recompute path)
+  // approx_distinct / approx_median / approx_quantile (graft
+  // extensions): sketch-backed aggregates (HLL/KLL); the first two are
+  // also incrementally maintainable in views (sketches union under
+  // inserts; deletes take the dirty-group recompute path)
   private val AggFns = Set("count", "sum", "avg", "min", "max", "median",
-    "approx_distinct")
+    "approx_distinct", "approx_median", "approx_quantile")
 
   /** Scalar (per-row) functions accepted in the projection. All lower to
     * codegen'd built-ins. Most take one column; `substr`, `replace`, and
@@ -530,6 +537,16 @@ object Parser {
                 s"Unknown function '$fn' (aggregates: ${AggFns.toList.sorted.mkString(",")}; " +
                   s"scalar: ${ScalarFns.toList.sorted.mkString(",")})")
             else inner match {
+              // approx_quantile(col q) — the literal rank is mandatory
+              // (rank-0.5 callers spell approx_median); FloatLit only,
+              // 0.9 not 90 (an IntLit rank reads as a typo'd percent)
+              case List(one, FloatLit(f)) if fn == "approx_quantile" =>
+                if (f < 0.0 || f > 1.0) throw new ParseException(
+                  s"approx_quantile rank $f outside [0, 1]")
+                aggs += AggProj(fn, name(one), qarg = Some(f)); rest = tl
+              case _ if fn == "approx_quantile" => throw new ParseException(
+                "approx_quantile takes (col q) with a literal rank in [0, 1] — " +
+                  "e.g. approx_quantile(n_chars 0.9)")
               case List(one) => aggs += AggProj(fn, name(one)); rest = tl
               // count(DISTINCT col) — distinct cardinality (graft extension)
               case List(Keyword("DISTINCT"), one) if fn == "count" =>

@@ -31,6 +31,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
   tx.analyzeEvery = settings.analyzeAfterCommits
   tx.vacuumEvery = settings.vacuumAfterCommits
   tx.vacuumKeepLast = settings.vacuumKeepLast
+  tx.rebuildIvfEvery = settings.rebuildIvfAfterCommits
   // the auto-VACUUM retention floor: keep at least back to every
   // dependent view's CDC resume point (same rule the explicit VACUUM
   // statement refuses on) — evaluated INSIDE Catalog.vacuum against its
@@ -401,6 +402,10 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         if (a.fn == "approx_distinct")
           List(a.out -> AlbaType.of("BIGINT"),
             s"${a.out}_sk" -> AlbaType.of("LARGE-BYTES"))
+        // approx_median → FLOAT estimate + its KLL sketch companion
+        else if (a.fn == "approx_median")
+          List(a.out -> AlbaType.of("FLOAT"),
+            s"${a.out}_sk" -> AlbaType.of("LARGE-BYTES"))
         // avg → FLOAT output plus its foldable sum/cnt companions (the
         // decomposition that keeps avg exact under deletes)
         else if (a.fn == "avg")
@@ -552,6 +557,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         "optimize_after_commits" -> s.optimizeAfterCommits.toString,
         "analyze_after_commits" -> s.analyzeAfterCommits.toString,
         "vacuum_after_commits" -> s.vacuumAfterCommits.toString,
+        "rebuild_ivf_after_commits" -> s.rebuildIvfAfterCommits.toString,
         "vacuum_keep_last" -> s.vacuumKeepLast.toString,
         "refresh_views_after_commit" -> s.refreshViewsAfterCommit.toString,
         "index_probe_cap" -> s.indexProbeCap.toString,
@@ -799,9 +805,10 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       if (a.expr.isDefined) bad(
         "aggregates over arithmetic are not supported in views — " +
           "materialize the expression as a source column, or sum the parts")
-      if (!Set("count", "sum", "min", "max", "avg", "approx_distinct")(a.fn))
+      if (!Set("count", "sum", "min", "max", "avg",
+          "approx_distinct", "approx_median")(a.fn))
         bad(s"aggregate '${a.fn}' is not incrementally maintainable " +
-          "(count/sum/min/max/avg/approx_distinct)")
+          "(count/sum/min/max/avg/approx_distinct/approx_median)")
     }
     val d = catalog.get(src)
     def canonical(c: String): String =
@@ -810,7 +817,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     val keys = q.projection.map(canonical)
     val aggs = q.aggs.map { a =>
       val c = canonical(a.column)
-      if (Set("sum", "avg")(a.fn) && !d.columns.find(_._1 == c).get._2.isNumeric)
+      if (Set("sum", "avg", "approx_median")(a.fn) &&
+          !d.columns.find(_._1 == c).get._2.isNumeric)
         bad(s"${a.fn} over non-numeric column '$c'")
       if (a.fn == "approx_distinct" && !Seq(
           org.apache.spark.sql.types.IntegerType,
@@ -828,7 +836,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     // an agg out) would create a container with duplicate columns that
     // fails only at seed time — reject upfront
     val outNames = keys ++ Seq("n_rows") ++ aggs.map(_.out) ++
-      aggs.filter(_.fn == "approx_distinct").map(a => s"${a.out}_sk") ++
+      aggs.filter(a => Set("approx_distinct", "approx_median")(a.fn))
+        .map(a => s"${a.out}_sk") ++
       aggs.filter(_.fn == "avg")
         .flatMap(a => Seq(s"${a.out}_sum", s"${a.out}_cnt"))
     outNames.groupBy(_.toLowerCase).collectFirst {
@@ -1140,13 +1149,13 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
                   if (Seq("sum", "avg", "median").contains(a.fn) && !numericResult)
                     throw new ParseException(
                       s"${a.fn}($sfn(…)) requires a numeric-result function")
-                  if (a.fn == "approx_distinct")
+                  if (a.fn.startsWith("approx_"))
                     throw new ParseException(
-                      "approx_distinct takes a plain column (the sketch hashes raw values)")
+                      s"${a.fn} takes a plain column (the sketch ingests raw values)")
                 case _ =>
-                  if (a.fn == "approx_distinct")
+                  if (a.fn.startsWith("approx_"))
                     throw new ParseException(
-                      "approx_distinct takes a plain column (the sketch hashes raw values)")
+                      s"${a.fn} takes a plain column (the sketch ingests raw values)")
                   operandLeafNames(e).foreach { n =>
                     val cn = resolveNames(unioned, List(n)).head
                     if (!d.columns.find(_._1 == cn).exists(_._2.isNumeric))
@@ -1160,7 +1169,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
               val dt = unioned.schema(cn).dataType
               // strict input typing (quirk-Q8 stance: no implicit casts):
               // sum/avg/median require numerics; count/min/max take any type
-              if (Seq("sum", "avg", "median").contains(a.fn) &&
+              if (Seq("sum", "avg", "median",
+                  "approx_median", "approx_quantile").contains(a.fn) &&
                   !Seq(IntegerType, LongType, DoubleType).contains(dt))
                 throw new ParseException(s"${a.fn}($cn) requires a numeric column, got $dt")
               // the DataSketches HLL aggregator hashes int/long/string/
@@ -1191,6 +1201,19 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
             // input but engine-specific, so rows carrying it are
             // tolerance-checked against exact distinct, never hash-exact
             case "approx_distinct" => hll_sketch_estimate(hll_sketch_agg(c))
+            // KLL rank-0.5 order statistic (graft extension) — the
+            // DataSketches form, so a SEARCH over the source and a
+            // maintained view agree sketch-for-sketch; an actual data
+            // value (inclusive criterion), not `median`'s interpolation,
+            // so rows carrying it are rank-tolerance-checked
+            case "approx_median" =>
+              graft.functions.KllSketch.kllQuantile(
+                graft.functions.KllSketch.kllAgg(c), 0.5)
+            // same sketch at an arbitrary literal rank — p90/p99 per
+            // group from KB-sized mergeable partials, never a sort
+            case "approx_quantile" =>
+              graft.functions.KllSketch.kllQuantile(
+                graft.functions.KllSketch.kllAgg(c), a.qarg.getOrElse(0.5))
           }).as(out)
         }
         val agged = unioned.groupBy(keys: _*).agg(aggExprs.head, aggExprs.tail: _*)

@@ -57,22 +57,24 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
 
   require(keys.nonEmpty, "incremental view needs at least one group key")
   aggs.foreach(a => require(
-    Set("count", "sum", "min", "max", "avg", "approx_distinct")(a.fn),
+    Set("count", "sum", "min", "max", "avg",
+      "approx_distinct", "approx_median")(a.fn),
     s"unsupported incremental aggregate '${a.fn}' " +
-      "(count/sum/min/max/avg/approx_distinct only)"))
+      "(count/sum/min/max/avg/approx_distinct/approx_median only)"))
 
-  /** min/max and approx_distinct are NOT delta-invertible under deletes
-    * (an HLL sketch unions but never subtracts) — groups that lost a row
-    * take the dirty recompute path. Gains fold exactly for all three:
-    * least/greatest for the extremes, sketch UNION for the HLL (the MV
-    * persists each estimate's companion `<out>_sk` sketch column, which
-    * is what makes the fold possible at all — the estimate alone can't
-    * absorb values that may duplicate ones already counted). */
+  /** min/max, approx_distinct, and approx_median are NOT delta-invertible
+    * under deletes (a sketch unions but never subtracts) — groups that
+    * lost a row take the dirty recompute path. Gains fold exactly for all
+    * of them: least/greatest for the extremes, sketch UNION for the HLL
+    * and KLL (the MV persists each estimate's companion `<out>_sk`
+    * sketch column, which is what makes the fold possible at all — the
+    * estimate alone can't absorb new values). */
   private val hasNonInvertible =
-    aggs.exists(a => Set("min", "max", "approx_distinct")(a.fn))
+    aggs.exists(a => Set("min", "max", "approx_distinct", "approx_median")(a.fn))
 
   private def sketchCol(out: String): String = s"${out}_sk"
   private val approxAggs = aggs.filter(_.fn == "approx_distinct")
+  private val medianAggs = aggs.filter(_.fn == "approx_median")
 
   /** avg is fully delta-invertible once decomposed: the MV persists
     * `<out>_sum` and `<out>_cnt` companions (sum and non-NULL count fold
@@ -108,6 +110,8 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
         count(col(c)).as(cntCol(out)))
       case Agg("approx_distinct", c, out) =>
         Seq(hll_sketch_agg(col(c)).as(sketchCol(out)))
+      case Agg("approx_median", c, out) =>
+        Seq(graft.functions.KllSketch.kllAgg(col(c)).as(sketchCol(out)))
       case Agg(_, c, out) => Seq(max(col(c)).as(out))
     }
     val g = filtered(snapshot).groupBy(keys.map(col): _*)
@@ -118,7 +122,11 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
     // SQL avg semantics)
     val withNd = approxAggs.foldLeft(g)((df, a) => df.withColumn(a.out,
       coalesce(hll_sketch_estimate(col(sketchCol(a.out))), lit(0L)).cast("long")))
-    aggs.filter(_.fn == "avg").foldLeft(withNd)((df, a) => df.withColumn(a.out,
+    // KLL estimate: all-NULL group → NULL sketch → NULL median (SQL
+    // median-of-nothing semantics, unlike the HLL's count-of-nothing 0)
+    val withMed = medianAggs.foldLeft(withNd)((df, a) => df.withColumn(a.out,
+      graft.functions.KllSketch.kllQuantile(col(sketchCol(a.out)), 0.5)))
+    aggs.filter(_.fn == "avg").foldLeft(withMed)((df, a) => df.withColumn(a.out,
       when(col(cntCol(a.out)) > 0,
         col(sumCol(a.out)).cast("double") / col(cntCol(a.out)))))
   }
@@ -174,11 +182,15 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
       case Agg("avg", c, out) => Seq(
         sum(col(c) * col("_w")).as(s"d_${sumCol(out)}"),
         sum(when(col(c).isNotNull, col("_w")).otherwise(0L)).as(s"d_${cntCol(out)}"))
-      // HLL: sketch of the window's ADDED values (the agg ignores the
-      // when's NULLed removals); like the extremes, a removal dirties
-      // the group so the union fold never applies to a shrinking group
+      // HLL/KLL: sketch of the window's ADDED values (the agg ignores
+      // the when's NULLed removals); like the extremes, a removal
+      // dirties the group so the union fold never applies to a
+      // shrinking group
       case Agg("approx_distinct", c, out) =>
         Seq(hll_sketch_agg(when(col("_w") === 1L, col(c))).as(s"d_$out"))
+      case Agg("approx_median", c, out) =>
+        Seq(graft.functions.KllSketch
+          .kllAgg(when(col("_w") === 1L, col(c))).as(s"d_$out"))
       // sum skips NULLs on both paths; coalesce at merge handles all-NULL
       case Agg(_, c, out) => Seq(sum(col(c) * col("_w")).as(s"d_$out"))
     }
@@ -208,6 +220,12 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
                 .when(delta(d).isNull, cur(sketchCol(o)))
                 .otherwise(hll_union(cur(sketchCol(o)), delta(d)))
               Seq(coalesce(hll_sketch_estimate(u), lit(0L)).cast("long").as(o),
+                u.as(sketchCol(o)))
+            // KLL union is NULL-tolerant natively; estimate of a NULL
+            // union is NULL (median-of-nothing)
+            case ("approx_median", o, d) =>
+              val u = graft.functions.KllSketch.kllMerge(cur(sketchCol(o)), delta(d))
+              Seq(graft.functions.KllSketch.kllQuantile(u, 0.5).as(o),
                 u.as(sketchCol(o)))
             case (_, o, d) => Seq(
               (coalesce(cur(o), lit(0L)) + coalesce(delta(d), lit(0L))).as(o))

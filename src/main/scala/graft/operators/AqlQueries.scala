@@ -121,6 +121,11 @@ object AqlQueries {
       // dirty recompute, and the division re-derives after every fold
       eng.execute("CREATE VIEW mv_avg " +
         "(SEARCH [lang, avg(n_chars)] ON docs_vw WHERE n_chars > 100)")
+      // KLL median view: the commit's insert folds by sketch union, its
+      // edit/delete dirty their groups — estimate stays rank-close to
+      // the exact median of the post state
+      eng.execute("CREATE VIEW mv_med " +
+        "(SEARCH [lang, approx_median(n_chars)] ON docs_vw)")
       eng.execute("EDIT ROW ['n_chars'] [50000] ON docs_vw WHERE doc_id = 21")
       eng.execute("DELETE ROW ON docs_vw WHERE doc_id = 33")
       eng.execute("CREATE ROW ['doc_id','lang','n_chars'] [900006, 'xx', 999] ON docs_vw")
@@ -129,6 +134,7 @@ object AqlQueries {
       eng.execute("REFRESH VIEW mv_ext")
       eng.execute("REFRESH VIEW mv_nd")
       eng.execute("REFRESH VIEW mv_avg")
+      eng.execute("REFRESH VIEW mv_med")
       // corpus interchange: EXPORT the versioned docs_tt snapshot as
       // JSONL, IMPORT it into a fresh container as one bulk-append
       // commit — the AQL surface over the sources lane
@@ -1071,6 +1077,110 @@ object AqlQueries {
           .select(col("lang"), col("n_rows"),
             (abs(col("approx_distinct_n_chars") - col("nd"))
               <= col("nd").cast("double") * 0.05).as("within_tol"))
+          .orderBy(col("lang"))
+      }
+    },
+
+    // approx_median incremental view (KLL sketch column): RANK-tolerance
+    // checked — the maintained estimate must sit within ±5% of rank 0.5
+    // in the EXACT post-state group (inclusive frac_le bounds it below,
+    // strict frac_lt above — the two-sided form that is tie-robust), and
+    // DuckDB's re-aggregation says that must hold for every group while
+    // n_rows stays hash-exact alongside. KLL at k=200 runs ~1.65% rank
+    // error and is EXACT below 200 values/group, so the band has real
+    // margin while failing loudly on a double-union or a lost window.
+    Q("aql_view_approx_median",
+      """WITH post AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN doc_id = 21 THEN 50000 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id <> 33
+        |  UNION ALL SELECT 900006, 'xx', 999
+        |)
+        |SELECT lang, count(*) AS n_rows, TRUE AS within_tol
+        |FROM post GROUP BY lang
+        |ORDER BY lang""".stripMargin) {
+      (s, dir) => {
+        val eng = engine(s, dir)
+        val mv = eng.orderedResult(eng.execute(
+          "SEARCH [lang, n_rows, approx_median_n_chars] ON mv_med")
+          .asInstanceOf[Engine.ResultSet].cursorId).get
+        import org.apache.spark.sql.functions._
+        val post = graft.Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .filter(col("doc_id") =!= 33)
+          .withColumn("n_chars",
+            when(col("doc_id") === 21, lit(50000L)).otherwise(col("n_chars")))
+          .unionByName(s.range(1).select(lit(900006L).as("doc_id"),
+            lit("xx").as("lang"), lit(999L).as("n_chars")))
+        val ranks = post
+          .join(mv.select(col("lang"), col("approx_median_n_chars").as("est")), "lang")
+          .groupBy(col("lang")).agg(
+            (sum(when(col("n_chars") <= col("est"), 1L).otherwise(0L)) /
+              count(lit(1))).as("fle"),
+            (sum(when(col("n_chars") < col("est"), 1L).otherwise(0L)) /
+              count(lit(1))).as("flt"))
+        mv.join(ranks, "lang")
+          .select(col("lang"), col("n_rows"),
+            (col("fle") >= 0.45 && col("flt") <= 0.55).as("within_tol"))
+          .orderBy(col("lang"))
+      }
+    },
+
+    // plain-SEARCH approx_median (graft extension): the SAME DataSketches
+    // KLL estimate a maintained view carries, rank-tolerance checked
+    // against the raw table.
+    Q("aql_search_approx_median",
+      """SELECT lang, TRUE AS within_tol FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, dir) => {
+        val eng = engine(s, dir)
+        val res = eng.orderedResult(eng.execute(
+          "SEARCH [lang, approx_median(n_chars)] ON documents")
+          .asInstanceOf[Engine.ResultSet].cursorId).get
+        import org.apache.spark.sql.functions._
+        val est = res.select(col("lang"),
+          res.columns.find(_.contains("approx_median")).map(col)
+            .getOrElse(sys.error("approx_median output column missing"))
+            .as("est"))
+        val docs = graft.Tables.load(s, dir, "documents")
+          .select(col("lang"), col("n_chars"))
+        docs.join(est, "lang")
+          .groupBy(col("lang")).agg(
+            (sum(when(col("n_chars") <= col("est"), 1L).otherwise(0L)) /
+              count(lit(1))).as("fle"),
+            (sum(when(col("n_chars") < col("est"), 1L).otherwise(0L)) /
+              count(lit(1))).as("flt"))
+          .select(col("lang"),
+            (col("fle") >= 0.45 && col("flt") <= 0.55).as("within_tol"))
+          .orderBy(col("lang"))
+      }
+    },
+
+    // plain-SEARCH approx_quantile at an arbitrary literal rank (q=0.9):
+    // same KLL sketch, rank-tolerance checked around 0.9.
+    Q("aql_search_approx_quantile",
+      """SELECT lang, TRUE AS within_tol FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, dir) => {
+        val eng = engine(s, dir)
+        val res = eng.orderedResult(eng.execute(
+          "SEARCH [lang, approx_quantile(n_chars 0.9)] ON documents")
+          .asInstanceOf[Engine.ResultSet].cursorId).get
+        import org.apache.spark.sql.functions._
+        val est = res.select(col("lang"),
+          res.columns.find(_.contains("approx_quantile")).map(col)
+            .getOrElse(sys.error("approx_quantile output column missing"))
+            .as("est"))
+        graft.Tables.load(s, dir, "documents")
+          .select(col("lang"), col("n_chars"))
+          .join(est, "lang")
+          .groupBy(col("lang")).agg(
+            (sum(when(col("n_chars") <= col("est"), 1L).otherwise(0L)) /
+              count(lit(1))).as("fle"),
+            (sum(when(col("n_chars") < col("est"), 1L).otherwise(0L)) /
+              count(lit(1))).as("flt"))
+          .select(col("lang"),
+            (col("fle") >= 0.85 && col("flt") <= 0.95).as("within_tol"))
           .orderBy(col("lang"))
       }
     },

@@ -1420,6 +1420,44 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     eng.execute("DELETE CONTAINER adx")
   }
 
+  test("42 approx_median / approx_quantile: exact below sketch capacity; rank and type rejects") {
+    eng.execute("CREATE CONTAINER kqx ['id','g','v','t'] [BIGINT, TEXT, BIGINT, TEXT]")
+    // g=a: {10,20,30,40,50}; g=b: {1,2,3,4} — below KLL capacity the
+    // sketch retains every value, so the estimates are EXACT inclusive
+    // order statistics and the pins can be equalities
+    (1 to 5).foreach(i => eng.execute(
+      s"CREATE ROW ['id','g','v','t'] [$i, 'a', ${i * 10}, 'x'] ON kqx"))
+    (6 to 9).foreach(i => eng.execute(
+      s"CREATE ROW ['id','g','v','t'] [$i, 'b', ${i - 5}, 'x'] ON kqx"))
+    eng.execute("COMMIT kqx")
+    val med = searchRows("SEARCH [g, approx_median(v)] ON kqx")
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // a: v⌈5/2⌉ = v3 = 30; b: v⌈4/2⌉ = v2 = 2
+    assert(med == Map("a" -> 30.0, "b" -> 2.0), s"got $med")
+    val p90 = searchRows("SEARCH [g, approx_quantile(v 0.9)] ON kqx")
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // inclusive rank ≥ 0.9: a → v5 = 50; b → v4 = 4
+    assert(p90 == Map("a" -> 50.0, "b" -> 4.0), s"got $p90")
+    // rejects: TEXT column, missing/out-of-range rank, arithmetic arg
+    val e1 = intercept[ParseException](
+      eng.execute("SEARCH [g, approx_median(t)] ON kqx"))
+    assert(e1.getMessage.contains("numeric"), e1.getMessage)
+    val e2 = intercept[ParseException](
+      eng.execute("SEARCH [g, approx_quantile(v)] ON kqx"))
+    assert(e2.getMessage.contains("literal rank"), e2.getMessage)
+    val e3 = intercept[ParseException](
+      eng.execute("SEARCH [g, approx_quantile(v 1.5)] ON kqx"))
+    assert(e3.getMessage.contains("outside [0, 1]"), e3.getMessage)
+    val e4 = intercept[ParseException](
+      eng.execute("SEARCH [g, approx_median(v + 1)] ON kqx"))
+    assert(e4.getMessage.contains("plain column"), e4.getMessage)
+    // views: approx_median maintains; approx_quantile points at the rule
+    val e5 = intercept[ParseException](
+      eng.execute("CREATE VIEW vq (SEARCH [g, approx_quantile(v 0.9)] ON kqx)"))
+    assert(e5.getMessage.contains("maintainable"), e5.getMessage)
+    eng.execute("DELETE CONTAINER kqx")
+  }
+
   test("41 SHOW TAILS lists registered CDC consumers with lag; TAILS stays unreserved") {
     eng.execute("CREATE CONTAINER tl ['id'] [BIGINT]")
     eng.execute("CREATE ROW ['id'] [1] ON tl"); eng.execute("COMMIT tl") // v1

@@ -340,6 +340,59 @@ class IncrementalViewSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_median: insert windows union KLL sketches, deletes recompute; exact below capacity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-med")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("src", List(
+      "id" -> graft.aql.AlbaType.of("INT"),
+      "grp" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "val" -> graft.aql.AlbaType.of("BIGINT")))
+    cat.create("mv", List(
+      "grp" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "n_rows" -> graft.aql.AlbaType.of("BIGINT"),
+      "med_val" -> graft.aql.AlbaType.of("FLOAT"),
+      "med_val_sk" -> graft.aql.AlbaType.of("LARGE-BYTES")))
+    val view = new IncrementalView(cat, "src", "mv", Seq("grp"),
+      Seq(IncrementalView.Agg("approx_median", "val", "med_val")))
+    val tx = new Tx(cat)
+    val tail = new ChangeTail(cat, "src", dir.resolve("mv.ckpt"))
+    def mvMed: Map[String, (Long, Option[Double])] =
+      cat.read("mv").collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+
+    // KLL below capacity retains every value: the estimate IS the
+    // inclusive order statistic v⌈n/2⌉ — pins are exact equalities
+    tx.stageInsert("src", Seq(
+      org.apache.spark.sql.Row(1, "a", 10L),
+      org.apache.spark.sql.Row(2, "a", 20L),
+      org.apache.spark.sql.Row(3, "a", 30L),
+      org.apache.spark.sql.Row(4, "a", 40L),
+      org.apache.spark.sql.Row(5, "b", null)))
+    tx.commit(Some("src"))
+    view.refreshOnce(tail)
+    // n=4 → v2 = 20; b has only a NULL val → NULL median, n_rows 1
+    assert(mvMed == Map("a" -> (4L, Some(20.0)), "b" -> (1L, None)))
+
+    // a second insert window UNIONS into the existing sketch — a fold
+    // that re-added the old values would shift the order statistic
+    tx.stageInsert("src", Seq(
+      org.apache.spark.sql.Row(6, "a", 5L),
+      org.apache.spark.sql.Row(7, "a", 50L),
+      org.apache.spark.sql.Row(8, "a", 60L)))
+    tx.commit(Some("src"))
+    view.refreshOnce(tail)
+    // {5,10,20,30,40,50,60}: n=7 → v4 = 30
+    assert(mvMed("a") == ((7L, Some(30.0))))
+
+    // a delete dirties the group: recomputed from the end-version
+    // snapshot (a KLL sketch cannot subtract)
+    tx.stageDelete("src", Some(col("val") === 40L))
+    tx.commit(Some("src"))
+    view.refreshOnce(tail)
+    // {5,10,20,30,50,60}: n=6 → v3 = 20
+    assert(mvMed("a") == ((6L, Some(20.0))))
+  }
+
   test("min/max: gain-only windows fold; losing the extreme recomputes the group exactly") {
     val (cat, tx, view, tail) = fixtureMM("basic")
     tx.stageInsert("src", Seq(
