@@ -73,6 +73,25 @@ object DocumentStreams {
         coalesce(hll_sketch_estimate(col("sk")), lit(0L)).cast("long")
           .as("approx_distinct_text"))
 
+  /** Streaming twin of the AQL `approx_median` aggregate (and the
+    * incremental view's KLL column): per-group running median estimates
+    * as a stateful streaming aggregation (complete mode). State is one
+    * KLL sketch per group — a few KB regardless of how many values have
+    * streamed through. Sketches MERGE across micro-batch triggers like
+    * the view fold unions them across commits; below sketch capacity
+    * (n ≤ k per group) the sketch retains every value, so the running
+    * estimate EQUALS the exact inclusive order statistic whatever the
+    * trigger boundaries — the deterministic regime StreamingSpec pins
+    * (above capacity, KLL compaction is randomized and only the rank
+    * band is guaranteed).
+    */
+  def approxMedianByLang(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"))
+      .agg(graft.functions.KllSketch.kllAgg(col("n_chars")).as("sk"))
+      .select(col("lang"),
+        graft.functions.KllSketch.kllQuantile(col("sk"), 0.5)
+          .as("approx_median_n_chars"))
+
   /** Streaming twin of `t_pii_scrub`: the compliance pass applied AT
     * INGEST (append mode, stateless projection — redact before anything
     * is persisted downstream, the shape a real pipeline wants). Exactly

@@ -164,6 +164,35 @@ class StreamingSpec extends AnyFunSuite {
         s"lang $l: estimate ${streamed(l)} vs exact $nd")
   }
 
+  test("streaming approx-median sketches merge across triggers ≡ exact order statistic") {
+    val docsAll = graft.Tables.load(spark, dir, "documents")
+    val stream = twoTriggerDocStream()
+    val q = DocumentStreams.approxMedianByLang(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("kll_out").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "expected the corpus to arrive across >= 2 triggers")
+    val streamed = spark.table("kll_out").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // below sketch capacity the KLL retains every value, so the merged
+    // estimate is DETERMINISTIC: the exact inclusive order statistic
+    // v⌈n/2⌉ per group, whatever the trigger boundaries. Verify the
+    // fixture is in that regime, then pin exact equality — to the order
+    // statistic AND to the one-shot batch run.
+    val perLang = docsAll.select(col("lang"), col("n_chars")).collect()
+      .groupBy(_.getString(0)).map { case (l, rs) =>
+        l -> rs.map(_.getLong(1)).sorted.toVector }
+    assert(perLang.values.forall(_.length <= graft.functions.KllSketch.DefaultK),
+      "fixture group outgrew sketch capacity — the exact pin no longer applies")
+    val exact = perLang.map { case (l, vs) =>
+      l -> vs((vs.length + 1) / 2 - 1).toDouble }
+    assert(streamed == exact, s"streamed $streamed != order statistic $exact")
+    val batch = DocumentStreams.approxMedianByLang(docsAll).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(batch == exact, s"one-shot batch $batch != order statistic $exact")
+  }
+
   test("streaming centroid assignment agrees with the batch Lloyd assignment") {
     val seeds = Tables.load(spark, dir, "embeddings")
       .orderBy(col("vec_id")).limit(8).collect()
