@@ -87,6 +87,12 @@ final case class Settings(
       * default: a bursty ingest usually prefers one explicit REFRESH
       * after the burst over per-commit fold latency. */
     refreshViewsAfterCommit: Boolean = false,
+    /** graft extension: RETRAIN each ivf index's centroids from current
+      * data every N commits (0 = off) — the drift-maintenance automation
+      * for REBUILD INDEX. Off by default: Lloyd is a multi-pass cost the
+      * user opts into; lsh/simhash/text/value indexes are maintained
+      * exactly at every commit and never need it. */
+    rebuildIvfAfterCommits: Int = 0,
     /** graft extension: candidate cap for value-index-served point/range
       * predicates — above it the value is unselective, the probe list
       * would stop being bounded per-lookup metadata, and the plain
@@ -117,6 +123,7 @@ final case class Settings(
     if (s.analyzeAfterCommits < 0) s = s.copy(analyzeAfterCommits = 0)
     if (s.vacuumAfterCommits < 0) s = s.copy(vacuumAfterCommits = 0)
     if (s.vacuumKeepLast < 1) s = s.copy(vacuumKeepLast = 3)
+    if (s.rebuildIvfAfterCommits < 0) s = s.copy(rebuildIvfAfterCommits = 0)
     if (s.indexProbeCap < 1) s = s.copy(indexProbeCap = 8192)
     if (!Set("exact", "approx").contains(s.statsDistinct))
       s = s.copy(statsDistinct = "exact")
@@ -139,6 +146,7 @@ final case class Settings(
        |analyze_after_commits: $analyzeAfterCommits
        |vacuum_after_commits: $vacuumAfterCommits
        |vacuum_keep_last: $vacuumKeepLast
+       |rebuild_ivf_after_commits: $rebuildIvfAfterCommits
        |refresh_views_after_commit: $refreshViewsAfterCommit
        |index_probe_cap: $indexProbeCap
        |stats_distinct: $statsDistinct
@@ -194,6 +202,8 @@ object Settings {
       analyzeAfterCommits = int("analyze_after_commits", default.analyzeAfterCommits),
       vacuumAfterCommits = int("vacuum_after_commits", default.vacuumAfterCommits),
       vacuumKeepLast = int("vacuum_keep_last", default.vacuumKeepLast),
+      rebuildIvfAfterCommits =
+        int("rebuild_ivf_after_commits", default.rebuildIvfAfterCommits),
       refreshViewsAfterCommit =
         bool("refresh_views_after_commit", default.refreshViewsAfterCommit),
       indexProbeCap = int("index_probe_cap", default.indexProbeCap),

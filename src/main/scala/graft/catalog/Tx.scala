@@ -69,6 +69,16 @@ final class Tx(catalog: Catalog) {
   @volatile var vacuumKeepLast: Int = 3
   @volatile var vacuumMinKeep: (String, Int) => Int = (_, _) => 1
 
+  /** `rebuild_ivf_after_commits` knob (graft extension): when > 0, every
+    * Nth committed version retrains each ivf index's centroids from the
+    * container's CURRENT vectors ([[Index.rebuild]]) — the automated
+    * drift maintenance. ivf is the one index kind whose quality decays
+    * without it: lsh/simhash/text/value are content-derived and
+    * maintained exactly at every commit, but ivf cells are frozen
+    * centroids, and recall decays as the data distribution drifts away
+    * from them. Explicitly opt-in: Lloyd is a multi-pass scan cost. */
+  @volatile var rebuildIvfEvery: Int = 0
+
   /** Post-commit hook per committed container (graft extension): the
     * engine wires incremental-view auto-refresh through this when
     * `refresh_views_after_commit` is set. Fires AFTER the commit is
@@ -337,6 +347,15 @@ final class Tx(catalog: Catalog) {
     if (analyzeEvery > 0 && committed % analyzeEvery == 0)
       try Stats.analyze(catalog, c, "approx")
       catch { case scala.util.control.NonFatal(_) => () }
+    // ivf centroid retraining AFTER any auto-compaction (it reads the
+    // current snapshot either way) and BEFORE vacuum (rebuild already
+    // clears old-version parts; vacuum then drops whatever remains).
+    // Per-index isolation: one failing index must not starve the rest.
+    if (rebuildIvfEvery > 0 && committed % rebuildIvfEvery == 0)
+      Index.defsOf(catalog, c).filter(_.kind == "ivf").foreach { d =>
+        try Index.rebuild(catalog, c, d.ix)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
     // retention LAST: optimize/analyze above may have published more
     // versions; vacuum keeps the newest keepLast of whatever exists now,
     // raised to the engine's retention floor. The WHOLE pass — floor

@@ -400,6 +400,46 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     intercept[Exception](eng.execute("REBUILD INDEX ann ON novecs"))
   }
 
+  test("rebuild_ivf_after_commits retrains centroids on the Nth commit, skips others") {
+    val (cat, _) = ivfFixture("autodrift")
+    cat.createIndex("vecs", "ann", "ivf", "e")
+    val oldCents = Index.centroids(cat, "vecs", "ann")
+    import spark.implicits._
+    val tx = new Tx(cat)
+    tx.rebuildIvfEvery = 2 // fixture committed v1; the drift commit is v2
+    // DRIFT through the Tx path (the hook only fires on real commits):
+    // replace the +axis corpus with −main-axis clusters in one commit
+    tx.stageDelete("vecs", None)
+    tx.stageInsert("vecs",
+      (100L until 132L).map(i => org.apache.spark.sql.Row(i, driftVec(i))))
+    tx.commit(Some("vecs"))
+    assert(cat.currentVersion("vecs") == 2)
+    val retrained = Index.centroids(cat, "vecs", "ann")
+    assert(retrained.size == 8 &&
+      retrained.map(_._2.toSeq) != oldCents.map(_._2.toSeq),
+      "the Nth commit must retrain the centroid set from current data")
+    // the retrained cells serve drifted probes (same margin as the
+    // explicit REBUILD spec: mates spread 2-per-tilt-cell, nprobe=2)
+    val idef = cat.indexDefs("vecs").find(_.ix == "ann").get
+    val mates = (100L until 132L).filter(i => i % 4 == 777L % 4)
+    val cands = Index.ivfLookup(cat, "vecs", idef,
+        Seq((777L, driftVec(777L))).toDF("vec_id", "e"), nprobe = 2)
+      .collect().map(_.getLong(1)).toSet
+    val recall = mates.count(cands).toDouble / mates.size
+    assert(recall >= 0.9, s"auto-rebuilt cells must serve drifted probes, recall=$recall")
+    // an off-cycle commit (v3) maintains assignments but does NOT retrain
+    tx.stageInsert("vecs", Seq(org.apache.spark.sql.Row(200L, driftVec(201L))))
+    tx.commit(Some("vecs"))
+    assert(cat.currentVersion("vecs") == 3)
+    assert(Index.centroids(cat, "vecs", "ann")
+      .map(_._2.toSeq) == retrained.map(_._2.toSeq),
+      "an off-cycle commit must not retrain")
+    val cands2 = Index.ivfLookup(cat, "vecs", idef,
+        Seq((778L, driftVec(201L))).toDF("vec_id", "e"), nprobe = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(cands2.contains(200L), "off-cycle commits still maintain assignments")
+  }
+
   test("REBUILD of a band index re-derives identical parts; lookups keep serving") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ixm-rebuild-lsh")
     val cat = new Catalog(spark, dir.toString)

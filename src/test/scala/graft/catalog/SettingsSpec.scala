@@ -53,6 +53,15 @@ class SettingsSpec extends AnyFunSuite {
     assert(Settings.load(dir).indexProbeCap == 4)
   }
 
+  test("rebuild_ivf_after_commits round-trips; negatives normalize to off") {
+    val dir = Files.createTempDirectory("graft-settings-rbi")
+    Files.writeString(dir.resolve(Settings.FileName),
+      "rebuild_ivf_after_commits: 6\n")
+    assert(Settings.load(dir).rebuildIvfAfterCommits == 6)
+    assert(Settings(rebuildIvfAfterCommits = -3).normalized.rebuildIvfAfterCommits == 0)
+    assert(Settings.default.rebuildIvfAfterCommits == 0, "opt-in: off by default")
+  }
+
   test("'#' inside a value is data, not a comment (YAML rule)") {
     val dir = Files.createTempDirectory("graft-settings-hash")
     Files.writeString(dir.resolve(Settings.FileName),
