@@ -795,8 +795,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     if (q.joins.nonEmpty || q.exprs.nonEmpty || q.fns.nonEmpty || q.wins.nonEmpty ||
       q.distinct || q.orderBy.nonEmpty || q.limit.nonEmpty || q.atVersion.nonEmpty ||
       q.having.nonEmpty)
-      bad("only projection keys, count/sum/min/max/avg/approx_distinct " +
-        "aggregates, and WHERE are maintainable")
+      bad("only projection keys, count/sum/min/max/avg/approx_distinct/" +
+        "approx_median aggregates, and WHERE are maintainable")
     if (q.aggs.isEmpty) bad("the body needs at least one aggregate")
     if (q.projection.isEmpty) bad("the body needs at least one group key")
     q.aggs.foreach { a =>
@@ -1669,7 +1669,38 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         }
         val leftTail = rights.collect {
           case (j, _, df) if j.joinType == "left" => j -> df }
-        if (priced.exists(_._4.isEmpty)) rights.map(t => t._1 -> t._3)
+        // The reorder must never change which statements ERROR: simulate
+        // the WRITTEN order's bindability first (inner and left alike —
+        // the greedy loop below only simulates the inners it places) and
+        // bail when any ON fails to bind at its written position, so
+        // resolveJoinSides' message stays reachable regardless of stats
+        // freshness. Without this, a left ON referencing a later
+        // container's column errors as written but silently binds once
+        // the reorder widens the accumulated set before the left tail.
+        val writtenBinds = {
+          var wAvail = parts.head.columns.map(_.toLowerCase).toSet
+          var wQuals = s.containers.collect {
+            case Ast.Container.Real(n) => n.toLowerCase }.toSet
+          rights.forall { case (j, rn, df) =>
+            val cols = df.columns.map(_.toLowerCase).toSet
+            def binds(q: String): (Boolean, Boolean) = qualOf(q) match {
+              case Some(p) if rn.exists(p.equalsIgnoreCase) =>
+                (false, cols.contains(bare(q).toLowerCase))
+              case Some(p) if wQuals.contains(p.toLowerCase) =>
+                (wAvail.contains(bare(q).toLowerCase), false)
+              case Some(_) => (false, false)
+              case None =>
+                (wAvail.contains(q.toLowerCase), cols.contains(q.toLowerCase))
+            }
+            val (ll, lr) = binds(j.left)
+            val (rl, rr) = binds(j.right)
+            wAvail ++= cols
+            rn.foreach(n => wQuals += n.toLowerCase)
+            (ll && rr) || (lr && rl)
+          }
+        }
+        if (!writtenBinds || priced.exists(_._4.isEmpty))
+          rights.map(t => t._1 -> t._3)
         else {
           var avail = parts.head.columns.map(_.toLowerCase).toSet
           var quals = s.containers.collect {

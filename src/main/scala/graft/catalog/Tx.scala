@@ -351,11 +351,15 @@ final class Tx(catalog: Catalog) {
     // current snapshot either way) and BEFORE vacuum (rebuild already
     // clears old-version parts; vacuum then drops whatever remains).
     // Per-index isolation: one failing index must not starve the rest.
+    // The defsOf enumeration itself sits inside a catch too — it parses
+    // every index meta file (not just ivf), and a corrupt one must not
+    // escape maintenance (on the group-commit path that would skip later
+    // members' staged-log clears → double-apply on COMMIT retry).
     if (rebuildIvfEvery > 0 && committed % rebuildIvfEvery == 0)
-      Index.defsOf(catalog, c).filter(_.kind == "ivf").foreach { d =>
+      try Index.defsOf(catalog, c).filter(_.kind == "ivf").foreach { d =>
         try Index.rebuild(catalog, c, d.ix)
         catch { case scala.util.control.NonFatal(_) => () }
-      }
+      } catch { case scala.util.control.NonFatal(_) => () }
     // retention LAST: optimize/analyze above may have published more
     // versions; vacuum keeps the newest keepLast of whatever exists now,
     // raised to the engine's retention floor. The WHOLE pass — floor

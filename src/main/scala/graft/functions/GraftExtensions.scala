@@ -32,22 +32,53 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Float32Unpack(exprs.head)))
     // KLL quantile sketch trio (mirrors Spark's own DataSketches HLL
-    // surface): mergeable aggregate, pairwise union, rank-q estimate
+    // surface): mergeable aggregate, pairwise union, rank-q estimate.
+    // Arity is checked here — a builder indexing past exprs surfaces a
+    // raw IndexOutOfBoundsException; a silently dropped argument (the
+    // optional k) is worse: the caller's requested accuracy is ignored.
     ext.injectFunction((
       new FunctionIdentifier("kll_sketch_agg"),
       new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_sketch_agg"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        KllSketchAgg(exprs.head)))
+        exprs match {
+          case Seq(c) => KllSketchAgg(c)
+          case Seq(c, kE) =>
+            import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+            require(kE.foldable &&
+              Seq(ByteType, ShortType, IntegerType, LongType).contains(kE.dataType),
+              "kll_sketch_agg: k must be an integer literal")
+            val k = kE.eval(null) match {
+              case i: Int => i
+              case l: Long => l.toInt
+              case s: Short => s.toInt
+              case b: Byte => b.toInt
+              case null => throw new IllegalArgumentException(
+                "kll_sketch_agg: k must not be NULL")
+            }
+            require(k >= 8 && k <= 65535,
+              s"kll_sketch_agg: k=$k outside DataSketches' [8, 65535]")
+            KllSketchAgg(c, k)
+          case _ => throw new IllegalArgumentException(
+            s"kll_sketch_agg expects (col[, k]), got ${exprs.length} arguments")
+        }))
     ext.injectFunction((
       new FunctionIdentifier("kll_merge"),
       new ExpressionInfo(classOf[KllMergeExpr].getName, "kll_merge"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        KllMergeExpr(exprs(0), exprs(1))))
+        exprs match {
+          case Seq(a, b) => KllMergeExpr(a, b)
+          case _ => throw new IllegalArgumentException(
+            s"kll_merge expects (a, b), got ${exprs.length} arguments")
+        }))
     ext.injectFunction((
       new FunctionIdentifier("kll_quantile"),
       new ExpressionInfo(classOf[KllQuantileExpr].getName, "kll_quantile"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        KllQuantileExpr(exprs(0), exprs(1))))
+        exprs match {
+          case Seq(sk, q) => KllQuantileExpr(sk, q)
+          case _ => throw new IllegalArgumentException(
+            s"kll_quantile expects (sketch, rank), got ${exprs.length} arguments")
+        }))
     // whole-operator custom path: per-group top-k (graft.plans.TopKPerGroup)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }

@@ -166,16 +166,22 @@ case class KllQuantileExpr(left: Expression, right: Expression)
     else TypeCheckResult.TypeCheckFailure(
       "kll_quantile expects (binary sketch, foldable double rank)")
 
-  private lazy val q: Double = {
-    val v = right.eval(InternalRow.empty).asInstanceOf[Double]
-    require(v >= 0.0 && v <= 1.0, s"kll_quantile rank $v outside [0, 1]")
-    v
+  // a foldable NULL rank (e.g. CAST(NULL AS DOUBLE)) propagates NULL like
+  // any SQL function — unboxing it to 0.0 would silently answer with the
+  // sketch minimum
+  private lazy val q: Option[Double] = right.eval(InternalRow.empty) match {
+    case null => None
+    case v: Double =>
+      require(v >= 0.0 && v <= 1.0, s"kll_quantile rank $v outside [0, 1]")
+      Some(v)
   }
 
-  override def eval(input: InternalRow): Any = left.eval(input) match {
-    case null => null
-    case bytes: Array[Byte] => KllSketch.heapify(bytes).getQuantile(q)
-  }
+  override def eval(input: InternalRow): Any =
+    if (q.isEmpty) null
+    else left.eval(input) match {
+      case null => null
+      case bytes: Array[Byte] => KllSketch.heapify(bytes).getQuantile(q.get)
+    }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): KllQuantileExpr =

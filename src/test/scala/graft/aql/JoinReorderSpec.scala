@@ -124,6 +124,22 @@ class JoinReorderSpec extends AnyFunSuite {
       .collect().map(_.toSeq.toVector: Seq[Any]).toSet)
   }
 
+  test("a left ON referencing a later container errors identically under stats") {
+    val (eng, _) = fixture("lefterr")
+    // dname lives in dim, which joins AFTER the left join — invalid as
+    // written. The reorder (which moves lefts behind the inner prefix,
+    // widening the bound column set) must not make query validity depend
+    // on ANALYZE freshness: same error before and after stats.
+    val bad = "SEARCH [id, dname] ON f LEFT JOIN mid ON dname = mk " +
+      "JOIN dim ON id = dk"
+    def msg: String = intercept[Exception](rows(eng, bad)).getMessage
+    val noStats = msg
+    assert(noStats.contains("dname"), s"expected the bind error, got: $noStats")
+    Seq("f", "mid", "dim").foreach(c => eng.execute(s"ANALYZE CONTAINER $c"))
+    assert(msg == noStats,
+      "stats freshness must not change which statements error")
+  }
+
   test("property: shuffled priced 4-chains stay row-identical to the Spark reference") {
     val (eng, cat) = fixture("prop")
     import spark.implicits._

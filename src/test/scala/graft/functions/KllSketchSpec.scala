@@ -91,4 +91,36 @@ class KllSketchSpec extends AnyFunSuite {
       .collect().head.getDouble(0)
     assert(m == 10.0)
   }
+
+  test("a NULL rank propagates NULL, never the sketch minimum") {
+    import spark.implicits._
+    val row = Seq(1, 2, 3).toDF("v")
+      .agg(kllAgg(col("v")).as("sk"))
+      .select(call_function("kll_quantile", col("sk"),
+        lit(null).cast("double")).as("q"))
+      .collect().head
+    assert(row.isNullAt(0), s"NULL rank must yield NULL, got ${row.get(0)}")
+  }
+
+  test("SQL k argument is honored; wrong arities are clean errors") {
+    import spark.implicits._
+    // n=5000 > k: at k=8 the sketch compacts hard (retains ~tens of
+    // values); at k=2048 it retains far more. Serialized size scales with
+    // retained count — a dropped k argument would make the two equal.
+    (0 until 5000).map(_.toLong).toDF("v").createOrReplaceTempView("kll_k")
+    def skLen(k: Int): Int = spark.sql(
+      s"SELECT length(kll_sketch_agg(v, $k)) FROM kll_k")
+      .collect().head.getInt(0)
+    assert(skLen(2048) > skLen(8) * 4,
+      s"k must reach the sketch: len(k=2048)=${skLen(2048)}, len(k=8)=${skLen(8)}")
+    val badK = intercept[Exception](spark.sql(
+      "SELECT kll_sketch_agg(v, 4) FROM kll_k").collect())
+    assert(badK.getMessage.contains("[8, 65535]"), badK.getMessage)
+    for (q <- Seq("kll_sketch_agg(v, 10, 11)", "kll_merge(kll_sketch_agg(v))",
+        "kll_quantile(kll_sketch_agg(v))")) {
+      val e = intercept[Exception](spark.sql(s"SELECT $q FROM kll_k").collect())
+      assert(e.getMessage.contains("expects") || e.getMessage.contains("arguments"),
+        s"$q: ${e.getMessage}")
+    }
+  }
 }
