@@ -79,6 +79,60 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case _ => throw new IllegalArgumentException(
             s"kll_quantile expects (sketch, rank), got ${exprs.length} arguments")
         }))
+    // Theta sketch family — the set-operation cardinality surface HLL
+    // cannot provide (union AND intersection AND difference); same
+    // arity-checking discipline as the KLL trio.
+    ext.injectFunction((
+      new FunctionIdentifier("theta_sketch_agg"),
+      new ExpressionInfo(classOf[ThetaSketchAgg].getName, "theta_sketch_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        exprs match {
+          case Seq(c) => ThetaSketchAgg(c)
+          case Seq(c, kE) =>
+            import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+            require(kE.foldable &&
+              Seq(ByteType, ShortType, IntegerType, LongType).contains(kE.dataType),
+              "theta_sketch_agg: lgK must be an integer literal")
+            val lgK = kE.eval(null) match {
+              case i: Int => i
+              case l: Long => l.toInt
+              case s: Short => s.toInt
+              case b: Byte => b.toInt
+              case null => throw new IllegalArgumentException(
+                "theta_sketch_agg: lgK must not be NULL")
+            }
+            require(lgK >= 4 && lgK <= 26,
+              s"theta_sketch_agg: lgK=$lgK outside DataSketches' [4, 26]")
+            ThetaSketchAgg(c, lgK)
+          case _ => throw new IllegalArgumentException(
+            s"theta_sketch_agg expects (col[, lgK]), got ${exprs.length} arguments")
+        }))
+    Seq[(String, (org.apache.spark.sql.catalyst.expressions.Expression,
+        org.apache.spark.sql.catalyst.expressions.Expression) =>
+        org.apache.spark.sql.catalyst.expressions.Expression, Class[_])](
+      ("theta_union", ThetaUnionExpr.apply, classOf[ThetaUnionExpr]),
+      ("theta_intersect", ThetaIntersectExpr.apply, classOf[ThetaIntersectExpr]),
+      ("theta_diff", ThetaDiffExpr.apply, classOf[ThetaDiffExpr]))
+      .foreach { case (name, build, cls) =>
+        ext.injectFunction((
+          new FunctionIdentifier(name),
+          new ExpressionInfo(cls.getName, name),
+          (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+            exprs match {
+              case Seq(a, b) => build(a, b)
+              case _ => throw new IllegalArgumentException(
+                s"$name expects (a, b), got ${exprs.length} arguments")
+            }))
+      }
+    ext.injectFunction((
+      new FunctionIdentifier("theta_estimate"),
+      new ExpressionInfo(classOf[ThetaEstimateExpr].getName, "theta_estimate"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        exprs match {
+          case Seq(sk) => ThetaEstimateExpr(sk)
+          case _ => throw new IllegalArgumentException(
+            s"theta_estimate expects (sketch), got ${exprs.length} arguments")
+        }))
     // whole-operator custom path: per-group top-k (graft.plans.TopKPerGroup)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }

@@ -1170,6 +1170,56 @@ object TextDedup {
       }
     },
 
+    // Corpus-level contamination TRIAGE via theta sketches: per-source
+    // distinct-gram cardinality, overlap with the benchmark set, and
+    // novel-gram count — the question asked BEFORE t_decontaminate's
+    // per-document pass ("which sources overlap the eval suite at all,
+    // and by how much"). Scale shape is the whole point: each source's
+    // gram set folds to one KB-sized theta sketch via partial aggregation
+    // (map-side sketches, merged at the exchange — bytes crossing the
+    // wire are sketch-count-sized, never gram-count-sized), the benchmark
+    // sketch broadcasts as one row, and the set algebra (∩, \) runs on
+    // sketch PAIRS. Contrast t_decontaminate, which shuffles doc-level
+    // grams for its equi-join: at 100 TB that join answers "which docs",
+    // this answers "which sources" at ~zero data movement. lgK=16 keeps
+    // theta at 1.0 (every hash retained → estimates EXACT, oracle
+    // hash-checked, no tolerance band) for sources up to 65536 distinct
+    // grams — sf0.01 runs ~1.3k/source, sf0.1 ~15k; past that the row
+    // degrades to ±0.4% estimates, which is the designed 100 TB behavior.
+    Q("t_overlap_theta",
+      """WITH toks AS (SELECT doc_id, source, string_split(lower(text),' ') AS tk
+        |              FROM documents),
+        |grams AS (SELECT source,
+        |    unnest(list_transform(range(1, len(tk)-2),
+        |      i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3])) AS g
+        |  FROM toks WHERE len(tk) >= 4),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+        |corp  AS (SELECT DISTINCT source, g FROM grams WHERE source <> 'src0')
+        |SELECT c.source, count(*) AS n_grams_distinct,
+        |       count(b.g) AS n_overlap,
+        |       count(*) - count(b.g) AS n_new
+        |FROM corp c LEFT JOIN bench b ON c.g = b.g
+        |GROUP BY c.source ORDER BY c.source""".stripMargin) {
+      (s, dir) => {
+        import graft.functions.ThetaSketch.{thetaDiff, thetaEstimate, thetaIntersect}
+        def sketch(c: org.apache.spark.sql.Column) =
+          call_function("theta_sketch_agg", c, lit(16))
+        val grams = grams4(docs(s, dir))
+        val bench = grams.filter(col("source") === "src0")
+          .agg(sketch(col("g")).as("bsk"))
+        val per = grams.filter(col("source") =!= "src0")
+          .groupBy(col("source")).agg(sketch(col("g")).as("sk"))
+        per.crossJoin(broadcast(bench))
+          .select(col("source"),
+            round(thetaEstimate(col("sk"))).cast("long").as("n_grams_distinct"),
+            round(thetaEstimate(thetaIntersect(col("sk"), col("bsk"))))
+              .cast("long").as("n_overlap"),
+            round(thetaEstimate(thetaDiff(col("sk"), col("bsk"))))
+              .cast("long").as("n_new"))
+          .orderBy(col("source"))
+      }
+    },
+
     // TF-IDF top terms per document (sklearn's smoothed variant, public:
     // idf = ln((1+N)/(1+df)) + 1). Scale shape: tf is a (doc, term)
     // partial-agg group-by; df re-aggregates tf by term (term-level, tiny
