@@ -168,7 +168,10 @@ object Ast {
         * literal args). Not folded into the output name (stable
         * oracle-visible `approx_quantile_col`, same convention as
         * `round(col 2)` → `round_col`). */
-      qarg: Option[Double] = None)
+      qarg: Option[Double] = None,
+      /** `approx_top_k(col k)`'s literal item count — same literal-arg
+        * convention (IntLit, not folded into the output name). */
+      karg: Option[Int] = None)
 
   /** One computed projection item, `a * b + 2` (graft extension). The
     * output name is generated from the expression (`a_mul_b_plus_2`) —
@@ -408,7 +411,7 @@ object Parser {
   // also incrementally maintainable in views (sketches union under
   // inserts; deletes take the dirty-group recompute path)
   private val AggFns = Set("count", "sum", "avg", "min", "max", "median",
-    "approx_distinct", "approx_median", "approx_quantile")
+    "approx_distinct", "approx_median", "approx_quantile", "approx_top_k")
 
   /** Scalar (per-row) functions accepted in the projection. All lower to
     * codegen'd built-ins. Most take one column; `substr`, `replace`, and
@@ -547,6 +550,15 @@ object Parser {
               case _ if fn == "approx_quantile" => throw new ParseException(
                 "approx_quantile takes (col q) with a literal rank in [0, 1] — " +
                   "e.g. approx_quantile(n_chars 0.9)")
+              // approx_top_k(col k) — the literal item count is mandatory
+              // (there is no natural default k); IntLit only
+              case List(one, IntLit(k)) if fn == "approx_top_k" =>
+                if (k < 1 || k > 100) throw new ParseException(
+                  s"approx_top_k item count $k outside [1, 100]")
+                aggs += AggProj(fn, name(one), karg = Some(k.toInt)); rest = tl
+              case _ if fn == "approx_top_k" => throw new ParseException(
+                "approx_top_k takes (col k) with a literal item count in " +
+                  "[1, 100] — e.g. approx_top_k(source 3)")
               case List(one) => aggs += AggProj(fn, name(one)); rest = tl
               // count(DISTINCT col) — distinct cardinality (graft extension)
               case List(Keyword("DISTINCT"), one) if fn == "count" =>

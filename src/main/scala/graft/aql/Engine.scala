@@ -406,6 +406,10 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         else if (a.fn == "approx_median")
           List(a.out -> AlbaType.of("FLOAT"),
             s"${a.out}_sk" -> AlbaType.of("LARGE-BYTES"))
+        // approx_top_k → TEXT rendering + its frequent-items sketch
+        else if (a.fn == "approx_top_k")
+          List(a.out -> AlbaType.of("TEXT"),
+            s"${a.out}_sk" -> AlbaType.of("LARGE-BYTES"))
         // avg → FLOAT output plus its foldable sum/cnt companions (the
         // decomposition that keeps avg exact under deletes)
         else if (a.fn == "avg")
@@ -796,7 +800,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       q.distinct || q.orderBy.nonEmpty || q.limit.nonEmpty || q.atVersion.nonEmpty ||
       q.having.nonEmpty)
       bad("only projection keys, count/sum/min/max/avg/approx_distinct/" +
-        "approx_median aggregates, and WHERE are maintainable")
+        "approx_median/approx_top_k aggregates, and WHERE are maintainable")
     if (q.aggs.isEmpty) bad("the body needs at least one aggregate")
     if (q.projection.isEmpty) bad("the body needs at least one group key")
     q.aggs.foreach { a =>
@@ -806,9 +810,9 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         "aggregates over arithmetic are not supported in views — " +
           "materialize the expression as a source column, or sum the parts")
       if (!Set("count", "sum", "min", "max", "avg",
-          "approx_distinct", "approx_median")(a.fn))
+          "approx_distinct", "approx_median", "approx_top_k")(a.fn))
         bad(s"aggregate '${a.fn}' is not incrementally maintainable " +
-          "(count/sum/min/max/avg/approx_distinct/approx_median)")
+          "(count/sum/min/max/avg/approx_distinct/approx_median/approx_top_k)")
     }
     val d = catalog.get(src)
     def canonical(c: String): String =
@@ -827,7 +831,13 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           org.apache.spark.sql.types.BinaryType)
           .contains(d.columns.find(_._1 == c).get._2.spark))
         bad(s"approx_distinct over '$c' — the HLL sketch hashes INT/BIGINT/TEXT/BYTES only")
-      graft.catalog.IncrementalView.Agg(a.fn, c, s"${a.fn}_${c.toLowerCase}")
+      if (a.fn == "approx_top_k" && !Seq(
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.StringType)
+          .contains(d.columns.find(_._1 == c).get._2.spark))
+        bad(s"approx_top_k over '$c' — items render as text; INT/BIGINT/TEXT only")
+      graft.catalog.IncrementalView.Agg(a.fn, c, s"${a.fn}_${c.toLowerCase}", a.karg)
     }
     // the MV's schema is keys + n_rows + agg outs (+ an `_sk` sketch
     // companion per approx_distinct, `_sum`/`_cnt` companions per
@@ -836,7 +846,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     // an agg out) would create a container with duplicate columns that
     // fails only at seed time — reject upfront
     val outNames = keys ++ Seq("n_rows") ++ aggs.map(_.out) ++
-      aggs.filter(a => Set("approx_distinct", "approx_median")(a.fn))
+      aggs.filter(a => Set("approx_distinct", "approx_median", "approx_top_k")(a.fn))
         .map(a => s"${a.out}_sk") ++
       aggs.filter(_.fn == "avg")
         .flatMap(a => Seq(s"${a.out}_sum", s"${a.out}_cnt"))
@@ -864,7 +874,10 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       case Token.BoolLit(b) => b.toString
       case other => throw new ParseException(s"unprintable literal $other")
     }
-    val items = q.projection ++ q.aggs.map(a => s"${a.fn}(${a.column})")
+    // approx_top_k carries its literal k so the persisted definition
+    // re-parses to the same aggregate (the other view aggs are unary)
+    val items = q.projection ++ q.aggs.map(a =>
+      a.karg.fold(s"${a.fn}(${a.column})")(k => s"${a.fn}(${a.column} $k)"))
     val where = q.where.map { w =>
       val head = w.atoms.head
       val rest = w.gates.zip(w.atoms.tail).map { case (g, c) =>
@@ -1181,6 +1194,14 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
                     org.apache.spark.sql.types.BinaryType).contains(dt))
                 throw new ParseException(
                   s"approx_distinct($cn) supports INT/BIGINT/TEXT/BYTES columns, got $dt")
+              // items canonicalize to string inside the sketch — floats
+              // (no canonical rendering) and bytes (no rendering at all)
+              // are clean rejects
+              if (a.fn == "approx_top_k" &&
+                  !Seq(IntegerType, LongType,
+                    org.apache.spark.sql.types.StringType).contains(dt))
+                throw new ParseException(
+                  s"approx_top_k($cn) supports INT/BIGINT/TEXT columns, got $dt")
               col(cn)
           }
           (a.fn match {
@@ -1214,6 +1235,14 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
             case "approx_quantile" =>
               graft.functions.KllSketch.kllQuantile(
                 graft.functions.KllSketch.kllAgg(c), a.qarg.getOrElse(0.5))
+            // frequent-items top-k rendered as `item:n,…` TEXT (graft
+            // extension) — the DataSketches form, so a SEARCH over the
+            // source and a maintained view agree sketch-for-sketch;
+            // EXACT (hash-comparable) while a group's distinct values
+            // fit the sketch map (~192 at the default size)
+            case "approx_top_k" =>
+              graft.functions.FreqSketch.renderTopK(
+                graft.functions.FreqSketch.freqAgg(c), a.karg.getOrElse(3))
           }).as(out)
         }
         val agged = unioned.groupBy(keys: _*).agg(aggExprs.head, aggExprs.tail: _*)

@@ -58,9 +58,11 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
   require(keys.nonEmpty, "incremental view needs at least one group key")
   aggs.foreach(a => require(
     Set("count", "sum", "min", "max", "avg",
-      "approx_distinct", "approx_median")(a.fn),
+      "approx_distinct", "approx_median", "approx_top_k")(a.fn),
     s"unsupported incremental aggregate '${a.fn}' " +
-      "(count/sum/min/max/avg/approx_distinct/approx_median only)"))
+      "(count/sum/min/max/avg/approx_distinct/approx_median/approx_top_k only)"))
+  aggs.foreach(a => require(a.fn != "approx_top_k" || a.k.exists(_ >= 1),
+    "approx_top_k needs its literal item count k"))
 
   /** min/max, approx_distinct, and approx_median are NOT delta-invertible
     * under deletes (a sketch unions but never subtracts) — groups that
@@ -70,11 +72,13 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
     * sketch column, which is what makes the fold possible at all — the
     * estimate alone can't absorb new values). */
   private val hasNonInvertible =
-    aggs.exists(a => Set("min", "max", "approx_distinct", "approx_median")(a.fn))
+    aggs.exists(a => Set("min", "max",
+      "approx_distinct", "approx_median", "approx_top_k")(a.fn))
 
   private def sketchCol(out: String): String = s"${out}_sk"
   private val approxAggs = aggs.filter(_.fn == "approx_distinct")
   private val medianAggs = aggs.filter(_.fn == "approx_median")
+  private val topkAggs = aggs.filter(_.fn == "approx_top_k")
 
   /** avg is fully delta-invertible once decomposed: the MV persists
     * `<out>_sum` and `<out>_cnt` companions (sum and non-NULL count fold
@@ -110,9 +114,11 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
         count(col(c)).as(cntCol(out)))
       case Agg("approx_distinct", c, out) =>
         Seq(hll_sketch_agg(col(c)).as(sketchCol(out)))
-      case Agg("approx_median", c, out) =>
+      case Agg("approx_median", c, out, _) =>
         Seq(graft.functions.KllSketch.kllAgg(col(c)).as(sketchCol(out)))
-      case Agg(_, c, out) => Seq(max(col(c)).as(out))
+      case Agg("approx_top_k", c, out, _) =>
+        Seq(graft.functions.FreqSketch.freqAgg(col(c)).as(sketchCol(out)))
+      case Agg(_, c, out, _) => Seq(max(col(c)).as(out))
     }
     val g = filtered(snapshot).groupBy(keys.map(col): _*)
       .agg(outs.head, outs.tail: _*)
@@ -126,7 +132,10 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
     // median-of-nothing semantics, unlike the HLL's count-of-nothing 0)
     val withMed = medianAggs.foldLeft(withNd)((df, a) => df.withColumn(a.out,
       graft.functions.KllSketch.kllQuantile(col(sketchCol(a.out)), 0.5)))
-    aggs.filter(_.fn == "avg").foldLeft(withMed)((df, a) => df.withColumn(a.out,
+    // frequent-items rendering: all-NULL group → NULL sketch → NULL text
+    val withTop = topkAggs.foldLeft(withMed)((df, a) => df.withColumn(a.out,
+      graft.functions.FreqSketch.renderTopK(col(sketchCol(a.out)), a.k.get)))
+    aggs.filter(_.fn == "avg").foldLeft(withTop)((df, a) => df.withColumn(a.out,
       when(col(cntCol(a.out)) > 0,
         col(sumCol(a.out)).cast("double") / col(cntCol(a.out)))))
   }

@@ -133,6 +133,51 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case _ => throw new IllegalArgumentException(
             s"theta_estimate expects (sketch), got ${exprs.length} arguments")
         }))
+    // Frequent-items trio — "WHICH values dominate" (HLL: how many
+    // distinct; KLL: value at rank q); same discipline.
+    ext.injectFunction((
+      new FunctionIdentifier("freq_sketch_agg"),
+      new ExpressionInfo(classOf[FreqSketchAgg].getName, "freq_sketch_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        exprs match {
+          case Seq(c) => FreqSketchAgg(c)
+          case Seq(c, mE) =>
+            import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+            require(mE.foldable &&
+              Seq(ByteType, ShortType, IntegerType, LongType).contains(mE.dataType),
+              "freq_sketch_agg: maxMapSize must be an integer literal")
+            val m = mE.eval(null) match {
+              case i: Int => i
+              case l: Long => l.toInt
+              case s: Short => s.toInt
+              case b: Byte => b.toInt
+              case null => throw new IllegalArgumentException(
+                "freq_sketch_agg: maxMapSize must not be NULL")
+            }
+            require(m >= 8 && m <= (1 << 26) && (m & (m - 1)) == 0,
+              s"freq_sketch_agg: maxMapSize=$m must be a power of 2 in [8, 2^26]")
+            FreqSketchAgg(c, m)
+          case _ => throw new IllegalArgumentException(
+            s"freq_sketch_agg expects (col[, maxMapSize]), got ${exprs.length} arguments")
+        }))
+    ext.injectFunction((
+      new FunctionIdentifier("freq_merge"),
+      new ExpressionInfo(classOf[FreqMergeExpr].getName, "freq_merge"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        exprs match {
+          case Seq(a, b) => FreqMergeExpr(a, b)
+          case _ => throw new IllegalArgumentException(
+            s"freq_merge expects (a, b), got ${exprs.length} arguments")
+        }))
+    ext.injectFunction((
+      new FunctionIdentifier("freq_top_k"),
+      new ExpressionInfo(classOf[FreqTopKExpr].getName, "freq_top_k"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        exprs match {
+          case Seq(sk, k) => FreqTopKExpr(sk, k)
+          case _ => throw new IllegalArgumentException(
+            s"freq_top_k expects (sketch, k), got ${exprs.length} arguments")
+        }))
     // whole-operator custom path: per-group top-k (graft.plans.TopKPerGroup)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
