@@ -106,13 +106,13 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
     * property spec compares against). */
   private def aggregate(snapshot: DataFrame): DataFrame = {
     val outs = count(lit(1)).as("n_rows") +: aggs.flatMap {
-      case Agg("count", c, out) => Seq(count(col(c)).as(out))
-      case Agg("sum", c, out) => Seq(coalesce(sum(col(c)), lit(0L)).as(out))
-      case Agg("min", c, out) => Seq(min(col(c)).as(out))
-      case Agg("avg", c, out) => Seq(
+      case Agg("count", c, out, _) => Seq(count(col(c)).as(out))
+      case Agg("sum", c, out, _) => Seq(coalesce(sum(col(c)), lit(0L)).as(out))
+      case Agg("min", c, out, _) => Seq(min(col(c)).as(out))
+      case Agg("avg", c, out, _) => Seq(
         coalesce(sum(col(c)), lit(0L)).as(sumCol(out)),
         count(col(c)).as(cntCol(out)))
-      case Agg("approx_distinct", c, out) =>
+      case Agg("approx_distinct", c, out, _) =>
         Seq(hll_sketch_agg(col(c)).as(sketchCol(out)))
       case Agg("approx_median", c, out, _) =>
         Seq(graft.functions.KllSketch.kllAgg(col(c)).as(sketchCol(out)))
@@ -177,45 +177,50 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
       .otherwise(-1L)
     val deltas = sum(col("_w")).as("d_n_rows") +: aggs.flatMap {
       // count(c) counts non-NULL values: a NULL c contributes 0 either way
-      case Agg("count", c, out) =>
+      case Agg("count", c, out, _) =>
         Seq(sum(when(col(c).isNotNull, col("_w")).otherwise(0L)).as(s"d_$out"))
       // extremes: candidate from the window's added rows only (min/max
       // skip NULLs; a removal makes the group dirty below, so the
       // gain-only fold here is never applied to a shrinking group)
-      case Agg("min", c, out) =>
+      case Agg("min", c, out, _) =>
         Seq(min(when(col("_w") === 1L, col(c))).as(s"d_$out"))
-      case Agg("max", c, out) =>
+      case Agg("max", c, out, _) =>
         Seq(max(when(col("_w") === 1L, col(c))).as(s"d_$out"))
       // avg: ±sum and ±non-NULL-count deltas — both exact inverses, so
       // avg folds through deletes without ever dirtying the group
-      case Agg("avg", c, out) => Seq(
+      case Agg("avg", c, out, _) => Seq(
         sum(col(c) * col("_w")).as(s"d_${sumCol(out)}"),
         sum(when(col(c).isNotNull, col("_w")).otherwise(0L)).as(s"d_${cntCol(out)}"))
       // HLL/KLL: sketch of the window's ADDED values (the agg ignores
       // the when's NULLed removals); like the extremes, a removal
       // dirties the group so the union fold never applies to a
       // shrinking group
-      case Agg("approx_distinct", c, out) =>
+      case Agg("approx_distinct", c, out, _) =>
         Seq(hll_sketch_agg(when(col("_w") === 1L, col(c))).as(s"d_$out"))
-      case Agg("approx_median", c, out) =>
+      case Agg("approx_median", c, out, _) =>
         Seq(graft.functions.KllSketch
           .kllAgg(when(col("_w") === 1L, col(c))).as(s"d_$out"))
+      // frequent-items: sketch of the window's ADDED items only — like
+      // HLL/KLL, a removal dirties the group (sketches never subtract)
+      case Agg("approx_top_k", c, out, _) =>
+        Seq(graft.functions.FreqSketch
+          .freqAgg(when(col("_w") === 1L, col(c))).as(s"d_$out"))
       // sum skips NULLs on both paths; coalesce at merge handles all-NULL
-      case Agg(_, c, out) => Seq(sum(col(c) * col("_w")).as(s"d_$out"))
+      case Agg(_, c, out, _) => Seq(sum(col(c) * col("_w")).as(s"d_$out"))
     }
     val inWindow = filtered(feed).withColumn("_w", w)
     val delta = inWindow.groupBy(keys.map(col): _*).agg(deltas.head, deltas.tail: _*)
     val cur = cat.read(mv)
     val joinCond: Column = keys.map(k => cur(k) <=> delta(k)).reduce(_ && _)
-    val outCols = aggs.map(a => (a.fn, a.out, s"d_${a.out}"))
+    val outCols = aggs.map(a => (a, s"d_${a.out}"))
     val merged = cur.join(delta, joinCond, "full_outer")
       .select(
         keys.map(k => coalesce(cur(k), delta(k)).as(k)) ++
-          ((("sum", "n_rows", "d_n_rows") +: outCols).flatMap {
-            case ("min", o, d) => Seq(least(cur(o), delta(d)).as(o))
-            case ("max", o, d) => Seq(greatest(cur(o), delta(d)).as(o))
+          (((Agg("sum", "n_rows", "n_rows"), "d_n_rows") +: outCols).flatMap {
+            case (Agg("min", _, o, _), d) => Seq(least(cur(o), delta(d)).as(o))
+            case (Agg("max", _, o, _), d) => Seq(greatest(cur(o), delta(d)).as(o))
             // avg: fold both companions additively, re-derive the output
-            case ("avg", o, _) =>
+            case (Agg("avg", _, o, _), _) =>
               val sM = coalesce(cur(sumCol(o)), lit(0L)) +
                 coalesce(delta(s"d_${sumCol(o)}"), lit(0L))
               val cM = coalesce(cur(cntCol(o)), lit(0L)) +
@@ -224,7 +229,7 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
                 when(cM > 0, sM.cast("double") / cM).as(o))
             // sketch union absorbs the added values; either side may be
             // NULL (group new in the window / untouched by it)
-            case ("approx_distinct", o, d) =>
+            case (Agg("approx_distinct", _, o, _), d) =>
               val u = when(cur(sketchCol(o)).isNull, delta(d))
                 .when(delta(d).isNull, cur(sketchCol(o)))
                 .otherwise(hll_union(cur(sketchCol(o)), delta(d)))
@@ -232,12 +237,19 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
                 u.as(sketchCol(o)))
             // KLL union is NULL-tolerant natively; estimate of a NULL
             // union is NULL (median-of-nothing)
-            case ("approx_median", o, d) =>
+            case (Agg("approx_median", _, o, _), d) =>
               val u = graft.functions.KllSketch.kllMerge(cur(sketchCol(o)), delta(d))
               Seq(graft.functions.KllSketch.kllQuantile(u, 0.5).as(o),
                 u.as(sketchCol(o)))
-            case (_, o, d) => Seq(
-              (coalesce(cur(o), lit(0L)) + coalesce(delta(d), lit(0L))).as(o))
+            // frequent-items union (NULL-tolerant like KLL's merge);
+            // re-render the visible top-k text from the merged sketch
+            case (Agg("approx_top_k", _, o, k), d) =>
+              val u = graft.functions.FreqSketch.freqMerge(cur(sketchCol(o)), delta(d))
+              Seq(graft.functions.FreqSketch.renderTopK(u, k.get).as(o),
+                u.as(sketchCol(o)))
+            case (_, d) =>
+              val o = d.stripPrefix("d_")
+              Seq((coalesce(cur(o), lit(0L)) + coalesce(delta(d), lit(0L))).as(o))
           }): _*)
       .filter(col("n_rows") > 0)
     val next =
@@ -299,5 +311,6 @@ object IncrementalView {
     * derives from and the state that makes insert windows union-foldable.
     * The avg kind owns `<out>_sum` / `<out>_cnt` companions — the
     * decomposition that makes avg exactly invertible under deletes. */
-  final case class Agg(fn: String, col: String, out: String)
+  final case class Agg(fn: String, col: String, out: String,
+      k: Option[Int] = None)
 }
