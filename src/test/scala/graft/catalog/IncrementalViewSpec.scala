@@ -393,6 +393,69 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(mvMed("a") == ((6L, Some(20.0))))
   }
 
+  test("approx_top_k: insert windows union freq sketches, deletes recompute; exact below capacity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-topk")
+    val cat = new Catalog(spark, dir.toString)
+    // TEXT item column — the shape that exposes a wrong additive fold
+    // (sum over TEXT would cast to double garbage, and the rendered
+    // string could never re-derive without the _sk companion)
+    cat.create("src", List(
+      "id" -> graft.aql.AlbaType.of("INT"),
+      "grp" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "item" -> graft.aql.AlbaType.of("SMALL-STRING")))
+    cat.create("mv", List(
+      "grp" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "n_rows" -> graft.aql.AlbaType.of("BIGINT"),
+      "top_item" -> graft.aql.AlbaType.of("TEXT"),
+      "top_item_sk" -> graft.aql.AlbaType.of("LARGE-BYTES")))
+    val view = new IncrementalView(cat, "src", "mv", Seq("grp"),
+      Seq(IncrementalView.Agg("approx_top_k", "item", "top_item", Some(2))))
+    val tx = new Tx(cat)
+    val tail = new ChangeTail(cat, "src", dir.resolve("mv.ckpt"))
+    def mvTop: Map[String, (Long, Option[String])] =
+      cat.read("mv").collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.getString(2)))).toMap
+    // fixture distincts stay far below the 0.75×256 purge threshold, so
+    // the sketch is EXACT and the rendering pins as a string equality
+    // ((count DESC, item ASC) — FreqSketch.renderTopK's tie-break)
+    tx.stageInsert("src", Seq(
+      org.apache.spark.sql.Row(1, "a", "x"),
+      org.apache.spark.sql.Row(2, "a", "x"),
+      org.apache.spark.sql.Row(3, "a", "y"),
+      org.apache.spark.sql.Row(4, "a", "z"),
+      org.apache.spark.sql.Row(5, "b", null)))
+    tx.commit(Some("src"))
+    assert(view.refreshOnce(tail) == 1)
+    // ties at count 1 break item-ASC: y beats z for the second slot
+    assert(mvTop == Map("a" -> (4L, Some("x:2,y:1")), "b" -> (1L, None)))
+
+    // a second insert window UNIONS into the existing sketch — counts
+    // accumulate across windows, and the visible text re-renders from
+    // the merged sketch (an estimate-only fold could never reorder x/z)
+    tx.stageInsert("src", Seq(
+      org.apache.spark.sql.Row(6, "a", "z"),
+      org.apache.spark.sql.Row(7, "a", "z"),
+      org.apache.spark.sql.Row(8, "a", "z")))
+    tx.commit(Some("src"))
+    assert(view.refreshOnce(tail) == 1)
+    assert(mvTop("a") == ((7L, Some("z:4,x:2"))))
+
+    // a delete dirties the group: recomputed from the end-version
+    // snapshot (a frequent-items sketch cannot subtract)
+    tx.stageDelete("src", Some(col("item") === "z"))
+    tx.commit(Some("src"))
+    assert(view.refreshOnce(tail) == 1)
+    assert(mvTop("a") == ((3L, Some("x:2,y:1"))))
+
+    // group-moving edit: -a/+b pair dirties a, folds into b; b's sketch
+    // goes from NULL (all-NULL group) to a real one
+    tx.stageEdit("src", col("id") === 3, Seq("grp" -> "b"))
+    tx.commit(Some("src"))
+    assert(view.refreshOnce(tail) == 1)
+    assert(mvTop == Map("a" -> (2L, Some("x:2")), "b" -> (2L, Some("y:1"))))
+    assert(view.refreshOnce(tail) == 0)
+  }
+
   test("min/max: gain-only windows fold; losing the extreme recomputes the group exactly") {
     val (cat, tx, view, tail) = fixtureMM("basic")
     tx.stageInsert("src", Seq(
