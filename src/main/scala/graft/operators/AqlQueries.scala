@@ -135,6 +135,23 @@ object AqlQueries {
       eng.execute("REFRESH VIEW mv_nd")
       eng.execute("REFRESH VIEW mv_avg")
       eng.execute("REFRESH VIEW mv_med")
+      // frequent-items view: its own source container (source has ~20
+      // distinct values per lang — far below the sketch's ~192-value
+      // exact threshold, so the rendered top-k is hash-comparable).
+      // The commit's edit/delete dirty their groups, the insert folds
+      // by sketch union into a previously absent group.
+      eng.execute("CREATE CONTAINER docs_top ['doc_id','lang','source'] " +
+        "[BIGINT, TEXT, TEXT]")
+      eng.catalog.overwrite("docs_top", graft.Tables.load(spark, dir, "documents")
+        .select("doc_id", "lang", "source"))
+      eng.execute("CREATE VIEW mv_top " +
+        "(SEARCH [lang, approx_top_k(source 3)] ON docs_top)")
+      eng.execute("EDIT ROW ['source'] ['edited_source'] ON docs_top WHERE doc_id = 21")
+      eng.execute("DELETE ROW ON docs_top WHERE doc_id = 33")
+      eng.execute("CREATE ROW ['doc_id','lang','source'] " +
+        "[900007, 'xx', 'new_source'] ON docs_top")
+      eng.execute("COMMIT docs_top")
+      eng.execute("REFRESH VIEW mv_top")
       // corpus interchange: EXPORT the versioned docs_tt snapshot as
       // JSONL, IMPORT it into a fresh container as one bulk-append
       // commit — the AQL surface over the sources lane
@@ -1154,6 +1171,55 @@ object AqlQueries {
             (col("fle") >= 0.45 && col("flt") <= 0.55).as("within_tol"))
           .orderBy(col("lang"))
       }
+    },
+
+    // plain-SEARCH approx_top_k (graft extension): the frequent-items
+    // sketch is EXACT while a group's distincts fit its counter map
+    // (~192 at the default size; `source` has ~20 per lang), and the
+    // rendering's (count DESC, UTF-8-byte item ASC) tie-break is the
+    // order DuckDB's ranked window reproduces — so unlike the HLL/KLL
+    // rows this one is HASH-exact, not tolerance-checked.
+    Q("aql_search_approx_top_k",
+      """WITH counts AS (
+        |  SELECT lang, source AS item, count(*) AS n
+        |  FROM documents GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT lang, item, n,
+        |         row_number() OVER (PARTITION BY lang ORDER BY n DESC, item ASC) AS rk
+        |  FROM counts
+        |)
+        |SELECT lang, string_agg(item || ':' || n, ',' ORDER BY rk) AS approx_top_k_source
+        |FROM ranked WHERE rk <= 3
+        |GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [lang, approx_top_k(source 3)] ON documents ORDER BY [lang]")(s, dir)
+    },
+
+    // approx_top_k incremental view: the maintained rendering must equal
+    // the from-scratch top-3 of the post state — the edit/delete dirty
+    // their groups (sketches never subtract), the insert seeds a brand
+    // new group by union into a NULL sketch. Exact regime → hash-exact.
+    Q("aql_view_approx_top_k",
+      """WITH post AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN doc_id = 21 THEN 'edited_source' ELSE source END AS source
+        |  FROM documents WHERE doc_id <> 33
+        |  UNION ALL SELECT 900007, 'xx', 'new_source'
+        |), counts AS (
+        |  SELECT lang, source AS item, count(*) AS n FROM post GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT lang, item, n,
+        |         row_number() OVER (PARTITION BY lang ORDER BY n DESC, item ASC) AS rk
+        |  FROM counts
+        |), tot AS (SELECT lang, count(*) AS n_rows FROM post GROUP BY lang)
+        |SELECT t.lang, t.n_rows, r.approx_top_k_source
+        |FROM tot t JOIN (
+        |  SELECT lang, string_agg(item || ':' || n, ',' ORDER BY rk) AS approx_top_k_source
+        |  FROM ranked WHERE rk <= 3 GROUP BY lang
+        |) r USING (lang)
+        |ORDER BY lang""".stripMargin) {
+      (s, dir) => search(
+        "SEARCH [lang, n_rows, approx_top_k_source] ON mv_top ORDER BY [lang]")(s, dir)
     },
 
     // plain-SEARCH approx_quantile at an arbitrary literal rank (q=0.9):
