@@ -92,6 +92,25 @@ object DocumentStreams {
         graft.functions.KllSketch.kllQuantile(col("sk"), 0.5)
           .as("approx_median_n_chars"))
 
+  /** Streaming twin of the AQL `approx_top_k` aggregate (and the
+    * incremental view's frequent-items column): per-group running top-k
+    * as a stateful streaming aggregation (complete mode). State is one
+    * ItemsSketch per group — ≤ maxMapSize counters (a few KB) regardless
+    * of how many documents have streamed through (an exact streaming
+    * top-k grows state per distinct item forever). Sketches MERGE across
+    * micro-batch triggers like the view fold unions them across commits;
+    * while a group's distincts fit the counter map the sketch is EXACT,
+    * so the running rendering equals the one-shot batch rendering
+    * whatever the trigger boundaries — the deterministic regime
+    * StreamingSpec pins (above it, Misra-Gries error bounds apply).
+    */
+  def approxTopKByLang(docs: DataFrame, k: Int = 3): DataFrame =
+    docs.groupBy(col("lang"))
+      .agg(graft.functions.FreqSketch.freqAgg(col("source")).as("sk"))
+      .select(col("lang"),
+        graft.functions.FreqSketch.renderTopK(col("sk"), k)
+          .as("approx_top_k_source"))
+
   /** Streaming twin of `t_pii_scrub`: the compliance pass applied AT
     * INGEST (append mode, stateless projection — redact before anything
     * is persisted downstream, the shape a real pipeline wants). Exactly

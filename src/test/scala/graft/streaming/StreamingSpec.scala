@@ -193,6 +193,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == exact, s"one-shot batch $batch != order statistic $exact")
   }
 
+  test("streaming approx-top-k sketches merge across triggers ≡ exact top-k rendering") {
+    val docsAll = graft.Tables.load(spark, dir, "documents")
+    val stream = twoTriggerDocStream()
+    val q = DocumentStreams.approxTopKByLang(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("freq_out").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "expected the corpus to arrive across >= 2 triggers")
+    val streamed = spark.table("freq_out").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // while a group's distincts fit the counter map the sketch never
+    // purges (exact counts, getMaximumError == 0), so the merged-across-
+    // triggers rendering is DETERMINISTIC: the exact top-3 in (count
+    // DESC, item ASC) order. Verify the fixture is in that regime, then
+    // pin string equality — to the exact rendering AND the one-shot run.
+    val perLang = docsAll.select(col("lang"), col("source")).collect()
+      .groupBy(_.getString(0)).map { case (l, rs) =>
+        l -> rs.groupBy(_.getString(1)).map { case (s, xs) => s -> xs.length.toLong } }
+    assert(perLang.values.forall(_.size <=
+      graft.functions.FreqSketch.DefaultMaxMapSize * 3 / 4),
+      "fixture group outgrew the sketch's exact regime — the pin no longer applies")
+    val exact = perLang.map { case (l, counts) =>
+      l -> counts.toSeq
+        .sortWith { case ((ia, na), (ib, nb)) => if (na != nb) na > nb else ia < ib }
+        .take(3).map { case (i, n) => s"$i:$n" }.mkString(",") }
+    assert(streamed == exact, s"streamed $streamed != exact top-3 $exact")
+    val batch = DocumentStreams.approxTopKByLang(docsAll).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(batch == exact, s"one-shot batch $batch != exact top-3 $exact")
+  }
+
   test("streaming centroid assignment agrees with the batch Lloyd assignment") {
     val seeds = Tables.load(spark, dir, "embeddings")
       .orderBy(col("vec_id")).limit(8).collect()
