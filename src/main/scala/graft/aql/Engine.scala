@@ -402,8 +402,10 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         if (a.fn == "approx_distinct")
           List(a.out -> AlbaType.of("BIGINT"),
             s"${a.out}_sk" -> AlbaType.of("LARGE-BYTES"))
-        // approx_median → FLOAT estimate + its KLL sketch companion
-        else if (a.fn == "approx_median")
+        // approx_median / approx_quantile → FLOAT estimate + its KLL
+        // sketch companion (the persisted sketch serves ANY rank; the
+        // visible column renders the definition's)
+        else if (a.fn == "approx_median" || a.fn == "approx_quantile")
           List(a.out -> AlbaType.of("FLOAT"),
             s"${a.out}_sk" -> AlbaType.of("LARGE-BYTES"))
         // approx_top_k → TEXT rendering + its frequent-items sketch
@@ -800,7 +802,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       q.distinct || q.orderBy.nonEmpty || q.limit.nonEmpty || q.atVersion.nonEmpty ||
       q.having.nonEmpty)
       bad("only projection keys, count/sum/min/max/avg/approx_distinct/" +
-        "approx_median/approx_top_k aggregates, and WHERE are maintainable")
+        "approx_median/approx_quantile/approx_top_k aggregates, " +
+        "and WHERE are maintainable")
     if (q.aggs.isEmpty) bad("the body needs at least one aggregate")
     if (q.projection.isEmpty) bad("the body needs at least one group key")
     q.aggs.foreach { a =>
@@ -809,10 +812,11 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       if (a.expr.isDefined) bad(
         "aggregates over arithmetic are not supported in views — " +
           "materialize the expression as a source column, or sum the parts")
-      if (!Set("count", "sum", "min", "max", "avg",
-          "approx_distinct", "approx_median", "approx_top_k")(a.fn))
+      if (!Set("count", "sum", "min", "max", "avg", "approx_distinct",
+          "approx_median", "approx_quantile", "approx_top_k")(a.fn))
         bad(s"aggregate '${a.fn}' is not incrementally maintainable " +
-          "(count/sum/min/max/avg/approx_distinct/approx_median/approx_top_k)")
+          "(count/sum/min/max/avg/approx_distinct/approx_median/" +
+          "approx_quantile/approx_top_k)")
     }
     val d = catalog.get(src)
     def canonical(c: String): String =
@@ -821,7 +825,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     val keys = q.projection.map(canonical)
     val aggs = q.aggs.map { a =>
       val c = canonical(a.column)
-      if (Set("sum", "avg", "approx_median")(a.fn) &&
+      if (Set("sum", "avg", "approx_median", "approx_quantile")(a.fn) &&
           !d.columns.find(_._1 == c).get._2.isNumeric)
         bad(s"${a.fn} over non-numeric column '$c'")
       if (a.fn == "approx_distinct" && !Seq(
@@ -837,7 +841,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           org.apache.spark.sql.types.StringType)
           .contains(d.columns.find(_._1 == c).get._2.spark))
         bad(s"approx_top_k over '$c' — items render as text; INT/BIGINT/TEXT only")
-      graft.catalog.IncrementalView.Agg(a.fn, c, s"${a.fn}_${c.toLowerCase}", a.karg)
+      graft.catalog.IncrementalView.Agg(
+        a.fn, c, s"${a.fn}_${c.toLowerCase}", a.karg, a.qarg)
     }
     // the MV's schema is keys + n_rows + agg outs (+ an `_sk` sketch
     // companion per approx_distinct, `_sum`/`_cnt` companions per
@@ -846,7 +851,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     // an agg out) would create a container with duplicate columns that
     // fails only at seed time — reject upfront
     val outNames = keys ++ Seq("n_rows") ++ aggs.map(_.out) ++
-      aggs.filter(a => Set("approx_distinct", "approx_median", "approx_top_k")(a.fn))
+      aggs.filter(a => Set("approx_distinct", "approx_median",
+          "approx_quantile", "approx_top_k")(a.fn))
         .map(a => s"${a.out}_sk") ++
       aggs.filter(_.fn == "avg")
         .flatMap(a => Seq(s"${a.out}_sum", s"${a.out}_cnt"))
@@ -874,10 +880,13 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       case Token.BoolLit(b) => b.toString
       case other => throw new ParseException(s"unprintable literal $other")
     }
-    // approx_top_k carries its literal k so the persisted definition
-    // re-parses to the same aggregate (the other view aggs are unary)
+    // approx_top_k carries its literal k and approx_quantile its literal
+    // rank, so the persisted definition re-parses to the same aggregate
+    // (the other view aggs are unary)
     val items = q.projection ++ q.aggs.map(a =>
-      a.karg.fold(s"${a.fn}(${a.column})")(k => s"${a.fn}(${a.column} $k)"))
+      a.karg.map(k => s"${a.fn}(${a.column} $k)")
+        .orElse(a.qarg.map(r => s"${a.fn}(${a.column} $r)"))
+        .getOrElse(s"${a.fn}(${a.column})"))
     val where = q.where.map { w =>
       val head = w.atoms.head
       val rest = w.gates.zip(w.atoms.tail).map { case (g, c) =>

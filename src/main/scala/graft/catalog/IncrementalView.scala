@@ -57,27 +57,34 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
 
   require(keys.nonEmpty, "incremental view needs at least one group key")
   aggs.foreach(a => require(
-    Set("count", "sum", "min", "max", "avg",
-      "approx_distinct", "approx_median", "approx_top_k")(a.fn),
-    s"unsupported incremental aggregate '${a.fn}' " +
-      "(count/sum/min/max/avg/approx_distinct/approx_median/approx_top_k only)"))
+    Set("count", "sum", "min", "max", "avg", "approx_distinct",
+      "approx_median", "approx_quantile", "approx_top_k")(a.fn),
+    s"unsupported incremental aggregate '${a.fn}' (count/sum/min/max/avg/" +
+      "approx_distinct/approx_median/approx_quantile/approx_top_k only)"))
   aggs.foreach(a => require(a.fn != "approx_top_k" || a.k.exists(_ >= 1),
     "approx_top_k needs its literal item count k"))
+  aggs.foreach(a => require(
+    a.fn != "approx_quantile" || a.q.exists(r => r >= 0.0 && r <= 1.0),
+    "approx_quantile needs its literal rank in [0, 1]"))
 
-  /** min/max, approx_distinct, and approx_median are NOT delta-invertible
-    * under deletes (a sketch unions but never subtracts) — groups that
-    * lost a row take the dirty recompute path. Gains fold exactly for all
-    * of them: least/greatest for the extremes, sketch UNION for the HLL
-    * and KLL (the MV persists each estimate's companion `<out>_sk`
-    * sketch column, which is what makes the fold possible at all — the
-    * estimate alone can't absorb new values). */
+  /** min/max, approx_distinct, and the sketch quantile/top-k family are
+    * NOT delta-invertible under deletes (a sketch unions but never
+    * subtracts) — groups that lost a row take the dirty recompute path.
+    * Gains fold exactly for all of them: least/greatest for the
+    * extremes, sketch UNION for the HLL/KLL/frequent-items (the MV
+    * persists each estimate's companion `<out>_sk` sketch column, which
+    * is what makes the fold possible at all — the estimate alone can't
+    * absorb new values). */
   private val hasNonInvertible =
-    aggs.exists(a => Set("min", "max",
-      "approx_distinct", "approx_median", "approx_top_k")(a.fn))
+    aggs.exists(a => Set("min", "max", "approx_distinct",
+      "approx_median", "approx_quantile", "approx_top_k")(a.fn))
 
   private def sketchCol(out: String): String = s"${out}_sk"
   private val approxAggs = aggs.filter(_.fn == "approx_distinct")
-  private val medianAggs = aggs.filter(_.fn == "approx_median")
+  // approx_median is approx_quantile pinned at rank 0.5 — one KLL path
+  private val quantileAggs =
+    aggs.filter(a => a.fn == "approx_median" || a.fn == "approx_quantile")
+  private def rankOf(a: Agg): Double = a.q.getOrElse(0.5)
   private val topkAggs = aggs.filter(_.fn == "approx_top_k")
 
   /** avg is fully delta-invertible once decomposed: the MV persists
@@ -104,21 +111,27 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
 
   /** The from-scratch aggregate of a source snapshot (also the oracle the
     * property spec compares against). */
+  // fn dispatch is by FIELD ACCESS, never positional destructuring: a
+  // future Agg field can't silently re-route an aggregate through the
+  // wrong arm (or break every pattern's arity at once)
   private def aggregate(snapshot: DataFrame): DataFrame = {
-    val outs = count(lit(1)).as("n_rows") +: aggs.flatMap {
-      case Agg("count", c, out, _) => Seq(count(col(c)).as(out))
-      case Agg("sum", c, out, _) => Seq(coalesce(sum(col(c)), lit(0L)).as(out))
-      case Agg("min", c, out, _) => Seq(min(col(c)).as(out))
-      case Agg("avg", c, out, _) => Seq(
-        coalesce(sum(col(c)), lit(0L)).as(sumCol(out)),
-        count(col(c)).as(cntCol(out)))
-      case Agg("approx_distinct", c, out, _) =>
-        Seq(hll_sketch_agg(col(c)).as(sketchCol(out)))
-      case Agg("approx_median", c, out, _) =>
-        Seq(graft.functions.KllSketch.kllAgg(col(c)).as(sketchCol(out)))
-      case Agg("approx_top_k", c, out, _) =>
-        Seq(graft.functions.FreqSketch.freqAgg(col(c)).as(sketchCol(out)))
-      case Agg(_, c, out, _) => Seq(max(col(c)).as(out))
+    val outs = count(lit(1)).as("n_rows") +: aggs.flatMap { a =>
+      val c = col(a.col)
+      a.fn match {
+        case "count" => Seq(count(c).as(a.out))
+        case "sum" => Seq(coalesce(sum(c), lit(0L)).as(a.out))
+        case "min" => Seq(min(c).as(a.out))
+        case "max" => Seq(max(c).as(a.out))
+        case "avg" => Seq(
+          coalesce(sum(c), lit(0L)).as(sumCol(a.out)),
+          count(c).as(cntCol(a.out)))
+        case "approx_distinct" =>
+          Seq(hll_sketch_agg(c).as(sketchCol(a.out)))
+        case "approx_median" | "approx_quantile" =>
+          Seq(graft.functions.KllSketch.kllAgg(c).as(sketchCol(a.out)))
+        case "approx_top_k" =>
+          Seq(graft.functions.FreqSketch.freqAgg(c).as(sketchCol(a.out)))
+      }
     }
     val g = filtered(snapshot).groupBy(keys.map(col): _*)
       .agg(outs.head, outs.tail: _*)
@@ -128,10 +141,11 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
     // SQL avg semantics)
     val withNd = approxAggs.foldLeft(g)((df, a) => df.withColumn(a.out,
       coalesce(hll_sketch_estimate(col(sketchCol(a.out))), lit(0L)).cast("long")))
-    // KLL estimate: all-NULL group → NULL sketch → NULL median (SQL
-    // median-of-nothing semantics, unlike the HLL's count-of-nothing 0)
-    val withMed = medianAggs.foldLeft(withNd)((df, a) => df.withColumn(a.out,
-      graft.functions.KllSketch.kllQuantile(col(sketchCol(a.out)), 0.5)))
+    // KLL estimate at the aggregate's rank (median pins 0.5): all-NULL
+    // group → NULL sketch → NULL (SQL median-of-nothing semantics,
+    // unlike the HLL's count-of-nothing 0)
+    val withMed = quantileAggs.foldLeft(withNd)((df, a) => df.withColumn(a.out,
+      graft.functions.KllSketch.kllQuantile(col(sketchCol(a.out)), rankOf(a))))
     // frequent-items rendering: all-NULL group → NULL sketch → NULL text
     val withTop = topkAggs.foldLeft(withMed)((df, a) => df.withColumn(a.out,
       graft.functions.FreqSketch.renderTopK(col(sketchCol(a.out)), a.k.get)))
@@ -175,82 +189,85 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
   private[catalog] def fold(feed: DataFrame, toV: Int): Unit = {
     val w = when(col("_change_type").isin("insert", "update_postimage"), 1L)
       .otherwise(-1L)
-    val deltas = sum(col("_w")).as("d_n_rows") +: aggs.flatMap {
-      // count(c) counts non-NULL values: a NULL c contributes 0 either way
-      case Agg("count", c, out, _) =>
-        Seq(sum(when(col(c).isNotNull, col("_w")).otherwise(0L)).as(s"d_$out"))
-      // extremes: candidate from the window's added rows only (min/max
-      // skip NULLs; a removal makes the group dirty below, so the
-      // gain-only fold here is never applied to a shrinking group)
-      case Agg("min", c, out, _) =>
-        Seq(min(when(col("_w") === 1L, col(c))).as(s"d_$out"))
-      case Agg("max", c, out, _) =>
-        Seq(max(when(col("_w") === 1L, col(c))).as(s"d_$out"))
-      // avg: ±sum and ±non-NULL-count deltas — both exact inverses, so
-      // avg folds through deletes without ever dirtying the group
-      case Agg("avg", c, out, _) => Seq(
-        sum(col(c) * col("_w")).as(s"d_${sumCol(out)}"),
-        sum(when(col(c).isNotNull, col("_w")).otherwise(0L)).as(s"d_${cntCol(out)}"))
-      // HLL/KLL: sketch of the window's ADDED values (the agg ignores
-      // the when's NULLed removals); like the extremes, a removal
-      // dirties the group so the union fold never applies to a
-      // shrinking group
-      case Agg("approx_distinct", c, out, _) =>
-        Seq(hll_sketch_agg(when(col("_w") === 1L, col(c))).as(s"d_$out"))
-      case Agg("approx_median", c, out, _) =>
-        Seq(graft.functions.KllSketch
-          .kllAgg(when(col("_w") === 1L, col(c))).as(s"d_$out"))
-      // frequent-items: sketch of the window's ADDED items only — like
-      // HLL/KLL, a removal dirties the group (sketches never subtract)
-      case Agg("approx_top_k", c, out, _) =>
-        Seq(graft.functions.FreqSketch
-          .freqAgg(when(col("_w") === 1L, col(c))).as(s"d_$out"))
-      // sum skips NULLs on both paths; coalesce at merge handles all-NULL
-      case Agg(_, c, out, _) => Seq(sum(col(c) * col("_w")).as(s"d_$out"))
+    val deltas = sum(col("_w")).as("d_n_rows") +: aggs.flatMap { a =>
+      val c = col(a.col)
+      a.fn match {
+        // count(c) counts non-NULL values: a NULL c contributes 0 either way
+        case "count" =>
+          Seq(sum(when(c.isNotNull, col("_w")).otherwise(0L)).as(s"d_${a.out}"))
+        // sum skips NULLs on both paths; coalesce at merge handles all-NULL
+        case "sum" => Seq(sum(c * col("_w")).as(s"d_${a.out}"))
+        // extremes: candidate from the window's added rows only (min/max
+        // skip NULLs; a removal makes the group dirty below, so the
+        // gain-only fold here is never applied to a shrinking group)
+        case "min" => Seq(min(when(col("_w") === 1L, c)).as(s"d_${a.out}"))
+        case "max" => Seq(max(when(col("_w") === 1L, c)).as(s"d_${a.out}"))
+        // avg: ±sum and ±non-NULL-count deltas — both exact inverses, so
+        // avg folds through deletes without ever dirtying the group
+        case "avg" => Seq(
+          sum(c * col("_w")).as(s"d_${sumCol(a.out)}"),
+          sum(when(c.isNotNull, col("_w")).otherwise(0L)).as(s"d_${cntCol(a.out)}"))
+        // sketches (HLL/KLL/frequent-items): sketch of the window's ADDED
+        // values only (the agg ignores the when's NULLed removals); like
+        // the extremes, a removal dirties the group so the union fold
+        // never applies to a shrinking group
+        case "approx_distinct" =>
+          Seq(hll_sketch_agg(when(col("_w") === 1L, c)).as(s"d_${a.out}"))
+        case "approx_median" | "approx_quantile" =>
+          Seq(graft.functions.KllSketch
+            .kllAgg(when(col("_w") === 1L, c)).as(s"d_${a.out}"))
+        case "approx_top_k" =>
+          Seq(graft.functions.FreqSketch
+            .freqAgg(when(col("_w") === 1L, c)).as(s"d_${a.out}"))
+      }
     }
     val inWindow = filtered(feed).withColumn("_w", w)
     val delta = inWindow.groupBy(keys.map(col): _*).agg(deltas.head, deltas.tail: _*)
     val cur = cat.read(mv)
     val joinCond: Column = keys.map(k => cur(k) <=> delta(k)).reduce(_ && _)
-    val outCols = aggs.map(a => (a, s"d_${a.out}"))
+    val outCols = (Agg("sum", "n_rows", "n_rows") +: aggs).map(a => (a, s"d_${a.out}"))
     val merged = cur.join(delta, joinCond, "full_outer")
       .select(
         keys.map(k => coalesce(cur(k), delta(k)).as(k)) ++
-          (((Agg("sum", "n_rows", "n_rows"), "d_n_rows") +: outCols).flatMap {
-            case (Agg("min", _, o, _), d) => Seq(least(cur(o), delta(d)).as(o))
-            case (Agg("max", _, o, _), d) => Seq(greatest(cur(o), delta(d)).as(o))
-            // avg: fold both companions additively, re-derive the output
-            case (Agg("avg", _, o, _), _) =>
-              val sM = coalesce(cur(sumCol(o)), lit(0L)) +
-                coalesce(delta(s"d_${sumCol(o)}"), lit(0L))
-              val cM = coalesce(cur(cntCol(o)), lit(0L)) +
-                coalesce(delta(s"d_${cntCol(o)}"), lit(0L))
-              Seq(sM.as(sumCol(o)), cM.as(cntCol(o)),
-                when(cM > 0, sM.cast("double") / cM).as(o))
-            // sketch union absorbs the added values; either side may be
-            // NULL (group new in the window / untouched by it)
-            case (Agg("approx_distinct", _, o, _), d) =>
-              val u = when(cur(sketchCol(o)).isNull, delta(d))
-                .when(delta(d).isNull, cur(sketchCol(o)))
-                .otherwise(hll_union(cur(sketchCol(o)), delta(d)))
-              Seq(coalesce(hll_sketch_estimate(u), lit(0L)).cast("long").as(o),
-                u.as(sketchCol(o)))
-            // KLL union is NULL-tolerant natively; estimate of a NULL
-            // union is NULL (median-of-nothing)
-            case (Agg("approx_median", _, o, _), d) =>
-              val u = graft.functions.KllSketch.kllMerge(cur(sketchCol(o)), delta(d))
-              Seq(graft.functions.KllSketch.kllQuantile(u, 0.5).as(o),
-                u.as(sketchCol(o)))
-            // frequent-items union (NULL-tolerant like KLL's merge);
-            // re-render the visible top-k text from the merged sketch
-            case (Agg("approx_top_k", _, o, k), d) =>
-              val u = graft.functions.FreqSketch.freqMerge(cur(sketchCol(o)), delta(d))
-              Seq(graft.functions.FreqSketch.renderTopK(u, k.get).as(o),
-                u.as(sketchCol(o)))
-            case (_, d) =>
-              val o = d.stripPrefix("d_")
-              Seq((coalesce(cur(o), lit(0L)) + coalesce(delta(d), lit(0L))).as(o))
-          }): _*)
+          outCols.flatMap { case (a, d) =>
+            val o = a.out
+            a.fn match {
+              case "min" => Seq(least(cur(o), delta(d)).as(o))
+              case "max" => Seq(greatest(cur(o), delta(d)).as(o))
+              // avg: fold both companions additively, re-derive the output
+              case "avg" =>
+                val sM = coalesce(cur(sumCol(o)), lit(0L)) +
+                  coalesce(delta(s"d_${sumCol(o)}"), lit(0L))
+                val cM = coalesce(cur(cntCol(o)), lit(0L)) +
+                  coalesce(delta(s"d_${cntCol(o)}"), lit(0L))
+                Seq(sM.as(sumCol(o)), cM.as(cntCol(o)),
+                  when(cM > 0, sM.cast("double") / cM).as(o))
+              // sketch union absorbs the added values; either side may be
+              // NULL (group new in the window / untouched by it)
+              case "approx_distinct" =>
+                val u = when(cur(sketchCol(o)).isNull, delta(d))
+                  .when(delta(d).isNull, cur(sketchCol(o)))
+                  .otherwise(hll_union(cur(sketchCol(o)), delta(d)))
+                Seq(coalesce(hll_sketch_estimate(u), lit(0L)).cast("long").as(o),
+                  u.as(sketchCol(o)))
+              // KLL union is NULL-tolerant natively; the estimate of a
+              // NULL union is NULL (quantile-of-nothing), rendered at
+              // the aggregate's rank (median pins 0.5)
+              case "approx_median" | "approx_quantile" =>
+                val u = graft.functions.KllSketch.kllMerge(cur(sketchCol(o)), delta(d))
+                Seq(graft.functions.KllSketch.kllQuantile(u, rankOf(a)).as(o),
+                  u.as(sketchCol(o)))
+              // frequent-items union (NULL-tolerant like KLL's merge);
+              // re-render the visible top-k text from the merged sketch
+              case "approx_top_k" =>
+                val u = graft.functions.FreqSketch.freqMerge(cur(sketchCol(o)), delta(d))
+                Seq(graft.functions.FreqSketch.renderTopK(u, a.k.get).as(o),
+                  u.as(sketchCol(o)))
+              // count, sum, and the n_rows sentinel: plain additive fold
+              case _ =>
+                Seq((coalesce(cur(o), lit(0L)) + coalesce(delta(d), lit(0L))).as(o))
+            }
+          }: _*)
       .filter(col("n_rows") > 0)
     val next =
       if (!hasNonInvertible) merged
@@ -304,13 +321,16 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
 }
 
 object IncrementalView {
-  /** One maintained aggregate: `fn(col) AS out`,
-    * fn ∈ count | sum | min | max | avg | approx_distinct. The
-    * approx_distinct kind additionally owns a `<out>_sk` BYTES column in
-    * the MV schema — the persisted DataSketches HLL sketch its estimate
-    * derives from and the state that makes insert windows union-foldable.
-    * The avg kind owns `<out>_sum` / `<out>_cnt` companions — the
-    * decomposition that makes avg exactly invertible under deletes. */
+  /** One maintained aggregate: `fn(col) AS out`, fn ∈ count | sum | min |
+    * max | avg | approx_distinct | approx_median | approx_quantile |
+    * approx_top_k. The sketch kinds (approx_*) additionally own a
+    * `<out>_sk` BYTES column in the MV schema — the persisted
+    * DataSketches sketch the visible estimate derives from and the state
+    * that makes insert windows union-foldable. The avg kind owns
+    * `<out>_sum` / `<out>_cnt` companions — the decomposition that makes
+    * avg exactly invertible under deletes. `k` is approx_top_k's literal
+    * item count; `q` is approx_quantile's literal rank in [0, 1]
+    * (approx_median is the rank-0.5 pin and carries neither). */
   final case class Agg(fn: String, col: String, out: String,
-      k: Option[Int] = None)
+      k: Option[Int] = None, q: Option[Double] = None)
 }

@@ -126,6 +126,10 @@ object AqlQueries {
       // the exact median of the post state
       eng.execute("CREATE VIEW mv_med " +
         "(SEARCH [lang, approx_median(n_chars)] ON docs_vw)")
+      // arbitrary-rank KLL view: same sketch as mv_med, rendered at the
+      // definition's rank 0.9 after every fold/recompute
+      eng.execute("CREATE VIEW mv_q90 " +
+        "(SEARCH [lang, approx_quantile(n_chars 0.9)] ON docs_vw)")
       eng.execute("EDIT ROW ['n_chars'] [50000] ON docs_vw WHERE doc_id = 21")
       eng.execute("DELETE ROW ON docs_vw WHERE doc_id = 33")
       eng.execute("CREATE ROW ['doc_id','lang','n_chars'] [900006, 'xx', 999] ON docs_vw")
@@ -135,6 +139,7 @@ object AqlQueries {
       eng.execute("REFRESH VIEW mv_nd")
       eng.execute("REFRESH VIEW mv_avg")
       eng.execute("REFRESH VIEW mv_med")
+      eng.execute("REFRESH VIEW mv_q90")
       // frequent-items view: its own source container (source has ~20
       // distinct values per lang — far below the sketch's ~192-value
       // exact threshold, so the rendered top-k is hash-comparable).
@@ -1169,6 +1174,49 @@ object AqlQueries {
               count(lit(1))).as("flt"))
           .select(col("lang"),
             (col("fle") >= 0.45 && col("flt") <= 0.55).as("within_tol"))
+          .orderBy(col("lang"))
+      }
+    },
+
+    // approx_quantile incremental view at an arbitrary rank (0.9): the
+    // maintained estimate must sit within ±5% of rank 0.9 in the EXACT
+    // post-state group — the same two-sided frac_le/frac_lt bound as
+    // aql_view_approx_median, shifted to the definition's rank, proving
+    // the fold and the dirty recompute both render at 0.9 (a 0.5
+    // rendering lands nowhere near the band for any real group).
+    Q("aql_view_approx_quantile",
+      """WITH post AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN doc_id = 21 THEN 50000 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id <> 33
+        |  UNION ALL SELECT 900006, 'xx', 999
+        |)
+        |SELECT lang, count(*) AS n_rows, TRUE AS within_tol
+        |FROM post GROUP BY lang
+        |ORDER BY lang""".stripMargin) {
+      (s, dir) => {
+        val eng = engine(s, dir)
+        val mv = eng.orderedResult(eng.execute(
+          "SEARCH [lang, n_rows, approx_quantile_n_chars] ON mv_q90")
+          .asInstanceOf[Engine.ResultSet].cursorId).get
+        import org.apache.spark.sql.functions._
+        val post = graft.Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .filter(col("doc_id") =!= 33)
+          .withColumn("n_chars",
+            when(col("doc_id") === 21, lit(50000L)).otherwise(col("n_chars")))
+          .unionByName(s.range(1).select(lit(900006L).as("doc_id"),
+            lit("xx").as("lang"), lit(999L).as("n_chars")))
+        val ranks = post
+          .join(mv.select(col("lang"), col("approx_quantile_n_chars").as("est")), "lang")
+          .groupBy(col("lang")).agg(
+            (sum(when(col("n_chars") <= col("est"), 1L).otherwise(0L)) /
+              count(lit(1))).as("fle"),
+            (sum(when(col("n_chars") < col("est"), 1L).otherwise(0L)) /
+              count(lit(1))).as("flt"))
+        mv.join(ranks, "lang")
+          .select(col("lang"), col("n_rows"),
+            (col("fle") >= 0.85 && col("flt") <= 0.95).as("within_tol"))
           .orderBy(col("lang"))
       }
     },

@@ -393,6 +393,57 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(mvMed("a") == ((6L, Some(20.0))))
   }
 
+  test("approx_quantile: the maintained estimate renders at the definition's rank, not 0.5") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-q90")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("src", List(
+      "id" -> graft.aql.AlbaType.of("INT"),
+      "grp" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "val" -> graft.aql.AlbaType.of("BIGINT")))
+    cat.create("mv", List(
+      "grp" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "n_rows" -> graft.aql.AlbaType.of("BIGINT"),
+      "q90_val" -> graft.aql.AlbaType.of("FLOAT"),
+      "q90_val_sk" -> graft.aql.AlbaType.of("LARGE-BYTES")))
+    val view = new IncrementalView(cat, "src", "mv", Seq("grp"),
+      Seq(IncrementalView.Agg("approx_quantile", "val", "q90_val",
+        q = Some(0.9))))
+    val tx = new Tx(cat)
+    val tail = new ChangeTail(cat, "src", dir.resolve("mv.ckpt"))
+    def mvQ: Map[String, (Long, Option[Double])] =
+      cat.read("mv").collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+
+    // below capacity the KLL retains every value: the estimate IS the
+    // inclusive order statistic v⌈q·n⌉ — pins are exact equalities
+    tx.stageInsert("src", Seq(
+      org.apache.spark.sql.Row(1, "a", 10L),
+      org.apache.spark.sql.Row(2, "a", 20L),
+      org.apache.spark.sql.Row(3, "a", 30L),
+      org.apache.spark.sql.Row(4, "a", 40L)))
+    tx.commit(Some("src"))
+    view.refreshOnce(tail)
+    // n=4, q=0.9 → v⌈3.6⌉ = v4 = 40 (a 0.5 rendering would say 20)
+    assert(mvQ == Map("a" -> (4L, Some(40.0))))
+
+    // union window: the merged sketch re-renders at rank 0.9
+    tx.stageInsert("src", Seq(
+      org.apache.spark.sql.Row(5, "a", 5L),
+      org.apache.spark.sql.Row(6, "a", 50L),
+      org.apache.spark.sql.Row(7, "a", 60L)))
+    tx.commit(Some("src"))
+    view.refreshOnce(tail)
+    // {5,10,20,30,40,50,60}: n=7 → v⌈6.3⌉ = v7 = 60
+    assert(mvQ("a") == ((7L, Some(60.0))))
+
+    // a delete dirties the group: the recompute also renders at 0.9
+    tx.stageDelete("src", Some(col("val") === 60L))
+    tx.commit(Some("src"))
+    view.refreshOnce(tail)
+    // {5,10,20,30,40,50}: n=6 → v⌈5.4⌉ = v6 = 50
+    assert(mvQ("a") == ((6L, Some(50.0))))
+  }
+
   test("approx_top_k: insert windows union freq sketches, deletes recompute; exact below capacity") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mv-topk")
     val cat = new Catalog(spark, dir.toString)
