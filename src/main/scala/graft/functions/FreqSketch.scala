@@ -187,10 +187,12 @@ case class FreqTopKExpr(left: Expression, right: Expression)
   override def dataType: DataType = FreqSketch.topKType
   override def nullable: Boolean = true
 
+  // k accepts ANY foldable integral width (kll_quantile's lenient
+  // stance): a ByteType/ShortType literal is a reasonable call
   override def checkInputDataTypes(): TypeCheckResult =
     if ((left.dataType == BinaryType || left.dataType == NullType) &&
-        right.foldable && (right.dataType == IntegerType ||
-          right.dataType == LongType))
+        right.foldable && Seq(ByteType, ShortType, IntegerType, LongType)
+          .contains(right.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       "freq_top_k expects (binary sketch, foldable integer k)")
@@ -198,8 +200,10 @@ case class FreqTopKExpr(left: Expression, right: Expression)
   // NULL k propagates NULL (kll_quantile's convention)
   private lazy val k: Option[Int] = right.eval(InternalRow.empty) match {
     case null => None
-    case i: Int => require(i >= 1, s"freq_top_k k=$i must be >= 1"); Some(i)
-    case l: Long => require(l >= 1, s"freq_top_k k=$l must be >= 1"); Some(l.toInt)
+    case n: java.lang.Number =>
+      val i = n.longValue()
+      require(i >= 1, s"freq_top_k k=$i must be >= 1")
+      Some(math.min(i, Int.MaxValue).toInt)
   }
 
   override def eval(input: InternalRow): Any =

@@ -159,21 +159,31 @@ case class KllQuantileExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  // the rank accepts ANY foldable numeric, not DoubleType alone: a SQL
+  // literal like 0.5 parses as DECIMAL(1,1), and rejecting it would make
+  // `SELECT kll_quantile(sk, 0.5)` fail type check on a reasonable call
+  // (the lenient stance the agg's k argument already takes)
   override def checkInputDataTypes(): TypeCheckResult =
     if ((left.dataType == BinaryType || left.dataType == NullType) &&
-        right.dataType == DoubleType && right.foldable)
+        right.dataType.isInstanceOf[NumericType] && right.foldable)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      "kll_quantile expects (binary sketch, foldable double rank)")
+      "kll_quantile expects (binary sketch, foldable numeric rank)")
 
   // a foldable NULL rank (e.g. CAST(NULL AS DOUBLE)) propagates NULL like
   // any SQL function — unboxing it to 0.0 would silently answer with the
   // sketch minimum
   private lazy val q: Option[Double] = right.eval(InternalRow.empty) match {
     case null => None
-    case v: Double =>
-      require(v >= 0.0 && v <= 1.0, s"kll_quantile rank $v outside [0, 1]")
-      Some(v)
+    case v =>
+      val d = v match {
+        case x: Double => x
+        case x: Float => x.toDouble
+        case x: org.apache.spark.sql.types.Decimal => x.toDouble
+        case x: java.lang.Number => x.doubleValue()
+      }
+      require(d >= 0.0 && d <= 1.0, s"kll_quantile rank $d outside [0, 1]")
+      Some(d)
   }
 
   override def eval(input: InternalRow): Any =

@@ -103,5 +103,11 @@ class FreqSketchSpec extends AnyFunSuite {
       .select(call_function("freq_top_k", col("sk"),
         lit(null).cast("int")).as("t")).collect().head
     assert(nullK.isNullAt(0), "NULL k must yield NULL")
+    // k accepts any foldable integral width (TINYINT/SMALLINT literals
+    // are reasonable calls), matching kll_quantile's lenient rank
+    val shortK = Seq("a", "a", "b").toDF("s").agg(freqAgg(col("s")).as("sk"))
+      .select(call_function("freq_top_k", col("sk"),
+        lit(1.toShort)).as("t")).collect().head
+    assert(!shortK.isNullAt(0) && shortK.getSeq[Any](0).length == 1)
   }
 }

@@ -90,6 +90,12 @@ class KllSketchSpec extends AnyFunSuite {
       "SELECT kll_quantile(kll_sketch_agg(v), 0.5d) AS m FROM kll_vals")
       .collect().head.getDouble(0)
     assert(m == 10.0)
+    // a bare SQL literal 0.5 parses as DECIMAL(1,1), not DOUBLE — the
+    // rank must accept any foldable numeric, not DoubleType alone
+    val mDec = spark.sql(
+      "SELECT kll_quantile(kll_sketch_agg(v), 0.5) AS m FROM kll_vals")
+      .collect().head.getDouble(0)
+    assert(mDec == 10.0)
   }
 
   test("a NULL rank propagates NULL, never the sketch minimum") {
