@@ -124,6 +124,14 @@ object Ast {
     * consumers with checkpoint and lag (the retention-floor registry,
     * [[graft.catalog.Catalog.registerTail]]). */
   final case class ShowTails(name: String) extends Stmt
+  /** graft extension: `SHOW OVERLAP a b ON col` — theta-sketch estimated
+    * distinct-set overlap between two containers' `col` (intersection,
+    * union, per-side exclusives, Jaccard). The query-language surface of
+    * the corpus-overlap triage lane: each side reduces map-side to one
+    * KB-scale sketch, so the answer costs two scans and no data-sized
+    * exchange at any corpus size. Exact while each side's distincts fit
+    * the sketch (theta = 1.0, ≤ 2^12 by default). */
+  final case class ShowOverlap(a: String, b: String, column: String) extends Stmt
   /** graft extensions: corpus interchange. EXPORT writes the container's
     * session view to a NEW directory in the given format (errors if the
     * path exists — never silently overwrites); IMPORT reads files under
@@ -900,6 +908,11 @@ object Parser {
     // SHOW TAILS c (graft extension) — TAILS is not reserved, like STATS
     case Keyword("SHOW") :: Str(w) :: cTok :: Nil if w.equalsIgnoreCase("TAILS") =>
       ShowTails(name(cTok))
+    // SHOW OVERLAP a b ON col (graft extension) — OVERLAP is not
+    // reserved, like STATS/TAILS
+    case Keyword("SHOW") :: Str(w) :: aTok :: bTok :: Keyword("ON") :: colTok :: Nil
+        if w.equalsIgnoreCase("OVERLAP") =>
+      ShowOverlap(name(aTok), name(bTok), name(colTok))
 
     // RESTORE CONTAINER c TO VERSION n (graft extension)
     case Keyword("RESTORE") :: Keyword("CONTAINER") :: nameTok :: rest =>

@@ -663,6 +663,56 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
             v.map(x => Int.box(math.max(0, cur - x))).orNull)
         }, nullable = true), needsDefaultSort = true)
 
+    case Ast.ShowOverlap(a, b, cn) =>
+      // theta-sketch corpus-overlap triage from the query language (the
+      // Spark-API t_overlap_theta lane): each side's scan reduces
+      // map-side to ONE KB-scale sketch, the set algebra runs on the
+      // merged pair — two scans, no data-sized exchange, at any corpus
+      // size. Exact while each side's distincts fit the sketch
+      // (theta = 1.0 below 2^12 by default); past that the estimates
+      // carry the documented ~1.6% rsd.
+      import org.apache.spark.sql.types.{BinaryType, ByteType, IntegerType,
+        LongType, ShortType, StringType}
+      val sides = Seq(a, b).map { c =>
+        val d = catalog.get(c)
+        val (canon, t) = d.columns.find(_._1.equalsIgnoreCase(cn)).getOrElse(
+          throw new ParseException(s"SHOW OVERLAP: unknown column '$cn' on '$c'"))
+        // two hash DOMAINS: integral values hash as longs, TEXT/BYTES as
+        // their UTF-8/raw bytes — domains never collide across families,
+        // so a cross-family comparison would silently answer 0
+        val fam = t.spark match {
+          case ByteType | ShortType | IntegerType | LongType => "integral"
+          case StringType | BinaryType => "bytes"
+          case other => throw new ParseException(
+            s"SHOW OVERLAP over '$canon' on '$c' — theta sketches hash " +
+              s"INT/BIGINT/TEXT/BYTES only, got ${other.catalogString}")
+        }
+        (c, canon, fam)
+      }
+      if (sides.head._3 != sides(1)._3)
+        throw new ParseException(
+          s"SHOW OVERLAP: '$cn' is ${sides.head._3} on '$a' but " +
+            s"${sides(1)._3} on '$b' — the hash domains never collide")
+      import graft.functions.ThetaSketch.{thetaAgg, thetaDiff, thetaEstimate,
+        thetaIntersect, thetaUnion}
+      val skA = tx.view(a).agg(thetaAgg(col(sides.head._2)).as("ska"))
+      val skB = tx.view(b).agg(thetaAgg(col(sides(1)._2)).as("skb"))
+      // an empty side aggregates to a NULL sketch: union treats it as
+      // the empty set, intersect/diff propagate NULL — coalesced to 0
+      // (overlap with nothing IS nothing)
+      def est(sk: Column): Column = coalesce(thetaEstimate(sk), lit(0.0))
+      val inter = est(thetaIntersect(col("ska"), col("skb")))
+      val uni = est(thetaUnion(col("ska"), col("skb")))
+      resultSet(skA.crossJoin(skB).select(
+        lit(a).as("container_a"), lit(b).as("container_b"),
+        lit(sides.head._2).as("column"),
+        round(inter).cast("long").as("approx_intersect"),
+        round(uni).cast("long").as("approx_union"),
+        round(est(thetaDiff(col("ska"), col("skb")))).cast("long").as("approx_a_only"),
+        round(est(thetaDiff(col("skb"), col("ska")))).cast("long").as("approx_b_only"),
+        when(uni > 0, inter / uni).otherwise(lit(0.0)).as("jaccard")),
+        needsDefaultSort = true)
+
     case Ast.Commit(c) => tx.commit(c); Done("committed")
     case Ast.Rollback(c) => tx.rollback(c); Done("rolled back")
 

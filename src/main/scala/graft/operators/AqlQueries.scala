@@ -157,6 +157,19 @@ object AqlQueries {
         "[900007, 'xx', 'new_source'] ON docs_top")
       eng.execute("COMMIT docs_top")
       eng.execute("REFRESH VIEW mv_top")
+      // overlap-triage containers for SHOW OVERLAP: two doc_id subsets
+      // with a known intersection, both capped below the theta sketch's
+      // 2^12 exact threshold at every fixture scale (doc_id < 3000), so
+      // the estimates are EXACT and the oracle row hash-compares
+      val ovIds = graft.Tables.load(spark, dir, "documents")
+        .select("doc_id", "n_chars")
+        .filter(org.apache.spark.sql.functions.col("doc_id") < 3000)
+      eng.execute("CREATE CONTAINER docs_ov_a ['doc_id','n_chars'] [BIGINT, BIGINT]")
+      eng.catalog.overwrite("docs_ov_a",
+        ovIds.filter(org.apache.spark.sql.functions.col("doc_id") % 3 =!= 0))
+      eng.execute("CREATE CONTAINER docs_ov_b ['doc_id','n_chars'] [BIGINT, BIGINT]")
+      eng.catalog.overwrite("docs_ov_b",
+        ovIds.filter(org.apache.spark.sql.functions.col("doc_id") % 2 =!= 0))
       // corpus interchange: EXPORT the versioned docs_tt snapshot as
       // JSONL, IMPORT it into a fresh container as one bulk-append
       // commit — the AQL surface over the sources lane
@@ -1219,6 +1232,36 @@ object AqlQueries {
             (col("fle") >= 0.85 && col("flt") <= 0.95).as("within_tol"))
           .orderBy(col("lang"))
       }
+    },
+
+    // SHOW OVERLAP (graft extension): theta-sketch set-operation
+    // cardinalities between two containers' distinct doc_id sets, from
+    // the query language. Both sides sit below the sketch's 2^12 exact
+    // threshold (theta = 1.0, every hash retained), so intersection /
+    // union / exclusives / Jaccard are EXACT and the row hash-compares
+    // against DuckDB's set algebra.
+    Q("aql_show_overlap",
+      """WITH a AS (SELECT DISTINCT doc_id FROM documents
+        |           WHERE doc_id < 3000 AND doc_id % 3 <> 0),
+        |     b AS (SELECT DISTINCT doc_id FROM documents
+        |           WHERE doc_id < 3000 AND doc_id % 2 <> 0)
+        |SELECT 'docs_ov_a' AS container_a, 'docs_ov_b' AS container_b,
+        |       'doc_id' AS "column",
+        |       (SELECT count(*) FROM a WHERE doc_id IN (SELECT doc_id FROM b))
+        |         AS approx_intersect,
+        |       (SELECT count(*) FROM (SELECT doc_id FROM a
+        |                              UNION SELECT doc_id FROM b))
+        |         AS approx_union,
+        |       (SELECT count(*) FROM a WHERE doc_id NOT IN (SELECT doc_id FROM b))
+        |         AS approx_a_only,
+        |       (SELECT count(*) FROM b WHERE doc_id NOT IN (SELECT doc_id FROM a))
+        |         AS approx_b_only,
+        |       CAST((SELECT count(*) FROM a WHERE doc_id IN (SELECT doc_id FROM b))
+        |            AS DOUBLE) /
+        |       (SELECT count(*) FROM (SELECT doc_id FROM a
+        |                              UNION SELECT doc_id FROM b))
+        |         AS jaccard""".stripMargin) {
+      (s, dir) => search("SHOW OVERLAP docs_ov_a docs_ov_b ON doc_id")(s, dir)
     },
 
     // plain-SEARCH approx_top_k (graft extension): the frequent-items

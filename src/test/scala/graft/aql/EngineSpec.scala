@@ -1480,4 +1480,39 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     eng.catalog.unregisterTail("tl", "sink-b")
     eng.execute("DELETE CONTAINER tl")
   }
+
+  test("43 SHOW OVERLAP: exact set algebra below sketch capacity; domain and type rejects") {
+    eng.execute("CREATE CONTAINER ov_a ['id','tag'] [BIGINT, TEXT]")
+    eng.execute("CREATE CONTAINER ov_b ['id','tag'] [BIGINT, TEXT]")
+    // A = {1..6}, B = {4..9}: ∩ = {4,5,6}, ∪ = {1..9} — exact regime,
+    // and STAGED rows count (the statement reads the session view)
+    (1 to 6).foreach(i => eng.execute(s"CREATE ROW ['id','tag'] [$i, 't$i'] ON ov_a"))
+    (4 to 9).foreach(i => eng.execute(s"CREATE ROW ['id','tag'] [$i, 't$i'] ON ov_b"))
+    val r = searchRows("SHOW OVERLAP ov_a ov_b ON id").head
+    assert((r.getString(0), r.getString(1), r.getString(2)) == (("ov_a", "ov_b", "id")))
+    assert((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      ((3L, 9L, 3L, 3L)))
+    assert(math.abs(r.getDouble(7) - 3.0 / 9.0) < 1e-12)
+    // TEXT columns hash by their UTF-8 bytes — same algebra
+    val t = searchRows("SHOW OVERLAP ov_a ov_b ON tag").head
+    assert((t.getLong(3), t.getLong(4)) == ((3L, 9L)))
+    // an EMPTY side: overlap with nothing is nothing, B's set survives
+    eng.execute("CREATE CONTAINER ov_e ['id'] [BIGINT]")
+    val e = searchRows("SHOW OVERLAP ov_e ov_b ON id").head
+    assert((e.getLong(3), e.getLong(4), e.getLong(5), e.getLong(6),
+      e.getDouble(7)) == ((0L, 6L, 0L, 6L, 0.0)))
+    // cross-family domains never collide — a clean reject, not silent 0
+    eng.execute("CREATE CONTAINER ov_t ['id'] [TEXT]")
+    val ex = intercept[ParseException](eng.execute("SHOW OVERLAP ov_a ov_t ON id"))
+    assert(ex.getMessage.contains("hash domains"), ex.getMessage)
+    // FLOAT columns are not theta-hashable — a clean reject
+    eng.execute("CREATE CONTAINER ov_f ['id'] [FLOAT]")
+    val ef = intercept[ParseException](eng.execute("SHOW OVERLAP ov_f ov_f ON id"))
+    assert(ef.getMessage.contains("INT/BIGINT/TEXT/BYTES"), ef.getMessage)
+    // unknown column is named with its container
+    val eu = intercept[ParseException](eng.execute("SHOW OVERLAP ov_a ov_b ON nope"))
+    assert(eu.getMessage.contains("unknown column"), eu.getMessage)
+    Seq("ov_a", "ov_b", "ov_e", "ov_t", "ov_f").foreach(c =>
+      eng.execute(s"DELETE CONTAINER $c"))
+  }
 }

@@ -429,4 +429,15 @@ class ParserSpec extends AnyFunSuite {
     intercept[ParseException](
       Parser.parse("ALTER CONTAINER c ADD ['x'] [INT]"))           // missing COLUMN
   }
+
+  test("SHOW OVERLAP a b ON col parses; malformed forms rejected") {
+    val o = Parser.parse("SHOW OVERLAP train bench ON gram")
+      .asInstanceOf[ShowOverlap]
+    assert(o.a == "train" && o.b == "bench" && o.column == "gram")
+    // OVERLAP is matched case-insensitively like STATS/TAILS
+    assert(Parser.parse("show overlap a b on c").isInstanceOf[ShowOverlap])
+    intercept[ParseException](Parser.parse("SHOW OVERLAP a ON c"))     // one container
+    intercept[ParseException](Parser.parse("SHOW OVERLAP a b c"))      // missing ON
+    intercept[ParseException](Parser.parse("SHOW OVERLAP a b ON"))     // missing col
+  }
 }
