@@ -833,6 +833,22 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     }.nextOption()
   }
 
+  /** Generated output name for an aggregate projection item. The rank is
+    * part of an approx_quantile's name (`approx_quantile_x_p90`) so two
+    * ranks over one column coexist in a SEARCH or a view — asking for
+    * p50+p99 of one column is the canonical use of the feature, and a
+    * rank-blind name would false-positive the duplicate-output guard.
+    * Rendered via the decimal STRING (never the double: 0.9*100 is
+    * 90.00000000000001 in fp). */
+  private def aggOutName(a: Ast.AggProj): String = {
+    val base = s"${a.fn}_${a.column.toLowerCase}"
+    a.qarg.filter(_ => a.fn == "approx_quantile").fold(base) { q =>
+      val pct = (BigDecimal(q.toString) * 100).underlying
+        .stripTrailingZeros.toPlainString.replace(".", "_")
+      s"${base}_p$pct"
+    }
+  }
+
   /** Validate a view definition down to the incrementally maintainable
     * fragment and resolve CANONICAL column names against the source:
     * single real container, ≥1 plain group key, count/sum aggregates
@@ -891,8 +907,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           org.apache.spark.sql.types.StringType)
           .contains(d.columns.find(_._1 == c).get._2.spark))
         bad(s"approx_top_k over '$c' — items render as text; INT/BIGINT/TEXT only")
-      graft.catalog.IncrementalView.Agg(
-        a.fn, c, s"${a.fn}_${c.toLowerCase}", a.karg, a.qarg)
+      graft.catalog.IncrementalView.Agg(a.fn, c, aggOutName(a), a.karg, a.qarg)
     }
     // the MV's schema is keys + n_rows + agg outs (+ an `_sk` sketch
     // companion per approx_distinct, `_sum`/`_cnt` companions per
@@ -1194,7 +1209,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           s.fns.map(f => s"${f.fn}_${f.column.toLowerCase}")
         val outNames = s.aggs.map(a =>
           if (a.distinct) s"count_distinct_${a.column.toLowerCase}"
-          else s"${a.fn}_${a.column.toLowerCase}")
+          else aggOutName(a))
         // strict naming, like CreateContainer: duplicate aggregate items
         // or a key that shadows an fn_col output are parse errors, never
         // a downstream ambiguous-reference crash

@@ -1210,7 +1210,7 @@ object AqlQueries {
       (s, dir) => {
         val eng = engine(s, dir)
         val mv = eng.orderedResult(eng.execute(
-          "SEARCH [lang, n_rows, approx_quantile_n_chars] ON mv_q90")
+          "SEARCH [lang, n_rows, approx_quantile_n_chars_p90] ON mv_q90")
           .asInstanceOf[Engine.ResultSet].cursorId).get
         import org.apache.spark.sql.functions._
         val post = graft.Tables.load(s, dir, "documents")
@@ -1221,7 +1221,7 @@ object AqlQueries {
           .unionByName(s.range(1).select(lit(900006L).as("doc_id"),
             lit("xx").as("lang"), lit(999L).as("n_chars")))
         val ranks = post
-          .join(mv.select(col("lang"), col("approx_quantile_n_chars").as("est")), "lang")
+          .join(mv.select(col("lang"), col("approx_quantile_n_chars_p90").as("est")), "lang")
           .groupBy(col("lang")).agg(
             (sum(when(col("n_chars") <= col("est"), 1L).otherwise(0L)) /
               count(lit(1))).as("fle"),

@@ -1438,6 +1438,18 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     // inclusive rank ≥ 0.9: a → v5 = 50; b → v4 = 4
     assert(p90 == Map("a" -> 50.0, "b" -> 4.0), s"got $p90")
+    // TWO ranks over one column coexist — the rank is part of the
+    // output name (approx_quantile_v_p50 / _p90), so the duplicate-
+    // output guard doesn't false-positive on the canonical p50+p90 ask
+    val multi = eng.execute(
+      "SEARCH [g, approx_quantile(v 0.5), approx_quantile(v 0.9)] ON kqx")
+      .asInstanceOf[Engine.ResultSet]
+    val mdf = eng.orderedResult(multi.cursorId).get
+    assert(mdf.columns.toSeq ==
+      Seq("g", "approx_quantile_v_p50", "approx_quantile_v_p90"))
+    val byG = mdf.collect().map(r =>
+      r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(byG == Map("a" -> ((30.0, 50.0)), "b" -> ((2.0, 4.0))), s"got $byG")
     // rejects: TEXT column, missing/out-of-range rank, arithmetic arg
     val e1 = intercept[ParseException](
       eng.execute("SEARCH [g, approx_median(t)] ON kqx"))
@@ -1453,8 +1465,14 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e4.getMessage.contains("plain column"), e4.getMessage)
     // views: approx_quantile maintains at the definition's rank (the
     // IncrementalView path; fold semantics are pinned in
-    // IncrementalViewSpec and the aql_view_approx_quantile oracle row)
-    eng.execute("CREATE VIEW vq (SEARCH [g, approx_quantile(v 0.9)] ON kqx)")
+    // IncrementalViewSpec and the aql_view_approx_quantile oracle row),
+    // and two ranks of one column coexist in one view (one sketch each)
+    eng.execute("CREATE VIEW vq " +
+      "(SEARCH [g, approx_quantile(v 0.5), approx_quantile(v 0.9)] ON kqx)")
+    val vrows = searchRows(
+      "SEARCH [g, approx_quantile_v_p50, approx_quantile_v_p90] ON vq")
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(vrows == Map("a" -> ((30.0, 50.0)), "b" -> ((2.0, 4.0))), s"got $vrows")
     eng.execute("DELETE VIEW vq")
     eng.execute("DELETE CONTAINER kqx")
   }
