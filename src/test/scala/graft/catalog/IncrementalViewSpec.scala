@@ -562,6 +562,81 @@ class IncrementalViewSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch-family random histories: every estimate equals re-aggregation after every refresh") {
+    // one view carrying the WHOLE sketch family at once — HLL distinct,
+    // KLL median + p90, frequent-items top-2 — under random inserts,
+    // group-moving edits, value edits, and deletes. Fixture cardinalities
+    // stay in every sketch's exact regime, so the folded estimates must
+    // EQUAL a from-scratch re-aggregation of the source after each
+    // refresh (the property that catches a missed dirty group, a
+    // double-union, or a wrong-rank rendering in any one arm).
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-skprop")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("src", List(
+      "id" -> graft.aql.AlbaType.of("INT"),
+      "grp" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "val" -> graft.aql.AlbaType.of("BIGINT")))
+    cat.create("mv", List(
+      "grp" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "n_rows" -> graft.aql.AlbaType.of("BIGINT"),
+      "nd_val" -> graft.aql.AlbaType.of("BIGINT"),
+      "nd_val_sk" -> graft.aql.AlbaType.of("LARGE-BYTES"),
+      "med_val" -> graft.aql.AlbaType.of("FLOAT"),
+      "med_val_sk" -> graft.aql.AlbaType.of("LARGE-BYTES"),
+      "p90_val" -> graft.aql.AlbaType.of("FLOAT"),
+      "p90_val_sk" -> graft.aql.AlbaType.of("LARGE-BYTES"),
+      "top_val" -> graft.aql.AlbaType.of("TEXT"),
+      "top_val_sk" -> graft.aql.AlbaType.of("LARGE-BYTES")))
+    val view = new IncrementalView(cat, "src", "mv", Seq("grp"), Seq(
+      IncrementalView.Agg("approx_distinct", "val", "nd_val"),
+      IncrementalView.Agg("approx_median", "val", "med_val"),
+      IncrementalView.Agg("approx_quantile", "val", "p90_val", q = Some(0.9)),
+      IncrementalView.Agg("approx_top_k", "val", "top_val", Some(2))))
+    val tx = new Tx(cat)
+    val tail = new ChangeTail(cat, "src", dir.resolve("mv.ckpt"))
+    def snap(): Map[String, (Long, Long, Option[Double], Option[Double], Option[String])] =
+      cat.read("mv").select(col("grp"), col("n_rows"), col("nd_val"),
+          col("med_val"), col("p90_val"), col("top_val")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.getString(5)))).toMap
+    def oracle(): Map[String, (Long, Long, Option[Double], Option[Double], Option[String])] =
+      cat.read("src").collect().groupBy(_.getString(1)).map { case (g, rs) =>
+        val vals = rs.flatMap(r => Option(r.get(2)).map(_.asInstanceOf[Long]))
+        val sorted = vals.sorted.toVector
+        def orderStat(q: Double): Option[Double] =
+          if (sorted.isEmpty) None
+          else Some(sorted(math.ceil(q * sorted.length).toInt.max(1) - 1).toDouble)
+        val top = vals.groupBy(identity).map { case (v, xs) =>
+          v.toString -> xs.length.toLong }.toSeq
+          .sortWith { case ((ia, na), (ib, nb)) => if (na != nb) na > nb else ia < ib }
+          .take(2).map { case (i, n) => s"$i:$n" }.mkString(",")
+        g -> ((rs.length.toLong, vals.distinct.length.toLong,
+          orderStat(0.5), orderStat(0.9),
+          if (top.isEmpty) None else Some(top)))
+      }
+    val groups = Vector("x", "y", "z")
+    val rng2 = new scala.util.Random(71)
+    (1 to 6).foreach { _ =>
+      (0 until 1 + rng2.nextInt(3)).foreach { _ =>
+        rng2.nextInt(6) match {
+          case 0 | 1 | 2 => tx.stageInsert("src", Seq(org.apache.spark.sql.Row(
+            rng2.nextInt(12), groups(rng2.nextInt(3)),
+            if (rng2.nextInt(6) == 0) null else rng2.nextInt(30).toLong)))
+          case 3 => tx.stageEdit("src", col("id") === rng2.nextInt(12),
+            Seq("grp" -> groups(rng2.nextInt(3))))
+          case 4 => tx.stageEdit("src", col("id") === rng2.nextInt(12),
+            Seq("val" -> rng2.nextInt(30).toLong))
+          case 5 => tx.stageDelete("src", Some(col("id") === rng2.nextInt(12)))
+        }
+      }
+      if (tx.stagedOps("src") > 0) tx.commit(Some("src"))
+      view.refreshOnce(tail)
+      assert(snap() == oracle(), "folded sketch estimates diverged from re-aggregation")
+    }
+  }
+
   test("exactly-once: a crash between the fold's commit and the checkpoint never double-folds") {
     val (cat, tx, view, tail) = fixture("xo")
     tx.stageInsert("src", Seq(org.apache.spark.sql.Row(1, "a", 10L)))
