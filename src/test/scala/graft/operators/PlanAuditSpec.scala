@@ -114,6 +114,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), s"no map-side combine before exchange:\n$p")
   }
 
+  test("SHOW OVERLAP: each side partial-aggregates to a sketch before the exchange") {
+    // the statement's 100 TB shape: per-partition theta sketches (KB)
+    // cross the exchange, never rows — the plan must show partial+final
+    // ObjectHashAggregate on both scan subtrees, and the pair combine is
+    // a 1×1 cross join (cardinality-1 sides, not a data-sized product)
+    val df = SparkEntry.queries("aql_show_overlap")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString()
+    val objAggs = "ObjectHashAggregate".r.findAllIn(p).length
+    assert(objAggs >= 4, s"expected partial+final sketch aggregates on both sides:\n$p")
+    assert(p.contains("partial_theta_sketch_agg"),
+      s"no map-side sketch combine before the exchange:\n$p")
+  }
+
   test("aggregation stays inside whole-stage codegen") {
     val df = SparkEntry.queries("x_agg_pricing_summary")(spark, dir)
     val p = df.queryExecution.explainString(
