@@ -86,11 +86,19 @@ object DocumentStreams {
     * band is guaranteed).
     */
   def approxMedianByLang(docs: DataFrame): DataFrame =
+    approxQuantileByLang(docs, 0.5, "approx_median_n_chars")
+
+  /** The same KLL state rendered at an arbitrary rank — the streaming
+    * twin of `approx_quantile(col q)` and the rank-parameterized views
+    * (one sketch per group serves ANY rank; the rank only picks the
+    * rendering, so a p50 and a p99 consumer share the identical state).
+    */
+  def approxQuantileByLang(docs: DataFrame, q: Double,
+      out: String = "approx_quantile_n_chars"): DataFrame =
     docs.groupBy(col("lang"))
       .agg(graft.functions.KllSketch.kllAgg(col("n_chars")).as("sk"))
       .select(col("lang"),
-        graft.functions.KllSketch.kllQuantile(col("sk"), 0.5)
-          .as("approx_median_n_chars"))
+        graft.functions.KllSketch.kllQuantile(col("sk"), q).as(out))
 
   /** Streaming twin of the AQL `approx_top_k` aggregate (and the
     * incremental view's frequent-items column): per-group running top-k

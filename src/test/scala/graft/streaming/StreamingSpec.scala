@@ -191,6 +191,13 @@ class StreamingSpec extends AnyFunSuite {
     val batch = DocumentStreams.approxMedianByLang(docsAll).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(batch == exact, s"one-shot batch $batch != order statistic $exact")
+    // the same state rendered at rank 0.9 — the rank picks the rendering
+    // only, so the p90 twin is exact in the same regime
+    val p90 = DocumentStreams.approxQuantileByLang(docsAll, 0.9).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact90 = perLang.map { case (l, vs) =>
+      l -> vs(math.ceil(0.9 * vs.length).toInt.max(1) - 1).toDouble }
+    assert(p90 == exact90, s"p90 twin $p90 != order statistic $exact90")
   }
 
   test("streaming approx-top-k sketches merge across triggers ≡ exact top-k rendering") {
