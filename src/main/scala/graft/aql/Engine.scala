@@ -687,16 +687,17 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
             s"SHOW OVERLAP over '$canon' on '$c' — theta sketches hash " +
               s"INT/BIGINT/TEXT/BYTES only, got ${other.catalogString}")
         }
-        (c, canon, fam)
+        (canon, fam)
       }
-      if (sides.head._3 != sides(1)._3)
+      val Seq((colA, famA), (colB, famB)) = sides
+      if (famA != famB)
         throw new ParseException(
-          s"SHOW OVERLAP: '$cn' is ${sides.head._3} on '$a' but " +
-            s"${sides(1)._3} on '$b' — the hash domains never collide")
+          s"SHOW OVERLAP: '$cn' is $famA on '$a' but " +
+            s"$famB on '$b' — the hash domains never collide")
       import graft.functions.ThetaSketch.{thetaAgg, thetaDiff, thetaEstimate,
         thetaIntersect, thetaUnion}
-      val skA = tx.view(a).agg(thetaAgg(col(sides.head._2)).as("ska"))
-      val skB = tx.view(b).agg(thetaAgg(col(sides(1)._2)).as("skb"))
+      val skA = tx.view(a).agg(thetaAgg(col(colA)).as("ska"))
+      val skB = tx.view(b).agg(thetaAgg(col(colB)).as("skb"))
       // an empty side aggregates to a NULL sketch: union treats it as
       // the empty set, intersect/diff propagate NULL — coalesced to 0
       // (overlap with nothing IS nothing)
@@ -705,7 +706,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       val uni = est(thetaUnion(col("ska"), col("skb")))
       resultSet(skA.crossJoin(skB).select(
         lit(a).as("container_a"), lit(b).as("container_b"),
-        lit(sides.head._2).as("column"),
+        lit(colA).as("column"),
         round(inter).cast("long").as("approx_intersect"),
         round(uni).cast("long").as("approx_union"),
         round(est(thetaDiff(col("ska"), col("skb")))).cast("long").as("approx_a_only"),
@@ -842,8 +843,9 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     * 90.00000000000001 in fp). */
   private def aggOutName(a: Ast.AggProj): String = {
     val base = s"${a.fn}_${a.column.toLowerCase}"
-    a.qarg.filter(_ => a.fn == "approx_quantile").fold(base) { q =>
-      val pct = (BigDecimal(q.toString) * 100).underlying
+    if (a.fn != "approx_quantile") base
+    else {
+      val pct = (BigDecimal(a.qarg.get.toString) * 100).underlying
         .stripTrailingZeros.toPlainString.replace(".", "_")
       s"${base}_p$pct"
     }
