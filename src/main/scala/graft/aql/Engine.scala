@@ -402,12 +402,14 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         if (a.fn == "approx_distinct")
           List(a.out -> AlbaType.of("BIGINT"),
             s"${a.out}_sk" -> AlbaType.of("LARGE-BYTES"))
-        // approx_median / approx_quantile → FLOAT estimate + its KLL
-        // sketch companion (the persisted sketch serves ANY rank; the
-        // visible column renders the definition's)
+        // approx_median / approx_quantile → FLOAT estimate; the KLL
+        // sketch companion serves ANY rank, so ranks of one column share
+        // the FIRST such aggregate's `_sk` (ownsKllSketch — the same rule
+        // the fold follows) instead of persisting duplicates
         else if (a.fn == "approx_median" || a.fn == "approx_quantile")
-          List(a.out -> AlbaType.of("FLOAT"),
-            s"${a.out}_sk" -> AlbaType.of("LARGE-BYTES"))
+          List(a.out -> AlbaType.of("FLOAT")) ++
+            (if (graft.catalog.IncrementalView.ownsKllSketch(aggs, a))
+              List(s"${a.out}_sk" -> AlbaType.of("LARGE-BYTES")) else Nil)
         // approx_top_k → TEXT rendering + its frequent-items sketch
         else if (a.fn == "approx_top_k")
           List(a.out -> AlbaType.of("TEXT"),
@@ -918,8 +920,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     // an agg out) would create a container with duplicate columns that
     // fails only at seed time — reject upfront
     val outNames = keys ++ Seq("n_rows") ++ aggs.map(_.out) ++
-      aggs.filter(a => Set("approx_distinct", "approx_median",
-          "approx_quantile", "approx_top_k")(a.fn))
+      aggs.filter(a => Set("approx_distinct", "approx_top_k")(a.fn) ||
+          graft.catalog.IncrementalView.ownsKllSketch(aggs, a))
         .map(a => s"${a.out}_sk") ++
       aggs.filter(_.fn == "avg")
         .flatMap(a => Seq(s"${a.out}_sum", s"${a.out}_cnt"))

@@ -81,10 +81,19 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
 
   private def sketchCol(out: String): String = s"${out}_sk"
   private val approxAggs = aggs.filter(_.fn == "approx_distinct")
-  // approx_median is approx_quantile pinned at rank 0.5 — one KLL path
+  // approx_median is approx_quantile pinned at rank 0.5 — one KLL path.
+  // ONE sketch per source column serves EVERY rank (the rank only picks
+  // the rendering), so ranks of the same column share the first such
+  // aggregate's `_sk` companion instead of each persisting and folding a
+  // duplicate — p50+p99 views carry one sketch, not two.
   private val quantileAggs =
-    aggs.filter(a => a.fn == "approx_median" || a.fn == "approx_quantile")
+    aggs.filter(a => IncrementalView.isQuantile(a.fn))
   private def rankOf(a: Agg): Double = a.q.getOrElse(0.5)
+  /** The agg whose `_sk` column holds this quantile agg's sketch. */
+  private def kllOwner(a: Agg): Agg = quantileAggs.find(_.col == a.col).get
+  private def isKllOwner(a: Agg): Boolean =
+    IncrementalView.ownsKllSketch(aggs, a)
+  private def kllSkCol(a: Agg): String = sketchCol(kllOwner(a).out)
   private val topkAggs = aggs.filter(_.fn == "approx_top_k")
 
   /** avg is fully delta-invertible once decomposed: the MV persists
@@ -127,8 +136,10 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
           count(c).as(cntCol(a.out)))
         case "approx_distinct" =>
           Seq(hll_sketch_agg(c).as(sketchCol(a.out)))
-        case "approx_median" | "approx_quantile" =>
+        // one KLL per column — non-owner ranks render from the owner's
+        case "approx_median" | "approx_quantile" if isKllOwner(a) =>
           Seq(graft.functions.KllSketch.kllAgg(c).as(sketchCol(a.out)))
+        case "approx_median" | "approx_quantile" => Nil
         case "approx_top_k" =>
           Seq(graft.functions.FreqSketch.freqAgg(c).as(sketchCol(a.out)))
       }
@@ -145,7 +156,7 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
     // group → NULL sketch → NULL (SQL median-of-nothing semantics,
     // unlike the HLL's count-of-nothing 0)
     val withMed = quantileAggs.foldLeft(withNd)((df, a) => df.withColumn(a.out,
-      graft.functions.KllSketch.kllQuantile(col(sketchCol(a.out)), rankOf(a))))
+      graft.functions.KllSketch.kllQuantile(col(kllSkCol(a)), rankOf(a))))
     // frequent-items rendering: all-NULL group → NULL sketch → NULL text
     val withTop = topkAggs.foldLeft(withMed)((df, a) => df.withColumn(a.out,
       graft.functions.FreqSketch.renderTopK(col(sketchCol(a.out)), a.k.get)))
@@ -213,9 +224,11 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
         // never applies to a shrinking group
         case "approx_distinct" =>
           Seq(hll_sketch_agg(when(col("_w") === 1L, c)).as(s"d_${a.out}"))
-        case "approx_median" | "approx_quantile" =>
+        // one KLL delta per column — shared by every rank over it
+        case "approx_median" | "approx_quantile" if isKllOwner(a) =>
           Seq(graft.functions.KllSketch
             .kllAgg(when(col("_w") === 1L, c)).as(s"d_${a.out}"))
+        case "approx_median" | "approx_quantile" => Nil
         case "approx_top_k" =>
           Seq(graft.functions.FreqSketch
             .freqAgg(when(col("_w") === 1L, c)).as(s"d_${a.out}"))
@@ -252,11 +265,15 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
                   u.as(sketchCol(o)))
               // KLL union is NULL-tolerant natively; the estimate of a
               // NULL union is NULL (quantile-of-nothing), rendered at
-              // the aggregate's rank (median pins 0.5)
+              // the aggregate's rank (median pins 0.5). Ranks of one
+              // column share the owner's sketch: the owner emits the
+              // merged `_sk`, every rank renders from the owner's union
               case "approx_median" | "approx_quantile" =>
-                val u = graft.functions.KllSketch.kllMerge(cur(sketchCol(o)), delta(d))
-                Seq(graft.functions.KllSketch.kllQuantile(u, rankOf(a)).as(o),
-                  u.as(sketchCol(o)))
+                val owner = kllOwner(a)
+                val u = graft.functions.KllSketch.kllMerge(
+                  cur(kllSkCol(a)), delta(s"d_${owner.out}"))
+                Seq(graft.functions.KllSketch.kllQuantile(u, rankOf(a)).as(o)) ++
+                  (if (isKllOwner(a)) Seq(u.as(sketchCol(o))) else Nil)
               // frequent-items union (NULL-tolerant like KLL's merge);
               // re-render the visible top-k text from the merged sketch
               case "approx_top_k" =>
@@ -333,4 +350,16 @@ object IncrementalView {
     * (approx_median is the rank-0.5 pin and carries neither). */
   final case class Agg(fn: String, col: String, out: String,
       k: Option[Int] = None, q: Option[Double] = None)
+
+  /** The KLL quantile family: approx_median is approx_quantile at 0.5. */
+  def isQuantile(fn: String): Boolean =
+    fn == "approx_median" || fn == "approx_quantile"
+
+  /** Whether this quantile agg OWNS its column's persisted `_sk` sketch
+    * (the first quantile agg over each column does; later ranks render
+    * from it) — the rule the MV schema and the fold must agree on, so
+    * both call here. */
+  def ownsKllSketch(aggs: Seq[Agg], a: Agg): Boolean =
+    isQuantile(a.fn) && aggs.find(x => isQuantile(x.fn) && x.col == a.col)
+      .contains(a)
 }

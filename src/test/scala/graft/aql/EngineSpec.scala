@@ -1450,6 +1450,13 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val byG = mdf.collect().map(r =>
       r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     assert(byG == Map("a" -> ((30.0, 50.0)), "b" -> ((2.0, 4.0))), s"got $byG")
+    // ...and both render from ONE sketch buffer: Catalyst dedupes the
+    // semantically-equal kll_sketch_agg children, so adding ranks adds
+    // projections, not aggregation state/CPU (pinned here so a lowering
+    // change that breaks expression equality surfaces as a test failure)
+    val mplan = mdf.queryExecution.executedPlan.toString
+    assert("kll_sketch_agg".r.findAllIn(mplan).length == 2, // partial+final
+      s"multi-rank SEARCH should build one shared sketch buffer:\n$mplan")
     // rejects: TEXT column, missing/out-of-range rank, arithmetic arg
     val e1 = intercept[ParseException](
       eng.execute("SEARCH [g, approx_median(t)] ON kqx"))
@@ -1473,6 +1480,10 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SEARCH [g, approx_quantile_v_p50, approx_quantile_v_p90] ON vq")
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     assert(vrows == Map("a" -> ((30.0, 50.0)), "b" -> ((2.0, 4.0))), s"got $vrows")
+    // ...and they SHARE one persisted sketch (any rank renders from the
+    // same KLL), not one `_sk` per rank
+    val skCols = eng.catalog.get("vq").columns.map(_._1).filter(_.endsWith("_sk"))
+    assert(skCols == List("approx_quantile_v_p50_sk"), s"got $skCols")
     eng.execute("DELETE VIEW vq")
     eng.execute("DELETE CONTAINER kqx")
   }

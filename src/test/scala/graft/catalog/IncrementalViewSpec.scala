@@ -582,9 +582,11 @@ class IncrementalViewSpec extends AnyFunSuite {
       "nd_val" -> graft.aql.AlbaType.of("BIGINT"),
       "nd_val_sk" -> graft.aql.AlbaType.of("LARGE-BYTES"),
       "med_val" -> graft.aql.AlbaType.of("FLOAT"),
+      // ONE KLL sketch serves both ranks over `val`: med_val owns the
+      // `_sk` (first quantile agg over the column), p90_val renders
+      // from it — no p90_val_sk column exists
       "med_val_sk" -> graft.aql.AlbaType.of("LARGE-BYTES"),
       "p90_val" -> graft.aql.AlbaType.of("FLOAT"),
-      "p90_val_sk" -> graft.aql.AlbaType.of("LARGE-BYTES"),
       "top_val" -> graft.aql.AlbaType.of("TEXT"),
       "top_val_sk" -> graft.aql.AlbaType.of("LARGE-BYTES")))
     val view = new IncrementalView(cat, "src", "mv", Seq("grp"), Seq(
