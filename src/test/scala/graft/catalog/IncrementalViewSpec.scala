@@ -639,6 +639,64 @@ class IncrementalViewSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch views with a WHERE: rows edited across the predicate boundary fold correctly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-skwhere")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("src", List(
+      "id" -> graft.aql.AlbaType.of("INT"),
+      "grp" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "val" -> graft.aql.AlbaType.of("BIGINT")))
+    cat.create("mv", List(
+      "grp" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "n_rows" -> graft.aql.AlbaType.of("BIGINT"),
+      "med_val" -> graft.aql.AlbaType.of("FLOAT"),
+      "med_val_sk" -> graft.aql.AlbaType.of("LARGE-BYTES")))
+    // WHERE val >= 10: the predicate is row-local, so an UPDATE whose
+    // pre-image passes and post-image fails nets a lone -1 (dirty), and
+    // the reverse nets a lone +1 (gain fold into the sketch)
+    val view = new IncrementalView(cat, "src", "mv", Seq("grp"),
+      Seq(IncrementalView.Agg("approx_median", "val", "med_val")),
+      Some(col("val") >= 10L))
+    val tx = new Tx(cat)
+    val tail = new ChangeTail(cat, "src", dir.resolve("mv.ckpt"))
+    def mvMed: Map[String, (Long, Option[Double])] =
+      cat.read("mv").collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+
+    tx.stageInsert("src", Seq(
+      org.apache.spark.sql.Row(1, "a", 10L),
+      org.apache.spark.sql.Row(2, "a", 20L),
+      org.apache.spark.sql.Row(3, "a", 30L),
+      org.apache.spark.sql.Row(4, "a", 5L))) // below the WHERE
+    tx.commit(Some("src"))
+    view.refreshOnce(tail)
+    // in-window rows {10,20,30}: n=3 → v2 = 20
+    assert(mvMed == Map("a" -> (3L, Some(20.0))))
+
+    // edit a row INTO the predicate: 5 → 40 nets a lone +1 — a pure
+    // gain, folded by sketch union (no dirty recompute needed)
+    tx.stageEdit("src", col("id") === 4, Seq("val" -> 40L))
+    tx.commit(Some("src"))
+    view.refreshOnce(tail)
+    // {10,20,30,40}: n=4 → v2 = 20
+    assert(mvMed("a") == ((4L, Some(20.0))))
+
+    // edit a row OUT of the predicate: 30 → 7 nets a lone -1 — the
+    // group dirties and recomputes from the filtered end snapshot
+    tx.stageEdit("src", col("id") === 3, Seq("val" -> 7L))
+    tx.commit(Some("src"))
+    view.refreshOnce(tail)
+    // {10,20,40}: n=3 → v2 = 20 with 30 gone (a stale sketch would
+    // still contain it and shift any higher rank)
+    assert(mvMed("a") == ((3L, Some(20.0))))
+
+    // and deleting the remaining in-window rows drops the group
+    tx.stageDelete("src", Some(col("val") >= 10L))
+    tx.commit(Some("src"))
+    view.refreshOnce(tail)
+    assert(mvMed == Map.empty[String, (Long, Option[Double])])
+  }
+
   test("exactly-once: a crash between the fold's commit and the checkpoint never double-folds") {
     val (cat, tx, view, tail) = fixture("xo")
     tx.stageInsert("src", Seq(org.apache.spark.sql.Row(1, "a", 10L)))
