@@ -125,13 +125,17 @@ object Ast {
     * [[graft.catalog.Catalog.registerTail]]). */
   final case class ShowTails(name: String) extends Stmt
   /** graft extension: `SHOW OVERLAP a b ON col` — theta-sketch estimated
-    * distinct-set overlap between two containers' `col` (intersection,
-    * union, per-side exclusives, Jaccard). The query-language surface of
-    * the corpus-overlap triage lane: each side reduces map-side to one
-    * KB-scale sketch, so the answer costs two scans and no data-sized
-    * exchange at any corpus size. Exact while each side's distincts fit
-    * the sketch (theta = 1.0, ≤ 2^12 by default). */
-  final case class ShowOverlap(a: String, b: String, column: String) extends Stmt
+    * distinct-set overlap between two sides' `col` (intersection, union,
+    * per-side exclusives, Jaccard). Each side is a container or any
+    * SEARCH-source subquery — `(SEARCH … AT VERSION n)` gives version
+    * churn, a WHERE'd subquery gives filtered overlap — so the statement
+    * composes with the whole query surface. The query-language surface
+    * of the corpus-overlap triage lane: each side reduces map-side to
+    * one KB-scale sketch, so the answer costs two scans and no
+    * data-sized exchange at any corpus size. Exact while each side's
+    * distincts fit the sketch (theta = 1.0, ≤ 2^12 by default). */
+  final case class ShowOverlap(a: Container, b: Container,
+      column: String) extends Stmt
   /** graft extensions: corpus interchange. EXPORT writes the container's
     * session view to a NEW directory in the given format (errors if the
     * path exists — never silently overwrites); IMPORT reads files under
@@ -909,10 +913,22 @@ object Parser {
     case Keyword("SHOW") :: Str(w) :: cTok :: Nil if w.equalsIgnoreCase("TAILS") =>
       ShowTails(name(cTok))
     // SHOW OVERLAP a b ON col (graft extension) — OVERLAP is not
-    // reserved, like STATS/TAILS
+    // reserved, like STATS/TAILS; each side is a container name or any
+    // SEARCH-source subquery, resolved exactly like a SEARCH source
     case Keyword("SHOW") :: Str(w) :: aTok :: bTok :: Keyword("ON") :: colTok :: Nil
         if w.equalsIgnoreCase("OVERLAP") =>
-      ShowOverlap(name(aTok), name(bTok), name(colTok))
+      def overlapSide(t: Token): Container = t match {
+        case SubCommand(sub) => fromTokens(sub) match {
+          case s: Search => Container.Virtual(s)
+          case c: Changes => Container.Feed(c)
+          case m: Match => Container.Hits(m)
+          case sm: Similar => Container.Cands(sm)
+          case other => throw new ParseException(
+            s"SHOW OVERLAP subquery must be SEARCH, CHANGES, MATCH, or SIMILAR, got $other")
+        }
+        case t2 => Container.Real(name(t2))
+      }
+      ShowOverlap(overlapSide(aTok), overlapSide(bTok), name(colTok))
 
     // RESTORE CONTAINER c TO VERSION n (graft extension)
     case Keyword("RESTORE") :: Keyword("CONTAINER") :: nameTok :: rest =>

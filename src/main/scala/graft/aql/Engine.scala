@@ -672,34 +672,41 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       // merged pair — two scans, no data-sized exchange, at any corpus
       // size. Exact while each side's distincts fit the sketch
       // (theta = 1.0 below 2^12 by default); past that the estimates
-      // carry the documented ~1.6% rsd.
+      // carry the documented ~1.6% rsd. A side is any SEARCH source —
+      // `(SEARCH … AT VERSION n)` measures version churn, a WHERE'd
+      // subquery measures filtered overlap.
       import org.apache.spark.sql.types.{BinaryType, ByteType, IntegerType,
         LongType, ShortType, StringType}
-      val sides = Seq(a, b).map { c =>
-        val d = catalog.get(c)
-        val (canon, t) = d.columns.find(_._1.equalsIgnoreCase(cn)).getOrElse(
-          throw new ParseException(s"SHOW OVERLAP: unknown column '$cn' on '$c'"))
+      def label(c: Ast.Container): String = c match {
+        case Ast.Container.Real(n) => n
+        case _ => "(subquery)"
+      }
+      val sides = Seq(a, b).map { cont =>
+        val df = containerDf(cont, None)
+        val canon = df.columns.find(_.equalsIgnoreCase(cn)).getOrElse(
+          throw new ParseException(
+            s"SHOW OVERLAP: unknown column '$cn' on '${label(cont)}'"))
         // two hash DOMAINS: integral values hash as longs, TEXT/BYTES as
         // their UTF-8/raw bytes — domains never collide across families,
         // so a cross-family comparison would silently answer 0
-        val fam = t.spark match {
+        val fam = df.schema(canon).dataType match {
           case ByteType | ShortType | IntegerType | LongType => "integral"
           case StringType | BinaryType => "bytes"
           case other => throw new ParseException(
-            s"SHOW OVERLAP over '$canon' on '$c' — theta sketches hash " +
-              s"INT/BIGINT/TEXT/BYTES only, got ${other.catalogString}")
+            s"SHOW OVERLAP over '$canon' on '${label(cont)}' — theta " +
+              s"sketches hash INT/BIGINT/TEXT/BYTES only, got ${other.catalogString}")
         }
-        (canon, fam)
+        (df, canon, fam)
       }
-      val Seq((colA, famA), (colB, famB)) = sides
+      val Seq((dfA, colA, famA), (dfB, colB, famB)) = sides
       if (famA != famB)
         throw new ParseException(
-          s"SHOW OVERLAP: '$cn' is $famA on '$a' but " +
-            s"$famB on '$b' — the hash domains never collide")
+          s"SHOW OVERLAP: '$cn' is $famA on '${label(a)}' but " +
+            s"$famB on '${label(b)}' — the hash domains never collide")
       import graft.functions.ThetaSketch.{thetaAgg, thetaDiff, thetaEstimate,
         thetaIntersect, thetaUnion}
-      val skA = tx.view(a).agg(thetaAgg(col(colA)).as("ska"))
-      val skB = tx.view(b).agg(thetaAgg(col(colB)).as("skb"))
+      val skA = dfA.agg(thetaAgg(col(colA)).as("ska"))
+      val skB = dfB.agg(thetaAgg(col(colB)).as("skb"))
       // an empty side aggregates to a NULL sketch: union treats it as
       // the empty set, intersect/diff propagate NULL — coalesced to 0
       // (overlap with nothing IS nothing)
@@ -707,7 +714,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       val inter = est(thetaIntersect(col("ska"), col("skb")))
       val uni = est(thetaUnion(col("ska"), col("skb")))
       resultSet(skA.crossJoin(skB).select(
-        lit(a).as("container_a"), lit(b).as("container_b"),
+        lit(label(a)).as("container_a"), lit(label(b)).as("container_b"),
         lit(colA).as("column"),
         round(inter).cast("long").as("approx_intersect"),
         round(uni).cast("long").as("approx_union"),

@@ -1531,6 +1531,23 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = searchRows("SHOW OVERLAP ov_e ov_b ON id").head
     assert((e.getLong(3), e.getLong(4), e.getLong(5), e.getLong(6),
       e.getDouble(7)) == ((0L, 6L, 0L, 6L, 0.0)))
+    // a SUBQUERY side: filtered overlap without materializing anything —
+    // A∩{id>3} = {4,5,6} against B = {4..9}
+    val sq = searchRows(
+      "SHOW OVERLAP (SEARCH [id] ON ov_a WHERE id > 3) ov_b ON id").head
+    assert(sq.getString(0) == "(subquery)" && sq.getString(1) == "ov_b")
+    assert((sq.getLong(3), sq.getLong(4), sq.getLong(5), sq.getLong(6)) ==
+      ((3L, 6L, 0L, 3L)))
+    // a VERSIONED side: churn between v1 (committed = {1..6}) and the
+    // session view of b — time travel composes like any SEARCH source
+    eng.execute("COMMIT ov_a"); eng.execute("COMMIT ov_b") // v1 each
+    eng.execute("CREATE ROW ['id','tag'] [10, 't10'] ON ov_a")
+    eng.execute("COMMIT ov_a") // v2 = {1..6, 10}
+    val tt = searchRows(
+      "SHOW OVERLAP (SEARCH [id] ON ov_a AT VERSION 1) ov_a ON id").head
+    // v1 ⊂ v2: intersect 6, union 7, a_only 0, b_only 1
+    assert((tt.getLong(3), tt.getLong(4), tt.getLong(5), tt.getLong(6)) ==
+      ((6L, 7L, 0L, 1L)))
     // cross-family domains never collide — a clean reject, not silent 0
     eng.execute("CREATE CONTAINER ov_t ['id'] [TEXT]")
     val ex = intercept[ParseException](eng.execute("SHOW OVERLAP ov_a ov_t ON id"))

@@ -433,11 +433,20 @@ class ParserSpec extends AnyFunSuite {
   test("SHOW OVERLAP a b ON col parses; malformed forms rejected") {
     val o = Parser.parse("SHOW OVERLAP train bench ON gram")
       .asInstanceOf[ShowOverlap]
-    assert(o.a == "train" && o.b == "bench" && o.column == "gram")
+    assert(o.a == Container.Real("train") && o.b == Container.Real("bench")
+      && o.column == "gram")
     // OVERLAP is matched case-insensitively like STATS/TAILS
     assert(Parser.parse("show overlap a b on c").isInstanceOf[ShowOverlap])
+    // a side composes with any SEARCH source — subquery, versioned
+    val v = Parser.parse(
+      "SHOW OVERLAP (SEARCH [doc_id] ON docs AT VERSION 1) docs ON doc_id")
+      .asInstanceOf[ShowOverlap]
+    assert(v.a.isInstanceOf[Container.Virtual] && v.b == Container.Real("docs"))
+    assert(v.a.asInstanceOf[Container.Virtual].query.atVersion.contains(1))
     intercept[ParseException](Parser.parse("SHOW OVERLAP a ON c"))     // one container
     intercept[ParseException](Parser.parse("SHOW OVERLAP a b c"))      // missing ON
     intercept[ParseException](Parser.parse("SHOW OVERLAP a b ON"))     // missing col
+    intercept[ParseException](                                          // non-source subquery
+      Parser.parse("SHOW OVERLAP (COMMIT x) b ON c"))
   }
 }
