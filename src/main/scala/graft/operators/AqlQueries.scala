@@ -1264,6 +1264,36 @@ object AqlQueries {
       (s, dir) => search("SHOW OVERLAP docs_ov_a docs_ov_b ON doc_id")(s, dir)
     },
 
+    // SHOW OVERLAP with SUBQUERY sides (graft extension): version churn —
+    // docs_tt's v1 holds only the short docs, its current version all of
+    // them, so v1∩v2 = v1 and the difference is exactly the long docs.
+    // Both sides ride (SEARCH … [AT VERSION n] WHERE …) subqueries, and
+    // the doc_id < 3000 cap keeps every sketch in the exact regime at
+    // every fixture scale → hash-exact against DuckDB's set algebra.
+    Q("aql_show_overlap_versions",
+      """WITH v1 AS (SELECT DISTINCT doc_id FROM documents
+        |            WHERE n_chars <= 250 AND doc_id < 3000),
+        |     v2 AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 3000)
+        |SELECT '(subquery)' AS container_a, '(subquery)' AS container_b,
+        |       'doc_id' AS "column",
+        |       (SELECT count(*) FROM v1) AS approx_intersect,
+        |       (SELECT count(*) FROM v2) AS approx_union,
+        |       0 AS approx_a_only,
+        |       (SELECT count(*) FROM v2 WHERE doc_id NOT IN (SELECT doc_id FROM v1))
+        |         AS approx_b_only,
+        |       CAST((SELECT count(*) FROM v1) AS DOUBLE) /
+        |       (SELECT count(*) FROM v2) AS jaccard""".stripMargin) {
+      (s, dir) => {
+        val df = search("SHOW OVERLAP " +
+          "(SEARCH [doc_id] ON docs_tt AT VERSION 1 WHERE doc_id < 3000) " +
+          "(SEARCH [doc_id] ON docs_tt WHERE doc_id < 3000) ON doc_id")(s, dir)
+        // the oracle's 0 literal materializes as int32 in DuckDB/pandas;
+        // cast the Spark long to match the driver's dtype-sensitive hash
+        df.withColumn("approx_a_only",
+          org.apache.spark.sql.functions.col("approx_a_only").cast("int"))
+      }
+    },
+
     // plain-SEARCH approx_top_k (graft extension): the frequent-items
     // sketch is EXACT while a group's distincts fit its counter map
     // (~192 at the default size; `source` has ~20 per lang), and the
