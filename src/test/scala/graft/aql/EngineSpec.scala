@@ -1548,6 +1548,11 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // v1 ⊂ v2: intersect 6, union 7, a_only 0, b_only 1
     assert((tt.getLong(3), tt.getLong(4), tt.getLong(5), tt.getLong(6)) ==
       ((6L, 7L, 0L, 1L)))
+    // a CDC-feed side: ids TOUCHED between v1 and v2 ({10}) vs the
+    // current ids — "how much of the corpus did this window touch"
+    val fd = searchRows("SHOW OVERLAP (CHANGES ov_a 1 2) ov_a ON id").head
+    assert((fd.getLong(3), fd.getLong(4), fd.getLong(5), fd.getLong(6)) ==
+      ((1L, 7L, 0L, 6L)))
     // cross-family domains never collide — a clean reject, not silent 0
     eng.execute("CREATE CONTAINER ov_t ['id'] [TEXT]")
     val ex = intercept[ParseException](eng.execute("SHOW OVERLAP ov_a ov_t ON id"))

@@ -140,6 +140,19 @@ class AqlServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post("DESCRIBE no_such")._1 == 400)
   }
 
+  test("SHOW OVERLAP reaches the wire surface (theta set ops over HTTP)") {
+    assert(post("CREATE CONTAINER ova ['id'] [BIGINT]")._1 == 200)
+    assert(post("CREATE CONTAINER ovb ['id'] [BIGINT]")._1 == 200)
+    (1 to 4).foreach(i => assert(post(s"CREATE ROW ['id'] [$i] ON ova")._1 == 200))
+    (3 to 6).foreach(i => assert(post(s"CREATE ROW ['id'] [$i] ON ovb")._1 == 200))
+    val (oc, ob) = post("SHOW OVERLAP ova ovb ON id")
+    assert(oc == 200 && ob.contains(""""approx_intersect""""), ob)
+    assert(ob.contains("\"rows\":[[\"ova\",\"ovb\",\"id\",2,6,2,2,"), ob)
+    assert(post("SHOW OVERLAP ova no_such ON id")._1 == 400)
+    assert(post("DELETE CONTAINER ova")._1 == 200)
+    assert(post("DELETE CONTAINER ovb")._1 == 200)
+  }
+
   test("round-7 statements reach the wire surface: ANALYZE, SHOW STATS, RESTORE") {
     assert(post("CREATE CONTAINER webs ['id','tag'] [BIGINT, SMALL-STRING]")._1 == 200)
     assert(post("CREATE ROW ['id','tag'] [1,'keep'] ON webs")._1 == 200)
