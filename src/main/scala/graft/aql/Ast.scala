@@ -327,6 +327,23 @@ object Parser {
   def parse(input: String, args: Seq[String] = Nil): Stmt =
     fromTokens(substituteArgs(Lexer.lex(input), args))
 
+  /** A composable SOURCE position: a container name, or a
+    * `(SEARCH/CHANGES/MATCH/SIMILAR …)` subquery — the one dispatch every
+    * source slot (SEARCH ON, JOIN, SHOW OVERLAP sides) shares, so a new
+    * source kind lands in all of them at once. `ctx` keeps each slot's
+    * error wording. */
+  private def sourceContainer(t: Token, ctx: String): Container = t match {
+    case SubCommand(sub) => fromTokens(sub) match {
+      case s: Search => Container.Virtual(s)
+      case c: Changes => Container.Feed(c)
+      case m: Match => Container.Hits(m)
+      case sm: Similar => Container.Cands(sm)
+      case other => throw new ParseException(
+        s"$ctx must be SEARCH, CHANGES, MATCH, or SIMILAR, got $other")
+    }
+    case t2 => Container.Real(name(t2))
+  }
+
   /** `?` placeholders replaced in order by re-lexed single tokens,
     * recursing into groups and subcommands (reference
     * `src/parser.rs:591-652`).
@@ -917,18 +934,8 @@ object Parser {
     // SEARCH-source subquery, resolved exactly like a SEARCH source
     case Keyword("SHOW") :: Str(w) :: aTok :: bTok :: Keyword("ON") :: colTok :: Nil
         if w.equalsIgnoreCase("OVERLAP") =>
-      def overlapSide(t: Token): Container = t match {
-        case SubCommand(sub) => fromTokens(sub) match {
-          case s: Search => Container.Virtual(s)
-          case c: Changes => Container.Feed(c)
-          case m: Match => Container.Hits(m)
-          case sm: Similar => Container.Cands(sm)
-          case other => throw new ParseException(
-            s"SHOW OVERLAP subquery must be SEARCH, CHANGES, MATCH, or SIMILAR, got $other")
-        }
-        case t2 => Container.Real(name(t2))
-      }
-      ShowOverlap(overlapSide(aTok), overlapSide(bTok), name(colTok))
+      ShowOverlap(sourceContainer(aTok, "SHOW OVERLAP subquery"),
+        sourceContainer(bTok, "SHOW OVERLAP subquery"), name(colTok))
 
     // RESTORE CONTAINER c TO VERSION n (graft extension)
     case Keyword("RESTORE") :: Keyword("CONTAINER") :: nameTok :: rest =>
@@ -977,16 +984,7 @@ object Parser {
     // SEARCH [cols] ON [containers] [WHERE …] (parser.rs:271-395)
     case Keyword("SEARCH") :: (projG: Group) :: Keyword("ON") :: contTok :: rest =>
       val containers = contTok match {
-        case Group(items) => items.map {
-          case SubCommand(sub) => fromTokens(sub) match {
-            case s: Search => Container.Virtual(s)
-            case c: Changes => Container.Feed(c)
-            case m: Match => Container.Hits(m)
-            case sm: Similar => Container.Cands(sm)
-            case other => throw new ParseException(s"Subquery must be SEARCH, CHANGES, MATCH, or SIMILAR, got $other")
-          }
-          case t => Container.Real(name(t))
-        }
+        case Group(items) => items.map(sourceContainer(_, "Subquery"))
         case t => List(Container.Real(name(t)))
       }
       // [LEFT] JOIN container ON a = b, repeatable (graft extension):
@@ -997,17 +995,8 @@ object Parser {
         var going = true
         def one(jt: String, toks: List[Token]): Unit = toks match {
           case cTok :: Keyword("ON") :: lTok :: Op("=" | "==") :: rTok :: tail =>
-            val cont = cTok match {
-              case SubCommand(sub) => fromTokens(sub) match {
-                case s: Search => Container.Virtual(s)
-                case c: Changes => Container.Feed(c)
-                case m: Match => Container.Hits(m)
-                case sm: Similar => Container.Cands(sm)
-                case other => throw new ParseException(s"JOIN subquery must be SEARCH, CHANGES, MATCH, or SIMILAR, got $other")
-              }
-              case t => Container.Real(name(t))
-            }
-            items += JoinSpec(cont, name(lTok), name(rTok), jt); r = tail
+            items += JoinSpec(sourceContainer(cTok, "JOIN subquery"),
+              name(lTok), name(rTok), jt); r = tail
           case _ =>
             throw new ParseException(s"Expected `${jt.toUpperCase} JOIN container ON left = right`")
         }

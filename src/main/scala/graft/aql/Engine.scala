@@ -406,7 +406,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         // sketch companion serves ANY rank, so ranks of one column share
         // the FIRST such aggregate's `_sk` (ownsKllSketch — the same rule
         // the fold follows) instead of persisting duplicates
-        else if (a.fn == "approx_median" || a.fn == "approx_quantile")
+        else if (graft.catalog.IncrementalView.isQuantile(a.fn))
           List(a.out -> AlbaType.of("FLOAT")) ++
             (if (graft.catalog.IncrementalView.ownsKllSketch(aggs, a))
               List(s"${a.out}_sk" -> AlbaType.of("LARGE-BYTES")) else Nil)

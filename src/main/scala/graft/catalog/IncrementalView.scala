@@ -115,7 +115,20 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
     * written narrow would fail the container's explicit-schema read. */
   private def conform(df: DataFrame): DataFrame = {
     val schema = cat.get(mv).schema
-    df.select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    val have = df.columns.toSet
+    df.select(schema.map { f =>
+      // legacy MV shape: a container created when every quantile rank
+      // declared its own `_sk` — the fold now emits only the owner's,
+      // so fill a declared non-owner sketch column from the owner's
+      // (identical — one sketch serves any rank) instead of breaking
+      // every REFRESH of a pre-sharing view
+      val src =
+        if (have(f.name)) col(f.name)
+        else quantileAggs.find(a => !isKllOwner(a) && sketchCol(a.out) == f.name)
+          .map(a => col(kllSkCol(a)))
+          .getOrElse(col(f.name)) // unresolved → the same clear error
+      src.cast(f.dataType).as(f.name)
+    }.toSeq: _*)
   }
 
   /** The from-scratch aggregate of a source snapshot (also the oracle the

@@ -639,6 +639,48 @@ class IncrementalViewSpec extends AnyFunSuite {
     }
   }
 
+  test("legacy per-rank _sk schema: conform fills a non-owner sketch from the owner's") {
+    // an MV container created before sketch sharing declares one `_sk`
+    // PER rank; the fold now emits only the owner's, and conform must
+    // fill the legacy column (same sketch — one KLL serves any rank)
+    // instead of breaking every REFRESH of a pre-sharing view
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-legacy")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("src", List(
+      "id" -> graft.aql.AlbaType.of("INT"),
+      "grp" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "val" -> graft.aql.AlbaType.of("BIGINT")))
+    cat.create("mv", List(
+      "grp" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "n_rows" -> graft.aql.AlbaType.of("BIGINT"),
+      "p50_val" -> graft.aql.AlbaType.of("FLOAT"),
+      "p50_val_sk" -> graft.aql.AlbaType.of("LARGE-BYTES"),
+      "p90_val" -> graft.aql.AlbaType.of("FLOAT"),
+      "p90_val_sk" -> graft.aql.AlbaType.of("LARGE-BYTES"))) // legacy shape
+    val view = new IncrementalView(cat, "src", "mv", Seq("grp"), Seq(
+      IncrementalView.Agg("approx_quantile", "val", "p50_val", q = Some(0.5)),
+      IncrementalView.Agg("approx_quantile", "val", "p90_val", q = Some(0.9))))
+    val tx = new Tx(cat)
+    val tail = new ChangeTail(cat, "src", dir.resolve("mv.ckpt"))
+    tx.stageInsert("src", (1 to 10).map(i =>
+      org.apache.spark.sql.Row(i, "a", i.toLong * 10)))
+    tx.commit(Some("src"))
+    view.refreshOnce(tail) // would throw UNRESOLVED_COLUMN without the fill
+    val r = cat.read("mv").collect().head
+    val byName = r.schema.fieldNames.zipWithIndex.toMap
+    assert(r.getDouble(byName("p50_val")) == 50.0) // v⌈0.5·10⌉ = v5
+    assert(r.getDouble(byName("p90_val")) == 90.0) // v⌈0.9·10⌉ = v9
+    // the legacy column is FILLED with the owner's sketch, not NULL
+    assert(!r.isNullAt(byName("p90_val_sk")))
+    assert(java.util.Arrays.equals(
+      r.getAs[Array[Byte]](byName("p90_val_sk")),
+      r.getAs[Array[Byte]](byName("p50_val_sk"))))
+    // ...and a second window still folds (both paths go through conform)
+    tx.stageInsert("src", Seq(org.apache.spark.sql.Row(11, "a", 200L)))
+    tx.commit(Some("src"))
+    assert(view.refreshOnce(tail) == 1)
+  }
+
   test("sketch views with a WHERE: rows edited across the predicate boundary fold correctly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mv-skwhere")
     val cat = new Catalog(spark, dir.toString)
