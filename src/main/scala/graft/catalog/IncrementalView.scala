@@ -52,7 +52,8 @@ import org.apache.spark.sql.functions._
   */
 final class IncrementalView(cat: Catalog, src: String, mv: String,
     keys: Seq[String], aggs: Seq[IncrementalView.Agg] = Nil,
-    where: Option[Column] = None) {
+    where: Option[Column] = None,
+    dim: Option[IncrementalView.DimJoin] = None) {
   import IncrementalView.Agg
 
   require(keys.nonEmpty, "incremental view needs at least one group key")
@@ -108,6 +109,25 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
 
   private def filtered(df: DataFrame): DataFrame =
     where.map(df.filter).getOrElse(df)
+
+  /** Enrichment join (fact ⋈ dim, inner): group keys, aggregates, and the
+    * WHERE may all reference dim columns. The dim's join key drops after
+    * the equi-join (the fact side keeps its copy); payload-name
+    * collisions are rejected at CREATE VIEW. Applied identically to the
+    * seed snapshot, each feed window, and the dirty recompute — all three
+    * must see the same enrichment or the fold diverges. */
+  private def enrich(df: DataFrame, dimDf: DataFrame): DataFrame = {
+    val d = dim.get
+    df.join(dimDf, df(d.factCol) === dimDf(d.dimCol), "inner")
+      .drop(dimDf(d.dimCol))
+  }
+
+  /** The dim snapshot the CURRENT MV content reflects (the stamped
+    * version) — the fold must enrich against exactly this snapshot, or
+    * groups untouched by the window would keep older enrichment than
+    * folded ones with nothing left to detect the mix. */
+  private def dimSnapshot(dv: Int, container: String): DataFrame =
+    if (dv > 0) cat.readVersion(container, dv) else cat.read(container)
 
   /** Cast outputs to the MV container's declared schema before publish:
     * aggregate outputs can come back narrower than the declared column
@@ -183,9 +203,15 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
     * when at-least-once replay ambiguity is unacceptable. */
   def seed(tail: ChangeTail): Unit = {
     val v = cat.currentVersion(src)
-    cat.overwriteStamped(mv, conform(aggregate(
-      if (v > 0) cat.readVersion(src, v) else cat.read(src))),
-      Some(stampKey -> v.toString))
+    val snap = if (v > 0) cat.readVersion(src, v) else cat.read(src)
+    val (input, stampVal) = dim match {
+      case Some(d) =>
+        val dv = cat.currentVersion(d.container)
+        (enrich(snap, dimSnapshot(dv, d.container)), s"$v dim=$dv")
+      case None => (snap, v.toString)
+    }
+    cat.overwriteStamped(mv, conform(aggregate(input)),
+      Some(stampKey -> stampVal))
     tail.reset(v)
   }
 
@@ -198,10 +224,23 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
     * doesn't parse (truncated/corrupt marker file) is treated as
     * UNSTAMPED rather than thrown: the caller then falls back to the
     * at-least-once checkpoint path, which re-folds but never wedges. */
-  private[catalog] def appliedSrcVersion: Option[Int] =
+  private def stampValue: Option[String] =
     cat.versionStamp(mv, cat.currentVersion(mv)).collect {
       case (k, v) if k == stampKey => v
-    }.flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+    }
+
+  private[catalog] def appliedSrcVersion: Option[Int] =
+    stampValue.flatMap(v =>
+      scala.util.Try(v.trim.split("\\s+").head.toInt).toOption)
+
+  /** Dim version the current MV content was enriched with, from the
+    * stamp's `dim=N` token (None when unstamped/corrupt — then the fold
+    * uses the dim's CURRENT version and re-stamps it, the same degrade-
+    * don't-wedge stance as the src version's checkpoint fallback). */
+  private[catalog] def appliedDimVersion: Option[Int] =
+    stampValue.flatMap(_.trim.split("\\s+")
+      .collectFirst { case s if s.startsWith("dim=") =>
+        scala.util.Try(s.stripPrefix("dim=").toInt).toOption }.flatten)
 
   /** Fold one feed window (ending at source version `toV`) into the MV.
     * Change rows are weighted ±1, aggregated to per-key deltas, and
@@ -211,6 +250,16 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
     * recomputed aggregate over the end-version snapshot (see class doc).
     */
   private[catalog] def fold(feed: DataFrame, toV: Int): Unit = {
+    // enrichment pins the STAMPED dim version (what the MV content
+    // already reflects) — never the live pointer, which a concurrent dim
+    // commit may have advanced mid-fold; refreshOnce reseeds when the
+    // stamp and the live dim disagree
+    val dimPinned = dim.map(d =>
+      (d, appliedDimVersion.getOrElse(cat.currentVersion(d.container))))
+    def enriched(df: DataFrame): DataFrame = dimPinned match {
+      case Some((d, dv)) => enrich(df, dimSnapshot(dv, d.container))
+      case None => df
+    }
     val w = when(col("_change_type").isin("insert", "update_postimage"), 1L)
       .otherwise(-1L)
     val deltas = sum(col("_w")).as("d_n_rows") +: aggs.flatMap { a =>
@@ -247,7 +296,7 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
             .freqAgg(when(col("_w") === 1L, c)).as(s"d_${a.out}"))
       }
     }
-    val inWindow = filtered(feed).withColumn("_w", w)
+    val inWindow = filtered(enriched(feed)).withColumn("_w", w)
     val delta = inWindow.groupBy(keys.map(col): _*).agg(deltas.head, deltas.tail: _*)
     val cur = cat.read(mv)
     val joinCond: Column = keys.map(k => cur(k) <=> delta(k)).reduce(_ && _)
@@ -313,14 +362,15 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
           keys.map(k => df(k) <=> col(s"dk.$k")).reduce(_ && _)
         val m = merged.alias("m")
         val clean = m.join(dirty, dirtyCond(m), "left_anti")
-        val snap = cat.readVersion(src, toV).alias("s")
+        val snap = enriched(cat.readVersion(src, toV)).alias("s")
         val recomputed = aggregate(
           snap.join(dirty, dirtyCond(snap), "left_semi"))
         clean.unionByName(recomputed)
       }
     // the stamp and the content publish in ONE atomic version rename, so
     // the MV can always answer "which source window do I contain?"
-    cat.overwriteStamped(mv, conform(next), Some(stampKey -> toV.toString))
+    cat.overwriteStamped(mv, conform(next), Some(stampKey ->
+      dimPinned.fold(toV.toString) { case (_, dv) => s"$toV dim=$dv" }))
   }
 
   /** Consume the next outstanding feed window through `tail` and fold it
@@ -335,7 +385,18 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
     */
   def refreshOnce(tail: ChangeTail): Int = {
     appliedSrcVersion.filter(_ > tail.lastDelivered).foreach(tail.reset)
-    tail.pollOnce((feed, _, to) => fold(feed, to))
+    // a CHANGED dim invalidates every group's enrichment, not just the
+    // fact window's — sketches and extremes can't subtract the old dim
+    // attributes, so the honest move is a reseed from both current
+    // snapshots (dim commits are rare for the enrichment shape; a
+    // fact-paced dim belongs on the fact side of the join)
+    val dimChanged = dim.exists(d =>
+      appliedDimVersion.exists(_ != cat.currentVersion(d.container)))
+    if (dimChanged) {
+      val behind = math.max(0, cat.currentVersion(src) - tail.lastDelivered)
+      seed(tail)
+      behind
+    } else tail.pollOnce((feed, _, to) => fold(feed, to))
   }
 
   /** Resident CDC maintainer: realign (crash recovery), then poll the
@@ -363,6 +424,18 @@ object IncrementalView {
     * (approx_median is the rank-0.5 pin and carries neither). */
   final case class Agg(fn: String, col: String, out: String,
       k: Option[Int] = None, q: Option[Double] = None)
+
+  /** Enrichment join: `src ⋈ container ON factCol = dimCol` (inner),
+    * the fact-join-dimension MV shape. The dim is treated as STATIC
+    * between refreshes: feed windows enrich against the stamped dim
+    * snapshot and fold normally; any dim commit reseeds the whole view
+    * on the next refresh (conservative and always correct — enrichment
+    * attributes are baked into group keys and aggregates, which no
+    * delta can rewrite). `maintain()`'s resident loop assumes the dim
+    * stays put for its lifetime; dim commits are reconciled by the next
+    * refreshOnce (the Engine's auto-refresh hook fires one on every dim
+    * commit). */
+  final case class DimJoin(container: String, factCol: String, dimCol: String)
 
   /** The KLL quantile family: approx_median is approx_quantile at 0.5. */
   def isQuantile(fn: String): Boolean =

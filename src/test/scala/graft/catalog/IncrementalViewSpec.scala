@@ -639,6 +639,72 @@ class IncrementalViewSpec extends AnyFunSuite {
     }
   }
 
+  test("enrichment-join views: fact windows fold against the stamped dim; dim commits reseed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-dim")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("fact", List(
+      "id" -> graft.aql.AlbaType.of("INT"),
+      "nation_id" -> graft.aql.AlbaType.of("BIGINT"),
+      "val" -> graft.aql.AlbaType.of("BIGINT")))
+    cat.create("dimc", List(
+      "nation_id" -> graft.aql.AlbaType.of("BIGINT"),
+      "region" -> graft.aql.AlbaType.of("SMALL-STRING")))
+    cat.create("mv", List(
+      "region" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "n_rows" -> graft.aql.AlbaType.of("BIGINT"),
+      "sum_val" -> graft.aql.AlbaType.of("BIGINT"),
+      "min_val" -> graft.aql.AlbaType.of("BIGINT")))
+    val view = new IncrementalView(cat, "fact", "mv", Seq("region"), Seq(
+      IncrementalView.Agg("sum", "val", "sum_val"),
+      IncrementalView.Agg("min", "val", "min_val")),
+      dim = Some(IncrementalView.DimJoin("dimc", "nation_id", "nation_id")))
+    val tx = new Tx(cat)
+    val tail = new ChangeTail(cat, "fact", dir.resolve("mv.ckpt"))
+    def mvRows: Map[String, (Long, Long, Long)] =
+      cat.read("mv").collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+    tx.stageInsert("dimc", Seq(
+      org.apache.spark.sql.Row(1L, "EU"), org.apache.spark.sql.Row(2L, "US")))
+    tx.commit(Some("dimc"))
+    tx.stageInsert("fact", Seq(
+      org.apache.spark.sql.Row(1, 1L, 10L),
+      org.apache.spark.sql.Row(2, 1L, 20L),
+      org.apache.spark.sql.Row(3, 2L, 5L),
+      org.apache.spark.sql.Row(4, 99L, 7L))) // no dim match: drops (inner)
+    tx.commit(Some("fact"))
+    assert(view.refreshOnce(tail) == 1)
+    assert(mvRows == Map("EU" -> (2L, 30L, 10L), "US" -> (1L, 5L, 5L)))
+
+    // a fact edit that MOVES a row across dim keys folds through the
+    // enrichment: -EU/+US through the update pair; dim untouched
+    tx.stageEdit("fact", col("id") === 2, Seq("nation_id" -> 2L))
+    tx.commit(Some("fact"))
+    assert(view.refreshOnce(tail) == 1)
+    assert(mvRows == Map("EU" -> (1L, 10L, 10L), "US" -> (2L, 25L, 5L)))
+
+    // deleting US's min exercises the dirty recompute — which must
+    // enrich the end-version snapshot against the SAME stamped dim
+    tx.stageDelete("fact", Some(col("id") === 3))
+    tx.commit(Some("fact"))
+    assert(view.refreshOnce(tail) == 1)
+    assert(mvRows == Map("EU" -> (1L, 10L, 10L), "US" -> (1L, 20L, 20L)))
+
+    // a DIM commit (rename region US → NA) invalidates every group's
+    // enrichment: the next refresh RESEEDS from both current snapshots
+    tx.stageEdit("dimc", col("nation_id") === 2L, Seq("region" -> "NA"))
+    tx.commit(Some("dimc"))
+    view.refreshOnce(tail)
+    assert(mvRows == Map("EU" -> (1L, 10L, 10L), "NA" -> (1L, 20L, 20L)))
+
+    // and the view keeps folding fact windows after the reseed
+    tx.stageInsert("fact", Seq(org.apache.spark.sql.Row(5, 2L, 3L)))
+    tx.commit(Some("fact"))
+    assert(view.refreshOnce(tail) == 1)
+    assert(mvRows == Map("EU" -> (1L, 10L, 10L), "NA" -> (2L, 23L, 3L)))
+    assert(view.refreshOnce(tail) == 0)
+  }
+
   test("legacy per-rank _sk schema: conform fills a non-owner sketch from the owner's") {
     // an MV container created before sketch sharing declares one `_sk`
     // PER rank; the fold now emits only the owner's, and conform must
