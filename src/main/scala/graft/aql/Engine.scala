@@ -38,7 +38,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
   // own version snapshot, so a concurrent commit can't re-expose the
   // protected window. Unreadable view state floors at keep-everything.
   tx.vacuumMinKeep = (c, cur) =>
-    try viewsDependingOn(c)
+    try viewsSourcedBy(c)
       .map(v => viewTail(v, c).lastDelivered)
       .filter(_ > 0).map(ckpt => cur - ckpt + 1)
       .maxOption.getOrElse(1)
@@ -381,18 +381,26 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         s"(version ${catalog.currentVersion(c)})")
 
     case Ast.CreateView(v, q) =>
-      val (src, keys, aggs, whereOpt) = validateViewDef(q)
+      val (src, keys, aggs, whereOpt, dimOpt) = validateViewDef(q)
       // a never-committed source serving external dataPath rows has no
       // version history: seeding would aggregate rows the first commit's
       // feed then replays as inserts — double counting (same refusal as
-      // CHANGES on such containers)
-      if (catalog.currentVersion(src) == 0 &&
-          java.nio.file.Files.exists(catalog.dataPath(src)))
-        throw new ParseException(s"CREATE VIEW: source '$src' serves " +
-          "unversioned external data — commit it through the catalog first")
+      // CHANGES on such containers). The dim must be versioned too: an
+      // unversioned external dim stays at version 0 forever, so the
+      // reseed-on-dim-change detection could never fire and the view
+      // would serve silently stale enrichment.
+      for (c <- src +: dimOpt.map(_.container).toList)
+        if (catalog.currentVersion(c) == 0 &&
+            java.nio.file.Files.exists(catalog.dataPath(c)))
+          throw new ParseException(s"CREATE VIEW: source '$c' serves " +
+            "unversioned external data — commit it through the catalog first")
       val d = catalog.get(src)
+      // MV column types resolve across the JOINED space (a group key or
+      // measure may be a dim attribute)
+      val dimCols = dimOpt.map(dj => catalog.get(dj.container).columns
+        .filterNot(_._1 == dj.dimCol)).getOrElse(Nil)
       def typeOf(c: String): AlbaType =
-        d.columns.find(_._1.equalsIgnoreCase(c)).get._2
+        (d.columns ++ dimCols).find(_._1.equalsIgnoreCase(c)).get._2
       // MV schema contract (IncrementalView): keys, n_rows, agg outs.
       // count → BIGINT; sum inherits the source column's numeric width
       // (Spark: sum(int/long) = long, sum(double) = double);
@@ -434,7 +442,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       try {
         graft.catalog.Views.save(catalog, v, printViewQuery(q, src))
         val tail = viewTail(v, src)
-        incrementalView(v, src, keys, aggs, whereOpt).seed(tail)
+        incrementalView(v, src, keys, aggs, whereOpt, dimOpt).seed(tail)
         Done(s"created view $v over $src (seeded at version ${tail.lastDelivered})")
       } catch { case e: Throwable =>
         if (graft.catalog.Views.exists(catalog, v))
@@ -778,8 +786,9 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       case s: Ast.Search => s
       case other => throw new ParseException(s"Corrupt view definition: $other")
     }
-    val (src, keys, aggs, whereOpt) = validateViewDef(q)
-    incrementalView(v, src, keys, aggs, whereOpt).refreshOnce(viewTail(v, src))
+    val (src, keys, aggs, whereOpt, dimOpt) = validateViewDef(q)
+    incrementalView(v, src, keys, aggs, whereOpt, dimOpt)
+      .refreshOnce(viewTail(v, src))
   }
 
   /** OPTIMIZE published `published` over base `published - 1` with
@@ -790,29 +799,40 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     * window spans real changes, so the diff is unavoidable (and correct).
     */
   private def fastForwardViewTails(c: String, published: Int): Unit =
-    viewsDependingOn(c).foreach { v =>
+    viewsSourcedBy(c).foreach { v =>
       val t = viewTail(v, c)
       if (t.lastDelivered == published - 1) t.reset(published)
     }
 
-  /** Views whose SOURCE is `c` (re-parsed from their stored definitions —
-    * bounded: one small text file per view). */
-  /** Dependent views of `c` with their PARSED definitions — one
-    * list+load+parse pass shared by every consumer (ALTER guards, vacuum
-    * floors, refresh fan-out). */
-  private def dependentViewDefs(c: String): Seq[(String, Ast.Search)] =
+  /** Views READING `c` — as their CDC-tailed fact source (`joins =
+    * false`) or additionally as an enrichment-join dimension (`joins =
+    * true`). The tail-arithmetic sites (vacuum floors, OPTIMIZE
+    * fast-forward) must stay fact-only: a view's single checkpoint
+    * counts FACT versions, and interpreting it against a dim's version
+    * line would corrupt the checkpoint or the retention floor. Guards
+    * and auto-refresh want the joins-inclusive set (a dim commit must
+    * trigger the reseed; dropping a dim strands the view). */
+  private def dependentViewDefs(c: String,
+      joins: Boolean = true): Seq[(String, Ast.Search)] =
     graft.catalog.Views.list(catalog).flatMap { v =>
+      def reads(cont: Ast.Container): Boolean = cont match {
+        case Ast.Container.Real(n) => n.equalsIgnoreCase(c)
+        case _ => false
+      }
       Parser.parse(graft.catalog.Views.load(catalog, v)) match {
-        case s: Ast.Search if s.containers.exists {
-          case Ast.Container.Real(n) => n.equalsIgnoreCase(c)
-          case _ => false
-        } => Some(v -> s)
+        case s: Ast.Search if s.containers.exists(reads) ||
+          (joins && s.joins.exists(j => reads(j.container))) => Some(v -> s)
         case _ => None
       }
     }
 
   private def viewsDependingOn(c: String): Seq[String] =
     dependentViewDefs(c).map(_._1)
+
+  /** Fact-only dependents — for every site that does version arithmetic
+    * against the view's (fact-counted) CDC checkpoint. */
+  private def viewsSourcedBy(c: String): Seq[String] =
+    dependentViewDefs(c, joins = false).map(_._1)
 
   /** Refuse an ALTER that would break a dependent view's re-parseable
     * definition: DROP/RENAME of a column the viewdef references leaves
@@ -837,7 +857,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
   private def strandedViewAfterVacuum(c: String,
       keep: Int): Option[(String, Int, Int)] = {
     val cur = catalog.currentVersion(c)
-    viewsDependingOn(c).iterator.flatMap { v =>
+    viewsSourcedBy(c).iterator.flatMap { v =>
       val ckpt = viewTail(v, c).lastDelivered
       if (ckpt > 0 && keep < cur - ckpt + 1) Some((v, ckpt, cur)) else None
     }.nextOption()
@@ -869,18 +889,19 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     * independently in the fold). Returns (src, keys, aggs, where).
     */
   private def validateViewDef(q: Ast.Search)
-      : (String, Seq[String], Seq[graft.catalog.IncrementalView.Agg], Option[Column]) = {
+      : (String, Seq[String], Seq[graft.catalog.IncrementalView.Agg],
+         Option[Column], Option[graft.catalog.IncrementalView.DimJoin]) = {
     def bad(msg: String) = throw new ParseException(s"CREATE VIEW: $msg")
     val src = q.containers match {
       case List(Ast.Container.Real(n)) => n
       case _ => bad("the body must read exactly one real container")
     }
-    if (q.joins.nonEmpty || q.exprs.nonEmpty || q.fns.nonEmpty || q.wins.nonEmpty ||
+    if (q.exprs.nonEmpty || q.fns.nonEmpty || q.wins.nonEmpty ||
       q.distinct || q.orderBy.nonEmpty || q.limit.nonEmpty || q.atVersion.nonEmpty ||
       q.having.nonEmpty)
       bad("only projection keys, count/sum/min/max/avg/approx_distinct/" +
         "approx_median/approx_quantile/approx_top_k aggregates, " +
-        "and WHERE are maintainable")
+        "one inner JOIN to a dimension, and WHERE are maintainable")
     if (q.aggs.isEmpty) bad("the body needs at least one aggregate")
     if (q.projection.isEmpty) bad("the body needs at least one group key")
     q.aggs.foreach { a =>
@@ -896,27 +917,63 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           "approx_quantile/approx_top_k)")
     }
     val d = catalog.get(src)
+    // enrichment JOIN (graft extension): one inner equi-join to a real
+    // dimension container — `ON factCol = dimCol` with the fact column
+    // on the LEFT (the convention the error below spells out). The dim's
+    // payload columns (everything but its join key) become part of the
+    // maintainable column space; name collisions with the fact are
+    // rejected here rather than surfacing as ambiguous references at
+    // seed time.
+    val dimJoin = q.joins match {
+      case Nil => None
+      case List(j) =>
+        val dn = j.container match {
+          case Ast.Container.Real(n) => n
+          case _ => bad("view JOIN must name a real dimension container")
+        }
+        if (j.joinType != "inner")
+          bad("view JOIN must be INNER — outer enrichment would need " +
+            "NULL-extended groups no delta can maintain")
+        val dd = catalog.get(dn)
+        val factCol = d.columns.find(_._1.equalsIgnoreCase(j.left)).map(_._1)
+          .getOrElse(bad(s"view JOIN: '${j.left}' must be a column of " +
+            s"'$src' (fact on the left of ON)"))
+        val dimCol = dd.columns.find(_._1.equalsIgnoreCase(j.right)).map(_._1)
+          .getOrElse(bad(s"view JOIN: '${j.right}' must be a column of " +
+            s"'$dn' (dimension on the right of ON)"))
+        val payload = dd.columns.filterNot(_._1 == dimCol)
+        payload.map(_._1).find(p => d.columns.exists(_._1.equalsIgnoreCase(p)))
+          .foreach(p => bad(s"dimension column '$p' collides with a " +
+            s"'$src' column — rename one side"))
+        Some((graft.catalog.IncrementalView.DimJoin(dn, factCol, dimCol),
+          payload))
+      case _ => bad("views support at most one JOIN")
+    }
+    // the maintainable column space: fact columns plus the dim payload
+    val cols = d.columns ++ dimJoin.map(_._2).getOrElse(Nil)
     def canonical(c: String): String =
-      d.columns.find(_._1.equalsIgnoreCase(c)).map(_._1)
-        .getOrElse(bad(s"unknown column '$c' on '$src'"))
+      cols.find(_._1.equalsIgnoreCase(c)).map(_._1)
+        .getOrElse(bad(s"unknown column '$c' on '$src'" +
+          dimJoin.fold("")(dj => s" or '${dj._1.container}'")))
+    def typeOfCanon(c: String): AlbaType = cols.find(_._1 == c).get._2
     val keys = q.projection.map(canonical)
     val aggs = q.aggs.map { a =>
       val c = canonical(a.column)
       if (Set("sum", "avg", "approx_median", "approx_quantile")(a.fn) &&
-          !d.columns.find(_._1 == c).get._2.isNumeric)
+          !typeOfCanon(c).isNumeric)
         bad(s"${a.fn} over non-numeric column '$c'")
       if (a.fn == "approx_distinct" && !Seq(
           org.apache.spark.sql.types.IntegerType,
           org.apache.spark.sql.types.LongType,
           org.apache.spark.sql.types.StringType,
           org.apache.spark.sql.types.BinaryType)
-          .contains(d.columns.find(_._1 == c).get._2.spark))
+          .contains(typeOfCanon(c).spark))
         bad(s"approx_distinct over '$c' — the HLL sketch hashes INT/BIGINT/TEXT/BYTES only")
       if (a.fn == "approx_top_k" && !Seq(
           org.apache.spark.sql.types.IntegerType,
           org.apache.spark.sql.types.LongType,
           org.apache.spark.sql.types.StringType)
-          .contains(d.columns.find(_._1 == c).get._2.spark))
+          .contains(typeOfCanon(c).spark))
         bad(s"approx_top_k over '$c' — items render as text; INT/BIGINT/TEXT only")
       graft.catalog.IncrementalView.Agg(a.fn, c, aggOutName(a), a.karg, a.qarg)
     }
@@ -943,7 +1000,12 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         case other => bad(s"view WHERE literal $other is not supported")
       }
     })
-    (src, keys, aggs, q.where.map(lowerWhere(_, d)))
+    // WHERE lowers against the JOINED column space (a dim-attr predicate
+    // is row-local on the enriched row, so pre/post images still filter
+    // independently in the fold)
+    val whereDef =
+      if (dimJoin.isEmpty) d else catalog.ContainerDef("(join)", cols)
+    (src, keys, aggs, q.where.map(lowerWhere(_, whereDef)), dimJoin.map(_._1))
   }
 
   /** Print the validated definition back to AQL — the persisted form a
@@ -963,6 +1025,15 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       a.karg.map(k => s"${a.fn}(${a.column} $k)")
         .orElse(a.qarg.map(r => s"${a.fn}(${a.column} $r)"))
         .getOrElse(s"${a.fn}(${a.column})"))
+    // the enrichment JOIN prints back in the parser's own form so the
+    // persisted definition re-parses to the same (validated) join
+    val joins = q.joins.map { j =>
+      val dn = j.container match {
+        case Ast.Container.Real(n) => n
+        case other => throw new ParseException(s"unprintable join source $other")
+      }
+      s" JOIN $dn ON ${j.left} = ${j.right}"
+    }.mkString
     val where = q.where.map { w =>
       val head = w.atoms.head
       val rest = w.gates.zip(w.atoms.tail).map { case (g, c) =>
@@ -971,7 +1042,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       s" WHERE ${head.column} ${head.op} ${lit(head.value)}" +
         (if (rest.isEmpty) "" else " " + rest.mkString(" "))
     }.getOrElse("")
-    s"SEARCH [${items.mkString(", ")}] ON $src$where"
+    s"SEARCH [${items.mkString(", ")}] ON $src$joins$where"
   }
 
   private def viewTail(v: String, src: String): graft.catalog.ChangeTail =
@@ -980,8 +1051,10 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
 
   private def incrementalView(v: String, src: String, keys: Seq[String],
       aggs: Seq[graft.catalog.IncrementalView.Agg],
-      where: Option[Column]): graft.catalog.IncrementalView =
-    new graft.catalog.IncrementalView(catalog, src, v, keys, aggs, where)
+      where: Option[Column],
+      dim: Option[graft.catalog.IncrementalView.DimJoin] = None)
+      : graft.catalog.IncrementalView =
+    new graft.catalog.IncrementalView(catalog, src, v, keys, aggs, where, dim)
 
   /** Register a cursor for a SEARCH-shaped result.
     * Letter prefix keeps the id a single bare-word token in AQL. */

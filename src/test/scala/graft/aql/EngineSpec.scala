@@ -1511,6 +1511,53 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     eng.execute("DELETE CONTAINER tl")
   }
 
+  test("44 enrichment-join views: AQL lifecycle, dim-commit reseed, guards") {
+    eng.execute("CREATE CONTAINER jf ['id','nat','v'] [BIGINT, BIGINT, BIGINT]")
+    eng.execute("CREATE CONTAINER jd ['nat','region'] [BIGINT, TEXT]")
+    eng.execute("CREATE ROW ['nat','region'] [1, 'EU'] ON jd")
+    eng.execute("CREATE ROW ['nat','region'] [2, 'US'] ON jd")
+    eng.execute("COMMIT jd")
+    (1 to 4).foreach(i => eng.execute(
+      s"CREATE ROW ['id','nat','v'] [$i, ${(i % 2) + 1}, ${i * 10}] ON jf"))
+    eng.execute("COMMIT jf")
+    eng.execute(
+      "CREATE VIEW mvj (SEARCH [region, sum(v), min(v)] ON jf JOIN jd ON nat = nat)")
+    def rows: Map[String, (Long, Long, Long)] =
+      searchRows("SEARCH [] ON mvj").map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // nat 1 ← ids 2,4 (v 20,40); nat 2 ← ids 1,3 (v 10,30)
+    assert(rows == Map("EU" -> (2L, 60L, 20L), "US" -> (2L, 40L, 10L)))
+    // a fact window folds through the persisted definition (the viewdef
+    // round-trips the JOIN clause)
+    eng.execute("CREATE ROW ['id','nat','v'] [5, 1, 5] ON jf")
+    eng.execute("COMMIT jf")
+    eng.execute("REFRESH VIEW mvj")
+    assert(rows == Map("EU" -> (3L, 65L, 5L), "US" -> (2L, 40L, 10L)))
+    // a DIM commit reseeds on the next refresh (auto or explicit)
+    eng.execute("EDIT ROW ['region'] ['NA'] ON jd WHERE nat = 1")
+    eng.execute("COMMIT jd")
+    eng.execute("REFRESH VIEW mvj")
+    assert(rows == Map("NA" -> (3L, 65L, 5L), "US" -> (2L, 40L, 10L)))
+    // ...and fact windows keep folding after the reseed
+    eng.execute("DELETE ROW ON jf WHERE id = 1") // US loses its min
+    eng.execute("COMMIT jf")
+    eng.execute("REFRESH VIEW mvj")
+    assert(rows == Map("NA" -> (3L, 65L, 5L), "US" -> (1L, 30L, 30L)))
+    // guards: the DIM is a protected source; outer joins and payload
+    // collisions are clean rejects
+    val eDrop = intercept[ParseException](eng.execute("DELETE CONTAINER jd"))
+    assert(eDrop.getMessage.contains("mvj"), eDrop.getMessage)
+    val eOuter = intercept[ParseException](eng.execute(
+      "CREATE VIEW mvj2 (SEARCH [region, sum(v)] ON jf LEFT JOIN jd ON nat = nat)"))
+    assert(eOuter.getMessage.contains("INNER"), eOuter.getMessage)
+    eng.execute("CREATE CONTAINER jd2 ['nat','v'] [BIGINT, BIGINT]")
+    val eColl = intercept[ParseException](eng.execute(
+      "CREATE VIEW mvj3 (SEARCH [v, sum(v)] ON jf JOIN jd2 ON nat = nat)"))
+    assert(eColl.getMessage.contains("collides"), eColl.getMessage)
+    eng.execute("DELETE VIEW mvj")
+    Seq("jf", "jd", "jd2").foreach(c => eng.execute(s"DELETE CONTAINER $c"))
+  }
+
   test("43 SHOW OVERLAP: exact set algebra below sketch capacity; domain and type rejects") {
     eng.execute("CREATE CONTAINER ov_a ['id','tag'] [BIGINT, TEXT]")
     eng.execute("CREATE CONTAINER ov_b ['id','tag'] [BIGINT, TEXT]")
