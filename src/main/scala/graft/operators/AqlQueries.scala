@@ -130,6 +130,18 @@ object AqlQueries {
       // definition's rank 0.9 after every fold/recompute
       eng.execute("CREATE VIEW mv_q90 " +
         "(SEARCH [lang, approx_quantile(n_chars 0.9)] ON docs_vw)")
+      // enrichment-join view: docs_vw joined to a lang→family dimension,
+      // grouped by the DIM attribute. The fact commit below folds through
+      // the enrichment; the dim edit after it reseeds on the next refresh
+      eng.execute("CREATE CONTAINER langs_dim ['lang','family'] [TEXT, TEXT]")
+      Seq("en" -> "germanic", "de" -> "germanic", "es" -> "romance",
+        "fr" -> "romance", "zh" -> "sinitic", "xx" -> "other").foreach {
+        case (l, f) => eng.execute(
+          s"CREATE ROW ['lang','family'] ['$l', '$f'] ON langs_dim")
+      }
+      eng.execute("COMMIT langs_dim")
+      eng.execute("CREATE VIEW mv_join (SEARCH [family, count(doc_id), " +
+        "sum(n_chars)] ON docs_vw JOIN langs_dim ON lang = lang)")
       eng.execute("EDIT ROW ['n_chars'] [50000] ON docs_vw WHERE doc_id = 21")
       eng.execute("DELETE ROW ON docs_vw WHERE doc_id = 33")
       eng.execute("CREATE ROW ['doc_id','lang','n_chars'] [900006, 'xx', 999] ON docs_vw")
@@ -140,6 +152,12 @@ object AqlQueries {
       eng.execute("REFRESH VIEW mv_avg")
       eng.execute("REFRESH VIEW mv_med")
       eng.execute("REFRESH VIEW mv_q90")
+      eng.execute("REFRESH VIEW mv_join") // folds the fact window above
+      // a DIM commit: zh reclassified — the next refresh must RESEED the
+      // enrichment-join view (fold can't rewrite baked-in group keys)
+      eng.execute("EDIT ROW ['family'] ['cjk'] ON langs_dim WHERE lang = 'zh'")
+      eng.execute("COMMIT langs_dim")
+      eng.execute("REFRESH VIEW mv_join")
       // frequent-items view: its own source container (source has ~20
       // distinct values per lang — far below the sketch's ~192-value
       // exact threshold, so the rendered top-k is hash-comparable).
@@ -1073,6 +1091,27 @@ object AqlQueries {
         |FROM post GROUP BY lang
         |ORDER BY lang, n_rows, min_n_chars, max_n_chars""".stripMargin) {
       (s, dir) => search("SEARCH [] ON mv_ext")(s, dir)
+    },
+
+    // enrichment-join incremental view: grouped by a DIM attribute, the
+    // fact commit folds through the stamped-dim enrichment and the dim
+    // commit (zh → cjk) reseeds — the result must equal re-aggregating
+    // the post fact state joined to the post dim state from scratch.
+    Q("aql_view_join_enrich",
+      """WITH post AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN doc_id = 21 THEN 50000 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id <> 33
+        |  UNION ALL SELECT 900006, 'xx', 999
+        |), dims(lang, family) AS (VALUES
+        |  ('en','germanic'), ('de','germanic'), ('es','romance'),
+        |  ('fr','romance'), ('zh','cjk'), ('xx','other'))
+        |SELECT family, count(*) AS n_rows, count(doc_id) AS count_doc_id,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+        |FROM post JOIN dims USING (lang)
+        |GROUP BY family
+        |ORDER BY family, n_rows, count_doc_id, sum_n_chars""".stripMargin) {
+      (s, dir) => search("SEARCH [] ON mv_join")(s, dir)
     },
 
     // approx_distinct incremental view (HLL sketch column): the oracle is
