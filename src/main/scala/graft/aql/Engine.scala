@@ -38,11 +38,23 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
   // own version snapshot, so a concurrent commit can't re-expose the
   // protected window. Unreadable view state floors at keep-everything.
   tx.vacuumMinKeep = (c, cur) =>
-    try viewsSourcedBy(c)
-      .map(v => viewTail(v, c).lastDelivered)
-      .filter(_ > 0).map(ckpt => cur - ckpt + 1)
-      .maxOption.getOrElse(1)
-    catch { case scala.util.control.NonFatal(_) => Int.MaxValue }
+    try {
+      val factFloors = viewsSourcedBy(c)
+        .map(v => viewTail(v, c).lastDelivered)
+        .filter(_ > 0).map(ckpt => cur - ckpt + 1)
+      // enrichment-join views PIN their stamped dim version (every fold
+      // enriches against it until a reseed or a neutral-drift advance):
+      // vacuuming `c` as a dim must keep that snapshot readable
+      val dimFloors = dependentViewDefs(c).collect {
+        case (v, s) if s.joins.exists(_.container match {
+          case Ast.Container.Real(n) => n.equalsIgnoreCase(c)
+          case _ => false
+        }) => v
+      }.flatMap(v =>
+        graft.catalog.IncrementalView.stampedDimVersion(catalog, v))
+        .filter(_ > 0).map(sv => cur - sv + 1)
+      (factFloors ++ dimFloors).maxOption.getOrElse(1)
+    } catch { case scala.util.control.NonFatal(_) => Int.MaxValue }
   // commit-time view maintenance (refresh_views_after_commit): fold each
   // commit's CDC window into dependent views immediately — the symmetric
   // feature to commit-time index maintenance. The catch is PER VIEW: one
@@ -135,6 +147,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       if (tx.stagedOps(name) > 0)
         throw new ParseException(
           s"ALTER CONTAINER $name: commit or rollback staged operations first")
+      requireNoJoinCollision(name, cols)
       catalog.addColumns(name, cols.zip(types))
       Done(s"added ${cols.length} column(s) to $name")
 
@@ -159,6 +172,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         throw new ParseException(
           s"ALTER CONTAINER $name: commit or rollback staged operations first")
       requireNoViewReferences(name, Seq(from), "RENAME")
+      requireNoJoinCollision(name, Seq(to))
       catalog.renameColumn(name, from, to)
       Done(s"renamed $name.$from to $to")
 
@@ -397,8 +411,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       val d = catalog.get(src)
       // MV column types resolve across the JOINED space (a group key or
       // measure may be a dim attribute)
-      val dimCols = dimOpt.map(dj => catalog.get(dj.container).columns
-        .filterNot(_._1 == dj.dimCol)).getOrElse(Nil)
+      val dimCols = dimOpt.map(dimPayload).getOrElse(Nil)
       def typeOf(c: String): AlbaType =
         (d.columns ++ dimCols).find(_._1.equalsIgnoreCase(c)).get._2
       // MV schema contract (IncrementalView): keys, n_rows, agg outs.
@@ -838,6 +851,44 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     * definition: DROP/RENAME of a column the viewdef references leaves
     * every later REFRESH failing on an unresolvable name — the
     * schema-side twin of the source-drop guard. */
+  /** A dim's PAYLOAD columns — everything but its join key (which the
+    * enrichment drops): the columns an enrichment view adds to the
+    * maintainable space. One definition shared by validation and the MV
+    * schema builder so the two can never disagree. */
+  private def dimPayload(dj: graft.catalog.IncrementalView.DimJoin)
+      : List[(String, AlbaType)] =
+    catalog.get(dj.container).columns.filterNot(_._1 == dj.dimCol)
+
+  /** Refuse an ALTER ADD/RENAME that would create a cross-side name
+    * collision in an enrichment-join view: validateViewDef re-runs its
+    * collision reject on every REFRESH, and the auto-refresh hook
+    * swallows per-view failures — so a collision introduced by ALTER
+    * would silently stop the view maintaining rather than fail loudly.
+    * Altering the FACT checks against the dim's payload (its join key is
+    * excluded from the joined space); altering the DIM checks against
+    * every fact column. */
+  private def requireNoJoinCollision(c: String, newCols: Seq[String]): Unit =
+    for {
+      (v, s) <- dependentViewDefs(c)
+      j <- s.joins
+      dimName <- j.container match {
+        case Ast.Container.Real(n) => Some(n)
+        case _ => None
+      }
+      factName <- s.containers.collect { case Ast.Container.Real(n) => n }
+      otherCols <-
+        (if (factName.equalsIgnoreCase(c))
+          Some(catalog.get(dimName).columns.map(_._1)
+            .filterNot(_.equalsIgnoreCase(j.right)))
+        else if (dimName.equalsIgnoreCase(c))
+          Some(catalog.get(factName).columns.map(_._1))
+        else None).toList
+      col <- newCols
+      if otherCols.exists(_.equalsIgnoreCase(col))
+    } throw new ParseException(
+      s"ALTER CONTAINER $c: column '$col' collides across the join of " +
+        s"view '$v' — DELETE VIEW $v first or pick another name")
+
   private def requireNoViewReferences(src: String, columns: Seq[String],
       what: String): Unit = {
     val defs = dependentViewDefs(src)
@@ -941,16 +992,24 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         val dimCol = dd.columns.find(_._1.equalsIgnoreCase(j.right)).map(_._1)
           .getOrElse(bad(s"view JOIN: '${j.right}' must be a column of " +
             s"'$dn' (dimension on the right of ON)"))
-        val payload = dd.columns.filterNot(_._1 == dimCol)
+        val dj = graft.catalog.IncrementalView.DimJoin(dn, factCol, dimCol)
+        val payload = dimPayload(dj)
         payload.map(_._1).find(p => d.columns.exists(_._1.equalsIgnoreCase(p)))
           .foreach(p => bad(s"dimension column '$p' collides with a " +
             s"'$src' column — rename one side"))
-        Some((graft.catalog.IncrementalView.DimJoin(dn, factCol, dimCol),
-          payload))
+        Some((dj, payload))
       case _ => bad("views support at most one JOIN")
     }
     // the maintainable column space: fact columns plus the dim payload
     val cols = d.columns ++ dimJoin.map(_._2).getOrElse(Nil)
+    // the fold's own working columns: a source column with either name
+    // would collide with the CDC feed's `_change_type` or the fold's ±1
+    // weight — ambiguous references at best, silent weight-overwrite
+    // grouping at worst. Reject at CREATE, not at the first refresh.
+    cols.map(_._1).find(n =>
+      n.equalsIgnoreCase("_change_type") || n.equalsIgnoreCase("_w"))
+      .foreach(n => bad(s"column '$n' collides with the change feed's " +
+        "working columns — rename it to make the container view-maintainable"))
     def canonical(c: String): String =
       cols.find(_._1.equalsIgnoreCase(c)).map(_._1)
         .getOrElse(bad(s"unknown column '$c' on '$src'" +

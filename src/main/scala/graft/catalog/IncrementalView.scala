@@ -238,9 +238,7 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
     * uses the dim's CURRENT version and re-stamps it, the same degrade-
     * don't-wedge stance as the src version's checkpoint fallback). */
   private[catalog] def appliedDimVersion: Option[Int] =
-    stampValue.flatMap(_.trim.split("\\s+")
-      .collectFirst { case s if s.startsWith("dim=") =>
-        scala.util.Try(s.stripPrefix("dim=").toInt).toOption }.flatten)
+    IncrementalView.stampedDimVersion(cat, mv)
 
   /** Fold one feed window (ending at source version `toV`) into the MV.
     * Change rows are weighted ±1, aggregated to per-key deltas, and
@@ -249,13 +247,16 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
     * the window's ADDED rows; groups that lost a row swap to a
     * recomputed aggregate over the end-version snapshot (see class doc).
     */
-  private[catalog] def fold(feed: DataFrame, toV: Int): Unit = {
+  private[catalog] def fold(feed: DataFrame, toV: Int,
+      dimPin: Option[Int] = None): Unit = {
     // enrichment pins the STAMPED dim version (what the MV content
     // already reflects) — never the live pointer, which a concurrent dim
     // commit may have advanced mid-fold; refreshOnce reseeds when the
-    // stamp and the live dim disagree
+    // stamp and the live dim disagree, and passes an ADVANCED pin when
+    // the drift was content-neutral (pure compaction)
     val dimPinned = dim.map(d =>
-      (d, appliedDimVersion.getOrElse(cat.currentVersion(d.container))))
+      (d, dimPin.getOrElse(
+        appliedDimVersion.getOrElse(cat.currentVersion(d.container)))))
     def enriched(df: DataFrame): DataFrame = dimPinned match {
       case Some((d, dv)) => enrich(df, dimSnapshot(dv, d.container))
       case None => df
@@ -385,18 +386,34 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
     */
   def refreshOnce(tail: ChangeTail): Int = {
     appliedSrcVersion.filter(_ > tail.lastDelivered).foreach(tail.reset)
-    // a CHANGED dim invalidates every group's enrichment, not just the
-    // fact window's — sketches and extremes can't subtract the old dim
-    // attributes, so the honest move is a reseed from both current
-    // snapshots (dim commits are rare for the enrichment shape; a
-    // fact-paced dim belongs on the fact side of the join)
-    val dimChanged = dim.exists(d =>
-      appliedDimVersion.exists(_ != cat.currentVersion(d.container)))
-    if (dimChanged) {
-      val behind = math.max(0, cat.currentVersion(src) - tail.lastDelivered)
-      seed(tail)
-      behind
-    } else tail.pollOnce((feed, _, to) => fold(feed, to))
+    dim match {
+      case None => tail.pollOnce((feed, _, to) => fold(feed, to))
+      case Some(d) =>
+        val cur = cat.currentVersion(d.container)
+        val stamped = appliedDimVersion
+        // a drift whose byte-equal-suppressed feed is EMPTY is a pure
+        // compaction (OPTIMIZE): content-identical, so folds may pin the
+        // CURRENT version (advancing the stamp and releasing the old
+        // version's vacuum floor) instead of reseeding a no-op — the
+        // check is a dim-sized scan, never fact-sized work. An
+        // unreadable stamped version (already vacuumed) reads as a real
+        // change: reseed, the always-correct recovery.
+        val neutralDrift = stamped.exists(sv => sv != cur &&
+          scala.util.Try(cat.changes(d.container, sv, Some(cur)).isEmpty)
+            .getOrElse(false))
+        // a CHANGED dim invalidates every group's enrichment, not just
+        // the fact window's — sketches and extremes can't subtract the
+        // old dim attributes, so the honest move is a reseed from both
+        // current snapshots (dim commits are rare for the enrichment
+        // shape; a fact-paced dim belongs on the fact side of the join)
+        if (stamped.exists(_ != cur) && !neutralDrift) {
+          // at least 1: the reseed rewrote the MV even when the fact
+          // tail was caught up (a dim-only change still changes content)
+          val behind = math.max(1, cat.currentVersion(src) - tail.lastDelivered)
+          seed(tail)
+          behind
+        } else tail.pollOnce((feed, _, to) => fold(feed, to, Some(cur)))
+    }
   }
 
   /** Resident CDC maintainer: realign (crash recovery), then poll the
@@ -436,6 +453,16 @@ object IncrementalView {
     * refreshOnce (the Engine's auto-refresh hook fires one on every dim
     * commit). */
   final case class DimJoin(container: String, factCol: String, dimCol: String)
+
+  /** The dim version an MV's stamp records (`dim=N` token) — the version
+    * the fold pins, which the dim's vacuum must keep readable: the
+    * engine's retention floor calls here so the stamp format has exactly
+    * one parser. */
+  def stampedDimVersion(cat: Catalog, mv: String): Option[Int] =
+    cat.versionStamp(mv, cat.currentVersion(mv)).map(_._2)
+      .flatMap(_.trim.split("\\s+")
+        .collectFirst { case s if s.startsWith("dim=") =>
+          scala.util.Try(s.stripPrefix("dim=").toInt).toOption }.flatten)
 
   /** The KLL quantile family: approx_median is approx_quantile at 0.5. */
   def isQuantile(fn: String): Boolean =

@@ -1543,10 +1543,34 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     eng.execute("COMMIT jf")
     eng.execute("REFRESH VIEW mvj")
     assert(rows == Map("NA" -> (3L, 65L, 5L), "US" -> (1L, 30L, 30L)))
-    // guards: the DIM is a protected source; outer joins and payload
-    // collisions are clean rejects
+    // a content-neutral dim OPTIMIZE must NOT reseed (a reseed would be
+    // a fact-sized re-aggregation producing identical content): the MV
+    // version stays put across the refresh
+    eng.execute("OPTIMIZE jd 1 USING [nat]")
+    val mvVerBefore = eng.catalog.currentVersion("mvj")
+    eng.execute("REFRESH VIEW mvj")
+    assert(eng.catalog.currentVersion("mvj") == mvVerBefore,
+      "neutral dim compaction must not rewrite the MV")
+    assert(rows == Map("NA" -> (3L, 65L, 5L), "US" -> (1L, 30L, 30L)))
+    // vacuum floors: the dim version the MV stamp pins stays readable
+    // even when VACUUM asks for less (the enrichment's snapshot)
+    val pinned = graft.catalog.IncrementalView
+      .stampedDimVersion(eng.catalog, "mvj").get
+    eng.execute("VACUUM jd 1")
+    assert(eng.catalog.readVersion("jd", pinned).count() == 2,
+      s"stamped dim version $pinned must survive VACUUM")
+    // guards: the DIM is a protected source; outer joins, payload
+    // collisions, and ALTERs that would CREATE a cross-side collision
+    // are clean rejects (a collision surfacing only at refresh would be
+    // swallowed by the auto-refresh hook — a silently frozen view)
     val eDrop = intercept[ParseException](eng.execute("DELETE CONTAINER jd"))
     assert(eDrop.getMessage.contains("mvj"), eDrop.getMessage)
+    val eAddDim = intercept[ParseException](
+      eng.execute("ALTER CONTAINER jd ADD COLUMN ['v'] [BIGINT]"))
+    assert(eAddDim.getMessage.contains("collides across the join"), eAddDim.getMessage)
+    val eAddFact = intercept[ParseException](
+      eng.execute("ALTER CONTAINER jf ADD COLUMN ['region'] [TEXT]"))
+    assert(eAddFact.getMessage.contains("collides across the join"), eAddFact.getMessage)
     val eOuter = intercept[ParseException](eng.execute(
       "CREATE VIEW mvj2 (SEARCH [region, sum(v)] ON jf LEFT JOIN jd ON nat = nat)"))
     assert(eOuter.getMessage.contains("INNER"), eOuter.getMessage)
