@@ -705,6 +705,67 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(view.refreshOnce(tail) == 0)
   }
 
+  test("enrichment + sketches: HLL folds by union under dim grouping; deletes recompute enriched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-dimsk")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("fact", List(
+      "id" -> graft.aql.AlbaType.of("INT"),
+      "nation_id" -> graft.aql.AlbaType.of("BIGINT"),
+      "val" -> graft.aql.AlbaType.of("BIGINT")))
+    cat.create("dimc", List(
+      "nation_id" -> graft.aql.AlbaType.of("BIGINT"),
+      "region" -> graft.aql.AlbaType.of("SMALL-STRING")))
+    cat.create("mv", List(
+      "region" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "n_rows" -> graft.aql.AlbaType.of("BIGINT"),
+      "nd_val" -> graft.aql.AlbaType.of("BIGINT"),
+      "nd_val_sk" -> graft.aql.AlbaType.of("LARGE-BYTES")))
+    val view = new IncrementalView(cat, "fact", "mv", Seq("region"),
+      Seq(IncrementalView.Agg("approx_distinct", "val", "nd_val")),
+      dim = Some(IncrementalView.DimJoin("dimc", "nation_id", "nation_id")))
+    val tx = new Tx(cat)
+    val tail = new ChangeTail(cat, "fact", dir.resolve("mv.ckpt"))
+    def exact(): Map[String, Long] = {
+      val f = cat.read("fact").alias("f"); val d = cat.read("dimc").alias("d")
+      f.join(d, col("f.nation_id") === col("d.nation_id"))
+        .groupBy(col("region")).agg(countDistinct(col("val")).as("nd"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    def mvEst(): Map[String, Long] =
+      cat.read("mv").collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    tx.stageInsert("dimc", Seq(
+      org.apache.spark.sql.Row(1L, "EU"), org.apache.spark.sql.Row(2L, "EU"),
+      org.apache.spark.sql.Row(3L, "US")))
+    tx.commit(Some("dimc"))
+    // two NATIONS in one REGION sharing values: a per-nation fold that
+    // didn't group by the dim attr would double-count val=7
+    tx.stageInsert("fact", (1 to 30).map(i =>
+      org.apache.spark.sql.Row(i, (i % 3 + 1).toLong,
+        if (i % 5 == 0) 7L else i.toLong)))
+    tx.commit(Some("fact"))
+    assert(view.refreshOnce(tail) == 1)
+    assert(mvEst() == exact())
+    // an overlapping insert window UNIONS into the region sketches
+    tx.stageInsert("fact", (31 to 45).map(i =>
+      org.apache.spark.sql.Row(i, (i % 3 + 1).toLong, (i % 12).toLong)))
+    tx.commit(Some("fact"))
+    assert(view.refreshOnce(tail) == 1)
+    assert(mvEst() == exact(), "overlapping window must union, not re-add")
+    // deletes dirty the REGION group: recompute joins the end snapshot
+    // to the same stamped dim
+    tx.stageDelete("fact", Some(col("val") >= 20L))
+    tx.commit(Some("fact"))
+    assert(view.refreshOnce(tail) == 1)
+    assert(mvEst() == exact(), "shrunken region must recompute enriched")
+    // a dim commit MERGES two regions: reseed rebuilds the sketches from
+    // scratch (a union could never un-merge them later)
+    tx.stageEdit("dimc", col("nation_id") === 3L, Seq("region" -> "EU"))
+    tx.commit(Some("dimc"))
+    view.refreshOnce(tail)
+    assert(mvEst() == exact())
+    assert(mvEst().keySet == Set("EU"))
+  }
+
   test("legacy per-rank _sk schema: conform fills a non-owner sketch from the owner's") {
     // an MV container created before sketch sharing declares one `_sk`
     // PER rank; the fold now emits only the owner's, and conform must
