@@ -705,6 +705,48 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(view.refreshOnce(tail) == 0)
   }
 
+  test("enrichment: one atomic multi-container commit touching fact AND dim reseeds consistently") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-dimatomic")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("fact", List(
+      "id" -> graft.aql.AlbaType.of("INT"),
+      "nation_id" -> graft.aql.AlbaType.of("BIGINT"),
+      "val" -> graft.aql.AlbaType.of("BIGINT")))
+    cat.create("dimc", List(
+      "nation_id" -> graft.aql.AlbaType.of("BIGINT"),
+      "region" -> graft.aql.AlbaType.of("SMALL-STRING")))
+    cat.create("mv", List(
+      "region" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "n_rows" -> graft.aql.AlbaType.of("BIGINT"),
+      "sum_val" -> graft.aql.AlbaType.of("BIGINT")))
+    val view = new IncrementalView(cat, "fact", "mv", Seq("region"),
+      Seq(IncrementalView.Agg("sum", "val", "sum_val")),
+      dim = Some(IncrementalView.DimJoin("dimc", "nation_id", "nation_id")))
+    val tx = new Tx(cat)
+    val tail = new ChangeTail(cat, "fact", dir.resolve("mv.ckpt"))
+    def mvRows: Map[String, (Long, Long)] =
+      cat.read("mv").collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    tx.stageInsert("dimc", Seq(
+      org.apache.spark.sql.Row(1L, "EU"), org.apache.spark.sql.Row(2L, "US")))
+    tx.stageInsert("fact", Seq(
+      org.apache.spark.sql.Row(1, 1L, 10L), org.apache.spark.sql.Row(2, 2L, 5L)))
+    tx.commit(None) // one atomic group commit seeds both sides
+    assert(view.refreshOnce(tail) >= 1)
+    assert(mvRows == Map("EU" -> (1L, 10L), "US" -> (1L, 5L)))
+    // one atomic commit: a fact insert AND a dim rename land together —
+    // the refresh must apply BOTH (the dim change forces a reseed, whose
+    // snapshot already contains the fact change; nothing double-applies)
+    tx.stageInsert("fact", Seq(org.apache.spark.sql.Row(3, 2L, 7L)))
+    tx.stageEdit("dimc", col("nation_id") === 2L, Seq("region" -> "NA"))
+    tx.commit(None)
+    assert(view.refreshOnce(tail) >= 1)
+    assert(mvRows == Map("EU" -> (1L, 10L), "NA" -> (2L, 12L)))
+    // and the window is not re-applied afterwards
+    assert(view.refreshOnce(tail) == 0)
+    assert(mvRows == Map("EU" -> (1L, 10L), "NA" -> (2L, 12L)))
+  }
+
   test("enrichment + sketches: HLL folds by union under dim grouping; deletes recompute enriched") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mv-dimsk")
     val cat = new Catalog(spark, dir.toString)
