@@ -148,6 +148,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         throw new ParseException(
           s"ALTER CONTAINER $name: commit or rollback staged operations first")
       requireNoJoinCollision(name, cols)
+      requireNoReservedViewColumns(name, cols)
       catalog.addColumns(name, cols.zip(types))
       Done(s"added ${cols.length} column(s) to $name")
 
@@ -173,6 +174,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           s"ALTER CONTAINER $name: commit or rollback staged operations first")
       requireNoViewReferences(name, Seq(from), "RENAME")
       requireNoJoinCollision(name, Seq(to))
+      requireNoReservedViewColumns(name, Seq(to))
       catalog.renameColumn(name, from, to)
       Done(s"renamed $name.$from to $to")
 
@@ -598,21 +600,32 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
 
     case Ast.ShowViews =>
       // refresh-lag observability: checkpoint vs the source's current
-      // version — `behind = 0` means the view reflects the latest commit
+      // version — `behind = 0` means the view reflects the latest commit.
+      // `dim_behind` is the enrichment twin: how many dim versions past
+      // the stamped enrichment the dim has moved (> 0 = the view's dim
+      // attributes MAY be stale until the next refresh reseeds or the
+      // drift proves content-neutral; always 0 for joinless views)
       resultSet(metaDf(
         Seq("view" -> "TEXT", "definition" -> "TEXT", "checkpoint" -> "INT",
-          "src_version" -> "INT", "behind" -> "INT"),
+          "src_version" -> "INT", "behind" -> "INT", "dim_behind" -> "INT"),
         graft.catalog.Views.list(catalog).map { v =>
           val defText = graft.catalog.Views.load(catalog, v)
-          val src = Parser.parse(defText) match {
-            case s: Ast.Search => s.containers.collectFirst {
-              case Ast.Container.Real(n) => n
-            }.getOrElse("")
-            case _ => ""
+          val parsed = Parser.parse(defText) match {
+            case s: Ast.Search => Some(s)
+            case _ => None
           }
+          val src = parsed.flatMap(_.containers.collectFirst {
+            case Ast.Container.Real(n) => n
+          }).getOrElse("")
           val ckpt = viewTail(v, src).lastDelivered
           val cur = if (src.nonEmpty) catalog.currentVersion(src) else 0
-          Row(v, defText, ckpt, cur, math.max(0, cur - ckpt))
+          val dimBehind = parsed.flatMap(_.joins.collectFirst {
+            case Ast.JoinSpec(Ast.Container.Real(dn), _, _, _) =>
+              val stamped = graft.catalog.IncrementalView
+                .stampedDimVersion(catalog, v).getOrElse(0)
+              math.max(0, catalog.currentVersion(dn) - stamped)
+          }).getOrElse(0)
+          Row(v, defText, ckpt, cur, math.max(0, cur - ckpt), dimBehind)
         }),
         needsDefaultSort = true)
 
@@ -847,10 +860,6 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
   private def viewsSourcedBy(c: String): Seq[String] =
     dependentViewDefs(c, joins = false).map(_._1)
 
-  /** Refuse an ALTER that would break a dependent view's re-parseable
-    * definition: DROP/RENAME of a column the viewdef references leaves
-    * every later REFRESH failing on an unresolvable name — the
-    * schema-side twin of the source-drop guard. */
   /** A dim's PAYLOAD columns — everything but its join key (which the
     * enrichment drops): the columns an enrichment view adds to the
     * maintainable space. One definition shared by validation and the MV
@@ -878,8 +887,9 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       factName <- s.containers.collect { case Ast.Container.Real(n) => n }
       otherCols <-
         (if (factName.equalsIgnoreCase(c))
-          Some(catalog.get(dimName).columns.map(_._1)
-            .filterNot(_.equalsIgnoreCase(j.right)))
+          catalog.get(dimName).columns.find(_._1.equalsIgnoreCase(j.right))
+            .map(dc => dimPayload(graft.catalog.IncrementalView
+              .DimJoin(dimName, j.left, dc._1)).map(_._1))
         else if (dimName.equalsIgnoreCase(c))
           Some(catalog.get(factName).columns.map(_._1))
         else None).toList
@@ -889,6 +899,24 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       s"ALTER CONTAINER $c: column '$col' collides across the join of " +
         s"view '$v' — DELETE VIEW $v first or pick another name")
 
+  /** Refuse an ALTER ADD/RENAME-to of the fold's reserved working-column
+    * names on any view-read container: validateViewDef rejects them on
+    * every later REFRESH, and the auto-refresh hook swallows per-view
+    * failures — the introduction point is the only loud place to stop a
+    * silently frozen view. */
+  private def requireNoReservedViewColumns(c: String, newCols: Seq[String]): Unit =
+    if (dependentViewDefs(c).nonEmpty)
+      newCols.find(n =>
+        n.equalsIgnoreCase("_w") || n.equalsIgnoreCase("_change_type"))
+        .foreach(n => throw new ParseException(
+          s"ALTER CONTAINER $c: column '$n' collides with the change " +
+            s"feed's working columns for dependent view(s) " +
+            s"${viewsDependingOn(c).mkString(", ")} — pick another name"))
+
+  /** Refuse an ALTER that would break a dependent view's re-parseable
+    * definition: DROP/RENAME of a column the viewdef references leaves
+    * every later REFRESH failing on an unresolvable name — the
+    * schema-side twin of the source-drop guard. */
   private def requireNoViewReferences(src: String, columns: Seq[String],
       what: String): Unit = {
     val defs = dependentViewDefs(src)

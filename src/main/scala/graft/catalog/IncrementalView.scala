@@ -412,7 +412,18 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
           val behind = math.max(1, cat.currentVersion(src) - tail.lastDelivered)
           seed(tail)
           behind
-        } else tail.pollOnce((feed, _, to) => fold(feed, to, Some(cur)))
+        } else {
+          val applied = tail.pollOnce((feed, _, to) => fold(feed, to, Some(cur)))
+          // a neutral drift with NO fact window to fold would re-run the
+          // dim-sized neutrality scan on every future refresh: advance
+          // the stamp once by republishing the (aggregate-sized) MV
+          // content under the current dim version — one small rewrite,
+          // and the old version's vacuum floor releases
+          if (applied == 0 && neutralDrift)
+            cat.overwriteStamped(mv, cat.read(mv),
+              Some(stampKey -> s"${tail.lastDelivered} dim=$cur"))
+          applied
+        }
     }
   }
 

@@ -1544,14 +1544,23 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     eng.execute("REFRESH VIEW mvj")
     assert(rows == Map("NA" -> (3L, 65L, 5L), "US" -> (1L, 30L, 30L)))
     // a content-neutral dim OPTIMIZE must NOT reseed (a reseed would be
-    // a fact-sized re-aggregation producing identical content): the MV
-    // version stays put across the refresh
+    // a fact-sized re-aggregation): the first refresh republishes the
+    // aggregate-sized MV once to ADVANCE the stamp (releasing the old
+    // dim version's vacuum floor), and later refreshes are no-ops
     eng.execute("OPTIMIZE jd 1 USING [nat]")
     val mvVerBefore = eng.catalog.currentVersion("mvj")
     eng.execute("REFRESH VIEW mvj")
-    assert(eng.catalog.currentVersion("mvj") == mvVerBefore,
-      "neutral dim compaction must not rewrite the MV")
+    val mvVerAfter = eng.catalog.currentVersion("mvj")
+    assert(mvVerAfter <= mvVerBefore + 1,
+      "neutral dim compaction must restamp at most once, never reseed-loop")
     assert(rows == Map("NA" -> (3L, 65L, 5L), "US" -> (1L, 30L, 30L)))
+    eng.execute("REFRESH VIEW mvj")
+    assert(eng.catalog.currentVersion("mvj") == mvVerAfter,
+      "the advanced stamp must make later refreshes no-ops")
+    assert(rows == Map("NA" -> (3L, 65L, 5L), "US" -> (1L, 30L, 30L)))
+    // SHOW VIEWS surfaces the dim drift: after the restamp it reads 0
+    val sv = searchRows("SHOW VIEWS").find(_.getString(0) == "mvj").get
+    assert(sv.getInt(5) == 0, s"expected dim_behind=0 after restamp, got $sv")
     // vacuum floors: the dim version the MV stamp pins stays readable
     // even when VACUUM asks for less (the enrichment's snapshot)
     val pinned = graft.catalog.IncrementalView
@@ -1571,6 +1580,12 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val eAddFact = intercept[ParseException](
       eng.execute("ALTER CONTAINER jf ADD COLUMN ['region'] [TEXT]"))
     assert(eAddFact.getMessage.contains("collides across the join"), eAddFact.getMessage)
+    // the fold's reserved working columns can't be ALTERed onto a
+    // view-read container either (the freeze would only surface at the
+    // next refresh, where the auto-refresh hook swallows it)
+    val eAddW = intercept[ParseException](
+      eng.execute("ALTER CONTAINER jf ADD COLUMN ['_w'] [BIGINT]"))
+    assert(eAddW.getMessage.contains("working columns"), eAddW.getMessage)
     val eOuter = intercept[ParseException](eng.execute(
       "CREATE VIEW mvj2 (SEARCH [region, sum(v)] ON jf LEFT JOIN jd ON nat = nat)"))
     assert(eOuter.getMessage.contains("INNER"), eOuter.getMessage)
