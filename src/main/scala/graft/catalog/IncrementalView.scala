@@ -427,16 +427,24 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
     }
   }
 
-  /** Resident CDC maintainer: realign (crash recovery), then poll the
-    * tail until `until`, folding each outstanding window as it appears —
-    * the continuous-maintenance loop a Delta CDF + foreachBatch pipeline
-    * runs, expressed over the catalog's own change feed. Run it on a
-    * dedicated thread; stop by making `until` true.
+  /** Resident CDC maintainer: poll until `until`, folding each
+    * outstanding window as it appears — the continuous-maintenance loop a
+    * Delta CDF + foreachBatch pipeline runs, expressed over the catalog's
+    * own change feed. Run it on a dedicated thread; stop by making
+    * `until` true.
+    *
+    * Every iteration IS a [[refreshOnce]], so the resident loop gets the
+    * full reconciliation ladder a manual REFRESH gets: crash-recovery
+    * stamp realign, and — for enrichment views — the stamped-vs-current
+    * dim check. A dim commit made while only the maintainer is running
+    * (no manual REFRESH, auto-refresh hook in another process) therefore
+    * reseeds on the next poll instead of serving stale dim attributes
+    * indefinitely.
     */
-  def maintain(tail: ChangeTail, pollMs: Long, until: () => Boolean): Unit = {
-    appliedSrcVersion.filter(_ > tail.lastDelivered).foreach(tail.reset)
-    tail.run(pollMs, until)((feed, _, to) => fold(feed, to))
-  }
+  def maintain(tail: ChangeTail, pollMs: Long, until: () => Boolean): Unit =
+    while (!until()) {
+      if (refreshOnce(tail) == 0) Thread.sleep(pollMs)
+    }
 }
 
 object IncrementalView {
@@ -459,19 +467,22 @@ object IncrementalView {
     * snapshot and fold normally; any dim commit reseeds the whole view
     * on the next refresh (conservative and always correct — enrichment
     * attributes are baked into group keys and aggregates, which no
-    * delta can rewrite). `maintain()`'s resident loop assumes the dim
-    * stays put for its lifetime; dim commits are reconciled by the next
-    * refreshOnce (the Engine's auto-refresh hook fires one on every dim
-    * commit). */
+    * delta can rewrite). `maintain()`'s resident loop runs the same
+    * stamped-vs-current check every poll, so a dim commit is reconciled
+    * by the next iteration even when nothing else triggers a refresh. */
   final case class DimJoin(container: String, factCol: String, dimCol: String)
 
   /** The dim version an MV's stamp records (`dim=N` token) — the version
     * the fold pins, which the dim's vacuum must keep readable: the
     * engine's retention floor calls here so the stamp format has exactly
-    * one parser. */
+    * one parser. Only a `cdc:<src>` stamp is consulted (mirroring the
+    * instance-side `stampValue` key filter): a future second stamp kind
+    * on MV containers must not feed its value into vacuum floors or
+    * SHOW VIEWS dim_behind. */
   def stampedDimVersion(cat: Catalog, mv: String): Option[Int] =
-    cat.versionStamp(mv, cat.currentVersion(mv)).map(_._2)
-      .flatMap(_.trim.split("\\s+")
+    cat.versionStamp(mv, cat.currentVersion(mv)).collect {
+      case (k, v) if k.startsWith("cdc:") => v
+    }.flatMap(_.trim.split("\\s+")
         .collectFirst { case s if s.startsWith("dim=") =>
           scala.util.Try(s.stripPrefix("dim=").toInt).toOption }.flatten)
 

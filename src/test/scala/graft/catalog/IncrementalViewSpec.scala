@@ -959,6 +959,59 @@ class IncrementalViewSpec extends AnyFunSuite {
     stop = true; t2.join(30000)
   }
 
+  test("maintain(): a dim commit mid-maintain reseeds the enrichment view without a manual REFRESH") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-dimloop")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("fact", List(
+      "id" -> graft.aql.AlbaType.of("INT"),
+      "nation_id" -> graft.aql.AlbaType.of("BIGINT"),
+      "val" -> graft.aql.AlbaType.of("BIGINT")))
+    cat.create("dimc", List(
+      "nation_id" -> graft.aql.AlbaType.of("BIGINT"),
+      "region" -> graft.aql.AlbaType.of("SMALL-STRING")))
+    cat.create("mv", List(
+      "region" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "n_rows" -> graft.aql.AlbaType.of("BIGINT"),
+      "sum_val" -> graft.aql.AlbaType.of("BIGINT")))
+    val view = new IncrementalView(cat, "fact", "mv", Seq("region"),
+      Seq(IncrementalView.Agg("sum", "val", "sum_val")),
+      dim = Some(IncrementalView.DimJoin("dimc", "nation_id", "nation_id")))
+    val tx = new Tx(cat)
+    val tail = new ChangeTail(cat, "fact", dir.resolve("mv.ckpt"))
+    def mvState: Map[String, (Long, Long)] =
+      cat.read("mv").collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    tx.stageInsert("dimc", Seq(
+      org.apache.spark.sql.Row(1L, "EU"), org.apache.spark.sql.Row(2L, "US")))
+    tx.commit(Some("dimc"))
+    tx.stageInsert("fact", Seq(
+      org.apache.spark.sql.Row(1, 1L, 10L), org.apache.spark.sql.Row(2, 2L, 5L)))
+    tx.commit(Some("fact"))
+    view.seed(tail)
+    assert(mvState == Map("EU" -> (1L, 10L), "US" -> (1L, 5L)))
+    @volatile var stop = false
+    val t = new Thread(() => view.maintain(tail, 20L, () => stop))
+    t.start()
+    try {
+      // a dim commit from a SEPARATE catalog handle, while only the
+      // maintainer is running: no manual REFRESH, no auto-refresh hook.
+      // The resident loop's per-iteration dim check must reseed — the
+      // round-10 maintain() called fold directly and pinned the stamped
+      // dim version forever, serving "US" here until a manual REFRESH
+      val cat2 = new Catalog(spark, dir.toString)
+      val tx2 = new Tx(cat2)
+      tx2.stageEdit("dimc", col("nation_id") === 2L, Seq("region" -> "NA"))
+      tx2.commit(Some("dimc"))
+      eventually(mvState == Map("EU" -> (1L, 10L), "NA" -> (1L, 5L)),
+        "maintainer must reseed on dim drift without a manual REFRESH")
+      // and fact windows keep folding after the mid-maintain reseed
+      tx2.stageInsert("fact", Seq(org.apache.spark.sql.Row(3, 2L, 7L)))
+      tx2.commit(Some("fact"))
+      eventually(mvState == Map("EU" -> (1L, 10L), "NA" -> (2L, 12L)),
+        "maintainer must fold fact windows after the reseed")
+    } finally { stop = true; t.join(30000) }
+  }
+
   private def eventually(cond: => Boolean, hint: String): Unit =
     graft.TestWait.eventually(cond, hint, timeoutSec = 30)
 }
