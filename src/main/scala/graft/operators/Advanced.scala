@@ -94,69 +94,36 @@ object Advanced {
   private def duckCos(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
-  val defs: Seq[Q] = Seq(
+  /** Per-group HLL estimate alongside the exact distinct count — the rich
+    * surface OperatorsSpec pins at 2% and the `x_approx_distinct` oracle
+    * row reduces to a 5% `within_tol` boolean. */
+  def approxDistinctDetail(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .orderBy(col("l_returnflag"))
 
-    // Random-hyperplane LSH ANN: 8 sign bits → 256 buckets; a probe scans
-    // only its bucket (~1/256 of the corpus at scale; bucket id is a
-    // partition/bucketBy key on a real deployment). Oracle recomputes the
-    // same literal planes declaratively.
-    Q("sim_ann_hyperplane_lsh",
-      s"""WITH bucketed AS (
-         |  SELECT vec_id, embedding, ${duckBucket("embedding")} AS bucket FROM embeddings),
-         |qs AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qb
-         |       FROM bucketed WHERE vec_id < 20),
-         |scored AS (
-         |  SELECT qs.qid, e.vec_id AS nid,
-         |         round(${duckCos("qs.qe", "e.embedding")}, 6) AS cos_sim
-         |  FROM qs JOIN bucketed e ON e.bucket = qs.qb AND e.vec_id <> qs.qid),
-         |ranked AS (SELECT qid, nid, cos_sim,
-         |                  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
-         |           FROM scored)
-         |SELECT qid, nid, cos_sim, rank FROM ranked WHERE rank <= 5
-         |ORDER BY qid, rank""".stripMargin, bench = true) {
-      (s, dir) => {
-        // corpus reads through the vec_id-bucketed projection: the plane
-        // dots are the CPU of this query, and the flat layout's split
-        // packing ran them ~5-wide on 32 cores (same starvation the
-        // minhash hash stage had — one scan partition per bucket fixes
-        // it with zero exchange). Pair scoring uses the NATIVE fused
-        // cosine (value-identical to the declarative form by its spec).
-        val bucketed = graft.Tables.bucketed(s, dir, "embeddings", "vec_id")
-          .withColumn("bucket", sparkBucket("embedding"))
-        val qs = bucketed.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket").as("qb"))
-        val scored = bucketed.join(broadcast(qs),
-            col("bucket") === col("qb") && col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id").as("nid"),
-            round(graft.functions.CosineSimilarity.cosineSim(
-              col("qe"), col("embedding")), 6).as("cos_sim"))
-        val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
-        scored.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
-          .orderBy(col("qid"), col("rank"))
-      }
-    },
+  /** Per-group GK quantile estimates at accuracy 1000 — the rich surface
+    * OperatorsSpec pins against exact order statistics and the
+    * `x_approx_percentile` oracle row reduces to rank-band booleans. */
+  def approxPercentileDetail(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(1000)).as("qs"))
+      .select(col("l_returnflag"),
+        element_at(col("qs"), 1).as("p25"),
+        element_at(col("qs"), 2).as("p50"),
+        element_at(col("qs"), 3).as("p75"),
+        element_at(col("qs"), 4).as("p95"))
+      .orderBy(col("l_returnflag"))
 
-    // ANN quality surface: recall@10 of each approximate index against the
-    // exact brute-force top-10 — THE production ANN metric (an index with
-    // fast probes and unmeasured recall is not shippable). Four methods
-    // spanning the quality spectrum the fixture exposes: probe-1 over the
-    // fixture's arbitrary label (a near-random partition of the vectors —
-    // the baseline a real quantizer must beat), probe-1 over the LEARNED
-    // Lloyd cells (sim_ann_ivf_kmeans's quantizer), single-probe 8-bit
-    // hyperplane LSH, and 1-bit-flip multiprobe LSH (9 buckets/query —
-    // OR-amplification trading probe count for recall). No oracle: recall
-    // is a property of this engine's own index structures, not a
-    // SQL-expressible relation; the floors live in AnnRecallSpec.
-    //
-    // Scale shape: the exact baseline is the one expensive pass (broadcast
-    // query side, per-group bounded heap — winners-only shuffle); each
-    // index's candidates come from a bucket equi-join (multiprobe explodes
-    // the BROADCAST query side 9×, never the corpus); the final
-    // method×query grid is a bounded dimension. Missing candidates (empty
-    // cell/bucket) count as recall 0 for that query, not a dropped row.
-    Q.noOracle("sim_ann_recall") {
-      (s, dir) => {
+  /** ANN recall/scan-cost grid: per-method avg/min recall@10 against the
+    * exact brute-force top-10 plus average candidate-set size — the rich
+    * surface AnnRecallSpec pins (orderings, floors, monotonicity) and the
+    * `sim_ann_recall` oracle row reduces to per-method booleans. */
+  def annRecallDetail(s: SparkSession, dir: String): DataFrame = {
         val k = 10
         val e = t(s, dir, "embeddings")
         def topkIds(scored: DataFrame): DataFrame =
@@ -267,6 +234,105 @@ object Advanced {
             round(min(col("recall")), 4).as("min_recall"),
             round(avg(col("scanned")), 1).as("avg_scanned"))
           .orderBy(col("method"))
+  }
+
+  val defs: Seq[Q] = Seq(
+
+    // Random-hyperplane LSH ANN: 8 sign bits → 256 buckets; a probe scans
+    // only its bucket (~1/256 of the corpus at scale; bucket id is a
+    // partition/bucketBy key on a real deployment). Oracle recomputes the
+    // same literal planes declaratively.
+    Q("sim_ann_hyperplane_lsh",
+      s"""WITH bucketed AS (
+         |  SELECT vec_id, embedding, ${duckBucket("embedding")} AS bucket FROM embeddings),
+         |qs AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qb
+         |       FROM bucketed WHERE vec_id < 20),
+         |scored AS (
+         |  SELECT qs.qid, e.vec_id AS nid,
+         |         round(${duckCos("qs.qe", "e.embedding")}, 6) AS cos_sim
+         |  FROM qs JOIN bucketed e ON e.bucket = qs.qb AND e.vec_id <> qs.qid),
+         |ranked AS (SELECT qid, nid, cos_sim,
+         |                  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+         |           FROM scored)
+         |SELECT qid, nid, cos_sim, rank FROM ranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin, bench = true) {
+      (s, dir) => {
+        // corpus reads through the vec_id-bucketed projection: the plane
+        // dots are the CPU of this query, and the flat layout's split
+        // packing ran them ~5-wide on 32 cores (same starvation the
+        // minhash hash stage had — one scan partition per bucket fixes
+        // it with zero exchange). Pair scoring uses the NATIVE fused
+        // cosine (value-identical to the declarative form by its spec).
+        val bucketed = graft.Tables.bucketed(s, dir, "embeddings", "vec_id")
+          .withColumn("bucket", sparkBucket("embedding"))
+        val qs = bucketed.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket").as("qb"))
+        val scored = bucketed.join(broadcast(qs),
+            col("bucket") === col("qb") && col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid"),
+            round(graft.functions.CosineSimilarity.cosineSim(
+              col("qe"), col("embedding")), 6).as("cos_sim"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .orderBy(col("qid"), col("rank"))
+      }
+    },
+
+    // ANN quality surface: recall@10 of each approximate index against the
+    // exact brute-force top-10 — THE production ANN metric (an index with
+    // fast probes and unmeasured recall is not shippable). Four methods
+    // spanning the quality spectrum the fixture exposes: probe-1 over the
+    // fixture's arbitrary label (a near-random partition of the vectors —
+    // the baseline a real quantizer must beat), probe-1 over the LEARNED
+    // Lloyd cells (sim_ann_ivf_kmeans's quantizer), single-probe 8-bit
+    // hyperplane LSH, and 1-bit-flip multiprobe LSH (9 buckets/query —
+    // OR-amplification trading probe count for recall). The oracle row is
+    // assertion-style (recall floors + scan-fraction ceilings as booleans
+    // a VALUES relation re-asserts); the orderings live in AnnRecallSpec.
+    //
+    // Scale shape: the exact baseline is the one expensive pass (broadcast
+    // query side, per-group bounded heap — winners-only shuffle); each
+    // index's candidates come from a bucket equi-join (multiprobe explodes
+    // the BROADCAST query side 9×, never the corpus); the final
+    // method×query grid is a bounded dimension. Missing candidates (empty
+    // cell/bucket) count as recall 0 for that query, not a dropped row.
+    Q("sim_ann_recall",
+      """WITH q AS (SELECT count(*) AS n_queries FROM embeddings
+        |           WHERE vec_id < 20)
+        |SELECT method, n_queries, TRUE AS recall_ok, TRUE AS scan_frac_ok
+        |FROM q, (VALUES ('int8_rerank100'), ('ivf_kmeans_probe1'),
+        |  ('ivf_kmeans_probe2'), ('ivf_label_probe1'), ('lsh_4bit_8band'),
+        |  ('lsh_8bit_multiprobe1'), ('lsh_8bit_probe1')) AS m(method)
+        |ORDER BY method""".stripMargin) {
+      (s, dir) => {
+        // Per-method recall floors and scan-FRACTION ceilings, reduced to
+        // booleans DuckDB's VALUES relation re-asserts. Floors sit at
+        // ~60-70% of the worst observed fixture value (sf0.001 and sf0.01
+        // both measured; the 500-vector geometry is SF-stable), ceilings
+        // ~1.5x the observed candidate fraction — loud on a broken index
+        // or an accidental full scan, quiet across fixture reseeds.
+        // Orderings (learned beats arbitrary, more probes recall more)
+        // stay in AnnRecallSpec over annRecallDetail.
+        val floors: Column = typedLit(Map(
+          "int8_rerank100" -> 0.95, "ivf_kmeans_probe1" -> 0.30,
+          "ivf_kmeans_probe2" -> 0.40, "ivf_label_probe1" -> 0.05,
+          "lsh_4bit_8band" -> 0.45, "lsh_8bit_multiprobe1" -> 0.02,
+          "lsh_8bit_probe1" -> 0.0))
+        val ceilings: Column = typedLit(Map(
+          "int8_rerank100" -> 0.21, "ivf_kmeans_probe1" -> 0.25,
+          "ivf_kmeans_probe2" -> 0.40, "ivf_label_probe1" -> 0.25,
+          "lsh_4bit_8band" -> 0.60, "lsh_8bit_multiprobe1" -> 0.15,
+          "lsh_8bit_probe1" -> 0.10))
+        val corpusN = t(s, dir, "embeddings").agg(count(lit(1)).as("corpus_n"))
+        annRecallDetail(s, dir)
+          .crossJoin(broadcast(corpusN))
+          .select(col("method"), col("n_queries"),
+            (col("avg_recall") >= element_at(floors, col("method")))
+              .as("recall_ok"),
+            (col("avg_scanned") / col("corpus_n")
+              <= element_at(ceilings, col("method"))).as("scan_frac_ok"))
+          .orderBy(col("method"))
       }
     },
 
@@ -293,14 +359,24 @@ object Advanced {
       }
     },
 
-    // HLL sketch cardinality — no SQL oracle (approximation is
-    // engine-specific); the spec asserts <2% error vs exact.
-    Q.noOracle("x_approx_distinct", bench = true) {
+    // HLL sketch cardinality — ASSERTION-style oracle: the estimate itself
+    // is engine-specific, so the Spark side emits whether it lands within
+    // 5% of the exact distinct count (computed alongside — the exact agg
+    // is the verification harness, not the serving path), and DuckDB's
+    // exact re-count says that must be TRUE for every group while
+    // exact_orders stays hash-exact. HLL at rsd=0.01 runs ~1% error, so
+    // the 5% band has real margin yet fails loudly on a broken sketch.
+    // The tighter 2% pin lives in OperatorsSpec over approxDistinctDetail.
+    Q("x_approx_distinct",
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+        |       TRUE AS within_tol
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      bench = true) {
       (s, dir) =>
-        t(s, dir, "lineitem")
-          .groupBy(col("l_returnflag"))
-          .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
-            countDistinct(col("l_orderkey")).as("exact_orders"))
+        approxDistinctDetail(s, dir)
+          .select(col("l_returnflag"), col("exact_orders"),
+            (abs(col("approx_orders") - col("exact_orders"))
+              <= col("exact_orders").cast("double") * 0.05).as("within_tol"))
           .orderBy(col("l_returnflag"))
     },
 
@@ -308,21 +384,35 @@ object Advanced {
     // — the bounded-memory companion to x_percentiles' exact sort-rank
     // form: the sketch carries O(accuracy·log n) entries per group through
     // the partial agg instead of every value, the 100 TB default for
-    // monitoring-grade quantiles. No SQL oracle (sketch internals are
-    // engine-specific); ApproxSpec pins the rank-error guarantee
-    // |rank(est) - qn| ≤ n/accuracy against the exact order statistics.
-    Q.noOracle("x_approx_percentile") {
-      (s, dir) =>
-        t(s, dir, "lineitem")
+    // monitoring-grade quantiles. ASSERTION-style oracle: the estimates
+    // are engine-specific, so the Spark side joins them back to the data
+    // and emits whether each one honors GK's published rank guarantee
+    // |rank(est) − q·n| ≤ n/accuracy (+1 for tie granularity: the
+    // estimate is an actual data value) — the same bound OperatorsSpec
+    // pins driver-side over approxPercentileDetail. DuckDB's exact
+    // re-count says every boolean must be TRUE with n hash-exact.
+    Q("x_approx_percentile",
+      """SELECT l_returnflag, count(*) AS n, TRUE AS ok_p25, TRUE AS ok_p50,
+        |       TRUE AS ok_p75, TRUE AS ok_p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) => {
+        val est = approxPercentileDetail(s, dir)
+        val vals = t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("v"))
+        // one partial-agg pass over the data against the broadcast
+        // estimates: rank(est) = count(v <= est) per group
+        val ranked = vals.join(broadcast(est), Seq("l_returnflag"))
           .groupBy(col("l_returnflag"))
-          .agg(percentile_approx(col("l_extendedprice"),
-            array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(1000)).as("qs"))
-          .select(col("l_returnflag"),
-            element_at(col("qs"), 1).as("p25"),
-            element_at(col("qs"), 2).as("p50"),
-            element_at(col("qs"), 3).as("p75"),
-            element_at(col("qs"), 4).as("p95"))
+          .agg(count(lit(1)).as("n"),
+            Seq("p25", "p50", "p75", "p95").map(p =>
+              sum(when(col("v") <= col(p), 1L).otherwise(0L)).as(s"le_$p")): _*)
+        def ok(p: String, q: Double) =
+          (abs(col(s"le_$p") - lit(q) * col("n"))
+            <= col("n").cast("double") / 1000.0 + 1.0).as(s"ok_$p")
+        ranked.select(col("l_returnflag"), col("n"),
+            ok("p25", 0.25), ok("p50", 0.50), ok("p75", 0.75), ok("p95", 0.95))
           .orderBy(col("l_returnflag"))
+      }
     },
 
     // Statistical moments (round 6 absorbs summation-order jitter).

@@ -471,6 +471,21 @@ object TextDedup {
        |sigs AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits)""".stripMargin
   }
 
+  /** Ranked heavy-hitter list from the k=256 Misra-Gries summary — the
+    * serving surface (MisraGriesSpec pins its shape; the `t_heavy_hitters`
+    * oracle row asserts the bound family instead, because counts near the
+    * rank cut vary with merge order). */
+  def heavyHittersTop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .as[String]
+      .select(graft.functions.MisraGries.summary(256).name("mg"))
+      .select(explode(col("mg")).as(Seq("token", "approx_count")))
+      .orderBy(col("approx_count").desc, col("token"))
+      .limit(20)
+  }
+
   val defs: Seq[Q] = Seq(
 
     // -------- text analysis ------------------------------------------------
@@ -1072,23 +1087,49 @@ object TextDedup {
     // summary (graft.functions.MisraGries): each partition builds a
     // k-counter summary and only ≤ k (token, count) pairs cross the
     // exchange — the approximate sibling of t_ngram_frequency's exact
-    // groupBy, which at 100 TB must shuffle every distinct token. No SQL
-    // oracle, and none possible: MG merge is commutative but NOT
+    // groupBy, which at 100 TB must shuffle every distinct token. The raw
+    // counts can't be a value oracle: MG merge is commutative but NOT
     // associative, so counts near the rank-(k+1) cut legitimately vary
-    // with shuffle-fetch arrival order across runs. The driver's
-    // rows-only check is stable (a k=256 summary always yields the full
-    // LIMIT of rows); value correctness is the n/(k+1) bound family,
-    // pinned by MisraGriesSpec under multiple partitionings.
-    Q.noOracle("t_heavy_hitters") {
+    // with shuffle-fetch arrival order across runs. What IS deterministic
+    // under every merge order is the guarantee family, so the oracle row
+    // emits it as booleans DuckDB re-asserts: every summary estimate
+    // undercounts its true frequency by at most n/(k+1) (and never
+    // overcounts), and every token with true count > n/(k+1) is present
+    // in the summary — alongside the exact token total, which stays
+    // hash-exact. The exact groupBy here is the verification harness,
+    // not the serving path (MisraGriesSpec re-pins the bounds under
+    // multiple partitionings; heavyHittersTop serves the ranked list).
+    Q("t_heavy_hitters",
+      """SELECT CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+        |         AS n_tokens,
+        |       CAST(256 AS INT) AS k, TRUE AS all_underestimates,
+        |       TRUE AS all_within_bound, TRUE AS all_heavy_present
+        |FROM documents""".stripMargin) {
       (s, dir) => {
         import s.implicits._
         val toks = docs(s, dir)
           .select(explode(split(lower(col("text")), " ")).as("tok"))
-          .as[String]
-        toks.select(graft.functions.MisraGries.summary(256).name("mg"))
-          .select(explode(col("mg")).as(Seq("token", "approx_count")))
-          .orderBy(col("approx_count").desc, col("token"))
-          .limit(20)
+        val mg = toks.select(col("tok").as[String])
+          .select(graft.functions.MisraGries.summary(256).name("mg"))
+          .select(explode(col("mg")).as(Seq("token", "est")))
+        val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("tc"))
+        val tot = toks.agg(count(lit(1)).as("n_tokens"))
+        // bound = n/(k+1): the MG error envelope for k=256 counters
+        val joined = mg.join(exact, col("token") === col("tok"))
+          .crossJoin(broadcast(tot))
+        val summaryChecks = joined.agg(
+          bool_and(col("est") <= col("tc")).as("all_underestimates"),
+          bool_and(col("tc") <= col("est") + col("n_tokens") / lit(257.0))
+            .as("all_within_bound"))
+        val missedHeavy = exact.crossJoin(broadcast(tot))
+          .filter(col("tc") > col("n_tokens") / lit(257.0))
+          .join(mg, col("token") === col("tok"), "left_anti")
+          .agg(count(lit(1)).as("n_missed"))
+        tot.crossJoin(broadcast(summaryChecks))
+          .crossJoin(broadcast(missedHeavy))
+          .select(col("n_tokens"), lit(256).as("k"),
+            col("all_underestimates"), col("all_within_bound"),
+            (col("n_missed") === 0L).as("all_heavy_present"))
       }
     },
 

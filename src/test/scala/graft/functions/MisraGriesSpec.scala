@@ -56,8 +56,8 @@ class MisraGriesSpec extends AnyFunSuite {
       checkBounds(spark.createDataset(stream).repartition(parts).as[String], k = 64)
   }
 
-  test("t_heavy_hitters registry query returns ranked hitters") {
-    val df = graft.SparkEntry.queries("t_heavy_hitters")(spark, dir)
+  test("heavyHittersTop returns ranked hitters") {
+    val df = graft.operators.TextDedup.heavyHittersTop(spark, dir)
     val rows = df.collect()
     assert(rows.nonEmpty && rows.length <= 20)
     // ranked: non-increasing approx counts

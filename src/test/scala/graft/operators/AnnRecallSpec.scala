@@ -27,7 +27,7 @@ class AnnRecallSpec extends AnyFunSuite {
 
   // method -> (n_queries, avg_recall, min_recall, avg_scanned)
   private lazy val rows: Map[String, (Long, Double, Double, Double)] =
-    graft.SparkEntry.queries("sim_ann_recall")(spark, dir)
+    graft.operators.Advanced.annRecallDetail(spark, dir)
       .collect()
       .map(r => r.getString(0) ->
         (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
