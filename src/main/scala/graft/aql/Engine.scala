@@ -42,17 +42,20 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       val factFloors = viewsSourcedBy(c)
         .map(v => viewTail(v, c).lastDelivered)
         .filter(_ > 0).map(ckpt => cur - ckpt + 1)
-      // enrichment-join views PIN their stamped dim version (every fold
-      // enriches against it until a reseed or a neutral-drift advance):
-      // vacuuming `c` as a dim must keep that snapshot readable
-      val dimFloors = dependentViewDefs(c).collect {
-        case (v, s) if s.joins.exists(_.container match {
-          case Ast.Container.Real(n) => n.equalsIgnoreCase(c)
-          case _ => false
-        }) => v
-      }.flatMap(v =>
-        graft.catalog.IncrementalView.stampedDimVersion(catalog, v))
-        .filter(_ > 0).map(sv => cur - sv + 1)
+      // enrichment-join views PIN their stamped dim versions (every fold
+      // enriches against them until a reseed or a neutral-drift advance):
+      // vacuuming `c` as a dim must keep ITS stamped snapshot readable —
+      // the stamp is positional in join order, so pick c's position
+      val dimFloors = dependentViewDefs(c).flatMap { case (v, s) =>
+        val stamped = graft.catalog.IncrementalView
+          .stampedDimVersions(catalog, v).getOrElse(Nil)
+        s.joins.zipWithIndex.collect {
+          case (j, i) if (j.container match {
+            case Ast.Container.Real(n) => n.equalsIgnoreCase(c)
+            case _ => false
+          }) => stamped.lift(i)
+        }.flatten
+      }.filter(_ > 0).map(sv => cur - sv + 1)
       (factFloors ++ dimFloors).maxOption.getOrElse(1)
     } catch { case scala.util.control.NonFatal(_) => Int.MaxValue }
   // commit-time view maintenance (refresh_views_after_commit): fold each
@@ -397,15 +400,15 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         s"(version ${catalog.currentVersion(c)})")
 
     case Ast.CreateView(v, q) =>
-      val (src, keys, aggs, whereOpt, dimOpt) = validateViewDef(q)
+      val (src, keys, aggs, whereOpt, dimJoins) = validateViewDef(q)
       // a never-committed source serving external dataPath rows has no
       // version history: seeding would aggregate rows the first commit's
       // feed then replays as inserts — double counting (same refusal as
-      // CHANGES on such containers). The dim must be versioned too: an
+      // CHANGES on such containers). Every dim must be versioned too: an
       // unversioned external dim stays at version 0 forever, so the
       // reseed-on-dim-change detection could never fire and the view
       // would serve silently stale enrichment.
-      for (c <- src +: dimOpt.map(_.container).toList)
+      for (c <- src +: dimJoins.map(_.container).toList)
         if (catalog.currentVersion(c) == 0 &&
             java.nio.file.Files.exists(catalog.dataPath(c)))
           throw new ParseException(s"CREATE VIEW: source '$c' serves " +
@@ -413,7 +416,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       val d = catalog.get(src)
       // MV column types resolve across the JOINED space (a group key or
       // measure may be a dim attribute)
-      val dimCols = dimOpt.map(dimPayload).getOrElse(Nil)
+      val dimCols = dimJoins.flatMap(dimPayload)
       def typeOf(c: String): AlbaType =
         (d.columns ++ dimCols).find(_._1.equalsIgnoreCase(c)).get._2
       // MV schema contract (IncrementalView): keys, n_rows, agg outs.
@@ -457,7 +460,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       try {
         graft.catalog.Views.save(catalog, v, printViewQuery(q, src))
         val tail = viewTail(v, src)
-        incrementalView(v, src, keys, aggs, whereOpt, dimOpt).seed(tail)
+        incrementalView(v, src, keys, aggs, whereOpt, dimJoins).seed(tail)
         Done(s"created view $v over $src (seeded at version ${tail.lastDelivered})")
       } catch { case e: Throwable =>
         if (graft.catalog.Views.exists(catalog, v))
@@ -619,12 +622,17 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           }).getOrElse("")
           val ckpt = viewTail(v, src).lastDelivered
           val cur = if (src.nonEmpty) catalog.currentVersion(src) else 0
-          val dimBehind = parsed.flatMap(_.joins.collectFirst {
-            case Ast.JoinSpec(Ast.Container.Real(dn), _, _, _) =>
-              val stamped = graft.catalog.IncrementalView
-                .stampedDimVersion(catalog, v).getOrElse(0)
-              math.max(0, catalog.currentVersion(dn) - stamped)
-          }).getOrElse(0)
+          // multi-dim views report the WORST lag across their dims (the
+          // stamp is positional in join order, same as the parsed joins)
+          val dimBehind = parsed.map { s =>
+            val stamped = graft.catalog.IncrementalView
+              .stampedDimVersions(catalog, v).getOrElse(Nil)
+            s.joins.zipWithIndex.collect {
+              case (Ast.JoinSpec(Ast.Container.Real(dn), _, _, _), i) =>
+                math.max(0, catalog.currentVersion(dn) -
+                  stamped.lift(i).getOrElse(0))
+            }.maxOption.getOrElse(0)
+          }.getOrElse(0)
           Row(v, defText, ckpt, cur, math.max(0, cur - ckpt), dimBehind)
         }),
         needsDefaultSort = true)
@@ -812,8 +820,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       case s: Ast.Search => s
       case other => throw new ParseException(s"Corrupt view definition: $other")
     }
-    val (src, keys, aggs, whereOpt, dimOpt) = validateViewDef(q)
-    incrementalView(v, src, keys, aggs, whereOpt, dimOpt)
+    val (src, keys, aggs, whereOpt, dimJoins) = validateViewDef(q)
+    incrementalView(v, src, keys, aggs, whereOpt, dimJoins)
       .refreshOnce(viewTail(v, src))
   }
 
@@ -873,9 +881,9 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     * collision reject on every REFRESH, and the auto-refresh hook
     * swallows per-view failures — so a collision introduced by ALTER
     * would silently stop the view maintaining rather than fail loudly.
-    * Altering the FACT checks against the dim's payload (its join key is
-    * excluded from the joined space); altering the DIM checks against
-    * every fact column. */
+    * Altering the FACT checks against every dim's payload (each join key
+    * is excluded from the joined space); altering a DIM checks against
+    * every fact column AND every sibling dim's payload. */
   private def requireNoJoinCollision(c: String, newCols: Seq[String]): Unit =
     for {
       (v, s) <- dependentViewDefs(c)
@@ -885,13 +893,23 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         case _ => None
       }
       factName <- s.containers.collect { case Ast.Container.Real(n) => n }
+      payloadOf = (jn: Ast.JoinSpec, dn: String) =>
+        catalog.get(dn).columns.find(_._1.equalsIgnoreCase(jn.right))
+          .map(dc => dimPayload(graft.catalog.IncrementalView
+            .DimJoin(dn, jn.left, dc._1)).map(_._1))
       otherCols <-
-        (if (factName.equalsIgnoreCase(c))
-          catalog.get(dimName).columns.find(_._1.equalsIgnoreCase(j.right))
-            .map(dc => dimPayload(graft.catalog.IncrementalView
-              .DimJoin(dimName, j.left, dc._1)).map(_._1))
+        (if (factName.equalsIgnoreCase(c)) payloadOf(j, dimName)
         else if (dimName.equalsIgnoreCase(c))
-          Some(catalog.get(factName).columns.map(_._1))
+          // fact columns plus every SIBLING dim's payload (a new column
+          // on this dim must be unique across the whole joined space)
+          Some(catalog.get(factName).columns.map(_._1) ++
+            s.joins.filterNot(_ eq j).flatMap { j2 =>
+              j2.container match {
+                case Ast.Container.Real(dn2) =>
+                  payloadOf(j2, dn2).getOrElse(Nil)
+                case _ => Nil
+              }
+            })
         else None).toList
       col <- newCols
       if otherCols.exists(_.equalsIgnoreCase(col))
@@ -969,7 +987,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     */
   private def validateViewDef(q: Ast.Search)
       : (String, Seq[String], Seq[graft.catalog.IncrementalView.Agg],
-         Option[Column], Option[graft.catalog.IncrementalView.DimJoin]) = {
+         Option[Column], Seq[graft.catalog.IncrementalView.DimJoin]) = {
     def bad(msg: String) = throw new ParseException(s"CREATE VIEW: $msg")
     val src = q.containers match {
       case List(Ast.Container.Real(n)) => n
@@ -996,40 +1014,55 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           "approx_quantile/approx_top_k)")
     }
     val d = catalog.get(src)
-    // enrichment JOIN (graft extension): one inner equi-join to a real
-    // dimension container — `ON factCol = dimCol` with the fact column
-    // on the LEFT (the convention the error below spells out). The dim's
-    // payload columns (everything but its join key) become part of the
-    // maintainable column space; name collisions with the fact are
+    // enrichment JOINs (graft extension): inner equi-joins to real
+    // dimension containers — `ON factCol = dimCol` with the fact column
+    // on the LEFT (the convention the error below spells out). The dims
+    // are INDEPENDENT (star schema): every join's left side must be a
+    // FACT column, so join order can't change the result and each dim's
+    // drift is detectable in isolation. Payload columns (everything but
+    // each dim's join key) become part of the maintainable column space;
+    // name collisions across the UNION of fact + all payloads are
     // rejected here rather than surfacing as ambiguous references at
     // seed time.
-    val dimJoin = q.joins match {
-      case Nil => None
-      case List(j) =>
-        val dn = j.container match {
-          case Ast.Container.Real(n) => n
-          case _ => bad("view JOIN must name a real dimension container")
-        }
-        if (j.joinType != "inner")
-          bad("view JOIN must be INNER — outer enrichment would need " +
-            "NULL-extended groups no delta can maintain")
-        val dd = catalog.get(dn)
-        val factCol = d.columns.find(_._1.equalsIgnoreCase(j.left)).map(_._1)
-          .getOrElse(bad(s"view JOIN: '${j.left}' must be a column of " +
-            s"'$src' (fact on the left of ON)"))
-        val dimCol = dd.columns.find(_._1.equalsIgnoreCase(j.right)).map(_._1)
-          .getOrElse(bad(s"view JOIN: '${j.right}' must be a column of " +
-            s"'$dn' (dimension on the right of ON)"))
-        val dj = graft.catalog.IncrementalView.DimJoin(dn, factCol, dimCol)
-        val payload = dimPayload(dj)
-        payload.map(_._1).find(p => d.columns.exists(_._1.equalsIgnoreCase(p)))
-          .foreach(p => bad(s"dimension column '$p' collides with a " +
-            s"'$src' column — rename one side"))
-        Some((dj, payload))
-      case _ => bad("views support at most one JOIN")
+    val dimJoins: List[(graft.catalog.IncrementalView.DimJoin,
+        List[(String, AlbaType)])] = q.joins.map { j =>
+      val dn = j.container match {
+        case Ast.Container.Real(n) => n
+        case _ => bad("view JOIN must name a real dimension container")
+      }
+      if (j.joinType != "inner")
+        bad("view JOIN must be INNER — outer enrichment would need " +
+          "NULL-extended groups no delta can maintain")
+      val dd = catalog.get(dn)
+      val factCol = d.columns.find(_._1.equalsIgnoreCase(j.left)).map(_._1)
+        .getOrElse(bad(s"view JOIN: '${j.left}' must be a column of " +
+          s"'$src' (fact on the left of ON; chained dim-to-dim joins " +
+          "are not maintainable — snowflake dims must be flattened)"))
+      val dimCol = dd.columns.find(_._1.equalsIgnoreCase(j.right)).map(_._1)
+        .getOrElse(bad(s"view JOIN: '${j.right}' must be a column of " +
+          s"'$dn' (dimension on the right of ON)"))
+      val dj = graft.catalog.IncrementalView.DimJoin(dn, factCol, dimCol)
+      (dj, dimPayload(dj))
     }
-    // the maintainable column space: fact columns plus the dim payload
-    val cols = d.columns ++ dimJoin.map(_._2).getOrElse(Nil)
+    dimJoins.map(_._1.container).groupBy(_.toLowerCase).collectFirst {
+      case (_, vs) if vs.size > 1 => vs.head
+    }.foreach(n => bad(s"dimension '$n' joins twice — alias-free views " +
+      "can't disambiguate its payload columns; CLONE it under another name"))
+    // cross-side collision check over the UNION of payloads: each dim
+    // payload vs the fact AND vs every other dim's payload
+    dimJoins.zipWithIndex.foreach { case ((dj, payload), i) =>
+      payload.map(_._1).find(p => d.columns.exists(_._1.equalsIgnoreCase(p)))
+        .foreach(p => bad(s"dimension column '$p' collides with a " +
+          s"'$src' column — rename one side"))
+      dimJoins.drop(i + 1).foreach { case (dj2, payload2) =>
+        payload.map(_._1)
+          .find(p => payload2.exists(_._1.equalsIgnoreCase(p)))
+          .foreach(p => bad(s"dimension column '$p' collides between " +
+            s"'${dj.container}' and '${dj2.container}' — rename one side"))
+      }
+    }
+    // the maintainable column space: fact columns plus every dim payload
+    val cols = d.columns ++ dimJoins.flatMap(_._2)
     // the fold's own working columns: a source column with either name
     // would collide with the CDC feed's `_change_type` or the fold's ±1
     // weight — ambiguous references at best, silent weight-overwrite
@@ -1041,7 +1074,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     def canonical(c: String): String =
       cols.find(_._1.equalsIgnoreCase(c)).map(_._1)
         .getOrElse(bad(s"unknown column '$c' on '$src'" +
-          dimJoin.fold("")(dj => s" or '${dj._1.container}'")))
+          (if (dimJoins.isEmpty) ""
+           else s" or ${dimJoins.map(j => s"'${j._1.container}'").mkString(", ")}")))
     def typeOfCanon(c: String): AlbaType = cols.find(_._1 == c).get._2
     val keys = q.projection.map(canonical)
     val aggs = q.aggs.map { a =>
@@ -1091,8 +1125,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     // is row-local on the enriched row, so pre/post images still filter
     // independently in the fold)
     val whereDef =
-      if (dimJoin.isEmpty) d else catalog.ContainerDef("(join)", cols)
-    (src, keys, aggs, q.where.map(lowerWhere(_, whereDef)), dimJoin.map(_._1))
+      if (dimJoins.isEmpty) d else catalog.ContainerDef("(join)", cols)
+    (src, keys, aggs, q.where.map(lowerWhere(_, whereDef)), dimJoins.map(_._1))
   }
 
   /** Print the validated definition back to AQL — the persisted form a
@@ -1139,9 +1173,9 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
   private def incrementalView(v: String, src: String, keys: Seq[String],
       aggs: Seq[graft.catalog.IncrementalView.Agg],
       where: Option[Column],
-      dim: Option[graft.catalog.IncrementalView.DimJoin] = None)
+      dims: Seq[graft.catalog.IncrementalView.DimJoin] = Nil)
       : graft.catalog.IncrementalView =
-    new graft.catalog.IncrementalView(catalog, src, v, keys, aggs, where, dim)
+    new graft.catalog.IncrementalView(catalog, src, v, keys, aggs, where, dims)
 
   /** Register a cursor for a SEARCH-shaped result.
     * Letter prefix keeps the id a single bare-word token in AQL. */

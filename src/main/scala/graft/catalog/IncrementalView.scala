@@ -53,7 +53,7 @@ import org.apache.spark.sql.functions._
 final class IncrementalView(cat: Catalog, src: String, mv: String,
     keys: Seq[String], aggs: Seq[IncrementalView.Agg] = Nil,
     where: Option[Column] = None,
-    dim: Option[IncrementalView.DimJoin] = None) {
+    dims: Seq[IncrementalView.DimJoin] = Nil) {
   import IncrementalView.Agg
 
   require(keys.nonEmpty, "incremental view needs at least one group key")
@@ -110,17 +110,20 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
   private def filtered(df: DataFrame): DataFrame =
     where.map(df.filter).getOrElse(df)
 
-  /** Enrichment join (fact ⋈ dim, inner): group keys, aggregates, and the
-    * WHERE may all reference dim columns. The dim's join key drops after
-    * the equi-join (the fact side keeps its copy); payload-name
-    * collisions are rejected at CREATE VIEW. Applied identically to the
-    * seed snapshot, each feed window, and the dirty recompute — all three
-    * must see the same enrichment or the fold diverges. */
-  private def enrich(df: DataFrame, dimDf: DataFrame): DataFrame = {
-    val d = dim.get
-    df.join(dimDf, df(d.factCol) === dimDf(d.dimCol), "inner")
-      .drop(dimDf(d.dimCol))
-  }
+  /** Enrichment joins (fact ⋈ dim₁ ⋈ … ⋈ dimₙ, all inner): group keys,
+    * aggregates, and the WHERE may all reference dim columns. The dims
+    * are INDEPENDENT — each joins the FACT's own column (star schema),
+    * so join order is irrelevant to the result. Each dim's join key
+    * drops after its equi-join (the fact side keeps its copy);
+    * payload-name collisions across the union of payloads are rejected
+    * at CREATE VIEW. Applied identically to the seed snapshot, each feed
+    * window, and the dirty recompute — all three must see the same
+    * enrichment or the fold diverges. */
+  private def enrich(df: DataFrame, dimDfs: Seq[DataFrame]): DataFrame =
+    dims.zip(dimDfs).foldLeft(df) { case (acc, (d, dimDf)) =>
+      acc.join(dimDf, acc(d.factCol) === dimDf(d.dimCol), "inner")
+        .drop(dimDf(d.dimCol))
+    }
 
   /** The dim snapshot the CURRENT MV content reflects (the stamped
     * version) — the fold must enrich against exactly this snapshot, or
@@ -204,12 +207,14 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
   def seed(tail: ChangeTail): Unit = {
     val v = cat.currentVersion(src)
     val snap = if (v > 0) cat.readVersion(src, v) else cat.read(src)
-    val (input, stampVal) = dim match {
-      case Some(d) =>
-        val dv = cat.currentVersion(d.container)
-        (enrich(snap, dimSnapshot(dv, d.container)), s"$v dim=$dv")
-      case None => (snap, v.toString)
-    }
+    val (input, stampVal) =
+      if (dims.isEmpty) (snap, v.toString)
+      else {
+        val dvs = dims.map(d => cat.currentVersion(d.container))
+        (enrich(snap, dims.zip(dvs).map { case (d, dv) =>
+          dimSnapshot(dv, d.container) }),
+          s"$v dim=${dvs.mkString(",")}")
+      }
     cat.overwriteStamped(mv, conform(aggregate(input)),
       Some(stampKey -> stampVal))
     tail.reset(v)
@@ -233,12 +238,14 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
     stampValue.flatMap(v =>
       scala.util.Try(v.trim.split("\\s+").head.toInt).toOption)
 
-  /** Dim version the current MV content was enriched with, from the
-    * stamp's `dim=N` token (None when unstamped/corrupt — then the fold
-    * uses the dim's CURRENT version and re-stamps it, the same degrade-
-    * don't-wedge stance as the src version's checkpoint fallback). */
-  private[catalog] def appliedDimVersion: Option[Int] =
-    IncrementalView.stampedDimVersion(cat, mv)
+  /** Per-dim versions the current MV content was enriched with, from the
+    * stamp's `dim=N1,N2,…` token, positional in [[dims]] order (None when
+    * unstamped/corrupt or when the stamped arity doesn't match this
+    * definition's dim count — then the fold uses each dim's CURRENT
+    * version and re-stamps, the same degrade-don't-wedge stance as the
+    * src version's checkpoint fallback). */
+  private[catalog] def appliedDimVersions: Option[Seq[Int]] =
+    IncrementalView.stampedDimVersions(cat, mv).filter(_.size == dims.size)
 
   /** Fold one feed window (ending at source version `toV`) into the MV.
     * Change rows are weighted ±1, aggregated to per-key deltas, and
@@ -248,19 +255,20 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
     * recomputed aggregate over the end-version snapshot (see class doc).
     */
   private[catalog] def fold(feed: DataFrame, toV: Int,
-      dimPin: Option[Int] = None): Unit = {
-    // enrichment pins the STAMPED dim version (what the MV content
-    // already reflects) — never the live pointer, which a concurrent dim
-    // commit may have advanced mid-fold; refreshOnce reseeds when the
-    // stamp and the live dim disagree, and passes an ADVANCED pin when
-    // the drift was content-neutral (pure compaction)
-    val dimPinned = dim.map(d =>
-      (d, dimPin.getOrElse(
-        appliedDimVersion.getOrElse(cat.currentVersion(d.container)))))
-    def enriched(df: DataFrame): DataFrame = dimPinned match {
-      case Some((d, dv)) => enrich(df, dimSnapshot(dv, d.container))
-      case None => df
-    }
+      dimPin: Option[Seq[Int]] = None): Unit = {
+    // enrichment pins the STAMPED dim versions (what the MV content
+    // already reflects) — never the live pointers, which a concurrent dim
+    // commit may have advanced mid-fold; refreshOnce reseeds when any
+    // stamp and live dim disagree, and passes ADVANCED pins when every
+    // drift was content-neutral (pure compaction)
+    val dimPinned: Seq[(IncrementalView.DimJoin, Int)] =
+      if (dims.isEmpty) Nil
+      else dims.zip(dimPin.orElse(appliedDimVersions)
+        .getOrElse(dims.map(d => cat.currentVersion(d.container))))
+    def enriched(df: DataFrame): DataFrame =
+      if (dimPinned.isEmpty) df
+      else enrich(df, dimPinned.map { case (d, dv) =>
+        dimSnapshot(dv, d.container) })
     val w = when(col("_change_type").isin("insert", "update_postimage"), 1L)
       .otherwise(-1L)
     val deltas = sum(col("_w")).as("d_n_rows") +: aggs.flatMap { a =>
@@ -371,7 +379,8 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
     // the stamp and the content publish in ONE atomic version rename, so
     // the MV can always answer "which source window do I contain?"
     cat.overwriteStamped(mv, conform(next), Some(stampKey ->
-      dimPinned.fold(toV.toString) { case (_, dv) => s"$toV dim=$dv" }))
+      (if (dimPinned.isEmpty) toV.toString
+       else s"$toV dim=${dimPinned.map(_._2).mkString(",")}")))
   }
 
   /** Consume the next outstanding feed window through `tail` and fold it
@@ -386,44 +395,51 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
     */
   def refreshOnce(tail: ChangeTail): Int = {
     appliedSrcVersion.filter(_ > tail.lastDelivered).foreach(tail.reset)
-    dim match {
-      case None => tail.pollOnce((feed, _, to) => fold(feed, to))
-      case Some(d) =>
-        val cur = cat.currentVersion(d.container)
-        val stamped = appliedDimVersion
-        // a drift whose byte-equal-suppressed feed is EMPTY is a pure
-        // compaction (OPTIMIZE): content-identical, so folds may pin the
-        // CURRENT version (advancing the stamp and releasing the old
-        // version's vacuum floor) instead of reseeding a no-op — the
-        // check is a dim-sized scan, never fact-sized work. An
-        // unreadable stamped version (already vacuumed) reads as a real
-        // change: reseed, the always-correct recovery.
-        val neutralDrift = stamped.exists(sv => sv != cur &&
-          scala.util.Try(cat.changes(d.container, sv, Some(cur)).isEmpty)
-            .getOrElse(false))
-        // a CHANGED dim invalidates every group's enrichment, not just
-        // the fact window's — sketches and extremes can't subtract the
-        // old dim attributes, so the honest move is a reseed from both
-        // current snapshots (dim commits are rare for the enrichment
-        // shape; a fact-paced dim belongs on the fact side of the join)
-        if (stamped.exists(_ != cur) && !neutralDrift) {
-          // at least 1: the reseed rewrote the MV even when the fact
-          // tail was caught up (a dim-only change still changes content)
-          val behind = math.max(1, cat.currentVersion(src) - tail.lastDelivered)
-          seed(tail)
-          behind
-        } else {
-          val applied = tail.pollOnce((feed, _, to) => fold(feed, to, Some(cur)))
-          // a neutral drift with NO fact window to fold would re-run the
-          // dim-sized neutrality scan on every future refresh: advance
-          // the stamp once by republishing the (aggregate-sized) MV
-          // content under the current dim version — one small rewrite,
-          // and the old version's vacuum floor releases
-          if (applied == 0 && neutralDrift)
-            cat.overwriteStamped(mv, cat.read(mv),
-              Some(stampKey -> s"${tail.lastDelivered} dim=$cur"))
-          applied
-        }
+    if (dims.isEmpty) tail.pollOnce((feed, _, to) => fold(feed, to))
+    else {
+      val curs = dims.map(d => cat.currentVersion(d.container))
+      val stamped = appliedDimVersions
+      // per-dim drift classification. A drift whose byte-equal-suppressed
+      // feed is EMPTY is a pure compaction (OPTIMIZE): content-identical,
+      // so folds may pin the CURRENT version (advancing the stamp and
+      // releasing the old version's vacuum floor) instead of reseeding a
+      // no-op — the check is a dim-sized scan, never fact-sized work. An
+      // unreadable stamped version (already vacuumed) reads as a real
+      // change: reseed, the always-correct recovery.
+      def neutral(d: IncrementalView.DimJoin, sv: Int, cur: Int): Boolean =
+        scala.util.Try(cat.changes(d.container, sv, Some(cur)).isEmpty)
+          .getOrElse(false)
+      val drifts = stamped.map(_.lazyZip(dims).lazyZip(curs).map {
+        case (sv, d, cur) => sv != cur && !neutral(d, sv, cur)
+      })
+      val anyRealDrift = drifts.exists(_.contains(true))
+      val anyNeutralDrift =
+        stamped.exists(_.zip(curs).exists { case (sv, cur) => sv != cur }) &&
+          !anyRealDrift
+      // ANY changed dim invalidates every group's enrichment, not just
+      // the fact window's — sketches and extremes can't subtract the
+      // old dim attributes, so the honest move is a reseed from all
+      // current snapshots (dim commits are rare for the enrichment
+      // shape; a fact-paced dim belongs on the fact side of the join)
+      if (anyRealDrift) {
+        // at least 1: the reseed rewrote the MV even when the fact
+        // tail was caught up (a dim-only change still changes content)
+        val behind = math.max(1, cat.currentVersion(src) - tail.lastDelivered)
+        seed(tail)
+        behind
+      } else {
+        val applied = tail.pollOnce((feed, _, to) => fold(feed, to, Some(curs)))
+        // a neutral drift with NO fact window to fold would re-run the
+        // dim-sized neutrality scan on every future refresh: advance
+        // the stamp once by republishing the (aggregate-sized) MV
+        // content under the current dim versions — one small rewrite,
+        // and the old versions' vacuum floors release
+        if (applied == 0 && anyNeutralDrift)
+          cat.overwriteStamped(mv, cat.read(mv),
+            Some(stampKey ->
+              s"${tail.lastDelivered} dim=${curs.mkString(",")}"))
+        applied
+      }
     }
   }
 
@@ -472,19 +488,27 @@ object IncrementalView {
     * by the next iteration even when nothing else triggers a refresh. */
   final case class DimJoin(container: String, factCol: String, dimCol: String)
 
-  /** The dim version an MV's stamp records (`dim=N` token) — the version
-    * the fold pins, which the dim's vacuum must keep readable: the
-    * engine's retention floor calls here so the stamp format has exactly
-    * one parser. Only a `cdc:<src>` stamp is consulted (mirroring the
-    * instance-side `stampValue` key filter): a future second stamp kind
-    * on MV containers must not feed its value into vacuum floors or
-    * SHOW VIEWS dim_behind. */
-  def stampedDimVersion(cat: Catalog, mv: String): Option[Int] =
+  /** The per-dim versions an MV's stamp records (`dim=N1,N2,…` token,
+    * positional in the view's join order; a single-dim view stamps one
+    * version) — the versions the fold pins, which each dim's vacuum must
+    * keep readable: the engine's retention floor calls here so the stamp
+    * format has exactly one parser. Only a `cdc:<src>` stamp is
+    * consulted (mirroring the instance-side `stampValue` key filter): a
+    * future second stamp kind on MV containers must not feed its value
+    * into vacuum floors or SHOW VIEWS dim_behind. */
+  def stampedDimVersions(cat: Catalog, mv: String): Option[Seq[Int]] =
     cat.versionStamp(mv, cat.currentVersion(mv)).collect {
       case (k, v) if k.startsWith("cdc:") => v
     }.flatMap(_.trim.split("\\s+")
         .collectFirst { case s if s.startsWith("dim=") =>
-          scala.util.Try(s.stripPrefix("dim=").toInt).toOption }.flatten)
+          scala.util.Try(
+            s.stripPrefix("dim=").split(",").toSeq.map(_.toInt)).toOption
+        }.flatten)
+
+  /** First stamped dim version — the single-dim convenience callers that
+    * predate multi-dim views keep using. */
+  def stampedDimVersion(cat: Catalog, mv: String): Option[Int] =
+    stampedDimVersions(cat, mv).flatMap(_.headOption)
 
   /** The KLL quantile family: approx_median is approx_quantile at 0.5. */
   def isQuantile(fn: String): Boolean =

@@ -175,6 +175,34 @@ object AqlQueries {
         "[900007, 'xx', 'new_source'] ON docs_top")
       eng.execute("COMMIT docs_top")
       eng.execute("REFRESH VIEW mv_top")
+      // STAR-SCHEMA enrichment view: one fact, TWO independent dims
+      // (lang→family and source→tier), both group keys dim attributes.
+      // The fact commit folds through both enrichments at the per-dim
+      // stamped versions; the later dim commit (re-tiering src3) drifts
+      // ONE of the two stamps and the next refresh reseeds from all
+      // current snapshots.
+      eng.execute("CREATE CONTAINER docs_vw2 " +
+        "['doc_id','lang','source','n_chars'] [BIGINT, TEXT, TEXT, BIGINT]")
+      eng.catalog.overwrite("docs_vw2", graft.Tables.load(spark, dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars"))
+      eng.execute("CREATE CONTAINER src_tier ['source','tier'] [TEXT, TEXT]")
+      ((0 until 20).map(i => s"src$i" -> (if (i < 10) "web" else "curated"))
+        :+ ("srcx" -> "other")).foreach { case (src, tier) =>
+        eng.execute(s"CREATE ROW ['source','tier'] ['$src', '$tier'] ON src_tier")
+      }
+      eng.execute("COMMIT src_tier")
+      eng.execute("CREATE VIEW mv_join2 (SEARCH [family, tier, " +
+        "count(doc_id), sum(n_chars)] ON docs_vw2 " +
+        "JOIN langs_dim ON lang = lang JOIN src_tier ON source = source)")
+      eng.execute("EDIT ROW ['n_chars'] [60000] ON docs_vw2 WHERE doc_id = 22")
+      eng.execute("DELETE ROW ON docs_vw2 WHERE doc_id = 34")
+      eng.execute("CREATE ROW ['doc_id','lang','source','n_chars'] " +
+        "[900008, 'xx', 'srcx', 777] ON docs_vw2")
+      eng.execute("COMMIT docs_vw2")
+      eng.execute("REFRESH VIEW mv_join2") // folds the fact window
+      eng.execute("EDIT ROW ['tier'] ['curated'] ON src_tier WHERE source = 'src3'")
+      eng.execute("COMMIT src_tier")
+      eng.execute("REFRESH VIEW mv_join2") // dim2 drift → reseed
       // overlap-triage containers for SHOW OVERLAP: two doc_id subsets
       // with a known intersection, both capped below the theta sketch's
       // 2^12 exact threshold at every fixture scale (doc_id < 3000), so
@@ -1112,6 +1140,37 @@ object AqlQueries {
         |GROUP BY family
         |ORDER BY family, n_rows, count_doc_id, sum_n_chars""".stripMargin) {
       (s, dir) => search("SEARCH [] ON mv_join")(s, dir)
+    },
+
+    // Star-schema enrichment view (fact + two INDEPENDENT dims): the
+    // maintained content must equal DuckDB's re-aggregation of the post
+    // state joined to both dims' CURRENT states — the fact window folded
+    // through both stamped enrichments, then the src_tier re-tiering
+    // commit drifted one of the two per-dim stamps and the refresh
+    // reseeded from all current snapshots.
+    Q("aql_view_join_enrich2",
+      """WITH post AS (
+        |  SELECT doc_id, lang, source,
+        |         CASE WHEN doc_id = 22 THEN 60000 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id <> 34
+        |  UNION ALL SELECT 900008, 'xx', 'srcx', 777
+        |), fam(lang, family) AS (VALUES
+        |  ('en','germanic'), ('de','germanic'), ('es','romance'),
+        |  ('fr','romance'), ('zh','cjk'), ('xx','other')
+        |), tiers(source, tier) AS (VALUES
+        |  ('src0','web'), ('src1','web'), ('src2','web'), ('src3','curated'),
+        |  ('src4','web'), ('src5','web'), ('src6','web'), ('src7','web'),
+        |  ('src8','web'), ('src9','web'), ('src10','curated'),
+        |  ('src11','curated'), ('src12','curated'), ('src13','curated'),
+        |  ('src14','curated'), ('src15','curated'), ('src16','curated'),
+        |  ('src17','curated'), ('src18','curated'), ('src19','curated'),
+        |  ('srcx','other'))
+        |SELECT family, tier, count(*) AS n_rows, count(doc_id) AS count_doc_id,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+        |FROM post JOIN fam USING (lang) JOIN tiers USING (source)
+        |GROUP BY family, tier
+        |ORDER BY family, tier, n_rows, count_doc_id, sum_n_chars""".stripMargin) {
+      (s, dir) => search("SEARCH [] ON mv_join2")(s, dir)
     },
 
     // approx_distinct incremental view (HLL sketch column): the oracle is

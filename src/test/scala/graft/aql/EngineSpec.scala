@@ -1597,6 +1597,75 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq("jf", "jd", "jd2").foreach(c => eng.execute(s"DELETE CONTAINER $c"))
   }
 
+  test("45 multi-dim enrichment views: star-schema AQL lifecycle, per-dim reseed, guards") {
+    eng.execute("CREATE CONTAINER sf2 ['id','nat','src','v'] [BIGINT, BIGINT, BIGINT, BIGINT]")
+    eng.execute("CREATE CONTAINER sd1 ['nat','region'] [BIGINT, TEXT]")
+    eng.execute("CREATE CONTAINER sd2 ['src','tier'] [BIGINT, TEXT]")
+    eng.execute("CREATE ROW ['nat','region'] [1, 'EU'] ON sd1")
+    eng.execute("CREATE ROW ['nat','region'] [2, 'US'] ON sd1")
+    eng.execute("COMMIT sd1")
+    eng.execute("CREATE ROW ['src','tier'] [10, 'web'] ON sd2")
+    eng.execute("CREATE ROW ['src','tier'] [20, 'book'] ON sd2")
+    eng.execute("COMMIT sd2")
+    // nat = (id%2)+1, src = 10 or 20 by id<=2: (1,1,10) (2,2,10) (3,1,20) (4,2,20)
+    (1 to 4).foreach(i => eng.execute(
+      s"CREATE ROW ['id','nat','src','v'] [$i, ${(i % 2) + 1}, ${if (i <= 2) 10 else 20}, ${i * 10}] ON sf2"))
+    eng.execute("COMMIT sf2")
+    eng.execute("CREATE VIEW mvs (SEARCH [region, tier, sum(v)] ON sf2 " +
+      "JOIN sd1 ON nat = nat JOIN sd2 ON src = src)")
+    def rows: Map[(String, String), (Long, Long)] =
+      searchRows("SEARCH [] ON mvs").map(r =>
+        (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows == Map(("US", "web") -> (1L, 10L), ("EU", "web") -> (1L, 20L),
+      ("US", "book") -> (1L, 30L), ("EU", "book") -> (1L, 40L)))
+    // the viewdef round-trips BOTH joins; a fact window folds through both
+    eng.execute("CREATE ROW ['id','nat','src','v'] [5, 1, 20, 5] ON sf2")
+    eng.execute("COMMIT sf2")
+    eng.execute("REFRESH VIEW mvs")
+    assert(rows(("EU", "book")) == ((2L, 45L)))
+    // the stamp is positional over both dims
+    assert(graft.catalog.IncrementalView
+      .stampedDimVersions(eng.catalog, "mvs").contains(Seq(1, 1)))
+    // a SECOND-dim commit reseeds on the next refresh; dim1's stamp stays
+    eng.execute("EDIT ROW ['tier'] ['audio'] ON sd2 WHERE src = 20")
+    eng.execute("COMMIT sd2")
+    // SHOW VIEWS reports the worst dim lag BEFORE the refresh
+    val lag = searchRows("SHOW VIEWS").find(_.getString(0) == "mvs").get
+    assert(lag.getInt(5) == 1, s"expected dim_behind=1 pre-refresh, got $lag")
+    eng.execute("REFRESH VIEW mvs")
+    assert(rows == Map(("US", "web") -> (1L, 10L), ("EU", "web") -> (1L, 20L),
+      ("US", "audio") -> (1L, 30L), ("EU", "audio") -> (2L, 45L)))
+    assert(graft.catalog.IncrementalView
+      .stampedDimVersions(eng.catalog, "mvs").contains(Seq(1, 2)))
+    // a FIRST-dim commit reseeds too
+    eng.execute("EDIT ROW ['region'] ['NA'] ON sd1 WHERE nat = 2")
+    eng.execute("COMMIT sd1")
+    eng.execute("REFRESH VIEW mvs")
+    assert(rows == Map(("NA", "web") -> (1L, 10L), ("EU", "web") -> (1L, 20L),
+      ("NA", "audio") -> (1L, 30L), ("EU", "audio") -> (2L, 45L)))
+    assert(graft.catalog.IncrementalView
+      .stampedDimVersions(eng.catalog, "mvs").contains(Seq(2, 2)))
+    // vacuum floor: EACH dim's stamped version stays readable
+    eng.execute("VACUUM sd2 1")
+    assert(eng.catalog.readVersion("sd2", 2).count() == 2)
+    // guards: joining one dim twice is ambiguous; a payload collision
+    // BETWEEN dims and an ALTER creating one are clean rejects
+    val eTwice = intercept[ParseException](eng.execute(
+      "CREATE VIEW mvs2 (SEARCH [region, sum(v)] ON sf2 " +
+        "JOIN sd1 ON nat = nat JOIN sd1 ON src = nat)"))
+    assert(eTwice.getMessage.contains("joins twice"), eTwice.getMessage)
+    eng.execute("CREATE CONTAINER sd3 ['src','region'] [BIGINT, TEXT]")
+    val eXDim = intercept[ParseException](eng.execute(
+      "CREATE VIEW mvs3 (SEARCH [region, sum(v)] ON sf2 " +
+        "JOIN sd1 ON nat = nat JOIN sd3 ON src = src)"))
+    assert(eXDim.getMessage.contains("collides between"), eXDim.getMessage)
+    val eAlter = intercept[ParseException](
+      eng.execute("ALTER CONTAINER sd1 ADD COLUMN ['tier'] [TEXT]"))
+    assert(eAlter.getMessage.contains("collides across the join"), eAlter.getMessage)
+    eng.execute("DELETE VIEW mvs")
+    Seq("sf2", "sd1", "sd2", "sd3").foreach(c => eng.execute(s"DELETE CONTAINER $c"))
+  }
+
   test("43 SHOW OVERLAP: exact set algebra below sketch capacity; domain and type rejects") {
     eng.execute("CREATE CONTAINER ov_a ['id','tag'] [BIGINT, TEXT]")
     eng.execute("CREATE CONTAINER ov_b ['id','tag'] [BIGINT, TEXT]")

@@ -657,7 +657,7 @@ class IncrementalViewSpec extends AnyFunSuite {
     val view = new IncrementalView(cat, "fact", "mv", Seq("region"), Seq(
       IncrementalView.Agg("sum", "val", "sum_val"),
       IncrementalView.Agg("min", "val", "min_val")),
-      dim = Some(IncrementalView.DimJoin("dimc", "nation_id", "nation_id")))
+      dims = Seq(IncrementalView.DimJoin("dimc", "nation_id", "nation_id")))
     val tx = new Tx(cat)
     val tail = new ChangeTail(cat, "fact", dir.resolve("mv.ckpt"))
     def mvRows: Map[String, (Long, Long, Long)] =
@@ -721,7 +721,7 @@ class IncrementalViewSpec extends AnyFunSuite {
       "sum_val" -> graft.aql.AlbaType.of("BIGINT")))
     val view = new IncrementalView(cat, "fact", "mv", Seq("region"),
       Seq(IncrementalView.Agg("sum", "val", "sum_val")),
-      dim = Some(IncrementalView.DimJoin("dimc", "nation_id", "nation_id")))
+      dims = Seq(IncrementalView.DimJoin("dimc", "nation_id", "nation_id")))
     val tx = new Tx(cat)
     val tail = new ChangeTail(cat, "fact", dir.resolve("mv.ckpt"))
     def mvRows: Map[String, (Long, Long)] =
@@ -764,7 +764,7 @@ class IncrementalViewSpec extends AnyFunSuite {
       "nd_val_sk" -> graft.aql.AlbaType.of("LARGE-BYTES")))
     val view = new IncrementalView(cat, "fact", "mv", Seq("region"),
       Seq(IncrementalView.Agg("approx_distinct", "val", "nd_val")),
-      dim = Some(IncrementalView.DimJoin("dimc", "nation_id", "nation_id")))
+      dims = Seq(IncrementalView.DimJoin("dimc", "nation_id", "nation_id")))
     val tx = new Tx(cat)
     val tail = new ChangeTail(cat, "fact", dir.resolve("mv.ckpt"))
     def exact(): Map[String, Long] = {
@@ -959,6 +959,86 @@ class IncrementalViewSpec extends AnyFunSuite {
     stop = true; t2.join(30000)
   }
 
+  test("multi-dim enrichment: fact windows fold through BOTH stamped dims; either dim's commit reseeds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-2dim")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("fact", List(
+      "id" -> graft.aql.AlbaType.of("INT"),
+      "nation_id" -> graft.aql.AlbaType.of("BIGINT"),
+      "src_id" -> graft.aql.AlbaType.of("BIGINT"),
+      "val" -> graft.aql.AlbaType.of("BIGINT")))
+    cat.create("dim1", List(
+      "nation_id" -> graft.aql.AlbaType.of("BIGINT"),
+      "region" -> graft.aql.AlbaType.of("SMALL-STRING")))
+    cat.create("dim2", List(
+      "src_id" -> graft.aql.AlbaType.of("BIGINT"),
+      "tier" -> graft.aql.AlbaType.of("SMALL-STRING")))
+    cat.create("mv", List(
+      "region" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "tier" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "n_rows" -> graft.aql.AlbaType.of("BIGINT"),
+      "sum_val" -> graft.aql.AlbaType.of("BIGINT")))
+    val view = new IncrementalView(cat, "fact", "mv", Seq("region", "tier"),
+      Seq(IncrementalView.Agg("sum", "val", "sum_val")),
+      dims = Seq(
+        IncrementalView.DimJoin("dim1", "nation_id", "nation_id"),
+        IncrementalView.DimJoin("dim2", "src_id", "src_id")))
+    val tx = new Tx(cat)
+    val tail = new ChangeTail(cat, "fact", dir.resolve("mv.ckpt"))
+    def mvState: Map[(String, String), (Long, Long)] =
+      cat.read("mv").collect().map(r =>
+        (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    tx.stageInsert("dim1", Seq(
+      org.apache.spark.sql.Row(1L, "EU"), org.apache.spark.sql.Row(2L, "US")))
+    tx.commit(Some("dim1"))
+    tx.stageInsert("dim2", Seq(
+      org.apache.spark.sql.Row(10L, "web"), org.apache.spark.sql.Row(20L, "book")))
+    tx.commit(Some("dim2"))
+    tx.stageInsert("fact", Seq(
+      org.apache.spark.sql.Row(1, 1L, 10L, 5L),
+      org.apache.spark.sql.Row(2, 1L, 20L, 7L),
+      org.apache.spark.sql.Row(3, 2L, 10L, 11L),
+      org.apache.spark.sql.Row(4, 99L, 10L, 13L), // no dim1 match: drops
+      org.apache.spark.sql.Row(5, 1L, 99L, 17L))) // no dim2 match: drops
+    tx.commit(Some("fact"))
+    view.seed(tail)
+    assert(mvState == Map(("EU", "web") -> (1L, 5L), ("EU", "book") -> (1L, 7L),
+      ("US", "web") -> (1L, 11L)))
+    // the stamp records BOTH dim versions positionally
+    assert(IncrementalView.stampedDimVersions(cat, "mv").contains(Seq(1, 1)))
+
+    // a fact window folds through BOTH enrichments (no reseed needed)
+    tx.stageInsert("fact", Seq(org.apache.spark.sql.Row(6, 2L, 20L, 19L)))
+    tx.commit(Some("fact"))
+    assert(view.refreshOnce(tail) == 1)
+    assert(mvState(("US", "book")) == ((1L, 19L)))
+
+    // dim2 commit (re-tier 20 book→audio): next refresh RESEEDS — groups
+    // keyed by the old tier can't be rewritten by any delta
+    tx.stageEdit("dim2", col("src_id") === 20L, Seq("tier" -> "audio"))
+    tx.commit(Some("dim2"))
+    assert(view.refreshOnce(tail) >= 1)
+    assert(mvState == Map(("EU", "web") -> (1L, 5L), ("EU", "audio") -> (1L, 7L),
+      ("US", "web") -> (1L, 11L), ("US", "audio") -> (1L, 19L)))
+    assert(IncrementalView.stampedDimVersions(cat, "mv").contains(Seq(1, 2)))
+
+    // dim1 commit reseeds too (the OTHER position drifts)
+    tx.stageEdit("dim1", col("nation_id") === 2L, Seq("region" -> "NA"))
+    tx.commit(Some("dim1"))
+    assert(view.refreshOnce(tail) >= 1)
+    assert(mvState == Map(("EU", "web") -> (1L, 5L), ("EU", "audio") -> (1L, 7L),
+      ("NA", "web") -> (1L, 11L), ("NA", "audio") -> (1L, 19L)))
+    assert(IncrementalView.stampedDimVersions(cat, "mv").contains(Seq(2, 2)))
+
+    // and fact windows keep folding after the reseeds
+    tx.stageDelete("fact", Some(col("id") === 3))
+    tx.commit(Some("fact"))
+    assert(view.refreshOnce(tail) == 1)
+    assert(mvState == Map(("EU", "web") -> (1L, 5L), ("EU", "audio") -> (1L, 7L),
+      ("NA", "audio") -> (1L, 19L)))
+    assert(view.refreshOnce(tail) == 0)
+  }
+
   test("maintain(): a dim commit mid-maintain reseeds the enrichment view without a manual REFRESH") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mv-dimloop")
     val cat = new Catalog(spark, dir.toString)
@@ -975,7 +1055,7 @@ class IncrementalViewSpec extends AnyFunSuite {
       "sum_val" -> graft.aql.AlbaType.of("BIGINT")))
     val view = new IncrementalView(cat, "fact", "mv", Seq("region"),
       Seq(IncrementalView.Agg("sum", "val", "sum_val")),
-      dim = Some(IncrementalView.DimJoin("dimc", "nation_id", "nation_id")))
+      dims = Seq(IncrementalView.DimJoin("dimc", "nation_id", "nation_id")))
     val tx = new Tx(cat)
     val tail = new ChangeTail(cat, "fact", dir.resolve("mv.ckpt"))
     def mvState: Map[String, (Long, Long)] =
