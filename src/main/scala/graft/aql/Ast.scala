@@ -237,6 +237,16 @@ object Ast {
       exprs: List[ExprProj] = Nil, fns: List[FnProj] = Nil,
       wins: List[WinProj] = Nil) extends Stmt
 
+  /** graft extension: `(SEARCH …) EXCEPT/INTERSECT [ALL] (SEARCH …)` —
+    * the set-operation combinators the reference lacks (its only
+    * multi-source form is SEARCH's union, `src/query.rs:86-108`).
+    * `op` ∈ except | intersect; `all` keeps multiset duplicates (SQL
+    * EXCEPT ALL / INTERSECT ALL bag semantics). Both sides must agree
+    * on schema exactly — the quirk-Q8 stance SEARCH's union already
+    * takes (mismatch is an error, never a silent drop or cast). */
+  final case class SetOp(op: String, all: Boolean,
+      left: Search, right: Search) extends Stmt
+
   /** One window-function projection item (graft extension):
     * `rank(col [DESC]) PER [keys…]` — rank/dense_rank/row_number over a
     * per-`keys` partition ordered by `col` (`PER []` = one global
@@ -968,6 +978,29 @@ object Parser {
 
     case Keyword("DELETE") :: Keyword("CONTAINER") :: nameTok :: Nil =>
       DeleteContainer(name(nameTok))
+
+    // (SEARCH …) EXCEPT/INTERSECT [ALL] (SEARCH …) (graft extension):
+    // set-operation combinators between two full SEARCHes — the
+    // multi-source completion of L4 (the reference's only combinator is
+    // SEARCH's union). EXCEPT/INTERSECT/ALL are not reserved words
+    // (like STATS/TAILS/OVERLAP), so identifiers keep lexing freely.
+    case (l: SubCommand) :: Str(opW) :: rest
+        if opW.equalsIgnoreCase("EXCEPT") || opW.equalsIgnoreCase("INTERSECT") =>
+      val op = opW.toLowerCase
+      val (all, rTok) = rest match {
+        case Str(a) :: (r: SubCommand) :: Nil if a.equalsIgnoreCase("ALL") =>
+          (true, r)
+        case (r: SubCommand) :: Nil => (false, r)
+        case _ => throw new ParseException(
+          s"Expected `(SEARCH …) ${op.toUpperCase} [ALL] (SEARCH …)`")
+      }
+      def side(sc: SubCommand, which: String): Search =
+        fromTokens(sc.items) match {
+          case s: Search => s
+          case other => throw new ParseException(
+            s"$which side of ${op.toUpperCase} must be a SEARCH, got $other")
+        }
+      SetOp(op, all, side(l, "left"), side(rTok, "right"))
 
     // SEARCH DISTINCT [cols] … (graft extension): dedupe the output rows.
     // Parsed by delegation so every later clause (AT VERSION, WHERE,

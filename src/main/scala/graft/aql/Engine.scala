@@ -315,6 +315,27 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       resultSet(lowerSearch(s),
         needsDefaultSort = s.orderBy.isEmpty && s.limit.isEmpty)
 
+    case Ast.SetOp(op, all, l, r) =>
+      val (ld, rd) = (lowerSearch(l), lowerSearch(r))
+      // strict schema agreement, the quirk-Q8 stance SEARCH's union
+      // takes: positional set ops over mismatched columns are a silent
+      // wrong answer, never an implicit cast
+      val schemas = Seq(ld, rd).map(_.schema.map(f => (f.name, f.dataType)))
+      if (schemas.distinct.length != 1)
+        throw new ParseException(
+          s"${op.toUpperCase} over mismatched schemas: " +
+            schemas.distinct.mkString(" vs "))
+      // Spark lowers these to aggregate + left-anti/left-semi joins —
+      // one shuffle on the full row, the same scale shape as DISTINCT
+      val df = (op, all) match {
+        case ("except", false) => ld.except(rd)
+        case ("except", true) => ld.exceptAll(rd)
+        case ("intersect", false) => ld.intersect(rd)
+        case ("intersect", true) => ld.intersectAll(rd)
+        case _ => throw new ParseException(s"unknown set operation '$op'")
+      }
+      resultSet(df, needsDefaultSort = true)
+
     case Ast.Explain(q, analyze) =>
       val df = q match {
         case s: Ast.Search => lowerSearch(s)

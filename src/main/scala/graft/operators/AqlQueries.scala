@@ -400,6 +400,28 @@ object AqlQueries {
         "SEARCH [doc_id, n_chars] ON documents WHERE n_chars > 300 AND lang = 'en'")(s, dir)
     },
 
+    // set-operation combinators between two SEARCHes (graft extension —
+    // the reference's only multi-source form is SEARCH's union): EXCEPT
+    // dedupes to set semantics like SQL, INTERSECT ALL keeps the
+    // per-value multiset minimum. Both lower to the already-oracled
+    // Analytics set-op shapes (one full-row shuffle, like DISTINCT).
+    Q("aql_search_except",
+      """SELECT lang FROM documents WHERE n_chars >= 300
+        |EXCEPT SELECT lang FROM documents WHERE source = 'src0'
+        |ORDER BY lang""".stripMargin) {
+      (s, dir) => search(
+        "(SEARCH [lang] ON documents WHERE n_chars >= 300) EXCEPT " +
+          "(SEARCH [lang] ON documents WHERE source = 'src0')")(s, dir)
+    },
+    Q("aql_search_intersect",
+      """SELECT lang FROM documents WHERE n_chars >= 300
+        |INTERSECT ALL SELECT lang FROM documents WHERE n_chars <= 800
+        |ORDER BY lang""".stripMargin) {
+      (s, dir) => search(
+        "(SEARCH [lang] ON documents WHERE n_chars >= 300) INTERSECT ALL " +
+          "(SEARCH [lang] ON documents WHERE n_chars <= 800)")(s, dir)
+    },
+
     // the three string-match operators through AQL
     Q("aql_search_contains",
       """SELECT doc_id, lang FROM documents

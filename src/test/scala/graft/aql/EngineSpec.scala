@@ -1597,6 +1597,38 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq("jf", "jd", "jd2").foreach(c => eng.execute(s"DELETE CONTAINER $c"))
   }
 
+  test("46 set operations: EXCEPT/INTERSECT [ALL] between SEARCHes; strict schema agreement") {
+    eng.execute("CREATE CONTAINER seta ['k','v'] [BIGINT, TEXT]")
+    eng.execute("CREATE CONTAINER setb ['k','v'] [BIGINT, TEXT]")
+    // a: (1,x) (1,x) (2,y) (3,z); b: (1,x) (3,z) (3,z) (4,w)
+    Seq((1, "x"), (1, "x"), (2, "y"), (3, "z")).foreach { case (k, v) =>
+      eng.execute(s"CREATE ROW ['k','v'] [$k, '$v'] ON seta") }
+    Seq((1, "x"), (3, "z"), (3, "z"), (4, "w")).foreach { case (k, v) =>
+      eng.execute(s"CREATE ROW ['k','v'] [$k, '$v'] ON setb") }
+    eng.execute("COMMIT seta")
+    eng.execute("COMMIT setb")
+    def rows(aql: String): Seq[(Long, String)] =
+      searchRows(aql).map(r => (r.getLong(0), r.getString(1)))
+    // set semantics dedupe; ALL keeps multiset counts
+    assert(rows("(SEARCH [] ON seta) EXCEPT (SEARCH [] ON setb)")
+      == Seq((2L, "y")))
+    assert(rows("(SEARCH [] ON seta) EXCEPT ALL (SEARCH [] ON setb)")
+      .sorted == Seq((1L, "x"), (2L, "y")))
+    assert(rows("(SEARCH [] ON seta) INTERSECT (SEARCH [] ON setb)")
+      .sorted == Seq((1L, "x"), (3L, "z")))
+    assert(rows("(SEARCH [] ON setb) INTERSECT ALL (SEARCH [] ON setb)")
+      .sorted == Seq((1L, "x"), (3L, "z"), (3L, "z"), (4L, "w")).sorted)
+    // sides compose with full SEARCH clauses (WHERE, projection)
+    assert(rows("(SEARCH [k, v] ON seta WHERE k >= 2) EXCEPT " +
+      "(SEARCH [k, v] ON setb WHERE v = 'z')") == Seq((2L, "y")))
+    // strict schema agreement (quirk-Q8 stance): mismatched columns or
+    // types are an error, never a positional silent answer
+    val eCols = intercept[ParseException](eng.execute(
+      "(SEARCH [k] ON seta) EXCEPT (SEARCH [v] ON setb)"))
+    assert(eCols.getMessage.contains("mismatched schemas"), eCols.getMessage)
+    Seq("seta", "setb").foreach(c => eng.execute(s"DELETE CONTAINER $c"))
+  }
+
   test("45 multi-dim enrichment views: star-schema AQL lifecycle, per-dim reseed, guards") {
     eng.execute("CREATE CONTAINER sf2 ['id','nat','src','v'] [BIGINT, BIGINT, BIGINT, BIGINT]")
     eng.execute("CREATE CONTAINER sd1 ['nat','region'] [BIGINT, TEXT]")

@@ -449,4 +449,23 @@ class ParserSpec extends AnyFunSuite {
     intercept[ParseException](                                          // non-source subquery
       Parser.parse("SHOW OVERLAP (COMMIT x) b ON c"))
   }
+
+  test("set operations: (SEARCH) EXCEPT/INTERSECT [ALL] (SEARCH)") {
+    val l = Search(List(Container.Real("a")), List("x"), None)
+    val r = Search(List(Container.Real("b")), List("x"), None)
+    assert(Parser.parse("(SEARCH [x] ON a) EXCEPT (SEARCH [x] ON b)")
+      == SetOp("except", all = false, l, r))
+    assert(Parser.parse("(SEARCH [x] ON a) INTERSECT ALL (SEARCH [x] ON b)")
+      == SetOp("intersect", all = true, l, r))
+    assert(Parser.parse("(SEARCH [x] ON a) except all (SEARCH [x] ON b)")
+      == SetOp("except", all = true, l, r), "operators are case-insensitive")
+    // both sides must be SEARCH subqueries, and nothing may trail
+    intercept[ParseException](
+      Parser.parse("(SEARCH [x] ON a) EXCEPT (CHANGES b 1)"))
+    intercept[ParseException](
+      Parser.parse("(CHANGES b 1) INTERSECT (SEARCH [x] ON a)"))
+    intercept[ParseException](
+      Parser.parse("(SEARCH [x] ON a) EXCEPT (SEARCH [x] ON b) LIMIT 3"))
+    intercept[ParseException](Parser.parse("(SEARCH [x] ON a) EXCEPT"))
+  }
 }
