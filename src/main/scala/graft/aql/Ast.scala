@@ -133,9 +133,15 @@ object Ast {
     * of the corpus-overlap triage lane: each side reduces map-side to
     * one KB-scale sketch, so the answer costs two scans and no
     * data-sized exchange at any corpus size. Exact while each side's
-    * distincts fit the sketch (theta = 1.0, ≤ 2^12 by default). */
+    * distincts fit the sketch (theta = 1.0, ≤ 2^12 by default).
+    *
+    * `BY gcol` (grouped form): one sketch PAIR per group value instead
+    * of one global pair — the per-source overlap MATRIX triage
+    * (t_overlap_theta's shape) from AQL. Still KB per group across the
+    * exchange (partial sketch agg), full-outer on the group key so a
+    * group present on only one side reports its exclusive counts. */
   final case class ShowOverlap(a: Container, b: Container,
-      column: String) extends Stmt
+      column: String, by: Option[String] = None) extends Stmt
   /** graft extensions: corpus interchange. EXPORT writes the container's
     * session view to a NEW directory in the given format (errors if the
     * path exists — never silently overwrites); IMPORT reads files under
@@ -942,10 +948,16 @@ object Parser {
     // SHOW OVERLAP a b ON col (graft extension) — OVERLAP is not
     // reserved, like STATS/TAILS; each side is a container name or any
     // SEARCH-source subquery, resolved exactly like a SEARCH source
-    case Keyword("SHOW") :: Str(w) :: aTok :: bTok :: Keyword("ON") :: colTok :: Nil
+    case Keyword("SHOW") :: Str(w) :: aTok :: bTok :: Keyword("ON") :: colTok :: rest
         if w.equalsIgnoreCase("OVERLAP") =>
+      val by = rest match {
+        case Nil => None
+        case Keyword("BY") :: gTok :: Nil => Some(name(gTok))
+        case _ => throw new ParseException(
+          "Expected `SHOW OVERLAP a b ON col [BY gcol]`")
+      }
       ShowOverlap(sourceContainer(aTok, "SHOW OVERLAP subquery"),
-        sourceContainer(bTok, "SHOW OVERLAP subquery"), name(colTok))
+        sourceContainer(bTok, "SHOW OVERLAP subquery"), name(colTok), by)
 
     // RESTORE CONTAINER c TO VERSION n (graft extension)
     case Keyword("RESTORE") :: Keyword("CONTAINER") :: nameTok :: rest =>

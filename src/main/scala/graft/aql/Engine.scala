@@ -728,7 +728,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
             v.map(x => Int.box(math.max(0, cur - x))).orNull)
         }, nullable = true), needsDefaultSort = true)
 
-    case Ast.ShowOverlap(a, b, cn) =>
+    case Ast.ShowOverlap(a, b, cn, byOpt) =>
       // theta-sketch corpus-overlap triage from the query language (the
       // Spark-API t_overlap_theta lane): each side's scan reduces
       // map-side to ONE KB-scale sketch, the set algebra runs on the
@@ -759,32 +759,64 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
             s"SHOW OVERLAP over '$canon' on '${label(cont)}' — theta " +
               s"sketches hash INT/BIGINT/TEXT/BYTES only, got ${other.catalogString}")
         }
-        (df, canon, fam)
+        // grouped form: resolve BY on both sides; group TYPES must agree
+        // exactly or the full-outer join key comparison is ill-typed
+        val gCanon = byOpt.map(g => df.columns.find(_.equalsIgnoreCase(g))
+          .getOrElse(throw new ParseException(
+            s"SHOW OVERLAP BY: unknown column '$g' on '${label(cont)}'")))
+        (df, canon, fam, gCanon)
       }
-      val Seq((dfA, colA, famA), (dfB, colB, famB)) = sides
+      val Seq((dfA, colA, famA, gAOpt), (dfB, colB, famB, gBOpt)) = sides
       if (famA != famB)
         throw new ParseException(
           s"SHOW OVERLAP: '$cn' is $famA on '${label(a)}' but " +
             s"$famB on '${label(b)}' — the hash domains never collide")
+      for (gA <- gAOpt; gB <- gBOpt)
+        if (dfA.schema(gA).dataType != dfB.schema(gB).dataType)
+          throw new ParseException(
+            s"SHOW OVERLAP BY: '$gA' is ${dfA.schema(gA).dataType.catalogString} " +
+              s"on '${label(a)}' but ${dfB.schema(gB).dataType.catalogString} " +
+              s"on '${label(b)}' — group types must agree")
       import graft.functions.ThetaSketch.{thetaAgg, thetaDiff, thetaEstimate,
         thetaIntersect, thetaUnion}
-      val skA = dfA.agg(thetaAgg(col(colA)).as("ska"))
-      val skB = dfB.agg(thetaAgg(col(colB)).as("skb"))
-      // an empty side aggregates to a NULL sketch: union treats it as
-      // the empty set, intersect/diff propagate NULL — coalesced to 0
+      // an empty side/group aggregates to a NULL sketch: union treats it
+      // as the empty set, intersect/diff propagate NULL — coalesced to 0
       // (overlap with nothing IS nothing)
       def est(sk: Column): Column = coalesce(thetaEstimate(sk), lit(0.0))
-      val inter = est(thetaIntersect(col("ska"), col("skb")))
-      val uni = est(thetaUnion(col("ska"), col("skb")))
-      resultSet(skA.crossJoin(skB).select(
-        lit(label(a)).as("container_a"), lit(label(b)).as("container_b"),
-        lit(colA).as("column"),
+      val inter = est(thetaIntersect(col("_ov_ska"), col("_ov_skb")))
+      val uni = est(thetaUnion(col("_ov_ska"), col("_ov_skb")))
+      def overlapCols: Seq[Column] = Seq(
         round(inter).cast("long").as("approx_intersect"),
         round(uni).cast("long").as("approx_union"),
-        round(est(thetaDiff(col("ska"), col("skb")))).cast("long").as("approx_a_only"),
-        round(est(thetaDiff(col("skb"), col("ska")))).cast("long").as("approx_b_only"),
-        when(uni > 0, inter / uni).otherwise(lit(0.0)).as("jaccard")),
-        needsDefaultSort = true)
+        round(est(thetaDiff(col("_ov_ska"), col("_ov_skb"))))
+          .cast("long").as("approx_a_only"),
+        round(est(thetaDiff(col("_ov_skb"), col("_ov_ska"))))
+          .cast("long").as("approx_b_only"),
+        when(uni > 0, inter / uni).otherwise(lit(0.0)).as("jaccard"))
+      val meta = Seq(
+        lit(label(a)).as("container_a"), lit(label(b)).as("container_b"),
+        lit(colA).as("column"))
+      val paired = (gAOpt, gBOpt) match {
+        case (Some(gA), Some(gB)) =>
+          // one KB sketch PER (side, group) across the exchange (partial
+          // theta agg), paired full-outer on the group key so a group
+          // present on only one side still reports its exclusives —
+          // never a data-sized exchange, rows ∝ group cardinality
+          val skA = dfA.groupBy(col(gA).as("_ov_g"))
+            .agg(thetaAgg(col(colA)).as("_ov_ska"))
+          val skB = dfB.groupBy(col(gB).as("_ov_g"))
+            .agg(thetaAgg(col(colB)).as("_ov_skb"))
+          skA.alias("_ova").join(skB.alias("_ovb"),
+              col("_ova._ov_g") <=> col("_ovb._ov_g"), "full_outer")
+            .select((meta :+
+              coalesce(col("_ova._ov_g"), col("_ovb._ov_g")).as(gA)) ++
+              overlapCols: _*)
+        case _ =>
+          val skA = dfA.agg(thetaAgg(col(colA)).as("_ov_ska"))
+          val skB = dfB.agg(thetaAgg(col(colB)).as("_ov_skb"))
+          skA.crossJoin(skB).select(meta ++ overlapCols: _*)
+      }
+      resultSet(paired, needsDefaultSort = true)
 
     case Ast.Commit(c) => tx.commit(c); Done("committed")
     case Ast.Rollback(c) => tx.rollback(c); Done("rolled back")

@@ -208,12 +208,14 @@ object AqlQueries {
       // 2^12 exact threshold at every fixture scale (doc_id < 3000), so
       // the estimates are EXACT and the oracle row hash-compares
       val ovIds = graft.Tables.load(spark, dir, "documents")
-        .select("doc_id", "n_chars")
+        .select("doc_id", "lang", "n_chars")
         .filter(org.apache.spark.sql.functions.col("doc_id") < 3000)
-      eng.execute("CREATE CONTAINER docs_ov_a ['doc_id','n_chars'] [BIGINT, BIGINT]")
+      eng.execute("CREATE CONTAINER docs_ov_a ['doc_id','lang','n_chars'] " +
+        "[BIGINT, TEXT, BIGINT]")
       eng.catalog.overwrite("docs_ov_a",
         ovIds.filter(org.apache.spark.sql.functions.col("doc_id") % 3 =!= 0))
-      eng.execute("CREATE CONTAINER docs_ov_b ['doc_id','n_chars'] [BIGINT, BIGINT]")
+      eng.execute("CREATE CONTAINER docs_ov_b ['doc_id','lang','n_chars'] " +
+        "[BIGINT, TEXT, BIGINT]")
       eng.catalog.overwrite("docs_ov_b",
         ovIds.filter(org.apache.spark.sql.functions.col("doc_id") % 2 =!= 0))
       // corpus interchange: EXPORT the versioned docs_tt snapshot as
@@ -1360,6 +1362,37 @@ object AqlQueries {
     // threshold (theta = 1.0, every hash retained), so intersection /
     // union / exclusives / Jaccard are EXACT and the row hash-compares
     // against DuckDB's set algebra.
+    // grouped overlap triage: one theta-sketch PAIR per lang (the
+    // per-source overlap-matrix shape from AQL). Same exact regime as
+    // the global row (every per-lang distinct count is far below 2^12),
+    // so the estimates hash-compare against DuckDB's exact per-group
+    // set algebra.
+    Q("aql_show_overlap_by",
+      """WITH a AS (SELECT DISTINCT lang, doc_id FROM documents
+        |           WHERE doc_id < 3000 AND doc_id % 3 <> 0),
+        |     b AS (SELECT DISTINCT lang, doc_id FROM documents
+        |           WHERE doc_id < 3000 AND doc_id % 2 <> 0),
+        |     u AS (SELECT lang, doc_id, max(ina) AS ina, max(inb) AS inb
+        |           FROM (SELECT lang, doc_id, 1 AS ina, 0 AS inb FROM a
+        |                 UNION ALL
+        |                 SELECT lang, doc_id, 0, 1 FROM b) q
+        |           GROUP BY lang, doc_id)
+        |SELECT 'docs_ov_a' AS container_a, 'docs_ov_b' AS container_b,
+        |       'doc_id' AS "column", lang,
+        |       CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS approx_intersect,
+        |       count(*) AS approx_union,
+        |       CAST(sum(CASE WHEN ina = 1 AND inb = 0 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS approx_a_only,
+        |       CAST(sum(CASE WHEN ina = 0 AND inb = 1 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS approx_b_only,
+        |       CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)
+        |            AS DOUBLE) / count(*) AS jaccard
+        |FROM u GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, dir) => search(
+        "SHOW OVERLAP docs_ov_a docs_ov_b ON doc_id BY lang")(s, dir)
+    },
+
     Q("aql_show_overlap",
       """WITH a AS (SELECT DISTINCT doc_id FROM documents
         |           WHERE doc_id < 3000 AND doc_id % 3 <> 0),

@@ -1698,6 +1698,40 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq("sf2", "sd1", "sd2", "sd3").foreach(c => eng.execute(s"DELETE CONTAINER $c"))
   }
 
+  test("43b SHOW OVERLAP BY: per-group sketch pairs, one-sided groups, type rejects") {
+    eng.execute("CREATE CONTAINER gov_a ['id','grp'] [BIGINT, TEXT]")
+    eng.execute("CREATE CONTAINER gov_b ['id','grp'] [BIGINT, TEXT]")
+    // a: x←{1,2,3}, y←{1,2}; b: x←{2,3,4}, z←{7}
+    Seq(1 -> "x", 2 -> "x", 3 -> "x", 1 -> "y", 2 -> "y").foreach { case (i, g) =>
+      eng.execute(s"CREATE ROW ['id','grp'] [$i, '$g'] ON gov_a") }
+    Seq(2 -> "x", 3 -> "x", 4 -> "x", 7 -> "z").foreach { case (i, g) =>
+      eng.execute(s"CREATE ROW ['id','grp'] [$i, '$g'] ON gov_b") }
+    val rows = searchRows("SHOW OVERLAP gov_a gov_b ON id BY grp")
+      .map(r => r.getString(3) ->
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getDouble(8)))
+      .toMap
+    assert(rows("x") == ((2L, 4L, 1L, 1L, 0.5)))
+    // one-sided groups still report: overlap with an absent side is 0
+    assert(rows("y") == ((0L, 2L, 2L, 0L, 0.0)))
+    assert(rows("z") == ((0L, 1L, 0L, 1L, 0.0)))
+    assert(rows.keySet == Set("x", "y", "z"))
+    // metadata columns keep the ungrouped shape
+    val head = searchRows("SHOW OVERLAP gov_a gov_b ON id BY grp").head
+    assert((head.getString(0), head.getString(1), head.getString(2)) ==
+      (("gov_a", "gov_b", "id")))
+    // group TYPES must agree across the sides — clean reject
+    eng.execute("CREATE CONTAINER gov_t ['id','grp'] [BIGINT, BIGINT]")
+    val eg = intercept[ParseException](
+      eng.execute("SHOW OVERLAP gov_a gov_t ON id BY grp"))
+    assert(eg.getMessage.contains("group types must agree"), eg.getMessage)
+    // unknown BY column is named with its container
+    val eu = intercept[ParseException](
+      eng.execute("SHOW OVERLAP gov_a gov_b ON id BY nope"))
+    assert(eu.getMessage.contains("unknown column"), eu.getMessage)
+    Seq("gov_a", "gov_b", "gov_t").foreach(c =>
+      eng.execute(s"DELETE CONTAINER $c"))
+  }
+
   test("43 SHOW OVERLAP: exact set algebra below sketch capacity; domain and type rejects") {
     eng.execute("CREATE CONTAINER ov_a ['id','tag'] [BIGINT, TEXT]")
     eng.execute("CREATE CONTAINER ov_b ['id','tag'] [BIGINT, TEXT]")

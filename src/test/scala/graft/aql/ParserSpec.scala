@@ -443,9 +443,16 @@ class ParserSpec extends AnyFunSuite {
       .asInstanceOf[ShowOverlap]
     assert(v.a.isInstanceOf[Container.Virtual] && v.b == Container.Real("docs"))
     assert(v.a.asInstanceOf[Container.Virtual].query.atVersion.contains(1))
+    // BY gcol: the grouped (overlap-matrix) form
+    val g = Parser.parse("SHOW OVERLAP train bench ON gram BY source")
+      .asInstanceOf[ShowOverlap]
+    assert(g.column == "gram" && g.by.contains("source"))
+    assert(o.by.isEmpty, "the ungrouped form carries no BY column")
     intercept[ParseException](Parser.parse("SHOW OVERLAP a ON c"))     // one container
     intercept[ParseException](Parser.parse("SHOW OVERLAP a b c"))      // missing ON
     intercept[ParseException](Parser.parse("SHOW OVERLAP a b ON"))     // missing col
+    intercept[ParseException](Parser.parse("SHOW OVERLAP a b ON c BY"))   // missing gcol
+    intercept[ParseException](Parser.parse("SHOW OVERLAP a b ON c BY g h")) // trailing
     intercept[ParseException](                                          // non-source subquery
       Parser.parse("SHOW OVERLAP (COMMIT x) b ON c"))
   }

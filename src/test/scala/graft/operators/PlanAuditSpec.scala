@@ -127,6 +127,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no map-side sketch combine before the exchange:\n$p")
   }
 
+  test("SHOW OVERLAP BY: per-group sketches still partial-aggregate before the exchange") {
+    // grouped form: KB per (side, group) crosses the exchange — partial
+    // sketch agg on both scan subtrees, paired by a group-key join of
+    // group-cardinality-sized sides (never a data-sized exchange)
+    val df = SparkEntry.queries("aql_show_overlap_by")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString()
+    val objAggs = "ObjectHashAggregate".r.findAllIn(p).length
+    assert(objAggs >= 4, s"expected partial+final sketch aggregates on both sides:\n$p")
+    assert(p.contains("partial_theta_sketch_agg"),
+      s"no map-side sketch combine before the exchange:\n$p")
+  }
+
   test("aggregation stays inside whole-stage codegen") {
     val df = SparkEntry.queries("x_agg_pricing_summary")(spark, dir)
     val p = df.queryExecution.explainString(
