@@ -181,11 +181,13 @@ object Ast {
     */
   final case class AggProj(fn: String, column: String, distinct: Boolean = false,
       expr: Option[Operand] = None,
-      /** `approx_quantile(col q)`'s literal rank — the one aggregate
-        * taking a literal argument (space-separated, like scalar-fn
-        * literal args). Not folded into the output name (stable
-        * oracle-visible `approx_quantile_col`, same convention as
-        * `round(col 2)` → `round_col`). */
+      /** `approx_quantile(col q)`'s literal rank — an aggregate taking a
+        * literal argument (space-separated, like scalar-fn literal
+        * args). The rank IS folded into the output name
+        * (`approx_quantile_col_p90`, rendered from the decimal string —
+        * see Engine.aggOutName): p50 and p99 of one column must coexist
+        * past the duplicate-output guard, which a rank-blind name would
+        * false-positive. */
       qarg: Option[Double] = None,
       /** `approx_top_k(col k)`'s literal item count — same literal-arg
         * convention (IntLit, not folded into the output name). */

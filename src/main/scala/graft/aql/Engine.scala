@@ -457,10 +457,14 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           List(a.out -> AlbaType.of("FLOAT")) ++
             (if (graft.catalog.IncrementalView.ownsKllSketch(aggs, a))
               List(s"${a.out}_sk" -> AlbaType.of("LARGE-BYTES")) else Nil)
-        // approx_top_k → TEXT rendering + its frequent-items sketch
+        // approx_top_k → TEXT rendering; the frequent-items sketch serves
+        // ANY k (k only truncates the rendering), so k's of one column
+        // share the FIRST such aggregate's `_sk` (ownsFreqSketch — the
+        // same rule the fold follows), mirroring the KLL rank share
         else if (a.fn == "approx_top_k")
-          List(a.out -> AlbaType.of("TEXT"),
-            s"${a.out}_sk" -> AlbaType.of("LARGE-BYTES"))
+          List(a.out -> AlbaType.of("TEXT")) ++
+            (if (graft.catalog.IncrementalView.ownsFreqSketch(aggs, a))
+              List(s"${a.out}_sk" -> AlbaType.of("LARGE-BYTES")) else Nil)
         // avg → FLOAT output plus its foldable sum/cnt companions (the
         // decomposition that keeps avg exact under deletes)
         else if (a.fn == "avg")
@@ -1014,20 +1018,22 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
   }
 
   /** Generated output name for an aggregate projection item. The rank is
-    * part of an approx_quantile's name (`approx_quantile_x_p90`) so two
-    * ranks over one column coexist in a SEARCH or a view — asking for
-    * p50+p99 of one column is the canonical use of the feature, and a
-    * rank-blind name would false-positive the duplicate-output guard.
-    * Rendered via the decimal STRING (never the double: 0.9*100 is
-    * 90.00000000000001 in fp). */
+    * part of an approx_quantile's name (`approx_quantile_x_p90`) and the
+    * item count part of an approx_top_k's (`approx_top_k_x_k3`) so two
+    * ranks/k's over one column coexist in a SEARCH or a view — asking
+    * for p50+p99 (or top-3+top-10) of one column is the canonical use,
+    * and a blind name would false-positive the duplicate-output guard.
+    * The rank renders via the decimal STRING (never the double: 0.9*100
+    * is 90.00000000000001 in fp). */
   private def aggOutName(a: Ast.AggProj): String = {
     val base = s"${a.fn}_${a.column.toLowerCase}"
-    if (a.fn != "approx_quantile") base
-    else {
+    if (a.fn == "approx_quantile") {
       val pct = (BigDecimal(a.qarg.get.toString) * 100).underlying
         .stripTrailingZeros.toPlainString.replace(".", "_")
       s"${base}_p$pct"
     }
+    else if (a.fn == "approx_top_k") s"${base}_k${a.karg.get}"
+    else base
   }
 
   /** Validate a view definition down to the incrementally maintainable
@@ -1158,8 +1164,9 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     // an agg out) would create a container with duplicate columns that
     // fails only at seed time — reject upfront
     val outNames = keys ++ Seq("n_rows") ++ aggs.map(_.out) ++
-      aggs.filter(a => Set("approx_distinct", "approx_top_k")(a.fn) ||
-          graft.catalog.IncrementalView.ownsKllSketch(aggs, a))
+      aggs.filter(a => a.fn == "approx_distinct" ||
+          graft.catalog.IncrementalView.ownsKllSketch(aggs, a) ||
+          graft.catalog.IncrementalView.ownsFreqSketch(aggs, a))
         .map(a => s"${a.out}_sk") ++
       aggs.filter(_.fn == "avg")
         .flatMap(a => Seq(s"${a.out}_sum", s"${a.out}_cnt"))

@@ -95,7 +95,15 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
   private def isKllOwner(a: Agg): Boolean =
     IncrementalView.ownsKllSketch(aggs, a)
   private def kllSkCol(a: Agg): String = sketchCol(kllOwner(a).out)
+  // ONE frequent-items sketch per source column serves EVERY k (k only
+  // truncates the rendering), mirroring the KLL rank share: two k's over
+  // one column persist and fold the FIRST such aggregate's `_sk` only.
   private val topkAggs = aggs.filter(_.fn == "approx_top_k")
+  /** The agg whose `_sk` column holds this top-k agg's sketch. */
+  private def freqOwner(a: Agg): Agg = topkAggs.find(_.col == a.col).get
+  private def isFreqOwner(a: Agg): Boolean =
+    IncrementalView.ownsFreqSketch(aggs, a)
+  private def freqSkCol(a: Agg): String = sketchCol(freqOwner(a).out)
 
   /** avg is fully delta-invertible once decomposed: the MV persists
     * `<out>_sum` and `<out>_cnt` companions (sum and non-NULL count fold
@@ -149,6 +157,8 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
         if (have(f.name)) col(f.name)
         else quantileAggs.find(a => !isKllOwner(a) && sketchCol(a.out) == f.name)
           .map(a => col(kllSkCol(a)))
+          .orElse(topkAggs.find(a => !isFreqOwner(a) && sketchCol(a.out) == f.name)
+            .map(a => col(freqSkCol(a))))
           .getOrElse(col(f.name)) // unresolved → the same clear error
       src.cast(f.dataType).as(f.name)
     }.toSeq: _*)
@@ -176,8 +186,10 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
         case "approx_median" | "approx_quantile" if isKllOwner(a) =>
           Seq(graft.functions.KllSketch.kllAgg(c).as(sketchCol(a.out)))
         case "approx_median" | "approx_quantile" => Nil
-        case "approx_top_k" =>
+        // one frequent-items sketch per column — shared by every k
+        case "approx_top_k" if isFreqOwner(a) =>
           Seq(graft.functions.FreqSketch.freqAgg(c).as(sketchCol(a.out)))
+        case "approx_top_k" => Nil
       }
     }
     val g = filtered(snapshot).groupBy(keys.map(col): _*)
@@ -193,9 +205,10 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
     // unlike the HLL's count-of-nothing 0)
     val withMed = quantileAggs.foldLeft(withNd)((df, a) => df.withColumn(a.out,
       graft.functions.KllSketch.kllQuantile(col(kllSkCol(a)), rankOf(a))))
-    // frequent-items rendering: all-NULL group → NULL sketch → NULL text
+    // frequent-items rendering from the column's shared (owner) sketch:
+    // all-NULL group → NULL sketch → NULL text
     val withTop = topkAggs.foldLeft(withMed)((df, a) => df.withColumn(a.out,
-      graft.functions.FreqSketch.renderTopK(col(sketchCol(a.out)), a.k.get)))
+      graft.functions.FreqSketch.renderTopK(col(freqSkCol(a)), a.k.get)))
     aggs.filter(_.fn == "avg").foldLeft(withTop)((df, a) => df.withColumn(a.out,
       when(col(cntCol(a.out)) > 0,
         col(sumCol(a.out)).cast("double") / col(cntCol(a.out)))))
@@ -300,9 +313,11 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
           Seq(graft.functions.KllSketch
             .kllAgg(when(col("_w") === 1L, c)).as(s"d_${a.out}"))
         case "approx_median" | "approx_quantile" => Nil
-        case "approx_top_k" =>
+        // one frequent-items delta per column — shared by every k over it
+        case "approx_top_k" if isFreqOwner(a) =>
           Seq(graft.functions.FreqSketch
             .freqAgg(when(col("_w") === 1L, c)).as(s"d_${a.out}"))
+        case "approx_top_k" => Nil
       }
     }
     val inWindow = filtered(enriched(feed)).withColumn("_w", w)
@@ -346,11 +361,15 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
                 Seq(graft.functions.KllSketch.kllQuantile(u, rankOf(a)).as(o)) ++
                   (if (isKllOwner(a)) Seq(u.as(sketchCol(o))) else Nil)
               // frequent-items union (NULL-tolerant like KLL's merge);
-              // re-render the visible top-k text from the merged sketch
+              // re-render the visible top-k text from the merged sketch.
+              // k's of one column share the owner's sketch: the owner
+              // emits the merged `_sk`, every k renders from its union
               case "approx_top_k" =>
-                val u = graft.functions.FreqSketch.freqMerge(cur(sketchCol(o)), delta(d))
-                Seq(graft.functions.FreqSketch.renderTopK(u, a.k.get).as(o),
-                  u.as(sketchCol(o)))
+                val owner = freqOwner(a)
+                val u = graft.functions.FreqSketch.freqMerge(
+                  cur(freqSkCol(a)), delta(s"d_${owner.out}"))
+                Seq(graft.functions.FreqSketch.renderTopK(u, a.k.get).as(o)) ++
+                  (if (isFreqOwner(a)) Seq(u.as(sketchCol(o))) else Nil)
               // count, sum, and the n_rows sentinel: plain additive fold
               case _ =>
                 Seq((coalesce(cur(o), lit(0L)) + coalesce(delta(d), lit(0L))).as(o))
@@ -521,4 +540,12 @@ object IncrementalView {
   def ownsKllSketch(aggs: Seq[Agg], a: Agg): Boolean =
     isQuantile(a.fn) && aggs.find(x => isQuantile(x.fn) && x.col == a.col)
       .contains(a)
+
+  /** Whether this approx_top_k agg OWNS its column's persisted `_sk`
+    * frequent-items sketch (the first such agg over each column does;
+    * later k's render truncations of it) — the KLL share rule applied to
+    * the top-k family, shared by the MV schema and the fold. */
+  def ownsFreqSketch(aggs: Seq[Agg], a: Agg): Boolean =
+    a.fn == "approx_top_k" &&
+      aggs.find(x => x.fn == "approx_top_k" && x.col == a.col).contains(a)
 }

@@ -1462,7 +1462,7 @@ object AqlQueries {
         |         row_number() OVER (PARTITION BY lang ORDER BY n DESC, item ASC) AS rk
         |  FROM counts
         |)
-        |SELECT lang, string_agg(item || ':' || n, ',' ORDER BY rk) AS approx_top_k_source
+        |SELECT lang, string_agg(item || ':' || n, ',' ORDER BY rk) AS approx_top_k_source_k3
         |FROM ranked WHERE rk <= 3
         |GROUP BY lang ORDER BY lang""".stripMargin) {
       (s, dir) => search(
@@ -1486,14 +1486,14 @@ object AqlQueries {
         |         row_number() OVER (PARTITION BY lang ORDER BY n DESC, item ASC) AS rk
         |  FROM counts
         |), tot AS (SELECT lang, count(*) AS n_rows FROM post GROUP BY lang)
-        |SELECT t.lang, t.n_rows, r.approx_top_k_source
+        |SELECT t.lang, t.n_rows, r.approx_top_k_source_k3
         |FROM tot t JOIN (
-        |  SELECT lang, string_agg(item || ':' || n, ',' ORDER BY rk) AS approx_top_k_source
+        |  SELECT lang, string_agg(item || ':' || n, ',' ORDER BY rk) AS approx_top_k_source_k3
         |  FROM ranked WHERE rk <= 3 GROUP BY lang
         |) r USING (lang)
         |ORDER BY lang""".stripMargin) {
       (s, dir) => search(
-        "SEARCH [lang, n_rows, approx_top_k_source] ON mv_top ORDER BY [lang]")(s, dir)
+        "SEARCH [lang, n_rows, approx_top_k_source_k3] ON mv_top ORDER BY [lang]")(s, dir)
     },
 
     // plain-SEARCH approx_quantile at an arbitrary literal rank (q=0.9):

@@ -1488,6 +1488,48 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     eng.execute("DELETE CONTAINER kqx")
   }
 
+  test("47 approx_top_k: two k's of one column coexist (k-qualified names) and share one view sketch") {
+    eng.execute("CREATE CONTAINER tkx ['id','g','s'] [BIGINT, TEXT, TEXT]")
+    // g=a: x×3, y×2, z×1
+    Seq("x", "x", "x", "y", "y", "z").zipWithIndex.foreach { case (v, i) =>
+      eng.execute(s"CREATE ROW ['id','g','s'] [$i, 'a', '$v'] ON tkx") }
+    eng.execute("COMMIT tkx")
+    // the k is part of the output name (approx_top_k_s_k1 / _k3), so the
+    // duplicate-output guard doesn't false-positive on top-1+top-3
+    val rs = eng.execute(
+      "SEARCH [g, approx_top_k(s 1), approx_top_k(s 3)] ON tkx")
+      .asInstanceOf[Engine.ResultSet]
+    val df = eng.orderedResult(rs.cursorId).get
+    assert(df.columns.toSeq ==
+      Seq("g", "approx_top_k_s_k1", "approx_top_k_s_k3"))
+    val row = df.collect().map(r =>
+      r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(row == Map("a" -> (("x:3", "x:3,y:2,z:1"))), s"got $row")
+    // both renderings derive from ONE sketch buffer (Catalyst dedupes
+    // the equal freq_sketch_agg children — same pin as the KLL share)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("freq_sketch_agg".r.findAllIn(plan).length == 2, // partial+final
+      s"multi-k SEARCH should build one shared sketch buffer:\n$plan")
+    // views: one persisted `_sk` for the column (the owner's), both
+    // renderings maintained from it
+    eng.execute("CREATE VIEW vtk " +
+      "(SEARCH [g, approx_top_k(s 1), approx_top_k(s 3)] ON tkx)")
+    val skCols = eng.catalog.get("vtk").columns.map(_._1).filter(_.endsWith("_sk"))
+    assert(skCols == List("approx_top_k_s_k1_sk"), s"got $skCols")
+    // a fold window unions once into the shared sketch; both re-render
+    eng.execute("CREATE ROW ['id','g','s'] [10, 'a', 'z'] ON tkx")
+    eng.execute("CREATE ROW ['id','g','s'] [11, 'a', 'z'] ON tkx")
+    eng.execute("CREATE ROW ['id','g','s'] [12, 'a', 'z'] ON tkx")
+    eng.execute("COMMIT tkx")
+    eng.execute("REFRESH VIEW vtk")
+    val vrow = searchRows(
+      "SEARCH [g, approx_top_k_s_k1, approx_top_k_s_k3] ON vtk")
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(vrow == Map("a" -> (("z:4", "z:4,x:3,y:2"))), s"got $vrow")
+    eng.execute("DELETE VIEW vtk")
+    eng.execute("DELETE CONTAINER tkx")
+  }
+
   test("41 SHOW TAILS lists registered CDC consumers with lag; TAILS stays unreserved") {
     eng.execute("CREATE CONTAINER tl ['id'] [BIGINT]")
     eng.execute("CREATE ROW ['id'] [1] ON tl"); eng.execute("COMMIT tl") // v1

@@ -507,6 +507,51 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(view.refreshOnce(tail) == 0)
   }
 
+  test("approx_top_k: two k's of one column share ONE persisted sketch (the KLL share rule)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-topk2")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("src", List(
+      "id" -> graft.aql.AlbaType.of("INT"),
+      "grp" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "item" -> graft.aql.AlbaType.of("SMALL-STRING")))
+    // the MV declares ONE _sk column — the first (owner) top-k's; the
+    // k=3 rendering derives from the same sketch (k only truncates)
+    cat.create("mv", List(
+      "grp" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "n_rows" -> graft.aql.AlbaType.of("BIGINT"),
+      "top1" -> graft.aql.AlbaType.of("TEXT"),
+      "top1_sk" -> graft.aql.AlbaType.of("LARGE-BYTES"),
+      "top3" -> graft.aql.AlbaType.of("TEXT")))
+    val view = new IncrementalView(cat, "src", "mv", Seq("grp"),
+      Seq(IncrementalView.Agg("approx_top_k", "item", "top1", Some(1)),
+        IncrementalView.Agg("approx_top_k", "item", "top3", Some(3))))
+    val tx = new Tx(cat)
+    val tail = new ChangeTail(cat, "src", dir.resolve("mv.ckpt"))
+    def mvTops: Map[String, (Option[String], Option[String])] =
+      cat.read("mv").collect().map(r => r.getString(0) ->
+        (Option(r.getString(2)), Option(r.getString(4)))).toMap
+    tx.stageInsert("src", Seq(
+      org.apache.spark.sql.Row(1, "a", "x"), org.apache.spark.sql.Row(2, "a", "x"),
+      org.apache.spark.sql.Row(3, "a", "y"), org.apache.spark.sql.Row(4, "a", "z")))
+    tx.commit(Some("src"))
+    assert(view.refreshOnce(tail) == 1)
+    assert(mvTops("a") == ((Some("x:2"), Some("x:2,y:1,z:1"))))
+    // a fold window unions ONCE into the shared sketch; both renderings
+    // re-derive from the same union (z overtakes x at k=1 AND k=3)
+    tx.stageInsert("src", Seq(
+      org.apache.spark.sql.Row(5, "a", "z"), org.apache.spark.sql.Row(6, "a", "z"),
+      org.apache.spark.sql.Row(7, "a", "z")))
+    tx.commit(Some("src"))
+    assert(view.refreshOnce(tail) == 1)
+    assert(mvTops("a") == ((Some("z:4"), Some("z:4,x:2,y:1"))))
+    // dirty recompute keeps the share: one sketch, both truncations
+    tx.stageDelete("src", Some(col("item") === "z"))
+    tx.commit(Some("src"))
+    assert(view.refreshOnce(tail) == 1)
+    assert(mvTops("a") == ((Some("x:2"), Some("x:2,y:1"))))
+    assert(view.refreshOnce(tail) == 0)
+  }
+
   test("min/max: gain-only windows fold; losing the extreme recomputes the group exactly") {
     val (cat, tx, view, tail) = fixtureMM("basic")
     tx.stageInsert("src", Seq(
