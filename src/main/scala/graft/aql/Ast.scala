@@ -1139,10 +1139,10 @@ object Parser {
         case _ => (false, rest)
       }
       fromTokens(body) match {
-        case q @ (_: Search | _: Match | _: Similar | _: Changes) =>
+        case q @ (_: Search | _: SetOp | _: Match | _: Similar | _: Changes) =>
           Explain(q, analyze)
         case other => throw new ParseException(
-          s"EXPLAIN supports SEARCH/MATCH/SIMILAR/CHANGES, got $other")
+          s"EXPLAIN supports SEARCH/SET-OP/MATCH/SIMILAR/CHANGES, got $other")
       }
 
     // VACUUM container [keepLast] (graft extension)

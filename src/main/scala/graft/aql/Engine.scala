@@ -315,30 +315,13 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       resultSet(lowerSearch(s),
         needsDefaultSort = s.orderBy.isEmpty && s.limit.isEmpty)
 
-    case Ast.SetOp(op, all, l, r) =>
-      val (ld, rd) = (lowerSearch(l), lowerSearch(r))
-      // strict schema agreement, the quirk-Q8 stance SEARCH's union
-      // takes: positional set ops over mismatched columns are a silent
-      // wrong answer, never an implicit cast
-      val schemas = Seq(ld, rd).map(_.schema.map(f => (f.name, f.dataType)))
-      if (schemas.distinct.length != 1)
-        throw new ParseException(
-          s"${op.toUpperCase} over mismatched schemas: " +
-            schemas.distinct.mkString(" vs "))
-      // Spark lowers these to aggregate + left-anti/left-semi joins —
-      // one shuffle on the full row, the same scale shape as DISTINCT
-      val df = (op, all) match {
-        case ("except", false) => ld.except(rd)
-        case ("except", true) => ld.exceptAll(rd)
-        case ("intersect", false) => ld.intersect(rd)
-        case ("intersect", true) => ld.intersectAll(rd)
-        case _ => throw new ParseException(s"unknown set operation '$op'")
-      }
-      resultSet(df, needsDefaultSort = true)
+    case so: Ast.SetOp =>
+      resultSet(lowerSetOp(so), needsDefaultSort = true)
 
     case Ast.Explain(q, analyze) =>
       val df = q match {
         case s: Ast.Search => lowerSearch(s)
+        case so: Ast.SetOp => lowerSetOp(so)
         case m: Ast.Match => matchDf(m)
         case sm: Ast.Similar => similarDf(sm)
         case ch: Ast.Changes => catalog.changes(ch.container, ch.fromVersion, ch.toVersion)
@@ -1304,6 +1287,28 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
   /** SEARCH lowering: per-container filtered/projected view, unioned by
     * name across real and virtual (subquery) containers.
     */
+  /** Lower a set-operation statement: both SEARCH sides, strict schema
+    * agreement (the quirk-Q8 stance SEARCH's union takes — positional
+    * set ops over mismatched columns are a silent wrong answer, never an
+    * implicit cast), then Spark's except/intersect[All] — aggregate +
+    * left-anti/left-semi joins, one full-row shuffle, the same scale
+    * shape as DISTINCT. */
+  private def lowerSetOp(so: Ast.SetOp): DataFrame = {
+    val (ld, rd) = (lowerSearch(so.left), lowerSearch(so.right))
+    val schemas = Seq(ld, rd).map(_.schema.map(f => (f.name, f.dataType)))
+    if (schemas.distinct.length != 1)
+      throw new ParseException(
+        s"${so.op.toUpperCase} over mismatched schemas: " +
+          schemas.distinct.mkString(" vs "))
+    (so.op, so.all) match {
+      case ("except", false) => ld.except(rd)
+      case ("except", true) => ld.exceptAll(rd)
+      case ("intersect", false) => ld.intersect(rd)
+      case ("intersect", true) => ld.intersectAll(rd)
+      case _ => throw new ParseException(s"unknown set operation '${so.op}'")
+    }
+  }
+
   def lowerSearch(s: Ast.Search): DataFrame = {
     // with aggregates, parts keep the group keys + aggregate inputs and
     // the grouping happens over the unioned result (SQL: FROM union).

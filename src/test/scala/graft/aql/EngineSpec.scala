@@ -1668,6 +1668,11 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val eCols = intercept[ParseException](eng.execute(
       "(SEARCH [k] ON seta) EXCEPT (SEARCH [v] ON setb)"))
     assert(eCols.getMessage.contains("mismatched schemas"), eCols.getMessage)
+    // EXPLAIN composes like any read statement
+    val ex = eng.execute(
+      "EXPLAIN (SEARCH [] ON seta) INTERSECT (SEARCH [] ON setb)")
+      .asInstanceOf[Engine.Done].message
+    assert(ex.contains("Physical Plan"), ex.take(200))
     Seq("seta", "setb").foreach(c => eng.execute(s"DELETE CONTAINER $c"))
   }
 
