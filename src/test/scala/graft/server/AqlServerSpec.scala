@@ -153,6 +153,27 @@ class AqlServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post("DELETE CONTAINER ovb")._1 == 200)
   }
 
+  test("round-11 statements reach the wire surface: set ops and grouped SHOW OVERLAP") {
+    assert(post("CREATE CONTAINER wsa ['id','g'] [BIGINT, TEXT]")._1 == 200)
+    assert(post("CREATE CONTAINER wsb ['id','g'] [BIGINT, TEXT]")._1 == 200)
+    Seq(1 -> "x", 2 -> "x", 3 -> "y").foreach { case (i, g) =>
+      assert(post(s"CREATE ROW ['id','g'] [$i, '$g'] ON wsa")._1 == 200) }
+    Seq(2 -> "x", 4 -> "y").foreach { case (i, g) =>
+      assert(post(s"CREATE ROW ['id','g'] [$i, '$g'] ON wsb")._1 == 200) }
+    val (sc, sb) = post("(SEARCH [] ON wsa) EXCEPT (SEARCH [] ON wsb)")
+    assert(sc == 200 && sb.contains("\"rows\":[[1,\"x\"],[3,\"y\"]]"), sb)
+    val (ic, ib) = post("(SEARCH [] ON wsa) INTERSECT ALL (SEARCH [] ON wsb)")
+    assert(ic == 200 && ib.contains("\"rows\":[[2,\"x\"]]"), ib)
+    // schema mismatch is a clean wire-level 400
+    assert(post("(SEARCH [id] ON wsa) EXCEPT (SEARCH [g] ON wsb)")._1 == 400)
+    val (gc, gb) = post("SHOW OVERLAP wsa wsb ON id BY g")
+    assert(gc == 200 && gb.contains(""""approx_intersect""""), gb)
+    // x: ∩{2} ∪{1,2}; y: ∩{} ∪{3,4}
+    assert(gb.contains("\"rows\":[[\"wsa\",\"wsb\",\"id\",\"x\",1,2,1,0,0.5],"), gb)
+    assert(post("DELETE CONTAINER wsa")._1 == 200)
+    assert(post("DELETE CONTAINER wsb")._1 == 200)
+  }
+
   test("round-7 statements reach the wire surface: ANALYZE, SHOW STATS, RESTORE") {
     assert(post("CREATE CONTAINER webs ['id','tag'] [BIGINT, SMALL-STRING]")._1 == 200)
     assert(post("CREATE ROW ['id','tag'] [1,'keep'] ON webs")._1 == 200)
