@@ -245,13 +245,15 @@ object Ast {
       exprs: List[ExprProj] = Nil, fns: List[FnProj] = Nil,
       wins: List[WinProj] = Nil) extends Stmt
 
-  /** graft extension: `(SEARCH …) EXCEPT/INTERSECT [ALL] (SEARCH …)` —
-    * the set-operation combinators the reference lacks (its only
-    * multi-source form is SEARCH's union, `src/query.rs:86-108`).
-    * `op` ∈ except | intersect; `all` keeps multiset duplicates (SQL
-    * EXCEPT ALL / INTERSECT ALL bag semantics). Both sides must agree
-    * on schema exactly — the quirk-Q8 stance SEARCH's union already
-    * takes (mismatch is an error, never a silent drop or cast). */
+  /** graft extension: `(SEARCH …) UNION/EXCEPT/INTERSECT [ALL]
+    * (SEARCH …)` — the set-operation combinators the reference lacks
+    * (its only multi-source form is SEARCH's implicit union-all over a
+    * container list, `src/query.rs:86-108` — which UNION here subsumes
+    * with SQL dedup semantics). `op` ∈ union | except | intersect;
+    * `all` keeps multiset duplicates (SQL UNION/EXCEPT/INTERSECT ALL
+    * bag semantics). Both sides must agree on schema exactly — the
+    * quirk-Q8 stance SEARCH's union already takes (mismatch is an
+    * error, never a silent drop or cast). */
   final case class SetOp(op: String, all: Boolean,
       left: Search, right: Search) extends Stmt
 
@@ -993,13 +995,15 @@ object Parser {
     case Keyword("DELETE") :: Keyword("CONTAINER") :: nameTok :: Nil =>
       DeleteContainer(name(nameTok))
 
-    // (SEARCH …) EXCEPT/INTERSECT [ALL] (SEARCH …) (graft extension):
-    // set-operation combinators between two full SEARCHes — the
-    // multi-source completion of L4 (the reference's only combinator is
-    // SEARCH's union). EXCEPT/INTERSECT/ALL are not reserved words
-    // (like STATS/TAILS/OVERLAP), so identifiers keep lexing freely.
+    // (SEARCH …) UNION/EXCEPT/INTERSECT [ALL] (SEARCH …) (graft
+    // extension): set-operation combinators between two full SEARCHes —
+    // the multi-source completion of L4 (the reference's only combinator
+    // is SEARCH's implicit union-all). UNION/EXCEPT/INTERSECT/ALL are
+    // not reserved words (like STATS/TAILS/OVERLAP), so identifiers
+    // keep lexing freely.
     case (l: SubCommand) :: Str(opW) :: rest
-        if opW.equalsIgnoreCase("EXCEPT") || opW.equalsIgnoreCase("INTERSECT") =>
+        if opW.equalsIgnoreCase("EXCEPT") || opW.equalsIgnoreCase("INTERSECT") ||
+          opW.equalsIgnoreCase("UNION") =>
       val op = opW.toLowerCase
       val (all, rTok) = rest match {
         case Str(a) :: (r: SubCommand) :: Nil if a.equalsIgnoreCase("ALL") =>

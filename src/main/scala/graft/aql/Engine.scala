@@ -1301,6 +1301,10 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         s"${so.op.toUpperCase} over mismatched schemas: " +
           schemas.distinct.mkString(" vs "))
     (so.op, so.all) match {
+      // UNION ALL is a pure concatenation (no shuffle at all); UNION
+      // dedupes with one full-row shuffle like DISTINCT
+      case ("union", false) => ld.union(rd).distinct()
+      case ("union", true) => ld.union(rd)
       case ("except", false) => ld.except(rd)
       case ("except", true) => ld.exceptAll(rd)
       case ("intersect", false) => ld.intersect(rd)

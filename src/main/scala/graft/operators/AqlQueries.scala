@@ -415,6 +415,14 @@ object AqlQueries {
         "(SEARCH [lang] ON documents WHERE n_chars >= 300) EXCEPT " +
           "(SEARCH [lang] ON documents WHERE source = 'src0')")(s, dir)
     },
+    Q("aql_search_union_setop",
+      """SELECT lang FROM documents WHERE n_chars >= 300
+        |UNION SELECT lang FROM documents WHERE source = 'src0'
+        |ORDER BY lang""".stripMargin) {
+      (s, dir) => search(
+        "(SEARCH [lang] ON documents WHERE n_chars >= 300) UNION " +
+          "(SEARCH [lang] ON documents WHERE source = 'src0')")(s, dir)
+    },
     Q("aql_search_intersect",
       """SELECT lang FROM documents WHERE n_chars >= 300
         |INTERSECT ALL SELECT lang FROM documents WHERE n_chars <= 800

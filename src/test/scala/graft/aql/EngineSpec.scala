@@ -1660,6 +1660,11 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .sorted == Seq((1L, "x"), (3L, "z")))
     assert(rows("(SEARCH [] ON setb) INTERSECT ALL (SEARCH [] ON setb)")
       .sorted == Seq((1L, "x"), (3L, "z"), (3L, "z"), (4L, "w")).sorted)
+    // UNION dedupes; UNION ALL concatenates (no shuffle at all)
+    assert(rows("(SEARCH [] ON seta) UNION (SEARCH [] ON setb)")
+      .sorted == Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, "w")).sorted)
+    assert(rows("(SEARCH [] ON seta) UNION ALL (SEARCH [] ON setb)")
+      .length == 8)
     // sides compose with full SEARCH clauses (WHERE, projection)
     assert(rows("(SEARCH [k, v] ON seta WHERE k >= 2) EXCEPT " +
       "(SEARCH [k, v] ON setb WHERE v = 'z')") == Seq((2L, "y")))

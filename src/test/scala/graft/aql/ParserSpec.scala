@@ -466,6 +466,10 @@ class ParserSpec extends AnyFunSuite {
       == SetOp("intersect", all = true, l, r))
     assert(Parser.parse("(SEARCH [x] ON a) except all (SEARCH [x] ON b)")
       == SetOp("except", all = true, l, r), "operators are case-insensitive")
+    assert(Parser.parse("(SEARCH [x] ON a) UNION (SEARCH [x] ON b)")
+      == SetOp("union", all = false, l, r))
+    assert(Parser.parse("(SEARCH [x] ON a) UNION ALL (SEARCH [x] ON b)")
+      == SetOp("union", all = true, l, r))
     // both sides must be SEARCH subqueries, and nothing may trail
     intercept[ParseException](
       Parser.parse("(SEARCH [x] ON a) EXCEPT (CHANGES b 1)"))

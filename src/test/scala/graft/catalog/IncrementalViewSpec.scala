@@ -978,6 +978,73 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(mvRows(cat) == Map("a" -> (2L, 35L), "b" -> (1L, 7L)))
   }
 
+  test("multi-dim random histories: folded MV equals re-aggregation through fact DML and dim drift") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-2dimprop")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("fact", List(
+      "id" -> graft.aql.AlbaType.of("INT"),
+      "d1" -> graft.aql.AlbaType.of("BIGINT"),
+      "d2" -> graft.aql.AlbaType.of("BIGINT"),
+      "val" -> graft.aql.AlbaType.of("BIGINT")))
+    cat.create("dim1", List(
+      "d1" -> graft.aql.AlbaType.of("BIGINT"),
+      "a1" -> graft.aql.AlbaType.of("SMALL-STRING")))
+    cat.create("dim2", List(
+      "d2" -> graft.aql.AlbaType.of("BIGINT"),
+      "a2" -> graft.aql.AlbaType.of("SMALL-STRING")))
+    cat.create("mv", List(
+      "a1" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "a2" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "n_rows" -> graft.aql.AlbaType.of("BIGINT"),
+      "sum_val" -> graft.aql.AlbaType.of("BIGINT"),
+      "min_val" -> graft.aql.AlbaType.of("BIGINT")))
+    val view = new IncrementalView(cat, "fact", "mv", Seq("a1", "a2"),
+      Seq(IncrementalView.Agg("sum", "val", "sum_val"),
+        IncrementalView.Agg("min", "val", "min_val")),
+      dims = Seq(IncrementalView.DimJoin("dim1", "d1", "d1"),
+        IncrementalView.DimJoin("dim2", "d2", "d2")))
+    val tx = new Tx(cat)
+    val tail = new ChangeTail(cat, "fact", dir.resolve("mv.ckpt"))
+    def oracle(): Map[(String, String), (Long, Long, Long)] = {
+      val f = cat.read("fact").alias("f")
+      f.join(cat.read("dim1"), Seq("d1")).join(cat.read("dim2"), Seq("d2"))
+        .groupBy(col("a1"), col("a2"))
+        .agg(count(lit(1)).as("n"), sum(col("val")).as("s"), min(col("val")).as("m"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    }
+    def folded(): Map[(String, String), (Long, Long, Long)] =
+      cat.read("mv").collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    tx.stageInsert("dim1", (1L to 3L).map(i =>
+      org.apache.spark.sql.Row(i, s"r$i")))
+    tx.commit(Some("dim1"))
+    tx.stageInsert("dim2", (1L to 3L).map(i =>
+      org.apache.spark.sql.Row(i, s"t$i")))
+    tx.commit(Some("dim2"))
+    view.seed(tail)
+    val rng2 = new scala.util.Random(47)
+    (1 to 8).foreach { round =>
+      rng2.nextInt(6) match {
+        // fact DML dominates (the fold path)
+        case 0 | 1 | 2 => tx.stageInsert("fact", Seq(org.apache.spark.sql.Row(
+          rng2.nextInt(20), (rng2.nextInt(3) + 1).toLong,
+          (rng2.nextInt(3) + 1).toLong, rng2.nextInt(50).toLong)))
+        case 3 => tx.stageDelete("fact", Some(col("id") === rng2.nextInt(20)))
+        // occasional dim drift on EITHER dim (the reseed path)
+        case 4 => tx.stageEdit("dim1", col("d1") === (rng2.nextInt(3) + 1).toLong,
+          Seq("a1" -> s"r${rng2.nextInt(9)}"))
+        case 5 => tx.stageEdit("dim2", col("d2") === (rng2.nextInt(3) + 1).toLong,
+          Seq("a2" -> s"t${rng2.nextInt(9)}"))
+      }
+      tx.commit(None)
+      view.refreshOnce(tail)
+      assert(folded() == oracle(),
+        s"round $round: folded multi-dim MV diverged from re-aggregation")
+    }
+  }
+
   test("maintain(): a resident CDC consumer folds commits as they land, across a restart") {
     val (cat, tx, view, tail) = fixture("loop")
     view.seed(tail)
