@@ -64,6 +64,13 @@ object Ast {
       * candidate pks as a SEARCH source — join back to the source for
       * the candidate rows, or aggregate for a duplicate count. */
     final case class Cands(s: Similar) extends Container
+    /** `((SEARCH …) EXCEPT/INTERSECT/UNION [ALL] (SEARCH …))` virtual
+      * container (graft extension): a set-operation result as a SEARCH
+      * source, so combinators compose everywhere a subquery does —
+      * SEARCH ON, JOIN sides, SHOW OVERLAP sides, IN membership. An
+      * outer AT VERSION propagates into both sides (inner wins), like
+      * `(SEARCH …)` subqueries. */
+    final case class Combo(op: SetOp) extends Container
   }
 
   sealed trait Stmt
@@ -355,11 +362,13 @@ object Parser {
   private def sourceContainer(t: Token, ctx: String): Container = t match {
     case SubCommand(sub) => fromTokens(sub) match {
       case s: Search => Container.Virtual(s)
+      case so: SetOp => Container.Combo(so)
       case c: Changes => Container.Feed(c)
       case m: Match => Container.Hits(m)
       case sm: Similar => Container.Cands(sm)
       case other => throw new ParseException(
-        s"$ctx must be SEARCH, CHANGES, MATCH, or SIMILAR, got $other")
+        s"$ctx must be SEARCH, a set operation, CHANGES, MATCH, or " +
+          s"SIMILAR, got $other")
     }
     case t2 => Container.Real(name(t2))
   }

@@ -1341,7 +1341,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
             containerDf(Ast.Container.Real(cname), s.atVersion), s)
           project(applyWhere(base, d, s), resolveNames(base, partProjection))
         case virt @ (Ast.Container.Virtual(_) | Ast.Container.Feed(_) |
-                     Ast.Container.Hits(_) | Ast.Container.Cands(_)) =>
+                     Ast.Container.Hits(_) | Ast.Container.Cands(_) |
+                     Ast.Container.Combo(_)) =>
           // the outer WHERE applies to the virtual/feed result like to any
           // real container, resolved against a def derived from its schema
           val inner = containerDf(virt, s.atVersion)
@@ -1948,6 +1949,12 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         matchDf(m.copy(atVersion = m.atVersion.orElse(atVersion)))
       case Ast.Container.Cands(sm) =>
         similarDf(sm.copy(atVersion = sm.atVersion.orElse(atVersion)))
+      case Ast.Container.Combo(so) =>
+        // an outer AT VERSION propagates into BOTH sides (inner wins),
+        // exactly as into a (SEARCH …) subquery
+        lowerSetOp(so.copy(
+          left = so.left.copy(atVersion = so.left.atVersion.orElse(atVersion)),
+          right = so.right.copy(atVersion = so.right.atVersion.orElse(atVersion))))
     }
 
   /** JOIN source (graft extension): the unioned containers joined with

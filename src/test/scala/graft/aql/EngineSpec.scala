@@ -1678,6 +1678,15 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "EXPLAIN (SEARCH [] ON seta) INTERSECT (SEARCH [] ON setb)")
       .asInstanceOf[Engine.Done].message
     assert(ex.contains("Physical Plan"), ex.take(200))
+    // a set-op result composes as a SEARCH source (WHERE/projection/
+    // aggregation over it), like any subquery container
+    assert(rows("SEARCH [] ON [((SEARCH [] ON seta) EXCEPT ALL " +
+      "(SEARCH [] ON setb))] WHERE k <= 2").sorted
+      == Seq((1L, "x"), (2L, "y")))
+    // ...and as a SHOW OVERLAP side
+    val ov = searchRows("SHOW OVERLAP ((SEARCH [] ON seta) INTERSECT " +
+      "(SEARCH [] ON setb)) setb ON k").head
+    assert((ov.getLong(3), ov.getLong(4)) == ((2L, 3L)), ov.toString)
     Seq("seta", "setb").foreach(c => eng.execute(s"DELETE CONTAINER $c"))
   }
 
