@@ -2282,15 +2282,20 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     inConds.foldLeft(scalarFiltered) { (acc, c) =>
       val actual = d.columns.find(_._1.equalsIgnoreCase(c.column))
         .getOrElse(throw new ParseException(s"Unknown column ${c.column}"))._1
-      val subSearch = c.value match {
+      // SEARCH or a set-op combinator — same membership semantics either
+      // way; the outer AT VERSION propagates in (inner wins)
+      val sub = c.value match {
         case Token.SubCommand(toks) => Parser.fromTokens(toks) match {
-          case srch: Ast.Search => srch
-          case other => throw new ParseException(s"IN expects a SEARCH subquery, got $other")
+          case srch: Ast.Search => lowerSearch(
+            srch.copy(atVersion = srch.atVersion.orElse(s.atVersion)))
+          case so: Ast.SetOp => lowerSetOp(so.copy(
+            left = so.left.copy(atVersion = so.left.atVersion.orElse(s.atVersion)),
+            right = so.right.copy(atVersion = so.right.atVersion.orElse(s.atVersion))))
+          case other => throw new ParseException(
+            s"IN expects a SEARCH or set-operation subquery, got $other")
         }
         case other => throw new ParseException(s"IN expects a (SEARCH …) subquery, got $other")
       }
-      val sub = lowerSearch(
-        subSearch.copy(atVersion = subSearch.atVersion.orElse(s.atVersion)))
       if (sub.columns.length != 1)
         throw new ParseException(
           s"IN subquery must project exactly one column, got ${sub.columns.toList}")

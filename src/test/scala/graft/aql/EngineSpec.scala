@@ -1687,6 +1687,10 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ov = searchRows("SHOW OVERLAP ((SEARCH [] ON seta) INTERSECT " +
       "(SEARCH [] ON setb)) setb ON k").head
     assert((ov.getLong(3), ov.getLong(4)) == ((2L, 3L)), ov.toString)
+    // ...and as an IN membership subquery (single column, semi-join)
+    assert(rows("SEARCH [] ON seta WHERE k IN " +
+      "((SEARCH [k] ON seta) EXCEPT (SEARCH [k] ON setb))").sorted
+      == Seq((2L, "y")))
     Seq("seta", "setb").foreach(c => eng.execute(s"DELETE CONTAINER $c"))
   }
 
