@@ -1784,6 +1784,12 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val head = searchRows("SHOW OVERLAP gov_a gov_b ON id BY grp").head
     assert((head.getString(0), head.getString(1), head.getString(2)) ==
       (("gov_a", "gov_b", "id")))
+    // sides compose with subqueries in the grouped form too — the BY
+    // column just has to survive the side's projection
+    val sq = searchRows("SHOW OVERLAP (SEARCH [id, grp] ON gov_a WHERE id > 1) " +
+      "gov_b ON id BY grp").map(r => r.getString(3) -> r.getLong(4)).toMap
+    // a∩{id>1}: x←{2,3}, y←{2}; b: x←{2,3,4}, z←{7} → x ∩ = 2
+    assert(sq("x") == 2L && sq("y") == 0L && sq("z") == 0L, sq.toString)
     // group TYPES must agree across the sides — clean reject
     eng.execute("CREATE CONTAINER gov_t ['id','grp'] [BIGINT, BIGINT]")
     val eg = intercept[ParseException](
