@@ -1691,6 +1691,10 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("SEARCH [] ON seta WHERE k IN " +
       "((SEARCH [k] ON seta) EXCEPT (SEARCH [k] ON setb))").sorted
       == Seq((2L, "y")))
+    // ...and as a JOIN side (k ∈ both = {1,3}; seta multiplies by its dups)
+    assert(rows("SEARCH [k, v] ON seta JOIN ((SEARCH [k] ON setb) " +
+      "INTERSECT (SEARCH [k] ON seta)) ON k = k").sorted
+      == Seq((1L, "x"), (1L, "x"), (3L, "z")))
     Seq("seta", "setb").foreach(c => eng.execute(s"DELETE CONTAINER $c"))
   }
 
