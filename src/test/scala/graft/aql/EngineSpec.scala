@@ -1695,6 +1695,12 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("SEARCH [k, v] ON seta JOIN ((SEARCH [k] ON setb) " +
       "INTERSECT (SEARCH [k] ON seta)) ON k = k").sorted
       == Seq((1L, "x"), (1L, "x"), (3L, "z")))
+    // plan shape: UNION ALL is a pure concatenation — no exchange at all
+    val rawPlan = eng.execute(
+      "EXPLAIN (SEARCH [] ON seta) UNION ALL (SEARCH [] ON setb)")
+      .asInstanceOf[Engine.Done].message
+    assert(!rawPlan.contains("Exchange"),
+      s"UNION ALL must stay shuffle-free:\n$rawPlan")
     Seq("seta", "setb").foreach(c => eng.execute(s"DELETE CONTAINER $c"))
   }
 
