@@ -1755,6 +1755,23 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // vacuum floor: EACH dim's stamped version stays readable
     eng.execute("VACUUM sd2 1")
     assert(eng.catalog.readVersion("sd2", 2).count() == 2)
+    // a content-neutral OPTIMIZE on ONE dim must not reseed the
+    // multi-dim view: the first refresh restamps once (advancing only
+    // that dim's position), later refreshes are no-ops
+    eng.execute("OPTIMIZE sd2 1 USING [src]")
+    val mvVerBefore = eng.catalog.currentVersion("mvs")
+    val contentBefore = rows
+    eng.execute("REFRESH VIEW mvs")
+    val mvVerAfter = eng.catalog.currentVersion("mvs")
+    assert(mvVerAfter <= mvVerBefore + 1,
+      "neutral compaction of one dim must restamp at most once")
+    assert(rows == contentBefore)
+    eng.execute("REFRESH VIEW mvs")
+    assert(eng.catalog.currentVersion("mvs") == mvVerAfter,
+      "the advanced multi-dim stamp must make later refreshes no-ops")
+    assert(graft.catalog.IncrementalView
+      .stampedDimVersions(eng.catalog, "mvs").contains(Seq(2, 3)),
+      "only the compacted dim's stamp position advances")
     // guards: joining one dim twice is ambiguous; a payload collision
     // BETWEEN dims and an ALTER creating one are clean rejects
     val eTwice = intercept[ParseException](eng.execute(
