@@ -50,8 +50,12 @@ object Bench {
         var best = timedMin() // denoised: best of five timed runs
         if (best > 3.0 * warmupMin) {
           retried += name
-          Thread.sleep(2000)
-          best = math.min(best, timedMin())
+          // a failure in the RETRY must not discard the valid best-of-5
+          // already in hand — keep it and move on
+          try {
+            Thread.sleep(2000)
+            best = math.min(best, timedMin())
+          } catch { case _: Throwable => () }
         }
         best
       } catch { case _: Throwable => -1.0 }

@@ -47,14 +47,12 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       // vacuuming `c` as a dim must keep ITS stamped snapshot readable —
       // the stamp is positional in join order, so pick c's position
       val dimFloors = dependentViewDefs(c).flatMap { case (v, s) =>
-        val stamped = graft.catalog.IncrementalView
-          .stampedDimVersions(catalog, v).getOrElse(Nil)
-        s.joins.zipWithIndex.collect {
-          case (j, i) if (j.container match {
+        stampedDimsByJoin(v, s.joins).collect {
+          case (j, Some(sv)) if (j.container match {
             case Ast.Container.Real(n) => n.equalsIgnoreCase(c)
             case _ => false
-          }) => stamped.lift(i)
-        }.flatten
+          }) => sv
+        }
       }.filter(_ > 0).map(sv => cur - sv + 1)
       (factFloors ++ dimFloors).maxOption.getOrElse(1)
     } catch { case scala.util.control.NonFatal(_) => Int.MaxValue }
@@ -633,12 +631,9 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           // multi-dim views report the WORST lag across their dims (the
           // stamp is positional in join order, same as the parsed joins)
           val dimBehind = parsed.map { s =>
-            val stamped = graft.catalog.IncrementalView
-              .stampedDimVersions(catalog, v).getOrElse(Nil)
-            s.joins.zipWithIndex.collect {
-              case (Ast.JoinSpec(Ast.Container.Real(dn), _, _, _), i) =>
-                math.max(0, catalog.currentVersion(dn) -
-                  stamped.lift(i).getOrElse(0))
+            stampedDimsByJoin(v, s.joins).collect {
+              case (Ast.JoinSpec(Ast.Container.Real(dn), _, _, _), sv) =>
+                math.max(0, catalog.currentVersion(dn) - sv.getOrElse(0))
             }.maxOption.getOrElse(0)
           }.getOrElse(0)
           Row(v, defText, ckpt, cur, math.max(0, cur - ckpt), dimBehind)
@@ -747,10 +742,24 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
               s"sketches hash INT/BIGINT/TEXT/BYTES only, got ${other.catalogString}")
         }
         // grouped form: resolve BY on both sides; group TYPES must agree
-        // exactly or the full-outer join key comparison is ill-typed
-        val gCanon = byOpt.map(g => df.columns.find(_.equalsIgnoreCase(g))
-          .getOrElse(throw new ParseException(
-            s"SHOW OVERLAP BY: unknown column '$g' on '${label(cont)}'")))
+        // exactly or the full-outer join key comparison is ill-typed.
+        // The group value is emitted UNDER ITS OWN NAME next to the
+        // fixed output columns, so a BY column named like one of them
+        // would build a duplicate-name result that only crashes at the
+        // first page fetch — reject upfront like every other collision
+        val gCanon = byOpt.map { g =>
+          val c = df.columns.find(_.equalsIgnoreCase(g))
+            .getOrElse(throw new ParseException(
+              s"SHOW OVERLAP BY: unknown column '$g' on '${label(cont)}'"))
+          val fixed = Seq("container_a", "container_b", "column",
+            "approx_intersect", "approx_union", "approx_a_only",
+            "approx_b_only", "jaccard")
+          if (fixed.exists(_.equalsIgnoreCase(c)))
+            throw new ParseException(
+              s"SHOW OVERLAP BY: group column '$c' collides with a " +
+                "fixed output column — rename it")
+          c
+        }
         (df, canon, fam, gCanon)
       }
       val Seq((dfA, colA, famA, gAOpt), (dfB, colB, famB, gBOpt)) = sides
@@ -907,6 +916,18 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     * against the view's (fact-counted) CDC checkpoint. */
   private def viewsSourcedBy(c: String): Seq[String] =
     dependentViewDefs(c, joins = false).map(_._1)
+
+  /** Each of a view's joins paired with the dim version its POSITIONAL
+    * stamp records (join order = stamp order) — the one place the Engine
+    * zips the two, so the vacuum retention floor and SHOW VIEWS
+    * dim_behind can never disagree about which stamp token belongs to
+    * which dim. */
+  private def stampedDimsByJoin(v: String,
+      joins: List[Ast.JoinSpec]): List[(Ast.JoinSpec, Option[Int])] = {
+    val stamped = graft.catalog.IncrementalView
+      .stampedDimVersions(catalog, v).getOrElse(Nil)
+    joins.zipWithIndex.map { case (j, i) => (j, stamped.lift(i)) }
+  }
 
   /** A dim's PAYLOAD columns — everything but its join key (which the
     * enrichment drops): the columns an enrichment view adds to the

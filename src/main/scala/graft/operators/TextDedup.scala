@@ -471,20 +471,31 @@ object TextDedup {
        |sigs AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits)""".stripMargin
   }
 
+  /** The corpus token stream (lowercased, whitespace-split) — the one
+    * tokenization the heavy-hitter summary and its exact verification
+    * both read, so they can never drift apart. */
+  private def tokenStream(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(explode(split(lower(col("text")), " ")).as("tok"))
+
+  /** The k=256 Misra-Gries summary of the token stream as (token, est)
+    * rows — shared by the ranked serving surface and the bound-family
+    * oracle so the tokenization and k live in exactly one place. */
+  private def heavyHitterSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    tokenStream(s, dir).select(col("tok").as[String])
+      .select(graft.functions.MisraGries.summary(256).name("mg"))
+      .select(explode(col("mg")).as(Seq("token", "est")))
+  }
+
   /** Ranked heavy-hitter list from the k=256 Misra-Gries summary — the
     * serving surface (MisraGriesSpec pins its shape; the `t_heavy_hitters`
     * oracle row asserts the bound family instead, because counts near the
     * rank cut vary with merge order). */
-  def heavyHittersTop(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    docs(s, dir)
-      .select(explode(split(lower(col("text")), " ")).as("tok"))
-      .as[String]
-      .select(graft.functions.MisraGries.summary(256).name("mg"))
-      .select(explode(col("mg")).as(Seq("token", "approx_count")))
+  def heavyHittersTop(s: SparkSession, dir: String): DataFrame =
+    heavyHitterSummary(s, dir)
+      .select(col("token"), col("est").as("approx_count"))
       .orderBy(col("approx_count").desc, col("token"))
       .limit(20)
-  }
 
   val defs: Seq[Q] = Seq(
 
@@ -1106,14 +1117,11 @@ object TextDedup {
         |       TRUE AS all_within_bound, TRUE AS all_heavy_present
         |FROM documents""".stripMargin) {
       (s, dir) => {
-        import s.implicits._
-        val toks = docs(s, dir)
-          .select(explode(split(lower(col("text")), " ")).as("tok"))
-        val mg = toks.select(col("tok").as[String])
-          .select(graft.functions.MisraGries.summary(256).name("mg"))
-          .select(explode(col("mg")).as(Seq("token", "est")))
-        val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("tc"))
-        val tot = toks.agg(count(lit(1)).as("n_tokens"))
+        val mg = heavyHitterSummary(s, dir)
+        val exact = tokenStream(s, dir)
+          .groupBy(col("tok")).agg(count(lit(1)).as("tc"))
+        // total tokens derives from the exact counts — no third scan
+        val tot = exact.agg(sum(col("tc")).as("n_tokens"))
         // bound = n/(k+1): the MG error envelope for k=256 counters
         val joined = mg.join(exact, col("token") === col("tok"))
           .crossJoin(broadcast(tot))

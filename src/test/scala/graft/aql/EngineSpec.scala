@@ -1826,7 +1826,13 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val eu = intercept[ParseException](
       eng.execute("SHOW OVERLAP gov_a gov_b ON id BY nope"))
     assert(eu.getMessage.contains("unknown column"), eu.getMessage)
-    Seq("gov_a", "gov_b", "gov_t").foreach(c =>
+    // a BY column named like a fixed output column would emit a
+    // duplicate-name result that only crashes at page fetch — upfront reject
+    eng.execute("CREATE CONTAINER gov_j ['id','jaccard'] [BIGINT, TEXT]")
+    val ej = intercept[ParseException](
+      eng.execute("SHOW OVERLAP gov_j gov_j ON id BY jaccard"))
+    assert(ej.getMessage.contains("fixed output column"), ej.getMessage)
+    Seq("gov_a", "gov_b", "gov_t", "gov_j").foreach(c =>
       eng.execute(s"DELETE CONTAINER $c"))
   }
 
