@@ -1152,10 +1152,12 @@ object Parser {
         case _ => (false, rest)
       }
       fromTokens(body) match {
-        case q @ (_: Search | _: SetOp | _: Match | _: Similar | _: Changes) =>
+        case q @ (_: Search | _: SetOp | _: Match | _: Similar | _: Changes |
+                  _: ShowOverlap) =>
           Explain(q, analyze)
         case other => throw new ParseException(
-          s"EXPLAIN supports SEARCH/SET-OP/MATCH/SIMILAR/CHANGES, got $other")
+          s"EXPLAIN supports SEARCH/SET-OP/MATCH/SIMILAR/CHANGES/" +
+            s"SHOW OVERLAP, got $other")
       }
 
     // VACUUM container [keepLast] (graft extension)

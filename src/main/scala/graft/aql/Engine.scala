@@ -323,6 +323,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         case m: Ast.Match => matchDf(m)
         case sm: Ast.Similar => similarDf(sm)
         case ch: Ast.Changes => catalog.changes(ch.container, ch.fromVersion, ch.toVersion)
+        case ov: Ast.ShowOverlap => showOverlapDf(ov.a, ov.b, ov.column, ov.by)
         case other => throw new ParseException(s"EXPLAIN cannot plan $other")
       }
       val formatted = df.queryExecution.explainString(
@@ -711,108 +712,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         }, nullable = true), needsDefaultSort = true)
 
     case Ast.ShowOverlap(a, b, cn, byOpt) =>
-      // theta-sketch corpus-overlap triage from the query language (the
-      // Spark-API t_overlap_theta lane): each side's scan reduces
-      // map-side to ONE KB-scale sketch, the set algebra runs on the
-      // merged pair — two scans, no data-sized exchange, at any corpus
-      // size. Exact while each side's distincts fit the sketch
-      // (theta = 1.0 below 2^12 by default); past that the estimates
-      // carry the documented ~1.6% rsd. A side is any SEARCH source —
-      // `(SEARCH … AT VERSION n)` measures version churn, a WHERE'd
-      // subquery measures filtered overlap.
-      import org.apache.spark.sql.types.{BinaryType, ByteType, IntegerType,
-        LongType, ShortType, StringType}
-      def label(c: Ast.Container): String = c match {
-        case Ast.Container.Real(n) => n
-        case _ => "(subquery)"
-      }
-      val sides = Seq(a, b).map { cont =>
-        val df = containerDf(cont, None)
-        val canon = df.columns.find(_.equalsIgnoreCase(cn)).getOrElse(
-          throw new ParseException(
-            s"SHOW OVERLAP: unknown column '$cn' on '${label(cont)}'"))
-        // two hash DOMAINS: integral values hash as longs, TEXT/BYTES as
-        // their UTF-8/raw bytes — domains never collide across families,
-        // so a cross-family comparison would silently answer 0
-        val fam = df.schema(canon).dataType match {
-          case ByteType | ShortType | IntegerType | LongType => "integral"
-          case StringType | BinaryType => "bytes"
-          case other => throw new ParseException(
-            s"SHOW OVERLAP over '$canon' on '${label(cont)}' — theta " +
-              s"sketches hash INT/BIGINT/TEXT/BYTES only, got ${other.catalogString}")
-        }
-        // grouped form: resolve BY on both sides; group TYPES must agree
-        // exactly or the full-outer join key comparison is ill-typed.
-        // The group value is emitted UNDER ITS OWN NAME next to the
-        // fixed output columns, so a BY column named like one of them
-        // would build a duplicate-name result that only crashes at the
-        // first page fetch — reject upfront like every other collision
-        val gCanon = byOpt.map { g =>
-          val c = df.columns.find(_.equalsIgnoreCase(g))
-            .getOrElse(throw new ParseException(
-              s"SHOW OVERLAP BY: unknown column '$g' on '${label(cont)}'"))
-          val fixed = Seq("container_a", "container_b", "column",
-            "approx_intersect", "approx_union", "approx_a_only",
-            "approx_b_only", "jaccard")
-          if (fixed.exists(_.equalsIgnoreCase(c)))
-            throw new ParseException(
-              s"SHOW OVERLAP BY: group column '$c' collides with a " +
-                "fixed output column — rename it")
-          c
-        }
-        (df, canon, fam, gCanon)
-      }
-      val Seq((dfA, colA, famA, gAOpt), (dfB, colB, famB, gBOpt)) = sides
-      if (famA != famB)
-        throw new ParseException(
-          s"SHOW OVERLAP: '$cn' is $famA on '${label(a)}' but " +
-            s"$famB on '${label(b)}' — the hash domains never collide")
-      for (gA <- gAOpt; gB <- gBOpt)
-        if (dfA.schema(gA).dataType != dfB.schema(gB).dataType)
-          throw new ParseException(
-            s"SHOW OVERLAP BY: '$gA' is ${dfA.schema(gA).dataType.catalogString} " +
-              s"on '${label(a)}' but ${dfB.schema(gB).dataType.catalogString} " +
-              s"on '${label(b)}' — group types must agree")
-      import graft.functions.ThetaSketch.{thetaAgg, thetaDiff, thetaEstimate,
-        thetaIntersect, thetaUnion}
-      // an empty side/group aggregates to a NULL sketch: union treats it
-      // as the empty set, intersect/diff propagate NULL — coalesced to 0
-      // (overlap with nothing IS nothing)
-      def est(sk: Column): Column = coalesce(thetaEstimate(sk), lit(0.0))
-      val inter = est(thetaIntersect(col("_ov_ska"), col("_ov_skb")))
-      val uni = est(thetaUnion(col("_ov_ska"), col("_ov_skb")))
-      def overlapCols: Seq[Column] = Seq(
-        round(inter).cast("long").as("approx_intersect"),
-        round(uni).cast("long").as("approx_union"),
-        round(est(thetaDiff(col("_ov_ska"), col("_ov_skb"))))
-          .cast("long").as("approx_a_only"),
-        round(est(thetaDiff(col("_ov_skb"), col("_ov_ska"))))
-          .cast("long").as("approx_b_only"),
-        when(uni > 0, inter / uni).otherwise(lit(0.0)).as("jaccard"))
-      val meta = Seq(
-        lit(label(a)).as("container_a"), lit(label(b)).as("container_b"),
-        lit(colA).as("column"))
-      val paired = (gAOpt, gBOpt) match {
-        case (Some(gA), Some(gB)) =>
-          // one KB sketch PER (side, group) across the exchange (partial
-          // theta agg), paired full-outer on the group key so a group
-          // present on only one side still reports its exclusives —
-          // never a data-sized exchange, rows ∝ group cardinality
-          val skA = dfA.groupBy(col(gA).as("_ov_g"))
-            .agg(thetaAgg(col(colA)).as("_ov_ska"))
-          val skB = dfB.groupBy(col(gB).as("_ov_g"))
-            .agg(thetaAgg(col(colB)).as("_ov_skb"))
-          skA.alias("_ova").join(skB.alias("_ovb"),
-              col("_ova._ov_g") <=> col("_ovb._ov_g"), "full_outer")
-            .select((meta :+
-              coalesce(col("_ova._ov_g"), col("_ovb._ov_g")).as(gA)) ++
-              overlapCols: _*)
-        case _ =>
-          val skA = dfA.agg(thetaAgg(col(colA)).as("_ov_ska"))
-          val skB = dfB.agg(thetaAgg(col(colB)).as("_ov_skb"))
-          skA.crossJoin(skB).select(meta ++ overlapCols: _*)
-      }
-      resultSet(paired, needsDefaultSort = true)
+      resultSet(showOverlapDf(a, b, cn, byOpt), needsDefaultSort = true)
 
     case Ast.Commit(c) => tx.commit(c); Done("committed")
     case Ast.Rollback(c) => tx.rollback(c); Done("rolled back")
@@ -1332,6 +1232,114 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       case ("intersect", true) => ld.intersectAll(rd)
       case _ => throw new ParseException(s"unknown set operation '${so.op}'")
     }
+  }
+
+  /** Lower SHOW OVERLAP to its DataFrame — shared by the statement and
+    * EXPLAIN so the inspected plan is the executed plan. */
+  private def showOverlapDf(a: Ast.Container, b: Ast.Container,
+      cn: String, byOpt: Option[String]): DataFrame = {
+      // theta-sketch corpus-overlap triage from the query language (the
+      // Spark-API t_overlap_theta lane): each side's scan reduces
+      // map-side to ONE KB-scale sketch, the set algebra runs on the
+      // merged pair — two scans, no data-sized exchange, at any corpus
+      // size. Exact while each side's distincts fit the sketch
+      // (theta = 1.0 below 2^12 by default); past that the estimates
+      // carry the documented ~1.6% rsd. A side is any SEARCH source —
+      // `(SEARCH … AT VERSION n)` measures version churn, a WHERE'd
+      // subquery measures filtered overlap.
+      import org.apache.spark.sql.types.{BinaryType, ByteType, IntegerType,
+        LongType, ShortType, StringType}
+      def label(c: Ast.Container): String = c match {
+        case Ast.Container.Real(n) => n
+        case _ => "(subquery)"
+      }
+      val sides = Seq(a, b).map { cont =>
+        val df = containerDf(cont, None)
+        val canon = df.columns.find(_.equalsIgnoreCase(cn)).getOrElse(
+          throw new ParseException(
+            s"SHOW OVERLAP: unknown column '$cn' on '${label(cont)}'"))
+        // two hash DOMAINS: integral values hash as longs, TEXT/BYTES as
+        // their UTF-8/raw bytes — domains never collide across families,
+        // so a cross-family comparison would silently answer 0
+        val fam = df.schema(canon).dataType match {
+          case ByteType | ShortType | IntegerType | LongType => "integral"
+          case StringType | BinaryType => "bytes"
+          case other => throw new ParseException(
+            s"SHOW OVERLAP over '$canon' on '${label(cont)}' — theta " +
+              s"sketches hash INT/BIGINT/TEXT/BYTES only, got ${other.catalogString}")
+        }
+        // grouped form: resolve BY on both sides; group TYPES must agree
+        // exactly or the full-outer join key comparison is ill-typed.
+        // The group value is emitted UNDER ITS OWN NAME next to the
+        // fixed output columns, so a BY column named like one of them
+        // would build a duplicate-name result that only crashes at the
+        // first page fetch — reject upfront like every other collision
+        val gCanon = byOpt.map { g =>
+          val c = df.columns.find(_.equalsIgnoreCase(g))
+            .getOrElse(throw new ParseException(
+              s"SHOW OVERLAP BY: unknown column '$g' on '${label(cont)}'"))
+          val fixed = Seq("container_a", "container_b", "column",
+            "approx_intersect", "approx_union", "approx_a_only",
+            "approx_b_only", "jaccard")
+          if (fixed.exists(_.equalsIgnoreCase(c)))
+            throw new ParseException(
+              s"SHOW OVERLAP BY: group column '$c' collides with a " +
+                "fixed output column — rename it")
+          c
+        }
+        (df, canon, fam, gCanon)
+      }
+      val Seq((dfA, colA, famA, gAOpt), (dfB, colB, famB, gBOpt)) = sides
+      if (famA != famB)
+        throw new ParseException(
+          s"SHOW OVERLAP: '$cn' is $famA on '${label(a)}' but " +
+            s"$famB on '${label(b)}' — the hash domains never collide")
+      for (gA <- gAOpt; gB <- gBOpt)
+        if (dfA.schema(gA).dataType != dfB.schema(gB).dataType)
+          throw new ParseException(
+            s"SHOW OVERLAP BY: '$gA' is ${dfA.schema(gA).dataType.catalogString} " +
+              s"on '${label(a)}' but ${dfB.schema(gB).dataType.catalogString} " +
+              s"on '${label(b)}' — group types must agree")
+      import graft.functions.ThetaSketch.{thetaAgg, thetaDiff, thetaEstimate,
+        thetaIntersect, thetaUnion}
+      // an empty side/group aggregates to a NULL sketch: union treats it
+      // as the empty set, intersect/diff propagate NULL — coalesced to 0
+      // (overlap with nothing IS nothing)
+      def est(sk: Column): Column = coalesce(thetaEstimate(sk), lit(0.0))
+      val inter = est(thetaIntersect(col("_ov_ska"), col("_ov_skb")))
+      val uni = est(thetaUnion(col("_ov_ska"), col("_ov_skb")))
+      def overlapCols: Seq[Column] = Seq(
+        round(inter).cast("long").as("approx_intersect"),
+        round(uni).cast("long").as("approx_union"),
+        round(est(thetaDiff(col("_ov_ska"), col("_ov_skb"))))
+          .cast("long").as("approx_a_only"),
+        round(est(thetaDiff(col("_ov_skb"), col("_ov_ska"))))
+          .cast("long").as("approx_b_only"),
+        when(uni > 0, inter / uni).otherwise(lit(0.0)).as("jaccard"))
+      val meta = Seq(
+        lit(label(a)).as("container_a"), lit(label(b)).as("container_b"),
+        lit(colA).as("column"))
+      val paired = (gAOpt, gBOpt) match {
+        case (Some(gA), Some(gB)) =>
+          // one KB sketch PER (side, group) across the exchange (partial
+          // theta agg), paired full-outer on the group key so a group
+          // present on only one side still reports its exclusives —
+          // never a data-sized exchange, rows ∝ group cardinality
+          val skA = dfA.groupBy(col(gA).as("_ov_g"))
+            .agg(thetaAgg(col(colA)).as("_ov_ska"))
+          val skB = dfB.groupBy(col(gB).as("_ov_g"))
+            .agg(thetaAgg(col(colB)).as("_ov_skb"))
+          skA.alias("_ova").join(skB.alias("_ovb"),
+              col("_ova._ov_g") <=> col("_ovb._ov_g"), "full_outer")
+            .select((meta :+
+              coalesce(col("_ova._ov_g"), col("_ovb._ov_g")).as(gA)) ++
+              overlapCols: _*)
+        case _ =>
+          val skA = dfA.agg(thetaAgg(col(colA)).as("_ov_ska"))
+          val skB = dfB.agg(thetaAgg(col(colB)).as("_ov_skb"))
+          skA.crossJoin(skB).select(meta ++ overlapCols: _*)
+      }
+      paired
   }
 
   def lowerSearch(s: Ast.Search): DataFrame = {

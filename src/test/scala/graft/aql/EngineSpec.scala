@@ -1826,6 +1826,11 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val eu = intercept[ParseException](
       eng.execute("SHOW OVERLAP gov_a gov_b ON id BY nope"))
     assert(eu.getMessage.contains("unknown column"), eu.getMessage)
+    // EXPLAIN composes: the grouped plan shows the partial sketch aggs
+    val exp = eng.execute("EXPLAIN SHOW OVERLAP gov_a gov_b ON id BY grp")
+      .asInstanceOf[Engine.Done].message
+    assert(exp.contains("Physical Plan") &&
+      exp.contains("partial_theta_sketch_agg"), exp.take(300))
     // a BY column named like a fixed output column would emit a
     // duplicate-name result that only crashes at page fetch — upfront reject
     eng.execute("CREATE CONTAINER gov_j ['id','jaccard'] [BIGINT, TEXT]")
