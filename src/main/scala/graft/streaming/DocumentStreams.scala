@@ -117,7 +117,8 @@ object DocumentStreams {
       .agg(graft.functions.FreqSketch.freqAgg(col("source")).as("sk"))
       .select(col("lang"),
         graft.functions.FreqSketch.renderTopK(col("sk"), k)
-          .as("approx_top_k_source"))
+          // k-qualified like the AQL/view surface (approx_top_k_col_k3)
+          .as(s"approx_top_k_source_k$k"))
 
   /** Streaming twin of `t_pii_scrub`: the compliance pass applied AT
     * INGEST (append mode, stateless projection — redact before anything
