@@ -895,6 +895,47 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(view.refreshOnce(tail) == 1)
   }
 
+  test("legacy per-k _sk schema: conform fills a non-owner frequent-items sketch from the owner's") {
+    // the top-k twin of the quantile legacy case: an MV container created
+    // before the freq-sketch share declares one `_sk` PER k
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-legacytk")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("src", List(
+      "id" -> graft.aql.AlbaType.of("INT"),
+      "grp" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "item" -> graft.aql.AlbaType.of("SMALL-STRING")))
+    cat.create("mv", List(
+      "grp" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "n_rows" -> graft.aql.AlbaType.of("BIGINT"),
+      "top1" -> graft.aql.AlbaType.of("TEXT"),
+      "top1_sk" -> graft.aql.AlbaType.of("LARGE-BYTES"),
+      "top3" -> graft.aql.AlbaType.of("TEXT"),
+      "top3_sk" -> graft.aql.AlbaType.of("LARGE-BYTES"))) // legacy shape
+    val view = new IncrementalView(cat, "src", "mv", Seq("grp"),
+      Seq(IncrementalView.Agg("approx_top_k", "item", "top1", Some(1)),
+        IncrementalView.Agg("approx_top_k", "item", "top3", Some(3))))
+    val tx = new Tx(cat)
+    val tail = new ChangeTail(cat, "src", dir.resolve("mv.ckpt"))
+    tx.stageInsert("src", Seq(
+      org.apache.spark.sql.Row(1, "a", "x"), org.apache.spark.sql.Row(2, "a", "x"),
+      org.apache.spark.sql.Row(3, "a", "y")))
+    tx.commit(Some("src"))
+    view.refreshOnce(tail) // would throw UNRESOLVED_COLUMN without the fill
+    val r = cat.read("mv").collect().head
+    val byName = r.schema.fieldNames.zipWithIndex.toMap
+    assert(r.getString(byName("top1")) == "x:2")
+    assert(r.getString(byName("top3")) == "x:2,y:1")
+    // the legacy column is FILLED with the owner's sketch, not NULL
+    assert(!r.isNullAt(byName("top3_sk")))
+    assert(java.util.Arrays.equals(
+      r.getAs[Array[Byte]](byName("top3_sk")),
+      r.getAs[Array[Byte]](byName("top1_sk"))))
+    // ...and a second window still folds (both paths go through conform)
+    tx.stageInsert("src", Seq(org.apache.spark.sql.Row(4, "a", "y")))
+    tx.commit(Some("src"))
+    assert(view.refreshOnce(tail) == 1)
+  }
+
   test("sketch views with a WHERE: rows edited across the predicate boundary fold correctly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mv-skwhere")
     val cat = new Catalog(spark, dir.toString)
