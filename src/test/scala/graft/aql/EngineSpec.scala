@@ -1639,6 +1639,36 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq("jf", "jd", "jd2").foreach(c => eng.execute(s"DELETE CONTAINER $c"))
   }
 
+  test("45b enrichment views generalize past two dims (positional stamps at N=3)") {
+    eng.execute("CREATE CONTAINER tf3 ['id','a','b','c','v'] " +
+      "[BIGINT, BIGINT, BIGINT, BIGINT, BIGINT]")
+    Seq(("td_a", "a", "an"), ("td_b", "b", "bn"), ("td_c", "c", "cn"))
+      .foreach { case (t, k, p) =>
+        eng.execute(s"CREATE CONTAINER $t ['$k','$p'] [BIGINT, TEXT]")
+        eng.execute(s"CREATE ROW ['$k','$p'] [1, '${p}1'] ON $t")
+        eng.execute(s"COMMIT $t")
+      }
+    eng.execute("CREATE ROW ['id','a','b','c','v'] [1, 1, 1, 1, 7] ON tf3")
+    eng.execute("COMMIT tf3")
+    eng.execute("CREATE VIEW mv3 (SEARCH [an, bn, cn, sum(v)] ON tf3 " +
+      "JOIN td_a ON a = a JOIN td_b ON b = b JOIN td_c ON c = c)")
+    def row = searchRows("SEARCH [] ON mv3").map(r =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getLong(4))).head
+    assert(row == (("an1", "bn1", "cn1", 7L)))
+    assert(graft.catalog.IncrementalView
+      .stampedDimVersions(eng.catalog, "mv3").contains(Seq(1, 1, 1)))
+    // drift on the MIDDLE dim reseeds and advances only its position
+    eng.execute("EDIT ROW ['bn'] ['bn2'] ON td_b WHERE b = 1")
+    eng.execute("COMMIT td_b")
+    eng.execute("REFRESH VIEW mv3")
+    assert(row == (("an1", "bn2", "cn1", 7L)))
+    assert(graft.catalog.IncrementalView
+      .stampedDimVersions(eng.catalog, "mv3").contains(Seq(1, 2, 1)))
+    eng.execute("DELETE VIEW mv3")
+    Seq("tf3", "td_a", "td_b", "td_c").foreach(c =>
+      eng.execute(s"DELETE CONTAINER $c"))
+  }
+
   test("46 set operations: EXCEPT/INTERSECT [ALL] between SEARCHes; strict schema agreement") {
     eng.execute("CREATE CONTAINER seta ['k','v'] [BIGINT, TEXT]")
     eng.execute("CREATE CONTAINER setb ['k','v'] [BIGINT, TEXT]")
