@@ -1372,6 +1372,56 @@ object TextDedup {
       }
     },
 
+    // Bigram log-perplexity quality signal — the order-1 upgrade of
+    // t_unigram_logppl (one step closer to CCNet's KenLM filter, still
+    // exactly computable in both engines): per-document average
+    // -log2 p(w2|w1) under the corpus MLE bigram conditional (bigram
+    // count / context count; no smoothing needed — every document
+    // bigram contributed to the corpus counts, so probabilities are
+    // strictly positive). Repetitive boilerplate scores near 0
+    // bits/bigram; rare-transition noise scores high. Scale shape:
+    // bigram construction is a PURE PROJECTION (adjacent-pair transform
+    // over the split array — no per-doc window sort, no self-join);
+    // (doc, bigram) and corpus counts are partial-agg group-bys;
+    // corpus-derived join sides get NO broadcast hint (AQE decides).
+    // Docs with fewer than two tokens have no bigrams and drop from the
+    // result in both engines. Rounded to 6 before ORDER BY.
+    Q("t_bigram_logppl",
+      """WITH toks AS (SELECT doc_id, string_split(lower(text),' ') AS tk
+        |              FROM documents),
+        |bg  AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+        |        FROM toks, unnest(range(1, len(tk))) AS u(i)),
+        |bf  AS (SELECT doc_id, w1, w2, count(*) AS bf FROM bg GROUP BY 1, 2, 3),
+        |cbg AS (SELECT w1, w2, sum(bf) AS cbg FROM bf GROUP BY 1, 2),
+        |ctx AS (SELECT w1, sum(cbg) AS cw1 FROM cbg GROUP BY 1)
+        |SELECT doc_id,
+        |       CAST(sum(bf) AS BIGINT) AS n_bigrams,
+        |       round(sum(bf * -log2(cbg / cw1)) / sum(bf), 6) AS bits_per_bigram
+        |FROM bf JOIN cbg USING (w1, w2) JOIN ctx USING (w1)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) {
+      (s, dir) => {
+        val bg = docs(s, dir)
+          .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+          .filter(size(col("tk")) >= 2)
+          .select(col("doc_id"), explode(
+            transform(sequence(lit(1), size(col("tk")) - 1), i =>
+              struct(element_at(col("tk"), i).as("w1"),
+                element_at(col("tk"), i + 1).as("w2")))).as("p"))
+          .select(col("doc_id"), col("p.w1"), col("p.w2"))
+        val bf = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+          .agg(count(lit(1)).as("bf"))
+        val cbg = bf.groupBy(col("w1"), col("w2")).agg(sum(col("bf")).as("cbg"))
+        val ctx = cbg.groupBy(col("w1")).agg(sum(col("cbg")).as("cw1"))
+        bf.join(cbg, Seq("w1", "w2")).join(ctx, Seq("w1"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("bf")).cast("long").as("n_bigrams"),
+            round(sum(col("bf") * -log(2.0, col("cbg") / col("cw1")))
+              / sum(col("bf")), 6).as("bits_per_bigram"))
+          .orderBy(col("doc_id"))
+      }
+    },
+
     // Out-of-vocabulary rate against the corpus top-1000 vocabulary —
     // the tokenizer-coverage check run before committing to a vocab size.
     // The vocab is rank-bounded (count desc, then term — deterministic),
