@@ -139,6 +139,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no map-side sketch combine before the exchange:\n$p")
   }
 
+  test("t_bigram_logppl builds bigrams as a projection — no window sort, no self-join") {
+    // the adjacent-pair transform must stay a pure Generate/Project over
+    // the scan: a lead()-window or positional self-join formulation
+    // would add a per-doc sort exchange the projection form avoids
+    val p = plan("t_bigram_logppl")
+    assert(!p.contains("Window"), s"bigram construction regressed to a window:\n$p")
+    val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).length
+    assert(joins <= 2, s"expected only the two corpus-count joins:\n$p")
+  }
+
   test("aggregation stays inside whole-stage codegen") {
     val df = SparkEntry.queries("x_agg_pricing_summary")(spark, dir)
     val p = df.queryExecution.explainString(
