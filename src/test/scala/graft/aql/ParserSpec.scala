@@ -478,5 +478,11 @@ class ParserSpec extends AnyFunSuite {
     intercept[ParseException](
       Parser.parse("(SEARCH [x] ON a) EXCEPT (SEARCH [x] ON b) LIMIT 3"))
     intercept[ParseException](Parser.parse("(SEARCH [x] ON a) EXCEPT"))
+    // EXPLAIN accepts the new read statements
+    assert(Parser.parse("EXPLAIN (SEARCH [x] ON a) EXCEPT (SEARCH [x] ON b)")
+      == Explain(SetOp("except", all = false, l, r), analyze = false))
+    assert(Parser.parse("EXPLAIN SHOW OVERLAP a b ON c BY g")
+      == Explain(ShowOverlap(Container.Real("a"), Container.Real("b"),
+        "c", Some("g")), analyze = false))
   }
 }
