@@ -51,14 +51,23 @@ object Bench {
         if (best > 3.0 * warmupMin) {
           retried += name
           // a failure in the RETRY must not discard the valid best-of-5
-          // already in hand — keep it and move on
+          // already in hand — keep it and move on; an interrupt during
+          // the sleep must re-set the flag (swallowing it would make the
+          // harness unresponsive to cancellation for the rest of the run)
           try {
             Thread.sleep(2000)
             best = math.min(best, timedMin())
-          } catch { case _: Throwable => () }
+          } catch {
+            case _: InterruptedException => Thread.currentThread().interrupt()
+            case _: Throwable => ()
+          }
         }
         best
-      } catch { case _: Throwable => -1.0 }
+      } catch {
+        case _: InterruptedException =>
+          Thread.currentThread().interrupt(); -1.0
+        case _: Throwable => -1.0
+      }
     }
 
     val results = SparkEntry.benchQueries.map(n => n -> run(n))
@@ -69,22 +78,34 @@ object Bench {
     val comparable = results
       .filter { case (n, v) => v >= 0 && SparkEntry.oracleSql.contains(n) }
       .map(_._2).sum
-    val duckdb = duckdbTotal(sfDir, results.map(_._1))
-    val paired = duckdb.map { d =>
+    val duckdb = duckdbRecord(sfDir, results.map(_._1))
+    val paired = duckdb.map { case (d, perQ) =>
       val r = if (d > 0) comparable / d else -1.0
-      f""","spark_total":$total,"spark_comparable":$comparable,"duckdb_total":$d,"ratio":${math.round(r * 1000) / 1000.0}"""
+      // per-query DuckDB times + per-query ratios travel IN the record:
+      // a single-query regression must be visible in the artifact itself,
+      // not only as a drift of the aggregate ratio (the r10 noise
+      // incident took a judge re-run to localize for exactly this reason)
+      val dq = perQ.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val ratios = results
+        .collect { case (n, v) if v >= 0 && perQ.get(n).exists(_ > 0) =>
+          "\"" + n + "\":" + math.round(v / perQ(n) * 1000) / 1000.0 }
+        .mkString("{", ",", "}")
+      f""","spark_total":$total,"spark_comparable":$comparable,"duckdb_total":$d,"ratio":${math.round(r * 1000) / 1000.0},"duckdb_queries":$dq,"ratios":$ratios"""
     }.getOrElse("")
     val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$paired,"retried":$retriedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 
-  /** Same-window DuckDB total over the bench queries' oracle SQL, via
-    * `tools/duckbench.py` (driver-side python owns the duckdb dependency —
-    * this is an opportunistic subprocess, never a library dependency).
-    * Returns None if the script, interpreter, or duckdb is unavailable.
+  /** Same-window DuckDB total AND per-query seconds over the bench
+    * queries' oracle SQL, via `tools/duckbench.py` (driver-side python
+    * owns the duckdb dependency — this is an opportunistic subprocess,
+    * never a library dependency). Returns None if the script,
+    * interpreter, or duckdb is unavailable.
     */
-  private def duckdbTotal(sfDir: String, names: Seq[String]): Option[Double] = {
+  private def duckdbRecord(sfDir: String,
+      names: Seq[String]): Option[(Double, Map[String, Double])] = {
     val script = new java.io.File("tools/duckbench.py")
     if (!script.exists() || sys.env.contains("GRAFT_NO_DUCKBENCH")) return None
     var tmp: java.nio.file.Path = null
@@ -124,7 +145,16 @@ object Bench {
       val out = new String(java.nio.file.Files.readAllBytes(outFile.toPath), "UTF-8")
       // anchored to the result line — merged stderr may precede the JSON
       """"metric": "duckdb_total", "value": ([0-9.eE+-]+)""".r
-        .findFirstMatchIn(out).map(_.group(1).toDouble)
+        .findFirstMatchIn(out).map { m =>
+          // the per-query map from the same line (flat string-to-number
+          // object, never nested — a regex pair scan is a full parse);
+          // `null` marks a query duckdb couldn't run and is skipped
+          val perQ = """"queries": \{([^}]*)\}""".r.findFirstMatchIn(out)
+            .map(_.group(1)).getOrElse("")
+          val pairs = """"([^"]+)": ([0-9.eE+-]+)""".r.findAllMatchIn(perQ)
+            .map(p => p.group(1) -> p.group(2).toDouble).toMap
+          (m.group(1).toDouble, pairs)
+        }
     } catch {
       // NonFatal only: swallowing InterruptedException/OutOfMemoryError
       // here would mask a dying JVM as "duckdb unavailable"

@@ -197,7 +197,10 @@ object Ast {
         * false-positive. */
       qarg: Option[Double] = None,
       /** `approx_top_k(col k)`'s literal item count — same literal-arg
-        * convention (IntLit, not folded into the output name). */
+        * convention (IntLit). The k IS folded into the output name
+        * (`approx_top_k_col_k3` — see Engine.aggOutName), so two k's of
+        * one column coexist past the duplicate-output guard and share
+        * one frequent-items sketch. */
       karg: Option[Int] = None)
 
   /** One computed projection item, `a * b + 2` (graft extension). The

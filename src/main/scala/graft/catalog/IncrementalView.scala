@@ -153,15 +153,45 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
       // so fill a declared non-owner sketch column from the owner's
       // (identical — one sketch serves any rank) instead of breaking
       // every REFRESH of a pre-sharing view
+      // legacy MV shape #2: a container created before approx_top_k
+      // folded k into its output name (`approx_top_k_col`, not
+      // `approx_top_k_col_k3`) — reparsing its stored definition now
+      // derives the k-qualified names, so fill the declared unqualified
+      // TEXT column from the (same-k) qualified rendering and its `_sk`
+      // from the owner sketch. Unambiguous: a pre-rename view could not
+      // hold two k's of one column (the then-rank-blind duplicate-output
+      // guard rejected it at CREATE VIEW).
+      def legacyTopkBase(a: Agg) = s"approx_top_k_${a.col.toLowerCase}"
       val src =
         if (have(f.name)) col(f.name)
         else quantileAggs.find(a => !isKllOwner(a) && sketchCol(a.out) == f.name)
           .map(a => col(kllSkCol(a)))
           .orElse(topkAggs.find(a => !isFreqOwner(a) && sketchCol(a.out) == f.name)
             .map(a => col(freqSkCol(a))))
+          .orElse(topkAggs.find(a => legacyTopkBase(a) == f.name)
+            .map(a => col(a.out)))
+          .orElse(topkAggs.find(a => sketchCol(legacyTopkBase(a)) == f.name)
+            .map(a => col(freqSkCol(a))))
           .getOrElse(col(f.name)) // unresolved → the same clear error
       src.cast(f.dataType).as(f.name)
     }.toSeq: _*)
+  }
+
+  /** Current MV content with a legacy pre-rename approx_top_k sketch
+    * column aliased to its k-qualified name — the read-side twin of
+    * conform's legacy fill, so the fold can union a pre-rename MV's
+    * persisted sketch (the publish side then writes it back under the
+    * declared legacy name). The visible TEXT column needs no alias: the
+    * top-k merge re-renders it from the merged sketch, never reads it. */
+  private def readCurrentMv(): DataFrame = {
+    val df = cat.read(mv)
+    val have = df.columns.toSet
+    topkAggs.filter(isFreqOwner).foldLeft(df) { (acc, a) =>
+      val legacySk = sketchCol(s"approx_top_k_${a.col.toLowerCase}")
+      if (!have(sketchCol(a.out)) && have(legacySk))
+        acc.withColumn(sketchCol(a.out), col(legacySk))
+      else acc
+    }
   }
 
   /** The from-scratch aggregate of a source snapshot (also the oracle the
@@ -322,7 +352,7 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
     }
     val inWindow = filtered(enriched(feed)).withColumn("_w", w)
     val delta = inWindow.groupBy(keys.map(col): _*).agg(deltas.head, deltas.tail: _*)
-    val cur = cat.read(mv)
+    val cur = readCurrentMv()
     val joinCond: Column = keys.map(k => cur(k) <=> delta(k)).reduce(_ && _)
     val outCols = (Agg("sum", "n_rows", "n_rows") +: aggs).map(a => (a, s"d_${a.out}"))
     val merged = cur.join(delta, joinCond, "full_outer")

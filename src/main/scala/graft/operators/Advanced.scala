@@ -400,15 +400,23 @@ object Advanced {
         val vals = t(s, dir, "lineitem")
           .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("v"))
         // one partial-agg pass over the data against the broadcast
-        // estimates: rank(est) = count(v <= est) per group
+        // estimates: the estimate is an actual data value, so with m
+        // duplicates its rank is ANY of [count(v < est)+1, count(v <=
+        // est)] — check that this rank INTERVAL intersects the GK band
+        // [q·n − n/1000, q·n + n/1000] instead of pinning the max rank
+        // (a tie run near a boundary would overshoot count(v <= est) by
+        // up to m−1 and flake the row even when the sketch is in spec)
         val ranked = vals.join(broadcast(est), Seq("l_returnflag"))
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"),
-            Seq("p25", "p50", "p75", "p95").map(p =>
-              sum(when(col("v") <= col(p), 1L).otherwise(0L)).as(s"le_$p")): _*)
-        def ok(p: String, q: Double) =
-          (abs(col(s"le_$p") - lit(q) * col("n"))
-            <= col("n").cast("double") / 1000.0 + 1.0).as(s"ok_$p")
+            Seq("p25", "p50", "p75", "p95").flatMap(p => Seq(
+              sum(when(col("v") <= col(p), 1L).otherwise(0L)).as(s"le_$p"),
+              sum(when(col("v") < col(p), 1L).otherwise(0L)).as(s"lt_$p"))): _*)
+        def ok(p: String, q: Double) = {
+          val band = col("n").cast("double") / 1000.0 + 1.0
+          ((col(s"lt_$p") + 1.0 <= lit(q) * col("n") + band) &&
+            (col(s"le_$p") >= lit(q) * col("n") - band)).as(s"ok_$p")
+        }
         ranked.select(col("l_returnflag"), col("n"),
             ok("p25", 0.25), ok("p50", 0.50), ok("p75", 0.75), ok("p95", 0.95))
           .orderBy(col("l_returnflag"))

@@ -936,6 +936,46 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(view.refreshOnce(tail) == 1)
   }
 
+  test("legacy unqualified approx_top_k schema: conform fills the pre-rename TEXT/_sk pair") {
+    // an MV container created before approx_top_k folded k into its
+    // output name declares `approx_top_k_item` / `approx_top_k_item_sk`;
+    // reparsing the stored definition now derives the k-qualified
+    // `approx_top_k_item_k3` names — conform must fill the legacy pair
+    // from the qualified agg or every REFRESH of a pre-rename view
+    // throws (and the auto-refresh hook would swallow it silently)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-legacyun")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("src", List(
+      "id" -> graft.aql.AlbaType.of("INT"),
+      "grp" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "item" -> graft.aql.AlbaType.of("SMALL-STRING")))
+    cat.create("mv", List(
+      "grp" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "n_rows" -> graft.aql.AlbaType.of("BIGINT"),
+      "approx_top_k_item" -> graft.aql.AlbaType.of("TEXT"),
+      "approx_top_k_item_sk" -> graft.aql.AlbaType.of("LARGE-BYTES")))
+    val view = new IncrementalView(cat, "src", "mv", Seq("grp"),
+      Seq(IncrementalView.Agg("approx_top_k", "item",
+        "approx_top_k_item_k3", Some(3)))) // the reparsed (qualified) out
+    val tx = new Tx(cat)
+    val tail = new ChangeTail(cat, "src", dir.resolve("mv.ckpt"))
+    tx.stageInsert("src", Seq(
+      org.apache.spark.sql.Row(1, "a", "x"), org.apache.spark.sql.Row(2, "a", "x"),
+      org.apache.spark.sql.Row(3, "a", "y")))
+    tx.commit(Some("src"))
+    view.refreshOnce(tail) // would throw UNRESOLVED_COLUMN without the fill
+    val r = cat.read("mv").collect().head
+    val byName = r.schema.fieldNames.zipWithIndex.toMap
+    assert(r.getString(byName("approx_top_k_item")) == "x:2,y:1")
+    assert(!r.isNullAt(byName("approx_top_k_item_sk")))
+    // ...and a second window still folds (both paths go through conform)
+    tx.stageInsert("src", Seq(org.apache.spark.sql.Row(4, "a", "y")))
+    tx.commit(Some("src"))
+    assert(view.refreshOnce(tail) == 1)
+    assert(cat.read("mv").collect().head.getString(
+      byName("approx_top_k_item")) == "x:2,y:2")
+  }
+
   test("sketch views with a WHERE: rows edited across the predicate boundary fold correctly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mv-skwhere")
     val cat = new Catalog(spark, dir.toString)
