@@ -277,6 +277,80 @@ object Analytics {
       }
     },
 
+    // RAW-TABLE bench twin of x_join_top_orders: the declared 3-way join
+    // over the raw tables, no ETL projections — both engines read the
+    // same layout, so this query's bench ratio measures EXECUTION alone
+    // while the sibling's measures execution+layout (BASELINE.md's
+    // bench-layout note). The execution-side choices that any engine can
+    // make stay: aggregation pushed below the join (the final grouping
+    // is per-orderkey, so the summand sets are identical) and
+    // shuffle-hash joins on the two fact⋈fact edges — broadcasting a
+    // customer- or orders-derived side would OOM at 100 TB, and a
+    // shuffled hash join's per-partition build is executor-bounded.
+    Q("x_join_top_orders_raw",
+      """SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin, bench = true) {
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        // segment-filtered customer keys build the hash side of the
+        // orders join (the smaller side after the 1-in-5 segment cut)
+        val buildingOrders = t(s, dir, "orders")
+          .join(cust.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        val revenue = t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        revenue.join(buildingOrders.hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      }
+    },
+
+    // RAW-TABLE bench twin of x_join_multiway: the declared 5-way join
+    // over the raw tables. nation (25 rows) and region (5) are FIXED-size
+    // dims at any scale — broadcasting them is scale-safe and exactly
+    // what the ETL flattening precomputes; customer and orders are data-
+    // sized, so their edges are shuffle-hash with the filtered/narrower
+    // side as build. The ratio delta vs the sibling is the LAYOUT term.
+    Q("x_join_multiway_raw",
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin, bench = true) {
+      (s, dir) => {
+        val asiaNation = t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val asiaCust = t(s, dir, "customer")
+          .join(broadcast(asiaNation), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name"))
+        val custOrders = t(s, dir, "orders")
+          .join(asiaCust.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("n_name"))
+        t(s, dir, "lineitem")
+          .join(custOrders.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(col("n_name"))
+      }
+    },
+
     // Left outer join with null-producing side.
     Q("x_join_left_outer",
       """SELECT c_custkey, o_orderkey

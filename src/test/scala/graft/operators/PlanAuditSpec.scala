@@ -94,6 +94,32 @@ class PlanAuditSpec extends AnyFunSuite {
       s"orderkey shuffle survived despite the bucketed projection:\n$p")
   }
 
+  test("raw-table join twins: fact edges shuffle-hash, only fixed-size dims broadcast") {
+    // the raw twins measure execution over the UNDERIVED layout — their
+    // fact⋈fact edges legitimately shuffle on the join keys (that is the
+    // layout cost the ETL projections remove), but they must stay
+    // scale-safe: hash joins with the filtered/narrower side as build
+    // (no data-sized broadcast, no re-sorting merge form)
+    val pTop = plan("x_join_top_orders_raw")
+    assert(pTop.contains("ShuffledHashJoin"),
+      s"raw top-orders fact edges should be shuffled hash joins:\n$pTop")
+    assert(!pTop.contains("SortMergeJoin"),
+      s"raw top-orders must not pay the re-sorting merge form:\n$pTop")
+    assert(!pTop.contains("BroadcastHashJoin"),
+      s"every side of raw top-orders is data-sized — nothing may broadcast:\n$pTop")
+    val pMulti = plan("x_join_multiway_raw")
+    // exactly the two FIXED-size dim builds broadcast (region onto
+    // nation, the 25-row asia chain onto customer); orders and lineitem
+    // edges are shuffled hash joins
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(pMulti).length
+    assert(broadcasts == 2,
+      s"expected exactly the nation⋈region and customer dim broadcasts:\n$pMulti")
+    assert("ShuffledHashJoin".r.findAllIn(pMulti).length == 2,
+      s"orders and lineitem edges should both be shuffled hash joins:\n$pMulti")
+    assert(!pMulti.contains("SortMergeJoin"),
+      s"raw multiway must not pay the re-sorting merge form:\n$pMulti")
+  }
+
   test("full outer join never broadcasts (both sides produce unmatched rows)") {
     val p = plan("x_join_full_outer")
     assert(p.contains("FullOuter"), s"expected a full-outer join:\n$p")
@@ -177,7 +203,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // scale) where the local planner's size estimate would otherwise
     // broadcast a fact.
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
-    for (name <- Seq("x_join_top_orders", "x_join_multiway")) {
+    for (name <- Seq("x_join_top_orders", "x_join_multiway",
+        "x_join_top_orders_raw", "x_join_multiway_raw")) {
       val lp = SparkEntry.queries(name)(spark, dir).queryExecution.analyzed
       val hints = lp.collect { case h: ResolvedHint => h }
       assert(hints.nonEmpty, s"$name: dimension sides should still be hinted")
