@@ -253,7 +253,7 @@ object Ast {
       orderBy: List[SortItem] = Nil, limit: Option[Int] = None,
       distinct: Boolean = false, joins: List[JoinSpec] = Nil,
       exprs: List[ExprProj] = Nil, fns: List[FnProj] = Nil,
-      wins: List[WinProj] = Nil) extends Stmt
+      wins: List[WinProj] = Nil) extends Stmt with SetOpSide
 
   /** graft extension: `(SEARCH …) UNION/EXCEPT/INTERSECT [ALL]
     * (SEARCH …)` — the set-operation combinators the reference lacks
@@ -263,9 +263,16 @@ object Ast {
     * `all` keeps multiset duplicates (SQL UNION/EXCEPT/INTERSECT ALL
     * bag semantics). Both sides must agree on schema exactly — the
     * quirk-Q8 stance SEARCH's union already takes (mismatch is an
-    * error, never a silent drop or cast). */
+    * error, never a silent drop or cast).
+    *
+    * A side is a SEARCH or — round 12 — another parenthesized set op,
+    * so chains compose directly: `((A) UNION (B)) EXCEPT (C)`.
+    * EXPLICIT parens only, matching the language's no-implicit-
+    * precedence style (an unparenthesized `A UNION B EXCEPT C` is a
+    * parse error, never a silent left-fold). */
+  sealed trait SetOpSide
   final case class SetOp(op: String, all: Boolean,
-      left: Search, right: Search) extends Stmt
+      left: SetOpSide, right: SetOpSide) extends Stmt with SetOpSide
 
   /** One window-function projection item (graft extension):
     * `rank(col [DESC]) PER [keys…]` — rank/dense_rank/row_number over a
@@ -1022,13 +1029,19 @@ object Parser {
           (true, r)
         case (r: SubCommand) :: Nil => (false, r)
         case _ => throw new ParseException(
-          s"Expected `(SEARCH …) ${op.toUpperCase} [ALL] (SEARCH …)`")
+          s"Expected `(SEARCH …) ${op.toUpperCase} [ALL] (SEARCH …)` — " +
+            "chains need explicit parens: `((A) UNION (B)) EXCEPT (C)`")
       }
-      def side(sc: SubCommand, which: String): Search =
+      // a side is a SEARCH or a nested parenthesized set op (explicit
+      // parens only — no implicit precedence or associativity exists to
+      // mis-read, matching the language's style)
+      def side(sc: SubCommand, which: String): SetOpSide =
         fromTokens(sc.items) match {
           case s: Search => s
+          case so: SetOp => so
           case other => throw new ParseException(
-            s"$which side of ${op.toUpperCase} must be a SEARCH, got $other")
+            s"$which side of ${op.toUpperCase} must be a SEARCH or a " +
+              s"parenthesized set operation, got $other")
         }
       SetOp(op, all, side(l, "left"), side(rTok, "right"))
 

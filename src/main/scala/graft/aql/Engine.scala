@@ -1214,8 +1214,28 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     * implicit cast), then Spark's except/intersect[All] — aggregate +
     * left-anti/left-semi joins, one full-row shuffle, the same scale
     * shape as DISTINCT. */
+  /** Lower a set-op side: a SEARCH, or (round 12) a nested set op —
+    * chains like `((A) UNION (B)) EXCEPT (C)` recurse here, each level
+    * lowering to the same except/intersect/union Spark operators, so a
+    * chain costs exactly its per-level shuffles (UNION ALL levels stay
+    * concatenation-only). */
+  private def lowerSetOpSide(side: Ast.SetOpSide): DataFrame = side match {
+    case s: Ast.Search => lowerSearch(s)
+    case so: Ast.SetOp => lowerSetOp(so)
+  }
+
+  /** Propagate an outer AT VERSION into every SEARCH leaf of a set-op
+    * tree (inner wins), exactly as into a `(SEARCH …)` subquery. */
+  private def setOpAtVersion(so: Ast.SetOp, v: Option[Int]): Ast.SetOp = {
+    def side(s: Ast.SetOpSide): Ast.SetOpSide = s match {
+      case srch: Ast.Search => srch.copy(atVersion = srch.atVersion.orElse(v))
+      case inner: Ast.SetOp => setOpAtVersion(inner, v)
+    }
+    so.copy(left = side(so.left), right = side(so.right))
+  }
+
   private def lowerSetOp(so: Ast.SetOp): DataFrame = {
-    val (ld, rd) = (lowerSearch(so.left), lowerSearch(so.right))
+    val (ld, rd) = (lowerSetOpSide(so.left), lowerSetOpSide(so.right))
     val schemas = Seq(ld, rd).map(_.schema.map(f => (f.name, f.dataType)))
     if (schemas.distinct.length != 1)
       throw new ParseException(
@@ -1979,11 +1999,9 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       case Ast.Container.Cands(sm) =>
         similarDf(sm.copy(atVersion = sm.atVersion.orElse(atVersion)))
       case Ast.Container.Combo(so) =>
-        // an outer AT VERSION propagates into BOTH sides (inner wins),
-        // exactly as into a (SEARCH …) subquery
-        lowerSetOp(so.copy(
-          left = so.left.copy(atVersion = so.left.atVersion.orElse(atVersion)),
-          right = so.right.copy(atVersion = so.right.atVersion.orElse(atVersion))))
+        // an outer AT VERSION propagates into every SEARCH leaf (inner
+        // wins), exactly as into a (SEARCH …) subquery
+        lowerSetOp(setOpAtVersion(so, atVersion))
     }
 
   /** JOIN source (graft extension): the unioned containers joined with
@@ -2317,9 +2335,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         case Token.SubCommand(toks) => Parser.fromTokens(toks) match {
           case srch: Ast.Search => lowerSearch(
             srch.copy(atVersion = srch.atVersion.orElse(s.atVersion)))
-          case so: Ast.SetOp => lowerSetOp(so.copy(
-            left = so.left.copy(atVersion = so.left.atVersion.orElse(s.atVersion)),
-            right = so.right.copy(atVersion = so.right.atVersion.orElse(s.atVersion))))
+          case so: Ast.SetOp => lowerSetOp(setOpAtVersion(so, s.atVersion))
           case other => throw new ParseException(
             s"IN expects a SEARCH or set-operation subquery, got $other")
         }

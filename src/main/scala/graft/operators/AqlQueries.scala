@@ -431,6 +431,20 @@ object AqlQueries {
         "(SEARCH [lang] ON documents WHERE n_chars >= 300) INTERSECT ALL " +
           "(SEARCH [lang] ON documents WHERE n_chars <= 800)")(s, dir)
     },
+    // round 12: recursive set-op sides — a parenthesized set op IS a
+    // side, completing the combinator algebra (explicit parens only, no
+    // implicit precedence). `((A) UNION ALL (B)) EXCEPT (C)` without the
+    // Combo-source wrapping round 11 required.
+    Q("aql_setop_chain",
+      """(SELECT doc_id FROM documents WHERE n_chars >= 600
+        |  UNION ALL SELECT doc_id FROM documents WHERE source = 'src0')
+        |EXCEPT SELECT doc_id FROM documents WHERE lang = 'en'
+        |ORDER BY doc_id""".stripMargin) {
+      (s, dir) => search(
+        "((SEARCH [doc_id] ON documents WHERE n_chars >= 600) UNION ALL " +
+          "(SEARCH [doc_id] ON documents WHERE source = 'src0')) EXCEPT " +
+          "(SEARCH [doc_id] ON documents WHERE lang = 'en')")(s, dir)
+    },
 
     // the three string-match operators through AQL
     Q("aql_search_contains",

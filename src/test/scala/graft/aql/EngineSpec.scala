@@ -1734,6 +1734,46 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq("seta", "setb").foreach(c => eng.execute(s"DELETE CONTAINER $c"))
   }
 
+  test("46b recursive set-op sides: chains execute; AT VERSION reaches nested leaves") {
+    Seq("sca", "scb", "scc").foreach(c =>
+      eng.execute(s"CREATE CONTAINER $c ['k'] [BIGINT]"))
+    Seq(1, 2, 3).foreach(k => eng.execute(s"CREATE ROW ['k'] [$k] ON sca"))
+    Seq(3, 4).foreach(k => eng.execute(s"CREATE ROW ['k'] [$k] ON scb"))
+    eng.execute("CREATE ROW ['k'] [2] ON scc")
+    Seq("sca", "scb", "scc").foreach(c => eng.execute(s"COMMIT $c"))
+    def ks(aql: String): Seq[Long] = searchRows(aql).map(_.getLong(0)).sorted
+    // left-nested: ({1,2,3} ∪ {3,4}) − {2} = {1,3,4}
+    assert(ks("((SEARCH [] ON sca) UNION (SEARCH [] ON scb)) EXCEPT " +
+      "(SEARCH [] ON scc)") == Seq(1L, 3L, 4L))
+    // right-nested: {1,2,3} − ({3,4} ∩ {2}) = {1,2,3}
+    assert(ks("(SEARCH [] ON sca) EXCEPT ((SEARCH [] ON scb) INTERSECT " +
+      "(SEARCH [] ON scc))") == Seq(1L, 2L, 3L))
+    // depth 3 with ALL levels mixed
+    assert(ks("(((SEARCH [] ON sca) UNION ALL (SEARCH [] ON scb)) EXCEPT " +
+      "(SEARCH [] ON scc)) INTERSECT (SEARCH [] ON sca)") == Seq(1L, 3L))
+    // a chain composes as a SEARCH source, IN subquery, and JOIN side
+    assert(ks("SEARCH [] ON [(((SEARCH [] ON sca) UNION (SEARCH [] ON scb))" +
+      " EXCEPT (SEARCH [] ON scc))] WHERE k <= 3") == Seq(1L, 3L))
+    assert(ks("SEARCH [] ON sca WHERE k IN (((SEARCH [k] ON sca) UNION " +
+      "(SEARCH [k] ON scb)) EXCEPT (SEARCH [k] ON scc))") == Seq(1L, 3L))
+    // outer AT VERSION reaches EVERY leaf of the nested tree (v2 of sca
+    // adds 9; the source pinned AT VERSION 1 must not see it)...
+    eng.execute("CREATE ROW ['k'] [9] ON sca")
+    eng.execute("COMMIT sca")
+    assert(ks("SEARCH [] ON [(((SEARCH [] ON sca) UNION (SEARCH [] ON scb))" +
+      " EXCEPT (SEARCH [] ON scc))] AT VERSION 1") == Seq(1L, 3L, 4L))
+    // ...and an explicit INNER leaf version wins over the outer pin
+    assert(ks("SEARCH [] ON [(((SEARCH [] ON sca AT VERSION 2) UNION " +
+      "(SEARCH [] ON scb)) EXCEPT (SEARCH [] ON scc))] AT VERSION 1")
+      == Seq(1L, 3L, 4L, 9L))
+    // EXPLAIN composes over a chain
+    val ex = eng.execute("EXPLAIN ((SEARCH [] ON sca) UNION " +
+      "(SEARCH [] ON scb)) EXCEPT (SEARCH [] ON scc)")
+      .asInstanceOf[Engine.Done].message
+    assert(ex.contains("Physical Plan"), ex.take(200))
+    Seq("sca", "scb", "scc").foreach(c => eng.execute(s"DELETE CONTAINER $c"))
+  }
+
   test("45 multi-dim enrichment views: star-schema AQL lifecycle, per-dim reseed, guards") {
     eng.execute("CREATE CONTAINER sf2 ['id','nat','src','v'] [BIGINT, BIGINT, BIGINT, BIGINT]")
     eng.execute("CREATE CONTAINER sd1 ['nat','region'] [BIGINT, TEXT]")

@@ -485,4 +485,41 @@ class ParserSpec extends AnyFunSuite {
       == Explain(ShowOverlap(Container.Real("a"), Container.Real("b"),
         "c", Some("g")), analyze = false))
   }
+
+  test("recursive set-op sides: explicit parens only, both positions, any depth") {
+    val a = Search(List(Container.Real("a")), List("x"), None)
+    val b = Search(List(Container.Real("b")), List("x"), None)
+    val c = Search(List(Container.Real("c")), List("x"), None)
+    // left-nested chain
+    assert(Parser.parse(
+      "((SEARCH [x] ON a) UNION (SEARCH [x] ON b)) EXCEPT (SEARCH [x] ON c)")
+      == SetOp("except", all = false, SetOp("union", all = false, a, b), c))
+    // right-nested and ALL at both levels
+    assert(Parser.parse(
+      "(SEARCH [x] ON a) UNION ALL ((SEARCH [x] ON b) INTERSECT ALL (SEARCH [x] ON c))")
+      == SetOp("union", all = true, a, SetOp("intersect", all = true, b, c)))
+    // depth 3
+    assert(Parser.parse(
+      "(((SEARCH [x] ON a) UNION (SEARCH [x] ON b)) EXCEPT (SEARCH [x] ON c)) " +
+        "INTERSECT (SEARCH [x] ON a)")
+      == SetOp("intersect", all = false,
+        SetOp("except", all = false, SetOp("union", all = false, a, b), c), a))
+    // NO implicit precedence or associativity: an unparenthesized chain
+    // is a parse error, never a silent left-fold
+    intercept[ParseException](Parser.parse(
+      "(SEARCH [x] ON a) UNION (SEARCH [x] ON b) EXCEPT (SEARCH [x] ON c)"))
+    // a nested side must still be a SEARCH or set op, not another read
+    intercept[ParseException](Parser.parse(
+      "((SEARCH [x] ON a) UNION (CHANGES b 1)) EXCEPT (SEARCH [x] ON c)"))
+    // nested chains compose as a source and under EXPLAIN
+    assert(Parser.parse(
+      "SEARCH [x] ON [(((SEARCH [x] ON a) UNION (SEARCH [x] ON b)) EXCEPT (SEARCH [x] ON c))]")
+      == Search(List(Container.Combo(
+        SetOp("except", all = false, SetOp("union", all = false, a, b), c))),
+        List("x"), None))
+    assert(Parser.parse(
+      "EXPLAIN ((SEARCH [x] ON a) UNION (SEARCH [x] ON b)) EXCEPT (SEARCH [x] ON c)")
+      == Explain(SetOp("except", all = false,
+        SetOp("union", all = false, a, b), c), analyze = false))
+  }
 }
