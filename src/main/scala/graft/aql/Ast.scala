@@ -321,10 +321,20 @@ object Ast {
     * <pk> ON c [USING ix] [LIMIT n]` reads the committed row with that pk
     * and serves its near-dup (lsh/simhash) or same-cell ANN (ivf)
     * candidates from the index, as one pk-named column ascending. `USING`
-    * is only needed when more than one non-text index exists. */
+    * is only needed when more than one non-text index exists.
+    *
+    * Round 12 — `SIMILAR [<float> …] ON c [USING ix] [LIMIT n]`: a
+    * LITERAL query vector (`vector` set, `key` keeps the raw Group
+    * token), the production ANN serving shape — the query embedding
+    * need not be a committed row. Serves same-cell candidates from an
+    * `ivf` index (nearest trained centroid of the literal vector, the
+    * value→address lookup of `src/indexing.rs:215-309` generalized to
+    * vector cells); no self-exclusion since the query is not a corpus
+    * row. */
   final case class Similar(container: String, key: Token,
       ix: Option[String], limit: Int,
-      atVersion: Option[Int] = None) extends Stmt
+      atVersion: Option[Int] = None,
+      vector: Option[List[Double]] = None) extends Stmt
   /** graft extensions: incremental materialized views. `CREATE VIEW v
     * (SEARCH [keys…, count(c)/sum(c)…] ON src [WHERE …])` declares a
     * CDC-maintained aggregate container; `REFRESH VIEW` folds the
@@ -1215,15 +1225,27 @@ object Parser {
 
     // SIMILAR <pk> ON container [USING ix] [LIMIT n] (graft extension):
     // near-dup / ANN candidates for the committed row with that pk,
-    // served from a band/ivf index
+    // served from a band/ivf index. SIMILAR [<float> …] probes by a
+    // LITERAL query vector instead (query-by-embedding — the vector
+    // need not be a committed row).
     case Keyword("SIMILAR") :: keyTok :: Keyword("ON") :: containerTok :: rest =>
-      keyTok match {
-        case _: Group | _: SubCommand =>
-          throw new ParseException("SIMILAR expects a single pk literal")
-        case _ =>
+      val vector = keyTok match {
+        case g: Group =>
+          if (g.items.isEmpty) throw new ParseException(
+            "SIMILAR vector must not be empty")
+          Some(g.items.map {
+            case FloatLit(v) => v
+            case IntLit(v) => v.toDouble
+            case other => throw new ParseException(
+              s"SIMILAR vector components must be numeric literals, got $other")
+          })
+        case _: SubCommand =>
+          throw new ParseException(
+            "SIMILAR expects a single pk literal or a [vector] of numeric literals")
+        case _ => None
       }
       val (at, ix, limit) = lookupTail("SIMILAR", rest)
-      Similar(name(containerTok), keyTok, ix, limit, at)
+      Similar(name(containerTok), keyTok, ix, limit, at, vector)
 
     // CREATE VIEW v (SEARCH …) / REFRESH VIEW v / DELETE VIEW v (graft
     // extensions): incremental materialized views over the CDC feed

@@ -1717,9 +1717,6 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     requireNotView(sm.container, "an index")
     val d = catalog.get(sm.container)
     val (pkName, pkType) = d.columns.head
-    val key = AlbaType.coerce(pkType, AlbaType.tokenValue(sm.key))
-    if (key == null)
-      throw new ParseException(s"SIMILAR key $pkName must not be NULL")
     val defs = catalog.indexDefs(sm.container).filter(_.kind != "text")
     val idef = sm.ix match {
       case Some(n) => defs.find(_.ix == n).getOrElse(throw new ParseException(
@@ -1734,6 +1731,29 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
             s"(${many.map(_.ix).mkString(", ")}) — pick one with USING")
       }
     }
+    // literal-vector probe (query-by-embedding): nearest trained
+    // centroid of the literal vector → that cell's candidates, no
+    // self-exclusion (the query is not a corpus row). ivf only — a
+    // band (lsh/simhash) index derives from TEXT, which a float vector
+    // can't probe.
+    sm.vector.foreach { vec =>
+      if (idef.kind != "ivf")
+        throw new ParseException(
+          s"SIMILAR by literal vector serves from an ivf index; " +
+            s"'${idef.ix}' is a ${idef.kind} index over text")
+      sm.atVersion.foreach(v =>
+        if (!catalog.versions(sm.container).contains(v))
+          throw new ParseException(
+            s"No committed version $v on '${sm.container}'"))
+      return catalog.indexLookupVector(sm.container, idef.ix,
+          vec.map(_.toFloat), at = sm.atVersion)
+        .select(col("cand").as(pkName))
+        .orderBy(col(pkName))
+        .limit(sm.limit)
+    }
+    val key = AlbaType.coerce(pkType, AlbaType.tokenValue(sm.key))
+    if (key == null)
+      throw new ParseException(s"SIMILAR key $pkName must not be NULL")
     // the probe row comes from the COMMITTED (possibly time-traveled)
     // version, matching what that version's index covers (a staged,
     // uncommitted row has no index rows yet — COMMIT first). An unknown

@@ -380,6 +380,18 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     }
   }
 
+  /** ANN candidates for a literal query vector (not a corpus row) from
+    * an `ivf` index — see [[Index.ivfLookupVector]]. */
+  def indexLookupVector(name: String, ix: String, vec: Seq[Float],
+      nprobe: Int = 1, at: Option[Int] = None): DataFrame = {
+    val d = indexDefs(name).find(_.ix == ix)
+      .getOrElse(sys.error(s"No index '$ix' on '$name'"))
+    require(d.kind == "ivf",
+      s"index '$ix' is a ${d.kind} index — literal-vector probes serve " +
+        "from an ivf index (lsh/simhash band text, not vectors)")
+    Index.ivfLookupVector(this, name, d, vec, nprobe, at)
+  }
+
   /** BM25 top-k over a `text` index — see [[Index.textLookup]]. */
   def textSearch(name: String, ix: String, terms: Seq[String],
       k: Int = 20, at: Option[Int] = None): DataFrame = {

@@ -504,6 +504,40 @@ object Index {
       .distinct()
   }
 
+  /** ANN candidates for a LITERAL query vector (query-by-embedding —
+    * the production ANN serving shape: the query is NOT a corpus row,
+    * so unlike [[ivfLookup]] there is no self-exclusion and no snapshot
+    * probe read). The nearest-`nprobe`-centroid choice runs driver-side
+    * over the frozen ≤k centroid metadata (the same numbers —
+    * d2 rounded to 6, seed-id tie-break — the distributed assignment
+    * uses, so a vector probes exactly the cell its committed twin would
+    * land in); the index scan then filters to those LITERAL cluster
+    * ids, bucket-pruned to nprobe/k of the corpus at any scale.
+    */
+  def ivfLookupVector(cat: Catalog, container: String, idef: Def,
+      vec: Seq[Float], nprobe: Int = 1,
+      at: Option[Int] = None): DataFrame = {
+    require(idef.kind == "ivf", s"index '${idef.ix}' is not an ivf index")
+    require(vec.nonEmpty, "query vector must not be empty")
+    val cents = centroids(cat, container, idef.ix)
+    cents.headOption.foreach { case (_, c) => require(c.length == vec.length,
+      s"query vector has ${vec.length} dims; index '${idef.ix}' " +
+        s"expects ${c.length}") }
+    def dist2(c: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) {
+        val d = vec(i).toDouble - c(i).toDouble; s += d * d; i += 1
+      }
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val probed = cents.map { case (sid, c) => (sid, dist2(c)) }
+      .sortBy { case (sid, d) => (d, sid) }.take(nprobe).map(_._1)
+    read(cat, container, idef, at)
+      .filter(col("cluster").isin(probed: _*))
+      .select(col("id").as("cand"))
+      .distinct()
+  }
+
   /** BM25 top-k search served from a `text` index: scan the postings
     * filtered to the query's LITERAL lowercased terms plus the stats
     * sentinel key (bucket- and row-group-pruned by the term-sorted

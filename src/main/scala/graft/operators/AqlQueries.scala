@@ -27,6 +27,14 @@ object AqlQueries {
     */
   private val engines = scala.collection.mutable.Map[(SparkSession, String), Engine]()
 
+  /** The literal query vector of the query-by-embedding SIMILAR rows —
+    * nearest docs_ivf centroid is axis 3. ONE definition renders both
+    * the AQL literal and the oracle's declarative nearest-axis SQL. */
+  private[operators] val similarQueryVec: IndexedSeq[Double] =
+    IndexedSeq(0.05, 0.1, 0.02, 0.93, 0.0, 0.04, 0.01, 0.07)
+  private[operators] def similarQueryVecAql: String =
+    similarQueryVec.mkString("[", ", ", "]")
+
   private val fixtureRoots = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
     fixtureRoots.foreach { root =>
@@ -285,6 +293,28 @@ object AqlQueries {
       eng.execute("CREATE INDEX vs ON docs_fvx ['score'] USING value")
       eng.execute("CREATE ROW ['doc_id','score'] [900010, 300.25] ON docs_fvx")
       eng.execute("COMMIT docs_fvx")
+      // ivf-indexed container for query-by-vector SIMILAR: 8-dim one-hot
+      // embeddings (axis = doc_id % 8, exactly) sit AT the k-means fixed
+      // point — the 8 lowest-pk rows seed every axis and each Lloyd
+      // round reproduces the axis unit vectors exactly, so the trained
+      // centroids are the axes and cell membership is doc_id % 8,
+      // which the oracle recomputes declaratively (nearest-axis of the
+      // literal query vector in SQL). Bounded fixture metadata: 64 ids.
+      eng.execute("CREATE CONTAINER docs_ivf ['doc_id','emb'] [BIGINT, MEDIUM-BYTES]")
+      val ivfIds = graft.Tables.load(spark, dir, "documents")
+        .filter(org.apache.spark.sql.functions.col("doc_id") <= 64)
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      val ivfRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      ivfIds.foreach(i => ivfRows.add(
+        org.apache.spark.sql.Row(i, graft.functions.Float32Unpack.pack(
+          (0 until 8).map(a => if (a == (i % 8).toInt) 1f else 0f)))))
+      eng.catalog.overwrite("docs_ivf", spark.createDataFrame(ivfRows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("emb",
+            org.apache.spark.sql.types.BinaryType, nullable = false)))))
+      eng.execute("CREATE INDEX ann ON docs_ivf ['emb'] USING ivf")
       // join-reorder fixtures: a doc-sized mid container and a
       // lang-sized small one, both ANALYZEd — the pessimally-written
       // chain in `aql_join_reorder` (big build first) reorders
@@ -1067,6 +1097,50 @@ object AqlQueries {
          |UNION SELECT id_a FROM pairs WHERE id_b = 45
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       search("SIMILAR 45 ON docs_ft USING nd")(s, dir)
+    },
+
+    // SIMILAR by LITERAL vector (round 12 — query-by-embedding, the
+    // production ANN serving shape: the query vector is NOT a committed
+    // row). Served from the commit-maintained ivf index on docs_ivf; the
+    // oracle recomputes the nearest-centroid cell membership
+    // DECLARATIVELY — the fixture's one-hot embeddings sit at the
+    // k-means fixed point, so the trained centroids are the axis unit
+    // vectors and the probed cell is the axis nearest the literal query
+    // (axis 3 for this vector), recomputed in SQL from first principles.
+    Q("aql_similar_vector", {
+      val qv = AqlQueries.similarQueryVec
+      val d2 = (0 until 8).map(i =>
+        s"pow(${qv(i)} - (CASE WHEN axis = $i THEN 1.0 ELSE 0.0 END), 2)")
+        .mkString(" + ")
+      s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id <= 64),
+         |axes AS (SELECT DISTINCT doc_id % 8 AS axis FROM ids),
+         |qd AS (SELECT axis, $d2 AS d2 FROM axes),
+         |best AS (SELECT axis FROM qd ORDER BY d2, axis LIMIT 1)
+         |SELECT i.doc_id FROM ids i, best b WHERE i.doc_id % 8 = b.axis
+         |ORDER BY i.doc_id LIMIT 5""".stripMargin
+    }) { (s, dir) =>
+      search("SIMILAR " + AqlQueries.similarQueryVecAql +
+        " ON docs_ivf USING ann LIMIT 5")(s, dir)
+    },
+
+    // ...and the vector form composes as a SEARCH source like any
+    // (SIMILAR …) candidate set (WHERE over the served pks).
+    Q("aql_similar_vector_src", {
+      val qv = AqlQueries.similarQueryVec
+      val d2 = (0 until 8).map(i =>
+        s"pow(${qv(i)} - (CASE WHEN axis = $i THEN 1.0 ELSE 0.0 END), 2)")
+        .mkString(" + ")
+      s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id <= 64),
+         |axes AS (SELECT DISTINCT doc_id % 8 AS axis FROM ids),
+         |qd AS (SELECT axis, $d2 AS d2 FROM axes),
+         |best AS (SELECT axis FROM qd ORDER BY d2, axis LIMIT 1),
+         |cands AS (SELECT i.doc_id FROM ids i, best b
+         |          WHERE i.doc_id % 8 = b.axis ORDER BY i.doc_id LIMIT 5)
+         |SELECT doc_id FROM cands WHERE doc_id > 10
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      search("SEARCH [] ON [(SIMILAR " + AqlQueries.similarQueryVecAql +
+        " ON docs_ivf USING ann LIMIT 5)] WHERE doc_id > 10")(s, dir)
     },
 
     // ALTER RENAME COLUMN through the full AQL path: files of both eras

@@ -869,6 +869,11 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       simJoin.head.getString(1).contains("quick brown fox"))
     // an unknown pk probes nothing: empty candidate set, not an error
     assert(searchRows("SIMILAR 999 ON idocs").isEmpty)
+    // a literal VECTOR can't probe a band (text) index — loud error
+    // naming the kinds, never a silent empty set
+    val eVec = intercept[ParseException](
+      eng.execute("SIMILAR [0.1, 0.2] ON idocs"))
+    assert(eVec.getMessage.contains("ivf"), eVec.getMessage)
 
     eng.execute("DELETE INDEX nd ON idocs")
     assert(eng.catalog.indexDefs("idocs").isEmpty)

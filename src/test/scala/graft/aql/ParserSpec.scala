@@ -136,7 +136,15 @@ class ParserSpec extends AnyFunSuite {
       == Similar("docs", Token.IntLit(45), None, 20))
     assert(Parser.parse("SIMILAR 'k1' ON docs USING nd LIMIT 5")
       == Similar("docs", Token.Str("k1"), Some("nd"), 5))
-    intercept[ParseException](Parser.parse("SIMILAR [1,2] ON docs"))
+    // round 12: a group of numeric literals is a LITERAL query vector
+    // (query-by-embedding); int components coerce to double
+    assert(Parser.parse("SIMILAR [0.5, 1, 0.25] ON docs USING ann LIMIT 3")
+      == Similar("docs",
+        Token.Group(List(Token.FloatLit(0.5), Token.IntLit(1), Token.FloatLit(0.25))),
+        Some("ann"), 3, None, Some(List(0.5, 1.0, 0.25))))
+    intercept[ParseException](Parser.parse("SIMILAR [] ON docs"))
+    intercept[ParseException](Parser.parse("SIMILAR ['x', 0.5] ON docs"))
+    intercept[ParseException](Parser.parse("SIMILAR (SEARCH [] ON a) ON docs"))
     intercept[ParseException](Parser.parse("SIMILAR 1 ON docs LIMIT 0"))
   }
 

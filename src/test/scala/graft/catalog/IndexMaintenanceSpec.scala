@@ -311,6 +311,21 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       .asInstanceOf[graft.aql.Engine.ResultSet].df
       .collect().map(_.getLong(0)).toSet
     assert(sim == Set(11L, 19L, 99L), s"got $sim")
+
+    // ...and by LITERAL vector (query-by-embedding): a query near axis 3
+    // that is NOT a committed row serves the whole cell — no
+    // self-exclusion, row 3 itself included
+    def simVec(aql: String): Set[Long] = eng.execute(aql)
+      .asInstanceOf[graft.aql.Engine.ResultSet].df
+      .collect().map(_.getLong(0)).toSet
+    assert(simVec("SIMILAR [0.1, 0.05, 0.02, 0.9, 0.0, 0.04, 0.01, 0.07] ON vecs")
+      == Set(3L, 11L, 19L, 99L))
+    // AT VERSION serves the time-traveled index: v1 predates row 99
+    assert(simVec("SIMILAR [0.1, 0.05, 0.02, 0.9, 0.0, 0.04, 0.01, 0.07] " +
+      "ON vecs AT VERSION 1") == Set(3L, 11L, 19L))
+    // dimension mismatch is a loud error, not an empty result
+    val eDim = intercept[Exception](eng.execute("SIMILAR [0.1, 0.2] ON vecs"))
+    assert(eDim.getMessage.contains("dims"), eDim.getMessage)
   }
 
   test("ivf guards: needs BYTES column and committed rows; centroids survive a rename") {
