@@ -149,6 +149,15 @@ object Ast {
     * group present on only one side reports its exclusive counts. */
   final case class ShowOverlap(a: Container, b: Container,
       column: String, by: Option[String] = None) extends Stmt
+  /** graft extension (round 12): the N-WAY overlap matrix — `SHOW
+    * OVERLAP [c1, c2, …] ON col [BY gcol]` computes ONE theta sketch
+    * per source (per group with BY) and reports every upper-triangle
+    * pair's set algebra: the 10-source corpus triage
+    * (t_overlap_theta's matrix shape) in one statement instead of
+    * N·(N−1)/2 pairwise ones. Each source is scanned ONCE; the pair
+    * fan-out happens on the KB-sized sketch rows, never the data. */
+  final case class ShowOverlapMatrix(sources: List[Container],
+      column: String, by: Option[String] = None) extends Stmt
   /** graft extensions: corpus interchange. EXPORT writes the container's
     * session view to a NEW directory in the given format (errors if the
     * path exists — never silently overwrites); IMPORT reads files under
@@ -978,6 +987,22 @@ object Parser {
     // SHOW TAILS c (graft extension) — TAILS is not reserved, like STATS
     case Keyword("SHOW") :: Str(w) :: cTok :: Nil if w.equalsIgnoreCase("TAILS") =>
       ShowTails(name(cTok))
+    // SHOW OVERLAP [c1, c2, …] ON col (graft extension, round 12): the
+    // N-way overlap MATRIX over a source LIST — must precede the
+    // pairwise case (a Group before ON is the list form)
+    case Keyword("SHOW") :: Str(w) :: (srcG: Group) :: Keyword("ON") :: colTok :: rest
+        if w.equalsIgnoreCase("OVERLAP") =>
+      val by = rest match {
+        case Nil => None
+        case Keyword("BY") :: gTok :: Nil => Some(name(gTok))
+        case _ => throw new ParseException(
+          "Expected `SHOW OVERLAP [sources] ON col [BY gcol]`")
+      }
+      val sources = srcG.items.map(sourceContainer(_, "SHOW OVERLAP subquery"))
+      if (sources.size < 2) throw new ParseException(
+        "SHOW OVERLAP over a source list needs at least two sources")
+      ShowOverlapMatrix(sources, name(colTok), by)
+
     // SHOW OVERLAP a b ON col (graft extension) — OVERLAP is not
     // reserved, like STATS/TAILS; each side is a container name or any
     // SEARCH-source subquery, resolved exactly like a SEARCH source
@@ -1179,7 +1204,7 @@ object Parser {
       }
       fromTokens(body) match {
         case q @ (_: Search | _: SetOp | _: Match | _: Similar | _: Changes |
-                  _: ShowOverlap) =>
+                  _: ShowOverlap | _: ShowOverlapMatrix) =>
           Explain(q, analyze)
         case other => throw new ParseException(
           s"EXPLAIN supports SEARCH/SET-OP/MATCH/SIMILAR/CHANGES/" +

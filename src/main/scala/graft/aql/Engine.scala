@@ -324,6 +324,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         case sm: Ast.Similar => similarDf(sm)
         case ch: Ast.Changes => catalog.changes(ch.container, ch.fromVersion, ch.toVersion)
         case ov: Ast.ShowOverlap => showOverlapDf(ov.a, ov.b, ov.column, ov.by)
+        case om: Ast.ShowOverlapMatrix =>
+          showOverlapMatrixDf(om.sources, om.column, om.by)
         case other => throw new ParseException(s"EXPLAIN cannot plan $other")
       }
       val formatted = df.queryExecution.explainString(
@@ -713,6 +715,10 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
 
     case Ast.ShowOverlap(a, b, cn, byOpt) =>
       resultSet(showOverlapDf(a, b, cn, byOpt), needsDefaultSort = true)
+
+    case om: Ast.ShowOverlapMatrix =>
+      resultSet(showOverlapMatrixDf(om.sources, om.column, om.by),
+        needsDefaultSort = true)
 
     case Ast.Commit(c) => tx.commit(c); Done("committed")
     case Ast.Rollback(c) => tx.rollback(c); Done("rolled back")
@@ -1256,6 +1262,72 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
 
   /** Lower SHOW OVERLAP to its DataFrame — shared by the statement and
     * EXPLAIN so the inspected plan is the executed plan. */
+  /** One resolved SHOW OVERLAP side: source DataFrame, canonical sketch
+    * column, hash-domain family, canonical BY column. Shared by the
+    * pairwise and N-way matrix forms. */
+  private case class OverlapSide(df: DataFrame, canon: String,
+      fam: String, group: Option[String], name: String)
+
+  private def resolveOverlapSide(cont: Ast.Container, cn: String,
+      byOpt: Option[String], label: String): OverlapSide = {
+    import org.apache.spark.sql.types.{BinaryType, ByteType, IntegerType,
+      LongType, ShortType, StringType}
+    val df = containerDf(cont, None)
+    val canon = df.columns.find(_.equalsIgnoreCase(cn)).getOrElse(
+      throw new ParseException(
+        s"SHOW OVERLAP: unknown column '$cn' on '$label'"))
+    // two hash DOMAINS: integral values hash as longs, TEXT/BYTES as
+    // their UTF-8/raw bytes — domains never collide across families,
+    // so a cross-family comparison would silently answer 0
+    val fam = df.schema(canon).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => "integral"
+      case StringType | BinaryType => "bytes"
+      case other => throw new ParseException(
+        s"SHOW OVERLAP over '$canon' on '$label' — theta " +
+          s"sketches hash INT/BIGINT/TEXT/BYTES only, got ${other.catalogString}")
+    }
+    // grouped form: resolve BY on every side; group TYPES must agree
+    // exactly or the full-outer join key comparison is ill-typed.
+    // The group value is emitted UNDER ITS OWN NAME next to the
+    // fixed output columns, so a BY column named like one of them
+    // would build a duplicate-name result that only crashes at the
+    // first page fetch — reject upfront like every other collision
+    val gCanon = byOpt.map { g =>
+      val c = df.columns.find(_.equalsIgnoreCase(g))
+        .getOrElse(throw new ParseException(
+          s"SHOW OVERLAP BY: unknown column '$g' on '$label'"))
+      val fixed = Seq("container_a", "container_b", "column",
+        "approx_intersect", "approx_union", "approx_a_only",
+        "approx_b_only", "jaccard")
+      if (fixed.exists(_.equalsIgnoreCase(c)))
+        throw new ParseException(
+          s"SHOW OVERLAP BY: group column '$c' collides with a " +
+            "fixed output column — rename it")
+      c
+    }
+    OverlapSide(df, canon, fam, gCanon, label)
+  }
+
+  /** The pair set-algebra columns over `_ov_ska`/`_ov_skb` — shared by
+    * the pairwise and matrix forms. An empty side/group aggregates to a
+    * NULL sketch: union treats it as the empty set, intersect/diff
+    * propagate NULL — coalesced to 0 (overlap with nothing IS nothing). */
+  private def overlapStatCols: Seq[Column] = {
+    import graft.functions.ThetaSketch.{thetaDiff, thetaEstimate,
+      thetaIntersect, thetaUnion}
+    def est(sk: Column): Column = coalesce(thetaEstimate(sk), lit(0.0))
+    val inter = est(thetaIntersect(col("_ov_ska"), col("_ov_skb")))
+    val uni = est(thetaUnion(col("_ov_ska"), col("_ov_skb")))
+    Seq(
+      round(inter).cast("long").as("approx_intersect"),
+      round(uni).cast("long").as("approx_union"),
+      round(est(thetaDiff(col("_ov_ska"), col("_ov_skb"))))
+        .cast("long").as("approx_a_only"),
+      round(est(thetaDiff(col("_ov_skb"), col("_ov_ska"))))
+        .cast("long").as("approx_b_only"),
+      when(uni > 0, inter / uni).otherwise(lit(0.0)).as("jaccard"))
+  }
+
   private def showOverlapDf(a: Ast.Container, b: Ast.Container,
       cn: String, byOpt: Option[String]): DataFrame = {
       // theta-sketch corpus-overlap triage from the query language (the
@@ -1267,49 +1339,14 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       // carry the documented ~1.6% rsd. A side is any SEARCH source —
       // `(SEARCH … AT VERSION n)` measures version churn, a WHERE'd
       // subquery measures filtered overlap.
-      import org.apache.spark.sql.types.{BinaryType, ByteType, IntegerType,
-        LongType, ShortType, StringType}
       def label(c: Ast.Container): String = c match {
         case Ast.Container.Real(n) => n
         case _ => "(subquery)"
       }
-      val sides = Seq(a, b).map { cont =>
-        val df = containerDf(cont, None)
-        val canon = df.columns.find(_.equalsIgnoreCase(cn)).getOrElse(
-          throw new ParseException(
-            s"SHOW OVERLAP: unknown column '$cn' on '${label(cont)}'"))
-        // two hash DOMAINS: integral values hash as longs, TEXT/BYTES as
-        // their UTF-8/raw bytes — domains never collide across families,
-        // so a cross-family comparison would silently answer 0
-        val fam = df.schema(canon).dataType match {
-          case ByteType | ShortType | IntegerType | LongType => "integral"
-          case StringType | BinaryType => "bytes"
-          case other => throw new ParseException(
-            s"SHOW OVERLAP over '$canon' on '${label(cont)}' — theta " +
-              s"sketches hash INT/BIGINT/TEXT/BYTES only, got ${other.catalogString}")
-        }
-        // grouped form: resolve BY on both sides; group TYPES must agree
-        // exactly or the full-outer join key comparison is ill-typed.
-        // The group value is emitted UNDER ITS OWN NAME next to the
-        // fixed output columns, so a BY column named like one of them
-        // would build a duplicate-name result that only crashes at the
-        // first page fetch — reject upfront like every other collision
-        val gCanon = byOpt.map { g =>
-          val c = df.columns.find(_.equalsIgnoreCase(g))
-            .getOrElse(throw new ParseException(
-              s"SHOW OVERLAP BY: unknown column '$g' on '${label(cont)}'"))
-          val fixed = Seq("container_a", "container_b", "column",
-            "approx_intersect", "approx_union", "approx_a_only",
-            "approx_b_only", "jaccard")
-          if (fixed.exists(_.equalsIgnoreCase(c)))
-            throw new ParseException(
-              s"SHOW OVERLAP BY: group column '$c' collides with a " +
-                "fixed output column — rename it")
-          c
-        }
-        (df, canon, fam, gCanon)
-      }
-      val Seq((dfA, colA, famA, gAOpt), (dfB, colB, famB, gBOpt)) = sides
+      val sides = Seq(a, b).map(cont =>
+        resolveOverlapSide(cont, cn, byOpt, label(cont)))
+      val Seq(OverlapSide(dfA, colA, famA, gAOpt, _),
+        OverlapSide(dfB, colB, famB, gBOpt, _)) = sides
       if (famA != famB)
         throw new ParseException(
           s"SHOW OVERLAP: '$cn' is $famA on '${label(a)}' but " +
@@ -1320,22 +1357,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
             s"SHOW OVERLAP BY: '$gA' is ${dfA.schema(gA).dataType.catalogString} " +
               s"on '${label(a)}' but ${dfB.schema(gB).dataType.catalogString} " +
               s"on '${label(b)}' — group types must agree")
-      import graft.functions.ThetaSketch.{thetaAgg, thetaDiff, thetaEstimate,
-        thetaIntersect, thetaUnion}
-      // an empty side/group aggregates to a NULL sketch: union treats it
-      // as the empty set, intersect/diff propagate NULL — coalesced to 0
-      // (overlap with nothing IS nothing)
-      def est(sk: Column): Column = coalesce(thetaEstimate(sk), lit(0.0))
-      val inter = est(thetaIntersect(col("_ov_ska"), col("_ov_skb")))
-      val uni = est(thetaUnion(col("_ov_ska"), col("_ov_skb")))
-      def overlapCols: Seq[Column] = Seq(
-        round(inter).cast("long").as("approx_intersect"),
-        round(uni).cast("long").as("approx_union"),
-        round(est(thetaDiff(col("_ov_ska"), col("_ov_skb"))))
-          .cast("long").as("approx_a_only"),
-        round(est(thetaDiff(col("_ov_skb"), col("_ov_ska"))))
-          .cast("long").as("approx_b_only"),
-        when(uni > 0, inter / uni).otherwise(lit(0.0)).as("jaccard"))
+      import graft.functions.ThetaSketch.thetaAgg
+      def overlapCols: Seq[Column] = overlapStatCols
       val meta = Seq(
         lit(label(a)).as("container_a"), lit(label(b)).as("container_b"),
         lit(colA).as("column"))
@@ -1360,6 +1383,89 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           skA.crossJoin(skB).select(meta ++ overlapCols: _*)
       }
       paired
+  }
+
+  /** N-way overlap matrix (round 12): ONE theta sketch per source (per
+    * (source, group) with BY — each source scanned ONCE, KB per sketch
+    * across its exchange), then every upper-triangle pair's set algebra
+    * over the sketch rows. The pair fan-out is a crossJoin with a
+    * broadcast N-row source-index dim and a full-outer equi-join on
+    * (pair, group) — rows ∝ N²·groups, sketch-sized, never data-sized.
+    * Output shape = the pairwise form's, one row per (pair[, group]),
+    * so a 10-source triage is one statement instead of 45. */
+  private def showOverlapMatrixDf(sources: List[Ast.Container], cn: String,
+      byOpt: Option[String]): DataFrame = {
+    import graft.functions.ThetaSketch.thetaAgg
+    // positional labels keep subquery sides distinguishable in a matrix
+    def label(c: Ast.Container, i: Int): String = c match {
+      case Ast.Container.Real(n) => n
+      case _ => s"(subquery $i)"
+    }
+    val sides = sources.zipWithIndex.map { case (cont, i) =>
+      resolveOverlapSide(cont, cn, byOpt, label(cont, i))
+    }
+    sides.sliding(2).foreach {
+      case Seq(x, y) =>
+        if (x.fam != y.fam) throw new ParseException(
+          s"SHOW OVERLAP: '$cn' is ${x.fam} on '${x.name}' but " +
+            s"${y.fam} on '${y.name}' — the hash domains never collide")
+        for (gx <- x.group; gy <- y.group)
+          if (x.df.schema(gx).dataType != y.df.schema(gy).dataType)
+            throw new ParseException(
+              s"SHOW OVERLAP BY: '$gx' is ${x.df.schema(gx).dataType.catalogString} " +
+                s"on '${x.name}' but ${y.df.schema(gy).dataType.catalogString} " +
+                s"on '${y.name}' — group types must agree")
+      case _ => ()
+    }
+    // one KB sketch row per (source index, group) — the only data-sized
+    // work, one partial-agg scan per source
+    val perSrc = sides.zipWithIndex.map { case (sd, i) =>
+      val agged = sd.group match {
+        case Some(g) => sd.df.groupBy(sd.df(g).as("_ov_g"))
+          .agg(thetaAgg(col(sd.canon)).as("_ov_sk"))
+        case None => sd.df.agg(thetaAgg(col(sd.canon)).as("_ov_sk"))
+          .withColumn("_ov_g", lit(0))
+      }
+      agged.select(lit(i).as("_ov_i"), lit(sd.name).as("_ov_name"),
+        col("_ov_g"), col("_ov_sk"))
+    }
+    val all = perSrc.reduce(_ unionByName _)
+    // the N-row source-index dim, broadcast into the pair fan-out
+    val namesDf = {
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      sides.zipWithIndex.foreach { case (sd, i) =>
+        rows.add(org.apache.spark.sql.Row(i, sd.name)) }
+      spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_ov_j",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("_ov_jname",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    }
+    // each (source, group) sketch row expands to its pair slots: source
+    // i is the A side of every pair (i, j>i) and the B side of every
+    // pair (j<i, i) — pair key = (lo, hi)
+    val aExp = all.crossJoin(broadcast(namesDf))
+      .filter(col("_ov_i") < col("_ov_j"))
+      .select(col("_ov_i").as("_pl_a"), col("_ov_j").as("_ph_a"),
+        col("_ov_name").as("_aname_a"), col("_ov_jname").as("_bname_a"),
+        col("_ov_g").as("_ga"), col("_ov_sk").as("_ov_ska"))
+    val bExp = all.crossJoin(broadcast(namesDf))
+      .filter(col("_ov_j") < col("_ov_i"))
+      .select(col("_ov_j").as("_pl_b"), col("_ov_i").as("_ph_b"),
+        col("_ov_jname").as("_aname_b"), col("_ov_name").as("_bname_b"),
+        col("_ov_g").as("_gb"), col("_ov_sk").as("_ov_skb"))
+    // full-outer on (pair, group): a group present in only one source
+    // still reports its exclusives for every pair it touches
+    val joined = aExp.join(bExp,
+      col("_pl_a") <=> col("_pl_b") && col("_ph_a") <=> col("_ph_b")
+        && col("_ga") <=> col("_gb"), "full_outer")
+    val meta = Seq(
+      coalesce(col("_aname_a"), col("_aname_b")).as("container_a"),
+      coalesce(col("_bname_a"), col("_bname_b")).as("container_b"),
+      lit(sides.head.canon).as("column"))
+    val groupOut = byOpt.map(_ =>
+      coalesce(col("_ga"), col("_gb")).as(sides.head.group.get)).toSeq
+    joined.select((meta ++ groupOut) ++ overlapStatCols: _*)
   }
 
   def lowerSearch(s: Ast.Search): DataFrame = {

@@ -226,6 +226,12 @@ object AqlQueries {
         "[BIGINT, TEXT, BIGINT]")
       eng.catalog.overwrite("docs_ov_b",
         ovIds.filter(org.apache.spark.sql.functions.col("doc_id") % 2 =!= 0))
+      // third overlap source for the N-way matrix row — same exact
+      // regime (every subset and pair union stays below 2^12)
+      eng.execute("CREATE CONTAINER docs_ov_c ['doc_id','lang','n_chars'] " +
+        "[BIGINT, TEXT, BIGINT]")
+      eng.catalog.overwrite("docs_ov_c",
+        ovIds.filter(org.apache.spark.sql.functions.col("doc_id") % 5 =!= 0))
       // corpus interchange: EXPORT the versioned docs_tt snapshot as
       // JSONL, IMPORT it into a fresh container as one bulk-append
       // commit — the AQL surface over the sources lane
@@ -1511,6 +1517,45 @@ object AqlQueries {
         |                              UNION SELECT doc_id FROM b))
         |         AS jaccard""".stripMargin) {
       (s, dir) => search("SHOW OVERLAP docs_ov_a docs_ov_b ON doc_id")(s, dir)
+    },
+
+    // N-WAY overlap matrix (round 12): one statement, one theta sketch
+    // per source, every upper-triangle pair's set algebra — the
+    // 10-source corpus triage shape. Three ≤2^12 subsets keep every
+    // sketch and pair union in the exact regime, so the row
+    // hash-compares against DuckDB's exact membership algebra.
+    Q("aql_show_overlap_matrix", {
+      def side(tag: String, mod: Int) =
+        s"SELECT doc_id, ${if (tag == "ina") "1" else "0"} AS ina, " +
+          s"${if (tag == "inb") "1" else "0"} AS inb, " +
+          s"${if (tag == "inc") "1" else "0"} AS inc " +
+          s"FROM documents WHERE doc_id < 3000 AND doc_id % $mod <> 0"
+      def pair(an: String, a: String, bn: String, b: String) =
+        s"""SELECT '$an' AS container_a, '$bn' AS container_b,
+           |  'doc_id' AS "column",
+           |  CAST(sum(CASE WHEN $a = 1 AND $b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS approx_intersect,
+           |  CAST(sum(CASE WHEN $a = 1 OR $b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS approx_union,
+           |  CAST(sum(CASE WHEN $a = 1 AND $b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS approx_a_only,
+           |  CAST(sum(CASE WHEN $a = 0 AND $b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS approx_b_only,
+           |  CAST(sum(CASE WHEN $a = 1 AND $b = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+           |    sum(CASE WHEN $a = 1 OR $b = 1 THEN 1 ELSE 0 END) AS jaccard
+           |FROM m""".stripMargin
+      s"""WITH m AS (
+         |  SELECT doc_id, max(ina) AS ina, max(inb) AS inb, max(inc) AS inc
+         |  FROM (${side("ina", 3)} UNION ALL ${side("inb", 2)}
+         |        UNION ALL ${side("inc", 5)}) q
+         |  GROUP BY doc_id)
+         |SELECT * FROM (
+         |${pair("docs_ov_a", "ina", "docs_ov_b", "inb")}
+         |UNION ALL ${pair("docs_ov_a", "ina", "docs_ov_c", "inc")}
+         |UNION ALL ${pair("docs_ov_b", "inb", "docs_ov_c", "inc")})
+         |ORDER BY container_a, container_b""".stripMargin
+    }) { (s, dir) => search(
+      "SHOW OVERLAP [docs_ov_a, docs_ov_b, docs_ov_c] ON doc_id")(s, dir)
     },
 
     // SHOW OVERLAP with SUBQUERY sides (graft extension): version churn —

@@ -1916,6 +1916,63 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       eng.execute(s"DELETE CONTAINER $c"))
   }
 
+  test("43c SHOW OVERLAP matrix: N-way pairs, BY compose, subquery labels, guards") {
+    Seq("mov_a", "mov_b", "mov_c").foreach(c =>
+      eng.execute(s"CREATE CONTAINER $c ['id','grp'] [BIGINT, TEXT]"))
+    // a = {1,2,3}, b = {2,3,4}, c = {3,4,5}
+    Seq(1, 2, 3).foreach(i => eng.execute(s"CREATE ROW ['id','grp'] [$i, 'x'] ON mov_a"))
+    Seq(2, 3, 4).foreach(i => eng.execute(s"CREATE ROW ['id','grp'] [$i, 'x'] ON mov_b"))
+    Seq(3, 4, 5).foreach(i => eng.execute(s"CREATE ROW ['id','grp'] [$i, 'x'] ON mov_c"))
+    // commit the base rows: the BY case below stages + rolls back an
+    // extra row, which must not take the fixture with it
+    Seq("mov_a", "mov_b", "mov_c").foreach(c => eng.execute(s"COMMIT $c"))
+    val rows = searchRows("SHOW OVERLAP [mov_a, mov_b, mov_c] ON id")
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // upper triangle only, labels in list order
+    assert(rows.keySet == Set(("mov_a", "mov_b"), ("mov_a", "mov_c"),
+      ("mov_b", "mov_c")))
+    assert(rows(("mov_a", "mov_b")) == ((2L, 4L, 1L, 1L)))
+    assert(rows(("mov_a", "mov_c")) == ((1L, 5L, 2L, 2L)))
+    assert(rows(("mov_b", "mov_c")) == ((2L, 4L, 1L, 1L)))
+    // BY composes: per-(pair, group) rows; a group on ONE side of a
+    // pair still reports its exclusives for that pair
+    eng.execute("CREATE ROW ['id','grp'] [9, 'y'] ON mov_a")
+    val byRows = searchRows("SHOW OVERLAP [mov_a, mov_b, mov_c] ON id BY grp")
+      .map(r => (r.getString(0), r.getString(1), r.getString(3)) ->
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(byRows((("mov_a", "mov_b", "x"))) == ((2L, 4L, 1L, 1L)))
+    assert(byRows((("mov_a", "mov_b", "y"))) == ((0L, 1L, 1L, 0L)))
+    assert(byRows((("mov_a", "mov_c", "y"))) == ((0L, 1L, 1L, 0L)))
+    assert(byRows.keySet.count(_._3 == "y") == 2, "y touches only mov_a's pairs")
+    eng.execute("ROLLBACK mov_a")
+    // subquery sides get POSITIONAL labels (a repeated '(subquery)'
+    // would be ambiguous in a matrix)
+    val sq = searchRows("SHOW OVERLAP [mov_a, (SEARCH [id] ON mov_b WHERE id > 2), " +
+      "(SEARCH [id] ON mov_c WHERE id > 3)] ON id")
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(sq.keySet == Set(("mov_a", "(subquery 1)"), ("mov_a", "(subquery 2)"),
+      ("(subquery 1)", "(subquery 2)")))
+    assert(sq(("mov_a", "(subquery 1)")) == 1L, sq.toString) // {1,2,3} ∩ {3,4}
+    assert(sq(("(subquery 1)", "(subquery 2)")) == 1L, sq.toString) // {3,4} ∩ {4,5}
+    // guards: ≥2 sources; family and group-type agreement
+    intercept[ParseException](eng.execute("SHOW OVERLAP [mov_a] ON id"))
+    eng.execute("CREATE CONTAINER mov_t ['id','grp'] [TEXT, TEXT]")
+    val ef = intercept[ParseException](
+      eng.execute("SHOW OVERLAP [mov_a, mov_t] ON grp BY id"))
+    assert(ef.getMessage.contains("group types must agree"), ef.getMessage)
+    val eh = intercept[ParseException](
+      eng.execute("SHOW OVERLAP [mov_a, mov_b, mov_t] ON id"))
+    assert(eh.getMessage.contains("hash domains"), eh.getMessage)
+    // EXPLAIN composes and shows one partial sketch agg per source
+    val exp = eng.execute("EXPLAIN SHOW OVERLAP [mov_a, mov_b, mov_c] ON id")
+      .asInstanceOf[Engine.Done].message
+    assert(exp.contains("Physical Plan") &&
+      exp.contains("partial_theta_sketch_agg"), exp.take(300))
+    Seq("mov_a", "mov_b", "mov_c", "mov_t").foreach(c =>
+      eng.execute(s"DELETE CONTAINER $c"))
+  }
+
   test("43 SHOW OVERLAP: exact set algebra below sketch capacity; domain and type rejects") {
     eng.execute("CREATE CONTAINER ov_a ['id','tag'] [BIGINT, TEXT]")
     eng.execute("CREATE CONTAINER ov_b ['id','tag'] [BIGINT, TEXT]")

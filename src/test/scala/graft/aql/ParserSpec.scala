@@ -456,6 +456,14 @@ class ParserSpec extends AnyFunSuite {
       .asInstanceOf[ShowOverlap]
     assert(g.column == "gram" && g.by.contains("source"))
     assert(o.by.isEmpty, "the ungrouped form carries no BY column")
+    // N-way MATRIX form: a source LIST before ON (round 12)
+    val m = Parser.parse("SHOW OVERLAP [a, b, (SEARCH [x] ON c)] ON x BY g")
+      .asInstanceOf[ShowOverlapMatrix]
+    assert(m.sources.take(2) == List(Container.Real("a"), Container.Real("b"))
+      && m.sources(2).isInstanceOf[Container.Virtual]
+      && m.column == "x" && m.by.contains("g"))
+    intercept[ParseException](Parser.parse("SHOW OVERLAP [a] ON c"))   // <2 sources
+    intercept[ParseException](Parser.parse("SHOW OVERLAP [a, b] ON c EXTRA"))
     intercept[ParseException](Parser.parse("SHOW OVERLAP a ON c"))     // one container
     intercept[ParseException](Parser.parse("SHOW OVERLAP a b c"))      // missing ON
     intercept[ParseException](Parser.parse("SHOW OVERLAP a b ON"))     // missing col

@@ -165,6 +165,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no map-side sketch combine before the exchange:\n$p")
   }
 
+  test("SHOW OVERLAP matrix: one partial sketch agg per source; pair fan-out is broadcast-sized") {
+    // the N-way form's 100 TB shape: each source scans ONCE into a
+    // partial+final theta agg (KB across its exchange); the pair
+    // expansion crossJoins a broadcast N-row index dim and joins
+    // sketch-row-sized sides — never a data-sized product
+    val df = SparkEntry.queries("aql_show_overlap_matrix")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString()
+    val objAggs = "ObjectHashAggregate".r.findAllIn(p).length
+    assert(objAggs >= 6, s"expected partial+final sketch aggregates on all 3 sources:\n$p")
+    assert(p.contains("partial_theta_sketch_agg"),
+      s"no map-side sketch combine before the exchange:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"pair fan-out must ride broadcast joins, not a cartesian product:\n$p")
+  }
+
   test("t_bigram_logppl builds bigrams as a projection — no window sort, no self-join") {
     // the adjacent-pair transform must stay a pure Generate/Project over
     // the scan: a lead()-window or positional self-join formulation
