@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Structured Streaming over the `documents` table — the streaming side of
@@ -119,6 +119,38 @@ object DocumentStreams {
         graft.functions.FreqSketch.renderTopK(col("sk"), k)
           // k-qualified like the AQL/view surface (approx_top_k_col_k3)
           .as(s"approx_top_k_source_k$k"))
+
+  /** Streaming twin of AQL `SHOW OVERLAP a b ON col BY g` (round 12):
+    * per-group corpus-overlap triage as a stateful streaming aggregation
+    * (complete mode) over ONE stream carrying both sides — `sideA`/
+    * `sideB` predicates tag which membership each row contributes to
+    * (rows matching neither contribute nothing; rows matching both
+    * contribute to both, exactly like a value committed to both
+    * containers). State is one theta sketch PAIR per group — KB
+    * regardless of stream length. Sketch pairs MERGE across micro-batch
+    * triggers exactly like the statement merges per-partition partials,
+    * so the running set algebra equals the one-shot batch run whatever
+    * the trigger boundaries (StreamingSpec pins the equality, and pins
+    * the exact regime below sketch capacity like the batch statement).
+    * Output columns mirror the AQL statement's stats.
+    */
+  def overlapByGroup(docs: DataFrame, sideA: Column, sideB: Column,
+      value: Column, group: Column): DataFrame = {
+    import graft.functions.ThetaSketch.{thetaAgg, thetaDiff, thetaEstimate,
+      thetaIntersect, thetaUnion}
+    def est(sk: Column): Column = coalesce(thetaEstimate(sk), lit(0.0))
+    val agged = docs.groupBy(group.as("g"))
+      .agg(thetaAgg(when(sideA, value)).as("ska"),
+        thetaAgg(when(sideB, value)).as("skb"))
+    val inter = est(thetaIntersect(col("ska"), col("skb")))
+    val uni = est(thetaUnion(col("ska"), col("skb")))
+    agged.select(col("g"),
+      round(inter).cast("long").as("approx_intersect"),
+      round(uni).cast("long").as("approx_union"),
+      round(est(thetaDiff(col("ska"), col("skb")))).cast("long").as("approx_a_only"),
+      round(est(thetaDiff(col("skb"), col("ska")))).cast("long").as("approx_b_only"),
+      when(uni > 0, inter / uni).otherwise(lit(0.0)).as("jaccard"))
+  }
 
   /** Streaming twin of `t_pii_scrub`: the compliance pass applied AT
     * INGEST (append mode, stateless projection — redact before anything

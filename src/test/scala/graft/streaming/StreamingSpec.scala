@@ -232,6 +232,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == exact, s"one-shot batch $batch != exact top-3 $exact")
   }
 
+  test("streaming grouped overlap: sketch pairs merge across triggers ≡ batch ≡ exact set algebra") {
+    // the SHOW OVERLAP … BY twin: one stream carries both memberships
+    // (side A = doc_id % 3 ≠ 0, side B = doc_id % 2 ≠ 0 — the AQL
+    // fixture's subsets), state = one theta PAIR per lang. doc_id < 3000
+    // keeps every sketch in the exact regime, so the merged-across-
+    // triggers stats are DETERMINISTIC and equal the exact per-group
+    // set algebra — and the one-shot batch run — whatever the trigger
+    // boundaries. (The two-trigger split is doc_id parity, so side B
+    // arrives ENTIRELY in one trigger — the asymmetric-arrival case.)
+    val docsAll = graft.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") < 3000)
+    def overlap(df: org.apache.spark.sql.DataFrame) =
+      DocumentStreams.overlapByGroup(df.filter(col("doc_id") < 3000),
+        col("doc_id") % 3 =!= 0, col("doc_id") % 2 =!= 0,
+        col("doc_id"), col("lang"))
+    val q = overlap(twoTriggerDocStream())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ovg_out").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "expected the corpus to arrive across >= 2 triggers")
+    def asMap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    val streamed = asMap(spark.table("ovg_out").collect())
+    // exact per-group set algebra, driver-side over the bounded fixture
+    val exact = docsAll.select(col("lang"), col("doc_id")).collect()
+      .groupBy(_.getString(0)).map { case (l, rs) =>
+        val ids = rs.map(_.getLong(1)).toSet
+        val a = ids.filter(_ % 3 != 0); val b = ids.filter(_ % 2 != 0)
+        val inter = (a & b).size.toLong; val uni = (a | b).size.toLong
+        l -> ((inter, uni, (a -- b).size.toLong, (b -- a).size.toLong,
+          if (uni > 0) inter.toDouble / uni else 0.0))
+      }
+    assert(streamed == exact, s"streamed $streamed != exact $exact")
+    val batch = asMap(overlap(docsAll).collect())
+    assert(batch == exact, s"one-shot batch $batch != exact $exact")
+  }
+
   test("streaming centroid assignment agrees with the batch Lloyd assignment") {
     val seeds = Tables.load(spark, dir, "embeddings")
       .orderBy(col("vec_id")).limit(8).collect()
