@@ -497,6 +497,44 @@ object TextDedup {
       .orderBy(col("approx_count").desc, col("token"))
       .limit(20)
 
+  /** The corpus bigram stream (lowercased, whitespace-split, adjacent
+    * pairs as a PURE PROJECTION over the split array — no window, no
+    * self-join). The one construction `t_bigram_logppl`'s exact counts
+    * and the Misra-Gries transition summary both read, so the exact and
+    * approximate transition lanes can never drift apart. */
+  private def bigramStream(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("tk")) - 1), i =>
+          struct(element_at(col("tk"), i).as("w1"),
+            element_at(col("tk"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+
+  /** The k=256 Misra-Gries summary of the BIGRAM stream as (bigram, est)
+    * rows — the approximate sibling of `t_bigram_logppl`'s exact corpus
+    * transition counts: top repeated transitions with ≤k counters across
+    * the exchange instead of a distinct-bigram shuffle. Shared by the
+    * ranked serving surface and the bound-family oracle. */
+  private def heavyTransitionSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bigramStream(s, dir)
+      .select(concat_ws(" ", col("w1"), col("w2")).as[String])
+      .select(graft.functions.MisraGries.summary(256).name("mg"))
+      .select(explode(col("mg")).as(Seq("bigram", "est")))
+  }
+
+  /** Ranked heavy-transition list from the k=256 summary — the serving
+    * surface (MisraGriesSpec pins shape + bounds under multiple
+    * partitionings; the `t_heavy_transitions` oracle row asserts the
+    * bound family, exactly like `t_heavy_hitters`). */
+  def heavyTransitionsTop(s: SparkSession, dir: String): DataFrame =
+    heavyTransitionSummary(s, dir)
+      .select(col("bigram"), col("est").as("approx_count"))
+      .orderBy(col("approx_count").desc, col("bigram"))
+      .limit(20)
+
   val defs: Seq[Q] = Seq(
 
     // -------- text analysis ------------------------------------------------
@@ -1401,14 +1439,7 @@ object TextDedup {
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin) {
       (s, dir) => {
-        val bg = docs(s, dir)
-          .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
-          .filter(size(col("tk")) >= 2)
-          .select(col("doc_id"), explode(
-            transform(sequence(lit(1), size(col("tk")) - 1), i =>
-              struct(element_at(col("tk"), i).as("w1"),
-                element_at(col("tk"), i + 1).as("w2")))).as("p"))
-          .select(col("doc_id"), col("p.w1"), col("p.w2"))
+        val bg = bigramStream(s, dir)
         val bf = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
           .agg(count(lit(1)).as("bf"))
         val cbg = bf.groupBy(col("w1"), col("w2")).agg(sum(col("bf")).as("cbg"))
@@ -1419,6 +1450,50 @@ object TextDedup {
             round(sum(col("bf") * -log(2.0, col("cbg") / col("cw1")))
               / sum(col("bf")), 6).as("bits_per_bigram"))
           .orderBy(col("doc_id"))
+      }
+    },
+
+    // Misra-Gries heavy TRANSITIONS (round 12): the approximate sibling
+    // of t_bigram_logppl's exact corpus transition counts — top repeated
+    // bigrams with ≤k counters across the exchange instead of the exact
+    // lane's distinct-bigram shuffle (the 100 TB shape when only the
+    // heavy tail matters). Same bound-family oracle as t_heavy_hitters:
+    // the summary is merge-order-dependent near the rank cut, but the MG
+    // guarantee family is deterministic under ANY merge order — never
+    // overcounts, undercounts by at most n/(k+1), and every transition
+    // with true count > n/(k+1) is present. The exact bigram groupBy
+    // here is the verification harness, not the serving path
+    // (heavyTransitionsTop serves; MisraGriesSpec re-pins under multiple
+    // partitionings).
+    Q("t_heavy_transitions",
+      """SELECT CAST(sum(CASE WHEN len(string_split(lower(text), ' ')) >= 2
+        |                     THEN len(string_split(lower(text), ' ')) - 1
+        |                     ELSE 0 END) AS BIGINT) AS n_bigrams,
+        |       CAST(256 AS INT) AS k, TRUE AS all_underestimates,
+        |       TRUE AS all_within_bound, TRUE AS all_heavy_present
+        |FROM documents""".stripMargin) {
+      (s, dir) => {
+        val mg = heavyTransitionSummary(s, dir)
+        val exact = bigramStream(s, dir)
+          .groupBy(concat_ws(" ", col("w1"), col("w2")).as("bg"))
+          .agg(count(lit(1)).as("tc"))
+        // total bigrams derives from the exact counts — no third scan
+        val tot = exact.agg(sum(col("tc")).as("n_bigrams"))
+        val joined = mg.join(exact, col("bigram") === col("bg"))
+          .crossJoin(broadcast(tot))
+        val summaryChecks = joined.agg(
+          bool_and(col("est") <= col("tc")).as("all_underestimates"),
+          bool_and(col("tc") <= col("est") + col("n_bigrams") / lit(257.0))
+            .as("all_within_bound"))
+        val missedHeavy = exact.crossJoin(broadcast(tot))
+          .filter(col("tc") > col("n_bigrams") / lit(257.0))
+          .join(mg, col("bigram") === col("bg"), "left_anti")
+          .agg(count(lit(1)).as("n_missed"))
+        tot.crossJoin(broadcast(summaryChecks))
+          .crossJoin(broadcast(missedHeavy))
+          .select(col("n_bigrams"), lit(256).as("k"),
+            col("all_underestimates"), col("all_within_bound"),
+            (col("n_missed") === 0L).as("all_heavy_present"))
       }
     },
 

@@ -64,4 +64,28 @@ class MisraGriesSpec extends AnyFunSuite {
     val counts = rows.map(_.getLong(1)).toSeq
     assert(counts == counts.sorted(Ordering[Long].reverse))
   }
+
+  test("documents BIGRAM stream honors both bounds under multiple partitionings (k = 256)") {
+    // the t_heavy_transitions contract: the MG guarantee family holds
+    // over adjacent-pair transitions exactly as over tokens, whatever
+    // the merge order — the exact sibling is t_bigram_logppl's counts
+    import spark.implicits._
+    val tk = split(lower(col("text")), " ")
+    val bigrams = graft.Tables.load(spark, dir, "documents")
+      .select(tk.as("tk")).filter(size(col("tk")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("tk")) - 1), i =>
+        concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1))))
+        .as("value")).as[String]
+    for (parts <- Seq(1, 7))
+      checkBounds(bigrams.repartition(parts), k = 256)
+  }
+
+  test("heavyTransitionsTop returns ranked transitions of two tokens each") {
+    val rows = graft.operators.TextDedup.heavyTransitionsTop(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val counts = rows.map(_.getLong(1)).toSeq
+    assert(counts == counts.sorted(Ordering[Long].reverse))
+    assert(rows.forall(_.getString(0).split(" ").length == 2),
+      "every transition renders as 'w1 w2'")
+  }
 }
