@@ -305,11 +305,14 @@ object AqlQueries {
       // round reproduces the axis unit vectors exactly, so the trained
       // centroids are the axes and cell membership is doc_id % 8,
       // which the oracle recomputes declaratively (nearest-axis of the
-      // literal query vector in SQL). Bounded fixture metadata: 64 ids.
+      // literal query vector in SQL). The id set is the FIXED range
+      // 0..64 — identical to the oracle's `documents WHERE doc_id <= 64`
+      // at every fixture scale (TESTDATA doc_ids are contiguous from 0,
+      // ≥500 rows at the smallest sf), and corpus-independent so the
+      // schema-only corpus still trains the index (EmptyCorpusSpec runs
+      // every registry query on 0-row tables).
       eng.execute("CREATE CONTAINER docs_ivf ['doc_id','emb'] [BIGINT, MEDIUM-BYTES]")
-      val ivfIds = graft.Tables.load(spark, dir, "documents")
-        .filter(org.apache.spark.sql.functions.col("doc_id") <= 64)
-        .select("doc_id").collect().map(_.getLong(0)).sorted
+      val ivfIds = 0L to 64L
       val ivfRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
       ivfIds.foreach(i => ivfRows.add(
         org.apache.spark.sql.Row(i, graft.functions.Float32Unpack.pack(

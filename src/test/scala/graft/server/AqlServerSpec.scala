@@ -174,6 +174,29 @@ class AqlServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post("DELETE CONTAINER wsb")._1 == 200)
   }
 
+  test("round-12 statements reach the wire surface: set-op chains and the overlap matrix") {
+    Seq("wma", "wmb", "wmc").foreach(c =>
+      assert(post(s"CREATE CONTAINER $c ['id'] [BIGINT]")._1 == 200))
+    Seq(1, 2, 3).foreach(i => assert(post(s"CREATE ROW ['id'] [$i] ON wma")._1 == 200))
+    Seq(2, 3, 4).foreach(i => assert(post(s"CREATE ROW ['id'] [$i] ON wmb")._1 == 200))
+    Seq(3).foreach(i => assert(post(s"CREATE ROW ['id'] [$i] ON wmc")._1 == 200))
+    // recursive set-op chain: ({1,2,3} ∪ {2,3,4}) − {3} = {1,2,4}
+    val (cc, cb) = post(
+      "((SEARCH [] ON wma) UNION (SEARCH [] ON wmb)) EXCEPT (SEARCH [] ON wmc)")
+    assert(cc == 200 && cb.contains("\"rows\":[[1],[2],[4]]"), cb)
+    // unparenthesized chain is a clean wire-level 400, never a left-fold
+    assert(post(
+      "(SEARCH [] ON wma) UNION (SEARCH [] ON wmb) EXCEPT (SEARCH [] ON wmc)")._1 == 400)
+    // N-way overlap matrix: 3 upper-triangle pair rows
+    val (mc, mb) = post("SHOW OVERLAP [wma, wmb, wmc] ON id")
+    assert(mc == 200 && mb.contains(""""approx_intersect""""), mb)
+    assert(mb.contains("\"rows\":[[\"wma\",\"wmb\",\"id\",2,4,1,1,"), mb)
+    assert(mb.contains("[\"wma\",\"wmc\",\"id\",1,3,2,0,"), mb)
+    assert(mb.contains("[\"wmb\",\"wmc\",\"id\",1,3,2,0,"), mb)
+    Seq("wma", "wmb", "wmc").foreach(c =>
+      assert(post(s"DELETE CONTAINER $c")._1 == 200))
+  }
+
   test("round-7 statements reach the wire surface: ANALYZE, SHOW STATS, RESTORE") {
     assert(post("CREATE CONTAINER webs ['id','tag'] [BIGINT, SMALL-STRING]")._1 == 200)
     assert(post("CREATE ROW ['id','tag'] [1,'keep'] ON webs")._1 == 200)
