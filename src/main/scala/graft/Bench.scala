@@ -146,10 +146,14 @@ object Bench {
       // anchored to the result line — merged stderr may precede the JSON
       """"metric": "duckdb_total", "value": ([0-9.eE+-]+)""".r
         .findFirstMatchIn(out).map { m =>
-          // the per-query map from the same line (flat string-to-number
-          // object, never nested — a regex pair scan is a full parse);
-          // `null` marks a query duckdb couldn't run and is skipped
-          val perQ = """"queries": \{([^}]*)\}""".r.findFirstMatchIn(out)
+          // the per-query map from the same RESULT line (flat string-to-
+          // number object, never nested — a regex pair scan is a full
+          // parse); anchored to search from the matched metric onward so
+          // a stderr line containing '"queries": {' can't win, the same
+          // reason the total regex is anchored; `null` marks a query
+          // duckdb couldn't run and is skipped
+          val perQ = """"queries": \{([^}]*)\}""".r
+            .findFirstMatchIn(out.substring(m.start))
             .map(_.group(1)).getOrElse("")
           val pairs = """"([^"]+)": ([0-9.eE+-]+)""".r.findAllMatchIn(perQ)
             .map(p => p.group(1) -> p.group(2).toDouble).toMap

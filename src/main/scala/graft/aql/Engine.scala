@@ -1308,25 +1308,12 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     OverlapSide(df, canon, fam, gCanon, label)
   }
 
-  /** The pair set-algebra columns over `_ov_ska`/`_ov_skb` — shared by
-    * the pairwise and matrix forms. An empty side/group aggregates to a
-    * NULL sketch: union treats it as the empty set, intersect/diff
-    * propagate NULL — coalesced to 0 (overlap with nothing IS nothing). */
-  private def overlapStatCols: Seq[Column] = {
-    import graft.functions.ThetaSketch.{thetaDiff, thetaEstimate,
-      thetaIntersect, thetaUnion}
-    def est(sk: Column): Column = coalesce(thetaEstimate(sk), lit(0.0))
-    val inter = est(thetaIntersect(col("_ov_ska"), col("_ov_skb")))
-    val uni = est(thetaUnion(col("_ov_ska"), col("_ov_skb")))
-    Seq(
-      round(inter).cast("long").as("approx_intersect"),
-      round(uni).cast("long").as("approx_union"),
-      round(est(thetaDiff(col("_ov_ska"), col("_ov_skb"))))
-        .cast("long").as("approx_a_only"),
-      round(est(thetaDiff(col("_ov_skb"), col("_ov_ska"))))
-        .cast("long").as("approx_b_only"),
-      when(uni > 0, inter / uni).otherwise(lit(0.0)).as("jaccard"))
-  }
+  /** The pair set-algebra columns over `_ov_ska`/`_ov_skb` — the ONE
+    * shared definition (`ThetaSketch.overlapStats`), bound to the
+    * lowered pair's column names; the pairwise form, the N-way matrix,
+    * and the streaming twin all render through it. */
+  private def overlapStatCols: Seq[Column] =
+    graft.functions.ThetaSketch.overlapStats(col("_ov_ska"), col("_ov_skb"))
 
   private def showOverlapDf(a: Ast.Container, b: Ast.Container,
       cn: String, byOpt: Option[String]): DataFrame = {
@@ -1841,21 +1828,25 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     // centroid of the literal vector → that cell's candidates, no
     // self-exclusion (the query is not a corpus row). ivf only — a
     // band (lsh/simhash) index derives from TEXT, which a float vector
-    // can't probe.
-    sm.vector.foreach { vec =>
-      if (idef.kind != "ivf")
-        throw new ParseException(
-          s"SIMILAR by literal vector serves from an ivf index; " +
-            s"'${idef.ix}' is a ${idef.kind} index over text")
-      sm.atVersion.foreach(v =>
-        if (!catalog.versions(sm.container).contains(v))
+    // can't probe. (A match, not a foreach+return: the non-local return
+    // rides a control-flow exception any broad Throwable catch between
+    // here and the method boundary would swallow.)
+    sm.vector match {
+      case Some(vec) =>
+        if (idef.kind != "ivf")
           throw new ParseException(
-            s"No committed version $v on '${sm.container}'"))
-      return catalog.indexLookupVector(sm.container, idef.ix,
-          vec.map(_.toFloat), at = sm.atVersion)
-        .select(col("cand").as(pkName))
-        .orderBy(col(pkName))
-        .limit(sm.limit)
+            s"SIMILAR by literal vector serves from an ivf index; " +
+              s"'${idef.ix}' is a ${idef.kind} index over text")
+        sm.atVersion.foreach(v =>
+          if (!catalog.versions(sm.container).contains(v))
+            throw new ParseException(
+              s"No committed version $v on '${sm.container}'"))
+        return catalog.indexLookupVector(sm.container, idef.ix,
+            vec.map(_.toFloat), at = sm.atVersion)
+          .select(col("cand").as(pkName))
+          .orderBy(col(pkName))
+          .limit(sm.limit)
+      case None => ()
     }
     val key = AlbaType.coerce(pkType, AlbaType.tokenValue(sm.key))
     if (key == null)

@@ -153,15 +153,19 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
       // so fill a declared non-owner sketch column from the owner's
       // (identical — one sketch serves any rank) instead of breaking
       // every REFRESH of a pre-sharing view
-      // legacy MV shape #2: a container created before approx_top_k
-      // folded k into its output name (`approx_top_k_col`, not
-      // `approx_top_k_col_k3`) — reparsing its stored definition now
-      // derives the k-qualified names, so fill the declared unqualified
-      // TEXT column from the (same-k) qualified rendering and its `_sk`
-      // from the owner sketch. Unambiguous: a pre-rename view could not
-      // hold two k's of one column (the then-rank-blind duplicate-output
-      // guard rejected it at CREATE VIEW).
+      // legacy MV shape #2: a container created before approx_top_k /
+      // approx_quantile folded k / the rank into their output names
+      // (`approx_top_k_col`, not `approx_top_k_col_k3`;
+      // `approx_quantile_col`, not `approx_quantile_col_p90`) —
+      // reparsing its stored definition now derives the qualified names,
+      // so fill the declared unqualified estimate column from the
+      // qualified rendering and its `_sk` from the owner sketch.
+      // Unambiguous: a pre-rename view could not hold two k's / ranks of
+      // one column (the then-blind duplicate-output guard rejected it at
+      // CREATE VIEW).
       def legacyTopkBase(a: Agg) = s"approx_top_k_${a.col.toLowerCase}"
+      def legacyQuantBase(a: Agg) = s"approx_quantile_${a.col.toLowerCase}"
+      def legacyQuant(a: Agg) = a.fn == "approx_quantile"
       val src =
         if (have(f.name)) col(f.name)
         else quantileAggs.find(a => !isKllOwner(a) && sketchCol(a.out) == f.name)
@@ -172,22 +176,32 @@ final class IncrementalView(cat: Catalog, src: String, mv: String,
             .map(a => col(a.out)))
           .orElse(topkAggs.find(a => sketchCol(legacyTopkBase(a)) == f.name)
             .map(a => col(freqSkCol(a))))
+          .orElse(quantileAggs.find(a => legacyQuant(a) && legacyQuantBase(a) == f.name)
+            .map(a => col(a.out)))
+          .orElse(quantileAggs.find(a =>
+              legacyQuant(a) && sketchCol(legacyQuantBase(a)) == f.name)
+            .map(a => col(kllSkCol(a))))
           .getOrElse(col(f.name)) // unresolved → the same clear error
       src.cast(f.dataType).as(f.name)
     }.toSeq: _*)
   }
 
-  /** Current MV content with a legacy pre-rename approx_top_k sketch
-    * column aliased to its k-qualified name — the read-side twin of
-    * conform's legacy fill, so the fold can union a pre-rename MV's
-    * persisted sketch (the publish side then writes it back under the
-    * declared legacy name). The visible TEXT column needs no alias: the
-    * top-k merge re-renders it from the merged sketch, never reads it. */
+  /** Current MV content with legacy pre-rename approx_top_k /
+    * approx_quantile sketch columns aliased to their k-/rank-qualified
+    * names — the read-side twin of conform's legacy fill, so the fold
+    * can union a pre-rename MV's persisted sketch (the publish side then
+    * writes it back under the declared legacy name). The visible
+    * estimate columns need no alias: both merges re-render them from
+    * the merged sketch, never read them. */
   private def readCurrentMv(): DataFrame = {
     val df = cat.read(mv)
     val have = df.columns.toSet
-    topkAggs.filter(isFreqOwner).foldLeft(df) { (acc, a) =>
-      val legacySk = sketchCol(s"approx_top_k_${a.col.toLowerCase}")
+    val legacies =
+      topkAggs.filter(isFreqOwner)
+        .map(a => a -> sketchCol(s"approx_top_k_${a.col.toLowerCase}")) ++
+      quantileAggs.filter(a => a.fn == "approx_quantile" && isKllOwner(a))
+        .map(a => a -> sketchCol(s"approx_quantile_${a.col.toLowerCase}"))
+    legacies.foldLeft(df) { case (acc, (a, legacySk)) =>
       if (!have(sketchCol(a.out)) && have(legacySk))
         acc.withColumn(sketchCol(a.out), col(legacySk))
       else acc

@@ -523,10 +523,13 @@ object Index {
     cents.headOption.foreach { case (_, c) => require(c.length == vec.length,
       s"query vector has ${vec.length} dims; index '${idef.ix}' " +
         s"expects ${c.length}") }
+    // indexed array access: a List query vector would make the loop
+    // O(dims²) per centroid via linear apply
+    val v = vec.toArray
     def dist2(c: Array[Float]): Double = {
       var s = 0.0; var i = 0
       while (i < c.length) {
-        val d = vec(i).toDouble - c(i).toDouble; s += d * d; i += 1
+        val d = v(i).toDouble - c(i).toDouble; s += d * d; i += 1
       }
       BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }

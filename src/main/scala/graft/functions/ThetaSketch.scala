@@ -67,6 +67,26 @@ object ThetaSketch {
     call_function("theta_diff", a, b)
   def thetaEstimate(sk: Column): Column = call_function("theta_estimate", sk)
 
+  /** The pair set-algebra columns over two sketch columns — THE one
+    * definition of the overlap-triage stats (intersection / union /
+    * exclusives / Jaccard), shared by AQL `SHOW OVERLAP` (pairwise and
+    * N-way matrix) and the streaming grouped-overlap twin so the three
+    * surfaces can never drift. An empty side/group aggregates to a NULL
+    * sketch: union treats it as the empty set, intersect/diff propagate
+    * NULL — coalesced to 0 (overlap with nothing IS nothing). */
+  def overlapStats(ska: Column, skb: Column): Seq[Column] = {
+    import org.apache.spark.sql.functions.{coalesce, lit, round, when}
+    def est(sk: Column): Column = coalesce(thetaEstimate(sk), lit(0.0))
+    val inter = est(thetaIntersect(ska, skb))
+    val uni = est(thetaUnion(ska, skb))
+    Seq(
+      round(inter).cast("long").as("approx_intersect"),
+      round(uni).cast("long").as("approx_union"),
+      round(est(thetaDiff(ska, skb))).cast("long").as("approx_a_only"),
+      round(est(thetaDiff(skb, ska))).cast("long").as("approx_b_only"),
+      when(uni > 0, inter / uni).otherwise(lit(0.0)).as("jaccard"))
+  }
+
   private[functions] def wrap(bytes: Array[Byte]): Sketch =
     Sketches.wrapSketch(Memory.wrap(bytes))
   private[functions] def newUnion(lgK: Int): Union =

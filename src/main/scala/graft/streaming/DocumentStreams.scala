@@ -136,20 +136,14 @@ object DocumentStreams {
     */
   def overlapByGroup(docs: DataFrame, sideA: Column, sideB: Column,
       value: Column, group: Column): DataFrame = {
-    import graft.functions.ThetaSketch.{thetaAgg, thetaDiff, thetaEstimate,
-      thetaIntersect, thetaUnion}
-    def est(sk: Column): Column = coalesce(thetaEstimate(sk), lit(0.0))
+    import graft.functions.ThetaSketch.{overlapStats, thetaAgg}
     val agged = docs.groupBy(group.as("g"))
       .agg(thetaAgg(when(sideA, value)).as("ska"),
         thetaAgg(when(sideB, value)).as("skb"))
-    val inter = est(thetaIntersect(col("ska"), col("skb")))
-    val uni = est(thetaUnion(col("ska"), col("skb")))
-    agged.select(col("g"),
-      round(inter).cast("long").as("approx_intersect"),
-      round(uni).cast("long").as("approx_union"),
-      round(est(thetaDiff(col("ska"), col("skb")))).cast("long").as("approx_a_only"),
-      round(est(thetaDiff(col("skb"), col("ska")))).cast("long").as("approx_b_only"),
-      when(uni > 0, inter / uni).otherwise(lit(0.0)).as("jaccard"))
+    // the stat algebra is ThetaSketch.overlapStats — the ONE definition
+    // SHOW OVERLAP (pairwise + matrix) renders through, so the pinned
+    // streaming ≡ batch ≡ statement equality can't drift
+    agged.select(col("g") +: overlapStats(col("ska"), col("skb")): _*)
   }
 
   /** Streaming twin of `t_pii_scrub`: the compliance pass applied AT

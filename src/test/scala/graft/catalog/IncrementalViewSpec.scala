@@ -976,6 +976,44 @@ class IncrementalViewSpec extends AnyFunSuite {
       byName("approx_top_k_item")) == "x:2,y:2")
   }
 
+  test("legacy unqualified approx_quantile schema: conform fills the pre-rename FLOAT/_sk pair") {
+    // the quantile twin of the unqualified top-k case: an MV created
+    // before approx_quantile folded the rank into its output name
+    // declares `approx_quantile_val` / `approx_quantile_val_sk`; the
+    // reparsed definition derives `approx_quantile_val_p90`
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-legacyuq")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("src", List(
+      "id" -> graft.aql.AlbaType.of("INT"),
+      "grp" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "val" -> graft.aql.AlbaType.of("BIGINT")))
+    cat.create("mv", List(
+      "grp" -> graft.aql.AlbaType.of("SMALL-STRING"),
+      "n_rows" -> graft.aql.AlbaType.of("BIGINT"),
+      "approx_quantile_val" -> graft.aql.AlbaType.of("FLOAT"),
+      "approx_quantile_val_sk" -> graft.aql.AlbaType.of("LARGE-BYTES")))
+    val view = new IncrementalView(cat, "src", "mv", Seq("grp"),
+      Seq(IncrementalView.Agg("approx_quantile", "val",
+        "approx_quantile_val_p90", q = Some(0.9)))) // the reparsed out
+    val tx = new Tx(cat)
+    val tail = new ChangeTail(cat, "src", dir.resolve("mv.ckpt"))
+    tx.stageInsert("src", (1 to 10).map(i =>
+      org.apache.spark.sql.Row(i, "a", i.toLong * 10)))
+    tx.commit(Some("src"))
+    view.refreshOnce(tail) // would throw UNRESOLVED_COLUMN without the fill
+    val r = cat.read("mv").collect().head
+    val byName = r.schema.fieldNames.zipWithIndex.toMap
+    assert(r.getDouble(byName("approx_quantile_val")) == 90.0) // v⌈0.9·10⌉
+    assert(!r.isNullAt(byName("approx_quantile_val_sk")))
+    // ...and a second window still folds (read side aliases the legacy
+    // sketch for the KLL merge; publish writes it back legacy-named)
+    tx.stageInsert("src", Seq(org.apache.spark.sql.Row(11, "a", 200L)))
+    tx.commit(Some("src"))
+    assert(view.refreshOnce(tail) == 1)
+    assert(cat.read("mv").collect().head.getDouble(
+      byName("approx_quantile_val")) == 100.0) // v⌈0.9·11⌉ = v10
+  }
+
   test("sketch views with a WHERE: rows edited across the predicate boundary fold correctly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mv-skwhere")
     val cat = new Catalog(spark, dir.toString)

@@ -172,10 +172,17 @@ class PlanAuditSpec extends AnyFunSuite {
     // sketch-row-sized sides — never a data-sized product
     val df = SparkEntry.queries("aql_show_overlap_matrix")(spark, dir)
     val p = df.queryExecution.executedPlan.toString()
-    val objAggs = "ObjectHashAggregate".r.findAllIn(p).length
-    assert(objAggs >= 6, s"expected partial+final sketch aggregates on all 3 sources:\n$p")
-    assert(p.contains("partial_theta_sketch_agg"),
-      s"no map-side sketch combine before the exchange:\n$p")
+    // scan-ONCE is the 100 TB property: the sketch union is referenced
+    // twice (A-side and B-side expansion), so without exchange reuse
+    // every source would scan and partial-aggregate twice — pin exactly
+    // one scan per source and the ReusedExchange that guarantees it
+    assert("Scan parquet".r.findAllIn(p).length == 3,
+      s"each of the 3 sources must scan exactly once:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"the pair fan-out must reuse the per-source sketch exchanges, " +
+        s"not recompute them:\n$p")
+    assert("partial_theta_sketch_agg".r.findAllIn(p).length == 3,
+      s"one map-side sketch combine per source before the exchange:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"pair fan-out must ride broadcast joins, not a cartesian product:\n$p")
   }
