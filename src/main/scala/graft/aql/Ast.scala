@@ -343,7 +343,11 @@ object Ast {
   final case class Similar(container: String, key: Token,
       ix: Option[String], limit: Int,
       atVersion: Option[Int] = None,
-      vector: Option[List[Double]] = None) extends Stmt
+      vector: Option[List[Double]] = None,
+      /** `PROBE p` — the IVF multiprobe recall knob: candidates from the
+        * p nearest cells instead of 1 (ivf indexes only; the probe list
+        * stays ≤p cluster ids of bounded driver metadata). */
+      probe: Option[Int] = None) extends Stmt
   /** graft extensions: incremental materialized views. `CREATE VIEW v
     * (SEARCH [keys…, count(c)/sum(c)…] ON src [WHERE …])` declares a
     * CDC-maintained aggregate container; `REFRESH VIEW` folds the
@@ -445,8 +449,8 @@ object Parser {
   /** Shared MATCH/SIMILAR tail: `[AT VERSION n] [USING ix] [LIMIT k]`
     * (each committed version owns its index parts, so lookups time
     * travel like data reads). */
-  private def lookupTail(what: String,
-      rest: List[Token]): (Option[Int], Option[String], Int) = {
+  private def lookupTail(what: String, rest: List[Token],
+      allowProbe: Boolean = false): (Option[Int], Option[String], Option[Int], Int) = {
     val (at, afterAt) = rest match {
       case Keyword("AT") :: Keyword("VERSION") :: IntLit(v) :: tl =>
         if (v < 1) throw new ParseException(s"$what AT VERSION must be >= 1")
@@ -459,7 +463,17 @@ object Parser {
       case Keyword("USING") :: ixTok :: tl => (Some(name(ixTok)), tl)
       case tl => (None, tl)
     }
-    val limit = afterUsing match {
+    // PROBE p (SIMILAR only — the IVF multiprobe recall knob; unreserved
+    // like STATS/OVERLAP so identifiers keep lexing freely)
+    val (probe, afterProbe) = afterUsing match {
+      case Str(w) :: IntLit(p) :: tl
+          if allowProbe && w.equalsIgnoreCase("PROBE") =>
+        if (p < 1 || p > 64) throw new ParseException(
+          s"$what PROBE must be in [1, 64]")
+        (Some(p.toInt), tl)
+      case tl => (None, tl)
+    }
+    val limit = afterProbe match {
       case Nil => 20
       case Keyword("LIMIT") :: IntLit(n) :: Nil =>
         if (n < 1) throw new ParseException(s"$what LIMIT must be >= 1")
@@ -467,7 +481,7 @@ object Parser {
       case other => throw new ParseException(
         s"Unexpected tokens after $what: ${other.mkString(" ")}")
     }
-    (at, ix, limit)
+    (at, ix, probe, limit)
   }
 
   private val IoFormats = Set("jsonl", "csv", "orc", "parquet")
@@ -1245,10 +1259,11 @@ object Parser {
       val terms = strings(termsG)
       if (terms.isEmpty)
         throw new ParseException("MATCH needs at least one term")
-      val (at, ix, limit) = lookupTail("MATCH", rest)
+      val (at, ix, _, limit) = lookupTail("MATCH", rest)
       Match(name(containerTok), terms, ix, limit, at)
 
-    // SIMILAR <pk> ON container [USING ix] [LIMIT n] (graft extension):
+    // SIMILAR <pk> ON container [USING ix] [PROBE p] [LIMIT n] (graft
+    // extension):
     // near-dup / ANN candidates for the committed row with that pk,
     // served from a band/ivf index. SIMILAR [<float> …] probes by a
     // LITERAL query vector instead (query-by-embedding — the vector
@@ -1269,8 +1284,9 @@ object Parser {
             "SIMILAR expects a single pk literal or a [vector] of numeric literals")
         case _ => None
       }
-      val (at, ix, limit) = lookupTail("SIMILAR", rest)
-      Similar(name(containerTok), keyTok, ix, limit, at, vector)
+      val (at, ix, probe, limit) = lookupTail("SIMILAR", rest,
+        allowProbe = true)
+      Similar(name(containerTok), keyTok, ix, limit, at, vector, probe)
 
     // CREATE VIEW v (SEARCH …) / REFRESH VIEW v / DELETE VIEW v (graft
     // extensions): incremental materialized views over the CDC feed

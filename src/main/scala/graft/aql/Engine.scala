@@ -1824,6 +1824,13 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
             s"(${many.map(_.ix).mkString(", ")}) — pick one with USING")
       }
     }
+    // PROBE p (multiprobe recall knob) rides the ivf probe-list only —
+    // a band index has no cell geometry to widen
+    sm.probe.foreach(_ => if (idef.kind != "ivf")
+      throw new ParseException(
+        s"SIMILAR PROBE serves from an ivf index; '${idef.ix}' is a " +
+          s"${idef.kind} index (band probes have no cell count to widen)"))
+    val nprobe = sm.probe.getOrElse(1)
     // literal-vector probe (query-by-embedding): nearest trained
     // centroid of the literal vector → that cell's candidates, no
     // self-exclusion (the query is not a corpus row). ivf only — a
@@ -1842,7 +1849,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
             throw new ParseException(
               s"No committed version $v on '${sm.container}'"))
         return catalog.indexLookupVector(sm.container, idef.ix,
-            vec.map(_.toFloat), at = sm.atVersion)
+            vec.map(_.toFloat), nprobe = nprobe, at = sm.atVersion)
           .select(col("cand").as(pkName))
           .orderBy(col(pkName))
           .limit(sm.limit)
@@ -1864,7 +1871,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       case None => catalog.read(sm.container)
     }
     val probe = snapshot.filter(col(pkName) === lit(key)).limit(1)
-    catalog.indexLookup(sm.container, idef.ix, probe, sm.atVersion)
+    catalog.indexLookup(sm.container, idef.ix, probe, sm.atVersion,
+        nprobe = nprobe)
       .select(col("cand").as(pkName))
       .orderBy(col(pkName))
       .limit(sm.limit)

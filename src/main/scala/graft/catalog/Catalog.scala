@@ -367,13 +367,15 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     * from an ivf index — see [[Index.lshLookup]] / [[Index.simhashLookup]]
     * / [[Index.ivfLookup]]. */
   def indexLookup(name: String, ix: String, queries: DataFrame,
-      at: Option[Int] = None): DataFrame = {
+      at: Option[Int] = None, nprobe: Int = 1): DataFrame = {
     val d = indexDefs(name).find(_.ix == ix)
       .getOrElse(sys.error(s"No index '$ix' on '$name'"))
+    require(nprobe == 1 || d.kind == "ivf",
+      s"nprobe applies to ivf indexes only; '$ix' is a ${d.kind} index")
     d.kind match {
       case "lsh" => Index.lshLookup(this, name, d, queries, at)
       case "simhash" => Index.simhashLookup(this, name, d, queries, at)
-      case "ivf" => Index.ivfLookup(this, name, d, queries, at = at)
+      case "ivf" => Index.ivfLookup(this, name, d, queries, nprobe, at = at)
       case "text" => sys.error(
         s"index '$ix' is a text index — search it with textSearch(terms)")
       case other => sys.error(s"unknown index kind '$other'")

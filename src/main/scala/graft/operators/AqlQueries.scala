@@ -28,12 +28,24 @@ object AqlQueries {
   private val engines = scala.collection.mutable.Map[(SparkSession, String), Engine]()
 
   /** The literal query vector of the query-by-embedding SIMILAR rows —
-    * nearest docs_ivf centroid is axis 3. ONE definition renders both
-    * the AQL literal and the oracle's declarative nearest-axis SQL. */
+    * nearest docs_ivf centroid is axis 3 (for a one-hot axis a,
+    * d2 = Σq² − 2·q_a + 1, so nearness ranks by the component). ONE
+    * definition renders both the AQL literal and the oracle's
+    * declarative nearest-axis SQL; `similarQueryVec2` is the multiprobe
+    * row's vector (axis 3 nearest, axis 1 a clear second). */
   private[operators] val similarQueryVec: IndexedSeq[Double] =
     IndexedSeq(0.05, 0.1, 0.02, 0.93, 0.0, 0.04, 0.01, 0.07)
-  private[operators] def similarQueryVecAql: String =
-    similarQueryVec.mkString("[", ", ", "]")
+  private[operators] val similarQueryVec2: IndexedSeq[Double] =
+    IndexedSeq(0.05, 0.3, 0.02, 0.9, 0.0, 0.04, 0.01, 0.07)
+  private[operators] def aqlVec(qv: IndexedSeq[Double]): String =
+    qv.mkString("[", ", ", "]")
+  private[operators] def similarQueryVecAql: String = aqlVec(similarQueryVec)
+  /** The literal query's squared distance to the one-hot `axis` centroid
+    * as DuckDB SQL — the declarative recompute of the ivf cell pick. */
+  private[operators] def axisD2Sql(qv: IndexedSeq[Double]): String =
+    (0 until 8).map(i =>
+      s"pow(${qv(i)} - (CASE WHEN axis = $i THEN 1.0 ELSE 0.0 END), 2)")
+      .mkString(" + ")
 
   private val fixtureRoots = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -1117,10 +1129,7 @@ object AqlQueries {
     // vectors and the probed cell is the axis nearest the literal query
     // (axis 3 for this vector), recomputed in SQL from first principles.
     Q("aql_similar_vector", {
-      val qv = AqlQueries.similarQueryVec
-      val d2 = (0 until 8).map(i =>
-        s"pow(${qv(i)} - (CASE WHEN axis = $i THEN 1.0 ELSE 0.0 END), 2)")
-        .mkString(" + ")
+      val d2 = AqlQueries.axisD2Sql(AqlQueries.similarQueryVec)
       s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id <= 64),
          |axes AS (SELECT DISTINCT doc_id % 8 AS axis FROM ids),
          |qd AS (SELECT axis, $d2 AS d2 FROM axes),
@@ -1132,13 +1141,29 @@ object AqlQueries {
         " ON docs_ivf USING ann LIMIT 5")(s, dir)
     },
 
+    // PROBE 2 (round 12): the IVF multiprobe recall knob from AQL — the
+    // literal query's candidates come from its 2 NEAREST cells (axis 3
+    // and the clearly-second axis 1 for this vector), recomputed
+    // declaratively: the oracle ranks all axes by the same d2 and takes
+    // membership in the best two.
+    Q("aql_similar_vector_probe2", {
+      val d2 = AqlQueries.axisD2Sql(AqlQueries.similarQueryVec2)
+      s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id <= 64),
+         |axes AS (SELECT DISTINCT doc_id % 8 AS axis FROM ids),
+         |qd AS (SELECT axis, $d2 AS d2 FROM axes),
+         |best AS (SELECT axis FROM qd ORDER BY d2, axis LIMIT 2)
+         |SELECT i.doc_id FROM ids i
+         |WHERE i.doc_id % 8 IN (SELECT axis FROM best)
+         |ORDER BY i.doc_id LIMIT 10""".stripMargin
+    }) { (s, dir) =>
+      search("SIMILAR " + AqlQueries.aqlVec(AqlQueries.similarQueryVec2) +
+        " ON docs_ivf USING ann PROBE 2 LIMIT 10")(s, dir)
+    },
+
     // ...and the vector form composes as a SEARCH source like any
     // (SIMILAR …) candidate set (WHERE over the served pks).
     Q("aql_similar_vector_src", {
-      val qv = AqlQueries.similarQueryVec
-      val d2 = (0 until 8).map(i =>
-        s"pow(${qv(i)} - (CASE WHEN axis = $i THEN 1.0 ELSE 0.0 END), 2)")
-        .mkString(" + ")
+      val d2 = AqlQueries.axisD2Sql(AqlQueries.similarQueryVec)
       s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id <= 64),
          |axes AS (SELECT DISTINCT doc_id % 8 AS axis FROM ids),
          |qd AS (SELECT axis, $d2 AS d2 FROM axes),

@@ -874,6 +874,10 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val eVec = intercept[ParseException](
       eng.execute("SIMILAR [0.1, 0.2] ON idocs"))
     assert(eVec.getMessage.contains("ivf"), eVec.getMessage)
+    // ...and PROBE has no band-index meaning either (no cells to widen)
+    val ePr = intercept[ParseException](
+      eng.execute("SIMILAR 1 ON idocs PROBE 2"))
+    assert(ePr.getMessage.contains("ivf"), ePr.getMessage)
 
     eng.execute("DELETE INDEX nd ON idocs")
     assert(eng.catalog.indexDefs("idocs").isEmpty)

@@ -146,6 +146,17 @@ class ParserSpec extends AnyFunSuite {
     intercept[ParseException](Parser.parse("SIMILAR ['x', 0.5] ON docs"))
     intercept[ParseException](Parser.parse("SIMILAR (SEARCH [] ON a) ON docs"))
     intercept[ParseException](Parser.parse("SIMILAR 1 ON docs LIMIT 0"))
+    // PROBE p — the ivf multiprobe knob, between USING and LIMIT
+    assert(Parser.parse("SIMILAR [0.5, 1] ON docs USING ann PROBE 2 LIMIT 3")
+      == Similar("docs",
+        Token.Group(List(Token.FloatLit(0.5), Token.IntLit(1))),
+        Some("ann"), 3, None, Some(List(0.5, 1.0)), Some(2)))
+    assert(Parser.parse("SIMILAR 7 ON docs PROBE 3")
+      == Similar("docs", Token.IntLit(7), None, 20, None, None, Some(3)))
+    intercept[ParseException](Parser.parse("SIMILAR 1 ON docs PROBE 0"))
+    intercept[ParseException](Parser.parse("SIMILAR 1 ON docs PROBE 65"))
+    // PROBE is SIMILAR-only: after MATCH it's an unexpected trailer
+    intercept[ParseException](Parser.parse("MATCH ['x'] ON docs PROBE 2"))
   }
 
   test("CHANGES forms (CDC feed extension)") {

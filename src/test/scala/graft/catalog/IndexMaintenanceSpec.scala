@@ -326,6 +326,17 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     // dimension mismatch is a loud error, not an empty result
     val eDim = intercept[Exception](eng.execute("SIMILAR [0.1, 0.2] ON vecs"))
     assert(eDim.getMessage.contains("dims"), eDim.getMessage)
+    // PROBE 2 widens to the two nearest cells: a query between axes 3
+    // and 5 (components 0.9 and 0.6) serves both cells' members
+    assert(simVec("SIMILAR [0.0, 0.0, 0.0, 0.9, 0.0, 0.6, 0.0, 0.0] " +
+      "ON vecs PROBE 2") == Set(3L, 11L, 19L, 99L, 5L, 13L, 21L))
+    // ...and the pk form widens the same way: probe-2 keeps the home
+    // cell (minus the row itself) and adds a second cell's members
+    // (which one depends on the trained centroids' nudge means — the
+    // invariant, not the tie-break, is what's pinned)
+    val p2 = simVec("SIMILAR 3 ON vecs PROBE 2")
+    assert(Set(11L, 19L, 99L).subsetOf(p2) && !p2.contains(3L), p2.toString)
+    assert(p2.size > 3, s"probe-2 must widen past the home cell: $p2")
   }
 
   test("ivf guards: needs BYTES column and committed rows; centroids survive a rename") {
