@@ -1586,6 +1586,46 @@ object AqlQueries {
       "SHOW OVERLAP [docs_ov_a, docs_ov_b, docs_ov_c] ON doc_id")(s, dir)
     },
 
+    // ...the matrix COMPOSES with BY: one sketch pair per (pair, group),
+    // a group held by only one source still reporting its exclusives for
+    // every pair it touches. Same exact regime (per-lang distincts far
+    // below 2^12), so the per-(pair, lang) set algebra hash-compares.
+    Q("aql_show_overlap_matrix_by", {
+      def side(tag: String, mod: Int) =
+        s"SELECT lang, doc_id, ${if (tag == "ina") "1" else "0"} AS ina, " +
+          s"${if (tag == "inb") "1" else "0"} AS inb, " +
+          s"${if (tag == "inc") "1" else "0"} AS inc " +
+          s"FROM documents WHERE doc_id < 3000 AND doc_id % $mod <> 0"
+      def pair(an: String, a: String, bn: String, b: String) =
+        s"""SELECT '$an' AS container_a, '$bn' AS container_b,
+           |  'doc_id' AS "column", lang,
+           |  CAST(sum(CASE WHEN $a = 1 AND $b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS approx_intersect,
+           |  CAST(sum(CASE WHEN $a = 1 OR $b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS approx_union,
+           |  CAST(sum(CASE WHEN $a = 1 AND $b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS approx_a_only,
+           |  CAST(sum(CASE WHEN $a = 0 AND $b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS approx_b_only,
+           |  CAST(sum(CASE WHEN $a = 1 AND $b = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+           |    sum(CASE WHEN $a = 1 OR $b = 1 THEN 1 ELSE 0 END) AS jaccard
+           |FROM m GROUP BY lang
+           |HAVING sum(CASE WHEN $a = 1 OR $b = 1 THEN 1 ELSE 0 END) > 0""".stripMargin
+      s"""WITH m AS (
+         |  SELECT lang, doc_id,
+         |         max(ina) AS ina, max(inb) AS inb, max(inc) AS inc
+         |  FROM (${side("ina", 3)} UNION ALL ${side("inb", 2)}
+         |        UNION ALL ${side("inc", 5)}) q
+         |  GROUP BY lang, doc_id)
+         |SELECT * FROM (
+         |${pair("docs_ov_a", "ina", "docs_ov_b", "inb")}
+         |UNION ALL ${pair("docs_ov_a", "ina", "docs_ov_c", "inc")}
+         |UNION ALL ${pair("docs_ov_b", "inb", "docs_ov_c", "inc")})
+         |ORDER BY container_a, container_b, lang""".stripMargin
+    }) { (s, dir) => search(
+      "SHOW OVERLAP [docs_ov_a, docs_ov_b, docs_ov_c] ON doc_id BY lang")(s, dir)
+    },
+
     // SHOW OVERLAP with SUBQUERY sides (graft extension): version churn —
     // docs_tt's v1 holds only the short docs, its current version all of
     // them, so v1∩v2 = v1 and the difference is exactly the long docs.
