@@ -84,7 +84,12 @@ object Ast {
     * ([[graft.catalog.Index]] — the reference's commit hook,
     * `/root/reference/src/container.rs:277-282`, as a DDL surface). */
   final case class CreateIndex(container: String, ix: String, column: String,
-      kind: String) extends Stmt
+      kind: String,
+      /** `USING ivf <k>` — the trained centroid count (ivf only; defaults
+        * to 8). THE 100 TB pruning knob: probe cost is ~nprobe/k of the
+        * corpus, so k scales with the data while the probe list stays
+        * bounded driver metadata. */
+      k: Option[Int] = None) extends Stmt
   final case class DeleteIndex(container: String, ix: String) extends Stmt
   /** graft extension: `REBUILD INDEX ix ON c` — re-derive from current
     * data; the ivf kind retrains its frozen centroids (Lloyd) first, the
@@ -967,12 +972,18 @@ object Parser {
         case Nil => throw new ParseException("CREATE INDEX takes [column, …]")
         case cs => cs.mkString(",")
       }
-      val kind = rest match {
-        case Nil => "lsh"
-        case Keyword("USING") :: kindTok :: Nil => name(kindTok).toLowerCase
+      val (kind, k) = rest match {
+        case Nil => ("lsh", None)
+        case Keyword("USING") :: kindTok :: Nil => (name(kindTok).toLowerCase, None)
+        // USING ivf <k>: the centroid-count knob (validated ivf-only and
+        // range-checked in Index.create, where the kind is known)
+        case Keyword("USING") :: kindTok :: IntLit(kk) :: Nil =>
+          if (kk < 2 || kk > 4096) throw new ParseException(
+            "CREATE INDEX USING ivf k must be in [2, 4096]")
+          (name(kindTok).toLowerCase, Some(kk.toInt))
         case other => throw new ParseException(s"Unexpected tokens after CREATE INDEX: $other")
       }
-      CreateIndex(name(containerTok), name(ixTok), column, kind)
+      CreateIndex(name(containerTok), name(ixTok), column, kind, k)
 
     // DELETE INDEX name ON container (graft extension)
     case Keyword("DELETE") :: Keyword("INDEX") :: ixTok :: Keyword("ON") :: containerTok :: Nil =>

@@ -197,9 +197,9 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       tx.stageInsert(container, Seq(row))
       Done(s"staged 1 row into $container")
 
-    case Ast.CreateIndex(container, ix, column, kind) =>
-      catalog.createIndex(container, ix, kind, column)
-      Done(s"created $kind index $ix on $container($column)")
+    case ci: Ast.CreateIndex =>
+      catalog.createIndex(ci.container, ci.ix, ci.kind, ci.column, ci.k)
+      Done(s"created ${ci.kind} index ${ci.ix} on ${ci.container}(${ci.column})")
 
     case Ast.DeleteIndex(container, ix) =>
       catalog.dropIndex(container, ix)
@@ -664,7 +664,9 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         catalog.indexDefs(c).map(ix =>
           s"CREATE INDEX ${ix.ix} ON $c " +
             ix.valueColumns.map(cc => s"'$cc'").mkString("[", ", ", "]") +
-            s" USING ${ix.kind}")
+            s" USING ${ix.kind}" +
+            // replay-exact: an ivf recreate must train the SAME k
+            (if (ix.kind == "ivf") s" ${catalog.ivfK(c, ix.ix)}" else ""))
       resultSet(metaDf(Seq("ordinal" -> "INT", "ddl" -> "TEXT"),
         ddl.zipWithIndex.map { case (s2, i) => Row(i + 1, s2) }),
         needsDefaultSort = true)

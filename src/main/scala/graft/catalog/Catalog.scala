@@ -345,8 +345,14 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
 
   // ---- derived secondary indexes (maintained at every commit: Index.scala)
 
-  def createIndex(name: String, ix: String, kind: String, column: String): Index.Def =
-    Index.create(this, name, ix, kind, column)
+  def createIndex(name: String, ix: String, kind: String, column: String,
+      k: Option[Int] = None): Index.Def =
+    Index.create(this, name, ix, kind, column, k)
+
+  /** The ivf kind's trained centroid count — the `USING ivf <k>` DDL
+    * knob, read back for replay-exact SHOW CREATE. */
+  def ivfK(name: String, ix: String): Int =
+    Index.centroids(this, name, ix).size
 
   def dropIndex(name: String, ix: String): Unit = Index.drop(this, name, ix)
 

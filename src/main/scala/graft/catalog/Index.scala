@@ -170,7 +170,7 @@ object Index {
     * sessions pick the definition up on their next `indexDefs` read.
     */
   def create(cat: Catalog, container: String, ix: String, kind: String,
-      column: String): Def = {
+      column: String, k: Option[Int] = None): Def = {
     val d = cat.get(container)
     require(ix.matches("[A-Za-z0-9_]+"), s"Invalid index name '$ix'")
     // every kind but `value` indexes exactly one column; a `value` index
@@ -185,6 +185,10 @@ object Index {
       case (n, t) if n.equalsIgnoreCase(c) => t
     }.getOrElse(sys.error(s"No column '$c' on '$container'"))
     val colType = typeOf(colNames.head)
+    require(k.isEmpty || kind == "ivf",
+      s"the k knob applies to ivf indexes only; '$ix' is a $kind index")
+    k.foreach(kk => require(kk >= 2 && kk <= 4096,
+      s"ivf k must be in [2, 4096], got $kk"))
     val body = kind match {
       case "lsh" | "simhash" | "text" =>
         require(colType.spark == StringType,
@@ -206,13 +210,15 @@ object Index {
           s"ivf index needs a packed-float32 BYTES column, '$column' is ${colType.name}")
         require(cat.currentVersion(container) > 0,
           s"ivf index on '$container' needs committed rows to train centroids")
-        // k=8 seed centroids from the lowest-pk vectors (deterministic,
-        // matching the fixture-side assignToSeeds), frozen in metadata
+        // k seed centroids (default 8) from the lowest-pk vectors
+        // (deterministic, matching the fixture-side assignToSeeds),
+        // frozen in metadata — the centroid count IS the persisted k,
+        // so rebuild retrains at the declared size
         val seeds = cat.read(container)
           .select(col(d.primaryKey).as("id"),
             graft.functions.Float32Unpack.float32Unpack(col(column)).as("emb"))
           .filter(col("emb").isNotNull)
-          .orderBy(col("id")).limit(8).select(col("emb")).collect()
+          .orderBy(col("id")).limit(k.getOrElse(8)).select(col("emb")).collect()
         require(seeds.nonEmpty, s"ivf index on '$container': no decodable vectors")
         val centLines = seeds.zipWithIndex.map { case (r, i) =>
           s"centroid\t$i\t" + r.getSeq[Float](0).map(_.toString).mkString(",")
@@ -254,7 +260,11 @@ object Index {
       case "ivf" =>
         require(cat.currentVersion(container) > 0,
           s"ivf rebuild on '$container' needs committed rows to train centroids")
-        val cents = trainCentroids(cat, container, old.column)
+        // retrain at the DECLARED k (the persisted centroid count), not
+        // the default — a k=64 index must not silently shrink to 8 on
+        // its first post-drift rebuild
+        val cents = trainCentroids(cat, container, old.column,
+          k = centroids(cat, container, ix).size)
         val centLines = cents.map { case (sid, arr) =>
           s"centroid\t$sid\t" + arr.map(_.toString).mkString(",") }
         (s"ivf\t${old.column}" +: centLines).mkString("\n")

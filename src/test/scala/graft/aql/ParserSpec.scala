@@ -46,6 +46,14 @@ class ParserSpec extends AnyFunSuite {
     assert(Parser.parse("CREATE INDEX cq ON docs ['a','b'] USING value")
       == CreateIndex("docs", "cq", "a,b", "value"))
     intercept[ParseException](Parser.parse("CREATE INDEX nd ON docs []"))
+    // USING ivf <k> — the centroid-count knob (range-checked here,
+    // ivf-only-ness checked at create where the kind is known)
+    assert(Parser.parse("CREATE INDEX ann ON docs ['emb'] USING ivf 64")
+      == CreateIndex("docs", "ann", "emb", "ivf", Some(64)))
+    intercept[ParseException](
+      Parser.parse("CREATE INDEX ann ON docs ['emb'] USING ivf 1"))
+    intercept[ParseException](
+      Parser.parse("CREATE INDEX ann ON docs ['emb'] USING ivf 5000"))
     assert(Parser.parse("REBUILD INDEX nd ON docs") == RebuildIndex("docs", "nd"))
   }
 

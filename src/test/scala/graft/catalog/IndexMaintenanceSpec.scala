@@ -339,6 +339,33 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(p2.size > 3, s"probe-2 must widen past the home cell: $p2")
   }
 
+  test("ivf k knob: DDL-declared centroid count trains, serves, survives rebuild and SHOW CREATE") {
+    val (cat, dir) = ivfFixture("kknob")
+    val eng = new graft.aql.Engine(spark, dir.toString)
+    eng.execute("CREATE INDEX ann ON vecs ['e'] USING ivf 4")
+    assert(Index.centroids(cat, "vecs", "ann").size == 4,
+      "the declared k must be the trained centroid count")
+    // every row is assigned to SOME of the 4 cells, so probing all 4
+    // returns the whole corpus minus the probe row itself
+    def sim(aql: String): Set[Long] = eng.execute(aql)
+      .asInstanceOf[graft.aql.Engine.ResultSet].df
+      .collect().map(_.getLong(0)).toSet
+    assert(sim("SIMILAR 3 ON vecs PROBE 4 LIMIT 50")
+      == (0L until 24L).toSet - 3L)
+    // rebuild retrains at the DECLARED k, never the default
+    eng.execute("REBUILD INDEX ann ON vecs")
+    assert(Index.centroids(cat, "vecs", "ann").size == 4,
+      "rebuild must keep the declared k")
+    // SHOW CREATE is replay-exact: the emitted DDL carries the k
+    val ddl = eng.execute("SHOW CREATE CONTAINER vecs")
+      .asInstanceOf[graft.aql.Engine.ResultSet].df
+      .collect().map(_.getString(1))
+    assert(ddl.exists(_.endsWith("USING ivf 4")), ddl.mkString("; "))
+    // the knob is ivf-only and range-checked at create too
+    intercept[IllegalArgumentException](
+      cat.createIndex("vecs", "bad", "lsh", "e", Some(4)))
+  }
+
   test("ivf guards: needs BYTES column and committed rows; centroids survive a rename") {
     val (cat, _) = ivfFixture("guard")
     intercept[IllegalArgumentException](cat.createIndex("vecs", "bad", "ivf", "vec_id"))
