@@ -145,8 +145,9 @@ object Index {
   /** The ivf kind's frozen centroid set (`sid`, packed floats) from the
     * metadata file — trained once at create, pinned so incremental
     * appends assign into a stable partition (retraining = drop+create,
-    * the real-world IVF rebuild). Bounded driver-side metadata (k=8 ×
-    * dims), the IVF probe-list idiom. */
+    * the real-world IVF rebuild). Bounded driver-side metadata (k ×
+    * dims; k is the `USING ivf <k>` DDL knob, default 8), the IVF
+    * probe-list idiom. */
   private[catalog] def centroids(cat: Catalog, container: String,
       ix: String): Seq[(Int, Array[Float])] =
     Files.readString(metaFile(cat, container, ix)).linesIterator
@@ -481,9 +482,9 @@ object Index {
 
   /** ANN candidates for `queries` (rows shaped like the container) from
     * an `ivf` index: assign each query vector to its `nprobe` nearest
-    * frozen centroids (a per-query top-nprobe over the 8-row broadcast
-    * centroid dim), collect the ≤ 8 probed cluster ids (bounded per-
-    * lookup metadata), and scan the index filtered to those LITERAL
+    * frozen centroids (a per-query top-nprobe over the k-row broadcast
+    * centroid dim), collect the ≤ nprobe·#queries probed cluster ids
+    * (bounded per-lookup metadata), and scan the index filtered to those LITERAL
     * clusters — candidate cost ∝ nprobe/k of the index, never the
     * corpus. Exact scoring of the returned ids is the caller's rerank
     * step (compose with `sim_ann_int8_rerank`'s recipe).
