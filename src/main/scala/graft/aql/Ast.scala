@@ -352,7 +352,13 @@ object Ast {
       /** `PROBE p` — the IVF multiprobe recall knob: candidates from the
         * p nearest cells instead of 1 (ivf indexes only; the probe list
         * stays ≤p cluster ids of bounded driver metadata). */
-      probe: Option[Int] = None) extends Stmt
+      probe: Option[Int] = None,
+      /** `SCORED` — rerank the served candidates by EXACT cosine against
+        * the query (the literal vector, or the probe row's own
+        * embedding) and return (pk, score) ordered score-desc: the
+        * ANN-then-exact-rerank serving shape in one statement (ivf
+        * only — band candidates carry no vector to score). */
+      scored: Boolean = false) extends Stmt
   /** graft extensions: incremental materialized views. `CREATE VIEW v
     * (SEARCH [keys…, count(c)/sum(c)…] ON src [WHERE …])` declares a
     * CDC-maintained aggregate container; `REFRESH VIEW` folds the
@@ -1273,8 +1279,8 @@ object Parser {
       val (at, ix, _, limit) = lookupTail("MATCH", rest)
       Match(name(containerTok), terms, ix, limit, at)
 
-    // SIMILAR <pk> ON container [USING ix] [PROBE p] [LIMIT n] (graft
-    // extension):
+    // SIMILAR <pk> ON container [USING ix] [PROBE p] [LIMIT n] [SCORED]
+    // (graft extension):
     // near-dup / ANN candidates for the committed row with that pk,
     // served from a band/ivf index. SIMILAR [<float> …] probes by a
     // LITERAL query vector instead (query-by-embedding — the vector
@@ -1295,9 +1301,15 @@ object Parser {
             "SIMILAR expects a single pk literal or a [vector] of numeric literals")
         case _ => None
       }
-      val (at, ix, probe, limit) = lookupTail("SIMILAR", rest,
+      // trailing SCORED flag (unreserved, like PROBE/STATS/OVERLAP)
+      val (scoredFlag, tailToks) = rest.lastOption match {
+        case Some(Str(w)) if w.equalsIgnoreCase("SCORED") => (true, rest.init)
+        case _ => (false, rest)
+      }
+      val (at, ix, probe, limit) = lookupTail("SIMILAR", tailToks,
         allowProbe = true)
-      Similar(name(containerTok), keyTok, ix, limit, at, vector, probe)
+      Similar(name(containerTok), keyTok, ix, limit, at, vector, probe,
+        scoredFlag)
 
     // CREATE VIEW v (SEARCH …) / REFRESH VIEW v / DELETE VIEW v (graft
     // extensions): incremental materialized views over the CDC feed

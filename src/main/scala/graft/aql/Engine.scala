@@ -1832,7 +1832,30 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       throw new ParseException(
         s"SIMILAR PROBE serves from an ivf index; '${idef.ix}' is a " +
           s"${idef.kind} index (band probes have no cell count to widen)"))
+    if (sm.scored && idef.kind != "ivf")
+      throw new ParseException(
+        s"SIMILAR SCORED serves from an ivf index; '${idef.ix}' is a " +
+          s"${idef.kind} index (band candidates carry no vector to score)")
     val nprobe = sm.probe.getOrElse(1)
+    // SCORED rerank: exact cosine of each candidate's embedding against
+    // the 1-row broadcast query embedding — the ANN-then-exact-rerank
+    // serving shape. The candidate join prunes the base scan to the
+    // probed cells' pks (clustered layout → file skipping), the query
+    // side is one broadcast row, and the top-n is score-desc with a pk
+    // tie-break. An unknown-pk probe yields an empty query side → empty
+    // result, the lookup semantics the unscored form has.
+    def rerank(cands: DataFrame, qemb: DataFrame,
+        snapshot: DataFrame): DataFrame =
+      snapshot.alias("_sim_s")
+        .join(cands.select(col("cand")).alias("_sim_c"),
+          col(s"_sim_s.$pkName") === col("_sim_c.cand"))
+        .crossJoin(broadcast(qemb))
+        .select(col(s"_sim_s.$pkName").as(pkName),
+          round(graft.functions.CosineSimilarity.cosineSim(
+            graft.functions.Float32Unpack.float32Unpack(col(idef.column)),
+            col("_sim_qemb")), 6).as("score"))
+        .orderBy(col("score").desc, col(pkName))
+        .limit(sm.limit)
     // literal-vector probe (query-by-embedding): nearest trained
     // centroid of the literal vector → that cell's candidates, no
     // self-exclusion (the query is not a corpus row). ivf only — a
@@ -1850,8 +1873,18 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           if (!catalog.versions(sm.container).contains(v))
             throw new ParseException(
               s"No committed version $v on '${sm.container}'"))
-        return catalog.indexLookupVector(sm.container, idef.ix,
-            vec.map(_.toFloat), nprobe = nprobe, at = sm.atVersion)
+        val cands = catalog.indexLookupVector(sm.container, idef.ix,
+          vec.map(_.toFloat), nprobe = nprobe, at = sm.atVersion)
+        if (sm.scored) {
+          val snap = sm.atVersion match {
+            case Some(v) => catalog.readVersion(sm.container, v)
+            case None => catalog.read(sm.container)
+          }
+          val qemb = spark.range(1)
+            .select(array(vec.map(lit): _*).as("_sim_qemb"))
+          return rerank(cands, qemb, snap)
+        }
+        return cands
           .select(col("cand").as(pkName))
           .orderBy(col(pkName))
           .limit(sm.limit)
@@ -1873,8 +1906,15 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       case None => catalog.read(sm.container)
     }
     val probe = snapshot.filter(col(pkName) === lit(key)).limit(1)
-    catalog.indexLookup(sm.container, idef.ix, probe, sm.atVersion,
-        nprobe = nprobe)
+    val cands = catalog.indexLookup(sm.container, idef.ix, probe, sm.atVersion,
+      nprobe = nprobe)
+    if (sm.scored) {
+      // query embedding = the probe row's own vector (1 broadcast row)
+      val qemb = probe.select(graft.functions.Float32Unpack
+        .float32Unpack(col(idef.column)).as("_sim_qemb"))
+      return rerank(cands, qemb, snapshot)
+    }
+    cands
       .select(col("cand").as(pkName))
       .orderBy(col(pkName))
       .limit(sm.limit)

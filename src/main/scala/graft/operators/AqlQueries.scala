@@ -1160,6 +1160,31 @@ object AqlQueries {
         " ON docs_ivf USING ann PROBE 2 LIMIT 10")(s, dir)
     },
 
+    // SCORED (round 12): ANN-then-exact-rerank in one statement — the
+    // probed cells' candidates reranked by exact cosine against the
+    // literal query, (pk, score) ordered score-desc. With PROBE 2 the
+    // ranking is REAL: cell-3 members (cos = q3/|q|) outrank cell-1
+    // members (q1/|q|). The oracle recomputes both the cell pick and the
+    // one-hot cosines declaratively; the Σq² chain is written ascending
+    // in both engines so the doubles agree bit-for-bit under round(6).
+    Q("aql_similar_vector_scored", {
+      val qv = AqlQueries.similarQueryVec2
+      val d2 = AqlQueries.axisD2Sql(qv)
+      val qc = (0 until 8).map(i => s"WHEN $i THEN ${qv(i)}")
+        .mkString("CASE axis ", " ", " ELSE 0 END")
+      val norm = (0 until 8).map(i => s"${qv(i)} * ${qv(i)}").mkString(" + ")
+      s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id <= 64),
+         |axes AS (SELECT DISTINCT doc_id % 8 AS axis FROM ids),
+         |qd AS (SELECT axis, $d2 AS d2, $qc AS qc FROM axes),
+         |best AS (SELECT axis, qc FROM qd ORDER BY d2, axis LIMIT 2)
+         |SELECT i.doc_id, round(b.qc / sqrt($norm), 6) AS score
+         |FROM ids i JOIN best b ON i.doc_id % 8 = b.axis
+         |ORDER BY score DESC, i.doc_id LIMIT 10""".stripMargin
+    }) { (s, dir) =>
+      search("SIMILAR " + AqlQueries.aqlVec(AqlQueries.similarQueryVec2) +
+        " ON docs_ivf USING ann PROBE 2 LIMIT 10 SCORED")(s, dir)
+    },
+
     // ...and the vector form composes as a SEARCH source like any
     // (SIMILAR …) candidate set (WHERE over the served pks).
     Q("aql_similar_vector_src", {

@@ -878,6 +878,10 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ePr = intercept[ParseException](
       eng.execute("SIMILAR 1 ON idocs PROBE 2"))
     assert(ePr.getMessage.contains("ivf"), ePr.getMessage)
+    // ...nor SCORED (band candidates carry no vector to score)
+    val eSc = intercept[ParseException](
+      eng.execute("SIMILAR 1 ON idocs SCORED"))
+    assert(eSc.getMessage.contains("ivf"), eSc.getMessage)
 
     eng.execute("DELETE INDEX nd ON idocs")
     assert(eng.catalog.indexDefs("idocs").isEmpty)

@@ -165,6 +165,16 @@ class ParserSpec extends AnyFunSuite {
     intercept[ParseException](Parser.parse("SIMILAR 1 ON docs PROBE 65"))
     // PROBE is SIMILAR-only: after MATCH it's an unexpected trailer
     intercept[ParseException](Parser.parse("MATCH ['x'] ON docs PROBE 2"))
+    // SCORED — the trailing exact-rerank flag, composing with everything
+    assert(Parser.parse("SIMILAR [0.5] ON docs USING ann PROBE 2 LIMIT 3 SCORED")
+      == Similar("docs", Token.Group(List(Token.FloatLit(0.5))),
+        Some("ann"), 3, None, Some(List(0.5)), Some(2), scored = true))
+    assert(Parser.parse("SIMILAR 7 ON docs SCORED")
+      == Similar("docs", Token.IntLit(7), None, 20, None, None, None,
+        scored = true))
+    // ...but only trailing: mid-statement it's an unexpected token
+    intercept[ParseException](Parser.parse("SIMILAR 7 ON docs SCORED LIMIT 3"))
+    intercept[ParseException](Parser.parse("MATCH ['x'] ON docs SCORED"))
   }
 
   test("CHANGES forms (CDC feed extension)") {

@@ -337,6 +337,21 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     val p2 = simVec("SIMILAR 3 ON vecs PROBE 2")
     assert(Set(11L, 19L, 99L).subsetOf(p2) && !p2.contains(3L), p2.toString)
     assert(p2.size > 3, s"probe-2 must widen past the home cell: $p2")
+    // SCORED rerank (pk form): (pk, score) ordered score-desc, the
+    // nudged fixture makes same-cell scores distinct and < 1; the probe
+    // row itself stays excluded
+    val scored = eng.execute("SIMILAR 3 ON vecs LIMIT 10 SCORED")
+      .asInstanceOf[graft.aql.Engine.ResultSet].df
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(scored.map(_._1).toSet == Set(11L, 19L, 99L), scored.mkString(","))
+    assert(!scored.map(_._1).contains(3L))
+    val ss = scored.map(_._2)
+    assert(ss.forall(v => v > 0.9 && v <= 1.0), ss.mkString(","))
+    assert(ss.sorted(Ordering[Double].reverse).sameElements(ss),
+      s"scores must rank desc: ${ss.mkString(",")}")
+    // ...and an unknown pk yields the empty scored set, not an error
+    assert(eng.execute("SIMILAR 777 ON vecs SCORED")
+      .asInstanceOf[graft.aql.Engine.ResultSet].df.collect().isEmpty)
   }
 
   test("ivf k knob: DDL-declared centroid count trains, serves, survives rebuild and SHOW CREATE") {
