@@ -352,6 +352,12 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     // ...and an unknown pk yields the empty scored set, not an error
     assert(eng.execute("SIMILAR 777 ON vecs SCORED")
       .asInstanceOf[graft.aql.Engine.ResultSet].df.collect().isEmpty)
+    // the scored form composes as a SEARCH source: WHERE over the
+    // (pk, score) rows like any (SIMILAR …) candidate set
+    val src = eng.execute("SEARCH [] ON [(SIMILAR 3 ON vecs LIMIT 10 SCORED)] " +
+      "WHERE vec_id < 50").asInstanceOf[graft.aql.Engine.ResultSet]
+      .df.collect().map(_.getLong(0)).toSet
+    assert(src == Set(11L, 19L), src.toString)
   }
 
   test("ivf k knob: DDL-declared centroid count trains, serves, survives rebuild and SHOW CREATE") {

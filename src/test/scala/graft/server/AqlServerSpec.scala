@@ -193,6 +193,10 @@ class AqlServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mb.contains("\"rows\":[[\"wma\",\"wmb\",\"id\",2,4,1,1,"), mb)
     assert(mb.contains("[\"wma\",\"wmc\",\"id\",1,3,2,0,"), mb)
     assert(mb.contains("[\"wmb\",\"wmc\",\"id\",1,3,2,0,"), mb)
+    // SIMILAR's round-12 knobs reject cleanly over the wire on a
+    // band-less container (no index at all here → the clear 400)
+    assert(post("SIMILAR [0.5] ON wma USING nope")._1 == 400)
+    assert(post("SIMILAR 1 ON wma PROBE 2")._1 == 400)
     Seq("wma", "wmb", "wmc").foreach(c =>
       assert(post(s"DELETE CONTAINER $c")._1 == 200))
   }
