@@ -1839,23 +1839,36 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     val nprobe = sm.probe.getOrElse(1)
     // SCORED rerank: exact cosine of each candidate's embedding against
     // the 1-row broadcast query embedding — the ANN-then-exact-rerank
-    // serving shape. The candidate join prunes the base scan to the
-    // probed cells' pks (clustered layout → file skipping), the query
-    // side is one broadcast row, and the top-n is score-desc with a pk
-    // tie-break. An unknown-pk probe yields an empty query side → empty
-    // result, the lookup semantics the unscored form has.
+    // serving shape. The IVF lists STORE the packed vector (FAISS list
+    // shape), so the rerank is INDEX-LOCAL: it reads only the probed
+    // cells' index parts, never a corpus-wide candidate fetch. Parts
+    // hard-link-carried from pre-emb versions read emb as NULL — those
+    // candidates (detected with one bounded job over the pruned cells)
+    // fall back to a pk join against the snapshot; the common all-new
+    // case never plans the corpus scan at all. An unknown-pk probe
+    // yields an empty candidate set → empty result, the lookup
+    // semantics the unscored form has.
     def rerank(cands: DataFrame, qemb: DataFrame,
-        snapshot: DataFrame): DataFrame =
-      snapshot.alias("_sim_s")
-        .join(cands.select(col("cand")).alias("_sim_c"),
-          col(s"_sim_s.$pkName") === col("_sim_c.cand"))
+        snapshot: => DataFrame): DataFrame = {
+      def score(embArr: Column): Column =
+        round(graft.functions.CosineSimilarity.cosineSim(
+          embArr, col("_sim_qemb")), 6).as("score")
+      def unpack(c: Column): Column =
+        graft.functions.Float32Unpack.float32Unpack(c)
+      val fast = cands.filter(col("cand_emb").isNotNull)
         .crossJoin(broadcast(qemb))
-        .select(col(s"_sim_s.$pkName").as(pkName),
-          round(graft.functions.CosineSimilarity.cosineSim(
-            graft.functions.Float32Unpack.float32Unpack(col(idef.column)),
-            col("_sim_qemb")), 6).as("score"))
-        .orderBy(col("score").desc, col(pkName))
-        .limit(sm.limit)
+        .select(col("cand").as(pkName), score(unpack(col("cand_emb"))))
+      val legacyIds = cands.filter(col("cand_emb").isNull).select(col("cand"))
+      val all =
+        if (legacyIds.isEmpty) fast
+        else fast.unionByName(snapshot.alias("_sim_s")
+          .join(legacyIds.alias("_sim_c"),
+            col(s"_sim_s.$pkName") === col("_sim_c.cand"))
+          .crossJoin(broadcast(qemb))
+          .select(col(s"_sim_s.$pkName").as(pkName),
+            score(unpack(col(idef.column)))))
+      all.orderBy(col("score").desc, col(pkName)).limit(sm.limit)
+    }
     // literal-vector probe (query-by-embedding): nearest trained
     // centroid of the literal vector → that cell's candidates, no
     // self-exclusion (the query is not a corpus row). ivf only — a

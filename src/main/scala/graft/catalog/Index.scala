@@ -78,8 +78,15 @@ object Index {
         case "lsh" | "simhash" => StructType(Seq(
           StructField("id", pkType), StructField("band", IntegerType),
           StructField("bk", StringType)))
+        // IVF inverted lists STORE the packed vector alongside the
+        // assignment (the FAISS list shape, Johnson et al. 2017): a
+        // SCORED rerank then reads only the probed cells' index parts —
+        // never a corpus-wide candidate fetch. Parts carried from
+        // pre-emb versions read emb as NULL; the rerank falls back to a
+        // snapshot join for exactly those rows.
         case "ivf" => StructType(Seq(
-          StructField("id", pkType), StructField("cluster", IntegerType)))
+          StructField("id", pkType), StructField("cluster", IntegerType),
+          StructField("emb", BinaryType)))
         // inverted postings: (id, term, tf, dl) plus one corpus-stats
         // sentinel row PER SRC FILE under term="" carrying (tf = n_docs,
         // dl = Σ doc_len) — file-local aggregates, so the global N/avgdl
@@ -511,7 +518,7 @@ object Index {
       .filter(col("cluster").isin(probed.toIndexedSeq: _*))
       .join(broadcast(qAssign),
         col("cluster") === col("qcluster") && col("id") =!= col("qid"))
-      .select(col("qid"), col("id").as("cand"))
+      .select(col("qid"), col("id").as("cand"), col("emb").as("cand_emb"))
       .distinct()
   }
 
@@ -548,7 +555,7 @@ object Index {
       .sortBy { case (sid, d) => (d, sid) }.take(nprobe).map(_._1)
     read(cat, container, idef, at)
       .filter(col("cluster").isin(probed: _*))
-      .select(col("id").as("cand"))
+      .select(col("id").as("cand"), col("emb").as("cand_emb"))
       .distinct()
   }
 
@@ -699,12 +706,16 @@ object Index {
       case "ivf" =>
         // nearest frozen centroid per vector (codegen'd unpack + the tiny
         // broadcast centroid dim). Undecodable payloads produce no index
-        // row — they can never be ANN candidates either way.
+        // row — they can never be ANN candidates either way. The PACKED
+        // vector is stored in the list row (vecb → emb), the FAISS
+        // inverted-list shape that makes SCORED reranks index-local.
         assignClusters(
           rows.select(col(d.primaryKey).as("id"),
             graft.functions.Float32Unpack.float32Unpack(col(idef.column)).as("emb"),
-            col("src")),
-          centroidDf(cat, centroids(cat, d.name, idef.ix)), keep = Seq("src"))
+            col(idef.column).as("vecb"), col("src")),
+          centroidDf(cat, centroids(cat, d.name, idef.ix)),
+          keep = Seq("vecb", "src"))
+          .withColumnRenamed("vecb", "emb")
       case other => sys.error(s"unknown index kind '$other'")
     }
 

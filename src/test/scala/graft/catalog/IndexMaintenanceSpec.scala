@@ -277,8 +277,11 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     val (cat, dir) = ivfFixture("base")
     cat.createIndex("vecs", "ann", "ivf", "e")
     val ix = cat.readIndex("vecs", "ann")
-    assert(ix.columns.toSet == Set("id", "cluster", "src"))
+    // the list rows CARRY the packed vector (FAISS inverted-list shape)
+    assert(ix.columns.toSet == Set("id", "cluster", "emb", "src"))
     assert(ix.count() == 24, "every decodable vector assigned")
+    assert(ix.filter(org.apache.spark.sql.functions.col("emb").isNull).count() == 0,
+      "commit-derived parts store every vector")
     // vectors sharing an axis share their seed's cluster
     val byCluster = ix.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     (0L until 24L).foreach(i =>
@@ -352,6 +355,17 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     // ...and an unknown pk yields the empty scored set, not an error
     assert(eng.execute("SIMILAR 777 ON vecs SCORED")
       .asInstanceOf[graft.aql.Engine.ResultSet].df.collect().isEmpty)
+    // the scored rerank is INDEX-LOCAL: the vector form's plan reads ONE
+    // parquet source (the cluster-pruned index parts) — never a corpus
+    // candidate fetch. (The pk form adds only the probe row's pushed-
+    // EqualTo point scans, bounded the same way the unscored form is.)
+    val scoredPlan = eng.execute(
+        "SIMILAR [0.1, 0.05, 0.02, 0.9, 0.0, 0.04, 0.01, 0.07] " +
+          "ON vecs LIMIT 10 SCORED")
+      .asInstanceOf[graft.aql.Engine.ResultSet].df
+      .queryExecution.executedPlan.toString()
+    assert("Scan parquet".r.findAllIn(scoredPlan).length == 1,
+      s"scored vector rerank must read only the index parts:\n$scoredPlan")
     // the scored form composes as a SEARCH source: WHERE over the
     // (pk, score) rows like any (SIMILAR …) candidate set
     val src = eng.execute("SEARCH [] ON [(SIMILAR 3 ON vecs LIMIT 10 SCORED)] " +
