@@ -1185,6 +1185,18 @@ object AqlQueries {
         " ON docs_ivf USING ann PROBE 2 LIMIT 10 SCORED")(s, dir)
     },
 
+    // ...the pk form reranks the same way (query = the committed row's
+    // own embedding): doc 3's cell-mates carry IDENTICAL one-hot
+    // vectors, so every exact cosine is exactly 1.0 and the tie falls
+    // to the pk — the self-row stays excluded.
+    Q("aql_similar_scored",
+      """SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
+        |FROM documents WHERE doc_id <= 64 AND doc_id % 8 = 3
+        |  AND doc_id <> 3
+        |ORDER BY doc_id LIMIT 5""".stripMargin) { (s, dir) =>
+      search("SIMILAR 3 ON docs_ivf USING ann LIMIT 5 SCORED")(s, dir)
+    },
+
     // ...and the vector form composes as a SEARCH source like any
     // (SIMILAR …) candidate set (WHERE over the served pks).
     Q("aql_similar_vector_src", {
