@@ -1,0 +1,104 @@
+package graft.catalog
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property test (seeded): IVF index candidates against an independent
+  * driver-side model under ARBITRARY random geometry (the fixture specs
+  * use one-hot vectors; this pins the semantics where no structure
+  * helps). The model replicates the contract exactly:
+  *  - centroids = the k lowest-pk vectors, frozen at create (raw seeds —
+  *    training happens only at REBUILD);
+  *  - assignment = argmin d2 with d2 ROUNDED to 6 (HALF_UP) and seed-id
+  *    tie-break — the distributed assignment's exact arithmetic;
+  *  - pk-probe candidates at PROBE p = members of the probe row's p
+  *    nearest cells, minus the row itself;
+  *  - vector-probe candidates = members of the literal vector's p
+  *    nearest cells, NO self-exclusion.
+  * Random draws with a fixed seed: deterministic forever once green.
+  */
+class IvfPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val rng = new scala.util.Random(662607)
+
+  private val dims = 6
+  private def randVec(): Array[Float] =
+    Array.fill(dims)((rng.nextDouble() * 2 - 1).toFloat)
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def d2(a: Seq[Float], b: Seq[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) {
+      val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+    }
+    round6(s)
+  }
+
+  /** The model's nearest-p cells of `q` given centroids in seed order. */
+  private def nearestCells(q: Seq[Float],
+      cents: Seq[(Int, Array[Float])], p: Int): Seq[Int] =
+    cents.map { case (sid, c) => (sid, d2(q, c.toIndexedSeq)) }
+      .sortBy { case (sid, d) => (d, sid) }.take(p).map(_._1)
+
+  test("random corpora: pk and vector probes match the model for k in {3, 5}, probe in {1, 2}") {
+    for (k <- Seq(3, 5)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-ivf-prop-$k")
+      val cat = new Catalog(spark, dir.toString)
+      cat.create("pv", List("vid" -> graft.aql.AlbaType.of("BIGINT"),
+        "e" -> graft.aql.AlbaType.of("MEDIUM-BYTES")))
+      val vecs: Map[Long, Array[Float]] =
+        (0L until 30L).map(i => i -> randVec()).toMap
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      vecs.toSeq.sortBy(_._1).foreach { case (i, v) => rows.add(
+        org.apache.spark.sql.Row(i, graft.functions.Float32Unpack.pack(v.toIndexedSeq))) }
+      cat.overwrite("pv", spark.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vid",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("e",
+            org.apache.spark.sql.types.BinaryType, nullable = false)))))
+      cat.createIndex("pv", "ann", "ivf", "e", Some(k))
+
+      // the model's centroids ARE the k lowest-pk vectors
+      val cents = (0 until k).map(i => i -> vecs(i.toLong))
+      val persisted = Index.centroids(cat, "pv", "ann")
+      assert(persisted.size == k)
+      persisted.foreach { case (sid, c) =>
+        assert(c.toSeq == cents(sid)._2.toSeq, s"seed $sid centroid drifted") }
+      val cell: Map[Long, Int] = vecs.map { case (i, v) =>
+        i -> nearestCells(v.toIndexedSeq, cents, 1).head }
+
+      val eng = new graft.aql.Engine(spark, dir.toString)
+      def served(aql: String): Set[Long] = eng.execute(aql)
+        .asInstanceOf[graft.aql.Engine.ResultSet].df
+        .collect().map(_.getLong(0)).toSet
+
+      for (p <- Seq(1, 2); trial <- 1 to 3) {
+        // pk probe: a random committed row
+        val pk = rng.nextInt(30).toLong
+        val pkCells = nearestCells(vecs(pk).toIndexedSeq, cents, p).toSet
+        val pkExpect = vecs.keySet.filter(i => pkCells(cell(i))) - pk
+        assert(served(s"SIMILAR $pk ON pv PROBE $p LIMIT 50") == pkExpect,
+          s"k=$k p=$p trial=$trial pk=$pk")
+        // vector probe: a fresh random vector, no self-exclusion
+        val q = randVec()
+        val qCells = nearestCells(q.toIndexedSeq, cents, p).toSet
+        val qExpect = vecs.keySet.filter(i => qCells(cell(i)))
+        val qLit = q.map(x => f"$x%.6f").mkString("[", ", ", "]")
+        // the literal round-trips through the parser as a double and
+        // re-packs to float32: feed the model the SAME rounded floats
+        val qParsed = q.map(x => f"$x%.6f".toDouble.toFloat)
+        val qCells2 = nearestCells(qParsed.toIndexedSeq, cents, p).toSet
+        val qExpect2 = vecs.keySet.filter(i => qCells2(cell(i)))
+        assert(served(s"SIMILAR $qLit ON pv PROBE $p LIMIT 50") == qExpect2,
+          s"k=$k p=$p trial=$trial vector probe")
+        assert(qExpect2 == qExpect || qCells2 != qCells,
+          "sanity: rounding only matters when it moves the cell pick")
+      }
+      eng.execute("DELETE CONTAINER pv")
+    }
+  }
+}
