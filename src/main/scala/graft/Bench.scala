@@ -59,7 +59,11 @@ object Bench {
         catch { case _: InterruptedException => Thread.currentThread().interrupt() }
         Seq(m1, measure(spark, sfDir))
       } else Seq(m1)
-    val best = all.minBy(_.ratio.getOrElse(Double.MaxValue))
+    // a run where a query FAILED (-1, excluded from the comparable sum
+    // while DuckDB's total still contains it) has a biased-low ratio —
+    // prefer complete runs first, then the better ratio
+    val best = all.minBy(m =>
+      (m.results.count(_._2 < 0), m.ratio.getOrElse(Double.MaxValue)))
     emit(best, all, sfDir)
     spark.stop()
   }

@@ -985,7 +985,7 @@ object Parser {
         // range-checked in Index.create, where the kind is known)
         case Keyword("USING") :: kindTok :: IntLit(kk) :: Nil =>
           if (kk < 2 || kk > 4096) throw new ParseException(
-            "CREATE INDEX USING ivf k must be in [2, 4096]")
+            "CREATE INDEX k must be in [2, 4096] (the knob applies to ivf)")
           (name(kindTok).toLowerCase, Some(kk.toInt))
         case other => throw new ParseException(s"Unexpected tokens after CREATE INDEX: $other")
       }
@@ -1301,9 +1301,14 @@ object Parser {
             "SIMILAR expects a single pk literal or a [vector] of numeric literals")
         case _ => None
       }
-      // trailing SCORED flag (unreserved, like PROBE/STATS/OVERLAP)
+      // trailing SCORED flag (unreserved, like PROBE/STATS/OVERLAP).
+      // NOT stripped when it directly follows USING — there it is an
+      // index NAMED 'scored' (`… USING scored SCORED` still reads the
+      // flag: the name fills the USING slot first)
       val (scoredFlag, tailToks) = rest.lastOption match {
-        case Some(Str(w)) if w.equalsIgnoreCase("SCORED") => (true, rest.init)
+        case Some(Str(w)) if w.equalsIgnoreCase("SCORED") &&
+            !(rest.length >= 2 && rest(rest.length - 2) == Keyword("USING")) =>
+          (true, rest.init)
         case _ => (false, rest)
       }
       val (at, ix, probe, limit) = lookupTail("SIMILAR", tailToks,

@@ -665,8 +665,16 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           s"CREATE INDEX ${ix.ix} ON $c " +
             ix.valueColumns.map(cc => s"'$cc'").mkString("[", ", ", "]") +
             s" USING ${ix.kind}" +
-            // replay-exact: an ivf recreate must train the SAME k
-            (if (ix.kind == "ivf") s" ${catalog.ivfK(c, ix.ix)}" else ""))
+            // replay-exact: an ivf recreate must train the SAME k (the
+            // TRAINED count — equal to the declared knob whenever the
+            // corpus had that many vectors, and what a replay on the
+            // same data re-trains either way). A 1-centroid index emits
+            // no k: `ivf 1` would not parse, and the default create
+            // trains the same single centroid from the same data.
+            (if (ix.kind == "ivf") {
+              val kk = catalog.ivfK(c, ix.ix)
+              if (kk >= 2) s" $kk" else ""
+            } else ""))
       resultSet(metaDf(Seq("ordinal" -> "INT", "ddl" -> "TEXT"),
         ddl.zipWithIndex.map { case (s2, i) => Row(i + 1, s2) }),
         needsDefaultSort = true)
@@ -1867,7 +1875,10 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           .crossJoin(broadcast(qemb))
           .select(col(s"_sim_s.$pkName").as(pkName),
             score(unpack(col(idef.column)))))
-      all.orderBy(col("score").desc, col(pkName)).limit(sm.limit)
+      // a zero-norm candidate has no defined angle (cosine NULL) — it
+      // is dropped rather than surfacing a scoreless row inside LIMIT
+      all.filter(col("score").isNotNull)
+        .orderBy(col("score").desc, col(pkName)).limit(sm.limit)
     }
     // literal-vector probe (query-by-embedding): nearest trained
     // centroid of the literal vector → that cell's candidates, no

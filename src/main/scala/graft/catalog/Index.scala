@@ -519,7 +519,12 @@ object Index {
       .join(broadcast(qAssign),
         col("cluster") === col("qcluster") && col("id") =!= col("qid"))
       .select(col("qid"), col("id").as("cand"), col("emb").as("cand_emb"))
-      .distinct()
+      // dedup by (qid, cand) — NOT by the widened row: a duplicate-pk
+      // corpus must serve each pk once (min keeps the emb pick
+      // deterministic; any single vector of a duplicated pk is a valid
+      // rerank representative)
+      .groupBy(col("qid"), col("cand"))
+      .agg(min(col("cand_emb")).as("cand_emb"))
   }
 
   /** ANN candidates for a LITERAL query vector (query-by-embedding —
@@ -556,7 +561,9 @@ object Index {
     read(cat, container, idef, at)
       .filter(col("cluster").isin(probed: _*))
       .select(col("id").as("cand"), col("emb").as("cand_emb"))
-      .distinct()
+      // dedup by pk, deterministic emb pick — see ivfLookup
+      .groupBy(col("cand"))
+      .agg(min(col("cand_emb")).as("cand_emb"))
   }
 
   /** BM25 top-k search served from a `text` index: scan the postings
@@ -720,17 +727,24 @@ object Index {
     }
 
   /** (id, emb, keep…) → (id, cluster, keep…): nearest-centroid assignment
-    * with deterministic ties (d2 rounded to 6, then sid). */
+    * with deterministic ties (d2 rounded to 6, then sid). A min_by
+    * aggregation, not a window: the k-fold crossJoin expansion (which
+    * now carries the packed vector for the list rows) combines MAP-SIDE
+    * to one row per id before the exchange — with `USING ivf <k>` up to
+    * 4096 that is the difference between shipping each vector once and
+    * k times. The (d2, sid) struct ordering reproduces the window's
+    * orderBy tie-break exactly (sid is unique per (id, centroid), so
+    * the ordering has no ties to leave arbitrary). */
   private def assignClusters(vecs: DataFrame, cents: DataFrame,
       keep: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("id")).orderBy(col("d2"), col("sid"))
-    vecs.filter(col("emb").isNotNull)
+    val picked = vecs.filter(col("emb").isNotNull)
       .crossJoin(broadcast(cents))
       .withColumn("d2", round(graft.operators.Similarity.d2(col("emb"), col("semb")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("id") +: col("sid").as("cluster") +: keep.map(col): _*)
+      .groupBy(col("id"))
+      .agg(min_by(struct(col("sid") +: keep.map(col): _*),
+        struct(col("d2"), col("sid"))).as("_pick"))
+    picked.select(col("id") +: col("_pick.sid").as("cluster") +:
+      keep.map(k => col(s"_pick.$k").as(k)): _*)
   }
 
   /** (id, text, src) → (id, band, bk, src): the MinHash shingle →

@@ -175,6 +175,13 @@ class ParserSpec extends AnyFunSuite {
     // ...but only trailing: mid-statement it's an unexpected token
     intercept[ParseException](Parser.parse("SIMILAR 7 ON docs SCORED LIMIT 3"))
     intercept[ParseException](Parser.parse("MATCH ['x'] ON docs SCORED"))
+    // an index NAMED 'scored' stays referenceable: directly after USING
+    // the word fills the index slot, with the flag still readable after
+    assert(Parser.parse("SIMILAR 7 ON docs USING scored")
+      == Similar("docs", Token.IntLit(7), Some("scored"), 20))
+    assert(Parser.parse("SIMILAR 7 ON docs USING scored SCORED")
+      == Similar("docs", Token.IntLit(7), Some("scored"), 20, None, None,
+        None, scored = true))
   }
 
   test("CHANGES forms (CDC feed extension)") {

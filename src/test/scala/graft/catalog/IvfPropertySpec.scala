@@ -87,10 +87,14 @@ class IvfPropertySpec extends AnyFunSuite {
         val q = randVec()
         val qCells = nearestCells(q.toIndexedSeq, cents, p).toSet
         val qExpect = vecs.keySet.filter(i => qCells(cell(i)))
-        val qLit = q.map(x => f"$x%.6f").mkString("[", ", ", "]")
+        // Locale.ROOT: a comma-decimal default locale would mis-tokenize
+        // the group literal (top-level commas split elements)
+        def fmt(x: Float): String =
+          String.format(java.util.Locale.ROOT, "%.6f", Double.box(x.toDouble))
+        val qLit = q.map(fmt).mkString("[", ", ", "]")
         // the literal round-trips through the parser as a double and
         // re-packs to float32: feed the model the SAME rounded floats
-        val qParsed = q.map(x => f"$x%.6f".toDouble.toFloat)
+        val qParsed = q.map(x => fmt(x).toDouble.toFloat)
         val qCells2 = nearestCells(qParsed.toIndexedSeq, cents, p).toSet
         val qExpect2 = vecs.keySet.filter(i => qCells2(cell(i)))
         assert(served(s"SIMILAR $qLit ON pv PROBE $p LIMIT 50") == qExpect2,
@@ -100,5 +104,47 @@ class IvfPropertySpec extends AnyFunSuite {
       }
       eng.execute("DELETE CONTAINER pv")
     }
+  }
+
+  test("duplicate-pk corpora serve each pk ONCE, with a deterministic emb pick") {
+    // duplicate index rows for one pk arise across COMMITS (each commit
+    // derives its own files' assignments): pk 1 lands in two different
+    // cells. A probe covering both cells must emit pk 1 once — unscored
+    // AND scored (the rerank picks the min emb, deterministically).
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-duppk")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("dp", List("vid" -> graft.aql.AlbaType.of("BIGINT"),
+      "e" -> graft.aql.AlbaType.of("MEDIUM-BYTES")))
+    def onehot(a: Int): Array[Byte] = graft.functions.Float32Unpack.pack(
+      (0 until 4).map(d => if (d == a) 1f else 0f))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    // seeds 0..1 pin centroids to axes 0 and 1; 4..5 pad cell 1
+    Seq(0L -> 0, 1L -> 1, 4L -> 0, 5L -> 1).foreach { case (i, a) =>
+      rows.add(org.apache.spark.sql.Row(i, onehot(a))) }
+    cat.overwrite("dp", spark.createDataFrame(rows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vid",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("e",
+          org.apache.spark.sql.types.BinaryType, nullable = false)))))
+    cat.createIndex("dp", "ann", "ivf", "e", Some(2))
+    // commit pk 4 AGAIN with an axis-1 vector: two index rows for vid 4
+    val tx = new Tx(cat)
+    tx.stageInsert("dp", Seq(org.apache.spark.sql.Row(4L, onehot(1))))
+    tx.commit(Some("dp"))
+    assert(cat.readIndex("dp", "ann")
+      .filter(col("id") === 4L).count() == 2, "fixture needs the dup rows")
+    val eng = new graft.aql.Engine(spark, dir.toString)
+    // a probe spanning BOTH cells sees vid 4's two rows — served once
+    val plain = eng.execute("SIMILAR [0.7, 0.7, 0.0, 0.0] ON dp PROBE 2")
+      .asInstanceOf[graft.aql.Engine.ResultSet].df
+      .collect().map(_.getLong(0)).toSeq
+    assert(plain.count(_ == 4L) == 1, s"pk 4 must serve once, got $plain")
+    assert(plain.sorted == Seq(0L, 1L, 4L, 5L), plain.toString)
+    val scored = eng.execute("SIMILAR [0.7, 0.7, 0.0, 0.0] ON dp PROBE 2 SCORED")
+      .asInstanceOf[graft.aql.Engine.ResultSet].df
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(scored.map(_._1).count(_ == 4L) == 1,
+      s"scored pk 4 must serve once, got $scored")
   }
 }
