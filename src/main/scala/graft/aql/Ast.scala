@@ -353,11 +353,13 @@ object Ast {
         * p nearest cells instead of 1 (ivf indexes only; the probe list
         * stays ≤p cluster ids of bounded driver metadata). */
       probe: Option[Int] = None,
-      /** `SCORED` — rerank the served candidates by EXACT cosine against
-        * the query (the literal vector, or the probe row's own
-        * embedding) and return (pk, score) ordered score-desc: the
-        * ANN-then-exact-rerank serving shape in one statement (ivf
-        * only — band candidates carry no vector to score). */
+      /** `SCORED` — rerank the served candidates by the EXACT similarity
+        * the index approximates and return (pk, score) ordered
+        * score-desc: exact cosine against the query (the literal vector,
+        * or the probe row's own embedding) for `ivf`; exact 3-gram
+        * Jaccard for `lsh` and `(32 − hamming)/32` signature similarity
+        * for `simhash` (round 13 — the dedup serving shape, candidates
+        * ranked by the verify-stage measure in one statement). */
       scored: Boolean = false) extends Stmt
   /** graft extensions: incremental materialized views. `CREATE VIEW v
     * (SEARCH [keys…, count(c)/sum(c)…] ON src [WHERE …])` declares a

@@ -1840,10 +1840,6 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       throw new ParseException(
         s"SIMILAR PROBE serves from an ivf index; '${idef.ix}' is a " +
           s"${idef.kind} index (band probes have no cell count to widen)"))
-    if (sm.scored && idef.kind != "ivf")
-      throw new ParseException(
-        s"SIMILAR SCORED serves from an ivf index; '${idef.ix}' is a " +
-          s"${idef.kind} index (band candidates carry no vector to score)")
     val nprobe = sm.probe.getOrElse(1)
     // SCORED rerank: exact cosine of each candidate's embedding against
     // the 1-row broadcast query embedding — the ANN-then-exact-rerank
@@ -1933,6 +1929,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     val cands = catalog.indexLookup(sm.container, idef.ix, probe, sm.atVersion,
       nprobe = nprobe)
     if (sm.scored) {
+      if (idef.kind != "ivf")
+        return bandRerank(sm, idef, pkName, snapshot, probe, cands)
       // query embedding = the probe row's own vector (1 broadcast row)
       val qemb = probe.select(graft.functions.Float32Unpack
         .float32Unpack(col(idef.column)).as("_sim_qemb"))
@@ -1942,6 +1940,73 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       .select(col("cand").as(pkName))
       .orderBy(col(pkName))
       .limit(sm.limit)
+  }
+
+  /** SCORED rerank for band (lsh/simhash) indexes — the dedup half of
+    * the ANN serving story (round 13; generalizes the reference's
+    * value→address lookup, `src/indexing.rs:215-309`): the index-served
+    * near-dup candidates reranked by the EXACT similarity each band
+    * family only approximates — 3-gram Jaccard for lsh (the
+    * `dd_ngram_jaccard` verify stage's measure), `(32 − hamming)/32`
+    * signature similarity for simhash — returning (pk, score)
+    * score-desc/pk-asc like the ivf form. Unlike the ivf lists the band
+    * index stores no text, so the candidate rows are fetched from the
+    * snapshot: the candidate pk list is bounded per-lookup metadata (one
+    * probe doc's band collisions) collected under `index_probe_cap` and
+    * pushed into the scan as a LITERAL isin — a file-skipping point scan
+    * on the pk-clustered layout; past the cap the fetch degrades to a
+    * broadcast candidate join (one corpus scan, never a collect of
+    * unbounded data). Scoring then crossJoins the ONE broadcast probe
+    * row — identical derivations to the fixture lane (`withShingles` /
+    * `withSimhash`), so the scores match the DuckDB oracle recomputation
+    * bit-for-bit under round(6). */
+  private def bandRerank(sm: Ast.Similar, idef: graft.catalog.Index.Def,
+      pkName: String, snapshot: DataFrame, probe: DataFrame,
+      cands: DataFrame): DataFrame = {
+    import graft.operators.TextDedup.{withShingles, withSimhash}
+    val ids = cands.select(col("cand")).limit(IndexProbeCap + 1)
+      .collect().map(_.get(0))
+    val candRows =
+      if (ids.length <= IndexProbeCap)
+        snapshot.filter(col(pkName).isin(ids.toIndexedSeq: _*))
+      else snapshot.join(broadcast(cands.select(col("cand"))),
+        col(pkName) === col("cand")).drop("cand")
+    val scored = idef.kind match {
+      case "lsh" =>
+        // exact 3-gram Jaccard — array_intersect/union are set-semantic,
+        // matching DuckDB's list_intersect/list_distinct(list_concat)
+        // (the dd_ngram_jaccard-pinned pairing). A candidate exists only
+        // if BOTH docs produced band keys, i.e. both have ≥1 shingle, so
+        // the union is never empty.
+        val candSg = withShingles(candRows
+            .select(col(pkName), col(idef.column).as("text")))
+          .select(col(pkName), col("sg"))
+        val qSg = withShingles(probe.select(col(idef.column).as("text")))
+          .select(col("sg").as("_sim_qsg"))
+        candSg.crossJoin(broadcast(qSg))
+          .select(col(pkName),
+            round(size(array_intersect(col("sg"), col("_sim_qsg"))).cast("double")
+              / size(array_union(col("sg"), col("_sim_qsg"))), 6).as("score"))
+      case "simhash" =>
+        // (32 − hamming)/32 over the simhash-32 signatures: integer
+        // numerator over a power-of-two denominator — exact doubles in
+        // both engines, round(6) is belt-and-braces
+        val candSh = withSimhash(candRows
+          .select(col(pkName), col(idef.column).as("text")), Seq(pkName))
+        val qSh = withSimhash(probe
+            .select(lit(1).as("_q"), col(idef.column).as("text")), Seq("_q"))
+          .select(col("simhash").as("_sim_qsh"))
+        candSh.crossJoin(broadcast(qSh))
+          .select(col(pkName),
+            round((lit(32.0) - bit_count(col("simhash")
+              .bitwiseXOR(col("_sim_qsh"))).cast("double")) / lit(32.0), 6)
+              .as("score"))
+      case other => throw new ParseException(
+        s"SIMILAR SCORED serves from an ivf/lsh/simhash index; " +
+          s"'${idef.ix}' is a $other index")
+    }
+    scored.filter(col("score").isNotNull)
+      .orderBy(col("score").desc, col(pkName)).limit(sm.limit)
   }
 
   /** Per-lookup candidate cap for index-served point predicates: above

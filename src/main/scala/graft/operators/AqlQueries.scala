@@ -277,6 +277,7 @@ object AqlQueries {
         ftDocs.filter(org.apache.spark.sql.functions.col("doc_id") < 10))
       eng.execute("CREATE INDEX ft ON docs_ft ['text'] USING text")
       eng.execute("CREATE INDEX nd ON docs_ft ['text'] USING lsh")
+      eng.execute("CREATE INDEX sh ON docs_ft ['text'] USING simhash")
       eng.catalog.overwrite("docs_ft", ftDocs)
       // value-indexed container: WHERE lang = 'en' auto-serves from the
       // secondary index (pk-candidate-pruned scan); the post-index COMMIT
@@ -1118,6 +1119,50 @@ object AqlQueries {
          |UNION SELECT id_a FROM pairs WHERE id_b = 45
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       search("SIMILAR 45 ON docs_ft USING nd")(s, dir)
+    },
+
+    // SCORED on a band index (round 13 — the dedup serving shape): the
+    // lsh candidates reranked by the EXACT 3-gram Jaccard the banding
+    // approximates, (pk, score) score-desc — near-dup candidates ranked
+    // by the verify-stage measure in one statement. The oracle
+    // recomputes candidates AND the exact Jaccard declaratively (the
+    // dd_ngram_jaccard pairing: list_intersect over
+    // list_distinct(list_concat), the set semantics Spark's
+    // array_intersect/array_union use).
+    Q("aql_similar_scored_lsh",
+      s"""${TextDedup.duckLshPairs},
+         |cands AS (SELECT id_b AS doc_id FROM pairs WHERE id_a = 45
+         |          UNION SELECT id_a FROM pairs WHERE id_b = 45)
+         |SELECT c.doc_id,
+         |       round(CAST(len(list_intersect(sc.sg, sq.sg)) AS DOUBLE)
+         |             / len(list_distinct(list_concat(sc.sg, sq.sg))), 6) AS score
+         |FROM cands c
+         |JOIN shing sc ON sc.doc_id = c.doc_id
+         |JOIN shing sq ON sq.doc_id = 45
+         |ORDER BY score DESC, c.doc_id LIMIT 10""".stripMargin) { (s, dir) =>
+      search("SIMILAR 45 ON docs_ft USING nd LIMIT 10 SCORED")(s, dir)
+    },
+
+    // ...and the simhash twin: candidates from the 4×8-bit band index,
+    // reranked by exact (32 − hamming)/32 signature similarity — integer
+    // numerator over a power-of-two denominator, so the doubles agree
+    // bit-for-bit before the belt-and-braces round(6).
+    Q("aql_similar_scored_simhash",
+      s"""WITH ${TextDedup.duckSimhashCte},
+         |banded AS (
+         |  SELECT doc_id, band, (simhash >> (8 * band)) & 255 AS bv
+         |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands),
+         |q AS (SELECT band, bv FROM banded WHERE doc_id = 45),
+         |qsig AS (SELECT simhash AS qsh FROM sigs WHERE doc_id = 45),
+         |cands AS (SELECT DISTINCT c.doc_id
+         |          FROM q JOIN banded c
+         |            ON c.band = q.band AND c.bv = q.bv AND c.doc_id <> 45)
+         |SELECT c.doc_id,
+         |       round((32 - CAST(bit_count(xor(s.simhash, qsig.qsh)) AS DOUBLE))
+         |             / 32, 6) AS score
+         |FROM cands c JOIN sigs s ON s.doc_id = c.doc_id CROSS JOIN qsig
+         |ORDER BY score DESC, c.doc_id LIMIT 10""".stripMargin) { (s, dir) =>
+      search("SIMILAR 45 ON docs_ft USING sh LIMIT 10 SCORED")(s, dir)
     },
 
     // SIMILAR by LITERAL vector (round 12 — query-by-embedding, the

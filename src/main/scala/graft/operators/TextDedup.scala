@@ -456,7 +456,7 @@ object TextDedup {
   private def simhashDf(s: SparkSession, dir: String): DataFrame =
     withSimhash(docs(s, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
 
-  private val duckSimhashCte: String = {
+  private[graft] val duckSimhashCte: String = {
     val bitSums = (0 until 32)
       .map(i => s"sum(CASE WHEN ${duckTokenBit(i)} = 1 THEN 1 ELSE -1 END) AS b$i")
       .mkString(", ")

@@ -878,10 +878,12 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ePr = intercept[ParseException](
       eng.execute("SIMILAR 1 ON idocs PROBE 2"))
     assert(ePr.getMessage.contains("ivf"), ePr.getMessage)
-    // ...nor SCORED (band candidates carry no vector to score)
-    val eSc = intercept[ParseException](
-      eng.execute("SIMILAR 1 ON idocs SCORED"))
-    assert(eSc.getMessage.contains("ivf"), eSc.getMessage)
+    // ...but SCORED works on a band index (round 13): candidates ranked
+    // by EXACT 3-gram Jaccard — docs 1 and 3 are verbatim duplicates, so
+    // the one candidate scores exactly 1.0
+    val scored = searchRows("SIMILAR 1 ON idocs SCORED")
+    assert(scored.map(r => (r.getLong(0), r.getDouble(1))) == Seq((3L, 1.0)),
+      s"got $scored")
 
     eng.execute("DELETE INDEX nd ON idocs")
     assert(eng.catalog.indexDefs("idocs").isEmpty)
