@@ -481,8 +481,12 @@ object Parser {
     val (probe, afterProbe) = afterUsing match {
       case Str(w) :: IntLit(p) :: tl
           if allowProbe && w.equalsIgnoreCase("PROBE") =>
-        if (p < 1 || p > 64) throw new ParseException(
-          s"$what PROBE must be in [1, 64]")
+        // 4096 = the `USING ivf <k>` DDL ceiling, so any trained cell
+        // count is reachable; execution validates PROBE ≤ the index's
+        // ACTUAL k (Engine.similarDf) since probing past it is a
+        // recall-knob misunderstanding worth a loud error
+        if (p < 1 || p > 4096) throw new ParseException(
+          s"$what PROBE must be in [1, 4096]")
         (Some(p.toInt), tl)
       case tl => (None, tl)
     }

@@ -1835,11 +1835,20 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       }
     }
     // PROBE p (multiprobe recall knob) rides the ivf probe-list only —
-    // a band index has no cell geometry to widen
-    sm.probe.foreach(_ => if (idef.kind != "ivf")
-      throw new ParseException(
-        s"SIMILAR PROBE serves from an ivf index; '${idef.ix}' is a " +
-          s"${idef.kind} index (band probes have no cell count to widen)"))
+    // a band index has no cell geometry to widen. Against an ivf index
+    // the knob must stay within the TRAINED cell count (the parser's
+    // [1, 4096] bound only matches the DDL ceiling): probing past k is
+    // a recall-knob misunderstanding worth a loud error, not a silent
+    // probe-everything.
+    sm.probe.foreach { p =>
+      if (idef.kind != "ivf")
+        throw new ParseException(
+          s"SIMILAR PROBE serves from an ivf index; '${idef.ix}' is a " +
+            s"${idef.kind} index (band probes have no cell count to widen)")
+      val k = catalog.ivfK(sm.container, idef.ix)
+      if (p > k) throw new ParseException(
+        s"SIMILAR PROBE $p exceeds index '${idef.ix}' trained cell count $k")
+    }
     val nprobe = sm.probe.getOrElse(1)
     // SCORED rerank: exact cosine of each candidate's embedding against
     // the 1-row broadcast query embedding — the ANN-then-exact-rerank
@@ -1847,9 +1856,11 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     // shape), so the rerank is INDEX-LOCAL: it reads only the probed
     // cells' index parts, never a corpus-wide candidate fetch. Parts
     // hard-link-carried from pre-emb versions read emb as NULL — those
-    // candidates (detected with one bounded job over the pruned cells)
-    // fall back to a pk join against the snapshot; the common all-new
-    // case never plans the corpus scan at all. An unknown-pk probe
+    // candidates fall back to a pk join against the snapshot. Whether
+    // ANY such part exists is a catalog fact (the `_ALL_EMB` marker the
+    // build maintains): a marked index skips the legacy branch with NO
+    // job at lowering; only an unmarked one pays a bounded detection
+    // job over the pruned cells. An unknown-pk probe
     // yields an empty candidate set → empty result, the lookup
     // semantics the unscored form has.
     def rerank(cands: DataFrame, qemb: DataFrame,
@@ -1863,8 +1874,22 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         .crossJoin(broadcast(qemb))
         .select(col("cand").as(pkName), score(unpack(col("cand_emb"))))
       val legacyIds = cands.filter(col("cand_emb").isNull).select(col("cand"))
+      // catalog FACT first (the `_ALL_EMB` marker the incremental build
+      // maintains): when every index part is known to store the vector —
+      // the common all-new case — the legacy-row detection job is
+      // skipped entirely, so lowering (and EXPLAIN) executes nothing
+      // over the cells. Only an unmarked index (pre-marker build, or
+      // parts carried from one) pays the bounded one-job detection.
+      val allEmb = graft.catalog.Index.allPartsCarryEmb(
+        catalog, sm.container, idef, sm.atVersion)
+      note(if (allEmb)
+        s"similar scored: ivf '${idef.ix}' lists carry every vector " +
+          "(all-emb marker) — index-local rerank, no detection job"
+      else
+        s"similar scored: ivf '${idef.ix}' lacks the all-emb marker — " +
+          "one bounded legacy-row detection job over the probed cells")
       val all =
-        if (legacyIds.isEmpty) fast
+        if (allEmb || legacyIds.isEmpty) fast
         else fast.unionByName(snapshot.alias("_sim_s")
           .join(legacyIds.alias("_sim_c"),
             col(s"_sim_s.$pkName") === col("_sim_c.cand"))
@@ -1926,6 +1951,9 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       case None => catalog.read(sm.container)
     }
     val probe = snapshot.filter(col(pkName) === lit(key)).limit(1)
+    note(s"similar: ${idef.kind} index '${idef.ix}' pk probe — the probe " +
+      "row's band keys / cluster ids collect at lowering (bounded " +
+      "per-lookup metadata jobs, the IVF probe-list idiom)")
     val cands = catalog.indexLookup(sm.container, idef.ix, probe, sm.atVersion,
       nprobe = nprobe)
     if (sm.scored) {
@@ -1967,10 +1995,16 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     val ids = cands.select(col("cand")).limit(IndexProbeCap + 1)
       .collect().map(_.get(0))
     val candRows =
-      if (ids.length <= IndexProbeCap)
+      if (ids.length <= IndexProbeCap) {
+        note(s"similar scored (${idef.kind}): ${ids.length} candidate " +
+          "pk(s) fetched via a literal-isin pruned point scan")
         snapshot.filter(col(pkName).isin(ids.toIndexedSeq: _*))
-      else snapshot.join(broadcast(cands.select(col("cand"))),
-        col(pkName) === col("cand")).drop("cand")
+      } else {
+        note(s"similar scored (${idef.kind}): candidates exceed " +
+          s"index_probe_cap $IndexProbeCap — broadcast candidate join")
+        snapshot.join(broadcast(cands.select(col("cand"))),
+          col(pkName) === col("cand")).drop("cand")
+      }
     val scored = idef.kind match {
       case "lsh" =>
         // exact 3-gram Jaccard — array_intersect/union are set-semantic,

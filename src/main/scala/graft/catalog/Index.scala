@@ -298,24 +298,47 @@ object Index {
     idef
   }
 
-  /** Lloyd training over the container's current vectors: k lowest-pk
-    * seeds, `iters` assign/mean rounds. Driver-side state is k×dims
-    * floats plus one k×dims collect per round (the MLlib k-means shape —
-    * centroids live on the driver between iterations); assignment and
-    * the mean update are fully distributed (broadcast centroid dim, one
-    * partial-agg group-by). */
-  private def trainCentroids(cat: Catalog, container: String, column: String,
-      k: Int = 8, iters: Int = 5): Seq[(Int, Array[Float])] = {
+  /** Vectors per centroid the Lloyd sample keeps — FAISS's training
+    * discipline (Johnson et al. 2017 §3: train on a bounded sample,
+    * assign everything once). 256·k is the FAISS default ballpark. */
+  private[catalog] val TrainSampleFactor = 256
+
+  /** The deterministic bounded training sample: the corpus's
+    * min(256·k, n) lowest-(xxhash64(pk), pk) vector rows — an
+    * order-statistic over a content-independent uniform hash, so the
+    * draw is unbiased w.r.t. pk locality (lowest-pk rows would be), yet
+    * two rebuilds of the same version train IDENTICAL centroids (hash
+    * ties fall to the unique pk). One TakeOrderedAndProject pass draws
+    * it; no full sort, no shuffle of the corpus. */
+  private[catalog] def trainingSample(cat: Catalog, container: String,
+      column: String, k: Int): DataFrame = {
     val d = cat.get(container)
-    // cache the unpacked vectors for the whole training run: the seed
-    // collect plus every round's assignment re-reads them, and repeating
-    // the scan + per-row float32 unpack ~2×iters times would dominate
-    // the rebuild at corpus scale
-    val vecs = cat.read(container)
+    cat.read(container)
       .select(col(d.primaryKey).as("id"),
         graft.functions.Float32Unpack.float32Unpack(col(column)).as("emb"))
       .filter(col("emb").isNotNull)
-      .persist()
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(TrainSampleFactor * k)
+  }
+
+  /** Lloyd training over a BOUNDED deterministic sample of the
+    * container's current vectors ([[trainingSample]] — ≤256·k rows, the
+    * FAISS shape): k lowest-pk seeds from the sample, `iters`
+    * assign/mean rounds over it. At 100 TB the previous full-corpus
+    * Lloyd was `iters` full scans; the k-means objective needs only a
+    * representative sample, and the full corpus is touched exactly once
+    * more — by the final per-part assignment (`derive`) every commit
+    * runs anyway. Corpora at or under the bound sample to themselves,
+    * so small-fixture trainings (every spec pin, the docs_ivf one-hot
+    * fixed point) are bit-identical to the unsampled form. Driver-side
+    * state stays k×dims floats plus one ≤k×dims collect per round (the
+    * MLlib k-means shape); assignment and the mean update are fully
+    * distributed (broadcast centroid dim, one partial-agg group-by). */
+  private def trainCentroids(cat: Catalog, container: String, column: String,
+      k: Int = 8, iters: Int = 5): Seq[(Int, Array[Float])] = {
+    // cache the sample for the whole training run: the seed collect plus
+    // every round's assignment re-reads it (≤256·k rows — always cheap)
+    val vecs = trainingSample(cat, container, column, k).persist()
     try {
       var cents: Seq[(Int, Array[Float])] = vecs.orderBy(col("id")).limit(k)
         .select(col("emb")).collect().toSeq.zipWithIndex
@@ -522,7 +545,12 @@ object Index {
       // dedup by (qid, cand) — NOT by the widened row: a duplicate-pk
       // corpus must serve each pk once (min keeps the emb pick
       // deterministic; any single vector of a duplicated pk is a valid
-      // rerank representative)
+      // rerank representative). Deliberately ANY-representative, not
+      // most-recent: duplicate pks are out-of-contract (the pk is the
+      // primary key — they arise only from repeated raw inserts that
+      // skipped MERGE), and min-by-bytes is the cheapest deterministic
+      // pick; a recency guarantee would mean carrying a version column
+      // through every list row for a malformed-corpus case.
       .groupBy(col("qid"), col("cand"))
       .agg(min(col("cand_emb")).as("cand_emb"))
   }
@@ -595,6 +623,27 @@ object Index {
 
   private def ixDir(cat: Catalog, container: String, v: Int, ix: String): Path =
     cat.versionPath(container, v).resolve("_index").resolve(ix)
+
+  /** Format marker for ivf index directories whose parts ALL store the
+    * packed vector (the r12 list schema): written by the incremental
+    * build when nothing was carried from an UNMARKED (possibly pre-emb)
+    * version. `_`-prefixed, so Spark's file listing never sees it. */
+  private[catalog] val AllEmbMarker = "_ALL_EMB"
+
+  /** True iff the ivf index at version `at` is KNOWN to store a vector
+    * in every part (the [[AllEmbMarker]] catalog fact): the SCORED
+    * rerank consults this instead of running a per-query legacy-row
+    * detection job over the probed cells — so lowering (and EXPLAIN)
+    * of the common all-new case executes nothing. An unmarked index
+    * (pre-marker build, or parts carried from one) answers false and
+    * keeps the bounded one-job detection + snapshot fallback;
+    * REBUILD re-derives every part and restores the marker. */
+  def allPartsCarryEmb(cat: Catalog, container: String, idef: Def,
+      at: Option[Int] = None): Boolean = {
+    require(idef.kind == "ivf", s"index '${idef.ix}' is not an ivf index")
+    val v = at.getOrElse(cat.currentVersion(container))
+    v == 0 || Files.exists(ixDir(cat, container, v, idef.ix).resolve(AllEmbMarker))
+  }
 
   /** Commit hook, called by `Catalog.tryCommitBuild` after the data files
     * land in `tmp` and before the atomic publish move. No-op unless the
@@ -672,6 +721,17 @@ object Index {
       derive(cat, d, idef, rows)
         .sortWithinPartitions(col("src") +: idef.pruneKeys.map(col): _*)
         .write.mode("append").partitionBy("src").parquet(dest.toString)
+    }
+    // all-emb fact for ivf: freshly derived parts always store the
+    // vector, so the marker propagates along the carry chain — present
+    // unless some part was hard-linked from an UNMARKED version
+    if (idef.kind == "ivf") {
+      val carriedAny = files.size > toCompute.size
+      val allEmb = !carriedAny ||
+        carryIx.exists(c => Files.exists(c.resolve(AllEmbMarker)))
+      if (allEmb)
+        try Files.createFile(dest.resolve(AllEmbMarker))
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
     }
   }
 

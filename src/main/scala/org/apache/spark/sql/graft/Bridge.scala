@@ -19,4 +19,11 @@ object Bridge {
     */
   def normalizeFloats(e: Expression): Expression =
     org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+
+  /** `listenerBus.waitUntilEmpty` is `private[spark]`: exposed so specs
+    * can count jobs DETERMINISTICALLY (flush the async listener bus
+    * before reading a job-count listener's state) — used by the
+    * zero-jobs-at-lowering pin on SCORED with the all-emb marker. */
+  def flushListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

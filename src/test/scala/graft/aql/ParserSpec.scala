@@ -162,7 +162,11 @@ class ParserSpec extends AnyFunSuite {
     assert(Parser.parse("SIMILAR 7 ON docs PROBE 3")
       == Similar("docs", Token.IntLit(7), None, 20, None, None, Some(3)))
     intercept[ParseException](Parser.parse("SIMILAR 1 ON docs PROBE 0"))
-    intercept[ParseException](Parser.parse("SIMILAR 1 ON docs PROBE 65"))
+    // the parse cap matches the `USING ivf <k>` DDL ceiling (4096);
+    // execution validates PROBE ≤ the index's trained k
+    assert(Parser.parse("SIMILAR 1 ON docs PROBE 4096")
+      == Similar("docs", Token.IntLit(1), None, 20, None, None, Some(4096)))
+    intercept[ParseException](Parser.parse("SIMILAR 1 ON docs PROBE 4097"))
     // PROBE is SIMILAR-only: after MATCH it's an unexpected trailer
     intercept[ParseException](Parser.parse("MATCH ['x'] ON docs PROBE 2"))
     // SCORED — the trailing exact-rerank flag, composing with everything

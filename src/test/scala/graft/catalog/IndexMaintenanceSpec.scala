@@ -374,6 +374,82 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(src == Set(11L, 19L), src.toString)
   }
 
+  test("ivf all-emb marker: fresh + carried builds keep it and SCORED lowers with ZERO jobs; a legacy pre-emb part drops it and the snapshot fallback still serves") {
+    val (cat, dir) = ivfFixture("allemb")
+    cat.createIndex("vecs", "ann", "ivf", "e")
+    val idef = cat.indexDefs("vecs").find(_.ix == "ann").get
+    assert(Index.allPartsCarryEmb(cat, "vecs", idef), "fresh build must be marked")
+    // a COW commit hard-link-carries parts AND the marker fact
+    val tx = new Tx(cat)
+    tx.stageInsert("vecs", Seq(org.apache.spark.sql.Row(99L, vec(3, 99L))))
+    tx.commit(Some("vecs"))
+    assert(Index.allPartsCarryEmb(cat, "vecs", idef),
+      "a carry from a marked version must stay marked")
+
+    val eng = new graft.aql.Engine(spark, dir.toString)
+    def scoredRows() = eng.execute(
+        "SIMILAR [0, 0, 0, 1, 0, 0, 0, 0] ON vecs USING ann SCORED")
+      .asInstanceOf[graft.aql.Engine.ResultSet].df
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // zero-jobs pin (ADVICE r12): lowering a vector-form SCORED on a
+    // MARKED index executes nothing — the cell pick is driver metadata
+    // and the marker replaces the legacy-row detection job, so even
+    // EXPLAIN is plan-only. Count jobs across the lowering, flushing
+    // the async listener bus before each read.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    org.apache.spark.sql.graft.Bridge.flushListenerBus(spark)
+    spark.sparkContext.addSparkListener(listener)
+    val marked = try {
+      val res = eng.execute("SIMILAR [0, 0, 0, 1, 0, 0, 0, 0] ON vecs USING ann SCORED")
+      org.apache.spark.sql.graft.Bridge.flushListenerBus(spark)
+      assert(jobs.get() == 0,
+        s"marked SCORED lowering must run zero jobs, ran ${jobs.get()}")
+      res.asInstanceOf[graft.aql.Engine.ResultSet].df
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(marked.map(_._1).toSet == Set(3L, 11L, 19L, 99L),
+      s"cell-3 members expected, got $marked")
+
+    // simulate a LEGACY pre-emb part (what a pre-r12 build wrote): one
+    // src= dir rewritten WITHOUT the emb column, marker dropped
+    val v = cat.currentVersion("vecs")
+    val ixd = cat.versionPath("vecs", v).resolve("_index").resolve("ann")
+    import scala.jdk.CollectionConverters._
+    val srcDir = scala.util.Using.resource(java.nio.file.Files.list(ixd)) {
+      _.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("src=")).toSeq
+    }.minBy(_.getFileName.toString)
+    val legacyRows = spark.read.parquet(srcDir.toString)
+      .select("id", "cluster").collect().toSeq
+    cat.deleteRecursively(srcDir)
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](legacyRows.asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cluster",
+          org.apache.spark.sql.types.IntegerType))))
+      .coalesce(1).write.parquet(srcDir.toString)
+    java.nio.file.Files.delete(ixd.resolve(Index.AllEmbMarker))
+    assert(!Index.allPartsCarryEmb(cat, "vecs", idef), "marker gone")
+
+    // the unmarked index detects the legacy rows and serves IDENTICAL
+    // results through the bounded snapshot fallback
+    assert(scoredRows() == marked,
+      "legacy fallback must serve the same scored rows")
+    // REBUILD re-derives every part and restores the catalog fact
+    eng.execute("REBUILD INDEX ann ON vecs")
+    assert(Index.allPartsCarryEmb(cat, "vecs", idef),
+      "rebuild must restore the all-emb marker")
+    assert(scoredRows() == marked, "rebuilt index serves the same rows")
+  }
+
   test("ivf k knob: DDL-declared centroid count trains, serves, survives rebuild and SHOW CREATE") {
     val (cat, dir) = ivfFixture("kknob")
     val eng = new graft.aql.Engine(spark, dir.toString)
@@ -387,6 +463,12 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(sim("SIMILAR 3 ON vecs PROBE 4 LIMIT 50")
       == (0L until 24L).toSet - 3L)
+    // ...but probing PAST the trained cell count is a loud error naming
+    // both numbers (the parser only enforces the DDL ceiling, 4096)
+    val ePk = intercept[graft.aql.ParseException](
+      eng.execute("SIMILAR 3 ON vecs PROBE 5 LIMIT 50"))
+    assert(ePk.getMessage.contains("5") && ePk.getMessage.contains("4"),
+      ePk.getMessage)
     // rebuild retrains at the DECLARED k, never the default
     eng.execute("REBUILD INDEX ann ON vecs")
     assert(Index.centroids(cat, "vecs", "ann").size == 4,

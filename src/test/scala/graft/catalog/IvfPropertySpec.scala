@@ -147,4 +147,74 @@ class IvfPropertySpec extends AnyFunSuite {
     assert(scored.map(_._1).count(_ == 4L) == 1,
       s"scored pk 4 must serve once, got $scored")
   }
+
+  test("sample-bounded rebuild (n > 256·k): training reads exactly the bound, deterministically; sampled centroids separate the blobs and serving matches the model") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-sample")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("sv", List("vid" -> graft.aql.AlbaType.of("BIGINT"),
+      "e" -> graft.aql.AlbaType.of("MEDIUM-BYTES")))
+    // 600 rows in TWO separated blobs (axis by pk parity, small jitter):
+    // with k=2 the sample bound is 512 < 600, so the Lloyd rebuild MUST
+    // train on the 512-row hash sample — the blob structure then checks
+    // the sampled training still finds the real clusters
+    val n = 600
+    val vecs: Map[Long, Array[Float]] = (0L until n).map { i =>
+      val axis = (i % 2).toInt
+      i -> Array.tabulate(dims)(d =>
+        (if (d == axis) 1f else 0f) + 0.05f * (rng.nextFloat() - 0.5f))
+    }.toMap
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vid",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("e",
+        org.apache.spark.sql.types.BinaryType, nullable = false)))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    vecs.toSeq.sortBy(_._1).foreach { case (i, v) => rows.add(
+      org.apache.spark.sql.Row(i, graft.functions.Float32Unpack.pack(v.toIndexedSeq))) }
+    cat.overwrite("sv", spark.createDataFrame(rows, schema))
+    cat.createIndex("sv", "ann", "ivf", "e", Some(2))
+    // the training sample is min(256·k, n) DISTINCT rows, an order
+    // statistic over xxhash64(pk) — bounded and rerun-identical
+    def sampleIds() = Index.trainingSample(cat, "sv", "e", 2)
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+    val s1 = sampleIds()
+    assert(s1.size == 512 && s1.distinct.size == 512,
+      s"sample must be the 512-row bound, got ${s1.size}")
+    assert(s1 == sampleIds(), "the sample must be deterministic")
+    // ...and bounded corpora sample to themselves (k=2 bound ≥ 30 rows)
+    cat.create("tiny", List("vid" -> graft.aql.AlbaType.of("BIGINT"),
+      "e" -> graft.aql.AlbaType.of("MEDIUM-BYTES")))
+    cat.overwrite("tiny", spark.createDataFrame(
+      new java.util.ArrayList(rows.subList(0, 30)), schema))
+    assert(Index.trainingSample(cat, "tiny", "e", 2).count() == 30,
+      "a corpus under the bound samples to itself")
+
+    cat.rebuildIndex("sv", "ann") // Lloyd over the 512-row sample only
+    val cents = Index.centroids(cat, "sv", "ann")
+    assert(cents.size == 2)
+    // recall floor: the sampled training must still separate the blobs —
+    // every probe's parity-mates live in its own cell
+    val cell: Map[Long, Int] = vecs.map { case (i, v) =>
+      i -> nearestCells(v.toIndexedSeq, cents, 1).head }
+    for (parity <- 0 to 1) {
+      val members = vecs.keySet.filter(_ % 2 == parity)
+      val cellsOf = members.map(cell)
+      assert(cellsOf.size == 1,
+        s"parity-$parity blob must land in ONE trained cell, got $cellsOf")
+    }
+    assert(cell.values.toSet.size == 2, "the two blobs must use BOTH cells")
+    // the serving contract is training-independent: probes match the
+    // nearest-cell model derived from the PERSISTED centroids
+    val eng = new graft.aql.Engine(spark, dir.toString)
+    def served(aql: String): Set[Long] = eng.execute(aql)
+      .asInstanceOf[graft.aql.Engine.ResultSet].df
+      .collect().map(_.getLong(0)).toSet
+    for (trial <- 1 to 3) {
+      val pk = rng.nextInt(n).toLong
+      val pkCells = nearestCells(vecs(pk).toIndexedSeq, cents, 1).toSet
+      val expect = vecs.keySet.filter(i => pkCells(cell(i))) - pk
+      assert(served(s"SIMILAR $pk ON sv LIMIT $n") == expect,
+        s"trial=$trial pk=$pk")
+    }
+  }
 }
