@@ -64,6 +64,11 @@ object Ast {
       * candidate pks as a SEARCH source — join back to the source for
       * the candidate rows, or aggregate for a duplicate count. */
     final case class Cands(s: Similar) extends Container
+    /** `(FUSE …)` virtual container (graft extension, round 13): the
+      * RRF-fused (pk, rrf, rank_i…) ranking as a SEARCH source — filter
+      * on rrf, join back to the corpus for document bodies, aggregate
+      * over the fused hit set. */
+    final case class Fused(f: Fuse) extends Container
     /** `((SEARCH …) EXCEPT/INTERSECT/UNION [ALL] (SEARCH …))` virtual
       * container (graft extension): a set-operation result as a SEARCH
       * source, so combinators compose everywhere a subquery does —
@@ -162,7 +167,12 @@ object Ast {
     * N·(N−1)/2 pairwise ones. Each source is scanned ONCE; the pair
     * fan-out happens on the KB-sized sketch rows, never the data. */
   final case class ShowOverlapMatrix(sources: List[Container],
-      column: String, by: Option[String] = None) extends Stmt
+      column: String, by: Option[String] = None,
+      /** `AS name` side labels (round 13): positional, None = unlabeled.
+        * A labeled subquery side reports under its label instead of the
+        * positional `(subquery i)` placeholder, so a 10-source matrix of
+        * filtered subqueries stays readable. */
+      aliases: List[Option[String]] = Nil) extends Stmt
   /** graft extensions: corpus interchange. EXPORT writes the container's
     * session view to a NEW directory in the given format (errors if the
     * path exists — never silently overwrites); IMPORT reads files under
@@ -361,6 +371,35 @@ object Ast {
         * for `simhash` (round 13 — the dedup serving shape, candidates
         * ranked by the verify-stage measure in one statement). */
       scored: Boolean = false) extends Stmt
+  /** graft extension (round 13): hybrid-retrieval rank fusion —
+    * `FUSE [(MATCH …), (SIMILAR …)] [K k] [LIMIT n]` combines two or
+    * more RANKED retrieval sides over one pk domain with Reciprocal
+    * Rank Fusion (Cormack, Clarke & Buettcher 2009, public):
+    * rrf(pk) = Σ_sides 1/(k + rank_side(pk)), k defaulting to the
+    * paper's 60. Sides are the statements that already produce a
+    * deterministic ranking — MATCH (bm25 desc, pk) and SIMILAR … SCORED
+    * (score desc, pk); an unscored SIMILAR has no rank to fuse and is
+    * rejected at lowering. The canonical modern retrieval default:
+    * lexical BM25 + vector cosine in ONE statement, no hand-written
+    * join algebra. Output: (pk, rrf, rank_1 … rank_N) rrf-desc. */
+  final case class Fuse(sides: List[Stmt], k: Int = 60,
+      limit: Int = 20) extends Stmt
+
+  /** graft extension (round 13): the dedup FUNNEL served from a
+    * persisted band index — `SHOW DEDUP c [USING ix] [THRESHOLD t]`
+    * compresses the whole curation pipeline (exact groups → band
+    * candidates → exact-measure verify → connected-component clusters)
+    * into the one-row report that decides whether a dedup pass ships:
+    * (n_docs, exact_dup_docs, candidate_docs, verified_dup_docs,
+    * n_clusters, near_dup_removals). The candidate pairs come from the
+    * commit-maintained lsh/simhash index (band-bucket self-join — never
+    * an all-pairs scan); verification is the exact measure the band
+    * family approximates (3-gram Jaccard ≥ t for lsh, default 0.2;
+    * `(32−hamming)/32 ≥ t` for simhash, default 29/32 — Hamming ≤ 3,
+    * the pigeonhole bound of the 4-band layout). */
+  final case class ShowDedup(container: String, ix: Option[String],
+      threshold: Option[Double] = None) extends Stmt
+
   /** graft extensions: incremental materialized views. `CREATE VIEW v
     * (SEARCH [keys…, count(c)/sum(c)…] ON src [WHERE …])` declares a
     * CDC-maintained aggregate container; `REFRESH VIEW` folds the
@@ -412,9 +451,10 @@ object Parser {
       case c: Changes => Container.Feed(c)
       case m: Match => Container.Hits(m)
       case sm: Similar => Container.Cands(sm)
+      case f: Fuse => Container.Fused(f)
       case other => throw new ParseException(
-        s"$ctx must be SEARCH, a set operation, CHANGES, MATCH, or " +
-          s"SIMILAR, got $other")
+        s"$ctx must be SEARCH, a set operation, CHANGES, MATCH, " +
+          s"SIMILAR, or FUSE, got $other")
     }
     case t2 => Container.Real(name(t2))
   }
@@ -1024,6 +1064,30 @@ object Parser {
     // SHOW TAILS c (graft extension) — TAILS is not reserved, like STATS
     case Keyword("SHOW") :: Str(w) :: cTok :: Nil if w.equalsIgnoreCase("TAILS") =>
       ShowTails(name(cTok))
+    // SHOW DEDUP c [USING ix] [THRESHOLD t] (graft extension, round 13):
+    // the one-row dedup funnel report served from a persisted band
+    // index — DEDUP/THRESHOLD are not reserved, like STATS/TAILS
+    case Keyword("SHOW") :: Str(w) :: cTok :: rest if w.equalsIgnoreCase("DEDUP") =>
+      val (ix, afterIx) = rest match {
+        case Keyword("USING") :: ixTok :: tl => (Some(name(ixTok)), tl)
+        case tl => (None, tl)
+      }
+      val thr = afterIx match {
+        case Nil => None
+        case Str(tw) :: t :: Nil if tw.equalsIgnoreCase("THRESHOLD") =>
+          val v = t match {
+            case FloatLit(x) => x
+            case IntLit(x) => x.toDouble
+            case other => throw new ParseException(
+              s"THRESHOLD takes a numeric literal, got $other")
+          }
+          if (v <= 0.0 || v > 1.0) throw new ParseException(
+            s"THRESHOLD must be in (0, 1], got $v")
+          Some(v)
+        case other => throw new ParseException(
+          s"Expected `SHOW DEDUP c [USING ix] [THRESHOLD t]`, got ${other.mkString(" ")}")
+      }
+      ShowDedup(name(cTok), ix, thr)
     // SHOW OVERLAP [c1, c2, …] ON col (graft extension, round 12): the
     // N-way overlap MATRIX over a source LIST — must precede the
     // pairwise case (a Group before ON is the list form)
@@ -1035,10 +1099,25 @@ object Parser {
         case _ => throw new ParseException(
           "Expected `SHOW OVERLAP [sources] ON col [BY gcol]`")
       }
-      val sources = srcG.items.map(sourceContainer(_, "SHOW OVERLAP subquery"))
+      // each source may carry an `AS name` label (round 13) — AS is not
+      // reserved; in matrix-source position it always reads as a label
+      // marker (a container literally named `as` would need the pairwise
+      // form), so the walk below is unambiguous
+      val srcs = List.newBuilder[(Container, Option[String])]
+      var it = srcG.items
+      while (it.nonEmpty) it match {
+        case srcTok :: Str(asW) :: aliasTok :: tl if asW.equalsIgnoreCase("AS") =>
+          srcs += ((sourceContainer(srcTok, "SHOW OVERLAP subquery"),
+            Some(name(aliasTok))))
+          it = tl
+        case srcTok :: tl =>
+          srcs += ((sourceContainer(srcTok, "SHOW OVERLAP subquery"), None))
+          it = tl
+      }
+      val sources = srcs.result()
       if (sources.size < 2) throw new ParseException(
         "SHOW OVERLAP over a source list needs at least two sources")
-      ShowOverlapMatrix(sources, name(colTok), by)
+      ShowOverlapMatrix(sources.map(_._1), name(colTok), by, sources.map(_._2))
 
     // SHOW OVERLAP a b ON col (graft extension) — OVERLAP is not
     // reserved, like STATS/TAILS; each side is a container name or any
@@ -1240,12 +1319,13 @@ object Parser {
         case _ => (false, rest)
       }
       fromTokens(body) match {
-        case q @ (_: Search | _: SetOp | _: Match | _: Similar | _: Changes |
-                  _: ShowOverlap | _: ShowOverlapMatrix) =>
+        case q @ (_: Search | _: SetOp | _: Match | _: Similar | _: Fuse |
+                  _: Changes | _: ShowOverlap | _: ShowOverlapMatrix |
+                  _: ShowDedup) =>
           Explain(q, analyze)
         case other => throw new ParseException(
-          s"EXPLAIN supports SEARCH/SET-OP/MATCH/SIMILAR/CHANGES/" +
-            s"SHOW OVERLAP, got $other")
+          s"EXPLAIN supports SEARCH/SET-OP/MATCH/SIMILAR/FUSE/CHANGES/" +
+            s"SHOW OVERLAP/SHOW DEDUP, got $other")
       }
 
     // VACUUM container [keepLast] (graft extension)
@@ -1275,6 +1355,44 @@ object Parser {
         "CHANGES toVersion must be >= fromVersion")
       Changes(name(containerTok), changesVersion(f, "fromVersion"),
         Some(changesVersion(t, "toVersion")))
+
+    // FUSE [(MATCH …), (SIMILAR …)] [K k] [LIMIT n] (graft extension,
+    // round 13): Reciprocal Rank Fusion over two or more RANKED
+    // retrieval sides — FUSE and K are not reserved words (like
+    // STATS/OVERLAP/PROBE), so identifiers keep lexing freely.
+    case Str(w) :: (g: Group) :: rest if w.equalsIgnoreCase("FUSE") =>
+      val sides = g.items.map {
+        case SubCommand(sub) => fromTokens(sub) match {
+          case m: Match => m
+          case sm: Similar => sm
+          case other => throw new ParseException(
+            s"FUSE sides must be MATCH or SIMILAR statements, got $other")
+        }
+        case other => throw new ParseException(
+          "FUSE sides must be parenthesized (MATCH …) / (SIMILAR …) " +
+            s"statements, got $other")
+      }
+      if (sides.size < 2)
+        throw new ParseException("FUSE needs at least two sides")
+      val (k, afterK) = rest match {
+        case Str(kw) :: IntLit(kk) :: tl if kw.equalsIgnoreCase("K") =>
+          // k shifts every contribution 1/(k+rank); past ~10^6 the terms
+          // underflow round(6) to indistinguishable — reject the typo
+          if (kk < 1 || kk > 1000000) throw new ParseException(
+            s"FUSE K must be in [1, 1000000], got $kk")
+          (kk.toInt, tl)
+        case tl => (60, tl)
+      }
+      val limit = afterK match {
+        case Nil => 20
+        case Keyword("LIMIT") :: IntLit(n) :: Nil =>
+          if (n < 1 || n > Int.MaxValue) throw new ParseException(
+            s"FUSE LIMIT must be in [1, ${Int.MaxValue}], got $n")
+          n.toInt
+        case other => throw new ParseException(
+          s"Unexpected tokens after FUSE: ${other.mkString(" ")}")
+      }
+      Fuse(sides, k, limit)
 
     // MATCH [terms] ON container [USING ix] [LIMIT n] (graft extension):
     // BM25-ranked full-text search from the container's text index

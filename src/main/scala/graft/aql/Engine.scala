@@ -322,10 +322,12 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         case so: Ast.SetOp => lowerSetOp(so)
         case m: Ast.Match => matchDf(m)
         case sm: Ast.Similar => similarDf(sm)
+        case f: Ast.Fuse => fuseDf(f)
+        case sd: Ast.ShowDedup => showDedupDf(sd)
         case ch: Ast.Changes => catalog.changes(ch.container, ch.fromVersion, ch.toVersion)
         case ov: Ast.ShowOverlap => showOverlapDf(ov.a, ov.b, ov.column, ov.by)
         case om: Ast.ShowOverlapMatrix =>
-          showOverlapMatrixDf(om.sources, om.column, om.by)
+          showOverlapMatrixDf(om.sources, om.column, om.by, om.aliases)
         case other => throw new ParseException(s"EXPLAIN cannot plan $other")
       }
       val formatted = df.queryExecution.explainString(
@@ -494,6 +496,13 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
 
     case sm: Ast.Similar =>
       resultSet(similarDf(sm), needsDefaultSort = false)
+
+    case f: Ast.Fuse =>
+      // already ranked (rrf desc, pk) and LIMIT-bounded, like MATCH
+      resultSet(fuseDf(f), needsDefaultSort = false)
+
+    case sd: Ast.ShowDedup =>
+      resultSet(showDedupDf(sd), needsDefaultSort = true)
 
     case Ast.Export(c, path, fmt, atVersion) =>
       catalog.get(c) // existence check before touching the path
@@ -727,7 +736,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       resultSet(showOverlapDf(a, b, cn, byOpt), needsDefaultSort = true)
 
     case om: Ast.ShowOverlapMatrix =>
-      resultSet(showOverlapMatrixDf(om.sources, om.column, om.by),
+      resultSet(showOverlapMatrixDf(om.sources, om.column, om.by, om.aliases),
         needsDefaultSort = true)
 
     case Ast.Commit(c) => tx.commit(c); Done("committed")
@@ -1391,13 +1400,15 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     * Output shape = the pairwise form's, one row per (pair[, group]),
     * so a 10-source triage is one statement instead of 45. */
   private def showOverlapMatrixDf(sources: List[Ast.Container], cn: String,
-      byOpt: Option[String]): DataFrame = {
+      byOpt: Option[String], aliases: List[Option[String]] = Nil): DataFrame = {
     import graft.functions.ThetaSketch.thetaAgg
-    // positional labels keep subquery sides distinguishable in a matrix
-    def label(c: Ast.Container, i: Int): String = c match {
-      case Ast.Container.Real(n) => n
-      case _ => s"(subquery $i)"
-    }
+    // an explicit `AS name` label wins (round 13); otherwise container
+    // names label themselves and subquery sides get positional labels
+    def label(c: Ast.Container, i: Int): String =
+      aliases.lift(i).flatten.getOrElse(c match {
+        case Ast.Container.Real(n) => n
+        case _ => s"(subquery $i)"
+      })
     val sides = sources.zipWithIndex.map { case (cont, i) =>
       resolveOverlapSide(cont, cn, byOpt, label(cont, i))
     }
@@ -1494,7 +1505,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           project(applyWhere(base, d, s), resolveNames(base, partProjection))
         case virt @ (Ast.Container.Virtual(_) | Ast.Container.Feed(_) |
                      Ast.Container.Hits(_) | Ast.Container.Cands(_) |
-                     Ast.Container.Combo(_)) =>
+                     Ast.Container.Combo(_) | Ast.Container.Fused(_)) =>
           // the outer WHERE applies to the virtual/feed result like to any
           // real container, resolved against a def derived from its schema
           val inner = containerDf(virt, s.atVersion)
@@ -2043,6 +2054,152 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       .orderBy(col("score").desc, col(pkName)).limit(sm.limit)
   }
 
+  /** FUSE lowering (round 13): Reciprocal Rank Fusion over N ranked
+    * retrieval sides — rrf(pk) = Σ 1/(k + rank_i), the Cormack/Clarke/
+    * Buettcher 2009 combinator that is the modern lexical+vector hybrid
+    * default (BM25 MATCH fused with cosine SIMILAR … SCORED in one
+    * statement). Each side is already LIMIT-bounded and deterministically
+    * ordered (bm25/score desc, pk asc), so its rank is a row_number over
+    * an ≤limit-row result — the unpartitioned window is a deliberate
+    * single-partition pass over BOUNDED rows, never corpus data. Sides
+    * then full-outer-join on the shared pk (N tiny sides — Catalyst
+    * broadcasts), and the rrf sum is a FIXED left-to-right expression
+    * (not an order-free aggregate), so the doubles are reproducible
+    * bit-for-bit across engines. Output (pk, rrf, rank_1…rank_N)
+    * rrf-desc, pk-asc; a pk absent from a side carries a NULL rank and
+    * contributes 0 — standard RRF cutoff semantics. */
+  private def fuseDf(f: Ast.Fuse): DataFrame = {
+    val sides = f.sides.map {
+      case m: Ast.Match =>
+        (catalog.get(m.container).primaryKey, matchDf(m), "bm25")
+      case sm: Ast.Similar =>
+        if (!sm.scored) throw new ParseException(
+          "FUSE sides must be ranked — use SIMILAR … SCORED (an unscored " +
+            "SIMILAR returns an unranked candidate set)")
+        (catalog.get(sm.container).primaryKey, similarDf(sm), "score")
+      case other => throw new ParseException(
+        s"FUSE sides must be MATCH or SIMILAR statements, got $other")
+    }
+    val pkName = sides.head._1
+    sides.find(_._1 != pkName).foreach { case (other, _, _) =>
+      throw new ParseException(
+        s"FUSE sides must share one pk domain: '$pkName' vs '$other'")
+    }
+    note(s"fuse: ${sides.size}-side RRF (k=${f.k}) — per-side ranks are " +
+      "single-partition windows over LIMIT-bounded side results")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = sides.zipWithIndex.map { case ((pk, df, scoreCol), i) =>
+      val w = Window.orderBy(col(scoreCol).desc, col(pk))
+      // BIGINT rank: matches the SQL window-function convention the
+      // oracle uses, and survives schema comparison across engines
+      df.select(col(pk), row_number().over(w).cast("long").as(s"rank_${i + 1}"))
+    }
+    val joined = ranked.reduce((a, b) => a.join(b, Seq(pkName), "full_outer"))
+    val contribs = sides.indices.map { i =>
+      val r = col(s"rank_${i + 1}")
+      when(r.isNull, lit(0.0)).otherwise(lit(1.0) / (lit(f.k.toDouble) + r))
+    }
+    joined.select(col(pkName) +: round(contribs.reduce(_ + _), 6).as("rrf") +:
+        sides.indices.map(i => col(s"rank_${i + 1}")): _*)
+      .orderBy(col("rrf").desc, col(pkName)).limit(f.limit)
+  }
+
+  /** SHOW DEDUP lowering (round 13): the dedup funnel report served from
+    * a persisted band index — the AQL surface of the `dd_dedup_report`
+    * lane, so an AQL-only client with an lsh/simhash index gets the
+    * exact-groups → band-candidates → verified-pairs → clusters summary
+    * in one statement. Candidate pairs come from the commit-maintained
+    * index's band table (a band-bucket equi-self-join, pinned
+    * shuffle-hash like the fixture lane — NEVER all-pairs; the exchange
+    * carries (band, bk, id), not text). Verification recomputes the
+    * exact measure the band family approximates over the CANDIDATE pairs
+    * only (3-gram Jaccard for lsh, `(32−hamming)/32` signature
+    * similarity for simhash); clusters are pointer-jumping connected
+    * components over the verified graph (O(log diameter) rounds). Every
+    * stage is the already-oracle-pinned pipeline; this statement pins
+    * their composition against the index-served candidates. */
+  private def showDedupDf(sd: Ast.ShowDedup): DataFrame = {
+    requireNotView(sd.container, "a band index")
+    val d = catalog.get(sd.container)
+    val pk = d.primaryKey
+    val defs = catalog.indexDefs(sd.container)
+      .filter(x => x.kind == "lsh" || x.kind == "simhash")
+    val idef = sd.ix match {
+      case Some(n) => defs.find(_.ix == n).getOrElse(throw new ParseException(
+        s"No lsh/simhash index '$n' on '${sd.container}'"))
+      case None => defs match {
+        case Seq(one) => one
+        case Seq() => throw new ParseException(
+          s"SHOW DEDUP needs an lsh or simhash index on '${sd.container}' " +
+            "(CREATE INDEX … USING lsh|simhash)")
+        case many => throw new ParseException(
+          s"'${sd.container}' has ${many.size} band indexes " +
+            s"(${many.map(_.ix).mkString(", ")}) — pick one with USING")
+      }
+    }
+    // verify threshold: the exact measure ≥ t. lsh defaults to the
+    // curation lane's Jaccard 0.2; simhash to 29/32 (Hamming ≤ 3, the
+    // pigeonhole recall bound of the 4-band index layout)
+    val thr = sd.threshold.getOrElse(
+      if (idef.kind == "lsh") 0.2 else 29.0 / 32.0)
+    val ix = graft.catalog.Index.read(catalog, sd.container, idef)
+      .select(col("id"), col("band"), col("bk"))
+    // band-bucket candidate pairs, deduplicated across bands — the
+    // fixture lane's pinned shuffle-hash shape (TextDedup.lshPairs):
+    // identical subtrees collapse to ONE ReusedExchange, and at corpus
+    // scale the estimates rule out broadcast anyway
+    val a = ix.as("a")
+    val b = ix.as("b")
+    val pairs = a.hint("shuffle_hash").join(b,
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // the snapshot the index covers (committed current version — a
+    // staged, uncommitted row has no index rows yet, like SIMILAR)
+    val docsDf = catalog.read(sd.container)
+      .select(col(pk).as("doc_id"), col(idef.column).as("text"))
+    val tot = docsDf.agg(count(lit(1)).as("n_docs"))
+    val ex = docsDf.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .agg(coalesce(sum(col("n")), lit(0L)).cast("long").as("exact_dup_docs"))
+    val cand = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("v"))
+      .agg(countDistinct(col("v")).as("candidate_docs"))
+    // exact-measure verification over the CANDIDATE pairs only — the
+    // corpus join fetches just the pair ids' text/signature
+    val verified = idef.kind match {
+      case "lsh" =>
+        import graft.operators.TextDedup.withShingles
+        val sh = withShingles(docsDf).select(col("doc_id"), col("sg"))
+        pairs
+          .join(sh.select(col("doc_id").as("id_a"), col("sg").as("sg_a")), Seq("id_a"))
+          .join(sh.select(col("doc_id").as("id_b"), col("sg").as("sg_b")), Seq("id_b"))
+          .filter(round(size(array_intersect(col("sg_a"), col("sg_b"))).cast("double")
+            / size(array_union(col("sg_a"), col("sg_b"))), 6) >= thr)
+          .select(col("id_a"), col("id_b"))
+      case _ =>
+        import graft.operators.TextDedup.withSimhash
+        val sh = withSimhash(docsDf, Seq("doc_id"))
+          .select(col("doc_id"), col("simhash"))
+        pairs
+          .join(sh.select(col("doc_id").as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
+          .join(sh.select(col("doc_id").as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
+          .filter((lit(32.0) - bit_count(col("sh_a").bitwiseXOR(col("sh_b")))
+            .cast("double")) / lit(32.0) >= thr)
+          .select(col("id_a"), col("id_b"))
+    }
+    val comp = graft.operators.TextDedup.connectedComponents(verified)
+    val vm = comp.agg(count(lit(1)).as("verified_dup_docs"),
+      countDistinct(col("l")).as("n_clusters"))
+    note(s"show dedup: ${idef.kind} index '${idef.ix}' band self-join → " +
+      f"exact-measure verify (threshold $thr%.6f) → pointer-jumping " +
+      "clusters; all-aggregate 1-row dimensions cross-joined")
+    tot.crossJoin(ex).crossJoin(cand).crossJoin(vm)
+      .withColumn("near_dup_removals",
+        (col("verified_dup_docs") - col("n_clusters")).cast("long"))
+  }
+
   /** Per-lookup candidate cap for index-served point predicates: above
     * it the value is unselective and the plain scan wins (and the probe
     * list would stop being bounded metadata). settings.yaml knob. */
@@ -2288,6 +2445,15 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         matchDf(m.copy(atVersion = m.atVersion.orElse(atVersion)))
       case Ast.Container.Cands(sm) =>
         similarDf(sm.copy(atVersion = sm.atVersion.orElse(atVersion)))
+      case Ast.Container.Fused(f) =>
+        // an outer AT VERSION propagates into every side (inner wins),
+        // like (SEARCH …)/(MATCH …)/(SIMILAR …) subqueries
+        fuseDf(f.copy(sides = f.sides.map {
+          case m: Ast.Match => m.copy(atVersion = m.atVersion.orElse(atVersion))
+          case sm: Ast.Similar =>
+            sm.copy(atVersion = sm.atVersion.orElse(atVersion))
+          case other => other
+        }))
       case Ast.Container.Combo(so) =>
         // an outer AT VERSION propagates into every SEARCH leaf (inner
         // wins), exactly as into a (SEARCH …) subquery

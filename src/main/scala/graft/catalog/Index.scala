@@ -519,14 +519,21 @@ object Index {
     * corpus. Exact scoring of the returned ids is the caller's rerank
     * step (compose with `sim_ann_int8_rerank`'s recipe).
     */
-  def ivfLookup(cat: Catalog, container: String, idef: Def,
-      queries: DataFrame, nprobe: Int = 1,
-      at: Option[Int] = None): DataFrame = {
+  /** Query-side cell assignment against an ivf index's frozen centroids:
+    * (qid, qcluster) — each query row's `nprobe` nearest cells, the same
+    * numbers (d2 rounded to 6, seed-id tie-break) the committed
+    * assignment uses. Shared by [[ivfLookup]] and the streaming ANN
+    * ingest gate's within-batch candidate generation
+    * (`EmbeddingStreams.annDedupBatch` — batch-vs-batch candidates must
+    * use the INDEX's cell geometry, so results never depend on how
+    * arrivals were batched). */
+  private[graft] def ivfAssign(cat: Catalog, container: String, idef: Def,
+      queries: DataFrame, nprobe: Int = 1): DataFrame = {
     require(idef.kind == "ivf", s"index '${idef.ix}' is not an ivf index")
     val pk = cat.get(container).primaryKey
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id")).orderBy(col("d2"), col("sid"))
-    val qAssign = queries
+    queries
       .select(col(pk).as("id"),
         graft.functions.Float32Unpack.float32Unpack(col(idef.column)).as("emb"))
       .filter(col("emb").isNotNull)
@@ -535,6 +542,13 @@ object Index {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= nprobe)
       .select(col("id").as("qid"), col("sid").as("qcluster"))
+  }
+
+  def ivfLookup(cat: Catalog, container: String, idef: Def,
+      queries: DataFrame, nprobe: Int = 1,
+      at: Option[Int] = None): DataFrame = {
+    require(idef.kind == "ivf", s"index '${idef.ix}' is not an ivf index")
+    val qAssign = ivfAssign(cat, container, idef, queries, nprobe)
     val probed = qAssign.select(col("qcluster")).distinct()
       .collect().map(_.getInt(0))
     read(cat, container, idef, at)

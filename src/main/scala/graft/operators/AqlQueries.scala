@@ -47,6 +47,26 @@ object AqlQueries {
       s"pow(${qv(i)} - (CASE WHEN axis = $i THEN 1.0 ELSE 0.0 END), 2)")
       .mkString(" + ")
 
+  /** The PROBE-2 literal-vector SIMILAR … SCORED recompute as one
+    * standalone DuckDB statement — (doc_id, score) score-desc/pk-asc,
+    * LIMIT-bounded. Shared by aql_similar_vector_scored and the FUSE
+    * oracle (the vector side of the hybrid-retrieval fusion), so the
+    * cosine recompute lives in exactly one place. */
+  private[operators] def duckVectorScoredSql(qv: IndexedSeq[Double],
+      limit: Int): String = {
+    val d2 = axisD2Sql(qv)
+    val qc = (0 until 8).map(i => s"WHEN $i THEN ${qv(i)}")
+      .mkString("CASE axis ", " ", " ELSE 0 END")
+    val norm = (0 until 8).map(i => s"${qv(i)} * ${qv(i)}").mkString(" + ")
+    s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id <= 64),
+       |axes AS (SELECT DISTINCT doc_id % 8 AS axis FROM ids),
+       |qd AS (SELECT axis, $d2 AS d2, $qc AS qc FROM axes),
+       |best AS (SELECT axis, qc FROM qd ORDER BY d2, axis LIMIT 2)
+       |SELECT i.doc_id, round(b.qc / sqrt($norm), 6) AS score
+       |FROM ids i JOIN best b ON i.doc_id % 8 = b.axis
+       |ORDER BY score DESC, i.doc_id LIMIT $limit""".stripMargin
+  }
+
   private val fixtureRoots = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
     fixtureRoots.foreach { root =>
@@ -1212,20 +1232,8 @@ object AqlQueries {
     // members (q1/|q|). The oracle recomputes both the cell pick and the
     // one-hot cosines declaratively; the Σq² chain is written ascending
     // in both engines so the doubles agree bit-for-bit under round(6).
-    Q("aql_similar_vector_scored", {
-      val qv = AqlQueries.similarQueryVec2
-      val d2 = AqlQueries.axisD2Sql(qv)
-      val qc = (0 until 8).map(i => s"WHEN $i THEN ${qv(i)}")
-        .mkString("CASE axis ", " ", " ELSE 0 END")
-      val norm = (0 until 8).map(i => s"${qv(i)} * ${qv(i)}").mkString(" + ")
-      s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id <= 64),
-         |axes AS (SELECT DISTINCT doc_id % 8 AS axis FROM ids),
-         |qd AS (SELECT axis, $d2 AS d2, $qc AS qc FROM axes),
-         |best AS (SELECT axis, qc FROM qd ORDER BY d2, axis LIMIT 2)
-         |SELECT i.doc_id, round(b.qc / sqrt($norm), 6) AS score
-         |FROM ids i JOIN best b ON i.doc_id % 8 = b.axis
-         |ORDER BY score DESC, i.doc_id LIMIT 10""".stripMargin
-    }) { (s, dir) =>
+    Q("aql_similar_vector_scored",
+      AqlQueries.duckVectorScoredSql(AqlQueries.similarQueryVec2, 10)) { (s, dir) =>
       search("SIMILAR " + AqlQueries.aqlVec(AqlQueries.similarQueryVec2) +
         " ON docs_ivf USING ann PROBE 2 LIMIT 10 SCORED")(s, dir)
     },
@@ -1257,6 +1265,136 @@ object AqlQueries {
     }) { (s, dir) =>
       search("SEARCH [] ON [(SIMILAR " + AqlQueries.similarQueryVecAql +
         " ON docs_ivf USING ann LIMIT 5)] WHERE doc_id > 10")(s, dir)
+    },
+
+    // FUSE (round 13 — hybrid retrieval): Reciprocal Rank Fusion of the
+    // BM25 MATCH hits and the exact-cosine SIMILAR … SCORED ANN hits in
+    // ONE statement — rrf = 1/(60+bm25_rank) + 1/(60+cos_rank), the
+    // Cormack/Clarke/Buettcher combinator. The oracle recomputes BOTH
+    // component rankings declaratively (the already-pinned duckBm25 and
+    // cosine recomputes), ranks each with the same (score desc, pk)
+    // row_number, and fuses with the identical FIXED-ORDER double sum —
+    // so the rrf doubles agree bit-for-bit under round(6).
+    Q("aql_fuse_rrf",
+      s"""WITH bm AS (${FullText.duckBm25}),
+         |sc AS (${AqlQueries.duckVectorScoredSql(AqlQueries.similarQueryVec2, 10)}),
+         |bmr AS (SELECT doc_id,
+         |          row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_1 FROM bm),
+         |scr AS (SELECT doc_id,
+         |          row_number() OVER (ORDER BY score DESC, doc_id) AS rank_2 FROM sc)
+         |SELECT COALESCE(b.doc_id, s.doc_id) AS doc_id,
+         |       round((CASE WHEN b.rank_1 IS NULL THEN 0.0
+         |               ELSE 1.0 / (60 + b.rank_1) END)
+         |           + (CASE WHEN s.rank_2 IS NULL THEN 0.0
+         |               ELSE 1.0 / (60 + s.rank_2) END), 6) AS rrf,
+         |       b.rank_1, s.rank_2
+         |FROM bmr b FULL JOIN scr s ON b.doc_id = s.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      search("FUSE [(MATCH ['dup','vector','merge'] ON docs_ft), " +
+        "(SIMILAR " + AqlQueries.aqlVec(AqlQueries.similarQueryVec2) +
+        " ON docs_ivf USING ann PROBE 2 LIMIT 10 SCORED)] LIMIT 20")(s, dir)
+    },
+
+    // ...the K knob shifts every contribution (smaller k weights top
+    // ranks harder), and (FUSE …) composes as a SEARCH source like any
+    // ranked subquery — filter the fused list on its rrf score.
+    Q("aql_fuse_src",
+      s"""WITH bm AS (${FullText.duckBm25}),
+         |sc AS (${AqlQueries.duckVectorScoredSql(AqlQueries.similarQueryVec2, 10)}),
+         |bmr AS (SELECT doc_id,
+         |          row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_1 FROM bm),
+         |scr AS (SELECT doc_id,
+         |          row_number() OVER (ORDER BY score DESC, doc_id) AS rank_2 FROM sc),
+         |fused AS (
+         |  SELECT COALESCE(b.doc_id, s.doc_id) AS doc_id,
+         |         round((CASE WHEN b.rank_1 IS NULL THEN 0.0
+         |                 ELSE 1.0 / (30 + b.rank_1) END)
+         |             + (CASE WHEN s.rank_2 IS NULL THEN 0.0
+         |                 ELSE 1.0 / (30 + s.rank_2) END), 6) AS rrf,
+         |         b.rank_1, s.rank_2
+         |  FROM bmr b FULL JOIN scr s ON b.doc_id = s.doc_id
+         |  ORDER BY rrf DESC, doc_id LIMIT 20)
+         |SELECT * FROM fused WHERE rrf > 0.025
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      search("SEARCH [] ON [(FUSE [(MATCH ['dup','vector','merge'] ON docs_ft), " +
+        "(SIMILAR " + AqlQueries.aqlVec(AqlQueries.similarQueryVec2) +
+        " ON docs_ivf USING ann PROBE 2 LIMIT 10 SCORED)] K 30 LIMIT 20)] " +
+        "WHERE rrf > 0.025")(s, dir)
+    },
+
+    // SHOW DEDUP (round 13): the dedup funnel report served from the
+    // persisted lsh index — the AQL surface of dd_dedup_report, so an
+    // AQL-only client gets the exact-groups → band-candidates →
+    // verified-pairs → clusters summary in one statement. The oracle
+    // recomputes the IDENTICAL funnel declaratively (the dd lane's
+    // recursive-CTE connected components over Jaccard-verified LSH
+    // pairs); matching numbers prove the commit-maintained index serves
+    // the same candidate set the from-scratch derivation produces.
+    Q("aql_show_dedup",
+      s"""${TextDedup.duckJaccardCtes},
+         |verified AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+         |e AS (SELECT id_a AS a, id_b AS b FROM verified
+         |      UNION ALL SELECT id_b, id_a FROM verified),
+         |nodes AS (SELECT DISTINCT a AS v FROM e),
+         |walk(v, l) AS (
+         |  SELECT v, v FROM nodes
+         |  UNION
+         |  SELECT e.b, w.l FROM walk w JOIN e ON e.a = w.v),
+         |comp AS (SELECT v, min(l) AS l FROM walk GROUP BY v),
+         |tot AS (SELECT count(*) AS n_docs FROM documents),
+         |exdup AS (SELECT COALESCE(CAST(sum(n) AS BIGINT), 0) AS exact_dup_docs
+         |          FROM (SELECT count(*) AS n FROM documents
+         |                GROUP BY md5(text) HAVING count(*) > 1)),
+         |cand AS (SELECT count(DISTINCT v) AS candidate_docs
+         |         FROM (SELECT id_a AS v FROM pairs UNION SELECT id_b FROM pairs)),
+         |vm AS (SELECT count(*) AS verified_dup_docs,
+         |              count(DISTINCT l) AS n_clusters FROM comp)
+         |SELECT tot.n_docs, exdup.exact_dup_docs, cand.candidate_docs,
+         |       vm.verified_dup_docs, CAST(vm.n_clusters AS BIGINT) AS n_clusters,
+         |       CAST(vm.verified_dup_docs - vm.n_clusters AS BIGINT) AS near_dup_removals
+         |FROM tot, exdup, cand, vm""".stripMargin) { (s, dir) =>
+      search("SHOW DEDUP docs_ft USING nd")(s, dir)
+    },
+
+    // ...and the simhash twin: candidates from the 4×8-bit band index,
+    // verified by exact (32 − hamming)/32 signature similarity at the
+    // default 29/32 threshold (Hamming ≤ 3 — the pigeonhole recall bound
+    // of the 4-band layout). Same funnel algebra, different band family.
+    Q("aql_show_dedup_simhash",
+      s"""WITH RECURSIVE ${TextDedup.duckSimhashCte},
+         |banded AS (
+         |  SELECT doc_id, band, (simhash >> (8 * band)) & 255 AS bv
+         |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM banded a JOIN banded b
+         |            ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |verified AS (SELECT p.id_a, p.id_b
+         |             FROM pairs p
+         |             JOIN sigs sa ON sa.doc_id = p.id_a
+         |             JOIN sigs sb ON sb.doc_id = p.id_b
+         |             WHERE (32 - CAST(bit_count(xor(sa.simhash, sb.simhash)) AS DOUBLE))
+         |                   / 32 >= 0.90625),
+         |e AS (SELECT id_a AS a, id_b AS b FROM verified
+         |      UNION ALL SELECT id_b, id_a FROM verified),
+         |nodes AS (SELECT DISTINCT a AS v FROM e),
+         |walk(v, l) AS (
+         |  SELECT v, v FROM nodes
+         |  UNION
+         |  SELECT e.b, w.l FROM walk w JOIN e ON e.a = w.v),
+         |comp AS (SELECT v, min(l) AS l FROM walk GROUP BY v),
+         |tot AS (SELECT count(*) AS n_docs FROM documents),
+         |exdup AS (SELECT COALESCE(CAST(sum(n) AS BIGINT), 0) AS exact_dup_docs
+         |          FROM (SELECT count(*) AS n FROM documents
+         |                GROUP BY md5(text) HAVING count(*) > 1)),
+         |cand AS (SELECT count(DISTINCT v) AS candidate_docs
+         |         FROM (SELECT id_a AS v FROM pairs UNION SELECT id_b FROM pairs)),
+         |vm AS (SELECT count(*) AS verified_dup_docs,
+         |              count(DISTINCT l) AS n_clusters FROM comp)
+         |SELECT tot.n_docs, exdup.exact_dup_docs, cand.candidate_docs,
+         |       vm.verified_dup_docs, CAST(vm.n_clusters AS BIGINT) AS n_clusters,
+         |       CAST(vm.verified_dup_docs - vm.n_clusters AS BIGINT) AS near_dup_removals
+         |FROM tot, exdup, cand, vm""".stripMargin) { (s, dir) =>
+      search("SHOW DEDUP docs_ft USING sh")(s, dir)
     },
 
     // ALTER RENAME COLUMN through the full AQL path: files of both eras
@@ -1706,6 +1844,49 @@ object AqlQueries {
          |ORDER BY container_a, container_b, lang""".stripMargin
     }) { (s, dir) => search(
       "SHOW OVERLAP [docs_ov_a, docs_ov_b, docs_ov_c] ON doc_id BY lang")(s, dir)
+    },
+
+    // ...matrix sides take `AS name` labels (round 13): a labeled
+    // container or subquery side reports under its label instead of the
+    // name / positional `(subquery i)` placeholder — the readable
+    // 10-source triage. Here the middle side is a FILTERED subquery
+    // labeled 'bsub'; the oracle reproduces the label strings and the
+    // filtered membership algebra declaratively.
+    Q("aql_show_overlap_matrix_alias", {
+      def side(tag: String, pred: String) =
+        s"SELECT doc_id, ${if (tag == "ina") "1" else "0"} AS ina, " +
+          s"${if (tag == "inb") "1" else "0"} AS inb, " +
+          s"${if (tag == "inc") "1" else "0"} AS inc " +
+          s"FROM documents WHERE doc_id < 3000 AND $pred"
+      def pair(an: String, a: String, bn: String, b: String) =
+        s"""SELECT '$an' AS container_a, '$bn' AS container_b,
+           |  'doc_id' AS "column",
+           |  CAST(sum(CASE WHEN $a = 1 AND $b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS approx_intersect,
+           |  CAST(sum(CASE WHEN $a = 1 OR $b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS approx_union,
+           |  CAST(sum(CASE WHEN $a = 1 AND $b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS approx_a_only,
+           |  CAST(sum(CASE WHEN $a = 0 AND $b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS approx_b_only,
+           |  CAST(sum(CASE WHEN $a = 1 AND $b = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+           |    sum(CASE WHEN $a = 1 OR $b = 1 THEN 1 ELSE 0 END) AS jaccard
+           |FROM m""".stripMargin
+      s"""WITH m AS (
+         |  SELECT doc_id, max(ina) AS ina, max(inb) AS inb, max(inc) AS inc
+         |  FROM (${side("ina", "doc_id % 3 <> 0")}
+         |        UNION ALL ${side("inb", "doc_id % 2 <> 0 AND doc_id < 1000")}
+         |        UNION ALL ${side("inc", "doc_id % 5 <> 0")}) q
+         |  GROUP BY doc_id)
+         |SELECT * FROM (
+         |${pair("lefty", "ina", "bsub", "inb")}
+         |UNION ALL ${pair("lefty", "ina", "docs_ov_c", "inc")}
+         |UNION ALL ${pair("bsub", "inb", "docs_ov_c", "inc")})
+         |ORDER BY container_a, container_b""".stripMargin
+    }) { (s, dir) => search(
+      "SHOW OVERLAP [docs_ov_a AS lefty, " +
+        "(SEARCH [doc_id] ON docs_ov_b WHERE doc_id < 1000) AS bsub, " +
+        "docs_ov_c] ON doc_id")(s, dir)
     },
 
     // SHOW OVERLAP with SUBQUERY sides (graft extension): version churn —

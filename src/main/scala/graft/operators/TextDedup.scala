@@ -410,7 +410,7 @@ object TextDedup {
       .filter(col("jaccard") >= 0.2)
   }
 
-  private val duckJaccardCtes =
+  private[graft] val duckJaccardCtes =
     s"""$duckLshPairs,
        |j AS (SELECT p.id_a, p.id_b,
        |        round(CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)

@@ -36,4 +36,104 @@ object EmbeddingStreams {
     vecs.select(col("vec_id"), array_min(array(cands: _*)).as("best"))
       .select(col("vec_id"), col("best.sid").as("cluster"), col("best.d2").as("d2"))
   }
+
+  /** Deduplicating VECTOR ingest (round 13) — the ANN sibling of
+    * `DocumentStreams.dedupIngestToCatalog`: each micro-batch is gated
+    * against the ENTIRE already-committed corpus through the container's
+    * commit-maintained `ivf` index (cell probe + exact-cosine verify on
+    * the probed candidates ONLY), plus within-batch near-dups via the
+    * SAME cell geometry; survivors append as one atomic COW commit whose
+    * hook updates the index, so the next batch dedups against this one
+    * with no rebuild. The serving shape of embedding-dedup at 100 TB:
+    * probe cost ∝ the batch's ≤1 cell per row (bucket-pruned index
+    * scan), the verify reads candidate vectors FROM the probed index
+    * lists (cand_emb — never a corpus-side fetch), and nothing
+    * all-pairs ever forms.
+    *
+    * `vecs` must be shaped like the container (pk + the indexed
+    * packed-float32 BYTES column). Keep-first: history wins over the
+    * batch, the lower pk wins within a batch. Rows with NULL /
+    * undecodable vectors ingest normally (they can never be ANN
+    * candidates); zero-norm vectors have no defined angle and likewise
+    * pass the gate.
+    */
+  def annIngestToCatalog(vecs: DataFrame, catalog: graft.catalog.Catalog,
+      container: String, ix: String, threshold: Double = 0.99)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) annDedupBatch(batch, catalog, container, ix, threshold)
+      }
+
+  /** One micro-batch of the ANN gate: drop (a) rows whose pk is already
+    * committed (at-least-once replay idempotence — the pk-RANGE-pruned
+    * anti-join of the text gate), and byte-identical within-batch
+    * vectors (keep-lowest-pk per md5 of the packed payload); (b)
+    * verified cosine near-dups of committed vectors — candidates from
+    * the persisted ivf index, whose list rows CARRY the candidate vector
+    * (cand_emb), so the verify is index-local; (c) within-batch
+    * near-dups — both sides assigned to the index's frozen cells
+    * (`Index.ivfAssign`), same-cell pairs cosine-verified, lower pk
+    * kept. Then append the survivors. */
+  private[graft] def annDedupBatch(batch: DataFrame,
+      catalog: graft.catalog.Catalog, container: String, ix: String,
+      threshold: Double): Unit = {
+    import graft.functions.CosineSimilarity.cosineSim
+    import graft.functions.Float32Unpack.float32Unpack
+    val d = catalog.get(container)
+    val pk = d.primaryKey
+    val idef = catalog.indexDefs(container).find(_.ix == ix)
+      .getOrElse(sys.error(s"No index '$ix' on '$container'"))
+    require(idef.kind == "ivf",
+      s"ANN ingest gate serves from an ivf index; '$ix' is a ${idef.kind} index")
+    val embCol = idef.column
+    // (a) replay idempotence (stats-pruned pk-range anti-join, the text
+    // gate's shape) + within-batch byte-exact dedup. NULL-payload rows
+    // bypass the md5 partition (each is its own group keyed by pk) —
+    // grouping them together would wrongly keep only one.
+    val rn = s"__ann_rn_${java.util.UUID.randomUUID().toString.take(8)}"
+    val perVec = org.apache.spark.sql.expressions.Window
+      .partitionBy(when(col(embCol).isNull, concat(lit("pk:"), col(pk).cast("string")))
+        .otherwise(md5(col(embCol))))
+      .orderBy(col(pk))
+    val bounds = batch.agg(min(col(pk)), max(col(pk))).head()
+    val committedInRange = catalog.read(container).select(col(pk))
+      .filter(col(pk).between(lit(bounds.get(0)), lit(bounds.get(1))))
+    val exactKept = batch
+      .join(committedInRange, Seq(pk), "left_anti")
+      .withColumn(rn, row_number().over(perVec))
+      .filter(col(rn) === 1).drop(rn)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val qEmb = exactKept
+        .select(col(pk).as("ida"), float32Unpack(col(embCol)).as("va"))
+      // (b) history near-dups: bucket-pruned cell probe; candidate
+      // vectors ride the index lists (cand_emb), so the verify never
+      // touches the corpus. A NULL cosine (zero norm) verifies nothing.
+      val histDups = catalog.indexLookup(container, ix, exactKept)
+        .join(qEmb, col("qid") === col("ida"))
+        .filter(cosineSim(col("va"), float32Unpack(col("cand_emb"))) >= threshold)
+        .select(col("ida"))
+      // (c) within-batch near-dups: the INDEX's cell geometry on both
+      // sides (results must not depend on how arrivals were batched),
+      // same-cell pairs only, keep the lower pk of each verified pair
+      val assign = graft.catalog.Index.ivfAssign(catalog, container, idef, exactKept)
+      val a = assign.as("a"); val b = assign.as("b")
+      val batchCands = a.join(b,
+          col("a.qcluster") === col("b.qcluster") && col("a.qid") < col("b.qid"))
+        .select(col("b.qid").as("ida"), col("a.qid").as("idb"))
+        .distinct()
+      val batchDups = batchCands
+        .join(qEmb, Seq("ida"))
+        .join(qEmb.select(col("ida").as("idb"), col("va").as("vb")), Seq("idb"))
+        .filter(cosineSim(col("va"), col("vb")) >= threshold)
+        .select(col("ida"))
+      val dropIds = histDups.unionByName(batchDups).distinct()
+        .select(col("ida").as(pk))
+      val kept = exactKept.join(dropIds, Seq(pk), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try { if (!kept.isEmpty) { catalog.append(container, kept); () } }
+      finally kept.unpersist(blocking = false)
+    } finally exactKept.unpersist(blocking = false)
+  }
 }

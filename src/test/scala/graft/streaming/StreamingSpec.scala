@@ -926,4 +926,83 @@ class StreamingSpec extends AnyFunSuite {
     assert(cat.read("gated").count() == 4,
       "replayed rows must not re-append (pk guard)")
   }
+
+  test("ANN ingest gate: micro-batches drop cosine near-dups via the ivf index; " +
+      "replay and batching converge to the batch gate's set") {
+    import org.apache.spark.sql.types._
+    import graft.functions.Float32Unpack.pack
+    def axis(a: Int): Array[Byte] =
+      pack((0 until 8).map(i => if (i == a) 1f else 0f))
+    def vec(vs: Float*): Array[Byte] = pack(vs.toIndexedSeq)
+    def mkCat(tag: String): graft.catalog.Catalog = {
+      val root = java.nio.file.Files.createTempDirectory(s"graft-ann-ingest-$tag")
+      val cat = new graft.catalog.Catalog(spark, root.toString)
+      cat.create("vgated", List("vec_id" -> graft.aql.AlbaType.of("BIGINT"),
+        "emb" -> graft.aql.AlbaType.of("MEDIUM-BYTES")))
+      // base corpus: the 8 axis unit vectors — ivf create seeds its 8
+      // centroids from exactly these, so cells ARE the axes
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      (1L to 8L).foreach(i => rows.add(
+        org.apache.spark.sql.Row(i, axis((i - 1).toInt % 8))))
+      cat.append("vgated", spark.createDataFrame(rows, StructType(Seq(
+        StructField("vec_id", LongType), StructField("emb", BinaryType)))))
+      cat.createIndex("vgated", "ann", "ivf", "emb")
+      cat
+    }
+    val cat = mkCat("s")
+    // delivery 1: 10 = byte-exact twin of committed axis-0 (HISTORY dup,
+    // cosine 1.0); 11 = genuinely new diagonal (cosine 0.707 to its
+    // cell's members — kept); 20/21 byte-identical within the batch
+    // (exact dedup keeps 20); 30/31 a same-cell cosine ≈ 0.99999
+    // near-pair in the 4/5-plane, absent from the corpus (within-batch
+    // verified, lower pk 30 kept; each is only cosine 0.8 to axis 4)
+    val d1 = Seq(
+      10L -> axis(0),
+      11L -> vec(0.7071f, 0.7071f, 0, 0, 0, 0, 0, 0),
+      20L -> vec(0, 0.6f, 0.8f, 0, 0, 0, 0, 0),
+      21L -> vec(0, 0.6f, 0.8f, 0, 0, 0, 0, 0),
+      30L -> vec(0, 0, 0, 0, 0.8f, 0.6f, 0, 0),
+      31L -> vec(0, 0, 0, 0, 0.79f, 0.61f, 0, 0))
+    // delivery 2: 12 = another byte-exact axis-0 twin (history dup via
+    // the index the FIRST batch's commit maintained… here vs the base
+    // corpus); 40 = a new 6/7-plane mix (cosine 0.8 to axis 7 — kept)
+    val d2 = Seq(
+      12L -> axis(0),
+      40L -> vec(0, 0, 0, 0, 0, 0, 0.6f, 0.8f))
+    val src = java.nio.file.Files.createTempDirectory("graft-ann-ingest-src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ann-ingest-ckpt")
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("emb", BinaryType)))
+    def write(rows: Seq[(Long, Array[Byte])]): Unit = {
+      val l = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      rows.foreach { case (id, e) => l.add(org.apache.spark.sql.Row(id, e)) }
+      spark.createDataFrame(l, schema).coalesce(1)
+        .write.mode("append").parquet(src.toString)
+    }
+    def drain(ck: java.nio.file.Path): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(src.toString)
+      val q = EmbeddingStreams.annIngestToCatalog(stream, cat, "vgated", "ann")
+        .option("checkpointLocation", ck.toString).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    write(d1); drain(ckpt)
+    write(d2); drain(ckpt)
+    val landed = cat.read("vgated").collect().map(_.getLong(0)).toSet
+    assert(landed == (1L to 8L).toSet ++ Set(11L, 20L, 30L, 40L),
+      s"got $landed")
+    // replay from a fresh checkpoint: the pk guard drops every
+    // already-committed row — nothing double-appends
+    drain(java.nio.file.Files.createTempDirectory("graft-ann-ingest-ckpt2"))
+    assert(cat.read("vgated").count() == 12, "replay must not re-append")
+    // batching-invariance: ALL stream rows as ONE batch against a twin
+    // catalog converge to the same near-dup set (10/12 collapse to one
+    // byte-exact survivor first, which the history gate then drops)
+    val catB = mkCat("b")
+    val all = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    (d1 ++ d2).foreach { case (id, e) => all.add(org.apache.spark.sql.Row(id, e)) }
+    EmbeddingStreams.annDedupBatch(spark.createDataFrame(all, schema),
+      catB, "vgated", "ann", threshold = 0.99)
+    assert(catB.read("vgated").collect().map(_.getLong(0)).toSet == landed,
+      "one-batch gate must equal the streamed gate's set")
+  }
 }
