@@ -323,7 +323,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         case m: Ast.Match => matchDf(m)
         case sm: Ast.Similar => similarDf(sm)
         case f: Ast.Fuse => fuseDf(f)
-        case sd: Ast.ShowDedup => showDedupDf(sd)
+        case sd: Ast.ShowDedup => showDedupDf(sd, explainOnly = true)
         case ch: Ast.Changes => catalog.changes(ch.container, ch.fromVersion, ch.toVersion)
         case ov: Ast.ShowOverlap => showOverlapDf(ov.a, ov.b, ov.column, ov.by)
         case om: Ast.ShowOverlapMatrix =>
@@ -1861,6 +1861,16 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         s"SIMILAR PROBE $p exceeds index '${idef.ix}' trained cell count $k")
     }
     val nprobe = sm.probe.getOrElse(1)
+    // pin the read version ONCE for the whole lookup: candidates, the
+    // scored snapshot fallback, and the all-emb marker check must all
+    // consult the SAME committed version — resolving "current" at each
+    // site independently would let a concurrent commit between lowering
+    // steps make the marker check disagree with the candidate set
+    // (marker true at v+1 while cands came from an unmarked v, silently
+    // dropping legacy candidates from the rerank). None only for a
+    // never-committed container (version 0 has no snapshot to pin).
+    val pinnedAt: Option[Int] =
+      sm.atVersion.orElse(Some(catalog.currentVersion(sm.container)).filter(_ > 0))
     // SCORED rerank: exact cosine of each candidate's embedding against
     // the 1-row broadcast query embedding — the ANN-then-exact-rerank
     // serving shape. The IVF lists STORE the packed vector (FAISS list
@@ -1892,7 +1902,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       // over the cells. Only an unmarked index (pre-marker build, or
       // parts carried from one) pays the bounded one-job detection.
       val allEmb = graft.catalog.Index.allPartsCarryEmb(
-        catalog, sm.container, idef, sm.atVersion)
+        catalog, sm.container, idef, pinnedAt)
       note(if (allEmb)
         s"similar scored: ivf '${idef.ix}' lists carry every vector " +
           "(all-emb marker) — index-local rerank, no detection job"
@@ -1930,9 +1940,9 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
             throw new ParseException(
               s"No committed version $v on '${sm.container}'"))
         val cands = catalog.indexLookupVector(sm.container, idef.ix,
-          vec.map(_.toFloat), nprobe = nprobe, at = sm.atVersion)
+          vec.map(_.toFloat), nprobe = nprobe, at = pinnedAt)
         if (sm.scored) {
-          val snap = sm.atVersion match {
+          val snap = pinnedAt match {
             case Some(v) => catalog.readVersion(sm.container, v)
             case None => catalog.read(sm.container)
           }
@@ -1957,7 +1967,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     // metadata jobs at lowering — the probe row's band keys / probed
     // clusters collect driver-side, the IVF probe-list idiom — so even
     // EXPLAIN SIMILAR executes those small scans before printing.)
-    val snapshot = sm.atVersion match {
+    val snapshot = pinnedAt match {
       case Some(v) => catalog.readVersion(sm.container, v)
       case None => catalog.read(sm.container)
     }
@@ -1965,7 +1975,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     note(s"similar: ${idef.kind} index '${idef.ix}' pk probe — the probe " +
       "row's band keys / cluster ids collect at lowering (bounded " +
       "per-lookup metadata jobs, the IVF probe-list idiom)")
-    val cands = catalog.indexLookup(sm.container, idef.ix, probe, sm.atVersion,
+    val cands = catalog.indexLookup(sm.container, idef.ix, probe, pinnedAt,
       nprobe = nprobe)
     if (sm.scored) {
       if (idef.kind != "ivf")
@@ -2005,7 +2015,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     import graft.operators.TextDedup.{withShingles, withSimhash}
     val ids = cands.select(col("cand")).limit(IndexProbeCap + 1)
       .collect().map(_.get(0))
-    val candRows =
+    val fetched =
       if (ids.length <= IndexProbeCap) {
         note(s"similar scored (${idef.kind}): ${ids.length} candidate " +
           "pk(s) fetched via a literal-isin pruned point scan")
@@ -2016,13 +2026,19 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         snapshot.join(broadcast(cands.select(col("cand"))),
           col(pkName) === col("cand")).drop("cand")
       }
+    // each candidate pk is served ONCE even on a duplicate-pk corpus —
+    // min-by-bytes any-representative pick, the ivf twin's documented
+    // stance (Index.ivfLookup); without it a pk committed twice would
+    // occupy two LIMIT slots here while the ivf form serves it once
+    val candRows = fetched
+      .groupBy(col(pkName))
+      .agg(min(col(idef.column)).as(idef.column))
     val scored = idef.kind match {
       case "lsh" =>
-        // exact 3-gram Jaccard — array_intersect/union are set-semantic,
-        // matching DuckDB's list_intersect/list_distinct(list_concat)
-        // (the dd_ngram_jaccard-pinned pairing). A candidate exists only
-        // if BOTH docs produced band keys, i.e. both have ≥1 shingle, so
-        // the union is never empty.
+        // exact 3-gram Jaccard (TextDedup.jaccardSim — the ONE verify
+        // measure shared with SHOW DEDUP and the fixture lane). A
+        // candidate exists only if BOTH docs produced band keys, i.e.
+        // both have ≥1 shingle, so the union is never empty.
         val candSg = withShingles(candRows
             .select(col(pkName), col(idef.column).as("text")))
           .select(col(pkName), col("sg"))
@@ -2030,12 +2046,11 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           .select(col("sg").as("_sim_qsg"))
         candSg.crossJoin(broadcast(qSg))
           .select(col(pkName),
-            round(size(array_intersect(col("sg"), col("_sim_qsg"))).cast("double")
-              / size(array_union(col("sg"), col("_sim_qsg"))), 6).as("score"))
+            graft.operators.TextDedup.jaccardSim(col("sg"), col("_sim_qsg"))
+              .as("score"))
       case "simhash" =>
-        // (32 − hamming)/32 over the simhash-32 signatures: integer
-        // numerator over a power-of-two denominator — exact doubles in
-        // both engines, round(6) is belt-and-braces
+        // (32 − hamming)/32 signature similarity (TextDedup.simhashSim —
+        // the ONE verify measure shared with SHOW DEDUP)
         val candSh = withSimhash(candRows
           .select(col(pkName), col(idef.column).as("text")), Seq(pkName))
         val qSh = withSimhash(probe
@@ -2043,8 +2058,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           .select(col("simhash").as("_sim_qsh"))
         candSh.crossJoin(broadcast(qSh))
           .select(col(pkName),
-            round((lit(32.0) - bit_count(col("simhash")
-              .bitwiseXOR(col("_sim_qsh"))).cast("double")) / lit(32.0), 6)
+            graft.operators.TextDedup.simhashSim(col("simhash"), col("_sim_qsh"))
               .as("score"))
       case other => throw new ParseException(
         s"SIMILAR SCORED serves from an ivf/lsh/simhash index; " +
@@ -2118,7 +2132,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     * components over the verified graph (O(log diameter) rounds). Every
     * stage is the already-oracle-pinned pipeline; this statement pins
     * their composition against the index-served candidates. */
-  private def showDedupDf(sd: Ast.ShowDedup): DataFrame = {
+  private def showDedupDf(sd: Ast.ShowDedup, explainOnly: Boolean = false): DataFrame = {
     requireNotView(sd.container, "a band index")
     val d = catalog.get(sd.container)
     val pk = d.primaryKey
@@ -2168,33 +2182,47 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       .agg(countDistinct(col("v")).as("candidate_docs"))
     // exact-measure verification over the CANDIDATE pairs only — the
     // corpus join fetches just the pair ids' text/signature
+    // the verify measure comes from TextDedup — the ONE definition the
+    // fixture lane and SIMILAR … SCORED share, so the two statements can
+    // never disagree about whether a candidate pair is a near-dup
     val verified = idef.kind match {
       case "lsh" =>
-        import graft.operators.TextDedup.withShingles
+        import graft.operators.TextDedup.{jaccardSim, withShingles}
         val sh = withShingles(docsDf).select(col("doc_id"), col("sg"))
         pairs
           .join(sh.select(col("doc_id").as("id_a"), col("sg").as("sg_a")), Seq("id_a"))
           .join(sh.select(col("doc_id").as("id_b"), col("sg").as("sg_b")), Seq("id_b"))
-          .filter(round(size(array_intersect(col("sg_a"), col("sg_b"))).cast("double")
-            / size(array_union(col("sg_a"), col("sg_b"))), 6) >= thr)
+          .filter(jaccardSim(col("sg_a"), col("sg_b")) >= thr)
           .select(col("id_a"), col("id_b"))
       case _ =>
-        import graft.operators.TextDedup.withSimhash
+        import graft.operators.TextDedup.{simhashSim, withSimhash}
         val sh = withSimhash(docsDf, Seq("doc_id"))
           .select(col("doc_id"), col("simhash"))
         pairs
           .join(sh.select(col("doc_id").as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
           .join(sh.select(col("doc_id").as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
-          .filter((lit(32.0) - bit_count(col("sh_a").bitwiseXOR(col("sh_b")))
-            .cast("double")) / lit(32.0) >= thr)
+          .filter(simhashSim(col("sh_a"), col("sh_b")) >= thr)
           .select(col("id_a"), col("id_b"))
+    }
+    note(s"show dedup: ${idef.kind} index '${idef.ix}' band self-join → " +
+      f"exact-measure verify (threshold $thr%.6f) → pointer-jumping " +
+      "clusters; all-aggregate 1-row dimensions cross-joined")
+    // EXPLAIN stays plan-only: the cluster stage is an EAGER driver loop
+    // (a localCheckpoint + aggregate action per pointer-jumping round),
+    // so lowering it would execute the whole funnel before printing —
+    // the plan shown instead covers the data-sized stages (band
+    // self-join candidates + exact-measure verify), with this narration
+    // in the Access Path section; the loop runs at statement execution.
+    if (explainOnly) {
+      note("show dedup (EXPLAIN): plan shown = candidate generation + " +
+        "exact-measure verification (the data-sized work); the cluster " +
+        "stage (O(log diameter) eager pointer-jumping rounds) and three " +
+        "1-row aggregate dimensions run only when the statement executes")
+      return verified
     }
     val comp = graft.operators.TextDedup.connectedComponents(verified)
     val vm = comp.agg(count(lit(1)).as("verified_dup_docs"),
       countDistinct(col("l")).as("n_clusters"))
-    note(s"show dedup: ${idef.kind} index '${idef.ix}' band self-join → " +
-      f"exact-measure verify (threshold $thr%.6f) → pointer-jumping " +
-      "clusters; all-aggregate 1-row dimensions cross-joined")
     tot.crossJoin(ex).crossJoin(cand).crossJoin(vm)
       .withColumn("near_dup_removals",
         (col("verified_dup_docs") - col("n_clusters")).cast("long"))

@@ -396,6 +396,25 @@ object TextDedup {
        |          FROM bands a JOIN bands b
        |            ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** The exact 3-gram Jaccard column over two shingle arrays, rounded to
+    * 6 — THE lsh verify measure, defined once for every consumer
+    * (fixture lane, SIMILAR … SCORED, SHOW DEDUP): array_intersect/union
+    * are set-semantic, matching DuckDB's list_intersect /
+    * list_distinct(list_concat) bit-for-bit under the rounding. */
+  private[graft] def jaccardSim(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(size(array_intersect(a, b)).cast("double")
+      / size(array_union(a, b)), 6)
+
+  /** The exact (32 − hamming)/32 signature-similarity column over two
+    * simhash-32 values — THE simhash verify measure, defined once.
+    * Integer numerator over a power-of-two denominator: exact doubles in
+    * both engines (k/32 has ≤5 fractional decimal digits, so the
+    * belt-and-braces round(6) is an identity). */
+  private[graft] def simhashSim(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round((lit(32.0) - bit_count(a.bitwiseXOR(b)).cast("double")) / lit(32.0), 6)
+
   /** Jaccard-verified near-dup pairs (exact set check over the LSH
     * candidates only) — shared by dd_ngram_jaccard and dd_dup_clusters.
     */

@@ -109,8 +109,26 @@ object EmbeddingStreams {
         .select(col(pk).as("ida"), float32Unpack(col(embCol)).as("va"))
       // (b) history near-dups: bucket-pruned cell probe; candidate
       // vectors ride the index lists (cand_emb), so the verify never
-      // touches the corpus. A NULL cosine (zero norm) verifies nothing.
-      val histDups = catalog.indexLookup(container, ix, exactKept)
+      // touches the corpus — EXCEPT candidates served from parts
+      // hard-link-carried from a pre-emb build (cand_emb NULL; exactly
+      // the legacy case the SCORED rerank falls back on): dropping them
+      // to the cosine-of-NULL filter would silently disable history
+      // dedup for those rows, so an UNMARKED index fills the missing
+      // vectors with a pk join against the snapshot (min-pick on
+      // duplicate pks, the ivfLookup stance); a marked index skips the
+      // branch outright. A NULL cosine (zero norm) verifies nothing.
+      val rawCands = catalog.indexLookup(container, ix, exactKept)
+      val histCands =
+        if (graft.catalog.Index.allPartsCarryEmb(catalog, container, idef))
+          rawCands
+        else rawCands.filter(col("cand_emb").isNotNull).unionByName(
+          rawCands.filter(col("cand_emb").isNull)
+            .select(col("qid"), col("cand"))
+            .join(catalog.read(container)
+              .select(col(pk).as("cand"), col(embCol).as("cand_emb")), Seq("cand"))
+            .groupBy(col("qid"), col("cand"))
+            .agg(min(col("cand_emb")).as("cand_emb")))
+      val histDups = histCands
         .join(qEmb, col("qid") === col("ida"))
         .filter(cosineSim(col("va"), float32Unpack(col("cand_emb"))) >= threshold)
         .select(col("ida"))

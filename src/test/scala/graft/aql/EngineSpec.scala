@@ -884,6 +884,14 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val scored = searchRows("SIMILAR 1 ON idocs SCORED")
     assert(scored.map(r => (r.getLong(0), r.getDouble(1))) == Seq((3L, 1.0)),
       s"got $scored")
+    // a duplicate-pk corpus (repeated raw insert) serves each candidate
+    // pk ONCE under SCORED — min-by-bytes representative, the ivf twin's
+    // documented stance (Index.ivfLookup)
+    eng.execute("CREATE ROW ['doc_id','body'] [3,'the quick brown fox jumps over the lazy dog'] ON idocs")
+    eng.execute("COMMIT idocs")
+    val dupScored = searchRows("SIMILAR 1 ON idocs SCORED")
+    assert(dupScored.map(_.getLong(0)) == Seq(3L),
+      s"duplicate pk must occupy one LIMIT slot, got $dupScored")
 
     eng.execute("DELETE INDEX nd ON idocs")
     assert(eng.catalog.indexDefs("idocs").isEmpty)
@@ -1138,6 +1146,12 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(amb.getMessage.contains("USING"), amb.getMessage)
     // a text index never serves SHOW DEDUP
     intercept[ParseException](eng.execute("SHOW DEDUP ddc USING nope"))
+    // EXPLAIN stays plan-only: the eager cluster loop is NOT lowered —
+    // the Access Path narrates that it runs at statement execution
+    val ex = eng.execute("EXPLAIN SHOW DEDUP ddc USING nd")
+      .asInstanceOf[Engine.Done].message
+    assert(ex.contains("Access Path") && ex.contains("cluster stage"),
+      ex.take(400))
     eng.execute("DELETE CONTAINER ddc")
   }
 

@@ -450,6 +450,54 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(scoredRows() == marked, "rebuilt index serves the same rows")
   }
 
+  test("ANN ingest gate drops near-dups on marked AND legacy (pre-emb) indexes") {
+    val (cat, _) = ivfFixture("anngate")
+    cat.createIndex("vecs", "ann", "ivf", "e")
+    import spark.implicits._
+    // marked index: a byte-exact twin of committed row 3 gates out
+    graft.streaming.EmbeddingStreams.annDedupBatch(
+      Seq((990L, vec(3, 3L))).toDF("vec_id", "e"),
+      cat, "vecs", "ann", threshold = 0.99)
+    assert(cat.read("vecs").count() == 24, "marked-index gate must drop the twin")
+    // LEGACY pre-emb parts (what a pre-r12 build wrote): strip the
+    // vector column from EVERY part and drop the marker — cand_emb then
+    // reads NULL, and without the snapshot fallback the cosine filter
+    // would silently pass the duplicate through the gate
+    import scala.jdk.CollectionConverters._
+    val v = cat.currentVersion("vecs")
+    val ixd = cat.versionPath("vecs", v).resolve("_index").resolve("ann")
+    scala.util.Using.resource(java.nio.file.Files.list(ixd)) {
+      _.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("src=")).toSeq
+    }.foreach { srcDir =>
+      val legacyRows = spark.read.parquet(srcDir.toString)
+        .select("id", "cluster").collect().toSeq
+      cat.deleteRecursively(srcDir)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](legacyRows.asJava),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cluster",
+            org.apache.spark.sql.types.IntegerType))))
+        .coalesce(1).write.parquet(srcDir.toString)
+    }
+    java.nio.file.Files.delete(ixd.resolve(Index.AllEmbMarker))
+    assert(!Index.allPartsCarryEmb(cat, "vecs",
+      cat.indexDefs("vecs").find(_.ix == "ann").get))
+    graft.streaming.EmbeddingStreams.annDedupBatch(
+      Seq((991L, vec(3, 3L))).toDF("vec_id", "e"),
+      cat, "vecs", "ann", threshold = 0.99)
+    assert(cat.read("vecs").count() == 24,
+      "legacy-part candidates must still gate via the snapshot fallback")
+    // a genuinely-new direction still ingests through the legacy path
+    graft.streaming.EmbeddingStreams.annDedupBatch(
+      Seq((992L, graft.functions.Float32Unpack.pack(
+        (0 until 8).map(d => if (d < 2) 0.7071f else 0f)))).toDF("vec_id", "e"),
+      cat, "vecs", "ann", threshold = 0.99)
+    assert(cat.read("vecs").count() == 25, "distinct vector must land")
+  }
+
   test("ivf k knob: DDL-declared centroid count trains, serves, survives rebuild and SHOW CREATE") {
     val (cat, dir) = ivfFixture("kknob")
     val eng = new graft.aql.Engine(spark, dir.toString)
