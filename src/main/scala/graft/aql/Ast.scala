@@ -383,7 +383,12 @@ object Ast {
     * lexical BM25 + vector cosine in ONE statement, no hand-written
     * join algebra. Output: (pk, rrf, rank_1 … rank_N) rrf-desc. */
   final case class Fuse(sides: List[Stmt], k: Int = 60,
-      limit: Int = 20) extends Stmt
+      limit: Int = 20,
+      /** `WEIGHTS [w1, w2, …]` — weighted RRF (one positive weight per
+        * side, positional): rrf = Σ w_i/(k + rank_i). None = the
+        * classic unweighted form (all 1.0). The lexical-vs-vector
+        * balance knob every hybrid deployment ends up tuning. */
+      weights: Option[List[Double]] = None) extends Stmt
 
   /** graft extension (round 13): the dedup FUNNEL served from a
     * persisted band index — `SHOW DEDUP c [USING ix] [THRESHOLD t]`
@@ -398,7 +403,12 @@ object Ast {
     * `(32−hamming)/32 ≥ t` for simhash, default 29/32 — Hamming ≤ 3,
     * the pigeonhole bound of the 4-band layout). */
   final case class ShowDedup(container: String, ix: Option[String],
-      threshold: Option[Double] = None) extends Stmt
+      threshold: Option[Double] = None,
+      /** `AT VERSION n` — the funnel over a committed snapshot (each
+        * version owns its index parts, so the report time-travels like
+        * every lookup): "what did the dedup state look like before the
+        * last ingest". */
+      atVersion: Option[Int] = None) extends Stmt
 
   /** graft extensions: incremental materialized views. `CREATE VIEW v
     * (SEARCH [keys…, count(c)/sum(c)…] ON src [WHERE …])` declares a
@@ -1068,7 +1078,16 @@ object Parser {
     // the one-row dedup funnel report served from a persisted band
     // index — DEDUP/THRESHOLD are not reserved, like STATS/TAILS
     case Keyword("SHOW") :: Str(w) :: cTok :: rest if w.equalsIgnoreCase("DEDUP") =>
-      val (ix, afterIx) = rest match {
+      val (at, afterAt) = rest match {
+        case Keyword("AT") :: Keyword("VERSION") :: IntLit(v) :: tl =>
+          if (v < 1) throw new ParseException(
+            "SHOW DEDUP AT VERSION must be >= 1")
+          (Some(v.toInt), tl)
+        case Keyword("AT") :: _ =>
+          throw new ParseException("Expected `AT VERSION <n>` in SHOW DEDUP")
+        case tl => (None, tl)
+      }
+      val (ix, afterIx) = afterAt match {
         case Keyword("USING") :: ixTok :: tl => (Some(name(ixTok)), tl)
         case tl => (None, tl)
       }
@@ -1085,9 +1104,10 @@ object Parser {
             s"THRESHOLD must be in (0, 1], got $v")
           Some(v)
         case other => throw new ParseException(
-          s"Expected `SHOW DEDUP c [USING ix] [THRESHOLD t]`, got ${other.mkString(" ")}")
+          "Expected `SHOW DEDUP c [AT VERSION n] [USING ix] [THRESHOLD t]`, " +
+            s"got ${other.mkString(" ")}")
       }
-      ShowDedup(name(cTok), ix, thr)
+      ShowDedup(name(cTok), ix, thr, at)
     // SHOW OVERLAP [c1, c2, …] ON col (graft extension, round 12): the
     // N-way overlap MATRIX over a source LIST — must precede the
     // pairwise case (a Group before ON is the list form)
@@ -1374,7 +1394,23 @@ object Parser {
       }
       if (sides.size < 2)
         throw new ParseException("FUSE needs at least two sides")
-      val (k, afterK) = rest match {
+      // WEIGHTS [w1, w2, …] — weighted RRF, one positive weight per side
+      val (weights, afterW) = rest match {
+        case Str(ww) :: (wg: Group) :: tl if ww.equalsIgnoreCase("WEIGHTS") =>
+          val ws = wg.items.map {
+            case FloatLit(v) => v
+            case IntLit(v) => v.toDouble
+            case other => throw new ParseException(
+              s"FUSE WEIGHTS must be numeric literals, got $other")
+          }
+          if (ws.size != sides.size) throw new ParseException(
+            s"FUSE WEIGHTS lists ${ws.size} weight(s) for ${sides.size} sides")
+          if (ws.exists(_ <= 0.0)) throw new ParseException(
+            "FUSE WEIGHTS must be positive")
+          (Some(ws), tl)
+        case tl => (None, tl)
+      }
+      val (k, afterK) = afterW match {
         case Str(kw) :: IntLit(kk) :: tl if kw.equalsIgnoreCase("K") =>
           // k shifts every contribution 1/(k+rank); past ~10^6 the terms
           // underflow round(6) to indistinguishable — reject the typo
@@ -1392,7 +1428,7 @@ object Parser {
         case other => throw new ParseException(
           s"Unexpected tokens after FUSE: ${other.mkString(" ")}")
       }
-      Fuse(sides, k, limit)
+      Fuse(sides, k, limit, weights)
 
     // MATCH [terms] ON container [USING ix] [LIMIT n] (graft extension):
     // BM25-ranked full-text search from the container's text index

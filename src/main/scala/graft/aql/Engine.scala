@@ -2099,8 +2099,11 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       throw new ParseException(
         s"FUSE sides must share one pk domain: '$pkName' vs '$other'")
     }
-    note(s"fuse: ${sides.size}-side RRF (k=${f.k}) — per-side ranks are " +
-      "single-partition windows over LIMIT-bounded side results")
+    val ws = f.weights.getOrElse(List.fill(sides.size)(1.0))
+    note(s"fuse: ${sides.size}-side RRF (k=${f.k}" +
+      f.weights.map(w => s", weights=${w.mkString("/")}").getOrElse("") +
+      ") — per-side ranks are single-partition windows over " +
+      "LIMIT-bounded side results")
     import org.apache.spark.sql.expressions.Window
     val ranked = sides.zipWithIndex.map { case ((pk, df, scoreCol), i) =>
       val w = Window.orderBy(col(scoreCol).desc, col(pk))
@@ -2111,7 +2114,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     val joined = ranked.reduce((a, b) => a.join(b, Seq(pkName), "full_outer"))
     val contribs = sides.indices.map { i =>
       val r = col(s"rank_${i + 1}")
-      when(r.isNull, lit(0.0)).otherwise(lit(1.0) / (lit(f.k.toDouble) + r))
+      when(r.isNull, lit(0.0)).otherwise(lit(ws(i)) / (lit(f.k.toDouble) + r))
     }
     joined.select(col(pkName) +: round(contribs.reduce(_ + _), 6).as("rrf") +:
         sides.indices.map(i => col(s"rank_${i + 1}")): _*)
@@ -2156,7 +2159,14 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     // pigeonhole recall bound of the 4-band index layout)
     val thr = sd.threshold.getOrElse(
       if (idef.kind == "lsh") 0.2 else 29.0 / 32.0)
-    val ix = graft.catalog.Index.read(catalog, sd.container, idef)
+    // AT VERSION: every version owns its index parts, so the funnel
+    // time-travels like any lookup — index rows AND the verify snapshot
+    // both read the requested committed version
+    sd.atVersion.foreach(v =>
+      if (!catalog.versions(sd.container).contains(v))
+        throw new ParseException(
+          s"No committed version $v on '${sd.container}'"))
+    val ix = graft.catalog.Index.read(catalog, sd.container, idef, sd.atVersion)
       .select(col("id"), col("band"), col("bk"))
     // band-bucket candidate pairs, deduplicated across bands — the
     // fixture lane's pinned shuffle-hash shape (TextDedup.lshPairs):
@@ -2169,10 +2179,12 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // the snapshot the index covers (committed current version — a
-    // staged, uncommitted row has no index rows yet, like SIMILAR)
-    val docsDf = catalog.read(sd.container)
-      .select(col(pk).as("doc_id"), col(idef.column).as("text"))
+    // the snapshot the index covers (the requested committed version —
+    // a staged, uncommitted row has no index rows yet, like SIMILAR)
+    val docsDf = (sd.atVersion match {
+      case Some(v) => catalog.readVersion(sd.container, v)
+      case None => catalog.read(sd.container)
+    }).select(col(pk).as("doc_id"), col(idef.column).as("text"))
     val tot = docsDf.agg(count(lit(1)).as("n_docs"))
     val ex = docsDf.groupBy(md5(col("text")).as("h"))
       .agg(count(lit(1)).as("n")).filter(col("n") > 1)

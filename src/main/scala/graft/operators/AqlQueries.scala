@@ -47,6 +47,40 @@ object AqlQueries {
       s"pow(${qv(i)} - (CASE WHEN axis = $i THEN 1.0 ELSE 0.0 END), 2)")
       .mkString(" + ")
 
+  /** The SHOW DEDUP lsh funnel recomputed declaratively over `documents`
+    * (optionally row-filtered — the AT VERSION twin's snapshot subset):
+    * LSH candidate pairs → exact-Jaccard verify (≥ 0.2) →
+    * recursive-CTE connected components → the one-row report. Shared by
+    * aql_show_dedup and aql_show_dedup_v1 so the funnel algebra lives in
+    * exactly one place. */
+  private[operators] def duckLshFunnel(where: Option[String] = None): String = {
+    val base = where.map(w => s"(SELECT * FROM documents WHERE $w)")
+      .getOrElse("documents")
+    val docs = where.map(w => s"documents WHERE $w").getOrElse("documents")
+    s"""${TextDedup.duckJaccardCtesFrom(base)},
+       |verified AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+       |e AS (SELECT id_a AS a, id_b AS b FROM verified
+       |      UNION ALL SELECT id_b, id_a FROM verified),
+       |nodes AS (SELECT DISTINCT a AS v FROM e),
+       |walk(v, l) AS (
+       |  SELECT v, v FROM nodes
+       |  UNION
+       |  SELECT e.b, w.l FROM walk w JOIN e ON e.a = w.v),
+       |comp AS (SELECT v, min(l) AS l FROM walk GROUP BY v),
+       |tot AS (SELECT count(*) AS n_docs FROM $docs),
+       |exdup AS (SELECT COALESCE(CAST(sum(n) AS BIGINT), 0) AS exact_dup_docs
+       |          FROM (SELECT count(*) AS n FROM $docs
+       |                GROUP BY md5(text) HAVING count(*) > 1)),
+       |cand AS (SELECT count(DISTINCT v) AS candidate_docs
+       |         FROM (SELECT id_a AS v FROM pairs UNION SELECT id_b FROM pairs)),
+       |vm AS (SELECT count(*) AS verified_dup_docs,
+       |              count(DISTINCT l) AS n_clusters FROM comp)
+       |SELECT tot.n_docs, exdup.exact_dup_docs, cand.candidate_docs,
+       |       vm.verified_dup_docs, CAST(vm.n_clusters AS BIGINT) AS n_clusters,
+       |       CAST(vm.verified_dup_docs - vm.n_clusters AS BIGINT) AS near_dup_removals
+       |FROM tot, exdup, cand, vm""".stripMargin
+  }
+
   /** The PROBE-2 literal-vector SIMILAR … SCORED recompute as one
     * standalone DuckDB statement — (doc_id, score) score-desc/pk-asc,
     * LIMIT-bounded. Shared by aql_similar_vector_scored and the FUSE
@@ -1322,6 +1356,31 @@ object AqlQueries {
         "WHERE rrf > 0.025")(s, dir)
     },
 
+    // WEIGHTED fusion (round 13): rrf = Σ w_i/(k + rank_i) — the
+    // lexical-vs-vector balance knob every hybrid deployment tunes
+    // (0.7 BM25 / 0.3 cosine here). Same fixed-order double arithmetic,
+    // recomputed declaratively with the same weights.
+    Q("aql_fuse_weighted",
+      s"""WITH bm AS (${FullText.duckBm25}),
+         |sc AS (${AqlQueries.duckVectorScoredSql(AqlQueries.similarQueryVec2, 10)}),
+         |bmr AS (SELECT doc_id,
+         |          row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_1 FROM bm),
+         |scr AS (SELECT doc_id,
+         |          row_number() OVER (ORDER BY score DESC, doc_id) AS rank_2 FROM sc)
+         |SELECT COALESCE(b.doc_id, s.doc_id) AS doc_id,
+         |       round((CASE WHEN b.rank_1 IS NULL THEN 0.0
+         |               ELSE 0.7 / (60 + b.rank_1) END)
+         |           + (CASE WHEN s.rank_2 IS NULL THEN 0.0
+         |               ELSE 0.3 / (60 + s.rank_2) END), 6) AS rrf,
+         |       b.rank_1, s.rank_2
+         |FROM bmr b FULL JOIN scr s ON b.doc_id = s.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin) { (s, dir) =>
+      search("FUSE [(MATCH ['dup','vector','merge'] ON docs_ft), " +
+        "(SIMILAR " + AqlQueries.aqlVec(AqlQueries.similarQueryVec2) +
+        " ON docs_ivf USING ann PROBE 2 LIMIT 10 SCORED)] " +
+        "WEIGHTS [0.7, 0.3] LIMIT 15")(s, dir)
+    },
+
     // SHOW DEDUP (round 13): the dedup funnel report served from the
     // persisted lsh index — the AQL surface of dd_dedup_report, so an
     // AQL-only client gets the exact-groups → band-candidates →
@@ -1330,30 +1389,18 @@ object AqlQueries {
     // recursive-CTE connected components over Jaccard-verified LSH
     // pairs); matching numbers prove the commit-maintained index serves
     // the same candidate set the from-scratch derivation produces.
-    Q("aql_show_dedup",
-      s"""${TextDedup.duckJaccardCtes},
-         |verified AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
-         |e AS (SELECT id_a AS a, id_b AS b FROM verified
-         |      UNION ALL SELECT id_b, id_a FROM verified),
-         |nodes AS (SELECT DISTINCT a AS v FROM e),
-         |walk(v, l) AS (
-         |  SELECT v, v FROM nodes
-         |  UNION
-         |  SELECT e.b, w.l FROM walk w JOIN e ON e.a = w.v),
-         |comp AS (SELECT v, min(l) AS l FROM walk GROUP BY v),
-         |tot AS (SELECT count(*) AS n_docs FROM documents),
-         |exdup AS (SELECT COALESCE(CAST(sum(n) AS BIGINT), 0) AS exact_dup_docs
-         |          FROM (SELECT count(*) AS n FROM documents
-         |                GROUP BY md5(text) HAVING count(*) > 1)),
-         |cand AS (SELECT count(DISTINCT v) AS candidate_docs
-         |         FROM (SELECT id_a AS v FROM pairs UNION SELECT id_b FROM pairs)),
-         |vm AS (SELECT count(*) AS verified_dup_docs,
-         |              count(DISTINCT l) AS n_clusters FROM comp)
-         |SELECT tot.n_docs, exdup.exact_dup_docs, cand.candidate_docs,
-         |       vm.verified_dup_docs, CAST(vm.n_clusters AS BIGINT) AS n_clusters,
-         |       CAST(vm.verified_dup_docs - vm.n_clusters AS BIGINT) AS near_dup_removals
-         |FROM tot, exdup, cand, vm""".stripMargin) { (s, dir) =>
+    Q("aql_show_dedup", AqlQueries.duckLshFunnel()) { (s, dir) =>
       search("SHOW DEDUP docs_ft USING nd")(s, dir)
+    },
+
+    // ...and the funnel TIME-TRAVELS: AT VERSION 1 reports over docs_ft's
+    // partial first commit (doc_id < 10) — every version owns its index
+    // parts, so "what did the dedup state look like before the last
+    // ingest" is one statement. The oracle recomputes the same funnel
+    // over the version's row subset.
+    Q("aql_show_dedup_v1",
+      AqlQueries.duckLshFunnel(where = Some("doc_id < 10"))) { (s, dir) =>
+      search("SHOW DEDUP docs_ft AT VERSION 1 USING nd")(s, dir)
     },
 
     // ...and the simhash twin: candidates from the 4×8-bit band index,

@@ -155,11 +155,16 @@ object TextDedup {
           "i -> element_at(tk,i) || ' ' || element_at(tk,i+1) || ' ' || element_at(tk,i+2)) " +
           "ELSE array() END"))
 
-  private val duckShingles =
-    """toks AS (SELECT doc_id, string_split(lower(text),' ') tk FROM documents),
-      |shing AS (SELECT doc_id,
-      |  list_transform(range(1, len(tk)-1), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]) sg
-      |  FROM toks)""".stripMargin
+  /** The shingle CTEs over an arbitrary base relation — `base` is a table
+    * name or a parenthesized subquery (the time-traveled SHOW DEDUP
+    * oracle recomputes the funnel over a version's row subset). */
+  private def duckShinglesFrom(base: String) =
+    s"""toks AS (SELECT doc_id, string_split(lower(text),' ') tk FROM $base),
+       |shing AS (SELECT doc_id,
+       |  list_transform(range(1, len(tk)-1), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]) sg
+       |  FROM toks)""".stripMargin
+
+  private val duckShingles = duckShinglesFrom("documents")
 
   /** 8 min-hash signatures s0..s7 over the shingle set: TWO md5 digests per
     * shingle (plain + '#'-salted), their 64 hex chars sliced into eight
@@ -388,13 +393,15 @@ object TextDedup {
   // RECURSIVE unconditionally: harmless for the non-recursive consumers,
   // and required by dd_dup_clusters' walk CTE — no string surgery on a
   // generated query downstream
-  private[graft] val duckLshPairs =
-    s"""WITH RECURSIVE $duckShingles,
+  private[graft] def duckLshPairsFrom(base: String): String =
+    s"""WITH RECURSIVE ${duckShinglesFrom(base)},
        |$duckSignatures,
        |$duckBands,
        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |          FROM bands a JOIN bands b
        |            ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
+
+  private[graft] val duckLshPairs = duckLshPairsFrom("documents")
 
   /** The exact 3-gram Jaccard column over two shingle arrays, rounded to
     * 6 — THE lsh verify measure, defined once for every consumer
@@ -429,14 +436,16 @@ object TextDedup {
       .filter(col("jaccard") >= 0.2)
   }
 
-  private[graft] val duckJaccardCtes =
-    s"""$duckLshPairs,
+  private[graft] def duckJaccardCtesFrom(base: String): String =
+    s"""${duckLshPairsFrom(base)},
        |j AS (SELECT p.id_a, p.id_b,
        |        round(CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
        |              / len(list_distinct(list_concat(sa.sg, sb.sg))), 6) AS jaccard
        |      FROM pairs p
        |      JOIN shing sa ON sa.doc_id = p.id_a
        |      JOIN shing sb ON sb.doc_id = p.id_b)""".stripMargin
+
+  private[graft] val duckJaccardCtes = duckJaccardCtesFrom("documents")
 
   // ---- SimHash: 32-bit signature from token md5 nibbles. ------------------
   // Bit i of token-hash = bit (3 - i%4) of hex digit i/4 of md5(token).

@@ -1090,6 +1090,18 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val src = searchRows("SEARCH [doc_id, rrf] ON [(FUSE [(MATCH ['alpha'] ON fz), " +
       "(SIMILAR 1 ON fz USING nd SCORED)])] WHERE rrf > 0.02")
     assert(src.nonEmpty && src.head.schema.fieldNames.toSeq == Seq("doc_id", "rrf"))
+    // WEIGHTS reweight each side's contribution: w_i/(60+rank_i)
+    val wfused = searchRows("FUSE [(MATCH ['alpha'] ON fz), " +
+      "(SIMILAR 1 ON fz USING nd SCORED)] WEIGHTS [0.7, 0.3]")
+    wfused.foreach { r =>
+      val expect = Seq(Option(r.get(2)) -> 0.7, Option(r.get(3)) -> 0.3).map {
+        case (Some(rank), w) => w / (60.0 + rank.asInstanceOf[Long])
+        case (None, _) => 0.0
+      }.reduce(_ + _)
+      assert(math.abs(r.getDouble(1) -
+        BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble) < 1e-12, s"weighted rrf mismatch on row $r")
+    }
     // an unscored SIMILAR side has no ranking to fuse — loud reject
     val eUn = intercept[ParseException](eng.execute(
       "FUSE [(MATCH ['alpha'] ON fz), (SIMILAR 1 ON fz USING nd)]"))
@@ -1146,6 +1158,19 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(amb.getMessage.contains("USING"), amb.getMessage)
     // a text index never serves SHOW DEDUP
     intercept[ParseException](eng.execute("SHOW DEDUP ddc USING nope"))
+    // AT VERSION: each version owns its index parts, so the funnel
+    // time-travels — the pre-delete snapshot still reports 4 docs and
+    // the 3-doc family, the current one the shrunken family
+    eng.execute("DELETE ROW ON ddc WHERE doc_id = 4")
+    eng.execute("COMMIT ddc")
+    val now = searchRows("SHOW DEDUP ddc USING nd").head
+    assert((now.getLong(0), now.getLong(3), now.getLong(5)) == ((3L, 2L, 1L)),
+      s"got $now")
+    val before = searchRows("SHOW DEDUP ddc AT VERSION 1 USING nd").head
+    assert((before.getLong(0), before.getLong(3), before.getLong(5))
+      == ((4L, 3L, 2L)), s"got $before")
+    intercept[ParseException](
+      eng.execute("SHOW DEDUP ddc AT VERSION 99 USING nd"))
     // EXPLAIN stays plan-only: the eager cluster loop is NOT lowered —
     // the Access Path narrates that it runs at statement execution
     val ex = eng.execute("EXPLAIN SHOW DEDUP ddc USING nd")

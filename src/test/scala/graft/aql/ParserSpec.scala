@@ -554,6 +554,16 @@ class ParserSpec extends AnyFunSuite {
       Parser.parse("FUSE [(MATCH ['x'] ON a), (MATCH ['y'] ON b)] LIMIT 0"))
     intercept[ParseException](
       Parser.parse("FUSE [(MATCH ['x'] ON a), (MATCH ['y'] ON b)] EXTRA"))
+    // WEIGHTS — weighted RRF, positional, one positive weight per side
+    val wf = Parser.parse("FUSE [(MATCH ['x'] ON a), (MATCH ['y'] ON b)] " +
+      "WEIGHTS [0.7, 0.3] K 10 LIMIT 5").asInstanceOf[Fuse]
+    assert(wf.weights.contains(List(0.7, 0.3)) && wf.k == 10 && wf.limit == 5)
+    intercept[ParseException](Parser.parse(
+      "FUSE [(MATCH ['x'] ON a), (MATCH ['y'] ON b)] WEIGHTS [0.7]"))
+    intercept[ParseException](Parser.parse(
+      "FUSE [(MATCH ['x'] ON a), (MATCH ['y'] ON b)] WEIGHTS [0.7, 0]"))
+    intercept[ParseException](Parser.parse(
+      "FUSE [(MATCH ['x'] ON a), (MATCH ['y'] ON b)] WEIGHTS ['a', 'b']"))
     // (FUSE …) composes as a SEARCH source
     val s = Parser.parse("SEARCH [] ON [(FUSE [(MATCH ['x'] ON a), " +
       "(MATCH ['y'] ON b)])] WHERE rrf > 0.01").asInstanceOf[Search]
@@ -575,6 +585,11 @@ class ParserSpec extends AnyFunSuite {
       == ShowDedup("docs", None, Some(1.0)))
     // DEDUP is case-insensitive and unreserved, like STATS/TAILS
     assert(Parser.parse("show dedup docs").isInstanceOf[ShowDedup])
+    // AT VERSION — the funnel time-travels like every lookup
+    assert(Parser.parse("SHOW DEDUP docs AT VERSION 2 USING nd THRESHOLD 0.5")
+      == ShowDedup("docs", Some("nd"), Some(0.5), Some(2)))
+    intercept[ParseException](Parser.parse("SHOW DEDUP docs AT VERSION 0"))
+    intercept[ParseException](Parser.parse("SHOW DEDUP docs AT 2"))
     intercept[ParseException](Parser.parse("SHOW DEDUP docs THRESHOLD 0"))
     intercept[ParseException](Parser.parse("SHOW DEDUP docs THRESHOLD 1.5"))
     intercept[ParseException](Parser.parse("SHOW DEDUP docs THRESHOLD 'x'"))
