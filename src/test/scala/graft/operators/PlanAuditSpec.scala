@@ -140,6 +140,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), s"no map-side combine before exchange:\n$p")
   }
 
+  test("FUSE: side scans prune to query terms; the fused ranking ends in TakeOrderedAndProject") {
+    // the hybrid statement's 100 TB shape: the BM25 side reads only its
+    // literal terms' postings (pushed In filter — lookup cost ∝ the
+    // terms' document frequency, never the corpus), the ivf side only
+    // its probed cells, and the final (rrf desc, pk) LIMIT lowers to
+    // TakeOrderedAndProject — never a full sort. Side ranks are windows
+    // over LIMIT-bounded side results, so no data-sized exchange exists
+    // anywhere in the fusion itself.
+    val df = SparkEntry.queries("aql_fuse_rrf")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("TakeOrderedAndProject"),
+      s"fused top-k must not be a full sort:\n$p")
+    assert(p.contains("In(term"),
+      s"BM25 side must prune postings to the literal query terms:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no unconstrained product anywhere in the fusion:\n$p")
+  }
+
+  test("SHOW DEDUP: candidates ride a shuffle-hash band self-join over the index — never all-pairs") {
+    // the funnel's 100 TB shape: candidate pairs come from the persisted
+    // band table joined to itself on (band, bk) — a pinned shuffle-hash
+    // equi-join whose exchange carries (band, bk, id), never text, and
+    // never a cartesian candidate product; the 1-row report dimensions
+    // combine via broadcast loop joins (cardinality-1 sides)
+    val df = SparkEntry.queries("aql_show_dedup")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("ShuffledHashJoin"),
+      s"band self-join must be the pinned shuffle-hash equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no all-pairs product anywhere in the funnel:\n$p")
+  }
+
   test("SHOW OVERLAP: each side partial-aggregates to a sketch before the exchange") {
     // the statement's 100 TB shape: per-partition theta sketches (KB)
     // cross the exchange, never rows — the plan must show partial+final
