@@ -410,6 +410,18 @@ object Ast {
         * last ingest". */
       atVersion: Option[Int] = None) extends Stmt
 
+  /** graft extension (round 13): APPLY the dedup decision — `DEDUP c
+    * [USING ix] [THRESHOLD t]` removes, in ONE atomic published version,
+    * every verified near-dup cluster member except its keeper (longest
+    * indexed text, ties to the lowest pk — the dd_cluster_keepers
+    * policy). Clusters = connected components over the exact-measure-
+    * verified band-index candidates: the SAME funnel SHOW DEDUP reports,
+    * so SHOW DEDUP is the dry run and DEDUP the commit. Lowered through
+    * the set-oriented `Tx.deleteRows` (file-granular COW — rewrite cost
+    * ∝ files holding losers, nothing driver-materialized). */
+  final case class DedupContainer(container: String, ix: Option[String],
+      threshold: Option[Double] = None) extends Stmt
+
   /** graft extensions: incremental materialized views. `CREATE VIEW v
     * (SEARCH [keys…, count(c)/sum(c)…] ON src [WHERE …])` declares a
     * CDC-maintained aggregate container; `REFRESH VIEW` folds the
@@ -549,6 +561,32 @@ object Parser {
         s"Unexpected tokens after $what: ${other.mkString(" ")}")
     }
     (at, ix, probe, limit)
+  }
+
+  /** The `[USING ix] [THRESHOLD t]` tail SHOW DEDUP and DEDUP share —
+    * THRESHOLD is unreserved (a bare word, like STATS/PROBE). */
+  private def dedupKnobs(toks: List[Token],
+      expected: String): (Option[String], Option[Double]) = {
+    val (ix, afterIx) = toks match {
+      case Keyword("USING") :: ixTok :: tl => (Some(name(ixTok)), tl)
+      case tl => (None, tl)
+    }
+    val thr = afterIx match {
+      case Nil => None
+      case Str(tw) :: t :: Nil if tw.equalsIgnoreCase("THRESHOLD") =>
+        val v = t match {
+          case FloatLit(x) => x
+          case IntLit(x) => x.toDouble
+          case other => throw new ParseException(
+            s"THRESHOLD takes a numeric literal, got $other")
+        }
+        if (v <= 0.0 || v > 1.0) throw new ParseException(
+          s"THRESHOLD must be in (0, 1], got $v")
+        Some(v)
+      case other => throw new ParseException(
+        s"Expected `$expected`, got ${other.mkString(" ")}")
+    }
+    (ix, thr)
   }
 
   private val IoFormats = Set("jsonl", "csv", "orc", "parquet")
@@ -1087,27 +1125,16 @@ object Parser {
           throw new ParseException("Expected `AT VERSION <n>` in SHOW DEDUP")
         case tl => (None, tl)
       }
-      val (ix, afterIx) = afterAt match {
-        case Keyword("USING") :: ixTok :: tl => (Some(name(ixTok)), tl)
-        case tl => (None, tl)
-      }
-      val thr = afterIx match {
-        case Nil => None
-        case Str(tw) :: t :: Nil if tw.equalsIgnoreCase("THRESHOLD") =>
-          val v = t match {
-            case FloatLit(x) => x
-            case IntLit(x) => x.toDouble
-            case other => throw new ParseException(
-              s"THRESHOLD takes a numeric literal, got $other")
-          }
-          if (v <= 0.0 || v > 1.0) throw new ParseException(
-            s"THRESHOLD must be in (0, 1], got $v")
-          Some(v)
-        case other => throw new ParseException(
-          "Expected `SHOW DEDUP c [AT VERSION n] [USING ix] [THRESHOLD t]`, " +
-            s"got ${other.mkString(" ")}")
-      }
+      val (ix, thr) = dedupKnobs(afterAt,
+        "SHOW DEDUP c [AT VERSION n] [USING ix] [THRESHOLD t]")
       ShowDedup(name(cTok), ix, thr, at)
+
+    // DEDUP c [USING ix] [THRESHOLD t] (graft extension, round 13): the
+    // funnel's decision APPLIED — remove every verified near-dup cluster
+    // member but its keeper, one atomic version. DEDUP is not reserved.
+    case Str(w) :: cTok :: rest if w.equalsIgnoreCase("DEDUP") =>
+      val (ix, thr) = dedupKnobs(rest, "DEDUP c [USING ix] [THRESHOLD t]")
+      DedupContainer(name(cTok), ix, thr)
     // SHOW OVERLAP [c1, c2, …] ON col (graft extension, round 12): the
     // N-way overlap MATRIX over a source LIST — must precede the
     // pairwise case (a Group before ON is the list form)

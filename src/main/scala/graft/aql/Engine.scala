@@ -504,6 +504,45 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     case sd: Ast.ShowDedup =>
       resultSet(showDedupDf(sd), needsDefaultSort = true)
 
+    case dd: Ast.DedupContainer =>
+      // the funnel's decision APPLIED: keep one doc per verified
+      // near-dup cluster (longest indexed text, ties to the lowest pk —
+      // the dd_cluster_keepers policy), remove the rest in ONE atomic
+      // version via the set-oriented COW delete. SHOW DEDUP with the
+      // same knobs is the dry run: the cluster derivation is the SAME
+      // bandFunnel, so report and removal can never disagree. Docs too
+      // short to band (no shingles) are outside the index's reach and
+      // never removed — the statement's scope is the index's scope.
+      requireNotView(dd.container, "its content")
+      // refuse staged ops UPFRONT (before any funnel work) — the
+      // deleteRows require would only fire when clusters exist, and a
+      // statement whose refusal depends on the data is a trap
+      if (tx.hasStaged(dd.container))
+        throw new IllegalArgumentException(
+          s"DEDUP on '${dd.container}' with staged ops — COMMIT or " +
+            "ROLLBACK first")
+      val f = bandFunnel(dd.container, dd.ix, dd.threshold, None, "DEDUP")
+      val comp = graft.operators.TextDedup.connectedComponents(f.verified)
+      val stats = comp.agg(count(lit(1)), countDistinct(col("l"))).head()
+      val members = stats.getLong(0)
+      val clusters = stats.getLong(1)
+      if (members == 0)
+        Done(s"dedup ${dd.container}: no verified near-dup clusters — " +
+          "nothing removed")
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("l"))
+          .orderBy(length(col("text")).desc, col("v"))
+        val losers = comp.join(f.docsDf, col("v") === col("doc_id"))
+          .withColumn("_dd_rn", row_number().over(w))
+          .filter(col("_dd_rn") > 1)
+          .select(col("v"))
+        tx.deleteRows(dd.container, losers)
+        Done(s"deduped ${dd.container}: removed ${members - clusters} " +
+          s"near-dup doc(s) across $clusters cluster(s), keeper = longest " +
+          s"${f.idef.column} (version ${catalog.currentVersion(dd.container)})")
+      }
+
     case Ast.Export(c, path, fmt, atVersion) =>
       catalog.get(c) // existence check before touching the path
       // AT VERSION exports the committed snapshot (time-travel backup);
@@ -2135,38 +2174,46 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     * components over the verified graph (O(log diameter) rounds). Every
     * stage is the already-oracle-pinned pipeline; this statement pins
     * their composition against the index-served candidates. */
-  private def showDedupDf(sd: Ast.ShowDedup, explainOnly: Boolean = false): DataFrame = {
-    requireNotView(sd.container, "a band index")
-    val d = catalog.get(sd.container)
+  /** The SHOW DEDUP / DEDUP shared machinery: band-index resolution,
+    * the verify threshold, index-served candidate pairs, the covered
+    * snapshot, and the exact-measure-verified pair graph — ONE
+    * derivation, so the report and the applied removal can never
+    * disagree about what a near-dup is. */
+  private case class BandFunnel(idef: graft.catalog.Index.Def, thr: Double,
+      pairs: DataFrame, docsDf: DataFrame, verified: DataFrame)
+
+  private def bandFunnel(container: String, ixOpt: Option[String],
+      thrOpt: Option[Double], atVersion: Option[Int],
+      what: String): BandFunnel = {
+    requireNotView(container, "a band index")
+    val d = catalog.get(container)
     val pk = d.primaryKey
-    val defs = catalog.indexDefs(sd.container)
+    val defs = catalog.indexDefs(container)
       .filter(x => x.kind == "lsh" || x.kind == "simhash")
-    val idef = sd.ix match {
+    val idef = ixOpt match {
       case Some(n) => defs.find(_.ix == n).getOrElse(throw new ParseException(
-        s"No lsh/simhash index '$n' on '${sd.container}'"))
+        s"No lsh/simhash index '$n' on '$container'"))
       case None => defs match {
         case Seq(one) => one
         case Seq() => throw new ParseException(
-          s"SHOW DEDUP needs an lsh or simhash index on '${sd.container}' " +
+          s"$what needs an lsh or simhash index on '$container' " +
             "(CREATE INDEX … USING lsh|simhash)")
         case many => throw new ParseException(
-          s"'${sd.container}' has ${many.size} band indexes " +
+          s"'$container' has ${many.size} band indexes " +
             s"(${many.map(_.ix).mkString(", ")}) — pick one with USING")
       }
     }
     // verify threshold: the exact measure ≥ t. lsh defaults to the
     // curation lane's Jaccard 0.2; simhash to 29/32 (Hamming ≤ 3, the
     // pigeonhole recall bound of the 4-band index layout)
-    val thr = sd.threshold.getOrElse(
-      if (idef.kind == "lsh") 0.2 else 29.0 / 32.0)
+    val thr = thrOpt.getOrElse(if (idef.kind == "lsh") 0.2 else 29.0 / 32.0)
     // AT VERSION: every version owns its index parts, so the funnel
     // time-travels like any lookup — index rows AND the verify snapshot
     // both read the requested committed version
-    sd.atVersion.foreach(v =>
-      if (!catalog.versions(sd.container).contains(v))
-        throw new ParseException(
-          s"No committed version $v on '${sd.container}'"))
-    val ix = graft.catalog.Index.read(catalog, sd.container, idef, sd.atVersion)
+    atVersion.foreach(v =>
+      if (!catalog.versions(container).contains(v))
+        throw new ParseException(s"No committed version $v on '$container'"))
+    val ix = graft.catalog.Index.read(catalog, container, idef, atVersion)
       .select(col("id"), col("band"), col("bk"))
     // band-bucket candidate pairs, deduplicated across bands — the
     // fixture lane's pinned shuffle-hash shape (TextDedup.lshPairs):
@@ -2181,22 +2228,14 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       .distinct()
     // the snapshot the index covers (the requested committed version —
     // a staged, uncommitted row has no index rows yet, like SIMILAR)
-    val docsDf = (sd.atVersion match {
-      case Some(v) => catalog.readVersion(sd.container, v)
-      case None => catalog.read(sd.container)
+    val docsDf = (atVersion match {
+      case Some(v) => catalog.readVersion(container, v)
+      case None => catalog.read(container)
     }).select(col(pk).as("doc_id"), col(idef.column).as("text"))
-    val tot = docsDf.agg(count(lit(1)).as("n_docs"))
-    val ex = docsDf.groupBy(md5(col("text")).as("h"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
-      .agg(coalesce(sum(col("n")), lit(0L)).cast("long").as("exact_dup_docs"))
-    val cand = pairs
-      .select(explode(array(col("id_a"), col("id_b"))).as("v"))
-      .agg(countDistinct(col("v")).as("candidate_docs"))
     // exact-measure verification over the CANDIDATE pairs only — the
-    // corpus join fetches just the pair ids' text/signature
-    // the verify measure comes from TextDedup — the ONE definition the
-    // fixture lane and SIMILAR … SCORED share, so the two statements can
-    // never disagree about whether a candidate pair is a near-dup
+    // corpus join fetches just the pair ids' text/signature; the verify
+    // measure comes from TextDedup, the ONE definition the fixture lane
+    // and SIMILAR … SCORED share
     val verified = idef.kind match {
       case "lsh" =>
         import graft.operators.TextDedup.{jaccardSim, withShingles}
@@ -2216,6 +2255,19 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           .filter(simhashSim(col("sh_a"), col("sh_b")) >= thr)
           .select(col("id_a"), col("id_b"))
     }
+    BandFunnel(idef, thr, pairs, docsDf, verified)
+  }
+
+  private def showDedupDf(sd: Ast.ShowDedup, explainOnly: Boolean = false): DataFrame = {
+    val BandFunnel(idef, thr, pairs, docsDf, verified) =
+      bandFunnel(sd.container, sd.ix, sd.threshold, sd.atVersion, "SHOW DEDUP")
+    val tot = docsDf.agg(count(lit(1)).as("n_docs"))
+    val ex = docsDf.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .agg(coalesce(sum(col("n")), lit(0L)).cast("long").as("exact_dup_docs"))
+    val cand = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("v"))
+      .agg(countDistinct(col("v")).as("candidate_docs"))
     note(s"show dedup: ${idef.kind} index '${idef.ix}' band self-join → " +
       f"exact-measure verify (threshold $thr%.6f) → pointer-jumping " +
       "clusters; all-aggregate 1-row dimensions cross-joined")

@@ -467,6 +467,65 @@ final class Tx(catalog: Catalog) {
     catalog.tryCommitCow(c, base, kept, Some(rewrite))
   }
 
+  /** DELETE ROWS — set-oriented pk delete, the removal dual of
+    * [[mergeRows]] (graft extension; the surface the DEDUP statement's
+    * curation decision applies through): every committed row whose pk
+    * appears in `pks` is removed in ONE atomic published version.
+    *
+    * File-granular COW like MERGE ROWS: touched files = base files
+    * holding a matching pk (one semi-join against the pushed-down
+    * `_metadata.file_name` scan); each rewrites WITHOUT its matching
+    * rows (a pk anti-join), everything else hard-links. At warehouse
+    * scale the cost ∝ files containing deleted pks — on the
+    * pk-clustered layout a localized loser set rewrites a localized
+    * file slice; nothing here ever materializes the pk set on the
+    * driver, so a 30%-of-corpus dedup removal is as valid as a point
+    * delete. Atomic and immediate (same CAS claim protocol as COMMIT;
+    * no staging — the effect depends on what it matches). pks with no
+    * committed twin are ignored (delete semantics, not an error); an
+    * all-miss call publishes NO new version.
+    */
+  /** True iff `container` has staged, uncommitted ops — the upfront
+    * guard for immediate set-oriented statements (DEDUP refuses before
+    * doing any funnel work, the same stance MERGE ROWS' own require
+    * takes before matching). */
+  def hasStaged(container: String): Boolean = log(container).nonEmpty
+
+  def deleteRows(container: String, pks: DataFrame): Unit = {
+    val d = catalog.get(container)
+    val pk = d.primaryKey
+    require(log(container).isEmpty,
+      s"DELETE ROWS on '$container' with staged ops — COMMIT or ROLLBACK first")
+    catalog.requireVersioned(container, "DELETE ROWS")
+    if (catalog.currentVersion(container) == 0) return // nothing committed
+    val keys = pks.select(pks(pks.columns.head).as(pk)).distinct()
+    commitLoop(container, "DELETE ROWS")(base =>
+      deleteRowsOnce(container, base, d, keys))
+    postCommitMaintenance(container)
+  }
+
+  /** One DELETE ROWS attempt against `base`. Returns true WITHOUT
+    * publishing when no base file holds a matching pk (a no-op delete
+    * must not burn a version). */
+  private def deleteRowsOnce(c: String, base: Int, d: Catalog#ContainerDef,
+      keys: DataFrame): Boolean = {
+    val pk = d.primaryKey
+    val baseFiles = catalog.versionFiles(c, base)
+    val touched: Set[String] = catalog.readVersionTagged(c, base)
+      .join(keys, Seq(pk), "left_semi")
+      .select(col("__src_file"))
+      .distinct().collect().map(_.getString(0)).toSet
+    if (touched.isEmpty) return true // every pk missed: nothing to publish
+    val kept = baseFiles.filterNot(f => touched(f.getFileName.toString))
+    val paths = baseFiles.filter(f => touched(f.getFileName.toString))
+      .map(_.toString)
+    val rewritten = catalog.readFiles(c, paths)
+      .join(keys, Seq(pk), "left_anti")
+      .select(d.schema.map(f => col(f.name)): _*)
+      .sortWithinPartitions(pk)
+    catalog.tryCommitCow(c, base, kept, Some(rewritten))
+  }
+
   /** One commit attempt against `base`: decompose the fold per-file so the
     * new version rewrites only the parquet files that can contain a
     * touched row, carrying every other base file over as a hard link —

@@ -333,6 +333,14 @@ object AqlQueries {
       eng.execute("CREATE INDEX nd ON docs_ft ['text'] USING lsh")
       eng.execute("CREATE INDEX sh ON docs_ft ['text'] USING simhash")
       eng.catalog.overwrite("docs_ft", ftDocs)
+      // dedup-apply container: a documents copy whose verified near-dup
+      // clusters the DEDUP statement removes at setup (keeper = longest
+      // text, tie lowest pk) through the set-oriented COW delete — the
+      // oracle row below recomputes the KEPT set declaratively
+      eng.execute("CREATE CONTAINER docs_dd ['doc_id','text'] [BIGINT, TEXT]")
+      eng.catalog.overwrite("docs_dd", ftDocs)
+      eng.execute("CREATE INDEX ndd ON docs_dd ['text'] USING lsh")
+      eng.execute("DEDUP docs_dd USING ndd")
       // value-indexed container: WHERE lang = 'en' auto-serves from the
       // secondary index (pk-candidate-pruned scan); the post-index COMMIT
       // proves maintenance — the inserted row is only findable through
@@ -1401,6 +1409,35 @@ object AqlQueries {
     Q("aql_show_dedup_v1",
       AqlQueries.duckLshFunnel(where = Some("doc_id < 10"))) { (s, dir) =>
       search("SHOW DEDUP docs_ft AT VERSION 1 USING nd")(s, dir)
+    },
+
+    // DEDUP (round 13): the funnel's decision APPLIED — one statement
+    // removes every verified near-dup cluster member but its keeper
+    // (longest text, tie lowest pk — the dd_cluster_keepers policy) in
+    // one atomic COW version through the set-oriented Tx.deleteRows.
+    // The fixture ran `DEDUP docs_dd USING ndd` at setup; the oracle
+    // recomputes the KEPT set declaratively (funnel → recursive-CTE
+    // clusters → keeper ranking → anti-membership), so the committed
+    // post-state must equal the independent removal decision exactly.
+    Q("aql_dedup_apply",
+      s"""${TextDedup.duckJaccardCtes},
+         |verified AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+         |e AS (SELECT id_a AS a, id_b AS b FROM verified
+         |      UNION ALL SELECT id_b, id_a FROM verified),
+         |nodes AS (SELECT DISTINCT a AS v FROM e),
+         |walk(v, l) AS (
+         |  SELECT v, v FROM nodes
+         |  UNION
+         |  SELECT e.b, w.l FROM walk w JOIN e ON e.a = w.v),
+         |comp AS (SELECT v, min(l) AS l FROM walk GROUP BY v),
+         |ranked AS (SELECT c.v, row_number() OVER (PARTITION BY c.l
+         |             ORDER BY length(d.text) DESC, c.v) AS rn
+         |           FROM comp c JOIN documents d ON d.doc_id = c.v),
+         |losers AS (SELECT v FROM ranked WHERE rn > 1)
+         |SELECT doc_id, text FROM documents
+         |WHERE doc_id NOT IN (SELECT v FROM losers)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      search("SEARCH [] ON docs_dd")(s, dir)
     },
 
     // ...and the simhash twin: candidates from the 4×8-bit band index,

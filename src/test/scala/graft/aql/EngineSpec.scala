@@ -1180,6 +1180,39 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     eng.execute("DELETE CONTAINER ddc")
   }
 
+  test("50 DEDUP applies the funnel decision: keeper stays, losers removed in one version") {
+    eng.execute("CREATE CONTAINER ddap ['doc_id','body'] [BIGINT, TEXT]")
+    val base = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    eng.execute(s"CREATE ROW ['doc_id','body'] [1,'$base'] ON ddap")
+    eng.execute(s"CREATE ROW ['doc_id','body'] [2,'$base'] ON ddap")
+    eng.execute("CREATE ROW ['doc_id','body'] [3,'completely different content about distributed query engines today'] ON ddap")
+    // the LONGEST cluster member wins even with the highest pk
+    eng.execute(s"CREATE ROW ['doc_id','body'] [5,'$base extended'] ON ddap")
+    eng.execute("COMMIT ddap")
+    eng.execute("CREATE INDEX nd ON ddap ['body'] USING lsh")
+    val v1 = eng.catalog.currentVersion("ddap")
+    val msg = eng.execute("DEDUP ddap USING nd").asInstanceOf[Engine.Done].message
+    // cluster {1, 2, 5}: keeper = 5 (longest text), 1 and 2 removed
+    assert(msg.contains("removed 2") && msg.contains("1 cluster"), msg)
+    assert(searchRows("SEARCH [doc_id] ON ddap").map(_.getLong(0)).sorted
+      == Seq(3L, 5L))
+    assert(eng.catalog.currentVersion("ddap") == v1 + 1,
+      "the removal is ONE atomic published version")
+    // dry run ≡ wet run: the post-state funnel is clean
+    val rep = searchRows("SHOW DEDUP ddap USING nd").head
+    assert(rep.getLong(3) == 0L && rep.getLong(5) == 0L, s"got $rep")
+    // idempotent: a second DEDUP removes nothing and publishes NOTHING
+    val again = eng.execute("DEDUP ddap USING nd").asInstanceOf[Engine.Done].message
+    assert(again.contains("nothing removed"), again)
+    assert(eng.catalog.currentVersion("ddap") == v1 + 1,
+      "a no-op dedup must not burn a version")
+    // staged ops refuse (the set-oriented delete is immediate, like MERGE ROWS)
+    eng.execute("CREATE ROW ['doc_id','body'] [9,'staged'] ON ddap")
+    intercept[IllegalArgumentException](eng.execute("DEDUP ddap USING nd"))
+    eng.execute("ROLLBACK ddap")
+    eng.execute("DELETE CONTAINER ddap")
+  }
+
   test("28 ALTER RENAME COLUMN is pure metadata; commits keep the stored name") {
     eng.execute("CREATE CONTAINER rn ['id','a','b'] [BIGINT, SMALL-STRING, BIGINT]")
     eng.execute("CREATE ROW ['id','a','b'] [1,'x',10] ON rn")

@@ -599,6 +599,18 @@ class ParserSpec extends AnyFunSuite {
       .asInstanceOf[Explain].query.isInstanceOf[ShowDedup])
   }
 
+  test("DEDUP (apply) parses the shared USING/THRESHOLD knobs") {
+    assert(Parser.parse("DEDUP docs") == DedupContainer("docs", None, None))
+    assert(Parser.parse("DEDUP docs USING nd THRESHOLD 0.5")
+      == DedupContainer("docs", Some("nd"), Some(0.5)))
+    assert(Parser.parse("dedup docs").isInstanceOf[DedupContainer])
+    intercept[ParseException](Parser.parse("DEDUP docs THRESHOLD 0"))
+    intercept[ParseException](Parser.parse("DEDUP docs THRESHOLD 1.5"))
+    intercept[ParseException](Parser.parse("DEDUP docs EXTRA"))
+    // the mutation takes no AT VERSION (only the SHOW form time-travels)
+    intercept[ParseException](Parser.parse("DEDUP docs AT VERSION 1"))
+  }
+
   test("set operations: (SEARCH) EXCEPT/INTERSECT [ALL] (SEARCH)") {
     val l = Search(List(Container.Real("a")), List("x"), None)
     val r = Search(List(Container.Real("b")), List("x"), None)

@@ -224,6 +224,11 @@ class AqlServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (mc, mb) = post("SHOW OVERLAP [wfz AS corpus, " +
       "(SEARCH [doc_id] ON wfz WHERE doc_id < 2) AS probe] ON doc_id")
     assert(mc == 200 && mb.contains("\"corpus\",\"probe\""), mb)
+    // the APPLIED dedup over the wire: docs 1/2 collapse to keeper 1
+    val (adc, adb) = post("DEDUP wfz USING nd")
+    assert(adc == 200 && adb.contains("removed 1"), adb)
+    val (qc2, qb2) = post("SEARCH [doc_id] ON wfz")
+    assert(qc2 == 200 && qb2.contains("\"rows\":[[1],[3]]"), qb2)
     assert(post("DELETE CONTAINER wfz")._1 == 200)
   }
 
