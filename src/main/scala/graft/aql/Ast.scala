@@ -397,11 +397,13 @@ object Ast {
     * into the one-row report that decides whether a dedup pass ships:
     * (n_docs, exact_dup_docs, candidate_docs, verified_dup_docs,
     * n_clusters, near_dup_removals). The candidate pairs come from the
-    * commit-maintained lsh/simhash index (band-bucket self-join — never
-    * an all-pairs scan); verification is the exact measure the band
-    * family approximates (3-gram Jaccard ≥ t for lsh, default 0.2;
-    * `(32−hamming)/32 ≥ t` for simhash, default 29/32 — Hamming ≤ 3,
-    * the pigeonhole bound of the 4-band layout). */
+    * commit-maintained lsh/simhash/ivf index (bucket self-join on band
+    * keys or ivf cells — never an all-pairs scan); verification is the
+    * exact measure each index approximates (3-gram Jaccard ≥ t for
+    * lsh, default 0.2; `(32−hamming)/32 ≥ t` for simhash, default
+    * 29/32 — Hamming ≤ 3, the pigeonhole bound of the 4-band layout;
+    * cosine ≥ t for ivf, default 0.99 — the ANN gate's near-dup
+    * default, so the VECTOR corpus gets the same funnel). */
   final case class ShowDedup(container: String, ix: Option[String],
       threshold: Option[Double] = None,
       /** `AT VERSION n` — the funnel over a committed snapshot (each
@@ -413,12 +415,14 @@ object Ast {
   /** graft extension (round 13): APPLY the dedup decision — `DEDUP c
     * [USING ix] [THRESHOLD t]` removes, in ONE atomic published version,
     * every verified near-dup cluster member except its keeper (longest
-    * indexed text, ties to the lowest pk — the dd_cluster_keepers
-    * policy). Clusters = connected components over the exact-measure-
-    * verified band-index candidates: the SAME funnel SHOW DEDUP reports,
-    * so SHOW DEDUP is the dry run and DEDUP the commit. Lowered through
-    * the set-oriented `Tx.deleteRows` (file-granular COW — rewrite cost
-    * ∝ files holding losers, nothing driver-materialized). */
+    * indexed payload, ties to the lowest pk — the dd_cluster_keepers
+    * policy; ivf payloads are fixed-width, so there the lowest pk wins).
+    * Clusters = connected components over the exact-measure-verified
+    * lsh/simhash/ivf index candidates: the SAME funnel SHOW DEDUP
+    * reports, so SHOW DEDUP is the dry run and DEDUP the commit.
+    * Lowered through the set-oriented `Tx.deleteRows` (file-granular
+    * COW — rewrite cost ∝ files holding losers, nothing
+    * driver-materialized). */
   final case class DedupContainer(container: String, ix: Option[String],
       threshold: Option[Double] = None) extends Stmt
 

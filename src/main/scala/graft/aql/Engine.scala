@@ -2189,53 +2189,66 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     val d = catalog.get(container)
     val pk = d.primaryKey
     val defs = catalog.indexDefs(container)
-      .filter(x => x.kind == "lsh" || x.kind == "simhash")
+      .filter(x => x.kind == "lsh" || x.kind == "simhash" || x.kind == "ivf")
     val idef = ixOpt match {
       case Some(n) => defs.find(_.ix == n).getOrElse(throw new ParseException(
-        s"No lsh/simhash index '$n' on '$container'"))
+        s"No lsh/simhash/ivf index '$n' on '$container'"))
       case None => defs match {
         case Seq(one) => one
         case Seq() => throw new ParseException(
-          s"$what needs an lsh or simhash index on '$container' " +
-            "(CREATE INDEX … USING lsh|simhash)")
+          s"$what needs an lsh, simhash, or ivf index on '$container' " +
+            "(CREATE INDEX … USING lsh|simhash|ivf)")
         case many => throw new ParseException(
-          s"'$container' has ${many.size} band indexes " +
+          s"'$container' has ${many.size} candidate indexes " +
             s"(${many.map(_.ix).mkString(", ")}) — pick one with USING")
       }
     }
     // verify threshold: the exact measure ≥ t. lsh defaults to the
     // curation lane's Jaccard 0.2; simhash to 29/32 (Hamming ≤ 3, the
-    // pigeonhole recall bound of the 4-band index layout)
-    val thr = thrOpt.getOrElse(if (idef.kind == "lsh") 0.2 else 29.0 / 32.0)
+    // pigeonhole recall bound of the 4-band index layout); ivf to
+    // cosine 0.99 (the ANN ingest gate's near-dup default)
+    val thr = thrOpt.getOrElse(idef.kind match {
+      case "lsh" => 0.2
+      case "simhash" => 29.0 / 32.0
+      case _ => 0.99
+    })
     // AT VERSION: every version owns its index parts, so the funnel
     // time-travels like any lookup — index rows AND the verify snapshot
     // both read the requested committed version
     atVersion.foreach(v =>
       if (!catalog.versions(container).contains(v))
         throw new ParseException(s"No committed version $v on '$container'"))
-    val ix = graft.catalog.Index.read(catalog, container, idef, atVersion)
-      .select(col("id"), col("band"), col("bk"))
-    // band-bucket candidate pairs, deduplicated across bands — the
-    // fixture lane's pinned shuffle-hash shape (TextDedup.lshPairs):
+    // bucket candidate pairs, deduplicated — the fixture lane's pinned
+    // shuffle-hash shape (TextDedup.lshPairs / sim_cell_neardup_pairs):
     // identical subtrees collapse to ONE ReusedExchange, and at corpus
-    // scale the estimates rule out broadcast anyway
+    // scale the estimates rule out broadcast anyway. Band kinds bucket
+    // on (band, bk); ivf on the cell id — never all-pairs either way.
+    val ixRead = graft.catalog.Index.read(catalog, container, idef, atVersion)
+    val ix =
+      if (idef.kind == "ivf") ixRead.select(col("id"), col("cluster"))
+      else ixRead.select(col("id"), col("band"), col("bk"))
     val a = ix.as("a")
     val b = ix.as("b")
-    val pairs = a.hint("shuffle_hash").join(b,
-        col("a.band") === col("b.band") && col("a.bk") === col("b.bk")
-          && col("a.id") < col("b.id"))
+    val pairCond =
+      if (idef.kind == "ivf")
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id")
+      else col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+        col("a.id") < col("b.id")
+    val pairs = a.hint("shuffle_hash").join(b, pairCond)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // the snapshot the index covers (the requested committed version —
-    // a staged, uncommitted row has no index rows yet, like SIMILAR)
+    // a staged, uncommitted row has no index rows yet, like SIMILAR).
+    // `text` is the indexed payload: TEXT for band kinds, packed-float32
+    // BYTES for ivf — md5/length work on both.
     val docsDf = (atVersion match {
       case Some(v) => catalog.readVersion(container, v)
       case None => catalog.read(container)
     }).select(col(pk).as("doc_id"), col(idef.column).as("text"))
     // exact-measure verification over the CANDIDATE pairs only — the
-    // corpus join fetches just the pair ids' text/signature; the verify
-    // measure comes from TextDedup, the ONE definition the fixture lane
-    // and SIMILAR … SCORED share
+    // corpus join fetches just the pair ids' payload; each measure has
+    // ONE definition (TextDedup for the band kinds, the codegen'd cosine
+    // for ivf — the same expression SCORED and the ANN gate verify with)
     val verified = idef.kind match {
       case "lsh" =>
         import graft.operators.TextDedup.{jaccardSim, withShingles}
@@ -2245,7 +2258,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           .join(sh.select(col("doc_id").as("id_b"), col("sg").as("sg_b")), Seq("id_b"))
           .filter(jaccardSim(col("sg_a"), col("sg_b")) >= thr)
           .select(col("id_a"), col("id_b"))
-      case _ =>
+      case "simhash" =>
         import graft.operators.TextDedup.{simhashSim, withSimhash}
         val sh = withSimhash(docsDf, Seq("doc_id"))
           .select(col("doc_id"), col("simhash"))
@@ -2253,6 +2266,18 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           .join(sh.select(col("doc_id").as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
           .join(sh.select(col("doc_id").as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
           .filter(simhashSim(col("sh_a"), col("sh_b")) >= thr)
+          .select(col("id_a"), col("id_b"))
+      case _ =>
+        // exact cosine over the snapshot payloads (a NULL cosine — zero
+        // norm or undecodable payload — verifies nothing, like the gate)
+        import graft.functions.CosineSimilarity.cosineSim
+        import graft.functions.Float32Unpack.float32Unpack
+        val pl = docsDf
+        pairs
+          .join(pl.select(col("doc_id").as("id_a"), col("text").as("pl_a")), Seq("id_a"))
+          .join(pl.select(col("doc_id").as("id_b"), col("text").as("pl_b")), Seq("id_b"))
+          .filter(cosineSim(float32Unpack(col("pl_a")),
+            float32Unpack(col("pl_b"))) >= thr)
           .select(col("id_a"), col("id_b"))
     }
     BandFunnel(idef, thr, pairs, docsDf, verified)
@@ -2268,7 +2293,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     val cand = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as("v"))
       .agg(countDistinct(col("v")).as("candidate_docs"))
-    note(s"show dedup: ${idef.kind} index '${idef.ix}' band self-join → " +
+    note(s"show dedup: ${idef.kind} index '${idef.ix}' bucket self-join → " +
       f"exact-measure verify (threshold $thr%.6f) → pointer-jumping " +
       "clusters; all-aggregate 1-row dimensions cross-joined")
     // EXPLAIN stays plan-only: the cluster stage is an EAGER driver loop

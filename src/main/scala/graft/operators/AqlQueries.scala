@@ -392,13 +392,22 @@ object AqlQueries {
       ivfIds.foreach(i => ivfRows.add(
         org.apache.spark.sql.Row(i, graft.functions.Float32Unpack.pack(
           (0 until 8).map(a => if (a == (i % 8).toInt) 1f else 0f)))))
-      eng.catalog.overwrite("docs_ivf", spark.createDataFrame(ivfRows,
+      val ivfDf = spark.createDataFrame(ivfRows,
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("doc_id",
             org.apache.spark.sql.types.LongType, nullable = false),
           org.apache.spark.sql.types.StructField("emb",
-            org.apache.spark.sql.types.BinaryType, nullable = false)))))
+            org.apache.spark.sql.types.BinaryType, nullable = false))))
+      eng.catalog.overwrite("docs_ivf", ivfDf)
       eng.execute("CREATE INDEX ann ON docs_ivf ['emb'] USING ivf")
+      // vector-dedup apply container: the same one-hot corpus, ivf
+      // indexed, then DEDUP'd at setup — same-cell members carry
+      // IDENTICAL vectors (cosine 1.0 ≥ the 0.99 default), so each
+      // axis cell keeps exactly its lowest pk
+      eng.execute("CREATE CONTAINER docs_ivd ['doc_id','emb'] [BIGINT, MEDIUM-BYTES]")
+      eng.catalog.overwrite("docs_ivd", ivfDf)
+      eng.execute("CREATE INDEX ann ON docs_ivd ['emb'] USING ivf")
+      eng.execute("DEDUP docs_ivd USING ann")
       // join-reorder fixtures: a doc-sized mid container and a
       // lang-sized small one, both ANALYZEd — the pessimally-written
       // chain in `aql_join_reorder` (big build first) reorders
@@ -1409,6 +1418,39 @@ object AqlQueries {
     Q("aql_show_dedup_v1",
       AqlQueries.duckLshFunnel(where = Some("doc_id < 10"))) { (s, dir) =>
       search("SHOW DEDUP docs_ft AT VERSION 1 USING nd")(s, dir)
+    },
+
+    // ...the funnel serves the VECTOR corpus too (round 13): candidates
+    // from the ivf index's cells, verified by exact cosine ≥ 0.99 —
+    // docs_ivf's one-hot fixed point makes every stage declaratively
+    // recomputable (cells = axes, same-axis vectors byte-identical, so
+    // exact = candidates = verified = multi-member-axis membership).
+    Q("aql_show_dedup_ivf",
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id <= 64),
+        |grp AS (SELECT doc_id % 8 AS axis, count(*) AS n FROM ids GROUP BY axis)
+        |SELECT CAST((SELECT count(*) FROM ids) AS BIGINT) AS n_docs,
+        |       CAST((SELECT COALESCE(sum(n), 0) FROM grp WHERE n > 1) AS BIGINT)
+        |         AS exact_dup_docs,
+        |       CAST((SELECT COALESCE(sum(n), 0) FROM grp WHERE n > 1) AS BIGINT)
+        |         AS candidate_docs,
+        |       CAST((SELECT COALESCE(sum(n), 0) FROM grp WHERE n > 1) AS BIGINT)
+        |         AS verified_dup_docs,
+        |       CAST((SELECT count(*) FROM grp WHERE n > 1) AS BIGINT) AS n_clusters,
+        |       CAST((SELECT COALESCE(sum(n), 0) FROM grp WHERE n > 1)
+        |            - (SELECT count(*) FROM grp WHERE n > 1) AS BIGINT)
+        |         AS near_dup_removals""".stripMargin) { (s, dir) =>
+      search("SHOW DEDUP docs_ivf USING ann")(s, dir)
+    },
+
+    // ...and DEDUP applies the vector decision: each axis cell keeps its
+    // lowest pk (fixed-width payloads tie on length, pk breaks it) —
+    // the embedding-corpus curation commit in one statement.
+    Q("aql_dedup_apply_ivf",
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id <= 64),
+        |keepers AS (SELECT min(doc_id) AS k FROM ids GROUP BY doc_id % 8)
+        |SELECT doc_id FROM ids WHERE doc_id IN (SELECT k FROM keepers)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      search("SEARCH [doc_id] ON docs_ivd")(s, dir)
     },
 
     // DEDUP (round 13): the funnel's decision APPLIED — one statement
