@@ -117,6 +117,18 @@ object Ast {
     * order. Atomic — publishes its own version (see `Tx.mergeRows`). */
   final case class MergeRows(container: String, colNames: List[String],
       query: Search) extends Stmt
+  /** graft extension (round 13): set-oriented pk delete — `DELETE ROWS
+    * (SEARCH …) ON c` removes every committed row whose pk appears in
+    * the subquery's FIRST output column, as ONE atomic published
+    * version (`Tx.deleteRows` — the removal dual of MERGE ROWS, the
+    * same file-granular COW decomposition: only files holding a
+    * matching pk rewrite). Misses are ignored (delete semantics); an
+    * all-miss statement publishes no version. The relational way to
+    * apply any computed removal list — a quality filter, a
+    * decontamination hit list, a custom dedup policy — without
+    * row-at-a-time DELETE ROW statements. */
+  final case class DeleteRows(container: String, query: Search) extends Stmt
+
   final case class EditRow(container: String, colNames: List[String],
       values: List[Token], where: Where) extends Stmt
   final case class DeleteRow(container: String, where: Option[Where]) extends Stmt
@@ -1061,6 +1073,15 @@ object Parser {
       EditRow(name(containerTok), cols, valsG.items, parseWhere(rest))
 
     // DELETE ROW ON container [WHERE …] (parser.rs:397-531)
+    // DELETE ROWS (SEARCH …) ON container (graft extension, round 13):
+    // set-oriented pk delete — the removal dual of MERGE ROWS
+    case Keyword("DELETE") :: Keyword("ROWS") :: SubCommand(sub) :: Keyword("ON") :: containerTok :: Nil =>
+      fromTokens(sub) match {
+        case s: Search => DeleteRows(name(containerTok), s)
+        case other => throw new ParseException(
+          s"DELETE ROWS expects a (SEARCH …) subquery, got $other")
+      }
+
     case Keyword("DELETE") :: Keyword("ROW") :: Keyword("ON") :: containerTok :: Nil =>
       DeleteRow(name(containerTok), None)
     case Keyword("DELETE") :: Keyword("ROW") :: Keyword("ON") :: containerTok :: Keyword("WHERE") :: rest =>

@@ -274,6 +274,20 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       tx.mergeRows(container, src)
       Done(s"merged into $container (version ${catalog.currentVersion(container)})")
 
+    case Ast.DeleteRows(container, q) =>
+      requireNotView(container, "its content")
+      val d = catalog.get(container)
+      val (pkName, pkType) = d.columns.head
+      val src = lowerSearch(q)
+      // the subquery's FIRST output column carries the pk values, cast
+      // through the container's declared pk type (positional, the MERGE
+      // ROWS column-mapping convention); misses are ignored and an
+      // all-miss statement publishes no version (Tx.deleteRows)
+      val keys = src.select(col(src.columns.head).cast(pkType.spark).as(pkName))
+      tx.deleteRows(container, keys)
+      Done(s"deleted matching rows from $container " +
+        s"(version ${catalog.currentVersion(container)})")
+
     case Ast.EditRow(container, cols, values, where) =>
       requireNotView(container, "its content")
       val d = catalog.get(container)

@@ -319,6 +319,12 @@ object AqlQueries {
       // mixed projection lowers plain-then-computed → cols follow that order
       eng.execute("MERGE ROWS ['n_chars','doc_id'] " +
         "(SEARCH [doc_id + 900100, n_chars] ON documents WHERE doc_id < 5) ON docs_blk")
+      // set-oriented DELETE ROWS (round 13): a COMPUTED removal list
+      // applied as one atomic commit — the quality-filter shape (drop
+      // every long doc), the removal dual of the MERGE ROWS bulk upsert
+      eng.execute("CREATE CONTAINER docs_dr ['doc_id','n_chars'] [BIGINT, BIGINT]")
+      eng.catalog.overwrite("docs_dr", docs)
+      eng.execute("DELETE ROWS (SEARCH [doc_id] ON documents WHERE n_chars > 400) ON docs_dr")
       // full-text container: the text index is created over a PARTIAL
       // first version, then the full fixture lands through a second
       // commit — so the oracle-checked MATCH result below also proves the
@@ -991,6 +997,16 @@ object AqlQueries {
         |FROM documents WHERE doc_id < 5
         |ORDER BY doc_id, n_chars""".stripMargin) {
       (s, dir) => search("SEARCH [] ON docs_blk")(s, dir)
+    },
+
+    // DELETE ROWS (graft extension, round 13): the set-oriented pk
+    // delete — a computed removal list (every doc over 400 chars)
+    // applied in ONE atomic COW commit; the oracle reconstructs the
+    // kept set declaratively.
+    Q("aql_delete_rows",
+      """SELECT doc_id, n_chars FROM documents WHERE n_chars <= 400
+        |ORDER BY doc_id, n_chars""".stripMargin) {
+      (s, dir) => search("SEARCH [] ON docs_dr")(s, dir)
     },
 
     // MATCH (graft extension): BM25 full-text search through the full AQL

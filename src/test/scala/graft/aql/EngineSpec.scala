@@ -901,6 +901,28 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       eng.execute("CREATE INDEX x ON idocs ['body'] USING btree"))
   }
 
+  test("51 DELETE ROWS: set-oriented pk delete — misses ignored, no-op burns no version") {
+    eng.execute("CREATE CONTAINER drw ['id','v'] [BIGINT, BIGINT]")
+    (1 to 4).foreach(i =>
+      eng.execute(s"CREATE ROW ['id','v'] [$i, ${i * 10}] ON drw"))
+    eng.execute("COMMIT drw")
+    val v1 = eng.catalog.currentVersion("drw")
+    eng.execute("DELETE ROWS (SEARCH [id] ON drw WHERE v >= 30) ON drw")
+    assert(searchRows("SEARCH [id] ON drw").map(_.getLong(0)).sorted == Seq(1L, 2L))
+    assert(eng.catalog.currentVersion("drw") == v1 + 1,
+      "the removal is ONE atomic published version")
+    // the (now-empty) removal list is an all-miss: nothing publishes
+    eng.execute("DELETE ROWS (SEARCH [id] ON drw WHERE v >= 30) ON drw")
+    assert(eng.catalog.currentVersion("drw") == v1 + 1,
+      "an all-miss delete must not burn a version")
+    // staged ops refuse (immediate set-oriented op, like MERGE ROWS)
+    eng.execute("CREATE ROW ['id','v'] [9, 90] ON drw")
+    intercept[IllegalArgumentException](
+      eng.execute("DELETE ROWS (SEARCH [id] ON drw) ON drw"))
+    eng.execute("ROLLBACK drw")
+    eng.execute("DELETE CONTAINER drw")
+  }
+
   test("35 unversioned external-data containers refuse MERGE ROWS/IMPORT/CLONE loudly") {
     eng.execute("CREATE CONTAINER extd ['id'] [BIGINT]")
     // simulate the legacy external layout: rows under dataPath, version 0

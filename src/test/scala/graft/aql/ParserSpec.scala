@@ -599,6 +599,14 @@ class ParserSpec extends AnyFunSuite {
       .asInstanceOf[Explain].query.isInstanceOf[ShowDedup])
   }
 
+  test("DELETE ROWS parses a (SEARCH …) subquery onto a container") {
+    val s = Parser.parse("DELETE ROWS (SEARCH [id] ON a WHERE v > 3) ON c")
+      .asInstanceOf[DeleteRows]
+    assert(s.container == "c" && s.query.projection == List("id"))
+    intercept[ParseException](Parser.parse("DELETE ROWS (COMMIT x) ON c"))
+    intercept[ParseException](Parser.parse("DELETE ROWS (SEARCH [id] ON a) ON c EXTRA"))
+  }
+
   test("DEDUP (apply) parses the shared USING/THRESHOLD knobs") {
     assert(Parser.parse("DEDUP docs") == DedupContainer("docs", None, None))
     assert(Parser.parse("DEDUP docs USING nd THRESHOLD 0.5")
