@@ -384,11 +384,11 @@ object Ast {
         * ranked by the verify-stage measure in one statement). */
       scored: Boolean = false) extends Stmt
   /** graft extension (round 13): hybrid-retrieval rank fusion —
-    * `FUSE [(MATCH …), (SIMILAR …)] [K k] [LIMIT n]` combines two or
-    * more RANKED retrieval sides over one pk domain with Reciprocal
-    * Rank Fusion (Cormack, Clarke & Buettcher 2009, public):
-    * rrf(pk) = Σ_sides 1/(k + rank_side(pk)), k defaulting to the
-    * paper's 60. Sides are the statements that already produce a
+    * `FUSE [(MATCH …), (SIMILAR …)] [WEIGHTS [w…]] [K k] [LIMIT n]`
+    * combines two or more RANKED retrieval sides over one pk domain
+    * with Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009,
+    * public): rrf(pk) = Σ_sides w_i/(k + rank_side(pk)), k defaulting
+    * to the paper's 60 and weights to 1.0. Sides are the statements that already produce a
     * deterministic ranking — MATCH (bm25 desc, pk) and SIMILAR … SCORED
     * (score desc, pk); an unscored SIMILAR has no rank to fuse and is
     * rejected at lowering. The canonical modern retrieval default:
@@ -1143,8 +1143,10 @@ object Parser {
     case Keyword("SHOW") :: Str(w) :: cTok :: rest if w.equalsIgnoreCase("DEDUP") =>
       val (at, afterAt) = rest match {
         case Keyword("AT") :: Keyword("VERSION") :: IntLit(v) :: tl =>
-          if (v < 1) throw new ParseException(
-            "SHOW DEDUP AT VERSION must be >= 1")
+          // no silent toInt wrap (the RESTORE/CHANGES stance): an
+          // overflowing literal would report whichever version it lands on
+          if (v < 1 || v > Int.MaxValue) throw new ParseException(
+            s"SHOW DEDUP AT VERSION must be in [1, ${Int.MaxValue}], got $v")
           (Some(v.toInt), tl)
         case Keyword("AT") :: _ =>
           throw new ParseException("Expected `AT VERSION <n>` in SHOW DEDUP")

@@ -284,9 +284,10 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       // ROWS column-mapping convention); misses are ignored and an
       // all-miss statement publishes no version (Tx.deleteRows)
       val keys = src.select(col(src.columns.head).cast(pkType.spark).as(pkName))
-      tx.deleteRows(container, keys)
-      Done(s"deleted matching rows from $container " +
-        s"(version ${catalog.currentVersion(container)})")
+      if (tx.deleteRows(container, keys))
+        Done(s"deleted matching rows from $container " +
+          s"(version ${catalog.currentVersion(container)})")
+      else Done(s"no matching rows on $container — nothing deleted")
 
     case Ast.EditRow(container, cols, values, where) =>
       requireNotView(container, "its content")
@@ -528,9 +529,13 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       // short to band (no shingles) are outside the index's reach and
       // never removed — the statement's scope is the index's scope.
       requireNotView(dd.container, "its content")
-      // refuse staged ops UPFRONT (before any funnel work) — the
-      // deleteRows require would only fire when clusters exist, and a
-      // statement whose refusal depends on the data is a trap
+      // refuse staged ops AND unversioned external data UPFRONT (before
+      // any funnel work) — the deleteRows guards would only fire when
+      // clusters exist, and a statement whose refusal depends on the
+      // data is a trap (a v0 external corpus would otherwise report a
+      // clean "nothing removed" because its index reads empty)
+      catalog.get(dd.container)
+      catalog.requireVersioned(dd.container, "DEDUP")
       if (tx.hasStaged(dd.container))
         throw new IllegalArgumentException(
           s"DEDUP on '${dd.container}' with staged ops — COMMIT or " +
@@ -551,10 +556,13 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           .withColumn("_dd_rn", row_number().over(w))
           .filter(col("_dd_rn") > 1)
           .select(col("v"))
-        tx.deleteRows(dd.container, losers)
-        Done(s"deduped ${dd.container}: removed ${members - clusters} " +
-          s"near-dup doc(s) across $clusters cluster(s), keeper = longest " +
-          s"${f.idef.column} (version ${catalog.currentVersion(dd.container)})")
+        if (tx.deleteRows(dd.container, losers))
+          Done(s"deduped ${dd.container}: removed ${members - clusters} " +
+            s"near-dup doc(s) across $clusters cluster(s), keeper = longest " +
+            s"${f.idef.column} (version ${catalog.currentVersion(dd.container)})")
+        else // a concurrent commit removed every loser first — honest no-op
+          Done(s"dedup ${dd.container}: the ${members - clusters} loser " +
+            "doc(s) were already absent — nothing removed")
       }
 
     case Ast.Export(c, path, fmt, atVersion) =>
@@ -2286,10 +2294,9 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         // norm or undecodable payload — verifies nothing, like the gate)
         import graft.functions.CosineSimilarity.cosineSim
         import graft.functions.Float32Unpack.float32Unpack
-        val pl = docsDf
         pairs
-          .join(pl.select(col("doc_id").as("id_a"), col("text").as("pl_a")), Seq("id_a"))
-          .join(pl.select(col("doc_id").as("id_b"), col("text").as("pl_b")), Seq("id_b"))
+          .join(docsDf.select(col("doc_id").as("id_a"), col("text").as("pl_a")), Seq("id_a"))
+          .join(docsDf.select(col("doc_id").as("id_b"), col("text").as("pl_b")), Seq("id_b"))
           .filter(cosineSim(float32Unpack(col("pl_a")),
             float32Unpack(col("pl_b"))) >= thr)
           .select(col("id_a"), col("id_b"))

@@ -467,10 +467,26 @@ final class Tx(catalog: Catalog) {
     catalog.tryCommitCow(c, base, kept, Some(rewrite))
   }
 
+  /** True iff `container` has staged, uncommitted ops — the upfront
+    * guard for immediate set-oriented statements (DEDUP refuses before
+    * doing any funnel work, the same stance MERGE ROWS' own require
+    * takes before matching). */
+  def hasStaged(container: String): Boolean = log(container).nonEmpty
+
   /** DELETE ROWS — set-oriented pk delete, the removal dual of
     * [[mergeRows]] (graft extension; the surface the DEDUP statement's
     * curation decision applies through): every committed row whose pk
     * appears in `pks` is removed in ONE atomic published version.
+    * Returns true iff a version was PUBLISHED — an all-miss call
+    * publishes nothing and returns false, so callers report the no-op
+    * honestly instead of claiming a deletion.
+    *
+    * The pk set is frozen ONCE at entry (eager localCheckpoint): the
+    * statement's effect is its at-entry evaluation even across CAS
+    * retries — the MERGE ROWS snapshot-semantics stance (a concurrent
+    * commit serializes as happening AFTER this statement's read) — and
+    * an expensive removal subquery (a dedup funnel, a corpus-wide
+    * quality join) computes once instead of twice per attempt.
     *
     * File-granular COW like MERGE ROWS: touched files = base files
     * holding a matching pk (one semi-join against the pushed-down
@@ -482,40 +498,40 @@ final class Tx(catalog: Catalog) {
     * driver, so a 30%-of-corpus dedup removal is as valid as a point
     * delete. Atomic and immediate (same CAS claim protocol as COMMIT;
     * no staging — the effect depends on what it matches). pks with no
-    * committed twin are ignored (delete semantics, not an error); an
-    * all-miss call publishes NO new version.
+    * committed twin are ignored (delete semantics, not an error).
     */
-  /** True iff `container` has staged, uncommitted ops — the upfront
-    * guard for immediate set-oriented statements (DEDUP refuses before
-    * doing any funnel work, the same stance MERGE ROWS' own require
-    * takes before matching). */
-  def hasStaged(container: String): Boolean = log(container).nonEmpty
-
-  def deleteRows(container: String, pks: DataFrame): Unit = {
+  def deleteRows(container: String, pks: DataFrame): Boolean = {
     val d = catalog.get(container)
     val pk = d.primaryKey
     require(log(container).isEmpty,
       s"DELETE ROWS on '$container' with staged ops — COMMIT or ROLLBACK first")
     catalog.requireVersioned(container, "DELETE ROWS")
-    if (catalog.currentVersion(container) == 0) return // nothing committed
+    if (catalog.currentVersion(container) == 0) return false // nothing committed
     val keys = pks.select(pks(pks.columns.head).as(pk)).distinct()
-    commitLoop(container, "DELETE ROWS")(base =>
-      deleteRowsOnce(container, base, d, keys))
-    postCommitMaintenance(container)
+      .localCheckpoint(true)
+    var published = false
+    commitLoop(container, "DELETE ROWS") { base =>
+      deleteRowsOnce(container, base, d, keys) match {
+        case None => true // every pk missed: converged without publishing
+        case Some(ok) => if (ok) published = true; ok
+      }
+    }
+    if (published) postCommitMaintenance(container)
+    published
   }
 
-  /** One DELETE ROWS attempt against `base`. Returns true WITHOUT
-    * publishing when no base file holds a matching pk (a no-op delete
-    * must not burn a version). */
+  /** One DELETE ROWS attempt against `base`: None = no base file holds
+    * a matching pk (a no-op delete must not burn a version);
+    * Some(committed) otherwise. */
   private def deleteRowsOnce(c: String, base: Int, d: Catalog#ContainerDef,
-      keys: DataFrame): Boolean = {
+      keys: DataFrame): Option[Boolean] = {
     val pk = d.primaryKey
     val baseFiles = catalog.versionFiles(c, base)
     val touched: Set[String] = catalog.readVersionTagged(c, base)
       .join(keys, Seq(pk), "left_semi")
       .select(col("__src_file"))
       .distinct().collect().map(_.getString(0)).toSet
-    if (touched.isEmpty) return true // every pk missed: nothing to publish
+    if (touched.isEmpty) return None
     val kept = baseFiles.filterNot(f => touched(f.getFileName.toString))
     val paths = baseFiles.filter(f => touched(f.getFileName.toString))
       .map(_.toString)
@@ -523,7 +539,7 @@ final class Tx(catalog: Catalog) {
       .join(keys, Seq(pk), "left_anti")
       .select(d.schema.map(f => col(f.name)): _*)
       .sortWithinPartitions(pk)
-    catalog.tryCommitCow(c, base, kept, Some(rewritten))
+    Some(catalog.tryCommitCow(c, base, kept, Some(rewritten)))
   }
 
   /** One commit attempt against `base`: decompose the fold per-file so the

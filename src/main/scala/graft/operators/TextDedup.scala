@@ -944,7 +944,8 @@ object TextDedup {
     // diameters past 10^6, where plain propagation needs diameter rounds
     // (the same doubling idea as the star operations in Kiveris et al.
     // 2014, "Connected Components in MapReduce and Beyond"). Convergence
-    // is the monotone label-sum invariant, one tiny agg action per round.
+    // is a no-assignment-changed anti-join probe over the label table
+    // (typed — works for TEXT pks too), one small action per round.
     // Each round is localCheckpoint'ed (eager): that truncates lineage —
     // persist() alone would not — and the superseded round's blocks are
     // dropped by the ContextCleaner once unreferenced, so nothing leaks in
@@ -1623,9 +1624,16 @@ object TextDedup {
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("l")).localCheckpoint(true)
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("l")), lit(0L))).head.getLong(0)
-    var prev = labelSum(labels)
+    // convergence = NO (v, l) assignment changed this round — a typed
+    // anti-join existence probe over the (small, near-dup-graph-sized)
+    // label table. Labels only ever decrease, so next ≡ labels is the
+    // fixpoint. (An earlier label-SUM invariant was numeric-only: a
+    // TEXT-pk container — legal, the band kinds constrain only the
+    // indexed column — crashed Sum under ANSI, and with ANSI off summed
+    // strings to NULL and declared convergence after ONE round,
+    // mislabeling any chain deeper than a single hop.)
+    def changed(next: DataFrame): Boolean = next
+      .join(labels, Seq("v", "l"), "left_anti").limit(1).count() > 0
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
@@ -1638,10 +1646,8 @@ object TextDedup {
         .select(labels("v"),
           least(labels("l"), coalesce(col("nl"), labels("l")), col("jl")).as("l"))
         .localCheckpoint(true)
-      val cur = labelSum(next)
+      converged = !changed(next)
       labels = next
-      converged = cur == prev
-      prev = cur
       rounds += 1
     }
     require(converged, s"label propagation did not converge in $rounds rounds")

@@ -24,6 +24,24 @@ class GraphPropertySpec extends AnyFunSuite {
     assert(labels.forall(_._2 == 0L), "every chain vertex must take label 0")
   }
 
+  test("TEXT-labeled chains converge correctly (convergence must not assume numeric labels)") {
+    // a TEXT-pk container is legal for the dedup surfaces (the band
+    // kinds constrain only the indexed column), so component labels can
+    // be strings. The former label-SUM convergence check crashed Sum
+    // under ANSI (and with ANSI off summed strings to NULL, declaring
+    // convergence after ONE round — any chain deeper than a hop
+    // mislabeled). The anti-join check is typed: a 6-node string chain
+    // must fully collapse to its lexicographic minimum.
+    import spark.implicits._
+    val chain = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e", "e" -> "f")
+      .toDF("id_a", "id_b")
+    val labels = TextDedup.connectedComponents(chain).collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    assert(labels.length == 6)
+    assert(labels.forall(_._2 == "a"),
+      s"every chain vertex must take label 'a', got ${labels.toSeq.sorted}")
+  }
+
   test("random graphs match a union-find reference") {
     import spark.implicits._
     for (trial <- 1 to 6) {
