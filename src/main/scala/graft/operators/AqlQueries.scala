@@ -81,6 +81,22 @@ object AqlQueries {
        |FROM tot, exdup, cand, vm""".stripMargin
   }
 
+  /** The band SIMILAR … SCORED recompute for an lsh pk probe as one
+    * standalone DuckDB statement — (doc_id, score) by exact 3-gram
+    * Jaccard, score-desc/pk-asc, LIMIT-bounded. Shared by
+    * aql_similar_scored_lsh and the 3-way FUSE oracle. */
+  private[operators] def duckLshScoredSql(pk: Long, limit: Int): String =
+    s"""${TextDedup.duckLshPairs},
+       |cands AS (SELECT id_b AS doc_id FROM pairs WHERE id_a = $pk
+       |          UNION SELECT id_a FROM pairs WHERE id_b = $pk)
+       |SELECT c.doc_id,
+       |       round(CAST(len(list_intersect(sc.sg, sq.sg)) AS DOUBLE)
+       |             / len(list_distinct(list_concat(sc.sg, sq.sg))), 6) AS score
+       |FROM cands c
+       |JOIN shing sc ON sc.doc_id = c.doc_id
+       |JOIN shing sq ON sq.doc_id = $pk
+       |ORDER BY score DESC, c.doc_id LIMIT $limit""".stripMargin
+
   /** The PROBE-2 literal-vector SIMILAR … SCORED recompute as one
     * standalone DuckDB statement — (doc_id, score) score-desc/pk-asc,
     * LIMIT-bounded. Shared by aql_similar_vector_scored and the FUSE
@@ -1217,16 +1233,7 @@ object AqlQueries {
     // list_distinct(list_concat), the set semantics Spark's
     // array_intersect/array_union use).
     Q("aql_similar_scored_lsh",
-      s"""${TextDedup.duckLshPairs},
-         |cands AS (SELECT id_b AS doc_id FROM pairs WHERE id_a = 45
-         |          UNION SELECT id_a FROM pairs WHERE id_b = 45)
-         |SELECT c.doc_id,
-         |       round(CAST(len(list_intersect(sc.sg, sq.sg)) AS DOUBLE)
-         |             / len(list_distinct(list_concat(sc.sg, sq.sg))), 6) AS score
-         |FROM cands c
-         |JOIN shing sc ON sc.doc_id = c.doc_id
-         |JOIN shing sq ON sq.doc_id = 45
-         |ORDER BY score DESC, c.doc_id LIMIT 10""".stripMargin) { (s, dir) =>
+      AqlQueries.duckLshScoredSql(45, 10)) { (s, dir) =>
       search("SIMILAR 45 ON docs_ft USING nd LIMIT 10 SCORED")(s, dir)
     },
 
@@ -1412,6 +1419,38 @@ object AqlQueries {
         "(SIMILAR " + AqlQueries.aqlVec(AqlQueries.similarQueryVec2) +
         " ON docs_ivf USING ann PROBE 2 LIMIT 10 SCORED)] " +
         "WEIGHTS [0.7, 0.3] LIMIT 15")(s, dir)
+    },
+
+    // THREE-way fusion (round 13): BM25 + exact-Jaccard band rerank +
+    // exact-cosine ivf rerank in one statement — pins the N>2 fusion
+    // arithmetic (the fixed-order sum folds left-to-right identically
+    // in both engines) and the cross-container pk-domain composition.
+    Q("aql_fuse_threeway",
+      s"""WITH bm AS (${FullText.duckBm25}),
+         |ls AS (${AqlQueries.duckLshScoredSql(45, 10)}),
+         |sc AS (${AqlQueries.duckVectorScoredSql(AqlQueries.similarQueryVec2, 10)}),
+         |bmr AS (SELECT doc_id,
+         |          row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_1 FROM bm),
+         |lsr AS (SELECT doc_id,
+         |          row_number() OVER (ORDER BY score DESC, doc_id) AS rank_2 FROM ls),
+         |scr AS (SELECT doc_id,
+         |          row_number() OVER (ORDER BY score DESC, doc_id) AS rank_3 FROM sc),
+         |t12 AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, a.rank_1, b.rank_2
+         |        FROM bmr a FULL JOIN lsr b ON a.doc_id = b.doc_id)
+         |SELECT COALESCE(t.doc_id, c.doc_id) AS doc_id,
+         |       round((CASE WHEN t.rank_1 IS NULL THEN 0.0
+         |               ELSE 1.0 / (60 + t.rank_1) END)
+         |           + (CASE WHEN t.rank_2 IS NULL THEN 0.0
+         |               ELSE 1.0 / (60 + t.rank_2) END)
+         |           + (CASE WHEN c.rank_3 IS NULL THEN 0.0
+         |               ELSE 1.0 / (60 + c.rank_3) END), 6) AS rrf,
+         |       t.rank_1, t.rank_2, c.rank_3
+         |FROM t12 t FULL JOIN scr c ON t.doc_id = c.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 25""".stripMargin) { (s, dir) =>
+      search("FUSE [(MATCH ['dup','vector','merge'] ON docs_ft), " +
+        "(SIMILAR 45 ON docs_ft USING nd LIMIT 10 SCORED), " +
+        "(SIMILAR " + AqlQueries.aqlVec(AqlQueries.similarQueryVec2) +
+        " ON docs_ivf USING ann PROBE 2 LIMIT 10 SCORED)] LIMIT 25")(s, dir)
     },
 
     // SHOW DEDUP (round 13): the dedup funnel report served from the
