@@ -498,6 +498,28 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(cat.read("vecs").count() == 25, "distinct vector must land")
   }
 
+  test("ivf SHOW DEDUP / DEDUP on nudged geometry: near-dups verify WITHOUT byte equality") {
+    // per-id nudges make every vector byte-distinct (exact_dup_docs = 0)
+    // while same-axis cosines stay ≈ 0.9999 — the funnel's verify stage
+    // must carry them, not the exact-dup stage: 24 docs, 8 axis cells of
+    // 3, all candidates verified, 16 removals implied
+    val (cat, dir) = ivfFixture("fnl")
+    cat.createIndex("vecs", "ann", "ivf", "e")
+    val eng = new graft.aql.Engine(spark, dir.toString)
+    val rep = eng.execute("SHOW DEDUP vecs USING ann")
+      .asInstanceOf[graft.aql.Engine.ResultSet].df.collect().head
+    assert((rep.getLong(0), rep.getLong(1), rep.getLong(2), rep.getLong(3),
+      rep.getLong(4), rep.getLong(5)) == ((24L, 0L, 24L, 24L, 8L, 16L)),
+      s"got $rep")
+    // ...and the applied dedup keeps each cell's lowest pk (fixed-width
+    // payloads tie on length, so the pk breaks it): exactly the 8 seeds
+    val msg = eng.execute("DEDUP vecs USING ann")
+      .asInstanceOf[graft.aql.Engine.Done].message
+    assert(msg.contains("removed 16") && msg.contains("8 cluster"), msg)
+    assert(cat.read("vecs").collect().map(_.getLong(0)).toSet
+      == (0L until 8L).toSet)
+  }
+
   test("ivf k knob: DDL-declared centroid count trains, serves, survives rebuild and SHOW CREATE") {
     val (cat, dir) = ivfFixture("kknob")
     val eng = new graft.aql.Engine(spark, dir.toString)
