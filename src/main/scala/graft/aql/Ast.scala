@@ -422,7 +422,14 @@ object Ast {
         * version owns its index parts, so the report time-travels like
         * every lookup): "what did the dedup state look like before the
         * last ingest". */
-      atVersion: Option[Int] = None) extends Stmt
+      atVersion: Option[Int] = None,
+      /** trailing `CLUSTERS` (round 13): the decision DETAIL view
+        * instead of the one-row summary — per-cluster (cluster_id,
+        * n_docs, keeper, keeper_len), the dd_cluster_keepers artifact:
+        * exactly what DEDUP would keep, from the SAME ranking
+        * derivation, so the dry-run detail and the applied removal can
+        * never disagree. */
+      clusters: Boolean = false) extends Stmt
 
   /** graft extension (round 13): APPLY the dedup decision — `DEDUP c
     * [USING ix] [THRESHOLD t]` removes, in ONE atomic published version,
@@ -1152,9 +1159,18 @@ object Parser {
           throw new ParseException("Expected `AT VERSION <n>` in SHOW DEDUP")
         case tl => (None, tl)
       }
-      val (ix, thr) = dedupKnobs(afterAt,
-        "SHOW DEDUP c [AT VERSION n] [USING ix] [THRESHOLD t]")
-      ShowDedup(name(cTok), ix, thr, at)
+      // trailing CLUSTERS flag (unreserved, like SCORED): the per-cluster
+      // decision detail instead of the one-row funnel summary
+      val (clustersFlag, knobToks) = afterAt.lastOption match {
+        case Some(Str(w2)) if w2.equalsIgnoreCase("CLUSTERS") &&
+            !(afterAt.length >= 2 &&
+              afterAt(afterAt.length - 2) == Keyword("USING")) =>
+          (true, afterAt.init)
+        case _ => (false, afterAt)
+      }
+      val (ix, thr) = dedupKnobs(knobToks,
+        "SHOW DEDUP c [AT VERSION n] [USING ix] [THRESHOLD t] [CLUSTERS]")
+      ShowDedup(name(cTok), ix, thr, at, clustersFlag)
 
     // DEDUP c [USING ix] [THRESHOLD t] (graft extension, round 13): the
     // funnel's decision APPLIED — remove every verified near-dup cluster

@@ -541,7 +541,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           s"DEDUP on '${dd.container}' with staged ops — COMMIT or " +
             "ROLLBACK first")
       val f = bandFunnel(dd.container, dd.ix, dd.threshold, None, "DEDUP")
-      val comp = graft.operators.TextDedup.connectedComponents(f.verified)
+      val (comp, ranked) = clusterRanking(f)
       val stats = comp.agg(count(lit(1)), countDistinct(col("l"))).head()
       val members = stats.getLong(0)
       val clusters = stats.getLong(1)
@@ -549,13 +549,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         Done(s"dedup ${dd.container}: no verified near-dup clusters — " +
           "nothing removed")
       else {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("l"))
-          .orderBy(length(col("text")).desc, col("v"))
-        val losers = comp.join(f.docsDf, col("v") === col("doc_id"))
-          .withColumn("_dd_rn", row_number().over(w))
-          .filter(col("_dd_rn") > 1)
-          .select(col("v"))
+        val losers = ranked.filter(col("_dd_rn") > 1).select(col("v"))
         if (tx.deleteRows(dd.container, losers))
           Done(s"deduped ${dd.container}: removed ${members - clusters} " +
             s"near-dup doc(s) across $clusters cluster(s), keeper = longest " +
@@ -2304,9 +2298,27 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     BandFunnel(idef, thr, pairs, docsDf, verified)
   }
 
+  /** Per-cluster keeper ranking over the funnel's verified graph:
+    * (comp = (v, l), ranked = comp ⋈ payload with `_dd_rn` — 1 for the
+    * keeper: longest payload, tie lowest pk, the dd_cluster_keepers
+    * policy). ONE derivation shared by the `SHOW DEDUP … CLUSTERS`
+    * detail view and the DEDUP removal, so the dry-run detail and the
+    * applied decision can never disagree. Eager (runs the
+    * pointer-jumping loop). */
+  private def clusterRanking(f: BandFunnel): (DataFrame, DataFrame) = {
+    val comp = graft.operators.TextDedup.connectedComponents(f.verified)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l"))
+      .orderBy(length(col("text")).desc, col("v"))
+    val ranked = comp.join(f.docsDf, col("v") === col("doc_id"))
+      .withColumn("_dd_rn", row_number().over(w))
+    (comp, ranked)
+  }
+
   private def showDedupDf(sd: Ast.ShowDedup, explainOnly: Boolean = false): DataFrame = {
-    val BandFunnel(idef, thr, pairs, docsDf, verified) =
-      bandFunnel(sd.container, sd.ix, sd.threshold, sd.atVersion, "SHOW DEDUP")
+    val f = bandFunnel(sd.container, sd.ix, sd.threshold, sd.atVersion,
+      "SHOW DEDUP")
+    val BandFunnel(idef, thr, pairs, docsDf, verified) = f
     val tot = docsDf.agg(count(lit(1)).as("n_docs"))
     val ex = docsDf.groupBy(md5(col("text")).as("h"))
       .agg(count(lit(1)).as("n")).filter(col("n") > 1)
@@ -2329,6 +2341,19 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         "stage (O(log diameter) eager pointer-jumping rounds) and three " +
         "1-row aggregate dimensions run only when the statement executes")
       return verified
+    }
+    // CLUSTERS (round 13): the decision DETAIL — per-cluster size,
+    // keeper, and keeper payload length, from the SAME ranking DEDUP
+    // applies (dd_cluster_keepers' AQL surface)
+    if (sd.clusters) {
+      val (comp, ranked) = clusterRanking(f)
+      val keepers = ranked.filter(col("_dd_rn") === 1)
+        .select(col("l"), col("v").as("keeper"),
+          length(col("text")).cast("long").as("keeper_len"))
+      val sizes = comp.groupBy(col("l")).agg(count(lit(1)).as("n_docs"))
+      return sizes.join(keepers, Seq("l"))
+        .select(col("l").as("cluster_id"), col("n_docs"),
+          col("keeper"), col("keeper_len"))
     }
     val comp = graft.operators.TextDedup.connectedComponents(verified)
     val vm = comp.agg(count(lit(1)).as("verified_dup_docs"),

@@ -1475,6 +1475,34 @@ object AqlQueries {
       search("SHOW DEDUP docs_ft AT VERSION 1 USING nd")(s, dir)
     },
 
+    // ...and CLUSTERS is the decision DETAIL (round 13): per-cluster
+    // size, keeper, and keeper payload length — the dd_cluster_keepers
+    // curation artifact from AQL, computed by the SAME ranking DEDUP
+    // applies. The oracle recomputes clusters + the longest-payload /
+    // lowest-pk keeper pick declaratively.
+    Q("aql_show_dedup_clusters",
+      s"""${TextDedup.duckJaccardCtes},
+         |verified AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+         |e AS (SELECT id_a AS a, id_b AS b FROM verified
+         |      UNION ALL SELECT id_b, id_a FROM verified),
+         |nodes AS (SELECT DISTINCT a AS v FROM e),
+         |walk(v, l) AS (
+         |  SELECT v, v FROM nodes
+         |  UNION
+         |  SELECT e.b, w.l FROM walk w JOIN e ON e.a = w.v),
+         |comp AS (SELECT v, min(l) AS l FROM walk GROUP BY v),
+         |ranked AS (SELECT c.l, c.v, length(d.text) AS len,
+         |             row_number() OVER (PARTITION BY c.l
+         |               ORDER BY length(d.text) DESC, c.v) AS rn
+         |           FROM comp c JOIN documents d ON d.doc_id = c.v),
+         |agg AS (SELECT l, count(*) AS n_docs FROM comp GROUP BY l)
+         |SELECT a.l AS cluster_id, a.n_docs, r.v AS keeper,
+         |       CAST(r.len AS BIGINT) AS keeper_len
+         |FROM agg a JOIN ranked r ON r.l = a.l AND r.rn = 1
+         |ORDER BY cluster_id""".stripMargin) { (s, dir) =>
+      search("SHOW DEDUP docs_ft USING nd CLUSTERS")(s, dir)
+    },
+
     // ...the funnel serves the VECTOR corpus too (round 13): candidates
     // from the ivf index's cells, verified by exact cosine ≥ 0.99 —
     // docs_ivf's one-hot fixed point makes every stage declaratively

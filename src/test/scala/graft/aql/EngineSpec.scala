@@ -1180,6 +1180,13 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(amb.getMessage.contains("USING"), amb.getMessage)
     // a text index never serves SHOW DEDUP
     intercept[ParseException](eng.execute("SHOW DEDUP ddc USING nope"))
+    // CLUSTERS: the decision detail — one cluster {1,2,4}, keeper 1
+    // (equal lengths, lowest pk), the SAME pick DEDUP would apply
+    val cl = searchRows("SHOW DEDUP ddc USING nd CLUSTERS")
+    assert(cl.size == 1 && cl.head.schema.fieldNames.toSeq ==
+      Seq("cluster_id", "n_docs", "keeper", "keeper_len"), s"got $cl")
+    assert((cl.head.getLong(0), cl.head.getLong(1), cl.head.getLong(2))
+      == ((1L, 3L, 1L)), s"got ${cl.head}")
     // AT VERSION: each version owns its index parts, so the funnel
     // time-travels — the pre-delete snapshot still reports 4 docs and
     // the 3-doc family, the current one the shrunken family

@@ -590,6 +590,16 @@ class ParserSpec extends AnyFunSuite {
       == ShowDedup("docs", Some("nd"), Some(0.5), Some(2)))
     intercept[ParseException](Parser.parse("SHOW DEDUP docs AT VERSION 0"))
     intercept[ParseException](Parser.parse("SHOW DEDUP docs AT 2"))
+    // trailing CLUSTERS flag (unreserved): the per-cluster detail view
+    assert(Parser.parse("SHOW DEDUP docs USING nd THRESHOLD 0.5 CLUSTERS")
+      == ShowDedup("docs", Some("nd"), Some(0.5), None, clusters = true))
+    assert(Parser.parse("SHOW DEDUP docs clusters")
+      == ShowDedup("docs", None, None, None, clusters = true))
+    // directly after USING the word names an INDEX (the SCORED stance)
+    assert(Parser.parse("SHOW DEDUP docs USING clusters")
+      == ShowDedup("docs", Some("clusters"), None, None))
+    assert(Parser.parse("SHOW DEDUP docs USING clusters CLUSTERS")
+      == ShowDedup("docs", Some("clusters"), None, None, clusters = true))
     intercept[ParseException](Parser.parse("SHOW DEDUP docs THRESHOLD 0"))
     intercept[ParseException](Parser.parse("SHOW DEDUP docs THRESHOLD 1.5"))
     intercept[ParseException](Parser.parse("SHOW DEDUP docs THRESHOLD 'x'"))
