@@ -224,11 +224,20 @@ class AqlServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (mc, mb) = post("SHOW OVERLAP [wfz AS corpus, " +
       "(SEARCH [doc_id] ON wfz WHERE doc_id < 2) AS probe] ON doc_id")
     assert(mc == 200 && mb.contains("\"corpus\",\"probe\""), mb)
+    // the decision DETAIL over the wire: one cluster {1,2}, keeper 1
+    val (clc, clb) = post("SHOW DEDUP wfz USING nd CLUSTERS")
+    assert(clc == 200 && clb.contains("\"rows\":[[1,2,1,"), clb)
     // the APPLIED dedup over the wire: docs 1/2 collapse to keeper 1
     val (adc, adb) = post("DEDUP wfz USING nd")
     assert(adc == 200 && adb.contains("removed 1"), adb)
     val (qc2, qb2) = post("SEARCH [doc_id] ON wfz")
     assert(qc2 == 200 && qb2.contains("\"rows\":[[1],[3]]"), qb2)
+    // ...and the set-oriented DELETE ROWS dual: drop a doc by a
+    // computed list, honest no-op on the re-run
+    val (drc, drb) = post("DELETE ROWS (SEARCH [doc_id] ON wfz WHERE doc_id = 3) ON wfz")
+    assert(drc == 200 && drb.contains("deleted matching rows"), drb)
+    assert(post("DELETE ROWS (SEARCH [doc_id] ON wfz WHERE doc_id = 3) ON wfz")
+      ._2.contains("nothing deleted"))
     assert(post("DELETE CONTAINER wfz")._1 == 200)
   }
 
