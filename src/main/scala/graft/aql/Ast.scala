@@ -1200,6 +1200,12 @@ object Parser {
           srcs += ((sourceContainer(srcTok, "SHOW OVERLAP subquery"),
             Some(name(aliasTok))))
           it = tl
+        // a dangling trailing AS is a typo, not a container named 'as':
+        // silently reading it as an unlabeled source would surface later
+        // as a lookup failure on a container literally called `as`
+        case _ :: Str(asW) :: Nil if asW.equalsIgnoreCase("AS") =>
+          throw new ParseException(
+            "SHOW OVERLAP source list ends with a bare AS — missing label")
         case srcTok :: tl =>
           srcs += ((sourceContainer(srcTok, "SHOW OVERLAP subquery"), None))
           it = tl

@@ -279,12 +279,28 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       val d = catalog.get(container)
       val (pkName, pkType) = d.columns.head
       val src = lowerSearch(q)
-      // the subquery's FIRST output column carries the pk values, cast
-      // through the container's declared pk type (positional, the MERGE
-      // ROWS column-mapping convention); misses are ignored and an
-      // all-miss statement publishes no version (Tx.deleteRows)
-      val keys = src.select(col(src.columns.head).cast(pkType.spark).as(pkName))
-      if (tx.deleteRows(container, keys))
+      // the subquery must produce EXACTLY the pk column (the MERGE ROWS
+      // arity discipline): silently using the first of several columns
+      // turns a projection typo into a mass delete of the wrong rows
+      if (src.columns.length != 1)
+        throw new ParseException(s"DELETE ROWS subquery must produce exactly " +
+          s"one column (the $pkName values); got ${src.columns.length} " +
+          s"(${src.columns.mkString(", ")})")
+      // cast through the container's declared pk type via try_cast: an
+      // incompatible value must fail loudly as a statement error — a
+      // plain cast would either throw a raw Spark ANSI error mid-job or
+      // (ANSI off) null out and silently report 'no matching rows'.
+      // A NULL input key stays ignorable (it can match no pk anyway).
+      val rawKey = col(src.columns.head)
+      val keys = src.select(rawKey.try_cast(pkType.spark).as(pkName),
+        rawKey.isNotNull.as("_in_nn"))
+      if (!keys.filter(col("_in_nn") && col(pkName).isNull).isEmpty)
+        throw new ParseException(s"DELETE ROWS subquery column " +
+          s"'${src.columns.head}' does not cast to the pk type " +
+          s"${pkType} of $container.$pkName")
+      // misses are ignored and an all-miss statement publishes no
+      // version (Tx.deleteRows)
+      if (tx.deleteRows(container, keys.select(col(pkName))))
         Done(s"deleted matching rows from $container " +
           s"(version ${catalog.currentVersion(container)})")
       else Done(s"no matching rows on $container — nothing deleted")
@@ -2310,7 +2326,15 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("l"))
       .orderBy(length(col("text")).desc, col("v"))
-    val ranked = comp.join(f.docsDf, col("v") === col("doc_id"))
+    // ONE payload row per pk before the ranking join: a duplicate-pk
+    // corpus (the same doc committed twice) would otherwise rank the
+    // keeper's own pk twice — _dd_rn 1 AND 2 — putting the keeper in
+    // its own loser set and deleting every row of the cluster head.
+    // min-by-bytes is the documented duplicate-pk representative (the
+    // SCORED rerank's candRows groupBy/min and Index.ivfLookup take the
+    // same stance), so all three paths agree on what a pk's payload is.
+    val docs1 = f.docsDf.groupBy(col("doc_id")).agg(min(col("text")).as("text"))
+    val ranked = comp.join(docs1, col("v") === col("doc_id"))
       .withColumn("_dd_rn", row_number().over(w))
     (comp, ranked)
   }

@@ -72,9 +72,10 @@ object EmbeddingStreams {
     * verified cosine near-dups of committed vectors — candidates from
     * the persisted ivf index, whose list rows CARRY the candidate vector
     * (cand_emb), so the verify is index-local; (c) within-batch
-    * near-dups — both sides assigned to the index's frozen cells
-    * (`Index.ivfAssign`), same-cell pairs cosine-verified, lower pk
-    * kept. Then append the survivors. */
+    * near-dups — history-gate SURVIVORS assigned to the index's frozen
+    * cells (`Index.ivfAssign`), same-cell pairs cosine-verified, lower
+    * pk kept; rows stage (b) drops never join the pairing, so one-batch
+    * and split delivery agree. Then append the survivors. */
   private[graft] def annDedupBatch(batch: DataFrame,
       catalog: graft.catalog.Catalog, container: String, ix: String,
       threshold: Double): Unit = {
@@ -134,8 +135,16 @@ object EmbeddingStreams {
         .select(col("ida"))
       // (c) within-batch near-dups: the INDEX's cell geometry on both
       // sides (results must not depend on how arrivals were batched),
-      // same-cell pairs only, keep the lower pk of each verified pair
-      val assign = graft.catalog.Index.ivfAssign(catalog, container, idef, exactKept)
+      // same-cell pairs only, keep the lower pk of each verified pair.
+      // Pairs form among HISTORY-GATE SURVIVORS only: a row the history
+      // gate drops in this same batch must not drag its batch-mates
+      // down with it — split delivery would have committed nothing for
+      // the dropped row to pair against, so pairing against it here
+      // would make the outcome depend on how arrivals were batched
+      // (the near-threshold triple Y~X, X~committed, Y!~committed).
+      val histSurvivors = exactKept
+        .join(histDups.select(col("ida").as(pk)), Seq(pk), "left_anti")
+      val assign = graft.catalog.Index.ivfAssign(catalog, container, idef, histSurvivors)
       val a = assign.as("a"); val b = assign.as("b")
       val batchCands = a.join(b,
           col("a.qcluster") === col("b.qcluster") && col("a.qid") < col("b.qid"))

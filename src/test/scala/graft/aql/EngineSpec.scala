@@ -920,7 +920,21 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](
       eng.execute("DELETE ROWS (SEARCH [id] ON drw) ON drw"))
     eng.execute("ROLLBACK drw")
+    // a multi-column subquery is a projection typo, not "use the first
+    // column" — the MERGE ROWS arity discipline (r13 advice)
+    val ar = intercept[ParseException](
+      eng.execute("DELETE ROWS (SEARCH [id, v] ON drw) ON drw"))
+    assert(ar.getMessage.contains("exactly one column"), ar.getMessage)
     eng.execute("DELETE CONTAINER drw")
+    // a column that casts to NULL against the pk type fails loudly
+    // instead of silently reporting 'no matching rows' (ANSI off)
+    eng.execute("CREATE CONTAINER drt ['id','label'] [BIGINT, TEXT]")
+    eng.execute("CREATE ROW ['id','label'] [1,'abc'] ON drt")
+    eng.execute("COMMIT drt")
+    val ct = intercept[ParseException](
+      eng.execute("DELETE ROWS (SEARCH [label] ON drt) ON drt"))
+    assert(ct.getMessage.contains("does not cast"), ct.getMessage)
+    eng.execute("DELETE CONTAINER drt")
   }
 
   test("35 unversioned external-data containers refuse MERGE ROWS/IMPORT/CLONE loudly") {
@@ -1240,6 +1254,32 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](eng.execute("DEDUP ddap USING nd"))
     eng.execute("ROLLBACK ddap")
     eng.execute("DELETE CONTAINER ddap")
+  }
+
+  test("50b duplicate-pk corpus: the cluster keeper ranks ONCE — DEDUP never deletes its own keeper") {
+    // a keeper pk committed twice (raw insert permits duplicate pks)
+    // must collapse to ONE ranked row before the keeper ranking: two
+    // rows would take _dd_rn 1 AND 2, land the keeper's own pk in the
+    // loser set, and delete every row of the cluster head (r13 advice)
+    eng.execute("CREATE CONTAINER dddp ['doc_id','body'] [BIGINT, TEXT]")
+    val base = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    eng.execute(s"CREATE ROW ['doc_id','body'] [1,'$base'] ON dddp")
+    eng.execute(s"CREATE ROW ['doc_id','body'] [1,'$base'] ON dddp")
+    eng.execute(s"CREATE ROW ['doc_id','body'] [2,'$base'] ON dddp")
+    eng.execute("COMMIT dddp")
+    eng.execute("CREATE INDEX nd ON dddp ['body'] USING lsh")
+    // CLUSTERS detail: one cluster {1,2}, keeper pk 1, reported once
+    val cl = searchRows("SHOW DEDUP dddp USING nd CLUSTERS")
+    assert(cl.size == 1 &&
+      (cl.head.getLong(1), cl.head.getLong(2)) == ((2L, 1L)), s"got $cl")
+    val msg = eng.execute("DEDUP dddp USING nd").asInstanceOf[Engine.Done].message
+    assert(msg.contains("removed 1"), msg)
+    // keeper pk 1 keeps BOTH its committed rows (dedup removes near-dup
+    // cluster LOSERS by pk; exact duplicate-pk copies of the keeper are
+    // the pk's rows, not cluster members); loser pk 2 is gone
+    assert(searchRows("SEARCH [doc_id] ON dddp").map(_.getLong(0)).sorted
+      == Seq(1L, 1L))
+    eng.execute("DELETE CONTAINER dddp")
   }
 
   test("28 ALTER RENAME COLUMN is pure metadata; commits keep the stored name") {

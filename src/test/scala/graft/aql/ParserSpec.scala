@@ -518,9 +518,11 @@ class ParserSpec extends AnyFunSuite {
       .asInstanceOf[ShowOverlapMatrix]
     assert(al.sources.size == 3 && al.aliases ==
       List(Some("lefty"), Some("mid"), None))
-    // a trailing AS with no label leaves a dangling source token pair —
-    // the 2-item tail parses as two unlabeled sources, so [a AS] is
-    // (a, AS): accepted as names. Explicitly pin the count instead.
+    // a trailing AS with no label is a parse error (round 14): the typo
+    // must not read as an unlabeled source literally named `as` and
+    // surface later as a container-lookup failure
+    intercept[ParseException](Parser.parse("SHOW OVERLAP [a AS] ON x"))
+    intercept[ParseException](Parser.parse("SHOW OVERLAP [a AS lefty, b AS] ON x"))
     assert(Parser.parse("SHOW OVERLAP [a, b] ON x")
       .asInstanceOf[ShowOverlapMatrix].aliases == List(None, None))
   }
