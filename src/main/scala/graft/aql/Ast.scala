@@ -382,7 +382,17 @@ object Ast {
         * Jaccard for `lsh` and `(32 − hamming)/32` signature similarity
         * for `simhash` (round 13 — the dedup serving shape, candidates
         * ranked by the verify-stage measure in one statement). */
-      scored: Boolean = false) extends Stmt
+      scored: Boolean = false,
+      /** `WHERE pred` (round 14 — filtered ANN): the predicate applies
+        * BEFORE the LIMIT, so "top-k nearest where lang='en'" returns k
+        * whenever k matches exist in the index's coverage. On an ivf
+        * index the probe list WIDENS (doubling from PROBE p, capped at
+        * the trained cell count) until the filtered candidates can fill
+        * the LIMIT — at full probe the result is exact over the indexed
+        * corpus. Band (lsh/simhash) candidates are already the probe's
+        * complete collision set, so the predicate just filters them
+        * (no recall dial exists to widen). */
+      where: Option[Where] = None) extends Stmt
   /** graft extension (round 13): hybrid-retrieval rank fusion —
     * `FUSE [(MATCH …), (SIMILAR …)] [WEIGHTS [w…]] [K k] [LIMIT n]`
     * combines two or more RANKED retrieval sides over one pk domain
@@ -548,7 +558,8 @@ object Parser {
     * (each committed version owns its index parts, so lookups time
     * travel like data reads). */
   private def lookupTail(what: String, rest: List[Token],
-      allowProbe: Boolean = false): (Option[Int], Option[String], Option[Int], Int) = {
+      allowProbe: Boolean = false, allowWhere: Boolean = false)
+      : (Option[Int], Option[String], Option[Int], Option[Where], Int) = {
     val (at, afterAt) = rest match {
       case Keyword("AT") :: Keyword("VERSION") :: IntLit(v) :: tl =>
         if (v < 1) throw new ParseException(s"$what AT VERSION must be >= 1")
@@ -575,7 +586,20 @@ object Parser {
         (Some(p.toInt), tl)
       case tl => (None, tl)
     }
-    val limit = afterProbe match {
+    // WHERE pred (filtered ANN, round 14): the predicate applies BEFORE
+    // the LIMIT — "top-k nearest where lang='en'" returns k when k
+    // matches exist. Same predicate grammar as SEARCH; LIMIT in gate
+    // position ends the chain (it is a reserved keyword, so it can
+    // never be a bare-word value).
+    val (where, afterWhere) = afterProbe match {
+      case Keyword("WHERE") :: condToks if allowWhere =>
+        if (condToks.isEmpty)
+          throw new ParseException(s"$what WHERE needs a predicate")
+        val (w, rem) = parseWhereUntil(condToks, stopAt = Set("LIMIT"))
+        (Some(w), rem)
+      case tl => (None, tl)
+    }
+    val limit = afterWhere match {
       case Nil => 20
       case Keyword("LIMIT") :: IntLit(n) :: Nil =>
         if (n < 1) throw new ParseException(s"$what LIMIT must be >= 1")
@@ -583,7 +607,7 @@ object Parser {
       case other => throw new ParseException(
         s"Unexpected tokens after $what: ${other.mkString(" ")}")
     }
-    (at, ix, probe, limit)
+    (at, ix, probe, where, limit)
   }
 
   /** The `[USING ix] [THRESHOLD t]` tail SHOW DEDUP and DEDUP share —
@@ -1512,7 +1536,7 @@ object Parser {
       val terms = strings(termsG)
       if (terms.isEmpty)
         throw new ParseException("MATCH needs at least one term")
-      val (at, ix, _, limit) = lookupTail("MATCH", rest)
+      val (at, ix, _, _, limit) = lookupTail("MATCH", rest)
       Match(name(containerTok), terms, ix, limit, at)
 
     // SIMILAR <pk> ON container [USING ix] [PROBE p] [LIMIT n] [SCORED]
@@ -1547,10 +1571,10 @@ object Parser {
           (true, rest.init)
         case _ => (false, rest)
       }
-      val (at, ix, probe, limit) = lookupTail("SIMILAR", tailToks,
-        allowProbe = true)
+      val (at, ix, probe, where, limit) = lookupTail("SIMILAR", tailToks,
+        allowProbe = true, allowWhere = true)
       Similar(name(containerTok), keyTok, ix, limit, at, vector, probe,
-        scoredFlag)
+        scoredFlag, where)
 
     // CREATE VIEW v (SEARCH …) / REFRESH VIEW v / DELETE VIEW v (graft
     // extensions): incremental materialized views over the CDC feed

@@ -373,14 +373,17 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     * from an ivf index — see [[Index.lshLookup]] / [[Index.simhashLookup]]
     * / [[Index.ivfLookup]]. */
   def indexLookup(name: String, ix: String, queries: DataFrame,
-      at: Option[Int] = None, nprobe: Int = 1): DataFrame = {
+      at: Option[Int] = None, nprobe: Int = 1,
+      selfExclude: Boolean = true): DataFrame = {
     val d = indexDefs(name).find(_.ix == ix)
       .getOrElse(sys.error(s"No index '$ix' on '$name'"))
     require(nprobe == 1 || d.kind == "ivf",
       s"nprobe applies to ivf indexes only; '$ix' is a ${d.kind} index")
+    require(selfExclude || d.kind == "lsh" || d.kind == "simhash",
+      "selfExclude=false serves literal band probes only")
     d.kind match {
-      case "lsh" => Index.lshLookup(this, name, d, queries, at)
-      case "simhash" => Index.simhashLookup(this, name, d, queries, at)
+      case "lsh" => Index.lshLookup(this, name, d, queries, at, selfExclude)
+      case "simhash" => Index.simhashLookup(this, name, d, queries, at, selfExclude)
       case "ivf" => Index.ivfLookup(this, name, d, queries, nprobe, at = at)
       case "text" => sys.error(
         s"index '$ix' is a text index — search it with textSearch(terms)")

@@ -411,33 +411,42 @@ object Index {
     * IVF-probe-list idiom — never data.
     */
   def lshLookup(cat: Catalog, container: String, idef: Def,
-      queries: DataFrame, at: Option[Int] = None): DataFrame = {
+      queries: DataFrame, at: Option[Int] = None,
+      selfExclude: Boolean = true): DataFrame = {
     require(idef.kind == "lsh", s"index '${idef.ix}' is not an lsh index")
-    bandLookup(cat, container, idef, queries, deriveLsh, at)
+    bandLookup(cat, container, idef, queries, deriveLsh, at, selfExclude)
   }
 
   /** Near-dup lookup from a `simhash` index — identical serving shape to
     * [[lshLookup]] over the simhash banding. */
   def simhashLookup(cat: Catalog, container: String, idef: Def,
-      queries: DataFrame, at: Option[Int] = None): DataFrame = {
+      queries: DataFrame, at: Option[Int] = None,
+      selfExclude: Boolean = true): DataFrame = {
     require(idef.kind == "simhash", s"index '${idef.ix}' is not a simhash index")
-    bandLookup(cat, container, idef, queries, deriveSimhash, at)
+    bandLookup(cat, container, idef, queries, deriveSimhash, at, selfExclude)
   }
 
+  /** `selfExclude = false` serves LITERAL (non-corpus) probes — a
+    * query-by-text SIMILAR or an ingest-gate check probes with a
+    * synthetic qid that names no corpus row, so excluding `id === qid`
+    * would be meaningless at best and (on an unlucky sentinel collision)
+    * silently lossy. */
   private def bandLookup(cat: Catalog, container: String, idef: Def,
       queries: DataFrame, derive: DataFrame => DataFrame,
-      at: Option[Int] = None): DataFrame = {
+      at: Option[Int] = None, selfExclude: Boolean = true): DataFrame = {
     val pk = cat.get(container).primaryKey
     val qBands = derive(queries
         .select(col(pk).as("id"), col(idef.column).as("text"))
         .withColumn("src", lit("query")))
       .select(col("id").as("qid"), col("band").as("qband"), col("bk").as("qbk"))
     val keys = qBands.select(col("qbk")).distinct().collect().map(_.getString(0))
+    val selfGuard =
+      if (selfExclude) col("id") =!= col("qid") else lit(true)
     read(cat, container, idef, at)
       .filter(col("bk").isin(keys.toIndexedSeq: _*))
       .join(broadcast(qBands),
         col("band") === col("qband") && col("bk") === col("qbk")
-          && col("id") =!= col("qid"))
+          && selfGuard)
       .select(col("qid"), col("id").as("cand"))
       .distinct()
   }

@@ -103,19 +103,40 @@ object AqlQueries {
     * oracle (the vector side of the hybrid-retrieval fusion), so the
     * cosine recompute lives in exactly one place. */
   private[operators] def duckVectorScoredSql(qv: IndexedSeq[Double],
-      limit: Int): String = {
+      limit: Int, nAxes: Int = 2, where: String = "TRUE"): String = {
     val d2 = axisD2Sql(qv)
     val qc = (0 until 8).map(i => s"WHEN $i THEN ${qv(i)}")
       .mkString("CASE axis ", " ", " ELSE 0 END")
     val norm = (0 until 8).map(i => s"${qv(i)} * ${qv(i)}").mkString(" + ")
-    s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id <= 64),
-       |axes AS (SELECT DISTINCT doc_id % 8 AS axis FROM ids),
+    s"""WITH ids AS (SELECT doc_id FROM documents
+       |             WHERE doc_id <= 64 AND ($where)),
+       |axes AS (SELECT DISTINCT doc_id % 8 AS axis FROM
+       |         (SELECT doc_id FROM documents WHERE doc_id <= 64)),
        |qd AS (SELECT axis, $d2 AS d2, $qc AS qc FROM axes),
-       |best AS (SELECT axis, qc FROM qd ORDER BY d2, axis LIMIT 2)
+       |best AS (SELECT axis, qc FROM qd ORDER BY d2, axis LIMIT $nAxes)
        |SELECT i.doc_id, round(b.qc / sqrt($norm), 6) AS score
        |FROM ids i JOIN best b ON i.doc_id % 8 = b.axis
        |ORDER BY score DESC, i.doc_id LIMIT $limit""".stripMargin
   }
+
+  /** The query-by-TEXT SIMILAR fixture corpus (round 14) — four literal
+    * documents, corpus-independent like docs_ivf's 0..64 range, so the
+    * oracle recomputes candidates and scores from a VALUES list at any
+    * fixture scale. Docs 1 and 4 are verbatim copies of the probe text,
+    * doc 2 a one-word edit, doc 3 unrelated. */
+  private[operators] val tpBase =
+    "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+  private[operators] val tpNear =
+    "the quick brown fox jumps over the sleepy dog near the quiet river bank today"
+  private[operators] val tpOther =
+    "pack my box with five dozen liquor jugs before noon arrives with friends waiting"
+  /** docs_tp plus the literal probe injected as doc_id -1 — the base
+    * relation the text-probe oracles band and verify over. */
+  private[operators] def tpWithProbe(probe: String): String =
+    s"""(SELECT * FROM (VALUES (CAST(1 AS BIGINT), '$tpBase'),
+       |  (CAST(2 AS BIGINT), '$tpNear'), (CAST(3 AS BIGINT), '$tpOther'),
+       |  (CAST(4 AS BIGINT), '$tpBase')) AS t(doc_id, text)
+       | UNION ALL SELECT CAST(-1 AS BIGINT), '$probe')""".stripMargin
 
   private val fixtureRoots = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -430,6 +451,18 @@ object AqlQueries {
       eng.catalog.overwrite("docs_ivd", ivfDf)
       eng.execute("CREATE INDEX ann ON docs_ivd ['emb'] USING ivf")
       eng.execute("DEDUP docs_ivd USING ann")
+      // query-by-text SIMILAR fixture (round 14): four literal docs (two
+      // verbatim copies of the probe, one near-dup, one unrelated) under
+      // lsh AND simhash band indexes — corpus-independent, so the oracle
+      // recomputes banding + verify from the same VALUES list
+      eng.execute("CREATE CONTAINER docs_tp ['doc_id','text'] [BIGINT, TEXT]")
+      Seq(1 -> tpBase, 2 -> tpNear, 3 -> tpOther, 4 -> tpBase).foreach {
+        case (i, t) =>
+          eng.execute(s"CREATE ROW ['doc_id','text'] [$i, '$t'] ON docs_tp")
+      }
+      eng.execute("COMMIT docs_tp")
+      eng.execute("CREATE INDEX nd ON docs_tp ['text'] USING lsh")
+      eng.execute("CREATE INDEX sh ON docs_tp ['text'] USING simhash")
       // join-reorder fixtures: a doc-sized mid container and a
       // lang-sized small one, both ANALYZEd — the pessimally-written
       // chain in `aql_join_reorder` (big build first) reorders
@@ -1339,6 +1372,82 @@ object AqlQueries {
     }) { (s, dir) =>
       search("SEARCH [] ON [(SIMILAR " + AqlQueries.similarQueryVecAql +
         " ON docs_ivf USING ann LIMIT 5)] WHERE doc_id > 10")(s, dir)
+    },
+
+    // FILTERED ANN (round 14): the WHERE applies BEFORE the LIMIT, and
+    // the ivf probe list WIDENS until the filtered candidates can fill
+    // it — "top-6 nearest where doc_id > 40" returns 6 even though the
+    // single nearest cell holds only 3 matches (cell 3 members > 40 are
+    // {43, 51, 59}; widening doubles the probe to 2 cells, adding cell
+    // 1's {41, 49, 57}). The oracle recomputes the widened state
+    // declaratively: the best-2 axes by the same literal-query distance,
+    // their members predicate-filtered, exact one-hot cosines ranked.
+    Q("aql_similar_filtered",
+      AqlQueries.duckVectorScoredSql(AqlQueries.similarQueryVec2, 6,
+        nAxes = 2, where = "doc_id > 40")) { (s, dir) =>
+      search("SIMILAR " + AqlQueries.aqlVec(AqlQueries.similarQueryVec2) +
+        " ON docs_ivf USING ann WHERE doc_id > 40 LIMIT 6 SCORED")(s, dir)
+    },
+
+    // query-by-TEXT SIMILAR (round 14 — the pre-ingest near-dup check
+    // as an AQL surface): a string-literal probe on a band index
+    // shingles the LITERAL, probes its band keys, and SCORED reranks by
+    // the exact verify measure — no committed row involved. The oracle
+    // injects the probe as doc_id -1 into the same VALUES corpus and
+    // recomputes banding + exact 3-gram Jaccard declaratively.
+    Q("aql_similar_text_lsh",
+      s"""${TextDedup.duckLshPairsFrom(AqlQueries.tpWithProbe(AqlQueries.tpBase))},
+         |cands AS (SELECT id_b AS doc_id FROM pairs WHERE id_a = -1
+         |          UNION SELECT id_a FROM pairs WHERE id_b = -1)
+         |SELECT c.doc_id,
+         |       round(CAST(len(list_intersect(sc.sg, sq.sg)) AS DOUBLE)
+         |             / len(list_distinct(list_concat(sc.sg, sq.sg))), 6) AS score
+         |FROM cands c
+         |JOIN shing sc ON sc.doc_id = c.doc_id
+         |JOIN shing sq ON sq.doc_id = -1
+         |ORDER BY score DESC, c.doc_id LIMIT 10""".stripMargin) { (s, dir) =>
+      search(s"SIMILAR '${AqlQueries.tpBase}' ON docs_tp USING nd " +
+        "LIMIT 10 SCORED")(s, dir)
+    },
+
+    // ...with a WHERE: the predicate filters the literal probe's
+    // collision set BEFORE the LIMIT (band indexes have no probe dial
+    // to widen — candidates are already the complete collision set)
+    Q("aql_similar_text_lsh_where",
+      s"""${TextDedup.duckLshPairsFrom(AqlQueries.tpWithProbe(AqlQueries.tpBase))},
+         |cands AS (SELECT id_b AS doc_id FROM pairs WHERE id_a = -1
+         |          UNION SELECT id_a FROM pairs WHERE id_b = -1)
+         |SELECT c.doc_id,
+         |       round(CAST(len(list_intersect(sc.sg, sq.sg)) AS DOUBLE)
+         |             / len(list_distinct(list_concat(sc.sg, sq.sg))), 6) AS score
+         |FROM cands c
+         |JOIN shing sc ON sc.doc_id = c.doc_id
+         |JOIN shing sq ON sq.doc_id = -1
+         |WHERE c.doc_id > 1
+         |ORDER BY score DESC, c.doc_id LIMIT 10""".stripMargin) { (s, dir) =>
+      search(s"SIMILAR '${AqlQueries.tpBase}' ON docs_tp USING nd " +
+        "WHERE doc_id > 1 LIMIT 10 SCORED")(s, dir)
+    },
+
+    // ...and the simhash twin: the literal's 32-bit signature banded
+    // into 4×8-bit keys, candidates reranked by exact (32 − hamming)/32
+    Q("aql_similar_text_simhash",
+      s"""WITH ${TextDedup.duckSimhashCteFrom(AqlQueries.tpWithProbe(AqlQueries.tpBase))},
+         |banded AS (
+         |  SELECT doc_id, band, (simhash >> (8 * band)) & 255 AS bv
+         |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands),
+         |q AS (SELECT band, bv FROM banded WHERE doc_id = -1),
+         |qsig AS (SELECT simhash AS qsh FROM sigs WHERE doc_id = -1),
+         |cands AS (SELECT DISTINCT c.doc_id
+         |          FROM q JOIN banded c
+         |            ON c.band = q.band AND c.bv = q.bv AND c.doc_id <> -1)
+         |SELECT c.doc_id,
+         |       round((32 - CAST(bit_count(xor(s.simhash, qsig.qsh)) AS DOUBLE))
+         |             / 32, 6) AS score
+         |FROM cands c JOIN sigs s ON s.doc_id = c.doc_id CROSS JOIN qsig
+         |ORDER BY score DESC, c.doc_id LIMIT 10""".stripMargin) { (s, dir) =>
+      search(s"SIMILAR '${AqlQueries.tpBase}' ON docs_tp USING sh " +
+        "LIMIT 10 SCORED")(s, dir)
     },
 
     // FUSE (round 13 — hybrid retrieval): Reciprocal Rank Fusion of the

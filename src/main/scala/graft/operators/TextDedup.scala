@@ -484,7 +484,10 @@ object TextDedup {
   private def simhashDf(s: SparkSession, dir: String): DataFrame =
     withSimhash(docs(s, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
 
-  private[graft] val duckSimhashCte: String = {
+  /** The simhash-32 CTEs over an arbitrary base relation — `base` is a
+    * table name or a parenthesized subquery (the query-by-text SIMILAR
+    * oracle injects the literal probe as one extra row). */
+  private[graft] def duckSimhashCteFrom(base: String): String = {
     val bitSums = (0 until 32)
       .map(i => s"sum(CASE WHEN ${duckTokenBit(i)} = 1 THEN 1 ELSE -1 END) AS b$i")
       .mkString(", ")
@@ -494,10 +497,12 @@ object TextDedup {
     s"""tok AS (
        |  SELECT doc_id, md5(t.tk) AS h
        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tk
-       |        FROM documents) t),
+       |        FROM $base) t),
        |bits AS (SELECT doc_id, $bitSums FROM tok GROUP BY doc_id),
        |sigs AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits)""".stripMargin
   }
+
+  private[graft] val duckSimhashCte: String = duckSimhashCteFrom("documents")
 
   /** The corpus token stream (lowercased, whitespace-split) — the one
     * tokenization the heavy-hitter summary and its exact verification

@@ -1282,6 +1282,71 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     eng.execute("DELETE CONTAINER dddp")
   }
 
+  test("52 filtered ANN: SIMILAR WHERE applies before LIMIT, widening ivf probes until k matches") {
+    // 10 vectors in 2 cells (axis = vid % 2); tag 'en' on {0, 1, 3} —
+    // the nearest cell to an axis-0 query holds ONE 'en' row, so top-3
+    // under WHERE tag='en' must widen the probe to the second cell
+    eng.execute("CREATE CONTAINER fvec ['vid','tag','emb'] [BIGINT, TEXT, MEDIUM-BYTES]")
+    import spark.implicits._
+    val rows = (0L until 10L).map { i =>
+      val axis = (i % 2).toInt
+      (i, if (Set(0L, 1L, 3L).contains(i)) "en" else "xx",
+        graft.functions.Float32Unpack.pack(
+          (0 until 4).map(a => if (a == axis) 1f else 0f)))
+    }
+    eng.catalog.overwrite("fvec", rows.toDF("vid", "tag", "emb"))
+    eng.execute("CREATE INDEX ann ON fvec ['emb'] USING ivf 2")
+    // unfiltered: the nearest cell alone fills the LIMIT
+    val plain = searchRows("SIMILAR [1.0, 0.0, 0.0, 0.0] ON fvec USING ann LIMIT 3 SCORED")
+    assert(plain.size == 3 && plain.forall(_.getDouble(1) == 1.0), s"got $plain")
+    // filtered: cell 0 has one 'en' row (vid 0) — the probe widens to
+    // cell 1 and the statement still returns 3 (0 first, cosine 1.0)
+    val filt = searchRows("SIMILAR [1.0, 0.0, 0.0, 0.0] ON fvec USING ann " +
+      "WHERE tag = 'en' LIMIT 3 SCORED")
+    assert(filt.map(_.getLong(0)) == Seq(0L, 1L, 3L), s"got $filt")
+    assert(filt.head.getDouble(1) == 1.0 && filt(1).getDouble(1) == 0.0, s"got $filt")
+    // the unscored form filters the same way (candidate set, pk-asc)
+    val uf = searchRows("SIMILAR [1.0, 0.0, 0.0, 0.0] ON fvec USING ann " +
+      "WHERE tag = 'en' LIMIT 3")
+    assert(uf.map(_.getLong(0)) == Seq(0L, 1L, 3L), s"got $uf")
+    // a predicate with fewer than LIMIT matches returns them all after
+    // widening to every trained cell — never an error, never extras
+    val few = searchRows("SIMILAR [1.0, 0.0, 0.0, 0.0] ON fvec USING ann " +
+      "WHERE vid >= 9 LIMIT 5 SCORED")
+    assert(few.map(_.getLong(0)) == Seq(9L), s"got $few")
+    eng.execute("DELETE CONTAINER fvec")
+  }
+
+  test("53 query-by-text SIMILAR: a string literal probes a band index as a document") {
+    eng.execute("CREATE CONTAINER tdocs ['doc_id','body'] [BIGINT, TEXT]")
+    val base = "the quick brown fox jumps over the lazy dog near the quiet river bank"
+    eng.execute(s"CREATE ROW ['doc_id','body'] [1,'$base'] ON tdocs")
+    eng.execute(s"CREATE ROW ['doc_id','body'] [2,'$base today'] ON tdocs")
+    eng.execute("CREATE ROW ['doc_id','body'] [3,'pack my box with five dozen liquor jugs before noon arrives today'] ON tdocs")
+    eng.execute("COMMIT tdocs")
+    eng.execute("CREATE INDEX nd ON tdocs ['body'] USING lsh")
+    eng.execute("CREATE INDEX sh ON tdocs ['body'] USING simhash")
+    // the literal is a DOCUMENT (pk is BIGINT — a string can never be a
+    // pk): exact copy scores 1.0 first, the one-word extension next
+    val hits = searchRows(s"SIMILAR '$base' ON tdocs USING nd LIMIT 10 SCORED")
+    assert(hits.nonEmpty && hits.head.getLong(0) == 1L &&
+      hits.head.getDouble(1) == 1.0, s"got $hits")
+    assert(!hits.map(_.getLong(0)).contains(3L), s"unrelated doc served: $hits")
+    // unscored form: the collision candidate set, pk-asc
+    val cands = searchRows(s"SIMILAR '$base' ON tdocs USING nd LIMIT 10")
+    assert(cands.map(_.getLong(0)).contains(1L), s"got $cands")
+    // WHERE filters the collision set before the LIMIT
+    val filt = searchRows(
+      s"SIMILAR '$base' ON tdocs USING nd WHERE doc_id > 1 LIMIT 10 SCORED")
+    assert(!filt.map(_.getLong(0)).contains(1L), s"got $filt")
+    // simhash twin serves the same quadrant
+    val sh = searchRows(s"SIMILAR '$base' ON tdocs USING sh LIMIT 10 SCORED")
+    assert(sh.nonEmpty && sh.head.getLong(0) == 1L &&
+      sh.head.getDouble(1) == 1.0, s"got $sh")
+    // a text literal can't probe an ivf index — the existing loud error
+    eng.execute("DELETE CONTAINER tdocs")
+  }
+
   test("28 ALTER RENAME COLUMN is pure metadata; commits keep the stored name") {
     eng.execute("CREATE CONTAINER rn ['id','a','b'] [BIGINT, SMALL-STRING, BIGINT]")
     eng.execute("CREATE ROW ['id','a','b'] [1,'x',10] ON rn")

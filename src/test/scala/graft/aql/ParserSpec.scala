@@ -186,6 +186,19 @@ class ParserSpec extends AnyFunSuite {
     assert(Parser.parse("SIMILAR 7 ON docs USING scored SCORED")
       == Similar("docs", Token.IntLit(7), Some("scored"), 20, None, None,
         None, scored = true))
+    // WHERE (round 14 — filtered ANN): the predicate slots between
+    // PROBE and LIMIT, same grammar as SEARCH, and composes with SCORED
+    val fw = Parser.parse(
+      "SIMILAR 7 ON docs USING ann WHERE lang = 'en' AND n > 3 LIMIT 5 SCORED")
+      .asInstanceOf[Similar]
+    assert(fw.scored && fw.limit == 5 &&
+      fw.where.exists(w => w.atoms.size == 2 && w.gates == List('a')), fw.toString)
+    val fv = Parser.parse("SIMILAR [0.5] ON docs USING ann PROBE 2 WHERE tag = 'x'")
+      .asInstanceOf[Similar]
+    assert(fv.probe == Some(2) && fv.where.isDefined && fv.limit == 20)
+    // an empty WHERE is a loud parse error, and MATCH has no WHERE slot
+    intercept[ParseException](Parser.parse("SIMILAR 7 ON docs WHERE"))
+    intercept[ParseException](Parser.parse("MATCH ['x'] ON docs WHERE a = 1"))
   }
 
   test("CHANGES forms (CDC feed extension)") {
