@@ -352,7 +352,12 @@ object Ast {
     * needed when the container carries more than one text index. */
   final case class Match(container: String, terms: List[String],
       ix: Option[String], limit: Int,
-      atVersion: Option[Int] = None) extends Stmt
+      atVersion: Option[Int] = None,
+      /** `MATCH ALL [terms]` (round 14) — conjunctive semantics: only
+        * documents containing EVERY query term rank (one count filter
+        * over the pruned postings before the BM25 top-k; the plain form
+        * ORs terms into the score, standard BM25). */
+      all: Boolean = false) extends Stmt
   /** graft extension: candidate lookup from a band/ANN index — `SIMILAR
     * <pk> ON c [USING ix] [LIMIT n]` reads the committed row with that pk
     * and serves its near-dup (lsh/simhash) or same-cell ANN (ivf)
@@ -454,6 +459,25 @@ object Ast {
     * driver-materialized). */
   final case class DedupContainer(container: String, ix: Option[String],
       threshold: Option[Double] = None) extends Stmt
+
+  /** graft extension (round 14): eval-set decontamination — the third
+    * curation commit next to DEDUP and DELETE ROWS. `DECONTAMINATE c
+    * AGAINST e ON col [THRESHOLD t]` removes, in ONE atomic published
+    * version, every document of `c` whose distinct-4-gram overlap with
+    * the eval container `e`'s gram set (both over column `col`, the
+    * `t_decontaminate` measure: |doc grams ∩ eval grams| / |doc grams|)
+    * reaches `t` (default 0.5 — more of the doc's grams collide with
+    * the eval suite than not). Docs too short to produce a 4-gram are
+    * outside the measure's reach and never removed. `SHOW DECONTAMINATE`
+    * with the same knobs is the dry run, computed from the SAME
+    * derivation, so report and removal can never disagree. */
+  final case class Decontaminate(container: String, against: String,
+      column: String, threshold: Option[Double] = None) extends Stmt
+
+  /** The DECONTAMINATE dry run: one-row report (n_docs, measured_docs,
+    * contaminated_docs, max_contamination) over the same funnel. */
+  final case class ShowDecontaminate(container: String, against: String,
+      column: String, threshold: Option[Double] = None) extends Stmt
 
   /** graft extensions: incremental materialized views. `CREATE VIEW v
     * (SEARCH [keys…, count(c)/sum(c)…] ON src [WHERE …])` declares a
@@ -634,6 +658,25 @@ object Parser {
         s"Expected `$expected`, got ${other.mkString(" ")}")
     }
     (ix, thr)
+  }
+
+  /** A lone `[THRESHOLD t]` tail (DECONTAMINATE and its SHOW twin) —
+    * same validation as the dedupKnobs THRESHOLD. */
+  private def thresholdKnob(toks: List[Token],
+      expected: String): Option[Double] = toks match {
+    case Nil => None
+    case Str(tw) :: t :: Nil if tw.equalsIgnoreCase("THRESHOLD") =>
+      val v = t match {
+        case FloatLit(x) => x
+        case IntLit(x) => x.toDouble
+        case other => throw new ParseException(
+          s"THRESHOLD takes a numeric literal, got $other")
+      }
+      if (v <= 0.0 || v > 1.0) throw new ParseException(
+        s"THRESHOLD must be in (0, 1], got $v")
+      Some(v)
+    case other => throw new ParseException(
+      s"Expected `$expected`, got ${other.mkString(" ")}")
   }
 
   private val IoFormats = Set("jsonl", "csv", "orc", "parquet")
@@ -1202,6 +1245,26 @@ object Parser {
     case Str(w) :: cTok :: rest if w.equalsIgnoreCase("DEDUP") =>
       val (ix, thr) = dedupKnobs(rest, "DEDUP c [USING ix] [THRESHOLD t]")
       DedupContainer(name(cTok), ix, thr)
+
+    // SHOW DECONTAMINATE c AGAINST e ON col [THRESHOLD t] (round 14):
+    // the decontamination dry-run report — DECONTAMINATE/AGAINST/
+    // THRESHOLD are not reserved, like DEDUP/STATS
+    case Keyword("SHOW") :: Str(w) :: cTok :: Str(ag) :: eTok :: Keyword("ON") :: colTok :: rest
+        if w.equalsIgnoreCase("DECONTAMINATE") && ag.equalsIgnoreCase("AGAINST") =>
+      ShowDecontaminate(name(cTok), name(eTok), name(colTok),
+        thresholdKnob(rest,
+          "SHOW DECONTAMINATE c AGAINST e ON col [THRESHOLD t]"))
+    // DECONTAMINATE c AGAINST e ON col [THRESHOLD t] (round 14): the
+    // decision APPLIED — remove every contaminated doc, one atomic
+    // version (the curation trio's third statement, next to DEDUP and
+    // DELETE ROWS)
+    case Str(w) :: cTok :: Str(ag) :: eTok :: Keyword("ON") :: colTok :: rest
+        if w.equalsIgnoreCase("DECONTAMINATE") && ag.equalsIgnoreCase("AGAINST") =>
+      Decontaminate(name(cTok), name(eTok), name(colTok),
+        thresholdKnob(rest, "DECONTAMINATE c AGAINST e ON col [THRESHOLD t]"))
+    case Str(w) :: _ if w.equalsIgnoreCase("DECONTAMINATE") =>
+      throw new ParseException(
+        "Expected `DECONTAMINATE c AGAINST e ON col [THRESHOLD t]`")
     // SHOW OVERLAP [c1, c2, …] ON col (graft extension, round 12): the
     // N-way overlap MATRIX over a source LIST — must precede the
     // pairwise case (a Group before ON is the list form)
@@ -1530,8 +1593,17 @@ object Parser {
       }
       Fuse(sides, k, limit, weights)
 
-    // MATCH [terms] ON container [USING ix] [LIMIT n] (graft extension):
-    // BM25-ranked full-text search from the container's text index
+    // MATCH [ALL] [terms] ON container [USING ix] [LIMIT n] (graft
+    // extension): BM25-ranked full-text search from the container's
+    // text index. ALL (unreserved, like PROBE/SCORED) = conjunctive:
+    // every term must appear in a ranked document.
+    case Keyword("MATCH") :: Str(aw) :: (termsG: Group) :: Keyword("ON") :: containerTok :: rest
+        if aw.equalsIgnoreCase("ALL") =>
+      val terms = strings(termsG)
+      if (terms.isEmpty)
+        throw new ParseException("MATCH needs at least one term")
+      val (at, ix, _, _, limit) = lookupTail("MATCH ALL", rest)
+      Match(name(containerTok), terms, ix, limit, at, all = true)
     case Keyword("MATCH") :: (termsG: Group) :: Keyword("ON") :: containerTok :: rest =>
       val terms = strings(termsG)
       if (terms.isEmpty)

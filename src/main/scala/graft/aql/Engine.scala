@@ -355,6 +355,9 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         case sm: Ast.Similar => similarDf(sm)
         case f: Ast.Fuse => fuseDf(f)
         case sd: Ast.ShowDedup => showDedupDf(sd, explainOnly = true)
+        case sd: Ast.ShowDecontaminate =>
+          decontFunnel(sd.container, sd.against, sd.column, sd.threshold)
+            .contamination
         case ch: Ast.Changes => catalog.changes(ch.container, ch.fromVersion, ch.toVersion)
         case ov: Ast.ShowOverlap => showOverlapDf(ov.a, ov.b, ov.column, ov.by)
         case om: Ast.ShowOverlapMatrix =>
@@ -534,6 +537,51 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
 
     case sd: Ast.ShowDedup =>
       resultSet(showDedupDf(sd), needsDefaultSort = true)
+
+    case sd: Ast.ShowDecontaminate =>
+      val f = decontFunnel(sd.container, sd.against, sd.column, sd.threshold)
+      // the COMMITTED snapshot — the rows DECONTAMINATE would act on
+      // (deleteRows rewrites committed files; staged rows refuse there)
+      val tot = catalog.read(sd.container).agg(count(lit(1)).as("n_docs"))
+      val m = f.contamination.agg(
+        count(lit(1)).as("measured_docs"),
+        coalesce(sum(when(col("contamination") >= f.thr, 1L)), lit(0L))
+          .cast("long").as("contaminated_docs"),
+        coalesce(round(max(col("contamination")), 6), lit(0.0))
+          .as("max_contamination"))
+      note(f"show decontaminate: distinct-4-gram overlap vs " +
+        f"'${sd.against}' (threshold ${f.thr}%.6f); eval grams broadcast, " +
+        "per-doc counts partial-agg group-bys")
+      resultSet(tot.crossJoin(m), needsDefaultSort = true)
+
+    case dc: Ast.Decontaminate =>
+      // the decontamination decision APPLIED: remove every doc of the
+      // corpus whose distinct-4-gram overlap with the eval container
+      // reaches the threshold, in ONE atomic version through the
+      // set-oriented COW delete. SHOW DECONTAMINATE with the same knobs
+      // is the dry run — the SAME funnel derivation, so report and
+      // removal can never disagree. Docs too short to produce a 4-gram
+      // are outside the measure's reach and never removed.
+      catalog.get(dc.container)
+      catalog.requireVersioned(dc.container, "DECONTAMINATE")
+      if (tx.hasStaged(dc.container))
+        throw new IllegalArgumentException(
+          s"DECONTAMINATE on '${dc.container}' with staged ops — COMMIT " +
+            "or ROLLBACK first")
+      val f = decontFunnel(dc.container, dc.against, dc.column, dc.threshold)
+      val losers = f.contamination.filter(col("contamination") >= f.thr)
+        .select(col("doc_id"))
+      val nLosers = losers.count()
+      if (nLosers == 0)
+        Done(s"decontaminate ${dc.container}: no document reaches " +
+          f"threshold ${f.thr}%.6f against '${dc.against}' — nothing removed")
+      else if (tx.deleteRows(dc.container, losers))
+        Done(s"decontaminated ${dc.container}: removed $nLosers " +
+          f"document(s) at threshold ${f.thr}%.6f against '${dc.against}' " +
+          s"(version ${catalog.currentVersion(dc.container)})")
+      else // a concurrent commit removed every loser first — honest no-op
+        Done(s"decontaminate ${dc.container}: the $nLosers contaminated " +
+          "document(s) were already absent — nothing removed")
 
     case dd: Ast.DedupContainer =>
       // the funnel's decision APPLIED: keep one doc per verified
@@ -1891,7 +1939,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       }
     }
     graft.catalog.Index.textLookup(catalog, m.container, idef, m.terms,
-      m.limit, m.atVersion)
+      m.limit, m.atVersion, requireAll = m.all)
   }
 
   /** Lower a SIMILAR to its candidate-pk DataFrame (one pk-named column,
@@ -2386,6 +2434,63 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           .select(col("id_a"), col("id_b"))
     }
     BandFunnel(idef, thr, pairs, docsDf, verified)
+  }
+
+  /** The DECONTAMINATE / SHOW DECONTAMINATE shared machinery (round 14):
+    * per-document contamination = |distinct 4-grams of the doc ∩ the
+    * eval container's distinct 4-grams| / |distinct 4-grams of the doc|,
+    * both over the statement's column — the `t_decontaminate` measure
+    * with exactly one definition. Scale shape: the eval gram set is the
+    * true small dimension (an eval suite is MBs against a 100 TB
+    * corpus), so it BROADCASTS into the hit join and the corpus side
+    * never shuffles its grams for the probe; per-doc distinct + counts
+    * are partial-agg group-bys. `contamination` rows exist only for
+    * docs with ≥1 gram (shorter docs are outside the measure's reach). */
+  private case class DecontFunnel(thr: Double, contamination: DataFrame)
+
+  private def decontFunnel(container: String, against: String,
+      column: String, thrOpt: Option[Double]): DecontFunnel = {
+    requireNotView(container, "its content")
+    requireNotView(against, "its content")
+    val d = catalog.get(container)
+    val e = catalog.get(against)
+    if (container.equalsIgnoreCase(against))
+      throw new ParseException(
+        "DECONTAMINATE against the container itself would remove every " +
+          "measurable document — name a distinct eval container")
+    def textColOf(cd: Catalog#ContainerDef, who: String): String =
+      cd.columns.find(_._1.equalsIgnoreCase(column)) match {
+        case Some((n, t))
+            if t.spark == org.apache.spark.sql.types.StringType => n
+        case Some((n, t)) => throw new ParseException(
+          s"DECONTAMINATE column $n on '$who' is ${t}, not a text type")
+        case None => throw new ParseException(
+          s"Unknown column $column on '$who'")
+      }
+    val cCol = textColOf(d, container)
+    val eCol = textColOf(e, against)
+    // the default says "more of the doc's grams collide with the eval
+    // suite than not" — strict containment checks use THRESHOLD 1
+    val thr = thrOpt.getOrElse(0.5)
+    import graft.operators.TextDedup.grams4
+    val corpGrams = grams4(catalog.read(container)
+        .select(col(d.primaryKey).as("doc_id"), lit("c").as("source"),
+          col(cCol).as("text")))
+      .select(col("doc_id"), col("g")).distinct()
+    val evalGrams = grams4(catalog.read(against)
+        .select(lit(0L).as("doc_id"), lit("e").as("source"),
+          col(eCol).as("text")))
+      .select(col("g")).distinct()
+    val tot = corpGrams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val hits = corpGrams.join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    val contamination = tot.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)).cast("double")
+          / col("n_grams"), 6).as("contamination"))
+    DecontFunnel(thr, contamination)
   }
 
   /** Per-cluster keeper ranking over the funnel's verified graph:

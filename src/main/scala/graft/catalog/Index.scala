@@ -627,7 +627,8 @@ object Index {
     * the fixture lane's full-scan baseline by construction.
     */
   def textLookup(cat: Catalog, container: String, idef: Def,
-      terms: Seq[String], k: Int = 20, at: Option[Int] = None): DataFrame = {
+      terms: Seq[String], k: Int = 20, at: Option[Int] = None,
+      requireAll: Boolean = false): DataFrame = {
     require(idef.kind == "text", s"index '${idef.ix}' is not a text index")
     val qs = terms.map(_.toLowerCase).distinct.filter(_.nonEmpty)
     require(qs.nonEmpty, "text lookup needs at least one non-empty term")
@@ -638,7 +639,10 @@ object Index {
         (sum(col("dl")) / sum(col("tf"))).as("avgdl"))
     val post = ix.filter(col("term") =!= graft.operators.FullText.StatsTerm)
       .select(col("id").as("doc_id"), col("term"), col("tf"), col("dl"))
-    graft.operators.FullText.bm25TopK(post, stats, k)
+    // MATCH ALL: conjunctive over the DISTINCT lowercased terms —
+    // repeated query terms collapse, so 'a a b' needs docs with a AND b
+    graft.operators.FullText.bm25TopK(post, stats, k,
+        allOf = if (requireAll) Some(qs.size) else None)
       .withColumnRenamed("doc_id", cat.get(container).primaryKey)
   }
 

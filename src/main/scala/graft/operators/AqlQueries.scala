@@ -138,6 +138,30 @@ object AqlQueries {
        |  (CAST(4 AS BIGINT), '$tpBase')) AS t(doc_id, text)
        | UNION ALL SELECT CAST(-1 AS BIGINT), '$probe')""".stripMargin
 
+  /** The decontamination funnel recomputed declaratively over the
+    * `documents` fixture with the src0 slice as the eval set — the
+    * t_decontaminate measure (distinct 4-grams, per-doc overlap
+    * fraction, round 6). Shared by aql_decontaminate (kept set) and
+    * aql_show_decontaminate (the report). */
+  private[operators] val duckDecontCtes: String =
+    """toks AS (SELECT doc_id, string_split(lower(text),' ') AS tk
+      |          FROM documents),
+      |grams AS (SELECT doc_id,
+      |    unnest(list_transform(range(1, len(tk)-2),
+      |      i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3])) AS g
+      |  FROM toks WHERE len(tk) >= 4),
+      |bench AS (SELECT DISTINCT g FROM grams
+      |          JOIN (SELECT doc_id FROM documents WHERE source = 'src0')
+      |          USING (doc_id)),
+      |corp AS (SELECT DISTINCT doc_id, g FROM grams),
+      |tot AS (SELECT doc_id, count(*) AS n_grams FROM corp GROUP BY doc_id),
+      |hits AS (SELECT doc_id, count(*) AS n_contaminated
+      |         FROM corp JOIN bench USING (g) GROUP BY doc_id),
+      |contam AS (SELECT t.doc_id,
+      |      round(CAST(coalesce(n_contaminated, 0) AS DOUBLE) / n_grams, 6)
+      |        AS contamination
+      |    FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id)""".stripMargin
+
   private val fixtureRoots = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
     fixtureRoots.foreach { root =>
@@ -384,6 +408,17 @@ object AqlQueries {
       eng.catalog.overwrite("docs_dd", ftDocs)
       eng.execute("CREATE INDEX ndd ON docs_dd ['text'] USING lsh")
       eng.execute("DEDUP docs_dd USING ndd")
+      // decontamination pair (round 14): docs_ev = the src0 slice as the
+      // eval container; docs_dc = a documents copy DECONTAMINATE'd
+      // against it at setup — the oracle row recomputes the KEPT set
+      // declaratively (the t_decontaminate measure, threshold 0.5)
+      eng.execute("CREATE CONTAINER docs_ev ['doc_id','text'] [BIGINT, TEXT]")
+      eng.catalog.overwrite("docs_ev", graft.Tables.load(spark, dir, "documents")
+        .filter(org.apache.spark.sql.functions.col("source") === "src0")
+        .select("doc_id", "text"))
+      eng.execute("CREATE CONTAINER docs_dc ['doc_id','text'] [BIGINT, TEXT]")
+      eng.catalog.overwrite("docs_dc", ftDocs)
+      eng.execute("DECONTAMINATE docs_dc AGAINST docs_ev ON text THRESHOLD 0.5")
       // value-indexed container: WHERE lang = 'en' auto-serves from the
       // secondary index (pk-candidate-pruned scan); the post-index COMMIT
       // proves maintenance — the inserted row is only findable through
@@ -1067,6 +1102,15 @@ object AqlQueries {
       search("MATCH ['dup','vector','merge'] ON docs_ft LIMIT 20")(s, dir)
     },
 
+    // MATCH ALL (round 14 — conjunctive semantics): only documents
+    // containing EVERY query term rank; the plain MATCH ORs terms into
+    // the score. One HAVING over the per-doc matched-term count in the
+    // oracle; one filter between the postings group-by and the top-k in
+    // the engine — the candidate set stays pruned to the query terms.
+    Q("aql_match_all", FullText.duckBm25Sql(conjunctive = true)) { (s, dir) =>
+      search("MATCH ALL ['dup','vector','merge'] ON docs_ft LIMIT 20")(s, dir)
+    },
+
     // (MATCH …) as a SEARCH source: the hit list joins back to its source
     // container on the shared pk (USING-join semantics) — relevance
     // search composing with relational projection, end to end under the
@@ -1672,6 +1716,36 @@ object AqlQueries {
          |WHERE doc_id NOT IN (SELECT v FROM losers)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       search("SEARCH [] ON docs_dd")(s, dir)
+    },
+
+    // DECONTAMINATE (round 14 — the curation trio's third statement):
+    // the fixture ran `DECONTAMINATE docs_dc AGAINST docs_ev ON text
+    // THRESHOLD 0.5` at setup (docs_ev = the src0 slice); the oracle
+    // recomputes the KEPT set declaratively with the t_decontaminate
+    // measure — distinct-4-gram overlap per doc, removal at ≥ 0.5 — so
+    // the committed post-state must equal the independent decision.
+    Q("aql_decontaminate",
+      s"""WITH ${AqlQueries.duckDecontCtes},
+         |removed AS (SELECT doc_id FROM contam WHERE contamination >= 0.5)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      search("SEARCH [doc_id] ON docs_dc")(s, dir)
+    },
+
+    // ...and the dry-run report twin (read-only, so it runs against the
+    // UNCURATED documents container): one row of funnel dimensions.
+    Q("aql_show_decontaminate",
+      s"""WITH ${AqlQueries.duckDecontCtes}
+         |SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |       count(*) AS measured_docs,
+         |       CAST(coalesce(sum(CASE WHEN contamination >= 0.5
+         |                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |         AS contaminated_docs,
+         |       round(coalesce(max(contamination), 0.0), 6)
+         |         AS max_contamination
+         |FROM contam""".stripMargin) { (s, dir) =>
+      search("SHOW DECONTAMINATE documents AGAINST docs_ev ON text")(s, dir)
     },
 
     // ...and the simhash twin: candidates from the 4×8-bit band index,

@@ -83,7 +83,14 @@ object FullText {
     * postings themselves — a ≤|terms|-row broadcast — so the same scoring
     * serves both the full-scan baseline and the index-pruned path.
     */
-  private[graft] def bm25TopK(post: DataFrame, stats: DataFrame, k: Int): DataFrame = {
+  /** `allOf = Some(n)` — conjunctive (MATCH ALL) semantics: only docs
+    * whose matched-term count equals n (the distinct query-term count)
+    * rank. Postings are one row per (doc, term), so the per-doc group
+    * count IS the distinct matched-term count — the conjunction is one
+    * filter between the partial-agg group-by and the top-k, no extra
+    * pass over the postings. */
+  private[graft] def bm25TopK(post: DataFrame, stats: DataFrame, k: Int,
+      allOf: Option[Int] = None): DataFrame = {
     val dfs = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val perTerm = post
       .join(broadcast(dfs), "term")
@@ -92,8 +99,9 @@ object FullText {
         log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
           * col("tf") * (K1 + 1.0)
           / (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
-    perTerm.groupBy(col("doc_id"))
+    val scored = perTerm.groupBy(col("doc_id"))
       .agg(round(sum(col("sc")), 6).as("bm25"), count(lit(1)).as("n_terms"))
+    allOf.map(n => scored.filter(col("n_terms") === n)).getOrElse(scored)
       .orderBy(desc("bm25"), col("doc_id"))
       .limit(k)
   }
@@ -137,7 +145,12 @@ object FullText {
 
   private val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
 
-  private[graft] val duckBm25 =
+  /** The BM25 top-20 recompute over the probe terms; `conjunctive` adds
+    * the MATCH ALL discipline (every distinct query term must appear —
+    * one HAVING over the per-doc matched-term count). */
+  private[graft] def duckBm25Sql(conjunctive: Boolean): String = {
+    val having =
+      if (conjunctive) s"HAVING count(*) = ${QueryTerms.size}" else ""
     s"""WITH $duckTokCte,
        |qpost AS (SELECT * FROM post WHERE term IN ($termList)),
        |dfs AS (SELECT term, count(*) AS df FROM qpost GROUP BY term)
@@ -148,7 +161,11 @@ object FullText {
        |       count(*) AS n_terms
        |FROM qpost p JOIN dfs d USING (term) CROSS JOIN stats s
        |GROUP BY p.doc_id
+       |$having
        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  private[graft] val duckBm25 = duckBm25Sql(conjunctive = false)
 
   val defs: Seq[Q] = Seq(
 

@@ -1074,6 +1074,17 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(searchRows("MATCH ['oracle'] ON ftd USING ft").size == 2)
     intercept[ParseException](eng.execute("MATCH ['oracle'] ON ftd USING nope"))
 
+    // MATCH ALL (round 14): conjunctive — only docs with EVERY term.
+    // 'spark' hits {1,2}, 'query' hits {1,3}; the conjunction is {1}
+    val allHits = searchRows("MATCH ALL ['spark','query'] ON ftd")
+    assert(allHits.map(_.getLong(0)) == Seq(1L), s"got $allHits")
+    assert(allHits.head.getLong(2) == 2L, "n_terms must equal the query size")
+    // no doc holds all three → empty, not an error
+    assert(searchRows("MATCH ALL ['spark','query','duckdb'] ON ftd").isEmpty)
+    // repeated terms collapse: 'spark spark query' still means {spark, query}
+    assert(searchRows("MATCH ALL ['spark','spark','query'] ON ftd")
+      .map(_.getLong(0)) == Seq(1L))
+
     // (MATCH …) as a SEARCH source: hits join back to their bodies on the
     // shared pk (USING-join semantics — one doc_id output column), and
     // WHERE/ORDER BY compose over the joined row
@@ -1345,6 +1356,57 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       sh.head.getDouble(1) == 1.0, s"got $sh")
     // a text literal can't probe an ivf index — the existing loud error
     eng.execute("DELETE CONTAINER tdocs")
+  }
+
+  test("54 DECONTAMINATE removes eval-overlapping docs atomically; SHOW is the dry run") {
+    eng.execute("CREATE CONTAINER dcorp ['doc_id','body'] [BIGINT, TEXT]")
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta"
+    // doc 1 = the eval text verbatim (contamination 1.0); doc 2 = eval
+    // text + tail (5 of 8 grams hit, 0.625); doc 3 unrelated (0.0);
+    // doc 4 too short for a 4-gram (unmeasured — never removed)
+    eng.execute(s"CREATE ROW ['doc_id','body'] [1,'$evalText'] ON dcorp")
+    eng.execute(s"CREATE ROW ['doc_id','body'] [2,'$evalText and three more'] ON dcorp")
+    eng.execute("CREATE ROW ['doc_id','body'] [3,'totally different content about query engines and spark pipelines today'] ON dcorp")
+    eng.execute("CREATE ROW ['doc_id','body'] [4,'too short'] ON dcorp")
+    eng.execute("COMMIT dcorp")
+    eng.execute("CREATE CONTAINER deval ['eid','body'] [BIGINT, TEXT]")
+    eng.execute(s"CREATE ROW ['eid','body'] [1,'$evalText'] ON deval")
+    eng.execute("COMMIT deval")
+    // dry run first: 4 docs, 3 measured, 2 past the 0.5 default, max 1.0
+    val rep = searchRows("SHOW DECONTAMINATE dcorp AGAINST deval ON body").head
+    assert((rep.getLong(0), rep.getLong(1), rep.getLong(2), rep.getDouble(3))
+      == ((4L, 3L, 2L, 1.0)), s"got $rep")
+    // THRESHOLD 1 narrows the decision to verbatim containment
+    val strict = searchRows(
+      "SHOW DECONTAMINATE dcorp AGAINST deval ON body THRESHOLD 1").head
+    assert(strict.getLong(2) == 1L, s"got $strict")
+    // the applied decision: docs 1 and 2 removed in ONE version
+    val v1 = eng.catalog.currentVersion("dcorp")
+    val msg = eng.execute("DECONTAMINATE dcorp AGAINST deval ON body")
+      .asInstanceOf[Engine.Done].message
+    assert(msg.contains("removed 2"), msg)
+    assert(searchRows("SEARCH [doc_id] ON dcorp").map(_.getLong(0)).sorted
+      == Seq(3L, 4L))
+    assert(eng.catalog.currentVersion("dcorp") == v1 + 1)
+    // idempotent: the second pass removes nothing and burns no version
+    val again = eng.execute("DECONTAMINATE dcorp AGAINST deval ON body")
+      .asInstanceOf[Engine.Done].message
+    assert(again.contains("nothing removed"), again)
+    assert(eng.catalog.currentVersion("dcorp") == v1 + 1)
+    // guards: staged ops refuse; self-target refuses; non-text column
+    // and unknown column fail loudly
+    eng.execute("CREATE ROW ['doc_id','body'] [9,'staged'] ON dcorp")
+    intercept[IllegalArgumentException](
+      eng.execute("DECONTAMINATE dcorp AGAINST deval ON body"))
+    eng.execute("ROLLBACK dcorp")
+    intercept[ParseException](
+      eng.execute("DECONTAMINATE dcorp AGAINST dcorp ON body"))
+    intercept[ParseException](
+      eng.execute("DECONTAMINATE dcorp AGAINST deval ON doc_id"))
+    intercept[ParseException](
+      eng.execute("DECONTAMINATE dcorp AGAINST deval ON nope"))
+    eng.execute("DELETE CONTAINER dcorp")
+    eng.execute("DELETE CONTAINER deval")
   }
 
   test("28 ALTER RENAME COLUMN is pure metadata; commits keep the stored name") {

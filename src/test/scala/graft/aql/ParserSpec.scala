@@ -82,6 +82,12 @@ class ParserSpec extends AnyFunSuite {
       == Similar("docs", Token.IntLit(1), None, 20, Some(3)))
     intercept[ParseException](Parser.parse("MATCH ['x'] ON docs AT 2"))
     intercept[ParseException](Parser.parse("MATCH [] ON docs"))
+    // MATCH ALL (round 14) — the conjunctive flag, unreserved like PROBE
+    assert(Parser.parse("MATCH ALL ['a','b'] ON docs LIMIT 5")
+      == Match("docs", List("a", "b"), None, 5, None, all = true))
+    assert(Parser.parse("match all ['a'] ON docs")
+      == Match("docs", List("a"), None, 20, None, all = true))
+    intercept[ParseException](Parser.parse("MATCH ALL [] ON docs"))
     intercept[ParseException](Parser.parse("MATCH ['x'] ON docs LIMIT 0"))
     intercept[ParseException](Parser.parse("MATCH ['x'] ON docs EXTRA"))
   }
@@ -642,6 +648,29 @@ class ParserSpec extends AnyFunSuite {
     intercept[ParseException](Parser.parse("DEDUP docs EXTRA"))
     // the mutation takes no AT VERSION (only the SHOW form time-travels)
     intercept[ParseException](Parser.parse("DEDUP docs AT VERSION 1"))
+  }
+
+  test("DECONTAMINATE and its SHOW twin parse AGAINST/ON/THRESHOLD") {
+    assert(Parser.parse("DECONTAMINATE corp AGAINST eval ON body")
+      == Decontaminate("corp", "eval", "body", None))
+    assert(Parser.parse("decontaminate corp against eval ON body THRESHOLD 0.8")
+      == Decontaminate("corp", "eval", "body", Some(0.8)))
+    assert(Parser.parse("SHOW DECONTAMINATE corp AGAINST eval ON body")
+      == ShowDecontaminate("corp", "eval", "body", None))
+    assert(Parser.parse("SHOW DECONTAMINATE corp AGAINST eval ON body THRESHOLD 1")
+      == ShowDecontaminate("corp", "eval", "body", Some(1.0)))
+    // a column NAMED like the TEXT type keyword stays addressable — the
+    // keyword uppercases in the AST and lowering resolves columns
+    // case-insensitively (the fixture documents column is literally
+    // called 'text')
+    assert(Parser.parse("DECONTAMINATE corp AGAINST eval ON text")
+      == Decontaminate("corp", "eval", "TEXT", None))
+    intercept[ParseException](Parser.parse("DECONTAMINATE corp"))
+    intercept[ParseException](Parser.parse("DECONTAMINATE corp AGAINST eval"))
+    intercept[ParseException](
+      Parser.parse("DECONTAMINATE corp AGAINST eval ON text THRESHOLD 0"))
+    intercept[ParseException](
+      Parser.parse("DECONTAMINATE corp AGAINST eval ON text EXTRA"))
   }
 
   test("set operations: (SEARCH) EXCEPT/INTERSECT [ALL] (SEARCH)") {
