@@ -94,7 +94,14 @@ object Ast {
         * to 8). THE 100 TB pruning knob: probe cost is ~nprobe/k of the
         * corpus, so k scales with the data while the probe list stays
         * bounded driver metadata. */
-      k: Option[Int] = None) extends Stmt
+      k: Option[Int] = None,
+      /** `USING ivf [k] INT8` (round 14) — SQ8-quantized inverted lists:
+        * 1 byte per dimension against a code book frozen at create, 4×
+        * smaller than float32 lists. At 100 TB of embeddings a
+        * vector-storing index is a second 100 TB; this is the standard
+        * compression rung (SCORED reranks approximately on the codes,
+        * then fetches exact float32 for the ≤limit survivors). */
+      int8: Boolean = false) extends Stmt
   final case class DeleteIndex(container: String, ix: String) extends Stmt
   /** graft extension: `REBUILD INDEX ix ON c` — re-derive from current
     * data; the ivf kind retrains its frozen centroids (Lloyd) first, the
@@ -1171,7 +1178,15 @@ object Parser {
         case Nil => throw new ParseException("CREATE INDEX takes [column, …]")
         case cs => cs.mkString(",")
       }
-      val (kind, k) = rest match {
+      // trailing INT8 flag (unreserved, like SCORED/CLUSTERS): the SQ8
+      // quantized-list option — validated ivf-only in Index.create
+      val (int8, restK) = rest.lastOption match {
+        case Some(Str(w)) if w.equalsIgnoreCase("INT8") &&
+            !(rest.length >= 2 && rest(rest.length - 2) == Keyword("USING")) =>
+          (true, rest.init)
+        case _ => (false, rest)
+      }
+      val (kind, k) = restK match {
         case Nil => ("lsh", None)
         case Keyword("USING") :: kindTok :: Nil => (name(kindTok).toLowerCase, None)
         // USING ivf <k>: the centroid-count knob (validated ivf-only and
@@ -1182,7 +1197,7 @@ object Parser {
           (name(kindTok).toLowerCase, Some(kk.toInt))
         case other => throw new ParseException(s"Unexpected tokens after CREATE INDEX: $other")
       }
-      CreateIndex(name(containerTok), name(ixTok), column, kind, k)
+      CreateIndex(name(containerTok), name(ixTok), column, kind, k, int8)
 
     // DELETE INDEX name ON container (graft extension)
     case Keyword("DELETE") :: Keyword("INDEX") :: ixTok :: Keyword("ON") :: containerTok :: Nil =>

@@ -198,8 +198,9 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       Done(s"staged 1 row into $container")
 
     case ci: Ast.CreateIndex =>
-      catalog.createIndex(ci.container, ci.ix, ci.kind, ci.column, ci.k)
-      Done(s"created ${ci.kind} index ${ci.ix} on ${ci.container}(${ci.column})")
+      catalog.createIndex(ci.container, ci.ix, ci.kind, ci.column, ci.k, ci.int8)
+      Done(s"created ${ci.kind}${if (ci.int8) " int8" else ""} index " +
+        s"${ci.ix} on ${ci.container}(${ci.column})")
 
     case Ast.DeleteIndex(container, ix) =>
       catalog.dropIndex(container, ix)
@@ -801,7 +802,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
             // trains the same single centroid from the same data.
             (if (ix.kind == "ivf") {
               val kk = catalog.ivfK(c, ix.ix)
-              if (kk >= 2) s" $kk" else ""
+              (if (kk >= 2) s" $kk" else "") +
+                (if (ix.int8) " INT8" else "")
             } else ""))
       resultSet(metaDf(Seq("ordinal" -> "INT", "ddl" -> "TEXT"),
         ddl.zipWithIndex.map { case (s2, i) => Row(i + 1, s2) }),
@@ -2048,6 +2050,47 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           embArr, col("_sim_qemb")), 6).as("score")
       def unpack(c: Column): Column =
         graft.functions.Float32Unpack.float32Unpack(c)
+      // INT8 lists (round 14): rank candidates APPROXIMATELY on the
+      // dequantized codes — still index-local, one read of the probed
+      // cells — keep the top ≤limit, then fetch exact float32 for JUST
+      // those pks from the snapshot (a literal-isin pruned point scan,
+      // the bandRerank fetch shape; ≤limit pks is bounded per-lookup
+      // metadata) and emit EXACT scores. An int8 index's parts always
+      // carry codes (the option postdates the emb-storing list schema,
+      // so no pre-emb carry can exist); a NULL code row (dim-mismatched
+      // payload) can't be scored from the list and drops, like a
+      // zero-norm vector. Recall contract: the approximate stage can
+      // rank a near-tie across the quantization step differently than
+      // exact cosine would — the survivors are exact-reranked, but a
+      // vector whose approx score fell just below the limit cut is
+      // gone (the standard SQ8 serving trade; REBUILD retrains the
+      // code book after drift).
+      if (idef.int8) {
+        val (mn, mx) = catalog.sqBounds(sm.container, idef.ix)
+        val approx = cands.filter(col("cand_emb").isNotNull)
+          .crossJoin(broadcast(qemb))
+          .select(col("cand"),
+            graft.functions.CosineSimilarity.cosineSim(
+              graft.functions.Int8Codec.int8Dequantize(col("cand_emb"), mn, mx),
+              col("_sim_qemb")).as("ascore"))
+          .filter(col("ascore").isNotNull)
+          .orderBy(col("ascore").desc, col("cand"))
+          .limit(sm.limit)
+        val survivors = approx.select(col("cand")).collect().map(_.get(0))
+        note(s"similar scored (ivf int8): ${survivors.length} approx " +
+          "survivor(s) from the quantized lists; exact float32 fetched " +
+          "via a literal-isin pruned point scan")
+        val fetchPred =
+          if (survivors.isEmpty) lit(false)
+          else col(pkName).isin(survivors.toIndexedSeq: _*)
+        return snapshot.filter(fetchPred)
+          // min-by-bytes duplicate-pk representative, the ivfLookup stance
+          .groupBy(col(pkName)).agg(min(col(idef.column)).as("_sim_pl"))
+          .crossJoin(broadcast(qemb))
+          .select(col(pkName), score(unpack(col("_sim_pl"))))
+          .filter(col("score").isNotNull)
+          .orderBy(col("score").desc, col(pkName)).limit(sm.limit)
+      }
       val fast = cands.filter(col("cand_emb").isNotNull)
         .crossJoin(broadcast(qemb))
         .select(col("cand").as(pkName), score(unpack(col("cand_emb"))))

@@ -346,13 +346,18 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
   // ---- derived secondary indexes (maintained at every commit: Index.scala)
 
   def createIndex(name: String, ix: String, kind: String, column: String,
-      k: Option[Int] = None): Index.Def =
-    Index.create(this, name, ix, kind, column, k)
+      k: Option[Int] = None, int8: Boolean = false): Index.Def =
+    Index.create(this, name, ix, kind, column, k, int8)
 
   /** The ivf kind's trained centroid count — the `USING ivf <k>` DDL
     * knob, read back for replay-exact SHOW CREATE. */
   def ivfK(name: String, ix: String): Int =
     Index.centroids(this, name, ix).size
+
+  /** The frozen SQ8 code book of an int8 ivf index (per-dimension
+    * min/max) — bounded driver metadata, like the centroid set. */
+  def sqBounds(name: String, ix: String): (IndexedSeq[Float], IndexedSeq[Float]) =
+    Index.sqBounds(this, name, ix)
 
   def dropIndex(name: String, ix: String): Unit = Index.drop(this, name, ix)
 

@@ -56,7 +56,16 @@ import scala.jdk.CollectionConverters._
   *    the indexed column auto-serve through it (`Engine.indexPruned`).
   */
 object Index {
-  final case class Def(ix: String, kind: String, column: String) {
+  /** `int8` (ivf only, round 14): the inverted lists store SQ8-quantized
+    * vectors (one byte per dimension against a code book frozen at
+    * create/rebuild — `sqmin`/`sqmax` metadata lines) instead of the raw
+    * packed float32 — a 4× smaller index, the standard compression rung
+    * when the vector corpus is itself at storage scale. SCORED reranks
+    * approximately on the dequantized codes, then fetches exact float32
+    * for the surviving ≤limit rows from the snapshot (a bounded pk
+    * point scan, the band-rerank fetch shape). */
+  final case class Def(ix: String, kind: String, column: String,
+      int8: Boolean = false) {
     /** The indexed source columns: one for every kind except `value`,
       * which may be a COMPOSITE (comma-joined in the metadata — AQL
       * column names cannot contain commas) — the (lang, quality_band)
@@ -142,11 +151,43 @@ object Index {
       }.toSeq.sorted
     }.map { ix =>
       // first line is `kind<TAB>column`; ivf metadata carries centroid
-      // lines after it (see create)
-      val Array(kind, column) = Files.readString(metaFile(cat, container, ix))
-        .linesIterator.next().trim.split("\t", 2)
-      Def(ix, kind, column)
+      // (and for int8, option/sqmin/sqmax) lines after it (see create)
+      val content = Files.readString(metaFile(cat, container, ix))
+      val Array(kind, column) = content.linesIterator.next().trim.split("\t", 2)
+      Def(ix, kind, column,
+        int8 = content.linesIterator.exists(_.trim == "option\tint8"))
     }
+  }
+
+  /** The frozen SQ8 code book of an int8 ivf index — per-dimension
+    * (min, max) from the metadata `sqmin`/`sqmax` lines. Bounded driver
+    * metadata (2 × dims floats), like the centroid set. */
+  private[catalog] def sqBounds(cat: Catalog, container: String,
+      ix: String): (IndexedSeq[Float], IndexedSeq[Float]) = {
+    val lines = Files.readString(metaFile(cat, container, ix)).linesIterator.toSeq
+    def row(tag: String): IndexedSeq[Float] = lines
+      .collectFirst { case l if l.startsWith(s"$tag\t") =>
+        l.split("\t", 2)(1).split(",").map(_.toFloat).toIndexedSeq }
+      .getOrElse(sys.error(s"index '$ix' on '$container' has no $tag code book"))
+    (row("sqmin"), row("sqmax"))
+  }
+
+  /** Train the SQ8 code book: per-dimension min/max over the SAME
+    * deterministic bounded sample the centroids train on — one
+    * explode + partial-agg group-by, ≤256·k rows. Out-of-sample values
+    * saturate at quantize time (the standard SQ8 posture). */
+  private def sqTrainBounds(cat: Catalog, container: String, column: String,
+      k: Int): Seq[String] = {
+    val rows = trainingSample(cat, container, column, k)
+      .select(posexplode(col("emb")).as(Seq("pos", "f")))
+      .groupBy(col("pos"))
+      .agg(min(col("f")).as("mn"), max(col("f")).as("mx"))
+      .orderBy(col("pos")).collect()
+    require(rows.nonEmpty,
+      s"int8 ivf index on '$container': no decodable vectors to train bounds")
+    Seq("option\tint8",
+      "sqmin\t" + rows.map(_.getFloat(1)).mkString(","),
+      "sqmax\t" + rows.map(_.getFloat(2)).mkString(","))
   }
 
   /** The ivf kind's frozen centroid set (`sid`, packed floats) from the
@@ -178,7 +219,9 @@ object Index {
     * sessions pick the definition up on their next `indexDefs` read.
     */
   def create(cat: Catalog, container: String, ix: String, kind: String,
-      column: String, k: Option[Int] = None): Def = {
+      column: String, k: Option[Int] = None, int8: Boolean = false): Def = {
+    require(!int8 || kind == "ivf",
+      s"the INT8 list option applies to ivf indexes only; '$ix' is a $kind index")
     val d = cat.get(container)
     require(ix.matches("[A-Za-z0-9_]+"), s"Invalid index name '$ix'")
     // every kind but `value` indexes exactly one column; a `value` index
@@ -231,12 +274,15 @@ object Index {
         val centLines = seeds.zipWithIndex.map { case (r, i) =>
           s"centroid\t$i\t" + r.getSeq[Float](0).map(_.toString).mkString(",")
         }
-        (s"$kind\t$column" +: centLines).mkString("\n")
+        val sqLines =
+          if (int8) sqTrainBounds(cat, container, column, k.getOrElse(8))
+          else Nil
+        (s"$kind\t$column" +: (sqLines ++ centLines)).mkString("\n")
       case other => sys.error(s"unknown index kind '$other'")
     }
     Files.write(metaFile(cat, container, ix), body.getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE_NEW)
-    val idef = Def(ix, kind, column)
+    val idef = Def(ix, kind, column, int8 = int8 && kind == "ivf")
     val v = cat.currentVersion(container)
     if (v > 0) ensureAt(cat, container, idef, v)
     idef
@@ -271,11 +317,16 @@ object Index {
         // retrain at the DECLARED k (the persisted centroid count), not
         // the default — a k=64 index must not silently shrink to 8 on
         // its first post-drift rebuild
-        val cents = trainCentroids(cat, container, old.column,
-          k = centroids(cat, container, ix).size)
+        val declaredK = centroids(cat, container, ix).size
+        val cents = trainCentroids(cat, container, old.column, k = declaredK)
         val centLines = cents.map { case (sid, arr) =>
           s"centroid\t$sid\t" + arr.map(_.toString).mkString(",") }
-        (s"ivf\t${old.column}" +: centLines).mkString("\n")
+        // an int8 index retrains its SQ8 code book with the centroids —
+        // the same post-drift recovery, one sampled pass for both
+        val sqLines =
+          if (old.int8) sqTrainBounds(cat, container, old.column, declaredK)
+          else Nil
+        (s"ivf\t${old.column}" +: (sqLines ++ centLines)).mkString("\n")
       case k => s"$k\t${old.column}"
     }
     cat.versions(container).foreach(v =>
@@ -292,7 +343,7 @@ object Index {
         catch { case scala.util.control.NonFatal(c) => t.addSuppressed(c) }
         throw t
     }
-    val idef = Def(ix, old.kind, old.column)
+    val idef = Def(ix, old.kind, old.column, old.int8)
     val v = cat.currentVersion(container)
     if (v > 0) ensureAt(cat, container, idef, v)
     idef
@@ -802,11 +853,20 @@ object Index {
         // broadcast centroid dim). Undecodable payloads produce no index
         // row — they can never be ANN candidates either way. The PACKED
         // vector is stored in the list row (vecb → emb), the FAISS
-        // inverted-list shape that makes SCORED reranks index-local.
+        // inverted-list shape that makes SCORED reranks index-local; an
+        // INT8 index stores the SQ8 codes instead (1 byte/dim against
+        // the frozen code book — 4× smaller lists; a dim-mismatched
+        // payload quantizes to NULL and simply can't be SCORED from the
+        // list, like a zero-norm vector).
+        val listPayload =
+          if (idef.int8) {
+            val (mn, mx) = sqBounds(cat, d.name, idef.ix)
+            graft.functions.Int8Codec.int8Quantize(col(idef.column), mn, mx)
+          } else col(idef.column)
         assignClusters(
           rows.select(col(d.primaryKey).as("id"),
             graft.functions.Float32Unpack.float32Unpack(col(idef.column)).as("emb"),
-            col(idef.column).as("vecb"), col("src")),
+            listPayload.as("vecb"), col("src")),
           centroidDf(cat, centroids(cat, d.name, idef.ix)),
           keep = Seq("vecb", "src"))
           .withColumnRenamed("vecb", "emb")

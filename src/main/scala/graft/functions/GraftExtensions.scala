@@ -31,6 +31,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Float32Unpack].getName, "float32_unpack"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Float32Unpack(exprs.head)))
+    // int8 SQ8 codec pair: args 2/3 are the frozen per-dimension code
+    // book as packed-float32 binary LITERALS, folded back to expression
+    // constants here (the bounds are index metadata, not data)
+    ext.injectFunction((
+      new FunctionIdentifier("int8_quantize"),
+      new ExpressionInfo(classOf[Int8Quantize].getName, "int8_quantize"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 3, "int8_quantize(bin, minsLit, maxsLit)")
+        Int8Quantize(exprs(0),
+          Int8Codec.unpackBounds(exprs(1), "int8_quantize"),
+          Int8Codec.unpackBounds(exprs(2), "int8_quantize"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("int8_dequantize"),
+      new ExpressionInfo(classOf[Int8Dequantize].getName, "int8_dequantize"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 3, "int8_dequantize(bin, minsLit, maxsLit)")
+        Int8Dequantize(exprs(0),
+          Int8Codec.unpackBounds(exprs(1), "int8_dequantize"),
+          Int8Codec.unpackBounds(exprs(2), "int8_dequantize"))
+      }))
     // KLL quantile sketch trio (mirrors Spark's own DataSketches HLL
     // surface): mergeable aggregate, pairwise union, rank-q estimate.
     // Arity is checked here — a builder indexing past exprs surfaces a

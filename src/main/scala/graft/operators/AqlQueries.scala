@@ -486,6 +486,14 @@ object AqlQueries {
       eng.catalog.overwrite("docs_ivd", ivfDf)
       eng.execute("CREATE INDEX ann ON docs_ivd ['emb'] USING ivf")
       eng.execute("DEDUP docs_ivd USING ann")
+      // INT8 ivf twin (round 14): the same one-hot corpus under
+      // SQ8-quantized lists. One-hot dimensions bound to [0, 1], so the
+      // 256-step grid represents every component EXACTLY (codes 0/255)
+      // — the approx selection equals the exact ranking and the float32
+      // oracle recompute carries over verbatim.
+      eng.execute("CREATE CONTAINER docs_iv8 ['doc_id','emb'] [BIGINT, MEDIUM-BYTES]")
+      eng.catalog.overwrite("docs_iv8", ivfDf)
+      eng.execute("CREATE INDEX ann ON docs_iv8 ['emb'] USING ivf INT8")
       // query-by-text SIMILAR fixture (round 14): four literal docs (two
       // verbatim copies of the probe, one near-dup, one unrelated) under
       // lsh AND simhash band indexes — corpus-independent, so the oracle
@@ -1416,6 +1424,19 @@ object AqlQueries {
     }) { (s, dir) =>
       search("SEARCH [] ON [(SIMILAR " + AqlQueries.similarQueryVecAql +
         " ON docs_ivf USING ann LIMIT 5)] WHERE doc_id > 10")(s, dir)
+    },
+
+    // INT8 ivf SCORED (round 14): the quantized-list index serves the
+    // same query as aql_similar_vector_scored — approx selection on the
+    // dequantized codes, exact float32 refetch for the survivors. The
+    // one-hot fixture's components land ON the 256-step grid (codes
+    // 0/255 exactly), so the approx ranking equals the exact one and
+    // the float32 oracle recompute carries over verbatim; the output
+    // scores are exact either way (the refetch contract).
+    Q("aql_similar_scored_int8",
+      AqlQueries.duckVectorScoredSql(AqlQueries.similarQueryVec2, 10)) { (s, dir) =>
+      search("SIMILAR " + AqlQueries.aqlVec(AqlQueries.similarQueryVec2) +
+        " ON docs_iv8 USING ann PROBE 2 LIMIT 10 SCORED")(s, dir)
     },
 
     // FILTERED ANN (round 14): the WHERE applies BEFORE the LIMIT, and

@@ -120,7 +120,18 @@ object EmbeddingStreams {
       // branch outright. A NULL cosine (zero norm) verifies nothing.
       val rawCands = catalog.indexLookup(container, ix, exactKept)
       val histCands =
-        if (graft.catalog.Index.allPartsCarryEmb(catalog, container, idef))
+        if (idef.int8)
+          // int8 lists carry SQ8 CODES, not float32 — the gate's verify
+          // is EXACT cosine (a near-threshold dedup decision must not
+          // move with the quantization grid), so every candidate's true
+          // vector comes from the snapshot via the pk join (min-pick on
+          // duplicate pks, the ivfLookup stance)
+          rawCands.select(col("qid"), col("cand"))
+            .join(catalog.read(container)
+              .select(col(pk).as("cand"), col(embCol).as("cand_emb")), Seq("cand"))
+            .groupBy(col("qid"), col("cand"))
+            .agg(min(col("cand_emb")).as("cand_emb"))
+        else if (graft.catalog.Index.allPartsCarryEmb(catalog, container, idef))
           rawCands
         else rawCands.filter(col("cand_emb").isNotNull).unionByName(
           rawCands.filter(col("cand_emb").isNull)

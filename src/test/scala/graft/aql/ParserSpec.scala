@@ -54,6 +54,16 @@ class ParserSpec extends AnyFunSuite {
       Parser.parse("CREATE INDEX ann ON docs ['emb'] USING ivf 1"))
     intercept[ParseException](
       Parser.parse("CREATE INDEX ann ON docs ['emb'] USING ivf 5000"))
+    // INT8 — the SQ8 quantized-list flag (round 14), trailing like SCORED;
+    // composes with and without the k knob (ivf-only-ness checks at create)
+    assert(Parser.parse("CREATE INDEX ann ON docs ['emb'] USING ivf 64 INT8")
+      == CreateIndex("docs", "ann", "emb", "ivf", Some(64), int8 = true))
+    assert(Parser.parse("CREATE INDEX ann ON docs ['emb'] USING ivf int8")
+      == CreateIndex("docs", "ann", "emb", "ivf", None, int8 = true))
+    // directly after USING the word is an index KIND named int8 (rejected
+    // at create as unknown), not the flag — the USING-slot rule SCORED uses
+    assert(Parser.parse("CREATE INDEX x ON docs ['emb'] USING int8")
+      == CreateIndex("docs", "x", "emb", "int8"))
     assert(Parser.parse("REBUILD INDEX nd ON docs") == RebuildIndex("docs", "nd"))
   }
 

@@ -721,6 +721,67 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(cat.currentVersion("ing") > 50, "optimize publishes its own versions")
   }
 
+  test("ivf INT8 lists: 4x smaller storage, recall against the float twin, exact output scores") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ixm-int8")
+    val cat = new Catalog(spark, dir.toString)
+    cat.create("vecs", List("vec_id" -> graft.aql.AlbaType.of("BIGINT"),
+      "e" -> graft.aql.AlbaType.of("MEDIUM-BYTES")))
+    // 3000 deterministic pseudo-random 64-dim vectors (sin spread — the
+    // float32 bit patterns are incompressible, so the storage pin
+    // measures the codec, not the compressor)
+    def fv(i: Long): IndexedSeq[Float] =
+      (0 until 64).map(d => math.sin(i * 7.0 + d * 13.0).toFloat)
+    import spark.implicits._
+    val rows = (0L until 3000L).map(i =>
+      (i, graft.functions.Float32Unpack.pack(fv(i))))
+    cat.overwrite("vecs", rows.toDF("vec_id", "e")
+      .repartitionByRange(4, col("vec_id")).sortWithinPartitions("vec_id"))
+    val eng = new graft.aql.Engine(spark, dir.toString)
+    eng.execute("CREATE INDEX annf ON vecs ['e'] USING ivf 8")
+    eng.execute("CREATE INDEX anni ON vecs ['e'] USING ivf 8 INT8")
+    // STORAGE PIN: quantized lists carry 64 bytes/vector instead of
+    // 256 — the index directory must come in well under half the size
+    val v = cat.currentVersion("vecs")
+    def ixBytes(ix: String): Long =
+      ixParts(cat, "vecs", v, ix).map(java.nio.file.Files.size).sum
+    val (fb, ib) = (ixBytes("annf"), ixBytes("anni"))
+    assert(ib < fb * 0.5, s"int8 lists must be <0.5x float32: $ib vs $fb")
+    // RECALL + EXACTNESS: same query through both indexes at full probe
+    // (isolates the quantization effect from cell pruning). The query IS
+    // row 42's vector, so cosine 1.0 must survive approx selection.
+    val qLit = fv(42).mkString("[", ", ", "]")
+    def top(ix: String): Seq[(Long, Double)] = eng
+      .execute(s"SIMILAR $qLit ON vecs USING $ix PROBE 8 LIMIT 10 SCORED")
+      .asInstanceOf[graft.aql.Engine.ResultSet].df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val (ft, it) = (top("annf"), top("anni"))
+    assert(it.head._1 == 42L && it.head._2 == 1.0,
+      s"the exact-duplicate query row must rank first, got ${it.head}")
+    val overlap = ft.map(_._1).toSet.intersect(it.map(_._1).toSet).size
+    assert(overlap >= 7, s"int8 recall floor: $overlap/10 vs the float twin")
+    // the int8 path emits EXACT scores (float32 refetch): every pk both
+    // indexes serve carries an identical score
+    val fScores = ft.toMap
+    it.filter(p => fScores.contains(p._1)).foreach { case (id, s) =>
+      assert(s == fScores(id), s"pk $id: int8 score $s != exact ${fScores(id)}")
+    }
+    // metadata round-trips: the def reads back int8, SHOW CREATE emits
+    // the option, and REBUILD retrains bounds without dropping it
+    assert(cat.indexDefs("vecs").find(_.ix == "anni").exists(_.int8))
+    assert(!cat.indexDefs("vecs").find(_.ix == "annf").exists(_.int8))
+    val ddl = eng.execute("SHOW CREATE CONTAINER vecs")
+      .asInstanceOf[graft.aql.Engine.ResultSet].df.collect().map(_.getString(1))
+    assert(ddl.exists(_.endsWith("USING ivf 8 INT8")), ddl.mkString("; "))
+    eng.execute("REBUILD INDEX anni ON vecs")
+    assert(cat.indexDefs("vecs").find(_.ix == "anni").exists(_.int8),
+      "rebuild must keep the int8 option")
+    assert(cat.sqBounds("vecs", "anni")._1.length == 64)
+    assert(top("anni").head._1 == 42L, "post-rebuild serving intact")
+    // the option is ivf-only — a band index refuses loudly
+    intercept[IllegalArgumentException](
+      cat.createIndex("vecs", "bad", "lsh", "e", int8 = true))
+  }
+
   // ---- helpers -------------------------------------------------------------
 
   /** Parquet part files under version v's index directory (recursive). */
