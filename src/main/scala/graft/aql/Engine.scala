@@ -813,7 +813,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       catalog.get(c) // existence check
       resultSet(metaDf(
         Seq("ix" -> "TEXT", "kind" -> "TEXT", "column" -> "TEXT"),
-        catalog.indexDefs(c).map(d => Row(d.ix, d.kind, d.column))),
+        catalog.indexDefs(c).map(d =>
+          Row(d.ix, if (d.int8) s"${d.kind} int8" else d.kind, d.column))),
         needsDefaultSort = true)
 
     case Ast.ShowVersions(c) =>

@@ -777,6 +777,11 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       "rebuild must keep the int8 option")
     assert(cat.sqBounds("vecs", "anni")._1.length == 64)
     assert(top("anni").head._1 == 42L, "post-rebuild serving intact")
+    // SHOW INDEXES surfaces the option in the kind column
+    val kinds = eng.execute("SHOW INDEXES vecs")
+      .asInstanceOf[graft.aql.Engine.ResultSet].df.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(kinds("anni") == "ivf int8" && kinds("annf") == "ivf", kinds.toString)
     // the option is ivf-only — a band index refuses loudly
     intercept[IllegalArgumentException](
       cat.createIndex("vecs", "bad", "lsh", "e", int8 = true))

@@ -241,6 +241,39 @@ class AqlServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post("DELETE CONTAINER wfz")._1 == 200)
   }
 
+  test("round-14 statements reach the wire surface: MATCH ALL, filtered/text SIMILAR, DECONTAMINATE, INT8") {
+    assert(post("CREATE CONTAINER w14 ['doc_id','body'] [BIGINT, TEXT]")._1 == 200)
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    assert(post(s"CREATE ROW ['doc_id','body'] [1,'$base'] ON w14")._1 == 200)
+    assert(post(s"CREATE ROW ['doc_id','body'] [2,'$base today'] ON w14")._1 == 200)
+    assert(post("CREATE ROW ['doc_id','body'] [3,'spark engine parses big queries fast'] ON w14")._1 == 200)
+    assert(post("COMMIT w14")._1 == 200)
+    assert(post("CREATE INDEX ft ON w14 ['body'] USING text")._1 == 200)
+    assert(post("CREATE INDEX nd ON w14 ['body'] USING lsh")._1 == 200)
+    // conjunctive MATCH: only doc 3 holds both terms
+    val (mc, mb) = post("MATCH ALL ['spark','queries'] ON w14")
+    assert(mc == 200 && mb.contains("\"rows\":[[3,"), mb)
+    // query-by-text SIMILAR with a WHERE: the literal probes as a
+    // document, the predicate filters before the LIMIT
+    val (tc, tb) = post(
+      s"SIMILAR '$base' ON w14 USING nd WHERE doc_id > 1 LIMIT 5 SCORED")
+    assert(tc == 200 && !tb.contains("[[1,") && tb.contains(""""score""""), tb)
+    // the decontamination pair: dry run, then the applied removal
+    assert(post("CREATE CONTAINER w14e ['eid','body'] [BIGINT, TEXT]")._1 == 200)
+    assert(post(s"CREATE ROW ['eid','body'] [1,'$base'] ON w14e")._1 == 200)
+    assert(post("COMMIT w14e")._1 == 200)
+    val (sc2, sb2) = post("SHOW DECONTAMINATE w14 AGAINST w14e ON body")
+    assert(sc2 == 200 && sb2.contains(""""contaminated_docs""""), sb2)
+    val (dc3, db3) = post("DECONTAMINATE w14 AGAINST w14e ON body")
+    assert(dc3 == 200 && db3.contains("removed 2"), db3)
+    assert(post("DECONTAMINATE w14 AGAINST w14e ON body")
+      ._2.contains("nothing removed"))
+    assert(post("DECONTAMINATE w14 AGAINST w14 ON body")._1 == 400)
+    // INT8 is ivf-only: a clean wire-level 400 on a text column
+    assert(post("CREATE INDEX q8 ON w14 ['body'] USING lsh INT8")._1 == 400)
+    Seq("w14", "w14e").foreach(c => assert(post(s"DELETE CONTAINER $c")._1 == 200))
+  }
+
   test("round-7 statements reach the wire surface: ANALYZE, SHOW STATS, RESTORE") {
     assert(post("CREATE CONTAINER webs ['id','tag'] [BIGINT, SMALL-STRING]")._1 == 200)
     assert(post("CREATE ROW ['id','tag'] [1,'keep'] ON webs")._1 == 200)
