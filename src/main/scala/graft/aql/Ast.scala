@@ -364,7 +364,13 @@ object Ast {
         * documents containing EVERY query term rank (one count filter
         * over the pruned postings before the BM25 top-k; the plain form
         * ORs terms into the score, standard BM25). */
-      all: Boolean = false) extends Stmt
+      all: Boolean = false,
+      /** `MATCH PHRASE ['multi word phrase']` (round 14) — token
+        * adjacency: only documents containing the exact token-adjacent
+        * phrase rank (position-array intersection over the pruned
+        * postings; `terms` holds the SPLIT tokens in phrase order,
+        * repeats allowed), BM25-scored over the distinct terms. */
+      phrase: Boolean = false) extends Stmt
   /** graft extension: candidate lookup from a band/ANN index — `SIMILAR
     * <pk> ON c [USING ix] [LIMIT n]` reads the committed row with that pk
     * and serves its near-dup (lsh/simhash) or same-cell ANN (ivf)
@@ -1619,6 +1625,21 @@ object Parser {
         throw new ParseException("MATCH needs at least one term")
       val (at, ix, _, _, limit) = lookupTail("MATCH ALL", rest)
       Match(name(containerTok), terms, ix, limit, at, all = true)
+    // MATCH PHRASE ['multi word phrase'] ON c — exact token adjacency
+    // (PHRASE unreserved like ALL); the ONE quoted phrase splits into
+    // its ordered lowercase tokens here, so lowering sees plain terms
+    case Keyword("MATCH") :: Str(pw) :: (termsG: Group) :: Keyword("ON") :: containerTok :: rest
+        if pw.equalsIgnoreCase("PHRASE") =>
+      val phrase = strings(termsG) match {
+        case one :: Nil => one
+        case other => throw new ParseException(
+          s"MATCH PHRASE takes exactly one quoted phrase, got ${other.size} items")
+      }
+      val tokens = phrase.toLowerCase.split("\\s+").filter(_.nonEmpty).toList
+      if (tokens.size < 2) throw new ParseException(
+        "MATCH PHRASE needs at least two tokens (a one-term phrase is plain MATCH)")
+      val (at, ix, _, _, limit) = lookupTail("MATCH PHRASE", rest)
+      Match(name(containerTok), tokens, ix, limit, at, phrase = true)
     case Keyword("MATCH") :: (termsG: Group) :: Keyword("ON") :: containerTok :: rest =>
       val terms = strings(termsG)
       if (terms.isEmpty)

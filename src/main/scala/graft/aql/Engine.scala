@@ -1941,8 +1941,12 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
             s"(${many.map(_.ix).mkString(", ")}) — pick one with USING")
       }
     }
-    graft.catalog.Index.textLookup(catalog, m.container, idef, m.terms,
-      m.limit, m.atVersion, requireAll = m.all)
+    if (m.phrase)
+      graft.catalog.Index.phraseLookup(catalog, m.container, idef, m.terms,
+        m.limit, m.atVersion)
+    else
+      graft.catalog.Index.textLookup(catalog, m.container, idef, m.terms,
+        m.limit, m.atVersion, requireAll = m.all)
   }
 
   /** Lower a SIMILAR to its candidate-pk DataFrame (one pk-named column,

@@ -96,14 +96,18 @@ object Index {
         case "ivf" => StructType(Seq(
           StructField("id", pkType), StructField("cluster", IntegerType),
           StructField("emb", BinaryType)))
-        // inverted postings: (id, term, tf, dl) plus one corpus-stats
-        // sentinel row PER SRC FILE under term="" carrying (tf = n_docs,
-        // dl = Σ doc_len) — file-local aggregates, so the global N/avgdl
-        // BM25 needs is the sum over sentinel rows and stays exact under
-        // file-granular COW maintenance
+        // inverted postings: (id, term, tf, dl, pos) plus one corpus-
+        // stats sentinel row PER SRC FILE under term="" carrying
+        // (tf = n_docs, dl = Σ doc_len) — file-local aggregates, so the
+        // global N/avgdl BM25 needs is the sum over sentinel rows and
+        // stays exact under file-granular COW maintenance. `pos` (round
+        // 14) = the term's sorted 1-based token positions, the MATCH
+        // PHRASE adjacency substrate; parts built before it read NULL
+        // and phrase lookups demand a REBUILD.
         case "text" => StructType(Seq(
           StructField("id", pkType), StructField("term", StringType),
-          StructField("tf", LongType), StructField("dl", DoubleType)))
+          StructField("tf", LongType), StructField("dl", DoubleType),
+          StructField("pos", ArrayType(IntegerType))))
         // value→pk rows: the classic secondary index (generalizes the
         // reference's first-column-only chunk index to ANY column list)
         case "value" => StructType(
@@ -697,6 +701,55 @@ object Index {
       .withColumnRenamed("doc_id", cat.get(container).primaryKey)
   }
 
+  /** MATCH PHRASE (round 14): only documents containing the EXACT
+    * token-adjacent phrase rank, BM25-scored over the phrase's distinct
+    * terms. Adjacency runs on the postings' position arrays: slot i of
+    * the phrase contributes its term's positions SHIFTED by −i, and the
+    * fold-intersection of the slots is the set of anchor positions where
+    * the whole phrase starts — nonempty ⇔ the phrase occurs. Everything
+    * stays pruned to the phrase's terms (the lookup-cost contract of
+    * [[textLookup]]); document frequency keeps its corpus meaning (df =
+    * docs containing the term, not phrase docs), so a phrase hit scores
+    * exactly like the same doc under plain MATCH. Repeated tokens fold
+    * naturally ('batch batch' intersects a term's positions with
+    * themselves shifted). Parts built before the position schema read
+    * `pos` as NULL — a phrase lookup over any such part fails LOUDLY
+    * with a REBUILD pointer (a silent empty result would read as "no
+    * phrase hits"). */
+  def phraseLookup(cat: Catalog, container: String, idef: Def,
+      tokens: Seq[String], k: Int = 20, at: Option[Int] = None): DataFrame = {
+    require(idef.kind == "text", s"index '${idef.ix}' is not a text index")
+    val qs = tokens.map(_.toLowerCase).filter(_.nonEmpty)
+    require(qs.size >= 2, "phrase lookup needs at least two tokens")
+    val distinctTerms = qs.distinct
+    val ix = read(cat, container, idef, at)
+      .filter(col("term").isin(distinctTerms :+ graft.operators.FullText.StatsTerm: _*))
+    val stats = ix.filter(col("term") === graft.operators.FullText.StatsTerm)
+      .agg(sum(col("tf")).cast("double").as("n"),
+        (sum(col("dl")) / sum(col("tf"))).as("avgdl"))
+    val post = ix.filter(col("term") =!= graft.operators.FullText.StatsTerm)
+      .select(col("id").as("doc_id"), col("term"), col("tf"), col("dl"),
+        col("pos"))
+    // bounded legacy detection over the PRUNED postings only
+    if (!post.filter(col("pos").isNull).limit(1).isEmpty)
+      sys.error(s"text index '${idef.ix}' on '$container' predates token " +
+        "positions — REBUILD INDEX it to serve MATCH PHRASE")
+    val slots = qs.zipWithIndex.map { case (w, i) =>
+      post.filter(col("term") === w)
+        .select(col("doc_id"),
+          transform(col("pos"), x => x - lit(i)).as(s"_sp$i"))
+    }
+    val anchors = slots.reduce(_.join(_, Seq("doc_id")))
+      .select(col("doc_id"),
+        qs.indices.map(i => col(s"_sp$i"))
+          .reduce(array_intersect).as("_anchors"))
+      .filter(size(col("_anchors")) > 0)
+      .select(col("doc_id"))
+    graft.operators.FullText.bm25TopK(post.drop("pos"), stats, k,
+        docKeep = Some(anchors))
+      .withColumnRenamed("doc_id", cat.get(container).primaryKey)
+  }
+
   // ---- maintenance ---------------------------------------------------------
 
   private def ixDir(cat: Catalog, container: String, v: Int, ix: String): Path =
@@ -935,7 +988,8 @@ object Index {
   private def deriveText(docs: DataFrame, pkType: DataType): DataFrame = {
     val post = graft.operators.FullText.postingsOf(
         docs.withColumnRenamed("id", "doc_id"), Seq("doc_id", "src"))
-      .select(col("doc_id").as("id"), col("term"), col("tf"), col("dl"), col("src"))
+      .select(col("doc_id").as("id"), col("term"), col("tf"), col("dl"),
+        col("pos"), col("src"))
     val stats = docs.select(col("src"),
         size(filter(split(lower(col("text")), " "), t => t =!= ""))
           .cast("long").as("dl"))
@@ -943,7 +997,8 @@ object Index {
       .agg(count(lit(1)).as("tf"), sum(col("dl")).cast("double").as("dl"))
       .select(lit(null).cast(pkType).as("id"),
         lit(graft.operators.FullText.StatsTerm).as("term"),
-        col("tf"), col("dl"), col("src"))
+        col("tf"), col("dl"),
+        lit(null).cast(ArrayType(IntegerType)).as("pos"), col("src"))
     post.unionByName(stats)
   }
 }

@@ -1119,6 +1119,17 @@ object AqlQueries {
       search("MATCH ALL ['dup','vector','merge'] ON docs_ft LIMIT 20")(s, dir)
     },
 
+    // MATCH PHRASE (round 14 — token adjacency): only docs containing
+    // the exact adjacent pair rank; the engine intersects the postings'
+    // position arrays (slot i shifted by −i), the oracle recomputes
+    // phrase membership from first principles over the same 1-based
+    // tokenization, both gating the identical BM25 (df keeps its corpus
+    // meaning, so a phrase hit scores exactly like plain MATCH).
+    Q("aql_match_phrase",
+      FullText.duckBm25PhraseSql(Seq("merge", "key"))) { (s, dir) =>
+      search("MATCH PHRASE ['merge key'] ON docs_ft LIMIT 20")(s, dir)
+    },
+
     // (MATCH …) as a SEARCH source: the hit list joins back to its source
     // container on the shared pk (USING-join semantics) — relevance
     // search composing with relational projection, end to end under the

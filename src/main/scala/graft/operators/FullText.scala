@@ -57,15 +57,21 @@ object FullText {
     * by the fixture lane AND the catalog `text` index derivation —
     * row-local per document, the property that makes per-file index
     * recomputation exact under COW commits. */
+  /** Postings now carry `pos` — the term's 1-BASED token positions in
+    * the (empty-filtered) token sequence, sorted for deterministic
+    * bytes (round 14: the MATCH PHRASE adjacency substrate; 1-based to
+    * match DuckDB's `tk[p]` indexing so the oracle recompute reads the
+    * same numbers). */
   private[graft] def postingsOf(d: DataFrame,
       keys: Seq[String] = Seq("doc_id")): DataFrame = {
     val toks = d
       .select(keys.map(col) :+
         filter(split(lower(col("text")), " "), t => t =!= "").as("tk"): _*)
       .select(keys.map(col) :+ size(col("tk")).cast("long").as("dl") :+
-        explode(col("tk")).as("term"): _*)
+        posexplode(col("tk")).as(Seq("p", "term")): _*)
     toks.groupBy((keys.map(col) :+ col("term")): _*)
-      .agg(count(lit(1)).as("tf"), first(col("dl")).cast("double").as("dl"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).cast("double").as("dl"),
+        array_sort(collect_list(col("p") + 1)).as("pos"))
   }
 
   /** 1-row (n, avgdl) corpus statistics; `n` counts ALL documents (a
@@ -89,8 +95,12 @@ object FullText {
     * count IS the distinct matched-term count — the conjunction is one
     * filter between the partial-agg group-by and the top-k, no extra
     * pass over the postings. */
+  /** `docKeep = Some(ids)` — rank only documents in the (doc_id) set
+    * (the MATCH PHRASE filter): the semi-join lands BETWEEN the scoring
+    * group-by and the top-k, so the filter applies before the LIMIT
+    * while df keeps its corpus meaning. */
   private[graft] def bm25TopK(post: DataFrame, stats: DataFrame, k: Int,
-      allOf: Option[Int] = None): DataFrame = {
+      allOf: Option[Int] = None, docKeep: Option[DataFrame] = None): DataFrame = {
     val dfs = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val perTerm = post
       .join(broadcast(dfs), "term")
@@ -101,7 +111,10 @@ object FullText {
           / (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
     val scored = perTerm.groupBy(col("doc_id"))
       .agg(round(sum(col("sc")), 6).as("bm25"), count(lit(1)).as("n_terms"))
-    allOf.map(n => scored.filter(col("n_terms") === n)).getOrElse(scored)
+    val conj = allOf.map(n => scored.filter(col("n_terms") === n))
+      .getOrElse(scored)
+    docKeep.map(dk => conj.join(dk, Seq("doc_id"), "left_semi"))
+      .getOrElse(conj)
       .orderBy(desc("bm25"), col("doc_id"))
       .limit(k)
   }
@@ -166,6 +179,38 @@ object FullText {
   }
 
   private[graft] val duckBm25 = duckBm25Sql(conjunctive = false)
+
+  /** The MATCH PHRASE recompute: token-adjacent phrase membership from
+    * first principles (1-based positions over the same empty-filtered
+    * tokenization the postings use) gating the identical BM25 top-k —
+    * df keeps its corpus meaning, exactly like the engine. */
+  private[graft] def duckBm25PhraseSql(phrase: Seq[String],
+      limit: Int = 20): String = {
+    val qs = phrase.map(_.toLowerCase)
+    val terms = qs.distinct.map(t => s"'$t'").mkString(", ")
+    val adj = qs.zipWithIndex
+      .map { case (w, i) => s"tk[p + $i] = '$w'" }.mkString(" AND ")
+    val span = qs.size - 2
+    s"""WITH tkx AS (SELECT doc_id,
+       |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+       |  FROM documents),
+       |ph AS (SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - $span),
+       |      p -> CASE WHEN $adj THEN 1 ELSE 0 END)) AS hit
+       |    FROM tkx) WHERE hit = 1),
+       |$duckTokCte,
+       |qpost AS (SELECT * FROM post WHERE term IN ($terms)),
+       |dfs AS (SELECT term, count(*) AS df FROM qpost GROUP BY term)
+       |SELECT p.doc_id,
+       |       round(sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+       |                 * p.tf * ${K1 + 1.0}
+       |                 / (p.tf + $K1 * (1.0 - $B + $B * p.dl / s.avgdl))), 6) AS bm25,
+       |       count(*) AS n_terms
+       |FROM qpost p JOIN dfs d USING (term) CROSS JOIN stats s
+       |JOIN ph ON ph.doc_id = p.doc_id
+       |GROUP BY p.doc_id
+       |ORDER BY bm25 DESC, p.doc_id LIMIT $limit""".stripMargin
+  }
 
   val defs: Seq[Q] = Seq(
 

@@ -1085,6 +1085,24 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(searchRows("MATCH ALL ['spark','spark','query'] ON ftd")
       .map(_.getLong(0)) == Seq(1L))
 
+    // MATCH PHRASE (round 14): token adjacency — doc 1 says 'spark
+    // query engine', so 'query engine' hits it; doc 3 has 'query' but
+    // never adjacent to 'engine'; CONTAINMENT is not adjacency: doc 2's
+    // 'spark spark spark streams' serves 'spark spark' but 'spark
+    // streams spark' matches nothing
+    val ph = searchRows("MATCH PHRASE ['query engine'] ON ftd")
+    assert(ph.map(_.getLong(0)) == Seq(1L), s"got $ph")
+    assert(searchRows("MATCH PHRASE ['spark spark'] ON ftd")
+      .map(_.getLong(0)) == Seq(2L))
+    assert(searchRows("MATCH PHRASE ['engine query'] ON ftd").isEmpty,
+      "order matters — reversed phrase must not match")
+    // a phrase hit scores exactly like the same doc under plain MATCH
+    // over the same terms (df keeps its corpus meaning)
+    val plain = searchRows("MATCH ['query','engine'] ON ftd")
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ph.head.getDouble(1) == plain(1L),
+      s"phrase score ${ph.head.getDouble(1)} != plain ${plain(1L)}")
+
     // (MATCH …) as a SEARCH source: hits join back to their bodies on the
     // shared pk (USING-join semantics — one doc_id output column), and
     // WHERE/ORDER BY compose over the joined row

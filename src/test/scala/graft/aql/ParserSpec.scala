@@ -98,6 +98,13 @@ class ParserSpec extends AnyFunSuite {
     assert(Parser.parse("match all ['a'] ON docs")
       == Match("docs", List("a"), None, 20, None, all = true))
     intercept[ParseException](Parser.parse("MATCH ALL [] ON docs"))
+    // MATCH PHRASE (round 14) — ONE quoted phrase, split to ordered
+    // lowercase tokens at parse time
+    assert(Parser.parse("MATCH PHRASE ['Merge  Key'] ON docs LIMIT 5")
+      == Match("docs", List("merge", "key"), None, 5, None, phrase = true))
+    intercept[ParseException](Parser.parse("MATCH PHRASE ['a','b'] ON docs"))
+    intercept[ParseException](Parser.parse("MATCH PHRASE ['single'] ON docs"))
+    intercept[ParseException](Parser.parse("MATCH PHRASE [] ON docs"))
     intercept[ParseException](Parser.parse("MATCH ['x'] ON docs LIMIT 0"))
     intercept[ParseException](Parser.parse("MATCH ['x'] ON docs EXTRA"))
   }

@@ -50,7 +50,7 @@ class FullTextIndexSpec extends AnyFunSuite {
     val (cat, _) = fixture("backfill")
     cat.createIndex("docs", "ft", "text", "body")
     val ix = cat.readIndex("docs", "ft")
-    assert(ix.columns.toSet == Set("id", "term", "tf", "dl", "src"))
+    assert(ix.columns.toSet == Set("id", "term", "tf", "dl", "pos", "src"))
 
     val sent = ix.filter(col("term") === FullText.StatsTerm)
     assert(sent.count() == 4, "one stats sentinel per data file")
