@@ -1804,6 +1804,50 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows2.forall(_._2 == 1.0), s"got $rows2")
   }
 
+  test("56 round-14 plan shapes: broadcast eval grams, pruned postings, semi-join filtered ANN") {
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-r14plans")
+    val eng2 = new Engine(TestSpark.spark, dir2.toString)
+    eng2.execute("CREATE CONTAINER pc ['doc_id','body'] [BIGINT, TEXT]")
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    (1 to 6).foreach(i =>
+      eng2.execute(s"CREATE ROW ['doc_id','body'] [$i,'$base doc$i'] ON pc"))
+    eng2.execute("COMMIT pc")
+    eng2.execute("CREATE CONTAINER pe ['eid','body'] [BIGINT, TEXT]")
+    eng2.execute(s"CREATE ROW ['eid','body'] [1,'$base'] ON pe")
+    eng2.execute("COMMIT pe")
+    // DECONTAMINATE funnel: the EVAL gram set is the broadcast side of
+    // the hit join — the corpus side must never shuffle its grams for
+    // the probe (an eval suite is MBs against a 100 TB corpus)
+    val dp = eng2.execute("SHOW DECONTAMINATE pc AGAINST pe ON body")
+      .asInstanceOf[Engine.ResultSet].df.queryExecution.executedPlan.toString
+    assert(dp.contains("BroadcastHashJoin"),
+      s"eval grams must broadcast into the hit join:\n${dp.take(1500)}")
+    // MATCH PHRASE: the postings scan is pruned to the phrase's literal
+    // terms (pushed In filter reaches the index parquet scan)
+    eng2.execute("CREATE INDEX ft ON pc ['body'] USING text")
+    val pp = eng2.execute("MATCH PHRASE ['alpha beta'] ON pc")
+      .asInstanceOf[Engine.ResultSet].df.queryExecution.executedPlan.toString
+    assert(pp.contains("PushedFilters") && pp.contains("alpha"),
+      s"phrase postings scan must push the literal term list:\n${pp.take(1500)}")
+    // filtered ANN: the predicate lands as a LEFT-SEMI join against the
+    // pushed-filter snapshot scan — before the LIMIT, never after
+    eng2.execute("CREATE CONTAINER pv ['vid','tag','emb'] [BIGINT, TEXT, MEDIUM-BYTES]")
+    import spark.implicits._
+    val rows = (0L until 8L).map { i =>
+      (i, if (i % 2 == 0) "en" else "xx", graft.functions.Float32Unpack.pack(
+        (0 until 4).map(a => if (a == (i % 2).toInt) 1f else 0f)))
+    }
+    eng2.catalog.overwrite("pv", rows.toDF("vid", "tag", "emb"))
+    eng2.execute("CREATE INDEX ann ON pv ['emb'] USING ivf 2")
+    val fp = eng2.execute(
+      "SIMILAR [1.0, 0.0, 0.0, 0.0] ON pv USING ann WHERE tag = 'en' LIMIT 3 SCORED")
+      .asInstanceOf[Engine.ResultSet].df.queryExecution.executedPlan.toString
+    assert(fp.contains("LeftSemi"),
+      s"the WHERE must filter candidates via a semi join:\n${fp.take(1500)}")
+    assert(fp.contains("tag"), "the predicate must reach the snapshot scan")
+    Seq("pc", "pe", "pv").foreach(c => eng2.execute(s"DELETE CONTAINER $c"))
+  }
+
   test("37 fn_col output naming: same fn twice over one column is a clear reject") {
     // The derived output name ignores literal args (documented limitation:
     // one invocation per fn×column per projection), so two substr() items
