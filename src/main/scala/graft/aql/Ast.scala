@@ -370,7 +370,14 @@ object Ast {
         * phrase rank (position-array intersection over the pruned
         * postings; `terms` holds the SPLIT tokens in phrase order,
         * repeats allowed), BM25-scored over the distinct terms. */
-      phrase: Boolean = false) extends Stmt
+      phrase: Boolean = false,
+      /** `WHERE pred` (round 14 — filtered retrieval, the SIMILAR
+        * clause's lexical twin): the predicate applies BEFORE the
+        * LIMIT — a semi-join between the BM25 scoring group-by and the
+        * top-k — so "top-k matches where lang='en'" returns k whenever
+        * k matches exist; df keeps its corpus meaning. Composes with
+        * ALL and PHRASE. */
+      where: Option[Where] = None) extends Stmt
   /** graft extension: candidate lookup from a band/ANN index — `SIMILAR
     * <pk> ON c [USING ix] [LIMIT n]` reads the committed row with that pk
     * and serves its near-dup (lsh/simhash) or same-cell ANN (ivf)
@@ -1623,8 +1630,10 @@ object Parser {
       val terms = strings(termsG)
       if (terms.isEmpty)
         throw new ParseException("MATCH needs at least one term")
-      val (at, ix, _, _, limit) = lookupTail("MATCH ALL", rest)
-      Match(name(containerTok), terms, ix, limit, at, all = true)
+      val (at, ix, _, where, limit) = lookupTail("MATCH ALL", rest,
+        allowWhere = true)
+      Match(name(containerTok), terms, ix, limit, at, all = true,
+        where = where)
     // MATCH PHRASE ['multi word phrase'] ON c — exact token adjacency
     // (PHRASE unreserved like ALL); the ONE quoted phrase splits into
     // its ordered lowercase tokens here, so lowering sees plain terms
@@ -1638,14 +1647,17 @@ object Parser {
       val tokens = phrase.toLowerCase.split("\\s+").filter(_.nonEmpty).toList
       if (tokens.size < 2) throw new ParseException(
         "MATCH PHRASE needs at least two tokens (a one-term phrase is plain MATCH)")
-      val (at, ix, _, _, limit) = lookupTail("MATCH PHRASE", rest)
-      Match(name(containerTok), tokens, ix, limit, at, phrase = true)
+      val (at, ix, _, where, limit) = lookupTail("MATCH PHRASE", rest,
+        allowWhere = true)
+      Match(name(containerTok), tokens, ix, limit, at, phrase = true,
+        where = where)
     case Keyword("MATCH") :: (termsG: Group) :: Keyword("ON") :: containerTok :: rest =>
       val terms = strings(termsG)
       if (terms.isEmpty)
         throw new ParseException("MATCH needs at least one term")
-      val (at, ix, _, _, limit) = lookupTail("MATCH", rest)
-      Match(name(containerTok), terms, ix, limit, at)
+      val (at, ix, _, where, limit) = lookupTail("MATCH", rest,
+        allowWhere = true)
+      Match(name(containerTok), terms, ix, limit, at, where = where)
 
     // SIMILAR <pk> ON container [USING ix] [PROBE p] [LIMIT n] [SCORED]
     // (graft extension):

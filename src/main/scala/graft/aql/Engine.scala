@@ -1941,12 +1941,23 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
             s"(${many.map(_.ix).mkString(", ")}) — pick one with USING")
       }
     }
+    // WHERE (round 14 — filtered retrieval): the predicate's matching
+    // pk set semi-joins the ranking BEFORE the top-k, from the SAME
+    // committed snapshot the index covers (a pushed-filter scan)
+    val docKeep = m.where.map { w =>
+      val d = catalog.get(m.container)
+      val snap = m.atVersion match {
+        case Some(v) => catalog.readVersion(m.container, v)
+        case None => catalog.read(m.container)
+      }
+      snap.filter(lowerWhere(w, d)).select(col(d.primaryKey).as("doc_id"))
+    }
     if (m.phrase)
       graft.catalog.Index.phraseLookup(catalog, m.container, idef, m.terms,
-        m.limit, m.atVersion)
+        m.limit, m.atVersion, docKeep = docKeep)
     else
       graft.catalog.Index.textLookup(catalog, m.container, idef, m.terms,
-        m.limit, m.atVersion, requireAll = m.all)
+        m.limit, m.atVersion, requireAll = m.all, docKeep = docKeep)
   }
 
   /** Lower a SIMILAR to its candidate-pk DataFrame (one pk-named column,

@@ -681,9 +681,13 @@ object Index {
     * (doc_id, bm25, n_terms) ranked by (bm25 desc, doc_id), bit-equal to
     * the fixture lane's full-scan baseline by construction.
     */
+  /** `docKeep` (round 14 — filtered retrieval): a (doc_id) set the
+    * ranking semi-joins BEFORE the top-k, so the caller's predicate
+    * applies before the LIMIT while df keeps its corpus meaning. */
   def textLookup(cat: Catalog, container: String, idef: Def,
       terms: Seq[String], k: Int = 20, at: Option[Int] = None,
-      requireAll: Boolean = false): DataFrame = {
+      requireAll: Boolean = false,
+      docKeep: Option[DataFrame] = None): DataFrame = {
     require(idef.kind == "text", s"index '${idef.ix}' is not a text index")
     val qs = terms.map(_.toLowerCase).distinct.filter(_.nonEmpty)
     require(qs.nonEmpty, "text lookup needs at least one non-empty term")
@@ -697,7 +701,7 @@ object Index {
     // MATCH ALL: conjunctive over the DISTINCT lowercased terms —
     // repeated query terms collapse, so 'a a b' needs docs with a AND b
     graft.operators.FullText.bm25TopK(post, stats, k,
-        allOf = if (requireAll) Some(qs.size) else None)
+        allOf = if (requireAll) Some(qs.size) else None, docKeep = docKeep)
       .withColumnRenamed("doc_id", cat.get(container).primaryKey)
   }
 
@@ -717,7 +721,8 @@ object Index {
     * with a REBUILD pointer (a silent empty result would read as "no
     * phrase hits"). */
   def phraseLookup(cat: Catalog, container: String, idef: Def,
-      tokens: Seq[String], k: Int = 20, at: Option[Int] = None): DataFrame = {
+      tokens: Seq[String], k: Int = 20, at: Option[Int] = None,
+      docKeep: Option[DataFrame] = None): DataFrame = {
     require(idef.kind == "text", s"index '${idef.ix}' is not a text index")
     val qs = tokens.map(_.toLowerCase).filter(_.nonEmpty)
     require(qs.size >= 2, "phrase lookup needs at least two tokens")
@@ -745,8 +750,12 @@ object Index {
           .reduce(array_intersect).as("_anchors"))
       .filter(size(col("_anchors")) > 0)
       .select(col("doc_id"))
+    // the phrase gate and any caller predicate both land as doc filters
+    // between scoring and the top-k
+    val keep = docKeep.map(dk => anchors.join(dk, Seq("doc_id"), "left_semi"))
+      .getOrElse(anchors)
     graft.operators.FullText.bm25TopK(post.drop("pos"), stats, k,
-        docKeep = Some(anchors))
+        docKeep = Some(keep))
       .withColumnRenamed("doc_id", cat.get(container).primaryKey)
   }
 

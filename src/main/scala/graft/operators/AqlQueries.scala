@@ -1130,6 +1130,18 @@ object AqlQueries {
       search("MATCH PHRASE ['merge key'] ON docs_ft LIMIT 20")(s, dir)
     },
 
+    // filtered MATCH (round 14 — the SIMILAR WHERE clause's lexical
+    // twin): the predicate applies BEFORE the LIMIT as a semi-join
+    // between the BM25 scoring and the top-k, so a selective predicate
+    // still fills the LIMIT; df keeps its corpus meaning (the oracle
+    // computes df over ALL docs and only then gates).
+    Q("aql_match_filtered",
+      FullText.duckBm25Sql(conjunctive = false,
+        where = Some("doc_id < 100"))) { (s, dir) =>
+      search("MATCH ['dup','vector','merge'] ON docs_ft " +
+        "WHERE doc_id < 100 LIMIT 20")(s, dir)
+    },
+
     // (MATCH …) as a SEARCH source: the hit list joins back to its source
     // container on the shared pk (USING-join semantics) — relevance
     // search composing with relational projection, end to end under the

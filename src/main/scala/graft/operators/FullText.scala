@@ -161,9 +161,15 @@ object FullText {
   /** The BM25 top-20 recompute over the probe terms; `conjunctive` adds
     * the MATCH ALL discipline (every distinct query term must appear —
     * one HAVING over the per-doc matched-term count). */
-  private[graft] def duckBm25Sql(conjunctive: Boolean): String = {
+  private[graft] def duckBm25Sql(conjunctive: Boolean,
+      where: Option[String] = None): String = {
     val having =
       if (conjunctive) s"HAVING count(*) = ${QueryTerms.size}" else ""
+    // the predicate gates docs BEFORE the LIMIT (a semi-join against the
+    // corpus rows), exactly like the engine's docKeep — df untouched
+    val keep = where.map(w =>
+      s"JOIN (SELECT doc_id FROM documents WHERE $w) keep ON keep.doc_id = p.doc_id")
+      .getOrElse("")
     s"""WITH $duckTokCte,
        |qpost AS (SELECT * FROM post WHERE term IN ($termList)),
        |dfs AS (SELECT term, count(*) AS df FROM qpost GROUP BY term)
@@ -173,9 +179,10 @@ object FullText {
        |                 / (p.tf + $K1 * (1.0 - $B + $B * p.dl / s.avgdl))), 6) AS bm25,
        |       count(*) AS n_terms
        |FROM qpost p JOIN dfs d USING (term) CROSS JOIN stats s
+       |$keep
        |GROUP BY p.doc_id
        |$having
-       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+       |ORDER BY bm25 DESC, p.doc_id LIMIT 20""".stripMargin
   }
 
   private[graft] val duckBm25 = duckBm25Sql(conjunctive = false)

@@ -1103,6 +1103,18 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ph.head.getDouble(1) == plain(1L),
       s"phrase score ${ph.head.getDouble(1)} != plain ${plain(1L)}")
 
+    // WHERE (round 14): filters BEFORE the LIMIT, df untouched —
+    // 'spark' hits {1,2}; doc_id > 1 keeps only doc 2, at its plain score
+    val fw = searchRows("MATCH ['spark'] ON ftd WHERE doc_id > 1 LIMIT 1")
+    val plainSpark = searchRows("MATCH ['spark'] ON ftd")
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fw.map(_.getLong(0)) == Seq(2L), s"got $fw")
+    assert(fw.head.getDouble(1) == plainSpark(2L),
+      "the WHERE must filter, never rescore")
+    // ...and composes with ALL and PHRASE
+    assert(searchRows("MATCH ALL ['spark','query'] ON ftd WHERE doc_id > 1").isEmpty)
+    assert(searchRows("MATCH PHRASE ['query engine'] ON ftd WHERE doc_id > 1").isEmpty)
+
     // (MATCH …) as a SEARCH source: hits join back to their bodies on the
     // shared pk (USING-join semantics — one doc_id output column), and
     // WHERE/ORDER BY compose over the joined row

@@ -219,9 +219,20 @@ class ParserSpec extends AnyFunSuite {
     val fv = Parser.parse("SIMILAR [0.5] ON docs USING ann PROBE 2 WHERE tag = 'x'")
       .asInstanceOf[Similar]
     assert(fv.probe == Some(2) && fv.where.isDefined && fv.limit == 20)
-    // an empty WHERE is a loud parse error, and MATCH has no WHERE slot
+    // an empty WHERE is a loud parse error
     intercept[ParseException](Parser.parse("SIMILAR 7 ON docs WHERE"))
-    intercept[ParseException](Parser.parse("MATCH ['x'] ON docs WHERE a = 1"))
+    // MATCH carries the same filtered-retrieval WHERE (round 14),
+    // composing with ALL and PHRASE
+    val mw = Parser.parse("MATCH ['x'] ON docs WHERE lang = 'en' LIMIT 5")
+      .asInstanceOf[Match]
+    assert(mw.where.isDefined && mw.limit == 5 && !mw.all)
+    val mwa = Parser.parse("MATCH ALL ['x','y'] ON docs WHERE n > 3")
+      .asInstanceOf[Match]
+    assert(mwa.all && mwa.where.isDefined)
+    val mwp = Parser.parse("MATCH PHRASE ['x y'] ON docs WHERE n > 3")
+      .asInstanceOf[Match]
+    assert(mwp.phrase && mwp.where.isDefined)
+    intercept[ParseException](Parser.parse("MATCH ['x'] ON docs WHERE"))
   }
 
   test("CHANGES forms (CDC feed extension)") {
