@@ -2531,24 +2531,13 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     // the default says "more of the doc's grams collide with the eval
     // suite than not" — strict containment checks use THRESHOLD 1
     val thr = thrOpt.getOrElse(0.5)
-    import graft.operators.TextDedup.grams4
-    val corpGrams = grams4(catalog.read(container)
-        .select(col(d.primaryKey).as("doc_id"), lit("c").as("source"),
-          col(cCol).as("text")))
-      .select(col("doc_id"), col("g")).distinct()
-    val evalGrams = grams4(catalog.read(against)
-        .select(lit(0L).as("doc_id"), lit("e").as("source"),
-          col(eCol).as("text")))
-      .select(col("g")).distinct()
-    val tot = corpGrams.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"))
-    val hits = corpGrams.join(broadcast(evalGrams), Seq("g"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
-    val contamination = tot.join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-        round(coalesce(col("n_contaminated"), lit(0L)).cast("double")
-          / col("n_grams"), 6).as("contamination"))
+    // ONE measure definition (TextDedup.contaminationFractions), shared
+    // with the streaming decontamination ingest gate
+    val contamination = graft.operators.TextDedup.contaminationFractions(
+      catalog.read(container)
+        .select(col(d.primaryKey).as("doc_id"), col(cCol).as("text")),
+      graft.operators.TextDedup.evalGramSet(
+        catalog.read(against).select(col(eCol).as("text"))))
     DecontFunnel(thr, contamination)
   }
 

@@ -74,6 +74,36 @@ object TextDedup {
           "element_at(tk,i+2) || ' ' || element_at(tk,i+3)) ELSE array() END"))
       .select(col("doc_id"), col("source"), explode(col("sg")).as("g"))
 
+  /** Per-document contamination vs an eval gram set — THE decontamination
+    * measure, defined once (round 14) for the DECONTAMINATE statement,
+    * its SHOW twin, and the streaming ingest gate: distinct 4-grams per
+    * doc, hit count against the (broadcast — an eval suite is MBs
+    * against a 100 TB corpus) eval gram set, fraction rounded to 6.
+    * `docs` is (doc_id, text); `evalGrams` one `g` column, pre-distinct.
+    * Output (doc_id, n_grams, n_contaminated, contamination) — one row
+    * per doc with ≥1 gram (shorter docs are outside the measure's
+    * reach). */
+  def contaminationFractions(docs: DataFrame, evalGrams: DataFrame): DataFrame = {
+    val corpGrams = grams4(docs.select(col("doc_id"),
+        lit("c").as("source"), col("text")))
+      .select(col("doc_id"), col("g")).distinct()
+    val tot = corpGrams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val hits = corpGrams.join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    tot.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)).cast("double")
+          / col("n_grams"), 6).as("contamination"))
+  }
+
+  /** The distinct eval-side gram set for [[contaminationFractions]]. */
+  def evalGramSet(eval: DataFrame): DataFrame =
+    grams4(eval.select(lit(0L).as("doc_id"), lit("e").as("source"),
+        col("text")))
+      .select(col("g")).distinct()
+
   /** Core of t_repetition_filter, exposed for synthetic-input specs.
     * Input needs (doc_id, text); output carries the two repetition signals
     * and the keep flag.

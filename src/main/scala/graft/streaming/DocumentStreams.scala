@@ -261,6 +261,55 @@ object DocumentStreams {
         if (!batch.isEmpty) { catalog.append(container, batch); () }
       }
 
+  /** Decontamination-gated ingest (round 14) — the DECONTAMINATE
+    * statement's streaming sibling, the third gate next to
+    * [[dedupIngestToCatalog]] and `EmbeddingStreams.annIngestToCatalog`:
+    * each micro-batch drops (a) rows whose pk is already committed
+    * (at-least-once replay idempotence, the pk-range-pruned anti-join
+    * every gate uses) and (b) documents whose distinct-4-gram overlap
+    * with the committed EVAL container reaches `threshold` — computed by
+    * the SAME `TextDedup.contaminationFractions` derivation the batch
+    * statement applies, so ingest-time and after-the-fact curation can
+    * never disagree about what contamination is. Survivors land as one
+    * insert-only COW commit. The eval gram set re-derives per batch from
+    * the eval container's CURRENT version (eval suites are MBs — one
+    * broadcast side), so an eval update takes effect on the next batch
+    * without restarting the stream. `textCol` names the measured column
+    * in BOTH containers, like the statement's `ON col`. */
+  def decontIngestToCatalog(docs: DataFrame, catalog: graft.catalog.Catalog,
+      container: String, against: String, textCol: String,
+      threshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          decontBatch(batch, catalog, container, against, textCol, threshold)
+      }
+
+  private[graft] def decontBatch(batch: DataFrame,
+      catalog: graft.catalog.Catalog, container: String, against: String,
+      textCol: String, threshold: Double): Unit = {
+    val pk = catalog.get(container).primaryKey
+    // (a) replay idempotence: pk-range-pruned anti-join (the gate idiom)
+    val bounds = batch.agg(min(col(pk)), max(col(pk))).head()
+    val committedInRange = catalog.read(container).select(col(pk))
+      .filter(col(pk).between(lit(bounds.get(0)), lit(bounds.get(1))))
+    val fresh = batch.join(committedInRange, Seq(pk), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // (b) the contamination gate — ONE measure definition shared with
+      // DECONTAMINATE / SHOW DECONTAMINATE
+      val contaminated = graft.operators.TextDedup.contaminationFractions(
+          fresh.select(col(pk).as("doc_id"), col(textCol).as("text")),
+          graft.operators.TextDedup.evalGramSet(
+            catalog.read(against).select(col(textCol).as("text"))))
+        .filter(col("contamination") >= threshold)
+        .select(col("doc_id").as(pk))
+      val kept = fresh.join(contaminated, Seq(pk), "left_anti")
+      if (!kept.isEmpty) { catalog.append(container, kept); () }
+    } finally fresh.unpersist(blocking = false)
+  }
+
   /** Upserting ingest — the CDC-consumer shape: each micro-batch lands as
     * one atomic pk-keyed MERGE (`Tx.mergeRows` — matched pks update their
     * mentioned columns, misses insert) instead of a blind append, so a

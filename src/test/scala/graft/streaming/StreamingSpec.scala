@@ -841,6 +841,59 @@ class StreamingSpec extends AnyFunSuite {
     }, s"no session bridged the restart (split=$splitUs)")
   }
 
+  test("decontamination ingest gate: micro-batches drop eval-overlapping docs; replay appends nothing") {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft-decont-ingest")
+    val cat = new graft.catalog.Catalog(spark, root.toString)
+    cat.create("dgated", List("doc_id" -> graft.aql.AlbaType.of("BIGINT"),
+      "text" -> graft.aql.AlbaType.of("TEXT")))
+    cat.create("deval", List("eid" -> graft.aql.AlbaType.of("BIGINT"),
+      "text" -> graft.aql.AlbaType.of("TEXT")))
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta"
+    import spark.implicits._
+    cat.overwrite("deval", Seq((1L, evalText)).toDF("eid", "text"))
+
+    val src = java.nio.file.Files.createTempDirectory("graft-decont-src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-decont-ckpt")
+    def drain(checkpoint: java.nio.file.Path = ckpt): Unit = {
+      val stream = spark.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+        .parquet(src.toString)
+      val q = DocumentStreams.decontIngestToCatalog(stream, cat, "dgated",
+          "deval", "text")
+        .option("checkpointLocation", checkpoint.toString).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // batch 1: a verbatim eval copy (1.0, dropped), an eval prefix plus
+    // tail (5 of 8 grams = 0.625 ≥ 0.5, dropped), an unrelated doc
+    // (kept), and a too-short doc (unmeasured, kept)
+    Seq((1L, evalText), (2L, s"$evalText and three more"),
+      (3L, "completely different content about query engines and parquet files"),
+      (4L, "too short")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(src.toString)
+    drain()
+    assert(cat.read("dgated").collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+    val v1 = cat.currentVersion("dgated")
+    // batch 2: another clean doc lands; a late eval copy still drops —
+    // the gate re-reads the eval container's CURRENT version per batch
+    Seq((5L, "fresh unrelated material describing minhash bands and buckets"),
+      (6L, evalText)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(src.toString)
+    drain()
+    assert(cat.read("dgated").collect().map(_.getLong(0)).toSet
+      == Set(3L, 4L, 5L))
+    assert(cat.currentVersion("dgated") == v1 + 1)
+    // at-least-once replay: a fresh checkpoint redelivers EVERYTHING;
+    // the pk-range anti-join drops the committed survivors and the
+    // contamination gate the rest — nothing appends, no version burns
+    val vBefore = cat.currentVersion("dgated")
+    drain(java.nio.file.Files.createTempDirectory("graft-decont-ckpt2"))
+    assert(cat.read("dgated").count() == 3 &&
+      cat.currentVersion("dgated") == vBefore,
+      "full replay must append nothing")
+  }
+
   test("dedup ingest gate: each micro-batch drops exact + verified near-dups of the committed corpus") {
     import org.apache.spark.sql.types._
     val root = java.nio.file.Files.createTempDirectory("graft-dedup-ingest")
