@@ -570,19 +570,25 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           s"DECONTAMINATE on '${dc.container}' with staged ops — COMMIT " +
             "or ROLLBACK first")
       val f = decontFunnel(dc.container, dc.against, dc.column, dc.threshold)
+      // persist the decision: the count below AND deleteRows' touched-
+      // file discovery + rewrites all read the loser set — without this
+      // each action would recompute the whole gram funnel over the corpus
       val losers = f.contamination.filter(col("contamination") >= f.thr)
         .select(col("doc_id"))
-      val nLosers = losers.count()
-      if (nLosers == 0)
-        Done(s"decontaminate ${dc.container}: no document reaches " +
-          f"threshold ${f.thr}%.6f against '${dc.against}' — nothing removed")
-      else if (tx.deleteRows(dc.container, losers))
-        Done(s"decontaminated ${dc.container}: removed $nLosers " +
-          f"document(s) at threshold ${f.thr}%.6f against '${dc.against}' " +
-          s"(version ${catalog.currentVersion(dc.container)})")
-      else // a concurrent commit removed every loser first — honest no-op
-        Done(s"decontaminate ${dc.container}: the $nLosers contaminated " +
-          "document(s) were already absent — nothing removed")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nLosers = losers.count()
+        if (nLosers == 0)
+          Done(s"decontaminate ${dc.container}: no document reaches " +
+            f"threshold ${f.thr}%.6f against '${dc.against}' — nothing removed")
+        else if (tx.deleteRows(dc.container, losers))
+          Done(s"decontaminated ${dc.container}: removed $nLosers " +
+            f"document(s) at threshold ${f.thr}%.6f against '${dc.against}' " +
+            s"(version ${catalog.currentVersion(dc.container)})")
+        else // a concurrent commit removed every loser first — honest no-op
+          Done(s"decontaminate ${dc.container}: the $nLosers contaminated " +
+            "document(s) were already absent — nothing removed")
+      } finally losers.unpersist(blocking = false)
 
     case dd: Ast.DedupContainer =>
       // the funnel's decision APPLIED: keep one doc per verified

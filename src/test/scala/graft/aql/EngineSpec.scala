@@ -1179,6 +1179,16 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP)
           .toDouble) < 1e-12, s"weighted rrf mismatch on row $r")
     }
+    // round-14 sides compose: a PHRASE match and a WHERE-filtered
+    // SCORED similar fuse like any ranked sides — doc 3 has no
+    // 'beta gamma' adjacency and doc 1 is predicate-excluded on the
+    // vector side, so only doc 2 carries both ranks
+    val f14 = searchRows("FUSE [(MATCH PHRASE ['beta gamma'] ON fz), " +
+      "(SIMILAR 1 ON fz USING nd WHERE doc_id > 1 SCORED)]")
+    val by14 = f14.map(r => r.getLong(0) ->
+      (Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(by14(2L)._1.isDefined && by14(2L)._2.isDefined, s"got $by14")
+    assert(!by14.contains(3L), s"doc 3 has no phrase and no near-dup: $by14")
     // an unscored SIMILAR side has no ranking to fuse — loud reject
     val eUn = intercept[ParseException](eng.execute(
       "FUSE [(MATCH ['alpha'] ON fz), (SIMILAR 1 ON fz USING nd)]"))
