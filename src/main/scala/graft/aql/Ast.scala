@@ -495,9 +495,15 @@ object Ast {
       column: String, threshold: Option[Double] = None) extends Stmt
 
   /** The DECONTAMINATE dry run: one-row report (n_docs, measured_docs,
-    * contaminated_docs, max_contamination) over the same funnel. */
+    * contaminated_docs, max_contamination) over the same funnel.
+    * Trailing `DOCS` swaps in the decision DETAIL — one row per doc AT
+    * OR ABOVE the threshold (doc_id, n_grams, n_contaminated,
+    * contamination), contamination-desc: exactly the removal list
+    * DECONTAMINATE would apply, from the SAME derivation (the SHOW
+    * DEDUP … CLUSTERS pairing). */
   final case class ShowDecontaminate(container: String, against: String,
-      column: String, threshold: Option[Double] = None) extends Stmt
+      column: String, threshold: Option[Double] = None,
+      docs: Boolean = false) extends Stmt
 
   /** graft extensions: incremental materialized views. `CREATE VIEW v
     * (SEARCH [keys…, count(c)/sum(c)…] ON src [WHERE …])` declares a
@@ -1279,9 +1285,16 @@ object Parser {
     // THRESHOLD are not reserved, like DEDUP/STATS
     case Keyword("SHOW") :: Str(w) :: cTok :: Str(ag) :: eTok :: Keyword("ON") :: colTok :: rest
         if w.equalsIgnoreCase("DECONTAMINATE") && ag.equalsIgnoreCase("AGAINST") =>
+      // trailing DOCS flag (unreserved, like CLUSTERS): the per-doc
+      // decision detail instead of the one-row summary
+      val (docsFlag, knobToks) = rest.lastOption match {
+        case Some(Str(w2)) if w2.equalsIgnoreCase("DOCS") => (true, rest.init)
+        case _ => (false, rest)
+      }
       ShowDecontaminate(name(cTok), name(eTok), name(colTok),
-        thresholdKnob(rest,
-          "SHOW DECONTAMINATE c AGAINST e ON col [THRESHOLD t]"))
+        thresholdKnob(knobToks,
+          "SHOW DECONTAMINATE c AGAINST e ON col [THRESHOLD t] [DOCS]"),
+        docs = docsFlag)
     // DECONTAMINATE c AGAINST e ON col [THRESHOLD t] (round 14): the
     // decision APPLIED — remove every contaminated doc, one atomic
     // version (the curation trio's third statement, next to DEDUP and

@@ -541,6 +541,16 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
 
     case sd: Ast.ShowDecontaminate =>
       val f = decontFunnel(sd.container, sd.against, sd.column, sd.threshold)
+      // DOCS: the decision DETAIL — one row per doc the removal would
+      // delete, from the SAME funnel (the SHOW DEDUP … CLUSTERS pairing)
+      if (sd.docs) {
+        note(f"show decontaminate docs: the removal list at threshold " +
+          f"${f.thr}%.6f, contamination-desc")
+        return resultSet(f.contamination
+          .filter(col("contamination") >= f.thr)
+          .orderBy(col("contamination").desc, col("doc_id")),
+          needsDefaultSort = false)
+      }
       // the COMMITTED snapshot — the rows DECONTAMINATE would act on
       // (deleteRows rewrites committed files; staged rows refuse there)
       val tot = catalog.read(sd.container).agg(count(lit(1)).as("n_docs"))

@@ -157,7 +157,8 @@ object AqlQueries {
       |tot AS (SELECT doc_id, count(*) AS n_grams FROM corp GROUP BY doc_id),
       |hits AS (SELECT doc_id, count(*) AS n_contaminated
       |         FROM corp JOIN bench USING (g) GROUP BY doc_id),
-      |contam AS (SELECT t.doc_id,
+      |contam AS (SELECT t.doc_id, t.n_grams,
+      |      CAST(coalesce(n_contaminated, 0) AS BIGINT) AS n_contaminated,
       |      round(CAST(coalesce(n_contaminated, 0) AS DOUBLE) / n_grams, 6)
       |        AS contamination
       |    FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id)""".stripMargin
@@ -1790,6 +1791,17 @@ object AqlQueries {
          |         AS max_contamination
          |FROM contam""".stripMargin) { (s, dir) =>
       search("SHOW DECONTAMINATE documents AGAINST docs_ev ON text")(s, dir)
+    },
+
+    // ...and the DOCS decision detail: exactly the removal list the
+    // applied statement would delete, one row per contaminated doc
+    // (contamination-desc, doc-asc) — the SHOW DEDUP … CLUSTERS pairing
+    Q("aql_show_decontaminate_docs",
+      s"""WITH ${AqlQueries.duckDecontCtes}
+         |SELECT doc_id, n_grams, n_contaminated, contamination
+         |FROM contam WHERE contamination >= 0.5
+         |ORDER BY contamination DESC, doc_id""".stripMargin) { (s, dir) =>
+      search("SHOW DECONTAMINATE documents AGAINST docs_ev ON text DOCS")(s, dir)
     },
 
     // ...and the simhash twin: candidates from the 4×8-bit band index,

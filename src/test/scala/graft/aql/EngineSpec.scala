@@ -1420,6 +1420,14 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val strict = searchRows(
       "SHOW DECONTAMINATE dcorp AGAINST deval ON body THRESHOLD 1").head
     assert(strict.getLong(2) == 1L, s"got $strict")
+    // DOCS: the per-doc removal list — doc 1 (1.0) then doc 2 (0.625),
+    // exactly what DECONTAMINATE deletes below, from the same funnel
+    val detail = searchRows(
+      "SHOW DECONTAMINATE dcorp AGAINST deval ON body DOCS")
+    assert(detail.head.schema.fieldNames.toSeq ==
+      Seq("doc_id", "n_grams", "n_contaminated", "contamination"), detail.toString)
+    assert(detail.map(r => (r.getLong(0), r.getDouble(3)))
+      == Seq((1L, 1.0), (2L, 0.625)), s"got $detail")
     // the applied decision: docs 1 and 2 removed in ONE version
     val v1 = eng.catalog.currentVersion("dcorp")
     val msg = eng.execute("DECONTAMINATE dcorp AGAINST deval ON body")

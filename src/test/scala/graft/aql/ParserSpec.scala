@@ -687,6 +687,12 @@ class ParserSpec extends AnyFunSuite {
       == ShowDecontaminate("corp", "eval", "body", None))
     assert(Parser.parse("SHOW DECONTAMINATE corp AGAINST eval ON body THRESHOLD 1")
       == ShowDecontaminate("corp", "eval", "body", Some(1.0)))
+    // trailing DOCS — the per-doc decision detail, composing with THRESHOLD
+    assert(Parser.parse("SHOW DECONTAMINATE corp AGAINST eval ON body DOCS")
+      == ShowDecontaminate("corp", "eval", "body", None, docs = true))
+    assert(Parser.parse(
+      "SHOW DECONTAMINATE corp AGAINST eval ON body THRESHOLD 0.9 docs")
+      == ShowDecontaminate("corp", "eval", "body", Some(0.9), docs = true))
     // a column NAMED like the TEXT type keyword stays addressable — the
     // keyword uppercases in the AST and lowering resolves columns
     // case-insensitively (the fixture documents column is literally
