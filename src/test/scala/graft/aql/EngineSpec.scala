@@ -1365,6 +1365,14 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val few = searchRows("SIMILAR [1.0, 0.0, 0.0, 0.0] ON fvec USING ann " +
       "WHERE vid >= 9 LIMIT 5 SCORED")
     assert(few.map(_.getLong(0)) == Seq(9L), s"got $few")
+    // the WHERE composes with INT8 lists: same widening, same filtered
+    // set, exact refetched scores (one-hot components sit ON the grid)
+    eng.execute("CREATE INDEX ann8 ON fvec ['emb'] USING ivf 2 INT8")
+    val f8 = searchRows("SIMILAR [1.0, 0.0, 0.0, 0.0] ON fvec USING ann8 " +
+      "WHERE tag = 'en' LIMIT 3 SCORED")
+    assert(f8.map(r => (r.getLong(0), r.getDouble(1)))
+      == filt.map(r => (r.getLong(0), r.getDouble(1))),
+      s"int8 filtered must equal the float twin: $f8 vs $filt")
     eng.execute("DELETE CONTAINER fvec")
   }
 

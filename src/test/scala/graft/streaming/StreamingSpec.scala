@@ -1057,5 +1057,23 @@ class StreamingSpec extends AnyFunSuite {
       catB, "vgated", "ann", threshold = 0.99)
     assert(catB.read("vgated").collect().map(_.getLong(0)).toSet == landed,
       "one-batch gate must equal the streamed gate's set")
+
+    // INT8 index (round 14): the gate's verify is EXACT cosine — on an
+    // int8 index every candidate's true vector comes from the snapshot
+    // (the quantized lists can't serve a near-threshold decision), so
+    // the SAME deliveries against an int8-indexed twin land the SAME set
+    val root8 = java.nio.file.Files.createTempDirectory("graft-ann-ingest-i8")
+    val cat8 = new graft.catalog.Catalog(spark, root8.toString)
+    cat8.create("vgated", List("vec_id" -> graft.aql.AlbaType.of("BIGINT"),
+      "emb" -> graft.aql.AlbaType.of("MEDIUM-BYTES")))
+    val baseRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    (1L to 8L).foreach(i => baseRows.add(
+      org.apache.spark.sql.Row(i, axis((i - 1).toInt % 8))))
+    cat8.append("vgated", spark.createDataFrame(baseRows, schema))
+    cat8.createIndex("vgated", "ann", "ivf", "emb", int8 = true)
+    EmbeddingStreams.annDedupBatch(spark.createDataFrame(all, schema),
+      cat8, "vgated", "ann", threshold = 0.99)
+    assert(cat8.read("vgated").collect().map(_.getLong(0)).toSet == landed,
+      "the int8-indexed gate must land the same survivor set")
   }
 }
