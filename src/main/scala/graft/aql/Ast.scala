@@ -1545,11 +1545,11 @@ object Parser {
       fromTokens(body) match {
         case q @ (_: Search | _: SetOp | _: Match | _: Similar | _: Fuse |
                   _: Changes | _: ShowOverlap | _: ShowOverlapMatrix |
-                  _: ShowDedup) =>
+                  _: ShowDedup | _: ShowDecontaminate) =>
           Explain(q, analyze)
         case other => throw new ParseException(
           s"EXPLAIN supports SEARCH/SET-OP/MATCH/SIMILAR/FUSE/CHANGES/" +
-            s"SHOW OVERLAP/SHOW DEDUP, got $other")
+            s"SHOW OVERLAP/SHOW DEDUP/SHOW DECONTAMINATE, got $other")
       }
 
     // VACUUM container [keepLast] (graft extension)

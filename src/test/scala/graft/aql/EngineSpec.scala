@@ -500,8 +500,30 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ch = eng.execute("EXPLAIN CHANGES exq 0")
       .asInstanceOf[Engine.Done].message
     assert(ch.contains("Physical Plan"), ch)
+    // the round-14 forms plan too: conjunctive/phrase/filtered MATCH,
+    // the text-probe SIMILAR, the filtered SCORED SIMILAR, and the
+    // decontamination dry run (its funnel is lazy — plan-only)
+    assert(eng.execute("EXPLAIN MATCH ALL ['alpha','beta'] ON exq")
+      .asInstanceOf[Engine.Done].message.contains("Physical Plan"))
+    assert(eng.execute("EXPLAIN MATCH PHRASE ['alpha beta'] ON exq")
+      .asInstanceOf[Engine.Done].message.contains("Physical Plan"))
+    assert(eng.execute("EXPLAIN MATCH ['alpha'] ON exq WHERE id > 0")
+      .asInstanceOf[Engine.Done].message.contains("Physical Plan"))
+    assert(eng.execute("EXPLAIN SIMILAR 'alpha beta gamma delta' ON exq USING nd SCORED")
+      .asInstanceOf[Engine.Done].message.contains("Physical Plan"))
+    assert(eng.execute("EXPLAIN SIMILAR 1 ON exq USING nd WHERE id > 0 SCORED")
+      .asInstanceOf[Engine.Done].message.contains("Physical Plan"))
+    eng.execute("CREATE CONTAINER exqe ['eid','body'] [BIGINT, TEXT]")
+    eng.execute("CREATE ROW ['eid','body'] [1,'alpha beta gamma delta'] ON exqe")
+    eng.execute("COMMIT exqe")
+    assert(eng.execute("EXPLAIN SHOW DECONTAMINATE exq AGAINST exqe ON body")
+      .asInstanceOf[Engine.Done].message.contains("Physical Plan"))
+    // the funnel's self-target reject fires through EXPLAIN too
+    intercept[ParseException](
+      eng.execute("EXPLAIN SHOW DECONTAMINATE exq AGAINST exq ON body"))
     intercept[ParseException](eng.execute("EXPLAIN COMMIT exq"))
     eng.execute("DELETE CONTAINER exq")
+    eng.execute("DELETE CONTAINER exqe")
   }
 
   test("18b VACUUM prunes old versions through AQL") {
