@@ -98,6 +98,14 @@ object Bench {
     val best =
       if (candidates.size >= 3 && candidates.forall(_.ratio.isDefined))
         candidates.sortBy(_.ratio.get).apply(candidates.size / 2)
+      else if (candidates.size == 2 && candidates.forall(_.ratio.isDefined) &&
+          candidates.map(_.ratio.get).sorted.reduce((a, b) => b / a) > 1.5)
+        // interrupted-tiebreak edge (r14 judge #3): the third run was
+        // skipped, leaving two DISAGREEING readings and no median. A
+        // throttle window can only ever SLOW a run, so the smaller
+        // spark total is the reading the window cannot have produced —
+        // recording `last` here could enshrine the throttled one.
+        candidates.minBy(_.comparable)
       else candidates.last
     emit(best, all, sfDir)
     spark.stop()

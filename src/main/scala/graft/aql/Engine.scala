@@ -293,18 +293,25 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       // (ANSI off) null out and silently report 'no matching rows'.
       // A NULL input key stays ignorable (it can match no pk anyway).
       val rawKey = col(src.columns.head)
+      // persist the lowered key set: the null-cast validation, the
+      // touched-file discovery AND the rewrite inside deleteRows all
+      // read it — without the cache each action recomputes the whole
+      // subquery (r14 advisor)
       val keys = src.select(rawKey.try_cast(pkType.spark).as(pkName),
-        rawKey.isNotNull.as("_in_nn"))
-      if (!keys.filter(col("_in_nn") && col(pkName).isNull).isEmpty)
-        throw new ParseException(s"DELETE ROWS subquery column " +
-          s"'${src.columns.head}' does not cast to the pk type " +
-          s"${pkType} of $container.$pkName")
-      // misses are ignored and an all-miss statement publishes no
-      // version (Tx.deleteRows)
-      if (tx.deleteRows(container, keys.select(col(pkName))))
-        Done(s"deleted matching rows from $container " +
-          s"(version ${catalog.currentVersion(container)})")
-      else Done(s"no matching rows on $container — nothing deleted")
+          rawKey.isNotNull.as("_in_nn"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (!keys.filter(col("_in_nn") && col(pkName).isNull).isEmpty)
+          throw new ParseException(s"DELETE ROWS subquery column " +
+            s"'${src.columns.head}' does not cast to the pk type " +
+            s"${pkType} of $container.$pkName")
+        // misses are ignored and an all-miss statement publishes no
+        // version (Tx.deleteRows)
+        if (tx.deleteRows(container, keys.select(col(pkName))))
+          Done(s"deleted matching rows from $container " +
+            s"(version ${catalog.currentVersion(container)})")
+        else Done(s"no matching rows on $container — nothing deleted")
+      } finally keys.unpersist(blocking = false)
 
     case Ast.EditRow(container, cols, values, where) =>
       requireNotView(container, "its content")
@@ -356,9 +363,11 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         case sm: Ast.Similar => similarDf(sm)
         case f: Ast.Fuse => fuseDf(f)
         case sd: Ast.ShowDedup => showDedupDf(sd, explainOnly = true)
-        case sd: Ast.ShowDecontaminate =>
-          decontFunnel(sd.container, sd.against, sd.column, sd.threshold)
-            .contamination
+        // plan the SAME DataFrame the execute path serves (summary
+        // crossJoin or the DOCS-filtered detail) — an EXPLAIN of the
+        // bare funnel would diverge from the served query shape (r14
+        // advisor)
+        case sd: Ast.ShowDecontaminate => showDecontaminateDf(sd)._1
         case ch: Ast.Changes => catalog.changes(ch.container, ch.fromVersion, ch.toVersion)
         case ov: Ast.ShowOverlap => showOverlapDf(ov.a, ov.b, ov.column, ov.by)
         case om: Ast.ShowOverlapMatrix =>
@@ -540,30 +549,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       resultSet(showDedupDf(sd), needsDefaultSort = true)
 
     case sd: Ast.ShowDecontaminate =>
-      val f = decontFunnel(sd.container, sd.against, sd.column, sd.threshold)
-      // DOCS: the decision DETAIL — one row per doc the removal would
-      // delete, from the SAME funnel (the SHOW DEDUP … CLUSTERS pairing)
-      if (sd.docs) {
-        note(f"show decontaminate docs: the removal list at threshold " +
-          f"${f.thr}%.6f, contamination-desc")
-        return resultSet(f.contamination
-          .filter(col("contamination") >= f.thr)
-          .orderBy(col("contamination").desc, col("doc_id")),
-          needsDefaultSort = false)
-      }
-      // the COMMITTED snapshot — the rows DECONTAMINATE would act on
-      // (deleteRows rewrites committed files; staged rows refuse there)
-      val tot = catalog.read(sd.container).agg(count(lit(1)).as("n_docs"))
-      val m = f.contamination.agg(
-        count(lit(1)).as("measured_docs"),
-        coalesce(sum(when(col("contamination") >= f.thr, 1L)), lit(0L))
-          .cast("long").as("contaminated_docs"),
-        coalesce(round(max(col("contamination")), 6), lit(0.0))
-          .as("max_contamination"))
-      note(f"show decontaminate: distinct-4-gram overlap vs " +
-        f"'${sd.against}' (threshold ${f.thr}%.6f); eval grams broadcast, " +
-        "per-doc counts partial-agg group-bys")
-      resultSet(tot.crossJoin(m), needsDefaultSort = true)
+      val (df, defaultSort) = showDecontaminateDf(sd)
+      resultSet(df, needsDefaultSort = defaultSort)
 
     case dc: Ast.Decontaminate =>
       // the decontamination decision APPLIED: remove every doc of the
@@ -2555,6 +2542,38 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       graft.operators.TextDedup.evalGramSet(
         catalog.read(against).select(col(eCol).as("text"))))
     DecontFunnel(thr, contamination)
+  }
+
+  /** The SHOW DECONTAMINATE served DataFrame — ONE construction for the
+    * execute path and EXPLAIN (r14 advisor: explaining the bare funnel
+    * diverged from the served summary/DOCS shape). Returns (df,
+    * needsDefaultSort): the DOCS detail carries its own deterministic
+    * order, the 1-row summary takes the default sort. */
+  private def showDecontaminateDf(sd: Ast.ShowDecontaminate): (DataFrame, Boolean) = {
+    val f = decontFunnel(sd.container, sd.against, sd.column, sd.threshold)
+    // DOCS: the decision DETAIL — one row per doc the removal would
+    // delete, from the SAME funnel (the SHOW DEDUP … CLUSTERS pairing)
+    if (sd.docs) {
+      note(f"show decontaminate docs: the removal list at threshold " +
+        f"${f.thr}%.6f, contamination-desc")
+      (f.contamination
+        .filter(col("contamination") >= f.thr)
+        .orderBy(col("contamination").desc, col("doc_id")), false)
+    } else {
+      // the COMMITTED snapshot — the rows DECONTAMINATE would act on
+      // (deleteRows rewrites committed files; staged rows refuse there)
+      val tot = catalog.read(sd.container).agg(count(lit(1)).as("n_docs"))
+      val m = f.contamination.agg(
+        count(lit(1)).as("measured_docs"),
+        coalesce(sum(when(col("contamination") >= f.thr, 1L)), lit(0L))
+          .cast("long").as("contaminated_docs"),
+        coalesce(round(max(col("contamination")), 6), lit(0.0))
+          .as("max_contamination"))
+      note(f"show decontaminate: distinct-4-gram overlap vs " +
+        f"'${sd.against}' (threshold ${f.thr}%.6f); eval grams broadcast, " +
+        "per-doc counts partial-agg group-bys")
+      (tot.crossJoin(m), true)
+    }
   }
 
   /** Per-cluster keeper ranking over the funnel's verified graph:

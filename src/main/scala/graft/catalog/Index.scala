@@ -176,10 +176,13 @@ object Index {
     (row("sqmin"), row("sqmax"))
   }
 
-  /** Train the SQ8 code book: per-dimension min/max over the SAME
-    * deterministic bounded sample the centroids train on — one
-    * explode + partial-agg group-by, ≤256·k rows. Out-of-sample values
-    * saturate at quantize time (the standard SQ8 posture). */
+  /** Train the SQ8 code book: per-dimension min/max over the
+    * deterministic xxhash-ordered `trainingSample` — one explode +
+    * partial-agg group-by, ≤256·k rows. At REBUILD this is the same
+    * sample the centroids retrain on; at CREATE the seed centroids are
+    * the k lowest-pk vectors instead, so the two sample sets coincide
+    * only at rebuild (r14 advisor). Out-of-sample values saturate at
+    * quantize time (the standard SQ8 posture). */
   private def sqTrainBounds(cat: Catalog, container: String, column: String,
       k: Int): Seq[String] = {
     val rows = trainingSample(cat, container, column, k)

@@ -14,10 +14,14 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, FloatType}
   * once, quantization is a stateless per-row map afterwards).
   *
   * The code book (per-dimension min/max) is an expression CONSTANT, not
-  * a column: an index's bounds are trained at CREATE INDEX from the
-  * same deterministic sample as its centroids and live in the index
-  * metadata, so every derive/serve site quantizes against literally the
-  * same grid. Code: `round(255·(v−mn)/(mx−mn))` clamped to [0,255]
+  * a column: an index's bounds are trained from the deterministic
+  * xxhash-ordered training sample (`Index.trainingSample` — the sample
+  * REBUILD also retrains centroids from; create-time seed centroids use
+  * the k lowest-pk vectors instead, so the two sample sets coincide only
+  * at rebuild) and live in the index metadata, so every derive/serve
+  * site quantizes against literally the same grid. Bounds from a
+  * ≤256·k sample can saturate on out-of-sample dimensions — the
+  * documented SQ8 trade; REBUILD retrains after drift. Code: `round(255·(v−mn)/(mx−mn))` clamped to [0,255]
   * (out-of-sample values saturate — the standard SQ8 posture); a
   * constant dimension (mx == mn) codes to 0 and reconstructs to mn.
   *
