@@ -482,28 +482,44 @@ object Ast {
 
   /** graft extension (round 14): eval-set decontamination — the third
     * curation commit next to DEDUP and DELETE ROWS. `DECONTAMINATE c
-    * AGAINST e ON col [THRESHOLD t]` removes, in ONE atomic published
-    * version, every document of `c` whose distinct-4-gram overlap with
-    * the eval container `e`'s gram set (both over column `col`, the
-    * `t_decontaminate` measure: |doc grams ∩ eval grams| / |doc grams|)
-    * reaches `t` (default 0.5 — more of the doc's grams collide with
-    * the eval suite than not). Docs too short to produce a 4-gram are
-    * outside the measure's reach and never removed. `SHOW DECONTAMINATE`
-    * with the same knobs is the dry run, computed from the SAME
-    * derivation, so report and removal can never disagree. */
+    * AGAINST e ON col [GRAMS n] [THRESHOLD t]` removes, in ONE atomic
+    * published version, every document of `c` whose distinct-n-gram
+    * overlap with the eval container `e`'s gram set (both over column
+    * `col`, the `t_decontaminate` measure: |doc grams ∩ eval grams| /
+    * |doc grams|) reaches `t` (default 0.5 — more of the doc's grams
+    * collide with the eval suite than not). `GRAMS n` (round 15) sets
+    * the gram size (default 4; larger grams are stricter — an 8-gram
+    * hit needs 8 contiguous shared tokens). Docs too short to produce
+    * an n-gram are outside the measure's reach and never removed.
+    * `SHOW DECONTAMINATE` with the same knobs is the dry run, computed
+    * from the SAME derivation, so report and removal can never
+    * disagree.
+    *
+    * `USING SPANS n` (round 15) swaps the DECISION RULE: remove every
+    * doc sharing at least ONE contiguous n-token span with the eval
+    * set (a shared run of ≥ n tokens always contains a shared n-gram
+    * and vice versa, so span membership IS any-hit n-gram membership —
+    * the published "longest contiguous overlap ≥ n tokens" discipline,
+    * e.g. span 50). The per-doc measure table is unchanged (n_grams,
+    * n_contaminated, contamination at gram size n); only the removal
+    * condition becomes `n_contaminated >= 1`. THRESHOLD and GRAMS are
+    * rejected with SPANS — the span length is the whole knob. */
   final case class Decontaminate(container: String, against: String,
-      column: String, threshold: Option[Double] = None) extends Stmt
+      column: String, threshold: Option[Double] = None,
+      grams: Option[Int] = None, spans: Option[Int] = None) extends Stmt
 
   /** The DECONTAMINATE dry run: one-row report (n_docs, measured_docs,
     * contaminated_docs, max_contamination) over the same funnel.
-    * Trailing `DOCS` swaps in the decision DETAIL — one row per doc AT
-    * OR ABOVE the threshold (doc_id, n_grams, n_contaminated,
+    * Trailing `DOCS` swaps in the decision DETAIL — one row per doc
+    * the removal rule selects (doc_id, n_grams, n_contaminated,
     * contamination), contamination-desc: exactly the removal list
     * DECONTAMINATE would apply, from the SAME derivation (the SHOW
-    * DEDUP … CLUSTERS pairing). */
+    * DEDUP … CLUSTERS pairing). Takes the same GRAMS/SPANS knobs as
+    * the applied statement. */
   final case class ShowDecontaminate(container: String, against: String,
       column: String, threshold: Option[Double] = None,
-      docs: Boolean = false) extends Stmt
+      docs: Boolean = false,
+      grams: Option[Int] = None, spans: Option[Int] = None) extends Stmt
 
   /** graft extensions: incremental materialized views. `CREATE VIEW v
     * (SEARCH [keys…, count(c)/sum(c)…] ON src [WHERE …])` declares a
@@ -686,23 +702,50 @@ object Parser {
     (ix, thr)
   }
 
-  /** A lone `[THRESHOLD t]` tail (DECONTAMINATE and its SHOW twin) —
-    * same validation as the dedupKnobs THRESHOLD. */
-  private def thresholdKnob(toks: List[Token],
-      expected: String): Option[Double] = toks match {
-    case Nil => None
-    case Str(tw) :: t :: Nil if tw.equalsIgnoreCase("THRESHOLD") =>
-      val v = t match {
-        case FloatLit(x) => x
-        case IntLit(x) => x.toDouble
-        case other => throw new ParseException(
-          s"THRESHOLD takes a numeric literal, got $other")
-      }
-      if (v <= 0.0 || v > 1.0) throw new ParseException(
-        s"THRESHOLD must be in (0, 1], got $v")
-      Some(v)
-    case other => throw new ParseException(
-      s"Expected `$expected`, got ${other.mkString(" ")}")
+  /** The `[GRAMS n] [THRESHOLD t] | [USING SPANS n]` knob tail of
+    * DECONTAMINATE and its SHOW twin (round 15; THRESHOLD validation
+    * matches dedupKnobs). GRAMS sets the measure's gram size; USING
+    * SPANS swaps the decision rule to shared-contiguous-span membership
+    * and excludes the other two knobs (the span length IS the knob). */
+  private def decontKnobs(toks: List[Token], expected: String)
+      : (Option[Double], Option[Int], Option[Int]) = {
+    var thr: Option[Double] = None
+    var grams: Option[Int] = None
+    var spans: Option[Int] = None
+    var rest = toks
+    while (rest.nonEmpty) rest = rest match {
+      case Str(tw) :: t :: tl
+          if tw.equalsIgnoreCase("THRESHOLD") && thr.isEmpty =>
+        val v = t match {
+          case FloatLit(x) => x
+          case IntLit(x) => x.toDouble
+          case other => throw new ParseException(
+            s"THRESHOLD takes a numeric literal, got $other")
+        }
+        if (v <= 0.0 || v > 1.0) throw new ParseException(
+          s"THRESHOLD must be in (0, 1], got $v")
+        thr = Some(v); tl
+      case Str(gw) :: IntLit(n) :: tl
+          if gw.equalsIgnoreCase("GRAMS") && grams.isEmpty =>
+        // lower bound: a 1-gram measure is bag-of-words overlap, not
+        // contamination; upper bound keeps the explode cost (n x token
+        // count) a sane multiple — spans are the long-overlap surface
+        if (n < 2 || n > 32) throw new ParseException(
+          s"GRAMS must be in [2, 32], got $n (use USING SPANS for long overlaps)")
+        grams = Some(n.toInt); tl
+      case Keyword("USING") :: Str(sw) :: IntLit(n) :: tl
+          if sw.equalsIgnoreCase("SPANS") && spans.isEmpty =>
+        if (n < 2 || n > 256) throw new ParseException(
+          s"USING SPANS must be in [2, 256], got $n")
+        spans = Some(n.toInt); tl
+      case other => throw new ParseException(
+        s"Expected `$expected`, got ${other.mkString(" ")}")
+    }
+    if (spans.isDefined && (thr.isDefined || grams.isDefined))
+      throw new ParseException(
+        "USING SPANS replaces the fraction measure — THRESHOLD/GRAMS " +
+          "do not compose with it (the span length is the knob)")
+    (thr, grams, spans)
   }
 
   private val IoFormats = Set("jsonl", "csv", "orc", "parquet")
@@ -1291,21 +1334,26 @@ object Parser {
         case Some(Str(w2)) if w2.equalsIgnoreCase("DOCS") => (true, rest.init)
         case _ => (false, rest)
       }
-      ShowDecontaminate(name(cTok), name(eTok), name(colTok),
-        thresholdKnob(knobToks,
-          "SHOW DECONTAMINATE c AGAINST e ON col [THRESHOLD t] [DOCS]"),
-        docs = docsFlag)
+      val (thr, grams, spans) = decontKnobs(knobToks,
+        "SHOW DECONTAMINATE c AGAINST e ON col [GRAMS n] [THRESHOLD t] " +
+          "| [USING SPANS n] [DOCS]")
+      ShowDecontaminate(name(cTok), name(eTok), name(colTok), thr,
+        docs = docsFlag, grams = grams, spans = spans)
     // DECONTAMINATE c AGAINST e ON col [THRESHOLD t] (round 14): the
     // decision APPLIED — remove every contaminated doc, one atomic
     // version (the curation trio's third statement, next to DEDUP and
     // DELETE ROWS)
     case Str(w) :: cTok :: Str(ag) :: eTok :: Keyword("ON") :: colTok :: rest
         if w.equalsIgnoreCase("DECONTAMINATE") && ag.equalsIgnoreCase("AGAINST") =>
-      Decontaminate(name(cTok), name(eTok), name(colTok),
-        thresholdKnob(rest, "DECONTAMINATE c AGAINST e ON col [THRESHOLD t]"))
+      val (thr, grams, spans) = decontKnobs(rest,
+        "DECONTAMINATE c AGAINST e ON col [GRAMS n] [THRESHOLD t] " +
+          "| [USING SPANS n]")
+      Decontaminate(name(cTok), name(eTok), name(colTok), thr,
+        grams = grams, spans = spans)
     case Str(w) :: _ if w.equalsIgnoreCase("DECONTAMINATE") =>
       throw new ParseException(
-        "Expected `DECONTAMINATE c AGAINST e ON col [THRESHOLD t]`")
+        "Expected `DECONTAMINATE c AGAINST e ON col [GRAMS n] " +
+          "[THRESHOLD t] | [USING SPANS n]`")
     // SHOW OVERLAP [c1, c2, …] ON col (graft extension, round 12): the
     // N-way overlap MATRIX over a source LIST — must precede the
     // pairwise case (a Group before ON is the list form)

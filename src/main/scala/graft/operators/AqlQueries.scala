@@ -143,25 +143,34 @@ object AqlQueries {
     * t_decontaminate measure (distinct 4-grams, per-doc overlap
     * fraction, round 6). Shared by aql_decontaminate (kept set) and
     * aql_show_decontaminate (the report). */
-  private[operators] val duckDecontCtes: String =
-    """toks AS (SELECT doc_id, string_split(lower(text),' ') AS tk
-      |          FROM documents),
-      |grams AS (SELECT doc_id,
-      |    unnest(list_transform(range(1, len(tk)-2),
-      |      i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3])) AS g
-      |  FROM toks WHERE len(tk) >= 4),
-      |bench AS (SELECT DISTINCT g FROM grams
-      |          JOIN (SELECT doc_id FROM documents WHERE source = 'src0')
-      |          USING (doc_id)),
-      |corp AS (SELECT DISTINCT doc_id, g FROM grams),
-      |tot AS (SELECT doc_id, count(*) AS n_grams FROM corp GROUP BY doc_id),
-      |hits AS (SELECT doc_id, count(*) AS n_contaminated
-      |         FROM corp JOIN bench USING (g) GROUP BY doc_id),
-      |contam AS (SELECT t.doc_id, t.n_grams,
-      |      CAST(coalesce(n_contaminated, 0) AS BIGINT) AS n_contaminated,
-      |      round(CAST(coalesce(n_contaminated, 0) AS DOUBLE) / n_grams, 6)
-      |        AS contamination
-      |    FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id)""".stripMargin
+  private[operators] def duckDecontCtesN(n: Int): String = {
+    // the same empty-filtered whitespace tokenization + n-token-gram
+    // construction as TextDedup.gramsN, built for any gram size (the
+    // GRAMS/SPANS knob); range() is exclusive-end, so i runs to
+    // len(tk)-n+1 — every tk[i+j] access stays in bounds
+    val cat = (0 until n).map(j => s"tk[i+$j]").mkString("||' '||")
+    s"""toks AS (SELECT doc_id,
+       |    list_filter(string_split(lower(text),' '), t -> t <> '') AS tk
+       |  FROM documents),
+       |grams AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, len(tk)-${n - 2}),
+       |      i -> $cat)) AS g
+       |  FROM toks WHERE len(tk) >= $n),
+       |bench AS (SELECT DISTINCT g FROM grams
+       |          JOIN (SELECT doc_id FROM documents WHERE source = 'src0')
+       |          USING (doc_id)),
+       |corp AS (SELECT DISTINCT doc_id, g FROM grams),
+       |tot AS (SELECT doc_id, count(*) AS n_grams FROM corp GROUP BY doc_id),
+       |hits AS (SELECT doc_id, count(*) AS n_contaminated
+       |         FROM corp JOIN bench USING (g) GROUP BY doc_id),
+       |contam AS (SELECT t.doc_id, t.n_grams,
+       |      CAST(coalesce(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       |      round(CAST(coalesce(n_contaminated, 0) AS DOUBLE) / n_grams, 6)
+       |        AS contamination
+       |    FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id)""".stripMargin
+  }
+
+  private[operators] val duckDecontCtes: String = duckDecontCtesN(4)
 
   private val fixtureRoots = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -420,6 +429,13 @@ object AqlQueries {
       eng.execute("CREATE CONTAINER docs_dc ['doc_id','text'] [BIGINT, TEXT]")
       eng.catalog.overwrite("docs_dc", ftDocs)
       eng.execute("DECONTAMINATE docs_dc AGAINST docs_ev ON text THRESHOLD 0.5")
+      // span-mode twin (round 15): a documents copy decontaminated with
+      // the ANY-HIT contiguous-span rule (USING SPANS 8 — remove every
+      // doc sharing one 8-token run with the eval set) — the oracle row
+      // recomputes the kept set declaratively at gram size 8
+      eng.execute("CREATE CONTAINER docs_dsp ['doc_id','text'] [BIGINT, TEXT]")
+      eng.catalog.overwrite("docs_dsp", ftDocs)
+      eng.execute("DECONTAMINATE docs_dsp AGAINST docs_ev ON text USING SPANS 8")
       // value-indexed container: WHERE lang = 'en' auto-serves from the
       // secondary index (pk-candidate-pruned scan); the post-index COMMIT
       // proves maintenance — the inserted row is only findable through
@@ -1802,6 +1818,52 @@ object AqlQueries {
          |FROM contam WHERE contamination >= 0.5
          |ORDER BY contamination DESC, doc_id""".stripMargin) { (s, dir) =>
       search("SHOW DECONTAMINATE documents AGAINST docs_ev ON text DOCS")(s, dir)
+    },
+
+    // GRAMS knob (round 15): the same report at gram size 8 — stricter
+    // grams (8 contiguous shared tokens per hit) and a smaller measured
+    // universe (docs under 8 tokens fall outside the measure's reach),
+    // recomputed independently by the oracle at n=8.
+    Q("aql_show_decontaminate_grams8",
+      s"""WITH ${AqlQueries.duckDecontCtesN(8)}
+         |SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |       count(*) AS measured_docs,
+         |       CAST(coalesce(sum(CASE WHEN contamination >= 0.5
+         |                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |         AS contaminated_docs,
+         |       round(coalesce(max(contamination), 0.0), 6)
+         |         AS max_contamination
+         |FROM contam""".stripMargin) { (s, dir) =>
+      search("SHOW DECONTAMINATE documents AGAINST docs_ev ON text GRAMS 8")(s, dir)
+    },
+
+    // USING SPANS (round 15 — the any-hit decision rule): report docs
+    // sharing >= 1 contiguous 8-token span with the eval set, regardless
+    // of their gram fraction — the published "contiguous overlap >= n
+    // tokens" decontamination discipline. Same funnel, different rule.
+    Q("aql_show_decontaminate_spans",
+      s"""WITH ${AqlQueries.duckDecontCtesN(8)}
+         |SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |       count(*) AS measured_docs,
+         |       CAST(coalesce(sum(CASE WHEN n_contaminated >= 1
+         |                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |         AS contaminated_docs,
+         |       round(coalesce(max(contamination), 0.0), 6)
+         |         AS max_contamination
+         |FROM contam""".stripMargin) { (s, dir) =>
+      search("SHOW DECONTAMINATE documents AGAINST docs_ev ON text USING SPANS 8")(s, dir)
+    },
+
+    // ...and the decision APPLIED: docs_dsp was decontaminated at setup
+    // with USING SPANS 8 — the committed post-state must equal the
+    // oracle's independent any-hit recomputation at gram size 8.
+    Q("aql_decontaminate_spans",
+      s"""WITH ${AqlQueries.duckDecontCtesN(8)},
+         |removed AS (SELECT doc_id FROM contam WHERE n_contaminated >= 1)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      search("SEARCH [doc_id] ON docs_dsp")(s, dir)
     },
 
     // ...and the simhash twin: candidates from the 4×8-bit band index,

@@ -61,18 +61,28 @@ object TextDedup {
     * (and element_at(tk, 0) then throws under ANSI), while the oracle's
     * range(1, len-1) is naturally empty.
     */
-  /** (doc_id, source, 4-gram) rows — shared by t_decontaminate and the
-    * streaming contamination twin. Stateless projection + explode, so it
-    * composes with both batch and streaming inputs; the size-4 CASE guard
-    * mirrors withShingles (sequence(1, n) turns descending for n < 1).
-    */
-  def grams4(df: DataFrame): DataFrame =
-    df.select(col("doc_id"), col("source"), split(lower(col("text")), " ").as("tk"))
+  /** (doc_id, source, n-gram) rows — the token n-gram substrate of the
+    * decontamination family (statement, SHOW twin, streaming gate, and
+    * the `t_decontaminate` fixture lane; `n` is the GRAMS/SPANS knob,
+    * default 4). Stateless projection + explode, so it composes with
+    * both batch and streaming inputs; the size-n CASE guard mirrors
+    * withShingles (sequence(1, n) turns descending for n < 1). Empty
+    * tokens are filtered BEFORE gramming (round 15): consecutive /
+    * leading spaces must not mint junk grams — the FullText
+    * tokenization posture, so the decontamination measure and the
+    * postings agree on what a token is (r14 advisor). */
+  def gramsN(df: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, s"gram size must be >= 2, got $n")
+    df.select(col("doc_id"), col("source"),
+        filter(split(lower(col("text")), " "), t => t =!= "").as("tk"))
       .withColumn("sg", expr(
-        "CASE WHEN size(tk) >= 4 THEN transform(sequence(1, size(tk)-3), " +
-          "i -> element_at(tk,i) || ' ' || element_at(tk,i+1) || ' ' || " +
-          "element_at(tk,i+2) || ' ' || element_at(tk,i+3)) ELSE array() END"))
+        s"CASE WHEN size(tk) >= $n THEN transform(sequence(1, size(tk)-${n - 1}), " +
+          s"i -> array_join(slice(tk, i, $n), ' ')) ELSE array() END"))
       .select(col("doc_id"), col("source"), explode(col("sg")).as("g"))
+  }
+
+  /** The default gram size of the contamination measure. */
+  def grams4(df: DataFrame): DataFrame = gramsN(df, 4)
 
   /** Per-document contamination vs an eval gram set — THE decontamination
     * measure, defined once (round 14) for the DECONTAMINATE statement,
@@ -83,13 +93,21 @@ object TextDedup {
     * Output (doc_id, n_grams, n_contaminated, contamination) — one row
     * per doc with ≥1 gram (shorter docs are outside the measure's
     * reach). */
-  def contaminationFractions(docs: DataFrame, evalGrams: DataFrame): DataFrame = {
-    val corpGrams = grams4(docs.select(col("doc_id"),
-        lit("c").as("source"), col("text")))
+  /** `n` (round 15) is the GRAMS/SPANS gram size (default 4).
+    * `broadcastEval = false` (round 15) drops the broadcast hint when
+    * the caller's count-guard found the eval gram set past
+    * `decont_broadcast_cap`: an explicit broadcast() bypasses Spark's
+    * size threshold, so an oversized eval side must degrade to an
+    * AQE-planned gram join, not an executor OOM (r14 judge #1). */
+  def contaminationFractions(docs: DataFrame, evalGrams: DataFrame,
+      n: Int = 4, broadcastEval: Boolean = true): DataFrame = {
+    val corpGrams = gramsN(docs.select(col("doc_id"),
+        lit("c").as("source"), col("text")), n)
       .select(col("doc_id"), col("g")).distinct()
     val tot = corpGrams.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"))
-    val hits = corpGrams.join(broadcast(evalGrams), Seq("g"))
+    val evalSide = if (broadcastEval) broadcast(evalGrams) else evalGrams
+    val hits = corpGrams.join(evalSide, Seq("g"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
     tot.join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
@@ -99,9 +117,9 @@ object TextDedup {
   }
 
   /** The distinct eval-side gram set for [[contaminationFractions]]. */
-  def evalGramSet(eval: DataFrame): DataFrame =
-    grams4(eval.select(lit(0L).as("doc_id"), lit("e").as("source"),
-        col("text")))
+  def evalGramSet(eval: DataFrame, n: Int = 4): DataFrame =
+    gramsN(eval.select(lit(0L).as("doc_id"), lit("e").as("source"),
+        col("text")), n)
       .select(col("g")).distinct()
 
   /** Core of t_repetition_filter, exposed for synthetic-input specs.
@@ -953,7 +971,9 @@ object TextDedup {
     // no candidate blow-up: cost is linear in the number of distinct
     // (doc, gram) pairs at any corpus size.
     Q("dd_common_spans",
-      """WITH toks AS (SELECT doc_id, string_split(lower(text),' ') tk FROM documents),
+      """WITH toks AS (SELECT doc_id,
+        |        list_filter(string_split(lower(text),' '), t -> t <> '') tk
+        |      FROM documents),
         |g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-2),
         |        i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3])) AS g
         |      FROM toks WHERE len(tk) >= 4),
@@ -1287,8 +1307,9 @@ object TextDedup {
     // broadcast hint and the corpus side never shuffles its grams for the
     // probe; per-doc distinct + counts are partial-agg group-bys.
     Q("t_decontaminate",
-      """WITH toks AS (SELECT doc_id, source, string_split(lower(text),' ') AS tk
-        |              FROM documents),
+      """WITH toks AS (SELECT doc_id, source,
+        |    list_filter(string_split(lower(text),' '), t -> t <> '') AS tk
+        |  FROM documents),
         |grams AS (SELECT doc_id, source,
         |    unnest(list_transform(range(1, len(tk)-2),
         |      i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3])) AS g
@@ -1338,8 +1359,9 @@ object TextDedup {
     // grams — sf0.01 runs ~1.3k/source, sf0.1 ~15k; past that the row
     // degrades to ±0.4% estimates, which is the designed 100 TB behavior.
     Q("t_overlap_theta",
-      """WITH toks AS (SELECT doc_id, source, string_split(lower(text),' ') AS tk
-        |              FROM documents),
+      """WITH toks AS (SELECT doc_id, source,
+        |    list_filter(string_split(lower(text),' '), t -> t <> '') AS tk
+        |  FROM documents),
         |grams AS (SELECT source,
         |    unnest(list_transform(range(1, len(tk)-2),
         |      i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3])) AS g

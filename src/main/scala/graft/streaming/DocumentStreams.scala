@@ -276,19 +276,27 @@ object DocumentStreams {
     * broadcast side), so an eval update takes effect on the next batch
     * without restarting the stream. `textCol` names the measured column
     * in BOTH containers, like the statement's `ON col`. */
+  /** `grams`/`spans` (round 15) mirror the statement's GRAMS / USING
+    * SPANS knobs — gram size and (for spans) the any-hit decision rule —
+    * and `broadcastCap` the `decont_broadcast_cap` guard, so the gate
+    * stays decision-identical to batch DECONTAMINATE under every knob. */
   def decontIngestToCatalog(docs: DataFrame, catalog: graft.catalog.Catalog,
       container: String, against: String, textCol: String,
-      threshold: Double = 0.5)
+      threshold: Double = 0.5, grams: Int = 4, spans: Option[Int] = None,
+      broadcastCap: Int = graft.catalog.Settings.default.decontBroadcastCap)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty)
-          decontBatch(batch, catalog, container, against, textCol, threshold)
+          decontBatch(batch, catalog, container, against, textCol, threshold,
+            grams, spans, broadcastCap)
       }
 
   private[graft] def decontBatch(batch: DataFrame,
       catalog: graft.catalog.Catalog, container: String, against: String,
-      textCol: String, threshold: Double): Unit = {
+      textCol: String, threshold: Double, grams: Int = 4,
+      spans: Option[Int] = None,
+      broadcastCap: Int = graft.catalog.Settings.default.decontBroadcastCap): Unit = {
     val pk = catalog.get(container).primaryKey
     // (a) replay idempotence: pk-range-pruned anti-join (the gate idiom)
     val bounds = batch.agg(min(col(pk)), max(col(pk))).head()
@@ -298,12 +306,21 @@ object DocumentStreams {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // (b) the contamination gate — ONE measure definition shared with
-      // DECONTAMINATE / SHOW DECONTAMINATE
+      // DECONTAMINATE / SHOW DECONTAMINATE: gram size n (= spans length
+      // in span mode), any-hit rule under spans, and the same broadcast
+      // count-guard (a bounded limit(cap+1).count() per batch — the eval
+      // set re-derives per batch anyway, so the guard rides that read)
+      val n = spans.getOrElse(grams)
+      val evalGrams = graft.operators.TextDedup.evalGramSet(
+        catalog.read(against).select(col(textCol).as("text")), n)
+      val evalBounded = evalGrams.limit(broadcastCap + 1).count() <= broadcastCap
+      val removePred =
+        if (spans.isDefined) col("n_contaminated") >= 1
+        else col("contamination") >= threshold
       val contaminated = graft.operators.TextDedup.contaminationFractions(
           fresh.select(col(pk).as("doc_id"), col(textCol).as("text")),
-          graft.operators.TextDedup.evalGramSet(
-            catalog.read(against).select(col(textCol).as("text"))))
-        .filter(col("contamination") >= threshold)
+          evalGrams, n = n, broadcastEval = evalBounded)
+        .filter(removePred)
         .select(col("doc_id").as(pk))
       val kept = fresh.join(contaminated, Seq(pk), "left_anti")
       if (!kept.isEmpty) { catalog.append(container, kept); () }

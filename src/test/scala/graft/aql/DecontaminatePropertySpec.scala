@@ -22,13 +22,15 @@ class DecontaminatePropertySpec extends AnyFunSuite {
   private def sentence(n: Int): String =
     (0 until n).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" ")
 
-  /** The engine's measure, independently: distinct 4-gram sets over the
-    * lowercased whitespace tokenization, fraction rounded to 6. */
-  private def grams(text: String): Set[String] = {
+  /** The engine's measure, independently: distinct n-gram sets over the
+    * lowercased empty-filtered whitespace tokenization, fraction rounded
+    * to 6. */
+  private def gramsAt(text: String, n: Int): Set[String] = {
     val tk = text.toLowerCase.split(" ").filter(_.nonEmpty)
-    if (tk.length < 4) Set.empty
-    else (0 to tk.length - 4).map(i => tk.slice(i, i + 4).mkString(" ")).toSet
+    if (tk.length < n) Set.empty
+    else (0 to tk.length - n).map(i => tk.slice(i, i + n).mkString(" ")).toSet
   }
+  private def grams(text: String): Set[String] = gramsAt(text, 4)
   private def frac(doc: Set[String], eval: Set[String]): Double =
     BigDecimal(doc.intersect(eval).size.toDouble / doc.size)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -92,5 +94,155 @@ class DecontaminatePropertySpec extends AnyFunSuite {
       eng.execute("DELETE CONTAINER dpc")
       eng.execute("DELETE CONTAINER dpe")
     }
+  }
+
+  test("USING SPANS n: planted contiguous spans drive the any-hit rule") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dcp-spans")
+    val eng = new Engine(spark, dir.toString)
+    import spark.implicits._
+    // one long eval sentence whose token runs we plant from
+    val evalToks = (0 until 20).map(i => vocab(i % vocab.size) + i)
+    val evalText = evalToks.mkString(" ")
+    eng.execute("CREATE CONTAINER spe ['eid','body'] [BIGINT, TEXT]")
+    eng.catalog.overwrite("spe", Seq((0L, evalText)).toDF("eid", "body"))
+    // corpus: (0) an exact 8-token eval run mid-document — REMOVED;
+    // (1) a 7-token eval run (one under the span) — KEPT; (2) 8 eval
+    // tokens in scrambled (non-contiguous) order — KEPT; (3) fresh —
+    // KEPT; (4) the whole eval text verbatim — REMOVED. Planted tokens
+    // are vocab+index strings, so fresh sentences (plain vocab words)
+    // can never collide with an eval gram by accident.
+    val docs = Seq(
+      0L -> s"${sentence(5)} ${evalToks.slice(4, 12).mkString(" ")} ${sentence(5)}",
+      1L -> s"${sentence(5)} ${evalToks.slice(4, 11).mkString(" ")} ${sentence(5)}",
+      2L -> s"${sentence(3)} ${evalToks.slice(4, 12).reverse.mkString(" ")}",
+      3L -> sentence(16),
+      4L -> evalText)
+    eng.execute("CREATE CONTAINER spc ['doc_id','body'] [BIGINT, TEXT]")
+    eng.catalog.overwrite("spc", docs.toDF("doc_id", "body"))
+
+    // the independent model: any shared 8-gram = a shared 8-token span
+    val eg = gramsAt(evalText, 8)
+    val expectRemoved = docs.filter { case (_, t) =>
+      gramsAt(t, 8).exists(eg.contains) }.map(_._1).toSet
+    assert(expectRemoved == Set(0L, 4L),
+      s"plant sanity: $expectRemoved") // the plant must mean what it says
+
+    // DOCS detail lists exactly the removal set
+    val detail = eng.execute(
+      "SHOW DECONTAMINATE spc AGAINST spe ON body USING SPANS 8 DOCS")
+      .asInstanceOf[Engine.ResultSet].df.collect()
+    assert(detail.map(_.getLong(0)).toSet == expectRemoved)
+    // every listed doc shows >= 1 contaminated gram, BELOW-threshold
+    // fractions included (doc 0's fraction is far under 0.5)
+    assert(detail.forall(_.getLong(2) >= 1L))
+
+    // report counts from the same rule
+    val rep = eng.execute(
+      "SHOW DECONTAMINATE spc AGAINST spe ON body USING SPANS 8")
+      .asInstanceOf[Engine.ResultSet].df.collect().head
+    assert(rep.getLong(0) == 5L && rep.getLong(2) == expectRemoved.size.toLong)
+
+    // applied removal equals the model's kept set
+    eng.execute("DECONTAMINATE spc AGAINST spe ON body USING SPANS 8")
+    val kept = eng.execute("SEARCH [doc_id] ON spc")
+      .asInstanceOf[Engine.ResultSet].df.collect().map(_.getLong(0)).toSet
+    assert(kept == docs.map(_._1).toSet -- expectRemoved)
+  }
+
+  test("GRAMS n: statement, SHOW report and the streaming gate agree at n=8") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dcp-grams")
+    val eng = new Engine(spark, dir.toString)
+    import spark.implicits._
+    val evalTexts = (0 until 3).map(_ => sentence(10 + rng.nextInt(4)))
+    eng.execute("CREATE CONTAINER gpe ['eid','body'] [BIGINT, TEXT]")
+    eng.catalog.overwrite("gpe",
+      evalTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("eid", "body"))
+    val docs = (0L until 20L).map { i =>
+      val t = rng.nextInt(4) match {
+        case 0 => evalTexts(rng.nextInt(3))
+        case 1 => evalTexts(rng.nextInt(3)) + " " + sentence(2 + rng.nextInt(4))
+        case 2 => sentence(9 + rng.nextInt(4))
+        case _ => sentence(3 + rng.nextInt(4)) // under 8 tokens: unmeasured
+      }
+      (i, t)
+    }
+    // model at n = 8, threshold 0.5
+    val eg = evalTexts.map(gramsAt(_, 8)).reduce(_ ++ _)
+    val fracs = docs.map { case (i, t) => i -> gramsAt(t, 8) }
+      .filter(_._2.nonEmpty)
+      .map { case (i, g) => i -> frac(g, eg) }
+    val expectRemoved = fracs.filter(_._2 >= 0.5).map(_._1).toSet
+
+    // the statement's report at GRAMS 8
+    eng.execute("CREATE CONTAINER gpc ['doc_id','body'] [BIGINT, TEXT]")
+    eng.catalog.overwrite("gpc", docs.toDF("doc_id", "body"))
+    val rep = eng.execute(
+      "SHOW DECONTAMINATE gpc AGAINST gpe ON body GRAMS 8")
+      .asInstanceOf[Engine.ResultSet].df.collect().head
+    assert(rep.getLong(1) == fracs.size.toLong,
+      s"measured ${rep.getLong(1)} vs ${fracs.size}")
+    assert(rep.getLong(2) == expectRemoved.size.toLong,
+      s"contaminated ${rep.getLong(2)} vs ${expectRemoved.size}")
+
+    // the STREAMING GATE at the same n admits exactly the complement
+    // (statement/gate agreement at the same knob — one shared funnel)
+    eng.execute("CREATE CONTAINER ggate ['doc_id','body'] [BIGINT, TEXT]")
+    graft.streaming.DocumentStreams.decontBatch(
+      docs.toDF("doc_id", "body"), eng.catalog, "ggate", "gpe", "body",
+      threshold = 0.5, grams = 8)
+    val landed = eng.execute("SEARCH [doc_id] ON ggate")
+      .asInstanceOf[Engine.ResultSet].df.collect().map(_.getLong(0)).toSet
+    assert(landed == docs.map(_._1).toSet -- expectRemoved,
+      s"gate landed $landed")
+
+    // ...and the applied statement removes the same docs the gate refused
+    eng.execute("DECONTAMINATE gpc AGAINST gpe ON body GRAMS 8")
+    val kept = eng.execute("SEARCH [doc_id] ON gpc")
+      .asInstanceOf[Engine.ResultSet].df.collect().map(_.getLong(0)).toSet
+    assert(kept == landed)
+  }
+
+  test("decont_broadcast_cap: an oversized eval set degrades to a plan " +
+      "without the broadcast hint, same answer") {
+    import spark.implicits._
+    // default-cap engine: the baseline report
+    val d1 = java.nio.file.Files.createTempDirectory("graft-dcp-bc1")
+    val e1 = new Engine(spark, d1.toString)
+    // capped engine: decont_broadcast_cap 1 forces the fallback for ANY
+    // real eval set (the settings file is read at engine boot)
+    val d2 = java.nio.file.Files.createTempDirectory("graft-dcp-bc2")
+    java.nio.file.Files.writeString(d2.resolve("settings.yaml"),
+      graft.catalog.Settings.default.copy(decontBroadcastCap = 1).toYaml)
+    val e2 = new Engine(spark, d2.toString)
+    assert(e2.settings.decontBroadcastCap == 1)
+
+    val evalTexts = (0 until 3).map(_ => sentence(12))
+    val docs = (0L until 12L).map { i =>
+      (i, if (i % 3 == 0) evalTexts((i % 3).toInt) else sentence(10))
+    }
+    for (e <- Seq(e1, e2)) {
+      e.execute("CREATE CONTAINER bce ['eid','body'] [BIGINT, TEXT]")
+      e.catalog.overwrite("bce",
+        evalTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("eid", "body"))
+      e.execute("CREATE CONTAINER bcc ['doc_id','body'] [BIGINT, TEXT]")
+      e.catalog.overwrite("bcc", docs.toDF("doc_id", "body"))
+    }
+    val r1 = e1.execute("SHOW DECONTAMINATE bcc AGAINST bce ON body")
+      .asInstanceOf[Engine.ResultSet].df.collect().toSeq
+    val r2 = e2.execute("SHOW DECONTAMINATE bcc AGAINST bce ON body")
+      .asInstanceOf[Engine.ResultSet].df.collect().toSeq
+    assert(r1 == r2, s"fallback must not change the answer: $r1 vs $r2")
+
+    // the capped engine's EXPLAIN pins the degraded access path...
+    val ex2 = e2.execute("EXPLAIN SHOW DECONTAMINATE bcc AGAINST bce ON body")
+      .asInstanceOf[Engine.Done].message
+    assert(ex2.contains("decont_broadcast_cap 1"), ex2.takeRight(400))
+    assert(ex2.contains("broadcast hint dropped"), ex2.takeRight(400))
+    // ...and the default engine's does not fire the guard
+    val ex1 = e1.execute("EXPLAIN SHOW DECONTAMINATE bcc AGAINST bce ON body")
+      .asInstanceOf[Engine.Done].message
+    assert(!ex1.contains("broadcast hint dropped"))
   }
 }

@@ -707,6 +707,45 @@ class ParserSpec extends AnyFunSuite {
       Parser.parse("DECONTAMINATE corp AGAINST eval ON text EXTRA"))
   }
 
+  test("DECONTAMINATE GRAMS / USING SPANS knobs (round 15)") {
+    assert(Parser.parse("DECONTAMINATE corp AGAINST eval ON body GRAMS 8")
+      == Decontaminate("corp", "eval", "body", None, grams = Some(8)))
+    // GRAMS and THRESHOLD compose, in either order
+    assert(Parser.parse(
+      "DECONTAMINATE corp AGAINST eval ON body GRAMS 8 THRESHOLD 0.3")
+      == Decontaminate("corp", "eval", "body", Some(0.3), grams = Some(8)))
+    assert(Parser.parse(
+      "DECONTAMINATE corp AGAINST eval ON body THRESHOLD 0.3 GRAMS 8")
+      == Decontaminate("corp", "eval", "body", Some(0.3), grams = Some(8)))
+    assert(Parser.parse("DECONTAMINATE corp AGAINST eval ON body USING SPANS 50")
+      == Decontaminate("corp", "eval", "body", None, spans = Some(50)))
+    assert(Parser.parse(
+      "SHOW DECONTAMINATE corp AGAINST eval ON body GRAMS 6 DOCS")
+      == ShowDecontaminate("corp", "eval", "body", None, docs = true,
+        grams = Some(6)))
+    assert(Parser.parse(
+      "SHOW DECONTAMINATE corp AGAINST eval ON body USING SPANS 8 DOCS")
+      == ShowDecontaminate("corp", "eval", "body", None, docs = true,
+        spans = Some(8)))
+    // bounds: GRAMS in [2, 32], SPANS in [2, 256]
+    intercept[ParseException](
+      Parser.parse("DECONTAMINATE corp AGAINST eval ON body GRAMS 1"))
+    intercept[ParseException](
+      Parser.parse("DECONTAMINATE corp AGAINST eval ON body GRAMS 33"))
+    intercept[ParseException](
+      Parser.parse("DECONTAMINATE corp AGAINST eval ON body USING SPANS 1"))
+    intercept[ParseException](
+      Parser.parse("DECONTAMINATE corp AGAINST eval ON body USING SPANS 257"))
+    // SPANS replaces the fraction measure — THRESHOLD/GRAMS don't compose
+    intercept[ParseException](Parser.parse(
+      "DECONTAMINATE corp AGAINST eval ON body USING SPANS 8 THRESHOLD 0.5"))
+    intercept[ParseException](Parser.parse(
+      "DECONTAMINATE corp AGAINST eval ON body GRAMS 4 USING SPANS 8"))
+    // duplicate knobs are rejected, not last-wins
+    intercept[ParseException](Parser.parse(
+      "DECONTAMINATE corp AGAINST eval ON body GRAMS 4 GRAMS 8"))
+  }
+
   test("set operations: (SEARCH) EXCEPT/INTERSECT [ALL] (SEARCH)") {
     val l = Search(List(Container.Real("a")), List("x"), None)
     val r = Search(List(Container.Real("b")), List("x"), None)
