@@ -101,7 +101,20 @@ object Ast {
         * vector-storing index is a second 100 TB; this is the standard
         * compression rung (SCORED reranks approximately on the codes,
         * then fetches exact float32 for the ≤limit survivors). */
-      int8: Boolean = false) extends Stmt
+      int8: Boolean = false,
+      /** `USING text ANALYZER standard` (round 15) — the index's frozen
+        * tokenization (default `whitespace`, the historical behavior).
+        * `standard` strips punctuation (`[\p{L}\p{N}]+` runs, the
+        * Lucene-default posture), so `MATCH ['word']` finds `"Word,"`.
+        * Content-defining like ivf centroids: postings derive with it
+        * at every commit and MATCH/PHRASE analyze query terms with it. */
+      analyzer: Option[String] = None,
+      /** `USING text … WITHOUT POSITIONS` (round 15) — drop the
+        * per-posting position arrays (one int per corpus token; at
+        * 100 TB the positions are a sizable slice of the index) for
+        * corpora that never phrase-search. MATCH PHRASE on such an
+        * index fails loudly with the recreate pointer. */
+      noPositions: Boolean = false) extends Stmt
   final case class DeleteIndex(container: String, ix: String) extends Stmt
   /** graft extension: `REBUILD INDEX ix ON c` — re-derive from current
     * data; the ivf kind retrains its frozen centroids (Lloyd) first, the
@@ -1248,18 +1261,40 @@ object Parser {
           (true, rest.init)
         case _ => (false, rest)
       }
-      val (kind, k) = restK match {
-        case Nil => ("lsh", None)
-        case Keyword("USING") :: kindTok :: Nil => (name(kindTok).toLowerCase, None)
-        // USING ivf <k>: the centroid-count knob (validated ivf-only and
-        // range-checked in Index.create, where the kind is known)
-        case Keyword("USING") :: kindTok :: IntLit(kk) :: Nil =>
+      val (kind, kindTail) = restK match {
+        case Nil => ("lsh", Nil)
+        case Keyword("USING") :: kindTok :: tl => (name(kindTok).toLowerCase, tl)
+        case other => throw new ParseException(
+          s"Unexpected tokens after CREATE INDEX: $other")
+      }
+      // USING ivf <k>: the centroid-count knob (validated ivf-only and
+      // range-checked in Index.create, where the kind is known)
+      val (k, optTail) = kindTail match {
+        case IntLit(kk) :: tl =>
           if (kk < 2 || kk > 4096) throw new ParseException(
             "CREATE INDEX k must be in [2, 4096] (the knob applies to ivf)")
-          (name(kindTok).toLowerCase, Some(kk.toInt))
-        case other => throw new ParseException(s"Unexpected tokens after CREATE INDEX: $other")
+          (Some(kk.toInt), tl)
+        case tl => (None, tl)
       }
-      CreateIndex(name(containerTok), name(ixTok), column, kind, k, int8)
+      // text options (round 15): `ANALYZER name` and `WITHOUT
+      // POSITIONS`, any order, each at most once — kind-validated in
+      // Index.create (ANALYZER/WITHOUT/POSITIONS are unreserved words)
+      var anOpt: Option[String] = None
+      var noPos = false
+      var optRest = optTail
+      while (optRest.nonEmpty) optRest = optRest match {
+        case Str(aw) :: aTok :: tl
+            if aw.equalsIgnoreCase("ANALYZER") && anOpt.isEmpty =>
+          anOpt = Some(name(aTok).toLowerCase); tl
+        case Str(ww) :: Str(pw) :: tl
+            if ww.equalsIgnoreCase("WITHOUT") &&
+              pw.equalsIgnoreCase("POSITIONS") && !noPos =>
+          noPos = true; tl
+        case other => throw new ParseException(
+          s"Unexpected tokens after CREATE INDEX: $other")
+      }
+      CreateIndex(name(containerTok), name(ixTok), column, kind, k, int8,
+        analyzer = anOpt, noPositions = noPos)
 
     // DELETE INDEX name ON container (graft extension)
     case Keyword("DELETE") :: Keyword("INDEX") :: ixTok :: Keyword("ON") :: containerTok :: Nil =>

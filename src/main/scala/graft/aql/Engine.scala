@@ -198,9 +198,14 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       Done(s"staged 1 row into $container")
 
     case ci: Ast.CreateIndex =>
-      catalog.createIndex(ci.container, ci.ix, ci.kind, ci.column, ci.k, ci.int8)
-      Done(s"created ${ci.kind}${if (ci.int8) " int8" else ""} index " +
-        s"${ci.ix} on ${ci.container}(${ci.column})")
+      val made = catalog.createIndex(ci.container, ci.ix, ci.kind, ci.column,
+        ci.k, ci.int8, ci.analyzer, positions = !ci.noPositions)
+      Done(s"created ${ci.kind}${if (ci.int8) " int8" else ""}" +
+        (if (ci.kind == "text" &&
+          made.analyzer != graft.operators.Analyzer.Whitespace)
+          s" ${made.analyzer}" else "") +
+        (if (!made.positions) " nopos" else "") +
+        s" index ${ci.ix} on ${ci.container}(${ci.column})")
 
     case Ast.DeleteIndex(container, ix) =>
       catalog.dropIndex(container, ix)
@@ -809,6 +814,14 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
               val kk = catalog.ivfK(c, ix.ix)
               (if (kk >= 2) s" $kk" else "") +
                 (if (ix.int8) " INT8" else "")
+            } else "") +
+            // replay-exact text options (round 15): the analyzer and
+            // positions posture are content-defining, so a recreation
+            // must declare them
+            (if (ix.kind == "text") {
+              (if (ix.analyzer != graft.operators.Analyzer.Whitespace)
+                s" ANALYZER ${ix.analyzer}" else "") +
+                (if (!ix.positions) " WITHOUT POSITIONS" else "")
             } else ""))
       resultSet(metaDf(Seq("ordinal" -> "INT", "ddl" -> "TEXT"),
         ddl.zipWithIndex.map { case (s2, i) => Row(i + 1, s2) }),
@@ -819,7 +832,14 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       resultSet(metaDf(
         Seq("ix" -> "TEXT", "kind" -> "TEXT", "column" -> "TEXT"),
         catalog.indexDefs(c).map(d =>
-          Row(d.ix, if (d.int8) s"${d.kind} int8" else d.kind, d.column))),
+          Row(d.ix,
+            d.kind +
+              (if (d.int8) " int8" else "") +
+              (if (d.kind == "text" &&
+                d.analyzer != graft.operators.Analyzer.Whitespace)
+                s" ${d.analyzer}" else "") +
+              (if (!d.positions) " nopos" else ""),
+            d.column))),
         needsDefaultSort = true)
 
     case Ast.ShowVersions(c) =>

@@ -346,8 +346,9 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
   // ---- derived secondary indexes (maintained at every commit: Index.scala)
 
   def createIndex(name: String, ix: String, kind: String, column: String,
-      k: Option[Int] = None, int8: Boolean = false): Index.Def =
-    Index.create(this, name, ix, kind, column, k, int8)
+      k: Option[Int] = None, int8: Boolean = false,
+      analyzer: Option[String] = None, positions: Boolean = true): Index.Def =
+    Index.create(this, name, ix, kind, column, k, int8, analyzer, positions)
 
   /** The ivf kind's trained centroid count — the `USING ivf <k>` DDL
     * knob, read back for replay-exact SHOW CREATE. */

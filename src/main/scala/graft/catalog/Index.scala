@@ -64,8 +64,22 @@ object Index {
     * approximately on the dequantized codes, then fetches exact float32
     * for the surviving ≤limit rows from the snapshot (a bounded pk
     * point scan, the band-rerank fetch shape). */
+  /** `analyzer` (text only, round 15): the index's frozen tokenization —
+    * `whitespace` (default, the historical behavior every committed part
+    * was built under) or `standard` (punctuation-stripping
+    * `[\p{L}\p{N}]+`, the Lucene-default posture real text needs). Like
+    * ivf centroids it is CONTENT-DEFINING: postings derive with it at
+    * every commit and MATCH/PHRASE analyze their query terms with it,
+    * so it lives in the metadata and survives REBUILD.
+    *
+    * `positions` (text only, round 15): `WITHOUT POSITIONS` drops the
+    * per-posting position arrays — one int per corpus token — for
+    * corpora that never phrase-search; MATCH PHRASE on such an index
+    * fails loudly at lookup. */
   final case class Def(ix: String, kind: String, column: String,
-      int8: Boolean = false) {
+      int8: Boolean = false,
+      analyzer: String = graft.operators.Analyzer.Whitespace,
+      positions: Boolean = true) {
     /** The indexed source columns: one for every kind except `value`,
       * which may be a COMPOSITE (comma-joined in the metadata — AQL
       * column names cannot contain commas) — the (lang, quality_band)
@@ -158,8 +172,17 @@ object Index {
       // (and for int8, option/sqmin/sqmax) lines after it (see create)
       val content = Files.readString(metaFile(cat, container, ix))
       val Array(kind, column) = content.linesIterator.next().trim.split("\t", 2)
+      // a legacy metadata file (no option lines) reads as whitespace
+      // analyzer + positions — exactly the behavior its parts were
+      // built under, so nothing committed ever reinterprets
+      val analyzer = content.linesIterator
+        .collectFirst { case l if l.trim.startsWith("option\tanalyzer\t") =>
+          l.trim.split("\t", 3)(2) }
+        .getOrElse(graft.operators.Analyzer.Whitespace)
       Def(ix, kind, column,
-        int8 = content.linesIterator.exists(_.trim == "option\tint8"))
+        int8 = content.linesIterator.exists(_.trim == "option\tint8"),
+        analyzer = analyzer,
+        positions = !content.linesIterator.exists(_.trim == "option\tnopos"))
     }
   }
 
@@ -226,9 +249,16 @@ object Index {
     * sessions pick the definition up on their next `indexDefs` read.
     */
   def create(cat: Catalog, container: String, ix: String, kind: String,
-      column: String, k: Option[Int] = None, int8: Boolean = false): Def = {
+      column: String, k: Option[Int] = None, int8: Boolean = false,
+      analyzer: Option[String] = None, positions: Boolean = true): Def = {
     require(!int8 || kind == "ivf",
       s"the INT8 list option applies to ivf indexes only; '$ix' is a $kind index")
+    require(analyzer.isEmpty || kind == "text",
+      s"the ANALYZER option applies to text indexes only; '$ix' is a $kind index")
+    require(positions || kind == "text",
+      s"WITHOUT POSITIONS applies to text indexes only; '$ix' is a $kind index")
+    val an = analyzer.map(graft.operators.Analyzer.requireValid)
+      .getOrElse(graft.operators.Analyzer.Whitespace)
     val d = cat.get(container)
     require(ix.matches("[A-Za-z0-9_]+"), s"Invalid index name '$ix'")
     // every kind but `value` indexes exactly one column; a `value` index
@@ -247,11 +277,18 @@ object Index {
       s"the k knob applies to ivf indexes only; '$ix' is a $kind index")
     k.foreach(kk => require(kk >= 2 && kk <= 4096,
       s"ivf k must be in [2, 4096], got $kk"))
+    // text option lines (round 15) — the frozen analyzer and the
+    // positions posture travel in the metadata like the ivf code book
+    def textOptLines: Seq[String] =
+      (if (an != graft.operators.Analyzer.Whitespace)
+        Seq(s"option\tanalyzer\t$an") else Nil) ++
+        (if (!positions) Seq("option\tnopos") else Nil)
     val body = kind match {
       case "lsh" | "simhash" | "text" =>
         require(colType.spark == StringType,
           s"$kind index needs a TEXT-like column, '$column' is ${colType.name}")
-        s"$kind\t$column"
+        (s"$kind\t$column" +: (if (kind == "text") textOptLines else Nil))
+          .mkString("\n")
       case "value" =>
         // FLOAT included: the reference's chunk index buckets floats too
         // (src/indexing.rs:312-437, abs-bucket) — the typed `val` column
@@ -289,7 +326,8 @@ object Index {
     }
     Files.write(metaFile(cat, container, ix), body.getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE_NEW)
-    val idef = Def(ix, kind, column, int8 = int8 && kind == "ivf")
+    val idef = Def(ix, kind, column, int8 = int8 && kind == "ivf",
+      analyzer = an, positions = positions)
     val v = cat.currentVersion(container)
     if (v > 0) ensureAt(cat, container, idef, v)
     idef
@@ -334,6 +372,14 @@ object Index {
           if (old.int8) sqTrainBounds(cat, container, old.column, declaredK)
           else Nil
         (s"ivf\t${old.column}" +: (sqLines ++ centLines)).mkString("\n")
+      case "text" =>
+        // the analyzer and positions posture are content-defining —
+        // a rebuild re-derives parts under the SAME options
+        (s"text\t${old.column}" +:
+          ((if (old.analyzer != graft.operators.Analyzer.Whitespace)
+            Seq(s"option\tanalyzer\t${old.analyzer}") else Nil) ++
+            (if (!old.positions) Seq("option\tnopos") else Nil)))
+          .mkString("\n")
       case k => s"$k\t${old.column}"
     }
     cat.versions(container).foreach(v =>
@@ -350,7 +396,8 @@ object Index {
         catch { case scala.util.control.NonFatal(c) => t.addSuppressed(c) }
         throw t
     }
-    val idef = Def(ix, old.kind, old.column, old.int8)
+    val idef = Def(ix, old.kind, old.column, old.int8,
+      analyzer = old.analyzer, positions = old.positions)
     val v = cat.currentVersion(container)
     if (v > 0) ensureAt(cat, container, idef, v)
     idef
@@ -692,7 +739,11 @@ object Index {
       requireAll: Boolean = false,
       docKeep: Option[DataFrame] = None): DataFrame = {
     require(idef.kind == "text", s"index '${idef.ix}' is not a text index")
-    val qs = terms.map(_.toLowerCase).distinct.filter(_.nonEmpty)
+    // query terms analyze with the INDEX's analyzer — a term must
+    // tokenize exactly like the postings it probes ("Merge," probes
+    // 'merge' on a standard index, stays 'merge,' on whitespace)
+    val qs = terms.flatMap(t =>
+      graft.operators.Analyzer.tokensOf(t, idef.analyzer)).distinct
     require(qs.nonEmpty, "text lookup needs at least one non-empty term")
     val ix = read(cat, container, idef, at)
       .filter(col("term").isin(qs :+ graft.operators.FullText.StatsTerm: _*))
@@ -727,7 +778,15 @@ object Index {
       tokens: Seq[String], k: Int = 20, at: Option[Int] = None,
       docKeep: Option[DataFrame] = None): DataFrame = {
     require(idef.kind == "text", s"index '${idef.ix}' is not a text index")
-    val qs = tokens.map(_.toLowerCase).filter(_.nonEmpty)
+    if (!idef.positions)
+      sys.error(s"text index '${idef.ix}' on '$container' was created " +
+        "WITHOUT POSITIONS — DELETE INDEX and CREATE it with positions " +
+        "to serve MATCH PHRASE (REBUILD keeps the declared options)")
+    // phrase tokens analyze with the index's analyzer, ORDER PRESERVED
+    // (a punctuated phrase like 'merge, key' yields the adjacent tokens
+    // its standard-analyzed postings actually stored)
+    val qs = tokens.flatMap(t =>
+      graft.operators.Analyzer.tokensOf(t, idef.analyzer))
     require(qs.size >= 2, "phrase lookup needs at least two tokens")
     val distinctTerms = qs.distinct
     val ix = read(cat, container, idef, at)
@@ -904,7 +963,7 @@ object Index {
       case "text" =>
         deriveText(rows.select(col(d.primaryKey).as("id"),
           col(idef.column).as("text"), col("src")),
-          d.schema.head.dataType)
+          d.schema.head.dataType, idef.analyzer, idef.positions)
       case "value" =>
         // row-local value→pk projection; a NULL in ANY component produces
         // no index row (an all-components equality probe can never match
@@ -997,13 +1056,16 @@ object Index {
     * zero-token document yields no postings but still counts in its
     * file's sentinel, matching the fixture lane's N definition.
     */
-  private def deriveText(docs: DataFrame, pkType: DataType): DataFrame = {
+  private def deriveText(docs: DataFrame, pkType: DataType,
+      analyzer: String = graft.operators.Analyzer.Whitespace,
+      positions: Boolean = true): DataFrame = {
     val post = graft.operators.FullText.postingsOf(
-        docs.withColumnRenamed("id", "doc_id"), Seq("doc_id", "src"))
+        docs.withColumnRenamed("id", "doc_id"), Seq("doc_id", "src"),
+        analyzer = analyzer, withPositions = positions)
       .select(col("doc_id").as("id"), col("term"), col("tf"), col("dl"),
         col("pos"), col("src"))
     val stats = docs.select(col("src"),
-        size(filter(split(lower(col("text")), " "), t => t =!= ""))
+        size(graft.operators.Analyzer.tokens(col("text"), analyzer))
           .cast("long").as("dl"))
       .groupBy(col("src"))
       .agg(count(lit(1)).as("tf"), sum(col("dl")).cast("double").as("dl"))

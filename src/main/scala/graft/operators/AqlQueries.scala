@@ -172,6 +172,15 @@ object AqlQueries {
 
   private[operators] val duckDecontCtes: String = duckDecontCtesN(4)
 
+  /** The docs_an fixture relation, rebuilt oracle-side: the SAME
+    * deterministic punctuation/casing transform the setup applies with
+    * Spark regexp_replace ('g' spelled explicitly — DuckDB replaces
+    * first-match-only by default while Spark is always global). */
+  private[operators] val duckAnBase: String =
+    "(SELECT doc_id, regexp_replace(regexp_replace(text, " +
+      "'\\bmerge\\b', 'merge,', 'g'), '\\bdup\\b', 'Dup.', 'g') AS text " +
+      "FROM documents) anb"
+
   private val fixtureRoots = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
     fixtureRoots.foreach { root =>
@@ -410,6 +419,22 @@ object AqlQueries {
       eng.execute("CREATE INDEX nd ON docs_ft ['text'] USING lsh")
       eng.execute("CREATE INDEX sh ON docs_ft ['text'] USING simhash")
       eng.catalog.overwrite("docs_ft", ftDocs)
+      // punctuated corpus (round 15, the ANALYZER fixture): inject
+      // deterministic punctuation + casing via a SQL-expressible
+      // transform (every 'merge' gains a comma, every 'dup' becomes
+      // 'Dup.'), so the DuckDB oracle rebuilds the IDENTICAL corpus.
+      // fta = ANALYZER standard (punctuation-stripping); ftw = the
+      // default whitespace analyzer on the SAME corpus, for the
+      // contrast row pinning that the default is preserved.
+      eng.execute("CREATE CONTAINER docs_an ['doc_id','text'] [BIGINT, TEXT]")
+      locally {
+        import org.apache.spark.sql.functions.{col => c2, regexp_replace}
+        eng.catalog.overwrite("docs_an", ftDocs.withColumn("text",
+          regexp_replace(regexp_replace(c2("text"), "\\bmerge\\b", "merge,"),
+            "\\bdup\\b", "Dup.")))
+      }
+      eng.execute("CREATE INDEX fta ON docs_an ['text'] USING text ANALYZER standard")
+      eng.execute("CREATE INDEX ftw ON docs_an ['text'] USING text")
       // dedup-apply container: a documents copy whose verified near-dup
       // clusters the DEDUP statement removes at setup (keeper = longest
       // text, tie lowest pk) through the set-oriented COW delete — the
@@ -1170,6 +1195,42 @@ object AqlQueries {
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       search("SEARCH [doc_id, bm25, text] ON [(MATCH ['dup','vector','merge'] ON docs_ft)] " +
         "JOIN docs_ft ON doc_id = doc_id ORDER BY [doc_id]")(s, dir)
+    },
+
+    // ANALYZER standard (round 15): BM25 over the PUNCTUATED corpus
+    // through a standard-analyzer text index — 'Dup.' and 'merge,'
+    // tokenize to 'dup'/'merge' on BOTH the postings and the (deliberately
+    // punctuated) query terms, so relevance search behaves like retrieval
+    // on real text. The oracle recomputes corpus AND tokenization from
+    // first principles (regexp_extract_all over the same regexp_replace'd
+    // relation).
+    Q("aql_match_analyzer",
+      FullText.duckBm25Sql(conjunctive = false,
+        base = AqlQueries.duckAnBase,
+        analyzer = graft.operators.Analyzer.Standard)) { (s, dir) =>
+      search("MATCH ['Dup.','vector','merge,'] ON docs_an USING fta LIMIT 20")(s, dir)
+    },
+
+    // ...the default-preserved contrast: the SAME corpus and terms
+    // through the whitespace-analyzer index — 'dup'/'merge' no longer
+    // match their punctuated token forms, only 'vector' ranks (the r14
+    // behavior, frozen as the default analyzer).
+    Q("aql_match_analyzer_ws",
+      FullText.duckBm25Sql(conjunctive = false,
+        base = AqlQueries.duckAnBase,
+        analyzer = graft.operators.Analyzer.Whitespace)) { (s, dir) =>
+      search("MATCH ['dup','vector','merge'] ON docs_an USING ftw LIMIT 20")(s, dir)
+    },
+
+    // ...and PHRASE under the standard analyzer: 'merge, key' in the
+    // corpus analyzes to the adjacent tokens (merge, key), so the phrase
+    // matches across the punctuation — position arrays are built over
+    // the ANALYZED token sequence.
+    Q("aql_match_phrase_analyzer",
+      FullText.duckBm25PhraseSql(Seq("merge", "key"),
+        base = AqlQueries.duckAnBase,
+        analyzer = graft.operators.Analyzer.Standard)) { (s, dir) =>
+      search("MATCH PHRASE ['merge key'] ON docs_an USING fta LIMIT 20")(s, dir)
     },
 
     // EXPORT/IMPORT (graft extensions): the JSONL round-trip through the

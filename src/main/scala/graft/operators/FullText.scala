@@ -62,23 +62,38 @@ object FullText {
     * bytes (round 14: the MATCH PHRASE adjacency substrate; 1-based to
     * match DuckDB's `tk[p]` indexing so the oracle recompute reads the
     * same numbers). */
+  /** `analyzer` (round 15): the index's frozen tokenization, resolved
+    * through [[Analyzer]] — whitespace (default, historical behavior)
+    * or standard (punctuation-stripping). `withPositions = false`
+    * (round 15, the WITHOUT POSITIONS index option) skips the position
+    * collect entirely — a NULL `pos` column instead of one int per
+    * corpus token, for corpora that never phrase-search. */
   private[graft] def postingsOf(d: DataFrame,
-      keys: Seq[String] = Seq("doc_id")): DataFrame = {
+      keys: Seq[String] = Seq("doc_id"),
+      analyzer: String = Analyzer.Whitespace,
+      withPositions: Boolean = true): DataFrame = {
     val toks = d
       .select(keys.map(col) :+
-        filter(split(lower(col("text")), " "), t => t =!= "").as("tk"): _*)
+        Analyzer.tokens(col("text"), analyzer).as("tk"): _*)
       .select(keys.map(col) :+ size(col("tk")).cast("long").as("dl") :+
         posexplode(col("tk")).as(Seq("p", "term")): _*)
-    toks.groupBy((keys.map(col) :+ col("term")): _*)
-      .agg(count(lit(1)).as("tf"), first(col("dl")).cast("double").as("dl"),
+    val grouped = toks.groupBy((keys.map(col) :+ col("term")): _*)
+    if (withPositions)
+      grouped.agg(count(lit(1)).as("tf"), first(col("dl")).cast("double").as("dl"),
         array_sort(collect_list(col("p") + 1)).as("pos"))
+    else
+      grouped.agg(count(lit(1)).as("tf"), first(col("dl")).cast("double").as("dl"))
+        .withColumn("pos", lit(null).cast(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.IntegerType)))
   }
 
   /** 1-row (n, avgdl) corpus statistics; `n` counts ALL documents (a
     * zero-token document still counts toward N and the avgdl denominator,
     * mirroring the per-file sentinel aggregation in the catalog index). */
-  private[graft] def statsOf(d: DataFrame): DataFrame =
-    d.select(size(filter(split(lower(col("text")), " "), t => t =!= ""))
+  private[graft] def statsOf(d: DataFrame,
+      analyzer: String = Analyzer.Whitespace): DataFrame =
+    d.select(size(Analyzer.tokens(col("text"), analyzer))
         .cast("long").as("dl"))
       .agg(count(lit(1)).cast("double").as("n"),
         (sum(col("dl")) / count(lit(1))).as("avgdl"))
@@ -130,7 +145,7 @@ object FullText {
       val post = postingsOf(d)
         .select(col("term"), col("doc_id"), col("tf"), col("dl"))
       val stats = d
-        .select(size(filter(split(lower(col("text")), " "), t => t =!= ""))
+        .select(size(Analyzer.tokens(col("text")))
           .cast("long").as("dl"))
         .agg(count(lit(1)).as("tf"), sum(col("dl")).cast("double").as("dl"))
         .select(lit(StatsTerm).as("term"), lit(-1L).as("doc_id"),
@@ -141,37 +156,51 @@ object FullText {
     else Tables.bucketedDerived(s, src, "ft_postings", "term", 64)(build)
   }
 
-  private val duckTokCte =
-    """toks AS (
-      |  SELECT doc_id, len(tk) AS dl, unnest(tk) AS term
-      |  FROM (SELECT doc_id,
-      |          list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
-      |        FROM documents)),
-      |post AS (
-      |  SELECT doc_id, term, count(*) AS tf, CAST(any_value(dl) AS DOUBLE) AS dl
-      |  FROM toks GROUP BY doc_id, term),
-      |stats AS (
-      |  SELECT CAST(count(*) AS DOUBLE) AS n,
-      |         sum(len(list_filter(string_split(lower(text), ' '), t -> t <> '')))
-      |           * 1.0 / count(*) AS avgdl
-      |  FROM documents)""".stripMargin
+  /** The postings/stats CTE block over an arbitrary base relation and
+    * analyzer (round 15) — `base` is a table name or a parenthesized,
+    * aliased subquery; the token expression comes from the ONE
+    * [[Analyzer]] definition, so oracle and engine tokenize alike. */
+  private[graft] def duckTokCteFor(base: String,
+      analyzer: String = Analyzer.Whitespace): String = {
+    val tk = Analyzer.duckTokens("text", analyzer)
+    s"""toks AS (
+       |  SELECT doc_id, len(tk) AS dl, unnest(tk) AS term
+       |  FROM (SELECT doc_id, $tk AS tk
+       |        FROM $base)),
+       |post AS (
+       |  SELECT doc_id, term, count(*) AS tf, CAST(any_value(dl) AS DOUBLE) AS dl
+       |  FROM toks GROUP BY doc_id, term),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |         sum(len($tk))
+       |           * 1.0 / count(*) AS avgdl
+       |  FROM $base)""".stripMargin
+  }
+
+  private val duckTokCte = duckTokCteFor("documents")
 
   private val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
 
   /** The BM25 top-20 recompute over the probe terms; `conjunctive` adds
     * the MATCH ALL discipline (every distinct query term must appear —
-    * one HAVING over the per-doc matched-term count). */
+    * one HAVING over the per-doc matched-term count). `base`/`analyzer`
+    * (round 15) re-point the recompute at another corpus relation and
+    * tokenization — the ANALYZER-standard oracle rows. */
   private[graft] def duckBm25Sql(conjunctive: Boolean,
-      where: Option[String] = None): String = {
+      where: Option[String] = None,
+      terms: Seq[String] = QueryTerms,
+      base: String = "documents",
+      analyzer: String = Analyzer.Whitespace): String = {
     val having =
-      if (conjunctive) s"HAVING count(*) = ${QueryTerms.size}" else ""
+      if (conjunctive) s"HAVING count(*) = ${terms.size}" else ""
     // the predicate gates docs BEFORE the LIMIT (a semi-join against the
     // corpus rows), exactly like the engine's docKeep — df untouched
     val keep = where.map(w =>
       s"JOIN (SELECT doc_id FROM documents WHERE $w) keep ON keep.doc_id = p.doc_id")
       .getOrElse("")
-    s"""WITH $duckTokCte,
-       |qpost AS (SELECT * FROM post WHERE term IN ($termList)),
+    val tl = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH ${duckTokCteFor(base, analyzer)},
+       |qpost AS (SELECT * FROM post WHERE term IN ($tl)),
        |dfs AS (SELECT term, count(*) AS df FROM qpost GROUP BY term)
        |SELECT p.doc_id,
        |       round(sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
@@ -192,20 +221,21 @@ object FullText {
     * tokenization the postings use) gating the identical BM25 top-k —
     * df keeps its corpus meaning, exactly like the engine. */
   private[graft] def duckBm25PhraseSql(phrase: Seq[String],
-      limit: Int = 20): String = {
+      limit: Int = 20, base: String = "documents",
+      analyzer: String = Analyzer.Whitespace): String = {
     val qs = phrase.map(_.toLowerCase)
     val terms = qs.distinct.map(t => s"'$t'").mkString(", ")
     val adj = qs.zipWithIndex
       .map { case (w, i) => s"tk[p + $i] = '$w'" }.mkString(" AND ")
     val span = qs.size - 2
     s"""WITH tkx AS (SELECT doc_id,
-       |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
-       |  FROM documents),
+       |    ${Analyzer.duckTokens("text", analyzer)} AS tk
+       |  FROM $base),
        |ph AS (SELECT DISTINCT doc_id FROM (
        |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - $span),
        |      p -> CASE WHEN $adj THEN 1 ELSE 0 END)) AS hit
        |    FROM tkx) WHERE hit = 1),
-       |$duckTokCte,
+       |${duckTokCteFor(base, analyzer)},
        |qpost AS (SELECT * FROM post WHERE term IN ($terms)),
        |dfs AS (SELECT term, count(*) AS df FROM qpost GROUP BY term)
        |SELECT p.doc_id,

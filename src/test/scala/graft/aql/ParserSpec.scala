@@ -65,6 +65,27 @@ class ParserSpec extends AnyFunSuite {
     assert(Parser.parse("CREATE INDEX x ON docs ['emb'] USING int8")
       == CreateIndex("docs", "x", "emb", "int8"))
     assert(Parser.parse("REBUILD INDEX nd ON docs") == RebuildIndex("docs", "nd"))
+    // text options (round 15): ANALYZER and WITHOUT POSITIONS, any order,
+    // each once (text-only-ness checks at create, where the kind is known)
+    assert(Parser.parse("CREATE INDEX ft ON docs ['body'] USING text ANALYZER standard")
+      == CreateIndex("docs", "ft", "body", "text", analyzer = Some("standard")))
+    assert(Parser.parse(
+      "CREATE INDEX ft ON docs ['body'] USING text WITHOUT POSITIONS")
+      == CreateIndex("docs", "ft", "body", "text", noPositions = true))
+    assert(Parser.parse("CREATE INDEX ft ON docs ['body'] USING text " +
+      "ANALYZER standard WITHOUT POSITIONS")
+      == CreateIndex("docs", "ft", "body", "text",
+        analyzer = Some("standard"), noPositions = true))
+    assert(Parser.parse("CREATE INDEX ft ON docs ['body'] USING text " +
+      "WITHOUT POSITIONS analyzer Standard")
+      == CreateIndex("docs", "ft", "body", "text",
+        analyzer = Some("standard"), noPositions = true))
+    intercept[ParseException](Parser.parse(
+      "CREATE INDEX ft ON docs ['body'] USING text ANALYZER"))
+    intercept[ParseException](Parser.parse(
+      "CREATE INDEX ft ON docs ['body'] USING text WITHOUT"))
+    intercept[ParseException](Parser.parse(
+      "CREATE INDEX ft ON docs ['body'] USING text ANALYZER a ANALYZER b"))
   }
 
   test("MERGE ROWS forms (bulk upsert extension)") {
