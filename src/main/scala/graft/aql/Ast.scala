@@ -493,6 +493,35 @@ object Ast {
   final case class DedupContainer(container: String, ix: Option[String],
       threshold: Option[Double] = None) extends Stmt
 
+  /** graft extension (round 15): CROSS-CONTAINER near-dup — "which docs
+    * in c1 near-dup docs in c2", the cross-source curation question
+    * (previously only reachable by hand-composing EXPORT + ingest +
+    * DEDUP). `SHOW DEDUP c1 AGAINST c2 [USING ix] [THRESHOLD t] [DOCS]`
+    * probes EVERY c1 row through c2's committed lsh/simhash band index
+    * (the round-14 query-by-text probe, set-oriented: c1's band keys
+    * join the index rows in one shuffle — never a driver-side key
+    * collect) and verifies candidates with the family's exact measure
+    * (3-gram Jaccard / signature similarity ≥ t, the funnel contract).
+    * c1 must carry the indexed column's name as a TEXT column. Ids are
+    * never compared across containers: a c1 doc identical to a c2 doc
+    * IS a match (score 1) — the decontamination-adjacent semantics a
+    * curation pipeline wants. Reference anchor: multi-container SEARCH
+    * union (`/root/reference/src/database.rs:637-693`) is the
+    * reference's only cross-container op; this generalizes it to the
+    * near-dup question. Report: one row (n_docs, candidate_docs,
+    * matched_docs); `DOCS` swaps in the per-doc removal detail
+    * (doc_id, n_matches, best_score). */
+  final case class ShowDedupAgainst(container: String, against: String,
+      ix: Option[String], threshold: Option[Double] = None,
+      docs: Boolean = false) extends Stmt
+
+  /** The cross-container decision APPLIED: `DEDUP c1 AGAINST c2` removes
+    * from c1, in ONE atomic published version, every doc with a verified
+    * cross-match in c2 — c2 is never touched. SHOW DEDUP … AGAINST with
+    * the same knobs is the dry run from the SAME funnel. */
+  final case class DedupAgainst(container: String, against: String,
+      ix: Option[String], threshold: Option[Double] = None) extends Stmt
+
   /** graft extension (round 14): eval-set decontamination — the third
     * curation commit next to DEDUP and DELETE ROWS. `DECONTAMINATE c
     * AGAINST e ON col [GRAMS n] [THRESHOLD t]` removes, in ONE atomic
@@ -1326,6 +1355,22 @@ object Parser {
     // SHOW DEDUP c [USING ix] [THRESHOLD t] (graft extension, round 13):
     // the one-row dedup funnel report served from a persisted band
     // index — DEDUP/THRESHOLD are not reserved, like STATS/TAILS
+    // SHOW DEDUP c1 AGAINST c2 [USING ix] [THRESHOLD t] [DOCS] (round
+    // 15): the cross-container near-dup report — must precede the
+    // within-container form (AGAINST is unreserved, like the
+    // DECONTAMINATE grammar)
+    case Keyword("SHOW") :: Str(w) :: cTok :: Str(ag) :: eTok :: rest
+        if w.equalsIgnoreCase("DEDUP") && ag.equalsIgnoreCase("AGAINST") =>
+      val (docsFlag, knobToks) = rest.lastOption match {
+        case Some(Str(w2)) if w2.equalsIgnoreCase("DOCS") &&
+            !(rest.length >= 2 && rest(rest.length - 2) == Keyword("USING")) =>
+          (true, rest.init)
+        case _ => (false, rest)
+      }
+      val (ix, thr) = dedupKnobs(knobToks,
+        "SHOW DEDUP c1 AGAINST c2 [USING ix] [THRESHOLD t] [DOCS]")
+      ShowDedupAgainst(name(cTok), name(eTok), ix, thr, docs = docsFlag)
+
     case Keyword("SHOW") :: Str(w) :: cTok :: rest if w.equalsIgnoreCase("DEDUP") =>
       val (at, afterAt) = rest match {
         case Keyword("AT") :: Keyword("VERSION") :: IntLit(v) :: tl =>
@@ -1350,6 +1395,14 @@ object Parser {
       val (ix, thr) = dedupKnobs(knobToks,
         "SHOW DEDUP c [AT VERSION n] [USING ix] [THRESHOLD t] [CLUSTERS]")
       ShowDedup(name(cTok), ix, thr, at, clustersFlag)
+
+    // DEDUP c1 AGAINST c2 [USING ix] [THRESHOLD t] (round 15): the
+    // cross-container decision applied — before the within form
+    case Str(w) :: cTok :: Str(ag) :: eTok :: rest
+        if w.equalsIgnoreCase("DEDUP") && ag.equalsIgnoreCase("AGAINST") =>
+      val (ix, thr) = dedupKnobs(rest,
+        "DEDUP c1 AGAINST c2 [USING ix] [THRESHOLD t]")
+      DedupAgainst(name(cTok), name(eTok), ix, thr)
 
     // DEDUP c [USING ix] [THRESHOLD t] (graft extension, round 13): the
     // funnel's decision APPLIED — remove every verified near-dup cluster
@@ -1628,7 +1681,7 @@ object Parser {
       fromTokens(body) match {
         case q @ (_: Search | _: SetOp | _: Match | _: Similar | _: Fuse |
                   _: Changes | _: ShowOverlap | _: ShowOverlapMatrix |
-                  _: ShowDedup | _: ShowDecontaminate) =>
+                  _: ShowDedup | _: ShowDedupAgainst | _: ShowDecontaminate) =>
           Explain(q, analyze)
         case other => throw new ParseException(
           s"EXPLAIN supports SEARCH/SET-OP/MATCH/SIMILAR/FUSE/CHANGES/" +

@@ -368,6 +368,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         case sm: Ast.Similar => similarDf(sm)
         case f: Ast.Fuse => fuseDf(f)
         case sd: Ast.ShowDedup => showDedupDf(sd, explainOnly = true)
+        case sd: Ast.ShowDedupAgainst => showDedupAgainstDf(sd)._1
         // plan the SAME DataFrame the execute path serves (summary
         // crossJoin or the DOCS-filtered detail) — an EXPLAIN of the
         // bare funnel would diverge from the served query shape (r14
@@ -552,6 +553,39 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
 
     case sd: Ast.ShowDedup =>
       resultSet(showDedupDf(sd), needsDefaultSort = true)
+
+    case sd: Ast.ShowDedupAgainst =>
+      val (df, defaultSort) = showDedupAgainstDf(sd)
+      resultSet(df, needsDefaultSort = defaultSort)
+
+    case dd: Ast.DedupAgainst =>
+      // the cross-container decision APPLIED: remove from c1 every doc
+      // with a verified near-dup in c2 (c2 untouched), one atomic
+      // version through the set-oriented COW delete. SHOW DEDUP …
+      // AGAINST with the same knobs is the dry run — SAME funnel.
+      catalog.get(dd.container)
+      catalog.requireVersioned(dd.container, "DEDUP")
+      if (tx.hasStaged(dd.container))
+        throw new IllegalArgumentException(
+          s"DEDUP on '${dd.container}' with staged ops — COMMIT or " +
+            "ROLLBACK first")
+      val f = crossDedupFunnel(dd.container, dd.against, dd.ix,
+        dd.threshold, "DEDUP")
+      val losers = f.scored.select(col("id_a").as("doc_id")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nLosers = losers.count()
+        if (nLosers == 0)
+          Done(s"dedup ${dd.container} against ${dd.against}: no verified " +
+            f"cross-match at threshold ${f.thr}%.6f — nothing removed")
+        else if (tx.deleteRows(dd.container, losers))
+          Done(s"deduped ${dd.container} against ${dd.against}: removed " +
+            f"$nLosers doc(s) with verified matches at threshold " +
+            f"${f.thr}%.6f (version ${catalog.currentVersion(dd.container)})")
+        else // a concurrent commit removed every loser first — honest no-op
+          Done(s"dedup ${dd.container} against ${dd.against}: the $nLosers " +
+            "matching doc(s) were already absent — nothing removed")
+      } finally losers.unpersist(blocking = false)
 
     case sd: Ast.ShowDecontaminate =>
       val (df, defaultSort) = showDecontaminateDf(sd)
@@ -2518,6 +2552,137 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           .select(col("id_a"), col("id_b"))
     }
     BandFunnel(idef, thr, pairs, docsDf, verified)
+  }
+
+  /** The SHOW DEDUP … AGAINST / DEDUP … AGAINST shared machinery (round
+    * 15): cross-container near-dup via c2's committed band index.
+    * `scored` = (id_a ∈ c1, id_b ∈ c2, score) for every VERIFIED pair —
+    * the exact measure the band family approximates (3-gram Jaccard for
+    * lsh, (32−hamming)/32 for simhash), each with its ONE shared
+    * definition (TextDedup), so the cross funnel, the within-container
+    * funnel and SIMILAR … SCORED can never disagree on what similar is.
+    *
+    * Scale shape: c1's rows band through the SAME derivation c2's index
+    * was built with (a stateless projection — minhash/simhash are
+    * row-local), and the (band, bk) equi-join against the index rows is
+    * ONE pinned shuffle-hash exchange carrying (id, band, bk) — never
+    * text, never a driver-side key collect (the set-oriented form of the
+    * round-14 literal-document probe, which collects keys ONLY because a
+    * single probe's bands are bounded metadata). Verification joins
+    * payloads for the CANDIDATE pair ids only. Ids are never compared
+    * across containers — a c1 doc verbatim-equal to a c2 doc is a match
+    * at score 1, the cross-source curation semantics. */
+  private case class XFunnel(idef: graft.catalog.Index.Def, thr: Double,
+      pairs: DataFrame, scored: DataFrame)
+
+  private def crossDedupFunnel(container: String, against: String,
+      ixOpt: Option[String], thrOpt: Option[Double], what: String): XFunnel = {
+    requireNotView(container, "its content")
+    requireNotView(against, "a band index")
+    if (container.equalsIgnoreCase(against))
+      throw new ParseException(
+        s"$what AGAINST the container itself is the within-container " +
+          s"funnel — use `$what $container` (no AGAINST)")
+    val d1 = catalog.get(container)
+    catalog.get(against)
+    val defs = catalog.indexDefs(against)
+      .filter(x => x.kind == "lsh" || x.kind == "simhash")
+    val idef = ixOpt match {
+      case Some(n) => defs.find(_.ix == n).getOrElse(throw new ParseException(
+        s"No lsh/simhash index '$n' on '$against' ($what AGAINST probes " +
+          "band indexes; ivf cross-matching is SHOW DEDUP's within-" +
+          "container lane)"))
+      case None => defs match {
+        case Seq(one) => one
+        case Seq() => throw new ParseException(
+          s"$what AGAINST needs an lsh or simhash index on '$against' " +
+            "(CREATE INDEX … USING lsh|simhash)")
+        case many => throw new ParseException(
+          s"'$against' has ${many.size} band indexes " +
+            s"(${many.map(_.ix).mkString(", ")}) — pick one with USING")
+      }
+    }
+    // c1 must carry the indexed column's NAME as a TEXT column — the
+    // probe derivation runs over c1's own payloads
+    val cCol = d1.columns.find(_._1.equalsIgnoreCase(idef.column)) match {
+      case Some((n, t))
+          if t.spark == org.apache.spark.sql.types.StringType => n
+      case Some((n, t)) => throw new ParseException(
+        s"$what AGAINST: column $n on '$container' is ${t}, not a text " +
+          s"type — '${against}''s ${idef.kind} index probes text")
+      case None => throw new ParseException(
+        s"$what AGAINST: '$container' has no column '${idef.column}' to " +
+          s"probe '${against}''s ${idef.kind} index")
+    }
+    val thr = thrOpt.getOrElse(
+      if (idef.kind == "lsh") 0.2 else 29.0 / 32.0)
+    import graft.operators.TextDedup.{bandsOf, jaccardSim, simhashBands,
+      simhashSim, withShingles, withSignatures, withSimhash}
+    val c1Docs = catalog.read(container)
+      .select(col(d1.primaryKey).as("doc_id"), col(cCol).as("text"))
+    val probeBands = (idef.kind match {
+      case "lsh" => bandsOf(withSignatures(withShingles(c1Docs),
+        Seq("doc_id")), Seq("doc_id"))
+      case _ => simhashBands(withSimhash(c1Docs, Seq("doc_id")),
+        Seq("doc_id"))
+    }).select(col("doc_id").as("id_a"), col("band"), col("bk"))
+    val ixRows = graft.catalog.Index.read(catalog, against, idef, None)
+      .select(col("id").as("id_b"), col("band"), col("bk"))
+    note(s"dedup against: c1 bands ⋈ '$against'.${idef.ix} index rows on " +
+      "(band, bk) — one pinned shuffle-hash exchange of (id, band, bk), " +
+      f"never text; exact-measure verify (threshold $thr%.6f) over " +
+      "candidate pairs only")
+    val pairs = probeBands.hint("shuffle_hash")
+      .join(ixRows, Seq("band", "bk"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val c2Docs = catalog.read(against)
+      .select(col(catalog.get(against).primaryKey).as("doc_id"),
+        col(idef.column).as("text"))
+    val scored = idef.kind match {
+      case "lsh" =>
+        val shA = withShingles(c1Docs)
+          .select(col("doc_id").as("id_a"), col("sg").as("sg_a"))
+        val shB = withShingles(c2Docs)
+          .select(col("doc_id").as("id_b"), col("sg").as("sg_b"))
+        pairs.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            jaccardSim(col("sg_a"), col("sg_b")).as("score"))
+          .filter(col("score") >= thr)
+      case _ =>
+        val shA = withSimhash(c1Docs, Seq("doc_id"))
+          .select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+        val shB = withSimhash(c2Docs, Seq("doc_id"))
+          .select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+        pairs.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            simhashSim(col("sh_a"), col("sh_b")).as("score"))
+          .filter(col("score") >= thr)
+    }
+    XFunnel(idef, thr, pairs, scored)
+  }
+
+  /** The SHOW DEDUP … AGAINST served DataFrame — one construction for
+    * execute and EXPLAIN, like [[showDecontaminateDf]]. */
+  private def showDedupAgainstDf(sd: Ast.ShowDedupAgainst): (DataFrame, Boolean) = {
+    val f = crossDedupFunnel(sd.container, sd.against, sd.ix, sd.threshold,
+      "SHOW DEDUP")
+    if (sd.docs) {
+      // the removal detail: per c1 doc, how many verified c2 matches
+      // and the best score — exactly the docs DEDUP AGAINST deletes
+      note("show dedup against docs: the removal list, best-score-desc")
+      (f.scored.groupBy(col("id_a"))
+        .agg(countDistinct(col("id_b")).as("n_matches"),
+          round(max(col("score")), 6).as("best_score"))
+        .select(col("id_a").as("doc_id"), col("n_matches"), col("best_score"))
+        .orderBy(col("best_score").desc, col("doc_id")), false)
+    } else {
+      val tot = catalog.read(sd.container).agg(count(lit(1)).as("n_docs"))
+      val cand = f.pairs.agg(
+        countDistinct(col("id_a")).as("candidate_docs"))
+      val matched = f.scored.agg(
+        countDistinct(col("id_a")).as("matched_docs"))
+      (tot.crossJoin(cand).crossJoin(matched), true)
+    }
   }
 
   /** The DECONTAMINATE / SHOW DECONTAMINATE shared machinery (round 14):

@@ -461,6 +461,20 @@ object AqlQueries {
       eng.execute("CREATE CONTAINER docs_dsp ['doc_id','text'] [BIGINT, TEXT]")
       eng.catalog.overwrite("docs_dsp", ftDocs)
       eng.execute("DECONTAMINATE docs_dsp AGAINST docs_ev ON text USING SPANS 8")
+      // cross-container near-dup pair (round 15): docs_xe = the src0
+      // slice carrying a committed lsh band index (the c2 / reference
+      // side); docs_xd = a full documents copy DEDUP'd AGAINST it at
+      // setup — every doc with a verified cross-match (including the
+      // src0 docs themselves, score-1 verbatim matches) is removed.
+      // The oracle recomputes band + verify over both corpora.
+      eng.execute("CREATE CONTAINER docs_xe ['doc_id','text'] [BIGINT, TEXT]")
+      eng.catalog.overwrite("docs_xe", graft.Tables.load(spark, dir, "documents")
+        .filter(org.apache.spark.sql.functions.col("source") === "src0")
+        .select("doc_id", "text"))
+      eng.execute("CREATE INDEX ndx ON docs_xe ['text'] USING lsh")
+      eng.execute("CREATE CONTAINER docs_xd ['doc_id','text'] [BIGINT, TEXT]")
+      eng.catalog.overwrite("docs_xd", ftDocs)
+      eng.execute("DEDUP docs_xd AGAINST docs_xe USING ndx")
       // value-indexed container: WHERE lang = 'en' auto-serves from the
       // secondary index (pk-candidate-pruned scan); the post-index COMMIT
       // proves maintenance — the inserted row is only findable through
@@ -1925,6 +1939,46 @@ object AqlQueries {
          |WHERE doc_id NOT IN (SELECT doc_id FROM removed)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       search("SEARCH [doc_id] ON docs_dsp")(s, dir)
+    },
+
+    // cross-container near-dup (round 15): every `documents` row probed
+    // through docs_xe's (the src0 slice's) committed lsh band index —
+    // candidates from shared (band, bk) buckets, verified by exact
+    // 3-gram Jaccard >= 0.2. The oracle recomputes band + verify over
+    // both corpora declaratively; ids are never compared across
+    // containers, so each src0 doc matches itself at score 1.
+    Q("aql_show_dedup_against",
+      s"""${TextDedup.duckCrossLshCtes},
+         |tot AS (SELECT count(*) AS n_docs FROM documents),
+         |cand AS (SELECT count(DISTINCT id_a) AS candidate_docs FROM xpairs),
+         |vm AS (SELECT count(DISTINCT id_a) AS matched_docs FROM xv)
+         |SELECT tot.n_docs, cand.candidate_docs, vm.matched_docs
+         |FROM tot, cand, vm""".stripMargin) { (s, dir) =>
+      search("SHOW DEDUP documents AGAINST docs_xe USING ndx")(s, dir)
+    },
+
+    // ...the DOCS decision detail: per c1 doc the verified-match count
+    // and the best exact score — exactly the removal list DEDUP AGAINST
+    // would delete, best-score-desc.
+    Q("aql_show_dedup_against_docs",
+      s"""${TextDedup.duckCrossLshCtes}
+         |SELECT id_a AS doc_id, count(DISTINCT id_b) AS n_matches,
+         |       round(max(score), 6) AS best_score
+         |FROM xv GROUP BY id_a
+         |ORDER BY best_score DESC, doc_id""".stripMargin) { (s, dir) =>
+      search("SHOW DEDUP documents AGAINST docs_xe USING ndx DOCS")(s, dir)
+    },
+
+    // ...and the decision APPLIED: docs_xd was DEDUP'd AGAINST docs_xe
+    // at setup — the committed post-state must equal the oracle's
+    // independent cross-funnel recomputation.
+    Q("aql_dedup_against",
+      s"""${TextDedup.duckCrossLshCtes},
+         |removed AS (SELECT DISTINCT id_a AS doc_id FROM xv)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      search("SEARCH [doc_id] ON docs_xd")(s, dir)
     },
 
     // ...and the simhash twin: candidates from the 4×8-bit band index,

@@ -495,6 +495,30 @@ object TextDedup {
 
   private[graft] val duckJaccardCtes = duckJaccardCtesFrom("documents")
 
+  /** Cross-corpus LSH funnel CTEs (round 15): bands over `documents`
+    * once, candidate pairs between ALL docs (id_a — the c1 side) and
+    * the src0 slice (id_b — the docs_xe fixture's c2), verified by the
+    * exact Jaccard measure at the default 0.2 — the SHOW DEDUP …
+    * AGAINST oracle recompute. No id inequality: ids are never compared
+    * across containers, so a doc verbatim-present in both sides is a
+    * score-1 match (the cross-source curation semantics). */
+  private[graft] val duckCrossLshCtes: String =
+    s"""WITH RECURSIVE ${duckShinglesFrom("documents")},
+       |$duckSignatures,
+       |$duckBands,
+       |xpairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |           FROM bands a JOIN bands b
+       |             ON a.band = b.band AND a.bk = b.bk
+       |           JOIN (SELECT doc_id FROM documents WHERE source = 'src0') s
+       |             ON s.doc_id = b.doc_id),
+       |xscored AS (SELECT p.id_a, p.id_b,
+       |        round(CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
+       |              / len(list_distinct(list_concat(sa.sg, sb.sg))), 6) AS score
+       |      FROM xpairs p
+       |      JOIN shing sa ON sa.doc_id = p.id_a
+       |      JOIN shing sb ON sb.doc_id = p.id_b),
+       |xv AS (SELECT * FROM xscored WHERE score >= 0.2)""".stripMargin
+
   // ---- SimHash: 32-bit signature from token md5 nibbles. ------------------
   // Bit i of token-hash = bit (3 - i%4) of hex digit i/4 of md5(token).
   // Signature bit i = majority vote over tokens (sum of ±1 > 0).

@@ -1,0 +1,115 @@
+package graft.aql
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SHOW DEDUP c1 AGAINST c2 / DEDUP c1 AGAINST c2 (round 15): the
+  * cross-container near-dup funnel — c1's rows band through c2's
+  * committed lsh/simhash index, candidates verify with the family's
+  * exact measure, removal touches c1 only. Oracle rows cover the
+  * fixture corpus; this spec pins the semantics and guards on a
+  * synthetic corpus where the expected decision is hand-derivable.
+  */
+class CrossDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val refText =
+    "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+  private val nearText = // one-word edit: Jaccard well above 0.2
+    "the quick brown fox jumps over the sleepy dog near the quiet river bank today"
+  private val otherText =
+    "pack my box with five dozen liquor jugs before noon arrives with friends waiting"
+
+  private def fixture(tag: String) = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-xd-$tag")
+    val eng = new Engine(spark, dir.toString)
+    import spark.implicits._
+    eng.execute("CREATE CONTAINER ref ['doc_id','text'] [BIGINT, TEXT]")
+    eng.catalog.overwrite("ref",
+      Seq((100L, refText), (101L, otherText + " extra tail words here"))
+        .toDF("doc_id", "text"))
+    eng.execute("CREATE INDEX nd ON ref ['text'] USING lsh")
+    eng.execute("CREATE CONTAINER corp ['doc_id','text'] [BIGINT, TEXT]")
+    eng.catalog.overwrite("corp", Seq(
+      (1L, refText), // verbatim copy of a ref doc -> score 1 match
+      (2L, nearText), // near-dup of ref 100
+      (3L, "completely unrelated content about spark catalyst planning"),
+      (4L, otherText + " extra tail words here")) // verbatim of ref 101
+      .toDF("doc_id", "text"))
+    eng
+  }
+
+  test("report, DOCS detail and applied removal agree; c2 untouched") {
+    val eng = fixture("main")
+    val rep = eng.execute("SHOW DEDUP corp AGAINST ref USING nd")
+      .asInstanceOf[Engine.ResultSet].df.collect().head
+    assert(rep.getLong(0) == 4L, s"n_docs ${rep.getLong(0)}")
+    // docs 1, 2, 4 must verify (verbatim + near-dup); doc 3 must not
+    assert(rep.getLong(2) == 3L, s"matched_docs ${rep.getLong(2)}")
+    assert(rep.getLong(1) >= rep.getLong(2), "candidates cover matches")
+
+    val detail = eng.execute("SHOW DEDUP corp AGAINST ref USING nd DOCS")
+      .asInstanceOf[Engine.ResultSet].df.collect()
+    assert(detail.map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+    // verbatim copies carry best_score 1.0 and rank first
+    assert(detail.take(2).forall(_.getDouble(2) == 1.0))
+    assert(detail.forall(_.getLong(1) >= 1L))
+
+    // a tightened threshold drops the near-dup, keeps the verbatims
+    val tight = eng.execute(
+      "SHOW DEDUP corp AGAINST ref USING nd THRESHOLD 1 DOCS")
+      .asInstanceOf[Engine.ResultSet].df.collect()
+    assert(tight.map(_.getLong(0)).toSet == Set(1L, 4L))
+
+    // the decision applied: exactly the DOCS list disappears from c1
+    val msg = eng.execute("DEDUP corp AGAINST ref USING nd")
+      .asInstanceOf[Engine.Done].message
+    assert(msg.contains("removed 3"), msg)
+    val kept = eng.execute("SEARCH [doc_id] ON corp")
+      .asInstanceOf[Engine.ResultSet].df.collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L))
+    // c2 is never touched
+    assert(eng.execute("SEARCH [doc_id] ON ref")
+      .asInstanceOf[Engine.ResultSet].df.count() == 2L)
+    // re-running is an honest no-op (no matches remain)
+    val again = eng.execute("DEDUP corp AGAINST ref USING nd")
+      .asInstanceOf[Engine.Done].message
+    assert(again.contains("nothing removed"), again)
+  }
+
+  test("guards: self-AGAINST, missing column, no band index, staged ops") {
+    val eng = fixture("guards")
+    import spark.implicits._
+    val e1 = intercept[ParseException](
+      eng.execute("SHOW DEDUP corp AGAINST corp"))
+    assert(e1.getMessage.contains("within-container"), e1.getMessage)
+    // c1 lacking the indexed column name fails with the pointer
+    eng.execute("CREATE CONTAINER nocol ['doc_id','body'] [BIGINT, TEXT]")
+    eng.catalog.overwrite("nocol", Seq((1L, refText)).toDF("doc_id", "body"))
+    val e2 = intercept[ParseException](
+      eng.execute("SHOW DEDUP nocol AGAINST ref USING nd"))
+    assert(e2.getMessage.contains("has no column 'text'"), e2.getMessage)
+    // a c2 without a band index names the fix
+    val e3 = intercept[ParseException](
+      eng.execute("SHOW DEDUP corp AGAINST nocol"))
+    assert(e3.getMessage.contains("USING lsh|simhash"), e3.getMessage)
+    // staged ops on c1 refuse the mutation (the DEDUP discipline)
+    eng.execute("CREATE ROW ['doc_id','text'] [99, 'staged doc'] ON corp")
+    val e4 = intercept[IllegalArgumentException](
+      eng.execute("DEDUP corp AGAINST ref USING nd"))
+    assert(e4.getMessage.contains("staged"), e4.getMessage)
+    eng.execute("ROLLBACK corp")
+    // ...but the read-only SHOW still serves (committed snapshot)
+    assert(eng.execute("SHOW DEDUP corp AGAINST ref USING nd")
+      .asInstanceOf[Engine.ResultSet].df.count() == 1L)
+  }
+
+  test("EXPLAIN plans the served report shape with the access-path note") {
+    val eng = fixture("explain")
+    val ex = eng.execute("EXPLAIN SHOW DEDUP corp AGAINST ref USING nd")
+      .asInstanceOf[Engine.Done].message
+    assert(ex.contains("dedup against"), ex.takeRight(300))
+    assert(ex.contains("shuffle-hash") || ex.contains("ShuffledHashJoin"),
+      "the band join must pin shuffle-hash")
+  }
+}

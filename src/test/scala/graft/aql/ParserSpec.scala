@@ -679,6 +679,36 @@ class ParserSpec extends AnyFunSuite {
       .asInstanceOf[Explain].query.isInstanceOf[ShowDedup])
   }
 
+  test("SHOW DEDUP / DEDUP AGAINST — the cross-container forms (round 15)") {
+    assert(Parser.parse("SHOW DEDUP corp AGAINST ref")
+      == ShowDedupAgainst("corp", "ref", None, None))
+    assert(Parser.parse("SHOW DEDUP corp AGAINST ref USING nd THRESHOLD 0.3")
+      == ShowDedupAgainst("corp", "ref", Some("nd"), Some(0.3)))
+    assert(Parser.parse("SHOW DEDUP corp AGAINST ref DOCS")
+      == ShowDedupAgainst("corp", "ref", None, None, docs = true))
+    assert(Parser.parse("show dedup corp against ref using nd docs")
+      == ShowDedupAgainst("corp", "ref", Some("nd"), None, docs = true))
+    // directly after USING the word names an INDEX (the SCORED stance)
+    assert(Parser.parse("SHOW DEDUP corp AGAINST ref USING docs")
+      == ShowDedupAgainst("corp", "ref", Some("docs"), None))
+    assert(Parser.parse("DEDUP corp AGAINST ref")
+      == DedupAgainst("corp", "ref", None, None))
+    assert(Parser.parse("DEDUP corp AGAINST ref USING nd THRESHOLD 0.9")
+      == DedupAgainst("corp", "ref", Some("nd"), Some(0.9)))
+    // a container NAMED 'against' stays addressable in the within form
+    assert(Parser.parse("DEDUP against USING nd")
+      == DedupContainer("against", Some("nd"), None))
+    intercept[ParseException](
+      Parser.parse("DEDUP corp AGAINST ref THRESHOLD 0"))
+    intercept[ParseException](
+      Parser.parse("SHOW DEDUP corp AGAINST ref EXTRA"))
+    // the mutation takes no DOCS (only the SHOW form reports)
+    intercept[ParseException](Parser.parse("DEDUP corp AGAINST ref DOCS"))
+    // EXPLAIN covers the cross form
+    assert(Parser.parse("EXPLAIN SHOW DEDUP corp AGAINST ref")
+      .asInstanceOf[Explain].query.isInstanceOf[ShowDedupAgainst])
+  }
+
   test("DELETE ROWS parses a (SEARCH …) subquery onto a container") {
     val s = Parser.parse("DELETE ROWS (SEARCH [id] ON a WHERE v > 3) ON c")
       .asInstanceOf[DeleteRows]
