@@ -427,9 +427,15 @@ object Ast {
         * index the probe list WIDENS (doubling from PROBE p, capped at
         * the trained cell count) until the filtered candidates can fill
         * the LIMIT — at full probe the result is exact over the indexed
-        * corpus. Band (lsh/simhash) candidates are already the probe's
-        * complete collision set, so the predicate just filters them
-        * (no recall dial exists to widen). */
+        * corpus. Under SCORED the fill is counted on the POST-RERANK
+        * result (round 15): unscoreable rows — NULL/zero-norm cosine,
+        * int8 NULL-code payloads — never satisfy the contract, so a
+        * filtered SCORED query returns k scored rows whenever k
+        * scoreable matches exist. Band (lsh/simhash) candidates are
+        * already the probe's complete collision set, so the predicate
+        * just filters them (no recall dial exists to widen); when that
+        * under-fills the LIMIT, the Access Path notes the exhaustion
+        * honestly instead of implying k matches don't exist. */
       where: Option[Where] = None) extends Stmt
   /** graft extension (round 13): hybrid-retrieval rank fusion —
     * `FUSE [(MATCH …), (SIMILAR …)] [WEIGHTS [w…]] [K k] [LIMIT n]`

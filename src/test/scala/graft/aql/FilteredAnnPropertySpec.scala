@@ -82,4 +82,70 @@ class FilteredAnnPropertySpec extends AnyFunSuite {
       eng.execute("DELETE CONTAINER fap")
     }
   }
+
+  test("SCORED fill counts post-rerank rows: unscoreable matches never " +
+      "satisfy the contract (round 15)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fann-zn")
+    val eng = new Engine(spark, dir.toString)
+    eng.execute("CREATE CONTAINER fzz ['vid','tag','emb'] [BIGINT, TEXT, MEDIUM-BYTES]")
+    val dims = 4
+    // 10 ZERO vectors (cosine NULL — candidates that can never score)
+    // and 20 scoreable ones, all matching the predicate
+    val zeros = (0L until 10L).map(i => (i, "en", IndexedSeq.fill(dims)(0f)))
+    val live = (10L until 30L).map(i => (i, "en", randVec(dims)))
+    import spark.implicits._
+    eng.catalog.overwrite("fzz", (zeros ++ live).map { case (i, t, v) =>
+      (i, t, graft.functions.Float32Unpack.pack(v)) }.toDF("vid", "tag", "emb"))
+    eng.execute("CREATE INDEX ann ON fzz ['emb'] USING ivf 4")
+    val q = randVec(dims)
+    val qLit = q.mkString("[", ", ", "]")
+    def run(limit: Int) = eng
+      .execute(s"SIMILAR $qLit ON fzz USING ann WHERE tag = 'en' " +
+        s"LIMIT $limit SCORED")
+      .asInstanceOf[Engine.ResultSet].df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // 15 scoreable matches exist past the 10 unscoreable ones: the
+    // widening must keep going until 15 SCORED rows fill the LIMIT
+    // (counting raw candidates would stop early and under-fill)
+    val r15 = run(15)
+    assert(r15.size == 15, s"post-score fill broke: ${r15.size} rows")
+    assert(r15.forall(_._1 >= 10L), "zero-norm rows must never rank")
+    // past the scoreable population the result is exactly the 20
+    // scoreable matches — unscoreable rows are outside the contract
+    val r25 = run(25)
+    assert(r25.size == 20 && r25.forall(_._1 >= 10L), s"got ${r25.size}")
+  }
+
+  test("band WHERE under-fill emits the collision-set-exhausted note " +
+      "(round 15)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fann-band")
+    val eng = new Engine(spark, dir.toString)
+    eng.execute("CREATE CONTAINER fbd ['doc_id','lang','text'] [BIGINT, TEXT, TEXT]")
+    val base = "the quick brown fox jumps over the lazy dog near the river"
+    import spark.implicits._
+    eng.catalog.overwrite("fbd", Seq(
+      (1L, "en", base),
+      (2L, "en", base + " today"),
+      (3L, "fr", base + " maintenant"),
+      (4L, "en", "pack my box with five dozen liquor jugs tonight ok"))
+      .toDF("doc_id", "lang", "text"))
+    eng.execute("CREATE INDEX nd ON fbd ['text'] USING lsh")
+    // doc 1's collisions are docs 2 and 3; WHERE lang='en' keeps only
+    // doc 2 — LIMIT 5 cannot fill and the Access Path must say so
+    val ex = eng.execute(
+      "EXPLAIN SIMILAR 1 ON fbd USING nd WHERE lang = 'en' LIMIT 5")
+      .asInstanceOf[Engine.Done].message
+    assert(ex.contains("collision set exhausted"), ex.takeRight(400))
+    assert(ex.contains("no widening geometry"), ex.takeRight(400))
+    // the served result matches the note's count: only doc 2
+    val got = eng.execute(
+      "SIMILAR 1 ON fbd USING nd WHERE lang = 'en' LIMIT 5")
+      .asInstanceOf[Engine.ResultSet].df.collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L), s"got $got")
+    // a fillable WHERE stays note-free on the underfill front
+    val ex2 = eng.execute(
+      "EXPLAIN SIMILAR 1 ON fbd USING nd WHERE lang = 'en' LIMIT 1")
+      .asInstanceOf[Engine.Done].message
+    assert(!ex2.contains("collision set exhausted"), ex2.takeRight(400))
+  }
 }
