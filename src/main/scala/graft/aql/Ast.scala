@@ -503,12 +503,14 @@ object Ast {
     * in c1 near-dup docs in c2", the cross-source curation question
     * (previously only reachable by hand-composing EXPORT + ingest +
     * DEDUP). `SHOW DEDUP c1 AGAINST c2 [USING ix] [THRESHOLD t] [DOCS]`
-    * probes EVERY c1 row through c2's committed lsh/simhash band index
-    * (the round-14 query-by-text probe, set-oriented: c1's band keys
-    * join the index rows in one shuffle — never a driver-side key
-    * collect) and verifies candidates with the family's exact measure
-    * (3-gram Jaccard / signature similarity ≥ t, the funnel contract).
-    * c1 must carry the indexed column's name as a TEXT column. Ids are
+    * probes EVERY c1 row through c2's committed lsh/simhash/ivf index
+    * (the round-14 query-by-text probe, set-oriented: c1's band keys —
+    * or nearest-frozen-centroid cells for ivf — join the index rows in
+    * one shuffle, never a driver-side key collect) and verifies
+    * candidates with the family's exact measure (3-gram Jaccard /
+    * signature similarity / cosine ≥ t, the funnel contract). c1 must
+    * carry the indexed column's name with the indexed type (TEXT for
+    * band kinds, packed-float32 BYTES for ivf). Ids are
     * never compared across containers: a c1 doc identical to a c2 doc
     * IS a match (score 1) — the decontamination-adjacent semantics a
     * curation pipeline wants. Reference anchor: multi-container SEARCH

@@ -2629,59 +2629,84 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         s"$what AGAINST the container itself is the within-container " +
           s"funnel — use `$what $container` (no AGAINST)")
     val d1 = catalog.get(container)
-    catalog.get(against)
+    val d2 = catalog.get(against)
     val defs = catalog.indexDefs(against)
-      .filter(x => x.kind == "lsh" || x.kind == "simhash")
+      .filter(x => x.kind == "lsh" || x.kind == "simhash" || x.kind == "ivf")
     val idef = ixOpt match {
       case Some(n) => defs.find(_.ix == n).getOrElse(throw new ParseException(
-        s"No lsh/simhash index '$n' on '$against' ($what AGAINST probes " +
-          "band indexes; ivf cross-matching is SHOW DEDUP's within-" +
-          "container lane)"))
+        s"No lsh/simhash/ivf index '$n' on '$against'"))
       case None => defs match {
         case Seq(one) => one
         case Seq() => throw new ParseException(
-          s"$what AGAINST needs an lsh or simhash index on '$against' " +
-            "(CREATE INDEX … USING lsh|simhash)")
+          s"$what AGAINST needs an lsh, simhash, or ivf index on " +
+            s"'$against' (CREATE INDEX … USING lsh|simhash|ivf)")
         case many => throw new ParseException(
-          s"'$against' has ${many.size} band indexes " +
+          s"'$against' has ${many.size} candidate indexes " +
             s"(${many.map(_.ix).mkString(", ")}) — pick one with USING")
       }
     }
-    // c1 must carry the indexed column's NAME as a TEXT column — the
-    // probe derivation runs over c1's own payloads
+    // c1 must carry the indexed column's NAME with the indexed TYPE —
+    // the probe derivation runs over c1's own payloads (TEXT for band
+    // kinds, packed-float32 BYTES for ivf)
+    val wantType =
+      if (idef.kind == "ivf") org.apache.spark.sql.types.BinaryType
+      else org.apache.spark.sql.types.StringType
     val cCol = d1.columns.find(_._1.equalsIgnoreCase(idef.column)) match {
-      case Some((n, t))
-          if t.spark == org.apache.spark.sql.types.StringType => n
+      case Some((n, t)) if t.spark == wantType => n
       case Some((n, t)) => throw new ParseException(
-        s"$what AGAINST: column $n on '$container' is ${t}, not a text " +
-          s"type — '${against}''s ${idef.kind} index probes text")
+        s"$what AGAINST: column $n on '$container' is ${t} — " +
+          s"'${against}''s ${idef.kind} index probes " +
+          (if (idef.kind == "ivf") "packed-float32 BYTES" else "text"))
       case None => throw new ParseException(
         s"$what AGAINST: '$container' has no column '${idef.column}' to " +
           s"probe '${against}''s ${idef.kind} index")
     }
-    val thr = thrOpt.getOrElse(
-      if (idef.kind == "lsh") 0.2 else 29.0 / 32.0)
+    // verify thresholds: the within-container funnel's defaults
+    val thr = thrOpt.getOrElse(idef.kind match {
+      case "lsh" => 0.2
+      case "simhash" => 29.0 / 32.0
+      case _ => 0.99
+    })
     import graft.operators.TextDedup.{bandsOf, jaccardSim, simhashBands,
       simhashSim, withShingles, withSignatures, withSimhash}
     val c1Docs = catalog.read(container)
       .select(col(d1.primaryKey).as("doc_id"), col(cCol).as("text"))
-    val probeBands = (idef.kind match {
-      case "lsh" => bandsOf(withSignatures(withShingles(c1Docs),
-        Seq("doc_id")), Seq("doc_id"))
-      case _ => simhashBands(withSimhash(c1Docs, Seq("doc_id")),
-        Seq("doc_id"))
-    }).select(col("doc_id").as("id_a"), col("band"), col("bk"))
-    val ixRows = graft.catalog.Index.read(catalog, against, idef, None)
-      .select(col("id").as("id_b"), col("band"), col("bk"))
-    note(s"dedup against: c1 bands ⋈ '$against'.${idef.ix} index rows on " +
-      "(band, bk) — one pinned shuffle-hash exchange of (id, band, bk), " +
-      f"never text; exact-measure verify (threshold $thr%.6f) over " +
-      "candidate pairs only")
-    val pairs = probeBands.hint("shuffle_hash")
-      .join(ixRows, Seq("band", "bk"))
-      .select(col("id_a"), col("id_b")).distinct()
+    // candidate pairs: c1 derives through the SAME derivation c2's
+    // index was built with (bands for lsh/simhash; nearest-frozen-
+    // centroid assignment for ivf — Index.ivfAssign, the streaming ANN
+    // gate's probe), then ONE pinned shuffle-hash equi-join against the
+    // index rows — (id, band/cluster) tuples only, never payloads
+    val pairs = (idef.kind match {
+      case "lsh" | "simhash" =>
+        val probeBands = (idef.kind match {
+          case "lsh" => bandsOf(withSignatures(withShingles(c1Docs),
+            Seq("doc_id")), Seq("doc_id"))
+          case _ => simhashBands(withSimhash(c1Docs, Seq("doc_id")),
+            Seq("doc_id"))
+        }).select(col("doc_id").as("id_a"), col("band"), col("bk"))
+        val ixRows = graft.catalog.Index.read(catalog, against, idef, None)
+          .select(col("id").as("id_b"), col("band"), col("bk"))
+        note(s"dedup against: c1 bands ⋈ '$against'.${idef.ix} index rows " +
+          "on (band, bk) — one pinned shuffle-hash exchange of (id, band, " +
+          f"bk), never text; exact-measure verify (threshold $thr%.6f) " +
+          "over candidate pairs only")
+        probeBands.hint("shuffle_hash").join(ixRows, Seq("band", "bk"))
+      case _ =>
+        val probeCells = graft.catalog.Index.ivfAssign(catalog, against,
+            idef, catalog.read(container).select(
+              col(d1.primaryKey).as(d2.primaryKey),
+              col(cCol).as(idef.column)))
+          .select(col("qid").as("id_a"), col("qcluster").as("cluster"))
+        val ixRows = graft.catalog.Index.read(catalog, against, idef, None)
+          .select(col("id").as("id_b"), col("cluster"))
+        note(s"dedup against: c1 vectors assign to '$against'.${idef.ix}'s " +
+          "frozen centroids (broadcast row-local map) ⋈ index rows on the " +
+          "cell id — one pinned shuffle-hash exchange of (id, cluster); " +
+          f"exact-cosine verify (threshold $thr%.6f) over candidate pairs")
+        probeCells.hint("shuffle_hash").join(ixRows, Seq("cluster"))
+    }).select(col("id_a"), col("id_b")).distinct()
     val c2Docs = catalog.read(against)
-      .select(col(catalog.get(against).primaryKey).as("doc_id"),
+      .select(col(d2.primaryKey).as("doc_id"),
         col(idef.column).as("text"))
     val scored = idef.kind match {
       case "lsh" =>
@@ -2693,7 +2718,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           .select(col("id_a"), col("id_b"),
             jaccardSim(col("sg_a"), col("sg_b")).as("score"))
           .filter(col("score") >= thr)
-      case _ =>
+      case "simhash" =>
         val shA = withSimhash(c1Docs, Seq("doc_id"))
           .select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
         val shB = withSimhash(c2Docs, Seq("doc_id"))
@@ -2701,6 +2726,20 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         pairs.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
           .select(col("id_a"), col("id_b"),
             simhashSim(col("sh_a"), col("sh_b")).as("score"))
+          .filter(col("score") >= thr)
+      case _ =>
+        // exact cosine over both snapshots' payloads — the within-
+        // funnel's ivf verify (a NULL cosine verifies nothing)
+        import graft.functions.CosineSimilarity.cosineSim
+        import graft.functions.Float32Unpack.float32Unpack
+        pairs
+          .join(c1Docs.select(col("doc_id").as("id_a"),
+            col("text").as("pl_a")), Seq("id_a"))
+          .join(c2Docs.select(col("doc_id").as("id_b"),
+            col("text").as("pl_b")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(cosineSim(float32Unpack(col("pl_a")),
+              float32Unpack(col("pl_b"))), 6).as("score"))
           .filter(col("score") >= thr)
     }
     XFunnel(idef, thr, pairs, scored)

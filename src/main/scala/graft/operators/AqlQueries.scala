@@ -542,6 +542,23 @@ object AqlQueries {
       eng.catalog.overwrite("docs_ivd", ivfDf)
       eng.execute("CREATE INDEX ann ON docs_ivd ['emb'] USING ivf")
       eng.execute("DEDUP docs_ivd USING ann")
+      // ivf CROSS twin (round 15): docs_xv = the one-hot corpus
+      // restricted to ids <= 32 on axes 0..3 with its own ivf index
+      // (seed centroids land on axes 0,1,2,3,0,1,2,3 — duplicates are
+      // harmless, ties break by sid); docs_xvd = the FULL one-hot copy
+      // DEDUP'd AGAINST it at setup. Matched c1 docs are exactly the
+      // axis-0..3 members (same-axis vectors are byte-identical, cosine
+      // 1 >= 0.99); off-axis probes sit equidistant from every trained
+      // centroid, assign deterministically to cell 0 and verify at
+      // cosine 0 — candidates yes, matches no.
+      eng.execute("CREATE CONTAINER docs_xv ['doc_id','emb'] [BIGINT, MEDIUM-BYTES]")
+      eng.catalog.overwrite("docs_xv", ivfDf.filter(
+        org.apache.spark.sql.functions.col("doc_id") <= 32 &&
+          org.apache.spark.sql.functions.col("doc_id") % 8 <= 3))
+      eng.execute("CREATE INDEX annx ON docs_xv ['emb'] USING ivf")
+      eng.execute("CREATE CONTAINER docs_xvd ['doc_id','emb'] [BIGINT, MEDIUM-BYTES]")
+      eng.catalog.overwrite("docs_xvd", ivfDf)
+      eng.execute("DEDUP docs_xvd AGAINST docs_xv USING annx")
       // INT8 ivf twin (round 14): the same one-hot corpus under
       // SQ8-quantized lists. One-hot dimensions bound to [0, 1], so the
       // 256-step grid represents every component EXACTLY (codes 0/255)
@@ -1979,6 +1996,29 @@ object AqlQueries {
          |WHERE doc_id NOT IN (SELECT doc_id FROM removed)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       search("SEARCH [doc_id] ON docs_xd")(s, dir)
+    },
+
+    // ...the VECTOR cross twin (round 15): docs_ivf's one-hot corpus
+    // probed through docs_xv's (ids <= 32, axes 0..3) ivf index —
+    // nearest-frozen-centroid assignment, exact-cosine verify at 0.99.
+    // Every doc is a candidate (off-axis probes tie to cell 0), only
+    // axis-0..3 members match (byte-identical vectors, cosine 1).
+    Q("aql_show_dedup_against_ivf",
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id <= 64)
+        |SELECT CAST((SELECT count(*) FROM ids) AS BIGINT) AS n_docs,
+        |       CAST((SELECT count(*) FROM ids) AS BIGINT) AS candidate_docs,
+        |       CAST((SELECT count(*) FROM ids WHERE doc_id % 8 <= 3)
+        |            AS BIGINT) AS matched_docs""".stripMargin) { (s, dir) =>
+      search("SHOW DEDUP docs_ivf AGAINST docs_xv USING annx")(s, dir)
+    },
+
+    // ...and the vector decision APPLIED: docs_xvd keeps exactly the
+    // off-axis ids (4..7 mod 8) after its setup DEDUP AGAINST.
+    Q("aql_dedup_against_ivf",
+      """SELECT doc_id FROM documents
+        |WHERE doc_id <= 64 AND doc_id % 8 >= 4
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      search("SEARCH [doc_id] ON docs_xvd")(s, dir)
     },
 
     // ...and the simhash twin: candidates from the 4×8-bit band index,

@@ -74,7 +74,7 @@ object TextDedup {
   def gramsN(df: DataFrame, n: Int): DataFrame = {
     require(n >= 2, s"gram size must be >= 2, got $n")
     df.select(col("doc_id"), col("source"),
-        filter(split(lower(col("text")), " "), t => t =!= "").as("tk"))
+        Analyzer.tokens(col("text")).as("tk"))
       .withColumn("sg", expr(
         s"CASE WHEN size(tk) >= $n THEN transform(sequence(1, size(tk)-${n - 1}), " +
           s"i -> array_join(slice(tk, i, $n), ' ')) ELSE array() END"))
@@ -195,9 +195,14 @@ object TextDedup {
   }
 
   /** 3-gram shingle arrays (`sg`) — shared with the streaming near-dup
-    * candidate path (`DocumentStreams.minhashBandCandidates`). */
+    * candidate path (`DocumentStreams.minhashBandCandidates`) and the
+    * catalog lsh index derivation. Tokens come from the ONE
+    * [[Analyzer]] whitespace definition (round 15): empty tokens are
+    * filtered before shingling, so consecutive/leading spaces mint no
+    * junk shingles — the same posture as the postings and gram
+    * funnels. */
   private[graft] def withShingles(df: DataFrame): DataFrame =
-    df.withColumn("tk", split(lower(col("text")), " "))
+    df.withColumn("tk", Analyzer.tokens(col("text")))
       .withColumn("sg", expr(
         "CASE WHEN size(tk) >= 3 THEN transform(sequence(1, size(tk)-2), " +
           "i -> element_at(tk,i) || ' ' || element_at(tk,i+1) || ' ' || element_at(tk,i+2)) " +
@@ -205,9 +210,11 @@ object TextDedup {
 
   /** The shingle CTEs over an arbitrary base relation — `base` is a table
     * name or a parenthesized subquery (the time-traveled SHOW DEDUP
-    * oracle recomputes the funnel over a version's row subset). */
+    * oracle recomputes the funnel over a version's row subset). The
+    * token expression mirrors [[Analyzer.duckTokens]]. */
   private def duckShinglesFrom(base: String) =
-    s"""toks AS (SELECT doc_id, string_split(lower(text),' ') tk FROM $base),
+    s"""toks AS (SELECT doc_id,
+       |  ${Analyzer.duckTokens("text")} tk FROM $base),
        |shing AS (SELECT doc_id,
        |  list_transform(range(1, len(tk)-1), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]) sg
        |  FROM toks)""".stripMargin
@@ -540,7 +547,8 @@ object TextDedup {
     * there, functionally dependent on the doc id like withSignatures). */
   private[graft] def withSimhash(df: DataFrame, keys: Seq[String]): DataFrame = {
     val tok = df
-      .select(keys.map(col) :+ explode(split(lower(col("text")), " ")).as("tk"): _*)
+      .select(keys.map(col) :+
+        explode(Analyzer.tokens(col("text"))).as("tk"): _*)
       .withColumn("h", md5(col("tk")))
     val bitAggs = (0 until 32).map(i =>
       sum(when(expr(sparkTokenBit(i)) === 1, 1).otherwise(-1)).as(s"b$i"))
@@ -568,7 +576,7 @@ object TextDedup {
       .mkString(" + ")
     s"""tok AS (
        |  SELECT doc_id, md5(t.tk) AS h
-       |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tk
+       |  FROM (SELECT doc_id, unnest(${Analyzer.duckTokens("text")}) AS tk
        |        FROM $base) t),
        |bits AS (SELECT doc_id, $bitSums FROM tok GROUP BY doc_id),
        |sigs AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits)""".stripMargin

@@ -104,6 +104,42 @@ class CrossDedupSpec extends AnyFunSuite {
       .asInstanceOf[Engine.ResultSet].df.count() == 1L)
   }
 
+  test("ivf AGAINST: vector corpora cross-match through frozen centroids") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-xd-ivf")
+    val eng = new Engine(spark, dir.toString)
+    import spark.implicits._
+    def pack(v: Seq[Float]) = graft.functions.Float32Unpack.pack(v.toIndexedSeq)
+    eng.execute("CREATE CONTAINER vref ['vid','emb'] [BIGINT, MEDIUM-BYTES]")
+    eng.catalog.overwrite("vref", Seq(
+      (100L, pack(Seq(1f, 0f, 0f, 0f))),
+      (101L, pack(Seq(0f, 0f, 1f, 0f)))).toDF("vid", "emb"))
+    eng.execute("CREATE INDEX annv ON vref ['emb'] USING ivf 2")
+    eng.execute("CREATE CONTAINER vcorp ['vid','emb'] [BIGINT, MEDIUM-BYTES]")
+    eng.catalog.overwrite("vcorp", Seq(
+      (1L, pack(Seq(1f, 0f, 0f, 0f))), // byte copy of ref 100 -> cosine 1
+      (2L, pack(Seq(0.995f, 0.0999f, 0f, 0f))), // near ref 100, > 0.99
+      (3L, pack(Seq(0f, 1f, 0f, 0f)))) // orthogonal: candidate, no match
+      .toDF("vid", "emb"))
+
+    val detail = eng.execute("SHOW DEDUP vcorp AGAINST vref USING annv DOCS")
+      .asInstanceOf[Engine.ResultSet].df.collect()
+    assert(detail.map(_.getLong(0)).toSet == Set(1L, 2L),
+      s"ivf cross matches: ${detail.map(_.getLong(0)).toSet}")
+    assert(detail.head.getLong(0) == 1L && detail.head.getDouble(2) == 1.0)
+
+    eng.execute("DEDUP vcorp AGAINST vref USING annv")
+    val kept = eng.execute("SEARCH [vid] ON vcorp")
+      .asInstanceOf[Engine.ResultSet].df.collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L))
+
+    // type guard: a TEXT column can't probe an ivf index
+    eng.execute("CREATE CONTAINER tcorp ['vid','emb'] [BIGINT, TEXT]")
+    eng.catalog.overwrite("tcorp", Seq((1L, "not a vector")).toDF("vid", "emb"))
+    val e = intercept[ParseException](
+      eng.execute("SHOW DEDUP tcorp AGAINST vref USING annv"))
+    assert(e.getMessage.contains("packed-float32"), e.getMessage)
+  }
+
   test("EXPLAIN plans the served report shape with the access-path note") {
     val eng = fixture("explain")
     val ex = eng.execute("EXPLAIN SHOW DEDUP corp AGAINST ref USING nd")
