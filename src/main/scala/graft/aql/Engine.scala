@@ -201,8 +201,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       val made = catalog.createIndex(ci.container, ci.ix, ci.kind, ci.column,
         ci.k, ci.int8, ci.analyzer, positions = !ci.noPositions)
       Done(s"created ${ci.kind}${if (ci.int8) " int8" else ""}" +
-        (if (ci.kind == "text" &&
-          made.analyzer != graft.operators.Analyzer.Whitespace)
+        (if (made.analyzer != graft.operators.Analyzer.Whitespace)
           s" ${made.analyzer}" else "") +
         (if (!made.positions) " nopos" else "") +
         s" index ${ci.ix} on ${ci.container}(${ci.column})")
@@ -852,7 +851,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
             // replay-exact text options (round 15): the analyzer and
             // positions posture are content-defining, so a recreation
             // must declare them
-            (if (ix.kind == "text") {
+            (if (Set("text", "lsh", "simhash").contains(ix.kind)) {
               (if (ix.analyzer != graft.operators.Analyzer.Whitespace)
                 s" ANALYZER ${ix.analyzer}" else "") +
                 (if (!ix.positions) " WITHOUT POSITIONS" else "")
@@ -869,8 +868,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           Row(d.ix,
             d.kind +
               (if (d.int8) " int8" else "") +
-              (if (d.kind == "text" &&
-                d.analyzer != graft.operators.Analyzer.Whitespace)
+              (if (d.analyzer != graft.operators.Analyzer.Whitespace)
                 s" ${d.analyzer}" else "") +
               (if (!d.positions) " nopos" else ""),
             d.column))),
@@ -2396,9 +2394,10 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         // candidate exists only if BOTH docs produced band keys, i.e.
         // both have ≥1 shingle, so the union is never empty.
         val candSg = withShingles(candRows
-            .select(col(pkName), col(idef.column).as("text")))
+            .select(col(pkName), col(idef.column).as("text")), idef.analyzer)
           .select(col(pkName), col("sg"))
-        val qSg = withShingles(probe.select(col(idef.column).as("text")))
+        val qSg = withShingles(
+            probe.select(col(idef.column).as("text")), idef.analyzer)
           .select(col("sg").as("_sim_qsg"))
         candSg.crossJoin(broadcast(qSg))
           .select(col(pkName),
@@ -2408,9 +2407,11 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         // (32 − hamming)/32 signature similarity (TextDedup.simhashSim —
         // the ONE verify measure shared with SHOW DEDUP)
         val candSh = withSimhash(candRows
-          .select(col(pkName), col(idef.column).as("text")), Seq(pkName))
+          .select(col(pkName), col(idef.column).as("text")), Seq(pkName),
+          idef.analyzer)
         val qSh = withSimhash(probe
-            .select(lit(1).as("_q"), col(idef.column).as("text")), Seq("_q"))
+            .select(lit(1).as("_q"), col(idef.column).as("text")), Seq("_q"),
+            idef.analyzer)
           .select(col("simhash").as("_sim_qsh"))
         candSh.crossJoin(broadcast(qSh))
           .select(col(pkName),
@@ -2569,7 +2570,10 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     val verified = idef.kind match {
       case "lsh" =>
         import graft.operators.TextDedup.{jaccardSim, withShingles}
-        val sh = withShingles(docsDf).select(col("doc_id"), col("sg"))
+        // shingles under the INDEX's analyzer — verify must measure the
+        // same token stream the bands were derived from
+        val sh = withShingles(docsDf, idef.analyzer)
+          .select(col("doc_id"), col("sg"))
         pairs
           .join(sh.select(col("doc_id").as("id_a"), col("sg").as("sg_a")), Seq("id_a"))
           .join(sh.select(col("doc_id").as("id_b"), col("sg").as("sg_b")), Seq("id_b"))
@@ -2577,7 +2581,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           .select(col("id_a"), col("id_b"))
       case "simhash" =>
         import graft.operators.TextDedup.{simhashSim, withSimhash}
-        val sh = withSimhash(docsDf, Seq("doc_id"))
+        val sh = withSimhash(docsDf, Seq("doc_id"), idef.analyzer)
           .select(col("doc_id"), col("simhash"))
         pairs
           .join(sh.select(col("doc_id").as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
@@ -2679,10 +2683,10 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     val pairs = (idef.kind match {
       case "lsh" | "simhash" =>
         val probeBands = (idef.kind match {
-          case "lsh" => bandsOf(withSignatures(withShingles(c1Docs),
-            Seq("doc_id")), Seq("doc_id"))
-          case _ => simhashBands(withSimhash(c1Docs, Seq("doc_id")),
-            Seq("doc_id"))
+          case "lsh" => bandsOf(withSignatures(
+            withShingles(c1Docs, idef.analyzer), Seq("doc_id")), Seq("doc_id"))
+          case _ => simhashBands(
+            withSimhash(c1Docs, Seq("doc_id"), idef.analyzer), Seq("doc_id"))
         }).select(col("doc_id").as("id_a"), col("band"), col("bk"))
         val ixRows = graft.catalog.Index.read(catalog, against, idef, None)
           .select(col("id").as("id_b"), col("band"), col("bk"))
@@ -2710,18 +2714,18 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         col(idef.column).as("text"))
     val scored = idef.kind match {
       case "lsh" =>
-        val shA = withShingles(c1Docs)
+        val shA = withShingles(c1Docs, idef.analyzer)
           .select(col("doc_id").as("id_a"), col("sg").as("sg_a"))
-        val shB = withShingles(c2Docs)
+        val shB = withShingles(c2Docs, idef.analyzer)
           .select(col("doc_id").as("id_b"), col("sg").as("sg_b"))
         pairs.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
           .select(col("id_a"), col("id_b"),
             jaccardSim(col("sg_a"), col("sg_b")).as("score"))
           .filter(col("score") >= thr)
       case "simhash" =>
-        val shA = withSimhash(c1Docs, Seq("doc_id"))
+        val shA = withSimhash(c1Docs, Seq("doc_id"), idef.analyzer)
           .select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
-        val shB = withSimhash(c2Docs, Seq("doc_id"))
+        val shB = withSimhash(c2Docs, Seq("doc_id"), idef.analyzer)
           .select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
         pairs.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
           .select(col("id_a"), col("id_b"),

@@ -253,8 +253,9 @@ object Index {
       analyzer: Option[String] = None, positions: Boolean = true): Def = {
     require(!int8 || kind == "ivf",
       s"the INT8 list option applies to ivf indexes only; '$ix' is a $kind index")
-    require(analyzer.isEmpty || kind == "text",
-      s"the ANALYZER option applies to text indexes only; '$ix' is a $kind index")
+    require(analyzer.isEmpty || Set("text", "lsh", "simhash").contains(kind),
+      s"the ANALYZER option applies to text/lsh/simhash indexes; " +
+        s"'$ix' is a $kind index")
     require(positions || kind == "text",
       s"WITHOUT POSITIONS applies to text indexes only; '$ix' is a $kind index")
     val an = analyzer.map(graft.operators.Analyzer.requireValid)
@@ -277,8 +278,9 @@ object Index {
       s"the k knob applies to ivf indexes only; '$ix' is a $kind index")
     k.foreach(kk => require(kk >= 2 && kk <= 4096,
       s"ivf k must be in [2, 4096], got $kk"))
-    // text option lines (round 15) — the frozen analyzer and the
-    // positions posture travel in the metadata like the ivf code book
+    // text-family option lines (round 15) — the frozen analyzer (text,
+    // lsh and simhash all tokenize) and the positions posture (text
+    // only) travel in the metadata like the ivf code book
     def textOptLines: Seq[String] =
       (if (an != graft.operators.Analyzer.Whitespace)
         Seq(s"option\tanalyzer\t$an") else Nil) ++
@@ -287,8 +289,7 @@ object Index {
       case "lsh" | "simhash" | "text" =>
         require(colType.spark == StringType,
           s"$kind index needs a TEXT-like column, '$column' is ${colType.name}")
-        (s"$kind\t$column" +: (if (kind == "text") textOptLines else Nil))
-          .mkString("\n")
+        (s"$kind\t$column" +: textOptLines).mkString("\n")
       case "value" =>
         // FLOAT included: the reference's chunk index buckets floats too
         // (src/indexing.rs:312-437, abs-bucket) — the typed `val` column
@@ -372,10 +373,10 @@ object Index {
           if (old.int8) sqTrainBounds(cat, container, old.column, declaredK)
           else Nil
         (s"ivf\t${old.column}" +: (sqLines ++ centLines)).mkString("\n")
-      case "text" =>
+      case k @ ("text" | "lsh" | "simhash") =>
         // the analyzer and positions posture are content-defining —
         // a rebuild re-derives parts under the SAME options
-        (s"text\t${old.column}" +:
+        (s"$k\t${old.column}" +:
           ((if (old.analyzer != graft.operators.Analyzer.Whitespace)
             Seq(s"option\tanalyzer\t${old.analyzer}") else Nil) ++
             (if (!old.positions) Seq("option\tnopos") else Nil)))
@@ -519,7 +520,8 @@ object Index {
       queries: DataFrame, at: Option[Int] = None,
       selfExclude: Boolean = true): DataFrame = {
     require(idef.kind == "lsh", s"index '${idef.ix}' is not an lsh index")
-    bandLookup(cat, container, idef, queries, deriveLsh, at, selfExclude)
+    bandLookup(cat, container, idef, queries,
+      deriveLsh(_, idef.analyzer), at, selfExclude)
   }
 
   /** Near-dup lookup from a `simhash` index — identical serving shape to
@@ -528,7 +530,8 @@ object Index {
       queries: DataFrame, at: Option[Int] = None,
       selfExclude: Boolean = true): DataFrame = {
     require(idef.kind == "simhash", s"index '${idef.ix}' is not a simhash index")
-    bandLookup(cat, container, idef, queries, deriveSimhash, at, selfExclude)
+    bandLookup(cat, container, idef, queries,
+      deriveSimhash(_, idef.analyzer), at, selfExclude)
   }
 
   /** `selfExclude = false` serves LITERAL (non-corpus) probes — a
@@ -956,10 +959,10 @@ object Index {
     idef.kind match {
       case "lsh" =>
         deriveLsh(rows.select(col(d.primaryKey).as("id"),
-          col(idef.column).as("text"), col("src")))
+          col(idef.column).as("text"), col("src")), idef.analyzer)
       case "simhash" =>
         deriveSimhash(rows.select(col(d.primaryKey).as("id"),
-          col(idef.column).as("text"), col("src")))
+          col(idef.column).as("text"), col("src")), idef.analyzer)
       case "text" =>
         deriveText(rows.select(col(d.primaryKey).as("id"),
           col(idef.column).as("text"), col("src")),
@@ -1023,9 +1026,11 @@ object Index {
     * (`operators/TextDedup`), with `src` carried through the aggregation
     * (functionally dependent on `id`, so the minima are unchanged).
     */
-  private def deriveLsh(docs: DataFrame): DataFrame = {
+  private def deriveLsh(docs: DataFrame,
+      analyzer: String = graft.operators.Analyzer.Whitespace): DataFrame = {
     import graft.operators.TextDedup.{bandsOf, withShingles, withSignatures}
-    bandsOf(withSignatures(withShingles(docs.withColumnRenamed("id", "doc_id")),
+    bandsOf(withSignatures(
+        withShingles(docs.withColumnRenamed("id", "doc_id"), analyzer),
         Seq("doc_id", "src")), Seq("doc_id", "src"))
       .select(col("doc_id").as("id"), col("band"), col("bk"), col("src"))
   }
@@ -1038,10 +1043,11 @@ object Index {
     * unchanged band (pigeonhole), so candidates = near-dups plus a
     * verifiable false-positive tail, exactly like the banded batch query.
     */
-  private def deriveSimhash(docs: DataFrame): DataFrame = {
+  private def deriveSimhash(docs: DataFrame,
+      analyzer: String = graft.operators.Analyzer.Whitespace): DataFrame = {
     import graft.operators.TextDedup.{simhashBands, withSimhash}
     simhashBands(withSimhash(docs.withColumnRenamed("id", "doc_id"),
-        Seq("doc_id", "src")), Seq("doc_id", "src"))
+        Seq("doc_id", "src"), analyzer), Seq("doc_id", "src"))
       .select(col("doc_id").as("id"), col("band"), col("bk"), col("src"))
   }
 

@@ -53,11 +53,15 @@ object AqlQueries {
     * recursive-CTE connected components → the one-row report. Shared by
     * aql_show_dedup and aql_show_dedup_v1 so the funnel algebra lives in
     * exactly one place. */
-  private[operators] def duckLshFunnel(where: Option[String] = None): String = {
-    val base = where.map(w => s"(SELECT * FROM documents WHERE $w)")
-      .getOrElse("documents")
-    val docs = where.map(w => s"documents WHERE $w").getOrElse("documents")
-    s"""${TextDedup.duckJaccardCtesFrom(base)},
+  private[operators] def duckLshFunnel(where: Option[String] = None,
+      baseOverride: Option[String] = None,
+      analyzer: String = graft.operators.Analyzer.Whitespace): String = {
+    val base = baseOverride.getOrElse(
+      where.map(w => s"(SELECT * FROM documents WHERE $w)")
+        .getOrElse("documents"))
+    val docs = baseOverride.getOrElse(
+      where.map(w => s"documents WHERE $w").getOrElse("documents"))
+    s"""${TextDedup.duckJaccardCtesFrom(base, analyzer)},
        |verified AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
        |e AS (SELECT id_a AS a, id_b AS b FROM verified
        |      UNION ALL SELECT id_b, id_a FROM verified),
@@ -435,6 +439,10 @@ object AqlQueries {
       }
       eng.execute("CREATE INDEX fta ON docs_an ['text'] USING text ANALYZER standard")
       eng.execute("CREATE INDEX ftw ON docs_an ['text'] USING text")
+      // ...and the band-kind analyzer (round 15): shingles over the
+      // standard token stream, so near-dup detection survives the
+      // injected punctuation — the dedup funnel's real-text posture
+      eng.execute("CREATE INDEX nda ON docs_an ['text'] USING lsh ANALYZER standard")
       // dedup-apply container: a documents copy whose verified near-dup
       // clusters the DEDUP statement removes at setup (keeper = longest
       // text, tie lowest pk) through the set-oriented COW delete — the
@@ -1996,6 +2004,19 @@ object AqlQueries {
          |WHERE doc_id NOT IN (SELECT doc_id FROM removed)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       search("SEARCH [doc_id] ON docs_xd")(s, dir)
+    },
+
+    // ANALYZER on a band index (round 15): the dedup funnel over the
+    // PUNCTUATED corpus through an lsh index whose shingles derive from
+    // the standard token stream — near-dup detection survives the
+    // injected punctuation (a whitespace index would shingle 'merge,'
+    // and 'Dup.' as distinct tokens). The oracle recomputes the whole
+    // funnel over the punctuated relation with regexp tokenization.
+    Q("aql_show_dedup_analyzer",
+      AqlQueries.duckLshFunnel(
+        baseOverride = Some(AqlQueries.duckAnBase),
+        analyzer = graft.operators.Analyzer.Standard)) { (s, dir) =>
+      search("SHOW DEDUP docs_an USING nda")(s, dir)
     },
 
     // ...the VECTOR cross twin (round 15): docs_ivf's one-hot corpus

@@ -201,8 +201,9 @@ object TextDedup {
     * filtered before shingling, so consecutive/leading spaces mint no
     * junk shingles — the same posture as the postings and gram
     * funnels. */
-  private[graft] def withShingles(df: DataFrame): DataFrame =
-    df.withColumn("tk", Analyzer.tokens(col("text")))
+  private[graft] def withShingles(df: DataFrame,
+      analyzer: String = Analyzer.Whitespace): DataFrame =
+    df.withColumn("tk", Analyzer.tokens(col("text"), analyzer))
       .withColumn("sg", expr(
         "CASE WHEN size(tk) >= 3 THEN transform(sequence(1, size(tk)-2), " +
           "i -> element_at(tk,i) || ' ' || element_at(tk,i+1) || ' ' || element_at(tk,i+2)) " +
@@ -212,9 +213,10 @@ object TextDedup {
     * name or a parenthesized subquery (the time-traveled SHOW DEDUP
     * oracle recomputes the funnel over a version's row subset). The
     * token expression mirrors [[Analyzer.duckTokens]]. */
-  private def duckShinglesFrom(base: String) =
+  private[graft] def duckShinglesFrom(base: String,
+      analyzer: String = Analyzer.Whitespace) =
     s"""toks AS (SELECT doc_id,
-       |  ${Analyzer.duckTokens("text")} tk FROM $base),
+       |  ${Analyzer.duckTokens("text", analyzer)} tk FROM $base),
        |shing AS (SELECT doc_id,
        |  list_transform(range(1, len(tk)-1), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]) sg
        |  FROM toks)""".stripMargin
@@ -448,8 +450,9 @@ object TextDedup {
   // RECURSIVE unconditionally: harmless for the non-recursive consumers,
   // and required by dd_dup_clusters' walk CTE — no string surgery on a
   // generated query downstream
-  private[graft] def duckLshPairsFrom(base: String): String =
-    s"""WITH RECURSIVE ${duckShinglesFrom(base)},
+  private[graft] def duckLshPairsFrom(base: String,
+      analyzer: String = Analyzer.Whitespace): String =
+    s"""WITH RECURSIVE ${duckShinglesFrom(base, analyzer)},
        |$duckSignatures,
        |$duckBands,
        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -491,8 +494,9 @@ object TextDedup {
       .filter(col("jaccard") >= 0.2)
   }
 
-  private[graft] def duckJaccardCtesFrom(base: String): String =
-    s"""${duckLshPairsFrom(base)},
+  private[graft] def duckJaccardCtesFrom(base: String,
+      analyzer: String = Analyzer.Whitespace): String =
+    s"""${duckLshPairsFrom(base, analyzer)},
        |j AS (SELECT p.id_a, p.id_b,
        |        round(CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
        |              / len(list_distinct(list_concat(sa.sg, sb.sg))), 6) AS jaccard
@@ -545,10 +549,11 @@ object TextDedup {
     * dd_simhash_neardup) and the catalog's `simhash` index maintenance
     * ([[graft.catalog.Index]] — `keys` carries the source-file column
     * there, functionally dependent on the doc id like withSignatures). */
-  private[graft] def withSimhash(df: DataFrame, keys: Seq[String]): DataFrame = {
+  private[graft] def withSimhash(df: DataFrame, keys: Seq[String],
+      analyzer: String = Analyzer.Whitespace): DataFrame = {
     val tok = df
       .select(keys.map(col) :+
-        explode(Analyzer.tokens(col("text"))).as("tk"): _*)
+        explode(Analyzer.tokens(col("text"), analyzer)).as("tk"): _*)
       .withColumn("h", md5(col("tk")))
     val bitAggs = (0 until 32).map(i =>
       sum(when(expr(sparkTokenBit(i)) === 1, 1).otherwise(-1)).as(s"b$i"))
@@ -567,7 +572,8 @@ object TextDedup {
   /** The simhash-32 CTEs over an arbitrary base relation — `base` is a
     * table name or a parenthesized subquery (the query-by-text SIMILAR
     * oracle injects the literal probe as one extra row). */
-  private[graft] def duckSimhashCteFrom(base: String): String = {
+  private[graft] def duckSimhashCteFrom(base: String,
+      analyzer: String = Analyzer.Whitespace): String = {
     val bitSums = (0 until 32)
       .map(i => s"sum(CASE WHEN ${duckTokenBit(i)} = 1 THEN 1 ELSE -1 END) AS b$i")
       .mkString(", ")
@@ -576,7 +582,8 @@ object TextDedup {
       .mkString(" + ")
     s"""tok AS (
        |  SELECT doc_id, md5(t.tk) AS h
-       |  FROM (SELECT doc_id, unnest(${Analyzer.duckTokens("text")}) AS tk
+       |  FROM (SELECT doc_id,
+       |          unnest(${Analyzer.duckTokens("text", analyzer)}) AS tk
        |        FROM $base) t),
        |bits AS (SELECT doc_id, $bitSums FROM tok GROUP BY doc_id),
        |sigs AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits)""".stripMargin

@@ -420,7 +420,8 @@ object DocumentStreams {
       .getOrElse(sys.error(s"No index '$ix' on '$container'"))
     val textCol = idef.column
     def shingled(df: DataFrame, idOut: String, sgOut: String): DataFrame =
-      withShingles(df.select(col(pk).as("doc_id"), col(textCol).as("text")))
+      withShingles(df.select(col(pk).as("doc_id"), col(textCol).as("text")),
+          idef.analyzer) // the INDEX's analyzer — gate ≡ the funnel
         .select(col("doc_id").as(idOut), array_distinct(col("sg")).as(sgOut))
     def verified(pairs: DataFrame, left: DataFrame, right: DataFrame): DataFrame = {
       // exact Jaccard on distinct shingles; candidate pairs only — the
@@ -479,9 +480,10 @@ object DocumentStreams {
       val batchDocs = exactKept.select(col(pk).as("doc_id"), col(textCol).as("text"))
       val batchBands = idef.kind match {
         case "simhash" => graft.operators.TextDedup.simhashBands(
-          graft.operators.TextDedup.withSimhash(batchDocs, Seq("doc_id")))
-        case _ => bandsOf(withSignatures(withShingles(batchDocs), Seq("doc_id")),
-          Seq("doc_id"))
+          graft.operators.TextDedup.withSimhash(batchDocs, Seq("doc_id"),
+            idef.analyzer))
+        case _ => bandsOf(withSignatures(
+          withShingles(batchDocs, idef.analyzer), Seq("doc_id")), Seq("doc_id"))
       }
       val a = batchBands.as("a"); val b = batchBands.as("b")
       val batchCands = a.join(b,

@@ -140,6 +140,64 @@ class CrossDedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("packed-float32"), e.getMessage)
   }
 
+  test("ANALYZER standard on a band index: near-dup detection survives " +
+      "punctuation (round 15)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-xd-an")
+    val eng = new Engine(spark, dir.toString)
+    import spark.implicits._
+    val clean = "the quick brown fox jumps over the lazy dog tonight"
+    // the same document with punctuation/casing on most tokens: under
+    // the standard analyzer the token streams are IDENTICAL (Jaccard 1);
+    // under whitespace only 2 tokens survive equal — no 3-token run, so
+    // ZERO shared shingles
+    val punct = "The quick, brown fox; jumps! over? the, lazy. dog; tonight!"
+    eng.execute("CREATE CONTAINER band ['doc_id','text'] [BIGINT, TEXT]")
+    eng.catalog.overwrite("band", Seq(
+      (1L, clean), (2L, punct),
+      (3L, "pack my box with five dozen liquor jugs right now ok"))
+      .toDF("doc_id", "text"))
+    eng.execute("CREATE INDEX nds ON band ['text'] USING lsh ANALYZER standard")
+    eng.execute("CREATE INDEX ndw ON band ['text'] USING lsh")
+
+    // definitions + SHOW surface round-trip
+    assert(eng.catalog.indexDefs("band").find(_.ix == "nds").get.analyzer
+      == "standard")
+    val shown = eng.execute("SHOW INDEXES band")
+      .asInstanceOf[Engine.ResultSet].df.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown("nds") == "lsh standard" && shown("ndw") == "lsh")
+
+    // the standard funnel verifies the punctuated twin; whitespace can't
+    def report(ix: String) = eng.execute(s"SHOW DEDUP band USING $ix")
+      .asInstanceOf[Engine.ResultSet].df.collect().head
+    assert(report("nds").getLong(3) == 2L, // verified_dup_docs
+      s"standard funnel must verify the punctuated pair: ${report("nds")}")
+    assert(report("ndw").getLong(3) == 0L,
+      s"whitespace funnel must not: ${report("ndw")}")
+
+    // the query-by-text probe analyzes through the index too: a clean
+    // literal finds the punctuated corpus doc on the standard index
+    val probeHits = eng.execute(
+      s"SIMILAR '$clean' ON band USING nds SCORED")
+      .asInstanceOf[Engine.ResultSet].df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(probeHits.get(2L).contains(1.0),
+      s"standard probe must score the punctuated twin 1.0: $probeHits")
+
+    // REBUILD preserves the analyzer (content-defining)
+    eng.execute("REBUILD INDEX nds ON band")
+    assert(eng.catalog.indexDefs("band").find(_.ix == "nds").get.analyzer
+      == "standard")
+    assert(report("nds").getLong(3) == 2L)
+
+    // DEDUP applies the standard decision: keeper = longest text
+    // (the punctuated twin is longer), loser removed
+    eng.execute("DEDUP band USING nds")
+    val kept = eng.execute("SEARCH [doc_id] ON band")
+      .asInstanceOf[Engine.ResultSet].df.collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), s"kept $kept")
+  }
+
   test("EXPLAIN plans the served report shape with the access-path note") {
     val eng = fixture("explain")
     val ex = eng.execute("EXPLAIN SHOW DEDUP corp AGAINST ref USING nd")
