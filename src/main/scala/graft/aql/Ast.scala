@@ -556,7 +556,12 @@ object Ast {
     * rejected with SPANS — the span length is the whole knob. */
   final case class Decontaminate(container: String, against: String,
       column: String, threshold: Option[Double] = None,
-      grams: Option[Int] = None, spans: Option[Int] = None) extends Stmt
+      grams: Option[Int] = None, spans: Option[Int] = None,
+      /** `ANALYZER standard` (round 15) — tokenize BOTH sides of the
+        * measure with the named analyzer (default whitespace), so
+        * punctuated corpus text decontaminates against a clean eval
+        * suite; composes with every other knob. */
+      analyzer: Option[String] = None) extends Stmt
 
   /** The DECONTAMINATE dry run: one-row report (n_docs, measured_docs,
     * contaminated_docs, max_contamination) over the same funnel.
@@ -569,7 +574,8 @@ object Ast {
   final case class ShowDecontaminate(container: String, against: String,
       column: String, threshold: Option[Double] = None,
       docs: Boolean = false,
-      grams: Option[Int] = None, spans: Option[Int] = None) extends Stmt
+      grams: Option[Int] = None, spans: Option[Int] = None,
+      analyzer: Option[String] = None) extends Stmt
 
   /** graft extensions: incremental materialized views. `CREATE VIEW v
     * (SEARCH [keys…, count(c)/sum(c)…] ON src [WHERE …])` declares a
@@ -758,12 +764,18 @@ object Parser {
     * SPANS swaps the decision rule to shared-contiguous-span membership
     * and excludes the other two knobs (the span length IS the knob). */
   private def decontKnobs(toks: List[Token], expected: String)
-      : (Option[Double], Option[Int], Option[Int]) = {
+      : (Option[Double], Option[Int], Option[Int], Option[String]) = {
     var thr: Option[Double] = None
     var grams: Option[Int] = None
     var spans: Option[Int] = None
+    var analyzer: Option[String] = None
     var rest = toks
     while (rest.nonEmpty) rest = rest match {
+      case Str(aw) :: aTok :: tl
+          if aw.equalsIgnoreCase("ANALYZER") && analyzer.isEmpty =>
+        // name-validated at lowering via Analyzer.requireValid (the
+        // CREATE INDEX stance: the parser doesn't know the name set)
+        analyzer = Some(name(aTok).toLowerCase); tl
       case Str(tw) :: t :: tl
           if tw.equalsIgnoreCase("THRESHOLD") && thr.isEmpty =>
         val v = t match {
@@ -795,7 +807,7 @@ object Parser {
       throw new ParseException(
         "USING SPANS replaces the fraction measure — THRESHOLD/GRAMS " +
           "do not compose with it (the span length is the knob)")
-    (thr, grams, spans)
+    (thr, grams, spans, analyzer)
   }
 
   private val IoFormats = Set("jsonl", "csv", "orc", "parquet")
@@ -1430,22 +1442,22 @@ object Parser {
         case Some(Str(w2)) if w2.equalsIgnoreCase("DOCS") => (true, rest.init)
         case _ => (false, rest)
       }
-      val (thr, grams, spans) = decontKnobs(knobToks,
-        "SHOW DECONTAMINATE c AGAINST e ON col [GRAMS n] [THRESHOLD t] " +
-          "| [USING SPANS n] [DOCS]")
+      val (thr, grams, spans, an) = decontKnobs(knobToks,
+        "SHOW DECONTAMINATE c AGAINST e ON col [ANALYZER a] [GRAMS n] " +
+          "[THRESHOLD t] | [USING SPANS n] [DOCS]")
       ShowDecontaminate(name(cTok), name(eTok), name(colTok), thr,
-        docs = docsFlag, grams = grams, spans = spans)
+        docs = docsFlag, grams = grams, spans = spans, analyzer = an)
     // DECONTAMINATE c AGAINST e ON col [THRESHOLD t] (round 14): the
     // decision APPLIED — remove every contaminated doc, one atomic
     // version (the curation trio's third statement, next to DEDUP and
     // DELETE ROWS)
     case Str(w) :: cTok :: Str(ag) :: eTok :: Keyword("ON") :: colTok :: rest
         if w.equalsIgnoreCase("DECONTAMINATE") && ag.equalsIgnoreCase("AGAINST") =>
-      val (thr, grams, spans) = decontKnobs(rest,
-        "DECONTAMINATE c AGAINST e ON col [GRAMS n] [THRESHOLD t] " +
-          "| [USING SPANS n]")
+      val (thr, grams, spans, an) = decontKnobs(rest,
+        "DECONTAMINATE c AGAINST e ON col [ANALYZER a] [GRAMS n] " +
+          "[THRESHOLD t] | [USING SPANS n]")
       Decontaminate(name(cTok), name(eTok), name(colTok), thr,
-        grams = grams, spans = spans)
+        grams = grams, spans = spans, analyzer = an)
     case Str(w) :: _ if w.equalsIgnoreCase("DECONTAMINATE") =>
       throw new ParseException(
         "Expected `DECONTAMINATE c AGAINST e ON col [GRAMS n] " +

@@ -176,6 +176,39 @@ object AqlQueries {
 
   private[operators] val duckDecontCtes: String = duckDecontCtesN(4)
 
+  /** The ANALYZER-knob recompute (round 15): corpus grams over the
+    * PUNCTUATED docs_an relation and eval grams over the CLEAN src0
+    * slice, both through the named analyzer's token expression — the
+    * two sides' texts differ, so the eval grams must derive
+    * independently (the main CTE reuses the corpus grams because its
+    * eval container IS a corpus slice). */
+  private[operators] def duckDecontCtesAn(n: Int, analyzer: String): String = {
+    val cat = (0 until n).map(j => s"tk[i+$j]").mkString("||' '||")
+    val tk = graft.operators.Analyzer.duckTokens("text", analyzer)
+    s"""toks AS (SELECT doc_id, $tk AS tk FROM $duckAnBase),
+       |grams AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, len(tk)-${n - 2}),
+       |      i -> $cat)) AS g
+       |  FROM toks WHERE len(tk) >= $n),
+       |etoks AS (SELECT doc_id, $tk AS tk
+       |          FROM (SELECT doc_id, text FROM documents
+       |                WHERE source = 'src0') ev),
+       |egrams AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, len(tk)-${n - 2}),
+       |      i -> $cat)) AS g
+       |  FROM etoks WHERE len(tk) >= $n),
+       |bench AS (SELECT DISTINCT g FROM egrams),
+       |corp AS (SELECT DISTINCT doc_id, g FROM grams),
+       |tot AS (SELECT doc_id, count(*) AS n_grams FROM corp GROUP BY doc_id),
+       |hits AS (SELECT doc_id, count(*) AS n_contaminated
+       |         FROM corp JOIN bench USING (g) GROUP BY doc_id),
+       |contam AS (SELECT t.doc_id, t.n_grams,
+       |      CAST(coalesce(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       |      round(CAST(coalesce(n_contaminated, 0) AS DOUBLE) / n_grams, 6)
+       |        AS contamination
+       |    FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id)""".stripMargin
+  }
+
   /** The docs_an fixture relation, rebuilt oracle-side: the SAME
     * deterministic punctuation/casing transform the setup applies with
     * Spark regexp_replace ('g' spelled explicitly — DuckDB replaces
@@ -1952,6 +1985,26 @@ object AqlQueries {
          |         AS max_contamination
          |FROM contam""".stripMargin) { (s, dir) =>
       search("SHOW DECONTAMINATE documents AGAINST docs_ev ON text USING SPANS 8")(s, dir)
+    },
+
+    // ANALYZER knob (round 15): the PUNCTUATED corpus decontaminated
+    // against the CLEAN eval slice — whitespace grams never collide
+    // across the punctuation, the standard analyzer's do. The oracle
+    // derives each side's grams independently through the regexp
+    // tokenization.
+    Q("aql_show_decontaminate_analyzer",
+      s"""WITH ${AqlQueries.duckDecontCtesAn(4,
+             graft.operators.Analyzer.Standard)}
+         |SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |       count(*) AS measured_docs,
+         |       CAST(coalesce(sum(CASE WHEN contamination >= 0.5
+         |                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |         AS contaminated_docs,
+         |       round(coalesce(max(contamination), 0.0), 6)
+         |         AS max_contamination
+         |FROM contam""".stripMargin) { (s, dir) =>
+      search("SHOW DECONTAMINATE docs_an AGAINST docs_ev ON text " +
+        "ANALYZER standard")(s, dir)
     },
 
     // ...and the decision APPLIED: docs_dsp was decontaminated at setup

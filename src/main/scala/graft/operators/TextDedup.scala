@@ -71,10 +71,11 @@ object TextDedup {
     * leading spaces must not mint junk grams — the FullText
     * tokenization posture, so the decontamination measure and the
     * postings agree on what a token is (r14 advisor). */
-  def gramsN(df: DataFrame, n: Int): DataFrame = {
+  def gramsN(df: DataFrame, n: Int,
+      analyzer: String = Analyzer.Whitespace): DataFrame = {
     require(n >= 2, s"gram size must be >= 2, got $n")
     df.select(col("doc_id"), col("source"),
-        Analyzer.tokens(col("text")).as("tk"))
+        Analyzer.tokens(col("text"), analyzer).as("tk"))
       .withColumn("sg", expr(
         s"CASE WHEN size(tk) >= $n THEN transform(sequence(1, size(tk)-${n - 1}), " +
           s"i -> array_join(slice(tk, i, $n), ' ')) ELSE array() END"))
@@ -100,9 +101,10 @@ object TextDedup {
     * size threshold, so an oversized eval side must degrade to an
     * AQE-planned gram join, not an executor OOM (r14 judge #1). */
   def contaminationFractions(docs: DataFrame, evalGrams: DataFrame,
-      n: Int = 4, broadcastEval: Boolean = true): DataFrame = {
+      n: Int = 4, broadcastEval: Boolean = true,
+      analyzer: String = Analyzer.Whitespace): DataFrame = {
     val corpGrams = gramsN(docs.select(col("doc_id"),
-        lit("c").as("source"), col("text")), n)
+        lit("c").as("source"), col("text")), n, analyzer)
       .select(col("doc_id"), col("g")).distinct()
     val tot = corpGrams.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"))
@@ -117,9 +119,10 @@ object TextDedup {
   }
 
   /** The distinct eval-side gram set for [[contaminationFractions]]. */
-  def evalGramSet(eval: DataFrame, n: Int = 4): DataFrame =
+  def evalGramSet(eval: DataFrame, n: Int = 4,
+      analyzer: String = Analyzer.Whitespace): DataFrame =
     gramsN(eval.select(lit(0L).as("doc_id"), lit("e").as("source"),
-        col("text")), n)
+        col("text")), n, analyzer)
       .select(col("g")).distinct()
 
   /** Core of t_repetition_filter, exposed for synthetic-input specs.

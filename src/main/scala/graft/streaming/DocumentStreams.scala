@@ -283,20 +283,22 @@ object DocumentStreams {
   def decontIngestToCatalog(docs: DataFrame, catalog: graft.catalog.Catalog,
       container: String, against: String, textCol: String,
       threshold: Double = 0.5, grams: Int = 4, spans: Option[Int] = None,
-      broadcastCap: Int = graft.catalog.Settings.default.decontBroadcastCap)
+      broadcastCap: Int = graft.catalog.Settings.default.decontBroadcastCap,
+      analyzer: String = graft.operators.Analyzer.Whitespace)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty)
           decontBatch(batch, catalog, container, against, textCol, threshold,
-            grams, spans, broadcastCap)
+            grams, spans, broadcastCap, analyzer)
       }
 
   private[graft] def decontBatch(batch: DataFrame,
       catalog: graft.catalog.Catalog, container: String, against: String,
       textCol: String, threshold: Double, grams: Int = 4,
       spans: Option[Int] = None,
-      broadcastCap: Int = graft.catalog.Settings.default.decontBroadcastCap): Unit = {
+      broadcastCap: Int = graft.catalog.Settings.default.decontBroadcastCap,
+      analyzer: String = graft.operators.Analyzer.Whitespace): Unit = {
     val pk = catalog.get(container).primaryKey
     // (a) replay idempotence: pk-range-pruned anti-join (the gate idiom)
     val bounds = batch.agg(min(col(pk)), max(col(pk))).head()
@@ -312,14 +314,14 @@ object DocumentStreams {
       // set re-derives per batch anyway, so the guard rides that read)
       val n = spans.getOrElse(grams)
       val evalGrams = graft.operators.TextDedup.evalGramSet(
-        catalog.read(against).select(col(textCol).as("text")), n)
+        catalog.read(against).select(col(textCol).as("text")), n, analyzer)
       val evalBounded = evalGrams.limit(broadcastCap + 1).count() <= broadcastCap
       val removePred =
         if (spans.isDefined) col("n_contaminated") >= 1
         else col("contamination") >= threshold
       val contaminated = graft.operators.TextDedup.contaminationFractions(
           fresh.select(col(pk).as("doc_id"), col(textCol).as("text")),
-          evalGrams, n = n, broadcastEval = evalBounded)
+          evalGrams, n = n, broadcastEval = evalBounded, analyzer = analyzer)
         .filter(removePred)
         .select(col("doc_id").as(pk))
       val kept = fresh.join(contaminated, Seq(pk), "left_anti")

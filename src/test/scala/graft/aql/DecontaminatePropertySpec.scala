@@ -203,6 +203,53 @@ class DecontaminatePropertySpec extends AnyFunSuite {
     assert(kept == landed)
   }
 
+  test("ANALYZER standard: punctuated corpus text decontaminates against " +
+      "a clean eval suite (round 15)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dcp-an")
+    val eng = new Engine(spark, dir.toString)
+    import spark.implicits._
+    val cleanEval = "alpha beta gamma delta epsilon zeta eta theta"
+    eng.execute("CREATE CONTAINER ape ['eid','body'] [BIGINT, TEXT]")
+    eng.catalog.overwrite("ape", Seq((0L, cleanEval)).toDF("eid", "body"))
+    // doc 1: the eval text with punctuation/casing on every token —
+    // ZERO whitespace grams collide, every standard gram does;
+    // doc 2: genuinely fresh text
+    val punct = "Alpha, beta; GAMMA! delta? epsilon: zeta. eta... theta!"
+    eng.execute("CREATE CONTAINER apc ['doc_id','body'] [BIGINT, TEXT]")
+    eng.catalog.overwrite("apc", Seq(
+      (1L, punct),
+      (2L, "iota kappa lambda mu iota kappa lambda mu"))
+      .toDF("doc_id", "body"))
+
+    def contaminated(knobs: String): Long = eng.execute(
+      s"SHOW DECONTAMINATE apc AGAINST ape ON body$knobs")
+      .asInstanceOf[Engine.ResultSet].df.collect().head.getLong(2)
+    assert(contaminated("") == 0L, "whitespace grams must not collide")
+    assert(contaminated(" ANALYZER standard") == 1L,
+      "standard grams must collide across punctuation")
+    // an unknown analyzer is a statement error, not a silent default
+    intercept[ParseException](eng.execute(
+      "SHOW DECONTAMINATE apc AGAINST ape ON body ANALYZER english"))
+
+    // the streaming gate at the same analyzer refuses the punctuated
+    // copy and admits the fresh doc (statement/gate agreement)
+    eng.execute("CREATE CONTAINER apg ['doc_id','body'] [BIGINT, TEXT]")
+    graft.streaming.DocumentStreams.decontBatch(
+      Seq((1L, punct), (2L, "iota kappa lambda mu iota kappa lambda mu"))
+        .toDF("doc_id", "body"),
+      eng.catalog, "apg", "ape", "body", threshold = 0.5,
+      analyzer = "standard")
+    val landed = eng.execute("SEARCH [doc_id] ON apg")
+      .asInstanceOf[Engine.ResultSet].df.collect().map(_.getLong(0)).toSet
+    assert(landed == Set(2L), s"gate landed $landed")
+
+    // the applied statement removes exactly the punctuated copy
+    eng.execute("DECONTAMINATE apc AGAINST ape ON body ANALYZER standard")
+    val kept = eng.execute("SEARCH [doc_id] ON apc")
+      .asInstanceOf[Engine.ResultSet].df.collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
+
   test("decont_broadcast_cap: an oversized eval set degrades to a plan " +
       "without the broadcast hint, same answer") {
     import spark.implicits._

@@ -795,6 +795,23 @@ class ParserSpec extends AnyFunSuite {
     // duplicate knobs are rejected, not last-wins
     intercept[ParseException](Parser.parse(
       "DECONTAMINATE corp AGAINST eval ON body GRAMS 4 GRAMS 8"))
+    // ANALYZER knob (round 15): composes with every other knob, any
+    // order; name validation happens at lowering (the CREATE INDEX stance)
+    assert(Parser.parse(
+      "DECONTAMINATE corp AGAINST eval ON body ANALYZER standard")
+      == Decontaminate("corp", "eval", "body", None,
+        analyzer = Some("standard")))
+    assert(Parser.parse(
+      "SHOW DECONTAMINATE corp AGAINST eval ON body GRAMS 8 " +
+        "ANALYZER Standard THRESHOLD 0.3 DOCS")
+      == ShowDecontaminate("corp", "eval", "body", Some(0.3), docs = true,
+        grams = Some(8), analyzer = Some("standard")))
+    assert(Parser.parse(
+      "DECONTAMINATE corp AGAINST eval ON body USING SPANS 8 ANALYZER standard")
+      == Decontaminate("corp", "eval", "body", None, spans = Some(8),
+        analyzer = Some("standard")))
+    intercept[ParseException](Parser.parse(
+      "DECONTAMINATE corp AGAINST eval ON body ANALYZER a ANALYZER b"))
   }
 
   test("set operations: (SEARCH) EXCEPT/INTERSECT [ALL] (SEARCH)") {
