@@ -195,11 +195,13 @@ class FullTextIndexSpec extends AnyFunSuite {
     assert(cat.textSearch("docs", "fta", Seq("fox"))
       .collect().map(_.getLong(0)).toSet == Set(0L, 1L, 4L))
 
-    // guards: unknown analyzer; ANALYZER on a non-text kind
+    // guards: unknown analyzer; ANALYZER on a kind that doesn't
+    // tokenize (value — lsh/simhash accept it since the band-analyzer
+    // extension later in round 15)
     intercept[RuntimeException](
       cat.createIndex("docs", "bada", "text", "body", analyzer = Some("english")))
     intercept[RuntimeException](
-      cat.createIndex("docs", "badl", "lsh", "body", analyzer = Some("standard")))
+      cat.createIndex("docs", "badv", "value", "body", analyzer = Some("standard")))
   }
 
   test("a legacy metadata file (no option lines) reads as whitespace + positions") {
