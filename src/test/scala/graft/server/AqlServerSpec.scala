@@ -274,6 +274,46 @@ class AqlServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq("w14", "w14e").foreach(c => assert(post(s"DELETE CONTAINER $c")._1 == 200))
   }
 
+  test("round-15 statements reach the wire surface: DEDUP AGAINST, " +
+      "GRAMS/SPANS/ANALYZER knobs, text-index options") {
+    assert(post("CREATE CONTAINER w15 ['doc_id','body'] [BIGINT, TEXT]")._1 == 200)
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    assert(post(s"CREATE ROW ['doc_id','body'] [1,'$base'] ON w15")._1 == 200)
+    assert(post(s"CREATE ROW ['doc_id','body'] [2,'$base today'] ON w15")._1 == 200)
+    assert(post("CREATE ROW ['doc_id','body'] [3,'spark engine parses big queries fast ok yes'] ON w15")._1 == 200)
+    assert(post("COMMIT w15")._1 == 200)
+    // c2 + its band index, then the cross report / detail / removal
+    assert(post("CREATE CONTAINER w15r ['rid','body'] [BIGINT, TEXT]")._1 == 200)
+    assert(post(s"CREATE ROW ['rid','body'] [9,'$base'] ON w15r")._1 == 200)
+    assert(post("COMMIT w15r")._1 == 200)
+    assert(post("CREATE INDEX nd ON w15r ['body'] USING lsh")._1 == 200)
+    val (rc, rb) = post("SHOW DEDUP w15 AGAINST w15r USING nd")
+    assert(rc == 200 && rb.contains(""""matched_docs""""), rb)
+    val (dc, db) = post("SHOW DEDUP w15 AGAINST w15r USING nd DOCS")
+    assert(dc == 200 && db.contains(""""best_score""""), db)
+    val (xc, xb) = post("DEDUP w15 AGAINST w15r USING nd")
+    assert(xc == 200 && xb.contains("removed 2"), xb)
+    assert(post("DEDUP w15 AGAINST w15")._1 == 400) // self-AGAINST refuses
+    // decontamination knobs: SPANS report and the ANALYZER contrast
+    val (sc1, sb1) = post(
+      "SHOW DECONTAMINATE w15 AGAINST w15r ON body USING SPANS 8")
+    assert(sc1 == 200 && sb1.contains(""""contaminated_docs""""), sb1)
+    assert(post(
+      "SHOW DECONTAMINATE w15 AGAINST w15r ON body ANALYZER standard")._1 == 200)
+    assert(post(
+      "SHOW DECONTAMINATE w15 AGAINST w15r ON body ANALYZER english")._1 == 400)
+    assert(post(
+      "DECONTAMINATE w15 AGAINST w15r ON body USING SPANS 8 THRESHOLD 0.5")
+      ._1 == 400) // SPANS excludes THRESHOLD
+    // text-index options round-trip the DDL surface
+    assert(post("CREATE INDEX fta ON w15 ['body'] USING text ANALYZER standard " +
+      "WITHOUT POSITIONS")._1 == 200)
+    val (ic, ib) = post("SHOW INDEXES w15")
+    assert(ic == 200 && ib.contains("text standard nopos"), ib)
+    assert(post("MATCH PHRASE ['quick brown'] ON w15 USING fta")._1 == 400)
+    Seq("w15", "w15r").foreach(c => assert(post(s"DELETE CONTAINER $c")._1 == 200))
+  }
+
   test("round-7 statements reach the wire surface: ANALYZE, SHOW STATS, RESTORE") {
     assert(post("CREATE CONTAINER webs ['id','tag'] [BIGINT, SMALL-STRING]")._1 == 200)
     assert(post("CREATE ROW ['id','tag'] [1,'keep'] ON webs")._1 == 200)
