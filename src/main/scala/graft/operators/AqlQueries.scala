@@ -1283,6 +1283,19 @@ object AqlQueries {
       search("MATCH ['Dup.','vector','merge,'] ON docs_an USING fta LIMIT 20")(s, dir)
     },
 
+    // ...the analyzer composes with filtered retrieval: the predicate
+    // gates BEFORE the LIMIT (semi-join between scoring and top-k)
+    // while the standard tokenization serves the punctuated postings —
+    // two round-15/14 features through one statement.
+    Q("aql_match_analyzer_filtered",
+      FullText.duckBm25Sql(conjunctive = false,
+        where = Some("doc_id < 100"),
+        base = AqlQueries.duckAnBase,
+        analyzer = graft.operators.Analyzer.Standard)) { (s, dir) =>
+      search("MATCH ['Dup.','vector','merge,'] ON docs_an USING fta " +
+        "WHERE doc_id < 100 LIMIT 20")(s, dir)
+    },
+
     // ...the default-preserved contrast: the SAME corpus and terms
     // through the whitespace-analyzer index — 'dup'/'merge' no longer
     // match their punctuated token forms, only 'vector' ranks (the r14
