@@ -2634,6 +2634,11 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           s"funnel — use `$what $container` (no AGAINST)")
     val d1 = catalog.get(container)
     val d2 = catalog.get(against)
+    // c2 must serve a COMMITTED index: an unversioned external corpus
+    // reads an empty index, which would report a clean "no matches" —
+    // a wrong answer wearing an honest face (the same trap the
+    // within-container DEDUP refuses upfront)
+    catalog.requireVersioned(against, s"$what AGAINST")
     val defs = catalog.indexDefs(against)
       .filter(x => x.kind == "lsh" || x.kind == "simhash" || x.kind == "ivf")
     val idef = ixOpt match {

@@ -93,6 +93,19 @@ class CrossDedupSpec extends AnyFunSuite {
     val e3 = intercept[ParseException](
       eng.execute("SHOW DEDUP corp AGAINST nocol"))
     assert(e3.getMessage.contains("USING lsh|simhash"), e3.getMessage)
+    // an UNVERSIONED external c2 refuses upfront — its index reads
+    // empty, so "no matches" would be a wrong answer wearing an honest
+    // face (the within-container DEDUP trap, closed for AGAINST too)
+    val ext = java.nio.file.Files.createTempDirectory("graft-xd-ext")
+    val pq = ext.resolve("ext.parquet")
+    Seq((1L, refText)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(pq.toString)
+    eng.execute("CREATE CONTAINER extc ['doc_id','text'] [BIGINT, TEXT]")
+    java.nio.file.Files.deleteIfExists(eng.catalog.dataPath("extc"))
+    java.nio.file.Files.createSymbolicLink(eng.catalog.dataPath("extc"), pq)
+    val e5 = intercept[IllegalArgumentException](
+      eng.execute("SHOW DEDUP corp AGAINST extc"))
+    assert(e5.getMessage.contains("unversioned external"), e5.getMessage)
     // staged ops on c1 refuse the mutation (the DEDUP discipline)
     eng.execute("CREATE ROW ['doc_id','text'] [99, 'staged doc'] ON corp")
     val e4 = intercept[IllegalArgumentException](
