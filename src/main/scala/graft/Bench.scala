@@ -107,7 +107,20 @@ object Bench {
         // recording `last` here could enshrine the throttled one.
         candidates.minBy(_.comparable)
       else candidates.last
-    emit(best, all, sfDir)
+    // the min-spark tiebreak guards only the NUMERATOR (r15 advisor): if
+    // the window slowed the DuckDB half of the OTHER run, fine — but if
+    // it slowed the DuckDB half of the CHOSEN run, its inflated
+    // duckdb_total makes the recorded ratio flattering-low. When the
+    // chosen reading's duckdb_total is not also the minimum across the
+    // disagreeing candidates, the record carries an explicit
+    // `disagreement` marker (alongside ratio_runs/spark_totals/
+    // duckdb_totals, so both readings stay auditable in the artifact).
+    val unresolved = candidates.size == 2 &&
+      candidates.forall(_.ratio.isDefined) &&
+      candidates.map(_.ratio.get).sorted.reduce((a, b) => b / a) > 1.5 &&
+      best.duckdb.map(_._1) !=
+        candidates.flatMap(_.duckdb.map(_._1)).minOption
+    emit(best, all, sfDir, disagreement = unresolved)
     spark.stop()
   }
 
@@ -158,7 +171,8 @@ object Bench {
     Measurement(results, retried.toSeq, duckdbRecord(sfDir, results.map(_._1)))
   }
 
-  private def emit(m: Measurement, all: Seq[Measurement], sfDir: String): Unit = {
+  private def emit(m: Measurement, all: Seq[Measurement], sfDir: String,
+      disagreement: Boolean = false): Unit = {
     val results = m.results
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -192,7 +206,14 @@ object Bench {
     val totalsJson = all
       .map(r => (math.round(r.results.map(_._2).filter(_ >= 0).sum * 1000) / 1000.0).toString)
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$paired,"spark_totals":$totalsJson,"retried":$retriedJson,"sf":"$sfDir"}""")
+    // every run's DuckDB total too: the disagreement marker's evidence —
+    // a reader can see WHICH half of which run the window slowed
+    val duckTotalsJson = all
+      .map(_.duckdb.map(d => (math.round(d._1 * 1000) / 1000.0).toString)
+        .getOrElse("null"))
+      .mkString("[", ",", "]")
+    val disagreeJson = if (disagreement) ""","disagreement":true""" else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$paired,"spark_totals":$totalsJson,"duckdb_totals":$duckTotalsJson$disagreeJson,"retried":$retriedJson,"sf":"$sfDir"}""")
   }
 
   /** Same-window DuckDB total AND per-query seconds over the bench

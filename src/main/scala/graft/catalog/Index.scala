@@ -56,6 +56,27 @@ import scala.jdk.CollectionConverters._
   *    the indexed column auto-serve through it (`Engine.indexPruned`).
   */
 object Index {
+  /** Current band-tokenization format version (see [[Def.tokv]]):
+    * 2 = empty tokens filtered before shingling/simhash (round 15's
+    * Analyzer posture). Version 1 (implicit — metadata without a `tokv`
+    * line) is the pre-filter derivation; its parts are refused with a
+    * REBUILD pointer rather than silently probed with v2 bands. */
+  private[catalog] val BandTokV = 2
+
+  /** The [[Def.tokv]] gate, shared by [[read]] (every lookup) and
+    * [[derive]] (every commit's part maintenance): a commit that derived
+    * NEW parts under v2 while hard-link-carrying v1 parts would create
+    * exactly the intra-index drift the version exists to prevent, so
+    * both paths refuse. */
+  private def requireBandTokV(container: String, idef: Def): Unit =
+    if ((idef.kind == "lsh" || idef.kind == "simhash") &&
+        idef.tokv < BandTokV)
+      sys.error(s"${idef.kind} index '${idef.ix}' on '$container' was " +
+        s"built under band-tokenization v${idef.tokv} (pre-empty-token-" +
+        s"filter); its committed parts encode different band keys than " +
+        s"this engine derives — REBUILD INDEX ${idef.ix} ON " +
+        s"$container to re-derive every part under v$BandTokV")
+
   /** `int8` (ivf only, round 14): the inverted lists store SQ8-quantized
     * vectors (one byte per dimension against a code book frozen at
     * create/rebuild — `sqmin`/`sqmax` metadata lines) instead of the raw
@@ -64,22 +85,37 @@ object Index {
     * approximately on the dequantized codes, then fetches exact float32
     * for the surviving ≤limit rows from the snapshot (a bounded pk
     * point scan, the band-rerank fetch shape). */
-  /** `analyzer` (text only, round 15): the index's frozen tokenization —
-    * `whitespace` (default, the historical behavior every committed part
-    * was built under) or `standard` (punctuation-stripping
-    * `[\p{L}\p{N}]+`, the Lucene-default posture real text needs). Like
-    * ivf centroids it is CONTENT-DEFINING: postings derive with it at
-    * every commit and MATCH/PHRASE analyze their query terms with it,
-    * so it lives in the metadata and survives REBUILD.
+  /** `analyzer` (text/band kinds, round 15): the index's frozen
+    * tokenization — `whitespace` (default), `standard`
+    * (punctuation-stripping `[\p{L}\p{N}]+`, the Lucene-default posture
+    * real text needs), or `english` (round 16: standard + stop-word
+    * removal + Porter stemming). Like ivf centroids it is
+    * CONTENT-DEFINING: postings/bands derive with it at every commit and
+    * MATCH/PHRASE/probes analyze their query text with it, so it lives
+    * in the metadata and survives REBUILD.
     *
     * `positions` (text only, round 15): `WITHOUT POSITIONS` drops the
     * per-posting position arrays — one int per corpus token — for
     * corpora that never phrase-search; MATCH PHRASE on such an index
-    * fails loudly at lookup. */
+    * fails loudly at lookup.
+    *
+    * `tokv` (lsh/simhash only, round 16 — r15 advisor): the BAND
+    * TOKENIZATION FORMAT version the parts were built under. The round-15
+    * empty-token filter changed what `whitespace` bands derive for text
+    * with consecutive/leading spaces, so "whitespace" alone no longer
+    * names one derivation — the version does. Metadata WITHOUT the
+    * `tokv` line predates the marker and cannot prove which derivation
+    * its committed parts encode, so band reads and commit-time part
+    * derivation refuse it with a REBUILD pointer (a silent serve would
+    * be query-side bands probing parts built under different ones — the
+    * drift the analyzer-is-content-defining doctrine forbids). Text
+    * postings are unaffected: their tokenization filtered empty tokens
+    * from the start (`FullText.StatsTerm` relies on it). */
   final case class Def(ix: String, kind: String, column: String,
       int8: Boolean = false,
       analyzer: String = graft.operators.Analyzer.Whitespace,
-      positions: Boolean = true) {
+      positions: Boolean = true,
+      tokv: Int = Index.BandTokV) {
     /** The indexed source columns: one for every kind except `value`,
       * which may be a COMPOSITE (comma-joined in the metadata — AQL
       * column names cannot contain commas) — the (lang, quality_band)
@@ -179,10 +215,17 @@ object Index {
         .collectFirst { case l if l.trim.startsWith("option\tanalyzer\t") =>
           l.trim.split("\t", 3)(2) }
         .getOrElse(graft.operators.Analyzer.Whitespace)
+      // band kinds WITHOUT a tokv line predate the version marker —
+      // legacy (v1) until REBUILD re-derives and restamps them
+      val tokv = content.linesIterator
+        .collectFirst { case l if l.trim.startsWith("option\ttokv\t") =>
+          l.trim.split("\t", 3)(2).toInt }
+        .getOrElse(if (kind == "lsh" || kind == "simhash") 1 else BandTokV)
       Def(ix, kind, column,
         int8 = content.linesIterator.exists(_.trim == "option\tint8"),
         analyzer = analyzer,
-        positions = !content.linesIterator.exists(_.trim == "option\tnopos"))
+        positions = !content.linesIterator.exists(_.trim == "option\tnopos"),
+        tokv = tokv)
     }
   }
 
@@ -284,7 +327,11 @@ object Index {
     def textOptLines: Seq[String] =
       (if (an != graft.operators.Analyzer.Whitespace)
         Seq(s"option\tanalyzer\t$an") else Nil) ++
-        (if (!positions) Seq("option\tnopos") else Nil)
+        (if (!positions) Seq("option\tnopos") else Nil) ++
+        // band kinds stamp the tokenization format version (see
+        // [[Def.tokv]]) — content-defining like the analyzer itself
+        (if (kind == "lsh" || kind == "simhash")
+          Seq(s"option\ttokv\t$BandTokV") else Nil)
     val body = kind match {
       case "lsh" | "simhash" | "text" =>
         require(colType.spark == StringType,
@@ -375,11 +422,16 @@ object Index {
         (s"ivf\t${old.column}" +: (sqLines ++ centLines)).mkString("\n")
       case k @ ("text" | "lsh" | "simhash") =>
         // the analyzer and positions posture are content-defining —
-        // a rebuild re-derives parts under the SAME options
+        // a rebuild re-derives parts under the SAME options. Band kinds
+        // restamp tokv at CURRENT: rebuild deletes every stale part and
+        // re-derives under this engine's tokenization, which is exactly
+        // the legacy-index recovery the requireBandTokV gate demands.
         (s"$k\t${old.column}" +:
           ((if (old.analyzer != graft.operators.Analyzer.Whitespace)
             Seq(s"option\tanalyzer\t${old.analyzer}") else Nil) ++
-            (if (!old.positions) Seq("option\tnopos") else Nil)))
+            (if (!old.positions) Seq("option\tnopos") else Nil) ++
+            (if (k == "lsh" || k == "simhash")
+              Seq(s"option\ttokv\t$BandTokV") else Nil)))
           .mkString("\n")
       case k => s"$k\t${old.column}"
     }
@@ -494,6 +546,7 @@ object Index {
     */
   def read(cat: Catalog, container: String, idef: Def,
       at: Option[Int] = None): DataFrame = {
+    requireBandTokV(container, idef)
     val d = cat.get(container)
     val v = at.getOrElse(cat.currentVersion(container))
     at.foreach(x => require(cat.versions(container).contains(x),
@@ -955,7 +1008,8 @@ object Index {
     * valid (`Tx.commitOnce`).
     */
   private def derive(cat: Catalog, d: Catalog#ContainerDef, idef: Def,
-      rows: DataFrame): DataFrame =
+      rows: DataFrame): DataFrame = {
+    requireBandTokV(d.name, idef)
     idef.kind match {
       case "lsh" =>
         deriveLsh(rows.select(col(d.primaryKey).as("id"),
@@ -999,6 +1053,7 @@ object Index {
           .withColumnRenamed("vecb", "emb")
       case other => sys.error(s"unknown index kind '$other'")
     }
+  }
 
   /** (id, emb, keep…) → (id, cluster, keep…): nearest-centroid assignment
     * with deterministic ties (d2 rounded to 6, then sid). A min_by

@@ -131,21 +131,54 @@ class FilteredAnnPropertySpec extends AnyFunSuite {
       .toDF("doc_id", "lang", "text"))
     eng.execute("CREATE INDEX nd ON fbd ['text'] USING lsh")
     // doc 1's collisions are docs 2 and 3; WHERE lang='en' keeps only
-    // doc 2 — LIMIT 5 cannot fill and the Access Path must say so
+    // doc 2 — LIMIT 5 cannot fill. EXPLAIN stays PLAN-ONLY (round 16,
+    // r15 advisor: the r15 shape executed the count job during plan
+    // printing): it declares the geometry bound statically, without the
+    // exhaustion count.
     val ex = eng.execute(
       "EXPLAIN SIMILAR 1 ON fbd USING nd WHERE lang = 'en' LIMIT 5")
       .asInstanceOf[Engine.Done].message
-    assert(ex.contains("collision set exhausted"), ex.takeRight(400))
     assert(ex.contains("no widening geometry"), ex.takeRight(400))
-    // the served result matches the note's count: only doc 2
+    assert(ex.contains("counted at serve time"), ex.takeRight(400))
+    assert(!ex.contains("collision set exhausted"), ex.takeRight(400))
+    // the served result matches the recall bound: only doc 2
     val got = eng.execute(
       "SIMILAR 1 ON fbd USING nd WHERE lang = 'en' LIMIT 5")
       .asInstanceOf[Engine.ResultSet].df.collect().map(_.getLong(0)).toSet
     assert(got == Set(2L), s"got $got")
-    // a fillable WHERE stays note-free on the underfill front
-    val ex2 = eng.execute(
-      "EXPLAIN SIMILAR 1 ON fbd USING nd WHERE lang = 'en' LIMIT 1")
-      .asInstanceOf[Engine.Done].message
-    assert(!ex2.contains("collision set exhausted"), ex2.takeRight(400))
+  }
+
+  test("filtered band SIMILAR executes the collision scan ONCE: the " +
+      "served rows come back as a local relation (round 16)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fann-once")
+    val eng = new Engine(spark, dir.toString)
+    eng.execute("CREATE CONTAINER fb1 ['doc_id','lang','text'] [BIGINT, TEXT, TEXT]")
+    val base = "the quick brown fox jumps over the lazy dog near the river"
+    import spark.implicits._
+    eng.catalog.overwrite("fb1", Seq(
+      (1L, "en", base),
+      (2L, "en", base + " today"),
+      (3L, "fr", base + " maintenant"))
+      .toDF("doc_id", "lang", "text"))
+    eng.execute("CREATE INDEX nd ON fb1 ['text'] USING lsh")
+    val df = eng.execute(
+      "SIMILAR 1 ON fb1 USING nd WHERE lang = 'en' LIMIT 5 SCORED")
+      .asInstanceOf[Engine.ResultSet].df
+    // the one-execution pin: lowering materialized the ≤LIMIT rows (the
+    // same execution that computed the exhaustion note), so the SERVED
+    // plan is a LocalRelation — no index/corpus scan can run again when
+    // the result is consumed
+    val logical = df.queryExecution.optimizedPlan
+    val leaves = logical.collectLeaves()
+    assert(leaves.forall(l =>
+        l.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      s"expected only LocalRelation leaves, got:\n$logical")
+    // and the physical serve is a LocalTableScan — consuming it cannot
+    // launch the funnel again (values live in the plan, not in a scan)
+    val exec = df.queryExecution.executedPlan
+    assert(exec.collectLeaves().forall(p =>
+        p.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec]),
+      s"expected LocalTableScanExec leaves, got:\n$exec")
+    assert(df.collect().map(_.getLong(0)).toSet == Set(2L))
   }
 }

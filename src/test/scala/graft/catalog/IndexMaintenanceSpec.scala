@@ -787,6 +787,40 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       cat.createIndex("vecs", "bad", "lsh", "e", int8 = true))
   }
 
+  test("legacy band-tokenization metadata (no tokv line) is refused " +
+      "until REBUILD (round 16, r15 advisor)") {
+    val (cat, _) = fixture("tokv")
+    cat.createIndex("docs", "nd", "lsh", "body")
+    // fresh creates stamp the current band-tokenization version
+    assert(cat.indexDefs("docs").head.tokv == 2)
+    // simulate pre-empty-token-filter metadata: strip the tokv line (a
+    // file written before the marker existed is byte-identical to this)
+    val mf = Index.metaFile(cat, "docs", "nd")
+    val stripped = java.nio.file.Files.readString(mf).linesIterator
+      .filterNot(_.startsWith("option\ttokv")).mkString("\n")
+    java.nio.file.Files.writeString(mf, stripped)
+    assert(cat.indexDefs("docs").head.tokv == 1, "unmarked band metadata is legacy")
+    // lookups refuse — the committed parts may encode pre-filter bands,
+    // and probing them with current-derivation band keys is silent drift
+    val e = intercept[RuntimeException](
+      cat.indexLookup("docs", "nd", queryDf(0L, textA(0))).collect())
+    assert(e.getMessage.contains("REBUILD INDEX nd ON docs"), e.getMessage)
+    // commits refuse too: deriving NEW parts under v2 while hard-link-
+    // carrying v1 parts would create intra-index drift
+    val tx = new Tx(cat)
+    tx.stageInsert("docs", Seq(org.apache.spark.sql.Row(99L, textA(99))))
+    val e2 = intercept[RuntimeException](tx.commit(Some("docs")))
+    assert(e2.getMessage.contains("REBUILD INDEX"), e2.getMessage)
+    tx.rollback(Some("docs"))
+    // REBUILD re-derives every part under the current tokenization and
+    // restamps tokv — service restored, same collision families
+    cat.rebuildIndex("docs", "nd")
+    assert(cat.indexDefs("docs").head.tokv == 2)
+    val cands = cat.indexLookup("docs", "nd", queryDf(0L, textA(0)))
+      .collect().map(_.getLong(1)).toSet
+    assert(cands.nonEmpty && cands.subsetOf((1L until 8L).toSet), cands.toString)
+  }
+
   // ---- helpers -------------------------------------------------------------
 
   /** Parquet part files under version v's index directory (recursive). */
