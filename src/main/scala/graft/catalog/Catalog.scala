@@ -409,6 +409,31 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     Index.ivfLookupVector(this, name, d, vec, nprobe, at)
   }
 
+  /** The probe row's full nearest-cell ordering over an ivf index — see
+    * [[Index.ivfCellsRanked]] (one bounded 1×k job, ≤k ints). */
+  def ivfProbeCells(name: String, ix: String, probe: DataFrame): Seq[Int] = {
+    val d = indexDefs(name).find(_.ix == ix)
+      .getOrElse(sys.error(s"No index '$ix' on '$name'"))
+    Index.ivfCellsRanked(this, name, d, probe)
+  }
+
+  /** Driver-side full cell ordering for a literal query vector — see
+    * [[Index.ivfCellsRankedVector]] (no job at all). */
+  def ivfProbeCellsVector(name: String, ix: String, vec: Seq[Float]): Seq[Int] = {
+    val d = indexDefs(name).find(_.ix == ix)
+      .getOrElse(sys.error(s"No index '$ix' on '$name'"))
+    Index.ivfCellsRankedVector(this, name, d, vec)
+  }
+
+  /** Raw (cand, cand_emb) list rows for an explicit literal cell set —
+    * see [[Index.ivfCellCandidates]] (the incremental-widening unit). */
+  def ivfCellCandidates(name: String, ix: String, cells: Seq[Int],
+      excludeId: Option[Any] = None, at: Option[Int] = None): DataFrame = {
+    val d = indexDefs(name).find(_.ix == ix)
+      .getOrElse(sys.error(s"No index '$ix' on '$name'"))
+    Index.ivfCellCandidates(this, name, d, cells, excludeId, at)
+  }
+
   /** BM25 top-k over a `text` index — see [[Index.textLookup]]. */
   def textSearch(name: String, ix: String, terms: Seq[String],
       k: Int = 20, at: Option[Int] = None): DataFrame = {
