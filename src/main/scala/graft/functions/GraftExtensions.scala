@@ -27,6 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         HyperplaneBucket(exprs(0), exprs(1))))
     ext.injectFunction((
+      new FunctionIdentifier("porter_stem"),
+      new ExpressionInfo(classOf[PorterStem].getName, "porter_stem"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PorterStem(exprs.head)))
+    ext.injectFunction((
       new FunctionIdentifier("float32_unpack"),
       new ExpressionInfo(classOf[Float32Unpack].getName, "float32_unpack"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -476,6 +476,16 @@ object AqlQueries {
       // standard token stream, so near-dup detection survives the
       // injected punctuation — the dedup funnel's real-text posture
       eng.execute("CREATE INDEX nda ON docs_an ['text'] USING lsh ANALYZER standard")
+      // english analyzer (round 16): the SAME punctuated corpus under an
+      // ANALYZER english text index — standard tokens minus the 33-word
+      // stop set ('a'/'the' ARE in the fixture vocabulary, so dl/avgdl
+      // genuinely shrink), each survivor Porter-stemmed. The oracle row
+      // probes STEM-NEUTRAL terms only (dup/vector/scan are Porter fixed
+      // points and nothing in the closed fixture vocabulary stems into
+      // them — see Analyzer.duckTokens's English contract), so the
+      // DuckDB stop-word sublayer recompute is exact; the stemmer's own
+      // evidence is PorterStemSpec + the FullTextIndexSpec rank pin.
+      eng.execute("CREATE INDEX fte ON docs_an ['text'] USING text ANALYZER english")
       // dedup-apply container: a documents copy whose verified near-dup
       // clusters the DEDUP statement removes at setup (keeper = longest
       // text, tie lowest pk) through the set-oriented COW delete — the
@@ -1316,6 +1326,24 @@ object AqlQueries {
         base = AqlQueries.duckAnBase,
         analyzer = graft.operators.Analyzer.Standard)) { (s, dir) =>
       search("MATCH PHRASE ['merge key'] ON docs_an USING fta LIMIT 20")(s, dir)
+    },
+
+    // the ENGLISH analyzer tier (round 16): stop words removed and each
+    // token Porter-stemmed before the postings build, so 'the'/'a' stop
+    // dominating document length and 'Dup.' probes the stemmed postings
+    // as 'dup'. The probed terms are STEM-NEUTRAL over the closed
+    // fixture vocabulary (Porter fixed points, nothing stems into
+    // them), so the DuckDB recompute — which cannot stem and therefore
+    // tokenizes to the stop-filtered sublayer — sees identical (tf, df,
+    // dl, N) for every probed term and the full BM25 ranking matches
+    // hash-exact. dl/avgdl here genuinely differ from the standard
+    // index's (stop words are gone): the length-normalization pin.
+    Q("aql_match_analyzer_en",
+      FullText.duckBm25Sql(conjunctive = false,
+        terms = Seq("dup", "vector", "scan"),
+        base = AqlQueries.duckAnBase,
+        analyzer = graft.operators.Analyzer.English)) { (s, dir) =>
+      search("MATCH ['Dup.','vector','scan'] ON docs_an USING fte LIMIT 20")(s, dir)
     },
 
     // EXPORT/IMPORT (graft extensions): the JSONL round-trip through the

@@ -228,8 +228,10 @@ class DecontaminatePropertySpec extends AnyFunSuite {
     assert(contaminated(" ANALYZER standard") == 1L,
       "standard grams must collide across punctuation")
     // an unknown analyzer is a statement error, not a silent default
+    // ('english' became valid in round 16 — probe with a name that
+    // stays unknown)
     intercept[ParseException](eng.execute(
-      "SHOW DECONTAMINATE apc AGAINST ape ON body ANALYZER english"))
+      "SHOW DECONTAMINATE apc AGAINST ape ON body ANALYZER german"))
 
     // the streaming gate at the same analyzer refuses the punctuated
     // copy and admits the fresh doc (statement/gate agreement)

@@ -52,7 +52,28 @@ class AnalyzerPropertySpec extends AnyFunSuite {
     assert(Analyzer.tokensOf(s, Analyzer.Whitespace)
       == Seq("end.", "mid-dash,", "(paren)", "'quote'", "99x"))
     // unknown names refuse everywhere
-    intercept[IllegalArgumentException](Analyzer.requireValid("english"))
-    intercept[IllegalArgumentException](Analyzer.tokensOf("x", "english"))
+    intercept[IllegalArgumentException](Analyzer.requireValid("german"))
+    intercept[IllegalArgumentException](Analyzer.tokensOf("x", "german"))
+  }
+
+  test("english = standard tokens − stop words, Porter-stemmed (round 16)") {
+    val s = "The runners were running; a dog runs into THE parks."
+    // standard keeps everything (lowercased, punctuation-stripped)
+    assert(Analyzer.tokensOf(s, Analyzer.Standard)
+      == Seq("the", "runners", "were", "running", "a", "dog", "runs",
+        "into", "the", "parks"))
+    // english drops the/a/into (stop set), stems the rest; 'were' is NOT
+    // in the 33-word Lucene default set and survives as itself
+    assert(Analyzer.tokensOf(s, Analyzer.English)
+      == Seq("runner", "were", "run", "dog", "run", "park"))
+    // stemming is 1:1 per surviving token: dl under english == the
+    // stop-filtered standard count — the BM25 length-normalization
+    // invariant the DuckDB sublayer oracle relies on
+    val stopFiltered = Analyzer.tokensOf(s, Analyzer.Standard)
+      .filterNot(Analyzer.StopWords.contains)
+    assert(Analyzer.tokensOf(s, Analyzer.English).size == stopFiltered.size)
+    // non-ASCII and digit-bearing tokens pass the stemmer unchanged
+    assert(Analyzer.tokensOf("café 99x naïve", Analyzer.English)
+      == Seq("café", "99x", "naïve"))
   }
 }

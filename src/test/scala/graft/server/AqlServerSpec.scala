@@ -300,8 +300,12 @@ class AqlServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sc1 == 200 && sb1.contains(""""contaminated_docs""""), sb1)
     assert(post(
       "SHOW DECONTAMINATE w15 AGAINST w15r ON body ANALYZER standard")._1 == 200)
+    // 'english' became the valid third analyzer tier in round 16 — the
+    // unknown-name refusal moved to a name that stays invalid
     assert(post(
-      "SHOW DECONTAMINATE w15 AGAINST w15r ON body ANALYZER english")._1 == 400)
+      "SHOW DECONTAMINATE w15 AGAINST w15r ON body ANALYZER english")._1 == 200)
+    assert(post(
+      "SHOW DECONTAMINATE w15 AGAINST w15r ON body ANALYZER german")._1 == 400)
     assert(post(
       "DECONTAMINATE w15 AGAINST w15r ON body USING SPANS 8 THRESHOLD 0.5")
       ._1 == 400) // SPANS excludes THRESHOLD
