@@ -528,7 +528,31 @@ object Ast {
     * cross-match in c2 — c2 is never touched. SHOW DEDUP … AGAINST with
     * the same knobs is the dry run from the SAME funnel. */
   final case class DedupAgainst(container: String, against: String,
-      ix: Option[String], threshold: Option[Double] = None) extends Stmt
+      ix: Option[String], threshold: Option[Double] = None,
+      atVersion: Option[Int] = None) extends Stmt
+
+  /** graft extension (round 16): the BATCH k-NN join — for EVERY row of
+    * c1, the top-k nearest rows of c2, served through c2's committed
+    * lsh/simhash/ivf index. `SIMILAR c1 AGAINST c2 [AT VERSION n]
+    * [USING ix] [PROBE p] [LIMIT k] [SCORED]`. Candidates come from the
+    * cross funnel's set-oriented derivation (c1 rows band/assign through
+    * the SAME derivation c2's index was built with — one pinned
+    * shuffle-hash id exchange, never an all-pairs join); SCORED reranks
+    * each probe's candidates by the family's exact measure (3-gram
+    * Jaccard / simhash similarity / exact cosine) and serves (pk,
+    * match_id, score, rank); the unscored form serves the first k
+    * candidate ids per probe (match_id ascending — the candidate-join
+    * shape, no exact measure computed). Per-probe top-k runs on the
+    * custom bounded-heap physical operator, so only winners shuffle.
+    * `PROBE p` widens the ivf assignment to the p nearest cells (band
+    * kinds have no probe geometry, like SIMILAR). `AT VERSION n` pins
+    * c2's snapshot (reproducible retrieval mining against a moving
+    * reference corpus). This is the retrieval-mining /
+    * RAG-pair-construction primitive DEDUP AGAINST's threshold funnel
+    * stops one step short of. */
+  final case class SimilarAgainst(container: String, against: String,
+      ix: Option[String], probe: Option[Int] = None, limit: Int = 10,
+      scored: Boolean = false, atVersion: Option[Int] = None) extends Stmt
 
   /** graft extension (round 14): eval-set decontamination — the third
     * curation commit next to DEDUP and DELETE ROWS. `DECONTAMINATE c
@@ -1701,7 +1725,8 @@ object Parser {
       fromTokens(body) match {
         case q @ (_: Search | _: SetOp | _: Match | _: Similar | _: Fuse |
                   _: Changes | _: ShowOverlap | _: ShowOverlapMatrix |
-                  _: ShowDedup | _: ShowDedupAgainst | _: ShowDecontaminate) =>
+                  _: ShowDedup | _: ShowDedupAgainst | _: SimilarAgainst |
+                  _: ShowDecontaminate) =>
           Explain(q, analyze)
         case other => throw new ParseException(
           s"EXPLAIN supports SEARCH/SET-OP/MATCH/SIMILAR/FUSE/CHANGES/" +
@@ -1827,6 +1852,25 @@ object Parser {
       val (at, ix, _, where, limit) = lookupTail("MATCH", rest,
         allowWhere = true)
       Match(name(containerTok), terms, ix, limit, at, where = where)
+
+    // SIMILAR c1 AGAINST c2 [AT VERSION n] [USING ix] [PROBE p]
+    // [LIMIT k] [SCORED] (round 16): the batch k-NN join — top-k c2
+    // matches for EVERY c1 row. Before the pk form (AGAINST is
+    // unreserved, the DEDUP AGAINST convention); a probe key followed
+    // by ON can never match this arm.
+    case Keyword("SIMILAR") :: cTok :: Str(ag) :: eTok :: rest
+        if ag.equalsIgnoreCase("AGAINST") =>
+      val (scoredFlag, tailToks) = rest.lastOption match {
+        case Some(Str(w)) if w.equalsIgnoreCase("SCORED") &&
+            !(rest.length >= 2 && rest(rest.length - 2) == Keyword("USING")) =>
+          (true, rest.init)
+        case _ => (false, rest)
+      }
+      val (at, ix, probe, where, limit) = lookupTail("SIMILAR AGAINST",
+        tailToks, allowProbe = true)
+      assert(where.isEmpty) // allowWhere not passed
+      SimilarAgainst(name(cTok), name(eTok), ix, probe, limit,
+        scoredFlag, at)
 
     // SIMILAR <pk> ON container [USING ix] [PROBE p] [LIMIT n] [SCORED]
     // (graft extension):

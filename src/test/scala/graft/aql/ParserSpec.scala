@@ -709,6 +709,35 @@ class ParserSpec extends AnyFunSuite {
       .asInstanceOf[Explain].query.isInstanceOf[ShowDedupAgainst])
   }
 
+  test("SIMILAR c1 AGAINST c2 — the batch k-NN join grammar (round 16)") {
+    assert(Parser.parse("SIMILAR corp AGAINST ref LIMIT 5")
+      == SimilarAgainst("corp", "ref", None, None, 5))
+    assert(Parser.parse("SIMILAR corp AGAINST ref USING nd LIMIT 3 SCORED")
+      == SimilarAgainst("corp", "ref", Some("nd"), None, 3, scored = true))
+    assert(Parser.parse("similar corp against ref using nd probe 4 limit 2 scored")
+      == SimilarAgainst("corp", "ref", Some("nd"), Some(4), 2, scored = true))
+    assert(Parser.parse("SIMILAR corp AGAINST ref AT VERSION 2 USING nd LIMIT 5")
+      == SimilarAgainst("corp", "ref", Some("nd"), None, 5,
+        atVersion = Some(2)))
+    // default limit mirrors the MATCH/SIMILAR tail
+    assert(Parser.parse("SIMILAR corp AGAINST ref")
+      == SimilarAgainst("corp", "ref", None, None, 20))
+    // directly after USING the word names an INDEX (the SCORED stance)
+    assert(Parser.parse("SIMILAR corp AGAINST ref USING scored SCORED")
+      == SimilarAgainst("corp", "ref", Some("scored"), None, 20, scored = true))
+    // the pk form keeps winning when ON is present
+    assert(Parser.parse("SIMILAR 5 ON against LIMIT 3")
+      .isInstanceOf[Similar])
+    intercept[ParseException](
+      Parser.parse("SIMILAR corp AGAINST ref PROBE 0 LIMIT 5"))
+    intercept[ParseException](
+      Parser.parse("SIMILAR corp AGAINST ref LIMIT 0"))
+    intercept[ParseException](
+      Parser.parse("SIMILAR corp AGAINST ref EXTRA"))
+    assert(Parser.parse("EXPLAIN SIMILAR corp AGAINST ref LIMIT 5 SCORED")
+      .asInstanceOf[Explain].query.isInstanceOf[SimilarAgainst])
+  }
+
   test("DELETE ROWS parses a (SEARCH …) subquery onto a container") {
     val s = Parser.parse("DELETE ROWS (SEARCH [id] ON a WHERE v > 3) ON c")
       .asInstanceOf[DeleteRows]
