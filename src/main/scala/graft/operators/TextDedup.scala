@@ -516,14 +516,18 @@ object TextDedup {
     * AGAINST oracle recompute. No id inequality: ids are never compared
     * across containers, so a doc verbatim-present in both sides is a
     * score-1 match (the cross-source curation semantics). */
-  private[graft] val duckCrossLshCtes: String =
+  /** As [[duckCrossLshCtes]] with an explicit reference-side predicate
+    * over `documents` — the AT VERSION oracle rows recompute the funnel
+    * against DIFFERENT committed slices of the reference container
+    * (round 16). */
+  private[graft] def duckCrossLshCtesFor(refPred: String): String =
     s"""WITH RECURSIVE ${duckShinglesFrom("documents")},
        |$duckSignatures,
        |$duckBands,
        |xpairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |           FROM bands a JOIN bands b
        |             ON a.band = b.band AND a.bk = b.bk
-       |           JOIN (SELECT doc_id FROM documents WHERE source = 'src0') s
+       |           JOIN (SELECT doc_id FROM documents WHERE $refPred) s
        |             ON s.doc_id = b.doc_id),
        |xscored AS (SELECT p.id_a, p.id_b,
        |        round(CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
@@ -532,6 +536,9 @@ object TextDedup {
        |      JOIN shing sa ON sa.doc_id = p.id_a
        |      JOIN shing sb ON sb.doc_id = p.id_b),
        |xv AS (SELECT * FROM xscored WHERE score >= 0.2)""".stripMargin
+
+  private[graft] val duckCrossLshCtes: String =
+    duckCrossLshCtesFor("source = 'src0'")
 
   // ---- SimHash: 32-bit signature from token md5 nibbles. ------------------
   // Bit i of token-hash = bit (3 - i%4) of hex digit i/4 of md5(token).

@@ -220,6 +220,38 @@ class CrossDedupSpec extends AnyFunSuite {
       "the band join must pin shuffle-hash")
   }
 
+  test("AT VERSION pins the reference: rows c2 gains after the pinned " +
+      "version are invisible to report, DOCS and apply (round 16)") {
+    val eng = fixture("xver")
+    val v1 = eng.catalog.currentVersion("ref")
+    def matched(stmt: String): Long =
+      eng.execute(stmt).asInstanceOf[Engine.ResultSet].df
+        .collect().head.getLong(2)
+    val pinned1 = matched(s"SHOW DEDUP corp AGAINST ref AT VERSION $v1 USING nd")
+    assert(pinned1 == 3L, s"baseline matched_docs $pinned1")
+    // ref gains a verbatim copy of corp doc 3's text — the current
+    // report sees 4 matches, the pinned one must stay at 3
+    eng.execute("CREATE ROW ['doc_id','text'] [102, 'completely unrelated " +
+      "content about spark catalyst planning'] ON ref")
+    eng.execute("COMMIT ref")
+    assert(matched("SHOW DEDUP corp AGAINST ref USING nd") == 4L)
+    assert(matched(s"SHOW DEDUP corp AGAINST ref AT VERSION $v1 USING nd") == 3L,
+      "pinned report drifted with the reference")
+    // the DOCS detail at the pin excludes doc 3 too
+    val docs = eng.execute(
+      s"SHOW DEDUP corp AGAINST ref AT VERSION $v1 USING nd DOCS")
+      .asInstanceOf[Engine.ResultSet].df.collect().map(_.getLong(0)).toSet
+    assert(docs == Set(1L, 2L, 4L), docs.toString)
+    // the APPLIED decision honors the pin: doc 3 survives
+    eng.execute(s"DEDUP corp AGAINST ref AT VERSION $v1 USING nd")
+    val kept = eng.execute("SEARCH [doc_id] ON corp")
+      .asInstanceOf[Engine.ResultSet].df.collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L), kept.toString)
+    // uncommitted versions refuse loudly
+    intercept[ParseException](eng.execute(
+      "SHOW DEDUP corp AGAINST ref AT VERSION 99 USING nd"))
+  }
+
   test("verify computes ∝ candidates: each side semi-joins to the pair " +
       "ids BELOW the shingle derivation (round 16, r15 judge #3)") {
     val eng = fixture("prune")

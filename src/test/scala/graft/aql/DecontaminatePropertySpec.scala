@@ -294,4 +294,40 @@ class DecontaminatePropertySpec extends AnyFunSuite {
       .asInstanceOf[Engine.Done].message
     assert(!ex1.contains("broadcast hint dropped"))
   }
+
+  test("AT VERSION pins the eval container: grams an eval suite gains " +
+      "later are invisible to the pinned run (round 16)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dc-atv")
+    val eng = new Engine(spark, dir.toString)
+    import spark.implicits._
+    eng.execute("CREATE CONTAINER avc ['doc_id','body'] [BIGINT, TEXT]")
+    eng.catalog.overwrite("avc", Seq(
+      (1L, "alpha beta gamma delta"), // contaminated only by the v2 eval
+      (2L, "epsilon zeta eta theta")) // never contaminated
+      .toDF("doc_id", "body"))
+    eng.execute("CREATE CONTAINER ave ['doc_id','body'] [BIGINT, TEXT]")
+    eng.catalog.overwrite("ave",
+      Seq((10L, "iota kappa lambda mu")).toDF("doc_id", "body")) // v1
+    val v1 = eng.catalog.currentVersion("ave")
+    def contaminated(stmt: String): Long =
+      eng.execute(stmt).asInstanceOf[Engine.ResultSet].df
+        .collect().head.getLong(2)
+    assert(contaminated("SHOW DECONTAMINATE avc AGAINST ave ON body") == 0L)
+    // the eval suite GROWS: v2 gains doc 1's exact text
+    eng.catalog.append("ave",
+      Seq((11L, "alpha beta gamma delta")).toDF("doc_id", "body")) // v2
+    assert(contaminated("SHOW DECONTAMINATE avc AGAINST ave ON body") == 1L,
+      "current run must see the grown eval suite")
+    assert(contaminated(
+      s"SHOW DECONTAMINATE avc AGAINST ave ON body AT VERSION $v1") == 0L,
+      "pinned run drifted with the eval container")
+    // the APPLIED statement honors the pin: nothing removed at v1
+    val msg = eng.execute(
+      s"DECONTAMINATE avc AGAINST ave ON body AT VERSION $v1")
+      .asInstanceOf[Engine.Done].message
+    assert(msg.contains("nothing removed"), msg)
+    // uncommitted versions refuse loudly
+    intercept[ParseException](eng.execute(
+      "SHOW DECONTAMINATE avc AGAINST ave ON body AT VERSION 99"))
+  }
 }

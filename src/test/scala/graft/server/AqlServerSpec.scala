@@ -318,6 +318,48 @@ class AqlServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq("w15", "w15r").foreach(c => assert(post(s"DELETE CONTAINER $c")._1 == 200))
   }
 
+  test("round-16 statements reach the wire surface: SIMILAR AGAINST, " +
+      "AT VERSION reference pins, english analyzer index") {
+    assert(post("CREATE CONTAINER w16 ['doc_id','body'] [BIGINT, TEXT]")._1 == 200)
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    assert(post(s"CREATE ROW ['doc_id','body'] [1,'$base'] ON w16")._1 == 200)
+    assert(post("CREATE ROW ['doc_id','body'] [2,'spark engine parses big queries fast ok yes'] ON w16")._1 == 200)
+    assert(post("COMMIT w16")._1 == 200)
+    assert(post("CREATE CONTAINER w16r ['rid','body'] [BIGINT, TEXT]")._1 == 200)
+    assert(post(s"CREATE ROW ['rid','body'] [9,'$base'] ON w16r")._1 == 200)
+    assert(post("COMMIT w16r")._1 == 200)
+    assert(post("CREATE INDEX nd ON w16r ['body'] USING lsh")._1 == 200)
+    // the batch k-NN join, unscored and SCORED
+    val (kc, kb) = post("SIMILAR w16 AGAINST w16r USING nd LIMIT 3")
+    assert(kc == 200 && kb.contains(""""match_id""""), kb)
+    val (sc, sb) = post("SIMILAR w16 AGAINST w16r USING nd LIMIT 3 SCORED")
+    assert(sc == 200 && sb.contains(""""score"""") &&
+      sb.contains(""""rank""""), sb)
+    assert(post("SIMILAR w16 AGAINST w16 LIMIT 3")._1 == 400) // self
+    assert(post("SIMILAR w16 AGAINST w16r USING nd PROBE 2 LIMIT 3")
+      ._1 == 400) // PROBE on a band index
+    // AT VERSION pins on the cross statements (bad version → clean 400)
+    assert(post(
+      "SHOW DEDUP w16 AGAINST w16r AT VERSION 1 USING nd")._1 == 200)
+    assert(post(
+      "SHOW DEDUP w16 AGAINST w16r AT VERSION 99 USING nd")._1 == 400)
+    assert(post(
+      "SIMILAR w16 AGAINST w16r AT VERSION 1 USING nd LIMIT 3")._1 == 200)
+    assert(post(
+      "SHOW DECONTAMINATE w16 AGAINST w16r ON body AT VERSION 1")._1 == 200)
+    assert(post(
+      "DECONTAMINATE w16 AGAINST w16r ON body AT VERSION 99")._1 == 400)
+    // english analyzer through the DDL + MATCH surface: morphology
+    // unifies ('jumping' probes the stemmed 'jump' postings)
+    assert(post("CREATE INDEX fte ON w16 ['body'] USING text ANALYZER english")
+      ._1 == 200)
+    val (mc, mb) = post("MATCH ['jumping'] ON w16 USING fte LIMIT 5")
+    assert(mc == 200 && mb.contains("[[1,"), mb)
+    val (ic, ib) = post("SHOW INDEXES w16")
+    assert(ic == 200 && ib.contains("text english"), ib)
+    Seq("w16", "w16r").foreach(c => assert(post(s"DELETE CONTAINER $c")._1 == 200))
+  }
+
   test("round-7 statements reach the wire surface: ANALYZE, SHOW STATS, RESTORE") {
     assert(post("CREATE CONTAINER webs ['id','tag'] [BIGINT, SMALL-STRING]")._1 == 200)
     assert(post("CREATE ROW ['id','tag'] [1,'keep'] ON webs")._1 == 200)
