@@ -527,7 +527,11 @@ object Ast {
     * "near-dup of WHAT"). */
   final case class ShowDedupAgainst(container: String, against: String,
       ix: Option[String], threshold: Option[Double] = None,
-      docs: Boolean = false, atVersion: Option[Int] = None) extends Stmt
+      docs: Boolean = false, atVersion: Option[Int] = None,
+      /** `PROBE p` (round 16) — widen the ivf cross assignment to the p
+        * nearest cells (the r15 advisor's nearest-cell-only recall
+        * bound, now a dial like SIMILAR's). */
+      probe: Option[Int] = None) extends Stmt
 
   /** The cross-container decision APPLIED: `DEDUP c1 AGAINST c2` removes
     * from c1, in ONE atomic published version, every doc with a verified
@@ -535,7 +539,8 @@ object Ast {
     * the same knobs is the dry run from the SAME funnel. */
   final case class DedupAgainst(container: String, against: String,
       ix: Option[String], threshold: Option[Double] = None,
-      atVersion: Option[Int] = None) extends Stmt
+      atVersion: Option[Int] = None,
+      probe: Option[Int] = None) extends Stmt
 
   /** graft extension (round 16): the BATCH k-NN join — for EVERY row of
     * c1, the top-k nearest rows of c2, served through c2's committed
@@ -780,15 +785,27 @@ object Parser {
     case tl => (None, tl)
   }
 
-  /** The `[USING ix] [THRESHOLD t]` tail SHOW DEDUP and DEDUP share —
-    * THRESHOLD is unreserved (a bare word, like STATS/PROBE). */
-  private def dedupKnobs(toks: List[Token],
-      expected: String): (Option[String], Option[Double]) = {
+  /** The `[USING ix] [PROBE p] [THRESHOLD t]` tail SHOW DEDUP and DEDUP
+    * share — THRESHOLD/PROBE are unreserved (bare words, like STATS).
+    * `allowProbe` (round 16): the CROSS forms take the ivf multiprobe
+    * recall knob (the r15 advisor's nearest-cell-only recall bound,
+    * now widenable); the within-container forms do not (their funnel is
+    * the band self-join, no probe geometry). */
+  private def dedupKnobs(toks: List[Token], expected: String,
+      allowProbe: Boolean = false): (Option[String], Option[Double], Option[Int]) = {
     val (ix, afterIx) = toks match {
       case Keyword("USING") :: ixTok :: tl => (Some(name(ixTok)), tl)
       case tl => (None, tl)
     }
-    val thr = afterIx match {
+    val (probe, afterProbe) = afterIx match {
+      case Str(pw) :: IntLit(p) :: tl
+          if allowProbe && pw.equalsIgnoreCase("PROBE") =>
+        if (p < 1 || p > 4096) throw new ParseException(
+          "PROBE must be in [1, 4096]") // the `USING ivf <k>` DDL ceiling
+        (Some(p.toInt), tl)
+      case tl => (None, tl)
+    }
+    val thr = afterProbe match {
       case Nil => None
       case Str(tw) :: t :: Nil if tw.equalsIgnoreCase("THRESHOLD") =>
         val v = t match {
@@ -803,7 +820,7 @@ object Parser {
       case other => throw new ParseException(
         s"Expected `$expected`, got ${other.mkString(" ")}")
     }
-    (ix, thr)
+    (ix, thr, probe)
   }
 
   /** The `[GRAMS n] [THRESHOLD t] | [USING SPANS n]` knob tail of
@@ -1437,10 +1454,11 @@ object Parser {
           (true, afterAt.init)
         case _ => (false, afterAt)
       }
-      val (ix, thr) = dedupKnobs(knobToks,
-        "SHOW DEDUP c1 AGAINST c2 [AT VERSION n] [USING ix] [THRESHOLD t] [DOCS]")
+      val (ix, thr, probe) = dedupKnobs(knobToks,
+        "SHOW DEDUP c1 AGAINST c2 [AT VERSION n] [USING ix] [PROBE p] " +
+          "[THRESHOLD t] [DOCS]", allowProbe = true)
       ShowDedupAgainst(name(cTok), name(eTok), ix, thr, docs = docsFlag,
-        atVersion = at)
+        atVersion = at, probe = probe)
 
     case Keyword("SHOW") :: Str(w) :: cTok :: rest if w.equalsIgnoreCase("DEDUP") =>
       val (at, afterAt) = rest match {
@@ -1463,7 +1481,7 @@ object Parser {
           (true, afterAt.init)
         case _ => (false, afterAt)
       }
-      val (ix, thr) = dedupKnobs(knobToks,
+      val (ix, thr, _) = dedupKnobs(knobToks,
         "SHOW DEDUP c [AT VERSION n] [USING ix] [THRESHOLD t] [CLUSTERS]")
       ShowDedup(name(cTok), ix, thr, at, clustersFlag)
 
@@ -1472,15 +1490,17 @@ object Parser {
     case Str(w) :: cTok :: Str(ag) :: eTok :: rest
         if w.equalsIgnoreCase("DEDUP") && ag.equalsIgnoreCase("AGAINST") =>
       val (at, afterAt) = atVersionPrefix(rest, "DEDUP AGAINST")
-      val (ix, thr) = dedupKnobs(afterAt,
-        "DEDUP c1 AGAINST c2 [AT VERSION n] [USING ix] [THRESHOLD t]")
-      DedupAgainst(name(cTok), name(eTok), ix, thr, atVersion = at)
+      val (ix, thr, probe) = dedupKnobs(afterAt,
+        "DEDUP c1 AGAINST c2 [AT VERSION n] [USING ix] [PROBE p] " +
+          "[THRESHOLD t]", allowProbe = true)
+      DedupAgainst(name(cTok), name(eTok), ix, thr, atVersion = at,
+        probe = probe)
 
     // DEDUP c [USING ix] [THRESHOLD t] (graft extension, round 13): the
     // funnel's decision APPLIED — remove every verified near-dup cluster
     // member but its keeper, one atomic version. DEDUP is not reserved.
     case Str(w) :: cTok :: rest if w.equalsIgnoreCase("DEDUP") =>
-      val (ix, thr) = dedupKnobs(rest, "DEDUP c [USING ix] [THRESHOLD t]")
+      val (ix, thr, _) = dedupKnobs(rest, "DEDUP c [USING ix] [THRESHOLD t]")
       DedupContainer(name(cTok), ix, thr)
 
     // SHOW DECONTAMINATE c AGAINST e ON col [THRESHOLD t] (round 14):

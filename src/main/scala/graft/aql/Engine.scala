@@ -582,7 +582,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           s"DEDUP on '${dd.container}' with staged ops — COMMIT or " +
             "ROLLBACK first")
       val f = crossDedupFunnel(dd.container, dd.against, dd.ix,
-        dd.threshold, "DEDUP", atVersion = dd.atVersion)
+        dd.threshold, "DEDUP", probe = dd.probe.getOrElse(1),
+        atVersion = dd.atVersion)
       val losers = f.scored.select(col("id_a").as("doc_id")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -2941,7 +2942,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     * execute and EXPLAIN, like [[showDecontaminateDf]]. */
   private def showDedupAgainstDf(sd: Ast.ShowDedupAgainst): (DataFrame, Boolean) = {
     val f = crossDedupFunnel(sd.container, sd.against, sd.ix, sd.threshold,
-      "SHOW DEDUP", atVersion = sd.atVersion)
+      "SHOW DEDUP", probe = sd.probe.getOrElse(1), atVersion = sd.atVersion)
     if (sd.docs) {
       // the removal detail: per c1 doc, how many verified c2 matches
       // and the best score — exactly the docs DEDUP AGAINST deletes

@@ -220,6 +220,47 @@ class CrossDedupSpec extends AnyFunSuite {
       "the band join must pin shuffle-hash")
   }
 
+  test("PROBE widens the ivf cross assignment: a near-dup in the " +
+      "ADJACENT cell is reachable only at PROBE 2 (round 16, r15 advisor)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-xd-probe")
+    val eng = new Engine(spark, dir.toString)
+    import spark.implicits._
+    def vec(x: Float, y: Float): Array[Byte] =
+      graft.functions.Float32Unpack.pack(Seq(x, y))
+    // c2: two seed cells — (1,0) and (0,1) — plus a row at (0.8, 0.6)
+    // that ASSIGNS to cell A (d2 0.4 vs 0.8) while the probe below
+    // assigns to cell B
+    eng.execute("CREATE CONTAINER vr ['vid','emb'] [BIGINT, MEDIUM-BYTES]")
+    eng.catalog.overwrite("vr", Seq(
+      (0L, vec(1f, 0f)), (1L, vec(0f, 1f)), (2L, vec(0.8f, 0.6f)))
+      .toDF("vid", "emb"))
+    eng.execute("CREATE INDEX axx ON vr ['emb'] USING ivf 2")
+    // c1: one probe at (0.6, 0.8) — cell B (d2 0.4 to (0,1) vs 0.8 to
+    // (1,0)); cosine to row 2 is 0.96, to row 1 is 0.8
+    eng.execute("CREATE CONTAINER vq ['vid','emb'] [BIGINT, MEDIUM-BYTES]")
+    eng.catalog.overwrite("vq", Seq((10L, vec(0.6f, 0.8f))).toDF("vid", "emb"))
+    def matched(stmt: String): Long =
+      eng.execute(stmt).asInstanceOf[Engine.ResultSet].df
+        .collect().head.getLong(2)
+    // PROBE 1 (default): only cell B's row 1 is a candidate — cosine
+    // 0.8 < 0.95, no match; the EXPLAIN states the recall bound
+    assert(matched("SHOW DEDUP vq AGAINST vr USING axx THRESHOLD 0.95") == 0L)
+    val ex = eng.execute("EXPLAIN SHOW DEDUP vq AGAINST vr USING axx " +
+      "THRESHOLD 0.95").asInstanceOf[Engine.Done].message
+    assert(ex.contains("1 nearest-centroid cell"), ex.takeRight(400))
+    // PROBE 2: the adjacent cell's row 2 verifies at 0.96 >= 0.95
+    assert(matched(
+      "SHOW DEDUP vq AGAINST vr USING axx PROBE 2 THRESHOLD 0.95") == 1L)
+    // the applied decision honors the widened probe
+    eng.execute("DEDUP vq AGAINST vr USING axx PROBE 2 THRESHOLD 0.95")
+    assert(eng.execute("SEARCH [vid] ON vq")
+      .asInstanceOf[Engine.ResultSet].df.count() == 0L)
+    // PROBE past the trained cell count refuses; PROBE on a band index
+    // refuses at the funnel (covered by SimilarAgainstSpec's guard)
+    intercept[ParseException](eng.execute(
+      "SHOW DEDUP vq AGAINST vr USING axx PROBE 3 THRESHOLD 0.95"))
+  }
+
   test("AT VERSION pins the reference: rows c2 gains after the pinned " +
       "version are invisible to report, DOCS and apply (round 16)") {
     val eng = fixture("xver")

@@ -707,6 +707,21 @@ class ParserSpec extends AnyFunSuite {
     // EXPLAIN covers the cross form
     assert(Parser.parse("EXPLAIN SHOW DEDUP corp AGAINST ref")
       .asInstanceOf[Explain].query.isInstanceOf[ShowDedupAgainst])
+    // round 16: AT VERSION pins the reference; PROBE widens the ivf
+    // cross assignment (cross forms only)
+    assert(Parser.parse("SHOW DEDUP corp AGAINST ref AT VERSION 3 USING nd")
+      == ShowDedupAgainst("corp", "ref", Some("nd"), None, atVersion = Some(3)))
+    assert(Parser.parse("SHOW DEDUP corp AGAINST ref USING nd PROBE 2 THRESHOLD 0.9")
+      == ShowDedupAgainst("corp", "ref", Some("nd"), Some(0.9), probe = Some(2)))
+    assert(Parser.parse("DEDUP corp AGAINST ref AT VERSION 2 USING nd PROBE 4")
+      == DedupAgainst("corp", "ref", Some("nd"), None, atVersion = Some(2),
+        probe = Some(4)))
+    intercept[ParseException](
+      Parser.parse("SHOW DEDUP corp AGAINST ref PROBE 0"))
+    intercept[ParseException](
+      Parser.parse("SHOW DEDUP corp AGAINST ref AT VERSION 0"))
+    // the within-container forms take no PROBE (no probe geometry)
+    intercept[ParseException](Parser.parse("DEDUP corp USING nd PROBE 2"))
   }
 
   test("SIMILAR c1 AGAINST c2 — the batch k-NN join grammar (round 16)") {
