@@ -563,7 +563,16 @@ object Ast {
     * stops one step short of. */
   final case class SimilarAgainst(container: String, against: String,
       ix: Option[String], probe: Option[Int] = None, limit: Int = 10,
-      scored: Boolean = false, atVersion: Option[Int] = None) extends Stmt
+      scored: Boolean = false, atVersion: Option[Int] = None,
+      /** `WHERE pred` (round 16) — the filtered batch k-NN join: the
+        * predicate binds to the REFERENCE container's columns and
+        * filters which c2 rows may match, BEFORE each probe's top-k
+        * ("top-k nearest English reference docs"). Unlike filtered
+        * SIMILAR there is no per-probe widening loop — the batch form
+        * cannot iterate per c1 row — so a selective predicate can
+        * under-fill a probe's k; PROBE is the recall dial and the
+        * Access Path names the bound. */
+      where: Option[Where] = None) extends Stmt
 
   /** graft extension (round 14): eval-set decontamination — the third
     * curation commit next to DEDUP and DELETE ROWS. `DECONTAMINATE c
@@ -1918,10 +1927,9 @@ object Parser {
         case _ => (false, rest)
       }
       val (at, ix, probe, where, limit) = lookupTail("SIMILAR AGAINST",
-        tailToks, allowProbe = true)
-      assert(where.isEmpty) // allowWhere not passed
+        tailToks, allowProbe = true, allowWhere = true)
       SimilarAgainst(name(cTok), name(eTok), ix, probe, limit,
-        scoredFlag, at)
+        scoredFlag, at, where)
 
     // SIMILAR <pk> ON container [USING ix] [PROBE p] [LIMIT n] [SCORED]
     // (graft extension):

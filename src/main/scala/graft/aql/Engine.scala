@@ -2912,13 +2912,39 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       thrOpt = Some(-1.0), what = "SIMILAR",
       probe = sa.probe.getOrElse(1), atVersion = sa.atVersion)
     val pk = catalog.get(sa.container).primaryKey
+    // WHERE (round 16 — the filtered batch k-NN join): the predicate
+    // binds to the REFERENCE container's columns and semi-joins the
+    // match side to the pushed-filter reference snapshot BEFORE each
+    // probe's top-k — "top-k nearest c2 rows where pred". No per-probe
+    // widening loop exists in the batch form (it cannot iterate per c1
+    // row), so a selective predicate can under-fill a probe's k even
+    // when matches exist in un-probed cells — PROBE is the recall dial;
+    // the note names the bound honestly (the band-SIMILAR stance).
+    val keepMatch: DataFrame => DataFrame = sa.where match {
+      case None => identity
+      case Some(w) =>
+        val d2 = catalog.get(sa.against)
+        val pred = lowerWhere(w, d2)
+        val refSnap = sa.atVersion
+          .map(v => catalog.readVersion(sa.against, v))
+          .getOrElse(catalog.read(sa.against))
+        note("similar against filtered: WHERE binds to the REFERENCE " +
+          "container and filters matches before each probe's top-" +
+          s"${sa.limit}; the batch form has no per-probe widening " +
+          "loop, so a selective predicate can under-fill a probe " +
+          "(PROBE is the recall dial)")
+        df => df.join(
+          refSnap.filter(pred)
+            .select(col(d2.primaryKey).as("_sa_keep")),
+          col("id_b") === col("_sa_keep"), "left_semi")
+    }
     import org.apache.spark.sql.expressions.Window
     if (sa.scored) {
       note(s"similar against: per-probe top-${sa.limit} by exact " +
         s"${f.idef.kind} measure on the bounded-heap operator — only " +
         "winners shuffle")
       val top = graft.plans.TopK.perGroup(
-        f.scored.select(col("id_a"), col("id_b"), col("score")),
+        keepMatch(f.scored.select(col("id_a"), col("id_b"), col("score"))),
         Seq("id_a"), Seq("score" -> false, "id_b" -> true), sa.limit)
       val w = Window.partitionBy(col("id_a"))
         .orderBy(col("score").desc, col("id_b"))
@@ -2929,7 +2955,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     } else {
       note(s"similar against: per-probe first ${sa.limit} candidate " +
         "id(s) (match_id asc) — no exact measure computed")
-      val top = graft.plans.TopK.perGroup(f.pairs,
+      val top = graft.plans.TopK.perGroup(keepMatch(f.pairs),
         Seq("id_a"), Seq("id_b" -> true), sa.limit)
       val w = Window.partitionBy(col("id_a")).orderBy(col("id_b"))
       top.withColumn("rank", row_number().over(w))

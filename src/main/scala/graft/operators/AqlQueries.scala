@@ -2232,6 +2232,24 @@ object AqlQueries {
       search("SIMILAR documents AGAINST docs_xe USING ndx LIMIT 3 SCORED")(s, dir)
     },
 
+    // ...the FILTERED batch k-NN join (round 16): WHERE binds to the
+    // REFERENCE container and gates which c2 rows may match, before
+    // each probe's top-k — "top-k nearest reference docs where pred".
+    // The oracle restricts the scored candidates to the predicate's
+    // id set and re-ranks; rank is dense within the filtered set.
+    Q("aql_similar_against_where",
+      s"""${TextDedup.duckCrossLshCtes}
+         |SELECT doc_id, match_id, score, rank FROM (
+         |  SELECT id_a AS doc_id, id_b AS match_id, score,
+         |         row_number() OVER (PARTITION BY id_a
+         |                            ORDER BY score DESC, id_b) AS rank
+         |  FROM xscored WHERE id_b <= 150)
+         |WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
+      search("SIMILAR documents AGAINST docs_xe USING ndx " +
+        "WHERE doc_id <= 150 LIMIT 3 SCORED")(s, dir)
+    },
+
     // ANALYZER on a band index (round 15): the dedup funnel over the
     // PUNCTUATED corpus through an lsh index whose shingles derive from
     // the standard token stream — near-dup detection survives the

@@ -133,6 +133,32 @@ class SimilarAgainstSpec extends AnyFunSuite {
       "SIMILAR vq AGAINST vref USING annr PROBE 5 LIMIT 10 SCORED"))
   }
 
+  test("WHERE binds to the reference: filtered batch k-NN gates matches " +
+      "before each probe's top-k (round 16)") {
+    val eng = fixture("where")
+    // WHERE doc_id > 100 keeps only ref 101: doc 1/2 lose their only
+    // match (ref 100) and drop out entirely; doc 4 keeps ref 101
+    val got = rows(eng,
+      "SIMILAR corp AGAINST ref USING nd WHERE doc_id > 100 LIMIT 5 SCORED")
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.toSeq == Seq((4L, 101L, 1.0, 1)), got.toSeq.toString)
+    // rank is dense WITHIN the filtered set (re-ranked, not gapped)
+    assert(got.forall(_._4 == 1))
+    // the unscored form filters the candidate join the same way
+    val uf = rows(eng,
+      "SIMILAR corp AGAINST ref USING nd WHERE doc_id > 100 LIMIT 5")
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uf == Set((4L, 101L)), uf.toString)
+    // the Access Path names the no-widening recall bound
+    val ex = eng.execute("EXPLAIN SIMILAR corp AGAINST ref USING nd " +
+      "WHERE doc_id > 100 LIMIT 5 SCORED")
+      .asInstanceOf[Engine.Done].message
+    assert(ex.contains("no per-probe widening"), ex.takeRight(400))
+    // a predicate over a column c2 lacks refuses loudly
+    intercept[Exception](rows(eng,
+      "SIMILAR corp AGAINST ref USING nd WHERE nosuch = 1 LIMIT 5"))
+  }
+
   test("guards + plan shape: no all-pairs exchange, bounded-heap top-k") {
     val eng = fixture("plan")
     // PROBE on a band index refuses (no cell geometry)

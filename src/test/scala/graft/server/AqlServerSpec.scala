@@ -335,6 +335,9 @@ class AqlServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (sc, sb) = post("SIMILAR w16 AGAINST w16r USING nd LIMIT 3 SCORED")
     assert(sc == 200 && sb.contains(""""score"""") &&
       sb.contains(""""rank""""), sb)
+    // the filtered form: WHERE binds to the reference container
+    assert(post("SIMILAR w16 AGAINST w16r USING nd WHERE rid > 100 " +
+      "LIMIT 3 SCORED")._1 == 200)
     assert(post("SIMILAR w16 AGAINST w16 LIMIT 3")._1 == 400) // self
     assert(post("SIMILAR w16 AGAINST w16r USING nd PROBE 2 LIMIT 3")
       ._1 == 400) // PROBE on a band index
