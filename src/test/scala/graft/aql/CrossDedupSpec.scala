@@ -220,6 +220,43 @@ class CrossDedupSpec extends AnyFunSuite {
       "the band join must pin shuffle-hash")
   }
 
+  test("ANALYZER english on a band index: stop-word noise and " +
+      "morphology vanish from the cross funnel (round 16)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-xd-en")
+    val eng = new Engine(spark, dir.toString)
+    import spark.implicits._
+    val refT = "dogs were running quickly across wide fields today near rivers banks here ok"
+    // the corpus twin differs ONLY by injected stop words — its english
+    // token stream (stop-filtered, stemmed) is IDENTICAL to refT's, so
+    // the english funnel sees a verbatim match at Jaccard 1.0
+    val corpT = "the dogs were running quickly across a wide fields today near the rivers banks here ok"
+    eng.execute("CREATE CONTAINER eref ['doc_id','text'] [BIGINT, TEXT]")
+    eng.catalog.overwrite("eref", Seq((100L, refT)).toDF("doc_id", "text"))
+    eng.execute("CREATE INDEX nde ON eref ['text'] USING lsh ANALYZER english")
+    eng.execute("CREATE INDEX ndw ON eref ['text'] USING lsh") // whitespace
+    eng.execute("CREATE CONTAINER ecorp ['doc_id','text'] [BIGINT, TEXT]")
+    eng.catalog.overwrite("ecorp", Seq(
+      (1L, corpT),
+      (2L, "unrelated text about catalyst planner rules and codegen paths ok"))
+      .toDF("doc_id", "text"))
+    // sanity: the two analyzed streams really are identical
+    assert(graft.operators.Analyzer.tokensOf(refT,
+        graft.operators.Analyzer.English)
+      == graft.operators.Analyzer.tokensOf(corpT,
+        graft.operators.Analyzer.English))
+    val en = eng.execute("SHOW DEDUP ecorp AGAINST eref USING nde DOCS")
+      .asInstanceOf[Engine.ResultSet].df.collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(en.toSeq == Seq((1L, 1.0)), s"english funnel: ${en.toSeq}")
+    // the whitespace index on the SAME reference sees different
+    // shingles ('the dogs were' vs 'dogs were running') — the near-dup
+    // may still collide on some band, but never at score 1
+    val ws = eng.execute("SHOW DEDUP ecorp AGAINST eref USING ndw DOCS")
+      .asInstanceOf[Engine.ResultSet].df.collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(ws.forall(_._2 < 1.0), s"whitespace must not see a verbatim: ${ws.toSeq}")
+  }
+
   test("PROBE widens the ivf cross assignment: a near-dup in the " +
       "ADJACENT cell is reachable only at PROBE 2 (round 16, r15 advisor)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-xd-probe")

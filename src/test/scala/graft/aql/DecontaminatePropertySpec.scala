@@ -295,6 +295,47 @@ class DecontaminatePropertySpec extends AnyFunSuite {
     assert(!ex1.contains("broadcast hint dropped"))
   }
 
+  test("ANALYZER english: stemming + stop removal unify the measure's " +
+      "grams across morphology (round 16)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dc-en")
+    val eng = new Engine(spark, dir.toString)
+    import spark.implicits._
+    // corpus doc phrases the eval suite in a DIFFERENT surface form:
+    // stop words injected, inflections changed — whitespace and even
+    // standard grams never collide, english grams do
+    eng.execute("CREATE CONTAINER enc ['doc_id','body'] [BIGINT, TEXT]")
+    eng.catalog.overwrite("enc", Seq(
+      (1L, "the dogs were running quickly across a wide field today"),
+      (2L, "unrelated words about spark catalyst planner rules here"))
+      .toDF("doc_id", "body"))
+    eng.execute("CREATE CONTAINER ene ['doc_id','body'] [BIGINT, TEXT]")
+    // english-analyzed eval stream: [dog were run quickli across wide]
+    // — 'dog were run quickli' is a shared 4-gram with doc 1's
+    // [dog were run quickli across wide field todai]
+    eng.catalog.overwrite("ene",
+      Seq((10L, "dog were run quickli across wide")).toDF("doc_id", "body"))
+    def contaminated(knobs: String): Long = eng.execute(
+      s"SHOW DECONTAMINATE enc AGAINST ene ON body$knobs")
+      .asInstanceOf[Engine.ResultSet].df.collect().head.getLong(2)
+    assert(contaminated("") == 0L, "surface-form grams must not collide")
+    assert(contaminated(" ANALYZER standard") == 0L,
+      "standard grams keep stop words and inflections — no collision")
+    assert(contaminated(" ANALYZER english") == 1L,
+      "stemmed stop-free grams must collide")
+    // the driver-twin recompute agrees: doc 1's english gram set
+    // contains the eval suite's first 4-gram
+    val docGrams = graft.operators.Analyzer
+      .tokensOf("the dogs were running quickly across a wide field today",
+        graft.operators.Analyzer.English)
+      .sliding(4).map(_.mkString(" ")).toSet
+    val evalGrams = graft.operators.Analyzer
+      .tokensOf("dog were run quickli across wide",
+        graft.operators.Analyzer.English)
+      .sliding(4).map(_.mkString(" ")).toSet
+    assert(docGrams.intersect(evalGrams).nonEmpty,
+      s"model disagrees: $docGrams vs $evalGrams")
+  }
+
   test("AT VERSION pins the eval container: grams an eval suite gains " +
       "later are invisible to the pinned run (round 16)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dc-atv")

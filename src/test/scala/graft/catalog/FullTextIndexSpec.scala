@@ -350,5 +350,21 @@ class FullTextIndexSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(kinds("fte") == "text english", kinds.toString)
     assert(kinds("fts") == "text standard", kinds.toString)
+
+    // PHRASE adjacency runs over the ANALYZED stream (the r15 position
+    // contract, now with stop removal + stemming): the query 'dog
+    // running' analyzes to [dog, run] and matches doc 1 — non-adjacent
+    // in the SURFACE text ('was' sits between, but stop removal closes
+    // the gap: [dog run fast through park]) — doc 2 ('runs' stems to
+    // 'run') and doc 3 ([run dog run] positions 2,3); 'dog fast' never
+    // matches ('run' sits between in every analyzed stream)
+    val hit = Index.phraseLookup(cat, "docs",
+        cat.indexDefs("docs").find(_.ix == "fte").get, Seq("dog", "running"))
+      .collect().map(_.getLong(0)).toSet
+    assert(hit == Set(1L, 2L, 3L), s"analyzed-adjacent phrase: $hit")
+    val miss = Index.phraseLookup(cat, "docs",
+        cat.indexDefs("docs").find(_.ix == "fte").get, Seq("dog", "fast"))
+      .collect().map(_.getLong(0)).toSet
+    assert(miss.isEmpty, s"non-adjacent must not phrase-match: $miss")
   }
 }
