@@ -385,12 +385,11 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
       .getOrElse(sys.error(s"No index '$ix' on '$name'"))
     require(nprobe == 1 || d.kind == "ivf",
       s"nprobe applies to ivf indexes only; '$ix' is a ${d.kind} index")
-    require(selfExclude || d.kind == "lsh" || d.kind == "simhash",
-      "selfExclude=false serves literal band probes only")
     d.kind match {
       case "lsh" => Index.lshLookup(this, name, d, queries, at, selfExclude)
       case "simhash" => Index.simhashLookup(this, name, d, queries, at, selfExclude)
-      case "ivf" => Index.ivfLookup(this, name, d, queries, nprobe, at = at)
+      case "ivf" => Index.ivfLookup(this, name, d, queries, nprobe, at = at,
+        selfExclude = selfExclude)
       case "text" => sys.error(
         s"index '$ix' is a text index — search it with textSearch(terms)")
       case other => sys.error(s"unknown index kind '$other'")

@@ -782,17 +782,24 @@ object Index {
       .select(col("id").as("cand"), col("emb").as("cand_emb"))
   }
 
+  /** `selfExclude = false` (round 16) serves CROSS-CONTAINER probes —
+    * the streaming k-NN enrichment's queries live in a different id
+    * space than the index, so excluding `id === qid` would silently
+    * drop a reference row whose pk happens to collide with a query id
+    * (the band-lookup literal-probe stance). */
   def ivfLookup(cat: Catalog, container: String, idef: Def,
       queries: DataFrame, nprobe: Int = 1,
-      at: Option[Int] = None): DataFrame = {
+      at: Option[Int] = None, selfExclude: Boolean = true): DataFrame = {
     require(idef.kind == "ivf", s"index '${idef.ix}' is not an ivf index")
     val qAssign = ivfAssign(cat, container, idef, queries, nprobe)
     val probed = qAssign.select(col("qcluster")).distinct()
       .collect().map(_.getInt(0))
+    val selfGuard =
+      if (selfExclude) col("id") =!= col("qid") else lit(true)
     read(cat, container, idef, at)
       .filter(col("cluster").isin(probed.toIndexedSeq: _*))
       .join(broadcast(qAssign),
-        col("cluster") === col("qcluster") && col("id") =!= col("qid"))
+        col("cluster") === col("qcluster") && selfGuard)
       .select(col("qid"), col("id").as("cand"), col("emb").as("cand_emb"))
       // dedup by (qid, cand) — NOT by the widened row: a duplicate-pk
       // corpus must serve each pk once (min keeps the emb pick

@@ -119,27 +119,8 @@ object EmbeddingStreams {
       // duplicate pks, the ivfLookup stance); a marked index skips the
       // branch outright. A NULL cosine (zero norm) verifies nothing.
       val rawCands = catalog.indexLookup(container, ix, exactKept)
-      val histCands =
-        if (idef.int8)
-          // int8 lists carry SQ8 CODES, not float32 — the gate's verify
-          // is EXACT cosine (a near-threshold dedup decision must not
-          // move with the quantization grid), so every candidate's true
-          // vector comes from the snapshot via the pk join (min-pick on
-          // duplicate pks, the ivfLookup stance)
-          rawCands.select(col("qid"), col("cand"))
-            .join(catalog.read(container)
-              .select(col(pk).as("cand"), col(embCol).as("cand_emb")), Seq("cand"))
-            .groupBy(col("qid"), col("cand"))
-            .agg(min(col("cand_emb")).as("cand_emb"))
-        else if (graft.catalog.Index.allPartsCarryEmb(catalog, container, idef))
-          rawCands
-        else rawCands.filter(col("cand_emb").isNotNull).unionByName(
-          rawCands.filter(col("cand_emb").isNull)
-            .select(col("qid"), col("cand"))
-            .join(catalog.read(container)
-              .select(col(pk).as("cand"), col(embCol).as("cand_emb")), Seq("cand"))
-            .groupBy(col("qid"), col("cand"))
-            .agg(min(col("cand_emb")).as("cand_emb")))
+      val histCands = withTrueCandVectors(rawCands, catalog, container,
+        idef, pk, embCol)
       val histDups = histCands
         .join(qEmb, col("qid") === col("ida"))
         .filter(cosineSim(col("va"), float32Unpack(col("cand_emb"))) >= threshold)
@@ -174,4 +155,98 @@ object EmbeddingStreams {
       finally kept.unpersist(blocking = false)
     } finally exactKept.unpersist(blocking = false)
   }
+
+  /** True candidate vectors for raw ivf-lookup rows (qid, cand,
+    * cand_emb): index-local when every list row carries the float32
+    * vector; snapshot pk-join for int8 lists (they carry SQ8 CODES —
+    * an exact-cosine decision must not move with the quantization
+    * grid) and for legacy NULL-emb carries (parts hard-linked from a
+    * pre-emb build). Min-pick on duplicate pks, the ivfLookup stance.
+    * Shared by the ANN dedup gate and the k-NN enrichment. */
+  private def withTrueCandVectors(rawCands: DataFrame,
+      catalog: graft.catalog.Catalog, container: String,
+      idef: graft.catalog.Index.Def, pk: String, embCol: String): DataFrame =
+    if (idef.int8)
+      rawCands.select(col("qid"), col("cand"))
+        .join(catalog.read(container)
+          .select(col(pk).as("cand"), col(embCol).as("cand_emb")), Seq("cand"))
+        .groupBy(col("qid"), col("cand"))
+        .agg(min(col("cand_emb")).as("cand_emb"))
+    else if (graft.catalog.Index.allPartsCarryEmb(catalog, container, idef))
+      rawCands
+    else rawCands.filter(col("cand_emb").isNotNull).unionByName(
+      rawCands.filter(col("cand_emb").isNull)
+        .select(col("qid"), col("cand"))
+        .join(catalog.read(container)
+          .select(col(pk).as("cand"), col(embCol).as("cand_emb")), Seq("cand"))
+        .groupBy(col("qid"), col("cand"))
+        .agg(min(col("cand_emb")).as("cand_emb")))
+
+  /** One micro-batch of STREAMING k-NN ENRICHMENT (round 16) — the
+    * streaming twin of `SIMILAR c1 AGAINST c2 … SCORED`: each batch row
+    * (shaped like the reference container: pk + the indexed
+    * packed-float32 BYTES column) is annotated with its top-`k` nearest
+    * rows of the `against` container, served through its committed ivf
+    * index — the RAG-ingest shape (retrieve supporting context for each
+    * arriving item before it lands). Returns (pk, match_id, score,
+    * rank), rank dense per probe by (score desc, match id).
+    *
+    * Scale shape: candidates from the frozen-centroid cell probe
+    * (`nprobe` cells per row, bucket-pruned index scan — never a
+    * corpus-wide fetch), exact cosine against the index-stored
+    * candidate vectors ([[withTrueCandVectors]]), per-probe top-k on
+    * the bounded-heap operator so only winners shuffle. NO
+    * self-exclusion: the batch's ids live in a different id space than
+    * the reference (ids are never compared across containers — the
+    * cross-funnel stance). Stateless per batch; undecodable vectors
+    * enrich to nothing. Same assignment/measure/tie-break numbers as
+    * the batch statement by construction (StreamingSpec pins the
+    * agreement). */
+  private[graft] def knnEnrichBatch(batch: DataFrame,
+      catalog: graft.catalog.Catalog, against: String, ix: String,
+      k: Int, nprobe: Int = 1): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineSim
+    import graft.functions.Float32Unpack.float32Unpack
+    val d = catalog.get(against)
+    val pk = d.primaryKey
+    val idef = catalog.indexDefs(against).find(_.ix == ix)
+      .getOrElse(sys.error(s"No index '$ix' on '$against'"))
+    require(idef.kind == "ivf",
+      s"k-NN enrichment serves from an ivf index; '$ix' is a ${idef.kind} index")
+    val embCol = idef.column
+    val qEmb = batch
+      .select(col(pk).as("qid0"), float32Unpack(col(embCol)).as("va"))
+      .filter(col("va").isNotNull)
+    val rawCands = catalog.indexLookup(against, ix, batch,
+      nprobe = nprobe, selfExclude = false)
+    val scored = withTrueCandVectors(rawCands, catalog, against, idef,
+        pk, embCol)
+      .join(qEmb, col("qid") === col("qid0"))
+      .select(col("qid"), col("cand"),
+        round(cosineSim(col("va"), float32Unpack(col("cand_emb"))), 6)
+          .as("score"))
+      .filter(col("score").isNotNull)
+    val top = graft.plans.TopK.perGroup(scored, Seq("qid"),
+      Seq("score" -> false, "cand" -> true), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("cand"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("qid").as(pk), col("cand").as("match_id"),
+        col("score"), col("rank"))
+  }
+
+  /** The enrichment as a streaming SINK: each micro-batch's (pk,
+    * match_id, score, rank) rows land in `sink` as one atomic
+    * insert-only commit — enrichment results become a queryable,
+    * versioned container (join them back to the items downstream). */
+  def knnEnrichToCatalog(vecs: DataFrame, catalog: graft.catalog.Catalog,
+      against: String, ix: String, sink: String, k: Int, nprobe: Int = 1)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val enriched = knnEnrichBatch(batch, catalog, against, ix, k, nprobe)
+          if (!enriched.isEmpty) { catalog.append(sink, enriched); () }
+        }
+      }
 }

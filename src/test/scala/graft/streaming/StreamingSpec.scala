@@ -1076,4 +1076,80 @@ class StreamingSpec extends AnyFunSuite {
     assert(cat8.read("vgated").collect().map(_.getLong(0)).toSet == landed,
       "the int8-indexed gate must land the same survivor set")
   }
+
+  test("streaming k-NN enrichment equals the batch SIMILAR AGAINST " +
+      "statement; results land as queryable commits (round 16)") {
+    import org.apache.spark.sql.types._
+    def vec(fs: Float*): Array[Byte] =
+      graft.functions.Float32Unpack.pack(fs.toIndexedSeq)
+    def oneHot(a: Int): Array[Byte] =
+      graft.functions.Float32Unpack.pack((0 until 4).map(i => if (i == a) 1f else 0f))
+    val root = java.nio.file.Files.createTempDirectory("graft-knn-enrich")
+    val cat = new graft.catalog.Catalog(spark, root.toString)
+    // reference corpus: 8 rows, two per axis — seeds (4 lowest pks) are
+    // one per axis, so cells are exactly the axes
+    cat.create("vref", List("vid" -> graft.aql.AlbaType.of("BIGINT"),
+      "emb" -> graft.aql.AlbaType.of("MEDIUM-BYTES")))
+    val schema = StructType(Seq(StructField("vid", LongType),
+      StructField("emb", BinaryType)))
+    val refRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    (0L until 8L).foreach(i => refRows.add(
+      org.apache.spark.sql.Row(i, oneHot((i % 4).toInt))))
+    cat.append("vref", spark.createDataFrame(refRows, schema))
+    cat.createIndex("vref", "ann", "ivf", "emb", k = Some(4))
+    // enrichment sink: a versioned container the stream appends into
+    cat.create("enr", List("vid" -> graft.aql.AlbaType.of("BIGINT"),
+      "match_id" -> graft.aql.AlbaType.of("BIGINT"),
+      "score" -> graft.aql.AlbaType.of("FLOAT"),
+      "rank" -> graft.aql.AlbaType.of("INT")))
+    // two query files → two micro-batches (axis probes + one mixed
+    // vector + one undecodable payload that must enrich to nothing)
+    val src = java.nio.file.Files.createTempDirectory("graft-knn-src")
+    def write(rows: Seq[(Long, Array[Byte])]): Unit = {
+      val l = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      rows.foreach { case (id, e) => l.add(org.apache.spark.sql.Row(id, e)) }
+      spark.createDataFrame(l, schema).coalesce(1)
+        .write.mode("append").parquet(src.toString)
+    }
+    val q1 = Seq(100L -> oneHot(0), 101L -> oneHot(3))
+    val q2 = Seq(102L -> vec(0.6f, 0.8f, 0f, 0f),
+      103L -> Array[Byte](1, 2, 3)) // 3 bytes: undecodable
+    write(q1); write(q2)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-knn-ckpt")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val sq = EmbeddingStreams.knnEnrichToCatalog(stream, cat, "vref",
+        "ann", sink = "enr", k = 3, nprobe = 4)
+      .option("checkpointLocation", ckpt.toString).start()
+    try sq.processAllAvailable() finally sq.stop()
+
+    val got = cat.read("enr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    // the undecodable payload enriched to nothing
+    assert(!got.exists(_._1 == 103L), got.toString)
+    // axis probes: both same-axis reference rows at cosine 1, rank 1-2
+    assert(got.filter(r => r._1 == 100L && r._4 <= 2).map(_._2)
+      == Set(0L, 4L), got.toString)
+    assert(got.filter(_._1 == 100L).forall(r => r._4 > 2 || r._3 == 1.0))
+    // two micro-batches → two sink commits, each time-travelable
+    assert(cat.currentVersion("enr") == 2)
+    assert(cat.readVersion("enr", 1).select("vid").collect()
+      .map(_.getLong(0)).toSet == Set(100L, 101L))
+
+    // agreement with the BATCH statement: the same queries committed as
+    // a container and served by SIMILAR AGAINST produce the same rows
+    val eng = new graft.aql.Engine(spark, root.toString)
+    eng.execute("CREATE CONTAINER vq ['vid','emb'] [BIGINT, MEDIUM-BYTES]")
+    val allQ = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    (q1 ++ q2).foreach { case (id, e) => allQ.add(org.apache.spark.sql.Row(id, e)) }
+    eng.catalog.overwrite("vq", spark.createDataFrame(allQ, schema))
+    val stmt = eng.execute(
+      "SIMILAR vq AGAINST vref USING ann PROBE 4 LIMIT 3 SCORED")
+      .asInstanceOf[graft.aql.Engine.ResultSet].df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(stmt == got,
+      s"stream/batch disagree:\n stream $got\n batch $stmt")
+  }
 }
