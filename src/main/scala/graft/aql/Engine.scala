@@ -122,8 +122,12 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     * lists each ivf candidate scan of the most recent SIMILAR lowering
     * touched, in scan order — widening steps must appear as DISJOINT
     * ranges (incremental scans, never a prefix re-scan). Not a serving
-    * surface. */
-  private[graft] var ivfCellScanLog: List[Seq[Int]] = Nil
+    * surface; per-thread like [[planNotes]] (the server lowers
+    * statements from multiple request threads). */
+  private val ivfCellScans: ThreadLocal[List[Seq[Int]]] =
+    ThreadLocal.withInitial(() => Nil)
+  private[graft] def ivfCellScanLog: List[Seq[Int]] = ivfCellScans.get()
+  private def ivfCellScanLog_=(v: List[Seq[Int]]): Unit = ivfCellScans.set(v)
 
   private val planNotes: ThreadLocal[scala.collection.mutable.ListBuffer[String]] =
     ThreadLocal.withInitial(() => scala.collection.mutable.ListBuffer.empty[String])
