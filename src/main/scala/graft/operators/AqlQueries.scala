@@ -1419,6 +1419,33 @@ object AqlQueries {
       search("MATCH ['Dup.','vector','scan'] ON docs_an USING fte LIMIT 20")(s, dir)
     },
 
+    // ...MATCH ALL under english: the conjunction counts DISTINCT
+    // ANALYZED terms, so the stop-filtered dl/df numbers and the
+    // every-term-must-appear gate both run over the stemmed postings
+    // (same stem-neutral probe terms — the sublayer recompute stays
+    // exact).
+    Q("aql_match_analyzer_en_all",
+      FullText.duckBm25Sql(conjunctive = true,
+        terms = Seq("dup", "vector"),
+        base = AqlQueries.duckAnBase,
+        analyzer = graft.operators.Analyzer.English)) { (s, dir) =>
+      search("MATCH ALL ['Dup.','vector'] ON docs_an USING fte LIMIT 20")(s, dir)
+    },
+
+    // ...and english × WHERE: the predicate semi-joins between scoring
+    // and the top-k (df keeps its corpus meaning) while terms analyze
+    // through the stemmed stream — the r15 `_analyzer_filtered`
+    // composition at the third tier.
+    Q("aql_match_analyzer_en_where",
+      FullText.duckBm25Sql(conjunctive = false,
+        where = Some("doc_id > 40"),
+        terms = Seq("dup", "vector", "scan"),
+        base = AqlQueries.duckAnBase,
+        analyzer = graft.operators.Analyzer.English)) { (s, dir) =>
+      search("MATCH ['Dup.','vector','scan'] ON docs_an USING fte " +
+        "WHERE doc_id > 40 LIMIT 20")(s, dir)
+    },
+
     // EXPORT/IMPORT (graft extensions): the JSONL round-trip through the
     // corpus-interchange surface loses nothing.
     Q("aql_export_import",
