@@ -129,6 +129,19 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
   private[graft] def ivfCellScanLog: List[Seq[Int]] = ivfCellScans.get()
   private def ivfCellScanLog_=(v: List[Seq[Int]]): Unit = ivfCellScans.set(v)
 
+  /** True while an EXPLAIN is lowering on this thread (round 16): the
+    * serve-time materializations that must NOT run during plan printing
+    * (the band-SIMILAR under-fill collect) consult this instead of a
+    * per-arm parameter, so NESTED forms — a SIMILAR inside FUSE, a
+    * `(SIMILAR …)` SEARCH source — stay plan-only too. */
+  private val explainLowering: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+  private def withExplainLowering[A](body: => A): A = {
+    val prev = explainLowering.get()
+    explainLowering.set(java.lang.Boolean.TRUE)
+    try body finally explainLowering.set(prev)
+  }
+
   private val planNotes: ThreadLocal[scala.collection.mutable.ListBuffer[String]] =
     ThreadLocal.withInitial(() => scala.collection.mutable.ListBuffer.empty[String])
   private def note(msg: String): Unit = planNotes.get() += msg
@@ -371,11 +384,16 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       resultSet(lowerSetOp(so), needsDefaultSort = true)
 
     case Ast.Explain(q, analyze) =>
-      val df = q match {
+      // the whole EXPLAIN lowering is plan-only (round 16, the r15
+      // advisor's second half): the flag is LOWERING-SCOPED, not an arm
+      // parameter, so a SIMILAR nested inside FUSE or a (SIMILAR …)
+      // SEARCH source inherits it — the r16 code-review finding where
+      // only the top-level arm skipped the serve-time collect
+      val df = withExplainLowering { q match {
         case s: Ast.Search => lowerSearch(s)
         case so: Ast.SetOp => lowerSetOp(so)
         case m: Ast.Match => matchDf(m)
-        case sm: Ast.Similar => similarDf(sm, explainOnly = true)
+        case sm: Ast.Similar => similarDf(sm)
         case f: Ast.Fuse => fuseDf(f)
         case sd: Ast.ShowDedup => showDedupDf(sd, explainOnly = true)
         case sd: Ast.ShowDedupAgainst => showDedupAgainstDf(sd)._1
@@ -390,7 +408,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         case om: Ast.ShowOverlapMatrix =>
           showOverlapMatrixDf(om.sources, om.column, om.by, om.aliases)
         case other => throw new ParseException(s"EXPLAIN cannot plan $other")
-      }
+      } }
       val formatted = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode) + {
         val notes = planNotes.get().toList
@@ -586,7 +604,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           s"DEDUP on '${dd.container}' with staged ops — COMMIT or " +
             "ROLLBACK first")
       val f = crossDedupFunnel(dd.container, dd.against, dd.ix,
-        dd.threshold, "DEDUP", probe = dd.probe.getOrElse(1),
+        dd.threshold, "DEDUP", probeOpt = dd.probe,
         atVersion = dd.atVersion)
       val losers = f.scored.select(col("id_a").as("doc_id")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2039,7 +2057,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     * ascending, LIMIT-bounded): resolve a band/ivf index (explicit via
     * USING, else the single non-text one), read the committed row with
     * the given pk, and serve the index lookup for it. */
-  private def similarDf(sm: Ast.Similar, explainOnly: Boolean = false): DataFrame = {
+  private def similarDf(sm: Ast.Similar): DataFrame = {
+    val explainOnly = explainLowering.get().booleanValue()
     requireNotView(sm.container, "an index")
     val d = catalog.get(sm.container)
     val (pkName, pkType) = d.columns.head
@@ -2715,9 +2734,10 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
   private case class XFunnel(idef: graft.catalog.Index.Def, thr: Double,
       pairs: DataFrame, scored: DataFrame)
 
-  /** `probe` (round 16) widens the ivf assignment to the p nearest
+  /** `probeOpt` (round 16) widens the ivf assignment to the p nearest
     * cells (the SIMILAR PROBE recall knob, cross-container); band kinds
-    * refuse it — they have no probe geometry. `atVersion` (round 16,
+    * refuse ANY explicit PROBE — even 1 — they have no probe geometry.
+    * `atVersion` (round 16,
     * r15 judge #4) pins the REFERENCE container c2's snapshot: index
     * parts AND verify payloads read at that committed version, so a
     * curation run against a moving reference corpus is reproducible.
@@ -2726,7 +2746,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     * is a new definition, not a time-travel surface. */
   private def crossDedupFunnel(container: String, against: String,
       ixOpt: Option[String], thrOpt: Option[Double], what: String,
-      probe: Int = 1, atVersion: Option[Int] = None): XFunnel = {
+      probeOpt: Option[Int] = None, atVersion: Option[Int] = None): XFunnel = {
     requireNotView(container, "its content")
     requireNotView(against, "a band index")
     if (container.equalsIgnoreCase(against))
@@ -2780,14 +2800,19 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       case "simhash" => 29.0 / 32.0
       case _ => 0.99
     })
-    if (probe > 1 && idef.kind != "ivf") throw new ParseException(
-      s"$what PROBE serves from an ivf index; '${idef.ix}' is a " +
-        s"${idef.kind} index (band probes have no cell count to widen)")
-    if (idef.kind == "ivf") {
+    // an EXPLICIT PROBE — even PROBE 1 — on a band index refuses like
+    // the SIMILAR pk/vector form (r16 code review: silently ignoring
+    // the knob on one surface while the other errors hides the same
+    // recall-knob misunderstanding)
+    probeOpt.foreach { p =>
+      if (idef.kind != "ivf") throw new ParseException(
+        s"$what PROBE serves from an ivf index; '${idef.ix}' is a " +
+          s"${idef.kind} index (band probes have no cell count to widen)")
       val k = catalog.ivfK(against, idef.ix)
-      if (probe > k) throw new ParseException(
-        s"$what PROBE $probe exceeds index '${idef.ix}' trained cell count $k")
+      if (p > k) throw new ParseException(
+        s"$what PROBE $p exceeds index '${idef.ix}' trained cell count $k")
     }
+    val probe = probeOpt.getOrElse(1)
     atVersion.foreach(v => note(s"$what against: reference '$against' " +
       s"pinned AT VERSION $v — index parts and verify payloads read " +
       "that snapshot (the index definition stays the current frozen " +
@@ -2914,7 +2939,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     // does not gate (scores are bounded below by −1 in every family)
     val f = crossDedupFunnel(sa.container, sa.against, sa.ix,
       thrOpt = Some(-1.0), what = "SIMILAR",
-      probe = sa.probe.getOrElse(1), atVersion = sa.atVersion)
+      probeOpt = sa.probe, atVersion = sa.atVersion)
     val pk = catalog.get(sa.container).primaryKey
     // WHERE (round 16 — the filtered batch k-NN join): the predicate
     // binds to the REFERENCE container's columns and semi-joins the
@@ -2972,7 +2997,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     * execute and EXPLAIN, like [[showDecontaminateDf]]. */
   private def showDedupAgainstDf(sd: Ast.ShowDedupAgainst): (DataFrame, Boolean) = {
     val f = crossDedupFunnel(sd.container, sd.against, sd.ix, sd.threshold,
-      "SHOW DEDUP", probe = sd.probe.getOrElse(1), atVersion = sd.atVersion)
+      "SHOW DEDUP", probeOpt = sd.probe, atVersion = sd.atVersion)
     if (sd.docs) {
       // the removal detail: per c1 doc, how many verified c2 matches
       // and the best score — exactly the docs DEDUP AGAINST deletes

@@ -827,27 +827,12 @@ object Index {
   def ivfLookupVector(cat: Catalog, container: String, idef: Def,
       vec: Seq[Float], nprobe: Int = 1,
       at: Option[Int] = None): DataFrame = {
-    require(idef.kind == "ivf", s"index '${idef.ix}' is not an ivf index")
-    require(vec.nonEmpty, "query vector must not be empty")
-    val cents = centroids(cat, container, idef.ix)
-    cents.headOption.foreach { case (_, c) => require(c.length == vec.length,
-      s"query vector has ${vec.length} dims; index '${idef.ix}' " +
-        s"expects ${c.length}") }
-    // indexed array access: a List query vector would make the loop
-    // O(dims²) per centroid via linear apply
-    val v = vec.toArray
-    def dist2(c: Array[Float]): Double = {
-      var s = 0.0; var i = 0
-      while (i < c.length) {
-        val d = v(i).toDouble - c(i).toDouble; s += d * d; i += 1
-      }
-      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }
-    val probed = cents.map { case (sid, c) => (sid, dist2(c)) }
-      .sortBy { case (sid, d) => (d, sid) }.take(nprobe).map(_._1)
-    read(cat, container, idef, at)
-      .filter(col("cluster").isin(probed: _*))
-      .select(col("id").as("cand"), col("emb").as("cand_emb"))
+    // ONE implementation path (round 16): the cell-ranged helpers the
+    // incremental-widening SIMILAR lowering serves from — a previous
+    // hand-rolled twin here could have silently drifted from the served
+    // semantics once the engine stopped calling it
+    val cells = ivfCellsRankedVector(cat, container, idef, vec).take(nprobe)
+    ivfCellCandidates(cat, container, idef, cells, excludeId = None, at)
       // dedup by pk, deterministic emb pick — see ivfLookup
       .groupBy(col("cand"))
       .agg(min(col("cand_emb")).as("cand_emb"))

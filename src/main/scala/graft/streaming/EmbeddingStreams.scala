@@ -214,10 +214,18 @@ object EmbeddingStreams {
     require(idef.kind == "ivf",
       s"k-NN enrichment serves from an ivf index; '$ix' is a ${idef.kind} index")
     val embCol = idef.column
-    val qEmb = batch
+    // ONE row per probe pk even on at-least-once replay duplicates
+    // within a batch (r16 code review): a duplicated pk would otherwise
+    // double every scored row through the qEmb join and fill the top-k
+    // with (pk, match) pairs ranked twice — min-by-bytes is the
+    // documented duplicate-pk representative, matching the batch
+    // statement's pairs.distinct() outcome
+    val batch1 = batch.select(col(pk), col(embCol))
+      .groupBy(col(pk)).agg(min(col(embCol)).as(embCol))
+    val qEmb = batch1
       .select(col(pk).as("qid0"), float32Unpack(col(embCol)).as("va"))
       .filter(col("va").isNotNull)
-    val rawCands = catalog.indexLookup(against, ix, batch,
+    val rawCands = catalog.indexLookup(against, ix, batch1,
       nprobe = nprobe, selfExclude = false)
     val scored = withTrueCandVectors(rawCands, catalog, against, idef,
         pk, embCol)
@@ -245,8 +253,14 @@ object EmbeddingStreams {
     vecs.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
+          // persist across the emptiness probe AND the append (r16 code
+          // review: un-persisted, the full enrichment pipeline — cell
+          // scan, snapshot joins, scoring, top-k — executed twice per
+          // micro-batch)
           val enriched = knnEnrichBatch(batch, catalog, against, ix, k, nprobe)
-          if (!enriched.isEmpty) { catalog.append(sink, enriched); () }
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try { if (!enriched.isEmpty) { catalog.append(sink, enriched); () } }
+          finally enriched.unpersist(blocking = false)
         }
       }
 }

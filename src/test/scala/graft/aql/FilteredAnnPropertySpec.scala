@@ -146,6 +146,15 @@ class FilteredAnnPropertySpec extends AnyFunSuite {
       "SIMILAR 1 ON fbd USING nd WHERE lang = 'en' LIMIT 5")
       .asInstanceOf[Engine.ResultSet].df.collect().map(_.getLong(0)).toSet
     assert(got == Set(2L), s"got $got")
+    // plan-only is LOWERING-SCOPED (r16 code review): a WHERE'd band
+    // SIMILAR nested as a FUSE side inherits it — the static caveat,
+    // never the serve-time exhaustion count
+    eng.execute("CREATE INDEX ft ON fbd ['text'] USING text")
+    val exf = eng.execute("EXPLAIN FUSE [(MATCH ['quick'] ON fbd USING ft), " +
+      "(SIMILAR 1 ON fbd USING nd WHERE lang = 'en' LIMIT 5 SCORED)] LIMIT 5")
+      .asInstanceOf[Engine.Done].message
+    assert(exf.contains("counted at serve time"), exf.takeRight(400))
+    assert(!exf.contains("collision set exhausted"), exf.takeRight(400))
   }
 
   test("ivf widening scans each cell at most once: steps touch DISJOINT " +

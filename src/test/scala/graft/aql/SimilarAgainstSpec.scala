@@ -161,9 +161,13 @@ class SimilarAgainstSpec extends AnyFunSuite {
 
   test("guards + plan shape: no all-pairs exchange, bounded-heap top-k") {
     val eng = fixture("plan")
-    // PROBE on a band index refuses (no cell geometry)
+    // PROBE on a band index refuses (no cell geometry) — even an
+    // explicit PROBE 1 (r16 code review: the pk form errors, so the
+    // batch form must not silently ignore the same knob)
     intercept[ParseException](rows(eng,
       "SIMILAR corp AGAINST ref USING nd PROBE 2 LIMIT 5"))
+    intercept[ParseException](rows(eng,
+      "SIMILAR corp AGAINST ref USING nd PROBE 1 LIMIT 5"))
     // self-AGAINST refuses
     intercept[ParseException](rows(eng, "SIMILAR corp AGAINST corp LIMIT 5"))
     // plan: shuffle-hash pinned candidate join, TopKPerGroup operator,

@@ -1137,6 +1137,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(cat.readVersion("enr", 1).select("vid").collect()
       .map(_.getLong(0)).toSet == Set(100L, 101L))
 
+    // duplicate-pk replay WITHIN one batch (r16 code review): one
+    // enrichment per pk with k DISTINCT matches — a duplicated probe
+    // must not double the scored rows and burn top-k slots
+    val dup = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    dup.add(org.apache.spark.sql.Row(200L, oneHot(1)))
+    dup.add(org.apache.spark.sql.Row(200L, oneHot(1)))
+    val dupEnr = EmbeddingStreams.knnEnrichBatch(
+      spark.createDataFrame(dup, schema), cat, "vref", "ann", k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(dupEnr.length == 3 && dupEnr.map(_._2).distinct.length == 3,
+      dupEnr.toSeq.toString)
+    assert(dupEnr.map(_._3).sorted.toSeq == Seq(1, 2, 3))
+
     // agreement with the BATCH statement: the same queries committed as
     // a container and served by SIMILAR AGAINST produce the same rows
     val eng = new graft.aql.Engine(spark, root.toString)
