@@ -579,6 +579,9 @@ object AqlQueries {
         .filter(org.apache.spark.sql.functions.col("source") === "src0")
         .select("doc_id", "text"))
       eng.execute("CREATE INDEX ndx ON docs_xe ['text'] USING lsh")
+      // round 16: the token-level band family on the SAME reference —
+      // the simhash batch-kNN row picks it with USING
+      eng.execute("CREATE INDEX shx ON docs_xe ['text'] USING simhash")
       eng.execute("CREATE CONTAINER docs_xd ['doc_id','text'] [BIGINT, TEXT]")
       eng.catalog.overwrite("docs_xd", ftDocs)
       eng.execute("DEDUP docs_xd AGAINST docs_xe USING ndx")
@@ -2294,6 +2297,36 @@ object AqlQueries {
          |WHERE rank <= 3
          |ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
       search("SIMILAR documents AGAINST docs_xe USING ndx LIMIT 3 SCORED")(s, dir)
+    },
+
+    // ...the SIMHASH family twin (round 16): candidates from the 4×8-bit
+    // band collisions of c2's simhash index, per-probe top-3 by exact
+    // (32 − hamming)/32 signature similarity — the token-level k-NN
+    // join, same funnel algebra as the lsh row under a different band
+    // family, recomputed declaratively end to end.
+    Q("aql_similar_against_simhash",
+      s"""WITH RECURSIVE ${TextDedup.duckSimhashCte},
+         |banded AS (
+         |  SELECT doc_id, band, (simhash >> (8 * band)) & 255 AS bv
+         |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands),
+         |xsp AS (SELECT DISTINCT a.doc_id AS id_a, s.doc_id AS id_b
+         |        FROM banded a JOIN banded s
+         |          ON a.band = s.band AND a.bv = s.bv
+         |        JOIN (SELECT doc_id FROM documents WHERE source = 'src0') r
+         |          ON r.doc_id = s.doc_id),
+         |xss AS (SELECT p.id_a, p.id_b,
+         |          round((32 - CAST(bit_count(xor(sa.simhash, sb.simhash))
+         |                           AS DOUBLE)) / 32, 6) AS score
+         |        FROM xsp p JOIN sigs sa ON sa.doc_id = p.id_a
+         |                   JOIN sigs sb ON sb.doc_id = p.id_b)
+         |SELECT doc_id, match_id, score, rank FROM (
+         |  SELECT id_a AS doc_id, id_b AS match_id, score,
+         |         row_number() OVER (PARTITION BY id_a
+         |                            ORDER BY score DESC, id_b) AS rank
+         |  FROM xss)
+         |WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
+      search("SIMILAR documents AGAINST docs_xe USING shx LIMIT 3 SCORED")(s, dir)
     },
 
     // ...the FILTERED batch k-NN join (round 16): WHERE binds to the
