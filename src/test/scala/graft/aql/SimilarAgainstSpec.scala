@@ -159,6 +159,35 @@ class SimilarAgainstSpec extends AnyFunSuite {
       "SIMILAR corp AGAINST ref USING nd WHERE nosuch = 1 LIMIT 5"))
   }
 
+  test("int8 reference index: cross candidates from the quantized cells, " +
+      "scores EXACT from the payloads (round 16)") {
+    val eng = fixture("int8")
+    import spark.implicits._
+    def vec(fs: Float*): Array[Byte] =
+      graft.functions.Float32Unpack.pack(fs.toIndexedSeq)
+    // values OFF the 256-step grid: an approx (dequantized) score would
+    // differ from exact cosine, so equality with the float-index twin
+    // proves the cross verify reads payloads, not codes
+    eng.execute("CREATE CONTAINER v8 ['vid','emb'] [BIGINT, MEDIUM-BYTES]")
+    eng.catalog.overwrite("v8", Seq(
+      (0L, vec(1f, 0.003f)), (1L, vec(0.002f, 1f)),
+      (2L, vec(0.71f, 0.707f))).toDF("vid", "emb"))
+    eng.execute("CREATE INDEX a8 ON v8 ['emb'] USING ivf 2 INT8")
+    eng.execute("CREATE INDEX af ON v8 ['emb'] USING ivf 2")
+    eng.execute("CREATE CONTAINER q8 ['vid','emb'] [BIGINT, MEDIUM-BYTES]")
+    eng.catalog.overwrite("q8",
+      Seq((10L, vec(0.009f, 0.998f))).toDF("vid", "emb"))
+    def run(ix: String) = rows(eng,
+      s"SIMILAR q8 AGAINST v8 USING $ix PROBE 2 LIMIT 3 SCORED")
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val viaInt8 = run("a8")
+    val viaFloat = run("af")
+    assert(viaInt8 == viaFloat,
+      s"int8 cross scores must be exact:\n int8 $viaInt8\n float $viaFloat")
+    assert(viaInt8.nonEmpty && viaInt8.head._2 == 1L && viaInt8.head._4 == 1,
+      viaInt8.toString)
+  }
+
   test("guards + plan shape: no all-pairs exchange, bounded-heap top-k") {
     val eng = fixture("plan")
     // PROBE on a band index refuses (no cell geometry) — even an
