@@ -562,7 +562,7 @@ object Ast {
     * RAG-pair-construction primitive DEDUP AGAINST's threshold funnel
     * stops one step short of. */
   final case class SimilarAgainst(container: String, against: String,
-      ix: Option[String], probe: Option[Int] = None, limit: Int = 10,
+      ix: Option[String], probe: Option[Int] = None, limit: Int = 20,
       scored: Boolean = false, atVersion: Option[Int] = None,
       /** `WHERE pred` (round 16) — the filtered batch k-NN join: the
         * predicate binds to the REFERENCE container's columns and

@@ -123,10 +123,13 @@ object Porter {
 
   /** Longest matching suffix wins, THEN its condition gates (a failed
     * condition on the longest match does not fall through to shorter
-    * ones — the paper's matching rule). */
+    * ones — the paper's matching rule). `rules` must already be sorted
+    * longest-suffix-first: this runs per token inside the scan-side
+    * codegen'd path, so the sort happens once at class init, not per
+    * call. */
   private def applyRules(s: String, minM: Int,
       rules: Seq[(String, String)]): String =
-    rules.sortBy(-_._1.length).find { case (suf, _) => s.endsWith(suf) } match {
+    rules.find { case (suf, _) => s.endsWith(suf) } match {
       case Some((suf, rep)) =>
         val st = s.dropRight(suf.length)
         if (measure(st) > minM - 1) st + rep else s
@@ -140,10 +143,12 @@ object Porter {
     "ation" -> "ate", "ator" -> "ate", "alism" -> "al",
     "iveness" -> "ive", "fulness" -> "ful", "ousness" -> "ous",
     "aliti" -> "al", "iviti" -> "ive", "biliti" -> "ble")
+    .sortBy(-_._1.length)
 
   private val Step3Rules = Seq(
     "icate" -> "ic", "ative" -> "", "alize" -> "al", "iciti" -> "ic",
     "ical" -> "ic", "ful" -> "", "ness" -> "")
+    .sortBy(-_._1.length)
 
   private def step2(s: String): String = applyRules(s, 1, Step2Rules)
 
@@ -152,9 +157,10 @@ object Porter {
   private val Step4Suffixes = Seq(
     "ement", "ance", "ence", "able", "ible", "ment", "ant", "ent", "ion",
     "ism", "ate", "iti", "ous", "ive", "ize", "al", "er", "ic", "ou")
+    .sortBy(-_.length)
 
   private def step4(s: String): String =
-    Step4Suffixes.sortBy(-_.length).find(s.endsWith) match {
+    Step4Suffixes.find(s.endsWith) match {
       case Some(suf) =>
         val st = s.dropRight(suf.length)
         if (suf == "ion") {
