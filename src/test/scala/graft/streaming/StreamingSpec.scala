@@ -1164,5 +1164,40 @@ class StreamingSpec extends AnyFunSuite {
       .toSet
     assert(stmt == got,
       s"stream/batch disagree:\n stream $got\n batch $stmt")
+
+    // cross-restart replay (round 17, r16 advisor): foreachBatch is
+    // at-least-once — a fresh checkpoint redelivers EVERY file, the
+    // worst replay a crash-before-offset-commit can produce. The
+    // pk-guard must drop every already-enriched probe BEFORE the
+    // pipeline runs, so the sink gains no rows and no versions (103's
+    // undecodable payload re-enriches to nothing — side-effect free).
+    val preRows = cat.read("enr").count()
+    val preVer = cat.currentVersion("enr")
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-knn-ckpt2")
+    val sq2 = EmbeddingStreams.knnEnrichToCatalog(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src.toString),
+        cat, "vref", "ann", sink = "enr", k = 3, nprobe = 4)
+      .option("checkpointLocation", ckpt2.toString).start()
+    try sq2.processAllAvailable() finally sq2.stop()
+    assert(cat.read("enr").count() == preRows,
+      "full replay must append no enrichment rows")
+    assert(cat.currentVersion("enr") == preVer,
+      "full replay must publish no sink version")
+
+    // and the direct double-commit shape: committing the SAME batch
+    // twice (crash after append, before offset commit) appends once
+    val replayBatch = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    replayBatch.add(org.apache.spark.sql.Row(300L, oneHot(2)))
+    EmbeddingStreams.knnEnrichCommitBatch(
+      spark.createDataFrame(replayBatch, schema), cat, "vref", "ann",
+      "enr", k = 3, nprobe = 4)
+    val afterFirst = cat.read("enr").filter("vid = 300").count()
+    assert(afterFirst == 3, s"expected 3 enrichment rows, got $afterFirst")
+    EmbeddingStreams.knnEnrichCommitBatch(
+      spark.createDataFrame(replayBatch, schema), cat, "vref", "ann",
+      "enr", k = 3, nprobe = 4)
+    assert(cat.read("enr").filter("vid = 300").count() == 3,
+      "replayed commit must not duplicate (pk, match_id, rank) rows")
   }
 }
