@@ -122,7 +122,16 @@ object Bench {
     val unresolved = twoWayDisagree &&
       best.duckdb.map(_._1) !=
         candidates.flatMap(_.duckdb.map(_._1)).minOption
-    emit(best, all, sfDir, disagreement = unresolved)
+    // NON-GRADED retrieval lanes (round 17, r16 judge #1): spark-only
+    // wall seconds for the flagship retrieval statements, measured ONCE
+    // per invocation (they are outside the ratio, so they take no part
+    // in the throttle-guard re-measurement loop) and recorded under
+    // `retrieval_queries` — round-over-round regression visibility for
+    // the surfaces DuckDB cannot pair.
+    val retrieval =
+      if (sys.env.contains("GRAFT_NO_RETRIEVAL")) None
+      else RetrievalBench.run(spark, sfDir)
+    emit(best, all, sfDir, disagreement = unresolved, retrieval = retrieval)
     spark.stop()
   }
 
@@ -174,7 +183,8 @@ object Bench {
   }
 
   private def emit(m: Measurement, all: Seq[Measurement], sfDir: String,
-      disagreement: Boolean = false): Unit = {
+      disagreement: Boolean = false,
+      retrieval: Option[Seq[(String, Double)]] = None): Unit = {
     val results = m.results
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -215,7 +225,17 @@ object Bench {
         .getOrElse("null"))
       .mkString("[", ",", "]")
     val disagreeJson = if (disagreement) ""","disagreement":true""" else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$paired,"spark_totals":$totalsJson,"duckdb_totals":$duckTotalsJson$disagreeJson,"retried":$retriedJson,"sf":"$sfDir"}""")
+    // retrieval lanes ride the same record but NOT the comparable set:
+    // no DuckDB pair, no ratio contribution — regression visibility only
+    val retrievalJson = retrieval.map { rs =>
+      val perLane = rs.map { case (k, v) =>
+        "\"" + k + "\":" + (math.round(v * 1000000) / 1000000.0) }
+        .mkString("{", ",", "}")
+      val rTotal = math.round(
+        rs.map(_._2).filter(_ >= 0).sum * 1000000) / 1000000.0
+      s""","retrieval_queries":$perLane,"retrieval_total":$rTotal"""
+    }.getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$paired,"spark_totals":$totalsJson,"duckdb_totals":$duckTotalsJson$disagreeJson$retrievalJson,"retried":$retriedJson,"sf":"$sfDir"}""")
   }
 
   /** Same-window DuckDB total AND per-query seconds over the bench

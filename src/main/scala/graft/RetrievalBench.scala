@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Non-graded retrieval bench lanes (round 17, r16 judge #1): spark-only
+  * wall seconds for the flagship RETRIEVAL statements — the surfaces the
+  * graded 23-query comparable set cannot carry (DuckDB has no BM25, no
+  * ANN index, no banded near-dup funnel, so a ratio pair would be
+  * meaningless). The point is round-over-round regression VISIBILITY:
+  * r16 caught an `aql_similar_against_scored` regression only by
+  * hand-measuring; these lanes put that check in the artifact every
+  * round, OUTSIDE the graded ratio (`retrieval_queries` in the bench
+  * record; the comparable subset and its DuckDB pairing are untouched).
+  *
+  * The LANE SET IS FROZEN (see BASELINE.md "Retrieval lanes"): same
+  * statements, same knobs, same fixture derivation every round, so the
+  * per-lane seconds are comparable across rounds. Fixtures derive from
+  * the sfDir tables (documents / embeddings), so the lanes scale with
+  * the bench scale factor like every other bench query.
+  *
+  * Setup (container builds + index commits) is UNTIMED — the lanes time
+  * statement execution against COMMITTED indexes, the resident-engine
+  * serving shape. Timing protocol matches [[Bench]]: 2 warm-up passes,
+  * best of 5 timed, one retried block when even the best timed pass
+  * exceeds 3× the warm-up floor (host-throttle escape).
+  */
+object RetrievalBench {
+
+  /** The frozen lane names, in run order. */
+  val laneNames: Seq[String] = Seq(
+    "ret_match_topk",          // MATCH BM25 top-k through the text index
+    "ret_match_phrase",        // MATCH PHRASE (positions verify)
+    "ret_similar_scored_ivf",  // SIMILAR pk-probe SCORED through ivf
+    "ret_similar_against_lsh", // batch k-NN join, banded text index
+    "ret_similar_against_ivf", // batch k-NN join, ivf vector index
+    "ret_show_dedup",          // within-container near-dup report (lsh)
+    "ret_decontaminate_show")  // eval-overlap dry run
+
+  /** Build the fixture engine (untimed) and return the lane closures.
+    * Each closure executes its statement end-to-end and forces the
+    * result (count) — lowering jobs + serve jobs both inside the timer,
+    * matching what a client of the statement pays. */
+  private def lanes(spark: SparkSession, sfDir: String)
+      : Seq[(String, () => Unit)] = {
+    val root = java.nio.file.Files.createTempDirectory("graft-retrieval-bench")
+    val eng = new graft.aql.Engine(spark, root.toString)
+    def force(aql: String): Unit = {
+      eng.execute(aql) match {
+        case rs: graft.aql.Engine.ResultSet => rs.df.count(); ()
+        case _ => ()
+      }
+    }
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text", "lang", "n_chars")
+    // corpus: the full documents table, text + lsh indexed
+    eng.execute("CREATE CONTAINER rb_docs ['doc_id','text','lang','n_chars'] " +
+      "[BIGINT, TEXT, TEXT, BIGINT]")
+    eng.catalog.overwrite("rb_docs", docs)
+    eng.execute("CREATE INDEX ft ON rb_docs ['text'] USING text")
+    eng.execute("CREATE INDEX nd ON rb_docs ['text'] USING lsh")
+    // probe corpus for the text batch k-NN join: every 50th document
+    // (~2% of the corpus — a batch-arrival's worth of probes)
+    eng.execute("CREATE CONTAINER rb_probe ['doc_id','text'] [BIGINT, TEXT]")
+    eng.catalog.overwrite("rb_probe",
+      docs.filter(col("doc_id") % 50 === 0).select("doc_id", "text"))
+    // vector corpus: the embeddings table packed to the catalog's
+    // float32-bytes layout (setup-only UDF — never a serving path; the
+    // statements read the committed BYTES column through the index)
+    val packUdf = udf((xs: Seq[Float]) =>
+      graft.functions.Float32Unpack.pack(xs))
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), packUdf(col("embedding")).as("emb"))
+    eng.execute("CREATE CONTAINER rb_vec ['vec_id','emb'] [BIGINT, MEDIUM-BYTES]")
+    eng.catalog.overwrite("rb_vec", vecs)
+    eng.execute("CREATE INDEX ann ON rb_vec ['emb'] USING ivf")
+    // probe vectors: every 20th embedding (~5% — a micro-batch's worth)
+    eng.execute("CREATE CONTAINER rb_vq ['vec_id','emb'] [BIGINT, MEDIUM-BYTES]")
+    eng.catalog.overwrite("rb_vq", vecs.filter(col("vec_id") % 20 === 0))
+    // eval set for decontamination: every 100th document's text
+    eng.execute("CREATE CONTAINER rb_eval ['doc_id','text'] [BIGINT, TEXT]")
+    eng.catalog.overwrite("rb_eval",
+      docs.filter(col("doc_id") % 100 === 0).select("doc_id", "text"))
+    Seq(
+      "ret_match_topk" -> (() =>
+        force("MATCH ['merge','vector','stream'] ON rb_docs USING ft LIMIT 20")),
+      "ret_match_phrase" -> (() =>
+        force("MATCH PHRASE ['merge key'] ON rb_docs USING ft LIMIT 20")),
+      "ret_similar_scored_ivf" -> (() =>
+        force("SIMILAR 7 ON rb_vec USING ann LIMIT 20 SCORED")),
+      "ret_similar_against_lsh" -> (() =>
+        force("SIMILAR rb_probe AGAINST rb_docs USING nd LIMIT 5 SCORED")),
+      "ret_similar_against_ivf" -> (() =>
+        force("SIMILAR rb_vq AGAINST rb_vec USING ann LIMIT 5 SCORED")),
+      "ret_show_dedup" -> (() =>
+        force("SHOW DEDUP rb_docs USING nd")),
+      "ret_decontaminate_show" -> (() =>
+        force("SHOW DECONTAMINATE rb_docs AGAINST rb_eval ON text")))
+  }
+
+  /** Run every lane with the [[Bench]] timing protocol. Returns
+    * per-lane best seconds (-1 marks a lane that threw — visible in the
+    * artifact instead of silently absent). None when the whole setup
+    * failed (the record simply omits the retrieval section, like the
+    * duckdb fields when python is unavailable). */
+  def run(spark: SparkSession, sfDir: String): Option[Seq[(String, Double)]] =
+    try {
+      val ls = lanes(spark, sfDir)
+      Some(ls.map { case (name, body) =>
+        name -> time(body)
+      })
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def time(body: () => Unit): Double =
+    try {
+      def pass(): Double = {
+        val t0 = System.nanoTime()
+        body()
+        (System.nanoTime() - t0) / 1e9
+      }
+      def timedMin(): Double = (1 to 5).map(_ => pass()).min
+      val warmupMin = (1 to 2).map(_ => pass()).min
+      var best = timedMin()
+      if (best > 3.0 * warmupMin) {
+        try {
+          Thread.sleep(2000)
+          best = math.min(best, timedMin())
+        } catch {
+          case _: InterruptedException => Thread.currentThread().interrupt()
+          case _: Throwable => ()
+        }
+      }
+      best
+    } catch {
+      case _: InterruptedException =>
+        Thread.currentThread().interrupt(); -1.0
+      case _: Throwable => -1.0
+    }
+}
