@@ -2817,7 +2817,14 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     * single probe's bands are bounded metadata). Verification both JOINS
     * and COMPUTES over the candidate pair ids only — each side semi-joins
     * to the candidate id set before any shingle/simhash/payload
-    * derivation runs (round 16). Ids are never compared
+    * derivation runs (round 16). The pairs subtree fans out to several
+    * consumers per statement (candidate counts, the verify stage, the
+    * per-probe top-k), all inside ONE served plan — Spark's exchange
+    * reuse hands every second consumer the first's shuffle output, so
+    * the banding derivation and the index join execute once per
+    * statement, never once per consumer (round 17, spec-pinned:
+    * CrossDedupSpec asserts the ReusedExchange nodes over the
+    * (id, band, bk) exchanges). Ids are never compared
     * across containers — a c1 doc verbatim-equal to a c2 doc is a match
     * at score 1, the cross-source curation semantics. */
   private case class XFunnel(idef: graft.catalog.Index.Def, thr: Double,
