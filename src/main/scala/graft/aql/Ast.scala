@@ -531,16 +531,27 @@ object Ast {
       /** `PROBE p` (round 16) — widen the ivf cross assignment to the p
         * nearest cells (the r15 advisor's nearest-cell-only recall
         * bound, now a dial like SIMILAR's). */
-      probe: Option[Int] = None) extends Stmt
+      probe: Option[Int] = None,
+      /** `FROM VERSION a TO b` (round 17, r16 judge #8) — the
+        * INCREMENTAL window: only rows c1 GAINED between committed
+        * versions a and b (the CHANGES feed's inserts + update posts)
+        * probe the funnel; pre-window rows are never gated. The batch
+        * catch-up twin of the streaming ingest gate — after an outage,
+        * gate exactly the window the stream missed instead of
+        * re-funneling the whole corpus. */
+      window: Option[(Int, Int)] = None) extends Stmt
 
   /** The cross-container decision APPLIED: `DEDUP c1 AGAINST c2` removes
     * from c1, in ONE atomic published version, every doc with a verified
     * cross-match in c2 — c2 is never touched. SHOW DEDUP … AGAINST with
-    * the same knobs is the dry run from the SAME funnel. */
+    * the same knobs is the dry run from the SAME funnel.
+    * `FROM VERSION a TO b` (round 17) gates only the rows c1 gained in
+    * the window — see [[ShowDedupAgainst]]. */
   final case class DedupAgainst(container: String, against: String,
       ix: Option[String], threshold: Option[Double] = None,
       atVersion: Option[Int] = None,
-      probe: Option[Int] = None) extends Stmt
+      probe: Option[Int] = None,
+      window: Option[(Int, Int)] = None) extends Stmt
 
   /** graft extension (round 16): the BATCH k-NN join — for EVERY row of
     * c1, the top-k nearest rows of c2, served through c2's committed
@@ -791,6 +802,26 @@ object Parser {
       (Some(v.toInt), tl)
     case Keyword("AT") :: _ =>
       throw new ParseException(s"Expected `AT VERSION <n>` in $what")
+    case tl => (None, tl)
+  }
+
+  /** `[FROM VERSION a TO b]` prefix of the cross DEDUP forms (round 17,
+    * r16 judge #8): the incremental gating window. FROM is unreserved
+    * (AQL has no FROM clause); VERSION/TO are keywords. Versions
+    * validate like CHANGES literals — existence checks happen at
+    * lowering, where the catalog knows the history. */
+  private def fromVersionPrefix(toks: List[Token],
+      what: String): (Option[(Int, Int)], List[Token]) = toks match {
+    case Str(fw) :: Keyword("VERSION") :: IntLit(a) :: Keyword("TO") ::
+        IntLit(b) :: tl if fw.equalsIgnoreCase("FROM") =>
+      val av = changesVersion(a, "fromVersion")
+      val bv = changesVersion(b, "toVersion")
+      if (bv < av) throw new ParseException(
+        s"$what FROM VERSION a TO b needs a <= b, got $a TO $b")
+      (Some((av, bv)), tl)
+    case Str(fw) :: Keyword("VERSION") :: _ if fw.equalsIgnoreCase("FROM") =>
+      throw new ParseException(
+        s"Expected `FROM VERSION <a> TO <b>` in $what")
     case tl => (None, tl)
   }
 
@@ -1455,7 +1486,8 @@ object Parser {
     // DECONTAMINATE grammar)
     case Keyword("SHOW") :: Str(w) :: cTok :: Str(ag) :: eTok :: rest
         if w.equalsIgnoreCase("DEDUP") && ag.equalsIgnoreCase("AGAINST") =>
-      val (at, afterAt) = atVersionPrefix(rest, "SHOW DEDUP AGAINST")
+      val (at, afterAt0) = atVersionPrefix(rest, "SHOW DEDUP AGAINST")
+      val (win, afterAt) = fromVersionPrefix(afterAt0, "SHOW DEDUP AGAINST")
       val (docsFlag, knobToks) = afterAt.lastOption match {
         case Some(Str(w2)) if w2.equalsIgnoreCase("DOCS") &&
             !(afterAt.length >= 2 &&
@@ -1464,10 +1496,10 @@ object Parser {
         case _ => (false, afterAt)
       }
       val (ix, thr, probe) = dedupKnobs(knobToks,
-        "SHOW DEDUP c1 AGAINST c2 [AT VERSION n] [USING ix] [PROBE p] " +
-          "[THRESHOLD t] [DOCS]", allowProbe = true)
+        "SHOW DEDUP c1 AGAINST c2 [AT VERSION n] [FROM VERSION a TO b] " +
+          "[USING ix] [PROBE p] [THRESHOLD t] [DOCS]", allowProbe = true)
       ShowDedupAgainst(name(cTok), name(eTok), ix, thr, docs = docsFlag,
-        atVersion = at, probe = probe)
+        atVersion = at, probe = probe, window = win)
 
     case Keyword("SHOW") :: Str(w) :: cTok :: rest if w.equalsIgnoreCase("DEDUP") =>
       val (at, afterAt) = rest match {
@@ -1498,12 +1530,13 @@ object Parser {
     // cross-container decision applied — before the within form
     case Str(w) :: cTok :: Str(ag) :: eTok :: rest
         if w.equalsIgnoreCase("DEDUP") && ag.equalsIgnoreCase("AGAINST") =>
-      val (at, afterAt) = atVersionPrefix(rest, "DEDUP AGAINST")
+      val (at, afterAt0) = atVersionPrefix(rest, "DEDUP AGAINST")
+      val (win, afterAt) = fromVersionPrefix(afterAt0, "DEDUP AGAINST")
       val (ix, thr, probe) = dedupKnobs(afterAt,
-        "DEDUP c1 AGAINST c2 [AT VERSION n] [USING ix] [PROBE p] " +
-          "[THRESHOLD t]", allowProbe = true)
+        "DEDUP c1 AGAINST c2 [AT VERSION n] [FROM VERSION a TO b] " +
+          "[USING ix] [PROBE p] [THRESHOLD t]", allowProbe = true)
       DedupAgainst(name(cTok), name(eTok), ix, thr, atVersion = at,
-        probe = probe)
+        probe = probe, window = win)
 
     // DEDUP c [USING ix] [THRESHOLD t] (graft extension, round 13): the
     // funnel's decision APPLIED — remove every verified near-dup cluster

@@ -520,13 +520,19 @@ object TextDedup {
     * over `documents` — the AT VERSION oracle rows recompute the funnel
     * against DIFFERENT committed slices of the reference container
     * (round 16). */
-  private[graft] def duckCrossLshCtesFor(refPred: String): String =
+  /** `c1Pred` (round 17, the FROM VERSION window row): restricts the
+    * PROBE side's doc ids — the declarative spelling of "only rows c1
+    * gained in the window probe the funnel". */
+  private[graft] def duckCrossLshCtesFor(refPred: String,
+      c1Pred: String = "TRUE"): String =
     s"""WITH RECURSIVE ${duckShinglesFrom("documents")},
        |$duckSignatures,
        |$duckBands,
        |xpairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |           FROM bands a JOIN bands b
        |             ON a.band = b.band AND a.bk = b.bk
+       |           JOIN (SELECT doc_id FROM documents WHERE $c1Pred) q
+       |             ON q.doc_id = a.doc_id
        |           JOIN (SELECT doc_id FROM documents WHERE $refPred) s
        |             ON s.doc_id = b.doc_id),
        |xscored AS (SELECT p.id_a, p.id_b,

@@ -720,6 +720,23 @@ class ParserSpec extends AnyFunSuite {
       Parser.parse("SHOW DEDUP corp AGAINST ref PROBE 0"))
     intercept[ParseException](
       Parser.parse("SHOW DEDUP corp AGAINST ref AT VERSION 0"))
+    // round 17: FROM VERSION a TO b — the incremental gating window
+    assert(Parser.parse("DEDUP corp AGAINST ref FROM VERSION 1 TO 2 USING nd")
+      == DedupAgainst("corp", "ref", Some("nd"), None,
+        window = Some((1, 2))))
+    assert(Parser.parse(
+      "SHOW DEDUP corp AGAINST ref FROM VERSION 3 TO 5 USING nd DOCS")
+      == ShowDedupAgainst("corp", "ref", Some("nd"), None, docs = true,
+        window = Some((3, 5))))
+    // composes after AT VERSION (reference pin + window, both optional)
+    assert(Parser.parse(
+      "DEDUP corp AGAINST ref AT VERSION 4 FROM VERSION 1 TO 2")
+      == DedupAgainst("corp", "ref", None, None, atVersion = Some(4),
+        window = Some((1, 2))))
+    intercept[ParseException]( // a > b refuses
+      Parser.parse("DEDUP corp AGAINST ref FROM VERSION 3 TO 1"))
+    intercept[ParseException]( // malformed window
+      Parser.parse("DEDUP corp AGAINST ref FROM VERSION 1"))
     // the within-container forms take no PROBE (no probe geometry)
     intercept[ParseException](Parser.parse("DEDUP corp USING nd PROBE 2"))
   }

@@ -294,6 +294,13 @@ class AqlServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (xc, xb) = post("DEDUP w15 AGAINST w15r USING nd")
     assert(xc == 200 && xb.contains("removed 2"), xb)
     assert(post("DEDUP w15 AGAINST w15")._1 == 400) // self-AGAINST refuses
+    // round 17: the FROM VERSION window reaches the wire surface (the
+    // removal above published v2, so the 1→2 window is a real history)
+    val (wc, wb) = post(
+      "SHOW DEDUP w15 AGAINST w15r FROM VERSION 1 TO 2 USING nd")
+    assert(wc == 200 && wb.contains(""""matched_docs""""), wb)
+    assert(post(
+      "DEDUP w15 AGAINST w15r FROM VERSION 2 TO 1 USING nd")._1 == 400)
     // decontamination knobs: SPANS report and the ANALYZER contrast
     val (sc1, sb1) = post(
       "SHOW DECONTAMINATE w15 AGAINST w15r ON body USING SPANS 8")
