@@ -139,47 +139,55 @@ object Bench {
       sfDir: String): Measurement = {
     val retried = scala.collection.mutable.ArrayBuffer.empty[String]
 
-    // Returns best-of-5 with an outlier guard: if even the best timed pass
-    // exceeds 3× the best warm-up pass, the whole timed block landed inside
-    // a host-throttle window (the warm-up itself proves the engine can run
-    // the query 3× faster on this very JVM). Sleep past the burst and rerun
-    // the timed block once, keeping the better min — one bounded extra pass
-    // on outliers only, and the `retried` field keeps the record auditable.
     def run(name: String): Double = {
       val fn = SparkEntry.queries(name)
-      def pass(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      def timedMin(): Double = (1 to 5).map(_ => pass()).min
-      try {
-        val warmupMin = (1 to 2).map(_ => pass()).min // warm-up passes
-        var best = timedMin() // denoised: best of five timed runs
-        if (best > 3.0 * warmupMin) {
-          retried += name
-          // a failure in the RETRY must not discard the valid best-of-5
-          // already in hand — keep it and move on; an interrupt during
-          // the sleep must re-set the flag (swallowing it would make the
-          // harness unresponsive to cancellation for the rest of the run)
-          try {
-            Thread.sleep(2000)
-            best = math.min(best, timedMin())
-          } catch {
-            case _: InterruptedException => Thread.currentThread().interrupt()
-            case _: Throwable => ()
-          }
-        }
-        best
-      } catch {
-        case _: InterruptedException =>
-          Thread.currentThread().interrupt(); -1.0
-        case _: Throwable => -1.0
-      }
+      bestOfProtocol(() => { fn(spark, sfDir).count(); () },
+        onRetry = () => { retried += name; () })
     }
 
     val results = SparkEntry.benchQueries.map(n => n -> run(n))
     Measurement(results, retried.toSeq, duckdbRecord(sfDir, results.map(_._1)))
+  }
+
+  /** THE per-query timing protocol — 2 warm-up passes, best of 5 timed,
+    * one retried block when even the best timed pass exceeds 3× the
+    * warm-up floor (the whole block landed inside a host-throttle
+    * window; the warm-up itself proves the engine can run the query 3×
+    * faster on this very JVM — sleep past the burst and rerun once,
+    * keeping the better min). ONE definition shared by the graded bench
+    * queries and [[RetrievalBench]]'s frozen lanes, so a protocol tweak
+    * can never silently de-comparabilize one of the two (r17 code
+    * review). `onRetry` fires when the throttle guard trips (the
+    * `retried` audit field). A failure in the retry must not discard
+    * the valid best-of-5 already in hand; an interrupt re-sets the
+    * flag so cancellation stays responsive. Returns -1 on failure. */
+  private[graft] def bestOfProtocol(body: () => Unit,
+      onRetry: () => Unit = () => ()): Double = {
+    def pass(): Double = {
+      val t0 = System.nanoTime()
+      body()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def timedMin(): Double = (1 to 5).map(_ => pass()).min
+    try {
+      val warmupMin = (1 to 2).map(_ => pass()).min // warm-up passes
+      var best = timedMin() // denoised: best of five timed runs
+      if (best > 3.0 * warmupMin) {
+        onRetry()
+        try {
+          Thread.sleep(2000)
+          best = math.min(best, timedMin())
+        } catch {
+          case _: InterruptedException => Thread.currentThread().interrupt()
+          case _: Throwable => ()
+        }
+      }
+      best
+    } catch {
+      case _: InterruptedException =>
+        Thread.currentThread().interrupt(); -1.0
+      case _: Throwable => -1.0
+    }
   }
 
   private def emit(m: Measurement, all: Seq[Measurement], sfDir: String,

@@ -81,7 +81,9 @@ object RetrievalBench {
     eng.execute("CREATE CONTAINER rb_eval ['doc_id','text'] [BIGINT, TEXT]")
     eng.catalog.overwrite("rb_eval",
       docs.filter(col("doc_id") % 100 === 0).select("doc_id", "text"))
-    Seq(
+    // keyed by laneNames so the FROZEN list and the bodies can never
+    // drift (a missing body fails loudly at setup, not silently)
+    val bodies = Map[String, () => Unit](
       "ret_match_topk" -> (() =>
         force("MATCH ['merge','vector','stream'] ON rb_docs USING ft LIMIT 20")),
       "ret_match_phrase" -> (() =>
@@ -96,6 +98,9 @@ object RetrievalBench {
         force("SHOW DEDUP rb_docs USING nd")),
       "ret_decontaminate_show" -> (() =>
         force("SHOW DECONTAMINATE rb_docs AGAINST rb_eval ON text")))
+    require(bodies.keySet == laneNames.toSet,
+      s"lane bodies ${bodies.keySet} drifted from laneNames $laneNames")
+    laneNames.map(n => n -> bodies(n))
   }
 
   /** Run every lane with the [[Bench]] timing protocol. Returns
@@ -106,34 +111,11 @@ object RetrievalBench {
   def run(spark: SparkSession, sfDir: String): Option[Seq[(String, Double)]] =
     try {
       val ls = lanes(spark, sfDir)
+      // the ONE timing protocol (Bench.bestOfProtocol) — the frozen
+      // lanes' cross-round comparability depends on it matching the
+      // graded queries' protocol exactly
       Some(ls.map { case (name, body) =>
-        name -> time(body)
+        name -> Bench.bestOfProtocol(body)
       })
     } catch { case scala.util.control.NonFatal(_) => None }
-
-  private def time(body: () => Unit): Double =
-    try {
-      def pass(): Double = {
-        val t0 = System.nanoTime()
-        body()
-        (System.nanoTime() - t0) / 1e9
-      }
-      def timedMin(): Double = (1 to 5).map(_ => pass()).min
-      val warmupMin = (1 to 2).map(_ => pass()).min
-      var best = timedMin()
-      if (best > 3.0 * warmupMin) {
-        try {
-          Thread.sleep(2000)
-          best = math.min(best, timedMin())
-        } catch {
-          case _: InterruptedException => Thread.currentThread().interrupt()
-          case _: Throwable => ()
-        }
-      }
-      best
-    } catch {
-      case _: InterruptedException =>
-        Thread.currentThread().interrupt(); -1.0
-      case _: Throwable => -1.0
-    }
 }

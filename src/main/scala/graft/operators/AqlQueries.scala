@@ -634,6 +634,13 @@ object AqlQueries {
       eng.catalog.append("docs_xw", ftDocs.filter(
         org.apache.spark.sql.functions.col("doc_id") % 2 === 1))
       eng.execute("DEDUP docs_xw AGAINST docs_xe FROM VERSION 1 TO 2 USING ndx")
+      // the SHOW twin's fixture keeps both commits intact (no removal),
+      // so the windowed summary row reads a live two-version history
+      eng.execute("CREATE CONTAINER docs_xs ['doc_id','text'] [BIGINT, TEXT]")
+      eng.catalog.overwrite("docs_xs", ftDocs.filter(
+        org.apache.spark.sql.functions.col("doc_id") % 2 === 0))
+      eng.catalog.append("docs_xs", ftDocs.filter(
+        org.apache.spark.sql.functions.col("doc_id") % 2 === 1))
       // versioned reference container (round 16, AT VERSION): v1 = the
       // src0 slice (docs_xe's content), v2 gains the src1 slice — a
       // GROWING reference corpus. The AT VERSION 1 oracle row must see
@@ -2335,6 +2342,23 @@ object AqlQueries {
          |WHERE doc_id NOT IN (SELECT doc_id FROM removed)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       search("SEARCH [doc_id] ON docs_xw")(s, dir)
+    },
+
+    // ...and the windowed SHOW summary (round 17): every count scoped
+    // to the PROBED population — n_docs is the window's arrivals (the
+    // odd docs), candidate/matched count among them, so
+    // matched_docs/n_docs reads as the window's contamination rate.
+    Q("aql_show_dedup_against_window",
+      s"""${TextDedup.duckCrossLshCtesFor("source = 'src0'",
+             c1Pred = "doc_id % 2 = 1")},
+         |tot AS (SELECT count(*) AS n_docs FROM documents
+         |        WHERE doc_id % 2 = 1),
+         |cand AS (SELECT count(DISTINCT id_a) AS candidate_docs FROM xpairs),
+         |vm AS (SELECT count(DISTINCT id_a) AS matched_docs FROM xv)
+         |SELECT tot.n_docs, cand.candidate_docs, vm.matched_docs
+         |FROM tot, cand, vm""".stripMargin) { (s, dir) =>
+      search("SHOW DEDUP docs_xs AGAINST docs_xe FROM VERSION 1 TO 2 " +
+        "USING ndx")(s, dir)
     },
 
     // AT VERSION on the cross funnel (round 16, r15 judge #4): the

@@ -268,50 +268,27 @@ object EmbeddingStreams {
   private def bandEnrichBatch(batch: DataFrame,
       catalog: graft.catalog.Catalog, against: String,
       idef: graft.catalog.Index.Def, pk: String, k: Int): DataFrame = {
-    import graft.operators.TextDedup.{bandsOf, jaccardSim, simhashBands,
-      simhashSim, withShingles, withSignatures, withSimhash}
+    import graft.operators.TextDedup.{bandCollisions, bandExactScores}
     val txtCol = idef.column
     // ONE row per probe pk on within-batch replay duplicates —
     // min-by-payload representative, the knnEnrichBatch stance
     val docs = batch.select(col(pk), col(txtCol))
       .groupBy(col(pk)).agg(min(col(txtCol)).as(txtCol))
       .select(col(pk).as("doc_id"), col(txtCol).as("text"))
-    val probeBands = (idef.kind match {
-      case "lsh" => bandsOf(withSignatures(
-        withShingles(docs, idef.analyzer), Seq("doc_id")), Seq("doc_id"))
-      case _ => simhashBands(
-        withSimhash(docs, Seq("doc_id"), idef.analyzer), Seq("doc_id"))
-    }).select(col("doc_id").as("qid"), col("band"), col("bk"))
+    // the SAME candidate + verify stages the Engine's AGAINST funnel
+    // runs (TextDedup.bandCollisions/bandExactScores — one definition,
+    // so statement and stream cannot drift): banded id collisions, then
+    // the exact measure over candidate-pruned sides, threshold −1
+    // (a k-NN join ranks, never gates)
     val ixRows = graft.catalog.Index.read(catalog, against, idef, None)
-      .select(col("id").as("cand"), col("band"), col("bk"))
-    val pairs = probeBands.hint("shuffle_hash").join(ixRows, Seq("band", "bk"))
-      .select(col("qid"), col("cand")).distinct()
-    // exact-measure verify ∝ candidates: both sides semi-join to the
-    // colliding ids BEFORE any shingle/simhash derivation
-    val probing = docs.join(pairs.select(col("qid").as("doc_id")).distinct(),
-      Seq("doc_id"), "left_semi")
-    val refCand = catalog.read(against)
-      .select(col(pk).as("doc_id"), col(txtCol).as("text"))
-      .join(pairs.select(col("cand").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_semi")
-    val scored = (idef.kind match {
-      case "lsh" =>
-        val shA = withShingles(probing, idef.analyzer)
-          .select(col("doc_id").as("qid"), col("sg").as("sg_a"))
-        val shB = withShingles(refCand, idef.analyzer)
-          .select(col("doc_id").as("cand"), col("sg").as("sg_b"))
-        pairs.join(shA, Seq("qid")).join(shB, Seq("cand"))
-          .select(col("qid"), col("cand"),
-            jaccardSim(col("sg_a"), col("sg_b")).as("score"))
-      case _ =>
-        val shA = withSimhash(probing, Seq("doc_id"), idef.analyzer)
-          .select(col("doc_id").as("qid"), col("simhash").as("sh_a"))
-        val shB = withSimhash(refCand, Seq("doc_id"), idef.analyzer)
-          .select(col("doc_id").as("cand"), col("simhash").as("sh_b"))
-        pairs.join(shA, Seq("qid")).join(shB, Seq("cand"))
-          .select(col("qid"), col("cand"),
-            simhashSim(col("sh_a"), col("sh_b")).as("score"))
-    }).filter(col("score") >= -1.0) // threshold −1: rank, never gate
+      .select(col("id").as("id_b"), col("band"), col("bk"))
+    val pairs = bandCollisions(docs, ixRows, idef.kind, idef.analyzer)
+    val scored = bandExactScores(pairs, docs,
+        catalog.read(against)
+          .select(col(pk).as("doc_id"), col(txtCol).as("text")),
+        idef.kind, idef.analyzer)
+      .filter(col("score") >= -1.0)
+      .select(col("id_a").as("qid"), col("id_b").as("cand"), col("score"))
     val top = graft.plans.TopK.perGroup(scored, Seq("qid"),
       Seq("score" -> false, "cand" -> true), k)
     val w = org.apache.spark.sql.expressions.Window
@@ -352,23 +329,32 @@ object EmbeddingStreams {
   private[graft] def knnEnrichCommitBatch(batch: DataFrame,
       catalog: graft.catalog.Catalog, against: String, ix: String,
       sink: String, k: Int, nprobe: Int): Unit = {
-    if (batch.isEmpty) return
     val pk = catalog.get(against).primaryKey
     val sinkPk = catalog.get(sink).primaryKey
+    // ONE bounds job doubles as the emptiness probe (a NULL min means
+    // an empty batch) — no separate isEmpty scan of the source
     val bounds = batch.agg(min(col(pk)), max(col(pk))).head()
+    if (bounds.isNullAt(0)) return
     val enrichedAlready = catalog.read(sink)
       .select(col(sinkPk).as(pk))
       .filter(col(pk).between(lit(bounds.get(0)), lit(bounds.get(1))))
       .distinct()
+    // persist the guarded batch across its emptiness probe AND the
+    // enrichment pipeline (r17 code review: un-persisted, the pruned
+    // sink scan + anti-join executed once for the probe and again
+    // under the enrichment DAG)
     val fresh = batch.join(enrichedAlready, Seq(pk), "left_anti")
-    if (fresh.isEmpty) return
-    // persist across the emptiness probe AND the append (r16 code
-    // review: un-persisted, the full enrichment pipeline — cell
-    // scan, snapshot joins, scoring, top-k — executed twice per
-    // micro-batch)
-    val enriched = knnEnrichBatch(fresh, catalog, against, ix, k, nprobe)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try { if (!enriched.isEmpty) { catalog.append(sink, enriched); () } }
-    finally enriched.unpersist(blocking = false)
+    try {
+      if (fresh.isEmpty) return
+      // persist across the emptiness probe AND the append (r16 code
+      // review: un-persisted, the full enrichment pipeline — cell
+      // scan, snapshot joins, scoring, top-k — executed twice per
+      // micro-batch)
+      val enriched = knnEnrichBatch(fresh, catalog, against, ix, k, nprobe)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try { if (!enriched.isEmpty) { catalog.append(sink, enriched); () } }
+      finally enriched.unpersist(blocking = false)
+    } finally fresh.unpersist(blocking = false)
   }
 }

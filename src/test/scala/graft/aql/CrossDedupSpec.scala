@@ -394,6 +394,14 @@ class CrossDedupSpec extends AnyFunSuite {
     assert(det.map(_.getLong(0)).toSet == Set(2L, 4L),
       s"window DOCS: ${det.toSeq}")
 
+    // the windowed SHOW summary's n_docs is the PROBED population (the
+    // window's arrivals), so matched_docs/n_docs reads as the window's
+    // rate — never corpus-diluted
+    val winRep = eng.execute(
+      "SHOW DEDUP corp AGAINST ref FROM VERSION 1 TO 2 USING nd")
+      .asInstanceOf[Engine.ResultSet].df.collect().head
+    assert(winRep.getLong(0) == 2L, s"windowed n_docs ${winRep.getLong(0)}")
+
     // applied: only the window's verified arrivals are removed — doc 1,
     // a verbatim match that PREDATES the window, survives
     val msg = eng.execute(
@@ -412,6 +420,26 @@ class CrossDedupSpec extends AnyFunSuite {
     assert(eng.execute("SEARCH [doc_id] ON corp")
       .asInstanceOf[Engine.ResultSet].df.collect()
       .map(_.getLong(0)).toSet == Set(3L))
+
+    // a row EDITED inside the window re-gates on its post-image: the
+    // CHANGES feed labels updates 'update_postimage' (r17 code review
+    // caught the funnel filtering on a literal that never matched —
+    // this case pins the contract "a row edited in the window gates on
+    // its current content")
+    eng.execute("CREATE CONTAINER corpe ['doc_id','text'] [BIGINT, TEXT]")
+    eng.catalog.overwrite("corpe", Seq(
+      (7L, "some entirely innocuous starting text right here today"),
+      (8L, "another unrelated document body for padding the corpus"))
+      .toDF("doc_id", "text"))
+    eng.execute(s"EDIT ROW ['text'] ['$refText'] ON corpe WHERE doc_id = 7")
+    eng.execute("COMMIT corpe")
+    val msgE = eng.execute(
+      "DEDUP corpe AGAINST ref FROM VERSION 1 TO 2 USING nd")
+      .asInstanceOf[Engine.Done].message
+    assert(msgE.contains("removed 1"), msgE)
+    assert(eng.execute("SEARCH [doc_id] ON corpe")
+      .asInstanceOf[Engine.ResultSet].df.collect()
+      .map(_.getLong(0)).toSet == Set(8L))
 
     // guards: a window over missing versions refuses loudly; a window
     // on a container with no committed history refuses via CHANGES
