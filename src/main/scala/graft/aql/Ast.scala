@@ -583,7 +583,13 @@ object Ast {
         * cannot iterate per c1 row — so a selective predicate can
         * under-fill a probe's k; PROBE is the recall dial and the
         * Access Path names the bound. */
-      where: Option[Where] = None) extends Stmt
+      where: Option[Where] = None,
+      /** `FROM VERSION a TO b` (round 17) — the INCREMENTAL k-NN join:
+        * only rows c1 gained in the committed window are enriched (the
+        * CHANGES feed ∩ funnel, the DEDUP AGAINST window's retrieval
+        * sibling) — the batch catch-up twin of the streaming k-NN
+        * enrichment after an outage. Either order with AT VERSION. */
+      window: Option[(Int, Int)] = None) extends Stmt
 
   /** graft extension (round 14): eval-set decontamination — the third
     * curation commit next to DEDUP and DELETE ROWS. `DECONTAMINATE c
@@ -1959,10 +1965,17 @@ object Parser {
           (true, rest.init)
         case _ => (false, rest)
       }
-      val (at, ix, probe, where, limit) = lookupTail("SIMILAR AGAINST",
-        tailToks, allowProbe = true, allowWhere = true)
+      // the FROM VERSION window composes with AT VERSION in either
+      // order: a leading AT parses here, a post-window AT parses in
+      // lookupTail — both present is a duplicate and refuses
+      val (at0, afterAt) = atVersionPrefix(tailToks, "SIMILAR AGAINST")
+      val (win, afterWin) = fromVersionPrefix(afterAt, "SIMILAR AGAINST")
+      val (at1, ix, probe, where, limit) = lookupTail("SIMILAR AGAINST",
+        afterWin, allowProbe = true, allowWhere = true)
+      if (at0.isDefined && at1.isDefined) throw new ParseException(
+        "Duplicate AT VERSION in SIMILAR AGAINST")
       SimilarAgainst(name(cTok), name(eTok), ix, probe, limit,
-        scoredFlag, at, where)
+        scoredFlag, at0.orElse(at1), where, window = win)
 
     // SIMILAR <pk> ON container [USING ix] [PROBE p] [LIMIT n] [SCORED]
     // (graft extension):

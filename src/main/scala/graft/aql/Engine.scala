@@ -3056,7 +3056,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     // does not gate (scores are bounded below by −1 in every family)
     val f = crossDedupFunnel(sa.container, sa.against, sa.ix,
       thrOpt = Some(-1.0), what = "SIMILAR",
-      probeOpt = sa.probe, atVersion = sa.atVersion)
+      probeOpt = sa.probe, atVersion = sa.atVersion, window = sa.window)
     val pk = catalog.get(sa.container).primaryKey
     // WHERE (round 16 — the filtered batch k-NN join): the predicate
     // binds to the REFERENCE container's columns and semi-joins the

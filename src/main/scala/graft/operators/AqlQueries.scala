@@ -2424,6 +2424,26 @@ object AqlQueries {
       search("SIMILAR documents AGAINST docs_xe USING ndx LIMIT 3 SCORED")(s, dir)
     },
 
+    // ...the WINDOWED batch k-NN join (round 17): `FROM VERSION 1 TO 2`
+    // enriches ONLY the rows docs_xs gained in the window (the odd
+    // docs) — the batch catch-up twin of the streaming k-NN enrichment,
+    // and the DEDUP AGAINST window's retrieval sibling. The oracle
+    // restricts the probe side declaratively; even docs produce no
+    // enrichment rows.
+    Q("aql_similar_against_window",
+      s"""${TextDedup.duckCrossLshCtesFor("source = 'src0'",
+             c1Pred = "doc_id % 2 = 1")}
+         |SELECT doc_id, match_id, score, rank FROM (
+         |  SELECT id_a AS doc_id, id_b AS match_id, score,
+         |         row_number() OVER (PARTITION BY id_a
+         |                            ORDER BY score DESC, id_b) AS rank
+         |  FROM xscored)
+         |WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
+      search("SIMILAR docs_xs AGAINST docs_xe FROM VERSION 1 TO 2 " +
+        "USING ndx LIMIT 3 SCORED")(s, dir)
+    },
+
     // ...the SIMHASH family twin (round 16): candidates from the 4×8-bit
     // band collisions of c2's simhash index, per-probe top-3 by exact
     // (32 − hamming)/32 signature similarity — the token-level k-NN

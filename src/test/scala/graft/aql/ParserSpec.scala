@@ -768,6 +768,24 @@ class ParserSpec extends AnyFunSuite {
       Parser.parse("SIMILAR corp AGAINST ref EXTRA"))
     assert(Parser.parse("EXPLAIN SIMILAR corp AGAINST ref LIMIT 5 SCORED")
       .asInstanceOf[Explain].query.isInstanceOf[SimilarAgainst])
+    // round 17: the FROM VERSION window (incremental k-NN join),
+    // composing with AT VERSION in either order; duplicates refuse
+    assert(Parser.parse(
+      "SIMILAR corp AGAINST ref FROM VERSION 1 TO 2 USING nd LIMIT 3 SCORED")
+      == SimilarAgainst("corp", "ref", Some("nd"), None, 3, scored = true,
+        window = Some((1, 2))))
+    assert(Parser.parse(
+      "SIMILAR corp AGAINST ref AT VERSION 4 FROM VERSION 1 TO 2 LIMIT 5")
+      == SimilarAgainst("corp", "ref", None, None, 5, atVersion = Some(4),
+        window = Some((1, 2))))
+    assert(Parser.parse(
+      "SIMILAR corp AGAINST ref FROM VERSION 1 TO 2 AT VERSION 4 LIMIT 5")
+      == SimilarAgainst("corp", "ref", None, None, 5, atVersion = Some(4),
+        window = Some((1, 2))))
+    intercept[ParseException](Parser.parse(
+      "SIMILAR corp AGAINST ref AT VERSION 1 FROM VERSION 1 TO 2 AT VERSION 3"))
+    intercept[ParseException](Parser.parse(
+      "SIMILAR corp AGAINST ref FROM VERSION 2 TO 1"))
   }
 
   test("DELETE ROWS parses a (SEARCH …) subquery onto a container") {

@@ -188,6 +188,38 @@ class SimilarAgainstSpec extends AnyFunSuite {
       viaInt8.toString)
   }
 
+  test("FROM VERSION window: only the window's arrivals are enriched " +
+      "(round 17 — the incremental k-NN join)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sa-win")
+    val eng = new Engine(spark, dir.toString)
+    import spark.implicits._
+    eng.execute("CREATE CONTAINER ref ['doc_id','text'] [BIGINT, TEXT]")
+    eng.catalog.overwrite("ref",
+      Seq((100L, refText), (101L, otherText + " extra tail words here"))
+        .toDF("doc_id", "text"))
+    eng.execute("CREATE INDEX nd ON ref ['text'] USING lsh")
+    eng.execute("CREATE CONTAINER corp ['doc_id','text'] [BIGINT, TEXT]")
+    // v1: a verbatim copy that must NOT be re-enriched by the window
+    eng.catalog.overwrite("corp",
+      Seq((1L, refText)).toDF("doc_id", "text"))
+    // v2 gains a near-dup and a verbatim of ref 101
+    eng.catalog.append("corp", Seq(
+      (2L, nearText), (4L, otherText + " extra tail words here"))
+      .toDF("doc_id", "text"))
+    val got = rows(eng,
+      "SIMILAR corp AGAINST ref FROM VERSION 1 TO 2 USING nd LIMIT 2 SCORED")
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byDoc = got.groupBy(_._1)
+    assert(!byDoc.contains(1L),
+      s"pre-window row must not be enriched: $got")
+    assert(byDoc(2L).head._2 == 100L && byDoc(2L).head._4 == 1)
+    assert(byDoc(4L).head == ((4L, 101L, 1.0, 1)), byDoc(4L).toString)
+    // the unwindowed statement still enriches everything
+    val full = rows(eng, "SIMILAR corp AGAINST ref USING nd LIMIT 2 SCORED")
+      .map(_.getLong(0)).toSet
+    assert(full == Set(1L, 2L, 4L), full.toString)
+  }
+
   test("guards + plan shape: no all-pairs exchange, bounded-heap top-k") {
     val eng = fixture("plan")
     // PROBE on a band index refuses (no cell geometry) — even an
