@@ -625,7 +625,13 @@ object Ast {
       analyzer: Option[String] = None,
       /** `AT VERSION n` (round 16) — pin the EVAL container's committed
         * snapshot, the ShowDedupAgainst reference-pin contract. */
-      atVersion: Option[Int] = None) extends Stmt
+      atVersion: Option[Int] = None,
+      /** `FROM VERSION a TO b` (round 17) — the INCREMENTAL window:
+        * only docs the corpus gained in the committed window are
+        * measured and removable, the DEDUP AGAINST window's
+        * decontamination sibling (batch catch-up after an outage of
+        * the streaming decontamination gate). */
+      window: Option[(Int, Int)] = None) extends Stmt
 
   /** The DECONTAMINATE dry run: one-row report (n_docs, measured_docs,
     * contaminated_docs, max_contamination) over the same funnel.
@@ -640,7 +646,8 @@ object Ast {
       docs: Boolean = false,
       grams: Option[Int] = None, spans: Option[Int] = None,
       analyzer: Option[String] = None,
-      atVersion: Option[Int] = None) extends Stmt
+      atVersion: Option[Int] = None,
+      window: Option[(Int, Int)] = None) extends Stmt
 
   /** graft extensions: incremental materialized views. `CREATE VIEW v
     * (SEARCH [keys…, count(c)/sum(c)…] ON src [WHERE …])` declares a
@@ -1558,29 +1565,34 @@ object Parser {
         if w.equalsIgnoreCase("DECONTAMINATE") && ag.equalsIgnoreCase("AGAINST") =>
       // trailing DOCS flag (unreserved, like CLUSTERS): the per-doc
       // decision detail instead of the one-row summary
-      val (at, afterAt) = atVersionPrefix(rest, "SHOW DECONTAMINATE")
+      val (at, afterAt0) = atVersionPrefix(rest, "SHOW DECONTAMINATE")
+      val (win, afterAt) = fromVersionPrefix(afterAt0, "SHOW DECONTAMINATE")
       val (docsFlag, knobToks) = afterAt.lastOption match {
         case Some(Str(w2)) if w2.equalsIgnoreCase("DOCS") => (true, afterAt.init)
         case _ => (false, afterAt)
       }
       val (thr, grams, spans, an) = decontKnobs(knobToks,
         "SHOW DECONTAMINATE c AGAINST e ON col [AT VERSION n] " +
-          "[ANALYZER a] [GRAMS n] [THRESHOLD t] | [USING SPANS n] [DOCS]")
+          "[FROM VERSION a TO b] [ANALYZER a] [GRAMS n] [THRESHOLD t] " +
+          "| [USING SPANS n] [DOCS]")
       ShowDecontaminate(name(cTok), name(eTok), name(colTok), thr,
         docs = docsFlag, grams = grams, spans = spans, analyzer = an,
-        atVersion = at)
+        atVersion = at, window = win)
     // DECONTAMINATE c AGAINST e ON col [THRESHOLD t] (round 14): the
     // decision APPLIED — remove every contaminated doc, one atomic
     // version (the curation trio's third statement, next to DEDUP and
     // DELETE ROWS)
     case Str(w) :: cTok :: Str(ag) :: eTok :: Keyword("ON") :: colTok :: rest
         if w.equalsIgnoreCase("DECONTAMINATE") && ag.equalsIgnoreCase("AGAINST") =>
-      val (at, afterAt) = atVersionPrefix(rest, "DECONTAMINATE")
+      val (at, afterAt0) = atVersionPrefix(rest, "DECONTAMINATE")
+      val (win, afterAt) = fromVersionPrefix(afterAt0, "DECONTAMINATE")
       val (thr, grams, spans, an) = decontKnobs(afterAt,
-        "DECONTAMINATE c AGAINST e ON col [AT VERSION n] [ANALYZER a] " +
-          "[GRAMS n] [THRESHOLD t] | [USING SPANS n]")
+        "DECONTAMINATE c AGAINST e ON col [AT VERSION n] " +
+          "[FROM VERSION a TO b] [ANALYZER a] [GRAMS n] [THRESHOLD t] " +
+          "| [USING SPANS n]")
       Decontaminate(name(cTok), name(eTok), name(colTok), thr,
-        grams = grams, spans = spans, analyzer = an, atVersion = at)
+        grams = grams, spans = spans, analyzer = an, atVersion = at,
+        window = win)
     case Str(w) :: _ if w.equalsIgnoreCase("DECONTAMINATE") =>
       throw new ParseException(
         "Expected `DECONTAMINATE c AGAINST e ON col [GRAMS n] " +

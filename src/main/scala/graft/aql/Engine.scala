@@ -654,7 +654,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           s"DECONTAMINATE on '${dc.container}' with staged ops — COMMIT " +
             "or ROLLBACK first")
       val f = decontFunnel(dc.container, dc.against, dc.column, dc.threshold,
-        dc.grams, dc.spans, dc.analyzer, dc.atVersion)
+        dc.grams, dc.spans, dc.analyzer, dc.atVersion, dc.window)
       // persist the decision: the count below AND deleteRows' touched-
       // file discovery + rewrites all read the loser set — without this
       // each action would recompute the whole gram funnel over the corpus
@@ -3159,8 +3159,11 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     * at gram size n, decision rule `n_contaminated >= 1` — a shared
     * contiguous run of ≥ n tokens always contains a shared n-gram and
     * vice versa, so any-hit n-gram membership IS span membership. */
+  /** `probed` = the measured corpus population (whole container, or
+    * with `FROM VERSION a TO b` the window's arrivals) — the SHOW
+    * summary's n_docs, the XFunnel.probed contract. */
   private case class DecontFunnel(thr: Double, contamination: DataFrame,
-      n: Int, spanMode: Boolean) {
+      n: Int, spanMode: Boolean, probed: DataFrame) {
     /** The ONE removal rule — report, DOCS detail and the applied
       * delete all filter on this, so they can never disagree. */
     def removePred: Column =
@@ -3171,11 +3174,17 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       else f"$n-gram fraction >= $thr%.6f"
   }
 
+  /** `window` (round 17): `FROM VERSION a TO b` — measure and remove
+    * only the docs the corpus gained in the committed window (CHANGES
+    * inserts + update posts), the cross-dedup window's decontamination
+    * sibling: catch-up decontamination after a streaming-gate outage,
+    * gram derivation ∝ the window's arrivals. */
   private def decontFunnel(container: String, against: String,
       column: String, thrOpt: Option[Double],
       grams: Option[Int] = None, spans: Option[Int] = None,
       analyzerOpt: Option[String] = None,
-      atVersion: Option[Int] = None): DecontFunnel = {
+      atVersion: Option[Int] = None,
+      window: Option[(Int, Int)] = None): DecontFunnel = {
     requireNotView(container, "its content")
     requireNotView(against, "its content")
     val d = catalog.get(container)
@@ -3229,11 +3238,23 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       note(s"decontaminate: eval gram set of '$against' exceeds " +
         s"decont_broadcast_cap $cap — broadcast hint dropped, AQE plans " +
         "the gram join (slow-but-correct, never an executor OOM)")
+    val corpusAll = catalog.read(container)
+      .select(col(d.primaryKey).as("doc_id"), col(cCol).as("text"))
+    val corpus = window match {
+      case None => corpusAll
+      case Some((a, b)) =>
+        val gained = catalog.changes(container, a, Some(b))
+          .filter(col("_change_type").isin("insert", "update_postimage"))
+          .select(col(d.primaryKey).as("doc_id")).distinct()
+        note(s"decontaminate: FROM VERSION $a TO $b — only docs " +
+          s"'$container' gained in the window (CHANGES inserts + update " +
+          "posts) are measured and removable; pre-window docs are never " +
+          "touched (the batch catch-up twin of the streaming gate)")
+        corpusAll.join(gained, Seq("doc_id"), "left_semi")
+    }
     val contamination = graft.operators.TextDedup.contaminationFractions(
-      catalog.read(container)
-        .select(col(d.primaryKey).as("doc_id"), col(cCol).as("text")),
-      evalGrams, n = n, broadcastEval = evalBounded, analyzer = an)
-    DecontFunnel(thr, contamination, n, spans.isDefined)
+      corpus, evalGrams, n = n, broadcastEval = evalBounded, analyzer = an)
+    DecontFunnel(thr, contamination, n, spans.isDefined, probed = corpus)
   }
 
   /** The SHOW DECONTAMINATE served DataFrame — ONE construction for the
@@ -3243,7 +3264,7 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     * order, the 1-row summary takes the default sort. */
   private def showDecontaminateDf(sd: Ast.ShowDecontaminate): (DataFrame, Boolean) = {
     val f = decontFunnel(sd.container, sd.against, sd.column, sd.threshold,
-      sd.grams, sd.spans, sd.analyzer, sd.atVersion)
+      sd.grams, sd.spans, sd.analyzer, sd.atVersion, sd.window)
     // DOCS: the decision DETAIL — one row per doc the removal would
     // delete, from the SAME funnel (the SHOW DEDUP … CLUSTERS pairing)
     if (sd.docs) {
@@ -3253,9 +3274,10 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         .filter(f.removePred)
         .orderBy(col("contamination").desc, col("doc_id")), false)
     } else {
-      // the COMMITTED snapshot — the rows DECONTAMINATE would act on
-      // (deleteRows rewrites committed files; staged rows refuse there)
-      val tot = catalog.read(sd.container).agg(count(lit(1)).as("n_docs"))
+      // the PROBED population — the committed rows DECONTAMINATE would
+      // act on (the container, or the window's arrivals under FROM
+      // VERSION), so every count in the row shares one scope
+      val tot = f.probed.agg(count(lit(1)).as("n_docs"))
       val m = f.contamination.agg(
         count(lit(1)).as("measured_docs"),
         coalesce(sum(when(f.removePred, 1L)), lit(0L))

@@ -597,6 +597,18 @@ object AqlQueries {
       eng.execute("CREATE CONTAINER docs_dc ['doc_id','text'] [BIGINT, TEXT]")
       eng.catalog.overwrite("docs_dc", ftDocs)
       eng.execute("DECONTAMINATE docs_dc AGAINST docs_ev ON text THRESHOLD 0.5")
+      // windowed decontamination (round 17): docs_dcw grew from the
+      // even docs (v1) to all docs (v2); FROM VERSION 1 TO 2 measures
+      // and removes ONLY the window's arrivals — even src0 docs
+      // (contamination 1.0 against themselves) predate the window and
+      // must survive
+      eng.execute("CREATE CONTAINER docs_dcw ['doc_id','text'] [BIGINT, TEXT]")
+      eng.catalog.overwrite("docs_dcw", ftDocs.filter(
+        org.apache.spark.sql.functions.col("doc_id") % 2 === 0))
+      eng.catalog.append("docs_dcw", ftDocs.filter(
+        org.apache.spark.sql.functions.col("doc_id") % 2 === 1))
+      eng.execute("DECONTAMINATE docs_dcw AGAINST docs_ev ON text " +
+        "FROM VERSION 1 TO 2 THRESHOLD 0.5")
       // span-mode twin (round 15): a documents copy decontaminated with
       // the ANY-HIT contiguous-span rule (USING SPANS 8 — remove every
       // doc sharing one 8-token run with the eval set) — the oracle row
@@ -2159,6 +2171,22 @@ object AqlQueries {
          |WHERE doc_id NOT IN (SELECT doc_id FROM removed)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       search("SEARCH [doc_id] ON docs_dc")(s, dir)
+    },
+
+    // ...the VERSION-WINDOW form (round 17): docs_dcw grew from the
+    // even docs (v1) to all docs (v2); only the window's arrivals (the
+    // odd docs) are measured and removable — even src0 docs, which the
+    // unwindowed statement removes at contamination 1.0, survive
+    // because they predate the window. The catch-up twin of the
+    // streaming decontamination gate.
+    Q("aql_decontaminate_window",
+      s"""WITH ${AqlQueries.duckDecontCtes},
+         |removed AS (SELECT doc_id FROM contam
+         |            WHERE contamination >= 0.5 AND doc_id % 2 = 1)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      search("SEARCH [doc_id] ON docs_dcw")(s, dir)
     },
 
     // ...and the dry-run report twin (read-only, so it runs against the

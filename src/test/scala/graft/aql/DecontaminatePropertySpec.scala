@@ -371,4 +371,37 @@ class DecontaminatePropertySpec extends AnyFunSuite {
     intercept[ParseException](eng.execute(
       "SHOW DECONTAMINATE avc AGAINST ave ON body AT VERSION 99"))
   }
+
+  test("FROM VERSION a TO b: only the window's arrivals are measured " +
+      "and removable (round 17)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dc-win")
+    val eng = new Engine(spark, dir.toString)
+    import spark.implicits._
+    eng.execute("CREATE CONTAINER wve ['doc_id','body'] [BIGINT, TEXT]")
+    eng.catalog.overwrite("wve",
+      Seq((10L, "alpha beta gamma delta")).toDF("doc_id", "body"))
+    eng.execute("CREATE CONTAINER wvc ['doc_id','body'] [BIGINT, TEXT]")
+    // v1: a fully contaminated doc that PREDATES the window
+    eng.catalog.overwrite("wvc", Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta")).toDF("doc_id", "body"))
+    // v2 gains another contaminated doc and a clean one
+    eng.catalog.append("wvc", Seq(
+      (3L, "alpha beta gamma delta"),
+      (4L, "iota kappa lambda mu epsilon")).toDF("doc_id", "body"))
+    // the windowed SHOW scopes every count to the window's arrivals
+    val rep = eng.execute("SHOW DECONTAMINATE wvc AGAINST wve ON body " +
+      "FROM VERSION 1 TO 2").asInstanceOf[Engine.ResultSet].df
+      .collect().head
+    assert(rep.getLong(0) == 2L, s"windowed n_docs ${rep.getLong(0)}")
+    assert(rep.getLong(2) == 1L, s"contaminated ${rep.getLong(2)}")
+    // applied: doc 3 (gained, contaminated) is removed; doc 1 — the
+    // same text, but pre-window — survives
+    val msg = eng.execute("DECONTAMINATE wvc AGAINST wve ON body " +
+      "FROM VERSION 1 TO 2").asInstanceOf[Engine.Done].message
+    assert(msg.contains("1"), msg)
+    val kept = eng.execute("SEARCH [doc_id] ON wvc")
+      .asInstanceOf[Engine.ResultSet].df.collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 4L), s"kept $kept")
+  }
 }

@@ -857,6 +857,18 @@ class ParserSpec extends AnyFunSuite {
       "SHOW DECONTAMINATE corp AGAINST eval ON body USING SPANS 8 DOCS")
       == ShowDecontaminate("corp", "eval", "body", None, docs = true,
         spans = Some(8)))
+    // round 17: the FROM VERSION window — the incremental gating form
+    assert(Parser.parse(
+      "DECONTAMINATE corp AGAINST eval ON body FROM VERSION 1 TO 2 THRESHOLD 0.3")
+      == Decontaminate("corp", "eval", "body", Some(0.3),
+        window = Some((1, 2))))
+    assert(Parser.parse(
+      "SHOW DECONTAMINATE corp AGAINST eval ON body AT VERSION 3 " +
+        "FROM VERSION 1 TO 2 DOCS")
+      == ShowDecontaminate("corp", "eval", "body", None, docs = true,
+        atVersion = Some(3), window = Some((1, 2))))
+    intercept[ParseException](Parser.parse(
+      "DECONTAMINATE corp AGAINST eval ON body FROM VERSION 2 TO 1"))
     // bounds: GRAMS in [2, 32], SPANS in [2, 256]
     intercept[ParseException](
       Parser.parse("DECONTAMINATE corp AGAINST eval ON body GRAMS 1"))
