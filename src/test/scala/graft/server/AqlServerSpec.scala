@@ -294,13 +294,20 @@ class AqlServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (xc, xb) = post("DEDUP w15 AGAINST w15r USING nd")
     assert(xc == 200 && xb.contains("removed 2"), xb)
     assert(post("DEDUP w15 AGAINST w15")._1 == 400) // self-AGAINST refuses
-    // round 17: the FROM VERSION window reaches the wire surface (the
-    // removal above published v2, so the 1→2 window is a real history)
+    // round 17: the FROM VERSION window reaches the wire surface on all
+    // three statements (the removal above published v2, so the 1→2
+    // window is a real history)
     val (wc, wb) = post(
       "SHOW DEDUP w15 AGAINST w15r FROM VERSION 1 TO 2 USING nd")
     assert(wc == 200 && wb.contains(""""matched_docs""""), wb)
     assert(post(
       "DEDUP w15 AGAINST w15r FROM VERSION 2 TO 1 USING nd")._1 == 400)
+    val (swc, swb) = post(
+      "SIMILAR w15 AGAINST w15r FROM VERSION 1 TO 2 USING nd LIMIT 2 SCORED")
+    assert(swc == 200 && swb.contains(""""match_id""""), swb)
+    val (dwc, dwb) = post(
+      "SHOW DECONTAMINATE w15 AGAINST w15r ON body FROM VERSION 1 TO 2")
+    assert(dwc == 200 && dwb.contains(""""contaminated_docs""""), dwb)
     // decontamination knobs: SPANS report and the ANALYZER contrast
     val (sc1, sb1) = post(
       "SHOW DECONTAMINATE w15 AGAINST w15r ON body USING SPANS 8")
