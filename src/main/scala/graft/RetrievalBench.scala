@@ -41,16 +41,31 @@ object RetrievalBench {
     * Each closure executes its statement end-to-end and forces the
     * result (count) — lowering jobs + serve jobs both inside the timer,
     * matching what a client of the statement pays. */
-  private def lanes(spark: SparkSession, sfDir: String)
-      : Seq[(String, () => Unit)] = {
+  /** The frozen lane statements — the ONE spelling both the timed run and
+    * the plan-dump diagnostic (`PlanDump`) execute, so a dumped plan is
+    * the plan the lane times. */
+  val laneAql: Map[String, String] = Map(
+    "ret_match_topk" ->
+      "MATCH ['merge','vector','stream'] ON rb_docs USING ft LIMIT 20",
+    "ret_match_phrase" ->
+      "MATCH PHRASE ['merge key'] ON rb_docs USING ft LIMIT 20",
+    "ret_similar_scored_ivf" ->
+      "SIMILAR 7 ON rb_vec USING ann LIMIT 20 SCORED",
+    "ret_similar_against_lsh" ->
+      "SIMILAR rb_probe AGAINST rb_docs USING nd LIMIT 5 SCORED",
+    "ret_similar_against_ivf" ->
+      "SIMILAR rb_vq AGAINST rb_vec USING ann LIMIT 5 SCORED",
+    "ret_show_dedup" ->
+      "SHOW DEDUP rb_docs USING nd",
+    "ret_decontaminate_show" ->
+      "SHOW DECONTAMINATE rb_docs AGAINST rb_eval ON text")
+
+  /** Build the lane fixture (containers + committed indexes) and return
+    * the engine — shared by [[run]] and the `PlanDump` diagnostic. */
+  private[graft] def fixtureEngine(spark: SparkSession,
+      sfDir: String): graft.aql.Engine = {
     val root = java.nio.file.Files.createTempDirectory("graft-retrieval-bench")
     val eng = new graft.aql.Engine(spark, root.toString)
-    def force(aql: String): Unit = {
-      eng.execute(aql) match {
-        case rs: graft.aql.Engine.ResultSet => rs.df.count(); ()
-        case _ => ()
-      }
-    }
     val docs = Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text", "lang", "n_chars")
     // corpus: the full documents table, text + lsh indexed
@@ -81,26 +96,23 @@ object RetrievalBench {
     eng.execute("CREATE CONTAINER rb_eval ['doc_id','text'] [BIGINT, TEXT]")
     eng.catalog.overwrite("rb_eval",
       docs.filter(col("doc_id") % 100 === 0).select("doc_id", "text"))
+    eng
+  }
+
+  private def lanes(spark: SparkSession, sfDir: String)
+      : Seq[(String, () => Unit)] = {
+    val eng = fixtureEngine(spark, sfDir)
+    def force(aql: String): Unit = {
+      eng.execute(aql) match {
+        case rs: graft.aql.Engine.ResultSet => rs.df.count(); ()
+        case _ => ()
+      }
+    }
     // keyed by laneNames so the FROZEN list and the bodies can never
     // drift (a missing body fails loudly at setup, not silently)
-    val bodies = Map[String, () => Unit](
-      "ret_match_topk" -> (() =>
-        force("MATCH ['merge','vector','stream'] ON rb_docs USING ft LIMIT 20")),
-      "ret_match_phrase" -> (() =>
-        force("MATCH PHRASE ['merge key'] ON rb_docs USING ft LIMIT 20")),
-      "ret_similar_scored_ivf" -> (() =>
-        force("SIMILAR 7 ON rb_vec USING ann LIMIT 20 SCORED")),
-      "ret_similar_against_lsh" -> (() =>
-        force("SIMILAR rb_probe AGAINST rb_docs USING nd LIMIT 5 SCORED")),
-      "ret_similar_against_ivf" -> (() =>
-        force("SIMILAR rb_vq AGAINST rb_vec USING ann LIMIT 5 SCORED")),
-      "ret_show_dedup" -> (() =>
-        force("SHOW DEDUP rb_docs USING nd")),
-      "ret_decontaminate_show" -> (() =>
-        force("SHOW DECONTAMINATE rb_docs AGAINST rb_eval ON text")))
-    require(bodies.keySet == laneNames.toSet,
-      s"lane bodies ${bodies.keySet} drifted from laneNames $laneNames")
-    laneNames.map(n => n -> bodies(n))
+    require(laneAql.keySet == laneNames.toSet,
+      s"lane bodies ${laneAql.keySet} drifted from laneNames $laneNames")
+    laneNames.map(n => n -> (() => force(laneAql(n))))
   }
 
   /** Run every lane with the [[Bench]] timing protocol. Returns
