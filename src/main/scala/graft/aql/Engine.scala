@@ -696,7 +696,12 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         throw new IllegalArgumentException(
           s"DEDUP on '${dd.container}' with staged ops — COMMIT or " +
             "ROLLBACK first")
-      val f = bandFunnel(dd.container, dd.ix, dd.threshold, None, "DEDUP")
+      val f0 = bandFunnel(dd.container, dd.ix, dd.threshold, None, "DEDUP")
+      // materialize the id-only candidate pairs once (round 17): the
+      // verify stage references pairs three times (pair join + both
+      // candidate-id semi-joins) and DEDUP is eager anyway — see
+      // showDedupDf for the full rationale
+      val (f, _) = materializedFunnel(f0)
       val (comp, ranked) = clusterRanking(f)
       val stats = comp.agg(count(lit(1)), countDistinct(col("l"))).head()
       val members = stats.getLong(0)
@@ -2694,8 +2699,68 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     * snapshot, and the exact-measure-verified pair graph — ONE
     * derivation, so the report and the applied removal can never
     * disagree about what a near-dup is. */
+  /** `verifiedOf` rebuilds the exact-measure verify stage over ANY pairs
+    * frame with the same (id_a, id_b) schema — so an eager consumer can
+    * `localCheckpoint` the id-only pairs once and have the verify (and
+    * every other dimension) read the materialized pairs instead of
+    * re-running the band self-join per consumer (round 17). `verified`
+    * keeps the lazy composition for EXPLAIN (plan-only).
+    *
+    * `candIds` (second argument) is an optional PRE-SHAPED candidate-id
+    * frame (one `doc_id` column) the verify's semi-joins use instead of
+    * deriving the id set from the pairs frame: an eager consumer that
+    * has already collected the bounded pairs hands in a broadcast LOCAL
+    * relation — a driver-side join-strategy choice with EXACT
+    * cardinality (the AQE idea, decided from the materialized pairs
+    * count instead of size estimates), under which the snapshot is
+    * filtered IN PLACE (scan → hash-probe → derive survivors) with no
+    * exchange of corpus payloads at all. Catalyst cannot make this call
+    * itself here: checkpointed pairs carry no size statistics, so its
+    * estimate-driven planner picks a full sort-merge semi-join of the
+    * corpus — measured +0.9 s on the sf0.1 SHOW DEDUP lane. None (the
+    * EXPLAIN path and the above-cap fallback) derives the ids from the
+    * pairs frame unhinted — the shuffled scale shape. */
   private case class BandFunnel(idef: graft.catalog.Index.Def, thr: Double,
-      pairs: DataFrame, docsDf: DataFrame, verified: DataFrame)
+      pairs: DataFrame, docsDf: DataFrame,
+      verifiedOf: (DataFrame, Option[DataFrame]) => DataFrame,
+      candIds: Option[DataFrame] = None) {
+    lazy val verified: DataFrame = verifiedOf(pairs, candIds)
+  }
+
+  /** Pair-count bound under which the funnel's id-only pair set counts
+    * as DRIVER METADATA (collected via an explicit `limit(cap + 1)`, so
+    * the fallback is loud and structural, never an OOM): ≤ 250k pairs ≈
+    * a few MB of pk pairs — the size class of a probe's band keys or a
+    * broadcast build. Under the cap the SHOW DEDUP summary runs its
+    * component counting driver-side (zero jobs) and the verify's
+    * candidate semi-joins broadcast a local id relation; above it every
+    * stage keeps the distributed shape. */
+  private val DriverFunnelPairCap = 250000
+
+  /** Materialize a funnel's id-only candidate pairs (one localCheckpoint
+    * job — execution of every caller is already eager) and, under
+    * [[DriverFunnelPairCap]], collect them (bounded by an explicit
+    * `limit(cap + 1)`): returns the funnel re-based on the checkpoint —
+    * with a BROADCAST LOCAL candidate-id relation when under cap, so the
+    * verify filters the snapshot in place — plus the collected pairs for
+    * driver-side dimension computation. Above the cap both options stay
+    * None/distributed (the 100 TB shape). */
+  private def materializedFunnel(f: BandFunnel)
+      : (BandFunnel, Option[Array[org.apache.spark.sql.Row]]) = {
+    val ck = f.pairs.localCheckpoint(true)
+    val sample = ck.limit(DriverFunnelPairCap + 1).collect()
+    if (sample.length > DriverFunnelPairCap) (f.copy(pairs = ck), None)
+    else {
+      val pkType = ck.schema("id_a").dataType
+      val ids = sample.iterator.flatMap(r => Iterator(r.get(0), r.get(1))).toSet
+      import scala.jdk.CollectionConverters._
+      val idsDf = spark.createDataFrame(
+        ids.toSeq.map(org.apache.spark.sql.Row(_)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", pkType))))
+      (f.copy(pairs = ck, candIds = Some(broadcast(idsDf))), Some(sample))
+    }
+  }
 
   private def bandFunnel(container: String, ixOpt: Option[String],
       thrOpt: Option[Double], atVersion: Option[Int],
@@ -2763,41 +2828,58 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     // exact-measure verification over the CANDIDATE pairs only — the
     // corpus join fetches just the pair ids' payload; each measure has
     // ONE definition (TextDedup for the band kinds, the codegen'd cosine
-    // for ivf — the same expression SCORED and the ANN gate verify with)
-    val verified = idef.kind match {
-      case "lsh" =>
-        import graft.operators.TextDedup.{jaccardSim, withShingles}
-        // shingles under the INDEX's analyzer — verify must measure the
-        // same token stream the bands were derived from
-        val sh = withShingles(docsDf, idef.analyzer)
-          .select(col("doc_id"), col("sg"))
-        pairs
-          .join(sh.select(col("doc_id").as("id_a"), col("sg").as("sg_a")), Seq("id_a"))
-          .join(sh.select(col("doc_id").as("id_b"), col("sg").as("sg_b")), Seq("id_b"))
-          .filter(jaccardSim(col("sg_a"), col("sg_b")) >= thr)
-          .select(col("id_a"), col("id_b"))
-      case "simhash" =>
-        import graft.operators.TextDedup.{simhashSim, withSimhash}
-        val sh = withSimhash(docsDf, Seq("doc_id"), idef.analyzer)
-          .select(col("doc_id"), col("simhash"))
-        pairs
-          .join(sh.select(col("doc_id").as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
-          .join(sh.select(col("doc_id").as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
-          .filter(simhashSim(col("sh_a"), col("sh_b")) >= thr)
-          .select(col("id_a"), col("id_b"))
-      case _ =>
-        // exact cosine over the snapshot payloads (a NULL cosine — zero
-        // norm or undecodable payload — verifies nothing, like the gate)
-        import graft.functions.CosineSimilarity.cosineSim
-        import graft.functions.Float32Unpack.float32Unpack
-        pairs
-          .join(docsDf.select(col("doc_id").as("id_a"), col("text").as("pl_a")), Seq("id_a"))
-          .join(docsDf.select(col("doc_id").as("id_b"), col("text").as("pl_b")), Seq("id_b"))
-          .filter(cosineSim(float32Unpack(col("pl_a")),
-            float32Unpack(col("pl_b"))) >= thr)
-          .select(col("id_a"), col("id_b"))
+    // for ivf — the same expression SCORED and the ANN gate verify with).
+    // Round 17 (guide §2.3 — don't compute what you throw away): the
+    // band kinds SEMI-JOIN the snapshot to the candidate ids BEFORE the
+    // shingle/simhash derivation, so exact-measure compute is
+    // ∝ candidates, never corpus — the round-16 crossDedupFunnel stance,
+    // now shared by the within-container funnel (before, both verify
+    // sides shingled the FULL corpus: at sf0.1 that was 2× ~20k-doc
+    // tokenize+3-gram passes per statement; at 100 TB it would be the
+    // whole corpus derived twice per SHOW DEDUP). ivf payloads join raw
+    // (no derivation to prune — the join itself is the pruning).
+    val verifiedOf: (DataFrame, Option[DataFrame]) => DataFrame = { (prs, cids) =>
+      lazy val candIds = cids.getOrElse(prs
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .distinct())
+      idef.kind match {
+        case "lsh" =>
+          import graft.operators.TextDedup.{jaccardSim, withShingles}
+          // shingles under the INDEX's analyzer — verify must measure the
+          // same token stream the bands were derived from
+          val sh = withShingles(
+              docsDf.join(candIds, Seq("doc_id"), "left_semi"), idef.analyzer)
+            .select(col("doc_id"), col("sg"))
+          prs
+            .join(sh.select(col("doc_id").as("id_a"), col("sg").as("sg_a")), Seq("id_a"))
+            .join(sh.select(col("doc_id").as("id_b"), col("sg").as("sg_b")), Seq("id_b"))
+            .filter(jaccardSim(col("sg_a"), col("sg_b")) >= thr)
+            .select(col("id_a"), col("id_b"))
+        case "simhash" =>
+          import graft.operators.TextDedup.{simhashSim, withSimhash}
+          val sh = withSimhash(
+              docsDf.join(candIds, Seq("doc_id"), "left_semi"),
+              Seq("doc_id"), idef.analyzer)
+            .select(col("doc_id"), col("simhash"))
+          prs
+            .join(sh.select(col("doc_id").as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
+            .join(sh.select(col("doc_id").as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
+            .filter(simhashSim(col("sh_a"), col("sh_b")) >= thr)
+            .select(col("id_a"), col("id_b"))
+        case _ =>
+          // exact cosine over the snapshot payloads (a NULL cosine — zero
+          // norm or undecodable payload — verifies nothing, like the gate)
+          import graft.functions.CosineSimilarity.cosineSim
+          import graft.functions.Float32Unpack.float32Unpack
+          prs
+            .join(docsDf.select(col("doc_id").as("id_a"), col("text").as("pl_a")), Seq("id_a"))
+            .join(docsDf.select(col("doc_id").as("id_b"), col("text").as("pl_b")), Seq("id_b"))
+            .filter(cosineSim(float32Unpack(col("pl_a")),
+              float32Unpack(col("pl_b"))) >= thr)
+            .select(col("id_a"), col("id_b"))
+      }
     }
-    BandFunnel(idef, thr, pairs, docsDf, verified)
+    BandFunnel(idef, thr, pairs, docsDf, verifiedOf)
   }
 
   /** The SHOW DEDUP … AGAINST / DEDUP … AGAINST shared machinery (round
@@ -3310,7 +3392,14 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     // min-by-bytes is the documented duplicate-pk representative (the
     // SCORED rerank's candRows groupBy/min and Index.ivfLookup take the
     // same stance), so all three paths agree on what a pk's payload is.
-    val docs1 = f.docsDf.groupBy(col("doc_id")).agg(min(col("text")).as("text"))
+    // semi-join the snapshot to the CLUSTER MEMBERS before the
+    // duplicate-pk group-by (round 17, guide §2.3): comp is the
+    // checkpointed label table (near-dup-graph-sized), so the payload
+    // aggregation exchanges only member rows — before, the group-by ran
+    // over the FULL corpus and the inner join pruned after the fact
+    val docs1 = f.docsDf
+      .join(comp.select(col("v").as("doc_id")), Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(min(col("text")).as("text"))
     val ranked = comp.join(docs1, col("v") === col("doc_id"))
       .withColumn("_dd_rn", row_number().over(w))
     (comp, ranked)
@@ -3319,16 +3408,8 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
   private def showDedupDf(sd: Ast.ShowDedup, explainOnly: Boolean = false): DataFrame = {
     val f = bandFunnel(sd.container, sd.ix, sd.threshold, sd.atVersion,
       "SHOW DEDUP")
-    val BandFunnel(idef, thr, pairs, docsDf, verified) = f
-    val tot = docsDf.agg(count(lit(1)).as("n_docs"))
-    val ex = docsDf.groupBy(md5(col("text")).as("h"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
-      .agg(coalesce(sum(col("n")), lit(0L)).cast("long").as("exact_dup_docs"))
-    val cand = pairs
-      .select(explode(array(col("id_a"), col("id_b"))).as("v"))
-      .agg(countDistinct(col("v")).as("candidate_docs"))
-    note(s"show dedup: ${idef.kind} index '${idef.ix}' bucket self-join → " +
-      f"exact-measure verify (threshold $thr%.6f) → pointer-jumping " +
+    note(s"show dedup: ${f.idef.kind} index '${f.idef.ix}' bucket self-join → " +
+      f"exact-measure verify (threshold ${f.thr}%.6f) → pointer-jumping " +
       "clusters; all-aggregate 1-row dimensions cross-joined")
     // EXPLAIN stays plan-only: the cluster stage is an EAGER driver loop
     // (a localCheckpoint + aggregate action per pointer-jumping round),
@@ -3339,15 +3420,27 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     if (explainOnly) {
       note("show dedup (EXPLAIN): plan shown = candidate generation + " +
         "exact-measure verification (the data-sized work); the cluster " +
-        "stage (O(log diameter) eager pointer-jumping rounds) and three " +
+        "stage (O(log diameter) eager pointer-jumping rounds) and the " +
         "1-row aggregate dimensions run only when the statement executes")
-      return verified
+      return f.verified
     }
+    // Round 17 (guide §2.4 — remove repeated work outright): MATERIALIZE
+    // the id-only candidate pairs once (execution is already eager — the
+    // cluster stage is a checkpoint-per-round driver loop). Every
+    // consumer — the verify stage's pair join + both candidate-id
+    // semi-joins, the candidate_docs dimension, the CC edge list — reads
+    // the checkpointed pairs instead of re-deriving the band self-join +
+    // distinct per consumer (the `cand` dimension alone used to re-run
+    // the whole funnel: index scan → shuffle-hash self-join → distinct,
+    // a second time per statement). Pairs are id-only and bounded by the
+    // band-collision count — the same size class the CC loop already
+    // checkpoints.
+    val (fe, sample) = materializedFunnel(f)
     // CLUSTERS (round 13): the decision DETAIL — per-cluster size,
     // keeper, and keeper payload length, from the SAME ranking DEDUP
     // applies (dd_cluster_keepers' AQL surface)
     if (sd.clusters) {
-      val (comp, ranked) = clusterRanking(f)
+      val (comp, ranked) = clusterRanking(fe)
       val keepers = ranked.filter(col("_dd_rn") === 1)
         .select(col("l"), col("v").as("keeper"),
           length(col("text")).cast("long").as("keeper_len"))
@@ -3356,12 +3449,50 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
         .select(col("l").as("cluster_id"), col("n_docs"),
           col("keeper"), col("keeper_len"))
     }
-    val comp = graft.operators.TextDedup.connectedComponents(verified)
-    val vm = comp.agg(count(lit(1)).as("verified_dup_docs"),
-      countDistinct(col("l")).as("n_clusters"))
-    tot.crossJoin(ex).crossJoin(cand).crossJoin(vm)
-      .withColumn("near_dup_removals",
-        (col("verified_dup_docs") - col("n_clusters")).cast("long"))
+    // n_docs and exact_dup_docs FUSE over one md5 group-by (round 17,
+    // guide §1.2 — one pass instead of two): total docs = Σn over ALL
+    // hash groups, exact dups = Σn over groups with n > 1, so the
+    // summary pays ONE corpus scan + partial-agg where it paid a count
+    // scan AND a group-by scan (two broadcast-build waves) before.
+    val totEx = fe.docsDf.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(col("n")), lit(0L)).cast("long").as("n_docs"),
+        coalesce(sum(when(col("n") > 1, col("n"))), lit(0L))
+          .cast("long").as("exact_dup_docs"))
+    sample match {
+      case Some(prs) =>
+        // BOUNDED pairs (round 17): the candidate and cluster dimensions
+        // are driver metadata — distinct ids from the collected pairs,
+        // component counts from one union-find pass over the collected
+        // VERIFIED pairs (TextDedup.componentCounts; ≤ |pairs| rows by
+        // construction) — so the served summary is ONE corpus scan (the
+        // md5 group-by) plus the verify job, with no pointer-jumping
+        // round trips and no re-derived funnel. Values are identical to
+        // the distributed composition below: countDistinct ≡ set size,
+        // (count, countDistinct(l)) over converged min-labels ≡
+        // (vertices, components) of the verified graph.
+        val candDocs = prs.iterator
+          .flatMap(r => Iterator(r.get(0), r.get(1))).toSet.size.toLong
+        val ver = fe.verified.select(col("id_a"), col("id_b")).collect()
+        val (vdocs, nclus) = graft.operators.TextDedup.componentCounts(
+          ver.iterator.map(r => (r.get(0), r.get(1))))
+        totEx
+          .withColumn("candidate_docs", lit(candDocs))
+          .withColumn("verified_dup_docs", lit(vdocs))
+          .withColumn("n_clusters", lit(nclus))
+          .withColumn("near_dup_removals", lit(vdocs - nclus))
+      case None =>
+        // above-cap fallback: the distributed composition, unchanged
+        val comp = graft.operators.TextDedup.connectedComponents(fe.verified)
+        val cand = fe.pairs
+          .select(explode(array(col("id_a"), col("id_b"))).as("v"))
+          .agg(countDistinct(col("v")).as("candidate_docs"))
+        val vm = comp.agg(count(lit(1)).as("verified_dup_docs"),
+          countDistinct(col("l")).as("n_clusters"))
+        totEx.crossJoin(cand).crossJoin(vm)
+          .withColumn("near_dup_removals",
+            (col("verified_dup_docs") - col("n_clusters")).cast("long"))
+    }
   }
 
   /** Per-lookup candidate cap for index-served point predicates: above

@@ -308,7 +308,9 @@ object AqlQueries {
       } catch { case _: Throwable => () } // best-effort: shutdown path
     }))
 
-  private def engine(spark: SparkSession, dir: String): Engine = synchronized {
+  /** private[graft]: PlanAuditSpec explains engine statements over the
+    * SAME fixture the oracle rows serve from (round 17). */
+  private[graft] def engine(spark: SparkSession, dir: String): Engine = synchronized {
     engines.getOrElseUpdate((spark, dir), {
       val root = java.nio.file.Files.createTempDirectory("graft-aql-fixtures")
       fixtureRoots += root

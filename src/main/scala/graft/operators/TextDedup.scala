@@ -1788,6 +1788,35 @@ object TextDedup {
     * component label (the component's minimum vertex id). See the
     * dd_dup_clusters comment for the pointer-jumping design.
     */
+  /** Driver-side union-find twin of [[connectedComponents]] for BOUNDED
+    * pair sets (round 17): (vertex count, component count) in one pass —
+    * the two numbers the SHOW DEDUP summary needs. The caller guarantees
+    * boundedness (an explicit `limit(cap + 1)` collect with a
+    * distributed fallback above the cap), so this is driver METADATA
+    * work in the same class as a broadcast build — it replaces the
+    * pointer-jumping loop's 2-jobs-per-round driver↔cluster round trips
+    * (measured: the loop was ~6 of SHOW DEDUP's 11 jobs at sf0.1) with
+    * zero jobs. Counts need no label ordering, so pk type never
+    * matters. */
+  def componentCounts(pairs: Iterator[(Any, Any)]): (Long, Long) = {
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(ra) = rb
+    }
+    val roots = parent.keysIterator.count(k => find(k) == k)
+    (parent.size.toLong, roots.toLong)
+  }
+
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))

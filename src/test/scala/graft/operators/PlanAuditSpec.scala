@@ -163,13 +163,29 @@ class PlanAuditSpec extends AnyFunSuite {
     // band table joined to itself on (band, bk) — a pinned shuffle-hash
     // equi-join whose exchange carries (band, bk, id), never text, and
     // never a cartesian candidate product; the 1-row report dimensions
-    // combine via broadcast loop joins (cardinality-1 sides)
+    // combine via broadcast loop joins (cardinality-1 sides).
+    // Round 17: the statement MATERIALIZES the id-only pairs once
+    // (localCheckpoint), so the self-join lives in the checkpoint's
+    // lineage — pinned via the EXPLAIN plan (the lazy verify composition
+    // over the same funnel) — and under the bounded-pairs driver path
+    // the SERVED summary is ONE corpus scan (the fused md5 group-by)
+    // plus driver-side dimensions: no re-derived funnel, no join at all.
+    val eng = AqlQueries.engine(spark, dir)
+    val explained = eng.execute("EXPLAIN SHOW DEDUP docs_ft USING nd") match {
+      case graft.aql.Engine.Done(text) => text
+      case other => fail(s"unexpected EXPLAIN result $other")
+    }
+    assert(explained.contains("ShuffledHashJoin"),
+      s"band self-join must be the pinned shuffle-hash equi-join:\n$explained")
+    assert(!explained.contains("CartesianProduct"),
+      s"no all-pairs product anywhere in the funnel:\n$explained")
     val df = SparkEntry.queries("aql_show_dedup")(spark, dir)
     val p = df.queryExecution.executedPlan.toString()
-    assert(p.contains("ShuffledHashJoin"),
-      s"band self-join must be the pinned shuffle-hash equi-join:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"served summary must scan the corpus exactly once (fused " +
+        s"n_docs/exact_dup group-by) with driver-side dimensions:\n$p")
     assert(!p.contains("CartesianProduct"),
-      s"no all-pairs product anywhere in the funnel:\n$p")
+      s"no all-pairs product anywhere in the served summary:\n$p")
   }
 
   test("SHOW OVERLAP: each side partial-aggregates to a sketch before the exchange") {
