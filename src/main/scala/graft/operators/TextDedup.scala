@@ -513,11 +513,18 @@ object TextDedup {
     * derivation runs (the r15 judge #3 discipline, now shared by every
     * consumer). Returns (id_a, id_b, score) UNFILTERED — the caller
     * applies its threshold (a funnel gates, a k-NN join ranks). */
+  /** `aIds`/`bIds` (round 17): optional PRE-SHAPED candidate-id frames
+    * (one `doc_id` column — e.g. a broadcast local relation built from
+    * materialized pairs) for the two semi-joins; None derives the id
+    * sets from the pairs frame (the lazy/EXPLAIN shape). */
   private[graft] def bandExactScores(pairs: DataFrame, aDocs: DataFrame,
-      bDocs: DataFrame, kind: String, analyzer: String): DataFrame = {
-    val aCand = aDocs.join(pairs.select(col("id_a").as("doc_id")).distinct(),
+      bDocs: DataFrame, kind: String, analyzer: String,
+      aIds: Option[DataFrame] = None, bIds: Option[DataFrame] = None): DataFrame = {
+    val aCand = aDocs.join(aIds.getOrElse(
+        pairs.select(col("id_a").as("doc_id")).distinct()),
       Seq("doc_id"), "left_semi")
-    val bCand = bDocs.join(pairs.select(col("id_b").as("doc_id")).distinct(),
+    val bCand = bDocs.join(bIds.getOrElse(
+        pairs.select(col("id_b").as("doc_id")).distinct()),
       Seq("doc_id"), "left_semi")
     kind match {
       case "lsh" =>

@@ -457,7 +457,10 @@ class CrossDedupSpec extends AnyFunSuite {
     // consumer the FIRST consumer's shuffle output: the c1 banding
     // exchange (id_a, band, bk) and the index-rows exchange
     // (id_b, band, bk) each execute once per statement, never once
-    // per consumer
+    // per consumer. (A round-17 A/B REJECTED checkpointing the pairs
+    // here instead: single-action AGAINST plans already share through
+    // exchange reuse, and the checkpoint job tripled job count —
+    // measured SIMILAR AGAINST lanes +0.2-0.4 s at sf0.1.)
     val df = eng.execute("SHOW DEDUP corp AGAINST ref USING nd")
       .asInstanceOf[Engine.ResultSet].df
     df.collect() // AQE: the final physical plan exists only post-run
