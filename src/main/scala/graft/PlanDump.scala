@@ -68,12 +68,13 @@ object PlanDump {
             case rs: graft.aql.Engine.ResultSet => rs.df.count(); ()
             case _ => ()
           }
-          (1 to 2).foreach(_ => body()) // warm-up
+          // the Bench timing protocol (2 warm-up + best of 5) so
+          // before/after numbers are host-noise-robust, then ONE
+          // counted run for the job/stage/task structure
+          val sec = Bench.bestOfProtocol(() => body())
           Thread.sleep(150)
           jobs.set(0); stages.set(0); tasks.set(0)
-          val t0 = System.nanoTime()
           body()
-          val sec = (System.nanoTime() - t0) / 1e9
           Thread.sleep(150) // drain listener events
           println(f"[laneprofile] $n%-26s $sec%.3fs jobs=${jobs.get} " +
             s"stages=${stages.get} tasks=${tasks.get}")

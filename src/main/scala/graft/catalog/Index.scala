@@ -917,6 +917,14 @@ object Index {
     if (!post.filter(col("pos").isNull).limit(1).isEmpty)
       sys.error(s"text index '${idef.ix}' on '$container' predates token " +
         "positions — REBUILD INDEX it to serve MATCH PHRASE")
+    // Per-slot pruned scans + a codegen'd join chain — KEPT after a
+    // round-17 A/B: folding the slots into one per-doc (term →
+    // positions) map aggregation halves the scans but plans as an
+    // ObjectHashAggregate (collect_list buffers every term-matching
+    // doc's position arrays as objects) and measured SLOWER — sf0.1
+    // MATCH PHRASE lane 0.46 s → 0.66 s same-window. The q extra scans
+    // are bucket-pruned to the phrase's own terms (query-sized, cheap),
+    // and the slot joins stay inside whole-stage codegen.
     val slots = qs.zipWithIndex.map { case (w, i) =>
       post.filter(col("term") === w)
         .select(col("doc_id"),
