@@ -2152,8 +2152,19 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     // the min-by-bytes representative must see every range).
     ivfCellScanLog = Nil
     ivfScoreLog = Nil
+    // min-by-bytes representative on the bounded-heap operator (round
+    // 17, guide §4 expression choice): `min` over a BINARY column has no
+    // mutable agg buffer, so Catalyst plans it as a SortAggregate —
+    // sort + exchange + sort per serve. TopKPerGroup(k=1) computes the
+    // identical representative (nulls-last via the helper key, then
+    // bytes-ascending — exactly min's null-skipping ordering; all-null
+    // groups keep their null row like min) with a heap partial pass and
+    // ONE exchange, no sorts anywhere.
     def dedupByPk(raw: DataFrame): DataFrame =
-      raw.groupBy(col("cand")).agg(min(col("cand_emb")).as("cand_emb"))
+      graft.plans.TopK.perGroup(
+          raw.withColumn("_sim_embnul", col("cand_emb").isNull),
+          Seq("cand"), Seq("_sim_embnul" -> true, "cand_emb" -> true), 1)
+        .select(col("cand"), col("cand_emb"))
     val ivfParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     def addIvfRange(cells: Seq[Int], candsFor: Seq[Int] => DataFrame,
         lo: Int, hi: Int): Unit = {
@@ -2519,15 +2530,35 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
       return noteBandUnderfill(
         bandRerank(sm, idef, pkName, snapshot, probe, cands))
     }
-    // pk-probe cell ordering: one bounded 1×k job over the single probe
-    // row; self-exclusion by the probe's own pk literal
-    def pkCells() = catalog.ivfProbeCells(sm.container, idef.ix, probe)
+    // pk-probe cell ordering (round 17): ONE bounded probe-row fetch
+    // (≤1 row, ≤dims floats — per-lookup metadata) collects the probe
+    // VECTOR, and the full cell ranking then runs driver-side over the
+    // frozen centroid metadata (ivfProbeCellsVector — the literal-
+    // vector path's zero-job ranking, same d2-round-6/sid numbers). The
+    // r16 shape ran a distributed 1×k crossJoin job for the ranking AND
+    // re-scanned the probe row as a broadcast subtree for the SCORED
+    // query embedding — two reads of one row, and on a duplicate-pk
+    // corpus the two limit(1) picks could even disagree; one fetch
+    // serves both. Self-exclusion by the probe's own pk literal.
+    lazy val pkVec: Option[Seq[Float]] = probe
+      .select(graft.functions.Float32Unpack
+        .float32Unpack(col(idef.column)).as("_v"))
+      .limit(1).collect().headOption
+      .flatMap(r => Option(r.getSeq[Float](0)))
+    def pkCells() = pkVec
+      .map(v => catalog.ivfProbeCellsVector(sm.container, idef.ix, v))
+      .getOrElse(Seq.empty)
     def pkCellCands(cs: Seq[Int]) = catalog.ivfCellCandidates(
       sm.container, idef.ix, cs, excludeId = Some(key), at = pinnedAt)
     if (sm.scored) { // ivf — post-rerank fill count under WHERE
-      // query embedding = the probe row's own vector (1 broadcast row)
-      val qemb = probe.select(graft.functions.Float32Unpack
-        .float32Unpack(col(idef.column)).as("_sim_qemb"))
+      // query embedding = the probe row's own vector, re-served as a
+      // 1-row LITERAL relation (no second probe scan in the serve plan)
+      val qemb = pkVec match {
+        case Some(v) => spark.range(1)
+          .select(typedLit(v).as("_sim_qemb"))
+        case None => spark.range(0)
+          .select(typedLit(Seq.empty[Float]).as("_sim_qemb"))
+      }
       return widenedIvfScored(pkCells(), pkCellCands, qemb)
     }
     val cands =
@@ -3083,7 +3114,12 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           "assigned to a further cell of c2's index is not probed " +
           "(PROBE widens; band kinds have the same single-derivation " +
           "recall shape)")
-        probeCells.hint("shuffle_hash").join(ixRows, Seq("cluster"))
+        // explicit id not-nulls: the bandCollisions canonicalization
+        // stance (round 17) — every consumer's copy of this subtree
+        // stays exchange-reusable regardless of which id columns its
+        // own joins infer not-null for
+        probeCells.filter(col("id_a").isNotNull).hint("shuffle_hash")
+          .join(ixRows.filter(col("id_b").isNotNull), Seq("cluster"))
           .select(col("id_a"), col("id_b")).distinct()
     }
     // verify computation ∝ CANDIDATES, not corpora (round 16, r15 judge
@@ -3114,23 +3150,25 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
             .filter(col("score") >= thr)
         case _ =>
           // exact cosine over both snapshots' payloads — the within-
-          // funnel's ivf verify (a NULL cosine verifies nothing)
+          // funnel's ivf verify (a NULL cosine verifies nothing).
+          // Round 17 (guide §2.4): the pair join binds payloads
+          // DIRECTLY — unlike the band kinds there is no per-doc
+          // derivation to prune (float32 unpack runs inside the
+          // measure), so the inner join on the pair ids IS the pruning
+          // and a candidate-id semi-join (the r16 shape) only
+          // instantiated the whole pairs subtree twice more per
+          // statement (assignment + index join + distinct, re-executed
+          // past what ReusedExchange could share — measured in the
+          // sf0.1 SIMILAR AGAINST ivf lane's plan). Semantically
+          // identical: semi-join-then-inner-join on one key ≡ the
+          // inner join.
           import graft.functions.CosineSimilarity.cosineSim
           import graft.functions.Float32Unpack.float32Unpack
-          val candA = ids.map(_._1).getOrElse(
-            prs.select(col("id_a").as("doc_id")).distinct())
-          val candB = ids.map(_._2).getOrElse(
-            prs.select(col("id_b").as("doc_id")).distinct())
-          val c1Cand = c1Docs.join(candA, Seq("doc_id"), "left_semi")
-          val c2Cand = c2Snapshot
-            .select(col(d2.primaryKey).as("doc_id"),
-              col(idef.column).as("text"))
-            .join(candB, Seq("doc_id"), "left_semi")
           prs
-            .join(c1Cand.select(col("doc_id").as("id_a"),
+            .join(c1Docs.select(col("doc_id").as("id_a"),
               col("text").as("pl_a")), Seq("id_a"))
-            .join(c2Cand.select(col("doc_id").as("id_b"),
-              col("text").as("pl_b")), Seq("id_b"))
+            .join(c2Snapshot.select(col(d2.primaryKey).as("id_b"),
+              col(idef.column).as("pl_b")), Seq("id_b"))
             .select(col("id_a"), col("id_b"),
               round(cosineSim(float32Unpack(col("pl_a")),
                 float32Unpack(col("pl_b"))), 6).as("score"))

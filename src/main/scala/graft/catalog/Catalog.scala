@@ -408,14 +408,6 @@ final class Catalog(val spark: SparkSession, rootDir: String) {
     Index.ivfLookupVector(this, name, d, vec, nprobe, at)
   }
 
-  /** The probe row's full nearest-cell ordering over an ivf index — see
-    * [[Index.ivfCellsRanked]] (one bounded 1×k job, ≤k ints). */
-  def ivfProbeCells(name: String, ix: String, probe: DataFrame): Seq[Int] = {
-    val d = indexDefs(name).find(_.ix == ix)
-      .getOrElse(sys.error(s"No index '$ix' on '$name'"))
-    Index.ivfCellsRanked(this, name, d, probe)
-  }
-
   /** Driver-side full cell ordering for a literal query vector — see
     * [[Index.ivfCellsRankedVector]] (no job at all). */
   def ivfProbeCellsVector(name: String, ix: String, vec: Seq[Float]): Seq[Int] = {

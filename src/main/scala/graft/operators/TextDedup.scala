@@ -103,18 +103,27 @@ object TextDedup {
   def contaminationFractions(docs: DataFrame, evalGrams: DataFrame,
       n: Int = 4, broadcastEval: Boolean = true,
       analyzer: String = Analyzer.Whitespace): DataFrame = {
+    // ONE gram pass (round 17, guide §1.2 — don't run the expensive
+    // derivation twice): the per-doc totals and the eval-hit counts both
+    // aggregate the SAME distinct (doc_id, gram) relation, so they fuse
+    // into one group-by over a LEFT join against the (pre-distinct, so
+    // row-count-preserving) eval gram set — count(1) is the total,
+    // count(_hit) the matched subset. The r14-16 shape exploded +
+    // distinct-aggregated the corpus grams twice (once per aggregate)
+    // and merged with a second join; at 100 TB that was two full corpus
+    // gram derivations where one suffices. Same output, same types
+    // (count is 0L for unmatched docs, the coalesce'd value).
     val corpGrams = gramsN(docs.select(col("doc_id"),
         lit("c").as("source"), col("text")), n, analyzer)
       .select(col("doc_id"), col("g")).distinct()
-    val tot = corpGrams.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"))
-    val evalSide = if (broadcastEval) broadcast(evalGrams) else evalGrams
-    val hits = corpGrams.join(evalSide, Seq("g"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
-    tot.join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-        round(coalesce(col("n_contaminated"), lit(0L)).cast("double")
+    val evalSide = evalGrams.select(col("g"), lit(1).as("_hit"))
+    corpGrams
+      .join(if (broadcastEval) broadcast(evalSide) else evalSide,
+        Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("n_contaminated"))
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double")
           / col("n_grams"), 6).as("contamination"))
   }
 
@@ -503,7 +512,18 @@ object TextDedup {
       case other => throw new IllegalArgumentException(
         s"bandCollisions serves lsh/simhash, got '$other'")
     }).select(col("doc_id").as("id_a"), col("band"), col("bk"))
-    probeBands.hint("shuffle_hash").join(ixRows, Seq("band", "bk"))
+      // EXPLICIT id not-null (round 17, guide §2.4): downstream verify
+      // joins make the optimizer INFER `isnotnull(id_a)` into some
+      // copies of this subtree and not others (a consumer that projects
+      // id_a away infers nothing), which de-canonicalizes otherwise
+      // identical exchanges and blocks ReusedExchange — the banding
+      // derivation then re-executes once per consumer. Stating the
+      // filter here (a no-op: ids are pks) makes every copy canonically
+      // equal, so one statement runs the banding exactly once. Same on
+      // the index side below.
+      .filter(col("id_a").isNotNull)
+    probeBands.hint("shuffle_hash")
+      .join(ixRows.filter(col("id_b").isNotNull), Seq("band", "bk"))
       .select(col("id_a"), col("id_b")).distinct()
   }
 
@@ -520,11 +540,21 @@ object TextDedup {
   private[graft] def bandExactScores(pairs: DataFrame, aDocs: DataFrame,
       bDocs: DataFrame, kind: String, analyzer: String,
       aIds: Option[DataFrame] = None, bIds: Option[DataFrame] = None): DataFrame = {
+    // candidate-id sets as distinct-THEN-project (round 17, guide §2.4):
+    // `pairs.select(id).distinct()` lets column pruning drop the OTHER id
+    // from the embedded pairs subtree, which changes its exchanges'
+    // schemas and blocks ReusedExchange — the banding derivation (and
+    // the index-side exchange) then re-executed once per verify side,
+    // measured as a second full tokenize+shingle+minhash pass of the
+    // probe corpus in the sf0.1 SIMILAR AGAINST lsh plan. Keeping the
+    // distinct over BOTH columns pins every copy canonically equal to
+    // the pairs spine, so both its exchanges reuse; a semi-join ignores
+    // build-side multiplicity, so the result is unchanged.
     val aCand = aDocs.join(aIds.getOrElse(
-        pairs.select(col("id_a").as("doc_id")).distinct()),
+        pairs.distinct().select(col("id_a").as("doc_id"))),
       Seq("doc_id"), "left_semi")
     val bCand = bDocs.join(bIds.getOrElse(
-        pairs.select(col("id_b").as("doc_id")).distinct()),
+        pairs.distinct().select(col("id_b").as("doc_id"))),
       Seq("doc_id"), "left_semi")
     kind match {
       case "lsh" =>
@@ -1446,17 +1476,20 @@ object TextDedup {
         |FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
         |ORDER BY t.doc_id""".stripMargin) {
       (s, dir) => {
+        // one corpus gram pass (round 17): totals + hit counts fuse into
+        // one group-by over a LEFT join against the pre-distinct bench
+        // gram set — the contaminationFractions shape; the r14 twin
+        // derived the corpus grams twice and merged with a second join
         val grams = grams4(docs(s, dir))
         val bench = grams.filter(col("source") === "src0").select(col("g")).distinct()
         val corp = grams.filter(col("source") =!= "src0")
           .select(col("doc_id"), col("g")).distinct()
-        val tot = corp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-        val hits = corp.join(broadcast(bench), Seq("g"))
-          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
-        tot.join(hits, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_grams"),
-            coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-            round(coalesce(col("n_contaminated"), lit(0L)).cast("double")
+        corp.join(broadcast(bench.withColumn("_hit", lit(1))), Seq("g"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            count(col("_hit")).as("n_contaminated"))
+          .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+            round(col("n_contaminated").cast("double")
               / col("n_grams"), 6).as("contamination"))
           .orderBy(col("doc_id"))
       }

@@ -461,36 +461,44 @@ class CrossDedupSpec extends AnyFunSuite {
     // here instead: single-action AGAINST plans already share through
     // exchange reuse, and the checkpoint job tripled job count —
     // measured SIMILAR AGAINST lanes +0.2-0.4 s at sf0.1.)
-    val df = eng.execute("SHOW DEDUP corp AGAINST ref USING nd")
-      .asInstanceOf[Engine.ResultSet].df
-    df.collect() // AQE: the final physical plan exists only post-run
-    val reused = scala.collection.mutable.ArrayBuffer[Seq[String]]()
-    df.queryExecution.executedPlan.foreach {
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-        reused += r.output.map(_.name)
-      case _ => ()
+    // Round 17 strengthened the pin: the verify sides' candidate-id
+    // sets derive distinct-THEN-project, so every embedded pairs copy
+    // is canonically equal to the spine and reuses the POST-DISTINCT
+    // pairs exchange (id_a, id_b) — the whole banding + index join now
+    // provably executes once per statement. The direct evidence is the
+    // banding `Generate` (the shingle→band explode) appearing exactly
+    // ONCE in the executed plan; before the fix, column pruning
+    // de-canonicalized the B-side copy and the probe corpus banded
+    // twice per statement.
+    def audit(aql: String): (Int, Seq[Seq[String]]) = {
+      val df = eng.execute(aql).asInstanceOf[Engine.ResultSet].df
+      df.collect() // AQE: the final physical plan exists only post-run
+      var generates = 0
+      val reused = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+      df.queryExecution.executedPlan.foreach {
+        case _: org.apache.spark.sql.execution.GenerateExec =>
+          generates += 1
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          reused += r.output.map(_.name)
+        case _ => ()
+      }
+      (generates, reused.toSeq)
     }
-    assert(reused.exists(o => o.contains("id_a") && o.contains("band")
-        && o.contains("bk")),
-      s"c1 banding exchange not reused — banding would run per " +
-        s"consumer; reused: $reused")
-    assert(reused.exists(o => o.contains("id_b") && o.contains("band")
-        && o.contains("bk")),
-      s"index-rows exchange not reused; reused: $reused")
+    val (gens, reused) = audit("SHOW DEDUP corp AGAINST ref USING nd")
+    assert(gens == 1,
+      s"banding explode must execute once per statement, found $gens")
+    assert(reused.exists(o => o.contains("id_a") && o.contains("id_b")),
+      s"post-distinct pairs exchange not reused — the pair join would " +
+        s"run per consumer; reused: $reused")
 
     // the batch k-NN join (SIMILAR AGAINST SCORED) fans pairs out to
     // the candidate semi-joins AND the scored rerank — same contract
-    val sdf = eng.execute("SIMILAR corp AGAINST ref USING nd LIMIT 2 SCORED")
-      .asInstanceOf[Engine.ResultSet].df
-    sdf.collect()
-    val sReused = scala.collection.mutable.ArrayBuffer[Seq[String]]()
-    sdf.queryExecution.executedPlan.foreach {
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-        sReused += r.output.map(_.name)
-      case _ => ()
-    }
-    assert(sReused.exists(o => o.contains("id_a") && o.contains("band")
-        && o.contains("bk")),
-      s"SIMILAR AGAINST: banding exchange not reused; reused: $sReused")
+    val (sGens, sReused) =
+      audit("SIMILAR corp AGAINST ref USING nd LIMIT 2 SCORED")
+    assert(sGens == 1,
+      s"SIMILAR AGAINST: banding explode must execute once, found $sGens")
+    assert(sReused.count(o => o.contains("id_a") && o.contains("id_b")) >= 2,
+      s"SIMILAR AGAINST: both verify sides must reuse the pairs " +
+        s"exchange; reused: $sReused")
   }
 }
