@@ -874,16 +874,43 @@ object Index {
     require(qs.nonEmpty, "text lookup needs at least one non-empty term")
     val ix = read(cat, container, idef, at)
       .filter(col("term").isin(qs :+ graft.operators.FullText.StatsTerm: _*))
-    val stats = ix.filter(col("term") === graft.operators.FullText.StatsTerm)
-      .agg(sum(col("tf")).cast("double").as("n"),
-        (sum(col("dl")) / sum(col("tf"))).as("avgdl"))
+    val (n, avgdl, dfMap, _) = textStatsLit(ix)
     val post = ix.filter(col("term") =!= graft.operators.FullText.StatsTerm)
       .select(col("id").as("doc_id"), col("term"), col("tf"), col("dl"))
     // MATCH ALL: conjunctive over the DISTINCT lowercased terms —
     // repeated query terms collapse, so 'a a b' needs docs with a AND b
-    graft.operators.FullText.bm25TopK(post, stats, k,
+    graft.operators.FullText.bm25TopKLit(post, n, avgdl, dfMap, k,
         allOf = if (requireAll) Some(qs.size) else None, docKeep = docKeep)
       .withColumnRenamed("doc_id", cat.get(container).primaryKey)
+  }
+
+  /** N / avgdl / per-term df over a term-pruned index scan, collected as
+    * DRIVER LITERALS in ONE bounded job (round 17, guide §2.4): ≤
+    * |query terms|+1 aggregated rows — per-lookup metadata, the IVF
+    * probe-list idiom. The r16 shape computed the same three numbers
+    * in-plan as two broadcast subtrees (a df group-by + a stats cross
+    * join), which cost two broadcast-build job waves per MATCH and a
+    * second scan of the pruned postings; the collected values are the
+    * SAME Spark aggregates (sum long→double division unchanged), so
+    * scores are bit-identical. */
+  /** `checkPos = true` (the PHRASE path) additionally counts NULL `pos`
+    * cells per term in the SAME pass — the legacy-part detection that
+    * used to be its own bounded job rides the stats job for free. */
+  private def textStatsLit(ix: DataFrame, checkPos: Boolean = false)
+      : (Option[Double], Option[Double], Map[String, Long], Boolean) = {
+    val aggs = Seq(count(lit(1)).as("cnt"), sum(col("tf")).as("stf"),
+      sum(col("dl")).as("sdl")) ++
+      (if (checkPos) Seq(count(when(col("pos").isNull, 1)).as("npos")) else Nil)
+    val rows = ix.groupBy(col("term")).agg(aggs.head, aggs.tail: _*).collect()
+    val sentinel = rows.find(_.getString(0) == graft.operators.FullText.StatsTerm)
+    val n = sentinel.map(_.getLong(2).toDouble)
+    val avgdl = sentinel.map(r => r.getDouble(3) / r.getLong(2).toDouble)
+    val dfMap = rows.iterator
+      .filter(_.getString(0) != graft.operators.FullText.StatsTerm)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val legacyPos = checkPos && rows.exists(r =>
+      r.getString(0) != graft.operators.FullText.StatsTerm && r.getLong(4) > 0)
+    (n, avgdl, dfMap, legacyPos)
   }
 
   /** MATCH PHRASE (round 14): only documents containing the EXACT
@@ -918,14 +945,13 @@ object Index {
     val distinctTerms = qs.distinct
     val ix = read(cat, container, idef, at)
       .filter(col("term").isin(distinctTerms :+ graft.operators.FullText.StatsTerm: _*))
-    val stats = ix.filter(col("term") === graft.operators.FullText.StatsTerm)
-      .agg(sum(col("tf")).cast("double").as("n"),
-        (sum(col("dl")) / sum(col("tf"))).as("avgdl"))
+    // stats + df as driver literals AND the legacy-pos detection, one
+    // bounded job for all three — see textStatsLit
+    val (n, avgdl, dfMap, legacyPos) = textStatsLit(ix, checkPos = true)
     val post = ix.filter(col("term") =!= graft.operators.FullText.StatsTerm)
       .select(col("id").as("doc_id"), col("term"), col("tf"), col("dl"),
         col("pos"))
-    // bounded legacy detection over the PRUNED postings only
-    if (!post.filter(col("pos").isNull).limit(1).isEmpty)
+    if (legacyPos)
       sys.error(s"text index '${idef.ix}' on '$container' predates token " +
         "positions — REBUILD INDEX it to serve MATCH PHRASE")
     // Per-slot pruned scans + a codegen'd join chain — KEPT after a
@@ -951,8 +977,8 @@ object Index {
     // between scoring and the top-k
     val keep = docKeep.map(dk => anchors.join(dk, Seq("doc_id"), "left_semi"))
       .getOrElse(anchors)
-    graft.operators.FullText.bm25TopK(post.drop("pos"), stats, k,
-        docKeep = Some(keep))
+    graft.operators.FullText.bm25TopKLit(post.drop("pos"), n, avgdl, dfMap,
+        k, docKeep = Some(keep))
       .withColumnRenamed("doc_id", cat.get(container).primaryKey)
   }
 

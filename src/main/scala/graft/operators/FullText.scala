@@ -114,16 +114,21 @@ object FullText {
     * (the MATCH PHRASE filter): the semi-join lands BETWEEN the scoring
     * group-by and the top-k, so the filter applies before the LIMIT
     * while df keeps its corpus meaning. */
-  private[graft] def bm25TopK(post: DataFrame, stats: DataFrame, k: Int,
-      allOf: Option[Int] = None, docKeep: Option[DataFrame] = None): DataFrame = {
-    val dfs = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val perTerm = post
-      .join(broadcast(dfs), "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("sc",
-        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
-          * col("tf") * (K1 + 1.0)
-          / (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
+  /** THE per-(doc, term) BM25 contribution — one expression shared by
+    * the in-plan form ([[bm25TopK]]) and the literal-stats form
+    * ([[bm25TopKLit]]), so the two can never drift numerically. `tf`
+    * and `dl` come from the postings row; `n`/`avgdl`/`df` are columns
+    * in one form and literals in the other — same expression tree,
+    * bit-identical doubles. */
+  private def bm25Sc(n: Column, avgdl: Column, df: Column): Column =
+    (log(lit(1.0) + (n - df + 0.5) / (df + 0.5))
+      * col("tf") * (K1 + 1.0)
+      / (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / avgdl)))
+
+  /** The per-doc sum → conjunction filter → docKeep semi → top-k tail
+    * shared by both BM25 forms. */
+  private def bm25Tail(perTerm: DataFrame, k: Int, allOf: Option[Int],
+      docKeep: Option[DataFrame]): DataFrame = {
     val scored = perTerm.groupBy(col("doc_id"))
       .agg(round(sum(col("sc")), 6).as("bm25"), count(lit(1)).as("n_terms"))
     val conj = allOf.map(n => scored.filter(col("n_terms") === n))
@@ -132,6 +137,41 @@ object FullText {
       .getOrElse(conj)
       .orderBy(desc("bm25"), col("doc_id"))
       .limit(k)
+  }
+
+  private[graft] def bm25TopK(post: DataFrame, stats: DataFrame, k: Int,
+      allOf: Option[Int] = None, docKeep: Option[DataFrame] = None): DataFrame = {
+    val dfs = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val perTerm = post
+      .join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("sc", bm25Sc(col("n"), col("avgdl"), col("df")))
+    bm25Tail(perTerm, k, allOf, docKeep)
+  }
+
+  /** BM25 top-k with the corpus stats and per-term document frequencies
+    * as DRIVER LITERALS (round 17, guide §2.4): the index-served MATCH
+    * path collects `n`/`avgdl`/`df` in ONE bounded lowering job (≤
+    * |query terms|+1 aggregated rows — per-lookup metadata, the IVF
+    * probe-list idiom), so the serve plan scores as a PURE PROJECTION
+    * over the pruned postings scan — the in-plan form's two broadcast
+    * builds (df group-by + stats cross join) and their job waves are
+    * gone, and the pruned postings are scanned once instead of twice.
+    * `n`/`avgdl` are None when the index has no sentinel rows (empty
+    * container) — the score column goes NULL exactly like the in-plan
+    * form's empty-aggregate cross join. Values are the SAME Spark
+    * aggregates collected, re-injected as literals into the SAME score
+    * expression — bit-identical results by construction. */
+  private[graft] def bm25TopKLit(post: DataFrame, n: Option[Double],
+      avgdl: Option[Double], df: Map[String, Long], k: Int,
+      allOf: Option[Int] = None, docKeep: Option[DataFrame] = None): DataFrame = {
+    def d(v: Option[Double]): Column =
+      v.map(lit(_)).getOrElse(lit(null)).cast("double")
+    val dfCol = df.toSeq.sortBy(_._1).foldLeft(lit(null).cast("long")) {
+      case (acc, (t, c)) => when(col("term") === lit(t), lit(c)).otherwise(acc)
+    }
+    val perTerm = post.withColumn("sc", bm25Sc(d(n), d(avgdl), dfCol))
+    bm25Tail(perTerm, k, allOf, docKeep)
   }
 
   /** The persisted inverted index: postings bucketed+sorted by term (64
