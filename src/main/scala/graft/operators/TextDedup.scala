@@ -550,11 +550,18 @@ object TextDedup {
     // distinct over BOTH columns pins every copy canonically equal to
     // the pairs spine, so both its exchanges reuse; a semi-join ignores
     // build-side multiplicity, so the result is unchanged.
+    // the semi-joins pin SHUFFLE-HASH with the id frame as the build
+    // side (guide §3.1): the build is ids-only (8 bytes/row — the same
+    // scale class as the banded id exchange itself), so hashing it is
+    // bounded-memory-safe at any collision cardinality, while the
+    // default sort-merge paid a full sort of the corpus-side payloads
     val aCand = aDocs.join(aIds.getOrElse(
-        pairs.distinct().select(col("id_a").as("doc_id"))),
+        pairs.distinct().select(col("id_a").as("doc_id"))
+          .hint("shuffle_hash")),
       Seq("doc_id"), "left_semi")
     val bCand = bDocs.join(bIds.getOrElse(
-        pairs.distinct().select(col("id_b").as("doc_id"))),
+        pairs.distinct().select(col("id_b").as("doc_id"))
+          .hint("shuffle_hash")),
       Seq("doc_id"), "left_semi")
     kind match {
       case "lsh" =>
