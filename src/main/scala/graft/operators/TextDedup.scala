@@ -72,6 +72,16 @@ object TextDedup {
     * tokenization posture, so the decontamination measure and the
     * postings agree on what a token is (r14 advisor). */
   def gramsN(df: DataFrame, n: Int,
+      analyzer: String = Analyzer.Whitespace): DataFrame =
+    gramsArrN(df, n, analyzer)
+      .select(col("doc_id"), col("source"), explode(col("sg")).as("g"))
+
+  /** The per-document n-gram ARRAY (`sg`) behind [[gramsN]] — exposed
+    * (round 17) so per-document dedup can run ROW-LOCALLY
+    * (`array_distinct(sg)`) before the explode: a document's grams all
+    * live on its one source row, so `distinct (doc_id, g)` never needed
+    * a shuffle of gram strings (guide §2.3 — shuffle fewer bytes). */
+  def gramsArrN(df: DataFrame, n: Int,
       analyzer: String = Analyzer.Whitespace): DataFrame = {
     require(n >= 2, s"gram size must be >= 2, got $n")
     df.select(col("doc_id"), col("source"),
@@ -79,7 +89,7 @@ object TextDedup {
       .withColumn("sg", expr(
         s"CASE WHEN size(tk) >= $n THEN transform(sequence(1, size(tk)-${n - 1}), " +
           s"i -> array_join(slice(tk, i, $n), ' ')) ELSE array() END"))
-      .select(col("doc_id"), col("source"), explode(col("sg")).as("g"))
+      .select(col("doc_id"), col("source"), col("sg"))
   }
 
   /** The default gram size of the contamination measure. */
@@ -113,9 +123,15 @@ object TextDedup {
     // and merged with a second join; at 100 TB that was two full corpus
     // gram derivations where one suffices. Same output, same types
     // (count is 0L for unmatched docs, the coalesce'd value).
-    val corpGrams = gramsN(docs.select(col("doc_id"),
+    //
+    // The per-doc gram dedup runs ROW-LOCALLY (guide §2.3): a doc's
+    // grams all live on its one source row, so `array_distinct` before
+    // the explode replaces the old `distinct (doc_id, g)` aggregate —
+    // the ONE exchange that shuffled full gram STRINGS is gone; the
+    // only exchange left downstream carries one counted row per doc.
+    val corpGrams = gramsArrN(docs.select(col("doc_id"),
         lit("c").as("source"), col("text")), n, analyzer)
-      .select(col("doc_id"), col("g")).distinct()
+      .select(col("doc_id"), explode(array_distinct(col("sg"))).as("g"))
     val evalSide = evalGrams.select(col("g"), lit(1).as("_hit"))
     corpGrams
       .join(if (broadcastEval) broadcast(evalSide) else evalSide,
@@ -127,12 +143,17 @@ object TextDedup {
           / col("n_grams"), 6).as("contamination"))
   }
 
-  /** The distinct eval-side gram set for [[contaminationFractions]]. */
+  /** The distinct eval-side gram set for [[contaminationFractions]].
+    * Row-local `array_distinct` pre-slims each doc's grams BEFORE the
+    * cross-doc distinct aggregate (round 17, guide §2.3): the global
+    * distinct still runs (the set spans documents), but its exchange
+    * carries each doc's within-doc duplicates no more — identical set,
+    * fewer shuffled bytes. */
   def evalGramSet(eval: DataFrame, n: Int = 4,
       analyzer: String = Analyzer.Whitespace): DataFrame =
-    gramsN(eval.select(lit(0L).as("doc_id"), lit("e").as("source"),
+    gramsArrN(eval.select(lit(0L).as("doc_id"), lit("e").as("source"),
         col("text")), n, analyzer)
-      .select(col("g")).distinct()
+      .select(explode(array_distinct(col("sg"))).as("g")).distinct()
 
   /** Core of t_repetition_filter, exposed for synthetic-input specs.
     * Input needs (doc_id, text); output carries the two repetition signals
@@ -193,9 +214,12 @@ object TextDedup {
     * cross-document occurrence does.
     */
   def commonSpans(df: DataFrame): DataFrame = {
-    val dg = grams4(df)
+    // per-doc gram dedup is row-local (round 17, guide §2.3) — the
+    // cross-doc sharing count below still shuffles by gram hash, but
+    // the old distinct aggregate's full-gram exchange is gone
+    val dg = gramsArrN(df, 4)
+      .select(col("doc_id"), explode(array_distinct(col("sg"))).as("g"))
       .select(col("doc_id"), md5(col("g")).as("gh"))
-      .distinct()
     val perGram = Window.partitionBy(col("gh"))
     dg.withColumn("nd", count(lit(1)).over(perGram))
       .groupBy(col("doc_id"))
@@ -1486,11 +1510,15 @@ object TextDedup {
         // one corpus gram pass (round 17): totals + hit counts fuse into
         // one group-by over a LEFT join against the pre-distinct bench
         // gram set — the contaminationFractions shape; the r14 twin
-        // derived the corpus grams twice and merged with a second join
-        val grams = grams4(docs(s, dir))
+        // derived the corpus grams twice and merged with a second join.
+        // Per-doc gram dedup is row-local (array_distinct before the
+        // explode) — no full-gram distinct exchange, like the statement.
+        val grams = gramsArrN(docs(s, dir), 4)
+          .select(col("doc_id"), col("source"),
+            explode(array_distinct(col("sg"))).as("g"))
         val bench = grams.filter(col("source") === "src0").select(col("g")).distinct()
         val corp = grams.filter(col("source") =!= "src0")
-          .select(col("doc_id"), col("g")).distinct()
+          .select(col("doc_id"), col("g"))
         corp.join(broadcast(bench.withColumn("_hit", lit(1))), Seq("g"), "left")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_grams"),
