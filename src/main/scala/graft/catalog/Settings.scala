@@ -98,6 +98,22 @@ final case class Settings(
       * would stop being bounded per-lookup metadata, and the plain
       * pushed-filter scan wins (`Engine.indexPruned`). */
     indexProbeCap: Int = 8192,
+    /** graft extension: pair-count cap under which a SHOW DEDUP / DEDUP
+      * band funnel's id-only candidate pairs count as DRIVER METADATA
+      * (collected through an explicit `limit(cap+1)`, so the above-cap
+      * fallback is loud and structural, never an OOM) — under it the
+      * summary's component counting runs driver-side and the verify's
+      * candidate semi-joins broadcast a local id relation; above it
+      * every stage keeps the distributed shape. Size against
+      * `spark.driver.memory` / `spark.driver.maxResultSize`: the two
+      * bounded collects this cap governs (candidate pairs, then the
+      * verified subset — ≤ cap rows by construction) each carry two pk
+      * values per row, ≈ cap × 2 × (pk width + row overhead) bytes —
+      * the 250k default is ~8-50 MB for long/uuid-string pks, well
+      * under the 1g default maxResultSize; lower it for wide string
+      * pks or a small driver, raise it only with driver memory to
+      * match. */
+    funnelPairCap: Int = 250000,
     /** graft extension: distinct-gram cap for broadcasting the eval side
       * of DECONTAMINATE / SHOW DECONTAMINATE / the streaming ingest gate.
       * An eval suite is MBs against a 100 TB corpus, so its gram set
@@ -134,6 +150,7 @@ final case class Settings(
     if (s.vacuumKeepLast < 1) s = s.copy(vacuumKeepLast = 3)
     if (s.rebuildIvfAfterCommits < 0) s = s.copy(rebuildIvfAfterCommits = 0)
     if (s.indexProbeCap < 1) s = s.copy(indexProbeCap = 8192)
+    if (s.funnelPairCap < 1) s = s.copy(funnelPairCap = 250000)
     if (s.decontBroadcastCap < 1) s = s.copy(decontBroadcastCap = 1000000)
     if (!Set("exact", "approx").contains(s.statsDistinct))
       s = s.copy(statsDistinct = "exact")
@@ -159,6 +176,7 @@ final case class Settings(
        |rebuild_ivf_after_commits: $rebuildIvfAfterCommits
        |refresh_views_after_commit: $refreshViewsAfterCommit
        |index_probe_cap: $indexProbeCap
+       |funnel_pair_cap: $funnelPairCap
        |decont_broadcast_cap: $decontBroadcastCap
        |stats_distinct: $statsDistinct
        |""".stripMargin
@@ -218,6 +236,7 @@ object Settings {
       refreshViewsAfterCommit =
         bool("refresh_views_after_commit", default.refreshViewsAfterCommit),
       indexProbeCap = int("index_probe_cap", default.indexProbeCap),
+      funnelPairCap = int("funnel_pair_cap", default.funnelPairCap),
       decontBroadcastCap = int("decont_broadcast_cap", default.decontBroadcastCap),
       statsDistinct =
         kv.getOrElse("stats_distinct", default.statsDistinct).toLowerCase

@@ -1798,10 +1798,16 @@ object TextDedup {
         val toks = docs(s, dir)
           .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
         val cnt = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+        // rank-bound as TakeOrderedAndProject (round 18, guide §2.4): the
+        // ordering (c desc, term) is TOTAL (term is the group key), so
+        // `orderBy().limit(1000)` selects exactly the rows the global
+        // row_number window kept — but plans as a per-partition top-k
+        // heap + one bounded merge instead of `WindowExec: No Partition
+        // Defined` funneling the whole term dictionary (10⁸ rows at
+        // 100 TB) through a single partition.
         val vocab = cnt
-          .withColumn("rn", row_number().over(
-            Window.orderBy(col("c").desc, col("term"))))
-          .filter(col("rn") <= 1000).select(col("term"), lit(1).as("in_vocab"))
+          .orderBy(col("c").desc, col("term"))
+          .limit(1000).select(col("term"), lit(1).as("in_vocab"))
         toks.join(broadcast(vocab), Seq("term"), "left")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_tokens"),
