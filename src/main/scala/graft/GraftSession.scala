@@ -53,6 +53,25 @@ object GraftSession {
     case other => sys.error(s"Unknown GRAFT_PROFILE '$other' (interactive|batch)")
   }
 
+  /** Scale-adaptive width for the batch profile (round 18, guide §2.2 +
+    * §9 — "let AQE coalesce from an initial high value"): reducer width
+    * STARTS high (4× cores) and AQE's size-based coalescing shrinks each
+    * stage to the 16m advisory, so post-shuffle parallelism derives from
+    * the stage's actual bytes instead of the interactive profile's
+    * min(cores, 8) constant — which is a dispatch-floor tuning for
+    * sub-second sf0.1 probes and was measured to CAP heavy stages at 8
+    * of 32 cores at sf1 (the decontaminate gram aggregation and the ivf
+    * cosine verify both ran 8 uniform ~1 s tasks). The scan floor
+    * follows core count for the same reason (batch stages are
+    * compute-bound passes, not dispatch-bound probes; at 100 TB
+    * size-based splitting governs and this floor is moot). Cores-
+    * dependent, so exposed separately from [[profileConfs]] for spec
+    * pinning. */
+  def batchScaleConfs(cores: Int): Map[String, String] = Map(
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum" ->
+      (cores * 4).toString,
+    "spark.sql.files.minPartitionNum" -> cores.toString)
+
   def create(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
              appName: String = "graft",
              profile: String = sys.env.getOrElse("GRAFT_PROFILE", "interactive")): SparkSession = {
@@ -108,12 +127,19 @@ object GraftSession {
         if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-spark-local"
         else sys.props("java.io.tmpdir")
       })
+    // batch profile: width scales with cores + AQE sizing (overrides the
+    // interactive dispatch-floor constants above — see batchScaleConfs)
+    val scaled = (if (profile == "batch")
+      batchScaleConfs(math.max(1, cores.toIntOption.getOrElse(8)))
+    else Map.empty[String, String]).foldLeft(builder) {
+      case (b, (k, v)) => b.config(k, v)
+    }
     // Operator escape hatch (and local A/B harness): GRAFT_EXTRA_CONF holds
     // `k=v;k=v` confs applied on top of the defaults. Applied at BUILDER
     // time so static core configs (spark.broadcast.*, spark.io.*, …) work
     // too, not only runtime SQL confs.
     val withExtra = sys.env.get("GRAFT_EXTRA_CONF").toSeq
-      .flatMap(_.split(";").filter(_.nonEmpty)).foldLeft(builder) { (b, kv) =>
+      .flatMap(_.split(";").filter(_.nonEmpty)).foldLeft(scaled) { (b, kv) =>
         kv.split("=", 2) match {
           case Array(k, v) => b.config(k, v)
           case _ => sys.error(s"GRAFT_EXTRA_CONF segment '$kv' is not key=value")

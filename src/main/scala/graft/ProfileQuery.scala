@@ -57,6 +57,8 @@ object ProfileQuery {
           } yield t1 - t0
           println(s"[stage] id=${s.stageInfo.stageId} tasks=${s.stageInfo.numTasks} " +
             s"dur=${dur.getOrElse(-1L)}ms exec=${s.stageInfo.taskMetrics.executorRunTime}ms " +
+            s"gc=${s.stageInfo.taskMetrics.jvmGCTime}ms " +
+            s"cpu=${s.stageInfo.taskMetrics.executorCpuTime / 1000000}ms " +
             s"name=${s.stageInfo.name.takeWhile(_ != '\n').take(90)}")
         }
       }

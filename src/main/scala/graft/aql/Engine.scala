@@ -2918,14 +2918,21 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
             .select(col("id_a"), col("id_b"))
         case _ =>
           // exact cosine over the snapshot payloads (a NULL cosine — zero
-          // norm or undecodable payload — verifies nothing, like the gate)
+          // norm or undecodable payload — verifies nothing, like the
+          // gate). Round 18 (guide §1.2 — don't recompute per pair what
+          // is per-doc): payloads UNPACK ONCE PER SNAPSHOT ROW, below
+          // the pair joins — a vector in a c-candidate cell is a member
+          // of O(c) pairs, and the former per-pair unpack decoded it
+          // once per pair on both sides. Same expression, same numbers;
+          // only the evaluation point moves.
           import graft.functions.CosineSimilarity.cosineSim
           import graft.functions.Float32Unpack.float32Unpack
+          val unpacked = docsDf.select(col("doc_id"),
+            float32Unpack(col("text")).as("arr"))
           prs
-            .join(docsDf.select(col("doc_id").as("id_a"), col("text").as("pl_a")), Seq("id_a"))
-            .join(docsDf.select(col("doc_id").as("id_b"), col("text").as("pl_b")), Seq("id_b"))
-            .filter(cosineSim(float32Unpack(col("pl_a")),
-              float32Unpack(col("pl_b"))) >= thr)
+            .join(unpacked.select(col("doc_id").as("id_a"), col("arr").as("arr_a")), Seq("id_a"))
+            .join(unpacked.select(col("doc_id").as("id_b"), col("arr").as("arr_b")), Seq("id_b"))
+            .filter(cosineSim(col("arr_a"), col("arr_b")) >= thr)
             .select(col("id_a"), col("id_b"))
       }
     }
@@ -3181,16 +3188,21 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
           // sf0.1 SIMILAR AGAINST ivf lane's plan). Semantically
           // identical: semi-join-then-inner-join on one key ≡ the
           // inner join.
+          // Round 18 (guide §1.2): payloads unpack ONCE PER SNAPSHOT ROW
+          // below the pair joins — at sf1 the cosine-verify stage
+          // dominated this lane and each pair decoded both 512-byte
+          // payloads (a vector in a c-candidate cell decodes O(c)
+          // times). Same expression, same numbers; only the evaluation
+          // point moves.
           import graft.functions.CosineSimilarity.cosineSim
           import graft.functions.Float32Unpack.float32Unpack
           prs
             .join(c1Docs.select(col("doc_id").as("id_a"),
-              col("text").as("pl_a")), Seq("id_a"))
+              float32Unpack(col("text")).as("arr_a")), Seq("id_a"))
             .join(c2Snapshot.select(col(d2.primaryKey).as("id_b"),
-              col(idef.column).as("pl_b")), Seq("id_b"))
+              float32Unpack(col(idef.column)).as("arr_b")), Seq("id_b"))
             .select(col("id_a"), col("id_b"),
-              round(cosineSim(float32Unpack(col("pl_a")),
-                float32Unpack(col("pl_b"))), 6).as("score"))
+              round(cosineSim(col("arr_a"), col("arr_b")), 6).as("score"))
             .filter(col("score") >= thr)
       }
     XFunnel(idef, thr, pairs, probed = c1Docs, scoredOf = scoredOf)

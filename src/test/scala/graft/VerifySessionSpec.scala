@@ -34,6 +34,16 @@ class VerifySessionSpec extends AnyFunSuite {
     assert(batch("spark.sql.adaptive.skewJoin.enabled") == "true")
   }
 
+  test("batch profile width is scale-adaptive: reducers start at 4×cores " +
+      "for AQE to size, scan floor follows cores (round 18)") {
+    val s = GraftSession.batchScaleConfs(32)
+    assert(s("spark.sql.adaptive.coalescePartitions.initialPartitionNum") == "128")
+    assert(s("spark.sql.files.minPartitionNum") == "32")
+    // nothing hard-codes the bench width: the map derives from cores
+    assert(GraftSession.batchScaleConfs(8)(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum") == "32")
+  }
+
   test("unknown profile is rejected loudly") {
     intercept[RuntimeException](GraftSession.profileConfs("fastest"))
   }
