@@ -3545,6 +3545,15 @@ final class Engine(val spark: SparkSession, val rootDir: String) {
     // hash groups, exact dups = Σn over groups with n > 1, so the
     // summary pays ONE corpus scan + partial-agg where it paid a count
     // scan AND a group-by scan (two broadcast-build waves) before.
+    // A round-18 A/B REJECTED overlapping this scan with the funnel's
+    // eager jobs via a driver-thread Future (guide §2.6): bracketed sf1
+    // lane runs measured 0.92 s vs 0.85 s sequential — the ~0.1 s
+    // overlap win is eaten by the extra job dispatch + the serve plan
+    // losing its lazy md5 subtree (LocalTableScan churn), and a future
+    // outliving a throwing statement would leak a background job. At
+    // 100 TB stage-level parallelism inside the one serve action (the
+    // above-cap branch's cross-joined aggregates) already overlaps the
+    // independent scans where it matters.
     val totEx = fe.docsDf.groupBy(md5(col("text")).as("h"))
       .agg(count(lit(1)).as("n"))
       .agg(coalesce(sum(col("n")), lit(0L)).cast("long").as("n_docs"),
