@@ -22,6 +22,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashSlices(exprs.head)))
     ext.injectFunction((
+      new FunctionIdentifier("word_grams"),
+      new ExpressionInfo(classOf[WordGrams].getName, "word_grams"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WordGrams(exprs(0), exprs(1))))
+    ext.injectFunction((
       new FunctionIdentifier("hyperplane_bucket"),
       new ExpressionInfo(classOf[HyperplaneBucket].getName, "hyperplane_bucket"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -84,12 +84,16 @@ object TextDedup {
   def gramsArrN(df: DataFrame, n: Int,
       analyzer: String = Analyzer.Whitespace): DataFrame = {
     require(n >= 2, s"gram size must be >= 2, got $n")
+    // native word_grams (round 18, guide §4): the former
+    // transform(sequence, i -> array_join(slice)) spelling ran as an
+    // interpreted HOF Project outside whole-stage codegen, allocating a
+    // slice array + join per gram — measured as the dominant CPU of the
+    // gram pass at the 10× profiling SF. word_grams builds each gram
+    // with one concatWs inside the codegen'd projection; WordGramsSpec
+    // pins bit-equality against the declarative spelling.
     df.select(col("doc_id"), col("source"),
-        Analyzer.tokens(col("text"), analyzer).as("tk"))
-      .withColumn("sg", expr(
-        s"CASE WHEN size(tk) >= $n THEN transform(sequence(1, size(tk)-${n - 1}), " +
-          s"i -> array_join(slice(tk, i, $n), ' ')) ELSE array() END"))
-      .select(col("doc_id"), col("source"), col("sg"))
+        graft.functions.WordGrams.wordGrams(
+          Analyzer.tokens(col("text"), analyzer), n).as("sg"))
   }
 
   /** The default gram size of the contamination measure. */
@@ -239,11 +243,12 @@ object TextDedup {
     * funnels. */
   private[graft] def withShingles(df: DataFrame,
       analyzer: String = Analyzer.Whitespace): DataFrame =
+    // native word_grams (round 18, guide §4) — same rationale and
+    // bit-equality pin as gramsArrN; the former `element_at ||`
+    // spelling differed from array_join only on NULL token elements,
+    // which Analyzer.tokens can never produce (WordGramsSpec pins both)
     df.withColumn("tk", Analyzer.tokens(col("text"), analyzer))
-      .withColumn("sg", expr(
-        "CASE WHEN size(tk) >= 3 THEN transform(sequence(1, size(tk)-2), " +
-          "i -> element_at(tk,i) || ' ' || element_at(tk,i+1) || ' ' || element_at(tk,i+2)) " +
-          "ELSE array() END"))
+      .withColumn("sg", graft.functions.WordGrams.wordGrams(col("tk"), 3))
 
   /** The shingle CTEs over an arbitrary base relation — `base` is a table
     * name or a parenthesized subquery (the time-traveled SHOW DEDUP
